@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare (t2 gate).
+
+Usage: python3 scripts/oracle_check.py <verify_out_dir> <sf_dir>
+
+For each query dir under verify_out: read Spark's parquet result, run the
+matching oracle SQL in DuckDB over the sf parquet tables, sort columns by
+name, compare row-by-row (floats to 1e-9 rel tolerance, rows compared as
+sorted multisets to stay order-insensitive where ORDER BY ties are possible).
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:26]
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def rows_of(table):
+    cols = sorted(table.column_names)
+    data = [table.column(c).to_pylist() for c in cols]
+    return cols, [tuple(norm(v) for v in row) for row in zip(*data)] if data else (cols, [])
+
+
+def main(out_dir, sf_dir):
+    oracle = json.load(open(Path(out_dir) / "oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    passed, failed = [], []
+    for name in sorted(oracle):
+        qdir = Path(out_dir) / name
+        files = list(qdir.glob("*.parquet"))
+        if not files:
+            failed.append((name, "no spark output"))
+            continue
+        got = pq.read_table(files[0])
+        try:
+            exp = con.execute(oracle[name]).arrow()
+        except Exception as e:
+            failed.append((name, f"oracle error: {e}"))
+            continue
+        gc, gr = rows_of(got)
+        ec, er = rows_of(exp)
+        if gc != ec:
+            failed.append((name, f"schema: spark={gc} duckdb={ec}"))
+            continue
+        if len(gr) != len(er):
+            failed.append((name, f"rowcount: spark={len(gr)} duckdb={len(er)}"))
+            continue
+        # order-sensitive first; fall back to multiset compare
+        if gr == er or sorted(map(repr, gr)) == sorted(map(repr, er)):
+            passed.append(name)
+        else:
+            diff = next((i, a, b) for i, (a, b) in enumerate(zip(gr, er)) if a != b)
+            failed.append((name, f"values differ at row {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}"))
+    for n in passed:
+        print(f"PASS {n}")
+    for n, why in failed:
+        print(f"FAIL {n}: {why}")
+    print(f"\n{len(passed)}/{len(passed) + len(failed)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,13 +1,337 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.prql.Graft
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every parity entry below goes through the PRQL compiler
+  * (graft.prql.{Parser, Lowering}) — the engine under test — against the
+  * parquet tables in the scale-factor dir. Each has a DuckDB-dialect oracle
+  * in [[oracleSql]] with identical column names and a total ordering, so the
+  * driver's hash compare is deterministic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** PRQL-driven query: compile against all tables in the sf dir. */
+  private def q(prql: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => Graft.compileDir(prql, spark, dir)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The invoice_totals.prql pattern (reference examples/queries/
+    * invoice_totals.prql:1-21) transposed onto orders/lineitem. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Graft.compileDir(flagshipPrql, spark, "/root/testdata/sf0.001")
+
+  private val flagshipPrql =
+    """from o=orders
+      |join l=lineitem [o.o_orderkey == l.l_orderkey]
+      |derive [
+      |  month = s"STRFTIME('%Y-%m', {o.o_orderdate})",
+      |  day = s"STRFTIME('%Y-%m-%d', {o.o_orderdate})",
+      |]
+      |group [month, day] (
+      |  aggregate [
+      |    num_orders = s"COUNT(DISTINCT {o.o_orderkey})",
+      |    num_items = sum l.l_quantity,
+      |    total_price = sum (l.l_extendedprice * (1 - l.l_discount)),
+      |  ]
+      |)
+      |group [month] (
+      |  sort day
+      |  window expanding:true (
+      |    derive [running_total_num_items = sum num_items]
+      |  )
+      |)
+      |sort day
+      |derive [num_items_last_week = lag 7 num_items]
+      |take 30""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- §2b/2c parity: core transforms ---
+    "q01_take_sort" -> q(
+      "from lineitem | sort [l_orderkey, l_linenumber] | take 5"),
+
+    "q02_select_derive" -> q(
+      """from lineitem
+        |derive [
+        |  disc_price = l_extendedprice * (1 - l_discount),
+        |  charge = l_extendedprice * (1 - l_discount) * (1 + l_tax),
+        |]
+        |select [l_orderkey, l_linenumber, disc_price, charge]
+        |sort [l_orderkey, l_linenumber]
+        |take 100""".stripMargin),
+
+    "q03_filter_dates" -> q(
+      """from lineitem
+        |filter l_shipdate < @1995-01-01 and l_quantity > 30
+        |select [l_orderkey, l_linenumber, l_quantity, l_shipdate]
+        |sort [l_orderkey, l_linenumber]
+        |take 100""".stripMargin),
+
+    "q04_agg_global" -> q(
+      """from lineitem
+        |aggregate [
+        |  n = count,
+        |  sum_qty = sum l_quantity,
+        |  avg_price = average l_extendedprice,
+        |  max_disc = max l_discount,
+        |  min_ship = min l_shipdate,
+        |]""".stripMargin),
+
+    "q05_group_agg" -> q( // TPC-H Q1 shape
+      """from lineitem
+        |group [l_returnflag, l_linestatus] (
+        |  aggregate [
+        |    sum_qty = sum l_quantity,
+        |    sum_base_price = sum l_extendedprice,
+        |    sum_disc_price = sum (l_extendedprice * (1 - l_discount)),
+        |    avg_qty = average l_quantity,
+        |    count_order = count,
+        |  ]
+        |)
+        |sort [l_returnflag, l_linestatus]""".stripMargin),
+
+    "q06_join_cond" -> q(
+      """from o=orders
+        |join c=customer [o.o_custkey == c.c_custkey]
+        |select [o_orderkey, c_name, o_totalprice]
+        |sort o_orderkey
+        |take 200""".stripMargin),
+
+    "q07_join_using" -> q(
+      """let r2 = (from region | derive [regionkey = r_regionkey] | select [regionkey, r_name])
+        |from nation
+        |derive [regionkey = n_regionkey]
+        |join r2 [==regionkey]
+        |select [n_name, r_name]
+        |sort n_name""".stripMargin),
+
+    "q08_join_left_coalesce" -> q(
+      """let bigcust = (from customer | filter c_acctbal > 9000.0)
+        |from o=orders
+        |join side:left b=bigcust [o.o_custkey == b.c_custkey]
+        |derive [nm = b.c_name ?? "none"]
+        |filter nm != null
+        |select [o_orderkey, nm]
+        |sort o_orderkey
+        |take 500""".stripMargin),
+
+    "q09_flagship" -> q(flagshipPrql),
+
+    "q10_window_rolling" -> q(
+      """from lineitem
+        |group [l_suppkey] (
+        |  sort [l_shipdate, l_orderkey, l_linenumber]
+        |  window rolling:3 (
+        |    derive [qty_3 = sum l_quantity]
+        |  )
+        |  derive [rn = row_number]
+        |)
+        |filter rn <= 2
+        |select [l_suppkey, l_orderkey, l_linenumber, qty_3, rn]
+        |sort [l_suppkey, l_orderkey, l_linenumber]""".stripMargin),
+
+    "q11_take_range" -> q(
+      "from customer | sort c_custkey | take 11..20"),
+
+    "q12_append" -> q(
+      """let hi = (from supplier | filter s_acctbal > 9000.0)
+        |let lo = (from supplier | filter s_acctbal < -900.0)
+        |from hi
+        |append lo
+        |sort s_suppkey""".stripMargin),
+
+    "q13_switch" -> q(
+      """from customer
+        |derive [tier = switch [
+        |  c_acctbal >= 5000.0 -> "gold",
+        |  c_acctbal >= 0.0 -> "silver",
+        |  true -> "bronze",
+        |]]
+        |group [tier] (aggregate [n = count, total_bal = sum c_acctbal])
+        |sort tier""".stripMargin),
+
+    "q14_fstring" -> q(
+      """from nation
+        |derive [label = f"{n_name}-{n_nationkey}"]
+        |select [label]
+        |sort label""".stripMargin),
+
+    "q15_in_range" -> q(
+      """from part
+        |filter (p_size | in 10..20)
+        |select [p_partkey, p_size]
+        |sort p_partkey""".stripMargin),
+
+    "q16_func_inline" -> q(
+      """func fahrenheit c -> c * 9 / 5 + 32
+        |from supplier
+        |derive [f = fahrenheit s_acctbal]
+        |select [s_suppkey, f]
+        |sort s_suppkey
+        |take 50""".stripMargin),
+
+    "q17_having" -> q(
+      """from orders
+        |group [o_custkey] (aggregate [total = sum o_totalprice, n = count])
+        |filter n >= 3
+        |sort o_custkey""".stripMargin),
+
+    "q18_sort_desc" -> q(
+      """from customer
+        |sort [-c_acctbal, c_custkey]
+        |select [c_custkey, c_acctbal]
+        |take 25""".stripMargin),
+
+    "q19_group_topn" -> q(
+      """from lineitem
+        |group [l_returnflag] (
+        |  sort [-l_extendedprice, l_orderkey, l_linenumber]
+        |  take 3
+        |)
+        |select [l_returnflag, l_orderkey, l_linenumber, l_extendedprice]
+        |sort [l_returnflag, l_orderkey, l_linenumber]""".stripMargin),
+
+    "q20_sstring_distinct" -> q(
+      """from orders
+        |derive [month = s"STRFTIME('%Y-%m', {o_orderdate})"]
+        |group [month] (
+        |  aggregate [
+        |    num_cust = s"COUNT(DISTINCT {o_custkey})",
+        |    total = sum o_totalprice,
+        |  ]
+        |)
+        |sort month""".stripMargin),
+  )
+
+  /** DuckDB-dialect oracle for each query above. Column names and ORDER BY
+    * match the Spark side exactly (driver sorts columns by name then hashes
+    * values). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_take_sort" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5",
+
+    "q02_select_derive" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS disc_price,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q03_filter_dates" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate < DATE '1995-01-01' AND l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q04_agg_global" ->
+      """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  avg(l_extendedprice) AS avg_price, max(l_discount) AS max_disc,
+        |  min(l_shipdate) AS min_ship
+        |FROM lineitem""".stripMargin,
+
+    "q05_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  avg(l_quantity) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q06_join_cond" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "q07_join_using" ->
+      """WITH r2 AS (SELECT r_regionkey AS regionkey, r_name FROM region)
+        |SELECT n_name, r_name
+        |FROM (SELECT *, n_regionkey AS regionkey FROM nation) JOIN r2 USING (regionkey)
+        |ORDER BY n_name""".stripMargin,
+
+    "q08_join_left_coalesce" ->
+      """WITH bigcust AS (SELECT * FROM customer WHERE c_acctbal > 9000.0)
+        |SELECT o_orderkey, coalesce(b.c_name, 'none') AS nm
+        |FROM orders o LEFT JOIN bigcust b ON o.o_custkey = b.c_custkey
+        |WHERE coalesce(b.c_name, 'none') IS NOT NULL
+        |ORDER BY o_orderkey LIMIT 500""".stripMargin,
+
+    "q09_flagship" ->
+      """WITH daily AS (
+        |  SELECT STRFTIME(o.o_orderdate, '%Y-%m') AS month,
+        |         STRFTIME(o.o_orderdate, '%Y-%m-%d') AS day,
+        |         COUNT(DISTINCT o.o_orderkey) AS num_orders,
+        |         SUM(l.l_quantity) AS num_items,
+        |         SUM(l.l_extendedprice * (1 - l.l_discount)) AS total_price
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT month, day, num_orders, num_items, total_price,
+        |  SUM(num_items) OVER (PARTITION BY month ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total_num_items,
+        |  LAG(num_items, 7) OVER (ORDER BY day) AS num_items_last_week
+        |FROM daily ORDER BY day LIMIT 30""".stripMargin,
+
+    "q10_window_rolling" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, qty_3, rn FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qty_3,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 2 ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q11_take_range" ->
+      "SELECT * FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 10",
+
+    "q12_append" ->
+      """SELECT * FROM (
+        |  SELECT * FROM supplier WHERE s_acctbal > 9000.0
+        |  UNION ALL
+        |  SELECT * FROM supplier WHERE s_acctbal < -900.0)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q13_switch" ->
+      """SELECT CASE WHEN c_acctbal >= 5000.0 THEN 'gold'
+        |            WHEN c_acctbal >= 0.0 THEN 'silver'
+        |            ELSE 'bronze' END AS tier,
+        |       count(*) AS n, sum(c_acctbal) AS total_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_fstring" ->
+      """SELECT n_name || '-' || CAST(n_nationkey AS VARCHAR) AS label
+        |FROM nation ORDER BY label""".stripMargin,
+
+    "q15_in_range" ->
+      """SELECT p_partkey, p_size FROM part
+        |WHERE p_size BETWEEN 10 AND 20 ORDER BY p_partkey""".stripMargin,
+
+    "q16_func_inline" ->
+      """SELECT s_suppkey, s_acctbal * 9 / 5 + 32 AS f
+        |FROM supplier ORDER BY s_suppkey LIMIT 50""".stripMargin,
+
+    "q17_having" ->
+      """SELECT o_custkey, sum(o_totalprice) AS total, count(*) AS n
+        |FROM orders GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
+
+    "q18_sort_desc" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 25""".stripMargin,
+
+    "q19_group_topn" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 3
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+
+    "q20_sstring_distinct" ->
+      """SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+        |  COUNT(DISTINCT o_custkey) AS num_cust,
+        |  sum(o_totalprice) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

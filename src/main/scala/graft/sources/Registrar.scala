@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.io.File
+
+/** `--from` equivalent: reads csv/json/parquet sources and registers them
+  * under normalized table names. Name rules mirror the reference
+  * (/root/reference/src/main.rs:287-323): `alias=path` split, extension
+  * check, filename-minus-extension, spaces→underscores (main.rs:310),
+  * schema-qualified DB tables keep the last dotted part (main.rs:313-317).
+  */
+object Registrar {
+
+  val SupportedFileTypes = Set("csv", "json", "parquet", "avro") // main.rs:25
+
+  final case class SourceError(msg: String) extends RuntimeException(msg)
+
+  /** `alias=path` or bare path → (tableName, path). */
+  def standardiseSource(spec: String): (String, String) = {
+    val (alias, path) = spec.split("=", 2) match {
+      case Array(a, p) => (Some(a), p)
+      case Array(p)    => (None, p)
+    }
+    val ext = extensionOf(path)
+    val name = alias.getOrElse {
+      if (ext.exists(SupportedFileTypes)) {
+        val base = new File(path).getName
+        base.substring(0, base.lastIndexOf('.')).replace(' ', '_') // main.rs:301-311
+      } else if (path.contains(".")) path.split('.').last // main.rs:313-317
+      else path
+    }
+    (name, path)
+  }
+
+  private def extensionOf(path: String): Option[String] = {
+    val base = new File(path).getName
+    val i = base.lastIndexOf('.')
+    if (i < 0) None else Some(base.substring(i + 1).toLowerCase)
+  }
+
+  /** Read one source by extension — the register_csv/json/parquet dispatch
+    * (/root/reference/src/backends/datafusion.rs:37-50), Spark-first. */
+  def read(spark: SparkSession, path: String): DataFrame = extensionOf(path) match {
+    case Some("csv") =>
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    case Some("json") => spark.read.json(path) // Spark's reader is NDJSON-native
+    case Some("parquet") => spark.read.parquet(path)
+    case Some("avro") => spark.read.format("avro").load(path)
+    case other => throw SourceError(s"unsupported source type: ${other.getOrElse("(none)")} ($path)")
+  }
+
+  /** Register a list of `--from` specs; returns name→DataFrame and creates
+    * temp views (needed for s-string relation splices via spark.sql). */
+  def registerAll(spark: SparkSession, specs: Seq[String]): Map[String, DataFrame] =
+    specs.map { spec =>
+      val (name, path) = standardiseSource(spec)
+      val df = read(spark, path)
+      df.createOrReplaceTempView(name)
+      name -> df
+    }.toMap
+
+  /** All parquet tables in a testdata dir (TESTDATA.md layout). */
+  def loadParquetDir(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet"))
+    files.map { f =>
+      val name = f.getName.stripSuffix(".parquet")
+      val df = spark.read.parquet(f.getAbsolutePath)
+      df.createOrReplaceTempView(name)
+      name -> df
+    }.toMap
+  }
+}
