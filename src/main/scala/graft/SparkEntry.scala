@@ -1,7 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
 import graft.prql.Graft
+import graft.ops.{Dedup, EventOps, Multimodal, Similarity, TextOps}
+import graft.sources.Registrar
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -204,6 +207,83 @@ object SparkEntry {
         |  ]
         |)
         |sort month""".stripMargin),
+
+    // --- extensions: training-data pipeline operators (builder prompt) ---
+    "x01_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .select("doc_id", "fp", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    "x02_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy("a", "b")),
+
+    "x03_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", maxHamming = 6)
+        .orderBy("a", "b")),
+
+    "x04_ngram_jaccard" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val cands = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+      Dedup.ngramJaccard(cands.select("a", "b"), docs, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.3)
+        .orderBy("a", "b")
+    }),
+
+    "x05_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy("a", "b")),
+
+    "x06_knn_brute" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      Similarity.bruteKnn(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
+    "x07_knn_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshKnn(emb, emb.filter(F.col("vec_id") < 50), "vec_id", "embedding",
+          k = 3, nPlanes = 6)
+        .orderBy("query_id", "rk")
+    }),
+
+    "x08_text_quality" -> ((s, dir) =>
+      TextOps.withQuality(s.read.parquet(s"$dir/documents.parquet"), "text")
+        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len")
+        .orderBy("doc_id")),
+
+    "x09_lang_id" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("doc_id"), TextOps.langId(F.col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    "x10_fingerprint" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("doc_id"), TextOps.fingerprint(F.col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "x11_token_counts" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("doc_id"),
+          TextOps.tokenCount(F.col("text")).as("n_ws_tokens"),
+          TextOps.bpeishTokenCount(F.col("text")).as("n_bpeish_tokens"))
+        .orderBy("doc_id")),
+
+    "x12_events_hourly" -> ((s, dir) =>
+      EventOps.hourlyRollup(s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("hour", "event_type")),
+
+    "x13_sessions" -> ((s, dir) =>
+      EventOps.sessionStats(s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("user_id", "session_seq")),
+
+    "x14_media_features" -> ((s, dir) =>
+      Multimodal.mediaFeatures(s.read.parquet(s"$dir/documents.parquet"))(s)
+        .orderBy("doc_id")),
   )
 
   /** DuckDB-dialect oracle for each query above. Column names and ORDER BY
@@ -333,5 +413,97 @@ object SparkEntry {
         |  COUNT(DISTINCT o_custkey) AS num_cust,
         |  sum(o_totalprice) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // --- extension oracles (DuckDB 1.x dialect). x02/x03/x04/x05/x07/x14
+    // are LSH-approximate or binary-feature ops with no SQL equivalent →
+    // deliberately omitted (driver records the weaker rows-only check). ---
+    "x01_dedup_exact" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |       lang, n_chars
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |        ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "x06_knn_brute" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, cos, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "x08_text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+        |    / greatest(length(text), 1) AS punct_ratio,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x IN ('the','a','and','of','to','in','is')))::DOUBLE
+        |    / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stopword_ratio,
+        |  (length(text) - len(string_split_regex(trim(text), '\s+')) + 1)::DOUBLE
+        |    / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x09_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','is','in'))) AS en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','nicht'))) AS de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS fr,
+        |    len(list_filter(toks, x -> x IN ('el','los','las','y','es','un','que'))) AS es
+        |  FROM scored)
+        |SELECT doc_id,
+        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |       WHEN fr >= es AND fr > 0 THEN 'fr'
+        |       WHEN es > 0 THEN 'es'
+        |       ELSE 'und' END AS pred_lang
+        |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "x10_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x11_token_counts" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x12_events_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        |  count(*) AS n, sum(value) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x13_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT *, (sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  sum(value) AS total_value,
+        |  (max(epoch_us(ts)) - min(epoch_us(ts)))::DOUBLE / 1000000 AS duration_sec
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`) — extension
+  * operators beyond the reference surface (SURVEY.md §7 step 10; the
+  * `embeddings` testdata table, FIXTURES.md §B).
+  *
+  * Scale design (100 TB corpus, small query set):
+  *  - cosine is computed with codegen'd higher-order functions
+  *    (`zip_with`/`aggregate`) — no UDF, stays inside whole-stage codegen.
+  *  - brute-force kNN broadcasts the query side (queries ≪ corpus), so the
+  *    corpus is scanned exactly once with NO shuffle of corpus rows; the
+  *    rank-filter idiom compiles to Spark's WindowGroupLimit, which takes
+  *    per-map-partition partial top-k BEFORE the shuffle, so only
+  *    O(partitions·k) rows move.
+  *  - the LSH variant buckets the corpus by random-hyperplane sign bits:
+  *    candidate generation is a bucket equi-join (shuffle ∝ bucket sizes,
+  *    not corpus²) — the standard ANN scale path when a full scan per query
+  *    batch is too expensive.
+  */
+object Similarity {
+
+  /** Cosine similarity between two `array<float>` columns, in one pass,
+    * codegen-friendly (no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = F.aggregate(F.zip_with(a, b, (x, y) => x * y), F.lit(0.0d), (acc, v) => acc + v)
+    val na = F.sqrt(F.aggregate(a, F.lit(0.0d), (acc, v) => acc + v * v))
+    val nb = F.sqrt(F.aggregate(b, F.lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) big side — scanned once, never shuffled
+    *                in full (WindowGroupLimit keeps partial top-k per map task)
+    * @param queries (idCol, vecCol) small side — broadcast
+    */
+  def bruteKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    val q = F.broadcast(queries
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "__qvec"))
+    val scored = corpus.join(q, corpus(idCol) =!= F.col("query_id")) // all pairs, self excluded
+      .withColumn("cos", cosine(F.col(vecCol), F.col("__qvec")))
+    val w = Window.partitionBy("query_id").orderBy(F.col("cos").desc, F.col(idCol).asc)
+    scored
+      .withColumn("rk", F.row_number().over(w))
+      .filter(F.col("rk") <= k)
+      .select(F.col("query_id"), F.col(idCol).as("neighbor_id"), F.col("cos"), F.col("rk"))
+  }
+
+  /** Deterministic random hyperplanes (seeded) — driver-side literals,
+    * effectively broadcast with the plan. */
+  private[ops] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit LSH bucket id for a vector column: bit i = (v · plane_i) > 0. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = F.array(p.map(F.lit): _*)
+      val dot = F.aggregate(F.zip_with(vec, planeLit, (x, y) => x * y), F.lit(0.0d), (acc, v) => acc + v)
+      F.when(dot > 0, F.shiftleft(F.lit(1L), i)).otherwise(F.lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: bucket corpus + queries by hyperplane signs, join on
+    * bucket, rank candidates by exact cosine. Recall < 1 by construction;
+    * `nPlanes` trades recall vs candidate-set size (bucket count = 2^nPlanes).
+    */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val cb = corpus.withColumn("__bucket", lshBucket(F.col(vecCol), planes))
+    val qb = F.broadcast(queries
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "__qvec")
+      .withColumn("__bucket", lshBucket(F.col("__qvec"), planes)))
+    val cand = cb.join(qb, Seq("__bucket")).filter(F.col(idCol) =!= F.col("query_id"))
+      .withColumn("cos", cosine(F.col(vecCol), F.col("__qvec")))
+    val w = Window.partitionBy("query_id").orderBy(F.col("cos").desc, F.col(idCol).asc)
+    cand.withColumn("rk", F.row_number().over(w))
+      .filter(F.col("rk") <= k)
+      .select(F.col("query_id"), F.col(idCol).as("neighbor_id"), F.col("cos"), F.col("rk"))
+  }
+
+  /** All pairs with cosine ≥ threshold via LSH buckets (near-duplicate
+    * detection on embeddings). Pair appears once (a < b). At scale the
+    * quadratic work is confined to each bucket; skewed buckets should be
+    * salted or size-capped upstream. */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                   nPlanes: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val b = emb.select(F.col(idCol), F.col(vecCol))
+      .withColumn("__bucket", lshBucket(F.col(vecCol), planes))
+    val l = b.select(F.col("__bucket"), F.col(idCol).as("a"), F.col(vecCol).as("__va"))
+    val r = b.select(F.col("__bucket"), F.col(idCol).as("b"), F.col(vecCol).as("__vb"))
+    l.join(r, Seq("__bucket")).filter(F.col("a") < F.col("b"))
+      .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+      .filter(F.col("cos") >= threshold)
+      .select("a", "b", "cos")
+      .dropDuplicates("a", "b") // same pair can collide in one bucket only, but stay safe
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Text analysis for large-scale training-data pipelines — extension
+  * operators beyond the reference surface (builder prompt; SURVEY.md §7
+  * step 10). Everything is built from codegen'd `org.apache.spark.sql.
+  * functions` (no UDFs), so all operators are embarrassingly parallel:
+  * a single projection over the corpus, zero shuffles.
+  */
+object TextOps {
+
+  /** Whitespace-token count. */
+  def tokenCount(text: Column): Column =
+    F.size(F.split(F.trim(text), "\\s+"))
+
+  /** BPE-ish token count: word pieces + isolated punctuation. A real BPE
+    * vocab would be a broadcast lookup; the regex segmentation is the
+    * Spark-side plumbing that matters at scale. */
+  def bpeishTokenCount(text: Column): Column =
+    F.regexp_count(text, F.lit("\\w+|[^\\w\\s]"))
+
+  private val stopwordsEn = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Quality metrics: length, token count, punctuation ratio, stopword
+    * ratio, mean token length. Deterministic; mirrors a DuckDB-expressible
+    * formula so the oracle can verify it. */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    val toks = F.split(F.trim(t), "\\s+")
+    val nTok = F.size(toks)
+    val stopHits = F.size(F.filter(toks, tk => tk.isin(stopwordsEn.map(x => x: Any): _*)))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("punct_ratio",
+        F.regexp_count(t, F.lit("[.,!?;:]")).cast("double") / F.greatest(F.length(t), F.lit(1)))
+      .withColumn("stopword_ratio", stopHits.cast("double") / F.greatest(nTok, F.lit(1)))
+      .withColumn("mean_token_len",
+        (F.length(t) - nTok + 1).cast("double") / F.greatest(nTok, F.lit(1)))
+  }
+
+  /** Stopword-hit language ID over {en, de, fr, es} + CJK-codepoint check
+    * for zh. N-gram/stopword heuristic per the builder prompt — a
+    * deterministic scoring rule, not a model. */
+  def langId(text: Column): Column = {
+    val toks = F.split(F.lower(F.trim(text)), "\\s+")
+    def hits(words: Seq[String]): Column =
+      F.size(F.filter(toks, tk => tk.isin(words.map(x => x: Any): _*)))
+    val en = hits(Seq("the", "a", "of", "and", "to", "is", "in"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "ein", "nicht"))
+    val fr = hits(Seq("le", "la", "les", "et", "est", "un", "une"))
+    val es = hits(Seq("el", "los", "las", "y", "es", "un", "que"))
+    val hasCjk = F.regexp_count(text, F.lit("[\\u4e00-\\u9fff]")) > 0
+    F.when(hasCjk, "zh")
+      .when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Document fingerprint: md5 of case-folded, whitespace-collapsed text.
+    * (md5 rather than xxhash64 so the DuckDB oracle computes the identical
+    * value; both engines emit the same hex.) */
+  def fingerprint(text: Column): Column =
+    F.md5(F.regexp_replace(F.lower(text), "\\s+", " "))
+}
