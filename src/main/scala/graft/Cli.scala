@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.prql.Graft
+import graft.sources.Registrar
+import graft.io.Writers
+import java.nio.file.{Files, Paths}
+
+/** pq-compatible CLI entry (reference /root/reference/src/main.rs:38-81).
+  *
+  * Usage: graft.Cli [QUERY] [--from alias=path ...] [--to dest]
+  *                  [--format csv|json|parquet|table] [--backend b]
+  *                  [--writer arrow|backend] [--sql] [--no-exec]
+  *
+  * Behavior mirrored from the reference:
+  *  - query from positional arg, stdin (`-`), or a *.prql file path
+  *    (main.rs:124-136)
+  *  - every flag falls back to a PQ_* environment variable (main.rs:40-80)
+  *  - auto-`from`: query without a `from` + registered sources → prepend
+  *    `from <last-source>`; empty query → `from <last-source>`
+  *    (main.rs:144-150, README.md:147-150,171-173)
+  *  - `--sql`: raw SQL passthrough, executed by spark.sql (main.rs:278-285)
+  *  - `--no-exec`: print what would run (our analyzed logical plan — the
+  *    Spark equivalent of the generated SQL, main.rs:229-231)
+  *  - `--backend`/`--writer` accepted for CLI compat; execution is always
+  *    Spark here (the reference's backend dispatch is main.rs:235-251)
+  */
+object Cli {
+
+  final case class Args(
+      query: Option[String] = None,
+      from: Seq[String] = Nil,
+      to: Option[String] = None,
+      format: Option[String] = None,
+      sql: Boolean = false,
+      noExec: Boolean = false)
+
+  def parseArgs(argv: Array[String]): Args = {
+    def env(k: String): Option[String] = sys.env.get(k).filter(_.nonEmpty)
+    var a = Args(
+      from = env("PQ_FROM").map(_.split(';').toSeq).getOrElse(Nil),
+      to = env("PQ_TO"),
+      format = env("PQ_FORMAT"),
+      sql = env("PQ_SQL").exists(_ == "true"),
+      noExec = env("PQ_NO_EXEC").exists(_ == "true"))
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case "--from" | "-f" => a = a.copy(from = a.from :+ argv(i + 1)); i += 2
+        case "--to" | "-t"   => a = a.copy(to = Some(argv(i + 1))); i += 2
+        case "--format"      => a = a.copy(format = Some(argv(i + 1))); i += 2
+        case "--backend" | "-b" | "--database" | "-d" | "--writer" => i += 2 // compat no-ops
+        case "--sql"         => a = a.copy(sql = true); i += 1
+        case "--no-exec"     => a = a.copy(noExec = true); i += 1
+        case q               => a = a.copy(query = Some(q)); i += 1
+      }
+    }
+    a
+  }
+
+  /** Query intake: positional arg, `-` = stdin, `*.prql` = file path
+    * (main.rs:124-136). */
+  def readQuery(q: Option[String]): String = q match {
+    case None | Some("-") => scala.io.Source.stdin.mkString.trim
+    case Some(path) if path.endsWith(".prql") =>
+      new String(Files.readAllBytes(Paths.get(path))).trim
+    case Some(text) => text.trim
+  }
+
+  /** Auto-`from` insertion (main.rs:144-150). */
+  def withAutoFrom(query: String, sources: Seq[String]): String = {
+    val hasFrom = query.linesIterator.exists(_.trim.startsWith("from"))
+    if (hasFrom || sources.isEmpty) query
+    else if (query.isEmpty) s"from ${sources.last}"
+    else s"from ${sources.last}\n$query"
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv)
+    val fmt = Writers.inferFormat(args.to, args.format)
+
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      val tables = Registrar.registerAll(spark, args.from)
+      val names = args.from.map(s => Registrar.standardiseSource(s)._1)
+      val raw = readQuery(args.query)
+
+      val df =
+        if (args.sql) spark.sql(raw) // main.rs:75-76 passthrough
+        else Graft.compile(withAutoFrom(raw, names), tables)
+
+      if (args.noExec) println(df.queryExecution.analyzed.toString())
+      else Writers.write(df, args.to, fmt)
+    } finally spark.stop()
+  }
+}

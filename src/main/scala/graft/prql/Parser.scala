@@ -11,6 +11,10 @@ import Ast._
 final class Parser(tokens: Vector[Tok]) {
   private var p = 0
 
+  /** When parsing a bare `group <key> (pipeline)` key, a following `(` opens
+    * the sub-pipeline, not a function-application argument. */
+  private var noParenApp = false
+
   private def cur: Tok = tokens(p)
   private def advance(): Tok = { val t = tokens(p); p += 1; t }
   private def isOp(s: String): Boolean = cur match { case TOp(o, _) => o == s; case _ => false }
@@ -192,7 +196,13 @@ final class Parser(tokens: Vector[Tok]) {
   }
 
   private def parseGroup(): Group = {
-    val keys = parseItemList()
+    val keys =
+      if (isOp("[")) parseItemList()
+      else {
+        val saved = noParenApp
+        noParenApp = true
+        try Seq(parseItem()) finally noParenApp = saved
+      }
     skipNewlinesInExpr()
     eatOp("(")
     skipNewlines()
@@ -363,7 +373,7 @@ final class Parser(tokens: Vector[Tok]) {
       case _ => false
     }
     case _: TIdent | _: TInt | _: TFloat | _: TStr | _: TInterp | _: TDate => true
-    case TOp("(", _) => true
+    case TOp("(", _) => !noParenApp
     case _ => false
   }
 
@@ -396,7 +406,10 @@ final class Parser(tokens: Vector[Tok]) {
     case TIdent(_, _) => parseDottedIdent()
     case TOp("(", _) =>
       p += 1; skipNewlinesInExpr()
+      val saved = noParenApp
+      noParenApp = false // inside parens the group-key ambiguity is gone
       var e = parseExpr()
+      noParenApp = saved
       skipNewlinesInExpr()
       // expression pipeline: (x | in 0..10) — lhs becomes last arg of rhs
       while (isOp("|")) {
