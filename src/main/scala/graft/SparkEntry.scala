@@ -208,6 +208,79 @@ object SparkEntry {
         |)
         |sort month""".stripMargin),
 
+    "q21_rank_lead" -> q(
+      """from lineitem
+        |group [l_suppkey] (
+        |  sort [l_shipdate, l_orderkey, l_linenumber]
+        |  derive [
+        |    rk = rank,
+        |    drk = dense_rank,
+        |    next_qty = lead 1 l_quantity,
+        |  ]
+        |)
+        |filter drk <= 2
+        |select [l_suppkey, l_orderkey, l_linenumber, rk, drk, next_qty]
+        |sort [l_suppkey, l_orderkey, l_linenumber]""".stripMargin),
+
+    "q22_rows_frame" -> q(
+      """from orders
+        |group [o_custkey] (
+        |  sort [o_orderdate, o_orderkey]
+        |  window rows:-3..0 (
+        |    derive [sum4 = sum o_totalprice]
+        |  )
+        |  derive [rn = row_number]
+        |)
+        |filter rn <= 3
+        |select [o_custkey, o_orderkey, sum4, rn]
+        |sort [o_custkey, o_orderkey]""".stripMargin),
+
+    "q23_first_last_stddev" -> q(
+      """from lineitem
+        |group [l_returnflag, l_linestatus] (
+        |  aggregate [
+        |    sd_qty = stddev l_quantity,
+        |    sd_price = stddev l_extendedprice,
+        |    n = count,
+        |  ]
+        |)
+        |sort [l_returnflag, l_linestatus]""".stripMargin),
+
+    "q24_first_last_window" -> q(
+      """from orders
+        |group [o_custkey] (
+        |  sort [o_orderdate, o_orderkey]
+        |  window expanding:true (
+        |    derive [first_price = first o_totalprice]
+        |  )
+        |  derive [rn = row_number]
+        |)
+        |filter rn <= 2
+        |select [o_custkey, o_orderkey, first_price, rn]
+        |sort [o_custkey, o_orderkey]""".stripMargin),
+
+    "q25_switch_null" -> q(
+      """from customer
+        |derive [flag = switch [c_acctbal < 0.0 -> "neg"]]
+        |filter flag == null
+        |select [c_custkey, c_acctbal]
+        |sort c_custkey
+        |take 100""".stripMargin),
+
+    "q26_strings_math" -> q(
+      """from supplier
+        |derive [
+        |  bal_abs = abs s_acctbal,
+        |  bal_r1 = round 1 s_acctbal,
+        |  nm_lower = lower s_name,
+        |  nm_len = length s_name,
+        |  bal_floor = floor s_acctbal,
+        |  bal_ceil = ceil s_acctbal,
+        |]
+        |select [s_suppkey, bal_abs, bal_r1, nm_lower, nm_len, bal_floor, bal_ceil]
+        |sort s_suppkey
+        |take 100""".stripMargin),
+
     // --- extensions: training-data pipeline operators (builder prompt) ---
     "x01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -413,6 +486,61 @@ object SparkEntry {
         |  COUNT(DISTINCT o_custkey) AS num_cust,
         |  sum(o_totalprice) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_rank_lead" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, rk, drk, next_qty FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    RANK() OVER w AS rk,
+        |    DENSE_RANK() OVER w AS drk,
+        |    LEAD(l_quantity, 1) OVER w AS next_qty
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        |WHERE drk <= 2 ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q22_rows_frame" ->
+      """SELECT o_custkey, o_orderkey, sum4, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sum4,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q23_first_last_stddev" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  stddev_samp(l_quantity) AS sd_qty,
+        |  stddev_samp(l_extendedprice) AS sd_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q24_first_last_window" ->
+      """SELECT o_custkey, o_orderkey, first_price, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q25_switch_null" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE (CASE WHEN c_acctbal < 0.0 THEN 'neg' END) IS NULL
+        |ORDER BY c_custkey LIMIT 100""".stripMargin,
+
+    "q26_strings_math" ->
+      """SELECT s_suppkey,
+        |  abs(s_acctbal) AS bal_abs,
+        |  round(s_acctbal, 1) AS bal_r1,
+        |  lower(s_name) AS nm_lower,
+        |  length(s_name) AS nm_len,
+        |  CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,
+        |  CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil
+        |FROM supplier ORDER BY s_suppkey LIMIT 100""".stripMargin,
 
     // --- extension oracles (DuckDB 1.x dialect). x02/x03/x04/x05/x07/x14
     // are LSH-approximate or binary-feature ops with no SQL equivalent →
