@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming counterparts of the batch event analytics
+  * (graft.ops.EventOps): the same logical results, computed incrementally
+  * over an unbounded stream (`readStream` → transform → `writeStream`).
+  *
+  * The reference is batch-only (no streaming anywhere in its 651 LoC —
+  * SURVEY.md §1), so this is extension surface: the shape a training-data
+  * ingest pipeline needs when events arrive continuously.
+  *
+  * Scale notes:
+  *  - the windowed rollup is a streaming hash aggregation with watermark-
+  *    driven state eviction — state per (window, event_type) key only, no
+  *    unbounded growth; late events beyond the watermark are dropped
+  *    deterministically.
+  *  - sessionization uses flatMapGroupsWithState with event-time timeout:
+  *    state is one small struct per ACTIVE user (not per event), emitted and
+  *    cleared when the gap timeout fires. This is the O(active-users) state
+  *    pattern that survives 100 TB/day ingest; a window-function approach
+  *    (the batch path) needs the full history and cannot stream.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour event-time rollup per event_type with a watermark.
+    * Input schema: (ts: Timestamp, event_type: String, value: Double, ...).
+    * Emits (window, event_type, n, total_value); append-complete once the
+    * watermark passes window end. */
+  def hourlyRollup(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("total_value"))
+      .select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        F.col("event_type"), F.col("n"), F.col("total_value"))
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, n_events: Long, total_value: Double,
+                              duration_sec: Double)
+
+  /** Gap-based streaming sessionization: one state struct per active user;
+    * a session closes (and is emitted) when no event arrives within
+    * `gapMinutes` of event time — enforced via event-time timeout against
+    * the watermark, so results are deterministic under reordering within
+    * the watermark delay. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermarkDelay: String = "10 minutes")(implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes.toLong * 60L * 1000L
+
+    def update(userId: Long, evs: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val out = Vector.newBuilder[SessionOut]
+      if (state.hasTimedOut) {
+        // gap elapsed with no new events: close and emit the session
+        val s = state.get
+        out += SessionOut(userId, s.n, s.total, (s.last - s.start) / 1000.0)
+        state.remove()
+      } else {
+        val sorted = evs.toVector.sortBy(_.ts.getTime)
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last > gapMs =>
+              out += SessionOut(userId, s.n, s.total, (s.last - s.start) / 1000.0)
+              cur = Some(SessionState(t, t, 1L, e.value))
+            case Some(s) =>
+              cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** Ground-truth unit tests for the training-data pipeline operators on tiny
+  * hand-checkable inputs (the Verify/oracle path covers them at sf scale;
+  * these pin the semantics).
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup of 1
+    (4L, "completely different content about spark engines and parquet files"),
+    (5L, "THE  Quick   Brown Fox Jumps Over The Lazy Dog") // dup after normalization
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per normalized content") {
+    val kept = Dedup.exact(docs, "doc_id", "text").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    // 1,2,5 normalize identically -> keep 1; 3 and 4 unique
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
+  test("minhash signatures are deterministic and equal for identical docs") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleSize = 5, numHashes = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))       // identical text -> identical signature
+    assert(sigs(1L) == sigs(5L))       // case/whitespace normalize away
+    assert(sigs(1L) != sigs(4L))       // different text -> different signature
+    assert(sigs(1L).length == 64)
+  }
+
+  test("minhashPairs finds the dup cluster, not the unrelated doc") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(pairs.contains((1L, 3L)), "near-dup (one word changed) should pass 0.5")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+  }
+
+  test("simhash: identical docs hamming 0; near-dups close; signatures match the per-row variant") {
+    val sig = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(3L)) <= 16, "one-token change stays close in hamming")
+    assert(ham(sig(1L), sig(4L)) > 16, "unrelated docs far apart")
+    // relational form == per-row expression form
+    val perRow = docs.select(F.col("doc_id"), Dedup.simhash("text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig == perRow)
+  }
+
+  test("simhashPairs returns exact dups at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("ngram jaccard: identical docs 1.0, unrelated near 0") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("a", "b")
+    val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 4L)) < 0.2)
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0, 0.0, 0.0)),
+    (1L, Array(0.9, 0.1, 0.0)),  // close to 0
+    (2L, Array(0.0, 1.0, 0.0)),  // orthogonal to 0
+    (3L, Array(-1.0, 0.0, 0.0))  // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine matches hand computation") {
+    val c = vecs.filter($"vec_id" === 1L)
+      .select(Similarity.cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))))
+      .as[Double].head()
+    val exp = 0.9 / math.sqrt(0.81 + 0.01)
+    assert(math.abs(c - exp) < 1e-12)
+  }
+
+  test("bruteKnn ranks by cosine descending, excludes self") {
+    val out = Similarity.bruteKnn(vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding", k = 3)
+      .select("neighbor_id", "rk").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("language id picks the dominant stopword language") {
+    val df = Seq(
+      (1L, "the cat is in the house and the dog is out"),
+      (2L, "der Hund ist nicht in das Haus und die Katze"),
+      (3L, "le chat est dans la maison et les chiens"),
+      (4L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.langId(F.col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "fr" && got(4L) == "und")
+  }
+}

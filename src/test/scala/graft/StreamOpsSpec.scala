@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** Drives the streaming operators end-to-end with MemoryStream sources and
+  * memory sinks — micro-batch execution, watermarks, and state timeouts all
+  * exercised for real (not just plan construction).
+  */
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("streaming hourly rollup matches the batch aggregation once watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+
+    val q = StreamOps.hourlyRollup(events, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("append").start()
+    try {
+      // hour 10: two clicks, one view; hour 11: one click
+      in.addData((ts(5), "click", 1.0), (ts(10), "click", 2.0), (ts(20), "view", 5.0))
+      q.processAllAvailable()
+      in.addData((ts(65), "click", 7.0))    // moves watermark past hour-10 end? not yet (65+? )
+      q.processAllAvailable()
+      in.addData((ts(130), "view", 1.0))    // 12:10 − 5 min watermark closes hours 10 and 11
+      q.processAllAvailable()
+      val got = spark.table("rollup")
+        .select("hour", "event_type", "n", "total_value")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got.contains(("2026-01-01 10", "click", 2L, 3.0)))
+      assert(got.contains(("2026-01-01 10", "view", 1L, 5.0)))
+      assert(got.contains(("2026-01-01 11", "click", 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits closed sessions with correct stats") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val in = MemoryStream[Event]
+
+    val q = StreamOps.sessionize(in.toDS(), gapMinutes = 30, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 10:00,10:10,10:20 (one session), then 11:30 (new session)
+      in.addData(Event(1L, ts(0), 1.0), Event(1L, ts(10), 2.0), Event(1L, ts(20), 3.0))
+      q.processAllAvailable()
+      in.addData(Event(1L, ts(90), 4.0)) // gap 70 min > 30 → closes session 1
+      q.processAllAvailable()
+      in.addData(Event(2L, ts(300), 9.0)) // push watermark far ahead → times out user 1 session 2
+      q.processAllAvailable()
+      in.addData(Event(2L, ts(600), 1.0)) // and further, to time out user 2's first
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .as[StreamOps.SessionOut].collect().toSet
+      assert(got.contains(StreamOps.SessionOut(1L, 3L, 6.0, 1200.0)),
+        s"first session of user 1 (20 min, 3 events): $got")
+      assert(got.contains(StreamOps.SessionOut(1L, 1L, 4.0, 0.0)),
+        s"singleton second session of user 1: $got")
+    } finally q.stop()
+  }
+}
