@@ -23,14 +23,19 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity between two `array<float>` columns, in one pass,
-    * codegen-friendly (no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = F.aggregate(F.zip_with(a, b, (x, y) => x * y), F.lit(0.0d), (acc, v) => acc + v)
-    val na = F.sqrt(F.aggregate(a, F.lit(0.0d), (acc, v) => acc + v * v))
-    val nb = F.sqrt(F.aggregate(b, F.lit(0.0d), (acc, v) => acc + v * v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity between two `array<float>` columns, no UDF. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** One-pass dot product and L2 norm. (An unrolled element_at variant was
+    * measured and rejected: 64 ANSI-bounds-checked random accesses per row
+    * cost more than one lambda traversal, and the codegen blow-up added
+    * janino compile latency per query.) */
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x * y), F.lit(0.0d), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    F.sqrt(F.aggregate(a, F.lit(0.0d), (acc, v) => acc + v * v))
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -40,10 +45,15 @@ object Similarity {
     */
   def bruteKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                k: Int): DataFrame = {
+    // norms are per-ROW: compute before the join so they aren't re-derived
+    // per (corpus × query) pair; only the dot product is per-pair work
+    val c = corpus.withColumn("__nc", l2norm(F.col(vecCol)))
     val q = F.broadcast(queries
-      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "__qvec"))
-    val scored = corpus.join(q, corpus(idCol) =!= F.col("query_id")) // all pairs, self excluded
-      .withColumn("cos", cosine(F.col(vecCol), F.col("__qvec")))
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "__qvec")
+      .withColumn("__nq", l2norm(F.col("__qvec"))))
+    val scored = c.join(q, c(idCol) =!= F.col("query_id")) // all pairs, self excluded
+      .withColumn("cos",
+        dot(F.col(vecCol), F.col("__qvec")) / (F.col("__nc") * F.col("__nq")))
     val w = Window.partitionBy("query_id").orderBy(F.col("cos").desc, F.col(idCol).asc)
     scored
       .withColumn("rk", F.row_number().over(w))
@@ -62,8 +72,7 @@ object Similarity {
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeLit = F.array(p.map(F.lit): _*)
-      val dot = F.aggregate(F.zip_with(vec, planeLit, (x, y) => x * y), F.lit(0.0d), (acc, v) => acc + v)
-      F.when(dot > 0, F.shiftleft(F.lit(1L), i)).otherwise(F.lit(0L))
+      F.when(dot(vec, planeLit) > 0, F.shiftleft(F.lit(1L), i)).otherwise(F.lit(0L))
     }
     bits.reduce(_ + _)
   }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.prql.Graft
+import graft.ops.Dedup
+import graft.sources.Registrar
+
+/** Asserts the physical-plan properties the 100 TB story depends on —
+  * correctness tests prove the small-SF answer; these prove the plan SHAPE
+  * still works at 1000 executors: filters reach the parquet scan, small
+  * dimension joins broadcast, per-group top-k limits before the shuffle,
+  * aggregations partial-aggregate map-side, and expensive subplans are
+  * computed once, not per consumer.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val spark = SparkTest.session
+  lazy val tables: Map[String, DataFrame] = Registrar.loadParquetDir(spark, dir)
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** AQE decides exchange reuse at runtime — execute first, then read the
+    * final adaptive plan. Must be an action on THIS QueryExecution
+    * (df.write would build a fresh, never-executed one). */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), "expected executed adaptive plan")
+    p
+  }
+
+  private def prql(q: String): DataFrame = Graft.compile(q, tables)(spark)
+
+  test("filter pushes down to the parquet scan") {
+    val p = plan(prql(
+      "from lineitem | filter l_quantity > 30 | select [l_orderkey, l_quantity]"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"),
+      s"expected pushed filter in:\n$p")
+  }
+
+  test("projection prunes the read schema to selected columns") {
+    val p = plan(prql("from lineitem | select [l_orderkey, l_quantity]"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:"),
+      s"expected 2-column read schema in:\n$p")
+    assert(!p.contains("l_comment"), "unused column must not be read")
+  }
+
+  test("small dimension join broadcasts (no shuffle of the big side)") {
+    val p = plan(prql(
+      """from o=orders
+        |join c=customer [o.o_custkey == c.c_custkey]
+        |select [o_orderkey, c_name]""".stripMargin))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+  }
+
+  test("sort+take compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(prql("from lineitem | sort [-l_extendedprice] | take 5"))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("group top-n ranks with WindowGroupLimit (partial top-k before shuffle)") {
+    val p = plan(prql(
+      """from lineitem
+        |group [l_returnflag] (
+        |  sort [-l_extendedprice, l_orderkey, l_linenumber]
+        |  take 3
+        |)
+        |select [l_returnflag, l_orderkey, l_extendedprice]""".stripMargin))
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+  }
+
+  test("group-aggregate partial-aggregates map-side before the shuffle") {
+    val df = prql(
+      """from lineitem
+        |group [l_returnflag] (aggregate [s = sum l_quantity, n = count])""".stripMargin)
+    val p = plan(df)
+    // two-phase hash aggregate: partial_sum before the exchange
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), s"no partial agg in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one shuffle expected in:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    val p = plan(prql(
+      "from lineitem | filter l_discount > 0.05 | derive [d = l_extendedprice * l_discount] | select [l_orderkey, d]"))
+    // codegen stages render as `*(n)` prefixes in the plan string
+    assert(p.contains("*(1)"), s"expected codegen span in:\n$p")
+  }
+
+  test("minhash signature exchange is reused across LSH join sides, not recomputed") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = finalPlan(Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5))
+    assert(p.contains("ReusedExchange"), s"expected ReusedExchange in:\n$p")
+  }
+
+  test("simhash signature exchange is reused across chunk join sides") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = finalPlan(Dedup.simhashPairs(docs, "doc_id", "text"))
+    assert(p.contains("ReusedExchange"), s"expected ReusedExchange in:\n$p")
+  }
+
+  test("brute kNN broadcasts the query side and keeps corpus un-shuffled until top-k") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val p = plan(graft.ops.Similarity.bruteKnn(
+      emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k = 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k must limit before shuffle:\n$p")
+  }
+}
