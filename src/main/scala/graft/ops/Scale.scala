@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Scale infrastructure for the 100 TB deployment story: co-located
+  * (bucketed) joins and static skew salting. These are the two knobs that
+  * are NOT automatic in Spark — Catalyst broadcasts small sides and AQE
+  * splits skewed sort-merge partitions on its own, but (a) repeated big-big
+  * joins on a stable key should be bucketed once at write time so NO run
+  * ever shuffles, and (b) a skewed shuffle whose hot key exceeds what AQE
+  * can split (or any stateful/streaming aggregation) needs explicit salt.
+  */
+object Scale {
+
+  /** Write `df` bucketed+sorted by `bucketCol` as a saveAsTable table. Two
+    * tables bucketed the same way (same column, same `numBuckets`) join with
+    * zero Exchange — the scan partitioning already satisfies the join
+    * requirement. At 100 TB this converts every recurring fact-fact join on
+    * the bucket key from a full shuffle into a local merge per bucket.
+    * `numBuckets` should put one bucket's rows comfortably in one task's
+    * memory at target scale (e.g. 100 TB / 2048 buckets ≈ 50 GB/bucket of
+    * raw, ~task-sized after column pruning). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Salt a skewed relation: spread each hot key over `saltFactor` synthetic
+    * sub-keys. Deterministic per row content (hash of all columns), so
+    * retries and speculative tasks agree. */
+  def withSalt(df: DataFrame, saltFactor: Int): DataFrame =
+    df.withColumn("__salt",
+      F.pmod(F.xxhash64(F.struct(df.columns.map(F.col): _*)), F.lit(saltFactor)).cast("int"))
+
+  /** Explode the dimension side across all salt values so every salted
+    * sub-key finds its match. The dimension grows saltFactor×, which is the
+    * deliberate trade: replicate the SMALL side to spread the BIG side. */
+  def explodeSalt(dim: DataFrame, saltFactor: Int): DataFrame =
+    dim.withColumn("__salt",
+      F.explode(F.sequence(F.lit(0), F.lit(saltFactor - 1))))
+
+  /** Equi-join `big ⋈ dim` on `keys`, salted: big rows scatter uniformly
+    * over (key, salt) sub-partitions, dim replicates to all salts. Result is
+    * identical to the plain join; the shuffle for any single hot key now
+    * spreads over `saltFactor` reducers. Use when the hot side is too big to
+    * broadcast and AQE's skew-split can't help (first-stage aggregations,
+    * streaming state, non-sort-merge paths). */
+  def saltedJoin(big: DataFrame, dim: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val b = withSalt(big, saltFactor)
+    val d = explodeSalt(dim, saltFactor)
+    b.join(d, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase salted aggregation: partial per (keys, salt), then final per
+    * keys. Spark's map-side partial aggregation already bounds mapper state;
+    * this additionally bounds the REDUCER for a hot key, which one-phase
+    * groupBy cannot (a single key always lands on a single reducer).
+    * `aggs` maps output column name -> (partial expr over raw rows,
+    * final expr over partial columns). */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     saltFactor: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      F.pmod(F.xxhash64(F.col(valueCol)), F.lit(saltFactor)))
+    salted
+      .groupBy((keys :+ "__salt").map(F.col): _*)
+      .agg(F.sum(valueCol).as("__psum"), F.count(F.lit(1)).as("__pcnt"))
+      .groupBy(keys.map(F.col): _*)
+      .agg(F.sum("__psum").as(s"sum_$valueCol"), F.sum("__pcnt").as("n"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Scale
+
+/** Bucketed co-located joins and skew salting: results must equal the plain
+  * formulation, and the plans must have the promised shape (no shuffle for
+  * bucket-aligned joins; spread sub-keys for salted ones).
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("bucketed fact-fact join runs without any shuffle exchange") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Scale.writeBucketed(li.select("l_orderkey", "l_quantity"), "li_b", "l_orderkey", 8)
+    Scale.writeBucketed(ord.select("o_orderkey", "o_totalprice"), "ord_b", "o_orderkey", 8)
+    val j = spark.table("li_b")
+      .join(spark.table("ord_b"), F.col("l_orderkey") === F.col("o_orderkey"))
+    // disable broadcast so the co-location is what saves the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucket-aligned join must not shuffle:\n$plan")
+      // and it is still the correct join
+      assert(j.count() == li.join(ord, F.col("l_orderkey") === F.col("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("salted join returns exactly the plain join result") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .select(F.col("p_partkey").as("l_partkey"), F.col("p_name"))
+    val plain = li.join(part, Seq("l_partkey")).collect()
+    val salted = Scale.saltedJoin(li, part, Seq("l_partkey"), saltFactor = 4).collect()
+    assert(salted.length == plain.length)
+    assert(salted.map(_.toString).sorted.toSeq == plain.map(_.toString).sorted.toSeq)
+  }
+
+  test("salt spreads a hot key over saltFactor sub-keys") {
+    val hot = Seq.fill(1000)(("k", 1.0)).toDF("k", "v")
+      .withColumn("v", F.rand(7)) // distinct row content -> distinct salts
+    val spread = Scale.withSalt(hot, 8).groupBy("__salt").count().count()
+    assert(spread == 8, "all 8 salt values should be hit by 1000 rows")
+  }
+
+  test("salted two-phase aggregation equals one-phase groupBy") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").as("sum_l_quantity"), F.count(F.lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Scale.saltedSumCount(li, Seq("l_returnflag"), "l_quantity", 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+}

@@ -11,6 +11,9 @@ object SparkTest {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed tables (bucketing tests) go to a scratch dir, not the repo
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       // events.parquet carries ns timestamps (TESTDATA); Spark is µs-native,
       // so read them as long nanos and convert explicitly where used.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
