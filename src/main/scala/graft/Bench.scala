@@ -13,13 +13,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, parquet footers) so per-query timings
-    // reflect steady state rather than first-query JVM startup.
+    // Warm the session (codegen, JIT, parquet footers, AQE machinery) so
+    // per-query timings reflect steady state rather than whichever query
+    // happens to run first absorbing JVM startup. The flagship at sf0.001
+    // exercises the join/window/agg code paths in milliseconds of data.
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       spark.read.parquet(s"$sfDir/documents.parquet").count()
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every column (count() would let Spark prune
       // projections and under-report the real work)
@@ -29,7 +32,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -281,6 +281,14 @@ object SparkEntry {
         |sort s_suppkey
         |take 100""".stripMargin),
 
+    "q27_distinct_idiom" -> q( // PRQL 0.6 has no distinct transform; the
+      // idiom is group over all columns + take 1 (SURVEY §2 "deliberately
+      // absent" note)
+      """from lineitem
+        |select [l_returnflag, l_linestatus]
+        |group [l_returnflag, l_linestatus] (take 1)
+        |sort [l_returnflag, l_linestatus]""".stripMargin),
+
     // --- extensions: training-data pipeline operators (builder prompt) ---
     "x01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -541,6 +549,10 @@ object SparkEntry {
         |  CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,
         |  CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil
         |FROM supplier ORDER BY s_suppkey LIMIT 100""".stripMargin,
+
+    "q27_distinct_idiom" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY 1, 2""".stripMargin,
 
     // --- extension oracles (DuckDB 1.x dialect). x02/x03/x04/x05/x07/x14
     // are LSH-approximate or binary-feature ops with no SQL equivalent →

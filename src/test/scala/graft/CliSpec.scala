@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Writers
+import graft.sources.Registrar
+
+/** Unit tests for the pq-compatible CLI plumbing (reference main.rs
+  * behaviors: arg parsing, auto-from insertion, source name normalization,
+  * output-format inference).
+  */
+class CliSpec extends AnyFunSuite {
+
+  test("parseArgs: flags, aliases, compat no-ops, positional query") {
+    val a = Cli.parseArgs(Array(
+      "-f", "i=/data/invoices.csv", "--from", "x.parquet",
+      "--to", "out.json", "--backend", "duckdb", "--writer", "arrow",
+      "from i | take 5"))
+    assert(a.from == Seq("i=/data/invoices.csv", "x.parquet"))
+    assert(a.to.contains("out.json"))
+    assert(a.query.contains("from i | take 5"))
+    assert(!a.sql && !a.noExec)
+    assert(Cli.parseArgs(Array("--sql", "SELECT 1")).sql)
+    assert(Cli.parseArgs(Array("--no-exec", "from t")).noExec)
+  }
+
+  test("auto-from: prepend last source when query lacks from (main.rs:144-150)") {
+    assert(Cli.withAutoFrom("take 5", Seq("a", "b")) == "from b\ntake 5")
+    assert(Cli.withAutoFrom("", Seq("a", "b")) == "from b")
+    assert(Cli.withAutoFrom("from a | take 5", Seq("a", "b")) == "from a | take 5")
+    assert(Cli.withAutoFrom("take 5", Nil) == "take 5")
+  }
+
+  test("source name normalization (main.rs:287-323)") {
+    assert(Registrar.standardiseSource("i=/x/invoices.csv") == ("i", "/x/invoices.csv"))
+    assert(Registrar.standardiseSource("/x/My Data.csv") == ("My_Data", "/x/My Data.csv"))
+    assert(Registrar.standardiseSource("/x/t.parquet") == ("t", "/x/t.parquet"))
+    // schema-qualified db table keeps the last dotted part
+    assert(Registrar.standardiseSource("public.users")._1 == "users")
+  }
+
+  test("format inference from extension and --format (main.rs:164-196)") {
+    assert(Writers.inferFormat(Some("out.csv"), None) == Writers.Csv)
+    assert(Writers.inferFormat(Some("out.parquet"), None) == Writers.Parquet)
+    assert(Writers.inferFormat(None, Some("json")) == Writers.Json)
+    assert(Writers.inferFormat(None, None) == Writers.Table)
+    // conflicting extension vs flag rejected
+    intercept[Writers.OutputError](Writers.inferFormat(Some("out.csv"), Some("json")))
+    // parquet to stdout rejected
+    intercept[Writers.OutputError](Writers.inferFormat(None, Some("parquet")))
+  }
+
+  test("query intake: literal text vs .prql file path") {
+    assert(Cli.readQuery(Some("from t | take 5")) == "from t | take 5")
+    val f = java.nio.file.Files.createTempFile("q", ".prql")
+    java.nio.file.Files.writeString(f, "from t\ntake 3\n")
+    assert(Cli.readQuery(Some(f.toString)) == "from t\ntake 3")
+  }
+}
