@@ -289,6 +289,18 @@ object SparkEntry {
         |group [l_returnflag, l_linestatus] (take 1)
         |sort [l_returnflag, l_linestatus]""".stripMargin),
 
+    "q28_loop" -> q( // PRQL 0.6 experimental `loop` = recursive-CTE
+      // equivalent, driven iteratively by the compiler (no recursion in
+      // Spark SQL)
+      """from region
+        |take 1
+        |select [n = 1]
+        |loop (
+        |  filter n < 8
+        |  derive [n = n + 1]
+        |)
+        |sort n""".stripMargin),
+
     // --- extensions: training-data pipeline operators (builder prompt) ---
     "x01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -553,6 +565,11 @@ object SparkEntry {
     "q27_distinct_idiom" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY 1, 2""".stripMargin,
+
+    "q28_loop" -> // CAST matches our integer literals' LongType
+      """WITH RECURSIVE t(n) AS (
+        |  SELECT CAST(1 AS BIGINT) UNION ALL SELECT n + 1 FROM t WHERE n < 8)
+        |SELECT n FROM t ORDER BY n""".stripMargin,
 
     // --- extension oracles (DuckDB 1.x dialect). x02/x03/x04/x05/x07/x14
     // are LSH-approximate or binary-feature ops with no SQL equivalent →

@@ -89,6 +89,11 @@ object Ast {
   /** `append table` → UNION ALL. */
   final case class Append(table: Ident) extends Transform
 
+  /** `loop (pipeline)` — PRQL 0.6 experimental iteration: union the current
+    * relation with repeated applications of the step pipeline until a step
+    * yields no rows (the recursive-CTE equivalent, SURVEY §2c). */
+  final case class Loop(pipeline: Seq[Transform]) extends Transform
+
   // ---------- statements / query ----------
   final case class FuncDef(name: String, params: Seq[String], body: Expr)
   sealed trait LetBody

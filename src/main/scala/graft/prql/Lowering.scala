@@ -67,9 +67,9 @@ object Lowering {
     lowerPipeline(q.main, env)
   }
 
-  def lowerPipeline(ts: Seq[Transform], env: Env): DataFrame = {
-    if (ts.isEmpty) throw LowerError("empty pipeline")
-    var df: DataFrame = null
+  def lowerPipeline(ts: Seq[Transform], env: Env, start: Option[DataFrame] = None): DataFrame = {
+    if (ts.isEmpty && start.isEmpty) throw LowerError("empty pipeline")
+    var df: DataFrame = start.orNull
     // PRQL hoists ORDER BY to the query end (README.md:128-129); we track the
     // pending sort, apply it where row order matters (take, implicit windows),
     // and re-apply at pipeline end.
@@ -114,6 +114,25 @@ object Lowering {
 
       case Sort(items) =>
         pending = items
+
+      case Loop(pipe) =>
+        // Spark has no recursive CTE, so the compiler drives the iteration
+        // (SURVEY §2c): acc ∪ step(acc) ∪ step²(acc) … until a step is
+        // empty. localCheckpoint (eager) bounds each step's plan lineage —
+        // without it analysis cost compounds per iteration; the emptiness
+        // probe is one action per step by construction of the semantics.
+        val maxIter = 1000
+        var acc = df.localCheckpoint()
+        var frontier = acc
+        var i = 0
+        var more = true
+        while (more) {
+          if (i >= maxIter) throw LowerError(s"loop exceeded $maxIter iterations")
+          frontier = lowerPipeline(pipe, env, Some(frontier)).localCheckpoint()
+          if (frontier.isEmpty) more = false
+          else { acc = acc.unionByName(frontier); i += 1 }
+        }
+        df = acc
 
       case Take(lo, hi) =>
         if (pending.nonEmpty) df = df.orderBy(sortCols(pending): _*)

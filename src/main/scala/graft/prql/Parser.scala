@@ -118,6 +118,7 @@ final class Parser(tokens: Vector[Tok]) {
     case TIdent("aggregate", _) => p += 1; Aggregate(parseItemList())
     case TIdent("window", _)    => p += 1; parseWindow()
     case TIdent("append", _)    => p += 1; Append(parseDottedIdent())
+    case TIdent("loop", _)      => p += 1; parseLoopT()
     case t => fail(s"expected transform keyword, got $t")
   }
 
@@ -193,6 +194,15 @@ final class Parser(tokens: Vector[Tok]) {
     }
     eatOp("]")
     Join(side, table, alias, conds.result())
+  }
+
+  private def parseLoopT(): Loop = {
+    skipNewlinesInExpr()
+    eatOp("(")
+    skipNewlines()
+    val pipe = parsePipeline(insideParens = true)
+    eatOp(")")
+    Loop(pipe)
   }
 
   private def parseGroup(): Group = {

@@ -288,4 +288,18 @@ class PrqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  FROM lineitem) WHERE rn <= 3
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)
   }
+
+  test("loop: iterative union until the step yields no rows") {
+    val out = prql(
+      """from region
+        |take 1
+        |select [n = 1]
+        |loop (
+        |  filter n < 5
+        |  derive [n = n + 1]
+        |)
+        |sort n""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
