@@ -80,6 +80,7 @@ object Cli {
     val fmt = Writers.inferFormat(args.to, args.format)
 
     implicit val spark: SparkSession = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
       .config("spark.sql.shuffle.partitions",

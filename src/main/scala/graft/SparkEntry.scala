@@ -377,6 +377,15 @@ object SparkEntry {
     "x14_media_features" -> ((s, dir) =>
       Multimodal.mediaFeatures(s.read.parquet(s"$dir/documents.parquet"))(s)
         .orderBy("doc_id")),
+
+    // native sketch expression reached through a PRQL s-string — exercises
+    // the GraftExtensions SQL registration end-to-end (rows-only check: no
+    // DuckDB equivalent of our simhash64)
+    "x15_simhash_sstring" -> q(
+      """from documents
+        |derive [sh = s"simhash64({text})"]
+        |select [doc_id, sh]
+        |sort doc_id""".stripMargin),
   )
 
   /** DuckDB-dialect oracle for each query above. Column names and ORDER BY

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expressions for the document sketches — tier (b) of the
+  * custom-operator preference order (compose > custom Expression > custom
+  * plan > mapPartitions): a per-row tight loop replaces the relational
+  * explode-shingles→64-min-aggregates plan, which at 100 TB removes ~1000×
+  * row amplification through the aggregate machinery while producing
+  * bit-identical signatures (OpsSpec cross-checks). doGenCode emits a static
+  * call, so the expression composes with whole-stage codegen instead of
+  * breaking the stage.
+  */
+case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextSketches.minhash(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleSize, numHashes))
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextSketches.minhash($c, $shingleSize, $numHashes))")
+
+  protected override def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash as a native expression — see [[MinHashSig]] docs. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextSketches.simhash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketches.simhash($c)")
+
+  protected override def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

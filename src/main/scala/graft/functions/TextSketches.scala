@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop implementations behind the native sketch expressions
+  * ([[MinHashSig]], [[SimHash64]]). Each function is bit-identical to the
+  * relational formulation it replaces in graft.ops.Dedup (same
+  * normalization, same xxhash64 seed 42, same Carter-Wegman family seeded
+  * with 0x5eed) — OpsSpec cross-checks the equivalence.
+  */
+object TextSketches {
+
+  val MersennePrime: Long = 2147483647L // 2^31 - 1
+
+  /** Hash-family seeds; MUST stay in sync with Dedup.minhashSignatures. */
+  def minhashSeeds(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(0x5eed)
+    val a = Array.fill(numHashes)(1L + rnd.nextInt(Int.MaxValue - 1))
+    val b = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def seeds(numHashes: Int): (Array[Long], Array[Long]) =
+    seedCache.computeIfAbsent(numHashes, minhashSeeds(_))
+
+  /** regexp_replace(lower(s), "\s+", " ") — identical to the Spark exprs
+    * (UTF8String lowercase, java-regex whitespace collapse), as UTF-8
+    * bytes. */
+  private def cleanBytes(s: UTF8String): Array[Byte] =
+    UTF8String.fromString(
+      s.toLowerCase.toString.replaceAll("\\s+", " ")).getBytes
+
+  /** Byte offset of each code-point start, plus the terminal length — lets
+    * char-indexed shingles hash byte slices directly (substr() in the
+    * relational form is code-point indexed). */
+  private def charOffsets(bytes: Array[Byte]): Array[Int] = {
+    val offs = new Array[Int](bytes.length + 1)
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(n) = i; n += 1 }
+      i += 1
+    }
+    offs(n) = bytes.length
+    java.util.Arrays.copyOf(offs, n + 1)
+  }
+
+  /** MinHash signature of one document: shingle → xxhash64 & 0x7FFFFFFF →
+    * min over each (a·h + b) mod p. One pass, no intermediate rows. */
+  def minhash(s: UTF8String, shingleSize: Int, numHashes: Int): Array[Long] = {
+    val (a, b) = seeds(numHashes)
+    val bytes = cleanBytes(s)
+    val offs = charOffsets(bytes)
+    val numChars = offs.length - 1
+    val count = math.max(numChars - shingleSize + 1, 1)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < count) {
+      val start = offs(i)
+      val end = offs(math.min(i + shingleSize, numChars))
+      val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + start,
+        end - start, 42L) & 0x7FFFFFFFL
+      var j = 0
+      while (j < numHashes) {
+        val v = (a(j) * h + b(j)) % MersennePrime // operands ≤ 2^31 → no overflow
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** 64-bit SimHash of one document: whitespace tokens of lower(trim(s)),
+    * per-bit ±1 votes of each token's xxhash64. Matches
+    * split(lower(trim(s)), "\s+") semantics (limit -1 keeps empties). */
+  def simhash(s: UTF8String): Long = {
+    val toks = ws.split(s.trim().toLowerCase.toString, -1)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val tb = UTF8String.fromString(toks(t)).getBytes
+      val h = XXH64.hashUnsafeBytes(tb, Platform.BYTE_ARRAY_OFFSET, tb.length, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+}

@@ -45,6 +45,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
   }
 
+  private val trickyDocs = Seq(
+    (10L, ""), (11L, "   "), (12L, "a"),
+    (13L, "Grüße aus Straße 34 — naïve café"),
+    (14L, "中文文本 去重 测试 中文文本"),
+    (15L, "tabs\tand\nnewlines  and   runs of space"),
+    (16L, "ALL CAPS AND all caps and MiXeD")
+  ).toDF("doc_id", "text")
+
+  test("native MinHashSig expression is bit-identical to the relational plan") {
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val all = docs.union(trickyDocs)
+    val native = sigs(Dedup.minhashSignatures(all, "doc_id", "text", 5, 64))
+    val relational = sigs(Dedup.minhashSignaturesRelational(all, "doc_id", "text", 5, 64))
+    assert(native == relational)
+  }
+
+  test("native SimHash64 expression is bit-identical to the relational plan") {
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = docs.union(trickyDocs)
+    val native = sigs(Dedup.simhashSignatures(all, "doc_id", "text"))
+    val relational = sigs(Dedup.simhashSignaturesRelational(all, "doc_id", "text"))
+    assert(native == relational)
+  }
+
   test("simhash: identical docs hamming 0; near-dups close; signatures match the per-row variant") {
     val sig = Dedup.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
 object SparkTest {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
