@@ -301,6 +301,34 @@ object SparkEntry {
         |)
         |sort n""".stripMargin),
 
+    "q29_join_full" -> q(
+      """let hi = (from customer | filter c_acctbal > 9000.0 | select [ck = c_custkey, bal_hi = c_acctbal])
+        |let lo = (from customer | filter c_acctbal < -900.0 | select [ck2 = c_custkey, bal_lo = c_acctbal])
+        |from hi
+        |join side:full lo [ck == ck2]
+        |derive [k = ck ?? ck2]
+        |select [k, bal_hi, bal_lo]
+        |sort k""".stripMargin),
+
+    "q30_join_right" -> q(
+      """let big = (from orders | filter o_totalprice > 400000.0)
+        |from b=big
+        |join side:right c=customer [b.o_custkey == c.c_custkey]
+        |group [c_custkey] (aggregate [n_big = s"COUNT({b.o_orderkey})"])
+        |sort c_custkey""".stripMargin),
+
+    "q31_range_frame" -> q(
+      """from customer
+        |filter c_custkey <= 200
+        |group [c_nationkey] (
+        |  sort c_custkey
+        |  window range:-5..0 (
+        |    derive [w_bal = sum c_acctbal]
+        |  )
+        |)
+        |select [c_nationkey, c_custkey, w_bal]
+        |sort [c_nationkey, c_custkey]""".stripMargin),
+
     // --- extensions: training-data pipeline operators (builder prompt) ---
     "x01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -579,6 +607,25 @@ object SparkEntry {
       """WITH RECURSIVE t(n) AS (
         |  SELECT CAST(1 AS BIGINT) UNION ALL SELECT n + 1 FROM t WHERE n < 8)
         |SELECT n FROM t ORDER BY n""".stripMargin,
+
+    "q29_join_full" ->
+      """WITH hi AS (SELECT c_custkey AS ck, c_acctbal AS bal_hi FROM customer WHERE c_acctbal > 9000.0),
+        |     lo AS (SELECT c_custkey AS ck2, c_acctbal AS bal_lo FROM customer WHERE c_acctbal < -900.0)
+        |SELECT coalesce(ck, ck2) AS k, bal_hi, bal_lo
+        |FROM hi FULL JOIN lo ON ck = ck2 ORDER BY k""".stripMargin,
+
+    "q30_join_right" ->
+      """WITH big AS (SELECT * FROM orders WHERE o_totalprice > 400000.0)
+        |SELECT c_custkey, COUNT(b.o_orderkey) AS n_big
+        |FROM big b RIGHT JOIN customer c ON b.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q31_range_frame" ->
+      """SELECT c_nationkey, c_custkey,
+        |  SUM(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS w_bal
+        |FROM customer WHERE c_custkey <= 200
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
 
     // --- extension oracles (DuckDB 1.x dialect). x02/x03/x04/x05/x07/x14
     // are LSH-approximate or binary-feature ops with no SQL equivalent →
