@@ -75,10 +75,23 @@ object Cli {
     else s"from ${sources.last}\n$query"
   }
 
-  def main(argv: Array[String]): Unit = {
-    val args = parseArgs(argv)
+  /** The whole CLI behavior minus session lifecycle — testable with an
+    * injected session. */
+  def run(args: Args)(implicit spark: SparkSession): Unit = {
     val fmt = Writers.inferFormat(args.to, args.format)
+    val tables = Registrar.registerAll(spark, args.from)
+    val names = args.from.map(s => Registrar.standardiseSource(s)._1)
+    val raw = readQuery(args.query)
 
+    val df =
+      if (args.sql) spark.sql(raw) // main.rs:75-76 passthrough
+      else Graft.compile(withAutoFrom(raw, names), tables)
+
+    if (args.noExec) println(df.queryExecution.analyzed.toString())
+    else Writers.write(df, args.to, fmt)
+  }
+
+  def main(argv: Array[String]): Unit = {
     implicit val spark: SparkSession = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -90,18 +103,7 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    try {
-      val tables = Registrar.registerAll(spark, args.from)
-      val names = args.from.map(s => Registrar.standardiseSource(s)._1)
-      val raw = readQuery(args.query)
-
-      val df =
-        if (args.sql) spark.sql(raw) // main.rs:75-76 passthrough
-        else Graft.compile(withAutoFrom(raw, names), tables)
-
-      if (args.noExec) println(df.queryExecution.analyzed.toString())
-      else Writers.write(df, args.to, fmt)
-    } finally spark.stop()
+    try run(parseArgs(argv))
+    finally spark.stop()
   }
 }

@@ -406,6 +406,11 @@ object SparkEntry {
       Multimodal.mediaFeatures(s.read.parquet(s"$dir/documents.parquet"))(s)
         .orderBy("doc_id")),
 
+    "x16_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", minShared = 5)
+        .orderBy("a", "b")),
+
     // native sketch expression reached through a PRQL s-string — exercises
     // the GraftExtensions SQL registration end-to-end (rows-only check: no
     // DuckDB equivalent of our simhash64)

@@ -37,6 +37,31 @@ case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Winnowing (rolling-hash) fingerprint set as a native expression — see
+  * [[MinHashSig]] docs for the shape rationale and
+  * [[TextSketches.winnow]] for the algorithm. */
+case class Winnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextSketches.winnow(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w))
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextSketches.winnow($c, $k, $w))")
+
+  protected override def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash as a native expression — see [[MinHashSig]] docs. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

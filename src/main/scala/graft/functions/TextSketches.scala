@@ -75,6 +75,48 @@ object TextSketches {
     mins
   }
 
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash all
+    * k-gram shingles (same normalization + xxhash64 as [[minhash]]), then
+    * keep the minimum hash of every sliding window of `w` consecutive
+    * k-grams (rightmost min on ties), deduplicated and sorted. Guarantees
+    * any shared run of ≥ w+k-1 chars between two documents shares a
+    * fingerprint hash — the standard rolling-hash document fingerprint for
+    * near-dup and plagiarism detection at corpus scale. */
+  def winnow(s: UTF8String, k: Int, w: Int): Array[Long] = {
+    val bytes = cleanBytes(s)
+    val offs = charOffsets(bytes)
+    val numChars = offs.length - 1
+    val count = math.max(numChars - k + 1, 1)
+    val hashes = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val start = offs(i)
+      val end = offs(math.min(i + k, numChars))
+      hashes(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + start,
+        end - start, 42L)
+      i += 1
+    }
+    val picked = new java.util.TreeSet[java.lang.Long]()
+    val windows = math.max(count - w + 1, 1)
+    var wi = 0
+    while (wi < windows) {
+      var best = Long.MaxValue
+      var j = wi
+      val lim = math.min(wi + w, count)
+      while (j < lim) { // rightmost minimum: strict > keeps later index on tie
+        if (hashes(j) <= best) best = hashes(j)
+        j += 1
+      }
+      picked.add(best)
+      wi += 1
+    }
+    val out = new Array[Long](picked.size)
+    val it = picked.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
   /** 64-bit SimHash of one document: whitespace tokens of lower(trim(s)),

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashSig, SimHash64}
+import graft.functions.{MinHashSig, SimHash64, Winnow}
 
 /** Session extension registering the native sketch expressions as SQL
   * functions, so they are reachable from spark.sql(...) and PRQL s-strings:
@@ -31,5 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "winnow"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, k, w) => Winnow(text, intLit(k, "k"), intLit(w, "w"))
+        case Seq(text)       => Winnow(text, 5, 4)
+        case _ => throw new IllegalArgumentException("winnow(text[, k, w])")
+      }))
   }
 }

@@ -55,4 +55,31 @@ class CliSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(f, "from t\ntake 3\n")
     assert(Cli.readQuery(Some(f.toString)) == "from t\ntake 3")
   }
+
+  test("end-to-end: csv source through PRQL to a single parquet file") {
+    implicit val spark = SparkTest.session
+    val dir = java.nio.file.Files.createTempDirectory("cli-e2e")
+    val csv = dir.resolve("sales data.csv") // space → underscore normalization
+    java.nio.file.Files.writeString(csv,
+      "region,amount\neast,10\nwest,30\neast,5\n")
+    val out = dir.resolve("totals.parquet").toString
+    Cli.run(Cli.parseArgs(Array(
+      "-f", csv.toString, "--to", out,
+      "from sales_data | group region (aggregate [total = sum amount]) | sort region")))
+    val res = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(res == Seq(("east", 15L), ("west", 30L)))
+    assert(new java.io.File(out).isFile, "single-file output, not a part dir")
+  }
+
+  test("end-to-end: --sql passthrough and table output to stdout") {
+    implicit val spark = SparkTest.session
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos)) {
+      Cli.run(Cli.parseArgs(Array("--sql", "SELECT 1 AS one, 'x' AS s")))
+    }
+    val printed = bos.toString
+    assert(printed.contains("| one | s |") || printed.contains("| 1   | x |"),
+      s"expected ascii table, got:\n$printed")
+  }
 }

@@ -90,6 +90,19 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("winnowing: identical docs share all fingerprints, unrelated share none") {
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)))
+    assert(pairs.contains((1L, 3L)), "long shared runs guarantee shared hashes")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+    // identical docs share exactly the same fingerprint set
+    val fpCount = spark.sql("SELECT size(winnow(text, 5, 4)) FROM VALUES " +
+      "('the quick brown fox jumps over the lazy dog') t(text)")
+      .head().getInt(0)
+    assert(pairs((1L, 2L)) == fpCount.toLong)
+  }
+
   test("ngram jaccard: identical docs 1.0, unrelated near 0") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("a", "b")
     val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text")

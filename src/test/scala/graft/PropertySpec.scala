@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.prql.Graft
+
+/** Property-based compiler checks (SURVEY §5): on random Chinook-like data,
+  * PRQL-compiled results must equal the hand-written DataFrame formulation,
+  * and algebraic laws (limit, union additivity, filter/derive commutation)
+  * must hold.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+
+  /** Deterministic sampling of a Gen (scalatestplus isn't in the offline
+    * cache; fixed seeds keep runs reproducible). */
+  private def samples[A](g: Gen[A], n: Int = 15): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    samples(g).foreach(f)
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(g1).zip(samples(g2)).foreach { case (a, b) => f(a, b) }
+  private def forAll[A, B, C](g1: Gen[A], g2: Gen[B], g3: Gen[C])(f: (A, B, C) => Unit): Unit =
+    samples(g1).zip(samples(g2)).zip(samples(g3)).foreach { case ((a, b), c) => f(a, b, c) }
+
+  private val rowGen: Gen[(Int, String, Double)] = for {
+    id <- Gen.choose(1, 50)
+    name <- Gen.oneOf("alpha", "beta", "gamma", "delta", "")
+    value <- Gen.choose(-1000, 1000).map(_ / 10.0)
+  } yield (id, name, value)
+
+  private val tableGen: Gen[List[(Int, String, Double)]] =
+    Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, rowGen))
+
+  private def toDf(rows: List[(Int, String, Double)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("value", DoubleType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          rows.map(r => Row(r._1, r._2, r._3))).asJava),
+      schema)
+  }
+
+  private def compile(prql: String, df: DataFrame): DataFrame =
+    Graft.compile(prql, Map("t" -> df))(spark)
+
+  test("take n after sort == ordered head of the sorted relation") {
+    forAll(tableGen, Gen.choose(0, 70)) { (rows, n) =>
+      val df = toDf(rows)
+      val got = compile(s"from t | sort [id, name, value] | take $n", df)
+        .collect().map(_.toString).toSeq
+      val exp = df.orderBy("id", "name", "value").limit(n)
+        .collect().map(_.toString).toSeq
+      assert(got == exp)
+    }
+  }
+
+  test("append is row-count additive") {
+    forAll(tableGen, tableGen) { (a, b) =>
+      val da = toDf(a); val db = toDf(b)
+      da.createOrReplaceTempView("pa"); db.createOrReplaceTempView("pb")
+      val got = Graft.compile("from pa | append pb",
+        Map("pa" -> da, "pb" -> db))(spark).count()
+      assert(got == a.length + b.length)
+    }
+  }
+
+  test("filter then derive == derive then filter when the filter ignores the derived column") {
+    forAll(tableGen) { rows =>
+      val df = toDf(rows)
+      val a = compile("from t | filter value > 0.0 | derive [d = value * 2]", df)
+      val b = compile("from t | derive [d = value * 2] | filter value > 0.0", df)
+      assert(a.collect().map(_.toString).sorted.toSeq ==
+        b.collect().map(_.toString).sorted.toSeq)
+    }
+  }
+
+  test("group-aggregate equals the DataFrame formulation on random data") {
+    forAll(tableGen) { rows =>
+      val df = toDf(rows)
+      val got = compile(
+        "from t | group name (aggregate [total = sum value, n = count]) | sort name", df)
+        .collect().map(_.toString).toSeq
+      val exp = df.groupBy("name")
+        .agg(org.apache.spark.sql.functions.sum("value").as("total"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy("name").collect().map(_.toString).toSeq
+      assert(got == exp)
+    }
+  }
+
+  test("take range a..b == drop(a-1).take(b-a+1) of the sorted relation") {
+    forAll(tableGen, Gen.choose(1, 30), Gen.choose(0, 30)) { (rows, a, len) =>
+      val df = toDf(rows)
+      val b = a + len
+      val got = compile(s"from t | sort [id, name, value] | take $a..$b", df)
+        .collect().map(_.toString).toSeq
+      val exp = df.orderBy("id", "name", "value").collect().map(_.toString)
+        .slice(a - 1, b).toSeq
+      assert(got == exp)
+    }
+  }
+}
