@@ -406,6 +406,13 @@ object SparkEntry {
       Multimodal.mediaFeatures(s.read.parquet(s"$dir/documents.parquet"))(s)
         .orderBy("doc_id")),
 
+    "x17_knn_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfKnn(emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+          k = 3, nlist = 8, nprobe = 2)
+        .orderBy("query_id", "rk")
+    }),
+
     "x16_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowPairs(s.read.parquet(s"$dir/documents.parquet"),
           "doc_id", "text", minShared = 5)

@@ -96,6 +96,51 @@ object Similarity {
       .select(F.col("query_id"), F.col(idCol).as("neighbor_id"), F.col("cos"), F.col("rk"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes only its
+    * `nprobe` nearest cells and ranks those candidates by exact cosine.
+    * This is the scale path beyond [[lshKnn]]: per query batch the corpus
+    * scan drops to ~nprobe/nlist of the data, and `__cell` doubles as a
+    * parquet partition key at rest so probing prunes whole files. Cell
+    * assignment uses the quantizer's own metric (euclidean), final ranking
+    * uses cosine like the other operators. With nprobe = nlist this is
+    * exhaustive and must equal [[bruteKnn]] (pinned in OpsSpec).
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecd = corpus.withColumn("__v",
+      array_to_vector(F.col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("__cell").fit(vecd)
+    val cells = model.transform(vecd).drop("__v")
+    val centroids = model.clusterCenters.map(_.toArray)
+
+    // query side (small): nprobe nearest centroids by the quantizer metric;
+    // array_sort on (distance, cell) structs orders by distance
+    val qb = queries
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "__qvec")
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = F.array(c.map(F.lit): _*)
+      F.struct(
+        F.aggregate(F.zip_with(F.col("__qvec"), cl, (x, y) => (x - y) * (x - y)),
+          F.lit(0.0d), (acc, v) => acc + v).as("d"),
+        F.lit(i).as("cell"))
+    }
+    val probed = qb
+      .withColumn("__p", F.explode(F.slice(F.array_sort(F.array(dists: _*)), 1, nprobe)))
+      .select(F.col("query_id"), F.col("__qvec"), F.col("__p.cell").as("__cell"))
+
+    val cand = cells.join(F.broadcast(probed), Seq("__cell"))
+      .filter(F.col(idCol) =!= F.col("query_id"))
+      .withColumn("cos", cosine(F.col(vecCol), F.col("__qvec")))
+    val w = Window.partitionBy("query_id").orderBy(F.col("cos").desc, F.col(idCol).asc)
+    cand.withColumn("rk", F.row_number().over(w))
+      .filter(F.col("rk") <= k)
+      .select(F.col("query_id"), F.col(idCol).as("neighbor_id"), F.col("cos"), F.col("rk"))
+  }
+
   /** All pairs with cosine ≥ threshold via LSH buckets (near-duplicate
     * detection on embeddings). Pair appears once (a < b). At scale the
     * quadratic work is confined to each bucket; skewed buckets should be

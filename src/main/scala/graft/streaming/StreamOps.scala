@@ -39,6 +39,21 @@ object StreamOps {
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH").as("hour"),
         F.col("event_type"), F.col("n"), F.col("total_value"))
 
+  /** Streaming exact dedup: drop rows whose content fingerprint was already
+    * seen, with state bounded by the watermark — the ingest-side gate of a
+    * training-data pipeline (batch analogue: graft.ops.Dedup.exact). State
+    * is one (fingerprint, ts) entry per distinct doc inside the watermark
+    * horizon; Spark evicts entries older than the watermark, so memory is
+    * O(docs per horizon), not O(corpus). Input needs (`tsCol`: Timestamp,
+    * `textCol`: String). */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String = "ts",
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", F.md5(F.regexp_replace(F.lower(F.col(textCol)), "\\s+", " ")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, n_events: Long, total_value: Double,

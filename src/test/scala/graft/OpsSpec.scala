@@ -132,6 +132,18 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1), (2L, 2), (3L, 3)))
   }
 
+  test("ivfKnn with nprobe == nlist is exhaustive and equals bruteKnn") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteKnn(emb, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfKnn(emb, queries, "vec_id", "embedding", k = 3,
+        nlist = 4, nprobe = 4)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute)
+  }
+
   test("language id picks the dominant stopword language") {
     val df = Seq(
       (1L, "the cat is in the house and the dog is out"),

@@ -43,6 +43,24 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated content across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.dedupStream(in.toDF().toDF("ts", "text"), "text",
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData((ts(0), "hello world"), (ts(1), "HELLO   world"), (ts(2), "other doc"))
+      q.processAllAvailable()
+      in.addData((ts(3), "hello world")) // dup arriving in a later batch
+      q.processAllAvailable()
+      val texts = spark.table("dedup").select("text")
+        .as[String].collect().toSeq.sorted
+      assert(texts == Seq("hello world", "other doc"),
+        s"normalized dups must be dropped, got $texts")
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions with correct stats") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
