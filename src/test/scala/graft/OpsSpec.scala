@@ -97,7 +97,7 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L)), "long shared runs guarantee shared hashes")
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
     // identical docs share exactly the same fingerprint set
-    val fpCount = spark.sql("SELECT size(winnow(text, 5, 4)) FROM VALUES " +
+    val fpCount = spark.sql("SELECT size(winnow(text, 10, 6)) FROM VALUES " +
       "('the quick brown fox jumps over the lazy dog') t(text)")
       .head().getInt(0)
     assert(pairs((1L, 2L)) == fpCount.toLong)
