@@ -406,6 +406,16 @@ object SparkEntry {
       Multimodal.mediaFeatures(s.read.parquet(s"$dir/documents.parquet"))(s)
         .orderBy("doc_id")),
 
+    "x18_frame_sample" -> ((s, dir) => {
+      implicit val sp = s
+      Multimodal.sampleFrames(
+          Multimodal.resize(
+            Multimodal.synthesizeMedia(s.read.parquet(s"$dir/documents.parquet")),
+            maxW = 640, maxH = 480).toDF())
+        .toDF().select("doc_id", "frame_idx", "ts_ms")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "x17_knn_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.ivfKnn(emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding",

@@ -63,4 +63,51 @@ object Multimodal {
   /** End-to-end: synthesize → extract → flat feature columns. */
   def mediaFeatures(docs: DataFrame)(implicit spark: SparkSession): DataFrame =
     extractFeatures(synthesizeMedia(docs)).toDF()
+
+  final case class ResizedMedia(doc_id: Long, kind: String, width: Int, height: Int,
+                                media: Array[Byte])
+
+  /** STUB resize: a real implementation decodes + scales pixels here; the
+    * stub truncates/keeps bytes proportionally so output size tracks the
+    * target dims deterministically. The plumbing is the point: bytes stay
+    * inside one task (no shuffle), metadata columns update consistently. */
+  def resize(media: DataFrame, maxW: Int, maxH: Int)(implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / math.max(m.width, 1), maxH.toDouble / math.max(m.height, 1)))
+        val nw = math.max(1, (m.width * scale).toInt)
+        val nh = math.max(1, (m.height * scale).toInt)
+        val nBytes = math.max(1, (m.media.length * scale * scale).toInt)
+        ResizedMedia(m.doc_id, m.kind, nw, nh, java.util.Arrays.copyOf(m.media, nBytes))
+      }
+    }
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
+
+  /** STUB frame sampling for `video` rows: one output row per sampled frame
+    * (a real decoder emits actual frames at the same positions). This is
+    * the row-EXPANSION shape of multimodal pipelines: one iterator in, n
+    * rows out per video, all inside the task — the frames shuffle (small,
+    * post-decode), the source bytes never do. */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L, maxFrames: Int = 8)(
+      implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.filter(_.kind == "video").flatMap { m =>
+        // stub duration: 100 bytes ≈ 1ms of video
+        val durMs = math.max(1L, m.media.length / 100L)
+        val n = math.min(maxFrames.toLong, durMs / everyMs + 1).toInt
+        (0 until n).iterator.map { i =>
+          val ts = i * everyMs
+          // stub frame: a deterministic slice standing in for the decoded frame
+          val at = ((ts.toDouble / durMs) * m.media.length).toInt.min(math.max(m.media.length - 16, 0))
+          Frame(m.doc_id, i, ts,
+            java.util.Arrays.copyOfRange(m.media, at, math.min(at + 16, m.media.length)))
+        }
+      }
+    }
+  }
 }

@@ -144,6 +144,20 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("multimodal: resize scales metadata and bytes; frame sampling expands video rows") {
+    implicit val s = spark
+    val media = graft.ops.Multimodal.synthesizeMedia(docs.withColumnRenamed("doc_id", "doc_id"))
+    val resized = graft.ops.Multimodal.resize(media, 640, 480).collect()
+    assert(resized.forall(r => r.width <= 640 && r.height <= 480 && r.media.nonEmpty))
+    // aspect ratio preserved within integer truncation
+    val frames = graft.ops.Multimodal.sampleFrames(media, everyMs = 1, maxFrames = 4).collect()
+    val videoIds = media.filter(F.col("kind") === "video").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(frames.map(_.doc_id).toSet == videoIds, "one row group per video doc only")
+    assert(frames.groupBy(_.doc_id).values.forall(g =>
+      g.map(_.frame_idx).sorted.toSeq == g.indices.toSeq))
+  }
+
   test("language id picks the dominant stopword language") {
     val df = Seq(
       (1L, "the cat is in the house and the dog is out"),

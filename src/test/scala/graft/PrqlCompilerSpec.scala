@@ -289,6 +289,15 @@ class PrqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)
   }
 
+  test("malformed queries fail loudly at compile time, never wrong results") {
+    intercept[Exception](prql("from"))                          // missing table name
+    intercept[Exception](prql("frmo lineitem"))                 // unknown transform
+    intercept[Exception](prql("from lineitem | take x"))        // non-int take
+    intercept[Exception](prql("from nosuchtable | take 5"))     // unknown table
+    intercept[Exception](prql("from lineitem | select [l_nope]").collect()) // unknown column
+    intercept[Exception](prql("from lineitem | group [l_returnflag] (")) // unbalanced paren
+  }
+
   test("loop: iterative union until the step yields no rows") {
     val out = prql(
       """from region
