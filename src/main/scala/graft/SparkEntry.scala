@@ -53,8 +53,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- §2b/2c parity: core transforms ---
-    "q01_take_sort" -> q(
-      "from lineitem | sort [l_orderkey, l_linenumber] | take 5"),
+    "q01_take_sort" -> q( // sort keys form a TOTAL order — (orderkey,
+      // linenumber) alone has duplicates at sf>=0.1 and ties would be
+      // engine-dependent
+      "from lineitem | sort [l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice] | take 5"),
 
     "q02_select_derive" -> q(
       """from lineitem
@@ -87,9 +89,9 @@ object SparkEntry {
       """from lineitem
         |group [l_returnflag, l_linestatus] (
         |  aggregate [
-        |    sum_qty = sum l_quantity,
-        |    sum_base_price = sum l_extendedprice,
-        |    sum_disc_price = sum (l_extendedprice * (1 - l_discount)),
+        |    sum_qty = round 2 (sum l_quantity),
+        |    sum_base_price = round 2 (sum l_extendedprice),
+        |    sum_disc_price = round 2 (sum (l_extendedprice * (1 - l_discount))),
         |    avg_qty = average l_quantity,
         |    count_order = count,
         |  ]
@@ -203,7 +205,7 @@ object SparkEntry {
         |group [month] (
         |  aggregate [
         |    num_cust = s"COUNT(DISTINCT {o_custkey})",
-        |    total = sum o_totalprice,
+        |    total = round 2 (sum o_totalprice),
         |  ]
         |)
         |sort month""".stripMargin),
@@ -443,7 +445,7 @@ object SparkEntry {
     * values). */
   def oracleSql: Map[String, String] = Map(
     "q01_take_sort" ->
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5",
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice LIMIT 5",
 
     "q02_select_derive" ->
       """SELECT l_orderkey, l_linenumber,
@@ -465,9 +467,9 @@ object SparkEntry {
 
     "q05_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice) AS sum_base_price,
-        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |  avg(l_quantity) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -563,7 +565,7 @@ object SparkEntry {
     "q20_sstring_distinct" ->
       """SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
         |  COUNT(DISTINCT o_custkey) AS num_cust,
-        |  sum(o_totalprice) AS total
+        |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q21_rank_lead" ->

@@ -112,8 +112,12 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val vecd = corpus.withColumn("__v",
       array_to_vector(F.col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__v").setPredictionCol("__cell").fit(vecd)
+    // quantizer trains on a bounded sample — at corpus scale you never fit
+    // k-means on all rows; cell QUALITY needs only a representative sample,
+    // cell ASSIGNMENT below still covers every row
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__v").setPredictionCol("__cell")
+      .fit(vecd.limit(65536))
     val cells = model.transform(vecd).drop("__v")
     val centroids = model.clusterCenters.map(_.toArray)
 
