@@ -59,15 +59,22 @@ object Registrar {
       name -> df
     }.toMap
 
-  /** All parquet tables in a testdata dir (TESTDATA.md layout). */
-  def loadParquetDir(spark: SparkSession, dir: String): Map[String, DataFrame] = {
-    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet"))
-    files.map { f =>
-      val name = f.getName.stripSuffix(".parquet")
-      val df = spark.read.parquet(f.getAbsolutePath)
-      df.createOrReplaceTempView(name)
-      name -> df
-    }.toMap
-  }
+  /** All parquet tables in a testdata dir (TESTDATA.md layout). Memoized
+    * per (session, dir): the dirs are immutable test fixtures, and without
+    * the cache every compiled query re-lists the dir and re-reads parquet
+    * footers — measurable overhead when a suite runs dozens of queries. */
+  def loadParquetDir(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    dirCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val files = Option(new File(d).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet"))
+      files.map { f =>
+        val name = f.getName.stripSuffix(".parquet")
+        val df = s.read.parquet(f.getAbsolutePath)
+        df.createOrReplaceTempView(name)
+        name -> df
+      }.toMap
+    })
+
+  private val dirCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, DataFrame]]()
 }
