@@ -408,6 +408,9 @@ object SparkEntry {
       Multimodal.mediaFeatures(s.read.parquet(s"$dir/documents.parquet"))(s)
         .orderBy("doc_id")),
 
+    "x19_top_tokens" -> ((s, dir) =>
+      TextOps.topTokens(s.read.parquet(s"$dir/documents.parquet"), "text", 50)),
+
     "x18_frame_sample" -> ((s, dir) => {
       implicit val sp = s
       Multimodal.sampleFrames(
@@ -725,6 +728,12 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
         |  count(*) AS n, sum(value) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x19_top_tokens" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
 
     "x13_sessions" ->
       """WITH flagged AS (

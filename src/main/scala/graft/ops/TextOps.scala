@@ -59,6 +59,16 @@ object TextOps {
       .otherwise("und")
   }
 
+  /** Exact top-k vocabulary: token → count, highest first (token as
+    * tie-break so the result is total-ordered). Partial aggregation
+    * combines counts map-side, then TakeOrderedAndProject keeps k per
+    * partition before the final merge — the corpus-vocabulary pass of a
+    * training pipeline, O(distinct tokens) shuffle, not O(tokens). */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(F.explode(F.split(F.lower(F.trim(F.col(textCol))), "\\s+")).as("tok"))
+      .groupBy("tok").agg(F.count(F.lit(1)).as("n"))
+      .orderBy(F.col("n").desc, F.col("tok")).limit(k)
+
   /** Document fingerprint: md5 of case-folded, whitespace-collapsed text.
     * (md5 rather than xxhash64 so the DuckDB oracle computes the identical
     * value; both engines emit the same hex.) */
