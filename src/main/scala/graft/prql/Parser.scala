@@ -384,6 +384,7 @@ final class Parser(tokens: Vector[Tok]) {
     }
     case _: TIdent | _: TInt | _: TFloat | _: TStr | _: TInterp | _: TDate => true
     case TOp("(", _) => !noParenApp
+    case TOp("[", _) => true // list-literal argument: `in ["A", "B"]`
     case _ => false
   }
 

@@ -289,6 +289,17 @@ class PrqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)
   }
 
+  test("in with a list literal = IS IN") {
+    assertSameAs(
+      prql("""from nation
+             |filter (n_name | in ["CHINA", "FRANCE", "KENYA"])
+             |select [n_nationkey, n_name]
+             |sort n_nationkey""".stripMargin),
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_name IN ('CHINA', 'FRANCE', 'KENYA')
+        |ORDER BY n_nationkey""".stripMargin)
+  }
+
   test("malformed queries fail loudly at compile time, never wrong results") {
     intercept[Exception](prql("from"))                          // missing table name
     intercept[Exception](prql("frmo lineitem"))                 // unknown transform
