@@ -31,6 +31,16 @@ class ChinookGoldenSpec extends AnyFunSuite {
       (5, "Big Ones", 3)))
   }
 
+  test("parquet-format chinook gives the same take-5 as csv (multi-format parity)") {
+    val csv = Registrar.registerAll(spark, Seq(s"$csvDir/albums.csv"))
+    val viaCsv = Graft.compile("from albums | take 5", csv)(spark).collect().map(_.toString).toSeq
+    val pq = Registrar.registerAll(spark,
+      Seq(s"pq_albums=/root/reference/examples/chinook/parquet/albums.parquet"))
+    val viaParquet = Graft.compile("from pq_albums | take 5", pq)(spark)
+      .collect().map(_.toString).toSeq
+    assert(viaParquet == viaCsv)
+  }
+
   test("README.md:34-49 — join + f-string derive + group by bare key + sort + take") {
     val tables = Registrar.registerAll(spark,
       Seq(s"i=$csvDir/invoices.csv", s"c=$csvDir/customers.csv"))

@@ -289,6 +289,35 @@ class PrqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)
   }
 
+  test("driver t1 smoke: SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("rolling window works with any aggregate (avg, min)") {
+    assertSameAs(
+      prql("""from orders
+             |group [o_custkey] (
+             |  sort [o_orderdate, o_orderkey]
+             |  window rolling:4 (
+             |    derive [avg4 = average o_totalprice, min4 = min o_totalprice]
+             |  )
+             |  derive [rn = row_number]
+             |)
+             |filter rn <= 2
+             |select [o_custkey, o_orderkey, avg4, min4]
+             |sort [o_custkey, o_orderkey]""".stripMargin),
+      """SELECT o_custkey, o_orderkey, avg4, min4 FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    AVG(o_totalprice) OVER w AS avg4,
+        |    MIN(o_totalprice) OVER w AS min4,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+        |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   test("in with a list literal = IS IN") {
     assertSameAs(
       prql("""from nation
