@@ -411,6 +411,14 @@ object SparkEntry {
     "x19_top_tokens" -> ((s, dir) =>
       TextOps.topTokens(s.read.parquet(s"$dir/documents.parquet"), "text", 50)),
 
+    // the static skew-salting path through the oracle gate: result must be
+    // identical to a plain one-phase groupBy
+    "x20_salted_rollup" -> ((s, dir) =>
+      graft.ops.Scale.saltedSumCount(
+          s.read.parquet(s"$dir/events.parquet"),
+          Seq("event_type"), "value", saltFactor = 8)
+        .orderBy("event_type")),
+
     "x18_frame_sample" -> ((s, dir) => {
       implicit val sp = s
       Multimodal.sampleFrames(
@@ -728,6 +736,10 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
         |  count(*) AS n, sum(value) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x20_salted_rollup" ->
+      """SELECT event_type, sum(value) AS sum_value, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x19_top_tokens" ->
       """SELECT tok, count(*) AS n
