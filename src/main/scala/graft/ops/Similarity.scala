@@ -23,9 +23,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity between two `array<float>` columns, no UDF. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity between two `array<float>` columns, no UDF.
+    * Zero-norm vectors yield NULL, not NaN: Spark orders NaN GREATER than
+    * every double, so a NaN cosine would rank a garbage all-zero embedding
+    * as the top neighbor of every query (and `NaN >= threshold` is true);
+    * NULL sorts last under desc and fails threshold predicates. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    F.when(denom > 0.0d, dot(a, b) / denom)
+  }
 
   /** One-pass dot product and L2 norm. (An unrolled element_at variant was
     * measured and rejected: 64 ANSI-bounds-checked random accesses per row
@@ -52,8 +58,9 @@ object Similarity {
       .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "__qvec")
       .withColumn("__nq", l2norm(F.col("__qvec"))))
     val scored = c.join(q, c(idCol) =!= F.col("query_id")) // all pairs, self excluded
-      .withColumn("cos",
-        dot(F.col(vecCol), F.col("__qvec")) / (F.col("__nc") * F.col("__nq")))
+      .withColumn("cos", // zero-norm guard — see cosine()
+        F.when(F.col("__nc") * F.col("__nq") > 0.0d,
+          dot(F.col(vecCol), F.col("__qvec")) / (F.col("__nc") * F.col("__nq"))))
     val w = Window.partitionBy("query_id").orderBy(F.col("cos").desc, F.col(idCol).asc)
     scored
       .withColumn("rk", F.row_number().over(w))
@@ -84,7 +91,13 @@ object Similarity {
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
-    val cb = corpus.withColumn("__bucket", lshBucket(F.col(vecCol), planes))
+    // loud dim check: a vector longer/shorter than the planes would zip_with
+    // to null dots → every bucket bit 0 → silent quadratic cross join
+    val cb = corpus
+      .withColumn("__dimok", F.assert_true(F.size(F.col(vecCol)) === dim,
+        F.lit(s"embedding dimension must be $dim")))
+      .withColumn("__bucket", lshBucket(F.col(vecCol), planes))
+      .drop("__dimok")
     val qb = F.broadcast(queries
       .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "__qvec")
       .withColumn("__bucket", lshBucket(F.col("__qvec"), planes)))
@@ -153,7 +166,10 @@ object Similarity {
                    nPlanes: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
     val b = emb.select(F.col(idCol), F.col(vecCol))
+      .withColumn("__dimok", F.assert_true(F.size(F.col(vecCol)) === dim,
+        F.lit(s"embedding dimension must be $dim"))) // see lshKnn
       .withColumn("__bucket", lshBucket(F.col(vecCol), planes))
+      .drop("__dimok")
     val l = b.select(F.col("__bucket"), F.col(idCol).as("a"), F.col(vecCol).as("__va"))
     val r = b.select(F.col("__bucket"), F.col(idCol).as("b"), F.col(vecCol).as("__vb"))
     l.join(r, Seq("__bucket")).filter(F.col("a") < F.col("b"))

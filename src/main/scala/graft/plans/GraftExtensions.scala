@@ -36,7 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Winnow].getName, "winnow"),
       (args: Seq[Expression]) => args match {
         case Seq(text, k, w) => Winnow(text, intLit(k, "k"), intLit(w, "w"))
-        case Seq(text)       => Winnow(text, 5, 4)
+        case Seq(text)       => Winnow(text, 10, 6) // keep in sync with Dedup.winnowPairs defaults
         case _ => throw new IllegalArgumentException("winnow(text[, k, w])")
       }))
   }

@@ -371,9 +371,13 @@ object Lowering {
     case Switch(cases) =>
       val (defaults, conds) = cases.partition { case (c, _) => c == BoolLit(true) }
       val whens = conds.map { case (c, v) => (toCol(c, env), toCol(v, env)) }
-      val start = F.when(whens.head._1, whens.head._2)
-      val chained = whens.tail.foldLeft(start) { case (acc, (c, v)) => acc.when(c, v) }
-      defaults.headOption.fold(chained) { case (_, v) => chained.otherwise(toCol(v, env)) }
+      if (whens.isEmpty) // degenerate `switch [true -> v]`: just the constant
+        defaults.headOption.fold(F.lit(null): Column) { case (_, v) => toCol(v, env) }
+      else {
+        val start = F.when(whens.head._1, whens.head._2)
+        val chained = whens.tail.foldLeft(start) { case (acc, (c, v)) => acc.when(c, v) }
+        defaults.headOption.fold(chained) { case (_, v) => chained.otherwise(toCol(v, env)) }
+      }
 
     case RangeE(_, _) => throw LowerError("range only valid as argument of `in`")
     case ListE(_)     => throw LowerError("list literal not valid in scalar position")

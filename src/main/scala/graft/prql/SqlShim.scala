@@ -42,9 +42,27 @@ object SqlShim {
   /** `STRFTIME('%Y-%m', x)` → `date_format(x, 'yyyy-MM')` (arg order swaps;
     * DuckDB also accepts (ts, fmt) order — handle both by detecting which
     * top-level argument is the quoted format string). */
-  private def rewriteStrftime(sql: String): String = {
+  /** First occurrence of `strftime(` that is a real function call: outside
+    * single-quoted literals and not a suffix of a longer identifier
+    * (my_strftime). Plain indexOf would corrupt both. */
+  private def findStrftime(sql: String): Int = {
     val lower = sql.toLowerCase
-    val idx = lower.indexOf("strftime(")
+    var i = 0
+    var inStr = false
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (lower.startsWith("strftime(", i) &&
+               (i == 0 || { val p = lower.charAt(i - 1); !p.isLetterOrDigit && p != '_' }))
+        return i
+      else i += 1
+    }
+    -1
+  }
+
+  private def rewriteStrftime(sql: String): String = {
+    val idx = findStrftime(sql)
     if (idx < 0) return sql
     val argStart = idx + "strftime(".length
     // scan to the balanced closing paren

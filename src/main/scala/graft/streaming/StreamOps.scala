@@ -51,7 +51,12 @@ object StreamOps {
     docs
       .withColumn("__fp", F.md5(F.regexp_replace(F.lower(F.col(textCol)), "\\s+", " ")))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("__fp")
+      // dropDuplicatesWithinWatermark, NOT dropDuplicates: plain
+      // dropDuplicates only evicts state when the event-time column is part
+      // of the key, so its state would grow O(all docs ever seen); the
+      // within-watermark variant evicts fingerprints once the watermark
+      // passes, giving the documented O(docs per horizon) bound
+      .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)

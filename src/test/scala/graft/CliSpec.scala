@@ -21,6 +21,8 @@ class CliSpec extends AnyFunSuite {
     assert(!a.sql && !a.noExec)
     assert(Cli.parseArgs(Array("--sql", "SELECT 1")).sql)
     assert(Cli.parseArgs(Array("--no-exec", "from t")).noExec)
+    // a value-taking flag at the end fails loudly, not with an index error
+    intercept[Writers.OutputError](Cli.parseArgs(Array("from t", "--to")))
   }
 
   test("auto-from: prepend last source when query lacks from (main.rs:144-150)") {

@@ -158,6 +158,16 @@ class OpsSpec extends AnyFunSuite {
       g.map(_.frame_idx).sorted.toSeq == g.indices.toSeq))
   }
 
+  test("zero-norm embeddings never outrank real neighbors (NaN guard)") {
+    val withZero = vecs.union(Seq((9L, Array(0.0, 0.0, 0.0))).toDF("vec_id", "embedding"))
+    val out = Similarity.bruteKnn(withZero, withZero.filter($"vec_id" === 0L),
+        "vec_id", "embedding", k = 4)
+      .select("neighbor_id", "rk").as[(Long, Int)].collect().toSeq
+    assert(out.take(3) == Seq((1L, 1), (2L, 2), (3L, 3)),
+      s"real neighbors first, got $out")
+    assert(out.last._1 == 9L, "zero vector must rank last, not first")
+  }
+
   test("language id picks the dominant stopword language") {
     val df = Seq(
       (1L, "the cat is in the house and the dog is out"),

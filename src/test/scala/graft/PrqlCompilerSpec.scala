@@ -289,6 +289,25 @@ class PrqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)
   }
 
+  test("switch with only a default case is the constant") {
+    assertSameAs(
+      prql("""from nation
+             |derive [tag = switch [true -> "all"]]
+             |select [n_nationkey, tag]
+             |sort n_nationkey
+             |take 3""".stripMargin),
+      "SELECT n_nationkey, 'all' AS tag FROM nation ORDER BY n_nationkey LIMIT 3")
+  }
+
+  test("sqlshim: strftime inside string literals and longer identifiers untouched") {
+    import graft.prql.SqlShim
+    assert(SqlShim.translate("STRFTIME('%Y-%m', x)") == "date_format(x, 'yyyy-MM')")
+    assert(SqlShim.translate("replace(c, 'strftime(', '')") == "replace(c, 'strftime(', '')")
+    assert(SqlShim.translate("my_strftime(a, b)") == "my_strftime(a, b)")
+    assert(SqlShim.translate("concat(STRFTIME('%Y', a), strftime('%m', b))") ==
+      "concat(date_format(a, 'yyyy'), date_format(b, 'MM'))")
+  }
+
   test("driver t1 smoke: SparkEntry.entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
