@@ -411,6 +411,10 @@ object SparkEntry {
     "x19_top_tokens" -> ((s, dir) =>
       TextOps.topTokens(s.read.parquet(s"$dir/documents.parquet"), "text", 50)),
 
+    "x21_length_quantiles" -> ((s, dir) =>
+      TextOps.lengthQuantiles(s.read.parquet(s"$dir/documents.parquet"), "text",
+        Seq(0.5, 0.9, 0.99))),
+
     // the static skew-salting path through the oracle gate: result must be
     // identical to a plain one-phase groupBy
     "x20_salted_rollup" -> ((s, dir) =>
@@ -740,6 +744,12 @@ object SparkEntry {
     "x20_salted_rollup" ->
       """SELECT event_type, sum(value) AS sum_value, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x21_length_quantiles" ->
+      """SELECT quantile_cont(length(text)::DOUBLE, 0.5) AS p50,
+        |       quantile_cont(length(text)::DOUBLE, 0.9) AS p90,
+        |       quantile_cont(length(text)::DOUBLE, 0.99) AS p99
+        |FROM documents""".stripMargin,
 
     "x19_top_tokens" ->
       """SELECT tok, count(*) AS n

@@ -69,6 +69,18 @@ object TextOps {
       .groupBy("tok").agg(F.count(F.lit(1)).as("n"))
       .orderBy(F.col("n").desc, F.col("tok")).limit(k)
 
+  /** Corpus length distribution: exact interpolated quantiles of document
+    * character length (Spark `percentile` == SQL percentile_cont ==
+    * DuckDB quantile_cont, so the oracle can verify exactly). One shuffle
+    * of (length) values; for 100 TB corpora swap in percentile_approx —
+    * same plan shape, mergeable sketch state. */
+  def lengthQuantiles(df: DataFrame, textCol: String, probs: Seq[Double]): DataFrame = {
+    val len = F.length(F.col(textCol)).cast("double")
+    val aggs = probs.map(p =>
+      F.percentile(len, F.lit(p)).as(f"p${(p * 100).toInt}%02d"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Document fingerprint: md5 of case-folded, whitespace-collapsed text.
     * (md5 rather than xxhash64 so the DuckDB oracle computes the identical
     * value; both engines emit the same hex.) */
