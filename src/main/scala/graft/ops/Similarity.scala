@@ -119,26 +119,40 @@ object Similarity {
     * uses cosine like the other operators. With nprobe = nlist this is
     * exhaustive and must equal [[bruteKnn]] (pinned in OpsSpec).
     */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+  /** A built IVF index: corpus rows tagged with their `__cell`, plus the
+    * driver-side centroids. In a persistent deployment `cells` is written
+    * `partitionBy("__cell")` so probing prunes whole parquet files; the
+    * quantizer is built ONCE and amortized over every query batch. */
+  final case class IvfIndex(cells: DataFrame, centroids: Array[Array[Double]],
+                            idCol: String, vecCol: String)
+
+  /** Build the IVF coarse quantizer + cell assignment. The k-means fits on
+    * a bounded sample — at corpus scale you never train on all rows; cell
+    * QUALITY needs only a representative sample, while cell ASSIGNMENT
+    * covers every row. */
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val vecd = corpus.withColumn("__v",
       array_to_vector(F.col(vecCol).cast("array<double>")))
-    // quantizer trains on a bounded sample — at corpus scale you never fit
-    // k-means on all rows; cell QUALITY needs only a representative sample,
-    // cell ASSIGNMENT below still covers every row
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__v").setPredictionCol("__cell")
       .fit(vecd.limit(65536))
-    val cells = model.transform(vecd).drop("__v")
-    val centroids = model.clusterCenters.map(_.toArray)
+    IvfIndex(model.transform(vecd).drop("__v"),
+      model.clusterCenters.map(_.toArray), idCol, vecCol)
+  }
 
-    // query side (small): nprobe nearest centroids by the quantizer metric;
-    // array_sort on (distance, cell) structs orders by distance
+  /** Probe an [[IvfIndex]]: each query visits its `nprobe` nearest cells
+    * (quantizer metric = euclidean), candidates rank by exact cosine. */
+  def queryIvf(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val idCol = index.idCol
+    // query side (small): nprobe nearest centroids; array_sort on
+    // (distance, cell) structs orders by distance
     val qb = queries
-      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "__qvec")
-    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      .withColumnRenamed(idCol, "query_id")
+      .withColumnRenamed(index.vecCol, "__qvec")
+    val dists = index.centroids.zipWithIndex.map { case (c, i) =>
       val cl = F.array(c.map(F.lit): _*)
       F.struct(
         F.aggregate(F.zip_with(F.col("__qvec"), cl, (x, y) => (x - y) * (x - y)),
@@ -149,14 +163,20 @@ object Similarity {
       .withColumn("__p", F.explode(F.slice(F.array_sort(F.array(dists: _*)), 1, nprobe)))
       .select(F.col("query_id"), F.col("__qvec"), F.col("__p.cell").as("__cell"))
 
-    val cand = cells.join(F.broadcast(probed), Seq("__cell"))
+    val cand = index.cells.join(F.broadcast(probed), Seq("__cell"))
       .filter(F.col(idCol) =!= F.col("query_id"))
-      .withColumn("cos", cosine(F.col(vecCol), F.col("__qvec")))
+      .withColumn("cos", cosine(F.col(index.vecCol), F.col("__qvec")))
     val w = Window.partitionBy("query_id").orderBy(F.col("cos").desc, F.col(idCol).asc)
     cand.withColumn("rk", F.row_number().over(w))
       .filter(F.col("rk") <= k)
       .select(F.col("query_id"), F.col(idCol).as("neighbor_id"), F.col("cos"), F.col("rk"))
   }
+
+  /** One-shot build + query. See [[buildIvf]]/[[queryIvf]]; with
+    * nprobe = nlist this is exhaustive and equals [[bruteKnn]] (OpsSpec). */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame =
+    queryIvf(buildIvf(corpus, idCol, vecCol, nlist, seed), queries, k, nprobe)
 
   /** All pairs with cosine ≥ threshold via LSH buckets (near-duplicate
     * detection on embeddings). Pair appears once (a < b). At scale the
