@@ -35,8 +35,22 @@ object Cli {
       sql: Boolean = false,
       noExec: Boolean = false)
 
-  def parseArgs(argv: Array[String]): Args = {
-    def env(k: String): Option[String] = sys.env.get(k).filter(_.nonEmpty)
+  /** `.env` loading (main.rs:117 dotenvy parity): KEY=VALUE lines, `#`
+    * comments and blanks skipped; real environment wins over the file. */
+  def loadDotEnv(dir: String = "."): Map[String, String] = {
+    val f = new java.io.File(dir, ".env")
+    if (!f.isFile) Map.empty
+    else scala.io.Source.fromFile(f).getLines()
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k.trim -> v.trim }
+      .toMap
+  }
+
+  def parseArgs(argv: Array[String], dotEnvDir: String = "."): Args = {
+    val dotEnv = loadDotEnv(dotEnvDir)
+    def env(k: String): Option[String] =
+      sys.env.get(k).orElse(dotEnv.get(k)).filter(_.nonEmpty)
     var a = Args(
       from = env("PQ_FROM").map(_.split(';').toSeq).getOrElse(Nil),
       to = env("PQ_TO"),

@@ -51,6 +51,17 @@ class CliSpec extends AnyFunSuite {
     intercept[Writers.OutputError](Writers.inferFormat(None, Some("parquet")))
   }
 
+  test(".env file supplies PQ_* fallbacks; real environment wins") {
+    val dir = java.nio.file.Files.createTempDirectory("dotenv")
+    java.nio.file.Files.writeString(dir.resolve(".env"),
+      "# comment\nPQ_FORMAT=json\nPQ_NO_EXEC=true\n\nbroken_line_no_eq\n")
+    val a = Cli.parseArgs(Array("from t"), dotEnvDir = dir.toString)
+    assert(a.format.contains("json") && a.noExec)
+    // flags still beat .env
+    val b = Cli.parseArgs(Array("--format", "csv", "from t"), dotEnvDir = dir.toString)
+    assert(b.format.contains("csv"))
+  }
+
   test("query intake: literal text vs .prql file path") {
     assert(Cli.readQuery(Some("from t | take 5")) == "from t | take 5")
     val f = java.nio.file.Files.createTempFile("q", ".prql")
