@@ -355,9 +355,11 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // 16 tables × 4 planes → ~94% recall at cos 0.4 (pinned in OpsSpec);
+    // round-1's single 6-plane table caught ~5% of the true pairs
     "x05_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
-          "vec_id", "embedding", threshold = 0.4)
+          "vec_id", "embedding", threshold = 0.4, nPlanes = 4, nTables = 16)
         .orderBy("a", "b")),
 
     "x06_knn_brute" -> ((s, dir) => {
@@ -367,10 +369,12 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // 16 tables × 4 planes — measured recall vs bruteKnn pinned in OpsSpec
+    // (round-1's single 6-plane table measured <5%)
     "x07_knn_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.lshKnn(emb, emb.filter(F.col("vec_id") < 50), "vec_id", "embedding",
-          k = 3, nPlanes = 6)
+          k = 3, nPlanes = 4, nTables = 16)
         .orderBy("query_id", "rk")
     }),
 
@@ -404,9 +408,22 @@ object SparkEntry {
       EventOps.sessionStats(s.read.parquet(s"$dir/events.parquet"))
         .orderBy("user_id", "session_seq")),
 
-    "x14_media_features" -> ((s, dir) =>
-      Multimodal.mediaFeatures(s.read.parquet(s"$dir/documents.parquet"))(s)
-        .orderBy("doc_id")),
+    // verified projection is HASHABLE (round-1 red row: the driver's pandas
+    // harness can't sort/hash an array<float> column): the L1-normalized
+    // float histogram is multiplied back by n_bytes and rounded, which
+    // recovers the integer bin counts exactly (float rel-error ~6e-8 × count
+    // ≪ 0.5), so the oracle compares exact integers, not float round-off.
+    // kind/width/height are xxhash64-derived synthetic metadata DuckDB can't
+    // recompute — covered by OpsSpec instead.
+    "x14_media_features" -> ((s, dir) => {
+      val mf = Multimodal.mediaFeatures(s.read.parquet(s"$dir/documents.parquet"))(s)
+      val bins = (0 until 16).map { j =>
+        F.round(F.element_at(F.col("features"), j + 1).cast("double") *
+          F.greatest(F.col("n_bytes"), F.lit(1))).cast("bigint").as(f"b$j%02d")
+      }
+      mf.select(F.col("doc_id") +: F.col("n_bytes").cast("bigint").as("n_bytes") +: bins: _*)
+        .orderBy("doc_id")
+    }),
 
     "x19_top_tokens" -> ((s, dir) =>
       TextOps.topTokens(s.read.parquet(s"$dir/documents.parquet"), "text", 50)),
@@ -666,9 +683,28 @@ object SparkEntry {
         |FROM customer WHERE c_custkey <= 200
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
 
-    // --- extension oracles (DuckDB 1.x dialect). x02/x03/x04/x05/x07/x14
-    // are LSH-approximate or binary-feature ops with no SQL equivalent →
-    // deliberately omitted (driver records the weaker rows-only check). ---
+    // --- extension oracles (DuckDB 1.x dialect). x02/x03/x04/x05/x07 are
+    // LSH-approximate ops with no SQL equivalent → deliberately omitted
+    // (driver records the weaker rows-only check); their recall vs exact
+    // ground truth is pinned in OpsSpec instead. ---
+
+    // x14: the stub decode is a 16-bin histogram over the HIGH NIBBLE of
+    // each UTF-8 byte; hex(encode(text)) renders each byte as two hex chars,
+    // so the high nibbles are the odd-position chars — extracted by the
+    // capture group of '(.).'
+    "x14_media_features" -> {
+      val bins = "0123456789ABCDEF".zipWithIndex.map { case (d, j) =>
+        f"  len(list_filter(hi, c -> c = '$d')) AS b$j%02d"
+      }.mkString(",\n")
+      s"""WITH hx AS (
+         |  SELECT doc_id,
+         |    octet_length(encode(text)) AS n_bytes,
+         |    regexp_extract_all(hex(encode(text)), '(.).', 1) AS hi
+         |  FROM documents)
+         |SELECT doc_id, n_bytes,
+         |$bins
+         |FROM hx ORDER BY doc_id""".stripMargin
+    },
     "x01_dedup_exact" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |       lang, n_chars

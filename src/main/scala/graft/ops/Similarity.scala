@@ -84,24 +84,40 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: bucket corpus + queries by hyperplane signs, join on
-    * bucket, rank candidates by exact cosine. Recall < 1 by construction;
-    * `nPlanes` trades recall vs candidate-set size (bucket count = 2^nPlanes).
-    */
+  /** Approximate top-k via multi-table sign-LSH: bucket corpus + queries in
+    * `nTables` independent tables of `nPlanes` sign bits, join on
+    * (table, bucket), rank the deduped candidates by exact cosine.
+    *
+    * Recall < 1 by construction; a single table's collision probability for
+    * a pair at angle θ is (1 − θ/π)^nPlanes, and OR-amplification across
+    * tables lifts it to 1 − (1 − p^nPlanes)^nTables (a lone 6-plane table
+    * finds <5% of moderate-similarity neighbors — measured in OpsSpec; the
+    * 16×4 default config measures ≥80%). At scale, nPlanes controls bucket
+    * size (≈ N/2^nPlanes rows each — grow it with the corpus) and nTables
+    * buys recall linearly in bucketing + candidate cost. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim, seed)
-    // loud dim check: a vector longer/shorter than the planes would zip_with
-    // to null dots → every bucket bit 0 → silent quadratic cross join
-    val cb = corpus
-      .withColumn("__dimok", F.assert_true(F.size(F.col(vecCol)) === dim,
+             k: Int, nPlanes: Int = 4, dim: Int = 64, seed: Long = 42L,
+             nTables: Int = 8): DataFrame = {
+    val tables = Array.tabulate(nTables)(t => hyperplanes(nPlanes, dim, seed + 1000L * t))
+    def bucketed(df: DataFrame, vc: String): DataFrame = df
+      // loud dim check: a vector longer/shorter than the planes would
+      // zip_with to null dots → every bucket bit 0 → silent quadratic join
+      .withColumn("__dimok", F.assert_true(F.size(F.col(vc)) === dim,
         F.lit(s"embedding dimension must be $dim")))
-      .withColumn("__bucket", lshBucket(F.col(vecCol), planes))
+      .withColumn("__tb", F.explode(F.array((0 until nTables).map { t =>
+        F.struct(F.lit(t).as("t"), lshBucket(F.col(vc), tables(t)).as("h"))
+      }: _*)))
       .drop("__dimok")
-    val qb = F.broadcast(queries
-      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "__qvec")
-      .withColumn("__bucket", lshBucket(F.col("__qvec"), planes)))
-    val cand = cb.join(qb, Seq("__bucket")).filter(F.col(idCol) =!= F.col("query_id"))
+      .withColumn("__t", F.col("__tb.t")).withColumn("__h", F.col("__tb.h"))
+      .drop("__tb")
+    val cb = bucketed(corpus, vecCol)
+    val qb = F.broadcast(bucketed(
+      queries.withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "__qvec"),
+      "__qvec"))
+    val cand = cb.join(qb, Seq("__t", "__h")).filter(F.col(idCol) =!= F.col("query_id"))
+      // dedup BEFORE the cosine: a candidate colliding in k tables would
+      // otherwise pay the dim-length dot product k times
+      .dropDuplicates("query_id", idCol)
       .withColumn("cos", cosine(F.col(vecCol), F.col("__qvec")))
     val w = Window.partitionBy("query_id").orderBy(F.col("cos").desc, F.col(idCol).asc)
     cand.withColumn("rk", F.row_number().over(w))
@@ -178,24 +194,50 @@ object Similarity {
              k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame =
     queryIvf(buildIvf(corpus, idCol, vecCol, nlist, seed), queries, k, nprobe)
 
-  /** All pairs with cosine ≥ threshold via LSH buckets (near-duplicate
-    * detection on embeddings). Pair appears once (a < b). At scale the
-    * quadratic work is confined to each bucket; skewed buckets should be
-    * salted or size-capped upstream. */
+  /** All pairs with cosine ≥ threshold via multi-table sign-LSH buckets
+    * (near-duplicate detection on embeddings). Pair appears once (a < b).
+    *
+    * OR-amplification: `nTables` independent hash tables of `nPlanes` sign
+    * bits each. A pair at angle θ collides per table with p^nPlanes
+    * (p = 1 − θ/π), so recall = 1 − (1 − p^nPlanes)^nTables — a single
+    * 6-plane table catches only ~6% of cos≈0.4 pairs; 16×4-plane tables
+    * catch ~94% (measured recall pinned in OpsSpec). Tuning at scale:
+    * nPlanes ≈ log2(N / targetBucketRows) keeps the per-bucket quadratic
+    * work bounded as the corpus grows; nTables then buys back recall at a
+    * linear (not quadratic) cost of nTables× bucketing + candidate rows.
+    *
+    * `maxBucket` caps pathological buckets (many near-identical or zero-ish
+    * embeddings land in one bucket and the self-join goes quadratic) with
+    * the same groupBy + broadcast-anti guard as [[Dedup.minhashPairs]]; a
+    * pair capped out of one table can still surface via another table. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                   nPlanes: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim, seed)
+                   nPlanes: Int = 4, dim: Int = 64, seed: Long = 42L,
+                   nTables: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    val tables = Array.tabulate(nTables)(t => hyperplanes(nPlanes, dim, seed + 1000L * t))
     val b = emb.select(F.col(idCol), F.col(vecCol))
       .withColumn("__dimok", F.assert_true(F.size(F.col(vecCol)) === dim,
         F.lit(s"embedding dimension must be $dim"))) // see lshKnn
-      .withColumn("__bucket", lshBucket(F.col(vecCol), planes))
-      .drop("__dimok")
-    val l = b.select(F.col("__bucket"), F.col(idCol).as("a"), F.col(vecCol).as("__va"))
-    val r = b.select(F.col("__bucket"), F.col(idCol).as("b"), F.col(vecCol).as("__vb"))
-    l.join(r, Seq("__bucket")).filter(F.col("a") < F.col("b"))
+      .withColumn("__tb", F.explode(F.array((0 until nTables).map { t =>
+        F.struct(F.lit(t).as("t"), lshBucket(F.col(vecCol), tables(t)).as("h"))
+      }: _*)))
+      .select(F.col(idCol), F.col(vecCol),
+        F.col("__tb.t").as("__t"), F.col("__tb.h").as("__h"))
+      // materialize the (expensive: nPlanes·nTables dot products/row)
+      // bucketing ONCE behind an exchange for its three consumers (census +
+      // both join sides), pre-partitioned on the join key so the self-join
+      // reuses the exchange instead of shuffling twice more
+      .repartition(F.col("__t"), F.col("__h"))
+    val oversized = b.groupBy("__t", "__h").count()
+      .filter(F.col("count") > maxBucket).select("__t", "__h")
+    val sized = b.join(F.broadcast(oversized), Seq("__t", "__h"), "left_anti")
+    val l = sized.select(F.col("__t"), F.col("__h"), F.col(idCol).as("a"), F.col(vecCol).as("__va"))
+    val r = sized.select(F.col("__t"), F.col("__h"), F.col(idCol).as("b"), F.col(vecCol).as("__vb"))
+    l.join(r, Seq("__t", "__h")).filter(F.col("a") < F.col("b"))
+      // dedup BEFORE the cosine: a pair colliding in k tables would
+      // otherwise pay the dim-length dot product k times (cf. minhashPairs)
+      .dropDuplicates("a", "b")
       .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
       .filter(F.col("cos") >= threshold)
       .select("a", "b", "cos")
-      .dropDuplicates("a", "b") // same pair can collide in one bucket only, but stay safe
   }
 }

@@ -168,6 +168,122 @@ class OpsSpec extends AnyFunSuite {
     assert(out.last._1 == 9L, "zero vector must rank last, not first")
   }
 
+  // --- ground-truth recall/exactness gates (VERDICT r1 #3/#4): the sf0.01
+  // tables are small enough to brute-force the exact answer, so the LSH
+  // family is held to measured recall floors, not just "returns rows".
+  // Everything is seeded/deterministic, so these are exact pins, not flaky
+  // statistical tests; numbers are recorded in BASELINE.md.
+
+  private lazy val sfDocs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+  private lazy val sfEmb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  /** Exact n-gram-Jaccard pairs ≥ threshold via brute-force cross join. */
+  private def jaccardTruth(threshold: Double): Set[(Long, Long)] = {
+    val sh = Dedup.shingleSets(sfDocs, "doc_id", "text", 5)
+    val l = sh.select($"doc_id".as("a"), $"__sh".as("sa"))
+    val r = sh.select($"doc_id".as("b"), $"__sh".as("sb"))
+    l.crossJoin(r).filter($"a" < $"b")
+      .select($"a", $"b",
+        (F.size(F.array_intersect($"sa", $"sb")).cast("double") /
+          F.size(F.array_union($"sa", $"sb"))).as("j"))
+      .filter($"j" >= threshold)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+  }
+
+  test("minhashPairs recall vs exact Jaccard ground truth (sf0.01)") {
+    val truth = jaccardTruth(0.5)
+    assert(truth.size == 25, s"calibrated truth set changed: ${truth.size}")
+    val got = Dedup.minhashPairs(sfDocs, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"minhashPairs recall=$recall%.3f (${(got & truth).size}/${truth.size})")
+    assert(recall >= 0.95, f"recall $recall%.3f below floor 0.95")
+  }
+
+  test("winnowPairs recall vs exact Jaccard ground truth (sf0.01)") {
+    val truth = jaccardTruth(0.5)
+    val got = Dedup.winnowPairs(sfDocs, "doc_id", "text", minShared = 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"winnowPairs recall=$recall%.3f (${(got & truth).size}/${truth.size})")
+    assert(recall >= 0.95, f"recall $recall%.3f below floor 0.95")
+  }
+
+  test("simhashPairs is EXACT vs brute-force Hamming filter (4-chunk and 8-chunk)") {
+    val sigs = Dedup.simhashSignatures(sfDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def brute(maxHam: Int): Set[(Long, Long)] = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= maxHam
+    } yield (a, b)).toSet
+    for (maxHam <- Seq(3, 6)) {
+      val got = Dedup.simhashPairs(sfDocs, "doc_id", "text", maxHamming = maxHam)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == brute(maxHam), s"simhashPairs(maxHamming=$maxHam) != brute force")
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashPairs(sfDocs, "doc_id", "text", maxHamming = 8)
+    }
+  }
+
+  /** Exact cosine pairs ≥ threshold via brute-force self-join. */
+  private def cosineTruth(threshold: Double): Set[(Long, Long)] = {
+    val e = sfEmb.select($"vec_id", $"embedding")
+    val l = e.select($"vec_id".as("a"), $"embedding".as("va"))
+    val r = e.select($"vec_id".as("b"), $"embedding".as("vb"))
+    l.crossJoin(r).filter($"a" < $"b")
+      .select($"a", $"b", Similarity.cosine(F.col("va"), F.col("vb")).as("cos"))
+      .filter($"cos" >= threshold)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+  }
+
+  test("nearDupPairs multi-table recall vs exact cosine ground truth (sf0.01)") {
+    val truth = cosineTruth(0.4)
+    assert(truth.size == 59, s"calibrated truth set changed: ${truth.size}")
+    val got = Similarity.nearDupPairs(sfEmb, "vec_id", "embedding",
+        threshold = 0.4, nPlanes = 4, nTables = 16)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth), "cosine filter is exact, precision must be 1.0")
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"nearDupPairs recall=$recall%.3f (${(got & truth).size}/${truth.size})")
+    assert(recall >= 0.85, f"recall $recall%.3f below floor 0.85")
+  }
+
+  test("lshKnn recall vs bruteKnn ground truth (sf0.01)") {
+    val queries = sfEmb.filter($"vec_id" < 50)
+    val brute = Similarity.bruteKnn(
+        sfEmb.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        queries.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshKnn(sfEmb, queries, "vec_id", "embedding", k = 3,
+        nPlanes = 4, nTables = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (lsh & brute).size.toDouble / brute.size
+    info(f"lshKnn recall=$recall%.3f (${(lsh & brute).size}/${brute.size})")
+    assert(recall >= 0.80, f"recall $recall%.3f below floor 0.80")
+    // the round-1 config: a single 6-plane table — kept as a measured
+    // counter-example that recall collapses without OR-amplification
+    val single = Similarity.lshKnn(sfEmb, queries, "vec_id", "embedding", k = 3,
+        nPlanes = 6, nTables = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    info(f"single-table recall=${(single & brute).size.toDouble / brute.size}%.3f")
+  }
+
+  test("nearDupPairs bounds pathological single-bucket corpora (skew guard)") {
+    val one = Array.fill(8)(1.0)
+    val ident = (0L until 60L).map(i => (i, one)).toDF("vec_id", "embedding")
+    // every table puts all 60 rows in one bucket; the cap drops them all —
+    // bounded work, zero pairs, no quadratic blow-up
+    val capped = Similarity.nearDupPairs(ident, "vec_id", "embedding",
+      threshold = 0.9, nPlanes = 2, dim = 8, nTables = 4, maxBucket = 10)
+    assert(capped.count() == 0L)
+    // with the cap above the bucket size the full clique comes back
+    val full = Similarity.nearDupPairs(ident, "vec_id", "embedding",
+      threshold = 0.9, nPlanes = 2, dim = 8, nTables = 4, maxBucket = 100)
+    assert(full.count() == 60L * 59 / 2)
+  }
+
   test("language id picks the dominant stopword language") {
     val df = Seq(
       (1L, "the cat is in the house and the dog is out"),
