@@ -22,8 +22,11 @@ import java.nio.file.{Files, Paths}
   *  - `--sql`: raw SQL passthrough, executed by spark.sql (main.rs:278-285)
   *  - `--no-exec`: print what would run (our analyzed logical plan — the
   *    Spark equivalent of the generated SQL, main.rs:229-231)
-  *  - `--backend`/`--writer` accepted for CLI compat; execution is always
-  *    Spark here (the reference's backend dispatch is main.rs:235-251)
+  *  - `--writer` accepted for CLI compat (the reference's non-default
+  *    writer is itself unimplemented); `--backend` values other than
+  *    auto/spark and non-postgres `-d` URLs fail loudly (the reference's
+  *    backend dispatch is main.rs:235-251; postgres attach → JDBC via
+  *    [[graft.sources.Connectors]])
   */
 object Cli {
 
@@ -32,6 +35,8 @@ object Cli {
       from: Seq[String] = Nil,
       to: Option[String] = None,
       format: Option[String] = None,
+      database: Option[String] = None,
+      backend: Option[String] = None,
       sql: Boolean = false,
       noExec: Boolean = false)
 
@@ -55,6 +60,8 @@ object Cli {
       from = env("PQ_FROM").map(_.split(';').toSeq).getOrElse(Nil),
       to = env("PQ_TO"),
       format = env("PQ_FORMAT"),
+      database = env("PQ_DATABASE"),
+      backend = env("PQ_BACKEND"),
       sql = env("PQ_SQL").exists(_ == "true"),
       noExec = env("PQ_NO_EXEC").exists(_ == "true"))
     var i = 0
@@ -68,8 +75,12 @@ object Cli {
         case f @ ("--from" | "-f") => a = a.copy(from = a.from :+ value(f)); i += 2
         case f @ ("--to" | "-t")   => a = a.copy(to = Some(value(f))); i += 2
         case f @ "--format"        => a = a.copy(format = Some(value(f))); i += 2
-        case f @ ("--backend" | "-b" | "--database" | "-d" | "--writer") =>
-          value(f); i += 2 // compat no-ops, still need their value
+        case f @ ("--database" | "-d") => a = a.copy(database = Some(value(f))); i += 2
+        case f @ ("--backend" | "-b")  => a = a.copy(backend = Some(value(f))); i += 2
+        case f @ "--writer" =>
+          // compat no-op: the reference's non-default writer is itself
+          // `unimplemented!` (main.rs), so accepting-and-ignoring is parity
+          value(f); i += 2
         case "--sql"         => a = a.copy(sql = true); i += 1
         case "--no-exec"     => a = a.copy(noExec = true); i += 1
         case q               => a = a.copy(query = Some(q)); i += 1
@@ -98,8 +109,29 @@ object Cli {
   /** The whole CLI behavior minus session lifecycle — testable with an
     * injected session. */
   def run(args: Args)(implicit spark: SparkSession): Unit = {
+    // execution here is always Spark; a backend we can't honor must fail
+    // loudly (the reference's equivalent is "No backends found!",
+    // main.rs:257-260) rather than silently run on the wrong engine
+    args.backend.foreach {
+      case "auto" | "spark" => ()
+      case b => throw Writers.OutputError(
+        s"backend '$b' is not available: execution is always Spark here " +
+          "(use --backend spark, or drop the flag)")
+    }
     val fmt = Writers.inferFormat(args.to, args.format)
-    val tables = Registrar.registerAll(spark, args.from)
+    val tables = args.database match {
+      case None => Registrar.registerAll(spark, args.from)
+      case Some(db) if db.startsWith("postgres") =>
+        graft.sources.Connectors.registerPostgres(spark, db, args.from)
+      case Some(db) =>
+        // sqlite:// and duckdb:// attach embedded single-file engines
+        // (duckdb.rs:75-83,108-112) that Spark has no reader for — round 1
+        // swallowed -d and the user got "unknown table"; fail with the truth
+        throw Writers.OutputError(
+          s"database '$db' is not supported by the Spark engine: only " +
+            "postgres:// (via JDBC) can be attached; for sqlite/duckdb files " +
+            "export to csv/parquet and use --from")
+    }
     val names = args.from.map(s => Registrar.standardiseSource(s)._1)
     val raw = readQuery(args.query)
 

@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Database connectors for `-d/--database` — the Spark mapping of the
+  * reference's scanner-attach dispatch (/root/reference/src/backends/duckdb.rs:71-112).
+  *
+  * `postgres://` maps onto Spark's built-in JDBC source: each `--from`
+  * source names a (schema-qualified) table, mirroring the reference's
+  * per-source `postgres_scan('<uri>', '<schema>', '<table>')` CTE
+  * (duckdb.rs:37-48). The `?currentSchema=` suffix is parsed with the same
+  * shape as duckdb.rs:87-99. There is no PostgreSQL JDBC driver (and no
+  * network) in this sandbox, so a real read fails loudly at connect time —
+  * which is exactly the contract: URL parsing, table-name resolution and
+  * option plumbing are the testable surface.
+  *
+  * `sqlite://` and `duckdb://` attach embedded single-file engines; Spark
+  * has no reader for either format, so they fail loudly (round 1 silently
+  * accepted `-d` and the user got "unknown table" instead of the truth).
+  */
+object Connectors {
+
+  final case class ConnectorError(msg: String) extends RuntimeException(msg)
+
+  final case class PostgresTarget(
+      jdbcUrl: String,
+      schema: String,
+      user: Option[String],
+      password: Option[String])
+
+  /** Parse `postgres://[user[:pass]@]host[:port]/db[?currentSchema=s]` (the
+    * reference regex `^(?P<uri>[^?]+)(?P<schema>\?currentSchema=.+)?$`,
+    * duckdb.rs:87-99; schema defaults to `public`) into the JDBC form
+    * `jdbc:postgresql://host[:port]/db` + credential properties. */
+  def parsePostgres(database: String): PostgresTarget = {
+    val (uri, schema) = database.indexOf("?currentSchema=") match {
+      case -1 =>
+        if (database.contains("?"))
+          throw ConnectorError(
+            s"unsupported postgres URL parameter in '$database' (only ?currentSchema= is recognized)")
+        (database, "public")
+      case i => (database.substring(0, i), database.substring(i + "?currentSchema=".length))
+    }
+    val rest = uri match {
+      case u if u.startsWith("postgresql://") => u.stripPrefix("postgresql://")
+      case u if u.startsWith("postgres://")   => u.stripPrefix("postgres://")
+      case u => throw ConnectorError(s"not a postgres URL: '$u'")
+    }
+    val (authority, path) = rest.indexOf('/') match {
+      case -1 => throw ConnectorError(s"postgres URL needs a /database path: '$database'")
+      case i  => (rest.substring(0, i), rest.substring(i + 1))
+    }
+    if (path.isEmpty)
+      throw ConnectorError(s"postgres URL needs a database name: '$database'")
+    // last '@' splits credentials from host:port (passwords may contain '@';
+    // hostnames may not)
+    val (creds, hostPort) = authority.lastIndexOf('@') match {
+      case -1 => (None, authority)
+      case i  => (Some(authority.substring(0, i)), authority.substring(i + 1))
+    }
+    val (user, password) = creds match {
+      case None => (None, None)
+      case Some(c) => c.indexOf(':') match {
+        case -1 => (Some(c), None)
+        case i  => (Some(c.substring(0, i)), Some(c.substring(i + 1)))
+      }
+    }
+    PostgresTarget(s"jdbc:postgresql://$hostPort/$path", schema, user, password)
+  }
+
+  /** Split a `--from` table spec into (schema, table) exactly like the
+    * reference (duckdb.rs:37-48): unqualified tables default to `public`
+    * (NOT the URL's currentSchema — that only scopes attach-all); for
+    * deeper qualification the last two parts win. */
+  def splitQualified(source: String): (String, String) = {
+    val parts = source.split('.')
+    if (parts.length == 1) ("public", parts(0))
+    else (parts(parts.length - 2), parts(parts.length - 1))
+  }
+
+  /** JDBC reader options for one table spec — pure (testable without a live
+    * server). `fetchsize` keeps cursor batches bounded; for genuinely large
+    * tables callers should add `partitionColumn`/`lowerBound`/`upperBound`/
+    * `numPartitions` or the read is a single executor-side cursor. */
+  def jdbcOptions(t: PostgresTarget, source: String): Map[String, String] = {
+    val (schema, table) = splitQualified(source)
+    Map(
+      "url" -> t.jdbcUrl,
+      "dbtable" -> s""""$schema"."$table"""",
+      "fetchsize" -> "10000",
+      "driver" -> "org.postgresql.Driver") ++
+      t.user.map("user" -> _) ++ t.password.map("password" -> _)
+  }
+
+  /** Register each `--from` table spec against a postgres database. The
+    * reference with zero sources attaches every table in the schema
+    * (`postgres_attach`, duckdb.rs:104-106) — that needs a live catalog
+    * connection, so here it is an explicit error instead of a hang. */
+  def registerPostgres(spark: SparkSession, database: String,
+                       specs: Seq[String]): Map[String, DataFrame] = {
+    val target = parsePostgres(database)
+    if (specs.isEmpty)
+      throw ConnectorError(
+        "attaching all tables of a postgres schema requires a live catalog " +
+          "connection; name the tables explicitly: --from [alias=][schema.]table")
+    specs.map { spec =>
+      val (name, source) = Registrar.standardiseSource(spec)
+      val df = spark.read.format("jdbc").options(jdbcOptions(target, source)).load()
+      df.createOrReplaceTempView(name)
+      name -> df
+    }.toMap
+  }
+}

@@ -14,15 +14,36 @@ class CliSpec extends AnyFunSuite {
     val a = Cli.parseArgs(Array(
       "-f", "i=/data/invoices.csv", "--from", "x.parquet",
       "--to", "out.json", "--backend", "duckdb", "--writer", "arrow",
+      "-d", "postgres://h/db",
       "from i | take 5"))
     assert(a.from == Seq("i=/data/invoices.csv", "x.parquet"))
     assert(a.to.contains("out.json"))
     assert(a.query.contains("from i | take 5"))
+    assert(a.backend.contains("duckdb"))
+    assert(a.database.contains("postgres://h/db"))
     assert(!a.sql && !a.noExec)
     assert(Cli.parseArgs(Array("--sql", "SELECT 1")).sql)
     assert(Cli.parseArgs(Array("--no-exec", "from t")).noExec)
     // a value-taking flag at the end fails loudly, not with an index error
     intercept[Writers.OutputError](Cli.parseArgs(Array("from t", "--to")))
+  }
+
+  test("unsupported --backend and -d fail loudly; spark/auto pass (VERDICT r1 #5)") {
+    implicit val spark = SparkTest.session
+    // backends the engine can't honor → clear error, not silent wrong engine
+    val eb = intercept[Writers.OutputError] {
+      Cli.run(Cli.parseArgs(Array("--backend", "duckdb", "--sql", "SELECT 1")))
+    }
+    assert(eb.getMessage.contains("not available"))
+    // spark / auto are honored (execution IS spark)
+    Cli.run(Cli.parseArgs(Array("--backend", "spark", "--sql", "SELECT 1", "--to",
+      java.nio.file.Files.createTempDirectory("b").resolve("o.csv").toString)))
+    // sqlite / duckdb file databases → clear unsupported error, not
+    // round-1's silent swallow + "unknown table"
+    val ed = intercept[Writers.OutputError] {
+      Cli.run(Cli.parseArgs(Array("-d", "sqlite://chinook.db", "from tracks")))
+    }
+    assert(ed.getMessage.contains("not supported") && ed.getMessage.contains("sqlite"))
   }
 
   test("auto-from: prepend last source when query lacks from (main.rs:144-150)") {
