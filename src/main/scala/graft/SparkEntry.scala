@@ -331,6 +331,39 @@ object SparkEntry {
         |select [c_nationkey, c_custkey, w_bal]
         |sort [c_nationkey, c_custkey]""".stripMargin),
 
+    // s-string holes carrying full PRQL EXPRESSIONS (VERDICT r1 #7) — the
+    // reference compiles arbitrary expressions into holes; round 1 threw on
+    // anything but a column ref. Exercises arithmetic, a user func inlined
+    // inside the hole, and `| in a..b` piping (→ BETWEEN).
+    // floor (IEEE-exact), not round: decimal rounding of a halfway double is
+    // implementation-defined (Spark HALF_UP vs DuckDB) and one tie in 45k
+    // rows breaks the hash — same class of divergence as the big-sum
+    // rounding note on q05.
+    "q32_sstring_expr" -> q(
+      """func net p d -> p * (1 - d)
+        |from lineitem
+        |filter l_orderkey <= 100
+        |derive [
+        |  net_cents = s"floor({net l_extendedprice l_discount} * 100)",
+        |  qty_band = s"CASE WHEN {l_quantity | in 1..10} THEN 'low' ELSE 'high' END",
+        |]
+        |select [l_orderkey, l_linenumber, net_cents, qty_band]
+        |sort [l_orderkey, l_linenumber]""".stripMargin),
+
+    // interval literals + date arithmetic (VERDICT r1 #8; PRQL 0.6.1
+    // surface). o_orderdate is a timestamp, so +INTERVAL stays a timestamp
+    // in both engines — no dialect cast needed.
+    "q33_interval_arith" -> q(
+      """from orders
+        |filter o_orderdate >= @1995-03-01 - 30days and o_orderdate < @1995-03-01 + 2months
+        |derive [
+        |  due = o_orderdate + 90days,
+        |  week_after = o_orderdate + 1weeks,
+        |  grace = o_orderdate + 36hours,
+        |]
+        |select [o_orderkey, o_orderdate, due, week_after, grace]
+        |sort o_orderkey""".stripMargin),
+
     // --- extensions: training-data pipeline operators (builder prompt) ---
     "x01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -682,6 +715,23 @@ object SparkEntry {
         |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS w_bal
         |FROM customer WHERE c_custkey <= 200
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "q32_sstring_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS net_cents,
+        |  CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 'low' ELSE 'high' END AS qty_band
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q33_interval_arith" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  o_orderdate + INTERVAL 90 DAY AS due,
+        |  o_orderdate + INTERVAL 7 DAY AS week_after,
+        |  o_orderdate + INTERVAL 36 HOUR AS grace
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-03-01' - INTERVAL 30 DAY
+        |  AND o_orderdate < DATE '1995-03-01' + INTERVAL 2 MONTH
+        |ORDER BY o_orderkey""".stripMargin,
 
     // --- extension oracles (DuckDB 1.x dialect). x02/x03/x04/x05/x07 are
     // LSH-approximate ops with no SQL equivalent → deliberately omitted

@@ -26,6 +26,9 @@ object Ast {
   /** `@2009-01-01`, `@2009-01-01T00:00:00` — date/timestamp literal
     * (SURVEY §2c "date/time literals"). Raw text kept verbatim. */
   final case class DateLit(raw: String) extends Lit
+  /** `30days`, `2months` — interval literal for date arithmetic
+    * (PRQL 0.6.1; SURVEY §1 "date/interval literals"). */
+  final case class IntervalLit(n: Long, unit: String) extends Lit
 
   /** Binary operator. `op` one of + - * / % == != < <= > >= and or ?? */
   final case class BinOp(op: String, l: Expr, r: Expr) extends Expr

@@ -334,6 +334,7 @@ object Lowering {
       if (raw.contains("T") || raw.contains(":"))
         F.lit(java.sql.Timestamp.valueOf(raw.replace("T", " ")))
       else F.lit(java.sql.Date.valueOf(raw))
+    case iv: IntervalLit     => F.expr(intervalSql(iv))
 
     case BinOp("==", l, NullLit) => toCol(l, env).isNull
     case BinOp("!=", l, NullLit) => toCol(l, env).isNotNull
@@ -463,11 +464,102 @@ object Lowering {
   }
 
   /** Render an s-string to SQL text: literal parts verbatim, `{expr}` holes
-    * as SQL references (duckdb.rs:53-59 pattern). */
+    * via [[sqlOf]] (duckdb.rs:53-59 pattern — the reference's prql-compiler
+    * renders full PRQL expressions into holes, not just column refs). */
   def renderSStr(s: SStr, env: Env): String =
     s.parts.map {
       case Left(text) => text
-      case Right(Ident(parts)) => parts.mkString(".")
-      case Right(other) => throw LowerError(s"only column references supported in s-string holes, got $other")
+      case Right(e)   => sqlOf(e, env)
     }.mkString
+
+  /** `INTERVAL n UNIT` SQL for an interval literal — the same text is valid
+    * Spark and DuckDB. Weeks have no SQL unit → days. */
+  def intervalSql(iv: IntervalLit): String = {
+    val u = if (iv.unit.endsWith("s")) iv.unit.dropRight(1) else iv.unit
+    u match {
+      case "week" => s"INTERVAL ${iv.n * 7} DAY"
+      case other  => s"INTERVAL ${iv.n} ${other.toUpperCase}"
+    }
+  }
+
+  /** PRQL expression → SQL text, for s-string holes. The output lands in
+    * the surrounding (DuckDB-dialect) fragment and then goes through
+    * [[SqlShim.translate]] into `functions.expr`, so it must be valid Spark
+    * SQL post-shim — every form below is dialect-neutral. User `func`s are
+    * inlined first (same rule as [[lowerCall]]); unknown function names
+    * pass through as `name(args)` and Spark's parser fails loudly on
+    * anything fake — no wrong answers, same contract as SqlShim. */
+  def sqlOf(e: Expr, env: Env): String = e match {
+    case Ident(parts) => parts.mkString(".")
+    case IntLit(v)    => v.toString
+    case FloatLit(v)  => v.toString
+    case StrLit(v)    => "'" + v.replace("'", "''") + "'"
+    case BoolLit(v)   => if (v) "true" else "false"
+    case NullLit      => "NULL"
+    case DateLit(raw) =>
+      if (raw.contains("T") || raw.contains(":"))
+        s"TIMESTAMP '${raw.replace("T", " ")}'"
+      else s"DATE '$raw'"
+    case iv: IntervalLit => intervalSql(iv)
+
+    case BinOp("==", l, NullLit) => s"(${sqlOf(l, env)} IS NULL)"
+    case BinOp("!=", l, NullLit) => s"(${sqlOf(l, env)} IS NOT NULL)"
+    case BinOp("==", NullLit, r) => s"(${sqlOf(r, env)} IS NULL)"
+    case BinOp("!=", NullLit, r) => s"(${sqlOf(r, env)} IS NOT NULL)"
+    case BinOp("??", l, r) => s"COALESCE(${sqlOf(l, env)}, ${sqlOf(r, env)})"
+    case BinOp(op, l, r) =>
+      val sqlOp = op match {
+        case "==" => "="; case "!=" => "<>"
+        case "and" => "AND"; case "or" => "OR"
+        case other => other
+      }
+      s"(${sqlOf(l, env)} $sqlOp ${sqlOf(r, env)})"
+    case UnOp("-", x)   => s"(- ${sqlOf(x, env)})"
+    case UnOp("not", x) => s"(NOT ${sqlOf(x, env)})"
+
+    case PipeE(in, fn) => fn match {
+      case Call(f, args, named) => sqlOf(Call(f, args :+ in, named), env)
+      case id: Ident            => sqlOf(Call(id, Seq(in)), env)
+      case other                => throw LowerError(s"cannot pipe into $other")
+    }
+
+    case FStr(parts) =>
+      parts.map {
+        case Left(s)  => "'" + s.replace("'", "''") + "'"
+        case Right(x) => s"CAST(${sqlOf(x, env)} AS STRING)"
+      }.mkString("CONCAT(", ", ", ")")
+
+    case Switch(cases) =>
+      val (defaults, conds) = cases.partition { case (c, _) => c == BoolLit(true) }
+      val whens = conds.map { case (c, v) =>
+        s"WHEN ${sqlOf(c, env)} THEN ${sqlOf(v, env)}" }.mkString(" ")
+      val els = defaults.headOption.map { case (_, v) => s" ELSE ${sqlOf(v, env)}" }.getOrElse("")
+      s"CASE $whens$els END"
+
+    case Call(Ident(Seq("in")), Seq(RangeE(Some(l), Some(h)), x), _) =>
+      s"(${sqlOf(x, env)} BETWEEN ${sqlOf(l, env)} AND ${sqlOf(h, env)})"
+    case Call(Ident(Seq("in")), Seq(ListE(items), x), _) =>
+      s"(${sqlOf(x, env)} IN ${items.map(sqlOf(_, env)).mkString("(", ", ", ")")})"
+    case Call(Ident(Seq(fname)), args, named) =>
+      env.funcs.get(fname) match {
+        case Some(fd) =>
+          if (fd.params.length != args.length)
+            throw LowerError(s"func $fname expects ${fd.params.length} args, got ${args.length}")
+          sqlOf(substitute(fd.body, fd.params.zip(args).toMap), env)
+        case None =>
+          val sqlArgs = fname match {
+            // PRQL arg-order quirks: the tuning argument comes first
+            case "round" | "lag" | "lead" if args.length == 2 => args.reverse
+            case _ => args
+          }
+          val sqlName = fname match {
+            case "average" => "avg"
+            case "count_distinct" => return s"count(DISTINCT ${sqlOf(args.head, env)})"
+            case other => other
+          }
+          s"$sqlName(${sqlArgs.map(sqlOf(_, env)).mkString(", ")})"
+      }
+
+    case other => throw LowerError(s"cannot render $other in an s-string hole")
+  }
 }

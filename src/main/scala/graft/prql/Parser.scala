@@ -287,7 +287,18 @@ final class Parser(tokens: Vector[Tok]) {
   /** Allows newlines inside bracketed/parenthesized expression context. */
   private def skipNewlinesInExpr(): Unit = skipNewlines()
 
-  def parseExprStandalone(): Expr = { skipNewlines(); val e = parseExpr(); e }
+  /** A whole token stream as one expression (f-/s-string holes). Handles
+    * top-level expression pipes (`{x | in 1..10}`) and fails loudly on
+    * trailing tokens — silently dropping them turned `x | in 1..10` into
+    * bare `x`. */
+  def parseExprStandalone(): Expr = {
+    skipNewlines()
+    var e = parseExpr()
+    while (isOp("|")) { p += 1; skipNewlinesInExpr(); e = PipeE(e, parseApplication()) }
+    skipNewlines()
+    if (!atEof) fail("trailing tokens after interpolated expression")
+    e
+  }
 
   def parseExpr(): Expr = parseOr()
 
@@ -382,7 +393,7 @@ final class Parser(tokens: Vector[Tok]) {
       case TIdent("in", _) => true // `in` is itself a function when applied
       case _ => false
     }
-    case _: TIdent | _: TInt | _: TFloat | _: TStr | _: TInterp | _: TDate => true
+    case _: TIdent | _: TInt | _: TFloat | _: TStr | _: TInterp | _: TDate | _: TInterval => true
     case TOp("(", _) => !noParenApp
     case TOp("[", _) => true // list-literal argument: `in ["A", "B"]`
     case _ => false
@@ -406,6 +417,7 @@ final class Parser(tokens: Vector[Tok]) {
     case TFloat(v, _) => p += 1; FloatLit(v)
     case TStr(v, _)   => p += 1; StrLit(v)
     case TDate(raw, _) => p += 1; DateLit(raw)
+    case TInterval(v, unit, _) => p += 1; IntervalLit(v, unit)
     case TInterp(kind, raw, _) =>
       p += 1
       val parts = parseInterpParts(raw)

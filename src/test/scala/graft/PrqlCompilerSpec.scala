@@ -370,4 +370,46 @@ class PrqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq
     assert(out == Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("s-string holes carry full expressions: arithmetic, func inline, pipe-in, switch") {
+    assertSameAs(
+      prql("""func net p d -> p * (1 - d)
+             |from lineitem
+             |derive [
+             |  np = s"round({net l_extendedprice l_discount}, 2)",
+             |  band = s"CASE WHEN {l_quantity | in 1..10} THEN 'low' ELSE 'high' END",
+             |  lbl = s"upper({switch [l_quantity < 5 -> 'tiny', true -> 'rest']})",
+             |  safe = s"({l_returnflag ?? 'none'})",
+             |]
+             |select [l_orderkey, l_linenumber, np, band, lbl, safe]
+             |sort [l_orderkey, l_linenumber]
+             |take 50""".stripMargin),
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount), 2) AS np,
+        |  CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 'low' ELSE 'high' END AS band,
+        |  upper(CASE WHEN l_quantity < 5 THEN 'tiny' ELSE 'rest' END) AS lbl,
+        |  COALESCE(l_returnflag, 'none') AS safe
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin)
+  }
+
+  test("interval literals: date arithmetic in filter and derive (PRQL 0.6.1)") {
+    assertSameAs(
+      prql("""from orders
+             |filter o_orderdate >= @1995-03-01 - 30days and o_orderdate < @1995-03-01 + 2months
+             |derive [due = o_orderdate + 90days, wk = o_orderdate + 1weeks, gr = o_orderdate + 36hours]
+             |select [o_orderkey, due, wk, gr]
+             |sort o_orderkey
+             |take 20""".stripMargin),
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 90 DAY AS due,
+        |  o_orderdate + INTERVAL 7 DAY AS wk,
+        |  o_orderdate + INTERVAL 36 HOUR AS gr
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-03-01' - INTERVAL 30 DAY
+        |  AND o_orderdate < DATE '1995-03-01' + INTERVAL 2 MONTH
+        |ORDER BY o_orderkey LIMIT 20""".stripMargin)
+    // a number NOT followed by a unit stays a plain int (`30dayz` is two
+    // tokens and fails loudly downstream, not silently an interval)
+    intercept[Exception](prql("from orders | derive [x = o_orderdate + 30dayz]"))
+  }
 }
