@@ -388,11 +388,13 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
-    // 16 tables × 4 planes → ~94% recall at cos 0.4 (pinned in OpsSpec);
-    // round-1's single 6-plane table caught ~5% of the true pairs
+    // 16 tables, auto-tuned planes (bucket size stays bounded as the corpus
+    // grows — a fixed plane count went quadratic at 10×, see nearDupPairs
+    // scaladoc); ~94% recall at cos 0.4 pinned in OpsSpec with the explicit
+    // 4-plane config, single-table round-1 config caught ~5%
     "x05_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
-          "vec_id", "embedding", threshold = 0.4, nPlanes = 4, nTables = 16)
+          "vec_id", "embedding", threshold = 0.4, nTables = 16)
         .orderBy("a", "b")),
 
     "x06_knn_brute" -> ((s, dir) => {

@@ -1,0 +1,273 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native Catalyst expressions for the vector math in graft.ops.Similarity —
+  * same tier-(b) rationale as [[MinHashSig]]: Spark's higher-order functions
+  * (`zip_with`/`aggregate`) do NOT participate in whole-stage codegen; they
+  * evaluate a boxed lambda per ELEMENT per row, and on an LSH candidate join
+  * producing tens of millions of 64-dim pairs that interpreted path is the
+  * dominant query cost (measured 3-10× on the x05 scale-stress). Each
+  * expression here is one static tight-loop call that composes with codegen.
+  *
+  * Semantics (pinned vs the old HOF forms in OpsSpec):
+  *  - element type may be float or double per side; elements are promoted to
+  *    double BEFORE multiplying (matches the `::DOUBLE` oracle arithmetic).
+  *  - length mismatch, null elements, NaN elements, and zero norms all yield
+  *    NULL (the old `when(denom > 0, ...)` guard folded in — NULL, never
+  *    NaN: Spark orders NaN above every double, so a NaN similarity would
+  *    rank garbage vectors as everyone's top neighbor).
+  */
+object VecOps {
+
+  /** NaN result encodes "NULL" at the expression layer. */
+  def cosine(a: ArrayData, af: Boolean, b: ArrayData, bf: Boolean): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0.0) dot / denom else Double.NaN
+  }
+
+  def dot(a: ArrayData, af: Boolean, b: ArrayData, bf: Boolean): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return Double.NaN
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  def l2norm(a: ArrayData, af: Boolean): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return Double.NaN
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Sign-LSH bits over `nPlanes` hyperplanes flattened row-major into
+    * `planes` (length nPlanes·dim): bit i = (v · plane_i) > 0. One pass per
+    * plane, no intermediate arrays. Dimension mismatch throws — a wrong-dim
+    * vector would otherwise silently land every row in bucket 0 and turn
+    * the bucket self-join quadratic. */
+  def lshBits(a: ArrayData, af: Boolean, planes: Array[Double], nPlanes: Int, dim: Int): Long = {
+    val n = a.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(s"embedding dimension must be $dim, got $n")
+    var bits = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var s = 0.0
+      val off = p * dim
+      var i = 0
+      while (i < dim) {
+        val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+        s += x * planes(off + i)
+        i += 1
+      }
+      if (s > 0.0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+}
+
+/** Fraction of positionwise-equal elements of two long arrays (MinHash
+  * signature agreement → estimated Jaccard). Tight loop; null on length
+  * mismatch or null elements. */
+object SigOps {
+  def eqFrac(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0 || b.numElements() != n) return Double.NaN
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+}
+
+/** See [[SigOps.eqFrac]]. */
+case class SigEqFrac(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<long> arguments, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sig_eq_frac"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = SigOps.eqFrac(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (v.isNaN) null else v
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ctx.freshName("frac")
+      s"""double $v = graft.functions.SigOps.eqFrac($a, $b);
+         |if (Double.isNaN($v)) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+         |""".stripMargin
+    })
+
+  protected override def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SigEqFrac =
+    copy(left = newLeft, right = newRight)
+}
+
+private[functions] trait VecArrayArg { self: Expression =>
+  protected def isFloatArray(dt: DataType): Boolean =
+    dt.asInstanceOf[ArrayType].elementType == FloatType
+  protected def checkVec(dt: DataType, side: String): TypeCheckResult = dt match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} requires an array<float|double> $side argument, got $other")
+  }
+}
+
+/** Cosine similarity — see [[VecOps]] for semantics. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with VecArrayArg {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkVec(left.dataType, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l else checkVec(right.dataType, "right")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  private def lf = isFloatArray(left.dataType)
+  private def rf = isFloatArray(right.dataType)
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = VecOps.cosine(a.asInstanceOf[ArrayData], lf, b.asInstanceOf[ArrayData], rf)
+    if (v.isNaN) null else v
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ctx.freshName("cos")
+      s"""double $v = graft.functions.VecOps.cosine($a, $lf, $b, $rf);
+         |if (Double.isNaN($v)) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+         |""".stripMargin
+    })
+
+  protected override def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product — see [[VecOps]] for semantics. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with VecArrayArg {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkVec(left.dataType, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l else checkVec(right.dataType, "right")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private def lf = isFloatArray(left.dataType)
+  private def rf = isFloatArray(right.dataType)
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = VecOps.dot(a.asInstanceOf[ArrayData], lf, b.asInstanceOf[ArrayData], rf)
+    if (v.isNaN) null else v
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ctx.freshName("dot")
+      s"""double $v = graft.functions.VecOps.dot($a, $lf, $b, $rf);
+         |if (Double.isNaN($v)) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+         |""".stripMargin
+    })
+
+  protected override def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm — see [[VecOps]] for semantics. */
+case class L2Norm(child: Expression) extends UnaryExpression with VecArrayArg {
+
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(child.dataType, "")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_l2norm"
+
+  private def cf = isFloatArray(child.dataType)
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val v = VecOps.l2norm(a.asInstanceOf[ArrayData], cf)
+    if (v.isNaN) null else v
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("nrm")
+      s"""double $v = graft.functions.VecOps.l2norm($a, $cf);
+         |if (Double.isNaN($v)) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+         |""".stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}
+
+/** All sign-LSH bucket bits for one hash table in a single expression —
+  * replaces nPlanes separate HOF dot products per row. Planes are a plan
+  * reference object (shipped once per task with the serialized plan, not
+  * re-parsed as literals). */
+case class LshBits(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with VecArrayArg {
+
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(child.dataType, "")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bits"
+
+  private def cf = isFloatArray(child.dataType)
+  private val nPlanes = planes.length
+  private val dim = if (planes.isEmpty) 0 else planes(0).length
+  @transient private lazy val flat: Array[Double] = planes.flatten
+
+  protected override def nullSafeEval(a: Any): Any =
+    VecOps.lshBits(a.asInstanceOf[ArrayData], cf, flat, nPlanes, dim)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", flat, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VecOps.lshBits($a, $cf, $ref, $nPlanes, $dim)")
+  }
+
+  protected override def withNewChildInternal(newChild: Expression): LshBits =
+    copy(child = newChild)
+}

@@ -9,8 +9,11 @@ import org.apache.spark.sql.expressions.Window
   * `embeddings` testdata table, FIXTURES.md §B).
   *
   * Scale design (100 TB corpus, small query set):
-  *  - cosine is computed with codegen'd higher-order functions
-  *    (`zip_with`/`aggregate`) — no UDF, stays inside whole-stage codegen.
+  *  - vector math (cosine/dot/norm/LSH bits) is native Catalyst expressions
+  *    (graft.functions.VecExpressions) — no UDF, one tight loop per row
+  *    inside whole-stage codegen. HOFs were measured and replaced: Spark
+  *    evaluates `zip_with`/`aggregate` lambdas interpreted per element,
+  *    which dominated the LSH candidate join at 10× scale.
   *  - brute-force kNN broadcasts the query side (queries ≪ corpus), so the
   *    corpus is scanned exactly once with NO shuffle of corpus rows; the
   *    rank-filter idiom compiles to Spark's WindowGroupLimit, which takes
@@ -23,25 +26,28 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity between two `array<float>` columns, no UDF.
-    * Zero-norm vectors yield NULL, not NaN: Spark orders NaN GREATER than
-    * every double, so a NaN cosine would rank a garbage all-zero embedding
-    * as the top neighbor of every query (and `NaN >= threshold` is true);
-    * NULL sorts last under desc and fails threshold predicates. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2norm(a) * l2norm(b)
-    F.when(denom > 0.0d, dot(a, b) / denom)
-  }
+  import org.apache.spark.sql.GraftExpr
 
-  /** One-pass dot product and L2 norm. (An unrolled element_at variant was
-    * measured and rejected: 64 ANSI-bounds-checked random accesses per row
-    * cost more than one lambda traversal, and the codegen blow-up added
-    * janino compile latency per query.) */
+  /** Cosine similarity between two vector columns via the native
+    * [[graft.functions.CosineSim]] expression (one codegen'd tight loop —
+    * the earlier `zip_with`/`aggregate` HOF form evaluates an interpreted
+    * lambda per ELEMENT per row, which dominated the candidate-join stage
+    * at scale). Zero-norm vectors, length mismatches, and null/NaN elements
+    * yield NULL, not NaN: Spark orders NaN GREATER than every double, so a
+    * NaN cosine would rank a garbage all-zero embedding as the top neighbor
+    * of every query (and `NaN >= threshold` is true); NULL sorts last under
+    * desc and fails threshold predicates. */
+  def cosine(a: Column, b: Column): Column =
+    GraftExpr.column(graft.functions.CosineSim(
+      GraftExpr.expression(a), GraftExpr.expression(b)))
+
+  /** One-pass native dot product / L2 norm (see [[cosine]]). */
   def dot(a: Column, b: Column): Column =
-    F.aggregate(F.zip_with(a, b, (x, y) => x * y), F.lit(0.0d), (acc, v) => acc + v)
+    GraftExpr.column(graft.functions.DotProduct(
+      GraftExpr.expression(a), GraftExpr.expression(b)))
 
   def l2norm(a: Column): Column =
-    F.sqrt(F.aggregate(a, F.lit(0.0d), (acc, v) => acc + v * v))
+    GraftExpr.column(graft.functions.L2Norm(GraftExpr.expression(a)))
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -75,14 +81,12 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit LSH bucket id for a vector column: bit i = (v · plane_i) > 0. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = F.array(p.map(F.lit): _*)
-      F.when(dot(vec, planeLit) > 0, F.shiftleft(F.lit(1L), i)).otherwise(F.lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-bit LSH bucket id for a vector column: bit i = (v · plane_i) > 0.
+    * One native expression for ALL planes of a table ([[graft.functions
+    * .LshBits]]); throws loudly on a dimension mismatch instead of silently
+    * sending every row to bucket 0. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    GraftExpr.column(graft.functions.LshBits(GraftExpr.expression(vec), planes))
 
   /** Approximate top-k via multi-table sign-LSH: bucket corpus + queries in
     * `nTables` independent tables of `nPlanes` sign bits, join on
@@ -93,12 +97,14 @@ object Similarity {
     * tables lifts it to 1 − (1 − p^nPlanes)^nTables (a lone 6-plane table
     * finds <5% of moderate-similarity neighbors — measured in OpsSpec; the
     * 16×4 default config measures ≥80%). At scale, nPlanes controls bucket
-    * size (≈ N/2^nPlanes rows each — grow it with the corpus) and nTables
-    * buys recall linearly in bucketing + candidate cost. */
+    * size (≈ N/2^nPlanes rows each) and nTables buys recall linearly in
+    * bucketing + candidate cost. `nPlanes = 0` (default) auto-tunes bucket
+    * size to the corpus — see [[nearDupPairs]] for the scaling argument. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, nPlanes: Int = 4, dim: Int = 64, seed: Long = 42L,
-             nTables: Int = 8): DataFrame = {
-    val tables = Array.tabulate(nTables)(t => hyperplanes(nPlanes, dim, seed + 1000L * t))
+             k: Int, nPlanes: Int = 0, dim: Int = 64, seed: Long = 42L,
+             nTables: Int = 8, targetBucketRows: Int = 256): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), targetBucketRows)
+    val tables = Array.tabulate(nTables)(t => hyperplanes(planes, dim, seed + 1000L * t))
     def bucketed(df: DataFrame, vc: String): DataFrame = df
       // loud dim check: a vector longer/shorter than the planes would
       // zip_with to null dots → every bucket bit 0 → silent quadratic join
@@ -209,11 +215,21 @@ object Similarity {
     * `maxBucket` caps pathological buckets (many near-identical or zero-ish
     * embeddings land in one bucket and the self-join goes quadratic) with
     * the same groupBy + broadcast-anti guard as [[Dedup.minhashPairs]]; a
-    * pair capped out of one table can still surface via another table. */
+    * pair capped out of one table can still surface via another table.
+    *
+    * `nPlanes = 0` (default) auto-tunes to `log2(N / targetBucketRows)`:
+    * a FIXED plane count is a scale bug — bucket size grows linearly with
+    * the corpus and the within-bucket self-join quadratically (measured:
+    * 10× rows at nPlanes=4 went 0.5 s → 57 s; auto restores near-linear
+    * scaling). The flip side is per-table recall p^nPlanes falling as N
+    * grows — hold a recall floor by raising nTables ∝ p^-nPlanes, which
+    * costs linear bucketing work, not quadratic join work. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                   nPlanes: Int = 4, dim: Int = 64, seed: Long = 42L,
-                   nTables: Int = 8, maxBucket: Int = 1000): DataFrame = {
-    val tables = Array.tabulate(nTables)(t => hyperplanes(nPlanes, dim, seed + 1000L * t))
+                   nPlanes: Int = 0, dim: Int = 64, seed: Long = 42L,
+                   nTables: Int = 8, maxBucket: Int = 1000,
+                   targetBucketRows: Int = 256): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(emb.count(), targetBucketRows)
+    val tables = Array.tabulate(nTables)(t => hyperplanes(planes, dim, seed + 1000L * t))
     val b = emb.select(F.col(idCol), F.col(vecCol))
       .withColumn("__dimok", F.assert_true(F.size(F.col(vecCol)) === dim,
         F.lit(s"embedding dimension must be $dim"))) // see lshKnn
@@ -233,11 +249,21 @@ object Similarity {
     val l = sized.select(F.col("__t"), F.col("__h"), F.col(idCol).as("a"), F.col(vecCol).as("__va"))
     val r = sized.select(F.col("__t"), F.col("__h"), F.col(idCol).as("b"), F.col(vecCol).as("__vb"))
     l.join(r, Seq("__t", "__h")).filter(F.col("a") < F.col("b"))
-      // dedup BEFORE the cosine: a pair colliding in k tables would
-      // otherwise pay the dim-length dot product k times (cf. minhashPairs)
-      .dropDuplicates("a", "b")
+      // cosine + threshold BEFORE the pair dedup: the filter is a codegen'd
+      // projection that kills almost every candidate, while dropDuplicates
+      // is a full shuffle of whatever reaches it — deduping first shuffles
+      // ALL candidate rows (the dominant cost at scale); paying a duplicate
+      // 64-mul dot product ≤ nTables× per surviving pair is noise
       .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
       .filter(F.col("cos") >= threshold)
       .select("a", "b", "cos")
+      .dropDuplicates("a", "b")
+  }
+
+  /** Plane count that keeps expected bucket size ≈ targetBucketRows:
+    * ceil(log2(N / target)), clamped to [2, 24]. */
+  private[ops] def autoPlanes(n: Long, targetBucketRows: Int): Int = {
+    val ratio = math.max(1.0, n.toDouble / math.max(1, targetBucketRows))
+    math.min(24, math.max(2, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
   }
 }
