@@ -102,8 +102,10 @@ object Similarity {
     * size to the corpus — see [[nearDupPairs]] for the scaling argument. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, nPlanes: Int = 0, dim: Int = 64, seed: Long = 42L,
-             nTables: Int = 8, targetBucketRows: Int = 256): DataFrame = {
-    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), targetBucketRows)
+             nTables: Int = 8, targetBucketRows: Int = 256,
+             corpusSize: Option[Long] = None): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes
+                 else autoPlanes(corpusRows(corpus, dim, corpusSize), targetBucketRows)
     val tables = Array.tabulate(nTables)(t => hyperplanes(planes, dim, seed + 1000L * t))
     def bucketed(df: DataFrame, vc: String): DataFrame = df
       // loud dim check: a vector longer/shorter than the planes would
@@ -227,8 +229,10 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
                    nPlanes: Int = 0, dim: Int = 64, seed: Long = 42L,
                    nTables: Int = 8, maxBucket: Int = 1000,
-                   targetBucketRows: Int = 256): DataFrame = {
-    val planes = if (nPlanes > 0) nPlanes else autoPlanes(emb.count(), targetBucketRows)
+                   targetBucketRows: Int = 256,
+                   corpusSize: Option[Long] = None): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes
+                 else autoPlanes(corpusRows(emb, dim, corpusSize), targetBucketRows)
     val tables = Array.tabulate(nTables)(t => hyperplanes(planes, dim, seed + 1000L * t))
     val b = emb.select(F.col(idCol), F.col(vecCol))
       .withColumn("__dimok", F.assert_true(F.size(F.col(vecCol)) === dim,
@@ -260,9 +264,32 @@ object Similarity {
       .dropDuplicates("a", "b")
   }
 
+  /** Corpus row count for the plane auto-tuner WITHOUT an eager extra Spark
+    * job. Priority: (1) caller-supplied size; (2) optimizer-stats row count
+    * (present under CBO / after ANALYZE); (3) a scan-bytes estimate,
+    * `sizeInBytes / (dim·4)` — the packed width of a float vector, the row's
+    * dominant term. The estimate only feeds `log2(N/target)`, so an error
+    * factor of e shifts the plane count by log2(e): the measured ~1.6×
+    * over-estimate on the parquet testdata moves it by at most one plane,
+    * while bucket sizes stay bounded either way (and `maxBucket` guards the
+    * tail). Only when the plan reports no usable size (e.g. an un-analyzed
+    * JDBC relation defaulting to Long.Max) does this fall back to the old
+    * `count()` — which materializes the whole upstream plan as an extra job,
+    * the thing this function exists to avoid. */
+  private[graft] def corpusRows(df: DataFrame, dim: Int, explicit: Option[Long]): Long =
+    explicit.getOrElse {
+      val stats = df.queryExecution.optimizedPlan.stats
+      stats.rowCount.map(_.longValue).getOrElse {
+        val bytes = stats.sizeInBytes
+        if (bytes > 0 && bytes < BigInt(Long.MaxValue) / 4)
+          (bytes / BigInt(math.max(1, dim * 4))).toLong.max(1L)
+        else df.count()
+      }
+    }
+
   /** Plane count that keeps expected bucket size ≈ targetBucketRows:
     * ceil(log2(N / target)), clamped to [2, 24]. */
-  private[ops] def autoPlanes(n: Long, targetBucketRows: Int): Int = {
+  private[graft] def autoPlanes(n: Long, targetBucketRows: Int): Int = {
     val ratio = math.max(1.0, n.toDouble / math.max(1, targetBucketRows))
     math.min(24, math.max(2, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
   }

@@ -92,18 +92,48 @@ object Connectors {
       t.user.map("user" -> _) ++ t.password.map("password" -> _)
   }
 
-  /** Register each `--from` table spec against a postgres database. The
-    * reference with zero sources attaches every table in the schema
-    * (`postgres_attach`, duckdb.rs:104-106) — that needs a live catalog
-    * connection, so here it is an explicit error instead of a hang. */
+  /** List every table of the target schema from the live JDBC catalog —
+    * the attach-all half of the reference's `postgres_attach`
+    * (duckdb.rs:104-106). Fails loudly (with the reference behavior named)
+    * when no driver / no server is reachable, which is this sandbox's case;
+    * with a driver on the classpath it returns the catalog's TABLE rows. */
+  def listTables(target: PostgresTarget): Seq[String] = {
+    val props = new java.util.Properties()
+    target.user.foreach(props.setProperty("user", _))
+    target.password.foreach(props.setProperty("password", _))
+    val conn =
+      try java.sql.DriverManager.getConnection(target.jdbcUrl, props)
+      catch {
+        case e: java.sql.SQLException =>
+          throw ConnectorError(
+            "attach-all (no --from) mirrors the reference's postgres_attach, " +
+              s"which scans every table of schema '${target.schema}' from the live " +
+              s"catalog; the catalog connection failed: ${e.getMessage}")
+      }
+    try {
+      val rs = conn.getMetaData.getTables(null, target.schema, "%", Array("TABLE"))
+      val b = Seq.newBuilder[String]
+      while (rs.next()) b += rs.getString("TABLE_NAME")
+      val tables = b.result()
+      if (tables.isEmpty)
+        throw ConnectorError(s"schema '${target.schema}' has no tables to attach")
+      tables
+    } finally conn.close()
+  }
+
+  /** Register each `--from` table spec against a postgres database; with
+    * zero sources, attach every table of the URL's schema like the
+    * reference's `postgres_attach` (duckdb.rs:104-106) — the table list
+    * comes from the live JDBC catalog via [[listTables]]. */
   def registerPostgres(spark: SparkSession, database: String,
                        specs: Seq[String]): Map[String, DataFrame] = {
     val target = parsePostgres(database)
-    if (specs.isEmpty)
-      throw ConnectorError(
-        "attaching all tables of a postgres schema requires a live catalog " +
-          "connection; name the tables explicitly: --from [alias=][schema.]table")
-    specs.map { spec =>
+    val effective =
+      if (specs.nonEmpty) specs
+      // attach-all names are schema-qualified with the URL's currentSchema
+      // (matching attach-all's scope); the view name is the bare table name
+      else listTables(target).map(t => s"$t=${target.schema}.$t")
+    effective.map { spec =>
       val (name, source) = Registrar.standardiseSource(spec)
       val df = spark.read.format("jdbc").options(jdbcOptions(target, source)).load()
       df.createOrReplaceTempView(name)

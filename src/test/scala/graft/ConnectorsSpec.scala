@@ -56,10 +56,15 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(!bare.contains("user") && !bare.contains("password"))
   }
 
-  test("registerPostgres without sources fails loudly (attach-all needs a live catalog)") {
+  test("registerPostgres without sources attaches all via the live catalog; " +
+       "fails loudly (naming postgres_attach) when unreachable") {
+    // no JDBC driver / no network in the sandbox: the attach-all path must
+    // surface the reference semantics it implements and WHY it failed,
+    // instead of hanging or claiming the tables don't exist
     val e = intercept[ConnectorError] {
-      Connectors.registerPostgres(SparkTest.session, "postgres://h/d", Nil)
+      Connectors.registerPostgres(SparkTest.session, "postgres://h/d?currentSchema=mart", Nil)
     }
-    assert(e.getMessage.contains("--from"))
+    assert(e.getMessage.contains("postgres_attach"))
+    assert(e.getMessage.contains("'mart'"), s"should name the schema: ${e.getMessage}")
   }
 }

@@ -270,6 +270,28 @@ class OpsSpec extends AnyFunSuite {
     info(f"single-table recall=${(single & brute).size.toDouble / brute.size}%.3f")
   }
 
+  test("ivfKnn recall at the SHIPPED x17 config (nlist=8, nprobe=4) vs bruteKnn") {
+    // VERDICT r2 #2: the exhaustive nprobe==nlist pin above proves the
+    // mechanism; this holds the config x17 actually ships to a measured
+    // floor like lshKnn/nearDupPairs. Seeded k-means → deterministic.
+    // Measured sweep at nlist=8: nprobe=2→0.533, 3→0.667, 4→0.850, 5→0.900;
+    // round 2 shipped nprobe=2 unmeasured — too coarse a quantizer for
+    // k=3 neighbors spread over 8 cells of ~60 rows, so x17 now ships
+    // nprobe=4 (recall 0.85 while scanning half the cells).
+    val queries = sfEmb.filter($"vec_id" < 20)
+    val brute = Similarity.bruteKnn(
+        sfEmb.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        queries.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(sfEmb, queries, "vec_id", "embedding", k = 3,
+        nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    info(f"ivfKnn(nlist=8,nprobe=4) recall=$recall%.3f (${(ivf & brute).size}/${brute.size})")
+    assert(recall >= 0.80, f"recall $recall%.3f below floor 0.80")
+  }
+
   test("nearDupPairs bounds pathological single-bucket corpora (skew guard)") {
     val one = Array.fill(8)(1.0)
     val ident = (0L until 60L).map(i => (i, one)).toDF("vec_id", "embedding")

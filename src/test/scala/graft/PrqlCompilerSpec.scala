@@ -308,6 +308,44 @@ class PrqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       "concat(date_format(a, 'yyyy'), date_format(b, 'MM'))")
   }
 
+  test("sqlshim: DuckDB rename tail (VERDICT r2 #4) — one case per rename") {
+    import graft.prql.SqlShim
+    // the regex literal also gains a doubled backslash: DuckDB strings are
+    // escape-free, Spark's parser would eat the lone '\' ('\s+' → 's+')
+    assert(SqlShim.translate("string_split_regex(trim(t), '\\s+')") ==
+      "SPLIT(trim(t), '\\\\s+')")
+    assert(SqlShim.translate("regexp_replace(t, '\\d', 'x', 'g')") ==
+      "regexp_replace(t, '\\\\d', 'x', 'g')")
+    assert(SqlShim.translate("quantile_cont(value, 0.5)") == "PERCENTILE(value, 0.5)")
+    // epoch_us needs type adaptation, not a bare rename: parquet timestamps
+    // scan as TIMESTAMP_NTZ, which Spark's unix_micros rejects
+    assert(SqlShim.translate("epoch_us(ts) - epoch_us(t0)") ==
+      "unix_micros(cast(ts as timestamp)) - unix_micros(cast(t0 as timestamp))")
+    assert(SqlShim.translate("list_transform(xs, x -> x + 1)") ==
+      "TRANSFORM(xs, x -> x + 1)")
+    assert(SqlShim.translate("list_filter(xs, x -> x > 4)") == "FILTER(xs, x -> x > 4)")
+    assert(SqlShim.translate("list_distinct(xs)") == "ARRAY_DISTINCT(xs)")
+    assert(SqlShim.translate("list_contains(xs, 3)") == "ARRAY_CONTAINS(xs, 3)")
+    // octet_length: Spark-native, must pass through untouched AND parse
+    assert(SqlShim.translate("octet_length(text)") == "octet_length(text)")
+    assert(spark.sql("SELECT octet_length('héllo')").head.getInt(0) == 6)
+    // `string_split` must not fire inside `string_split_regex` (underscore
+    // is a word char — pinned so a rename-table reorder can't regress it)
+    assert(!SqlShim.translate("string_split_regex(t, ',')").contains("SPLIT_REGEX"))
+    // aggregate FILTER (WHERE ...) syntax is untouched by the list_filter rename
+    assert(SqlShim.translate("count(*) FILTER (WHERE x > 0)") ==
+      "count(*) FILTER (WHERE x > 0)")
+    // the renamed fragments execute on Spark for real
+    val r = spark.sql(
+      "SELECT " + SqlShim.translate(
+        "size(list_filter(string_split_regex('a bb ccc dddd', '\\s+'), x -> octet_length(x) > 1)), " +
+        "quantile_cont(v, 0.5), max(epoch_us(ts))") +
+      " FROM VALUES (1.0, timestamp'2026-01-01 00:00:00Z'), (3.0, timestamp'2026-01-02 00:00:00Z') AS t(v, ts)").head
+    assert(r.getInt(0) == 3)
+    assert(r.getDouble(1) == 2.0)
+    assert(r.getLong(2) == 1767312000000000L)
+  }
+
   test("driver t1 smoke: SparkEntry.entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

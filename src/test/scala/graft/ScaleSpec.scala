@@ -53,6 +53,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(spread == 8, "all 8 salt values should be hit by 1000 rows")
   }
 
+  test("LSH auto-tune derives N from plan stats — no eager count() job (VERDICT r2 #3)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import graft.ops.Similarity
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    // the read itself runs a schema-inference job — do it before listening
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // constructing the plan (incl. plane auto-tune at nPlanes=0, the x05
+      // config) must stay lazy: round 2 ran corpus.count() here, an extra
+      // job that re-executed the whole upstream plan on derived inputs
+      Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.4, nTables = 16)
+      Similarity.lshKnn(emb, emb.limit(5), "vec_id", "embedding", k = 3)
+      // listener events are delivered async — let the bus drain before judging
+      Thread.sleep(1500)
+      assert(jobs.get == 0,
+        "auto-tune must derive the corpus size from optimizer stats, not an eager count() job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // the stats estimate feeds log2(N/target): on this parquet scan it must
+    // land within one plane of the exact-count answer (500 rows at sf0.01)
+    val est = Similarity.corpusRows(emb, dim = 64, explicit = None)
+    assert(est >= 125 && est <= 2000, s"row estimate $est implausible for 500 rows")
+    assert(math.abs(Similarity.autoPlanes(est, 256) - Similarity.autoPlanes(500L, 256)) <= 1)
+    // explicit size always wins — callers that know N pay nothing
+    assert(Similarity.corpusRows(emb, 64, Some(12345L)) == 12345L)
+  }
+
   test("salted two-phase aggregation equals one-phase groupBy") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val plain = li.groupBy("l_returnflag").agg(

@@ -61,6 +61,59 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late event older than the watermark is DROPPED from the rollup (not re-emitted)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.hourlyRollup(in.toDF().toDF("ts", "event_type", "value"),
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("rollup_late")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(5), "click", 1.0))
+      q.processAllAvailable()
+      in.addData((ts(130), "view", 1.0)) // 12:10 → watermark 12:05 closes hour 10
+      q.processAllAvailable()
+      // a click INSIDE already-closed hour 10 arrives late — must be dropped
+      // deterministically (the documented semantics), not aggregated anew
+      in.addData((ts(30), "click", 100.0))
+      q.processAllAvailable()
+      in.addData((ts(200), "view", 1.0)) // advance again so any state would flush
+      q.processAllAvailable()
+      val clicks = spark.table("rollup_late")
+        .filter($"hour" === "2026-01-01 10" && $"event_type" === "click")
+        .select("n", "total_value").as[(Long, Double)].collect().toSeq
+      assert(clicks == Seq((1L, 1.0)),
+        s"hour-10 clicks must stay (n=1, 1.0) — late row dropped, got $clicks")
+    } finally q.stop()
+  }
+
+  test("session is emitted by the event-time TIMEOUT alone, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gapMinutes = 30, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sessions_timeout")
+      .outputMode("append").start()
+    try {
+      // user 5's session (10:00–10:05) must close ONLY when OTHER traffic
+      // pushes the watermark past last + gap = 10:35 — user 5 never speaks again
+      in.addData(Event(5L, ts(0), 2.0), Event(5L, ts(5), 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_timeout").isEmpty, "nothing may close in batch 1")
+      in.addData(Event(6L, ts(20), 1.0)) // watermark 10:19 < 10:35: too early
+      q.processAllAvailable()
+      assert(spark.table("sessions_timeout").isEmpty,
+        "timeout must NOT fire before watermark passes last+gap")
+      // ts(45) keeps user 6's own session open (25 min gap < 30) while the
+      // watermark 10:44 passes user 5's 10:35 deadline — ONLY the timeout fires
+      in.addData(Event(6L, ts(45), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_timeout").as[StreamOps.SessionOut].collect().toSet
+      assert(got == Set(StreamOps.SessionOut(5L, 2L, 5.0, 300.0)),
+        s"exactly user 5's session via timeout, got $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions with correct stats") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
