@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Scale-stress for the bench's heavy hitters (VERDICT r2 next-round #1).
+  *
+  * There is no sf1 testdata in this environment (TESTDATA.md ships
+  * sf{0.001,0.01,0.1} only), so scale is manufactured from the PROVIDED
+  * sf0.1 tables by unioning K re-keyed copies:
+  *
+  *  - `documents` replicas keep their text verbatim. Replica groups are
+  *    exact near-duplicates by construction, so the TRUE pair count grows
+  *    ~K²/2 per document — that output growth is expected and the stress is
+  *    whether runtime stays near-linear anyway (bounded buckets + skew
+  *    guards) instead of going quadratic in wall-clock.
+  *  - `embeddings` replicas are direction-perturbed (element-wise
+  *    `x + 0.05·sin((vec_id mod 97 + 13k)·(i+1))`, deterministic) so the
+  *    copies are DISTINCT vectors: ANN cost scales with genuine corpus
+  *    size, not degenerate identical points.
+  *
+  * Prints one JSON line per scale factor:
+  * `{"metric":"stress","scale":K,"queries":{"x16_winnow_pairs":sec,...}}`
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
+  * SPARK_GRAFT_SCALES (default "1,4,10").
+  */
+object StressBench {
+
+  private val KeyStride = 10_000_000L
+
+  def replicateDocs(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KeyStride))
+    }.reduce(_ union _)
+
+  def replicateEmb(emb: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      emb.select(
+        (F.col("vec_id") + F.lit(i * KeyStride)).as("vec_id"),
+        (if (i == 0) F.col("embedding")
+         else F.transform(F.col("embedding"), (x, j) =>
+           x + F.lit(0.05) * F.sin((F.col("vec_id") % 97 + F.lit(13 * i)) * (j + F.lit(1))))
+           .cast("array<float>")).as("embedding"))
+    }.reduce(_ union _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,10")
+      .split(',').map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import graft.ops.{Dedup, Similarity}
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // JIT/codegen warm-up on the small paths
+    Similarity.bruteKnn(emb0, emb0.limit(5), "vec_id", "embedding", k = 3)
+      .write.format("noop").mode("overwrite").save()
+
+    scales.foreach { k =>
+      // materialize the replicated inputs once so every query times its OWN
+      // work, not the replication union
+      val docs = replicateDocs(docs0, k).persist()
+      val emb = replicateEmb(emb0, k).persist()
+      val nDocs = docs.count(); val nEmb = emb.count()
+      val queries: Seq[(String, () => DataFrame)] = Seq(
+        "x16_winnow_pairs" -> (() => Dedup.winnowPairs(docs, "doc_id", "text", minShared = 5)),
+        "x04_ngram_jaccard" -> (() => {
+          val cands = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+          Dedup.ngramJaccard(cands.select("a", "b"), docs, "doc_id", "text")
+            .filter(F.col("jaccard") >= 0.3)
+        }),
+        "x07_knn_lsh" -> (() => Similarity.lshKnn(emb, emb.filter(F.col("vec_id") < 50),
+          "vec_id", "embedding", k = 3, nPlanes = 0, nTables = 16, corpusSize = Some(nEmb))),
+        "x17_knn_ivf" -> (() => Similarity.ivfKnn(emb, emb.filter(F.col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nlist = 8, nprobe = 4)),
+        "x05_embed_neardup" -> (() => Similarity.nearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.4, nTables = 16, corpusSize = Some(nEmb))),
+      )
+      val results = queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn().write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[stress] $name: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      docs.unpersist(); emb.unpersist()
+      val qs = results.map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"stress","scale":$k,"nDocs":$nDocs,"nEmb":$nEmb,"queries":$qs,"sf":"$sfDir"}""")
+    }
+    spark.stop()
+  }
+}
