@@ -531,6 +531,40 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // connected components over a deterministic pair graph (chains of 4:
+    // edges (d,d+1) for d%10 in 0..2) — the pairs→clusters stage of the
+    // dedup pipeline; DuckDB verifies via recursive-CTE reachability
+    "x23_components" -> ((s, dir) => {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val pairs = ids.select(F.col("doc_id").as("a"), (F.col("doc_id") + 1).as("b"))
+        .filter(F.col("a") % 10 < 3)
+        .join(ids.select(F.col("doc_id").as("b")), Seq("b"), "leftsemi")
+      graft.ops.Components.connectedComponents(pairs).orderBy("v")
+    }),
+
+    // Gopher/C4-style within-document repetition signals
+    "x24_repetition" -> ((s, dir) =>
+      TextOps.withRepetition(s.read.parquet(s"$dir/documents.parquet"), "text")
+        .select("doc_id", "dup_line_fraction", "dup_bigram_fraction")
+        .orderBy("doc_id")),
+
+    // eval-set decontamination: 8-gram overlap vs the doc_id%50==0
+    // "benchmark" slice (benchmark members flag themselves — expected)
+    "x25_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.contamination(docs, docs.filter(F.col("doc_id") % 50 === 0),
+          "doc_id", "text", shingleSize = 8, minShared = 5)
+        .orderBy("doc_id")
+    }),
+
+    // deterministic content-hash sampling (reproducible across engines,
+    // partitionings, and runs — unlike df.sample)
+    "x26_hash_sample" -> ((s, dir) =>
+      graft.ops.Sampling.hashSample(
+          s.read.parquet(s"$dir/documents.parquet"), F.col("text"), rate = 0.1)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
     // native sketch expression reached through a PRQL s-string — exercises
     // the GraftExtensions SQL registration end-to-end (rows-only check: no
     // DuckDB equivalent of our simhash64)
@@ -823,6 +857,67 @@ object SparkEntry {
         |JOIN sh sa ON sa.doc_id = p.a
         |JOIN sh sb ON sb.doc_id = p.b
         |ORDER BY a, b""".stripMargin,
+
+    // min-reachable-vertex per node ≡ min-label-propagation fixpoint
+    "x23_components" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 10 < 3
+        |), e AS (
+        |  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+        |), r AS (
+        |  SELECT x AS v, x AS u FROM e
+        |  UNION
+        |  SELECT r.v, e.y FROM r JOIN e ON e.x = r.u
+        |)
+        |SELECT v, min(u) AS component FROM r GROUP BY v ORDER BY v""".stripMargin,
+
+    "x24_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                l -> length(l) > 0) AS lines,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(lines) > 0
+        |       THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+        |       ELSE 0.0 END AS dup_line_fraction,
+        |  CASE WHEN len(toks) >= 2
+        |       THEN 1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+        |              i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1)
+        |       ELSE 0.0 END AS dup_bigram_fraction
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.shingleSets at n=8 (cf. x22); bench slice = doc_id%50==0
+    "x25_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+        |      i -> substring(t, i, 8))) AS s
+        |  FROM t
+        |), ex AS (
+        |  SELECT doc_id, unnest(s) AS g FROM sh
+        |), bench AS (
+        |  SELECT DISTINCT g FROM ex WHERE doc_id % 50 = 0
+        |), hits AS (
+        |  SELECT e.doc_id, count(DISTINCT e.g) AS n_shared
+        |  FROM ex e JOIN bench b ON b.g = e.g GROUP BY 1
+        |)
+        |SELECT s.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+        |  coalesce(h.n_shared, 0) >= 5 AS contaminated
+        |FROM sh s LEFT JOIN hits h ON h.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // round(0.1 * 65536) = 6554 = 0x199a — identical subset in any engine
+    "x26_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substring(md5(text), 1, 4) < '199a'
+        |ORDER BY doc_id""".stripMargin,
 
     "x01_dedup_exact" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

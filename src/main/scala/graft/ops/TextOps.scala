@@ -86,4 +86,35 @@ object TextOps {
     * value; both engines emit the same hex.) */
   def fingerprint(text: Column): Column =
     F.md5(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+  /** Within-document repetition metrics — the Gopher/C4-style quality
+    * signals that catch boilerplate and crawler loops, which per-corpus
+    * dedup misses because the repetition is INSIDE one document:
+    *  - `dup_line_fraction`: 1 − distinct(lines)/lines (empty lines and
+    *    surrounding whitespace ignored);
+    *  - `dup_bigram_fraction`: 1 − distinct(word bigrams)/bigrams; 0 for
+    *    documents of < 2 tokens.
+    * Pure projections (array HOFs + set ops), zero shuffle, oracled against
+    * the identical DuckDB list formula. */
+  def withRepetition(df: DataFrame, textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    val lines = F.filter(F.transform(F.split(t, "\\n"), l => F.trim(l)),
+      l => F.length(l) > 0)
+    val nLines = F.size(lines)
+    val toks = F.split(F.lower(F.trim(t)), "\\s+")
+    val nTok = F.size(toks)
+    // word bigrams: zip tokens with their tail — slice is 1-based
+    val bigrams = F.zip_with(
+      F.slice(toks, F.lit(1), F.greatest(nTok - 1, F.lit(0))),
+      F.slice(toks, F.lit(2), F.greatest(nTok - 1, F.lit(0))),
+      (x, y) => F.concat_ws(" ", x, y))
+    df.withColumn("dup_line_fraction",
+        F.when(nLines > 0,
+          F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / nLines)
+         .otherwise(0.0))
+      .withColumn("dup_bigram_fraction",
+        F.when(nTok >= 2,
+          F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / (nTok - 1))
+         .otherwise(0.0))
+  }
 }

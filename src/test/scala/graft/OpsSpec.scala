@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Components, Dedup, Sampling, Similarity, TextOps}
 
 /** Ground-truth unit tests for the training-data pipeline operators on tiny
   * hand-checkable inputs (the Verify/oracle path covers them at sf scale;
@@ -316,5 +316,82 @@ class OpsSpec extends AnyFunSuite {
     val got = df.select($"doc_id", TextOps.langId(F.col("text")).as("l"))
       .as[(Long, String)].collect().toMap
     assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "fr" && got(4L) == "und")
+  }
+
+  test("connectedComponents: chain, triangle, reversed/duplicate edges, self-loop") {
+    // components: {1,2,3,4} (a path — needs >1 propagation round),
+    // {10,11,12} (triangle with a duplicate + reversed edge), self-loop 20
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (11L, 10L),
+      (20L, 20L)
+    ).toDF("a", "b")
+    val got = Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // 20's only edge is a self-loop -> no real edge -> not a clustered vertex
+    assert(!got.contains(20L))
+  }
+
+  test("connectedComponents fails loudly instead of emitting half-merged labels") {
+    val path = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    assertThrows[IllegalStateException] {
+      Components.connectedComponents(path, maxIter = 1).collect()
+    }
+  }
+
+  test("dedupByPairs keeps the min-id representative and all unpaired docs") {
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("a", "b") // {1,2,5}: keep 1
+    val kept = Components.dedupByPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
+  test("withRepetition: hand-computed duplicate line/bigram fractions") {
+    val df = Seq(
+      (1L, "a b\na b\nc d"),     // lines: 3, distinct 2 -> 1/3; toks a,b,a,b,c,d:
+                                 // bigrams "a b","b a","a b","b c","c d" -> 5, distinct 4 -> 1/5
+      (2L, "x\n\n  \nx"),        // blank lines ignored: 2 lines, 1 distinct -> 1/2
+      (3L, "solo")               // 1 token -> bigram fraction 0
+    ).toDF("doc_id", "text")
+    val got = TextOps.withRepetition(df, "text")
+      .select("doc_id", "dup_line_fraction", "dup_bigram_fraction")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(math.abs(got(1L)._1 - 1.0 / 3) < 1e-12 && math.abs(got(1L)._2 - 0.2) < 1e-12)
+    assert(got(2L)._1 == 0.5)
+    assert(got(3L)._2 == 0.0)
+  }
+
+  test("contamination counts distinct shared shingles vs the benchmark slice") {
+    val corpus = Seq(
+      (1L, "abcdefghijk"),   // shares its whole shingle set with bench doc 100
+      (2L, "zzzzzzzzzzz"),   // one distinct 4-shingle "zzzz", not in bench
+      (3L, "abcd only")      // shares the single shingle "abcd"
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "abcdefghijk")).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, bench, "doc_id", "text",
+        shingleSize = 4, minShared = 3)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (8L, true))  // 11 chars -> 8 distinct 4-shingles, all shared
+    assert(got(2L) == (0L, false))
+    assert(got(3L) == (1L, false))
+  }
+
+  test("hashSample is deterministic, partition-invariant, and salt-independent") {
+    val ids = Seq.tabulate(2000)(i => (i.toLong, s"document number $i body")).toDF("doc_id", "text")
+    def sample(df: org.apache.spark.sql.DataFrame, salt: String = "") =
+      Sampling.hashSample(df, F.col("text"), 0.1, salt)
+        .select("doc_id").as[Long].collect().toSet
+    val s1 = sample(ids)
+    assert(sample(ids) == s1, "same input -> same subset")
+    assert(sample(ids.repartition(17)) == s1, "partitioning must not affect membership")
+    // rate lands near 10% (md5 uniformity; 2000 draws)
+    assert(s1.size > 140 && s1.size < 260, s"expected ~200, got ${s1.size}")
+    // a different salt draws an INDEPENDENT sample, not a shifted copy
+    val s2 = sample(ids, salt = "holdout")
+    assert(s2 != s1)
+    val overlap = (s1 & s2).size.toDouble
+    assert(overlap < 0.05 * 2000, s"independent samples should overlap ~1%, got $overlap")
   }
 }
