@@ -565,6 +565,33 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // deterministic per-source cap (domain-cap): content-hash-ranked top-10
+    // per source — rank filter compiles to WindowGroupLimit
+    "x27_cap_per_group" -> ((s, dir) =>
+      graft.ops.Sampling.capPerGroup(
+          s.read.parquet(s"$dir/documents.parquet"),
+          F.col("source"), F.col("text"), maxPerGroup = 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // corpus-mixture sampling: per-source keep rates decided by content
+    // hash (src0 all, src1 half, src2 quarter, rest 5%)
+    "x28_mixture_sample" -> ((s, dir) =>
+      graft.ops.Sampling.hashSampleByGroup(
+          s.read.parquet(s"$dir/documents.parquet"),
+          F.col("source"), F.col("text"),
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.05)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // per-label centroids + cosine-to-own-centroid outlier score
+    "x29_centroid_scores" -> ((s, dir) =>
+      Similarity.centroidScores(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "label", "embedding")
+        .orderBy("vec_id")),
+
     // native sketch expression reached through a PRQL s-string — exercises
     // the GraftExtensions SQL registration end-to-end (rows-only check: no
     // DuckDB equivalent of our simhash64)
@@ -918,6 +945,39 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(text), 1, 4) < '199a'
         |ORDER BY doc_id""".stripMargin,
+
+    "x27_cap_per_group" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), text) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    // thresholds: 1.0→10000, 0.5→08000, 0.25→04000, default 0.05→00ccd
+    "x28_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE '0' || substring(md5(text), 1, 4) <
+        |  CASE source WHEN 'src0' THEN '10000' WHEN 'src1' THEN '08000'
+        |              WHEN 'src2' THEN '04000' ELSE '00ccd' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "x29_centroid_scores" ->
+      """WITH c AS (
+        |  SELECT label, p, avg(v::DOUBLE) AS a FROM (
+        |    SELECT label, unnest(embedding) AS v,
+        |           generate_subscripts(embedding, 1) AS p
+        |    FROM embeddings)
+        |  GROUP BY label, p
+        |), cent AS (
+        |  SELECT label, list(a ORDER BY p) AS centroid FROM c GROUP BY label
+        |)
+        |SELECT e.vec_id, e.label,
+        |  list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |    i -> e.embedding[i]::DOUBLE * cent.centroid[i]))
+        |  / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))) AS cos_centroid
+        |FROM embeddings e JOIN cent USING (label)
+        |ORDER BY e.vec_id""".stripMargin,
 
     "x01_dedup_exact" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

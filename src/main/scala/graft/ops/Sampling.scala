@@ -31,4 +31,48 @@ object Sampling {
     else df.filter(
       F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4) < F.lit(f"$thr%04x"))
   }
+
+  /** Per-group sampling rates in one pass — the corpus-mixture knob
+    * ("keep 80% of books, 5% of crawl"). Same deterministic md5-prefix
+    * decision as [[hashSample]], with the threshold looked up from a
+    * broadcast-as-literal rate map on `groupCol`. Groups absent from
+    * `rates` fall back to `defaultRate`. Still a pure codegen'd filter:
+    * no shuffle, no second pass, prunes to (group, key) columns.
+    */
+  def hashSampleByGroup(df: DataFrame, groupCol: Column, key: Column,
+                        rates: Map[String, Double], defaultRate: Double = 0.0,
+                        salt: String = ""): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1], got $r"))
+    def hex(rate: Double): Column = F.lit(f"${math.round(rate * 65536.0).toInt}%05x")
+    // chained CASE on the (few) group names — a literal decision table in
+    // the row projection; %05x keeps rate=1.0 (0x10000) above every digest
+    val thr = rates.foldLeft(hex(defaultRate)) { case (acc, (g, r)) =>
+      F.when(groupCol === g, hex(r)).otherwise(acc)
+    }
+    df.filter(F.concat(F.lit("0"),
+      F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4)) < thr)
+  }
+
+  /** Cap each group at `maxPerGroup` rows, chosen deterministically by
+    * content hash (per-domain caps: no single crawl domain may dominate the
+    * corpus). The rank-filter idiom compiles to Spark's WindowGroupLimit,
+    * which takes a partial top-`maxPerGroup` per map task BEFORE the
+    * group shuffle — so a group with 10M rows ships only
+    * O(partitions · cap) of them, and the hot-domain skew a naive
+    * `groupBy(domain)` would hit never materializes.
+    */
+  def capPerGroup(df: DataFrame, groupCol: Column, key: Column, maxPerGroup: Int,
+                  salt: String = ""): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      // content-hash order, id-free: stable under repartitioning and
+      // re-keying; the hash itself tie-breaks duplicates' equal keys only
+      // when contents are identical, so add the key text as final arbiter
+      .orderBy(F.md5(F.concat(F.lit(salt), key.cast("string"))), key.cast("string"))
+    df.withColumn("__rk", F.row_number().over(w))
+      .filter(F.col("__rk") <= maxPerGroup)
+      .drop("__rk")
+  }
 }

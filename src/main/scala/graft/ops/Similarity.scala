@@ -293,4 +293,39 @@ object Similarity {
     val ratio = math.max(1.0, n.toDouble / math.max(1, targetBucketRows))
     math.min(24, math.max(2, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
   }
+
+  /** Per-label mean embedding: (labelCol, `centroid` array<double>, `n`).
+    *
+    * Shape at scale: posexplode to (label, pos, val) rows, then ONE
+    * partially-aggregated groupBy — avg/count combine map-side, so the
+    * shuffle carries only |labels|·dim partial sums regardless of corpus
+    * size (the N·dim exploded rows never cross the wire). The second
+    * groupBy re-assembling dims into an array touches |labels|·dim rows —
+    * driver-scale, not data-scale. */
+  def centroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val exploded = emb
+      .select(F.col(labelCol), F.posexplode(F.col(vecCol)).as(Seq("__p", "__v")))
+    exploded
+      .groupBy(F.col(labelCol), F.col("__p"))
+      .agg(F.avg(F.col("__v").cast("double")).as("__avg"), F.count(F.lit(1)).as("__n"))
+      .groupBy(labelCol)
+      .agg(
+        // array_sort on (pos, avg) structs orders dims; transform strips pos
+        F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("__p"), F.col("__avg")))),
+          s => s.getField("__avg")).as("centroid"),
+        F.max("__n").as("n"))
+  }
+
+  /** Cosine of every vector to its own label's centroid — the
+    * distance-to-centroid outlier score used to flag mislabeled or garbage
+    * embeddings in a training corpus. Centroids are |labels| rows →
+    * broadcast; the corpus is scanned once with no shuffle. */
+  def centroidScores(emb: DataFrame, idCol: String, labelCol: String,
+                     vecCol: String): DataFrame = {
+    val c = centroids(emb, labelCol, vecCol).select(F.col(labelCol), F.col("centroid"))
+    emb.join(F.broadcast(c), Seq(labelCol))
+      .select(F.col(idCol), F.col(labelCol),
+        cosine(F.col(vecCol), F.col("centroid")).as("cos_centroid"))
+  }
 }

@@ -378,6 +378,67 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == (1L, false))
   }
 
+  test("capPerGroup keeps exactly the cap, deterministically, WindowGroupLimit in plan") {
+    val rows = Seq.tabulate(300)(i => (i.toLong, s"grp${i % 3}", s"text body $i"))
+      .toDF("id", "grp", "text")
+    val capped = Sampling.capPerGroup(rows, F.col("grp"), F.col("text"), maxPerGroup = 7)
+    val got = capped.select("id").as[Long].collect().toSet
+    assert(got.size == 21, s"3 groups x cap 7, got ${got.size}")
+    // deterministic + partition-invariant
+    val again = Sampling.capPerGroup(rows.repartition(13), F.col("grp"), F.col("text"), 7)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+    // under-cap groups pass through whole
+    val small = Sampling.capPerGroup(rows.filter(F.col("id") < 9), F.col("grp"), F.col("text"), 7)
+    assert(small.count() == 9)
+    // the rank filter must compile to WindowGroupLimit (map-side partial
+    // top-k before the group shuffle — the 100 TB skew story)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("hashSampleByGroup applies per-group rates; rate 1.0/0.0 are exact") {
+    val rows = Seq.tabulate(3000)(i =>
+      (i.toLong, s"grp${i % 3}", s"document body number $i")).toDF("id", "grp", "text")
+    val kept = Sampling.hashSampleByGroup(rows, F.col("grp"), F.col("text"),
+        rates = Map("grp0" -> 1.0, "grp1" -> 0.2), defaultRate = 0.0)
+      .select("id", "grp").as[(Long, String)].collect()
+    val byGrp = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGrp("grp0") == 1000, "rate 1.0 keeps every row")
+    assert(!byGrp.contains("grp2"), "default rate 0.0 keeps none")
+    val g1 = byGrp("grp1")
+    assert(g1 > 140 && g1 < 260, s"rate 0.2 of 1000 ~ 200, got $g1")
+    // group membership does not change WHICH keys pass at a given rate:
+    // the same text kept under grp1@0.2 is kept under hashSample@0.2
+    val flat = Sampling.hashSample(rows, F.col("text"), 0.2)
+      .select("id").as[Long].collect().toSet
+    val g1ids = kept.filter(_._2 == "grp1").map(_._1).toSet
+    assert(g1ids == flat.filter(_ % 3 == 1))
+  }
+
+  test("centroids and centroidScores: hand-checked means; identical vectors score 1") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(3.0f, 0.0f)),   // centroid (2,0)
+      (3L, 1, Array(0.0f, 2.0f)), (4L, 1, Array(0.0f, 2.0f)),   // centroid (0,2)
+      (5L, 2, Array(1.0f, 1.0f))                                // singleton
+    ).toDF("vec_id", "label", "embedding")
+    val cents = Similarity.centroids(emb, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> (r.getSeq[Double](1).toVector, r.getLong(2))).toMap
+    assert(cents(0) == (Vector(2.0, 0.0), 2L))
+    assert(cents(1) == (Vector(0.0, 2.0), 2L))
+    assert(cents(2) == (Vector(1.0, 1.0), 1L))
+    val scores = Similarity.centroidScores(emb, "vec_id", "label", "embedding")
+      .select("vec_id", "cos_centroid").as[(Long, Double)].collect().toMap
+    // all label-0/1 members are colinear with their centroid -> cosine 1
+    Seq(1L, 2L, 3L, 4L, 5L).foreach(id =>
+      assert(math.abs(scores(id) - 1.0) < 1e-12, s"vec $id: ${scores(id)}"))
+    // an actual outlier scores below its peers
+    val withOutlier = emb.union(Seq((6L, 0, Array(-1.0f, 0.5f))).toDF("vec_id", "label", "embedding"))
+    val s6 = Similarity.centroidScores(withOutlier, "vec_id", "label", "embedding")
+      .filter(F.col("vec_id") === 6L).select("cos_centroid").as[Double].head()
+    assert(s6 < 0.0, s"opposite-direction vector must score negative, got $s6")
+  }
+
   test("hashSample is deterministic, partition-invariant, and salt-independent") {
     val ids = Seq.tabulate(2000)(i => (i.toLong, s"document number $i body")).toDF("doc_id", "text")
     def sample(df: org.apache.spark.sql.DataFrame, salt: String = "") =
