@@ -592,6 +592,23 @@ object SparkEntry {
           "vec_id", "label", "embedding")
         .orderBy("vec_id")),
 
+    // C4-style PII scrubbing: emails/URLs/long digit runs → placeholders
+    "x30_redact" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("doc_id"), TextOps.redact(F.col("text")).as("redacted"))
+        .orderBy("doc_id")),
+
+    // the composed curation pipeline: quality gate → hash sample → exact
+    // dedup → per-source cap, every stage individually oracled (x24/x26/
+    // x01/x27); this entry proves the COMPOSITION is replayable
+    "x31_curate" -> ((s, dir) =>
+      graft.ops.Curation.curate(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", "source",
+          minTokens = 5, maxDupLineFrac = 0.9, sampleRate = 0.5, capPerSource = 8)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // native sketch expression reached through a PRQL s-string — exercises
     // the GraftExtensions SQL registration end-to-end (rows-only check: no
     // DuckDB equivalent of our simhash64)
@@ -960,6 +977,50 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN '10000' WHEN 'src1' THEN '08000'
         |              WHEN 'src2' THEN '04000' ELSE '00ccd' END
         |ORDER BY doc_id""".stripMargin,
+
+    // same three regexes, same order; DuckDB needs the explicit 'g' flag
+    "x30_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '\d{7,}', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // stage formulas are the proven x24/x26/x01/x27 oracles, chained
+    "x31_curate" ->
+      """WITH rep AS (
+        |  SELECT doc_id, source, n_chars, text,
+        |    CASE WHEN len(list_filter(list_transform(string_split(text, chr(10)),
+        |                  l -> trim(l)), l -> length(l) > 0)) > 0
+        |         THEN 1.0 - len(list_distinct(list_filter(list_transform(
+        |                  string_split(text, chr(10)), l -> trim(l)),
+        |                  l -> length(l) > 0)))::DOUBLE
+        |              / len(list_filter(list_transform(string_split(text, chr(10)),
+        |                  l -> trim(l)), l -> length(l) > 0))
+        |         ELSE 0.0 END AS dup_line_fraction
+        |  FROM documents
+        |), gated AS (
+        |  SELECT doc_id, source, n_chars, text FROM rep
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+        |    AND dup_line_fraction <= 0.9
+        |), sampled AS (
+        |  SELECT * FROM gated WHERE substring(md5(text), 1, 4) < '8000'
+        |), dedup AS (
+        |  SELECT doc_id, source, n_chars, text FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |    FROM sampled) WHERE rn = 1
+        |), capped AS (
+        |  SELECT doc_id, source, n_chars FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(text), text) AS rk
+        |    FROM dedup) WHERE rk <= 8
+        |)
+        |SELECT doc_id, source, n_chars FROM capped ORDER BY doc_id""".stripMargin,
 
     "x29_centroid_scores" ->
       """WITH c AS (

@@ -87,6 +87,20 @@ object TextOps {
   def fingerprint(text: Column): Column =
     F.md5(F.regexp_replace(F.lower(text), "\\s+", " "))
 
+  /** PII-style scrubbing: replace emails, bare URLs, and long digit runs
+    * (phone/account numbers) with fixed placeholder tokens — the C4-style
+    * redaction pass a corpus gets before training. Deliberately
+    * conservative, regex-only, and deterministic so an oracle can replay it
+    * exactly; a pure projection (three chained `regexp_replace`), zero
+    * shuffle, fully codegen'd. Order matters: emails first (an email
+    * contains digit runs), then URLs, then digit runs. */
+  def redact(text: Column): Column = {
+    val email = F.regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = F.regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    F.regexp_replace(url, "\\d{7,}", "<NUM>")
+  }
+
   /** Within-document repetition metrics — the Gopher/C4-style quality
     * signals that catch boilerplate and crawler loops, which per-corpus
     * dedup misses because the repetition is INSIDE one document:

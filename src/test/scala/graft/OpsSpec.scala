@@ -378,6 +378,49 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == (1L, false))
   }
 
+  test("redact scrubs emails, URLs, and long digit runs — in that order") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.co then visit https://a.example.com/p?q=1 ok"),
+      (2L, "call 5551234567 now; short 123456 stays; id 99999999"),
+      (3L, "email inside url https://example.com/a@b.example.org trailing")
+    ).toDF("doc_id", "text")
+    val got = df.select(F.col("doc_id"), graft.ops.TextOps.redact(F.col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail <EMAIL> then visit <URL> ok")
+    assert(got(2L) == "call <NUM> now; short 123456 stays; id <NUM>")
+    // email matched first even inside a URL-looking string
+    assert(got(3L).contains("<EMAIL>") || got(3L).contains("<URL>"))
+    assert(!got(3L).contains("a@b.example.org"))
+  }
+
+  test("curate composes gate→sample→dedup→cap; sample/dedup order commutes") {
+    val rows = (Seq(
+      (1L, "srcA", "tiny"),                           // fails minTokens=3
+      (2L, "srcA", "dup dup line\ndup dup line\ndup dup line\ndup dup line")  // dup_line 3/4 > 0.5
+    ) ++ Seq.tabulate(200)(i =>
+      (100L + i, if (i % 2 == 0) "srcA" else "srcB",
+        s"unique document body number $i with plenty of words"))
+      ++ Seq.tabulate(50)(i =>     // exact duplicates of doc 100 under higher ids
+        (1000L + i, "srcB", "unique document body number 0 with plenty of words"))
+    ).toDF("doc_id", "source", "text")
+    val out = graft.ops.Curation.curate(rows, "doc_id", "text", "source",
+        minTokens = 3, maxDupLineFrac = 0.5, sampleRate = 1.0, capPerSource = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out.contains(1L), "minTokens gate")
+    assert(!out.contains(2L), "dup-line gate")
+    assert(!out.exists(_ >= 1000L), "exact dups lose to doc 100")
+    assert(out.size <= 40, s"cap 20 x 2 sources, got ${out.size}")
+    // sampling commutes with exact dedup: rate<1 applied before dedup keeps
+    // the same survivors as dedup-then-sample (identical text -> same draw)
+    val a = graft.ops.Curation.curate(rows, "doc_id", "text", "source", 3, 0.5, 0.4, 100)
+      .select("doc_id").as[Long].collect().toSet
+    val deduped = Dedup.exact(rows.filter(F.col("doc_id") =!= 1L && F.col("doc_id") =!= 2L),
+      "doc_id", "text").drop("fp")
+    val b = Sampling.hashSample(deduped, F.col("text"), 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("capPerGroup keeps exactly the cap, deterministically, WindowGroupLimit in plan") {
     val rows = Seq.tabulate(300)(i => (i.toLong, s"grp${i % 3}", s"text body $i"))
       .toDF("id", "grp", "text")
