@@ -112,4 +112,49 @@ class PlanQualitySpec extends AnyFunSuite {
       s"query side must broadcast:\n$p")
     assert(p.contains("WindowGroupLimit"), s"top-k must limit before shuffle:\n$p")
   }
+
+  test("hash sampling, repetition metrics, and redaction are shuffle-free projections") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Seq(
+      "hashSample" -> graft.ops.Sampling.hashSample(docs, F.col("text"), 0.1),
+      "hashSampleByGroup" -> graft.ops.Sampling.hashSampleByGroup(
+        docs, F.col("source"), F.col("text"), Map("src0" -> 1.0), 0.05),
+      "withRepetition" -> graft.ops.TextOps.withRepetition(docs, "text"),
+      "redact" -> docs.select(graft.ops.TextOps.redact(F.col("text")))
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
+      assert(p.contains("*(1)"), s"$name must stay in whole-stage codegen:\n$p")
+    }
+  }
+
+  test("contamination broadcasts the benchmark shingle set; corpus never shuffles docs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = finalPlan(graft.ops.Dedup.contamination(
+      docs, docs.filter(F.col("doc_id") % 50 === 0), "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    // shuffles: hit-count groupBy + the left-join back to ids. The exploded
+    // corpus side reaches the broadcast join shuffle-free.
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"shingle match must not sort-merge the corpus:\n$p")
+  }
+
+  test("centroids partial-aggregate map-side; centroidScores broadcasts centroids") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pc = plan(graft.ops.Similarity.centroids(emb, "label", "embedding"))
+    assert(pc.contains("partial_avg") || pc.contains("partial"),
+      s"per-dim avg must combine map-side (shuffle = labels x dims only):\n$pc")
+    val ps = finalPlan(graft.ops.Similarity.centroidScores(emb, "vec_id", "label", "embedding"))
+    assert(ps.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$ps")
+  }
+
+  test("curate's full pipeline pays exactly two shuffles (dedup key + cap key)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.Curation.curate(docs, "doc_id", "text", "source",
+      minTokens = 3, maxDupLineFrac = 0.9, sampleRate = 0.5, capPerSource = 10)
+    val p = plan(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2, s"quality gate + sampling must stay filter-only; got $shuffles shuffles in:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"both windows must partial-limit map-side:\n$p")
+  }
 }
