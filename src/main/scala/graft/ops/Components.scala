@@ -8,31 +8,39 @@ import org.apache.spark.sql.{functions => F}
   * Similarity.nearDupPairs) and canonicalization: pairs say "a ≈ b", but
   * what gets dropped is "every document whose component representative is
   * not itself". Extension surface beyond the reference (which has no dedup
-  * at all); the algorithm is the standard distributed min-label propagation
-  * used by MapReduce/Pregel connected-components systems.
+  * at all).
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  * MapReduce and Beyond", SoCC'14) — converges in O(log n) rounds on ANY
+  * graph shape, where plain min-label propagation needs O(diameter) rounds.
+  * The distinction matters exactly for near-dup graphs: transitive chains
+  * of pairwise-similar documents (a≈b≈c≈… with a ≉ c) form long paths, and
+  * at 100 TB a diameter-bound loop is an unbounded number of shuffle rounds.
   *
   * Scale design:
-  *  - each round is two shuffles (neighbor-min aggregation + label join) on
-  *    (vertex, label) pairs — 16 bytes/vertex, never document content;
-  *  - rounds needed = graph diameter. Near-dup components are small and
-  *    dense (clusters of copies), so diameter is tiny; the documented worst
-  *    case is a path graph, diameter N. `maxIter` fails loudly instead of
-  *    silently emitting half-merged components — at 100 TB a label that
-  *    stopped propagating IS a wrong answer, not a degraded one;
+  *  - each round is two groupBy-min + partitioning-aligned joins over the
+  *    edge list — (long, long) pairs, never document content; edge count
+  *    only shrinks (stars dedup);
   *  - `localCheckpoint` (eager) truncates lineage every round: iterative
-  *    DataFrame plans otherwise grow exponentially in Catalyst and the
-  *    convergence `count()` would re-run every prior round from the scan
-  *    (same reasoning as the PRQL `loop` lowering, Lowering.scala:121-131);
-  *  - convergence is detected with a count of CHANGED labels per round —
-  *    one extra action on the already-checkpointed frame, cheap relative to
-  *    the round's shuffles, and it lets converged graphs stop early instead
-  *    of burning fixed iterations.
+  *    DataFrame plans otherwise grow exponentially in Catalyst and every
+  *    action would re-run all prior rounds from the scan (same reasoning as
+  *    the PRQL `loop` lowering, Lowering.scala:121-131);
+  *  - convergence = canonical edge set unchanged (count + one-sided
+  *    anti-join on the already-checkpointed frames — exact, not a hash
+  *    heuristic);
+  *  - `maxIter` fails loudly instead of silently emitting half-merged
+  *    components — at 100 TB a label that stopped propagating IS a wrong
+  *    answer, not a degraded one. 25 rounds covers any graph up to ~2^25
+  *    vertices with margin (observed: 64-node path converges in 4).
   */
 object Components {
 
   /** Minimum-id component label for every vertex of the undirected pair
     * graph. Output: (`v`, `component`) — component = least vertex id
-    * reachable from v (the component's canonical representative).
+    * reachable from v (the component's canonical representative). Vertices
+    * whose only edges are self-loops are not part of any pair-cluster and
+    * are not emitted (same contract as the pair generators feeding this).
     *
     * @param pairs one row per undirected edge (aCol, bCol); self-loops and
     *              duplicate/reversed edges are tolerated
@@ -40,9 +48,62 @@ object Components {
   def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                           maxIter: Int = 25): DataFrame = {
     val a = F.col(aCol).cast("long"); val b = F.col(bCol).cast("long")
-    // symmetric edge list, deduped once up front: every propagation round
-    // reuses it, so paying one distinct here beats re-shuffling mirrored
-    // duplicates maxIter times
+    // canonical directed edge list: u > v (each node points at a smaller
+    // one), deduped once up front
+    var edges = pairs
+      .select(F.greatest(a, b).as("u"), F.least(a, b).as("v"))
+      .filter(F.col("u") =!= F.col("v"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "raise maxIter (labels would be WRONG, not approximate)")
+      // LARGE-STAR: per node, attach every STRICTLY LARGER neighbor to the
+      // minimum of the closed neighborhood. Needs symmetric neighborhoods.
+      // toDF forces fresh attribute ids per branch: self-referencing
+      // unions that share exprIds trip Union's constraint rewriting
+      val sym = edges.toDF("u", "v")
+        .union(edges.select(F.col("v").as("u"), F.col("u").as("v")))
+      val lmins = sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).as("m"))
+      // groupBy and join share hashpartitioning(u) — no extra exchange
+      val large = sym.join(lmins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").as("u"), F.col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: edges already point small-ward; attach each node and
+      // all its smaller neighbors to the minimum among them.
+      val smins = large.groupBy("u").agg(F.min("v").as("m"))
+      val next = smins.select(F.col("u"), F.col("m").as("v")).toDF("u", "v")
+        .union(large.join(smins, "u")
+          .filter(F.col("v") =!= F.col("m"))
+          .select(F.col("v").as("u"), F.col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      // set equality on canonical (u > v) edges: same cardinality and no
+      // row of `next` outside `edges`
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      iter += 1
+    }
+    // fixpoint edges are stars (leaf u, root m): leaves label m, roots label
+    // themselves
+    edges.select(F.col("u").as("v"), F.col("v").as("component"))
+      .union(edges.select(F.col("v").as("v"), F.col("v").as("component"))
+        .toDF("v", "component").distinct())
+  }
+
+  /** The pre-round-3 min-label propagation — O(diameter) rounds. Kept
+    * package-private as the independent implementation the star-contraction
+    * algorithm is equivalence-tested against (OpsSpec). */
+  private[graft] def labelPropagation(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+                                      maxIter: Int = 25): DataFrame = {
+    val a = F.col(aCol).cast("long"); val b = F.col(bCol).cast("long")
     val edges = pairs.select(a.as("x"), b.as("y"))
       .union(pairs.select(b.as("x"), a.as("y")))
       .filter(F.col("x") =!= F.col("y"))
@@ -56,13 +117,10 @@ object Components {
     while (!converged) {
       if (iter >= maxIter)
         throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds — " +
-            "component diameter exceeds maxIter; raise it (labels would be WRONG, not approximate)")
-      // min label among each vertex's neighbors …
+          s"labelPropagation did not converge in $maxIter rounds")
       val nbrMin = edges
         .join(labels.withColumnRenamed("v", "y"), "y")
         .groupBy(F.col("x").as("v")).agg(F.min("component").as("__nbr"))
-      // … kept only if it improves on the vertex's own label
       val next = labels.join(nbrMin, Seq("v"), "left")
         .select(F.col("v"),
           F.least(F.col("component"), F.coalesce(F.col("__nbr"), F.col("component")))

@@ -341,6 +341,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("star-contraction ≡ label propagation on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(250).toLong, rnd.nextInt(250).toLong))
+      .toDF("a", "b")
+    val star = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val prop = Components.labelPropagation(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
+
+  test("star-contraction converges in O(log n) rounds where propagation needs O(diameter)") {
+    val path64 = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    // 63-hop diameter: propagation cannot finish in 10 rounds...
+    assertThrows[IllegalStateException] {
+      Components.labelPropagation(path64, maxIter = 10).collect()
+    }
+    // ...star contraction halves path length per round and does
+    val got = Components.connectedComponents(path64, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 64L).map(_ -> 1L).toMap)
+  }
+
   test("dedupByPairs keeps the min-id representative and all unpaired docs") {
     val pairs = Seq((1L, 2L), (2L, 5L)).toDF("a", "b") // {1,2,5}: keep 1
     val kept = Components.dedupByPairs(docs, "doc_id", pairs)
