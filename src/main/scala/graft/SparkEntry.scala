@@ -500,6 +500,23 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // sampleFrames' row-expansion math under an oracle: x18's media table
+    // derives `kind` from Spark's xxhash64 (not DuckDB-replayable), so this
+    // entry feeds the SAME operator a doc_id%3 kind assignment DuckDB can
+    // reproduce — the duration/frame-count/timestamp logic is then exact
+    "x32_frame_math" -> ((s, dir) => {
+      implicit val sp = s
+      val media = s.read.parquet(s"$dir/documents.parquet").select(
+        F.col("doc_id"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) === 2, "video")
+          .otherwise("image").as("kind"),
+        F.lit(640).as("width"), F.lit(480).as("height"),
+        F.encode(F.col("text"), "UTF-8").as("media"))
+      Multimodal.sampleFrames(media).toDF()
+        .select("doc_id", "frame_idx", "ts_ms")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // nprobe=4 of 8 cells: measured recall 0.85 vs bruteKnn (OpsSpec pins
     // the floor at 0.80; round 2's nprobe=2 measured only 0.53)
     "x17_knn_ivf" -> ((s, dir) => {
@@ -977,6 +994,18 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN '10000' WHEN 'src1' THEN '08000'
         |              WHEN 'src2' THEN '04000' ELSE '00ccd' END
         |ORDER BY doc_id""".stripMargin,
+
+    // stub duration: 100 bytes/ms; frames every 1000 ms, max 8 (integer division)
+    "x32_frame_math" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    greatest(octet_length(encode(text)) // 100, 1) AS dur
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), f AS (
+        |  SELECT doc_id, unnest(range(0, least(8, dur // 1000 + 1))) AS i FROM v
+        |)
+        |SELECT doc_id, i::INT AS frame_idx, (i * 1000)::BIGINT AS ts_ms
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     // same three regexes, same order; DuckDB needs the explicit 'g' flag
     "x30_redact" ->
