@@ -500,6 +500,23 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // concat-and-chunk sequence packing: per-source running token total,
+    // bin = tokens-before / 512
+    "x33_pack_sequences" -> ((s, dir) =>
+      graft.ops.Curation.packSequences(
+          s.read.parquet(s"$dir/documents.parquet")
+            .withColumn("n_tokens", TextOps.tokenCount(F.col("text"))),
+          "source", "doc_id", "n_tokens", maxTokens = 512)
+        .select("doc_id", "source", "n_tokens", "bin")
+        .orderBy("doc_id")),
+
+    // per-source median gate: keep each source's upper half by n_chars
+    "x34_group_quantile" -> ((s, dir) =>
+      graft.ops.Curation.filterByGroupQuantile(
+          s.read.parquet(s"$dir/documents.parquet"), "source", "n_chars", q = 0.5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // sampleFrames' row-expansion math under an oracle: x18's media table
     // derives `kind` from Spark's xxhash64 (not DuckDB-replayable), so this
     // entry feeds the SAME operator a doc_id%3 kind assignment DuckDB can
@@ -994,6 +1011,22 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN '10000' WHEN 'src1' THEN '08000'
         |              WHEN 'src2' THEN '04000' ELSE '00ccd' END
         |ORDER BY doc_id""".stripMargin,
+
+    "x33_pack_sequences" ->
+      """SELECT doc_id, source, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin
+        |FROM (SELECT doc_id, source,
+        |        len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // quantile_cont ≡ Spark's exact interpolating percentile (cf. x21)
+    "x34_group_quantile" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |JOIN (SELECT source, quantile_cont(n_chars, 0.5) AS thr
+        |      FROM documents GROUP BY source) USING (source)
+        |WHERE n_chars >= thr ORDER BY doc_id""".stripMargin,
 
     // stub duration: 100 bytes/ms; frames every 1000 ms, max 8 (integer division)
     "x32_frame_math" ->

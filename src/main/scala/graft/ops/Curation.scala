@@ -21,6 +21,48 @@ import org.apache.spark.sql.{functions => F}
   */
 object Curation {
 
+  /** Concat-and-chunk sequence packing: assign each document a (pack group,
+    * bin) so that consecutive documents concatenate into ~`maxTokens`-token
+    * training sequences — the standard pretraining packing shape. Documents
+    * are taken in `orderCol` order WITHIN each `groupCol` shard and a bin
+    * boundary falls wherever the running token total crosses a multiple of
+    * `maxTokens` (documents longer than `maxTokens` get a bin of their own
+    * by construction; nothing is split — splitting is the tokenizer's job
+    * downstream).
+    *
+    * Scale: one window shuffle on `groupCol`. Packing is deliberately
+    * per-shard, NOT global: a total-order cumulative sum would serialize
+    * 100 TB through one partition, while per-shard packing is embarrassingly
+    * parallel and changes nothing material (bins are an arbitrary grouping;
+    * only their fill level matters). Output adds `bin` = floor(tokens-
+    * before-this-doc / maxTokens). */
+  def packSequences(docs: DataFrame, groupCol: String, orderCol: String,
+                    tokenCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.withColumn("bin",
+      F.floor(F.coalesce(F.sum(F.col(tokenCol)).over(w), F.lit(0L)) / maxTokens))
+  }
+
+  /** Keep rows at or above their group's `q`-quantile of `valueCol` — the
+    * per-source quality gate ("drop the worst half of every domain"): an
+    * absolute threshold would gut clean domains and keep everything from
+    * dirty ones. Exact percentile (matches SQL quantile_cont), computed per
+    * group in one partially-aggregated pass; the |groups|-row threshold
+    * table broadcasts back, so the corpus is scanned once and never
+    * shuffled. */
+  def filterByGroupQuantile(docs: DataFrame, groupCol: String, valueCol: String,
+                            q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    val thr = docs.groupBy(groupCol)
+      .agg(F.percentile(F.col(valueCol), F.lit(q)).as("__thr"))
+    docs.join(F.broadcast(thr), Seq(groupCol))
+      .filter(F.col(valueCol) >= F.col("__thr"))
+      .drop("__thr")
+  }
+
   /** @param minTokens      inclusive whitespace-token floor (quality gate)
     * @param maxDupLineFrac inclusive ceiling on duplicate-line fraction
     * @param sampleRate     content-hash keep rate (1.0 = keep all)

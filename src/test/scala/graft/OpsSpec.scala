@@ -444,6 +444,34 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("packSequences: hand-computed bins; oversize doc gets its own bin; per-group") {
+    val rows = Seq(
+      (1L, "g1", 300), (2L, "g1", 300),   // 0+300 -> bins 0, 0 (300 < 512 before doc2)
+      (3L, "g1", 900),                    // before=600 -> bin 1 (oversize doc, own bin)
+      (4L, "g1", 10),                     // before=1500 -> bin 2
+      (5L, "g2", 600)                     // independent group -> bin 0
+    ).toDF("doc_id", "grp", "n_tok")
+    val got = graft.ops.Curation.packSequences(rows, "grp", "doc_id", "n_tok", 512)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 0L))
+    // every bin's PRE-boundary fill is < maxTokens + its last doc (nothing split)
+    val g1bins = got.filter(_._1 <= 4).values.toSet
+    assert(g1bins == Set(0L, 1L, 2L))
+  }
+
+  test("filterByGroupQuantile keeps each group's upper tail by its OWN threshold") {
+    val rows = (Seq.tabulate(10)(i => (i.toLong, "clean", 1000 + i)) ++
+      Seq.tabulate(10)(i => (100L + i, "dirty", 10 + i))).toDF("id", "grp", "score")
+    val kept = graft.ops.Curation.filterByGroupQuantile(rows, "grp", "score", 0.5)
+      .select("id").as[Long].collect().toSet
+    // median of 1000..1009 is 1004.5 -> keep 1005..1009 (ids 5..9);
+    // median of 10..19 is 14.5 -> keep 15..19 (ids 105..109)
+    assert(kept == Set(5L, 6L, 7L, 8L, 9L, 105L, 106L, 107L, 108L, 109L),
+      s"got $kept")
+    // an absolute threshold at the global median would have dropped ALL of
+    // 'dirty' — the per-group gate keeps its upper half
+  }
+
   test("capPerGroup keeps exactly the cap, deterministically, WindowGroupLimit in plan") {
     val rows = Seq.tabulate(300)(i => (i.toLong, s"grp${i % 3}", s"text body $i"))
       .toDF("id", "grp", "text")
