@@ -576,6 +576,19 @@ object SparkEntry {
       graft.ops.Components.connectedComponents(pairs).orderBy("v")
     }),
 
+    // pairs → components → drop non-representatives: the full "smaller
+    // corpus" end of the dedup pipeline, on x23's deterministic pair graph
+    "x35_dedup_by_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val ids = docs.select("doc_id")
+      val pairs = ids.select(F.col("doc_id").as("a"), (F.col("doc_id") + 1).as("b"))
+        .filter(F.col("a") % 10 < 3)
+        .join(ids.select(F.col("doc_id").as("b")), Seq("b"), "leftsemi")
+      graft.ops.Components.dedupByPairs(docs, "doc_id", pairs)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Gopher/C4-style within-document repetition signals
     "x24_repetition" -> ((s, dir) =>
       TextOps.withRepetition(s.read.parquet(s"$dir/documents.parquet"), "text")
@@ -950,6 +963,25 @@ object SparkEntry {
         |  SELECT r.v, e.y FROM r JOIN e ON e.x = r.u
         |)
         |SELECT v, min(u) AS component FROM r GROUP BY v ORDER BY v""".stripMargin,
+
+    // survivors = docs whose min-reachable vertex is themselves (or no pairs)
+    "x35_dedup_by_pairs" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 10 < 3
+        |), e AS (
+        |  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+        |), r AS (
+        |  SELECT x AS v, x AS u FROM e
+        |  UNION
+        |  SELECT r.v, e.y FROM r JOIN e ON e.x = r.u
+        |), losers AS (
+        |  SELECT v FROM r GROUP BY v HAVING v != min(u)
+        |)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT v FROM losers)
+        |ORDER BY doc_id""".stripMargin,
 
     "x24_repetition" ->
       """WITH t AS (

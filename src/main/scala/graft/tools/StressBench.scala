@@ -85,6 +85,11 @@ object StressBench {
           "vec_id", "embedding", k = 3, nlist = 8, nprobe = 4)),
         "x05_embed_neardup" -> (() => Similarity.nearDupPairs(emb, "vec_id", "embedding",
           threshold = 0.4, nTables = 16, corpusSize = Some(nEmb))),
+        // worst-case component shape: ONE path through every doc — diameter
+        // = nDocs, where label propagation would need nDocs rounds; star
+        // contraction must stay ~log2(nDocs) rounds and near-flat seconds
+        "components_path" -> (() => graft.ops.Components.connectedComponents(
+          spark.range(nDocs - 1).select(F.col("id").as("a"), (F.col("id") + 1).as("b")))),
       )
       val results = queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
