@@ -500,6 +500,13 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // overlapping character windows (chunk 200, overlap 50 → step 150)
+    "x36_chunk" -> ((s, dir) =>
+      TextOps.chunk(s.read.parquet(s"$dir/documents.parquet"), "text",
+          chunkChars = 200, overlapChars = 50)
+        .select(F.col("doc_id"), F.col("chunk_idx"), F.length(F.col("chunk")).as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // concat-and-chunk sequence packing: per-source running token total,
     // bin = tokens-before / 512
     "x33_pack_sequences" -> ((s, dir) =>
@@ -1043,6 +1050,17 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN '10000' WHEN 'src1' THEN '08000'
         |              WHEN 'src2' THEN '04000' ELSE '00ccd' END
         |ORDER BY doc_id""".stripMargin,
+
+    // chunk text selected as length only (the text itself hash-compares
+    // awkwardly across engines' parquet string handling of huge rows)
+    "x36_chunk" ->
+      """SELECT doc_id,
+        |  ((i - 1) // 150)::INT AS chunk_idx,
+        |  length(substring(text, i::INT, 200)) AS chunk_len
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(1, greatest(length(text), 1) + 1, 150)) AS i
+        |      FROM documents)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "x33_pack_sequences" ->
       """SELECT doc_id, source, n_tokens,

@@ -87,6 +87,24 @@ object TextOps {
   def fingerprint(text: Column): Column =
     F.md5(F.regexp_replace(F.lower(text), "\\s+", " "))
 
+  /** Overlapping character-window chunking: one row per chunk of
+    * `chunkChars`, stepping `chunkChars − overlapChars` — how long documents
+    * are windowed for embedding/indexing. Output adds (`chunk_idx`,
+    * `chunk`); the final chunk may be shorter; an empty document yields one
+    * empty chunk. A projection + explode: rows expand in place (bounded by
+    * ⌈len/step⌉ per doc), nothing shuffles. */
+  def chunk(df: DataFrame, textCol: String, chunkChars: Int, overlapChars: Int = 0): DataFrame = {
+    require(chunkChars > 0 && overlapChars >= 0 && overlapChars < chunkChars,
+      s"need 0 <= overlap < chunk, got chunk=$chunkChars overlap=$overlapChars")
+    val step = chunkChars - overlapChars
+    val t = F.col(textCol)
+    df.withColumn("__pos",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(step))))
+      .withColumn("chunk_idx", ((F.col("__pos") - 1) / step).cast("int"))
+      .withColumn("chunk", t.substr(F.col("__pos"), F.lit(chunkChars)))
+      .drop("__pos")
+  }
+
   /** PII-style scrubbing: replace emails, bare URLs, and long digit runs
     * (phone/account numbers) with fixed placeholder tokens — the C4-style
     * redaction pass a corpus gets before training. Deliberately

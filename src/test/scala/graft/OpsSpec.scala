@@ -444,6 +444,20 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("chunk windows overlap correctly; short and empty docs covered") {
+    val df = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.chunk(df, "text", chunkChars = 4, overlapChars = 1)
+      .select("doc_id", "chunk_idx", "chunk")
+      .as[(Long, Int, String)].collect().toSet
+    // step 3: positions 1,4,7,10 over 10 chars
+    assert(got == Set(
+      (1L, 0, "abcd"), (1L, 1, "defg"), (1L, 2, "ghij"), (1L, 3, "j"),
+      (2L, 0, "abc"),
+      (3L, 0, "")))
+    // consecutive chunks share exactly `overlap` chars
+    assert("abcd".takeRight(1) == "defg".take(1))
+  }
+
   test("packSequences: hand-computed bins; oversize doc gets its own bin; per-group") {
     val rows = Seq(
       (1L, "g1", 300), (2L, "g1", 300),   // 0+300 -> bins 0, 0 (300 < 512 before doc2)
