@@ -500,6 +500,12 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // top-5 TF-IDF terms per doc; rank on integer keys, never the float
+    "x37_tfidf" -> ((s, dir) =>
+      TextOps.topTfidfTerms(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rk")),
+
     // overlapping character windows (chunk 200, overlap 50 → step 150)
     "x36_chunk" -> ((s, dir) =>
       TextOps.chunk(s.read.parquet(s"$dir/documents.parquet"), "text",
@@ -1050,6 +1056,26 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN '10000' WHEN 'src1' THEN '08000'
         |              WHEN 'src2' THEN '04000' ELSE '00ccd' END
         |ORDER BY doc_id""".stripMargin,
+
+    "x37_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  round(tf * ln(n::DOUBLE / df), 6) AS tfidf, rk
+        |FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df, n.n,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rk
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
 
     // chunk text selected as length only (the text itself hash-compares
     // awkwardly across engines' parquet string handling of huge rows)

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
 
 /** Text analysis for large-scale training-data pipelines — extension
   * operators beyond the reference surface (builder prompt; SURVEY.md §7
@@ -68,6 +69,37 @@ object TextOps {
     df.select(F.explode(F.split(F.lower(F.trim(F.col(textCol))), "\\s+")).as("tok"))
       .groupBy("tok").agg(F.count(F.lit(1)).as("n"))
       .orderBy(F.col("n").desc, F.col("tok")).limit(k)
+
+  /** Top-`k` TF-IDF terms per document — the keyword/topic signal a corpus
+    * profiler extracts. Ranking is deliberately on INTEGER keys (tf desc,
+    * document-frequency asc — rarer term wins ties — then term): ranking on
+    * the float score itself would make the result depend on the last ulp of
+    * `ln`, which is not correctly-rounded and may differ across engines;
+    * the score is emitted as a value (rounded) but never decides order.
+    *
+    * Scale shape: (doc, term) counts partial-aggregate map-side; the
+    * document-frequency table is keyed by term (a second partial agg) and
+    * joined back on term — a genuine shuffle join, because a 100 TB vocab
+    * does not broadcast; the corpus total rides along as a 1-row broadcast
+    * cross join, not an eager count(); top-k per doc is the WindowGroupLimit
+    * rank-filter idiom. */
+  def topTfidfTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(F.col(idCol),
+        F.explode(F.split(F.lower(F.trim(F.col(textCol))), "\\s+")).as("term"))
+      .filter(F.length(F.col("term")) > 0)
+    val tf = toks.groupBy(idCol, "term").agg(F.count(F.lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val total = df.agg(F.count(F.lit(1)).as("__n"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(F.col("tf").desc, F.col("df").asc, F.col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(F.broadcast(total))
+      .withColumn("tfidf",
+        F.round(F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df")), 6))
+      .withColumn("rk", F.row_number().over(w))
+      .filter(F.col("rk") <= k)
+      .select(F.col(idCol), F.col("term"), F.col("tf"), F.col("df"), F.col("tfidf"), F.col("rk"))
+  }
 
   /** Corpus length distribution: exact interpolated quantiles of document
     * character length (Spark `percentile` == SQL percentile_cont ==

@@ -444,6 +444,26 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("topTfidfTerms: hand-computed tf/df/score; rare term outranks common at equal tf") {
+    val df = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common common cherry")
+    ).toDF("doc_id", "text")
+    val got = TextOps.topTfidfTerms(df, "doc_id", "text", k = 2)
+      .select("doc_id", "rk", "term", "tf", "df", "tfidf")
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    // doc1: apple tf=2 -> rank 1; banana/common both tf=1, banana df=2 < common df=3
+    assert(got((1L, 1))._1 == "apple" && got((1L, 1))._2 == 2L && got((1L, 1))._3 == 1L)
+    assert(got((1L, 2))._1 == "banana")
+    // doc3: common tf=2 beats cherry tf=1 despite df=3 vs 2 (tf ranks first)
+    assert(got((3L, 1))._1 == "common")
+    assert(got((3L, 2))._1 == "cherry")
+    // score value: apple tfidf = 2 * ln(3/1)
+    assert(math.abs(got((1L, 1))._4 - math.rint(2 * math.log(3.0) * 1e6) / 1e6) < 1e-9)
+  }
+
   test("chunk windows overlap correctly; short and empty docs covered") {
     val df = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
     val got = TextOps.chunk(df, "text", chunkChars = 4, overlapChars = 1)
