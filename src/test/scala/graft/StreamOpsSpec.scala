@@ -140,4 +140,33 @@ class StreamOpsSpec extends AnyFunSuite {
         s"singleton second session of user 1: $got")
     } finally q.stop()
   }
+
+  test("stateless curation ops (quality gate, hash sample, redact) run unchanged on a stream") {
+    import org.apache.spark.sql.{functions => F}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    // the same Column-level operators used in batch compose on a streaming
+    // DataFrame with no code changes — they are pure projections/filters
+    val curated = graft.ops.Sampling.hashSample(
+        docs.filter(graft.ops.TextOps.tokenCount(F.col("text")) >= 3), F.col("text"), 0.5)
+      .select(F.col("doc_id"), graft.ops.TextOps.redact(F.col("text")).as("text"))
+    val q = curated.writeStream.format("memory").queryName("stream_curate")
+      .outputMode("append").start()
+    try {
+      val rows = (1L to 200L).map(i => (i, s"document body number $i reach me@x.example.org"))
+      in.addData(rows: _*)
+      in.addData((900L, "tiny"))   // fails the 3-token gate
+      q.processAllAvailable()
+      val got = spark.table("stream_curate")
+        .as[(Long, String)].collect().toMap
+      assert(!got.contains(900L), "token gate must drop the short doc")
+      // sampling decisions are IDENTICAL to the batch operator on the same text
+      val batch = graft.ops.Sampling.hashSample(
+          rows.toDF("doc_id", "text"), F.col("text"), 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got.keySet == batch, "stream and batch must select the same rows")
+      assert(got.values.forall(_.contains("<EMAIL>")), "redaction applied on-stream")
+    } finally q.stop()
+  }
 }
