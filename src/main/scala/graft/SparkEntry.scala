@@ -500,6 +500,11 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // one-pass per-column profile of the documents table
+    "x38_profile" -> ((s, dir) =>
+      graft.ops.Curation.profile(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("col_name")),
+
     // top-5 TF-IDF terms per doc; rank on integer keys, never the float
     "x37_tfidf" -> ((s, dir) =>
       TextOps.topTfidfTerms(s.read.parquet(s"$dir/documents.parquet"),
@@ -1056,6 +1061,16 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN '10000' WHEN 'src1' THEN '08000'
         |              WHEN 'src2' THEN '04000' ELSE '00ccd' END
         |ORDER BY doc_id""".stripMargin,
+
+    "x38_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(doc_id) AS n_nulls, count(DISTINCT doc_id) AS n_distinct FROM documents
+        |  UNION ALL SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text) FROM documents
+        |  UNION ALL SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang) FROM documents
+        |  UNION ALL SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source) FROM documents
+        |  UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars) FROM documents
+        |) ORDER BY col_name""".stripMargin,
 
     "x37_tfidf" ->
       """WITH toks AS (

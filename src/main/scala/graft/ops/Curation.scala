@@ -63,6 +63,30 @@ object Curation {
       .drop("__thr")
   }
 
+  /** Per-column profile of a table — (col_name, n_rows, n_nulls,
+    * n_distinct) — the schema-health report a pipeline emits before
+    * training (null explosions and cardinality collapses are the two
+    * classic upstream-breakage signals). ONE job over the data: every
+    * column's counts live in a single aggregate row, unpivoted driver-side
+    * from the 1-row result (the collect is a scalar summary, not a data
+    * loop). Exact multi-column count_distinct costs an Expand of
+    * rows × (columns+1) before the partial agg — at true 100 TB scale swap
+    * `count_distinct` for `approx_count_distinct` (HLL): same single-pass
+    * plan, no Expand, mergeable sketch state. */
+  def profile(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns.toSeq
+    val aggs = F.count(F.lit(1)).as("__rows") +:
+      cols.flatMap(c => Seq(
+        F.count(F.when(F.col(c).isNull, 1)).as(s"__nulls_$c"),
+        F.count_distinct(F.col(c)).as(s"__dist_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getAs[Long]("__rows")
+    cols.map(c => (c, n, row.getAs[Long](s"__nulls_$c"), row.getAs[Long](s"__dist_$c")))
+      .toDF("col_name", "n_rows", "n_nulls", "n_distinct")
+  }
+
   /** @param minTokens      inclusive whitespace-token floor (quality gate)
     * @param maxDupLineFrac inclusive ceiling on duplicate-line fraction
     * @param sampleRate     content-hash keep rate (1.0 = keep all)

@@ -444,6 +444,18 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("profile reports rows/nulls/distinct per column in one pass") {
+    val df = Seq(
+      (1L, Some("a"), 10), (2L, Some("a"), 20), (3L, None, 20), (4L, Some("b"), 30)
+    ).toDF("id", "tag", "score")
+    val got = graft.ops.Curation.profile(df)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("id") == (4L, 0L, 4L))
+    assert(got("tag") == (4L, 1L, 2L))     // count_distinct ignores nulls
+    assert(got("score") == (4L, 0L, 3L))
+  }
+
   test("topTfidfTerms: hand-computed tf/df/score; rare term outranks common at equal tf") {
     val df = Seq(
       (1L, "apple apple banana common"),
