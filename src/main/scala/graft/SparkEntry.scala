@@ -635,7 +635,8 @@ object SparkEntry {
     "x27_cap_per_group" -> ((s, dir) =>
       graft.ops.Sampling.capPerGroup(
           s.read.parquet(s"$dir/documents.parquet"),
-          F.col("source"), F.col("text"), maxPerGroup = 10)
+          F.col("source"), F.col("text"), maxPerGroup = 10,
+          tieBreak = Seq(F.col("doc_id")))
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
@@ -1050,7 +1051,8 @@ object SparkEntry {
     "x27_cap_per_group" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), text) AS rk
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(text), text, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
@@ -1099,7 +1101,7 @@ object SparkEntry {
         |  ((i - 1) // 150)::INT AS chunk_idx,
         |  length(substring(text, i::INT, 200)) AS chunk_len
         |FROM (SELECT doc_id, text,
-        |        unnest(range(1, greatest(length(text), 1) + 1, 150)) AS i
+        |        unnest(range(1, greatest(length(text) - 50, 1) + 1, 150)) AS i
         |      FROM documents)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 

@@ -49,10 +49,17 @@ object Components {
                           maxIter: Int = 25): DataFrame = {
     val a = F.col(aCol).cast("long"); val b = F.col(bCol).cast("long")
     // canonical directed edge list: u > v (each node points at a smaller
-    // one), deduped once up front
+    // one), deduped once up front. Null ids are rejected loudly (a dropped
+    // edge silently splits a component — wrong, not degraded); non-numeric
+    // id types already fail the cast under ANSI mode.
     var edges = pairs
-      .select(F.greatest(a, b).as("u"), F.least(a, b).as("v"))
-      .filter(F.col("u") =!= F.col("v"))
+      .select(
+        F.assert_true(a.isNotNull && b.isNotNull,
+          F.lit(s"connectedComponents: null id in pair columns ($aCol, $bCol)")).as("__chk"),
+        F.greatest(a, b).as("u"), F.least(a, b).as("v"))
+      .filter(F.coalesce(F.col("__chk").cast("boolean"), F.lit(true)) &&
+        F.col("u") =!= F.col("v"))
+      .select("u", "v")
       .distinct()
       .localCheckpoint()
     var iter = 0
@@ -144,8 +151,11 @@ object Components {
     val comp = connectedComponents(pairs, aCol, bCol)
     val losers = comp.filter(F.col("v") =!= F.col("component"))
       .select(F.col("v").as(idCol))
-    // broadcast-anti against the (small: only clustered docs) loser set —
-    // the corpus is scanned once and never shuffled
-    docs.join(F.broadcast(losers), Seq(idCol), "left_anti")
+    // anti-join against the loser set. NOT broadcast-hinted: losers is
+    // proportional to the duplicate count — small on a lightly-duplicated
+    // corpus (planner/AQE will broadcast it on its own), but on a crawl
+    // where dedup matters most it can be a large fraction of the corpus,
+    // and a forced broadcast would OOM exactly then
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 }

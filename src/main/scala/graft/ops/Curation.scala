@@ -12,9 +12,12 @@ import org.apache.spark.sql.{functions => F}
   * Stage order is chosen for scale, not narration:
   *  1. quality gate + hash sample FIRST — both are pure codegen'd filters
   *     (zero shuffle), so every row they kill never reaches a shuffle.
-  *     Sampling commutes with exact dedup EXACTLY: duplicates share the
-  *     text the hash decides on, so "sample then dedup" keeps the same
-  *     survivors as "dedup then sample" — we take the cheap order for free;
+  *     Sampling commutes with exact dedup for BYTE-IDENTICAL duplicates
+  *     (same bytes → same hash draw, so "sample then dedup" keeps the same
+  *     survivors as "dedup then sample"); duplicates that are equal only
+  *     after fingerprint normalization (case/whitespace) draw independently
+  *     per variant, so for those this order samples the cluster slightly
+  *     more leniently than dedup-first would — an accepted bias, not a bug;
   *  2. exact dedup — one fingerprint-key shuffle, WindowGroupLimit top-1;
   *  3. per-source cap LAST — caps apply to the cleaned, deduped corpus
   *     (capping raw rows would let duplicates consume a domain's budget).
@@ -24,11 +27,13 @@ object Curation {
   /** Concat-and-chunk sequence packing: assign each document a (pack group,
     * bin) so that consecutive documents concatenate into ~`maxTokens`-token
     * training sequences — the standard pretraining packing shape. Documents
-    * are taken in `orderCol` order WITHIN each `groupCol` shard and a bin
-    * boundary falls wherever the running token total crosses a multiple of
-    * `maxTokens` (documents longer than `maxTokens` get a bin of their own
-    * by construction; nothing is split — splitting is the tokenizer's job
-    * downstream).
+    * are taken in `orderCol` order WITHIN each `groupCol` shard; a
+    * document's bin is its PRE-document running total divided by
+    * `maxTokens`, so every bin starts below the target and only its last
+    * document can overrun it (an oversize document overruns whatever bin
+    * its position opened — it shares that bin with any shorter documents
+    * that preceded it in the window; nothing is split — splitting is the
+    * tokenizer's job downstream).
     *
     * Scale: one window shuffle on `groupCol`. Packing is deliberately
     * per-shard, NOT global: a total-order cumulative sum would serialize

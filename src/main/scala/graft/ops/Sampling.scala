@@ -17,7 +17,9 @@ object Sampling {
     * the 16-bit hex space (granularity 1/65536 ≈ 0.0015%; md5 rather than
     * xxhash64 so external engines reproduce the exact subset). A pure
     * codegen'd filter: no shuffle, no state, pushes down past column
-    * pruning like any predicate.
+    * pruning like any predicate. A NULL key is treated as the empty string
+    * (not silently dropped — a null-propagating md5 comparison would keep
+    * null rows at rate 1.0 but drop 100% of them at rate 0.9999).
     *
     * @param key  deciding column — the content key (e.g. the text), NOT a
     *             monotonically-assigned id, so the choice survives re-keying
@@ -29,8 +31,11 @@ object Sampling {
     val thr = math.round(rate * 65536.0).toInt
     if (thr >= 65536) df
     else df.filter(
-      F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4) < F.lit(f"$thr%04x"))
+      F.substring(F.md5(F.concat(F.lit(salt), keyStr(key))), 1, 4) < F.lit(f"$thr%04x"))
   }
+
+  /** Null-safe string form of the deciding key — see [[hashSample]]. */
+  private def keyStr(key: Column): Column = F.coalesce(key.cast("string"), F.lit(""))
 
   /** Per-group sampling rates in one pass — the corpus-mixture knob
     * ("keep 80% of books, 5% of crawl"). Same deterministic md5-prefix
@@ -50,8 +55,11 @@ object Sampling {
     val thr = rates.foldLeft(hex(defaultRate)) { case (acc, (g, r)) =>
       F.when(groupCol === g, hex(r)).otherwise(acc)
     }
+    // %05x threshold keeps rate 1.0 (0x10000) above every digest, so a
+    // rate-1.0 group keeps ALL rows — consistent with hashSample's
+    // short-circuit, including null keys (empty-string treatment)
     df.filter(F.concat(F.lit("0"),
-      F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4)) < thr)
+      F.substring(F.md5(F.concat(F.lit(salt), keyStr(key))), 1, 4)) < thr)
   }
 
   /** Cap each group at `maxPerGroup` rows, chosen deterministically by
@@ -61,16 +69,20 @@ object Sampling {
     * group shuffle — so a group with 10M rows ships only
     * O(partitions · cap) of them, and the hot-domain skew a naive
     * `groupBy(domain)` would hit never materializes.
+    *
+    * The hash and the key text order rows, but two rows with BYTE-IDENTICAL
+    * keys tie on both — pass `tieBreak` (a unique id) when the input may
+    * hold exact duplicates, or which of them survives is partition-order
+    * dependent (count is still exact either way).
     */
   def capPerGroup(df: DataFrame, groupCol: Column, key: Column, maxPerGroup: Int,
-                  salt: String = ""): DataFrame = {
+                  salt: String = "", tieBreak: Seq[Column] = Nil): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
-      // content-hash order, id-free: stable under repartitioning and
-      // re-keying; the hash itself tie-breaks duplicates' equal keys only
-      // when contents are identical, so add the key text as final arbiter
-      .orderBy(F.md5(F.concat(F.lit(salt), key.cast("string"))), key.cast("string"))
+      // content-hash order, id-free by default: stable under repartitioning
+      // and re-keying
+      .orderBy(F.md5(F.concat(F.lit(salt), keyStr(key))) +: keyStr(key) +: tieBreak: _*)
     df.withColumn("__rk", F.row_number().over(w))
       .filter(F.col("__rk") <= maxPerGroup)
       .drop("__rk")

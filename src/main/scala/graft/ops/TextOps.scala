@@ -123,15 +123,20 @@ object TextOps {
     * `chunkChars`, stepping `chunkChars − overlapChars` — how long documents
     * are windowed for embedding/indexing. Output adds (`chunk_idx`,
     * `chunk`); the final chunk may be shorter; an empty document yields one
-    * empty chunk. A projection + explode: rows expand in place (bounded by
-    * ⌈len/step⌉ per doc), nothing shuffles. */
+    * empty chunk. Start positions stop at `len − chunkChars + step`: a
+    * position past that yields a chunk the previous one already fully
+    * covers (pure-suffix, zero new content) — duplicate-content chunks in
+    * roughly overlap/step of all documents if emitted. A projection +
+    * explode: rows expand in place (bounded by ⌈len/step⌉ per doc),
+    * nothing shuffles. */
   def chunk(df: DataFrame, textCol: String, chunkChars: Int, overlapChars: Int = 0): DataFrame = {
     require(chunkChars > 0 && overlapChars >= 0 && overlapChars < chunkChars,
       s"need 0 <= overlap < chunk, got chunk=$chunkChars overlap=$overlapChars")
     val step = chunkChars - overlapChars
     val t = F.col(textCol)
     df.withColumn("__pos",
-        F.explode(F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(step))))
+        F.explode(F.sequence(F.lit(1),
+          F.greatest(F.length(t) - (chunkChars - step), F.lit(1)), F.lit(step))))
       .withColumn("chunk_idx", ((F.col("__pos") - 1) / step).cast("int"))
       .withColumn("chunk", t.substr(F.col("__pos"), F.lit(chunkChars)))
       .drop("__pos")

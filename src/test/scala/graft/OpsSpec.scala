@@ -433,8 +433,8 @@ class OpsSpec extends AnyFunSuite {
     assert(!out.contains(2L), "dup-line gate")
     assert(!out.exists(_ >= 1000L), "exact dups lose to doc 100")
     assert(out.size <= 40, s"cap 20 x 2 sources, got ${out.size}")
-    // sampling commutes with exact dedup: rate<1 applied before dedup keeps
-    // the same survivors as dedup-then-sample (identical text -> same draw)
+    // sampling commutes with exact dedup for BYTE-IDENTICAL duplicates
+    // (same bytes -> same hash draw); normalized-only dups draw per variant
     val a = graft.ops.Curation.curate(rows, "doc_id", "text", "source", 3, 0.5, 0.4, 100)
       .select("doc_id").as[Long].collect().toSet
     val deduped = Dedup.exact(rows.filter(F.col("doc_id") =!= 1L && F.col("doc_id") =!= 2L),
@@ -481,9 +481,10 @@ class OpsSpec extends AnyFunSuite {
     val got = TextOps.chunk(df, "text", chunkChars = 4, overlapChars = 1)
       .select("doc_id", "chunk_idx", "chunk")
       .as[(Long, Int, String)].collect().toSet
-    // step 3: positions 1,4,7,10 over 10 chars
+    // step 3, start positions capped at len - overlap = 9: 1,4,7 — position
+    // 10 would yield "j", a pure suffix of "ghij" (zero new content)
     assert(got == Set(
-      (1L, 0, "abcd"), (1L, 1, "defg"), (1L, 2, "ghij"), (1L, 3, "j"),
+      (1L, 0, "abcd"), (1L, 1, "defg"), (1L, 2, "ghij"),
       (2L, 0, "abc"),
       (3L, 0, "")))
     // consecutive chunks share exactly `overlap` chars
@@ -493,7 +494,8 @@ class OpsSpec extends AnyFunSuite {
   test("packSequences: hand-computed bins; oversize doc gets its own bin; per-group") {
     val rows = Seq(
       (1L, "g1", 300), (2L, "g1", 300),   // 0+300 -> bins 0, 0 (300 < 512 before doc2)
-      (3L, "g1", 900),                    // before=600 -> bin 1 (oversize doc, own bin)
+      (3L, "g1", 900),                    // before=600 -> bin 1 (alone here only
+                                          // because 600 already crossed 512)
       (4L, "g1", 10),                     // before=1500 -> bin 2
       (5L, "g2", 600)                     // independent group -> bin 0
     ).toDF("doc_id", "grp", "n_tok")
@@ -577,6 +579,30 @@ class OpsSpec extends AnyFunSuite {
     val s6 = Similarity.centroidScores(withOutlier, "vec_id", "label", "embedding")
       .filter(F.col("vec_id") === 6L).select("cos_centroid").as[Double].head()
     assert(s6 < 0.0, s"opposite-direction vector must score negative, got $s6")
+  }
+
+  test("null keys sample as empty string; identical-text caps need the tieBreak") {
+    val withNulls = Seq((1L, "some document"), (2L, null), (3L, null))
+      .toDF("id", "text")
+    // md5("") prefix d41d ≈ 0.829 of the space: nulls (≡ "") are dropped at
+    // 0.5 and kept at 0.9 — decided, not silently null-filtered
+    val at05 = Sampling.hashSample(withNulls, F.col("text"), 0.5)
+      .select("id").as[Long].collect().toSet
+    val at09 = Sampling.hashSample(withNulls, F.col("text"), 0.9)
+      .select("id").as[Long].collect().toSet
+    assert(!at05.contains(2L) && !at05.contains(3L))
+    assert(at09.contains(2L) && at09.contains(3L))
+    // grouped rate 1.0 keeps null-key rows like the flat short-circuit does
+    val grouped = Sampling.hashSampleByGroup(
+        withNulls.withColumn("g", F.lit("a")), F.col("g"), F.col("text"),
+        rates = Map("a" -> 1.0))
+    assert(grouped.count() == 3)
+    // byte-identical keys tie on (hash, key): the id tieBreak pins survivors
+    val dups = Seq.tabulate(6)(i => (i.toLong, "grp", "same text")).toDF("id", "grp", "text")
+    val kept = Sampling.capPerGroup(dups, F.col("grp"), F.col("text"), 2,
+        tieBreak = Seq(F.col("id")))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L), s"lowest ids must survive, got $kept")
   }
 
   test("hashSample is deterministic, partition-invariant, and salt-independent") {

@@ -133,9 +133,10 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = finalPlan(graft.ops.Dedup.contamination(
       docs, docs.filter(F.col("doc_id") % 50 === 0), "doc_id", "text"))
     assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
-    // shuffles: hit-count groupBy + the left-join back to ids. The exploded
-    // corpus side reaches the broadcast join shuffle-free.
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+    // the final ids←hits left join may legitimately shuffle (both sides are
+    // doc-cardinality at scale), so at most ONE sort-merge join is allowed:
+    // a second one means the shingle-match join regressed off broadcast
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1,
       s"shingle match must not sort-merge the corpus:\n$p")
   }
 
