@@ -500,6 +500,62 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // the winnowing SELECTION math (window-min over k-gram hashes, distinct
+    // — Dedup.winnowPairs' fingerprint stage), oracled: the production path
+    // ranks grams by xxhash64 (not SQL-reproducible), so this entry ranks
+    // by md5 instead — selection depends only on hash ORDER, and the
+    // selected-value set is tie-rule-independent (ties are equal values),
+    // so DuckDB replays the identical fingerprint sets. Built with the
+    // same HOF shapes (sequence/slice/array_min) Catalyst codegens.
+    "x42_winnow_fixed" -> ((s, dir) => {
+      val k = 10; val w = 6
+      val t = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+      val grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+        i => F.md5(t.substr(i, F.lit(k))))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("doc_id"), grams.as("hs"))
+        .select(F.col("doc_id"), F.explode(F.array_sort(F.array_distinct(
+          F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(F.col("hs")) - (w - 1), F.lit(1))),
+            j => F.array_min(F.slice(F.col("hs"), j, F.lit(w))))))).as("fp"))
+        .orderBy("doc_id", "fp")
+    }),
+
+    // corpus-boilerplate line removal. Testdata docs are single-line, so
+    // the entry seeds deterministic chrome (the x22 fixed-input pattern):
+    // a footer on every doc_id%3==0 doc (hot at ANY sf: df = N/3 > 10 for
+    // N >= 33) and a header on doc_id < 5 (df = 5 at every sf — kept).
+    // Compared via md5 of the cleaned text, not the long string itself.
+    "x39_strip_boilerplate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val seeded = docs.withColumn("text", F.concat(
+        F.when(F.col("doc_id") < 5, F.lit("rare header line\n")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 === 0, F.lit("\nCopyright Footer 2026"))
+          .otherwise(F.lit(""))))
+      graft.ops.Curation.stripBoilerplateLines(seeded, "doc_id", "text", maxDocFreq = 10)
+        .select(F.col("doc_id"), F.length(F.col("text")).as("clean_len"),
+          F.md5(F.col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // int8 scalar quantization of the embedding store (codes as CSV so the
+    // hash compare is engine-neutral; scale/max_err are exact IEEE doubles)
+    "x40_quantize" -> ((s, dir) =>
+      graft.ops.Similarity.quantize(s.read.parquet(s"$dir/embeddings.parquet"), "embedding")
+        .select(F.col("vec_id"), F.col("scale"),
+          F.concat_ws(",", F.transform(F.col("q"), _.cast("string"))).as("q_csv"),
+          F.col("max_err"))
+        .orderBy("vec_id")),
+
+    // deterministic train/val/test assignment by content hash
+    "x41_split_assign" -> ((s, dir) =>
+      graft.ops.Sampling.splitAssign(s.read.parquet(s"$dir/documents.parquet"),
+          F.col("text"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
     // one-pass per-column profile of the documents table
     "x38_profile" -> ((s, dir) =>
       graft.ops.Curation.profile(s.read.parquet(s"$dir/documents.parquet"))
@@ -1063,6 +1119,72 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN '10000' WHEN 'src1' THEN '08000'
         |              WHEN 'src2' THEN '04000' ELSE '00ccd' END
         |ORDER BY doc_id""".stripMargin,
+
+    // same normalization/grams/window-min as the Spark side, md5-ranked;
+    // list_slice is end-INCLUSIVE (j..j+5 = w elements = Spark slice(j, 6))
+    "x42_winnow_fixed" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(length(t) - 9, 1) + 1),
+        |    i -> md5(substring(t, i::INT, 10))) AS hs FROM t
+        |), f AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    range(1, greatest(len(hs) - 5, 1) + 1),
+        |    j -> list_min(list_slice(hs, j, j + 5))))) AS fps FROM g
+        |)
+        |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin,
+
+    // mirrors Curation.stripBoilerplateLines: per-doc DISTINCT normalized
+    // lines → doc-frequency > 10 → hot set as one list → list_filter rewrite
+    "x39_strip_boilerplate" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id < 5 THEN 'rare header line' || chr(10) ELSE '' END)
+        |    || text ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Copyright Footer 2026' ELSE '' END) AS text
+        |  FROM documents
+        |), ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM seeded),
+        |n AS (SELECT doc_id, unnest(list_distinct(list_transform(lines,
+        |        l -> lower(trim(l))))) AS nl FROM ls),
+        |hot AS (SELECT nl FROM n WHERE length(nl) > 0 GROUP BY nl HAVING count(*) > 10),
+        |hl AS (SELECT coalesce(list(nl), []) AS hs FROM hot),
+        |clean AS (
+        |  SELECT doc_id, array_to_string(list_filter(lines,
+        |    l -> NOT list_contains(h.hs, lower(trim(l)))), chr(10)) AS text
+        |  FROM ls, hl h
+        |)
+        |SELECT doc_id, length(text) AS clean_len, md5(text) AS clean_md5
+        |FROM clean ORDER BY doc_id""".stripMargin,
+
+    // mirrors Similarity.quantize: scale = max|v|/127, codes floor(x+0.5)
+    // (round-half-up spelled explicitly — engine round() tie rules differ)
+    "x40_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM v
+        |), q AS (
+        |  SELECT vec_id, v, m / 127 AS scale,
+        |    CASE WHEN m = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v, x -> floor(x / m * 127 + 0.5)::INT) END AS q
+        |  FROM m
+        |)
+        |SELECT vec_id, scale,
+        |  array_to_string(q, ',') AS q_csv,
+        |  coalesce(list_max(list_transform(range(1, len(v)+1),
+        |    i -> abs(v[i] - q[i] * scale))), 0.0) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // mirrors Sampling.splitAssign(0.8/0.1/0.1): cccd = round(.8*65536),
+    // e666 = round(.9*65536) — the same literals the Scala builds
+    "x41_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(text), 1, 4) < 'cccd' THEN 'train'
+        |       WHEN substring(md5(text), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x38_profile" ->
       """SELECT * FROM (

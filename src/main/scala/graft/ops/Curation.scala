@@ -92,6 +92,41 @@ object Curation {
       .toDF("col_name", "n_rows", "n_nulls", "n_distinct")
   }
 
+  /** Strip corpus-boilerplate lines (CCNet/RefinedWeb-style): a line whose
+    * normalized form (lowercase, trimmed) appears in MORE than `maxDocFreq`
+    * distinct documents is navigation/footer chrome, not content — remove
+    * every occurrence and rejoin the survivors in original order. Blank
+    * lines never count as boilerplate (their frequency is structural).
+    *
+    * Scale shape: pass 1 aggregates doc-frequency over per-document
+    * DISTINCT normalized lines (`array_distinct` keeps the map side at one
+    * row per unique line per doc), keeping only the > `maxDocFreq` tail —
+    * by construction a tiny relation (a line must recur across that many
+    * documents to qualify). Pass 2 broadcasts that set as ONE array row and
+    * rewrites each document map-side with the `filter` higher-order
+    * function: no explode/reassemble shuffle, no per-line join — the corpus
+    * is never shuffled at all. Per-line membership is an O(|hot|) scan,
+    * fine while the boilerplate set is small; if a corpus yields a huge hot
+    * set, lower the threshold pressure by raising `maxDocFreq` or switch to
+    * an explode + broadcast-anti-join variant. */
+  def stripBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                            maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val lines = F.split(F.col(textCol), "\n", -1) // -1: keep trailing empties
+    val norm = (l: Column) => F.lower(F.trim(l))
+    val hot = docs
+      .select(F.explode(F.array_distinct(F.transform(lines, norm))).as("__line"))
+      .filter(F.length(F.col("__line")) > 0)
+      .groupBy("__line").agg(F.count(F.lit(1)).as("__df"))
+      .filter(F.col("__df") > maxDocFreq)
+      // empty input → one row with an empty array (agg over zero rows)
+      .agg(F.sort_array(F.collect_list("__line")).as("__hot"))
+    docs.join(F.broadcast(hot)) // 1-row broadcast nested-loop: a free cross
+      .withColumn(textCol, F.array_join(
+        F.filter(lines, l => !F.array_contains(F.col("__hot"), norm(l))), "\n"))
+      .drop("__hot")
+  }
+
   /** @param minTokens      inclusive whitespace-token floor (quality gate)
     * @param maxDupLineFrac inclusive ceiling on duplicate-line fraction
     * @param sampleRate     content-hash keep rate (1.0 = keep all)

@@ -62,6 +62,37 @@ object Sampling {
       F.substring(F.md5(F.concat(F.lit(salt), keyStr(key))), 1, 4)) < thr)
   }
 
+  /** Assign every row to exactly one named split (train/val/test) by
+    * content hash — the deterministic sibling of a random split: the same
+    * document lands in the same split across runs, repartitionings, engine
+    * versions, and incremental re-ingests (a re-crawled page can never leak
+    * from train into test). Same md5-prefix decision space as
+    * [[hashSample]]: split k owns the hex interval
+    * [cum(w_1..w_{k-1}), cum(w_1..w_k)) of the first 4 digest digits; the
+    * LAST split absorbs the rounding remainder so the intervals tile the
+    * space exactly. Pure codegen'd projection — no shuffle, no state.
+    *
+    * @param weights ordered (name, fraction) list; fractions must be
+    *                positive and sum to 1 (±1e-9)
+    */
+  def splitAssign(df: DataFrame, key: Column, weights: Seq[(String, Double)],
+                  salt: String = ""): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (n, w) =>
+      require(w > 0.0, s"split '$n' must have positive weight, got $w") }
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1, got $total")
+    val hex = F.substring(F.md5(F.concat(F.lit(salt), keyStr(key))), 1, 4)
+    // cumulative upper bounds in the 16-bit space; chained CASE over them
+    val bounds = weights.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
+      .tail.map(c => f"${math.round(c * 65536.0).toInt}%04x")
+    val assigned = weights.init.zip(bounds).foldRight(
+      F.lit(weights.last._1): Column) { case (((name, _), b), els) =>
+      F.when(hex < F.lit(b), F.lit(name)).otherwise(els)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Cap each group at `maxPerGroup` rows, chosen deterministically by
     * content hash (per-domain caps: no single crawl domain may dominate the
     * corpus). The rank-filter idiom compiles to Spark's WindowGroupLimit,

@@ -317,6 +317,31 @@ object Similarity {
         F.max("__n").as("n"))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * storage-side half of an ANN pipeline (4× smaller than float32, 8×
+    * smaller than float64; at 100 TB the embedding store is usually the
+    * dominant byte count and int8 recall loss is negligible for cosine
+    * ranking). Per vector: `scale` = max|v|/127, `q_i` = round-half-up of
+    * v_i/scale (floor(x+0.5) — spelled that way so any engine reproduces
+    * the exact codes; round() tie rules differ across engines), plus
+    * `max_err`, the worst per-dimension reconstruction error (bounded by
+    * scale/2 — asserted in OpsSpec). All-zero vectors quantize to zeros
+    * with scale 0. Pure per-row projection: no shuffle, no UDF, stays
+    * inside whole-stage codegen. */
+  def quantize(emb: DataFrame, vecCol: String): DataFrame = {
+    val v = F.transform(F.col(vecCol), x => x.cast("double"))
+    val m = F.array_max(F.transform(v, x => F.abs(x)))
+    val scale = (m / 127.0).as("scale")
+    val q = F.when(m === 0.0, F.transform(v, _ => F.lit(0)))
+      .otherwise(F.transform(v, x => F.floor(x / m * 127.0 + 0.5).cast("int")))
+    emb.withColumn("scale", scale)
+      .withColumn("q", q)
+      .withColumn("max_err", F.coalesce(
+        F.array_max(F.zip_with(v, F.col("q"),
+          (x, qq) => F.abs(x - qq.cast("double") * F.col("scale")))),
+        F.lit(0.0)))
+  }
+
   /** Cosine of every vector to its own label's centroid — the
     * distance-to-centroid outlier score used to flag mislabeled or garbage
     * embeddings in a training corpus. Centroids are |labels| rows →

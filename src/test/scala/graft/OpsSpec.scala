@@ -621,4 +621,73 @@ class OpsSpec extends AnyFunSuite {
     val overlap = (s1 & s2).size.toDouble
     assert(overlap < 0.05 * 2000, s"independent samples should overlap ~1%, got $overlap")
   }
+
+  test("stripBoilerplateLines removes only the hot line, preserves order and blanks") {
+    import graft.ops.Curation
+    // "footer" appears in 3 docs (> maxDocFreq=2, case/space-insensitively);
+    // "rare" in 2 (kept); blank lines are frequent but never stripped
+    val in = Seq(
+      (1L, "alpha\nFooter \n\nbeta"),
+      (2L, "gamma\nfooter\nrare"),
+      (3L, "footer\ndelta"),
+      (4L, "rare\n\nepsilon"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = Curation.stripBoilerplateLines(in, "doc_id", "text", maxDocFreq = 2)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha\n\nbeta", s"got ${out(1L)}")
+    assert(out(2L) == "gamma\nrare")
+    assert(out(3L) == "delta")
+    assert(out(4L) == "rare\n\nepsilon", "below-threshold and blank lines stay")
+    assert(out(5L) == "", "empty doc passes through")
+    // doc-frequency counts DISTINCT docs: 3 copies inside one doc ≠ hot
+    val rep = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text")
+    val rout = Curation.stripBoilerplateLines(rep, "doc_id", "text", maxDocFreq = 1)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rout(1L) == "x\nx\nx", "within-doc repeats don't count toward doc freq")
+  }
+
+  test("quantize: exact int8 codes, zero-vector guard, max_err <= scale/2") {
+    val in = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, -0.3f, 0.7f, -2.0f))
+    ).toDF("vec_id", "vec")
+    val out = Similarity.quantize(in, "vec")
+      .select("vec_id", "scale", "q", "max_err")
+      .as[(Long, Double, Array[Int], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // vec 1: m=1, scale=1/127; codes floor(x*127+0.5)
+    assert(out(1L)._3.toSeq == Seq(127, -127, 64, 0), s"got ${out(1L)._3.toSeq}")
+    assert(out(2L)._2 == 0.0 && out(2L)._3.toSeq == Seq(0, 0, 0, 0) && out(2L)._4 == 0.0)
+    assert(out(3L)._3.toSeq == Seq(127, -19, 44, -127))
+    out.values.foreach { case (id, scale, _, err) =>
+      assert(err <= scale / 2 + 1e-12, s"vec $id: err $err > scale/2 ${scale / 2}")
+    }
+  }
+
+  test("splitAssign tiles the space: exactly one split per row, deterministic, ~proportional") {
+    val ids = Seq.tabulate(3000)(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitAssign(ids, F.col("text"), w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.size == 3000, "every row assigned")
+    val byName = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > 2250 && byName("train") < 2550, s"got $byName")
+    assert(byName("val") > 200 && byName("val") < 400, s"got $byName")
+    // partition-invariant and re-run stable
+    val again = Sampling.splitAssign(ids.repartition(13), F.col("text"), w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == out)
+    // splitAssign('train' w) agrees with hashSample at the same rate+salt:
+    // the train interval IS the hashSample keep interval
+    val sampled = Sampling.hashSample(ids, F.col("text"), 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._2 == "train").keySet == sampled,
+      "train split must equal the rate-0.8 hashSample subset")
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(ids, F.col("text"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }
