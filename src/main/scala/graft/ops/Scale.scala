@@ -29,6 +29,37 @@ object Scale {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Hive-layout partitioned corpus sink: `path/col=value/...` parquet with
+    * a BOUNDED file count — the shape downstream training jobs and partition
+    * pruning need. Two non-default knobs do the work:
+    *
+    *  - repartition on (partitionCols, salt) BEFORE the write. Without it,
+    *    every upstream task holds rows of every partition value, so the job
+    *    emits tasks × values files — the classic small-files explosion (at
+    *    1000 executors × 1000 sources that is 10⁶ files per write). Salted
+    *    routing caps it at ≤ `filesPerPartition` per value (hash collisions
+    *    of (value, salt) pairs can only MERGE groups, never split them).
+    *  - `maxRecordsPerFile` re-splits a file only if a single value's share
+    *    still exceeds it — the escape hatch for one giant partition.
+    *
+    * The salt hashes the full row, so routing is deterministic and retries/
+    * speculative tasks agree ([[withSalt]]'s argument). */
+  def writePartitionedCorpus(df: DataFrame, path: String,
+                             partitionCols: Seq[String],
+                             filesPerPartition: Int = 1,
+                             maxRecordsPerFile: Long = 0L): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be >= 1, got $filesPerPartition")
+    withSalt(df, filesPerPartition)
+      .repartition(partitionCols.map(F.col) :+ F.col("__salt"): _*)
+      .drop("__salt")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile) // 0 = spark default: unlimited
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Salt a skewed relation: spread each hot key over `saltFactor` synthetic
     * sub-keys. Deterministic per row content (hash of all columns), so
     * retries and speculative tasks agree. */

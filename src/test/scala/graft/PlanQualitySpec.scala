@@ -149,6 +149,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(ps.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$ps")
   }
 
+  test("quantize and splitAssign are shuffle-free codegen projections") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Seq(
+      "quantize" -> graft.ops.Similarity.quantize(emb, "embedding"),
+      "splitAssign" -> graft.ops.Sampling.splitAssign(docs, F.col("text"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
+      assert(p.contains("*(1)"), s"$name must stay in whole-stage codegen:\n$p")
+    }
+  }
+
+  test("stripBoilerplateLines: one shuffle (hot-line agg), corpus rewrite map-side") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.Curation.stripBoilerplateLines(docs, "doc_id", "text", 10))
+    // the ONLY hash shuffle is the hot-line doc-frequency aggregate; the
+    // corpus itself flows scan → broadcast-joined rewrite with no exchange
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"only the hot-line agg may shuffle; got $shuffles in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row hot set must broadcast to the corpus:\n$p")
+    assert(p.contains("partial_count"),
+      s"doc-frequency must partial-aggregate map-side:\n$p")
+  }
+
   test("curate's full pipeline pays exactly two shuffles (dedup key + cap key)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val df = graft.ops.Curation.curate(docs, "doc_id", "text", "source",

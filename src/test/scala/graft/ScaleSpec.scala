@@ -35,6 +35,30 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("writePartitionedCorpus: hive layout, bounded files, pruned reads, exact round-trip") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    Scale.writePartitionedCorpus(docs, out, Seq("source"), filesPerPartition = 2)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("source=")),
+      s"expected hive layout, got ${dirs.map(_.getName).toSeq}")
+    // salted routing bounds files per value (collisions can merge, not split)
+    dirs.foreach { d =>
+      val parts = d.listFiles().count(_.getName.startsWith("part-"))
+      assert(parts >= 1 && parts <= 2, s"${d.getName}: expected 1..2 files, got $parts")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toString).sorted.toSeq ==
+      docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .collect().map(_.toString).sorted.toSeq, "round-trip must be exact")
+    // the layout's purpose: a source filter prunes to that directory alone
+    val p = back.filter(F.col("source") === "src0").queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(source"),
+      s"expected partition pruning in:\n$p")
+  }
+
   test("salted join returns exactly the plain join result") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")

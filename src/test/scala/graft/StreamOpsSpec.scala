@@ -148,9 +148,12 @@ class StreamOpsSpec extends AnyFunSuite {
     val docs = in.toDF().toDF("doc_id", "text")
     // the same Column-level operators used in batch compose on a streaming
     // DataFrame with no code changes — they are pure projections/filters
-    val curated = graft.ops.Sampling.hashSample(
-        docs.filter(graft.ops.TextOps.tokenCount(F.col("text")) >= 3), F.col("text"), 0.5)
-      .select(F.col("doc_id"), graft.ops.TextOps.redact(F.col("text")).as("text"))
+    val curated = graft.ops.Sampling.splitAssign(
+        graft.ops.Sampling.hashSample(
+          docs.filter(graft.ops.TextOps.tokenCount(F.col("text")) >= 3), F.col("text"), 0.5),
+        F.col("text"), Seq("train" -> 0.9, "val" -> 0.1))
+      .select(F.col("doc_id"), graft.ops.TextOps.redact(F.col("text")).as("text"),
+        F.col("split"))
     val q = curated.writeStream.format("memory").queryName("stream_curate")
       .outputMode("append").start()
     try {
@@ -159,14 +162,20 @@ class StreamOpsSpec extends AnyFunSuite {
       in.addData((900L, "tiny"))   // fails the 3-token gate
       q.processAllAvailable()
       val got = spark.table("stream_curate")
-        .as[(Long, String)].collect().toMap
+        .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
       assert(!got.contains(900L), "token gate must drop the short doc")
       // sampling decisions are IDENTICAL to the batch operator on the same text
       val batch = graft.ops.Sampling.hashSample(
           rows.toDF("doc_id", "text"), F.col("text"), 0.5)
         .select("doc_id").as[Long].collect().toSet
       assert(got.keySet == batch, "stream and batch must select the same rows")
-      assert(got.values.forall(_.contains("<EMAIL>")), "redaction applied on-stream")
+      assert(got.values.forall(_._1.contains("<EMAIL>")), "redaction applied on-stream")
+      // split assignment is the same deterministic decision on-stream
+      val splits = graft.ops.Sampling.splitAssign(rows.toDF("doc_id", "text"),
+          F.col("text"), Seq("train" -> 0.9, "val" -> 0.1))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(got.forall { case (id, (_, s)) => splits(id) == s },
+        "stream and batch must assign the same splits")
     } finally q.stop()
   }
 }
