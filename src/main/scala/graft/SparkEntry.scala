@@ -20,6 +20,14 @@ object SparkEntry {
   private def q(prql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => Graft.compileDir(prql, spark, dir)
 
+  /** Test-vector Carter-Wegman constants shared by the x43 Spark side and
+    * its generated DuckDB oracle (NOT the production MinHashSig family —
+    * these exist so both engines compute the identical permutations from
+    * md5-derived 28-bit hashes without overflow). */
+  private val OracleP = 2147483647L // 2^31 - 1, prime
+  private val OracleAB: Seq[(Long, Long)] =
+    (0 until 16).map(j => (2L * j + 1, 7919L * j + 13))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The invoice_totals.prql pattern (reference examples/queries/
     * invoice_totals.prql:1-21) transposed onto orders/lineitem. */
@@ -524,6 +532,53 @@ object SparkEntry {
             F.sequence(F.lit(1), F.greatest(F.size(F.col("hs")) - (w - 1), F.lit(1))),
             j => F.array_min(F.slice(F.col("hs"), j, F.lit(w))))))).as("fp"))
         .orderBy("doc_id", "fp")
+    }),
+
+    // the MinHash math (per-function min over Carter-Wegman-permuted
+    // shingle hashes), oracled with engine-neutral primitives: md5-derived
+    // 28-bit shingle hashes and fixed test-vector (a, b) constants replace
+    // the production xxhash64 family (x02 / functions.MinHashSig), whose
+    // bit-identity is separately pinned in OpsSpec. a*h+b stays < 2^59 —
+    // no overflow divergence between engines.
+    "x43_minhash_fixed" -> ((s, dir) => {
+      val t = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+      val shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 4, F.lit(1))),
+        i => t.substr(i, F.lit(5))))
+      val hs = F.transform(shingles,
+        x => F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"))
+      val sigs = OracleAB.map { case (a, b) =>
+        F.array_min(F.transform(F.col("hs"), h => (h * a + b) % OracleP)) }
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(F.col("doc_id") % 5 === 0)
+        .select(F.col("doc_id"), hs.as("hs"))
+        .select(F.col("doc_id"),
+          F.concat_ws(",", sigs.map(_.cast("string")): _*).as("sig_csv"))
+        .orderBy("doc_id")
+    }),
+
+    // the SimHash math (per-bit majority vote over token hashes), oracled
+    // the same way: md5-derived 28-bit token hashes; bit i set iff strictly
+    // more than half the tokens have it set (ties clear, matching the
+    // production counts(i) > 0 rule). Production 64-bit xxhash64 simhash is
+    // x03/x15; its chunked-join exactness is pinned in OpsSpec.
+    "x44_simhash_fixed" -> ((s, dir) => {
+      val toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+        x => F.length(x) > 0)
+      val th = F.transform(toks,
+        x => F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"))
+      val n = F.size(F.col("th"))
+      val sig = (0 until 28).map { i =>
+        val ones = F.aggregate(F.col("th"), F.lit(0L),
+          (acc, h) => acc + F.shiftright(h, i).bitwiseAND(F.lit(1L)))
+        F.when(ones * 2 > n, F.lit(1L << i)).otherwise(F.lit(0L))
+      }.reduce(_ + _)
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(F.col("doc_id") % 5 === 0)
+        .select(F.col("doc_id"), th.as("th"))
+        .select(F.col("doc_id"), sig.as("sig"))
+        .orderBy("doc_id")
     }),
 
     // corpus-boilerplate line removal. Testdata docs are single-line, so
@@ -1140,6 +1195,43 @@ object SparkEntry {
         |    j -> list_min(list_slice(hs, j, j + 5))))) AS fps FROM g
         |)
         |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin,
+
+    // generated from the same OracleAB/OracleP constants as the Spark side
+    "x43_minhash_fixed" -> {
+      val csv = OracleAB.map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> ($a*h + $b) % $OracleP))::VARCHAR"
+      }.mkString(" || ',' || ")
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+         |  FROM documents WHERE doc_id % 5 = 0
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(length(t) - 4, 1) + 1),
+         |    i -> substring(t, i::INT, 5))) AS s
+         |  FROM t
+         |), hs AS (
+         |  SELECT doc_id, list_transform(s,
+         |    x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS hs FROM sh
+         |)
+         |SELECT doc_id, $csv AS sig_csv FROM hs ORDER BY doc_id""".stripMargin
+    },
+
+    // bit i of the signature: strictly-majority vote of md5-derived token
+    // hashes — the 28 per-bit terms are generated, one list_sum each
+    "x44_simhash_fixed" -> {
+      val bits = (0 until 28).map(i =>
+        s"(CASE WHEN 2*coalesce(list_sum(list_transform(th, h -> (h >> $i) & 1)), 0)" +
+          s" > len(th) THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents WHERE doc_id % 5 = 0
+         |), th AS (
+         |  SELECT doc_id, list_transform(toks,
+         |    x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS th FROM toks
+         |)
+         |SELECT doc_id, ($bits)::BIGINT AS sig FROM th ORDER BY doc_id""".stripMargin
+    },
 
     // mirrors Curation.stripBoilerplateLines: per-doc DISTINCT normalized
     // lines → doc-frequency > 10 → hot set as one list → list_filter rewrite
