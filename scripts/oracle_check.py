@@ -64,6 +64,21 @@ def main(out_dir, sf_dir):
         if gc != ec:
             failed.append((name, f"schema: spark={gc} duckdb={ec}"))
             continue
+        # the driver hashes raw values, so an int column on one side vs a
+        # float on the other (e.g. DuckDB HUGEINT->float64 from sum(BIGINT))
+        # hash-mismatches even when 3 == 3.0 here — mirror that strictness
+        def kind(field):
+            import pyarrow.types as pt
+            t = field.type
+            return ("f" if pt.is_floating(t) or pt.is_decimal(t)
+                    else "i" if pt.is_integer(t) else "o")
+        gk = {f.name: kind(f) for f in got.schema}
+        ek = {f.name: kind(f) for f in exp.schema}
+        badk = [c for c in gk if gk[c] != ek.get(c, gk[c])]
+        if badk:
+            failed.append((name, f"column kind mismatch (int vs float): "
+                           + ", ".join(f"{c} spark={gk[c]} duck={ek[c]}" for c in badk)))
+            continue
         if len(gr) != len(er):
             failed.append((name, f"rowcount: spark={len(gr)} duckdb={len(er)}"))
             continue

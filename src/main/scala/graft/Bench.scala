@@ -37,10 +37,26 @@ object Bench {
       catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST 2000 chars of output, and the one-line
+    // JSON outgrew that window at 78 full-name ns-precision entries
+    // (BENCH_r02/r03 both recorded parsed:null). Print short ids (the
+    // unique qNN/xNN prefix) at ms precision — ~13 chars/query keeps ~140
+    // queries inside the window alongside sbt's trailing lines — and write
+    // the full-name, full-precision map to bench_detail.json for the
+    // BASELINE.md ledger.
+    def s3(v: Double): String = f"$v%.3f"
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => s"\"" + shortId(k) + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    try {
+      val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val w = new java.io.PrintWriter("bench_detail.json")
+      try w.println(s"""{"total":$total,"queries":$full,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case _: Throwable => }
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

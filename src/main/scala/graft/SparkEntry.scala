@@ -541,7 +541,11 @@ object SparkEntry {
     // bit-identity is separately pinned in OpsSpec. a*h+b stays < 2^59 —
     // no overflow divergence between engines.
     "x43_minhash_fixed" -> ((s, dir) => {
-      val t = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+      // bounded to the first 500 normalized chars (the x42 pattern): the
+      // entry pins the Carter-Wegman min MATH, and per-shingle md5 over
+      // unbounded text made it the most expensive entry in the suite
+      val t = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), 1, 500)
       val shingles = F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(t) - 4, F.lit(1))),
         i => t.substr(i, F.lit(5))))
@@ -593,7 +597,7 @@ object SparkEntry {
         F.col("text"),
         F.when(F.col("doc_id") % 3 === 0, F.lit("\nCopyright Footer 2026"))
           .otherwise(F.lit(""))))
-      graft.ops.Curation.stripBoilerplateLines(seeded, "doc_id", "text", maxDocFreq = 10)
+      graft.ops.Curation.stripBoilerplateLines(seeded, "text", maxDocFreq = 10)
         .select(F.col("doc_id"), F.length(F.col("text")).as("clean_len"),
           F.md5(F.col("text")).as("clean_md5"))
         .orderBy("doc_id")
@@ -1202,7 +1206,8 @@ object SparkEntry {
         s"list_min(list_transform(hs, h -> ($a*h + $b) % $OracleP))::VARCHAR"
       }.mkString(" || ',' || ")
       s"""WITH t AS (
-         |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+         |  SELECT doc_id,
+         |    substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 500) AS t
          |  FROM documents WHERE doc_id % 5 = 0
          |), sh AS (
          |  SELECT doc_id, list_distinct(list_transform(
@@ -1274,12 +1279,14 @@ object SparkEntry {
         |    i -> abs(v[i] - q[i] * scale))), 0.0) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
 
-    // mirrors Sampling.splitAssign(0.8/0.1/0.1): cccd = round(.8*65536),
-    // e666 = round(.9*65536) — the same literals the Scala builds
+    // mirrors Sampling.splitAssign(0.8/0.1/0.1): 0cccd = round(.8*65536),
+    // 0e666 = round(.9*65536) in the '0'-prefixed %05x interval scheme;
+    // coalesce matches keyStr's null-as-empty-string (md5(NULL) is NULL in
+    // DuckDB and would fall through to 'test' instead of 'train')
     "x41_split_assign" ->
       """SELECT doc_id,
-        |  CASE WHEN substring(md5(text), 1, 4) < 'cccd' THEN 'train'
-        |       WHEN substring(md5(text), 1, 4) < 'e666' THEN 'val'
+        |  CASE WHEN '0' || substring(md5(coalesce(text, '')), 1, 4) < '0cccd' THEN 'train'
+        |       WHEN '0' || substring(md5(coalesce(text, '')), 1, 4) < '0e666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -1325,9 +1332,11 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "x33_pack_sequences" ->
+      // ::BIGINT — DuckDB window sum(BIGINT) yields HUGEINT, which Arrow
+      // surfaces as float64 and the driver then hashes 3.0 vs Spark's 3
       """SELECT doc_id, source, n_tokens,
-        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin
+        |  (coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512)::BIGINT AS bin
         |FROM (SELECT doc_id, source,
         |        len(string_split_regex(trim(text), '\s+')) AS n_tokens
         |      FROM documents)

@@ -109,8 +109,10 @@ object Curation {
     * fine while the boilerplate set is small; if a corpus yields a huge hot
     * set, lower the threshold pressure by raising `maxDocFreq` or switch to
     * an explode + broadcast-anti-join variant. */
-  def stripBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+  def stripBoilerplateLines(docs: DataFrame, textCol: String,
                             maxDocFreq: Int): DataFrame = {
+    // doc-frequency = ROW frequency (one vote per input row, not per id):
+    // exact-dedup first if the input may carry duplicate rows per document
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     val lines = F.split(F.col(textCol), "\n", -1) // -1: keep trailing empties
     val norm = (l: Column) => F.lower(F.trim(l))

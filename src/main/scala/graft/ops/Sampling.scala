@@ -82,10 +82,15 @@ object Sampling {
       require(w > 0.0, s"split '$n' must have positive weight, got $w") }
     val total = weights.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1, got $total")
-    val hex = F.substring(F.md5(F.concat(F.lit(salt), keyStr(key))), 1, 4)
+    // %05x bounds + '0'-prefixed digest (the hashSampleByGroup scheme): a
+    // cumulative weight within ~1/131072 of 1.0 rounds to 0x10000, which as
+    // 4 chars ('10000') would sort BELOW most 4-char digests and silently
+    // shift ~15/16 of rows into later splits
+    val hex = F.concat(F.lit("0"),
+      F.substring(F.md5(F.concat(F.lit(salt), keyStr(key))), 1, 4))
     // cumulative upper bounds in the 16-bit space; chained CASE over them
     val bounds = weights.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
-      .tail.map(c => f"${math.round(c * 65536.0).toInt}%04x")
+      .tail.map(c => f"${math.round(c * 65536.0).toInt}%05x")
     val assigned = weights.init.zip(bounds).foldRight(
       F.lit(weights.last._1): Column) { case (((name, _), b), els) =>
       F.when(hex < F.lit(b), F.lit(name)).otherwise(els)

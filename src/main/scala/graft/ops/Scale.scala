@@ -43,7 +43,13 @@ object Scale {
     *    still exceeds it — the escape hatch for one giant partition.
     *
     * The salt hashes the full row, so routing is deterministic and retries/
-    * speculative tasks agree ([[withSalt]]'s argument). */
+    * speculative tasks agree ([[withSalt]]'s argument).
+    *
+    * Preconditions: `df` must not already carry a `__salt` column (the
+    * routing salt would be ambiguous), and `mode("overwrite")` replaces the
+    * ENTIRE `path`, not just the partition values present in `df` — set
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` in the session if
+    * in-place partition refresh is wanted. */
   def writePartitionedCorpus(df: DataFrame, path: String,
                              partitionCols: Seq[String],
                              filesPerPartition: Int = 1,
@@ -51,6 +57,8 @@ object Scale {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     require(filesPerPartition >= 1,
       s"filesPerPartition must be >= 1, got $filesPerPartition")
+    require(!df.columns.contains("__salt"),
+      "input already has a __salt column; drop or rename it before writing")
     withSalt(df, filesPerPartition)
       .repartition(partitionCols.map(F.col) :+ F.col("__salt"): _*)
       .drop("__salt")

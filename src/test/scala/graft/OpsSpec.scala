@@ -633,7 +633,7 @@ class OpsSpec extends AnyFunSuite {
       (4L, "rare\n\nepsilon"),
       (5L, "")
     ).toDF("doc_id", "text")
-    val out = Curation.stripBoilerplateLines(in, "doc_id", "text", maxDocFreq = 2)
+    val out = Curation.stripBoilerplateLines(in, "text", maxDocFreq = 2)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(out(1L) == "alpha\n\nbeta", s"got ${out(1L)}")
     assert(out(2L) == "gamma\nrare")
@@ -642,7 +642,7 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == "", "empty doc passes through")
     // doc-frequency counts DISTINCT docs: 3 copies inside one doc ≠ hot
     val rep = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text")
-    val rout = Curation.stripBoilerplateLines(rep, "doc_id", "text", maxDocFreq = 1)
+    val rout = Curation.stripBoilerplateLines(rep, "text", maxDocFreq = 1)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(rout(1L) == "x\nx\nx", "within-doc repeats don't count toward doc freq")
   }

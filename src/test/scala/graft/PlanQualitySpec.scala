@@ -165,7 +165,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("stripBoilerplateLines: one shuffle (hot-line agg), corpus rewrite map-side") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val p = plan(graft.ops.Curation.stripBoilerplateLines(docs, "doc_id", "text", 10))
+    val p = plan(graft.ops.Curation.stripBoilerplateLines(docs, "text", 10))
     // the ONLY hash shuffle is the hot-line doc-frequency aggregate; the
     // corpus itself flows scan → broadcast-joined rewrite with no exchange
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
