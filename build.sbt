@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's output through raw instead of re-logging each
+// line with an [info]/[error] prefix: the bench driver tail-parses the last
+// stdout JSON line, and sbt's logger both decorates it and reorders
+// late-flushed stderr after it (BENCH_r0{2,3,4} recorded parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -585,6 +585,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sign-LSH bucket ids at a fixed small config (4 planes, dim 64, seed 42
+    // — the first hyperplane table lshKnn/nearDupPairs derive from the same
+    // seed): the hyperplanes are deterministic driver-side doubles, so DuckDB
+    // replays each dot-product sign bit with list arithmetic (the x06/x29
+    // pattern). Pins the production LshBits expression's bucket MATH — the
+    // embedding-LSH family (x05/x07) was the last rows-only group without a
+    // fixed-math oracle twin (minhash has x43, simhash x44, winnowing x42).
+    "x45_lsh_bucket" -> ((s, dir) => {
+      val planes = Similarity.hyperplanes(4, 64, 42L)
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(F.col("vec_id"),
+          Similarity.lshBucket(F.col("embedding"), planes).as("bucket"))
+        .orderBy("vec_id")
+    }),
+
     // corpus-boilerplate line removal. Testdata docs are single-line, so
     // the entry seeds deterministic chrome (the x22 fixed-input pattern):
     // a footer on every doc_id%3==0 doc (hot at ANY sf: df = N/3 > 10 for
@@ -1236,6 +1251,19 @@ object SparkEntry {
          |    x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS th FROM toks
          |)
          |SELECT doc_id, ($bits)::BIGINT AS sig FROM th ORDER BY doc_id""".stripMargin
+    },
+
+    // generated from the same hyperplanes(4, 64, 42) literals as the Spark
+    // side (Double.toString round-trips exactly, so DuckDB parses the
+    // identical IEEE values): bit p = (embedding · plane_p) > 0, replayed
+    // with list arithmetic
+    "x45_lsh_bucket" -> {
+      val bits = Similarity.hyperplanes(4, 64, 42L).zipWithIndex.map { case (p, i) =>
+        val lit = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), " +
+          s"i -> embedding[i]::DOUBLE * ($lit)[i])) > 0.0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, ($bits)::BIGINT AS bucket FROM embeddings ORDER BY vec_id"
     },
 
     // mirrors Curation.stripBoilerplateLines: per-doc DISTINCT normalized

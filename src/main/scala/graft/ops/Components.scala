@@ -63,7 +63,11 @@ object Components {
       .distinct()
       .localCheckpoint()
     var iter = 0
-    var converged = edges.isEmpty
+    // carried across rounds: this round's edges.count() IS next round's
+    // previous-count, so recounting the checkpointed frame would spend one
+    // extra Spark job per iteration (~log n per call)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     while (!converged) {
       if (iter >= maxIter)
         throw new IllegalStateException(
@@ -93,9 +97,11 @@ object Components {
         .localCheckpoint()
       // set equality on canonical (u > v) edges: same cardinality and no
       // row of `next` outside `edges`
-      converged = next.count() == edges.count() &&
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     // fixpoint edges are stars (leaf u, root m): leaves label m, roots label

@@ -76,7 +76,7 @@ object Similarity {
 
   /** Deterministic random hyperplanes (seeded) — driver-side literals,
     * effectively broadcast with the plan. */
-  private[ops] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }

@@ -45,19 +45,38 @@ object TextOps {
     * deterministic scoring rule, not a model. */
   def langId(text: Column): Column = {
     val toks = F.split(F.lower(F.trim(text)), "\\s+")
-    def hits(words: Seq[String]): Column =
-      F.size(F.filter(toks, tk => tk.isin(words.map(x => x: Any): _*)))
-    val en = hits(Seq("the", "a", "of", "and", "to", "is", "in"))
-    val de = hits(Seq("der", "die", "das", "und", "ist", "ein", "nicht"))
-    val fr = hits(Seq("le", "la", "les", "et", "est", "un", "une"))
-    val es = hits(Seq("el", "los", "las", "y", "es", "un", "que"))
+    val enW = Seq("the", "a", "of", "and", "to", "is", "in")
+    val deW = Seq("der", "die", "das", "und", "ist", "ein", "nicht")
+    val frW = Seq("le", "la", "les", "et", "est", "un", "une")
+    val esW = Seq("el", "los", "las", "y", "es", "un", "que")
+    def hit(tk: Column, words: Seq[String]): Column =
+      F.when(tk.isin(words.map(x => x: Any): _*), 1).otherwise(0)
+    // Single `aggregate` pass accumulating all four counters at once
+    // (previously four separate filter-HOF scans, each duplicated again by
+    // every reference in the when-chain). The winner is picked inside the
+    // finish lambda, where the accumulator is a lambda variable — evaluated
+    // once, not re-expanded per reference. Selection = argmax by
+    // (count, priority en>de>fr>es), which is equivalent to the original
+    // ordered when-chain: the chain picks the first language >= all later
+    // ones, and any earlier language beaten by a later one is beaten by the
+    // argmax itself; the (0, und) sentinel encodes the `> 0` requirement.
+    val zero = F.struct(F.lit(0).as("en"), F.lit(0).as("de"),
+      F.lit(0).as("fr"), F.lit(0).as("es"))
+    val best = F.aggregate(toks, zero,
+      (acc, tk) => F.struct(
+        (acc.getField("en") + hit(tk, enW)).as("en"),
+        (acc.getField("de") + hit(tk, deW)).as("de"),
+        (acc.getField("fr") + hit(tk, frW)).as("fr"),
+        (acc.getField("es") + hit(tk, esW)).as("es")),
+      acc => F.array_max(F.array(
+        F.struct(F.lit(0).as("n"), F.lit(5).as("p"), F.lit("und").as("l")),
+        F.struct(acc.getField("en").as("n"), F.lit(4).as("p"), F.lit("en").as("l")),
+        F.struct(acc.getField("de").as("n"), F.lit(3).as("p"), F.lit("de").as("l")),
+        F.struct(acc.getField("fr").as("n"), F.lit(2).as("p"), F.lit("fr").as("l")),
+        F.struct(acc.getField("es").as("n"), F.lit(1).as("p"), F.lit("es").as("l"))))
+        .getField("l"))
     val hasCjk = F.regexp_count(text, F.lit("[\\u4e00-\\u9fff]")) > 0
-    F.when(hasCjk, "zh")
-      .when(en >= de && en >= fr && en >= es && en > 0, "en")
-      .when(de >= fr && de >= es && de > 0, "de")
-      .when(fr >= es && fr > 0, "fr")
-      .when(es > 0, "es")
-      .otherwise("und")
+    F.when(hasCjk, "zh").otherwise(best)
   }
 
   /** Exact top-k vocabulary: token → count, highest first (token as
