@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import graft.prql.Graft
-import graft.ops.{Dedup, EventOps, Multimodal, Similarity, TextOps}
+import graft.ops.{AsOf, Dedup, EventOps, Multimodal, RangeJoin, Similarity, TextOps}
 import graft.sources.Registrar
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -27,6 +27,13 @@ object SparkEntry {
   private val OracleP = 2147483647L // 2^31 - 1, prime
   private val OracleAB: Seq[(Long, Long)] =
     (0 until 16).map(j => (2L * j + 1, 7919L * j + 13))
+
+  /** Value bands for the x48 range-join entry, shared by the Spark side and
+    * its generated DuckDB oracle. Deliberately overlapping (retail_window
+    * straddles small/mid) so the entry proves multi-interval matches. */
+  private val RangeBands: Seq[(String, Double, Double)] = Seq(
+    ("micro", 0.0, 2.0), ("small", 2.0, 10.0), ("mid", 10.0, 50.0),
+    ("large", 50.0, 1000.0), ("retail_window", 5.0, 25.0))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The invoice_totals.prql pattern (reference examples/queries/
@@ -598,6 +605,43 @@ object SparkEntry {
         .select(F.col("vec_id"),
           Similarity.lshBucket(F.col("embedding"), planes).as("bucket"))
         .orderBy("vec_id")
+    }),
+
+    // as-of join: every event picks up the user's most recent error at or
+    // before it (NULL when none) — oracled against DuckDB's native ASOF
+    // LEFT JOIN. Timestamps are truncated to µs FIRST on both sides (the
+    // x12/x13 epoch_us convention) so both engines compare identical
+    // integers; the right side is pre-deduped to one error per (user, µs)
+    // so tie resolution can't differ between engines.
+    "x46_asof_join" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(F.col("event_id"), F.col("user_id"), F.col("event_type"),
+          F.expr("ts DIV 1000").as("ts_us"))
+      val err = e.filter(F.col("event_type") === "error")
+        .groupBy("user_id", "ts_us").agg(F.max("event_id").as("event_id"))
+      AsOf.asofJoin(e, err, Seq("user_id"), "ts_us", "ts_us")
+        .select(F.col("event_id"), F.col("user_id"), F.col("ts_us"),
+          F.col("r_event_id"),
+          (F.col("ts_us") - F.col("r_ts_us")).as("since_err_us"))
+        .orderBy("event_id")
+    }),
+
+    // CCNet-style unigram log-likelihood quality score over the corpus's
+    // own unigram model
+    "x47_unigram_logp" -> ((s, dir) =>
+      TextOps.unigramLogProb(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // binned range join: event values into overlapping value bands (a point
+    // can match several bands; band [50, 1000) bounds the data's max)
+    "x48_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet").select("event_id", "value")
+      val bands = RangeBands.toDF("band", "lo", "hi")
+      RangeJoin.rangeJoin(ev, "value", bands, "lo", "hi", binWidth = 10.0)
+        .select(F.col("event_id"), F.col("band"), F.col("value"))
+        .orderBy("event_id", "band")
     }),
 
     // corpus-boilerplate line removal. Testdata docs are single-line, so
@@ -1264,6 +1308,50 @@ object SparkEntry {
           s"i -> embedding[i]::DOUBLE * ($lit)[i])) > 0.0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT vec_id, ($bits)::BIGINT AS bucket FROM embeddings ORDER BY vec_id"
+    },
+
+    // DuckDB's native ASOF LEFT JOIN is the independent implementation of
+    // the same semantics AsOf.asofJoin builds from a union + window pass
+    "x46_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events
+        |), err AS (
+        |  SELECT user_id, ts_us, max(event_id) AS event_id
+        |  FROM e WHERE event_type = 'error' GROUP BY user_id, ts_us
+        |)
+        |SELECT l.event_id, l.user_id, l.ts_us,
+        |       r.event_id AS r_event_id, l.ts_us - r.ts_us AS since_err_us
+        |FROM e l ASOF LEFT JOIN err r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        |ORDER BY l.event_id""".stripMargin,
+
+    // mirrors TextOps.unigramLogProb: corpus unigram model, mean ln p(tok)
+    // per doc, rounded to 6 (ln + sum order are engine-neutral only after
+    // rounding — the x37 precedent)
+    "x47_unigram_logp" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents
+        |), vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT doc_id, round(avg(ln(cnt::DOUBLE / n)), 6) AS avg_logp,
+        |       count(*) AS n_tokens
+        |FROM toks JOIN vocab USING (term), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // generated from the same RangeBands literals as the Spark side; the
+    // oracle's inequality join is the semantics RangeJoin.rangeJoin's
+    // binned equi-join must reproduce exactly
+    "x48_range_join" -> {
+      val vals = RangeBands.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }
+        .mkString(", ")
+      s"""WITH bands(band, lo, hi) AS (VALUES $vals)
+         |SELECT e.event_id, b.band, e.value
+         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+         |ORDER BY e.event_id, b.band""".stripMargin
     },
 
     // mirrors Curation.stripBoilerplateLines: per-doc DISTINCT normalized

@@ -120,6 +120,34 @@ object TextOps {
       .select(F.col(idCol), F.col("term"), F.col("tf"), F.col("df"), F.col("tfidf"), F.col("rk"))
   }
 
+  /** CCNet-style unigram log-likelihood quality score: each document's mean
+    * ln p(token) under the corpus's own unigram model (p = corpus count /
+    * corpus total). Low scores flag rare-token soup (binary junk, boiler-
+    * plate explosions, wrong-language shards) — the cheap proxy for the LM
+    * perplexity filter of CCNet, computable without any model artifact.
+    *
+    * Scale shape (the [[topTfidfTerms]] pattern): tokens partial-aggregate
+    * to (term, count) map-side; the vocabulary joins back on term — a
+    * genuine shuffle join, because a 100 TB vocab does not broadcast; the
+    * corpus total rides along as a 1-row broadcast cross join, not an eager
+    * count. Score is rounded to 6 decimals: sum order of the per-token logs
+    * differs across engines, and ln itself is only near-correctly-rounded —
+    * the rounding makes the value engine-neutral (the x37 precedent). */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(F.col(idCol),
+        F.explode(F.split(F.lower(F.trim(F.col(textCol))), "\\s+")).as("term"))
+      .filter(F.length(F.col("term")) > 0)
+    val vocab = toks.groupBy("term").agg(F.count(F.lit(1)).as("__cnt"))
+    val total = toks.agg(F.count(F.lit(1)).as("__n"))
+    toks.join(vocab, "term")
+      .crossJoin(F.broadcast(total))
+      .groupBy(idCol)
+      .agg(
+        F.round(F.avg(F.log(F.col("__cnt").cast("double") / F.col("__n"))), 6)
+          .as("avg_logp"),
+        F.count(F.lit(1)).as("n_tokens"))
+  }
+
   /** Corpus length distribution: exact interpolated quantiles of document
     * character length (Spark `percentile` == SQL percentile_cont ==
     * DuckDB quantile_cont, so the oracle can verify exactly). One shuffle

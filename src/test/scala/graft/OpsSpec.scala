@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Components, Dedup, Sampling, Similarity, TextOps}
+import graft.ops.{AsOf, Components, Dedup, Sampling, Similarity, TextOps}
 
 /** Ground-truth unit tests for the training-data pipeline operators on tiny
   * hand-checkable inputs (the Verify/oracle path covers them at sf scale;
@@ -689,5 +689,70 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sampling.splitAssign(ids, F.col("text"), Seq("a" -> 0.5, "b" -> 0.4))
     }
+  }
+
+  test("asofJoin: most recent right row at-or-before, per key; left/inner; deterministic ties") {
+    val left = Seq((1L, 5L, "L5"), (1L, 10L, "L10"), (1L, 20L, "L20"), (2L, 7L, "L7"))
+      .toDF("k", "ts", "lname")
+    val right = Seq((1L, 10L, "R10"), (1L, 15L, "R15"), (2L, 99L, "R99"))
+      .toDF("k", "ts", "rname")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", "ts")
+      .select("lname", "r_rname").as[(String, Option[String])].collect().toMap
+    assert(out == Map(
+      "L5" -> None,          // nothing at or before 5
+      "L10" -> Some("R10"),  // equal timestamps match (ts >= rts inclusive)
+      "L20" -> Some("R15"),  // most recent, not first
+      "L7" -> None))         // key 2's only right row is later
+    val inner = AsOf.asofJoin(left, right, Seq("k"), "ts", "ts", how = "inner")
+      .select("lname").as[String].collect().toSet
+    assert(inner == Set("L10", "L20"))
+    // several right rows on the same (key, ts): greatest payload struct wins
+    val tied = right.union(Seq((1L, 10L, "R10z"), (1L, 10L, "R10a")).toDF("k", "ts", "rname"))
+    val tiedOut = AsOf.asofJoin(left, tied, Seq("k"), "ts", "ts")
+      .select("lname", "r_rname").as[(String, Option[String])].collect().toMap
+    assert(tiedOut("L10") == Some("R10z"))
+    // right columns sharing a left name come out prefixed, left preserved
+    val cols = AsOf.asofJoin(left, right, Seq("k"), "ts", "ts").columns.toSeq
+    assert(cols == Seq("k", "ts", "lname", "r_ts", "r_rname"))
+  }
+
+  test("rangeJoin: half-open boundaries, overlapping intervals, inverted dropped; equals brute join") {
+    val points = Seq((1L, 0.0), (2L, 2.0), (3L, 9.999), (4L, 50.0), (5L, -1.0), (6L, 7.0))
+      .toDF("id", "v")
+    val bands = Seq(("a", 0.0, 2.0), ("b", 2.0, 10.0), ("c", 5.0, 25.0),
+      ("z_inverted", 8.0, 3.0)).toDF("band", "lo", "hi")
+    val out = graft.ops.RangeJoin.rangeJoin(points, "v", bands, "lo", "hi", binWidth = 4.0)
+      .select("id", "band").as[(Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, "a"),             // lo inclusive
+      (2L, "b"),             // hi exclusive for a, lo inclusive for b
+      (3L, "b"), (3L, "c"),  // overlap -> both bands, exactly once each
+      (6L, "b"), (6L, "c"))) // 4 (out of range above), 5 (below) drop
+    // equivalence against the brute-force inequality join on wider data,
+    // across bin widths that do / don't align with interval edges
+    val manyP = spark.range(0, 400).select(F.col("id"),
+      ((F.col("id") * 37 % 1000) / 10.0).as("v"))
+    val manyI = spark.range(0, 40).select(
+      F.concat(F.lit("b"), F.col("id")).as("band"),
+      (F.col("id") * 2.5).as("lo"), (F.col("id") * 2.5 + F.col("id") % 7).as("hi"))
+    val brute = manyP.crossJoin(manyI)
+      .filter(F.col("v") >= F.col("lo") && F.col("v") < F.col("hi"))
+      .select("id", "band").as[(Long, String)].collect().toSet
+    for (w <- Seq(0.7, 2.5, 40.0)) {
+      val binned = graft.ops.RangeJoin.rangeJoin(manyP, "v", manyI, "lo", "hi", w)
+        .select("id", "band").as[(Long, String)].collect().toSet
+      assert(binned == brute, s"binWidth $w diverged from the brute-force join")
+    }
+  }
+
+  test("unigramLogProb: hand-computed corpus model") {
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1, total 5
+    val out = TextOps.unigramLogProb(corpus, "doc_id", "text")
+      .select("doc_id", "avg_logp", "n_tokens")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out(1L) == (r6(math.log(0.4)), 3L))                      // a a b
+    assert(out(2L) == (r6((math.log(0.4) + math.log(0.2)) / 2), 2L)) // b c
   }
 }

@@ -176,6 +176,44 @@ class PlanQualitySpec extends AnyFunSuite {
       s"doc-frequency must partial-aggregate map-side:\n$p")
   }
 
+  test("asofJoin: one shuffle+sort per side, no candidate-pair join") {
+    import spark.implicits._
+    val left = spark.range(0, 1000).select(
+      (F.col("id") % 7).as("k"), F.col("id").as("ts"), (F.col("id") * 2).as("x"))
+    val right = spark.range(0, 500).select(
+      (F.col("id") % 7).as("k"), (F.col("id") * 3).as("ts"), F.col("id").as("y"))
+    val p = plan(graft.ops.AsOf.asofJoin(left, right, Seq("k"), "ts", "ts"))
+    // the naive lowering is a nested-loop over every (left x earlier-right)
+    // pair; the union+window plan must not contain ANY join
+    assert(!p.contains("Join"), s"asofJoin must not plan a join:\n$p")
+    assert(p.contains("Window"), s"expected the window carry pass:\n$p")
+    // one exchange per union branch on the key — nothing else moves
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"at most one shuffle per side; got $shuffles in:\n$p")
+  }
+
+  test("rangeJoin plans an equi-join on the bin, never a nested loop") {
+    import spark.implicits._
+    val points = spark.range(0, 1000).select(
+      F.col("id"), ((F.col("id") * 37 % 1000) / 10.0).as("v"))
+    val bands = Seq(("a", 0.0, 2.0), ("b", 2.0, 10.0), ("c", 5.0, 25.0))
+      .toDF("band", "lo", "hi")
+    val p = plan(graft.ops.RangeJoin.rangeJoin(points, "v", bands, "lo", "hi", 10.0))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the bin equi-join must replace the nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a hash-keyed join in:\n$p")
+  }
+
+  test("unigramLogProb: vocab joins on term (no corpus broadcast); total is a 1-row broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.TextOps.unigramLogProb(docs, "doc_id", "text"))
+    assert(p.contains("partial_count"),
+      s"vocab counts must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$p")
+  }
+
   test("curate's full pipeline pays exactly two shuffles (dedup key + cap key)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val df = graft.ops.Curation.curate(docs, "doc_id", "text", "source",
