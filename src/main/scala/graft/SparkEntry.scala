@@ -35,6 +35,15 @@ object SparkEntry {
     ("micro", 0.0, 2.0), ("small", 2.0, 10.0), ("mid", 10.0, 50.0),
     ("large", 50.0, 1000.0), ("retail_window", 5.0, 25.0))
 
+  /** Fixed 64-bucket weight table for the x49 classifier entry — seeded
+    * java.util.Random (algorithm pinned by its Javadoc, stable across JVMs),
+    * rounded to 6 dp so the literals are short and parse to identical
+    * doubles in both engines (the x45 literal-replay pattern). */
+  private val ClassifierW: Seq[Double] = {
+    val r = new scala.util.Random(1234L)
+    Seq.fill(64)(math.rint((r.nextDouble() * 2 - 1) * 1e6) / 1e6)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The invoice_totals.prql pattern (reference examples/queries/
     * invoice_totals.prql:1-21) transposed onto orders/lineitem. */
@@ -642,6 +651,55 @@ object SparkEntry {
       RangeJoin.rangeJoin(ev, "value", bands, "lo", "hi", binWidth = 10.0)
         .select(F.col("event_id"), F.col("band"), F.col("value"))
         .orderBy("event_id", "band")
+    }),
+
+    // fastText-style linear quality classifier at the fixed 64-bucket
+    // seeded weight table (x45's literal-table pattern)
+    "x49_classifier" -> ((s, dir) =>
+      TextOps.classifierScore(s.read.parquet(s"$dir/documents.parquet"),
+          "text", ClassifierW, bias = -0.1)
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")),
+
+    // incremental dedup: a constructed ingest batch (x22 fixed-input
+    // pattern) against the full documents corpus — multiples of 10 are
+    // verbatim corpus dups (dropped), odd multiples of 5 get novel text
+    // (kept); the mod-15 slice re-adds rows at higher ids, so odd
+    // multiples of 15 are within-batch dups (lower id survives)
+    "x50_dedup_delta" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def batchSlice(idOffset: Long, mod: Int) =
+        docs.filter(F.col("doc_id") % mod === 0)
+          .select((F.col("doc_id") + idOffset).as("doc_id"),
+            F.when(F.col("doc_id") % 10 === 0, F.col("text"))
+              .otherwise(F.concat(F.col("text"), F.lit(" <novel>"))).as("text"))
+      val delta = batchSlice(1000000L, 5).unionAll(batchSlice(2000000L, 15))
+      Dedup.dedupDelta(docs, delta, "doc_id", "text")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+
+    // bigram PMI collocations over the corpus (counts gate + order; the
+    // float score never decides rows)
+    "x51_pmi" -> ((s, dir) =>
+      TextOps.pmiCollocations(s.read.parquet(s"$dir/documents.parquet"),
+          "text", minCount = 10)
+        .orderBy("w1", "w2")),
+
+    // Unicode-script detection; testdata is Latin-only, so the entry seeds
+    // deterministic non-Latin suffixes by doc_id band (x22 fixed-input
+    // pattern) to exercise every range + the priority tie-break
+    "x52_scripts" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val seeded = docs.withColumn("text", F.concat(F.col("text"),
+        F.when(F.col("doc_id") % 4 === 1, F.lit(" Привет мир"))
+          .when(F.col("doc_id") % 4 === 2, F.lit(" 中文文本"))
+          .when(F.col("doc_id") % 4 === 3, F.lit(" مرحبا"))
+          .otherwise(F.lit(""))))
+      TextOps.withScripts(seeded, "text")
+        .select("doc_id", "n_latin", "n_cyrillic", "n_greek", "n_arabic",
+          "n_hebrew", "n_cjk", "n_hangul", "n_devanagari", "script")
+        .orderBy("doc_id")
     }),
 
     // corpus-boilerplate line removal. Testdata docs are single-line, so
@@ -1353,6 +1411,115 @@ object SparkEntry {
          |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
          |ORDER BY e.event_id, b.band""".stripMargin
     },
+
+    // mirrors TextOps.classifierScore from the same ClassifierW literals:
+    // md5-28-bit bucket, mean bucket weight, sigmoid, round 6
+    "x49_classifier" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS quality_score
+         |FROM t, w ORDER BY doc_id""".stripMargin
+    },
+
+    // mirrors Dedup.dedupDelta over the same constructed batch: NOT IN the
+    // corpus fingerprint set, then lowest-id-per-fingerprint within batch
+    "x50_dedup_delta" ->
+      """WITH delta AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text
+        |         ELSE text || ' <novel>' END AS text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    CASE WHEN doc_id % 10 = 0 THEN text
+        |         ELSE text || ' <novel>' END
+        |  FROM documents WHERE doc_id % 15 = 0
+        |), dfp AS (
+        |  SELECT doc_id, text,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM delta
+        |), cfp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |), fresh AS (
+        |  SELECT doc_id, fp FROM dfp WHERE fp NOT IN (SELECT fp FROM cfp)
+        |), ranked AS (
+        |  SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM fresh
+        |)
+        |SELECT doc_id, fp FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextOps.pmiCollocations: bigram/unigram counts + corpus
+    // totals; pmi is a rounded value, counts decide rows and order
+    "x51_pmi" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), g AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+        |bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM g),
+        |nab AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT unnest(toks) AS term FROM t),
+        |nterm AS (SELECT term, count(*) AS n FROM uni GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM uni) AS n_tok,
+        |               (SELECT count(*) FROM bg) AS n_bi)
+        |SELECT w1, w2, n_ab, a.n AS n_a, b.n AS n_b,
+        |  round(ln((n_ab::DOUBLE / n_bi) /
+        |    ((a.n::DOUBLE / n_tok) * (b.n::DOUBLE / n_tok))), 6) AS pmi
+        |FROM nab JOIN nterm a ON nab.w1 = a.term
+        |         JOIN nterm b ON nab.w2 = b.term, tot
+        |WHERE n_ab >= 10 ORDER BY w1, w2""".stripMargin,
+
+    // mirrors TextOps.withScripts over the same seeded suffixes; the CASE
+    // chain is the argmax-with-priority equivalence argued at x09
+    "x52_scripts" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, text || CASE doc_id % 4
+        |    WHEN 1 THEN ' Привет мир' WHEN 2 THEN ' 中文文本'
+        |    WHEN 3 THEN ' مرحبا' ELSE '' END AS text
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS n_latin,
+        |    len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS n_cyrillic,
+        |    len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS n_greek,
+        |    len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS n_arabic,
+        |    len(regexp_extract_all(text, '[\x{0590}-\x{05FF}]')) AS n_hebrew,
+        |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS n_cjk,
+        |    len(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}]')) AS n_hangul,
+        |    len(regexp_extract_all(text, '[\x{0900}-\x{097F}]')) AS n_devanagari
+        |  FROM seeded
+        |)
+        |SELECT *,
+        |  CASE
+        |    WHEN n_latin > 0 AND n_latin >= greatest(n_cyrillic, n_greek,
+        |      n_arabic, n_hebrew, n_cjk, n_hangul, n_devanagari) THEN 'latin'
+        |    WHEN n_cyrillic > 0 AND n_cyrillic >= greatest(n_greek, n_arabic,
+        |      n_hebrew, n_cjk, n_hangul, n_devanagari) THEN 'cyrillic'
+        |    WHEN n_greek > 0 AND n_greek >= greatest(n_arabic, n_hebrew,
+        |      n_cjk, n_hangul, n_devanagari) THEN 'greek'
+        |    WHEN n_arabic > 0 AND n_arabic >= greatest(n_hebrew, n_cjk,
+        |      n_hangul, n_devanagari) THEN 'arabic'
+        |    WHEN n_hebrew > 0 AND n_hebrew >= greatest(n_cjk, n_hangul,
+        |      n_devanagari) THEN 'hebrew'
+        |    WHEN n_cjk > 0 AND n_cjk >= greatest(n_hangul, n_devanagari)
+        |      THEN 'cjk'
+        |    WHEN n_hangul > 0 AND n_hangul >= n_devanagari THEN 'hangul'
+        |    WHEN n_devanagari > 0 THEN 'devanagari'
+        |    ELSE 'und' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // mirrors Curation.stripBoilerplateLines: per-doc DISTINCT normalized
     // lines → doc-frequency > 10 → hot set as one list → list_filter rewrite

@@ -148,6 +148,117 @@ object TextOps {
         F.count(F.lit(1)).as("n_tokens"))
   }
 
+  /** fastText-style linear quality classifier inference: tokens hash into
+    * `weights.length` buckets, the document score is
+    * `sigmoid(bias + mean(weights(bucket)))` — the shape of the CCNet /
+    * RefinedWeb "quality classifier" pass, with the trained model reduced
+    * to its essence (a weight table indexed by hashed features). Buckets
+    * use the md5-28-bit idiom (engine-neutral, the x43 precedent); a
+    * production model would swap in xxhash64 and a larger table.
+    *
+    * Scale shape: the weight table is a broadcast-sized array LITERAL baked
+    * into the plan (a real model of ~1e6 buckets would broadcast-join
+    * instead — same single-scan shape); scoring is one projection with an
+    * `aggregate` HOF, zero shuffles, fully codegen'd. Score rounded to 6
+    * (sigmoid/exp last-ulp neutrality, the x47 precedent). Empty documents
+    * score `sigmoid(bias)`. */
+  def classifierScore(df: DataFrame, textCol: String,
+                      weights: Seq[Double], bias: Double): DataFrame = {
+    require(weights.nonEmpty, "classifierScore needs a non-empty weight table")
+    val b = weights.length
+    val toks = F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+      t => F.length(t) > 0)
+    val warr = F.array(weights.map(F.lit): _*)
+    def bucket(t: Column): Column =
+      (F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long") % b).cast("int")
+    val zero = F.struct(F.lit(0.0).as("s"), F.lit(0).as("n"))
+    val acc = F.aggregate(toks, zero,
+      (a, t) => F.struct(
+        (a.getField("s") + F.element_at(warr, bucket(t) + 1)).as("s"),
+        (a.getField("n") + 1).as("n")),
+      a => F.when(a.getField("n") > 0,
+        a.getField("s") / a.getField("n")).otherwise(0.0))
+    val z = F.lit(bias) + acc
+    df.withColumn("quality_score",
+      F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6))
+  }
+
+  /** Bigram PMI collocations: word pairs that co-occur far more than their
+    * unigram frequencies predict — the collocation/phrase-mining pass of a
+    * corpus profiler (and the seed step of phrase-aware tokenizers).
+    * `pmi = ln( (n_ab / N_bigrams) / ((n_a / N_tokens) · (n_b / N_tokens)) )`,
+    * emitted for pairs with `n_ab >= minCount`. PMI is a VALUE (rounded to
+    * 6, the x37 rule) — output order and the minCount gate are decided by
+    * integer counts only, so the float never picks rows.
+    *
+    * Scale shape: bigram and unigram counts both partial-aggregate
+    * map-side; the two unigram lookups are shuffle joins on the word (a
+    * 100 TB vocabulary does not broadcast); the two grand totals ride along
+    * as 1-row broadcast cross joins, never an eager count. */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Int): DataFrame = {
+    val toks = F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+      t => F.length(t) > 0)
+    val n = F.size(F.col("__toks"))
+    val base = df.select(toks.as("__toks"))
+    val bigrams = base.select(F.explode(F.zip_with(
+        F.slice(F.col("__toks"), F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("__toks"), F.lit(2), F.greatest(n - 1, F.lit(0))),
+        (x, y) => F.struct(x.as("w1"), y.as("w2")))).as("__bg"))
+      .select(F.col("__bg.w1").as("w1"), F.col("__bg.w2").as("w2"))
+    val unigrams = base.select(F.explode(F.col("__toks")).as("term"))
+      .groupBy("term").agg(F.count(F.lit(1)).as("__n_term"))
+    val nAb = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).as("n_ab"))
+      .filter(F.col("n_ab") >= minCount)
+    val totTok = unigrams.agg(F.sum("__n_term").as("__n_tok"))
+    // ALL bigrams, not just the minCount survivors — p(ab) is corpus-wide
+    val totBigrams = bigrams.agg(F.count(F.lit(1)).as("__n_bi"))
+    nAb
+      .join(unigrams.withColumnRenamed("term", "w1")
+        .withColumnRenamed("__n_term", "n_a"), "w1")
+      .join(unigrams.withColumnRenamed("term", "w2")
+        .withColumnRenamed("__n_term", "n_b"), "w2")
+      .crossJoin(F.broadcast(totTok))
+      .crossJoin(F.broadcast(totBigrams))
+      .withColumn("pmi", F.round(F.log(
+        (F.col("n_ab").cast("double") / F.col("__n_bi")) /
+          ((F.col("n_a").cast("double") / F.col("__n_tok")) *
+           (F.col("n_b").cast("double") / F.col("__n_tok")))), 6))
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "pmi")
+  }
+
+  /** Unicode-script detection: per-script codepoint counts + the dominant
+    * script — the companion signal to [[langId]] (stopword lists only work
+    * once you know the text is Latin-script). Counts are `regexp_count`
+    * over BMP script ranges; the winner is argmax with a fixed priority
+    * tie-break (the langId array_max idiom), `und` when nothing matches.
+    * A pure projection: zero shuffle, fully codegen'd. */
+  def withScripts(df: DataFrame, textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    // (name, priority, Java-regex BMP range) — priority breaks count ties
+    val ranges = Seq(
+      ("latin", 8, "[A-Za-z\\u00C0-\\u024F]"),
+      ("cyrillic", 7, "[\\u0400-\\u04FF]"),
+      ("greek", 6, "[\\u0370-\\u03FF]"),
+      ("arabic", 5, "[\\u0600-\\u06FF]"),
+      ("hebrew", 4, "[\\u0590-\\u05FF]"),
+      ("cjk", 3, "[\\u4E00-\\u9FFF]"),
+      ("hangul", 2, "[\\uAC00-\\uD7AF]"),
+      ("devanagari", 1, "[\\u0900-\\u097F]"))
+    val counted = ranges.foldLeft(df) { case (acc, (name, _, re)) =>
+      acc.withColumn(s"n_$name", F.regexp_count(t, F.lit(re)))
+    }
+    // argmax by (count, priority) — the langId array_max idiom; the (0, 9)
+    // sentinel encodes "und unless some count > 0"
+    val candidates =
+      F.struct(F.lit(0).as("n"), F.lit(9).as("p"), F.lit("und").as("l")) +:
+        ranges.map { case (name, pri, _) =>
+          F.struct(F.col(s"n_$name").as("n"), F.lit(pri).as("p"),
+            F.lit(name).as("l"))
+        }
+    counted.withColumn("script",
+      F.array_max(F.array(candidates: _*)).getField("l"))
+  }
+
   /** Corpus length distribution: exact interpolated quantiles of document
     * character length (Spark `percentile` == SQL percentile_cont ==
     * DuckDB quantile_cont, so the oracle can verify exactly). One shuffle

@@ -755,4 +755,74 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == (r6(math.log(0.4)), 3L))                      // a a b
     assert(out(2L) == (r6((math.log(0.4) + math.log(0.2)) / 2), 2L)) // b c
   }
+
+  test("classifierScore: hand-computed hashed-BoW logistic score") {
+    // two buckets: bucket(tok) = md5-28-bit % 2; weights w0=0.5, w1=-1.0
+    def bucket(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(7), 16) % 2).toInt
+    }
+    val w = Seq(0.5, -1.0)
+    val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "  Alpha  ")).toDF("doc_id", "text")
+    val out = TextOps.classifierScore(docs, "text", w, bias = 0.25)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    def sig(z: Double) = math.round(1.0 / (1.0 + math.exp(-z)) * 1e6) / 1e6
+    val mean1 = Seq("alpha", "beta", "gamma").map(t => w(bucket(t))).sum / 3
+    assert(out(1L) == sig(0.25 + mean1))
+    assert(out(2L) == sig(0.25))                        // empty doc -> bias only
+    assert(out(3L) == sig(0.25 + w(bucket("alpha"))))   // case/ws-normalized
+  }
+
+  test("dedupDelta: corpus dups dropped, novel kept, within-batch lowest id survives") {
+    val corpus = Seq((1L, "seen text one"), (2L, "seen text two")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "seen text one"),     // exact corpus dup -> dropped
+      (11L, "SEEN   text two"),   // corpus dup after normalization -> dropped
+      (12L, "brand new text"),    // novel -> kept
+      (13L, "brand new text"),    // within-batch dup of 12 -> dropped
+      (14L, "another novel one")  // novel -> kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupDelta(corpus, delta, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(12L, 14L))
+  }
+
+  test("pmiCollocations: hand-computed counts and PMI on a fixed corpus") {
+    // tokens: "x y" x3 docs + "x z": unigrams x=4 y=3 z=1 (N_tok=8);
+    // bigrams: (x,y) x3, (x,z) x1 (N_bi=4)
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x z")).toDF("doc_id", "text")
+    val out = TextOps.pmiCollocations(docs, "text", minCount = 1)
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "pmi")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out(("x", "y"))._3 == 3 && out(("x", "y"))._4 == 4 && out(("x", "y"))._5 == 3)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out(("x", "y"))._6 == r6(math.log((3.0 / 4) / ((4.0 / 8) * (3.0 / 8)))))
+    assert(out(("x", "z"))._6 == r6(math.log((1.0 / 4) / ((4.0 / 8) * (1.0 / 8)))))
+    // minCount gates on the integer bigram count
+    val gated = TextOps.pmiCollocations(docs, "text", minCount = 2)
+      .select("w1", "w2").as[(String, String)].collect().toSet
+    assert(gated == Set(("x", "y")))
+  }
+
+  test("withScripts: per-range counts, priority tie-break, und fallback") {
+    val docs = Seq(
+      (1L, "hello world"),          // latin only
+      (2L, "Привет мир"),           // cyrillic only
+      (3L, "中文 text"),             // cjk 2 vs latin 4 -> latin
+      (4L, "中文文本 ok"),           // cjk 4 vs latin 2 -> cjk
+      (5L, "123 !!!"),              // nothing -> und
+      (6L, "ab ΨΩ")                 // latin 2 ties greek 2 -> priority: latin
+    ).toDF("doc_id", "text")
+    val out = TextOps.withScripts(docs, "text")
+      .select("doc_id", "n_latin", "n_cjk", "script")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == "latin")
+    assert(out(2L)._4 == "cyrillic")
+    assert(out(3L)._2 == 4 && out(3L)._3 == 2 && out(3L)._4 == "latin")
+    assert(out(4L)._3 == 4 && out(4L)._4 == "cjk")
+    assert(out(5L)._4 == "und")
+    assert(out(6L)._4 == "latin")
+  }
 }

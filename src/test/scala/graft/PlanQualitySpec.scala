@@ -205,6 +205,41 @@ class PlanQualitySpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), s"expected a hash-keyed join in:\n$p")
   }
 
+  test("classifierScore and withScripts are shuffle-free projections") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = Seq.tabulate(64)(i => (i % 7) * 0.1 - 0.3)
+    val p1 = plan(graft.ops.TextOps.classifierScore(docs, "text", w, bias = 0.0))
+    assert(!p1.contains("Exchange"), s"classifier scoring must not shuffle:\n$p1")
+    val p2 = plan(graft.ops.TextOps.withScripts(docs, "text"))
+    assert(!p2.contains("Exchange"), s"script detection must not shuffle:\n$p2")
+  }
+
+  test("dedupDelta: corpus probed by broadcast joins only; all shuffles are batch-sized") {
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val delta = corpus.filter(F.col("doc_id") % 7 === 0)
+      .select(F.col("doc_id") + 100000, F.col("text"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.Dedup.dedupDelta(corpus, delta, "doc_id", "text"))
+    // the petabyte side must never sort-merge/shuffle-hash against the batch
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus must meet the batch via broadcast joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$p")
+    // distinct(batch fps) + distinct(matched fps) + within-batch window —
+    // every one keyed on batch-derived rows, none carries the corpus
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 3, s"expected <=3 batch-sized shuffles, got $shuffles:\n$p")
+  }
+
+  test("pmiCollocations: counts partial-aggregate; totals ride as 1-row broadcasts") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.TextOps.pmiCollocations(docs, "text", minCount = 5))
+    assert(p.contains("partial_count") || p.contains("partial_finalmerge") ||
+      p.contains("HashAggregate"), s"counts must partial-aggregate:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the grand totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+  }
+
   test("unigramLogProb: vocab joins on term (no corpus broadcast); total is a 1-row broadcast") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.TextOps.unigramLogProb(docs, "doc_id", "text"))
