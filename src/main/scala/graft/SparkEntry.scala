@@ -702,6 +702,62 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // bloom-prefiltered incremental dedup over the SAME constructed batch
+    // as x50 — dedupDeltaBloom's contract is output-identical to
+    // dedupDelta, so the two entries share one oracle SQL; numBits is set
+    // far undersized (4096 bits for ~550 keys) so bloom false positives
+    // actually occur and the exact re-verify anti-join is exercised
+    "x53_dedup_delta_bloom" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def batchSlice(idOffset: Long, mod: Int) =
+        docs.filter(F.col("doc_id") % mod === 0)
+          .select((F.col("doc_id") + idOffset).as("doc_id"),
+            F.when(F.col("doc_id") % 10 === 0, F.col("text"))
+              .otherwise(F.concat(F.col("text"), F.lit(" <novel>"))).as("text"))
+      val delta = batchSlice(1000000L, 5).unionAll(batchSlice(2000000L, 15))
+      Dedup.dedupDeltaBloom(docs, delta, "doc_id", "text", numBits = 1L << 12)
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+
+    // aggressive normalization to canonical dedup form; testdata text is
+    // already lowercase/clean, so the entry seeds a deterministic messy
+    // suffix (case, punctuation runs, digits — the x52 fixed-input pattern)
+    "x54_normalize" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val messy = F.concat(F.col("text"), F.lit(" MiXeD--Case!! "),
+        F.upper(F.substring(F.col("text"), 1, 8)), F.lit("  ,42 "))
+      docs.select(F.col("doc_id"), TextOps.normalizeText(messy).as("norm"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style quality rule gate: per-rule booleans + keep, thresholds
+    // chosen to split the corpus on every rule at sf0.01
+    "x55_gopher_rules" -> ((s, dir) =>
+      TextOps.withGopherRules(s.read.parquet(s"$dir/documents.parquet"), "text",
+          minTokens = 20, maxTokens = 80, minMeanTokLen = 3.0,
+          maxMeanTokLen = 10.0, minStopHits = 2, maxDupBigramFrac = 0.2)
+        .select("doc_id", "n_tokens", "mean_token_len", "stop_hits",
+          "dup_bigram_fraction", "r_ntok", "r_toklen", "r_stop", "r_rep", "keep")
+        .orderBy("doc_id")),
+
+    // bag-of-words dedup: token-reversed copies (+1e6, same token set →
+    // dropped) and '<tail>'-extended mod-7 copies (+2e6, new token →
+    // kept) union onto the corpus; exactBy(bowFingerprint) keeps the
+    // lowest id per distinct token SET
+    "x56_bow_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val reversed = docs.select((F.col("doc_id") + 1000000L).as("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), "\\s+")), " ").as("text"))
+      val extended = docs.filter(F.col("doc_id") % 7 === 0)
+        .select((F.col("doc_id") + 2000000L).as("doc_id"),
+          F.concat(F.col("text"), F.lit(" <tail>")).as("text"))
+      Dedup.exactBy(docs.select("doc_id", "text").unionAll(reversed).unionAll(extended),
+          "doc_id", TextOps.bowFingerprint(F.col("text")))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+
     // corpus-boilerplate line removal. Testdata docs are single-line, so
     // the entry seeds deterministic chrome (the x22 fixed-input pattern):
     // a footer on every doc_id%3==0 doc (hot at ANY sf: df = N/3 > 10 for
@@ -1433,7 +1489,10 @@ object SparkEntry {
     },
 
     // mirrors Dedup.dedupDelta over the same constructed batch: NOT IN the
-    // corpus fingerprint set, then lowest-id-per-fingerprint within batch
+    // corpus fingerprint set, then lowest-id-per-fingerprint within batch.
+    // x53 (dedupDeltaBloom) shares this oracle verbatim: the bloom is a
+    // corpus-side prefilter re-verified exactly, so its contract is
+    // output-identity with dedupDelta.
     "x50_dedup_delta" ->
       """WITH delta AS (
         |  SELECT doc_id + 1000000 AS doc_id,
@@ -1481,6 +1540,96 @@ object SparkEntry {
         |FROM nab JOIN nterm a ON nab.w1 = a.term
         |         JOIN nterm b ON nab.w2 = b.term, tot
         |WHERE n_ab >= 10 ORDER BY w1, w2""".stripMargin,
+
+    // output-identical to x50 by dedupDeltaBloom's contract (see x50 note)
+    "x53_dedup_delta_bloom" ->
+      """WITH delta AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text
+        |         ELSE text || ' <novel>' END AS text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    CASE WHEN doc_id % 10 = 0 THEN text
+        |         ELSE text || ' <novel>' END
+        |  FROM documents WHERE doc_id % 15 = 0
+        |), dfp AS (
+        |  SELECT doc_id, text,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM delta
+        |), cfp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |), fresh AS (
+        |  SELECT doc_id, fp FROM dfp WHERE fp NOT IN (SELECT fp FROM cfp)
+        |), ranked AS (
+        |  SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM fresh
+        |)
+        |SELECT doc_id, fp FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextOps.normalizeText over the same messy suffix — \p{L}\p{N}
+    // are the same Unicode categories in Java regex and RE2
+    "x54_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    lower(text || ' MiXeD--Case!! ' || upper(substring(text, 1, 8)) || '  ,42 '),
+        |    '[^\p{L}\p{N}]+', ' ', 'g')) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextOps.withGopherRules at the x55 thresholds: metrics are
+    // the x08 (withQuality) / x24 (withRepetition) formulas, thresholds
+    // compare integer-derived doubles so both engines agree exactly
+    "x55_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS nch,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(toks)::INT AS n_tokens,
+        |    (nch - len(toks) + 1)::DOUBLE / greatest(len(toks), 1) AS mean_token_len,
+        |    len(list_filter(toks,
+        |      x -> x IN ('the','a','and','of','to','in','is')))::INT AS stop_hits,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1)
+        |    ELSE 0.0 END AS dup_bigram_fraction
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, mean_token_len, stop_hits, dup_bigram_fraction,
+        |  n_tokens BETWEEN 20 AND 80 AS r_ntok,
+        |  mean_token_len BETWEEN 3.0 AND 10.0 AS r_toklen,
+        |  stop_hits >= 2 AS r_stop,
+        |  dup_bigram_fraction <= 0.2 AS r_rep,
+        |  (n_tokens BETWEEN 20 AND 80) AND (mean_token_len BETWEEN 3.0 AND 10.0)
+        |    AND stop_hits >= 2 AND dup_bigram_fraction <= 0.2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // mirrors exactBy(bowFingerprint) over the same constructed union:
+    // sorted-distinct-token md5, lowest id per key
+    "x56_bow_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' <tail>'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), fp AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0))), ' ')) AS fp
+        |  FROM all_docs
+        |), ranked AS (
+        |  SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM fp
+        |)
+        |SELECT doc_id, fp FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // mirrors TextOps.withScripts over the same seeded suffixes; the CASE
     // chain is the argmax-with-priority equivalence argued at x09

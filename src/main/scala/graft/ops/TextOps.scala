@@ -277,6 +277,28 @@ object TextOps {
   def fingerprint(text: Column): Column =
     F.md5(F.regexp_replace(F.lower(text), "\\s+", " "))
 
+  /** Aggressive text normalization — the canonical form documents are
+    * reduced to BEFORE fingerprint/shingle dedup, so that case, punctuation
+    * and whitespace variants of the same content collide: case-fold, map
+    * every non-alphanumeric run (Unicode letter/digit classes, so accented
+    * text survives) to a single space, trim. Regex-only and deterministic
+    * (`\p{L}\p{N}` mean the same Unicode categories in Java regex and RE2),
+    * so the oracle replays it exactly; a pure codegen'd projection. */
+  def normalizeText(text: Column): Column =
+    F.trim(F.regexp_replace(F.lower(text), "[^\\p{L}\\p{N}]+", " "))
+
+  /** Bag-of-words fingerprint: md5 over the SORTED DISTINCT token set —
+    * invariant to token order and multiplicity, so it catches the
+    * shuffled/re-ordered near-duplicates (scraper re-renders, list
+    * re-orderings) that [[fingerprint]] misses while staying an exact,
+    * oracle-replayable key (no sketch, no threshold). Use with
+    * [[Dedup.exactBy]] for bag-of-words dedup: one projection + the
+    * standard fingerprint-key shuffle. */
+  def bowFingerprint(text: Column): Column =
+    F.md5(F.array_join(F.array_sort(F.array_distinct(
+      F.filter(F.split(F.lower(F.trim(text)), "\\s+"),
+        t => F.length(t) > 0))), " "))
+
   /** Overlapping character-window chunking: one row per chunk of
     * `chunkChars`, stepping `chunkChars − overlapChars` — how long documents
     * are windowed for embedding/indexing. Output adds (`chunk_idx`,
@@ -312,6 +334,47 @@ object TextOps {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val url = F.regexp_replace(email, "https?://[^\\s]+", "<URL>")
     F.regexp_replace(url, "\\d{7,}", "<NUM>")
+  }
+
+  /** Gopher/MassiveText-style quality rule gate: the published rule-set
+    * shape — token-count bounds, mean-token-length bounds, a minimum
+    * stopword-hit count (kills keyword soup and non-prose), and a ceiling
+    * on the duplicate-bigram fraction (kills crawler loops) — each emitted
+    * as its own boolean (`r_ntok`, `r_toklen`, `r_stop`, `r_rep`) plus the
+    * conjunction `keep`, so a pipeline can report per-rule kill rates, not
+    * just the survivor set. Metrics reuse the exact [[withQuality]] /
+    * [[withRepetition]] formulas (integer-derived doubles, so threshold
+    * comparisons are engine-neutral). A pure projection: zero shuffle,
+    * fully codegen'd.
+    */
+  def withGopherRules(df: DataFrame, textCol: String,
+                      minTokens: Int = 50, maxTokens: Int = 100000,
+                      minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 10.0,
+                      minStopHits: Int = 2,
+                      maxDupBigramFrac: Double = 0.3): DataFrame = {
+    val t = F.col(textCol)
+    val toks = F.split(F.lower(F.trim(t)), "\\s+")
+    val nTok = F.size(toks)
+    val meanLen = (F.length(t) - nTok + 1).cast("double") / F.greatest(nTok, F.lit(1))
+    val stopHits = F.size(F.filter(toks, tk => tk.isin(stopwordsEn.map(x => x: Any): _*)))
+    val bigrams = F.zip_with(
+      F.slice(toks, F.lit(1), F.greatest(nTok - 1, F.lit(0))),
+      F.slice(toks, F.lit(2), F.greatest(nTok - 1, F.lit(0))),
+      (x, y) => F.concat_ws(" ", x, y))
+    val dupBigram = F.when(nTok >= 2,
+      F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / (nTok - 1))
+      .otherwise(0.0)
+    df.withColumn("n_tokens", nTok)
+      .withColumn("mean_token_len", meanLen)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("dup_bigram_fraction", dupBigram)
+      .withColumn("r_ntok", F.col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("r_toklen",
+        F.col("mean_token_len").between(minMeanTokLen, maxMeanTokLen))
+      .withColumn("r_stop", F.col("stop_hits") >= minStopHits)
+      .withColumn("r_rep", F.col("dup_bigram_fraction") <= maxDupBigramFrac)
+      .withColumn("keep",
+        F.col("r_ntok") && F.col("r_toklen") && F.col("r_stop") && F.col("r_rep"))
   }
 
   /** Within-document repetition metrics — the Gopher/C4-style quality

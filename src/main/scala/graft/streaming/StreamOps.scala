@@ -59,6 +59,30 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming incremental dedup against a FROZEN corpus (batch analogue:
+    * graft.ops.Dedup.dedupDelta): arriving documents are dropped when their
+    * fingerprint already exists in the static corpus, then deduped within
+    * the stream by [[dedupStream]]'s watermark-bounded state.
+    *
+    * Scale shape: the corpus side is a stream-static LEFT ANTI join on the
+    * 16-byte fingerprint — Spark keeps NO state for the static side (each
+    * micro-batch probes it like a batch join, broadcast when the corpus fp
+    * relation is small, shuffled-probe otherwise); streaming state is only
+    * the within-horizon fingerprint set. Input needs (`tsCol`: Timestamp,
+    * `textCol`: String). */
+  def dedupDeltaStream(corpus: DataFrame, docs: DataFrame, textCol: String,
+                       tsCol: String = "ts",
+                       watermarkDelay: String = "1 hour"): DataFrame = {
+    val fp = F.md5(F.regexp_replace(F.lower(F.col(textCol)), "\\s+", " "))
+    val corpusFps = corpus.select(fp.as("__fp")).distinct()
+    docs
+      .withColumn("__fp", fp)
+      .join(corpusFps, Seq("__fp"), "left_anti")
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, n_events: Long, total_value: Double,

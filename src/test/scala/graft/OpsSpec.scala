@@ -825,4 +825,80 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L)._4 == "und")
     assert(out(6L)._4 == "latin")
   }
+
+  test("dedupDeltaBloom equals dedupDelta on every case, even undersized blooms") {
+    val corpus = Seq((1L, "seen text one"), (2L, "seen text two")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "seen text one"),     // exact corpus dup -> dropped
+      (11L, "SEEN   text two"),   // corpus dup after normalization -> dropped
+      (12L, "brand new text"),    // novel -> kept
+      (13L, "brand new text"),    // within-batch dup of 12 -> dropped
+      (14L, "another novel one")  // novel -> kept
+    ).toDF("doc_id", "text")
+    // a 64-bit bloom over 4 distinct keys is mostly false positives — the
+    // exact re-verify must still produce the dedupDelta answer
+    for (bits <- Seq(64L, 1L << 20)) {
+      val kept = Dedup.dedupDeltaBloom(corpus, delta, "doc_id", "text", numBits = bits)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(12L, 14L), s"numBits=$bits")
+    }
+    // empty delta: no bloom row at all; must return empty, not throw
+    assert(Dedup.dedupDeltaBloom(corpus, delta.limit(0), "doc_id", "text").count() == 0)
+  }
+
+  test("normalizeText: case, punctuation runs, unicode letters, trim") {
+    val out = Seq(
+      (1L, "  Héllo,   WORLD!!  42—x  "),
+      (2L, "already clean text"),
+      (3L, "---")                       // nothing survives -> empty
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.normalizeText($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "héllo world 42 x")
+    assert(out(2L) == "already clean text")
+    assert(out(3L) == "")
+  }
+
+  test("bowFingerprint is order- and multiplicity-insensitive; exactBy dedups on it") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma  BETA alpha"),        // same token set -> same fp
+      (3L, "alpha beta beta gamma"),    // multiplicity ignored -> same fp
+      (4L, "alpha beta delta")          // different set -> different fp
+    ).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextOps.bowFingerprint($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L) && fps(1L) == fps(3L))
+    assert(fps(1L) != fps(4L))
+    val kept = Dedup.exactBy(df, "doc_id", TextOps.bowFingerprint($"text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+  }
+
+  test("withGopherRules: each rule kills its own violation; clean doc passes") {
+    val docs = Seq(
+      (1L, "the cat and the dog ran to the big park"),       // 10 toks, clean
+      (2L, "short text"),                                    // too few tokens
+      (3L, "aa bb cc dd ee ff gg hh ii jj"),                 // mean len 2 + no stopwords
+      (4L, "the big dog the big dog the big dog the"),       // repeated bigrams
+      // 7 tokens, 84 letter chars -> mean token len (90-7+1)/7 = 12.0 > 10
+      (5L, "extraordinarily incomprehensible multidimensional " +
+           "characteristically uncontrollably the of")
+    ).toDF("doc_id", "text")
+    val out = TextOps.withGopherRules(docs, "text",
+        minTokens = 5, maxTokens = 50, minMeanTokLen = 3.0, maxMeanTokLen = 10.0,
+        minStopHits = 2, maxDupBigramFrac = 0.5)
+      .select("doc_id", "r_ntok", "r_toklen", "r_stop", "r_rep", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, true, true, true, true, true)))
+    assert(!out(2L)._2 && !out(2L)._6)                       // n_tokens rule
+    assert(!out(3L)._3 && !out(3L)._4 && !out(3L)._6)        // mean-len + stopword
+    assert(!out(4L)._5 && !out(4L)._6)                       // repetition rule
+    assert(!out(5L)._3 && !out(5L)._6)                       // mean len too high
+    // hand-check doc 4's dup-bigram fraction: 9 bigrams, 3 distinct -> 2/3
+    val frac = TextOps.withGopherRules(docs, "text").filter($"doc_id" === 4)
+      .select("dup_bigram_fraction").as[Double].head()
+    assert(math.abs(frac - 2.0 / 3.0) < 1e-12)
+  }
 }

@@ -249,6 +249,43 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the 1-row total must broadcast:\n$p")
   }
 
+  test("dedupDeltaBloom: corpus probed map-side by might_contain, then broadcast-only joins") {
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val delta = corpus.filter(F.col("doc_id") % 7 === 0)
+      .select(F.col("doc_id") + 100000, F.col("text"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.Dedup.dedupDeltaBloom(corpus, delta, "doc_id", "text"))
+    // the sketch probe must be a plain filter on the scan, not a join
+    assert(p.contains("might_contain"), s"expected the bloom probe filter:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus must meet the batch via broadcast joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast anti-join:\n$p")
+    // candidate distinct + within-batch window: both keyed on bloom
+    // survivors / batch rows — the corpus never shuffles its documents
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected <=2 batch-sized shuffles, got $shuffles:\n$p")
+  }
+
+  test("normalizeText, bowFingerprint, and withGopherRules are shuffle-free projections") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p1 = plan(docs.select(graft.ops.TextOps.normalizeText(F.col("text"))))
+    assert(!p1.contains("Exchange"), s"normalization must not shuffle:\n$p1")
+    val p2 = plan(docs.select(graft.ops.TextOps.bowFingerprint(F.col("text"))))
+    assert(!p2.contains("Exchange"), s"bow fingerprint must not shuffle:\n$p2")
+    val p3 = plan(graft.ops.TextOps.withGopherRules(docs, "text"))
+    assert(!p3.contains("Exchange"), s"rule gate must not shuffle:\n$p3")
+  }
+
+  test("bag-of-words dedup pays exactly the one fingerprint-key shuffle, WindowGroupLimit'd") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.Dedup.exactBy(docs, "doc_id",
+      graft.ops.TextOps.bowFingerprint(F.col("text")))
+    val p = plan(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-1 must partial-limit map-side:\n$p")
+  }
+
   test("curate's full pipeline pays exactly two shuffles (dedup key + cap key)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val df = graft.ops.Curation.curate(docs, "doc_id", "text", "source",

@@ -61,6 +61,31 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming delta dedup drops corpus dups AND within-stream dups") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq((1L, "seen text one"), (2L, "seen text two")).toDF("doc_id", "text")
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.dedupDeltaStream(corpus, in.toDF().toDF("ts", "text"), "text",
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("deltadedup").outputMode("append").start()
+    try {
+      in.addData(
+        (ts(0), "seen text one"),    // exact corpus dup -> dropped
+        (ts(1), "SEEN   text two"),  // corpus dup after normalization -> dropped
+        (ts(2), "brand new text"))   // novel -> kept
+      q.processAllAvailable()
+      in.addData(
+        (ts(3), "brand new text"),   // within-stream dup across batches -> dropped
+        (ts(4), "another novel"))    // novel -> kept
+      q.processAllAvailable()
+      val texts = spark.table("deltadedup").select("text")
+        .as[String].collect().toSeq.sorted
+      assert(texts == Seq("another novel", "brand new text"),
+        s"corpus + stream dups must be dropped, got $texts")
+    } finally q.stop()
+  }
+
   test("late event older than the watermark is DROPPED from the rollup (not re-emitted)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
