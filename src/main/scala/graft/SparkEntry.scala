@@ -758,6 +758,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental near-dup: near-dup variants of a corpus slice arrive as
+    // an ingest batch; every variant must pair with its corpus original.
+    // Rows-only (est_jaccard rides the xxhash64 signature family DuckDB
+    // can't replay) — the banding/threshold math is pinned by x43's oracle
+    // and by the OpsSpec cross-pair equality with minhashPairs
+    "x57_minhash_delta" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val delta = docs.filter(F.col("doc_id") % 10 === 0)
+        .select((F.col("doc_id") + 1000000L).as("doc_id"),
+          F.concat(F.col("text"), F.lit(" almost identical tail")).as("text"))
+      Dedup.minhashPairsDelta(docs, delta, "doc_id", "text")
+        .select("a", "b", "est_jaccard")
+        .orderBy("a", "b")
+    }),
+
     // corpus-boilerplate line removal. Testdata docs are single-line, so
     // the entry seeds deterministic chrome (the x22 fixed-input pattern):
     // a footer on every doc_id%3==0 doc (hot at ANY sf: df = N/3 > 10 for

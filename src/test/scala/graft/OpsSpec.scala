@@ -846,6 +846,37 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.dedupDeltaBloom(corpus, delta.limit(0), "doc_id", "text").count() == 0)
   }
 
+  test("minhashPairsDelta equals the cross pairs of minhashPairs on the union") {
+    val sf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = sf.filter($"doc_id" % 3 =!= 0).select("doc_id", "text")
+    val delta = sf.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        F.concat($"text", F.lit(" tail")).as("text"))
+    // maxBucket high enough that no bucket is dropped on either path, so
+    // the delta generator must reproduce the self-join's cross pairs EXACTLY
+    val expected = Dedup.minhashPairs(corpus.unionAll(delta), "doc_id", "text",
+        maxBucket = 1000000)
+      .filter($"a" < 1000000L && $"b" >= 1000000L)
+      .select("a", "b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Dedup.minhashPairsDelta(corpus, delta, "doc_id", "text",
+        maxBucket = 1000000)
+      .select("a", "b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "test needs at least one true near-dup pair")
+    assert(got == expected)
+  }
+
+  test("minhashPairsDelta skew guard drops boilerplate buckets hot on the corpus side") {
+    val boiler = "the same boilerplate footer text repeated across the whole corpus"
+    val corpus = (1L to 30L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val delta = Seq((100L, boiler)).toDF("doc_id", "text")
+    assert(Dedup.minhashPairsDelta(corpus, delta, "doc_id", "text",
+      maxBucket = 10).count() == 0)
+    assert(Dedup.minhashPairsDelta(corpus, delta, "doc_id", "text",
+      maxBucket = 1000).count() == 30)
+  }
+
   test("normalizeText: case, punctuation runs, unicode letters, trim") {
     val out = Seq(
       (1L, "  Héllo,   WORLD!!  42—x  "),

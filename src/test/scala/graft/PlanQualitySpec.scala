@@ -266,6 +266,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(shuffles <= 2, s"expected <=2 batch-sized shuffles, got $shuffles:\n$p")
   }
 
+  test("minhashPairsDelta: corpus meets the batch via broadcast joins only") {
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val delta = corpus.filter(F.col("doc_id") % 11 === 0)
+      .select(F.col("doc_id") + 100000, F.col("text"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.Dedup.minhashPairsDelta(corpus, delta, "doc_id", "text"))
+    // the corpus's banded rows must never sort-merge/shuffle-hash against
+    // the batch: bucket semi-join, skew anti-join, and candidate join all
+    // probe broadcast batch-derived relations
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus must meet the batch via broadcast joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probes:\n$p")
+  }
+
   test("normalizeText, bowFingerprint, and withGopherRules are shuffle-free projections") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p1 = plan(docs.select(graft.ops.TextOps.normalizeText(F.col("text"))))
