@@ -44,6 +44,15 @@ object SparkEntry {
     Seq.fill(64)(math.rint((r.nextDouble() * 2 - 1) * 1e6) / 1e6)
   }
 
+  /** Fixed 4-centroid coarse quantizer for the x58 SemDeDup entry — seeded,
+    * rounded to 6 dp (the x49 literal-table pattern), scaled to ±0.1 to sit
+    * inside the testdata embedding range (±0.37) so the Voronoi cells split
+    * the corpus roughly evenly (measured 128/148/174/150 of 600). */
+  private val SemCentroids: Array[Array[Double]] = {
+    val r = new scala.util.Random(99L)
+    Array.fill(4, 64)(math.rint((r.nextDouble() * 0.2 - 0.1) * 1e6) / 1e6)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The invoice_totals.prql pattern (reference examples/queries/
     * invoice_totals.prql:1-21) transposed onto orders/lineitem. */
@@ -772,6 +781,29 @@ object SparkEntry {
         .select("a", "b", "est_jaccard")
         .orderBy("a", "b")
     }),
+
+    // SemDeDup at the fixed 4-centroid seeded table (x49's literal-table
+    // pattern): mod-5 exact copies (+1e6 ids) guarantee flagged dups — an
+    // identical vector lands in the identical cell with cosine computed by
+    // the same IEEE ops in both engines; natural ≥0.4 pairs (max pairwise
+    // cos in testdata is 0.513) contribute when co-celled
+    "x58_semdedup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+      val base = emb.unionAll(emb.filter(F.col("vec_id") % 5 === 0)
+        .select((F.col("vec_id") + 1000000L).as("vec_id"), F.col("embedding")))
+      Similarity.semDedup(base, "vec_id", "embedding", threshold = 0.4, SemCentroids)
+        .orderBy("vec_id")
+    }),
+
+    // duplicated-span coverage per doc (Lee et al. substring-dedup signal
+    // at 5-gram granularity); the corpus's seeded exact/near dups give 71
+    // docs a non-zero dup fraction at sf0.01 — no constructed input needed
+    "x59_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", n = 5, minDf = 2)
+        .orderBy("doc_id")),
 
     // corpus-boilerplate line removal. Testdata docs are single-line, so
     // the entry seeds deterministic chrome (the x22 fixed-input pattern):
@@ -1645,6 +1677,76 @@ object SparkEntry {
         |  FROM fp
         |)
         |SELECT doc_id, fp FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // mirrors Similarity.semDedup from the same SemCentroids literals over
+    // the same constructed union: nearest-centroid assignment (sequential
+    // squared-diff sum, ties by cell — DuckDB lambdas can't capture
+    // correlated columns, so the argmin is a cross-join + row_number rather
+    // than an ordered subquery) and the keep-lowest-id cosine flag (the
+    // x06 cosine formula — identical IEEE op order to the native CosineSim)
+    "x58_semdedup" -> {
+      val vals = SemCentroids.zipWithIndex.map { case (c, i) =>
+        c.mkString(s"($i, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 5 = 0
+         |), cent(cell, c) AS (VALUES $vals),
+         |a AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT b.vec_id, b.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (b.embedding[i]::DOUBLE - c.c[i])
+         |             * (b.embedding[i]::DOUBLE - c.c[i]))),
+         |        c.cell) AS rk
+         |    FROM base b CROSS JOIN cent c)
+         |  WHERE rk = 1
+         |), dup AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM a x JOIN a y ON y.cell = x.cell AND y.vec_id < x.vec_id
+         |  WHERE list_sum(list_transform(range(1, 65),
+         |          i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+         |     / (sqrt(list_sum(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE)))
+         |      * sqrt(list_sum(list_transform(y.embedding, v -> v::DOUBLE * v::DOUBLE))))
+         |     >= 0.4
+         |)
+         |SELECT a.vec_id, a.cell, d.vec_id IS NOT NULL AS is_dup
+         |FROM a LEFT JOIN dup d USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin
+    },
+
+    // mirrors Dedup.dupSpans: md5'd 5-gram positions, ≥2-distinct-doc gram
+    // set, per-doc coverage; LEFT JOINs restore short docs as 0-gram rows
+    "x59_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> length(x) > 0) AS t
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3),
+        |             i -> md5(array_to_string(t[i:i+4], ' ')))
+        |      ELSE []::VARCHAR[] END) AS g
+        |  FROM toks
+        |), freq AS (
+        |  SELECT g, count(DISTINCT doc_id) AS nd FROM pos GROUP BY g
+        |), totals AS (
+        |  SELECT doc_id, count(*) AS n_grams FROM pos GROUP BY doc_id
+        |), flagged AS (
+        |  SELECT doc_id, count(*) AS dup_grams FROM pos
+        |  WHERE g IN (SELECT g FROM freq WHERE nd >= 2) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(t.n_grams, 0) AS n_grams,
+        |  coalesce(f.dup_grams, 0) AS dup_grams,
+        |  coalesce(f.dup_grams, 0)::DOUBLE / greatest(coalesce(t.n_grams, 0), 1)
+        |    AS dup_frac
+        |FROM documents d
+        |LEFT JOIN totals t USING (doc_id)
+        |LEFT JOIN flagged f USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // mirrors TextOps.withScripts over the same seeded suffixes; the CASE
     // chain is the argmax-with-priority equivalence argued at x09

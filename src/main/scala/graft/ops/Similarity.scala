@@ -353,4 +353,80 @@ object Similarity {
       .select(F.col(idCol), F.col(labelCol),
         cosine(F.col(vecCol), F.col("centroid")).as("cos_centroid"))
   }
+
+  /** Nearest-centroid Voronoi cell assignment: `cell` = argmin over the
+    * driver-side `centroids` of the squared euclidean distance, ties broken
+    * by lower cell id. The distance is an element-order sequential sum
+    * (zip_with squared diffs, left-fold add) so any engine replays the
+    * exact doubles; the HOF cost is |centroids|·dim per row — fine for a
+    * coarse quantizer (nlist ≪ corpus), and the centroid literals travel
+    * with the plan (no broadcast join, no shuffle). */
+  def assignCells(emb: DataFrame, vecCol: String,
+                  centroids: Array[Array[Double]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = F.array(c.map(F.lit): _*)
+      F.struct(
+        F.aggregate(F.zip_with(F.col(vecCol), cl, (x, y) => (x - y) * (x - y)),
+          F.lit(0.0d), (acc, v) => acc + v).as("d"),
+        F.lit(i).as("cell"))
+    }
+    emb.withColumn("cell",
+      F.element_at(F.array_sort(F.array(dists: _*)), 1).getField("cell"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the corpus, then within each cell
+    * flag every row that has a same-cell neighbor with cosine ≥
+    * `threshold` and a LOWER id. Output: every input row as
+    * (idCol, cell, is_dup) — filter `!is_dup` for the survivor set.
+    * (The paper keeps the member farthest from its centroid; keep-lowest-id
+    * is the engine-replayable determinization, same rule as [[graft.ops
+    * .Dedup.exact]].)
+    *
+    * Scale shape: assignment is a pure projection ([[assignCells]]); the
+    * only data-scale shuffle is the within-cell self-semi-join, whose cost
+    * is Σ|cell|² — bounded by growing nlist with the corpus (cells stay
+    * ≈ N/nlist rows) exactly like [[buildIvf]], and guarded by `maxCell`:
+    * cells over the cap are excluded from pair generation by the same
+    * census + broadcast-anti idiom as [[nearDupPairs]] (their rows come
+    * back `is_dup = false` — a capped cell keeps everything rather than
+    * flagging on a quadratic blow-up; pinned in OpsSpec). The semi-join
+    * needs no pair materialization or dedup — first match wins. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+               centroids: Array[Array[Double]], maxCell: Int = 100000): DataFrame =
+    flagSemDups(
+      assignCells(emb.select(F.col(idCol), F.col(vecCol)), vecCol, centroids),
+      idCol, vecCol, threshold, maxCell)
+
+  /** [[semDedup]] with the quantizer FIT on the data: k-means on a bounded
+    * sample (the [[buildIvf]] quantizer — cell quality needs a sample, cell
+    * assignment covers every row). Not oracle-replayable (the fit isn't
+    * SQL); the fixed-centroid overload is the verified-math path. */
+  def semDedupKmeans(emb: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, nlist: Int = 16, seed: Long = 42L,
+                     maxCell: Int = 100000): DataFrame = {
+    val idx = buildIvf(emb, idCol, vecCol, nlist, seed)
+    flagSemDups(idx.cells.withColumnRenamed("__cell", "cell")
+        .select(F.col(idCol), F.col(vecCol), F.col("cell")),
+      idCol, vecCol, threshold, maxCell)
+  }
+
+  private def flagSemDups(assigned0: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, maxCell: Int): DataFrame = {
+    // one exchange feeds the census and both self-join sides (nearDupPairs)
+    val assigned = assigned0.repartition(F.col("cell"))
+    val oversized = assigned.groupBy("cell").count()
+      .filter(F.col("count") > maxCell).select("cell")
+    val sized = assigned.join(F.broadcast(oversized), Seq("cell"), "left_anti")
+    val earlier = sized.select(F.col("cell").as("__rc"),
+      F.col(idCol).as("__rid"), F.col(vecCol).as("__rvec"))
+    val dup = sized.join(earlier,
+        F.col("cell") === F.col("__rc") && F.col("__rid") < F.col(idCol) &&
+          cosine(F.col(vecCol), F.col("__rvec")) >= threshold,
+        "left_semi")
+      .select(F.col(idCol), F.lit(true).as("__dup"))
+    assigned.join(dup, Seq(idCol), "left")
+      .select(F.col(idCol), F.col("cell"),
+        F.coalesce(F.col("__dup"), F.lit(false)).as("is_dup"))
+  }
 }

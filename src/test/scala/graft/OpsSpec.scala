@@ -932,4 +932,78 @@ class OpsSpec extends AnyFunSuite {
       .select("dup_bigram_fraction").as[Double].head()
     assert(math.abs(frac - 2.0 / 3.0) < 1e-12)
   }
+
+  test("semDedup: same-cell later near-dup flagged, cross-cell and far rows kept") {
+    val cents = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    val emb = Seq(
+      (1L, Seq(0.9, 0.1)),    // cell 0, kept (lowest id in its dup pair)
+      (2L, Seq(0.95, 0.05)),  // cell 0, cos≈0.998 with 1 -> flagged
+      (3L, Seq(-0.9, 0.0)),   // cell 1, alone -> kept
+      (4L, Seq(0.1, 0.9))     // cell 0, cos≈0.22 with 1 -> kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding",
+        threshold = 0.8, cents)
+      .as[(Long, Int, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 4)                       // every input row comes back
+    assert(out(1L) == ((1L, 0, false)))
+    assert(out(2L) == ((2L, 0, true)))          // later twin of 1
+    assert(out(3L) == ((3L, 1, false)))
+    assert(out(4L) == ((4L, 0, false)))         // co-celled but dissimilar
+  }
+
+  test("semDedup maxCell guard: an oversized cell keeps everything, never flags") {
+    val cents = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    val emb = (1L to 10L).map(i => (i, Seq(0.9, 0.01 * i))).toDF("vec_id", "embedding")
+    val capped = Similarity.semDedup(emb, "vec_id", "embedding", 0.5, cents, maxCell = 5)
+    assert(capped.count() == 10)
+    assert(capped.filter($"is_dup").count() == 0)
+    // and without the cap the same cell flags all but the first row
+    val open = Similarity.semDedup(emb, "vec_id", "embedding", 0.5, cents)
+    assert(open.filter($"is_dup").count() == 9)
+  }
+
+  test("semDedupKmeans flags an exact copy and keeps every row exactly once") {
+    val sf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      .select("vec_id", "embedding")
+    val copies = sf.filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val out = Similarity.semDedupKmeans(sf.unionAll(copies), "vec_id", "embedding",
+      threshold = 0.999, nlist = 4)
+    assert(out.count() == sf.count() + copies.count())
+    // an identical vector lands in the identical cell and cos(v,v) >= 0.999,
+    // so every +1e6 copy is flagged; its original (lower id) never is
+    assert(out.filter($"vec_id" >= 1000000L && !$"is_dup").count() == 0)
+    assert(out.filter($"vec_id" < 1000000L && $"is_dup").count() == 0)
+  }
+
+  test("dupSpans: cross-doc 5-gram coverage, short docs as zero rows") {
+    val docs = Seq(
+      (1L, "a b c d e f"),            // grams: abcde, bcdef
+      (2L, "a b c d e x"),            // grams: abcde, bcdex -> shares abcde
+      (3L, "zz yy xx ww vv"),         // one unique gram
+      (4L, "short text")              // < 5 tokens -> zero grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", n = 5, minDf = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 2L, 1L, 0.5)))
+    assert(out(3L) == ((3L, 1L, 0L, 0.0)))
+    assert(out(4L) == ((4L, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpans: within-doc repeats don't count toward the distinct-doc df") {
+    val docs = Seq(
+      // "p q r s t" occurs three times but only in this one doc
+      (1L, "p q r s t p q r s t p q r s t"),
+      (2L, "totally unrelated words in this other document here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", n = 5, minDf = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 11L && out(1L)._3 == 0L)  // 15 toks -> 11 grams, none cross-doc
+    // at minDf = 1 every gram is trivially "duplicated"
+    val all1 = Dedup.dupSpans(docs, "doc_id", "text", n = 5, minDf = 1)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(all1(1L)._4 == 1.0 && all1(2L)._4 == 1.0)
+  }
 }

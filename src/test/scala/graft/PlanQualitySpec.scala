@@ -309,4 +309,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(shuffles == 2, s"quality gate + sampling must stay filter-only; got $shuffles shuffles in:\n$p")
     assert(p.contains("WindowGroupLimit"), s"both windows must partial-limit map-side:\n$p")
   }
+
+  test("semDedup: quadratic work confined to cells, census anti-join broadcast") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      .select("vec_id", "embedding")
+    val cents = Array.tabulate(4, 64)((i, j) => math.sin(i * 64 + j))
+    val p = plan(graft.ops.Similarity.semDedup(emb, "vec_id", "embedding", 0.4, cents))
+    // the within-cell pair scan must be an equi-join on the cell key —
+    // never a nested-loop/cartesian over the corpus
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must equi-join on cell:\n$p")
+    // the oversized-cell census joins back as a BROADCAST anti-join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast census anti-join:\n$p")
+    // first-match-wins semi-join — no pair materialization + dedup pass
+    assert(p.contains("LeftSemi"), s"expected semi-join dup flagging:\n$p")
+  }
+
+  test("dupSpans: linear pipeline — equi-joins on the gram key, partial aggs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.Dedup.dupSpans(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span coverage must stay linear in gram positions:\n$p")
+    assert(p.contains("LeftSemi"), s"dup-gram set must semi-join positions:\n$p")
+    assert(p.contains("partial_count"), s"gram counts must partial-aggregate:\n$p")
+  }
 }
