@@ -805,6 +805,18 @@ object SparkEntry {
           "doc_id", "text", n = 5, minDf = 2)
         .orderBy("doc_id")),
 
+    // epoch-weight mixture resampling: src0 ×2.5 (always 2 copies, a 3rd
+    // for half the rows), src1 ×0.4 (pure downsample), src2 ×0 (dropped),
+    // everything else ×1.0 (identity) — every factor regime in one entry
+    "x60_upsample" -> ((s, dir) =>
+      graft.ops.Sampling.upsampleByGroup(
+          s.read.parquet(s"$dir/documents.parquet"),
+          F.col("source"), F.col("text"),
+          factors = Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0),
+          defaultFactor = 1.0)
+        .select("doc_id", "source", "rep")
+        .orderBy("doc_id", "rep")),
+
     // corpus-boilerplate line removal. Testdata docs are single-line, so
     // the entry seeds deterministic chrome (the x22 fixed-input pattern):
     // a footer on every doc_id%3==0 doc (hot at ANY sf: df = N/3 > 10 for
@@ -1747,6 +1759,26 @@ object SparkEntry {
         |LEFT JOIN totals t USING (doc_id)
         |LEFT JOIN flagged f USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors Sampling.upsampleByGroup: same factor CASE, same md5-prefix
+    // uniform (the x26/x49 '0x'-prefix pattern), floor + fractional-copy
+    // decision, range-unnest repetition
+    "x60_upsample" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+        |                WHEN 'src2' THEN 0.0 ELSE 1.0 END AS fac,
+        |    ('0x' || substring(md5(text), 1, 4))::BIGINT / 65536.0 AS u
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, source,
+        |    floor(fac)::BIGINT
+        |      + CASE WHEN u < fac - floor(fac) THEN 1 ELSE 0 END AS nrep
+        |  FROM f
+        |)
+        |SELECT doc_id, source, unnest(range(0, nrep)) AS rep
+        |FROM n WHERE nrep > 0
+        |ORDER BY doc_id, rep""".stripMargin,
 
     // mirrors TextOps.withScripts over the same seeded suffixes; the CASE
     // chain is the argmax-with-priority equivalence argued at x09

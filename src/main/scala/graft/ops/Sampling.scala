@@ -123,4 +123,51 @@ object Sampling {
       .filter(F.col("__rk") <= maxPerGroup)
       .drop("__rk")
   }
+
+  /** Deterministic fractional up/down-sampling — the epoch-weight mixing
+    * step of a training run ("books × 2.3 epochs, crawl × 0.4"). Each row
+    * is emitted `floor(factor)` times, plus once more when its md5-prefix
+    * uniform falls below `frac(factor)` — so factor 2.3 yields 2 copies
+    * always and a 3rd for 30% of rows; factor 0.4 keeps 40% (pure
+    * downsample, consistent with [[hashSample]]'s decision style); factor
+    * 0 drops the row. Output repeats the input row with a 0-based `rep`
+    * column (derive fresh ids from (id, rep) downstream).
+    *
+    * The extra-copy decision comes from the row's content hash, not a
+    * counter: stable under repartitioning, re-runs, and engines (the
+    * oracle replays it). Expected copies = factor exactly; the uniform has
+    * 1/65536 granularity (the hashSample trade).
+    *
+    * Scale shape: a pure projection + explode — zero shuffle, zero state;
+    * output size is factor × input map-side. A factor ≫ 1 multiplies rows
+    * inside each task; repartition AFTER if downstream needs even splits. */
+  def upsample(df: DataFrame, key: Column, factor: Column,
+               salt: String = ""): DataFrame = {
+    val f = factor.cast("double")
+    // 4-hex md5 prefix as a uniform in [0,1) — the hashSample decision,
+    // scaled instead of compared to a precomputed literal (the factor may
+    // be a per-row column here)
+    val u = F.conv(F.substring(F.md5(F.concat(F.lit(salt), keyStr(key))), 1, 4),
+      16, 10).cast("double") / 65536.0d
+    val reps = F.floor(f).cast("long") +
+      F.when(u < f - F.floor(f), 1L).otherwise(0L)
+    df.withColumn("__n", reps)
+      .filter(F.col("__n") > 0)
+      .withColumn("rep", F.explode(F.sequence(F.lit(0L), F.col("__n") - 1)))
+      .drop("__n")
+  }
+
+  /** [[upsample]] with per-group factors — the corpus-mixture epoch table
+    * as a literal CASE decision in the projection (the [[hashSampleByGroup]]
+    * idiom; groups absent from `factors` get `defaultFactor`). */
+  def upsampleByGroup(df: DataFrame, groupCol: Column, key: Column,
+                      factors: Map[String, Double], defaultFactor: Double = 1.0,
+                      salt: String = ""): DataFrame = {
+    (factors.values.toSeq :+ defaultFactor).foreach(fc =>
+      require(fc >= 0.0, s"factors must be non-negative, got $fc"))
+    val f = factors.foldLeft(F.lit(defaultFactor): Column) { case (acc, (g, fc)) =>
+      F.when(groupCol === g, F.lit(fc)).otherwise(acc)
+    }
+    upsample(df, key, f, salt)
+  }
 }

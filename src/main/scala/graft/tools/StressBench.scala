@@ -90,6 +90,21 @@ object StressBench {
         // contraction must stay ~log2(nDocs) rounds and near-flat seconds
         "components_path" -> (() => graft.ops.Components.connectedComponents(
           spark.range(nDocs - 1).select(F.col("id").as("a"), (F.col("id") + 1).as("b")))),
+        // within-cell self-join: cells grow ∝ N/nlist, so nlist scales with
+        // K to hold cell size — the semDedup contract ("grow nlist with the
+        // corpus"); wall-clock must then stay near-linear
+        "x58_semdedup" -> (() => {
+          val r = new scala.util.Random(7L)
+          val nlist = 16 * k
+          val cents = Array.fill(nlist, 64)(r.nextDouble() * 0.2 - 0.1)
+          Similarity.semDedup(
+            emb.withColumn("embedding", F.col("embedding").cast("array<double>")),
+            "vec_id", "embedding", threshold = 0.4, cents)
+        }),
+        // replica groups make every gram hot (df multiplies by K): the
+        // per-(gram,doc) collapse must keep the window/rollup linear —
+        // positions grow K×, never K²
+        "x59_dup_spans" -> (() => Dedup.dupSpans(docs, "doc_id", "text")),
       )
       val results = queries.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -992,6 +992,46 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 0L, 0L, 0.0)))
   }
 
+  test("upsample: integer factors repeat exactly; 0 drops; 1 is identity") {
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val x3 = Sampling.upsample(df, $"text", F.lit(3.0))
+      .groupBy("doc_id").agg(F.count(F.lit(1)).as("n"), F.collect_set("rep").as("reps"))
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(x3.forall(r => r._2 == 3L && r._3.sorted == Seq(0L, 1L, 2L)))
+    assert(Sampling.upsample(df, $"text", F.lit(0.0)).count() == 0)
+    val x1 = Sampling.upsample(df, $"text", F.lit(1.0))
+    assert(x1.count() == 3 && x1.filter($"rep" =!= 0L).count() == 0)
+  }
+
+  test("upsample: fractional factor hits the expected count deterministically") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val up = Sampling.upsample(docs, $"text", F.lit(2.5))
+    val c1 = up.count()
+    assert(c1 >= 2 * n && c1 <= 3 * n, s"2.5x of $n rows gave $c1")
+    // content-hash decision: same rows, same copies, every run
+    assert(Sampling.upsample(docs, $"text", F.lit(2.5))
+      .select("doc_id", "rep").except(up.select("doc_id", "rep")).count() == 0)
+    // independent salts draw different fractional-copy sets
+    val salted = Sampling.upsample(docs, $"text", F.lit(2.5), salt = "other")
+    assert(salted.select("doc_id", "rep").except(up.select("doc_id", "rep"))
+      .count() > 0)
+  }
+
+  test("upsampleByGroup: per-group factors with default fall-through") {
+    val df = Seq(
+      (1L, "web", "aa"), (2L, "web", "bb"),
+      (3L, "books", "cc"), (4L, "other", "dd")
+    ).toDF("doc_id", "source", "text")
+    val out = Sampling.upsampleByGroup(df, $"source", $"text",
+        factors = Map("web" -> 2.0, "books" -> 0.0), defaultFactor = 1.0)
+      .groupBy("doc_id").agg(F.count(F.lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L && out(2L) == 2L)   // web doubled
+    assert(!out.contains(3L))                // books dropped
+    assert(out(4L) == 1L)                    // default identity
+  }
+
   test("dupSpans: within-doc repeats don't count toward the distinct-doc df") {
     val docs = Seq(
       // "p q r s t" occurs three times but only in this one doc

@@ -310,6 +310,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"both windows must partial-limit map-side:\n$p")
   }
 
+  test("upsample is a shuffle-free projection + explode") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.Sampling.upsampleByGroup(docs, F.col("source"),
+      F.col("text"), factors = Map("src0" -> 2.5), defaultFactor = 1.0))
+    assert(!p.contains("Exchange"), s"mixture resampling must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected explode-based repetition:\n$p")
+  }
+
   test("semDedup: quadratic work confined to cells, census anti-join broadcast") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .withColumn("embedding", F.col("embedding").cast("array<double>"))
@@ -327,12 +335,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"expected semi-join dup flagging:\n$p")
   }
 
-  test("dupSpans: linear pipeline — equi-joins on the gram key, partial aggs") {
+  test("dupSpans: one gram explode, linear chain, partial aggs") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.Dedup.dupSpans(docs, "doc_id", "text"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"span coverage must stay linear in gram positions:\n$p")
-    assert(p.contains("LeftSemi"), s"dup-gram set must semi-join positions:\n$p")
+    // the expensive gram projection must run exactly once — the first cut
+    // re-evaluated it per consumer (3 Generates, 9.6 s at sf0.1)
+    val generates = "Generate explode".r.findAllIn(p).size
+    assert(generates == 1, s"expected exactly 1 gram explode, got $generates:\n$p")
     assert(p.contains("partial_count"), s"gram counts must partial-aggregate:\n$p")
   }
 }

@@ -203,4 +203,35 @@ class StreamOpsSpec extends AnyFunSuite {
         "stream and batch must assign the same splits")
     } finally q.stop()
   }
+
+  test("upsample (mixture resampling) emits the same copies on-stream as in batch") {
+    import org.apache.spark.sql.{functions => F}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF().toDF("doc_id", "source", "text")
+    // stateless projection + explode: runs per-row on a stream, no state,
+    // no watermark — the content-hash copy decision is batch-identical
+    val up = graft.ops.Sampling.upsampleByGroup(docs, F.col("source"),
+      F.col("text"), factors = Map("web" -> 2.5, "junk" -> 0.0), defaultFactor = 1.0)
+    val q = up.writeStream.format("memory").queryName("stream_upsample")
+      .outputMode("append").start()
+    try {
+      val rows = (1L to 100L).map { i =>
+        val src = if (i % 2 == 0) "web" else if (i % 5 == 0) "junk" else "books"
+        (i, src, s"document body number $i")
+      }
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("stream_upsample")
+        .select("doc_id", "rep").as[(Long, Long)].collect().toSet
+      val batch = graft.ops.Sampling.upsampleByGroup(
+          rows.toDF("doc_id", "source", "text"), F.col("source"), F.col("text"),
+          factors = Map("web" -> 2.5, "junk" -> 0.0), defaultFactor = 1.0)
+        .select("doc_id", "rep").as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty && got == batch,
+        "stream and batch must emit identical copy sets")
+      assert(!got.exists { case (id, _) => id % 2 == 1 && id % 5 == 0 },
+        "junk source must be dropped on-stream")
+    } finally q.stop()
+  }
 }
