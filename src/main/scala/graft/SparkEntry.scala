@@ -805,6 +805,34 @@ object SparkEntry {
           "doc_id", "text", n = 5, minDf = 2)
         .orderBy("doc_id")),
 
+    // snapshot diff: constructed crawl-N+1 (x50 fixed-input pattern) —
+    // mod-7 dropped (removed), mod-10==3 upper-cased (UNCHANGED: the
+    // normalized fingerprint ignores case), mod-5 text-edited (changed),
+    // mod-9 re-added at +1e6 (added)
+    "x61_corpus_diff" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val newSnap = docs.filter(F.col("doc_id") % 7 =!= 0)
+        .select(F.col("doc_id"),
+          F.when(F.col("doc_id") % 10 === 3, F.upper(F.col("text")))
+            .when(F.col("doc_id") % 5 === 0, F.concat(F.col("text"), F.lit(" edited")))
+            .otherwise(F.col("text")).as("text"))
+        .unionAll(docs.filter(F.col("doc_id") % 9 === 0)
+          .select((F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+      graft.ops.Curation.corpusDiff(docs, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // contrastive hard negatives: top-5 most-similar different-label rows
+    // per query (the x06 brute pattern with the label inequality in the
+    // join condition)
+    "x62_hard_negatives" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      Similarity.hardNegatives(emb, emb.filter(F.col("vec_id") < 10),
+          "vec_id", "label", "embedding", k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
     // epoch-weight mixture resampling: src0 ×2.5 (always 2 copies, a 3rd
     // for half the rows), src1 ×0.4 (pure downsample), src2 ×0 (dropped),
     // everything else ×1.0 (identity) — every factor regime in one entry
@@ -1759,6 +1787,49 @@ object SparkEntry {
         |LEFT JOIN totals t USING (doc_id)
         |LEFT JOIN flagged f USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors Curation.corpusDiff over the same constructed snapshot: the
+    // x01 fingerprint formula on both sides, FULL OUTER JOIN, same CASE
+    // priority as the Spark when-chain
+    "x61_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ofp
+        |  FROM documents
+        |), nsrc AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 3 THEN upper(text)
+        |                      WHEN doc_id % 5 = 0 THEN text || ' edited'
+        |                      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 9 = 0
+        |), n AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nfp
+        |  FROM nsrc
+        |)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.ofp = n.nfp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // the x06 brute-kNN oracle with the label inequality replacing the
+    // self-exclusion
+    "x62_hard_negatives" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neg_id, c.label AS neg_label,
+        |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 10 AND c.label != q.label)
+        |SELECT query_id, neg_id, neg_label, cos, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neg_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     // mirrors Sampling.upsampleByGroup: same factor CASE, same md5-prefix
     // uniform (the x26/x49 '0x'-prefix pattern), floor + fractional-copy

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the vector math in graft.ops.Similarity —
   * same tier-(b) rationale as [[MinHashSig]]: Spark's higher-order functions
@@ -93,6 +93,36 @@ object VecOps {
       p += 1
     }
     bits
+  }
+
+  /** Nearest-centroid index by squared euclidean distance — one tight loop
+    * over a flattened centroid matrix (the [[lshBits]] shape). Per centroid
+    * the distance is the element-order sequential sum Σ(x−c)², and strict
+    * `<` keeps the FIRST minimum, so ties resolve to the lower cell id —
+    * the exact argmin any engine replays with `ORDER BY dist, cell`.
+    * Same input contract as [[lshBits]]: loud on dimension mismatch. */
+  def nearestCell(a: ArrayData, af: Boolean, cents: Array[Double],
+                  nCents: Int, dim: Int): Int = {
+    val n = a.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(s"embedding dimension must be $dim, got $n")
+    var best = 0.0
+    var bestI = 0
+    var c = 0
+    while (c < nCents) {
+      var s = 0.0
+      val off = c * dim
+      var i = 0
+      while (i < dim) {
+        val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+        val d = x - cents(off + i)
+        s += d * d
+        i += 1
+      }
+      if (c == 0 || s < best) { best = s; bestI = c }
+      c += 1
+    }
+    bestI
   }
 }
 
@@ -269,5 +299,38 @@ case class LshBits(child: Expression, planes: Array[Array[Double]])
   }
 
   protected override def withNewChildInternal(newChild: Expression): LshBits =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid cell id for a vector column against a literal centroid
+  * matrix — the coarse-quantizer assignment of SemDeDup/IVF as ONE
+  * codegen'd tight loop. The HOF formulation (zip_with squared diffs +
+  * aggregate fold, per centroid) evaluates an interpreted lambda per
+  * ELEMENT per centroid: at N·nlist·dim ops the assignment went
+  * super-linear in the 10× stress once nlist scaled with the corpus
+  * (2.9 s → 22 s); this expression restores linear-in-N wall-clock.
+  * Distance math and tie rule are identical ([[VecOps.nearestCell]]). */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with VecArrayArg {
+
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(child.dataType, "")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+
+  private def cf = isFloatArray(child.dataType)
+  private val nCents = centroids.length
+  private val dim = if (centroids.isEmpty) 0 else centroids(0).length
+  @transient private lazy val flat: Array[Double] = centroids.flatten
+
+  protected override def nullSafeEval(a: Any): Any =
+    VecOps.nearestCell(a.asInstanceOf[ArrayData], cf, flat, nCents, dim)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellCentroids", flat, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VecOps.nearestCell($a, $cf, $ref, $nCents, $dim)")
+  }
+
+  protected override def withNewChildInternal(newChild: Expression): NearestCell =
     copy(child = newChild)
 }

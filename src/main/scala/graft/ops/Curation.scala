@@ -146,4 +146,30 @@ object Curation {
     val deduped = Dedup.exact(sampled, idCol, textCol).drop("fp")
     Sampling.capPerGroup(deduped, F.col(sourceCol), text, capPerSource, salt)
   }
+
+  /** Snapshot diff between two corpus versions — the audit step of an
+    * incremental pipeline ("what changed between crawl N and N+1"). One
+    * row per id present in EITHER snapshot, with `status`:
+    * `added` (new only), `removed` (old only), `changed` (both, different
+    * normalized-content fingerprint), `unchanged`. Content equality is
+    * [[TextOps.fingerprint]] (whitespace/case-normalized md5 — the
+    * [[Dedup.exact]] convention), so formatting-only edits read unchanged.
+    *
+    * Scale shape: each side collapses to (id, 16-byte fp) in its scan
+    * projection — documents never cross the wire — then ONE full-outer
+    * shuffle join on id. Snapshots written `bucketBy(id)` (see
+    * [[graft.ops.Scale]]) diff with zero exchanges. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(F.col(idCol),
+      TextOps.fingerprint(F.col(textCol)).as("__ofp"))
+    val n = newDf.select(F.col(idCol),
+      TextOps.fingerprint(F.col(textCol)).as("__nfp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(F.col(idCol),
+        F.when(F.col("__ofp").isNull, "added")
+          .when(F.col("__nfp").isNull, "removed")
+          .when(F.col("__ofp") === F.col("__nfp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -354,25 +354,47 @@ object Similarity {
         cosine(F.col(vecCol), F.col("centroid")).as("cos_centroid"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query row,
+    * the top-k most-similar corpus rows with a DIFFERENT label — the
+    * near-miss negatives that make an embedding model learn boundaries
+    * (the in-batch-negatives upgrade every dense-retrieval recipe uses).
+    * Same plan shape as [[bruteKnn]]: queries broadcast, corpus scanned
+    * once with no shuffle of corpus rows, rank-filter compiles to
+    * WindowGroupLimit (partial top-k per map task). The label inequality
+    * rides the join condition, so same-label pairs are dropped BEFORE the
+    * dot product. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    labelCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.withColumn("__nc", l2norm(F.col(vecCol)))
+    val q = F.broadcast(queries
+      .withColumnRenamed(idCol, "query_id")
+      .withColumnRenamed(labelCol, "__qlabel")
+      .withColumnRenamed(vecCol, "__qvec")
+      .withColumn("__nq", l2norm(F.col("__qvec"))))
+    val scored = c.join(q, F.col(labelCol) =!= F.col("__qlabel"))
+      .withColumn("cos", // zero-norm guard — see cosine()
+        F.when(F.col("__nc") * F.col("__nq") > 0.0d,
+          dot(F.col(vecCol), F.col("__qvec")) / (F.col("__nc") * F.col("__nq"))))
+    val w = Window.partitionBy("query_id").orderBy(F.col("cos").desc, F.col(idCol).asc)
+    scored.withColumn("rk", F.row_number().over(w))
+      .filter(F.col("rk") <= k)
+      .select(F.col("query_id"), F.col(idCol).as("neg_id"),
+        F.col(labelCol).as("neg_label"), F.col("cos"), F.col("rk"))
+  }
+
   /** Nearest-centroid Voronoi cell assignment: `cell` = argmin over the
     * driver-side `centroids` of the squared euclidean distance, ties broken
-    * by lower cell id. The distance is an element-order sequential sum
-    * (zip_with squared diffs, left-fold add) so any engine replays the
-    * exact doubles; the HOF cost is |centroids|·dim per row — fine for a
-    * coarse quantizer (nlist ≪ corpus), and the centroid literals travel
-    * with the plan (no broadcast join, no shuffle). */
+    * by lower cell id — one native codegen'd loop per row ([[graft
+    * .functions.NearestCell]]; the earlier zip_with/aggregate HOF form
+    * evaluated an interpreted lambda per element per centroid and went
+    * super-linear in the 10× stress once nlist scaled with the corpus).
+    * The distance is an element-order sequential sum, so any engine
+    * replays the exact doubles; the centroid literals travel with the
+    * plan (no broadcast join, no shuffle). */
   def assignCells(emb: DataFrame, vecCol: String,
-                  centroids: Array[Array[Double]]): DataFrame = {
-    val dists = centroids.zipWithIndex.map { case (c, i) =>
-      val cl = F.array(c.map(F.lit): _*)
-      F.struct(
-        F.aggregate(F.zip_with(F.col(vecCol), cl, (x, y) => (x - y) * (x - y)),
-          F.lit(0.0d), (acc, v) => acc + v).as("d"),
-        F.lit(i).as("cell"))
-    }
-    emb.withColumn("cell",
-      F.element_at(F.array_sort(F.array(dists: _*)), 1).getField("cell"))
-  }
+                  centroids: Array[Array[Double]]): DataFrame =
+    emb.withColumn("cell", GraftExpr.column(
+      graft.functions.NearestCell(GraftExpr.expression(F.col(vecCol)), centroids)))
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): coarse-cluster the corpus, then within each cell

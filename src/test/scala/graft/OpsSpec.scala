@@ -933,6 +933,18 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(frac - 2.0 / 3.0) < 1e-12)
   }
 
+  test("assignCells: argmin with lower-cell ties; loud on dim mismatch") {
+    val cents = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    val emb = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.1, 0.9))).toDF("vec_id", "embedding")
+    val out = Similarity.assignCells(emb, "embedding", cents)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 0)   // exact tie between cells 0 and 1 -> lower id
+    assert(out(2L) == 2)
+    val bad = Seq((3L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    assertThrows[Exception](
+      Similarity.assignCells(bad, "embedding", cents).collect())
+  }
+
   test("semDedup: same-cell later near-dup flagged, cross-cell and far rows kept") {
     val cents = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
     val emb = Seq(
@@ -990,6 +1002,50 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 2L, 1L, 0.5)))
     assert(out(3L) == ((3L, 1L, 0L, 0.0)))
     assert(out(4L) == ((4L, 0L, 0L, 0.0)))
+  }
+
+  test("corpusDiff: added/removed/changed/unchanged, format-only edits unchanged") {
+    val oldSnap = Seq(
+      (1L, "stays exactly the same"),
+      (2L, "gets a real edit"),
+      (3L, "only   CASE and   spacing change"),
+      (4L, "will be deleted")
+    ).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "stays exactly the same"),
+      (2L, "gets a real edit plus more"),
+      (3L, "ONLY case AND spacing CHANGE"),
+      (5L, "brand new document")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Curation.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("hardNegatives: same-label rows never surface; ranking matches brute cosine") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val queries = emb.filter($"vec_id" < 5)
+    val out = Similarity.hardNegatives(emb, queries, "vec_id", "label", "embedding", k = 3)
+      .as[(Long, Long, Int, Double, Int)].collect()
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, n, nl, _, _) =>
+      labels(n) == nl && labels(q) != nl }, "every negative has a different label")
+    // per query: exactly k rows, rk 1..k, cos non-increasing
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to 3))
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._4 >= b._4 })
+    }
+    // the top negative IS the max different-label cosine (spot-check vs brute)
+    val brute = Similarity.bruteKnn(emb, queries, "vec_id", "embedding", k = 50)
+      .as[(Long, Long, Double, Int)].collect()
+      .filter { case (q, n, _, _) => labels(q) != labels(n) }
+      .groupBy(_._1).map { case (q, rs) => q -> rs.maxBy(_._3)._2 }
+    val top = out.filter(_._5 == 1).map(r => r._1 -> r._2).toMap
+    brute.foreach { case (q, n) => assert(top(q) == n, s"query $q top negative") }
   }
 
   test("upsample: integer factors repeat exactly; 0 drops; 1 is identity") {

@@ -310,6 +310,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"both windows must partial-limit map-side:\n$p")
   }
 
+  test("hardNegatives: broadcast queries + WindowGroupLimit, corpus never shuffles") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.hardNegatives(emb,
+      emb.filter(F.col("vec_id") < 5), "vec_id", "label", "embedding", k = 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k must partial-limit map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
+  }
+
+  test("corpusDiff: sides collapse to fingerprints before one id join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val newSnap = docs.filter(F.col("doc_id") % 2 === 0).select("doc_id", "text")
+    val p = plan(graft.ops.Curation.corpusDiff(docs.select("doc_id", "text"),
+      newSnap, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff must be an equi-join on id:\n$p")
+    // the fingerprint projection runs scan-side (documents collapse to
+    // (id, fp) BEFORE the join): md5 appears in Projects, and the join
+    // keys are the id columns, not text
+    assert(p.contains("md5"), s"expected scan-side fingerprint projection:\n$p")
+    assert("SortMergeJoin.*text".r.findFirstIn(p).isEmpty,
+      s"join must key on id, never text:\n$p")
+  }
+
   test("upsample is a shuffle-free projection + explode") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.Sampling.upsampleByGroup(docs, F.col("source"),
