@@ -53,6 +53,15 @@ object SparkEntry {
     Array.fill(4, 64)(math.rint((r.nextDouble() * 0.2 - 0.1) * 1e6) / 1e6)
   }
 
+  /** Fixed [8][8][8] PQ codebook for the x63 entry — seeded, rounded to
+    * 6 dp, scaled to ±0.1 (the x58 SemCentroids pattern). Pins the PqEncode
+    * argmin + decode/recon math; production codebooks come from
+    * [[graft.ops.Similarity.pqFit]]. */
+  private val PqCodebooks: Array[Array[Array[Double]]] = {
+    val r = new scala.util.Random(7L)
+    Array.fill(8, 8, 8)(math.rint((r.nextDouble() * 0.2 - 0.1) * 1e6) / 1e6)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The invoice_totals.prql pattern (reference examples/queries/
     * invoice_totals.prql:1-21) transposed onto orders/lineitem. */
@@ -832,6 +841,20 @@ object SparkEntry {
           "vec_id", "label", "embedding", k = 5)
         .orderBy("query_id", "rk")
     }),
+
+    // product-quantization codes + reconstruction error at the fixed
+    // [8][8][8] codebook (x58 literal-table pattern); codes as CSV for an
+    // engine-neutral hash, recon_err as the raw flat sequential sum both
+    // engines compute identically
+    "x63_pq_codes" -> ((s, dir) =>
+      Similarity.pqQuantize(s.read.parquet(s"$dir/embeddings.parquet")
+          .withColumn("embedding", F.col("embedding").cast("array<double>")),
+          "embedding", PqCodebooks)
+        .select(F.col("vec_id"),
+          F.concat_ws(",", F.transform(F.col("codes"), _.cast("string")))
+            .as("codes_csv"),
+          F.col("recon_err"))
+        .orderBy("vec_id")),
 
     // epoch-weight mixture resampling: src0 ×2.5 (always 2 copies, a 3rd
     // for half the rows), src1 ×0.4 (pure downsample), src2 ×0 (dropped),
@@ -1830,6 +1853,43 @@ object SparkEntry {
         |    ORDER BY cos DESC, neg_id) AS rk
         |  FROM scored)
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // mirrors Similarity.pqQuantize from the same PqCodebooks literals:
+    // per-subspace argmin (x58's cross-join + row_number idiom), decode by
+    // code join + flatten, recon_err as the same flat sequential sum
+    "x63_pq_codes" -> {
+      val vals = PqCodebooks.zipWithIndex.flatMap { case (cws, s) =>
+        cws.zipWithIndex.map { case (cw, j) =>
+          cw.mkString(s"($s, $j, [", ", ", "]::DOUBLE[])")
+        }
+      }.mkString(", ")
+      s"""WITH cb(m, code, c) AS (VALUES $vals),
+         |sub AS (
+         |  SELECT e.vec_id, s.m, list_transform(range(1, 9),
+         |    i -> e.embedding[s.m * 8 + i]::DOUBLE) AS v
+         |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 8)) AS m) s
+         |), assigned AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT su.vec_id, su.m, cb.code,
+         |      row_number() OVER (PARTITION BY su.vec_id, su.m ORDER BY
+         |        list_sum(list_transform(range(1, 9),
+         |          i -> (su.v[i] - cb.c[i]) * (su.v[i] - cb.c[i]))),
+         |        cb.code) AS rk
+         |    FROM sub su JOIN cb ON cb.m = su.m)
+         |  WHERE rk = 1
+         |), recon AS (
+         |  SELECT a.vec_id, flatten(list(cb.c ORDER BY a.m)) AS r,
+         |         string_agg(a.code::VARCHAR, ',' ORDER BY a.m) AS codes_csv
+         |  FROM assigned a JOIN cb ON cb.m = a.m AND cb.code = a.code
+         |  GROUP BY a.vec_id
+         |)
+         |SELECT e.vec_id, r.codes_csv,
+         |  list_sum(list_transform(range(1, 65),
+         |    i -> (e.embedding[i]::DOUBLE - r.r[i]) * (e.embedding[i]::DOUBLE - r.r[i])))
+         |    AS recon_err
+         |FROM embeddings e JOIN recon r USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin
+    },
 
     // mirrors Sampling.upsampleByGroup: same factor CASE, same md5-prefix
     // uniform (the x26/x49 '0x'-prefix pattern), floor + fractional-copy

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the vector math in graft.ops.Similarity —
@@ -123,6 +123,41 @@ object VecOps {
       c += 1
     }
     bestI
+  }
+
+  /** Product-quantization encode: per subspace s (of `m`, each `dsub` wide),
+    * the index of the nearest of `k` codewords — [[nearestCell]]'s argmin
+    * (sequential Σ(x−c)², strict `<` keeps first ⇒ ties to lower code)
+    * run per subvector against a flattened [m][k][dsub] codebook. */
+  def pqEncode(a: ArrayData, af: Boolean, cb: Array[Double],
+               m: Int, k: Int, dsub: Int): Array[Int] = {
+    val n = a.numElements()
+    if (n != m * dsub)
+      throw new IllegalArgumentException(s"embedding dimension must be ${m * dsub}, got $n")
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0.0
+      var bestJ = 0
+      var j = 0
+      while (j < k) {
+        var d2 = 0.0
+        val off = (s * k + j) * dsub
+        var i = 0
+        while (i < dsub) {
+          val x = if (af) a.getFloat(s * dsub + i).toDouble
+                  else a.getDouble(s * dsub + i)
+          val d = x - cb(off + i)
+          d2 += d * d
+          i += 1
+        }
+        if (j == 0 || d2 < best) { best = d2; bestJ = j }
+        j += 1
+      }
+      out(s) = bestJ
+      s += 1
+    }
+    out
   }
 }
 
@@ -332,5 +367,40 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
   }
 
   protected override def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
+/** Product-quantization codes (Jégou et al. 2011) for a vector column
+  * against a literal [m][k][dsub] codebook — all m subspace argmins in one
+  * codegen'd loop ([[VecOps.pqEncode]]; the [[NearestCell]] rationale:
+  * an HOF formulation pays an interpreted lambda per element per codeword).
+  * Output: array<int> of m codes, 4× to 32× smaller at rest than the
+  * float vector depending on (m, k) — the storage half of an ADC ANN
+  * pipeline. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with VecArrayArg {
+
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(child.dataType, "")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private def cf = isFloatArray(child.dataType)
+  private val m = codebooks.length
+  private val k = if (codebooks.isEmpty) 0 else codebooks(0).length
+  private val dsub = if (k == 0 || codebooks(0).isEmpty) 0 else codebooks(0)(0).length
+  @transient private lazy val flat: Array[Double] = codebooks.flatten.flatten
+
+  protected override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(
+      VecOps.pqEncode(a.asInstanceOf[ArrayData], cf, flat, m, k, dsub))
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VecOps.pqEncode($a, $cf, $ref, $m, $k, $dsub))")
+  }
+
+  protected override def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
 }

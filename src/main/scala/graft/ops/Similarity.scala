@@ -433,6 +433,50 @@ object Similarity {
       idCol, vecCol, threshold, maxCell)
   }
 
+  /** Product quantization (Jégou et al. 2011): encode each vector as m
+    * subspace codes against a [m][k][dsub] codebook — the byte-code ANN
+    * storage path beyond [[quantize]]'s int8 (64-dim float32 at m=8, k≤256
+    * is 8 bytes/vector, 32× smaller; ADC then ranks candidates from
+    * per-query lookup tables without touching floats). Adds `codes`
+    * (array<int>, the native [[graft.functions.PqEncode]] loop), `recon`
+    * (the decoded approximation — codebook lookups, m tiny HOF evals/row),
+    * and `recon_err` (squared L2 of vec − recon, the element-order
+    * sequential sum any engine replays). Pure projection: zero shuffle. */
+  def pqQuantize(emb: DataFrame, vecCol: String,
+                 codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val k = codebooks(0).length
+    val cbLit = F.array(codebooks.flatten.map(cw => F.array(cw.map(F.lit): _*)): _*)
+    val codes = GraftExpr.column(graft.functions.PqEncode(
+      GraftExpr.expression(F.col(vecCol)), codebooks))
+    val withCodes = emb.withColumn("codes", codes)
+      .withColumn("recon", F.flatten(F.transform(F.col("codes"),
+        (code, s) => F.element_at(cbLit, s * k + code + F.lit(1)))))
+    withCodes.withColumn("recon_err",
+      F.aggregate(
+        F.zip_with(F.col(vecCol), F.col("recon"), (x, y) => (x - y) * (x - y)),
+        F.lit(0.0d), (acc, v) => acc + v))
+  }
+
+  /** Fit PQ codebooks: per-subspace k-means on a bounded sample (the
+    * [[buildIvf]] rationale — codebook QUALITY needs a sample; encoding
+    * covers every row). Returns [m][k][dsub] for [[pqQuantize]]. */
+  def pqFit(corpus: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
+            dim: Int = 64, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val sample = corpus.select(F.col(vecCol).cast("array<double>").as("__v"))
+      .limit(65536)
+    (0 until m).map { s =>
+      val sub = sample.select(
+        array_to_vector(F.slice(F.col("__v"), s * dsub + 1, dsub)).as("__s"))
+      new KMeans().setK(k).setSeed(seed + s).setMaxIter(10)
+        .setFeaturesCol("__s").setPredictionCol("__c")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }.toArray
+  }
+
   private def flagSemDups(assigned0: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, maxCell: Int): DataFrame = {
     // one exchange feeds the census and both self-join sides (nearDupPairs)

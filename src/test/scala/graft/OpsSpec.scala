@@ -1004,6 +1004,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 0L, 0L, 0.0)))
   }
 
+  test("pqQuantize: hand-checkable codes and exact reconstruction error") {
+    val cbs = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),   // subspace 0
+      Array(Array(0.0, 0.0), Array(2.0, 2.0)))   // subspace 1
+    val emb = Seq(
+      (1L, Seq(0.9, 0.9, 0.1, 0.1)),
+      (2L, Seq(0.1, 0.0, 1.9, 2.1))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqQuantize(emb, "embedding", cbs)
+      .select("vec_id", "codes", "recon_err")
+      .as[(Long, Seq[Int], Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == Seq(1, 0))  // (0.9,0.9)->cw1; (0.1,0.1)->cw0
+    assert(math.abs(out(1L)._3 - 0.04) < 1e-12)
+    assert(out(2L)._2 == Seq(0, 1))
+    assert(math.abs(out(2L)._3 - 0.03) < 1e-12)
+  }
+
+  test("pqFit codebooks reconstruct better than random; codes stay in range") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val fitted = Similarity.pqFit(emb, "embedding", m = 8, k = 8, dim = 64)
+    val r = new scala.util.Random(7L)
+    val rand = Array.fill(8, 8, 8)(r.nextDouble() * 0.2 - 0.1)
+    def meanErr(cb: Array[Array[Array[Double]]]): Double =
+      Similarity.pqQuantize(emb, "embedding", cb)
+        .agg(F.avg("recon_err")).head().getDouble(0)
+    assert(meanErr(fitted) < meanErr(rand), "k-means codebooks must beat random")
+    val codes = Similarity.pqQuantize(emb, "embedding", fitted)
+      .select(F.explode(F.col("codes"))).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 8))
+  }
+
   test("corpusDiff: added/removed/changed/unchanged, format-only edits unchanged") {
     val oldSnap = Seq(
       (1L, "stays exactly the same"),

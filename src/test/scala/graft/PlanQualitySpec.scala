@@ -335,6 +335,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"join must key on id, never text:\n$p")
   }
 
+  test("pqQuantize is a shuffle-free codegen projection") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cbs = Array.tabulate(8, 8, 8)((s, j, i) => math.sin(s * 64 + j * 8 + i))
+    val p = plan(graft.ops.Similarity.pqQuantize(emb, "embedding", cbs))
+    assert(!p.contains("Exchange"), s"PQ encode must not shuffle:\n$p")
+    assert(p.contains("pq_encode"), s"expected the native PqEncode expression:\n$p")
+  }
+
   test("upsample is a shuffle-free projection + explode") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.Sampling.upsampleByGroup(docs, F.col("source"),
