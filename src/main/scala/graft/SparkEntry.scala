@@ -856,6 +856,19 @@ object SparkEntry {
           F.col("recon_err"))
         .orderBy("vec_id")),
 
+    // ADC top-5 over the x63 codes: queries carry per-subspace lookup
+    // tables; candidates pay m lookups, never floats — distance addition
+    // is per-subspace-then-s-ascending in BOTH engines so ranks replay
+    "x64_pq_search" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      val codes = Similarity.pqQuantize(emb, "embedding", PqCodebooks)
+        .select("vec_id", "codes")
+      Similarity.pqSearch(codes, emb.filter(F.col("vec_id") < 10),
+          "vec_id", "embedding", PqCodebooks, k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
     // epoch-weight mixture resampling: src0 ×2.5 (always 2 copies, a 3rd
     // for half the rows), src1 ×0.4 (pure downsample), src2 ×0 (dropped),
     // everything else ×1.0 (identity) — every factor regime in one entry
@@ -1889,6 +1902,52 @@ object SparkEntry {
          |    AS recon_err
          |FROM embeddings e JOIN recon r USING (vec_id)
          |ORDER BY e.vec_id""".stripMargin
+    },
+
+    // mirrors Similarity.pqSearch over the same codebook literals: x63's
+    // assigned CTE, per-(query, candidate, subspace) sums re-added in
+    // s-ascending order via list(ORDER BY m) — the exact ADC addition
+    // order the Spark side uses
+    "x64_pq_search" -> {
+      val vals = PqCodebooks.zipWithIndex.flatMap { case (cws, s) =>
+        cws.zipWithIndex.map { case (cw, j) =>
+          cw.mkString(s"($s, $j, [", ", ", "]::DOUBLE[])")
+        }
+      }.mkString(", ")
+      s"""WITH cb(m, code, c) AS (VALUES $vals),
+         |sub AS (
+         |  SELECT e.vec_id, s.m, list_transform(range(1, 9),
+         |    i -> e.embedding[s.m * 8 + i]::DOUBLE) AS v
+         |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 8)) AS m) s
+         |), assigned AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT su.vec_id, su.m, cb.code,
+         |      row_number() OVER (PARTITION BY su.vec_id, su.m ORDER BY
+         |        list_sum(list_transform(range(1, 9),
+         |          i -> (su.v[i] - cb.c[i]) * (su.v[i] - cb.c[i]))),
+         |        cb.code) AS rk
+         |    FROM sub su JOIN cb ON cb.m = su.m)
+         |  WHERE rk = 1
+         |), qd AS (
+         |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10
+         |), pair AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id, a.m,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (q.embedding[a.m * 8 + i]::DOUBLE - cb.c[i])
+         |         * (q.embedding[a.m * 8 + i]::DOUBLE - cb.c[i]))) AS subsum
+         |  FROM assigned a
+         |  JOIN cb ON cb.m = a.m AND cb.code = a.code
+         |  CROSS JOIN qd q
+         |  WHERE a.vec_id != q.query_id
+         |), dists AS (
+         |  SELECT query_id, neighbor_id, list_sum(list(subsum ORDER BY m)) AS dist
+         |  FROM pair GROUP BY query_id, neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, dist, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dist ASC, neighbor_id) AS rk
+         |  FROM dists)
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
     },
 
     // mirrors Sampling.upsampleByGroup: same factor CASE, same md5-prefix

@@ -457,6 +457,51 @@ object Similarity {
         F.lit(0.0d), (acc, v) => acc + v))
   }
 
+  /** ADC (asymmetric-distance) top-k over PQ codes — the query half of the
+    * [[pqQuantize]] pipeline: each query precomputes its m·k lookup table
+    * ONCE (||q_s − c_{s,j}||² per subspace/codeword), then every candidate
+    * costs m table lookups instead of dim multiplies — the classic PQ
+    * trade (Jégou et al. 2011). ADC distance is EXACTLY the squared L2 to
+    * the decoded vector (subspaces partition the dims), pinned in OpsSpec.
+    *
+    * Scale shape: queries (small) broadcast WITH their LUTs — the corpus
+    * side touches only the m-byte codes, never floats; rank-filter
+    * compiles to WindowGroupLimit. LUT construction is per-QUERY-row HOF
+    * work (m·k·dsub ops on a handful of rows); the per-candidate probe is
+    * m interpreted lookups — swap to a native expression if the candidate
+    * stream ever dominates. */
+  def pqSearch(codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = codebooks.length
+    val kk = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val cbLit = F.array(codebooks.flatten.map(cw => F.array(cw.map(F.lit): _*)): _*)
+    val lut = F.transform(F.sequence(F.lit(0), F.lit(m * kk - 1)), idx => {
+      val s = F.floor(idx / kk).cast("int")
+      val cw = F.element_at(cbLit, idx + F.lit(1))
+      F.aggregate(
+        F.zip_with(F.slice(F.col("__qvec"), s * dsub + F.lit(1), F.lit(dsub)), cw,
+          (x, y) => (x - y) * (x - y)),
+        F.lit(0.0d), (acc, v) => acc + v)
+    })
+    val q = F.broadcast(queries
+      .withColumnRenamed(idCol, "query_id")
+      .withColumnRenamed(vecCol, "__qvec")
+      .withColumn("__lut", lut)
+      .select("query_id", "__lut"))
+    val scored = codes.join(q, F.col(idCol) =!= F.col("query_id"))
+      .withColumn("dist",
+        F.aggregate(
+          F.zip_with(F.col("codes"), F.sequence(F.lit(0), F.lit(m - 1)),
+            (code, s) => F.element_at(F.col("__lut"), s * kk + code + F.lit(1))),
+          F.lit(0.0d), (acc, v) => acc + v))
+    val w = Window.partitionBy("query_id").orderBy(F.col("dist").asc, F.col(idCol).asc)
+    scored.withColumn("rk", F.row_number().over(w))
+      .filter(F.col("rk") <= k)
+      .select(F.col("query_id"), F.col(idCol).as("neighbor_id"),
+        F.col("dist"), F.col("rk"))
+  }
+
   /** Fit PQ codebooks: per-subspace k-means on a bounded sample (the
     * [[buildIvf]] rationale — codebook QUALITY needs a sample; encoding
     * covers every row). Returns [m][k][dsub] for [[pqQuantize]]. */

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{AsOf, Components, Dedup, Sampling, Similarity, TextOps}
 
@@ -1034,6 +1035,32 @@ class OpsSpec extends AnyFunSuite {
     val codes = Similarity.pqQuantize(emb, "embedding", fitted)
       .select(F.explode(F.col("codes"))).as[Int].collect()
     assert(codes.forall(c => c >= 0 && c < 8))
+  }
+
+  test("pqSearch: ADC ranking equals L2-to-decoded ranking (same math, m lookups)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val cbs = Similarity.pqFit(emb, "embedding", m = 8, k = 8, dim = 64)
+    val quant = Similarity.pqQuantize(emb, "embedding", cbs)
+    val queries = emb.filter($"vec_id" < 5)
+    val adc = Similarity.pqSearch(quant.select("vec_id", "codes"), queries,
+        "vec_id", "embedding", cbs, k = 10)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    // truth: rank by squared L2 between the query and the DECODED candidate
+    // — ADC must reproduce it exactly (subspaces partition the dims)
+    val q2 = F.broadcast(queries.select($"vec_id".as("query_id"), $"embedding".as("__q")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("dist").asc, F.col("neighbor_id").asc)
+    val exp = quant.select($"vec_id".as("neighbor_id"), $"recon")
+      .join(q2, $"neighbor_id" =!= $"query_id")
+      .withColumn("dist", F.aggregate(
+        F.zip_with($"__q", $"recon", (x, y) => (x - y) * (x - y)),
+        F.lit(0.0d), (a, v) => a + v))
+      .withColumn("rk", F.row_number().over(w)).filter($"rk" <= 10)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(adc == exp)
   }
 
   test("corpusDiff: added/removed/changed/unchanged, format-only edits unchanged") {

@@ -343,6 +343,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("pq_encode"), s"expected the native PqEncode expression:\n$p")
   }
 
+  test("pqSearch: broadcast queries + WindowGroupLimit, codes never sort-merge") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cbs = Array.tabulate(8, 8, 8)((s, j, i) => math.sin(s * 64 + j * 8 + i))
+    val codes = graft.ops.Similarity.pqQuantize(emb, "embedding", cbs)
+      .select("vec_id", "codes")
+    val p = plan(graft.ops.Similarity.pqSearch(codes,
+      emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", cbs, k = 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query+LUT side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k must partial-limit map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"code stream must not shuffle:\n$p")
+  }
+
   test("upsample is a shuffle-free projection + explode") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.Sampling.upsampleByGroup(docs, F.col("source"),
