@@ -869,6 +869,19 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // IVF+PQ composition at the fixed tables: 4 SemCentroids cells +
+    // [8][8][8] residual codebook, nprobe=2 of 4 — the full FAISS-style
+    // prune-then-ADC path, every stage replayed by the oracle
+    "x65_ivfpq_search" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      val idx = Similarity.ivfpqBuild(emb, "vec_id", "embedding",
+        SemCentroids, PqCodebooks)
+      Similarity.ivfpqSearch(idx, emb.filter(F.col("vec_id") < 10),
+          "embedding", k = 5, nprobe = 2)
+        .orderBy("query_id", "rk")
+    }),
+
     // epoch-weight mixture resampling: src0 ×2.5 (always 2 copies, a 3rd
     // for half the rows), src1 ×0.4 (pure downsample), src2 ×0 (dropped),
     // everything else ×1.0 (identity) — every factor regime in one entry
@@ -1939,6 +1952,81 @@ object SparkEntry {
          |  JOIN cb ON cb.m = a.m AND cb.code = a.code
          |  CROSS JOIN qd q
          |  WHERE a.vec_id != q.query_id
+         |), dists AS (
+         |  SELECT query_id, neighbor_id, list_sum(list(subsum ORDER BY m)) AS dist
+         |  FROM pair GROUP BY query_id, neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, dist, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dist ASC, neighbor_id) AS rk
+         |  FROM dists)
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
+
+    // mirrors Similarity.ivfpqBuild/ivfpqSearch from the same SemCentroids
+    // + PqCodebooks literals: corpus cell argmin (x58), residual PQ argmin
+    // (x63 on v − centroid), query nprobe=2 probe (rk <= 2 of the same
+    // argmin), residual LUT subsums re-added s-ascending (x64)
+    "x65_ivfpq_search" -> {
+      val cvals = SemCentroids.zipWithIndex.map { case (c, i) =>
+        c.mkString(s"($i, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ")
+      val bvals = PqCodebooks.zipWithIndex.flatMap { case (cws, s) =>
+        cws.zipWithIndex.map { case (cw, j) =>
+          cw.mkString(s"($s, $j, [", ", ", "]::DOUBLE[])")
+        }
+      }.mkString(", ")
+      s"""WITH cent(cell, c) AS (VALUES $cvals),
+         |cb(m, code, c) AS (VALUES $bvals),
+         |a AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT b.vec_id, b.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (b.embedding[i]::DOUBLE - c.c[i]) * (b.embedding[i]::DOUBLE - c.c[i]))),
+         |        c.cell) AS rk
+         |    FROM embeddings b CROSS JOIN cent c)
+         |  WHERE rk = 1
+         |), resid AS (
+         |  SELECT a.vec_id, a.cell,
+         |    list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE - cent.c[i]) AS r
+         |  FROM a JOIN cent USING (cell)
+         |), rsub AS (
+         |  SELECT vec_id, cell, s.m,
+         |    list_transform(range(1, 9), i -> r[s.m * 8 + i]) AS v
+         |  FROM resid CROSS JOIN (SELECT unnest(range(0, 8)) AS m) s
+         |), assigned AS (
+         |  SELECT vec_id, cell, m, code FROM (
+         |    SELECT su.vec_id, su.cell, su.m, cb.code,
+         |      row_number() OVER (PARTITION BY su.vec_id, su.m ORDER BY
+         |        list_sum(list_transform(range(1, 9),
+         |          i -> (su.v[i] - cb.c[i]) * (su.v[i] - cb.c[i]))),
+         |        cb.code) AS rk
+         |    FROM rsub su JOIN cb ON cb.m = su.m)
+         |  WHERE rk = 1
+         |), qd AS (
+         |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10
+         |), qcell AS (
+         |  SELECT query_id, cell, embedding FROM (
+         |    SELECT q.query_id, c.cell, q.embedding,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (q.embedding[i]::DOUBLE - c.c[i]) * (q.embedding[i]::DOUBLE - c.c[i]))),
+         |        c.cell) AS rk
+         |    FROM qd q CROSS JOIN cent c)
+         |  WHERE rk <= 2
+         |), qres AS (
+         |  SELECT query_id, qcell.cell,
+         |    list_transform(range(1, 65), i -> embedding[i]::DOUBLE - cent.c[i]) AS qr
+         |  FROM qcell JOIN cent USING (cell)
+         |), pair AS (
+         |  SELECT qr.query_id, ac.vec_id AS neighbor_id, ac.m,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (qr.qr[ac.m * 8 + i] - cb.c[i]) * (qr.qr[ac.m * 8 + i] - cb.c[i]))) AS subsum
+         |  FROM assigned ac
+         |  JOIN qres qr ON qr.cell = ac.cell
+         |  JOIN cb ON cb.m = ac.m AND cb.code = ac.code
+         |  WHERE ac.vec_id != qr.query_id
          |), dists AS (
          |  SELECT query_id, neighbor_id, list_sum(list(subsum ORDER BY m)) AS dist
          |  FROM pair GROUP BY query_id, neighbor_id

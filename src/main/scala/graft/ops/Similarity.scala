@@ -472,33 +472,109 @@ object Similarity {
     * stream ever dominates. */
   def pqSearch(codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
-    val m = codebooks.length
-    val kk = codebooks(0).length
-    val dsub = codebooks(0)(0).length
-    val cbLit = F.array(codebooks.flatten.map(cw => F.array(cw.map(F.lit): _*)): _*)
-    val lut = F.transform(F.sequence(F.lit(0), F.lit(m * kk - 1)), idx => {
-      val s = F.floor(idx / kk).cast("int")
-      val cw = F.element_at(cbLit, idx + F.lit(1))
-      F.aggregate(
-        F.zip_with(F.slice(F.col("__qvec"), s * dsub + F.lit(1), F.lit(dsub)), cw,
-          (x, y) => (x - y) * (x - y)),
-        F.lit(0.0d), (acc, v) => acc + v)
-    })
     val q = F.broadcast(queries
       .withColumnRenamed(idCol, "query_id")
       .withColumnRenamed(vecCol, "__qvec")
-      .withColumn("__lut", lut)
+      .withColumn("__lut", pqLut(F.col("__qvec"), codebooks))
       .select("query_id", "__lut"))
     val scored = codes.join(q, F.col(idCol) =!= F.col("query_id"))
       .withColumn("dist",
-        F.aggregate(
-          F.zip_with(F.col("codes"), F.sequence(F.lit(0), F.lit(m - 1)),
-            (code, s) => F.element_at(F.col("__lut"), s * kk + code + F.lit(1))),
-          F.lit(0.0d), (acc, v) => acc + v))
+        adcDist(F.col("codes"), F.col("__lut"), codebooks.length, codebooks(0).length))
     val w = Window.partitionBy("query_id").orderBy(F.col("dist").asc, F.col(idCol).asc)
     scored.withColumn("rk", F.row_number().over(w))
       .filter(F.col("rk") <= k)
       .select(F.col("query_id"), F.col(idCol).as("neighbor_id"),
+        F.col("dist"), F.col("rk"))
+  }
+
+  /** Per-query ADC lookup table: ||q_s − c_{s,j}||² for every (subspace,
+    * codeword), flat m·k array — each entry an i-ascending sequential sum
+    * (the replayable order). HOF cost is per QUERY row only. */
+  private def pqLut(qvec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val kk = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val cbLit = F.array(codebooks.flatten.map(cw => F.array(cw.map(F.lit): _*)): _*)
+    F.transform(F.sequence(F.lit(0), F.lit(m * kk - 1)), idx => {
+      val s = F.floor(idx / kk).cast("int")
+      val cw = F.element_at(cbLit, idx + F.lit(1))
+      F.aggregate(
+        F.zip_with(F.slice(qvec, s * dsub + F.lit(1), F.lit(dsub)), cw,
+          (x, y) => (x - y) * (x - y)),
+        F.lit(0.0d), (acc, v) => acc + v)
+    })
+  }
+
+  /** ADC distance: m LUT lookups added s-ascending (matches any engine's
+    * list(subsum ORDER BY s) replay). */
+  private def adcDist(codes: Column, lut: Column, m: Int, kk: Int): Column =
+    F.aggregate(
+      F.zip_with(codes, F.sequence(F.lit(0), F.lit(m - 1)),
+        (code, s) => F.element_at(lut, s * kk + code + F.lit(1))),
+      F.lit(0.0d), (acc, v) => acc + v)
+
+  /** A built IVF+PQ index: every corpus row as (id, cell, residual codes).
+    * At rest `cells` is written `partitionBy(cell)` so probing prunes
+    * whole files, and rows cost ~m bytes instead of dim·4. */
+  final case class IvfPqIndex(cells: DataFrame, centroids: Array[Array[Double]],
+                              codebooks: Array[Array[Array[Double]]], idCol: String)
+
+  /** IVF+PQ (the FAISS IVFPQ composition, Jégou et al. 2011): coarse
+    * Voronoi cells prune the corpus ([[assignCells]]), and each row stores
+    * PQ codes of its RESIDUAL (v − centroid[cell]) — residuals are smaller
+    * in norm than raw vectors, so the same codebook budget quantizes them
+    * finer. This is the 100 TB ANN architecture: scan nprobe/nlist of the
+    * data, touch m bytes per candidate. */
+  def ivfpqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                 centroids: Array[Array[Double]],
+                 codebooks: Array[Array[Array[Double]]]): IvfPqIndex = {
+    val centLit = F.array(centroids.map(c => F.array(c.map(F.lit): _*)): _*)
+    val assigned = assignCells(corpus.select(F.col(idCol), F.col(vecCol)),
+      vecCol, centroids)
+    val resid = F.zip_with(F.col(vecCol),
+      F.element_at(centLit, F.col("cell") + F.lit(1)), (x, y) => x - y)
+    val cells = assigned
+      .withColumn("__res", resid)
+      .withColumn("codes", GraftExpr.column(graft.functions.PqEncode(
+        GraftExpr.expression(F.col("__res")), codebooks)))
+      .select(F.col(idCol), F.col("cell"), F.col("codes"))
+    IvfPqIndex(cells, centroids, codebooks, idCol)
+  }
+
+  /** Probe an [[IvfPqIndex]]: each query visits its `nprobe` nearest cells
+    * (the [[assignCells]] distance, ties to lower cell), builds a residual
+    * ADC LUT per probed cell, and ranks that cell's candidates by ADC.
+    * With nprobe = nlist the ranking equals squared-L2 against the full
+    * reconstruction (centroid + decoded residual) — pinned in OpsSpec. */
+  def ivfpqSearch(index: IvfPqIndex, queries: DataFrame, vecCol: String,
+                  k: Int, nprobe: Int): DataFrame = {
+    val cents = index.centroids
+    val centLit = F.array(cents.map(c => F.array(c.map(F.lit): _*)): _*)
+    val dists = cents.zipWithIndex.map { case (c, i) =>
+      val cl = F.array(c.map(F.lit): _*)
+      F.struct(
+        F.aggregate(F.zip_with(F.col("__qvec"), cl, (x, y) => (x - y) * (x - y)),
+          F.lit(0.0d), (acc, v) => acc + v).as("d"),
+        F.lit(i).as("cell"))
+    }
+    val probed = F.broadcast(queries
+      .withColumnRenamed(index.idCol, "query_id")
+      .withColumnRenamed(vecCol, "__qvec")
+      .withColumn("__p", F.explode(F.slice(F.array_sort(F.array(dists: _*)), 1, nprobe)))
+      .withColumn("cell", F.col("__p").getField("cell"))
+      .withColumn("__qres", F.zip_with(F.col("__qvec"),
+        F.element_at(centLit, F.col("cell") + F.lit(1)), (x, y) => x - y))
+      .withColumn("__lut", pqLut(F.col("__qres"), index.codebooks))
+      .select("query_id", "cell", "__lut"))
+    val cand = index.cells.join(probed, Seq("cell"))
+      .filter(F.col(index.idCol) =!= F.col("query_id"))
+      .withColumn("dist", adcDist(F.col("codes"), F.col("__lut"),
+        index.codebooks.length, index.codebooks(0).length))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("dist").asc, F.col(index.idCol).asc)
+    cand.withColumn("rk", F.row_number().over(w))
+      .filter(F.col("rk") <= k)
+      .select(F.col("query_id"), F.col(index.idCol).as("neighbor_id"),
         F.col("dist"), F.col("rk"))
   }
 

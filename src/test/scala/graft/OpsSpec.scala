@@ -1063,6 +1063,51 @@ class OpsSpec extends AnyFunSuite {
     assert(adc == exp)
   }
 
+  test("ivfpqSearch at nprobe=nlist ranks by L2 to centroid+decoded-residual") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val r = new scala.util.Random(31L)
+    val cents = Array.fill(4, 64)(r.nextDouble() * 0.2 - 0.1)
+    val cbs = Array.fill(8, 8, 8)(r.nextDouble() * 0.1 - 0.05)
+    val idx = Similarity.ivfpqBuild(emb, "vec_id", "embedding", cents, cbs)
+    val queries = emb.filter($"vec_id" < 5)
+    val got = Similarity.ivfpqSearch(idx, queries, "embedding", k = 10, nprobe = 4)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    // truth: rank by squared L2 between the query's residual IN THE
+    // CANDIDATE'S CELL and the decoded residual — the same per-dim ops ADC
+    // tabulates ((q − cent) − dec, never q − (cent + dec))
+    val centLit = F.array(cents.map(c => F.array(c.map(F.lit): _*)): _*)
+    val cbLit = F.array(cbs.flatten.map(cw => F.array(cw.map(F.lit): _*)): _*)
+    val recon = idx.cells
+      .withColumn("__rres", F.flatten(F.transform($"codes",
+        (code, s) => F.element_at(cbLit, s * 8 + code + F.lit(1)))))
+      .select($"vec_id".as("neighbor_id"), $"cell", $"__rres")
+    val q2 = F.broadcast(queries.select($"vec_id".as("query_id"), $"embedding".as("__q")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("dist").asc, F.col("neighbor_id").asc)
+    val exp = recon.join(q2, $"neighbor_id" =!= $"query_id")
+      .withColumn("__qres", F.zip_with($"__q",
+        F.element_at(centLit, $"cell" + F.lit(1)), (x, y) => x - y))
+      .withColumn("dist", F.aggregate(
+        F.zip_with($"__qres", $"__rres", (x, y) => (x - y) * (x - y)),
+        F.lit(0.0d), (a, v) => a + v))
+      .withColumn("rk", F.row_number().over(w)).filter($"rk" <= 10)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exp)
+    // nprobe=1 prunes to the query's own nearest cell: every neighbor's
+    // cell must equal the query's assignCells cell (same argmin formula)
+    val pruned = Similarity.ivfpqSearch(idx, queries, "embedding", k = 10, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val qc = Similarity.assignCells(queries, "embedding", cents)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val nc = idx.cells.select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(pruned.nonEmpty)
+    assert(pruned.forall { case (q, n) => nc(n) == qc(q) },
+      "nprobe=1 must only surface candidates from the query's nearest cell")
+  }
+
   test("corpusDiff: added/removed/changed/unchanged, format-only edits unchanged") {
     val oldSnap = Seq(
       (1L, "stays exactly the same"),

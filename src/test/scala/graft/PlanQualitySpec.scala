@@ -356,6 +356,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"code stream must not shuffle:\n$p")
   }
 
+  test("ivfpq: build is shuffle-free; search joins broadcast probes on the cell key") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val cents = Array.tabulate(4, 64)((i, j) => math.sin(i * 64 + j))
+    val cbs = Array.tabulate(8, 8, 8)((s, j, i) => math.cos(s * 64 + j * 8 + i))
+    val idx = graft.ops.Similarity.ivfpqBuild(emb, "vec_id", "embedding", cents, cbs)
+    val pb = plan(idx.cells)
+    assert(!pb.contains("Exchange"), s"index build must not shuffle:\n$pb")
+    assert(pb.contains("pq_encode") && pb.contains("nearest_cell"),
+      s"expected native assignment + encode:\n$pb")
+    val ps = plan(graft.ops.Similarity.ivfpqSearch(idx,
+      emb.filter(F.col("vec_id") < 5), "embedding", k = 3, nprobe = 2))
+    assert(ps.contains("BroadcastHashJoin"), s"probes must broadcast-join on cell:\n$ps")
+    assert(ps.contains("WindowGroupLimit"), s"top-k must partial-limit map-side:\n$ps")
+    assert(!ps.contains("SortMergeJoin") && !ps.contains("CartesianProduct"),
+      s"code stream must not shuffle:\n$ps")
+  }
+
   test("upsample is a shuffle-free projection + explode") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.Sampling.upsampleByGroup(docs, F.col("source"),
