@@ -105,6 +105,20 @@ object StressBench {
         // per-(gram,doc) collapse must keep the window/rollup linear —
         // positions grow K×, never K²
         "x59_dup_spans" -> (() => Dedup.dupSpans(docs, "doc_id", "text")),
+        // IVF+PQ: nlist ∝ K holds cell size flat, so the fixed 50-query
+        // nprobe=4 probe touches a CONSTANT candidate count as N grows —
+        // build (native projections) is the only linear term
+        "x65_ivfpq" -> (() => {
+          val r = new scala.util.Random(11L)
+          val nlist = 16 * k
+          val cents = Array.fill(nlist, 64)(r.nextDouble() * 0.2 - 0.1)
+          val cbs = Array.fill(8, 8, 8)(r.nextDouble() * 0.1 - 0.05)
+          val embD = emb.withColumn("embedding",
+            F.col("embedding").cast("array<double>"))
+          val idx = Similarity.ivfpqBuild(embD, "vec_id", "embedding", cents, cbs)
+          Similarity.ivfpqSearch(idx, embD.filter(F.col("vec_id") < 50),
+            "embedding", k = 3, nprobe = 4)
+        }),
       )
       val results = queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
