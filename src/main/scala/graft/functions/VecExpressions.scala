@@ -159,6 +159,24 @@ object VecOps {
     }
     out
   }
+
+  /** ADC distance: Σ_s lut[s·kk + codes[s]], s-ascending — the exact
+    * addition order of the HOF/oracle formulation. Loud on a LUT sized
+    * for a different (m, kk) — a silent wrong-stride read would rank
+    * garbage. */
+  def adcDist(codes: ArrayData, lut: ArrayData, kk: Int): Double = {
+    val m = codes.numElements()
+    if (lut.numElements() != m * kk)
+      throw new IllegalArgumentException(
+        s"ADC lut must have ${m * kk} entries, got ${lut.numElements()}")
+    var d = 0.0
+    var s = 0
+    while (s < m) {
+      d += lut.getDouble(s * kk + codes.getInt(s))
+      s += 1
+    }
+    d
+  }
 }
 
 /** Fraction of positionwise-equal elements of two long arrays (MinHash
@@ -403,4 +421,34 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 
   protected override def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
+}
+
+/** ADC distance between a codes column (array<int>) and a per-query LUT
+  * column (array<double>, m·kk entries) — the per-CANDIDATE hot path of
+  * PQ/IVFPQ search as one codegen'd loop instead of an interpreted
+  * zip_with/aggregate lambda pair. Addition order identical to the HOF
+  * form ([[VecOps.adcDist]]). */
+case class AdcDist(left: Expression, right: Expression, kk: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(IntegerType, _) => right.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName lut must be array<double>, got $t")
+    }
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName codes must be array<int>, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_dist"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.adcDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], kk)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecOps.adcDist($a, $b, $kk)")
+
+  protected override def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcDist =
+    copy(left = newLeft, right = newRight)
 }

@@ -505,13 +505,14 @@ object Similarity {
     })
   }
 
-  /** ADC distance: m LUT lookups added s-ascending (matches any engine's
-    * list(subsum ORDER BY s) replay). */
+  /** ADC distance: m LUT lookups added s-ascending — one native codegen'd
+    * loop per candidate ([[graft.functions.AdcDist]]; the zip_with/
+    * aggregate HOF form paid two interpreted lambdas per candidate on the
+    * hottest stream of the search). Addition order matches any engine's
+    * list(subsum ORDER BY s) replay. */
   private def adcDist(codes: Column, lut: Column, m: Int, kk: Int): Column =
-    F.aggregate(
-      F.zip_with(codes, F.sequence(F.lit(0), F.lit(m - 1)),
-        (code, s) => F.element_at(lut, s * kk + code + F.lit(1))),
-      F.lit(0.0d), (acc, v) => acc + v)
+    GraftExpr.column(graft.functions.AdcDist(
+      GraftExpr.expression(codes), GraftExpr.expression(lut), kk))
 
   /** A built IVF+PQ index: every corpus row as (id, cell, residual codes).
     * At rest `cells` is written `partitionBy(cell)` so probing prunes

@@ -354,6 +354,7 @@ class PlanQualitySpec extends AnyFunSuite {
       s"query+LUT side must broadcast:\n$p")
     assert(p.contains("WindowGroupLimit"), s"top-k must partial-limit map-side:\n$p")
     assert(!p.contains("SortMergeJoin"), s"code stream must not shuffle:\n$p")
+    assert(p.contains("adc_dist"), s"candidate distance must be the native loop:\n$p")
   }
 
   test("ivfpq: build is shuffle-free; search joins broadcast probes on the cell key") {
