@@ -37,7 +37,26 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // JVM-health instrumentation so a future reader can adjudicate wall-time
+    // outliers: per-query GC delta separates allocation pressure from plan
+    // cost, and executor run/cpu time separates "the query did more work"
+    // from "the host was contended" (task_ms flat + wall up = contention;
+    // cpu_ms ≪ task_ms = threads starved or blocked on I/O).
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { taskMs.addAndGet(m.executorRunTime); taskCpuNs.addAndGet(m.executorCpuTime) }
+      }
+    })
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    final case class QStat(sec: Double, gcMs: Long, taskMs: Long, taskCpuMs: Long)
     val results = selected.map { case (name, fn) =>
+      org.apache.spark.GraftListeners.drain(spark.sparkContext)
+      val (gc0, tk0, cp0) = (gcMs, taskMs.get, taskCpuNs.get)
       val t0 = System.nanoTime()
       // noop sink materializes every column (count() would let Spark prune
       // projections and under-report the real work)
@@ -49,7 +68,9 @@ object Bench {
         failed += name
         System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftListeners.drain(spark.sparkContext)
+      name -> QStat(sec, gcMs - gc0, taskMs.get - tk0, (taskCpuNs.get - cp0) / 1000000L)
     }
     // The driver keeps only the LAST 2000 chars of output, and the one-line
     // JSON outgrew that window at 78 full-name ns-precision entries
@@ -60,22 +81,30 @@ object Bench {
     // BASELINE.md ledger.
     def s3(v: Double): String = f"$v%.3f"
     def shortId(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.map { case (k, v) => s"\"" + shortId(k) + "\":" + s3(v) }
+    val qs = results.map { case (k, v) => s"\"" + shortId(k) + "\":" + s3(v.sec) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.sec).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Run-level contention indicator: parallelism = Σ executor task time /
+    // wall. On an otherwise-idle local[cpus] host heavy queries should push
+    // well past 1; a run whose wall doubled while parallelism (and per-query
+    // task_ms) held steady was co-scheduled with something, not regressed.
+    val sumTaskMs = results.map(_._2.taskMs).sum
+    val sumGcMs = results.map(_._2.gcMs).sum
+    val par = if (total > 0) sumTaskMs / 1000.0 / total else 0.0
     try {
-      val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
+      val full = results.map { case (k, v) =>
+        s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs}}"""
+      }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("bench_detail.json")
-      try w.println(s"""{"total":$total,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"total":$total,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"parallelism":${f"$par%.2f"},"cpus":$cpus,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     // Stop Spark BEFORE printing the summary so no executor/stage log line
     // can land after it — the JSON must be the last stdout line for the
     // driver's tail-window parse.
     spark.stop()
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","gc_sec":${s3(sumGcMs / 1000.0)},"parallelism":${f"$par%.2f"},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -1839,7 +1839,10 @@ object SparkEntry {
 
     // mirrors Curation.corpusDiff over the same constructed snapshot: the
     // x01 fingerprint formula on both sides, FULL OUTER JOIN, same CASE
-    // priority as the Spark when-chain
+    // priority as the Spark when-chain; presence keys on the join side
+    // (doc_id IS NULL), matching the Spark side's explicit presence
+    // marker, and fp equality is null-safe on both engines so null-text
+    // rows present in both snapshots read unchanged, not added/removed
     "x61_corpus_diff" ->
       """WITH o AS (
         |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ofp
@@ -1858,7 +1861,7 @@ object SparkEntry {
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN o.ofp = n.nfp THEN 'unchanged'
+        |       WHEN o.ofp IS NOT DISTINCT FROM n.nfp THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,

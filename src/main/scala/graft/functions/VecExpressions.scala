@@ -162,8 +162,9 @@ object VecOps {
 
   /** ADC distance: Σ_s lut[s·kk + codes[s]], s-ascending — the exact
     * addition order of the HOF/oracle formulation. Loud on a LUT sized
-    * for a different (m, kk) — a silent wrong-stride read would rank
-    * garbage. */
+    * for a different (m, kk) AND on a per-subspace code ≥ kk — total-length
+    * checks alone would let codes encoded at a larger k than the search
+    * codebooks read the NEXT subspace's LUT entries and rank garbage. */
   def adcDist(codes: ArrayData, lut: ArrayData, kk: Int): Double = {
     val m = codes.numElements()
     if (lut.numElements() != m * kk)
@@ -172,7 +173,12 @@ object VecOps {
     var d = 0.0
     var s = 0
     while (s < m) {
-      d += lut.getDouble(s * kk + codes.getInt(s))
+      val c = codes.getInt(s)
+      if (c < 0 || c >= kk)
+        throw new IllegalArgumentException(
+          s"PQ code $c at subspace $s out of range for k=$kk codewords " +
+            "(codes were encoded against a different codebook)")
+      d += lut.getDouble(s * kk + c)
       s += 1
     }
     d
@@ -340,6 +346,8 @@ case class LshBits(child: Expression, planes: Array[Array[Double]])
   private def cf = isFloatArray(child.dataType)
   private val nPlanes = planes.length
   private val dim = if (planes.isEmpty) 0 else planes(0).length
+  require(planes.forall(_.length == dim),
+    s"ragged LSH plane matrix: every plane must have length $dim")
   @transient private lazy val flat: Array[Double] = planes.flatten
 
   protected override def nullSafeEval(a: Any): Any =
@@ -373,6 +381,10 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
   private def cf = isFloatArray(child.dataType)
   private val nCents = centroids.length
   private val dim = if (centroids.isEmpty) 0 else centroids(0).length
+  require(centroids.forall(_.length == dim),
+    s"ragged centroid matrix: every centroid must have length $dim " +
+      "(dims are taken from the first row; a ragged matrix would misalign " +
+      "the flat buffer and score silently wrong distances)")
   @transient private lazy val flat: Array[Double] = centroids.flatten
 
   protected override def nullSafeEval(a: Any): Any =
@@ -406,6 +418,10 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   private val m = codebooks.length
   private val k = if (codebooks.isEmpty) 0 else codebooks(0).length
   private val dsub = if (k == 0 || codebooks(0).isEmpty) 0 else codebooks(0)(0).length
+  require(codebooks.forall(cb => cb.length == k && cb.forall(_.length == dsub)),
+    s"ragged codebook: every subspace must be [$k][$dsub] " +
+      "(dims are taken from the first row; a ragged codebook would misalign " +
+      "the flat buffer and encode silently wrong codes)")
   @transient private lazy val flat: Array[Double] = codebooks.flatten.flatten
 
   protected override def nullSafeEval(a: Any): Any =

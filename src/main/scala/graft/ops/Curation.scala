@@ -158,18 +158,26 @@ object Curation {
     * Scale shape: each side collapses to (id, 16-byte fp) in its scan
     * projection — documents never cross the wire — then ONE full-outer
     * shuffle join on id. Snapshots written `bucketBy(id)` (see
-    * [[graft.ops.Scale]]) diff with zero exchanges. */
+    * [[graft.ops.Scale]]) diff with zero exchanges.
+    *
+    * Presence is an EXPLICIT per-side marker, not fingerprint nullness: a
+    * row whose text is NULL has a NULL fingerprint but still EXISTS in its
+    * snapshot, so it must not read as added/removed. Two null-text rows
+    * compare unchanged (null-safe fp equality); null-text vs real text is
+    * changed. */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
                  idCol: String, textCol: String): DataFrame = {
     val o = oldDf.select(F.col(idCol),
-      TextOps.fingerprint(F.col(textCol)).as("__ofp"))
+      TextOps.fingerprint(F.col(textCol)).as("__ofp"),
+      F.lit(true).as("__old"))
     val n = newDf.select(F.col(idCol),
-      TextOps.fingerprint(F.col(textCol)).as("__nfp"))
+      TextOps.fingerprint(F.col(textCol)).as("__nfp"),
+      F.lit(true).as("__new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(F.col(idCol),
-        F.when(F.col("__ofp").isNull, "added")
-          .when(F.col("__nfp").isNull, "removed")
-          .when(F.col("__ofp") === F.col("__nfp"), "unchanged")
+        F.when(F.col("__old").isNull, "added")
+          .when(F.col("__new").isNull, "removed")
+          .when(F.col("__ofp") <=> F.col("__nfp"), "unchanged")
           .otherwise("changed").as("status"))
   }
 }

@@ -150,19 +150,44 @@ object Similarity {
   final case class IvfIndex(cells: DataFrame, centroids: Array[Array[Double]],
                             idCol: String, vecCol: String)
 
+  /** Deterministic bounded fit sample for quantizer training: rows ranked
+    * by a CONTENT hash (md5 of the vector rendering) and the hash-smallest
+    * `cap` kept — a uniform draw that is independent of scan/partition
+    * order, so a corpus written sorted or partitioned by domain (the 100 TB
+    * layout) still yields a representative sample; first-rows `.limit`
+    * would train the quantizer on whichever shard Spark scanned first.
+    * Sort+limit plans as TakeOrderedAndProject — a bounded per-partition
+    * top-cap heap + one bounded merge, never a full sort — then the sample
+    * is respread for parallel ML aggregation. Callers `.cache()` the
+    * result and fit EVERY model from the one materialization (65k × dim
+    * doubles ≈ 33 MB — trivially cacheable), then unpersist. */
+  private[graft] def fitSample(corpus: DataFrame, vecCol: String,
+                               cap: Int = 65536): DataFrame =
+    corpus.select(F.col(vecCol).cast("array<double>").as("__v"))
+      .filter(F.col("__v").isNotNull)
+      .withColumn("__h", F.md5(F.col("__v").cast("string")))
+      .orderBy("__h").limit(cap)
+      .drop("__h")
+      .repartition(16)
+
   /** Build the IVF coarse quantizer + cell assignment. The k-means fits on
-    * a bounded sample — at corpus scale you never train on all rows; cell
-    * QUALITY needs only a representative sample, while cell ASSIGNMENT
-    * covers every row. */
+    * a bounded DETERMINISTIC sample ([[fitSample]] — content-hash-ranked,
+    * cached once, unbiased under sorted/partitioned corpora) — at corpus
+    * scale you never train on all rows; cell QUALITY needs only a
+    * representative sample, while cell ASSIGNMENT covers every row. */
   def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
                nlist: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val sample = fitSample(corpus, vecCol)
+      .select(array_to_vector(F.col("__v")).as("__v")).cache()
+    val model =
+      try new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("__v").setPredictionCol("__cell")
+        .fit(sample)
+      finally sample.unpersist(false)
     val vecd = corpus.withColumn("__v",
       array_to_vector(F.col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("__v").setPredictionCol("__cell")
-      .fit(vecd.limit(65536))
     IvfIndex(model.transform(vecd).drop("__v"),
       model.clusterCenters.map(_.toArray), idCol, vecCol)
   }
@@ -579,24 +604,28 @@ object Similarity {
         F.col("dist"), F.col("rk"))
   }
 
-  /** Fit PQ codebooks: per-subspace k-means on a bounded sample (the
-    * [[buildIvf]] rationale — codebook QUALITY needs a sample; encoding
-    * covers every row). Returns [m][k][dsub] for [[pqQuantize]]. */
+  /** Fit PQ codebooks: per-subspace k-means on a bounded DETERMINISTIC
+    * sample (the [[buildIvf]] rationale — codebook QUALITY needs a sample;
+    * encoding covers every row). The [[fitSample]] draw is materialized
+    * ONCE (cached) and all m subspace fits slice it — the earlier
+    * uncached form re-scanned the parquet for each of the m fits.
+    * Returns [m][k][dsub] for [[pqQuantize]]. */
   def pqFit(corpus: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
             dim: Int = 64, seed: Long = 42L): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
-    val sample = corpus.select(F.col(vecCol).cast("array<double>").as("__v"))
-      .limit(65536)
-    (0 until m).map { s =>
-      val sub = sample.select(
-        array_to_vector(F.slice(F.col("__v"), s * dsub + 1, dsub)).as("__s"))
-      new KMeans().setK(k).setSeed(seed + s).setMaxIter(10)
-        .setFeaturesCol("__s").setPredictionCol("__c")
-        .fit(sub).clusterCenters.map(_.toArray)
-    }.toArray
+    val sample = fitSample(corpus, vecCol).cache()
+    try {
+      (0 until m).map { s =>
+        val sub = sample.select(
+          array_to_vector(F.slice(F.col("__v"), s * dsub + 1, dsub)).as("__s"))
+        new KMeans().setK(k).setSeed(seed + s).setMaxIter(10)
+          .setFeaturesCol("__s").setPredictionCol("__c")
+          .fit(sub).clusterCenters.map(_.toArray)
+      }.toArray
+    } finally sample.unpersist(false)
   }
 
   private def flagSemDups(assigned0: DataFrame, idCol: String, vecCol: String,

@@ -975,6 +975,42 @@ class OpsSpec extends AnyFunSuite {
     assert(open.filter($"is_dup").count() == 9)
   }
 
+  test("semDedup: zero-norm vector is never flagged (NULL cosine, not NaN)") {
+    // cosine(zero, v) must come back NULL (CosineSim maps NaN -> NULL): a
+    // NaN would satisfy `NaN >= threshold` and flag every zero-norm row
+    // that co-cells with a lower id. Row 2 ties both centroids (dist 1
+    // each -> cell 0) and sits in row 1's cell.
+    val cents = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    val emb = Seq(
+      (1L, Seq(0.9, 0.1)),   // cell 0, kept
+      (2L, Seq(0.0, 0.0)),   // zero norm, co-celled with 1 -> must be kept
+      (3L, Seq(0.95, 0.05))  // genuine near-dup of 1 -> still flagged
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding", threshold = 0.8, cents)
+      .as[(Long, Int, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(out.size == 3)
+    assert(!out(2L), "zero-norm row must not be flagged as a semantic dup")
+    assert(!out(1L) && out(3L))
+  }
+
+  test("fitSample: content-keyed draw ignores scan order; bounded; null-free") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def draw(df: org.apache.spark.sql.DataFrame): Set[Seq[Double]] =
+      Similarity.fitSample(df, "embedding", cap = 50)
+        .as[Seq[Double]].collect().toSet
+    val a = draw(emb)
+    // same corpus, reversed scan order, different partitioning -> same draw
+    val b = draw(emb.orderBy($"vec_id".desc).repartition(7))
+    assert(a == b, "fit sample must be a function of content, not scan order")
+    assert(a.size == 50)
+    // a null vector never reaches the k-means fit
+    val withNull = emb.select($"vec_id",
+      F.when($"vec_id" % 2 === 0, $"embedding").as("embedding"))
+    assert(Similarity.fitSample(withNull, "embedding", cap = 1000000)
+      .filter($"__v".isNull).count() == 0)
+  }
+
   test("semDedupKmeans flags an exact copy and keeps every row exactly once") {
     val sf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumn("embedding", F.col("embedding").cast("array<double>"))
@@ -1125,6 +1161,47 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "unchanged", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("corpusDiff: null text is presence, not absence") {
+    // a row whose text is NULL still EXISTS in its snapshot: presence keys
+    // on an explicit per-side marker, never on fingerprint nullness
+    val oldSnap = Seq(
+      (1L, null.asInstanceOf[String]),  // null both sides -> unchanged
+      (2L, null.asInstanceOf[String]),  // null -> real text = changed
+      (3L, "real text"),                // real -> null = changed (NOT removed)
+      (4L, "to be deleted")             // genuinely absent from new
+    ).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, "now real"),
+      (3L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])   // genuinely new, even with null text
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Curation.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("adcDist / quantizer literals fail loudly on mismatched shapes") {
+    import org.apache.spark.sql.GraftExpr
+    // codes encoded at k=16 probed against kk=8 LUTs: total LUT length
+    // (m*kk = 16) passes, but code 8 at subspace 1 would silently read
+    // subspace 2's entries without the per-code bounds check
+    val df = Seq((Seq(0, 8), (1 to 16).map(_.toDouble))).toDF("codes", "lut")
+    val bad = df.select(GraftExpr.column(graft.functions.AdcDist(
+      GraftExpr.expression(F.col("codes")), GraftExpr.expression(F.col("lut")), 8)))
+    assertThrows[Exception](bad.collect())
+    // ragged literal matrices mis-stride the flat buffer -> refuse at construction
+    val child = GraftExpr.expression(F.lit(1))
+    assertThrows[IllegalArgumentException](
+      graft.functions.NearestCell(child, Array(Array(1.0, 0.0), Array(1.0))))
+    assertThrows[IllegalArgumentException](
+      graft.functions.LshBits(child, Array(Array(1.0, 0.0), Array(1.0))))
+    assertThrows[IllegalArgumentException](
+      graft.functions.PqEncode(child,
+        Array(Array(Array(1.0), Array(2.0)), Array(Array(3.0)))))
   }
 
   test("hardNegatives: same-label rows never surface; ranking matches brute cosine") {

@@ -59,6 +59,32 @@ class ScaleSpec extends AnyFunSuite {
       s"expected partition pruning in:\n$p")
   }
 
+  test("IVF __cell partition-prunes at rest: probe scans only probed cells") {
+    // The Similarity.buildIvf scaladoc promises `__cell` doubles as a
+    // parquet partition key so probing prunes whole files — demonstrate the
+    // claim end-to-end: build, write partitionBy(__cell) via the corpus
+    // sink, reload, probe, and assert the scan's PartitionFilters carry the
+    // broadcast-join DPP subquery (the probe visits nprobe of nlist cells).
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val idx = graft.ops.Similarity.buildIvf(emb, "vec_id", "embedding", nlist = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Scale.writePartitionedCorpus(idx.cells, out, Seq("__cell"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("__cell=")),
+      s"expected __cell hive layout, got ${dirs.toSeq}")
+    val atRest = idx.copy(cells = spark.read.parquet(out))
+    val queries = emb.filter(F.col("vec_id") < 3)
+    val probe = graft.ops.Similarity.queryIvf(atRest, queries, k = 5, nprobe = 2)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected DPP on the __cell partition column in:\n$p")
+    // and the at-rest probe returns exactly the in-memory index's answer
+    val mem = graft.ops.Similarity.queryIvf(idx, queries, k = 5, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probe.collect().map(_.toString).sorted.toSeq == mem)
+  }
+
   test("salted join returns exactly the plain join result") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")
