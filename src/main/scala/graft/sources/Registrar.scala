@@ -46,21 +46,12 @@ object Registrar {
     case Some("json") => spark.read.json(path) // Spark's reader is NDJSON-native
     case Some("parquet") => spark.read.parquet(path)
     case Some("avro") =>
-      // Parity note: the reference also only DECLARES avro — its DataFusion
-      // branch is `unimplemented!` (/root/reference/src/main.rs:25,
-      // datafusion.rs:47-49). Spark supports it via the spark-avro module,
-      // which this distribution's jar dir doesn't carry, and the generic
-      // "Failed to find data source" it raises names neither the jar nor
-      // the fix — rethrow the same truthful-error shape as the other
-      // unsupported connector paths.
-      try spark.read.format("avro").load(path)
-      catch {
-        case e: Throwable if String.valueOf(e.getMessage).contains("Failed to find data source") =>
-          throw SourceError(
-            "avro sources need the spark-avro module (org.apache.spark:spark-avro), " +
-              s"which is not on this classpath — cannot read $path. " +
-              "The reference CLI also declares but does not implement avro.")
-      }
+      // Beyond-reference: pq DECLARES avro and never implements it (its
+      // DataFusion branch is `unimplemented!` — /root/reference/src/main.rs:25,
+      // datafusion.rs:47-49). The spark-avro datasource jar isn't bundled
+      // with this distribution, but the avro container libraries are, so
+      // the scan is implemented directly ([[AvroScan]]).
+      AvroScan.read(spark, path)
     case other => throw SourceError(s"unsupported source type: ${other.getOrElse("(none)")} ($path)")
   }
 

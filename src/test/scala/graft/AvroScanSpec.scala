@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord, GenericRecordBuilder}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{AvroScan, Registrar}
+
+/** The avro scan reads what the avro library itself wrote — scalars,
+  * null-unions, arrays, maps, nested records, enum/bytes, and the
+  * date/timestamp logical types — and unsupported shapes fail loudly at
+  * schema time. */
+class AvroScanSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+
+  private def writeFixture(dir: java.io.File): Schema = {
+    val tsMicros = LogicalTypes.timestampMicros()
+      .addToSchema(Schema.create(Schema.Type.LONG))
+    val dateT = LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    val meta = SchemaBuilder.record("meta").fields()
+      .requiredString("k").requiredInt("n").endRecord()
+    val schema = SchemaBuilder.record("doc").fields()
+      .requiredLong("id")
+      .requiredString("name")
+      .optionalDouble("score")          // union [null, double]
+      .name("tags").`type`().array().items().stringType().noDefault()
+      .name("meta").`type`(meta).noDefault()
+      .name("kind").`type`().enumeration("kind_e").symbols("A", "B").noDefault()
+      .requiredBytes("payload")
+      .name("ts").`type`(tsMicros).noDefault()
+      .name("d").`type`(dateT).noDefault()
+      .name("counts").`type`().map().values().longType().noDefault()
+      .endRecord()
+    def rec(id: Long, name: String, score: java.lang.Double, kind: String): GenericRecord = {
+      val m = new GenericRecordBuilder(meta).set("k", s"k$id").set("n", id.toInt).build()
+      new GenericRecordBuilder(schema)
+        .set("id", id).set("name", name).set("score", score)
+        .set("tags", java.util.List.of(s"t$id", "common"))
+        .set("meta", m)
+        .set("kind", new GenericData.EnumSymbol(schema.getField("kind").schema(), kind))
+        .set("payload", java.nio.ByteBuffer.wrap(Array[Byte](1, 2, id.toByte)))
+        .set("ts", 1700000000000000L + id)     // micros
+        .set("d", 19700 + id.toInt)            // days since epoch
+        .set("counts", java.util.Map.of("a", id, "b", id * 2))
+        .build()
+    }
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part-0.avro"))
+    try { w.append(rec(1, "one", 1.5, "A")); w.append(rec(2, "two", null, "B")) }
+    finally w.close()
+    schema
+  }
+
+  test("avro round-trip: schema mapping and values, via the Registrar path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro").toFile
+    writeFixture(dir)
+    val df = Registrar.read(spark, new java.io.File(dir, "part-0.avro").getPath)
+    val st = df.schema
+    assert(st("id").dataType == LongType && !st("id").nullable)
+    assert(st("score").dataType == DoubleType && st("score").nullable)
+    assert(st("tags").dataType == ArrayType(StringType, containsNull = false))
+    assert(st("meta").dataType.isInstanceOf[StructType])
+    assert(st("kind").dataType == StringType)
+    assert(st("payload").dataType == BinaryType)
+    assert(st("ts").dataType == TimestampType)
+    assert(st("d").dataType == DateType)
+    assert(st("counts").dataType == MapType(StringType, LongType, valueContainsNull = false))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getAs[Long]("id") == 1L && r1.getAs[String]("name") == "one")
+    assert(r1.getAs[Double]("score") == 1.5 && rows(1).isNullAt(rows(1).fieldIndex("score")))
+    assert(r1.getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("t1", "common"))
+    assert(r1.getAs[org.apache.spark.sql.Row]("meta").getAs[String]("k") == "k1")
+    assert(r1.getAs[String]("kind") == "A" && rows(1).getAs[String]("kind") == "B")
+    assert(r1.getAs[Array[Byte]]("payload").toSeq == Seq[Byte](1, 2, 1))
+    assert(r1.getAs[java.sql.Timestamp]("ts").toInstant.toEpochMilli == 1700000000000L)
+    assert(r1.getAs[java.sql.Date]("d").toLocalDate ==
+      java.time.LocalDate.ofEpochDay(19701))
+    assert(r1.getAs[scala.collection.Map[String, Long]]("counts").toMap ==
+      Map("a" -> 1L, "b" -> 2L))
+    // directory path resolves via the first file's header schema
+    assert(AvroScan.read(spark, dir.getPath).count() == 2)
+    // and the relational layer composes on top like any other source
+    df.createOrReplaceTempView("avro_docs")
+    assert(spark.sql("SELECT sum(id) s FROM avro_docs WHERE score IS NOT NULL")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("unsupported avro shapes fail loudly at schema time") {
+    // multi-branch union: no faithful Spark type
+    val multi = SchemaBuilder.record("r").fields()
+      .name("u").`type`().unionOf().intType().and().stringType().endUnion().noDefault()
+      .endRecord()
+    val eu = intercept[Registrar.SourceError](AvroScan.toStruct(multi))
+    assert(eu.getMessage.contains("union"))
+    // decimal logical type: would need scale/precision-aware decoding
+    val dec = Schema.create(Schema.Type.BYTES)
+    LogicalTypes.decimal(10, 2).addToSchema(dec)
+    val decRec = SchemaBuilder.record("r2").fields()
+      .name("d").`type`(dec).noDefault().endRecord()
+    val ed = intercept[Registrar.SourceError](AvroScan.toStruct(decRec))
+    assert(ed.getMessage.contains("decimal"))
+  }
+}

@@ -44,13 +44,9 @@ class CliSpec extends AnyFunSuite {
       Cli.run(Cli.parseArgs(Array("-d", "sqlite://chinook.db", "from tracks")))
     }
     assert(ed.getMessage.contains("not supported") && ed.getMessage.contains("sqlite"))
-    // avro: extension is accepted (reference parity — its own avro branch is
-    // unimplemented!) but the read names the missing spark-avro module, not
-    // Spark's generic "Failed to find data source"
-    val ea = intercept[Registrar.SourceError] {
-      Registrar.read(spark, "/tmp/nonexistent.avro")
-    }
-    assert(ea.getMessage.contains("spark-avro"), ea.getMessage)
+    // avro is a real scan now (AvroScanSpec) — a missing path still fails
+    // loudly, not with a silent empty relation
+    assertThrows[Exception](Registrar.read(spark, "/tmp/nonexistent.avro").collect())
   }
 
   test("auto-from: prepend last source when query lacks from (main.rs:144-150)") {
