@@ -334,7 +334,8 @@ final class Parser(tokens: Vector[Tok]) {
     if (isOp("..")) {
       p += 1
       val hi = cur match {
-        case TOp(")" | "]" | ",", _) | TNewline(_) | TEof(_) => None
+        // `|` ends an open range too: `(ts.. | in x)` — fuzz find
+        case TOp(")" | "]" | "," | "|", _) | TNewline(_) | TEof(_) => None
         case _ => Some(parseAdditive())
       }
       RangeE(Some(l), hi)
@@ -405,7 +406,7 @@ final class Parser(tokens: Vector[Tok]) {
     if (isOp("..")) {
       p += 1
       val hi = cur match {
-        case TOp(")" | "]" | ",", _) | TNewline(_) | TEof(_) => None
+        case TOp(")" | "]" | "," | "|", _) | TNewline(_) | TEof(_) => None
         case _ => Some(parseAtom())
       }
       RangeE(Some(a), hi)

@@ -386,6 +386,20 @@ class PrqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |ORDER BY n_nationkey""".stripMargin)
   }
 
+  test("date-literal range: `in @a..@b` lexes as two dates, not one (fuzz find)") {
+    // the date lexer used to swallow the `..` range operator into the
+    // literal (`@2020-01-01..` became one TDate) — found by the
+    // PrinterRoundTripSpec parse/print fuzz
+    assertSameAs(
+      prql("""from orders
+             |filter (o_orderdate | in @1993-01-01..@1993-12-31)
+             |select [o_orderkey, o_orderdate]
+             |sort o_orderkey""".stripMargin),
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1993-01-01' AND DATE '1993-12-31'
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   test("malformed queries fail loudly at compile time, never wrong results") {
     intercept[Exception](prql("from"))                          // missing table name
     intercept[Exception](prql("frmo lineitem"))                 // unknown transform
