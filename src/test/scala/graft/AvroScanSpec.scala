@@ -91,6 +91,25 @@ class AvroScanSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("CLI end-to-end: avro --from source through a PRQL pipeline to csv") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-cli").toFile
+    writeFixture(dir)
+    val avroPath = new java.io.File(dir, "docs.avro")
+    new java.io.File(dir, "part-0.avro").renameTo(avroPath)
+    val out = new java.io.File(dir, "out.csv")
+    implicit val s = spark
+    Cli.run(Cli.parseArgs(Array(
+      "--from", avroPath.getPath,
+      "--to", out.getPath,
+      "from docs | filter score != null | select [id, name] | sort id")))
+    val lines = scala.io.Source.fromFile(
+      out match {
+        case f if f.isDirectory => f.listFiles().find(_.getName.endsWith(".csv")).get
+        case f => f
+      }).getLines().toSeq
+    assert(lines == Seq("id,name", "1,one"))
+  }
+
   test("unsupported avro shapes fail loudly at schema time") {
     // multi-branch union: no faithful Spark type
     val multi = SchemaBuilder.record("r").fields()
