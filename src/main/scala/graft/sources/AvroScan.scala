@@ -122,6 +122,16 @@ object AvroScan {
   private def toRow(rec: GenericRecord, schema: Schema): Row =
     Row.fromSeq(schema.getFields.asScala.map(f => fromAvro(rec.get(f.pos()), f.schema())).toSeq)
 
+  /** Positional record→Row bridge for the V2 reader ([[AvroV2]]): the
+    * record was decoded with a PRUNED reader schema, so positions are the
+    * projected positions, not the writer's. */
+  private[sources] def recordToRow(rec: GenericRecord, fieldSchemas: Array[Schema]): Row = {
+    val vals = new Array[Any](fieldSchemas.length)
+    var i = 0
+    while (i < fieldSchemas.length) { vals(i) = fromAvro(rec.get(i), fieldSchemas(i)); i += 1 }
+    Row.fromSeq(vals.toIndexedSeq)
+  }
+
   /** Avro runtime value → Spark external row value. Mirrors [[toSpark]]
     * branch-for-branch; the two must stay in lockstep. */
   private def fromAvro(v: Any, s: Schema): Any = {

@@ -50,8 +50,10 @@ object Registrar {
       // DataFusion branch is `unimplemented!` — /root/reference/src/main.rs:25,
       // datafusion.rs:47-49). The spark-avro datasource jar isn't bundled
       // with this distribution, but the avro container libraries are, so
-      // the scan is implemented directly ([[AvroScan]]).
-      AvroScan.read(spark, path)
+      // the scan is implemented here: the [[AvroDataSource]] V2 connector
+      // (column pruning pushed into the avro reader schema + sync-marker
+      // byte-range splits); [[AvroScan.read]] is the hadoop-RDD fallback.
+      spark.read.format(classOf[AvroDataSource].getName).load(path)
     case other => throw SourceError(s"unsupported source type: ${other.getOrElse("(none)")} ($path)")
   }
 
