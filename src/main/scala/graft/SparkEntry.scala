@@ -882,6 +882,44 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // URL-level dedup key: constructed URLs (x22 fixed-input pattern)
+    // exercise every normalization the canonicalizer makes — scheme/host
+    // case, default :443 (on BOTH schemes: stripped for https, KEPT for
+    // http), tracking params in first and only-param position, fragments,
+    // empty paths — then keep_first marks the canonical-URL survivor
+    "x66_url_canon" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val url = F.concat(
+        F.when(F.col("doc_id") % 2 === 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+        F.upper(F.col("source")), F.lit(".Example.com"),
+        F.when(F.col("doc_id") % 3 === 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 === 0, F.lit(""))
+          .otherwise(F.concat(F.lit("/p/"), (F.col("doc_id") % 100).cast("string"))),
+        F.when(F.col("doc_id") % 4 === 0,
+            F.concat(F.lit("?utm_source=feed&id="), (F.col("doc_id") % 7).cast("string")))
+          .when(F.col("doc_id") % 4 === 1, F.lit("?utm_campaign=x"))
+          .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 === 0, F.lit("#frag")).otherwise(F.lit("")))
+      docs.select(F.col("doc_id"), url.as("url"))
+        .select(F.col("doc_id"), F.col("url"),
+          TextOps.urlHost(F.col("url")).as("host"),
+          TextOps.canonicalUrl(F.col("url")).as("canon"))
+        .withColumn("keep_first",
+          F.row_number().over(Window.partitionBy("canon").orderBy("doc_id")) === 1)
+        .orderBy("doc_id")
+    }),
+
+    // graded contamination (x25's boolean gate as a tunable fraction):
+    // benchmark = every 50th doc, so those docs score 1.0 and everything
+    // else scores its incidental 8-gram overlap
+    "x67_contamination_score" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.contaminationScore(docs, docs.filter(F.col("doc_id") % 50 === 0),
+          "doc_id", "text", shingleSize = 8)
+        .orderBy("doc_id")
+    }),
+
     // epoch-weight mixture resampling: src0 ×2.5 (always 2 copies, a 3rd
     // for half the rows), src1 ×0.4 (pure downsample), src2 ×0 (dropped),
     // everything else ×1.0 (identity) — every factor regime in one entry
@@ -1836,6 +1874,82 @@ object SparkEntry {
         |LEFT JOIN totals t USING (doc_id)
         |LEFT JOIN flagged f USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors TextOps.canonicalUrl/urlHost over the same constructed URLs:
+    // identical RE2-safe regex chain (DuckDB 'g' flag where Spark's
+    // replace-all applies; anchored single-match repairs; \1 vs $1
+    // backreference dialect)
+    "x66_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+        |    || upper(source) || '.Example.com'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/p/' || (doc_id % 100) END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || (doc_id % 7)
+        |             WHEN doc_id % 4 = 1 THEN '?utm_campaign=x' ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(url, '#.*$', '') AS nofrag
+        |  FROM u
+        |), comp AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS tail0
+        |  FROM parts
+        |), cleaned AS (
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS hp,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(tail0, '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+        |        '^([^?&]*)&', '\1?'),
+        |      '[?&]$', '') AS t3
+        |  FROM comp
+        |), canoned AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+        |    scheme || '://' || hp ||
+        |      (CASE WHEN t3 = '' THEN '/'
+        |            WHEN t3 LIKE '?%' THEN '/' || t3
+        |            ELSE t3 END) AS canon
+        |  FROM cleaned
+        |)
+        |SELECT doc_id, url, host, canon,
+        |  (row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1) AS keep_first
+        |FROM canoned ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.contaminationScore: the x25 shingle formula, benchmark
+    // collapsed to distinct grams, one LEFT-JOIN aggregation computing
+    // total and shared distinct counts, float division for the fraction
+    "x67_contamination_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+        |      i -> substring(t, i, 8))) AS s
+        |  FROM t
+        |), ex AS (
+        |  SELECT doc_id, unnest(s) AS g FROM sh
+        |), bench AS (
+        |  SELECT DISTINCT g FROM ex WHERE doc_id % 50 = 0
+        |), agg AS (
+        |  SELECT e.doc_id,
+        |    count(DISTINCT e.g) AS n_total,
+        |    count(DISTINCT CASE WHEN b.g IS NOT NULL THEN e.g END) AS n_shared
+        |  FROM ex e LEFT JOIN bench b ON b.g = e.g
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_total, n_shared,
+        |  n_shared / greatest(n_total, 1) AS overlap
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // mirrors Curation.corpusDiff over the same constructed snapshot: the
     // x01 fingerprint formula on both sides, FULL OUTER JOIN, same CASE

@@ -277,6 +277,44 @@ object TextOps {
   def fingerprint(text: Column): Column =
     F.md5(F.regexp_replace(F.lower(text), "\\s+", " "))
 
+  /** Lower-cased registrable host of a URL (no port/userinfo handling
+    * beyond the authority grab — crawl-pipeline grouping key, not an RFC
+    * parser). Pure codegen'd regex; oracle-replayable (RE2-safe pattern). */
+  def urlHost(url: Column): Column =
+    F.lower(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
+
+  /** Canonical URL for exact URL-level dedup — the first dedup key of a
+    * crawl pipeline (dedupe by URL before touching content). Normalizes
+    * the variants that make one page look like many: lower-cases
+    * scheme+host, strips the fragment, drops default ports (:80 http /
+    * :443 https), removes tracking params (utm_*, fbclid, gclid), repairs
+    * the query separator when the first param was stripped, trims a
+    * dangling `?`/`&`, and roots an empty path at `/`.
+    *
+    * Scale shape: a chain of anchored/global regex projections — zero
+    * shuffle, whole-stage codegen, safe in the scan projection at any
+    * corpus size. Every pattern is RE2-compatible (no lookaround) so a
+    * SQL oracle replays it byte-for-byte; global-vs-first replacement
+    * semantics are pinned by anchoring the single-match patterns. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = F.regexp_replace(url, "#.*$", "")
+    val scheme = F.lower(F.regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = F.lower(F.regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = F.when(scheme === "https", F.regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", F.regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val tail0 = F.regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    // tracking params out (global on both engines), then if the FIRST param
+    // was removed the leftover '&' becomes '?' (anchored -> single match)
+    val tail1 = F.regexp_replace(tail0, "[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "")
+    val tail2 = F.regexp_replace(tail1, "^([^?&]*)&", "$1?")
+    val tail3 = F.regexp_replace(tail2, "[?&]$", "")
+    val tail = F.when(tail3 === "", F.lit("/"))
+      .when(tail3.startsWith("?"), F.concat(F.lit("/"), tail3))
+      .otherwise(tail3)
+    F.concat(scheme, F.lit("://"), host, tail)
+  }
+
   /** Aggressive text normalization — the canonical form documents are
     * reduced to BEFORE fingerprint/shingle dedup, so that case, punctuation
     * and whitespace variants of the same content collide: case-fold, map

@@ -1163,6 +1163,38 @@ class OpsSpec extends AnyFunSuite {
       3L -> "unchanged", 4L -> "removed", 5L -> "added"))
   }
 
+  test("canonicalUrl: case, default ports, tracking params, fragments, rooting") {
+    val cases = Seq(
+      ("HTTPS://Ex.COM:443/a?utm_source=x&b=1#f", "https://ex.com/a?b=1"),
+      ("http://ex.com:80/", "http://ex.com/"),
+      ("http://ex.com:443/x", "http://ex.com:443/x"), // non-default port kept
+      ("https://ex.com", "https://ex.com/"),
+      ("https://ex.com?utm_campaign=c", "https://ex.com/"),
+      ("https://ex.com/p?a=1&fbclid=zz", "https://ex.com/p?a=1"),
+      ("https://ex.com/p?gclid=1&a=2", "https://ex.com/p?a=2")
+    ).toDF("url", "want")
+    val got = cases.select($"url", $"want",
+      graft.ops.TextOps.canonicalUrl($"url").as("got")).collect()
+    got.foreach(r => assert(r.getString(2) == r.getString(1),
+      s"${r.getString(0)}: got ${r.getString(2)}, want ${r.getString(1)}"))
+    assert(cases.select(graft.ops.TextOps.urlHost($"url")).collect()
+      .forall(_.getString(0).startsWith("ex.com")))
+  }
+
+  test("contaminationScore: verbatim benchmark doc = 1.0, disjoint = 0, partial in between") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zzzz yyyy xxxx wwww vvvv uuuu qqqq rrrr ssss"),
+      (3L, "the quick brown fox and then something else entirely different")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationScore(docs, docs.filter($"doc_id" === 1), "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == 1.0, "benchmark member must score 1.0")
+    assert(out(2L)._4 == 0.0, "disjoint text must score 0.0")
+    assert(out(3L)._4 > 0.0 && out(3L)._4 < 1.0, s"partial overlap, got ${out(3L)._4}")
+    assert(out(3L)._2 > out(3L)._3, "shared cannot exceed total")
+  }
+
   test("corpusDiff: null text is presence, not absence") {
     // a row whose text is NULL still EXISTS in its snapshot: presence keys
     // on an explicit per-side marker, never on fingerprint nullness
