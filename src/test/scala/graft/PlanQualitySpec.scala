@@ -140,6 +140,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"shingle match must not sort-merge the corpus:\n$p")
   }
 
+  test("contaminationScore: benchmark broadcast, ONE corpus aggregation, no extra join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = finalPlan(graft.ops.Dedup.contaminationScore(
+      docs, docs.filter(F.col("doc_id") % 50 === 0), "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    // unlike contamination there is no ids←hits re-join: total and shared
+    // come out of the SAME groupBy, so zero sort-merge joins anywhere
+    assert(!p.contains("SortMergeJoin"), s"score needs no second join:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side partial agg:\n$p")
+  }
+
+  test("canonicalUrl is a pure codegen projection: no shuffle, no UDF") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(docs.select(F.col("doc_id"),
+      graft.ops.TextOps.canonicalUrl(F.concat(F.lit("https://h.example.com/p/"),
+        F.col("doc_id").cast("string"))).as("canon")))
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    // the `*(n)` prefix is the whole-stage-codegen marker in plan toString
+    assert(p.contains("*(1) Project"), s"must stay inside codegen:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      s"no UDFs:\n$p")
+  }
+
   test("centroids partial-aggregate map-side; centroidScores broadcasts centroids") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val pc = plan(graft.ops.Similarity.centroids(emb, "label", "embedding"))
