@@ -920,6 +920,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus-wide keep-first line dedup (Lee et al. at line granularity):
+    // seeded multi-line docs (testdata docs are single-line) — a banner on
+    // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
+    // on the first mod-3 doc), a unique tail elsewhere; testdata's own
+    // seeded exact-dup docs lose their body line to the earlier copy
+    "x68_line_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val seeded = docs.select(F.col("doc_id"),
+        F.concat(
+          F.lit("Shared banner\n"),
+          F.col("text"),
+          F.when(F.col("doc_id") % 3 === 0, F.lit("\nFollow us on example social"))
+            .otherwise(F.concat(F.lit("\nunique tail "), F.col("doc_id").cast("string"))))
+          .as("text"))
+      graft.ops.Curation.dedupLines(seeded, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // epoch-weight mixture resampling: src0 ×2.5 (always 2 copies, a 3rd
     // for half the rows), src1 ×0.4 (pure downsample), src2 ×0 (dropped),
     // everything else ×1.0 (identity) — every factor regime in one entry
@@ -1923,6 +1941,38 @@ object SparkEntry {
         |SELECT doc_id, url, host, canon,
         |  (row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1) AS keep_first
         |FROM canoned ORDER BY doc_id""".stripMargin,
+
+    // mirrors Curation.dedupLines over the same seeded multi-line docs:
+    // identical normalization (lower/trim), identical keep-first rank
+    // (PARTITION BY normalized line ORDER BY doc_id, position), blanks
+    // structural, emptied docs as '' via the LEFT JOIN coalesce
+    "x68_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, 'Shared banner' || chr(10) || text || chr(10) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'Follow us on example social'
+        |          ELSE 'unique tail ' || doc_id END) AS t
+        |  FROM documents
+        |), lists AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS l FROM base
+        |), ex0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+        |    i -> {'idx': i, 'line': l[i]})) AS u
+        |  FROM lists
+        |), ex AS (
+        |  SELECT doc_id, u.idx AS idx, u.line AS line FROM ex0
+        |), ranked AS (
+        |  SELECT doc_id, idx, line,
+        |    length(lower(trim(line))) AS ln,
+        |    row_number() OVER (PARTITION BY lower(trim(line))
+        |                       ORDER BY doc_id, idx) AS rk
+        |  FROM ex
+        |), agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS t
+        |  FROM ranked WHERE ln = 0 OR rk = 1 GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, coalesce(a.t, '') AS text
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // mirrors Dedup.contaminationScore: the x25 shingle formula, benchmark
     // collapsed to distinct grams, one LEFT-JOIN aggregation computing

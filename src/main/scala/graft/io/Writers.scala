@@ -20,12 +20,14 @@ object Writers {
   case object Csv extends Format { val name = "csv" }
   case object Json extends Format { val name = "json" }
   case object Parquet extends Format { val name = "parquet" }
+  case object Avro extends Format { val name = "avro" }
   case object Table extends Format { val name = "table" }
 
   def parseFormat(s: String): Format = s.toLowerCase match {
     case "csv" => Csv
     case "json" => Json
     case "parquet" => Parquet
+    case "avro" => Avro
     case "table" | "tbl" => Table
     case other => throw OutputError(s"unsupported format: $other")
   }
@@ -41,6 +43,7 @@ object Writers {
         case "csv" => Some(Csv)
         case "json" => Some(Json)
         case "parquet" => Some(Parquet)
+        case "avro" => Some(Avro)
         case "table" | "tbl" => Some(Table)
         case _ => None
       }
@@ -51,8 +54,8 @@ object Writers {
         throw OutputError(s"--format ${b.name} conflicts with destination extension ${a.name}")
       case (Some(a), _) => a
       case (None, Some(b)) =>
-        if (b == Parquet && to.forall(_ == "-"))
-          throw OutputError("parquet cannot be written to stdout") // main.rs:188-191
+        if ((b == Parquet || b == Avro) && to.forall(_ == "-"))
+          throw OutputError(s"${b.name} cannot be written to stdout") // main.rs:188-191
         b
       case (None, None) => Table
     }
@@ -66,17 +69,20 @@ object Writers {
     case Table => print(formatTable(df))
     case _ =>
       val toStdout = dest.forall(_ == "-")
-      if (toStdout && fmt == Parquet)
-        throw OutputError("parquet cannot be written to stdout") // main.rs:188-191
+      if (toStdout && (fmt == Parquet || fmt == Avro))
+        throw OutputError(s"${fmt.name} cannot be written to stdout") // main.rs:188-191
       val tmp = Files.createTempDirectory("graft-out").toString
       val w = df.coalesce(1).write.mode("overwrite")
       fmt match {
         case Csv => w.option("header", "true").csv(tmp)
         case Json => w.json(tmp)
         case Parquet => w.parquet(tmp)
+        // beyond-reference sink symmetry for the graft-avro source; the
+        // hadoop committer nests part files under the output dir directly
+        case Avro => graft.sources.AvroWrite.write(df.coalesce(1), tmp + "/av")
         case Table => // unreachable
       }
-      val part = Option(new File(tmp).listFiles())
+      val part = Option(new File(if (fmt == Avro) tmp + "/av" else tmp).listFiles())
         .getOrElse(Array.empty)
         .find(f => f.getName.startsWith("part-"))
         .getOrElse(throw OutputError("no output part file produced"))
@@ -84,8 +90,11 @@ object Writers {
         print(new String(Files.readAllBytes(part.toPath)))
       else
         Files.move(part.toPath, Paths.get(dest.get), StandardCopyOption.REPLACE_EXISTING)
-      new File(tmp).listFiles().foreach(_.delete())
-      new File(tmp).delete()
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new File(tmp))
   }
 
   /** ASCII table of ALL rows — the reference prints everything

@@ -129,6 +129,48 @@ object Curation {
       .drop("__hot")
   }
 
+  /** Corpus-wide exact line dedup, keep-first (the line-granularity form of
+    * Lee et al. 2022's exact-substring dedup; C4 does the same at
+    * three-sentence spans): every LATER occurrence of a normalized
+    * (lowercase, trimmed) line is removed; the first occurrence — lowest
+    * (id, position) — survives. Complements [[stripBoilerplateLines]]:
+    * that drops ALL occurrences of corpus-hot chrome, this keeps exactly
+    * one copy of every line, so legitimately repeated content survives
+    * once. Blank lines are document structure, never deduped. Documents
+    * whose every non-blank line was seen earlier collapse to their blank
+    * skeleton ("" for single-line docs) rather than disappearing.
+    *
+    * Scale shape: explode to (id, idx, line) — line cardinality is the
+    * floor for ANY corpus-wide line dedup — then ONE window shuffle on the
+    * line fingerprint (rank-1 filter compiles to WindowGroupLimit: later
+    * occurrences die map-side per partition before the shuffle) and one
+    * groupBy(id) reassembly shuffle. NULL-text documents pass through
+    * unchanged (structural, like blanks). */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val others = docs.columns.filter(c => c != idCol && c != textCol)
+    val exploded = docs
+      .select(F.col(idCol), F.posexplode_outer(F.split(F.col(textCol), "\n", -1))
+        .as(Seq("__idx", "__line")))
+    val norm = F.lower(F.trim(F.col("__line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(norm).orderBy(F.col(idCol).asc, F.col("__idx").asc)
+    val kept = exploded
+      .withColumn("__rk", F.row_number().over(w))
+      .filter(F.length(norm) === 0 || F.col("__rk") === 1)
+      .groupBy(idCol)
+      .agg(F.array_join(F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("__idx"), F.col("__line")))),
+        s => s.getField("__line")), "\n").as("__t"))
+    // a document whose every non-blank line was seen earlier has NO kept
+    // rows — it becomes the empty string (document emptied), not a dropped
+    // or null row; only genuinely-null input text stays null
+    docs.join(kept, Seq(idCol), "left")
+      .select((F.col(idCol) +:
+        F.when(F.col(textCol).isNull, F.lit(null).cast("string"))
+          .otherwise(F.coalesce(F.col("__t"), F.lit(""))).as(textCol) +:
+        others.map(F.col)): _*)
+  }
+
   /** @param minTokens      inclusive whitespace-token floor (quality gate)
     * @param maxDupLineFrac inclusive ceiling on duplicate-line fraction
     * @param sampleRate     content-hash keep rate (1.0 = keep all)

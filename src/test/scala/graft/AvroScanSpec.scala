@@ -8,6 +8,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.{AvroScan, Registrar}
+import graft.io.Writers
 
 /** The avro scan reads what the avro library itself wrote — scalars,
   * null-unions, arrays, maps, nested records, enum/bytes, and the
@@ -155,6 +156,30 @@ class AvroScanSpec extends AnyFunSuite {
     assert(df.count() == 20000L)
     assert(df.select("id").distinct().count() == 20000L)
     assert(df.agg(F.sum("id")).collect()(0).getLong(0) == 20000L * 19999L / 2)
+  }
+
+  test("avro sink: Writers --to out.avro round-trips through the V2 scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-sink").toFile
+    val df = Seq(
+      (1L, "one", Some(1.5), Seq(1.0, 2.0), java.sql.Timestamp.valueOf("2024-02-01 10:30:00.000001"),
+        java.sql.Date.valueOf("2024-02-01")),
+      (2L, "two", None, Seq(3.0), java.sql.Timestamp.valueOf("2024-02-02 11:00:00"),
+        java.sql.Date.valueOf("2024-02-02"))
+    ).toDF("id", "name", "score", "vec", "ts", "d")
+    val out = new java.io.File(dir, "out.avro")
+    Writers.write(df, Some(out.getPath), Writers.Avro)
+    assert(out.isFile, "single-file UX: one .avro file at the destination")
+    val back = Registrar.read(spark, out.getPath)
+    // types survive the inverse mapping (timestamp-micros / date logical
+    // types; nullable -> [null, T] union -> nullable)
+    assert(back.schema("score").nullable && back.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val got = back.orderBy("id").collect()
+    val want = df.orderBy("id").collect()
+    assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq)
+    // avro cannot leave the engine via stdout (binary format, parquet rule)
+    assertThrows[Writers.OutputError](Writers.write(df, Some("-"), Writers.Avro))
   }
 
   test("unsupported avro shapes fail loudly at schema time") {

@@ -1195,6 +1195,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L)._2 > out(3L)._3, "shared cannot exceed total")
   }
 
+  test("dedupLines: keep-first across corpus, blanks structural, emptied doc = \"\"") {
+    val docs = Seq(
+      (1L, "alpha\ncommon\n\nbeta"),
+      (2L, "common\ngamma\n\ndelta"),   // 'common' owned by doc 1 -> removed
+      (3L, "COMMON  \nunique3"),        // normalized (lower/trim) match -> removed
+      (4L, null.asInstanceOf[String]),  // null text passes through as null
+      (5L, "alpha")                     // fully consumed -> empty string
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Curation.dedupLines(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha\ncommon\n\nbeta")  // first occurrences all kept
+    assert(out(2L) == "gamma\n\ndelta")
+    assert(out(3L) == "unique3")
+    assert(out(4L) == null)
+    assert(out(5L) == "")
+  }
+
   test("corpusDiff: null text is presence, not absence") {
     // a row whose text is NULL still EXISTS in its snapshot: presence keys
     // on an explicit per-side marker, never on fingerprint nullness

@@ -51,6 +51,26 @@ class PropertySpec extends AnyFunSuite {
   private def compile(prql: String, df: DataFrame): DataFrame =
     Graft.compile(prql, Map("t" -> df))(spark)
 
+  test("canonicalUrl is idempotent: canon(canon(u)) == canon(u) on URL soup") {
+    import org.apache.spark.sql.{functions => F}
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "ftp")
+      host <- Gen.oneOf("Ex.COM", "a.b.example.org", "X9.net")
+      port <- Gen.oneOf("", ":443", ":80", ":8080")
+      path <- Gen.oneOf("", "/", "/p/1", "/a/b/c")
+      q <- Gen.oneOf("", "?a=1", "?utm_source=x", "?utm_source=x&a=1",
+        "?a=1&gclid=2&b=3", "?fbclid=only")
+      frag <- Gen.oneOf("", "#f", "#a?b")
+    } yield s"$scheme://$host$port$path$q$frag"
+    import spark.implicits._
+    val urls = samples(urlGen, 120).toList.toDF("url")
+    val once = graft.ops.TextOps.canonicalUrl(F.col("url"))
+    val bad = urls.select(F.col("url"), once.as("c1"),
+        graft.ops.TextOps.canonicalUrl(once).as("c2"))
+      .filter(F.col("c1") =!= F.col("c2")).collect()
+    assert(bad.isEmpty, bad.take(5).mkString("\n"))
+  }
+
   test("take n after sort == ordered head of the sorted relation") {
     forAll(tableGen, Gen.choose(0, 70)) { (rows, n) =>
       val df = toDf(rows)
