@@ -192,6 +192,42 @@ object Similarity {
       model.clusterCenters.map(_.toArray), idCol, vecCol)
   }
 
+  /** Persist an [[IvfIndex]] for reuse across query batches — the
+    * amortization that makes IVF the 100 TB shape: cells written
+    * `partitionBy(__cell)` (via [[graft.ops.Scale.writePartitionedCorpus]]'s
+    * bounded-files routing) so a probe's broadcast join dynamic-partition-
+    * prunes whole files (plan-asserted in ScaleSpec), centroids as a tiny
+    * JSON sidecar next to them. */
+  def saveIvf(index: IvfIndex, path: String): Unit = {
+    graft.ops.Scale.writePartitionedCorpus(index.cells, s"$path/cells", Seq("__cell"))
+    val meta = s"""{"idCol":"${index.idCol}","vecCol":"${index.vecCol}","centroids":[""" +
+      index.centroids.map(_.mkString("[", ",", "]")).mkString(",") + "]}"
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = p.getFileSystem(index.cells.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load an index written by [[saveIvf]]; probes against it partition-prune
+    * on `__cell`. */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // sidecar is machine-written by saveIvf — parse with anchored regexes,
+    // loud on anything unexpected rather than a JSON lib dependency
+    val id = "\"idCol\":\"([^\"]+)\"".r.findFirstMatchIn(raw)
+      .getOrElse(sys.error(s"malformed centroids.json at $path")).group(1)
+    val vec = "\"vecCol\":\"([^\"]+)\"".r.findFirstMatchIn(raw)
+      .getOrElse(sys.error(s"malformed centroids.json at $path")).group(1)
+    val cents = "\\[([^\\[\\]]+)\\]".r.findAllMatchIn(
+        raw.substring(raw.indexOf("\"centroids\":")))
+      .map(_.group(1).split(',').map(_.trim.toDouble)).toArray
+    require(cents.nonEmpty, s"no centroids in $path/centroids.json")
+    IvfIndex(spark.read.parquet(s"$path/cells"), cents, id, vec)
+  }
+
   /** Probe an [[IvfIndex]]: each query visits its `nprobe` nearest cells
     * (quantizer metric = euclidean), candidates rank by exact cosine. */
   def queryIvf(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {

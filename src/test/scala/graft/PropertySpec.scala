@@ -71,6 +71,28 @@ class PropertySpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.take(5).mkString("\n"))
   }
 
+  test("dedupLines is idempotent on random multi-line corpora") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val lineGen = Gen.oneOf("common line", "shared banner", "alpha", "beta",
+      "gamma delta", "", "  COMMON LINE  ")
+    val docGen = Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val docs = samples(docGen, 40).toList.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = graft.ops.Curation.dedupLines(docs, "doc_id", "text")
+    val twice = graft.ops.Curation.dedupLines(once, "doc_id", "text")
+    val a = once.orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = twice.orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a == b, "after one pass every non-blank normalized line is unique")
+    // and post-state really is duplicate-free
+    val dupes = once.select(F.posexplode(F.split(F.col("text"), "\n", -1)))
+      .select(F.lower(F.trim(F.col("col"))).as("l"))
+      .filter(F.length(F.col("l")) > 0)
+      .groupBy("l").count().filter(F.col("count") > 1).count()
+    assert(dupes == 0)
+  }
+
   test("take n after sort == ordered head of the sorted relation") {
     forAll(tableGen, Gen.choose(0, 70)) { (rows, n) =>
       val df = toDf(rows)

@@ -85,6 +85,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(probe.collect().map(_.toString).sorted.toSeq == mem)
   }
 
+  test("saveIvf/loadIvf round-trip: same answers, still partition-pruned") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val idx = graft.ops.Similarity.buildIvf(emb, "vec_id", "embedding", nlist = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf-save").toString
+    graft.ops.Similarity.saveIvf(idx, out)
+    val loaded = graft.ops.Similarity.loadIvf(spark, out)
+    assert(loaded.idCol == "vec_id" && loaded.vecCol == "embedding")
+    assert(loaded.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
+    val queries = emb.filter(F.col("vec_id") < 3)
+    val fromDisk = graft.ops.Similarity.queryIvf(loaded, queries, k = 5, nprobe = 2)
+    assert(fromDisk.queryExecution.executedPlan.toString.contains("dynamicpruningexpression"),
+      "loaded index must still partition-prune on __cell")
+    val mem = graft.ops.Similarity.queryIvf(idx, queries, k = 5, nprobe = 2)
+    assert(fromDisk.collect().map(_.toString).sorted.toSeq ==
+      mem.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("salted join returns exactly the plain join result") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")
