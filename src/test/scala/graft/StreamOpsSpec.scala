@@ -178,7 +178,11 @@ class StreamOpsSpec extends AnyFunSuite {
           docs.filter(graft.ops.TextOps.tokenCount(F.col("text")) >= 3), F.col("text"), 0.5),
         F.col("text"), Seq("train" -> 0.9, "val" -> 0.1))
       .select(F.col("doc_id"), graft.ops.TextOps.redact(F.col("text")).as("text"),
-        F.col("split"))
+        F.col("split"),
+        // canonicalUrl is a pure projection too — composes on-stream
+        graft.ops.TextOps.canonicalUrl(
+          F.concat(F.lit("HTTP://Ex.COM:80/d?utm_source=s&i="),
+            F.col("doc_id").cast("string"))).as("canon"))
     val q = curated.writeStream.format("memory").queryName("stream_curate")
       .outputMode("append").start()
     try {
@@ -187,8 +191,10 @@ class StreamOpsSpec extends AnyFunSuite {
       in.addData((900L, "tiny"))   // fails the 3-token gate
       q.processAllAvailable()
       val got = spark.table("stream_curate")
-        .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+        .as[(Long, String, String, String)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
       assert(!got.contains(900L), "token gate must drop the short doc")
+      assert(got.forall { case (id, (_, _, canon)) =>
+        canon == s"http://ex.com/d?i=$id" }, "URL canonicalization applied on-stream")
       // sampling decisions are IDENTICAL to the batch operator on the same text
       val batch = graft.ops.Sampling.hashSample(
           rows.toDF("doc_id", "text"), F.col("text"), 0.5)
@@ -199,7 +205,7 @@ class StreamOpsSpec extends AnyFunSuite {
       val splits = graft.ops.Sampling.splitAssign(rows.toDF("doc_id", "text"),
           F.col("text"), Seq("train" -> 0.9, "val" -> 0.1))
         .select("doc_id", "split").as[(Long, String)].collect().toMap
-      assert(got.forall { case (id, (_, s)) => splits(id) == s },
+      assert(got.forall { case (id, (_, s, _)) => splits(id) == s },
         "stream and batch must assign the same splits")
     } finally q.stop()
   }
