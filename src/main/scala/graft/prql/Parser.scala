@@ -8,7 +8,7 @@ import Ast._
   * (/root/reference/examples/queries/ — the .prql files) and the generated SQL shown in
   * its README.md:105-129.
   */
-final class Parser(tokens: Vector[Tok]) {
+final class Parser(tokens: Vector[Tok], src: String = "") {
   private var p = 0
 
   /** When parsing a bare `group <key> (pipeline)` key, a following `(` opens
@@ -26,7 +26,8 @@ final class Parser(tokens: Vector[Tok]) {
     case t => fail(s"expected identifier, got $t")
   }
   private def fail(msg: String): Nothing =
-    throw new RuntimeException(s"parse error: $msg at token ${cur} (index $p)")
+    throw new RuntimeException(
+      s"parse error: $msg at token ${cur} (index $p)" + Parser.caret(src, cur.pos))
 
   private def skipNewlines(): Unit = while (cur.isInstanceOf[TNewline]) p += 1
   private def atEof: Boolean = cur.isInstanceOf[TEof]
@@ -515,5 +516,26 @@ final class Parser(tokens: Vector[Tok]) {
 }
 
 object Parser {
-  def parse(src: String): Query = new Parser(Lexer.lex(src)).parseQuery()
+  def parse(src: String): Query =
+    try new Parser(Lexer.lex(src), src).parseQuery()
+    catch {
+      // lex errors carry a raw offset — render them with the same
+      // line/column caret the parse errors get
+      case e: Lexer.LexError =>
+        throw new RuntimeException(s"parse error: ${e.getMessage}${caret(src, e.pos)}")
+    }
+
+  /** `line L, column C` plus a two-line caret snippet for an offset into
+    * `src` — turns "at offset 37" errors into something a user can act on.
+    * Empty when no source is available (sub-parsers over interpolation
+    * holes re-parse fragments; their offsets wouldn't map to user text). */
+  private[prql] def caret(src: String, pos: Int): String = {
+    if (src.isEmpty || pos < 0) return ""
+    val bounded = math.min(pos, src.length)
+    val lineStart = src.lastIndexOf('\n', math.max(0, bounded - 1)) + 1
+    val lineEnd = { val e = src.indexOf('\n', lineStart); if (e < 0) src.length else e }
+    val line = 1 + src.substring(0, lineStart).count(_ == '\n')
+    val col = bounded - lineStart + 1
+    s" (line $line, column $col)\n  ${src.substring(lineStart, lineEnd)}\n  ${" " * (col - 1)}^"
+  }
 }

@@ -105,6 +105,15 @@ object StressBench {
         // per-(gram,doc) collapse must keep the window/rollup linear —
         // positions grow K×, never K²
         "x59_dup_spans" -> (() => Dedup.dupSpans(docs, "doc_id", "text")),
+        // adversarial line dedup: replica groups make EVERY body line a
+        // corpus-wide duplicate (K occurrences each) — the window shuffle
+        // carries K× lines but rank-1 filtering is WindowGroupLimit'd
+        // map-side, so wall-clock must stay near-linear in K
+        "x68_line_dedup" -> (() => graft.ops.Curation.dedupLines(
+          docs.withColumn("text", F.concat_ws("\n",
+            F.lit("shared banner"), F.col("text"),
+            F.col("doc_id").cast("string"))),
+          "doc_id", "text")),
         // IVF+PQ: nlist ∝ K holds cell size flat, so the fixed 50-query
         // nprobe=4 probe touches a CONSTANT candidate count as N grows —
         // build (native projections) is the only linear term

@@ -409,6 +409,15 @@ class PrqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](prql("from lineitem | group [l_returnflag] (")) // unbalanced paren
   }
 
+  test("parse errors carry line/column and a caret snippet") {
+    val e = intercept[Exception](prql("from lineitem\ntkae 5"))
+    assert(e.getMessage.contains("line 2, column 1"), e.getMessage)
+    assert(e.getMessage.contains("tkae 5") && e.getMessage.contains("^"), e.getMessage)
+    // lexer-level errors render the same way
+    val el = intercept[Exception](prql("from lineitem\nfilter a ~ 1"))
+    assert(el.getMessage.contains("line 2") && el.getMessage.contains("^"), el.getMessage)
+  }
+
   test("loop: iterative union until the step yields no rows") {
     val out = prql(
       """from region
