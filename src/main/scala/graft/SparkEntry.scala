@@ -62,6 +62,25 @@ object SparkEntry {
     Array.fill(8, 8, 8)(math.rint((r.nextDouble() * 0.2 - 0.1) * 1e6) / 1e6)
   }
 
+  /** Fixed near-orthogonal 64×64 rotation for the x69 entry: seeded
+    * Gaussian rows, Gram-Schmidt, then rounded to 6 dp — rounding costs
+    * exact orthogonality but buys identical literals on both engines. The
+    * entry pins the rotate→encode→ADC MATH; the LEARNED rotation path is
+    * [[graft.ops.Similarity.opqFit]] (OpsSpec orthogonality/recon floors). */
+  private val OpqRotation: Array[Array[Double]] = {
+    val r = new scala.util.Random(123L)
+    val raw = Array.fill(64, 64)(r.nextGaussian())
+    for (i <- 0 until 64) {
+      for (j <- 0 until i) {
+        val d = (0 until 64).map(c => raw(i)(c) * raw(j)(c)).sum
+        for (c <- 0 until 64) raw(i)(c) -= d * raw(j)(c)
+      }
+      val nrm = math.sqrt((0 until 64).map(c => raw(i)(c) * raw(i)(c)).sum)
+      for (c <- 0 until 64) raw(i)(c) /= nrm
+    }
+    raw.map(_.map(v => math.rint(v * 1e6) / 1e6))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The invoice_totals.prql pattern (reference examples/queries/
     * invoice_totals.prql:1-21) transposed onto orders/lineitem. */
@@ -918,6 +937,21 @@ object SparkEntry {
       Dedup.contaminationScore(docs, docs.filter(F.col("doc_id") % 50 === 0),
           "doc_id", "text", shingleSize = 8)
         .orderBy("doc_id")
+    }),
+
+    // OPQ (Ge et al. 2013) at the FIXED rotation + x63 codebooks: rotate
+    // (native MatVec, j-ascending sums) → PQ-encode → ADC top-5 — the
+    // x64 pipeline in rotated coordinates, every stage replayed; the
+    // LEARNED rotation (opqFit: Procrustes + per-subspace k-means) is
+    // pinned by OpsSpec orthogonality/determinism/recon-improvement floors
+    "x69_opq_search" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      val codes = Similarity.opqQuantize(emb, "embedding", OpqRotation, PqCodebooks)
+        .select("vec_id", "codes")
+      Similarity.opqSearch(codes, emb.filter(F.col("vec_id") < 10),
+          "vec_id", "embedding", OpqRotation, PqCodebooks, k = 5)
+        .orderBy("query_id", "rk")
     }),
 
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
@@ -2115,6 +2149,61 @@ object SparkEntry {
          |    list_sum(list_transform(range(1, 9),
          |      i -> (q.embedding[a.m * 8 + i]::DOUBLE - cb.c[i])
          |         * (q.embedding[a.m * 8 + i]::DOUBLE - cb.c[i]))) AS subsum
+         |  FROM assigned a
+         |  JOIN cb ON cb.m = a.m AND cb.code = a.code
+         |  CROSS JOIN qd q
+         |  WHERE a.vec_id != q.query_id
+         |), dists AS (
+         |  SELECT query_id, neighbor_id, list_sum(list(subsum ORDER BY m)) AS dist
+         |  FROM pair GROUP BY query_id, neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, dist, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dist ASC, neighbor_id) AS rk
+         |  FROM dists)
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
+
+    // mirrors Similarity.opqQuantize/opqSearch from the same OpqRotation +
+    // PqCodebooks literals: rotated embedding = per-output-row j-ascending
+    // list_sum (the native MatVec addition order), then exactly the x64
+    // encode/ADC body over the rotated CTE
+    "x69_opq_search" -> {
+      val rvals = OpqRotation.zipWithIndex.map { case (row, i) =>
+        row.mkString(s"(${i + 1}, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ")
+      val vals = PqCodebooks.zipWithIndex.flatMap { case (cws, s) =>
+        cws.zipWithIndex.map { case (cw, j) =>
+          cw.mkString(s"($s, $j, [", ", ", "]::DOUBLE[])")
+        }
+      }.mkString(", ")
+      s"""WITH rot(i, r) AS (VALUES $rvals),
+         |cb(m, code, c) AS (VALUES $vals),
+         |re AS (
+         |  SELECT e.vec_id,
+         |    list(list_sum(list_transform(range(1, 65),
+         |      j -> rot.r[j] * e.embedding[j]::DOUBLE)) ORDER BY rot.i) AS embedding
+         |  FROM embeddings e CROSS JOIN rot GROUP BY e.vec_id
+         |), sub AS (
+         |  SELECT e.vec_id, s.m, list_transform(range(1, 9),
+         |    i -> e.embedding[s.m * 8 + i]) AS v
+         |  FROM re e CROSS JOIN (SELECT unnest(range(0, 8)) AS m) s
+         |), assigned AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT su.vec_id, su.m, cb.code,
+         |      row_number() OVER (PARTITION BY su.vec_id, su.m ORDER BY
+         |        list_sum(list_transform(range(1, 9),
+         |          i -> (su.v[i] - cb.c[i]) * (su.v[i] - cb.c[i]))),
+         |        cb.code) AS rk
+         |    FROM sub su JOIN cb ON cb.m = su.m)
+         |  WHERE rk = 1
+         |), qd AS (
+         |  SELECT vec_id AS query_id, embedding FROM re WHERE vec_id < 10
+         |), pair AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id, a.m,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (q.embedding[a.m * 8 + i] - cb.c[i])
+         |         * (q.embedding[a.m * 8 + i] - cb.c[i]))) AS subsum
          |  FROM assigned a
          |  JOIN cb ON cb.m = a.m AND cb.code = a.code
          |  CROSS JOIN qd q

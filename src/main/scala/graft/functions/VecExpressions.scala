@@ -183,6 +183,31 @@ object VecOps {
     }
     d
   }
+
+  /** Dense mat–vec `out[i] = Σ_j m[i·cols + j]·x[j]`, j-ascending per row —
+    * the OPQ rotation step. Loud on dimension mismatch (the [[lshBits]]
+    * contract: a wrong-dim vector must not silently produce garbage). */
+  def matVec(a: ArrayData, af: Boolean, m: Array[Double],
+             rows: Int, cols: Int): Array[Double] = {
+    val n = a.numElements()
+    if (n != cols)
+      throw new IllegalArgumentException(s"vector dimension must be $cols, got $n")
+    val out = new Array[Double](rows)
+    var i = 0
+    while (i < rows) {
+      var s = 0.0
+      val off = i * cols
+      var j = 0
+      while (j < cols) {
+        val x = if (af) a.getFloat(j).toDouble else a.getDouble(j)
+        s += m(off + j) * x
+        j += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
 }
 
 /** Fraction of positionwise-equal elements of two long arrays (MinHash
@@ -467,4 +492,40 @@ case class AdcDist(left: Expression, right: Expression, kk: Int)
 
   protected override def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcDist =
     copy(left = newLeft, right = newRight)
+}
+
+/** Dense matrix–vector product `y[i] = Σ_j mat[i][j]·x[j]` against a
+  * literal matrix — the rotation step of OPQ (Ge et al. 2013) as one
+  * codegen'd loop (j-ascending accumulation, so a SQL
+  * `list_sum(list_transform(...))` replays the exact IEEE sum). The matrix
+  * ships once per task as a plan reference object (the [[LshBits]]
+  * pattern), not re-parsed as 4096 literals per row. */
+case class MatVec(child: Expression, mat: Array[Array[Double]])
+    extends UnaryExpression with VecArrayArg {
+
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(child.dataType, "")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+
+  private def cf = isFloatArray(child.dataType)
+  private val rows = mat.length
+  private val cols = if (mat.isEmpty) 0 else mat(0).length
+  require(rows > 0 && mat.forall(_.length == cols),
+    s"ragged matrix: every row must have length $cols " +
+      "(a ragged matrix would misalign the flat buffer)")
+  @transient private lazy val flat: Array[Double] = mat.flatten
+
+  protected override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(
+      VecOps.matVec(a.asInstanceOf[ArrayData], cf, flat, rows, cols))
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matVecFlat", flat, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VecOps.matVec($a, $cf, $ref, $rows, $cols))")
+  }
+
+  protected override def withNewChildInternal(newChild: Expression): MatVec =
+    copy(child = newChild)
 }

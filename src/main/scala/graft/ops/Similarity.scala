@@ -664,6 +664,132 @@ object Similarity {
     } finally sample.unpersist(false)
   }
 
+  /** Rotate a vector column by a literal matrix via the native
+    * [[graft.functions.MatVec]] expression (one codegen'd loop; j-ascending
+    * accumulation replays in SQL). */
+  def matVec(mat: Array[Array[Double]], vec: Column): Column =
+    GraftExpr.column(graft.functions.MatVec(GraftExpr.expression(vec), mat))
+
+  /** OPQ — Optimized Product Quantization (Ge et al., CVPR 2013,
+    * non-parametric): learn an orthogonal rotation R so that PQ codebooks
+    * quantize R·x with lower reconstruction error than x (PQ's
+    * independence assumption across subspaces is wrong for correlated
+    * dims; the rotation decorrelates/balances them). Alternates
+    *  (1) per-subspace k-means on the rotated sample,
+    *  (2) orthogonal Procrustes R ← U·Vᵀ from svd(Xᵀ·X̂)
+    * — each step is non-increasing in ‖X·R − X̂‖², the standard OPQ
+    * convergence argument.
+    *
+    * Scale shape: the fit runs DRIVER-LOCAL over the bounded deterministic
+    * [[fitSample]] (≤65k × dim doubles ≈ 33 MB — the FAISS convention:
+    * OPQ trains on an in-memory sample; iters×m Spark-job k-means rounds
+    * would pay scheduler latency for no accuracy). Everything that touches
+    * the CORPUS — rotation, encoding, search — is distributed codegen
+    * ([[matVec]] + the PQ family). Returns (R, codebooks) where
+    * y = R·x is rotated coordinates; R is orthogonal so rotated-space
+    * reconstruction error EQUALS original-space error. */
+  def opqFit(corpus: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
+             dim: Int = 64, iters: Int = 5, seed: Long = 42L)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import breeze.linalg.{svd, DenseMatrix}
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dsub = dim / m
+    val rows = fitSample(corpus, vecCol).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.length >= k, s"need at least k=$k sample rows, got ${rows.length}")
+    require(rows.forall(_.length == dim), s"every vector must have dim $dim")
+    val n = rows.length
+    val X = DenseMatrix(rows: _*) // n×dim, row per sample
+    var R = DenseMatrix.eye[Double](dim)
+    var books: Array[Array[Array[Double]]] = null
+    var it = 0
+    while (it < iters) {
+      val Y = X * R // rotated sample (column-convention: y_row = x_row·R)
+      books = Array.tabulate(m) { s =>
+        val pts = Array.tabulate(n)(r => Array.tabulate(dsub)(c => Y(r, s * dsub + c)))
+        localLloyd(pts, k, seed + it * 31 + s)
+      }
+      val Yhat = DenseMatrix.zeros[Double](n, dim)
+      var r = 0
+      while (r < n) {
+        var s = 0
+        while (s < m) {
+          val cws = books(s)
+          var bestJ = 0; var best = 0.0; var j = 0
+          while (j < k) {
+            var d2 = 0.0; var c = 0
+            while (c < dsub) { val d = Y(r, s * dsub + c) - cws(j)(c); d2 += d * d; c += 1 }
+            if (j == 0 || d2 < best) { best = d2; bestJ = j }
+            j += 1
+          }
+          var c = 0
+          while (c < dsub) { Yhat(r, s * dsub + c) = cws(bestJ)(c); c += 1 }
+          s += 1
+        }
+        r += 1
+      }
+      val svd.SVD(u, _, vt) = svd(X.t * Yhat)
+      R = u * vt
+      it += 1
+    }
+    // return row-convention R_out with y[i] = Σ_j R_out[i][j]·x[j]:
+    // y_row = x_row·R means R_out = Rᵀ
+    (Array.tabulate(dim, dim)((i, j) => R(j, i)), books)
+  }
+
+  /** Plain Lloyd k-means on a local sample — deterministic seeded init
+    * (distinct index draw), empty clusters keep their previous center. */
+  private def localLloyd(pts: Array[Array[Double]], k: Int, seed: Long,
+                         iters: Int = 10): Array[Array[Double]] = {
+    val n = pts.length
+    val d = pts(0).length
+    val rnd = new scala.util.Random(seed)
+    val cents = rnd.shuffle((0 until n).toVector).take(k).map(i => pts(i).clone).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k, d)(0.0)
+      val counts = new Array[Int](k)
+      var r = 0
+      while (r < n) {
+        var bestJ = 0; var best = 0.0; var j = 0
+        while (j < k) {
+          var d2 = 0.0; var c = 0
+          while (c < d) { val df = pts(r)(c) - cents(j)(c); d2 += df * df; c += 1 }
+          if (j == 0 || d2 < best) { best = d2; bestJ = j }
+          j += 1
+        }
+        counts(bestJ) += 1
+        var c = 0
+        while (c < d) { sums(bestJ)(c) += pts(r)(c); c += 1 }
+        r += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) { var c = 0; while (c < d) { cents(j)(c) = sums(j)(c) / counts(j); c += 1 } }
+        j += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** [[pqQuantize]] in OPQ's rotated coordinates: codes/recon_err for
+    * R·x. R orthogonal ⇒ recon_err equals the original-space error. */
+  def opqQuantize(corpus: DataFrame, vecCol: String,
+                  rotation: Array[Array[Double]],
+                  codebooks: Array[Array[Array[Double]]]): DataFrame =
+    pqQuantize(corpus.withColumn(vecCol, matVec(rotation, F.col(vecCol))),
+      vecCol, codebooks)
+
+  /** [[pqSearch]] with queries rotated into the codes' coordinates. */
+  def opqSearch(codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                rotation: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]], k: Int): DataFrame =
+    pqSearch(codes,
+      queries.withColumn(vecCol, matVec(rotation, F.col(vecCol))),
+      idCol, vecCol, codebooks, k)
+
   private def flagSemDups(assigned0: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, maxCell: Int): DataFrame = {
     // one exchange feeds the census and both self-join sides (nearDupPairs)

@@ -1011,6 +1011,38 @@ class OpsSpec extends AnyFunSuite {
       .filter($"__v".isNull).count() == 0)
   }
 
+  test("opqFit: orthogonal rotation, deterministic, reconstructs no worse than plain PQ") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val (rot, books) = Similarity.opqFit(emb, "embedding", m = 8, k = 8, dim = 64, iters = 4)
+    // R orthogonal: row dot products form the identity
+    var maxDev = 0.0
+    for (i <- 0 until 64; j <- i until 64) {
+      val d = (0 until 64).map(c => rot(i)(c) * rot(j)(c)).sum
+      maxDev = math.max(maxDev, math.abs(d - (if (i == j) 1.0 else 0.0)))
+    }
+    assert(maxDev < 1e-8, s"RtR deviates from identity by $maxDev")
+    // deterministic: same seed, same rotation
+    val (rot2, _) = Similarity.opqFit(emb, "embedding", m = 8, k = 8, dim = 64, iters = 4)
+    assert(rot.map(_.toSeq).toSeq == rot2.map(_.toSeq).toSeq)
+    // the point of OPQ: rotated-space codes reconstruct at least as well as
+    // plain PQ at the identical (m, k) budget (orthogonal R preserves L2,
+    // so the two errors are directly comparable)
+    val plainBooks = Similarity.pqFit(emb, "embedding", m = 8, k = 8, dim = 64)
+    val plainErr = Similarity.pqQuantize(emb, "embedding", plainBooks)
+      .agg(F.avg("recon_err")).collect()(0).getDouble(0)
+    val opqErr = Similarity.opqQuantize(emb, "embedding", rot, books)
+      .agg(F.avg("recon_err")).collect()(0).getDouble(0)
+    info(f"plain PQ avg recon err = $plainErr%.5f, OPQ = $opqErr%.5f")
+    assert(opqErr <= plainErr * 1.001,
+      s"OPQ must not reconstruct worse than PQ: $opqErr vs $plainErr")
+    // search runs end-to-end in rotated space
+    val codes = Similarity.opqQuantize(emb, "embedding", rot, books).select("vec_id", "codes")
+    val res = Similarity.opqSearch(codes, emb.filter($"vec_id" < 3), "vec_id",
+      "embedding", rot, books, k = 5)
+    assert(res.count() == 15)
+  }
+
   test("semDedupKmeans flags an exact copy and keeps every row exactly once") {
     val sf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumn("embedding", F.col("embedding").cast("array<double>"))
