@@ -954,6 +954,17 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // DSIR importance log-weights: target = every 50th doc (the x25
+    // benchmark convention) — target members' own grams dominate the
+    // target distribution, so they score high; off-target docs score
+    // near/below zero. Hashed uni+bigram features, add-1 smoothing.
+    "x70_dsir_weights" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.dsirWeights(docs, docs.filter(F.col("doc_id") % 50 === 0),
+          "doc_id", "text", nBuckets = 1024)
+        .orderBy("doc_id")
+    }),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -2163,6 +2174,45 @@ object SparkEntry {
          |  FROM dists)
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
     },
+
+    // mirrors TextOps.dsirWeights: same tokenization, same uni+bigram
+    // construction, same md5-28-bit bucket, add-1 smoothing over 1024
+    // buckets, natural-log ratio summed per doc, round 6; gramless docs
+    // via the LEFT JOIN coalesce
+    "x70_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(toks || list_transform(
+        |    range(1, greatest(len(toks) - 1, 0) + 1),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS g
+        |  FROM t
+        |), b AS (
+        |  SELECT doc_id,
+        |    (('0x' || substring(md5(g), 1, 7))::BIGINT % 1024)::INT AS b
+        |  FROM g
+        |), tc AS (
+        |  SELECT b, count(*) AS tc FROM b WHERE doc_id % 50 = 0 GROUP BY b
+        |), rc AS (
+        |  SELECT b, count(*) AS rc FROM b GROUP BY b
+        |), tn AS (SELECT sum(tc) AS tn FROM tc),
+        |rn AS (SELECT sum(rc) AS rn FROM rc),
+        |lr AS (
+        |  SELECT x.doc_id,
+        |    ln((coalesce(t.tc, 0) + 1)::DOUBLE / (tn.tn + 1024))
+        |    - ln((r.rc + 1)::DOUBLE / (rn.rn + 1024)) AS lr
+        |  FROM b x LEFT JOIN tc t USING (b) JOIN rc r USING (b), tn, rn
+        |), agg AS (
+        |  SELECT doc_id, round(sum(lr), 6) AS dsir_logw, count(*) AS n_grams
+        |  FROM lr GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.dsir_logw, 0.0) AS dsir_logw,
+        |  coalesce(a.n_grams, 0) AS n_grams
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // mirrors Similarity.opqQuantize/opqSearch from the same OpqRotation +
     // PqCodebooks literals: rotated embedding = per-output-row j-ascending

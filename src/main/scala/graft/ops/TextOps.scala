@@ -183,6 +183,62 @@ object TextOps {
       F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6))
   }
 
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each raw
+    * document by how much likelier its hashed n-gram features are under a
+    * TARGET distribution than under the raw-corpus distribution —
+    * `w(doc) = Σ_gram log(p̂_target[bucket] / p̂_raw[bucket])`, add-1
+    * smoothed over `nBuckets`. Resampling raw data ∝ exp(w) tilts the
+    * mixture toward the target domain without training a classifier —
+    * the data-selection complement of [[classifierScore]]. Features are
+    * word uni+bigrams hashed via the md5-28-bit idiom (engine-neutral,
+    * the classifierScore precedent; production would swap xxhash64).
+    *
+    * Scale shape: both bucket tables are ≤ nBuckets rows — they and the
+    * two grand totals BROADCAST, so the raw corpus (the 100 TB side) is
+    * exploded once and grouped once by doc; the target set needs one
+    * bounded aggregation of its own. Gramless/null docs score 0.0 with
+    * n_grams 0 (kept, not dropped). log-weight rounds to 6 (the x47
+    * float-neutrality rule; gram COUNTS decide nothing). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    def bucket(g: Column): Column =
+      (F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long") % nBuckets).cast("int")
+    def gramBuckets(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val toks = F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+        t => F.length(t) > 0)
+      val bi = F.transform(
+        F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        (t, i) => F.concat(t, F.lit(" "), F.element_at(toks, i + 2)))
+      df.select((keep :+ F.explode(F.concat(toks, bi)).as("__g")): _*)
+        .select((keep :+ bucket(F.col("__g")).as("__b")): _*)
+    }
+    val rawB = gramBuckets(raw, Seq(F.col(idCol)))
+    val tgtCounts = gramBuckets(target, Nil)
+      .groupBy("__b").agg(F.count(F.lit(1)).as("__tc"))
+    val rawCounts = rawB.groupBy("__b").agg(F.count(F.lit(1)).as("__rc"))
+    // totals derived from the bucket tables (no second corpus pass)
+    val tgtTot = tgtCounts.agg(F.sum("__tc").as("__tn"))
+    val rawTot = rawCounts.agg(F.sum("__rc").as("__rn"))
+    val lr =
+      (F.log((F.coalesce(F.col("__tc"), F.lit(0L)) + 1).cast("double") /
+        (F.col("__tn") + nBuckets)) -
+       F.log((F.col("__rc") + 1).cast("double") / (F.col("__rn") + nBuckets)))
+    val scored = rawB
+      .join(F.broadcast(tgtCounts), Seq("__b"), "left")
+      .join(F.broadcast(rawCounts), Seq("__b")) // raw gram always present in raw counts
+      .crossJoin(F.broadcast(tgtTot)).crossJoin(F.broadcast(rawTot))
+      .select(F.col(idCol), lr.as("__lr"))
+      .groupBy(idCol)
+      .agg(F.round(F.sum("__lr"), 6).as("dsir_logw"),
+        F.count(F.lit(1)).as("n_grams"))
+    raw.select(idCol).join(scored, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("dsir_logw"), F.lit(0.0)).as("dsir_logw"),
+        F.coalesce(F.col("n_grams"), F.lit(0L)).as("n_grams"))
+  }
+
   /** Bigram PMI collocations: word pairs that co-occur far more than their
     * unigram frequencies predict — the collocation/phrase-mining pass of a
     * corpus profiler (and the seed step of phrase-aware tokenizers).

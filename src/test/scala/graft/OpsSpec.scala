@@ -1244,6 +1244,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == "")
   }
 
+  test("dsirWeights: target-domain docs score above off-target; empty docs 0") {
+    // two vocab-disjoint domains; target = the legal docs
+    val legal = (1L to 20L).map(i =>
+      (i, s"whereas party hereto covenant$i obligation indemnify clause$i"))
+    val chat = (21L to 40L).map(i =>
+      (i, s"lol omg haha meme$i selfie vibe$i trending"))
+    val raw = (legal ++ chat ++ Seq((99L, ""), (100L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val target = legal.toDF("doc_id", "text")
+    val out = graft.ops.TextOps.dsirWeights(raw, target, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 42, "every raw doc scored, including empty/null")
+    val legalAvg = (1L to 20L).map(out(_)._2).sum / 20
+    val chatAvg = (21L to 40L).map(out(_)._2).sum / 20
+    assert(legalAvg > chatAvg,
+      s"target-domain docs must outscore off-target: $legalAvg vs $chatAvg")
+    assert((21L to 40L).forall(i => out(i)._2 < 0),
+      "off-target grams are all unseen in target -> negative log-ratios")
+    assert(out(99L) == ((99L, 0.0, 0L)) && out(100L) == ((100L, 0.0, 0L)))
+    // n_grams = unigrams + bigrams (7 tokens -> 7 + 6)
+    assert(out(1L)._3 == 7 + 6)
+  }
+
   test("corpusDiff: null text is presence, not absence") {
     // a row whose text is NULL still EXISTS in its snapshot: presence keys
     // on an explicit per-side marker, never on fingerprint nullness
