@@ -214,7 +214,12 @@ object TextOps {
       df.select((keep :+ F.explode(F.concat(toks, bi)).as("__g")): _*)
         .select((keep :+ bucket(F.col("__g")).as("__b")): _*)
     }
-    val rawB = gramBuckets(raw, Seq(F.col(idCol)))
+    // the corpus-side explode (per-gram md5 — the oracle-neutral hash, the
+    // x43 trade) feeds BOTH the bucket census and the per-doc scoring:
+    // repartition on the bucket materializes it behind ONE exchange (AQE
+    // reuses it across consumers — the minhashSignatures convention), so
+    // 24M grams/sf0.1 hash once, not twice; the shuffle carries 12 B/gram
+    val rawB = gramBuckets(raw, Seq(F.col(idCol))).repartition(F.col("__b"))
     val tgtCounts = gramBuckets(target, Nil)
       .groupBy("__b").agg(F.count(F.lit(1)).as("__tc"))
     val rawCounts = rawB.groupBy("__b").agg(F.count(F.lit(1)).as("__rc"))
