@@ -215,14 +215,18 @@ object TextOps {
         .select((keep :+ bucket(F.col("__g")).as("__b")): _*)
     }
     // the corpus-side explode (per-gram md5 — the oracle-neutral hash, the
-    // x43 trade) feeds BOTH the bucket census and the per-doc scoring:
-    // repartition on the bucket materializes it behind ONE exchange (AQE
-    // reuses it across consumers — the minhashSignatures convention), so
-    // 24M grams/sf0.1 hash once, not twice; the shuffle carries 12 B/gram
-    val rawB = gramBuckets(raw, Seq(F.col(idCol))).repartition(F.col("__b"))
+    // x43 trade) collapses IMMEDIATELY to per-(doc, bucket) counts before
+    // any shuffle, for BOTH consumers: the census is a rollup of the same
+    // aggregation and the scoring sums count·lr per bucket (≡ the per-gram
+    // sum). Each consumer pays one map-side-collapsed evaluation of the
+    // explode — gram ROWS never cross the wire (the exchanges carry
+    // (id, bucket, count) / (bucket, count)), and nothing is materialized
+    // or pinned, which at 100 TB beats caching 24M-row intermediates.
+    val docBuckets = gramBuckets(raw, Seq(F.col(idCol)))
+      .groupBy(idCol, "__b").agg(F.count(F.lit(1)).as("__dc"))
     val tgtCounts = gramBuckets(target, Nil)
       .groupBy("__b").agg(F.count(F.lit(1)).as("__tc"))
-    val rawCounts = rawB.groupBy("__b").agg(F.count(F.lit(1)).as("__rc"))
+    val rawCounts = docBuckets.groupBy("__b").agg(F.sum("__dc").as("__rc"))
     // totals derived from the bucket tables (no second corpus pass)
     val tgtTot = tgtCounts.agg(F.sum("__tc").as("__tn"))
     val rawTot = rawCounts.agg(F.sum("__rc").as("__rn"))
@@ -230,14 +234,14 @@ object TextOps {
       (F.log((F.coalesce(F.col("__tc"), F.lit(0L)) + 1).cast("double") /
         (F.col("__tn") + nBuckets)) -
        F.log((F.col("__rc") + 1).cast("double") / (F.col("__rn") + nBuckets)))
-    val scored = rawB
+    val scored = docBuckets
       .join(F.broadcast(tgtCounts), Seq("__b"), "left")
-      .join(F.broadcast(rawCounts), Seq("__b")) // raw gram always present in raw counts
+      .join(F.broadcast(rawCounts), Seq("__b")) // raw bucket always present in raw counts
       .crossJoin(F.broadcast(tgtTot)).crossJoin(F.broadcast(rawTot))
-      .select(F.col(idCol), lr.as("__lr"))
+      .select(F.col(idCol), F.col("__dc"), lr.as("__lr"))
       .groupBy(idCol)
-      .agg(F.round(F.sum("__lr"), 6).as("dsir_logw"),
-        F.count(F.lit(1)).as("n_grams"))
+      .agg(F.round(F.sum(F.col("__dc") * F.col("__lr")), 6).as("dsir_logw"),
+        F.sum("__dc").as("n_grams"))
     raw.select(idCol).join(scored, Seq(idCol), "left")
       .select(F.col(idCol),
         F.coalesce(F.col("dsir_logw"), F.lit(0.0)).as("dsir_logw"),

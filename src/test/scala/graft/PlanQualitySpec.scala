@@ -163,6 +163,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no UDFs:\n$p")
   }
 
+  test("dsirWeights: bucket tables broadcast; gram strings never shuffle") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = finalPlan(graft.ops.TextOps.dsirWeights(
+      docs, docs.filter(F.col("doc_id") % 50 === 0), "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), s"bucket tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here is big enough to SMJ:\n$p")
+    // every gram explode collapses to counts MAP-SIDE (partial aggregate
+    // between the Generate and its exchange), so gram STRINGS never cross
+    // the wire: no exchange may carry the __g column — the shuffles are
+    // (id, bucket, count) / (bucket, count) only
+    assert(!p.contains("Exchange hashpartitioning(__g"),
+      s"gram strings must never shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"expected map-side partial aggregation of the gram explode:\n$p")
+  }
+
   test("centroids partial-aggregate map-side; centroidScores broadcasts centroids") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val pc = plan(graft.ops.Similarity.centroids(emb, "label", "embedding"))
