@@ -105,6 +105,11 @@ object StressBench {
         // per-(gram,doc) collapse must keep the window/rollup linear —
         // positions grow K×, never K²
         "x59_dup_spans" -> (() => Dedup.dupSpans(docs, "doc_id", "text")),
+        // DSIR: target fixed (every 50th base doc), raw corpus grows K× —
+        // gram explode collapses map-side, so wall-clock must stay linear
+        // in K with the census/broadcast sides flat
+        "x70_dsir" -> (() => graft.ops.TextOps.dsirWeights(
+          docs, docs.filter(F.col("doc_id") % 50 === 0), "doc_id", "text")),
         // adversarial line dedup: replica groups make EVERY body line a
         // corpus-wide duplicate (K occurrences each) — the window shuffle
         // carries K× lines but rank-1 filtering is WindowGroupLimit'd
