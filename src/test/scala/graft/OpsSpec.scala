@@ -1043,6 +1043,27 @@ class OpsSpec extends AnyFunSuite {
     assert(res.count() == 15)
   }
 
+  test("OPQ composes with IVF+PQ: rotate once, then cell-pruned residual search") {
+    // the FAISS "OPQ pre-transform" composition: learn the rotation, move
+    // the whole corpus into rotated coordinates, and run the standard
+    // IVF+PQ machinery there — no operator needed any changes to compose
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val (rot, books) = Similarity.opqFit(emb, "embedding", m = 8, k = 8, dim = 64, iters = 2)
+    val rotated = emb.withColumn("embedding",
+      Similarity.matVec(rot, F.col("embedding")))
+    val ivf = Similarity.buildIvf(rotated, "vec_id", "embedding", nlist = 4)
+    val idx = Similarity.ivfpqBuild(rotated, "vec_id", "embedding", ivf.centroids, books)
+    val res = Similarity.ivfpqSearch(idx, rotated.filter($"vec_id" < 3),
+      "embedding", k = 5, nprobe = 4)
+    val rows = res.as[(Long, Long, Double, Int)].collect()
+    assert(rows.length == 15)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to 5))
+      assert(rs.sortBy(_._4).sliding(2).forall { case Array(a, b) => a._3 <= b._3 })
+    }
+  }
+
   test("semDedupKmeans flags an exact copy and keeps every row exactly once") {
     val sf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumn("embedding", F.col("embedding").cast("array<double>"))
