@@ -31,9 +31,10 @@ import scala.jdk.CollectionConverters._
   * never touches the driver. Record conversion is per-partition with the
   * schema re-parsed from its canonical JSON once per task, not per row.
   * Supported: all scalar types, enum/fixed, bytes, arrays, string-keyed
-  * maps, nested records, null-unions, and date / timestamp-millis/micros
-  * logical types. Anything else (multi-branch unions, decimal) fails
-  * loudly at schema time rather than miscoding values.
+  * maps, nested records, null-unions, and the date / timestamp-millis/
+  * micros / decimal (bytes or fixed, precision ≤ 38) logical types.
+  * Anything else (multi-branch unions, decimal beyond Spark's precision)
+  * fails loudly at schema time rather than miscoding values.
   */
 object AvroScan {
 
@@ -95,9 +96,13 @@ object AvroScan {
     case Schema.Type.DOUBLE => (DoubleType, false)
     case Schema.Type.STRING | Schema.Type.ENUM => (StringType, false)
     case Schema.Type.BYTES | Schema.Type.FIXED =>
-      if (logicalName(s) == "decimal")
-        throw Registrar.SourceError("avro decimal logical type is not supported by this scan")
-      else (BinaryType, false)
+      if (logicalName(s) == "decimal") {
+        val d = s.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+        if (d.getPrecision > DecimalType.MAX_PRECISION)
+          throw Registrar.SourceError(
+            s"avro decimal(${d.getPrecision},${d.getScale}) exceeds Spark's max precision ${DecimalType.MAX_PRECISION}")
+        (DecimalType(d.getPrecision, d.getScale), false)
+      } else (BinaryType, false)
     case Schema.Type.ARRAY =>
       val (et, en) = toSpark(s.getElementType)
       (ArrayType(et, containsNull = en), false)
@@ -150,6 +155,16 @@ object AvroScan {
         val us = v.asInstanceOf[Long]
         java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
           Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case Schema.Type.BYTES if logicalName(s) == "decimal" =>
+        val scale = s.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+        val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+        val out = new Array[Byte](bb.remaining()); bb.get(out)
+        // avro decimal = two's-complement big-endian unscaled value
+        new java.math.BigDecimal(new java.math.BigInteger(out), scale)
+      case Schema.Type.FIXED if logicalName(s) == "decimal" =>
+        val scale = s.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+        new java.math.BigDecimal(
+          new java.math.BigInteger(v.asInstanceOf[GenericFixed].bytes()), scale)
       case Schema.Type.BYTES =>
         val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
         val out = new Array[Byte](bb.remaining()); bb.get(out); out

@@ -52,8 +52,9 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = AvroV2.listFiles(AvroV2.pathOf(options), new Configuration())
-    AvroScan.toStruct(AvroV2.headerSchema(files.head, new Configuration()))
+    val conf = AvroV2.sessionConf(options)
+    val files = AvroV2.listFiles(AvroV2.pathOf(options), conf)
+    AvroScan.toStruct(AvroV2.headerSchema(files.head, conf))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -74,14 +75,35 @@ final class AvroScanBuilder(path: String, fullSchema: StructType,
                             options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** Catalyst may hand NESTED-pruned structs here
+    * (spark.sql.optimizer.nestedSchemaPruning.enabled, default true): a
+    * `select("meta.n")` arrives as `meta: struct<n>`. The avro reader
+    * resolves whole top-level fields — a subset READER record skips
+    * unselected top-level fields byte-wise, but within a selected record
+    * avro decodes every writer field — so widen each required top-level
+    * field back to its full table type. Spark projects the nested subset
+    * post-scan (it reads `Scan.readSchema()`, not its own request), and the
+    * positional record→Row bridge stays aligned with the reader schema at
+    * every nesting level. Pruning a nested-pruned schema as-is crashed the
+    * converter (ArrayIndexOutOfBounds) or mis-mapped type-coincident
+    * sibling fields. */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val byName = fullSchema.fields.map(f => f.name -> f).toMap
+    required = StructType(requiredSchema.fields.map(f => byName.getOrElse(f.name, f)))
+  }
+
   override def build(): Scan = {
-    val conf = new Configuration()
+    // Session hadoop conf + read options — NOT `new Configuration()`: the
+    // session carries spark.hadoop.* (object-store credentials, defaultFS);
+    // a bare conf only works on the local filesystem.
+    val conf = AvroV2.sessionConf(options)
     val files = AvroV2.listFiles(path, conf)
     val writer = AvroV2.headerSchema(files.head, conf)
     val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
-    new AvroV2Scan(files.map(_.toString), writer.toString, required, maxSplit)
+    new AvroV2Scan(files.map(_.toString), writer.toString, required, maxSplit,
+      new SerializableConf(conf))
   }
 }
 
@@ -91,7 +113,8 @@ final case class AvroInputPartition(path: String, start: Long, length: Long)
   extends InputPartition
 
 final class AvroV2Scan(files: Seq[String], writerSchemaJson: String,
-                       required: StructType, maxSplitBytes: Long)
+                       required: StructType, maxSplitBytes: Long,
+                       conf: SerializableConf)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -99,29 +122,30 @@ final class AvroV2Scan(files: Seq[String], writerSchemaJson: String,
     s"graft-avro [${required.fieldNames.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
     files.flatMap { f =>
       val p = new Path(f)
-      val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      val len = p.getFileSystem(conf.value).getFileStatus(p).getLen
       (0L until len by maxSplitBytes).map(off =>
         AvroInputPartition(f, off, math.min(maxSplitBytes, len - off)))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(writerSchemaJson, required)
+    new AvroReaderFactory(writerSchemaJson, required, conf)
 }
 
-final class AvroReaderFactory(writerSchemaJson: String, required: StructType)
+final class AvroReaderFactory(writerSchemaJson: String, required: StructType,
+                              conf: SerializableConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroInputPartition]
-    new AvroPartitionReader(p, writerSchemaJson, required)
+    new AvroPartitionReader(p, writerSchemaJson, required, conf.value)
   }
 }
 
 final class AvroPartitionReader(part: AvroInputPartition,
-                                writerSchemaJson: String, required: StructType)
+                                writerSchemaJson: String, required: StructType,
+                                hadoopConf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val writerSchema = new Schema.Parser().parse(writerSchemaJson)
@@ -129,7 +153,7 @@ final class AvroPartitionReader(part: AvroInputPartition,
   // and skips the rest byte-wise — the pruning itself.
   private val readerSchema = AvroV2.projectSchema(writerSchema, required.fieldNames)
   private val reader = {
-    val in = new FsInput(new Path(part.path), new Configuration())
+    val in = new FsInput(new Path(part.path), hadoopConf)
     val r = new DataFileReader[GenericRecord](in,
       new GenericDatumReader[GenericRecord](null, readerSchema))
     r.sync(part.start)
@@ -151,7 +175,30 @@ final class AvroPartitionReader(part: AvroInputPartition,
   override def close(): Unit = reader.close()
 }
 
+/** Hadoop `Configuration` is not `Serializable`; this is the standard
+  * write()/readFields() envelope so the SESSION conf (spark.hadoop.*
+  * credentials, fs.defaultFS) reaches executor-side readers intact. */
+final class SerializableConf(@transient private var conf: Configuration)
+    extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 private[sources] object AvroV2 {
+
+  /** The active session's hadoop conf merged with per-read options — what
+    * every driver-side file touch and every shipped reader must use. */
+  def sessionConf(options: CaseInsensitiveStringMap): Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState
+      .newHadoopConfWithOptions(options.asCaseSensitiveMap().asScala.toMap)
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")

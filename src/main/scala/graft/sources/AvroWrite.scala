@@ -67,6 +67,9 @@ object AvroWrite {
     case TimestampType =>
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     case DateType => LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case dt: DecimalType =>
+      LogicalTypes.decimal(dt.precision, dt.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case ArrayType(et, containsNull) =>
       val elem = fieldSchema(et, nested + "_item")
       Schema.createArray(
@@ -105,9 +108,17 @@ object AvroWrite {
     dt match {
       case TimestampType =>
         val t = v.asInstanceOf[java.sql.Timestamp]
-        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        // floorDiv, not /: pre-epoch getTime is negative and truncation
+        // toward zero would shift fractional seconds +1s (read side uses
+        // floorDiv too — the round-trip contract)
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
       case DateType =>
         v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case dt: DecimalType =>
+        // avro decimal = two's-complement big-endian unscaled value at the
+        // schema's scale (inverse of the AvroScan read mapping)
+        val bd = v.asInstanceOf[java.math.BigDecimal].setScale(dt.scale)
+        java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray)
       case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       case ArrayType(et, _) =>
         val elem = unwrap(s.getElementType)

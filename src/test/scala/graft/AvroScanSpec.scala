@@ -135,6 +135,27 @@ class AvroScanSpec extends AnyFunSuite {
     assert(rows(df) == rows(bridge))
   }
 
+  test("V2 connector: nested projection survives Spark's nested schema pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-nest").toFile
+    writeFixture(dir)
+    val df = Registrar.read(spark, new java.io.File(dir, "part-0.avro").getPath)
+    // nestedSchemaPruning (default on) hands the scan `meta: struct<n>`;
+    // the builder must widen back to the full struct — the positional
+    // reader bridge crashed (ArrayIndexOutOfBounds) or mis-mapped
+    // type-coincident siblings when the pruned struct was used as-is
+    assert(df.select(F.col("meta.n")).orderBy("n").collect().map(_.getInt(0)).toSeq
+      == Seq(1, 2))
+    assert(df.select(F.col("meta.k")).orderBy("k").collect().map(_.getString(0)).toSeq
+      == Seq("k1", "k2"))
+    // mixed top-level + nested, and both nested fields in writer order
+    assert(df.select(F.col("id"), F.col("meta.k")).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "k1"), (2L, "k2")))
+    // top-level pruning still reaches the scan alongside the widened struct
+    val plan = df.select(F.col("meta.n")).queryExecution.executedPlan.toString
+    assert(plan.contains("graft-avro [meta]"),
+      s"expected the widened meta struct (and nothing else) on the scan node in:\n$plan")
+  }
+
   test("V2 connector: sync-marker splits partition one file exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avro-split").toFile
     val schema = org.apache.avro.SchemaBuilder.record("r").fields()
@@ -165,7 +186,11 @@ class AvroScanSpec extends AnyFunSuite {
       (1L, "one", Some(1.5), Seq(1.0, 2.0), java.sql.Timestamp.valueOf("2024-02-01 10:30:00.000001"),
         java.sql.Date.valueOf("2024-02-01")),
       (2L, "two", None, Seq(3.0), java.sql.Timestamp.valueOf("2024-02-02 11:00:00"),
-        java.sql.Date.valueOf("2024-02-02"))
+        java.sql.Date.valueOf("2024-02-02")),
+      // pre-epoch fractional second: getTime is negative, so a truncating
+      // division encoded 23:59:59.5 as +0.5s past the epoch
+      (3L, "neg", Some(0.5), Seq(4.0), java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5"),
+        java.sql.Date.valueOf("1969-12-31"))
     ).toDF("id", "name", "score", "vec", "ts", "d")
     val out = new java.io.File(dir, "out.avro")
     Writers.write(df, Some(out.getPath), Writers.Avro)
@@ -182,6 +207,58 @@ class AvroScanSpec extends AnyFunSuite {
     assertThrows[Writers.OutputError](Writers.write(df, Some("-"), Writers.Avro))
   }
 
+  test("decimal logical type: bytes and fixed read as DecimalType; sink round-trips") {
+    // read side: a warehouse-exported file with bytes-decimal AND
+    // fixed-decimal columns, including negative and pre-scaled values
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-dec").toFile
+    val bytesDec = LogicalTypes.decimal(10, 2).addToSchema(Schema.create(Schema.Type.BYTES))
+    val fixedDec = LogicalTypes.decimal(12, 4)
+      .addToSchema(Schema.createFixed("amt_f", null, null, 16))
+    val schema = SchemaBuilder.record("acct").fields()
+      .requiredLong("id")
+      .name("amount").`type`(bytesDec).noDefault()
+      .name("rate").`type`(fixedDec).noDefault()
+      .endRecord()
+    def dec(s: String, scale: Int): java.math.BigDecimal =
+      new java.math.BigDecimal(s).setScale(scale)
+    def bytesOf(bd: java.math.BigDecimal): java.nio.ByteBuffer =
+      java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray)
+    def fixedOf(bd: java.math.BigDecimal): GenericData.Fixed = {
+      // fixed decimals are right-aligned, sign-extended to the fixed size
+      val raw = bd.unscaledValue().toByteArray
+      val out = new Array[Byte](16)
+      val pad: Byte = if (bd.signum() < 0) -1 else 0
+      java.util.Arrays.fill(out, pad)
+      System.arraycopy(raw, 0, out, 16 - raw.length, raw.length)
+      new GenericData.Fixed(schema.getField("rate").schema(), out)
+    }
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part-0.avro"))
+    try Seq(("123.45", "0.0625", 1L), ("-9.99", "-12.3456", 2L)).foreach { case (a, r, id) =>
+      w.append(new GenericRecordBuilder(schema)
+        .set("id", id).set("amount", bytesOf(dec(a, 2))).set("rate", fixedOf(dec(r, 4)))
+        .build())
+    } finally w.close()
+    val df = Registrar.read(spark, new java.io.File(dir, "part-0.avro").getPath)
+    assert(df.schema("amount").dataType == DecimalType(10, 2))
+    assert(df.schema("rate").dataType == DecimalType(12, 4))
+    val got = df.orderBy("id").collect()
+      .map(r => (r.getDecimal(1).toPlainString, r.getDecimal(2).toPlainString)).toSeq
+    assert(got == Seq(("123.45", "0.0625"), ("-9.99", "-12.3456")))
+
+    // write side: a Spark decimal column round-trips through the sink
+    val src = df.select(F.col("id"), F.col("amount"),
+      F.expr("cast(null as decimal(10,2))").as("maybe"))
+    val out = new java.io.File(dir, "back.avro")
+    Writers.write(src, Some(out.getPath), Writers.Avro)
+    val back = Registrar.read(spark, out.getPath)
+    assert(back.schema("amount").dataType == DecimalType(10, 2) &&
+      back.schema("maybe").nullable)
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getDecimal(1).toPlainString, r.isNullAt(2))).toSeq ==
+      Seq((1L, "123.45", true), (2L, "-9.99", true)))
+  }
+
   test("unsupported avro shapes fail loudly at schema time") {
     // multi-branch union: no faithful Spark type
     val multi = SchemaBuilder.record("r").fields()
@@ -189,9 +266,9 @@ class AvroScanSpec extends AnyFunSuite {
       .endRecord()
     val eu = intercept[Registrar.SourceError](AvroScan.toStruct(multi))
     assert(eu.getMessage.contains("union"))
-    // decimal logical type: would need scale/precision-aware decoding
+    // decimal past Spark's precision ceiling: no faithful DecimalType
     val dec = Schema.create(Schema.Type.BYTES)
-    LogicalTypes.decimal(10, 2).addToSchema(dec)
+    LogicalTypes.decimal(44, 2).addToSchema(dec)
     val decRec = SchemaBuilder.record("r2").fields()
       .name("d").`type`(dec).noDefault().endRecord()
     val ed = intercept[Registrar.SourceError](AvroScan.toStruct(decRec))
