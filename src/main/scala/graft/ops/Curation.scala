@@ -142,21 +142,32 @@ object Curation {
     *
     * Scale shape: explode to (id, idx, line) — line cardinality is the
     * floor for ANY corpus-wide line dedup — then ONE window shuffle on the
-    * line fingerprint (rank-1 filter compiles to WindowGroupLimit: later
-    * occurrences die map-side per partition before the shuffle) and one
-    * groupBy(id) reassembly shuffle. NULL-text documents pass through
-    * unchanged (structural, like blanks). */
+    * line fingerprint and one groupBy(id) reassembly shuffle. Blank lines
+    * ROUTE AROUND the window entirely (filter → union back), which matters
+    * twice at 100 TB: (1) every blank in the corpus hashes to the single
+    * norm="" window partition, so one task would sort them all — the
+    * canonical hot key; (2) keeping them in-window forced a disjunctive
+    * keep-filter (`blank || rk===1`) that InferWindowGroupLimit cannot
+    * fire on — with blanks routed, the pure `rk === 1` filter compiles to
+    * WindowGroupLimit and later occurrences die map-side per partition
+    * BEFORE the shuffle (plan-asserted in PlanQualitySpec). NULL-text
+    * documents pass through unchanged (structural, like blanks). */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val others = docs.columns.filter(c => c != idCol && c != textCol)
     val exploded = docs
       .select(F.col(idCol), F.posexplode_outer(F.split(F.col(textCol), "\n", -1))
         .as(Seq("__idx", "__line")))
     val norm = F.lower(F.trim(F.col("__line")))
+    // null __line rows (only from null text) fall out of BOTH branches —
+    // their documents are rebuilt as null by the final projection anyway
+    val blanks = exploded.filter(F.length(norm) === 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(norm).orderBy(F.col(idCol).asc, F.col("__idx").asc)
-    val kept = exploded
+    val kept = exploded.filter(F.length(norm) > 0)
       .withColumn("__rk", F.row_number().over(w))
-      .filter(F.length(norm) === 0 || F.col("__rk") === 1)
+      .filter(F.col("__rk") === 1)
+      .drop("__rk")
+      .unionByName(blanks)
       .groupBy(idCol)
       .agg(F.array_join(F.transform(
         F.array_sort(F.collect_list(F.struct(F.col("__idx"), F.col("__line")))),

@@ -339,6 +339,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"top-1 must partial-limit map-side:\n$p")
   }
 
+  test("dedupLines: keep-first compiles to WindowGroupLimit; blanks route around the window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(F.col("doc_id"), F.concat(F.lit("banner\n\n"), F.col("text")).as("text"))
+    val p = plan(graft.ops.Curation.dedupLines(docs, "doc_id", "text"))
+    // the rank-1 keep-filter must partial-limit map-side — later occurrences
+    // of a duplicated line die BEFORE the line-key shuffle (a disjunctive
+    // blank||rank filter silently defeated this; regression-pinned here)
+    assert(p.contains("WindowGroupLimit"), s"rank-1 must partial-limit map-side:\n$p")
+    // blanks bypass the window: the union's blank branch must not window —
+    // exactly ONE Window operator in the whole plan
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly 1 Window operator, got $windows:\n$p")
+  }
+
   test("curate's full pipeline pays exactly two shuffles (dedup key + cap key)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val df = graft.ops.Curation.curate(docs, "doc_id", "text", "source",
