@@ -84,6 +84,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + shortId(k) + "\":" + s3(v.sec) }
       .mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
+    // Oracle-math twins exist to VERIFY selection math via DuckDB-replayable
+    // primitives (per-gram md5 + fixed constants); their xxhash64 siblings
+    // (x02/x16/x03/x07/x04/x71) are the production surface. production_total
+    // is the gate number for that surface — the twins' md5 tax is a
+    // verification cost, not an engine cost.
+    val oracleTwins = Set("x22_ngram_jaccard_fixed", "x42_winnow_fixed",
+      "x43_minhash_fixed", "x44_simhash_fixed", "x45_lsh_bucket",
+      "x70_dsir_weights")
+    val prodTotal = results.filterNot(r => oracleTwins(r._1)).map(_._2.sec).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Run-level contention indicator: parallelism = Σ executor task time /
     // wall. On an otherwise-idle local[cpus] host heavy queries should push
@@ -97,14 +106,14 @@ object Bench {
         s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs}}"""
       }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("bench_detail.json")
-      try w.println(s"""{"total":$total,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"parallelism":${f"$par%.2f"},"cpus":$cpus,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"total":$total,"production_total":$prodTotal,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"parallelism":${f"$par%.2f"},"cpus":$cpus,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     // Stop Spark BEFORE printing the summary so no executor/stage log line
     // can land after it — the JSON must be the last stdout line for the
     // driver's tail-window parse.
     spark.stop()
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","gc_sec":${s3(sumGcMs / 1000.0)},"parallelism":${f"$par%.2f"},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","production_total":${s3(prodTotal)},"gc_sec":${s3(sumGcMs / 1000.0)},"parallelism":${f"$par%.2f"},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -594,9 +594,11 @@ object SparkEntry {
     // bit-identity is separately pinned in OpsSpec. a*h+b stays < 2^59 —
     // no overflow divergence between engines.
     "x43_minhash_fixed" -> ((s, dir) => {
-      // bounded to the first 500 normalized chars (the x42 pattern): the
-      // entry pins the Carter-Wegman min MATH, and per-shingle md5 over
-      // unbounded text made it the most expensive entry in the suite
+      // bounded to doc_id%10 over the first 500 normalized chars (the x42
+      // pattern): the entry pins the Carter-Wegman min MATH — fewer docs
+      // lose no coverage, and per-shingle md5 + 14 passes over unbounded
+      // text made it the most expensive entry in the suite; x02 is the
+      // production minhash benchmark
       val t = F.substring(
         F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), 1, 500)
       val shingles = F.array_distinct(F.transform(
@@ -607,7 +609,7 @@ object SparkEntry {
       val sigs = OracleAB.map { case (a, b) =>
         F.array_min(F.transform(F.col("hs"), h => (h * a + b) % OracleP)) }
       s.read.parquet(s"$dir/documents.parquet")
-        .filter(F.col("doc_id") % 5 === 0)
+        .filter(F.col("doc_id") % 10 === 0)
         .select(F.col("doc_id"), hs.as("hs"))
         .select(F.col("doc_id"),
           F.concat_ws(",", sigs.map(_.cast("string")): _*).as("sig_csv"))
@@ -958,7 +960,26 @@ object SparkEntry {
     // benchmark convention) — target members' own grams dominate the
     // target distribution, so they score high; off-target docs score
     // near/below zero. Hashed uni+bigram features, add-1 smoothing.
+    // hash="md5" is the ORACLE twin (DuckDB replays the 28-bit md5 idiom),
+    // bounded to the doc_id%5 sub-corpus (the x42/x43 pattern — the entry
+    // verifies the smoothing/log-ratio MATH, not throughput; target %50 is
+    // a subset of raw %5, so the importance semantics are unchanged); x71
+    // below is the production xxhash64 path over the FULL corpus.
     "x70_dsir_weights" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(F.col("doc_id") % 5 === 0)
+      TextOps.dsirWeights(docs, docs.filter(F.col("doc_id") % 50 === 0),
+          "doc_id", "text", nBuckets = 1024, hash = "md5")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR, production hash (xxhash64 — one codegen'd 8-byte hash per gram
+    // vs the oracle twin's per-gram md5): the x02/x42, x16/x43 convention.
+    // Rows-only in the driver compare (xxhash64 has no DuckDB equivalent);
+    // pinned by the OpsSpec hash-equivalence test — per-doc n_grams is
+    // hash-INVARIANT and must equal x70's exactly, and both paths must
+    // rank the target domain above off-target.
+    "x71_dsir_weights_prod" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextOps.dsirWeights(docs, docs.filter(F.col("doc_id") % 50 === 0),
           "doc_id", "text", nBuckets = 1024)
@@ -1618,7 +1639,7 @@ object SparkEntry {
       s"""WITH t AS (
          |  SELECT doc_id,
          |    substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 500) AS t
-         |  FROM documents WHERE doc_id % 5 = 0
+         |  FROM documents WHERE doc_id % 10 = 0
          |), sh AS (
          |  SELECT doc_id, list_distinct(list_transform(
          |    range(1, greatest(length(t) - 4, 1) + 1),
@@ -2178,13 +2199,14 @@ object SparkEntry {
     // mirrors TextOps.dsirWeights: same tokenization, same uni+bigram
     // construction, same md5-28-bit bucket, add-1 smoothing over 1024
     // buckets, natural-log ratio summed per doc, round 6; gramless docs
-    // via the LEFT JOIN coalesce
+    // via the LEFT JOIN coalesce; raw = the doc_id%5 sub-corpus (bounded
+    // oracle-math entry — x71 is the full-corpus production path)
     "x70_dsir_weights" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(
         |    string_split_regex(lower(trim(text)), '\s+'),
         |    x -> length(x) > 0) AS toks
-        |  FROM documents
+        |  FROM documents WHERE doc_id % 5 = 0
         |), g AS (
         |  SELECT doc_id, unnest(toks || list_transform(
         |    range(1, greatest(len(toks) - 1, 0) + 1),
@@ -2212,6 +2234,7 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(a.dsir_logw, 0.0) AS dsir_logw,
         |  coalesce(a.n_grams, 0) AS n_grams
         |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id % 5 = 0
         |ORDER BY d.doc_id""".stripMargin,
 
     // mirrors Similarity.opqQuantize/opqSearch from the same OpqRotation +

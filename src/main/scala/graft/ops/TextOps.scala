@@ -191,8 +191,13 @@ object TextOps {
     * smoothed over `nBuckets`. Resampling raw data ∝ exp(w) tilts the
     * mixture toward the target domain without training a classifier —
     * the data-selection complement of [[classifierScore]]. Features are
-    * word uni+bigrams hashed via the md5-28-bit idiom (engine-neutral,
-    * the classifierScore precedent; production would swap xxhash64).
+    * word uni+bigrams bucketed by `hash`: `"xxhash64"` (default — one
+    * codegen'd 8-byte hash per gram, the production path, same as the
+    * x02/x16 winnowing/minhash convention) or `"md5"` (the 28-bit md5
+    * idiom — engine-neutral so DuckDB can replay it, the oracle path;
+    * ~5× the arithmetic for identical selection behavior). The bucketing
+    * LAW is shared — only the hash differs, so per-doc gram counts are
+    * hash-invariant (OpsSpec pins this equivalence).
     *
     * Scale shape: both bucket tables are ≤ nBuckets rows — they and the
     * two grand totals BROADCAST, so the raw corpus (the 100 TB side) is
@@ -201,10 +206,13 @@ object TextOps {
     * n_grams 0 (kept, not dropped). log-weight rounds to 6 (the x47
     * float-neutrality rule; gram COUNTS decide nothing). */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-                  textCol: String, nBuckets: Int = 1024): DataFrame = {
+                  textCol: String, nBuckets: Int = 1024,
+                  hash: String = "xxhash64"): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(hash == "xxhash64" || hash == "md5", s"hash must be xxhash64|md5, got $hash")
     def bucket(g: Column): Column =
-      (F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long") % nBuckets).cast("int")
+      if (hash == "xxhash64") F.pmod(F.xxhash64(g), F.lit(nBuckets)).cast("int")
+      else (F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long") % nBuckets).cast("int")
     def gramBuckets(df: DataFrame, keep: Seq[Column]): DataFrame = {
       val toks = F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
         t => F.length(t) > 0)

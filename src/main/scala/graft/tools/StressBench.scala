@@ -107,9 +107,21 @@ object StressBench {
         "x59_dup_spans" -> (() => Dedup.dupSpans(docs, "doc_id", "text")),
         // DSIR: target fixed (every 50th base doc), raw corpus grows K× —
         // gram explode collapses map-side, so wall-clock must stay linear
-        // in K with the census/broadcast sides flat
-        "x70_dsir" -> (() => graft.ops.TextOps.dsirWeights(
+        // in K with the census/broadcast sides flat. Production xxhash64
+        // path (x71); the md5 oracle twin (x70) differs only in per-gram
+        // hash arithmetic, not plan shape
+        "x71_dsir_prod" -> (() => graft.ops.TextOps.dsirWeights(
           docs, docs.filter(F.col("doc_id") % 50 === 0), "doc_id", "text")),
+        // single-hottest-line ceiling: EVERY doc in the corpus IS the same
+        // one line (the cookie-banner reality at 100 TB: one string in 10⁸
+        // docs) — the entire exploded corpus lands in ONE window partition,
+        // so rank-1 WindowGroupLimit must kill all but one occurrence per
+        // map partition BEFORE the shuffle; the hot key then carries
+        // ~numPartitions rows, bounded by task count, not corpus size
+        "x68_hotline" -> (() => graft.ops.Curation.dedupLines(
+          docs.withColumn("text",
+            F.lit("We use cookies to improve your experience")),
+          "doc_id", "text")),
         // adversarial line dedup: replica groups make EVERY body line a
         // corpus-wide duplicate (K occurrences each) — the window shuffle
         // carries K× lines but rank-1 filtering is WindowGroupLimit'd

@@ -1288,6 +1288,39 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L)._3 == 7 + 6)
   }
 
+  test("dsirWeights: xxhash64 production path is hash-equivalent to the md5 oracle twin") {
+    // same bucketing LAW, different per-gram hash (x71 vs x70): per-doc
+    // gram counts are hash-invariant and must match EXACTLY; the domain
+    // ranking both paths produce must agree
+    val legal = (1L to 20L).map(i =>
+      (i, s"whereas party hereto covenant$i obligation indemnify clause$i"))
+    val chat = (21L to 40L).map(i =>
+      (i, s"lol omg haha meme$i selfie vibe$i trending"))
+    val raw = (legal ++ chat ++ Seq((99L, ""), (100L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val target = legal.toDF("doc_id", "text")
+    def run(h: String) = graft.ops.TextOps
+      .dsirWeights(raw, target, "doc_id", "text", hash = h)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    val prod = run("xxhash64")
+    val oracle = run("md5")
+    assert(prod.keySet == oracle.keySet)
+    prod.keySet.foreach { id =>
+      assert(prod(id)._3 == oracle(id)._3,
+        s"n_grams is hash-invariant; doc $id: ${prod(id)._3} vs ${oracle(id)._3}")
+    }
+    // both paths separate the domains the same way
+    def avg(m: Map[Long, (Long, Double, Long)], ids: Seq[Long]) =
+      ids.map(m(_)._2).sum / ids.size
+    assert(avg(prod, 1L to 20L) > avg(prod, 21L to 40L))
+    assert((21L to 40L).forall(i => prod(i)._2 < 0),
+      "off-target grams unseen in target -> negative, regardless of hash")
+    assert(prod(99L)._2 == 0.0 && prod(100L)._2 == 0.0)
+    // an unknown strategy fails loudly
+    assertThrows[IllegalArgumentException](
+      graft.ops.TextOps.dsirWeights(raw, target, "doc_id", "text", hash = "sha1"))
+  }
+
   test("corpusDiff: null text is presence, not absence") {
     // a row whose text is NULL still EXISTS in its snapshot: presence keys
     // on an explicit per-side marker, never on fingerprint nullness
