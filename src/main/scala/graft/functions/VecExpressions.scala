@@ -184,6 +184,51 @@ object VecOps {
     d
   }
 
+  /** Int8 symmetric max-abs quantization in ONE pass:
+    * `scale = max|x|/127`, `q[i] = floor(x/max|x|·127 + 0.5)` (int cast of
+    * the floored double — identical op order to the HOF/oracle form),
+    * `max_err = max|x − q·scale|`. Zero vector → (0.0, zeros, 0.0); empty
+    * array → (null scale, [], 0.0) — both the HOF edge results. The HOF
+    * pipeline evaluated FOUR interpreted lambda passes (plus CollapseProject
+    * re-deriving v/m/q inside every consumer — ~8 array walks per row,
+    * boxed); this is one tight loop that composes with whole-stage codegen.
+    * NaN/null elements → null (the [[cosine]] convention — the HOF form
+    * silently skipped them in the max, which would mis-scale the codes). */
+  def quantizeInt8(a: ArrayData, af: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    val q = new Array[Int](n)
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, new GenericArrayData(q), 0.0))
+    val v = new Array[Double](n)
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      if (java.lang.Double.isNaN(x)) return null
+      v(i) = x
+      val ax = math.abs(x)
+      if (ax > m) m = ax
+      i += 1
+    }
+    if (m == 0.0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0.0, new GenericArrayData(q), 0.0))
+    val scale = m / 127.0
+    var maxErr = 0.0
+    i = 0
+    while (i < n) {
+      val code = Math.floor(v(i) / m * 127.0 + 0.5).toInt
+      q(i) = code
+      val err = Math.abs(v(i) - code.toDouble * scale)
+      if (err > maxErr) maxErr = err
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new GenericArrayData(q), maxErr))
+  }
+
   /** Dense mat–vec `out[i] = Σ_j m[i·cols + j]·x[j]`, j-ascending per row —
     * the OPQ rotation step. Loud on dimension mismatch (the [[lshBits]]
     * contract: a wrong-dim vector must not silently produce garbage). */
@@ -527,5 +572,37 @@ case class MatVec(child: Expression, mat: Array[Array[Double]])
   }
 
   protected override def withNewChildInternal(newChild: Expression): MatVec =
+    copy(child = newChild)
+}
+
+/** Int8 max-abs quantization as one struct-returning pass — see
+  * [[VecOps.quantizeInt8]] for the exact semantics and why the HOF
+  * pipeline it replaces was ~8 interpreted array walks per row. */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with VecArrayArg {
+
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(child.dataType, "")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("q",
+      ArrayType(IntegerType, containsNull = false), nullable = false),
+    org.apache.spark.sql.types.StructField("max_err", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantize_int8"
+
+  private def cf = isFloatArray(child.dataType)
+
+  protected override def nullSafeEval(a: Any): Any =
+    VecOps.quantizeInt8(a.asInstanceOf[ArrayData], cf) // null on NaN/null elems
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("qrow")
+      s"""org.apache.spark.sql.catalyst.InternalRow $v = graft.functions.VecOps.quantizeInt8($a, $cf);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+         |""".stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): QuantizeInt8 =
     copy(child = newChild)
 }

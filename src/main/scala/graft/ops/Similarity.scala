@@ -387,20 +387,23 @@ object Similarity {
     * the exact codes; round() tie rules differ across engines), plus
     * `max_err`, the worst per-dimension reconstruction error (bounded by
     * scale/2 — asserted in OpsSpec). All-zero vectors quantize to zeros
-    * with scale 0. Pure per-row projection: no shuffle, no UDF, stays
-    * inside whole-stage codegen. */
+    * with scale 0. Pure per-row projection: no shuffle, no UDF — ONE
+    * native single-pass expression ([[graft.functions.QuantizeInt8]]).
+    * The previous HOF formulation (transform/array_max/zip_with) was
+    * interpreted per element AND CollapseProject re-derived the cast
+    * vector and the code array inside every consumer (~8 boxed array
+    * walks per row); the native kernel is the same IEEE op order
+    * (floor(x/m·127 + 0.5), err = |x − q·m/127|) in one loop that
+    * composes with whole-stage codegen. */
   def quantize(emb: DataFrame, vecCol: String): DataFrame = {
-    val v = F.transform(F.col(vecCol), x => x.cast("double"))
-    val m = F.array_max(F.transform(v, x => F.abs(x)))
-    val scale = (m / 127.0).as("scale")
-    val q = F.when(m === 0.0, F.transform(v, _ => F.lit(0)))
-      .otherwise(F.transform(v, x => F.floor(x / m * 127.0 + 0.5).cast("int")))
-    emb.withColumn("scale", scale)
-      .withColumn("q", q)
-      .withColumn("max_err", F.coalesce(
-        F.array_max(F.zip_with(v, F.col("q"),
-          (x, qq) => F.abs(x - qq.cast("double") * F.col("scale")))),
-        F.lit(0.0)))
+    val st = org.apache.spark.sql.GraftExpr.column(
+      graft.functions.QuantizeInt8(
+        org.apache.spark.sql.GraftExpr.expression(F.col(vecCol))))
+    emb.withColumn("__qs", st)
+      .withColumn("scale", F.col("__qs.scale"))
+      .withColumn("q", F.col("__qs.q"))
+      .withColumn("max_err", F.col("__qs.max_err"))
+      .drop("__qs")
   }
 
   /** Cosine of every vector to its own label's centroid — the
