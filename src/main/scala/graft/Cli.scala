@@ -10,7 +10,7 @@ import java.nio.file.{Files, Paths}
   *
   * Usage: graft.Cli [QUERY] [--from alias=path ...] [--to dest]
   *                  [--format csv|json|parquet|table] [--backend b]
-  *                  [--writer arrow|backend] [--sql] [--no-exec]
+  *                  [--writer arrow|backend] [--sql] [--no-exec] [--explain]
   *
   * Behavior mirrored from the reference:
   *  - query from positional arg, stdin (`-`), or a *.prql file path
@@ -38,7 +38,8 @@ object Cli {
       database: Option[String] = None,
       backend: Option[String] = None,
       sql: Boolean = false,
-      noExec: Boolean = false)
+      noExec: Boolean = false,
+      explain: Boolean = false)
 
   /** `.env` loading (main.rs:117 dotenvy parity): KEY=VALUE lines, `#`
     * comments and blanks skipped; real environment wins over the file. */
@@ -63,7 +64,8 @@ object Cli {
       database = env("PQ_DATABASE"),
       backend = env("PQ_BACKEND"),
       sql = env("PQ_SQL").exists(_ == "true"),
-      noExec = env("PQ_NO_EXEC").exists(_ == "true"))
+      noExec = env("PQ_NO_EXEC").exists(_ == "true"),
+      explain = env("PQ_EXPLAIN").exists(_ == "true"))
     var i = 0
     def value(flag: String): String = {
       if (i + 1 >= argv.length)
@@ -83,6 +85,7 @@ object Cli {
           value(f); i += 2
         case "--sql"         => a = a.copy(sql = true); i += 1
         case "--no-exec"     => a = a.copy(noExec = true); i += 1
+        case "--explain"     => a = a.copy(explain = true); i += 1
         case q               => a = a.copy(query = Some(q)); i += 1
       }
     }
@@ -140,6 +143,12 @@ object Cli {
       else Graft.compile(withAutoFrom(raw, names), tables)
 
     if (args.noExec) println(df.queryExecution.analyzed.toString())
+    else if (args.explain)
+      // the plan-side sibling of --no-exec: the optimized PHYSICAL plan
+      // (codegen spans, pushed filters, exchanges) — what a plan audit
+      // reads; formatted = node list + per-node detail
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     else Writers.write(df, args.to, fmt)
   }
 

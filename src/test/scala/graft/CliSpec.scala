@@ -119,4 +119,24 @@ class CliSpec extends AnyFunSuite {
     assert(printed.contains("| one | s |") || printed.contains("| 1   | x |"),
       s"expected ascii table, got:\n$printed")
   }
+
+  test("--explain prints the formatted physical plan, executes nothing") {
+    implicit val spark = SparkTest.session
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-explain")
+    val csv = dir.resolve("t.csv")
+    java.nio.file.Files.writeString(csv, "a,b\n1,2\n3,4\n")
+    val out = dir.resolve("never.csv")
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos)) {
+      Cli.run(Cli.parseArgs(Array(
+        "-f", csv.toString, "--to", out.toString, "--explain",
+        "from t | filter a > 1 | select [a]")))
+    }
+    val printed = bos.toString
+    // formatted mode = numbered node list + per-node detail — the shape a
+    // plan audit reads (codegen spans, pushed filters, read schema)
+    assert(printed.contains("Physical Plan"), s"expected a plan, got:\n$printed")
+    assert(printed.contains("(1) Scan"), s"expected numbered nodes:\n$printed")
+    assert(!java.nio.file.Files.exists(out), "--explain must not execute the write")
+  }
 }
