@@ -62,6 +62,88 @@ case class Winnow(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Word-n-gram xxhash64 stream as a native expression — see
+  * [[MinHashSig]] docs for the tier rationale and
+  * [[TextSketches.wordNGramHashes]] for the algorithm and why the hash
+  * choice is free (within-engine grouping key only). */
+case class WordNGramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, s"gram size must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_ngram_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextSketches.wordNGramHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n))
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextSketches.wordNGramHashes($c, $n))")
+
+  protected override def withNewChildInternal(newChild: Expression): WordNGramHashes =
+    copy(child = newChild)
+}
+
+/** Character-shingle xxhash64 stream as a native expression — see
+  * [[MinHashSig]] docs for the tier rationale and
+  * [[TextSketches.shingleHashes]] for the algorithm and its bit-parity
+  * contract with `xxhash64(substr(clean, i, n))`. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, s"shingle size must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextSketches.shingleHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n))
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextSketches.shingleHashes($c, $n))")
+
+  protected override def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** DSIR uni+bigram bucket ids as a native expression — see [[MinHashSig]]
+  * docs for the tier rationale and [[TextSketches.wordGramBuckets]] for
+  * the algorithm and its bit-parity contract with
+  * `pmod(xxhash64(gram), nBuckets)`. */
+case class WordGramBuckets(child: Expression, nBuckets: Int)
+    extends UnaryExpression {
+  require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "word_gram_buckets"
+
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextSketches.wordGramBuckets(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], nBuckets))
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextSketches.wordGramBuckets($c, $nBuckets))")
+
+  protected override def withNewChildInternal(newChild: Expression): WordGramBuckets =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash as a native expression — see [[MinHashSig]] docs. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

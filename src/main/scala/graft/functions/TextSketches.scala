@@ -75,6 +75,34 @@ object TextSketches {
     mins
   }
 
+  /** All character-n-gram xxhash64 values of one document, position order,
+    * duplicates kept — the raw (id, shingle-hash) stream behind
+    * `Dedup.shinglePairs` (x25/x67) as ONE pass. Bit-identical to
+    * `xxhash64(substr(clean, i, n))` over
+    * `i ∈ 1..greatest(len-n+1, 1)` (OpsSpec-pinned): same normalization,
+    * same seed-42 hash of the same code-point slice, same short-text
+    * clamp (one whole-string shingle). The relational form exploded a
+    * position sequence FIRST, so every shingle row carried the full
+    * cleaned document through the Generate before hashing — ~doc-length×
+    * row-width amplification that this array expression never
+    * materializes (the explode downstream carries bare longs). */
+  def shingleHashes(s: UTF8String, n: Int): Array[Long] = {
+    val bytes = cleanBytes(s)
+    val offs = charOffsets(bytes)
+    val numChars = offs.length - 1
+    val count = math.max(numChars - n + 1, 1)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val start = offs(i)
+      val end = offs(math.min(i + n, numChars))
+      out(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + start,
+        end - start, 42L)
+      i += 1
+    }
+    out
+  }
+
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash all
     * k-gram shingles (same normalization + xxhash64 as [[minhash]]), then
     * keep the minimum hash of every sliding window of `w` consecutive
@@ -140,5 +168,80 @@ object TextSketches {
     var i = 0
     while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
     sig
+  }
+
+  /** xxhash64 of every n-token sliding window ("tok1 tok2 … tokn"
+    * space-joined), position order, duplicates kept — the gram fingerprint
+    * stream behind `Dedup.dupSpans` (x59) as one pass. Tokenization is the
+    * [[wordGramBuckets]] law (whitespace tokens of lower(trim(s)), empties
+    * dropped); docs with fewer than n tokens yield an empty array.
+    * Replaces a per-gram md5(concat_ws(slice(toks, i, n))) HOF chain —
+    * the hash only keys within-engine group-bys (the oracle recomputes
+    * its own md5 stream in SQL and compares final COUNTS, which any
+    * injective per-gram hash reproduces), so the 4×-narrower, codegen'd
+    * xxhash64 long is strictly better at every scale. */
+  def wordNGramHashes(s: UTF8String, n: Int): Array[Long] = {
+    val toks0 = ws.split(s.trim().toLowerCase.toString, -1)
+    var cnt = 0
+    var i = 0
+    while (i < toks0.length) { if (toks0(i).nonEmpty) cnt += 1; i += 1 }
+    val toks = if (cnt == toks0.length) toks0 else {
+      val t = new Array[String](cnt); var o = 0; i = 0
+      while (i < toks0.length) { if (toks0(i).nonEmpty) { t(o) = toks0(i); o += 1 }; i += 1 }
+      t
+    }
+    if (cnt < n) return Array.emptyLongArray
+    val out = new Array[Long](cnt - n + 1)
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i <= cnt - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val gb = UTF8String.fromString(sb.toString).getBytes
+      out(i) = XXH64.hashUnsafeBytes(gb, Platform.BYTE_ARRAY_OFFSET, gb.length, 42L)
+      i += 1
+    }
+    out
+  }
+
+  /** Hashed uni+bigram bucket ids of one document — the DSIR feature law
+    * (`TextOps.dsirWeights` hash="xxhash64") as ONE pass: whitespace
+    * tokens of lower(trim(s)), then `pmod(xxhash64(gram), nBuckets)` for
+    * every token and every adjacent "tok1 tok2" pair, unigrams first (the
+    * relational `concat(toks, bigrams)` order, so explode row counts
+    * match). Bucket math is bit-identical to
+    * `pmod(F.xxhash64(gram), nBuckets)` — seed 42 over the gram's UTF-8
+    * bytes — pinned in OpsSpec against the HOF formulation. Replaces a
+    * split + 2×transform + slice + element_at + concat HOF chain whose
+    * interpreted per-element lambdas measured ~30 µs/gram; this loop is
+    * the map-side cost that dominates DSIR at 100 TB. */
+  def wordGramBuckets(s: UTF8String, nBuckets: Int): Array[Int] = {
+    val toks0 = ws.split(s.trim().toLowerCase.toString, -1)
+    // drop empties (split keeps a leading "" when text starts with space)
+    var n = 0
+    var i = 0
+    while (i < toks0.length) { if (toks0(i).nonEmpty) n += 1; i += 1 }
+    val toks = if (n == toks0.length) toks0 else {
+      val t = new Array[String](n); var o = 0; i = 0
+      while (i < toks0.length) { if (toks0(i).nonEmpty) { t(o) = toks0(i); o += 1 }; i += 1 }
+      t
+    }
+    val out = new Array[Int](if (n > 0) n + n - 1 else 0)
+    def bucket(g: String): Int = {
+      val gb = UTF8String.fromString(g).getBytes
+      val h = XXH64.hashUnsafeBytes(gb, Platform.BYTE_ARRAY_OFFSET, gb.length, 42L)
+      val m = (h % nBuckets).toInt
+      if (m < 0) m + nBuckets else m
+    }
+    i = 0
+    while (i < n) { out(i) = bucket(toks(i)); i += 1 }
+    i = 0
+    while (i < n - 1) { out(n + i) = bucket(toks(i) + " " + toks(i + 1)); i += 1 }
+    out
   }
 }

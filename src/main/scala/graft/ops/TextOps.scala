@@ -210,18 +210,30 @@ object TextOps {
                   hash: String = "xxhash64"): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     require(hash == "xxhash64" || hash == "md5", s"hash must be xxhash64|md5, got $hash")
-    def bucket(g: Column): Column =
-      if (hash == "xxhash64") F.pmod(F.xxhash64(g), F.lit(nBuckets)).cast("int")
-      else (F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long") % nBuckets).cast("int")
-    def gramBuckets(df: DataFrame, keep: Seq[Column]): DataFrame = {
-      val toks = F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
-        t => F.length(t) > 0)
-      val bi = F.transform(
-        F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-        (t, i) => F.concat(t, F.lit(" "), F.element_at(toks, i + 2)))
-      df.select((keep :+ F.explode(F.concat(toks, bi)).as("__g")): _*)
-        .select((keep :+ bucket(F.col("__g")).as("__b")): _*)
-    }
+    // production path: ONE native pass builds all bucket ids per doc
+    // (tokenize + hash fused — no gram-string arrays, no interpreted
+    // slice/element_at/concat lambdas, which measured ~30 µs/gram and
+    // dominated the suite); bucket math is bit-identical to
+    // pmod(xxhash64(gram), nBuckets), OpsSpec-pinned vs the HOF formula.
+    // oracle path: per-gram strings through the md5-28-bit idiom so DuckDB
+    // replays it.
+    def gramBuckets(df: DataFrame, keep: Seq[Column]): DataFrame =
+      if (hash == "xxhash64")
+        df.select((keep :+ F.explode(org.apache.spark.sql.GraftExpr.column(
+          graft.functions.WordGramBuckets(
+            org.apache.spark.sql.GraftExpr.expression(F.col(textCol)), nBuckets)))
+          .as("__b")): _*)
+      else {
+        def bucket(g: Column): Column =
+          (F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long") % nBuckets).cast("int")
+        val toks = F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+          t => F.length(t) > 0)
+        val bi = F.transform(
+          F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+          (t, i) => F.concat(t, F.lit(" "), F.element_at(toks, i + 2)))
+        df.select((keep :+ F.explode(F.concat(toks, bi)).as("__g")): _*)
+          .select((keep :+ bucket(F.col("__g")).as("__b")): _*)
+      }
     // the corpus-side explode (per-gram md5 — the oracle-neutral hash, the
     // x43 trade) collapses IMMEDIATELY to per-(doc, bucket) counts before
     // any shuffle, for BOTH consumers: the census is a rollup of the same

@@ -1321,6 +1321,59 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.TextOps.dsirWeights(raw, target, "doc_id", "text", hash = "sha1"))
   }
 
+  test("WordGramBuckets is bit-identical to pmod(xxhash64(gram), n) over the HOF grams") {
+    // the production DSIR feature path is a fused native pass; this pins it
+    // to the relational formulation it replaced — same tokens, same gram
+    // order (unigrams then bigrams), same hash, same bucket math
+    import org.apache.spark.sql.GraftExpr
+    val docs = Seq(
+      (1L, "  The QUICK brown   fox\njumps over\tthe lazy dog  "),
+      (2L, "single"),
+      (3L, ""),
+      (4L, "   \t  "),
+      (5L, "a b a b a"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val n = 64
+    val native = docs.select(F.col("doc_id"), GraftExpr.column(
+      graft.functions.WordGramBuckets(GraftExpr.expression(F.col("text")), n)).as("b"))
+      .as[(Long, Array[Int])].collect().map(r => r._1 -> Option(r._2).map(_.toSeq)).toMap
+    val toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+      t => F.length(t) > 0)
+    val bi = F.transform(
+      F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+      (t, i) => F.concat(t, F.lit(" "), F.element_at(toks, i + 2)))
+    val hof = docs.select(F.col("doc_id"),
+      F.transform(F.concat(toks, bi),
+        g => F.pmod(F.xxhash64(g), F.lit(n)).cast("int")).as("b"))
+      .as[(Long, Array[Int])].collect().map(r => r._1 -> Option(r._2).map(_.toSeq)).toMap
+    assert(native == hof, s"native $native\nvs HOF $hof")
+    assert(native(1L).get.size == 9 + 8 && native(3L).get.isEmpty && native(6L).isEmpty)
+  }
+
+  test("ShingleHashes is bit-identical to the explode→substr→xxhash64 chain") {
+    import org.apache.spark.sql.GraftExpr
+    val docs = Seq(
+      (1L, "The quick  Brown\tfox"),
+      (2L, "short"),            // shorter than n -> ONE whole-string shingle
+      (3L, ""),                 // empty -> one hash of ""
+      (4L, "naïve café — résumé muß 日本語テキスト") // multi-byte code points
+    ).toDF("doc_id", "text")
+    val n = 8
+    val native = docs.select(F.col("doc_id"), F.explode(GraftExpr.column(
+      graft.functions.ShingleHashes(GraftExpr.expression(F.col("text")), n))).as("__s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val clean = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    val rel = docs.select(F.col("doc_id"), clean.as("__c"))
+      .select(F.col("doc_id"), F.col("__c"),
+        F.explode(F.sequence(F.lit(1),
+          F.greatest(F.length(F.col("__c")) - (n - 1), F.lit(1)))).as("__i"))
+      .select(F.col("doc_id"),
+        F.xxhash64(F.col("__c").substr(F.col("__i"), F.lit(n))).as("__s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(native == rel)
+  }
+
   test("corpusDiff: null text is presence, not absence") {
     // a row whose text is NULL still EXISTS in its snapshot: presence keys
     // on an explicit per-side marker, never on fingerprint nullness

@@ -140,14 +140,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"shingle match must not sort-merge the corpus:\n$p")
   }
 
-  test("contaminationScore: benchmark broadcast, ONE corpus aggregation, no extra join") {
+  test("contaminationScore: benchmark broadcast, no Expand, no extra join") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = finalPlan(graft.ops.Dedup.contaminationScore(
       docs, docs.filter(F.col("doc_id") % 50 === 0), "doc_id", "text"))
     assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
     // unlike contamination there is no ids←hits re-join: total and shared
-    // come out of the SAME groupBy, so zero sort-merge joins anywhere
+    // come out of the same aggregation chain, so zero sort-merge joins
     assert(!p.contains("SortMergeJoin"), s"score needs no second join:\n$p")
+    // the two-level (id, shingle)→id aggregate must NOT plan as a
+    // multi-distinct Expand, which would duplicate every shingle row per
+    // distinct aggregate before the partial agg
+    assert(!p.contains("Expand"), s"no multi-distinct Expand:\n$p")
     assert(p.contains("partial_count"), s"expected map-side partial agg:\n$p")
   }
 
@@ -165,8 +169,13 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("dsirWeights: bucket tables broadcast; gram strings never shuffle") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // assert on the EXECUTED section only: AQE's toString appends the
+    // pre-runtime "== Initial Plan ==", where the unknown output stats of
+    // the native gram expression make the cost model guess SMJ for the
+    // final id join before runtime sizes flip it to broadcast
     val p = finalPlan(graft.ops.TextOps.dsirWeights(
       docs, docs.filter(F.col("doc_id") % 50 === 0), "doc_id", "text"))
+      .split("== Initial Plan ==")(0)
     assert(p.contains("BroadcastHashJoin"), s"bucket tables must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"nothing here is big enough to SMJ:\n$p")
     // every gram explode collapses to counts MAP-SIDE (partial aggregate
