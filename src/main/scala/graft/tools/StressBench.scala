@@ -112,6 +112,17 @@ object StressBench {
         // hash arithmetic, not plan shape
         "x71_dsir_prod" -> (() => graft.ops.TextOps.dsirWeights(
           docs, docs.filter(F.col("doc_id") % 50 === 0), "doc_id", "text")),
+        // adversarial line dedup: replica groups make EVERY body line a
+        // corpus-wide duplicate (K occurrences each) — the window shuffle
+        // carries K× lines but rank-1 filtering is WindowGroupLimit'd
+        // map-side, so wall-clock must stay near-linear in K. Runs BEFORE
+        // x68_hotline so the hotline row measures the hot key, not the
+        // first dedupLines codegen compile
+        "x68_line_dedup" -> (() => graft.ops.Curation.dedupLines(
+          docs.withColumn("text", F.concat_ws("\n",
+            F.lit("shared banner"), F.col("text"),
+            F.col("doc_id").cast("string"))),
+          "doc_id", "text")),
         // single-hottest-line ceiling: EVERY doc in the corpus IS the same
         // one line (the cookie-banner reality at 100 TB: one string in 10⁸
         // docs) — the entire exploded corpus lands in ONE window partition,
@@ -121,15 +132,6 @@ object StressBench {
         "x68_hotline" -> (() => graft.ops.Curation.dedupLines(
           docs.withColumn("text",
             F.lit("We use cookies to improve your experience")),
-          "doc_id", "text")),
-        // adversarial line dedup: replica groups make EVERY body line a
-        // corpus-wide duplicate (K occurrences each) — the window shuffle
-        // carries K× lines but rank-1 filtering is WindowGroupLimit'd
-        // map-side, so wall-clock must stay near-linear in K
-        "x68_line_dedup" -> (() => graft.ops.Curation.dedupLines(
-          docs.withColumn("text", F.concat_ws("\n",
-            F.lit("shared banner"), F.col("text"),
-            F.col("doc_id").cast("string"))),
           "doc_id", "text")),
         // IVF+PQ: nlist ∝ K holds cell size flat, so the fixed 50-query
         // nprobe=4 probe touches a CONSTANT candidate count as N grows —
