@@ -83,6 +83,73 @@ object StreamOps {
       .drop("__fp")
   }
 
+  /** Streaming NEAR-duplicate dedup against a growing accepted store — the
+    * online form of the batch minhash pipeline (x02/x57/x35), for an
+    * ingest pipeline that must admit-or-drop crawl documents continuously.
+    *
+    * Pattern: `foreachBatch` + the batch delta operators, NOT a stateful
+    * streaming operator. Near-dup needs "drop the doc if ANY of its LSH
+    * band buckets collides with anything accepted so far"; expressing that
+    * with in-executor streaming state would need a per-band stateful op
+    * FOLLOWED by a per-doc all-bands vote — a multi-stateful topology
+    * Structured Streaming restricts — and worse, the accepted-corpus state
+    * would live in executor memory, unbounded by any watermark (a real
+    * corpus admits documents forever; horizon eviction would re-admit
+    * year-old boilerplate). The store-on-disk form keeps state where a
+    * 100 TB pipeline wants it: a parquet relation, probed per micro-batch
+    * with the same bounded broadcast semi-join as [[graft.ops.Dedup
+    * .minhashPairsDelta]] (the petabyte store never shuffles; only
+    * batch-colliding band buckets are read), and appended transactionally
+    * per batch.
+    *
+    * Per micro-batch, serially (foreachBatch guarantees order):
+    *  1. within-batch near-dup keep-first ([[graft.ops.Dedup.minhashPairs]]
+    *     → [[graft.ops.Components.dedupByPairs]] — canonical component
+    *     survivor, the x35 semantics);
+    *  2. survivors near-dupping the ACCEPTED STORE are dropped
+    *     (minhashPairsDelta: store-side signatures probed only in the
+    *     batch's band buckets, batch side broadcast);
+    *  3. the remainder appends to the store.
+    *
+    * Exactly-once caveat, documented: parquet append is not idempotent
+    * under batch REPLAY after a crash between write and checkpoint commit
+    * (a replayed batch's docs would self-collide with their own stored
+    * copy and be dropped — the store stays CORRECT, keep-first, but the
+    * replayed docs' keep-order shifts); a transactional table format slots
+    * in here unchanged at production. */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                    storePath: String, checkpointPath: String,
+                    threshold: Double = 0.5)
+                   : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.{Components, Dedup}
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val cached = batch.persist()
+        try {
+          if (!cached.isEmpty) {
+            val withinPairs = Dedup.minhashPairs(cached, idCol, textCol,
+              threshold = threshold)
+            val kept = Components.dedupByPairs(cached, idCol, withinPairs)
+            val fs = new org.apache.hadoop.fs.Path(storePath)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val fresh =
+              if (fs.exists(new org.apache.hadoop.fs.Path(storePath))) {
+                val store = spark.read.parquet(storePath)
+                val dupIds = Dedup.minhashPairsDelta(store, kept, idCol, textCol,
+                    threshold = threshold)
+                  .select(F.col("b").as(idCol)).distinct()
+                kept.join(dupIds, Seq(idCol), "left_anti")
+              } else kept
+            fresh.write.mode("append").parquet(storePath)
+          }
+        } finally cached.unpersist()
+      }
+      .start()
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, n_events: Long, total_value: Double,

@@ -240,4 +240,35 @@ class StreamOpsSpec extends AnyFunSuite {
         "junk source must be dropped on-stream")
     } finally q.stop()
   }
+
+  test("nearDupStream admits first occurrences, drops near-dups within batch AND vs the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-stream")
+    val store = dir.resolve("store").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches quietly from the warm windowsill in the afternoon sun near the garden"
+    val other = "completely different subject matter entirely numbers statistics " +
+      "spreadsheets quarterly revenue margins forecasts audits compliance filings"
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamOps.nearDupStream(docs, "doc_id", "text", store, ckpt)
+    try {
+      // batch 1: 1 and 3 are near-copies -> keep-first (1); 2 unrelated
+      in.addData((1L, base), (2L, other), (3L, base + " today"))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(store).select("doc_id")
+        .as[Long].collect().toSet
+      assert(after1 == Set(1L, 2L), s"got $after1")
+      // batch 2: 4 near-dups the STORE (doc 1, accepted a batch ago);
+      // 5 is genuinely new
+      in.addData((4L, base + " again"),
+        (5L, "fresh unrelated prose about mountain weather patterns and " +
+          "alpine climbing routes with rope techniques and glacier safety"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(store).select("doc_id")
+        .as[Long].collect().toSet
+      assert(after2 == Set(1L, 2L, 5L), s"got $after2")
+    } finally q.stop()
+  }
 }
