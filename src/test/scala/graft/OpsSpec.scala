@@ -667,6 +667,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native expressions are registered as SQL functions (the --sql surface)") {
+    // a --sql / s-string user gets the same codegen'd kernels as the Scala
+    // API; spot-check each family with a value the Scala path reproduces
+    val r = spark.sql(
+      """SELECT
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
+        |  vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS vd,
+        |  vec_l2norm(array(3.0d, 4.0d)) AS nrm,
+        |  sig_eq_frac(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS ef,
+        |  quantize_int8(array(1.0d, -1.0d, 0.5d, 0.0d)).q AS q,
+        |  size(shingle_hashes('abcdefgh', 5)) AS nsh,
+        |  size(word_ngram_hashes('a b c d e f', 5)) AS ng,
+        |  size(word_gram_buckets('a b c')) AS gb
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Double]("cs") == 1.0 && r.getAs[Double]("vd") == 11.0)
+    assert(r.getAs[Double]("nrm") == 5.0 && r.getAs[Double]("ef") == 0.75)
+    assert(r.getAs[scala.collection.Seq[Int]]("q").toSeq == Seq(127, -127, 64, 0))
+    assert(r.getAs[Int]("nsh") == 4 && r.getAs[Int]("ng") == 2)
+    assert(r.getAs[Int]("gb") == 3 + 2)
+  }
+
+  test("quantize: NaN or null element nulls the whole row (native-op convention)") {
+    // the HOF form silently SKIPPED NaN/null in the max — mis-scaling the
+    // other codes; the native kernel refuses instead (cosine/dot precedent)
+    val in = Seq(
+      (1L, Array(1.0f, Float.NaN)),
+      (2L, Array(0.5f, 1.0f))
+    ).toDF("vec_id", "vec")
+    val out = Similarity.quantize(in, "vec")
+      .select("vec_id", "scale", "q", "max_err")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(1) && out(1L).isNullAt(2) && out(1L).isNullAt(3),
+      "NaN element must null scale/q/max_err, never mis-scale silently")
+    assert(out(2L).getAs[scala.collection.Seq[Int]]("q").toSeq == Seq(64, 127))
+  }
+
   test("splitAssign tiles the space: exactly one split per row, deterministic, ~proportional") {
     val ids = Seq.tabulate(3000)(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
     val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
