@@ -71,6 +71,59 @@ class PropertySpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.take(5).mkString("\n"))
   }
 
+  test("fused-native gram/shingle kernels match their relational formulas on random text") {
+    // the oracle story for x25/x59/x67/x71 rests on these bit-parity
+    // claims; fuzz them over whitespace-heavy, unicode, and degenerate
+    // strings (the fixed-case pins live in OpsSpec)
+    import org.apache.spark.sql.{functions => F, GraftExpr}
+    import spark.implicits._
+    val tokenGen = Gen.oneOf("word", "λéxème", "a", "日本語", "x1", "", " ", "\t", "\n  ")
+    val textGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, tokenGen).map(_.mkString(" ")))
+    val docs = samples(textGen, 60).toList.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    // ShingleHashes ≡ explode(positions) → substr → xxhash64
+    val n = 4
+    val native = docs.select(F.col("doc_id"), F.explode(GraftExpr.column(
+      graft.functions.ShingleHashes(GraftExpr.expression(F.col("text")), n))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val clean = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    val rel = docs.select(F.col("doc_id"), clean.as("c"))
+      .select(F.col("doc_id"), F.col("c"), F.explode(F.sequence(F.lit(1),
+        F.greatest(F.length(F.col("c")) - (n - 1), F.lit(1)))).as("i"))
+      .select(F.col("doc_id"), F.xxhash64(F.col("c").substr(F.col("i"), F.lit(n))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(native == rel)
+
+    // WordGramBuckets ≡ pmod(xxhash64(uni+bigram), nBuckets)
+    val toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+      t => F.length(t) > 0)
+    val bi = F.transform(F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+      (t, i) => F.concat(t, F.lit(" "), F.element_at(toks, i + 2)))
+    val nb = 32
+    val gNative = docs.select(F.col("doc_id"), GraftExpr.column(
+      graft.functions.WordGramBuckets(GraftExpr.expression(F.col("text")), nb)).as("b"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val gRel = docs.select(F.col("doc_id"), F.transform(F.concat(toks, bi),
+      g => F.pmod(F.xxhash64(g), F.lit(nb)).cast("int")).as("b"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(gNative == gRel)
+
+    // WordNGramHashes ≡ xxhash64 of space-joined sliding token windows
+    val k = 3
+    val wNative = docs.select(F.col("doc_id"), GraftExpr.column(
+      graft.functions.WordNGramHashes(GraftExpr.expression(F.col("text")), k)).as("g"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val wRel = docs.select(F.col("doc_id"),
+      F.when(F.size(toks) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+          i => F.xxhash64(F.concat_ws(" ", F.slice(toks, i, F.lit(k))))))
+        .otherwise(F.array().cast("array<long>")).as("g"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(wNative == wRel)
+  }
+
   test("dedupLines is idempotent on random multi-line corpora") {
     import org.apache.spark.sql.{functions => F}
     import spark.implicits._
