@@ -973,6 +973,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cluster-and-cap semantic rebalancing: nearest-cell assignment at the
+    // fixed x58 centroid table, then keep ≤40 per cell by content hash —
+    // flattens mega-clusters, preserves tails; every stage SQL-replayable
+    // (the x58 argmin CTE + the x27 hash-ranked window)
+    "x72_cluster_cap" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+      Similarity.clusterCap(emb, "vec_id", "embedding", SemCentroids, cap = 40)
+        .select("vec_id", "cell").orderBy("vec_id")
+    }),
+
     // DSIR, production hash (xxhash64 — one codegen'd 8-byte hash per gram
     // vs the oracle twin's per-gram md5): the x02/x42, x16/x43 convention.
     // Rows-only in the driver compare (xxhash64 has no DuckDB equivalent);
@@ -2194,6 +2206,35 @@ object SparkEntry {
          |    ORDER BY dist ASC, neighbor_id) AS rk
          |  FROM dists)
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
+
+    // mirrors Similarity.clusterCap from the same SemCentroids literals:
+    // the x58 nearest-cell argmin CTE (j-ascending squared-euclid sum,
+    // first-minimum tie to the lower cell) + the capPerGroup window
+    // (md5-of-id rank within cell, keep <= 40)
+    "x72_cluster_cap" -> {
+      val vals = SemCentroids.zipWithIndex.map { case (c, i) =>
+        c.mkString(s"($i, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ")
+      s"""WITH cent(cell, c) AS (VALUES $vals),
+         |a AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (e.embedding[i]::DOUBLE - c.c[i])
+         |             * (e.embedding[i]::DOUBLE - c.c[i]))),
+         |        c.cell) AS rk
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rk = 1
+         |), capped AS (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY md5(vec_id::VARCHAR), vec_id::VARCHAR) AS rk
+         |  FROM a
+         |)
+         |SELECT vec_id, cell FROM capped WHERE rk <= 40
+         |ORDER BY vec_id""".stripMargin
     },
 
     // mirrors TextOps.dsirWeights: same tokenization, same uni+bigram

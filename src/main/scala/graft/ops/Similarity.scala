@@ -497,6 +497,29 @@ object Similarity {
       idCol, vecCol, threshold, maxCell)
   }
 
+  /** Cluster-balanced capping ("cluster-and-cap"): assign every row to its
+    * nearest centroid cell (the [[semDedup]] quantizer) and keep at most
+    * `cap` rows per cell, chosen by content hash — the semantic
+    * rebalancing step of a training-data pipeline: a web-scale corpus is
+    * dominated by its mega-clusters (boilerplate, SEO farms, template
+    * pages), and capping per SEMANTIC cell flattens that head while
+    * leaving tail domains untouched (cf. the cluster-based curation in
+    * SemDeDup/DataComp pipelines; complements [[Sampling.capPerGroup]],
+    * which needs an explicit group column).
+    *
+    * Scale shape: cell assignment is the shuffle-free native
+    * [[graft.functions.NearestCell]] codegen projection; the ONLY shuffle
+    * is capPerGroup's per-cell window, whose rank filter compiles to
+    * WindowGroupLimit (later rows die map-side). Deterministic under
+    * repartitioning: the keep-set is ranked by md5(salt ++ id), never by
+    * physical row order. */
+  def clusterCap(emb: DataFrame, idCol: String, vecCol: String,
+                 centroids: Array[Array[Double]], cap: Int,
+                 salt: String = ""): DataFrame =
+    Sampling.capPerGroup(
+      assignCells(emb, vecCol, centroids),
+      F.col("cell"), F.col(idCol).cast("string"), cap, salt)
+
   /** Product quantization (Jégou et al. 2011): encode each vector as m
     * subspace codes against a [m][k][dsub] codebook — the byte-code ANN
     * storage path beyond [[quantize]]'s int8 (64-dim float32 at m=8, k≤256

@@ -667,6 +667,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterCap: at most cap per semantic cell, repartition-invariant keep set") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // 14 vectors near centroid 0, 4 near centroid 1
+    val rows = (1L to 14L).map(i => (i, Array(0.9 + i * 0.001, 0.05))) ++
+      (15L to 18L).map(i => (i, Array(0.02, 1.1)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.clusterCap(emb, "vec_id", "embedding", cents, cap = 5)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    val byCell = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byCell(0) == 5, s"mega-cluster capped to 5, got $byCell")
+    assert(byCell(1) == 4, "under-cap cell keeps everything")
+    assert(out.filter(_._2 == 1).map(_._1) == Set(15L, 16L, 17L, 18L))
+    // keep-set is content-hash ranked: identical under physical reshuffling
+    val again = graft.ops.Similarity.clusterCap(
+        emb.repartition(7), "vec_id", "embedding", cents, cap = 5)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    assert(again == out)
+  }
+
   test("native expressions are registered as SQL functions (the --sql surface)") {
     // a --sql / s-string user gets the same codegen'd kernels as the Scala
     // API; spot-check each family with a value the Scala path reproduces
