@@ -973,6 +973,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // duplicated-span REMOVAL (the excision half of Lee et al., keep-first
+    // at span granularity): testdata's seeded exact/near dups make later
+    // copies lose their duplicated 5-gram spans to the lowest-id owner
+    // while unique prose survives
+    "x73_remove_dup_spans" -> ((s, dir) =>
+      Dedup.removeDupSpans(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
     // cluster-and-cap semantic rebalancing: nearest-cell assignment at the
     // fixed x58 centroid table, then keep ≤40 per cell by content hash —
     // flattens mega-clusters, preserves tails; every stage SQL-replayable
@@ -2207,6 +2216,54 @@ object SparkEntry {
          |  FROM dists)
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
     },
+
+    // mirrors Dedup.removeDupSpans: same tokenization, 0-based gram
+    // positions (md5 strings stand in for the xxhash64 longs — injective
+    // grouping keys, the x59 convention), per-gram distinct-df + min-id
+    // owner, coverage p..p+4 in non-owner docs, ordered reassembly of
+    // uncovered tokens
+    "x73_remove_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS t
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, u['p'] AS p, u['g'] AS g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5 THEN
+        |      list_transform(range(1, len(t) - 3),
+        |        i -> {'p': i - 1, 'g': md5(array_to_string(t[i:i+4], ' '))})
+        |      ELSE [] END) AS u
+        |    FROM toks)
+        |), stats AS (
+        |  SELECT g, count(*) AS nd, min(doc_id) AS owner
+        |  FROM (SELECT DISTINCT g, doc_id FROM pos) GROUP BY g
+        |), covered AS (
+        |  SELECT DISTINCT pos.doc_id, unnest(range(pos.p, pos.p + 5)) AS ti
+        |  FROM pos JOIN stats USING (g)
+        |  WHERE stats.nd >= 2 AND stats.owner <> pos.doc_id
+        |), tokpos AS (
+        |  SELECT doc_id, u['ti'] AS ti, u['tok'] AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |      i -> {'ti': i - 1, 'tok': t[i]})) AS u
+        |    FROM toks)
+        |), kept AS (
+        |  SELECT tp.doc_id,
+        |    array_to_string(list(tp.tok ORDER BY tp.ti), ' ') AS td,
+        |    count(*) AS nk
+        |  FROM tokpos tp LEFT JOIN covered c
+        |    ON c.doc_id = tp.doc_id AND c.ti = tp.ti
+        |  WHERE c.ti IS NULL GROUP BY tp.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       ELSE coalesce(k.td, '') END AS text_dedup,
+        |  coalesce(len(t.t), 0) AS n_tokens,
+        |  coalesce(len(t.t), 0) - coalesce(k.nk, 0) AS n_removed
+        |FROM documents d
+        |LEFT JOIN toks t USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // mirrors Similarity.clusterCap from the same SemCentroids literals:
     // the x58 nearest-cell argmin CTE (j-ascending squared-euclid sum,

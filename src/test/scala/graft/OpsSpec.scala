@@ -667,6 +667,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("removeDupSpans: owner keeps its text; later docs lose exactly the shared spans") {
+    val shared = "the quick brown fox jumps over the lazy dog" // 9 tokens
+    val docs = Seq(
+      (1L, shared),                              // owner of every shared 5-gram
+      (2L, s"intro words here $shared"),         // 12 tokens; 3..11 covered
+      (3L, "tiny doc"),                          // < n tokens -> untouched
+      (4L, null.asInstanceOf[String]),           // null stays null
+      (5L, "")                                   // empty -> "", 0 tokens
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.removeDupSpans(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, shared, 9L, 0L)), s"owner untouched, got ${out(1L)}")
+    // d2's grams at positions 3..7 equal d1's 5 grams (df=2, owner=1), so
+    // tokens 3..11 are excised; its own unique prefix grams (df=1) keep 0..2
+    assert(out(2L) == ((2L, "intro words here", 12L, 9L)), s"got ${out(2L)}")
+    assert(out(3L) == ((3L, "tiny doc", 2L, 0L)))
+    assert(out(4L) == ((4L, null, 0L, 0L)))
+    assert(out(5L) == ((5L, "", 0L, 0L)))
+  }
+
   test("clusterCap: at most cap per semantic cell, repartition-invariant keep set") {
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     // 14 vectors near centroid 0, 4 near centroid 1
