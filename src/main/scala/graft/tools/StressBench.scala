@@ -133,6 +133,11 @@ object StressBench {
           docs.withColumn("text",
             F.lit("We use cookies to improve your experience")),
           "doc_id", "text")),
+        // span excision under the worst shape: every replica's every gram
+        // is corpus-duplicated (df = K), so coverage marks EVERY token of
+        // every non-first replica — maximal covered-set expansion and
+        // maximal document emptying; must stay ~linear in K
+        "x73_remove_spans" -> (() => Dedup.removeDupSpans(docs, "doc_id", "text")),
         // IVF+PQ: nlist ∝ K holds cell size flat, so the fixed 50-query
         // nprobe=4 probe touches a CONSTANT candidate count as N grows —
         // build (native projections) is the only linear term

@@ -348,6 +348,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"top-1 must partial-limit map-side:\n$p")
   }
 
+  test("removeDupSpans: key-partitioned shuffles only — no cartesian, no gram strings") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = finalPlan(graft.ops.Dedup.removeDupSpans(docs, "doc_id", "text"))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every join must be keyed:\n$p")
+    // grams are native xxhash64 longs: no exchange may carry a string gram
+    assert(!p.contains("Exchange hashpartitioning(__g") || p.contains("word_ngram_hashes"),
+      s"grams must travel as longs from the native expression:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"gram stats must partial-aggregate map-side:\n$p")
+  }
+
   test("dedupLines: keep-first compiles to WindowGroupLimit; blanks route around the window") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(F.col("doc_id"), F.concat(F.lit("banner\n\n"), F.col("text")).as("text"))
