@@ -50,4 +50,9 @@ def main(paths: list[str]) -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        # a 1-run "median" table looks like a real envelope but isn't —
+        # refuse rather than mint a degenerate adjudication artifact
+        sys.exit("usage: ledger.py run1.json run2.json [run3.json ...] "
+                 "(>= 2 runs; 3 is the BASELINE.md convention)")
     main(sys.argv[1:])

@@ -2084,9 +2084,12 @@ object SparkEntry {
         |  FROM ex e LEFT JOIN bench b ON b.g = e.g
         |  GROUP BY 1
         |)
-        |SELECT doc_id, n_total, n_shared,
-        |  n_shared / greatest(n_total, 1) AS overlap
-        |FROM agg ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id,
+        |  coalesce(a.n_total, 0) AS n_total,
+        |  coalesce(a.n_shared, 0) AS n_shared,
+        |  coalesce(a.n_shared, 0) / greatest(coalesce(a.n_total, 0), 1) AS overlap
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // mirrors Curation.corpusDiff over the same constructed snapshot: the
     // x01 fingerprint formula on both sides, FULL OUTER JOIN, same CASE

@@ -38,7 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(text)       => MinHashSig(text, 5, 64)
       case _ => throw new IllegalArgumentException("minhash_sig(text[, shingleSize, numHashes])")
     }
-    register(ext, "simhash64", classOf[SimHash64])(args => SimHash64(args.head))
+    register(ext, "simhash64", classOf[SimHash64]) {
+      case Seq(text) => SimHash64(text)
+      case _ => throw new IllegalArgumentException("simhash64(text)")
+    }
     register(ext, "winnow", classOf[Winnow]) {
       case Seq(text, k, w) => Winnow(text, intLit(k, "k"), intLit(w, "w"))
       case Seq(text)       => Winnow(text, 10, 6) // keep in sync with Dedup.winnowPairs defaults
@@ -52,12 +55,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(a, b) => DotProduct(a, b)
       case _ => throw new IllegalArgumentException("vec_dot(vecA, vecB)")
     }
-    register(ext, "vec_l2norm", classOf[L2Norm])(args => L2Norm(args.head))
+    register(ext, "vec_l2norm", classOf[L2Norm]) {
+      case Seq(v) => L2Norm(v)
+      case _ => throw new IllegalArgumentException("vec_l2norm(vec)")
+    }
     register(ext, "sig_eq_frac", classOf[SigEqFrac]) {
       case Seq(a, b) => SigEqFrac(a, b)
       case _ => throw new IllegalArgumentException("sig_eq_frac(sigA, sigB)")
     }
-    register(ext, "quantize_int8", classOf[QuantizeInt8])(args => QuantizeInt8(args.head))
+    register(ext, "quantize_int8", classOf[QuantizeInt8]) {
+      // strict arity: silently dropping an extra arg would let a user
+      // believe a parameter (a bucket count, a scale) took effect
+      case Seq(v) => QuantizeInt8(v)
+      case _ => throw new IllegalArgumentException("quantize_int8(vec)")
+    }
     register(ext, "shingle_hashes", classOf[ShingleHashes]) {
       case Seq(text, n) => ShingleHashes(text, intLit(n, "n"))
       case Seq(text)    => ShingleHashes(text, 5) // the minhash shingle default

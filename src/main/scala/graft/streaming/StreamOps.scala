@@ -133,10 +133,21 @@ object StreamOps {
             val withinPairs = Dedup.minhashPairs(cached, idCol, textCol,
               threshold = threshold)
             val kept = Components.dedupByPairs(cached, idCol, withinPairs)
-            val fs = new org.apache.hadoop.fs.Path(storePath)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val storeP = new org.apache.hadoop.fs.Path(storePath)
+            val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // a COMMITTED store, not a bare directory: a crash between the
+            // committer creating storePath and committing part files leaves
+            // an unreadable directory (only _temporary inside) — existence
+            // alone would then poison every replay with an unreadable-store
+            // error. _SUCCESS appears atomically at job commit; the part-
+            // file scan covers stores written with the marker disabled.
+            val storeReadable = fs.exists(storeP) && {
+              val ls = fs.listStatus(storeP)
+              ls.exists(_.getPath.getName == "_SUCCESS") ||
+                ls.exists(_.getPath.getName.endsWith(".parquet"))
+            }
             val fresh =
-              if (fs.exists(new org.apache.hadoop.fs.Path(storePath))) {
+              if (storeReadable) {
                 val store = spark.read.parquet(storePath)
                 val dupIds = Dedup.minhashPairsDelta(store, kept, idCol, textCol,
                     threshold = threshold)

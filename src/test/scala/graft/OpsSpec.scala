@@ -1313,14 +1313,17 @@ class OpsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "zzzz yyyy xxxx wwww vvvv uuuu qqqq rrrr ssss"),
-      (3L, "the quick brown fox and then something else entirely different")
+      (3L, "the quick brown fox and then something else entirely different"),
+      (4L, null.asInstanceOf[String])   // shingle-less, must still get a row
     ).toDF("doc_id", "text")
     val out = Dedup.contaminationScore(docs, docs.filter($"doc_id" === 1), "doc_id", "text")
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 4, "one row per input doc — a joined-back pipeline must not lose docs")
     assert(out(1L)._4 == 1.0, "benchmark member must score 1.0")
     assert(out(2L)._4 == 0.0, "disjoint text must score 0.0")
     assert(out(3L)._4 > 0.0 && out(3L)._4 < 1.0, s"partial overlap, got ${out(3L)._4}")
     assert(out(3L)._2 > out(3L)._3, "shared cannot exceed total")
+    assert(out(4L) == ((4L, 0L, 0L, 0.0)), "null text reads as zero overlap, not a missing row")
   }
 
   test("dedupLines: keep-first across corpus, blanks structural, emptied doc = \"\"") {
