@@ -138,6 +138,18 @@ object StressBench {
         // every non-first replica — maximal covered-set expansion and
         // maximal document emptying; must stay ~linear in K
         "x73_remove_spans" -> (() => Dedup.removeDupSpans(docs, "doc_id", "text")),
+        // single-hottest-gram ceiling: EVERY doc in the corpus IS the same
+        // one n-gram window (the cookie-banner shape at span granularity:
+        // one boilerplate string in 10⁸ docs, df = corpus size). The old
+        // per-gram window buffered the whole corpus's rows in ONE window
+        // partition; the census formulation partial-aggregates the hot
+        // gram's count/min map-side (≤ numPartitions pre-combined rows at
+        // the reducer) and the coverage join streams — must stay ~linear
+        // in K with no single-task blowup
+        "x73_hotgram" -> (() => Dedup.removeDupSpans(
+          docs.withColumn("text",
+            F.lit("we use cookies to improve your experience")),
+          "doc_id", "text")),
         // IVF+PQ: nlist ∝ K holds cell size flat, so the fixed 50-query
         // nprobe=4 probe touches a CONSTANT candidate count as N grows —
         // build (native projections) is the only linear term

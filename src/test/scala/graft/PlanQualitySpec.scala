@@ -360,8 +360,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // Generate of word_ngram_hashes may appear in the executed plan
     val gens = "word_ngram_hashes".r.findAllIn(p).size
     assert(gens == 1, s"gram projection must run once, found $gens sites:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"census must reuse the (gram, doc) exchange, not rescan:\n$p")
     assert(p.contains("partial_count"),
       s"gram stats must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"), s"no per-gram window allowed:\n$p")
   }
 
   test("dedupLines: keep-first compiles to WindowGroupLimit; blanks route around the window") {
@@ -478,15 +481,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"expected semi-join dup flagging:\n$p")
   }
 
-  test("dupSpans: one gram explode, linear chain, partial aggs") {
+  test("dupSpans: one gram explode, census reuses the exchange, partial aggs") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val p = plan(graft.ops.Dedup.dupSpans(docs, "doc_id", "text"))
+    // finalPlan, not plan: the gram census joins back on the gram key and
+    // shares the (gram, doc) exchange with the per-doc rollup — AQE decides
+    // that reuse at runtime, so only the executed adaptive plan proves the
+    // projection ran once
+    val p = finalPlan(graft.ops.Dedup.dupSpans(docs, "doc_id", "text"))
+      .split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"span coverage must stay linear in gram positions:\n$p")
     // the expensive gram projection must run exactly once — the first cut
     // re-evaluated it per consumer (3 Generates, 9.6 s at sf0.1)
     val generates = "Generate explode".r.findAllIn(p).size
     assert(generates == 1, s"expected exactly 1 gram explode, got $generates:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"census must reuse the (gram, doc) exchange, not rescan:\n$p")
     assert(p.contains("partial_count"), s"gram counts must partial-aggregate:\n$p")
+    // the skew story: per-gram stats come from a partial-aggregated census
+    // joined back, never a per-gram window that would buffer a hot gram's
+    // whole row set in one partition
+    assert(!p.contains("Window"), s"no per-gram window allowed:\n$p")
   }
 }
