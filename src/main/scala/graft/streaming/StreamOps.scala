@@ -111,54 +111,73 @@ object StreamOps {
     *     batch's band buckets, batch side broadcast);
     *  3. the remainder appends to the store.
     *
-    * Exactly-once caveat, documented: parquet append is not idempotent
-    * under batch REPLAY after a crash between write and checkpoint commit
-    * (a replayed batch's docs would self-collide with their own stored
-    * copy and be dropped — the store stays CORRECT, keep-first, but the
-    * replayed docs' keep-order shifts); a transactional table format slots
-    * in here unchanged at production. */
+    * Replay idempotency: appended rows are stamped with the foreachBatch
+    * `batchId` (`__batch` column); a replayed batch whose id already
+    * exists in the store is skipped wholesale. foreachBatch replays a
+    * batch only after a crash BETWEEN the parquet append and the
+    * checkpoint commit — without the stamp the replayed docs would
+    * self-collide with their own stored copies and be silently dropped
+    * (store content stayed correct, but keep-order could shift); with it,
+    * replay is a no-op, matching what a transactional table format would
+    * give. The stamp check is one pushed-filter probe of the store per
+    * micro-batch (parquet row-group stats skip almost everything). */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
                     storePath: String, checkpointPath: String,
                     threshold: Double = 0.5)
-                   : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.ops.{Components, Dedup}
+                   : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val cached = batch.persist()
-        try {
-          if (!cached.isEmpty) {
-            val withinPairs = Dedup.minhashPairs(cached, idCol, textCol,
-              threshold = threshold)
-            val kept = Components.dedupByPairs(cached, idCol, withinPairs)
-            val storeP = new org.apache.hadoop.fs.Path(storePath)
-            val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            // a COMMITTED store, not a bare directory: a crash between the
-            // committer creating storePath and committing part files leaves
-            // an unreadable directory (only _temporary inside) — existence
-            // alone would then poison every replay with an unreadable-store
-            // error. _SUCCESS appears atomically at job commit; the part-
-            // file scan covers stores written with the marker disabled.
-            val storeReadable = fs.exists(storeP) && {
-              val ls = fs.listStatus(storeP)
-              ls.exists(_.getPath.getName == "_SUCCESS") ||
-                ls.exists(_.getPath.getName.endsWith(".parquet"))
-            }
-            val fresh =
-              if (storeReadable) {
-                val store = spark.read.parquet(storePath)
-                val dupIds = Dedup.minhashPairsDelta(store, kept, idCol, textCol,
-                    threshold = threshold)
-                  .select(F.col("b").as(idCol)).distinct()
-                kept.join(dupIds, Seq(idCol), "left_anti")
-              } else kept
-            fresh.write.mode("append").parquet(storePath)
-          }
-        } finally cached.unpersist()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        nearDupBatch(batch.toDF(), batchId, idCol, textCol, storePath, threshold)
       }
       .start()
+
+  /** One [[nearDupStream]] micro-batch, exposed so the replay-idempotency
+    * property is directly testable: applying the same (batch, batchId)
+    * twice must leave the store byte-identical. */
+  def nearDupBatch(batch: DataFrame, batchId: Long, idCol: String,
+                   textCol: String, storePath: String,
+                   threshold: Double = 0.5): Unit = {
+    import graft.ops.{Components, Dedup}
+    val spark = batch.sparkSession
+    val storeP = new org.apache.hadoop.fs.Path(storePath)
+    val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a COMMITTED store, not a bare directory: a crash between the
+    // committer creating storePath and committing part files leaves
+    // an unreadable directory (only _temporary inside) — existence
+    // alone would then poison every replay with an unreadable-store
+    // error. _SUCCESS appears atomically at job commit; the part-
+    // file scan covers stores written with the marker disabled.
+    val storeReadable = fs.exists(storeP) && {
+      val ls = fs.listStatus(storeP)
+      ls.exists(_.getPath.getName == "_SUCCESS") ||
+        ls.exists(_.getPath.getName.endsWith(".parquet"))
+    }
+    val store = if (storeReadable) Some(spark.read.parquet(storePath)) else None
+    val alreadyApplied = store.exists(s =>
+      s.schema.fieldNames.contains("__batch") &&
+        !s.filter(F.col("__batch") === batchId).isEmpty)
+    if (!alreadyApplied) {
+      val cached = batch.persist()
+      try {
+        if (!cached.isEmpty) {
+          val withinPairs = Dedup.minhashPairs(cached, idCol, textCol,
+            threshold = threshold)
+          val kept = Components.dedupByPairs(cached, idCol, withinPairs)
+          val fresh = store match {
+            case Some(st) =>
+              val dupIds = Dedup.minhashPairsDelta(st, kept, idCol, textCol,
+                  threshold = threshold)
+                .select(F.col("b").as(idCol)).distinct()
+              kept.join(dupIds, Seq(idCol), "left_anti")
+            case None => kept
+          }
+          fresh.withColumn("__batch", F.lit(batchId))
+            .write.mode("append").parquet(storePath)
+        }
+      } finally cached.unpersist()
+    }
   }
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)

@@ -271,4 +271,34 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(after2 == Set(1L, 2L, 5L), s"got $after2")
     } finally q.stop()
   }
+
+  test("nearDupBatch replay is a no-op: same batchId applied twice leaves the store unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-replay")
+    val store = dir.resolve("store").toString
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+    val b0 = mk(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog while the cat " +
+        "watches quietly from the warm windowsill in the afternoon sun"),
+      (2L, "completely different subject matter entirely numbers statistics " +
+        "spreadsheets quarterly revenue margins forecasts audits compliance")))
+    StreamOps.nearDupBatch(b0, 0L, "doc_id", "text", store)
+    val once = spark.read.parquet(store).select("doc_id", "__batch")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(once.map(_._1) == Seq(1L, 2L) && once.forall(_._2 == 0L), s"got $once")
+    // crash-between-append-and-commit replay: foreachBatch re-runs batch 0.
+    // Without the stamp, docs 1 and 2 would self-collide with their stored
+    // copies (dropped, but ALSO re-appended by a naive guard); with it the
+    // second application must not touch the store at all.
+    StreamOps.nearDupBatch(b0, 0L, "doc_id", "text", store)
+    val twice = spark.read.parquet(store).select("doc_id", "__batch")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(twice == once, s"replay changed the store: $once -> $twice")
+    // a genuinely NEW batch with the next id still appends normally
+    StreamOps.nearDupBatch(mk(Seq((5L, "fresh unrelated prose about mountain " +
+      "weather patterns and alpine climbing routes with rope techniques"))),
+      1L, "doc_id", "text", store)
+    val after = spark.read.parquet(store).select("doc_id")
+      .as[Long].collect().toSet
+    assert(after == Set(1L, 2L, 5L), s"got $after")
+  }
 }
