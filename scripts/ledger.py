@@ -23,13 +23,18 @@ def main(paths: list[str]) -> None:
     for r in runs[1:]:
         assert sorted(r["queries"]) == names, "runs cover different query sets"
 
+    # single source of truth: Bench.scala emits its twin set into each
+    # bench_detail.json — hardcoding a copy here silently skewed
+    # production sums whenever a twin was added in only one place
+    twin_sets = [set(r["oracle_twins"]) for r in runs]
+    assert all(t == twin_sets[0] for t in twin_sets), \
+        "runs disagree on the oracle-twin set (mixed Bench versions?)"
+    oracle_twins = twin_sets[0]
+
     print("| Query | median (s) | min | max | task_ms med | task min | task max |")
     print("|---|---|---|---|---|---|---|")
     med_sum = 0.0
     prod_sum = 0.0
-    oracle_twins = {"x22_ngram_jaccard_fixed", "x42_winnow_fixed",
-                    "x43_minhash_fixed", "x44_simhash_fixed", "x45_lsh_bucket",
-                    "x70_dsir_weights"}
     for n in names:
         secs = [r["queries"][n]["sec"] for r in runs]
         tms = [r["queries"][n]["task_ms"] for r in runs]

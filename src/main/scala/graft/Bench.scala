@@ -105,8 +105,12 @@ object Bench {
       val full = results.map { case (k, v) =>
         s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs}}"""
       }.mkString("{", ",", "}")
+      // the twin list rides along so downstream tooling (scripts/ledger.py)
+      // reads ONE source of truth — a twin added here but not there would
+      // otherwise silently skew production sums between the two ledgers
+      val twinsJson = oracleTwins.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val w = new java.io.PrintWriter("bench_detail.json")
-      try w.println(s"""{"total":$total,"production_total":$prodTotal,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"parallelism":${f"$par%.2f"},"cpus":$cpus,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"total":$total,"production_total":$prodTotal,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"parallelism":${f"$par%.2f"},"cpus":$cpus,"oracle_twins":$twinsJson,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     // Stop Spark BEFORE printing the summary so no executor/stage log line
