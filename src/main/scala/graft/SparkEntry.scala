@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import graft.prql.Graft
-import graft.ops.{AsOf, Dedup, EventOps, Multimodal, RangeJoin, Similarity, TextOps}
+import graft.ops.{AsOf, Dedup, EventOps, Multimodal, RangeJoin, Sampling, Similarity, TextOps}
 import graft.sources.Registrar
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1006,6 +1006,51 @@ object SparkEntry {
           "doc_id", "text", nBuckets = 1024)
         .orderBy("doc_id")
     }),
+
+    // keep-BEST exact dedup at the bag-of-words key (the CCNet policy:
+    // keep the LONGEST copy of a duplicated page, not the first id): the
+    // constructed token-doubled copies share the original's token SET but
+    // are twice as long, so they WIN their cluster — x01/x56's keep-first
+    // would have kept the original
+    "x74_keep_best" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val bloated = docs.filter(F.col("doc_id") % 4 === 0)
+        .select((F.col("doc_id") + 1000000).as("doc_id"),
+          F.concat(F.col("text"), F.lit(" "), F.col("text")).as("text"))
+      Dedup.exactKeepBest(docs.union(bloated), "doc_id",
+          TextOps.bowFingerprint(F.col("text")), F.length(F.col("text")))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+
+    // BM25 relevance against a fixed query term set (Lucene idf form):
+    // per-doc tf/dl as pure array projections (the corpus never explodes),
+    // corpus stats as ONE 1-row broadcast aggregate
+    "x75_bm25" -> ((s, dir) =>
+      TextOps.bm25(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", Seq("hash", "join", "spark"))
+        .orderBy("doc_id")),
+
+    // unigram-distribution drift between two corpus slices: per-token
+    // Jensen-Shannon contributions, top-40 as the "where did the
+    // vocabulary shift" evidence table
+    "x76_token_divergence" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.tokenDivergence(
+        docs.filter(F.col("doc_id") % 2 === 0),
+        docs.filter(F.col("doc_id") % 2 =!= 0), "text", topK = 40)
+    }),
+
+    // token-budget mixture planning (the Pile/Dolma recipe math): per
+    // source, the sampling rate / epoch count realizing the target share
+    // of a 50k-token budget; src0 upweighted 5x, src1 2.5x, src2 dropped,
+    // the rest default 1.0
+    "x77_mixture_plan" -> ((s, dir) =>
+      Sampling.mixturePlan(s.read.parquet(s"$dir/documents.parquet"),
+          "source", "text",
+          Map("src0" -> 5.0, "src1" -> 2.5, "src2" -> 0.0), budget = 50000L)
+        .orderBy("source")),
 
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
@@ -2337,6 +2382,115 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |WHERE d.doc_id % 5 = 0
         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors Dedup.exactKeepBest over the same constructed union: the
+    // x56 bow-fingerprint idiom, ranked by length DESC (ties -> lowest id)
+    "x74_keep_best" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' ' || text
+        |  FROM documents WHERE doc_id % 4 = 0
+        |), fp AS (
+        |  SELECT doc_id, length(text) AS sc,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> length(x) > 0))), ' ')) AS fp
+        |  FROM all_docs
+        |), ranked AS (
+        |  SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp
+        |      ORDER BY sc DESC, doc_id) AS rn
+        |  FROM fp
+        |)
+        |SELECT doc_id, fp FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextOps.bm25: same tokenization, per-doc tf via list_filter,
+    // Lucene ln(1 + (N-df+0.5)/(df+0.5)) idf, k1=1.2 b=0.75, identical
+    // association order, round 6
+    "x75_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, len(toks) AS dl,
+        |    len(list_filter(toks, x -> x = 'hash')) AS tf0,
+        |    len(list_filter(toks, x -> x = 'join')) AS tf1,
+        |    len(list_filter(toks, x -> x = 'spark')) AS tf2
+        |  FROM d
+        |), s AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM t
+        |)
+        |SELECT doc_id, dl, round(
+        |    ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        |FROM t, s ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextOps.tokenDivergence: identical p/q/m association order,
+    // 0-count sides contribute 0, round 9 then + 0 (the -0.0 canon)
+    "x76_token_divergence" ->
+      """WITH ta AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), tb AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents WHERE doc_id % 2 <> 0
+        |), ca AS (SELECT term, count(*) AS cnt_a FROM ta GROUP BY 1),
+        |cb AS (SELECT term, count(*) AS cnt_b FROM tb GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ca.term, cb.term) AS term,
+        |    coalesce(cnt_a, 0)::BIGINT AS cnt_a,
+        |    coalesce(cnt_b, 0)::BIGINT AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+        |), tot AS (
+        |  SELECT sum(cnt_a)::BIGINT AS ta_n, sum(cnt_b)::BIGINT AS tb_n
+        |  FROM j
+        |)
+        |SELECT term, cnt_a, cnt_b,
+        |  round((CASE WHEN cnt_a > 0 THEN (cnt_a::DOUBLE / ta_n)
+        |      * ln((cnt_a::DOUBLE / ta_n)
+        |            / ((cnt_a::DOUBLE / ta_n + cnt_b::DOUBLE / tb_n) / 2))
+        |    ELSE 0.0 END
+        |  + CASE WHEN cnt_b > 0 THEN (cnt_b::DOUBLE / tb_n)
+        |      * ln((cnt_b::DOUBLE / tb_n)
+        |            / ((cnt_a::DOUBLE / ta_n + cnt_b::DOUBLE / tb_n) / 2))
+        |    ELSE 0.0 END) / 2, 9) + 0 AS js_contrib
+        |FROM j, tot
+        |ORDER BY js_contrib DESC, term LIMIT 40""".stripMargin,
+
+    // mirrors Sampling.mixturePlan from the same weight literals: weights
+    // normalize over PRESENT sources via a window sum, identical
+    // association order, round 6; ::BIGINT on sum (the x33 HUGEINT rule)
+    "x77_mixture_plan" ->
+      """WITH t AS (
+        |  SELECT source, len(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS nt
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, count(*) AS n_docs, sum(nt)::BIGINT AS tokens,
+        |    CASE source WHEN 'src0' THEN 5.0 WHEN 'src1' THEN 2.5
+        |      WHEN 'src2' THEN 0.0 ELSE 1.0 END AS w
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT source, n_docs, tokens,
+        |  round(least(1.0, w / sum(w) OVER () * 50000 / tokens), 6) AS rate,
+        |  round(w / sum(w) OVER () * 50000 / tokens, 6) AS epochs
+        |FROM g ORDER BY source""".stripMargin,
 
     // mirrors Similarity.opqQuantize/opqSearch from the same OpqRotation +
     // PqCodebooks literals: rotated embedding = per-output-row j-ascending

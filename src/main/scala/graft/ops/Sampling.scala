@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
 
 /** Deterministic sampling for training-data pipelines — extension surface
   * beyond the reference. `df.sample()` is seed-dependent PER PARTITIONING:
@@ -96,6 +97,42 @@ object Sampling {
       F.when(hex < F.lit(b), F.lit(name)).otherwise(els)
     }
     df.withColumn("split", assigned)
+  }
+
+  /** Token-budget mixture planning (the Pile/Dolma recipe math): given
+    * target mixture `weights` per source and a total token `budget`,
+    * compute per source what the pipeline should DO — the sampling `rate`
+    * (≤ 1, downsample) or `epochs` (> 1, repeat) that realizes the target
+    * share. Sources absent from `weights` default to weight 1.0; weights
+    * normalize over the sources actually PRESENT, so a dropped source's
+    * share redistributes instead of silently vanishing. Feed the rates to
+    * [[hashSample]]/[[upsampleByGroup]] for the execution half.
+    *
+    * Scale shape: one projection (token count per row) + one
+    * groupBy(source) that partial-aggregates map-side to #sources rows;
+    * the weight normalizer is a window sum over that tiny relation. The
+    * corpus crosses the wire as #sources pre-combined rows — nothing
+    * else shuffles. `rate`/`epochs` round to 6 (float-neutrality). */
+  def mixturePlan(df: DataFrame, sourceCol: String, textCol: String,
+                  weights: Map[String, Double], budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    weights.foreach { case (n, w) =>
+      require(w >= 0.0, s"source '$n' weight must be >= 0, got $w") }
+    val w = weights.foldRight(F.lit(1.0): Column) { case ((name, wt), els) =>
+      F.when(F.col(sourceCol) === name, F.lit(wt)).otherwise(els)
+    }
+    val perSource = df
+      .select(F.col(sourceCol),
+        F.size(F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+          t => F.length(t) > 0)).as("__nt"))
+      .groupBy(sourceCol).agg(
+        F.count(F.lit(1)).as("n_docs"), F.sum("__nt").as("tokens"))
+      .withColumn("__w", w)
+    val all = Window.partitionBy()
+    val target = F.col("__w") / F.sum("__w").over(all) * budget
+    perSource.select(F.col(sourceCol), F.col("n_docs"), F.col("tokens"),
+        F.round(F.least(F.lit(1.0), target / F.col("tokens")), 6).as("rate"),
+        F.round(target / F.col("tokens"), 6).as("epochs"))
   }
 
   /** Cap each group at `maxPerGroup` rows, chosen deterministically by

@@ -148,6 +148,94 @@ object TextOps {
         F.count(F.lit(1)).as("n_tokens"))
   }
 
+  /** BM25 relevance of every document against a fixed `query` term set
+    * (Robertson/Okapi, the Lucene `ln(1 + (N-df+0.5)/(df+0.5))` idf form) —
+    * the retrieval scorer behind hard-negative mining and topical corpus
+    * selection. Per-doc `tf` and length come from array ops over the token
+    * list (a pure projection — the corpus never explodes, never shuffles);
+    * `N`, `avgdl`, and per-term `df` partial-aggregate map-side into ONE
+    * 1-row global aggregate that broadcasts back via cross join. Total
+    * cost at 100 TB: two scans (the stats pass, then the scoring pass) and
+    * a 1-row exchange — the stats row is the only thing that crosses the
+    * wire; the corpus itself never shuffles.
+    *
+    * Score rounds to 6 (the x47 float-neutrality rule: ln/division ulp
+    * order differs across engines). Empty/gramless docs score 0.0. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val toks = F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+      t => F.length(t) > 0)
+    def tfCol(i: Int): String = s"__tf$i"
+    val perDoc = df.select(
+      // long, not int: the oracle's len() is BIGINT and dl is an output
+      F.col(idCol) +: F.size(toks).cast("long").as("dl") +:
+        query.zipWithIndex.map { case (q, i) =>
+          F.size(F.filter(toks, t => t === F.lit(q))).as(tfCol(i))
+        }: _*)
+    val stats = perDoc.agg(
+      F.count(F.lit(1)).as("__n"),
+      F.avg("dl").as("__avgdl") +:
+        query.indices.map(i =>
+          F.sum(F.when(F.col(tfCol(i)) > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
+    val score = query.indices.map { i =>
+      val tf = F.col(tfCol(i)).cast("double")
+      val idf = F.log(F.lit(1.0) +
+        (F.col("__n") - F.col(s"__df$i") + 0.5) / (F.col(s"__df$i") + 0.5))
+      val norm = F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl")
+      idf * tf * (k1 + 1.0) / (tf + F.lit(k1) * norm)
+    }.reduce(_ + _)
+    perDoc.crossJoin(F.broadcast(stats))
+      .select(F.col(idCol), F.col("dl"),
+        F.round(F.coalesce(score, F.lit(0.0)), 6).as("bm25"))
+  }
+
+  /** Per-token Jensen–Shannon divergence contributions between two corpus
+    * slices' unigram distributions — the drift detector for "did this
+    * month's crawl shift vocabulary vs last month's" and the evidence
+    * table for WHERE it shifted (top-`topK` tokens by contribution).
+    * `JS(P,Q) = ½ KL(P‖M) + ½ KL(Q‖M)` with `M = (P+Q)/2`; a token absent
+    * from one side contributes `½ p ln 2` from the other — no smoothing
+    * needed, and the total over ALL tokens is bounded by `ln 2`.
+    *
+    * Scale shape: each side is one explode + one vocab-bounded
+    * count-by-term (partial map-side — corpus rows never reach the
+    * reducer, only (term, count)); the sides meet in a full-outer join on
+    * the term key (vocab-sized, AQE-broadcastable when small); grand
+    * totals ride along as 1-row broadcast cross joins; top-K compiles to
+    * TakeOrderedAndProject (no global sort materialization). Contributions
+    * round to 9 (they are O(1/vocab) small; ln ulp order differs across
+    * engines — the x47 rule at higher precision). */
+  def tokenDivergence(a: DataFrame, b: DataFrame, textCol: String,
+                      topK: Int = 40): DataFrame = {
+    def counts(df: DataFrame): DataFrame =
+      df.select(F.explode(F.filter(
+          F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+          t => F.length(t) > 0)).as("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).as("__c"))
+    val ca = counts(a).withColumnRenamed("__c", "cnt_a")
+    val cb = counts(b).withColumnRenamed("__c", "cnt_b")
+    val joined = ca.join(cb, Seq("term"), "full_outer")
+      .select(F.col("term"),
+        F.coalesce(F.col("cnt_a"), F.lit(0L)).as("cnt_a"),
+        F.coalesce(F.col("cnt_b"), F.lit(0L)).as("cnt_b"))
+    val totals = joined.agg(F.sum("cnt_a").as("__ta"), F.sum("cnt_b").as("__tb"))
+    val p = F.col("cnt_a").cast("double") / F.col("__ta")
+    val q = F.col("cnt_b").cast("double") / F.col("__tb")
+    val m = (p + q) / 2.0
+    val contrib =
+      (F.when(F.col("cnt_a") > 0, p * F.log(p / m)).otherwise(0.0) +
+       F.when(F.col("cnt_b") > 0, q * F.log(q / m)).otherwise(0.0)) / 2.0
+    joined.crossJoin(F.broadcast(totals))
+      .select(F.col("term"), F.col("cnt_a"), F.col("cnt_b"),
+        // + 0.0 canonicalizes -0.0: the true contribution is >= 0 (log-sum
+        // inequality) but ulp noise near p == q can land at -1e-20, and
+        // WHICH sign of zero that rounds to differs across engines
+        (F.round(contrib, 9) + F.lit(0.0)).as("js_contrib"))
+      .orderBy(F.col("js_contrib").desc, F.col("term").asc)
+      .limit(topK)
+  }
+
   /** fastText-style linear quality classifier inference: tokens hash into
     * `weights.length` buckets, the document score is
     * `sigmoid(bias + mean(weights(bucket)))` — the shape of the CCNet /

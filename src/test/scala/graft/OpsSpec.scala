@@ -1558,6 +1558,67 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == 1L)                    // default identity
   }
 
+  test("exactKeepBest: longest copy wins its cluster, ties fall to lowest id") {
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta alpha gamma alpha"),  // same token SET as 1, longer -> wins
+      (3L, "alpha beta gamma"),        // exact dup of 1, loses to 2
+      (4L, "delta epsilon"),
+      (5L, "delta epsilon zeta"),
+      (6L, "zeta delta epsilon")       // same set + same length as 5 -> id tie
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactKeepBest(d, "doc_id",
+        TextOps.bowFingerprint(F.col("text")), F.length(F.col("text")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L, 5L))
+  }
+
+  test("bm25: zero for query-free docs, monotone in tf, matches the formula") {
+    val d = Seq(
+      (1L, "hash join hash"),
+      (2L, "scan filter sort"),
+      (3L, "join")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25(d, "doc_id", "text", Seq("hash", "join"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(2L) == 0.0)
+    assert(out(1L) > out(3L) && out(3L) > 0.0)
+    // doc 3 by hand: N=3, avgdl=7/3, df_join=2, tf=1, dl=1
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / 2.5)
+    val norm = 0.25 + 0.75 * 1 / (7.0 / 3)
+    val expect = idf * 1 * 2.2 / (1 + 1.2 * norm)
+    assert(math.abs(out(3L) - expect) < 1e-6, s"got ${out(3L)}, want $expect")
+  }
+
+  test("tokenDivergence: one-sided tokens contribute p*ln2/2, shared ones less") {
+    val a = Seq((1L, "aa aa bb")).toDF("doc_id", "text")
+    val b = Seq((2L, "aa cc")).toDF("doc_id", "text")
+    val out = TextOps.tokenDivergence(a, b, "text")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq("cc", "bb", "aa"))  // contribution desc
+    val ln2 = math.log(2.0)
+    assert(math.abs(out(0)._4 - 0.5 * ln2 / 2) < 1e-9)    // cc: q=1/2, B-only
+    assert(math.abs(out(1)._4 - (1.0 / 3) * ln2 / 2) < 1e-9) // bb: p=1/3, A-only
+    val aaExpect = ((2.0 / 3) * math.log((2.0 / 3) / (7.0 / 12)) +
+      0.5 * math.log(0.5 / (7.0 / 12))) / 2
+    assert(math.abs(out(2)._4 - aaExpect) < 1e-9)
+    assert(out.forall(_._4 >= 0.0))
+  }
+
+  test("mixturePlan: weights normalize over present sources, rate caps at 1") {
+    val d = Seq(
+      (1L, "sA", "tok tok"), (2L, "sA", "tok tok"),
+      (3L, "sB", "tok tok tok tok")
+    ).toDF("doc_id", "source", "text")
+    val out = Sampling.mixturePlan(d, "source", "text",
+        Map("sA" -> 3.0), budget = 8L)
+      .as[(String, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // wsum = 3 + 1; sA target = 6 of its 4 tokens -> epochs 1.5, rate 1.0
+    assert(out("sA") == (("sA", 2L, 4L, 1.0, 1.5)))
+    // sB target = 2 of its 4 tokens -> rate = epochs = 0.5
+    assert(out("sB") == (("sB", 1L, 4L, 0.5, 0.5)))
+  }
+
   test("dupSpans: within-doc repeats don't count toward the distinct-doc df") {
     val docs = Seq(
       // "p q r s t" occurs three times but only in this one doc

@@ -503,4 +503,35 @@ class PlanQualitySpec extends AnyFunSuite {
     // whole row set in one partition
     assert(!p.contains("Window"), s"no per-gram window allowed:\n$p")
   }
+
+  test("bm25: the corpus never hash-shuffles; stats ride a 1-row broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.TextOps.bm25(docs, "doc_id", "text",
+      Seq("hash", "join", "spark")))
+    // per-doc tf/dl are array projections and the only exchange is the
+    // 1-row global stats aggregate — a hash shuffle of corpus rows would
+    // mean tf went through an explode+groupBy instead
+    assert(!p.contains("hashpartitioning"),
+      s"corpus rows must not hash-shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"stats row must broadcast back via cross join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_avg"),
+      s"stats must partial-aggregate map-side:\n$p")
+  }
+
+  test("tokenDivergence: vocab-bounded partial counts, top-K limits the sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.TextOps.tokenDivergence(
+      docs.filter(F.col("doc_id") % 2 === 0),
+      docs.filter(F.col("doc_id") % 2 =!= 0), "text"))
+    // corpus tokens collapse to (term, count) map-side before any shuffle
+    assert(p.contains("partial_count"),
+      s"term counts must partial-aggregate map-side:\n$p")
+    // top-K compiles to TakeOrderedAndProject — no global sort materializes
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected top-K short-circuit:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row totals may cross-join (broadcast):\n$p")
+  }
 }
