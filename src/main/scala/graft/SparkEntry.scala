@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import graft.prql.Graft
-import graft.ops.{AsOf, Dedup, EventOps, Multimodal, RangeJoin, Sampling, Similarity, TextOps}
+import graft.ops.{AsOf, Curation, Dedup, EventOps, Multimodal, RangeJoin, Sampling, Similarity, TextOps}
 import graft.sources.Registrar
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -79,6 +79,16 @@ object SparkEntry {
       for (c <- 0 until 64) raw(i)(c) /= nrm
     }
     raw.map(_.map(v => math.rint(v * 1e6) / 1e6))
+  }
+
+  /** Fixed 64-vector "corpus mean" for the x80 PCA entry — seeded, rounded
+    * to 6 dp, scaled to ±0.02 (inside the embedding range). Pins the
+    * center-then-rotate projection MATH; the LEARNED mean/components path
+    * is [[graft.ops.Similarity.pcaFit]] (OpsSpec orthonormality/variance
+    * pins). */
+  private val PcaMean: Array[Double] = {
+    val r = new scala.util.Random(55L)
+    Array.fill(64)(math.rint((r.nextDouble() * 0.04 - 0.02) * 1e6) / 1e6)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -1051,6 +1061,77 @@ object SparkEntry {
           "source", "text",
           Map("src0" -> 5.0, "src1" -> 2.5, "src2" -> 0.0), budget = 50000L)
         .orderBy("source")),
+
+    // interpolated Kneser-Ney bigram LM scoring (the CCNet perplexity
+    // filter, KenLM's estimator at bigram order): model trained on the
+    // mod-7 slice, every doc scored by avg negative log-likelihood —
+    // low = fluent under the train distribution
+    "x78_kn_bigram" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.knBigramNll(docs, docs.filter(F.col("doc_id") % 7 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // the C4 cleaning pass, rule-for-rule (terminal-punct + >=5-word +
+    // no-javascript line gate; >=3 kept lines + lorem-ipsum/brace/bad-word
+    // page gate) over constructed multi-line pages: every doc gets a
+    // too-short line and a javascript line (both always dropped), mod-5
+    // docs a lorem-ipsum sentence (page-kill), mod-11 docs a braced code
+    // line (page-kill)
+    "x79_c4_filter" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val staged = docs.select(F.col("doc_id"),
+        F.concat_ws("\n",
+          F.col("text"),
+          F.lit("short line"),
+          F.lit("This page uses javascript to render content."),
+          F.when(F.col("doc_id") % 5 === 0,
+              F.lit("Lorem ipsum dolor sit amet, consectetur adipiscing elit."))
+            .otherwise(F.lit("A perfectly ordinary sentence with enough words to keep.")),
+          F.when(F.col("doc_id") % 11 === 0,
+              F.lit("function() { return 1; }"))
+            .otherwise(F.lit("Another normal sentence that ends with a period."))
+        ).as("text"))
+      Curation.c4Filter(staged, "doc_id", "text")
+        .select("doc_id", "n_kept", "c4_keep", "kept_text")
+        .orderBy("doc_id")
+    }),
+
+    // PCA projection at a FIXED mean + component matrix (the x69 fixed-
+    // rotation pattern): center by PcaMean, rotate onto the first 16
+    // OpqRotation rows via the native MatVec — 64 -> 16 dims. The LEARNED
+    // path (Similarity.pcaFit: sample covariance + Jacobi) is pinned in
+    // OpsSpec; this entry pins the projection math end-to-end
+    "x80_pca_project" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      Similarity.pcaProject(emb, "embedding", PcaMean, OpqRotation.take(16))
+        .select(F.col("vec_id"),
+          F.transform(F.col("pca"), x => F.round(x, 6) + F.lit(0.0)).as("pca"))
+        .orderBy("vec_id")
+    }),
+
+    // DISTRIBUTED Lloyd k-means (two full-corpus iterations from the
+    // SemCentroids init, 6-dp centroid quantization each round) + final
+    // assignment: the scale path past the sample-fit quantizers — every
+    // iteration is a NearestCell projection + one partial-aggregated
+    // (cell, coordinate) rollup, only k*dim rows ever reach the driver
+    "x81_kmeans_lloyd" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+      Similarity.kmeansAssign(emb, "vec_id", "embedding", SemCentroids, iters = 2)
+        .orderBy("vec_id")
+    }),
+
+    // vocabulary-growth (Heaps' law) curve in 25-doc buckets: cumulative
+    // tokens vs cumulative distinct types — the "is this source still
+    // adding vocabulary" signal a mixture planner reads
+    "x82_vocab_growth" -> ((s, dir) =>
+      TextOps.vocabGrowth(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", bucketSize = 25)
+        .orderBy("bucket")),
 
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
@@ -2491,6 +2572,214 @@ object SparkEntry {
         |  round(least(1.0, w / sum(w) OVER () * 50000 / tokens), 6) AS rate,
         |  round(w / sum(w) OVER () * 50000 / tokens, 6) AS epochs
         |FROM g ORDER BY source""".stripMargin,
+
+    // mirrors TextOps.knBigramNll (train = mod-7 slice, D = 0.75):
+    // identical model tables (c2/cctx/n1a/n1b, B/V scalars), identical
+    // association order in the interpolated-KN probability (greatest(c2-D,0)
+    // + (D*n1a)*((n1b+1)/(B+V+1)) all over cctx; full backoff to Pcont for
+    // unseen w1), k-weighted distinct transitions, round 6 after the sum
+    "x78_kn_bigram" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS t
+        |  FROM documents
+        |), bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |      i -> t[i])) AS w1,
+        |    unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |      i -> t[i + 1])) AS w2
+        |  FROM tk
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bi WHERE doc_id % 7 = 0
+        |  GROUP BY 1, 2
+        |), ctx AS (
+        |  SELECT w1, sum(c2)::BIGINT AS cctx, count(*) AS n1a FROM c2 GROUP BY 1
+        |), cont AS (
+        |  SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1
+        |), scal AS (
+        |  SELECT (SELECT count(*) FROM c2) AS bg,
+        |    (SELECT count(DISTINCT x) FROM
+        |      (SELECT unnest(t) AS x FROM tk WHERE doc_id % 7 = 0)) AS v
+        |), tr AS (
+        |  SELECT doc_id, w1, w2, count(*) AS k FROM bi GROUP BY 1, 2, 3
+        |), p AS (
+        |  SELECT tr.doc_id, tr.k,
+        |    CASE WHEN ctx.cctx IS NOT NULL THEN
+        |      (greatest(coalesce(c2.c2, 0) - 0.75, 0.0)
+        |        + 0.75 * ctx.n1a * ((coalesce(cont.n1b, 0) + 1)::DOUBLE
+        |                            / (scal.bg + scal.v + 1))) / ctx.cctx
+        |    ELSE (coalesce(cont.n1b, 0) + 1)::DOUBLE
+        |         / (scal.bg + scal.v + 1) END AS prob
+        |  FROM tr
+        |  LEFT JOIN c2 USING (w1, w2)
+        |  LEFT JOIN ctx USING (w1)
+        |  LEFT JOIN cont USING (w2)
+        |  CROSS JOIN scal
+        |), agg AS (
+        |  SELECT doc_id, sum(k)::BIGINT AS n_trans,
+        |    round(sum(k * (-ln(prob))) / sum(k), 6) AS avg_nll
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(a.n_trans, 0) AS n_trans,
+        |  coalesce(a.avg_nll, 0.0) AS avg_nll
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors Curation.c4Filter over the same constructed pages: identical
+    // staged text (chr(10) = the concat_ws separator), identical line gate
+    // (terminal punct on the trimmed line, >=5 non-empty words, no
+    // 'javascript'), identical page gate (>=3 kept, lorem ipsum, '{',
+    // bad-word token membership)
+    "x79_c4_filter" ->
+      """WITH staged AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'short line' || chr(10)
+        |      || 'This page uses javascript to render content.' || chr(10)
+        |      || CASE WHEN doc_id % 5 = 0
+        |           THEN 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'
+        |           ELSE 'A perfectly ordinary sentence with enough words to keep.' END
+        |      || chr(10)
+        |      || CASE WHEN doc_id % 11 = 0
+        |           THEN 'function() { return 1; }'
+        |           ELSE 'Another normal sentence that ends with a period.' END
+        |      AS text
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+        |        OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+        |      AND len(list_filter(string_split_regex(trim(l), '\s+'),
+        |            w -> length(w) > 0)) >= 5
+        |      AND NOT contains(lower(trim(l)), 'javascript')) AS kept,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> length(w) > 0) AS lowtoks
+        |  FROM staged
+        |)
+        |SELECT doc_id, len(kept) AS n_kept,
+        |  (len(kept) >= 3
+        |    AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')
+        |    AND NOT len(list_filter(lowtoks,
+        |          w -> w IN ('damn', 'sucks'))) > 0) AS c4_keep,
+        |  array_to_string(kept, chr(10)) AS kept_text
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // mirrors Similarity.pcaProject from the same PcaMean + first-16
+    // OpqRotation rows: center then rotate, per-output-row j-ascending
+    // list_sum (the native MatVec addition order), round 6 + 0 (the x76
+    // -0.0 canon)
+    "x80_pca_project" -> {
+      val rvals = OpqRotation.take(16).zipWithIndex.map { case (row, i) =>
+        row.mkString(s"(${i + 1}, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ")
+      val mvals = PcaMean.mkString("[", ", ", "]::DOUBLE[]")
+      s"""WITH rot(i, r) AS (VALUES $rvals),
+         |m AS (SELECT $mvals AS mean)
+         |SELECT e.vec_id,
+         |  list(round(list_sum(list_transform(range(1, 65),
+         |    j -> rot.r[j] * (e.embedding[j]::DOUBLE - m.mean[j]))), 6) + 0
+         |    ORDER BY rot.i) AS pca
+         |FROM embeddings e CROSS JOIN rot CROSS JOIN m
+         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+    },
+
+    // mirrors Similarity.kmeansAssign(SemCentroids, iters = 2): two Lloyd
+    // rounds replayed stage-for-stage — nearest cell (j-ascending squared
+    // L2, ties to lower cell), per-(cell, coordinate) mean rounded to 6
+    // (the iteration's quantization grid; empty cells coalesce to the
+    // previous center), re-assign, re-average, final assignment + dist
+    "x81_kmeans_lloyd" -> {
+      val cvals = SemCentroids.zipWithIndex.map { case (c, i) =>
+        c.mkString(s"($i, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings
+         |), c0(cell, c) AS (VALUES $cvals),
+         |a1 AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c0.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))),
+         |        c0.cell) AS rk
+         |    FROM e CROSS JOIN c0)
+         |  WHERE rk = 1
+         |), m1 AS (
+         |  SELECT cell, i, round(avg(x), 6) AS c FROM (
+         |    SELECT cell, unnest(range(1, 65)) AS i, unnest(v) AS x FROM a1)
+         |  GROUP BY cell, i
+         |), c1 AS (
+         |  SELECT c0.cell, coalesce(m.c, c0.c) AS c
+         |  FROM c0 LEFT JOIN (
+         |    SELECT cell, list(c ORDER BY i) AS c FROM m1 GROUP BY cell) m
+         |  USING (cell)
+         |), a2 AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c1.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))),
+         |        c1.cell) AS rk
+         |    FROM e CROSS JOIN c1)
+         |  WHERE rk = 1
+         |), m2 AS (
+         |  SELECT cell, i, round(avg(x), 6) AS c FROM (
+         |    SELECT cell, unnest(range(1, 65)) AS i, unnest(v) AS x FROM a2)
+         |  GROUP BY cell, i
+         |), c2l AS (
+         |  SELECT c1.cell, coalesce(m.c, c1.c) AS c
+         |  FROM c1 LEFT JOIN (
+         |    SELECT cell, list(c ORDER BY i) AS c FROM m2 GROUP BY cell) m
+         |  USING (cell)
+         |), a3 AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c2l.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (e.v[i] - c2l.c[i]) * (e.v[i] - c2l.c[i]))),
+         |        c2l.cell) AS rk
+         |    FROM e CROSS JOIN c2l)
+         |  WHERE rk = 1
+         |)
+         |SELECT a3.vec_id, a3.cell,
+         |  round(list_sum(list_transform(range(1, 65),
+         |    i -> (a3.v[i] - c.c[i]) * (a3.v[i] - c.c[i]))), 6) AS dist
+         |FROM a3 JOIN c2l c USING (cell)
+         |ORDER BY a3.vec_id""".stripMargin
+    },
+
+    // mirrors TextOps.vocabGrowth (bucketSize 25): a type's first
+    // occurrence is min(doc_id) over the token stream; per-bucket token
+    // totals; cumulative window over the bucket table; ::BIGINT on the
+    // window sums (the x33 HUGEINT rule)
+    "x82_vocab_growth" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS t
+        |  FROM documents
+        |), fs AS (
+        |  SELECT bucket, count(*) AS new_types FROM (
+        |    SELECT min(doc_id) // 25 AS bucket
+        |    FROM (SELECT doc_id, unnest(t) AS tok FROM tk)
+        |    GROUP BY tok)
+        |  GROUP BY bucket
+        |), pb AS (
+        |  SELECT doc_id // 25 AS bucket, count(*) AS docs,
+        |    sum(len(t))::BIGINT AS tokens
+        |  FROM tk GROUP BY 1
+        |)
+        |SELECT pb.bucket, pb.docs, pb.tokens,
+        |  coalesce(fs.new_types, 0) AS new_types,
+        |  (sum(pb.tokens) OVER (ORDER BY pb.bucket))::BIGINT AS cum_tokens,
+        |  (sum(coalesce(fs.new_types, 0)) OVER (ORDER BY pb.bucket))::BIGINT
+        |    AS cum_types
+        |FROM pb LEFT JOIN fs USING (bucket)
+        |ORDER BY pb.bucket""".stripMargin,
 
     // mirrors Similarity.opqQuantize/opqSearch from the same OpqRotation +
     // PqCodebooks literals: rotated embedding = per-output-row j-ascending

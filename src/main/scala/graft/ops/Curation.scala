@@ -200,6 +200,53 @@ object Curation {
     Sampling.capPerGroup(deduped, F.col(sourceCol), text, capPerSource, salt)
   }
 
+  /** The C4 cleaning pass (Raffel et al. 2020 §2.2, applied line-by-line
+    * then page-level), reproduced rule-for-rule:
+    *
+    * line KEPT iff (on the whitespace-trimmed line):
+    *  - it ends in a terminal punctuation mark (`.` `!` `?` `"`), AND
+    *  - it has ≥ `minWords` words (the paper's "only retained lines that
+    *    contained at least 5 words"), AND
+    *  - it does not contain the word "javascript" (case-insensitive);
+    *
+    * page DROPPED iff:
+    *  - fewer than `minLines` kept lines (C4: 3 sentences), OR
+    *  - the page contains "lorem ipsum" (case-insensitive), OR
+    *  - the page contains a curly brace `{`, OR
+    *  - any lowercase token is in `badWords` (the paper uses the
+    *    "List of Dirty, Naughty …" list; callers supply theirs).
+    *
+    * Output: every input row with `n_kept`, `c4_keep`, and `kept_text`
+    * (the kept lines re-joined — what survives INTO the training set when
+    * `c4_keep`). One pure projection — split/filter/join array HOFs, all
+    * codegen'd, zero shuffles, embarrassingly parallel at any scale. */
+  def c4Filter(docs: DataFrame, idCol: String, textCol: String,
+               badWords: Seq[String] = Seq("damn", "sucks"),
+               minWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val t = F.col(textCol)
+    val lines = F.split(t, "\n", -1)
+    def trimmed(l: Column): Column = F.trim(l)
+    def words(l: Column): Column =
+      F.size(F.filter(F.split(trimmed(l), "\\s+"), w => F.length(w) > 0))
+    def keepLine(l: Column): Column = {
+      val s = trimmed(l)
+      (s.endsWith(".") || s.endsWith("!") || s.endsWith("?") || s.endsWith("\"")) &&
+        words(l) >= minWords && !F.lower(s).contains("javascript")
+    }
+    val kept = F.filter(lines, l => keepLine(l))
+    val lowToks = F.filter(F.split(F.lower(F.trim(t)), "\\s+"),
+      w => F.length(w) > 0)
+    val hasBad =
+      if (badWords.isEmpty) F.lit(false)
+      else F.exists(lowToks, w => w.isin(badWords.map(x => x: Any): _*))
+    docs.withColumn("n_kept", F.size(kept))
+      .withColumn("c4_keep",
+        F.size(kept) >= minLines &&
+          !F.lower(t).contains("lorem ipsum") &&
+          !t.contains("{") && !hasBad)
+      .withColumn("kept_text", F.array_join(kept, "\n"))
+  }
+
   /** Snapshot diff between two corpus versions — the audit step of an
     * incremental pipeline ("what changed between crawl N and N+1"). One
     * row per id present in EITHER snapshot, with `status`:

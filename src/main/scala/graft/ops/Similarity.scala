@@ -800,6 +800,175 @@ object Similarity {
     cents
   }
 
+  /** PCA fit — mean + top-`outDim` principal components, trained on the
+    * bounded deterministic [[fitSample]] (the FAISS `PCAMatrix` convention,
+    * same rationale as [[pqFit]]/[[opqFit]]: projection QUALITY needs a
+    * representative sample; projection itself covers every row via
+    * [[pcaProject]]'s native MatVec). Covariance + cyclic-Jacobi
+    * eigendecomposition run driver-local on the ≤65k×dim sample (≈33 MB,
+    * the opqFit budget); components are returned EIGENVALUE-DESCENDING,
+    * sign-canonicalized (largest-|coordinate| entry positive, ties to the
+    * lower index) and rounded to 6 dp so a fitted matrix can be baked into
+    * plans/SQL as identical literals on any engine. */
+  def pcaFit(corpus: DataFrame, vecCol: String, outDim: Int,
+             dim: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    require(outDim >= 1 && outDim <= dim,
+      s"outDim must be in [1, $dim], got $outDim")
+    val rows = fitSample(corpus, vecCol).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "pcaFit needs a non-empty corpus")
+    require(rows.head.length == dim,
+      s"vector dim ${rows.head.length} != declared $dim")
+    val n = rows.length
+    val mean = new Array[Double](dim)
+    rows.foreach { r => var i = 0; while (i < dim) { mean(i) += r(i); i += 1 } }
+    locally { var i = 0; while (i < dim) { mean(i) /= n; i += 1 } }
+    val cov = Array.fill(dim, dim)(0.0)
+    rows.foreach { r =>
+      var a = 0
+      while (a < dim) {
+        val da = r(a) - mean(a)
+        var b = a
+        while (b < dim) { cov(a)(b) += da * (r(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    val denom = math.max(n - 1, 1)
+    for (a <- 0 until dim; b <- a until dim) {
+      cov(a)(b) /= denom; cov(b)(a) = cov(a)(b)
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.indices.sortBy(i => (-vals(i), i))
+    val comps = order.take(outDim).map { k =>
+      val v = Array.tabulate(dim)(j => vecs(j)(k))
+      var mi = 0
+      for (j <- 1 until dim) if (math.abs(v(j)) > math.abs(v(mi))) mi = j
+      val s = if (v(mi) < 0) -1.0 else 1.0
+      v.map(x => math.rint(s * x * 1e6) / 1e6)
+    }.toArray
+    (mean.map(x => math.rint(x * 1e6) / 1e6), comps)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector COLUMNS). Deterministic (fixed sweep
+    * order), converges quadratically; dim ≤ a few hundred is instant. */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone)
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var done = false
+    while (sweep < 64 && !done) {
+      var off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) off += a(p)(q) * a(p)(q)
+      if (off < 1e-20) done = true
+      else {
+        for (p <- 0 until d; q <- p + 1 until d) if (math.abs(a(p)(q)) > 1e-14) {
+          val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+          val t =
+            if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+            else 1.0 / (theta - math.sqrt(theta * theta + 1))
+          val c = 1.0 / math.sqrt(t * t + 1)
+          val s = t * c
+          var r = 0
+          while (r < d) {
+            val arp = a(r)(p); val arq = a(r)(q)
+            a(r)(p) = c * arp - s * arq
+            a(r)(q) = s * arp + c * arq
+            r += 1
+          }
+          r = 0
+          while (r < d) {
+            val apr = a(p)(r); val aqr = a(q)(r)
+            a(p)(r) = c * apr - s * aqr
+            a(q)(r) = s * apr + c * aqr
+            r += 1
+          }
+          r = 0
+          while (r < d) {
+            val vrp = v(r)(p); val vrq = v(r)(q)
+            v(r)(p) = c * vrp - s * vrq
+            v(r)(q) = s * vrp + c * vrq
+            r += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project vectors onto fitted PCA components: center by `mean`
+    * (zip_with) then rotate by the component matrix via the native
+    * codegen'd [[matVec]] — one projection over the corpus, zero shuffles,
+    * j-ascending accumulation so any engine replays the exact doubles.
+    * At 100 TB this is the cheap half of PCA and the only half that
+    * touches the corpus. */
+  def pcaProject(df: DataFrame, vecCol: String, mean: Array[Double],
+                 components: Array[Array[Double]],
+                 outCol: String = "pca"): DataFrame = {
+    val meanLit = F.array(mean.map(F.lit): _*)
+    val centered = F.zip_with(F.col(vecCol).cast("array<double>"), meanLit,
+      (x, y) => x - y)
+    df.withColumn(outCol, matVec(components, centered))
+  }
+
+  /** DISTRIBUTED Lloyd k-means — the scale path past the sample-fit
+    * quantizers ([[buildIvf]]/[[pqFit]] train on [[fitSample]]; this
+    * iterates over EVERY row, for when the corpus is too diverse for a
+    * 65k sample to cover). Each iteration is the canonical two-phase
+    * Spark shape: (1) assignment as a pure projection (native
+    * [[graft.functions.NearestCell]] — centroid literals travel with the
+    * plan, no join); (2) per-(cell, coordinate) sums via posexplode +
+    * partial-aggregated groupBy — the corpus collapses map-side to at
+    * most k·dim·partitions partial rows, and only k·dim (cell, pos, sum,
+    * count) rows reach the driver (k=1000, dim=1024 → 8 MB — trivially
+    * collectable at any corpus size). Updated centroids round to 6 dp
+    * before re-broadcast — cross-engine-replayable literals (the
+    * [[pcaFit]] rule), and a fixed quantization grid that makes the
+    * iteration deterministic regardless of partial-sum order. Empty cells
+    * keep their previous center (the [[localLloyd]] rule). */
+  def kmeansLloyd(emb: DataFrame, vecCol: String,
+                  init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    require(init.nonEmpty, "kmeansLloyd needs at least one initial centroid")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var cents = init.map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val stats = assignCells(emb.select(F.col(vecCol)), vecCol, cents)
+        .select(F.col("cell"),
+          F.posexplode(F.col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(F.sum("v").as("s"), F.count(F.lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone)
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          math.rint(r.getDouble(2) / r.getLong(3) * 1e6) / 1e6
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** [[kmeansLloyd]] + final assignment: every row as (idCol, cell, dist)
+    * under the converged centroids, dist = squared L2 (j-ascending HOF sum,
+    * engine-replayable), rounded to 6. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   init: Array[Array[Double]], iters: Int): DataFrame = {
+    val cents = kmeansLloyd(emb, vecCol, init, iters)
+    val centLit = F.array(cents.map(c => F.array(c.map(F.lit): _*)): _*)
+    assignCells(emb.select(F.col(idCol), F.col(vecCol)), vecCol, cents)
+      .withColumn("dist", F.round(
+        F.aggregate(
+          F.zip_with(F.col(vecCol).cast("array<double>"),
+            F.element_at(centLit, F.col("cell") + F.lit(1)),
+            (x, y) => (x - y) * (x - y)),
+          F.lit(0.0d), (acc, x) => acc + x), 6))
+      .select(F.col(idCol), F.col("cell"), F.col("dist"))
+  }
+
   /** [[pqQuantize]] in OPQ's rotated coordinates: codes/recon_err for
     * R·x. R orthogonal ⇒ recon_err equals the original-space error. */
   def opqQuantize(corpus: DataFrame, vecCol: String,

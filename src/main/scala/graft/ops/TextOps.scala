@@ -588,6 +588,119 @@ object TextOps {
         F.col("r_ntok") && F.col("r_toklen") && F.col("r_stop") && F.col("r_rep"))
   }
 
+  /** Interpolated Kneser–Ney bigram language-model scoring — the CCNet
+    * perplexity-filter pass (Wenzek et al. 2020 filter Common Crawl with a
+    * Wikipedia-trained KenLM and keep the low-perplexity tail; KenLM's
+    * default smoothing IS interpolated KN, Heafield 2011). The model here
+    * is the bigram order of that estimator, trained on `train` and scored
+    * over `docs`:
+    *
+    *  - `c2(w1,w2)` bigram counts, `cctx(w1) = Σ_w2 c2` left-context mass,
+    *    `n1a(w1) = |{w2 : c2 > 0}|` distinct continuations of w1,
+    *    `n1b(w2) = |{w1 : c2 > 0}|` distinct left contexts of w2;
+    *  - continuation probability `Pcont(w2) = (n1b(w2)+1) / (B+V+1)` where
+    *    B = distinct bigrams, V = vocabulary size — add-one smoothed over
+    *    vocab∪{OOV} so every token (including unseen) has mass;
+    *  - `P(w2|w1) = (max(c2−D,0) + D·n1a(w1)·Pcont(w2)) / cctx(w1)` for
+    *    seen w1, else `Pcont(w2)` (full backoff), discount D = 0.75;
+    *  - per doc: `avg_nll = −(Σ ln P) / n_trans` over adjacent-pair
+    *    transitions (lower = more fluent under the train distribution —
+    *    the CCNet head/middle/tail split keys off exactly this number).
+    *
+    * Scale shape: both gram streams collapse map-side — the scored corpus
+    * to per-(doc, w1, w2) transition counts, the train corpus to the
+    * vocab-bounded model tables — so corpus rows never cross a shuffle,
+    * only (keys, count) rows do. The model tables are vocab²-bounded, NOT
+    * corpus-bounded, and join on their gram keys (shuffle join — a 100 TB
+    * train vocab does not broadcast; AQE broadcasts when it does); the
+    * B/V scalars ride as a 1-row broadcast. Transitions with the same
+    * (w1,w2) in one doc are scored once and weighted by their count.
+    * avg_nll rounds to 6 after the per-doc sum (the x70 rule: terms are
+    * O(1–10) ln values, hundreds per doc — ulp drift is far below 1e-6). */
+  def knBigramNll(docs: DataFrame, train: DataFrame, idCol: String,
+                  textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"KN discount must be in (0,1), got $discount")
+    def toks(col: Column): Column =
+      F.filter(F.split(F.lower(F.trim(col)), "\\s+"), t => F.length(t) > 0)
+    // adjacent-pair stream: (w1, w2) structs via transform over the prefix
+    def bigrams(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val ts = toks(F.col(textCol))
+      val bi = F.transform(
+        F.slice(ts, F.lit(1), F.greatest(F.size(ts) - 1, F.lit(0))),
+        (t, i) => F.struct(t.as("w1"), F.element_at(ts, i + 2).as("w2")))
+      df.select((keep :+ F.explode(bi).as("__bi")): _*)
+        .select((keep :+ F.col("__bi.w1").as("w1")) :+ F.col("__bi.w2").as("w2"): _*)
+    }
+    val c2 = bigrams(train, Nil)
+      .groupBy("w1", "w2").agg(F.count(F.lit(1)).as("__c2"))
+    // left-context table: total mass + distinct continuations per w1
+    val ctx = c2.groupBy("w1")
+      .agg(F.sum("__c2").as("__cctx"), F.count(F.lit(1)).as("__n1a"))
+    val cont = c2.groupBy("w2").agg(F.count(F.lit(1)).as("__n1b"))
+    val vocab = train.select(F.explode(toks(F.col(textCol))).as("w"))
+      .agg(F.count_distinct(F.col("w")).as("__v"))
+    val scal = c2.agg(F.count(F.lit(1)).as("__bg")).crossJoin(vocab)
+    val trans = bigrams(docs, Seq(F.col(idCol)))
+      .groupBy(idCol, "w1", "w2").agg(F.count(F.lit(1)).as("__k"))
+    val pcont = (F.coalesce(F.col("__n1b"), F.lit(0L)) + 1).cast("double") /
+      (F.col("__bg") + F.col("__v") + 1)
+    val p = F.when(F.col("__cctx").isNotNull,
+        (F.greatest(F.coalesce(F.col("__c2"), F.lit(0L)) - discount, F.lit(0.0)) +
+          F.lit(discount) * F.col("__n1a") * pcont) / F.col("__cctx"))
+      .otherwise(pcont)
+    val perDoc = trans
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(F.broadcast(scal))
+      .select(F.col(idCol), (F.col("__k") * -F.log(p)).as("__nll"), F.col("__k"))
+      .groupBy(idCol)
+      .agg(F.sum("__k").as("n_trans"),
+        F.round(F.sum("__nll") / F.sum("__k"), 6).as("avg_nll"))
+    docs.select(idCol).join(perDoc, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("n_trans"), F.lit(0L)).as("n_trans"),
+        F.coalesce(F.col("avg_nll"), F.lit(0.0)).as("avg_nll"))
+  }
+
+  /** Vocabulary-growth (Heaps' law) curve: walking the corpus in `idCol`
+    * order, how many cumulative tokens and cumulative distinct token TYPES
+    * have been seen after each bucket of `bucketSize` documents. The
+    * flattening rate of cum_types vs cum_tokens is the "is more of this
+    * source still adding vocabulary" signal a data-mixture planner reads
+    * before buying another crawl of the same domain.
+    *
+    * Scale shape: a token's first occurrence is `min(doc_id)` — one
+    * partial-aggregated groupBy over the token stream (vocab-bounded
+    * output); per-bucket token totals partial-aggregate the same way; the
+    * cumulative window runs over the BUCKET table (corpus/bucketSize rows,
+    * thousands at 100 TB — a deliberate single-partition window over a
+    * tiny relation, the q09 post-aggregate rule). */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  bucketSize: Int = 25): DataFrame = {
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    val toks = docs.select(F.col(idCol),
+        F.explode(F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+          t => F.length(t) > 0)).as("tok"))
+    val firstSeen = toks.groupBy("tok").agg(F.min(idCol).as("__first"))
+      .select(F.floor(F.col("__first") / bucketSize).as("bucket"))
+      .groupBy("bucket").agg(F.count(F.lit(1)).as("new_types"))
+    val perBucket = docs
+      .select(F.floor(F.col(idCol) / bucketSize).as("bucket"),
+        F.size(F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+          t => F.length(t) > 0)).as("__nt"))
+      .groupBy("bucket")
+      .agg(F.count(F.lit(1)).as("docs"), F.sum("__nt").as("tokens"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .select(F.col("bucket"), F.col("docs"), F.col("tokens"),
+        F.coalesce(F.col("new_types"), F.lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", F.sum("tokens").over(w))
+      .withColumn("cum_types", F.sum("new_types").over(w))
+  }
+
   /** Within-document repetition metrics — the Gopher/C4-style quality
     * signals that catch boilerplate and crawler loops, which per-corpus
     * dedup misses because the repetition is INSIDE one document:

@@ -1633,4 +1633,112 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(all1(1L)._4 == 1.0 && all1(2L)._4 == 1.0)
   }
+
+  test("knBigramNll: hand-checked interpolated-KN probabilities") {
+    // train "a b a b": c2 = {(a,b):2, (b,a):1}; ctx(a) = (2,1), ctx(b) = (1,1);
+    // n1b(a) = n1b(b) = 1; B = 2 distinct bigrams, V = 2 types
+    val train = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"),  // P(b|a) = (max(2-.75,0) + .75*1*((1+1)/(2+2+1))) / 2 = 0.775
+      (2L, "c a"),  // w1 unseen -> Pcont(a) = (1+1)/5 = 0.4
+      (3L, "a"),    // no transitions
+      (4L, "")      // no tokens
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.knBigramNll(score, train, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - (-math.log(0.775))) < 1e-6)
+    assert(math.abs(out(2L)._2 - (-math.log(0.4))) < 1e-6)
+    assert(out(3L) == (0L, 0.0) && out(4L) == (0L, 0.0))
+  }
+
+  test("knBigramNll: fluent-under-train text scores below OOV gibberish") {
+    val train = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "the cat ran on the mat"),
+      (102L, "a dog sat on a mat")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "zebra quark flux boson entropy")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.knBigramNll(score, train, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1L) < out(2L),
+      s"in-domain ${out(1L)} must beat OOV ${out(2L)}")
+  }
+
+  test("c4Filter: line rules, page rules, and kept_text reassembly") {
+    val good1 = "This is a fine sentence with words."
+    val good2 = "Another good sentence appears right here."
+    val good3 = "And a third good sentence closes it out."
+    val base = Seq(good1, "Short one.", "no terminal punctuation at all here",
+      "This line mentions javascript explicitly, sadly.", good2, good3)
+    val rows = Seq(
+      (1L, base.mkString("\n")),                                    // clean: keep
+      (2L, (base :+ "Sadly lorem ipsum appears in this closing sentence.").mkString("\n")),
+      (3L, (base :+ "A brace { lurks in this otherwise fine sentence.").mkString("\n")),
+      (4L, (base :+ "This sentence says damn and that is flagged.").mkString("\n")),
+      (5L, Seq(good1, good2).mkString("\n"))                        // only 2 kept
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Curation.c4Filter(rows, "doc_id", "text")
+      .select("doc_id", "n_kept", "c4_keep", "kept_text")
+      .as[(Long, Int, Boolean, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 3 && out(1L)._3,
+      "three terminal-punct >=5-word non-js lines survive")
+    assert(out(1L)._4 == Seq(good1, good2, good3).mkString("\n"))
+    assert(!out(2L)._3, "lorem ipsum kills the page")
+    assert(!out(3L)._3, "a curly brace kills the page")
+    assert(!out(4L)._3, "a bad-word token kills the page")
+    assert(!out(5L)._3 && out(5L)._2 == 2, "fewer than 3 kept lines kills the page")
+  }
+
+  test("pcaFit: orthonormal components aligned with the planted direction") {
+    val rnd = new scala.util.Random(7L)
+    val d1 = Array(0.5, 0.5, 0.5, 0.5)              // planted main axis
+    val d2 = Array(0.5, -0.5, 0.5, -0.5)            // orthogonal minor axis
+    val pts = (0 until 2000).map { _ =>
+      val t = rnd.nextGaussian() * 3.0; val u = rnd.nextGaussian() * 0.5
+      Array.tabulate(4)(j => 1.0 + t * d1(j) + u * d2(j))
+    }
+    val df = pts.map(p => Tuple1(p.toSeq)).toDF("v")
+    val (mean, comps) = graft.ops.Similarity.pcaFit(df, "v", outDim = 2, dim = 4)
+    assert(mean.forall(m => math.abs(m - 1.0) < 0.2), "mean near the planted offset")
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map(x => x._1 * x._2).sum
+    assert(math.abs(dot(comps(0), comps(0)) - 1.0) < 1e-4, "unit norm")
+    assert(math.abs(dot(comps(0), comps(1))) < 1e-4, "orthogonal")
+    assert(math.abs(dot(comps(0), d1)) > 0.99, "first component = planted axis")
+    assert(math.abs(dot(comps(1), d2)) > 0.99, "second component = minor axis")
+    // distributed projection: variance along comp0 >> comp1
+    val proj = graft.ops.Similarity.pcaProject(df, "v", mean, comps)
+      .select(F.element_at(F.col("pca"), 1).as("p0"),
+        F.element_at(F.col("pca"), 2).as("p1"))
+      .agg(F.variance(F.col("p0")), F.variance(F.col("p1")))
+      .as[(Double, Double)].head()
+    assert(proj._1 > 5 * proj._2, s"explained variance must be ordered: $proj")
+  }
+
+  test("kmeansLloyd: distributed iterations converge onto separated blobs") {
+    val rnd = new scala.util.Random(11L)
+    val blobA = (0 until 300).map(i => (i.toLong, Array(0.0 + rnd.nextGaussian() * 0.3, 0.0 + rnd.nextGaussian() * 0.3)))
+    val blobB = (0 until 300).map(i => (1000L + i, Array(10.0 + rnd.nextGaussian() * 0.3, 10.0 + rnd.nextGaussian() * 0.3)))
+    val df = (blobA ++ blobB).map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+    val init = Array(Array(1.0, 1.0), Array(9.0, 9.0), Array(500.0, 500.0))
+    val cents = graft.ops.Similarity.kmeansLloyd(df, "v", init, iters = 3)
+    assert(math.abs(cents(0)(0)) < 0.2 && math.abs(cents(0)(1)) < 0.2,
+      s"cell 0 lands on blob A: ${cents(0).toSeq}")
+    assert(math.abs(cents(1)(0) - 10.0) < 0.2 && math.abs(cents(1)(1) - 10.0) < 0.2,
+      s"cell 1 lands on blob B: ${cents(1).toSeq}")
+    assert(cents(2).toSeq == Seq(500.0, 500.0), "empty cell keeps its center")
+    val assigned = graft.ops.Similarity.kmeansAssign(df, "id", "v", init, iters = 3)
+    val byCell = assigned.groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    assert(byCell(0) == 300L && byCell(1) == 300L && byCell.getOrElse(2, 0L) == 0L)
+  }
+
+  test("vocabGrowth: first occurrences, bucket totals, cumulative sums") {
+    val docs = Seq((0L, "a b"), (1L, "b c"), (2L, "c d a")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.vocabGrowth(docs, "doc_id", "text", bucketSize = 2)
+      .select("bucket", "docs", "tokens", "new_types", "cum_tokens", "cum_types")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0L, 2L, 4L, 3L, 4L, 3L), (1L, 1L, 3L, 1L, 7L, 4L)))
+  }
 }
