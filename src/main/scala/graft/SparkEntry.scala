@@ -1133,6 +1133,16 @@ object SparkEntry {
           "doc_id", "text", bucketSize = 25)
         .orderBy("bucket")),
 
+    // distributed BPE merge learning (Sennrich et al. 2016): ONE corpus
+    // word census, then 8 merge rounds on the vocab-bounded table —
+    // pair census (overlaps counted) -> argmax (count desc, pair asc) ->
+    // greedy non-overlapping rewrite. Output = the merge table a
+    // tokenizer ships
+    "x83_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(s.read.parquet(s"$dir/documents.parquet"),
+          "text", numMerges = 8)
+        .orderBy("rank")),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -2750,6 +2760,49 @@ object SparkEntry {
          |    i -> (a3.v[i] - c.c[i]) * (a3.v[i] - c.c[i]))), 6) AS dist
          |FROM a3 JOIN c2l c USING (cell)
          |ORDER BY a3.vec_id""".stripMargin
+    },
+
+    // mirrors TextOps.bpeMerges(numMerges = 8): the word census (identical
+    // normalization + cap ordering), then 8 unrolled merge rounds — pair
+    // census via parallel unnest (overlaps counted), argmax ORDER BY
+    // (c DESC, p1, p2) LIMIT 1, greedy left-to-right rewrite as a
+    // list_reduce over singleton lists (acc seeds from the first symbol —
+    // exactly the Spark fold's empty-accumulator first step)
+    "x83_bpe_merges" -> {
+      val steps = (0 until 8).map { k =>
+        s"""pc$k AS (
+           |  SELECT p1, p2, sum(cnt)::BIGINT AS c FROM (
+           |    SELECT cnt,
+           |      unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS p1,
+           |      unnest(list_transform(range(1, len(syms)), i -> syms[i + 1])) AS p2
+           |    FROM s$k WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2
+           |), b$k AS (
+           |  SELECT ${k + 1} AS rank, p1, p2, p1 || p2 AS m, c FROM pc$k
+           |  ORDER BY c DESC, p1, p2 LIMIT 1
+           |), s${k + 1} AS (
+           |  SELECT cnt, list_reduce(list_transform(syms, s -> [s]),
+           |    (acc, x) -> CASE WHEN acc[-1] = b$k.p1 AND x[1] = b$k.p2
+           |      THEN acc[:-2] || [b$k.m] ELSE acc || x END) AS syms
+           |  FROM s$k CROSS JOIN b$k
+           |)""".stripMargin
+      }.mkString(", ")
+      val unions = (0 until 8).map(k => s"SELECT * FROM b$k")
+        .mkString(" UNION ALL ")
+      s"""WITH w0 AS (
+         |  SELECT word, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest(list_filter(string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+         |      w -> length(w) > 0)) AS word
+         |    FROM documents)
+         |  GROUP BY word ORDER BY cnt DESC, word LIMIT 65536
+         |), s0 AS (
+         |  SELECT cnt, list_transform(range(1, length(word) + 1),
+         |    i -> word[i]) AS syms
+         |  FROM w0
+         |), $steps
+         |SELECT rank, p1 AS a, p2 AS b, m AS merged, c AS cnt FROM ($unions)
+         |ORDER BY rank""".stripMargin
     },
 
     // mirrors TextOps.vocabGrowth (bucketSize 25): a type's first

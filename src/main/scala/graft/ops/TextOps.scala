@@ -701,6 +701,115 @@ object TextOps {
       .withColumn("cum_types", F.sum("new_types").over(w))
   }
 
+  /** Distributed BPE merge learning (Sennrich et al. 2016) — the
+    * tokenizer-training pass of an LLM data pipeline. The insight that
+    * makes it a Spark-shape problem: BPE statistics live on the WORD
+    * VOCABULARY, not the corpus — so the corpus is touched exactly once
+    * (an ascii-normalized word census, the [[topTokens]] shape), capped to
+    * the `vocabCap` most frequent words (count desc, word asc — a
+    * deterministic, oracle-replayable boundary), and every merge round
+    * then runs on that bounded table: adjacent-symbol-pair census weighted
+    * by word count (overlapping pairs counted, the reference BPE
+    * convention), argmax by (count desc, pair asc), then a greedy
+    * left-to-right non-overlapping rewrite of each word's symbol list via
+    * one `aggregate` HOF. Only the 1-row argmax crosses to the driver per
+    * round; each round's rewritten vocab is re-cached and the previous
+    * unpersisted (bounded lineage, bounded memory).
+    *
+    * Returns the merge table (rank, a, b, merged, cnt) — the artifact a
+    * tokenizer ships. Symbols are single characters of the normalized
+    * `[a-z0-9]+` words (no end-of-word marker; documented divergence from
+    * implementations that add one). Stops early if no pair remains. */
+  def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                vocabCap: Int = 65536): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(vocabCap >= 1, s"vocabCap must be >= 1, got $vocabCap")
+    val spark = docs.sparkSession
+    val census = docs.select(F.explode(F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(textCol)), "[^a-z0-9 ]", " "),
+          "\\s+"),
+        w => F.length(w) > 0)).as("word"))
+      .groupBy("word").agg(F.count(F.lit(1)).as("cnt"))
+      .orderBy(F.col("cnt").desc, F.col("word"))
+      .limit(vocabCap)
+    var words = census
+      .withColumn("syms",
+        F.filter(F.split(F.col("word"), ""), s => F.length(s) > 0))
+      .select("cnt", "syms").cache()
+    words.count()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = words
+        .filter(F.size(F.col("syms")) >= 2)
+        .select(F.col("cnt"), F.explode(F.zip_with(
+          F.slice(F.col("syms"), F.lit(1), F.size(F.col("syms")) - 1),
+          F.slice(F.col("syms"), F.lit(2), F.size(F.col("syms")) - 1),
+          (x, y) => F.struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(F.col("p.a").as("a"), F.col("p.b").as("b"))
+        .agg(F.sum("cnt").as("c"))
+        .orderBy(F.col("c").desc, F.col("a"), F.col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val m = a + b
+        merges += ((rank, a, b, m, c))
+        val rewritten = words.withColumn("syms", bpeRewrite(F.col("syms"), a, b))
+          .cache()
+        rewritten.count()
+        words.unpersist(false)
+        words = rewritten
+        rank += 1
+      }
+    }
+    words.unpersist(false)
+    spark.createDataFrame(merges.toSeq).toDF("rank", "a", "b", "merged", "cnt")
+  }
+
+  /** One greedy left-to-right non-overlapping merge pass of (a, b) → ab
+    * over a symbol array — the BPE rewrite, as a single fold: append,
+    * unless the accumulator ends in `a` and the next symbol is `b`, in
+    * which case replace the tail with the merged symbol. "aaa" under
+    * (a,a) → [aa, a], the reference behavior. */
+  private def bpeRewrite(syms: Column, a: String, b: String): Column =
+    F.aggregate(syms, F.array().cast("array<string>"),
+      (acc, x) => F.when(
+          F.size(acc) > 0 && F.element_at(acc, -1) === a && x === b,
+          F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+            F.array(F.lit(a + b))))
+        .otherwise(F.concat(acc, F.array(x))))
+
+  /** Segment words with a learned merge list: chars, then each merge's
+    * greedy rewrite in rank order — the apply half of [[bpeMerges]].
+    * Adds `pieces` (array) and `n_pieces`. Run it on a DISTINCT-words
+    * table and broadcast-join back to the corpus (the tokenizer-cache
+    * architecture); per-word cost is O(|word|·merges) with no shuffle. */
+  def bpeSegment(words: DataFrame, wordCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    val chars = F.filter(F.split(F.col(wordCol), ""), s => F.length(s) > 0)
+    val syms = merges.foldLeft(chars)((cur, ab) => bpeRewrite(cur, ab._1, ab._2))
+    words.withColumn("pieces", syms).withColumn("n_pieces", F.size(F.col("pieces")))
+  }
+
+  /** Per-document BPE token counts under a learned merge list: word
+    * census per doc (map-side collapsed), segmentation computed ONCE per
+    * distinct word, joined back on the word key. */
+  def bpeTokenCount(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(F.col(idCol), F.explode(F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(textCol)), "[^a-z0-9 ]", " "),
+          "\\s+"),
+        w => F.length(w) > 0)).as("word"))
+      .groupBy(idCol, "word").agg(F.count(F.lit(1)).as("__k"))
+    val segmented = bpeSegment(words.select("word").distinct(), "word", merges)
+      .select(F.col("word"), F.col("n_pieces"))
+    words.join(segmented, Seq("word"))
+      .groupBy(idCol)
+      .agg(F.sum(F.col("__k") * F.col("n_pieces")).as("bpe_tokens"))
+  }
+
   /** Within-document repetition metrics — the Gopher/C4-style quality
     * signals that catch boilerplate and crawler loops, which per-corpus
     * dedup misses because the repetition is INSIDE one document:

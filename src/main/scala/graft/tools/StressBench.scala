@@ -150,6 +150,23 @@ object StressBench {
           docs.withColumn("text",
             F.lit("we use cookies to improve your experience")),
           "doc_id", "text")),
+        // KN bigram LM: train slice fixed (every 7th BASE doc), scored
+        // corpus grows K× — transition streams collapse map-side to
+        // (doc, w1, w2, k) and the model tables are vocab-bounded (replica
+        // text is verbatim, so vocab is FLAT in K); wall must stay ~linear
+        "x78_kn_bigram" -> (() => graft.ops.TextOps.knBigramNll(
+          docs, docs.filter(F.col("doc_id") % 7 === 0), "doc_id", "text")),
+        // distributed Lloyd: 2 full-corpus iterations + assignment, k=4
+        // cells — per-iteration cost is one NearestCell projection + a
+        // (cell, coordinate) rollup whose reducer input is bounded by
+        // k*dim*partitions regardless of N; must stay ~linear in K
+        "x81_kmeans" -> (() => {
+          val r = new scala.util.Random(99L)
+          val cents = Array.fill(4, 64)(r.nextDouble() * 0.2 - 0.1)
+          graft.ops.Similarity.kmeansAssign(
+            emb.withColumn("embedding", F.col("embedding").cast("array<double>")),
+            "vec_id", "embedding", cents, iters = 2)
+        }),
         // IVF+PQ: nlist ∝ K holds cell size flat, so the fixed 50-query
         // nprobe=4 probe touches a CONSTANT candidate count as N grows —
         // build (native projections) is the only linear term

@@ -1734,6 +1734,43 @@ class OpsSpec extends AnyFunSuite {
     assert(byCell(0) == 300L && byCell(1) == 300L && byCell.getOrElse(2, 0L) == 0L)
   }
 
+  test("bpeMerges: hand-computed merge sequence with overlap and tie rules") {
+    // words: aaab x2, aab x1. Pair census (overlaps counted, cnt-weighted):
+    // (a,a) = 2*2 + 1 = 5, (a,b) = 2 + 1 = 3 -> merge1 (a,a)->aa cnt 5.
+    // After greedy rewrite: aaab = [aa,a,b], aab = [aa,b].
+    // census2: (aa,a) = 2, (a,b) = 2, (aa,b) = 1 -> tie broken by pair asc:
+    // "a" < "aa" -> merge2 (a,b)->ab cnt 2. aaab = [aa,ab].
+    // census3: (aa,ab) = 2, (aa,b) = 1 -> merge3 (aa,ab)->aaab cnt 2.
+    val docs = Seq((1L, "aaab aaab aab")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.bpeMerges(docs, "text", numMerges = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out == Seq((1, "a", "a", "aa", 5L), (2, "a", "b", "ab", 2L),
+      (3, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("bpeMerges: stops when no pair remains; normalization folds case/punct") {
+    val docs = Seq((1L, "Ab, ab! AB?")).toDF("doc_id", "text")
+    // normalized: "ab ab ab" -> one word, one pair -> 1 merge then exhausted
+    val out = graft.ops.TextOps.bpeMerges(docs, "text", numMerges = 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out == Seq((1, "a", "b", "ab", 3L)))
+  }
+
+  test("bpeSegment + bpeTokenCount: greedy application in rank order") {
+    val merges = Seq(("a", "a"), ("a", "b"))
+    val words = Seq("aaab", "aabb", "ba", "x").toDF("word")
+    val seg = graft.ops.TextOps.bpeSegment(words, "word", merges)
+      .as[(String, Seq[String], Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(seg("aaab") == Seq("aa", "ab"))
+    assert(seg("aabb") == Seq("aa", "b", "b"), "merged aa blocks the (a,b) merge")
+    assert(seg("ba") == Seq("b", "a"))
+    assert(seg("x") == Seq("x"))
+    val docs = Seq((1L, "aaab ba"), (2L, "x x x")).toDF("doc_id", "text")
+    val counts = graft.ops.TextOps.bpeTokenCount(docs, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(counts(1L) == 4L && counts(2L) == 3L) // [aa,ab] + [b,a]; [x] x3
+  }
+
   test("vocabGrowth: first occurrences, bucket totals, cumulative sums") {
     val docs = Seq((0L, "a b"), (1L, "b c"), (2L, "c d a")).toDF("doc_id", "text")
     val out = graft.ops.TextOps.vocabGrowth(docs, "doc_id", "text", bucketSize = 2)

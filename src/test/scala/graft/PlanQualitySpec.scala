@@ -534,4 +534,77 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"only the 1-row totals may cross-join (broadcast):\n$p")
   }
+
+  test("knBigramNll: transitions collapse map-side; B/V scalars broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = finalPlan(graft.ops.TextOps.knBigramNll(
+      docs, docs.filter(F.col("doc_id") % 7 === 0), "doc_id", "text"))
+      .split("== Initial Plan ==")(0)
+    // the per-doc bigram explode partial-aggregates to (doc, w1, w2, k)
+    // BEFORE its exchange — raw transition rows never cross the wire
+    assert(p.contains("partial_count"),
+      s"transition counts must partial-aggregate map-side:\n$p")
+    // the B/V scalar row rides a broadcast nested-loop cross join
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"model scalars must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no real cartesian anywhere:\n$p")
+  }
+
+  test("c4Filter and pcaProject are shuffle-free codegen projections") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pc = plan(graft.ops.Curation.c4Filter(docs, "doc_id", "text"))
+    assert(!pc.contains("Exchange"), s"c4Filter must not shuffle:\n$pc")
+    assert(!pc.contains("BatchEvalPython") && !pc.contains("SQL UDF"),
+      s"no UDFs in the line gate:\n$pc")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val mean = Array.fill(64)(0.0)
+    val comps = Array.tabulate(4, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    val pp = plan(graft.ops.Similarity.pcaProject(emb, "embedding", mean, comps))
+    assert(!pp.contains("Exchange"), s"pcaProject must not shuffle:\n$pp")
+    assert(pp.contains("mat_vec") || pp.contains("MatVec"),
+      s"projection must use the native MatVec expression:\n$pp")
+  }
+
+  test("bpe word census: partial-aggregated counts, TakeOrdered cap — no global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the census is the ONLY corpus-scale pass of bpeMerges; the merge
+    // rounds run on the vocab-bounded cached table
+    val census = docs.select(F.explode(F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), "\\s+"),
+        w => F.length(w) > 0)).as("word"))
+      .groupBy("word").agg(F.count(F.lit(1)).as("cnt"))
+      .orderBy(F.col("cnt").desc, F.col("word")).limit(65536)
+    val p = plan(census)
+    assert(p.contains("partial_count"),
+      s"word counts must partial-aggregate map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the vocab cap must be a top-k, not a global sort:\n$p")
+  }
+
+  test("kmeansLloyd iteration: assignment is a projection; rollup partial-aggregates") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val cents = Array.fill(4, 64)(0.01)
+    // the per-iteration stats plan: posexplode to (cell, pos, v) then
+    // groupBy — the corpus must collapse to k*dim partials map-side
+    val stats = graft.ops.Similarity.assignCells(
+        emb.select(F.col("embedding")), "embedding", cents)
+      .select(F.col("cell"),
+        F.posexplode(F.col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(F.sum("v").as("s"), F.count(F.lit(1)).as("n"))
+    val p = plan(stats)
+    assert(p.contains("partial_sum"),
+      s"coordinate sums must partial-aggregate before the shuffle:\n$p")
+    assert(p.contains("nearest_cell") || p.contains("NearestCell"),
+      s"assignment must be the native NearestCell projection:\n$p")
+    // final assignment output is projection-only over the corpus
+    val pa = plan(graft.ops.Similarity.kmeansAssign(
+      emb.select(F.col("vec_id"), F.col("embedding")), "vec_id", "embedding",
+      cents, iters = 0))
+    assert(!pa.contains("Exchange"),
+      s"kmeansAssign output must not shuffle the corpus:\n$pa")
+  }
 }

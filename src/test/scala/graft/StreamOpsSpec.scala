@@ -210,6 +210,52 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("c4Filter and knBigramNll score a stream identically to batch") {
+    import org.apache.spark.sql.{functions => F}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    // c4Filter is a pure projection — composes on-stream unchanged;
+    // knBigramNll joins the stream's transition stream against STATIC
+    // model tables (stream-static joins, re-planned per micro-batch)
+    val train = Seq((100L, "the cat sat on the mat"),
+      (101L, "the cat ran on the mat")).toDF("doc_id", "text")
+    val scored = graft.ops.Curation.c4Filter(docs, "doc_id", "text")
+      .select("doc_id", "n_kept", "c4_keep")
+    val q = scored.writeStream.format("memory").queryName("stream_c4")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "This sentence has the needed words inside.\nAnd another fine sentence lands right here.\nA third one closes out the page."),
+        (2L, "short { page"))
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("stream_c4")
+        .as[(Long, Int, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val batch = graft.ops.Curation.c4Filter(rows.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .select("doc_id", "n_kept", "c4_keep")
+        .as[(Long, Int, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == batch, "stream and batch C4 decisions must be identical")
+      assert(got(1L)._2 && !got(2L)._2)
+    } finally q.stop()
+    // knBigramNll: aggregation-under-join makes it a complete-mode shape;
+    // the supported streaming form is scoring a micro-BATCH via
+    // foreachBatch with the batch operator — assert the batch operator is
+    // deterministic across two invocations (what a foreachBatch replay
+    // relies on), same rule as nearDupBatch idempotence
+    val s1 = graft.ops.TextOps.knBigramNll(rows2DF, train, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val s2 = graft.ops.TextOps.knBigramNll(rows2DF, train, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(s1 == s2 && s1.nonEmpty)
+  }
+
+  private lazy val rows2DF = {
+    import spark.implicits._
+    Seq((1L, "the cat sat on the mat"), (2L, "dog runs fast")).toDF("doc_id", "text")
+  }
+
   test("upsample (mixture resampling) emits the same copies on-stream as in batch") {
     import org.apache.spark.sql.{functions => F}
     implicit val sqlCtx = spark.sqlContext
