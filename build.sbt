@@ -32,4 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full bench suite JIT-compiles ~120 codegen-heavy queries in one
+  // JVM; JDK 17's default 240 MB code cache can fill, at which point
+  // HotSpot silently stops compiling and trivial plans run interpreted at
+  // 20-60x real-CPU cost (the leading suspect for round 8's q26 reading
+  // 61 s of task CPU on a 1,000-row projection at unchanged code —
+  // VERDICT r8). 512 MB gives 2x headroom; Bench.scala also reports
+  // code-cache occupancy into bench_detail.json so a recurrence is
+  // self-diagnosing rather than a mystery.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -101,6 +101,25 @@ object Bench {
     val sumTaskMs = results.map(_._2.taskMs).sum
     val sumGcMs = results.map(_._2.gcMs).sum
     val par = if (total > 0) sumTaskMs / 1000.0 / total else 0.0
+    // JIT code-cache health: when the cache fills, HotSpot silently stops
+    // compiling and trivial plans run interpreted at 20-60x real-CPU cost
+    // (q26's 61 s on a 1k-row projection in BENCH_r08 — VERDICT r8). Report
+    // per-CodeHeap occupancy so a future outlier self-adjudicates, and
+    // warn loudly when any segment is effectively full.
+    val codeHeaps = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getName.startsWith("CodeHeap")).map { p =>
+        val u = p.getUsage
+        (p.getName, u.getUsed, u.getMax)
+      }.toSeq
+    codeHeaps.foreach { case (n, used, max) =>
+      if (max > 0 && used.toDouble / max > 0.9)
+        System.err.println(f"[bench] WARNING: JIT code cache segment '$n' is " +
+          f"${used.toDouble / max * 100}%.0f%% full ($used/$max bytes) — " +
+          "HotSpot may have stopped compiling; timings in this run are suspect")
+    }
+    val codeCacheJson = codeHeaps.map { case (n, used, max) =>
+      s"""{"pool":"${n.replace("'", "")}","used":$used,"max":$max}"""
+    }.mkString("[", ",", "]")
     try {
       val full = results.map { case (k, v) =>
         s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs}}"""
@@ -110,7 +129,7 @@ object Bench {
       // otherwise silently skew production sums between the two ledgers
       val twinsJson = oracleTwins.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val w = new java.io.PrintWriter("bench_detail.json")
-      try w.println(s"""{"total":$total,"production_total":$prodTotal,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"parallelism":${f"$par%.2f"},"cpus":$cpus,"oracle_twins":$twinsJson,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"total":$total,"production_total":$prodTotal,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"parallelism":${f"$par%.2f"},"cpus":$cpus,"code_cache":$codeCacheJson,"oracle_twins":$twinsJson,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     // Stop Spark BEFORE printing the summary so no executor/stage log line

@@ -1081,9 +1081,12 @@ object SparkEntry {
     // line (page-kill)
     "x79_c4_filter" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // coalesce text before staging: concat_ws SKIPS nulls while the
+      // oracle's `||` would propagate them — '' on both sides keeps a
+      // NULL-text document producing identical staged pages (ADVICE r8)
       val staged = docs.select(F.col("doc_id"),
         F.concat_ws("\n",
-          F.col("text"),
+          F.coalesce(F.col("text"), F.lit("")),
           F.lit("short line"),
           F.lit("This page uses javascript to render content."),
           F.when(F.col("doc_id") % 5 === 0,
@@ -1102,14 +1105,17 @@ object SparkEntry {
     // rotation pattern): center by PcaMean, rotate onto the first 16
     // OpqRotation rows via the native MatVec — 64 -> 16 dims. The LEARNED
     // path (Similarity.pcaFit: sample covariance + Jacobi) is pinned in
-    // OpsSpec; this entry pins the projection math end-to-end
+    // OpsSpec; this entry pins the projection math end-to-end. Output is
+    // posexploded to scalar (vec_id, j, value) rows: the driver compare
+    // hashes pandas cells, and an array<double> cell crashed it in r8
     "x80_pca_project" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
       Similarity.pcaProject(emb, "embedding", PcaMean, OpqRotation.take(16))
         .select(F.col("vec_id"),
-          F.transform(F.col("pca"), x => F.round(x, 6) + F.lit(0.0)).as("pca"))
-        .orderBy("vec_id")
+          F.posexplode(F.transform(F.col("pca"), x => F.round(x, 6) + F.lit(0.0))))
+        .toDF("vec_id", "j", "value")
+        .orderBy("vec_id", "j")
     }),
 
     // DISTRIBUTED Lloyd k-means (two full-corpus iterations from the
@@ -2645,7 +2651,7 @@ object SparkEntry {
     "x79_c4_filter" ->
       """WITH staged AS (
         |  SELECT doc_id,
-        |    text || chr(10) || 'short line' || chr(10)
+        |    coalesce(text, '') || chr(10) || 'short line' || chr(10)
         |      || 'This page uses javascript to render content.' || chr(10)
         |      || CASE WHEN doc_id % 5 = 0
         |           THEN 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'
@@ -2680,7 +2686,8 @@ object SparkEntry {
     // mirrors Similarity.pcaProject from the same PcaMean + first-16
     // OpqRotation rows: center then rotate, per-output-row j-ascending
     // list_sum (the native MatVec addition order), round 6 + 0 (the x76
-    // -0.0 canon)
+    // -0.0 canon). Scalar (vec_id, j, value) rows — posexplode's 0-based
+    // position on the Spark side, rot.i - 1 here
     "x80_pca_project" -> {
       val rvals = OpqRotation.take(16).zipWithIndex.map { case (row, i) =>
         row.mkString(s"(${i + 1}, [", ", ", "]::DOUBLE[])")
@@ -2688,12 +2695,12 @@ object SparkEntry {
       val mvals = PcaMean.mkString("[", ", ", "]::DOUBLE[]")
       s"""WITH rot(i, r) AS (VALUES $rvals),
          |m AS (SELECT $mvals AS mean)
-         |SELECT e.vec_id,
-         |  list(round(list_sum(list_transform(range(1, 65),
+         |SELECT e.vec_id, rot.i - 1 AS j,
+         |  round(list_sum(list_transform(range(1, 65),
          |    j -> rot.r[j] * (e.embedding[j]::DOUBLE - m.mean[j]))), 6) + 0
-         |    ORDER BY rot.i) AS pca
+         |    AS value
          |FROM embeddings e CROSS JOIN rot CROSS JOIN m
-         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+         |ORDER BY vec_id, j""".stripMargin
     },
 
     // mirrors Similarity.kmeansAssign(SemCentroids, iters = 2): two Lloyd

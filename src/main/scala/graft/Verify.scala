@@ -19,9 +19,24 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // the driver compare hashes pandas cells: an array/struct/map
+        // column crashes its sort ('unhashable type' — x80 in r8) and
+        // silently voids the entry. Fail HERE, at build time, instead.
+        val hostile = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType
+             | _: org.apache.spark.sql.types.MapType
+             | _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        require(hostile.isEmpty,
+          s"entry $name emits non-scalar column(s) " +
+            hostile.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+            " — the driver compare cannot hash these; reshape to scalars " +
+            "(posexplode or concat_ws) as x80/x63/x69 do")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -89,17 +89,30 @@ object Components {
       // SMALL-STAR: edges already point small-ward; attach each node and
       // all its smaller neighbors to the minimum among them.
       val smins = large.groupBy("u").agg(F.min("v").as("m"))
+      // LAZY checkpoint + a single stats action: the one job below both
+      // materializes next's local checkpoint (truncating lineage for the
+      // following round) and computes the convergence signal. The r7 shape
+      // (eager checkpoint, then count(), then left-anti isEmpty) spent
+      // three serialized driver round-trips per round — pure driver
+      // latency that dominates at 100 TB scale where rounds are many and
+      // each action has scheduler overhead (VERDICT r8 item 3).
       val next = smins.select(F.col("u"), F.col("m").as("v")).toDF("u", "v")
         .union(large.join(smins, "u")
           .filter(F.col("v") =!= F.col("m"))
           .select(F.col("v").as("u"), F.col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // set equality on canonical (u > v) edges: same cardinality and no
-      // row of `next` outside `edges`
-      val nextCount = next.count()
-      converged = nextCount == edgeCount &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // row of `next` outside `edges` — both counted in ONE aggregation
+      // over a left join against the previous round's (checkpointed) edges
+      val stats = next
+        .join(edges.select(F.col("u"), F.col("v"), F.lit(true).as("__prev")),
+          Seq("u", "v"), "left_outer")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.count(F.when(F.col("__prev").isNull, 1)).as("fresh"))
+        .first()
+      val nextCount = stats.getLong(0)
+      converged = nextCount == edgeCount && stats.getLong(1) == 0L
       edges = next
       edgeCount = nextCount
       iter += 1

@@ -817,8 +817,13 @@ object Similarity {
     val rows = fitSample(corpus, vecCol).collect()
       .map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty, "pcaFit needs a non-empty corpus")
-    require(rows.head.length == dim,
-      s"vector dim ${rows.head.length} != declared $dim")
+    // validate EVERY sampled row, not just head: a ragged corpus must die
+    // here with the dim message, not as an ArrayIndexOutOfBounds inside
+    // the covariance loops (ADVICE r8)
+    rows.indices.foreach { i =>
+      require(rows(i).length == dim,
+        s"pcaFit: sampled vector $i has dim ${rows(i).length} != declared $dim")
+    }
     val n = rows.length
     val mean = new Array[Double](dim)
     rows.foreach { r => var i = 0; while (i < dim) { mean(i) += r(i); i += 1 } }
@@ -925,9 +930,27 @@ object Similarity {
     * count) rows reach the driver (k=1000, dim=1024 → 8 MB — trivially
     * collectable at any corpus size). Updated centroids round to 6 dp
     * before re-broadcast — cross-engine-replayable literals (the
-    * [[pcaFit]] rule), and a fixed quantization grid that makes the
-    * iteration deterministic regardless of partial-sum order. Empty cells
-    * keep their previous center (the [[localLloyd]] rule). */
+    * [[pcaFit]] rule), and a fixed quantization grid that absorbs
+    * partial-sum reordering in the common case — the rounding rule below
+    * matches DuckDB's `round` (half away from zero) bit-for-bit, so
+    * cross-engine parity can only break if accumulated drift itself
+    * crosses a 1e-6 grid boundary, not from a half-rule mismatch. Empty
+    * cells keep their previous center (the [[localLloyd]] rule). */
+  /** DuckDB `round(x, 6)` replica: y = x*1e6 (one double multiply, same
+    * as DuckDB's RoundOperatorPrecision), then round y to an integer half
+    * AWAY from zero — exactly C's round(), with the tie test done on the
+    * exact y - floor(y) difference rather than floor(y + 0.5) (which
+    * double-rounds at a representable .5 boundary). math.rint is half to
+    * even and disagrees with the oracle whenever an average lands on the
+    * grid midpoint (ADVICE r8). */
+  private[graft] def round6HalfAway(x: Double): Double = {
+    val y = x * 1e6
+    val r =
+      if (y >= 0) { val f = math.floor(y); if (y - f >= 0.5) f + 1.0 else f }
+      else { val c = math.ceil(y); if (c - y >= 0.5) c - 1.0 else c }
+    r / 1e6
+  }
+
   def kmeansLloyd(emb: DataFrame, vecCol: String,
                   init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
     require(init.nonEmpty, "kmeansLloyd needs at least one initial centroid")
@@ -943,8 +966,7 @@ object Similarity {
         .collect()
       val next = cents.map(_.clone)
       stats.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) =
-          math.rint(r.getDouble(2) / r.getLong(3) * 1e6) / 1e6
+        next(r.getInt(0))(r.getInt(1)) = round6HalfAway(r.getDouble(2) / r.getLong(3))
       }
       cents = next
       it += 1

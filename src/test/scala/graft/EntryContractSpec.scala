@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The harness contract every `SparkEntry.queries` entry must honor.
+  *
+  * The driver compare loads each entry's parquet into pandas, sorts by
+  * every column, and hashes cell values — an array/struct/map column
+  * crashes that sort with `unhashable type: 'numpy.ndarray'` and silently
+  * voids the entry's correctness row (x80 in round 8). Catch that HERE,
+  * in `sbt test`, not two hops later in the driver's pandas.
+  *
+  * Construction at sf0.001 is cheap: for declarative entries `.schema`
+  * only runs analysis; the handful of fit-path entries (PQ/OPQ/k-means)
+  * run their bounded driver-side collects, which at sf0.001 is sub-second
+  * each.
+  */
+class EntryContractSpec extends AnyFunSuite {
+  private val spark = SparkTest.session
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every entry output column is scalar-typed (driver-hashable)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, dir).schema.fields.filter(f => f.dataType match {
+          case _: ArrayType | _: MapType | _: StructType => true
+          case _ => false
+        })
+        bad.map(f => s"$name(${f.name}: ${f.dataType.simpleString})")
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar entry outputs — reshape with posexplode/concat_ws as " +
+        s"x80/x63/x69 do: ${offenders.mkString(", ")}")
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql keys without a query: $orphans")
+  }
+}

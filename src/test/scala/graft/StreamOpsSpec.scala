@@ -210,7 +210,8 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("c4Filter and knBigramNll score a stream identically to batch") {
+  test("c4Filter streams identically to batch; knBigramNll batch operator " +
+    "is deterministic (foreachBatch contract)") {
     import org.apache.spark.sql.{functions => F}
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
