@@ -1149,6 +1149,63 @@ object SparkEntry {
           "text", numMerges = 8)
         .orderBy("rank")),
 
+    // SQ8 scalar quantization + asymmetric inner-product search (the FAISS
+    // IndexScalarQuantizer shape): per-dim (min, max) bounds fit EXACTLY on
+    // the full corpus (min/max are order-insensitive — no sample bound
+    // needed), corpus side scores through its fused encode->decode
+    // reconstruction, query side stays exact
+    "x84_sq8_search" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      val (mn, mx) = Similarity.sqFit(emb, "embedding", 64)
+      Similarity.sqSearch(emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+          mn, mx, k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
+    // maximal-marginal-relevance rerank: distributed bruteKnn pool (top-8
+    // by cosine for query 0), then the inherently-sequential greedy picks
+    // driver-side on the bounded pool — 4 picks at lambda=0.7, every
+    // argmax on 6-dp-rounded (score, id)
+    "x85_mmr_rerank" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      Similarity.mmrRerank(emb, emb.filter(F.col("vec_id") === 0), "vec_id", "embedding",
+          k = 4, pool = 8, lambda = 0.7)
+        .orderBy("pick")
+    }),
+
+    // cross-document duplicate-sentence census (the sentence-granularity
+    // boilerplate report): testdata docs are single-sentence-ish, so the
+    // entry seeds shared closers — a newsletter plug on mod-4 docs, a
+    // rights notice on mod-7 docs, a unique closer everywhere (the x68
+    // seeding pattern). '.' separators ride the seeds so the shared
+    // sentences segment identically in every host document
+    "x86_sentence_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val seeded = docs.select(F.col("doc_id"),
+        F.concat(
+          F.coalesce(F.col("text"), F.lit("")),
+          F.when(F.col("doc_id") % 4 === 0,
+            F.lit(". Subscribe to our newsletter for updates today")).otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 7 === 0,
+            F.lit(". All rights reserved by the publisher entity")).otherwise(F.lit("")),
+          F.lit(". Unique closing sentence number "),
+          F.col("doc_id").cast("string"), F.lit("."))
+          .as("text"))
+      graft.ops.Curation.duplicateSentences(seeded, "doc_id", "text",
+          minChars = 20, minDocs = 2)
+        .orderBy(F.col("n_docs").desc, F.col("sentence"))
+    }),
+
+    // deterministic equal-count range-shard manifest: md5-sampled keys,
+    // rank-selected boundaries (no interpolation — integer ranks replay in
+    // any engine), comparison-chain assignment, per-shard stats
+    "x87_shard_plan" -> ((s, dir) =>
+      graft.ops.Scale.rangeShardPlan(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", nShards = 8)
+        .orderBy("shard")),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -2811,6 +2868,128 @@ object SparkEntry {
          |SELECT rank, p1 AS a, p2 AS b, m AS merged, c AS cnt FROM ($unions)
          |ORDER BY rank""".stripMargin
     },
+
+    // mirrors Similarity.sqFit + sqSearch: exact per-dim min/max, then the
+    // fused encode->decode reconstruction per corpus vector (sub, div,
+    // *255, +0.5, floor, clamp, then mn + c*(mx-mn)/255 — the identical
+    // IEEE op order of VecOps.sq8Dequant), scored j-ascending against the
+    // exact query (the x06 list_sum pattern), round 6 + 0 before ranking
+    "x84_sq8_search" ->
+      """WITH st AS (
+        |  SELECT j, min(embedding[j]::DOUBLE) AS mn, max(embedding[j]::DOUBLE) AS mx
+        |  FROM embeddings CROSS JOIN range(1, 65) t(j) GROUP BY j
+        |), dq AS (
+        |  SELECT e.vec_id, list(
+        |      CASE WHEN s.mx > s.mn
+        |        THEN s.mn + least(greatest(floor((e.embedding[s.j]::DOUBLE - s.mn)
+        |               / (s.mx - s.mn) * 255.0 + 0.5), 0.0), 255.0)
+        |             * (s.mx - s.mn) / 255.0
+        |        ELSE s.mn END ORDER BY s.j) AS v
+        |  FROM embeddings e CROSS JOIN st s GROUP BY e.vec_id
+        |), sc AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> c.v[i] * q.embedding[i]::DOUBLE)), 6) + 0 AS score
+        |  FROM dq c CROSS JOIN embeddings q
+        |  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, score, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rk FROM sc)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // mirrors Similarity.mmrRerank(k=4, pool=8, lambda=0.7) for query 0:
+    // pool = top-8 by UNROUNDED cosine (the bruteKnn rank order), rel and
+    // pairwise sims round 6, then four unrolled greedy picks — each an
+    // argmax of round(0.7*rel - 0.3*max_sim_to_selected, 6) on
+    // (score DESC, id), the exact driver-side loop
+    "x85_mmr_rerank" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |rel0 AS (
+        |  SELECT c.vec_id AS id, c.embedding AS v,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM embeddings c, q WHERE c.vec_id != 0
+        |), pool AS (
+        |  SELECT id, v, round(cos, 6) + 0 AS rel FROM rel0
+        |  ORDER BY cos DESC, id LIMIT 8
+        |), sim AS (
+        |  SELECT a.id AS i, b.id AS j,
+        |    round(list_sum(list_transform(range(1, 65),
+        |        t -> a.v[t]::DOUBLE * b.v[t]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.v, x -> x::DOUBLE * x::DOUBLE)))
+        |         * sqrt(list_sum(list_transform(b.v, x -> x::DOUBLE * x::DOUBLE)))), 6) + 0 AS s
+        |  FROM pool a, pool b WHERE a.id != b.id
+        |), r1 AS (
+        |  SELECT id, 1 AS pick, round(0.7 * rel - (1.0 - 0.7) * 0.0, 6) + 0 AS score
+        |  FROM pool ORDER BY round(0.7 * rel - (1.0 - 0.7) * 0.0, 6) + 0 DESC, id LIMIT 1
+        |), p2 AS (
+        |  SELECT p.id, round(0.7 * p.rel - (1.0 - 0.7) * (SELECT max(s) FROM sim, r1
+        |      WHERE sim.i = p.id AND sim.j = r1.id), 6) + 0 AS score
+        |  FROM pool p WHERE p.id NOT IN (SELECT id FROM r1)
+        |), r2 AS (SELECT id, 2 AS pick, score FROM p2 ORDER BY score DESC, id LIMIT 1
+        |), sel2 AS (SELECT id FROM r1 UNION ALL SELECT id FROM r2
+        |), p3 AS (
+        |  SELECT p.id, round(0.7 * p.rel - (1.0 - 0.7) * (SELECT max(s) FROM sim
+        |      WHERE sim.i = p.id AND sim.j IN (SELECT id FROM sel2)), 6) + 0 AS score
+        |  FROM pool p WHERE p.id NOT IN (SELECT id FROM sel2)
+        |), r3 AS (SELECT id, 3 AS pick, score FROM p3 ORDER BY score DESC, id LIMIT 1
+        |), sel3 AS (SELECT id FROM sel2 UNION ALL SELECT id FROM r3
+        |), p4 AS (
+        |  SELECT p.id, round(0.7 * p.rel - (1.0 - 0.7) * (SELECT max(s) FROM sim
+        |      WHERE sim.i = p.id AND sim.j IN (SELECT id FROM sel3)), 6) + 0 AS score
+        |  FROM pool p WHERE p.id NOT IN (SELECT id FROM sel3)
+        |), r4 AS (SELECT id, 4 AS pick, score FROM p4 ORDER BY score DESC, id LIMIT 1)
+        |SELECT 0::BIGINT AS query_id, id AS sel_id, pick, score FROM (
+        |  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+        |ORDER BY pick""".stripMargin,
+
+    // mirrors Curation.duplicateSentences over the seeded closers:
+    // identical segmentation regex ([.!?] + whitespace — same class in
+    // Java regex and RE2), lower+trim normalization, >= 20-char floor,
+    // distinct-doc + total counts
+    "x86_sentence_dedup" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, coalesce(text, '')
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN '. Subscribe to our newsletter for updates today' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN '. All rights reserved by the publisher entity' ELSE '' END
+        |    || '. Unique closing sentence number ' || doc_id || '.' AS t
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, unnest(string_split_regex(t, '[.!?]\s+')) AS s FROM seeded
+        |), norm AS (
+        |  SELECT doc_id, lower(trim(s)) AS sentence FROM ex
+        |  WHERE length(lower(trim(s))) >= 20)
+        |SELECT sentence, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_total
+        |FROM norm GROUP BY sentence HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, sentence""".stripMargin,
+
+    // mirrors Scale.rangeShardPlan(nShards=8): md5-prefix key sample,
+    // boundary i = the (i*n//8)-th smallest sample key (integer rank
+    // selection — no quantile interpolation to disagree on), shard =
+    // 1 + |{boundaries < key}|, per-shard stats
+    "x87_shard_plan" ->
+      """WITH s AS (
+        |  SELECT doc_id AS k FROM documents
+        |  WHERE substring(md5(doc_id::VARCHAR), 1, 4) < '199a'
+        |), o AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM s
+        |), c AS (SELECT count(*) AS n FROM s
+        |), b AS (
+        |  SELECT o.k FROM o, c
+        |  WHERE o.rn IN ((1*n)//8, (2*n)//8, (3*n)//8, (4*n)//8,
+        |                 (5*n)//8, (6*n)//8, (7*n)//8)
+        |), a AS (
+        |  SELECT d.doc_id,
+        |    1 + (SELECT count(*) FROM b WHERE b.k < d.doc_id) AS shard
+        |  FROM documents d)
+        |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+        |  min(doc_id) AS min_key, max(doc_id) AS max_key
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     // mirrors TextOps.vocabGrowth (bucketSize 25): a type's first
     // occurrence is min(doc_id) over the token stream; per-bucket token

@@ -229,6 +229,59 @@ object VecOps {
       Array[Any](scale, new GenericArrayData(q), maxErr))
   }
 
+  /** SQ8 per-dimension scalar-quantization codes (FAISS
+    * ScalarQuantizer/QT_8bit convention): per dim j with corpus range
+    * [mn_j, mx_j], `c_j = clamp(floor((x_j − mn_j)/(mx_j − mn_j)·255 + 0.5),
+    * 0, 255)` — floor(+0.5) is the [[quantizeInt8]] rounding, the clamp
+    * covers out-of-train-range query vectors, and a degenerate dim
+    * (mx == mn) encodes 0. Every step is a replayable IEEE op sequence:
+    * sub, div, mul by 255.0, add 0.5, floor. Loud on dimension mismatch
+    * (the [[lshBits]] contract). */
+  def sq8Codes(a: ArrayData, af: Boolean, mn: Array[Double], mx: Array[Double]): Array[Int] = {
+    val dim = mn.length
+    val n = a.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(s"vector dimension must be $dim, got $n")
+    val out = new Array[Int](dim)
+    var j = 0
+    while (j < dim) {
+      val x = if (af) a.getFloat(j).toDouble else a.getDouble(j)
+      val s = mx(j) - mn(j)
+      out(j) =
+        if (s > 0.0) {
+          val c = Math.floor((x - mn(j)) / s * 255.0 + 0.5)
+          if (c < 0.0) 0 else if (c > 255.0) 255 else c.toInt
+        } else 0
+      j += 1
+    }
+    out
+  }
+
+  /** SQ8 encode-then-decode in one pass: `dq_j = mn_j + c_j·(mx_j −
+    * mn_j)/255` with c from [[sq8Codes]] — the reconstruction an SQ8 index
+    * scores against (asymmetric: stored side quantized, query side exact).
+    * Fused so the search path never materializes the int codes. */
+  def sq8Dequant(a: ArrayData, af: Boolean, mn: Array[Double], mx: Array[Double]): Array[Double] = {
+    val dim = mn.length
+    val n = a.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(s"vector dimension must be $dim, got $n")
+    val out = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      val x = if (af) a.getFloat(j).toDouble else a.getDouble(j)
+      val s = mx(j) - mn(j)
+      out(j) =
+        if (s > 0.0) {
+          val c0 = Math.floor((x - mn(j)) / s * 255.0 + 0.5)
+          val c = if (c0 < 0.0) 0.0 else if (c0 > 255.0) 255.0 else c0
+          mn(j) + c * s / 255.0
+        } else mn(j)
+      j += 1
+    }
+    out
+  }
+
   /** Dense mat–vec `out[i] = Σ_j m[i·cols + j]·x[j]`, j-ascending per row —
     * the OPQ rotation step. Loud on dimension mismatch (the [[lshBits]]
     * contract: a wrong-dim vector must not silently produce garbage). */
@@ -604,5 +657,70 @@ case class QuantizeInt8(child: Expression)
     })
 
   protected override def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+/** Shared bounds plumbing for the SQ8 pair — per-dimension (min, max)
+  * literals fit once on the corpus ([[graft.ops.Similarity.sqFit]]), shipped
+  * per task as plan reference objects (the [[MatVec]] pattern). */
+private[functions] trait Sq8Bounds extends VecArrayArg { self: UnaryExpression =>
+  def mins: Array[Double]
+  def maxs: Array[Double]
+  require(mins.nonEmpty && mins.length == maxs.length,
+    s"SQ8 bounds must be two equal non-empty arrays, got ${mins.length}/${maxs.length}")
+  require(mins.indices.forall(j => mins(j) <= maxs(j)),
+    "SQ8 bounds must satisfy min <= max per dimension (swapped bounds would " +
+      "clamp every code to 0 and score garbage)")
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(child.dataType, "")
+  protected def cf: Boolean = isFloatArray(child.dataType)
+}
+
+/** SQ8 codes (array<int>, one 0..255 code per dimension) for storage —
+  * see [[VecOps.sq8Codes]]. At 100 TB this is the point: a 64-dim float
+  * corpus stores 64 bytes/vector instead of 256/512. */
+case class Sq8Encode(child: Expression, mins: Array[Double], maxs: Array[Double])
+    extends UnaryExpression with Sq8Bounds {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "sq8_encode"
+
+  protected override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(
+      VecOps.sq8Codes(a.asInstanceOf[ArrayData], cf, mins, maxs))
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rmn = ctx.addReferenceObj("sq8Mins", mins, "double[]")
+    val rmx = ctx.addReferenceObj("sq8Maxs", maxs, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VecOps.sq8Codes($a, $cf, $rmn, $rmx))")
+  }
+
+  protected override def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+/** SQ8 encode→decode roundtrip (array<double>) — the reconstruction the
+  * asymmetric search path scores with [[DotProduct]]; fused so codes never
+  * materialize. See [[VecOps.sq8Dequant]]. */
+case class Sq8Dequant(child: Expression, mins: Array[Double], maxs: Array[Double])
+    extends UnaryExpression with Sq8Bounds {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq8_dequant"
+
+  protected override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(
+      VecOps.sq8Dequant(a.asInstanceOf[ArrayData], cf, mins, maxs))
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rmn = ctx.addReferenceObj("sq8Mins", mins, "double[]")
+    val rmx = ctx.addReferenceObj("sq8Maxs", maxs, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VecOps.sq8Dequant($a, $cf, $rmn, $rmx))")
+  }
+
+  protected override def withNewChildInternal(newChild: Expression): Sq8Dequant =
     copy(child = newChild)
 }

@@ -182,6 +182,34 @@ object Curation {
         others.map(F.col)): _*)
   }
 
+  /** Cross-document duplicate-sentence census — the reporting half of
+    * sentence-level dedup (what [[dedupLines]] is to lines, at sentence
+    * granularity): segment on terminal punctuation (`[.!?]` + whitespace —
+    * the same regex class in Spark's Java regex and an oracle's RE2),
+    * normalize (lower + trim), and count, per surviving sentence, the
+    * distinct documents containing it and its total occurrences. The
+    * output IS the boilerplate report a curation pass reviews before
+    * choosing removal thresholds (the Lee et al. 2022 workflow step).
+    *
+    * Scale: sentences collapse to (sentence, doc) counts map-side FIRST
+    * (partial agg), then to per-sentence totals — the distinct-doc count
+    * is the second level of a two-level aggregation, NOT a countDistinct
+    * (whose Expand doubles the exploded row volume before any collapse;
+    * the x25 lesson). Short fragments (< `minChars` after normalization)
+    * are dropped before the first shuffle. */
+  def duplicateSentences(docs: DataFrame, idCol: String, textCol: String,
+                         minChars: Int = 20, minDocs: Int = 2): DataFrame = {
+    val norm = F.lower(F.trim(F.col("__s")))
+    val perDoc = docs
+      .select(F.col(idCol), F.explode(F.split(F.col(textCol), "[.!?]\\s+", -1)).as("__s"))
+      .select(F.col(idCol), norm.as("sentence"))
+      .filter(F.length(F.col("sentence")) >= minChars)
+      .groupBy("sentence", idCol).agg(F.count(F.lit(1)).as("__c"))
+    perDoc.groupBy("sentence")
+      .agg(F.count(F.lit(1)).as("n_docs"), F.sum("__c").as("n_total"))
+      .filter(F.col("n_docs") >= minDocs)
+  }
+
   /** @param minTokens      inclusive whitespace-token floor (quality gate)
     * @param maxDupLineFrac inclusive ceiling on duplicate-line fraction
     * @param sampleRate     content-hash keep rate (1.0 = keep all)

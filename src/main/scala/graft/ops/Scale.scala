@@ -115,4 +115,61 @@ object Scale {
       .groupBy(keys.map(F.col): _*)
       .agg(F.sum("__psum").as(s"sum_$valueCol"), F.sum("__pcnt").as("n"))
   }
+
+  /** Deterministic equal-count range-shard boundaries + assignment — the
+    * REPRODUCIBLE replacement for `repartitionByRange`, whose boundaries
+    * come from a nondeterministic reservoir sample (same corpus, two runs,
+    * two different shard layouts — unacceptable for a training-data export
+    * that must be re-creatable bit-for-bit).
+    *
+    * Mechanics (every step engine-replayable, no floats anywhere):
+    *  1. sample keys by content hash (`md5(key)` prefix — the
+    *     [[Sampling.hashSample]] convention: deterministic, salt-free,
+    *     order-independent); the sample is bounded by `maxSample` and is
+    *     the ONLY data that reaches the driver.
+    *  2. boundary i (i = 1..n−1) = the ⌊i·|sample|/nShards⌋-th smallest
+    *     sample key — an explicit rank selection, NOT an interpolated
+    *     quantile (interpolation formulas differ across engines in last-ulp
+    *     IEEE order; integer ranks cannot).
+    *  3. shard(key) = 1 + |{boundaries b : key > b}| — a codegen'd
+    *     comparison chain (boundaries are plan literals; no join, no
+    *     shuffle on the assignment pass).
+    *
+    * Returns the rows with a `shard` column. At 100 TB: one sampled scan +
+    * one assignment scan; writing `.sortWithinPartitions(keyCol)` after
+    * `.repartition(col("shard"))` gives globally range-ordered shards with
+    * exactly one shuffle. */
+  def rangeShardAssign(df: DataFrame, keyCol: String, nShards: Int,
+                       samplePrefix: String = "199a",
+                       maxSample: Int = 1 << 20): DataFrame = {
+    require(nShards >= 2, s"nShards=$nShards: need at least 2 shards to plan")
+    val sampled = df
+      .filter(F.substring(F.md5(F.col(keyCol).cast("string")), 1, 4) < samplePrefix)
+      .select(F.col(keyCol).cast("long").as("__k"))
+    val keys = sampled.limit(maxSample + 1).collect().map(_.getLong(0)).sorted
+    require(keys.nonEmpty, "rangeShardAssign: empty sample — widen samplePrefix")
+    require(keys.length <= maxSample,
+      s"rangeShardAssign: sample exceeds maxSample=$maxSample — tighten " +
+        "samplePrefix (boundaries only need ~1k samples per shard)")
+    val n = keys.length.toLong
+    val bounds = (1 until nShards)
+      .map(i => i.toLong * n / nShards).filter(_ >= 1L).distinct
+      .map(r => keys((r - 1L).toInt))
+    val shard = bounds.foldLeft(F.lit(1)) { (acc, b) =>
+      acc + F.when(F.col(keyCol) > b, 1).otherwise(0)
+    }
+    df.withColumn("shard", shard)
+  }
+
+  /** [[rangeShardAssign]] + per-shard stats (row count, key min/max) — the
+    * export manifest a driver checks before a 100 TB range-sharded write
+    * (a shard 50× its siblings means a skewed key space, caught HERE, not
+    * as a straggler task at hour three). One keyed aggregation. */
+  def rangeShardPlan(df: DataFrame, keyCol: String, nShards: Int,
+                     samplePrefix: String = "199a",
+                     maxSample: Int = 1 << 20): DataFrame =
+    rangeShardAssign(df, keyCol, nShards, samplePrefix, maxSample)
+      .groupBy("shard")
+      .agg(F.count(F.lit(1)).as("n_rows"),
+        F.min(keyCol).as("min_key"), F.max(keyCol).as("max_key"))
 }

@@ -1007,6 +1007,135 @@ object Similarity {
       queries.withColumn(vecCol, matVec(rotation, F.col(vecCol))),
       idCol, vecCol, codebooks, k)
 
+  /** Per-dimension (min, max) bounds for SQ8 scalar quantization (FAISS
+    * ScalarQuantizer "train" with RS_minmax) — unlike the sample-bounded
+    * PQ/OPQ/PCA fits this is EXACT over the full corpus, because min/max
+    * are order-insensitive single-pass aggregates: posexplode to (j, x)
+    * rows, map-side partial min/max, and only `dim` rows cross the shuffle
+    * per partition (dim·partitions total — trivial at any corpus size).
+    * Ragged vectors surface as extra j groups and fail the length check
+    * loudly (the [[pcaFit]] contract). */
+  def sqFit(corpus: DataFrame, vecCol: String, dim: Int): (Array[Double], Array[Double]) = {
+    val stats = corpus
+      .select(F.posexplode(F.col(vecCol).cast("array<double>")).as(Seq("j", "x")))
+      .groupBy("j").agg(F.min("x").as("mn"), F.max("x").as("mx"))
+      .collect()
+    require(stats.length == dim,
+      s"sqFit: corpus has ${stats.length} distinct dimensions, expected $dim " +
+        "(ragged or wrong-dim vectors)")
+    val mn = new Array[Double](dim); val mx = new Array[Double](dim)
+    stats.foreach { r =>
+      val j = r.getInt(0); mn(j) = r.getDouble(1); mx(j) = r.getDouble(2)
+    }
+    (mn, mx)
+  }
+
+  /** SQ8 storage codes: one 0..255 int per dimension against the [[sqFit]]
+    * bounds — 1 byte/dim instead of 4/8, the compression an embedding
+    * corpus at 100 TB actually banks. Native single-pass expression
+    * ([[graft.functions.Sq8Encode]]); zero shuffle. */
+  def sqEncode(df: DataFrame, vecCol: String,
+               mins: Array[Double], maxs: Array[Double]): DataFrame =
+    df.withColumn("sq_code", GraftExpr.column(
+      graft.functions.Sq8Encode(GraftExpr.expression(F.col(vecCol)), mins, maxs)))
+
+  /** Asymmetric SQ8 top-k search (FAISS IndexScalarQuantizer, IP metric):
+    * corpus side scores through its encode→decode reconstruction
+    * ([[graft.functions.Sq8Dequant]] — fused, codes never materialize),
+    * query side stays exact. Same plan shape as [[bruteKnn]]: queries
+    * broadcast, corpus scanned once with no shuffle of corpus rows,
+    * rank-filter compiles to WindowGroupLimit. Scores round to 6 before
+    * ranking so the (score, id) order is engine-replayable. */
+  def sqSearch(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+               mins: Array[Double], maxs: Array[Double], k: Int): DataFrame = {
+    val dq = corpus.withColumn("__dq", GraftExpr.column(
+      graft.functions.Sq8Dequant(GraftExpr.expression(F.col(vecCol)), mins, maxs)))
+    val q = F.broadcast(queries
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "__qvec"))
+    val scored = dq.join(q, dq(idCol) =!= F.col("query_id"))
+      .withColumn("score",
+        F.round(dot(F.col("__dq"), F.col("__qvec").cast("array<double>")), 6) + F.lit(0.0))
+    val w = Window.partitionBy("query_id").orderBy(F.col("score").desc, F.col(idCol).asc)
+    scored.withColumn("rk", F.row_number().over(w))
+      .filter(F.col("rk") <= k)
+      .select(F.col("query_id"), F.col(idCol).as("neighbor_id"), F.col("score"), F.col("rk"))
+  }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) — the
+    * diversity pass between retrieval and a training batch / RAG context:
+    * greedily pick `k` of the top-`pool` candidates maximizing
+    * `λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s)`.
+    *
+    * Split by scale regime: candidate generation is the distributed
+    * [[bruteKnn]] scan (corpus never shuffles), while the greedy selection
+    * runs driver-side on the collected pool — MMR is inherently sequential
+    * (pick r depends on picks 1..r−1) and the pool is bounded
+    * (|queries|·pool rows), exactly the [[pqFit]] driver-bounded regime,
+    * NOT a collect of corpus data. Relevances and pairwise similarities
+    * round to 6 dp before the arithmetic ([[round6HalfAway]], matching SQL
+    * `round`), ties break on lower id, and the round-1 pick is the same
+    * formula with an empty-set penalty of 0 — every pick is an
+    * engine-replayable argmax. Output: (query_id, sel_id, pick, score). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, pool: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got pool=$pool k=$k")
+    require(pool <= 4096, s"pool=$pool: MMR pools are rerank windows, not corpora")
+    val spark = corpus.sparkSession
+    val cand = bruteKnn(corpus, queries, idCol, vecCol, pool)
+      .filter(F.col("cos").isNotNull) // zero-norm rows carry no signal to rerank
+      .join(corpus.select(F.col(idCol).as("neighbor_id"),
+        F.col(vecCol).cast("array<double>").as("__v")), Seq("neighbor_id"))
+      .select(F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"),
+        F.col("cos"), F.col("__v"))
+      .collect()
+    val picks = cand.groupBy(_.getLong(0)).toSeq.sortBy(_._1).flatMap {
+      case (qid, rows) =>
+        val ids = rows.map(_.getLong(1))
+        val rel = rows.map(r => round6HalfAway(r.getDouble(2)))
+        val vecs = rows.map(_.getSeq[Double](3).toArray)
+        val n = ids.length
+        // pairwise cosines, rounded like the relevances (one pass, j-asc)
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+          val den = math.sqrt(na) * math.sqrt(nb)
+          if (den > 0.0) d / den else 0.0
+        }
+        val sim = Array.tabulate(n, n)((i, j) =>
+          if (i == j) 1.0 else round6HalfAway(cos(vecs(i), vecs(j))))
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+        var pick = 1
+        while (pick <= k) {
+          var bestI = -1; var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!selected.contains(i)) {
+              // TRUE max over the selected set (a negative similarity is a
+              // diversity BONUS and must not clamp to 0); empty set → no
+              // penalty, so pick 1 is argmax of λ·rel alone
+              val maxSim =
+                if (selected.isEmpty) 0.0
+                else selected.iterator.map(s => sim(i)(s)).max
+              val score = round6HalfAway(lambda * rel(i) - (1.0 - lambda) * maxSim)
+              // argmax on (score DESC, id ASC) — the engine-replayable order
+              if (bestI < 0 || score > bestScore ||
+                  (score == bestScore && ids(i) < ids(bestI))) {
+                bestScore = score; bestI = i
+              }
+            }
+            i += 1
+          }
+          out += ((qid, ids(bestI), pick, bestScore))
+          selected += bestI
+          pick += 1
+        }
+        out
+    }
+    import spark.implicits._
+    picks.toDF("query_id", "sel_id", "pick", "score")
+  }
+
   private def flagSemDups(assigned0: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, maxCell: Int): DataFrame = {
     // one exchange feeds the census and both self-join sides (nearDupPairs)

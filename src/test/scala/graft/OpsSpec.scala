@@ -1778,4 +1778,107 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq((0L, 2L, 4L, 3L, 4L, 3L), (1L, 1L, 3L, 1L, 7L, 4L)))
   }
+
+  test("sqFit + sqEncode: exact bounds, code range, reconstruction error bound") {
+    val vecs = Seq(
+      (0L, Seq(0.0, -1.0, 5.0)),
+      (1L, Seq(1.0, 1.0, 5.0)),
+      (2L, Seq(0.5, 3.0, 5.0)))    // dim 2 is constant at 5.0 (mx == mn)
+    val df = vecs.toDF("vec_id", "v")
+    val (mn, mx) = Similarity.sqFit(df, "v", 3)
+    assert(mn.toSeq == Seq(0.0, -1.0, 5.0) && mx.toSeq == Seq(1.0, 3.0, 5.0))
+    val codes = Similarity.sqEncode(df, "v", mn, mx)
+      .select("vec_id", "sq_code").as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    assert(codes(0L)(0) == 0 && codes(1L)(0) == 255, "range endpoints hit 0/255")
+    assert(codes.values.forall(_.apply(2) == 0), "degenerate dim encodes 0")
+    // reconstruction error of in-range values is bounded by half a step
+    vecs.foreach { case (id, v) =>
+      v.indices.foreach { j =>
+        val s = mx(j) - mn(j)
+        val dq = if (s > 0) mn(j) + codes(id)(j) * s / 255.0 else mn(j)
+        assert(math.abs(dq - v(j)) <= (if (s > 0) s / 255.0 / 2 else 0.0) + 1e-12,
+          s"vec $id dim $j: $dq vs ${v(j)}")
+      }
+    }
+  }
+
+  test("sqFit dies loudly on ragged vectors; sqSearch ranks ~like brute") {
+    val ragged = Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)).map(Tuple1(_)).toDF("v")
+    val e = intercept[IllegalArgumentException](Similarity.sqFit(ragged, "v", 2))
+    assert(e.getMessage.contains("distinct dimensions"))
+    // 8-dim corpus: quantized IP search must find the true top neighbor
+    // (quantization noise ≪ the separation between planted neighbors)
+    val rnd = new scala.util.Random(5L)
+    val base = Array.fill(8)(rnd.nextGaussian())
+    val rows = (0L until 50L).map { i =>
+      val noise = if (i == 7L) 0.01 else 1.0   // vec 7 ~parallel to vec 0
+      (i, Array.tabulate(8)(j => base(j) * (if (i == 0 || i == 7) 1.0 else 0.0) +
+        noise * rnd.nextGaussian()).toSeq)
+    }
+    val df = rows.toDF("vec_id", "v")
+    val (mn, mx) = Similarity.sqFit(df, "v", 8)
+    val top = Similarity.sqSearch(df, df.filter($"vec_id" === 0L), "vec_id", "v",
+        mn, mx, k = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(top == 7L, "quantized IP search finds the planted near-parallel vector")
+  }
+
+  test("mmrRerank: diversity beats redundancy; lambda=1 reduces to relevance") {
+    // query q; a-cluster: three near-copies, most relevant (cos ~0.8); b:
+    // mirrored across q, slightly less relevant (cos ~0.78) but nearly
+    // orthogonal to the a-cluster (sim ~0.27). MMR at lambda .5 must pick b
+    // second (0.5·0.78 − 0.5·0.27 ≫ 0.5·0.8 − 0.5·1.0); pure relevance
+    // (lambda 1) emits the redundant a-copies first.
+    val q = Seq(1.0, 0.0, 0.0)
+    val rows = Seq(
+      (10L, Seq(0.81, 0.59, 0.0)),  // a1 (most relevant)
+      (11L, Seq(0.80, 0.60, 0.0)),  // a2 ~= a1
+      (12L, Seq(0.79, 0.61, 0.0)),  // a3 ~= a1
+      (13L, Seq(0.78, -0.62, 0.0))) // b: relevant but diverse
+    val corpus = rows.toDF("vec_id", "v")
+    val queries = Seq((0L, q)).toDF("vec_id", "v")
+    val diverse = Similarity.mmrRerank(corpus, queries, "vec_id", "v",
+        k = 2, pool = 4, lambda = 0.5)
+      .orderBy("pick").select("sel_id").as[Long].collect().toSeq
+    assert(diverse == Seq(10L, 13L), s"pick 2 must be the distinct vector: $diverse")
+    val relevOnly = Similarity.mmrRerank(corpus, queries, "vec_id", "v",
+        k = 2, pool = 4, lambda = 1.0)
+      .orderBy("pick").select("sel_id").as[Long].collect().toSeq
+    assert(relevOnly == Seq(10L, 11L), s"lambda=1 is pure relevance: $relevOnly")
+  }
+
+  test("duplicateSentences: census counts distinct docs and total occurrences") {
+    val docs = Seq(
+      (1L, "All rights reserved today. A unique opening statement here. All rights reserved today."),
+      (2L, "All rights reserved today. Another body sentence entirely."),
+      (3L, "Nothing shared in this one at all. Tiny."),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = graft.ops.Curation.duplicateSentences(docs, "doc_id", "text",
+        minChars = 10, minDocs = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    // "all rights reserved today" appears in docs 1 (twice: mid + trailing
+    // '.'-suffixed variant differs!) — trailing form keeps its '.', so the
+    // mid-doc form "all rights reserved today" is in docs 1 and 2 once each
+    assert(out == Seq(("all rights reserved today", 2L, 2L)), out.toString)
+  }
+
+  test("rangeShardAssign covers every row; plan is deterministic and balanced") {
+    val df = (0L until 5000L).map(i => Tuple1(i * 7L % 5000L)).toDF("k")
+    val plan1 = graft.ops.Scale.rangeShardPlan(df, "k", nShards = 8)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val plan2 = graft.ops.Scale.rangeShardPlan(df, "k", nShards = 8)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(plan1 == plan2, "same corpus, same plan — bit-for-bit")
+    assert(plan1.map(_._2).sum == 5000L, "every row lands in exactly one shard")
+    assert(plan1.size == 8 && plan1.map(_._1) == (1 to 8),
+      s"8 contiguous shards: ${plan1.map(_._1)}")
+    // shards are ranges: maxes strictly below the next shard's min
+    plan1.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 < b._3, s"shard ${a._1} max ${a._4} overlaps ${b._1} min ${b._3}")
+    }
+    // equal-count to within sampling error (10% md5 sample of 5k keys)
+    assert(plan1.map(_._2).max < 3L * plan1.map(_._2).min,
+      s"balanced within sampling noise: ${plan1.map(_._2)}")
+  }
 }

@@ -607,4 +607,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pa.contains("Exchange"),
       s"kmeansAssign output must not shuffle the corpus:\n$pa")
   }
+
+  test("sqSearch: native dequant projection, broadcast queries, WindowGroupLimit") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val mn = Array.fill(64)(-1.0); val mx = Array.fill(64)(1.0)
+    // encode is a shuffle-free codegen projection
+    val pe = plan(graft.ops.Similarity.sqEncode(emb, "embedding", mn, mx))
+    assert(!pe.contains("Exchange"), s"sqEncode must not shuffle:\n$pe")
+    assert(pe.contains("sq8_encode"), s"encode must be the native expression:\n$pe")
+    // search: corpus scanned once (dequant fused), queries broadcast,
+    // top-k partial-limits map-side
+    val p = plan(graft.ops.Similarity.sqSearch(
+      emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", mn, mx, k = 3))
+    assert(p.contains("sq8_dequant"), s"reconstruction must be fused-native:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k must limit before shuffle:\n$p")
+  }
+
+  test("duplicateSentences: two-level agg (no Expand), partial counts map-side") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.Curation.duplicateSentences(docs, "doc_id", "text"))
+    assert(!p.contains("Expand"),
+      s"distinct-doc count must be the two-level agg, not countDistinct's Expand:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"(sentence, doc) counts must partial-aggregate before the shuffle:\n$p")
+  }
+
+  test("rangeShardAssign: boundary comparisons are a shuffle-free codegen projection") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.Scale.rangeShardAssign(docs, "doc_id", nShards = 8))
+    assert(!p.contains("Exchange"),
+      s"assignment must be a projection over plan-literal boundaries (no join):\n$p")
+    assert(p.contains("*(1)"), s"assignment must stay in whole-stage codegen:\n$p")
+  }
 }
