@@ -1206,6 +1206,18 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", nShards = 8)
         .orderBy("shard")),
 
+    // DISTRIBUTED logistic-regression training (two full-batch GD rounds
+    // on "is this doc English?" over binary hashed-BoW buckets) — the
+    // kmeansLloyd iteration contract for a classifier: one job per round,
+    // nBuckets+1 gradient rows to the driver, 6-dp weight quantization
+    "x88_logreg_train" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("y", F.when(F.col("lang") === "en", 1.0).otherwise(0.0))
+      TextOps.trainQualityClassifierDF(docs, "text", "y",
+          nBuckets = 64, iters = 2, lr = 0.5)
+        .orderBy("bucket")
+    }),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -2968,6 +2980,47 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_total
         |FROM norm GROUP BY sentence HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, sentence""".stripMargin,
+
+    // mirrors TextOps.trainQualityClassifier(nBuckets=64, iters=2, lr=0.5)
+    // on y = (lang = 'en'): round 1 starts at w = 0 so p = 0.5 exactly
+    // (no transcendental yet); round 2 replays the sigmoid over the
+    // quantized round-1 weights (the x49-proven exp path), with every
+    // per-doc logit a b-ascending list_sum over the sorted distinct
+    // bucket list. Bias rides as bucket -1; unseen buckets keep w = 0
+    "x88_logreg_train" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    list_sort(list_distinct(list_transform(
+        |      list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |        x -> length(x) > 0),
+        |      tk -> (('0x' || substring(md5(tk), 1, 7))::BIGINT % 64)::INT))) AS bs
+        |  FROM documents
+        |), n AS (SELECT count(*)::DOUBLE AS n FROM t
+        |), e1 AS (SELECT 0.5 - y AS g, bs FROM t
+        |), g1 AS (SELECT unnest([-1] || bs) AS b, g FROM e1
+        |), s1 AS (SELECT b, sum(g) AS sg FROM g1 GROUP BY b
+        |), u1 AS (
+        |  SELECT s1.b, round(0.0 - 0.5 * s1.sg / n.n, 6) + 0 AS w FROM s1, n
+        |), w1 AS (
+        |  SELECT list(coalesce(u1.w, 0.0) ORDER BY r.j) AS arr
+        |  FROM range(0, 64) r(j) LEFT JOIN u1 ON u1.b = r.j
+        |), b1 AS (SELECT w AS bias FROM u1 WHERE b = -1
+        |), e2 AS (
+        |  SELECT 1.0 / (1.0 + exp(-(b1.bias
+        |      + coalesce(list_sum(list_transform(t.bs, b -> w1.arr[b + 1])), 0.0))))
+        |    - t.y AS g, t.bs
+        |  FROM t, w1, b1
+        |), g2 AS (SELECT unnest([-1] || bs) AS b, g FROM e2
+        |), s2 AS (SELECT b, sum(g) AS sg FROM g2 GROUP BY b
+        |), u2 AS (
+        |  SELECT s2.b, round(CASE WHEN s2.b = -1 THEN b1.bias
+        |      ELSE w1.arr[s2.b + 1] END - 0.5 * s2.sg / n.n, 6) + 0 AS w
+        |  FROM s2, n, w1, b1)
+        |SELECT bucket, w FROM (
+        |  SELECT r.j::INT AS bucket, coalesce(u2.w, 0.0) AS w
+        |  FROM range(0, 64) r(j) LEFT JOIN u2 ON u2.b = r.j
+        |  UNION ALL SELECT -1 AS bucket, w FROM u2 WHERE b = -1)
+        |ORDER BY bucket""".stripMargin,
 
     // mirrors Scale.rangeShardPlan(nShards=8): md5-prefix key sample,
     // boundary i = the (i*n//8)-th smallest sample key (integer rank

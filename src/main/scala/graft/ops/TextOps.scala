@@ -840,4 +840,90 @@ object TextOps {
           F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / (nTok - 1))
          .otherwise(0.0))
   }
+
+  /** Sorted distinct md5-bucket set of a document's tokens — the binary
+    * hashed-BoW feature vector of [[trainQualityClassifier]], as a bucket
+    * list (ascending, so any per-doc sum over it is order-pinned). Null
+    * text → empty set (the doc still trains the bias). */
+  private def bucketSet(textCol: Column, nBuckets: Int): Column = {
+    val toks = F.filter(
+      F.split(F.lower(F.trim(F.coalesce(textCol, F.lit("")))), "\\s+"),
+      t => F.length(t) > 0)
+    F.array_sort(F.array_distinct(F.transform(toks, t =>
+      (F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long") % nBuckets)
+        .cast("int"))))
+  }
+
+  /** DISTRIBUTED logistic-regression training over binary hashed-BoW
+    * features — the TRAINING half of the quality-classifier story
+    * ([[classifierScore]] is inference with given weights; this learns
+    * them from a labeled corpus, the CCNet/fastText recipe at its core:
+    * full-batch gradient descent on `σ(bias + Σ_{b∈doc} w_b)` vs a 0/1
+    * label).
+    *
+    * The [[graft.ops.Similarity.kmeansLloyd]] scale contract, applied to a
+    * classifier: per iteration ONE distributed job — per-doc logits are a
+    * projection over the (sorted, distinct) bucket list with the weights
+    * as plan literals, per-doc errors `p − y` explode to (bucket, err)
+    * rows (plus a sentinel −1 row for the bias) and partial-aggregate
+    * map-side, so only `nBuckets + 1` rows reach the driver at ANY corpus
+    * size. Updated weights round to 6 dp half-away before re-broadcast
+    * ([[graft.ops.Similarity.round6HalfAway]]) — engine-replayable
+    * literals, and the quantization absorbs partial-sum reordering (the
+    * kmeansLloyd rule; parity breaks only if drift itself crosses a 1e-6
+    * boundary). Iteration 1 starts at w = 0 ⇒ p = 0.5 exactly — no
+    * transcendental enters until round 2, and σ's `exp` at identical
+    * inputs is the x49-proven cross-engine path.
+    *
+    * @param labelCol 0.0/1.0 double column (e.g. "is English")
+    * @return (bucket weights, bias) after `iters` full-batch steps */
+  def trainQualityClassifier(docs: DataFrame, textCol: String, labelCol: String,
+                             nBuckets: Int = 64, iters: Int = 2,
+                             lr: Double = 0.5): (Array[Double], Double) = {
+    require(nBuckets > 0 && iters >= 0 && lr > 0.0,
+      s"need nBuckets > 0, iters >= 0, lr > 0; got ($nBuckets, $iters, $lr)")
+    val staged = docs.select(
+      F.col(labelCol).cast("double").as("__y"),
+      bucketSet(F.col(textCol), nBuckets).as("__bs"))
+    val n = staged.count().toDouble
+    require(n > 0, "trainQualityClassifier: empty corpus")
+    var w = new Array[Double](nBuckets)
+    var bias = 0.0
+    var it = 0
+    while (it < iters) {
+      val warr = F.array(w.map(F.lit).toIndexedSeq: _*)
+      // logit over the ascending bucket list — the association order any
+      // engine replays with a list_transform/list_sum over the same list
+      val z = F.lit(bias) + F.aggregate(F.col("__bs"), F.lit(0.0),
+        (acc, b) => acc + F.element_at(warr, b + 1))
+      val err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("__y")
+      val grads = staged
+        .select(F.explode(F.concat(F.array(F.lit(-1)), F.col("__bs"))).as("b"),
+          err.as("g"))
+        .groupBy("b").agg(F.sum("g").as("g"))
+        .collect()
+      val next = w.clone()
+      grads.foreach { r =>
+        val b = r.getInt(0); val g = r.getDouble(1)
+        if (b < 0) bias = Similarity.round6HalfAway(bias - lr * g / n)
+        else next(b) = Similarity.round6HalfAway(next(b) - lr * g / n)
+      }
+      w = next
+      it += 1
+    }
+    (w, bias)
+  }
+
+  /** [[trainQualityClassifier]] + the learned model as a DataFrame —
+    * (bucket, w) rows with the bias at bucket −1, the shape a model store
+    * persists and [[classifierScore]]-style scorers broadcast back. */
+  def trainQualityClassifierDF(docs: DataFrame, textCol: String, labelCol: String,
+                               nBuckets: Int = 64, iters: Int = 2,
+                               lr: Double = 0.5): DataFrame = {
+    val (w, bias) = trainQualityClassifier(docs, textCol, labelCol, nBuckets, iters, lr)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    ((-1, bias) +: w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b, v) })
+      .toDF("bucket", "w")
+  }
 }

@@ -1863,6 +1863,41 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq(("all rights reserved today", 2L, 2L)), out.toString)
   }
 
+  test("trainQualityClassifier: hand-checked first step, separation after training") {
+    // one positive single-token doc: iter-1 gradient is p−y = −0.5 for the
+    // bias AND for the token's bucket → both update to 0.5·0.5/1 = 0.25
+    val one = Seq(("alpha", 1.0)).toDF("text", "y")
+    val (w1, b1) = TextOps.trainQualityClassifier(one, "text", "y",
+      nBuckets = 8, iters = 1, lr = 0.5)
+    assert(b1 == 0.25, s"bias after one step: $b1")
+    assert(w1.count(_ != 0.0) == 1 && w1.find(_ != 0.0).get == 0.25,
+      s"exactly the token's bucket moves: ${w1.toSeq}")
+    // iters = 0 is the identity
+    val (w0, b0) = TextOps.trainQualityClassifier(one, "text", "y",
+      nBuckets = 8, iters = 0, lr = 0.5)
+    assert(b0 == 0.0 && w0.forall(_ == 0.0))
+    // separable corpus: after a few steps the learned model scores a
+    // positive-vocabulary doc above a negative-vocabulary one
+    val docs = (0 until 20).map(i =>
+      if (i % 2 == 0) (s"excellent wonderful prose $i", 1.0)
+      else (s"garbled spam junk $i", 0.0)).toDF("text", "y")
+    val (w, b) = TextOps.trainQualityClassifier(docs, "text", "y",
+      nBuckets = 32, iters = 5, lr = 1.0)
+    def bucket(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(7)
+      (java.lang.Long.parseLong(hex, 16) % 32).toInt
+    }
+    val zPos = b + Seq("excellent", "wonderful", "prose").map(t => w(bucket(t))).sum
+    val zNeg = b + Seq("garbled", "spam", "junk").map(t => w(bucket(t))).sum
+    assert(zPos > zNeg + 0.5, s"learned separation: zPos=$zPos zNeg=$zNeg")
+    // DF shape: nBuckets + 1 rows, bias at bucket -1
+    val rows = TextOps.trainQualityClassifierDF(one, "text", "y",
+        nBuckets = 8, iters = 1, lr = 0.5)
+      .as[(Int, Double)].collect().sortBy(_._1)
+    assert(rows.length == 9 && rows.head == ((-1, 0.25)), rows.toSeq.toString)
+  }
+
   test("rangeShardAssign covers every row; plan is deterministic and balanced") {
     val df = (0L until 5000L).map(i => Tuple1(i * 7L % 5000L)).toDF("k")
     val plan1 = graft.ops.Scale.rangeShardPlan(df, "k", nShards = 8)

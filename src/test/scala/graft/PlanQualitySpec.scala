@@ -635,6 +635,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"(sentence, doc) counts must partial-aggregate before the shuffle:\n$p")
   }
 
+  test("logreg gradient round: errors partial-aggregate; weights ride as literals") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("y", F.when(F.col("lang") === "en", 1.0).otherwise(0.0))
+    // the per-iteration job shape: explode (bucket, err) then groupBy —
+    // the corpus must collapse to <= nBuckets+1 partials map-side, and the
+    // weight vector must be a plan literal (no second input, no join)
+    val staged = docs.select(F.col("y").as("__y"),
+      F.array_sort(F.array_distinct(F.transform(
+        F.filter(F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), "\\s+"),
+          t => F.length(t) > 0),
+        t => (F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long") % 64)
+          .cast("int")))).as("__bs"))
+    val err = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(0.0) +
+      F.aggregate(F.col("__bs"), F.lit(0.0), (a, b) => a + b * 0.0)))) - F.col("__y")
+    val grads = staged
+      .select(F.explode(F.concat(F.array(F.lit(-1)), F.col("__bs"))).as("b"), err.as("g"))
+      .groupBy("b").agg(F.sum("g"))
+    val p = plan(grads)
+    assert(p.contains("partial_sum"),
+      s"gradient sums must partial-aggregate before the shuffle:\n$p")
+    assert(!p.contains("Join"), s"weights must be literals, not a joined table:\n$p")
+  }
+
   test("rangeShardAssign: boundary comparisons are a shuffle-free codegen projection") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.Scale.rangeShardAssign(docs, "doc_id", nShards = 8))
