@@ -672,9 +672,10 @@ object SparkEntry {
     // integers; the right side is pre-deduped to one error per (user, µs)
     // so tie resolution can't differ between engines.
     "x46_asof_join" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/events.parquet")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val e = raw
         .select(F.col("event_id"), F.col("user_id"), F.col("event_type"),
-          F.expr("ts DIV 1000").as("ts_us"))
+          EventOps.tsUs(raw).as("ts_us"))
       val err = e.filter(F.col("event_type") === "error")
         .groupBy("user_id", "ts_us").agg(F.max("event_id").as("event_id"))
       AsOf.asofJoin(e, err, Seq("user_id"), "ts_us", "ts_us")
@@ -1216,6 +1217,23 @@ object SparkEntry {
       TextOps.trainQualityClassifierDF(docs, "text", "y",
           nBuckets = 64, iters = 2, lr = 0.5)
         .orderBy("bucket")
+    }),
+
+    // END-TO-END oracle twin for the embedding-LSH kNN family (VERDICT r8
+    // task 5): ONE table at the x45-pinned config (4 planes, dim 64, seed
+    // 42), so DuckDB replays the WHOLE x07 pipeline — bucket → candidate
+    // equi-join → exact-cosine row_number rank — not just the bucket math.
+    // Embeddings cast to double first (the x06 convention) so both engines
+    // run identical double arithmetic. Completes the fixed-math twin set:
+    // minhash x43, simhash x44, winnowing x42, LSH buckets x45, LSH kNN
+    // x89; the production x07 (16 tables, auto recall) stays rows-only
+    // with its OpsSpec recall floor.
+    "x89_lsh_knn_twin" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      Similarity.lshKnn(emb, emb.filter(F.col("vec_id") < 50), "vec_id", "embedding",
+          k = 3, nPlanes = 4, nTables = 1)
+        .orderBy("query_id", "rk")
     }),
 
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
@@ -3021,6 +3039,32 @@ object SparkEntry {
         |  FROM range(0, 64) r(j) LEFT JOIN u2 ON u2.b = r.j
         |  UNION ALL SELECT -1 AS bucket, w FROM u2 WHERE b = -1)
         |ORDER BY bucket""".stripMargin,
+
+    // same plane literals as the Spark side (hyperplanes are deterministic
+    // driver doubles — the x45 pattern); cosine is the x06 expression so
+    // the only new oracle surface is the bucket equi-join + rank
+    "x89_lsh_knn_twin" -> {
+      val bits = Similarity.hyperplanes(4, 64, 42L).zipWithIndex.map { case (p, i) =>
+        val lit = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), " +
+          s"i -> embedding[i]::DOUBLE * ($lit)[i])) > 0.0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ($bits)::BIGINT AS bucket FROM embeddings
+         |), cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+         |    / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+         |  FROM b c JOIN b q ON c.bucket = q.bucket
+         |  WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
+         |SELECT query_id, neighbor_id, cos, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM cand)
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+    },
 
     // mirrors Scale.rangeShardPlan(nShards=8): md5-prefix key sample,
     // boundary i = the (i*n//8)-th smallest sample key (integer rank

@@ -5,8 +5,12 @@ import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.expressions.Window
 
 /** Batch analytics over the `events` table (event_id, ts, user_id,
-  * event_type, value, props). The parquet carries ns-precision timestamps,
-  * read as long nanos (`nanosAsLong`); helpers convert explicitly.
+  * event_type, value, props). The `ts` column's physical type has CHANGED
+  * across testdata generations — int64 ns (read as LONG under
+  * `nanosAsLong`) through round 8, native µs TIMESTAMP_NTZ from round 9 —
+  * so every consumer goes through the type-adaptive [[tsUs]]/[[tsStamp]]
+  * helpers instead of assuming one encoding. Epoch math is done at µs
+  * resolution in ALL cases (SURVEY §1: the oracle engines are µs-native).
   *
   * Scale notes: the hourly rollup is a single hash-shuffle on
   * (hour, event_type) with map-side partial aggregation; sessionization
@@ -14,16 +18,37 @@ import org.apache.spark.sql.expressions.Window
   * shuffle plans for their semantics.
   */
 object EventOps {
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
-  /** ns-epoch long → timestamp (µs truncation, SURVEY §1 accepted delta).
-    * Integer division — `/` would round through double at 1e18 magnitudes. */
-  def tsCol(nsCol: Column): Column =
-    F.timestamp_micros(F.call_function("div", nsCol, F.lit(1000L)))
+  /** Epoch-µs LONG view of `df`'s `ts` column, whatever its storage type.
+    * Long branch uses integer `div` — `/` would round through double at
+    * 1e18 ns magnitudes. NTZ casts through session-tz timestamp; every
+    * graft session pins spark.sql.session.timeZone=UTC, which makes the
+    * wall-clock→epoch reading identical to DuckDB's `epoch_us(naive_ts)`. */
+  def tsUs(df: DataFrame, col: String = "ts"): Column =
+    df.schema(col).dataType match {
+      case LongType => F.call_function("div", F.col(col), F.lit(1000L))
+      case TimestampNTZType => F.unix_micros(F.col(col).cast(TimestampType))
+      case TimestampType => F.unix_micros(F.col(col))
+      case t => throw new IllegalArgumentException(
+        s"events.$col: expected ns-long or timestamp, got ${t.simpleString}")
+    }
+
+  /** Timestamp-typed view of `ts` (µs truncation for the ns-long case —
+    * SURVEY §1 accepted delta). */
+  def tsStamp(df: DataFrame, col: String = "ts"): Column =
+    df.schema(col).dataType match {
+      case LongType =>
+        F.timestamp_micros(F.call_function("div", F.col(col), F.lit(1000L)))
+      case TimestampNTZType | TimestampType => F.col(col).cast(TimestampType)
+      case t => throw new IllegalArgumentException(
+        s"events.$col: expected ns-long or timestamp, got ${t.simpleString}")
+    }
 
   /** Tumbling hourly rollup per event_type. */
   def hourlyRollup(events: DataFrame): DataFrame =
     events
-      .withColumn("hour", F.date_format(tsCol(F.col("ts")), "yyyy-MM-dd HH"))
+      .withColumn("hour", F.date_format(tsStamp(events), "yyyy-MM-dd HH"))
       .groupBy("hour", "event_type")
       .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("total_value"))
 
@@ -36,9 +61,9 @@ object EventOps {
     // native engines the oracle runs on — a raw-ns compare could place a
     // session boundary differently when timestamps carry sub-µs components
     val gapUs = gapMinutes.toLong * 60L * 1000L * 1000L
-    val tsUs = F.expr("ts DIV 1000")
-    val prev = F.lag(tsUs, 1).over(byUser)
-    val newSession = F.when(prev.isNull || (tsUs - prev) > gapUs, 1L).otherwise(0L)
+    val usCol = tsUs(events)
+    val prev = F.lag(usCol, 1).over(byUser)
+    val newSession = F.when(prev.isNull || (usCol - prev) > gapUs, 1L).otherwise(0L)
     events
       .withColumn("__new", newSession)
       .withColumn("session_seq",
@@ -49,9 +74,10 @@ object EventOps {
   /** Per-session stats on top of [[sessionize]]. Duration is computed at µs
     * resolution (ns→µs truncation first) so it is bit-identical to engines
     * that are µs-native, e.g. the DuckDB oracle's epoch_us (SURVEY §1). */
-  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
-    sessionize(events, gapMinutes)
-      .withColumn("__us", F.expr("ts DIV 1000")) // integer div — `/` would round through double
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sessions = sessionize(events, gapMinutes)
+    sessions
+      .withColumn("__us", tsUs(sessions))
       .groupBy("user_id", "session_seq")
       .agg(
         F.count(F.lit(1)).as("n_events"),
@@ -61,4 +87,5 @@ object EventOps {
       .withColumn("duration_sec",
         ((F.col("end_us") - F.col("start_us")) / 1000000L).cast("double"))
       .drop("start_us", "end_us")
+  }
 }
