@@ -1236,6 +1236,34 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // END-TO-END oracle twin for IVF kNN (the last un-twinned ANN family —
+    // VERDICT r8 task 5): ivfIndexAt pins the index to the SemCentroids
+    // literal table, so DuckDB replays the WHOLE x17 pipeline — corpus cell
+    // argmin (the x58 replay), query nprobe-nearest-cell probe, candidate
+    // cell join, exact-cosine row_number rank. nprobe=2 of 4 cells keeps
+    // the probe genuinely partial (nprobe=nlist would degenerate to x06).
+    // The production x17 (k-means-fit centroids) stays rows-only with its
+    // OpsSpec recall floor + nprobe=nlist ≡ brute equivalence.
+    "x90_ivf_knn_twin" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      Similarity.queryIvf(
+          Similarity.ivfIndexAt(emb, "vec_id", "embedding", SemCentroids),
+          emb.filter(F.col("vec_id") < 30), k = 3, nprobe = 2)
+        .orderBy("query_id", "rk")
+    }),
+
+    // weighted sampling without replacement (Efraimidis-Spirakis), weights
+    // = document length: the deterministic importance-sampling draw — rank
+    // key ln(u)/w from a content-hash uniform, top-150 via
+    // TakeOrderedAndProject, no shuffle
+    "x91_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+          s.read.parquet(s"$dir/documents.parquet"),
+          F.col("text"), F.col("n_chars"), n = 150)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -3065,6 +3093,66 @@ object SparkEntry {
          |  FROM cand)
          |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
     },
+
+    // mirrors Similarity.ivfIndexAt + queryIvf at the SemCentroids literal
+    // table: corpus cell = squared-L2 argmin (the x58 replay), each query
+    // probes its nprobe=2 nearest cells (same metric, ties to lower cell —
+    // the array_sort-on-(d,cell)-structs rule), candidates rank by exact
+    // cosine with id tie-break
+    "x90_ivf_knn_twin" -> {
+      val vals = SemCentroids.zipWithIndex.map { case (c, i) =>
+        c.mkString(s"($i, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ")
+      s"""WITH cent(cell, c) AS (VALUES $vals),
+         |cells AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT b.vec_id, b.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (b.embedding[i]::DOUBLE - c.c[i])
+         |             * (b.embedding[i]::DOUBLE - c.c[i]))),
+         |        c.cell) AS rk
+         |    FROM embeddings b CROSS JOIN cent c)
+         |  WHERE rk = 1
+         |), probe AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT q.vec_id, q.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (q.embedding[i]::DOUBLE - c.c[i])
+         |             * (q.embedding[i]::DOUBLE - c.c[i]))),
+         |        c.cell) AS rk
+         |    FROM embeddings q CROSS JOIN cent c
+         |    WHERE q.vec_id < 30)
+         |  WHERE rk <= 2
+         |), cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+         |    / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+         |  FROM cells c JOIN probe q ON c.cell = q.cell
+         |  WHERE c.vec_id != q.vec_id)
+         |SELECT query_id, neighbor_id, cos, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM cand)
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+    },
+
+    // mirrors Sampling.weightedSample: u from the first 52 md5 bits
+    // (+0.5, /2^52 — exact IEEE in both engines), rank key ln(u)/w,
+    // digest tie-break, top-150; w<=0 rows excluded
+    "x91_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ln((('0x' || substring(md5(coalesce(text, '')), 1, 13))::BIGINT + 0.5)
+        |       / 4503599627370496.0) / n_chars AS wk,
+        |    md5(coalesce(text, '')) AS tb
+        |  FROM documents
+        |  WHERE n_chars > 0
+        |  ORDER BY wk DESC, tb LIMIT 150)
+        |ORDER BY doc_id""".stripMargin,
 
     // mirrors Scale.rangeShardPlan(nShards=8): md5-prefix key sample,
     // boundary i = the (i*n//8)-th smallest sample key (integer rank

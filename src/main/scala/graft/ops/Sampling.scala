@@ -194,6 +194,46 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): item i draws a uniform
+    * u_i and gets key u_i^(1/w_i); the n largest keys are an exact
+    * weight-proportional without-replacement draw. Here u is md5-derived
+    * (the [[hashSample]] convention — deterministic, content-keyed,
+    * partition-order-independent, engine-replayable), and the rank key is
+    * ln(u)/w, monotone in u^(1/w), so one transcendental per row instead
+    * of two and no near-1.0 precision collapse for large weights.
+    *
+    * u = (first 52 md5 bits + 0.5) / 2^52 — strictly inside (0,1), so
+    * ln(u) is finite; the integer-to-double conversion and the division
+    * are exact/correctly-rounded IEEE in any engine. Ties (impossible
+    * barring md5 collision) break on the digest itself, so no id column
+    * is required. Rows with weight ≤ 0 are excluded: a zero weight means
+    * "never sample" (u^(1/0) is ill-defined, the limit is selection
+    * probability 0), and a negative weight would flip the key's sign and
+    * always win — both are data errors this op refuses to reward.
+    *
+    * Plan shape at 100 TB: a codegen'd filter + TakeOrderedAndProject —
+    * a bounded per-partition top-n heap and one bounded merge; the corpus
+    * is scanned once and never shuffled. This is the deterministic
+    * replacement for `df.sample` when examples carry importance weights
+    * (quality scores, DSIR log-weights exp'd, per-domain multipliers).
+    *
+    * @param key    content key deciding u — the text, not an assigned id
+    * @param weight relative selection weight, > 0
+    * @param n      sample size (global, exact)
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int,
+                     salt: String = ""): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val h = F.md5(F.concat(F.lit(salt), keyStr(key)))
+    val u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 0.5d) /
+      4503599627370496.0d // 2^52
+    val w = weight.cast("double")
+    df.filter(w > 0.0d)
+      .orderBy((F.log(u) / w).desc, h.asc)
+      .limit(n)
+  }
+
   /** [[upsample]] with per-group factors — the corpus-mixture epoch table
     * as a literal CASE decision in the projection (the [[hashSampleByGroup]]
     * idiom; groups absent from `factors` get `defaultFactor`). */

@@ -192,6 +192,24 @@ object Similarity {
       model.clusterCenters.map(_.toArray), idCol, vecCol)
   }
 
+  /** Build an [[IvfIndex]] at caller-supplied FIXED centroids (no k-means
+    * fit): cell assignment is the same native [[graft.functions.NearestCell]]
+    * squared-L2 argmin used by [[assignCells]] — a shuffle-free codegen
+    * projection whose sequential per-dimension sum any engine replays
+    * exactly. This is both the oracle-twin path (x90 replays the whole
+    * IVF pipeline in DuckDB from literal centroids) and the production
+    * re-attach path: a quantizer fit once (or loaded from a sidecar) is
+    * re-applied to a new corpus drop without retraining. */
+  def ivfIndexAt(corpus: DataFrame, idCol: String, vecCol: String,
+                 centroids: Array[Array[Double]]): IvfIndex = {
+    require(centroids.nonEmpty, "ivfIndexAt needs at least one centroid")
+    val cells = assignCells(
+        corpus.select(F.col(idCol), F.col(vecCol).cast("array<double>").as(vecCol)),
+        vecCol, centroids)
+      .withColumnRenamed("cell", "__cell")
+    IvfIndex(cells, centroids, idCol, vecCol)
+  }
+
   /** Persist an [[IvfIndex]] for reuse across query batches — the
     * amortization that makes IVF the 100 TB shape: cells written
     * `partitionBy(__cell)` (via [[graft.ops.Scale.writePartitionedCorpus]]'s
