@@ -1264,6 +1264,25 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // PageRank (3 damped rounds) over the customer→supplier purchase
+    // graph — the link-graph centrality signal of crawl curation, on the
+    // natural bipartite graph in the testdata: customer c links to every
+    // supplier whose parts c ordered. Edges point ONLY c→s, so every
+    // supplier is a sink and the dangling-mass redistribution path runs
+    // on ~6% of the nodes each round, not as a degenerate no-op
+    "x92_pagerank" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .join(s.read.parquet(s"$dir/lineitem.parquet")
+            .select("l_orderkey", "l_suppkey"),
+          F.col("o_orderkey") === F.col("l_orderkey"))
+        .select(F.col("o_custkey").as("src"),
+          (F.col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      graft.ops.Graph.pageRank(e, "src", "dst", iters = 3)
+        .orderBy("node")
+    }),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -3138,6 +3157,40 @@ object SparkEntry {
          |    ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM cand)
          |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+    },
+
+    // mirrors Graph.pageRank iteration-for-iteration: same edge list, same
+    // (1-d)/N + d*dang/N + Σ round6(d*r/od) association order, same 6-dp
+    // quantization points — three unrolled rounds
+    "x92_pagerank" -> {
+      def iter(i: Int, prev: String): String =
+        s"""s$i AS (SELECT round(sum(r), 6) AS dang FROM $prev WHERE od = 0),
+           |c$i AS (
+           |  SELECT e.dst AS node, round(sum(round(0.85 * r.r / r.od, 6)), 6) AS cs
+           |  FROM e JOIN $prev r ON e.src = r.node GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT nd.node, nd.od,
+           |    round((1.0 - 0.85) / (SELECT n FROM c)
+           |      + 0.85 * coalesce((SELECT dang FROM s$i), 0.0) / (SELECT n FROM c)
+           |      + coalesce(c$i.cs, 0.0), 6) AS r
+           |  FROM nd LEFT JOIN c$i ON nd.node = c$i.node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |), nodes AS (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e
+         |), deg AS (
+         |  SELECT src AS node, count(*) AS od FROM e GROUP BY src
+         |), nd AS (
+         |  SELECT n.node, coalesce(d.od, 0) AS od
+         |  FROM nodes n LEFT JOIN deg d ON n.node = d.node
+         |), c AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (
+         |  SELECT node, od, round(1.0 / (SELECT n FROM c), 6) AS r FROM nd),
+         |${iter(1, "r0")},
+         |${iter(2, "r1")},
+         |${iter(3, "r2")}
+         |SELECT node, od AS out_deg, r AS "rank" FROM r3 ORDER BY node""".stripMargin
     },
 
     // mirrors Sampling.weightedSample: u from the first 52 md5 bits

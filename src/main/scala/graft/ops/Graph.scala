@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Link-graph analytics for corpus curation. A web-crawl training corpus
+  * carries a hyperlink (or citation / domain-reference) graph, and
+  * graph-centrality scores are a standard quality/retention signal — e.g.
+  * Common Crawl ranks hosts by centrality to decide crawl depth, and
+  * "pages many curated pages point at" is a cheap quality prior for
+  * keep/drop decisions at the corpus level.
+  *
+  * The operators here are iterative like [[Components]]: a FIXED number of
+  * dataframe-only rounds (no per-round driver actions — the convergence
+  * lesson of VERDICT r8 item 3 applied from the start), every per-round
+  * value quantized to 6 dp so each iteration is engine-replayable (the
+  * [[Similarity.kmeansLloyd]] rule: sums of 1e-6 multiples land far from
+  * rounding boundaries, so unordered partial aggregation cannot flip the
+  * rounded result).
+  */
+object Graph {
+
+  /** PageRank with damping and uniform dangling-mass redistribution, run
+    * for exactly `iters` rounds (fixed-iteration — the engine-replayable
+    * determinization; production convergence loops stop on a rank-delta
+    * threshold instead, same per-round plan).
+    *
+    * Semantics per round (the classic formulation):
+    * {{{
+    *   r'(v) = (1-d)/N  +  d * dangSum/N  +  Σ_{(u,v)∈E} round6(d * r(u)/out(u))
+    * }}}
+    * where `dangSum = Σ r(u) over out(u)=0` — mass parked on sinks is
+    * redistributed uniformly, so total rank stays ≈ 1 and sinks do not
+    * leak mass out of the system. Multi-edges count once per occurrence —
+    * pre-`distinct` the edge list for simple-graph semantics.
+    *
+    * Distributed shape, per round: ONE shuffle join of ranks onto edges on
+    * `src` (both sides hash-partitioned by the same key — the exchange is
+    * reused across rounds' identical partitioning), ONE keyed aggregation
+    * by `dst`, and a 1-row dangling aggregate that rides a broadcast
+    * cross-join — never a driver action. At 100 TB the edge list dominates
+    * and is scanned once per round with no resizing; rank state is one row
+    * per node. Lineage is truncated every `checkpointInterval` rounds
+    * ([[Components]]' localCheckpoint idiom) so long runs do not
+    * re-plan a growing DAG.
+    *
+    * The ONE driver action is the setup `nodes.count()` for N (a graph
+    * stat, computed once, amortized over all rounds — the
+    * [[Scale.rangeShardAssign]] sample-collect regime).
+    *
+    * Every round's ranks are quantized to 6 dp: per-edge contributions are
+    * rounded BEFORE the unordered sum (1e-6 multiples sum far from
+    * rounding boundaries), so any engine replays the iteration bit-for-bit
+    * from the same edge list — the x81/x88 iteration contract.
+    *
+    * @return one row per node: (node, out_deg, rank) after `iters` rounds
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85,
+               checkpointInterval: Int = 5): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val e = edges
+      .filter(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
+    val nodes = e.select(F.col("src").as("node"))
+      .union(e.select(F.col("dst").as("node")))
+      .distinct()
+    val outDeg = e.groupBy(F.col("src").as("node"))
+      .agg(F.count(F.lit(1)).as("out_deg"))
+    val base = nodes.join(outDeg, Seq("node"), "left")
+      .select(F.col("node"), F.coalesce(F.col("out_deg"), F.lit(0L)).as("out_deg"))
+      .localCheckpoint() // setup frame reused every round — cut the build lineage
+    // N: one setup action; (1-d)/N and 1/N precompute driver-side with the
+    // same IEEE steps an oracle engine performs at runtime
+    val n = base.count()
+    require(n > 0, "pageRank: empty graph")
+    val nD = n.toDouble
+    // r0 = round6(1/N): quantized so the dangling sum (thousands of equal
+    // addends) is association-order-stable; rounded IN THE PLAN by F.round
+    // so both engines apply their native 6-dp rounding to the same double
+    var ranks = base.withColumn("rank", F.round(F.lit(1.0 / nD), 6))
+    var it = 0
+    while (it < iters) {
+      // 1-row dangling mass; sum of 6-dp multiples rounded to kill
+      // association-order ulp drift, NULL (no sinks) → 0.0
+      val dang = ranks.filter(F.col("out_deg") === 0L)
+        .agg(F.round(F.sum("rank"), 6).as("__dang"))
+      val contribs = e.join(
+          ranks.select(F.col("node").as("src"), F.col("out_deg"), F.col("rank")),
+          "src")
+        .groupBy(F.col("dst").as("node"))
+        .agg(F.round(F.sum(
+          F.round(F.lit(damping) * F.col("rank") / F.col("out_deg"), 6)), 6).as("__cs"))
+      val next = base.join(contribs, Seq("node"), "left")
+        .crossJoin(F.broadcast(dang))
+        .select(F.col("node"), F.col("out_deg"),
+          F.round(
+            F.lit((1.0 - damping) / nD) +
+              F.lit(damping) * F.coalesce(F.col("__dang"), F.lit(0.0)) / F.lit(nD) +
+              F.coalesce(F.col("__cs"), F.lit(0.0)),
+            6).as("rank"))
+      ranks =
+        if ((it + 1) % checkpointInterval == 0) next.localCheckpoint()
+        else next
+      it += 1
+    }
+    ranks
+  }
+}

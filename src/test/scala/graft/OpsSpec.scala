@@ -1898,6 +1898,66 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.length == 9 && rows.head == ((-1, 0.25)), rows.toSeq.toString)
   }
 
+  test("weightedSample: exact Efraimidis-Spirakis top-n, determinism, w<=0 excluded") {
+    val docs = (0 until 200).map(i => (s"document text number $i", (i % 10) + 1))
+      .toDF("text", "w")
+    val got = Sampling.weightedSample(docs, F.col("text"), F.col("w"), n = 30)
+      .as[(String, Int)].collect().toSet
+    // replay the exact rank key in plain Scala: u from the first 52 md5
+    // bits (+0.5, /2^52), key ln(u)/w, top-30
+    def key(text: String, w: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0
+      math.log(u) / w
+    }
+    val want = (0 until 200).map(i => (s"document text number $i", (i % 10) + 1))
+      .sortBy { case (t, w) => -key(t, w) }.take(30).toSet
+    assert(got == want, s"selection must equal the hand-replayed E-S draw")
+    // deterministic under repartitioning
+    val got2 = Sampling.weightedSample(docs.repartition(7), F.col("text"), F.col("w"), 30)
+      .as[(String, Int)].collect().toSet
+    assert(got2 == got, "partition-layout-independent")
+    // zero/negative weights can never be drawn, even at n >= corpus size
+    val mixed = Seq(("a", 1), ("b", 0), ("c", -5)).toDF("text", "w")
+    val kept = Sampling.weightedSample(mixed, F.col("text"), F.col("w"), 10)
+      .as[(String, Int)].collect().toSeq
+    assert(kept == Seq(("a", 1)), s"w<=0 excluded: $kept")
+    // weights bias the draw: heavy items are overrepresented vs uniform
+    val heavy = got.count(_._2 >= 8)
+    assert(heavy > 30 * 3 / 10,
+      s"weight-proportional draw overrepresents heavy items: $heavy/30 with w>=8")
+  }
+
+  test("pageRank: hand-checked round, dangling redistribution, mass conservation") {
+    // A→C, B→C, C sinks: after one round from r0=1/3 (round6 0.333333),
+    // dang = r(C) = 0.333333; every node gets base + dangling share; C
+    // additionally gets 2 × round6(0.85 · 0.333333 / 1)
+    val e = Seq(("A", "C"), ("B", "C")).toDF("s", "d")
+    val r1 = graft.ops.Graph.pageRank(e, "s", "d", iters = 1)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val base = (1.0 - 0.85) / 3.0 + 0.85 * 0.333333 / 3.0
+    val exp = BigDecimal(base).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expC = BigDecimal(base + 2 * 0.283333).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1 == Seq(("A", 1L, exp), ("B", 1L, exp), ("C", 0L, expC)),
+      s"hand-checked round: $r1")
+    // iters=0 is the uniform initialization
+    val r0 = graft.ops.Graph.pageRank(e, "s", "d", iters = 0)
+      .as[(String, Long, Double)].collect()
+    assert(r0.forall(_._3 == 0.333333), r0.toSeq.toString)
+    // larger graph: mass ≈ 1 after several rounds, in-link magnets rank
+    // highest, determinism across runs
+    val ring = (0 until 50).flatMap(i =>
+      Seq((s"n$i", s"n${(i + 1) % 50}"), (s"n$i", "hub"))).toDF("s", "d")
+    val pr = graft.ops.Graph.pageRank(ring, "s", "d", iters = 8)
+      .as[(String, Long, Double)].collect()
+    assert(math.abs(pr.map(_._3).sum - 1.0) < 1e-3,
+      s"total rank mass ≈ 1: ${pr.map(_._3).sum}")
+    val top = pr.maxBy(_._3)._1
+    assert(top == "hub", s"the 50-in-link hub outranks ring nodes: $top")
+  }
+
   test("rangeShardAssign covers every row; plan is deterministic and balanced") {
     val df = (0L until 5000L).map(i => Tuple1(i * 7L % 5000L)).toDF("k")
     val plan1 = graft.ops.Scale.rangeShardPlan(df, "k", nShards = 8)
