@@ -1283,6 +1283,23 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // HyperLogLog distinct-token cardinality per source, next to the exact
+    // count it replaces at scale: registers from md5 bits (bucket = first
+    // 8, rho = leading zeros of the next 52 via bin-string length — no
+    // float log2), integer register sums, linear-counting small-range
+    // branch. The sketch is ONE scan + <=256 mergeable rows per source;
+    // the exact column is the full (source, token) shuffle it spares
+    "x93_hll_distinct" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("source"),
+          F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).as("t"))
+        .filter(F.length(F.col("t")) > 0)
+      graft.ops.Sketches.hllDistinct(toks, Seq("source"), F.col("t"))
+        .join(toks.groupBy("source").agg(F.countDistinct("t").as("n_exact")),
+          "source")
+        .orderBy("source")
+    }),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -3192,6 +3209,49 @@ object SparkEntry {
          |${iter(3, "r2")}
          |SELECT node, od AS out_deg, r AS "rank" FROM r3 ORDER BY node""".stripMargin
     },
+
+    // mirrors Sketches.hllDistinct register-for-register: same md5 bit
+    // fields (bucket = first 2 hex chars, rho via minimal-width bin()
+    // string length in BOTH engines), same integer register sum with
+    // 2^53-weighted empties, same left-assoc alpha*m*m*2^53 numerator,
+    // same linear-counting CASE
+    "x93_hll_distinct" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS t
+        |  FROM documents
+        |), r AS (
+        |  SELECT source,
+        |    ('0x' || substring(md5(t), 1, 2))::BIGINT AS bucket,
+        |    CASE WHEN ('0x' || substring(md5(t), 3, 13))::BIGINT = 0 THEN 53
+        |         ELSE 53 - length(ltrim(bin(
+        |           ('0x' || substring(md5(t), 3, 13))::BIGINT), '0'))
+        |    END AS rho
+        |  FROM toks
+        |), reg AS (
+        |  SELECT source, bucket, max(rho) AS m FROM r GROUP BY source, bucket
+        |), agg AS (
+        |  SELECT source, sum(1::BIGINT << (53 - m))::BIGINT AS sp,
+        |    count(*) AS np
+        |  FROM reg GROUP BY source
+        |), est AS (
+        |  SELECT source,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+        |      * 9007199254740992.0
+        |      / (sp + (256 - np) * 9007199254740992)::DOUBLE AS raw,
+        |    256 - np AS v
+        |  FROM agg
+        |), e2 AS (
+        |  SELECT source,
+        |    round(CASE WHEN raw <= 2.5 * 256.0 AND v > 0
+        |      THEN 256.0 * ln(256.0 / v::DOUBLE) ELSE raw END, 6) AS n_est
+        |  FROM est
+        |), ex AS (
+        |  SELECT source, count(DISTINCT t) AS n_exact FROM toks GROUP BY source
+        |)
+        |SELECT e2.source, n_est, n_exact
+        |FROM e2 JOIN ex USING (source) ORDER BY source""".stripMargin,
 
     // mirrors Sampling.weightedSample: u from the first 52 md5 bits
     // (+0.5, /2^52 — exact IEEE in both engines), rank key ln(u)/w,

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Mergeable sketch summaries for corpus statistics at 100 TB. The exact
+  * answer to "how many distinct tokens / URLs / users per slice?" costs a
+  * full shuffle of every occurrence; a sketch costs one scan and a
+  * FIXED-SIZE state per slice that merges across shards, days, and
+  * incremental drops with a plain aggregate — the shape that survives a
+  * 1000-executor deployment and a growing corpus.
+  *
+  * Spark's own `approx_count_distinct` is the same idea (HLL++), but its
+  * register state is an opaque binary no other engine can replay. This
+  * implementation pins the ENTIRE sketch to engine-replayable primitives —
+  * md5-derived bucket + leading-zero rank via string ops, integer register
+  * sums — so the DuckDB oracle reproduces the estimate bit-for-bit (x93),
+  * the same argument as [[Sampling.hashSample]]'s md5 prefix. For a
+  * Spark-only deployment swap the digest for xxhash64 (one codegen'd
+  * expression, no giant hex strings) — the [[TextOps.dsirWeights]]
+  * production-vs-twin convention.
+  */
+object Sketches {
+
+  /** 2^53 — the value-field width (52 bits) plus one, as the integer
+    * register weight of an EMPTY register (rho = 0). */
+  private val Reg0: Long = 1L << 53
+
+  /** HyperLogLog registers (Flajolet et al. 2007) per group: `m = 2^p`
+    * buckets from the first p md5 bits of the key, register value = max
+    * over keys of rho = 1 + (leading zeros of the next 52 hash bits).
+    *
+    * rho is computed with STRING ops — `53 - length(ltrim(bin(v), '0'))`
+    * — because both Spark and DuckDB render `bin(bigint)` minimal-width,
+    * making the replay exact where a float `log2` would wobble.
+    *
+    * One scan, map-side partial `max` (registers collapse before the
+    * shuffle), ≤ m rows per group out. Registers are MERGEABLE: `max` by
+    * (group, bucket) unions sketches across corpus shards or days —
+    * that, not the one-shot estimate, is the 100 TB deployment shape.
+    *
+    * @param p bucket bits, 4-16 and a multiple of 4 (hex-aligned so the
+    *          bucket is a digest substring in any engine); m = 2^p
+    *          registers give ±1.04/sqrt(m) relative error
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], key: Column,
+                   p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16 && p % 4 == 0,
+      s"p must be a multiple of 4 in [4,16], got $p")
+    val hx = F.md5(F.coalesce(key.cast("string"), F.lit("")))
+    val bucket = F.conv(F.substring(hx, 1, p / 4), 16, 10).cast("long")
+    val v = F.conv(F.substring(hx, p / 4 + 1, 13), 16, 10).cast("long")
+    val rho = F.when(v === 0L, F.lit(53))
+      .otherwise(F.lit(53) - F.length(F.ltrim(F.bin(v), "0")))
+    df.select(groupCols.map(F.col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(F.col): _*)
+      .agg(F.max("rho").as("m"))
+  }
+
+  /** Estimate per-group distinct counts from [[hllRegisters]] output.
+    * The harmonic sum Σ 2^-M_j runs as an INTEGER sum of 2^(53-M_j)
+    * (plus 2^53 per absent register) — exact and association-order-free
+    * where a float sum of 2^-M could round differently per partition
+    * order — then one double division. Small-cardinality groups take the
+    * linear-counting branch (V = empty registers): `m · ln(m/V)` when the
+    * raw estimate ≤ 2.5m, per the HLL paper's small-range correction. */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val mD = m.toDouble
+    // ((0.7213/(1+1.079/m))·m·m·2^53 — left-assoc, mirrored verbatim in
+    // the oracle so every rounding step matches
+    val num = 0.7213 / (1.0 + 1.079 / mD) * mD * mD * 9007199254740992.0
+    registers
+      .withColumn("__w", F.expr("shiftleft(cast(1 as bigint), 53 - m)"))
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.sum("__w").as("__sp"), F.count(F.lit(1)).as("__np"))
+      .withColumn("__s", F.col("__sp") + (F.lit(m.toLong) - F.col("__np")) * Reg0)
+      .withColumn("__raw", F.lit(num) / F.col("__s").cast("double"))
+      .withColumn("__v", F.lit(m.toLong) - F.col("__np"))
+      .select(groupCols.map(F.col) :+
+        F.round(
+          F.when(F.col("__raw") <= 2.5 * mD && F.col("__v") > 0L,
+            F.lit(mD) * F.log(F.lit(mD) / F.col("__v").cast("double")))
+            .otherwise(F.col("__raw")),
+          6).as("n_est"): _*)
+  }
+
+  /** One-shot [[hllRegisters]] + [[hllEstimate]]. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], key: Column,
+                  p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, key, p), groupCols, p)
+}

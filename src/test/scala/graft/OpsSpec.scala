@@ -1958,6 +1958,33 @@ class OpsSpec extends AnyFunSuite {
     assert(top == "hub", s"the 50-in-link hub outranks ring nodes: $top")
   }
 
+  test("hllDistinct: raw-branch accuracy, linear-counting branch, register merge") {
+    // 20k distinct keys, every one duplicated — duplicates must not move
+    // the estimate, and 20k >> 2.5·256 forces the raw harmonic branch
+    val big = (0 until 40000).map(i => ("big", s"key-value-${i % 20000}"))
+      .toDF("g", "k")
+    val est = graft.ops.Sketches.hllDistinct(big, Seq("g"), F.col("k"))
+      .as[(String, Double)].collect().head._2
+    assert(math.abs(est - 20000) / 20000.0 < 0.10,
+      s"m=256 gives ±6.5% typical; got $est for 20000")
+    // small group: linear counting is near-exact
+    val small = (0 until 40).map(i => ("s", s"tok$i")).toDF("g", "k")
+    val estS = graft.ops.Sketches.hllDistinct(small, Seq("g"), F.col("k"))
+      .as[(String, Double)].collect().head._2
+    assert(math.abs(estS - 40) <= 4, s"linear counting near-exact at 40: $estS")
+    // registers MERGE: max by bucket over two halves == whole-corpus
+    // registers (the cross-shard / cross-day union at 100 TB)
+    val h1 = graft.ops.Sketches.hllRegisters(
+      big.filter(F.xxhash64(F.col("k")) % 2 === 0), Seq("g"), F.col("k"))
+    val h2 = graft.ops.Sketches.hllRegisters(
+      big.filter(F.xxhash64(F.col("k")) % 2 =!= 0), Seq("g"), F.col("k"))
+    val merged = h1.unionAll(h2).groupBy("g", "bucket").agg(F.max("m").as("m"))
+    val whole = graft.ops.Sketches.hllRegisters(big, Seq("g"), F.col("k"))
+    assert(merged.as[(String, Long, Int)].collect().toSet ==
+      whole.as[(String, Long, Int)].collect().toSet,
+      "sharded max-merge equals the one-pass registers")
+  }
+
   test("rangeShardAssign covers every row; plan is deterministic and balanced") {
     val df = (0L until 5000L).map(i => Tuple1(i * 7L % 5000L)).toDF("k")
     val plan1 = graft.ops.Scale.rangeShardPlan(df, "k", nShards = 8)
