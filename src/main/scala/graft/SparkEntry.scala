@@ -1300,6 +1300,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Z-order layout manifest over lineitem's (partkey, suppkey): Morton
+    // bit-interleave (pure integer ops, engine-exact), deterministic
+    // equal-count range shards on z, per-shard dim envelopes — the
+    // manifest that shows each shard covering a FRACTION of both key
+    // ranges, i.e. the two-dimensional data-skipping a z-ordered write
+    // buys at 100 TB
+    "x94_zorder_plan" -> ((s, dir) =>
+      graft.ops.Scale.zorderShardPlan(
+          s.read.parquet(s"$dir/lineitem.parquet")
+            .select("l_partkey", "l_suppkey"),
+          "l_partkey", "l_suppkey", bits = 16, nShards = 8)
+        .orderBy("shard")),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -3208,6 +3221,37 @@ object SparkEntry {
          |${iter(2, "r1")},
          |${iter(3, "r2")}
          |SELECT node, od AS out_deg, r AS "rank" FROM r3 ORDER BY node""".stripMargin
+    },
+
+    // mirrors Scale.zorderShardPlan: the same unrolled 16-bit Morton
+    // interleave (integer shifts — bit-identical across engines), then
+    // the x87 shard replay (md5 sample, integer-rank boundaries,
+    // boundaries-below count) on zvalue, then per-shard envelopes
+    "x94_zorder_plan" -> {
+      val zBits = (0 until 16).map(i =>
+        s"((((l_partkey >> $i) & 1) << ${2 * i}) | " +
+          s"(((l_suppkey >> $i) & 1) << ${2 * i + 1}))").mkString(" | ")
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey, ($zBits)::BIGINT AS zvalue
+         |  FROM lineitem
+         |), s AS (
+         |  SELECT zvalue AS k FROM z
+         |  WHERE substring(md5(zvalue::VARCHAR), 1, 4) < '199a'
+         |), o AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM s
+         |), c AS (SELECT count(*) AS n FROM s
+         |), b AS (
+         |  SELECT o.k FROM o, c
+         |  WHERE o.rn IN ((1*n)//8, (2*n)//8, (3*n)//8, (4*n)//8,
+         |                 (5*n)//8, (6*n)//8, (7*n)//8)
+         |), a AS (
+         |  SELECT z.*,
+         |    1 + (SELECT count(*) FROM b WHERE b.k < z.zvalue) AS shard
+         |  FROM z)
+         |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+         |  min(zvalue) AS min_z, max(zvalue) AS max_z,
+         |  min(l_partkey) AS min_x, max(l_partkey) AS max_x,
+         |  min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin
     },
 
     // mirrors Sketches.hllDistinct register-for-register: same md5 bit

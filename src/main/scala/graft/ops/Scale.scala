@@ -172,4 +172,52 @@ object Scale {
       .groupBy("shard")
       .agg(F.count(F.lit(1)).as("n_rows"),
         F.min(keyCol).as("min_key"), F.max(keyCol).as("max_key"))
+
+  /** Morton (Z-order) code: interleave the low `bits` bits of `x` and `y`
+    * into one key whose RANGE ORDER is 2-D locality — consecutive z values
+    * are near each other in BOTH dimensions. Sorting or range-sharding a
+    * table by z therefore clusters both columns at once, so parquet
+    * row-group min/max stats prune scans filtered on EITHER dimension —
+    * the multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE
+    * ZORDER BY) expressed as a plain column. Pure integer bit ops: exact,
+    * codegen'd, and bit-identical in any engine — no float curve math.
+    *
+    * Inputs must already be non-negative ints < 2^bits (bin/scale first —
+    * rank or quantize raw values; [[zorderShardPlan]] guards the range). */
+  def mortonCode(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order layout manifest: [[mortonCode]] the two dimensions, then
+    * [[rangeShardAssign]] on the z value and report per-shard row counts
+    * plus the z and per-dimension min/max envelopes. Equal-count shards in
+    * z order are tight rectangles-ish in (x, y) — the manifest SHOWS the
+    * locality a z-ordered 100 TB write buys (each shard's dim envelopes
+    * cover a fraction of the key space, so a scan filtered on either
+    * dimension prunes most shards). Same deterministic machinery as
+    * [[rangeShardPlan]]: md5-sampled boundaries, integer rank selection,
+    * comparison-chain assignment — reproducible bit-for-bit. */
+  def zorderShardPlan(df: DataFrame, xCol: String, yCol: String,
+                      bits: Int = 16, nShards: Int = 8,
+                      samplePrefix: String = "199a",
+                      maxSample: Int = 1 << 20): DataFrame = {
+    val lim = 1L << bits
+    val z = df
+      .withColumn("__rangeok", F.assert_true(
+        F.col(xCol) >= 0 && F.col(xCol) < lim &&
+          F.col(yCol) >= 0 && F.col(yCol) < lim,
+        F.lit(s"zorder inputs must be in [0, 2^$bits): bin/scale $xCol/$yCol first")))
+      .withColumn("zvalue", mortonCode(F.col(xCol), F.col(yCol), bits))
+      .drop("__rangeok")
+    rangeShardAssign(z, "zvalue", nShards, samplePrefix, maxSample)
+      .groupBy("shard")
+      .agg(F.count(F.lit(1)).as("n_rows"),
+        F.min("zvalue").as("min_z"), F.max("zvalue").as("max_z"),
+        F.min(xCol).as(s"min_x"), F.max(xCol).as(s"max_x"),
+        F.min(yCol).as(s"min_y"), F.max(yCol).as(s"max_y"))
+  }
 }

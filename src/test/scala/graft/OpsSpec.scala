@@ -1985,6 +1985,44 @@ class OpsSpec extends AnyFunSuite {
       "sharded max-merge equals the one-pass registers")
   }
 
+  test("mortonCode interleaves exactly; zorder shards bound BOTH dim envelopes") {
+    // hand-check: x=3 (011), y=5 (101) → z bits y2x2 y1x1 y0x0 = 100111 = 39
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(graft.ops.Scale.mortonCode(F.col("x"), F.col("y"), 3).as("z"))
+      .as[Long].collect().head
+    assert(z == 39L, s"interleave(3,5) = $z")
+    // out-of-range input fails loudly, not with a silently truncated code
+    val ex = intercept[Exception] {
+      graft.ops.Scale.zorderShardPlan(Seq((70000L, 1L)).toDF("x", "y"),
+        "x", "y", bits = 16, nShards = 2).collect()
+    }
+    assert(ex.getMessage.contains("zorder") || ex.getCause != null, ex.getMessage)
+    // uniform 64x64 grid, 16 equal-count z shards: aggregate 2-D locality.
+    // Individual shards CAN straddle a quadrant corner (the classic
+    // z-curve jump — sampled boundaries don't land exactly on corners) and
+    // those envelopes blow up, but the AVERAGE bounding box must cover a
+    // small fraction of the key space — the data-skipping win; a
+    // single-column range layout leaves every shard's second dim at 0-63
+    // (100% span)
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val plan = graft.ops.Scale.zorderShardPlan(grid, "x", "y", bits = 6, nShards = 16)
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(plan.map(_._2).sum == 4096L, "every row in exactly one shard")
+    val areas = plan.map { case (_, _, _, _, minX, maxX, minY, maxY) =>
+      (maxX - minX + 1) * (maxY - minY + 1) }
+    val avgFrac = areas.sum.toDouble / areas.length / 4096.0
+    assert(avgFrac < 0.30,
+      s"avg envelope covers ${avgFrac * 100}%% of the grid — not 2-D local " +
+        s"(perfect 16-shard z layout: 6.25%%): ${plan.toSeq}")
+    // and at least half the shards are tight in BOTH dims (within one
+    // quadrant-of-quadrant envelope + straddle slop)
+    val tight = plan.count { case (_, _, _, _, minX, maxX, minY, maxY) =>
+      maxX - minX <= 32 && maxY - minY <= 32 }
+    assert(tight >= plan.length / 2,
+      s"only $tight/${plan.length} shards 2-D tight: ${plan.toSeq}")
+  }
+
   test("rangeShardAssign covers every row; plan is deterministic and balanced") {
     val df = (0L until 5000L).map(i => Tuple1(i * 7L % 5000L)).toDF("k")
     val plan1 = graft.ops.Scale.rangeShardPlan(df, "k", nShards = 8)
