@@ -1313,6 +1313,22 @@ object SparkEntry {
           "l_partkey", "l_suppkey", bits = 16, nShards = 8)
         .orderBy("shard")),
 
+    // count-min heavy hitters: 4×1024 mergeable counters over the token
+    // stream in ONE pass, then the exact top-20 tokens probed against the
+    // sketch — n_est >= n_exact always (CMS never undercounts), equality
+    // when the heavy hitters dodge collisions. The sketch answers ANY
+    // later point query without re-aggregating the corpus
+    "x95_cms_heavy_hitters" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).as("t"))
+        .filter(F.length(F.col("t")) > 0)
+      val counters = graft.ops.Sketches.cmsCounters(toks, F.col("t"))
+      val top = toks.groupBy("t").agg(F.count(F.lit(1)).as("n_exact"))
+        .orderBy(F.col("n_exact").desc, F.col("t")).limit(20)
+      graft.ops.Sketches.cmsEstimate(counters, top, F.col("t"))
+        .orderBy(F.col("n_exact").desc, F.col("t"))
+    }),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -3253,6 +3269,35 @@ object SparkEntry {
          |  min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin
     },
+
+    // mirrors Sketches.cmsCounters + cmsEstimate: same cms<j>: salted
+    // 28-bit md5 buckets (j from a range cross-join), same counter table,
+    // same exact-top-20 probe set, min over the 4 rows with absent
+    // counters as 0
+    "x95_cms_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS t
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT j, ('0x' || substring(md5('cms' || j::VARCHAR || ':' || t), 1, 7))::BIGINT
+        |      % 1024 AS bucket, count(*) AS c
+        |  FROM toks CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+        |  GROUP BY j, bucket
+        |), top AS (
+        |  SELECT t, count(*) AS n_exact FROM toks GROUP BY t
+        |  ORDER BY n_exact DESC, t LIMIT 20
+        |), pb AS (
+        |  SELECT top.t, top.n_exact, j.j,
+        |    ('0x' || substring(md5('cms' || j.j::VARCHAR || ':' || top.t), 1, 7))::BIGINT
+        |      % 1024 AS bucket
+        |  FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+        |)
+        |SELECT pb.t, pb.n_exact, min(coalesce(cnt.c, 0))::BIGINT AS n_est
+        |FROM pb LEFT JOIN cnt ON pb.j = cnt.j AND pb.bucket = cnt.bucket
+        |GROUP BY pb.t, pb.n_exact
+        |ORDER BY n_exact DESC, t""".stripMargin,
 
     // mirrors Sketches.hllDistinct register-for-register: same md5 bit
     // fields (bucket = first 2 hex chars, rho via minimal-width bin()

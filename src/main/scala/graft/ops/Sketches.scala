@@ -90,4 +90,50 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCols: Seq[String], key: Column,
                   p: Int = 8): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, key, p), groupCols, p)
+
+  /** Count-min sketch counters (Cormode & Muthukrishnan 2005): `depth`
+    * independent hash rows × `width` buckets. One corpus pass — the
+    * depth-way explode collapses map-side into ≤ depth·width counter rows,
+    * the fixed-size state that answers "how often does key k occur?" for
+    * ANY later k without a per-key aggregation of a 100 TB token stream.
+    * Counters MERGE by plain `sum` over (j, bucket) across shards/days.
+    * Hash j = md5 with salt `cms<j>:` — the [[Sampling.hashSample]]
+    * engine-replayable convention. */
+  def cmsCounters(df: DataFrame, key: Column, depth: Int = 4,
+                  width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.select(F.explode(F.array((0 until depth).map(j =>
+        F.struct(F.lit(j).as("j"), cmsBucket(j, key, width).as("bucket"))): _*))
+        .as("__jb"))
+      .select(F.col("__jb.j").as("j"), F.col("__jb.bucket").as("bucket"))
+      .groupBy("j", "bucket")
+      .agg(F.count(F.lit(1)).as("c"))
+  }
+
+  /** Point-frequency estimates for `probes` against [[cmsCounters]]
+    * output: min over the depth rows of the probe's bucket counter —
+    * never an underestimate, overestimate bounded by collisions
+    * (ε ≈ e/width of the stream length at δ ≈ e^-depth). The counter
+    * table (≤ depth·width rows) broadcasts; the probe set never touches
+    * the corpus. */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, key: Column,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    val pcols = probes.columns.map(F.col).toSeq
+    probes
+      .withColumn("__jb", F.explode(F.array((0 until depth).map(j =>
+        F.struct(F.lit(j).as("j"), cmsBucket(j, key, width).as("bucket"))): _*)))
+      .select(pcols :+ F.col("__jb.j").as("j") :+ F.col("__jb.bucket").as("bucket"): _*)
+      .join(F.broadcast(counters), Seq("j", "bucket"), "left")
+      .groupBy(pcols: _*)
+      .agg(F.min(F.coalesce(F.col("c"), F.lit(0L))).as("n_est"))
+  }
+
+  /** Salted md5 bucket for CMS hash row `j` — 28 hash bits mod width,
+    * identical in any engine (`('0x' || substring(md5('cms' || j || ':'
+    * || k), 1, 7))::BIGINT % width`). */
+  private def cmsBucket(j: Int, key: Column, width: Int): Column =
+    F.conv(F.substring(
+        F.md5(F.concat(F.lit(s"cms$j:"), F.coalesce(key.cast("string"), F.lit("")))),
+        1, 7), 16, 10).cast("long") % width
 }

@@ -1985,6 +1985,35 @@ class OpsSpec extends AnyFunSuite {
       "sharded max-merge equals the one-pass registers")
   }
 
+  test("count-min: never underestimates, exact without collisions, counters merge") {
+    // zipf-ish stream: token i appears 100/(i+1) times
+    val stream = (0 until 50).flatMap(i =>
+      Seq.fill(100 / (i + 1))(s"token$i")).map(Tuple1(_)).toDF("t")
+    val counters = graft.ops.Sketches.cmsCounters(stream, F.col("t"))
+    val probes = (0 until 50).map(i => (s"token$i", 100L / (i + 1)))
+      .toDF("t", "n_true")
+    val est = graft.ops.Sketches.cmsEstimate(counters, probes, F.col("t"))
+      .as[(String, Long, Long)].collect()
+    est.foreach { case (t, truth, e) =>
+      assert(e >= truth, s"CMS must never undercount: $t est $e < true $truth") }
+    // 50 distinct keys in 4×1024 buckets: overwhelmingly collision-free
+    assert(est.count { case (_, truth, e) => e == truth } >= 45,
+      s"near-all exact at this load: ${est.filter(r => r._3 != r._2).toSeq}")
+    // absent key estimates 0 (all four rows empty) or a collision count
+    val ghost = graft.ops.Sketches.cmsEstimate(counters,
+        Seq(Tuple1("never-seen-key")).toDF("t"), F.col("t"))
+      .as[(String, Long)].collect().head._2
+    assert(ghost <= 2, s"absent key ≈ 0: $ghost")
+    // counters merge by SUM over (j, bucket): two halves == whole
+    val h1 = graft.ops.Sketches.cmsCounters(stream.limit(200), F.col("t"))
+    val h2 = graft.ops.Sketches.cmsCounters(
+      stream.exceptAll(stream.limit(200)), F.col("t"))
+    val merged = h1.unionAll(h2).groupBy("j", "bucket").agg(F.sum("c").as("c"))
+    assert(merged.as[(Int, Long, Long)].collect().toSet ==
+      counters.as[(Int, Long, Long)].collect().toSet,
+      "sharded sum-merge equals the one-pass counters")
+  }
+
   test("mortonCode interleaves exactly; zorder shards bound BOTH dim envelopes") {
     // hand-check: x=3 (011), y=5 (101) → z bits y2x2 y1x1 y0x0 = 100111 = 39
     val z = Seq((3L, 5L)).toDF("x", "y")
