@@ -1329,6 +1329,15 @@ object SparkEntry {
         .orderBy(F.col("n_exact").desc, F.col("t"))
     }),
 
+    // ordered view→click→purchase funnel: per-user first-touch frontier
+    // advanced strictly-after per step, every stage keyed on user_id (the
+    // event stream shuffles once; frontiers reuse the partitioning)
+    "x96_funnel" -> ((s, dir) =>
+      graft.ops.EventOps.funnelReach(
+          s.read.parquet(s"$dir/events.parquet"),
+          Seq("view", "click", "purchase"))
+        .orderBy("step")),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -3269,6 +3278,27 @@ object SparkEntry {
          |  min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin
     },
+
+    // mirrors EventOps.funnelReach: per-step frontier CTEs — min event
+    // time of step k strictly after the step-(k-1) frontier, epoch µs
+    "x96_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS tu FROM events
+        |), s1 AS (
+        |  SELECT u, min(tu) AS t FROM e WHERE et = 'view' GROUP BY u
+        |), s2 AS (
+        |  SELECT e.u, min(tu) AS t FROM e JOIN s1 ON e.u = s1.u
+        |  WHERE et = 'click' AND tu > s1.t GROUP BY e.u
+        |), s3 AS (
+        |  SELECT e.u, min(tu) AS t FROM e JOIN s2 ON e.u = s2.u
+        |  WHERE et = 'purchase' AND tu > s2.t GROUP BY e.u
+        |)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type,
+        |    (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY step""".stripMargin,
 
     // mirrors Sketches.cmsCounters + cmsEstimate: same cms<j>: salted
     // 28-bit md5 buckets (j from a range cross-join), same counter table,

@@ -88,4 +88,44 @@ object EventOps {
         ((F.col("end_us") - F.col("start_us")) / 1000000L).cast("double"))
       .drop("start_us", "end_us")
   }
+
+  /** Ordered-funnel reach: how many users performed `steps` IN ORDER —
+    * step k counts users with an event of type `steps(k)` STRICTLY after
+    * their earliest qualifying step-(k−1) event (the classic
+    * first-touch funnel; same-µs ties do not advance).
+    *
+    * Plan shape: per step, one equi-join of the step's events onto the
+    * previous step's (user, t) frontier and one min-aggregation — every
+    * stage keyed on the user column, so the hash partitioning from the
+    * first groupBy is REUSED by each subsequent join and aggregation (no
+    * re-shuffle of the event stream, which at 100 TB dwarfs the per-user
+    * frontier). The per-step 1-row counts union into ONE job; no driver
+    * loop over steps' results.
+    *
+    * @return (step, event_type, n_users) — one row per funnel stage
+    */
+  def funnelReach(events: DataFrame, steps: Seq[String],
+                  userCol: String = "user_id"): DataFrame = {
+    require(steps.nonEmpty, "funnelReach needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    val es = events.select(F.col(userCol).as("__u"),
+      F.col("event_type").as("__et"), tsUs(events).as("__tu"))
+    var frontier: DataFrame = null
+    val perStep = steps.zipWithIndex.map { case (st, i) =>
+      frontier =
+        if (i == 0)
+          es.filter(F.col("__et") === st)
+            .groupBy("__u").agg(F.min("__tu").as("__t"))
+        else
+          es.filter(F.col("__et") === st)
+            .join(frontier.select(F.col("__u"), F.col("__t").as("__tprev")), "__u")
+            .filter(F.col("__tu") > F.col("__tprev"))
+            .groupBy("__u").agg(F.min("__tu").as("__t"))
+      frontier.agg(F.count(F.lit(1)).as("n_users"))
+        .select(F.lit(i + 1).as("step"), F.lit(st).as("event_type"),
+          F.col("n_users"))
+    }
+    perStep.reduce(_ unionAll _)
+  }
 }

@@ -1985,6 +1985,32 @@ class OpsSpec extends AnyFunSuite {
       "sharded max-merge equals the one-pass registers")
   }
 
+  test("funnelReach: strictly-ordered first-touch semantics, hand-checked") {
+    // A completes in order; B clicked only BEFORE viewing; C view-only;
+    // D's purchase precedes the click; E never viewed; F's click shares
+    // the view's µs (ties do NOT advance)
+    val ev = Seq(
+      ("A", "view", 1L), ("A", "click", 2L), ("A", "purchase", 3L),
+      ("B", "click", 1L), ("B", "view", 2L),
+      ("C", "view", 1L),
+      ("D", "view", 1L), ("D", "purchase", 2L), ("D", "click", 3L),
+      ("E", "purchase", 5L),
+      ("F", "view", 4L), ("F", "click", 4L))
+      .toDF("user_id", "event_type", "us")
+      .withColumn("ts", F.timestamp_micros(F.col("us"))).drop("us")
+    val got = graft.ops.EventOps.funnelReach(ev, Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    // step2 = click strictly after FIRST view: A (2>1) and D (3>1);
+    // step3 = purchase strictly after the step-2 frontier: A only
+    // (D's purchase@2 precedes its qualifying click@3)
+    assert(got == Seq((1, "view", 5L), (2, "click", 2L), (3, "purchase", 1L)),
+      s"funnel: $got")
+    // single-step funnel degenerates to distinct-user count of that type
+    val one = graft.ops.EventOps.funnelReach(ev, Seq("purchase"))
+      .as[(Int, String, Long)].collect().head
+    assert(one == ((1, "purchase", 3L)), s"single step: $one")
+  }
+
   test("count-min: never underestimates, exact without collisions, counters merge") {
     // zipf-ish stream: token i appears 100/(i+1) times
     val stream = (0 until 50).flatMap(i =>
