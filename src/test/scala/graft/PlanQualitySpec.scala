@@ -665,4 +665,54 @@ class PlanQualitySpec extends AnyFunSuite {
       s"assignment must be a projection over plan-literal boundaries (no join):\n$p")
     assert(p.contains("*(1)"), s"assignment must stay in whole-stage codegen:\n$p")
   }
+
+  test("weightedSample: TakeOrderedAndProject, no global sort, no shuffle") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.Sampling.weightedSample(
+      docs, F.col("text"), F.col("n_chars"), 100))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-n must be a bounded per-partition heap + bounded merge:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the corpus must never shuffle for a weighted draw:\n$p")
+  }
+
+  test("sketches: HLL registers and CMS counters partial-aggregate, no joins") {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(F.col("source"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).as("t"))
+      .filter(F.length(F.col("t")) > 0)
+    val ph = plan(graft.ops.Sketches.hllRegisters(toks, Seq("source"), F.col("t")))
+    assert(ph.contains("partial_max"),
+      s"registers must collapse map-side before the shuffle:\n$ph")
+    assert(!ph.contains("Join"), s"registers are one aggregation, no join:\n$ph")
+    val pc = plan(graft.ops.Sketches.cmsCounters(toks, F.col("t")))
+    assert(pc.contains("partial_count"),
+      s"counters must collapse map-side before the shuffle:\n$pc")
+    assert(!pc.contains("Join"), s"counters are one aggregation, no join:\n$pc")
+  }
+
+  test("zorder manifest: morton + assignment codegen'd; exactly one agg shuffle") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_partkey", "l_suppkey")
+    val p = plan(graft.ops.Scale.zorderShardPlan(
+      li, "l_partkey", "l_suppkey", bits = 16, nShards = 8))
+    assert(p.split("Exchange", -1).length - 1 == 1,
+      s"one shuffle total — the per-shard stats aggregation:\n$p")
+    assert(p.contains("partial_min"),
+      s"envelope stats must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join"),
+      s"boundaries are plan literals, not a joined table:\n$p")
+  }
+
+  test("pageRank round: contributions partial-aggregate; dangling is a 1-row broadcast") {
+    val e = spark.read.parquet(s"$dir/orders.parquet")
+      .select(F.col("o_custkey").as("src"), F.col("o_orderkey").as("dst"))
+    val p = plan(graft.ops.Graph.pageRank(e, "src", "dst", iters = 1))
+    assert(p.contains("partial_sum"),
+      s"per-dst contribution sums must collapse map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"rank propagation must be keyed joins, never a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the dangling scalar must ride a broadcast, not a shuffle:\n$p")
+  }
 }

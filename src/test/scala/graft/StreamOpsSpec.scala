@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
 import graft.streaming.StreamOps
@@ -40,6 +41,44 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(got.contains(("2026-01-01 10", "click", 2L, 3.0)))
       assert(got.contains(("2026-01-01 10", "view", 1L, 5.0)))
       assert(got.contains(("2026-01-01 11", "click", 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("streaming HLL registers equal the batch sketch per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val events = in.toDF().toDF("ts", "user")
+
+    val q = StreamOps.hllWindowedRegisters(events, F.col("user"),
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("hllreg")
+      .outputMode("append").start()
+    try {
+      // hour 10: users a,b,c (a twice — duplicates must not add registers);
+      // hour 11: user d
+      in.addData((ts(5), "a"), (ts(10), "b"), (ts(20), "a"), (ts(30), "c"))
+      q.processAllAvailable()
+      in.addData((ts(65), "d"))
+      q.processAllAvailable()
+      in.addData((ts(130), "e")) // watermark closes hours 10 and 11
+      q.processAllAvailable()
+      val got = spark.table("hllreg")
+        .as[(String, Long, Int)].collect().toSet
+      // the batch op over the same hour-10/11 slices yields IDENTICAL
+      // registers — the lambda-architecture merge contract
+      val batch = Seq(("2026-01-01 10", "a"), ("2026-01-01 10", "b"),
+          ("2026-01-01 10", "a"), ("2026-01-01 10", "c"), ("2026-01-01 11", "d"))
+        .toDF("hour", "user")
+      val want = graft.ops.Sketches
+        .hllRegisters(batch, Seq("hour"), F.col("user"))
+        .as[(String, Long, Int)].collect().toSet
+      assert(got == want, s"stream registers $got != batch $want")
+      // and the estimate over the emitted registers is near-exact here
+      val est = graft.ops.Sketches.hllEstimate(
+          spark.table("hllreg"), Seq("hour"))
+        .as[(String, Double)].collect().toMap
+      assert(math.abs(est("2026-01-01 10") - 3.0) < 0.2, est.toString)
+      assert(math.abs(est("2026-01-01 11") - 1.0) < 0.1, est.toString)
     } finally q.stop()
   }
 
