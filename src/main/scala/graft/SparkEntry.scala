@@ -1329,6 +1329,16 @@ object SparkEntry {
         .orderBy(F.col("n_exact").desc, F.col("t"))
     }),
 
+    // sampled per-source length quantiles: md5-prefix row sample (~10%),
+    // integer rank selection (no interpolation), one window shuffle over
+    // the SAMPLE only — the deterministic approximate-quantile path that
+    // replaces exact per-group percentile buffering at 100 TB
+    "x97_sample_quantiles" -> ((s, dir) =>
+      Sampling.sampleQuantiles(
+          s.read.parquet(s"$dir/documents.parquet"),
+          Seq("source"), "n_chars", F.col("doc_id"), Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("source", "q")),
+
     // ordered view→click→purchase funnel: per-user first-touch frontier
     // advanced strictly-after per step, every stage keyed on user_id (the
     // event stream shuffles once; frontiers reuse the partitioning)
@@ -3278,6 +3288,25 @@ object SparkEntry {
          |  min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin
     },
+
+    // mirrors Sampling.sampleQuantiles: same md5-prefix sample, same
+    // max(1, floor(q*n)) integer rank (qs cast DOUBLE so both engines
+    // run the identical IEEE product), per-partition row_number/count
+    "x97_sample_quantiles" ->
+      """WITH s AS (
+        |  SELECT source, n_chars FROM documents
+        |  WHERE substring(md5(doc_id::VARCHAR), 1, 4) < '199a'
+        |), o AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM s
+        |)
+        |SELECT source, q, n_chars AS value, n AS n_sample
+        |FROM o CROSS JOIN
+        |  (SELECT unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS q)
+        |WHERE rn = greatest(1, floor(q * n))
+        |ORDER BY source, q""".stripMargin,
 
     // mirrors EventOps.funnelReach: per-step frontier CTEs — min event
     // time of step k strictly after the step-(k-1) frontier, epoch µs

@@ -234,6 +234,42 @@ object Sampling {
       .limit(n)
   }
 
+  /** Per-group quantile ESTIMATES from a deterministic content-hash row
+    * sample — the scale path past exact `percentile` (which buffers every
+    * group's values): only the md5-prefix sample (the [[hashSample]]
+    * convention — reproducible, partition-order-free, engine-replayable)
+    * crosses the one window shuffle, so a 100 TB column costs a scan plus
+    * a sample-sized sort per group. Quantile i = the
+    * `max(1, floor(q·n))`-th smallest sample value — an integer rank
+    * selection, NO interpolation (the [[Scale.rangeShardAssign]] rule:
+    * interpolation formulas disagree across engines in last-ulp IEEE
+    * order; ranks cannot). Ties among equal values cannot change the
+    * selected VALUE, so no tie-break column is needed.
+    *
+    * Returns (groupCols…, q, value, n_sample); a group with an empty
+    * sample is absent — widen `samplePrefix` (the default keeps ~10%).
+    *
+    * @param sampleKey row-identity column deciding sample membership (an
+    *                  id or the content), NOT the value column — sampling
+    *                  by value-hash would take all-or-none of equal values
+    */
+  def sampleQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      sampleKey: Column, qs: Seq[Double],
+                      samplePrefix: String = "199a"): DataFrame = {
+    require(qs.nonEmpty, "sampleQuantiles needs at least one quantile")
+    qs.foreach(q => require(q > 0.0 && q <= 1.0, s"quantiles must be in (0,1], got $q"))
+    val s = df
+      .filter(F.substring(F.md5(keyStr(sampleKey)), 1, 4) < samplePrefix)
+      .select((groupCols :+ valueCol).map(F.col): _*)
+    val pw = Window.partitionBy(groupCols.map(F.col): _*)
+    s.withColumn("__rn", F.row_number().over(pw.orderBy(F.col(valueCol))))
+      .withColumn("__n", F.count(F.lit(1)).over(pw))
+      .withColumn("q", F.explode(F.array(qs.map(F.lit): _*)))
+      .filter(F.col("__rn") === F.greatest(F.lit(1L), F.floor(F.col("q") * F.col("__n"))))
+      .select(groupCols.map(F.col) :+ F.col("q") :+
+        F.col(valueCol).as("value") :+ F.col("__n").as("n_sample"): _*)
+  }
+
   /** [[upsample]] with per-group factors — the corpus-mixture epoch table
     * as a literal CASE decision in the projection (the [[hashSampleByGroup]]
     * idiom; groups absent from `factors` get `defaultFactor`). */

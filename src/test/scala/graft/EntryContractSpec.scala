@@ -38,4 +38,21 @@ class EntryContractSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql keys without a query: $orphans")
   }
+
+  test("entries without an oracle are exactly the documented rows-only set") {
+    // Every rows-only entry is an xxhash64/LSH op whose math is pinned by
+    // an md5 oracle twin or an OpsSpec equivalence (VERDICT r8). A NEW
+    // entry that forgets its oracleSql would silently downgrade to a
+    // rows-only driver check — fail HERE instead, and either add the SQL
+    // or consciously extend this list with the twin that pins it.
+    val rowsOnly = Set(
+      "x02_minhash_pairs", "x03_simhash_pairs", "x04_ngram_jaccard",
+      "x05_embed_neardup", "x07_knn_lsh", "x15_simhash_sstring",
+      "x16_winnow_pairs", "x17_knn_ivf", "x18_frame_sample",
+      "x57_minhash_delta", "x71_dsir_weights_prod")
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actual == rowsOnly,
+      s"unexpected rows-only entries (missing oracleSql?): ${actual -- rowsOnly}; " +
+        s"stale list entries: ${rowsOnly -- actual}")
+  }
 }

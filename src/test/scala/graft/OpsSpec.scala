@@ -1985,6 +1985,27 @@ class OpsSpec extends AnyFunSuite {
       "sharded max-merge equals the one-pass registers")
   }
 
+  test("sampleQuantiles: exact rank stats at full sample; sane estimates at 10%") {
+    // samplePrefix "zzzz" admits every md5 digest (hex < 'z') → the
+    // "sample" is the whole group and quantiles are exact rank statistics
+    val df = (1 to 100).map(v => ("g", v.toLong, s"row$v")).toDF("g", "v", "k")
+    val exact = Sampling.sampleQuantiles(df, Seq("g"), "v", F.col("k"),
+        Seq(0.25, 0.5, 0.75, 1.0), samplePrefix = "zzzz")
+      .as[(String, Double, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(exact == Seq(("g", 0.25, 25L, 100L), ("g", 0.5, 50L, 100L),
+      ("g", 0.75, 75L, 100L), ("g", 1.0, 100L, 100L)), s"exact ranks: $exact")
+    // default ~10% sample of 1..1000: median estimate lands near 500 and
+    // is deterministic run-to-run and under repartitioning
+    val big = (1 to 1000).map(v => ("g", v.toLong, s"item-$v")).toDF("g", "v", "k")
+    def med(d: org.apache.spark.sql.DataFrame) =
+      Sampling.sampleQuantiles(d, Seq("g"), "v", F.col("k"), Seq(0.5))
+        .as[(String, Double, Long, Long)].collect().head
+    val m1 = med(big)
+    assert(math.abs(m1._3 - 500L) < 150,
+      s"10%-sample median of 1..1000 near 500: $m1")
+    assert(med(big.repartition(13)) == m1, "partition-layout-independent")
+  }
+
   test("funnelReach: strictly-ordered first-touch semantics, hand-checked") {
     // A completes in order; B clicked only BEFORE viewing; C view-only;
     // D's purchase precedes the click; E never viewed; F's click shares
