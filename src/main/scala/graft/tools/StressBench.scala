@@ -181,8 +181,43 @@ object StressBench {
           Similarity.ivfpqSearch(idx, embD.filter(F.col("vec_id") < 50),
             "embedding", k = 3, nprobe = 4)
         }),
+        // PageRank on the worst graph shape for propagation (one ring
+        // through every node + a global hub): edges grow 2K×, 3 damped
+        // rounds each cost one edges⋈ranks join + one keyed agg — wall
+        // must stay ~linear in K with no per-round driver actions
+        "x92_pagerank_ring" -> (() => {
+          val n = nDocs
+          val ring = spark.range(n).select(F.col("id").as("src"),
+            ((F.col("id") + 1) % n).as("dst"))
+          val hub = spark.range(n).select(F.col("id").as("src"),
+            F.lit(-1L).as("dst"))
+          graft.ops.Graph.pageRank(ring.union(hub), "src", "dst", iters = 3)
+        }),
+        // HLL: token stream grows K× but replicas keep text verbatim, so
+        // per-source TRUE cardinality is FLAT — registers (≤256 rows/source)
+        // must absorb the K× stream map-side; wall ~linear scan cost only
+        "x93_hll" -> (() => {
+          val toks = docs.select(F.col("source"),
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).as("t"))
+            .filter(F.length(F.col("t")) > 0)
+          graft.ops.Sketches.hllDistinct(toks, Seq("source"), F.col("t"))
+        }),
+        // CMS: same K× stream into a FIXED 4×1024 counter table — the
+        // depth-way explode must collapse map-side (counter rows constant)
+        "x95_cms" -> (() => {
+          val toks = docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).as("t"))
+            .filter(F.length(F.col("t")) > 0)
+          graft.ops.Sketches.cmsCounters(toks, F.col("t"))
+        }),
+        // weighted draw: K× corpus through a TakeOrdered top-150 — the
+        // per-partition heap is bounded, so wall is the scan, ~linear
+        "x91_weighted" -> (() => graft.ops.Sampling.weightedSample(
+          docs.filter(F.col("n_chars") > 0), F.col("text"), F.col("n_chars"), 150)),
       )
-      val results = queries.map { case (name, fn) =>
+      val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val results = queries.filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn().write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[stress] $name: ${e.getMessage}") }
