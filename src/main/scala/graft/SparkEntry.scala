@@ -1329,6 +1329,17 @@ object SparkEntry {
         .orderBy(F.col("n_exact").desc, F.col("t"))
     }),
 
+    // export integrity manifest: per range-shard row count + order-
+    // independent bit-XOR content checksum + key envelope — recompute on
+    // the far side of a copy/re-shard/re-ingest and ANY lost, duplicated,
+    // or corrupted row shows as a (n_rows, checksum) mismatch, with no
+    // sort anywhere
+    "x98_shard_checksums" -> ((s, dir) =>
+      graft.ops.Scale.shardChecksums(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", Seq("text", "source", "lang"), nShards = 8)
+        .orderBy("shard")),
+
     // sampled per-source length quantiles: md5-prefix row sample (~10%),
     // integer rank selection (no interpolation), one window shuffle over
     // the SAMPLE only — the deterministic approximate-quantile path that
@@ -3288,6 +3299,30 @@ object SparkEntry {
          |  min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin
     },
+
+    // mirrors Scale.shardChecksums: the x87 boundary replay on doc_id +
+    // the same chr(1)-joined null-safe content fingerprint, bit_xor'd
+    "x98_shard_checksums" ->
+      """WITH s AS (
+        |  SELECT doc_id AS k FROM documents
+        |  WHERE substring(md5(doc_id::VARCHAR), 1, 4) < '199a'
+        |), o AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM s
+        |), c AS (SELECT count(*) AS n FROM s
+        |), b AS (
+        |  SELECT o.k FROM o, c
+        |  WHERE o.rn IN ((1*n)//8, (2*n)//8, (3*n)//8, (4*n)//8,
+        |                 (5*n)//8, (6*n)//8, (7*n)//8)
+        |), a AS (
+        |  SELECT d.doc_id,
+        |    1 + (SELECT count(*) FROM b WHERE b.k < d.doc_id) AS shard,
+        |    ('0x' || substring(md5(concat_ws(chr(1),
+        |      coalesce(text, ''), coalesce(source, ''), coalesce(lang, ''))),
+        |      1, 15))::BIGINT AS fp
+        |  FROM documents d)
+        |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+        |  bit_xor(fp)::BIGINT AS checksum,
+        |  min(doc_id) AS min_key, max(doc_id) AS max_key
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     // mirrors Sampling.sampleQuantiles: same md5-prefix sample, same
     // max(1, floor(q*n)) integer rank (qs cast DOUBLE so both engines

@@ -192,6 +192,44 @@ object Scale {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Export integrity manifest: per range-shard row count + an
+    * ORDER-INDEPENDENT content checksum (bit-XOR of a 60-bit md5 row
+    * fingerprint) + key envelope. After a 100 TB sharded export is copied,
+    * re-sharded, or re-ingested, recomputing this manifest on the other
+    * side detects ANY lost, duplicated, or corrupted row — without
+    * sorting anything: XOR is commutative/associative, so the checksum is
+    * partition-order-free, partial-aggregates map-side, and MERGES across
+    * sub-manifests by further XOR (the HLL/CMS register property for
+    * integrity). A row fingerprint covers `contentCols` joined with an
+    * \u0001 separator (so ("ab","c") ≠ ("a","bc")), nulls as empty
+    * string, making the manifest schema-stable and engine-replayable.
+    *
+    * Caveat (documented, inherent to XOR): a row appearing an EVEN number
+    * of extra times cancels out of the checksum — the row COUNT catches
+    * that case; the pair (n_rows, checksum) is the integrity unit. */
+  def shardChecksums(df: DataFrame, keyCol: String, contentCols: Seq[String],
+                     nShards: Int = 8,
+                     samplePrefix: String = "199a",
+                     maxSample: Int = 1 << 20): DataFrame =
+    rangeShardAssign(df, keyCol, nShards, samplePrefix, maxSample)
+      .withColumn("__fp", rowFingerprint(contentCols))
+      .groupBy("shard")
+      .agg(F.count(F.lit(1)).as("n_rows"),
+        F.expr("bit_xor(__fp)").as("checksum"),
+        F.min(keyCol).as("min_key"), F.max(keyCol).as("max_key"))
+
+  /** The 60-bit md5 row fingerprint [[shardChecksums]] XORs: content
+    * columns joined with a \u0001 separator (("ab","c") != ("a","bc")),
+    * nulls as empty string — a pure codegen projection, public so
+    * sub-export audits can aggregate it over an EXISTING shard assignment
+    * and merge with (+, XOR). */
+  def rowFingerprint(contentCols: Seq[String]): Column = {
+    require(contentCols.nonEmpty, "rowFingerprint needs at least one content column")
+    F.conv(F.substring(F.md5(F.concat_ws("\u0001",
+        contentCols.map(c => F.coalesce(F.col(c).cast("string"), F.lit(""))): _*)),
+      1, 15), 16, 10).cast("long")
+  }
+
   /** Z-order layout manifest: [[mortonCode]] the two dimensions, then
     * [[rangeShardAssign]] on the z value and report per-shard row counts
     * plus the z and per-dimension min/max envelopes. Equal-count shards in

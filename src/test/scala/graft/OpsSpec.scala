@@ -1985,6 +1985,47 @@ class OpsSpec extends AnyFunSuite {
       "sharded max-merge equals the one-pass registers")
   }
 
+  test("shardChecksums: order-free, corruption-sensitive, sub-manifest mergeable") {
+    val df = (1L to 2000L).map(i => (i, s"content of row $i", s"src${i % 3}"))
+      .toDF("id", "text", "source")
+    val manifest = graft.ops.Scale.shardChecksums(df, "id", Seq("text", "source"), 4)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // identical under any partition layout or row order
+    val shuffled = graft.ops.Scale.shardChecksums(
+        df.repartition(17).orderBy(F.rand(5)), "id", Seq("text", "source"), 4)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(manifest == shuffled, "manifest is partition/order-free")
+    // a single corrupted row flips exactly its shard's checksum, counts intact
+    val corrupted = df.withColumn("text",
+      F.when(F.col("id") === 1500L, F.lit("bit-rot")).otherwise(F.col("text")))
+    val m2 = graft.ops.Scale.shardChecksums(corrupted, "id", Seq("text", "source"), 4)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m2.map(_._2) == manifest.map(_._2), "row counts unchanged")
+    val diff = manifest.zip(m2).filter { case (a, b) => a._3 != b._3 }
+    assert(diff.size == 1, s"exactly one shard's checksum flips: $diff")
+    // a dropped row shows in n_rows
+    val dropped = graft.ops.Scale.shardChecksums(
+        df.filter(F.col("id") =!= 7L), "id", Seq("text", "source"), 4)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(dropped.map(_._2).sum == 1999L, "missing row visible in counts")
+    // sub-manifests merge by (+, XOR) over a FIXED shard assignment (the
+    // real flow: an already-sharded export split into batches, audited
+    // batch-by-batch) — boundaries must come from the ONE assignment, not
+    // be re-sampled per batch
+    val assigned = graft.ops.Scale.rangeShardAssign(df, "id", 4)
+      .withColumn("fp", graft.ops.Scale.rowFingerprint(Seq("text", "source")))
+    def agg(part: org.apache.spark.sql.DataFrame) = part.groupBy("shard")
+      .agg(F.count(F.lit(1)).as("n"), F.expr("bit_xor(fp)").as("ck"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val h0 = agg(assigned.filter(F.pmod(F.xxhash64(F.col("text")), F.lit(2)) === 0))
+    val h1 = agg(assigned.filter(F.pmod(F.xxhash64(F.col("text")), F.lit(2)) === 1))
+    manifest.foreach { case (sh, n, ck, _, _) =>
+      val (a, b) = (h0(sh), h1(sh))
+      assert(a._2 + b._2 == n && (a._3 ^ b._3) == ck,
+        s"shard $sh: sub-manifests must merge by (+, XOR)")
+    }
+  }
+
   test("sampleQuantiles: exact rank stats at full sample; sane estimates at 10%") {
     // samplePrefix "zzzz" admits every md5 digest (hex < 'z') → the
     // "sample" is the whole group and quantiles are exact rank statistics
