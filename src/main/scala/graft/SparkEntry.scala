@@ -1329,6 +1329,23 @@ object SparkEntry {
         .orderBy(F.col("n_exact").desc, F.col("t"))
     }),
 
+    // EXACT word-set similarity self-join (prefix filtering): every pair
+    // at Jaccard >= 0.5 with recall 1.0 by construction — candidates from
+    // a rarity-ordered prefix equi-join, all selection decisions integer
+    // (6-dp rational threshold), exact verify on sorted token sets. The
+    // exact complement of the approximate x02 MinHash path. Scoped to the
+    // mod-7 doc slice: the synthetic corpus is template-generated, so the
+    // TRUE pair count is quadratic in corpus size (measured 8.9M pairs at
+    // sf0.1 full-corpus, ~1M even at t=0.9) — output volume, not a plan
+    // hazard; the slice keeps the bench comparable while the pipeline
+    // stays end-to-end
+    "x99_exact_jaccard_join" -> ((s, dir) =>
+      Dedup.exactJaccardPairs(
+          s.read.parquet(s"$dir/documents.parquet")
+            .filter(F.col("doc_id") % 7 === 0),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy("a", "b")),
+
     // export integrity manifest: per range-shard row count + order-
     // independent bit-XOR content checksum + key envelope — recompute on
     // the far side of a copy/re-shard/re-ingest and ANY lost, duplicated,
@@ -3299,6 +3316,42 @@ object SparkEntry {
          |  min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin
     },
+
+    // mirrors Dedup.exactJaccardPairs stage-for-stage: df census, per-doc
+    // (df, tok) rarity rank, integer prefix length (thr=500000), prefix
+    // equi-join + integer length filter, token-join intersection, and the
+    // same integer i*10^6 >= thr*union acceptance — no float decides
+    "x99_exact_jaccard_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(list_filter(
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |    x -> length(x) > 0))) AS tok
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), dfq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok
+        |), r AS (
+        |  SELECT t.id, t.tok,
+        |    row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rk,
+        |    count(*) OVER (PARTITION BY t.id) AS sz
+        |  FROM toks t JOIN dfq d USING (tok)
+        |), pfx AS (
+        |  SELECT id, tok, sz FROM r
+        |  WHERE rk <= sz - ((500000 * sz + 999999) // 1000000) + 1
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS a, b.id AS b
+        |  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.id < b.id
+        |  WHERE least(a.sz, b.sz) * 1000000 >= 500000 * greatest(a.sz, b.sz)
+        |), inter AS (
+        |  SELECT c.a, c.b, count(*) AS i
+        |  FROM cand c
+        |  JOIN toks ta ON ta.id = c.a
+        |  JOIN toks tb ON tb.id = c.b AND tb.tok = ta.tok
+        |  GROUP BY c.a, c.b
+        |), szs AS (SELECT id, count(*) AS n FROM toks GROUP BY id)
+        |SELECT i.a, i.b,
+        |  round(i.i::DOUBLE / (sa.n + sb.n - i.i), 6) AS jaccard
+        |FROM inter i JOIN szs sa ON sa.id = i.a JOIN szs sb ON sb.id = i.b
+        |WHERE i.i * 1000000 >= 500000 * (sa.n + sb.n - i.i)
+        |ORDER BY a, b""".stripMargin,
 
     // mirrors Scale.shardChecksums: the x87 boundary replay on doc_id +
     // the same chr(1)-joined null-safe content fingerprint, bit_xor'd

@@ -1985,6 +1985,46 @@ class OpsSpec extends AnyFunSuite {
       "sharded max-merge equals the one-pass registers")
   }
 
+  test("exactJaccardPairs equals brute force (recall 1.0); hot-token guard is loud") {
+    // overlapping vocab: doc i = tokens {i..i+9} over a 30-token alphabet,
+    // so neighbors share 9/11, 8/12, ... — thresholds slice real gradients
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (i until i + 10).map(j => s"w${j % 30}").distinct.mkString(" "))
+    }.toDF("id", "text")
+    def brute(t: Double): Set[(Long, Long, Long, Long)] = {
+      val thr = math.round(t * 1e6)
+      val sets = (0 until 40).map(i =>
+        i.toLong -> (i until i + 10).map(j => s"w${j % 30}").toSet)
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        i = (sa & sb).size.toLong; u = sa.size + sb.size - i
+        if i * 1000000L >= thr * u
+      } yield (a, b, i, u)).toSet
+    }
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val got = Dedup.exactJaccardPairs(docs, "id", "text", t)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b, j) }.toSet
+      val want = brute(t).map { case (a, b, i, u) =>
+        (a, b, BigDecimal(i.toDouble / u).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      assert(got == want, s"t=$t: exact join must equal brute force\n" +
+        s"missing: ${want -- got}\nextra: ${got -- want}")
+    }
+    // a token present in every doc beyond maxBucket fails LOUDLY (the
+    // exact-recall contract forbids silently dropping it). Needs a LOW
+    // threshold: at high t the prefix is only the rarest token(s), so the
+    // boilerplate token never enters a prefix bucket — rarity ordering is
+    // itself the first line of defense
+    val boiler = (0 until 50).map(i => (i.toLong, s"cookie banner unique$i"))
+      .toDF("id", "text")
+    val ex = intercept[IllegalStateException] {
+      Dedup.exactJaccardPairs(boiler, "id", "text", 0.3, maxBucket = 10)
+    }
+    assert(ex.getMessage.contains("maxBucket") &&
+      ex.getMessage.contains("stripBoilerplateLines"), ex.getMessage)
+  }
+
   test("shardChecksums: order-free, corruption-sensitive, sub-manifest mergeable") {
     val df = (1L to 2000L).map(i => (i, s"content of row $i", s"src${i % 3}"))
       .toDF("id", "text", "source")
