@@ -1376,6 +1376,88 @@ object SparkEntry {
           Seq("view", "click", "purchase"))
         .orderBy("step")),
 
+    // KMV distinct sketch vs exact truth, per source: k smallest 52-bit
+    // md5 values — ≤ k rows of state per group, exact below k, (k-1)·2^52
+    // / v_k above; the mergeable-with-set-operations complement of the
+    // x93 HLL registers (KMV sketches intersect/Jaccard, HLL only unions)
+    "x100_kmv_distinct" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("source"), F.explode(F.filter(
+          F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+          t => F.length(t) > 0)).as("t"))
+      graft.ops.Sketches.kmvDistinct(toks, Seq("source"), F.col("t"), k = 64)
+        .join(toks.groupBy("source").agg(F.count_distinct(F.col("t")).as("n_exact")),
+          "source")
+        .orderBy("source")
+    }),
+
+    // edit-distance near-dup pairs over the normalized full text: recall
+    // 1.0 via the lossless |len(a)-len(b)| <= d length-band blocking, and
+    // per-pair cost O(d·n) via Spark's THRESHOLD Levenshtein (banded DP,
+    // -1 beyond d) — the character-level mutation catcher (OCR noise,
+    // version strings) that token-set dedup blurs away
+    "x101_edit_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", F.lower(F.trim(F.col("text"))), maxDist = 3)
+        .orderBy("a", "b")),
+
+    // first-order event-type transition matrix per user sequence (ties
+    // broken by event_id for a total order): the row-stochastic behavioral
+    // summary a session recommender / anomaly detector trains on; one
+    // user-keyed window + a |types|^2-bounded rollup
+    "x102_transitions" -> ((s, dir) =>
+      graft.ops.EventOps.transitionMatrix(
+          s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("prev_type", "next_type")),
+
+    // robust per-type outliers: (value - median) / IQR with EVERY quantile
+    // an integer rank selection (no mean/stddev float accumulation — one
+    // corrupt 1e30 reading cannot eat the detector), flagged at |score|>=3
+    "x103_robust_outliers" -> ((s, dir) =>
+      graft.ops.EventOps.robustOutliers(
+          s.read.parquet(s"$dir/events.parquet"), cut = 3.0)
+        .orderBy("event_id")),
+
+    // per-node triangle counts on the supplier co-purchase graph (edges =
+    // supplier pairs sharing >= 5 distinct orders): degree-ordered
+    // orientation bounds the wedge join at m^1.5 on ANY degree skew — the
+    // clustering signal behind community-quality / spam-farm detection
+    "x104_triangles" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Graph.triangleCounts(
+          graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+            minCount = 5),
+          "src", "dst")
+        .orderBy("node")
+    }),
+
+    // multi-level revenue census in ONE pass: GROUP BY ROLLUP over
+    // (order-year, priority) — detail rows, per-year subtotals, and the
+    // grand total from a single aggregation (Expand), not three scans;
+    // lvl derived from key nullness so the oracle needs no engine-specific
+    // grouping_id
+    "x105_rollup_census" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(F.year(F.col("o_orderdate")).as("yr"),
+          F.col("o_orderpriority").as("pri"), F.col("o_totalprice"))
+        .rollup("yr", "pri")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.sum("o_totalprice"), 2).as("total"))
+        .withColumn("lvl",
+          F.when(F.col("yr").isNull, 2).when(F.col("pri").isNull, 1).otherwise(0))
+        .orderBy(F.col("lvl"), F.coalesce(F.col("yr"), F.lit(-1)),
+          F.coalesce(F.col("pri"), F.lit("")))),
+
+    // per-(source, lang) token-distribution entropy + type-token ratio:
+    // the lexical-diversity quality slice (low entropy = template/spam);
+    // terms quantized to 9 dp before the unordered sum (pageRank rule)
+    "x106_token_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(
+          s.read.parquet(s"$dir/documents.parquet"),
+          Seq("source", "lang"), "text")
+        .orderBy("source", "lang")),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -3321,6 +3403,170 @@ object SparkEntry {
     // (df, tok) rarity rank, integer prefix length (thr=500000), prefix
     // equi-join + integer length filter, token-join intersection, and the
     // same integer i*10^6 >= thr*union acceptance — no float decides
+    // mirrors Sketches.kmvDistinct: same 52-bit (13-hex) md5 values,
+    // distinct per (source, v), k=64 smallest by row_number, exact count
+    // below k, (k-1)*2^52/v_k above (63*2^52 is exactly representable so
+    // the left-assoc product matches Spark's folded constant)
+    "x100_kmv_distinct" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS t
+        |  FROM documents
+        |), h AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substring(md5(t), 1, 13))::BIGINT AS v
+        |  FROM toks
+        |), r AS (
+        |  SELECT source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v) AS rk
+        |  FROM h
+        |), g AS (
+        |  SELECT source, count(*) AS n_keep, max(v) AS vk
+        |  FROM r WHERE rk <= 64 GROUP BY source
+        |), e AS (
+        |  SELECT source, count(DISTINCT t) AS n_exact FROM toks GROUP BY source
+        |)
+        |SELECT g.source AS source, n_keep,
+        |  round(CASE WHEN n_keep < 64 THEN n_keep::DOUBLE
+        |             ELSE 63.0 * 4503599627370496.0 / vk END, 6) AS n_est,
+        |  n_exact
+        |FROM g JOIN e ON g.source = e.source
+        |ORDER BY g.source""".stripMargin,
+
+    // mirrors Dedup.editDistancePairs: the |len diff| <= 3 band is a
+    // lossless necessary condition, so the oracle's plain banded pair
+    // join + full Levenshtein equals the banded-threshold Spark plan
+    "x101_edit_pairs" ->
+      """WITH k AS (
+        |  SELECT doc_id AS id, lower(trim(text)) AS kk,
+        |    length(lower(trim(text))) AS len
+        |  FROM documents WHERE length(lower(trim(coalesce(text, '')))) > 0
+        |), p AS (
+        |  SELECT a.id AS a, b.id AS b, levenshtein(a.kk, b.kk) AS dist
+        |  FROM k a JOIN k b ON a.id < b.id AND abs(a.len - b.len) <= 3
+        |)
+        |SELECT a, b, dist FROM p WHERE dist <= 3
+        |ORDER BY a, b""".stripMargin,
+
+    // mirrors EventOps.transitionMatrix: lag over (user; epoch-µs ts,
+    // event_id), integer counts, one rounded division
+    "x102_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS tu,
+        |    event_id AS eid
+        |  FROM events
+        |), lagd AS (
+        |  SELECT et AS next_type,
+        |    lag(et) OVER (PARTITION BY u ORDER BY tu, eid) AS prev_type
+        |  FROM e
+        |), c AS (
+        |  SELECT prev_type, next_type, count(*) AS n
+        |  FROM lagd WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
+    // mirrors EventOps.robustOutliers: lower-quantile integer rank
+    // selection max(1, floor(q*n)) in (value, event_id) order; nullif
+    // degenerate-IQR division matches Spark's null (NOT NaN) branch
+    "x103_robust_outliers" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rn = greatest(1, floor(0.5 * n)) THEN value END) AS med,
+        |    min(CASE WHEN rn = greatest(1, floor(0.25 * n)) THEN value END) AS q1,
+        |    min(CASE WHEN rn = greatest(1, floor(0.75 * n)) THEN value END) AS q3
+        |  FROM r
+        |  WHERE rn IN (greatest(1, floor(0.25 * n)), greatest(1, floor(0.5 * n)),
+        |               greatest(1, floor(0.75 * n)))
+        |  GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value, s.med,
+        |  s.q3 - s.q1 AS iqr,
+        |  round((e.value - s.med) / nullif(s.q3 - s.q1, 0), 4) AS score
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs(round((e.value - s.med) / nullif(s.q3 - s.q1, 0), 4)) >= 3.0
+        |ORDER BY event_id""".stripMargin,
+
+    // mirrors Graph.cooccurrenceEdges + triangleCounts: same >= 5 support
+    // threshold, same (deg, id) orientation, wedge join at the low-degree
+    // corner, both closing-edge directions probed
+    "x104_triangles" ->
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+        |), e AS (
+        |  SELECT a.s AS a, b.s AS b
+        |  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |), deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node
+        |), o AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |         THEN e.a ELSE e.b END AS lo,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |         THEN e.b ELSE e.a END AS hi
+        |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+        |), w AS (
+        |  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+        |), t AS (
+        |  SELECT u, v, w FROM w JOIN (
+        |    SELECT lo AS v, hi AS w FROM o
+        |    UNION ALL SELECT hi, lo FROM o) c USING (v, w)
+        |)
+        |SELECT node, count(*) AS n_tri FROM (
+        |  SELECT u AS node FROM t
+        |  UNION ALL SELECT v FROM t
+        |  UNION ALL SELECT w FROM t)
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    // mirrors the x105 rollup: GROUP BY ROLLUP, lvl from key nullness
+    // (yr is never null in the data, so nullness identifies the level)
+    "x105_rollup_census" ->
+      """WITH g AS (
+        |  SELECT year(o_orderdate) AS yr, o_orderpriority AS pri,
+        |    count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY ROLLUP (yr, pri)
+        |)
+        |SELECT yr, pri, n, total,
+        |  CASE WHEN yr IS NULL THEN 2 WHEN pri IS NULL THEN 1 ELSE 0 END AS lvl
+        |FROM g
+        |ORDER BY lvl, coalesce(yr, -1), coalesce(pri, '')""".stripMargin,
+
+    // mirrors TextOps.tokenEntropy: ln(p)/ln(2.0) replays Spark's
+    // log(2.0, p) division; terms rounded to 9 dp before the sum and
+    // + 0.0 normalizes the single-type group's -0.0
+    "x106_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT source, lang, unnest(list_filter(
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |    x -> length(x) > 0)) AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, lang, t, count(*) AS c FROM toks GROUP BY 1, 2, 3
+        |), pn AS (
+        |  SELECT source, lang, c, sum(c) OVER (PARTITION BY source, lang) AS n
+        |  FROM c
+        |), terms AS (
+        |  SELECT source, lang, n,
+        |    round(-(c::DOUBLE / n) * (ln(c::DOUBLE / n) / ln(2.0)), 9) AS term
+        |  FROM pn
+        |)
+        |SELECT source, lang, max(n)::BIGINT AS n_tokens, count(*) AS n_types,
+        |  round(sum(term) + 0.0, 6) AS entropy_bits,
+        |  round(count(*)::DOUBLE / max(n), 6) AS ttr
+        |FROM terms GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
     "x99_exact_jaccard_join" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(list_distinct(list_filter(

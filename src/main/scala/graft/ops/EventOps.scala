@@ -128,4 +128,86 @@ object EventOps {
     }
     perStep.reduce(_ unionAll _)
   }
+
+  /** First-order event-type transition matrix: for each user's event
+    * sequence (ordered by time, ties broken by `tieCol` for a total
+    * order), count (prev_type → next_type) adjacencies and derive the
+    * row-stochastic transition probability. The standard behavioral
+    * summary a session-based recommender or anomaly detector trains on.
+    *
+    * Determinism: the ONLY per-row order dependence is the lag itself,
+    * fixed by the (ts, tie) total order; counts are integers and the
+    * probability is one division rounded to 6 dp. Scale shape: one window
+    * shuffle on the user key (the same partitioning [[sessionize]] uses —
+    * at 100 TB these compose into one exchange), then a partial-aggregated
+    * rollup on ≤ |types|² keys.
+    *
+    * @return (prev_type, next_type, n, p) ordered rows
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       tieCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol)
+      .orderBy(tsUs(events).asc, F.col(tieCol).asc)
+    val typeTotals = Window.partitionBy("prev_type")
+    events
+      .withColumn("prev_type", F.lag(F.col("event_type"), 1).over(byUser))
+      .filter(F.col("prev_type").isNotNull)
+      .groupBy(F.col("prev_type"), F.col("event_type").as("next_type"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .withColumn("p", F.round(
+        F.col("n").cast("double") / F.sum("n").over(typeTotals), 6))
+  }
+
+  /** Robust per-type outlier detection: score = (value − median) / IQR,
+    * flagged at |score| ≥ `cut`. Median and quartiles are INTEGER rank
+    * selections (lower quantile: the value at row_number
+    * `max(1, ⌊q·n⌋)` in (value, tie) order) — no interpolation, no
+    * mean/stddev float accumulation, so the statistic is deterministic
+    * under any partition order and engine-replayable bit-for-bit; the
+    * mean/σ z-score it replaces is BOTH order-sensitive in the sum and
+    * breaker-of-robustness (one corrupt 1e30 reading inflates σ until
+    * nothing is an outlier — median/IQR shrug it off).
+    *
+    * Scale shape: one window shuffle on the type key for ranks, a 3-row
+    * per-type stats table broadcast back onto the stream. At 100 TB swap
+    * the exact rank window for [[Sampling.sampleQuantiles]]' md5-sampled
+    * ranks — same selection rule, sample-bounded.
+    *
+    * @return flagged rows (tieCol, typeCol, value, med, iqr, score)
+    */
+  def robustOutliers(events: DataFrame, typeCol: String = "event_type",
+                     valueCol: String = "value", tieCol: String = "event_id",
+                     cut: Double = 3.0): DataFrame = {
+    val byType = Window.partitionBy(typeCol)
+      .orderBy(F.col(valueCol).asc, F.col(tieCol).asc)
+    val ranked = events
+      .select(F.col(tieCol), F.col(typeCol), F.col(valueCol))
+      .withColumn("__rn", F.row_number().over(byType))
+      .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(typeCol)))
+    // one window pass serves all three quantiles: keep the ≤3 selected
+    // rows per type, pivot them into columns with conditional min
+    def rk(q: Double) = F.greatest(F.lit(1L),
+      F.floor(F.lit(q) * F.col("__n").cast("double")))
+    def at(q: Double) =
+      F.min(F.when(F.col("__rn") === rk(q), F.col(valueCol)))
+    val stats = ranked
+      .filter(F.col("__rn") === rk(0.25) || F.col("__rn") === rk(0.5) ||
+        F.col("__rn") === rk(0.75))
+      .groupBy(F.col(typeCol))
+      .agg(at(0.5).as("med"), at(0.25).as("q1"), at(0.75).as("q3"))
+      .withColumn("iqr", F.col("q3") - F.col("q1"))
+      .select(typeCol, "med", "iqr")
+    events.select(F.col(tieCol), F.col(typeCol), F.col(valueCol))
+      .join(F.broadcast(stats), typeCol)
+      // degenerate IQR=0 → NULL score (filtered), NOT NaN: Spark orders
+      // NaN above every double, so abs(NaN) >= cut would PASS here while
+      // a SQL oracle's nullif-division row drops — null behaves the same
+      // in both engines
+      .withColumn("score", F.round(
+        (F.col(valueCol) - F.col("med")) /
+          F.when(F.col("iqr") === 0.0, F.lit(null)).otherwise(F.col("iqr")),
+        4))
+      .filter(F.abs(F.col("score")) >= cut)
+      .select(tieCol, typeCol, valueCol, "med", "iqr", "score")
+  }
 }

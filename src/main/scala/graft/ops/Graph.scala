@@ -115,4 +115,83 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts by degree-ordered orientation (the
+    * MapReduce triangle algorithm of Suri & Vassilvitskii 2011): clustering
+    * structure for a co-occurrence / link graph — the local clustering
+    * signal behind community-quality and spam-farm detection on crawl
+    * graphs.
+    *
+    * Input is an undirected edge list (either direction, duplicates fine);
+    * it is canonicalized to distinct a<b pairs. Each edge is then ORIENTED
+    * from its lower-(degree, id) endpoint to the higher one. Orientation is
+    * the whole algorithm: every wedge `u→v, u→w` is generated at a node u
+    * whose oriented out-degree is bounded by O(√m) on any graph (the
+    * arboricity bound), so the wedge join — the step that goes quadratic
+    * in naive enumeration on a hub node — is bounded by m^1.5 TOTAL
+    * regardless of degree skew. A 10M-follower hub generates ZERO wedges;
+    * its triangles are counted at their two low-degree corners.
+    *
+    * Plan shape: one distinct (one shuffle), one degree rollup, the wedge
+    * self-join on the oriented source, and one equi-join of wedges back
+    * onto oriented edges; per-corner counts then roll up with a map-side
+    * partial. All integer keys and counts — engine-replayable exactly.
+    *
+    * @return (node, n_tri) — one row per node appearing in any edge
+    */
+  /** Co-occurrence edge list: items sharing a group (suppliers in an
+    * order, tokens in a doc, hosts in a session) become an edge when they
+    * co-occur in at least `minCount` distinct groups. The `minCount`
+    * support threshold is the density control that keeps the graph (and
+    * any downstream wedge join) sparse when the grouping is promiscuous —
+    * raising it is the first lever when [[triangleCounts]] gets expensive.
+    * Shape: one distinct, one self-equi-join on the group key (bucket
+    * sizes = group fan-out), one keyed rollup. */
+  def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        minCount: Int = 1): DataFrame = {
+    val gi = df.select(F.col(groupCol).as("__g"), F.col(itemCol).as("__i")).distinct()
+    gi.as("a").join(gi.as("b"),
+        F.col("a.__g") === F.col("b.__g") && F.col("a.__i") < F.col("b.__i"))
+      .groupBy(F.col("a.__i").as("src"), F.col("b.__i").as("dst"))
+      .agg(F.count(F.lit(1)).as("w"))
+      .filter(F.col("w") >= minCount)
+  }
+
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(F.least(F.col(srcCol), F.col(dstCol)).as("a"),
+        F.greatest(F.col(srcCol), F.col(dstCol)).as("b"))
+      .filter(F.col("a") =!= F.col("b"))
+      .distinct()
+    val deg = und.select(F.col("a").as("node"))
+      .unionAll(und.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
+    // orient each canonical edge from its (deg, id)-smaller endpoint
+    val withDeg = und
+      .join(deg.select(F.col("node").as("a"), F.col("deg").as("__da")), "a")
+      .join(deg.select(F.col("node").as("b"), F.col("deg").as("__db")), "b")
+    val oriented = withDeg.select(
+      F.when(F.col("__da") < F.col("__db") ||
+          (F.col("__da") === F.col("__db") && F.col("a") < F.col("b")),
+          F.col("a")).otherwise(F.col("b")).as("lo"),
+      F.when(F.col("__da") < F.col("__db") ||
+          (F.col("__da") === F.col("__db") && F.col("a") < F.col("b")),
+          F.col("b")).otherwise(F.col("a")).as("hi"))
+    // wedges at the low-degree corner; v < w dedupes the unordered pair
+    val wedges = oriented.select(F.col("lo").as("u"), F.col("hi").as("v"))
+      .join(oriented.select(F.col("lo").as("u"), F.col("hi").as("w")), "u")
+      .filter(F.col("v") < F.col("w"))
+    // close the wedge: the (v, w) side is also oriented low→high on
+    // (deg, id), but v<w is plain id order — probe both directions
+    // unionAll is POSITIONAL: the reversed direction must put hi first so
+    // it lands in the v slot, not silently duplicate the forward branch
+    val tris = wedges
+      .join(oriented.select(F.col("lo").as("v"), F.col("hi").as("w"))
+          .unionAll(oriented.select(F.col("hi").as("v"), F.col("lo").as("w"))),
+        Seq("v", "w"))
+    tris.select(F.col("u").as("node"))
+      .unionAll(tris.select(F.col("v").as("node")))
+      .unionAll(tris.select(F.col("w").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("n_tri"))
+  }
 }

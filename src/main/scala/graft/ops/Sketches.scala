@@ -136,4 +136,50 @@ object Sketches {
     F.conv(F.substring(
         F.md5(F.concat(F.lit(s"cms$j:"), F.coalesce(key.cast("string"), F.lit("")))),
         1, 7), 16, 10).cast("long") % width
+
+  /** 2^52 — the KMV hash-value width (13 hex digits). */
+  private val Kmv1: Double = 4503599627370496.0
+
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) per group:
+    * keep the k smallest 52-bit md5 values of the distinct keys; if fewer
+    * than k survive the group is EXACT (n_keep), else the estimator is
+    * `(k-1) / u_k` with `u_k = v_k / 2^52` the k-th smallest normalized
+    * hash — i.e. `(k-1)·2^52 / v_k`, one double division over otherwise
+    * pure integer state, so the DuckDB oracle replays it bit-for-bit
+    * (the [[hllRegisters]] engine-replayable argument).
+    *
+    * Complements [[hllDistinct]]: KMV state is the k values themselves,
+    * which additionally supports set OPERATIONS between sketches — the
+    * union of two groups' sketches is the k smallest of the merged lists,
+    * and the Jaccard of two groups is estimable from the overlap of their
+    * k-minima — where HLL registers only union. Distributed shape: the
+    * per-group distinct collapses map-side, the top-k ranking is one
+    * window (WindowGroupLimit prunes to k per group before the shuffle
+    * completes), and the sketch is ≤ k rows per group.
+    *
+    * @return one row per group: (groupCols…, n_keep, n_est) with n_est
+    *         rounded to 6 dp
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], key: Column,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val v = F.conv(F.substring(
+        F.md5(F.coalesce(key.cast("string"), F.lit(""))), 1, 13), 16, 10)
+      .cast("long")
+    val hashes = df
+      .select(groupCols.map(F.col) :+ v.as("__v"): _*)
+      .distinct()
+    val w = Window.partitionBy(groupCols.map(F.col): _*).orderBy(F.col("__v"))
+    hashes
+      .withColumn("__rk", F.row_number().over(w))
+      .filter(F.col("__rk") <= k)
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n_keep"), F.max("__v").as("__vk"))
+      .select(groupCols.map(F.col) :+ F.col("n_keep") :+
+        F.round(
+          F.when(F.col("n_keep") < k, F.col("n_keep").cast("double"))
+            .otherwise(F.lit((k - 1).toDouble * Kmv1) / F.col("__vk").cast("double")),
+          6).as("n_est"): _*)
+  }
 }

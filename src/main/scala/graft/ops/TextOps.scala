@@ -926,4 +926,45 @@ object TextOps {
     ((-1, bias) +: w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b, v) })
       .toDF("bucket", "w")
   }
+
+  /** Per-group token-distribution statistics: Shannon entropy (bits),
+    * distinct-type count, token count, and type-token ratio. Low entropy
+    * flags template/spam slices (a handful of tokens dominate); TTR is
+    * the classic lexical-diversity quality signal — both standard
+    * keep/drop features for a corpus mixture.
+    *
+    * Determinism: counts are integers; each entropy term
+    * `−(c/n)·log2(c/n)` is rounded to 9 dp BEFORE the unordered sum and
+    * the sum rounded to 6 — the [[Graph.pageRank]] quantize-then-sum rule,
+    * so partial-aggregation order cannot flip the result. Scale shape:
+    * one (group, token) rollup with map-side partials, then a per-group
+    * rollup of vocab-bounded rows; no windows, no driver actions.
+    *
+    * @return (groupCols…, n_tokens, n_types, entropy_bits, ttr)
+    */
+  def tokenEntropy(df: DataFrame, groupCols: Seq[String],
+                   textCol: String): DataFrame = {
+    val toks = df.select(groupCols.map(F.col) :+
+      F.explode(F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))), "\\s+"),
+        t => F.length(t) > 0)).as("__t"): _*)
+    val counts = toks
+      .groupBy((groupCols :+ "__t").map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val byGroup = Window.partitionBy(groupCols.map(F.col): _*)
+    counts
+      .withColumn("__n", F.sum("__c").over(byGroup))
+      .withColumn("__p", F.col("__c").cast("double") / F.col("__n").cast("double"))
+      .withColumn("__term",
+        F.round(-F.col("__p") * F.log(2.0, F.col("__p")), 9))
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(
+        F.max("__n").as("n_tokens"),
+        F.count(F.lit(1)).as("n_types"),
+        // + 0.0 normalizes the single-type group's −0.0 (−1·log2(1)) to
+        // +0.0 so both engines hash the same bit pattern
+        F.round(F.sum("__term") + F.lit(0.0), 6).as("entropy_bits"))
+      .withColumn("ttr", F.round(
+        F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6))
+  }
 }

@@ -2198,4 +2198,138 @@ class OpsSpec extends AnyFunSuite {
     assert(plan1.map(_._2).max < 3L * plan1.map(_._2).min,
       s"balanced within sampling noise: ${plan1.map(_._2)}")
   }
+
+  test("kmvDistinct: exact below k, estimate within KMV error bound above") {
+    val df = (0 until 40).map(i => ("small", s"tok$i"))
+      .++((0 until 5000).map(i => ("big", s"item$i")))
+      .toDF("g", "t")
+    val out = graft.ops.Sketches.kmvDistinct(df, Seq("g"), F.col("t"), k = 64)
+      .as[(String, Long, Double)].collect()
+      .map { case (g, n, e) => g -> ((n, e)) }.toMap
+    val small = out("small"); val big = out("big")
+    assert(small._1 == 40L && small._2 == 40.0,
+      s"below k the sketch IS the exact distinct count: $small")
+    assert(big._1 == 64L, s"kept exactly k values: $big")
+    // KMV relative error ~ 1/sqrt(k-2) ≈ 12.7%; allow 3 sigma
+    assert(math.abs(big._2 - 5000.0) / 5000.0 < 0.4,
+      s"estimate ${big._2} should be within ~3σ of 5000")
+    // duplicates do not move the sketch (distinct semantics)
+    val dup = graft.ops.Sketches.kmvDistinct(
+        df.unionAll(df), Seq("g"), F.col("t"), k = 64)
+      .as[(String, Long, Double)].collect()
+      .map { case (g, n, e) => g -> ((n, e)) }.toMap
+    assert(dup("big") == ((big._1, big._2)), "multiset has KMV of its support")
+  }
+
+  test("editDistancePairs: recall 1.0 vs brute force; threshold banding; guard") {
+    val rows = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fax"),    // dist 1 to id 1
+      (3L, "the quick brown foxes"),  // dist 2 to id 1 (insertions)
+      (4L, "a completely other doc"),
+      (5L, "the quick brown fox")     // dist 0 to id 1
+    ).toDF("id", "t")
+    val got = Dedup.editDistancePairs(rows, "id", F.col("t"), maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over all pairs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = Seq(1L -> "the quick brown fox", 2L -> "the quick brown fax",
+      3L -> "the quick brown foxes", 4L -> "a completely other doc",
+      5L -> "the quick brown fox")
+    val want = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      d = lev(ta, tb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got == want, s"got $got want $want")
+    // degenerate fixed-width corpus trips the loud guard
+    val fixed = (0 until 50).map(i => (i.toLong, f"doc$i%04d")).toDF("id", "t")
+    val e = intercept[IllegalStateException] {
+      Dedup.editDistancePairs(fixed, "id", F.col("t"), maxDist = 1,
+        maxBucket = 10).count()
+    }
+    assert(e.getMessage.contains("maxBucket"), e.getMessage)
+  }
+
+  test("transitionMatrix: hand-checked lag pairs and row-stochastic p") {
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 30L, "a"),
+      (4L, 2L, 10L, "a"), (5L, 2L, 20L, "b"),
+      (6L, 3L, 10L, "b")  // single event: no transition
+    ).toDF("event_id", "user_id", "ns", "event_type")
+      .withColumn("ts", F.col("ns") * 1000000000L) // ns-long convention
+      .drop("ns")
+    val out = graft.ops.EventOps.transitionMatrix(ev)
+      .as[(String, String, Long, Double)].collect().toSet
+    // user1: a->b, b->a; user2: a->b  ⇒ a->b n=2 p=1.0; b->a n=1 p=1.0
+    assert(out == Set(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)), out.toString)
+    // per-prev probabilities sum to 1
+    val sums = graft.ops.EventOps.transitionMatrix(ev)
+      .groupBy("prev_type").agg(F.sum("p").as("s"))
+      .as[(String, Double)].collect()
+    sums.foreach { case (pt, s) => assert(math.abs(s - 1.0) < 1e-9, s"$pt: $s") }
+  }
+
+  test("robustOutliers: median/IQR rank selection; spike caught; iqr=0 silent") {
+    val base = (1 to 100).map(i => (i.toLong, "m", i.toDouble))
+    val spiked = base :+ (101L, "m", 1000.0) // far outlier
+    val ev = spiked.toDF("event_id", "event_type", "value")
+      .withColumn("ts", F.lit(0L))
+    val out = graft.ops.EventOps.robustOutliers(ev)
+      .as[(Long, String, Double, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSet == Set(101L), s"only the spike flags: ${out.toSeq}")
+    val (_, _, v, med, iqr, score) = out.head
+    // n=101: med = value at rank 50 = 50, q1 at 25, q3 at 75 ⇒ iqr 50
+    assert(med == 50.0 && iqr == 50.0, s"med=$med iqr=$iqr")
+    assert(score == math.rint((1000.0 - 50.0) / 50.0 * 10000) / 10000, s"$score")
+    // constant slice: iqr=0 ⇒ no NaN escapes, nothing flagged
+    val const = (1 to 10).map(i => (i.toLong, "c", 7.0)).toDF("event_id", "event_type", "value")
+      .withColumn("ts", F.lit(0L))
+    assert(graft.ops.EventOps.robustOutliers(const).count() == 0L)
+  }
+
+  test("triangleCounts: hand-checked graph; orientation kills the hub blowup") {
+    // K4 on 1-4 (4 triangles, 3 per node) + pendant 5 + disconnected 6-7
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (6, 7), (7, 6), (2, 1) // dup + reversed dup collapse
+    ).toDF("s", "d")
+    val out = graft.ops.Graph.triangleCounts(edges, "s", "d")
+      .as[(Int, Long)].collect().toMap
+    assert(out == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L),
+      s"K4 corners only: $out")
+    // star hub: no triangles, and the hub generates zero wedges (its
+    // oriented out-degree is 0 — every edge points AT it)
+    val star = (1 to 50).map(i => (0, i)).toDF("s", "d")
+    assert(graft.ops.Graph.triangleCounts(star, "s", "d").count() == 0L)
+  }
+
+  test("cooccurrenceEdges: support threshold and canonical direction") {
+    val gi = Seq((10L, "x"), (10L, "y"), (10L, "z"),
+      (20L, "x"), (20L, "y"), (30L, "x"), (30L, "y"))
+      .toDF("g", "i")
+    val e = graft.ops.Graph.cooccurrenceEdges(gi, "g", "i", minCount = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(e == Set(("x", "y", 3L)), s"only x-y clears support 2: $e")
+  }
+
+  test("tokenEntropy: uniform = log2(n); single-type = +0.0; TTR exact") {
+    val df = Seq(
+      ("u", "a b c d"),          // uniform over 4 types -> H = 2 bits
+      ("s", "w w w w")           // single type -> H = 0 (and not -0.0)
+    ).toDF("g", "text")
+    val out = TextOps.tokenEntropy(df, Seq("g"), "text")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map { case (g, a, b, c, d) => g -> ((a, b, c, d)) }.toMap
+    assert(out("u") == ((4L, 4L, 2.0, 1.0)), out("u").toString)
+    val s = out("s")
+    assert(s._1 == 4L && s._2 == 1L && s._3 == 0.0 && s._4 == 0.25, s.toString)
+    // -0.0 normalization: the bit pattern must be +0.0
+    assert(java.lang.Double.doubleToLongBits(s._3) == 0L, "entropy is +0.0")
+  }
 }
