@@ -1395,12 +1395,31 @@ object SparkEntry {
     // 1.0 via the lossless |len(a)-len(b)| <= d length-band blocking, and
     // per-pair cost O(d·n) via Spark's THRESHOLD Levenshtein (banded DP,
     // -1 beyond d) — the character-level mutation catcher (OCR noise,
-    // version strings) that token-set dedup blurs away
-    "x101_edit_pairs" -> ((s, dir) =>
-      Dedup.editDistancePairs(
-          s.read.parquet(s"$dir/documents.parquet"),
-          "doc_id", F.lower(F.trim(F.col("text"))), maxDist = 3)
-        .orderBy("a", "b")),
+    // version strings) that token-set dedup blurs away. Mod-2 slice (the
+    // x99 convention): the template corpus packs docs densely into the
+    // ~500 distinct lengths, so same-length candidate sets grow
+    // quadratically in corpus size — verification volume, not a plan
+    // hazard; the slice keeps the bench comparable
+    // seeded mutants (the x68 convention — the corpus itself has no pair
+    // within 40 edits): every mod-10 doc gets a copy at +1e6 with a
+    // known-distance mutation (first-char delete d=1, first-char
+    // substitute d=1, 3-char append d=3), so the entry verifies real
+    // catches at each distance, not a vacuous empty join
+    "x101_edit_pairs" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .filter(F.col("doc_id") % 3 === 0)
+        .select(F.col("doc_id"), F.lower(F.trim(F.col("text"))).as("k"))
+      val mut = base.filter(F.col("doc_id") % 15 === 0)
+        .select((F.col("doc_id") + 1000000L).as("mid"),
+          F.when(F.col("doc_id") % 45 === 0, F.expr("substring(k, 2)"))
+            .when(F.col("doc_id") % 45 === 15,
+              F.concat(F.lit("z"), F.expr("substring(k, 2)")))
+            .otherwise(F.concat(F.col("k"), F.lit(" xy"))).as("k"))
+        .select(F.col("mid").as("doc_id"), F.col("k"))
+      Dedup.editDistancePairs(base.unionAll(mut), "doc_id", F.col("k"),
+          maxDist = 3)
+        .orderBy("a", "b")
+    }),
 
     // first-order event-type transition matrix per user sequence (ties
     // broken by event_id for a total order): the row-stochastic behavioral
@@ -1420,14 +1439,14 @@ object SparkEntry {
         .orderBy("event_id")),
 
     // per-node triangle counts on the supplier co-purchase graph (edges =
-    // supplier pairs sharing >= 5 distinct orders): degree-ordered
+    // supplier pairs sharing >= 6 distinct orders): degree-ordered
     // orientation bounds the wedge join at m^1.5 on ANY degree skew — the
     // clustering signal behind community-quality / spam-farm detection
     "x104_triangles" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       graft.ops.Graph.triangleCounts(
           graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
-            minCount = 5),
+            minCount = 6),
           "src", "dst")
         .orderBy("node")
     }),
@@ -3438,13 +3457,23 @@ object SparkEntry {
     // lossless necessary condition, so the oracle's plain banded pair
     // join + full Levenshtein equals the banded-threshold Spark plan
     "x101_edit_pairs" ->
-      """WITH k AS (
-        |  SELECT doc_id AS id, lower(trim(text)) AS kk,
-        |    length(lower(trim(text))) AS len
-        |  FROM documents WHERE length(lower(trim(coalesce(text, '')))) > 0
+      """WITH base AS (
+        |  SELECT doc_id, lower(trim(text)) AS k FROM documents
+        |  WHERE doc_id % 3 = 0
+        |), mut AS (
+        |  SELECT doc_id + 1000000 AS mid,
+        |    CASE WHEN doc_id % 45 = 0 THEN substring(k, 2)
+        |         WHEN doc_id % 45 = 15 THEN 'z' || substring(k, 2)
+        |         ELSE k || ' xy' END AS k
+        |  FROM base WHERE doc_id % 15 = 0
+        |), u AS (
+        |  SELECT doc_id, k FROM base
+        |  UNION ALL SELECT mid AS doc_id, k FROM mut
+        |), kk AS (
+        |  SELECT doc_id AS id, k, length(k) AS len FROM u WHERE length(k) > 0
         |), p AS (
-        |  SELECT a.id AS a, b.id AS b, levenshtein(a.kk, b.kk) AS dist
-        |  FROM k a JOIN k b ON a.id < b.id AND abs(a.len - b.len) <= 3
+        |  SELECT a.id AS a, b.id AS b, levenshtein(a.k, b.k) AS dist
+        |  FROM kk a JOIN kk b ON a.id < b.id AND abs(a.len - b.len) <= 3
         |)
         |SELECT a, b, dist FROM p WHERE dist <= 3
         |ORDER BY a, b""".stripMargin,
@@ -3503,7 +3532,7 @@ object SparkEntry {
         |), e AS (
         |  SELECT a.s AS a, b.s AS b
         |  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
-        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |  GROUP BY 1, 2 HAVING count(*) >= 6
         |), deg AS (
         |  SELECT node, count(*) AS deg FROM (
         |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)

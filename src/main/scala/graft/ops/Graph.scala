@@ -149,10 +149,21 @@ object Graph {
     * sizes = group fan-out), one keyed rollup. */
   def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
                         minCount: Int = 1): DataFrame = {
-    val gi = df.select(F.col(groupCol).as("__g"), F.col(itemCol).as("__i")).distinct()
-    gi.as("a").join(gi.as("b"),
-        F.col("a.__g") === F.col("b.__g") && F.col("a.__i") < F.col("b.__i"))
-      .groupBy(F.col("a.__i").as("src"), F.col("b.__i").as("dst"))
+    // one shuffle to the per-group distinct item set (collect_set is
+    // bounded by group fan-out — an order's line count, a doc's token
+    // count; a promiscuous grouping belongs behind a cap upstream), pair
+    // expansion as a codegen'd HOF over the sorted array (i<j, so pairs
+    // are canonical src<dst by construction), then one keyed census.
+    // Two shuffles total where distinct + self-join + census costs three.
+    val sets = df
+      .groupBy(F.col(groupCol).as("__g"))
+      .agg(F.sort_array(F.collect_set(F.col(itemCol))).as("__is"))
+    sets
+      .select(F.explode(F.flatten(F.transform(F.col("__is"), (x, i) =>
+        F.transform(
+          F.slice(F.col("__is"), i + F.lit(2), F.size(F.col("__is"))),
+          y => F.struct(x.as("src"), y.as("dst")))))).as("__p"))
+      .groupBy(F.col("__p.src").as("src"), F.col("__p.dst").as("dst"))
       .agg(F.count(F.lit(1)).as("w"))
       .filter(F.col("w") >= minCount)
   }
@@ -170,6 +181,10 @@ object Graph {
     val withDeg = und
       .join(deg.select(F.col("node").as("a"), F.col("deg").as("__da")), "a")
       .join(deg.select(F.col("node").as("b"), F.col("deg").as("__db")), "b")
+    // oriented is referenced FOUR times downstream (both wedge sides +
+    // both closing-probe directions); without truncation Catalyst replays
+    // the whole edge-build + degree join per reference — localCheckpoint
+    // materializes the (tiny) oriented edge list once, the pageRank idiom
     val oriented = withDeg.select(
       F.when(F.col("__da") < F.col("__db") ||
           (F.col("__da") === F.col("__db") && F.col("a") < F.col("b")),
@@ -177,6 +192,7 @@ object Graph {
       F.when(F.col("__da") < F.col("__db") ||
           (F.col("__da") === F.col("__db") && F.col("a") < F.col("b")),
           F.col("b")).otherwise(F.col("a")).as("hi"))
+      .localCheckpoint()
     // wedges at the low-degree corner; v < w dedupes the unordered pair
     val wedges = oriented.select(F.col("lo").as("u"), F.col("hi").as("v"))
       .join(oriented.select(F.col("lo").as("u"), F.col("hi").as("w")), "u")
