@@ -1477,6 +1477,40 @@ object SparkEntry {
           Seq("source", "lang"), "text")
         .orderBy("source", "lang")),
 
+    // per-returnflag OLS of extendedprice on quantity: ONE partial-
+    // aggregated pass to six sufficient statistics per group, closed-form
+    // slope/intercept/r2 on the rollup — the sufficient-statistics shape
+    // that fits at 100 TB (explicit expression tree, not engine regr_*
+    // builtins whose accumulation differs across engines)
+    "x107_ols_regression" -> ((s, dir) =>
+      graft.ops.Stats.olsFit(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          Seq("l_returnflag"), F.col("l_quantity"), F.col("l_extendedprice"))
+        .orderBy("l_returnflag")),
+
+    // daily × event-type pivot: Spark's pivot with an EXPLICIT value list
+    // (no eager distinct scan), absent cells coalesced to 0 to match the
+    // oracle's FILTER counts
+    "x108_event_pivot" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      ev.withColumn("day",
+          F.date_format(graft.ops.EventOps.tsStamp(ev), "yyyy-MM-dd"))
+        .groupBy("day").pivot("event_type", types).agg(F.count(F.lit(1)))
+        .select(F.col("day") +:
+          types.map(t => F.coalesce(F.col(t), F.lit(0L)).as(t)): _*)
+        .orderBy("day")
+    }),
+
+    // chi-squared token/language association, top-50: the feature-
+    // selection score behind classifier vocab pruning — integer 2x2
+    // contingencies from two bounded rollups, per-row double chi2
+    "x109_chi2_tokens" -> ((s, dir) =>
+      TextOps.chi2Tokens(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "lang", "doc_id", "text", minDf = 5, topK = 50)
+        .orderBy(F.col("chi2").desc, F.col("class"), F.col("token"))),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -3570,6 +3604,67 @@ object SparkEntry {
         |  CASE WHEN yr IS NULL THEN 2 WHEN pri IS NULL THEN 1 ELSE 0 END AS lvl
         |FROM g
         |ORDER BY lvl, coalesce(yr, -1), coalesce(pri, '')""".stripMargin,
+
+    // mirrors Stats.olsFit: the same six sums and the same closed-form
+    // ratio expression tree (nullif degenerate denominators)
+    "x107_ols_regression" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    count(*)::DOUBLE AS n,
+        |    sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+        |    sum(l_quantity * l_quantity) AS sxx,
+        |    sum(l_quantity * l_extendedprice) AS sxy,
+        |    sum(l_extendedprice * l_extendedprice) AS syy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n::BIGINT AS n,
+        |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) AS slope,
+        |  round((sy * sxx - sx * sxy) / nullif(n * sxx - sx * sx, 0), 6) AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors the x108 pivot: conditional FILTER counts per known type
+    "x108_event_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mirrors TextOps.chi2Tokens: distinct (doc, token, lang) cells, df
+    // floor 5, the identical all-double chi2 expression, (chi2 desc,
+    // class, token) top-50
+    "x109_chi2_tokens" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT lang AS cls, doc_id, unnest(list_distinct(list_filter(
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |    x -> length(x) > 0))) AS t
+        |  FROM documents
+        |), tc AS (
+        |  SELECT t, cls, count(*) AS a FROM dt GROUP BY 1, 2
+        |), ta AS (
+        |  SELECT t, sum(a) AS df FROM tc GROUP BY t HAVING sum(a) >= 5
+        |), ct AS (
+        |  SELECT lang AS cls, count(*) AS nc FROM documents GROUP BY lang
+        |), tot AS (SELECT count(*) AS n FROM documents
+        |), cells AS (
+        |  SELECT tc.cls, tc.t, tc.a,
+        |    ta.df - tc.a AS b, ct.nc - tc.a AS c,
+        |    tot.n - ct.nc - (ta.df - tc.a) AS d, tot.n AS n
+        |  FROM tc JOIN ta ON tc.t = ta.t JOIN ct ON tc.cls = ct.cls
+        |  CROSS JOIN tot
+        |)
+        |SELECT cls AS class, t AS token, a, b::BIGINT AS b,
+        |  round(coalesce(
+        |    n::DOUBLE * (a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE)
+        |      * (a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE) /
+        |      nullif((a + b)::DOUBLE * (c + d)::DOUBLE * (a + c)::DOUBLE
+        |        * (b + d)::DOUBLE, 0.0), 0.0), 6) AS chi2
+        |FROM cells
+        |ORDER BY chi2 DESC, class, token LIMIT 50""".stripMargin,
 
     // mirrors TextOps.tokenEntropy: ln(p)/ln(2.0) replays Spark's
     // log(2.0, p) division; terms rounded to 9 dp before the sum and

@@ -927,6 +927,69 @@ object TextOps {
       .toDF("bucket", "w")
   }
 
+  /** Chi-squared token/class association — the classic feature-selection
+    * score (which tokens are characteristic of a class?) behind
+    * fastText-style classifier vocab pruning and per-language keyword
+    * mining. For each (token, class) the document-level 2×2 contingency
+    * (a = class docs with token, b = other docs with token, c = class
+    * docs without, d = others without) yields
+    * `χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))`.
+    *
+    * Every contingency cell is an INTEGER from two bounded rollups (per-
+    * (token, class) distinct-doc counts + per-class doc totals); the χ²
+    * itself is one per-row double expression over those integers —
+    * deterministic and engine-replayable, no float accumulates anywhere.
+    * Scale: the doc-token explode collapses to distinct (token, class,
+    * doc) then counts — vocab×classes rows out; class totals are a
+    * broadcast. `minDf` drops the hapax tail BEFORE the rollup leaves the
+    * map side.
+    *
+    * @return (class, token, a, b, chi2) — top `topK` by χ² (6-dp-rounded
+    *         ordering, class/token tiebreak for determinism)
+    */
+  def chi2Tokens(df: DataFrame, classCol: String, idCol: String,
+                 textCol: String, minDf: Int = 5, topK: Int = 50): DataFrame = {
+    val docTok = df.select(F.col(classCol).as("__cls"), F.col(idCol).as("__id"),
+        F.explode(F.array_distinct(F.filter(
+          F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))), "\\s+"),
+          t => F.length(t) > 0))).as("__t"))
+    val tokCls = docTok.groupBy("__t", "__cls").agg(F.count(F.lit(1)).as("__a"))
+    val tokAll = tokCls.groupBy("__t").agg(F.sum("__a").as("__df"))
+      .filter(F.col("__df") >= minDf)
+    val clsTot = df.groupBy(F.col(classCol).as("__cls"))
+      .agg(F.count(F.lit(1)).as("__nc"))
+    val nTot = df.agg(F.count(F.lit(1)).as("__n"))
+    val cells = tokCls
+      .join(tokAll, "__t")
+      .join(F.broadcast(clsTot), "__cls")
+      .crossJoin(F.broadcast(nTot))
+      .withColumn("__b", F.col("__df") - F.col("__a"))
+      .withColumn("__c", F.col("__nc") - F.col("__a"))
+      .withColumn("__d", F.col("__n") - F.col("__nc") - F.col("__b"))
+    // all-double products: the integer intermediates would pass 2^63 at
+    // corpus scale; the double expression tree is identical in any engine
+    val ad = F.col("__a").cast("double") * F.col("__d").cast("double")
+    val bc = F.col("__b").cast("double") * F.col("__c").cast("double")
+    // a degenerate margin (token in EVERY doc, or a single class) zeroes a
+    // denominator factor AND the numerator — 0/0, defined as chi2 = 0 (no
+    // measurable association), via nullif + coalesce so ANSI mode never
+    // throws
+    val chi2 = F.coalesce(
+      F.col("__n").cast("double") * (ad - bc) * (ad - bc) /
+        F.nullif(
+          (F.col("__a") + F.col("__b")).cast("double") *
+          (F.col("__c") + F.col("__d")).cast("double") *
+          (F.col("__a") + F.col("__c")).cast("double") *
+          (F.col("__b") + F.col("__d")).cast("double"), F.lit(0.0)),
+      F.lit(0.0))
+    cells
+      .select(F.col("__cls").as("class"), F.col("__t").as("token"),
+        F.col("__a").as("a"), F.col("__b").as("b"),
+        F.round(chi2, 6).as("chi2"))
+      .orderBy(F.col("chi2").desc, F.col("class"), F.col("token"))
+      .limit(topK)
+  }
+
   /** Per-group token-distribution statistics: Shannon entropy (bits),
     * distinct-type count, token count, and type-token ratio. Low entropy
     * flags template/spam slices (a handful of tokens dominate); TTR is

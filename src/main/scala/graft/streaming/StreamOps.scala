@@ -264,4 +264,46 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class LastEvent(lastTs: Long, lastType: String)
+  final case class Transition(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming first-order transitions — the incremental feed of
+    * [[graft.ops.EventOps.transitionMatrix]]: per user, O(1) state (the
+    * last seen event) emits one (prev → next) adjacency per arriving
+    * event after the first. Downstream a plain streaming aggregation
+    * counts pairs into the live matrix.
+    *
+    * Within a micro-batch events sort by event time, so in-batch disorder
+    * is absorbed; across batches the emitted adjacency follows arrival
+    * order (an event older than the stored state does NOT rewrite history
+    * — it is folded in timestamp order against the current state, the
+    * at-watermark approximation every O(1)-state sequence summary makes).
+    * State is one tiny struct per active user; production deployments add
+    * a timeout to expire dormant users, exactly as [[sessionize]] does.
+    */
+  def transitionStream(events: Dataset[TypedEvent],
+                       watermarkDelay: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[Transition] = {
+    import spark.implicits._
+
+    def update(userId: Long, evs: Iterator[TypedEvent],
+               state: GroupState[LastEvent]): Iterator[Transition] = {
+      val out = Vector.newBuilder[Transition]
+      val sorted = evs.toVector.sortBy(e => (e.ts.getTime, e.event_type))
+      var cur = state.getOption
+      sorted.foreach { e =>
+        cur.foreach(s => out += Transition(userId, s.lastType, e.event_type))
+        cur = Some(LastEvent(e.ts.getTime, e.event_type))
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -2318,6 +2318,46 @@ class OpsSpec extends AnyFunSuite {
     assert(e == Set(("x", "y", 3L)), s"only x-y clears support 2: $e")
   }
 
+  test("olsFit: exact fit on a planted line; r2 < 1 under noise; degenerate null") {
+    // y = 3x + 2, exact: slope/intercept/r2 recovered to the rounding digit
+    val line = (1 to 50).map(i => ("g", i.toDouble, 3.0 * i + 2.0)).toDF("g", "x", "y")
+    val fit = graft.ops.Stats.olsFit(line, Seq("g"), F.col("x"), F.col("y"))
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(fit == (("g", 50L, 3.0, 2.0, 1.0)), fit.toString)
+    // deterministic symmetric "noise" (alternating ±5 at symmetric x)
+    // lowers r2 below 1 without moving the slope sign
+    val noisy = (1 to 50).map(i =>
+      ("n", i.toDouble, 3.0 * i + 2.0 + (if (i % 2 == 0) 5.0 else -5.0)))
+      .toDF("g", "x", "y")
+    val nf = graft.ops.Stats.olsFit(noisy, Seq("g"), F.col("x"), F.col("y"))
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(nf._3 > 2.5 && nf._3 < 3.5 && nf._5 < 1.0 && nf._5 > 0.9, nf.toString)
+    // zero x-variance: NULL fit, not NaN/Infinity
+    val flat = (1 to 10).map(i => ("f", 2.0, i.toDouble)).toDF("g", "x", "y")
+    val ff = graft.ops.Stats.olsFit(flat, Seq("g"), F.col("x"), F.col("y"))
+      .select("slope", "intercept", "r2").collect().head
+    assert(ff.isNullAt(0) && ff.isNullAt(1) && ff.isNullAt(2), ff.toString)
+  }
+
+  test("chi2Tokens: perfectly-associated token tops; ubiquitous token scores 0") {
+    // 10 docs: 5 in class A all containing 'alpha', 5 in B without; 'common'
+    // appears everywhere (zero association); fillers push df over minDf
+    val rows = (1 to 5).map(i => ("A", i.toLong, "alpha common filler")) ++
+      (6 to 10).map(i => ("B", i.toLong, "beta common filler"))
+    val df = rows.toDF("lang", "doc_id", "text")
+    val out = graft.ops.TextOps.chi2Tokens(df, "lang", "doc_id", "text",
+        minDf = 5, topK = 10)
+      .as[(String, String, Long, Long, Double)].collect()
+    val byTok = out.map(r => (r._1, r._2) -> r._5).toMap
+    // alpha in A: a=5,b=0,c=0,d=5 -> chi2 = 10*(25)^2/(5*5*5*5) = 10
+    assert(byTok(("A", "alpha")) == 10.0, out.mkString(", "))
+    assert(byTok(("B", "beta")) == 10.0, out.mkString(", "))
+    assert(byTok(("A", "common")) == 0.0 && byTok(("B", "common")) == 0.0,
+      out.mkString(", "))
+    // the perfectly-associated tokens rank first
+    assert(out.take(2).map(_._2).toSet == Set("alpha", "beta"), out.mkString(", "))
+  }
+
   test("tokenEntropy: uniform = log2(n); single-type = +0.0; TTR exact") {
     val df = Seq(
       ("u", "a b c d"),          // uniform over 4 types -> H = 2 bits

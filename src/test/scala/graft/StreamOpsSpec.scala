@@ -387,4 +387,37 @@ class StreamOpsSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(after == Set(1L, 2L, 5L), s"got $after")
   }
+
+  test("streaming transitions match the batch matrix counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val in = MemoryStream[StreamOps.TypedEvent]
+    val q = StreamOps.transitionStream(in.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    try {
+      // user 1: a -> b (batch 1), then b -> a ACROSS the batch boundary —
+      // the O(1) state carries the last event over; user 2: single event,
+      // no transition
+      in.addData(
+        StreamOps.TypedEvent(1L, ts(1), "a"),
+        StreamOps.TypedEvent(1L, ts(2), "b"),
+        StreamOps.TypedEvent(2L, ts(1), "a"))
+      q.processAllAvailable()
+      in.addData(StreamOps.TypedEvent(1L, ts(10), "a"))
+      q.processAllAvailable()
+      val got = spark.table("trans")
+        .groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).as("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(("a", "b", 1L), ("b", "a", 1L)), got.toString)
+      // within-batch disorder is absorbed by the event-time sort
+      in.addData(
+        StreamOps.TypedEvent(3L, ts(21), "y"),
+        StreamOps.TypedEvent(3L, ts(20), "x"))
+      q.processAllAvailable()
+      val u3 = spark.table("trans").filter(F.col("user_id") === 3L)
+        .as[StreamOps.Transition].collect().toSeq
+      assert(u3 == Seq(StreamOps.Transition(3L, "x", "y")), u3.toString)
+    } finally q.stop()
+  }
 }
