@@ -214,6 +214,32 @@ object StressBench {
         // per-partition heap is bounded, so wall is the scan, ~linear
         "x91_weighted" -> (() => graft.ops.Sampling.weightedSample(
           docs.filter(F.col("n_chars") > 0), F.col("text"), F.col("n_chars"), 150)),
+        // edit-distance pairs: replicas shifted +10·i chars ('x' padding),
+        // so length bands NEVER collide across replica classes — per-class
+        // candidate volume is the K=1 volume, total work K× (linear), and
+        // the band join's bucket histogram is the stress signal
+        "x101_edit" -> (() => graft.ops.Dedup.editDistancePairs(
+          docs.select(F.col("doc_id"),
+            F.concat(F.lower(F.trim(F.col("text"))),
+              F.expr(s"repeat('x', cast((doc_id div $KeyStride) * 10 as int))"))
+              .as("k")),
+          "doc_id", F.col("k"), maxDist = 3)),
+        // triangles: K DISJOINT copies of the co-purchase graph (orderkey
+        // AND suppkey re-keyed) — nodes, edges, wedges, and triangles all
+        // scale ×K; wall must stay ~linear through the two-shuffle census
+        // + orientation machinery
+        "x104_triangles" -> (() => {
+          val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select("l_orderkey", "l_suppkey")
+          val li = (0 until k).map(i => li0.select(
+              (F.col("l_orderkey") + F.lit(i * KeyStride)).as("l_orderkey"),
+              (F.col("l_suppkey") + F.lit(i * KeyStride)).as("l_suppkey")))
+            .reduce(_ union _)
+          graft.ops.Graph.triangleCounts(
+            graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+              minCount = 6),
+            "src", "dst")
+        }),
       )
       val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
