@@ -1511,6 +1511,33 @@ object SparkEntry {
           "lang", "doc_id", "text", minDf = 5, topK = 50)
         .orderBy(F.col("chi2").desc, F.col("class"), F.col("token"))),
 
+    // pairwise vocabulary Jaccard between sources: the slice-level overlap
+    // audit (which shards/snapshots share content?) — per-token join
+    // fan-out bounded by the SLICE count, never corpus-quadratic; the
+    // exact truth the x100 KMV sketches approximate at scale
+    "x110_slice_jaccard" -> ((s, dir) =>
+      TextOps.sliceJaccard(
+          s.read.parquet(s"$dir/documents.parquet"), "source", "text")
+        .orderBy("a", "b")),
+
+    // key-skew census + salt planning on the lineitem supplier key: share
+    // per key and the integer ceil(share*parallelism) salt fan-out — the
+    // pre-job diagnostic that catches the straggler key at 100 TB
+    "x111_skew_census" -> ((s, dir) =>
+      graft.ops.Scale.skewCensus(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          F.col("l_suppkey"), parallelism = 32, topK = 20)
+        .orderBy(F.col("n_rows").desc, F.col("key"))),
+
+    // active-session concurrency per hour: gap-sessionized intervals
+    // exploded onto their (bounded) hour buckets and counted — the
+    // capacity timeline WITHOUT the textbook non-distributable global
+    // sweep-line pass
+    "x112_session_concurrency" -> ((s, dir) =>
+      graft.ops.EventOps.activeSessionsPerHour(
+          s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("hour")),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -3604,6 +3631,65 @@ object SparkEntry {
         |  CASE WHEN yr IS NULL THEN 2 WHEN pri IS NULL THEN 1 ELSE 0 END AS lvl
         |FROM g
         |ORDER BY lvl, coalesce(yr, -1), coalesce(pri, '')""".stripMargin,
+
+    // mirrors TextOps.sliceJaccard: distinct (source, token), token-keyed
+    // pair rollup, size join, one rounded division
+    "x110_slice_jaccard" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT source AS g, unnest(list_distinct(list_filter(
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |    x -> length(x) > 0))) AS t
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT g, count(*) AS n FROM toks GROUP BY g
+        |), inter AS (
+        |  SELECT x.g AS a, y.g AS b, count(*) AS n_inter
+        |  FROM toks x JOIN toks y ON x.t = y.t AND x.g < y.g
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.a, i.b, n_inter,
+        |  (sa.n + sb.n - n_inter)::BIGINT AS n_union,
+        |  round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |FROM inter i JOIN sizes sa ON sa.g = i.a JOIN sizes sb ON sb.g = i.b
+        |ORDER BY a, b""".stripMargin,
+
+    // mirrors Scale.skewCensus: census + 1-row total, integer ceiling
+    // division for the salt
+    "x111_skew_census" ->
+      """WITH c AS (
+        |  SELECT l_suppkey AS key, count(*) AS n_rows FROM lineitem GROUP BY 1
+        |), t AS (SELECT sum(n_rows) AS n FROM c)
+        |SELECT key, n_rows,
+        |  round(n_rows::DOUBLE / n, 6) AS share,
+        |  ((n_rows * 32 + n - 1) // n)::BIGINT AS salt
+        |FROM c CROSS JOIN t
+        |ORDER BY n_rows DESC, key LIMIT 20""".stripMargin,
+
+    // mirrors EventOps.activeSessionsPerHour: the x13 sessionize CTE, then
+    // per-session [min, max] epoch-µs bounds exploded onto hour indices
+    "x112_session_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT *, (sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
+        |  FROM flagged
+        |), b AS (
+        |  SELECT user_id, session_seq,
+        |    min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+        |  FROM sessions GROUP BY 1, 2
+        |), h AS (
+        |  SELECT unnest(range(s // 3600000000, e // 3600000000 + 1)) AS hh
+        |  FROM b
+        |)
+        |SELECT strftime(make_timestamp(hh * 3600000000), '%Y-%m-%d %H') AS hour,
+        |  count(*) AS n_active
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // mirrors Stats.olsFit: the same six sums and the same closed-form
     // ratio expression tree (nullif degenerate denominators)

@@ -158,6 +158,38 @@ object EventOps {
         F.col("n").cast("double") / F.sum("n").over(typeTotals), 6))
   }
 
+  /** Active-session concurrency per hour: how many [[sessionize]]d
+    * sessions overlap each hour bucket — the capacity/load timeline
+    * (peak concurrent users) without a global ordered sweep. The classic
+    * sweep-line (+1/−1 running sum) needs ONE totally-ordered pass — the
+    * textbook non-distributable shape; binning instead explodes each
+    * session onto the (bounded) hours it touches and counts per bucket,
+    * the [[RangeJoin]] binned-interval idiom, fully parallel.
+    *
+    * Per-session fan-out is duration/hour + 1 — bounded for gap-based
+    * sessions (a session outlives the gap only while events keep coming).
+    * All integer µs arithmetic.
+    *
+    * @return (hour "yyyy-MM-dd HH", n_active) — sessions overlapping each
+    *         hour with at least one event-time touch
+    */
+  def activeSessionsPerHour(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val s = sessionize(events, gapMinutes)
+    val bounds = s
+      .withColumn("__us", tsUs(s))
+      .groupBy("user_id", "session_seq")
+      .agg(F.min("__us").as("__s"), F.max("__us").as("__e"))
+    bounds
+      .select(F.explode(F.sequence(
+        F.call_function("div", F.col("__s"), F.lit(HourUs)),
+        F.call_function("div", F.col("__e"), F.lit(HourUs)))).as("__h"))
+      .groupBy("__h").agg(F.count(F.lit(1)).as("n_active"))
+      .select(F.date_format(F.timestamp_micros(F.col("__h") * HourUs),
+        "yyyy-MM-dd HH").as("hour"), F.col("n_active"))
+      .orderBy("hour")
+  }
+
   /** Robust per-type outlier detection: score = (value − median) / IQR,
     * flagged at |score| ≥ `cut`. Median and quartiles are INTEGER rank
     * selections (lower quantile: the value at row_number

@@ -258,4 +258,33 @@ object Scale {
         F.min(xCol).as(s"min_x"), F.max(xCol).as(s"max_x"),
         F.min(yCol).as(s"min_y"), F.max(yCol).as(s"max_y"))
   }
+
+  /** Key-skew census + salt planning: the diagnostic that decides WHEN
+    * [[saltedAggregate]]-style mitigation is needed and at what factor.
+    * For each of the top `topK` keys by row count: its share of the table
+    * and the salt fan-out `ceil(share · parallelism)` that would spread
+    * the key's rows across that many reducer slots (1 for keys already
+    * below a slot's fair share). Run it on the join/agg key BEFORE a big
+    * job — the 100 TB habit that catches the one hot key which would
+    * otherwise park the whole stage on a single straggler.
+    *
+    * One partial-aggregated census + a 1-row broadcast total; the salt is
+    * an INTEGER ceiling division — no float decides the plan.
+    *
+    * @return (key, n_rows, share, salt) top keys by (n_rows desc, key)
+    */
+  def skewCensus(df: DataFrame, key: Column, parallelism: Int,
+                 topK: Int = 20): DataFrame = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val counts = df.groupBy(key.as("key")).agg(F.count(F.lit(1)).as("n_rows"))
+    val tot = counts.agg(F.sum("n_rows").as("__n"))
+    counts.crossJoin(F.broadcast(tot))
+      .select(F.col("key"), F.col("n_rows"),
+        F.round(F.col("n_rows").cast("double") / F.col("__n"), 6).as("share"),
+        F.call_function("div",
+          F.col("n_rows") * parallelism + F.col("__n") - 1L,
+          F.col("__n")).as("salt"))
+      .orderBy(F.col("n_rows").desc, F.col("key"))
+      .limit(topK)
+  }
 }

@@ -927,6 +927,38 @@ object TextOps {
       .toDF("bucket", "w")
   }
 
+  /** Pairwise vocabulary Jaccard between corpus slices — "how much do two
+    * sources/shards/snapshots share?" — the slice-level companion of the
+    * per-doc dedup measures and the exact truth the KMV sketch route
+    * ([[Sketches.kmvDistinct]]) approximates when slices are too big to
+    * intersect exactly.
+    *
+    * Shape: one distinct (slice, token) collapse, a token-keyed self-join
+    * whose per-token fan-out is bounded by the SLICE COUNT (≤ |slices|²
+    * pairs per token — never corpus-quadratic), one (a, b) rollup, and a
+    * slice-size broadcast. All counts integer; one rounded division.
+    *
+    * @return (a, b, n_inter, n_union, jaccard) per unordered slice pair
+    */
+  def sliceJaccard(df: DataFrame, sliceCol: String, textCol: String): DataFrame = {
+    val toks = df.select(F.col(sliceCol).as("__g"),
+        F.explode(F.array_distinct(F.filter(
+          F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))), "\\s+"),
+          t => F.length(t) > 0))).as("__t"))
+      .distinct()
+    val sizes = toks.groupBy("__g").agg(F.count(F.lit(1)).as("__n"))
+    val inter = toks.select(F.col("__g").as("a"), F.col("__t"))
+      .join(toks.select(F.col("__g").as("b"), F.col("__t")), "__t")
+      .filter(F.col("a") < F.col("b"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("n_inter"))
+    inter
+      .join(F.broadcast(sizes.select(F.col("__g").as("a"), F.col("__n").as("__na"))), "a")
+      .join(F.broadcast(sizes.select(F.col("__g").as("b"), F.col("__n").as("__nb"))), "b")
+      .withColumn("n_union", F.col("__na") + F.col("__nb") - F.col("n_inter"))
+      .select(F.col("a"), F.col("b"), F.col("n_inter"), F.col("n_union"),
+        F.round(F.col("n_inter").cast("double") / F.col("n_union"), 6).as("jaccard"))
+  }
+
   /** Chi-squared token/class association — the classic feature-selection
     * score (which tokens are characteristic of a class?) behind
     * fastText-style classifier vocab pruning and per-language keyword

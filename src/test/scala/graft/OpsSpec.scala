@@ -2318,6 +2318,47 @@ class OpsSpec extends AnyFunSuite {
     assert(e == Set(("x", "y", 3L)), s"only x-y clears support 2: $e")
   }
 
+  test("sliceJaccard: hand-checked overlap; disjoint pair absent; dups collapse") {
+    val df = Seq(
+      ("s1", "a b c d"), ("s1", "a a b"),        // s1 vocab {a,b,c,d}
+      ("s2", "c d e"), ("s2", "e f"),            // s2 vocab {c,d,e,f}
+      ("s3", "zzz")                              // s3 disjoint from both
+    ).toDF("source", "text")
+    val out = TextOps.sliceJaccard(df, "source", "text")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    // s1 ∩ s2 = {c,d} (2), union = 6 -> 1/3
+    assert(out == Set(("s1", "s2", 2L, 6L, 0.333333)), out.toString)
+  }
+
+  test("skewCensus: shares, integer ceil salt, hot key first") {
+    // 64 rows of 'hot', 8 of each of 'a'..'d' -> hot share 2/3
+    val rows = Seq.fill(64)("hot") ++ Seq("a", "b", "c", "d").flatMap(Seq.fill(8)(_))
+    val df = rows.toDF("k")
+    val out = graft.ops.Scale.skewCensus(df, F.col("k"), parallelism = 12, topK = 3)
+      .as[(String, Long, Double, Long)].collect()
+    assert(out.head == (("hot", 64L, 0.666667, 8L)), // ceil(64*12/96) = 8
+      out.mkString(", "))
+    assert(out.tail.forall(_._4 == 1L), s"fair-share keys salt 1: ${out.toSeq}")
+    assert(out.length == 3 && out.tail.map(_._1).toSeq == Seq("a", "b"),
+      s"(n desc, key) order: ${out.toSeq}")
+  }
+
+  test("activeSessionsPerHour: overlap counting across hour boundaries") {
+    // user 1: one session 10:50->11:10 (touches hours 10 and 11);
+    // user 2: one session 10:05->10:06; user 3: 12:00 exactly (hour 12)
+    def t(h: Int, m: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00").getTime)
+    val ev = Seq(
+      (1L, t(10, 50), 0.0), (1L, t(11, 10), 0.0),
+      (2L, t(10, 5), 0.0), (2L, t(10, 6), 0.0),
+      (3L, t(12, 0), 0.0)
+    ).toDF("user_id", "ts", "value")
+    val out = graft.ops.EventOps.activeSessionsPerHour(ev, gapMinutes = 30)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("2026-01-01 10" -> 2L, "2026-01-01 11" -> 1L,
+      "2026-01-01 12" -> 1L), out.toString)
+  }
+
   test("olsFit: exact fit on a planted line; r2 < 1 under noise; degenerate null") {
     // y = 3x + 2, exact: slope/intercept/r2 recovered to the rounding digit
     val line = (1 to 50).map(i => ("g", i.toDouble, 3.0 * i + 2.0)).toDF("g", "x", "y")
