@@ -715,4 +715,56 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"the dangling scalar must ride a broadcast, not a shuffle:\n$p")
   }
+
+  test("kmvDistinct: top-k prunes with WindowGroupLimit before the rank shuffle") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(F.col("source"), F.col("text").as("t"))
+    val p = plan(graft.ops.Sketches.kmvDistinct(docs, Seq("source"), F.col("t")))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must prune per-partition before the window shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      s"the sketch rollup must partial-aggregate:\n$p")
+  }
+
+  test("olsFit: one shuffle; the six sufficient statistics partial-aggregate") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = plan(graft.ops.Stats.olsFit(li, Seq("l_returnflag"),
+      F.col("l_quantity"), F.col("l_extendedprice")))
+    assert(p.split("Exchange", -1).length - 1 == 1,
+      s"one shuffle total — the per-group rollup:\n$p")
+    assert(p.contains("partial_sum"),
+      s"sums must collapse map-side:\n$p")
+    assert(!p.contains("Join"), s"no join anywhere in a one-pass fit:\n$p")
+  }
+
+  test("chi2Tokens: class totals and corpus count ride as broadcasts") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.TextOps.chi2Tokens(docs, "lang", "doc_id", "text"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"class totals + N must broadcast, not shuffle the token stream:\n$p")
+    assert(p.contains("TakeOrdered"),
+      s"topK must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row N may cross-join (as broadcast):\n$p")
+  }
+
+  test("skewCensus: census partial-aggregates; total is a 1-row broadcast; top-k bounded") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = plan(graft.ops.Scale.skewCensus(li, F.col("l_suppkey"), 32))
+    assert(p.contains("partial_count"),
+      s"the key census must collapse map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$p")
+    assert(p.contains("TakeOrdered"),
+      s"top-k must be TakeOrderedAndProject:\n$p")
+  }
+
+  test("transitionMatrix: one user-keyed window shuffle, then a bounded rollup") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val p = plan(graft.ops.EventOps.transitionMatrix(ev))
+    assert(p.contains("partial_count"),
+      s"the pair census must partial-aggregate:\n$p")
+    assert(!p.contains("Join"),
+      s"lag + rollup only — no join:\n$p")
+  }
 }
