@@ -1511,6 +1511,16 @@ object SparkEntry {
           "lang", "doc_id", "text", minDf = 5, topK = 50)
         .orderBy(F.col("chi2").desc, F.col("class"), F.col("token"))),
 
+    // DISTRIBUTED sorted-neighborhood blocking: global (key, id) adjacency
+    // window reconstructed from range shards + ghost rows — the oracle
+    // compares against a PLAIN global row_number, so the entry IS the
+    // proof that the sharded construction equals the global order
+    "x113_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", F.lower(F.trim(F.col("text"))), window = 3, nShards = 8)
+        .orderBy("a", "b")),
+
     // pairwise vocabulary Jaccard between sources: the slice-level overlap
     // audit (which shards/snapshots share content?) — per-token join
     // fan-out bounded by the SLICE count, never corpus-quadratic; the
@@ -3631,6 +3641,20 @@ object SparkEntry {
         |  CASE WHEN yr IS NULL THEN 2 WHEN pri IS NULL THEN 1 ELSE 0 END AS lvl
         |FROM g
         |ORDER BY lvl, coalesce(yr, -1), coalesce(pri, '')""".stripMargin,
+
+    // adjudicates Dedup.sortedNeighborhoodPairs: the oracle is the PLAIN
+    // global row_number adjacency — equality proves the shard+ghost
+    // reconstruction exact
+    "x113_sorted_neighborhood" ->
+      """WITH k AS (
+        |  SELECT doc_id AS id, lower(trim(coalesce(text, ''))) AS k
+        |  FROM documents
+        |), r AS (
+        |  SELECT id, k, row_number() OVER (ORDER BY k, id) AS rn FROM k
+        |)
+        |SELECT a.id AS a, b.id AS b, a.k AS k_a, b.k AS k_b
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+        |ORDER BY a, b""".stripMargin,
 
     // mirrors TextOps.sliceJaccard: distinct (source, token), token-keyed
     // pair rollup, size join, one rounded division

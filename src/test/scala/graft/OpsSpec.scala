@@ -2318,6 +2318,35 @@ class OpsSpec extends AnyFunSuite {
     assert(e == Set(("x", "y", 3L)), s"only x-y clears support 2: $e")
   }
 
+  test("sortedNeighborhood: sharded+ghost pairs equal the global-order brute force") {
+    // 120 shuffled keys; full-population sample so shard boundaries are
+    // deterministic quantiles; several shard configs must all equal the
+    // single global order
+    val keys = new scala.util.Random(11L)
+      .shuffle((0 until 120).map(i => (i.toLong, f"key${(i * 37) % 120}%03d")).toList)
+    val df = keys.toDF("id", "t")
+    def brute(w: Int): Set[(Long, Long)] = {
+      val order = keys.sortBy { case (id, k) => (k, id) }.map(_._1)
+      (for {
+        i <- order.indices; d <- 1 to w if i + d < order.length
+      } yield (order(i), order(i + d))).toSet
+    }
+    for (shards <- Seq(1, 3, 8); w <- Seq(1, 3)) {
+      val got = Dedup.sortedNeighborhoodPairs(df, "id", F.col("t"),
+          window = w, nShards = shards, samplePrefix = "ffff")
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == brute(w), s"shards=$shards w=$w: " +
+        s"missing=${(brute(w) -- got).take(5)} extra=${(got -- brute(w)).take(5)}")
+    }
+    // a shard too small for the window fails loudly, not silently lossy
+    val tiny = (0 until 6).map(i => (i.toLong, s"k$i")).toDF("id", "t")
+    val e = intercept[IllegalStateException] {
+      Dedup.sortedNeighborhoodPairs(tiny, "id", F.col("t"), window = 4,
+        nShards = 3, samplePrefix = "ffff").count()
+    }
+    assert(e.getMessage.contains("ghost adjacency"), e.getMessage)
+  }
+
   test("sliceJaccard: hand-checked overlap; disjoint pair absent; dups collapse") {
     val df = Seq(
       ("s1", "a b c d"), ("s1", "a a b"),        // s1 vocab {a,b,c,d}
