@@ -1511,6 +1511,32 @@ object SparkEntry {
           "lang", "doc_id", "text", minDf = 5, topK = 50)
         .orderBy(F.col("chi2").desc, F.col("class"), F.col("token"))),
 
+    // frame-sampling SELECTION math oracle twin (x18 stays rows-only: its
+    // synthetic metadata is xxhash64-derived) — md5-derived kind routing
+    // through the SAME Multimodal.sampleFrames mapPartitions stub, frame
+    // positions replayed integer-for-integer in DuckDB
+    "x114_frame_sample_fixed" -> ((s, dir) => {
+      implicit val sp = s
+      val md = s.read.parquet(s"$dir/documents.parquet").select(
+        F.col("doc_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+          (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+            .cast("long") % 3 + 1).cast("int")).as("kind"),
+        F.lit(1).as("width"), F.lit(1).as("height"),
+        F.encode(F.col("text"), "UTF-8").as("media"))
+      Multimodal.sampleFrames(md).toDF()
+        .select("doc_id", "frame_idx", "ts_ms")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Good-Turing coverage: frequency-of-frequencies head + the n1/N
+    // unseen-mass estimate per source — "how much vocabulary have we NOT
+    // seen" for crawl-depth decisions; vocab-bounded rollups
+    "x115_unseen_mass" -> ((s, dir) =>
+      TextOps.unseenMass(
+          s.read.parquet(s"$dir/documents.parquet"), Seq("source"), "text")
+        .orderBy("source")),
+
     // DISTRIBUTED sorted-neighborhood blocking: global (key, id) adjacency
     // window reconstructed from range shards + ghost rows — the oracle
     // compares against a PLAIN global row_number, so the entry IS the
@@ -3641,6 +3667,45 @@ object SparkEntry {
         |  CASE WHEN yr IS NULL THEN 2 WHEN pri IS NULL THEN 1 ELSE 0 END AS lvl
         |FROM g
         |ORDER BY lvl, coalesce(yr, -1), coalesce(pri, '')""".stripMargin,
+
+    // mirrors the x114 twin: md5 kind routing + the sampleFrames stub's
+    // integer position math (durMs = max(1, bytes/100), n = min(8,
+    // dur/1000 + 1), ts = i*1000)
+    "x114_frame_sample_fixed" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (('0x' || substring(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 3) AS kr,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id, greatest(1, len // 100) AS dur
+        |  FROM m WHERE kr = 2
+        |), f AS (
+        |  SELECT doc_id, unnest(range(0, least(8, dur // 1000 + 1))) AS fi
+        |  FROM v
+        |)
+        |SELECT doc_id, fi::INT AS frame_idx, (fi * 1000)::BIGINT AS ts_ms
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // mirrors TextOps.unseenMass: (source, token) census then the
+    // frequency-of-frequencies rollup and n1/N
+    "x115_unseen_mass" ->
+      """WITH c AS (
+        |  SELECT source, t, count(*) AS c FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> length(x) > 0)) AS t
+        |    FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source,
+        |  sum(c)::BIGINT AS n_tokens, count(*) AS vocab,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |  sum(CASE WHEN c = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+        |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / sum(c), 6)
+        |    AS p_unseen
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // adjudicates Dedup.sortedNeighborhoodPairs: the oracle is the PLAIN
     // global row_number adjacency — equality proves the shard+ghost

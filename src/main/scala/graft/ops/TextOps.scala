@@ -927,6 +927,37 @@ object TextOps {
       .toDF("bucket", "w")
   }
 
+  /** Good-Turing coverage summary per group: frequency-of-frequencies
+    * head (n1, n2, n3 = tokens seen exactly once/twice/thrice) and the
+    * Good-Turing unseen-mass estimate `P(next token is novel) ≈ n1/N` —
+    * the standard "how much of this source's vocabulary have we NOT seen
+    * yet" answer that decides whether a corpus slice is worth crawling
+    * deeper.
+    *
+    * One (group, token) rollup (map-side partials), then a vocab-bounded
+    * per-group rollup; all counts integer, one rounded division.
+    *
+    * @return (groupCols…, n_tokens, vocab, n1, n2, n3, p_unseen)
+    */
+  def unseenMass(df: DataFrame, groupCols: Seq[String],
+                 textCol: String): DataFrame = {
+    val counts = df.select(groupCols.map(F.col) :+
+        F.explode(F.filter(
+          F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))), "\\s+"),
+          t => F.length(t) > 0)).as("__t"): _*)
+      .groupBy((groupCols :+ "__t").map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    counts.groupBy(groupCols.map(F.col): _*)
+      .agg(
+        F.sum("__c").as("n_tokens"),
+        F.count(F.lit(1)).as("vocab"),
+        F.sum(F.when(F.col("__c") === 1L, 1L).otherwise(0L)).as("n1"),
+        F.sum(F.when(F.col("__c") === 2L, 1L).otherwise(0L)).as("n2"),
+        F.sum(F.when(F.col("__c") === 3L, 1L).otherwise(0L)).as("n3"))
+      .withColumn("p_unseen", F.round(
+        F.col("n1").cast("double") / F.col("n_tokens"), 6))
+  }
+
   /** Pairwise vocabulary Jaccard between corpus slices — "how much do two
     * sources/shards/snapshots share?" — the slice-level companion of the
     * per-doc dedup measures and the exact truth the KMV sketch route

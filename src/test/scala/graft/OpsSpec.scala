@@ -2318,6 +2318,17 @@ class OpsSpec extends AnyFunSuite {
     assert(e == Set(("x", "y", 3L)), s"only x-y clears support 2: $e")
   }
 
+  test("unseenMass: hand-checked frequency-of-frequencies and n1/N") {
+    val df = Seq(
+      ("s", "a a a b b c d"),   // a:3 b:2 c:1 d:1 within one doc...
+      ("s", "c e")              // ...c becomes 2, e enters at 1
+    ).toDF("source", "text")
+    // counts: a=3, b=2, c=2, d=1, e=1 -> N=9, vocab=5, n1=2, n2=2, n3=1
+    val out = TextOps.unseenMass(df, Seq("source"), "text")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().head
+    assert(out == (("s", 9L, 5L, 2L, 2L, 1L, 0.222222)), out.toString)
+  }
+
   test("sortedNeighborhood: sharded+ghost pairs equal the global-order brute force") {
     // 120 shuffled keys; full-population sample so shard boundaries are
     // deterministic quantiles; several shard configs must all equal the
