@@ -1574,6 +1574,41 @@ object SparkEntry {
           s.read.parquet(s"$dir/events.parquet"))
         .orderBy("hour")),
 
+    // Pearson correlation matrix from ONE sufficient-statistics pass:
+    // p + p(p+1)/2 + 1 numbers per group cross the shuffle, the pair rows
+    // unfold with one explode — no corr() builtin (engine-internal Welford
+    // accumulation is not replayable), no second scan
+    "x116_corr_pairs" -> ((s, dir) =>
+      graft.ops.Stats.corrPairs(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          Seq("l_returnflag"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("l_returnflag", "col_a", "col_b")),
+
+    // Welch's two-sample t-test per user cohort: does click value differ
+    // from purchase value? — one conditional-aggregation pass, 6 machine
+    // numbers per group, explicit t / Welch–Satterthwaite df expression
+    // tree (no engine t-test builtin)
+    "x117_welch_ttest" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Stats.welchTTest(
+          ev.withColumn("cohort", F.pmod(F.col("user_id"), F.lit(4L))),
+          Seq("cohort"), F.col("event_type"), F.col("value"),
+          "click", "purchase")
+        .orderBy("cohort")
+    }),
+
+    // per-group equi-width histogram with EMPTY BINS EMITTED and
+    // out-of-range mass reported (not clamped into the edge bins) — one
+    // partial-aggregated count pass; completion joins the tiny aggregated
+    // group list against a sequence-exploded bin frame, never the corpus
+    "x118_histogram" -> ((s, dir) =>
+      graft.ops.Stats.histogram(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          Seq("l_returnflag"), F.col("l_extendedprice"),
+          lo = 0.0, hi = 60000.0, bins = 12)
+        .orderBy("l_returnflag", "bin")),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -3798,6 +3833,93 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Stats.corrPairs: the identical sufficient sums and the
+    // cov / sqrt(dx·dy) tree per unordered column pair, NULL (not NaN) on
+    // a non-positive variance product
+    "x116_corr_pairs" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*)::DOUBLE AS n,
+        |    sum(l_quantity) AS s1, sum(l_extendedprice) AS s2,
+        |    sum(l_discount) AS s3,
+        |    sum(l_quantity * l_quantity) AS ss1,
+        |    sum(l_extendedprice * l_extendedprice) AS ss2,
+        |    sum(l_discount * l_discount) AS ss3,
+        |    sum(l_quantity * l_extendedprice) AS p12,
+        |    sum(l_quantity * l_discount) AS p13,
+        |    sum(l_extendedprice * l_discount) AS p23
+        |  FROM lineitem GROUP BY l_returnflag
+        |), u AS (
+        |  SELECT l_returnflag, n, 'l_quantity' AS col_a,
+        |    'l_extendedprice' AS col_b, n * p12 - s1 * s2 AS cov,
+        |    (n * ss1 - s1 * s1) * (n * ss2 - s2 * s2) AS dxy FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, n, 'l_quantity', 'l_discount',
+        |    n * p13 - s1 * s3, (n * ss1 - s1 * s1) * (n * ss3 - s3 * s3) FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, n, 'l_extendedprice', 'l_discount',
+        |    n * p23 - s2 * s3, (n * ss2 - s2 * s2) * (n * ss3 - s3 * s3) FROM a
+        |)
+        |SELECT l_returnflag, col_a, col_b, n::BIGINT AS n,
+        |  CASE WHEN dxy > 0.0 THEN round(cov / sqrt(dxy), 6) END AS r
+        |FROM u ORDER BY l_returnflag, col_a, col_b""".stripMargin,
+
+    // mirrors Stats.welchTTest: value-counting conditional sums, the
+    // (Σxx − Σx²/n)/((n−1)·n) variance-over-n, t and Welch–Satterthwaite
+    // df replayed expression-for-expression
+    "x117_welch_ttest" ->
+      """WITH a AS (
+        |  SELECT user_id % 4 AS cohort,
+        |    count(value) FILTER (event_type = 'click')::DOUBLE AS na,
+        |    sum(value) FILTER (event_type = 'click') AS sa,
+        |    sum(value * value) FILTER (event_type = 'click') AS ssa,
+        |    count(value) FILTER (event_type = 'purchase')::DOUBLE AS nb,
+        |    sum(value) FILTER (event_type = 'purchase') AS sb,
+        |    sum(value * value) FILTER (event_type = 'purchase') AS ssb
+        |  FROM events GROUP BY 1
+        |), f AS (
+        |  SELECT cohort, na, nb, sa, sb,
+        |    (ssa - sa * sa / na) / ((na - 1.0) * na) AS va,
+        |    (ssb - sb * sb / nb) / ((nb - 1.0) * nb) AS vb
+        |  FROM a
+        |)
+        |SELECT cohort, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  round(CASE WHEN na > 0.0 THEN sa / na END, 6) AS mean_a,
+        |  round(CASE WHEN nb > 0.0 THEN sb / nb END, 6) AS mean_b,
+        |  CASE WHEN na >= 2.0 AND nb >= 2.0 AND va + vb > 0.0
+        |    THEN round((sa / na - sb / nb) / sqrt(va + vb), 6) END AS t,
+        |  CASE WHEN na >= 2.0 AND nb >= 2.0
+        |        AND va * va / (na - 1.0) + vb * vb / (nb - 1.0) > 0.0
+        |    THEN round((va + vb) * (va + vb) /
+        |               (va * va / (na - 1.0) + vb * vb / (nb - 1.0)), 6) END AS df
+        |FROM f ORDER BY cohort""".stripMargin,
+
+    // mirrors Stats.histogram: identical in-range gate, least/floor bin
+    // index, range-frame completion with empty bins at 0 and the per-group
+    // out-of-range tally
+    "x118_histogram" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_extendedprice IS NOT NULL
+        |          AND l_extendedprice >= 0.0 AND l_extendedprice <= 60000.0
+        |      THEN least(11, floor((l_extendedprice - 0.0) / 5000.0)::INT)
+        |    END AS bin,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), g AS (
+        |  SELECT l_returnflag,
+        |    coalesce(sum(c) FILTER (bin IS NULL), 0)::BIGINT AS n_out
+        |  FROM c GROUP BY l_returnflag
+        |), frame AS (
+        |  SELECT l_returnflag, n_out, unnest(range(0, 12)) AS bin FROM g
+        |)
+        |SELECT f.l_returnflag, f.bin::INT AS bin,
+        |  round(0.0 + f.bin * 5000.0, 6) AS bin_lo,
+        |  round(0.0 + (f.bin + 1) * 5000.0, 6) AS bin_hi,
+        |  coalesce(c.c, 0)::BIGINT AS n, f.n_out
+        |FROM frame f LEFT JOIN c
+        |  ON f.l_returnflag = c.l_returnflag AND f.bin = c.bin
+        |ORDER BY f.l_returnflag, f.bin""".stripMargin,
 
     // mirrors the x108 pivot: conditional FILTER counts per known type
     "x108_event_pivot" ->

@@ -54,4 +54,159 @@ object Stats {
         F.nullif(dx, F.lit(0.0)), 6).as("intercept") :+
       F.round(cov * cov / F.nullif(dx * dy, F.lit(0.0)), 6).as("r2"): _*)
   }
+
+  /** Per-group Pearson correlation for every unordered pair of `cols`,
+    * from ONE partial-aggregated pass: per column n, Σx, Σxx and per pair
+    * Σxy — p + p(p+1)/2 + 1 machine numbers per group cross the shuffle
+    * regardless of corpus size, then the p(p-1)/2 output rows unfold from
+    * the single aggregate row with one explode (no second scan, no
+    * `corr()` builtin whose internal Welford accumulation other engines
+    * cannot replay).
+    *
+    * r = (nΣxy − ΣxΣy) / sqrt((nΣxx − Σx²)(nΣyy − Σy²)) — sqrt is
+    * IEEE-correctly-rounded in every engine, so the oracle replays the
+    * value exactly; a non-positive variance product (constant column, or
+    * catastrophic cancellation on tiny spreads — see [[olsFit]]'s caveat)
+    * yields NULL, never NaN. Rounded to 6 dp.
+    *
+    * @return one row per (group, pair): (groupCols…, col_a, col_b, n, r)
+    */
+  def corrPairs(df: DataFrame, groupCols: Seq[String],
+                cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val proj = df.select(groupCols.map(F.col) ++
+      cols.map(c => F.col(c).cast("double").as(c)): _*)
+    val aggs: Seq[Column] =
+      Seq(F.count(F.lit(1)).cast("double").as("__n")) ++
+      cols.map(c => F.sum(F.col(c)).as(s"__s_$c")) ++
+      cols.map(c => F.sum(F.col(c) * F.col(c)).as(s"__ss_$c")) ++
+      pairs.map { case (a, b) =>
+        F.sum(F.col(a) * F.col(b)).as(s"__sp_${a}__$b") }
+    val agg = proj.groupBy(groupCols.map(F.col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val n = F.col("__n")
+    val pairStructs = pairs.map { case (a, b) =>
+      val dx = n * F.col(s"__ss_$a") - F.col(s"__s_$a") * F.col(s"__s_$a")
+      val dy = n * F.col(s"__ss_$b") - F.col(s"__s_$b") * F.col(s"__s_$b")
+      val cov = n * F.col(s"__sp_${a}__$b") - F.col(s"__s_$a") * F.col(s"__s_$b")
+      F.struct(F.lit(a).as("col_a"), F.lit(b).as("col_b"),
+        F.when(dx * dy > 0.0, F.round(cov / F.sqrt(dx * dy), 6)).as("r"))
+    }
+    agg
+      .select(groupCols.map(F.col) :+ n.cast("long").as("n") :+
+        F.explode(F.array(pairStructs: _*)).as("__p"): _*)
+      .select(groupCols.map(F.col) :+ F.col("__p.col_a").as("col_a") :+
+        F.col("__p.col_b").as("col_b") :+ F.col("n") :+ F.col("__p.r").as("r"): _*)
+  }
+
+  /** Welch's unequal-variance two-sample t-test per group: does metric
+    * `value` differ between `classA` and `classB` rows of `classCol`?
+    * (The A/B readout and the slice-vs-slice quality-drift test.)
+    *
+    * ONE conditional-aggregation pass — per class n, Σx, Σxx collapse
+    * map-side, 6 numbers per group cross the shuffle. Sample variance by
+    * the closed form s² = (Σxx − Σx²/n)/(n−1); then
+    * t = (mA − mB)/sqrt(sA²/nA + sB²/nB) and the Welch–Satterthwaite
+    * df = (vA+vB)² / (vA²/(nA−1) + vB²/(nB−1)) with v = s²/n, every step
+    * an explicit expression tree (no engine t-test builtin). A class with
+    * n < 2 or a zero pooled variance yields NULL t/df, never NaN; values
+    * rounded to 6 dp.
+    *
+    * @return (groupCols…, n_a, n_b, mean_a, mean_b, t, df)
+    */
+  def welchTTest(df: DataFrame, groupCols: Seq[String], classCol: Column,
+                 value: Column, classA: String, classB: String): DataFrame = {
+    val v = value.cast("double")
+    def side(cls: String, tag: String): Seq[Column] = {
+      val in = classCol.cast("string") === cls
+      // count the VALUES, not the rows — a NULL metric row must not enter
+      // n while its value skips the sums (the variance would silently rot)
+      Seq(
+        F.count(F.when(in, v)).cast("double").as(s"__n$tag"),
+        F.sum(F.when(in, v)).as(s"__s$tag"),
+        F.sum(F.when(in, v * v)).as(s"__ss$tag"))
+    }
+    val aggs = side(classA, "a") ++ side(classB, "b")
+    val agg = df.groupBy(groupCols.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
+    def mean(t: String) =
+      F.col(s"__s$t") / F.nullif(F.col(s"__n$t"), F.lit(0.0))
+    // v = s²/n = (Σxx − Σx²/n) / ((n−1)·n) — nullif'd so an n<2 class
+    // NULLs out instead of tripping ANSI division-by-zero inside the
+    // (unused) branch; when both n >= 2 the nullifs never fire and the
+    // tree is the oracle's verbatim
+    def vn(t: String) =
+      (F.col(s"__ss$t") - F.col(s"__s$t") * F.col(s"__s$t") /
+        F.nullif(F.col(s"__n$t"), F.lit(0.0))) /
+        F.nullif((F.col(s"__n$t") - 1.0) * F.col(s"__n$t"), F.lit(0.0))
+    val ok = F.col("__na") >= 2.0 && F.col("__nb") >= 2.0
+    val se2 = vn("a") + vn("b")
+    val dfDen = vn("a") * vn("a") / F.nullif(F.col("__na") - 1.0, F.lit(0.0)) +
+      vn("b") * vn("b") / F.nullif(F.col("__nb") - 1.0, F.lit(0.0))
+    agg.select(groupCols.map(F.col) :+
+      F.col("__na").cast("long").as("n_a") :+
+      F.col("__nb").cast("long").as("n_b") :+
+      F.round(F.when(F.col("__na") > 0.0, mean("a")), 6).as("mean_a") :+
+      F.round(F.when(F.col("__nb") > 0.0, mean("b")), 6).as("mean_b") :+
+      F.when(ok && se2 > 0.0,
+        F.round((mean("a") - mean("b")) / F.sqrt(se2), 6)).as("t") :+
+      F.when(ok && dfDen > 0.0,
+        F.round(se2 * se2 / dfDen, 6)).as("df"): _*)
+  }
+
+  /** Per-group equi-width histogram over `[lo, hi]`: bin i covers
+    * [lo + i·w, lo + (i+1)·w) with w = (hi−lo)/bins, the last bin closed
+    * at hi. EMPTY BINS ARE EMITTED (count 0) — a histogram with holes
+    * silently dropped reads as a different distribution.
+    *
+    * One partial-aggregated count pass (≤ groups·bins rows cross the
+    * first shuffle), then the per-group rows pack into ONE map row
+    * (`collect_list`/`map_from_entries`, state bounded by `bins`) so the
+    * empty-bin completion is a sequence-explode + map lookup over a
+    * single reference — the corpus is scanned ONCE and there is no join
+    * (a naive "left join counts against a bin frame" re-references the
+    * aggregate subtree, which Spark re-executes as a second full scan).
+    * Out-of-range and NULL values are DROPPED and reported in the
+    * per-group `n_out` column rather than clamped into the edge bins
+    * (clamping fabricates mass at the boundaries). The bin index
+    * ⌊(v−lo)/w⌋ is one IEEE subtract+divide+floor, identical in any
+    * engine; edges round to 6 dp for display.
+    *
+    * @return (groupCols…, bin, bin_lo, bin_hi, n, n_out)
+    */
+  def histogram(df: DataFrame, groupCols: Seq[String], value: Column,
+                lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 10000, s"bins must be in [1,10000], got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val w = (hi - lo) / bins
+    val v = value.cast("double")
+    val inRange = v.isNotNull && v >= lo && v <= hi
+    val idx = F.least(F.lit(bins - 1),
+      F.floor((v - lo) / w).cast("int")).as("bin")
+    val counts = df
+      .select(groupCols.map(F.col) :+
+        F.when(inRange, idx).as("bin"): _*)
+      .groupBy((groupCols :+ "bin").map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    // pack each group's present bins into one map row (collect_list skips
+    // the null-bin entry; state ≤ bins entries), carry the out-of-range
+    // tally alongside — one reference, so no re-executed scan
+    val packed = counts.groupBy(groupCols.map(F.col): _*)
+      .agg(
+        F.map_from_entries(F.collect_list(F.when(F.col("bin").isNotNull,
+          F.struct(F.col("bin"), F.col("__c"))))).as("__m"),
+        F.sum(F.when(F.col("bin").isNull, F.col("__c"))
+          .otherwise(F.lit(0L))).as("n_out"))
+    packed
+      .select(groupCols.map(F.col) ++ Seq(F.col("__m"), F.col("n_out")) :+
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).as("bin"): _*)
+      .select(groupCols.map(F.col) :+ F.col("bin") :+
+        F.round(F.lit(lo) + F.col("bin") * w, 6).as("bin_lo") :+
+        F.round(F.lit(lo) + (F.col("bin") + 1) * w, 6).as("bin_hi") :+
+        F.coalesce(F.element_at(F.col("__m"), F.col("bin")), F.lit(0L)).as("n") :+
+        F.col("n_out"): _*)
+  }
 }

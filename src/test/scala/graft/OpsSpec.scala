@@ -2453,4 +2453,58 @@ class OpsSpec extends AnyFunSuite {
     // -0.0 normalization: the bit pattern must be +0.0
     assert(java.lang.Double.doubleToLongBits(s._3) == 0L, "entropy is +0.0")
   }
+
+  test("corrPairs: perfect +/-1 on linear columns; constant column NULL; pair set") {
+    // y = 2x (r = 1), z = -x (r = -1 with x, -1 with y), k constant (NULL r)
+    val df = (1 to 20).map(i =>
+      ("g", i.toDouble, 2.0 * i, -i.toDouble, 7.0)).toDF("g", "x", "y", "z", "k")
+    val out = graft.ops.Stats.corrPairs(df, Seq("g"), Seq("x", "y", "z", "k"))
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out.size == 6, out.toString)              // 4 choose 2
+    assert(out(("x", "y")) == Some(1.0), out.toString)
+    assert(out(("x", "z")) == Some(-1.0), out.toString)
+    assert(out(("y", "z")) == Some(-1.0), out.toString)
+    // constant column: zero variance -> NULL, never NaN
+    assert(out(("x", "k")) == None && out(("y", "k")) == None &&
+      out(("z", "k")) == None, out.toString)
+  }
+
+  test("welchTTest: hand-computed t on a planted shift; degenerate guards") {
+    // A = {1..4} (mean 2.5, s^2 = 5/3), B = {11..14} (mean 12.5, same s^2)
+    val rows = (1 to 4).map(i => ("g", "A", i.toDouble)) ++
+      (11 to 14).map(i => ("g", "B", i.toDouble)) ++
+      Seq(("one", "A", 1.0), ("one", "B", 2.0), ("one", "B", 3.0)) // nA = 1
+    val out = graft.ops.Stats.welchTTest(rows.toDF("g", "cls", "v"),
+      Seq("g"), F.col("cls"), F.col("v"), "A", "B").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getLong(1) == 4L && g.getLong(2) == 4L, g.toString)
+    assert(g.getDouble(3) == 2.5 && g.getDouble(4) == 12.5, g.toString)
+    // se^2 = 2*(5/3)/4 = 5/6; t = -10/sqrt(5/6); df = 6 (equal n, equal var)
+    assert(g.getDouble(5) == math.BigDecimal(-10.0 / math.sqrt(5.0 / 6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, g.toString)
+    assert(g.getDouble(6) == 6.0, g.toString)
+    // nA < 2: t and df NULL, means still reported
+    val one = out("one")
+    assert(one.isNullAt(5) && one.isNullAt(6) && one.getDouble(3) == 1.0,
+      one.toString)
+  }
+
+  test("histogram: bin edges, empty bins emitted, out-of-range tallied not clamped") {
+    val df = Seq(("g", 0.0), ("g", 9.99), ("g", 10.0), ("g", 39.99),
+      ("g", 40.0), ("g", -1.0), ("g", 41.0), ("g", -5.0)).toDF("g", "v")
+    val out = graft.ops.Stats.histogram(df, Seq("g"), F.col("v"),
+      lo = 0.0, hi = 40.0, bins = 4)
+      .as[(String, Int, Double, Double, Long, Long)].collect()
+      .map(t => t._2 -> t).toMap
+    assert(out.size == 4, out.toString)
+    // [0,10): 0.0 and 9.99; [10,20): 10.0; [20,30): EMPTY; [30,40]: 39.99 + 40.0 (hi closed)
+    assert(out(0)._5 == 2L && out(1)._5 == 1L && out(2)._5 == 0L &&
+      out(3)._5 == 2L, out.toString)
+    assert(out(0)._3 == 0.0 && out(0)._4 == 10.0 && out(3)._4 == 40.0,
+      out.toString)
+    // -1.0, 41.0, -5.0 out of range -> tallied, not clamped into bins 0/3
+    assert(out.values.forall(_._6 == 3L), out.toString)
+  }
 }

@@ -737,6 +737,42 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join anywhere in a one-pass fit:\n$p")
   }
 
+  test("corrPairs: one shuffle; sufficient sums partial-aggregate; no join") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = plan(graft.ops.Stats.corrPairs(li, Seq("l_returnflag"),
+      Seq("l_quantity", "l_extendedprice", "l_discount")))
+    assert(p.split("Exchange", -1).length - 1 == 1,
+      s"one shuffle total — the per-group sufficient-stats rollup:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the p + p(p+1)/2 sums must collapse map-side:\n$p")
+    assert(!p.contains("Join"),
+      s"pair rows unfold from the aggregate row by explode, not a join:\n$p")
+  }
+
+  test("welchTTest: one conditional-aggregation shuffle; no join") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("cohort", F.pmod(F.col("user_id"), F.lit(4L)))
+    val p = plan(graft.ops.Stats.welchTTest(ev, Seq("cohort"),
+      F.col("event_type"), F.col("value"), "click", "purchase"))
+    assert(p.split("Exchange", -1).length - 1 == 1,
+      s"one shuffle total — both classes aggregate in the same pass:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"conditional sums must collapse map-side:\n$p")
+    assert(!p.contains("Join"), s"no join in a one-pass test:\n$p")
+  }
+
+  test("histogram: the corpus is scanned ONCE; completion is a map lookup, not a join") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = plan(graft.ops.Stats.histogram(li, Seq("l_returnflag"),
+      F.col("l_extendedprice"), 0.0, 60000.0, 12))
+    assert(p.split("Scan parquet", -1).length - 1 == 1,
+      s"empty-bin completion must reuse the aggregated counts, not rescan:\n$p")
+    assert(p.contains("partial_count"),
+      s"bin counts must collapse map-side:\n$p")
+    assert(!p.contains("Join"),
+      s"completion is sequence-explode + map lookup over one reference:\n$p")
+  }
+
   test("chi2Tokens: class totals and corpus count ride as broadcasts") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.TextOps.chi2Tokens(docs, "lang", "doc_id", "text"))
