@@ -1609,6 +1609,37 @@ object SparkEntry {
           lo = 0.0, hi = 60000.0, bins = 12)
         .orderBy("l_returnflag", "bin")),
 
+    // HLL register ALGEBRA: pairwise source overlap (union via max-merge —
+    // exact over sketches — intersection by inclusion-exclusion, Jaccard)
+    // computed entirely on the <=256-row register tables; the sketch-space
+    // answer to x110's exact per-token self-join
+    "x119_hll_overlap" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("source"),
+          F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).as("t"))
+        .filter(F.length(F.col("t")) > 0)
+      graft.ops.Sketches.hllOverlap(toks, "source", F.col("t"))
+        .orderBy("a", "b")
+    }),
+
+    // exact-phrase search over a positional token index: posting lists of
+    // the phrase's own terms only, occurrences reconstructed by integer
+    // (doc, start) equi-joins — no regex scan, no full-stream window
+    "x120_phrase_search" -> ((s, dir) =>
+      TextOps.phraseSearch(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", "table part")
+        .orderBy("doc_id")),
+
+    // per-doc trigram novelty vs all earlier docs (crawl-order "is this
+    // snapshot new content?"): one distinct (doc, gram) census + per-gram
+    // min-doc window — linear, no pair join
+    "x121_ngram_novelty" -> ((s, dir) =>
+      TextOps.ngramNovelty(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -3833,6 +3864,123 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Sketches.hllOverlap: x93's register replay, then the pair
+    // max-merge union (OR-join ≡ the two tagged replications), the same
+    // estimate tree per pair, inclusion-exclusion clamped at 0
+    "x119_hll_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS t
+        |  FROM documents
+        |), r AS (
+        |  SELECT source,
+        |    ('0x' || substring(md5(t), 1, 2))::BIGINT AS bucket,
+        |    CASE WHEN ('0x' || substring(md5(t), 3, 13))::BIGINT = 0 THEN 53
+        |         ELSE 53 - length(ltrim(bin(
+        |           ('0x' || substring(md5(t), 3, 13))::BIGINT), '0'))
+        |    END AS rho
+        |  FROM toks
+        |), reg AS (
+        |  SELECT source, bucket, max(rho) AS m FROM r GROUP BY source, bucket
+        |), agg AS (
+        |  SELECT source, sum(1::BIGINT << (53 - m))::BIGINT AS sp,
+        |    count(*) AS np
+        |  FROM reg GROUP BY source
+        |), est AS (
+        |  SELECT source,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+        |      * 9007199254740992.0
+        |      / (sp + (256 - np) * 9007199254740992)::DOUBLE AS raw,
+        |    256 - np AS v
+        |  FROM agg
+        |), e2 AS (
+        |  SELECT source,
+        |    round(CASE WHEN raw <= 2.5 * 256.0 AND v > 0
+        |      THEN 256.0 * ln(256.0 / v::DOUBLE) ELSE raw END, 6) AS n_est
+        |  FROM est
+        |), srcs AS (SELECT DISTINCT source FROM reg
+        |), pr AS (
+        |  SELECT x.source AS a, y.source AS b
+        |  FROM srcs x, srcs y WHERE x.source < y.source
+        |), ureg AS (
+        |  SELECT pr.a, pr.b, reg.bucket, max(reg.m) AS m
+        |  FROM pr JOIN reg ON reg.source = pr.a OR reg.source = pr.b
+        |  GROUP BY pr.a, pr.b, reg.bucket
+        |), uagg AS (
+        |  SELECT a, b, sum(1::BIGINT << (53 - m))::BIGINT AS sp,
+        |    count(*) AS np
+        |  FROM ureg GROUP BY a, b
+        |), uest AS (
+        |  SELECT a, b,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+        |      * 9007199254740992.0
+        |      / (sp + (256 - np) * 9007199254740992)::DOUBLE AS raw,
+        |    256 - np AS v
+        |  FROM uagg
+        |), ue2 AS (
+        |  SELECT a, b,
+        |    round(CASE WHEN raw <= 2.5 * 256.0 AND v > 0
+        |      THEN 256.0 * ln(256.0 / v::DOUBLE) ELSE raw END, 6) AS n_union
+        |  FROM uest
+        |)
+        |SELECT ue2.a, ue2.b, ea.n_est AS n_a, eb.n_est AS n_b, n_union,
+        |  greatest(0.0, round(ea.n_est + eb.n_est - n_union, 6)) AS n_inter,
+        |  round(greatest(0.0, round(ea.n_est + eb.n_est - n_union, 6))
+        |    / nullif(n_union, 0.0), 6) AS jaccard
+        |FROM ue2
+        |JOIN e2 ea ON ue2.a = ea.source
+        |JOIN e2 eb ON ue2.b = eb.source
+        |ORDER BY a, b""".stripMargin,
+
+    // mirrors TextOps.phraseSearch: 0-based positions from parallel
+    // unnest/generate_subscripts, per-term posting lists, the (doc,
+    // pos-i) start join, per-doc count + min(start)
+    "x120_phrase_search" ->
+      """WITH lists AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |    x -> length(x) > 0) AS l
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |    generate_subscripts(l, 1) - 1 AS pos
+        |  FROM lists
+        |), t0 AS (
+        |  SELECT doc_id, pos AS start FROM toks WHERE tok = 'table'
+        |), h AS (
+        |  SELECT t0.doc_id, t0.start
+        |  FROM t0 JOIN toks t1
+        |    ON t1.doc_id = t0.doc_id AND t1.pos - 1 = t0.start
+        |   AND t1.tok = 'part'
+        |)
+        |SELECT doc_id, count(*) AS n_hits, min(start)::INT AS first_pos
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextOps.ngramNovelty: 1-based trigram starts via range
+    // (empty below 3 tokens), distinct grams per doc, per-gram min-doc
+    // window, per-doc novel fraction
+    "x121_ngram_novelty" ->
+      """WITH lists AS (
+        |  SELECT doc_id AS id, list_filter(
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |    x -> length(x) > 0) AS l
+        |  FROM documents
+        |), g AS (
+        |  SELECT id, unnest(list_distinct(CASE WHEN len(l) >= 3
+        |    THEN list_transform(range(1, len(l) - 1),
+        |           i -> array_to_string(l[i:i+2], ' '))
+        |    ELSE [] END)) AS gram
+        |  FROM lists
+        |), f AS (
+        |  SELECT id, gram, min(id) OVER (PARTITION BY gram) AS first FROM g
+        |)
+        |SELECT id AS doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN first = id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  round(sum(CASE WHEN first = id THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS novelty
+        |FROM f GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // mirrors Stats.corrPairs: the identical sufficient sums and the
     // cov / sqrt(dx·dy) tree per unordered column pair, NULL (not NaN) on

@@ -91,6 +91,53 @@ object Sketches {
                   p: Int = 8): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, key, p), groupCols, p)
 
+  /** Pairwise slice-overlap estimates from HLL register ALGEBRA: for every
+    * unordered pair of `sliceCol` values, |A∪B| from the max-merge of the
+    * two register sets (the HLL union is EXACT over sketches — the merged
+    * registers equal the registers of the merged stream), |A∩B| by
+    * inclusion–exclusion, and a Jaccard estimate. This answers the
+    * x110-style "which shards/snapshots share content?" audit WITHOUT the
+    * per-token self-join: the corpus is scanned once into ≤ 2^p register
+    * rows per slice, and everything pairwise happens on the tiny register
+    * tables (pair replication bounded by slices² · 2^p rows).
+    *
+    * Inclusion–exclusion inherits HLL's ±1.04/√m error on THREE estimates,
+    * so small true intersections can read ≤ 0 — clamped to 0 rather than
+    * reported negative. Estimates are the [[hllEstimate]] values verbatim
+    * (same rounding), so a slice's `n_a` here equals its `n_est` there.
+    *
+    * @return (a, b, n_a, n_b, n_union, n_inter, jaccard), a < b
+    */
+  def hllOverlap(df: DataFrame, sliceCol: String, key: Column,
+                 p: Int = 8): DataFrame = {
+    val regs = hllRegisters(df, Seq(sliceCol), key, p)
+    val est = hllEstimate(regs, Seq(sliceCol), p)
+    val slices = regs.select(F.col(sliceCol).as("a")).distinct()
+    val pairs = slices.crossJoin(
+      slices.select(F.col("a").as("b"))).filter(F.col("a") < F.col("b"))
+    // replicate each slice's registers into every pair it belongs to (the
+    // pair frame broadcasts — it is slice-count², not corpus-sized), then
+    // max-merge per (pair, bucket): the union sketch
+    val ra = pairs.join(regs.withColumnRenamed(sliceCol, "a"), Seq("a"))
+    val rb = pairs.join(regs.withColumnRenamed(sliceCol, "b"), Seq("b"))
+    val union = ra.select("a", "b", "bucket", "m")
+      .unionByName(rb.select("a", "b", "bucket", "m"))
+      .groupBy("a", "b", "bucket").agg(F.max("m").as("m"))
+    val estU = hllEstimate(union, Seq("a", "b"), p)
+      .withColumnRenamed("n_est", "n_union")
+    estU
+      .join(est.select(F.col(sliceCol).as("a"), F.col("n_est").as("n_a")), "a")
+      .join(est.select(F.col(sliceCol).as("b"), F.col("n_est").as("n_b")), "b")
+      .select(F.col("a"), F.col("b"), F.col("n_a"), F.col("n_b"),
+        F.col("n_union"),
+        F.greatest(F.lit(0.0),
+          F.round(F.col("n_a") + F.col("n_b") - F.col("n_union"), 6))
+          .as("n_inter"),
+        F.round(F.greatest(F.lit(0.0),
+            F.round(F.col("n_a") + F.col("n_b") - F.col("n_union"), 6)) /
+          F.nullif(F.col("n_union"), F.lit(0.0)), 6).as("jaccard"))
+  }
+
   /** Count-min sketch counters (Cormode & Muthukrishnan 2005): `depth`
     * independent hash rows × `width` buckets. One corpus pass — the
     * depth-way explode collapses map-side into ≤ depth·width counter rows,

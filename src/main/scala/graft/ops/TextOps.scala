@@ -958,6 +958,88 @@ object TextOps {
         F.col("n1").cast("double") / F.col("n_tokens"), 6))
   }
 
+  /** Exact phrase occurrences over a POSITIONAL token index — the corpus
+    * search primitive behind "which documents contain this exact wording?"
+    * (contamination spot-checks, quote tracking, template hunting).
+    *
+    * The index is a posexplode of the whitespace token stream, filtered to
+    * the phrase's own terms BEFORE anything shuffles — a k-term phrase
+    * keeps only matching-term rows, so the joined volume is the phrase
+    * terms' posting lists, not the corpus. Occurrences are reconstructed
+    * by k−1 integer equi-joins on (doc, start): term i must sit at
+    * start + i, so each join keys on `pos − i` — no window over the whole
+    * token stream, no regex over text. Per-doc aggregation emits hit count
+    * and first position.
+    *
+    * @return (idCol, n_hits, first_pos) — docs with ≥ 1 occurrence only
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "phrase must contain at least one token")
+    val toks = F.filter(
+      F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))), "\\s+"),
+      t => F.length(t) > 0)
+    val index = docs
+      .select(F.col(idCol).as("__id"), F.posexplode(toks).as(Seq("__pos", "__tok")))
+      .filter(F.col("__tok").isin(terms.distinct: _*))
+    val first = index.filter(F.col("__tok") === terms.head)
+      .select(F.col("__id"), F.col("__pos").as("__start"))
+    val hits = terms.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(
+          index.filter(F.col("__tok") === t)
+            .select(F.col("__id"), (F.col("__pos") - i).as("__start")),
+          Seq("__id", "__start"))
+    }
+    hits.groupBy("__id")
+      .agg(F.count(F.lit(1)).as("n_hits"), F.min("__start").as("first_pos"))
+      .withColumnRenamed("__id", idCol)
+  }
+
+  /** Per-document n-gram NOVELTY vs every earlier document (smaller id):
+    * what fraction of this doc's distinct word n-grams has the corpus not
+    * seen before? The crawl-order signal behind "is this snapshot adding
+    * content or re-crawling it" — 1.0 = all-new, 0.0 = fully covered by
+    * predecessors (near-dup or boilerplate).
+    *
+    * ONE gram census: distinct (doc, gram) rows, a per-gram `min(doc)`
+    * window (key-partitioned — the gram's posting list, never the corpus,
+    * is the partition), then a per-doc rollup. A gram's FIRST document
+    * counts it as novel; linear in total gram volume, no pair join
+    * anywhere — the same census the x82 vocabulary-growth curve runs at
+    * token granularity.
+    *
+    * @return (idCol, n_grams, n_novel, novelty) — docs with ≥ 1 gram only
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1,8], got $n")
+    import org.apache.spark.sql.expressions.Window
+    val toks = F.filter(
+      F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))), "\\s+"),
+      t => F.length(t) > 0)
+    // guard the start sequence: Spark's sequence(1, m) runs DESCENDING for
+    // m < 1 (auto-negative step), so short docs must take the empty branch
+    val m = F.size(toks) - (n - 1)
+    val grams = F.when(m >= 1,
+      F.transform(F.sequence(F.lit(1), m),
+        i => F.concat_ws(" ", F.slice(toks, i, F.lit(n)))))
+      .otherwise(F.array())
+    val dg = docs.select(F.col(idCol).as("__id"),
+      F.explode(F.array_distinct(grams)).as("__gram"))
+    val w = Window.partitionBy("__gram")
+    dg.withColumn("__first", F.min("__id").over(w))
+      .groupBy("__id")
+      .agg(
+        F.count(F.lit(1)).as("n_grams"),
+        F.sum(F.when(F.col("__first") === F.col("__id"), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", F.round(
+        F.col("n_novel").cast("double") / F.col("n_grams"), 6))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Pairwise vocabulary Jaccard between corpus slices — "how much do two
     * sources/shards/snapshots share?" — the slice-level companion of the
     * per-doc dedup measures and the exact truth the KMV sketch route

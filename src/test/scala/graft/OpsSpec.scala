@@ -2507,4 +2507,59 @@ class OpsSpec extends AnyFunSuite {
     // -1.0, 41.0, -5.0 out of range -> tallied, not clamped into bins 0/3
     assert(out.values.forall(_._6 == 3L), out.toString)
   }
+
+  test("hllOverlap: near-exact inclusion-exclusion at linear-counting sizes; identical slices j~1") {
+    // A = {k0..k199}, B = {k100..k299}: true inter 100, union 300, j = 1/3;
+    // C = copy of A: j(A,C) = 1. At <=300 distinct vs 256 registers the
+    // estimates ride the (near-exact) branches, so tolerances are loose
+    // only to HLL's ±1.04/sqrt(256) ~ 6.5%
+    val rows = (0 until 200).map(i => ("A", s"k$i")) ++
+      (100 until 300).map(i => ("B", s"k$i")) ++
+      (0 until 200).map(i => ("C", s"k$i"))
+    val df = rows.toDF("slice", "k")
+    val out = graft.ops.Sketches.hllOverlap(df, "slice", F.col("k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(5), r.getDouble(6))).toMap
+    val (iAB, jAB) = out(("A", "B"))
+    assert(math.abs(iAB - 100.0) < 25.0, s"inter(A,B)=$iAB")
+    assert(math.abs(jAB - 1.0 / 3.0) < 0.1, s"j(A,B)=$jAB")
+    val (iAC, jAC) = out(("A", "C"))
+    // identical slices: identical registers, union = each side exactly
+    assert(math.abs(iAC - 200.0) < 15.0 && math.abs(jAC - 1.0) < 1e-9,
+      s"inter(A,C)=$iAC j=$jAC")
+  }
+
+  test("phraseSearch: overlapping hits, multi-term ordering, absent docs dropped") {
+    val docs = Seq(
+      (1L, "a b c a b c a b"),   // "a b c" at 0, 3; "a b" at 0, 3, 6
+      (2L, "b a c b a"),         // "a b" never (order matters)
+      (3L, "x a b y")            // "a b" at 1
+    ).toDF("doc_id", "text")
+    val ab = TextOps.phraseSearch(docs, "doc_id", "text", "a b")
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(ab == Map(1L -> ((3L, 0)), 3L -> ((1L, 1))), ab.toString)
+    val abc = TextOps.phraseSearch(docs, "doc_id", "text", "a b c")
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(abc == Map(1L -> ((2L, 0))), abc.toString)
+    // single-term phrase degenerates to term occurrence counting
+    val a = TextOps.phraseSearch(docs, "doc_id", "text", "a")
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> t._2).toMap
+    assert(a == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), a.toString)
+  }
+
+  test("ngramNovelty: full copy scores 0, half-new scores the new fraction, short docs dropped") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4"),          // grams: w1w2w3, w2w3w4 -> both novel
+      (2L, "w1 w2 w3 w4"),          // exact copy -> novelty 0
+      (3L, "w1 w2 w3 n1 n2 n3"),    // 4 grams, 1 seen (w1w2w3) -> 0.75
+      (4L, "a b")                   // < 3 tokens -> no grams, dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 0L, 0.0)),
+      3L -> ((4L, 3L, 0.75))), out.toString)
+  }
 }

@@ -773,6 +773,35 @@ class PlanQualitySpec extends AnyFunSuite {
       s"completion is sequence-explode + map lookup over one reference:\n$p")
   }
 
+  test("hllOverlap: register rollups partial-aggregate; the pair frame broadcasts") {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(F.col("source"), F.col("text").as("t"))
+    val p = plan(graft.ops.Sketches.hllOverlap(toks, "source", F.col("t")))
+    assert(p.contains("partial_max"),
+      s"registers must collapse map-side before any shuffle:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the slice-pair frame must broadcast onto the register tables:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"only the tiny slice list may cross-join:\n$p")
+  }
+
+  test("phraseSearch: posting lists filter before the joins; no cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.TextOps.phraseSearch(docs, "doc_id", "text", "table part"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"occurrence reconstruction is integer equi-joins only:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"the per-doc rollup must partial-aggregate:\n$p")
+  }
+
+  test("ngramNovelty: one census, a keyed window, NO pair join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.TextOps.ngramNovelty(docs, "doc_id", "text"))
+    assert(!p.contains("Join"),
+      s"novelty is a per-gram min window over the census — no join:\n$p")
+    assert(p.contains("Window"), s"per-gram min must be a window:\n$p")
+  }
+
   test("chi2Tokens: class totals and corpus count ride as broadcasts") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.TextOps.chi2Tokens(docs, "lang", "doc_id", "text"))
