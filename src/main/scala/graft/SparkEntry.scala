@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
 import graft.prql.Graft
 import graft.ops.{AsOf, Curation, Dedup, EventOps, Multimodal, RangeJoin, Sampling, Similarity, TextOps}
 import graft.sources.Registrar
@@ -1639,6 +1640,64 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           "doc_id", "text", n = 3)
         .orderBy("doc_id")),
+
+    // EWMA smoothing of the per-type daily event-count series: the
+    // recursion folds EXACTLY over a bounded lookback via a higher-order
+    // reduce seeded at the frame head (DuckDB list_reduce semantics) —
+    // deterministic evaluation order, unlike a weighted sum
+    "x122_ewma_smooth" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(F.col("event_type"),
+          F.to_date(graft.ops.EventOps.tsStamp(ev)).as("day"))
+        .agg(F.count(F.lit(1)).as("n"))
+      graft.ops.EventOps.ewmaSmooth(daily, Seq("event_type"),
+          F.col("day"), F.col("n"), alpha = 0.3, lookback = 16)
+        .orderBy("event_type", "t")
+    }),
+
+    // day-N retention cohorts: users bucketed by FIRST active day tracked
+    // across integer day offsets — distinct (user, day) collapse means a
+    // plain count IS the distinct-user count (no Expand), day-0 size via
+    // a post-aggregate window
+    "x123_retention" -> ((s, dir) =>
+      graft.ops.EventOps.retentionCohorts(
+          s.read.parquet(s"$dir/events.parquet"), "user_id", "ts",
+          maxOffsetDays = 14)
+        .orderBy("cohort_day", "offset")),
+
+    // reciprocal-rank fusion of two supplier league tables (by line count
+    // / by total quantity) per returnflag: rank-only ensemble, 9-dp
+    // contributions before the keyed rollup, fused top-10
+    "x124_rrf_fuse" -> ((s, dir) => {
+      val agg = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(F.col("l_returnflag").as("q"), F.col("l_suppkey").as("item"))
+        .agg(F.count(F.lit(1)).as("n"), F.sum("l_quantity").as("sq"))
+      val wA = Window.partitionBy("q").orderBy(F.col("n").desc, F.col("item"))
+      val wB = Window.partitionBy("q").orderBy(F.col("sq").desc, F.col("item"))
+      val ra = agg.withColumn("rk", F.row_number().over(wA)).filter(F.col("rk") <= 30)
+      val rb = agg.withColumn("rk", F.row_number().over(wB)).filter(F.col("rk") <= 30)
+      Similarity.rrfFuse(Seq(ra, rb), "q", "item", "rk",
+          kConst = 60, topK = 10)
+        .orderBy("query", "fused_rank")
+    }),
+
+    // nDCG@20 of the count-ranked supplier table against graded relevance
+    // derived from the quantity ranking (rel = 21 - rank): the ranking-
+    // quality readout, log2 gains as ln-division (the x106 rule), 9-dp
+    // terms before the per-query sum
+    "x125_ndcg" -> ((s, dir) => {
+      val agg = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(F.col("l_returnflag").as("q"), F.col("l_suppkey").as("item"))
+        .agg(F.count(F.lit(1)).as("n"), F.sum("l_quantity").as("sq"))
+      val wA = Window.partitionBy("q").orderBy(F.col("n").desc, F.col("item"))
+      val wB = Window.partitionBy("q").orderBy(F.col("sq").desc, F.col("item"))
+      val res = agg.withColumn("rk", F.row_number().over(wA)).filter(F.col("rk") <= 20)
+      val truth = agg.withColumn("rkb", F.row_number().over(wB))
+        .filter(F.col("rkb") <= 20)
+        .withColumn("rel", (F.lit(21) - F.col("rkb")).cast("long"))
+      graft.ops.Stats.ndcg(res, truth, "q", "item", "rk", "rel", k = 20)
+        .orderBy("query")
+    }),
 
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
@@ -3864,6 +3923,116 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors EventOps.ewmaSmooth: frame-ordered list window + list_reduce
+    // (seeded at the frame head — the same fold the Spark aggregate runs),
+    // the runtime (1.0 - 0.3) weight per the x85 IEEE-literal rule
+    "x122_ewma_smooth" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS t, count(*)::DOUBLE AS v
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_type, t, v,
+        |    list(v) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lst
+        |  FROM daily
+        |)
+        |SELECT event_type, t, v,
+        |  round(list_reduce(lst, (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc),
+        |    6) AS ewma
+        |FROM l ORDER BY event_type, t""".stripMargin,
+
+    // mirrors EventOps.retentionCohorts: distinct (user, day), window min
+    // cohort day, integer date offsets, plain counts (days are distinct
+    // per user), day-0 size via a window over the aggregated table
+    "x123_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events
+        |), c AS (
+        |  SELECT u, d, min(d) OVER (PARTITION BY u) AS cd FROM days
+        |), o AS (
+        |  SELECT cd, date_diff('day', cd, d)::INT AS off FROM c
+        |  WHERE date_diff('day', cd, d) <= 14
+        |), cnt AS (
+        |  SELECT cd AS cohort_day, off, count(*) AS n_users
+        |  FROM o GROUP BY 1, 2
+        |)
+        |SELECT cohort_day, off AS "offset", n_users,
+        |  round(n_users::DOUBLE / nullif(
+        |    sum(CASE WHEN off = 0 THEN n_users ELSE 0 END)
+        |      OVER (PARTITION BY cohort_day)::DOUBLE, 0.0), 6) AS rate
+        |FROM cnt ORDER BY cohort_day, "offset"""".stripMargin,
+
+    // mirrors Similarity.rrfFuse over the two supplier league tables:
+    // 9-dp 1/(60+rank) contributions, keyed rollup, (rrf desc, item)
+    // fused top-10
+    "x124_rrf_fuse" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag AS q, l_suppkey AS item,
+        |    count(*) AS n, sum(l_quantity) AS sq
+        |  FROM lineitem GROUP BY 1, 2
+        |), ra AS (
+        |  SELECT q, item, row_number()
+        |    OVER (PARTITION BY q ORDER BY n DESC, item) AS rk
+        |  FROM agg
+        |), rb AS (
+        |  SELECT q, item, row_number()
+        |    OVER (PARTITION BY q ORDER BY sq DESC, item) AS rk
+        |  FROM agg
+        |), u AS (
+        |  SELECT q, item, round(1.0 / (60.0 + rk::DOUBLE), 9) AS c
+        |  FROM ra WHERE rk <= 30
+        |  UNION ALL
+        |  SELECT q, item, round(1.0 / (60.0 + rk::DOUBLE), 9)
+        |  FROM rb WHERE rk <= 30
+        |), f AS (
+        |  SELECT q, item, round(sum(c), 9) AS rrf, count(*) AS n_systems
+        |  FROM u GROUP BY 1, 2
+        |), r AS (
+        |  SELECT q AS query, item, rrf, n_systems, row_number()
+        |    OVER (PARTITION BY q ORDER BY rrf DESC, item) AS fused_rank
+        |  FROM f
+        |)
+        |SELECT * FROM r WHERE fused_rank <= 10
+        |ORDER BY query, fused_rank""".stripMargin,
+
+    // mirrors Stats.ndcg on the same two league tables: rel = 21 - rank_B,
+    // gains rel / (ln(rank+1)/ln(2)) rounded 9 dp before the per-query
+    // sum, ideal ordering (rel desc, item), NULL on idcg = 0
+    "x125_ndcg" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag AS q, l_suppkey AS item,
+        |    count(*) AS n, sum(l_quantity) AS sq
+        |  FROM lineitem GROUP BY 1, 2
+        |), ra AS (
+        |  SELECT q, item, row_number()
+        |    OVER (PARTITION BY q ORDER BY n DESC, item) AS rk
+        |  FROM agg
+        |), rb AS (
+        |  SELECT q, item, row_number()
+        |    OVER (PARTITION BY q ORDER BY sq DESC, item) AS rkb
+        |  FROM agg
+        |), res AS (SELECT q, item, rk FROM ra WHERE rk <= 20
+        |), tr AS (
+        |  SELECT q, item, (21 - rkb)::BIGINT AS rel FROM rb WHERE rkb <= 20
+        |), d AS (
+        |  SELECT res.q, round(sum(round(
+        |    coalesce(tr.rel, 0)::DOUBLE /
+        |      (ln(res.rk::DOUBLE + 1.0) / ln(2.0)), 9)), 6) AS dcg
+        |  FROM res LEFT JOIN tr ON res.q = tr.q AND res.item = tr.item
+        |  GROUP BY res.q
+        |), i AS (
+        |  SELECT q, round(sum(round(
+        |    rel::DOUBLE / (ln(irk::DOUBLE + 1.0) / ln(2.0)), 9)), 6) AS idcg
+        |  FROM (
+        |    SELECT q, rel, row_number()
+        |      OVER (PARTITION BY q ORDER BY rel DESC, item) AS irk
+        |    FROM tr
+        |  ) WHERE irk <= 20 GROUP BY q
+        |)
+        |SELECT d.q AS query, dcg, idcg,
+        |  round(dcg / nullif(idcg, 0.0), 6) AS ndcg
+        |FROM d LEFT JOIN i ON d.q = i.q ORDER BY query""".stripMargin,
 
     // mirrors Sketches.hllOverlap: x93's register replay, then the pair
     // max-merge union (OR-join ≡ the two tagged replications), the same

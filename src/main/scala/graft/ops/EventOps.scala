@@ -242,4 +242,82 @@ object EventOps {
       .filter(F.abs(F.col("score")) >= cut)
       .select(tieCol, typeCol, valueCol, "med", "iqr", "score")
   }
+
+  /** Exponentially weighted moving average per key over an ordered series
+    * — the metric-smoothing pass behind trend dashboards and drift
+    * alarms. The classic recursion s_t = α·x_t + (1−α)·s_{t−1} is not a
+    * windowable aggregate, but over a BOUNDED lookback it folds exactly:
+    * collect the last `lookback` values in frame order and reduce with
+    * the recursion seeded at the frame's first element — a per-row
+    * higher-order fold, engine-replayable because both engines walk the
+    * same list in the same order with the same IEEE ops (DuckDB's
+    * `list_reduce` seeds at the first element, which is why the fold here
+    * does too rather than folding from 0). Truncating at `lookback` drops
+    * weight (1−α)^lookback ≈ e^{-α·lookback} — pick lookback ≥ 5/α for
+    * <1% truncation error.
+    *
+    * One window shuffle on the series key; per-row state bounded by
+    * `lookback`. Result rounded to 6 dp (the fold itself is unrounded —
+    * its evaluation ORDER is deterministic, unlike a sum).
+    *
+    * @return (keyCols…, t, v, ewma) where t/v echo orderCol/value
+    */
+  def ewmaSmooth(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+                 value: Column, alpha: Double,
+                 lookback: Int = 32): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(lookback >= 1 && lookback <= 1024,
+      s"lookback must be in [1,1024], got $lookback")
+    df.select(keyCols.map(F.col) :+ orderCol.as("t") :+
+        value.cast("double").as("v"): _*)
+      .withColumn("__l", F.collect_list("v").over(
+        Window.partitionBy(keyCols.map(F.col): _*).orderBy(F.col("t"))
+          .rowsBetween(-(lookback - 1), Window.currentRow)))
+      .withColumn("ewma", F.round(
+        F.aggregate(
+          F.slice(F.col("__l"), F.lit(2),
+            F.greatest(F.size(F.col("__l")) - 1, F.lit(0))),
+          F.element_at(F.col("__l"), 1),
+          // the oracle writes the runtime subtraction `(1.0 - α)` so both
+          // engines weight acc by the IDENTICAL double (the x85 rule)
+          (acc, x) => F.lit(alpha) * x + F.lit(1.0 - alpha) * acc),
+        6))
+      .drop("__l")
+  }
+
+  /** Day-N retention cohort table: users grouped by their FIRST active
+    * day, tracked across day offsets — the product-analytics staple.
+    *
+    * Distinct (user, day) activity collapses first (one keyed shuffle);
+    * the per-user cohort day is a window min over the user's own rows;
+    * offsets are integer date diffs. Because days are distinct per user,
+    * a plain `count` per (cohort, offset) IS the distinct-user count — no
+    * countDistinct Expand. The day-0 cohort size rides a window over the
+    * tiny aggregated table (the q09 post-aggregate rule), giving each row
+    * a retention rate.
+    *
+    * @return (cohort_day, offset, n_users, rate), offset 0..maxOffsetDays
+    */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts",
+                       maxOffsetDays: Int = 14): DataFrame = {
+    val days = events
+      .select(F.col(userCol).as("__u"),
+        F.to_date(tsStamp(events, tsCol)).as("__d"))
+      .distinct()
+    val counts = days
+      .withColumn("__c", F.min("__d").over(Window.partitionBy("__u")))
+      .withColumn("offset", F.datediff(F.col("__d"), F.col("__c")))
+      .filter(F.col("offset") <= maxOffsetDays)
+      .groupBy(F.col("__c").as("cohort_day"), F.col("offset"))
+      .agg(F.count(F.lit(1)).as("n_users"))
+    counts
+      .withColumn("__d0", F.sum(F.when(F.col("offset") === 0, F.col("n_users"))
+          .otherwise(F.lit(0L)))
+        .over(Window.partitionBy("cohort_day")))
+      .withColumn("rate", F.round(
+        F.col("n_users").cast("double") / F.nullif(F.col("__d0").cast("double"),
+          F.lit(0.0)), 6))
+      .drop("__d0")
+  }
 }

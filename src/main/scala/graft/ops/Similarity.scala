@@ -1079,6 +1079,44 @@ object Similarity {
       .select(F.col("query_id"), F.col(idCol).as("neighbor_id"), F.col("score"), F.col("rk"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval rankings
+    * — the standard zero-tuning ensemble for hybrid search (dense kNN +
+    * BM25 + recency, …): each system contributes `1/(kConst + rank)` per
+    * (query, item), contributions sum, and the fused top-k re-ranks on
+    * the summed score. RRF needs only RANKS, so heterogeneous score
+    * scales fuse without calibration.
+    *
+    * Each contribution rounds to 9 dp BEFORE the unordered sum (the
+    * pageRank rule: a handful of 9-dp terms re-associate without moving
+    * the 9-dp-rounded total) and the fused ordering tie-breaks on item id
+    * — engine-replayable end to end. Shape: a union of the (bounded,
+    * top-k-sized) ranking tables, one (query, item) keyed rollup, one
+    * per-query window — WindowGroupLimit prunes to `topK` map-side.
+    *
+    * @param rankings tables each carrying (queryCol, itemCol, rankCol)
+    *                 with rank 1 = best; anything beyond a system's own
+    *                 cutoff is simply absent (absent = no contribution)
+    * @return (query, item, rrf, n_systems, fused_rank) — fused top `topK`
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, itemCol: String,
+              rankCol: String, kConst: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kConst >= 1, s"kConst must be >= 1, got $kConst")
+    val tagged = rankings.map(_.select(
+      F.col(queryCol).as("query"), F.col(itemCol).as("item"),
+      F.round(F.lit(1.0) /
+        (F.lit(kConst.toDouble) + F.col(rankCol).cast("double")), 9)
+        .as("__contrib")))
+    val fused = tagged.reduce(_ unionByName _)
+      .groupBy("query", "item")
+      .agg(F.round(F.sum("__contrib"), 9).as("rrf"),
+        F.count(F.lit(1)).as("n_systems"))
+    val w = Window.partitionBy("query")
+      .orderBy(F.col("rrf").desc, F.col("item").asc)
+    fused.withColumn("fused_rank", F.row_number().over(w))
+      .filter(F.col("fused_rank") <= topK)
+  }
+
   /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) — the
     * diversity pass between retrieval and a training batch / RAG context:
     * greedily pick `k` of the top-`pool` candidates maximizing

@@ -209,4 +209,60 @@ object Stats {
         F.coalesce(F.element_at(F.col("__m"), F.col("bin")), F.lit(0L)).as("n") :+
         F.col("n_out"): _*)
   }
+
+  /** nDCG@k of a ranking against graded relevance judgments — the
+    * ranking-quality readout for retrieval stacks (and for "how aligned
+    * are two league tables" audits when relevance is derived from a
+    * second ranking). Per query:
+    * {{{
+    *   DCG  = Σ_{rank ≤ k} rel / log2(rank + 1)
+    *   IDCG = the same sum over the IDEAL ordering (rel desc, item asc)
+    *   nDCG = DCG / IDCG
+    * }}}
+    * log2 runs as Spark's `log(2, x)` — the ln(x)/ln(2) division DuckDB
+    * replays verbatim (the x106 rule) — and each gain term rounds to 9 dp
+    * before the per-query sum (the pageRank rule). Items in `results`
+    * without a judgment count rel = 0; judged items the ranking missed
+    * cost it through IDCG. IDCG = 0 (no positive judgments) → NULL.
+    *
+    * Shape: one broadcast-friendly (query, item) equi-join of two
+    * bounded ranking tables, one window over `truth` for the ideal
+    * ordering (WindowGroupLimit-prunable), two per-query rollups.
+    *
+    * @param results (queryCol, itemCol, rankCol), rank 1 = best
+    * @param truth   (queryCol, itemCol, relCol) graded judgments
+    * @return (query, dcg, idcg, ndcg) — 6-dp rounded
+    */
+  def ndcg(results: DataFrame, truth: DataFrame, queryCol: String,
+           itemCol: String, rankCol: String, relCol: String,
+           k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    def gain(rel: Column, rank: Column): Column =
+      F.round(rel.cast("double") /
+        F.log(2.0, rank.cast("double") + 1.0), 9)
+    val res = results
+      .select(F.col(queryCol).as("query"), F.col(itemCol).as("item"),
+        F.col(rankCol).as("__rk"))
+      .filter(F.col("__rk") <= k)
+      .join(truth.select(F.col(queryCol).as("query"),
+          F.col(itemCol).as("item"), F.col(relCol).as("__rel")),
+        Seq("query", "item"), "left")
+      .groupBy("query")
+      .agg(F.round(F.sum(gain(F.coalesce(F.col("__rel"), F.lit(0.0)),
+        F.col("__rk"))), 6).as("dcg"))
+    val wIdeal = Window.partitionBy("query")
+      .orderBy(F.col("__rel").desc, F.col("item").asc)
+    val ideal = truth
+      .select(F.col(queryCol).as("query"), F.col(itemCol).as("item"),
+        F.col(relCol).as("__rel"))
+      .withColumn("__irk", F.row_number().over(wIdeal))
+      .filter(F.col("__irk") <= k)
+      .groupBy("query")
+      .agg(F.round(F.sum(gain(F.col("__rel"), F.col("__irk"))), 6).as("idcg"))
+    res.join(ideal, Seq("query"), "left")
+      .select(F.col("query"), F.col("dcg"), F.col("idcg"),
+        F.round(F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 6)
+          .as("ndcg"))
+  }
 }

@@ -2508,6 +2508,72 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.forall(_._6 == 3L), out.toString)
   }
 
+  test("ewmaSmooth: hand-folded recursion; lookback truncates the seed") {
+    val df = Seq(("g", 1, 10.0), ("g", 2, 1.0), ("g", 3, 2.0))
+      .toDF("g", "t", "v")
+    val full = graft.ops.EventOps.ewmaSmooth(df, Seq("g"), F.col("t"),
+      F.col("v"), alpha = 0.3, lookback = 16)
+      .as[(String, Int, Double, Double)].collect().map(r => r._2 -> r._4).toMap
+    // s1 = 10; s2 = .3*1 + .7*10 = 7.3; s3 = .3*2 + .7*7.3 = 5.71
+    assert(full == Map(1 -> 10.0, 2 -> 7.3, 3 -> 5.71), full.toString)
+    // lookback 2: the t=3 frame is [1, 2] -> seed 1, fold .3*2+.7*1 = 1.3
+    val trunc = graft.ops.EventOps.ewmaSmooth(df, Seq("g"), F.col("t"),
+      F.col("v"), alpha = 0.3, lookback = 2)
+      .as[(String, Int, Double, Double)].collect().map(r => r._2 -> r._4).toMap
+    assert(trunc(3) == 1.3, trunc.toString)
+  }
+
+  test("retentionCohorts: first-day cohorts, offsets, day-0 rates") {
+    val ev = Seq(
+      ("u1", "2026-01-01 10:00:00"), ("u1", "2026-01-02 09:00:00"),
+      ("u1", "2026-01-04 12:00:00"), ("u1", "2026-01-01 23:59:59"), // same-day dup collapses
+      ("u2", "2026-01-01 08:00:00"),
+      ("u3", "2026-01-02 11:00:00"), ("u3", "2026-01-03 11:00:00")
+    ).toDF("user_id", "s").withColumn("ts", F.to_timestamp(F.col("s")))
+      .drop("s")
+    val out = graft.ops.EventOps.retentionCohorts(ev, "user_id", "ts", 14)
+      .as[(java.sql.Date, Int, Long, Double)].collect()
+      .map(t => (t._1.toString, t._2) -> ((t._3, t._4))).toMap
+    assert(out == Map(
+      ("2026-01-01", 0) -> ((2L, 1.0)),      // u1, u2
+      ("2026-01-01", 1) -> ((1L, 0.5)),      // u1
+      ("2026-01-01", 3) -> ((1L, 0.5)),      // u1
+      ("2026-01-02", 0) -> ((1L, 1.0)),      // u3
+      ("2026-01-02", 1) -> ((1L, 1.0))), out.toString)
+  }
+
+  test("rrfFuse: consensus beats a single high rank; n_systems; tie-break") {
+    // system A: x(1), y(2), z(3); system B: y(1), z(2) — y fuses highest
+    val a = Seq(("q", "x", 1), ("q", "y", 2), ("q", "z", 3)).toDF("q", "i", "r")
+    val b = Seq(("q", "y", 1), ("q", "z", 2)).toDF("q", "i", "r")
+    val out = Similarity.rrfFuse(Seq(a, b), "q", "i", "r", kConst = 60, topK = 10)
+      .as[(String, String, Double, Long, Int)].collect()
+      .map(t => t._2 -> ((t._3, t._4, t._5))).toMap
+    def c(r: Int) = BigDecimal(1.0 / (60.0 + r)).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("y")._3 == 1 && out("y")._2 == 2L, out.toString)   // rank 1, both systems
+    assert(out("z")._3 == 2 && out("x")._3 == 3, out.toString)
+    assert(out("x")._1 == c(1) && out("x")._2 == 1L, out.toString)
+  }
+
+  test("ndcg: perfect ranking = 1; reversal < 1; no judgments -> NULL") {
+    val truth = Seq(("q", "a", 3L), ("q", "b", 2L), ("q", "c", 1L))
+      .toDF("q", "i", "rel")
+    val perfect = Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 3)).toDF("q", "i", "rk")
+    val p = graft.ops.Stats.ndcg(perfect, truth, "q", "i", "rk", "rel", 3)
+      .as[(String, Double, Double, Double)].collect().head
+    assert(p._4 == 1.0 && p._2 == p._3, p.toString)
+    val reversed = Seq(("q", "c", 1), ("q", "b", 2), ("q", "a", 3)).toDF("q", "i", "rk")
+    val r = graft.ops.Stats.ndcg(reversed, truth, "q", "i", "rk", "rel", 3)
+      .as[(String, Double, Double, Double)].collect().head
+    assert(r._4 < 1.0 && r._4 > 0.0, r.toString)
+    // a query whose judged items are all rel=0: IDCG 0 -> NULL ndcg
+    val zt = Seq(("q", "a", 0L)).toDF("q", "i", "rel")
+    val z = graft.ops.Stats.ndcg(perfect, zt, "q", "i", "rk", "rel", 3)
+      .select("ndcg").collect().head
+    assert(z.isNullAt(0), z.toString)
+  }
+
   test("hllOverlap: near-exact inclusion-exclusion at linear-counting sizes; identical slices j~1") {
     // A = {k0..k199}, B = {k100..k299}: true inter 100, union 300, j = 1/3;
     // C = copy of A: j(A,C) = 1. At <=300 distinct vs 256 registers the

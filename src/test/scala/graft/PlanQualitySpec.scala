@@ -802,6 +802,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Window"), s"per-gram min must be a window:\n$p")
   }
 
+  test("ewmaSmooth: one keyed window shuffle; the fold is a projection") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(F.col("event_type"), F.to_date(F.col("ts")).as("day"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val p = plan(graft.ops.EventOps.ewmaSmooth(ev, Seq("event_type"),
+      F.col("day"), F.col("n"), 0.3, 16))
+    assert(p.contains("Window"), s"the bounded frame must be a window:\n$p")
+    assert(!p.contains("Join"), s"no join in a per-row fold:\n$p")
+  }
+
+  test("rrfFuse: keyed rollup partial-aggregates; fused top-k prunes with WindowGroupLimit") {
+    val agg = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(F.col("l_returnflag").as("q"), F.col("l_suppkey").as("item"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy(F.col("n").desc, F.col("item"))
+    val r = agg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 30)
+    val p = plan(graft.ops.Similarity.rrfFuse(Seq(r, r), "q", "item", "rk"))
+    assert(p.contains("WindowGroupLimit"),
+      s"fused_rank <= topK must prune map-side:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"contribution rollup must partial-aggregate:\n$p")
+  }
+
   test("chi2Tokens: class totals and corpus count ride as broadcasts") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.TextOps.chi2Tokens(docs, "lang", "doc_id", "text"))
