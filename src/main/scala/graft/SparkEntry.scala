@@ -1699,6 +1699,58 @@ object SparkEntry {
         .orderBy("query")
     }),
 
+    // Neyman minimum-variance sample-budget allocation across the
+    // (returnflag, linestatus) strata: one sufficient-stats pass, N·s
+    // weights, window-normalized shares — the planning step upstream of
+    // hashSampleByGroup
+    "x126_neyman_alloc" -> ((s, dir) =>
+      Sampling.neymanAllocation(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          Seq("l_returnflag", "l_linestatus"), F.col("l_extendedprice"),
+          budget = 10000L)
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Benford first-digit audit of extendedprice per returnflag: integer
+    // string rendering (scaled cents), skipped mass reported, expected
+    // share via the ln/ln(10) division both engines share
+    "x127_benford" -> ((s, dir) =>
+      graft.ops.Stats.benfordAudit(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          Seq("l_returnflag"), F.col("l_extendedprice"), scale = 100)
+        .orderBy("l_returnflag", "digit")),
+
+    // Gini concentration of lineitem volume across suppliers per
+    // returnflag — integer masses make both sums exact; the only float
+    // work is two divisions
+    "x128_gini" -> ((s, dir) => {
+      val m = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(F.col("l_returnflag"), F.col("l_suppkey"))
+        .agg(F.count(F.lit(1)).as("cnt"))
+      graft.ops.Stats.gini(m, Seq("l_returnflag"), F.col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // one-sided CUSUM drift alarm over per-type daily event counts: the
+    // sequential-looking recursion as its exact closed form — running sum
+    // minus running min, two window aggregates, all integer
+    "x129_cusum_drift" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(F.col("event_type"),
+          F.to_date(graft.ops.EventOps.tsStamp(ev)).as("day"))
+        .agg(F.count(F.lit(1)).as("n"))
+      graft.ops.EventOps.cusumDrift(daily, Seq("event_type"), F.col("day"),
+          F.col("n"), target = 115L, slack = 5L)
+        .orderBy("event_type", "t")
+    }),
+
+    // top-20 three-step behavioral paths over the (epoch-µs, event_id)
+    // total order — session-flow mining via lead chains, census
+    // partial-aggregated, TakeOrdered top-k
+    "x130_top_paths" -> ((s, dir) =>
+      graft.ops.EventOps.topPaths(
+          s.read.parquet(s"$dir/events.parquet"), n = 3, k = 20)
+        .orderBy(F.col("n").desc, F.col("path"))),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -3923,6 +3975,112 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Sampling.neymanAllocation: same sufficient sums, closed-form
+    // sample sd under sqrt/greatest guards, window-normalized N·s weights,
+    // round-then-cap allocation
+    "x126_neyman_alloc" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, l_linestatus, count(*)::DOUBLE AS n,
+        |    sum(l_extendedprice) AS s,
+        |    sum(l_extendedprice * l_extendedprice) AS ss
+        |  FROM lineitem GROUP BY 1, 2
+        |), w AS (
+        |  SELECT l_returnflag, l_linestatus, n, s,
+        |    CASE WHEN n >= 2.0 THEN sqrt(greatest(0.0,
+        |      (ss - s * s / n) / (n - 1.0))) ELSE 0.0 END AS sd
+        |  FROM a
+        |), t AS (
+        |  SELECT *, n * sd AS wt, sum(n * sd) OVER () AS tw FROM w
+        |), r AS (
+        |  SELECT l_returnflag, l_linestatus, n::BIGINT AS n_rows,
+        |    round(s / n, 6) AS mean, round(sd, 6) AS sd,
+        |    least(n, round(10000.0 * wt / nullif(tw, 0.0), 0))::BIGINT AS alloc
+        |  FROM t
+        |)
+        |SELECT l_returnflag, l_linestatus, n_rows, mean, sd, alloc,
+        |  round(alloc::DOUBLE / n_rows, 6) AS rate
+        |FROM r ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // mirrors Stats.benfordAudit: scaled-integer string first digit,
+    // group windows for total/skip, ln/ln(10) expected shares
+    "x127_benford" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice > 0.0
+        |      THEN substring(floor(l_extendedprice * 100)::BIGINT::VARCHAR,
+        |        1, 1)::INT END AS digit,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), g AS (
+        |  SELECT l_returnflag, digit, c,
+        |    sum(CASE WHEN digit IS NULL THEN c ELSE 0 END)
+        |      OVER (PARTITION BY l_returnflag) AS skip,
+        |    sum(CASE WHEN digit IS NOT NULL THEN c ELSE 0 END)
+        |      OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM c
+        |)
+        |SELECT l_returnflag, digit, c AS n,
+        |  round(c::DOUBLE / nullif(tot::DOUBLE, 0.0), 6) AS share,
+        |  round(ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0), 6) AS expected,
+        |  skip::BIGINT AS n_skipped
+        |FROM g WHERE digit IS NOT NULL
+        |ORDER BY l_returnflag, digit""".stripMargin,
+
+    // mirrors Stats.gini: ascending rank window (tie order immaterial to
+    // the i·x sum), exact integer sums, the 2·Σix/(n·Σx) − (n+1)/n tree
+    "x128_gini" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, l_suppkey, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT l_returnflag, cnt, row_number()
+        |    OVER (PARTITION BY l_returnflag ORDER BY cnt) AS i
+        |  FROM m
+        |), a AS (
+        |  SELECT l_returnflag, count(*) AS n, sum(cnt) AS total,
+        |    sum(i * cnt) AS ix
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT l_returnflag, n AS n_members, total::BIGINT AS total,
+        |  round(2.0 * ix::DOUBLE / nullif(n::DOUBLE * total::DOUBLE, 0.0)
+        |    - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors EventOps.cusumDrift: running sum of (v − K) minus its own
+    // running min (the exact closed form of the CUSUM recursion), all
+    // integer
+    "x129_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS t, count(*) AS v
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_type, t, v,
+        |    sum(v - 120) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+        |  FROM daily
+        |)
+        |SELECT event_type, t, v::BIGINT AS v,
+        |  (pp - least(0, min(pp) OVER (PARTITION BY event_type ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT
+        |    AS cusum
+        |FROM p ORDER BY event_type, t""".stripMargin,
+
+    // mirrors EventOps.topPaths: lead chains over the (epoch µs, event_id)
+    // total order, path census, (n desc, path) top-20
+    "x130_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type AS e0,
+        |    lead(event_type, 1) OVER w AS e1,
+        |    lead(event_type, 2) OVER w AS e2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |)
+        |SELECT e0 || '>' || e1 || '>' || e2 AS path, count(*) AS n
+        |FROM c WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     // mirrors EventOps.ewmaSmooth: frame-ordered list window + list_reduce
     // (seeded at the frame head — the same fold the Spark aggregate runs),

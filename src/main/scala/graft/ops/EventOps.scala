@@ -285,6 +285,59 @@ object EventOps {
       .drop("__l")
   }
 
+  /** One-sided CUSUM drift statistic per key over an ordered series —
+    * the change-point alarm (Page 1954): s_t = max(0, s_{t−1} + x_t − K)
+    * fires when a metric runs persistently above its target K =
+    * target + slack. The textbook recursion looks sequential, but it has
+    * the exact closed form
+    * {{{ s_t = P_t − min(0, min_{j≤t} P_j),  P_t = Σ_{i≤t} (x_i − K) }}}
+    * — a running sum and a running min, BOTH plain window aggregates over
+    * the same key-partitioned frame. No fold, no bounded lookback, no
+    * state: two window functions in one pass, and with integer x/K every
+    * value is exact in any engine.
+    *
+    * @return (keyCols…, t, v, cusum) — cusum > threshold is the alarm
+    */
+  def cusumDrift(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+                 value: Column, target: Long, slack: Long = 0L): DataFrame = {
+    val k = target + slack
+    val w = Window.partitionBy(keyCols.map(F.col): _*).orderBy(F.col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(keyCols.map(F.col) :+ orderCol.as("t") :+
+        value.cast("long").as("v"): _*)
+      .withColumn("__p", F.sum(F.col("v") - k).over(w))
+      .withColumn("cusum", F.col("__p") - F.least(F.lit(0L), F.min("__p").over(w)))
+      .drop("__p")
+  }
+
+  /** Top-k behavioral PATHS: the most frequent length-`n` consecutive
+    * event-type sequences across users — the session-flow mining readout
+    * ("view > click > purchase"). One window shuffle on the user key
+    * builds the forward chain with `lead` over the ([[tsUs]], tie) total
+    * order (the [[transitionMatrix]] convention); the path census
+    * partial-aggregates and top-k is TakeOrderedAndProject with a path
+    * tie-break.
+    *
+    * @return (path, n) — top `k` by count desc, path asc
+    */
+  def topPaths(events: DataFrame, n: Int = 3, k: Int = 20,
+               userCol: String = "user_id",
+               tieCol: String = "event_id"): DataFrame = {
+    require(n >= 2 && n <= 8, s"path length must be in [2,8], got $n")
+    val byUser = Window.partitionBy(userCol)
+      .orderBy(tsUs(events).asc, F.col(tieCol).asc)
+    val steps = (0 until n).map(i =>
+      if (i == 0) F.col("event_type")
+      else F.lead(F.col("event_type"), i).over(byUser))
+    events
+      .withColumn("path", F.when(steps.drop(1).map(_.isNotNull)
+          .reduce(_ && _), F.concat_ws(">", steps: _*)))
+      .filter(F.col("path").isNotNull)
+      .groupBy("path").agg(F.count(F.lit(1)).as("n"))
+      .orderBy(F.col("n").desc, F.col("path").asc)
+      .limit(k)
+  }
+
   /** Day-N retention cohort table: users grouped by their FIRST active
     * day, tracked across day offsets — the product-analytics staple.
     *

@@ -270,6 +270,51 @@ object Sampling {
         F.col(valueCol).as("value") :+ F.col("__n").as("n_sample"): _*)
   }
 
+  /** Neyman (minimum-variance) sample-budget allocation across strata:
+    * for a fixed total budget, the variance-optimal share of stratum h is
+    * `n_h = budget · N_h·s_h / Σ_g N_g·s_g` — big AND noisy strata get
+    * the samples; constant strata (s = 0) get none. The planning step
+    * upstream of [[hashSampleByGroup]]: feed the returned per-stratum
+    * `rate` straight into its rate map.
+    *
+    * ONE sufficient-statistics pass (n, Σx, Σxx per stratum — the
+    * [[graft.ops.Stats.olsFit]] shape); s is the closed-form sample
+    * stddev (sqrt is IEEE-correctly-rounded, engine-replayable). The
+    * Σ N·s normalizer is a window over the tiny aggregated table. The
+    * allocation is `round(budget·w/Σw)` capped at the stratum size —
+    * rounding may make the total drift a row or two from `budget`
+    * (largest-remainder repair needs a global sort for ±1 row; not worth
+    * it at corpus scale). All-degenerate inputs (every s = 0) yield NULL
+    * allocations via nullif rather than a fabricated uniform split.
+    *
+    * @return (strataCols…, n_rows, mean, sd, alloc, rate) — 6-dp rounded
+    */
+  def neymanAllocation(df: DataFrame, strataCols: Seq[String],
+                       value: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val v = value.cast("double")
+    val agg = df.groupBy(strataCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).cast("double").as("__n"),
+        F.sum(v).as("__s"), F.sum(v * v).as("__ss"))
+    val sd = F.when(F.col("__n") >= 2.0, F.sqrt(F.greatest(F.lit(0.0),
+      (F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__n")) /
+        (F.col("__n") - 1.0)))).otherwise(F.lit(0.0))
+    val weighted = agg.withColumn("__w", F.col("__n") * sd)
+    val tot = Window.partitionBy() // global window over the tiny stats table
+    weighted
+      .withColumn("__tw", F.sum("__w").over(tot))
+      .select(strataCols.map(F.col) :+
+        F.col("__n").cast("long").as("n_rows") :+
+        F.round(F.col("__s") / F.col("__n"), 6).as("mean") :+
+        F.round(sd, 6).as("sd") :+
+        F.least(F.col("__n"),
+          F.round(F.lit(budget.toDouble) * F.col("__w") /
+            F.nullif(F.col("__tw"), F.lit(0.0)), 0))
+          .cast("long").as("alloc"): _*)
+      .withColumn("rate", F.round(
+        F.col("alloc").cast("double") / F.col("n_rows"), 6))
+  }
+
   /** [[upsample]] with per-group factors — the corpus-mixture epoch table
     * as a literal CASE decision in the projection (the [[hashSampleByGroup]]
     * idiom; groups absent from `factors` get `defaultFactor`). */

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
 
 /** Grouped statistical model fits over relational data. The operators here
   * follow the repo's sufficient-statistics rule: the corpus is touched in
@@ -208,6 +209,84 @@ object Stats {
         F.round(F.lit(lo) + (F.col("bin") + 1) * w, 6).as("bin_hi") :+
         F.coalesce(F.element_at(F.col("__m"), F.col("bin")), F.lit(0L)).as("n") :+
         F.col("n_out"): _*)
+  }
+
+  /** Benford's-law first-digit audit per group — the classic fabricated-
+    * data / unit-mixup screen for financial-style positive metrics: real
+    * multi-scale data has first-digit share ≈ log10(1 + 1/d); uniform or
+    * truncated data does not. Digits are extracted via INTEGER string
+    * rendering (`value` is scaled by `scale` and floored to a BIGINT
+    * first — double-to-string formatting differs across engines, integer
+    * rendering does not). Non-positive and NULL values are dropped and
+    * tallied in `n_skipped`. Expected shares use the `ln(x)/ln(10)`
+    * division both engines compute identically (the log2 rule).
+    *
+    * One count pass per (group, digit) + a group-total window over the
+    * ≤ 9-rows-per-group table.
+    *
+    * @return (groupCols…, digit, n, share, expected, n_skipped)
+    */
+  def benfordAudit(df: DataFrame, groupCols: Seq[String], value: Column,
+                   scale: Int = 100): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val v = value.cast("double")
+    val ok = v.isNotNull && v > 0.0
+    val digit = F.when(ok,
+      F.substring(F.floor(v * scale).cast("long").cast("string"), 1, 1)
+        .cast("int"))
+    val counts = df
+      .select(groupCols.map(F.col) :+ digit.as("digit"): _*)
+      .groupBy((groupCols :+ "digit").map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val gw = Window.partitionBy(groupCols.map(F.col): _*)
+    counts
+      .withColumn("__skip", F.sum(F.when(F.col("digit").isNull, F.col("__c"))
+        .otherwise(F.lit(0L))).over(gw))
+      .withColumn("__tot", F.sum(F.when(F.col("digit").isNotNull, F.col("__c"))
+        .otherwise(F.lit(0L))).over(gw))
+      .filter(F.col("digit").isNotNull)
+      .select(groupCols.map(F.col) :+ F.col("digit") :+
+        F.col("__c").as("n") :+
+        F.round(F.col("__c").cast("double") /
+          F.nullif(F.col("__tot").cast("double"), F.lit(0.0)), 6).as("share") :+
+        F.round(F.log(10.0, F.lit(1.0) + F.lit(1.0) / F.col("digit")
+          .cast("double")), 6).as("expected") :+
+        F.col("__skip").as("n_skipped"): _*)
+  }
+
+  /** Gini concentration coefficient per group — "how dominated is this
+    * slice by its top keys?" (source share of a corpus, supplier share of
+    * order volume). Over the ascending-sorted member values x_1..x_n:
+    * {{{ G = 2·Σ i·x_i / (n·Σ x_i) − (n+1)/n }}}
+    * 0 = perfectly even, →1 = one member holds everything. Ranks come
+    * from one member-keyed window (ties in x may take either order — the
+    * formula's Σ i·x_i is tie-order invariant); with INTEGER member
+    * values both sums are exact integers and the only float work is two
+    * divisions, identical in any engine.
+    *
+    * @param members one row per (group, member) with the member's integer
+    *                mass in `value`
+    * @return (groupCols…, n_members, total, gini) — 6-dp rounded
+    */
+  def gini(members: DataFrame, groupCols: Seq[String],
+           value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(F.col): _*)
+      .orderBy(F.col("__x").asc)
+    members
+      .select(groupCols.map(F.col) :+ value.cast("long").as("__x"): _*)
+      .withColumn("__i", F.row_number().over(w))
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n_members"),
+        F.sum("__x").as("total"),
+        F.sum(F.col("__i") * F.col("__x")).as("__ix"))
+      .select(groupCols.map(F.col) :+ F.col("n_members") :+ F.col("total") :+
+        F.round(
+          F.lit(2.0) * F.col("__ix").cast("double") /
+            F.nullif(F.col("n_members").cast("double") *
+              F.col("total").cast("double"), F.lit(0.0)) -
+          (F.col("n_members") + 1L).cast("double") /
+            F.col("n_members").cast("double"), 6).as("gini"): _*)
   }
 
   /** nDCG@k of a ranking against graded relevance judgments — the

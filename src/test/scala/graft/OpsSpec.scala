@@ -2508,6 +2508,84 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.forall(_._6 == 3L), out.toString)
   }
 
+  test("neymanAllocation: noisy strata draw the budget; constant strata get zero") {
+    // A: constant (sd 0) -> alloc 0; B: sd 2x C's at same size -> 2x alloc
+    val rows = (1 to 100).map(i => ("A", 5.0)) ++
+      (1 to 100).map(i => ("B", if (i % 2 == 0) 10.0 else -10.0)) ++
+      (1 to 100).map(i => ("C", if (i % 2 == 0) 5.0 else -5.0))
+    val out = graft.ops.Sampling.neymanAllocation(rows.toDF("g", "v"),
+      Seq("g"), F.col("v"), budget = 60)
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A")._5 == 0L && out("A")._4 == 0.0, out("A").toString)
+    assert(out("B")._5 == 40L && out("C")._5 == 20L, // weights 2:1 over 60
+      s"${out("B")} / ${out("C")}")
+    assert(out("B")._6 == 0.4 && out("C")._6 == 0.2, out.toString)
+    // alloc never exceeds the stratum size
+    val tiny = (1 to 3).map(i => ("t", i.toDouble)).toDF("g", "v")
+    val cap = graft.ops.Sampling.neymanAllocation(tiny, Seq("g"), F.col("v"), 1000)
+      .select("alloc").as[Long].collect().head
+    assert(cap == 3L, s"alloc capped at stratum size, got $cap")
+  }
+
+  test("benfordAudit: digits from scaled integers; skipped mass; expected shares") {
+    val df = Seq(("g", 1.23), ("g", 19.99), ("g", 2.5), ("g", 0.034),
+      ("g", -7.0), ("g", 0.0)).toDF("g", "v")
+    val out = graft.ops.Stats.benfordAudit(df, Seq("g"), F.col("v"), scale = 100)
+      .as[(String, Int, Long, Double, Double, Long)].collect()
+      .map(t => t._2 -> t).toMap
+    // scaled: 123 -> 1, 1999 -> 1, 250 -> 2, 3 -> 3; -7 and 0 skipped
+    assert(out(1)._3 == 2L && out(2)._3 == 1L && out(3)._3 == 1L, out.toString)
+    assert(out.values.forall(_._6 == 2L), out.toString)
+    assert(out(1)._4 == 0.5, out.toString)
+    // expected(1) = log10(2)
+    assert(out(1)._5 == BigDecimal(math.log(2.0) / math.log(10.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, out.toString)
+  }
+
+  test("gini: uniform = 0; full concentration -> (n-1)/n; hand value") {
+    val even = (1 to 4).map(i => ("e", i, 10L)).toDF("g", "m", "x")
+    val e = graft.ops.Stats.gini(even, Seq("g"), F.col("x"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(e == (("e", 4L, 40L, 0.0)), e.toString)
+    // one member holds everything: G = 1 - 1/n = 0.75 at n = 4
+    val conc = Seq(("c", 1, 0L), ("c", 2, 0L), ("c", 3, 0L), ("c", 4, 100L))
+      .toDF("g", "m", "x")
+    val c = graft.ops.Stats.gini(conc, Seq("g"), F.col("x"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(c._4 == 0.75, c.toString)
+    // hand: x = [1,2,3,4] asc -> G = 2*30/(4*10) - 5/4 = 0.25
+    val hand = Seq(("h", 1, 3L), ("h", 2, 1L), ("h", 3, 4L), ("h", 4, 2L))
+      .toDF("g", "m", "x")
+    val h = graft.ops.Stats.gini(hand, Seq("g"), F.col("x"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(h._4 == 0.25, h.toString)
+  }
+
+  test("cusumDrift: closed form equals the recursion; resets at zero") {
+    // K = 10; x = [12, 8, 15, 5, 20]: s = [2, 0, 5, 0, 10]
+    val df = Seq(("g", 1, 12L), ("g", 2, 8L), ("g", 3, 15L), ("g", 4, 5L),
+      ("g", 5, 20L)).toDF("g", "t", "v")
+    val out = graft.ops.EventOps.cusumDrift(df, Seq("g"), F.col("t"),
+      F.col("v"), target = 10L)
+      .as[(String, Int, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+    assert(out == Map(1 -> 2L, 2 -> 0L, 3 -> 5L, 4 -> 0L, 5 -> 10L),
+      out.toString)
+  }
+
+  test("topPaths: lead chains respect the (ts, tie) order; boundary rows dropped") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "a"),
+      (2L, 5L, "a"), (2L, 6L, "b"), (2L, 7L, "c"),
+      (3L, 8L, "x"), (3L, 9L, "y") // too short for a 3-path
+    ).toDF("user_id", "event_id", "et")
+      .withColumn("ts", F.timestamp_micros(F.col("event_id") * 1000000L))
+      .withColumn("event_type", F.col("et")).drop("et")
+    val out = graft.ops.EventOps.topPaths(ev, n = 3, k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a>b>c" -> 2L, "b>c>a" -> 1L), out.toString)
+  }
+
   test("ewmaSmooth: hand-folded recursion; lookback truncates the seed") {
     val df = Seq(("g", 1, 10.0), ("g", 2, 1.0), ("g", 3, 2.0))
       .toDF("g", "t", "v")

@@ -826,6 +826,35 @@ class PlanQualitySpec extends AnyFunSuite {
       s"contribution rollup must partial-aggregate:\n$p")
   }
 
+  test("cusumDrift: two window functions, one shuffle, no join") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(F.col("event_type"), F.to_date(F.col("ts")).as("day"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val p = plan(graft.ops.EventOps.cusumDrift(ev, Seq("event_type"),
+      F.col("day"), F.col("n"), 100L))
+    assert(p.contains("Window"), s"closed form = window aggregates:\n$p")
+    assert(!p.contains("Join"), s"no self-join in the closed form:\n$p")
+  }
+
+  test("topPaths: census partial-aggregates; top-k is TakeOrdered") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val p = plan(graft.ops.EventOps.topPaths(ev, 3, 20))
+    assert(p.contains("TakeOrdered"),
+      s"top-k must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(p.contains("partial_count"),
+      s"the path census must collapse map-side:\n$p")
+  }
+
+  test("neymanAllocation: one corpus shuffle; stats partial-aggregate") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = plan(graft.ops.Sampling.neymanAllocation(li,
+      Seq("l_returnflag", "l_linestatus"), F.col("l_extendedprice"), 10000L))
+    assert(p.contains("partial_sum"),
+      s"sufficient sums must collapse map-side:\n$p")
+    assert(p.split("Scan parquet", -1).length - 1 == 1,
+      s"one corpus scan — the normalizer is a window over the stats:\n$p")
+  }
+
   test("chi2Tokens: class totals and corpus count ride as broadcasts") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.TextOps.chi2Tokens(docs, "lang", "doc_id", "text"))
