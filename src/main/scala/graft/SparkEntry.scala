@@ -1751,6 +1751,36 @@ object SparkEntry {
           s.read.parquet(s"$dir/events.parquet"), n = 3, k = 20)
         .orderBy(F.col("n").desc, F.col("path"))),
 
+    // funnel conversion LATENCY quantiles (x96's frontier chain + the
+    // integer-rank-selection quantile rule): how long view→click and
+    // click→purchase take at p50/p90, one step-keyed window
+    "x131_funnel_latency" -> ((s, dir) =>
+      graft.ops.EventOps.funnelLatency(
+          s.read.parquet(s"$dir/events.parquet"),
+          Seq("view", "click", "purchase"), qs = Seq(0.5, 0.9))
+        .orderBy("step", "q")),
+
+    // directional association rules over (user, event_type) baskets:
+    // support/confidence/lift from integer basket counts — within-basket
+    // pair join, broadcast item counts + 1-row total
+    "x132_assoc_rules" -> ((s, dir) =>
+      graft.ops.EventOps.assocRules(
+          s.read.parquet(s"$dir/events.parquet"), "user_id", "event_type",
+          minCount = 5)
+        .orderBy("antecedent", "consequent")),
+
+    // trailing-24h distinct users per hour from SLIDING HLL register
+    // algebra: registers built once, the trailing union is a range-frame
+    // max window over the densified register table — never re-reads raw
+    // events per hour
+    "x135_hll_sliding" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Sketches.hllSliding(ev,
+          F.call_function("div", graft.ops.EventOps.tsUs(ev),
+            F.lit(3600000000L)),
+          F.col("user_id"), windowBuckets = 24)
+    }),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -3975,6 +4005,109 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors EventOps.funnelLatency: x96's frontier CTEs, consecutive-
+    // frontier µs gaps, the max(1, floor(q·n)) rank selection in (lat, u)
+    // order
+    "x131_funnel_latency" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS tu
+        |  FROM events
+        |), s1 AS (
+        |  SELECT u, min(tu) AS t FROM e WHERE et = 'view' GROUP BY u
+        |), s2 AS (
+        |  SELECT e.u, min(tu) AS t FROM e JOIN s1 ON e.u = s1.u
+        |  WHERE et = 'click' AND tu > s1.t GROUP BY e.u
+        |), s3 AS (
+        |  SELECT e.u, min(tu) AS t FROM e JOIN s2 ON e.u = s2.u
+        |  WHERE et = 'purchase' AND tu > s2.t GROUP BY e.u
+        |), l AS (
+        |  SELECT 1 AS step, 'view' AS from_type, 'click' AS to_type,
+        |    s2.u, s2.t - s1.t AS lat
+        |  FROM s2 JOIN s1 ON s2.u = s1.u
+        |  UNION ALL
+        |  SELECT 2, 'click', 'purchase', s3.u, s3.t - s2.t
+        |  FROM s3 JOIN s2 ON s3.u = s2.u
+        |), r AS (
+        |  SELECT step, from_type, to_type, u, lat,
+        |    row_number() OVER (PARTITION BY step ORDER BY lat, u) AS rn,
+        |    count(*) OVER (PARTITION BY step) AS n
+        |  FROM l
+        |)
+        |SELECT step, from_type, to_type, q, lat AS latency_us,
+        |  n AS n_users
+        |FROM r CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS q)
+        |WHERE rn = greatest(1, floor(q * n::DOUBLE))
+        |ORDER BY step, q""".stripMargin,
+
+    // mirrors EventOps.assocRules: distinct (basket, item), within-basket
+    // directional pair counts >= 5, broadcast item counts + basket total,
+    // the same three division trees
+    "x132_assoc_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT user_id AS b, event_type AS i FROM events
+        |), ic AS (
+        |  SELECT i, count(*) AS ni FROM bi GROUP BY i
+        |), nb AS (SELECT count(DISTINCT b) AS nb FROM bi
+        |), p AS (
+        |  SELECT a.i AS antecedent, c.i AS consequent, count(*) AS n_ab
+        |  FROM bi a JOIN bi c ON a.b = c.b AND a.i <> c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |)
+        |SELECT antecedent, consequent, n_ab,
+        |  round(n_ab::DOUBLE / nb.nb, 6) AS support,
+        |  round(n_ab::DOUBLE / na.ni, 6) AS confidence,
+        |  round(n_ab::DOUBLE * nb.nb::DOUBLE /
+        |    (na.ni::DOUBLE * nc.ni::DOUBLE), 6) AS lift
+        |FROM p
+        |JOIN ic na ON p.antecedent = na.i
+        |JOIN ic nc ON p.consequent = nc.i
+        |CROSS JOIN nb
+        |ORDER BY antecedent, consequent""".stripMargin,
+
+    // mirrors Sketches.hllSliding: x93's register replay per epoch-hour,
+    // densified (hours × registers) frame, trailing-24 range-frame max
+    // (sketch union), the same estimate tree per hour
+    "x135_hll_sliding" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS t, user_id AS k FROM events
+        |), r AS (
+        |  SELECT t,
+        |    ('0x' || substring(md5(k::VARCHAR), 1, 2))::BIGINT AS bucket,
+        |    CASE WHEN ('0x' || substring(md5(k::VARCHAR), 3, 13))::BIGINT = 0
+        |         THEN 53
+        |         ELSE 53 - length(ltrim(bin(
+        |           ('0x' || substring(md5(k::VARCHAR), 3, 13))::BIGINT), '0'))
+        |    END AS rho
+        |  FROM e
+        |), reg AS (
+        |  SELECT t, bucket, max(rho) AS m FROM r GROUP BY 1, 2
+        |), hours AS (SELECT DISTINCT t FROM reg
+        |), bks AS (SELECT DISTINCT bucket FROM reg
+        |), dense AS (
+        |  SELECT h.t, b.bucket, reg.m
+        |  FROM hours h CROSS JOIN bks b
+        |  LEFT JOIN reg ON reg.t = h.t AND reg.bucket = b.bucket
+        |), slid AS (
+        |  SELECT t, bucket, max(m) OVER (PARTITION BY bucket ORDER BY t
+        |    RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS m
+        |  FROM dense
+        |), f AS (SELECT t, bucket, m FROM slid WHERE m IS NOT NULL
+        |), agg AS (
+        |  SELECT t, sum(1::BIGINT << (53 - m))::BIGINT AS sp, count(*) AS np
+        |  FROM f GROUP BY t
+        |), est AS (
+        |  SELECT t,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+        |      * 9007199254740992.0
+        |      / (sp + (256 - np) * 9007199254740992)::DOUBLE AS raw,
+        |    256 - np AS v
+        |  FROM agg
+        |)
+        |SELECT t,
+        |  round(CASE WHEN raw <= 2.5 * 256.0 AND v > 0
+        |    THEN 256.0 * ln(256.0 / v::DOUBLE) ELSE raw END, 6) AS n_est
+        |FROM est ORDER BY t""".stripMargin,
 
     // mirrors Sampling.neymanAllocation: same sufficient sums, closed-form
     // sample sd under sqrt/greatest guards, window-normalized N·s weights,

@@ -129,6 +129,105 @@ object EventOps {
     perStep.reduce(_ unionAll _)
   }
 
+  /** Step-to-step conversion LATENCY quantiles for a strict first-touch
+    * funnel — "how long from view to purchase?" alongside
+    * [[funnelReach]]'s "how many?". Frontier times per user come from the
+    * same per-step min-aggregation chain as funnelReach (every stage
+    * keyed on user); the step-i latency is the µs gap between consecutive
+    * frontier times for users who converted. Quantiles are INTEGER RANK
+    * SELECTIONS `max(1, ⌊q·n⌋)` in (latency, user) order — the
+    * [[robustOutliers]]/[[Sampling.sampleQuantiles]] rule, no
+    * interpolation to disagree on cross-engine — over one window keyed by
+    * step (all step-pairs union into the same shuffle).
+    *
+    * @return (step, from_type, to_type, q, latency_us, n_users) — step i
+    *         covers steps(i-1) → steps(i), only converting users counted
+    */
+  def funnelLatency(events: DataFrame, steps: Seq[String],
+                    qs: Seq[Double] = Seq(0.5, 0.9),
+                    userCol: String = "user_id"): DataFrame = {
+    require(steps.size >= 2, "funnelLatency needs at least two steps")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    qs.foreach(q => require(q > 0.0 && q <= 1.0,
+      s"quantiles must be in (0,1], got $q"))
+    val es = events.select(F.col(userCol).as("__u"),
+      F.col("event_type").as("__et"), tsUs(events).as("__tu"))
+    var frontier: DataFrame = null
+    val lats = steps.zipWithIndex.map { case (st, i) =>
+      val prev = frontier
+      frontier =
+        if (i == 0)
+          es.filter(F.col("__et") === st)
+            .groupBy("__u").agg(F.min("__tu").as("__t"))
+        else
+          es.filter(F.col("__et") === st)
+            .join(prev.select(F.col("__u"), F.col("__t").as("__tprev")), "__u")
+            .filter(F.col("__tu") > F.col("__tprev"))
+            .groupBy("__u").agg(F.min("__tu").as("__t"))
+      if (i == 0) null
+      else frontier
+        .join(prev.select(F.col("__u"), F.col("__t").as("__tprev")), "__u")
+        .select(F.lit(i).as("step"), F.lit(steps(i - 1)).as("from_type"),
+          F.lit(st).as("to_type"), F.col("__u"),
+          (F.col("__t") - F.col("__tprev")).as("__lat"))
+    }.drop(1)
+    val all = lats.reduce(_ unionAll _)
+    val w = Window.partitionBy("step")
+    val ranked = all
+      .withColumn("__rn", F.row_number().over(
+        w.orderBy(F.col("__lat").asc, F.col("__u").asc)))
+      .withColumn("__n", F.count(F.lit(1)).over(w))
+    ranked
+      .withColumn("q", F.explode(F.array(qs.map(F.lit): _*)))
+      .filter(F.col("__rn") === F.greatest(F.lit(1L),
+        F.floor(F.col("q") * F.col("__n"))))
+      .select(F.col("step"), F.col("from_type"), F.col("to_type"),
+        F.col("q"), F.col("__lat").as("latency_us"),
+        F.col("__n").as("n_users"))
+  }
+
+  /** Directional association rules over item BASKETS (market-basket /
+    * behavioral co-occurrence mining): for every ordered item pair a→b
+    * with joint basket count ≥ `minCount`,
+    * `support = n_ab/N`, `confidence = n_ab/n_a`, `lift = conf/(n_b/N)`.
+    *
+    * Baskets collapse to distinct (basket, item) first; the pair join is
+    * WITHIN-basket (fan-out bounded by items-per-basket², never
+    * corpus-quadratic — the [[graft.ops.TextOps.sliceJaccard]] argument);
+    * item counts and the 1-row basket total ride broadcasts. Integer
+    * counts, three rounded divisions.
+    *
+    * @return (antecedent, consequent, n_ab, support, confidence, lift)
+    */
+  def assocRules(baskets: DataFrame, basketCol: String, itemCol: String,
+                 minCount: Int = 1): DataFrame = {
+    val bi = baskets
+      .select(F.col(basketCol).as("__b"), F.col(itemCol).as("__i"))
+      .distinct()
+    val itemCounts = bi.groupBy(F.col("__i")).agg(F.count(F.lit(1)).as("__ni"))
+    val total = bi.select(F.countDistinct("__b").as("__nb"))
+    val pairs = bi.select(F.col("__b"), F.col("__i").as("antecedent"))
+      .join(bi.select(F.col("__b"), F.col("__i").as("consequent")), "__b")
+      .filter(F.col("antecedent") =!= F.col("consequent"))
+      .groupBy("antecedent", "consequent")
+      .agg(F.count(F.lit(1)).as("n_ab"))
+      .filter(F.col("n_ab") >= minCount)
+    pairs
+      .join(F.broadcast(itemCounts.select(F.col("__i").as("antecedent"),
+        F.col("__ni").as("__na"))), "antecedent")
+      .join(F.broadcast(itemCounts.select(F.col("__i").as("consequent"),
+        F.col("__ni").as("__nc"))), "consequent")
+      .crossJoin(F.broadcast(total))
+      .select(F.col("antecedent"), F.col("consequent"), F.col("n_ab"),
+        F.round(F.col("n_ab").cast("double") / F.col("__nb"), 6).as("support"),
+        F.round(F.col("n_ab").cast("double") / F.col("__na"), 6)
+          .as("confidence"),
+        F.round(F.col("n_ab").cast("double") * F.col("__nb").cast("double") /
+          (F.col("__na").cast("double") * F.col("__nc").cast("double")), 6)
+          .as("lift"))
+  }
+
   /** First-order event-type transition matrix: for each user's event
     * sequence (ordered by time, ties broken by `tieCol` for a total
     * order), count (prev_type → next_type) adjacencies and derive the

@@ -184,6 +184,59 @@ object Sketches {
         F.md5(F.concat(F.lit(s"cms$j:"), F.coalesce(key.cast("string"), F.lit("")))),
         1, 7), 16, 10).cast("long") % width
 
+  /** SLIDING-window distinct cardinality from HLL register algebra:
+    * trailing-`windowBuckets` distinct keys at every time bucket — the
+    * "unique users in the last 24 h, hourly" timeline that an exact
+    * count-distinct can only produce by re-scanning 24 h of raw events
+    * PER HOUR. Registers are built once per (bucket, register) — ONE
+    * corpus scan — then the trailing union is a range-frame `max` window
+    * over the register table (register max-merge IS sketch union), and
+    * the estimate reads ≤ 2^p rows per time bucket. The register table is
+    * densified over (present time buckets × present registers) first so a
+    * register set at hour h−k survives into hour h's frame even when h
+    * itself never touched that register (`max` ignores the null fills).
+    *
+    * This is the mergeable-sketch deployment shape at 100 TB: per-shard
+    * register tables merge by the SAME max, so the timeline composes
+    * across days/shards without ever re-reading raw data.
+    *
+    * @param timeBucket integer time bucket column (e.g. epoch-hours)
+    * @param windowBuckets trailing window size in buckets (24 = day/hour)
+    * @return (t, n_est) — one row per present time bucket
+    */
+  def hllSliding(df: DataFrame, timeBucket: Column, key: Column,
+                 windowBuckets: Int, p: Int = 8): DataFrame = {
+    require(windowBuckets >= 1, s"windowBuckets must be >= 1, got $windowBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val regs = hllRegisters(df.select(timeBucket.cast("long").as("t"),
+      key.as("__k")), Seq("t"), F.col("__k"), p)
+    // pack each time bucket's registers into ONE map row (the histogram
+    // completion trick) so the corpus subtree is referenced exactly once —
+    // a dense (hours × registers) frame derived FROM regs would re-execute
+    // the whole scan per reference
+    val packed = regs.groupBy("t")
+      .agg(F.map_from_entries(F.collect_list(
+        F.struct(F.col("bucket"), F.col("m")))).as("__mp"))
+    // the trailing union: collect the ≤ windowBuckets maps in range, then
+    // per register take the max across them (greatest skips absent/null —
+    // a register set at t−k survives into t's frame even if t never
+    // touched it). The window runs over the per-bucket TIMELINE table
+    // (one row per present time bucket), not the corpus.
+    val w = Window.orderBy(F.col("t"))
+      .rangeBetween(-(windowBuckets - 1), Window.currentRow)
+    val slid = packed
+      .withColumn("__maps", F.collect_list("__mp").over(w))
+      .select(F.col("t"),
+        F.explode(F.sequence(F.lit(0L), F.lit((1L << p) - 1L))).as("bucket"),
+        F.col("__maps"))
+      .withColumn("m", F.aggregate(F.col("__maps"),
+        F.lit(null).cast("long"),
+        (acc, mp) => F.greatest(acc, F.element_at(mp, F.col("bucket")))))
+      .filter(F.col("m").isNotNull)
+      .select("t", "bucket", "m")
+    hllEstimate(slid, Seq("t"), p).orderBy("t")
+  }
+
   /** 2^52 — the KMV hash-value width (13 hex digits). */
   private val Kmv1: Double = 4503599627370496.0
 

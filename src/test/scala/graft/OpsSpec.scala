@@ -2586,6 +2586,70 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map("a>b>c" -> 2L, "b>c>a" -> 1L), out.toString)
   }
 
+  test("funnelLatency: gaps between first-touch frontiers; rank-selected quantiles") {
+    def ts(s: Long) = s * 1000000L
+    val ev = Seq(
+      // u1: view@10 -> click@20 (lat 10s) -> purchase@50 (lat 30s)
+      (1L, 1L, "view", ts(10)), (1L, 2L, "click", ts(20)),
+      (1L, 3L, "purchase", ts(50)),
+      // u2: view@0 -> click@40 (lat 40s), never purchases
+      (2L, 4L, "view", ts(0)), (2L, 5L, "click", ts(40)),
+      // u3: click@5 BEFORE view@10 -> click never counts (strict after)
+      (3L, 6L, "click", ts(5)), (3L, 7L, "view", ts(10))
+    ).toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", F.timestamp_micros(F.col("us"))).drop("us")
+    val out = graft.ops.EventOps.funnelLatency(ev,
+      Seq("view", "click", "purchase"), qs = Seq(0.5, 1.0))
+      .as[(Int, String, String, Double, Long, Long)].collect()
+      .map(t => (t._1, t._4) -> ((t._5, t._6))).toMap
+    // step 1 latencies: [10s, 40s] -> p50 = 10s (rank 1), p100 = 40s
+    assert(out((1, 0.5)) == ((ts(10), 2L)), out.toString)
+    assert(out((1, 1.0)) == ((ts(40), 2L)), out.toString)
+    // step 2: only u1 -> 30s at every quantile
+    assert(out((2, 0.5)) == ((ts(30), 1L)) && out((2, 1.0)) == ((ts(30), 1L)),
+      out.toString)
+  }
+
+  test("assocRules: hand-computed support/confidence/lift; direction matters") {
+    // baskets: {a,b}, {a,b}, {a}, {b,c} -> N=4, na=3, nb=3, nc=1, nab=2
+    val bi = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"),
+      (4, "b"), (4, "c"), (4, "c")).toDF("bk", "it") // dup (4,c) collapses
+    val out = graft.ops.EventOps.assocRules(bi, "bk", "it", minCount = 1)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    val ab = out(("a", "b"))
+    assert(ab._3 == 2L && ab._4 == 0.5, ab.toString)            // support 2/4
+    assert(ab._5 == BigDecimal(2.0 / 3.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, ab.toString)   // conf 2/3
+    assert(ab._6 == BigDecimal(2.0 * 4.0 / 9.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, ab.toString)   // lift 8/9
+    // direction: b->c exists (1 basket), c->b same count, different conf
+    assert(out(("b", "c"))._5 != out(("c", "b"))._5, out.toString)
+    assert(out(("c", "b"))._5 == 1.0, out.toString)              // c always with b
+  }
+
+  test("hllSliding: trailing union covers buckets the anchor hour never touched") {
+    // hour 0: users 1..100; hour 1: user 200 only; hour 2: empty-ish (user 1)
+    val rows = (1 to 100).map(u => (0L, u.toLong)) ++ Seq((1L, 200L)) ++
+      Seq((2L, 1L))
+    val df = rows.toDF("h", "u")
+    val w2 = graft.ops.Sketches.hllSliding(df, F.col("h"), F.col("u"),
+      windowBuckets = 2).as[(Long, Double)].collect().toMap
+    val w1 = graft.ops.Sketches.hllSliding(df, F.col("h"), F.col("u"),
+      windowBuckets = 1).as[(Long, Double)].collect().toMap
+    // window 1 at hour 1 sees ONLY user 200; window 2 sees 101 distinct
+    // (tolerance 2.3σ at p=8: ±1.04/sqrt(256) ≈ 6.5% per estimate)
+    assert(w1(1L) < 2.5, w1.toString)
+    assert(math.abs(w2(1L) - 101.0) < 15.5, w2.toString)
+    // hour 2 trailing-2 = {1, 200}: the hour-1-only register survives
+    assert(math.abs(w2(2L) - 2.0) < 0.5, w2.toString)
+    // the one-shot sketch at hour 0 equals the batch hllDistinct estimate
+    val batch = graft.ops.Sketches.hllDistinct(
+      df.filter(F.col("h") === 0L), Seq("h"), F.col("u"))
+      .as[(Long, Double)].collect().toMap
+    assert(w1(0L) == batch(0L), s"${w1(0L)} vs ${batch(0L)}")
+  }
+
   test("ewmaSmooth: hand-folded recursion; lookback truncates the seed") {
     val df = Seq(("g", 1, 10.0), ("g", 2, 1.0), ("g", 3, 2.0))
       .toDF("g", "t", "v")

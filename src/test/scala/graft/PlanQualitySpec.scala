@@ -855,6 +855,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"one corpus scan — the normalizer is a window over the stats:\n$p")
   }
 
+  test("assocRules: item counts and the basket total ride as broadcasts") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val p = plan(graft.ops.EventOps.assocRules(ev, "user_id", "event_type", 5))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"item counts + N must broadcast, not shuffle the pair stream:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts must collapse map-side:\n$p")
+  }
+
+  test("hllSliding: ONE corpus scan; the sliding union is windows over registers") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val p = plan(graft.ops.Sketches.hllSliding(ev,
+      F.call_function("div", F.unix_micros(F.col("ts").cast("timestamp")),
+        F.lit(3600000000L)),
+      F.col("user_id"), 24))
+    assert(p.split("Scan parquet", -1).length - 1 == 1,
+      s"raw events are read ONCE — the sliding union runs on registers:\n$p")
+    assert(p.contains("Window"), s"trailing union must be a range window:\n$p")
+    assert(p.contains("partial_max"),
+      s"registers must collapse map-side:\n$p")
+  }
+
   test("chi2Tokens: class totals and corpus count ride as broadcasts") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.TextOps.chi2Tokens(docs, "lang", "doc_id", "text"))
