@@ -1781,6 +1781,41 @@ object SparkEntry {
           F.col("user_id"), windowBuckets = 24)
     }),
 
+    // quantile-normalized score blending (the DataComp ensemble-filter
+    // move): per-metric percentiles from md5-sampled integer-rank boundary
+    // LITERALS — shuffle-free comparison-chain scoring, no global sort
+    "x136_rank_blend" -> ((s, dir) =>
+      Curation.rankBlend(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+          Seq("len" -> F.col("n_chars"),
+            "toks" -> TextOps.tokenCount(F.col("text"))))
+        .select("doc_id", "pct_len", "pct_toks", "blend")
+        .orderBy("doc_id")),
+
+    // seasonal z-scores on hourly volumes: each (type, day, hour) count
+    // scored against its same-hour-of-day mean/sd baseline — integer
+    // counts, sufficient-stats baseline, broadcast back
+    "x140_seasonal_z" -> ((s, dir) =>
+      graft.ops.EventOps.seasonalZ(
+          s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("event_type", "day", "hour")),
+
+    // continuous-MLE power-law exponent over the per-customer order-count
+    // distribution (Clauset et al. 2009): 9-dp ln terms, one pass
+    "x141_powerlaw" -> ((s, dir) => {
+      val deg = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).as("d"))
+      graft.ops.Stats.powerlawAlpha(deg, F.col("d"), dmin = 2)
+    }),
+
+    // mutual information source↔lang: one integer contingency pass,
+    // margin windows over the tiny cell table, 9-dp terms, ln-division
+    // log2 — the dependence audit behind stratification choices
+    "x142_mutual_info" -> ((s, dir) =>
+      graft.ops.Stats.mutualInfo(
+          s.read.parquet(s"$dir/documents.parquet"),
+          F.col("source"), F.col("lang"))),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -4005,6 +4040,115 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Curation.rankBlend: same md5 sample, same integer-rank
+    // boundary multiset (duplicates preserved), correlated strict-greater
+    // counts, blend from the ROUNDED percentiles
+    "x136_rank_blend" ->
+      """WITH s AS (
+        |  SELECT n_chars::DOUBLE AS len,
+        |    len(string_split_regex(trim(coalesce(text, '')), '\s+'))::DOUBLE
+        |      AS toks
+        |  FROM documents
+        |  WHERE substring(md5(doc_id::VARCHAR), 1, 4) < '199a'
+        |), cnt AS (SELECT count(*) AS n FROM s
+        |), rk AS (
+        |  SELECT DISTINCT (i * n) // 100 AS r
+        |  FROM range(1, 100) t(i) CROSS JOIN cnt
+        |  WHERE (i * n) // 100 >= 1
+        |), sl AS (
+        |  SELECT len AS v, row_number() OVER (ORDER BY len) AS rn FROM s
+        |), st AS (
+        |  SELECT toks AS v, row_number() OVER (ORDER BY toks) AS rn FROM s
+        |), bl AS (SELECT sl.v FROM sl JOIN rk ON sl.rn = rk.r
+        |), bt AS (SELECT st.v FROM st JOIN rk ON st.rn = rk.r
+        |), nb AS (
+        |  SELECT (SELECT count(*) FROM bl) AS cb,
+        |    (SELECT count(*) FROM bt) AS ct
+        |), d AS (
+        |  SELECT doc_id, n_chars::DOUBLE AS len,
+        |    len(string_split_regex(trim(coalesce(text, '')), '\s+'))::DOUBLE
+        |      AS toks
+        |  FROM documents
+        |), pcts AS (
+        |  SELECT doc_id,
+        |    round((SELECT count(*) FROM bl WHERE d.len > bl.v)::DOUBLE
+        |      / nb.cb, 6) AS pct_len,
+        |    round((SELECT count(*) FROM bt WHERE d.toks > bt.v)::DOUBLE
+        |      / nb.ct, 6) AS pct_toks
+        |  FROM d CROSS JOIN nb
+        |)
+        |SELECT doc_id, pct_len, pct_toks,
+        |  round((pct_len + pct_toks) / 2.0, 6) AS blend
+        |FROM pcts ORDER BY doc_id""".stripMargin,
+
+    // mirrors EventOps.seasonalZ: hourly integer counts, same-hour-of-day
+    // sufficient-stats baseline, one division z
+    "x140_seasonal_z" ->
+      """WITH hourly AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    hour(ts)::INT AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3
+        |), base AS (
+        |  SELECT event_type, hour, count(*)::DOUBLE AS d,
+        |    sum(n::DOUBLE) AS s, sum(n::DOUBLE * n::DOUBLE) AS ss
+        |  FROM hourly GROUP BY 1, 2
+        |), b2 AS (
+        |  SELECT event_type, hour, round(s / d, 6) AS mean,
+        |    CASE WHEN d >= 2.0 THEN round(sqrt(greatest(0.0,
+        |      (ss - s * s / d) / (d - 1.0))), 6) END AS sd
+        |  FROM base
+        |)
+        |SELECT h.event_type, h.day, h.hour, h.n, b2.mean, b2.sd,
+        |  round((h.n::DOUBLE - b2.mean) / nullif(b2.sd, 0.0), 4) AS z
+        |FROM hourly h
+        |JOIN b2 ON h.event_type = b2.event_type AND h.hour = b2.hour
+        |ORDER BY h.event_type, h.day, h.hour""".stripMargin,
+
+    // mirrors Stats.powerlawAlpha at dmin=2: ln(d/1.5) 9-dp terms, the
+    // 1 + n/Σ tree
+    "x141_powerlaw" ->
+      """WITH deg AS (
+        |  SELECT o_custkey, count(*) AS d FROM orders GROUP BY 1
+        |), t AS (
+        |  SELECT round(ln(d::DOUBLE / 1.5), 9) AS t
+        |  FROM deg WHERE d::DOUBLE >= 2.0
+        |)
+        |SELECT count(*) AS n_tail, 2 AS dmin,
+        |  round(1.0 + count(*)::DOUBLE / nullif(sum(t), 0.0), 6) AS alpha
+        |FROM t""".stripMargin,
+
+    // mirrors Stats.mutualInfo: contingency cells, margin windows, the
+    // p·log2(cN/(ca·cb)) and −p·log2(margin/N) 9-dp terms, +0.0
+    // normalization, nmi = MI/min(H)
+    "x142_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT source AS a, lang AS b, count(*) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), m AS (
+        |  SELECT a, b, c,
+        |    sum(c) OVER (PARTITION BY a) AS ca,
+        |    sum(c) OVER (PARTITION BY b) AS cb,
+        |    sum(c) OVER () AS n
+        |  FROM cells
+        |), t AS (
+        |  SELECT n,
+        |    round((c::DOUBLE / n::DOUBLE) * (ln(c::DOUBLE * n::DOUBLE
+        |      / (ca::DOUBLE * cb::DOUBLE)) / ln(2.0)), 9) AS mi,
+        |    round(-(c::DOUBLE / n::DOUBLE)
+        |      * (ln(ca::DOUBLE / n::DOUBLE) / ln(2.0)), 9) AS ha,
+        |    round(-(c::DOUBLE / n::DOUBLE)
+        |      * (ln(cb::DOUBLE / n::DOUBLE) / ln(2.0)), 9) AS hb
+        |  FROM m
+        |), agg AS (
+        |  SELECT max(n)::BIGINT AS n, round(sum(ha) + 0.0, 6) AS h_a,
+        |    round(sum(hb) + 0.0, 6) AS h_b,
+        |    round(sum(mi) + 0.0, 6) AS mi_bits
+        |  FROM t
+        |)
+        |SELECT n, h_a, h_b, mi_bits,
+        |  round(mi_bits / nullif(least(h_a, h_b), 0.0), 6) AS nmi
+        |FROM agg""".stripMargin,
 
     // mirrors EventOps.funnelLatency: x96's frontier CTEs, consecutive-
     // frontier µs gaps, the max(1, floor(q·n)) rank selection in (lat, u)

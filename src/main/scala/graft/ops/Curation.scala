@@ -210,6 +210,55 @@ object Curation {
       .filter(F.col("n_docs") >= minDocs)
   }
 
+  /** Quantile-normalized score BLENDING — the DataComp/model-ensemble
+    * filtering move: heterogeneous quality signals (length, perplexity,
+    * classifier logits…) are not comparable on their raw scales, so each
+    * is mapped to its own corpus percentile and the percentiles average.
+    *
+    * The exact form (a rank window per metric) is a GLOBAL SORT per
+    * metric — the non-distributable shape — so this uses the
+    * [[Scale.rangeShardAssign]] machinery instead: per metric, an
+    * md5(id)-sampled value set (bounded by `maxSample`, the only data
+    * that reaches the driver) yields `nBins−1` INTEGER-RANK boundary
+    * literals, and a row's percentile is the codegen'd comparison-chain
+    * count `|{b : v > b}| / |bounds|` — shuffle-free scoring, no joins,
+    * deterministic and engine-replayable (duplicate boundary VALUES from
+    * distinct ranks are kept and counted — the oracle replays the same
+    * multiset). ONE sampled scan serves every metric.
+    *
+    * @return df + per-metric `pct_<name>` columns + `blend` (the 6-dp
+    *         mean percentile)
+    */
+  def rankBlend(df: DataFrame, idCol: String, metrics: Seq[(String, Column)],
+                nBins: Int = 100, samplePrefix: String = "199a",
+                maxSample: Int = 1 << 20): DataFrame = {
+    require(metrics.nonEmpty, "rankBlend needs at least one metric")
+    require(nBins >= 2 && nBins <= 10000, s"nBins must be in [2,10000], got $nBins")
+    val sampled = df
+      .filter(F.substring(F.md5(F.col(idCol).cast("string")), 1, 4) < samplePrefix)
+      .select(metrics.map { case (n, c) => c.cast("double").as(n) }: _*)
+      .limit(maxSample + 1)
+      .collect()
+    require(sampled.nonEmpty, "rankBlend: empty sample — widen samplePrefix")
+    require(sampled.length <= maxSample,
+      s"rankBlend: sample exceeds maxSample=$maxSample — tighten samplePrefix")
+    val n = sampled.length.toLong
+    val withPcts = metrics.zipWithIndex.foldLeft(df) {
+      case (acc, ((name, col), mi)) =>
+        val keys = sampled.map(_.getDouble(mi)).sorted
+        val ranks = (1 until nBins).map(i => i.toLong * n / nBins)
+          .filter(_ >= 1L).distinct
+        val bounds = ranks.map(r => keys((r - 1L).toInt))
+        val cnt = bounds.foldLeft(F.lit(0)) { (a, b) =>
+          a + F.when(col.cast("double") > b, 1).otherwise(0) }
+        acc.withColumn(s"pct_$name",
+          F.round(cnt.cast("double") / bounds.length, 6))
+    }
+    withPcts.withColumn("blend", F.round(
+      metrics.map(m => F.col(s"pct_${m._1}")).reduce(_ + _) /
+        metrics.length.toDouble, 6))
+  }
+
   /** @param minTokens      inclusive whitespace-token floor (quality gate)
     * @param maxDupLineFrac inclusive ceiling on duplicate-line fraction
     * @param sampleRate     content-hash keep rate (1.0 = keep all)

@@ -228,6 +228,44 @@ object EventOps {
           .as("lift"))
   }
 
+  /** Seasonal z-score anomaly detection on hourly volumes: each (type,
+    * date, hour) count is scored against the SAME-HOUR-OF-DAY baseline
+    * (mean/sd across dates) — "is 3 a.m. Tuesday unusual *for 3 a.m.*?"
+    * — the first-order seasonality correction a flat threshold lacks.
+    *
+    * Hourly counts are integers (one keyed rollup); baselines come from
+    * the closed-form sufficient stats over the tiny counts table
+    * ([[graft.ops.Stats.olsFit]] shape) and broadcast back; z is one
+    * division, NULL (not NaN) when sd = 0 or a baseline has < 2 dates.
+    *
+    * @return (event_type, day, hour, n, mean, sd, z) — all hours, z 4-dp
+    */
+  def seasonalZ(events: DataFrame): DataFrame = {
+    val stamp = tsStamp(events)
+    val hourly = events
+      .select(F.col("event_type"),
+        F.date_format(stamp, "yyyy-MM-dd").as("day"),
+        F.hour(stamp).as("hour"))
+      .groupBy("event_type", "day", "hour")
+      .agg(F.count(F.lit(1)).as("n"))
+    val base = hourly.groupBy("event_type", "hour")
+      .agg(F.count(F.lit(1)).cast("double").as("__d"),
+        F.sum(F.col("n").cast("double")).as("__s"),
+        F.sum(F.col("n").cast("double") * F.col("n").cast("double")).as("__ss"))
+      .withColumn("mean", F.round(F.col("__s") / F.col("__d"), 6))
+      .withColumn("sd", F.when(F.col("__d") >= 2.0, F.round(
+        F.sqrt(F.greatest(F.lit(0.0),
+          (F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__d")) /
+            (F.col("__d") - 1.0))), 6)))
+      .select("event_type", "hour", "mean", "sd")
+    hourly
+      .join(F.broadcast(base), Seq("event_type", "hour"))
+      .withColumn("z", F.round(
+        (F.col("n").cast("double") - F.col("mean")) /
+          F.nullif(F.col("sd"), F.lit(0.0)), 4))
+      .select("event_type", "day", "hour", "n", "mean", "sd", "z")
+  }
+
   /** First-order event-type transition matrix: for each user's event
     * sequence (ordered by time, ties broken by `tieCol` for a total
     * order), count (prev_type → next_type) adjacencies and derive the

@@ -289,6 +289,78 @@ object Stats {
             F.col("n_members").cast("double"), 6).as("gini"): _*)
   }
 
+  /** Mutual information (and the marginal entropies) between two
+    * categorical columns — "does `source` predict `lang`?" — the
+    * dependence audit behind leakage checks and stratification choices.
+    * {{{ MI = Σ_ij p_ij · log2(c_ij·N / (c_i·c_j)) }}}
+    * with every count an INTEGER from one contingency pass; margins and N
+    * are windows over the ≤|A|·|B|-row contingency table. Each term is
+    * 9-dp-quantized before the unordered sum (the pageRank rule); log2
+    * runs as the ln-division both engines share (the x106 rule).
+    *
+    * @return one row: (n, h_a, h_b, mi_bits, nmi) — nmi = MI/min(H) in
+    *         [0,1], NULL when either marginal entropy is 0
+    */
+  def mutualInfo(df: DataFrame, colA: Column, colB: Column): DataFrame = {
+    val cells = df.select(colA.as("__a"), colB.as("__b"))
+      .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
+    val wa = Window.partitionBy("__a")
+    val wb = Window.partitionBy("__b")
+    val wt = Window.partitionBy()
+    def lg(x: Column): Column = F.log(2.0, x)
+    val terms = cells
+      .withColumn("__ca", F.sum("__c").over(wa))
+      .withColumn("__cb", F.sum("__c").over(wb))
+      .withColumn("__n", F.sum("__c").over(wt))
+    val nD = F.col("__n").cast("double")
+    val p = F.col("__c").cast("double") / nD
+    val pa = F.col("__ca").cast("double") / nD
+    val pb = F.col("__cb").cast("double") / nD
+    terms
+      .withColumn("__mi", F.round(p * lg(
+        F.col("__c").cast("double") * nD /
+          (F.col("__ca").cast("double") * F.col("__cb").cast("double"))), 9))
+      // marginal-entropy terms weighted by the cell so each (a, b) row
+      // contributes its share: Σ_ij p_ij·(−log2 p_a) = H(A)
+      .withColumn("__ha", F.round(-p * lg(pa), 9))
+      .withColumn("__hb", F.round(-p * lg(pb), 9))
+      .groupBy()
+      .agg(F.max("__n").as("n"),
+        F.round(F.sum("__ha") + 0.0, 6).as("h_a"),
+        F.round(F.sum("__hb") + 0.0, 6).as("h_b"),
+        F.round(F.sum("__mi") + 0.0, 6).as("mi_bits"))
+      .withColumn("nmi", F.round(
+        F.col("mi_bits") / F.nullif(F.least(F.col("h_a"), F.col("h_b")),
+          F.lit(0.0)), 6))
+  }
+
+  /** Continuous-MLE power-law exponent (Clauset et al. 2009, eq. 3.1) for
+    * a degree / frequency distribution:
+    * {{{ α = 1 + n / Σ ln(d_i / (dmin − 0.5)) }}}
+    * over values d ≥ dmin — the "is this crawl graph scale-free, and how
+    * heavy is the tail?" readout. One partial-aggregated pass over the
+    * (already bounded) per-key degree table; each ln term quantizes to
+    * 9 dp before the unordered sum. Degenerate inputs (no rows ≥ dmin, or
+    * a zero sum when every d = dmin = 1 is impossible since dmin ≥ 2
+    * keeps the log positive) yield an empty / NULL result honestly.
+    *
+    * @param degrees one row per key with its integer count in `value`
+    * @return one row: (n_tail, dmin, alpha) — alpha 6-dp
+    */
+  def powerlawAlpha(degrees: DataFrame, value: Column,
+                    dmin: Int = 2): DataFrame = {
+    require(dmin >= 2, s"dmin must be >= 2 (the -0.5 shift needs d > 1), got $dmin")
+    val d = value.cast("double")
+    degrees
+      .filter(d >= dmin.toDouble)
+      .select(F.round(F.log(d / (dmin.toDouble - 0.5)), 9).as("__t"))
+      .groupBy()
+      .agg(F.count(F.lit(1)).as("n_tail"), F.sum("__t").as("__s"))
+      .select(F.col("n_tail"), F.lit(dmin).as("dmin"),
+        F.round(F.lit(1.0) + F.col("n_tail").cast("double") /
+          F.nullif(F.col("__s"), F.lit(0.0)), 6).as("alpha"))
+  }
+
   /** nDCG@k of a ranking against graded relevance judgments — the
     * ranking-quality readout for retrieval stacks (and for "how aligned
     * are two league tables" audits when relevance is derived from a

@@ -2586,6 +2586,70 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map("a>b>c" -> 2L, "b>c>a" -> 1L), out.toString)
   }
 
+  test("rankBlend: percentiles order with the metric; blend averages the rounded pcts") {
+    // ids 1..400: metric a ascending, metric b DESCENDING — blend flattens
+    val df = (1 to 400).map(i => (i.toLong, i.toDouble, (401 - i).toDouble))
+      .toDF("id", "a", "b")
+    val out = graft.ops.Curation.rankBlend(df, "id",
+      Seq("a" -> F.col("a"), "b" -> F.col("b")), nBins = 10,
+      samplePrefix = "ffff") // keep the whole table as sample
+      .select("id", "pct_a", "pct_b", "blend")
+      .as[(Long, Double, Double, Double)].collect().map(t => t._1 -> t).toMap
+    // monotone: larger a -> pct_a never decreases
+    assert(out(400L)._2 == 1.0 && out(1L)._2 == 0.0, out(400L).toString)
+    assert(out(400L)._3 == 0.0 && out(1L)._3 == 1.0, out(1L).toString)
+    // blend is the mean of the two rounded percentiles
+    val r = out(123L)
+    assert(r._4 == BigDecimal((r._2 + r._3) / 2.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, r.toString)
+  }
+
+  test("seasonalZ: same-hour baseline flags the spike day only") {
+    // type t, hour 9 across 5 days: counts 10,10,10,10,30 -> day 5 z > 2
+    val rows = (1 to 4).flatMap(d => (1 to 10).map(i =>
+      ("t", s"2026-01-0$d 09:${"%02d".format(i)}:00"))) ++
+      (1 to 30).map(i => ("t", s"2026-01-05 09:${"%02d".format(i)}:00"))
+    val ev = rows.toDF("event_type", "s")
+      .withColumn("ts", F.to_timestamp(F.col("s"))).drop("s")
+    val out = graft.ops.EventOps.seasonalZ(ev)
+      .as[(String, String, Int, Long, Double, Double, Double)].collect()
+      .map(t => t._2 -> t).toMap
+    assert(out("2026-01-05")._7 > 1.7, out("2026-01-05").toString)
+    assert(math.abs(out("2026-01-01")._7) < 1.0, out("2026-01-01").toString)
+    assert(out("2026-01-01")._5 == 14.0, out("2026-01-01").toString) // mean 70/5
+  }
+
+  test("powerlawAlpha: recovers alpha on a planted Zipf tail; below-dmin dropped") {
+    // exact alpha=2 continuous-MLE fixture: alpha = 1 + n / sum ln(d/1.5)
+    // planted degrees 2,3,4,6,9 -> compute expected by the same formula
+    val deg = Seq(1L, 1L, 2L, 3L, 4L, 6L, 9L).zipWithIndex
+      .map { case (d, i) => (i.toLong, d) }.toDF("k", "d")
+    val out = graft.ops.Stats.powerlawAlpha(deg, F.col("d"), dmin = 2)
+      .as[(Long, Int, Double)].collect().head
+    assert(out._1 == 5L, out.toString) // the two d=1 rows dropped
+    val terms = Seq(2.0, 3.0, 4.0, 6.0, 9.0)
+      .map(d => BigDecimal(math.log(d / 1.5)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val expect = BigDecimal(1.0 + 5.0 / terms.sum).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._3 == expect, s"${out._3} vs $expect")
+  }
+
+  test("mutualInfo: independent columns -> 0; identical columns -> MI = H; nmi = 1") {
+    // independent: every (a, b) combo equally likely
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val i = graft.ops.Stats.mutualInfo(ind, F.col("a"), F.col("b"))
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(i._4 == 0.0 && i._2 == 1.0 && i._3 == 1.0, i.toString)
+    // identical: MI = H(A) = 1 bit at a 50/50 split, nmi = 1
+    val same = (Seq.fill(10)("x") ++ Seq.fill(10)("y")).map(v => (v, v))
+      .toDF("a", "b")
+    val s = graft.ops.Stats.mutualInfo(same, F.col("a"), F.col("b"))
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(s._4 == 1.0 && s._5 == 1.0, s.toString)
+  }
+
   test("funnelLatency: gaps between first-touch frontiers; rank-selected quantiles") {
     def ts(s: Long) = s * 1000000L
     val ev = Seq(

@@ -877,6 +877,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"registers must collapse map-side:\n$p")
   }
 
+  test("rankBlend: scoring is a shuffle-free comparison chain over plan literals") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.Curation.rankBlend(docs, "doc_id",
+      Seq("len" -> F.col("n_chars"))).select("doc_id", "pct_len", "blend"))
+    assert(!p.contains("Exchange"),
+      s"percentile scoring must not shuffle — boundaries are literals:\n$p")
+    assert(!p.contains("Join"), s"no join in boundary scoring:\n$p")
+  }
+
+  test("mutualInfo: one contingency pass; margins are windows over the cells") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.Stats.mutualInfo(docs, F.col("source"), F.col("lang")))
+    assert(p.split("Scan parquet", -1).length - 1 == 1,
+      s"one corpus scan — margins come from windows over the cell table:\n$p")
+    assert(p.contains("partial_count"),
+      s"contingency counts must collapse map-side:\n$p")
+  }
+
   test("chi2Tokens: class totals and corpus count ride as broadcasts") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.TextOps.chi2Tokens(docs, "lang", "doc_id", "text"))
