@@ -1816,6 +1816,38 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           F.col("source"), F.col("lang"))),
 
+    // lead-lag cross-correlation: do daily clicks lead daily purchases?
+    // Pearson r at every lag in -3..3 from lag-shifted equi-joins of the
+    // tiny per-day series, per-lag 1-row results in one job
+    "x137_lead_lag" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(F.col("event_type"),
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).as("v"))
+      graft.ops.Stats.leadLagCorr(
+          daily.filter(F.col("event_type") === "click").select("t", "v"),
+          daily.filter(F.col("event_type") === "purchase").select("t", "v"),
+          "t", "v", maxLag = 3)
+        .orderBy("lag")
+    }),
+
+    // session entry/exit census with bounce counts: which event types
+    // open and close sessions — two rank windows over sessionize's own
+    // (user, session) partitioning, |types|²-bounded census
+    "x138_entry_exit" -> ((s, dir) =>
+      graft.ops.EventOps.entryExitCensus(
+          s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("entry_type", "exit_type")),
+
+    // token burstiness (variance-to-mean ratio across docs, zeros folded
+    // in algebraically): Poisson background vs bursty template/topical
+    // vocabulary — vocab-bounded census, 1-row doc count broadcast
+    "x139_burstiness" -> ((s, dir) =>
+      TextOps.tokenBurstiness(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", minDf = 5, topK = 50)),
+
     // corpus-wide keep-first line dedup (Lee et al. at line granularity):
     // seeded multi-line docs (testdata docs are single-line) — a banner on
     // EVERY doc (survives only on doc 1), a promo on mod-3 docs (survives
@@ -4040,6 +4072,89 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Stats.leadLagCorr: per-lag shifted equi-join + the corrPairs
+    // sufficient-stats tree; day index = date - epoch
+    "x137_lead_lag" ->
+      """WITH daily AS (
+        |  SELECT event_type, (ts::DATE - DATE '1970-01-01') AS t,
+        |    count(*)::DOUBLE AS v
+        |  FROM events GROUP BY 1, 2
+        |), a AS (SELECT t, v FROM daily WHERE event_type = 'click'
+        |), b AS (SELECT t, v FROM daily WHERE event_type = 'purchase'
+        |), lags AS (
+        |  SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag
+        |), j AS (
+        |  SELECT lag, count(*)::DOUBLE AS n, sum(a.v) AS sx, sum(b.v) AS sy,
+        |    sum(a.v * a.v) AS sxx, sum(b.v * b.v) AS syy,
+        |    sum(a.v * b.v) AS sxy
+        |  FROM lags JOIN b ON true JOIN a ON b.t - lag = a.t
+        |  GROUP BY lag
+        |)
+        |SELECT lag, n::BIGINT AS n,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0
+        |    THEN round((n * sxy - sx * sy) /
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r
+        |FROM j ORDER BY lag""".stripMargin,
+
+    // mirrors EventOps.entryExitCensus: x13's sessionize CTE + two
+    // (epoch µs, event_id) rank windows + the bounce census
+    "x138_entry_exit" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |), ranked AS (
+        |  SELECT user_id, session_seq, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY epoch_us(ts), event_id) AS rn1,
+        |    row_number() OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnN,
+        |    count(*) OVER (PARTITION BY user_id, session_seq) AS n
+        |  FROM sessions
+        |), per AS (
+        |  SELECT user_id, session_seq,
+        |    min(CASE WHEN rn1 = 1 THEN event_type END) AS entry_type,
+        |    min(CASE WHEN rnN = 1 THEN event_type END) AS exit_type,
+        |    max(n) AS sz
+        |  FROM ranked WHERE rn1 = 1 OR rnN = 1
+        |  GROUP BY 1, 2
+        |)
+        |SELECT entry_type, exit_type, count(*) AS n_sessions,
+        |  sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces
+        |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // mirrors TextOps.tokenBurstiness: per-(token, doc) counts, zeros
+    // folded in via ss - nd*m^2, 9-dp mean, VMR top-50
+    "x139_burstiness" ->
+      """WITH pd AS (
+        |  SELECT t, doc_id, count(*) AS k FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> length(x) > 0)) AS t
+        |    FROM documents) GROUP BY 1, 2
+        |), st AS (
+        |  SELECT t, count(*) AS df, sum(k) AS s, sum(k * k) AS ss
+        |  FROM pd GROUP BY t HAVING count(*) >= 5
+        |), nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents
+        |), x AS (
+        |  SELECT t, df, s, round(s::DOUBLE / nd::DOUBLE, 9) AS mean,
+        |    (ss::DOUBLE - nd::DOUBLE
+        |      * round(s::DOUBLE / nd::DOUBLE, 9)
+        |      * round(s::DOUBLE / nd::DOUBLE, 9)) / (nd::DOUBLE - 1.0) AS var
+        |  FROM st CROSS JOIN nd
+        |)
+        |SELECT t AS token, df, s::BIGINT AS n_total,
+        |  round(mean, 6) AS mean,
+        |  round(var / nullif(mean, 0.0), 6) AS vmr
+        |FROM x ORDER BY vmr DESC, token LIMIT 50""".stripMargin,
 
     // mirrors Curation.rankBlend: same md5 sample, same integer-rank
     // boundary multiset (duplicates preserved), correlated strict-greater

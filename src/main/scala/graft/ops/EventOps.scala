@@ -89,6 +89,37 @@ object EventOps {
       .drop("start_us", "end_us")
   }
 
+  /** Session entry/exit census on top of [[sessionize]] — which event
+    * types open and close sessions, and how many sessions BOUNCE (one
+    * event) per (entry, exit) pair: the landing/exit-page analytics
+    * staple. First/last events come from two rank windows over the SAME
+    * (user, session) partitioning sessionize already shuffled on (ties
+    * at equal µs break on event_id for a total order); the census
+    * partial-aggregates on ≤ |types|² keys.
+    *
+    * @return (entry_type, exit_type, n_sessions, n_bounces)
+    */
+  def entryExitCensus(events: DataFrame, gapMinutes: Int = 30,
+                      tieCol: String = "event_id"): DataFrame = {
+    val s = sessionize(events, gapMinutes)
+    val us = tsUs(s)
+    val part = Window.partitionBy("user_id", "session_seq")
+    val asc = part.orderBy(us.asc, F.col(tieCol).asc)
+    val desc = part.orderBy(us.desc, F.col(tieCol).desc)
+    s.withColumn("__rn1", F.row_number().over(asc))
+      .withColumn("__rnN", F.row_number().over(desc))
+      .withColumn("__n", F.count(F.lit(1)).over(part))
+      .filter(F.col("__rn1") === 1 || F.col("__rnN") === 1)
+      .groupBy("user_id", "session_seq")
+      .agg(
+        F.min(F.when(F.col("__rn1") === 1, F.col("event_type"))).as("entry_type"),
+        F.min(F.when(F.col("__rnN") === 1, F.col("event_type"))).as("exit_type"),
+        F.max("__n").as("__sz"))
+      .groupBy("entry_type", "exit_type")
+      .agg(F.count(F.lit(1)).as("n_sessions"),
+        F.sum(F.when(F.col("__sz") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+  }
+
   /** Ordered-funnel reach: how many users performed `steps` IN ORDER —
     * step k counts users with an event of type `steps(k)` STRICTLY after
     * their earliest qualifying step-(k−1) event (the classic

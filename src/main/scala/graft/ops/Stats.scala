@@ -334,6 +334,44 @@ object Stats {
           F.lit(0.0)), 6))
   }
 
+  /** Lead–lag cross-correlation between two (t, value) series: Pearson r
+    * of `a_t` against `b_{t+lag}` for every lag in `−maxLag..maxLag` —
+    * "do clicks lead purchases, and by how many days?". Positive lag =
+    * `b` trails `a`.
+    *
+    * Each lag is one integer-keyed equi-join of the two (tiny, already
+    * aggregated) series tables shifted by the lag, feeding the
+    * [[corrPairs]] sufficient-statistics tree; the per-lag 1-row results
+    * union into ONE job. Only overlapping timestamps enter a lag's
+    * correlation (inner join), so n varies by lag and is reported.
+    *
+    * @param a,b (tCol, vCol) tables — t an integer or date column
+    * @return (lag, n, r) — r NULL when either side is constant
+    */
+  def leadLagCorr(a: DataFrame, b: DataFrame, tCol: String, vCol: String,
+                  maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 64, s"maxLag must be in [0,64], got $maxLag")
+    val perLag = (-maxLag to maxLag).map { lag =>
+      val av = a.select(F.col(tCol).as("__t"), F.col(vCol).cast("double").as("__x"))
+      // b shifted so that b(t + lag) aligns with a(t)
+      val bv = b.select((F.col(tCol) - lag).as("__t"),
+        F.col(vCol).cast("double").as("__y"))
+      val agg = av.join(bv, "__t")
+        .agg(F.count(F.lit(1)).cast("double").as("__n"),
+          F.sum("__x").as("__sx"), F.sum("__y").as("__sy"),
+          F.sum(F.col("__x") * F.col("__x")).as("__sxx"),
+          F.sum(F.col("__y") * F.col("__y")).as("__syy"),
+          F.sum(F.col("__x") * F.col("__y")).as("__sxy"))
+      val n = F.col("__n")
+      val dx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+      val dy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+      val cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+      agg.select(F.lit(lag).as("lag"), n.cast("long").as("n"),
+        F.when(dx * dy > 0.0, F.round(cov / F.sqrt(dx * dy), 6)).as("r"))
+    }
+    perLag.reduce(_ unionAll _)
+  }
+
   /** Continuous-MLE power-law exponent (Clauset et al. 2009, eq. 3.1) for
     * a degree / frequency distribution:
     * {{{ α = 1 + n / Σ ln(d_i / (dmin − 0.5)) }}}

@@ -1040,6 +1040,49 @@ object TextOps {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Token BURSTINESS census: variance-to-mean ratio of each token's
+    * per-document occurrence counts across the WHOLE corpus (zeros
+    * included) — VMR ≈ 1 is Poisson background vocabulary, VMR ≫ 1 is
+    * bursty (topical / template / spam) vocabulary; the dispersion signal
+    * behind stopword-vs-content splits and template detection.
+    *
+    * Zeros never materialize: with m = Σk/N, the centered sum collapses
+    * to `Σk² − N·m²` (zeros contribute through N alone), so one
+    * (token, doc) count rollup + a 1-row corpus doc count is the whole
+    * computation — vocab-bounded, no doc×vocab frame. VMR = var/mean
+    * with sample variance over N−1. Top `topK` by (6-dp VMR desc, token).
+    *
+    * @return (token, df, n_total, mean, vmr)
+    */
+  def tokenBurstiness(df: DataFrame, idCol: String, textCol: String,
+                      minDf: Int = 5, topK: Int = 50): DataFrame = {
+    val perDoc = df.select(F.col(idCol).as("__id"),
+        F.explode(F.filter(
+          F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))), "\\s+"),
+          t => F.length(t) > 0)).as("__t"))
+      .groupBy("__t", "__id").agg(F.count(F.lit(1)).as("__k"))
+    val stats = perDoc.groupBy("__t")
+      .agg(F.count(F.lit(1)).as("df"),
+        F.sum("__k").as("__s"),
+        F.sum(F.col("__k") * F.col("__k")).as("__ss"))
+      .filter(F.col("df") >= minDf)
+    val nDocs = df.select(F.countDistinct(F.col(idCol)).as("__nd"))
+    stats.crossJoin(F.broadcast(nDocs))
+      .withColumn("mean", F.round(
+        F.col("__s").cast("double") / F.col("__nd").cast("double"), 9))
+      .withColumn("__var",
+        (F.col("__ss").cast("double") -
+          F.col("__nd").cast("double") * F.col("mean") * F.col("mean")) /
+          (F.col("__nd").cast("double") - 1.0))
+      .withColumn("vmr", F.round(F.col("__var") /
+        F.nullif(F.col("mean"), F.lit(0.0)), 6))
+      .select(F.col("__t").as("token"), F.col("df"),
+        F.col("__s").as("n_total"), F.round(F.col("mean"), 6).as("mean"),
+        F.col("vmr"))
+      .orderBy(F.col("vmr").desc, F.col("token"))
+      .limit(topK)
+  }
+
   /** Pairwise vocabulary Jaccard between corpus slices — "how much do two
     * sources/shards/snapshots share?" — the slice-level companion of the
     * per-doc dedup measures and the exact truth the KMV sketch route

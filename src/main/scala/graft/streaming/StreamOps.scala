@@ -306,4 +306,43 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
+
+  final case class Metric(key: String, ts: Timestamp, value: Long)
+  final case class CusumState(p: Long, minP: Long)
+  final case class CusumOut(key: String, ts: Timestamp, value: Long, cusum: Long)
+
+  /** Streaming one-sided CUSUM drift alarm — the incremental feed of the
+    * batch [[graft.ops.EventOps.cusumDrift]]: per key the state is TWO
+    * LONGS (running sum of `v − K` and its running min — the closed form
+    * s_t = P_t − min(0, min P_j)), so a million metric keys cost a few MB
+    * of store. In-batch disorder is absorbed by an event-time sort (the
+    * [[transitionStream]] convention); cross-batch order is the arrival
+    * order, which is the streaming contract. Emits one scored row per
+    * observation.
+    */
+  def cusumStream(metrics: Dataset[Metric], k: Long,
+                  watermarkDelay: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[CusumOut] = {
+    import spark.implicits._
+
+    def update(key: String, ms: Iterator[Metric],
+               state: GroupState[CusumState]): Iterator[CusumOut] = {
+      val out = Vector.newBuilder[CusumOut]
+      val sorted = ms.toVector.sortBy(m => (m.ts.getTime, m.value))
+      var cur = state.getOption.getOrElse(CusumState(0L, 0L))
+      sorted.foreach { m =>
+        val p = cur.p + (m.value - k)
+        val mp = math.min(cur.minP, p)
+        cur = CusumState(p, mp)
+        out += CusumOut(key, m.ts, m.value, p - math.min(0L, mp))
+      }
+      state.update(cur)
+      out.result().iterator
+    }
+
+    metrics
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -2586,6 +2586,58 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map("a>b>c" -> 2L, "b>c>a" -> 1L), out.toString)
   }
 
+  test("leadLagCorr: planted 2-day lead found at its lag; self-corr = 1 at lag 0") {
+    // b(t) = a(t - 2): perfect correlation at lag +2 (b trails a by 2)
+    val a = (1 to 30).map(i => (i, (i * 7 % 13).toDouble)).toDF("t", "v")
+    val b = (1 to 30).map(i => (i + 2, (i * 7 % 13).toDouble)).toDF("t", "v")
+    val out = graft.ops.Stats.leadLagCorr(a, b, "t", "v", maxLag = 3)
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(2) == Some(1.0), out.toString)
+    assert(out(0) != Some(1.0), out.toString)
+    val self = graft.ops.Stats.leadLagCorr(a, a, "t", "v", maxLag = 1)
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(self(0) == Some(1.0), self.toString)
+  }
+
+  test("entryExitCensus: entry/exit per session; bounces counted; tie order respected") {
+    val ev = Seq(
+      // u1 session 1: view -> click -> purchase; session 2 (gap > 30m): error alone
+      (1L, 1L, "view", 0L), (1L, 2L, "click", 60L), (1L, 3L, "purchase", 120L),
+      (1L, 4L, "error", 10000L),
+      // u2: single-event session (bounce)
+      (2L, 5L, "view", 0L)
+    ).toDF("user_id", "event_id", "event_type", "sec")
+      .withColumn("ts", F.timestamp_micros(F.col("sec") * 1000000L))
+      .withColumn("value", F.lit(1.0)).drop("sec")
+    val out = graft.ops.EventOps.entryExitCensus(ev)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      ("view", "purchase") -> ((1L, 0L)),
+      ("error", "error") -> ((1L, 1L)),
+      ("view", "view") -> ((1L, 1L))), out.toString)
+  }
+
+  test("tokenBurstiness: bursty token outranks the uniform one; zeros fold in") {
+    // 10 docs; 'flat' once per doc (VMR -> 0-ish); 'burst' 10x in one doc
+    val docs = (1 to 10).map { i =>
+      val burst = if (i == 1) " burst" * 10 else ""
+      (i.toLong, s"flat filler$burst")
+    }.toDF("doc_id", "text")
+    val out = graft.ops.TextOps.tokenBurstiness(docs, "doc_id", "text",
+      minDf = 1, topK = 10)
+      .as[(String, Long, Long, Double, Double)].collect()
+    val byTok = out.map(t => t._1 -> t).toMap
+    assert(out.head._1 == "burst", out.mkString(", "))
+    // flat: k = 1 in every doc -> variance 0 -> VMR 0
+    assert(byTok("flat")._5 == 0.0, byTok("flat").toString)
+    // burst: df 1, total 10, mean 1; var = (100 - 10*1)/9 = 10 -> VMR 10
+    assert(byTok("burst") == (("burst", 1L, 10L, 1.0, 10.0)),
+      byTok("burst").toString)
+  }
+
   test("rankBlend: percentiles order with the metric; blend averages the rounded pcts") {
     // ids 1..400: metric a ascending, metric b DESCENDING — blend flattens
     val df = (1 to 400).map(i => (i.toLong, i.toDouble, (401 - i).toDouble))

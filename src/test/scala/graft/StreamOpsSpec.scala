@@ -420,4 +420,33 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(u3 == Seq(StreamOps.Transition(3L, "x", "y")), u3.toString)
     } finally q.stop()
   }
+
+  test("streaming CUSUM carries the two-long state across batches and matches the closed form") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val in = MemoryStream[StreamOps.Metric]
+    val q = StreamOps.cusumStream(in.toDS(), k = 10L)
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode("append").start()
+    try {
+      // K = 10; x = [12, 8, 15] in batch 1, [5, 20] in batch 2 — the same
+      // series OpsSpec pins for the batch closed form: s = [2, 0, 5, 0, 10]
+      in.addData(StreamOps.Metric("m", ts(1), 12L),
+        StreamOps.Metric("m", ts(2), 8L), StreamOps.Metric("m", ts(3), 15L))
+      q.processAllAvailable()
+      in.addData(StreamOps.Metric("m", ts(4), 5L),
+        StreamOps.Metric("m", ts(5), 20L))
+      q.processAllAvailable()
+      val got = spark.table("cusum").orderBy("ts")
+        .as[StreamOps.CusumOut].collect().map(_.cusum).toSeq
+      assert(got == Seq(2L, 0L, 5L, 0L, 10L), got.toString)
+      // in-batch disorder absorbed by the event-time sort
+      in.addData(StreamOps.Metric("d", ts(11), 30L),
+        StreamOps.Metric("d", ts(10), 5L))
+      q.processAllAvailable()
+      val d = spark.table("cusum").filter(F.col("key") === "d")
+        .orderBy("ts").as[StreamOps.CusumOut].collect().map(_.cusum).toSeq
+      assert(d == Seq(0L, 20L), d.toString) // 5-10 floors at 0, then +20
+    } finally q.stop()
+  }
 }
