@@ -1816,6 +1816,38 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           F.col("source"), F.col("lang"))),
 
+    // asymmetric n-gram CONTAINMENT over x22's deterministic pair list:
+    // the dedup-policy direction signal (a quote scores ~1 against its
+    // source even when Jaccard is low) — pair-list-bounded, both
+    // directions + sizes
+    "x143_containment" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val ids = docs.select("doc_id")
+      val pairs = ids.select(F.col("doc_id").as("a"), (F.col("doc_id") + 1).as("b"))
+        .filter(F.col("a") % 7 === 0)
+        .join(ids.select(F.col("doc_id").as("b")), Seq("b"), "leftsemi")
+      Dedup.ngramContainment(pairs, docs, "doc_id", "text")
+        .orderBy("a", "b")
+    }),
+
+    // funnel reach with a 6-hour conversion DEADLINE per step — x96's
+    // frontier chain plus one integer µs predicate per join
+    "x144_funnel_within" -> ((s, dir) =>
+      graft.ops.EventOps.funnelReachWithin(
+          s.read.parquet(s"$dir/events.parquet"),
+          Seq("view", "click", "purchase"), withinUs = 21600000000L)
+        .orderBy("step")),
+
+    // degree assortativity of the >=6-support co-purchase graph: do hub
+    // suppliers co-occur with hubs? Symmetrized endpoint-degree Pearson,
+    // exact integer sums
+    "x145_assortativity" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Graph.degreeAssortativity(
+        graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          minCount = 6), "src", "dst")
+    }),
+
     // lead-lag cross-correlation: do daily clicks lead daily purchases?
     // Pearson r at every lag in -3..3 from lag-shifted equi-joins of the
     // tiny per-day series, per-lag 1-row results in one job
@@ -4072,6 +4104,90 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Dedup.ngramContainment: x22's shingle sets + pair list,
+    // intersection/size counts, both rounded direction ratios
+    "x143_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+        |      i -> substring(t, i, 5))) AS s
+        |  FROM t
+        |), pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 7 = 0
+        |)
+        |SELECT p.a, p.b,
+        |  len(list_intersect(sa.s, sb.s))::INT AS inter,
+        |  len(sa.s)::INT AS size_a, len(sb.s)::INT AS size_b,
+        |  round(len(list_intersect(sa.s, sb.s))::DOUBLE
+        |    / nullif(len(sa.s)::DOUBLE, 0.0), 6) AS contain_a,
+        |  round(len(list_intersect(sa.s, sb.s))::DOUBLE
+        |    / nullif(len(sb.s)::DOUBLE, 0.0), 6) AS contain_b
+        |FROM pairs p
+        |JOIN sh sa ON sa.doc_id = p.a
+        |JOIN sh sb ON sb.doc_id = p.b
+        |ORDER BY a, b""".stripMargin,
+
+    // mirrors EventOps.funnelReachWithin: x96's frontier CTEs + the
+    // within-6h µs predicate
+    "x144_funnel_within" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS tu
+        |  FROM events
+        |), s1 AS (
+        |  SELECT u, min(tu) AS t FROM e WHERE et = 'view' GROUP BY u
+        |), s2 AS (
+        |  SELECT e.u, min(tu) AS t FROM e JOIN s1 ON e.u = s1.u
+        |  WHERE et = 'click' AND tu > s1.t AND tu - s1.t <= 21600000000
+        |  GROUP BY e.u
+        |), s3 AS (
+        |  SELECT e.u, min(tu) AS t FROM e JOIN s2 ON e.u = s2.u
+        |  WHERE et = 'purchase' AND tu > s2.t AND tu - s2.t <= 21600000000
+        |  GROUP BY e.u
+        |)
+        |SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL
+        |SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL
+        |SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+
+    // mirrors Graph.degreeAssortativity over x104's edge builder: degree
+    // census, symmetrized endpoint pairs, the corrPairs tree
+    "x145_assortativity" ->
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+        |), e AS (
+        |  SELECT a.s AS a, b.s AS b
+        |  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 6
+        |), deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node
+        |), xy AS (
+        |  SELECT da.deg AS x, db.deg AS y
+        |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+        |), sym AS (
+        |  SELECT x, y FROM xy UNION ALL SELECT y AS x, x AS y FROM xy
+        |), a AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |    sum(x::DOUBLE) AS sx, sum(y::DOUBLE) AS sy,
+        |    sum(x::DOUBLE * x::DOUBLE) AS sxx,
+        |    sum(y::DOUBLE * y::DOUBLE) AS syy,
+        |    sum(x::DOUBLE * y::DOUBLE) AS sxy
+        |  FROM sym
+        |)
+        |SELECT (n / 2.0)::BIGINT AS n_edges,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0
+        |    THEN round((n * sxy - sx * sy) /
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r
+        |FROM a""".stripMargin,
 
     // mirrors Stats.leadLagCorr: per-lag shifted equi-join + the corrPairs
     // sufficient-stats tree; day index = date - epoch

@@ -160,6 +160,42 @@ object EventOps {
     perStep.reduce(_ unionAll _)
   }
 
+  /** [[funnelReach]] with a conversion DEADLINE: step k counts only when
+    * it lands strictly after the previous frontier AND within `withinUs`
+    * of it — "purchased within 24 h of clicking", the form product
+    * funnels are actually quoted in. Same per-step frontier-join shape,
+    * one extra integer µs predicate in each join filter.
+    *
+    * @return (step, event_type, n_users)
+    */
+  def funnelReachWithin(events: DataFrame, steps: Seq[String],
+                        withinUs: Long,
+                        userCol: String = "user_id"): DataFrame = {
+    require(steps.nonEmpty, "funnelReachWithin needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    require(withinUs > 0L, s"withinUs must be positive, got $withinUs")
+    val es = events.select(F.col(userCol).as("__u"),
+      F.col("event_type").as("__et"), tsUs(events).as("__tu"))
+    var frontier: DataFrame = null
+    val perStep = steps.zipWithIndex.map { case (st, i) =>
+      frontier =
+        if (i == 0)
+          es.filter(F.col("__et") === st)
+            .groupBy("__u").agg(F.min("__tu").as("__t"))
+        else
+          es.filter(F.col("__et") === st)
+            .join(frontier.select(F.col("__u"), F.col("__t").as("__tprev")), "__u")
+            .filter(F.col("__tu") > F.col("__tprev") &&
+              F.col("__tu") - F.col("__tprev") <= withinUs)
+            .groupBy("__u").agg(F.min("__tu").as("__t"))
+      frontier.agg(F.count(F.lit(1)).as("n_users"))
+        .select(F.lit(i + 1).as("step"), F.lit(st).as("event_type"),
+          F.col("n_users"))
+    }
+    perStep.reduce(_ unionAll _)
+  }
+
   /** Step-to-step conversion LATENCY quantiles for a strict first-touch
     * funnel — "how long from view to purchase?" alongside
     * [[funnelReach]]'s "how many?". Frontier times per user come from the

@@ -210,4 +210,48 @@ object Graph {
       .unionAll(tris.select(F.col("w").as("node")))
       .groupBy("node").agg(F.count(F.lit(1)).as("n_tri"))
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the (symmetrized) edge list — positive means
+    * hubs link to hubs (social-graph shape), negative means hubs link to
+    * leaves (hub-and-spoke / spam-farm shape). A one-number health check
+    * for a crawl or co-occurrence graph next to [[triangleCounts]].
+    *
+    * Degrees are one keyed count over both endpoint columns; each edge
+    * joins its two endpoint degrees (degree table keyed-joined twice) and
+    * BOTH orientations enter the correlation (the standard undirected
+    * convention — the sums are then symmetric, so dx = dy). Integer
+    * degrees make every sum exact; r is the [[graft.ops.Stats.corrPairs]]
+    * tree. Self-loops are dropped (they distort degree correlation).
+    *
+    * @return one row: (n_edges, r) — n_edges counts each undirected edge
+    *         once; r NULL on a degree-regular graph (zero variance)
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e = edges
+      .select(F.col(srcCol).as("s"), F.col(dstCol).as("d"))
+      .filter(F.col("s") =!= F.col("d"))
+      .distinct()
+    val deg = e.select(F.col("s").as("n")).unionAll(e.select(F.col("d").as("n")))
+      .groupBy("n").agg(F.count(F.lit(1)).as("deg"))
+    val both = e
+      .join(deg.select(F.col("n").as("s"), F.col("deg").as("__da")), "s")
+      .join(deg.select(F.col("n").as("d"), F.col("deg").as("__db")), "d")
+      .select(F.col("__da").as("x"), F.col("__db").as("y"))
+    val sym = both.unionAll(both.select(F.col("y").as("x"), F.col("x").as("y")))
+    val agg = sym.agg(
+      F.count(F.lit(1)).cast("double").as("__n"),
+      F.sum(F.col("x").cast("double")).as("__sx"),
+      F.sum(F.col("y").cast("double")).as("__sy"),
+      F.sum(F.col("x").cast("double") * F.col("x").cast("double")).as("__sxx"),
+      F.sum(F.col("y").cast("double") * F.col("y").cast("double")).as("__syy"),
+      F.sum(F.col("x").cast("double") * F.col("y").cast("double")).as("__sxy"))
+    val n = F.col("__n")
+    val dx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    val dy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    val cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    agg.select((n / 2.0).cast("long").as("n_edges"),
+      F.when(dx * dy > 0.0, F.round(cov / F.sqrt(dx * dy), 6)).as("r"))
+  }
 }

@@ -34,6 +34,16 @@ object StressBench {
       docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KeyStride))
     }.reduce(_ union _)
 
+  /** Events replicas re-key event_id AND user_id but keep timestamps —
+    * the hour axis stays fixed while the per-hour stream and TRUE user
+    * cardinality grow K× (the sliding-sketch stress shape: register rows
+    * constant, scan volume K×). */
+  def replicateEvents(ev: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      ev.withColumn("event_id", F.col("event_id") + F.lit(i * KeyStride))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * KeyStride))
+    }.reduce(_ union _)
+
   def replicateEmb(emb: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
       emb.select(
@@ -71,7 +81,9 @@ object StressBench {
       // work, not the replication union
       val docs = replicateDocs(docs0, k).persist()
       val emb = replicateEmb(emb0, k).persist()
-      val nDocs = docs.count(); val nEmb = emb.count()
+      val events = replicateEvents(
+        spark.read.parquet(s"$sfDir/events.parquet"), k).persist()
+      val nDocs = docs.count(); val nEmb = emb.count(); events.count()
       val queries: Seq[(String, () => DataFrame)] = Seq(
         "x16_winnow_pairs" -> (() => Dedup.winnowPairs(docs, "doc_id", "text", minShared = 5)),
         "x04_ngram_jaccard" -> (() => {
@@ -241,15 +253,37 @@ object StressBench {
             "src", "dst")
         }),
       )
+      val extra: Seq[(String, () => DataFrame)] = Seq(
+        // trigram novelty: replica text verbatim ⇒ every non-first
+        // replica's grams are corpus-duplicated (the first key wins) —
+        // gram census rows grow K×, the min-doc window stays gram-keyed;
+        // wall must stay ~linear (the work is O(total grams))
+        "x121_novelty" -> (() =>
+          graft.ops.TextOps.ngramNovelty(docs, "doc_id", "text", n = 3)),
+        // phrase search: posting lists grow K× (verbatim text), the
+        // (doc, start) joins stay integer equi-joins — ~linear
+        "x120_phrase" -> (() =>
+          graft.ops.TextOps.phraseSearch(docs, "doc_id", "text", "table part")),
+        // sliding HLL: hour axis FIXED, per-hour stream and true user
+        // cardinality K× (re-keyed users) — the register table stays at
+        // (hours × ≤256) rows, so the trailing-union window cost is FLAT
+        // and only the one corpus scan grows
+        "x135_hll_sliding" -> (() =>
+          graft.ops.Sketches.hllSliding(events,
+            F.call_function("div", graft.ops.EventOps.tsUs(events),
+              F.lit(3600000000L)),
+            F.col("user_id"), windowBuckets = 24)),
+      )
+      val allQueries = queries ++ extra
       val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      val results = queries.filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
+      val results = allQueries.filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn().write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[stress] $name: ${e.getMessage}") }
         name -> (System.nanoTime() - t0) / 1e9
       }
-      docs.unpersist(); emb.unpersist()
+      docs.unpersist(); emb.unpersist(); events.unpersist()
       val qs = results.map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
       println(s"""{"metric":"stress","scale":$k,"nDocs":$nDocs,"nEmb":$nEmb,"queries":$qs,"sf":"$sfDir"}""")
     }

@@ -2586,6 +2586,47 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map("a>b>c" -> 2L, "b>c>a" -> 1L), out.toString)
   }
 
+  test("ngramContainment: a quote scores 1 against its source; direction asymmetric") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val out = graft.ops.Dedup.ngramContainment(pairs, docs, "doc_id", "text")
+      .as[(Long, Long, Int, Int, Int, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    val q = out((1L, 2L))
+    assert(q._6 == 1.0, q.toString)        // doc 1 fully contained in doc 2
+    assert(q._7 < 1.0, q.toString)         // doc 2 NOT contained in doc 1
+    assert(out((1L, 3L))._6 == 0.0, out((1L, 3L)).toString)
+  }
+
+  test("funnelReachWithin: conversions outside the deadline do not advance") {
+    def row(u: Long, id: Long, et: String, sec: Long) =
+      (u, id, et, sec * 1000000L)
+    val ev = Seq(
+      row(1, 1, "view", 0), row(1, 2, "click", 100),      // converts in time
+      row(2, 3, "view", 0), row(2, 4, "click", 5000),     // too late (> 1h)
+      row(3, 5, "view", 0)                                // never clicks
+    ).toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", F.timestamp_micros(F.col("us"))).drop("us")
+    val out = graft.ops.EventOps.funnelReachWithin(ev,
+      Seq("view", "click"), withinUs = 3600L * 1000000L)
+      .as[(Int, String, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(out == Map(1 -> 3L, 2 -> 1L), out.toString)
+  }
+
+  test("degreeAssortativity: star = -1; regular graph NULL; edge count halves the sym pairs") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val sOut = graft.ops.Graph.degreeAssortativity(star, "s", "d").collect().head
+    assert(sOut.getLong(0) == 3L && sOut.getDouble(1) == -1.0, sOut.toString)
+    // triangle: every degree 2 -> zero variance -> NULL r
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("s", "d")
+    val tOut = graft.ops.Graph.degreeAssortativity(tri, "s", "d").collect().head
+    assert(tOut.getLong(0) == 3L && tOut.isNullAt(1), tOut.toString)
+  }
+
   test("leadLagCorr: planted 2-day lead found at its lag; self-corr = 1 at lag 0") {
     // b(t) = a(t - 2): perfect correlation at lag +2 (b trails a by 2)
     val a = (1 to 30).map(i => (i, (i * 7 % 13).toDouble)).toDF("t", "v")
