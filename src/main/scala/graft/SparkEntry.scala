@@ -1816,6 +1816,43 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           F.col("source"), F.col("lang"))),
 
+    // cross-split duplicate-leakage audit: id-keyed train/val/test split +
+    // text-fingerprint census with per-split conditional counts — "how
+    // many test docs did training see?" (testdata's seeded exact dups
+    // cross the id-keyed boundary by construction)
+    "x146_split_leakage" -> ((s, dir) =>
+      Curation.splitLeakage(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("split_a", "split_b")),
+
+    // Zipf-exponent census per source over token frequencies: the
+    // "natural text vs key-value spam" tail readout, grouped power-law MLE
+    "x147_zipf_by_source" -> ((s, dir) => {
+      val deg = s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("source"), F.explode(F.filter(
+          F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), "\\s+"),
+          t => F.length(t) > 0)).as("t"))
+        .groupBy("source", "t").agg(F.count(F.lit(1)).as("d"))
+      graft.ops.Stats.powerlawAlphaBy(deg, Seq("source"), F.col("d"), dmin = 2)
+        .orderBy("source")
+    }),
+
+    // duplicate-cluster SIZE DISTRIBUTION over x23's chain graph: the
+    // dedup report "how much of the corpus sits in clusters of size k" —
+    // components → size census → size-of-sizes rollup
+    "x148_cluster_sizes" -> ((s, dir) => {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val pairs = ids.select(F.col("doc_id").as("a"), (F.col("doc_id") + 1).as("b"))
+        .filter(F.col("a") % 10 < 3)
+        .join(ids.select(F.col("doc_id").as("b")), Seq("b"), "leftsemi")
+      graft.ops.Components.connectedComponents(pairs)
+        .groupBy("component").agg(F.count(F.lit(1)).as("size"))
+        .groupBy("size").agg(F.count(F.lit(1)).as("n_clusters"),
+          F.sum("size").as("n_nodes"))
+        .orderBy("size")
+    }),
+
     // asymmetric n-gram CONTAINMENT over x22's deterministic pair list:
     // the dedup-policy direction signal (a quote scores ~1 against its
     // source even when Jaccard is low) — pair-list-bounded, both
@@ -4104,6 +4141,80 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Curation.splitLeakage: x41's split CASE keyed on doc_id,
+    // text-md5 fingerprint census, per-pair shared-fp and cross-product
+    // totals
+    "x146_split_leakage" ->
+      """WITH a AS (
+        |  SELECT md5(coalesce(text, '')) AS fp,
+        |    CASE WHEN '0' || substring(md5(doc_id::VARCHAR), 1, 4) < '0cccd'
+        |           THEN 'train'
+        |         WHEN '0' || substring(md5(doc_id::VARCHAR), 1, 4) < '0e666'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), c AS (
+        |  SELECT fp,
+        |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
+        |    sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cv,
+        |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cs
+        |  FROM a GROUP BY fp
+        |), g AS (
+        |  SELECT
+        |    sum(CASE WHEN ct > 0 AND cv > 0 THEN 1 ELSE 0 END) AS f_tv,
+        |    sum(ct * cv) AS p_tv,
+        |    sum(CASE WHEN ct > 0 AND cs > 0 THEN 1 ELSE 0 END) AS f_ts,
+        |    sum(ct * cs) AS p_ts,
+        |    sum(CASE WHEN cv > 0 AND cs > 0 THEN 1 ELSE 0 END) AS f_vs,
+        |    sum(cv * cs) AS p_vs
+        |  FROM c
+        |)
+        |SELECT * FROM (
+        |  SELECT 'train' AS split_a, 'val' AS split_b,
+        |    f_tv::BIGINT AS n_shared_fps, p_tv::BIGINT AS n_leak_pairs FROM g
+        |  UNION ALL
+        |  SELECT 'train', 'test', f_ts::BIGINT, p_ts::BIGINT FROM g
+        |  UNION ALL
+        |  SELECT 'val', 'test', f_vs::BIGINT, p_vs::BIGINT FROM g
+        |) ORDER BY split_a, split_b""".stripMargin,
+
+    // mirrors Stats.powerlawAlphaBy over per-source token frequencies
+    "x147_zipf_by_source" ->
+      """WITH deg AS (
+        |  SELECT source, t, count(*) AS d FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> length(x) > 0)) AS t
+        |    FROM documents) GROUP BY 1, 2
+        |), t2 AS (
+        |  SELECT source, round(ln(d::DOUBLE / 1.5), 9) AS t
+        |  FROM deg WHERE d::DOUBLE >= 2.0
+        |)
+        |SELECT source, count(*) AS n_tail, 2 AS dmin,
+        |  round(1.0 + count(*)::DOUBLE / nullif(sum(t), 0.0), 6) AS alpha
+        |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // mirrors the x148 composition: x23's reachability components + a
+    // size census + a size-of-sizes rollup
+    "x148_cluster_sizes" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 10 < 3
+        |), e AS (
+        |  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+        |), r AS (
+        |  SELECT x AS v, x AS u FROM e
+        |  UNION
+        |  SELECT r.v, e.y FROM r JOIN e ON e.x = r.u
+        |), comp AS (
+        |  SELECT v, min(u) AS component FROM r GROUP BY v
+        |), sz AS (
+        |  SELECT component, count(*) AS size FROM comp GROUP BY component
+        |)
+        |SELECT size, count(*) AS n_clusters, sum(size)::BIGINT AS n_nodes
+        |FROM sz GROUP BY size ORDER BY size""".stripMargin,
 
     // mirrors Dedup.ngramContainment: x22's shingle sets + pair list,
     // intersection/size counts, both rounded direction ratios

@@ -21,6 +21,7 @@ object Writers {
   case object Json extends Format { val name = "json" }
   case object Parquet extends Format { val name = "parquet" }
   case object Avro extends Format { val name = "avro" }
+  case object Orc extends Format { val name = "orc" } // beyond-reference
   case object Table extends Format { val name = "table" }
 
   def parseFormat(s: String): Format = s.toLowerCase match {
@@ -28,6 +29,7 @@ object Writers {
     case "json" => Json
     case "parquet" => Parquet
     case "avro" => Avro
+    case "orc" => Orc
     case "table" | "tbl" => Table
     case other => throw OutputError(s"unsupported format: $other")
   }
@@ -44,6 +46,7 @@ object Writers {
         case "json" => Some(Json)
         case "parquet" => Some(Parquet)
         case "avro" => Some(Avro)
+        case "orc" => Some(Orc)
         case "table" | "tbl" => Some(Table)
         case _ => None
       }
@@ -54,7 +57,7 @@ object Writers {
         throw OutputError(s"--format ${b.name} conflicts with destination extension ${a.name}")
       case (Some(a), _) => a
       case (None, Some(b)) =>
-        if ((b == Parquet || b == Avro) && to.forall(_ == "-"))
+        if ((b == Parquet || b == Avro || b == Orc) && to.forall(_ == "-"))
           throw OutputError(s"${b.name} cannot be written to stdout") // main.rs:188-191
         b
       case (None, None) => Table
@@ -69,7 +72,7 @@ object Writers {
     case Table => print(formatTable(df))
     case _ =>
       val toStdout = dest.forall(_ == "-")
-      if (toStdout && (fmt == Parquet || fmt == Avro))
+      if (toStdout && (fmt == Parquet || fmt == Avro || fmt == Orc))
         throw OutputError(s"${fmt.name} cannot be written to stdout") // main.rs:188-191
       val tmp = Files.createTempDirectory("graft-out").toString
       val w = df.coalesce(1).write.mode("overwrite")
@@ -77,6 +80,7 @@ object Writers {
         case Csv => w.option("header", "true").csv(tmp)
         case Json => w.json(tmp)
         case Parquet => w.parquet(tmp)
+        case Orc => w.orc(tmp)
         // beyond-reference sink symmetry for the graft-avro source; the
         // hadoop committer nests part files under the output dir directly
         case Avro => graft.sources.AvroWrite.write(df.coalesce(1), tmp + "/av")

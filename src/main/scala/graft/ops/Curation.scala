@@ -210,6 +210,52 @@ object Curation {
       .filter(F.col("n_docs") >= minDocs)
   }
 
+  /** Cross-split duplicate-LEAKAGE audit: after an id-keyed train/val/test
+    * assignment, how many duplicate text fingerprints span split
+    * boundaries — i.e. how many test documents the model will have
+    * "seen" in training? (Content-keyed splits — [[Sampling.splitAssign]]
+    * on the TEXT — avoid this by construction; id- or URL-keyed splits,
+    * which are common because they keep provenance together, do not. This
+    * is the check that tells you which situation you are in.)
+    *
+    * One fingerprint census with per-split conditional counts (map-side
+    * collapsed), then the per-pair totals unfold from a single global
+    * aggregate row ([[graft.ops.Stats.corrPairs]]' explode trick). For
+    * each unordered split pair: the number of shared fingerprints and the
+    * total leaked doc pairs Σ cntA·cntB.
+    *
+    * @return (split_a, split_b, n_shared_fps, n_leak_pairs)
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   weights: Seq[(String, Double)],
+                   salt: String = ""): DataFrame = {
+    require(weights.size >= 2, "splitLeakage needs at least two splits")
+    val assigned = Sampling.splitAssign(docs, F.col(idCol), weights, salt)
+    val fp = assigned.select(F.col("split"),
+      F.md5(F.coalesce(F.col(textCol), F.lit(""))).as("__fp"))
+    val names = weights.map(_._1)
+    val cntCols = names.map(n =>
+      F.sum(F.when(F.col("split") === n, 1L).otherwise(0L)).as(s"__c_$n"))
+    val counts = fp.groupBy("__fp").agg(cntCols.head, cntCols.tail: _*)
+    val pairs = for { i <- names.indices; j <- names.indices if i < j }
+      yield (names(i), names(j))
+    val aggCols: Seq[Column] =
+      pairs.map { case (a, b) =>
+        F.sum(F.when(F.col(s"__c_$a") > 0L && F.col(s"__c_$b") > 0L, 1L)
+          .otherwise(0L)).as(s"__f_${a}__$b") } ++
+      pairs.map { case (a, b) =>
+        F.sum(F.col(s"__c_$a") * F.col(s"__c_$b")).as(s"__p_${a}__$b") }
+    val agg = counts.groupBy().agg(aggCols.head, aggCols.tail: _*)
+    agg
+      .select(F.explode(F.array(pairs.map { case (a, b) =>
+        F.struct(F.lit(a).as("split_a"), F.lit(b).as("split_b"),
+          F.col(s"__f_${a}__$b").as("n_shared_fps"),
+          F.col(s"__p_${a}__$b").as("n_leak_pairs"))
+      }: _*)).as("__r"))
+      .select("__r.split_a", "__r.split_b", "__r.n_shared_fps",
+        "__r.n_leak_pairs")
+  }
+
   /** Quantile-normalized score BLENDING — the DataComp/model-ensemble
     * filtering move: heterogeneous quality signals (length, perplexity,
     * classifier logits…) are not comparable on their raw scales, so each

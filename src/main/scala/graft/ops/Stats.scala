@@ -399,6 +399,26 @@ object Stats {
           F.nullif(F.col("__s"), F.lit(0.0)), 6).as("alpha"))
   }
 
+  /** [[powerlawAlpha]] per group — the Zipf-exponent census across corpus
+    * slices ("does source X's token-frequency tail look like natural
+    * text, α ≈ 2, or like key-value spam?"). Same 9-dp ln terms, one
+    * partial-aggregated pass, group-count rows out. */
+  def powerlawAlphaBy(degrees: DataFrame, groupCols: Seq[String],
+                      value: Column, dmin: Int = 2): DataFrame = {
+    require(dmin >= 2, s"dmin must be >= 2 (the -0.5 shift needs d > 1), got $dmin")
+    val d = value.cast("double")
+    degrees
+      .filter(d >= dmin.toDouble)
+      .select(groupCols.map(F.col) :+
+        F.round(F.log(d / (dmin.toDouble - 0.5)), 9).as("__t"): _*)
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n_tail"), F.sum("__t").as("__s"))
+      .select(groupCols.map(F.col) :+ F.col("n_tail") :+
+        F.lit(dmin).as("dmin") :+
+        F.round(F.lit(1.0) + F.col("n_tail").cast("double") /
+          F.nullif(F.col("__s"), F.lit(0.0)), 6).as("alpha"): _*)
+  }
+
   /** nDCG@k of a ranking against graded relevance judgments — the
     * ranking-quality readout for retrieval stacks (and for "how aligned
     * are two league tables" audits when relevance is derived from a

@@ -11,7 +11,9 @@ import java.io.File
   */
 object Registrar {
 
-  val SupportedFileTypes = Set("csv", "json", "parquet", "avro") // main.rs:25
+  // main.rs:25 lists csv/json/parquet/avro; orc is beyond-reference (the
+  // Spark-native columnar sibling — reader/writer ship with the distro)
+  val SupportedFileTypes = Set("csv", "json", "parquet", "avro", "orc")
 
   final case class SourceError(msg: String) extends RuntimeException(msg)
 
@@ -45,6 +47,7 @@ object Registrar {
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     case Some("json") => spark.read.json(path) // Spark's reader is NDJSON-native
     case Some("parquet") => spark.read.parquet(path)
+    case Some("orc") => spark.read.orc(path) // beyond-reference, Spark-native
     case Some("avro") =>
       // Beyond-reference: pq DECLARES avro and never implements it (its
       // DataFusion branch is `unimplemented!` — /root/reference/src/main.rs:25,

@@ -109,6 +109,29 @@ class CliSpec extends AnyFunSuite {
     assert(new java.io.File(out).isFile, "single-file output, not a part dir")
   }
 
+  test("end-to-end: orc sink and orc source round-trip (beyond-reference format)") {
+    implicit val spark = SparkTest.session
+    val dir = java.nio.file.Files.createTempDirectory("cli-orc")
+    val csv = dir.resolve("sales.csv")
+    java.nio.file.Files.writeString(csv,
+      "region,amount\neast,10\nwest,30\neast,5\n")
+    val out = dir.resolve("totals.orc").toString
+    Cli.run(Cli.parseArgs(Array(
+      "-f", csv.toString, "--to", out,
+      "from sales | group region (aggregate [total = sum amount]) | sort region")))
+    assert(new java.io.File(out).isFile, "single-file orc output")
+    // the orc file registers back as a source by extension
+    val res = dir.resolve("back.csv").toString
+    Cli.run(Cli.parseArgs(Array("-f", out, "--to", res, "from totals | sort region")))
+    val back = java.nio.file.Files.readString(java.nio.file.Paths.get(res))
+    assert(back.contains("east,15") && back.contains("west,30"), back)
+    // orc cannot stream to stdout, like parquet (main.rs:188-191 rule)
+    val err = intercept[graft.io.Writers.OutputError] {
+      graft.io.Writers.inferFormat(Some("-"), Some("orc"))
+    }
+    assert(err.getMessage.contains("stdout"), err.getMessage)
+  }
+
   test("end-to-end: --sql passthrough and table output to stdout") {
     implicit val spark = SparkTest.session
     val bos = new java.io.ByteArrayOutputStream()

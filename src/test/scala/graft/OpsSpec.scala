@@ -2586,6 +2586,41 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map("a>b>c" -> 2L, "b>c>a" -> 1L), out.toString)
   }
 
+  test("splitLeakage: cross-split dup texts counted; within-split dups ignored") {
+    // force split by id parity-ish: use a salt-free id split over a
+    // constructed table where we can P(dup crosses) deterministically by
+    // checking the actual assignment first
+    val docs = (1L to 200L).map(i => (i, s"text-${i % 50}")).toDF("doc_id", "text")
+    val weights = Seq("train" -> 0.5, "test" -> 0.5)
+    val assigned = graft.ops.Sampling.splitAssign(docs, F.col("doc_id"), weights)
+    // ground truth: per text the split counts
+    val truth = assigned.groupBy("text").agg(
+      F.sum(F.when(F.col("split") === "train", 1L).otherwise(0L)).as("ct"),
+      F.sum(F.when(F.col("split") === "test", 1L).otherwise(0L)).as("cs"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val expFps = truth.count { case (a, b) => a > 0 && b > 0 }.toLong
+    val expPairs = truth.map { case (a, b) => a * b }.sum
+    val out = graft.ops.Curation.splitLeakage(docs, "doc_id", "text", weights)
+      .as[(String, String, Long, Long)].collect().head
+    assert(out == (("train", "test", expFps, expPairs)), s"$out vs ($expFps, $expPairs)")
+    assert(expFps > 0, "fixture must actually leak") // 4 copies of each text
+  }
+
+  test("powerlawAlphaBy: per-group alpha equals the global formula per slice") {
+    val deg = (Seq(("a", 2L), ("a", 4L), ("a", 8L), ("a", 1L)) ++
+      Seq(("b", 3L), ("b", 9L), ("b", 27L))).toDF("g", "d")
+    val out = graft.ops.Stats.powerlawAlphaBy(deg, Seq("g"), F.col("d"), 2)
+      .as[(String, Long, Int, Double)].collect().map(t => t._1 -> t).toMap
+    def alpha(ds: Seq[Double]) = {
+      val terms = ds.map(d => BigDecimal(math.log(d / 1.5)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+      BigDecimal(1.0 + ds.size / terms.sum).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out("a") == (("a", 3L, 2, alpha(Seq(2, 4, 8)))), out("a").toString)
+    assert(out("b") == (("b", 3L, 2, alpha(Seq(3, 9, 27)))), out("b").toString)
+  }
+
   test("ngramContainment: a quote scores 1 against its source; direction asymmetric") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"),
