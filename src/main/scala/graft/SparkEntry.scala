@@ -1816,6 +1816,37 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           F.col("source"), F.col("lang"))),
 
+    // language-ID confusion matrix vs declared labels: the classifier
+    // audit for the x09 heuristic — per (declared, predicted) census +
+    // per-declared-language share, windows over the tiny matrix
+    "x149_lang_confusion" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("lang"), TextOps.langId(F.col("text")).as("pred"))
+      d.groupBy("lang", "pred").agg(F.count(F.lit(1)).as("n"))
+        .withColumn("share", F.round(F.col("n").cast("double") /
+          F.sum("n").over(Window.partitionBy("lang")), 6))
+        .orderBy("lang", "pred")
+    }),
+
+    // sequence-packing efficiency report: per source, bins / tokens /
+    // mean fill (exact integer sums — no float avg) / near-full share —
+    // the padding-waste readout on x33's packing
+    "x150_packing_efficiency" -> ((s, dir) => {
+      val packed = Curation.packSequences(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("n_tokens", TextOps.tokenCount(F.col("text"))),
+        "source", "doc_id", "n_tokens", maxTokens = 512)
+      packed.groupBy("source", "bin")
+        .agg(F.sum("n_tokens").as("tok"), F.count(F.lit(1)).as("n_docs"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_bins"),
+          F.sum("tok").as("n_tokens"),
+          F.sum(F.when(F.col("tok") >= 461L, 1L).otherwise(0L)).as("n_full"))
+        .withColumn("mean_fill", F.round(
+          F.col("n_tokens").cast("double") / (F.lit(512.0) * F.col("n_bins")), 6))
+        .orderBy("source")
+    }),
+
     // cross-split duplicate-leakage audit: id-keyed train/val/test split +
     // text-fingerprint census with per-split conditional counts — "how
     // many test docs did training see?" (testdata's seeded exact dups
@@ -4141,6 +4172,56 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors the x149 confusion matrix: x09's langId CASE chain + the
+    // census + a per-declared-language share window
+    "x149_lang_confusion" ->
+      """WITH scored AS (
+        |  SELECT lang, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), hits AS (
+        |  SELECT lang, text,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','is','in'))) AS en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','nicht'))) AS de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS fr,
+        |    len(list_filter(toks, x -> x IN ('el','los','las','y','es','un','que'))) AS es
+        |  FROM scored
+        |), pred AS (
+        |  SELECT lang,
+        |    CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |         WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |         WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |         WHEN fr >= es AND fr > 0 THEN 'fr'
+        |         WHEN es > 0 THEN 'es'
+        |         ELSE 'und' END AS pred
+        |  FROM hits
+        |), c AS (
+        |  SELECT lang, pred, count(*) AS n FROM pred GROUP BY 1, 2
+        |)
+        |SELECT lang, pred, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 6) AS share
+        |FROM c ORDER BY lang, pred""".stripMargin,
+
+    // mirrors the x150 report over x33's packing formula: per-(source,
+    // bin) integer token sums, near-full threshold 461, exact mean fill
+    "x150_packing_efficiency" ->
+      """WITH packed AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    (coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 512)::BIGINT AS bin
+        |  FROM (SELECT doc_id, source,
+        |          len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |        FROM documents)
+        |), bins AS (
+        |  SELECT source, bin, sum(n_tokens)::BIGINT AS tok
+        |  FROM packed GROUP BY 1, 2
+        |)
+        |SELECT source, count(*) AS n_bins, sum(tok)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN tok >= 461 THEN 1 ELSE 0 END)::BIGINT AS n_full,
+        |  round(sum(tok)::DOUBLE / (512.0 * count(*)), 6) AS mean_fill
+        |FROM bins GROUP BY source ORDER BY source""".stripMargin,
 
     // mirrors Curation.splitLeakage: x41's split CASE keyed on doc_id,
     // text-md5 fingerprint census, per-pair shared-fp and cross-product
