@@ -1816,6 +1816,32 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           F.col("source"), F.col("lang"))),
 
+    // rendezvous-hash routing with the minimal-movement property made
+    // visible: assign orders to 8 workers, re-assign with w7 removed —
+    // ONLY w7's keys move (a mod-N routing would move 7/8 of them)
+    "x151_rendezvous" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet").select("o_orderkey")
+      val shards = (0 until 8).map(i => s"w$i")
+      val a8 = graft.ops.Scale.rendezvousAssign(ord, F.col("o_orderkey"), shards)
+        .select(F.col("o_orderkey"), F.col("shard").as("s8"))
+      val a7 = graft.ops.Scale.rendezvousAssign(ord, F.col("o_orderkey"),
+          shards.filterNot(_ == "w7"))
+        .select(F.col("o_orderkey"), F.col("shard").as("s7"))
+      a8.join(a7, "o_orderkey")
+        .groupBy("s8").agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.when(F.col("s8") =!= F.col("s7"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .orderBy("s8")
+    }),
+
+    // RFM quartile segmentation per user: one per-user rollup + three
+    // deterministic ntile(4) windows over the aggregate (metric, user)
+    // total orders
+    "x152_rfm" -> ((s, dir) =>
+      graft.ops.EventOps.rfmScores(
+          s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("user_id")),
+
     // language-ID confusion matrix vs declared labels: the classifier
     // audit for the x09 heuristic — per (declared, predicted) census +
     // per-declared-language share, windows over the tiny matrix
@@ -4172,6 +4198,53 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Scale.rendezvousAssign: per-(key, shard) md5, argmax by
+    // (h desc, shard desc) — the struct-max tie rule — for both shard
+    // sets, movement census
+    "x151_rendezvous" ->
+      """WITH k AS (
+        |  SELECT o_orderkey, o_orderkey::VARCHAR AS ks FROM orders
+        |), h8 AS (
+        |  SELECT o_orderkey, s, md5(s || ':' || ks) AS h
+        |  FROM k CROSS JOIN (SELECT unnest(
+        |    ['w0','w1','w2','w3','w4','w5','w6','w7']) AS s)
+        |), a8 AS (
+        |  SELECT o_orderkey, s AS s8 FROM (
+        |    SELECT o_orderkey, s, row_number()
+        |      OVER (PARTITION BY o_orderkey ORDER BY h DESC, s DESC) AS rn
+        |    FROM h8) WHERE rn = 1
+        |), h7 AS (
+        |  SELECT o_orderkey, s, md5(s || ':' || ks) AS h
+        |  FROM k CROSS JOIN (SELECT unnest(
+        |    ['w0','w1','w2','w3','w4','w5','w6']) AS s)
+        |), a7 AS (
+        |  SELECT o_orderkey, s AS s7 FROM (
+        |    SELECT o_orderkey, s, row_number()
+        |      OVER (PARTITION BY o_orderkey ORDER BY h DESC, s DESC) AS rn
+        |    FROM h7) WHERE rn = 1
+        |)
+        |SELECT a8.s8, count(*) AS n,
+        |  sum(CASE WHEN a8.s8 <> a7.s7 THEN 1 ELSE 0 END)::BIGINT AS n_moved
+        |FROM a8 JOIN a7 USING (o_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mirrors EventOps.rfmScores: per-user rollup + SQL-standard ntile(4)
+    // over (metric, user) total orders
+    "x152_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS n_events,
+        |    round(sum(value), 6) AS total_value
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, last_us, n_events, total_value,
+        |  ntile(4) OVER (ORDER BY last_us, user_id)::INT AS r,
+        |  ntile(4) OVER (ORDER BY n_events, user_id)::INT AS f,
+        |  ntile(4) OVER (ORDER BY total_value, user_id)::INT AS m,
+        |  (ntile(4) OVER (ORDER BY last_us, user_id) * 100
+        |    + ntile(4) OVER (ORDER BY n_events, user_id) * 10
+        |    + ntile(4) OVER (ORDER BY total_value, user_id))::INT AS rfm
+        |FROM per ORDER BY user_id""".stripMargin,
 
     // mirrors the x149 confusion matrix: x09's langId CASE chain + the
     // census + a per-declared-language share window

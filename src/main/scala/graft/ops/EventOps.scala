@@ -295,6 +295,37 @@ object EventOps {
           .as("lift"))
   }
 
+  /** RFM (recency / frequency / monetary) quartile scoring per user — the
+    * classic customer-value segmentation. Per user one rollup (last event
+    * µs, event count, 6-dp value total), then three `ntile(4)` windows
+    * over the per-user table with total orders (metric, user) so every
+    * bucket boundary is deterministic and engine-identical (SQL-standard
+    * ntile: earlier buckets absorb the remainder, same rule in Spark and
+    * DuckDB). Recency ranks DESCENDING (most recent = quartile 4 = best,
+    * matching frequency/monetary where bigger is better);
+    * `rfm = r·100 + f·10 + m`.
+    *
+    * The windows run over the per-user AGGREGATE (the q09 post-aggregate
+    * rule), not the event stream; at true 100 TB user counts swap ntile
+    * for [[graft.ops.Curation.rankBlend]]'s sampled boundaries.
+    *
+    * @return (user_id, last_us, n_events, total_value, r, f, m, rfm)
+    */
+  def rfmScores(events: DataFrame,
+                userCol: String = "user_id"): DataFrame = {
+    val us = tsUs(events)
+    val per = events.groupBy(F.col(userCol))
+      .agg(F.max(us).as("last_us"), F.count(F.lit(1)).as("n_events"),
+        F.round(F.sum("value"), 6).as("total_value"))
+    def q(order: Seq[Column]) = F.ntile(4).over(
+      Window.orderBy(order :+ F.col(userCol).asc: _*))
+    per
+      .withColumn("r", q(Seq(F.col("last_us").asc)))
+      .withColumn("f", q(Seq(F.col("n_events").asc)))
+      .withColumn("m", q(Seq(F.col("total_value").asc)))
+      .withColumn("rfm", F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+  }
+
   /** Seasonal z-score anomaly detection on hourly volumes: each (type,
     * date, hour) count is scored against the SAME-HOUR-OF-DAY baseline
     * (mean/sd across dates) — "is 3 a.m. Tuesday unusual *for 3 a.m.*?"

@@ -173,6 +173,29 @@ object Scale {
       .agg(F.count(F.lit(1)).as("n_rows"),
         F.min(keyCol).as("min_key"), F.max(keyCol).as("max_key"))
 
+  /** Rendezvous (highest-random-weight) shard assignment: key K belongs
+    * to the shard maximizing `md5(shard ':' K)` — the consistent-routing
+    * rule whose selling point is MINIMAL MOVEMENT: removing one of N
+    * shards reassigns only ~1/N of keys (each orphaned key falls to its
+    * second-highest shard; everyone else's argmax is untouched), where a
+    * `hash(K) mod N` routing reshuffles (N−1)/N of the corpus. The
+    * decision is a pure codegen projection over shard-name literals — no
+    * ring state, no lookup table, engine-replayable (argmax by (hash,
+    * shard) over md5 hex strings, which collate identically everywhere).
+    *
+    * @return df + `shard` column
+    */
+  def rendezvousAssign(df: DataFrame, key: Column,
+                       shards: Seq[String]): DataFrame = {
+    require(shards.nonEmpty, "rendezvousAssign needs at least one shard")
+    require(shards.distinct.size == shards.size, s"duplicate shards: $shards")
+    val k = F.coalesce(key.cast("string"), F.lit(""))
+    val best = F.array_max(F.array(shards.map(s =>
+      F.struct(F.md5(F.concat(F.lit(s + ":"), k)).as("h"),
+        F.lit(s).as("shard"))): _*))
+    df.withColumn("shard", best.getField("shard"))
+  }
+
   /** Morton (Z-order) code: interleave the low `bits` bits of `x` and `y`
     * into one key whose RANGE ORDER is 2-D locality — consecutive z values
     * are near each other in BOTH dimensions. Sorting or range-sharding a

@@ -2586,6 +2586,43 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map("a>b>c" -> 2L, "b>c>a" -> 1L), out.toString)
   }
 
+  test("rendezvousAssign: deterministic; removing one shard moves ONLY its keys") {
+    val keys = (1L to 500L).toDF("k")
+    val shards = (0 until 5).map(i => s"n$i")
+    val a = graft.ops.Scale.rendezvousAssign(keys, F.col("k"), shards)
+      .as[(Long, String)].collect().toMap
+    val b = graft.ops.Scale.rendezvousAssign(keys, F.col("k"), shards)
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "assignment must be deterministic")
+    // every shard gets a reasonable share (md5 is uniform)
+    val byShard = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.size == 5 && byShard.values.forall(_ > 50), byShard.toMap.toString)
+    // remove n4: exactly n4's keys move, nobody else's assignment changes
+    val without = graft.ops.Scale.rendezvousAssign(keys, F.col("k"),
+      shards.filterNot(_ == "n4")).as[(Long, String)].collect().toMap
+    a.foreach { case (k, s) =>
+      if (s == "n4") assert(without(k) != "n4", s"key $k must leave n4")
+      else assert(without(k) == s, s"key $k moved needlessly: $s -> ${without(k)}")
+    }
+  }
+
+  test("rfmScores: quartiles rank the planted extremes; rfm composes digits") {
+    // 8 users: user i has i events at second i with value i
+    val ev = (1L to 8L).flatMap(u => (1L to u).map(j =>
+      (u, u * 1000000L, j.toDouble))).toDF("user_id", "us", "value")
+      .withColumn("ts", F.timestamp_micros(F.col("us"))).drop("us")
+    val out = graft.ops.EventOps.rfmScores(ev)
+      .as[(Long, Long, Long, Double, Int, Int, Int, Int)].collect()
+      .map(t => t._1 -> t).toMap
+    // user 8: most recent, most events, highest total -> 444
+    assert(out(8L)._8 == 444, out(8L).toString)
+    // user 1: oldest, fewest, lowest -> 111
+    assert(out(1L)._8 == 111, out(1L).toString)
+    // 8 users into 4 tiles -> 2 per tile on every axis
+    assert(out.values.count(_._5 == 1) == 2 && out.values.count(_._5 == 4) == 2,
+      out.values.map(_._5).toSeq.sorted.toString)
+  }
+
   test("splitLeakage: cross-split dup texts counted; within-split dups ignored") {
     // force split by id parity-ish: use a salt-free id split over a
     // constructed table where we can P(dup crosses) deterministically by
