@@ -1816,6 +1816,67 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           F.col("source"), F.col("lang"))),
 
+    // tokenizer-fertility census per language: chars per whitespace token
+    // and per BPE-ish piece from EXACT integer sums — the "how expensive
+    // is this language for my tokenizer" readout behind vocab sizing
+    "x153_fertility" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("lang"), F.col("n_chars"),
+          TextOps.tokenCount(F.col("text")).as("ws"),
+          TextOps.bpeishTokenCount(F.col("text")).as("bp"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("n_chars").as("n_chars"),
+          F.sum("ws").as("n_ws_tokens"),
+          F.sum("bp").as("n_bpeish"))
+        .withColumn("chars_per_ws", F.round(
+          F.col("n_chars").cast("double") / F.col("n_ws_tokens"), 6))
+        .withColumn("chars_per_bpeish", F.round(
+          F.col("n_chars").cast("double") / F.col("n_bpeish"), 6))
+        .orderBy("lang")),
+
+    // per-source exact-duplication rate: share of docs whose text md5
+    // already appeared on a smaller doc_id — the provenance-level dedup
+    // report (which source is feeding me copies?)
+    "x154_dup_rate" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("doc_id"), F.col("source"),
+          F.md5(F.coalesce(F.col("text"), F.lit(""))).as("fp"))
+      d.withColumn("first", F.min("doc_id").over(Window.partitionBy("fp")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.when(F.col("doc_id") =!= F.col("first"), 1L)
+            .otherwise(0L)).as("n_dups"))
+        .withColumn("dup_rate", F.round(
+          F.col("n_dups").cast("double") / F.col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
+    // dwell-time (time-to-next-action) quantiles per event type: lead
+    // gaps over the per-user (µs, event_id) order, p50/p90 by the integer
+    // rank selection over one type-keyed window
+    "x155_dwell_quantiles" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val us = graft.ops.EventOps.tsUs(ev)
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(us.asc, F.col("event_id").asc)
+      val gaps = ev
+        .withColumn("__dwell", F.lead(us, 1).over(byUser) - us)
+        .filter(F.col("__dwell").isNotNull)
+        .select(F.col("event_type"), F.col("event_id"), F.col("__dwell"))
+      val w = Window.partitionBy("event_type")
+      gaps
+        .withColumn("__rn", F.row_number().over(
+          w.orderBy(F.col("__dwell").asc, F.col("event_id").asc)))
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("q", F.explode(F.array(F.lit(0.5), F.lit(0.9))))
+        .filter(F.col("__rn") === F.greatest(F.lit(1L),
+          F.floor(F.col("q") * F.col("__n"))))
+        .select(F.col("event_type"), F.col("q"),
+          F.col("__dwell").as("dwell_us"), F.col("__n").as("n_gaps"))
+        .orderBy("event_type", "q")
+    }),
+
     // rendezvous-hash routing with the minimal-movement property made
     // visible: assign orders to 8 workers, re-assign with w7 removed —
     // ONLY w7's keys move (a mod-N routing would move 7/8 of them)
@@ -4198,6 +4259,61 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors the x153 fertility census: x11's token formulas + exact
+    // integer sums, two rounded divisions
+    "x153_fertility" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars,
+        |    len(string_split_regex(trim(text), '\s+')) AS ws,
+        |    len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bp
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+        |  sum(ws)::BIGINT AS n_ws_tokens, sum(bp)::BIGINT AS n_bpeish,
+        |  round(sum(n_chars)::DOUBLE / sum(ws), 6) AS chars_per_ws,
+        |  round(sum(n_chars)::DOUBLE / sum(bp), 6) AS chars_per_bpeish
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // mirrors the x154 dup-rate report: text-md5 window min, per-source
+    // later-copy census
+    "x154_dup_rate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(coalesce(text, '')) AS fp
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, source,
+        |    min(doc_id) OVER (PARTITION BY fp) AS first
+        |  FROM d
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN doc_id <> first THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+        |  round(sum(CASE WHEN doc_id <> first THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS dup_rate
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // mirrors the x155 dwell quantiles: lead gaps over (µs, event_id) per
+    // user, the max(1, floor(q·n)) rank selection per type
+    "x155_dwell_quantiles" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, event_id,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      - us AS dwell
+        |  FROM e
+        |), r AS (
+        |  SELECT event_type, dwell,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dwell, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE dwell IS NOT NULL
+        |)
+        |SELECT event_type, q, dwell AS dwell_us, n AS n_gaps
+        |FROM r CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS q)
+        |WHERE rn = greatest(1, floor(q * n::DOUBLE))
+        |ORDER BY event_type, q""".stripMargin,
 
     // mirrors Scale.rendezvousAssign: per-(key, shard) md5, argmax by
     // (h desc, shard desc) — the struct-max tie rule — for both shard
