@@ -1816,6 +1816,39 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           F.col("source"), F.col("lang"))),
 
+    // winsorization at the sampled 1st/99th percentile (integer-rank
+    // bounds as plan literals, shuffle-free clip) — summary row makes the
+    // clipping itself the verified value
+    "x156_winsorize" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Stats.winsorize(li, F.col("l_extendedprice"),
+          F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+          pLo = 0.01, pHi = 0.99)
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.when(F.col("l_extendedprice") < F.col("lo"), 1L)
+            .otherwise(0L)).as("n_clipped_lo"),
+          F.sum(F.when(F.col("l_extendedprice") > F.col("hi"), 1L)
+            .otherwise(0L)).as("n_clipped_hi"),
+          F.min("lo").as("lo"), F.min("hi").as("hi"))
+    }),
+
+    // last-touch attribution census for purchases within 6 h: one
+    // user-keyed window (last non-conversion struct, IGNORE NULLS),
+    // stale touches credit 'direct'
+    "x157_attribution" -> ((s, dir) =>
+      graft.ops.EventOps.lastTouchAttribution(
+          s.read.parquet(s"$dir/events.parquet"), "purchase",
+          windowUs = 21600000000L)
+        .orderBy("touch_type")),
+
+    // Flesch-style readability per doc: three regex counts, pure codegen
+    // projection — the prose-complexity quality gate
+    "x158_readability" -> ((s, dir) =>
+      TextOps.withReadability(
+          s.read.parquet(s"$dir/documents.parquet"), "text")
+        .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch")
+        .orderBy("doc_id")),
+
     // tokenizer-fertility census per language: chars per whitespace token
     // and per BPE-ish piece from EXACT integer sums — the "how expensive
     // is this language for my tokenizer" readout behind vocab sizing
@@ -4259,6 +4292,82 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Stats.winsorize: same integer-keyed sample, same
+    // max(1, floor(p·n)) rank bounds, clip census
+    "x156_winsorize" ->
+      """WITH s AS (
+        |  SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+        |  WHERE substring(md5((l_orderkey * 10 + l_linenumber)::VARCHAR),
+        |    1, 4) < '199a'
+        |), r AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM s
+        |), b AS (
+        |  SELECT
+        |    min(CASE WHEN rn = greatest(1, floor(0.01 * n::DOUBLE))
+        |      THEN v END) AS lo,
+        |    min(CASE WHEN rn = greatest(1, floor(0.99 * n::DOUBLE))
+        |      THEN v END) AS hi
+        |  FROM r
+        |)
+        |SELECT count(*) AS n,
+        |  sum(CASE WHEN l_extendedprice < b.lo THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_clipped_lo,
+        |  sum(CASE WHEN l_extendedprice > b.hi THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_clipped_hi,
+        |  min(b.lo) AS lo, min(b.hi) AS hi
+        |FROM lineitem CROSS JOIN b""".stripMargin,
+
+    // mirrors EventOps.lastTouchAttribution: last non-conversion struct
+    // via IGNORE NULLS over the (µs, event_id) user window, 6-h bound,
+    // direct fallback, share
+    "x157_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type, us,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN struct_pack(tus := us, ttype := event_type) END
+        |      IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e
+        |), c AS (
+        |  SELECT CASE WHEN touch IS NOT NULL
+        |      AND us - touch.tus <= 21600000000
+        |    THEN touch.ttype ELSE 'direct' END AS touch_type
+        |  FROM t WHERE event_type = 'purchase'
+        |), g AS (
+        |  SELECT touch_type, count(*) AS n_conversions FROM c GROUP BY 1
+        |)
+        |SELECT touch_type, n_conversions,
+        |  round(n_conversions::DOUBLE / sum(n_conversions) OVER (), 6)
+        |    AS share
+        |FROM g ORDER BY touch_type""".stripMargin,
+
+    // mirrors TextOps.withReadability: the three regex counts + the
+    // Flesch expression tree, sentence floor 1, NULL on zero words
+    "x158_readability" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'))::INT
+        |    AS n_words,
+        |  greatest(1, len(regexp_extract_all(coalesce(text, ''),
+        |    '[.!?]+')))::INT AS n_sentences,
+        |  len(regexp_extract_all(lower(coalesce(text, '')),
+        |    '[aeiouy]+'))::INT AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (len(regexp_extract_all(coalesce(text, ''),
+        |        '[A-Za-z0-9]+'))::DOUBLE
+        |      / greatest(1, len(regexp_extract_all(coalesce(text, ''),
+        |          '[.!?]+')))::DOUBLE)
+        |    - 84.6 * (len(regexp_extract_all(lower(coalesce(text, '')),
+        |        '[aeiouy]+'))::DOUBLE
+        |      / nullif(len(regexp_extract_all(coalesce(text, ''),
+        |          '[A-Za-z0-9]+'))::DOUBLE, 0.0)), 4) AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // mirrors the x153 fertility census: x11's token formulas + exact
     // integer sums, two rounded divisions

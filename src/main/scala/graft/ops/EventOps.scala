@@ -295,6 +295,44 @@ object EventOps {
           .as("lift"))
   }
 
+  /** Last-touch attribution: for every conversion event, which event type
+    * was the user's most recent PRECEDING non-conversion touch within
+    * `windowUs` — the classic marketing-credit census. One user-keyed
+    * window (the sessionize partitioning): `last(non-conv struct) IGNORE
+    * NULLS` over rows-to-−1 gives each row its latest touch, conversions
+    * filter, the window bound drops stale touches to 'direct'.
+    *
+    * @return (touch_type, n_conversions, share) — touch 'direct' when no
+    *         in-window touch precedes the conversion
+    */
+  def lastTouchAttribution(events: DataFrame, convType: String,
+                           windowUs: Long,
+                           userCol: String = "user_id",
+                           tieCol: String = "event_id"): DataFrame = {
+    require(windowUs > 0L, s"windowUs must be positive, got $windowUs")
+    val us = tsUs(events)
+    val w = Window.partitionBy(userCol)
+      .orderBy(us.asc, F.col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = events
+      .withColumn("__us", us)
+      .withColumn("__touch", F.last(
+        F.when(F.col("event_type") =!= convType,
+          F.struct(F.col("__us").as("tus"),
+            F.col("event_type").as("ttype"))),
+        ignoreNulls = true).over(w))
+    val convs = touched.filter(F.col("event_type") === convType)
+      .select(F.when(F.col("__touch").isNotNull &&
+          F.col("__us") - F.col("__touch.tus") <= windowUs,
+          F.col("__touch.ttype"))
+        .otherwise(F.lit("direct")).as("touch_type"))
+    val counts = convs.groupBy("touch_type")
+      .agg(F.count(F.lit(1)).as("n_conversions"))
+    counts.withColumn("share", F.round(
+      F.col("n_conversions").cast("double") /
+        F.sum("n_conversions").over(Window.partitionBy()), 6))
+  }
+
   /** RFM (recency / frequency / monetary) quartile scoring per user — the
     * classic customer-value segmentation. Per user one rollup (last event
     * µs, event count, 6-dp value total), then three `ntile(4)` windows

@@ -334,6 +334,41 @@ object Stats {
           F.lit(0.0)), 6))
   }
 
+  /** Winsorization bounds + clipping from SAMPLED integer-rank
+    * percentiles — the outlier-taming pass before means/regressions that
+    * a corrupt 1e30 reading would otherwise eat, without the global sort
+    * an exact percentile needs. Bounds come from an md5-keyed sample (the
+    * [[graft.ops.Scale.rangeShardAssign]] machinery: rank
+    * `max(1, ⌊p·n⌋)`, no interpolation), become plan literals, and the
+    * clip is a shuffle-free `greatest/least` projection.
+    *
+    * The sample is keyed on `sampleKey` — pass a stable INTEGER/STRING
+    * row key, never the double value itself (double-to-string rendering
+    * is not engine-portable — the benfordAudit rule).
+    *
+    * @return df + `clipped` (+ the bounds as literal columns lo/hi)
+    */
+  def winsorize(df: DataFrame, value: Column, sampleKey: Column,
+                pLo: Double, pHi: Double,
+                samplePrefix: String = "199a",
+                maxSample: Int = 1 << 20): DataFrame = {
+    require(pLo > 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"need 0 < pLo < pHi <= 1, got [$pLo, $pHi]")
+    val v = value.cast("double")
+    val sample = df
+      .filter(F.substring(F.md5(sampleKey.cast("string")), 1, 4) < samplePrefix)
+      .select(v.as("__v")).limit(maxSample + 1).collect()
+    require(sample.nonEmpty, "winsorize: empty sample — widen samplePrefix")
+    require(sample.length <= maxSample,
+      s"winsorize: sample exceeds maxSample=$maxSample — tighten samplePrefix")
+    val keys = sample.map(_.getDouble(0)).sorted
+    val n = keys.length.toLong
+    def at(p: Double) = keys((math.max(1L, (p * n).toLong) - 1L).toInt)
+    val (lo, hi) = (at(pLo), at(pHi))
+    df.withColumn("lo", F.lit(lo)).withColumn("hi", F.lit(hi))
+      .withColumn("clipped", F.greatest(F.lit(lo), F.least(F.lit(hi), v)))
+  }
+
   /** Lead–lag cross-correlation between two (t, value) series: Pearson r
     * of `a_t` against `b_{t+lag}` for every lag in `−maxLag..maxLag` —
     * "do clicks lead purchases, and by how many days?". Positive lag =

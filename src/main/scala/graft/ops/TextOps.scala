@@ -1040,6 +1040,33 @@ object TextOps {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Flesch-style readability score — the classic prose-complexity gate
+    * (low = academic/legalese, ~60-80 = plain prose, high = fragments):
+    * {{{ 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) }}}
+    * with sentences = terminal-punctuation runs (min 1) and syllables
+    * approximated as vowel-group runs — ALL THREE counts one regex pass
+    * each (same class in Java regex and RE2), so the score is a pure
+    * codegen projection, engine-replayable, no UDF.
+    *
+    * @return df + n_words, n_sentences, n_syllables, flesch (4-dp; NULL
+    *         on an empty doc)
+    */
+  def withReadability(df: DataFrame, textCol: String): DataFrame = {
+    val t = F.coalesce(F.col(textCol), F.lit(""))
+    val words = F.regexp_count(t, F.lit("[A-Za-z0-9]+"))
+    val sents = F.greatest(F.lit(1), F.regexp_count(t, F.lit("[.!?]+")))
+    val sylls = F.regexp_count(F.lower(t), F.lit("[aeiouy]+"))
+    df.withColumn("n_words", words)
+      .withColumn("n_sentences", sents)
+      .withColumn("n_syllables", sylls)
+      .withColumn("flesch", F.round(
+        F.lit(206.835) -
+          F.lit(1.015) * (F.col("n_words").cast("double") /
+            F.col("n_sentences").cast("double")) -
+          F.lit(84.6) * (F.col("n_syllables").cast("double") /
+            F.nullif(F.col("n_words").cast("double"), F.lit(0.0))), 4))
+  }
+
   /** Token BURSTINESS census: variance-to-mean ratio of each token's
     * per-document occurrence counts across the WHOLE corpus (zeros
     * included) — VMR ≈ 1 is Poisson background vocabulary, VMR ≫ 1 is

@@ -307,6 +307,36 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** STREAM-STREAM interval join: attribute each live conversion to the
+    * same user's touches within the trailing window — the continuous
+    * feed of the batch last-touch census. This is Structured Streaming's
+    * stream-stream inner join: BOTH sides watermarked, and the join
+    * condition carries the event-time bound `conv.ts − window ≤ touch.ts
+    * ≤ conv.ts`, which is what lets the engine EVICT touch state once the
+    * conversion-side watermark passes it — an unbounded-condition
+    * stream-stream join would accumulate state forever.
+    *
+    * Emits one row per (touch, conversion) pair in the window; downstream
+    * aggregation (count per touch type, pick latest) composes as normal
+    * streaming ops.
+    */
+  def attributionStream(touches: Dataset[TypedEvent],
+                        conversions: Dataset[TypedEvent],
+                        windowMinutes: Int = 60,
+                        watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(windowMinutes > 0, s"windowMinutes must be positive, got $windowMinutes")
+    val t = touches.toDF("t_user", "t_ts", "t_type")
+      .withWatermark("t_ts", watermarkDelay)
+    val c = conversions.toDF("c_user", "c_ts", "c_type")
+      .withWatermark("c_ts", watermarkDelay)
+    c.join(t,
+      F.col("t_user") === F.col("c_user") &&
+        F.col("t_ts") <= F.col("c_ts") &&
+        F.col("t_ts") >= F.col("c_ts") - F.expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(F.col("c_user").as("user_id"), F.col("t_type").as("touch_type"),
+        F.col("t_ts").as("touch_ts"), F.col("c_ts").as("conv_ts"))
+  }
+
   final case class Metric(key: String, ts: Timestamp, value: Long)
   final case class CusumState(p: Long, minP: Long)
   final case class CusumOut(key: String, ts: Timestamp, value: Long, cusum: Long)

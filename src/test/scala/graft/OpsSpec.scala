@@ -2586,6 +2586,51 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map("a>b>c" -> 2L, "b>c>a" -> 1L), out.toString)
   }
 
+  test("winsorize: sampled rank bounds clip exactly; inliers untouched") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = graft.ops.Stats.winsorize(df, F.col("v"), F.col("id"),
+      pLo = 0.05, pHi = 0.95, samplePrefix = "ffff") // whole table sampled
+      .select("id", "v", "lo", "hi", "clipped")
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    val (lo, hi) = (out(1L)._3, out(1L)._4)
+    assert(lo == 5.0 && hi == 95.0, s"bounds ($lo, $hi)")
+    assert(out(1L)._5 == 5.0 && out(100L)._5 == 95.0, "tails clipped")
+    assert(out(50L)._5 == 50.0, "inlier untouched")
+  }
+
+  test("lastTouchAttribution: recent touch credited; stale and absent go direct") {
+    def r(u: Long, id: Long, et: String, sec: Long) = (u, id, et, sec * 1000000L)
+    val ev = Seq(
+      r(1, 1, "click", 0), r(1, 2, "purchase", 100),      // click credited
+      r(2, 3, "view", 0), r(2, 4, "purchase", 90000),     // stale (> 1h) -> direct
+      r(3, 5, "purchase", 50),                            // no touch -> direct
+      r(4, 6, "view", 0), r(4, 7, "click", 10), r(4, 8, "purchase", 20) // LAST touch wins
+    ).toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", F.timestamp_micros(F.col("us"))).drop("us")
+    val out = graft.ops.EventOps.lastTouchAttribution(ev, "purchase",
+      windowUs = 3600L * 1000000L)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> t._2).toMap
+    assert(out == Map("click" -> 2L, "direct" -> 2L), out.toString)
+  }
+
+  test("withReadability: hand counts and score; empty doc NULL score") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),  // 6 words, 2 sentences, 6 syllable runs
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.withReadability(df, "text")
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getInt(1) == 6 && r1.getInt(2) == 2, r1.toString)
+    val sy = r1.getInt(3)
+    val exp = BigDecimal(206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (sy / 6.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getDouble(4) == exp, s"${r1.getDouble(4)} vs $exp")
+    assert(out(2L).isNullAt(4), "empty doc -> NULL flesch")
+  }
+
   test("rendezvousAssign: deterministic; removing one shard moves ONLY its keys") {
     val keys = (1L to 500L).toDF("k")
     val shards = (0 until 5).map(i => s"n$i")

@@ -421,6 +421,33 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join pairs touches with in-window conversions only") {
+    implicit val sqlCtx = spark.sqlContext
+    val touches = MemoryStream[StreamOps.TypedEvent]
+    val convs = MemoryStream[StreamOps.TypedEvent]
+    val q = StreamOps.attributionStream(touches.toDS(), convs.toDS(),
+      windowMinutes = 60)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      // u1: click 10 min before purchase -> pair; u2: touch > 1 h before
+      // -> no pair; u3: touch AFTER the conversion -> no pair
+      touches.addData(
+        StreamOps.TypedEvent(1L, ts(10), "click"),
+        StreamOps.TypedEvent(2L, ts(0), "view"),
+        StreamOps.TypedEvent(3L, ts(83), "click"))
+      convs.addData(
+        StreamOps.TypedEvent(1L, ts(20), "purchase"),
+        StreamOps.TypedEvent(2L, ts(130), "purchase"),
+        StreamOps.TypedEvent(3L, ts(66), "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .as[(Long, String, Timestamp, Timestamp)].collect()
+        .map(t => (t._1, t._2)).toSet
+      assert(got == Set((1L, "click")), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming CUSUM carries the two-long state across batches and matches the closed form") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark
