@@ -1816,6 +1816,21 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           F.col("source"), F.col("lang"))),
 
+    // code-vs-prose routing heuristic over seeded code suffixes (mod-4
+    // docs get a code-ish tail): symbol density + keyword hits + ident
+    // count, one codegen projection — the code-subcorpus routing gate
+    "x159_code_detect" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("t2", F.when(F.col("doc_id") % 4 === 0,
+          F.concat(F.col("text"), F.lit(
+            " def compute_value(x): return x1 + myVar;} import os")))
+          .otherwise(F.col("text")))
+      TextOps.withCodeScore(docs, "t2")
+        .select("doc_id", "n_symbols", "n_code_keywords", "n_idents",
+          "code_score")
+        .orderBy("doc_id")
+    }),
+
     // winsorization at the sampled 1st/99th percentile (integer-rank
     // bounds as plan literals, shuffle-free clip) — summary row makes the
     // clipping itself the verified value
@@ -4292,6 +4307,37 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors TextOps.withCodeScore over the same seeded suffixes: the
+    // three regex counts + the weighted least(1, ·) tree
+    "x159_code_detect" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text ||
+        |      ' def compute_value(x): return x1 + myVar;} import os'
+        |    ELSE text END AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(coalesce(t, ''),
+        |      '[{}()\[\]=;<>]'))::INT AS n_symbols,
+        |    len(regexp_extract_all(coalesce(t, ''),
+        |      '\b(def|class|import|return|function|var|const|if|else)\b'))::INT
+        |      AS n_code_keywords,
+        |    len(regexp_extract_all(coalesce(t, ''),
+        |      '\b[a-z]+(?:_[a-z0-9]+|[A-Z][a-z0-9]+)\w*\b'))::INT
+        |      AS n_idents,
+        |    greatest(1, length(coalesce(t, ''))) AS chars,
+        |    greatest(1, len(string_split_regex(trim(coalesce(t, '')),
+        |      '\s+'))) AS toks
+        |  FROM d
+        |)
+        |SELECT doc_id, n_symbols, n_code_keywords, n_idents,
+        |  round(least(1.0,
+        |    4.0 * (n_symbols::DOUBLE / chars::DOUBLE)
+        |    + 0.1 * (n_code_keywords::DOUBLE / toks::DOUBLE)
+        |    + 2.0 * (n_idents::DOUBLE / toks::DOUBLE)), 6) AS code_score
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // mirrors Stats.winsorize: same integer-keyed sample, same
     // max(1, floor(p·n)) rank bounds, clip census

@@ -1040,6 +1040,40 @@ object TextOps {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Code-vs-prose detection heuristic — the routing signal a training
+    * pipeline uses to send documents to the code subcorpus (or keep them
+    * out of it): symbol density (`{}()[]=;<>` per char), code-keyword
+    * hits (`def`/`class`/`import`/`return`/`function`/`var`/`const`/
+    * `if`/`else` as whole words), and camelCase/snake_case identifier
+    * count, combined into a 0-1ish score. All regex counts — a pure
+    * codegen projection, engine-replayable, no model.
+    *
+    * score = round(least(1, 4·symbol_ratio + 0.1·keywords_per_token +
+    * 2·ident_ratio), 6); the weights are a heuristic gate, not a
+    * calibrated classifier — feed [[classifierScore]] for a learned one.
+    *
+    * @return df + n_symbols, n_code_keywords, n_idents, code_score
+    */
+  def withCodeScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = F.coalesce(F.col(textCol), F.lit(""))
+    val symbols = F.regexp_count(t, F.lit("[{}()\\[\\]=;<>]"))
+    val keywords = F.regexp_count(t, F.lit(
+      "\\b(def|class|import|return|function|var|const|if|else)\\b"))
+    val idents = F.regexp_count(t, F.lit(
+      "\\b[a-z]+(?:_[a-z0-9]+|[A-Z][a-z0-9]+)\\w*\\b"))
+    val toks = F.greatest(F.lit(1), tokenCount(t))
+    val chars = F.greatest(F.lit(1), F.length(t))
+    df.withColumn("n_symbols", symbols)
+      .withColumn("n_code_keywords", keywords)
+      .withColumn("n_idents", idents)
+      .withColumn("code_score", F.round(F.least(F.lit(1.0),
+        F.lit(4.0) * (F.col("n_symbols").cast("double") / chars.cast("double")) +
+          F.lit(0.1) * (F.col("n_code_keywords").cast("double") /
+            toks.cast("double")) +
+          F.lit(2.0) * (F.col("n_idents").cast("double") /
+            toks.cast("double"))), 6))
+  }
+
   /** Flesch-style readability score — the classic prose-complexity gate
     * (low = academic/legalese, ~60-80 = plain prose, high = fragments):
     * {{{ 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) }}}

@@ -2614,6 +2614,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map("click" -> 2L, "direct" -> 2L), out.toString)
   }
 
+  test("withCodeScore: code scores above prose; counts are exact") {
+    val df = Seq(
+      (1L, "def total_sum(xs): return sum(xs) if xs else 0"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val out = TextOps.withCodeScore(df, "text")
+      .select("doc_id", "n_symbols", "n_code_keywords", "n_idents", "code_score")
+      .as[(Long, Int, Int, Int, Double)].collect().map(t => t._1 -> t).toMap
+    val code = out(1L); val prose = out(2L)
+    // def, return, if, else = 4 keywords; (xs): ( ) ( ) = symbols; total_sum snake
+    assert(code._3 == 4 && code._2 >= 4 && code._4 >= 1, code.toString)
+    assert(prose._2 == 0 && prose._3 == 0 && prose._4 == 0, prose.toString)
+    assert(code._5 > prose._5 && prose._5 == 0.0, s"$code vs $prose")
+  }
+
   test("withReadability: hand counts and score; empty doc NULL score") {
     val df = Seq(
       (1L, "The cat sat. The dog ran!"),  // 6 words, 2 sentences, 6 syllable runs
