@@ -203,4 +203,61 @@ class PropertySpec extends AnyFunSuite {
       assert(got == exp)
     }
   }
+
+  // ---- operator-library laws on random data (round 10) ----
+
+  test("law: cusumDrift is non-negative, and zero everywhere when v always <= K") {
+    import org.apache.spark.sql.{functions => F}
+    forAll(Gen.listOfN(30, Gen.choose(0L, 20L))) { vs =>
+      val df = toDf(vs.zipWithIndex.map { case (v, i) =>
+        (i, "g", v.toDouble) })
+      val out = graft.ops.EventOps.cusumDrift(df, Seq("name"), F.col("id"),
+        F.col("value"), target = 20L)
+        .select("cusum").collect().map(_.getLong(0))
+      assert(out.forall(_ >= 0L), out.mkString(","))
+      assert(out.forall(_ == 0L), s"v <= K everywhere must never alarm: ${out.mkString(",")}")
+    }
+  }
+
+  test("law: gini is scale-invariant in the masses and bounded by [0, 1)") {
+    import org.apache.spark.sql.{functions => F}
+    forAll(Gen.listOfN(12, Gen.choose(1L, 50L))) { xs =>
+      val base = toDf(xs.zipWithIndex.map { case (x, i) => (i, "g", x.toDouble) })
+      def g(mult: Long): Double =
+        graft.ops.Stats.gini(
+          base.withColumn("m", F.col("value").cast("long") * mult),
+          Seq("name"), F.col("m"))
+          .select("gini").collect().head.getDouble(0)
+      val (g1, g3) = (g(1L), g(3L))
+      assert(g1 >= 0.0 && g1 < 1.0, g1.toString)
+      assert(g1 == g3, s"scaling every mass x3 must not move gini: $g1 vs $g3")
+    }
+  }
+
+  test("law: rrfFuse of a ranking with ITSELF preserves that ranking's order") {
+    import org.apache.spark.sql.{functions => F}
+    forAll(Gen.choose(3, 12)) { n =>
+      val r = toDf((1 to n).map(i => (i, "q", i.toDouble)).toList)
+        .select(F.lit("q").as("q"), F.col("id").cast("string").as("i"),
+          F.col("id").as("rk"))
+      val fused = graft.ops.Similarity.rrfFuse(Seq(r, r), "q", "i", "rk",
+        topK = n)
+        .orderBy("fused_rank").select("item").collect().map(_.getString(0))
+      assert(fused.toSeq == (1 to n).map(_.toString),
+        s"self-fusion must be order-preserving: ${fused.mkString(",")}")
+    }
+  }
+
+  test("law: hashSample(r1) is a SUBSET of hashSample(r2) when r1 <= r2 (nested samples)") {
+    import org.apache.spark.sql.{functions => F}
+    forAll(tableGen) { rows =>
+      val df = toDf(rows)
+      def ids(rate: Double) = graft.ops.Sampling.hashSample(df,
+        F.concat_ws(":", F.col("id"), F.col("name")), rate)
+        .select("id", "name").collect().map(_.toString).toSet
+      val (s2, s5) = (ids(0.2), ids(0.5))
+      assert(s2.subsetOf(s5),
+        s"md5-interval samples must nest: ${(s2 -- s5).take(3)}")
+    }
+  }
 }
