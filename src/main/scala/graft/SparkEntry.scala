@@ -1816,6 +1816,31 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           F.col("source"), F.col("lang"))),
 
+    // frame-level dedup across videos: the sampled-frame stream (x114's
+    // md5-kind twin path through the SAME mapPartitions stub) fingerprints
+    // each 16-byte frame slice and counts corpus-duplicate frames — the
+    // video-pipeline dedup composition with the decode still honestly
+    // stubbed
+    "x160_frame_dedup" -> ((s, dir) => {
+      implicit val sp = s
+      val md = s.read.parquet(s"$dir/documents.parquet").select(
+        F.col("doc_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+          (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+            .cast("long") % 3 + 1).cast("int")).as("kind"),
+        F.lit(1).as("width"), F.lit(1).as("height"),
+        F.encode(F.col("text"), "UTF-8").as("media"))
+      val frames = Multimodal.sampleFrames(md).toDF()
+      frames
+        .select(F.md5(F.col("frame").cast("string")).as("fp"),
+          (F.col("doc_id") * 100 + F.col("frame_idx")).as("pos"))
+        .withColumn("first", F.min("pos").over(Window.partitionBy("fp")))
+        .agg(F.count(F.lit(1)).as("n_frames"),
+          F.countDistinct("fp").as("n_distinct"),
+          F.sum(F.when(F.col("pos") =!= F.col("first"), 1L).otherwise(0L))
+            .as("n_dup"))
+    }),
+
     // code-vs-prose routing heuristic over seeded code suffixes (mod-4
     // docs get a code-ish tail): symbol density + keyword hits + ident
     // count, one codegen projection — the code-subcorpus routing gate
@@ -4307,6 +4332,37 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors the x160 frame-dedup: x114's kind/duration replay + the
+    // trunc((ts/dur)*len) slice position, 16-char frame substring, md5
+    // fingerprint, first-occurrence window
+    "x160_frame_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (('0x' || substring(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 3) AS kr,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id, len, greatest(1, len // 100) AS dur
+        |  FROM m WHERE kr = 2
+        |), f AS (
+        |  SELECT doc_id, len, dur,
+        |    unnest(range(0, least(8, dur // 1000 + 1))) AS fi
+        |  FROM v
+        |), fr AS (
+        |  SELECT doc_id * 100 + fi AS pos,
+        |    md5(substring(text,
+        |      least(trunc((fi * 1000)::DOUBLE / dur * len)::INT,
+        |        greatest(len - 16, 0)) + 1,
+        |      least(16, len - least(trunc((fi * 1000)::DOUBLE / dur * len)::INT,
+        |        greatest(len - 16, 0))))) AS fp
+        |  FROM f JOIN documents USING (doc_id)
+        |), w AS (
+        |  SELECT fp, pos, min(pos) OVER (PARTITION BY fp) AS first FROM fr
+        |)
+        |SELECT count(*) AS n_frames, count(DISTINCT fp) AS n_distinct,
+        |  sum(CASE WHEN pos <> first THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        |FROM w""".stripMargin,
 
     // mirrors TextOps.withCodeScore over the same seeded suffixes: the
     // three regex counts + the weighted least(1, ·) tree
