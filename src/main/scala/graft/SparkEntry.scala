@@ -1816,6 +1816,37 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           F.col("source"), F.col("lang"))),
 
+    // per-type trimmed mean of event values (10% off each end by integer
+    // rank) — the robust center between winsorize and the median
+    "x161_trimmed_mean" -> ((s, dir) =>
+      graft.ops.Stats.trimmedMean(
+          s.read.parquet(s"$dir/events.parquet"),
+          Seq("event_type"), F.col("value"), F.col("event_id"), trim = 0.1)
+        .orderBy("event_type")),
+
+    // session conversion rate by ENTRY type: which landing event converts
+    // — sessionize + first-event rank + a per-session purchase flag, all
+    // on the same (user, session) partitioning
+    "x162_entry_conversion" -> ((s, dir) => {
+      val sess = graft.ops.EventOps.sessionize(
+        s.read.parquet(s"$dir/events.parquet"))
+      val us = graft.ops.EventOps.tsUs(sess)
+      val part = Window.partitionBy("user_id", "session_seq")
+      sess
+        .withColumn("__rn1", F.row_number().over(
+          part.orderBy(us.asc, F.col("event_id").asc)))
+        .withColumn("__conv", F.max(
+          F.when(F.col("event_type") === "purchase", 1).otherwise(0))
+          .over(part))
+        .filter(F.col("__rn1") === 1)
+        .groupBy(F.col("event_type").as("entry_type"))
+        .agg(F.count(F.lit(1)).as("n_sessions"),
+          F.sum("__conv").cast("long").as("n_converted"))
+        .withColumn("conv_rate", F.round(
+          F.col("n_converted").cast("double") / F.col("n_sessions"), 6))
+        .orderBy("entry_type")
+    }),
+
     // frame-level dedup across videos: the sampled-frame stream (x114's
     // md5-kind twin path through the SAME mapPartitions stub) fingerprints
     // each 16-byte frame slice and counts corpus-duplicate frames — the
@@ -4332,6 +4363,54 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Stats.trimmedMean: (value, event_id) rank window, the
+    // ceil(t·n) cuts, kept-mass mean
+    "x161_trimmed_mean" ->
+      """WITH r AS (
+        |  SELECT event_type, value::DOUBLE AS v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value::DOUBLE, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  count(CASE WHEN rn > ceil(0.1 * n::DOUBLE)
+        |    AND rn <= n - ceil(0.1 * n::DOUBLE) THEN 1 END) AS n_kept,
+        |  round(sum(CASE WHEN rn > ceil(0.1 * n::DOUBLE)
+        |      AND rn <= n - ceil(0.1 * n::DOUBLE) THEN v END)
+        |    / nullif(count(CASE WHEN rn > ceil(0.1 * n::DOUBLE)
+        |      AND rn <= n - ceil(0.1 * n::DOUBLE) THEN 1 END)::DOUBLE, 0.0),
+        |    6) AS trimmed_mean
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors the x162 composition: x13's sessionize CTE + first-event
+    // rank + per-session purchase flag + the per-entry census
+    "x162_entry_conversion" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |), ranked AS (
+        |  SELECT user_id, session_seq, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY epoch_us(ts), event_id) AS rn1,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id, session_seq) AS conv
+        |  FROM sessions
+        |)
+        |SELECT event_type AS entry_type, count(*) AS n_sessions,
+        |  sum(conv)::BIGINT AS n_converted,
+        |  round(sum(conv)::DOUBLE / count(*), 6) AS conv_rate
+        |FROM ranked WHERE rn1 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // mirrors the x160 frame-dedup: x114's kind/duration replay + the
     // trunc((ts/dur)*len) slice position, 16-char frame substring, md5

@@ -334,6 +334,41 @@ object Stats {
           F.lit(0.0)), 6))
   }
 
+  /** Per-group TRIMMED mean: the mean of values with the lowest and
+    * highest `trim` fraction removed by INTEGER RANK (⌈t·n⌉ rows off each
+    * end) — the robust center that, unlike [[winsorize]], needs no global
+    * bound and, unlike a median, still averages the kept mass. One window
+    * shuffle on the group key (ranks in (value, tie) order), then a
+    * partial-aggregated rollup of the kept rows.
+    *
+    * @return (groupCols…, n, n_kept, trimmed_mean) — 6-dp; NULL when the
+    *         trim swallows the whole group
+    */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String], value: Column,
+                  tie: Column, trim: Double = 0.1): DataFrame = {
+    require(trim >= 0.0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
+    val w = Window.partitionBy(groupCols.map(F.col): _*)
+      .orderBy(value.cast("double").asc, tie.asc)
+    val cut = F.ceil(F.lit(trim) * F.col("__n").cast("double"))
+    df.select(groupCols.map(F.col) :+ value.cast("double").as("__v") :+
+        tie.as("__t"): _*)
+      .withColumn("__rn", F.row_number().over(
+        Window.partitionBy(groupCols.map(F.col): _*)
+          .orderBy(F.col("__v").asc, F.col("__t").asc)))
+      .withColumn("__n", F.count(F.lit(1)).over(
+        Window.partitionBy(groupCols.map(F.col): _*)))
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.max("__n").as("n"),
+        F.count(F.when(F.col("__rn") > cut &&
+          F.col("__rn") <= F.col("__n") - cut, 1)).as("n_kept"),
+        F.round(
+          F.sum(F.when(F.col("__rn") > cut &&
+            F.col("__rn") <= F.col("__n") - cut, F.col("__v"))) /
+            F.nullif(F.count(F.when(F.col("__rn") > cut &&
+              F.col("__rn") <= F.col("__n") - cut, 1)).cast("double"),
+              F.lit(0.0)), 6).as("trimmed_mean"))
+  }
+
   /** Winsorization bounds + clipping from SAMPLED integer-rank
     * percentiles — the outlier-taming pass before means/regressions that
     * a corrupt 1e30 reading would otherwise eat, without the global sort

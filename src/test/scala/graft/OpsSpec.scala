@@ -2586,6 +2586,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map("a>b>c" -> 2L, "b>c>a" -> 1L), out.toString)
   }
 
+  test("trimmedMean: a planted outlier moves the mean but not the trimmed mean") {
+    // 10 clean values 1..10 (mean 5.5) + one 1e6 spike; trim 0.1 cuts
+    // ceil(1.1)=2 rows off each end of the 11 -> keeps ranks 3..9 = 3..9
+    val df = ((1 to 10).map(i => ("t", i.toLong, i.toDouble)) :+
+      (("t", 99L, 1e6))).toDF("g", "id", "v")
+    val out = graft.ops.Stats.trimmedMean(df, Seq("g"), F.col("v"),
+      F.col("id"), trim = 0.1)
+      .as[(String, Long, Long, Double)].collect().head
+    assert(out._2 == 11L && out._3 == 7L, out.toString)
+    assert(out._4 == 6.0, out.toString) // mean of 3..9
+    // trim 0 degenerates to the plain mean
+    val plain = graft.ops.Stats.trimmedMean(df, Seq("g"), F.col("v"),
+      F.col("id"), trim = 0.0)
+      .as[(String, Long, Long, Double)].collect().head
+    assert(plain._3 == 11L, plain.toString)
+  }
+
   test("winsorize: sampled rank bounds clip exactly; inliers untouched") {
     val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val out = graft.ops.Stats.winsorize(df, F.col("v"), F.col("id"),
