@@ -1816,6 +1816,49 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           F.col("source"), F.col("lang"))),
 
+    // dedup byte-savings report per source: how many chars the exact-dup
+    // pass would remove — the capacity argument for running it
+    "x163_dedup_savings" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("doc_id"), F.col("source"), F.col("n_chars"),
+          F.md5(F.coalesce(F.col("text"), F.lit(""))).as("fp"))
+      d.withColumn("first", F.min("doc_id").over(Window.partitionBy("fp")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("n_chars").as("n_chars"),
+          F.sum(F.when(F.col("doc_id") =!= F.col("first"), F.col("n_chars"))
+            .otherwise(F.lit(0L))).as("chars_dup"))
+        .withColumn("savings", F.round(
+          F.col("chars_dup").cast("double") / F.col("n_chars"), 6))
+        .orderBy("source")
+    }),
+
+    // Gopher-rule ABLATION: per rule, total failures and MARGINAL kills
+    // (docs failing only that rule) — which gate does the work, and which
+    // is redundant; one pass, rows unfold from the aggregate (the
+    // corrPairs explode trick)
+    "x164_gopher_ablation" -> ((s, dir) => {
+      val g = TextOps.withGopherRules(
+        s.read.parquet(s"$dir/documents.parquet"), "text",
+        minTokens = 20, maxTokens = 80, minMeanTokLen = 3.0,
+        maxMeanTokLen = 10.0, minStopHits = 2, maxDupBigramFrac = 0.2)
+      val rules = Seq("r_ntok", "r_toklen", "r_stop", "r_rep")
+      def others(r: String) =
+        rules.filterNot(_ == r).map(F.col).reduce(_ && _)
+      val aggs = Seq(F.count(F.lit(1)).as("n_docs")) ++
+        rules.map(r => F.sum(F.when(!F.col(r), 1L).otherwise(0L))
+          .as(s"__f_$r")) ++
+        rules.map(r => F.sum(F.when(!F.col(r) && others(r), 1L)
+          .otherwise(0L)).as(s"__m_$r"))
+      g.agg(aggs.head, aggs.tail: _*)
+        .select(F.col("n_docs"), F.explode(F.array(rules.map(r =>
+          F.struct(F.lit(r).as("rule"), F.col(s"__f_$r").as("n_fail"),
+            F.col(s"__m_$r").as("n_marginal"))): _*)).as("__r"))
+        .select(F.col("__r.rule").as("rule"), F.col("__r.n_fail"),
+          F.col("__r.n_marginal"), F.col("n_docs"))
+        .orderBy("rule")
+    }),
+
     // per-type trimmed mean of event values (10% off each end by integer
     // rank) — the robust center between winsorize and the median
     "x161_trimmed_mean" -> ((s, dir) =>
@@ -4363,6 +4406,75 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors the x163 savings report: x154's fp window + char-weighted
+    // later-copy census
+    "x163_dedup_savings" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars, md5(coalesce(text, '')) AS fp
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, source, n_chars,
+        |    min(doc_id) OVER (PARTITION BY fp) AS first
+        |  FROM d
+        |)
+        |SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+        |  sum(CASE WHEN doc_id <> first THEN n_chars ELSE 0 END)::BIGINT
+        |    AS chars_dup,
+        |  round(sum(CASE WHEN doc_id <> first THEN n_chars ELSE 0 END)::DOUBLE
+        |    / sum(n_chars), 6) AS savings
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // mirrors the x164 ablation over x55's rule formulas: per-rule total
+    // and only-this-rule failure counts
+    "x164_gopher_ablation" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS nch,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(toks)::INT AS n_tokens,
+        |    (nch - len(toks) + 1)::DOUBLE / greatest(len(toks), 1)
+        |      AS mean_token_len,
+        |    len(list_filter(toks,
+        |      x -> x IN ('the','a','and','of','to','in','is')))::INT
+        |      AS stop_hits,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1)
+        |    ELSE 0.0 END AS dup_bigram_fraction
+        |  FROM t
+        |), r AS (
+        |  SELECT n_tokens BETWEEN 20 AND 80 AS r_ntok,
+        |    mean_token_len BETWEEN 3.0 AND 10.0 AS r_toklen,
+        |    stop_hits >= 2 AS r_stop,
+        |    dup_bigram_fraction <= 0.2 AS r_rep
+        |  FROM m
+        |), a AS (
+        |  SELECT count(*) AS n_docs,
+        |    sum(CASE WHEN NOT r_ntok THEN 1 ELSE 0 END) AS f_ntok,
+        |    sum(CASE WHEN NOT r_ntok AND r_toklen AND r_stop AND r_rep
+        |      THEN 1 ELSE 0 END) AS m_ntok,
+        |    sum(CASE WHEN NOT r_toklen THEN 1 ELSE 0 END) AS f_toklen,
+        |    sum(CASE WHEN NOT r_toklen AND r_ntok AND r_stop AND r_rep
+        |      THEN 1 ELSE 0 END) AS m_toklen,
+        |    sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS f_stop,
+        |    sum(CASE WHEN NOT r_stop AND r_ntok AND r_toklen AND r_rep
+        |      THEN 1 ELSE 0 END) AS m_stop,
+        |    sum(CASE WHEN NOT r_rep THEN 1 ELSE 0 END) AS f_rep,
+        |    sum(CASE WHEN NOT r_rep AND r_ntok AND r_toklen AND r_stop
+        |      THEN 1 ELSE 0 END) AS m_rep
+        |  FROM r
+        |)
+        |SELECT * FROM (
+        |  SELECT 'r_ntok' AS rule, f_ntok::BIGINT AS n_fail,
+        |    m_ntok::BIGINT AS n_marginal, n_docs FROM a
+        |  UNION ALL SELECT 'r_rep', f_rep::BIGINT, m_rep::BIGINT, n_docs FROM a
+        |  UNION ALL SELECT 'r_stop', f_stop::BIGINT, m_stop::BIGINT, n_docs FROM a
+        |  UNION ALL SELECT 'r_toklen', f_toklen::BIGINT, m_toklen::BIGINT,
+        |    n_docs FROM a
+        |) ORDER BY rule""".stripMargin,
 
     // mirrors Stats.trimmedMean: (value, event_id) rank window, the
     // ceil(t·n) cuts, kept-mass mean
