@@ -895,6 +895,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"contingency counts must collapse map-side:\n$p")
   }
 
+  test("trimmedMean: one window shuffle class; kept-mass rollup partial-aggregates") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val p = plan(graft.ops.Stats.trimmedMean(ev, Seq("event_type"),
+      F.col("value"), F.col("event_id")))
+    assert(p.contains("Window"), s"ranks must be a window:\n$p")
+    assert(!p.contains("Join"), s"no join in a one-relation robust mean:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the kept-mass rollup must partial-aggregate:\n$p")
+  }
+
+  test("rendezvousAssign: a pure projection — no shuffle, no join, no state") {
+    val ord = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey")
+    val p = plan(graft.ops.Scale.rendezvousAssign(ord, F.col("o_orderkey"),
+      (0 until 8).map(i => s"w$i")))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"routing is a codegen argmax over literals:\n$p")
+  }
+
+  test("winsorize: clipping is a shuffle-free projection over literal bounds") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = plan(graft.ops.Stats.winsorize(li, F.col("l_extendedprice"),
+      F.col("l_orderkey"), 0.01, 0.99))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"bounds are plan literals; the clip must not shuffle:\n$p")
+  }
+
   test("chi2Tokens: class totals and corpus count ride as broadcasts") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.TextOps.chi2Tokens(docs, "lang", "doc_id", "text"))
