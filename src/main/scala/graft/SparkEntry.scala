@@ -1816,6 +1816,34 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           F.col("source"), F.col("lang"))),
 
+    // KS-style length-distribution drift between source pairs: max CDF
+    // gap over a fixed grid — integer counts per (source, grid point),
+    // pair fan-out bounded by source count (the x110 argument), one
+    // rounded division per cell
+    "x165_ks_drift" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val grid = (0 to 600 by 50).map(_.toLong)
+      val cdf = docs.groupBy("source")
+        .agg((Seq(F.count(F.lit(1)).as("__n")) ++ grid.map(g =>
+          F.sum(F.when(F.col("n_chars") <= g, 1L).otherwise(0L))
+            .as(s"__c_$g"))).head,
+          (Seq(F.count(F.lit(1)).as("__n")) ++ grid.map(g =>
+            F.sum(F.when(F.col("n_chars") <= g, 1L).otherwise(0L))
+              .as(s"__c_$g"))).tail: _*)
+        .select(F.col("source") +: F.col("__n") +: grid.map(g =>
+          F.round(F.col(s"__c_$g").cast("double") / F.col("__n"), 9)
+            .as(s"cdf_$g")): _*)
+      val a = cdf.select(F.col("source").as("a") +:
+        grid.map(g => F.col(s"cdf_$g").as(s"a_$g")): _*)
+      val b = cdf.select(F.col("source").as("b") +:
+        grid.map(g => F.col(s"cdf_$g").as(s"b_$g")): _*)
+      a.crossJoin(b).filter(F.col("a") < F.col("b"))
+        .select(F.col("a"), F.col("b"),
+          F.round(F.greatest(grid.map(g =>
+            F.abs(F.col(s"a_$g") - F.col(s"b_$g"))): _*), 9).as("ks"))
+        .orderBy("a", "b")
+    }),
+
     // dedup byte-savings report per source: how many chars the exact-dup
     // pass would remove — the capacity argument for running it
     "x163_dedup_savings" -> ((s, dir) => {
@@ -4406,6 +4434,36 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors the x165 drift statistic: per-source grid CDF cells, pair
+    // cross join, greatest of the 13 absolute gaps
+    "x165_ks_drift" ->
+      """WITH cdf AS (
+        |  SELECT source, count(*) AS n,
+        |    round(sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 9) AS c0,
+        |    round(sum(CASE WHEN n_chars <= 50 THEN 1 ELSE 0 END)::DOUBLE / count(*), 9) AS c50,
+        |    round(sum(CASE WHEN n_chars <= 100 THEN 1 ELSE 0 END)::DOUBLE / count(*), 9) AS c100,
+        |    round(sum(CASE WHEN n_chars <= 150 THEN 1 ELSE 0 END)::DOUBLE / count(*), 9) AS c150,
+        |    round(sum(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END)::DOUBLE / count(*), 9) AS c200,
+        |    round(sum(CASE WHEN n_chars <= 250 THEN 1 ELSE 0 END)::DOUBLE / count(*), 9) AS c250,
+        |    round(sum(CASE WHEN n_chars <= 300 THEN 1 ELSE 0 END)::DOUBLE / count(*), 9) AS c300,
+        |    round(sum(CASE WHEN n_chars <= 350 THEN 1 ELSE 0 END)::DOUBLE / count(*), 9) AS c350,
+        |    round(sum(CASE WHEN n_chars <= 400 THEN 1 ELSE 0 END)::DOUBLE / count(*), 9) AS c400,
+        |    round(sum(CASE WHEN n_chars <= 450 THEN 1 ELSE 0 END)::DOUBLE / count(*), 9) AS c450,
+        |    round(sum(CASE WHEN n_chars <= 500 THEN 1 ELSE 0 END)::DOUBLE / count(*), 9) AS c500,
+        |    round(sum(CASE WHEN n_chars <= 550 THEN 1 ELSE 0 END)::DOUBLE / count(*), 9) AS c550,
+        |    round(sum(CASE WHEN n_chars <= 600 THEN 1 ELSE 0 END)::DOUBLE / count(*), 9) AS c600
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT x.source AS a, y.source AS b,
+        |  round(greatest(
+        |    abs(x.c0 - y.c0), abs(x.c50 - y.c50), abs(x.c100 - y.c100),
+        |    abs(x.c150 - y.c150), abs(x.c200 - y.c200), abs(x.c250 - y.c250),
+        |    abs(x.c300 - y.c300), abs(x.c350 - y.c350), abs(x.c400 - y.c400),
+        |    abs(x.c450 - y.c450), abs(x.c500 - y.c500), abs(x.c550 - y.c550),
+        |    abs(x.c600 - y.c600)), 9) AS ks
+        |FROM cdf x JOIN cdf y ON x.source < y.source
+        |ORDER BY a, b""".stripMargin,
 
     // mirrors the x163 savings report: x154's fp window + char-weighted
     // later-copy census
