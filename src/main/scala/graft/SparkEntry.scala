@@ -1816,6 +1816,28 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"),
           F.col("source"), F.col("lang"))),
 
+    // cosine RANGE search (radius, not top-k): every neighbor >= 0.4 of
+    // each query — broadcast queries, corpus scanned once, no window
+    "x166_range_search" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.rangeSearch(emb, emb.filter(F.col("vec_id") < 20),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // autocorrelation of the daily event-volume series at lags 0..7 — the
+    // weekly-periodicity readout, leadLagCorr against itself
+    "x167_autocorr" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).as("v"))
+      graft.ops.Stats.leadLagCorr(daily, daily, "t", "v", maxLag = 7)
+        .filter(F.col("lag") >= 0)
+        .orderBy("lag")
+    }),
+
     // KS-style length-distribution drift between source pairs: max CDF
     // gap over a fixed grid — integer counts per (source, grid point),
     // pair fan-out bounded by source count (the x110 argument), one
@@ -4434,6 +4456,42 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Similarity.rangeSearch: x06's cosine replay with the radius
+    // filter on the UNROUNDED cos, 6-dp output
+    "x166_range_search" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 20 AND c.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cos
+        |FROM scored WHERE cos >= 0.4
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // mirrors the x167 autocorrelation: x137's machinery with a = b =
+    // the daily total series, non-negative lags
+    "x167_autocorr" ->
+      """WITH daily AS (
+        |  SELECT (ts::DATE - DATE '1970-01-01') AS t, count(*)::DOUBLE AS v
+        |  FROM events GROUP BY 1
+        |), lags AS (
+        |  SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS lag
+        |), j AS (
+        |  SELECT lag, count(*)::DOUBLE AS n, sum(a.v) AS sx, sum(b.v) AS sy,
+        |    sum(a.v * a.v) AS sxx, sum(b.v * b.v) AS syy,
+        |    sum(a.v * b.v) AS sxy
+        |  FROM lags JOIN daily b ON true JOIN daily a ON b.t - lag = a.t
+        |  GROUP BY lag
+        |)
+        |SELECT lag, n::BIGINT AS n,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0
+        |    THEN round((n * sxy - sx * sy) /
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r
+        |FROM j ORDER BY lag""".stripMargin,
 
     // mirrors the x165 drift statistic: per-source grid CDF cells, pair
     // cross join, greatest of the 13 absolute gaps

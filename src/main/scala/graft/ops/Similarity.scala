@@ -1079,6 +1079,33 @@ object Similarity {
       .select(F.col("query_id"), F.col(idCol).as("neighbor_id"), F.col("score"), F.col("rk"))
   }
 
+  /** RANGE search: every corpus neighbor within cosine ≥ `threshold` of
+    * each query — the radius companion to [[bruteKnn]]'s top-k (dedup
+    * wants "everything this similar", not "the 10 nearest"). Same scale
+    * shape: queries broadcast, the corpus scanned once and never
+    * shuffled; the threshold filter replaces the WindowGroupLimit, so
+    * there is NO window at all — output size is data-dependent, which is
+    * the semantic point.
+    *
+    * @return (query_id, neighbor_id, cos) — cos 6-dp rounded
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, threshold: Double): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"threshold must be in (-1, 1], got $threshold")
+    val c = corpus.withColumn("__nc", l2norm(F.col(vecCol)))
+    val q = F.broadcast(queries
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "__qvec")
+      .withColumn("__nq", l2norm(F.col("__qvec"))))
+    c.join(q, c(idCol) =!= F.col("query_id"))
+      .withColumn("cos",
+        F.when(F.col("__nc") * F.col("__nq") > 0.0d,
+          dot(F.col(vecCol), F.col("__qvec")) / (F.col("__nc") * F.col("__nq"))))
+      .filter(F.col("cos") >= threshold)
+      .select(F.col("query_id"), F.col(idCol).as("neighbor_id"),
+        F.round(F.col("cos"), 6).as("cos"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval rankings
     * — the standard zero-tuning ensemble for hybrid search (dense kNN +
     * BM25 + recency, …): each system contributes `1/(kConst + rank)` per

@@ -2586,6 +2586,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map("a>b>c" -> 2L, "b>c>a" -> 1L), out.toString)
   }
 
+  test("rangeSearch: radius semantics — exactly the neighbors above threshold, no top-k cap") {
+    // planted: q = e1; e2 ~ e1 (cos ~ 0.999), e3 orthogonal-ish, e4 = e1 copy
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Array(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.rangeSearch(vecs,
+      vecs.filter(F.col("vec_id") === 1L), "vec_id", "embedding", 0.6)
+      .as[(Long, Long, Double)].collect().map(_._2).toSet
+    assert(out == Set(2L, 4L), out.toString) // 3 below, 5 at 0.5 below 0.6
+    val loose = graft.ops.Similarity.rangeSearch(vecs,
+      vecs.filter(F.col("vec_id") === 1L), "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().map(_._2).toSet
+    assert(loose == Set(2L, 4L, 5L), loose.toString) // 5 at cos 0.5 enters
+  }
+
   test("trimmedMean: a planted outlier moves the mean but not the trimmed mean") {
     // 10 clean values 1..10 (mean 5.5) + one 1e6 spike; trim 0.1 cuts
     // ceil(1.1)=2 rows off each end of the 11 -> keeps ranks 3..9 = 3..9
