@@ -126,14 +126,20 @@ object Cli {
       case None => Registrar.registerAll(spark, args.from)
       case Some(db) if db.startsWith("postgres") =>
         graft.sources.Connectors.registerPostgres(spark, db, args.from)
+      case Some(db) if db.startsWith("sqlite://") =>
+        // the reference attaches sqlite files via DuckDB's sqlite_scanner
+        // (duckdb.rs:75-83); here a native reader of the public file
+        // format serves the same `-d sqlite://path` contract
+        graft.sources.SqliteV2.registerSqlite(spark, db, args.from)
       case Some(db) =>
-        // sqlite:// and duckdb:// attach embedded single-file engines
-        // (duckdb.rs:75-83,108-112) that Spark has no reader for — round 1
-        // swallowed -d and the user got "unknown table"; fail with the truth
+        // duckdb:// attaches an embedded engine whose storage format is
+        // version-specific and has no Spark reader — round 1 swallowed -d
+        // and the user got "unknown table"; fail with the truth
         throw Writers.OutputError(
           s"database '$db' is not supported by the Spark engine: only " +
-            "postgres:// (via JDBC) can be attached; for sqlite/duckdb files " +
-            "export to csv/parquet and use --from")
+            "postgres:// (JDBC) and sqlite:// (native file-format reader) " +
+            "can be attached; for duckdb files export to csv/parquet and " +
+            "use --from")
     }
     val names = args.from.map(s => Registrar.standardiseSource(s)._1)
     val raw = readQuery(args.query)

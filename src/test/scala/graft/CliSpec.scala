@@ -38,12 +38,17 @@ class CliSpec extends AnyFunSuite {
     // spark / auto are honored (execution IS spark)
     Cli.run(Cli.parseArgs(Array("--backend", "spark", "--sql", "SELECT 1", "--to",
       java.nio.file.Files.createTempDirectory("b").resolve("o.csv").toString)))
-    // sqlite / duckdb file databases → clear unsupported error, not
-    // round-1's silent swallow + "unknown table"
+    // duckdb file databases → clear unsupported error, not round-1's
+    // silent swallow + "unknown table" (sqlite:// is a real attach now —
+    // SqliteSpec — so only duckdb:// remains an embedded-engine gap)
     val ed = intercept[Writers.OutputError] {
-      Cli.run(Cli.parseArgs(Array("-d", "sqlite://chinook.db", "from tracks")))
+      Cli.run(Cli.parseArgs(Array("-d", "duckdb://chinook.duckdb", "from tracks")))
     }
-    assert(ed.getMessage.contains("not supported") && ed.getMessage.contains("sqlite"))
+    assert(ed.getMessage.contains("not supported") && ed.getMessage.contains("duckdb"))
+    // a sqlite attach of a missing file fails loudly too (file-level error,
+    // not a swallowed -d)
+    assertThrows[Exception](
+      Cli.run(Cli.parseArgs(Array("-d", "sqlite:///tmp/nonexistent-db.sqlite", "from tracks"))))
     // avro is a real scan now (AvroScanSpec) — a missing path still fails
     // loudly, not with a silent empty relation
     assertThrows[Exception](Registrar.read(spark, "/tmp/nonexistent.avro").collect())
