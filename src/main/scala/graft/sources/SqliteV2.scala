@@ -68,8 +68,14 @@ final class SqliteDsTable(path: String, table: String, override val schema: Stru
 
 final class SqliteScanBuilder(path: String, table: String, fullSchema: StructType,
                               options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = fullSchema
+  private var lo: Long = Long.MinValue
+  private var hi: Long = Long.MaxValue
+  private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // top-level scalar columns only (sqlite has no nested types), so the
@@ -77,18 +83,65 @@ final class SqliteScanBuilder(path: String, table: String, fullSchema: StructTyp
     required = requiredSchema
   }
 
+  /** Rowid-range pushdown: comparisons on the table's `INTEGER PRIMARY
+    * KEY` rowid-alias column tighten a [lo, hi] window that the scan uses
+    * to descend only intersecting b-tree subtrees (the b-tree IS a rowid
+    * index — fileformat2 §1.7), skipping whole pages. Every filter is
+    * still returned for post-scan evaluation, so the pruning is purely an
+    * I/O optimization and can never change results. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val aliasCol: Option[String] = {
+      val f = new SqliteFile(path, SqliteV2.sessionConf())
+      try f.table(table).columns.find(_.rowidAlias).map(_.name)
+      finally f.close()
+    }
+    aliasCol.foreach { col =>
+      def num(v: Any): Option[Long] = v match {
+        case l: Long => Some(l)
+        case i: Int => Some(i.toLong)
+        case s: Short => Some(s.toLong)
+        case b: Byte => Some(b.toLong)
+        case _ => None
+      }
+      def absorb(f: Filter): Boolean = f match {
+        case EqualTo(c, v) if c == col => num(v).exists { n =>
+          lo = math.max(lo, n); hi = math.min(hi, n); true }
+        case GreaterThan(c, v) if c == col && num(v).exists(_ < Long.MaxValue) =>
+          num(v).exists { n => lo = math.max(lo, n + 1); true }
+        case GreaterThanOrEqual(c, v) if c == col => num(v).exists { n =>
+          lo = math.max(lo, n); true }
+        case LessThan(c, v) if c == col && num(v).exists(_ > Long.MinValue) =>
+          num(v).exists { n => hi = math.min(hi, n - 1); true }
+        case LessThanOrEqual(c, v) if c == col => num(v).exists { n =>
+          hi = math.min(hi, n); true }
+        case In(c, vs) if c == col && vs.nonEmpty && vs.forall(num(_).isDefined) =>
+          val ns = vs.flatMap(num)
+          lo = math.max(lo, ns.min); hi = math.min(hi, ns.max); true
+        case And(l, r) => absorb(l) | absorb(r)
+        case _ => false
+      }
+      accepted = filters.filter(absorb)
+    }
+    filters // Spark re-applies everything; pruning is I/O-only
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
   override def build(): Scan = {
     val target = Option(options.get("maxPartitions")).map(_.toInt).getOrElse(32)
-    new SqliteV2Scan(path, table, required, target)
+    new SqliteV2Scan(path, table, required, target, lo, hi)
   }
 }
 
-/** A set of disjoint b-tree subtree roots walked by one task. */
-final case class SqlitePartition(path: String, table: String, roots: Seq[Int])
+/** A set of disjoint b-tree subtree roots walked by one task, restricted
+  * to the pushed rowid window [lo, hi]. */
+final case class SqlitePartition(path: String, table: String, roots: Seq[Int],
+                                 lo: Long, hi: Long)
   extends InputPartition
 
 final class SqliteV2Scan(path: String, table: String, required: StructType,
-                         targetSplits: Int) extends Scan with Batch {
+                         targetSplits: Int, lo: Long, hi: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -97,16 +150,20 @@ final class SqliteV2Scan(path: String, table: String, required: StructType,
     try {
       f.checkSidecars()
       val t = f.table(table).requireSupported()
-      val roots = f.subtreeRoots(t.rootPage, targetSplits)
+      val roots = f.subtreeRoots(t.rootPage, targetSplits, lo, hi)
       // round-robin the subtrees into ≤ target tasks; sibling subtrees are
       // similar-sized (b-trees balance), so this is also size-balanced
-      val buckets = math.min(targetSplits, roots.size)
+      val buckets = math.max(1, math.min(targetSplits, roots.size))
       (0 until buckets).map(b =>
         SqlitePartition(path, table, roots.zipWithIndex.collect {
           case (r, i) if i % buckets == b => r
-        }): InputPartition).toArray
+        }, lo, hi): InputPartition).toArray
     } finally f.close()
   }
+
+  override def description(): String =
+    s"graft-sqlite $table" + (if (lo != Long.MinValue || hi != Long.MaxValue)
+      s" rowid=[$lo,$hi]" else "")
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SqliteReaderFactory(required)
@@ -129,7 +186,7 @@ final class SqlitePartitionReader(p: SqlitePartition, required: StructType)
   private val need = meta.columns.map(c => required.fieldNames.contains(c.name)).toArray
   private val outIdx = required.fieldNames.map(n => meta.columns.indexWhere(_.name == n))
   private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
-  private val it = p.roots.iterator.flatMap(file.tableCells)
+  private val it = p.roots.iterator.flatMap(r => file.tableCells(r, p.lo, p.hi))
   private var current: InternalRow = _
 
   override def next(): Boolean =

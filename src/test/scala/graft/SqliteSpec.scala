@@ -129,6 +129,29 @@ class SqliteSpec extends AnyFunSuite {
       s"scan should read only k: $scan")
   }
 
+  test("deep.db: rowid-range pushdown prunes b-tree subtrees, not just rows") {
+    val spark = SparkTest.session
+    val df = SqliteV2.read(spark, res("deep.db"), "big")
+      .where(F.col("k") >= 20000 && F.col("k") <= 20010)
+    // correctness: 20000..20010 minus the deleted k%7==0 row (20006)
+    val got = df.select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (20000L to 20010L).filterNot(_ % 7 == 0))
+    // the pushed window must reach the scan (visible in the plan), and the
+    // walk must touch a small corner of the ~2,500-page file, not all of it
+    assert(df.queryExecution.executedPlan.toString.contains("rowid=[20000,20010]"))
+    val f = new SqliteFile(res("deep.db"), new org.apache.hadoop.conf.Configuration())
+    try {
+      val root = f.table("big").rootPage
+      f.tableCells(root).size // full walk
+      val fullPages = f.pagesRead
+      f.pagesRead = 0
+      val n = f.tableCells(root, 20000L, 20010L).size
+      assert(n == 10)
+      assert(f.pagesRead < fullPages / 20,
+        s"bounded walk read ${f.pagesRead} of $fullPages pages")
+    } finally f.close()
+  }
+
   test("utf16.db: UTF-16le text decodes") {
     val spark = SparkTest.session
     val df = SqliteV2.read(spark, res("utf16.db"), "u")
