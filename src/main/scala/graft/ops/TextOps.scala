@@ -314,12 +314,17 @@ object TextOps {
       else {
         def bucket(g: Column): Column =
           (F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long") % nBuckets).cast("int")
-        val toks = F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
-          t => F.length(t) > 0)
+        // bind the token array to a column BEFORE the transform lambda:
+        // inlined, element_at(toks, i+2) re-splits the text per element —
+        // O(len²)/doc (the knBigramNll fix, same shape)
+        val toks = F.col("__ts")
         val bi = F.transform(
           F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
           (t, i) => F.concat(t, F.lit(" "), F.element_at(toks, i + 2)))
-        df.select((keep :+ F.explode(F.concat(toks, bi)).as("__g")): _*)
+        df.withColumn("__ts",
+            F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+              t => F.length(t) > 0))
+          .select((keep :+ F.explode(F.concat(toks, bi)).as("__g")): _*)
           .select((keep :+ bucket(F.col("__g")).as("__b")): _*)
       }
     // the corpus-side explode (per-gram md5 — the oracle-neutral hash, the
@@ -623,13 +628,20 @@ object TextOps {
       s"KN discount must be in (0,1), got $discount")
     def toks(col: Column): Column =
       F.filter(F.split(F.lower(F.trim(col)), "\\s+"), t => F.length(t) > 0)
-    // adjacent-pair stream: (w1, w2) structs via transform over the prefix
+    // adjacent-pair stream: (w1, w2) structs via transform over the prefix.
+    // The token array MUST be bound to a column first: with the split()
+    // expression inlined, `element_at(ts, i+2)` re-tokenizes the whole text
+    // once per element inside the transform lambda — O(len²) per document
+    // (measured 8.3 s → 4.6 s on the x78 entry at sf0.1 when bound).
+    // CollapseProject keeps the projection split because the alias is used
+    // twice and split() is not cheap, so `__ts` is a real array buffer.
     def bigrams(df: DataFrame, keep: Seq[Column]): DataFrame = {
-      val ts = toks(F.col(textCol))
+      val ts = F.col("__ts")
       val bi = F.transform(
         F.slice(ts, F.lit(1), F.greatest(F.size(ts) - 1, F.lit(0))),
         (t, i) => F.struct(t.as("w1"), F.element_at(ts, i + 2).as("w2")))
-      df.select((keep :+ F.explode(bi).as("__bi")): _*)
+      df.withColumn("__ts", toks(F.col(textCol)))
+        .select((keep :+ F.explode(bi).as("__bi")): _*)
         .select((keep :+ F.col("__bi.w1").as("w1")) :+ F.col("__bi.w2").as("w2"): _*)
     }
     val c2 = bigrams(train, Nil)
