@@ -1825,6 +1825,24 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // greedy k-center coreset: 6 maximally-spread vectors (diversity
+    // selection for a labeling budget — the opposite of semDedup); every
+    // pick replayed by the oracle's chained argmax CTEs
+    "x168_kcenter" -> ((s, dir) =>
+      Similarity.kCenterCoreset(s.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", k = 6)
+        .orderBy("pick")),
+
+    // cross-source score calibration: n_chars quantile-normalized onto a
+    // deterministic md5 half-sample reference — integer rank→index math,
+    // bounded single-partition window only over the reference
+    "x169_quantile_norm" -> ((s, dir) =>
+      graft.ops.Curation.quantileNormalize(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "source", "n_chars"),
+          "source", "n_chars", "doc_id", refRate = 0.5)
+        .orderBy("doc_id")),
+
     // autocorrelation of the daily event-volume series at lags 0..7 — the
     // weekly-periodicity readout, leadLagCorr against itself
     "x167_autocorr" -> ((s, dir) => {
@@ -4471,6 +4489,75 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(cos, 6) AS cos
         |FROM scored WHERE cos >= 0.4
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // replays every greedy pick as a chained argmax: m_k = running min of
+    // per-round 6-dp-rounded squared distances (≡ Spark's round-of-min —
+    // round is monotone), tie-break lowest vec_id, chosen ids excluded
+    "x168_kcenter" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c1 AS (SELECT vec_id, embedding FROM e
+        |       WHERE vec_id = (SELECT min(vec_id) FROM e)),
+        |m1 AS (SELECT v.vec_id, v.embedding,
+        |  round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |    i -> (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), 6) AS md
+        |  FROM e v, c1 c WHERE v.vec_id <> c.vec_id),
+        |c2 AS (SELECT vec_id, embedding, md FROM m1 ORDER BY md DESC, vec_id LIMIT 1),
+        |m2 AS (SELECT m.vec_id, m.embedding, least(m.md,
+        |  round(list_sum(list_transform(range(1, len(m.embedding) + 1),
+        |    i -> (m.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (m.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), 6)) AS md
+        |  FROM m1 m, c2 c WHERE m.vec_id <> c.vec_id),
+        |c3 AS (SELECT vec_id, embedding, md FROM m2 ORDER BY md DESC, vec_id LIMIT 1),
+        |m3 AS (SELECT m.vec_id, m.embedding, least(m.md,
+        |  round(list_sum(list_transform(range(1, len(m.embedding) + 1),
+        |    i -> (m.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (m.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), 6)) AS md
+        |  FROM m2 m, c3 c WHERE m.vec_id <> c.vec_id),
+        |c4 AS (SELECT vec_id, embedding, md FROM m3 ORDER BY md DESC, vec_id LIMIT 1),
+        |m4 AS (SELECT m.vec_id, m.embedding, least(m.md,
+        |  round(list_sum(list_transform(range(1, len(m.embedding) + 1),
+        |    i -> (m.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (m.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), 6)) AS md
+        |  FROM m3 m, c4 c WHERE m.vec_id <> c.vec_id),
+        |c5 AS (SELECT vec_id, embedding, md FROM m4 ORDER BY md DESC, vec_id LIMIT 1),
+        |m5 AS (SELECT m.vec_id, m.embedding, least(m.md,
+        |  round(list_sum(list_transform(range(1, len(m.embedding) + 1),
+        |    i -> (m.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (m.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), 6)) AS md
+        |  FROM m4 m, c5 c WHERE m.vec_id <> c.vec_id),
+        |c6 AS (SELECT vec_id, embedding, md FROM m5 ORDER BY md DESC, vec_id LIMIT 1)
+        |SELECT 1 AS pick, vec_id, 0.0 AS dist2 FROM c1
+        |UNION ALL SELECT 2, vec_id, md FROM c2
+        |UNION ALL SELECT 3, vec_id, md FROM c3
+        |UNION ALL SELECT 4, vec_id, md FROM c4
+        |UNION ALL SELECT 5, vec_id, md FROM c5
+        |UNION ALL SELECT 6, vec_id, md FROM c6
+        |ORDER BY pick""".stripMargin,
+
+    // rank→reference-index math is pure integer ((rk-1)(m-1) // (cnt-1)),
+    // and the md5 half-sample reference replays the hashSample decision
+    // (x26 idiom) — endpoints map to endpoints, ties broken by doc_id
+    "x169_quantile_norm" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents),
+        |ref AS (
+        |  SELECT n_chars, doc_id FROM documents
+        |  WHERE substring(md5(doc_id::VARCHAR), 1, 4) < '8000'),
+        |refranked AS (
+        |  SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |    n_chars AS calibrated
+        |  FROM ref),
+        |m AS (SELECT count(*) AS m FROM ref)
+        |SELECT r.doc_id, r.source, r.n_chars, rr.calibrated
+        |FROM ranked r CROSS JOIN m
+        |LEFT JOIN refranked rr
+        |  ON 1 + ((r.rk - 1) * (m.m - 1)) // greatest(r.cnt - 1, 1) = rr.rn
+        |ORDER BY r.doc_id""".stripMargin,
 
     // mirrors the x167 autocorrelation: x137's machinery with a = b =
     // the daily total series, non-negative lags

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
 
 /** End-to-end corpus curation: the composed pipeline a training-data job
   * actually runs — quality gate → deterministic sampling → exact dedup →
@@ -402,5 +403,50 @@ object Curation {
           .when(F.col("__new").isNull, "removed")
           .when(F.col("__ofp") <=> F.col("__nfp"), "unchanged")
           .otherwise("changed").as("status"))
+  }
+
+  /** Cross-source quantile normalization: replace each row's score with
+    * the equivalently-ranked score from a GLOBAL reference distribution,
+    * so sources with incompatible score scales (one crawl's quality model
+    * runs hot, another's cold) become comparable before any threshold or
+    * mixture decision — the score-calibration step a multi-source
+    * curation pipeline needs ahead of [[filterByGroupQuantile]] or
+    * [[graft.ops.Sampling.mixturePlan]].
+    *
+    * Mechanics, all integer/exactly-replayable: within-source rank
+    * `rk ∈ [1, cnt]` (row_number, id tiebreak — a per-source distributed
+    * window), reference index `idx = 1 + (rk−1)(m−1) div (cnt−1)`
+    * (integer div — endpoints map to endpoints), calibrated value = the
+    * idx-th smallest reference score. The reference is a deterministic
+    * md5 [[graft.ops.Sampling.hashSample]] of the corpus: BOUNDED by
+    * `refRate`, so its one global sort-window runs over a capped relation
+    * (the q09 post-aggregate rule) and broadcasts to the join — at 100 TB
+    * the reference is thousands of rows, never the corpus. Zero corpus
+    * shuffles beyond the per-source window.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+                        idCol: String, refRate: Double = 1.0,
+                        refSalt: String = ""): DataFrame = {
+    require(refRate > 0.0 && refRate <= 1.0,
+      s"refRate must be in (0,1], got $refRate")
+    val wSrc = Window.partitionBy(groupCol)
+      .orderBy(F.col(scoreCol), F.col(idCol))
+    val ranked = df
+      .withColumn("__rk", F.row_number().over(wSrc))
+      .withColumn("__cnt",
+        F.count(F.lit(1)).over(Window.partitionBy(groupCol)))
+    val ref = graft.ops.Sampling.hashSample(
+        df.select(F.col(scoreCol), F.col(idCol)), F.col(idCol), refRate, refSalt)
+    val refRanked = ref
+      .withColumn("__rn", F.row_number().over(
+        Window.orderBy(F.col(scoreCol), F.col(idCol))))
+      .select(F.col("__rn"), F.col(scoreCol).as("calibrated"))
+    val m = refRanked.agg(F.count(F.lit(1)).as("__m"))
+    ranked.crossJoin(F.broadcast(m))
+      .withColumn("__idx", F.lit(1L) + F.call_function("div",
+        (F.col("__rk") - 1L).cast("long") * (F.col("__m") - 1L),
+        F.greatest(F.col("__cnt") - 1L, F.lit(1L))))
+      .join(F.broadcast(refRanked), F.col("__idx") === F.col("__rn"), "left")
+      .drop("__rk", "__cnt", "__m", "__idx", "__rn")
   }
 }

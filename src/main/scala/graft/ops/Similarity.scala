@@ -1237,4 +1237,58 @@ object Similarity {
       .select(F.col(idCol), F.col("cell"),
         F.coalesce(F.col("__dup"), F.lit(false)).as("is_dup"))
   }
+
+  /** Greedy k-center coreset (farthest-point / Gonzalez 1985): pick `k`
+    * maximally-diverse rows — seed = lowest id, then k−1 rounds of "the
+    * point farthest from everything chosen so far". The diversity-subset
+    * selector for labeling budgets and eval-set construction (2-approx of
+    * the optimal k-center cover), the deliberate OPPOSITE of [[semDedup]]:
+    * that removes near-duplicates, this harvests the spread.
+    *
+    * Scale shape per round: one pure projection (native [[graft.functions
+    * .NearestCell]] argmin over the ≤k chosen centers — literals travel
+    * with the plan, no join, no shuffle) and ONE 1-row aggregate
+    * (max-struct argmax; partial-aggregated map-side). Driver state is
+    * k·dim doubles — the [[kmeansLloyd]] regime. k driver actions total,
+    * each a full corpus scan: k is a labeling budget (tens..hundreds), so
+    * the round count, not the corpus, bounds the loop.
+    *
+    * Engine parity: distances are j-ascending exact-double sums rounded
+    * to 6 dp BEFORE the argmax (min-of-rounded ≡ rounded-of-min — round
+    * is monotone), ties broken by lowest id, already-chosen ids excluded
+    * — every pick is replayable as a chained SQL argmax (x168's oracle).
+    *
+    * @return k driver-built rows (pick 1..k, id, dist2 = squared L2 to
+    *         the previously-chosen set at pick time; seed dist2 = 0)
+    */
+  def kCenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = emb.select(F.col(idCol).cast("long").as("__id"),
+      F.col(vecCol).cast("array<double>").as("__v"))
+    val seed = e.orderBy("__id").limit(1).head()
+    var chosen = Vector(
+      (seed.getLong(0), seed.getSeq[Double](1).toArray, 0.0))
+    while (chosen.size < k) {
+      val cents = chosen.map(_._2).toArray
+      val centLit = F.array(cents.map(c => F.array(c.map(F.lit): _*)): _*)
+      val pick = assignCells(
+          e.filter(!F.col("__id").isin(chosen.map(_._1): _*)), "__v", cents)
+        .withColumn("__d", F.round(F.aggregate(
+          F.zip_with(F.col("__v"),
+            F.element_at(centLit, F.col("cell") + F.lit(1)),
+            (x, y) => (x - y) * (x - y)),
+          F.lit(0.0d), (a, x) => a + x), 6))
+        .agg(F.max(F.struct(F.col("__d"), (-F.col("__id")).as("__nid"),
+          F.col("__v").as("__vv"))).as("__pick"))
+        .head().getStruct(0)
+      chosen :+= ((-pick.getLong(1), pick.getSeq[Double](2).toArray,
+        pick.getDouble(0)))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1, id, d) }
+      .toDF("pick", idCol, "dist2")
+  }
 }

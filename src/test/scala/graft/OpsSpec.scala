@@ -3094,4 +3094,49 @@ class OpsSpec extends AnyFunSuite {
       2L -> ((2L, 0L, 0.0)),
       3L -> ((4L, 3L, 0.75))), out.toString)
   }
+
+  test("kCenterCoreset: planted geometry — farthest point each round, min-id ties") {
+    val emb = Seq(
+      (1L, Array(0.0, 0.0)),   // seed (lowest id)
+      (2L, Array(0.1, 0.0)),   // near seed
+      (3L, Array(0.0, 0.2)),   // near seed
+      (10L, Array(100.0, 0.0)), // far: d²=10000 to seed
+      (20L, Array(0.0, 200.0))  // farthest: d²=40000 to seed
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(emb, "vec_id", "embedding", k = 3)
+      .orderBy("pick").as[(Int, Long, Double)].collect().toSeq
+    // pick 1 = seed id 1 (d 0); pick 2 = id 20 (40000 > 10000);
+    // pick 3 = id 10 (its min-dist to {1, 20} is 10000 — still the max)
+    assert(got == Seq((1, 1L, 0.0), (2, 20L, 40000.0), (3, 10L, 10000.0)), got)
+    // duplicate-heavy corpus: picks never repeat an id
+    val dup = Seq((1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)),
+      (3L, Array(1.0, 0.0)), (4L, Array(2.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val ids = Similarity.kCenterCoreset(dup, "vec_id", "embedding", k = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ids.distinct.size == 4, ids)
+  }
+
+  test("quantileNormalize: incompatible score scales land on one ladder") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L),
+      (4L, "B", 10L), (5L, "B", 20L), (6L, "B", 30L)
+    ).toDF("doc_id", "source", "score")
+    val got = Curation.quantileNormalize(docs, "source", "score", "doc_id")
+      .select("doc_id", "calibrated").as[(Long, Long)].collect().toMap
+    // refRate=1: reference = global sorted [1,2,3,10,20,30] (m=6); within
+    // each 3-row source rk∈{1,2,3} → idx = 1 + (rk−1)·5 div 2 ∈ {1,3,6}
+    // → calibrated {1, 3, 30} for BOTH sources — rank-equivalent rows now
+    // carry identical scores regardless of the source's scale
+    assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 30L,
+      4L -> 1L, 5L -> 3L, 6L -> 30L), got.toString)
+    // single-row source maps to the reference bottom, not a div-by-zero
+    val lone = Curation.quantileNormalize(
+      docs.union(Seq((7L, "C", 999L)).toDF("doc_id", "source", "score")),
+      "source", "score", "doc_id")
+      .filter(F.col("source") === "C")
+      .select("calibrated").as[Long].head()
+    assert(lone == 1L)
+  }
 }
