@@ -441,7 +441,9 @@ object Curation {
       .withColumn("__rn", F.row_number().over(
         Window.orderBy(F.col(scoreCol), F.col(idCol))))
       .select(F.col("__rn"), F.col(scoreCol).as("calibrated"))
-    val m = refRanked.agg(F.count(F.lit(1)).as("__m"))
+    // m over the un-windowed sample — counting refRanked would replay the
+    // reference sort a second time for a number that needs no order
+    val m = ref.agg(F.count(F.lit(1)).as("__m"))
     ranked.crossJoin(F.broadcast(m))
       .withColumn("__idx", F.lit(1L) + F.call_function("div",
         (F.col("__rk") - 1L).cast("long") * (F.col("__m") - 1L),

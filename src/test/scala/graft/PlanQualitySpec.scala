@@ -951,4 +951,45 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"),
       s"lag + rollup only — no join:\n$p")
   }
+
+  test("kCenterCoreset round: a projection + 1-row partial argmax — no join, no window") {
+    // the per-round plan is what repeats k times at 100 TB: NearestCell is
+    // a centroid-literal projection (no broadcast join needed) and the
+    // argmax is a partial-aggregated max over a struct — corpus rows never
+    // shuffle, only per-partition 1-row partials do
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(F.col("vec_id").as("__id"),
+        F.col("embedding").cast("array<double>").as("__v"))
+    val cents = Array(Array.fill(64)(0.0))
+    val centLit = F.array(cents.map(c => F.array(c.map(F.lit): _*)): _*)
+    val round = graft.ops.Similarity.assignCells(emb, "__v", cents)
+      .withColumn("__d", F.round(F.aggregate(
+        F.zip_with(F.col("__v"), F.element_at(centLit, F.col("cell") + F.lit(1)),
+          (x, y) => (x - y) * (x - y)), F.lit(0.0d), (a, x) => a + x), 6))
+      .agg(F.max(F.struct(F.col("__d"), (-F.col("__id")).as("__nid"))))
+    val p = plan(round)
+    assert(p.contains("partial_max"),
+      s"the argmax must collapse map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"one projection + one 1-row aggregate only:\n$p")
+  }
+
+  test("quantileNormalize: reference broadcasts; the only global window is over the sample") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+    val df = graft.ops.Curation.quantileNormalize(
+      docs, "source", "n_chars", "doc_id", refRate = 0.5)
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastExchange"),
+      s"the bounded reference ladder must broadcast to the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle for the calibration join:\n$p")
+    // the only SinglePartition gathers are over BOUNDED relations: the
+    // capped reference sort and the 1-row sample count — never the corpus
+    // (whose windows hash-partition by source). Count in the FINAL section
+    // only — the executed AQE string repeats the tree under "Initial Plan".
+    val finalSection = p.split("== Initial Plan ==").head
+    val single = "Exchange SinglePartition".r.findAllIn(finalSection).size
+    assert(single <= 2, s"only the sample may gather to one partition:\n$p")
+  }
 }
