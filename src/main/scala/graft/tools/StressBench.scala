@@ -273,6 +273,19 @@ object StressBench {
             F.call_function("div", graft.ops.EventOps.tsUs(events),
               F.lit(3600000000L)),
             F.col("user_id"), windowBuckets = 24)),
+        // k-center coreset: corpus grows K× (perturbed, DISTINCT vectors),
+        // k=6 fixed — each of the 6 rounds is one full-scan projection +
+        // 1-row argmax, so wall must stay ~linear in K with flat driver
+        // state (6·64 doubles)
+        "x168_kcenter" -> (() => graft.ops.Similarity.kCenterCoreset(
+          emb, "vec_id", "embedding", k = 6)),
+        // quantile normalization at the production regime: corpus windows
+        // grow K× but the md5 reference sample rate shrinks 1/K, so the
+        // ladder (the only single-partition sort + the broadcast) stays
+        // FLAT — wall must track the per-source window scan, ~linear
+        "x169_quantile_norm" -> (() => graft.ops.Curation.quantileNormalize(
+          docs.select("doc_id", "source", "n_chars"),
+          "source", "n_chars", "doc_id", refRate = 0.5 / k)),
       )
       val allQueries = queries ++ extra
       val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
