@@ -1843,6 +1843,16 @@ object SparkEntry {
           "source", "n_chars", "doc_id", refRate = 0.5)
         .orderBy("doc_id")),
 
+    // Poisson-bootstrap CI for each source's mean doc length: 200
+    // deterministic integer-weighted resamples in ONE scan — every mean
+    // exact-integer until the final 6-dp rounding, CI = order statistics
+    "x170_bootstrap_ci" -> ((s, dir) =>
+      graft.ops.Stats.bootstrapCI(
+          s.read.parquet(s"$dir/documents.parquet"),
+          Seq("source"), F.col("n_chars"), F.col("doc_id"),
+          b = 200, conf = 0.95)
+        .orderBy("source")),
+
     // autocorrelation of the daily event-volume series at lags 0..7 — the
     // weekly-periodicity readout, leadLagCorr against itself
     "x167_autocorr" -> ((s, dir) => {
@@ -4558,6 +4568,42 @@ object SparkEntry {
         |LEFT JOIN refranked rr
         |  ON 1 + ((r.rk - 1) * (m.m - 1)) // greatest(r.cnt - 1, 1) = rr.rn
         |ORDER BY r.doc_id""".stripMargin,
+
+    // integer-space replay of the Poisson weights: u32 from the same md5
+    // prefix, the same 8 hardcoded floor(CDF·2^32) thresholds, exact
+    // integer weighted sums per resample, ranks 5/196 = the 2.5%/97.5%
+    // order statistics of B=200
+    "x170_bootstrap_ci" ->
+      """WITH base AS (SELECT source, n_chars AS v, doc_id AS id FROM documents),
+        |bs AS (SELECT unnest(range(0, 200)) AS b),
+        |rs AS (SELECT base.source, base.v, bs.b,
+        |  ('0x' || substring(md5(bs.b::VARCHAR || ':' || base.id::VARCHAR), 1, 8))::BIGINT AS u
+        |  FROM base CROSS JOIN bs),
+        |wt AS (SELECT source, b, v,
+        |  (CASE WHEN u >= 1580030168 THEN 1 ELSE 0 END +
+        |   CASE WHEN u >= 3160060337 THEN 1 ELSE 0 END +
+        |   CASE WHEN u >= 3950075421 THEN 1 ELSE 0 END +
+        |   CASE WHEN u >= 4213413783 THEN 1 ELSE 0 END +
+        |   CASE WHEN u >= 4279248373 THEN 1 ELSE 0 END +
+        |   CASE WHEN u >= 4292415291 THEN 1 ELSE 0 END +
+        |   CASE WHEN u >= 4294609777 THEN 1 ELSE 0 END +
+        |   CASE WHEN u >= 4294923276 THEN 1 ELSE 0 END) AS w
+        |  FROM rs),
+        |mn AS (SELECT source, b,
+        |  round(sum(w * v) / greatest(sum(w), 1), 6) AS mean
+        |  FROM wt GROUP BY source, b),
+        |rk AS (SELECT source, b, mean,
+        |  row_number() OVER (PARTITION BY source ORDER BY mean, b) AS rk
+        |  FROM mn),
+        |ci AS (SELECT source,
+        |  max(CASE WHEN rk = 5 THEN mean END) AS ci_lo,
+        |  max(CASE WHEN rk = 196 THEN mean END) AS ci_hi
+        |  FROM rk GROUP BY source),
+        |pt AS (SELECT source, count(*) AS n,
+        |  round(sum(n_chars)::DOUBLE / count(*), 6) AS mean
+        |  FROM documents GROUP BY source)
+        |SELECT pt.source, pt.n, pt.mean, ci.ci_lo, ci.ci_hi
+        |FROM pt JOIN ci USING (source) ORDER BY pt.source""".stripMargin,
 
     // mirrors the x167 autocorrelation: x137's machinery with a = b =
     // the daily total series, non-negative lags

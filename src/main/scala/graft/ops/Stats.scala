@@ -544,4 +544,73 @@ object Stats {
         F.round(F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 6)
           .as("ndcg"))
   }
+
+  /** floor(CDF_k(Poisson λ=1) · 2³²) for k = 0..7 — the integer decision
+    * thresholds for [[bootstrapCI]]'s resample weights. Hardcoded (not
+    * computed) so the oracle SQL can carry the IDENTICAL literals. */
+  private val PoissonCdf32: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L,
+    4279248373L, 4292415291L, 4294609777L, 4294923276L)
+
+  /** Poisson-bootstrap confidence interval for a per-group mean — the
+    * distributed bootstrap (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams"): instead of drawing B resamples-with-
+    * replacement (a shuffle each), every row carries a DETERMINISTIC
+    * Poisson(1) weight per resample b, and each resample's weighted mean
+    * is a partial-aggregated sum. The error bar a pipeline A/B readout
+    * needs next to [[welchTTest]], at one-scan cost.
+    *
+    * Determinism/parity: the weight decision is pure INTEGER — u32 =
+    * first-8-hex of md5(b ":" id) vs the hardcoded [[PoissonCdf32]]
+    * thresholds (w = #thresholds ≤ u32, capping the weight at 8 — beyond
+    * 10⁻⁵ tail mass); with an integer value column the per-resample sums
+    * are exact, so any engine replays every mean bit-for-bit before the
+    * one 6-dp rounding. CI bounds are order statistics of the B means
+    * (ranks are compile-time integers).
+    *
+    * Scale shape: the B-way `explode(sequence)` multiplies the SCAN, not
+    * the shuffle — rows collapse map-side to (group, b) partials, so the
+    * exchange carries groups×B rows; the rank window runs over that
+    * bounded table. B×CPU for one pass is the distributed bootstrap's
+    * price (and its point: no B shuffles, no B jobs).
+    */
+  def bootstrapCI(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                  idCol: Column, b: Int = 200,
+                  conf: Double = 0.95): DataFrame = {
+    require(b >= 10, s"need >= 10 resamples for a CI, got $b")
+    require(conf > 0 && conf < 1, s"conf must be in (0,1), got $conf")
+    val loIdx = (math.floor((1 - conf) / 2 * (b - 1)) + 1).toInt
+    val hiIdx = b - loIdx + 1
+    val gs = groupCols.map(F.col)
+    val u32 = F.conv(F.substring(
+      F.md5(F.concat_ws(":", F.col("__b").cast("string"),
+        valueColKey(F.col("__id")))), 1, 8), 16, 10).cast("long")
+    val w = PoissonCdf32.map(t => F.when(u32 >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val means = df
+      .select((gs :+ valueCol.cast("long").as("__v") :+ idCol.as("__id")): _*)
+      .withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(b - 1))))
+      .withColumn("__w", w)
+      .groupBy((gs :+ F.col("__b")): _*)
+      .agg(F.sum(F.col("__w") * F.col("__v")).as("__wv"),
+        F.sum("__w").as("__wn"))
+      .withColumn("__mean",
+        F.round(F.col("__wv") / F.greatest(F.col("__wn"), F.lit(1L)), 6))
+    val wRank = Window.partitionBy(gs: _*)
+      .orderBy(F.col("__mean"), F.col("__b"))
+    val ci = means.withColumn("__rk", F.row_number().over(wRank))
+      .groupBy(gs: _*)
+      .agg(F.max(F.when(F.col("__rk") === loIdx, F.col("__mean"))).as("ci_lo"),
+        F.max(F.when(F.col("__rk") === hiIdx, F.col("__mean"))).as("ci_hi"))
+    val point = df.groupBy(gs: _*)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.sum(valueCol.cast("long")) /
+          F.count(F.lit(1)).cast("double"), 6).as("mean"))
+    if (groupCols.isEmpty) point.crossJoin(ci)
+    else point.join(ci, groupCols)
+  }
+
+  /** Null-safe string key for the per-(row, resample) hash. */
+  private def valueColKey(id: Column): Column =
+    F.coalesce(id.cast("string"), F.lit(""))
 }

@@ -3117,6 +3117,35 @@ class OpsSpec extends AnyFunSuite {
     assert(ids.distinct.size == 4, ids)
   }
 
+  test("bootstrapCI: interval brackets the mean, narrows with n, weights ~Poisson(1)") {
+    import graft.ops.Stats
+    // two sources with very different spread: wide [0,1000], tight [495,505]
+    val docs = (1 to 400).map(i => (i.toLong, "wide", (i % 401) * 1000L / 400)) ++
+      (1 to 400).map(i => (1000L + i, "tight", 495L + (i % 11)))
+    val df = docs.toDF("doc_id", "source", "v")
+    val out = Stats.bootstrapCI(df, Seq("source"), F.col("v"), F.col("doc_id"),
+        b = 200, conf = 0.95)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    out.foreach { case (src, (n, mean, lo, hi)) =>
+      assert(n == 400, src)
+      assert(lo <= mean && mean <= hi, s"$src: CI [$lo,$hi] must bracket $mean")
+    }
+    // the tight source's interval must be far narrower than the wide one's
+    val widthW = out("wide")._4 - out("wide")._3
+    val widthT = out("tight")._4 - out("tight")._3
+    assert(widthT < widthW / 5, s"tight $widthT vs wide $widthW")
+    // a 95% CI on 400 iid rows is a few standard errors wide — sanity band
+    assert(widthW > 10 && widthW < 200, s"wide width $widthW")
+    // deterministic: a second run is bit-identical
+    val again = Stats.bootstrapCI(df, Seq("source"), F.col("v"), F.col("doc_id"),
+      b = 200, conf = 0.95).collect().toSeq.toString
+    assert(again == Stats.bootstrapCI(df, Seq("source"), F.col("v"),
+      F.col("doc_id"), b = 200, conf = 0.95).collect().toSeq.toString)
+    // ungrouped path returns one row
+    assert(Stats.bootstrapCI(df, Nil, F.col("v"), F.col("doc_id"), b = 50).count() == 1)
+  }
+
   test("quantileNormalize: incompatible score scales land on one ladder") {
     import graft.ops.Curation
     val docs = Seq(
