@@ -260,4 +260,46 @@ class PropertySpec extends AnyFunSuite {
         s"md5-interval samples must nest: ${(s2 -- s5).take(3)}")
     }
   }
+
+  test("law: quantileNormalize preserves within-source order; calibrated ⊆ reference scores") {
+    import org.apache.spark.sql.{functions => F}
+    val rowGen = Gen.listOfN(40, Gen.zip(
+      Gen.oneOf("a", "b", "c"), Gen.chooseNum(-1000L, 1000L)))
+    forAll(rowGen) { rows =>
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((s, v), i) => (i.toLong, s, v) }
+        .toDF("id", "src", "score")
+      val out = graft.ops.Curation.quantileNormalize(df, "src", "score", "id")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(0),
+          r.getLong(3))) // (src, score, id, calibrated)
+      val allScores = rows.map(_._2).toSet
+      out.groupBy(_._1).foreach { case (_, g) =>
+        // monotone: ranking by (score, id) never inverts after calibration
+        val sorted = g.sortBy(t => (t._2, t._3))
+        assert(sorted.map(_._4).sliding(2).forall(p =>
+          p.length < 2 || p(0) <= p(1)), s"order inverted: $sorted")
+      }
+      // every calibrated value is a real score from the corpus (the
+      // reference is a subset of the input), never an interpolation
+      assert(out.forall(t => allScores.contains(t._4)), "synthetic value")
+    }
+  }
+
+  test("law: bootstrapCI lo <= hi always; conf=0.99 interval contains conf=0.80's") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val df = (1 to 120).map(i => (i.toLong, (i * 37 % 100).toLong))
+      .toDF("id", "v")
+    def ci(c: Double) = {
+      val r = graft.ops.Stats.bootstrapCI(df, Nil, F.col("v"), F.col("id"),
+        b = 100, conf = c).head()
+      (r.getDouble(r.fieldIndex("ci_lo")), r.getDouble(r.fieldIndex("ci_hi")))
+    }
+    val (lo99, hi99) = ci(0.99)
+    val (lo80, hi80) = ci(0.80)
+    assert(lo99 <= hi99 && lo80 <= hi80)
+    assert(lo99 <= lo80 && hi80 <= hi99,
+      s"wider confidence must widen the interval: 99%=[$lo99,$hi99] 80%=[$lo80,$hi80]")
+  }
 }
