@@ -1866,6 +1866,81 @@ object SparkEntry {
         .orderBy("lag")
     }),
 
+    // Kaplan-Meier user-lifetime survival: per-user first→last event span
+    // in days, censored when the user was still active in the final 3
+    // days of the window — subjects collapse to distinct-duration rows
+    // before any window touches them
+    "x171_kaplan_meier" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val per = ev.groupBy("user_id")
+        .agg(F.min(graft.ops.EventOps.tsStamp(ev)).as("f"),
+          F.max(graft.ops.EventOps.tsStamp(ev)).as("l"))
+      val mx = per.agg(F.max("l").as("m"))
+      val subj = per.crossJoin(F.broadcast(mx))
+        .select(F.datediff(F.to_date(F.col("l")), F.to_date(F.col("f")))
+            .as("dur"),
+          F.when(F.col("l") < F.col("m") - F.expr("INTERVAL 3 DAYS"), 1)
+            .otherwise(0).as("ev"))
+      graft.ops.Stats.kaplanMeier(subj, F.col("dur"), F.col("ev"))
+    }),
+
+    // k-anonymity / l-diversity release audit on the customer table:
+    // QI = (nation, segment), sensitive = coarse balance bucket — one
+    // keyed rollup, class table bounded by the QI domain
+    "x172_kanonymity" -> ((s, dir) =>
+      graft.ops.Curation.kAnonymityAudit(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_nationkey", "c_mktsegment"),
+        F.floor(F.col("c_acctbal") / 1000), kMin = 5)),
+
+    // SCD type-2 state history from the event stream: contiguous
+    // event_type runs per user become validity intervals — keyed
+    // gaps-and-islands, every window partitioned by user
+    "x174_scd2" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.EventOps.scd2(ev, "user_id", F.col("event_type"),
+          F.col("event_id"))
+        .orderBy("key", "valid_from")
+    }),
+
+    // Mann-Whitney rank-sum: are en docs longer than the rest? Midranks
+    // from a distinct-value collapse — no subject-level sort anywhere
+    "x175_mannwhitney" -> ((s, dir) =>
+      graft.ops.Stats.mannWhitneyU(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.col("n_chars"), F.col("lang") === "en")),
+
+    // Benjamini-Hochberg over per-token 2-dof χ² (en/zh/other presence
+    // table): p = exp(−χ²/2) exactly, step-up flag via one bounded window
+    "x176_bh_fdr" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val grp = F.when(F.col("lang") === "en", "en")
+        .when(F.col("lang") === "zh", "zh").otherwise("other")
+      graft.ops.Stats.bhFdr(
+        TextOps.chi2TokensDf2(docs, "doc_id", "text", grp, minDf = 20),
+        Seq("token"), F.col("chi2"), alpha = 0.05)
+    }),
+
+    // calibration of the x49 quality classifier against the lang=='en'
+    // label: 10 equal-width bins + corpus ECE, pure projections
+    "x177_calibration" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.calibrationBins(scored, F.col("quality_score"),
+        F.col("lang") === "en", nBins = 10)
+    }),
+
+    // exact ROC AUC of the same scorer/label via the midrank identity —
+    // the threshold-free separation readout
+    "x178_auc" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.aucExact(scored, F.col("quality_score"),
+        F.col("lang") === "en")
+    }),
+
     // KS-style length-distribution drift between source pairs: max CDF
     // gap over a fixed grid — integer counts per (source, grid point),
     // pair fan-out bounded by source count (the x110 argument), one
@@ -4604,6 +4679,190 @@ object SparkEntry {
         |  FROM documents GROUP BY source)
         |SELECT pt.source, pt.n, pt.mean, ci.ci_lo, ci.ci_hi
         |FROM pt JOIN ci USING (source) ORDER BY pt.source""".stripMargin,
+
+    // product-limit replay: suffix-sum risk sets over distinct durations,
+    // 9-dp ln terms, explicit S=0 once the risk set is consumed
+    "x171_kaplan_meier" ->
+      """WITH per AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT max(l) AS m FROM per),
+        |subj AS (SELECT datediff('day', f::DATE, l::DATE) AS dur,
+        |    CASE WHEN l < m - INTERVAL 3 DAY THEN 1 ELSE 0 END AS ev
+        |  FROM per CROSS JOIN mx),
+        |byt AS (SELECT dur AS t, sum(ev)::BIGINT AS d, count(*) AS lv
+        |  FROM subj GROUP BY dur),
+        |risk AS (SELECT t, d, sum(lv) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS n_risk
+        |  FROM byt),
+        |death AS (SELECT t, n_risk, d,
+        |    CASE WHEN d < n_risk
+        |      THEN round(ln(1 - d / CAST(n_risk AS DOUBLE)), 9)
+        |      ELSE 0 END AS lnterm,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead
+        |  FROM risk WHERE d > 0),
+        |cum AS (SELECT t, n_risk, d,
+        |    max(dead) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dd,
+        |    sum(lnterm) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl
+        |  FROM death)
+        |SELECT t, n_risk, d,
+        |  CASE WHEN dd = 1 THEN 0.0 ELSE round(exp(sl), 6) END AS survival
+        |FROM cum ORDER BY t""".stripMargin,
+
+    // one grouped rollup — k, l, and the kMin flag are all exact integers
+    "x172_kanonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS k,
+        |  count(DISTINCT floor(c_acctbal / 1000)) AS l,
+        |  count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // gaps-and-islands replay with the same (ts, event_id) tie-break
+    "x174_scd2" ->
+      """WITH base AS (SELECT user_id AS key, event_type AS state, ts,
+        |    event_id FROM events),
+        |flg AS (SELECT key, state, ts, event_id,
+        |    CASE WHEN lag(state) OVER w IS NULL
+        |      OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS chg
+        |  FROM base WINDOW w AS (PARTITION BY key ORDER BY ts, event_id)),
+        |isl AS (SELECT key, state, ts,
+        |    sum(chg) OVER (PARTITION BY key ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM flg),
+        |g AS (SELECT key, isl, min(state) AS state, count(*) AS n_events,
+        |    min(ts) AS valid_from
+        |  FROM isl GROUP BY key, isl)
+        |SELECT key, state, n_events, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  lead(valid_from) OVER w2 IS NULL AS is_current
+        |FROM g WINDOW w2 AS (PARTITION BY key ORDER BY isl)
+        |ORDER BY key, valid_from""".stripMargin,
+
+    // midranks from the distinct-value collapse; tie-corrected z
+    "x175_mannwhitney" ->
+      """WITH v AS (SELECT n_chars AS vv,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c1 FROM documents),
+        |byv AS (SELECT vv, sum(c1) AS n1g, count(*) AS t FROM v GROUP BY vv),
+        |mid AS (SELECT n1g, t,
+        |    (sum(t) OVER (ORDER BY vv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)::DOUBLE
+        |      + (t + 1)::DOUBLE / 2.0 AS midr
+        |  FROM byv),
+        |st AS (SELECT sum(n1g)::BIGINT AS n1, sum(t - n1g)::BIGINT AS n2,
+        |    sum(n1g * midr) AS r1, sum(t*t*t - t)::DOUBLE AS tie FROM mid)
+        |SELECT n1, n2,
+        |  round(r1 - n1*(n1+1.0)/2.0, 6) AS u1,
+        |  round(n1::DOUBLE*n2 - (r1 - n1*(n1+1.0)/2.0), 6) AS u2,
+        |  round(((r1 - n1*(n1+1.0)/2.0) - n1::DOUBLE*n2/2.0) /
+        |    sqrt(nullif(n1::DOUBLE*n2/12.0 *
+        |      ((n1+n2+1.0) - tie/((n1+n2)::DOUBLE*(n1+n2-1.0))), 0.0)), 6)
+        |    AS z
+        |FROM st""".stripMargin,
+
+    // dense 2x3 presence table, 9-dp per-group cell pairs, closed-form
+    // df=2 p-value, step-up max flag over the reverse order
+    "x176_bh_fdr" ->
+      """WITH doc AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 'en' WHEN lang = 'zh' THEN 'zh'
+        |      ELSE 'other' END AS g, text FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, g, t FROM (SELECT doc_id, g,
+        |    unnest(list_filter(
+        |      string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> length(x) > 0)) AS t
+        |  FROM doc)),
+        |tg AS (SELECT t, g, count(*) AS a FROM tok GROUP BY 1, 2),
+        |gt AS (SELECT g, count(*) AS ng FROM doc GROUP BY g),
+        |tdf AS (SELECT t, sum(a) AS dfd FROM tg GROUP BY t
+        |  HAVING sum(a) >= 20),
+        |n AS (SELECT count(*) AS nn FROM doc),
+        |cells AS (SELECT tdf.t, tdf.dfd, gt.g, gt.ng,
+        |    coalesce(tg.a, 0) AS a
+        |  FROM tdf CROSS JOIN gt
+        |  LEFT JOIN tg ON tg.t = tdf.t AND tg.g = gt.g),
+        |cc AS (SELECT t, dfd, round(
+        |    coalesce((a - ep)*(a - ep)/nullif(ep, 0.0), 0.0) +
+        |    coalesce(((ng - a) - ea)*((ng - a) - ea)/nullif(ea, 0.0), 0.0),
+        |    9) AS cell
+        |  FROM (SELECT t, dfd, ng, a::DOUBLE AS a,
+        |      dfd::DOUBLE * ng / nn AS ep,
+        |      (nn - dfd)::DOUBLE * ng / nn AS ea
+        |    FROM cells CROSS JOIN n)),
+        |chi AS (SELECT t AS token, round(sum(cell), 6) AS chi2
+        |  FROM cc GROUP BY t),
+        |keyed AS (SELECT token, chi2, round(exp(-chi2 / 2.0), 9) AS p
+        |  FROM chi),
+        |m AS (SELECT count(*) AS m FROM keyed),
+        |rk AS (SELECT token, chi2, p,
+        |    row_number() OVER (ORDER BY p, token) AS i FROM keyed),
+        |fl AS (SELECT token, chi2, p, i,
+        |    CASE WHEN p <= i * 0.05 / m THEN 1 ELSE 0 END AS pass
+        |  FROM rk CROSS JOIN m)
+        |SELECT token, chi2, p, i,
+        |  max(pass) OVER (ORDER BY p DESC, token DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    AS discovered
+        |FROM fl ORDER BY i""".stripMargin,
+
+    // the x49 scorer replayed verbatim, then equal-width bins + ECE
+    "x177_calibration" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT doc_id, lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |b AS (SELECT least(floor(s * 10), 9)::BIGINT AS bin, s,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM sc),
+         |bins AS (SELECT bin, count(*) AS n, round(avg(s), 6) AS conf,
+         |    round(avg(y), 6) AS acc FROM b GROUP BY bin),
+         |e AS (SELECT round(sum(n * abs(acc - conf)) / sum(n), 6) AS ece
+         |  FROM bins)
+         |SELECT bin, n, conf, acc, ece FROM bins CROSS JOIN e
+         |ORDER BY bin""".stripMargin
+    },
+
+    // the x49 scorer again, then the midrank AUC identity
+    "x178_auc" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |v AS (SELECT s AS vv, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c1
+         |  FROM sc),
+         |byv AS (SELECT vv, sum(c1) AS n1g, count(*) AS t FROM v GROUP BY vv),
+         |mid AS (SELECT n1g, t,
+         |    (sum(t) OVER (ORDER BY vv
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)::DOUBLE
+         |      + (t + 1)::DOUBLE / 2.0 AS midr
+         |  FROM byv),
+         |st AS (SELECT sum(n1g)::BIGINT AS n1, sum(t - n1g)::BIGINT AS n2,
+         |    sum(n1g * midr) AS r1 FROM mid)
+         |SELECT n1 AS n_pos, n2 AS n_neg,
+         |  round((r1 - n1*(n1+1.0)/2.0) / nullif(n1::DOUBLE*n2, 0.0), 6)
+         |    AS auc
+         |FROM st""".stripMargin
+    },
 
     // mirrors the x167 autocorrelation: x137's machinery with a = b =
     // the daily total series, non-negative lags

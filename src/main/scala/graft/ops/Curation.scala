@@ -451,4 +451,30 @@ object Curation {
       .join(F.broadcast(refRanked), F.col("__idx") === F.col("__rn"), "left")
       .drop("__rk", "__cnt", "__m", "__idx", "__rn")
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et al.
+    * 2007) over a set of quasi-identifier columns: every QI equivalence
+    * class reports its size `k` (rows indistinguishable on the QIs — a
+    * class of 1 is a re-identifiable individual) and its `l` (distinct
+    * sensitive values — a class where everyone shares one sensitive value
+    * leaks it even at large k). `at_risk` flags classes below `kMin`.
+    * The release-gate audit a training corpus with user-derived rows
+    * needs before any redistribution.
+    *
+    * Scale shape: ONE groupBy on the QI key with map-side partial counts
+    * plus a distinct-count — a single keyed shuffle, no windows, no
+    * driver actions; class-count output is bounded by the QI domain.
+    *
+    * @return (qiCols…, k, l, at_risk) ordered by QI
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitive: Column, kMin: Int = 5): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(kMin >= 2, s"kMin below 2 flags nothing, got $kMin")
+    df.groupBy(qiCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("k"),
+        F.count_distinct(sensitive).as("l"))
+      .withColumn("at_risk", F.col("k") < kMin)
+      .orderBy(qiCols.map(F.col): _*)
+  }
 }

@@ -646,4 +646,46 @@ object EventOps {
           F.lit(0.0)), 6))
       .drop("__d0")
   }
+
+  /** Slowly-changing-dimension type-2 history build (Kimball): collapse a
+    * per-key event stream into contiguous STATE intervals — one row per
+    * run of equal states with `valid_from` (first event of the run),
+    * `valid_to` (start of the next run, NULL while current) and an
+    * `is_current` flag. The standard way a warehouse tracks "what was
+    * this user's segment at time t" for point-in-time joins (e.g.
+    * training-label reconstruction without leakage).
+    *
+    * Gaps-and-islands: a lag() change flag per key, a running sum over
+    * the flags numbers the islands, one groupBy collapses them, and a
+    * lead() stitches each island to its successor. Every window and the
+    * rollup partition by `keyCol` — keyed shuffles only, scales linearly.
+    * Event ordering tie-breaks on `seqCol` so equal timestamps replay
+    * identically in any engine.
+    *
+    * @return (key, state, n_events, valid_from, valid_to, is_current)
+    */
+  def scd2(events: DataFrame, keyCol: String, stateCol: Column,
+           seqCol: Column): DataFrame = {
+    val ts = tsStamp(events)
+    val base = events.select(F.col(keyCol).as("key"), stateCol.as("state"),
+      ts.as("__ts"), seqCol.as("__seq"))
+    val byKey = Window.partitionBy("key").orderBy(F.col("__ts"), F.col("__seq"))
+    val islands = base
+      .withColumn("__chg",
+        F.when(F.lag("state", 1).over(byKey).isNull ||
+          F.lag("state", 1).over(byKey) =!= F.col("state"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", F.sum("__chg").over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("key", "__isl")
+      .agg(F.first("state").as("state"),
+        F.count(F.lit(1)).as("n_events"),
+        F.min("__ts").as("valid_from"))
+    val byIsl = Window.partitionBy("key").orderBy("__isl")
+    islands
+      .withColumn("valid_to", F.lead("valid_from", 1).over(byIsl))
+      .withColumn("is_current", F.col("valid_to").isNull)
+      .select("key", "state", "n_events", "valid_from", "valid_to",
+        "is_current")
+  }
 }

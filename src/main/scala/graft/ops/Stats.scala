@@ -610,6 +610,206 @@ object Stats {
     else point.join(ci, groupCols)
   }
 
+  /** Kaplan-Meier product-limit survival curve (Kaplan & Meier 1958) over
+    * right-censored durations — the standard readout for "how long do
+    * users/sessions/documents survive" when some subjects are still alive
+    * at observation end. Input is one row per subject with an integer
+    * `duration` and an `event` flag (1 = the terminal event was observed,
+    * 0 = censored at that duration). At every observed event time t:
+    * {{{
+    *   n_risk(t)   = subjects with duration >= t
+    *   S(t)        = Π_{t_i <= t} (1 - d_i / n_risk(t_i))
+    * }}}
+    * The product runs as `exp(Σ ln(...))` with each ln term rounded to
+    * 9 dp before the (orderless) sum and the survival rounded to 6 — the
+    * pageRank/x47 engine-neutrality rule. When the risk set is fully
+    * consumed at the last event time (d = n_risk), `ln 0` differs across
+    * engines (Spark NULL vs DuckDB −∞), so S = 0 is forced explicitly via
+    * a cumulative d==n flag rather than computed.
+    *
+    * Scale shape: subjects collapse map-side to one row per DISTINCT
+    * duration (a bounded domain — days/hours, not subjects), and both
+    * windows run over that tiny table; the deliberate single-partition
+    * window never sees subject-cardinality data.
+    *
+    * @return (t, n_risk, d, survival) — observed event times only
+    */
+  def kaplanMeier(df: DataFrame, durationCol: Column,
+                  eventCol: Column): DataFrame = {
+    val byT = df
+      .select(durationCol.cast("long").as("t"), eventCol.cast("int").as("__e"))
+      .groupBy("t")
+      .agg(F.sum("__e").as("d"), F.count(F.lit(1)).as("__leave"))
+    // risk set at t = everyone whose duration is >= t: suffix-sum of the
+    // per-duration leave counts (bounded single-partition window)
+    val wDesc = Window.orderBy(F.col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(F.col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.withColumn("n_risk", F.sum("__leave").over(wDesc))
+      .filter(F.col("d") > 0)
+      .withColumn("__ln", F.round(F.log(
+        F.lit(1.0) - F.col("d") / F.nullif(
+          F.col("n_risk").cast("double"), F.lit(0.0))), 9))
+      .withColumn("__dead", F.max(
+        F.when(F.col("d") === F.col("n_risk"), 1).otherwise(0)).over(wAsc))
+      .withColumn("survival",
+        F.when(F.col("__dead") === 1, 0.0)
+          .otherwise(F.round(F.exp(F.sum(
+            F.when(F.col("d") < F.col("n_risk"), F.col("__ln"))
+              .otherwise(0.0)).over(wAsc)), 6)))
+      .select("t", "n_risk", "d", "survival")
+      .orderBy("t")
+  }
+
+  /** Average-rank sufficient statistics shared by [[mannWhitneyU]] and
+    * [[aucExact]]: collapse to one row per DISTINCT value carrying the
+    * per-class counts, then suffix/prefix sums over that bounded table
+    * give every subject its midrank without ever ranking subjects.
+    * Returns one row: (n1, n2, r1 = Σ midranks of class 1, tieTerm =
+    * Σ (t³ − t) over tie groups). Midranks are exact in binary floating
+    * point (integer + possible .5). */
+  private def rankSum(df: DataFrame, valueCol: Column,
+                      isClass1: Column): DataFrame = {
+    val byV = df
+      .select(valueCol.cast("double").as("__v"),
+        F.when(isClass1, 1L).otherwise(0L).as("__c1"))
+      .groupBy("__v")
+      .agg(F.sum("__c1").as("__n1"), F.count(F.lit(1)).as("__t"))
+    val w = Window.orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byV
+      .withColumn("__cum", F.sum("__t").over(w))
+      // midrank of every subject in this tie group
+      .withColumn("__mid",
+        (F.col("__cum") - F.col("__t")).cast("double") +
+          (F.col("__t") + 1L).cast("double") / 2.0)
+      .agg(F.sum("__n1").as("n1"),
+        F.sum(F.col("__t") - F.col("__n1")).as("n2"),
+        F.sum(F.col("__n1") * F.col("__mid")).as("r1"),
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+          .as("tie_term"))
+  }
+
+  /** Mann-Whitney U test (Wilcoxon rank-sum) between two classes of a
+    * value distribution — the nonparametric two-sample location test (the
+    * robust complement of [[welchTTest]]: no normality assumption, rank-
+    * based, so heavy tails and outliers cannot dominate). Midranks handle
+    * ties exactly; the normal approximation uses the standard tie-corrected
+    * variance
+    * {{{
+    *   U1 = R1 − n1(n1+1)/2,   μ = n1·n2/2
+    *   σ² = (n1·n2/12)·((n+1) − Σ(t³−t)/(n(n−1)))
+    * }}}
+    * Scale shape: [[rankSum]] — one map-side collapse to distinct values,
+    * one bounded window, a 1-row result. No subject-level ranking ever
+    * happens.
+    *
+    * @return one row (n1, n2, u1, u2, z) — z 6-dp, NULL when degenerate
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: Column,
+                   isClass1: Column): DataFrame = {
+    val s = rankSum(df, valueCol, isClass1)
+    val n1 = F.col("n1").cast("double")
+    val n2 = F.col("n2").cast("double")
+    val n = n1 + n2
+    val u1 = F.col("r1") - n1 * (n1 + 1.0) / 2.0
+    val u2 = n1 * n2 - u1
+    val sigma2 = n1 * n2 / 12.0 *
+      ((n + 1.0) - F.col("tie_term").cast("double") / (n * (n - 1.0)))
+    s.select(F.col("n1"), F.col("n2"),
+      F.round(u1, 6).as("u1"), F.round(u2, 6).as("u2"),
+      F.round((u1 - n1 * n2 / 2.0) /
+        F.sqrt(F.nullif(sigma2, F.lit(0.0))), 6).as("z"))
+  }
+
+  /** Exact ROC AUC of a score against a binary label via the rank-sum
+    * identity `AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)` with midranks (ties
+    * contribute 1/2, exactly the trapezoidal ROC) — the assumption-free
+    * way to grade a quality classifier's separation without choosing a
+    * threshold. Same sufficient-statistics shape as [[mannWhitneyU]]:
+    * distinct score values collapse map-side, nothing subject-level is
+    * ever sorted.
+    *
+    * @return one row (n_pos, n_neg, auc) — auc 6-dp, NULL if one-class
+    */
+  def aucExact(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val s = rankSum(df, scoreCol, labelCol)
+    val np = F.col("n1").cast("double")
+    val nn = F.col("n2").cast("double")
+    s.select(F.col("n1").as("n_pos"), F.col("n2").as("n_neg"),
+      F.round((F.col("r1") - np * (np + 1.0) / 2.0) /
+        F.nullif(np * nn, F.lit(0.0)), 6).as("auc"))
+  }
+
+  /** Classifier calibration table + expected calibration error (ECE,
+    * Naeini et al. 2015): scores bucket into `nBins` equal-width bins;
+    * each bin reports mean confidence vs empirical accuracy, and every
+    * row carries the corpus ECE `Σ_b (n_b/N)·|acc_b − conf_b|`. The
+    * reliability readout that decides whether a quality-filter threshold
+    * means what it claims.
+    *
+    * Scale shape: one map-side collapse to ≤ nBins rows (sum/count
+    * partials), ECE from a 1-row rollup broadcast back — the corpus is
+    * scanned once and never shuffled.
+    *
+    * @return (bin, n, conf, acc, ece) — bin = floor(score·nBins) clamped
+    */
+  def calibrationBins(df: DataFrame, scoreCol: Column, labelCol: Column,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"need >= 2 bins, got $nBins")
+    val bins = df
+      .select(F.least(F.floor(scoreCol.cast("double") * nBins),
+          F.lit(nBins - 1L)).as("bin"),
+        scoreCol.cast("double").as("__s"),
+        F.when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy("bin")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.avg("__s"), 6).as("conf"),
+        F.round(F.avg("__y"), 6).as("acc"))
+    val ece = bins.agg(F.round(
+      F.sum(F.col("n") * F.abs(F.col("acc") - F.col("conf"))) /
+        F.sum("n"), 6).as("ece"))
+    bins.crossJoin(F.broadcast(ece)).orderBy("bin")
+  }
+
+  /** Benjamini-Hochberg step-up FDR control over a table of χ² statistics
+    * with 2 degrees of freedom — for df = 2 the upper-tail p-value is the
+    * CLOSED FORM `p = exp(−χ²/2)` (the chi-square CDF needs no incomplete
+    * gamma there), so the whole procedure is engine-replayable to the
+    * last ulp. Keys sort by ascending p (key tie-break); discovery i is
+    * kept iff some j >= i has `p_j <= α·j/m` (the step-up max-flag).
+    * The multiple-testing guard that keeps a 10⁵-token association scan
+    * from "discovering" thousands of false positives at α = 0.05.
+    *
+    * Scale shape: the input is already a per-key statistic table (bounded
+    * by vocabulary, not corpus); two single-partition windows over it are
+    * the deliberate, bounded cost.
+    *
+    * @param df (keyCols…, chi2Col) — one row per hypothesis
+    * @return (keyCols…, chi2, p, i, discovered) ordered by i
+    */
+  def bhFdr(df: DataFrame, keyCols: Seq[String], chi2Col: Column,
+            alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val keyed = df.select((keyCols.map(F.col) :+
+      F.round(chi2Col.cast("double"), 6).as("chi2")): _*)
+      .withColumn("p", F.round(F.exp(-F.col("chi2") / 2.0), 9))
+    val wAsc = Window.orderBy((F.col("p").asc +: keyCols.map(F.col(_).asc)): _*)
+    val wDesc = Window.orderBy((F.col("p").desc +: keyCols.map(F.col(_).desc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = keyed.agg(F.count(F.lit(1)).as("__m"))
+    keyed.crossJoin(F.broadcast(m))
+      .withColumn("i", F.row_number().over(wAsc))
+      .withColumn("__pass",
+        F.when(F.col("p") <=
+          F.col("i") * F.lit(alpha) / F.col("__m"), 1).otherwise(0))
+      .withColumn("discovered", F.max("__pass").over(wDesc) === 1)
+      .select((keyCols.map(F.col) :+ F.col("chi2") :+ F.col("p") :+
+        F.col("i") :+ F.col("discovered")): _*)
+      .orderBy("i")
+  }
+
   /** Null-safe string key for the per-(row, resample) hash. */
   private def valueColKey(id: Column): Column =
     F.coalesce(id.cast("string"), F.lit(""))

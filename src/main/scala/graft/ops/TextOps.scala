@@ -1291,4 +1291,63 @@ object TextOps {
       .withColumn("ttr", F.round(
         F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6))
   }
+
+  /** Per-token presence×group χ² with exactly TWO degrees of freedom: a
+    * 2×3 contingency of document presence against a 3-way grouping
+    * (here typically en / zh / other), `χ² = Σ_cells (O−E)²/E`. Two dof
+    * is deliberate — it is the largest table whose upper-tail p-value has
+    * the closed form `exp(−χ²/2)`, which [[Stats.bhFdr]] exploits to run
+    * Benjamini-Hochberg without an incomplete-gamma approximation that
+    * no two engines round identically.
+    *
+    * Scale shape (the [[chi2Tokens]] pattern): distinct (doc, token)
+    * presence explodes once and partial-aggregates to (token, group)
+    * counts; group totals are a ≤3-row broadcast; everything after is
+    * vocab-bounded. minDf prunes the long tail before the stats table is
+    * even materialized.
+    *
+    * @param groupOf 3-valued grouping expression over a document row
+    * @return (token, df_docs, chi2) — chi2 6-dp, one row per kept token
+    */
+  def chi2TokensDf2(df: DataFrame, idCol: String, textCol: String,
+                    groupOf: Column, minDf: Int = 5): DataFrame = {
+    val docTok = df.select(groupOf.as("__g"), F.col(idCol).as("__id"),
+      F.explode(F.array_distinct(F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))), "\\s+"),
+        t => F.length(t) > 0))).as("__t"))
+    val tokGrp = docTok.groupBy("__t", "__g").agg(F.count(F.lit(1)).as("__a"))
+    val grpTot = df.groupBy(groupOf.as("__g"))
+      .agg(F.count(F.lit(1)).as("__ng"))
+    // dense 3-way cells: absent (token, group) combinations count 0
+    val tokDf = tokGrp.groupBy("__t").agg(F.sum("__a").as("__df"))
+      .filter(F.col("__df") >= minDf)
+    val cells = tokDf
+      .crossJoin(F.broadcast(grpTot))
+      .join(tokGrp, Seq("__t", "__g"), "left")
+      .na.fill(0L, Seq("__a"))
+    val nTot = df.agg(F.count(F.lit(1)).as("__n"))
+    val withE = cells.crossJoin(F.broadcast(nTot))
+      .withColumn("__ep",
+        F.col("__df").cast("double") * F.col("__ng") / F.col("__n"))
+      .withColumn("__ea",
+        (F.col("__n") - F.col("__df")).cast("double") * F.col("__ng") /
+          F.col("__n"))
+      .withColumn("__op", F.col("__a").cast("double"))
+      .withColumn("__oa", (F.col("__ng") - F.col("__a")).cast("double"))
+    // a token present in EVERY doc zeroes __ea (0/0 cells) — that token
+    // carries no association signal; nullif + coalesce defines it as 0
+    withE
+      // per-group pair of cells rounds to 9 dp BEFORE the unordered 3-row
+      // sum (the pageRank quantize-then-sum rule)
+      .withColumn("__cell", F.round(
+        F.coalesce((F.col("__op") - F.col("__ep")) *
+            (F.col("__op") - F.col("__ep")) /
+            F.nullif(F.col("__ep"), F.lit(0.0)), F.lit(0.0)) +
+        F.coalesce((F.col("__oa") - F.col("__ea")) *
+            (F.col("__oa") - F.col("__ea")) /
+            F.nullif(F.col("__ea"), F.lit(0.0)), F.lit(0.0)), 9))
+      .groupBy(F.col("__t").as("token"))
+      .agg(F.max("__df").as("df_docs"),
+        F.round(F.sum("__cell"), 6).as("chi2"))
+  }
 }

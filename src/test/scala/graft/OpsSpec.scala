@@ -3168,4 +3168,134 @@ class OpsSpec extends AnyFunSuite {
       .select("calibrated").as[Long].head()
     assert(lone == 1L)
   }
+
+  test("kaplanMeier: hand-checked product-limit curve, S=0 when risk set dies") {
+    import graft.ops.Stats
+    // durations (event=1 observed, 0 censored): 1e, 2c, 3e, 3e, 5c
+    val subj = Seq((1L, 1), (2L, 0), (3L, 1), (3L, 1), (5L, 0))
+      .toDF("dur", "ev")
+    val got = Stats.kaplanMeier(subj, F.col("dur"), F.col("ev"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // t=1: n=5 d=1 S=0.8; t=3: n=3 d=2 S=0.8*(1/3)=0.266667
+    assert(got == Seq((1L, 5L, 1L, 0.8), (3L, 3L, 2L, 0.266667)), got)
+    // everyone dies at the last event time: survival exactly 0, no ln(0)
+    val dead = Seq((1L, 1), (2L, 1), (2L, 1)).toDF("dur", "ev")
+    val s2 = Stats.kaplanMeier(dead, F.col("dur"), F.col("ev"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(s2 == Seq((1L, 3L, 1L, 0.666667), (2L, 2L, 2L, 0.0)), s2)
+  }
+
+  test("kAnonymityAudit: class sizes, l-diversity, kMin flag") {
+    import graft.ops.Curation
+    val rows = Seq(
+      ("US", "A", 100.0), ("US", "A", 200.0), ("US", "A", 100.0),
+      ("US", "A", 300.0), ("US", "A", 100.0),           // k=5, l=3
+      ("DE", "B", 50.0)                                  // k=1 — re-identifiable
+    ).toDF("nat", "seg", "bal")
+    val got = Curation.kAnonymityAudit(rows, Seq("nat", "seg"),
+        F.col("bal"), kMin = 5)
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("DE", "B", 1L, 1L, true), ("US", "A", 5L, 3L, false)), got)
+  }
+
+  test("scd2: islands collapse, intervals stitch, current flag") {
+    import graft.ops.EventOps
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 10L, "A"), (2L, ts(2), 10L, "A"),  // island A x2
+      (3L, ts(3), 10L, "B"),                          // island B
+      (4L, ts(4), 10L, "A"),                          // back to A — new island
+      (5L, ts(1), 20L, "C")                           // other user
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.scd2(ev, "user_id", F.col("event_type"), F.col("event_id"))
+      .orderBy("key", "valid_from")
+      .as[(Long, String, Long, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      (10L, "A", 2L, ts(1), Some(ts(3)), false),
+      (10L, "B", 1L, ts(3), Some(ts(4)), false),
+      (10L, "A", 1L, ts(4), None, true),
+      (20L, "C", 1L, ts(1), None, true)), got)
+  }
+
+  test("mannWhitneyU: midranks with ties match the hand computation") {
+    import graft.ops.Stats
+    // group1 = {1, 2}, group2 = {2, 3}: midranks 1, 2.5, 2.5, 4
+    val df = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "c")
+    val r = Stats.mannWhitneyU(df, F.col("v"), F.col("c")).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.5, r)    // u1 = 3.5 - 3
+    assert(r.getDouble(3) == 3.5, r)    // u2
+    // sigma² = (4/12)·(5 − 6/12) = 1.5; z = (0.5 − 2)/√1.5
+    assert(r.getDouble(4) == -1.224745, r)
+    // degenerate: all values equal → sigma 0 → z NULL, not NaN
+    val flat = Seq((1.0, true), (1.0, false)).toDF("v", "c")
+    assert(Stats.mannWhitneyU(flat, F.col("v"), F.col("c")).collect()(0).isNullAt(4))
+  }
+
+  test("aucExact: tied scores contribute half; perfect separation is 1") {
+    import graft.ops.Stats
+    val df = Seq((0.9, true), (0.4, true), (0.4, false), (0.1, false))
+      .toDF("s", "y")
+    val r = Stats.aucExact(df, F.col("s"), F.col("y")).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.875, r)  // (6.5 − 3)/4
+    val sep = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("s", "y")
+    assert(Stats.aucExact(sep, F.col("s"), F.col("y"))
+      .collect()(0).getDouble(2) == 1.0)
+  }
+
+  test("calibrationBins: bin clamp, per-bin conf/acc, ECE rollup") {
+    import graft.ops.Stats
+    val df = Seq(
+      (0.05, false), (0.15, false), (0.15, true), (1.0, true)
+    ).toDF("s", "y")
+    val got = Stats.calibrationBins(df, F.col("s"), F.col("y"), nBins = 10)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // score 1.0 clamps into bin 9; bin 1 has conf 0.15, acc 0.5
+    // ECE = (1·0.05 + 2·0.35 + 1·0)/4 = 0.1875
+    assert(got == Seq(
+      (0L, 1L, 0.05, 0.0, 0.1875),
+      (1L, 2L, 0.15, 0.5, 0.1875),
+      (9L, 1L, 1.0, 1.0, 0.1875)), got)
+  }
+
+  test("bhFdr: step-up rescues every smaller p once any larger index passes") {
+    import graft.ops.Stats
+    def chi2Of(p: Double) = -2.0 * math.log(p)
+    // p ≈ [0.04, 0.045, 0.049], m=3, α=0.05: only i=3 meets α·i/m=0.05 —
+    // the step-up must flag ALL three (a step-down would keep none)
+    val close = Seq(("a", chi2Of(0.04)), ("b", chi2Of(0.045)),
+      ("c", chi2Of(0.049))).toDF("token", "chi2")
+    val all = Stats.bhFdr(close, Seq("token"), F.col("chi2"), alpha = 0.05)
+    assert(all.filter(F.col("discovered")).count() == 3)
+    // clear split: p ≈ [4.5e-5, 0.0025, 0.368, 1.0] → exactly 2 discoveries
+    val mix = Seq(("a", 20.0), ("b", 12.0), ("c", 2.0), ("d", 0.0))
+      .toDF("token", "chi2")
+    val got = Stats.bhFdr(mix, Seq("token"), F.col("chi2"), alpha = 0.05)
+      .select("token", "i", "discovered")
+      .as[(String, Int, Boolean)].collect().toSeq
+    assert(got == Seq(("a", 1, true), ("b", 2, true),
+      ("c", 3, false), ("d", 4, false)), got)
+  }
+
+  test("chi2TokensDf2: independent token scores 0, planted association is exact") {
+    val docs = Seq(
+      (1L, "en", "aa xx"), (2L, "en", "aa xx"),
+      (3L, "zh", "xx bb"), (4L, "zh", "xx bb"),
+      (5L, "fr", "xx cc"), (6L, "fr", "xx cc")
+    ).toDF("doc_id", "lang", "text")
+    val grp = F.when(F.col("lang") === "en", "en")
+      .when(F.col("lang") === "zh", "zh").otherwise("other")
+    val got = TextOps.chi2TokensDf2(docs, "doc_id", "text", grp, minDf = 2)
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // "xx" in every doc: all cells O=E → χ²=0; "aa" only in en (2 of 2):
+    // present cells 2.666667+0.666667+0.666667, absent 1.333333+0.333333+
+    // 0.333333 → 6.0
+    assert(got("xx") == ((6L, 0.0)), got)
+    assert(got("aa") == ((2L, 6.0)), got)
+    assert(got("bb") == ((2L, 6.0)) && got("cc") == ((2L, 6.0)), got)
+  }
 }
