@@ -1931,6 +1931,60 @@ object SparkEntry {
         F.col("lang") === "en", nBins = 10)
     }),
 
+    // Matryoshka truncation-recall ladder: how much of the exact top-10
+    // survives at prefix dims 8/16/32/64 — one bruteKnn per rung, corpus
+    // scanned, never shuffled
+    "x173_matryoshka" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.matryoshkaRecall(emb, emb.filter(F.col("vec_id") < 30),
+        "vec_id", "embedding", dims = Seq(8, 16, 32, 64), k = 10)
+    }),
+
+    // margin-based bitext mining between the label-0 and label-1 vector
+    // sets: ratio margin over two bruteKnn candidate passes, best mate
+    // per left vector above margin 1
+    "x179_bitext_margin" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bitextMargin(
+        emb.filter(F.col("label") === 0), emb.filter(F.col("label") === 1),
+        "vec_id", "embedding", k = 4, minMargin = 1.0)
+    }),
+
+    // difficulty curriculum: per-source ntile bins over the negated
+    // unigram log-likelihood — keyed windows only, x47 scoring machinery
+    "x180_curriculum" -> ((s, dir) =>
+      graft.ops.Curation.curriculumPlan(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "source", nBins = 5)),
+
+    // MRR of the x125 popularity ranking against the top-5-by-quantity
+    // truth: first-hit position per query, misses score 0
+    "x181_mrr" -> ((s, dir) => {
+      val agg = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(F.col("l_returnflag").as("q"), F.col("l_suppkey").as("item"))
+        .agg(F.count(F.lit(1)).as("n"), F.sum("l_quantity").as("sq"))
+      val wA = Window.partitionBy("q").orderBy(F.col("n").desc, F.col("item"))
+      val wB = Window.partitionBy("q").orderBy(F.col("sq").desc, F.col("item"))
+      val res = agg.withColumn("rk", F.row_number().over(wA))
+        .filter(F.col("rk") <= 20)
+      val truth = agg.withColumn("rkb", F.row_number().over(wB))
+        .filter(F.col("rkb") <= 5)
+      graft.ops.Stats.mrr(res, truth, "q", "item", "rk")
+    }),
+
+    // cohort LTV curve: cumulative purchase value per cohort user by age
+    // — two keyed rollups, one bounded per-cohort window
+    "x182_ltv_curve" -> ((s, dir) =>
+      graft.ops.EventOps.ltvCurve(
+        s.read.parquet(s"$dir/events.parquet"), "purchase")),
+
+    // U-shaped attribution over the same 6-hour window as x157's
+    // last-touch: 40/20/40 position weights, touchless convs → direct
+    "x183_ushape" -> ((s, dir) =>
+      graft.ops.EventOps.uShapeAttribution(
+        s.read.parquet(s"$dir/events.parquet"), "purchase",
+        windowUs = 21600000000L)),
+
     // exact ROC AUC of the same scorer/label via the midrank identity —
     // the threshold-free separation readout
     "x178_auc" -> ((s, dir) => {
@@ -4830,6 +4884,176 @@ object SparkEntry {
          |SELECT bin, n, conf, acc, ece FROM bins CROSS JOIN e
          |ORDER BY bin""".stripMargin
     },
+
+    // truth and every rung replayed with the x06 ranking convention
+    // (raw-cos row_number, neighbor-id tie-break); dims LEFT JOIN keeps
+    // a zero-hit rung visible
+    "x173_matryoshka" ->
+      """WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+        |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 30),
+        |nq AS (SELECT count(*) AS nq FROM q),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |        i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(c.embedding,
+        |           x -> x::DOUBLE * x::DOUBLE)))
+        |         * sqrt(list_sum(list_transform(q.embedding,
+        |           x -> x::DOUBLE * x::DOUBLE)))) DESC, c.vec_id) AS rk
+        |  FROM embeddings c, q WHERE c.vec_id != q.vec_id) WHERE rk <= 10),
+        |tr AS (SELECT dim, query_id, neighbor_id FROM (
+        |  SELECT d.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY d.dim, q.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, d.dim + 1),
+        |        i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(
+        |           list_slice(c.embedding, 1, d.dim),
+        |           x -> x::DOUBLE * x::DOUBLE)))
+        |         * sqrt(list_sum(list_transform(
+        |           list_slice(q.embedding, 1, d.dim),
+        |           x -> x::DOUBLE * x::DOUBLE)))) DESC, c.vec_id) AS rk
+        |  FROM dims d, embeddings c, q WHERE c.vec_id != q.vec_id)
+        |  WHERE rk <= 10),
+        |hits AS (SELECT dim, count(*) AS hits
+        |  FROM tr JOIN truth USING (query_id, neighbor_id) GROUP BY dim)
+        |SELECT d.dim, coalesce(h.hits, 0) AS hits,
+        |  round(coalesce(h.hits, 0) / (nq.nq * 10.0), 6) AS recall
+        |FROM dims d LEFT JOIN hits h USING (dim) CROSS JOIN nq
+        |ORDER BY d.dim""".stripMargin,
+
+    // one all-pairs CTE serves both knn directions; 9-dp neighborhood
+    // averages, 6-dp ratio margin, best mate per a via the same
+    // (margin desc, b_id) tie-break
+    "x179_bitext_margin" ->
+      """WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+        |pair AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> b.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(b.embedding,
+        |         x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(a.embedding,
+        |         x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM a, b),
+        |fwd AS (SELECT a_id, b_id, cos, row_number() OVER (
+        |    PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk FROM pair),
+        |bwd AS (SELECT a_id, b_id, cos, row_number() OVER (
+        |    PARTITION BY b_id ORDER BY cos DESC, a_id) AS rk FROM pair),
+        |avga AS (SELECT a_id, round(avg(round(cos, 9)), 9) AS av_a
+        |  FROM fwd WHERE rk <= 4 GROUP BY a_id),
+        |avgb AS (SELECT b_id, round(avg(round(cos, 9)), 9) AS av_b
+        |  FROM bwd WHERE rk <= 4 GROUP BY b_id),
+        |cand AS (SELECT f.a_id, f.b_id, f.cos,
+        |    round(f.cos / ((av_a + av_b) / 2.0), 6) AS margin
+        |  FROM fwd f JOIN avga USING (a_id) JOIN avgb USING (b_id)
+        |  WHERE f.rk <= 4),
+        |best AS (SELECT a_id, b_id, cos, margin, row_number() OVER (
+        |    PARTITION BY a_id ORDER BY margin DESC, b_id) AS rk FROM cand)
+        |SELECT a_id, b_id, round(cos, 6) AS cos, margin
+        |FROM best WHERE rk = 1 AND margin >= 1.0 ORDER BY a_id""".stripMargin,
+
+    // the x47 unigram CTE, negated and 6-dp, then per-source ntile —
+    // gramless docs pinned to difficulty 0 on both sides
+    "x180_curriculum" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents
+        |), vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |sc AS (SELECT doc_id, round(-avg(ln(cnt::DOUBLE / n)), 6) AS difficulty
+        |  FROM toks JOIN vocab USING (term), tot GROUP BY doc_id),
+        |d AS (SELECT d.doc_id, d.source,
+        |    coalesce(sc.difficulty, 0.0) AS difficulty
+        |  FROM documents d LEFT JOIN sc USING (doc_id))
+        |SELECT doc_id, source, difficulty, ntile5 AS bin,
+        |  row_number() OVER (PARTITION BY source, ntile5
+        |    ORDER BY difficulty, doc_id) AS bin_rank
+        |FROM (SELECT doc_id, source, difficulty,
+        |    ntile(5) OVER (PARTITION BY source
+        |      ORDER BY difficulty, doc_id) AS ntile5 FROM d)
+        |ORDER BY source, bin, bin_rank""".stripMargin,
+
+    // the x125 ranking CTEs, then first-hit min-rank per query
+    "x181_mrr" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag AS q, l_suppkey AS item,
+        |    count(*) AS n, sum(l_quantity) AS sq
+        |  FROM lineitem GROUP BY 1, 2
+        |), ra AS (
+        |  SELECT q, item, row_number()
+        |    OVER (PARTITION BY q ORDER BY n DESC, item) AS rk
+        |  FROM agg
+        |), rb AS (
+        |  SELECT q, item, row_number()
+        |    OVER (PARTITION BY q ORDER BY sq DESC, item) AS rkb
+        |  FROM agg
+        |), res AS (SELECT q, item, rk FROM ra WHERE rk <= 20),
+        |tr AS (SELECT q, item FROM rb WHERE rkb <= 5),
+        |hits AS (SELECT res.q, min(rk) AS first_rank
+        |  FROM res JOIN tr ON res.q = tr.q AND res.item = tr.item
+        |  GROUP BY res.q),
+        |qs AS (SELECT DISTINCT q FROM res),
+        |perq AS (SELECT qs.q, hits.first_rank,
+        |    round(coalesce(1.0::DOUBLE / first_rank, 0.0), 9) AS rr
+        |  FROM qs LEFT JOIN hits ON qs.q = hits.q),
+        |g AS (SELECT round(avg(rr), 6) AS mrr FROM perq)
+        |SELECT q AS query, first_rank, rr, mrr FROM perq CROSS JOIN g
+        |ORDER BY query""".stripMargin,
+
+    // day arithmetic on dates, keyed cumulative window, sizes joined back
+    "x182_ltv_curve" ->
+      """WITH e AS (SELECT user_id, (ts::DATE - DATE '1970-01-01') AS d,
+        |    event_type, value FROM events),
+        |fd AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id),
+        |sz AS (SELECT cohort_day, count(*) AS n_users FROM fd
+        |  GROUP BY cohort_day),
+        |p AS (SELECT fd.cohort_day, e.d - fd.cohort_day AS age,
+        |    round(sum(value), 6) AS value_sum
+        |  FROM e JOIN fd USING (user_id) WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |c AS (SELECT cohort_day, age, value_sum,
+        |    round(sum(value_sum) OVER (PARTITION BY cohort_day ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |      AS cum_value
+        |  FROM p)
+        |SELECT c.cohort_day, c.age, sz.n_users, c.value_sum, c.cum_value,
+        |  round(c.cum_value / sz.n_users, 6) AS cum_per_user
+        |FROM c JOIN sz USING (cohort_day) ORDER BY cohort_day, age""".stripMargin,
+
+    // next-conversion binding via one IGNORE NULLS window, positional
+    // weights as exact decimals-to-double, direct = anti-join
+    "x183_ushape" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |nx AS (SELECT *, first_value(CASE WHEN event_type = 'purchase'
+        |      THEN struct_pack(cus := us, cid := event_id) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        |  FROM e),
+        |tch AS (SELECT nxt.cid AS conv, event_type AS touch_type, us,
+        |    event_id
+        |  FROM nx WHERE event_type <> 'purchase' AND nxt IS NOT NULL
+        |    AND nxt.cus - us <= 21600000000),
+        |pos AS (SELECT conv, touch_type,
+        |    row_number() OVER (PARTITION BY conv ORDER BY us, event_id) AS p,
+        |    count(*) OVER (PARTITION BY conv) AS n
+        |  FROM tch),
+        |wt AS (SELECT touch_type, round((CASE WHEN n = 1 THEN 1.0
+        |    WHEN p = 1 OR p = n THEN (CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END)
+        |    ELSE 0.2::DOUBLE / (n - 2) END)::DOUBLE, 9) AS w
+        |  FROM pos),
+        |dir AS (SELECT 'direct' AS touch_type, 1.0::DOUBLE AS w
+        |  FROM e WHERE event_type = 'purchase'
+        |    AND event_id NOT IN (SELECT DISTINCT conv FROM tch)),
+        |u AS (SELECT * FROM wt UNION ALL SELECT * FROM dir),
+        |g AS (SELECT touch_type, count(*) AS n_touches,
+        |    round(sum(w), 6) AS credit FROM u GROUP BY 1)
+        |SELECT touch_type, n_touches, credit,
+        |  round(credit / sum(credit) OVER (), 6) AS share
+        |FROM g ORDER BY touch_type""".stripMargin,
 
     // the x49 scorer again, then the midrank AUC identity
     "x178_auc" -> {

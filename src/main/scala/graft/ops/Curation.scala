@@ -452,6 +452,38 @@ object Curation {
       .drop("__rk", "__cnt", "__m", "__idx", "__rn")
   }
 
+  /** Difficulty-binned curriculum plan: score every document's difficulty
+    * as the NEGATED corpus-unigram log-likelihood per token
+    * ([[TextOps.unigramLogProb]] — rare-token soup scores hard, stopword
+    * prose scores easy), then deal each source's documents into `nBins`
+    * difficulty bins (ntile over the per-source ordering). Training
+    * easy→hard by bin is the classic curriculum schedule; binning WITHIN
+    * source keeps one verbose source from monopolizing the early bins.
+    *
+    * Scale shape: the unigram score is the x47 machinery (vocab-bounded
+    * join, 1-row broadcast total); the only window partitions by SOURCE —
+    * a keyed shuffle, no global sort anywhere. Gramless docs coalesce to
+    * difficulty 0 rather than riding on engine-specific NULL ordering.
+    *
+    * @return (idCol, srcCol, difficulty, bin, bin_rank)
+    */
+  def curriculumPlan(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"need >= 2 bins, got $nBins")
+    val scored = TextOps.unigramLogProb(docs, idCol, textCol)
+      .select(F.col(idCol), F.round(-F.col("avg_logp"), 6).as("difficulty"))
+    val w = Window.partitionBy(srcCol)
+      .orderBy(F.col("difficulty"), F.col(idCol))
+    docs.select(F.col(idCol), F.col(srcCol))
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0.0, Seq("difficulty"))
+      .withColumn("bin", F.ntile(nBins).over(w))
+      .withColumn("bin_rank", F.row_number().over(
+        Window.partitionBy(F.col(srcCol), F.col("bin"))
+          .orderBy(F.col("difficulty"), F.col(idCol))))
+      .orderBy(srcCol, "bin", "bin_rank")
+  }
+
   /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et al.
     * 2007) over a set of quasi-identifier columns: every QI equivalence
     * class reports its size `k` (rows indistinguishable on the QIs — a

@@ -647,6 +647,102 @@ object EventOps {
       .drop("__d0")
   }
 
+  /** U-shaped (position-based) multi-touch attribution: every conversion
+    * distributes credit over the touches that precede it within
+    * `windowUs` — 40% to the FIRST touch, 40% to the LAST, the remaining
+    * 20% split evenly across the middles (1-touch paths get 1.0, 2-touch
+    * paths renormalize to 0.5/0.5, touchless conversions credit
+    * `direct`). The standard complement of [[lastTouchAttribution]]: last-
+    * touch systematically undercounts discovery channels; U-shape is the
+    * usual correction.
+    *
+    * Each touch binds to its nearest FOLLOWING conversion (one `first()`
+    * window over the user's timeline — no per-conversion range join, no
+    * event-list materialization), then positions/counts come from
+    * per-conversion keyed windows. All windows partition by user or by
+    * conversion id — keyed shuffles only. Per-touch weights are exact
+    * decimals summed after 9-dp rounding; credit rounds to 6.
+    *
+    * @return (touch_type, n_touches, credit, share) — share of total credit
+    */
+  def uShapeAttribution(events: DataFrame, convType: String, windowUs: Long,
+                        userCol: String = "user_id",
+                        tieCol: String = "event_id"): DataFrame = {
+    require(windowUs > 0L, s"windowUs must be positive, got $windowUs")
+    val base = events.withColumn("__us", tsUs(events))
+    val wFol = Window.partitionBy(userCol)
+      .orderBy(F.col("__us").asc, F.col(tieCol).asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val withNext = base.withColumn("__next", F.first(
+      F.when(F.col("event_type") === convType,
+        F.struct(F.col("__us").as("cus"), F.col(tieCol).as("cid"))),
+      ignoreNulls = true).over(wFol))
+    val touches = withNext.filter(F.col("event_type") =!= convType &&
+        F.col("__next").isNotNull &&
+        F.col("__next.cus") - F.col("__us") <= windowUs)
+      .select(F.col("__next.cid").as("__conv"),
+        F.col("event_type").as("touch_type"),
+        F.col("__us"), F.col(tieCol).as("__tid"))
+    val wPos = Window.partitionBy("__conv")
+      .orderBy(F.col("__us").asc, F.col("__tid").asc)
+    val baseW = F.when(F.col("__n") === 1, 1.0)
+      .when(F.col("__pos") === 1 || F.col("__pos") === F.col("__n"),
+        F.when(F.col("__n") === 2, 0.5).otherwise(0.4))
+      .otherwise(F.lit(0.2) / (F.col("__n") - 2).cast("double"))
+    val weighted = touches
+      .withColumn("__pos", F.row_number().over(wPos))
+      .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("__conv")))
+      .select(F.col("touch_type"), F.round(baseW, 9).as("__w"))
+    val direct = base.filter(F.col("event_type") === convType)
+      .select(F.col(tieCol).as("__conv"))
+      .join(touches.select("__conv").distinct(), Seq("__conv"), "left_anti")
+      .select(F.lit("direct").as("touch_type"), F.lit(1.0).as("__w"))
+    weighted.unionByName(direct)
+      .groupBy("touch_type")
+      .agg(F.count(F.lit(1)).as("n_touches"),
+        F.round(F.sum("__w"), 6).as("credit"))
+      .withColumn("share", F.round(F.col("credit") /
+        F.sum("credit").over(Window.partitionBy()), 6))
+      .orderBy("touch_type")
+  }
+
+  /** Cohort LTV curve: users cohort by their FIRST event day; every
+    * `valueType` event contributes its `value` at age = (event day −
+    * cohort day); the curve is the running cumulative value per cohort
+    * user at each observed age. The readout behind "how much is a
+    * signup from day X worth by age 14" — retention's (x123) monetized
+    * sibling.
+    *
+    * Scale shape: one per-user min-rollup (keyed), one (cohort, age)
+    * rollup (keyed), a cumulative window over ages WITHIN cohort
+    * (bounded by the observation span), cohort sizes broadcast back.
+    *
+    * @return (cohort_day, age, n_users, value_sum, cum_value, cum_per_user)
+    */
+  def ltvCurve(events: DataFrame, valueType: String,
+               userCol: String = "user_id"): DataFrame = {
+    val day = F.datediff(F.to_date(tsStamp(events)),
+      F.lit("1970-01-01").cast("date"))
+    val firstDay = events.select(F.col(userCol), day.as("__d"))
+      .groupBy(userCol).agg(F.min("__d").as("cohort_day"))
+    val sizes = firstDay.groupBy("cohort_day")
+      .agg(F.count(F.lit(1)).as("n_users"))
+    val purchases = events.filter(F.col("event_type") === valueType)
+      .select(F.col(userCol), day.as("__d"), F.col("value"))
+      .join(firstDay, Seq(userCol))
+      .groupBy(F.col("cohort_day"), (F.col("__d") - F.col("cohort_day")).as("age"))
+      .agg(F.round(F.sum("value"), 6).as("value_sum"))
+    val wCum = Window.partitionBy("cohort_day").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases
+      .withColumn("cum_value", F.round(F.sum("value_sum").over(wCum), 6))
+      .join(F.broadcast(sizes), Seq("cohort_day"))
+      .select(F.col("cohort_day"), F.col("age"), F.col("n_users"),
+        F.col("value_sum"), F.col("cum_value"),
+        F.round(F.col("cum_value") / F.col("n_users"), 6).as("cum_per_user"))
+      .orderBy("cohort_day", "age")
+  }
+
   /** Slowly-changing-dimension type-2 history build (Kimball): collapse a
     * per-key event stream into contiguous STATE intervals — one row per
     * run of equal states with `valid_from` (first event of the run),

@@ -1291,4 +1291,86 @@ object Similarity {
       .map { case ((id, _, d), i) => (i + 1, id, d) }
       .toDF("pick", idCol, "dist2")
   }
+
+  /** Matryoshka truncation-recall ladder (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): for each prefix dimension `d`, what
+    * fraction of the FULL-vector exact top-k survives when both sides are
+    * truncated to their first `d` components (and re-normalized — the
+    * cosine over the slice does that implicitly)? The readout that decides
+    * how far an embedding column can be cut before the ANN index quality
+    * collapses — i.e. how much of 100 TB of vectors you actually have to
+    * store.
+    *
+    * Scale shape: one [[bruteKnn]] per rung plus one for the truth —
+    * each is a broadcast-queries × corpus-scan with map-side
+    * WindowGroupLimit, so the corpus is scanned dims+1 times and never
+    * shuffled; the recall join happens on (nQueries·k)-sized top-k tables.
+    *
+    * @return (dim, hits, recall) — recall 6-dp, one row per rung
+    */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, dims: Seq[Int],
+                       k: Int): DataFrame = {
+    require(dims.nonEmpty, "need at least one truncation dim")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val truth = bruteKnn(corpus, queries, idCol, vecCol, k)
+      .select("query_id", "neighbor_id")
+    val nq = queries.agg(F.count(F.lit(1)).as("__nq"))
+    val perDim = dims.map { d =>
+      val cd = corpus.withColumn(vecCol, F.slice(F.col(vecCol), 1, d))
+      val qd = queries.withColumn(vecCol, F.slice(F.col(vecCol), 1, d))
+      bruteKnn(cd, qd, idCol, vecCol, k)
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(F.count(F.lit(1)).as("hits"))
+        .select(F.lit(d).as("dim"), F.col("hits"))
+    }.reduce(_ unionByName _)
+    perDim.crossJoin(F.broadcast(nq))
+      .select(F.col("dim"), F.col("hits"),
+        F.round(F.col("hits") / (F.col("__nq") * F.lit(k.toDouble)), 6)
+          .as("recall"))
+      .orderBy("dim")
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019): score every
+    * candidate cross-lingual pair by its cosine RELATIVE to what each side
+    * scores against its own k nearest neighbors —
+    * `margin(x,y) = cos(x,y) / ((avgNNk(x) + avgNNk(y)) / 2)` — then keep
+    * each x's best-margin mate above `minMargin`. The ratio margin kills
+    * the hubness failure of raw-cosine mining (a generic "hub" sentence
+    * close to everything scores high cosine but LOW margin, because its
+    * own neighborhood average is just as high). This is the standard
+    * parallel-corpus miner (CCMatrix/LASER pipelines).
+    *
+    * Scale shape: candidates come from TWO [[bruteKnn]] passes (forward
+    * a→b and backward b→a), so the corpus sides are scanned, never
+    * shuffled, and nothing all-pairs is ever materialized; the per-side
+    * neighborhood averages are k-row rollups of those same top-k tables.
+    * Per-term 9-dp rounding before the k-way averages, margin at 6 —
+    * engine-replayable.
+    *
+    * @return (a_id, b_id, cos, margin) — one best mate per a, 6-dp
+    */
+  def bitextMargin(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fwd = bruteKnn(b, a, idCol, vecCol, k)
+    val bwd = bruteKnn(a, b, idCol, vecCol, k)
+    def nnAvg(knn: DataFrame, outId: String, outAvg: String) = knn
+      .groupBy(F.col("query_id").as(outId))
+      .agg(F.round(F.avg(F.round(F.col("cos"), 9)), 9).as(outAvg))
+    val cand = fwd
+      .select(F.col("query_id").as("a_id"),
+        F.col("neighbor_id").as("b_id"), F.col("cos"))
+      .join(nnAvg(fwd, "a_id", "__avg_a"), "a_id")
+      .join(nnAvg(bwd, "b_id", "__avg_b"), "b_id")
+      .withColumn("margin", F.round(F.col("cos") /
+        ((F.col("__avg_a") + F.col("__avg_b")) / 2.0), 6))
+    val w = Window.partitionBy("a_id")
+      .orderBy(F.col("margin").desc, F.col("b_id"))
+    cand.withColumn("__rk", F.row_number().over(w))
+      .filter(F.col("__rk") === 1 && F.col("margin") >= minMargin)
+      .select(F.col("a_id"), F.col("b_id"),
+        F.round(F.col("cos"), 6).as("cos"), F.col("margin"))
+      .orderBy("a_id")
+  }
 }

@@ -610,6 +610,34 @@ object Stats {
     else point.join(ci, groupCols)
   }
 
+  /** Mean reciprocal rank: each query scores 1/rank of its FIRST relevant
+    * result (0 when nothing relevant is retrieved — misses must drag the
+    * mean, not vanish from it), and every row carries the corpus MRR.
+    * The first-hit-position complement of [[ndcg]] for single-answer
+    * retrieval evals.
+    *
+    * Scale shape: one (query, item) join against the truth pairs, one
+    * min-rollup per query, a 1-row mean broadcast back — the ranking
+    * tables are already top-k-bounded upstream.
+    *
+    * @return (query, first_rank, rr, mrr) — rr 9-dp, mrr 6-dp
+    */
+  def mrr(results: DataFrame, truth: DataFrame, queryCol: String,
+          itemCol: String, rankCol: String): DataFrame = {
+    val hits = results.join(truth.select(F.col(queryCol), F.col(itemCol)),
+        Seq(queryCol, itemCol))
+      .groupBy(queryCol).agg(F.min(rankCol).as("first_rank"))
+    val perQ = results.select(F.col(queryCol)).distinct()
+      .join(hits, Seq(queryCol), "left")
+      .withColumn("rr", F.round(F.coalesce(
+        F.lit(1.0) / F.col("first_rank"), F.lit(0.0)), 9))
+    val g = perQ.agg(F.round(F.avg("rr"), 6).as("mrr"))
+    perQ.crossJoin(F.broadcast(g))
+      .select(F.col(queryCol).as("query"), F.col("first_rank"),
+        F.col("rr"), F.col("mrr"))
+      .orderBy("query")
+  }
+
   /** Kaplan-Meier product-limit survival curve (Kaplan & Meier 1958) over
     * right-censored durations — the standard readout for "how long do
     * users/sessions/documents survive" when some subjects are still alive

@@ -3280,6 +3280,109 @@ class OpsSpec extends AnyFunSuite {
       ("c", 3, false), ("d", 4, false)), got)
   }
 
+  test("matryoshkaRecall: truncation that erases the signal drops recall to 0") {
+    // first 2 dims identical everywhere; dims 3-4 carry ALL the signal
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 10.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, -10.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 9.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter(F.col("vec_id") === 1)
+    val got = Similarity.matryoshkaRecall(emb, q, "vec_id", "embedding",
+        dims = Seq(2, 4), k = 1)
+      .as[(Int, Long, Double)].collect().toSeq
+    // full: NN(1) = 3 (cos≈1); dim-2: all cos exactly 1 → tie-break id → 2
+    assert(got == Seq((2, 0L, 0.0), (4, 1L, 1.0)), got)
+  }
+
+  test("bitextMargin: ratio margin mates true pairs and rejects the hub") {
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((11L, Array(0.99f, 0.14f)), (12L, Array(0.14f, 0.99f)),
+      (13L, Array(0.707f, 0.707f)))  // hub: close to everything
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bitextMargin(a, b, "vec_id", "embedding",
+        k = 2, minMargin = 1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    // the hub's own neighborhood average is as high as its cosines, so
+    // its margin stays near 1 while the true mates clear it decisively
+    assert(got == Seq((1L, 11L), (2L, 12L)), got)
+  }
+
+  test("curriculumPlan: rare-token docs land in the hard bin per source") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, "A", "the the the the"), (2L, "A", "the the zz qq"),
+      (3L, "B", "the the the the"), (4L, "B", "the zz zz ww")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.curriculumPlan(docs, "doc_id", "text", "source",
+        nBins = 2)
+      .select("doc_id", "source", "bin", "bin_rank")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    // rare tokens (zz/qq/ww) raise difficulty: 2 and 4 take bin 2
+    assert(got == Seq((1L, "A", 1, 1), (2L, "A", 2, 1),
+      (3L, "B", 1, 1), (4L, "B", 2, 1)), got)
+  }
+
+  test("mrr: first-hit reciprocal, misses count as 0 in the mean") {
+    import graft.ops.Stats
+    val res = Seq(("q1", "i1", 1), ("q1", "i2", 2), ("q1", "i3", 3),
+      ("q2", "i1", 1), ("q2", "i2", 2)).toDF("q", "item", "rk")
+    val tr = Seq(("q1", "i2"), ("q1", "i3"), ("q2", "zz")).toDF("q", "item")
+    val got = Stats.mrr(res, tr, "q", "item", "rk")
+      .as[(String, Option[Int], Double, Double)].collect().toSeq
+    // q1 first hit at rank 2 → 0.5; q2 never hits → 0; MRR 0.25
+    assert(got == Seq(("q1", Some(2), 0.5, 0.25), ("q2", None, 0.0, 0.25)),
+      got)
+  }
+
+  test("ltvCurve: cohorts by first day, cumulative value per cohort user") {
+    import graft.ops.EventOps
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"1970-01-${d + 1}%02d 12:00:00")
+    val ev = Seq(
+      (1L, ts(0), 1L, "purchase", 10.0), (2L, ts(2), 1L, "purchase", 5.0),
+      (3L, ts(0), 2L, "view", 0.0),      // cohort-0 user, never pays
+      (4L, ts(2), 3L, "signup", 0.0), (5L, ts(3), 3L, "purchase", 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.ltvCurve(ev, "purchase")
+      .as[(Int, Int, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0, 0, 2L, 10.0, 10.0, 5.0),
+      (0, 2, 2L, 5.0, 15.0, 7.5),
+      (2, 1, 1L, 2.0, 2.0, 2.0)), got)
+  }
+
+  test("uShapeAttribution: 40/20/40 weights, next-conv binding, direct paths") {
+    import graft.ops.EventOps
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 10: view, click, view → purchase (0.4/0.2/0.4), then a
+      // second purchase with no touches in between → direct
+      (1L, ts(1), 10L, "view"), (2L, ts(2), 10L, "click"),
+      (3L, ts(3), 10L, "view"), (4L, ts(4), 10L, "purchase"),
+      (5L, ts(5), 10L, "purchase"),
+      // user 20: single click → purchase (1.0)
+      (6L, ts(1), 20L, "click"), (7L, ts(2), 20L, "purchase"),
+      // user 30: bare purchase → direct
+      (8L, ts(1), 30L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.uShapeAttribution(ev, "purchase",
+        windowUs = 6L * 3600 * 1000000)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("click", 2L, 1.2, 0.3),
+      ("direct", 2L, 2.0, 0.5),
+      ("view", 2L, 0.8, 0.2)), got)
+    // a touch OUTSIDE the window attributes nothing: direct instead
+    val far = Seq((1L, ts(1), 1L, "click"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val g2 = EventOps.uShapeAttribution(far, "purchase",
+        windowUs = 6L * 3600 * 1000000)
+      .select("touch_type").as[String].collect().toSeq
+    assert(g2 == Seq("direct"), g2)
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
