@@ -1353,14 +1353,34 @@ object Similarity {
   def bitextMargin(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
                    k: Int = 4, minMargin: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val fwd = bruteKnn(b, a, idCol, vecCol, k)
-    val bwd = bruteKnn(a, b, idCol, vecCol, k)
-    def nnAvg(knn: DataFrame, outId: String, outAvg: String) = knn
-      .groupBy(F.col("query_id").as(outId))
+    // ONE broadcast join scores every (a, b) pair in the mappers — the
+    // batch side `a` broadcasts, the pool side `b` is scanned and never
+    // broadcast/shuffled in full. Both top-k directions come from THIS
+    // pair stream via WindowGroupLimit windows (each prunes to k rows per
+    // key map-side), so the dot product is computed once per pair and the
+    // exchanges carry ≤ k rows per a / per b — never the pool.
+    val bn = b.select(F.col(idCol).as("b_id"), F.col(vecCol).as("__bv"))
+      .withColumn("__nb", l2norm(F.col("__bv")))
+    val an = F.broadcast(a
+      .select(F.col(idCol).as("a_id"), F.col(vecCol).as("__av"))
+      .withColumn("__na", l2norm(F.col("__av"))))
+    val pairs = bn.join(an, F.col("a_id") =!= F.col("b_id"))
+      .withColumn("cos", // zero-norm guard — see cosine()
+        F.when(F.col("__na") * F.col("__nb") > 0.0d,
+          dot(F.col("__bv"), F.col("__av")) / (F.col("__nb") * F.col("__na"))))
+      .select("a_id", "b_id", "cos")
+    val wFwd = Window.partitionBy("a_id")
+      .orderBy(F.col("cos").desc, F.col("b_id").asc)
+    val wBwd = Window.partitionBy("b_id")
+      .orderBy(F.col("cos").desc, F.col("a_id").asc)
+    val fwd = pairs.withColumn("__rk", F.row_number().over(wFwd))
+      .filter(F.col("__rk") <= k)
+    val bwd = pairs.withColumn("__rk", F.row_number().over(wBwd))
+      .filter(F.col("__rk") <= k)
+    def nnAvg(knn: DataFrame, idOut: String, outAvg: String) = knn
+      .groupBy(idOut)
       .agg(F.round(F.avg(F.round(F.col("cos"), 9)), 9).as(outAvg))
-    val cand = fwd
-      .select(F.col("query_id").as("a_id"),
-        F.col("neighbor_id").as("b_id"), F.col("cos"))
+    val cand = fwd.select("a_id", "b_id", "cos")
       .join(nnAvg(fwd, "a_id", "__avg_a"), "a_id")
       .join(nnAvg(bwd, "b_id", "__avg_b"), "b_id")
       .withColumn("margin", F.round(F.col("cos") /

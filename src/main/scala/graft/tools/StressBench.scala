@@ -286,6 +286,39 @@ object StressBench {
         "x169_quantile_norm" -> (() => graft.ops.Curation.quantileNormalize(
           docs.select("doc_id", "source", "n_chars"),
           "source", "n_chars", "doc_id", refRate = 0.5 / k)),
+        // Kaplan-Meier: subjects (users) grow K× but the duration domain
+        // (30 days) is FIXED — the census collapse grows linearly, the
+        // single-partition windows stay ~30 rows at every K
+        "x171_kaplan" -> (() => {
+          val per = events.groupBy("user_id")
+            .agg(F.min(graft.ops.EventOps.tsStamp(events)).as("f"),
+              F.max(graft.ops.EventOps.tsStamp(events)).as("l"))
+          val mx = per.agg(F.max("l").as("m"))
+          val subj = per.crossJoin(F.broadcast(mx))
+            .select(F.datediff(F.to_date(F.col("l")), F.to_date(F.col("f")))
+                .as("dur"),
+              F.when(F.col("l") < F.col("m") - F.expr("INTERVAL 3 DAYS"), 1)
+                .otherwise(0).as("ev"))
+          graft.ops.Stats.kaplanMeier(subj, F.col("dur"), F.col("ev"))
+        }),
+        // Matryoshka ladder: corpus grows K× (distinct perturbed vectors),
+        // 30 queries and 4 rungs fixed — each rung is one broadcast scan,
+        // so wall must stay ~linear in K across all rungs together
+        "x173_matryoshka" -> (() => graft.ops.Similarity.matryoshkaRecall(
+          emb, emb.filter(F.col("vec_id") < 30), "vec_id", "embedding",
+          dims = Seq(8, 16, 32, 64), k = 10)),
+        // bitext mining at the production shape: a FIXED ingest batch (the
+        // base even-id vectors — replicas drop `label`, so split on id
+        // parity) mined against a target pool growing K× — candidate
+        // scoring is broadcast-batch × pool scan, ~linear
+        "x179_bitext" -> (() => graft.ops.Similarity.bitextMargin(
+          emb.filter(F.col("vec_id") % 2 === 0 && F.col("vec_id") < KeyStride),
+          emb.filter(F.col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.0)),
+        // U-shape attribution: events and users grow K×, every window is
+        // user- or conversion-keyed — linear, no single-partition growth
+        "x183_ushape" -> (() => graft.ops.EventOps.uShapeAttribution(
+          events, "purchase", windowUs = 21600000000L)),
       )
       val allQueries = queries ++ extra
       val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")

@@ -992,4 +992,79 @@ class PlanQualitySpec extends AnyFunSuite {
     val single = "Exchange SinglePartition".r.findAllIn(finalSection).size
     assert(single <= 2, s"only the sample may gather to one partition:\n$p")
   }
+
+  test("kaplanMeier: subjects collapse map-side before any window") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val per = ev.groupBy("user_id")
+      .agg(F.min(graft.ops.EventOps.tsStamp(ev)).as("f"),
+        F.max(graft.ops.EventOps.tsStamp(ev)).as("l"))
+    val subj = per.select(
+      F.datediff(F.to_date(F.col("l")), F.to_date(F.col("f"))).as("dur"),
+      F.lit(1).as("ev"))
+    val p = plan(graft.ops.Stats.kaplanMeier(subj, F.col("dur"), F.col("ev")))
+    // the per-duration census partial-aggregates, so the deliberate
+    // single-partition windows only ever see distinct-duration rows
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"duration census must partial-aggregate:\n$p")
+    assert(!p.contains("Join"), s"rollup + bounded windows only:\n$p")
+  }
+
+  test("mannWhitneyU: no subject-level sort — ranks come from the value collapse") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.Stats.mannWhitneyU(docs, F.col("n_chars"),
+      F.col("lang") === "en")
+    val p = plan(df)
+    assert(p.contains("partial_sum"),
+      s"per-value class counts must partial-aggregate:\n$p")
+    assert(!p.contains("Join"), s"collapse + bounded window only:\n$p")
+  }
+
+  test("scd2: keyed windows only — the stream never gathers to one partition") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val df = graft.ops.EventOps.scd2(ev, "user_id", F.col("event_type"),
+      F.col("event_id"))
+    val p = finalPlan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Exchange SinglePartition"),
+      s"every window/rollup must partition by user:\n$p")
+    assert(!p.contains("Join"), s"islands need no join:\n$p")
+  }
+
+  test("uShapeAttribution: user/conv-keyed windows; only the 5-row share gathers") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val df = graft.ops.EventOps.uShapeAttribution(ev, "purchase",
+      windowUs = 21600000000L)
+    val p = finalPlan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    val single = "Exchange SinglePartition".r.findAllIn(finalSection).size
+    assert(single <= 1,
+      s"only the type-bounded share window may gather:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
+
+  test("bitextMargin: knn queries broadcast; the corpus side never shuffle-joins") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.ops.Similarity.bitextMargin(
+      emb.filter(F.col("label") === 0), emb.filter(F.col("label") === 1),
+      "vec_id", "embedding", k = 4, minMargin = 1.0)
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastExchange"),
+      s"candidate generation must broadcast the query side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates come from bruteKnn top-k, never a cross join:\n$p")
+  }
+
+  test("matryoshkaRecall: every rung broadcasts queries and semi-joins bounded top-ks") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.ops.Similarity.matryoshkaRecall(
+      emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+      dims = Seq(8, 64), k = 5)
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastExchange"),
+      s"queries must broadcast into each rung's scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unkeyed join may appear:\n$p")
+    // the recall join is a semi-join between (nq·k)-sized top-k tables
+    assert(p.contains("LeftSemi"), s"truth intersection must be semi:\n$p")
+  }
 }
