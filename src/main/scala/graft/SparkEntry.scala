@@ -1985,6 +1985,48 @@ object SparkEntry {
         s.read.parquet(s"$dir/events.parquet"), "purchase",
         windowUs = 21600000000L)),
 
+    // SRM gate over the x41 splitter: observed arm counts vs the
+    // 0.8/0.1/0.1 design, closed-form df=2 p — the split-bias tripwire
+    "x184_srm" -> ((s, dir) => {
+      val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      graft.ops.Stats.srmCheck(
+        graft.ops.Sampling.splitAssign(
+          s.read.parquet(s"$dir/documents.parquet"), F.col("text"), w),
+        F.col("split"), w)
+    }),
+
+    // temperature-flattened language mix (α=0.3, the XLM-R rule):
+    // natural vs reweighted shares + the upsample factor table
+    "x185_temperature_mix" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMix(
+        s.read.parquet(s"$dir/documents.parquet"), F.col("lang"),
+        alpha = 0.3)),
+
+    // Pareto frontier of (n_chars, token count): the non-dominated docs —
+    // salt-keyed local skyline prunes before any global window
+    "x186_skyline" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Stats.skyline2d(docs, "doc_id", F.col("n_chars"),
+        TextOps.tokenCount(F.col("text")))
+    }),
+
+    // one-way ANOVA of doc length across sources: F and η² from one
+    // sufficient-statistics pass (no engine-specific F-CDF)
+    "x187_anova" -> ((s, dir) =>
+      graft.ops.Stats.anovaF(s.read.parquet(s"$dir/documents.parquet"),
+        F.col("source"), F.col("n_chars"))),
+
+    // Theil-Sen robust trend of daily event volume: median pairwise
+    // slope over the 30-point rollup — outlier days cannot move it
+    "x188_theil_sen" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.theilSen(daily, "t", "v")
+    }),
+
     // exact ROC AUC of the same scorer/label via the midrank identity —
     // the threshold-free separation readout
     "x178_auc" -> ((s, dir) => {
@@ -4975,6 +5017,105 @@ object SparkEntry {
         |    ntile(5) OVER (PARTITION BY source
         |      ORDER BY difficulty, doc_id) AS ntile5 FROM d)
         |ORDER BY source, bin, bin_rank""".stripMargin,
+
+    // the x41 split replayed, then goodness-of-fit cells at 9 dp and the
+    // closed-form df=2 p
+    "x184_srm" ->
+      """WITH s AS (SELECT CASE
+        |    WHEN '0' || substring(md5(coalesce(text, '')), 1, 4) < '0cccd'
+        |      THEN 'train'
+        |    WHEN '0' || substring(md5(coalesce(text, '')), 1, 4) < '0e666'
+        |      THEN 'val'
+        |    ELSE 'test' END AS split FROM documents),
+        |obs AS (SELECT split, count(*) AS n_obs FROM s GROUP BY split),
+        |tot AS (SELECT sum(n_obs)::BIGINT AS n FROM obs),
+        |cells AS (SELECT split, n_obs, round(n * (CASE split
+        |    WHEN 'train' THEN 0.8 WHEN 'val' THEN 0.1
+        |    ELSE 0.1 END)::DOUBLE, 6) AS n_exp
+        |  FROM obs CROSS JOIN tot),
+        |c2 AS (SELECT split, n_obs, n_exp,
+        |    round((n_obs - n_exp) * (n_obs - n_exp) / nullif(n_exp, 0.0), 9)
+        |      AS cell
+        |  FROM cells),
+        |chi AS (SELECT round(sum(cell), 6) AS chi2 FROM c2)
+        |SELECT split, n_obs, n_exp, chi2,
+        |  round(exp(-chi2 / 2.0), 9) AS p,
+        |  round(exp(-chi2 / 2.0), 9) < 0.001 AS srm
+        |FROM c2 CROSS JOIN chi ORDER BY split""".stripMargin,
+
+    // exp(α·ln p) at 9 dp — the explicit primitive chain, not pow()
+    "x185_temperature_mix" ->
+      """WITH c AS (SELECT lang AS "group", count(*) AS n FROM documents
+        |  GROUP BY lang),
+        |t AS (SELECT "group", n, n::DOUBLE / sum(n) OVER () AS p FROM c),
+        |q AS (SELECT "group", n, p, round(exp(0.3 * ln(p)), 9) AS qn
+        |  FROM t),
+        |s AS (SELECT "group", n, p, qn / sum(qn) OVER () AS qq FROM q)
+        |SELECT "group", n, round(p, 6) AS p, round(qq, 6) AS q,
+        |  round(qq / p, 6) AS factor
+        |FROM s ORDER BY "group"""".stripMargin,
+
+    // the oracle skips the salt phase (it only PRUNES): one global pass
+    // with the same equal-x max and strict-greater-x range frame
+    "x186_skyline" ->
+      """WITH b AS (SELECT doc_id, n_chars AS x,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS y
+        |  FROM documents),
+        |w AS (SELECT doc_id, x, y,
+        |    max(y) OVER (PARTITION BY x) AS gmax,
+        |    max(y) OVER (ORDER BY x
+        |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS runmax
+        |  FROM b)
+        |SELECT doc_id, x, y FROM w
+        |WHERE y = gmax AND (runmax IS NULL OR y > runmax)
+        |ORDER BY x, doc_id""".stripMargin,
+
+    // sufficient-statistics ANOVA: 9-dp per-group terms, no F-CDF
+    "x187_anova" ->
+      """WITH g AS (SELECT source, count(*) AS n, sum(n_chars::DOUBLE) AS s1,
+        |    sum(n_chars::DOUBLE * n_chars::DOUBLE) AS s2
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT source, n, s1,
+        |    round(s1 * s1 / n, 9) AS cb,
+        |    round(s2 - s1 * s1 / n, 9) AS cw
+        |  FROM g),
+        |a AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+        |    sum(cb) AS sb, sum(s1) AS t1, round(sum(cw), 6) AS ssw
+        |  FROM t),
+        |b AS (SELECT k, n, ssw,
+        |    round(sb - t1 * t1 / n, 6) AS ssb FROM a)
+        |SELECT k, n, ssb, ssw,
+        |  round((ssb / (k - 1)::DOUBLE) /
+        |    nullif(ssw / (n - k)::DOUBLE, 0.0), 6) AS f,
+        |  round(ssb / nullif(ssb + ssw, 0.0), 6) AS eta2
+        |FROM b""".stripMargin,
+
+    // pairwise slopes at 9 dp, exact order-statistic medians (mean of
+    // the two integer-div middles), then the residual median intercept
+    "x188_theil_sen" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01') AS t,
+        |    count(*)::DOUBLE AS v
+        |  FROM events GROUP BY 1),
+        |sl AS (SELECT round((b.v - a.v) / (b.t - a.t)::DOUBLE, 9) AS s
+        |  FROM daily a JOIN daily b ON b.t > a.t),
+        |sn AS (SELECT count(*) AS n FROM sl),
+        |srk AS (SELECT s, row_number() OVER (ORDER BY s) AS rk
+        |  FROM sl),
+        |slope AS (SELECT round(avg(s), 9) AS slope
+        |  FROM srk CROSS JOIN sn
+        |  WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1),
+        |res AS (SELECT round(d.v - slope.slope * d.t, 9) AS r, slope.slope
+        |  FROM daily d CROSS JOIN slope),
+        |rn AS (SELECT count(*) AS n FROM res),
+        |rrk AS (SELECT r, row_number() OVER (ORDER BY r) AS rk FROM res),
+        |icept AS (SELECT round(avg(r), 9) AS intercept
+        |  FROM rrk CROSS JOIN rn
+        |  WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1)
+        |SELECT (SELECT count(*) FROM daily)::BIGINT AS n_points,
+        |  (SELECT count(*) FROM sl)::BIGINT AS n_pairs,
+        |  round(slope.slope, 6) AS slope,
+        |  round(icept.intercept, 6) AS intercept
+        |FROM slope CROSS JOIN icept""".stripMargin,
 
     // the x125 ranking CTEs, then first-hit min-rank per query
     "x181_mrr" ->

@@ -328,4 +328,36 @@ object Sampling {
     }
     upsample(df, key, f, salt)
   }
+
+  /** Temperature-reweighted sampling plan (the multilingual mixing rule of
+    * XLM-R / mBERT: `q_g ∝ p_g^α`, α ∈ (0, 1]): flatten a skewed group
+    * distribution so head groups stop drowning the tail without sampling
+    * the tail to noise. α = 1 keeps natural proportions; α → 0 approaches
+    * uniform. Reports each group's natural share `p`, reweighted share
+    * `q`, and the up/down-sampling `factor = q/p` to feed
+    * [[upsampleByGroup]].
+    *
+    * `p^α` runs as `exp(α·ln p)` rounded to 9 dp — the explicit primitive
+    * chain both engines replay identically, rather than `pow` whose
+    * rounding is engine-specific. Scale shape: one map-side count
+    * collapse to ≤ groups rows; the normalization sum is a window over
+    * that bounded table.
+    *
+    * @return (group, n, p, q, factor) — 6-dp, ordered by group
+    */
+  def temperatureMix(df: DataFrame, groupCol: Column,
+                     alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(groupCol.as("group"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("p", F.col("n").cast("double") / F.sum("n").over(wAll))
+      .withColumn("__qn", F.round(F.exp(F.lit(alpha) * F.log(F.col("p"))), 9))
+      .withColumn("q", F.col("__qn") / F.sum("__qn").over(wAll))
+      .select(F.col("group"), F.col("n"), F.round(F.col("p"), 6).as("p"),
+        F.round(F.col("q"), 6).as("q"),
+        F.round(F.col("q") / F.col("p"), 6).as("factor"))
+      .orderBy("group")
+  }
 }

@@ -838,6 +838,166 @@ object Stats {
       .orderBy("i")
   }
 
+  /** Sample-ratio-mismatch (SRM) check: goodness-of-fit χ² of observed
+    * split/arm counts against their design weights, with the closed-form
+    * df=2 p-value (`exp(−χ²/2)` — exact for THREE arms, the standard
+    * train/val/test and A/B/holdout shapes; see [[bhFdr]] for why df=2).
+    * The pre-analysis gate every experiment/split pipeline runs: a biased
+    * assigner invalidates everything downstream, and SRM catches it from
+    * counts alone.
+    *
+    * Scale shape: one map-side count collapse to ≤ arms rows; total and
+    * χ² ride back as 1-row broadcasts.
+    *
+    * @param weights (arm → expected share), must cover every observed arm
+    * @return (split, n_obs, n_exp, chi2, p, srm) — srm flags p < alpha
+    */
+  def srmCheck(df: DataFrame, splitCol: Column,
+               weights: Seq[(String, Double)],
+               alpha: Double = 0.001): DataFrame = {
+    require(weights.size == 3,
+      s"closed-form p needs exactly 3 arms (df=2), got ${weights.size}")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "weights must sum to 1")
+    val obs = df.groupBy(splitCol.as("split"))
+      .agg(F.count(F.lit(1)).as("n_obs"))
+    val tot = obs.agg(F.sum("n_obs").as("__n"))
+    val wExpr = weights.tail.foldLeft(
+      F.when(F.col("split") === weights.head._1, weights.head._2)) {
+      case (acc, (name, w)) => acc.when(F.col("split") === name, w)
+    }
+    val cells = obs.crossJoin(F.broadcast(tot))
+      .withColumn("n_exp", F.round(F.col("__n") * wExpr, 6))
+      .withColumn("__cell", F.round(
+        (F.col("n_obs") - F.col("n_exp")) * (F.col("n_obs") - F.col("n_exp"))
+          / F.nullif(F.col("n_exp"), F.lit(0.0)), 9))
+    val chi = cells.agg(F.round(F.sum("__cell"), 6).as("chi2"))
+      .withColumn("p", F.round(F.exp(-F.col("chi2") / 2.0), 9))
+    cells.crossJoin(F.broadcast(chi))
+      .select(F.col("split"), F.col("n_obs"), F.col("n_exp"),
+        F.col("chi2"), F.col("p"), (F.col("p") < alpha).as("srm"))
+      .orderBy("split")
+  }
+
+  /** One-way ANOVA from per-group sufficient statistics (n, Σx, Σx²):
+    * between/within sums of squares, the F statistic, and η² (the share
+    * of variance the grouping explains — the effect size that tells you
+    * whether a "significant" source effect is worth acting on). No
+    * p-value on purpose: the F CDF needs an incomplete beta no two
+    * engines round alike; F and η² are the replayable readouts.
+    *
+    * Scale shape: ONE partial-aggregated scan to ≤ groups rows of three
+    * machine numbers; 9-dp per-group terms, 6-dp results.
+    *
+    * @return one row (k, n, ssb, ssw, f, eta2)
+    */
+  def anovaF(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val g = df.select(groupCol.as("__g"), valueCol.cast("double").as("__v"))
+      .groupBy("__g")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__v").as("__s1"),
+        F.sum(F.col("__v") * F.col("__v")).as("__s2"))
+      .withColumn("__cb", F.round(
+        F.col("__s1") * F.col("__s1") / F.col("__n"), 9))
+      .withColumn("__cw", F.round(
+        F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__n"), 9))
+    g.agg(F.count(F.lit(1)).as("k"), F.sum("__n").as("n"),
+        F.sum("__cb").as("__sb"), F.sum("__s1").as("__t1"),
+        F.round(F.sum("__cw"), 6).as("ssw"))
+      .withColumn("ssb", F.round(
+        F.col("__sb") - F.col("__t1") * F.col("__t1") / F.col("n"), 6))
+      .withColumn("f", F.round(
+        (F.col("ssb") / (F.col("k") - 1).cast("double")) /
+          F.nullif(F.col("ssw") / (F.col("n") - F.col("k")).cast("double"),
+            F.lit(0.0)), 6))
+      .withColumn("eta2", F.round(F.col("ssb") /
+        F.nullif(F.col("ssb") + F.col("ssw"), F.lit(0.0)), 6))
+      .select("k", "n", "ssb", "ssw", "f", "eta2")
+  }
+
+  /** Theil-Sen robust trend over a BOUNDED series (daily/hourly rollups —
+    * the time domain, not the corpus, sets the size): slope = median of
+    * all pairwise slopes, intercept = median of `v − slope·t`. One
+    * outlier day cannot move it, unlike [[olsFit]] — the robust default
+    * for volume-trend monitoring.
+    *
+    * Median convention (both engines replay it): exact order statistics,
+    * mean of the two middles when even. Slopes round to 9 dp before
+    * ranking so the order is engine-neutral. The O(points²) pair fan-out
+    * and single-partition rank windows are deliberate: they run on the
+    * ROLLED-UP series (≤ thousands of rows), never on raw events.
+    *
+    * @param series (tCol, vCol) — one row per time point, t integral
+    * @return one row (n_points, n_pairs, slope, intercept)
+    */
+  def theilSen(series: DataFrame, tCol: String, vCol: String): DataFrame = {
+    val a = series.select(F.col(tCol).cast("long").as("__ta"),
+      F.col(vCol).cast("double").as("__va"))
+    val bb = series.select(F.col(tCol).cast("long").as("__tb"),
+      F.col(vCol).cast("double").as("__vb"))
+    val slopes = a.join(bb, F.col("__tb") > F.col("__ta"))
+      .select(F.round((F.col("__vb") - F.col("__va")) /
+        (F.col("__tb") - F.col("__ta")).cast("double"), 9).as("__s"))
+    def median(df: DataFrame, col: String, out: String): DataFrame = {
+      val n = df.agg(F.count(F.lit(1)).as("__n"))
+      df.crossJoin(F.broadcast(n))
+        .withColumn("__rk", F.row_number().over(Window.orderBy(F.col(col))))
+        // integer-div middles: odd n picks one row twice, even n two rows
+        .filter(F.col("__rk") ===
+            F.call_function("div", F.col("__n") + 1L, F.lit(2L)) ||
+          F.col("__rk") ===
+            F.call_function("div", F.col("__n"), F.lit(2L)) + 1L)
+        .agg(F.round(F.avg(col), 9).as(out))
+    }
+    val slope = median(slopes, "__s", "slope")
+    val resid = a.crossJoin(F.broadcast(slope))
+      .select(F.col("slope"),
+        F.round(F.col("__va") - F.col("slope") * F.col("__ta"), 9).as("__r"))
+    val icept = median(resid.select("__r"), "__r", "intercept")
+    val counts = a.agg(F.count(F.lit(1)).as("n_points"))
+      .crossJoin(slopes.agg(F.count(F.lit(1)).as("n_pairs")))
+    counts.crossJoin(F.broadcast(slope)).crossJoin(F.broadcast(icept))
+      .select(F.col("n_points"), F.col("n_pairs"),
+        F.round(F.col("slope"), 6).as("slope"),
+        F.round(F.col("intercept"), 6).as("intercept"))
+  }
+
+  /** 2-D skyline (Pareto frontier, Börzsönyi et al. 2001): keep the rows
+    * no other row dominates (≥ on both axes, > on at least one) — the
+    * "best quality at every length" selection a curation pipeline uses
+    * when two signals trade off. Exact-duplicate (x, y) points all
+    * survive (neither strictly dominates).
+    *
+    * Two-phase for scale: a salt-keyed LOCAL skyline first (a row
+    * dominated inside any subset is dominated globally, so local pruning
+    * is sound), then the global pass runs its single-partition windows
+    * over the local survivors only — on correlated real data that is a
+    * tiny fraction of the corpus. Axes must be integral: the strict
+    * x' > x frame is RANGE [x+1, ∞).
+    *
+    * @return (idCol, x, y) — frontier rows ordered by x, id
+    */
+  def skyline2d(df: DataFrame, idCol: String, xCol: Column, yCol: Column,
+                saltBuckets: Int = 32): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    val base = df.select(F.col(idCol), xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"))
+    def survivors(in: DataFrame, parts: Seq[Column]): DataFrame = {
+      val wEq = Window.partitionBy((parts :+ F.col("x")): _*)
+      val wGt = (if (parts.isEmpty) Window.orderBy(F.col("x"))
+                 else Window.partitionBy(parts: _*).orderBy(F.col("x")))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      in.withColumn("__gmax", F.max("y").over(wEq))
+        .withColumn("__runmax", F.max("y").over(wGt))
+        .filter(F.col("y") === F.col("__gmax") &&
+          (F.col("__runmax").isNull || F.col("y") > F.col("__runmax")))
+        .drop("__gmax", "__runmax")
+    }
+    val local = survivors(base.withColumn("__salt",
+        F.pmod(F.xxhash64(F.col(idCol)), F.lit(saltBuckets))),
+      Seq(F.col("__salt"))).drop("__salt")
+    survivors(local, Nil).orderBy("x", idCol)
+  }
+
   /** Null-safe string key for the per-(row, resample) hash. */
   private def valueColKey(id: Column): Column =
     F.coalesce(id.cast("string"), F.lit(""))

@@ -3383,6 +3383,72 @@ class OpsSpec extends AnyFunSuite {
     assert(g2 == Seq("direct"), g2)
   }
 
+  test("srmCheck: exact-design counts pass, a planted bias trips the flag") {
+    import graft.ops.Stats
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val ok = (1 to 800).map(_ => "train") ++ (1 to 100).map(_ => "val") ++
+      (1 to 100).map(_ => "test")
+    val g1 = Stats.srmCheck(ok.toDF("split"), F.col("split"), w)
+      .select("chi2", "p", "srm").as[(Double, Double, Boolean)]
+      .collect().toSeq
+    assert(g1.forall(_ == ((0.0, 1.0, false))), g1)
+    val bad = (1 to 700).map(_ => "train") ++ (1 to 200).map(_ => "val") ++
+      (1 to 100).map(_ => "test")
+    val g2 = Stats.srmCheck(bad.toDF("split"), F.col("split"), w)
+      .select("chi2", "srm").as[(Double, Boolean)].collect().toSeq
+    // (−100)²/800 + 100²/100 + 0 = 112.5 → p ~ e^−56 → flagged
+    assert(g2.forall(_ == ((112.5, true))), g2)
+  }
+
+  test("temperatureMix: α=0.5 flattens a 90/10 split to 75/25") {
+    import graft.ops.Sampling
+    val df = ((1 to 90).map(_ => "big") ++ (1 to 10).map(_ => "small"))
+      .toDF("lang")
+    val got = Sampling.temperatureMix(df, F.col("lang"), alpha = 0.5)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("big", 90L, 0.9, 0.75, 0.833333),
+      ("small", 10L, 0.1, 0.25, 2.5)), got)
+  }
+
+  test("skyline2d: frontier with ties and duplicates; salting never loses a point") {
+    import graft.ops.Stats
+    val pts = Seq((1L, 1L, 5L), (2L, 2L, 4L), (3L, 2L, 3L), (4L, 3L, 3L),
+      (5L, 3L, 3L), (6L, 0L, 9L)).toDF("id", "xx", "yy")
+    val got = Stats.skyline2d(pts, "id", F.col("xx"), F.col("yy"))
+      .select("id").as[Long].collect().toSeq
+    // (2,3) is dominated by (2,4); both (3,3) duplicates survive
+    assert(got == Seq(6L, 1L, 2L, 4L, 5L), got)
+    val unsalted = Stats.skyline2d(pts, "id", F.col("xx"), F.col("yy"),
+      saltBuckets = 1).select("id").as[Long].collect().toSeq
+    assert(unsalted == got, unsalted)
+  }
+
+  test("anovaF: two planted groups give the textbook F and eta-squared") {
+    import graft.ops.Stats
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 4.0), ("B", 5.0), ("B", 6.0)).toDF("g", "v")
+    val r = Stats.anovaF(df, F.col("g"), F.col("v")).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 6)
+    assert(r.getDouble(2) == 13.5 && r.getDouble(3) == 4.0, r)   // ssb, ssw
+    assert(r.getDouble(4) == 13.5, r)                            // F
+    assert(r.getDouble(5) == 0.771429, r)                        // η²
+  }
+
+  test("theilSen: one outlier day cannot move the median slope") {
+    import graft.ops.Stats
+    val series = Seq((0L, 0.0), (1L, 1.0), (2L, 2.0), (3L, 10.0))
+      .toDF("t", "v")
+    val r = Stats.theilSen(series, "t", "v").collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 6)
+    // sorted slopes [1,1,1,3.333…,4.5,8] → median (1+3.333…)/2
+    assert(r.getDouble(2) == 2.166667, r)
+    assert(r.getDouble(3) == -0.583333, r)
+    // a clean line recovers slope 1 exactly
+    val line = Seq((0L, 5.0), (1L, 6.0), (2L, 7.0)).toDF("t", "v")
+    val r2 = Stats.theilSen(line, "t", "v").collect()(0)
+    assert(r2.getDouble(2) == 1.0 && r2.getDouble(3) == 5.0, r2)
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
