@@ -2016,6 +2016,40 @@ object SparkEntry {
       graft.ops.Stats.anovaF(s.read.parquet(s"$dir/documents.parquet"),
         F.col("source"), F.col("n_chars"))),
 
+    // subclassification ATE: x49-score strata (deterministic equal-width
+    // bins, no global sort), en-vs-rest arms, length outcome
+    "x189_stratified_effect" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.stratifiedEffect(scored, F.col("quality_score"),
+        F.col("lang") === "en", F.col("n_chars"), nStrata = 5)
+    }),
+
+    // Spearman ρ of length vs token count — midranks from two bounded
+    // distinct-value collapses, Pearson on the rank pairs
+    "x190_spearman" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Stats.spearman(docs, F.col("n_chars"),
+        TextOps.tokenCount(F.col("text")))
+    }),
+
+    // chance-corrected agreement between the x49 classifier (τ=0.5) and
+    // the lang=='en' label — κ from one 4-cell collapse
+    "x191_kappa" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.cohensKappa(scored,
+        F.col("quality_score") >= 0.5, F.col("lang") === "en")
+    }),
+
+    // freshness-decay audit at λ=0.1/day: per-type weight mass and Kish
+    // effective sample size — the anchor day is a 1-row broadcast
+    "x192_freshness_ess" -> ((s, dir) =>
+      graft.ops.EventOps.freshnessEss(
+        s.read.parquet(s"$dir/events.parquet"), lambdaPerDay = 0.1)),
+
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
     "x188_theil_sen" -> ((s, dir) => {
@@ -5017,6 +5051,115 @@ object SparkEntry {
         |    ntile(5) OVER (PARTITION BY source
         |      ORDER BY difficulty, doc_id) AS ntile5 FROM d)
         |ORDER BY source, bin, bin_rank""".stripMargin,
+
+    // the x49 scorer, equal-width strata, conditional-sum cells, pooled
+    // share-weighted ATE over both-arm strata
+    "x189_stratified_effect" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, n_chars, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |scd AS (SELECT lang, n_chars,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |cells AS (SELECT least(floor(s * 5), 4)::BIGINT AS stratum,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tr,
+         |    n_chars::DOUBLE AS y FROM scd),
+         |g AS (SELECT stratum, sum(tr)::BIGINT AS n_t,
+         |    sum(1 - tr)::BIGINT AS n_c,
+         |    sum(CASE WHEN tr = 1 THEN y END) AS st,
+         |    sum(CASE WHEN tr = 0 THEN y END) AS sc2
+         |  FROM cells GROUP BY stratum),
+         |m AS (SELECT stratum, n_t, n_c,
+         |    round(st / nullif(n_t::DOUBLE, 0.0), 6) AS mean_t,
+         |    round(sc2 / nullif(n_c::DOUBLE, 0.0), 6) AS mean_c FROM g),
+         |d AS (SELECT stratum, n_t, n_c, mean_t, mean_c,
+         |    round(mean_t - mean_c, 6) AS diff FROM m),
+         |p AS (SELECT round(sum((n_t + n_c)::DOUBLE * diff) /
+         |    sum((n_t + n_c)::DOUBLE), 6) AS ate
+         |  FROM d WHERE diff IS NOT NULL)
+         |SELECT stratum, n_t, n_c, mean_t, mean_c, diff, ate
+         |FROM d CROSS JOIN p ORDER BY stratum""".stripMargin
+    },
+
+    // midranks per distinct value on each axis, Pearson on the pairs
+    "x190_spearman" ->
+      """WITH b AS (SELECT n_chars::DOUBLE AS x,
+        |    len(string_split_regex(trim(text), '\s+'))::DOUBLE AS y
+        |  FROM documents),
+        |rx AS (SELECT x, (sum(t) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)::DOUBLE
+        |    + (t + 1)::DOUBLE / 2.0 AS rxx
+        |  FROM (SELECT x, count(*) AS t FROM b GROUP BY x)),
+        |ry AS (SELECT y, (sum(t) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)::DOUBLE
+        |    + (t + 1)::DOUBLE / 2.0 AS ryy
+        |  FROM (SELECT y, count(*) AS t FROM b GROUP BY y)),
+        |j AS (SELECT rxx, ryy FROM b JOIN rx USING (x) JOIN ry USING (y)),
+        |s AS (SELECT count(*)::DOUBLE AS n, sum(rxx) AS sx, sum(ryy) AS sy,
+        |    sum(rxx * rxx) AS sxx, sum(ryy * ryy) AS syy,
+        |    sum(rxx * ryy) AS sxy FROM j)
+        |SELECT n::BIGINT AS n,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0
+        |    THEN round((n * sxy - sx * sy) /
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS rho
+        |FROM s""".stripMargin,
+
+    // the x49 scorer at τ=0.5 against the label: four exact cells, κ
+    "x191_kappa" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |scd AS (SELECT lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |c AS (SELECT count(*)::BIGINT AS n,
+         |    sum(CASE WHEN s >= 0.5 AND lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n11,
+         |    sum(CASE WHEN s < 0.5 AND lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS n00,
+         |    sum(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS na,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS nb
+         |  FROM scd),
+         |k AS (SELECT n, n11, n00,
+         |    (n11 + n00)::DOUBLE / n AS po_u,
+         |    (na * nb)::DOUBLE / (n::DOUBLE * n) +
+         |      ((n - na) * (n - nb))::DOUBLE / (n::DOUBLE * n) AS pe_u
+         |  FROM c)
+         |SELECT n, n11, n00, round(po_u, 6) AS po, round(pe_u, 6) AS pe,
+         |  round((po_u - pe_u) / nullif(1.0 - pe_u, 0.0), 6) AS kappa
+         |FROM k""".stripMargin
+    },
+
+    // 9-dp decay weights off the broadcast anchor day, Kish ESS per type
+    "x192_freshness_ess" ->
+      """WITH e AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS d
+        |  FROM events),
+        |mx AS (SELECT max(d) AS mx FROM e),
+        |wt AS (SELECT event_type,
+        |    round(exp(-0.1 * (mx - d)::DOUBLE), 9) AS w
+        |  FROM e CROSS JOIN mx),
+        |w2 AS (SELECT event_type, w, round(w * w, 9) AS w2 FROM wt),
+        |g AS (SELECT event_type, count(*) AS n, round(sum(w), 6) AS sum_w,
+        |    round(sum(w) * sum(w) / sum(w2), 6) AS ess
+        |  FROM w2 GROUP BY 1)
+        |SELECT event_type, n, sum_w, ess, round(ess / n, 6) AS ess_ratio
+        |FROM g ORDER BY event_type""".stripMargin,
 
     // the x41 split replayed, then goodness-of-fit cells at 9 dp and the
     // closed-form df=2 p

@@ -743,6 +743,38 @@ object EventOps {
       .orderBy("cohort_day", "age")
   }
 
+  /** Freshness-decay weighting audit: weight every event
+    * `w = exp(−λ·age_days)` (age measured from the corpus's newest day)
+    * and report, per event type, the weight mass and the Kish effective
+    * sample size `ESS = (Σw)²/Σw²` — the number that says how many
+    * "fully fresh" samples a recency-decayed corpus is actually worth
+    * before you train on it.
+    *
+    * Scale shape: the max-day anchor is a 1-row broadcast; weights are a
+    * projection; one map-side collapse to ≤ types rows. Terms round to
+    * 9 dp before the unordered sums (pageRank rule), results to 6.
+    *
+    * @return (event_type, n, sum_w, ess, ess_ratio) ordered by type
+    */
+  def freshnessEss(events: DataFrame, lambdaPerDay: Double): DataFrame = {
+    require(lambdaPerDay > 0.0, s"lambda must be positive, got $lambdaPerDay")
+    val day = F.datediff(F.to_date(tsStamp(events)),
+      F.lit("1970-01-01").cast("date"))
+    val mx = events.agg(F.max(day).as("__mx"))
+    val w = F.round(F.exp(F.lit(-lambdaPerDay) *
+      (F.col("__mx") - F.col("__d")).cast("double")), 9)
+    events.select(F.col("event_type"), day.as("__d"))
+      .crossJoin(F.broadcast(mx))
+      .withColumn("__w", w)
+      .withColumn("__w2", F.round(F.col("__w") * F.col("__w"), 9))
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.sum("__w"), 6).as("sum_w"),
+        F.round(F.sum("__w") * F.sum("__w") / F.sum("__w2"), 6).as("ess"))
+      .withColumn("ess_ratio", F.round(F.col("ess") / F.col("n"), 6))
+      .orderBy("event_type")
+  }
+
   /** Slowly-changing-dimension type-2 history build (Kimball): collapse a
     * per-key event stream into contiguous STATE intervals — one row per
     * run of equal states with `valid_from` (first event of the run),

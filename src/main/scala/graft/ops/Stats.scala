@@ -998,6 +998,115 @@ object Stats {
     survivors(local, Nil).orderBy("x", idCol)
   }
 
+  /** Spearman rank correlation via MIDRANKS from two distinct-value
+    * collapses (the [[mannWhitneyU]] machinery, one per axis): each row's
+    * rank pair comes from joining its value against the bounded per-value
+    * rank tables, and ρ is Pearson on those midranks — the tie-correct
+    * definition, monotone-invariant, outlier-robust. Nothing row-level is
+    * ever sorted: the only windows run over distinct values.
+    *
+    * @return one row (n, rho) — 6-dp, NULL when an axis is constant
+    */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    def midranks(v: DataFrame, col: String, out: String): DataFrame = {
+      val w = Window.orderBy(F.col(col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      v.groupBy(col).agg(F.count(F.lit(1)).as("__t"))
+        .withColumn("__cum", F.sum("__t").over(w))
+        .select(F.col(col),
+          ((F.col("__cum") - F.col("__t")).cast("double") +
+            (F.col("__t") + 1L).cast("double") / 2.0).as(out))
+    }
+    val base = df.select(xCol.cast("double").as("__x"),
+      yCol.cast("double").as("__y"))
+    val ranked = base
+      .join(midranks(base, "__x", "__rx"), Seq("__x"))
+      .join(midranks(base, "__y", "__ry"), Seq("__y"))
+    val s = ranked.agg(F.count(F.lit(1)).cast("double").as("__n"),
+      F.sum("__rx").as("__sx"), F.sum("__ry").as("__sy"),
+      F.sum(F.col("__rx") * F.col("__rx")).as("__sxx"),
+      F.sum(F.col("__ry") * F.col("__ry")).as("__syy"),
+      F.sum(F.col("__rx") * F.col("__ry")).as("__sxy"))
+    val num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    val den = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")) *
+      (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    s.select(F.col("__n").cast("long").as("n"),
+      F.when(den > 0.0, F.round(num / F.sqrt(den), 6)).as("rho"))
+  }
+
+  /** Cohen's kappa between two binary raters — chance-corrected agreement
+    * `κ = (p_o − p_e)/(1 − p_e)`. The metric that separates "my quality
+    * classifier agrees with the labels" from "both just say yes a lot";
+    * the standard acceptance gate for replacing a human labeling pass
+    * with a model.
+    *
+    * One map-side count collapse (four cells as conditional sums); all
+    * shares exact until the 6-dp rounding. κ is NULL when p_e = 1 (both
+    * raters constant — agreement is undefined, not perfect).
+    *
+    * @return one row (n, n11, n00, po, pe, kappa)
+    */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val c = df.select(F.when(raterA, 1L).otherwise(0L).as("__a"),
+        F.when(raterB, 1L).otherwise(0L).as("__b"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("__a") * F.col("__b")).as("n11"),
+        F.sum((F.lit(1L) - F.col("__a")) * (F.lit(1L) - F.col("__b")))
+          .as("n00"),
+        F.sum("__a").as("__na"), F.sum("__b").as("__nb"))
+    val nD = F.col("n").cast("double")
+    val po = (F.col("n11") + F.col("n00")).cast("double") / nD
+    val pe = (F.col("__na") * F.col("__nb")).cast("double") / (nD * nD) +
+      ((F.col("n") - F.col("__na")) * (F.col("n") - F.col("__nb")))
+        .cast("double") / (nD * nD)
+    c.select(F.col("n"), F.col("n11"), F.col("n00"),
+      F.round(po, 6).as("po"), F.round(pe, 6).as("pe"),
+      F.round((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6)
+        .as("kappa"))
+  }
+
+  /** Stratified treatment-effect estimate (the observational-data ATE via
+    * subclassification, Cochran 1968): within each propensity stratum,
+    * compare treated vs control outcome means; pool the per-stratum
+    * differences weighted by stratum share. Strata come from a
+    * DETERMINISTIC equal-width binning of the score (shuffle-free — no
+    * global quantile sort), which is the right production shape when the
+    * score is already calibrated to [0, 1].
+    *
+    * Scale: one map-side collapse to ≤ nStrata rows of conditional sums;
+    * the pooled estimate is a 1-row rollup broadcast back. Strata missing
+    * an arm report NULL diff and drop from the pooled weight mass (their
+    * share renormalizes away — the standard overlap restriction).
+    *
+    * @return (stratum, n_t, n_c, mean_t, mean_c, diff, ate) per stratum
+    */
+  def stratifiedEffect(df: DataFrame, scoreCol: Column, treatCol: Column,
+                       outcomeCol: Column, nStrata: Int = 5): DataFrame = {
+    require(nStrata >= 2, s"need >= 2 strata, got $nStrata")
+    val cells = df.select(
+        F.least(F.floor(scoreCol.cast("double") * nStrata),
+          F.lit(nStrata - 1L)).as("stratum"),
+        F.when(treatCol, 1L).otherwise(0L).as("__t"),
+        outcomeCol.cast("double").as("__y"))
+      .groupBy("stratum")
+      .agg(F.sum("__t").as("n_t"),
+        F.sum(F.lit(1L) - F.col("__t")).as("n_c"),
+        F.sum(F.when(F.col("__t") === 1L, F.col("__y"))).as("__st"),
+        F.sum(F.when(F.col("__t") === 0L, F.col("__y"))).as("__sc"))
+      .withColumn("mean_t", F.round(
+        F.col("__st") / F.nullif(F.col("n_t").cast("double"), F.lit(0.0)), 6))
+      .withColumn("mean_c", F.round(
+        F.col("__sc") / F.nullif(F.col("n_c").cast("double"), F.lit(0.0)), 6))
+      .withColumn("diff", F.round(F.col("mean_t") - F.col("mean_c"), 6))
+    val pooled = cells.filter(F.col("diff").isNotNull)
+      .agg(F.round(
+        F.sum((F.col("n_t") + F.col("n_c")).cast("double") * F.col("diff")) /
+          F.sum((F.col("n_t") + F.col("n_c")).cast("double")), 6).as("ate"))
+    cells.crossJoin(F.broadcast(pooled))
+      .select("stratum", "n_t", "n_c", "mean_t", "mean_c", "diff", "ate")
+      .orderBy("stratum")
+  }
+
   /** Null-safe string key for the per-(row, resample) hash. */
   private def valueColKey(id: Column): Column =
     F.coalesce(id.cast("string"), F.lit(""))

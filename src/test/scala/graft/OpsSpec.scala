@@ -3449,6 +3449,74 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getDouble(2) == 1.0 && r2.getDouble(3) == 5.0, r2)
   }
 
+  test("spearman: monotone nonlinearity scores 1; ties use midranks") {
+    import graft.ops.Stats
+    val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0)).toDF("x", "y")
+    assert(Stats.spearman(mono, F.col("x"), F.col("y"))
+      .collect()(0).getDouble(1) == 1.0)
+    val tied = Seq((1.0, 2.0), (1.0, 1.0), (2.0, 3.0)).toDF("x", "y")
+    // x midranks [1.5, 1.5, 3]; y ranks [2, 1, 3] → ρ = 4.5/√27
+    assert(Stats.spearman(tied, F.col("x"), F.col("y"))
+      .collect()(0).getDouble(1) == 0.866025)
+    val const = Seq((1.0, 1.0), (1.0, 2.0)).toDF("x", "y")
+    assert(Stats.spearman(const, F.col("x"), F.col("y"))
+      .collect()(0).isNullAt(1), "constant axis → NULL, not NaN")
+  }
+
+  test("cohensKappa: the textbook 2x2 gives 0.625; perfect agreement gives 1") {
+    import graft.ops.Stats
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(65)((false, false))
+    val r = Stats.cohensKappa(rows.toDF("a", "b"), F.col("a"), F.col("b"))
+      .collect()(0)
+    assert(r.getLong(0) == 100 && r.getLong(1) == 20 && r.getLong(2) == 65)
+    assert(r.getDouble(3) == 0.85 && r.getDouble(4) == 0.6, r)
+    assert(r.getDouble(5) == 0.625, r)
+    val perfect = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Stats.cohensKappa(perfect, F.col("a"), F.col("b"))
+      .collect()(0).getDouble(5) == 1.0)
+  }
+
+  test("stratifiedEffect: per-stratum diffs pool by share; one-arm strata drop") {
+    import graft.ops.Stats
+    val rows = Seq(
+      (0.2, true, 10.0), (0.2, false, 8.0), (0.3, false, 8.0),  // s0: diff 2
+      (0.8, true, 20.0), (0.9, true, 20.0), (0.7, false, 19.0)  // s1: diff 1
+    ).toDF("s", "t", "y")
+    val got = Stats.stratifiedEffect(rows, F.col("s"), F.col("t"), F.col("y"),
+        nStrata = 2)
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double], Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 2L, Some(10.0), Some(8.0), Some(2.0), 1.5),
+      (1L, 2L, 1L, Some(20.0), Some(19.0), Some(1.0), 1.5)), got)
+    // a stratum with no control arm reports NULL diff and leaves the ATE
+    val oneArm = rows.union(Seq((0.99, true, 99.0)).toDF("s", "t", "y"))
+    val g2 = Stats.stratifiedEffect(oneArm, F.col("s"), F.col("t"), F.col("y"),
+        nStrata = 10).collect()
+    assert(g2.exists(r => r.isNullAt(5)), "one-arm stratum must be NULL")
+  }
+
+  test("freshnessEss: stale mass shrinks the effective sample size") {
+    import graft.ops.EventOps
+    def ts(d: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-${1 + d / 28}%02d-${1 + d % 28}%02d 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(100, 1), 1L, "fresh", 0.0), (2L, ts(100, 2), 1L, "fresh", 0.0),
+      (3L, ts(100, 3), 1L, "fresh", 0.0),
+      (4L, ts(100, 1), 2L, "stale", 0.0), (5L, ts(0, 1), 2L, "stale", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.freshnessEss(ev, lambdaPerDay = 0.1)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    val fr = got("fresh")
+    assert(fr._2 == 3 && fr._3 == 3.0 && fr._4 == 3.0 && fr._5 == 1.0, fr)
+    val st = got("stale")
+    // one fresh + one ~dead event ≈ 1 effective sample out of 2
+    assert(st._2 == 2 && st._4 > 1.0 && st._4 < 1.1, st)
+    assert(st._5 < 0.56, st)
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
