@@ -2050,6 +2050,50 @@ object SparkEntry {
       graft.ops.EventOps.freshnessEss(
         s.read.parquet(s"$dir/events.parquet"), lambdaPerDay = 0.1)),
 
+    // seasonal-naive backtest of daily volume (season=7): the baseline
+    // forecast every monitor compares against, MAE/MAPE over scored days
+    "x193_snaive_backtest" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.snaiveBacktest(daily, "t", "v", season = 7)
+    }),
+
+    // exact least-squares single changepoint over the daily error-rate
+    // series — prefix-sum SSE scan, smallest-t argmin tie-break
+    "x194_changepoint" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.sum(F.when(F.col("event_type") === "error", 1L)
+          .otherwise(0L)).cast("double").as("v"))
+      graft.ops.Stats.changepoint(daily, "t", "v")
+    }),
+
+    // exact DAU / trailing-28-day MAU stickiness — the fan-out runs on
+    // the collapsed (user, day) table, distinct-counts keyed by day
+    "x195_stickiness" -> ((s, dir) =>
+      graft.ops.EventOps.stickiness(
+        s.read.parquet(s"$dir/events.parquet"), windowDays = 28)),
+
+    // do two dedup tiers agree on WHICH docs are dups? κ between the
+    // exact-text flag and the bag-of-words flag (x56's fingerprint)
+    "x196_dedup_agreement" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("doc_id"),
+          F.md5(F.coalesce(F.col("text"), F.lit(""))).as("__fa"),
+          TextOps.bowFingerprint(F.col("text")).as("__fb"))
+      val flags = docs
+        .withColumn("__da", F.col("doc_id") >
+          F.min("doc_id").over(Window.partitionBy("__fa")))
+        .withColumn("__db", F.col("doc_id") >
+          F.min("doc_id").over(Window.partitionBy("__fb")))
+      graft.ops.Stats.cohensKappa(flags, F.col("__da"), F.col("__db"))
+    }),
+
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
     "x188_theil_sen" -> ((s, dir) => {
@@ -5051,6 +5095,91 @@ object SparkEntry {
         |    ntile(5) OVER (PARTITION BY source
         |      ORDER BY difficulty, doc_id) AS ntile5 FROM d)
         |ORDER BY source, bin, bin_rank""".stripMargin,
+
+    // lag-7 forecast column, 9-dp error terms, scored-day means
+    "x193_snaive_backtest" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01') AS t,
+        |    count(*)::DOUBLE AS v FROM events GROUP BY 1),
+        |l AS (SELECT t, v, lag(v, 7) OVER (ORDER BY t) AS fcst FROM daily),
+        |sc AS (SELECT t, v, fcst,
+        |    round(abs(v - fcst), 9) AS abs_err,
+        |    round(round(abs(v - fcst), 9) / nullif(v, 0.0), 9) AS ape
+        |  FROM l WHERE fcst IS NOT NULL),
+        |g AS (SELECT round(avg(abs_err), 6) AS mae,
+        |    round(avg(ape), 6) AS mape FROM sc)
+        |SELECT t, v, fcst, abs_err, mae, mape FROM sc CROSS JOIN g
+        |ORDER BY t""".stripMargin,
+
+    // prefix-sum SSE over every split, direct-rollup totals, argmin with
+    // the smallest-t tie-break
+    "x194_changepoint" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01') AS t,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE
+        |      AS v
+        |  FROM events GROUP BY 1),
+        |pre AS (SELECT t, v, row_number() OVER (ORDER BY t) AS k,
+        |    sum(v) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+        |    sum(v * v) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+        |  FROM daily),
+        |tot AS (SELECT count(*)::BIGINT AS tt, sum(v) AS g1,
+        |    sum(v * v) AS g2 FROM daily),
+        |cand AS (SELECT t, k,
+        |    round((s2 - s1 * s1 / k) + ((g2 - s2) -
+        |      (g1 - s1) * (g1 - s1) / (tt - k)::DOUBLE), 9) AS sse,
+        |    round(g2 - g1 * g1 / tt, 9) AS tss
+        |  FROM pre CROSS JOIN tot WHERE k < tt),
+        |best AS (SELECT t, k, sse, tss,
+        |    row_number() OVER (ORDER BY sse, t) AS rk FROM cand)
+        |SELECT t AS t_split, k, round(sse, 6) AS sse_split,
+        |  round(tss, 6) AS tss,
+        |  round(1.0 - sse / nullif(tss, 0.0), 6) AS reduction
+        |FROM best WHERE rk = 1""".stripMargin,
+
+    // the (user, day) collapse fans out to its 28 covered days; both
+    // distinct-counts key by day; the anchor day caps the horizon
+    "x195_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    (ts::DATE - DATE '1970-01-01') AS d FROM events),
+        |mx AS (SELECT max(d) AS mx FROM ud),
+        |ex AS (SELECT u, d + o AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 28)) AS o)
+        |  CROSS JOIN mx WHERE d + o <= mx),
+        |mau AS (SELECT day, count(DISTINCT u) AS mau FROM ex GROUP BY day),
+        |dau AS (SELECT d AS day, count(DISTINCT u) AS dau FROM ud
+        |  GROUP BY d)
+        |SELECT m.day, coalesce(a.dau, 0)::BIGINT AS dau, m.mau,
+        |  round(coalesce(a.dau, 0)::DOUBLE / m.mau, 6) AS stickiness
+        |FROM mau m LEFT JOIN dau a USING (day) ORDER BY day""".stripMargin,
+
+    // both fingerprints replayed (x01's md5 text key, x56's BoW key),
+    // dup = not-first-in-class, then the κ cells
+    "x196_dedup_agreement" ->
+      """WITH fp AS (SELECT doc_id, md5(coalesce(text, '')) AS fa,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> length(x) > 0))), ' ')) AS fb
+        |  FROM documents),
+        |fl AS (SELECT doc_id,
+        |    doc_id > min(doc_id) OVER (PARTITION BY fa) AS da,
+        |    doc_id > min(doc_id) OVER (PARTITION BY fb) AS db
+        |  FROM fp),
+        |c AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN da AND db THEN 1 ELSE 0 END)::BIGINT AS n11,
+        |    sum(CASE WHEN NOT da AND NOT db THEN 1 ELSE 0 END)::BIGINT
+        |      AS n00,
+        |    sum(CASE WHEN da THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN db THEN 1 ELSE 0 END)::BIGINT AS nb
+        |  FROM fl),
+        |k AS (SELECT n, n11, n00,
+        |    (n11 + n00)::DOUBLE / n AS po_u,
+        |    (na * nb)::DOUBLE / (n::DOUBLE * n) +
+        |      ((n - na) * (n - nb))::DOUBLE / (n::DOUBLE * n) AS pe_u
+        |  FROM c)
+        |SELECT n, n11, n00, round(po_u, 6) AS po, round(pe_u, 6) AS pe,
+        |  round((po_u - pe_u) / nullif(1.0 - pe_u, 0.0), 6) AS kappa
+        |FROM k""".stripMargin,
 
     // the x49 scorer, equal-width strata, conditional-sum cells, pooled
     // share-weighted ATE over both-arm strata

@@ -775,6 +775,43 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** DAU / trailing-window MAU stickiness, EXACTLY: each (user, day)
+    * activity row fans out to the `windowDays` target days it keeps the
+    * user "monthly-active" for, and distinct-counting per target day
+    * gives the exact trailing MAU — the precise sibling of the
+    * [[graft.ops.Sketches.hllSliding]] approximation. DAU/MAU is the
+    * classic engagement-stickiness ratio.
+    *
+    * Scale shape: the corpus collapses to distinct (user, day) FIRST
+    * (map-side), the windowDays× fan-out happens on that collapsed
+    * table, and both distinct-counts shuffle keyed by day — bounded by
+    * users×window, never raw events. Days past the corpus's last day are
+    * cut by a 1-row broadcast anchor.
+    *
+    * @return (day, dau, mau, stickiness) ordered by day
+    */
+  def stickiness(events: DataFrame, windowDays: Int = 28,
+                 userCol: String = "user_id"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val day = F.datediff(F.to_date(tsStamp(events)),
+      F.lit("1970-01-01").cast("date"))
+    val ud = events.select(F.col(userCol).as("__u"), day.as("__d")).distinct()
+    val mx = ud.agg(F.max("__d").as("__mx"))
+    val mau = ud.crossJoin(F.broadcast(mx))
+      .withColumn("day",
+        F.explode(F.sequence(F.col("__d"),
+          F.least(F.col("__d") + (windowDays - 1), F.col("__mx")))))
+      .groupBy("day").agg(F.count_distinct(F.col("__u")).as("mau"))
+    val dau = ud.groupBy(F.col("__d").as("day"))
+      .agg(F.count_distinct(F.col("__u")).as("dau"))
+    mau.join(dau, Seq("day"), "left")
+      .na.fill(0L, Seq("dau"))
+      .select(F.col("day"), F.col("dau"), F.col("mau"),
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Slowly-changing-dimension type-2 history build (Kimball): collapse a
     * per-key event stream into contiguous STATE intervals — one row per
     * run of equal states with `valid_from` (first event of the run),

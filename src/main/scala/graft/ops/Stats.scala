@@ -1107,6 +1107,81 @@ object Stats {
       .orderBy("stratum")
   }
 
+  /** Seasonal-naive backtest: forecast each point with the value one
+    * `season` back (`f(t) = v(t−season)` — THE baseline every fancier
+    * forecaster must beat) and score MAE / MAPE over the points where the
+    * forecast exists. The pipeline-monitoring readout: if ingest volume
+    * deviates from last week's shape by much more than the backtest MAE,
+    * something upstream changed.
+    *
+    * Runs on a ROLLED-UP series (bounded by the time domain), so the
+    * single-partition lag window is deliberate and tiny. Error terms
+    * round to 9 dp, the means to 6.
+    *
+    * @return (t, v, fcst, abs_err, mae, mape) for scored points
+    */
+  def snaiveBacktest(series: DataFrame, tCol: String, vCol: String,
+                     season: Int = 7): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    val w = Window.orderBy(tCol)
+    val scored = series
+      .select(F.col(tCol).cast("long").as("t"),
+        F.col(vCol).cast("double").as("v"))
+      .withColumn("fcst", F.lag("v", season).over(w))
+      .filter(F.col("fcst").isNotNull)
+      .withColumn("abs_err", F.round(F.abs(F.col("v") - F.col("fcst")), 9))
+      .withColumn("__ape", F.round(F.col("abs_err") /
+        F.nullif(F.col("v"), F.lit(0.0)), 9))
+    val g = scored.agg(F.round(F.avg("abs_err"), 6).as("mae"),
+      F.round(F.avg("__ape"), 6).as("mape"))
+    scored.crossJoin(F.broadcast(g))
+      .select("t", "v", "fcst", "abs_err", "mae", "mape")
+      .orderBy("t")
+  }
+
+  /** Exact single-changepoint detection by two-segment least squares
+    * (the CUSUM-of-squares / binary-segmentation primitive): for every
+    * split k the two-segment SSE comes from prefix sums in O(T), and the
+    * best split minimizes it. Reports the split against the no-split
+    * TSS — `reduction` near 0 means "no changepoint here".
+    *
+    * Runs on the bounded rolled-up series (prefix windows single-
+    * partition by design). SSE candidates round to 9 dp with a
+    * smallest-t tie-break — engine-replayable argmin.
+    *
+    * @return one row (t_split, k, sse_split, tss, reduction)
+    */
+  def changepoint(series: DataFrame, tCol: String, vCol: String): DataFrame = {
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = series
+      .select(F.col(tCol).cast("long").as("t"),
+        F.col(vCol).cast("double").as("v"))
+      .withColumn("k", F.row_number().over(Window.orderBy("t")))
+      .withColumn("s1", F.sum("v").over(w))
+      .withColumn("s2", F.sum(F.col("v") * F.col("v")).over(w))
+    // totals from a direct rollup, NOT max-of-cumsum (v may be negative)
+    val tot = pre.agg(F.count(F.lit(1)).as("__T"), F.sum("v").as("__S1"),
+      F.sum(F.col("v") * F.col("v")).as("__S2"))
+    val cand = pre.crossJoin(F.broadcast(tot))
+      .filter(F.col("k") < F.col("__T"))
+      .withColumn("sse", F.round(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")) +
+        ((F.col("__S2") - F.col("s2")) -
+          (F.col("__S1") - F.col("s1")) * (F.col("__S1") - F.col("s1")) /
+            (F.col("__T") - F.col("k")).cast("double")), 9))
+      .withColumn("tss", F.round(F.col("__S2") -
+        F.col("__S1") * F.col("__S1") / F.col("__T"), 9))
+    cand.withColumn("__rk", F.row_number().over(
+        Window.orderBy(F.col("sse"), F.col("t"))))
+      .filter(F.col("__rk") === 1)
+      .select(F.col("t").as("t_split"), F.col("k"),
+        F.round(F.col("sse"), 6).as("sse_split"),
+        F.round(F.col("tss"), 6).as("tss"),
+        F.round(F.lit(1.0) - F.col("sse") /
+          F.nullif(F.col("tss"), F.lit(0.0)), 6).as("reduction"))
+  }
+
   /** Null-safe string key for the per-(row, resample) hash. */
   private def valueColKey(id: Column): Column =
     F.coalesce(id.cast("string"), F.lit(""))

@@ -3517,6 +3517,50 @@ class OpsSpec extends AnyFunSuite {
     assert(st._5 < 0.56, st)
   }
 
+  test("snaiveBacktest: week-over-week +1 gives MAE 1 and the harmonic MAPE") {
+    import graft.ops.Stats
+    val series = ((0 to 6).map(d => (d.toLong, (d + 1).toDouble)) ++
+      (7 to 13).map(d => (d.toLong, (d - 5).toDouble))).toDF("t", "v")
+    val got = Stats.snaiveBacktest(series, "t", "v", season = 7)
+      .as[(Long, Double, Double, Double, Double, Double)].collect().toSeq
+    assert(got.size == 7 && got.forall(_._4 == 1.0), got)
+    // mape = mean(1/2, 1/3, …, 1/8) = 1.717857143/7
+    assert(got.head == ((7L, 2.0, 1.0, 1.0, 1.0, 0.245408)), got.head)
+  }
+
+  test("changepoint: a clean level shift is found exactly, reduction 1") {
+    import graft.ops.Stats
+    val series = ((0 to 3).map(t => (t.toLong, 0.0)) ++
+      (4 to 7).map(t => (t.toLong, 10.0))).toDF("t", "v")
+    val r = Stats.changepoint(series, "t", "v").collect()(0)
+    assert(r.getLong(0) == 3 && r.getInt(1) == 4, r)   // split after t=3
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 200.0, r)
+    assert(r.getDouble(4) == 1.0, r)
+    // constant series: no split helps — reduction 0 (tss 0 → NULL guard)
+    val flat = (0 to 5).map(t => (t.toLong, 5.0)).toDF("t", "v")
+    val r2 = Stats.changepoint(flat, "t", "v").collect()(0)
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0 && r2.isNullAt(4), r2)
+  }
+
+  test("stickiness: trailing-window MAU covers exactly windowDays; gaps read 0") {
+    import graft.ops.EventOps
+    def ts(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.ofEpochDay(d).atStartOfDay())
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(0), 2L, "view", 0.0),
+      (3L, ts(29), 2L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.stickiness(ev, windowDays = 28)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // day-0 activity covers days 0-27; day 28 has no coverage; day 29
+    // restarts with user 2 only
+    assert(got.size == 29, got.size)
+    assert(got.head == ((0, 2L, 2L, 1.0)), got.head)
+    assert(got(1) == ((1, 0L, 2L, 0.0)), got(1))
+    assert(got.last == ((29, 1L, 1L, 1.0)), got.last)
+    assert(!got.exists(_._1 == 28), "day 28 has no active window")
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
