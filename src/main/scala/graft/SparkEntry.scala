@@ -2094,6 +2094,52 @@ object SparkEntry {
       graft.ops.Stats.cohensKappa(flags, F.col("__da"), F.col("__db"))
     }),
 
+    // CUPED: pre-period purchase value as covariate, post-period as
+    // outcome, arms by user parity — everything from one stats pass
+    "x197_cuped" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val dom = F.dayofmonth(graft.ops.EventOps.tsStamp(ev))
+      val per = ev.groupBy("user_id")
+        .agg(
+          F.coalesce(F.sum(F.when(F.col("event_type") === "purchase" &&
+            dom <= 15, F.col("value"))), F.lit(0.0)).as("x"),
+          F.coalesce(F.sum(F.when(F.col("event_type") === "purchase" &&
+            dom > 15, F.col("value"))), F.lit(0.0)).as("y"))
+        .withColumn("arm", F.col("user_id") % 2)
+      graft.ops.Stats.cuped(per, F.col("arm"), F.col("x"), F.col("y"))
+    }),
+
+    // token-weighted length quantiles per source — distinct-value
+    // collapse, keyed cumulative windows, literal q fan-out
+    "x198_weighted_quantile" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Stats.weightedQuantile(docs, Seq("source"),
+        F.col("n_chars"), TextOps.tokenCount(F.col("text")),
+        qs = Seq(0.25, 0.5, 0.9))
+    }),
+
+    // Simpson's-paradox audit: naive en-vs-rest length difference against
+    // the x189 stratified ATE — sign disagreement means the naive readout
+    // is confounded by the quality score
+    "x199_simpsons" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      val t = F.col("lang") === "en"
+      val y = F.col("n_chars").cast("double")
+      val naive = scored.agg(
+        F.round(F.avg(F.when(t, y)), 6).as("mean_t"),
+        F.round(F.avg(F.when(!t, y)), 6).as("mean_c"),
+        F.round(F.avg(F.when(t, y)) - F.avg(F.when(!t, y)), 6)
+          .as("naive_diff"))
+      val ate = graft.ops.Stats.stratifiedEffect(scored,
+          F.col("quality_score"), t, F.col("n_chars"), nStrata = 5)
+        .agg(F.max("ate").as("ate"))
+      naive.crossJoin(ate)
+        .withColumn("sign_flip",
+          F.signum(F.col("naive_diff")) * F.signum(F.col("ate")) < 0)
+    }),
+
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
     "x188_theil_sen" -> ((s, dir) => {
@@ -5095,6 +5141,99 @@ object SparkEntry {
         |    ntile(5) OVER (PARTITION BY source
         |      ORDER BY difficulty, doc_id) AS ntile5 FROM d)
         |ORDER BY source, bin, bin_rank""".stripMargin,
+
+    // one sufficient-statistics pass: pooled theta at 9 dp, exact
+    // adjusted arm means, variance ratio
+    "x197_cuped" ->
+      """WITH per AS (SELECT user_id, user_id % 2 AS arm,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      AND date_part('day', ts) <= 15 THEN value END), 0.0) AS x,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      AND date_part('day', ts) > 15 THEN value END), 0.0) AS y
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM per),
+        |gl AS (SELECT n, sx / n AS xbar,
+        |    round((sxy / n - (sx / n) * (sy / n)) /
+        |      nullif(sxx / n - (sx / n) * (sx / n), 0.0), 9) AS theta,
+        |    (sxx / n - (sx / n) * (sx / n)) AS vx,
+        |    (syy / n - (sy / n) * (sy / n)) AS vy
+        |  FROM g),
+        |arms AS (SELECT arm, count(*)::BIGINT AS n,
+        |    sum(y) / count(*) AS ybar, sum(x) / count(*) AS xbara
+        |  FROM per GROUP BY arm)
+        |SELECT arm, arms.n, round(ybar, 6) AS mean_y,
+        |  round(ybar - theta * (xbara - xbar), 6) AS mean_adj, theta,
+        |  round((vy - theta * theta * vx) / nullif(vy, 0.0), 6)
+        |    AS var_reduction
+        |FROM arms CROSS JOIN gl ORDER BY arm""".stripMargin,
+
+    // DOUBLE q literals on purpose: 0.9·W must take the same binary
+    // rounding both engines use
+    "x198_weighted_quantile" ->
+      """WITH byv AS (SELECT source, n_chars AS v,
+        |    sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS wv
+        |  FROM documents GROUP BY source, n_chars),
+        |c AS (SELECT source, v, wv,
+        |    sum(wv) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum,
+        |    sum(wv) OVER (PARTITION BY source)::BIGINT AS w_total
+        |  FROM byv),
+        |q AS (SELECT unnest(([0.25, 0.5, 0.9])::DOUBLE[]) AS q),
+        |f AS (SELECT source, q.q, w_total, min(v) AS value
+        |  FROM c CROSS JOIN q WHERE cum >= q.q * w_total
+        |  GROUP BY source, q.q, w_total)
+        |SELECT source, q, value, w_total FROM f
+        |ORDER BY source, q""".stripMargin,
+
+    // the naive difference vs the x189 pooled ATE; flip = sign product
+    "x199_simpsons" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, n_chars, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |scd AS (SELECT lang, n_chars,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |naive AS (SELECT
+         |    round(avg(CASE WHEN lang = 'en' THEN n_chars::DOUBLE END), 6)
+         |      AS mean_t,
+         |    round(avg(CASE WHEN lang <> 'en' THEN n_chars::DOUBLE END), 6)
+         |      AS mean_c,
+         |    round(avg(CASE WHEN lang = 'en' THEN n_chars::DOUBLE END) -
+         |      avg(CASE WHEN lang <> 'en' THEN n_chars::DOUBLE END), 6)
+         |      AS naive_diff
+         |  FROM scd),
+         |cells AS (SELECT least(floor(s * 5), 4)::BIGINT AS stratum,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tr,
+         |    n_chars::DOUBLE AS y FROM scd),
+         |g AS (SELECT stratum, sum(tr)::BIGINT AS n_t,
+         |    sum(1 - tr)::BIGINT AS n_c,
+         |    sum(CASE WHEN tr = 1 THEN y END) AS st,
+         |    sum(CASE WHEN tr = 0 THEN y END) AS sc2
+         |  FROM cells GROUP BY stratum),
+         |m AS (SELECT stratum, n_t, n_c,
+         |    round(st / nullif(n_t::DOUBLE, 0.0), 6) AS mean_t,
+         |    round(sc2 / nullif(n_c::DOUBLE, 0.0), 6) AS mean_c FROM g),
+         |d AS (SELECT n_t, n_c,
+         |    round(mean_t - mean_c, 6) AS diff FROM m),
+         |p AS (SELECT round(sum((n_t + n_c)::DOUBLE * diff) /
+         |    sum((n_t + n_c)::DOUBLE), 6) AS ate
+         |  FROM d WHERE diff IS NOT NULL)
+         |SELECT naive.mean_t, naive.mean_c, naive.naive_diff, p.ate,
+         |  sign(naive.naive_diff) * sign(p.ate) < 0 AS sign_flip
+         |FROM naive CROSS JOIN p""".stripMargin
+    },
 
     // lag-7 forecast column, 9-dp error terms, scored-day means
     "x193_snaive_backtest" ->

@@ -1182,6 +1182,94 @@ object Stats {
           F.nullif(F.col("tss"), F.lit(0.0)), 6).as("reduction"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments"): adjust each unit's
+    * outcome with its pre-period covariate, `y' = y − θ(x − x̄)` with the
+    * pooled `θ = cov(x, y)/var(x)`, and report per-arm raw vs adjusted
+    * means plus the variance-reduction ratio `1 − ρ²` — the standard
+    * trick that makes an A/B readout need ~(1−ρ²)× the traffic.
+    *
+    * Everything derives from ONE sufficient-statistics pass (global
+    * n/Σx/Σy/Σxx/Σyy/Σxy plus per-arm n/Σx/Σy): adjusted arm mean =
+    * `ȳ_arm − θ(x̄_arm − x̄)`, adjusted variance = `var(y) − θ²·var(x)`
+    * exactly. 9-dp θ, 6-dp outputs.
+    *
+    * @return (arm, n, mean_y, mean_adj, theta, var_reduction) per arm
+    */
+  def cuped(df: DataFrame, armCol: Column, covariateCol: Column,
+            outcomeCol: Column): DataFrame = {
+    val base = df.select(armCol.as("arm"),
+      covariateCol.cast("double").as("__x"),
+      outcomeCol.cast("double").as("__y"))
+    val g = base.agg(F.count(F.lit(1)).cast("double").as("__n"),
+      F.sum("__x").as("__sx"), F.sum("__y").as("__sy"),
+      F.sum(F.col("__x") * F.col("__x")).as("__sxx"),
+      F.sum(F.col("__y") * F.col("__y")).as("__syy"),
+      F.sum(F.col("__x") * F.col("__y")).as("__sxy"))
+    val varX = F.col("__sxx") / F.col("__n") -
+      (F.col("__sx") / F.col("__n")) * (F.col("__sx") / F.col("__n"))
+    val varY = F.col("__syy") / F.col("__n") -
+      (F.col("__sy") / F.col("__n")) * (F.col("__sy") / F.col("__n"))
+    val covXY = F.col("__sxy") / F.col("__n") -
+      (F.col("__sx") / F.col("__n")) * (F.col("__sy") / F.col("__n"))
+    val glob = g.select(F.col("__n"), (F.col("__sx") / F.col("__n")).as("__xbar"),
+      F.round(covXY / F.nullif(varX, F.lit(0.0)), 9).as("theta"),
+      varX.as("__vx"), varY.as("__vy"), covXY.as("__cxy"))
+    val arms = base.groupBy("arm")
+      .agg(F.count(F.lit(1)).as("n"),
+        (F.sum("__y") / F.count(F.lit(1))).as("__ybar"),
+        (F.sum("__x") / F.count(F.lit(1))).as("__xbarA"))
+    arms.crossJoin(F.broadcast(glob))
+      .select(F.col("arm"), F.col("n"),
+        F.round(F.col("__ybar"), 6).as("mean_y"),
+        F.round(F.col("__ybar") -
+          F.col("theta") * (F.col("__xbarA") - F.col("__xbar")), 6)
+          .as("mean_adj"),
+        F.col("theta"),
+        // var(y') = var(y) − θ²var(x); ratio vs raw var(y)
+        F.round((F.col("__vy") -
+            F.col("theta") * F.col("theta") * F.col("__vx")) /
+          F.nullif(F.col("__vy"), F.lit(0.0)), 6).as("var_reduction"))
+      .orderBy("arm")
+  }
+
+  /** Exact weighted quantiles per group: collapse to distinct (group,
+    * value) rows with summed integer weights, one keyed cumulative
+    * window, and each requested q picks the smallest value whose
+    * cumulative weight reaches `q·W` — the token-weighted length
+    * percentile (etc.) that unweighted quantiles misreport when row
+    * sizes vary wildly.
+    *
+    * Scale shape: map-side collapse, per-group windows, the q fan-out is
+    * a literal explode on the bounded distinct-value table. Integer
+    * weights keep every comparison exact.
+    *
+    * @return (groupCols…, q, value, w_total) one row per group×q
+    */
+  def weightedQuantile(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                       weightCol: Column, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1], got $qs")
+    val gs = groupCols.map(F.col)
+    val byV = df.select((gs :+ valueCol.cast("long").as("__v") :+
+        weightCol.cast("long").as("__w")): _*)
+      .groupBy((gs :+ F.col("__v")): _*)
+      .agg(F.sum("__w").as("__wv"))
+    val wCum = Window.partitionBy(gs: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(gs: _*)
+    val qArr = F.array(qs.map(F.lit): _*)
+    byV
+      .withColumn("__cum", F.sum("__wv").over(wCum))
+      .withColumn("w_total", F.sum("__wv").over(wTot))
+      .withColumn("q", F.explode(qArr))
+      .filter(F.col("__cum") >= F.col("q") * F.col("w_total"))
+      .groupBy((gs :+ F.col("q") :+ F.col("w_total")): _*)
+      .agg(F.min("__v").as("value"))
+      .select((gs :+ F.col("q") :+ F.col("value") :+ F.col("w_total")): _*)
+      .orderBy((gs :+ F.col("q")): _*)
+  }
+
   /** Null-safe string key for the per-(row, resample) hash. */
   private def valueColKey(id: Column): Column =
     F.coalesce(id.cast("string"), F.lit(""))

@@ -3561,6 +3561,30 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 28), "day 28 has no active window")
   }
 
+  test("cuped: a perfect covariate gives theta 1 and an exact adjusted effect") {
+    import graft.ops.Stats
+    // y = x + 5·arm exactly → θ = 1, adjusted means drop ALL covariate
+    // noise, residual variance ratio = 1 − ρ²
+    val units = Seq((0L, 10.0, 20.0), (0L, 20.0, 30.0),
+      (1L, 10.0, 25.0), (1L, 20.0, 35.0)).toDF("arm", "x", "y")
+    val got = Stats.cuped(units, F.col("arm"), F.col("x"), F.col("y"))
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((0L, 2L, 25.0, 25.0, 1.0, 0.2),
+      (1L, 2L, 30.0, 30.0, 1.0, 0.2)), got)
+  }
+
+  test("weightedQuantile: heavy rows pull the quantile; boundary hits exactly") {
+    import graft.ops.Stats
+    val rows = Seq(("s", 1L, 1L), ("s", 2L, 1L), ("s", 10L, 8L))
+      .toDF("src", "v", "w")
+    val got = Stats.weightedQuantile(rows, Seq("src"), F.col("v"),
+        F.col("w"), qs = Seq(0.2, 0.25, 1.0))
+      .select("q", "value").as[(Double, Long)].collect().toSeq
+    // W=10: q=0.2 target 2 hits cum(2)=2 exactly; q=0.25 target 2.5 →
+    // the 8-weight value 10 (an unweighted median would say 2)
+    assert(got == Seq((0.2, 2L), (0.25, 10L), (1.0, 10L)), got)
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
