@@ -2140,6 +2140,60 @@ object SparkEntry {
           F.signum(F.col("naive_diff")) * F.signum(F.col("ate")) < 0)
     }),
 
+    // split-conformal interval around the chars/6 token-count predictor:
+    // md5 calibration half, order-statistic q_hat, eval coverage
+    "x200_conformal" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Stats.conformalInterval(docs, F.col("doc_id"),
+        TextOps.tokenCount(F.col("text")), F.col("n_chars") / 6.0,
+        calibRate = 0.5, q = 0.9)
+    }),
+
+    // cumulative gains / lift of the x49 scorer vs the en label —
+    // equal-width score slices accumulated from the top down
+    "x201_gains" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.gainsCurve(scored, F.col("quality_score"),
+        F.col("lang") === "en", nBins = 10)
+    }),
+
+    // balanced class downsample: every lang capped at the smallest
+    // lang's count by md5 rank — the data-dependent cap broadcasts
+    "x202_balanced" -> ((s, dir) =>
+      graft.ops.Sampling.balancedDownsample(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang"),
+        F.col("lang"), F.col("doc_id"))
+        .orderBy("lang", "doc_id")),
+
+    // sign-LSH candidate quality vs exact cosine-0.4 truth pairs:
+    // recall/precision of the x45 bucket generator — the eval that
+    // decides nPlanes/nTables before anyone trusts the ANN path
+    "x203_lsh_recall_eval" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val planes = Similarity.hyperplanes(4, 64, 42L)
+      val b = emb.select(F.col("vec_id"),
+        Similarity.lshBucket(F.col("embedding"), planes).as("bucket"))
+      val cand = b.select(F.col("bucket"), F.col("vec_id").as("a"))
+        .join(b.select(F.col("bucket"), F.col("vec_id").as("b")), Seq("bucket"))
+        .filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+      val truth = Similarity.rangeSearch(emb, emb, "vec_id", "embedding",
+          threshold = 0.4)
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(F.col("query_id").as("a"), F.col("neighbor_id").as("b"))
+      val hit = cand.join(truth, Seq("a", "b"))
+        .agg(F.count(F.lit(1)).as("n_hit"))
+      cand.agg(F.count(F.lit(1)).as("n_cand"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).as("n_truth")))
+        .crossJoin(hit)
+        .select(F.col("n_cand"), F.col("n_truth"), F.col("n_hit"),
+          F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6)
+            .as("recall"),
+          F.round(F.col("n_hit").cast("double") / F.col("n_cand"), 6)
+            .as("precision"))
+    }),
+
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
     "x188_theil_sen" -> ((s, dir) => {
@@ -5141,6 +5195,114 @@ object SparkEntry {
         |    ntile(5) OVER (PARTITION BY source
         |      ORDER BY difficulty, doc_id) AS ntile5 FROM d)
         |ORDER BY source, bin, bin_rank""".stripMargin,
+
+    // '08000' = the 0.5 16-bit split bound; DOUBLE-forced 0.9·(n+1) so
+    // the ceil boundary rounds identically; distinct-residual rank scan
+    "x200_conformal" ->
+      """WITH base AS (SELECT
+        |    ('0' || substring(md5(doc_id::VARCHAR), 1, 4)) < '08000' AS cal,
+        |    round(abs(len(string_split_regex(trim(text), '\s+'))::DOUBLE -
+        |      n_chars / 6.0::DOUBLE), 9) AS r
+        |  FROM documents),
+        |calset AS (SELECT r FROM base WHERE cal),
+        |n AS (SELECT count(*)::BIGINT AS n FROM calset),
+        |byr AS (SELECT r, count(*) AS c FROM calset GROUP BY r),
+        |cum AS (SELECT r, sum(c) OVER (ORDER BY r
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum FROM byr),
+        |q AS (SELECT min(r) AS q_hat, max(n.n) AS n_cal
+        |  FROM cum CROSS JOIN n
+        |  WHERE cum >= least(ceil(0.9::DOUBLE * (n.n + 1)), n.n)),
+        |ev AS (SELECT r FROM base WHERE NOT cal)
+        |SELECT max(q.n_cal) AS n_cal, count(*)::BIGINT AS n_eval,
+        |  max(q.q_hat) AS q_hat,
+        |  round(sum(CASE WHEN r <= q.q_hat THEN 1 ELSE 0 END)::DOUBLE /
+        |    count(*), 6) AS coverage
+        |FROM ev CROSS JOIN q""".stripMargin,
+
+    // the x49 scorer, equal-width bins, top-down cumulative windows
+    "x201_gains" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |bins AS (SELECT least(floor(s * 10), 9)::BIGINT AS bin,
+         |    count(*) AS n,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+         |  FROM sc GROUP BY 1),
+         |c AS (SELECT bin, n, pos,
+         |    sum(n) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |      AS cum_n,
+         |    sum(pos) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |      AS cum_pos,
+         |    sum(pos) OVER ()::BIGINT AS tot_pos,
+         |    sum(n) OVER ()::BIGINT AS tot_n
+         |  FROM bins)
+         |SELECT bin, n, pos, cum_n, cum_pos,
+         |  round(cum_pos::DOUBLE / nullif(tot_pos::DOUBLE, 0.0), 6)
+         |    AS capture,
+         |  round(cum_n::DOUBLE / tot_n, 6) AS share,
+         |  round(round(cum_pos::DOUBLE / nullif(tot_pos::DOUBLE, 0.0), 6) /
+         |    round(cum_n::DOUBLE / tot_n, 6), 6) AS lift
+         |FROM c ORDER BY bin DESC""".stripMargin
+    },
+
+    // min class count rides the cross join; md5-rank keeps per class
+    "x202_balanced" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n)::BIGINT AS mn FROM c),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r CROSS JOIN m WHERE rk <= mn
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    // the x45 bucket expression generates candidates; truth = unrounded
+    // cosine >= 0.4 (the x166 radius convention); exact hit counts
+    "x203_lsh_recall_eval" -> {
+      val bits = Similarity.hyperplanes(4, 64, 42L).zipWithIndex.map {
+        case (p, i) =>
+          val lit = p.mkString("[", ", ", "]")
+          s"(CASE WHEN list_sum(list_transform(range(1, 65), " +
+            s"i -> embedding[i]::DOUBLE * ($lit)[i])) > 0.0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH bits AS (SELECT vec_id, ($bits)::BIGINT AS bucket
+         |  FROM embeddings),
+         |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM bits l JOIN bits r
+         |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |truth AS (SELECT a, b FROM (
+         |  SELECT q.vec_id AS a, c.vec_id AS b,
+         |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |      i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+         |    / (sqrt(list_sum(list_transform(c.embedding,
+         |         x -> x::DOUBLE * x::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(q.embedding,
+         |         x -> x::DOUBLE * x::DOUBLE)))) AS cos
+         |  FROM embeddings q, embeddings c WHERE q.vec_id < c.vec_id)
+         |  WHERE cos >= 0.4::DOUBLE),
+         |h AS (SELECT count(*)::BIGINT AS n_hit
+         |  FROM cand JOIN truth USING (a, b)),
+         |nc AS (SELECT count(*)::BIGINT AS n_cand FROM cand),
+         |nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth)
+         |SELECT nc.n_cand, nt.n_truth, h.n_hit,
+         |  round(h.n_hit::DOUBLE / nt.n_truth, 6) AS recall,
+         |  round(h.n_hit::DOUBLE / nc.n_cand, 6) AS precision
+         |FROM nc CROSS JOIN nt CROSS JOIN h""".stripMargin
+    },
 
     // one sufficient-statistics pass: pooled theta at 9 dp, exact
     // adjusted arm means, variance ratio

@@ -329,6 +329,30 @@ object Sampling {
     upsample(df, key, f, salt)
   }
 
+  /** Balanced downsampling: cap EVERY class at the smallest class's count,
+    * keeping each class's deterministically-hashed top rows — the standard
+    * class-rebalance before training a classifier on skewed labels. Unlike
+    * [[capPerGroup]]'s fixed cap, the target is data-dependent (the min
+    * class count rides in as a 1-row broadcast).
+    *
+    * Selection is content-deterministic (md5 of the key, key tie-break),
+    * so reruns and engines agree row-for-row. One class-keyed window.
+    *
+    * @return the kept rows (idCol, classCol), class sizes now all equal
+    */
+  def balancedDownsample(df: DataFrame, classCol: Column, key: Column,
+                         salt: String = ""): DataFrame = {
+    val counts = df.groupBy(classCol.as("__cls"))
+      .agg(F.count(F.lit(1)).as("__n"))
+    val minN = counts.agg(F.min("__n").as("__minN"))
+    val w = Window.partitionBy(classCol)
+      .orderBy(F.md5(F.concat(F.lit(salt), keyStr(key))).asc, key.asc)
+    df.withColumn("__rk", F.row_number().over(w))
+      .crossJoin(F.broadcast(minN))
+      .filter(F.col("__rk") <= F.col("__minN"))
+      .drop("__rk", "__minN")
+  }
+
   /** Temperature-reweighted sampling plan (the multilingual mixing rule of
     * XLM-R / mBERT: `q_g ∝ p_g^α`, α ∈ (0, 1]): flatten a skewed group
     * distribution so head groups stop drowning the tail without sampling

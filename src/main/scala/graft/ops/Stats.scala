@@ -1270,6 +1270,84 @@ object Stats {
       .orderBy((gs :+ F.col("q")): _*)
   }
 
+  /** Split-conformal prediction interval (Vovk; Lei et al. 2018): a
+    * deterministic md5 split carves off a calibration half, `q_hat` is
+    * the ⌈q·(n+1)⌉-th order statistic of the calibration residuals
+    * |y − ŷ|, and the eval half reports empirical coverage of
+    * `ŷ ± q_hat` — the distribution-free error bar that turns ANY point
+    * predictor into an interval with a finite-sample guarantee.
+    *
+    * Scale shape: residuals collapse to distinct 9-dp values map-side
+    * and the rank scan runs over that bounded table (the
+    * [[weightedQuantile]] regime); q_hat and the split bound broadcast.
+    *
+    * @return one row (n_cal, n_eval, q_hat, coverage)
+    */
+  def conformalInterval(df: DataFrame, keyCol: Column, yCol: Column,
+                        predCol: Column, calibRate: Double = 0.5,
+                        q: Double = 0.9, salt: String = ""): DataFrame = {
+    require(calibRate > 0 && calibRate < 1, s"calibRate in (0,1), got $calibRate")
+    require(q > 0 && q < 1, s"q in (0,1), got $q")
+    val bound = f"${math.round(calibRate * 65536.0).toInt}%05x"
+    val hex = F.concat(F.lit("0"), F.substring(
+      F.md5(F.concat(F.lit(salt), keyCol.cast("string"))), 1, 4))
+    val base = df.select((hex < F.lit(bound)).as("__cal"),
+      F.round(F.abs(yCol.cast("double") - predCol.cast("double")), 9)
+        .as("__r"))
+    val cal = base.filter(F.col("__cal"))
+    val nCal = cal.agg(F.count(F.lit(1)).as("__n"))
+    val byR = cal.groupBy("__r").agg(F.count(F.lit(1)).as("__c"))
+      .withColumn("__cum", F.sum("__c").over(Window.orderBy("__r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qhat = byR.crossJoin(F.broadcast(nCal))
+      .withColumn("__k", F.least(
+        F.ceil(F.lit(q) * (F.col("__n") + 1L)), F.col("__n")))
+      .filter(F.col("__cum") >= F.col("__k"))
+      .agg(F.min("__r").as("q_hat"), F.max("__n").as("n_cal"))
+    base.filter(!F.col("__cal"))
+      .crossJoin(F.broadcast(qhat))
+      .agg(F.max("n_cal").as("n_cal"),
+        F.count(F.lit(1)).as("n_eval"),
+        F.max("q_hat").as("q_hat"),
+        F.round(F.sum(F.when(F.col("__r") <= F.col("q_hat"), 1L)
+          .otherwise(0L)).cast("double") / F.count(F.lit(1)), 6)
+          .as("coverage"))
+  }
+
+  /** Cumulative-gains / lift table over a [0, 1] score: bins are
+    * equal-WIDTH score slices (deterministic, shuffle-free — the
+    * calibrated-score regime; a rank-decile variant would need a global
+    * sort), accumulated from the top bin down. `capture` = share of all
+    * positives reached, `share` = share of population touched,
+    * `lift = capture/share` — the "read the top 20% and catch 60% of the
+    * good docs" budgeting readout.
+    *
+    * @return (bin, n, pos, cum_n, cum_pos, capture, share, lift) top-down
+    */
+  def gainsCurve(df: DataFrame, scoreCol: Column, labelCol: Column,
+                 nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"need >= 2 bins, got $nBins")
+    val bins = df.select(
+        F.least(F.floor(scoreCol.cast("double") * nBins),
+          F.lit(nBins - 1L)).as("bin"),
+        F.when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy("bin")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("__y").as("pos"))
+    val wDesc = Window.orderBy(F.col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    bins
+      .withColumn("cum_n", F.sum("n").over(wDesc))
+      .withColumn("cum_pos", F.sum("pos").over(wDesc))
+      .withColumn("capture", F.round(F.col("cum_pos").cast("double") /
+        F.nullif(F.sum("pos").over(wAll).cast("double"), F.lit(0.0)), 6))
+      .withColumn("share", F.round(F.col("cum_n").cast("double") /
+        F.sum("n").over(wAll), 6))
+      .withColumn("lift",
+        F.round(F.col("capture") / F.col("share"), 6))
+      .orderBy(F.col("bin").desc)
+  }
+
   /** Null-safe string key for the per-(row, resample) hash. */
   private def valueColKey(id: Column): Column =
     F.coalesce(id.cast("string"), F.lit(""))

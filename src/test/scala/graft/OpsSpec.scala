@@ -3585,6 +3585,50 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((0.2, 2L), (0.25, 10L), (1.0, 10L)), got)
   }
 
+  test("conformalInterval: degenerate residuals pin q_hat; coverage holds") {
+    import graft.ops.Stats
+    // every residual is exactly 5 → q_hat = 5, eval coverage 1.0
+    val flat = (1L to 100L).map(i => (i, 5.0, 0.0)).toDF("id", "y", "pred")
+    val r = Stats.conformalInterval(flat, F.col("id"), F.col("y"),
+      F.col("pred"), calibRate = 0.5, q = 0.9).collect()(0)
+    assert(r.getLong(0) + r.getLong(1) == 100, r)
+    assert(r.getDouble(2) == 5.0 && r.getDouble(3) == 1.0, r)
+    // residuals uniform over 0..9: q_hat lands near the 90th percentile
+    // and eval coverage stays in the guarantee's neighborhood
+    val uni = (1L to 400L).map(i => (i, (i % 10).toDouble, 0.0))
+      .toDF("id", "y", "pred")
+    val u = Stats.conformalInterval(uni, F.col("id"), F.col("y"),
+      F.col("pred"), calibRate = 0.5, q = 0.9).collect()(0)
+    assert(u.getDouble(2) >= 8.0 && u.getDouble(2) <= 9.0, u)
+    assert(u.getDouble(3) >= 0.8, u)
+  }
+
+  test("gainsCurve: reading the top bin captures its positives at lift > 1") {
+    import graft.ops.Stats
+    val rows = Seq((0.95, true), (0.99, true), (0.01, false), (0.05, false))
+      .toDF("s", "y")
+    val got = Stats.gainsCurve(rows, F.col("s"), F.col("y"), nBins = 10)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (9L, 2L, 2L, 2L, 2L, 1.0, 0.5, 2.0),
+      (0L, 2L, 0L, 4L, 2L, 1.0, 1.0, 1.0)), got)
+  }
+
+  test("balancedDownsample: every class capped at the min count, deterministically") {
+    import graft.ops.Sampling
+    val rows = ((1 to 5).map(i => (i.toLong, "big")) ++
+      (6 to 8).map(i => (i.toLong, "mid")) ++
+      (9 to 11).map(i => (i.toLong, "small"))).toDF("id", "cls")
+    val kept = Sampling.balancedDownsample(rows, F.col("cls"), F.col("id"))
+    val sizes = kept.groupBy("cls").count()
+      .as[(String, Long)].collect().toMap
+    assert(sizes == Map("big" -> 3L, "mid" -> 3L, "small" -> 3L), sizes)
+    val again = Sampling.balancedDownsample(rows, F.col("cls"), F.col("id"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(again == kept.orderBy("id").as[(Long, String)].collect().toSeq)
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
