@@ -2194,6 +2194,43 @@ object SparkEntry {
             .as("precision"))
     }),
 
+    // odds ratio / relative risk of zh docs being long, Katz log CI —
+    // one 4-cell collapse, conditional Haldane correction
+    "x204_odds_ratio" -> ((s, dir) =>
+      graft.ops.Stats.oddsRatio(s.read.parquet(s"$dir/documents.parquet"),
+        F.col("lang") === "zh", F.col("n_chars") > 300)),
+
+    // Matthews correlation of the x49 classifier at τ=0.5 — the
+    // imbalance-honest single number beside x191's kappa
+    "x205_mcc" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.mcc(scored, F.col("quality_score") >= 0.5,
+        F.col("lang") === "en")
+    }),
+
+    // PSI drift of the score distribution between the even/odd doc
+    // halves — the standard model-monitoring drift number
+    "x206_psi" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.psi(scored, F.col("quality_score"),
+        F.col("doc_id") % 2 === 0, nBins = 10)
+    }),
+
+    // Brier score + Murphy decomposition of the same scorer/label —
+    // reliability/resolution split the error calibration can fix from
+    // the part it cannot
+    "x207_brier" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.brierDecomposition(scored, F.col("quality_score"),
+        F.col("lang") === "en", nBins = 10)
+    }),
+
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
     "x188_theil_sen" -> ((s, dir) => {
@@ -5195,6 +5232,138 @@ object SparkEntry {
         |    ntile(5) OVER (PARTITION BY source
         |      ORDER BY difficulty, doc_id) AS ntile5 FROM d)
         |ORDER BY source, bin, bin_rank""".stripMargin,
+
+    // 4 exact cells; double-forced Haldane adjustment; ln/exp CI only
+    "x204_odds_ratio" ->
+      """WITH c AS (SELECT
+        |    sum(CASE WHEN lang = 'zh' AND n_chars > 300
+        |      THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN lang = 'zh' AND n_chars <= 300
+        |      THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN lang <> 'zh' AND n_chars > 300
+        |      THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN lang <> 'zh' AND n_chars <= 300
+        |      THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM documents),
+        |adj AS (SELECT a, b, c, d,
+        |    (a = 0 OR b = 0 OR c = 0 OR d = 0) AS corrected,
+        |    CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+        |      THEN a::DOUBLE + 0.5 ELSE a::DOUBLE END AS aa,
+        |    CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+        |      THEN b::DOUBLE + 0.5 ELSE b::DOUBLE END AS bb,
+        |    CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+        |      THEN c::DOUBLE + 0.5 ELSE c::DOUBLE END AS cc,
+        |    CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+        |      THEN d::DOUBLE + 0.5 ELSE d::DOUBLE END AS dd
+        |  FROM c)
+        |SELECT a, b, c, d,
+        |  round((aa / (aa + bb)) / (cc / (cc + dd)), 6) AS rr,
+        |  round(aa * dd / (bb * cc), 6) AS or_,
+        |  round(exp(ln(aa * dd / (bb * cc)) - 1.96 * sqrt(
+        |    1.0 / aa + 1.0 / bb + 1.0 / cc + 1.0 / dd)), 6) AS or_lo,
+        |  round(exp(ln(aa * dd / (bb * cc)) + 1.96 * sqrt(
+        |    1.0 / aa + 1.0 / bb + 1.0 / cc + 1.0 / dd)), 6) AS or_hi,
+        |  corrected
+        |FROM adj""".stripMargin,
+
+    // the x49 scorer, four cells, all-double MCC denominator
+    "x205_mcc" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |c AS (SELECT
+         |    sum(CASE WHEN s >= 0.5 AND lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |    sum(CASE WHEN s >= 0.5 AND lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |    sum(CASE WHEN s < 0.5 AND lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS fn,
+         |    sum(CASE WHEN s < 0.5 AND lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS tn
+         |  FROM sc)
+         |SELECT tp, fp, fn, tn,
+         |  CASE WHEN (tp + fp)::DOUBLE * (tp + fn) * (tn + fp) * (tn + fn)
+         |      > 0.0
+         |    THEN round((tp::DOUBLE * tn - fp::DOUBLE * fn) /
+         |      sqrt((tp + fp)::DOUBLE * (tp + fn) * (tn + fp) * (tn + fn)),
+         |      6) END AS mcc
+         |FROM c""".stripMargin
+    },
+
+    // even/odd halves, add-eps shares at 9 dp, bounded term sum
+    "x206_psi" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT doc_id,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |bins AS (SELECT least(floor(s * 10), 9)::BIGINT AS bin,
+         |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS nb,
+         |    sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS nc
+         |  FROM sc GROUP BY 1),
+         |tt AS (SELECT bin,
+         |    round(nb::DOUBLE / sum(nb) OVER () + 0.0001, 9) AS p,
+         |    round(nc::DOUBLE / sum(nc) OVER () + 0.0001, 9) AS q
+         |  FROM bins),
+         |tm AS (SELECT bin, p, q,
+         |    round((p - q) * ln(p / q), 9) AS term FROM tt)
+         |SELECT bin, p, q, term, round(sum(term) OVER (), 6) AS psi
+         |FROM tm ORDER BY bin""".stripMargin
+    },
+
+    // Murphy decomposition: 9-dp bin terms, the base rate as ceiling
+    "x207_brier" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |b AS (SELECT least(floor(s * 10), 9)::BIGINT AS bin, s,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM sc),
+         |g AS (SELECT count(*)::DOUBLE AS nn, avg(y) AS ybar FROM b),
+         |bins AS (SELECT bin, count(*)::BIGINT AS n, avg(s) AS conf,
+         |    avg(y::DOUBLE) AS acc,
+         |    sum(CASE WHEN y = 1 THEN (1.0 - s) * (1.0 - s)
+         |      ELSE s * s END) AS se
+         |  FROM b GROUP BY bin),
+         |tm AS (SELECT bins.*, g.nn, g.ybar,
+         |    round(n * (conf - acc) * (conf - acc) / nn, 9) AS rel,
+         |    round(n * (acc - ybar) * (acc - ybar) / nn, 9) AS res
+         |  FROM bins CROSS JOIN g)
+         |SELECT max(nn)::BIGINT AS n, round(sum(se) / max(nn), 6) AS brier,
+         |  round(sum(rel), 6) AS reliability,
+         |  round(sum(res), 6) AS resolution,
+         |  round(max(ybar * (1.0 - ybar)), 6) AS uncertainty
+         |FROM tm""".stripMargin
+    },
 
     // '08000' = the 0.5 16-bit split bound; DOUBLE-forced 0.9·(n+1) so
     // the ceil boundary rounds identically; distinct-residual rank scan

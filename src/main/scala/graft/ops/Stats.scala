@@ -1348,6 +1348,138 @@ object Stats {
       .orderBy(F.col("bin").desc)
   }
 
+  /** Odds ratio + relative risk with the Katz log-normal 95% CI — the
+    * incident-analysis readout for "exposure X vs outcome Y" 2×2 tables
+    * (e.g. does a source correlate with quality-filter failure). The CI
+    * uses `exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d))` — ln/exp only, both
+    * engines replay it. Haldane-Anscombe +0.5 is applied to every cell
+    * iff any cell is zero (the standard continuity correction; flagged).
+    *
+    * @return one row (a, b, c, d, rr, or_, or_lo, or_hi, corrected)
+    */
+  def oddsRatio(df: DataFrame, exposedCol: Column,
+                outcomeCol: Column): DataFrame = {
+    val cells = df.select(F.when(exposedCol, 1L).otherwise(0L).as("__e"),
+        F.when(outcomeCol, 1L).otherwise(0L).as("__o"))
+      .agg(F.sum(F.col("__e") * F.col("__o")).as("a"),
+        F.sum(F.col("__e") * (F.lit(1L) - F.col("__o"))).as("b"),
+        F.sum((F.lit(1L) - F.col("__e")) * F.col("__o")).as("c"),
+        F.sum((F.lit(1L) - F.col("__e")) *
+          (F.lit(1L) - F.col("__o"))).as("d"))
+    val corrected = F.col("a") === 0 || F.col("b") === 0 ||
+      F.col("c") === 0 || F.col("d") === 0
+    def adj(c: String): Column =
+      F.when(corrected, F.col(c) + 0.5).otherwise(F.col(c).cast("double"))
+    val (a, b, c, d) = (adj("a"), adj("b"), adj("c"), adj("d"))
+    val or = a * d / (b * c)
+    val se = F.sqrt(F.lit(1.0) / a + F.lit(1.0) / b +
+      F.lit(1.0) / c + F.lit(1.0) / d)
+    val rr = (a / (a + b)) / (c / (c + d))
+    cells.select(F.col("a"), F.col("b"), F.col("c"), F.col("d"),
+      F.round(rr, 6).as("rr"), F.round(or, 6).as("or_"),
+      F.round(F.exp(F.log(or) - F.lit(1.96) * se), 6).as("or_lo"),
+      F.round(F.exp(F.log(or) + F.lit(1.96) * se), 6).as("or_hi"),
+      corrected.as("corrected"))
+  }
+
+  /** Matthews correlation coefficient from the same 4-cell collapse —
+    * the single-number classifier grade that stays honest under class
+    * imbalance (accuracy and F1 both inflate there). All-double products
+    * (the χ² overflow rule); NULL when any margin is empty.
+    *
+    * @return one row (tp, fp, fn, tn, mcc)
+    */
+  def mcc(df: DataFrame, predCol: Column, labelCol: Column): DataFrame = {
+    val cells = df.select(F.when(predCol, 1L).otherwise(0L).as("__p"),
+        F.when(labelCol, 1L).otherwise(0L).as("__y"))
+      .agg(F.sum(F.col("__p") * F.col("__y")).as("tp"),
+        F.sum(F.col("__p") * (F.lit(1L) - F.col("__y"))).as("fp"),
+        F.sum((F.lit(1L) - F.col("__p")) * F.col("__y")).as("fn"),
+        F.sum((F.lit(1L) - F.col("__p")) *
+          (F.lit(1L) - F.col("__y"))).as("tn"))
+    def d(c: String) = F.col(c).cast("double")
+    val den = (d("tp") + d("fp")) * (d("tp") + d("fn")) *
+      (d("tn") + d("fp")) * (d("tn") + d("fn"))
+    cells.select(F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn"),
+      F.when(den > 0.0, F.round(
+        (d("tp") * d("tn") - d("fp") * d("fn")) / F.sqrt(den), 6))
+        .as("mcc"))
+  }
+
+  /** Population stability index between a baseline and a current slice of
+    * a [0, 1] score: equal-width bins, `PSI = Σ (p_b − q_b)·ln(p_b/q_b)`
+    * with add-ε smoothing so empty bins stay finite — THE industry
+    * model-monitoring drift number (rule of thumb: <0.1 stable, >0.25
+    * act). Terms round to 9 dp before the bounded sum, PSI to 6.
+    *
+    * Scale shape: one conditional-count collapse to ≤ nBins rows; the
+    * two totals ride in the same rollup.
+    *
+    * @return (bin, p, q, term, psi) per bin, psi repeated
+    */
+  def psi(df: DataFrame, scoreCol: Column, isBaseline: Column,
+          nBins: Int = 10, eps: Double = 1e-4): DataFrame = {
+    require(nBins >= 2, s"need >= 2 bins, got $nBins")
+    val bins = df.select(
+        F.least(F.floor(scoreCol.cast("double") * nBins),
+          F.lit(nBins - 1L)).as("bin"),
+        F.when(isBaseline, 1L).otherwise(0L).as("__b"))
+      .groupBy("bin")
+      .agg(F.sum("__b").as("__nb"),
+        F.sum(F.lit(1L) - F.col("__b")).as("__nc"))
+    val wAll = Window.partitionBy()
+    val terms = bins
+      .withColumn("p", F.round(F.col("__nb").cast("double") /
+        F.sum("__nb").over(wAll) + eps, 9))
+      .withColumn("q", F.round(F.col("__nc").cast("double") /
+        F.sum("__nc").over(wAll) + eps, 9))
+      .withColumn("term", F.round(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 9))
+    terms.withColumn("psi", F.round(F.sum("term").over(wAll), 6))
+      .select("bin", "p", "q", "term", "psi")
+      .orderBy("bin")
+  }
+
+  /** Brier score with the Murphy (1973) decomposition over score bins:
+    * `brier = reliability − resolution + uncertainty`, where reliability
+    * is the calibration gap ([[calibrationBins]]' ECE squared-sibling),
+    * resolution is how far bins pull away from the base rate, and
+    * uncertainty is the label variance ceiling. One collapse to ≤ nBins
+    * rows + a 1-row rollup; 9-dp bin terms.
+    *
+    * @return one row (n, brier, reliability, resolution, uncertainty)
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: Column, labelCol: Column,
+                         nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"need >= 2 bins, got $nBins")
+    val base = df.select(scoreCol.cast("double").as("__s"),
+      F.when(labelCol, 1L).otherwise(0L).as("__y"))
+    val bins = base
+      .withColumn("bin", F.least(F.floor(F.col("__s") * nBins),
+        F.lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(F.count(F.lit(1)).as("__n"), F.avg("__s").as("__conf"),
+        F.avg("__y").as("__acc"),
+        F.sum(F.when(F.col("__y") === 1L,
+          (F.lit(1.0) - F.col("__s")) * (F.lit(1.0) - F.col("__s")))
+          .otherwise(F.col("__s") * F.col("__s"))).as("__se"))
+    val g = base.agg(F.count(F.lit(1)).cast("double").as("__tot"),
+      F.avg("__y").as("__ybar"))
+    bins.crossJoin(F.broadcast(g))
+      .withColumn("__rel", F.round(F.col("__n") *
+        (F.col("__conf") - F.col("__acc")) *
+        (F.col("__conf") - F.col("__acc")) / F.col("__tot"), 9))
+      .withColumn("__res", F.round(F.col("__n") *
+        (F.col("__acc") - F.col("__ybar")) *
+        (F.col("__acc") - F.col("__ybar")) / F.col("__tot"), 9))
+      .agg(F.max("__tot").cast("long").as("n"),
+        F.round(F.sum(F.col("__se")) / F.max("__tot"), 6).as("brier"),
+        F.round(F.sum("__rel"), 6).as("reliability"),
+        F.round(F.sum("__res"), 6).as("resolution"),
+        F.round(F.max(F.col("__ybar") * (F.lit(1.0) - F.col("__ybar"))), 6)
+          .as("uncertainty"))
+  }
+
   /** Null-safe string key for the per-(row, resample) hash. */
   private def valueColKey(id: Column): Column =
     F.coalesce(id.cast("string"), F.lit(""))

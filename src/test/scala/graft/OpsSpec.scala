@@ -3629,6 +3629,68 @@ class OpsSpec extends AnyFunSuite {
     assert(again == kept.orderBy("id").as[(Long, String)].collect().toSeq)
   }
 
+  test("oddsRatio: textbook table; zero cell triggers the Haldane correction") {
+    import graft.ops.Stats
+    val rows = (Seq.fill(10)((true, true)) ++ Seq.fill(90)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(95)((false, false)))
+      .toDF("e", "o")
+    val r = Stats.oddsRatio(rows, F.col("e"), F.col("o")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 90L, 5L, 95L)), r)
+    assert(r.getDouble(4) == 2.0, r)           // RR
+    assert(r.getDouble(5) == 2.111111, r)      // OR = 10·95/(90·5)
+    assert(r.getDouble(6) < 2.0 && r.getDouble(7) > 2.3, r)  // CI brackets
+    assert(!r.getBoolean(8))
+    val zero = (Seq.fill(10)((true, true)) ++ Seq.fill(5)((false, true)) ++
+      Seq.fill(95)((false, false))).toDF("e", "o")
+    assert(Stats.oddsRatio(zero, F.col("e"), F.col("o"))
+      .collect()(0).getBoolean(8), "zero cell must flag the correction")
+  }
+
+  test("mcc: perfect 1, inverted -1, coin-flip table 0") {
+    import graft.ops.Stats
+    val perfect = Seq((true, true), (false, false), (true, true))
+      .toDF("p", "y")
+    assert(Stats.mcc(perfect, F.col("p"), F.col("y"))
+      .collect()(0).getDouble(4) == 1.0)
+    val inv = Seq((true, false), (false, true)).toDF("p", "y")
+    assert(Stats.mcc(inv, F.col("p"), F.col("y"))
+      .collect()(0).getDouble(4) == -1.0)
+    val coin = Seq((true, true), (true, false), (false, true), (false, false))
+      .toDF("p", "y")
+    assert(Stats.mcc(coin, F.col("p"), F.col("y"))
+      .collect()(0).getDouble(4) == 0.0)
+  }
+
+  test("psi: identical halves score exactly 0; a shifted half trips the 0.25 bar") {
+    import graft.ops.Stats
+    val same = (1 to 50).flatMap(i =>
+      Seq((i / 50.0 * 0.9, true), (i / 50.0 * 0.9, false))).toDF("s", "b")
+    val p0 = Stats.psi(same, F.col("s"), F.col("b")).collect()
+    assert(p0.forall(_.getDouble(4) == 0.0), p0.mkString(","))
+    val shifted = ((1 to 50).map(_ => (0.1, true)) ++
+      (1 to 50).map(_ => (0.9, false))).toDF("s", "b")
+    assert(Stats.psi(shifted, F.col("s"), F.col("b"))
+      .collect()(0).getDouble(4) > 0.25)
+  }
+
+  test("brierDecomposition: Murphy identity on the perfect and coin scorers") {
+    import graft.ops.Stats
+    val perfect = ((1 to 10).map(_ => (1.0, true)) ++
+      (1 to 10).map(_ => (0.0, false))).toDF("s", "y")
+    val r = Stats.brierDecomposition(perfect, F.col("s"), F.col("y"))
+      .collect()(0)
+    // brier 0 = reliability 0 − resolution 0.25 + uncertainty 0.25
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0 &&
+      r.getDouble(3) == 0.25 && r.getDouble(4) == 0.25, r)
+    val coin = ((1 to 10).map(_ => (0.5, true)) ++
+      (1 to 10).map(_ => (0.5, false))).toDF("s", "y")
+    val c = Stats.brierDecomposition(coin, F.col("s"), F.col("y"))
+      .collect()(0)
+    assert(c.getDouble(1) == 0.25 && c.getDouble(2) == 0.0 &&
+      c.getDouble(3) == 0.0 && c.getDouble(4) == 0.25, c)
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
