@@ -302,4 +302,115 @@ class PropertySpec extends AnyFunSuite {
     assert(lo99 <= lo80 && hi80 <= hi99,
       s"wider confidence must widen the interval: 99%=[$lo99,$hi99] 80%=[$lo80,$hi80]")
   }
+
+  test("law: spearman is invariant under strictly monotone transforms of either axis") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(-50L, 50L),
+      Gen.chooseNum(-50L, 50L)))
+    forAll(gen) { rows =>
+      if (rows.map(_._1).distinct.size > 1 && rows.map(_._2).distinct.size > 1) {
+        val df = rows.toDF("x", "y")
+        def rho(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+          graft.ops.Stats.spearman(df, x, y).head().getDouble(1)
+        val base = rho(F.col("x"), F.col("y"))
+        // 3x+7 and y³ are strictly increasing → identical ranks
+        val warped = rho(F.col("x") * 3 + 7,
+          F.col("y") * F.col("y") * F.col("y"))
+        assert(base == warped, s"$base != $warped on $rows")
+      }
+    }
+  }
+
+  test("law: aucExact flips to 1-auc under label negation; monotone score maps are no-ops") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0, 100), Gen.oneOf(true, false)))
+    forAll(gen) { rows =>
+      if (rows.exists(_._2) && rows.exists(!_._2)) {
+        val df = rows.map { case (s, y) => (s / 100.0, y) }.toDF("s", "y")
+        def auc(s: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+          graft.ops.Stats.aucExact(df, s, y).head().getDouble(2)
+        val a = auc(F.col("s"), F.col("y"))
+        val flipped = auc(F.col("s"), !F.col("y"))
+        assert(math.abs(a + flipped - 1.0) < 2e-6, s"$a + $flipped != 1")
+        val warped = auc(F.exp(F.col("s") * 5), F.col("y"))
+        assert(a == warped, s"monotone map moved AUC: $a -> $warped")
+      }
+    }
+  }
+
+  test("law: cohensKappa is symmetric in its raters") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false)))
+    forAll(gen) { rows =>
+      val df = rows.toDF("a", "b")
+      val ab = graft.ops.Stats.cohensKappa(df, F.col("a"), F.col("b")).head()
+      val ba = graft.ops.Stats.cohensKappa(df, F.col("b"), F.col("a")).head()
+      assert(ab.isNullAt(5) == ba.isNullAt(5))
+      if (!ab.isNullAt(5)) assert(ab.getDouble(5) == ba.getDouble(5))
+    }
+  }
+
+  test("law: skyline2d is idempotent and dominates every dropped point") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 20L)))
+    forAll(gen) { pts =>
+      if (pts.nonEmpty) {
+        val df = pts.zipWithIndex
+          .map { case ((x, y), i) => (i.toLong, x, y) }.toDF("id", "x", "y")
+        val front = graft.ops.Stats.skyline2d(df, "id", F.col("x"), F.col("y"))
+          .select("id", "x", "y").as[(Long, Long, Long)].collect().toSeq
+        // idempotent: the frontier of the frontier is itself
+        val again = graft.ops.Stats.skyline2d(front.toDF("id", "x", "y"),
+          "id", F.col("x"), F.col("y"))
+          .select("id", "x", "y").as[(Long, Long, Long)].collect().toSeq
+        assert(again.toSet == front.toSet, s"not idempotent on $pts")
+        // every dropped point is strictly dominated by some frontier point
+        val frontSet = front.map(t => (t._2, t._3))
+        pts.zipWithIndex.filterNot(p => front.exists(_._1 == p._2)).foreach {
+          case ((x, y), _) =>
+            assert(frontSet.exists(f => f._1 >= x && f._2 >= y &&
+              (f._1 > x || f._2 > y)), s"($x,$y) dropped but undominated")
+        }
+      }
+    }
+  }
+
+  test("law: temperatureMix at alpha=1 is the identity mixture (factor 1)") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(50, Gen.oneOf("a", "b", "c", "d"))
+    forAll(gen) { langs =>
+      if (langs.nonEmpty) {
+        val out = graft.ops.Sampling.temperatureMix(
+          langs.toDF("lang"), F.col("lang"), alpha = 1.0).collect()
+        out.foreach { r =>
+          assert(math.abs(r.getDouble(2) - r.getDouble(3)) <= 2e-6, r)
+          assert(math.abs(r.getDouble(4) - 1.0) <= 2e-6, r)
+        }
+      }
+    }
+  }
+
+  test("law: kaplanMeier with zero censoring equals the empirical survivor function") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.chooseNum(0L, 15L))
+    forAll(gen) { durs =>
+      if (durs.nonEmpty) {
+        val df = durs.map(d => (d, 1)).toDF("dur", "ev")
+        val n = durs.size.toDouble
+        val got = graft.ops.Stats.kaplanMeier(df, F.col("dur"), F.col("ev"))
+          .select("t", "survival").as[(Long, Double)].collect()
+        got.foreach { case (t, s) =>
+          val emp = durs.count(_ > t) / n
+          assert(math.abs(s - emp) < 1e-6,
+            s"S($t)=$s but empirical=$emp on $durs")
+        }
+      }
+    }
+  }
 }
