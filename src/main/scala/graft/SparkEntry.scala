@@ -2231,6 +2231,41 @@ object SparkEntry {
         F.col("lang") === "en", nBins = 10)
     }),
 
+    // Kendall tau between the x125 popularity and quantity rankings —
+    // rank stability over the top-20 intersection, O(k^2) bounded pairs
+    "x208_kendall_tau" -> ((s, dir) => {
+      val agg = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(F.col("l_returnflag").as("q"), F.col("l_suppkey").as("item"))
+        .agg(F.count(F.lit(1)).as("n"), F.sum("l_quantity").as("sq"))
+      val wA = Window.partitionBy("q").orderBy(F.col("n").desc, F.col("item"))
+      val wB = Window.partitionBy("q").orderBy(F.col("sq").desc, F.col("item"))
+      val ra = agg.withColumn("rk", F.row_number().over(wA))
+        .filter(F.col("rk") <= 20)
+      val rb = agg.withColumn("rk", F.row_number().over(wB))
+        .filter(F.col("rk") <= 20)
+      graft.ops.Stats.kendallTau(ra, rb, "q", "item", "rk")
+    }),
+
+    // jackknife SE for purchases-per-click with users as the unit —
+    // pseudo-values from totals-minus-group, no resampling
+    "x209_jackknife_ratio" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Stats.jackknifeRatio(ev, F.col("user_id"),
+        F.when(F.col("event_type") === "purchase", 1L).otherwise(0L),
+        F.when(F.col("event_type") === "click", 1L).otherwise(0L))
+    }),
+
+    // minimal detectable effect on per-user purchase value at the x197
+    // parity arms — pinned z literals, one stats pass
+    "x210_mde_power" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val per = ev.groupBy("user_id")
+        .agg(F.coalesce(F.sum(F.when(
+          F.col("event_type") === "purchase", F.col("value"))), F.lit(0.0))
+          .as("y"))
+      graft.ops.Stats.mdePower(per, F.col("user_id") % 2 === 0, F.col("y"))
+    }),
+
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
     "x188_theil_sen" -> ((s, dir) => {
@@ -5232,6 +5267,86 @@ object SparkEntry {
         |    ntile(5) OVER (PARTITION BY source
         |      ORDER BY difficulty, doc_id) AS ntile5 FROM d)
         |ORDER BY source, bin, bin_rank""".stripMargin,
+
+    // the x125 ranking CTEs twice, pair signs over the intersection
+    "x208_kendall_tau" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag AS q, l_suppkey AS item,
+        |    count(*) AS n, sum(l_quantity) AS sq
+        |  FROM lineitem GROUP BY 1, 2
+        |), ra AS (
+        |  SELECT q, item, row_number()
+        |    OVER (PARTITION BY q ORDER BY n DESC, item) AS rk
+        |  FROM agg
+        |), rb AS (
+        |  SELECT q, item, row_number()
+        |    OVER (PARTITION BY q ORDER BY sq DESC, item) AS rk
+        |  FROM agg
+        |), both_r AS (
+        |  SELECT a.q, a.item, a.rk AS rka, b.rk AS rkb
+        |  FROM (SELECT * FROM ra WHERE rk <= 20) a
+        |  JOIN (SELECT * FROM rb WHERE rk <= 20) b
+        |    ON a.q = b.q AND a.item = b.item
+        |), pairs AS (
+        |  SELECT l.q,
+        |    sign((l.rka - r.rka)::DOUBLE * (l.rkb - r.rkb)::DOUBLE) AS sgn
+        |  FROM both_r l JOIN both_r r ON l.q = r.q AND l.item < r.item
+        |), cd AS (
+        |  SELECT q,
+        |    sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)::BIGINT AS concordant,
+        |    sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END)::BIGINT AS discordant,
+        |    count(*)::BIGINT AS np
+        |  FROM pairs GROUP BY q
+        |), nc AS (SELECT q, count(*)::BIGINT AS n_common FROM both_r
+        |  GROUP BY q)
+        |SELECT cd.q AS query, nc.n_common, cd.concordant, cd.discordant,
+        |  round((cd.concordant - cd.discordant)::DOUBLE /
+        |    nullif(cd.np::DOUBLE, 0.0), 6) AS tau
+        |FROM cd JOIN nc ON cd.q = nc.q ORDER BY query""".stripMargin,
+
+    // per-user sums, totals-minus-group pseudo-values at 9 dp
+    "x209_jackknife_ratio" ->
+      """WITH per AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+        |      AS ng,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE
+        |      AS dg
+        |  FROM events GROUP BY user_id),
+        |tot AS (SELECT count(*)::DOUBLE AS g, sum(ng) AS nn, sum(dg) AS dd
+        |  FROM per),
+        |ps AS (SELECT g, nn / dd AS theta,
+        |    round(g * (nn / dd) - (g - 1.0) *
+        |      ((nn - ng) / nullif(dd - dg, 0.0)), 9) AS p
+        |  FROM per CROSS JOIN tot),
+        |s AS (SELECT max(g) AS g, max(theta) AS theta, avg(p) AS pbar,
+        |    sum(p * p) AS pp FROM ps)
+        |SELECT g::BIGINT AS g_groups, round(theta, 6) AS theta,
+        |  round(sqrt((pp - g * pbar * pbar) / (g * (g - 1.0))), 6)
+        |    AS se_jack,
+        |  round(theta - 1.96 * sqrt((pp - g * pbar * pbar) /
+        |    (g * (g - 1.0))), 6) AS ci_lo,
+        |  round(theta + 1.96 * sqrt((pp - g * pbar * pbar) /
+        |    (g * (g - 1.0))), 6) AS ci_hi
+        |FROM s""".stripMargin,
+
+    // pinned z literals; pooled population variance from one pass
+    "x210_mde_power" ->
+      """WITH per AS (SELECT user_id,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END),
+        |      0.0) AS y
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS n2,
+        |    count(*)::DOUBLE AS n, sum(y) AS s1, sum(y * y) AS s2
+        |  FROM per)
+        |SELECT n1, n2, round(s1 / n, 6) AS mean,
+        |  round(s2 / n - (s1 / n) * (s1 / n), 6) AS var_pooled,
+        |  round(2.801585 * sqrt((s2 / n - (s1 / n) * (s1 / n)) *
+        |    (1.0 / n1 + 1.0 / n2)), 6) AS mde_abs,
+        |  round(2.801585 * sqrt((s2 / n - (s1 / n) * (s1 / n)) *
+        |    (1.0 / n1 + 1.0 / n2)) / nullif(s1 / n, 0.0), 6) AS mde_rel
+        |FROM g""".stripMargin,
 
     // 4 exact cells; double-forced Haldane adjustment; ln/exp CI only
     "x204_odds_ratio" ->

@@ -1480,6 +1480,115 @@ object Stats {
           .as("uncertainty"))
   }
 
+  /** Kendall τ-a between two top-k rankings of the same items, per query:
+    * over the items BOTH systems ranked, τ = (C − D) / (m(m−1)/2) counts
+    * concordant minus discordant pairs — the rank-stability readout for
+    * "did the new retriever actually reorder results or just rescale
+    * scores". Ranks from row_number are tie-free, so τ-a is exact.
+    *
+    * The O(k²) pair fan-out runs on the top-k-bounded intersection, never
+    * the corpus; one query-keyed join + rollup.
+    *
+    * @return (query, n_common, concordant, discordant, tau) per query
+    */
+  def kendallTau(ra: DataFrame, rb: DataFrame, queryCol: String,
+                 itemCol: String, rankCol: String): DataFrame = {
+    val a = ra.select(F.col(queryCol).as("query"), F.col(itemCol).as("item"),
+      F.col(rankCol).cast("long").as("__ra"))
+    val b = rb.select(F.col(queryCol).as("query"), F.col(itemCol).as("item"),
+      F.col(rankCol).cast("long").as("__rb"))
+    val both = a.join(b, Seq("query", "item"))
+    val l = both.select(F.col("query"), F.col("item").as("__i"),
+      F.col("__ra").as("__rai"), F.col("__rb").as("__rbi"))
+    val r = both.select(F.col("query"), F.col("item").as("__j"),
+      F.col("__ra").as("__raj"), F.col("__rb").as("__rbj"))
+    val pairs = l.join(r, Seq("query")).filter(F.col("__i") < F.col("__j"))
+      .withColumn("__sgn",
+        F.signum((F.col("__rai") - F.col("__raj")).cast("double") *
+          (F.col("__rbi") - F.col("__rbj")).cast("double")))
+    pairs.groupBy("query")
+      .agg(F.sum(F.when(F.col("__sgn") > 0, 1L).otherwise(0L)).as("concordant"),
+        F.sum(F.when(F.col("__sgn") < 0, 1L).otherwise(0L)).as("discordant"),
+        F.count(F.lit(1)).as("__np"))
+      .join(both.groupBy("query").agg(F.count(F.lit(1)).as("n_common")),
+        Seq("query"))
+      .select(F.col("query"), F.col("n_common"), F.col("concordant"),
+        F.col("discordant"),
+        F.round((F.col("concordant") - F.col("discordant")).cast("double") /
+          F.nullif(F.col("__np").cast("double"), F.lit(0.0)), 6).as("tau"))
+      .orderBy("query")
+  }
+
+  /** Leave-one-group-out jackknife standard error for a RATIO metric
+    * `θ = Σnum / Σden` (CTR, purchases-per-click, …) with users as the
+    * independent unit — the delta-method-free way to put an error bar on
+    * a ratio whose numerator and denominator are correlated within user.
+    * Pseudo-values `G·θ − (G−1)·θ₍₋g₎` come from the per-group sums and
+    * the grand totals (each θ₍₋g₎ is totals-minus-group — O(G), no
+    * resampling, no second scan).
+    *
+    * @return one row (g_groups, theta, se_jack, ci_lo, ci_hi)
+    */
+  def jackknifeRatio(df: DataFrame, groupCol: Column, numCol: Column,
+                     denCol: Column): DataFrame = {
+    val per = df.select(groupCol.as("__g"),
+        numCol.cast("double").as("__n"), denCol.cast("double").as("__d"))
+      .groupBy("__g")
+      .agg(F.sum("__n").as("__ng"), F.sum("__d").as("__dg"))
+    val tot = per.agg(F.count(F.lit(1)).cast("double").as("__gcnt"),
+      F.sum("__ng").as("__N"), F.sum("__dg").as("__D"))
+    val pseudo = per.crossJoin(F.broadcast(tot))
+      .withColumn("__theta", F.col("__N") / F.col("__D"))
+      .withColumn("__thetaLoo",
+        (F.col("__N") - F.col("__ng")) /
+          F.nullif(F.col("__D") - F.col("__dg"), F.lit(0.0)))
+      .withColumn("__p", F.round(F.col("__gcnt") * F.col("__theta") -
+        (F.col("__gcnt") - 1.0) * F.col("__thetaLoo"), 9))
+    val s = pseudo.agg(F.max("__gcnt").as("__gg"), F.max("__theta").as("__th"),
+      F.avg("__p").as("__pbar"),
+      F.sum(F.col("__p") * F.col("__p")).as("__pp"))
+    // Σ(p−p̄)² = Σp² − G·p̄²; se = √(that / (G(G−1)))
+    val se = F.sqrt(
+      (F.col("__pp") - F.col("__gg") * F.col("__pbar") * F.col("__pbar")) /
+        (F.col("__gg") * (F.col("__gg") - 1.0)))
+    s.select(F.col("__gg").cast("long").as("g_groups"),
+      F.round(F.col("__th"), 6).as("theta"),
+      F.round(se, 6).as("se_jack"),
+      F.round(F.col("__th") - F.lit(1.96) * se, 6).as("ci_lo"),
+      F.round(F.col("__th") + F.lit(1.96) * se, 6).as("ci_hi"))
+  }
+
+  /** Minimal detectable effect for a two-arm comparison at 5% two-sided /
+    * 80% power: `MDE = (z_{α/2} + z_β)·√(σ²_pooled·(1/n₁ + 1/n₂))` with
+    * the z literals pinned (1.959964, 0.841621) so no engine's inverse
+    * normal is involved. The experiment-planning readout: "with this
+    * traffic and this variance, the smallest lift you can detect is X".
+    *
+    * One sufficient-statistics pass for the pooled variance and arm sizes.
+    *
+    * @return one row (n1, n2, mean, var_pooled, mde_abs, mde_rel)
+    */
+  def mdePower(df: DataFrame, armCol: Column, outcomeCol: Column): DataFrame = {
+    // one literal, not a sum of two — a compile-time double addition can
+    // differ by an ulp from the oracle's parsed 2.801585
+    val zsum = 2.801585
+    val base = df.select(F.when(armCol, 1L).otherwise(0L).as("__a"),
+      outcomeCol.cast("double").as("__y"))
+    val g = base.agg(F.sum("__a").as("n1"),
+      F.sum(F.lit(1L) - F.col("__a")).as("n2"),
+      F.count(F.lit(1)).cast("double").as("__n"),
+      F.sum("__y").as("__s1"), F.sum(F.col("__y") * F.col("__y")).as("__s2"))
+    val mean = F.col("__s1") / F.col("__n")
+    // pooled (population) variance of the outcome across all units
+    val varP = F.col("__s2") / F.col("__n") - mean * mean
+    val mde = F.lit(zsum) * F.sqrt(varP *
+      (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2")))
+    g.select(F.col("n1"), F.col("n2"), F.round(mean, 6).as("mean"),
+      F.round(varP, 6).as("var_pooled"),
+      F.round(mde, 6).as("mde_abs"),
+      F.round(mde / F.nullif(mean, F.lit(0.0)), 6).as("mde_rel"))
+  }
+
   /** Null-safe string key for the per-(row, resample) hash. */
   private def valueColKey(id: Column): Column =
     F.coalesce(id.cast("string"), F.lit(""))

@@ -3691,6 +3691,54 @@ class OpsSpec extends AnyFunSuite {
       c.getDouble(3) == 0.0 && c.getDouble(4) == 0.25, c)
   }
 
+  test("kendallTau: identical rankings 1, reversed -1, one swap counts") {
+    import graft.ops.Stats
+    val ra = Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 3))
+      .toDF("q", "item", "rk")
+    assert(Stats.kendallTau(ra, ra, "q", "item", "rk")
+      .collect()(0).getDouble(4) == 1.0)
+    val rev = Seq(("q", "a", 3), ("q", "b", 2), ("q", "c", 1))
+      .toDF("q", "item", "rk")
+    assert(Stats.kendallTau(ra, rev, "q", "item", "rk")
+      .collect()(0).getDouble(4) == -1.0)
+    // swap the top two: 1 discordant of 3 pairs → (2−1)/3
+    val swap = Seq(("q", "a", 2), ("q", "b", 1), ("q", "c", 3))
+      .toDF("q", "item", "rk")
+    val r = Stats.kendallTau(ra, swap, "q", "item", "rk").collect()(0)
+    assert(r.getLong(2) == 2 && r.getLong(3) == 1, r)
+    assert(r.getDouble(4) == 0.333333, r)
+  }
+
+  test("jackknifeRatio: homogeneous groups give se 0; CI brackets theta") {
+    import graft.ops.Stats
+    val flat = (1L to 20L).flatMap(u =>
+      Seq((u, 1L, 0L), (u, 0L, 1L), (u, 0L, 1L))).toDF("u", "num", "den")
+    val r = Stats.jackknifeRatio(flat, F.col("u"), F.col("num"),
+      F.col("den")).collect()(0)
+    assert(r.getLong(0) == 20 && r.getDouble(1) == 0.5, r)
+    assert(r.getDouble(2) == 0.0, r)
+    // heterogeneous: se > 0 and the CI straddles the point estimate
+    val mixed = (1L to 20L).map(u => (u, u % 3, 2L)).toDF("u", "num", "den")
+    val m = Stats.jackknifeRatio(mixed, F.col("u"), F.col("num"),
+      F.col("den")).collect()(0)
+    assert(m.getDouble(2) > 0.0, m)
+    assert(m.getDouble(3) < m.getDouble(1) && m.getDouble(1) < m.getDouble(4), m)
+  }
+
+  test("mdePower: constant outcome needs no traffic; the textbook case lands exactly") {
+    import graft.ops.Stats
+    val const = (1 to 40).map(i => (i % 2 == 0, 3.0)).toDF("arm", "y")
+    assert(Stats.mdePower(const, F.col("arm"), F.col("y"))
+      .collect()(0).getDouble(4) == 0.0)
+    // y ∈ {0, 2} evenly: mean 1, var 1, n1=n2=50 → 2.801585·√0.04
+    val spread = ((1 to 50).map(i => (i % 2 == 0, 0.0)) ++
+      (51 to 100).map(i => (i % 2 == 0, 2.0))).toDF("arm", "y")
+    val r = Stats.mdePower(spread, F.col("arm"), F.col("y")).collect()(0)
+    assert(r.getLong(0) == 50 && r.getLong(1) == 50, r)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0, r)
+    assert(r.getDouble(4) == 0.560317 && r.getDouble(5) == 0.560317, r)
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
