@@ -1054,6 +1054,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidates come from bruteKnn top-k, never a cross join:\n$p")
   }
 
+  test("stickiness: the fan-out runs on the collapsed user-day table; day-keyed counts") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val df = graft.ops.EventOps.stickiness(ev, windowDays = 28)
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct"), s"no unkeyed join:\n$p")
+    // the raw-event collapse must partial-aggregate before any exchange
+    assert(p.contains("partial_"), s"user-day collapse must be map-side:\n$p")
+    // the ONLY gather allowed is the 1-row max-day anchor (its input is a
+    // partial_max rollup); the distinct counts themselves key by day
+    val finalSection = p.split("== Initial Plan ==").head
+    val single = "Exchange SinglePartition".r.findAllIn(finalSection).size
+    assert(single <= 1, s"only the 1-row anchor may gather:\n$p")
+  }
+
+  test("weightedQuantile: group-keyed windows over the distinct-value collapse only") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.Stats.weightedQuantile(docs, Seq("source"),
+      F.col("n_chars"), F.lit(1), qs = Seq(0.5, 0.9))
+    val p = finalPlan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Exchange SinglePartition"),
+      s"all windows partition by source:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the (group, value) collapse must partial-aggregate:\n$p")
+  }
+
   test("matryoshkaRecall: every rung broadcasts queries and semi-joins bounded top-ks") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = graft.ops.Similarity.matryoshkaRecall(
