@@ -2266,6 +2266,23 @@ object SparkEntry {
       graft.ops.Stats.mdePower(per, F.col("user_id") % 2 === 0, F.col("y"))
     }),
 
+    // kernel two-sample MMD² between the label-0 and label-1 embedding
+    // sets (RBF, fixed σ²=32=d/2) — distribution-level drift the token
+    // stats miss; quadratic only in the bounded sample
+    "x211_mmd_drift" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.mmdDrift(emb.filter(F.col("label") === 0),
+        emb.filter(F.col("label") === 1), "vec_id", "embedding",
+        sigma2 = 32.0)
+    }),
+
+    // k-occurrence hubness census at k=10: who appears in everyone's
+    // top-k, and how skewed that distribution is — the high-dimensional
+    // pathology check before trusting any kNN-based dedup
+    "x212_hubness" -> ((s, dir) =>
+      Similarity.hubnessCensus(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", k = 10)),
+
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
     "x188_theil_sen" -> ((s, dir) => {
@@ -5267,6 +5284,73 @@ object SparkEntry {
         |    ntile(5) OVER (PARTITION BY source
         |      ORDER BY difficulty, doc_id) AS ntile5 FROM d)
         |ORDER BY source, bin, bin_rank""".stripMargin,
+
+    // three pair means over the same sqrt-norm/dot primitives as x06;
+    // 9-dp kernel terms, fixed 2sigma^2=64 denominator
+    "x211_mmd_drift" ->
+      """WITH a AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      v -> v::DOUBLE * v::DOUBLE))) AS nrm
+        |  FROM embeddings WHERE label = 0),
+        |b AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      v -> v::DOUBLE * v::DOUBLE))) AS nrm
+        |  FROM embeddings WHERE label = 1),
+        |kxx AS (SELECT round(avg(k), 9) AS kxx FROM (
+        |  SELECT round(exp(-(l.nrm * l.nrm + r.nrm * r.nrm -
+        |    2.0 * list_sum(list_transform(range(1, 65),
+        |      i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE)))
+        |    / 64.0), 9) AS k
+        |  FROM a l CROSS JOIN a r)),
+        |kyy AS (SELECT round(avg(k), 9) AS kyy FROM (
+        |  SELECT round(exp(-(l.nrm * l.nrm + r.nrm * r.nrm -
+        |    2.0 * list_sum(list_transform(range(1, 65),
+        |      i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE)))
+        |    / 64.0), 9) AS k
+        |  FROM b l CROSS JOIN b r)),
+        |kxy AS (SELECT round(avg(k), 9) AS kxy FROM (
+        |  SELECT round(exp(-(l.nrm * l.nrm + r.nrm * r.nrm -
+        |    2.0 * list_sum(list_transform(range(1, 65),
+        |      i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE)))
+        |    / 64.0), 9) AS k
+        |  FROM a l CROSS JOIN b r)),
+        |nx AS (SELECT count(*)::BIGINT AS n_x FROM a),
+        |ny AS (SELECT count(*)::BIGINT AS n_y FROM b)
+        |SELECT n_x, n_y, kxx, kyy, kxy,
+        |  round(kxx + kyy - 2.0 * kxy, 6) AS mmd2
+        |FROM nx CROSS JOIN ny CROSS JOIN kxx CROSS JOIN kyy
+        |CROSS JOIN kxy""".stripMargin,
+
+    // the x06 ranking at k=10 over every query; zero-count anti-hubs
+    // join back in; raw->central moment skewness
+    "x212_hubness" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(c.embedding,
+        |         x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(q.embedding,
+        |         x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM embeddings c, embeddings q WHERE c.vec_id != q.vec_id),
+        |topk AS (SELECT neighbor_id FROM (
+        |  SELECT neighbor_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+        |  WHERE rk <= 10),
+        |occ AS (SELECT neighbor_id AS vec_id, count(*)::BIGINT AS nk
+        |  FROM topk GROUP BY 1),
+        |pv AS (SELECT e.vec_id, coalesce(occ.nk, 0) AS nk
+        |  FROM embeddings e LEFT JOIN occ USING (vec_id)),
+        |mom AS (SELECT count(*)::DOUBLE AS n, avg(nk) AS m,
+        |    avg(nk * nk) AS m2r, avg(nk * nk * nk) AS m3r FROM pv),
+        |sk AS (SELECT round((m3r - 3.0 * m * m2r + 2.0 * m * m * m) /
+        |    nullif(sqrt((m2r - m * m) * (m2r - m * m) * (m2r - m * m)),
+        |      0.0), 6) AS skew
+        |  FROM mom)
+        |SELECT nk AS n_k, count(*)::BIGINT AS n_vectors, max(sk.skew)
+        |    AS skew
+        |FROM pv CROSS JOIN sk GROUP BY nk, sk.skew
+        |ORDER BY n_k""".stripMargin,
 
     // the x125 ranking CTEs twice, pair signs over the intersection
     "x208_kendall_tau" ->

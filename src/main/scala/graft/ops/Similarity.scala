@@ -1350,6 +1350,82 @@ object Similarity {
     *
     * @return (a_id, b_id, cos, margin) — one best mate per a, 6-dp
     */
+  /** Kernel two-sample MMD² (Gretton et al. 2012) between two embedding
+    * sets — the drift test that sees DISTRIBUTION-level movement token
+    * statistics miss (a new scraper whose docs embed differently, an
+    * encoder version bump). RBF kernel `exp(−‖x−y‖²/(2σ²))` with a FIXED
+    * caller-supplied bandwidth (the median heuristic would cost a
+    * quantile pass and break replayability); biased V-statistic
+    * `MMD² = E k(x,x′) + E k(y,y′) − 2·E k(x,y)`.
+    *
+    * Intended for BOUNDED samples (hashSample both sides upstream): the
+    * three pair means are quadratic in the sample, never the corpus.
+    * Kernel terms round to 9 dp before the unordered means, MMD² to 6.
+    *
+    * @return one row (n_x, n_y, kxx, kyy, kxy, mmd2)
+    */
+  def mmdDrift(x: DataFrame, y: DataFrame, idCol: String, vecCol: String,
+               sigma2: Double): DataFrame = {
+    require(sigma2 > 0.0, s"sigma2 must be positive, got $sigma2")
+    def side(df: DataFrame, tag: String) = df.select(
+      F.col(idCol).as(s"__id$tag"), F.col(vecCol).as(s"__v$tag"),
+      (l2norm(F.col(vecCol)) * l2norm(F.col(vecCol))).as(s"__n2$tag"))
+    def kmean(a: DataFrame, b: DataFrame, ta: String, tb: String,
+              out: String) = a.crossJoin(b)
+      .select(F.round(F.exp(-(F.col(s"__n2$ta") + F.col(s"__n2$tb") -
+        F.lit(2.0) * dot(F.col(s"__v$ta"), F.col(s"__v$tb"))) /
+        F.lit(2.0 * sigma2)), 9).as("__k"))
+      .agg(F.round(F.avg("__k"), 9).as(out))
+    val (xa, xb) = (side(x, "a"), side(x, "b"))
+    val (ya, yb) = (side(y, "c"), side(y, "d"))
+    val kxx = kmean(xa, xb, "a", "b", "kxx")
+    val kyy = kmean(ya, yb, "c", "d", "kyy")
+    val kxy = kmean(xa, yb, "a", "d", "kxy")
+    x.agg(F.count(F.lit(1)).as("n_x"))
+      .crossJoin(y.agg(F.count(F.lit(1)).as("n_y")))
+      .crossJoin(kxx).crossJoin(kyy).crossJoin(kxy)
+      .select(F.col("n_x"), F.col("n_y"), F.col("kxx"), F.col("kyy"),
+        F.col("kxy"),
+        F.round(F.col("kxx") + F.col("kyy") - F.lit(2.0) * F.col("kxy"), 6)
+          .as("mmd2"))
+  }
+
+  /** k-occurrence hubness census (Radovanović et al. 2010): how often
+    * each vector appears in OTHER vectors' exact top-k, histogrammed,
+    * plus the distribution's moment skewness — high skew means a few
+    * "hub" vectors dominate every neighbor list, the known
+    * high-dimensional failure mode that silently corrupts kNN dedup and
+    * retrieval. Vectors never retrieved count at 0 (the anti-hubs).
+    *
+    * Built on [[bruteKnn]] (queries broadcast, corpus scanned, top-k
+    * windows map-side-limited); the census and moments are rollups over
+    * vector-count rows. Skew terms at 9 dp, outputs at 6.
+    *
+    * @return (n_k, n_vectors, skew) — one row per occurrence count
+    */
+  def hubnessCensus(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 10): DataFrame = {
+    val occ = bruteKnn(emb, emb, idCol, vecCol, k)
+      .groupBy(F.col("neighbor_id").as(idCol))
+      .agg(F.count(F.lit(1)).as("__nk"))
+    val perVec = emb.select(F.col(idCol)).join(occ, Seq(idCol), "left")
+      .na.fill(0L, Seq("__nk"))
+    val mom = perVec.agg(F.count(F.lit(1)).cast("double").as("__n"),
+      F.avg("__nk").as("__m"),
+      F.avg(F.col("__nk") * F.col("__nk")).as("__m2r"),
+      F.avg(F.col("__nk") * F.col("__nk") * F.col("__nk")).as("__m3r"))
+    // central moments from raw: m2 = E[x²]−μ², m3 = E[x³]−3μE[x²]+2μ³
+    val m2 = F.col("__m2r") - F.col("__m") * F.col("__m")
+    val m3 = F.col("__m3r") - F.lit(3.0) * F.col("__m") * F.col("__m2r") +
+      F.lit(2.0) * F.col("__m") * F.col("__m") * F.col("__m")
+    val skew = mom.select(F.round(
+      m3 / F.nullif(F.sqrt(m2 * m2 * m2), F.lit(0.0)), 6).as("skew"))
+    perVec.groupBy(F.col("__nk").as("n_k"))
+      .agg(F.count(F.lit(1)).as("n_vectors"))
+      .crossJoin(F.broadcast(skew))
+      .orderBy("n_k")
+  }
+
   def bitextMargin(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
                    k: Int = 4, minMargin: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -3739,6 +3739,31 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.560317 && r.getDouble(5) == 0.560317, r)
   }
 
+  test("mmdDrift: identical samples score exactly 0; separated clusters light up") {
+    val x = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.1f))).toDF("vec_id", "embedding")
+    val same = Similarity.mmdDrift(x, x, "vec_id", "embedding", sigma2 = 1.0)
+      .collect()(0)
+    assert(same.getDouble(5) == 0.0, same)
+    val far = Seq((11L, Array(10.0f, 10.0f)), (12L, Array(10.1f, 10.0f)),
+      (13L, Array(10.0f, 10.1f))).toDF("vec_id", "embedding")
+    val drift = Similarity.mmdDrift(x, far, "vec_id", "embedding",
+      sigma2 = 1.0).collect()(0)
+    assert(drift.getDouble(5) > 0.5, drift)
+  }
+
+  test("hubnessCensus: the hub collects extra occurrences; anti-hubs count 0") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.14f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.7f, 0.7f))   // 4 = the hub
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hubnessCensus(emb, "vec_id", "embedding", k = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    // NN: 1→2, 2→1, 3→4, 4→2 ⇒ counts {1:1, 2:2, 4:1, 3:0} ⇒
+    // histogram {0:1, 1:2, 2:1}, symmetric ⇒ skew 0
+    assert(got == Seq((0L, 1L, 0.0), (1L, 2L, 0.0), (2L, 1L, 0.0)), got)
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
