@@ -2278,10 +2278,15 @@ object SparkEntry {
 
     // k-occurrence hubness census at k=10: who appears in everyone's
     // top-k, and how skewed that distribution is — the high-dimensional
-    // pathology check before trusting any kNN-based dedup
-    "x212_hubness" -> ((s, dir) =>
-      Similarity.hubnessCensus(s.read.parquet(s"$dir/embeddings.parquet"),
-        "vec_id", "embedding", k = 10)),
+    // pathology check before trusting any kNN-based dedup. The QUERY side
+    // samples 1-in-5 deterministically (hubness is a distribution
+    // property; counting over a query sample scales it, not skews it) —
+    // the corpus side stays full
+    "x212_hubness" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.hubnessCensus(emb, emb.filter(F.col("vec_id") % 5 === 0),
+        "vec_id", "embedding", k = 10)
+    }),
 
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
@@ -5332,7 +5337,8 @@ object SparkEntry {
         |         x -> x::DOUBLE * x::DOUBLE)))
         |       * sqrt(list_sum(list_transform(q.embedding,
         |         x -> x::DOUBLE * x::DOUBLE)))) AS cos
-        |  FROM embeddings c, embeddings q WHERE c.vec_id != q.vec_id),
+        |  FROM embeddings c, embeddings q
+        |  WHERE c.vec_id != q.vec_id AND q.vec_id % 5 = 0),
         |topk AS (SELECT neighbor_id FROM (
         |  SELECT neighbor_id, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) AS rk FROM scored)

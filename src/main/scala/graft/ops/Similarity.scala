@@ -1399,13 +1399,16 @@ object Similarity {
     *
     * Built on [[bruteKnn]] (queries broadcast, corpus scanned, top-k
     * windows map-side-limited); the census and moments are rollups over
-    * vector-count rows. Skew terms at 9 dp, outputs at 6.
+    * vector-count rows. `queries` may be a deterministic SAMPLE of the
+    * corpus — hubness is a distribution property, so counting over a
+    * query sample scales every count, not the shape. Skew terms at 9 dp,
+    * outputs at 6.
     *
     * @return (n_k, n_vectors, skew) — one row per occurrence count
     */
-  def hubnessCensus(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int = 10): DataFrame = {
-    val occ = bruteKnn(emb, emb, idCol, vecCol, k)
+  def hubnessCensus(emb: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int = 10): DataFrame = {
+    val occ = bruteKnn(emb, queries, idCol, vecCol, k)
       .groupBy(F.col("neighbor_id").as(idCol))
       .agg(F.count(F.lit(1)).as("__nk"))
     val perVec = emb.select(F.col(idCol)).join(occ, Seq(idCol), "left")

@@ -3757,7 +3757,7 @@ class OpsSpec extends AnyFunSuite {
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.14f)),
       (3L, Array(0.0f, 1.0f)), (4L, Array(0.7f, 0.7f))   // 4 = the hub
     ).toDF("vec_id", "embedding")
-    val got = Similarity.hubnessCensus(emb, "vec_id", "embedding", k = 1)
+    val got = Similarity.hubnessCensus(emb, emb, "vec_id", "embedding", k = 1)
       .as[(Long, Long, Double)].collect().toSeq
     // NN: 1→2, 2→1, 3→4, 4→2 ⇒ counts {1:1, 2:2, 4:1, 3:0} ⇒
     // histogram {0:1, 1:2, 2:1}, symmetric ⇒ skew 0
