@@ -2288,6 +2288,29 @@ object SparkEntry {
         "vec_id", "embedding", k = 10)
     }),
 
+    // TwoNN intrinsic dimension of the embedding manifold over a 1-in-5
+    // deterministic sample (the estimator converges fast in n) — how
+    // much of the 64 dims is real structure
+    "x213_twonn_id" -> ((s, dir) =>
+      Similarity.twoNnId(
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(F.col("vec_id") % 5 === 0),
+        "vec_id", "embedding")),
+
+    // systematic PPS sampling: 10 picks proportional to doc size, zero
+    // sample-count variance — the weighted shard-selection classic
+    "x214_pps" -> ((s, dir) =>
+      graft.ops.Sampling.ppsSystematic(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+        F.col("n_chars"), n = 10)),
+
+    // Wilson score interval for each lang's long-doc rate — the error
+    // bar that survives small slices and extreme rates
+    "x215_wilson" -> ((s, dir) =>
+      graft.ops.Stats.wilsonInterval(
+        s.read.parquet(s"$dir/documents.parquet"), Seq("lang"),
+        F.col("n_chars") > 300)),
+
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
     "x188_theil_sen" -> ((s, dir) => {
@@ -5289,6 +5312,67 @@ object SparkEntry {
         |    ntile(5) OVER (PARTITION BY source
         |      ORDER BY difficulty, doc_id) AS ntile5 FROM d)
         |ORDER BY source, bin, bin_rank""".stripMargin,
+
+    // squared-distance ranks (no sqrt in the replayed math), half-ln
+    // ratio terms at 9 dp, duplicates excluded as the estimator requires
+    "x213_twonn_id" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      v -> v::DOUBLE * v::DOUBLE))) AS nrm
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |pair AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    c.nrm * c.nrm + q.nrm * q.nrm -
+        |    2.0 * list_sum(list_transform(range(1, 65),
+        |      i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) AS d2
+        |  FROM s q, s c WHERE c.vec_id != q.vec_id),
+        |nn AS (SELECT qid,
+        |    min(CASE WHEN rk = 1 THEN d2 END) AS d1sq,
+        |    min(CASE WHEN rk = 2 THEN d2 END) AS d2sq
+        |  FROM (SELECT qid, d2, row_number() OVER (PARTITION BY qid
+        |      ORDER BY d2, cid) AS rk FROM pair)
+        |  WHERE rk <= 2 GROUP BY qid),
+        |t AS (SELECT CASE WHEN d1sq <= 0.0 THEN 1 ELSE 0 END AS dup,
+        |    CASE WHEN d1sq > 0.0
+        |      THEN round(0.5 * ln(d2sq / d1sq), 9) END AS lt
+        |  FROM nn)
+        |SELECT sum(1 - dup)::BIGINT AS n_used, sum(dup)::BIGINT AS n_dupes,
+        |  round(sum(1 - dup)::DOUBLE / nullif(sum(lt), 0.0), 6) AS id_hat
+        |FROM t""".stripMargin,
+
+    // size ladder in id order, DOUBLE thresholds (i+0.5)·W/n, half-open
+    // interval membership
+    "x214_pps" ->
+      """WITH base AS (SELECT doc_id, n_chars AS size FROM documents
+        |  WHERE n_chars > 0),
+        |cum AS (SELECT doc_id, size, sum(size) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_hi FROM base),
+        |tot AS (SELECT sum(size)::BIGINT AS w FROM base),
+        |p AS (SELECT unnest(([0.5, 1.5, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5,
+        |    8.5, 9.5])::DOUBLE[]) AS pk)
+        |SELECT (pk - 0.5)::INT AS pick, doc_id, size, cum_hi
+        |FROM cum CROSS JOIN tot CROSS JOIN p
+        |WHERE cum_hi - size < pk * (w / 10.0::DOUBLE)
+        |  AND pk * (w / 10.0::DOUBLE) <= cum_hi
+        |ORDER BY pick""".stripMargin,
+
+    // z pinned as a PRODUCT of the same literal both engines parse
+    "x215_wilson" ->
+      """WITH g AS (SELECT lang, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)::BIGINT AS k
+        |  FROM documents GROUP BY lang),
+        |e AS (SELECT lang, n, k, k::DOUBLE / n AS p,
+        |    (1.959964::DOUBLE * 1.959964) AS z2, n::DOUBLE AS nd FROM g),
+        |f AS (SELECT lang, n, k, p,
+        |    p + z2 / (nd * 2.0) AS center,
+        |    1.959964::DOUBLE * sqrt(p * (1.0 - p) / nd +
+        |      z2 / (4.0::DOUBLE * nd * nd)) AS half,
+        |    1.0 + z2 / nd AS denom
+        |  FROM e)
+        |SELECT lang, n, k, round(p, 6) AS p,
+        |  round((center - half) / denom, 6) AS ci_lo,
+        |  round((center + half) / denom, 6) AS ci_hi
+        |FROM f ORDER BY lang""".stripMargin,
 
     // three pair means over the same sqrt-norm/dot primitives as x06;
     // 9-dp kernel terms, fixed 2sigma^2=64 denominator

@@ -353,6 +353,41 @@ object Sampling {
       .drop("__rk", "__minN")
   }
 
+  /** Systematic probability-proportional-to-size (πps) sampling: lay the
+    * items' sizes end to end in deterministic id order, then take one
+    * item at every threshold `(i + 0.5)·(W/n)` — each item's inclusion
+    * probability is exactly proportional to its size with ZERO variance
+    * in the sample count, the survey-sampling classic for "pick n shards
+    * weighted by bytes". An item larger than the step wins multiple
+    * picks (reported once per pick, as πps prescribes).
+    *
+    * Scale shape: one keyed size scan + a cumulative window in id order
+    * (single-partition over the ITEM table — bounded when items are
+    * shards/sources/buckets, the intended granularity), thresholds ride
+    * as a literal array explode.
+    *
+    * @return (pick, idCol, size, cum_hi) ordered by pick
+    */
+  def ppsSystematic(df: DataFrame, idCol: String, sizeCol: Column,
+                    n: Int): DataFrame = {
+    require(n >= 1, s"need >= 1 picks, got $n")
+    val base = df.select(F.col(idCol), sizeCol.cast("long").as("size"))
+      .filter(F.col("size") > 0)
+    val w = Window.orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.withColumn("cum_hi", F.sum("size").over(w))
+    val tot = base.agg(F.sum("size").as("__w"))
+    val picks = F.array((0 until n).map(i => F.lit(i + 0.5)): _*)
+    cum.crossJoin(F.broadcast(tot))
+      .withColumn("__p", F.explode(picks))
+      .withColumn("__t", F.col("__p") * (F.col("__w") / F.lit(n.toDouble)))
+      .filter(F.col("cum_hi") - F.col("size") < F.col("__t") &&
+        F.col("__t") <= F.col("cum_hi"))
+      .select((F.col("__p") - 0.5).cast("int").as("pick"),
+        F.col(idCol), F.col("size"), F.col("cum_hi"))
+      .orderBy("pick")
+  }
+
   /** Temperature-reweighted sampling plan (the multilingual mixing rule of
     * XLM-R / mBERT: `q_g ∝ p_g^α`, α ∈ (0, 1]): flatten a skewed group
     * distribution so head groups stop drowning the tail without sampling

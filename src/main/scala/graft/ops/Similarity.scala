@@ -1429,6 +1429,47 @@ object Similarity {
       .orderBy("n_k")
   }
 
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): using only
+    * each point's two nearest neighbors, `ID = n / Σ ln(d₂/d₁)` — the
+    * manifold-dimension readout that says how much of a 64-dim embedding
+    * column is real structure vs padding (and hence how far PQ/Matryoshka
+    * compression can push). Exact-duplicate points (d₁ = 0) are excluded,
+    * as the estimator requires; the ln ratio runs on SQUARED distances
+    * (`½·ln(d₂²/d₁²)`) so no square root enters the replayed math.
+    *
+    * Shape: a bruteKnn-style broadcast-queries scan ranked by (dist²,
+    * id); per-point terms at 9 dp, one 1-row rollup. Intended for a
+    * bounded sample at corpus scale (the estimator converges fast in n).
+    *
+    * @return one row (n_used, n_dupes, id_hat)
+    */
+  def twoNnId(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val c = emb.withColumn("__nc", l2norm(F.col(vecCol)))
+    val q = F.broadcast(emb
+      .withColumnRenamed(idCol, "__qid").withColumnRenamed(vecCol, "__qv")
+      .withColumn("__nq", l2norm(F.col("__qv"))))
+    val d2 = F.col("__nc") * F.col("__nc") + F.col("__nq") * F.col("__nq") -
+      F.lit(2.0) * dot(F.col(vecCol), F.col("__qv"))
+    val w = Window.partitionBy("__qid")
+      .orderBy(F.col("__d2").asc, F.col(idCol).asc)
+    val nn2 = c.join(q, c(idCol) =!= F.col("__qid"))
+      .withColumn("__d2", d2)
+      .withColumn("__rk", F.row_number().over(w))
+      .filter(F.col("__rk") <= 2)
+      .groupBy("__qid")
+      .agg(F.min(F.when(F.col("__rk") === 1, F.col("__d2"))).as("__d1sq"),
+        F.min(F.when(F.col("__rk") === 2, F.col("__d2"))).as("__d2sq"))
+    val terms = nn2
+      .withColumn("__dup", F.when(F.col("__d1sq") <= 0.0, 1L).otherwise(0L))
+      .withColumn("__ln", F.when(F.col("__d1sq") > 0.0,
+        F.round(F.lit(0.5) * F.log(F.col("__d2sq") / F.col("__d1sq")), 9)))
+    terms.agg(
+      F.sum(F.lit(1L) - F.col("__dup")).as("n_used"),
+      F.sum("__dup").as("n_dupes"),
+      F.round(F.sum(F.lit(1L) - F.col("__dup")).cast("double") /
+        F.nullif(F.sum("__ln"), F.lit(0.0)), 6).as("id_hat"))
+  }
+
   def bitextMargin(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
                    k: Int = 4, minMargin: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -1589,6 +1589,36 @@ object Stats {
       F.round(mde / F.nullif(mean, F.lit(0.0)), 6).as("mde_rel"))
   }
 
+  /** Wilson score interval per group for a binary proportion — the CI
+    * that behaves at small n and extreme p where the Wald interval
+    * collapses (the right error bar for per-slice pass rates). Closed
+    * form, z pinned at 1.959964; no transcendental beyond sqrt.
+    *
+    * One conditional-count collapse to ≤ groups rows.
+    *
+    * @return (groupCols…, n, k, p, ci_lo, ci_hi) — 6-dp
+    */
+  def wilsonInterval(df: DataFrame, groupCols: Seq[String],
+                     successCol: Column): DataFrame = {
+    val z = 1.959964
+    val z2 = z * z
+    val gs = groupCols.map(F.col)
+    val g = df.select((gs :+ F.when(successCol, 1L).otherwise(0L).as("__s")): _*)
+      .groupBy(gs: _*)
+      .agg(F.count(F.lit(1)).as("n"), F.sum("__s").as("k"))
+    val nD = F.col("n").cast("double")
+    val p = F.col("k").cast("double") / nD
+    val center = p + F.lit(z2) / (nD * 2.0)
+    val half = F.lit(z) * F.sqrt(p * (F.lit(1.0) - p) / nD +
+      F.lit(z2) / (F.lit(4.0) * nD * nD))
+    val denom = F.lit(1.0) + F.lit(z2) / nD
+    g.select((gs :+ F.col("n") :+ F.col("k") :+
+      F.round(p, 6).as("p") :+
+      F.round((center - half) / denom, 6).as("ci_lo") :+
+      F.round((center + half) / denom, 6).as("ci_hi")): _*)
+      .orderBy(gs: _*)
+  }
+
   /** Null-safe string key for the per-(row, resample) hash. */
   private def valueColKey(id: Column): Column =
     F.coalesce(id.cast("string"), F.lit(""))

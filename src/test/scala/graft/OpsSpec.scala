@@ -3764,6 +3764,46 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 1L, 0.0), (1L, 2L, 0.0), (2L, 1L, 0.0)), got)
   }
 
+  test("twoNnId: hand-computed line estimate; exact duplicates are excluded") {
+    // collinear points at 0, 1, 3, 7: Σ½ln(d2²/d1²) = ln3 + ln2 +
+    // 2·(½ln 2.25) = 2.602689686 → ID = 4/Σ ≈ 1.536872
+    val line = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(3.0f, 0.0f)), (4L, Array(7.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.twoNnId(line, "vec_id", "embedding").collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 0, r)
+    assert(r.getDouble(2) == 1.536872, r)
+    val withDup = line.union(Seq((5L, Array(0.0f, 0.0f)),
+      (6L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val d = Similarity.twoNnId(withDup, "vec_id", "embedding").collect()(0)
+    // ids 1, 5, 6 coincide → all three have d1 = 0 and drop out
+    assert(d.getLong(1) == 3, d)
+  }
+
+  test("ppsSystematic: big items win multiple picks; boundary threshold is inclusive") {
+    import graft.ops.Sampling
+    val items = Seq((1L, 10L), (2L, 10L), (3L, 60L), (4L, 20L))
+      .toDF("id", "sz")
+    val got = Sampling.ppsSystematic(items, "id", F.col("sz"), n = 5)
+      .select("pick", "id").as[(Int, Long)].collect().toSeq
+    // W=100, step 20, thresholds 10,30,50,70,90: t=10 lands exactly on
+    // item 1's upper edge (inclusive); item 3 (60% of mass) wins 3 picks
+    assert(got == Seq((0, 1L), (1, 3L), (2, 3L), (3, 3L), (4, 4L)), got)
+  }
+
+  test("wilsonInterval: zero successes pin lo at 0; k=0 and k=n are mirror images") {
+    import graft.ops.Stats
+    val zeros = (1 to 10).map(i => ("g", false)).toDF("g", "s")
+    val ones = (1 to 10).map(i => ("g", true)).toDF("g", "s")
+    val z = Stats.wilsonInterval(zeros, Seq("g"), F.col("s")).collect()(0)
+    val o = Stats.wilsonInterval(ones, Seq("g"), F.col("s")).collect()(0)
+    assert(z.getDouble(3) == 0.0 && z.getDouble(4) == 0.0, z)
+    assert(o.getDouble(3) == 1.0 && o.getDouble(5) == 1.0, o)
+    assert(z.getDouble(5) > 0.25 && z.getDouble(5) < 0.3, z)
+    assert(math.abs(z.getDouble(5) - (1.0 - o.getDouble(4))) <= 1e-6,
+      s"$z vs $o")
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
