@@ -319,6 +319,29 @@ object StressBench {
         // user- or conversion-keyed — linear, no single-partition growth
         "x183_ushape" -> (() => graft.ops.EventOps.uShapeAttribution(
           events, "purchase", windowUs = 21600000000L)),
+        // skyline: docs grow K× but replicas duplicate (x, y) points, so
+        // the salt-local prune keeps the global pass bounded — wall must
+        // track the keyed local windows, ~linear
+        "x186_skyline" -> (() => graft.ops.Stats.skyline2d(
+          docs, "doc_id", F.col("n_chars"),
+          graft.ops.TextOps.tokenCount(F.col("text")))),
+        // stickiness: users grow K× (re-keyed), day domain FIXED — the
+        // 28× fan-out runs on the collapsed user-day table and the
+        // distinct counts stay day-keyed; ~linear in K
+        "x195_stickiness" -> (() =>
+          graft.ops.EventOps.stickiness(events, windowDays = 28)),
+        // weighted quantiles: corpus grows K× but the distinct-value
+        // domain is fixed — the collapse absorbs the growth map-side
+        "x198_wquantile" -> (() => graft.ops.Stats.weightedQuantile(
+          docs, Seq("source"), F.col("n_chars"),
+          graft.ops.TextOps.tokenCount(F.col("text")),
+          qs = Seq(0.25, 0.5, 0.9))),
+        // conformal: residual domain bounded (9-dp values over a fixed
+        // predictor), both halves grow K× — the rank scan stays flat
+        "x200_conformal" -> (() => graft.ops.Stats.conformalInterval(
+          docs, F.col("doc_id"),
+          graft.ops.TextOps.tokenCount(F.col("text")),
+          F.col("n_chars") / 6.0, calibRate = 0.5, q = 0.9)),
       )
       val allQueries = queries ++ extra
       val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
