@@ -395,6 +395,77 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: psi is symmetric under swapping baseline and current") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(60, Gen.zip(Gen.chooseNum(0, 99), Gen.oneOf(true, false)))
+    forAll(gen) { rows =>
+      if (rows.exists(_._2) && rows.exists(!_._2)) {
+        val df = rows.map { case (s, b) => (s / 100.0, b) }.toDF("s", "b")
+        def total(base: org.apache.spark.sql.Column) =
+          graft.ops.Stats.psi(df, F.col("s"), base).head().getDouble(4)
+        // (p−q)·ln(p/q) is invariant under p↔q
+        assert(total(F.col("b")) == total(!F.col("b")))
+      }
+    }
+  }
+
+  test("law: mcc and the odds ratio are invariant under transposing the 2x2") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(40, Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false)))
+    forAll(gen) { rows =>
+      val df = rows.toDF("a", "b")
+      val m1 = graft.ops.Stats.mcc(df, F.col("a"), F.col("b")).head()
+      val m2 = graft.ops.Stats.mcc(df, F.col("b"), F.col("a")).head()
+      assert(m1.isNullAt(4) == m2.isNullAt(4))
+      if (!m1.isNullAt(4)) assert(m1.getDouble(4) == m2.getDouble(4))
+      val o1 = graft.ops.Stats.oddsRatio(df, F.col("a"), F.col("b")).head()
+      val o2 = graft.ops.Stats.oddsRatio(df, F.col("b"), F.col("a")).head()
+      // OR = ad/bc survives the transpose (b and c swap); RR does not
+      assert(o1.getDouble(5) == o2.getDouble(5) ||
+        (o1.getDouble(5).isNaN && o2.getDouble(5).isNaN))
+    }
+  }
+
+  test("law: weightedQuantile with unit weights is the classic order statistic") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.chooseNum(0L, 50L))
+    forAll(gen) { vs =>
+      if (vs.nonEmpty) {
+        val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "v")
+        val qs = Seq(0.25, 0.5, 0.9, 1.0)
+        val got = graft.ops.Stats.weightedQuantile(df, Nil, F.col("v"),
+            F.lit(1L), qs)
+          .select("q", "value").as[(Double, Long)].collect().toMap
+        val sorted = vs.sorted
+        qs.foreach { q =>
+          // smallest value whose 1-based rank reaches q·n
+          val want = sorted(math.ceil(q * vs.size).toInt - 1)
+          assert(got(q) == want, s"q=$q on $vs: ${got(q)} != $want")
+        }
+      }
+    }
+  }
+
+  test("law: conformal q_hat grows with q; coverage tracks it") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, (i * 7 % 23).toDouble, 0.0))
+      .toDF("id", "y", "pred")
+    def at(q: Double) = {
+      val r = graft.ops.Stats.conformalInterval(df, F.col("id"), F.col("y"),
+        F.col("pred"), calibRate = 0.5, q = q).head()
+      (r.getDouble(2), r.getDouble(3))
+    }
+    val (q80, c80) = at(0.8)
+    val (q95, c95) = at(0.95)
+    assert(q80 <= q95, s"$q80 > $q95")
+    assert(c80 <= c95, s"$c80 > $c95")
+  }
+
   test("law: kaplanMeier with zero censoring equals the empirical survivor function") {
     import org.apache.spark.sql.{functions => F}
     import spark.implicits._
