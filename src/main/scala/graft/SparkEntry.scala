@@ -2311,6 +2311,27 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), Seq("lang"),
         F.col("n_chars") > 300)),
 
+    // rank-biased overlap (p=0.9, k=20) between the x125 rankings —
+    // top-weighted, handles non-conjoint lists (kendall's blind spot)
+    "x216_rbo" -> ((s, dir) => {
+      val agg = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(F.col("l_returnflag").as("q"), F.col("l_suppkey").as("item"))
+        .agg(F.count(F.lit(1)).as("n"), F.sum("l_quantity").as("sq"))
+      val wA = Window.partitionBy("q").orderBy(F.col("n").desc, F.col("item"))
+      val wB = Window.partitionBy("q").orderBy(F.col("sq").desc, F.col("item"))
+      val ra = agg.withColumn("rk", F.row_number().over(wA))
+      val rb = agg.withColumn("rk", F.row_number().over(wB))
+      graft.ops.Stats.rbo(ra, rb, "q", "item", "rk", k = 20, p = 0.9)
+    }),
+
+    // quantile treatment effects of the en "treatment" on doc length —
+    // the tail-sensitive causal readout beside x189's mean ATE
+    "x217_qte" -> ((s, dir) =>
+      graft.ops.Stats.quantileTreatmentEffect(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.col("lang") === "en", F.col("n_chars"),
+        qs = Seq(0.25, 0.5, 0.75, 0.9))),
+
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
     "x188_theil_sen" -> ((s, dir) => {
@@ -5312,6 +5333,67 @@ object SparkEntry {
         |    ntile(5) OVER (PARTITION BY source
         |      ORDER BY difficulty, doc_id) AS ntile5 FROM d)
         |ORDER BY source, bin, bin_rank""".stripMargin,
+
+    // the x125 CTEs, prefix overlaps at max(ra, rb) depths, the SAME
+    // Scala-computed p^(d-1) literals, (1.0::DOUBLE - 0.9) — not the
+    // decimal 0.1 — so the scale factor matches Spark's double bit-f-bit
+    "x216_rbo" -> {
+      val wlits = Array.tabulate(20)(d => math.pow(0.9, d))
+        .mkString("[", ", ", "]")
+      s"""WITH agg AS (
+         |  SELECT l_returnflag AS q, l_suppkey AS item,
+         |    count(*) AS n, sum(l_quantity) AS sq
+         |  FROM lineitem GROUP BY 1, 2
+         |), ra AS (
+         |  SELECT q AS query, item, row_number()
+         |    OVER (PARTITION BY q ORDER BY n DESC, item) AS ra
+         |  FROM agg
+         |), rb AS (
+         |  SELECT q AS query, item, row_number()
+         |    OVER (PARTITION BY q ORDER BY sq DESC, item) AS rb
+         |  FROM agg
+         |), j AS (
+         |  SELECT ra.query, greatest(ra.ra, rb.rb) AS m, count(*) AS c
+         |  FROM (SELECT * FROM ra WHERE ra <= 20) ra
+         |  JOIN (SELECT * FROM rb WHERE rb <= 20) rb
+         |    ON ra.query = rb.query AND ra.item = rb.item
+         |  GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT query, m, sum(c) OVER (PARTITION BY query ORDER BY m
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS x
+         |  FROM j
+         |), w(arr) AS (SELECT ($wlits)::DOUBLE[]),
+         |g AS (
+         |  SELECT query, gs.d, x, row_number() OVER (
+         |    PARTITION BY query, gs.d ORDER BY m DESC) AS rn
+         |  FROM cum JOIN (SELECT unnest(range(1, 21)) AS d) gs
+         |    ON m <= gs.d
+         |), t AS (
+         |  SELECT query, d, round(arr[d::INT] * x / d, 9) AS term
+         |  FROM g, w WHERE rn = 1
+         |)
+         |SELECT query, round((1.0::DOUBLE - 0.9) * sum(term), 6) AS rbo
+         |FROM t GROUP BY query ORDER BY query""".stripMargin
+    },
+
+    // per-arm distinct-value ladders, the family's ceil-rank convention
+    "x217_qte" ->
+      """WITH byv AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+        |    n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT t, v,
+        |    sum(c) OVER (PARTITION BY t ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum,
+        |    sum(c) OVER (PARTITION BY t)::BIGINT AS n
+        |  FROM byv),
+        |q AS (SELECT unnest(([0.25, 0.5, 0.75, 0.9])::DOUBLE[]) AS q),
+        |pa AS (SELECT t, q.q, min(v) AS qv
+        |  FROM cum CROSS JOIN q WHERE cum >= q.q * n GROUP BY t, q.q)
+        |SELECT a.q, a.qv AS q_treat, b.qv AS q_control,
+        |  a.qv - b.qv AS qte
+        |FROM pa a JOIN pa b ON a.q = b.q AND a.t = 1 AND b.t = 0
+        |ORDER BY a.q""".stripMargin,
 
     // squared-distance ranks (no sqrt in the replayed math), half-ln
     // ratio terms at 9 dp, duplicates excluded as the estimator requires

@@ -1619,6 +1619,88 @@ object Stats {
       .orderBy(gs: _*)
   }
 
+  /** Truncated rank-biased overlap (Webber et al. 2010) between two top-k
+    * rankings: `RBO = (1−p)·Σ_{d≤k} p^{d−1}·(X_d/d)` where X_d is the
+    * overlap of the two depth-d prefixes — the top-weighted list
+    * similarity that, unlike [[kendallTau]], handles NON-conjoint lists
+    * (an item in only one list simply never joins). p ≈ 0.9 puts ~86% of
+    * the weight in the top 10. Truncated at k (the lower-bound form);
+    * weights ride as precomputed literals shared with the oracle.
+    *
+    * Per query: joined pairs collapse to one row per max(ra, rb) depth,
+    * a keyed cumulative window gives every X_d, and the depth grid is a
+    * literal explode — everything top-k-bounded.
+    *
+    * @return (query, rbo) — 6-dp, one row per query
+    */
+  def rbo(ra: DataFrame, rb: DataFrame, queryCol: String, itemCol: String,
+          rankCol: String, k: Int = 20, p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    val weights = Array.tabulate(k)(d => math.pow(p, d)) // p^(d-1), d 1-based
+    val a = ra.select(F.col(queryCol).as("query"), F.col(itemCol).as("item"),
+      F.col(rankCol).cast("long").as("__ra")).filter(F.col("__ra") <= k)
+    val b = rb.select(F.col(queryCol).as("query"), F.col(itemCol).as("item"),
+      F.col(rankCol).cast("long").as("__rb")).filter(F.col("__rb") <= k)
+    val byDepth = a.join(b, Seq("query", "item"))
+      .groupBy(F.col("query"),
+        F.greatest(F.col("__ra"), F.col("__rb")).as("__m"))
+      .agg(F.count(F.lit(1)).as("__c"))
+    val wCum = Window.partitionBy("query").orderBy("__m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byDepth.withColumn("__x", F.sum("__c").over(wCum))
+    val wArr = F.array(weights.map(F.lit): _*)
+    val grid = cum
+      .withColumn("__d", F.explode(F.sequence(F.lit(1), F.lit(k))))
+      // X_d is the cum at the LARGEST m <= d: keep the max m per (q, d)
+      .filter(F.col("__m") <= F.col("__d"))
+      .groupBy("query", "__d")
+      .agg(F.max(F.struct(F.col("__m"), F.col("__x"))).as("__mx"))
+      .select(F.col("query"), F.col("__d"),
+        F.col("__mx").getField("__x").as("__xd"))
+      .withColumn("__term", F.round(
+        F.element_at(wArr, F.col("__d").cast("int")) *
+          F.col("__xd") / F.col("__d"), 9))
+    grid.groupBy("query")
+      .agg(F.round(F.lit(1.0 - p) * F.sum("__term"), 6).as("rbo"))
+      .orderBy("query")
+  }
+
+  /** Quantile treatment effects: per-arm exact quantiles (the
+    * [[weightedQuantile]] distinct-value collapse at unit weight) and
+    * their differences — the causal readout beyond the mean when a
+    * treatment moves the TAILS (a filter that trims long docs shifts
+    * q90 hard and the mean barely). Same "smallest value whose rank
+    * reaches ⌈q·n⌉" convention as the quantile family.
+    *
+    * @return (q, q_treat, q_control, qte) one row per requested q
+    */
+  def quantileTreatmentEffect(df: DataFrame, treatCol: Column,
+                              valueCol: Column,
+                              qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1], got $qs")
+    val byV = df.select(F.when(treatCol, 1L).otherwise(0L).as("__t"),
+        valueCol.cast("long").as("__v"))
+      .groupBy("__t", "__v").agg(F.count(F.lit(1)).as("__c"))
+    val wCum = Window.partitionBy("__t").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("__t")
+    val qArr = F.array(qs.map(F.lit): _*)
+    val perArm = byV
+      .withColumn("__cum", F.sum("__c").over(wCum))
+      .withColumn("__n", F.sum("__c").over(wTot))
+      .withColumn("q", F.explode(qArr))
+      .filter(F.col("__cum") >= F.col("q") * F.col("__n"))
+      .groupBy("__t", "q").agg(F.min("__v").as("__qv"))
+    perArm.filter(F.col("__t") === 1L)
+      .select(F.col("q"), F.col("__qv").as("q_treat"))
+      .join(perArm.filter(F.col("__t") === 0L)
+        .select(F.col("q"), F.col("__qv").as("q_control")), Seq("q"))
+      .withColumn("qte", F.col("q_treat") - F.col("q_control"))
+      .orderBy("q")
+  }
+
   /** Null-safe string key for the per-(row, resample) hash. */
   private def valueColKey(id: Column): Column =
     F.coalesce(id.cast("string"), F.lit(""))

@@ -3804,6 +3804,41 @@ class OpsSpec extends AnyFunSuite {
       s"$z vs $o")
   }
 
+  test("rbo: identical lists give the geometric sum; disjoint lists never join") {
+    import graft.ops.Stats
+    val ra = Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 3))
+      .toDF("q", "item", "rk")
+    val r = Stats.rbo(ra, ra, "q", "item", "rk", k = 3, p = 0.9)
+      .collect()(0)
+    // (1−p)·(1 + p + p²) = 1 − p³ = 0.271
+    assert(r.getDouble(1) == 0.271, r)
+    val rb = Seq(("q", "x", 1), ("q", "y", 2), ("q", "z", 3))
+      .toDF("q", "item", "rk")
+    assert(Stats.rbo(ra, rb, "q", "item", "rk", k = 3, p = 0.9)
+      .collect().isEmpty, "zero overlap yields no row (RBO 0 by absence)")
+    // top-weighted: agreeing at depth 1 beats agreeing only at depth 3
+    val top = Seq(("q", "a", 1), ("q", "y", 2), ("q", "z", 3))
+      .toDF("q", "item", "rk")
+    val bot = Seq(("q", "x", 1), ("q", "y", 2), ("q", "c", 3))
+      .toDF("q", "item", "rk")
+    val sTop = Stats.rbo(ra, top, "q", "item", "rk", k = 3, p = 0.9)
+      .collect()(0).getDouble(1)
+    val sBot = Stats.rbo(ra, bot, "q", "item", "rk", k = 3, p = 0.9)
+      .collect()(0).getDouble(1)
+    assert(sTop > sBot, s"$sTop <= $sBot")
+  }
+
+  test("quantileTreatmentEffect: per-arm ladders, hand-checked differences") {
+    import graft.ops.Stats
+    val rows = Seq((true, 10L), (true, 20L), (true, 30L), (true, 40L),
+      (false, 5L), (false, 10L), (false, 15L), (false, 20L))
+      .toDF("t", "v")
+    val got = Stats.quantileTreatmentEffect(rows, F.col("t"), F.col("v"),
+        qs = Seq(0.5, 1.0))
+      .as[(Double, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0.5, 20L, 10L, 10L), (1.0, 40L, 20L, 20L)), got)
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
