@@ -2332,6 +2332,26 @@ object SparkEntry {
         F.col("lang") === "en", F.col("n_chars"),
         qs = Seq(0.25, 0.5, 0.75, 0.9))),
 
+    // Lorenz curve of corpus volume across docs — the concentration
+    // curve x128's gini summarizes, as 10 ladder points
+    "x218_lorenz" -> ((s, dir) =>
+      graft.ops.Stats.lorenzCurve(
+        s.read.parquet(s"$dir/documents.parquet"), F.col("n_chars"),
+        nPoints = 10)),
+
+    // bigram conditional entropy vs unigram entropy: the entropy-rate
+    // redundancy readout (template spam crashes the ratio toward 0)
+    "x219_cond_entropy" -> ((s, dir) =>
+      graft.ops.Stats.bigramCondEntropy(
+        s.read.parquet(s"$dir/documents.parquet"), "text")),
+
+    // exact 1-D Wasserstein between the src0-9 and src10-19 length
+    // distributions — mass-distance drift beside x165's max-gap KS
+    "x220_wasserstein" -> ((s, dir) =>
+      graft.ops.Stats.wasserstein1d(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.length(F.col("source")) === 4, F.col("n_chars"))),
+
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
     "x188_theil_sen" -> ((s, dir) => {
@@ -5376,6 +5396,75 @@ object SparkEntry {
          |SELECT query, round((1.0::DOUBLE - 0.9) * sum(term), 6) AS rbo
          |FROM t GROUP BY query ORDER BY query""".stripMargin
     },
+
+    // distinct-value ladder, ceil item thresholds, ties stay together
+    "x218_lorenz" ->
+      """WITH byv AS (SELECT n_chars AS v, count(*) AS c,
+        |    n_chars * count(*) AS m FROM documents GROUP BY n_chars),
+        |cum AS (SELECT v,
+        |    (sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW))::BIGINT AS cumc,
+        |    (sum(m) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW))::BIGINT AS cumm
+        |  FROM byv),
+        |tot AS (SELECT sum(c)::BIGINT AS n, sum(m)::BIGINT AS mm FROM byv),
+        |pts AS (SELECT unnest(range(1, 11)) AS point),
+        |f AS (SELECT point, min(v) AS cutoff
+        |  FROM cum CROSS JOIN tot CROSS JOIN pts
+        |  WHERE cumc >= ceil(point * n / 10.0::DOUBLE) GROUP BY point)
+        |SELECT f.point, f.cutoff, c2.cumc AS cum_items,
+        |  round(c2.cumm::DOUBLE / tot.mm, 6) AS cum_share
+        |FROM f JOIN cum c2 ON c2.v = f.cutoff CROSS JOIN tot
+        |ORDER BY f.point""".stripMargin,
+
+    // the x51 bigram replay, 9-dp -p·log2 terms, ln/ln(2) as Spark does
+    "x219_cond_entropy" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(
+        |    coalesce(text, ''))), '\s+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), g AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+        |bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM g),
+        |cpn AS (SELECT w1, w2, count(*) AS cpn FROM bg GROUP BY 1, 2),
+        |cp AS (SELECT w1, sum(cpn)::BIGINT AS cp FROM cpn GROUP BY w1),
+        |nbi AS (SELECT sum(cpn)::BIGINT AS nbi FROM cpn),
+        |hc AS (SELECT sum(cpn)::BIGINT AS n_bigrams,
+        |    round(sum(round(-(cpn::DOUBLE / nbi) *
+        |      (ln(cpn::DOUBLE / cp) / ln(2.0)), 9)) + 0.0, 6) AS h_cond
+        |  FROM cpn JOIN cp USING (w1) CROSS JOIN nbi),
+        |uni AS (SELECT unnest(toks) AS t2 FROM t),
+        |cu AS (SELECT t2, count(*) AS c FROM uni GROUP BY t2),
+        |nt AS (SELECT sum(c)::BIGINT AS nt FROM cu),
+        |hu AS (SELECT round(sum(round(-(c::DOUBLE / nt) *
+        |    (ln(c::DOUBLE / nt) / ln(2.0)), 9)) + 0.0, 6) AS h_unigram
+        |  FROM cu CROSS JOIN nt)
+        |SELECT n_bigrams, h_cond, h_unigram,
+        |  round(h_cond / nullif(h_unigram, 0.0), 6) AS ratio
+        |FROM hc CROSS JOIN hu""".stripMargin,
+
+    // merged value ladder, |CDF gap|·step at 9 dp
+    "x220_wasserstein" ->
+      """WITH byv AS (SELECT n_chars AS v,
+        |    sum(CASE WHEN length(source) = 4 THEN 1 ELSE 0 END)::BIGINT
+        |      AS ca,
+        |    sum(CASE WHEN length(source) = 4 THEN 0 ELSE 1 END)::BIGINT
+        |      AS cb
+        |  FROM documents GROUP BY n_chars),
+        |cum AS (SELECT v,
+        |    (sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW))::BIGINT AS cuma,
+        |    (sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW))::BIGINT AS cumb,
+        |    lead(v) OVER (ORDER BY v) AS nextv
+        |  FROM byv),
+        |tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+        |  FROM byv),
+        |st AS (SELECT round(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb) *
+        |    (nextv - v)::DOUBLE, 9) AS gap
+        |  FROM cum CROSS JOIN tot WHERE nextv IS NOT NULL)
+        |SELECT tot.na AS n_a, tot.nb AS n_b, round(sum(gap), 6) AS w1
+        |FROM st CROSS JOIN tot GROUP BY tot.na, tot.nb""".stripMargin,
 
     // per-arm distinct-value ladders, the family's ceil-rank convention
     "x217_qte" ->

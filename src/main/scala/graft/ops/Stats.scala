@@ -1701,6 +1701,126 @@ object Stats {
       .orderBy("q")
   }
 
+  /** Lorenz curve points: at each of `nPoints` item-count thresholds,
+    * the share of total mass held by the bottom slice — the curve whose
+    * area [[gini]] summarizes, read directly when deciding "how
+    * concentrated is corpus volume across docs/sources". Convention:
+    * point i cuts at the smallest VALUE whose cumulative item count
+    * reaches ⌈i·N/nPoints⌉, and the share includes every item at or
+    * below that value (ties stay together — deterministic in any
+    * engine).
+    *
+    * One distinct-value collapse + bounded cumulative windows, totals as
+    * a 1-row broadcast.
+    *
+    * @return (point, cutoff, cum_items, cum_share) — share 6-dp
+    */
+  def lorenzCurve(df: DataFrame, valueCol: Column,
+                  nPoints: Int = 10): DataFrame = {
+    require(nPoints >= 2, s"need >= 2 points, got $nPoints")
+    val byV = df.select(valueCol.cast("long").as("__v"))
+      .groupBy("__v").agg(F.count(F.lit(1)).as("__c"))
+      .withColumn("__m", F.col("__v") * F.col("__c"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV
+      .withColumn("__cumc", F.sum("__c").over(w))
+      .withColumn("__cumm", F.sum("__m").over(w))
+    val tot = byV.agg(F.sum("__c").as("__n"), F.sum("__m").as("__mm"))
+    cum.crossJoin(F.broadcast(tot))
+      .withColumn("point", F.explode(F.sequence(F.lit(1), F.lit(nPoints))))
+      .filter(F.col("__cumc") >=
+        F.ceil(F.col("point") * F.col("__n") / F.lit(nPoints.toDouble)))
+      .groupBy(F.col("point"))
+      .agg(F.min(F.struct(F.col("__v"), F.col("__cumc"), F.col("__cumm"),
+        F.col("__mm"))).as("__pick"))
+      .select(F.col("point"),
+        F.col("__pick").getField("__v").as("cutoff"),
+        F.col("__pick").getField("__cumc").as("cum_items"),
+        F.round(F.col("__pick").getField("__cumm").cast("double") /
+          F.col("__pick").getField("__mm"), 6).as("cum_share"))
+      .orderBy("point")
+  }
+
+  /** Bigram conditional entropy H(next | prev) in bits, beside the
+    * unigram entropy and their ratio — the redundancy/entropy-rate
+    * readout: natural prose sits well below 1.0, template spam and
+    * crawler loops crash toward 0 (next token fully determined by the
+    * previous one). 9-dp terms before the unordered sums (pageRank
+    * rule).
+    *
+    * Scale shape: bigram and unigram censuses partial-aggregate
+    * map-side; everything after runs on vocab-bounded tables with 1-row
+    * broadcasts.
+    *
+    * @return one row (n_bigrams, h_cond, h_unigram, ratio)
+    */
+  def bigramCondEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val toks = F.filter(F.split(F.lower(F.trim(F.coalesce(
+      F.col(textCol), F.lit("")))), "\\s+"), t => F.length(t) > 0)
+    val base = df.select(toks.as("__toks"))
+    val n = F.size(F.col("__toks"))
+    val bigrams = base.select(F.explode(F.zip_with(
+        F.slice(F.col("__toks"), F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("__toks"), F.lit(2), F.greatest(n - 1, F.lit(0))),
+        (x, y) => F.struct(x.as("w1"), y.as("w2")))).as("__bg"))
+      .select(F.col("__bg.w1").as("__w1"), F.col("__bg.w2").as("__w2"))
+    val cPn = bigrams.groupBy("__w1", "__w2")
+      .agg(F.count(F.lit(1)).as("__cpn"))
+    val cP = cPn.groupBy("__w1").agg(F.sum("__cpn").as("__cp"))
+    val nBi = cPn.agg(F.sum("__cpn").as("__nbi"))
+    val hCond = cPn.join(cP, "__w1").crossJoin(F.broadcast(nBi))
+      .withColumn("__term", F.round(
+        -(F.col("__cpn").cast("double") / F.col("__nbi")) *
+          F.log(2.0, F.col("__cpn").cast("double") / F.col("__cp")), 9))
+      .agg(F.sum("__cpn").as("n_bigrams"),
+        // +0.0 folds the deterministic bigram's −0.0 terms (x106 rule)
+        F.round(F.sum("__term") + F.lit(0.0), 6).as("h_cond"))
+    val uni = base.select(F.explode(F.col("__toks")).as("__t"))
+      .groupBy("__t").agg(F.count(F.lit(1)).as("__c"))
+    val nTok = uni.agg(F.sum("__c").as("__nt"))
+    val hUni = uni.crossJoin(F.broadcast(nTok))
+      .withColumn("__term", F.round(
+        -(F.col("__c").cast("double") / F.col("__nt")) *
+          F.log(2.0, F.col("__c").cast("double") / F.col("__nt")), 9))
+      .agg(F.round(F.sum("__term") + F.lit(0.0), 6).as("h_unigram"))
+    hCond.crossJoin(F.broadcast(hUni))
+      .select(F.col("n_bigrams"), F.col("h_cond"), F.col("h_unigram"),
+        F.round(F.col("h_cond") /
+          F.nullif(F.col("h_unigram"), F.lit(0.0)), 6).as("ratio"))
+  }
+
+  /** Exact 1-D Wasserstein-1 (earth-mover) distance between two slices
+    * of an integer-valued distribution: `W₁ = Σ_i |F_a(v_i) − F_b(v_i)|
+    * · (v_{i+1} − v_i)` over the merged distinct-value ladder — the
+    * drift metric that weighs HOW FAR mass moved where KS (x165's shape)
+    * only sees the single largest gap. Same collapse-then-bounded-window
+    * shape as the quantile family; CDF terms at 9 dp.
+    *
+    * @return one row (n_a, n_b, w1)
+    */
+  def wasserstein1d(df: DataFrame, isA: Column, valueCol: Column): DataFrame = {
+    val byV = df.select(F.when(isA, 1L).otherwise(0L).as("__a"),
+        valueCol.cast("long").as("__v"))
+      .groupBy("__v")
+      .agg(F.sum("__a").as("__ca"), F.sum(F.lit(1L) - F.col("__a")).as("__cb"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byV.agg(F.sum("__ca").as("__na"), F.sum("__cb").as("__nb"))
+    val steps = byV
+      .withColumn("__cuma", F.sum("__ca").over(w))
+      .withColumn("__cumb", F.sum("__cb").over(w))
+      .withColumn("__nextv", F.lead("__v", 1).over(Window.orderBy("__v")))
+      .filter(F.col("__nextv").isNotNull)
+      .crossJoin(F.broadcast(tot))
+      .withColumn("__gap", F.round(F.abs(
+        F.col("__cuma").cast("double") / F.col("__na") -
+          F.col("__cumb").cast("double") / F.col("__nb")) *
+        (F.col("__nextv") - F.col("__v")).cast("double"), 9))
+    steps.agg(F.max("__na").as("n_a"), F.max("__nb").as("n_b"),
+      F.round(F.sum("__gap"), 6).as("w1"))
+  }
+
   /** Null-safe string key for the per-(row, resample) hash. */
   private def valueColKey(id: Column): Column =
     F.coalesce(id.cast("string"), F.lit(""))

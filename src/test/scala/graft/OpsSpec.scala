@@ -3839,6 +3839,50 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((0.5, 20L, 10L, 10L), (1.0, 40L, 20L, 20L)), got)
   }
 
+  test("lorenzCurve: hand ladder with ceil thresholds; ties stay together") {
+    import graft.ops.Stats
+    val vals = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val got = Stats.lorenzCurve(vals, F.col("v"), nPoints = 10)
+      .select("point", "cutoff", "cum_share")
+      .as[(Int, Long, Double)].collect()
+      .map { case (p, c, s) => p -> ((c, s)) }.toMap
+    // N=4, M=10: thresholds ceil(0.4)=1 … ceil(4)=4
+    assert(got(1) == ((1L, 0.1)) && got(2) == ((1L, 0.1)), got)
+    assert(got(3) == ((2L, 0.3)) && got(5) == ((2L, 0.3)), got)
+    assert(got(8) == ((4L, 1.0)) && got(10) == ((4L, 1.0)), got)
+    // heavy concentration: bottom half holds 3% of the mass
+    val skew = Seq(1L, 1L, 1L, 97L).toDF("v")
+    val g2 = Stats.lorenzCurve(skew, F.col("v"), nPoints = 2)
+      .select("point", "cum_share").as[(Int, Double)].collect().toMap
+    assert(g2(1) == 0.03 && g2(2) == 1.0, g2)
+  }
+
+  test("bigramCondEntropy: a deterministic chain scores 0 bits given the past") {
+    import graft.ops.Stats
+    val alternating = Seq("a b a b a b").toDF("text")
+    val r = Stats.bigramCondEntropy(alternating, "text").collect()(0)
+    // next token is fully determined by the previous one
+    assert(r.getLong(0) == 5 && r.getDouble(1) == 0.0, r)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0, r)
+    val mixed = Seq("a a a b b b").toDF("text")
+    val m = Stats.bigramCondEntropy(mixed, "text").collect()(0)
+    assert(m.getDouble(1) > 0.5 && m.getDouble(1) < m.getDouble(2), m)
+  }
+
+  test("wasserstein1d: shifted point masses move exactly their distance") {
+    import graft.ops.Stats
+    val rows = Seq((true, 0L), (true, 10L), (false, 5L), (false, 15L))
+      .toDF("a", "v")
+    val r = Stats.wasserstein1d(rows, F.col("a"), F.col("v")).collect()(0)
+    // both atoms shift by 5 → W1 = 5
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getDouble(2) == 5.0, r)
+    // identical slices: zero distance
+    val same = Seq((true, 3L), (false, 3L), (true, 7L), (false, 7L))
+      .toDF("a", "v")
+    assert(Stats.wasserstein1d(same, F.col("a"), F.col("v"))
+      .collect()(0).getDouble(2) == 0.0)
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
