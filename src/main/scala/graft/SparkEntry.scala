@@ -2352,6 +2352,24 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         F.length(F.col("source")) === 4, F.col("n_chars"))),
 
+    // Burrows' delta stylometry between every source pair over the
+    // top-30 corpus words — the "same scraper, two names" detector
+    "x221_burrows_delta" -> ((s, dir) =>
+      TextOps.burrowsDelta(s.read.parquet(s"$dir/documents.parquet"),
+        "source", "text", topK = 30)),
+
+    // Heaps'-law vocabulary exponent: log-log OLS over the x82 growth
+    // ladder — V = K·N^beta, the scaling readout tokenizer sizing needs
+    "x222_heaps_fit" -> ((s, dir) => {
+      val growth = TextOps.vocabGrowth(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        bucketSize = 25)
+        .filter(F.col("cum_tokens") > 0 && F.col("cum_types") > 0)
+      graft.ops.Stats.olsFit(growth, Nil,
+        F.log(F.col("cum_tokens").cast("double")),
+        F.log(F.col("cum_types").cast("double")))
+    }),
+
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
     "x188_theil_sen" -> ((s, dir) => {
@@ -5396,6 +5414,74 @@ object SparkEntry {
          |SELECT query, round((1.0::DOUBLE - 0.9) * sum(term), 6) AS rbo
          |FROM t GROUP BY query ORDER BY query""".stripMargin
     },
+
+    // dense sources×top-30 grid (zeros included, as the method demands),
+    // 9-dp freqs/stats, clamped variance before sqrt
+    "x221_burrows_delta" ->
+      """WITH toks AS (SELECT source AS s, unnest(list_filter(
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |    x -> length(x) > 0)) AS t
+        |  FROM documents),
+        |cnt AS (SELECT s, t, count(*) AS c FROM toks GROUP BY 1, 2),
+        |per AS (SELECT s, sum(c)::BIGINT AS n FROM cnt GROUP BY s),
+        |top AS (SELECT t FROM (SELECT t, sum(c) AS tc FROM cnt
+        |  GROUP BY t ORDER BY tc DESC, t LIMIT 30)),
+        |dense AS (SELECT per.s, top.t, per.n, coalesce(cnt.c, 0) AS c
+        |  FROM per CROSS JOIN top
+        |  LEFT JOIN cnt ON cnt.s = per.s AND cnt.t = top.t),
+        |fr AS (SELECT s, t,
+        |    round(c::DOUBLE * 1000000.0 / n, 0)::BIGINT AS k FROM dense),
+        |st AS (SELECT t, count(*)::BIGINT AS sc, sum(k)::BIGINT AS sk,
+        |    sum(k * k)::BIGINT AS skk
+        |  FROM fr GROUP BY t),
+        |z AS (SELECT s, fr.t, coalesce(round(
+        |    (fr.k * st.sc - st.sk)::DOUBLE /
+        |      nullif(sqrt(greatest(
+        |        (st.sc * st.skk - st.sk * st.sk)::DOUBLE, 0.0)), 0.0),
+        |    9), 0.0) AS z
+        |  FROM fr JOIN st ON fr.t = st.t)
+        |SELECT za.s AS a, zb.s AS b,
+        |  round(round(sum(round(abs(za.z - zb.z), 9)), 9) / count(*), 6)
+        |    AS delta
+        |FROM z za JOIN z zb ON za.t = zb.t AND za.s < zb.s
+        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+
+    // the x82 growth ladder, then the x107 closed-form OLS on ln-ln
+    "x222_heaps_fit" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS t
+        |  FROM documents
+        |), fs AS (
+        |  SELECT bucket, count(*) AS new_types FROM (
+        |    SELECT min(doc_id) // 25 AS bucket
+        |    FROM (SELECT doc_id, unnest(t) AS tok FROM tk)
+        |    GROUP BY tok)
+        |  GROUP BY bucket
+        |), pb AS (
+        |  SELECT doc_id // 25 AS bucket, count(*) AS docs,
+        |    sum(len(t))::BIGINT AS tokens
+        |  FROM tk GROUP BY 1
+        |), lad AS (
+        |  SELECT pb.bucket,
+        |    (sum(pb.tokens) OVER (ORDER BY pb.bucket))::BIGINT AS ct,
+        |    (sum(coalesce(fs.new_types, 0))
+        |      OVER (ORDER BY pb.bucket))::BIGINT AS cy
+        |  FROM pb LEFT JOIN fs USING (bucket)
+        |), l AS (SELECT ln(ct::DOUBLE) AS x, ln(cy::DOUBLE) AS y
+        |  FROM lad WHERE ct > 0 AND cy > 0),
+        |a AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        |  FROM l)
+        |SELECT n::BIGINT AS n,
+        |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+        |    AS slope,
+        |  round((sy * sxx - sx * sxy) / nullif(n * sxx - sx * sx, 0), 6)
+        |    AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |    nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
+        |FROM a""".stripMargin,
 
     // distinct-value ladder, ceil item thresholds, ties stay together
     "x218_lorenz" ->

@@ -1292,6 +1292,69 @@ object TextOps {
         F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6))
   }
 
+  /** Burrows' delta (Burrows 2002) between every source pair: z-score
+    * each source's relative frequency of the corpus's `topK` most common
+    * words against the cross-source mean/sd, and average the absolute
+    * z-gaps — the classic stylometric distance (function-word profiles
+    * survive topic shifts), here the "same scraper writing under two
+    * names" detector. Missing (source, word) cells count as frequency 0
+    * via a dense sources×topK grid, exactly as the method requires.
+    *
+    * Scale shape: one token census keyed by (source, token); the topK
+    * word list and the per-token stats are bounded tables that broadcast;
+    * the pair fan-out is sources², not corpus.
+    *
+    * @return (a, b, delta) for source pairs a < b — 6-dp
+    */
+  def burrowsDelta(docs: DataFrame, srcCol: String, textCol: String,
+                   topK: Int = 30): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = docs.select(F.col(srcCol).as("__s"),
+      F.explode(F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))), "\\s+"),
+        t => F.length(t) > 0)).as("__t"))
+    val cnt = toks.groupBy("__s", "__t").agg(F.count(F.lit(1)).as("__c"))
+    val perSrc = cnt.groupBy("__s").agg(F.sum("__c").as("__n"))
+    val top = cnt.groupBy("__t").agg(F.sum("__c").as("__tc"))
+      .orderBy(F.col("__tc").desc, F.col("__t").asc).limit(topK)
+      .select("__t")
+    // EXACT-INTEGER z-scores: frequencies quantize to k = round(10⁶·c/n)
+    // (longs ≤ 10⁶, so k, Σk, Σk², S·Σk² and (Σk)² are all exact in
+    // doubles), and the 10⁻⁶ scale cancels out of
+    // z = (k·S − Σk)/√(S·Σk² − (Σk)²). An fp mean/sd here would round at
+    // 1e-9 boundaries that the z DIVISION amplifies ~1000× — two plans
+    // of the SAME engine disagreed at 1e-6 before this (round-10 find).
+    val dense = perSrc.crossJoin(F.broadcast(top))
+      .join(cnt, Seq("__s", "__t"), "left")
+      .na.fill(0L, Seq("__c"))
+      .withColumn("__k", F.round(
+        F.col("__c").cast("double") * 1000000.0 / F.col("__n"), 0)
+        .cast("long"))
+    val stats = dense.groupBy("__t")
+      .agg(F.count(F.lit(1)).as("__nsrc"), F.sum("__k").as("__sk"),
+        F.sum(F.col("__k") * F.col("__k")).as("__skk"))
+    val z = dense.join(F.broadcast(stats), "__t")
+      .withColumn("__zd", F.sqrt(F.greatest(
+        (F.col("__nsrc") * F.col("__skk") - F.col("__sk") * F.col("__sk"))
+          .cast("double"), F.lit(0.0))))
+      .withColumn("__z", F.coalesce(F.round(
+        (F.col("__k") * F.col("__nsrc") - F.col("__sk")).cast("double") /
+          F.nullif(F.col("__zd"), F.lit(0.0)), 9), F.lit(0.0)))
+      .select(F.col("__s"), F.col("__t"), F.col("__z"))
+    z.select(F.col("__s").as("a"), F.col("__t"), F.col("__z").as("__za"))
+      .join(z.select(F.col("__s").as("b"), F.col("__t"),
+        F.col("__z").as("__zb")), Seq("__t"))
+      .filter(F.col("a") < F.col("b"))
+      .groupBy("a", "b")
+      // quantize-then-divide: 9-dp terms, 9-dp sum, THEN the mean — a
+      // raw fp mean of ~30 terms can land a hair on either side of the
+      // 6-dp half boundary depending on sum order (hit once in round 10)
+      .agg(F.round(F.round(F.sum(F.round(
+          F.abs(F.col("__za") - F.col("__zb")), 9)), 9) /
+        F.count(F.lit(1)), 6).as("delta"))
+      .orderBy("a", "b")
+  }
+
   /** Per-token presence×group χ² with exactly TWO degrees of freedom: a
     * 2×3 contingency of document presence against a 3-way grouping
     * (here typically en / zh / other), `χ² = Σ_cells (O−E)²/E`. Two dof

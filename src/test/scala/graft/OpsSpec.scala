@@ -3883,6 +3883,20 @@ class OpsSpec extends AnyFunSuite {
       .collect()(0).getDouble(2) == 0.0)
   }
 
+  test("burrowsDelta: identical styles score 0; a deviant source stands off both twins") {
+    val docs = Seq(
+      ("A", "the quick fox and the lazy dog and the bird"),
+      ("B", "the quick fox and the lazy dog and the bird"),
+      ("C", "zebra zebra zebra quantum quantum flux flux flux flux")
+    ).toDF("source", "text")
+    val got = TextOps.burrowsDelta(docs, "source", "text", topK = 10)
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got(("A", "B")) == 0.0, got)
+    assert(got(("A", "C")) > 0.5, got)
+    assert(got(("A", "C")) == got(("B", "C")), got)
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
