@@ -1487,7 +1487,9 @@ object Stats {
     * scores". Ranks from row_number are tie-free, so τ-a is exact.
     *
     * The O(k²) pair fan-out runs on the top-k-bounded intersection, never
-    * the corpus; one query-keyed join + rollup.
+    * the corpus; one query-keyed join + rollup. A query whose lists share
+    * fewer than 2 items has no pairs and is absent from the output (τ is
+    * undefined there, not 0).
     *
     * @return (query, n_common, concordant, discordant, tau) per query
     */
