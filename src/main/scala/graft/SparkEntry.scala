@@ -2370,6 +2370,28 @@ object SparkEntry {
         F.log(F.col("cum_types").cast("double")))
     }),
 
+    // Nelson-Aalen cumulative hazard over the x171 lifetimes — the
+    // additive sibling whose slope reads out tenure-dependent churn
+    "x223_nelson_aalen" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val per = ev.groupBy("user_id")
+        .agg(F.min(graft.ops.EventOps.tsStamp(ev)).as("f"),
+          F.max(graft.ops.EventOps.tsStamp(ev)).as("l"))
+      val mx = per.agg(F.max("l").as("m"))
+      val subj = per.crossJoin(F.broadcast(mx))
+        .select(F.datediff(F.to_date(F.col("l")), F.to_date(F.col("f")))
+            .as("dur"),
+          F.when(F.col("l") < F.col("m") - F.expr("INTERVAL 3 DAYS"), 1)
+            .otherwise(0).as("ev"))
+      graft.ops.Stats.nelsonAalen(subj, F.col("dur"), F.col("ev"))
+    }),
+
+    // audience-overlap matrix: exact distinct-user Jaccard between every
+    // event-type pair — one (user, type) collapse, types² fan-out only
+    "x224_audience_overlap" -> ((s, dir) =>
+      graft.ops.EventOps.audienceOverlap(
+        s.read.parquet(s"$dir/events.parquet"))),
+
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
     "x188_theil_sen" -> ((s, dir) => {
@@ -5414,6 +5436,42 @@ object SparkEntry {
          |SELECT query, round((1.0::DOUBLE - 0.9) * sum(term), 6) AS rbo
          |FROM t GROUP BY query ORDER BY query""".stripMargin
     },
+
+    // the x171 risk sets, additive d/n increments at 9 dp
+    "x223_nelson_aalen" ->
+      """WITH per AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT max(l) AS m FROM per),
+        |subj AS (SELECT datediff('day', f::DATE, l::DATE) AS dur,
+        |    CASE WHEN l < m - INTERVAL 3 DAY THEN 1 ELSE 0 END AS ev
+        |  FROM per CROSS JOIN mx),
+        |byt AS (SELECT dur AS t, sum(ev)::BIGINT AS d, count(*) AS lv
+        |  FROM subj GROUP BY dur),
+        |risk AS (SELECT t, d, (sum(lv) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS n_risk
+        |  FROM byt),
+        |hz AS (SELECT t, n_risk, d,
+        |    round(d / CAST(n_risk AS DOUBLE), 9) AS hazard
+        |  FROM risk WHERE d > 0)
+        |SELECT t, n_risk, d, hazard,
+        |  round(sum(hazard) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS cum_hazard
+        |FROM hz ORDER BY t""".stripMargin,
+
+    // one (user, type) distinct collapse, pair self-join, exact Jaccard
+    "x224_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t
+        |  FROM events),
+        |sz AS (SELECT t, count(*)::BIGINT AS n FROM ut GROUP BY t),
+        |both_t AS (SELECT l.t AS a, r.t AS b, count(*)::BIGINT AS n_both
+        |  FROM ut l JOIN ut r ON l.u = r.u AND l.t < r.t
+        |  GROUP BY 1, 2)
+        |SELECT a, b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |  round(n_both::DOUBLE / (sa.n + sb.n - n_both), 6) AS jaccard
+        |FROM both_t JOIN sz sa ON both_t.a = sa.t
+        |JOIN sz sb ON both_t.b = sb.t ORDER BY a, b""".stripMargin,
 
     // dense sources×top-30 grid (zeros included, as the method demands),
     // 9-dp freqs/stats, clamped variance before sqrt

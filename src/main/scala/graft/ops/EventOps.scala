@@ -812,6 +812,36 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Audience-overlap matrix: for every pair of event types, the distinct
+    * users doing BOTH and the Jaccard of the two audiences — the
+    * segment-overlap readout behind "are clickers and purchasers the same
+    * people". Exact distinct sets via one (user, type) collapse; the pair
+    * fan-out is a self-join on user over that collapsed table, bounded by
+    * types² per user, never raw events.
+    *
+    * @return (a, b, n_a, n_b, n_both, jaccard) for type pairs a < b
+    */
+  def audienceOverlap(events: DataFrame,
+                      userCol: String = "user_id"): DataFrame = {
+    val ut = events.select(F.col(userCol).as("__u"),
+      F.col("event_type").as("__t")).distinct()
+    val sizes = ut.groupBy("__t").agg(F.count(F.lit(1)).as("__n"))
+    val both = ut.select(F.col("__u"), F.col("__t").as("a"))
+      .join(ut.select(F.col("__u"), F.col("__t").as("b")), Seq("__u"))
+      .filter(F.col("a") < F.col("b"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("n_both"))
+    both
+      .join(F.broadcast(sizes.select(F.col("__t").as("a"),
+        F.col("__n").as("n_a"))), Seq("a"))
+      .join(F.broadcast(sizes.select(F.col("__t").as("b"),
+        F.col("__n").as("n_b"))), Seq("b"))
+      .select(F.col("a"), F.col("b"), F.col("n_a"), F.col("n_b"),
+        F.col("n_both"),
+        F.round(F.col("n_both").cast("double") /
+          (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
   /** Slowly-changing-dimension type-2 history build (Kimball): collapse a
     * per-key event stream into contiguous STATE intervals — one row per
     * run of equal states with `valid_from` (first event of the run),

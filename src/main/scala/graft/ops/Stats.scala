@@ -1823,6 +1823,35 @@ object Stats {
       F.round(F.sum("__gap"), 6).as("w1"))
   }
 
+  /** Nelson-Aalen cumulative hazard `H(t) = Σ_{tᵢ≤t} dᵢ/n_risk(tᵢ)` over
+    * right-censored durations — [[kaplanMeier]]'s additive sibling: where
+    * S(t) answers "what fraction survives", H(t)'s SLOPE reads out how
+    * the instantaneous churn rate itself changes with tenure (flat
+    * increments = constant hazard, bending = aging effects). Same
+    * distinct-duration collapse and bounded windows; d/n terms at 9 dp.
+    *
+    * @return (t, n_risk, d, hazard, cum_hazard) at observed event times
+    */
+  def nelsonAalen(df: DataFrame, durationCol: Column,
+                  eventCol: Column): DataFrame = {
+    val byT = df
+      .select(durationCol.cast("long").as("t"), eventCol.cast("int").as("__e"))
+      .groupBy("t")
+      .agg(F.sum("__e").as("d"), F.count(F.lit(1)).as("__leave"))
+    val wDesc = Window.orderBy(F.col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(F.col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.withColumn("n_risk", F.sum("__leave").over(wDesc))
+      .filter(F.col("d") > 0)
+      .withColumn("hazard", F.round(
+        F.col("d") / F.col("n_risk").cast("double"), 9))
+      .withColumn("cum_hazard",
+        F.round(F.sum("hazard").over(wAsc), 6))
+      .select("t", "n_risk", "d", "hazard", "cum_hazard")
+      .orderBy("t")
+  }
+
   /** Null-safe string key for the per-(row, resample) hash. */
   private def valueColKey(id: Column): Column =
     F.coalesce(id.cast("string"), F.lit(""))

@@ -3897,6 +3897,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("A", "C")) == got(("B", "C")), got)
   }
 
+  test("nelsonAalen: additive hazard increments over the KM risk sets") {
+    import graft.ops.Stats
+    val subj = Seq((1L, 1), (2L, 0), (3L, 1), (3L, 1), (5L, 0))
+      .toDF("dur", "ev")
+    val got = Stats.nelsonAalen(subj, F.col("dur"), F.col("ev"))
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // t=1: 1/5; t=3: +2/3 → 0.2 + 0.666666667 = 0.866667
+    assert(got == Seq((1L, 5L, 1L, 0.2, 0.2),
+      (3L, 3L, 2L, 0.666666667, 0.866667)), got)
+  }
+
+  test("audienceOverlap: exact Jaccard per type pair; disjoint pairs are absent") {
+    import graft.ops.EventOps
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 1L, "A"), (2L, ts(2), 1L, "B"),
+      (3L, ts(1), 2L, "A"), (4L, ts(1), 3L, "B"), (5L, ts(2), 3L, "C"),
+      (6L, ts(3), 1L, "A")   // duplicate (user, type) — distinct collapse
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.audienceOverlap(ev)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", "B", 2L, 2L, 1L, 0.333333),
+      ("B", "C", 2L, 1L, 1L, 0.5)), got)
+    assert(!got.exists(r => r._1 == "A" && r._2 == "C"),
+      "zero-overlap pairs stay absent")
+  }
+
   test("chi2TokensDf2: independent token scores 0, planted association is exact") {
     val docs = Seq(
       (1L, "en", "aa xx"), (2L, "en", "aa xx"),
