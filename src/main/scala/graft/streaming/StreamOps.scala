@@ -375,4 +375,63 @@ object StreamOps {
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Streaming score-drift monitor: windowed PSI of an incoming score
+    * stream against a STATIC baseline histogram — the model-monitoring
+    * alarm ([[graft.ops.Stats.psi]]'s streaming sibling) that pages when
+    * an upstream change shifts the quality-score distribution mid-ingest.
+    *
+    * Structured Streaming allows ONE aggregation per query, and PSI needs
+    * two (bin counts, then the per-window normalization/term sum) — so
+    * the stream side does the single watermarked (window, bin) count and
+    * [[psiOfBinCounts]] finishes the arithmetic per micro-batch (the
+    * [[nearDupStream]] foreachBatch pattern; it is also directly
+    * callable on any batch of bin counts, which is how the spec pins it).
+    * State is (windows × nBins) rows, watermark-evicted.
+    */
+  def scoreDriftBins(scores: DataFrame, scoreCol: org.apache.spark.sql.Column,
+                     tsCol: String, windowDur: String,
+                     watermarkDelay: String, nBins: Int = 10): DataFrame =
+    scores
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(F.window(F.col(tsCol), windowDur).as("win"),
+        F.least(F.floor(scoreCol.cast("double") * nBins),
+          F.lit(nBins - 1L)).as("bin"))
+      .agg(F.count(F.lit(1)).as("n"))
+
+  /** Per-window PSI from (win, bin, n) rows against a baseline of
+    * (bin, p) shares: add-ε smoothing on BOTH sides, 9-dp terms, 6-dp
+    * PSI — the same arithmetic as the batch [[graft.ops.Stats.psi]].
+    * Bins absent from a window contribute the ε-vs-baseline term via the
+    * dense baseline grid (a missing bin IS drift). */
+  def psiOfBinCounts(binCounts: DataFrame, baseline: DataFrame,
+                     nBins: Int = 10, eps: Double = 1e-4): DataFrame = {
+    // ONE aggregation + a literal unpivot (no self-join: joining a
+    // watermark-tagged streaming sink table back to itself trips
+    // conflicting-reference resolution) — missing bins surface as 0s
+    val binned = (0 until nBins).map(b =>
+      F.sum(F.when(F.col("bin") === b, F.col("n")).otherwise(0L))
+        .as(s"__b$b"))
+    val perWin = binCounts.groupBy("win")
+      .agg(binned.head, (binned.tail :+ F.sum("n").as("__tot")): _*)
+    val cells = perWin.select(F.col("win"), F.col("__tot"),
+        F.explode(F.array((0 until nBins).map(b => F.struct(
+          F.lit(b.toLong).as("bin"), F.col(s"__b$b").as("n"))): _*))
+          .as("__e"))
+      .select(F.col("win"), F.col("__tot"),
+        F.col("__e.bin").as("bin"), F.col("__e.n").as("n"))
+    cells.join(F.broadcast(baseline.select(F.col("bin"),
+        F.col("p").as("__p"))), Seq("bin"), "left")
+      .na.fill(0.0, Seq("__p"))
+      .withColumn("__q", F.round(F.col("n").cast("double") /
+        F.col("__tot") + eps, 9))
+      .withColumn("__pp", F.round(F.col("__p") + eps, 9))
+      .withColumn("__term", F.round(
+        (F.col("__pp") - F.col("__q")) *
+          F.log(F.col("__pp") / F.col("__q")), 9))
+      .groupBy("win")
+      .agg(F.round(F.sum("__term"), 6).as("psi"),
+        F.max("__tot").as("n"))
+      .orderBy("win")
+  }
 }

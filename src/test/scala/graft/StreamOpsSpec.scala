@@ -476,4 +476,33 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(d == Seq(0L, 20L), d.toString) // 5-10 floors at 0, then +20
     } finally q.stop()
   }
+
+  test("streaming PSI drift: the on-baseline window stays quiet, the shifted one alarms") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val scores = in.toDF().toDF("ts", "score")
+    // uniform baseline over the 10 bins
+    val baseline = (0L to 9L).map(b => (b, 0.1)).toDF("bin", "p")
+
+    val q = StreamOps.scoreDriftBins(scores, F.col("score"), "ts",
+        windowDur = "10 minutes", watermarkDelay = "2 minutes")
+      .writeStream.format("memory").queryName("driftbins")
+      .outputMode("append").start()
+    try {
+      // window 1 (10:00-10:10): one score per bin — matches the baseline
+      in.addData((0 until 10).map(b => (ts(b % 10), b / 10.0 + 0.05)): _*)
+      // window 2 (10:10-10:20): everything in the top bin — hard drift
+      in.addData((0 until 10).map(i => (ts(10 + i % 10), 0.95)): _*)
+      q.processAllAvailable()
+      in.addData((ts(40), 0.5)) // watermark closes both windows
+      q.processAllAvailable()
+      val psi = StreamOps.psiOfBinCounts(spark.table("driftbins"), baseline)
+        .select(F.col("win.start").cast("string"), F.col("psi"))
+        .as[(String, Double)].collect().toMap
+      val quiet = psi("2026-01-01 10:00:00")
+      val loud = psi("2026-01-01 10:10:00")
+      assert(quiet == 0.0, s"on-baseline window must read 0, got $quiet")
+      assert(loud > 1.0, s"shifted window must alarm, got $loud")
+    } finally q.stop()
+  }
 }
