@@ -66,3 +66,12 @@ INSERT INTO wr VALUES ('a', 1), ('b', 2);
 CREATE TABLE ok (k INTEGER PRIMARY KEY, v TEXT);
 INSERT INTO ok VALUES (1, 'fine');
 SQL
+# virtual.db: CREATE VIRTUAL TABLE rows carry type='table' with rootpage 0;
+# the reader must mark them unsupported (attach-all skips with a warning)
+# while still reading the normal sibling AND the module's shadow tables.
+sqlite3 "$dir/virtual.db" <<'SQL'
+CREATE VIRTUAL TABLE ft USING fts4(content);
+INSERT INTO ft VALUES ('hello world'), ('spark engine');
+CREATE TABLE plain (k INTEGER PRIMARY KEY, v TEXT);
+INSERT INTO plain VALUES (1, 'real');
+SQL

@@ -1269,10 +1269,11 @@ object Similarity {
     val seed = e.orderBy("__id").limit(1).head()
     var chosen = Vector(
       (seed.getLong(0), seed.getSeq[Double](1).toArray, 0.0))
-    while (chosen.size < k) {
+    var exhausted = false
+    while (!exhausted && chosen.size < k) {
       val cents = chosen.map(_._2).toArray
       val centLit = F.array(cents.map(c => F.array(c.map(F.lit): _*)): _*)
-      val pick = assignCells(
+      val row = assignCells(
           e.filter(!F.col("__id").isin(chosen.map(_._1): _*)), "__v", cents)
         .withColumn("__d", F.round(F.aggregate(
           F.zip_with(F.col("__v"),
@@ -1281,9 +1282,16 @@ object Similarity {
           F.lit(0.0d), (a, x) => a + x), 6))
         .agg(F.max(F.struct(F.col("__d"), (-F.col("__id")).as("__nid"),
           F.col("__v").as("__vv"))).as("__pick"))
-        .head().getStruct(0)
-      chosen :+= ((-pick.getLong(1), pick.getSeq[Double](2).toArray,
-        pick.getDouble(0)))
+        .head()
+      // k can exceed the number of distinct input ids: the argmax over the
+      // now-empty remainder aggregates to a NULL struct — stop and return
+      // the picks made so far rather than NPE on the driver.
+      if (row.isNullAt(0)) exhausted = true
+      else {
+        val pick = row.getStruct(0)
+        chosen :+= ((-pick.getLong(1), pick.getSeq[Double](2).toArray,
+          pick.getDouble(0)))
+      }
     }
     val spark = emb.sparkSession
     import spark.implicits._
@@ -1331,25 +1339,6 @@ object Similarity {
       .orderBy("dim")
   }
 
-  /** Margin-based bitext mining (Artetxe & Schwenk 2019): score every
-    * candidate cross-lingual pair by its cosine RELATIVE to what each side
-    * scores against its own k nearest neighbors —
-    * `margin(x,y) = cos(x,y) / ((avgNNk(x) + avgNNk(y)) / 2)` — then keep
-    * each x's best-margin mate above `minMargin`. The ratio margin kills
-    * the hubness failure of raw-cosine mining (a generic "hub" sentence
-    * close to everything scores high cosine but LOW margin, because its
-    * own neighborhood average is just as high). This is the standard
-    * parallel-corpus miner (CCMatrix/LASER pipelines).
-    *
-    * Scale shape: candidates come from TWO [[bruteKnn]] passes (forward
-    * a→b and backward b→a), so the corpus sides are scanned, never
-    * shuffled, and nothing all-pairs is ever materialized; the per-side
-    * neighborhood averages are k-row rollups of those same top-k tables.
-    * Per-term 9-dp rounding before the k-way averages, margin at 6 —
-    * engine-replayable.
-    *
-    * @return (a_id, b_id, cos, margin) — one best mate per a, 6-dp
-    */
   /** Kernel two-sample MMD² (Gretton et al. 2012) between two embedding
     * sets — the drift test that sees DISTRIBUTION-level movement token
     * statistics miss (a new scraper whose docs embed differently, an
@@ -1470,6 +1459,25 @@ object Similarity {
         F.nullif(F.sum("__ln"), F.lit(0.0)), 6).as("id_hat"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019): score every
+    * candidate cross-lingual pair by its cosine RELATIVE to what each side
+    * scores against its own k nearest neighbors —
+    * `margin(x,y) = cos(x,y) / ((avgNNk(x) + avgNNk(y)) / 2)` — then keep
+    * each x's best-margin mate above `minMargin`. The ratio margin kills
+    * the hubness failure of raw-cosine mining (a generic "hub" sentence
+    * close to everything scores high cosine but LOW margin, because its
+    * own neighborhood average is just as high). This is the standard
+    * parallel-corpus miner (CCMatrix/LASER pipelines).
+    *
+    * Scale shape: candidates come from TWO [[bruteKnn]] passes (forward
+    * a→b and backward b→a), so the corpus sides are scanned, never
+    * shuffled, and nothing all-pairs is ever materialized; the per-side
+    * neighborhood averages are k-row rollups of those same top-k tables.
+    * Per-term 9-dp rounding before the k-way averages, margin at 6 —
+    * engine-replayable.
+    *
+    * @return (a_id, b_id, cos, margin) — one best mate per a, 6-dp
+    */
   def bitextMargin(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
                    k: Int = 4, minMargin: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

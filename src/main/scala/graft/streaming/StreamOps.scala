@@ -395,8 +395,12 @@ object StreamOps {
     scores
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(F.window(F.col(tsCol), windowDur).as("win"),
-        F.least(F.floor(scoreCol.cast("double") * nBins),
-          F.lit(nBins - 1L)).as("bin"))
+        // clamp BOTH ends: scores outside [0,1) land in the edge bins
+        // instead of producing out-of-range bin ids that psiOfBinCounts'
+        // dense grid would count in __tot but in no per-bin sum
+        F.greatest(F.lit(0L),
+          F.least(F.floor(scoreCol.cast("double") * nBins),
+            F.lit(nBins - 1L))).as("bin"))
       .agg(F.count(F.lit(1)).as("n"))
 
   /** Per-window PSI from (win, bin, n) rows against a baseline of

@@ -3115,6 +3115,10 @@ class OpsSpec extends AnyFunSuite {
     val ids = Similarity.kCenterCoreset(dup, "vec_id", "embedding", k = 4)
       .select("vec_id").as[Long].collect().toSeq
     assert(ids.distinct.size == 4, ids)
+    // k beyond the distinct-row count: returns every row once, no NPE
+    val short = Similarity.kCenterCoreset(dup, "vec_id", "embedding", k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(short.sorted == Seq(1L, 2L, 3L, 4L), short)
   }
 
   test("bootstrapCI: interval brackets the mean, narrows with n, weights ~Poisson(1)") {

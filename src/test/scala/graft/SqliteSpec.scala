@@ -168,6 +168,19 @@ class SqliteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("WITHOUT ROWID"))
   }
 
+  test("virtual.db: CREATE VIRTUAL TABLE is skipped in attach-all; shadow + plain tables read") {
+    val spark = SparkTest.session
+    val reg = SqliteV2.registerSqlite(spark, s"sqlite://${res("virtual.db")}", Nil)
+    // the fts4 'ft' row (type='table', rootpage 0) is skipped; its shadow
+    // tables are ordinary rowid tables and attach fine
+    assert(!reg.keySet.contains("ft"), reg.keySet.toString)
+    assert(reg.keySet.contains("plain") && reg.keySet.contains("ft_content"))
+    assert(reg("plain").head().getString(1) == "real")
+    assert(reg("ft_content").count() == 2)
+    val e = intercept[Exception](SqliteV2.read(spark, res("virtual.db"), "ft").collect())
+    assert(e.getMessage.contains("virtual"), e.getMessage)
+  }
+
   test("hot journal sidecar → loud snapshot error") {
     val spark = SparkTest.session
     val dir = java.nio.file.Files.createTempDirectory("sqlite-jrn")
