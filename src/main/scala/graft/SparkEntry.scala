@@ -2392,6 +2392,46 @@ object SparkEntry {
       graft.ops.EventOps.audienceOverlap(
         s.read.parquet(s"$dir/events.parquet"))),
 
+    // approximate-FD census over orders: which columns are real keys
+    // (o_orderkey → o_custkey holds) and which "keys" lie — two-level
+    // distinct-then-rollup aggregations, one per candidate pair
+    "x225_fd_profile" -> ((s, dir) =>
+      graft.ops.Stats.fdProfile(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq("o_orderkey" -> "o_custkey",
+          "o_custkey" -> "o_orderpriority",
+          "o_orderpriority" -> "o_orderstatus",
+          "o_custkey" -> "o_orderstatus"))
+        .orderBy("lhs", "rhs")),
+
+    // inclusion-dependency (FK-discovery) census across the star schema:
+    // fact→dim directions read 1.0, the reverse directions read the
+    // key-usage fraction — distinct collapses + one semi-join each
+    "x226_inclusion" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val pt = s.read.parquet(s"$dir/part.parquet")
+      val sp = s.read.parquet(s"$dir/supplier.parquet")
+      val or = s.read.parquet(s"$dir/orders.parquet")
+      val cu = s.read.parquet(s"$dir/customer.parquet")
+      graft.ops.Stats.inclusionProfile(Seq(
+        ("lineitem.partkey<part", li, "l_partkey", pt, "p_partkey"),
+        ("lineitem.suppkey<supplier", li, "l_suppkey", sp, "s_suppkey"),
+        ("orders.custkey<customer", or, "o_custkey", cu, "c_custkey"),
+        ("customer.custkey<orders", cu, "c_custkey", or, "o_custkey"),
+        ("part.partkey<lineitem", pt, "p_partkey", li, "l_partkey")))
+        .orderBy("dep")
+    }),
+
+    // always-valid mSPRT of the running click rate vs theta0=0.2 —
+    // the peeking-proof experiment monitor, emitted every 500 events
+    "x227_msprt" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Stats.msprt(ev,
+        graft.ops.EventOps.tsStamp(ev), F.col("event_id"),
+        F.when(F.col("event_type") === "click", 1.0).otherwise(0.0),
+        theta0 = 0.2, sigma2 = 0.16, tau2 = 0.1)
+    }),
+
     // Theil-Sen robust trend of daily event volume: median pairwise
     // slope over the 30-point rollup — outlier days cannot move it
     "x188_theil_sen" -> ((s, dir) => {
@@ -5472,6 +5512,79 @@ object SparkEntry {
         |  round(n_both::DOUBLE / (sa.n + sb.n - n_both), 6) AS jaccard
         |FROM both_t JOIN sz sa ON both_t.a = sa.t
         |JOIN sz sb ON both_t.b = sb.t ORDER BY a, b""".stripMargin,
+
+    // per-pair distinct collapse then per-lhs rollup, unioned
+    "x225_fd_profile" -> {
+      def pair(lhs: String, rhs: String): String =
+        s"""SELECT '$lhs' AS lhs, '$rhs' AS rhs,
+           |  count(*)::BIGINT AS n_groups,
+           |  sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+           |  round(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END)::DOUBLE /
+           |    count(*), 6) AS violation_rate,
+           |  max(nr)::BIGINT AS max_rhs_per_group
+           |FROM (SELECT l, count(*) AS nr FROM
+           |  (SELECT DISTINCT $lhs::VARCHAR AS l, $rhs::VARCHAR AS r
+           |   FROM orders) GROUP BY l)""".stripMargin
+      Seq(pair("o_orderkey", "o_custkey"),
+        pair("o_custkey", "o_orderpriority"),
+        pair("o_orderpriority", "o_orderstatus"),
+        pair("o_custkey", "o_orderstatus"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
+    },
+
+    // distinct sides, left join, hit census per candidate
+    "x226_inclusion" -> {
+      def cand(name: String, at: String, ac: String, bt: String,
+               bc: String): String =
+        s"""SELECT '$name' AS dep, n_lhs, n_hit,
+           |  round(n_hit::DOUBLE / n_lhs, 6) AS coefficient FROM (
+           |  SELECT count(*)::BIGINT AS n_lhs,
+           |    sum(CASE WHEN b.v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           |      AS n_hit
+           |  FROM (SELECT DISTINCT $ac::VARCHAR AS v FROM $at
+           |        WHERE $ac IS NOT NULL) a
+           |  LEFT JOIN (SELECT DISTINCT $bc::VARCHAR AS v FROM $bt
+           |        WHERE $bc IS NOT NULL) b USING (v))""".stripMargin
+      Seq(cand("customer.custkey<orders", "customer", "c_custkey",
+          "orders", "o_custkey"),
+        cand("lineitem.partkey<part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        cand("lineitem.suppkey<supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        cand("orders.custkey<customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        cand("part.partkey<lineitem", "part", "p_partkey",
+          "lineitem", "l_partkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY dep")
+    },
+
+    // the same prefix windows: 9-dp running mean, 9-dp llr, running max,
+    // exp(-max) p — every literal forced ::DOUBLE so no DECIMAL arithmetic
+    "x227_msprt" ->
+      """WITH s AS (SELECT ts, event_id,
+        |    CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS x
+        |  FROM events),
+        |c AS (SELECT
+        |    count(*) OVER w AS n,
+        |    round(sum(x) OVER w / (count(*) OVER w)::DOUBLE, 9) AS xbar
+        |  FROM s WINDOW w AS (ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |l AS (SELECT n, xbar, round(
+        |    0.5::DOUBLE * ln(0.16::DOUBLE /
+        |      (0.16::DOUBLE + n::DOUBLE * 0.1::DOUBLE)) +
+        |    n::DOUBLE * n::DOUBLE * 0.1::DOUBLE *
+        |      (xbar - 0.2::DOUBLE) * (xbar - 0.2::DOUBLE) /
+        |      (2.0::DOUBLE * 0.16::DOUBLE *
+        |        (0.16::DOUBLE + n::DOUBLE * 0.1::DOUBLE)), 9) AS llr
+        |  FROM c),
+        |m AS (SELECT n, xbar, llr,
+        |    max(llr) OVER (ORDER BY n
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+        |  FROM l)
+        |SELECT n::BIGINT AS n, round(xbar, 6) AS xbar,
+        |  round(llr, 6) AS llr, round(mx, 6) AS max_llr,
+        |  round(least(1.0::DOUBLE, exp(-mx)), 6) AS p_value
+        |FROM m WHERE n % 500 = 0 ORDER BY n""".stripMargin,
 
     // dense sources×top-30 grid (zeros included, as the method demands),
     // 9-dp freqs/stats, clamped variance before sqrt

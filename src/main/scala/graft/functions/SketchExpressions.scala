@@ -163,3 +163,35 @@ case class SimHash64(child: Expression)
   protected override def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** Jaro-Winkler similarity as a native binary expression — the
+  * record-linkage string metric with DuckDB-pinned conventions
+  * ([[TextSketches.jaroWinkler]]). A per-pair tight loop (O(|a|·window))
+  * that stays inside whole-stage codegen via a static call; the
+  * alternative — exploding character positions relationally — amplifies
+  * every comparison by |a|·|b| rows, which is unusable on blocked
+  * candidate pairs at corpus scale. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[StringType] &&
+        right.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string columns, got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    TextSketches.jaroWinkler(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextSketches.jaroWinkler($a, $b)")
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}

@@ -209,6 +209,61 @@ object TextSketches {
     out
   }
 
+  /** Jaro-Winkler similarity of two strings — the record-linkage /
+    * typo-detection string metric (Winkler 1990). Conventions pinned
+    * empirically against DuckDB's `jaro_winkler_similarity` so the
+    * relational oracle replays this expression exactly:
+    * either side empty → 0.0 (INCLUDING both-empty); match window
+    * `max(|a|,|b|)/2 - 1` (floor, min 0); transpositions = half the
+    * out-of-order matched pairs (floor); Winkler prefix boost
+    * `jw = j + l·0.1·(1−j)` with `l` = common prefix capped at 4, applied
+    * only when `jaro > 0.7`. Code-point (not byte) indexed, so multibyte
+    * text compares correctly. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val n1 = s1.codePointCount(0, s1.length)
+    val n2 = s2.codePointCount(0, s2.length)
+    if (n1 == 0 || n2 == 0) return 0.0
+    // code-point arrays: positional window logic is code-point indexed
+    val c1 = s1.codePoints.toArray
+    val c2 = s2.codePoints.toArray
+    val md = math.max(math.max(n1, n2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](n1)
+    val m2 = new Array[Boolean](n2)
+    var m = 0
+    var i = 0
+    while (i < n1) {
+      val lo = math.max(0, i - md)
+      val hi = math.min(n2, i + md + 1)
+      var j = lo
+      var hit = false
+      while (j < hi && !hit) {
+        if (!m2(j) && c2(j) == c1(i)) { m1(i) = true; m2(j) = true; m += 1; hit = true }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < n1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (c1(i) != c2(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val half = t / 2
+    val j = (m.toDouble / n1 + m.toDouble / n2 + (m - half).toDouble / m) / 3.0
+    if (j <= 0.7) return j
+    var l = 0
+    while (l < 4 && l < n1 && l < n2 && c1(l) == c2(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
   /** Hashed uni+bigram bucket ids of one document — the DSIR feature law
     * (`TextOps.dsirWeights` hash="xxhash64") as ONE pass: whitespace
     * tokens of lower(trim(s)), then `pmod(xxhash64(gram), nBuckets)` for

@@ -1855,4 +1855,122 @@ object Stats {
   /** Null-safe string key for the per-(row, resample) hash. */
   private def valueColKey(id: Column): Column =
     F.coalesce(id.cast("string"), F.lit(""))
+
+  /** Approximate-functional-dependency profile (the TANE/Metanome
+    * violation census): for each candidate FD `lhs → rhs`, how many
+    * distinct-lhs groups exist, how many map to MORE than one distinct rhs
+    * (violations), and the violation rate. `g3`-style error as a group
+    * fraction — the schema-discovery readout that tells a pipeline which
+    * columns are safe dedup/partition keys and which "keys" are lies.
+    *
+    * Scale shape: one two-level aggregation per pair — (lhs, rhs) distinct
+    * collapse (map-side partial on the pair), then a per-lhs rollup; only
+    * group-count rows cross the second shuffle. Pairs run independently
+    * and union — no cross-pair state. NULLs count as a value (a NULL rhs
+    * in a group alongside a real one IS a violation).
+    *
+    * @return one row per pair: (lhs, rhs, n_groups, n_violating,
+    *         violation_rate 6-dp, max_rhs_per_group)
+    */
+  def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdProfile: need at least one (lhs, rhs) pair")
+    pairs.map { case (lhs, rhs) =>
+      df.select(F.col(lhs).cast("string").as("__l"),
+          F.col(rhs).cast("string").as("__r"))
+        .distinct()
+        .groupBy("__l").agg(F.count(F.lit(1)).as("__nr"))
+        .agg(F.count(F.lit(1)).as("n_groups"),
+          F.sum(F.when(F.col("__nr") > 1, 1L).otherwise(0L)).as("n_violating"),
+          F.max("__nr").as("max_rhs_per_group"))
+        .select(F.lit(lhs).as("lhs"), F.lit(rhs).as("rhs"),
+          F.col("n_groups"), F.col("n_violating"),
+          F.round(F.col("n_violating").cast("double") /
+            F.col("n_groups"), 6).as("violation_rate"),
+          F.col("max_rhs_per_group"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Inclusion-dependency profile (foreign-key discovery): for each named
+    * candidate `A.col ⊆ B.col`, the fraction of distinct A values present
+    * in B. Coefficient 1.0 = a valid FK direction; the classic
+    * schema-matching primitive (Bauckmann et al., SINDY/BINDER) run as a
+    * census.
+    *
+    * Scale shape per candidate: distinct-collapse each side (map-side
+    * partials), then ONE left-semi join of the A distinct set against the
+    * B distinct set — B's distinct set is the natural broadcast side when
+    * it is a dimension key. Values never carry row payloads.
+    *
+    * @return one row per candidate: (dep, n_lhs, n_hit, coefficient 6-dp)
+    */
+  def inclusionProfile(
+      candidates: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(candidates.nonEmpty, "inclusionProfile: need at least one candidate")
+    candidates.map { case (name, a, aCol, b, bCol) =>
+      val da = a.select(F.col(aCol).cast("string").as("__v"))
+        .filter(F.col("__v").isNotNull).distinct()
+      val db = b.select(F.col(bCol).cast("string").as("__v"))
+        .filter(F.col("__v").isNotNull).distinct()
+      da.join(db, Seq("__v"), "left_semi")
+        .agg(F.count(F.lit(1)).as("n_hit"))
+        .crossJoin(F.broadcast(da.agg(F.count(F.lit(1)).as("n_lhs"))))
+        .select(F.lit(name).as("dep"), F.col("n_lhs"), F.col("n_hit"),
+          F.round(F.col("n_hit").cast("double") /
+            F.col("n_lhs"), 6).as("coefficient"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Always-valid sequential test: one-sample mixture-SPRT (Johari et al.
+    * 2017, "Peeking at A/B tests") of a running mean against `theta0`,
+    * with known sampling variance `sigma2` and normal mixture variance
+    * `tau2`. The log mixture likelihood ratio after n observations with
+    * mean x̄:
+    * {{{
+    *   llr_n = ½·ln(σ²/(σ²+nτ²)) + n²τ²(x̄−θ0)² / (2σ²(σ²+nτ²))
+    * }}}
+    * and the always-valid p-value is `p_n = min(1, exp(−max_{k≤n} llr_k))`
+    * — monotone non-increasing, valid at EVERY stopping time, the fix for
+    * the peeking problem of fixed-horizon tests.
+    *
+    * The scan is inherently ordered (a sequential test IS a prefix
+    * computation): cumulative sums run over `(orderCol, idCol)` in ONE
+    * global-order window pass, so this op is for a metrics STREAM (a
+    * bounded experiment readout), not a corpus — at scale feed it the
+    * per-bucket rollup, not raw events, or run the streaming CUSUM
+    * sibling. Emitted at every `every`-th observation to keep the result
+    * set bounded. Terms round at 9 dp, outputs at 6.
+    *
+    * @return (n, xbar, llr, max_llr, p_value) at each checkpoint
+    */
+  def msprt(df: DataFrame, orderCol: Column, idCol: Column, valueCol: Column,
+            theta0: Double, sigma2: Double, tau2: Double,
+            every: Int = 500): DataFrame = {
+    require(sigma2 > 0.0, s"sigma2 must be positive, got $sigma2")
+    require(tau2 > 0.0, s"tau2 must be positive, got $tau2")
+    require(every >= 1, s"every must be >= 1, got $every")
+    val w = Window.orderBy(orderCol, idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = F.count(F.lit(1)).over(w).cast("double")
+    val xbar = F.round(F.sum(valueCol.cast("double")).over(w) / n, 9)
+    val scaled = df
+      .withColumn("__n", n)
+      .withColumn("__xbar", xbar)
+      .withColumn("__llr", F.round(
+        F.lit(0.5) * F.log(F.lit(sigma2) /
+          (F.lit(sigma2) + F.col("__n") * F.lit(tau2))) +
+          F.col("__n") * F.col("__n") * F.lit(tau2) *
+            (F.col("__xbar") - F.lit(theta0)) *
+            (F.col("__xbar") - F.lit(theta0)) /
+            (F.lit(2.0) * F.lit(sigma2) *
+              (F.lit(sigma2) + F.col("__n") * F.lit(tau2))), 9))
+      .withColumn("__mx", F.max("__llr").over(w))
+    scaled
+      .filter(F.col("__n").cast("long") % every === 0)
+      .select(F.col("__n").cast("long").as("n"),
+        F.round(F.col("__xbar"), 6).as("xbar"),
+        F.round(F.col("__llr"), 6).as("llr"),
+        F.round(F.col("__mx"), 6).as("max_llr"),
+        F.round(F.least(F.lit(1.0), F.exp(-F.col("__mx"))), 6).as("p_value"))
+      .orderBy("n")
+  }
 }

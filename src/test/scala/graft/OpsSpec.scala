@@ -3947,4 +3947,50 @@ class OpsSpec extends AnyFunSuite {
     assert(got("aa") == ((2L, 6.0)), got)
     assert(got("bb") == ((2L, 6.0)) && got("cc") == ((2L, 6.0)), got)
   }
+
+  test("fdProfile: holding FD reads 0 violations, broken FD counts groups exactly") {
+    import graft.ops.Stats
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"),   // key 'a' -> single rhs
+      (3L, "b", "x"), (4L, "b", "y"),   // key 'b' -> TWO rhs: violation
+      (5L, "c", "z")
+    ).toDF("id", "k", "v")
+    val got = Stats.fdProfile(df, Seq("k" -> "v", "id" -> "v"))
+      .as[(String, String, Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(("k", "v")) == ((3L, 1L, 0.333333, 2L)), got)
+    assert(got(("id", "v")) == ((5L, 0L, 0.0, 1L)), got) // id is a true key
+  }
+
+  test("inclusionProfile: full containment 1.0, partial counts hits exactly") {
+    import graft.ops.Stats
+    val a = Seq(1L, 2L, 3L, 3L).toDF("x") // 3 distinct
+    val b = Seq(2L, 3L, 9L).toDF("y")
+    val got = Stats.inclusionProfile(Seq(
+        ("a<b", a, "x", b, "y"), ("b<a", b, "y", a, "x")))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a<b") == ((3L, 2L, 0.666667)), got)
+    assert(got("b<a") == ((3L, 2L, 0.666667)), got)
+  }
+
+  test("msprt: hand-valued llr ladder; always-valid p never increases") {
+    import graft.ops.Stats
+    val df = Seq((1L, 1.0), (2L, 0.0), (3L, 1.0), (4L, 1.0)).toDF("t", "x")
+    val got = Stats.msprt(df, F.col("t"), F.col("t"), F.col("x"),
+        theta0 = 0.5, sigma2 = 0.25, tau2 = 0.1, every = 1)
+      .as[(Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1.0, -0.025379, -0.025379, 1.0),
+      (2L, 0.5, -0.293893, -0.025379, 1.0),
+      (3L, 0.666667, -0.30332, -0.025379, 1.0),
+      (4L, 0.75, -0.170063, -0.025379, 1.0)), got)
+    // a strongly off-theta stream drives p below 1 and monotonically down
+    val hot = (1 to 40).map(i => (i.toLong, 1.0)).toDF("t", "x")
+    val ps = Stats.msprt(hot, F.col("t"), F.col("t"), F.col("x"),
+        theta0 = 0.1, sigma2 = 0.09, tau2 = 0.2, every = 5)
+      .select("p_value").as[Double].collect().toSeq
+    assert(ps.last < 1e-6, ps.toString)
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a }, ps.toString)
+  }
 }
