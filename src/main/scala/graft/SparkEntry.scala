@@ -2422,6 +2422,34 @@ object SparkEntry {
         .orderBy("dep")
     }),
 
+    // Jaro-Winkler near-identical names within nation blocks — the native
+    // codegen expression, DuckDB-convention-pinned so the oracle replays
+    // it with jaro_winkler_similarity
+    "x228_jw_pairs" -> ((s, dir) =>
+      Dedup.jaroWinklerPairs(
+        s.read.parquet(s"$dir/customer.parquet"), "c_custkey",
+        F.col("c_name"), F.col("c_nationkey"), minSim = 0.985)
+        .orderBy("a", "b")),
+
+    // Fellegi-Sunter linkage weights over the jw candidate pairs: name /
+    // segment / balance agreements at fixed (m, u) — scoring is pure
+    // codegen map work on the blocked pair list
+    "x229_record_linkage" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val pairs = Dedup.jaroWinklerPairs(cust, "c_custkey",
+        F.col("c_name"), F.col("c_nationkey"), minSim = 0.97)
+      def side(n: String) = cust.select(F.col("c_custkey").as(n),
+        F.col("c_mktsegment").as(s"seg_$n"), F.col("c_acctbal").as(s"bal_$n"))
+      val joined = pairs.join(side("a"), "a").join(side("b"), "b")
+      Dedup.fellegiSunter(joined, Seq(
+          ("name", F.col("jw") >= 0.985, 0.9, 0.05),
+          ("segment", F.col("seg_a") === F.col("seg_b"), 0.95, 0.2),
+          ("balance", F.abs(F.col("bal_a") - F.col("bal_b")) < 500.0, 0.8, 0.1)))
+        .select("a", "b", "agree_name", "agree_segment", "agree_balance",
+          "fs_weight")
+        .orderBy("a", "b")
+    }),
+
     // always-valid mSPRT of the running click rate vs theta0=0.2 —
     // the peeking-proof experiment monitor, emitted every 500 events
     "x227_msprt" -> ((s, dir) => {
@@ -5557,6 +5585,42 @@ object SparkEntry {
           "lineitem", "l_partkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY dep")
     },
+
+    // DuckDB's jaro_winkler_similarity replays the native expression
+    // (conventions pinned in TextSketches.jaroWinkler's scaladoc)
+    "x228_jw_pairs" ->
+      """SELECT a.c_custkey AS a, b.c_custkey AS b,
+        |  a.c_name AS k_a, b.c_name AS k_b,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.985
+        |ORDER BY a, b""".stripMargin,
+
+    // same pair list, agreement CASEs with the 6-dp weight constants the
+    // Spark side bakes via round(log2(m/u), 6) — summed in field order
+    "x229_record_linkage" ->
+      """WITH p AS (
+        |  SELECT a.c_custkey AS a, b.c_custkey AS b,
+        |    round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw,
+        |    a.c_mktsegment AS sa, b.c_mktsegment AS sb,
+        |    a.c_acctbal AS ba, b.c_acctbal AS bb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.97),
+        |f AS (SELECT a, b,
+        |    (jw >= 0.985) AS agree_name,
+        |    (sa = sb) AS agree_segment,
+        |    (abs(ba - bb) < 500.0::DOUBLE) AS agree_balance
+        |  FROM p)
+        |SELECT a, b, agree_name, agree_segment, agree_balance,
+        |  round((CASE WHEN agree_name THEN 4.169925::DOUBLE
+        |           ELSE -3.247928::DOUBLE END
+        |       + CASE WHEN agree_segment THEN 2.247928::DOUBLE
+        |           ELSE -4.0::DOUBLE END
+        |       + CASE WHEN agree_balance THEN 3.0::DOUBLE
+        |           ELSE -2.169925::DOUBLE END), 6) AS fs_weight
+        |FROM f ORDER BY a, b""".stripMargin,
 
     // the same prefix windows: 9-dp running mean, 9-dp llr, running max,
     // exp(-max) p — every literal forced ::DOUBLE so no DECIMAL arithmetic

@@ -3993,4 +3993,53 @@ class OpsSpec extends AnyFunSuite {
     assert(ps.last < 1e-6, ps.toString)
     assert(ps.zip(ps.tail).forall { case (a, b) => b <= a }, ps.toString)
   }
+
+  test("jaroWinkler: DuckDB-pinned conventions (empty, window, boost threshold)") {
+    import graft.functions.TextSketches.{jaroWinkler => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def f(a: String, b: String): Double =
+      BigDecimal(jw(u(a), u(b))).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // values measured against duckdb jaro_winkler_similarity (round 11)
+    assert(f("martha", "marhta") == 0.9611111111)
+    assert(f("dwayne", "duane") == 0.84)
+    assert(f("dixon", "dicksonx") == 0.8133333333)
+    assert(f("prefixaaaaaa", "prefixbbbbbb") == 0.6666666667) // jaro<0.7: no boost
+    assert(f("crate", "trace") == 0.7333333333) // jaro>0.7, prefix 0
+    assert(f("aaab", "abaa") == 0.85)
+    assert(f("", "") == 0.0 && f("a", "") == 0.0) // DuckDB: empty -> 0, even both
+    assert(f("ab", "ba") == 0.0)                  // window 0 at len 2
+    assert(f("x", "x") == 1.0 && f("ab", "ab") == 1.0)
+    assert(f("caf\u00e9 \u5024", "caf\u00e9 \u5024") == 1.0) // code-point indexed
+  }
+
+  test("jaroWinklerPairs blocks confine the join; fellegiSunter weights are exact") {
+    val df = Seq(
+      (1L, "receive", "r"), (2L, "recieve", "r"),  // transposition pair
+      (3L, "separate", "s"), (4L, "seperate", "s"),
+      (5L, "zebra", "z")
+    ).toDF("id", "w", "blk")
+    val pairs = Dedup.jaroWinklerPairs(df, "id", F.col("w"), F.col("blk"),
+        minSim = 0.9)
+      .as[(Long, Long, String, String, Double)].collect().toSeq.sortBy(_._1)
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L), (3L, 4L)), pairs)
+    assert(pairs.forall(_._5 >= 0.9), pairs)
+    // cross-block pairs never generated even when similar
+    val cross = Dedup.jaroWinklerPairs(
+      Seq((1L, "same", "a"), (2L, "same", "b")).toDF("id", "w", "blk"),
+      "id", F.col("w"), F.col("blk"), minSim = 0.5)
+    assert(cross.count() == 0)
+    // oversized block fails loudly with the count
+    val hot = (1 to 30).map(i => (i.toLong, s"w$i", "x")).toDF("id", "w", "blk")
+    val e = intercept[IllegalStateException](
+      Dedup.jaroWinklerPairs(hot, "id", F.col("w"), F.col("blk"),
+        minSim = 0.5, maxBucket = 10))
+    assert(e.getMessage.contains("maxBucket"), e.getMessage)
+    // FS weights: log2 ratios at 6 dp, disagreement negative, order-stable sum
+    val p = Seq((1L, 2L, true, false)).toDF("a", "b", "n_ok", "s_ok")
+    val fs = Dedup.fellegiSunter(p, Seq(
+        ("n", F.col("n_ok"), 0.9, 0.05), ("s", F.col("s_ok"), 0.95, 0.2)))
+      .select("fs_weight").as[Double].head()
+    assert(fs == BigDecimal(4.169925 + -4.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, fs.toString)
+  }
 }
