@@ -2450,6 +2450,52 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // log-rank churn comparison of even- vs odd-user cohorts over the
+    // x171 subject derivation — per-duration risk sets, 1-row chi2
+    "x230_logrank" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val per = ev.groupBy("user_id")
+        .agg(F.min(graft.ops.EventOps.tsStamp(ev)).as("f"),
+          F.max(graft.ops.EventOps.tsStamp(ev)).as("l"))
+      val mx = per.agg(F.max("l").as("m"))
+      val subj = per.crossJoin(F.broadcast(mx))
+        .select(F.col("user_id"),
+          F.datediff(F.to_date(F.col("l")), F.to_date(F.col("f")))
+            .as("dur"),
+          F.when(F.col("l") < F.col("m") - F.expr("INTERVAL 3 DAYS"), 1)
+            .otherwise(0).as("ev"))
+      graft.ops.Stats.logRank(subj, F.col("dur"), F.col("ev"),
+        F.pmod(F.col("user_id"), F.lit(2L)) === 0L)
+    }),
+
+    // James-Stein shrinkage of per-nation mean balances toward the grand
+    // mean — exact-integer sufficient statistics (cents), closed-form MoM
+    "x231_shrunk_means" -> ((s, dir) =>
+      graft.ops.Stats.ebShrunkMeans(
+        s.read.parquet(s"$dir/customer.parquet"),
+        F.col("c_nationkey").cast("long"), F.col("c_acctbal"))),
+
+    // Holm step-down (FWER) over the same per-token chi2 table x176
+    // BH-adjusts — the release-blocking sibling
+    "x232_holm" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val grp = F.when(F.col("lang") === "en", "en")
+        .when(F.col("lang") === "zh", "zh").otherwise("other")
+      graft.ops.Stats.holmAdjust(
+        TextOps.chi2TokensDf2(docs, "doc_id", "text", grp, minDf = 20),
+        Seq("token"), F.col("chi2"), alpha = 0.05)
+    }),
+
+    // McNemar paired comparison of two en-detectors (stopword hit vs
+    // length rule) against the lang label — discordant counts only
+    "x233_mcnemar" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val truth = F.col("lang") === "en"
+      graft.ops.Stats.mcnemar(d,
+        F.col("text").contains(" the ") === truth,
+        (F.col("n_chars") >= 900) === truth)
+    }),
+
     // always-valid mSPRT of the running click rate vs theta0=0.2 —
     // the peeking-proof experiment monitor, emitted every 500 events
     "x227_msprt" -> ((s, dir) => {

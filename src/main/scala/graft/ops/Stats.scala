@@ -1973,4 +1973,184 @@ object Stats {
         F.round(F.least(F.lit(1.0), F.exp(-F.col("__mx"))), 6).as("p_value"))
       .orderBy("n")
   }
+
+  /** Log-rank test (Mantel 1966) comparing the survival of two arms over
+    * right-censored durations — the standard "did cohort A churn faster
+    * than cohort B" readout on top of the [[kaplanMeier]] risk-set
+    * machinery. At every pooled event time t with d(t) total events,
+    * n(t) total at risk and n1(t) at risk in arm 1:
+    * {{{
+    *   e1(t) = d·n1/n                    (expected arm-1 events under H0)
+    *   v(t)  = d·(n1/n)·(1−n1/n)·(n−d)/(n−1)   (hypergeometric variance)
+    *   χ²    = (Σ(d1−e1))² / Σv          (1 dof)
+    * }}}
+    * e1/v terms round at 9 dp before the orderless sums; χ² at 6 — the
+    * kaplanMeier engine-neutrality rule. v is forced 0 when n = 1.
+    *
+    * Scale shape: subjects collapse map-side to one row per distinct
+    * duration carrying (d, d1, leave, leave1); both suffix-sum windows and
+    * the χ² rollup run over that bounded table only.
+    *
+    * @return per event time (t, n_risk, n1_risk, d, d1, e1, v) with the
+    *         study-level chi2 replicated on every row (1-row broadcast)
+    */
+  def logRank(df: DataFrame, durationCol: Column, eventCol: Column,
+              arm1Col: Column): DataFrame = {
+    val byT = df
+      .select(durationCol.cast("long").as("t"),
+        eventCol.cast("int").as("__e"),
+        F.when(arm1Col, 1).otherwise(0).as("__a"))
+      .groupBy("t")
+      .agg(F.sum("__e").as("d"),
+        F.sum(F.col("__e") * F.col("__a")).as("d1"),
+        F.count(F.lit(1)).as("__leave"),
+        F.sum("__a").cast("long").as("__leave1"))
+    val wDesc = Window.orderBy(F.col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perT = byT
+      .withColumn("n_risk", F.sum("__leave").over(wDesc))
+      .withColumn("n1_risk", F.sum("__leave1").over(wDesc))
+      .filter(F.col("d") > 0)
+      .withColumn("__share",
+        F.col("n1_risk").cast("double") / F.col("n_risk").cast("double"))
+      .withColumn("e1", F.round(F.col("d") * F.col("__share"), 9))
+      .withColumn("v", F.round(F.when(F.col("n_risk") > 1,
+        F.col("d") * F.col("__share") * (F.lit(1.0) - F.col("__share")) *
+          (F.col("n_risk") - F.col("d")).cast("double") /
+          (F.col("n_risk") - 1L).cast("double")).otherwise(0.0), 9))
+    val tot = perT.agg(
+      F.sum(F.col("d1") - F.col("e1")).as("__oe"),
+      F.sum("v").as("__vv"))
+      .select(F.round(
+        F.when(F.col("__vv") > 0.0,
+          F.col("__oe") * F.col("__oe") / F.col("__vv"))
+          .otherwise(0.0), 6).as("chi2"))
+    perT.crossJoin(F.broadcast(tot))
+      .select("t", "n_risk", "n1_risk", "d", "d1", "e1", "v", "chi2")
+      .orderBy("t")
+  }
+
+  /** Empirical-Bayes (James-Stein) shrinkage of per-group means toward the
+    * grand mean under the one-way random-effects model — the standard fix
+    * for small-sample group estimates (a 3-customer nation's mean balance
+    * should not outrank a 3,000-customer one). Method-of-moments:
+    * {{{
+    *   σ²  = Σ_g Σ_i (x−x̄_g)² / (N−G)            (pooled within)
+    *   τ²  = max(0, (Σ n_g(x̄_g−m)² − σ²(G−1)) / (N − Σn_g²/N))
+    *   B_g = τ² / (τ² + σ²/n_g);  shrunk_g = m + B_g(x̄_g − m)
+    * }}}
+    * Values are quantized to exact integers k = round(`scale`·x) first so
+    * every sufficient statistic (Σk, Σk², n) is EXACT and the two engines
+    * replay bit-identical doubles — the x221 rule: never round fp means
+    * then keep computing with them. Keep `scale`·|x| ≤ ~1e6 so Σk² stays
+    * inside the long range.
+    *
+    * Scale shape: one map-side (sum, sumsq, count) collapse per group;
+    * the G-row table and two 1-row broadcasts do everything else.
+    *
+    * @return (grp, n, mean, shrink_b, shrunk) — mean/shrunk 6-dp
+    */
+  def ebShrunkMeans(df: DataFrame, keyCol: Column, valueCol: Column,
+                    scale: Long = 100L): DataFrame = {
+    val byG = df
+      .select(keyCol.as("grp"),
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .groupBy("grp")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("__k").as("__sk"),
+        F.sum(F.col("__k") * F.col("__k")).as("__sk2"))
+    val tot = byG.agg(F.count(F.lit(1)).as("__g"),
+      F.sum("n").as("__nn"), F.sum("__sk").as("__tsk"),
+      F.sum("__sk2").as("__tsk2"),
+      F.sum(F.col("n") * F.col("n")).as("__sn2"),
+      // Σ (Σk_g)²/n_g: per-group exact-integer ratio, double thereafter
+      F.sum(F.col("__sk").cast("double") * F.col("__sk").cast("double") /
+        F.col("n").cast("double")).as("__sg"))
+    val s = F.lit(1.0) / (F.lit(scale).cast("double") * F.lit(scale))
+    val withTot = byG.crossJoin(F.broadcast(tot))
+      .withColumn("__m", F.col("__tsk").cast("double") /
+        (F.col("__nn").cast("double") * F.lit(scale.toDouble)))
+      // pooled within-group variance from exact integer stats
+      .withColumn("__s2", (F.col("__tsk2").cast("double") - F.col("__sg")) *
+        s / (F.col("__nn") - F.col("__g")).cast("double"))
+      // between-group sum Σ n_g (mean_g − m)² = Σ (Σk)²/n/scale² − N·m²
+      .withColumn("__btw", F.col("__sg") * s -
+        F.col("__nn").cast("double") * F.col("__m") * F.col("__m"))
+      .withColumn("__tau2", F.greatest(F.lit(0.0),
+        (F.col("__btw") - F.col("__s2") * (F.col("__g") - 1L).cast("double")) /
+          (F.col("__nn").cast("double") -
+            F.col("__sn2").cast("double") / F.col("__nn").cast("double"))))
+      .withColumn("__meang",
+        F.col("__sk").cast("double") / (F.col("n").cast("double") *
+          F.lit(scale.toDouble)))
+      .withColumn("shrink_b", F.round(F.col("__tau2") /
+        (F.col("__tau2") + F.col("__s2") / F.col("n").cast("double")), 9))
+    withTot.select(F.col("grp"), F.col("n"),
+        F.round(F.col("__meang"), 6).as("mean"), F.col("shrink_b"),
+        F.round(F.col("__m") +
+          F.col("shrink_b") * (F.col("__meang") - F.col("__m")), 6)
+          .as("shrunk"))
+      .orderBy("grp")
+  }
+
+  /** Holm step-down multiple-testing adjustment (strong FWER control) over
+    * per-key χ² scores — the conservative sibling of [[bhFdr]] for when a
+    * single false discovery is unacceptable (e.g. blocking a data release
+    * on ANY leaked-feature signal). p = exp(−χ²/2) (df=2, exactly as
+    * bhFdr); sorted ascending, `p_adj(i) = min(1, max_{j≤i} (m−j+1)·p_j)`
+    * via one running-max window; reject while every smaller p also
+    * rejected (step-down) — enforced by the same cummax shape.
+    *
+    * Scale shape: identical to bhFdr — the candidate table is already
+    * vocabulary-bounded; one deliberate single-partition window.
+    *
+    * @return (keys…, chi2, p, i, p_adj, rejected) ordered by i
+    */
+  def holmAdjust(df: DataFrame, keyCols: Seq[String], chi2Col: Column,
+                 alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val keyed = df.select((keyCols.map(F.col) :+
+      F.round(chi2Col.cast("double"), 6).as("chi2")): _*)
+      .withColumn("p", F.round(F.exp(-F.col("chi2") / 2.0), 9))
+    val wAsc = Window.orderBy((F.col("p").asc +: keyCols.map(F.col(_).asc)): _*)
+    val wRun = Window.orderBy((F.col("p").asc +: keyCols.map(F.col(_).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = keyed.agg(F.count(F.lit(1)).as("__m"))
+    keyed.crossJoin(F.broadcast(m))
+      .withColumn("i", F.row_number().over(wAsc))
+      .withColumn("__step", F.round(
+        (F.col("__m") - F.col("i") + 1L).cast("double") * F.col("p"), 9))
+      .withColumn("p_adj",
+        F.least(F.lit(1.0), F.max("__step").over(wRun)))
+      .withColumn("rejected", F.col("p_adj") <= F.lit(alpha))
+      .select((keyCols.map(F.col) :+ F.col("chi2") :+ F.col("p") :+
+        F.col("i") :+ F.col("p_adj") :+ F.col("rejected")): _*)
+      .orderBy("i")
+  }
+
+  /** McNemar's test on paired binary predictions — "is model A better
+    * than model B on the SAME examples", the eval-pipeline primitive that
+    * a two-proportion test gets wrong by ignoring pairing. Only the
+    * discordant counts matter: b = A right & B wrong, c = A wrong & B
+    * right; the continuity-corrected statistic is
+    * `χ² = (|b−c|−1)² / (b+c)` (1 dof; 0 when b+c = 0 or |b−c| ≤ 1).
+    *
+    * Scale shape: one map-side conditional-count collapse to a single row;
+    * nothing shuffles but four longs.
+    *
+    * @return one row (n, both_right, b, c, chi2)
+    */
+  def mcnemar(df: DataFrame, aRight: Column, bRight: Column): DataFrame = {
+    val agg = df.agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.when(aRight && bRight, 1L).otherwise(0L)).as("both_right"),
+      F.sum(F.when(aRight && !bRight, 1L).otherwise(0L)).as("b"),
+      F.sum(F.when(!aRight && bRight, 1L).otherwise(0L)).as("c"))
+    agg.withColumn("__d", F.abs(F.col("b") - F.col("c")))
+      .select(F.col("n"), F.col("both_right"), F.col("b"), F.col("c"),
+        F.round(F.when(F.col("b") + F.col("c") === 0L, 0.0)
+          .otherwise(F.greatest(F.lit(0.0),
+            (F.col("__d") - 1L).cast("double")) *
+            F.greatest(F.lit(0.0), (F.col("__d") - 1L).cast("double")) /
+            (F.col("b") + F.col("c")).cast("double")), 6).as("chi2"))
+  }
 }
