@@ -2450,19 +2450,22 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
-    // log-rank churn comparison of even- vs odd-user cohorts over the
-    // x171 subject derivation — per-duration risk sets, 1-row chi2
+    // log-rank churn comparison of even- vs odd-user cohorts. Durations
+    // are HOURS (the fixture is 30 dense days — max idle is 58 h, so a
+    // day-granularity rule flags nobody; r11 0-row incident) and churn is
+    // "last event ≥ 24 h before the global max". Epoch seconds are floored
+    // (unix_timestamp) so DuckDB replays floor(epoch(ts)) bit-identically.
     "x230_logrank" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
+      val t = graft.ops.EventOps.tsStamp(ev)
       val per = ev.groupBy("user_id")
-        .agg(F.min(graft.ops.EventOps.tsStamp(ev)).as("f"),
-          F.max(graft.ops.EventOps.tsStamp(ev)).as("l"))
+        .agg(F.min(F.unix_timestamp(t)).as("f"),
+          F.max(F.unix_timestamp(t)).as("l"))
       val mx = per.agg(F.max("l").as("m"))
       val subj = per.crossJoin(F.broadcast(mx))
         .select(F.col("user_id"),
-          F.datediff(F.to_date(F.col("l")), F.to_date(F.col("f")))
-            .as("dur"),
-          F.when(F.col("l") < F.col("m") - F.expr("INTERVAL 3 DAYS"), 1)
+          F.floor((F.col("l") - F.col("f")) / F.lit(3600.0)).as("dur"),
+          F.when(F.col("m") - F.col("l") >= 86400L, 1)
             .otherwise(0).as("ev"))
       graft.ops.Stats.logRank(subj, F.col("dur"), F.col("ev"),
         F.pmod(F.col("user_id"), F.lit(2L)) === 0L)
@@ -5667,6 +5670,138 @@ object SparkEntry {
         |       + CASE WHEN agree_balance THEN 3.0::DOUBLE
         |           ELSE -2.169925::DOUBLE END), 6) AS fs_weight
         |FROM f ORDER BY a, b""".stripMargin,
+
+    // hour-granularity subjects (floored epoch seconds, 24 h idle churn),
+    // suffix-sum risk sets DESC, 9-dp e1/v, 1-row chi2 broadcast
+    "x230_logrank" ->
+      """WITH per AS (SELECT user_id,
+        |    min(floor(epoch(ts))::BIGINT) AS f,
+        |    max(floor(epoch(ts))::BIGINT) AS l
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT max(l) AS m FROM per),
+        |subj AS (SELECT user_id, (l - f) // 3600 AS t,
+        |    CASE WHEN m - l >= 86400 THEN 1 ELSE 0 END AS ev,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+        |  FROM per CROSS JOIN m),
+        |byt AS (SELECT t, sum(ev)::BIGINT AS d, sum(ev * a)::BIGINT AS d1,
+        |    count(*)::BIGINT AS lv, sum(a)::BIGINT AS lv1
+        |  FROM subj GROUP BY t),
+        |risk AS (SELECT t, d, d1,
+        |    (sum(lv) OVER w)::BIGINT AS n_risk,
+        |    (sum(lv1) OVER w)::BIGINT AS n1_risk
+        |  FROM byt WINDOW w AS (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pert AS (SELECT t, n_risk, n1_risk, d, d1,
+        |    round(d * (n1_risk::DOUBLE / n_risk::DOUBLE), 9) AS e1,
+        |    round(CASE WHEN n_risk > 1 THEN
+        |        d * (n1_risk::DOUBLE / n_risk::DOUBLE) *
+        |        (1.0::DOUBLE - n1_risk::DOUBLE / n_risk::DOUBLE) *
+        |        (n_risk - d)::DOUBLE / (n_risk - 1)::DOUBLE
+        |      ELSE 0.0::DOUBLE END, 9) AS v
+        |  FROM risk WHERE d > 0),
+        |tot AS (SELECT round(CASE WHEN sum(v) > 0.0::DOUBLE THEN
+        |      sum(d1 - e1) * sum(d1 - e1) / sum(v)
+        |    ELSE 0.0::DOUBLE END, 6) AS chi2 FROM pert)
+        |SELECT t, n_risk, n1_risk, d, d1, e1, v, chi2
+        |FROM pert CROSS JOIN tot ORDER BY t""".stripMargin,
+
+    // exact-integer cents sufficient statistics, MoM τ², the same
+    // (1.0/10000.0) runtime double the Spark side multiplies by
+    "x231_shrunk_means" ->
+      """WITH k AS (SELECT c_nationkey::BIGINT AS grp,
+        |    round(c_acctbal * 100)::BIGINT AS k FROM customer),
+        |byg AS (SELECT grp, count(*)::BIGINT AS n, sum(k)::BIGINT AS sk,
+        |    sum(k * k)::BIGINT AS sk2 FROM k GROUP BY grp),
+        |tot AS (SELECT count(*)::BIGINT AS g, sum(n)::BIGINT AS nn,
+        |    sum(sk)::BIGINT AS tsk, sum(sk2)::BIGINT AS tsk2,
+        |    sum(n * n)::BIGINT AS sn2,
+        |    sum(sk::DOUBLE * sk::DOUBLE / n::DOUBLE) AS sg FROM byg),
+        |c1 AS (SELECT grp, n, sk, g, nn, sn2,
+        |    tsk::DOUBLE / (nn::DOUBLE * 100.0::DOUBLE) AS m,
+        |    (tsk2::DOUBLE - sg) * (1.0::DOUBLE / 10000.0::DOUBLE) /
+        |      (nn - g)::DOUBLE AS s2,
+        |    sg * (1.0::DOUBLE / 10000.0::DOUBLE) -
+        |      nn::DOUBLE * (tsk::DOUBLE / (nn::DOUBLE * 100.0::DOUBLE)) *
+        |      (tsk::DOUBLE / (nn::DOUBLE * 100.0::DOUBLE)) AS btw
+        |  FROM byg CROSS JOIN tot),
+        |c2 AS (SELECT grp, n, sk, m, s2,
+        |    greatest(0.0::DOUBLE, (btw - s2 * (g - 1)::DOUBLE) /
+        |      (nn::DOUBLE - sn2::DOUBLE / nn::DOUBLE)) AS tau2
+        |  FROM c1),
+        |fin AS (SELECT grp, n, m,
+        |    sk::DOUBLE / (n::DOUBLE * 100.0::DOUBLE) AS meang,
+        |    round(tau2 / (tau2 + s2 / n::DOUBLE), 9) AS shrink_b
+        |  FROM c2)
+        |SELECT grp, n, round(meang, 6) AS mean, shrink_b,
+        |  round(m + shrink_b * (meang - m), 6) AS shrunk
+        |FROM fin ORDER BY grp""".stripMargin,
+
+    // the x176 chi2 table verbatim, then Holm: (m−i+1)·p at 9 dp,
+    // running max, least(1, ·) — step-down via the same cummax shape
+    "x232_holm" ->
+      """WITH doc AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 'en' WHEN lang = 'zh' THEN 'zh'
+        |      ELSE 'other' END AS g, text FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, g, t FROM (SELECT doc_id, g,
+        |    unnest(list_filter(
+        |      string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> length(x) > 0)) AS t
+        |  FROM doc)),
+        |tg AS (SELECT t, g, count(*) AS a FROM tok GROUP BY 1, 2),
+        |gt AS (SELECT g, count(*) AS ng FROM doc GROUP BY g),
+        |tdf AS (SELECT t, sum(a) AS dfd FROM tg GROUP BY t
+        |  HAVING sum(a) >= 20),
+        |n AS (SELECT count(*) AS nn FROM doc),
+        |cells AS (SELECT tdf.t, tdf.dfd, gt.g, gt.ng,
+        |    coalesce(tg.a, 0) AS a
+        |  FROM tdf CROSS JOIN gt
+        |  LEFT JOIN tg ON tg.t = tdf.t AND tg.g = gt.g),
+        |cc AS (SELECT t, dfd, round(
+        |    coalesce((a - ep)*(a - ep)/nullif(ep, 0.0), 0.0) +
+        |    coalesce(((ng - a) - ea)*((ng - a) - ea)/nullif(ea, 0.0), 0.0),
+        |    9) AS cell
+        |  FROM (SELECT t, dfd, ng, a::DOUBLE AS a,
+        |      dfd::DOUBLE * ng / nn AS ep,
+        |      (nn - dfd)::DOUBLE * ng / nn AS ea
+        |    FROM cells CROSS JOIN n)),
+        |chi AS (SELECT t AS token, round(sum(cell), 6) AS chi2
+        |  FROM cc GROUP BY t),
+        |keyed AS (SELECT token, chi2, round(exp(-chi2 / 2.0), 9) AS p
+        |  FROM chi),
+        |m AS (SELECT count(*) AS m FROM keyed),
+        |rk AS (SELECT token, chi2, p,
+        |    row_number() OVER (ORDER BY p, token) AS i
+        |  FROM keyed),
+        |st AS (SELECT token, chi2, p, i,
+        |    round((m - i + 1)::DOUBLE * p, 9) AS step
+        |  FROM rk CROSS JOIN m),
+        |adj AS (SELECT token, chi2, p, i,
+        |    least(1.0::DOUBLE, max(step) OVER (ORDER BY p, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj
+        |  FROM st)
+        |SELECT token, chi2, p, i, p_adj,
+        |  p_adj <= 0.05::DOUBLE AS rejected
+        |FROM adj ORDER BY i""".stripMargin,
+
+    // paired discordant counts only; continuity-corrected χ², clamped at
+    // |b−c| ≤ 1 and defined 0 when b + c = 0
+    "x233_mcnemar" ->
+      """WITH t AS (SELECT
+        |    (contains(text, ' the ')) = (lang = 'en') AS ar,
+        |    (n_chars >= 900) = (lang = 'en') AS br
+        |  FROM documents),
+        |agg AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN ar AND br THEN 1 ELSE 0 END)::BIGINT
+        |      AS both_right,
+        |    sum(CASE WHEN ar AND NOT br THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN (NOT ar) AND br THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM t)
+        |SELECT n, both_right, b, c,
+        |  round(CASE WHEN b + c = 0 THEN 0.0::DOUBLE
+        |    ELSE greatest(0.0::DOUBLE, (abs(b - c) - 1)::DOUBLE) *
+        |         greatest(0.0::DOUBLE, (abs(b - c) - 1)::DOUBLE) /
+        |         (b + c)::DOUBLE END, 6) AS chi2
+        |FROM agg""".stripMargin,
 
     // the same prefix windows: 9-dp running mean, 9-dp llr, running max,
     // exp(-max) p — every literal forced ::DOUBLE so no DECIMAL arithmetic

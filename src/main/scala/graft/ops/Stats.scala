@@ -1914,9 +1914,13 @@ object Stats {
       da.join(db, Seq("__v"), "left_semi")
         .agg(F.count(F.lit(1)).as("n_hit"))
         .crossJoin(F.broadcast(da.agg(F.count(F.lit(1)).as("n_lhs"))))
+        // empty/all-NULL lhs: the inclusion is vacuously true — emit 1.0
+        // explicitly (Spark's 0/0 is NULL; DuckDB's sum-over-no-rows NULL
+        // would diverge otherwise, advisor r11)
         .select(F.lit(name).as("dep"), F.col("n_lhs"), F.col("n_hit"),
-          F.round(F.col("n_hit").cast("double") /
-            F.col("n_lhs"), 6).as("coefficient"))
+          F.when(F.col("n_lhs") === 0L, F.lit(1.0))
+            .otherwise(F.round(F.col("n_hit").cast("double") /
+              F.col("n_lhs"), 6)).as("coefficient"))
     }.reduce(_ unionByName _)
   }
 
@@ -2069,21 +2073,32 @@ object Stats {
     val withTot = byG.crossJoin(F.broadcast(tot))
       .withColumn("__m", F.col("__tsk").cast("double") /
         (F.col("__nn").cast("double") * F.lit(scale.toDouble)))
-      // pooled within-group variance from exact integer stats
-      .withColumn("__s2", (F.col("__tsk2").cast("double") - F.col("__sg")) *
-        s / (F.col("__nn") - F.col("__g")).cast("double"))
+      // pooled within-group variance from exact integer stats; all-
+      // singleton input (N = G) zeroes the denominator — define σ² = 0
+      // there instead of NaN (advisor r11)
+      .withColumn("__s2", F.when(F.col("__nn") > F.col("__g"),
+        (F.col("__tsk2").cast("double") - F.col("__sg")) *
+          s / (F.col("__nn") - F.col("__g")).cast("double"))
+        .otherwise(F.lit(0.0)))
       // between-group sum Σ n_g (mean_g − m)² = Σ (Σk)²/n/scale² − N·m²
       .withColumn("__btw", F.col("__sg") * s -
         F.col("__nn").cast("double") * F.col("__m") * F.col("__m"))
-      .withColumn("__tau2", F.greatest(F.lit(0.0),
-        (F.col("__btw") - F.col("__s2") * (F.col("__g") - 1L).cast("double")) /
-          (F.col("__nn").cast("double") -
-            F.col("__sn2").cast("double") / F.col("__nn").cast("double"))))
+      // single-group input (G = 1) zeroes N − Σn²/N — define τ² = 0 there
+      .withColumn("__tdenom", F.col("__nn").cast("double") -
+        F.col("__sn2").cast("double") / F.col("__nn").cast("double"))
+      .withColumn("__tau2", F.when(F.col("__tdenom") > 0.0,
+        F.greatest(F.lit(0.0),
+          (F.col("__btw") - F.col("__s2") * (F.col("__g") - 1L).cast("double")) /
+            F.col("__tdenom"))).otherwise(F.lit(0.0)))
       .withColumn("__meang",
         F.col("__sk").cast("double") / (F.col("n").cast("double") *
           F.lit(scale.toDouble)))
-      .withColumn("shrink_b", F.round(F.col("__tau2") /
-        (F.col("__tau2") + F.col("__s2") / F.col("n").cast("double")), 9))
+      // τ² = σ² = 0 (degenerate input) → no shrinkage signal: B = 0
+      .withColumn("shrink_b", F.round(F.when(
+        F.col("__tau2") + F.col("__s2") / F.col("n").cast("double") > 0.0,
+        F.col("__tau2") /
+          (F.col("__tau2") + F.col("__s2") / F.col("n").cast("double")))
+        .otherwise(F.lit(0.0)), 9))
     withTot.select(F.col("grp"), F.col("n"),
         F.round(F.col("__meang"), 6).as("mean"), F.col("shrink_b"),
         F.round(F.col("__m") +

@@ -4042,4 +4042,90 @@ class OpsSpec extends AnyFunSuite {
     assert(fs == BigDecimal(4.169925 + -4.0).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble, fs.toString)
   }
+
+  test("logRank: hand-valued 2-arm table (hypergeometric e1/v, chi2)") {
+    import graft.ops.Stats
+    // arm1 dies early (t=1,1,2 all events); arm0 late (2 ev, 3 ev, 3 cens)
+    val df = Seq((1L, 1, true), (1L, 1, true), (2L, 1, true),
+      (2L, 1, false), (3L, 1, false), (3L, 0, false))
+      .toDF("dur", "ev", "arm")
+    val got = Stats.logRank(df, F.col("dur"), F.col("ev"), F.col("arm"))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    // risk sets 6/4/2, arm1 at risk 3/1/0; U = 1.5, V = 0.65,
+    // chi2 = 2.25/0.65 = 3.461538
+    assert(got == Seq(
+      (1L, 6L, 3L, 2L, 2L, 1.0, 0.4, 3.461538),
+      (2L, 4L, 1L, 2L, 1L, 0.5, 0.25, 3.461538),
+      (3L, 2L, 0L, 1L, 0L, 0.0, 0.0, 3.461538)), got)
+    // all-censored input: no event rows survive, empty relation not NaN
+    val cens = Seq((1L, 0, true), (2L, 0, false)).toDF("dur", "ev", "arm")
+    assert(Stats.logRank(cens, F.col("dur"), F.col("ev"),
+      F.col("arm")).count() == 0)
+  }
+
+  test("ebShrunkMeans: hand-valued MoM shrinkage; degenerate guards") {
+    import graft.ops.Stats
+    // g1={1,3} g2={5,7} g3={2,4,6}: m=4, sigma2=3, tau2=70/32=2.1875
+    val df = Seq((1L, 1.0), (1L, 3.0), (2L, 5.0), (2L, 7.0),
+      (3L, 2.0), (3L, 4.0), (3L, 6.0)).toDF("g", "x")
+    val got = Stats.ebShrunkMeans(df, F.col("g"), F.col("x"), scale = 1L)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2.0, 0.593220339, 2.813559),
+      (2L, 2L, 6.0, 0.593220339, 5.186441),
+      (3L, 3L, 4.0, 0.68627451, 4.0)), got)
+    // single group with zero variance: tau2 = sigma2 = 0 -> B = 0, no NaN
+    val one = Seq((1L, 5.0), (1L, 5.0)).toDF("g", "x")
+    val g1 = Stats.ebShrunkMeans(one, F.col("g"), F.col("x"), scale = 1L)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(g1 == ((1L, 2L, 5.0, 0.0, 5.0)), g1)
+    // all singletons: sigma2 denominator N-G = 0 -> guard gives sigma2=0,
+    // tau2 absorbs all spread, B = 1, shrunk = own mean (finite, no NaN)
+    val singles = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("g", "x")
+    val gs = Stats.ebShrunkMeans(singles, F.col("g"), F.col("x"), scale = 1L)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(gs == Seq((1L, 1L, 1.0, 1.0, 1.0), (2L, 1L, 2.0, 1.0, 2.0),
+      (3L, 1L, 3.0, 1.0, 3.0)), gs)
+  }
+
+  test("holmAdjust: hand-valued step-down; cummax enforces monotone p_adj") {
+    import graft.ops.Stats
+    // chi2 12/8/4/0 -> p = e^-6, e^-4, e^-2, 1 at 9 dp
+    val df = Seq(("a", 12.0), ("b", 8.0), ("c", 4.0), ("d", 0.0))
+      .toDF("k", "chi2")
+    val got = Stats.holmAdjust(df, Seq("k"), F.col("chi2"), alpha = 0.05)
+      .as[(String, Double, Double, Int, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("a", 12.0, 0.002478752, 1, 0.009915008, true),
+      ("b", 8.0, 0.018315639, 2, 0.054946917, false),
+      ("c", 4.0, 0.135335283, 3, 0.270670566, false),
+      ("d", 0.0, 1.0, 4, 1.0, false)), got)
+    // near-tied small p: raw (m-i+1)p DECREASES down the ladder; the
+    // running max must flatten p_adj (the step-down hallmark)
+    val tied = Seq(("a", 9.2103), ("b", 9.0), ("c", 8.8)).toDF("k", "chi2")
+    val adj = Stats.holmAdjust(tied, Seq("k"), F.col("chi2"), alpha = 0.05)
+      .as[(String, Double, Double, Int, Double, Boolean)].collect().toSeq
+    assert(adj.map(_._5).distinct.size == 1, adj)
+    assert(adj.forall(_._6), adj)
+  }
+
+  test("mcnemar: continuity-corrected discordant chi2 with both edges") {
+    import graft.ops.Stats
+    def mk(bb: Int, cc: Int, both: Int, neither: Int) = (
+      Seq.fill(both)((true, true)) ++ Seq.fill(bb)((true, false)) ++
+        Seq.fill(cc)((false, true)) ++ Seq.fill(neither)((false, false))
+      ).toDF("a", "b")
+    val got = Stats.mcnemar(mk(15, 5, 10, 3), F.col("a"), F.col("b"))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((33L, 10L, 15L, 5L, 4.05)), got) // (10-1)^2/20
+    // no discordant pairs: statistic defined 0, not 0/0
+    val z = Stats.mcnemar(mk(0, 0, 4, 2), F.col("a"), F.col("b"))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(z == ((6L, 4L, 0L, 0L, 0.0)), z)
+    // |b-c| <= 1: continuity correction clamps to 0
+    val c1 = Stats.mcnemar(mk(3, 2, 0, 0), F.col("a"), F.col("b"))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(c1._5 == 0.0, c1)
+  }
 }

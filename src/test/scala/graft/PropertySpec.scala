@@ -484,4 +484,38 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("law: logRank risk sets match kaplanMeier; mirrored arms give chi2=0; " +
+      "arm swap is chi2-invariant") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 12L), Gen.oneOf(0, 1)))
+    forAll(gen) { subj =>
+      if (subj.exists(_._2 == 1)) {
+        val df = subj.zipWithIndex
+          .map { case ((d, e), i) => (d, e, i % 2 == 0) }
+          .toDF("dur", "ev", "arm")
+        val lr = graft.ops.Stats.logRank(df, F.col("dur"), F.col("ev"),
+          F.col("arm"))
+        // (t, n_risk, d) is the same risk-set collapse kaplanMeier does
+        val km = graft.ops.Stats.kaplanMeier(df, F.col("dur"), F.col("ev"))
+          .select("t", "n_risk", "d").as[(Long, Long, Long)].collect().toSet
+        val got = lr.select("t", "n_risk", "d")
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got == km, s"risk sets diverge on $subj")
+        // relabeling the arms flips U's sign only: chi2 identical
+        val sw = graft.ops.Stats.logRank(df, F.col("dur"), F.col("ev"),
+            !F.col("arm")).select("chi2").as[Double].head()
+        assert(sw == lr.select("chi2").as[Double].head(),
+          s"arm swap changed chi2 on $subj")
+        // duplicating every subject into BOTH arms: d1=d/2, n1=n/2 at
+        // every t, so O-E vanishes termwise and chi2 is exactly 0
+        val mirror = subj.flatMap { case (d, e) => Seq((d, e, true), (d, e, false)) }
+          .toDF("dur", "ev", "arm")
+        val mchi = graft.ops.Stats.logRank(mirror, F.col("dur"), F.col("ev"),
+          F.col("arm")).select("chi2").as[Double].head()
+        assert(mchi == 0.0, s"mirrored arms chi2=$mchi on $subj")
+      }
+    }
+  }
 }
