@@ -14,6 +14,15 @@ class OpsSpec extends AnyFunSuite {
   lazy val spark = SparkTest.session
   import spark.implicits._
 
+  /** Full cause-chain message of a failed action: the hot-bucket guards
+    * raise INSIDE the job (single-scan, advisor r11), so the loud text
+    * arrives wrapped in SparkException layers. */
+  private def loudMsg(body: => Any): String = {
+    val t = intercept[Throwable](body)
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+  }
+
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
@@ -2018,11 +2027,11 @@ class OpsSpec extends AnyFunSuite {
     // itself the first line of defense
     val boiler = (0 until 50).map(i => (i.toLong, s"cookie banner unique$i"))
       .toDF("id", "text")
-    val ex = intercept[IllegalStateException] {
+    val ex = loudMsg(
       Dedup.exactJaccardPairs(boiler, "id", "text", 0.3, maxBucket = 10)
-    }
-    assert(ex.getMessage.contains("maxBucket") &&
-      ex.getMessage.contains("stripBoilerplateLines"), ex.getMessage)
+        .count())
+    assert(ex.contains("maxBucket") &&
+      ex.contains("stripBoilerplateLines"), ex)
   }
 
   test("shardChecksums: order-free, corruption-sensitive, sub-manifest mergeable") {
@@ -2250,11 +2259,10 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
     // degenerate fixed-width corpus trips the loud guard
     val fixed = (0 until 50).map(i => (i.toLong, f"doc$i%04d")).toDF("id", "t")
-    val e = intercept[IllegalStateException] {
+    val e = loudMsg(
       Dedup.editDistancePairs(fixed, "id", F.col("t"), maxDist = 1,
-        maxBucket = 10).count()
-    }
-    assert(e.getMessage.contains("maxBucket"), e.getMessage)
+        maxBucket = 10).count())
+    assert(e.contains("maxBucket"), e)
   }
 
   test("transitionMatrix: hand-checked lag pairs and row-stochastic p") {
@@ -4028,12 +4036,13 @@ class OpsSpec extends AnyFunSuite {
       Seq((1L, "same", "a"), (2L, "same", "b")).toDF("id", "w", "blk"),
       "id", F.col("w"), F.col("blk"), minSim = 0.5)
     assert(cross.count() == 0)
-    // oversized block fails loudly with the count
+    // oversized block fails loudly with the count (at action time — the
+    // guard is folded into the join's own scan)
     val hot = (1 to 30).map(i => (i.toLong, s"w$i", "x")).toDF("id", "w", "blk")
-    val e = intercept[IllegalStateException](
+    val e = loudMsg(
       Dedup.jaroWinklerPairs(hot, "id", F.col("w"), F.col("blk"),
-        minSim = 0.5, maxBucket = 10))
-    assert(e.getMessage.contains("maxBucket"), e.getMessage)
+        minSim = 0.5, maxBucket = 10).count())
+    assert(e.contains("maxBucket"), e)
     // FS weights: log2 ratios at 6 dp, disagreement negative, order-stable sum
     val p = Seq((1L, 2L, true, false)).toDF("a", "b", "n_ok", "s_ok")
     val fs = Dedup.fellegiSunter(p, Seq(

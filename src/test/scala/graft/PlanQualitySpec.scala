@@ -1093,4 +1093,26 @@ class PlanQualitySpec extends AnyFunSuite {
     // the recall join is a semi-join between (nq·k)-sized top-k tables
     assert(p.contains("LeftSemi"), s"truth intersection must be semi:\n$p")
   }
+
+  test("hot-bucket guards are folded into the join: ONE scan, no census job") {
+    // advisor r11: the old eager groupBy+collect census was a second full
+    // pass over the corpus per call. The guard now rides a count window on
+    // the join's own hash partitioning — the input is scanned once and the
+    // other side reuses the exchange.
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val jw = graft.ops.Dedup.jaroWinklerPairs(cust, "c_custkey",
+      F.col("c_name"), F.concat_ws("|", F.col("c_nationkey"),
+        F.substring(F.col("c_name"), 1, 15)), minSim = 0.985)
+    val pjw = finalPlan(jw).split("== Initial Plan ==")(0)
+    assert(pjw.split("Scan parquet", -1).length - 1 == 1,
+      s"jaroWinklerPairs must scan its input exactly once:\n$pjw")
+    assert(pjw.contains("ReusedExchange"),
+      s"the self-join's second side must reuse the windowed exchange:\n$pjw")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ed = graft.ops.Dedup.editDistancePairs(docs, "doc_id",
+      F.substring(F.col("text"), 1, 40), maxDist = 3)
+    val ped = finalPlan(ed).split("== Initial Plan ==")(0)
+    assert(ped.split("Scan parquet", -1).length - 1 == 2,
+      s"editDistancePairs: probe + band sides only, no census scan:\n$ped")
+  }
 }
