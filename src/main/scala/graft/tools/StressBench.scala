@@ -44,6 +44,20 @@ object StressBench {
         .withColumn("user_id", F.col("user_id") + F.lit(i * KeyStride))
     }.reduce(_ union _)
 
+  /** Customer replicas re-derive c_name FROM the re-keyed c_custkey
+    * (`Customer#%09d`, the TPC-H format) — the realistic growth model for
+    * record linkage: new customers arrive with NEW name digits, so new
+    * (nation, name-prefix) blocks appear and block SIZE stays bounded
+    * while block COUNT grows ∝K. (Verbatim-copied names would instead
+    * grow each block K× — precisely the promiscuous-key melt-down the
+    * composite block plus maxBucket abort exists to refuse.) */
+  def replicateCust(cust: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * KeyStride))
+        .withColumn("c_name", F.concat(F.lit("Customer#"),
+          F.lpad(F.col("c_custkey").cast("string"), 9, "0")))
+    }.reduce(_ union _)
+
   def replicateEmb(emb: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
       emb.select(
@@ -342,6 +356,18 @@ object StressBench {
           docs, F.col("doc_id"),
           graft.ops.TextOps.tokenCount(F.col("text")),
           F.col("n_chars") / 6.0, calibRate = 0.5, q = 0.9)),
+        // JW blocked pairs under the composite (nation, name[1..15]) key:
+        // replicas mint NEW name digits (replicateCust), so block COUNT
+        // grows ∝K while block size stays ~40 — per-block quadratic work
+        // is constant and total wall must stay ~linear in K. (The r11
+        // nation-only key would instead hit the maxBucket abort here.)
+        "x228_jw_pairs" -> (() => {
+          val cust = replicateCust(
+            spark.read.parquet(s"$sfDir/customer.parquet"), k)
+          graft.ops.Dedup.jaroWinklerPairs(cust, "c_custkey",
+            F.col("c_name"), F.concat_ws("|", F.col("c_nationkey"),
+              F.substring(F.col("c_name"), 1, 15)), minSim = 0.985)
+        }),
       )
       val allQueries = queries ++ extra
       val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
