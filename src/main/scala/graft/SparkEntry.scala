@@ -2509,6 +2509,79 @@ object SparkEntry {
         (F.col("n_chars") >= 900) === truth)
     }),
 
+    // Kruskal-Wallis: does any market segment's balance distribution sit
+    // above the others — k-group rank test, distinct-value collapse only
+    "x234_kruskal_wallis" -> ((s, dir) =>
+      graft.ops.Stats.kruskalWallis(
+        s.read.parquet(s"$dir/customer.parquet"),
+        F.col("c_mktsegment"), F.col("c_acctbal"))),
+
+    // Cramér's V (plus Bergsma bias-corrected) between order priority and
+    // status — dense grid, margins from the cell collapse
+    "x235_cramers_v" -> ((s, dir) =>
+      graft.ops.Stats.cramersV(
+        s.read.parquet(s"$dir/orders.parquet"),
+        F.col("o_orderpriority"), F.col("o_orderstatus"))),
+
+    // pairwise Cohen's d / Hedges' g between segments on balance —
+    // exact-integer cents sufficient statistics, G-row pair table
+    "x236_cohens_d" -> ((s, dir) =>
+      graft.ops.Stats.cohensD(
+        s.read.parquet(s"$dir/customer.parquet"),
+        F.col("c_mktsegment"), F.col("c_acctbal"))),
+
+    // Brown-Forsythe variance homogeneity across segments — median
+    // carried doubled in exact cents, deviations stay integer
+    "x237_brown_forsythe" -> ((s, dir) =>
+      graft.ops.Stats.brownForsythe(
+        s.read.parquet(s"$dir/customer.parquet"),
+        F.col("c_mktsegment"), F.col("c_acctbal"))),
+
+    // diff-in-diff of event value: even users (treated) vs odd, second
+    // half of the month vs first — 4-cell collapse, quantized milli-units
+    "x238_diff_in_diff" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val t = graft.ops.EventOps.tsStamp(ev)
+      graft.ops.Stats.diffInDiff(ev,
+        F.pmod(F.col("user_id"), F.lit(2L)) === 0L,
+        F.dayofmonth(t) >= 16, F.col("value"))
+    }),
+
+    // Chao1 true-vocabulary estimate per source — singleton/doubleton
+    // capture-recapture over the (source, token) collapse
+    "x239_chao1" -> ((s, dir) =>
+      graft.ops.TextOps.chao1Richness(
+        s.read.parquet(s"$dir/documents.parquet"), Seq("source"), "text")),
+
+    // Cronbach's alpha over four integer length-ish signals — do the doc
+    // size proxies measure one construct; one-pass exact sums
+    "x240_cronbach" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val len = F.length(F.col("text"))
+      def minus(ch: String) =
+        len - F.length(F.regexp_replace(F.col("text"), ch, ""))
+      graft.ops.Stats.cronbachAlpha(d, Seq(
+        ("chars", len),
+        ("spaces", minus(" ")),
+        ("evs", minus("e")),
+        ("dots", minus("\\."))))
+    }),
+
+    // Bradley-Terry abilities over event-type transition "battles" (the
+    // later event beats the one it displaced) — 3 MM rounds on the
+    // type×type win matrix, 9-dp quantize-then-iterate
+    "x241_bradley_terry" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val t = graft.ops.EventOps.tsStamp(ev)
+      val w = Window.partitionBy("user_id").orderBy(t, F.col("event_id"))
+      val seq2 = ev.select(F.col("user_id"), F.col("event_type"),
+        F.lag("event_type", 1).over(w).as("prev"))
+      graft.ops.Stats.bradleyTerry(
+        seq2.filter(F.col("prev").isNotNull &&
+          F.col("prev") =!= F.col("event_type")),
+        F.col("event_type"), F.col("prev"))
+    }),
+
     // always-valid mSPRT of the running click rate vs theta0=0.2 —
     // the peeking-proof experiment monitor, emitted every 500 events
     "x227_msprt" -> ((s, dir) => {
@@ -5797,6 +5870,262 @@ object SparkEntry {
         |SELECT token, chi2, p, i, p_adj,
         |  p_adj <= 0.05::DOUBLE AS rejected
         |FROM adj ORDER BY i""".stripMargin,
+
+    // the x175 midrank-collapse CTEs generalized to k groups; exact
+    // midranks, unrounded rank sums into the H rollup, 9-dp H before 6
+    "x234_kruskal_wallis" ->
+      """WITH v AS (SELECT c_mktsegment AS grp, c_acctbal::DOUBLE AS v
+        |  FROM customer),
+        |bvg AS (SELECT v, grp, count(*) AS c FROM v GROUP BY 1, 2),
+        |bv AS (SELECT v, sum(c)::BIGINT AS t FROM bvg GROUP BY v),
+        |mid AS (SELECT v, t,
+        |    (sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)::DOUBLE
+        |      + (t + 1)::DOUBLE / 2.0 AS midr
+        |  FROM bv),
+        |pg AS (SELECT grp, sum(c)::BIGINT AS n, sum(c * midr) AS rank_sum
+        |  FROM bvg JOIN mid USING (v) GROUP BY grp),
+        |tie AS (SELECT sum(t*t*t - t)::BIGINT AS tiet FROM bv),
+        |tot AS (SELECT sum(n)::BIGINT AS nn,
+        |    sum(rank_sum * rank_sum / n::DOUBLE) AS rr FROM pg),
+        |h AS (SELECT nn, tiet,
+        |    round(12.0::DOUBLE * rr / (nn::DOUBLE * (nn + 1)::DOUBLE)
+        |      - 3.0::DOUBLE * (nn + 1)::DOUBLE, 9) AS hraw
+        |  FROM tot CROSS JOIN tie)
+        |SELECT grp, n, round(rank_sum, 6) AS rank_sum,
+        |  round(rank_sum / n::DOUBLE, 6) AS mean_rank,
+        |  round(hraw, 6) AS h,
+        |  round(hraw / nullif(1.0::DOUBLE -
+        |    tiet::DOUBLE / (nn::DOUBLE * nn * nn - nn::DOUBLE), 0.0), 6)
+        |    AS h_corr
+        |FROM pg CROSS JOIN h ORDER BY grp""".stripMargin,
+
+    // dense r×c grid from margin cross join, 9-dp cells, Bergsma
+    // bias-corrected V with clamped phi2
+    "x235_cramers_v" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    count(*)::BIGINT AS k FROM orders GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(k)::BIGINT AS na FROM cells GROUP BY a),
+        |cb AS (SELECT b, sum(k)::BIGINT AS nb FROM cells GROUP BY b),
+        |nt AS (SELECT sum(k)::BIGINT AS n FROM cells),
+        |dense AS (SELECT ra.a, cb.b, ra.na, cb.nb,
+        |    coalesce(cells.k, 0)::BIGINT AS k
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+        |cc AS (SELECT round((k - e) * (k - e) / e, 9) AS cell
+        |  FROM (SELECT k, na::DOUBLE * nb / n AS e
+        |    FROM dense CROSS JOIN nt)),
+        |agg AS (SELECT (SELECT n FROM nt) AS n,
+        |    (SELECT count(*) FROM ra)::BIGINT AS r,
+        |    (SELECT count(*) FROM cb)::BIGINT AS c,
+        |    round(sum(cell), 6) AS chi2 FROM cc)
+        |SELECT n, r, c, chi2,
+        |  round(sqrt((chi2 / n::DOUBLE) /
+        |    least((r - 1)::DOUBLE, (c - 1)::DOUBLE)), 6) AS v,
+        |  round(sqrt(greatest(0.0::DOUBLE, chi2 / n::DOUBLE -
+        |      (r - 1)::DOUBLE * (c - 1)::DOUBLE / (n - 1)::DOUBLE) /
+        |    nullif(least(
+        |      r::DOUBLE - (r - 1)::DOUBLE * (r - 1)::DOUBLE / (n - 1)::DOUBLE
+        |        - 1.0::DOUBLE,
+        |      c::DOUBLE - (c - 1)::DOUBLE * (c - 1)::DOUBLE / (n - 1)::DOUBLE
+        |        - 1.0::DOUBLE), 0.0)), 6) AS v_corr
+        |FROM agg""".stripMargin,
+
+    // exact cents sufficient statistics, canonical a<b group pairs,
+    // pooled-SD d and the Hedges small-sample factor
+    "x236_cohens_d" ->
+      """WITH g AS (SELECT c_mktsegment AS g,
+        |    round(c_acctbal * 100)::BIGINT AS k FROM customer),
+        |byg AS (SELECT g, count(*)::BIGINT AS n, sum(k)::BIGINT AS s,
+        |    sum(k * k)::BIGINT AS s2 FROM g GROUP BY g),
+        |p AS (SELECT a.g AS grp_a, b.g AS grp_b, a.n AS n_a, b.n AS n_b,
+        |    a.s AS s_a, b.s AS s_b, a.s2 AS q_a, b.s2 AS q_b
+        |  FROM byg a JOIN byg b ON a.g < b.g),
+        |e AS (SELECT grp_a, grp_b, n_a, n_b,
+        |    s_a / (n_a::DOUBLE * 100.0::DOUBLE) AS ma,
+        |    s_b / (n_b::DOUBLE * 100.0::DOUBLE) AS mb,
+        |    (q_a::DOUBLE - s_a::DOUBLE * s_a / n_a::DOUBLE) /
+        |      (100.0::DOUBLE * 100.0::DOUBLE) AS ssa,
+        |    (q_b::DOUBLE - s_b::DOUBLE * s_b / n_b::DOUBLE) /
+        |      (100.0::DOUBLE * 100.0::DOUBLE) AS ssb
+        |  FROM p),
+        |d AS (SELECT grp_a, grp_b, n_a, n_b, ma, mb,
+        |    (ma - mb) / sqrt(nullif(
+        |      (ssa + ssb) / (n_a::DOUBLE + n_b::DOUBLE - 2.0), 0.0)) AS d
+        |  FROM e)
+        |SELECT grp_a, grp_b, n_a, n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round(d, 6) AS d,
+        |  round(d * (1.0::DOUBLE - 3.0::DOUBLE /
+        |    (4.0::DOUBLE * (n_a::DOUBLE + n_b::DOUBLE) - 9.0::DOUBLE)), 6)
+        |    AS g
+        |FROM d ORDER BY grp_a, grp_b""".stripMargin,
+
+    // doubled exact-cents medians from the two middle order statistics,
+    // integer deviations, one-way F on z
+    "x237_brown_forsythe" ->
+      """WITH kk AS (SELECT c_mktsegment AS g,
+        |    round(c_acctbal * 100)::BIGINT AS kv FROM customer),
+        |r AS (SELECT g, kv,
+        |    row_number() OVER (PARTITION BY g ORDER BY kv) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM kk),
+        |m AS (SELECT g, (sum(kv) * (3 - count(*)))::BIGINT AS m2 FROM r
+        |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY g),
+        |z AS (SELECT kk.g, abs(kv * 2 - m2)::BIGINT AS z
+        |  FROM kk JOIN m USING (g)),
+        |byg AS (SELECT g, count(*)::BIGINT AS n, sum(z)::BIGINT AS s1,
+        |    sum(z * z)::BIGINT AS s2 FROM z GROUP BY g),
+        |agg AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+        |    sum(s1)::BIGINT AS t1, sum(s2::DOUBLE) AS t2,
+        |    sum(s1::DOUBLE * s1 / n::DOUBLE) AS cb FROM byg)
+        |SELECT k, n,
+        |  round(((cb - t1::DOUBLE * t1 / n::DOUBLE) / (k - 1)::DOUBLE) /
+        |    nullif((t2 - cb) / (n - k)::DOUBLE, 0.0), 6) AS f,
+        |  (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2
+        |FROM agg""".stripMargin,
+
+    // four (treat, post) cells of exact milli-unit sums; the same
+    // chained divisions as the Spark plan, literal for literal
+    "x238_diff_in_diff" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END AS p,
+        |    round(value * 1000)::BIGINT AS kv FROM events),
+        |byc AS (SELECT t, p, count(*)::BIGINT AS n, sum(kv)::BIGINT AS s,
+        |    sum(kv * kv)::BIGINT AS q FROM c GROUP BY t, p),
+        |w AS (SELECT sum(n)::BIGINT AS n,
+        |    sum(CASE WHEN t=1 AND p=0 THEN n ELSE 0 END)::BIGINT AS n10,
+        |    sum(CASE WHEN t=1 AND p=1 THEN n ELSE 0 END)::BIGINT AS n11,
+        |    sum(CASE WHEN t=0 AND p=0 THEN n ELSE 0 END)::BIGINT AS n00,
+        |    sum(CASE WHEN t=0 AND p=1 THEN n ELSE 0 END)::BIGINT AS n01,
+        |    sum(CASE WHEN t=1 AND p=0 THEN s ELSE 0 END)::BIGINT AS s10,
+        |    sum(CASE WHEN t=1 AND p=1 THEN s ELSE 0 END)::BIGINT AS s11,
+        |    sum(CASE WHEN t=0 AND p=0 THEN s ELSE 0 END)::BIGINT AS s00,
+        |    sum(CASE WHEN t=0 AND p=1 THEN s ELSE 0 END)::BIGINT AS s01,
+        |    sum(CASE WHEN t=1 AND p=0 THEN q ELSE 0 END)::BIGINT AS q10,
+        |    sum(CASE WHEN t=1 AND p=1 THEN q ELSE 0 END)::BIGINT AS q11,
+        |    sum(CASE WHEN t=0 AND p=0 THEN q ELSE 0 END)::BIGINT AS q00,
+        |    sum(CASE WHEN t=0 AND p=1 THEN q ELSE 0 END)::BIGINT AS q01
+        |  FROM byc),
+        |e AS (SELECT n,
+        |    s10 / (n10::DOUBLE * 1000.0::DOUBLE) AS m10,
+        |    s11 / (n11::DOUBLE * 1000.0::DOUBLE) AS m11,
+        |    s00 / (n00::DOUBLE * 1000.0::DOUBLE) AS m00,
+        |    s01 / (n01::DOUBLE * 1000.0::DOUBLE) AS m01,
+        |    (q10::DOUBLE - s10::DOUBLE * s10 / n10::DOUBLE) /
+        |      (1000.0::DOUBLE * 1000.0::DOUBLE) /
+        |      (nullif(n10::DOUBLE - 1.0::DOUBLE, 0.0) * n10::DOUBLE) AS v10,
+        |    (q11::DOUBLE - s11::DOUBLE * s11 / n11::DOUBLE) /
+        |      (1000.0::DOUBLE * 1000.0::DOUBLE) /
+        |      (nullif(n11::DOUBLE - 1.0::DOUBLE, 0.0) * n11::DOUBLE) AS v11,
+        |    (q00::DOUBLE - s00::DOUBLE * s00 / n00::DOUBLE) /
+        |      (1000.0::DOUBLE * 1000.0::DOUBLE) /
+        |      (nullif(n00::DOUBLE - 1.0::DOUBLE, 0.0) * n00::DOUBLE) AS v00,
+        |    (q01::DOUBLE - s01::DOUBLE * s01 / n01::DOUBLE) /
+        |      (1000.0::DOUBLE * 1000.0::DOUBLE) /
+        |      (nullif(n01::DOUBLE - 1.0::DOUBLE, 0.0) * n01::DOUBLE) AS v01
+        |  FROM w)
+        |SELECT n,
+        |  round(m10, 6) AS mean_t_pre, round(m11, 6) AS mean_t_post,
+        |  round(m00, 6) AS mean_c_pre, round(m01, 6) AS mean_c_post,
+        |  round((m11 - m10) - (m01 - m00), 6) AS did,
+        |  round(sqrt(v11 + v10 + v01 + v00), 6) AS se,
+        |  round(((m11 - m10) - (m01 - m00)) /
+        |    nullif(sqrt(v11 + v10 + v01 + v00), 0.0), 6) AS t_stat
+        |FROM e""".stripMargin,
+
+    // singleton/doubleton capture-recapture per source over the
+    // (source, token) collapse — bias-corrected Chao1
+    "x239_chao1" ->
+      """WITH tk AS (SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |    x -> length(x) > 0)) AS t FROM documents),
+        |c AS (SELECT source, t, count(*) AS c FROM tk GROUP BY 1, 2)
+        |SELECT source, count(*)::BIGINT AS s_obs,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+        |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+        |  round(count(*) +
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE *
+        |    (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) /
+        |    (2.0::DOUBLE *
+        |      (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)::DOUBLE), 6)
+        |    AS chao1
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // four exact integer length signals, 9-dp per-item variances summed
+    // in item order, sample variances throughout
+    "x240_cronbach" ->
+      """WITH it AS (SELECT
+        |    length(text)::BIGINT AS i1,
+        |    (length(text) - length(replace(text, ' ', '')))::BIGINT AS i2,
+        |    (length(text) - length(replace(text, 'e', '')))::BIGINT AS i3,
+        |    (length(text) - length(replace(text, '.', '')))::BIGINT AS i4
+        |  FROM documents),
+        |t AS (SELECT i1, i2, i3, i4, (i1 + i2 + i3 + i4)::BIGINT AS tt
+        |  FROM it),
+        |s AS (SELECT count(*)::BIGINT AS n,
+        |    sum(i1)::BIGINT AS s1, sum(i1*i1)::BIGINT AS q1,
+        |    sum(i2)::BIGINT AS s2, sum(i2*i2)::BIGINT AS q2,
+        |    sum(i3)::BIGINT AS s3, sum(i3*i3)::BIGINT AS q3,
+        |    sum(i4)::BIGINT AS s4, sum(i4*i4)::BIGINT AS q4,
+        |    sum(tt)::BIGINT AS st, sum(tt*tt)::BIGINT AS qt FROM t),
+        |v AS (SELECT n,
+        |    round((q1::DOUBLE - s1::DOUBLE * s1 / n::DOUBLE) /
+        |      (n::DOUBLE - 1.0), 9)
+        |    + round((q2::DOUBLE - s2::DOUBLE * s2 / n::DOUBLE) /
+        |      (n::DOUBLE - 1.0), 9)
+        |    + round((q3::DOUBLE - s3::DOUBLE * s3 / n::DOUBLE) /
+        |      (n::DOUBLE - 1.0), 9)
+        |    + round((q4::DOUBLE - s4::DOUBLE * s4 / n::DOUBLE) /
+        |      (n::DOUBLE - 1.0), 9) AS vs,
+        |    (qt::DOUBLE - st::DOUBLE * st / n::DOUBLE) /
+        |      (n::DOUBLE - 1.0) AS vt
+        |  FROM s)
+        |SELECT n, 4::BIGINT AS k, round(vs, 6) AS var_sum,
+        |  round(vt, 6) AS var_total,
+        |  round(4.0::DOUBLE / 3.0::DOUBLE *
+        |    (1.0::DOUBLE - vs / nullif(vt, 0.0)), 6) AS alpha
+        |FROM v""".stripMargin,
+
+    // transition battles (later type beats displaced), symmetric n_ij,
+    // three unrolled MM rounds with 9-dp normalization after each
+    "x241_bradley_terry" ->
+      """WITH b AS (SELECT event_type, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |w AS (SELECT event_type AS wi, prev AS lo, count(*)::BIGINT AS wn
+        |  FROM b WHERE prev IS NOT NULL AND prev <> event_type
+        |  GROUP BY 1, 2),
+        |np AS (SELECT i, j, sum(wn)::BIGINT AS n FROM (
+        |    SELECT wi AS i, lo AS j, wn FROM w
+        |    UNION ALL SELECT lo AS i, wi AS j, wn FROM w)
+        |  GROUP BY i, j),
+        |wins AS (SELECT d.i, coalesce(ww.wins, 0)::BIGINT AS wins
+        |  FROM (SELECT DISTINCT i FROM np) d
+        |  LEFT JOIN (SELECT wi AS i, sum(wn)::BIGINT AS wins FROM w
+        |    GROUP BY wi) ww USING (i)),
+        |p0 AS (SELECT i, round(1.0::DOUBLE /
+        |    (SELECT count(*) FROM wins)::DOUBLE, 9) AS p FROM wins),
+        |r1 AS (SELECT w2.i, w2.wins::DOUBLE / d.d AS raw FROM wins w2
+        |  JOIN (SELECT np.i, sum(np.n::DOUBLE / (pi.p + pj.p)) AS d
+        |    FROM np JOIN p0 pi ON np.i = pi.i JOIN p0 pj ON np.j = pj.i
+        |    GROUP BY np.i) d ON w2.i = d.i),
+        |p1 AS (SELECT i, round(raw / (SELECT sum(raw) FROM r1), 9) AS p
+        |  FROM r1),
+        |r2 AS (SELECT w2.i, w2.wins::DOUBLE / d.d AS raw FROM wins w2
+        |  JOIN (SELECT np.i, sum(np.n::DOUBLE / (pi.p + pj.p)) AS d
+        |    FROM np JOIN p1 pi ON np.i = pi.i JOIN p1 pj ON np.j = pj.i
+        |    GROUP BY np.i) d ON w2.i = d.i),
+        |p2 AS (SELECT i, round(raw / (SELECT sum(raw) FROM r2), 9) AS p
+        |  FROM r2),
+        |r3 AS (SELECT w2.i, w2.wins::DOUBLE / d.d AS raw FROM wins w2
+        |  JOIN (SELECT np.i, sum(np.n::DOUBLE / (pi.p + pj.p)) AS d
+        |    FROM np JOIN p2 pi ON np.i = pi.i JOIN p2 pj ON np.j = pj.i
+        |    GROUP BY np.i) d ON w2.i = d.i),
+        |p3 AS (SELECT i, round(raw / (SELECT sum(raw) FROM r3), 9) AS p
+        |  FROM r3)
+        |SELECT wins.i AS item, wins.wins, round(p3.p, 6) AS p
+        |FROM wins JOIN p3 ON wins.i = p3.i ORDER BY item""".stripMargin,
 
     // paired discordant counts only; continuity-corrected χ², clamped at
     // |b−c| ≤ 1 and defined 0 when b + c = 0

@@ -2168,4 +2168,385 @@ object Stats {
             F.greatest(F.lit(0.0), (F.col("__d") - 1L).cast("double")) /
             (F.col("b") + F.col("c")).cast("double")), 6).as("chi2"))
   }
+
+  /** Kruskal-Wallis H test — the k-group generalization of
+    * [[mannWhitneyU]] (one-way ANOVA on ranks): does ANY group's value
+    * distribution sit above the others, with no normality assumption.
+    * Midranks handle ties exactly; the tie-corrected statistic is
+    * {{{
+    *   H  = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+    *   Hc = H / (1 − Σ(t³−t)/(N³−N))
+    * }}}
+    * Scale shape: the [[mannWhitneyU]] discipline — subjects collapse
+    * map-side to one row per DISTINCT (value, group) cell, midranks come
+    * from one bounded value-domain window (deliberate single partition
+    * over distinct values only), and the k-row rank-sum table does the
+    * rest. No subject-level sort ever happens.
+    *
+    * @return per group (grp, n, rank_sum, mean_rank) with the study-level
+    *         (h, h_corr) replicated on every row (1-row broadcast)
+    */
+  def kruskalWallis(df: DataFrame, groupCol: Column,
+                    valueCol: Column): DataFrame = {
+    val byVG = df
+      .select(groupCol.cast("string").as("grp"),
+        valueCol.cast("double").as("__v"))
+      .groupBy("__v", "grp").agg(F.count(F.lit(1)).as("__c"))
+    val byV = byVG.groupBy("__v").agg(F.sum("__c").as("__t"))
+    val w = Window.orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mids = byV
+      .withColumn("__cum", F.sum("__t").over(w))
+      .withColumn("__mid",
+        (F.col("__cum") - F.col("__t")).cast("double") +
+          (F.col("__t") + 1L).cast("double") / 2.0)
+    // midranks are exact doubles (integer or half-integer), so R_g is an
+    // exact sum — no 9-dp quantize needed before the rollup
+    val perG = byVG.join(mids.select("__v", "__mid"), "__v")
+      .groupBy("grp")
+      .agg(F.sum("__c").as("n"),
+        F.sum(F.col("__c") * F.col("__mid")).as("rank_sum"))
+    val tie = byV.agg(F.sum(
+      F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).as("__tie"))
+    val tot = perG.crossJoin(F.broadcast(tie))
+      .agg(F.sum("n").as("__N"),
+        F.sum(F.col("rank_sum") * F.col("rank_sum") /
+          F.col("n").cast("double")).as("__rr"),
+        F.max("__tie").as("__tiem"))
+      .select(F.col("__N"),
+        F.round((F.lit(12.0) * F.col("__rr") /
+          (F.col("__N").cast("double") * (F.col("__N") + 1L).cast("double")))
+          - F.lit(3.0) * (F.col("__N") + 1L).cast("double"), 9).as("__h"),
+        F.col("__tiem"))
+      .select(F.col("__N"),
+        F.round(F.col("__h"), 6).as("h"),
+        F.round(F.col("__h") / F.nullif(
+          F.lit(1.0) - F.col("__tiem").cast("double") /
+            (F.col("__N").cast("double") * F.col("__N") * F.col("__N") -
+              F.col("__N").cast("double")), F.lit(0.0)), 6).as("h_corr"))
+    perG.crossJoin(F.broadcast(tot))
+      .select(F.col("grp"), F.col("n"),
+        F.round(F.col("rank_sum"), 6).as("rank_sum"),
+        F.round(F.col("rank_sum") / F.col("n").cast("double"), 6)
+          .as("mean_rank"),
+        F.col("h"), F.col("h_corr"))
+      .orderBy("grp")
+  }
+
+  /** Cramér's V association between two categorical columns — the
+    * normalized effect size the raw χ² (sample-size-dependent) cannot
+    * give, plus the Bergsma bias-corrected variant that does not inflate
+    * on high-cardinality tables. Dense r×c grid (absent cells count 0):
+    * {{{
+    *   V  = √(φ²/min(r−1, c−1)),  φ² = χ²/n
+    *   φ²' = max(0, φ² − (r−1)(c−1)/(n−1)),  r' = r − (r−1)²/(n−1), …
+    *   V' = √(φ²'/min(r'−1, c'−1))
+    * }}}
+    * Scale shape: one map-side (a, b) cell collapse (the grid is
+    * cardinality-bounded), margins as two rollups of the cell table,
+    * dense cells via cross join of the bounded margins — the corpus is
+    * scanned once; everything after is grid-sized.
+    *
+    * @return one row (n, r, c, chi2, v, v_corr) — 6-dp
+    */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df
+      .select(aCol.cast("string").as("__a"), bCol.cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__k"))
+    val ra = cells.groupBy("__a").agg(F.sum("__k").as("__na"))
+    val cb = cells.groupBy("__b").agg(F.sum("__k").as("__nb"))
+    val n = cells.agg(F.sum("__k").as("__n"))
+    val dense = ra.crossJoin(cb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .na.fill(0L, Seq("__k"))
+      .crossJoin(F.broadcast(n))
+      // 9-dp per-cell terms before the unordered sum (the pageRank rule)
+      .withColumn("__e", F.col("__na").cast("double") * F.col("__nb") /
+        F.col("__n"))
+      .withColumn("__cell", F.round(
+        (F.col("__k") - F.col("__e")) * (F.col("__k") - F.col("__e")) /
+          F.col("__e"), 9))
+    val agg = dense.agg(
+      F.max("__n").as("n"),
+      F.countDistinct("__a").as("r"),
+      F.countDistinct("__b").as("c"),
+      F.round(F.sum("__cell"), 6).as("chi2"))
+    val nD = F.col("n").cast("double")
+    val rD = F.col("r").cast("double")
+    val cD = F.col("c").cast("double")
+    val phi2 = F.col("chi2") / nD
+    val phi2c = F.greatest(F.lit(0.0),
+      phi2 - (rD - 1.0) * (cD - 1.0) / (nD - 1.0))
+    val rAdj = rD - (rD - 1.0) * (rD - 1.0) / (nD - 1.0)
+    val cAdj = cD - (cD - 1.0) * (cD - 1.0) / (nD - 1.0)
+    agg.select(F.col("n"), F.col("r"), F.col("c"), F.col("chi2"),
+      F.round(F.sqrt(phi2 / F.least(rD - 1.0, cD - 1.0)), 6).as("v"),
+      F.round(F.sqrt(phi2c / F.nullif(
+        F.least(rAdj - 1.0, cAdj - 1.0), F.lit(0.0))), 6).as("v_corr"))
+  }
+
+  /** Pairwise Cohen's d / Hedges' g effect sizes between every pair of
+    * groups — the magnitude readout a p-value (t-test/ANOVA) does not
+    * give: HOW far apart two cohorts' means sit, in pooled-SD units, with
+    * the small-sample Hedges correction `g = d·(1 − 3/(4(na+nb)−9))`.
+    * Values quantize to exact integers k = round(`scale`·x) first (the
+    * x221 rule) so (n, Σk, Σk²) are exact and both engines replay
+    * bit-identical statistics.
+    *
+    * Scale shape: one map-side per-group collapse to (n, Σk, Σk²); the
+    * G²/2 pair table is group-cardinality-bounded (a self-join of the
+    * G-row rollup, never of subjects).
+    *
+    * @return (grp_a, grp_b, n_a, n_b, mean_a, mean_b, d, g) — 6-dp,
+    *         canonical grp_a < grp_b pairs
+    */
+  def cohensD(df: DataFrame, groupCol: Column, valueCol: Column,
+              scale: Long = 100L): DataFrame = {
+    val byG = df
+      .select(groupCol.cast("string").as("g"),
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .groupBy("g")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("__k").as("__s"),
+        F.sum(F.col("__k") * F.col("__k")).as("__s2"))
+    def side(s: String) = byG.select(F.col("g").as(s"grp_$s"),
+      F.col("n").as(s"n_$s"), F.col("__s").as(s"__s_$s"),
+      F.col("__s2").as(s"__s2_$s"))
+    val sc = F.lit(scale.toDouble)
+    val pairs = side("a").join(side("b"),
+      F.col("grp_a") < F.col("grp_b"))
+    val na = F.col("n_a").cast("double")
+    val nb = F.col("n_b").cast("double")
+    val meanA = F.col("__s_a") / (na * sc)
+    val meanB = F.col("__s_b") / (nb * sc)
+    // exact-integer within-group sums of squares, scaled once
+    val ssA = (F.col("__s2_a").cast("double") -
+      F.col("__s_a").cast("double") * F.col("__s_a") / na) / (sc * sc)
+    val ssB = (F.col("__s2_b").cast("double") -
+      F.col("__s_b").cast("double") * F.col("__s_b") / nb) / (sc * sc)
+    val sp = F.sqrt(F.nullif((ssA + ssB) / (na + nb - 2.0), F.lit(0.0)))
+    val d = (meanA - meanB) / sp
+    pairs.select(F.col("grp_a"), F.col("grp_b"), F.col("n_a"), F.col("n_b"),
+      F.round(meanA, 6).as("mean_a"), F.round(meanB, 6).as("mean_b"),
+      F.round(d, 6).as("d"),
+      F.round(d * (F.lit(1.0) -
+        F.lit(3.0) / (F.lit(4.0) * (na + nb) - 9.0)), 6).as("g"))
+      .orderBy("grp_a", "grp_b")
+  }
+
+  /** Brown-Forsythe test (Levene with median centers) for variance
+    * homogeneity across groups — the robust gatekeeper for ANOVA/pooled-SD
+    * assumptions: one-way F on the absolute deviations from each group's
+    * MEDIAN. Everything stays in exact integers: values quantize to
+    * k = round(`scale`·x); the group median is carried DOUBLED
+    * (m2 = k_lo + k_hi from the two middle order statistics, so an
+    * even-n median never becomes a fractional value), and the deviations
+    * z = |2k − m2| are exact integers whose common factor cancels in F.
+    * No engine ever interpolates a median — the x221 rule applied to
+    * order statistics.
+    *
+    * Scale shape: per-group rank via a GROUP-KEYED window (no global
+    * sort), two middle rows per group survive, one map-side (n, Σz, Σz²)
+    * collapse on the deviations — two scans of the value projection.
+    *
+    * @return one row (k, n, f, df1, df2) — f 6-dp
+    */
+  def brownForsythe(df: DataFrame, groupCol: Column, valueCol: Column,
+                    scale: Long = 100L): DataFrame = {
+    val keyed = df.select(groupCol.cast("string").as("__g"),
+      F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+    val wG = Window.partitionBy("__g").orderBy(F.col("__k"))
+    val cnt = Window.partitionBy("__g")
+    val m2 = keyed
+      .withColumn("__rn", F.row_number().over(wG))
+      .withColumn("__n", F.count(F.lit(1)).over(cnt))
+      // Spark's `/` on longs is DOUBLE division — floor() makes these the
+      // two middle order-statistic positions (equal when n is odd)
+      .filter(F.col("__rn") === F.floor((F.col("__n") + 1L) / 2L) ||
+        F.col("__rn") === F.floor((F.col("__n") + 2L) / 2L))
+      .groupBy("__g")
+      // odd n keeps ONE row → double it; even n sums the two middles
+      .agg((F.sum("__k") * (F.lit(3L) - F.count(F.lit(1)))).as("__m2"))
+    val z = keyed.join(m2, "__g")
+      .withColumn("__z", F.abs(F.col("__k") * 2L - F.col("__m2")))
+    val byG = z.groupBy("__g")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__z").as("__s1"),
+        F.sum(F.col("__z") * F.col("__z")).as("__s2"))
+    val agg = byG.agg(
+      F.count(F.lit(1)).as("k"), F.sum("__n").as("n"),
+      F.sum(F.col("__s1")).as("__t1"),
+      F.sum(F.col("__s2").cast("double")).as("__t2"),
+      F.sum(F.col("__s1").cast("double") * F.col("__s1") /
+        F.col("__n").cast("double")).as("__cb"))
+    val kD = F.col("k").cast("double")
+    val nD = F.col("n").cast("double")
+    val ssb = F.col("__cb") -
+      F.col("__t1").cast("double") * F.col("__t1") / nD
+    val ssw = F.col("__t2") - F.col("__cb")
+    agg.select(F.col("k"), F.col("n"),
+      F.round((ssb / (kD - 1.0)) / F.nullif(ssw / (nD - kD), F.lit(0.0)), 6)
+        .as("f"),
+      (F.col("k") - 1L).as("df1"), (F.col("n") - F.col("k")).as("df2"))
+  }
+
+  /** Difference-in-differences estimator over a 2×2 (treated × post)
+    * design — the workhorse for "did the pipeline change move the metric,
+    * net of the secular trend": `DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post −
+    * ȳ_C,pre)`, with the unequal-variance SE `√(Σ_cells s²/n)` and its
+    * t-statistic. Values quantize to exact integers k = round(`scale`·y)
+    * (x221 rule) so all four cell means replay bit-identically.
+    *
+    * Scale shape: ONE map-side conditional collapse to four (treat, post)
+    * sufficient-statistic rows; everything after is 4-row arithmetic.
+    *
+    * @return one row (n, mean_t_pre, mean_t_post, mean_c_pre,
+    *         mean_c_post, did, se, t_stat) — 6-dp
+    */
+  def diffInDiff(df: DataFrame, treatCol: Column, postCol: Column,
+                 valueCol: Column, scale: Long = 1000L): DataFrame = {
+    val cells = df
+      .select(F.when(treatCol, 1).otherwise(0).as("__t"),
+        F.when(postCol, 1).otherwise(0).as("__p"),
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .groupBy("__t", "__p")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__s"),
+        F.sum(F.col("__k") * F.col("__k")).as("__s2"))
+    val sc = F.lit(scale.toDouble)
+    val wide = cells.agg(
+      F.sum("__n").as("n"),
+      (0 to 1).flatMap { t => (0 to 1).map { p =>
+        F.sum(F.when(F.col("__t") === t && F.col("__p") === p,
+          F.col("__n")).otherwise(0L)).as(s"__n_${t}${p}")
+      } } ++
+      (0 to 1).flatMap { t => (0 to 1).map { p =>
+        F.sum(F.when(F.col("__t") === t && F.col("__p") === p,
+          F.col("__s")).otherwise(0L)).as(s"__s_${t}${p}")
+      } } ++
+      (0 to 1).flatMap { t => (0 to 1).map { p =>
+        F.sum(F.when(F.col("__t") === t && F.col("__p") === p,
+          F.col("__s2")).otherwise(0L)).as(s"__q_${t}${p}")
+      } }: _*)
+    def mean(t: Int, p: Int) =
+      F.col(s"__s_${t}${p}") / (F.col(s"__n_${t}${p}").cast("double") * sc)
+    // per-cell mean-variance s²/n from exact integer stats
+    def vm(t: Int, p: Int) = {
+      val nC = F.col(s"__n_${t}${p}").cast("double")
+      (F.col(s"__q_${t}${p}").cast("double") -
+        F.col(s"__s_${t}${p}").cast("double") * F.col(s"__s_${t}${p}") / nC) /
+        (sc * sc) / (F.nullif(nC - 1.0, F.lit(0.0)) * nC)
+    }
+    val did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    val se = F.sqrt(vm(1, 1) + vm(1, 0) + vm(0, 1) + vm(0, 0))
+    wide.select(F.col("n"),
+      F.round(mean(1, 0), 6).as("mean_t_pre"),
+      F.round(mean(1, 1), 6).as("mean_t_post"),
+      F.round(mean(0, 0), 6).as("mean_c_pre"),
+      F.round(mean(0, 1), 6).as("mean_c_post"),
+      F.round(did, 6).as("did"),
+      F.round(se, 6).as("se"),
+      F.round(did / F.nullif(se, F.lit(0.0)), 6).as("t_stat"))
+  }
+
+  /** Cronbach's alpha internal-consistency coefficient over k item
+    * columns — "do these quality signals measure one underlying thing":
+    * `α = k/(k−1) · (1 − Σ var_items / var_total)`. Item expressions must
+    * be INTEGER-valued (counts, lengths) so every (Σx, Σx²) — including
+    * the per-row item total's — is exact and engine-replayable; sample
+    * variances, consistently, so the n/(n−1) factors cancel in the ratio.
+    *
+    * Scale shape: one map-side collapse of 2k+2 exact sums over a single
+    * scan; the result is one row. Nothing shuffles but the sums.
+    *
+    * @return one row (n, k, var_sum, var_total, alpha) — 6-dp
+    */
+  def cronbachAlpha(df: DataFrame, items: Seq[(String, Column)]): DataFrame = {
+    require(items.size >= 2, s"need >= 2 items, got ${items.size}")
+    val k = items.size
+    val proj = df.select(items.map { case (n, c) =>
+      c.cast("long").as(s"__i_$n") } :+
+      items.map { case (_, c) => c.cast("long") }
+        .reduce(_ + _).as("__tot"): _*)
+    val sums = proj.agg(
+      F.count(F.lit(1)).as("n"),
+      items.flatMap { case (nm, _) => Seq(
+        F.sum(F.col(s"__i_$nm")).as(s"__s_$nm"),
+        F.sum(F.col(s"__i_$nm") * F.col(s"__i_$nm")).as(s"__q_$nm"))
+      } ++ Seq(
+        F.sum(F.col("__tot")).as("__st"),
+        F.sum(F.col("__tot") * F.col("__tot")).as("__qt")): _*)
+    val nD = F.col("n").cast("double")
+    def svar(s: Column, q: Column) =
+      (q.cast("double") - s.cast("double") * s / nD) / (nD - 1.0)
+    // 9-dp per-item variances before the unordered k-term sum
+    val varSum = items.map { case (nm, _) =>
+      F.round(svar(F.col(s"__s_$nm"), F.col(s"__q_$nm")), 9) }.reduce(_ + _)
+    val varTot = svar(F.col("__st"), F.col("__qt"))
+    sums.select(F.col("n"), F.lit(k).as("k"),
+      F.round(varSum, 6).as("var_sum"),
+      F.round(varTot, 6).as("var_total"),
+      F.round(F.lit(k.toDouble) / (k - 1.0) *
+        (F.lit(1.0) - varSum / F.nullif(varTot, F.lit(0.0))), 6).as("alpha"))
+  }
+
+  /** Bradley-Terry preference strengths from pairwise win counts — the
+    * model behind LLM-eval leaderboards and preference-data curation:
+    * given w(i beats j) battle counts, find abilities p_i with
+    * `P(i beats j) = p_i/(p_i + p_j)`. Three unrolled
+    * minorization-maximization rounds (Hunter 2004):
+    * {{{
+    *   p_i ← W_i / Σ_{j≠i} n_ij/(p_i + p_j),   then normalize Σp = 1
+    * }}}
+    * with p rounded to 9 dp after every round so both engines iterate
+    * from identical values (the quantize-then-iterate rule; MM converges
+    * geometrically, so 3 rounds from uniform is a stable readout, and a
+    * FIXED count keeps the op deterministic and oracle-replayable).
+    *
+    * Scale shape: battles collapse map-side to the item×item win matrix
+    * (item-vocabulary-bounded); every MM round is a join of that bounded
+    * table with the k-row ability vector — corpus size never re-enters.
+    *
+    * @return (item, wins, p) — p 6-dp from the 9-dp fixpoint ladder,
+    *         ordered by item
+    */
+  def bradleyTerry(battles: DataFrame, winnerCol: Column, loserCol: Column,
+                   rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds must be in [1,10], got $rounds")
+    val w = battles
+      .select(winnerCol.cast("string").as("wi"),
+        loserCol.cast("string").as("lo"))
+      .filter(F.col("wi").isNotNull && F.col("lo").isNotNull &&
+        F.col("wi") =!= F.col("lo"))
+      .groupBy("wi", "lo").agg(F.count(F.lit(1)).as("__w"))
+    // symmetric battle counts n_ij and per-item totals (bounded tables)
+    val nPair = w.select(F.col("wi").as("i"), F.col("lo").as("j"), F.col("__w"))
+      .unionByName(w.select(F.col("lo").as("i"), F.col("wi").as("j"),
+        F.col("__w")))
+      .groupBy("i", "j").agg(F.sum("__w").as("__n"))
+    val wins = nPair.select(F.col("i")).distinct()
+      .join(w.groupBy(F.col("wi").as("i")).agg(F.sum("__w").as("wins")),
+        Seq("i"), "left")
+      .na.fill(0L, Seq("wins"))
+    val kItems = wins.count()
+    require(kItems >= 2, s"bradleyTerry: need >= 2 items, got $kItems")
+    var p = wins.select(F.col("i"),
+      F.round(F.lit(1.0) / kItems.toDouble, 9).as("p"))
+    (1 to rounds).foreach { _ =>
+      val denom = nPair
+        .join(p.select(F.col("i"), F.col("p").as("__pi")), Seq("i"))
+        .join(p.select(F.col("i").as("j"), F.col("p").as("__pj")), Seq("j"))
+        .groupBy("i")
+        .agg(F.sum(F.col("__n").cast("double") /
+          (F.col("__pi") + F.col("__pj"))).as("__d"))
+      val raw = wins.join(denom, Seq("i"))
+        .select(F.col("i"),
+          (F.col("wins").cast("double") / F.col("__d")).as("__raw"))
+      val tot = raw.agg(F.sum("__raw").as("__z"))
+      p = raw.crossJoin(F.broadcast(tot))
+        .select(F.col("i"),
+          F.round(F.col("__raw") / F.col("__z"), 9).as("p"))
+    }
+    wins.join(p, Seq("i"))
+      .select(F.col("i").as("item"), F.col("wins"),
+        F.round(F.col("p"), 6).as("p"))
+      .orderBy("item")
+  }
 }

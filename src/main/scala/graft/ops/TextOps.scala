@@ -1413,4 +1413,40 @@ object TextOps {
       .agg(F.max("__df").as("df_docs"),
         F.round(F.sum("__cell"), 6).as("chi2"))
   }
+
+  /** Chao1 species-richness estimate of the TRUE vocabulary size per
+    * group — "how many distinct tokens would this source show at infinite
+    * sampling", from the abundance of barely-seen tokens (the capture-
+    * recapture logic; Chao 1984, bias-corrected form):
+    * {{{
+    *   Ĉ = S_obs + f1(f1 − 1) / (2(f2 + 1))
+    * }}}
+    * where f1/f2 are singleton/doubleton token counts. The honest
+    * companion to the [[vocabGrowth]] observed curve and the Good-Turing
+    * unseen-mass readout (x115): it answers "is this corpus slice
+    * vocabulary-saturated or did we barely scratch it".
+    *
+    * Scale shape: the token stream collapses map-side to (group, token)
+    * counts, then to a per-group frequency-of-frequency rollup — two
+    * partial-aggregated shuffles, output bounded by group cardinality.
+    *
+    * @return per group (groupCols…, s_obs, f1, f2, chao1) — chao1 6-dp
+    */
+  def chao1Richness(df: DataFrame, groupCols: Seq[String],
+                    textCol: String): DataFrame = {
+    val toks = df.select(groupCols.map(F.col) :+
+        F.explode(F.filter(
+          F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))),
+            "\\s+"), t => F.length(t) > 0)).as("__t"): _*)
+    val counts = toks.groupBy(groupCols.map(F.col) :+ F.col("__t"): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    counts.groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("s_obs"),
+        F.sum(F.when(F.col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        F.sum(F.when(F.col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1", F.round(F.col("s_obs") +
+        F.col("f1").cast("double") * (F.col("f1") - 1L) /
+          (F.lit(2.0) * (F.col("f2") + 1L).cast("double")), 6))
+      .orderBy(groupCols.map(F.col): _*)
+  }
 }

@@ -4137,4 +4137,115 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Double)].head()
     assert(c1._5 == 0.0, c1)
   }
+
+  test("kruskalWallis: hand rank sums, H=7.2 untied; tie correction exact") {
+    import graft.ops.Stats
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0),
+      ("b", 6.0), ("c", 7.0), ("c", 8.0), ("c", 9.0)).toDF("g", "v")
+    val got = Stats.kruskalWallis(df, F.col("g"), F.col("v"))
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, 6.0, 2.0, 7.2, 7.2),
+      ("b", 3L, 15.0, 5.0, 7.2, 7.2),
+      ("c", 3L, 24.0, 8.0, 7.2, 7.2)), got)
+    // ties: A={1,1}, B={1,2} -> midranks 2,2,2,4; H=0.6, C=0.6, Hc=1.0
+    val tied = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 2.0))
+      .toDF("g", "v")
+    val t = Stats.kruskalWallis(tied, F.col("g"), F.col("v"))
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(t == Seq(("A", 2L, 4.0, 2.0, 0.6, 1.0),
+      ("B", 2L, 6.0, 3.0, 0.6, 1.0)), t)
+  }
+
+  test("cramersV: perfect association 1.0 both forms; independence 0") {
+    import graft.ops.Stats
+    val perfect = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val p = Stats.cramersV(perfect, F.col("a"), F.col("b"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(p == ((20L, 2L, 2L, 20.0, 1.0, 1.0)), p)
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 1 to 5 } yield (a, b)).toDF("a", "b")
+    val i = Stats.cramersV(indep, F.col("a"), F.col("b"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(i == ((20L, 2L, 2L, 0.0, 0.0, 0.0)), i)
+  }
+
+  test("cohensD: pooled-SD d=-3, Hedges g=-2.4 on the textbook pair") {
+    import graft.ops.Stats
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val got = Stats.cohensD(df, F.col("g"), F.col("v"), scale = 1L)
+      .as[(String, String, Long, Long, Double, Double, Double, Double)]
+      .head()
+    assert(got == (("a", "b", 3L, 3L, 2.0, 5.0, -3.0, -2.4)), got)
+  }
+
+  test("brownForsythe: doubled-median deviations give F=2.205882") {
+    import graft.ops.Stats
+    // A={1,2,3,10}: med 2.5 -> m2=5, z={3,1,1,15}; B constant -> z=0
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+      ("b", 1.0), ("b", 1.0), ("b", 1.0), ("b", 1.0)).toDF("g", "v")
+    val got = Stats.brownForsythe(df, F.col("g"), F.col("v"), scale = 1L)
+      .as[(Long, Long, Double, Long, Long)].head()
+    // SSB=50, SSW=136 -> F = 50 / (136/6) = 2.205882
+    assert(got == ((2L, 8L, 2.205882, 1L, 6L)), got)
+    // odd-n group median: {1,2,4} -> m2=4 (middle doubled), exact
+    val odd = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0),
+      ("b", 1.0), ("b", 2.0), ("b", 4.0)).toDF("g", "v")
+    val f0 = Stats.brownForsythe(odd, F.col("g"), F.col("v"), scale = 1L)
+      .as[(Long, Long, Double, Long, Long)].head()
+    assert(f0._3 == 0.0, f0) // identical groups: zero between-group spread
+  }
+
+  test("diffInDiff: 4-cell hand means, did=3.5, se=sqrt(3.25)") {
+    import graft.ops.Stats
+    val df = Seq(
+      (true, false, 1.0), (true, false, 2.0),   // treated pre: mean 1.5
+      (true, true, 5.0), (true, true, 7.0),     // treated post: mean 6
+      (false, false, 1.0), (false, false, 3.0), // control pre: mean 2
+      (false, true, 2.0), (false, true, 4.0))   // control post: mean 3
+      .toDF("t", "p", "y")
+    val got = Stats.diffInDiff(df, F.col("t"), F.col("p"), F.col("y"))
+      .as[(Long, Double, Double, Double, Double, Double, Double, Double)]
+      .head()
+    assert(got == ((8L, 1.5, 6.0, 2.0, 3.0, 3.5, 1.802776, 1.941451)), got)
+  }
+
+  test("chao1Richness: singleton/doubleton hand values incl. f2=0") {
+    import graft.ops.TextOps
+    val df = Seq((1L, "s1", "a b c c d d d"), (2L, "s2", "a b"))
+      .toDF("id", "source", "text")
+    val got = TextOps.chao1Richness(df, Seq("source"), "text")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("s1", 4L, 2L, 1L, 4.5), ("s2", 2L, 2L, 0L, 3.0)),
+      got)
+  }
+
+  test("cronbachAlpha: perfectly correlated items -> 1; anti-pattern < 0") {
+    import graft.ops.Stats
+    val dup = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("i1", "i2")
+    val a1 = Stats.cronbachAlpha(dup,
+      Seq(("a", F.col("i1")), ("b", F.col("i2"))))
+      .as[(Long, Int, Double, Double, Double)].head()
+    assert(a1 == ((3L, 2, 2.0, 4.0, 1.0)), a1)
+    val ind = Seq((1L, 3L), (2L, 1L), (3L, 2L)).toDF("i1", "i2")
+    val a2 = Stats.cronbachAlpha(ind,
+      Seq(("a", F.col("i1")), ("b", F.col("i2"))))
+      .as[(Long, Int, Double, Double, Double)].head()
+    assert(a2 == ((3L, 2, 2.0, 1.0, -2.0)), a2)
+  }
+
+  test("bradleyTerry: 3:1 record -> 0.75/0.25 fixpoint; cycle stays uniform") {
+    import graft.ops.Stats
+    val b = (Seq.fill(3)(("a", "b")) :+ (("b", "a"))).toDF("w", "l")
+    val got = Stats.bradleyTerry(b, F.col("w"), F.col("l"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 3L, 0.75), ("b", 1L, 0.25)), got)
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("w", "l")
+    val u = Stats.bradleyTerry(cyc, F.col("w"), F.col("l"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(u == Seq(("a", 1L, 0.333333), ("b", 1L, 0.333333),
+      ("c", 1L, 0.333333)), u)
+  }
 }
