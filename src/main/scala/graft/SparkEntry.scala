@@ -2567,6 +2567,57 @@ object SparkEntry {
         ("dots", minus("\\."))))
     }),
 
+    // Dunn post-hoc pairwise z after the x234 omnibus — which segments
+    // differ; same distinct-value collapse, G-row pair join
+    "x242_dunn" -> ((s, dir) =>
+      graft.ops.Stats.dunnPairs(
+        s.read.parquet(s"$dir/customer.parquet"),
+        F.col("c_mktsegment"), F.col("c_acctbal"))),
+
+    // Cochran's Q over three paired en-detectors — the k-way McNemar;
+    // one pass of exact integer sums
+    "x243_cochran_q" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val truth = F.col("lang") === "en"
+      graft.ops.Stats.cochranQ(d, Seq(
+        ("stop", F.col("text").contains(" the ") === truth),
+        ("len", (F.col("n_chars") >= 900) === truth),
+        ("of", F.col("text").contains(" of ") === truth)))
+    }),
+
+    // G-test of priority×status independence — the log-likelihood twin
+    // of x235's Pearson grid
+    "x244_g_test" -> ((s, dir) =>
+      graft.ops.Stats.gTest(
+        s.read.parquet(s"$dir/orders.parquet"),
+        F.col("o_orderpriority"), F.col("o_orderstatus"))),
+
+    // ICC(1): how much balance variance is BETWEEN nations — one-way
+    // random effects from exact cents ANOVA sums
+    "x245_icc1" -> ((s, dir) =>
+      graft.ops.Stats.icc1(
+        s.read.parquet(s"$dir/customer.parquet"),
+        F.col("c_nationkey"), F.col("c_acctbal"))),
+
+    // partial correlation of n_chars and e-counts controlling for raw
+    // length — do the signals agree beyond tracking size
+    "x246_partial_corr" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val len = F.length(F.col("text"))
+      graft.ops.Stats.partialCorr(d, F.col("n_chars"),
+        len - F.length(F.regexp_replace(F.col("text"), "e", "")), len)
+    }),
+
+    // Durbin-Watson of daily event volume residuals around the OLS
+    // trend — autocorrelation left behind by the linear fit
+    "x247_durbin_watson" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val t = graft.ops.EventOps.tsStamp(ev)
+      val daily = ev.groupBy(F.dayofmonth(t).cast("long").as("d"))
+        .agg(F.count(F.lit(1)).cast("double").as("y"))
+      graft.ops.Stats.durbinWatson(daily, F.col("d"), F.col("y"))
+    }),
+
     // Bradley-Terry abilities over event-type transition "battles" (the
     // later event beats the one it displaced) — 3 MM rounds on the
     // type×type win matrix, 9-dp quantize-then-iterate
@@ -6086,6 +6137,154 @@ object SparkEntry {
         |  round(4.0::DOUBLE / 3.0::DOUBLE *
         |    (1.0::DOUBLE - vs / nullif(vt, 0.0)), 6) AS alpha
         |FROM v""".stripMargin,
+
+    // the x234 midrank CTEs + tie-corrected common variance, pairwise z
+    "x242_dunn" ->
+      """WITH v AS (SELECT c_mktsegment AS grp, c_acctbal::DOUBLE AS v
+        |  FROM customer),
+        |bvg AS (SELECT v, grp, count(*) AS c FROM v GROUP BY 1, 2),
+        |bv AS (SELECT v, sum(c)::BIGINT AS t FROM bvg GROUP BY v),
+        |mid AS (SELECT v, t,
+        |    (sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)::DOUBLE
+        |      + (t + 1)::DOUBLE / 2.0 AS midr
+        |  FROM bv),
+        |pg AS (SELECT grp, sum(c)::BIGINT AS n, sum(c * midr) AS r
+        |  FROM bvg JOIN mid USING (v) GROUP BY grp),
+        |tie AS (SELECT sum(t*t*t - t)::BIGINT AS tiet FROM bv),
+        |tot AS (SELECT sum(n)::BIGINT AS nn FROM pg),
+        |cv AS (SELECT
+        |    nn::DOUBLE * (nn + 1)::DOUBLE / 12.0::DOUBLE -
+        |      tiet::DOUBLE / (12.0::DOUBLE * (nn::DOUBLE - 1.0::DOUBLE))
+        |      AS cvar
+        |  FROM tot CROSS JOIN tie)
+        |SELECT a.grp AS grp_a, b.grp AS grp_b, a.n AS n_a, b.n AS n_b,
+        |  round(a.r / a.n::DOUBLE, 6) AS mean_rank_a,
+        |  round(b.r / b.n::DOUBLE, 6) AS mean_rank_b,
+        |  round((a.r / a.n::DOUBLE - b.r / b.n::DOUBLE) /
+        |    sqrt(nullif(cvar * (1.0::DOUBLE / a.n::DOUBLE +
+        |      1.0::DOUBLE / b.n::DOUBLE), 0.0)), 6) AS z
+        |FROM pg a JOIN pg b ON a.grp < b.grp CROSS JOIN cv
+        |ORDER BY grp_a, grp_b""".stripMargin,
+
+    // k+2 exact integer sums, the Q ratio in pure integer arithmetic
+    // until the final division
+    "x243_cochran_q" ->
+      """WITH o AS (SELECT
+        |    CASE WHEN (contains(text, ' the ')) = (lang = 'en')
+        |      THEN 1 ELSE 0 END AS o1,
+        |    CASE WHEN (n_chars >= 900) = (lang = 'en')
+        |      THEN 1 ELSE 0 END AS o2,
+        |    CASE WHEN (contains(text, ' of ')) = (lang = 'en')
+        |      THEN 1 ELSE 0 END AS o3
+        |  FROM documents),
+        |t AS (SELECT o1, o2, o3, (o1 + o2 + o3)::BIGINT AS l FROM o),
+        |s AS (SELECT count(*)::BIGINT AS n,
+        |    sum(o1)::BIGINT AS g1, sum(o2)::BIGINT AS g2,
+        |    sum(o3)::BIGINT AS g3,
+        |    sum(l)::BIGINT AS sl, sum(l * l)::BIGINT AS sl2 FROM t)
+        |SELECT n, 3::BIGINT AS k,
+        |  round((2 * (3 * (g1*g1 + g2*g2 + g3*g3) - sl * sl))::DOUBLE /
+        |    nullif((3 * sl - sl2)::DOUBLE, 0.0), 6) AS q,
+        |  2::BIGINT AS df
+        |FROM s""".stripMargin,
+
+    // the x235 dense grid with O·ln(O/E) cells (0 at O=0), 9-dp terms
+    "x244_g_test" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    count(*)::BIGINT AS k FROM orders GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(k)::BIGINT AS na FROM cells GROUP BY a),
+        |cb AS (SELECT b, sum(k)::BIGINT AS nb FROM cells GROUP BY b),
+        |nt AS (SELECT sum(k)::BIGINT AS n FROM cells),
+        |dense AS (SELECT ra.a, cb.b, ra.na, cb.nb,
+        |    coalesce(cells.k, 0)::BIGINT AS k
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+        |cc AS (SELECT round(CASE WHEN k > 0
+        |      THEN k * ln(k::DOUBLE / e) ELSE 0.0::DOUBLE END, 9) AS cell
+        |  FROM (SELECT k, na::DOUBLE * nb / n AS e
+        |    FROM dense CROSS JOIN nt))
+        |SELECT (SELECT n FROM nt) AS n,
+        |  (SELECT count(*) FROM ra)::BIGINT AS r,
+        |  (SELECT count(*) FROM cb)::BIGINT AS c,
+        |  round(2.0::DOUBLE * sum(cell), 6) AS g_stat,
+        |  (((SELECT count(*) FROM ra) - 1) *
+        |   ((SELECT count(*) FROM cb) - 1))::BIGINT AS df
+        |FROM cc""".stripMargin,
+
+    // exact cents ANOVA decomposition, unbalanced n0, 1-row ICC
+    "x245_icc1" ->
+      """WITH kk AS (SELECT c_nationkey::VARCHAR AS g,
+        |    round(c_acctbal * 100)::BIGINT AS k FROM customer),
+        |byg AS (SELECT g, count(*)::BIGINT AS n, sum(k)::BIGINT AS s,
+        |    sum(k * k)::BIGINT AS s2 FROM kk GROUP BY g),
+        |a AS (SELECT count(*)::BIGINT AS g, sum(n)::BIGINT AS n,
+        |    sum(s)::BIGINT AS t1, sum(s2::DOUBLE) AS t2,
+        |    sum(s::DOUBLE * s / n::DOUBLE) AS cb,
+        |    sum(n * n)::BIGINT AS sn2 FROM byg),
+        |e AS (SELECT g, n,
+        |    (cb - t1::DOUBLE * t1 / n::DOUBLE) /
+        |      (100.0::DOUBLE * 100.0::DOUBLE) / (g - 1)::DOUBLE AS msb,
+        |    (t2 - cb) / (100.0::DOUBLE * 100.0::DOUBLE) /
+        |      (n::DOUBLE - g::DOUBLE) AS msw,
+        |    (n::DOUBLE - sn2::DOUBLE / n::DOUBLE) / (g - 1)::DOUBLE AS n0
+        |  FROM a)
+        |SELECT g, n, round(n0, 6) AS n0, round(msb, 6) AS msb,
+        |  round(msw, 6) AS msw,
+        |  round((msb - msw) / nullif(msb + (n0 - 1.0::DOUBLE) * msw, 0.0),
+        |    6) AS icc
+        |FROM e""".stripMargin,
+
+    // nine exact integer moments, three pairwise r, the partial formula
+    "x246_partial_corr" ->
+      """WITH p AS (SELECT n_chars::BIGINT AS x,
+        |    (length(text) - length(replace(text, 'e', '')))::BIGINT AS y,
+        |    length(text)::BIGINT AS z FROM documents),
+        |s AS (SELECT count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(z)::BIGINT AS sz,
+        |    sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy,
+        |    sum(z*z)::BIGINT AS szz,
+        |    sum(x*y)::BIGINT AS sxy, sum(x*z)::BIGINT AS sxz,
+        |    sum(y*z)::BIGINT AS syz FROM p),
+        |r AS (SELECT n,
+        |    (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy) /
+        |      sqrt(nullif((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx) *
+        |        (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy), 0.0)) AS rxy,
+        |    (n::DOUBLE * sxz::DOUBLE - sx::DOUBLE * sz) /
+        |      sqrt(nullif((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx) *
+        |        (n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz), 0.0)) AS rxz,
+        |    (n::DOUBLE * syz::DOUBLE - sy::DOUBLE * sz) /
+        |      sqrt(nullif((n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy) *
+        |        (n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz), 0.0)) AS ryz
+        |  FROM s)
+        |SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+        |  round(ryz, 6) AS r_yz,
+        |  round((rxy - rxz * ryz) / sqrt(nullif(
+        |    (1.0::DOUBLE - rxz * rxz) * (1.0::DOUBLE - ryz * ryz), 0.0)),
+        |    6) AS r_partial
+        |FROM r""".stripMargin,
+
+    // bounded daily rollup, closed-form OLS, 9-dp residuals before the
+    // lag, DW ratio
+    "x247_durbin_watson" ->
+      """WITH d AS (SELECT day(ts)::BIGINT AS t, count(*)::DOUBLE AS y
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+        |    sum(y) AS sy, sum(t * t)::BIGINT AS stt,
+        |    sum(t::DOUBLE * y) AS sty FROM d),
+        |f AS (SELECT n, st, sy,
+        |    (n::DOUBLE * sty - st::DOUBLE * sy) /
+        |      (n::DOUBLE * stt::DOUBLE - st::DOUBLE * st) AS b FROM s),
+        |f2 AS (SELECT n, b, (sy - b * st) / n::DOUBLE AS a FROM f),
+        |e AS (SELECT t, round(y - (a + b * t), 9) AS e
+        |  FROM d CROSS JOIN f2),
+        |l AS (SELECT e, e - lag(e) OVER (ORDER BY t) AS de FROM e)
+        |SELECT (SELECT n FROM f2) AS n,
+        |  round((SELECT b FROM f2), 6) AS slope,
+        |  round((SELECT a FROM f2), 6) AS intercept,
+        |  round(sum(de * de) / nullif(sum(e * e), 0.0), 6) AS dw
+        |FROM l""".stripMargin,
 
     // transition battles (later type beats displaced), symmetric n_ij,
     // three unrolled MM rounds with 9-dp normalization after each

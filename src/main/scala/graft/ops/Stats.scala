@@ -2549,4 +2549,270 @@ object Stats {
         F.round(F.col("p"), 6).as("p"))
       .orderBy("item")
   }
+
+  /** Dunn's post-hoc pairwise comparisons after [[kruskalWallis]] — WHICH
+    * groups differ once the omnibus H rejects. Pairwise z on mean ranks
+    * with the tie-corrected common variance:
+    * {{{
+    *   z_ab = (R̄_a − R̄_b) / √( (N(N+1)/12 − T/(12(N−1))) (1/n_a + 1/n_b) )
+    * }}}
+    * (T = Σ(t³−t)). Emits z, not p — the caller thresholds (the
+    * [[mannWhitneyU]] convention; pair with [[holmAdjust]]/[[bhFdr]] to
+    * control the family-wise rate over the G²/2 pairs).
+    *
+    * Scale shape: the kruskalWallis collapse (distinct-value window) plus
+    * a G-row pair self-join — subjects never pair.
+    *
+    * @return (grp_a, grp_b, n_a, n_b, mean_rank_a, mean_rank_b, z) — 6-dp
+    */
+  def dunnPairs(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val byVG = df
+      .select(groupCol.cast("string").as("grp"),
+        valueCol.cast("double").as("__v"))
+      .groupBy("__v", "grp").agg(F.count(F.lit(1)).as("__c"))
+    val byV = byVG.groupBy("__v").agg(F.sum("__c").as("__t"))
+    val w = Window.orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mids = byV
+      .withColumn("__cum", F.sum("__t").over(w))
+      .withColumn("__mid",
+        (F.col("__cum") - F.col("__t")).cast("double") +
+          (F.col("__t") + 1L).cast("double") / 2.0)
+    val perG = byVG.join(mids.select("__v", "__mid"), "__v")
+      .groupBy("grp")
+      .agg(F.sum("__c").as("n"),
+        F.sum(F.col("__c") * F.col("__mid")).as("__r"))
+    val tot = perG.agg(F.sum("n").as("__N"))
+      .crossJoin(F.broadcast(byV.agg(F.sum(
+        F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+        .as("__tie"))))
+    def side(s: String) = perG.select(F.col("grp").as(s"grp_$s"),
+      F.col("n").as(s"n_$s"), (F.col("__r") / F.col("n").cast("double"))
+        .as(s"__mr_$s"))
+    val nD = F.col("__N").cast("double")
+    val commonVar = nD * (nD + 1.0) / 12.0 -
+      F.col("__tie").cast("double") / (F.lit(12.0) * (nD - 1.0))
+    side("a").join(side("b"), F.col("grp_a") < F.col("grp_b"))
+      .crossJoin(F.broadcast(tot))
+      .select(F.col("grp_a"), F.col("grp_b"), F.col("n_a"), F.col("n_b"),
+        F.round(F.col("__mr_a"), 6).as("mean_rank_a"),
+        F.round(F.col("__mr_b"), 6).as("mean_rank_b"),
+        F.round((F.col("__mr_a") - F.col("__mr_b")) /
+          F.sqrt(F.nullif(commonVar *
+            (F.lit(1.0) / F.col("n_a").cast("double") +
+             F.lit(1.0) / F.col("n_b").cast("double")), F.lit(0.0))), 6)
+          .as("z"))
+      .orderBy("grp_a", "grp_b")
+  }
+
+  /** Cochran's Q test over k paired binary outcomes — "do these k
+    * detectors/models have the same success rate on the SAME rows", the
+    * k-way generalization of [[mcnemar]] (k = 2 reduces to it):
+    * {{{
+    *   Q = (k−1)·(k·ΣG_j² − (ΣG_j)²) / (k·ΣL_i − ΣL_i²)
+    * }}}
+    * with G_j the per-detector success totals and L_i the per-row success
+    * counts. χ²(k−1) under H0.
+    *
+    * Scale shape: one map-side pass accumulating k + 2 exact integer
+    * sums (each G_j, ΣL, ΣL²) — nothing shuffles but the sums.
+    *
+    * @return one row (n, k, q, df) — q 6-dp
+    */
+  def cochranQ(df: DataFrame, outcomes: Seq[(String, Column)]): DataFrame = {
+    require(outcomes.size >= 2, s"need >= 2 outcomes, got ${outcomes.size}")
+    val k = outcomes.size
+    val proj = df.select(outcomes.map { case (n, c) =>
+      F.when(c, 1L).otherwise(0L).as(s"__o_$n") }: _*)
+      .withColumn("__l", outcomes.map { case (n, _) =>
+        F.col(s"__o_$n") }.reduce(_ + _))
+    val sums = proj.agg(
+      F.count(F.lit(1)).as("n"),
+      outcomes.map { case (nm, _) =>
+        F.sum(F.col(s"__o_$nm")).as(s"__g_$nm") } ++ Seq(
+        F.sum("__l").as("__sl"),
+        F.sum(F.col("__l") * F.col("__l")).as("__sl2")): _*)
+    val sumG2 = outcomes.map { case (nm, _) =>
+      F.col(s"__g_$nm") * F.col(s"__g_$nm") }.reduce(_ + _)
+    val num = F.lit((k - 1).toLong) *
+      (F.lit(k.toLong) * sumG2 - F.col("__sl") * F.col("__sl"))
+    val den = F.lit(k.toLong) * F.col("__sl") - F.col("__sl2")
+    sums.select(F.col("n"), F.lit(k).as("k"),
+      F.round(num.cast("double") /
+        F.nullif(den.cast("double"), F.lit(0.0)), 6).as("q"),
+      F.lit((k - 1).toLong).as("df"))
+  }
+
+  /** G-test (log-likelihood ratio) of independence over a dense r×c
+    * contingency grid — the additive-decomposable alternative to Pearson
+    * χ² (G sums exactly over partitions of the table, χ² only
+    * approximately): `G = 2·Σ O·ln(O/E)`, zero-observation cells
+    * contribute 0 by the x·ln x → 0 limit.
+    *
+    * Scale shape: identical to [[cramersV]] — bounded cell collapse,
+    * margins, dense grid; the corpus is scanned once.
+    *
+    * @return one row (n, r, c, g_stat, df) — 6-dp
+    */
+  def gTest(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df
+      .select(aCol.cast("string").as("__a"), bCol.cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__k"))
+    val ra = cells.groupBy("__a").agg(F.sum("__k").as("__na"))
+    val cb = cells.groupBy("__b").agg(F.sum("__k").as("__nb"))
+    val n = cells.agg(F.sum("__k").as("__n"))
+    val dense = ra.crossJoin(cb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .na.fill(0L, Seq("__k"))
+      .crossJoin(F.broadcast(n))
+      .withColumn("__e", F.col("__na").cast("double") * F.col("__nb") /
+        F.col("__n"))
+      // 9-dp cell terms before the unordered sum; O = 0 contributes 0
+      .withColumn("__cell", F.round(F.when(F.col("__k") > 0L,
+        F.col("__k") * F.log(F.col("__k").cast("double") / F.col("__e")))
+        .otherwise(F.lit(0.0)), 9))
+    dense.agg(
+      F.max("__n").as("n"),
+      F.countDistinct("__a").as("r"),
+      F.countDistinct("__b").as("c"),
+      F.round(F.lit(2.0) * F.sum("__cell"), 6).as("g_stat"))
+      .withColumn("df", (F.col("r") - 1L) * (F.col("c") - 1L))
+  }
+
+  /** Intraclass correlation ICC(1) under the one-way random-effects
+    * model — "how much of the variance is BETWEEN groups", the
+    * reliability / clustering-strength readout (and the design-effect
+    * input for clustered experiments):
+    * {{{
+    *   ICC = (MSB − MSW) / (MSB + (n0 − 1)·MSW),
+    *   n0  = (N − Σn_g²/N) / (G − 1)    (unbalanced-design group size)
+    * }}}
+    * Values quantize to exact integers (x221 rule) so both engines replay
+    * the ANOVA decomposition bit-identically.
+    *
+    * Scale shape: the [[anovaF]] collapse — one map-side (n, Σk, Σk²)
+    * per group, G-row rollup, 1-row result.
+    *
+    * @return one row (g, n, n0, msb, msw, icc) — 6-dp
+    */
+  def icc1(df: DataFrame, groupCol: Column, valueCol: Column,
+           scale: Long = 100L): DataFrame = {
+    val byG = df
+      .select(groupCol.cast("string").as("__g"),
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .groupBy("__g")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__s"),
+        F.sum(F.col("__k") * F.col("__k")).as("__s2"))
+    val agg = byG.agg(
+      F.count(F.lit(1)).as("g"), F.sum("__n").as("n"),
+      F.sum("__s").as("__t1"), F.sum(F.col("__s2").cast("double")).as("__t2"),
+      F.sum(F.col("__s").cast("double") * F.col("__s") /
+        F.col("__n").cast("double")).as("__cb"),
+      F.sum(F.col("__n") * F.col("__n")).as("__sn2"))
+    val sc2 = F.lit(scale.toDouble) * F.lit(scale.toDouble)
+    val gD = F.col("g").cast("double")
+    val nD = F.col("n").cast("double")
+    val ssb = (F.col("__cb") -
+      F.col("__t1").cast("double") * F.col("__t1") / nD) / sc2
+    val ssw = (F.col("__t2") - F.col("__cb")) / sc2
+    val msb = ssb / (gD - 1.0)
+    val msw = ssw / (nD - gD)
+    val n0 = (nD - F.col("__sn2").cast("double") / nD) / (gD - 1.0)
+    agg.select(F.col("g"), F.col("n"),
+      F.round(n0, 6).as("n0"),
+      F.round(msb, 6).as("msb"), F.round(msw, 6).as("msw"),
+      F.round((msb - msw) / F.nullif(msb + (n0 - 1.0) * msw, F.lit(0.0)), 6)
+        .as("icc"))
+  }
+
+  /** Partial correlation r_xy·z — the x↔y association with the common
+    * driver z regressed out: `(r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))`,
+    * the one-line answer to "do these two quality signals agree beyond
+    * both just tracking document size". Item expressions must be
+    * INTEGER-valued so every moment sum is exact (x221 rule).
+    *
+    * Scale shape: one map-side pass of 9 exact sums; 1-row result.
+    *
+    * @return one row (n, r_xy, r_xz, r_yz, r_partial) — 6-dp, NULL
+    *         r_partial when a control correlation is ±1
+    */
+  def partialCorr(df: DataFrame, xCol: Column, yCol: Column,
+                  zCol: Column): DataFrame = {
+    val proj = df.select(xCol.cast("long").as("__x"),
+      yCol.cast("long").as("__y"), zCol.cast("long").as("__z"))
+    val s = proj.agg(F.count(F.lit(1)).as("n"),
+      F.sum("__x").as("__sx"), F.sum("__y").as("__sy"),
+      F.sum("__z").as("__sz"),
+      F.sum(F.col("__x") * F.col("__x")).as("__sxx"),
+      F.sum(F.col("__y") * F.col("__y")).as("__syy"),
+      F.sum(F.col("__z") * F.col("__z")).as("__szz"),
+      F.sum(F.col("__x") * F.col("__y")).as("__sxy"),
+      F.sum(F.col("__x") * F.col("__z")).as("__sxz"),
+      F.sum(F.col("__y") * F.col("__z")).as("__syz"))
+    val nD = F.col("n").cast("double")
+    def r(spq: Column, sp: Column, sq: Column, spp: Column, sqq: Column) =
+      (nD * spq.cast("double") - sp.cast("double") * sq) /
+        F.sqrt(F.nullif(
+          (nD * spp.cast("double") - sp.cast("double") * sp) *
+          (nD * sqq.cast("double") - sq.cast("double") * sq), F.lit(0.0)))
+    val rxy = r(F.col("__sxy"), F.col("__sx"), F.col("__sy"),
+      F.col("__sxx"), F.col("__syy"))
+    val rxz = r(F.col("__sxz"), F.col("__sx"), F.col("__sz"),
+      F.col("__sxx"), F.col("__szz"))
+    val ryz = r(F.col("__syz"), F.col("__sy"), F.col("__sz"),
+      F.col("__syy"), F.col("__szz"))
+    s.select(F.col("n"),
+      F.round(rxy, 6).as("r_xy"), F.round(rxz, 6).as("r_xz"),
+      F.round(ryz, 6).as("r_yz"),
+      F.round((rxy - rxz * ryz) / F.sqrt(F.nullif(
+        (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz), F.lit(0.0))),
+        6).as("r_partial"))
+  }
+
+  /** Durbin-Watson statistic of the residuals from a closed-form OLS
+    * trend over an ORDERED series — the standard "did my trend model
+    * leave autocorrelated structure behind" diagnostic (DW ≈ 2 means
+    * none; → 0 positive, → 4 negative autocorrelation):
+    * `DW = Σ(e_t − e_{t−1})² / Σe_t²`. Residuals round at 9 dp before
+    * the lag so both engines difference identical values.
+    *
+    * Scale shape: this op is for a ROLLED-UP series (a daily/hourly
+    * metric readout, not raw events — feed it the bounded rollup): the
+    * OLS moments collapse in one pass, and the single-partition lag
+    * window runs over the bounded series only.
+    *
+    * @return one row (n, slope, intercept, dw) — 6-dp
+    */
+  def durbinWatson(df: DataFrame, orderCol: Column,
+                   valueCol: Column): DataFrame = {
+    val proj = df.select(orderCol.cast("long").as("__t"),
+      valueCol.cast("double").as("__y"))
+    val s = proj.agg(F.count(F.lit(1)).as("__n"),
+      F.sum("__t").as("__st"), F.sum("__y").as("__sy"),
+      F.sum(F.col("__t") * F.col("__t")).as("__stt"),
+      F.sum(F.col("__t").cast("double") * F.col("__y")).as("__sty"))
+    val nD = F.col("__n").cast("double")
+    val fit = s.select(F.col("__n"),
+      ((nD * F.col("__sty") - F.col("__st").cast("double") * F.col("__sy")) /
+        (nD * F.col("__stt").cast("double") -
+          F.col("__st").cast("double") * F.col("__st"))).as("__b"),
+      F.col("__st"), F.col("__sy"))
+      .select(F.col("__n"), F.col("__b"),
+        ((F.col("__sy") - F.col("__b") * F.col("__st")) / nD).as("__a"))
+    val res = proj.crossJoin(F.broadcast(fit))
+      .withColumn("__e", F.round(
+        F.col("__y") - (F.col("__a") + F.col("__b") * F.col("__t")), 9))
+    val wLag = Window.orderBy(F.col("__t"))
+    val dw = res
+      .withColumn("__d", F.col("__e") - F.lag("__e", 1).over(wLag))
+      .agg(F.sum(F.col("__d") * F.col("__d")).as("__num"),
+        F.sum(F.col("__e") * F.col("__e")).as("__den"),
+        F.max("__n").as("n"), F.max("__b").as("__bb"),
+        F.max("__a").as("__aa"))
+    dw.select(F.col("n"),
+      F.round(F.col("__bb"), 6).as("slope"),
+      F.round(F.col("__aa"), 6).as("intercept"),
+      F.round(F.col("__num") / F.nullif(F.col("__den"), F.lit(0.0)), 6)
+        .as("dw"))
+  }
 }

@@ -4248,4 +4248,87 @@ class OpsSpec extends AnyFunSuite {
     assert(u == Seq(("a", 1L, 0.333333), ("b", 1L, 0.333333),
       ("c", 1L, 0.333333)), u)
   }
+
+  test("dunnPairs: pairwise z from mean ranks, -3/sqrt(5) hand value") {
+    import graft.ops.Stats
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0),
+      ("b", 6.0), ("c", 7.0), ("c", 8.0), ("c", 9.0)).toDF("g", "v")
+    val got = Stats.dunnPairs(df, F.col("g"), F.col("v"))
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    // cvar = 9*10/12 = 7.5; z_ab = -3/sqrt(7.5*2/3) = -1.341641
+    assert(got == Seq(
+      ("a", "b", 3L, 3L, 2.0, 5.0, -1.341641),
+      ("a", "c", 3L, 3L, 2.0, 8.0, -2.683282),
+      ("b", "c", 3L, 3L, 5.0, 8.0, -1.341641)), got)
+  }
+
+  test("cochranQ: hand 4x3 table gives Q=3; k=2 reduces to McNemar form") {
+    import graft.ops.Stats
+    val df = Seq((true, true, true), (true, false, false),
+      (true, true, false), (false, false, false)).toDF("a", "b", "c")
+    val got = Stats.cochranQ(df, Seq(("a", F.col("a")), ("b", F.col("b")),
+      ("c", F.col("c")))).as[(Long, Int, Double, Long)].head()
+    assert(got == ((4L, 3, 3.0, 2L)), got)
+    // all-equal outcomes: denominator k*SL - SL2 = 0 -> NULL, not NaN
+    val same = Seq((true, true), (false, false)).toDF("a", "b")
+    val z = Stats.cochranQ(same, Seq(("a", F.col("a")), ("b", F.col("b"))))
+      .select("q").collect().head
+    assert(z.isNullAt(0), z.toString)
+  }
+
+  test("gTest: perfect 2x2 association = 40*ln2; independence = 0") {
+    import graft.ops.Stats
+    val perfect = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val p = Stats.gTest(perfect, F.col("a"), F.col("b"))
+      .as[(Long, Long, Long, Double, Long)].head()
+    assert(p == ((20L, 2L, 2L, 27.725887, 1L)), p)
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 1 to 5 } yield (a, b)).toDF("a", "b")
+    val i = Stats.gTest(indep, F.col("a"), F.col("b"))
+      .as[(Long, Long, Long, Double, Long)].head()
+    assert(i._4 == 0.0, i)
+  }
+
+  test("icc1: hand ANOVA decomposition gives ICC=14/18") {
+    import graft.ops.Stats
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 7.0))
+      .toDF("g", "v")
+    val got = Stats.icc1(df, F.col("g"), F.col("v"), scale = 1L)
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    // MSB=16, MSW=2, n0=2 -> (16-2)/(16+2) = 0.777778
+    assert(got == ((2L, 4L, 2.0, 16.0, 2.0, 0.777778)), got)
+    // perfect clustering: zero within-variance -> ICC = 1
+    val sep = Seq(("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "v")
+    val one = Stats.icc1(sep, F.col("g"), F.col("v"), scale = 1L)
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(one._6 == 1.0, one)
+  }
+
+  test("partialCorr: shared driver fully explains the raw correlation") {
+    import graft.ops.Stats
+    val df = Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 4L, 2L), (4L, 3L, 2L))
+      .toDF("x", "y", "z")
+    val got = Stats.partialCorr(df, F.col("x"), F.col("y"), F.col("z"))
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert((got._1, got._2, got._3, got._4) ==
+      ((4L, 0.8, 0.894427, 0.894427)), got)
+    assert(got._5 == 0.0, got) // r_xy == r_xz*r_yz -> partial vanishes
+  }
+
+  test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
+    import graft.ops.Stats
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
+    val got = Stats.durbinWatson(df, F.col("t"), F.col("y"))
+      .as[(Long, Double, Double, Double)].head()
+    // b=0.2, a=1.0, e=(-.2,.6,-.6,.2): num=2.72, den=0.8 -> 3.4
+    assert(got == ((4L, 0.2, 1.0, 3.4)), got)
+    // perfect linear series: zero residuals -> NULL dw, not NaN
+    val lin = Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)).toDF("t", "y")
+    val z = Stats.durbinWatson(lin, F.col("t"), F.col("y"))
+      .select("dw").collect().head
+    assert(z.isNullAt(0), z.toString)
+  }
 }
