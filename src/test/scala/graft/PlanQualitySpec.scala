@@ -1094,6 +1094,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"truth intersection must be semi:\n$p")
   }
 
+  test("kruskalWallis: subjects collapse before the value-domain window; " +
+      "no subject-level sort") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val df = graft.ops.Stats.kruskalWallis(cust,
+      F.col("c_mktsegment"), F.col("c_acctbal"))
+    val p = finalPlan(df).split("== Initial Plan ==")(0)
+    // the (value, group) cell collapse partial-aggregates map-side
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"expected map-side partial aggregation before any shuffle:\n$p")
+    // the only window runs over the DISTINCT-value table, after its own
+    // aggregation — no Sort of raw subjects feeds a window directly
+    assert(p.contains("Window"), s"expected the midrank window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unkeyed join:\n$p")
+    // the 1-row H total broadcasts back to the k-row group table
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"study-level totals must broadcast, not shuffle:\n$p")
+  }
+
   test("hot-bucket guards are folded into the join: ONE scan, no census job") {
     // advisor r11: the old eager groupBy+collect census was a second full
     // pass over the corpus per call. The guard now rides a count window on
