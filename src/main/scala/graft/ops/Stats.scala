@@ -2501,8 +2501,10 @@ object Stats {
     * FIXED count keeps the op deterministic and oracle-replayable).
     *
     * Scale shape: battles collapse map-side to the item×item win matrix
-    * (item-vocabulary-bounded); every MM round is a join of that bounded
-    * table with the k-row ability vector — corpus size never re-enters.
+    * (item-vocabulary-bounded); the MM rounds then solve on the COLLECTED
+    * k²-cell matrix driver-side — the kmeansAssign / kCenterCoreset
+    * bounded-fit convention — so corpus size never re-enters and no round
+    * re-scans anything. Guarded at 4096 items.
     *
     * @return (item, wins, p) — p 6-dp from the 9-dp fixpoint ladder,
     *         ordered by item
@@ -2525,28 +2527,42 @@ object Stats {
       .join(w.groupBy(F.col("wi").as("i")).agg(F.sum("__w").as("wins")),
         Seq("i"), "left")
       .na.fill(0L, Seq("wins"))
-    val kItems = wins.count()
+    // The win matrix is item-vocabulary-bounded (k² rows for k models /
+    // sources) — iterate the MM fixpoint on the COLLECTED matrix, the
+    // kmeansAssign / kCenterCoreset bounded-driver-fit convention: one
+    // distributed collapse owns the corpus scan, the k²-row solve runs
+    // driver-side, and the ladder sums run in sorted-item order so the
+    // 9-dp rounds replay identically everywhere. (The first cut chained
+    // every round through a new DataFrame join of the SAME collapse —
+    // 3 re-scans of the corpus for a 25-cell matrix; ledger r12.)
+    val pairRows = nPair.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val winRows = wins.collect().map(r =>
+      r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val kItems = winRows.size
     require(kItems >= 2, s"bradleyTerry: need >= 2 items, got $kItems")
-    var p = wins.select(F.col("i"),
-      F.round(F.lit(1.0) / kItems.toDouble, 9).as("p"))
+    require(kItems <= 4096,
+      s"bradleyTerry: $kItems items — the matrix solve is meant for a " +
+        "bounded model/source vocabulary; aggregate first")
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val items = winRows.map(_._1)
+    var p = items.map(_ -> r9(1.0 / kItems.toDouble)).toMap
     (1 to rounds).foreach { _ =>
-      val denom = nPair
-        .join(p.select(F.col("i"), F.col("p").as("__pi")), Seq("i"))
-        .join(p.select(F.col("i").as("j"), F.col("p").as("__pj")), Seq("j"))
-        .groupBy("i")
-        .agg(F.sum(F.col("__n").cast("double") /
-          (F.col("__pi") + F.col("__pj"))).as("__d"))
-      val raw = wins.join(denom, Seq("i"))
-        .select(F.col("i"),
-          (F.col("wins").cast("double") / F.col("__d")).as("__raw"))
-      val tot = raw.agg(F.sum("__raw").as("__z"))
-      p = raw.crossJoin(F.broadcast(tot))
-        .select(F.col("i"),
-          F.round(F.col("__raw") / F.col("__z"), 9).as("p"))
+      val raw = winRows.map { case (i, wi) =>
+        val d = items.iterator.filter(j => pairRows.contains((i, j)))
+          .map(j => pairRows((i, j)).toDouble / (p(i) + p(j))).sum
+        i -> wi.toDouble / d
+      }
+      val z = raw.iterator.map(_._2).sum
+      p = raw.map { case (i, v) => i -> r9(v / z) }.toMap
     }
-    wins.join(p, Seq("i"))
-      .select(F.col("i").as("item"), F.col("wins"),
-        F.round(F.col("p"), 6).as("p"))
+    val spark = battles.sparkSession
+    import spark.implicits._
+    winRows.map { case (i, wi) =>
+      (i, wi, BigDecimal(p(i)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.toDF("item", "wins", "p")
       .orderBy("item")
   }
 
