@@ -2618,6 +2618,69 @@ object SparkEntry {
       graft.ops.Stats.durbinWatson(daily, F.col("d"), F.col("y"))
     }),
 
+    // Cliff's delta: how far above the rest do en docs' lengths sit —
+    // ordinal effect size from the x175 rank-sum identity
+    "x248_cliffs_delta" -> ((s, dir) =>
+      graft.ops.Stats.cliffsDelta(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.col("n_chars"), F.col("lang") === "en")),
+
+    // Bowker symmetry of the event transition matrix — is any i->j flow
+    // unbalanced by its reverse (one-way migration detector)
+    "x249_bowker" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val t = graft.ops.EventOps.tsStamp(ev)
+      val w = Window.partitionBy("user_id").orderBy(t, F.col("event_id"))
+      val seq2 = ev.select(F.col("event_type"),
+        F.lag("event_type", 1).over(w).as("prev"))
+      graft.ops.Stats.bowkerSymmetry(seq2,
+        F.col("prev"), F.col("event_type"))
+    }),
+
+    // Wald-Wolfowitz runs test on daily event volume — streaks around
+    // the exact doubled median vs noise
+    "x250_runs_test" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val t = graft.ops.EventOps.tsStamp(ev)
+      val daily = ev.groupBy(F.dayofmonth(t).cast("long").as("d"))
+        .agg(F.count(F.lit(1)).cast("double").as("y"))
+      graft.ops.Stats.runsTest(daily, F.col("d"), F.col("y"))
+    }),
+
+    // Mantel-Haenszel pooled odds ratio: BUILDING-segment -> high-balance
+    // association with nation confounding held inside strata
+    "x251_mantel_haenszel" -> ((s, dir) =>
+      graft.ops.Stats.mantelHaenszel(
+        s.read.parquet(s"$dir/customer.parquet"),
+        F.col("c_nationkey"), F.col("c_mktsegment") === "BUILDING",
+        F.col("c_acctbal") > 5000)),
+
+    // Jonckheere-Terpstra: does order value RISE across the ordered
+    // priority ladder (1-URGENT < ... < 5-LOW lexicographically)
+    "x252_jonckheere" -> ((s, dir) =>
+      graft.ops.Stats.jonckheereTerpstra(
+        s.read.parquet(s"$dir/orders.parquet"),
+        F.col("o_orderpriority"), F.col("o_totalprice"))),
+
+    // Friedman: do the three length signals rank documents identically —
+    // within-doc midranks, tie-general chi2
+    "x253_friedman" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val len = F.length(F.col("text"))
+      def minus(ch: String) =
+        len - F.length(F.regexp_replace(F.col("text"), ch, ""))
+      graft.ops.Stats.friedman(d, Seq(
+        ("spaces", minus(" ")), ("evs", minus("e")),
+        ("dots", minus("\\."))))
+    }),
+
+    // Fisher's exact on the small src0×zh 2x2 — exact BigInt tails where
+    // chi2 expected cells are < 5
+    "x254_fisher_exact" -> ((s, dir) =>
+      graft.ops.Stats.fisherExact(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.col("source") === "src0", F.col("lang") === "zh")),
+
     // Bradley-Terry abilities over event-type transition "battles" (the
     // later event beats the one it displaced) — 3 MM rounds on the
     // type×type win matrix, 9-dp quantize-then-iterate
@@ -6264,6 +6327,219 @@ object SparkEntry {
         |    (1.0::DOUBLE - rxz * rxz) * (1.0::DOUBLE - ryz * ryz), 0.0)),
         |    6) AS r_partial
         |FROM r""".stripMargin,
+
+    // the x175 rank-sum CTEs, delta identity, Romano bands on the
+    // unrounded delta
+    "x248_cliffs_delta" ->
+      """WITH v AS (SELECT n_chars AS vv,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c1 FROM documents),
+        |byv AS (SELECT vv, sum(c1) AS n1g, count(*) AS t FROM v
+        |  GROUP BY vv),
+        |mid AS (SELECT n1g, t,
+        |    (sum(t) OVER (ORDER BY vv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)::DOUBLE
+        |      + (t + 1)::DOUBLE / 2.0 AS midr
+        |  FROM byv),
+        |st AS (SELECT sum(n1g)::BIGINT AS n1, sum(t - n1g)::BIGINT AS n2,
+        |    sum(n1g * midr) AS r1 FROM mid),
+        |dd AS (SELECT n1, n2, r1 - n1*(n1+1.0)/2.0 AS u1,
+        |    2.0::DOUBLE * (r1 - n1*(n1+1.0)/2.0) /
+        |      nullif(n1::DOUBLE * n2, 0.0) - 1.0::DOUBLE AS d
+        |  FROM st)
+        |SELECT n1, n2, round(u1, 6) AS u1, round(d, 6) AS delta,
+        |  CASE WHEN abs(d) < 0.147::DOUBLE THEN 'negligible'
+        |    WHEN abs(d) < 0.33::DOUBLE THEN 'small'
+        |    WHEN abs(d) < 0.474::DOUBLE THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM dd""".stripMargin,
+
+    // per-user lag transitions, canonical pairs, 9-dp cells, 1-row
+    // (chi2, df) broadcast
+    "x249_bowker" ->
+      """WITH tr AS (SELECT event_type AS j, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |cells AS (SELECT i, j, count(*)::BIGINT AS c FROM tr
+        |  WHERE i IS NOT NULL AND i <> j GROUP BY i, j),
+        |p AS (SELECT least(i, j) AS a, greatest(i, j) AS b,
+        |    sum(CASE WHEN i < j THEN c ELSE 0 END)::BIGINT AS n_ab,
+        |    sum(CASE WHEN i > j THEN c ELSE 0 END)::BIGINT AS n_ba
+        |  FROM cells GROUP BY 1, 2),
+        |pc AS (SELECT a, b, n_ab, n_ba,
+        |    round((n_ab - n_ba)::DOUBLE * (n_ab - n_ba) /
+        |      (n_ab + n_ba)::DOUBLE, 9) AS cell FROM p),
+        |t AS (SELECT round(sum(cell), 6) AS chi2,
+        |    count(*)::BIGINT AS df FROM pc)
+        |SELECT a, b, n_ab, n_ba, cell, chi2, df FROM pc CROSS JOIN t
+        |ORDER BY a, b""".stripMargin,
+
+    // doubled-median signs over the daily rollup, lag-flip run count,
+    // closed-form normal moments
+    "x250_runs_test" ->
+      """WITH d AS (SELECT day(ts)::BIGINT AS o, count(*)::BIGINT AS yc
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT o, round(yc::DOUBLE * 1000)::BIGINT AS k FROM d),
+        |r AS (SELECT o, k, row_number() OVER (ORDER BY k) AS rn,
+        |    count(*) OVER () AS n FROM p),
+        |m AS (SELECT (sum(k) * (3 - count(*)))::BIGINT AS m2 FROM r
+        |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2),
+        |sg AS (SELECT o, CASE WHEN k * 2 > m2 THEN 1
+        |    WHEN k * 2 < m2 THEN -1 ELSE 0 END AS s
+        |  FROM p CROSS JOIN m),
+        |nz AS (SELECT o, s FROM sg WHERE s <> 0),
+        |fl AS (SELECT s, CASE
+        |    WHEN lag(s) OVER (ORDER BY o) IS NULL THEN 1
+        |    WHEN s <> lag(s) OVER (ORDER BY o) THEN 1 ELSE 0 END AS f
+        |  FROM nz),
+        |a AS (SELECT
+        |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(f)::BIGINT AS runs FROM fl)
+        |SELECT n1, n2, runs,
+        |  round(2.0::DOUBLE * n1 * n2 / (n1::DOUBLE + n2::DOUBLE)
+        |    + 1.0::DOUBLE, 6) AS mu,
+        |  round((runs - (2.0::DOUBLE * n1 * n2 / (n1::DOUBLE + n2::DOUBLE)
+        |      + 1.0::DOUBLE)) /
+        |    sqrt(nullif(2.0::DOUBLE * n1 * n2 *
+        |      (2.0::DOUBLE * n1 * n2 - n1::DOUBLE - n2::DOUBLE) /
+        |      ((n1::DOUBLE + n2::DOUBLE) * (n1::DOUBLE + n2::DOUBLE) *
+        |       (n1::DOUBLE + n2::DOUBLE - 1.0::DOUBLE)), 0.0)), 6) AS z
+        |FROM a""".stripMargin,
+
+    // (value, group) cells, per-group suffix counts on the dense grid,
+    // exact-half U summands, no-tie normal moments
+    "x252_jonckheere" ->
+      """WITH cells AS (SELECT o_totalprice::DOUBLE AS v,
+        |    o_orderpriority AS g, count(*)::BIGINT AS c
+        |  FROM orders GROUP BY 1, 2),
+        |grid AS (SELECT dv.v, dg.g, coalesce(cells.c, 0)::BIGINT AS c
+        |  FROM (SELECT DISTINCT v FROM cells) dv
+        |  CROSS JOIN (SELECT DISTINCT g FROM cells) dg
+        |  LEFT JOIN cells ON cells.v = dv.v AND cells.g = dg.g),
+        |gt AS (SELECT v, g, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS gtb
+        |  FROM grid),
+        |j AS (SELECT sum(a.c::DOUBLE *
+        |      (b.gtb::DOUBLE + b.c::DOUBLE / 2.0)) AS j
+        |  FROM cells a JOIN gt b ON a.v = b.v AND a.g < b.g),
+        |tot AS (SELECT sum(n)::BIGINT AS n,
+        |    sum(n * n)::BIGINT AS sn2,
+        |    sum(n * n * (2 * n + 3))::BIGINT AS sn23
+        |  FROM (SELECT g, sum(c)::BIGINT AS n FROM cells GROUP BY g))
+        |SELECT n, round(j, 6) AS j,
+        |  round((n::DOUBLE * n - sn2::DOUBLE) / 4.0, 6) AS mu,
+        |  round((j - (n::DOUBLE * n - sn2::DOUBLE) / 4.0) /
+        |    sqrt(nullif((n::DOUBLE * n * (2.0::DOUBLE * n + 3.0) -
+        |      sn23::DOUBLE) / 72.0, 0.0)), 6) AS z
+        |FROM j CROSS JOIN tot""".stripMargin,
+
+    // per-row midranks from pure integer comparisons, tie-general chi2
+    "x253_friedman" ->
+      """WITH it AS (SELECT
+        |    (length(text) - length(replace(text, ' ', '')))::BIGINT AS x1,
+        |    (length(text) - length(replace(text, 'e', '')))::BIGINT AS x2,
+        |    (length(text) - length(replace(text, '.', '')))::BIGINT AS x3
+        |  FROM documents),
+        |rk AS (SELECT
+        |    1.0::DOUBLE + ((CASE WHEN x2 < x1 THEN 1 ELSE 0 END +
+        |      CASE WHEN x3 < x1 THEN 1 ELSE 0 END))::DOUBLE +
+        |      ((CASE WHEN x2 = x1 THEN 1 ELSE 0 END +
+        |      CASE WHEN x3 = x1 THEN 1 ELSE 0 END))::DOUBLE / 2.0 AS r1,
+        |    1.0::DOUBLE + ((CASE WHEN x1 < x2 THEN 1 ELSE 0 END +
+        |      CASE WHEN x3 < x2 THEN 1 ELSE 0 END))::DOUBLE +
+        |      ((CASE WHEN x1 = x2 THEN 1 ELSE 0 END +
+        |      CASE WHEN x3 = x2 THEN 1 ELSE 0 END))::DOUBLE / 2.0 AS r2,
+        |    1.0::DOUBLE + ((CASE WHEN x1 < x3 THEN 1 ELSE 0 END +
+        |      CASE WHEN x2 < x3 THEN 1 ELSE 0 END))::DOUBLE +
+        |      ((CASE WHEN x1 = x3 THEN 1 ELSE 0 END +
+        |      CASE WHEN x2 = x3 THEN 1 ELSE 0 END))::DOUBLE / 2.0 AS r3
+        |  FROM it),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(r1) AS g1, sum(r2) AS g2,
+        |    sum(r3) AS g3, sum(r1*r1 + r2*r2 + r3*r3) AS a2 FROM rk)
+        |SELECT n, 3::BIGINT AS k,
+        |  round(n::DOUBLE * 2 *
+        |    ((g1*g1 + g2*g2 + g3*g3) / n::DOUBLE -
+        |      n::DOUBLE * 3 * 16 / 4.0) /
+        |    nullif(a2 - n::DOUBLE * 3 * 16 / 4.0, 0.0), 6) AS chi2,
+        |  2::BIGINT AS df
+        |FROM s""".stripMargin,
+
+    // lgamma hypergeometric terms over the bounded support, k-RANGE
+    // tails (no probability-compare tie rule), doubling convention
+    "x254_fisher_exact" ->
+      """WITH t AS (SELECT
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS y FROM documents),
+        |ct AS (SELECT
+        |    sum(CASE WHEN e=1 AND y=1 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN e=1 AND y=0 THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN e=0 AND y=1 THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN e=0 AND y=0 THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM t),
+        |m AS (SELECT a, b, c, d, a+b AS r1, c+d AS r2, a+c AS c1,
+        |    a+b+c+d AS n FROM ct),
+        |ks AS (SELECT m.*, gs.k FROM m,
+        |  (SELECT unnest(range(0, 3000001)) AS k) gs
+        |  WHERE gs.k >= greatest(0, m.c1 - m.r2)
+        |    AND gs.k <= least(m.r1, m.c1)),
+        |p AS (SELECT a, b, c, d, n, k,
+        |    exp(lgamma((r1+1)::DOUBLE) - lgamma((k+1)::DOUBLE)
+        |      - lgamma((r1-k+1)::DOUBLE)
+        |      + lgamma((r2+1)::DOUBLE) - lgamma((c1-k+1)::DOUBLE)
+        |      - lgamma((r2-c1+k+1)::DOUBLE)
+        |      - (lgamma((n+1)::DOUBLE) - lgamma((c1+1)::DOUBLE)
+        |      - lgamma((n-c1+1)::DOUBLE))) AS pk
+        |  FROM ks),
+        |tl AS (SELECT a, b, c, d, n,
+        |    sum(CASE WHEN k <= a THEN pk ELSE 0.0::DOUBLE END) AS pl,
+        |    sum(CASE WHEN k >= a THEN pk ELSE 0.0::DOUBLE END) AS pu
+        |  FROM p GROUP BY a, b, c, d, n)
+        |SELECT a, b, c, d, n,
+        |  round(pl, 6) AS p_lower, round(pu, 6) AS p_upper,
+        |  round(least(1.0::DOUBLE, 2.0::DOUBLE * least(pl, pu)), 6)
+        |    AS p_two
+        |FROM tl""".stripMargin,
+
+    // per-stratum 2x2 conditional counts, 9-dp R/S/PR/PSQR/QS terms,
+    // RBG variance of ln(OR)
+    "x251_mantel_haenszel" ->
+      """WITH s AS (SELECT c_nationkey::VARCHAR AS s,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS y
+        |  FROM customer),
+        |bys AS (SELECT s,
+        |    sum(CASE WHEN e=1 AND y=1 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN e=1 AND y=0 THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN e=0 AND y=1 THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN e=0 AND y=0 THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM s GROUP BY s),
+        |t AS (SELECT
+        |    round(a::DOUBLE * d / (a+b+c+d)::DOUBLE, 9) AS r,
+        |    round(b::DOUBLE * c / (a+b+c+d)::DOUBLE, 9) AS ss,
+        |    round((a+d)::DOUBLE / (a+b+c+d)::DOUBLE *
+        |      (a::DOUBLE * d / (a+b+c+d)::DOUBLE), 9) AS pr,
+        |    round((a+d)::DOUBLE / (a+b+c+d)::DOUBLE *
+        |      (b::DOUBLE * c / (a+b+c+d)::DOUBLE) +
+        |      (b+c)::DOUBLE / (a+b+c+d)::DOUBLE *
+        |      (a::DOUBLE * d / (a+b+c+d)::DOUBLE), 9) AS psqr,
+        |    round((b+c)::DOUBLE / (a+b+c+d)::DOUBLE *
+        |      (b::DOUBLE * c / (a+b+c+d)::DOUBLE), 9) AS qs
+        |  FROM bys),
+        |agg AS (SELECT count(*)::BIGINT AS strata, sum(r) AS sr,
+        |    sum(ss) AS sss, sum(pr) AS spr, sum(psqr) AS spsqr,
+        |    sum(qs) AS sqs FROM t)
+        |SELECT strata,
+        |  round(sr / nullif(sss, 0.0), 6) AS or_mh,
+        |  round(ln(sr / nullif(sss, 0.0)), 6) AS ln_or,
+        |  round(sqrt(spr / (2.0::DOUBLE * sr * sr) +
+        |    spsqr / (2.0::DOUBLE * sr * sss) +
+        |    sqs / (2.0::DOUBLE * sss * sss)), 6) AS se,
+        |  round(ln(sr / nullif(sss, 0.0)) /
+        |    nullif(sqrt(spr / (2.0::DOUBLE * sr * sr) +
+        |      spsqr / (2.0::DOUBLE * sr * sss) +
+        |      sqs / (2.0::DOUBLE * sss * sss)), 0.0), 6) AS z
+        |FROM agg""".stripMargin,
 
     // bounded daily rollup, closed-form OLS, 9-dp residuals before the
     // lag, DW ratio

@@ -2566,6 +2566,343 @@ object Stats {
       .orderBy("item")
   }
 
+  /** Cliff's delta ordinal effect size between two classes — the
+    * nonparametric companion to [[cohensD]]: `δ = P(x₁ > x₂) − P(x₁ <
+    * x₂)`, computed exactly from the [[mannWhitneyU]] rank-sum identity
+    * `δ = 2U₁/(n₁n₂) − 1` (midrank ties contribute ½ each way). The
+    * standard Romano magnitude bands are attached for the readout.
+    *
+    * Scale shape: [[rankSum]] — distinct-value collapse, one bounded
+    * window, 1-row result; subjects are never paired.
+    *
+    * @return one row (n1, n2, u1, delta, magnitude) — delta 6-dp
+    */
+  def cliffsDelta(df: DataFrame, valueCol: Column,
+                  isClass1: Column): DataFrame = {
+    val s = rankSum(df, valueCol, isClass1)
+    val n1 = F.col("n1").cast("double")
+    val n2 = F.col("n2").cast("double")
+    val u1 = F.col("r1") - n1 * (n1 + 1.0) / 2.0
+    val delta = F.lit(2.0) * u1 / F.nullif(n1 * n2, F.lit(0.0)) - 1.0
+    val ad = F.abs(delta)
+    s.select(F.col("n1"), F.col("n2"), F.round(u1, 6).as("u1"),
+      F.round(delta, 6).as("delta"),
+      F.when(ad < 0.147, "negligible").when(ad < 0.33, "small")
+        .when(ad < 0.474, "medium").otherwise("large").as("magnitude"))
+  }
+
+  /** Bowker symmetry test over a square transition table — the k×k
+    * generalization of [[mcnemar]]: is flow i→j balanced by j→i for
+    * every pair (a drifting preference / one-way migration detector for
+    * event streams). Per unordered pair `(n_ij − n_ji)²/(n_ij + n_ji)`,
+    * χ² with one df per tested pair.
+    *
+    * Scale shape: the corpus collapses map-side to the k² transition
+    * cells; pair canonicalization and the rollup run on that bounded
+    * table only.
+    *
+    * @return per pair (a, b, n_ab, n_ba, cell) with the study (chi2, df)
+    *         replicated (1-row broadcast), ordered by (a, b)
+    */
+  def bowkerSymmetry(df: DataFrame, fromCol: Column,
+                     toCol: Column): DataFrame = {
+    val cells = df
+      .select(fromCol.cast("string").as("__i"), toCol.cast("string").as("__j"))
+      .filter(F.col("__i").isNotNull && F.col("__j").isNotNull &&
+        F.col("__i") =!= F.col("__j"))
+      .groupBy("__i", "__j").agg(F.count(F.lit(1)).as("__c"))
+    val pairs = cells
+      .select(F.least(F.col("__i"), F.col("__j")).as("a"),
+        F.greatest(F.col("__i"), F.col("__j")).as("b"),
+        F.when(F.col("__i") < F.col("__j"), F.col("__c")).otherwise(0L)
+          .as("__fwd"),
+        F.when(F.col("__i") > F.col("__j"), F.col("__c")).otherwise(0L)
+          .as("__rev"))
+      .groupBy("a", "b")
+      .agg(F.sum("__fwd").as("n_ab"), F.sum("__rev").as("n_ba"))
+      .withColumn("cell", F.round(
+        (F.col("n_ab") - F.col("n_ba")).cast("double") *
+          (F.col("n_ab") - F.col("n_ba")) /
+          (F.col("n_ab") + F.col("n_ba")).cast("double"), 9))
+    val tot = pairs.agg(F.round(F.sum("cell"), 6).as("chi2"),
+      F.count(F.lit(1)).as("df"))
+    pairs.crossJoin(F.broadcast(tot))
+      .select(F.col("a"), F.col("b"), F.col("n_ab"), F.col("n_ba"),
+        F.col("cell"), F.col("chi2"), F.col("df"))
+      .orderBy("a", "b")
+  }
+
+  /** Wald-Wolfowitz runs test of randomness on an ORDERED series —
+    * "does this daily metric wander above/below its median in streaks
+    * (trend/regime) or flip like noise". Signs come from the exact
+    * DOUBLED median (the [[brownForsythe]] order-statistic trick — no
+    * interpolation, values quantized to integers first); exact-median
+    * points drop (the standard convention); runs count via one lag:
+    * {{{
+    *   μ = 2n₁n₂/(n₁+n₂) + 1
+    *   σ² = 2n₁n₂(2n₁n₂ − n₁ − n₂) / ((n₁+n₂)²(n₁+n₂−1))
+    * }}}
+    *
+    * Scale shape: for a ROLLED-UP series (daily/hourly readout): the
+    * median rank and the lag run over the bounded series only
+    * (deliberate single-partition windows over the rollup).
+    *
+    * @return one row (n1, n2, runs, mu, z) — 6-dp
+    */
+  def runsTest(df: DataFrame, orderCol: Column, valueCol: Column,
+               scale: Long = 1000L): DataFrame = {
+    val proj = df.select(orderCol.as("__o"),
+      F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+    val wV = Window.orderBy(F.col("__k"))
+    val m2 = proj
+      .withColumn("__rn", F.row_number().over(wV))
+      .withColumn("__n", F.count(F.lit(1)).over(
+        Window.partitionBy(F.lit(1))))
+      .filter(F.col("__rn") === F.floor((F.col("__n") + 1L) / 2L) ||
+        F.col("__rn") === F.floor((F.col("__n") + 2L) / 2L))
+      .agg((F.sum("__k") * (F.lit(3L) - F.count(F.lit(1)))).as("__m2"))
+    val signed = proj.crossJoin(F.broadcast(m2))
+      .withColumn("__s", F.when(F.col("__k") * 2L > F.col("__m2"), 1)
+        .when(F.col("__k") * 2L < F.col("__m2"), -1).otherwise(0))
+      .filter(F.col("__s") =!= 0)
+    val wO = Window.orderBy(F.col("__o"))
+    val agg = signed
+      .withColumn("__flip",
+        F.when(F.lag("__s", 1).over(wO).isNull, 1)
+          .when(F.col("__s") =!= F.lag("__s", 1).over(wO), 1).otherwise(0))
+      .agg(F.sum(F.when(F.col("__s") === 1, 1L).otherwise(0L)).as("n1"),
+        F.sum(F.when(F.col("__s") === -1, 1L).otherwise(0L)).as("n2"),
+        F.sum("__flip").as("runs"))
+    val n1 = F.col("n1").cast("double")
+    val n2 = F.col("n2").cast("double")
+    val nn = n1 + n2
+    val mu = F.lit(2.0) * n1 * n2 / nn + 1.0
+    val sigma2 = F.lit(2.0) * n1 * n2 *
+      (F.lit(2.0) * n1 * n2 - n1 - n2) / (nn * nn * (nn - 1.0))
+    agg.select(F.col("n1"), F.col("n2"), F.col("runs"),
+      F.round(mu, 6).as("mu"),
+      F.round((F.col("runs") - mu) /
+        F.sqrt(F.nullif(sigma2, F.lit(0.0))), 6).as("z"))
+  }
+
+  /** Mantel-Haenszel pooled odds ratio across strata — the stratified
+    * exposure→outcome effect with confounders held inside each stratum
+    * (the Simpson's-paradox-proof pooled readout, x199's constructive
+    * fix), with the Robins-Breslow-Greenland variance of ln(OR):
+    * {{{
+    *   OR = ΣR/ΣS,  R = ad/n,  S = bc/n
+    *   var = ΣPR/2(ΣR)² + Σ(PS+QR)/2ΣRΣS + ΣQS/2(ΣS)²
+    * }}}
+    * Per-stratum terms round at 9 dp before the unordered sums.
+    *
+    * Scale shape: ONE conditional collapse to four counts per stratum;
+    * everything after runs on the strata-bounded table.
+    *
+    * @return one row (strata, or_mh, ln_or, se, z) — 6-dp
+    */
+  def mantelHaenszel(df: DataFrame, strataCol: Column, exposedCol: Column,
+                     outcomeCol: Column): DataFrame = {
+    val byS = df
+      .select(strataCol.cast("string").as("__s"),
+        F.when(exposedCol, 1).otherwise(0).as("__e"),
+        F.when(outcomeCol, 1).otherwise(0).as("__y"))
+      .groupBy("__s")
+      .agg(F.sum(F.when(F.col("__e") === 1 && F.col("__y") === 1, 1L)
+          .otherwise(0L)).as("__a"),
+        F.sum(F.when(F.col("__e") === 1 && F.col("__y") === 0, 1L)
+          .otherwise(0L)).as("__b"),
+        F.sum(F.when(F.col("__e") === 0 && F.col("__y") === 1, 1L)
+          .otherwise(0L)).as("__c"),
+        F.sum(F.when(F.col("__e") === 0 && F.col("__y") === 0, 1L)
+          .otherwise(0L)).as("__d"))
+    val n = (F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d"))
+      .cast("double")
+    val rT = F.col("__a").cast("double") * F.col("__d") / n
+    val sT = F.col("__b").cast("double") * F.col("__c") / n
+    val pT = (F.col("__a") + F.col("__d")).cast("double") / n
+    val qT = (F.col("__b") + F.col("__c")).cast("double") / n
+    val terms = byS.select(
+      F.round(rT, 9).as("__r"), F.round(sT, 9).as("__ss"),
+      F.round(pT * rT, 9).as("__pr"),
+      F.round(pT * sT + qT * rT, 9).as("__psqr"),
+      F.round(qT * sT, 9).as("__qs"))
+    val agg = terms.agg(F.count(F.lit(1)).as("strata"),
+      F.sum("__r").as("__sr"), F.sum("__ss").as("__sss"),
+      F.sum("__pr").as("__spr"), F.sum("__psqr").as("__spsqr"),
+      F.sum("__qs").as("__sqs"))
+    val or = F.col("__sr") / F.nullif(F.col("__sss"), F.lit(0.0))
+    val lnOr = F.log(or)
+    val variance =
+      F.col("__spr") / (F.lit(2.0) * F.col("__sr") * F.col("__sr")) +
+      F.col("__spsqr") / (F.lit(2.0) * F.col("__sr") * F.col("__sss")) +
+      F.col("__sqs") / (F.lit(2.0) * F.col("__sss") * F.col("__sss"))
+    val se = F.sqrt(variance)
+    agg.select(F.col("strata"),
+      F.round(or, 6).as("or_mh"), F.round(lnOr, 6).as("ln_or"),
+      F.round(se, 6).as("se"),
+      F.round(lnOr / F.nullif(se, F.lit(0.0)), 6).as("z"))
+  }
+
+  /** Jonckheere-Terpstra ordered-alternative trend test — "does the value
+    * distribution RISE monotonically across these ordered groups", which
+    * [[kruskalWallis]] (any-difference) cannot ask. Groups order by their
+    * LEXICOGRAPHIC label (the caller encodes the hypothesis order, as
+    * TPC-H priorities `1-URGENT < 2-HIGH < …` already do):
+    * {{{
+    *   J = Σ_{a<b} U_ab   (ties ½),  μ = (N² − Σn²)/4
+    *   σ² = (N²(2N+3) − Σn²(2n+3)) / 72   (no-tie form; documented)
+    * }}}
+    * Scale shape: the (value, group) cell collapse + a per-group
+    * suffix-count over the value-domain-bounded grid; U_ab comes from a
+    * cell-level join, never a subject-level pairing.
+    *
+    * @return one row (n, j, mu, z) — 6-dp
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: Column,
+                         valueCol: Column): DataFrame = {
+    val cells = df
+      .select(groupCol.cast("string").as("g"),
+        valueCol.cast("double").as("__v"))
+      .groupBy("__v", "g").agg(F.count(F.lit(1)).as("__c"))
+    val grid = cells.select("__v").distinct()
+      .crossJoin(cells.select("g").distinct())
+      .join(cells, Seq("__v", "g"), "left")
+      .na.fill(0L, Seq("__c"))
+    val wDesc = Window.partitionBy("g").orderBy(F.col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withGt = grid
+      .withColumn("__gt", F.sum("__c").over(wDesc) - F.col("__c"))
+    // U_ab summands c_a·(gt_b + c_b/2) are exact halves — order-free sum
+    val j = cells
+      .select(F.col("__v"), F.col("g").as("ga"), F.col("__c").as("ca"))
+      .join(withGt.select(F.col("__v"), F.col("g").as("gb"),
+        F.col("__gt").as("gtb"), F.col("__c").as("cb")), Seq("__v"))
+      .filter(F.col("ga") < F.col("gb"))
+      .agg(F.sum(F.col("ca").cast("double") *
+        (F.col("gtb").cast("double") + F.col("cb").cast("double") / 2.0))
+        .as("__j"))
+    val tot = cells.groupBy("g").agg(F.sum("__c").as("__n"))
+      .agg(F.sum("__n").as("n"),
+        F.sum(F.col("__n") * F.col("__n")).as("__sn2"),
+        F.sum(F.col("__n") * F.col("__n") *
+          (F.lit(2L) * F.col("__n") + 3L)).as("__sn23"))
+    val nD = F.col("n").cast("double")
+    val mu = (nD * nD - F.col("__sn2").cast("double")) / 4.0
+    val variance = (nD * nD * (F.lit(2.0) * nD + 3.0) -
+      F.col("__sn23").cast("double")) / 72.0
+    j.crossJoin(F.broadcast(tot))
+      .select(F.col("n"), F.round(F.col("__j"), 6).as("j"),
+        F.round(mu, 6).as("mu"),
+        F.round((F.col("__j") - mu) /
+          F.sqrt(F.nullif(variance, F.lit(0.0))), 6).as("z"))
+  }
+
+  /** Friedman test over k paired measurements per block — "do these k
+    * scorers rank the same documents differently", the repeated-measures
+    * sibling of [[kruskalWallis]]. Within-block midranks come from pure
+    * comparisons of the k INTEGER item expressions (exact, x221 rule);
+    * the tie-general statistic is
+    * {{{
+    *   χ² = n(k−1)·(B − C) / (A − C),
+    *   A = Σᵢⱼ r²,  B = (Σⱼ Rⱼ²)/n,  C = nk(k+1)²/4
+    * }}}
+    * (reduces to the textbook 12/(nk(k+1))·ΣR² − 3n(k+1) when untied).
+    *
+    * Scale shape: midranks are per-ROW expressions (k² comparisons of k
+    * columns, codegen'd); one map-side collapse of k+2 sums — the corpus
+    * is scanned once, nothing shuffles but the sums.
+    *
+    * @return one row (n, k, chi2, df) — chi2 6-dp
+    */
+  def friedman(df: DataFrame, items: Seq[(String, Column)]): DataFrame = {
+    require(items.size >= 2, s"need >= 2 items, got ${items.size}")
+    val k = items.size
+    val vals = df.select(items.map { case (n, c) =>
+      c.cast("long").as(s"__x_$n") }: _*)
+    // midrank of item j within its row: 1 + #{l: x_l < x_j} + ties/2
+    val ranked = items.foldLeft(vals) { case (d, (nm, _)) =>
+      val lt = items.filter(_._1 != nm).map { case (o, _) =>
+        F.when(F.col(s"__x_$o") < F.col(s"__x_$nm"), 1L).otherwise(0L)
+      }.reduce(_ + _)
+      val eq = items.filter(_._1 != nm).map { case (o, _) =>
+        F.when(F.col(s"__x_$o") === F.col(s"__x_$nm"), 1L).otherwise(0L)
+      }.reduce(_ + _)
+      d.withColumn(s"__r_$nm",
+        F.lit(1.0) + lt.cast("double") + eq.cast("double") / 2.0)
+    }
+    val sums = ranked.agg(
+      F.count(F.lit(1)).as("n"),
+      items.map { case (nm, _) =>
+        F.sum(F.col(s"__r_$nm")).as(s"__R_$nm") } :+
+      F.sum(items.map { case (nm, _) =>
+        F.col(s"__r_$nm") * F.col(s"__r_$nm") }.reduce(_ + _)).as("__a2"): _*)
+    val nD = F.col("n").cast("double")
+    val b2 = items.map { case (nm, _) =>
+      F.col(s"__R_$nm") * F.col(s"__R_$nm") }.reduce(_ + _) / nD
+    val cC = nD * k * (k + 1) * (k + 1) / 4.0
+    sums.select(F.col("n"), F.lit(k).as("k"),
+      F.round(nD * (k - 1) * (b2 - cC) /
+        F.nullif(F.col("__a2") - cC, F.lit(0.0)), 6).as("chi2"),
+      F.lit((k - 1).toLong).as("df"))
+  }
+
+  /** Fisher's exact test on a 2×2 — EXACT small-count inference where the
+    * χ² approximation ([[cramersV]], [[gTest]]) breaks down (expected
+    * cells < 5: rare-language × rare-source checks, contamination spot
+    * tests). Tail p-values by k-RANGE (lower `k ≤ a`, upper `k ≥ a`) and
+    * the double-one-tailed two-sided convention `min(1, 2·min(pl, pu))` —
+    * range tails avoid the probability-equality tie rule that no two
+    * engines replay identically. The hypergeometric sum runs DRIVER-SIDE
+    * in EXACT BigInt rational arithmetic over the bounded support (the
+    * [[bradleyTerry]] bounded-solve convention): no floating-point ladder
+    * exists to disagree about.
+    *
+    * Scale shape: one distributed conditional collapse to four counts;
+    * the exact solve touches ≤ min(r1, c1)+1 terms. Guarded at n ≤ 2×10⁶
+    * LOUDLY — beyond that Fisher is the wrong tool (use [[gTest]] /
+    * x204's odds ratio) and the binomials are needlessly huge.
+    *
+    * @return one row (a, b, c, d, n, p_lower, p_upper, p_two) — 6-dp
+    */
+  def fisherExact(df: DataFrame, exposedCol: Column,
+                  outcomeCol: Column): DataFrame = {
+    val row = df.agg(
+      F.sum(F.when(exposedCol && outcomeCol, 1L).otherwise(0L)).as("a"),
+      F.sum(F.when(exposedCol && !outcomeCol, 1L).otherwise(0L)).as("b"),
+      F.sum(F.when(!exposedCol && outcomeCol, 1L).otherwise(0L)).as("c"),
+      F.sum(F.when(!exposedCol && !outcomeCol, 1L).otherwise(0L)).as("d"))
+      .head()
+    val (a, b, c, d) = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3))
+    val n = a + b + c + d
+    require(n <= 2000000L,
+      s"fisherExact: n=$n — an exact test on counts this large is the " +
+        "wrong tool; use gTest / the x204 odds ratio")
+    require(n > 0, "fisherExact: empty input")
+    val (r1, r2, c1) = (a + b, c + d, a + c)
+    val kMin = math.max(0L, c1 - r2)
+    val kMax = math.min(r1, c1)
+    def binom(nn: Long, kk: Long): BigInt = {
+      val k2 = math.min(kk, nn - kk)
+      (0L until k2).foldLeft(BigInt(1))((acc, i) =>
+        acc * BigInt(nn - i) / BigInt(i + 1))
+    }
+    val terms = (kMin to kMax).map(k =>
+      k -> binom(r1, k) * binom(r2, c1 - k))
+    val den = BigDecimal(binom(n, c1))
+    def tail(p: Long => Boolean): BigDecimal =
+      BigDecimal(terms.filter(t => p(t._1)).map(_._2).sum) / den
+    val pl = tail(_ <= a)
+    val pu = tail(_ >= a)
+    val p2 = (BigDecimal(2) * pl.min(pu)).min(BigDecimal(1))
+    def r6(x: BigDecimal): Double =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((a, b, c, d, n, r6(pl), r6(pu), r6(p2)))
+      .toDF("a", "b", "c", "d", "n", "p_lower", "p_upper", "p_two")
+  }
+
   /** Dunn's post-hoc pairwise comparisons after [[kruskalWallis]] — WHICH
     * groups differ once the omnibus H rejects. Pairwise z on mean ranks
     * with the tie-corrected common variance:

@@ -4318,6 +4318,114 @@ class OpsSpec extends AnyFunSuite {
     assert(got._5 == 0.0, got) // r_xy == r_xz*r_yz -> partial vanishes
   }
 
+  test("cliffsDelta: exact dominance -0.5 with bands; full separation 1") {
+    import graft.ops.Stats
+    // A={1,3} vs B={2,4}: #a>b=1, #a<b=3 -> delta = -0.5 (medium|large?)
+    val df = Seq((1.0, true), (3.0, true), (2.0, false), (4.0, false))
+      .toDF("v", "c")
+    val got = Stats.cliffsDelta(df, F.col("v"), F.col("c"))
+      .as[(Long, Long, Double, Double, String)].head()
+    assert(got == ((2L, 2L, 1.0, -0.5, "large")), got)
+    val sep = Seq((3.0, true), (4.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "c")
+    val s = Stats.cliffsDelta(sep, F.col("v"), F.col("c"))
+      .as[(Long, Long, Double, Double, String)].head()
+    assert(s == ((2L, 2L, 4.0, 1.0, "large")), s)
+    // midrank ties: identical distributions -> delta 0, negligible
+    val tie = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "c")
+    val t = Stats.cliffsDelta(tie, F.col("v"), F.col("c"))
+      .as[(Long, Long, Double, Double, String)].head()
+    assert(t._4 == 0.0 && t._5 == "negligible", t)
+  }
+
+  test("bowkerSymmetry: hand cells, asymmetric pair contributes, df counts") {
+    import graft.ops.Stats
+    val flows = (Seq.fill(5)(("a", "b")) ++ Seq.fill(3)(("b", "a")) ++
+      Seq.fill(2)(("a", "c")) ++ Seq.fill(2)(("c", "a")) ++
+      Seq.fill(1)(("a", "a"))).toDF("f", "t") // self-loop must drop
+    val got = Stats.bowkerSymmetry(flows, F.col("f"), F.col("t"))
+      .as[(String, String, Long, Long, Double, Double, Long)]
+      .collect().toSeq
+    // (a,b): (5-3)^2/8 = 0.5; (a,c): 0 -> chi2 = 0.5, df = 2
+    assert(got == Seq(
+      ("a", "b", 5L, 3L, 0.5, 0.5, 2L),
+      ("a", "c", 2L, 2L, 0.0, 0.5, 2L)), got)
+  }
+
+  test("runsTest: alternating series z=1.825742; streaked series negative z") {
+    import graft.ops.Stats
+    val alt = (1L to 6L).map(i => (i, if (i % 2 == 0) 2.0 else 1.0))
+      .toDF("o", "v")
+    val got = Stats.runsTest(alt, F.col("o"), F.col("v"))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(got == ((3L, 3L, 6L, 4.0, 1.825742)), got)
+    // fully streaked: 111222 -> 2 runs, z < 0 (clustering)
+    val blk = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 2.0), (5L, 2.0),
+      (6L, 2.0)).toDF("o", "v")
+    val b = Stats.runsTest(blk, F.col("o"), F.col("v"))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(b._3 == 2L && b._5 < 0.0, b)
+  }
+
+  test("mantelHaenszel: pooled OR=2 over reversing strata, RBG se exact") {
+    import graft.ops.Stats
+    def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    val df = (stratum("s1", 4, 1, 1, 4) ++ stratum("s2", 2, 3, 3, 2))
+      .toDF("s", "e", "y")
+    val got = Stats.mantelHaenszel(df, F.col("s"), F.col("e"), F.col("y"))
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(got == ((2L, 2.0, 0.693147, 0.842615, 0.822614)), got)
+  }
+
+  test("jonckheereTerpstra: J=4 on separated pair, z=1.549193; ties half") {
+    import graft.ops.Stats
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val got = Stats.jonckheereTerpstra(df, F.col("g"), F.col("v"))
+      .as[(Long, Double, Double, Double)].head()
+    assert(got == ((4L, 4.0, 2.0, 1.549193)), got)
+    // cross-group tie contributes 1/2; symmetric layout -> z = 0
+    val tie = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0)).toDF("g", "v")
+    val t = Stats.jonckheereTerpstra(tie, F.col("g"), F.col("v"))
+      .as[(Long, Double, Double, Double)].head()
+    assert(t == ((3L, 1.0, 1.0, 0.0)), t)
+  }
+
+  test("friedman: textbook 4x3 chi2=6.5; within-row ties midrank to 7.428571") {
+    import graft.ops.Stats
+    val df = Seq((1L, 2L, 3L), (1L, 3L, 2L), (1L, 2L, 3L), (1L, 2L, 3L))
+      .toDF("i1", "i2", "i3")
+    def items = Seq(("a", F.col("i1")), ("b", F.col("i2")),
+      ("c", F.col("i3")))
+    val got = Stats.friedman(df, items)
+      .as[(Long, Int, Double, Long)].head()
+    assert(got == ((4L, 3, 6.5, 2L)), got)
+    val tied = Seq((1L, 1L, 2L), (1L, 1L, 2L), (1L, 2L, 3L), (1L, 2L, 3L))
+      .toDF("i1", "i2", "i3")
+    val t = Stats.friedman(tied, items)
+      .as[(Long, Int, Double, Long)].head()
+    assert(t == ((4L, 3, 7.428571, 2L)), t)
+  }
+
+  test("fisherExact: tea-tasting exact tails; clean-split tails") {
+    import graft.ops.Stats
+    def mk(a: Int, b: Int, c: Int, d: Int) =
+      (Seq.fill(a)((true, true)) ++ Seq.fill(b)((true, false)) ++
+        Seq.fill(c)((false, true)) ++ Seq.fill(d)((false, false)))
+        .toDF("e", "y")
+    val got = Stats.fisherExact(mk(3, 1, 1, 3), F.col("e"), F.col("y"))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].head()
+    // 69/70, 17/70, 34/70 exact rationals
+    assert(got == ((3L, 1L, 1L, 3L, 8L, 0.985714, 0.242857, 0.485714)),
+      got)
+    val sep = Stats.fisherExact(mk(5, 0, 0, 5), F.col("e"), F.col("y"))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].head()
+    assert((sep._6, sep._7, sep._8) == ((1.0, 0.003968, 0.007937)), sep)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
