@@ -5907,7 +5907,8 @@ object SparkEntry {
         |SELECT t, n_risk, n1_risk, d, d1, e1, v, chi2
         |FROM pert CROSS JOIN tot ORDER BY t""".stripMargin,
 
-    // exact-integer cents sufficient statistics, MoM τ², the same
+    // exact-integer cents sufficient statistics, MoM τ² from
+    // ALL-POSITIVE per-group SS terms (the tri-scale rule), the same
     // (1.0/10000.0) runtime double the Spark side multiplies by
     "x231_shrunk_means" ->
       """WITH k AS (SELECT c_nationkey::BIGINT AS grp,
@@ -5915,25 +5916,33 @@ object SparkEntry {
         |byg AS (SELECT grp, count(*)::BIGINT AS n, sum(k)::BIGINT AS sk,
         |    sum(k * k)::BIGINT AS sk2 FROM k GROUP BY grp),
         |tot AS (SELECT count(*)::BIGINT AS g, sum(n)::BIGINT AS nn,
-        |    sum(sk)::BIGINT AS tsk, sum(sk2)::BIGINT AS tsk2,
-        |    sum(n * n)::BIGINT AS sn2,
-        |    sum(sk::DOUBLE * sk::DOUBLE / n::DOUBLE) AS sg FROM byg),
-        |c1 AS (SELECT grp, n, sk, g, nn, sn2,
+        |    sum(sk)::BIGINT AS tsk, sum(n * n)::BIGINT AS sn2 FROM byg),
+        |wm AS (SELECT grp, n, sk, sk2, g, nn, sn2,
         |    tsk::DOUBLE / (nn::DOUBLE * 100.0::DOUBLE) AS m,
-        |    (tsk2::DOUBLE - sg) * (1.0::DOUBLE / 10000.0::DOUBLE) /
-        |      (nn - g)::DOUBLE AS s2,
-        |    sg * (1.0::DOUBLE / 10000.0::DOUBLE) -
-        |      nn::DOUBLE * (tsk::DOUBLE / (nn::DOUBLE * 100.0::DOUBLE)) *
-        |      (tsk::DOUBLE / (nn::DOUBLE * 100.0::DOUBLE)) AS btw
+        |    sk::DOUBLE / (n::DOUBLE * 100.0::DOUBLE) AS meang
         |  FROM byg CROSS JOIN tot),
-        |c2 AS (SELECT grp, n, sk, m, s2,
-        |    greatest(0.0::DOUBLE, (btw - s2 * (g - 1)::DOUBLE) /
-        |      (nn::DOUBLE - sn2::DOUBLE / nn::DOUBLE)) AS tau2
-        |  FROM c1),
-        |fin AS (SELECT grp, n, m,
-        |    sk::DOUBLE / (n::DOUBLE * 100.0::DOUBLE) AS meang,
-        |    round(tau2 / (tau2 + s2 / n::DOUBLE), 9) AS shrink_b
-        |  FROM c2)
+        |terms AS (SELECT grp, n, g, nn, sn2, m, meang,
+        |    n::DOUBLE * (meang - m) * (meang - m) AS bt,
+        |    (sk2::DOUBLE - sk::DOUBLE * sk / n::DOUBLE) *
+        |      (1.0::DOUBLE / 10000.0::DOUBLE) AS wg
+        |  FROM wm),
+        |tot2 AS (SELECT sum(bt) AS btw, sum(wg) AS sswg FROM terms),
+        |c1 AS (SELECT grp, n, g, nn, sn2, m, meang, btw,
+        |    CASE WHEN nn > g THEN sswg / (nn - g)::DOUBLE
+        |      ELSE 0.0::DOUBLE END AS s2
+        |  FROM terms CROSS JOIN tot2),
+        |c2 AS (SELECT grp, n, m, meang, s2, btw, g,
+        |    nn::DOUBLE - sn2::DOUBLE / nn::DOUBLE AS tdenom FROM c1),
+        |c3 AS (SELECT grp, n, m, meang, s2,
+        |    CASE WHEN tdenom > 0.0 THEN greatest(0.0::DOUBLE,
+        |      (btw - s2 * (g - 1)::DOUBLE) / tdenom)
+        |      ELSE 0.0::DOUBLE END AS tau2
+        |  FROM c2),
+        |fin AS (SELECT grp, n, m, meang,
+        |    round(CASE WHEN tau2 + s2 / n::DOUBLE > 0.0
+        |      THEN tau2 / (tau2 + s2 / n::DOUBLE)
+        |      ELSE 0.0::DOUBLE END, 9) AS shrink_b
+        |  FROM c3)
         |SELECT grp, n, round(meang, 6) AS mean, shrink_b,
         |  round(m + shrink_b * (meang - m), 6) AS shrunk
         |FROM fin ORDER BY grp""".stripMargin,
@@ -6089,12 +6098,18 @@ object SparkEntry {
         |  FROM kk JOIN m USING (g)),
         |byg AS (SELECT g, count(*)::BIGINT AS n, sum(z)::BIGINT AS s1,
         |    sum(z * z)::BIGINT AS s2 FROM z GROUP BY g),
+        |t1 AS (SELECT sum(n)::BIGINT AS nn, sum(s1)::BIGINT AS tt1
+        |  FROM byg),
+        |terms AS (SELECT n,
+        |    n::DOUBLE * (s1::DOUBLE / n::DOUBLE - tt1::DOUBLE / nn::DOUBLE)
+        |      * (s1::DOUBLE / n::DOUBLE - tt1::DOUBLE / nn::DOUBLE) AS bt,
+        |    s2::DOUBLE - s1::DOUBLE * s1 / n::DOUBLE AS wth
+        |  FROM byg CROSS JOIN t1),
         |agg AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
-        |    sum(s1)::BIGINT AS t1, sum(s2::DOUBLE) AS t2,
-        |    sum(s1::DOUBLE * s1 / n::DOUBLE) AS cb FROM byg)
+        |    sum(bt) AS ssb, sum(wth) AS ssw FROM terms)
         |SELECT k, n,
-        |  round(((cb - t1::DOUBLE * t1 / n::DOUBLE) / (k - 1)::DOUBLE) /
-        |    nullif((t2 - cb) / (n - k)::DOUBLE, 0.0), 6) AS f,
+        |  round((ssb / (k - 1)::DOUBLE) /
+        |    nullif(ssw / (n::DOUBLE - k::DOUBLE), 0.0), 6) AS f,
         |  (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2
         |FROM agg""".stripMargin,
 
@@ -6275,21 +6290,30 @@ object SparkEntry {
         |   ((SELECT count(*) FROM cb) - 1))::BIGINT AS df
         |FROM cc""".stripMargin,
 
-    // exact cents ANOVA decomposition, unbalanced n0, 1-row ICC
+    // exact cents ANOVA via ALL-POSITIVE per-group SS terms (the
+    // tri-scale rule: no big-double cancellation), unbalanced n0
     "x245_icc1" ->
       """WITH kk AS (SELECT c_nationkey::VARCHAR AS g,
         |    round(c_acctbal * 100)::BIGINT AS k FROM customer),
         |byg AS (SELECT g, count(*)::BIGINT AS n, sum(k)::BIGINT AS s,
         |    sum(k * k)::BIGINT AS s2 FROM kk GROUP BY g),
+        |t1 AS (SELECT sum(n)::BIGINT AS nn, sum(s)::BIGINT AS tt1
+        |  FROM byg),
+        |terms AS (SELECT n,
+        |    n::DOUBLE *
+        |      (s::DOUBLE / (n::DOUBLE * 100.0::DOUBLE) -
+        |       tt1::DOUBLE / (nn::DOUBLE * 100.0::DOUBLE)) *
+        |      (s::DOUBLE / (n::DOUBLE * 100.0::DOUBLE) -
+        |       tt1::DOUBLE / (nn::DOUBLE * 100.0::DOUBLE)) AS bt,
+        |    (s2::DOUBLE - s::DOUBLE * s / n::DOUBLE) /
+        |      (100.0::DOUBLE * 100.0::DOUBLE) AS wth
+        |  FROM byg CROSS JOIN t1),
         |a AS (SELECT count(*)::BIGINT AS g, sum(n)::BIGINT AS n,
-        |    sum(s)::BIGINT AS t1, sum(s2::DOUBLE) AS t2,
-        |    sum(s::DOUBLE * s / n::DOUBLE) AS cb,
-        |    sum(n * n)::BIGINT AS sn2 FROM byg),
+        |    sum(bt) AS ssb, sum(wth) AS ssw, sum(n * n)::BIGINT AS sn2
+        |  FROM terms),
         |e AS (SELECT g, n,
-        |    (cb - t1::DOUBLE * t1 / n::DOUBLE) /
-        |      (100.0::DOUBLE * 100.0::DOUBLE) / (g - 1)::DOUBLE AS msb,
-        |    (t2 - cb) / (100.0::DOUBLE * 100.0::DOUBLE) /
-        |      (n::DOUBLE - g::DOUBLE) AS msw,
+        |    ssb / (g - 1)::DOUBLE AS msb,
+        |    ssw / (n::DOUBLE - g::DOUBLE) AS msw,
         |    (n::DOUBLE - sn2::DOUBLE / n::DOUBLE) / (g - 1)::DOUBLE AS n0
         |  FROM a)
         |SELECT g, n, round(n0, 6) AS n0, round(msb, 6) AS msb,

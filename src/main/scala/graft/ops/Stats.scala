@@ -2064,25 +2064,32 @@ object Stats {
         F.sum(F.col("__k") * F.col("__k")).as("__sk2"))
     val tot = byG.agg(F.count(F.lit(1)).as("__g"),
       F.sum("n").as("__nn"), F.sum("__sk").as("__tsk"),
-      F.sum("__sk2").as("__tsk2"),
-      F.sum(F.col("n") * F.col("n")).as("__sn2"),
-      // Σ (Σk_g)²/n_g: per-group exact-integer ratio, double thereafter
-      F.sum(F.col("__sk").cast("double") * F.col("__sk").cast("double") /
-        F.col("n").cast("double")).as("__sg"))
+      F.sum(F.col("n") * F.col("n")).as("__sn2"))
     val s = F.lit(1.0) / (F.lit(scale).cast("double") * F.lit(scale))
-    val withTot = byG.crossJoin(F.broadcast(tot))
+    // ALL-POSITIVE per-group SS terms (the icc1 tri-scale rule): the old
+    // Σ(Σk)²/n rollup summed huge doubles in nondeterministic order and
+    // its cancellation against Σk²/N·m² loses low decimals at scale
+    val withM = byG.crossJoin(F.broadcast(tot))
       .withColumn("__m", F.col("__tsk").cast("double") /
         (F.col("__nn").cast("double") * F.lit(scale.toDouble)))
-      // pooled within-group variance from exact integer stats; all-
-      // singleton input (N = G) zeroes the denominator — define σ² = 0
-      // there instead of NaN (advisor r11)
+      .withColumn("__meang",
+        F.col("__sk").cast("double") / (F.col("n").cast("double") *
+          F.lit(scale.toDouble)))
+      .withColumn("__bt", F.col("n").cast("double") *
+        (F.col("__meang") - F.col("__m")) *
+        (F.col("__meang") - F.col("__m")))
+      .withColumn("__wg", (F.col("__sk2").cast("double") -
+        F.col("__sk").cast("double") * F.col("__sk") /
+          F.col("n").cast("double")) * s)
+    val tot2 = withM.agg(F.sum("__bt").as("__btw"),
+      F.sum("__wg").as("__ssw"))
+    val withTot = withM.crossJoin(F.broadcast(tot2))
+      // pooled within-group variance from the positive within terms;
+      // all-singleton input (N = G) zeroes the denominator — define
+      // σ² = 0 there instead of NaN (advisor r11)
       .withColumn("__s2", F.when(F.col("__nn") > F.col("__g"),
-        (F.col("__tsk2").cast("double") - F.col("__sg")) *
-          s / (F.col("__nn") - F.col("__g")).cast("double"))
+        F.col("__ssw") / (F.col("__nn") - F.col("__g")).cast("double"))
         .otherwise(F.lit(0.0)))
-      // between-group sum Σ n_g (mean_g − m)² = Σ (Σk)²/n/scale² − N·m²
-      .withColumn("__btw", F.col("__sg") * s -
-        F.col("__nn").cast("double") * F.col("__m") * F.col("__m"))
       // single-group input (G = 1) zeroes N − Σn²/N — define τ² = 0 there
       .withColumn("__tdenom", F.col("__nn").cast("double") -
         F.col("__sn2").cast("double") / F.col("__nn").cast("double"))
@@ -2090,9 +2097,6 @@ object Stats {
         F.greatest(F.lit(0.0),
           (F.col("__btw") - F.col("__s2") * (F.col("__g") - 1L).cast("double")) /
             F.col("__tdenom"))).otherwise(F.lit(0.0)))
-      .withColumn("__meang",
-        F.col("__sk").cast("double") / (F.col("n").cast("double") *
-          F.lit(scale.toDouble)))
       // τ² = σ² = 0 (degenerate input) → no shrinkage signal: B = 0
       .withColumn("shrink_b", F.round(F.when(
         F.col("__tau2") + F.col("__s2") / F.col("n").cast("double") > 0.0,
@@ -2371,20 +2375,24 @@ object Stats {
     val byG = z.groupBy("__g")
       .agg(F.count(F.lit(1)).as("__n"), F.sum("__z").as("__s1"),
         F.sum(F.col("__z") * F.col("__z")).as("__s2"))
-    val agg = byG.agg(
+    val tot1 = byG.agg(F.sum("__n").as("__NN"), F.sum("__s1").as("__T1"))
+    // ALL-POSITIVE per-group SS terms (the icc1 tri-scale rule — no
+    // big-double cancellation, order error stays at relative 1e-15)
+    val nGD = F.col("__n").cast("double")
+    val meanG = F.col("__s1").cast("double") / nGD
+    val grand = F.col("__T1").cast("double") / F.col("__NN").cast("double")
+    val terms = byG.crossJoin(F.broadcast(tot1))
+      .withColumn("__bt", nGD * (meanG - grand) * (meanG - grand))
+      .withColumn("__wth", F.col("__s2").cast("double") -
+        F.col("__s1").cast("double") * F.col("__s1") / nGD)
+    val agg = terms.agg(
       F.count(F.lit(1)).as("k"), F.sum("__n").as("n"),
-      F.sum(F.col("__s1")).as("__t1"),
-      F.sum(F.col("__s2").cast("double")).as("__t2"),
-      F.sum(F.col("__s1").cast("double") * F.col("__s1") /
-        F.col("__n").cast("double")).as("__cb"))
+      F.sum("__bt").as("__ssb"), F.sum("__wth").as("__ssw"))
     val kD = F.col("k").cast("double")
     val nD = F.col("n").cast("double")
-    val ssb = F.col("__cb") -
-      F.col("__t1").cast("double") * F.col("__t1") / nD
-    val ssw = F.col("__t2") - F.col("__cb")
     agg.select(F.col("k"), F.col("n"),
-      F.round((ssb / (kD - 1.0)) / F.nullif(ssw / (nD - kD), F.lit(0.0)), 6)
-        .as("f"),
+      F.round((F.col("__ssb") / (kD - 1.0)) /
+        F.nullif(F.col("__ssw") / (nD - kD), F.lit(0.0)), 6).as("f"),
       (F.col("k") - 1L).as("df1"), (F.col("n") - F.col("k")).as("df2"))
   }
 
@@ -3056,20 +3064,29 @@ object Stats {
       .groupBy("__g")
       .agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__s"),
         F.sum(F.col("__k") * F.col("__k")).as("__s2"))
-    val agg = byG.agg(
+    val tot1 = byG.agg(F.sum("__n").as("__NN"), F.sum("__s").as("__T1"))
+    // ALL-POSITIVE per-group SS terms: the cb − t1²/n cancellation form
+    // summed ~1e13-magnitude doubles in nondeterministic order and lost
+    // the 6th decimal at sf0.1 (tri-scale r12 incident) — positive-term
+    // sums keep the order error at relative 1e-15 with nothing to cancel
+    val sc = F.lit(scale.toDouble)
+    val nGD = F.col("__n").cast("double")
+    val meanG = F.col("__s").cast("double") / (nGD * sc)
+    val grand = F.col("__T1").cast("double") /
+      (F.col("__NN").cast("double") * sc)
+    val terms = byG.crossJoin(F.broadcast(tot1))
+      .withColumn("__btw", nGD * (meanG - grand) * (meanG - grand))
+      .withColumn("__wth",
+        (F.col("__s2").cast("double") -
+          F.col("__s").cast("double") * F.col("__s") / nGD) / (sc * sc))
+    val agg = terms.agg(
       F.count(F.lit(1)).as("g"), F.sum("__n").as("n"),
-      F.sum("__s").as("__t1"), F.sum(F.col("__s2").cast("double")).as("__t2"),
-      F.sum(F.col("__s").cast("double") * F.col("__s") /
-        F.col("__n").cast("double")).as("__cb"),
+      F.sum("__btw").as("__ssb"), F.sum("__wth").as("__ssw"),
       F.sum(F.col("__n") * F.col("__n")).as("__sn2"))
-    val sc2 = F.lit(scale.toDouble) * F.lit(scale.toDouble)
     val gD = F.col("g").cast("double")
     val nD = F.col("n").cast("double")
-    val ssb = (F.col("__cb") -
-      F.col("__t1").cast("double") * F.col("__t1") / nD) / sc2
-    val ssw = (F.col("__t2") - F.col("__cb")) / sc2
-    val msb = ssb / (gD - 1.0)
-    val msw = ssw / (nD - gD)
+    val msb = F.col("__ssb") / (gD - 1.0)
+    val msw = F.col("__ssw") / (nD - gD)
     val n0 = (nD - F.col("__sn2").cast("double") / nD) / (gD - 1.0)
     agg.select(F.col("g"), F.col("n"),
       F.round(n0, 6).as("n0"),
