@@ -2681,6 +2681,49 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         F.col("source") === "src0", F.col("lang") === "zh")),
 
+    // k-core of the part co-purchase graph (k=80, 3 fixed peels — the
+    // fixture peels through round 3; parity holds converged or not)
+    "x255_kcore" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      val e = li.as("x").join(li.as("y"),
+        F.col("x.l_orderkey") === F.col("y.l_orderkey") &&
+          F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").as("src"),
+          F.col("y.l_partkey").as("dst"))
+      graft.ops.Graph.kCore(e, "src", "dst", k = 80, rounds = 3)
+    }),
+
+    // quadratic-weighted kappa between the priority digit and a
+    // deterministic price band — ordinal agreement where near-misses count
+    "x256_weighted_kappa" -> ((s, dir) =>
+      graft.ops.Stats.weightedKappa(
+        s.read.parquet(s"$dir/orders.parquet"),
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("long"),
+        F.least(F.lit(5L),
+          F.floor(F.col("o_totalprice") / 100000.0).cast("long") + 1L))),
+
+    // Lincoln-Petersen / Chapman estimate of the corpus's dup-pair
+    // population from two independent fingerprint families (BoW md5 vs
+    // normalized-prefix md5)
+    "x257_capture_recapture" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def pairsOf(keyCol: org.apache.spark.sql.Column) = {
+        val keyed = docs.select(F.col("doc_id").as("id"), keyCol.as("fp"))
+        keyed.as("x").join(keyed.as("y"),
+          F.col("x.fp") === F.col("y.fp") && F.col("x.id") < F.col("y.id"))
+          .select(F.col("x.id").as("a"), F.col("y.id").as("b"))
+      }
+      val toks = F.array_sort(F.array_distinct(F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+        t => F.length(t) > 0)))
+      val norm = F.regexp_replace(F.lower(F.trim(F.col("text"))),
+        "\\s+", " ")
+      graft.ops.Stats.captureRecapture(
+        pairsOf(F.md5(F.concat_ws(" ", toks))),
+        pairsOf(F.md5(F.substring(norm, 1, 200))))
+    }),
+
     // Bradley-Terry abilities over event-type transition "battles" (the
     // later event beats the one it displaced) — 3 MM rounds on the
     // type×type win matrix, 9-dp quantize-then-iterate
@@ -6488,6 +6531,90 @@ object SparkEntry {
         |    nullif(a2 - n::DOUBLE * 3 * 16 / 4.0, 0.0), 6) AS chi2,
         |  2::BIGINT AS df
         |FROM s""".stripMargin,
+
+    // 3 unrolled peel rounds on the canonical part co-purchase edges,
+    // final in-core degrees
+    "x255_kcore" ->
+      """WITH e0 AS (SELECT DISTINCT
+        |    least(a.l_partkey, b.l_partkey) AS a,
+        |    greatest(a.l_partkey, b.l_partkey) AS b
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |d1 AS (SELECT n, count(*) AS c FROM
+        |  (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+        |k1 AS (SELECT n FROM d1 WHERE c >= 80),
+        |e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT n FROM k1)
+        |  AND b IN (SELECT n FROM k1)),
+        |d2 AS (SELECT n, count(*) AS c FROM
+        |  (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY n),
+        |k2 AS (SELECT n FROM d2 WHERE c >= 80),
+        |e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT n FROM k2)
+        |  AND b IN (SELECT n FROM k2)),
+        |d3 AS (SELECT n, count(*) AS c FROM
+        |  (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY n),
+        |k3 AS (SELECT n FROM d3 WHERE c >= 80),
+        |e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT n FROM k3)
+        |  AND b IN (SELECT n FROM k3))
+        |SELECT n AS node, count(*)::BIGINT AS degree FROM
+        |  (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3)
+        |GROUP BY n ORDER BY node""".stripMargin,
+
+    // dense grid, quadratic (i-j)^2 weights, 9-dp wO/wE terms
+    "x256_weighted_kappa" ->
+      """WITH r AS (SELECT
+        |    substring(o_orderpriority, 1, 1)::BIGINT AS i,
+        |    least(5, floor(o_totalprice / 100000.0::DOUBLE)::BIGINT + 1)
+        |      AS j
+        |  FROM orders),
+        |cells AS (SELECT i, j, count(*)::BIGINT AS o FROM r GROUP BY 1, 2),
+        |ri AS (SELECT i, sum(o)::BIGINT AS rr FROM cells GROUP BY i),
+        |cj AS (SELECT j, sum(o)::BIGINT AS cc FROM cells GROUP BY j),
+        |nt AS (SELECT sum(o)::BIGINT AS n FROM cells),
+        |dense AS (SELECT ri.i, cj.j, ri.rr, cj.cc,
+        |    coalesce(cells.o, 0)::BIGINT AS o
+        |  FROM ri CROSS JOIN cj
+        |  LEFT JOIN cells ON cells.i = ri.i AND cells.j = cj.j),
+        |w AS (SELECT
+        |    round(((i - j) * (i - j))::DOUBLE * o, 9) AS wo,
+        |    round(((i - j) * (i - j))::DOUBLE *
+        |      (rr::DOUBLE * cc / n), 9) AS we
+        |  FROM dense CROSS JOIN nt),
+        |agg AS (SELECT (SELECT n FROM nt) AS n,
+        |    (SELECT count(*) FROM ri)::BIGINT AS k1,
+        |    (SELECT count(*) FROM cj)::BIGINT AS k2,
+        |    round(sum(wo), 6) AS disagree_o,
+        |    round(sum(we), 6) AS disagree_e FROM w)
+        |SELECT n, k1, k2, disagree_o, disagree_e,
+        |  round(1.0::DOUBLE - disagree_o / nullif(disagree_e, 0.0), 6)
+        |    AS kappa_w
+        |FROM agg""".stripMargin,
+
+    // two md5 fingerprint families' pair sets, pair-keyed overlap,
+    // LP + Chapman estimators
+    "x257_capture_recapture" ->
+      """WITH da AS (SELECT doc_id, md5(array_to_string(list_sort(
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0))), ' ')) AS fp FROM documents),
+        |pa AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM da x JOIN da y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+        |db AS (SELECT doc_id, md5(substring(regexp_replace(
+        |    lower(trim(text)), '\s+', ' ', 'g'), 1, 200)) AS fp
+        |  FROM documents),
+        |pb AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM db x JOIN db y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+        |c AS (SELECT
+        |    (SELECT count(*) FROM pa)::BIGINT AS n_a,
+        |    (SELECT count(*) FROM pb)::BIGINT AS n_b,
+        |    (SELECT count(*) FROM pa
+        |     WHERE EXISTS (SELECT 1 FROM pb
+        |       WHERE pb.a = pa.a AND pb.b = pa.b))::BIGINT AS m)
+        |SELECT n_a, n_b, m,
+        |  round(n_a::DOUBLE * n_b::DOUBLE / nullif(m::DOUBLE, 0.0), 6)
+        |    AS n_lp,
+        |  round((n_a::DOUBLE + 1.0::DOUBLE) * (n_b::DOUBLE + 1.0::DOUBLE) /
+        |    (m::DOUBLE + 1.0::DOUBLE) - 1.0::DOUBLE, 6) AS n_chapman
+        |FROM c""".stripMargin,
 
     // lgamma hypergeometric terms over the bounded support, k-RANGE
     // tails (no probability-compare tie rule), doubling convention

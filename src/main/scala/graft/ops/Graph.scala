@@ -254,4 +254,51 @@ object Graph {
     agg.select((n / 2.0).cast("long").as("n_edges"),
       F.when(dx * dy > 0.0, F.round(cov / F.sqrt(dx * dy), 6)).as("r"))
   }
+
+  /** k-core decomposition by iterative peeling — the standard "dense,
+    * mutually-connected kernel" extractor (spam-farm / boilerplate-hub
+    * detection on link graphs; community cores on co-occurrence graphs):
+    * repeatedly delete every node with degree < k until none remains.
+    * Runs EXACTLY `rounds` peels (fixed-iteration, the [[pageRank]]
+    * engine-replayable convention — the oracle unrolls the same rounds);
+    * peeling converges in at most the graph's degeneracy-ordering depth,
+    * so a handful of rounds settles real graphs, and unconverged output
+    * is still well-defined (the round-`rounds` survivor set).
+    *
+    * Scale shape: each round is one degree rollup (map-side partial) and
+    * two semi-joins, checkpointed so round r+1 scans round r's survivor
+    * edges, never the original corpus again — work SHRINKS monotonically.
+    * Driver state: nothing but the loop counter.
+    *
+    * @return surviving (node, degree) — degree within the surviving
+    *         subgraph — ordered by node
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1,64], got $rounds")
+    var e = edges
+      .select(F.col(srcCol).cast("long").as("__a"),
+        F.col(dstCol).cast("long").as("__b"))
+      .filter(F.col("__a") =!= F.col("__b"))
+      .select(F.least(F.col("__a"), F.col("__b")).as("__a"),
+        F.greatest(F.col("__a"), F.col("__b")).as("__b"))
+      .distinct()
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val deg = e.select(F.col("__a").as("__n"))
+        .unionAll(e.select(F.col("__b").as("__n")))
+        .groupBy("__n").agg(F.count(F.lit(1)).as("__d"))
+      val keep = deg.filter(F.col("__d") >= k).select("__n")
+      e = e
+        .join(keep.select(F.col("__n").as("__a")), Seq("__a"), "left_semi")
+        .join(keep.select(F.col("__n").as("__b")), Seq("__b"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(F.col("__a").as("node"))
+      .unionAll(e.select(F.col("__b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("degree"))
+      .orderBy("node")
+  }
 }

@@ -2911,6 +2911,82 @@ object Stats {
       .toDF("a", "b", "c", "d", "n", "p_lower", "p_upper", "p_two")
   }
 
+  /** Weighted Cohen's kappa over ORDINAL integer categories — chance-
+    * corrected agreement where near-misses count (quadratic weights
+    * w_ij = (i−j)², the ICC-equivalent convention): the right agreement
+    * readout for graded quality labels, where the plain (x191) kappa
+    * treats "4 vs 5" as harshly as "1 vs 5":
+    * {{{
+    *   κ_w = 1 − Σ w_ij·O_ij / Σ w_ij·E_ij,   E_ij = r_i·c_j/n
+    * }}}
+    * Scale shape: one map-side (cat1, cat2) cell collapse (category-
+    * bounded), margins + dense grid from that table only, 9-dp terms.
+    *
+    * @return one row (n, k1, k2, disagree_o, disagree_e, kappa_w) — 6-dp
+    */
+  def weightedKappa(df: DataFrame, rater1: Column,
+                    rater2: Column): DataFrame = {
+    val cells = df
+      .select(rater1.cast("long").as("__i"), rater2.cast("long").as("__j"))
+      .filter(F.col("__i").isNotNull && F.col("__j").isNotNull)
+      .groupBy("__i", "__j").agg(F.count(F.lit(1)).as("__o"))
+    val ri = cells.groupBy("__i").agg(F.sum("__o").as("__ri"))
+    val cj = cells.groupBy("__j").agg(F.sum("__o").as("__cj"))
+    val n = cells.agg(F.sum("__o").as("__n"))
+    val dense = ri.crossJoin(cj)
+      .join(cells, Seq("__i", "__j"), "left")
+      .na.fill(0L, Seq("__o"))
+      .crossJoin(F.broadcast(n))
+      .withColumn("__w",
+        ((F.col("__i") - F.col("__j")) * (F.col("__i") - F.col("__j")))
+          .cast("double"))
+      .withColumn("__wo", F.round(F.col("__w") * F.col("__o"), 9))
+      .withColumn("__we", F.round(F.col("__w") *
+        (F.col("__ri").cast("double") * F.col("__cj") / F.col("__n")), 9))
+    dense.agg(F.max("__n").as("n"),
+      F.countDistinct("__i").as("k1"), F.countDistinct("__j").as("k2"),
+      F.round(F.sum("__wo"), 6).as("disagree_o"),
+      F.round(F.sum("__we"), 6).as("disagree_e"))
+      .withColumn("kappa_w", F.round(F.lit(1.0) -
+        F.col("disagree_o") / F.nullif(F.col("disagree_e"), F.lit(0.0)), 6))
+  }
+
+  /** Lincoln-Petersen / Chapman capture-recapture estimate of a pair
+    * population from two INDEPENDENT detection passes — "how many
+    * near-duplicate pairs does this corpus really hold", estimated from
+    * two cheap fingerprint families without ever enumerating the
+    * quadratic truth: pass A marks n_a pairs, pass B marks n_b, m appear
+    * in both, so
+    * {{{
+    *   N̂_LP = n_a·n_b / m,   N̂_Chapman = (n_a+1)(n_b+1)/(m+1) − 1
+    * }}}
+    * (Chapman is the bias-corrected form, defined at m = 0). Both input
+    * frames carry canonical (a, b) pair columns.
+    *
+    * Scale shape: two distinct-collapses and one pair-keyed join — the
+    * heavy lifting happened in the upstream (bounded, blocked) pair
+    * generators; this op never touches documents.
+    *
+    * @return one row (n_a, n_b, m, n_lp, n_chapman) — 6-dp, n_lp NULL at
+    *         m = 0
+    */
+  def captureRecapture(pairsA: DataFrame, pairsB: DataFrame): DataFrame = {
+    val a = pairsA.select(F.col("a"), F.col("b")).distinct()
+    val b = pairsB.select(F.col("a"), F.col("b")).distinct()
+    val nA = a.agg(F.count(F.lit(1)).as("n_a"))
+    val nB = b.agg(F.count(F.lit(1)).as("n_b"))
+    val m = a.join(b, Seq("a", "b"), "left_semi")
+      .agg(F.count(F.lit(1)).as("m"))
+    val row = nA.crossJoin(F.broadcast(nB)).crossJoin(F.broadcast(m))
+    val naD = F.col("n_a").cast("double")
+    val nbD = F.col("n_b").cast("double")
+    val mD = F.col("m").cast("double")
+    row.select(F.col("n_a"), F.col("n_b"), F.col("m"),
+      F.round(naD * nbD / F.nullif(mD, F.lit(0.0)), 6).as("n_lp"),
+      F.round((naD + 1.0) * (nbD + 1.0) / (mD + 1.0) - 1.0, 6)
+        .as("n_chapman"))
+  }
+
   /** Dunn's post-hoc pairwise comparisons after [[kruskalWallis]] — WHICH
     * groups differ once the omnibus H rejects. Pairwise z on mean ranks
     * with the tie-corrected common variance:

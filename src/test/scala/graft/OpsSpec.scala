@@ -4426,6 +4426,48 @@ class OpsSpec extends AnyFunSuite {
     assert((sep._6, sep._7, sep._8) == ((1.0, 0.003968, 0.007937)), sep)
   }
 
+  test("kCore: pendant drops, triangle survives; path cascades to empty") {
+    import graft.ops.Graph
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val got = Graph.kCore(tri, "s", "d", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)), got)
+    // a path has no 2-core: peeling cascades inward round by round
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    assert(Graph.kCore(path, "s", "d", k = 2, rounds = 3).count() == 0)
+    // but with rounds=1 the cascade is only one layer deep
+    assert(Graph.kCore(path, "s", "d", k = 2, rounds = 1).count() == 3)
+  }
+
+  test("weightedKappa: perfect diagonal 1; symmetric anti-pattern 0") {
+    import graft.ops.Stats
+    val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L), (1L, 1L), (2L, 2L),
+      (3L, 3L)).toDF("r1", "r2")
+    val p = Stats.weightedKappa(perfect, F.col("r1"), F.col("r2"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(p._4 == 0.0 && p._6 == 1.0, p)
+    // uniform margins make E's weighted disagreement equal O's -> 0
+    val zero = Seq((1L, 3L), (3L, 1L), (2L, 2L), (1L, 1L), (3L, 3L),
+      (2L, 2L)).toDF("r1", "r2")
+    val z = Stats.weightedKappa(zero, F.col("r1"), F.col("r2"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(z == ((6L, 3L, 3L, 8.0, 8.0, 0.0)), z)
+  }
+
+  test("captureRecapture: LP=6 and Chapman=17/3 on the hand overlap") {
+    import graft.ops.Stats
+    val a = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val b = Seq((1L, 2L), (4L, 5L), (6L, 7L)).toDF("a", "b")
+    val got = Stats.captureRecapture(a, b)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(got == ((4L, 3L, 2L, 6.0, 5.666667)), got)
+    // zero overlap: LP undefined (NULL), Chapman finite
+    val c = Seq((8L, 9L)).toDF("a", "b")
+    val z = Stats.captureRecapture(a, c).select("n_lp", "n_chapman")
+      .collect().head
+    assert(z.isNullAt(0) && z.getDouble(1) == 9.0, z.toString)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
