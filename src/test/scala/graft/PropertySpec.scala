@@ -518,4 +518,41 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("law: two-group rank family coheres — KW H = MW z², δ = 2·AUC − 1, " +
+      "J + U1 = n1·n2") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(24, Gen.zip(Gen.chooseNum(0L, 9L), Gen.oneOf("a", "b")))
+    forAll(gen) { pts =>
+      val gs = pts.map(_._2).toSet
+      if (gs.size == 2) {
+        val df = pts.map { case (v, g) => (g, v.toDouble) }.toDF("g", "v")
+        val isA = F.col("g") === "a"
+        // Kruskal-Wallis on 2 groups IS the Mann-Whitney test: Hc = z²
+        val h = graft.ops.Stats.kruskalWallis(df, F.col("g"), F.col("v"))
+          .select("h_corr").as[Double].head()
+        val mw = graft.ops.Stats.mannWhitneyU(df, F.col("v"), isA)
+          .select("u1", "z").as[(Double, Double)].head()
+        if (!mw._2.isNaN && mw._2 != 0.0)
+          assert(math.abs(h - mw._2 * mw._2) < 1e-4,
+            s"Hc=$h vs z^2=${mw._2 * mw._2} on $pts")
+        // Cliff's delta is the rescaled AUC of the same ranking
+        val d = graft.ops.Stats.cliffsDelta(df, F.col("v"), isA)
+          .select("delta").as[Double].head()
+        val auc = graft.ops.Stats.aucExact(df, F.col("v"), isA)
+          .select("auc").as[Double].head()
+        assert(math.abs(d - (2.0 * auc - 1.0)) < 1e-5,
+          s"delta=$d vs 2auc-1=${2 * auc - 1} on $pts")
+        // Jonckheere's J counts b-beats-a (+½ ties); U1 counts the
+        // complement, so they tile the n1·n2 pair grid exactly
+        val j = graft.ops.Stats.jonckheereTerpstra(df, F.col("g"),
+          F.col("v")).select("j").as[Double].head()
+        val n1 = pts.count(_._2 == "a").toDouble
+        val n2 = pts.count(_._2 == "b").toDouble
+        assert(math.abs(j + mw._1 - n1 * n2) < 1e-6,
+          s"J=$j U1=${mw._1} n1n2=${n1 * n2} on $pts")
+      }
+    }
+  }
 }
