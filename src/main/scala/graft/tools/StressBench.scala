@@ -356,6 +356,40 @@ object StressBench {
           docs, F.col("doc_id"),
           graft.ops.TextOps.tokenCount(F.col("text")),
           F.col("n_chars") / 6.0, calibRate = 0.5, q = 0.9)),
+        // Jonckheere under value-domain GROWTH: replica prices shift by
+        // +0.001·i so distinct values multiply ×K (the adversarial case
+        // for the "value-domain-bounded" window claim) while groups stay
+        // 5 — grid rows grow ×K, per-group suffix windows carry ×K rows;
+        // wall must stay ~linear
+        "x252_jonckheere" -> (() => {
+          val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val o = (0 until k).map(i => o0.select(
+              (F.col("o_orderkey") + F.lit(i * KeyStride)).as("o_orderkey"),
+              F.col("o_orderpriority"),
+              (F.col("o_totalprice") + F.lit(i * 0.001)).as("o_totalprice")))
+            .reduce(_ union _)
+          graft.ops.Stats.jonckheereTerpstra(o,
+            F.col("o_orderpriority"), F.col("o_totalprice"))
+        }),
+        // k-core on K DISJOINT copies of the co-purchase graph (orderkey
+        // AND partkey re-keyed): nodes/edges/peel work all ×K — the x104
+        // disjoint-copies shape; wall must stay ~linear through the
+        // distinct + 3 checkpointed peel rounds
+        "x255_kcore" -> (() => {
+          val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select("l_orderkey", "l_partkey")
+          val li = (0 until k).map(i => li0.select(
+              (F.col("l_orderkey") + F.lit(i * KeyStride)).as("l_orderkey"),
+              (F.col("l_partkey") + F.lit(i * KeyStride)).as("l_partkey")))
+            .reduce(_ union _)
+          val e = li.as("x").join(li.as("y"),
+            F.col("x.l_orderkey") === F.col("y.l_orderkey") &&
+              F.col("x.l_partkey") < F.col("y.l_partkey"))
+            .select(F.col("x.l_partkey").as("src"),
+              F.col("y.l_partkey").as("dst"))
+          graft.ops.Graph.kCore(e, "src", "dst", k = 80, rounds = 3)
+        }),
         // JW blocked pairs under the composite (nation, name[1..15]) key:
         // replicas mint NEW name digits (replicateCust), so block COUNT
         // grows ∝K while block size stays ~40 — per-block quadratic work
