@@ -2703,6 +2703,46 @@ object SparkEntry {
         F.least(F.lit(5L),
           F.floor(F.col("o_totalprice") / 100000.0).cast("long") + 1L))),
 
+    // Benjamini-Yekutieli over the x176 chi2 token table — FDR under
+    // arbitrary dependence via the harmonic penalty
+    "x258_by_fdr" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val grp = F.when(F.col("lang") === "en", "en")
+        .when(F.col("lang") === "zh", "zh").otherwise("other")
+      graft.ops.Stats.byFdr(
+        TextOps.chi2TokensDf2(docs, "doc_id", "text", grp, minDf = 20),
+        Seq("token"), F.col("chi2"), alpha = 0.05)
+    }),
+
+    // gamma / Somers' D between priority digit and price band — exact
+    // concordant/discordant counts from the bounded grid
+    "x259_ordinal_assoc" -> ((s, dir) =>
+      graft.ops.Stats.ordinalAssociation(
+        s.read.parquet(s"$dir/orders.parquet"),
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("long"),
+        F.least(F.lit(5L),
+          F.floor(F.col("o_totalprice") / 100000.0).cast("long") + 1L))),
+
+    // Cochran-Armitage: does the F-status rate trend across the ordered
+    // priority scores — exact integer moments
+    "x260_cochran_armitage" -> ((s, dir) =>
+      graft.ops.Stats.cochranArmitage(
+        s.read.parquet(s"$dir/orders.parquet"),
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("long"),
+        F.col("o_orderstatus") === "F")),
+
+    // Page's L: do the three length signals rise in the hypothesized
+    // order (dots < e's < spaces) within each document
+    "x261_page_l" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val len = F.length(F.col("text"))
+      def minus(ch: String) =
+        len - F.length(F.regexp_replace(F.col("text"), ch, ""))
+      graft.ops.Stats.pageL(d, Seq(
+        ("dots", minus("\\.")), ("evs", minus("e")),
+        ("spaces", minus(" "))))
+    }),
+
     // Lincoln-Petersen / Chapman estimate of the corpus's dup-pair
     // population from two independent fingerprint families (BoW md5 vs
     // normalized-prefix md5)
@@ -6588,6 +6628,137 @@ object SparkEntry {
         |  round(1.0::DOUBLE - disagree_o / nullif(disagree_e, 0.0), 6)
         |    AS kappa_w
         |FROM agg""".stripMargin,
+
+    // the x176 chi2 CTE + BY: harmonic c(m) at 9 dp, least(1, m·c/i·p)
+    // steps, suffix-min window
+    "x258_by_fdr" ->
+      """WITH doc AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 'en' WHEN lang = 'zh' THEN 'zh'
+        |      ELSE 'other' END AS g, text FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, g, t FROM (SELECT doc_id, g,
+        |    unnest(list_filter(
+        |      string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> length(x) > 0)) AS t
+        |  FROM doc)),
+        |tg AS (SELECT t, g, count(*) AS a FROM tok GROUP BY 1, 2),
+        |gt AS (SELECT g, count(*) AS ng FROM doc GROUP BY g),
+        |tdf AS (SELECT t, sum(a) AS dfd FROM tg GROUP BY t
+        |  HAVING sum(a) >= 20),
+        |n AS (SELECT count(*) AS nn FROM doc),
+        |cells AS (SELECT tdf.t, tdf.dfd, gt.g, gt.ng,
+        |    coalesce(tg.a, 0) AS a
+        |  FROM tdf CROSS JOIN gt
+        |  LEFT JOIN tg ON tg.t = tdf.t AND tg.g = gt.g),
+        |cc AS (SELECT t, dfd, round(
+        |    coalesce((a - ep)*(a - ep)/nullif(ep, 0.0), 0.0) +
+        |    coalesce(((ng - a) - ea)*((ng - a) - ea)/nullif(ea, 0.0), 0.0),
+        |    9) AS cell
+        |  FROM (SELECT t, dfd, ng, a::DOUBLE AS a,
+        |      dfd::DOUBLE * ng / nn AS ep,
+        |      (nn - dfd)::DOUBLE * ng / nn AS ea
+        |    FROM cells CROSS JOIN n)),
+        |chi AS (SELECT t AS token, round(sum(cell), 6) AS chi2
+        |  FROM cc GROUP BY t),
+        |keyed AS (SELECT token, chi2, round(exp(-chi2 / 2.0), 9) AS p
+        |  FROM chi),
+        |m AS (SELECT count(*) AS m FROM keyed),
+        |rk AS (SELECT token, chi2, p,
+        |    row_number() OVER (ORDER BY p, token) AS i FROM keyed),
+        |cm AS (SELECT round(sum(1.0::DOUBLE / i::DOUBLE), 9) AS c
+        |  FROM rk),
+        |q AS (SELECT token, chi2, p, i,
+        |    round(least(1.0::DOUBLE,
+        |      m::DOUBLE * c / i::DOUBLE * p), 9) AS q
+        |  FROM rk CROSS JOIN m CROSS JOIN cm),
+        |adj AS (SELECT token, chi2, p, i,
+        |    min(q) OVER (ORDER BY p DESC, token DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_adj
+        |  FROM q)
+        |SELECT token, chi2, p, i, p_adj,
+        |  p_adj <= 0.05::DOUBLE AS rejected
+        |FROM adj ORDER BY i""".stripMargin,
+
+    // bounded-grid concordant/discordant exact counts, tie margins
+    "x259_ordinal_assoc" ->
+      """WITH r AS (SELECT
+        |    substring(o_orderpriority, 1, 1)::BIGINT AS i,
+        |    least(5, floor(o_totalprice / 100000.0::DOUBLE)::BIGINT + 1)
+        |      AS j
+        |  FROM orders),
+        |cells AS (SELECT i, j, count(*)::BIGINT AS o FROM r GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    sum(CASE WHEN b.j > a.j THEN a.o * b.o ELSE 0 END)::BIGINT
+        |      AS c_pairs,
+        |    sum(CASE WHEN b.j < a.j THEN a.o * b.o ELSE 0 END)::BIGINT
+        |      AS d_pairs
+        |  FROM cells a JOIN cells b ON b.i > a.i),
+        |mg AS (SELECT sum(o)::BIGINT AS n FROM cells),
+        |tx AS (SELECT sum(r * (r - 1))::BIGINT AS tx2 FROM
+        |  (SELECT sum(o)::BIGINT AS r FROM cells GROUP BY i)),
+        |ty AS (SELECT sum(c * (c - 1))::BIGINT AS ty2 FROM
+        |  (SELECT sum(o)::BIGINT AS c FROM cells GROUP BY j))
+        |SELECT n, c_pairs, d_pairs,
+        |  round((c_pairs - d_pairs)::DOUBLE /
+        |    nullif((c_pairs + d_pairs)::DOUBLE, 0.0), 6) AS gamma,
+        |  round((c_pairs - d_pairs)::DOUBLE /
+        |    nullif(n::DOUBLE * (n::DOUBLE - 1.0) / 2.0 -
+        |      tx2::DOUBLE / 2.0, 0.0), 6) AS somers_d_yx,
+        |  round((c_pairs - d_pairs)::DOUBLE /
+        |    nullif(n::DOUBLE * (n::DOUBLE - 1.0) / 2.0 -
+        |      ty2::DOUBLE / 2.0, 0.0), 6) AS somers_d_xy
+        |FROM cd CROSS JOIN mg CROSS JOIN tx CROSS JOIN ty""".stripMargin,
+
+    // per-score exact counts, closed-form trend z
+    "x260_cochran_armitage" ->
+      """WITH s AS (SELECT
+        |    substring(o_orderpriority, 1, 1)::BIGINT AS sc,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |bys AS (SELECT sc, count(*)::BIGINT AS n, sum(y)::BIGINT AS a
+        |  FROM s GROUP BY sc),
+        |agg AS (SELECT count(*)::BIGINT AS groups, sum(n)::BIGINT AS n,
+        |    sum(a)::BIGINT AS pos, sum(sc * a)::BIGINT AS t,
+        |    sum(sc * n)::BIGINT AS sn,
+        |    sum(sc * sc * n)::BIGINT AS s2n FROM bys)
+        |SELECT groups, n, pos,
+        |  round((t::DOUBLE - (pos::DOUBLE / n::DOUBLE) * sn::DOUBLE) /
+        |    sqrt(nullif((pos::DOUBLE / n::DOUBLE) *
+        |      (1.0::DOUBLE - pos::DOUBLE / n::DOUBLE) *
+        |      (s2n::DOUBLE - sn::DOUBLE * sn / n::DOUBLE), 0.0)), 6) AS z
+        |FROM agg""".stripMargin,
+
+    // the x253 midrank CASEs in the hypothesized order, closed-form
+    // L moments
+    "x261_page_l" ->
+      """WITH it AS (SELECT
+        |    (length(text) - length(replace(text, '.', '')))::BIGINT AS x1,
+        |    (length(text) - length(replace(text, 'e', '')))::BIGINT AS x2,
+        |    (length(text) - length(replace(text, ' ', '')))::BIGINT AS x3
+        |  FROM documents),
+        |rk AS (SELECT
+        |    1.0::DOUBLE + ((CASE WHEN x2 < x1 THEN 1 ELSE 0 END +
+        |      CASE WHEN x3 < x1 THEN 1 ELSE 0 END))::DOUBLE +
+        |      ((CASE WHEN x2 = x1 THEN 1 ELSE 0 END +
+        |      CASE WHEN x3 = x1 THEN 1 ELSE 0 END))::DOUBLE / 2.0 AS r1,
+        |    1.0::DOUBLE + ((CASE WHEN x1 < x2 THEN 1 ELSE 0 END +
+        |      CASE WHEN x3 < x2 THEN 1 ELSE 0 END))::DOUBLE +
+        |      ((CASE WHEN x1 = x2 THEN 1 ELSE 0 END +
+        |      CASE WHEN x3 = x2 THEN 1 ELSE 0 END))::DOUBLE / 2.0 AS r2,
+        |    1.0::DOUBLE + ((CASE WHEN x1 < x3 THEN 1 ELSE 0 END +
+        |      CASE WHEN x2 < x3 THEN 1 ELSE 0 END))::DOUBLE +
+        |      ((CASE WHEN x1 = x3 THEN 1 ELSE 0 END +
+        |      CASE WHEN x2 = x3 THEN 1 ELSE 0 END))::DOUBLE / 2.0 AS r3
+        |  FROM it),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(r1) AS g1, sum(r2) AS g2,
+        |    sum(r3) AS g3 FROM rk)
+        |SELECT n, 3::BIGINT AS k,
+        |  round(1.0::DOUBLE * g1 + 2.0::DOUBLE * g2 + 3.0::DOUBLE * g3, 6)
+        |    AS l,
+        |  round((1.0::DOUBLE * g1 + 2.0::DOUBLE * g2 + 3.0::DOUBLE * g3 -
+        |      n::DOUBLE * 3 * 4 * 4 / 4.0) /
+        |    sqrt(nullif(n::DOUBLE * 3 * 3 * 4 * 4 * 2 / 144.0, 0.0)), 6)
+        |    AS z
+        |FROM s""".stripMargin,
 
     // two md5 fingerprint families' pair sets, pair-keyed overlap,
     // LP + Chapman estimators

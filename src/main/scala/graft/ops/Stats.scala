@@ -2911,6 +2911,179 @@ object Stats {
       .toDF("a", "b", "c", "d", "n", "p_lower", "p_upper", "p_two")
   }
 
+  /** Benjamini-Yekutieli FDR adjustment — BH's guarantee under ARBITRARY
+    * dependence (correlated token tests, overlapping slices) via the
+    * harmonic penalty `c(m) = Σ 1/j`: step-up adjusted p-values
+    * `p_adj(i) = min_{j≥i} min(1, m·c(m)/j · p_j)` (one suffix-min
+    * window, the [[holmAdjust]] shape mirrored). p = exp(−χ²/2) (df=2,
+    * as [[bhFdr]]).
+    *
+    * Scale shape: identical to bhFdr — vocabulary-bounded candidate
+    * table, two bounded single-partition windows, 9-dp steps.
+    *
+    * @return (keys…, chi2, p, i, p_adj, rejected) ordered by i
+    */
+  def byFdr(df: DataFrame, keyCols: Seq[String], chi2Col: Column,
+            alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val keyed = df.select((keyCols.map(F.col) :+
+      F.round(chi2Col.cast("double"), 6).as("chi2")): _*)
+      .withColumn("p", F.round(F.exp(-F.col("chi2") / 2.0), 9))
+    val wAsc = Window.orderBy((F.col("p").asc +: keyCols.map(F.col(_).asc)): _*)
+    val wSuf = Window.orderBy((F.col("p").desc +: keyCols.map(F.col(_).desc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = keyed
+      .crossJoin(F.broadcast(keyed.agg(F.count(F.lit(1)).as("__m"))))
+      .withColumn("i", F.row_number().over(wAsc))
+    val cm = ranked.agg(F.round(F.sum(
+      F.lit(1.0) / F.col("i").cast("double")), 9).as("__c"))
+    ranked.crossJoin(F.broadcast(cm))
+      .withColumn("__q", F.round(F.least(F.lit(1.0),
+        F.col("__m").cast("double") * F.col("__c") /
+          F.col("i").cast("double") * F.col("p")), 9))
+      .withColumn("p_adj", F.min("__q").over(wSuf))
+      .withColumn("rejected", F.col("p_adj") <= F.lit(alpha))
+      .select((keyCols.map(F.col) :+ F.col("chi2") :+ F.col("p") :+
+        F.col("i") :+ F.col("p_adj") :+ F.col("rejected")): _*)
+      .orderBy("i")
+  }
+
+  /** Ordinal-by-ordinal association: Goodman-Kruskal gamma and Somers'
+    * D from EXACT concordant/discordant pair counts — does the graded
+    * quality label rise with the graded size band, with ties handled the
+    * way ordinal data demands ([[spearman]]'s midranks blur tie
+    * structure; these count it):
+    * {{{
+    *   γ = (C − D)/(C + D),  D_yx = (C − D)/(P − T_x),  P = n(n−1)/2
+    * }}}
+    * C/D/T come from the category-bounded cell grid in exact integers —
+    * no pair of ROWS is ever formed.
+    *
+    * Scale shape: one map-side cell collapse; the grid self-join is
+    * categories⁴ at worst (bounded); everything stays integer until the
+    * final ratios.
+    *
+    * @return one row (n, c_pairs, d_pairs, gamma, somers_d_yx,
+    *         somers_d_xy) — 6-dp
+    */
+  def ordinalAssociation(df: DataFrame, xCol: Column,
+                         yCol: Column): DataFrame = {
+    val cells = df
+      .select(xCol.cast("long").as("__i"), yCol.cast("long").as("__j"))
+      .filter(F.col("__i").isNotNull && F.col("__j").isNotNull)
+      .groupBy("__i", "__j").agg(F.count(F.lit(1)).as("__o"))
+    val c2 = cells.select(F.col("__i").as("__i2"), F.col("__j").as("__j2"),
+      F.col("__o").as("__o2"))
+    val cd = cells.crossJoin(c2)
+      .filter(F.col("__i2") > F.col("__i"))
+      .agg(
+        F.sum(F.when(F.col("__j2") > F.col("__j"),
+          F.col("__o") * F.col("__o2")).otherwise(0L)).as("c_pairs"),
+        F.sum(F.when(F.col("__j2") < F.col("__j"),
+          F.col("__o") * F.col("__o2")).otherwise(0L)).as("d_pairs"))
+    val margins = cells.agg(
+      F.sum("__o").as("n"),
+      F.sum(F.col("__o") * (F.col("__o") - 1L)).as("__tb2"))
+    val tx = cells.groupBy("__i").agg(F.sum("__o").as("__r"))
+      .agg(F.sum(F.col("__r") * (F.col("__r") - 1L)).as("__tx2"))
+    val ty = cells.groupBy("__j").agg(F.sum("__o").as("__c"))
+      .agg(F.sum(F.col("__c") * (F.col("__c") - 1L)).as("__ty2"))
+    val row = cd.crossJoin(F.broadcast(margins))
+      .crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    val nD = F.col("n").cast("double")
+    val p = nD * (nD - 1.0) / 2.0
+    val cmd = (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+    row.select(F.col("n"), F.col("c_pairs"), F.col("d_pairs"),
+      F.round(cmd / F.nullif(
+        (F.col("c_pairs") + F.col("d_pairs")).cast("double"), F.lit(0.0)),
+        6).as("gamma"),
+      F.round(cmd / F.nullif(
+        p - F.col("__tx2").cast("double") / 2.0, F.lit(0.0)), 6)
+        .as("somers_d_yx"),
+      F.round(cmd / F.nullif(
+        p - F.col("__ty2").cast("double") / 2.0, F.lit(0.0)), 6)
+        .as("somers_d_xy"))
+  }
+
+  /** Cochran-Armitage trend test — does a binary outcome's rate RISE
+    * across ordered, scored groups (dose-response; the 2×k sibling of
+    * [[jonckheereTerpstra]]):
+    * {{{
+    *   z = Σ s_j(a_j − n_j·p̄) / √( p̄(1−p̄)(Σ n_j s_j² − (Σ n_j s_j)²/N) )
+    * }}}
+    * All moments are exact integer sums over the group-bounded table.
+    *
+    * Scale shape: one conditional collapse to ≤ groups rows; 1-row
+    * result.
+    *
+    * @return one row (groups, n, pos, z) — z 6-dp
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+                      outcomeCol: Column): DataFrame = {
+    val byS = df
+      .select(scoreCol.cast("long").as("__s"),
+        F.when(outcomeCol, 1L).otherwise(0L).as("__y"))
+      .filter(F.col("__s").isNotNull)
+      .groupBy("__s")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__y").as("__a"))
+    val agg = byS.agg(F.count(F.lit(1)).as("groups"),
+      F.sum("__n").as("n"), F.sum("__a").as("pos"),
+      F.sum(F.col("__s") * F.col("__a")).as("__t"),
+      F.sum(F.col("__s") * F.col("__n")).as("__sn"),
+      F.sum(F.col("__s") * F.col("__s") * F.col("__n")).as("__s2n"))
+    val nD = F.col("n").cast("double")
+    val pBar = F.col("pos").cast("double") / nD
+    val num = F.col("__t").cast("double") -
+      pBar * F.col("__sn").cast("double")
+    val variance = pBar * (F.lit(1.0) - pBar) *
+      (F.col("__s2n").cast("double") -
+        F.col("__sn").cast("double") * F.col("__sn") / nD)
+    agg.select(F.col("groups"), F.col("n"), F.col("pos"),
+      F.round(num / F.sqrt(F.nullif(variance, F.lit(0.0))), 6).as("z"))
+  }
+
+  /** Page's L trend test — ordered-alternative repeated measures ("do
+    * the k scorers rise in the hypothesized order WITHIN each document"),
+    * the [[friedman]]-family sibling of [[jonckheereTerpstra]]. Item
+    * order = the given `items` order; per-row midranks from pure integer
+    * comparisons (x221 rule):
+    * {{{
+    *   L = Σ_j j·R_j,   E = n·k(k+1)²/4,
+    *   Var = n·k²(k+1)²(k−1)/144   (untied form; ties noted)
+    * }}}
+    * Scale shape: the [[friedman]] one-pass collapse — midranks are
+    * per-row codegen, k sums, 1-row result.
+    *
+    * @return one row (n, k, l, z) — l/z 6-dp
+    */
+  def pageL(df: DataFrame, items: Seq[(String, Column)]): DataFrame = {
+    require(items.size >= 3, s"need >= 3 ordered items, got ${items.size}")
+    val k = items.size
+    val vals = df.select(items.map { case (n, c) =>
+      c.cast("long").as(s"__x_$n") }: _*)
+    val ranked = items.foldLeft(vals) { case (d, (nm, _)) =>
+      val lt = items.filter(_._1 != nm).map { case (o, _) =>
+        F.when(F.col(s"__x_$o") < F.col(s"__x_$nm"), 1L).otherwise(0L)
+      }.reduce(_ + _)
+      val eq = items.filter(_._1 != nm).map { case (o, _) =>
+        F.when(F.col(s"__x_$o") === F.col(s"__x_$nm"), 1L).otherwise(0L)
+      }.reduce(_ + _)
+      d.withColumn(s"__r_$nm",
+        F.lit(1.0) + lt.cast("double") + eq.cast("double") / 2.0)
+    }
+    val sums = ranked.agg(F.count(F.lit(1)).as("n"),
+      items.zipWithIndex.map { case ((nm, _), idx) =>
+        F.sum(F.col(s"__r_$nm")).as(s"__R_$idx") }: _*)
+    val l = items.indices.map(idx =>
+      F.lit((idx + 1).toDouble) * F.col(s"__R_$idx")).reduce(_ + _)
+    val nD = F.col("n").cast("double")
+    val e = nD * k * (k + 1) * (k + 1) / 4.0
+    val variance = nD * k * k * (k + 1) * (k + 1) * (k - 1) / 144.0
+    sums.select(F.col("n"), F.lit(k).as("k"),
+      F.round(l, 6).as("l"),
+      F.round((l - e) / F.sqrt(F.nullif(variance, F.lit(0.0))), 6).as("z"))
+  }
+
   /** Weighted Cohen's kappa over ORDINAL integer categories — chance-
     * corrected agreement where near-misses count (quadratic weights
     * w_ij = (i−j)², the ICC-equivalent convention): the right agreement

@@ -4468,6 +4468,58 @@ class OpsSpec extends AnyFunSuite {
     assert(z.isNullAt(0) && z.getDouble(1) == 9.0, z.toString)
   }
 
+  test("byFdr: harmonic-penalty ladder hand values, BH-dominated") {
+    import graft.ops.Stats
+    val df = Seq(("a", 12.0), ("b", 8.0), ("c", 4.0), ("d", 0.0))
+      .toDF("k", "chi2")
+    val got = Stats.byFdr(df, Seq("k"), F.col("chi2"), alpha = 0.05)
+      .as[(String, Double, Double, Int, Double, Boolean)].collect().toSeq
+    // c(4) = 2.083333333; q_i = min(1, 4c/i·p_i); suffix-min
+    assert(got == Seq(
+      ("a", 12.0, 0.002478752, 1, 0.020656267, true),
+      ("b", 8.0, 0.018315639, 2, 0.076315162, false),
+      ("c", 4.0, 0.135335283, 3, 0.375931342, false),
+      ("d", 0.0, 1.0, 4, 1.0, false)), got)
+  }
+
+  test("ordinalAssociation: perfect concordance 1s; balanced grid zeros") {
+    import graft.ops.Stats
+    val perf = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val p = Stats.ordinalAssociation(perf, F.col("x"), F.col("y"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(p == ((3L, 3L, 0L, 1.0, 1.0, 1.0)), p)
+    val bal = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    val b = Stats.ordinalAssociation(bal, F.col("x"), F.col("y"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(b == ((4L, 1L, 1L, 0.0, 0.0, 0.0)), b)
+  }
+
+  test("cochranArmitage: monotone dose-response z=2.828427; flat is 0") {
+    import graft.ops.Stats
+    def rows(spec: (Long, Int, Int)*) = spec.flatMap { case (s, pos, neg) =>
+      Seq.fill(pos)((s, true)) ++ Seq.fill(neg)((s, false)) }
+    val up = rows((1L, 0, 4), (2L, 2, 2), (3L, 4, 0)).toDF("s", "y")
+    val got = Stats.cochranArmitage(up, F.col("s"), F.col("y"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((3L, 12L, 6L, 2.828427)), got)
+    val flat = rows((1L, 2, 2), (2L, 2, 2), (3L, 2, 2)).toDF("s", "y")
+    val f = Stats.cochranArmitage(flat, F.col("s"), F.col("y"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(f._4 == 0.0, f)
+  }
+
+  test("pageL: uniform ascending blocks L=56, z=2.828427") {
+    import graft.ops.Stats
+    val df = Seq.fill(4)((1L, 2L, 3L)).toDF("i1", "i2", "i3")
+    val got = Stats.pageL(df, Seq(("a", F.col("i1")), ("b", F.col("i2")),
+      ("c", F.col("i3")))).as[(Long, Int, Double, Double)].head()
+    assert(got == ((4L, 3, 56.0, 2.828427)), got)
+    // reversed order: L at its minimum, z negative mirror
+    val rev = Stats.pageL(df, Seq(("a", F.col("i3")), ("b", F.col("i2")),
+      ("c", F.col("i1")))).as[(Long, Int, Double, Double)].head()
+    assert(rev == ((4L, 3, 40.0, -2.828427)), rev)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
