@@ -2703,6 +2703,50 @@ object SparkEntry {
         F.least(F.lit(5L),
           F.floor(F.col("o_totalprice") / 100000.0).cast("long") + 1L))),
 
+    // Stuart-Maxwell: did the 3-bucket event-type MIX drift between
+    // consecutive events — marginal homogeneity, closed 2x2-inverse form
+    "x263_stuart_maxwell" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val t = graft.ops.EventOps.tsStamp(ev)
+      val w = Window.partitionBy("user_id").orderBy(t, F.col("event_id"))
+      val seq2 = ev.select(F.col("event_type"),
+        F.lag("event_type", 1).over(w).as("prev"))
+        .filter(F.col("prev").isNotNull)
+      def bucket(c: org.apache.spark.sql.Column) =
+        F.when(c.isin("click", "view"), c).otherwise(F.lit("other"))
+      graft.ops.Stats.stuartMaxwell3(seq2,
+        bucket(F.col("prev")), bucket(F.col("event_type")),
+        Seq("click", "view", "other"))
+    }),
+
+    // exact sign test: are spaces more numerous than e's on the same
+    // docs — BigInt binomial tails, no approximation
+    "x264_sign_test" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val len = F.length(F.col("text"))
+      def minus(ch: String) =
+        len - F.length(F.regexp_replace(F.col("text"), ch, ""))
+      graft.ops.Stats.signTest(d, minus(" "), minus("e"))
+    }),
+
+    // exact McNemar on the x233 detector pair — valid at small
+    // discordant counts where the chi2 form misleads
+    "x265_mcnemar_exact" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val truth = F.col("lang") === "en"
+      graft.ops.Stats.mcnemarExact(d,
+        F.col("text").contains(" the ") === truth,
+        (F.col("n_chars") >= 900) === truth)
+    }),
+
+    // t-closeness: does any (nation, segment) class's balance-band
+    // distribution leak vs the corpus — TV distance per class
+    "x262_tcloseness" -> ((s, dir) =>
+      graft.ops.Curation.tClosenessAudit(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_nationkey", "c_mktsegment"),
+        F.floor(F.col("c_acctbal") / 1000), tMax = 0.3)),
+
     // Benjamini-Yekutieli over the x176 chi2 token table — FDR under
     // arbitrary dependence via the harmonic penalty
     "x258_by_fdr" -> ((s, dir) => {
@@ -6628,6 +6672,123 @@ object SparkEntry {
         |  round(1.0::DOUBLE - disagree_o / nullif(disagree_e, 0.0), 6)
         |    AS kappa_w
         |FROM agg""".stripMargin,
+
+    // 3-bucket transition margins in exact integers, closed 2x2 inverse
+    "x263_stuart_maxwell" ->
+      """WITH tr AS (SELECT
+        |    CASE WHEN event_type IN ('click', 'view') THEN event_type
+        |      ELSE 'other' END AS j,
+        |    CASE WHEN prev IN ('click', 'view') THEN prev
+        |      ELSE 'other' END AS i
+        |  FROM (SELECT event_type, lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM events)
+        |  WHERE prev IS NOT NULL),
+        |cells AS (SELECT i, j, count(*)::BIGINT AS c FROM tr
+        |  GROUP BY i, j),
+        |a AS (SELECT sum(c)::BIGINT AS n,
+        |    (sum(CASE WHEN i='click' THEN c ELSE 0 END) -
+        |     sum(CASE WHEN j='click' THEN c ELSE 0 END))::BIGINT AS d1,
+        |    (sum(CASE WHEN i='view' THEN c ELSE 0 END) -
+        |     sum(CASE WHEN j='view' THEN c ELSE 0 END))::BIGINT AS d2,
+        |    (sum(CASE WHEN i='click' THEN c ELSE 0 END) +
+        |     sum(CASE WHEN j='click' THEN c ELSE 0 END) -
+        |     2 * sum(CASE WHEN i='click' AND j='click' THEN c ELSE 0 END)
+        |     )::BIGINT AS s11,
+        |    (sum(CASE WHEN i='view' THEN c ELSE 0 END) +
+        |     sum(CASE WHEN j='view' THEN c ELSE 0 END) -
+        |     2 * sum(CASE WHEN i='view' AND j='view' THEN c ELSE 0 END)
+        |     )::BIGINT AS s22,
+        |    (0 - (sum(CASE WHEN i='click' AND j='view' THEN c ELSE 0 END)
+        |        + sum(CASE WHEN i='view' AND j='click' THEN c ELSE 0 END))
+        |     )::BIGINT AS s12
+        |  FROM cells)
+        |SELECT n, d1, d2,
+        |  round((d1*d1*s22 + d2*d2*s11 - 2*d1*d2*s12)::DOUBLE /
+        |    nullif((s11*s22 - s12*s12)::DOUBLE, 0.0), 6) AS chi2,
+        |  2::BIGINT AS df
+        |FROM a""".stripMargin,
+
+    // lgamma binomial(m, 1/2) terms over the bounded support, k-range
+    // tails, doubling convention
+    "x264_sign_test" ->
+      """WITH t AS (SELECT
+        |    (length(text) - length(replace(text, ' ', ''))) AS x,
+        |    (length(text) - length(replace(text, 'e', ''))) AS y
+        |  FROM documents),
+        |ct AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN x > y THEN 1 ELSE 0 END)::BIGINT AS s,
+        |    sum(CASE WHEN x < y THEN 1 ELSE 0 END)::BIGINT AS f FROM t),
+        |mm AS (SELECT n, s, (s + f)::BIGINT AS m FROM ct),
+        |ks AS (SELECT mm.n, mm.s, mm.m, gs.k FROM mm,
+        |  (SELECT unnest(range(0, 20001)) AS k) gs WHERE gs.k <= mm.m),
+        |p AS (SELECT n, s, m, k,
+        |    exp(lgamma((m+1)::DOUBLE) - lgamma((k+1)::DOUBLE)
+        |      - lgamma((m-k+1)::DOUBLE)
+        |      + m::DOUBLE * ln(0.5::DOUBLE)) AS pk
+        |  FROM ks),
+        |tl AS (SELECT n, m, s,
+        |    sum(CASE WHEN k <= s THEN pk ELSE 0.0::DOUBLE END) AS pl,
+        |    sum(CASE WHEN k >= s THEN pk ELSE 0.0::DOUBLE END) AS pu
+        |  FROM p GROUP BY n, m, s)
+        |SELECT n, m, s, round(pl, 6) AS p_lower, round(pu, 6) AS p_upper,
+        |  round(least(1.0::DOUBLE, 2.0::DOUBLE * least(pl, pu)), 6)
+        |    AS p_two
+        |FROM tl""".stripMargin,
+
+    // the x233 detector pair, exact binomial discordant tails
+    "x265_mcnemar_exact" ->
+      """WITH t AS (SELECT
+        |    (contains(text, ' the ')) = (lang = 'en') AS ar,
+        |    (n_chars >= 900) = (lang = 'en') AS br FROM documents),
+        |ct AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN ar AND NOT br THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN (NOT ar) AND br THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM t),
+        |mm AS (SELECT n, b, c, (b + c)::BIGINT AS m FROM ct),
+        |ks AS (SELECT mm.n, mm.b, mm.c, mm.m, gs.k FROM mm,
+        |  (SELECT unnest(range(0, 20001)) AS k) gs WHERE gs.k <= mm.m),
+        |p AS (SELECT n, b, c, m, k,
+        |    exp(lgamma((m+1)::DOUBLE) - lgamma((k+1)::DOUBLE)
+        |      - lgamma((m-k+1)::DOUBLE)
+        |      + m::DOUBLE * ln(0.5::DOUBLE)) AS pk
+        |  FROM ks),
+        |tl AS (SELECT n, b, c,
+        |    sum(CASE WHEN k <= b THEN pk ELSE 0.0::DOUBLE END) AS pl,
+        |    sum(CASE WHEN k >= b THEN pk ELSE 0.0::DOUBLE END) AS pu
+        |  FROM p GROUP BY n, b, c)
+        |SELECT n, b, c, round(pl, 6) AS p_lower, round(pu, 6) AS p_upper,
+        |  round(least(1.0::DOUBLE, 2.0::DOUBLE * least(pl, pu)), 6)
+        |    AS p_two
+        |FROM tl""".stripMargin,
+
+    // dense class×band grid from the cell collapse's own margins,
+    // 9-dp |p_g − p| terms, rounded-TVD breach flag
+    "x262_tcloseness" ->
+      """WITH c AS (SELECT c_nationkey AS n1, c_mktsegment AS n2,
+        |    floor(c_acctbal / 1000)::BIGINT AS v FROM customer),
+        |cells AS (SELECT n1, n2, v, count(*)::BIGINT AS c
+        |  FROM c GROUP BY 1, 2, 3),
+        |g AS (SELECT n1, n2, sum(c)::BIGINT AS ng FROM cells
+        |  GROUP BY 1, 2),
+        |vv AS (SELECT v, sum(c)::BIGINT AS nv FROM cells GROUP BY v),
+        |nt AS (SELECT sum(c)::BIGINT AS nn FROM cells),
+        |dense AS (SELECT g.n1, g.n2, g.ng, vv.v, vv.nv,
+        |    coalesce(cells.c, 0)::BIGINT AS c
+        |  FROM g CROSS JOIN vv
+        |  LEFT JOIN cells ON cells.n1 = g.n1 AND cells.n2 = g.n2
+        |    AND cells.v = vv.v),
+        |t AS (SELECT n1, n2, ng, round(abs(c::DOUBLE / ng -
+        |    nv::DOUBLE / (SELECT nn FROM nt)), 9) AS term FROM dense),
+        |pg AS (SELECT n1 AS c_nationkey, n2 AS c_mktsegment,
+        |    max(ng)::BIGINT AS n,
+        |    round(0.5::DOUBLE * sum(term), 6) AS tvd
+        |  FROM t GROUP BY 1, 2),
+        |mx AS (SELECT max(tvd) AS max_tvd FROM pg)
+        |SELECT c_nationkey, c_mktsegment, n, tvd,
+        |  tvd > 0.3::DOUBLE AS breach, max_tvd
+        |FROM pg CROSS JOIN mx
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     // the x176 chi2 CTE + BY: harmonic c(m) at 9 dp, least(1, m·c/i·p)
     // steps, suffix-min window

@@ -509,4 +509,52 @@ object Curation {
       .withColumn("at_risk", F.col("k") < kMin)
       .orderBy(qiCols.map(F.col): _*)
   }
+
+  /** t-closeness audit (Li et al. 2007) — the attribute-DISCLOSURE
+    * complement of [[kAnonymityAudit]]'s identity metrics: a QI class can
+    * be large (k fine) and diverse (l fine) yet still leak, if its
+    * sensitive-value DISTRIBUTION differs sharply from the corpus's.
+    * Per QI class, the total-variation distance to the global sensitive
+    * distribution (the categorical EMD):
+    * {{{
+    *   TVD_g = ½ · Σ_v | n_{g,v}/n_g − n_v/N |
+    * }}}
+    * classes with TVD > `tMax` breach.
+    *
+    * Scale shape: one (QI, value) cell collapse (domain-bounded), the
+    * dense class×value grid from that table's margins, 9-dp cell terms —
+    * the corpus is scanned once.
+    *
+    * @return (qiCols…, n, tvd, breach) with the corpus-level max TVD
+    *         replicated (1-row broadcast), ordered by QI
+    */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitive: Column, tMax: Double = 0.3): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tMax > 0.0 && tMax < 1.0, s"tMax must be in (0,1), got $tMax")
+    val qi = qiCols.map(F.col)
+    val cells = df
+      .select(qi :+ sensitive.cast("string").as("__v"): _*)
+      .groupBy(qi :+ F.col("__v"): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val groups = cells.groupBy(qi: _*).agg(F.sum("__c").as("__ng"))
+    val vals = cells.groupBy("__v").agg(F.sum("__c").as("__nv"))
+    val tot = cells.agg(F.sum("__c").as("__N"))
+    val dense = groups.crossJoin(F.broadcast(vals))
+      .join(cells, qiCols :+ "__v", "left")
+      .na.fill(0L, Seq("__c"))
+      .crossJoin(F.broadcast(tot))
+      .withColumn("__term", F.round(F.abs(
+        F.col("__c").cast("double") / F.col("__ng") -
+          F.col("__nv").cast("double") / F.col("__N")), 9))
+    val perG = dense.groupBy(qi: _*)
+      .agg(F.max("__ng").as("n"),
+        F.round(F.lit(0.5) * F.sum("__term"), 6).as("tvd"))
+      .withColumn("breach", F.col("tvd") > tMax)
+    perG.crossJoin(F.broadcast(
+        perG.agg(F.max("tvd").as("max_tvd"))))
+      .select(qi ++ Seq(F.col("n"), F.col("tvd"), F.col("breach"),
+        F.col("max_tvd")): _*)
+      .orderBy(qi: _*)
+  }
 }

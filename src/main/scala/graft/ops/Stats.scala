@@ -3160,6 +3160,130 @@ object Stats {
         .as("n_chapman"))
   }
 
+  /** Exact two-sided binomial(n, ½) tail probability — the shared solver
+    * behind [[signTest]] and [[mcnemarExact]]: BigInt-rational
+    * `min(1, 2·min(P(X ≤ k), P(X ≥ k)))` (k-range tails + doubling, the
+    * [[fisherExact]] conventions). Bounded-support driver-side solve. */
+  private def binomHalfTwoSided(k: Long, n: Long): (Double, Double, Double) = {
+    require(n <= 20000L,
+      s"exact binomial on n=$n discordant/untied rows — use the normal " +
+        "approximation (wilson / mannWhitneyU) at scale")
+    // one multiplicative ladder C(n,i+1) = C(n,i)·(n−i)/(i+1): O(n)
+    // exact-integer steps instead of O(n²)
+    val coeffs = new Array[BigInt](n.toInt + 1)
+    coeffs(0) = BigInt(1)
+    (1 to n.toInt).foreach(i =>
+      coeffs(i) = coeffs(i - 1) * BigInt(n - i + 1) / BigInt(i))
+    val den = BigDecimal(BigInt(2).pow(n.toInt))
+    val lower = BigDecimal(coeffs.take(k.toInt + 1).sum) / den
+    val upper = BigDecimal(coeffs.drop(k.toInt).sum) / den
+    def r6(x: BigDecimal): Double =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val two = (BigDecimal(2) * lower.min(upper)).min(BigDecimal(1))
+    (r6(lower), r6(upper), r6(two))
+  }
+
+  /** Exact paired sign test — "is metric X bigger than metric Y on the
+    * same rows more often than chance", with the EXACT binomial null
+    * (no normal approximation, valid at any m): ties drop (the standard
+    * convention), `S ~ Binom(m, ½)` under H0.
+    *
+    * Scale shape: one conditional collapse to two counts; the exact tail
+    * solve runs driver-side over the bounded support (the [[fisherExact]]
+    * convention), loud at m > 10⁶ where the sign test is the wrong tool
+    * (use [[wilson]]-style normal bounds).
+    *
+    * @return one row (n, m, s, p_lower, p_upper, p_two) — 6-dp
+    */
+  def signTest(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val row = df.agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.when(xCol > yCol, 1L).otherwise(0L)).as("s"),
+      F.sum(F.when(xCol < yCol, 1L).otherwise(0L)).as("f"))
+      .head()
+    val (n, s, f) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val m = s + f
+    val (pl, pu, p2) =
+      if (m == 0) (1.0, 1.0, 1.0) else binomHalfTwoSided(s, m)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, m, s, pl, pu, p2))
+      .toDF("n", "m", "s", "p_lower", "p_upper", "p_two")
+  }
+
+  /** Exact (binomial) McNemar test — the small-discordant-count form of
+    * [[mcnemar]]: under H0 the b discordant wins are Binom(b+c, ½), so
+    * the exact two-sided p needs no continuity correction and stays
+    * valid when b+c < 25 where the χ² approximation misleads.
+    *
+    * Scale shape: the [[mcnemar]] one-row collapse + the bounded
+    * driver-side exact solve.
+    *
+    * @return one row (n, b, c, p_lower, p_upper, p_two) — 6-dp
+    */
+  def mcnemarExact(df: DataFrame, aRight: Column,
+                   bRight: Column): DataFrame = {
+    val row = df.agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.when(aRight && !bRight, 1L).otherwise(0L)).as("b"),
+      F.sum(F.when(!aRight && bRight, 1L).otherwise(0L)).as("c"))
+      .head()
+    val (n, b, c) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (pl, pu, p2) =
+      if (b + c == 0) (1.0, 1.0, 1.0) else binomHalfTwoSided(b, b + c)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, b, c, pl, pu, p2))
+      .toDF("n", "b", "c", "p_lower", "p_upper", "p_two")
+  }
+
+  /** Stuart-Maxwell marginal-homogeneity test on a 3-category paired
+    * table — "did the CLASS MIX drift between the two passes", which
+    * [[bowkerSymmetry]] (cell-level symmetry) implies but is stricter
+    * than. The 3-category case has the closed 2×2-inverse form (larger
+    * k: test pairwise or use bowker):
+    * {{{
+    *   d_i = r_i − c_i,  S_ii = r_i + c_i − 2n_ii,  S_12 = −(n_12+n_21)
+    *   χ² = (d_1²S_22 + d_2²S_11 − 2d_1d_2S_12)/(S_11S_22 − S_12²),  df 2
+    * }}}
+    * Everything stays in exact integers until the final division.
+    *
+    * Scale shape: one cell collapse to ≤ 9 rows; 1-row result.
+    *
+    * @return one row (n, d1, d2, chi2, df) — chi2 6-dp, NULL when the
+    *         2×2 S is singular
+    */
+  def stuartMaxwell3(df: DataFrame, fromCol: Column, toCol: Column,
+                     cats: Seq[String]): DataFrame = {
+    require(cats.size == 3, s"exactly 3 categories, got ${cats.size}")
+    val Seq(c1, c2, c3) = cats
+    val cells = df
+      .select(fromCol.cast("string").as("__i"), toCol.cast("string").as("__j"))
+      .filter(F.col("__i").isin(c1, c2, c3) && F.col("__j").isin(c1, c2, c3))
+      .groupBy("__i", "__j").agg(F.count(F.lit(1)).as("__c"))
+    def cell(i: String, j: String) =
+      F.sum(F.when(F.col("__i") === i && F.col("__j") === j,
+        F.col("__c")).otherwise(0L))
+    def rowM(i: String) =
+      F.sum(F.when(F.col("__i") === i, F.col("__c")).otherwise(0L))
+    def colM(j: String) =
+      F.sum(F.when(F.col("__j") === j, F.col("__c")).otherwise(0L))
+    val agg = cells.agg(
+      F.sum("__c").as("n"),
+      (rowM(c1) - colM(c1)).as("d1"), (rowM(c2) - colM(c2)).as("d2"),
+      (rowM(c1) + colM(c1) - F.lit(2L) * cell(c1, c1)).as("__s11"),
+      (rowM(c2) + colM(c2) - F.lit(2L) * cell(c2, c2)).as("__s22"),
+      (F.lit(0L) - (cell(c1, c2) + cell(c2, c1))).as("__s12"))
+    val det = (F.col("__s11") * F.col("__s22") -
+      F.col("__s12") * F.col("__s12")).cast("double")
+    val num = (F.col("d1") * F.col("d1") * F.col("__s22") +
+      F.col("d2") * F.col("d2") * F.col("__s11") -
+      F.lit(2L) * F.col("d1") * F.col("d2") * F.col("__s12")).cast("double")
+    agg.select(F.col("n"), F.col("d1"), F.col("d2"),
+      F.round(num / F.nullif(det, F.lit(0.0)), 6).as("chi2"),
+      F.lit(2L).as("df"))
+  }
+
   /** Dunn's post-hoc pairwise comparisons after [[kruskalWallis]] — WHICH
     * groups differ once the omnibus H rejects. Pairwise z on mean ranks
     * with the tie-corrected common variance:

@@ -4520,6 +4520,74 @@ class OpsSpec extends AnyFunSuite {
     assert(rev == ((4L, 3, 40.0, -2.828427)), rev)
   }
 
+  test("tClosenessAudit: hand TV distances, breach flags, corpus max") {
+    import graft.ops.Curation
+    val df = (Seq.fill(1)(("g1", "A")) ++ Seq.fill(3)(("g1", "B")) ++
+      Seq.fill(4)(("g2", "A")) ++
+      Seq.fill(3)(("g3", "A")) ++ Seq.fill(1)(("g3", "B")))
+      .toDF("qi", "s")
+    val got = Curation.tClosenessAudit(df, Seq("qi"), F.col("s"),
+      tMax = 0.3).as[(String, Long, Double, Boolean, Double)]
+      .collect().toSeq
+    // global p = (2/3, 1/3): TVDs 5/12, 1/3, 1/12
+    assert(got == Seq(
+      ("g1", 4L, 0.416667, true, 0.416667),
+      ("g2", 4L, 0.333333, true, 0.416667),
+      ("g3", 4L, 0.083333, false, 0.416667)), got)
+    // a class matching the corpus distribution exactly scores 0
+    val same = (Seq.fill(2)(("a", "X")) ++ Seq.fill(2)(("a", "Y")) ++
+      Seq.fill(2)(("b", "X")) ++ Seq.fill(2)(("b", "Y"))).toDF("qi", "s")
+    val z = Curation.tClosenessAudit(same, Seq("qi"), F.col("s"))
+      .select("tvd").as[Double].collect().toSeq
+    assert(z == Seq(0.0, 0.0), z)
+  }
+
+  test("stuartMaxwell3: hand margins give chi2=64/24; symmetric flow 0") {
+    import graft.ops.Stats
+    val flows = (Seq.fill(3)(("a", "a")) ++ Seq.fill(3)(("b", "b")) ++
+      Seq.fill(3)(("c", "c")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(1)(("b", "a")) ++ Seq.fill(2)(("a", "c")) ++
+      Seq.fill(2)(("c", "a"))).toDF("f", "t")
+    val got = Stats.stuartMaxwell3(flows, F.col("f"), F.col("t"),
+      Seq("a", "b", "c")).as[(Long, Long, Long, Double, Long)].head()
+    // d=(4,-4), S=((10,-6),(-6,6)): chi2 = 64/24 = 2.666667
+    assert(got == ((19L, 4L, -4L, 2.666667, 2L)), got)
+    val sym = (Seq.fill(4)(("a", "b")) ++ Seq.fill(4)(("b", "a")) ++
+      Seq.fill(2)(("b", "c")) ++ Seq.fill(2)(("c", "b"))).toDF("f", "t")
+    val s = Stats.stuartMaxwell3(sym, F.col("f"), F.col("t"),
+      Seq("a", "b", "c")).as[(Long, Long, Long, Double, Long)].head()
+    assert(s._4 == 0.0, s) // balanced flows: margins identical
+    // two-effective-category symmetric flow: S singular -> NULL, not NaN
+    val sing = (Seq.fill(4)(("a", "b")) ++ Seq.fill(4)(("b", "a")))
+      .toDF("f", "t")
+    val sg = Stats.stuartMaxwell3(sing, F.col("f"), F.col("t"),
+      Seq("a", "b", "c")).select("chi2").collect().head
+    assert(sg.isNullAt(0), sg.toString)
+  }
+
+  test("signTest: exact binomial tails 31/32, 6/32, 12/32; ties drop") {
+    import graft.ops.Stats
+    val df = Seq((3L, 1L), (4L, 2L), (5L, 1L), (9L, 8L), (1L, 7L),
+      (2L, 2L)).toDF("x", "y") // 4 wins, 1 loss, 1 tie
+    val got = Stats.signTest(df, F.col("x"), F.col("y"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(got == ((6L, 5L, 4L, 0.96875, 0.1875, 0.375)), got)
+  }
+
+  test("mcnemarExact: b=5,c=1 exact tails; zero-discordant all 1") {
+    import graft.ops.Stats
+    def mk(bb: Int, cc: Int, both: Int) =
+      (Seq.fill(both)((true, true)) ++ Seq.fill(bb)((true, false)) ++
+        Seq.fill(cc)((false, true))).toDF("a", "b")
+    val got = Stats.mcnemarExact(mk(5, 1, 3), F.col("a"), F.col("b"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    // P(X<=5)=63/64, P(X>=5)=7/64, two-sided 14/64
+    assert(got == ((9L, 5L, 1L, 0.984375, 0.109375, 0.21875)), got)
+    val z = Stats.mcnemarExact(mk(0, 0, 4), F.col("a"), F.col("b"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(z == ((4L, 0L, 0L, 1.0, 1.0, 1.0)), z)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
