@@ -3980,6 +3980,13 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(got("a<b") == ((3L, 2L, 0.666667)), got)
     assert(got("b<a") == ((3L, 2L, 0.666667)), got)
+    // empty / all-NULL lhs: the inclusion is vacuously true — defined 1.0
+    // (advisor r11: Spark's 0/0 NULL diverged from DuckDB's sum-over-
+    // nothing NULL; the explicit guard makes both engines agree)
+    val e = Seq.empty[Long].toDF("x")
+    val v = Stats.inclusionProfile(Seq(("e<b", e, "x", b, "y")))
+      .as[(String, Long, Long, Double)].head()
+    assert(v == (("e<b", 0L, 0L, 1.0)), v)
   }
 
   test("msprt: hand-valued llr ladder; always-valid p never increases") {
