@@ -2703,6 +2703,28 @@ object SparkEntry {
         F.least(F.lit(5L),
           F.floor(F.col("o_totalprice") / 100000.0).cast("long") + 1L))),
 
+    // exponential goodness-of-fit of pooled inter-event gaps — is the
+    // traffic memoryless; exact two-sided KS steps at the MLE lambda
+    "x266_exp_fit" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val t = graft.ops.EventOps.tsStamp(ev)
+      val seq2 = ev.select(F.col("user_id"),
+        F.unix_timestamp(t).as("u"), F.col("event_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(F.col("u"), F.col("event_id"))
+      val gaps = seq2
+        .withColumn("gap", F.col("u") - F.lag("u", 1).over(w))
+        .filter(F.col("gap").isNotNull && F.col("gap") > 0L)
+      graft.ops.Stats.expFitKs(gaps, F.col("gap"))
+    }),
+
+    // Hill tail index of order value over the top-100 order statistics —
+    // how heavy is the purchase-size tail
+    "x267_hill" -> ((s, dir) =>
+      graft.ops.Stats.hillTailIndex(
+        s.read.parquet(s"$dir/orders.parquet"),
+        F.col("o_totalprice"), k = 100)),
+
     // Stuart-Maxwell: did the 3-bucket event-type MIX drift between
     // consecutive events — marginal homogeneity, closed 2x2-inverse form
     "x263_stuart_maxwell" -> ((s, dir) => {
@@ -6672,6 +6694,46 @@ object SparkEntry {
         |  round(1.0::DOUBLE - disagree_o / nullif(disagree_e, 0.0), 6)
         |    AS kappa_w
         |FROM agg""".stripMargin,
+
+    // distinct-gap collapse, integer prefix counts (exact under any
+    // window tree), two-sided KS steps at the MLE lambda
+    "x266_exp_fit" ->
+      """WITH u AS (SELECT user_id, floor(epoch(ts))::BIGINT AS u,
+        |    event_id FROM events),
+        |g AS (SELECT (u - lag(u) OVER (PARTITION BY user_id
+        |    ORDER BY u, event_id))::DOUBLE AS v FROM u),
+        |vv AS (SELECT v FROM g WHERE v IS NOT NULL AND v > 0),
+        |byv AS (SELECT v, count(*)::BIGINT AS t FROM vv GROUP BY v),
+        |tot AS (SELECT sum(t)::BIGINT AS n, sum(v * t) AS sx FROM byv),
+        |c AS (SELECT v, t, sum(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM byv),
+        |d AS (SELECT round(greatest(
+        |    abs(cum::DOUBLE / n::DOUBLE - (1.0::DOUBLE -
+        |      exp(0.0::DOUBLE - (n::DOUBLE / sx) * v))),
+        |    abs((cum - t)::DOUBLE / n::DOUBLE - (1.0::DOUBLE -
+        |      exp(0.0::DOUBLE - (n::DOUBLE / sx) * v)))), 9) AS dd
+        |  FROM c CROSS JOIN tot)
+        |SELECT (SELECT n FROM tot) AS n,
+        |  round((SELECT n::DOUBLE / sx FROM tot), 6) AS lambda,
+        |  round(max(dd), 6) AS d
+        |FROM d""".stripMargin,
+
+    // TakeOrdered top-101 slice, 9-dp per-term logs, k-mean
+    "x267_hill" ->
+      """WITH top AS (SELECT o_totalprice::DOUBLE AS v FROM orders
+        |  WHERE o_totalprice > 0 ORDER BY v DESC LIMIT 101),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v DESC) AS rk
+        |  FROM top),
+        |xk AS (SELECT v AS xk1 FROM r WHERE rk = 101),
+        |t AS (SELECT round(ln(r.v / xk1), 9) AS t, xk1
+        |  FROM r CROSS JOIN xk WHERE rk <= 100),
+        |a AS (SELECT max(xk1) AS x_kplus1,
+        |    sum(t) / 100.0::DOUBLE AS inv FROM t)
+        |SELECT 100::BIGINT AS k, round(x_kplus1, 6) AS x_kplus1,
+        |  round(inv, 6) AS inv_alpha,
+        |  round(1.0::DOUBLE / nullif(inv, 0.0), 6) AS alpha
+        |FROM a""".stripMargin,
 
     // 3-bucket transition margins in exact integers, closed 2x2 inverse
     "x263_stuart_maxwell" ->

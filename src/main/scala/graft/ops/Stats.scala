@@ -3084,6 +3084,85 @@ object Stats {
       F.round((l - e) / F.sqrt(F.nullif(variance, F.lit(0.0))), 6).as("z"))
   }
 
+  /** One-sample Kolmogorov-Smirnov goodness-of-fit of positive values
+    * against the MLE exponential — "are these inter-event gaps memoryless
+    * (Poisson traffic) or bursty/regimed": λ̂ = n/Σx, and the exact KS
+    * distance evaluated at BOTH sides of every empirical step
+    * {{{
+    *   D = max_i max( |i/n − F(x_i)|, |(i−1)/n − F(x_i)| ),
+    *   F(x) = 1 − e^{−λx}
+    * }}}
+    * (the two-sided step evaluation the naive |i/n − F| misses).
+    *
+    * Scale shape: values collapse to one row per DISTINCT value carrying
+    * its count; the cumulative rank comes from one bounded value-domain
+    * window (the [[mannWhitneyU]] discipline) and D is a 1-row max of
+    * 9-dp terms.
+    *
+    * @return one row (n, lambda, d) — 6-dp
+    */
+  def expFitKs(df: DataFrame, valueCol: Column): DataFrame = {
+    val v = df.select(valueCol.cast("double").as("__v"))
+      .filter(F.col("__v") > 0.0)
+    val byV = v.groupBy("__v").agg(F.count(F.lit(1)).as("__t"))
+    val tot = byV.agg(F.sum("__t").as("__n"), F.sum(
+      F.col("__v") * F.col("__t")).as("__sx"))
+    val w = Window.orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = F.col("__n").cast("double")
+    val lam = nD / F.col("__sx")
+    val cum = byV
+      .withColumn("__cum", F.sum("__t").over(w))
+      .crossJoin(F.broadcast(tot))
+      .withColumn("__f", F.lit(1.0) - F.exp(F.lit(0.0) - lam * F.col("__v")))
+      .withColumn("__d", F.round(F.greatest(
+        F.abs(F.col("__cum").cast("double") / nD - F.col("__f")),
+        F.abs((F.col("__cum") - F.col("__t")).cast("double") / nD -
+          F.col("__f"))), 9))
+    cum.agg(F.max("__n").as("n"),
+      F.round(F.max(lam), 6).as("lambda"),
+      F.round(F.max("__d"), 6).as("d"))
+  }
+
+  /** Hill estimator of the power-law tail index over the top-k order
+    * statistics — "how heavy is this distribution's tail" (α < 2: no
+    * variance; α < 1: no mean — the document-length / purchase-size
+    * planning readout a mean+sd summary hides):
+    * {{{
+    *   1/α̂ = (1/k) Σ_{i≤k} ln(x_(i) / x_(k+1))
+    * }}}
+    *
+    * Scale shape: the top-(k+1) slice comes from TakeOrderedAndProject
+    * (bounded per-partition heaps — no global sort); the log-ladder and
+    * mean run on those k+1 rows only. Boundary ties are value-ties, so
+    * the chosen multiset is deterministic.
+    *
+    * @return one row (k, x_kplus1, inv_alpha, alpha) — 6-dp
+    */
+  def hillTailIndex(df: DataFrame, valueCol: Column,
+                    k: Int = 100): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val top = df.select(valueCol.cast("double").as("__v"))
+      .filter(F.col("__v") > 0.0)
+      .orderBy(F.col("__v").desc)
+      .limit(k + 1)
+    val w = Window.orderBy(F.col("__v").desc)
+    val ranked = top.withColumn("__rk", F.row_number().over(w))
+    val xk1 = ranked.filter(F.col("__rk") === k + 1)
+      .select(F.col("__v").as("__xk1"))
+    val invAlpha = ranked.filter(F.col("__rk") <= k)
+      .crossJoin(F.broadcast(xk1))
+      // 9-dp per-term logs before the unordered k-term mean
+      .withColumn("__t", F.round(F.log(F.col("__v") / F.col("__xk1")), 9))
+      .agg(F.max("__xk1").as("x_kplus1"),
+        (F.sum("__t") / k.toDouble).as("__inv"))
+    invAlpha.select(F.lit(k.toLong).as("k"), F.round(F.col("x_kplus1"), 6)
+      .as("x_kplus1"),
+      F.round(F.col("__inv"), 6).as("inv_alpha"),
+      F.round(F.lit(1.0) / F.nullif(F.col("__inv"), F.lit(0.0)), 6)
+        .as("alpha"))
+  }
+
   /** Weighted Cohen's kappa over ORDINAL integer categories — chance-
     * corrected agreement where near-misses count (quadratic weights
     * w_ij = (i−j)², the ICC-equivalent convention): the right agreement

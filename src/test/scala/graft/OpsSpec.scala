@@ -4595,6 +4595,29 @@ class OpsSpec extends AnyFunSuite {
     assert(z == ((4L, 0L, 0L, 1.0, 1.0, 1.0)), z)
   }
 
+  test("expFitKs: hand lambda and two-sided KS steps; exact-exp near 0") {
+    import graft.ops.Stats
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    val got = Stats.expFitKs(df, F.col("v"))
+      .as[(Long, Double, Double)].head()
+    // lambda = 0.5; D at the lower side of the first step = F(1)
+    assert(got == ((3L, 0.5, 0.393469)), got)
+    // quantiles OF an exponential fit tightly (D small)
+    val q = (1 to 99).map(i => -math.log(1.0 - i / 100.0)).toDF("v")
+    val tight = Stats.expFitKs(q, F.col("v"))
+      .as[(Long, Double, Double)].head()
+    assert(tight._3 < 0.05, tight)
+  }
+
+  test("hillTailIndex: hand log ladder on a dyadic tail") {
+    import graft.ops.Stats
+    val df = (Seq(8.0, 4.0, 2.0, 1.0) ++ Seq.fill(10)(0.5)).toDF("v")
+    val got = Stats.hillTailIndex(df, F.col("v"), k = 3)
+      .as[(Long, Double, Double, Double)].head()
+    // terms ln8, ln4, ln2 over x_(4)=1: mean = 2ln2 = 1.386294
+    assert(got == ((3L, 1.0, 1.386294, 0.721348)), got)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
