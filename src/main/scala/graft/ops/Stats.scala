@@ -2543,15 +2543,19 @@ object Stats {
     // 9-dp rounds replay identically everywhere. (The first cut chained
     // every round through a new DataFrame join of the SAME collapse —
     // 3 re-scans of the corpus for a 25-cell matrix; ledger r12.)
+    // bound the vocabulary BEFORE collecting anything: a runaway item
+    // domain must fail on a 1-row count, not after shipping k² pair rows
+    // to the driver
+    val kGuard = wins.count()
+    require(kGuard >= 2, s"bradleyTerry: need >= 2 items, got $kGuard")
+    require(kGuard <= 4096,
+      s"bradleyTerry: $kGuard items — the matrix solve is meant for a " +
+        "bounded model/source vocabulary; aggregate first")
     val pairRows = nPair.collect().map(r =>
       (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val winRows = wins.collect().map(r =>
       r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val kItems = winRows.size
-    require(kItems >= 2, s"bradleyTerry: need >= 2 items, got $kItems")
-    require(kItems <= 4096,
-      s"bradleyTerry: $kItems items — the matrix solve is meant for a " +
-        "bounded model/source vocabulary; aggregate first")
     def r9(x: Double): Double =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val items = winRows.map(_._1)
