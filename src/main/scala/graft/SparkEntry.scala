@@ -2703,6 +2703,25 @@ object SparkEntry {
         F.least(F.lit(5L),
           F.floor(F.col("o_totalprice") / 100000.0).cast("long") + 1L))),
 
+    // Mood's median test: segment balances vs the global exact median —
+    // the maximally outlier-immune k-group location test
+    "x268_moods_median" -> ((s, dir) =>
+      graft.ops.Stats.moodsMedianTest(
+        s.read.parquet(s"$dir/customer.parquet"),
+        F.col("c_mktsegment"), F.col("c_acctbal"))),
+
+    // Kendall's W: how unanimously do the three length signals rank
+    // documents — normalized friedman concordance
+    "x269_kendall_w" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val len = F.length(F.col("text"))
+      def minus(ch: String) =
+        len - F.length(F.regexp_replace(F.col("text"), ch, ""))
+      graft.ops.Stats.kendallW(d, Seq(
+        ("spaces", minus(" ")), ("evs", minus("e")),
+        ("dots", minus("\\."))))
+    }),
+
     // exponential goodness-of-fit of pooled inter-event gaps — is the
     // traffic memoryless; exact two-sided KS steps at the MLE lambda
     "x266_exp_fit" -> ((s, dir) => {
@@ -6694,6 +6713,70 @@ object SparkEntry {
         |  round(1.0::DOUBLE - disagree_o / nullif(disagree_e, 0.0), 6)
         |    AS kappa_w
         |FROM agg""".stripMargin,
+
+    // doubled global median, drop-at-median signs, dense 2×k Pearson
+    // grid in 9-dp cells
+    "x268_moods_median" ->
+      """WITH kk AS (SELECT c_mktsegment AS g,
+        |    round(c_acctbal * 100)::BIGINT AS kv FROM customer),
+        |r AS (SELECT g, kv, row_number() OVER (ORDER BY kv) AS rn,
+        |    count(*) OVER () AS n FROM kk),
+        |m AS (SELECT (sum(kv) * (3 - count(*)))::BIGINT AS m2 FROM r
+        |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2),
+        |s AS (SELECT g, CASE WHEN kv * 2 > m2 THEN 1
+        |    WHEN kv * 2 < m2 THEN -1 ELSE 0 END AS s
+        |  FROM kk CROSS JOIN m),
+        |byg AS (SELECT g,
+        |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)::BIGINT AS b
+        |  FROM s WHERE s <> 0 GROUP BY g),
+        |tot AS (SELECT count(*)::BIGINT AS k, sum(a + b)::BIGINT AS n,
+        |    sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb FROM byg),
+        |cells AS (SELECT round(
+        |    (a - ta::DOUBLE * (a + b)::DOUBLE / n) *
+        |    (a - ta::DOUBLE * (a + b)::DOUBLE / n) /
+        |    (ta::DOUBLE * (a + b)::DOUBLE / n) +
+        |    (b - tb::DOUBLE * (a + b)::DOUBLE / n) *
+        |    (b - tb::DOUBLE * (a + b)::DOUBLE / n) /
+        |    (tb::DOUBLE * (a + b)::DOUBLE / n), 9) AS cell
+        |  FROM byg CROSS JOIN tot)
+        |SELECT (SELECT k FROM tot) AS k, (SELECT n FROM tot) AS n,
+        |  round(sum(cell), 6) AS chi2,
+        |  ((SELECT k FROM tot) - 1)::BIGINT AS df
+        |FROM cells""".stripMargin,
+
+    // the x253 midrank CTEs, W = chi2/(n(k−1)) on the 6-dp chi2
+    "x269_kendall_w" ->
+      """WITH it AS (SELECT
+        |    (length(text) - length(replace(text, ' ', '')))::BIGINT AS x1,
+        |    (length(text) - length(replace(text, 'e', '')))::BIGINT AS x2,
+        |    (length(text) - length(replace(text, '.', '')))::BIGINT AS x3
+        |  FROM documents),
+        |rk AS (SELECT
+        |    1.0::DOUBLE + ((CASE WHEN x2 < x1 THEN 1 ELSE 0 END +
+        |      CASE WHEN x3 < x1 THEN 1 ELSE 0 END))::DOUBLE +
+        |      ((CASE WHEN x2 = x1 THEN 1 ELSE 0 END +
+        |      CASE WHEN x3 = x1 THEN 1 ELSE 0 END))::DOUBLE / 2.0 AS r1,
+        |    1.0::DOUBLE + ((CASE WHEN x1 < x2 THEN 1 ELSE 0 END +
+        |      CASE WHEN x3 < x2 THEN 1 ELSE 0 END))::DOUBLE +
+        |      ((CASE WHEN x1 = x2 THEN 1 ELSE 0 END +
+        |      CASE WHEN x3 = x2 THEN 1 ELSE 0 END))::DOUBLE / 2.0 AS r2,
+        |    1.0::DOUBLE + ((CASE WHEN x1 < x3 THEN 1 ELSE 0 END +
+        |      CASE WHEN x2 < x3 THEN 1 ELSE 0 END))::DOUBLE +
+        |      ((CASE WHEN x1 = x3 THEN 1 ELSE 0 END +
+        |      CASE WHEN x2 = x3 THEN 1 ELSE 0 END))::DOUBLE / 2.0 AS r3
+        |  FROM it),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(r1) AS g1, sum(r2) AS g2,
+        |    sum(r3) AS g3, sum(r1*r1 + r2*r2 + r3*r3) AS a2 FROM rk),
+        |f AS (SELECT n,
+        |    round(n::DOUBLE * 2 *
+        |      ((g1*g1 + g2*g2 + g3*g3) / n::DOUBLE -
+        |        n::DOUBLE * 3 * 16 / 4.0) /
+        |      nullif(a2 - n::DOUBLE * 3 * 16 / 4.0, 0.0), 6) AS chi2
+        |  FROM s)
+        |SELECT n, 3::BIGINT AS k, chi2,
+        |  round(chi2 / (n::DOUBLE * 2.0::DOUBLE), 6) AS w
+        |FROM f""".stripMargin,
 
     // distinct-gap collapse, integer prefix counts (exact under any
     // window tree), two-sided KS steps at the MLE lambda

@@ -3167,6 +3167,77 @@ object Stats {
         .as("alpha"))
   }
 
+  /** Mood's median test — the maximally-robust k-group location test
+    * (only above/below the GLOBAL median enters, so arbitrarily wild
+    * tails cannot move it; lower power than [[kruskalWallis]], stronger
+    * outlier immunity). The global median is carried DOUBLED from the
+    * two middle order statistics (exact, the [[brownForsythe]] trick);
+    * exact-median rows drop (standard); Pearson χ² over the dense 2×k
+    * grid, df = k−1.
+    *
+    * Scale shape: one global median rank (value-quantized, one bounded
+    * window over the full ordering — for a heavy corpus feed a rollup or
+    * use kruskalWallis' distinct-value collapse), one conditional
+    * group rollup, grid-bounded arithmetic.
+    *
+    * @return one row (k, n, chi2, df) — chi2 6-dp
+    */
+  def moodsMedianTest(df: DataFrame, groupCol: Column, valueCol: Column,
+                      scale: Long = 100L): DataFrame = {
+    val keyed = df.select(groupCol.cast("string").as("__g"),
+      F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+    val wV = Window.orderBy(F.col("__k"))
+    val m2 = keyed
+      .withColumn("__rn", F.row_number().over(wV))
+      .withColumn("__n", F.count(F.lit(1)).over(
+        Window.partitionBy(F.lit(1))))
+      .filter(F.col("__rn") === F.floor((F.col("__n") + 1L) / 2L) ||
+        F.col("__rn") === F.floor((F.col("__n") + 2L) / 2L))
+      .agg((F.sum("__k") * (F.lit(3L) - F.count(F.lit(1)))).as("__m2"))
+    val byG = keyed.crossJoin(F.broadcast(m2))
+      .withColumn("__s", F.when(F.col("__k") * 2L > F.col("__m2"), 1)
+        .when(F.col("__k") * 2L < F.col("__m2"), -1).otherwise(0))
+      .filter(F.col("__s") =!= 0)
+      .groupBy("__g")
+      .agg(F.sum(F.when(F.col("__s") === 1, 1L).otherwise(0L)).as("__a"),
+        F.sum(F.when(F.col("__s") === -1, 1L).otherwise(0L)).as("__b"))
+    val tot = byG.agg(F.count(F.lit(1)).as("k"),
+      F.sum(F.col("__a") + F.col("__b")).as("n"),
+      F.sum("__a").as("__ta"), F.sum("__b").as("__tb"))
+    val cells = byG.crossJoin(F.broadcast(tot))
+      .withColumn("__ng", (F.col("__a") + F.col("__b")).cast("double"))
+      .withColumn("__ea", F.col("__ta").cast("double") * F.col("__ng") /
+        F.col("n"))
+      .withColumn("__eb", F.col("__tb").cast("double") * F.col("__ng") /
+        F.col("n"))
+      .withColumn("__cell", F.round(
+        (F.col("__a") - F.col("__ea")) * (F.col("__a") - F.col("__ea")) /
+          F.col("__ea") +
+        (F.col("__b") - F.col("__eb")) * (F.col("__b") - F.col("__eb")) /
+          F.col("__eb"), 9))
+    cells.agg(F.max("k").as("k"), F.max("n").as("n"),
+      F.round(F.sum("__cell"), 6).as("chi2"),
+      (F.max("k") - 1L).as("df"))
+  }
+
+  /** Kendall's coefficient of concordance W — "how unanimously do the k
+    * scorers rank the corpus", the [0, 1]-normalized readout of the
+    * [[friedman]] statistic (`W = χ²_F / (n(k−1))`; 1 = identical
+    * rankings, 0 = no agreement). Same per-row integer midranks, same
+    * tie-general form.
+    *
+    * Scale shape: identical to [[friedman]] — one map-side pass, 1 row.
+    *
+    * @return one row (n, k, chi2, w) — 6-dp
+    */
+  def kendallW(df: DataFrame, items: Seq[(String, Column)]): DataFrame = {
+    val f = friedman(df, items)
+    f.select(F.col("n"), F.col("k"), F.col("chi2"),
+      F.round(F.col("chi2") /
+        (F.col("n").cast("double") * (F.col("k") - 1L).cast("double")), 6)
+        .as("w"))
+  }
+
   /** Weighted Cohen's kappa over ORDINAL integer categories — chance-
     * corrected agreement where near-misses count (quadratic weights
     * w_ij = (i−j)², the ICC-equivalent convention): the right agreement

@@ -4618,6 +4618,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ((3L, 1.0, 1.386294, 0.721348)), got)
   }
 
+  test("moodsMedianTest: separated groups chi2=6; balanced groups 0") {
+    import graft.ops.Stats
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 11.0), ("b", 12.0)).toDF("g", "v")
+    val got = Stats.moodsMedianTest(sep, F.col("g"), F.col("v"),
+      scale = 1L).as[(Long, Long, Double, Long)].head()
+    assert(got == ((2L, 6L, 6.0, 1L)), got)
+    val bal = Seq(("a", 1.0), ("a", 12.0), ("b", 2.0), ("b", 11.0))
+      .toDF("g", "v")
+    val b = Stats.moodsMedianTest(bal, F.col("g"), F.col("v"), scale = 1L)
+      .as[(Long, Long, Double, Long)].head()
+    assert(b._3 == 0.0, b)
+  }
+
+  test("kendallW: unanimous rankings W=1; the 6.5-chi2 table W=0.8125") {
+    import graft.ops.Stats
+    def items = Seq(("a", F.col("i1")), ("b", F.col("i2")),
+      ("c", F.col("i3")))
+    val unanimous = Seq.fill(4)((1L, 2L, 3L)).toDF("i1", "i2", "i3")
+    val u = Stats.kendallW(unanimous, items)
+      .as[(Long, Int, Double, Double)].head()
+    assert(u == ((4L, 3, 8.0, 1.0)), u)
+    val mixed = Seq((1L, 2L, 3L), (1L, 3L, 2L), (1L, 2L, 3L),
+      (1L, 2L, 3L)).toDF("i1", "i2", "i3")
+    val m = Stats.kendallW(mixed, items)
+      .as[(Long, Int, Double, Double)].head()
+    assert(m == ((4L, 3, 6.5, 0.8125)), m)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
