@@ -2722,6 +2722,36 @@ object SparkEntry {
         ("dots", minus("\\."))))
     }),
 
+    // Fleiss' kappa: do an order's 4 line quantities agree on a decile
+    // bucket — equal-panel multi-rater agreement from integer stats
+    "x270_fleiss_kappa" -> ((s, dir) =>
+      graft.ops.Stats.fleissKappa(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        F.col("l_orderkey"),
+        F.floor((F.col("l_quantity") - 1) / 10), m = 4)),
+
+    // Krippendorff's alpha: the same quantity-bucket panels but with the
+    // VARYING panel sizes real annotation tables have (every order >= 2)
+    "x271_kripp_alpha" -> ((s, dir) =>
+      graft.ops.Stats.krippAlphaNominal(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        F.col("l_orderkey"),
+        F.floor((F.col("l_quantity") - 1) / 10))),
+
+    // k-sample Anderson-Darling: do the five order priorities share one
+    // totalprice distribution — the tail-weighted drift test
+    "x272_ad_ksample" -> ((s, dir) =>
+      graft.ops.Stats.adKSample(
+        s.read.parquet(s"$dir/orders.parquet"),
+        F.col("o_orderpriority"), F.col("o_totalprice"))),
+
+    // Goodman-Kruskal lambda: how much does knowing the source cut the
+    // error of guessing the language — directed nominal prediction
+    "x273_gk_lambda" -> ((s, dir) =>
+      graft.ops.Stats.gkLambda(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.col("source"), F.col("lang"))),
+
     // exponential goodness-of-fit of pooled inter-event gaps — is the
     // traffic memoryless; exact two-sided KS steps at the MLE lambda
     "x266_exp_fit" -> ((s, dir) => {
@@ -6777,6 +6807,102 @@ object SparkEntry {
         |SELECT n, 3::BIGINT AS k, chi2,
         |  round(chi2 / (n::DOUBLE * 2.0::DOUBLE), 6) AS w
         |FROM f""".stripMargin,
+
+    // equal-panel (m=4) items only; every sufficient statistic an exact
+    // integer, single divisions, kappa from the unrounded pa/pe
+    "x270_fleiss_kappa" ->
+      """WITH r AS (SELECT l_orderkey AS it,
+        |    ((l_quantity::BIGINT - 1) // 10) AS cat FROM lineitem),
+        |ok AS (SELECT it FROM r GROUP BY it HAVING count(*) = 4),
+        |c AS (SELECT it, cat, count(*)::BIGINT AS k FROM r
+        |  WHERE it IN (SELECT it FROM ok) GROUP BY it, cat),
+        |per AS (SELECT it, sum(k * k)::BIGINT AS s2 FROM c GROUP BY it),
+        |ag AS (SELECT count(*)::BIGINT AS n_items, sum(s2)::BIGINT AS s2t
+        |  FROM per),
+        |kj AS (SELECT cat, sum(k)::BIGINT AS kk FROM c GROUP BY cat),
+        |kq AS (SELECT count(*)::BIGINT AS k_cats,
+        |    sum(kk * kk)::BIGINT AS sk2 FROM kj),
+        |fin AS (SELECT n_items, k_cats,
+        |    (s2t - n_items * 4)::DOUBLE / (n_items * 4 * 3)::DOUBLE AS pa,
+        |    sk2::DOUBLE /
+        |      (n_items * 4 * n_items * 4)::DOUBLE AS pe
+        |  FROM ag CROSS JOIN kq)
+        |SELECT n_items, 4::BIGINT AS m, k_cats, round(pa, 6) AS pa,
+        |  round(pe, 6) AS pe,
+        |  round((pa - pe) / nullif(1.0::DOUBLE - pe, 0.0), 6) AS kappa
+        |FROM fin""".stripMargin,
+
+    // varying panels (>= 2 ratings); 9-dp exact-integer per-unit terms,
+    // one-division expected disagreement
+    "x271_kripp_alpha" ->
+      """WITH r AS (SELECT l_orderkey AS u,
+        |    ((l_quantity::BIGINT - 1) // 10) AS cat FROM lineitem),
+        |c AS (SELECT u, cat, count(*)::BIGINT AS k FROM r GROUP BY u, cat),
+        |per AS (SELECT u, sum(k)::BIGINT AS m, sum(k * k)::BIGINT AS s2
+        |  FROM c GROUP BY u HAVING sum(k) >= 2),
+        |dg AS (SELECT count(*)::BIGINT AS n_units,
+        |    sum(m)::BIGINT AS n_ratings,
+        |    sum(round((m * m - s2)::DOUBLE / (m - 1)::DOUBLE, 9)) AS dsum
+        |  FROM per),
+        |nc AS (SELECT cat, sum(k)::BIGINT AS t FROM c
+        |  WHERE u IN (SELECT u FROM per) GROUP BY cat),
+        |nq AS (SELECT count(*)::BIGINT AS k_cats,
+        |    sum(t * t)::BIGINT AS sc2 FROM nc),
+        |fin AS (SELECT n_units, n_ratings, k_cats, dsum,
+        |    (n_ratings * n_ratings - sc2)::DOUBLE /
+        |      (n_ratings - 1)::DOUBLE AS de
+        |  FROM dg CROSS JOIN nq)
+        |SELECT n_units, n_ratings, k_cats, round(dsum, 6) AS d_o,
+        |  round(de, 6) AS d_e,
+        |  round(1.0::DOUBLE - dsum / nullif(de, 0.0), 6) AS alpha
+        |FROM fin""".stripMargin,
+
+    // tie-adjusted A2akN: doubled midrank cumulatives keep numerator and
+    // denominator integer-exact; integer prefix counts only
+    "x272_ad_ksample" ->
+      """WITH kk AS (SELECT o_orderpriority AS g,
+        |    round(o_totalprice * 100)::BIGINT AS v FROM orders),
+        |f AS (SELECT g, v, count(*)::BIGINT AS fv FROM kk GROUP BY g, v),
+        |gr AS (SELECT g, sum(fv)::BIGINT AS ni FROM f GROUP BY g),
+        |vals AS (SELECT v, sum(fv)::BIGINT AS l FROM f GROUP BY v),
+        |dense AS (SELECT gr.g, gr.ni, vals.v, vals.l,
+        |    coalesce(f.fv, 0)::BIGINT AS fv
+        |  FROM gr CROSS JOIN vals
+        |  LEFT JOIN f ON f.g = gr.g AND f.v = vals.v),
+        |cum AS (SELECT g, ni, v, l, fv,
+        |    (sum(fv) OVER (PARTITION BY g ORDER BY v))::BIGINT AS c
+        |  FROM dense),
+        |wd AS (SELECT g, ni, l, (c * 2 - fv)::BIGINT AS e,
+        |    ((sum(c) OVER (PARTITION BY v)) * 2 - l)::BIGINT AS d
+        |  FROM cum),
+        |tot AS (SELECT sum(ni)::BIGINT AS n, count(*)::BIGINT AS k
+        |  FROM gr),
+        |nv AS (SELECT count(*)::BIGINT AS n_vals FROM vals),
+        |terms AS (SELECT g, ni, round(l::DOUBLE *
+        |      ((n * e - d * ni)::DOUBLE * (n * e - d * ni)::DOUBLE) /
+        |      nullif((d * (n * 2 - d) - n * l), 0)::DOUBLE, 9) AS t
+        |  FROM wd CROSS JOIN tot),
+        |pg AS (SELECT g, max(ni)::BIGINT AS ni, sum(t) AS sg FROM terms
+        |  GROUP BY g),
+        |fin AS (SELECT sum(sg / ni::DOUBLE) AS s FROM pg)
+        |SELECT k, n, n_vals,
+        |  round(s * (n - 1)::DOUBLE / n::DOUBLE, 6) AS a2
+        |FROM fin CROSS JOIN tot CROSS JOIN nv""".stripMargin,
+
+    // all-integer modal-error counts; one division
+    "x273_gk_lambda" ->
+      """WITH c AS (SELECT source AS r, lang AS cl, count(*)::BIGINT AS k
+        |  FROM documents GROUP BY source, lang),
+        |rm AS (SELECT r, max(k)::BIGINT AS mk FROM c GROUP BY r),
+        |rq AS (SELECT count(*)::BIGINT AS k_rows, sum(mk)::BIGINT AS sm
+        |  FROM rm),
+        |cq AS (SELECT count(*)::BIGINT AS k_cols, max(t)::BIGINT AS mt,
+        |    sum(t)::BIGINT AS n FROM (SELECT cl, sum(k)::BIGINT AS t
+        |    FROM c GROUP BY cl))
+        |SELECT k_rows, k_cols, n,
+        |  round((sm - mt)::DOUBLE / nullif((n - mt), 0)::DOUBLE, 6)
+        |    AS lambda
+        |FROM rq CROSS JOIN cq""".stripMargin,
 
     // distinct-gap collapse, integer prefix counts (exact under any
     // window tree), two-sided KS steps at the MLE lambda

@@ -3238,6 +3238,196 @@ object Stats {
         .as("w"))
   }
 
+  /** Fleiss' kappa — chance-corrected agreement among a FIXED number m of
+    * raters per item over nominal categories (the multi-rater
+    * generalization of Scott's π; [[weightedKappa]] is the 2-rater ordinal
+    * sibling). Input is LONG form (one row per rating); items whose
+    * rating count ≠ m are dropped (the classical design requires equal
+    * panels). With integer cell counts k_ij (item i, category j):
+    * {{{
+    *   P̄  = (Σ_ij k_ij² − N·m) / (N·m·(m−1))      observed agreement
+    *   P̄e = Σ_j K_j² / (N·m)²                      chance agreement
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    * }}}
+    * Every sufficient statistic is an exact integer (Σk², ΣK_j², N), so
+    * both engines divide the same integers — no fp ladder anywhere.
+    *
+    * Scale shape: one (item, cat) rollup, one item rollup, one
+    * cat-bounded rollup; only group-count rows cross the final shuffle.
+    *
+    * @return one row (n_items, m, k_cats, pa, pe, kappa) — 6-dp, kappa
+    *         NULL when P̄e = 1 (all ratings one category)
+    */
+  def fleissKappa(df: DataFrame, itemCol: Column, catCol: Column,
+                  m: Int): DataFrame = {
+    val r = df.select(itemCol.cast("string").as("__it"),
+      catCol.cast("long").as("__cat"))
+    val ok = r.groupBy("__it").agg(F.count(F.lit(1)).as("__mm"))
+      .filter(F.col("__mm") === m.toLong).select("__it")
+    val c = r.join(ok, Seq("__it"), "left_semi")
+      .groupBy("__it", "__cat").agg(F.count(F.lit(1)).as("__k"))
+    val per = c.groupBy("__it")
+      .agg(F.sum(F.col("__k") * F.col("__k")).as("__s2"))
+    val agg = per.agg(F.count(F.lit(1)).as("n_items"),
+      F.sum("__s2").as("__s2t"))
+    val kj = c.groupBy("__cat").agg(F.sum("__k").as("__kk"))
+      .agg(F.count(F.lit(1)).as("k_cats"),
+        F.sum(F.col("__kk") * F.col("__kk")).as("__sk2"))
+    val row = agg.crossJoin(F.broadcast(kj))
+      .withColumn("__nm", F.col("n_items") * m.toLong)
+      .withColumn("__pa",
+        (F.col("__s2t") - F.col("__nm")).cast("double") /
+          (F.col("__nm") * (m.toLong - 1L)).cast("double"))
+      .withColumn("__pe", F.col("__sk2").cast("double") /
+        (F.col("__nm") * F.col("__nm")).cast("double"))
+    row.select(F.col("n_items"), F.lit(m.toLong).as("m"), F.col("k_cats"),
+      F.round(F.col("__pa"), 6).as("pa"),
+      F.round(F.col("__pe"), 6).as("pe"),
+      F.round((F.col("__pa") - F.col("__pe")) /
+        F.nullif(F.lit(1.0) - F.col("__pe"), F.lit(0.0)), 6).as("kappa"))
+  }
+
+  /** Krippendorff's alpha (nominal metric) — the agreement coefficient
+    * that tolerates VARYING panel sizes and missing ratings, which is how
+    * real annotation tables arrive (Fleiss' equal-m design rarely
+    * survives contact with a labeling queue). Units with fewer than 2
+    * ratings carry no pairable information and drop. With per-unit
+    * counts n_uc, m_u = Σ_c n_uc, category totals n_c, n = Σ n_c:
+    * {{{
+    *   D_o = Σ_u (m_u² − Σ_c n_uc²) / (m_u − 1)    observed disagreement
+    *   D_e = (n² − Σ_c n_c²) / (n − 1)             expected disagreement
+    *   α   = 1 − D_o / D_e
+    * }}}
+    * (the coincidence-matrix form collapsed: the nominal δ makes every
+    * off-diagonal pair count once). Per-unit terms are exact-integer
+    * ratios rounded at 9 dp; D_e is one division of exact integers.
+    *
+    * Scale shape: one (unit, cat) rollup, one unit rollup, one
+    * cat-bounded rollup — no windows, no all-pairs.
+    *
+    * @return one row (n_units, n_ratings, k_cats, d_o, d_e, alpha) —
+    *         6-dp, alpha NULL when D_e = 0
+    */
+  def krippAlphaNominal(df: DataFrame, unitCol: Column,
+                        catCol: Column): DataFrame = {
+    val c = df.select(unitCol.cast("string").as("__u"),
+      catCol.cast("string").as("__cat"))
+      .groupBy("__u", "__cat").agg(F.count(F.lit(1)).as("__k"))
+    val per = c.groupBy("__u").agg(F.sum("__k").as("__m"),
+      F.sum(F.col("__k") * F.col("__k")).as("__s2"))
+      .filter(F.col("__m") >= 2L)
+    val doAgg = per.withColumn("__dou", F.round(
+        (F.col("__m") * F.col("__m") - F.col("__s2")).cast("double") /
+          (F.col("__m") - 1L).cast("double"), 9))
+      .agg(F.count(F.lit(1)).as("n_units"), F.sum("__m").as("n_ratings"),
+        F.sum("__dou").as("__do"))
+    val nc = c.join(per.select("__u"), Seq("__u"), "left_semi")
+      .groupBy("__cat").agg(F.sum("__k").as("__t"))
+      .agg(F.count(F.lit(1)).as("k_cats"),
+        F.sum(F.col("__t") * F.col("__t")).as("__sc2"))
+    val row = doAgg.crossJoin(F.broadcast(nc))
+      .withColumn("__de",
+        (F.col("n_ratings") * F.col("n_ratings") - F.col("__sc2"))
+          .cast("double") / (F.col("n_ratings") - 1L).cast("double"))
+    row.select(F.col("n_units"), F.col("n_ratings"), F.col("k_cats"),
+      F.round(F.col("__do"), 6).as("d_o"),
+      F.round(F.col("__de"), 6).as("d_e"),
+      F.round(F.lit(1.0) - F.col("__do") /
+        F.nullif(F.col("__de"), F.lit(0.0)), 6).as("alpha"))
+  }
+
+  /** Scholz–Stephens k-sample Anderson–Darling statistic (the
+    * TIE-ADJUSTED midrank form A²akN) — the distribution-comparison test
+    * that weights the TAILS, where KS-style sup-statistics (x165) and
+    * [[psi]]-style binned divergences are blind. Under H₀ the
+    * expectation is k−1; large values mean the k samples do not share a
+    * distribution. Values are quantized (×scale, the repo convention) so
+    * every building block is an exact integer: with per-(sample, distinct
+    * value) counts f_ij, multiplicities l_j, doubled midrank cumulatives
+    * E_ij = 2c_ij − f_ij and D_j = 2C_j − l_j,
+    * {{{
+    *   term_ij = l_j (N·E_ij − D_j·n_i)² / (D_j(2N − D_j) − N·l_j)
+    *   A²      = (N−1)/N · Σ_i (1/n_i) Σ_j term_ij
+    * }}}
+    * — the /4s of the textbook form cancel, so numerator and denominator
+    * are integer-exact and each 9-dp term is bit-identical cross-engine.
+    *
+    * Scale shape: distinct-value collapse, a dense k×L grid (k groups ×
+    * distinct values), one integer prefix-count window per group (hash-
+    * partitioned by group; exact under any window tree) and one per-value
+    * rollup — the same grouped rank-scan caveat as [[kruskalWallis]].
+    *
+    * @return one row (k, n, n_vals, a2) — a2 6-dp
+    */
+  def adKSample(df: DataFrame, groupCol: Column, valueCol: Column,
+                scale: Long = 100L): DataFrame = {
+    val keyed = df.select(groupCol.cast("string").as("__g"),
+      F.round(valueCol.cast("double") * scale).cast("long").as("__v"))
+      .filter(F.col("__v").isNotNull)
+    val f = keyed.groupBy("__g", "__v").agg(F.count(F.lit(1)).as("__f"))
+    val gr = f.groupBy("__g").agg(F.sum("__f").as("__ni"))
+    val vals = f.groupBy("__v").agg(F.sum("__f").as("__l"))
+    val dense = gr.crossJoin(vals)
+      .join(f, Seq("__g", "__v"), "left").na.fill(0L, Seq("__f"))
+    val wG = Window.partitionBy("__g").orderBy("__v")
+    val wV = Window.partitionBy("__v")
+    val cum = dense
+      .withColumn("__c", F.sum("__f").over(wG))
+      .withColumn("__e", F.col("__c") * 2L - F.col("__f"))
+      .withColumn("__dd", F.sum("__c").over(wV) * 2L - F.col("__l"))
+    val tot = gr.agg(F.sum("__ni").as("n"), F.count(F.lit(1)).as("k"))
+    val nVals = vals.agg(F.count(F.lit(1)).as("n_vals"))
+    val terms = cum.crossJoin(F.broadcast(tot))
+      .withColumn("__x", (F.col("n") * F.col("__e") -
+        F.col("__dd") * F.col("__ni")).cast("double"))
+      .withColumn("__den", (F.col("__dd") *
+        (F.col("n") * 2L - F.col("__dd")) -
+        F.col("n") * F.col("__l")).cast("double"))
+      .withColumn("__t", F.round(F.col("__l").cast("double") *
+        F.col("__x") * F.col("__x") /
+        F.nullif(F.col("__den"), F.lit(0.0)), 9))
+    val perG = terms.groupBy("__g")
+      .agg(F.max("__ni").as("__ni"), F.sum("__t").as("__sg"))
+    perG.agg(F.sum(F.col("__sg") / F.col("__ni").cast("double")).as("__s"))
+      .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(nVals))
+      .select(F.col("k"), F.col("n"), F.col("n_vals"),
+        F.round(F.col("__s") * (F.col("n") - 1L).cast("double") /
+          F.col("n").cast("double"), 6).as("a2"))
+  }
+
+  /** Goodman–Kruskal lambda λ_{col|row} — proportional reduction in
+    * error predicting the COLUMN category from the ROW category over
+    * nominal pairs ("does source predict language"): guessing the global
+    * mode errs n − max_c n_·c times; guessing each row's mode errs
+    * n − Σ_r max_c n_rc times;
+    * {{{
+    *   λ = (Σ_r max_c n_rc − max_c n_·c) / (n − max_c n_·c)
+    * }}}
+    * All-integer sufficient statistics. Asymmetric by design — swap the
+    * columns for the other direction ([[cramersV]] is the symmetric
+    * strength, this is the DIRECTED predictive readout).
+    *
+    * Scale shape: one (row, col) rollup plus two grid-bounded rollups.
+    *
+    * @return one row (k_rows, k_cols, n, lambda) — 6-dp, NULL when the
+    *         modal column holds every row (no error to reduce)
+    */
+  def gkLambda(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val c = df.select(rowCol.cast("string").as("__r"),
+      colCol.cast("string").as("__cl"))
+      .groupBy("__r", "__cl").agg(F.count(F.lit(1)).as("__k"))
+    val rm = c.groupBy("__r").agg(F.max("__k").as("__mk"))
+      .agg(F.count(F.lit(1)).as("k_rows"), F.sum("__mk").as("__sm"))
+    val ct = c.groupBy("__cl").agg(F.sum("__k").as("__t"))
+      .agg(F.count(F.lit(1)).as("k_cols"), F.max("__t").as("__mt"),
+        F.sum("__t").as("n"))
+    rm.crossJoin(F.broadcast(ct))
+      .select(F.col("k_rows"), F.col("k_cols"), F.col("n"),
+        F.round((F.col("__sm") - F.col("__mt")).cast("double") /
+          F.nullif((F.col("n") - F.col("__mt")).cast("double"),
+            F.lit(0.0)), 6).as("lambda"))
+  }
+
   /** Weighted Cohen's kappa over ORDINAL integer categories — chance-
     * corrected agreement where near-misses count (quadratic weights
     * w_ij = (i−j)², the ICC-equivalent convention): the right agreement

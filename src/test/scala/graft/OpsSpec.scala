@@ -4647,6 +4647,62 @@ class OpsSpec extends AnyFunSuite {
     assert(m == ((4L, 3, 6.5, 0.8125)), m)
   }
 
+  test("fleissKappa: hand 2-rater table 7/15; uniform ratings NULL") {
+    import graft.ops.Stats
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 2L),
+      ("c", 2L), ("c", 2L), ("d", 1L), ("d", 1L)).toDF("it", "cat")
+    val got = Stats.fleissKappa(df, F.col("it"), F.col("cat"), m = 2)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    // Pa=(14-8)/8=0.75, Pe=(25+9)/64=0.53125, kappa=7/15
+    assert(got == ((4L, 2L, 2L, 0.75, 0.53125, 0.466667)), got)
+    val uni = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 1L))
+      .toDF("it", "cat")
+    assert(Stats.fleissKappa(uni, F.col("it"), F.col("cat"), m = 2)
+      .select("kappa").head().isNullAt(0))
+  }
+
+  test("krippAlphaNominal: 3-unit hand table alpha=0.444444") {
+    import graft.ops.Stats
+    val df = Seq(("u1", "x"), ("u1", "x"), ("u2", "x"), ("u2", "y"),
+      ("u3", "y"), ("u3", "y")).toDF("u", "cat")
+    val got = Stats.krippAlphaNominal(df, F.col("u"), F.col("cat"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    // D_o = 0+2+0 = 2; D_e = (36-18)/5 = 3.6; alpha = 1-2/3.6
+    assert(got == ((3L, 6L, 2L, 2.0, 3.6, 0.444444)), got)
+  }
+
+  test("adKSample: identical samples 0; disjoint 2x2 gives 76/11") {
+    import graft.ops.Stats
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val s = Stats.adKSample(same, F.col("g"), F.col("v"), scale = 1L)
+      .as[(Long, Long, Long, Double)].head()
+    assert(s == ((2L, 4L, 2L, 0.0)), s)
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val got = Stats.adKSample(sep, F.col("g"), F.col("v"), scale = 1L)
+      .as[(Long, Long, Long, Double)].head()
+    // per-group inner sum 304/33; A2 = 3/4 * 2*(304/33)/2 = 76/11
+    assert(got == ((2L, 4L, 4L, 6.909091)), got)
+  }
+
+  test("gkLambda: perfect prediction 1; hand mixed table 0.4") {
+    import graft.ops.Stats
+    val perfect = Seq.tabulate(10)(i =>
+      (if (i < 5) "r1" else "r2", if (i < 5) "c1" else "c2"))
+      .toDF("r", "c")
+    val p = Stats.gkLambda(perfect, F.col("r"), F.col("c"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(p == ((2L, 2L, 10L, 1.0)), p)
+    val mixed = (Seq.fill(3)(("r1", "c1")) ++ Seq.fill(1)(("r1", "c2")) ++
+      Seq.fill(2)(("r2", "c1")) ++ Seq.fill(4)(("r2", "c2")))
+      .toDF("r", "c")
+    val m = Stats.gkLambda(mixed, F.col("r"), F.col("c"))
+      .as[(Long, Long, Long, Double)].head()
+    // row modes 3+4=7, modal column 5, n=10: (7-5)/(10-5)
+    assert(m == ((2L, 2L, 10L, 0.4)), m)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
