@@ -2752,6 +2752,30 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         F.col("source"), F.col("lang"))),
 
+    // entropy + recursive (c,2) l-diversity per QI class — the
+    // disclosure criteria distinct-l (x172) is too weak for
+    "x274_l_diversity" -> ((s, dir) =>
+      graft.ops.Curation.lDiversityAudit(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_nationkey", "c_mktsegment"),
+        F.floor(F.col("c_acctbal") / 1000), lMin = 2)),
+
+    // TOST: are BUILDING and AUTOMOBILE balances equivalent to within
+    // $800 — the positive claim a non-significant t-test cannot make
+    "x275_tost" -> ((s, dir) =>
+      graft.ops.Stats.tostEquivalence(
+        s.read.parquet(s"$dir/customer.parquet"), Seq.empty,
+        F.col("c_mktsegment"), F.col("c_acctbal"),
+        "BUILDING", "AUTOMOBILE", margin = 800.0)),
+
+    // fixed-effect meta-analysis of the per-nation BUILDING-AUTOMOBILE
+    // balance gap: inverse-variance pooling, Cochran Q, Higgins I2
+    "x276_meta_fixed" -> ((s, dir) =>
+      graft.ops.Stats.metaFixedEffect(
+        s.read.parquet(s"$dir/customer.parquet"),
+        F.col("c_nationkey"), F.col("c_mktsegment"), F.col("c_acctbal"),
+        "BUILDING", "AUTOMOBILE")),
+
     // exponential goodness-of-fit of pooled inter-event gaps — is the
     // traffic memoryless; exact two-sided KS steps at the MLE lambda
     "x266_exp_fit" -> ((s, dir) => {
@@ -6888,6 +6912,93 @@ object SparkEntry {
         |SELECT k, n, n_vals,
         |  round(s * (n - 1)::DOUBLE / n::DOUBLE, 6) AS a2
         |FROM fin CROSS JOIN tot CROSS JOIN nv""".stripMargin,
+
+    // 9-dp c*ln(c) ladder per class; recursive c_min from integers;
+    // at_risk from the unrounded entropy
+    "x274_l_diversity" ->
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 1000) AS v, count(*)::BIGINT AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |per AS (SELECT c_nationkey, c_mktsegment, sum(c)::BIGINT AS n,
+        |    count(*)::BIGINT AS l_distinct, max(c)::BIGINT AS r1,
+        |    sum(round(c::DOUBLE * ln(c::DOUBLE), 9)) AS slc
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, n, l_distinct,
+        |  round(exp(ln(n::DOUBLE) - slc / n::DOUBLE), 6) AS entropy_l,
+        |  round(r1::DOUBLE / nullif((n - r1), 0)::DOUBLE, 6) AS c_min,
+        |  (l_distinct < 2 OR
+        |    exp(ln(n::DOUBLE) - slc / n::DOUBLE) < 2.0::DOUBLE) AS at_risk
+        |FROM per ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // the x117 welch variance tree; both one-sided z's against 1.644854,
+    // decision from the unrounded tree
+    "x275_tost" ->
+      """WITH a AS (SELECT
+        |    count(c_acctbal) FILTER (c_mktsegment = 'BUILDING')::DOUBLE
+        |      AS na,
+        |    sum(c_acctbal) FILTER (c_mktsegment = 'BUILDING') AS sa,
+        |    sum(c_acctbal * c_acctbal)
+        |      FILTER (c_mktsegment = 'BUILDING') AS ssa,
+        |    count(c_acctbal) FILTER (c_mktsegment = 'AUTOMOBILE')::DOUBLE
+        |      AS nb,
+        |    sum(c_acctbal) FILTER (c_mktsegment = 'AUTOMOBILE') AS sb,
+        |    sum(c_acctbal * c_acctbal)
+        |      FILTER (c_mktsegment = 'AUTOMOBILE') AS ssb
+        |  FROM customer),
+        |f AS (SELECT na, nb, sa, sb,
+        |    (ssa - sa * sa / na) / ((na - 1.0) * na) AS va,
+        |    (ssb - sb * sb / nb) / ((nb - 1.0) * nb) AS vb
+        |  FROM a)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  CASE WHEN na >= 2.0 AND nb >= 2.0
+        |    THEN round(sa / na - sb / nb, 6) END AS diff,
+        |  CASE WHEN na >= 2.0 AND nb >= 2.0 AND va + vb > 0.0
+        |    THEN round(sqrt(va + vb), 6) END AS se,
+        |  CASE WHEN na >= 2.0 AND nb >= 2.0 AND va + vb > 0.0
+        |    THEN round((sa / na - sb / nb + 800.0::DOUBLE) /
+        |      sqrt(va + vb), 6) END AS z_low,
+        |  CASE WHEN na >= 2.0 AND nb >= 2.0 AND va + vb > 0.0
+        |    THEN round((sa / na - sb / nb - 800.0::DOUBLE) /
+        |      sqrt(va + vb), 6) END AS z_high,
+        |  (na >= 2.0 AND nb >= 2.0 AND va + vb > 0.0 AND
+        |    (sa / na - sb / nb + 800.0::DOUBLE) / sqrt(va + vb) >
+        |      1.644854::DOUBLE AND
+        |    (sa / na - sb / nb - 800.0::DOUBLE) / sqrt(va + vb) <
+        |      -1.644854::DOUBLE) AS equivalent
+        |FROM f""".stripMargin,
+
+    // per-nation welch stats -> inverse-variance weights; one-pass Q via
+    // Sw*e^2 - (Sw*e)^2/Sw; I2 gated on Q > 0
+    "x276_meta_fixed" ->
+      """WITH a AS (SELECT c_nationkey AS st,
+        |    count(c_acctbal) FILTER (c_mktsegment = 'BUILDING')::DOUBLE
+        |      AS na,
+        |    sum(c_acctbal) FILTER (c_mktsegment = 'BUILDING') AS sa,
+        |    sum(c_acctbal * c_acctbal)
+        |      FILTER (c_mktsegment = 'BUILDING') AS ssa,
+        |    count(c_acctbal) FILTER (c_mktsegment = 'AUTOMOBILE')::DOUBLE
+        |      AS nb,
+        |    sum(c_acctbal) FILTER (c_mktsegment = 'AUTOMOBILE') AS sb,
+        |    sum(c_acctbal * c_acctbal)
+        |      FILTER (c_mktsegment = 'AUTOMOBILE') AS ssb
+        |  FROM customer GROUP BY 1),
+        |f AS (SELECT st, na, nb, sa, sb,
+        |    (ssa - sa * sa / na) / ((na - 1.0) * na) AS va,
+        |    (ssb - sb * sb / nb) / ((nb - 1.0) * nb) AS vb
+        |  FROM a),
+        |per AS (SELECT st, (sa / na - sb / nb) AS e,
+        |    1.0::DOUBLE / (va + vb) AS w
+        |  FROM f WHERE na >= 2.0 AND nb >= 2.0 AND va + vb > 0.0),
+        |one AS (SELECT count(*)::BIGINT AS k, sum(w) AS sw,
+        |    sum(w * e) AS swe, sum(w * e * e) AS swe2 FROM per)
+        |SELECT k, round(swe / sw, 6) AS pooled,
+        |  round(1.0::DOUBLE / sqrt(sw), 6) AS se_pooled,
+        |  round(swe / sw * sqrt(sw), 6) AS z,
+        |  round(swe2 - swe * swe / sw, 6) AS q,
+        |  round(CASE WHEN swe2 - swe * swe / sw > 0.0 THEN
+        |    greatest(0.0::DOUBLE, (swe2 - swe * swe / sw - (k - 1)::DOUBLE)
+        |      / (swe2 - swe * swe / sw)) END, 6) AS i2
+        |FROM one""".stripMargin,
 
     // all-integer modal-error counts; one division
     "x273_gk_lambda" ->

@@ -557,4 +557,54 @@ object Curation {
         F.col("max_tvd")): _*)
       .orderBy(qi: _*)
   }
+
+  /** Entropy and recursive l-diversity audit (Machanavajjhala et al. 2007
+    * §3-4) — the criteria DISTINCT-l ([[kAnonymityAudit]]'s `l` column)
+    * is too weak for: a class can hold l distinct sensitive values while
+    * one value covers 99% of it. Per QI class with value counts c_v,
+    * n = Σc_v:
+    * {{{
+    *   entropy-l = exp(−Σ p_v ln p_v) = exp(ln n − Σ c_v ln c_v / n)
+    *   c_min     = r₁ / (n − r₁)        (r₁ = max c_v)
+    * }}}
+    * — entropy-l is the "effective number of sensitive values" (the
+    * class passes entropy l-diversity iff entropy-l ≥ l); c_min is the
+    * smallest c for which the class passes recursive (c,2)-diversity
+    * (r₁ < c·(n−r₁)), so a release requiring (c,2) passes iff
+    * c_min < c. `at_risk` flags classes failing EITHER distinct-l or
+    * entropy-l at `lMin`.
+    *
+    * Scale shape: one (QI, value) cell collapse (domain-bounded), one QI
+    * rollup with a 9-dp c·ln c ladder — the corpus is scanned once, no
+    * windows, no dense grid.
+    *
+    * @return (qiCols…, n, l_distinct, entropy_l, c_min, at_risk) ordered
+    *         by QI; c_min NULL when one value covers the whole class
+    */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitive: Column, lMin: Int = 2): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(lMin >= 2, s"lMin below 2 flags nothing, got $lMin")
+    val qi = qiCols.map(F.col)
+    val cells = df
+      .select(qi :+ sensitive.cast("string").as("__v"): _*)
+      .groupBy(qi :+ F.col("__v"): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val per = cells.groupBy(qi: _*).agg(
+      F.sum("__c").as("n"),
+      F.count(F.lit(1)).as("l_distinct"),
+      F.max("__c").as("__r1"),
+      F.sum(F.round(F.col("__c").cast("double") *
+        F.log(F.col("__c").cast("double")), 9)).as("__slc"))
+    val ent = F.exp(F.log(F.col("n").cast("double")) -
+      F.col("__slc") / F.col("n").cast("double"))
+    per.select(qi ++ Seq(F.col("n"), F.col("l_distinct"),
+      F.round(ent, 6).as("entropy_l"),
+      F.round(F.col("__r1").cast("double") /
+        F.nullif((F.col("n") - F.col("__r1")).cast("double"),
+          F.lit(0.0)), 6).as("c_min"),
+      (F.col("l_distinct") < lMin.toLong || ent < lMin.toDouble)
+        .as("at_risk")): _*)
+      .orderBy(qi: _*)
+  }
 }

@@ -3395,6 +3395,124 @@ object Stats {
           F.col("n").cast("double"), 6).as("a2"))
   }
 
+  /** Two one-sided tests (TOST) equivalence — the inference [[welchTTest]]
+    * cannot make: a non-significant t does NOT show two groups are the
+    * same, it only fails to show they differ. TOST inverts the burden:
+    * declare the groups equivalent within ±`margin` iff BOTH one-sided
+    * tests reject, i.e.
+    * {{{
+    *   z_low  = (Δ̄ + margin) / se  >  z₀.₉₅
+    *   z_high = (Δ̄ − margin) / se  < −z₀.₉₅
+    * }}}
+    * (α = 0.05 per side, the standard 90%-CI-inside-the-margin reading;
+    * large-sample normal critical value 1.644854). Identical welch-style
+    * sufficient statistics and variance tree.
+    *
+    * Scale shape: one partial-aggregated scan, group-count rows out.
+    *
+    * @return (groupCols…, n_a, n_b, diff, se, z_low, z_high, equivalent)
+    *         — 6-dp, decision from the unrounded tree
+    */
+  def tostEquivalence(df: DataFrame, groupCols: Seq[String],
+                      classCol: Column, value: Column, classA: String,
+                      classB: String, margin: Double): DataFrame = {
+    require(margin > 0.0, s"equivalence margin must be positive: $margin")
+    val v = value.cast("double")
+    def side(cls: String, tag: String): Seq[Column] = {
+      val in = classCol.cast("string") === cls
+      Seq(
+        F.count(F.when(in, v)).cast("double").as(s"__n$tag"),
+        F.sum(F.when(in, v)).as(s"__s$tag"),
+        F.sum(F.when(in, v * v)).as(s"__ss$tag"))
+    }
+    val aggs = side(classA, "a") ++ side(classB, "b")
+    val agg = df.groupBy(groupCols.map(F.col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    def mean(t: String) =
+      F.col(s"__s$t") / F.nullif(F.col(s"__n$t"), F.lit(0.0))
+    def vn(t: String) =
+      (F.col(s"__ss$t") - F.col(s"__s$t") * F.col(s"__s$t") /
+        F.nullif(F.col(s"__n$t"), F.lit(0.0))) /
+        F.nullif((F.col(s"__n$t") - 1.0) * F.col(s"__n$t"), F.lit(0.0))
+    val ok = F.col("__na") >= 2.0 && F.col("__nb") >= 2.0
+    val se2 = vn("a") + vn("b")
+    val se = F.sqrt(se2)
+    val diff = mean("a") - mean("b")
+    val crit = 1.644854
+    agg.select(groupCols.map(F.col) :+
+      F.col("__na").cast("long").as("n_a") :+
+      F.col("__nb").cast("long").as("n_b") :+
+      F.when(ok, F.round(diff, 6)).as("diff") :+
+      F.when(ok && se2 > 0.0, F.round(se, 6)).as("se") :+
+      F.when(ok && se2 > 0.0,
+        F.round((diff + margin) / se, 6)).as("z_low") :+
+      F.when(ok && se2 > 0.0,
+        F.round((diff - margin) / se, 6)).as("z_high") :+
+      (ok && se2 > 0.0 && (diff + margin) / se > crit &&
+        (diff - margin) / se < -crit).as("equivalent"): _*)
+  }
+
+  /** Fixed-effect inverse-variance meta-analysis with Cochran's Q and
+    * Higgins' I² — pool one effect (a welch mean difference) measured in
+    * k independent strata into a single estimate, and quantify how much
+    * of the between-stratum spread is real heterogeneity rather than
+    * sampling noise. With per-stratum effect e_i and weight w_i = 1/se²_i:
+    * {{{
+    *   ê  = Σw·e / Σw,   se(ê) = 1/√Σw
+    *   Q  = Σw·e² − (Σw·e)²/Σw      (χ²_{k−1} under homogeneity)
+    *   I² = max(0, (Q − (k−1)) / Q)
+    * }}}
+    * The one-formula Q avoids a second corpus pass — everything reduces
+    * in the SAME stratum rollup (the welch sufficient statistics), and
+    * the k-row weight table collapses to one row.
+    *
+    * Scale shape: one partial-aggregated scan, k rows, then 1 row —
+    * strata with n < 2 on either side or zero variance drop (NULL w).
+    *
+    * @return one row (k, pooled, se_pooled, z, q, i2) — 6-dp, i2 NULL at
+    *         Q = 0
+    */
+  def metaFixedEffect(df: DataFrame, strataCol: Column, classCol: Column,
+                      value: Column, classA: String,
+                      classB: String): DataFrame = {
+    val v = value.cast("double")
+    def side(cls: String, tag: String): Seq[Column] = {
+      val in = classCol.cast("string") === cls
+      Seq(
+        F.count(F.when(in, v)).cast("double").as(s"__n$tag"),
+        F.sum(F.when(in, v)).as(s"__s$tag"),
+        F.sum(F.when(in, v * v)).as(s"__ss$tag"))
+    }
+    val aggs = side(classA, "a") ++ side(classB, "b")
+    val agg = df.groupBy(strataCol.as("__st")).agg(aggs.head, aggs.tail: _*)
+    def mean(t: String) =
+      F.col(s"__s$t") / F.nullif(F.col(s"__n$t"), F.lit(0.0))
+    def vn(t: String) =
+      (F.col(s"__ss$t") - F.col(s"__s$t") * F.col(s"__s$t") /
+        F.nullif(F.col(s"__n$t"), F.lit(0.0))) /
+        F.nullif((F.col(s"__n$t") - 1.0) * F.col(s"__n$t"), F.lit(0.0))
+    val ok = F.col("__na") >= 2.0 && F.col("__nb") >= 2.0
+    val se2 = vn("a") + vn("b")
+    val per = agg
+      .withColumn("__e", F.when(ok, mean("a") - mean("b")))
+      .withColumn("__w", F.when(ok && se2 > 0.0, F.lit(1.0) / se2))
+      .filter(F.col("__w").isNotNull)
+    val one = per.agg(F.count(F.lit(1)).as("k"),
+      F.sum("__w").as("__sw"),
+      F.sum(F.col("__w") * F.col("__e")).as("__swe"),
+      F.sum(F.col("__w") * F.col("__e") * F.col("__e")).as("__swe2"))
+    val q = F.col("__swe2") -
+      F.col("__swe") * F.col("__swe") / F.col("__sw")
+    one.select(F.col("k"),
+      F.round(F.col("__swe") / F.col("__sw"), 6).as("pooled"),
+      F.round(F.lit(1.0) / F.sqrt(F.col("__sw")), 6).as("se_pooled"),
+      F.round(F.col("__swe") / F.col("__sw") * F.sqrt(F.col("__sw")), 6)
+        .as("z"),
+      F.round(q, 6).as("q"),
+      F.round(F.when(q > 0.0, F.greatest(F.lit(0.0),
+        (q - (F.col("k") - 1L).cast("double")) / q)), 6).as("i2"))
+  }
+
   /** Goodman–Kruskal lambda λ_{col|row} — proportional reduction in
     * error predicting the COLUMN category from the ROW category over
     * nominal pairs ("does source predict language"): guessing the global

@@ -4703,6 +4703,47 @@ class OpsSpec extends AnyFunSuite {
     assert(m == ((2L, 2L, 10L, 0.4)), m)
   }
 
+  test("lDiversityAudit: balanced class effective-2; skewed 3:1 at risk") {
+    import graft.ops.Curation
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "b"),
+      ("g2", "a"), ("g2", "a"), ("g2", "a"), ("g2", "b"))
+      .toDF("qi", "sv")
+    val got = Curation.lDiversityAudit(df, Seq("qi"), F.col("sv"))
+      .as[(String, Long, Long, Double, Double, Boolean)].collect().toSeq
+    // g1 {2,2}: entropy-l = 4^(1) full; g2 {3,1}: exp(ln4 - 3ln3/4)
+    assert(got == Seq(("g1", 4L, 2L, 2.0, 1.0, false),
+      ("g2", 4L, 2L, 1.754765, 3.0, true)), got)
+  }
+
+  test("tostEquivalence: identical triples equivalent at margin 2 not 1") {
+    import graft.ops.Stats
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val wide = Stats.tostEquivalence(df, Seq.empty, F.col("g"),
+      F.col("v"), "a", "b", margin = 2.0)
+      .as[(Long, Long, Double, Double, Double, Double, Boolean)].head()
+    assert(wide == ((3L, 3L, 0.0, 0.816497, 2.44949, -2.44949, true)),
+      wide)
+    val tight = Stats.tostEquivalence(df, Seq.empty, F.col("g"),
+      F.col("v"), "a", "b", margin = 1.0)
+      .select("equivalent").as[Boolean].head()
+    assert(!tight)
+  }
+
+  test("metaFixedEffect: two equal-weight strata pool to 0.5, Q=0.75") {
+    import graft.ops.Stats
+    val df = Seq(("s1", "a", 1.0), ("s1", "a", 2.0), ("s1", "a", 3.0),
+      ("s1", "b", 1.0), ("s1", "b", 2.0), ("s1", "b", 3.0),
+      ("s2", "a", 2.0), ("s2", "a", 3.0), ("s2", "a", 4.0),
+      ("s2", "b", 1.0), ("s2", "b", 2.0), ("s2", "b", 3.0))
+      .toDF("st", "g", "v")
+    val got = Stats.metaFixedEffect(df, F.col("st"), F.col("g"),
+      F.col("v"), "a", "b")
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    // e=(0,1), w=(1.5,1.5): pooled .5, se 1/sqrt(3), Q=1.5-0.75, I2 -> 0
+    assert(got == ((2L, 0.5, 0.57735, 0.866025, 0.75, 0.0)), got)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
