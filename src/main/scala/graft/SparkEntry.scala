@@ -6995,7 +6995,7 @@ object SparkEntry {
         |  round(1.0::DOUBLE / sqrt(sw), 6) AS se_pooled,
         |  round(swe / sw * sqrt(sw), 6) AS z,
         |  round(swe2 - swe * swe / sw, 6) AS q,
-        |  round(CASE WHEN swe2 - swe * swe / sw > 0.0 THEN
+        |  round(CASE WHEN k >= 2 AND swe2 - swe * swe / sw > 0.0 THEN
         |    greatest(0.0::DOUBLE, (swe2 - swe * swe / sw - (k - 1)::DOUBLE)
         |      / (swe2 - swe * swe / sw)) END, 6) AS i2
         |FROM one""".stripMargin,

@@ -3470,7 +3470,8 @@ object Stats {
     * strata with n < 2 on either side or zero variance drop (NULL w).
     *
     * @return one row (k, pooled, se_pooled, z, q, i2) — 6-dp, i2 NULL at
-    *         Q = 0
+    *         Q ≤ 0 or k < 2 (heterogeneity is undefined for one stratum,
+    *         and at k = 1 the fp sign of the ~0 Q is engine noise)
     */
   def metaFixedEffect(df: DataFrame, strataCol: Column, classCol: Column,
                       value: Column, classA: String,
@@ -3509,7 +3510,7 @@ object Stats {
       F.round(F.col("__swe") / F.col("__sw") * F.sqrt(F.col("__sw")), 6)
         .as("z"),
       F.round(q, 6).as("q"),
-      F.round(F.when(q > 0.0, F.greatest(F.lit(0.0),
+      F.round(F.when(F.col("k") >= 2L && q > 0.0, F.greatest(F.lit(0.0),
         (q - (F.col("k") - 1L).cast("double")) / q)), 6).as("i2"))
   }
 

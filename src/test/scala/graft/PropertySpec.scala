@@ -555,4 +555,66 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("law: agreement family coheres — complete 2-rater panels give " +
+      "(1 − α) = (1 − κ)·(Nm−1)/(Nm); l_distinct matches kAnonymity") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    // N items, each rated by exactly 2 raters over 3 categories
+    val gen = Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 2L),
+      Gen.chooseNum(0L, 2L)))
+    forAll(gen) { pairs =>
+      val rows = pairs.zipWithIndex.flatMap { case ((r1, r2), i) =>
+        Seq((s"it$i", r1), (s"it$i", r2)) }
+      val df = rows.toDF("it", "cat")
+      val kap = graft.ops.Stats.fleissKappa(df, F.col("it"),
+        F.col("cat"), m = 2).select("kappa").as[Option[Double]].head()
+      val alp = graft.ops.Stats.krippAlphaNominal(df, F.col("it"),
+        F.col("cat")).select("alpha").as[Option[Double]].head()
+      (kap, alp) match {
+        case (Some(k), Some(a)) =>
+          val nm = 2.0 * pairs.size
+          assert(math.abs((1.0 - a) - (1.0 - k) * (nm - 1.0) / nm) < 3e-6,
+            s"kappa=$k alpha=$a on $pairs")
+        case _ => // Pe = 1 (one category) NULLs kappa; alpha may too
+      }
+      // the l-diversity audit's distinct-l must agree with kAnonymity's
+      val ld = graft.ops.Curation.lDiversityAudit(df, Seq("it"),
+        F.col("cat")).select("it", "l_distinct")
+        .as[(String, Long)].collect().toMap
+      val ka = graft.ops.Curation.kAnonymityAudit(df, Seq("it"),
+        F.col("cat")).select("it", "l").as[(String, Long)].collect().toMap
+      assert(ld == ka, s"l mismatch on $pairs")
+    }
+  }
+
+  test("law: adKSample is rank-based — invariant under strictly " +
+      "monotone transforms; identical samples give 0") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 6L),
+      Gen.oneOf("a", "b", "c")))
+    forAll(gen) { pts =>
+      if (pts.map(_._2).toSet.size >= 2) {
+        val df = pts.map { case (v, g) => (g, v.toDouble) }.toDF("g", "v")
+        def a2(vc: org.apache.spark.sql.Column): Double =
+          graft.ops.Stats.adKSample(df, F.col("g"), vc, scale = 1L)
+            .select("a2").as[Option[Double]].head().getOrElse(-1.0)
+        val base = a2(F.col("v"))
+        // affine and cubic maps preserve order and tie structure exactly
+        val aff = a2(F.col("v") * 7.0 + 3.0)
+        val cub = a2(F.col("v") * F.col("v") * F.col("v"))
+        assert(math.abs(base - aff) < 1e-9, s"affine: $base vs $aff")
+        assert(math.abs(base - cub) < 1e-9, s"cubic: $base vs $cub")
+      }
+      // two verbatim copies of the SAME value multiset are one
+      // distribution -> statistic exactly 0 (every N·E − D·n_i cancels);
+      // NULL only in the degenerate all-one-value corpus
+      val doubled = (pts.map(p => ("a", p._1.toDouble)) ++
+        pts.map(p => ("a2", p._1.toDouble))).toDF("g", "v")
+      val z = graft.ops.Stats.adKSample(doubled, F.col("g"),
+        F.col("v"), scale = 1L).select("a2").as[Option[Double]].head()
+      z.foreach(v => assert(v == 0.0, s"identical copies: $v"))
+    }
+  }
 }
