@@ -2776,6 +2776,24 @@ object SparkEntry {
         F.col("c_nationkey"), F.col("c_mktsegment"), F.col("c_acctbal"),
         "BUILDING", "AUTOMOBILE")),
 
+    // ICC(2,1): are an order's 4 line quantities consistent once each
+    // line-slot's systematic offset is charged against agreement
+    "x277_icc2" -> ((s, dir) =>
+      graft.ops.Stats.icc2(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_quantity"),
+        k = 4)),
+
+    // Lin's CCC: does 6x the token count measure the SAME char length —
+    // agreement with y = x, decomposed into precision r and accuracy C_b
+    "x278_lins_ccc" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Stats.linsCcc(
+        d.select(F.length(F.col("text")).as("x"),
+          (F.size(F.split(F.trim(F.col("text")), "\\s+")) * 6).as("y")),
+        F.col("x"), F.col("y"))
+    }),
+
     // exponential goodness-of-fit of pooled inter-event gaps — is the
     // traffic memoryless; exact two-sided KS steps at the MLE lambda
     "x266_exp_fit" -> ((s, dir) => {
@@ -6999,6 +7017,66 @@ object SparkEntry {
         |    greatest(0.0::DOUBLE, (swe2 - swe * swe / sw - (k - 1)::DOUBLE)
         |      / (swe2 - swe * swe / sw)) END, 6) AS i2
         |FROM one""".stripMargin,
+
+    // two-way decomposition from exact-long sufficient statistics
+    // (T, Sx2, SR, SC); scalar mean squares, Shrout-Fleiss ICC(2,1)
+    "x277_icc2" ->
+      """WITH cells AS (SELECT l_orderkey AS it, l_linenumber AS ra,
+        |    round(l_quantity)::BIGINT AS x FROM lineitem),
+        |ok AS (SELECT it FROM cells GROUP BY it HAVING count(*) = 4),
+        |g AS (SELECT * FROM cells WHERE it IN (SELECT it FROM ok)),
+        |r AS (SELECT count(*)::BIGINT AS n_items,
+        |    sum(ri * ri)::BIGINT AS sr
+        |  FROM (SELECT it, sum(x)::BIGINT AS ri FROM g GROUP BY it)),
+        |c AS (SELECT sum(cj * cj)::BIGINT AS sc
+        |  FROM (SELECT ra, sum(x)::BIGINT AS cj FROM g GROUP BY ra)),
+        |t AS (SELECT sum(x)::BIGINT AS t, sum(x * x)::BIGINT AS s2
+        |  FROM g),
+        |f AS (SELECT n_items, sr, sc, t, s2,
+        |    (t * t)::DOUBLE / (n_items * 4)::DOUBLE AS cf
+        |  FROM r CROSS JOIN c CROSS JOIN t),
+        |m AS (SELECT n_items,
+        |    (sr::DOUBLE / 4.0::DOUBLE - cf) / (n_items - 1)::DOUBLE
+        |      AS msr,
+        |    (sc::DOUBLE / n_items::DOUBLE - cf) / 3.0::DOUBLE AS msc,
+        |    ((s2::DOUBLE - cf) - (sr::DOUBLE / 4.0::DOUBLE - cf) -
+        |     (sc::DOUBLE / n_items::DOUBLE - cf)) /
+        |      ((n_items - 1) * 3)::DOUBLE AS mse
+        |  FROM f)
+        |SELECT n_items, 4::BIGINT AS k, round(msr, 6) AS msr,
+        |  round(msc, 6) AS msc, round(mse, 6) AS mse,
+        |  round((msr - mse) / nullif(msr + 3.0::DOUBLE * mse +
+        |    4.0::DOUBLE * (msc - mse) / n_items::DOUBLE, 0.0), 6)
+        |    AS icc2
+        |FROM m""".stripMargin,
+
+    // biased (/n) moments from exact-long sums; ccc = r * C_b emitted
+    // with the decomposition
+    "x278_lins_ccc" ->
+      """WITH p AS (SELECT length(text)::BIGINT AS x,
+        |    (6 * len(string_split_regex(trim(text), '\s+')))::BIGINT
+        |      AS y
+        |  FROM documents),
+        |one AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+        |    sum(y * y)::BIGINT AS syy, sum(x * y)::BIGINT AS sxy
+        |  FROM p),
+        |m AS (SELECT n, sx::DOUBLE / n::DOUBLE AS mx,
+        |    sy::DOUBLE / n::DOUBLE AS my,
+        |    sxx::DOUBLE / n::DOUBLE -
+        |      (sx::DOUBLE / n::DOUBLE) * (sx::DOUBLE / n::DOUBLE) AS vx,
+        |    syy::DOUBLE / n::DOUBLE -
+        |      (sy::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE) AS vy,
+        |    sxy::DOUBLE / n::DOUBLE -
+        |      (sx::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE) AS cxy
+        |  FROM one)
+        |SELECT n, round(mx, 6) AS mean_x, round(my, 6) AS mean_y,
+        |  round(cxy / nullif(sqrt(vx) * sqrt(vy), 0.0), 6) AS r,
+        |  round(2.0::DOUBLE * sqrt(vx) * sqrt(vy) /
+        |    nullif(vx + vy + (mx - my) * (mx - my), 0.0), 6) AS c_b,
+        |  round(2.0::DOUBLE * cxy /
+        |    nullif(vx + vy + (mx - my) * (mx - my), 0.0), 6) AS ccc
+        |FROM m""".stripMargin,
 
     // all-integer modal-error counts; one division
     "x273_gk_lambda" ->

@@ -3514,6 +3514,115 @@ object Stats {
         (q - (F.col("k") - 1L).cast("double")) / q)), 6).as("i2"))
   }
 
+  /** ICC(2,1) — two-way random single-rater intraclass correlation
+    * (Shrout–Fleiss): the CONTINUOUS-score agreement coefficient for a
+    * complete n-item × k-rater grid, treating raters as a random sample
+    * (their systematic offsets COUNT against agreement — the absolute-
+    * agreement convention; x245's ICC(1) ignores rater identity
+    * entirely). Classical two-way decomposition from integer-quantized
+    * sufficient statistics (T, Σx², ΣR_i², ΣC_j² — all exact longs):
+    * {{{
+    *   MSR = (ΣR_i²/k − T²/N)/(n−1)   MSC = (ΣC_j²/n − T²/N)/(k−1)
+    *   MSE = (SS_tot − SS_rows − SS_cols)/((n−1)(k−1))
+    *   ICC(2,1) = (MSR − MSE) /
+    *              (MSR + (k−1)·MSE + k·(MSC − MSE)/n)
+    * }}}
+    * Items without exactly k ratings drop (the design is a complete
+    * grid).
+    *
+    * Scale shape: one corpus scan into three bounded rollups (items,
+    * raters, grand); the mean squares are scalar arithmetic.
+    *
+    * @return one row (n_items, k, msr, msc, mse, icc2) — 6-dp, icc2
+    *         NULL when the denominator is 0
+    */
+  def icc2(df: DataFrame, itemCol: Column, raterCol: Column,
+           valueCol: Column, k: Int, scale: Long = 1L): DataFrame = {
+    require(k >= 2, s"need at least 2 raters, got $k")
+    val cells = df.select(itemCol.cast("string").as("__it"),
+      raterCol.cast("string").as("__ra"),
+      F.round(valueCol.cast("double") * scale).cast("long").as("__x"))
+    val ok = cells.groupBy("__it").agg(F.count(F.lit(1)).as("__c"))
+      .filter(F.col("__c") === k.toLong).select("__it")
+    val g = cells.join(ok, Seq("__it"), "left_semi")
+    val rows = g.groupBy("__it").agg(F.sum("__x").as("__ri"))
+      .agg(F.count(F.lit(1)).as("n_items"),
+        F.sum(F.col("__ri") * F.col("__ri")).as("__sr"))
+    val cols = g.groupBy("__ra").agg(F.sum("__x").as("__cj"))
+      .agg(F.sum(F.col("__cj") * F.col("__cj")).as("__sc"))
+    val grand = g.agg(F.sum("__x").as("__t"),
+      F.sum(F.col("__x") * F.col("__x")).as("__s2"))
+    val one = rows.crossJoin(F.broadcast(cols))
+      .crossJoin(F.broadcast(grand))
+      .withColumn("__nn", F.col("n_items") * k.toLong)
+      .withColumn("__cf",
+        (F.col("__t") * F.col("__t")).cast("double") /
+          F.col("__nn").cast("double"))
+      .withColumn("__ssr", F.col("__sr").cast("double") / k.toDouble -
+        F.col("__cf"))
+      .withColumn("__ssc", F.col("__sc").cast("double") /
+        F.col("n_items").cast("double") - F.col("__cf"))
+      .withColumn("__sst", F.col("__s2").cast("double") - F.col("__cf"))
+      .withColumn("__msr", F.col("__ssr") /
+        (F.col("n_items") - 1L).cast("double"))
+      .withColumn("__msc", F.col("__ssc") / (k.toDouble - 1.0))
+      .withColumn("__mse",
+        (F.col("__sst") - F.col("__ssr") - F.col("__ssc")) /
+          ((F.col("n_items") - 1L) * (k.toLong - 1L)).cast("double"))
+    val den = F.col("__msr") + F.col("__mse") * (k.toDouble - 1.0) +
+      (F.col("__msc") - F.col("__mse")) * k.toDouble /
+        F.col("n_items").cast("double")
+    one.select(F.col("n_items"), F.lit(k.toLong).as("k"),
+      F.round(F.col("__msr"), 6).as("msr"),
+      F.round(F.col("__msc"), 6).as("msc"),
+      F.round(F.col("__mse"), 6).as("mse"),
+      F.round((F.col("__msr") - F.col("__mse")) /
+        F.nullif(den, F.lit(0.0)), 6).as("icc2"))
+  }
+
+  /** Lin's concordance correlation coefficient — how well paired
+    * measurements (x, y) of the same quantity agree with the 45° line
+    * y = x, not merely with SOME line (Pearson's blind spot: r = 1 for
+    * y = 2x + 7). Biased (÷n, Lin's original) moments:
+    * {{{
+    *   ρc = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²) = r · C_b
+    * }}}
+    * emitted with the decomposition — r (precision: scatter around the
+    * best line) and C_b (accuracy: how far that line sits from y = x).
+    * Quantize x and y to integers upstream (lengths, counts, cents) so
+    * the six sufficient statistics are exact longs.
+    *
+    * Scale shape: one map-side pass, 1 row.
+    *
+    * @return one row (n, mean_x, mean_y, r, c_b, ccc) — 6-dp
+    */
+  def linsCcc(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val p = df.select(xCol.cast("long").as("__x"),
+      yCol.cast("long").as("__y"))
+      .filter(F.col("__x").isNotNull && F.col("__y").isNotNull)
+    val one = p.agg(F.count(F.lit(1)).as("n"),
+      F.sum("__x").as("__sx"), F.sum("__y").as("__sy"),
+      F.sum(F.col("__x") * F.col("__x")).as("__sxx"),
+      F.sum(F.col("__y") * F.col("__y")).as("__syy"),
+      F.sum(F.col("__x") * F.col("__y")).as("__sxy"))
+    val nD = F.col("n").cast("double")
+    val mx = F.col("__sx").cast("double") / nD
+    val my = F.col("__sy").cast("double") / nD
+    val vx = F.col("__sxx").cast("double") / nD - mx * mx
+    val vy = F.col("__syy").cast("double") / nD - my * my
+    val cxy = F.col("__sxy").cast("double") / nD - mx * my
+    val cb = F.lit(2.0) * F.sqrt(vx) * F.sqrt(vy) /
+      F.nullif(vx + vy + (mx - my) * (mx - my), F.lit(0.0))
+    one.select(F.col("n"),
+      F.round(mx, 6).as("mean_x"), F.round(my, 6).as("mean_y"),
+      F.round(cxy / F.nullif(F.sqrt(vx) * F.sqrt(vy), F.lit(0.0)), 6)
+        .as("r"),
+      F.round(cb, 6).as("c_b"),
+      F.round(F.lit(2.0) * cxy /
+        F.nullif(vx + vy + (mx - my) * (mx - my), F.lit(0.0)), 6)
+        .as("ccc"))
+  }
+
   /** Goodman–Kruskal lambda λ_{col|row} — proportional reduction in
     * error predicting the COLUMN category from the ROW category over
     * nominal pairs ("does source predict language"): guessing the global

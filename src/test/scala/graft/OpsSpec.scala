@@ -4744,6 +4744,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ((2L, 0.5, 0.57735, 0.866025, 0.75, 0.0)), got)
   }
 
+  test("icc2: 2x2 hand grids — pure column shift 0.8; crossed pair 0.75") {
+    import graft.ops.Stats
+    // i1:(1,2) i2:(3,4): rater2 = rater1 + 1 exactly -> MSE=0, ICC 4/5
+    val shift = Seq(("i1", "r1", 1.0), ("i1", "r2", 2.0),
+      ("i2", "r1", 3.0), ("i2", "r2", 4.0)).toDF("it", "ra", "v")
+    val s = Stats.icc2(shift, F.col("it"), F.col("ra"), F.col("v"), k = 2)
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(s == ((2L, 2L, 4.0, 1.0, 0.0, 0.8)), s)
+    // i1:(1,2) i2:(4,3): no rater effect, 1 unit of noise -> 3/4
+    val cross = Seq(("i1", "r1", 1.0), ("i1", "r2", 2.0),
+      ("i2", "r1", 4.0), ("i2", "r2", 3.0)).toDF("it", "ra", "v")
+    val c = Stats.icc2(cross, F.col("it"), F.col("ra"), F.col("v"), k = 2)
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(c == ((2L, 2L, 4.0, 0.0, 1.0, 0.75)), c)
+  }
+
+  test("linsCcc: y=2x has r=1 but ccc=4/11; y=x is perfect") {
+    import graft.ops.Stats
+    val prop = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("x", "y")
+    val p = Stats.linsCcc(prop, F.col("x"), F.col("y"))
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(p == ((3L, 2.0, 4.0, 1.0, 0.363636, 0.363636)), p)
+    val ident = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val i = Stats.linsCcc(ident, F.col("x"), F.col("y"))
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(i == ((3L, 2.0, 2.0, 1.0, 1.0, 1.0)), i)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
