@@ -2794,6 +2794,39 @@ object SparkEntry {
         F.col("x"), F.col("y"))
     }),
 
+    // Newman modularity of the nation partition over the supplier
+    // co-purchase graph: is sourcing nation-clustered
+    "x279_modularity" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Graph.modularity(
+        graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          minCount = 6), "src", "dst",
+        s.read.parquet(s"$dir/supplier.parquet"),
+        "s_suppkey", "s_nationkey")
+    }),
+
+    // Ljung-Box portmanteau: is the daily event-count series white
+    // noise across the first 7 lags jointly
+    "x280_ljung_box" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).as("v"))
+      graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
+    }),
+
+    // Moran's I: do co-purchased suppliers carry similar balances —
+    // network autocorrelation of a node attribute
+    "x281_morans_i" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Graph.moransI(
+        graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          minCount = 6), "src", "dst",
+        s.read.parquet(s"$dir/supplier.parquet"),
+        "s_suppkey", F.col("s_acctbal"))
+    }),
+
     // exponential goodness-of-fit of pooled inter-event gaps — is the
     // traffic memoryless; exact two-sided KS steps at the MLE lambda
     "x266_exp_fit" -> ((s, dir) => {
@@ -7017,6 +7050,85 @@ object SparkEntry {
         |    greatest(0.0::DOUBLE, (swe2 - swe * swe / sw - (k - 1)::DOUBLE)
         |      / (swe2 - swe * swe / sw)) END, 6) AS i2
         |FROM one""".stripMargin,
+
+    // the x104 edge census + nation communities; Q from exact longs
+    // (m, intra, sum d_c^2), two divisions
+    "x279_modularity" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        |  FROM lineitem),
+        |e AS (SELECT a.s AS a, b.s AS b FROM os a JOIN os b
+        |  ON a.o = b.o AND a.s < b.s GROUP BY 1, 2 HAVING count(*) >= 6),
+        |j AS (SELECT e.a, e.b, sa.s_nationkey AS c1, sb.s_nationkey AS c2
+        |  FROM e JOIN supplier sa ON sa.s_suppkey = e.a
+        |  JOIN supplier sb ON sb.s_suppkey = e.b),
+        |tot AS (SELECT count(*)::BIGINT AS m,
+        |    sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END)::BIGINT AS intra
+        |  FROM j),
+        |d AS (SELECT cc, count(*)::BIGINT AS dd FROM
+        |  (SELECT c1 AS cc FROM j UNION ALL SELECT c2 FROM j)
+        |  GROUP BY cc),
+        |kq AS (SELECT count(*)::BIGINT AS k_comms,
+        |    sum(dd * dd)::BIGINT AS sd2 FROM d)
+        |SELECT k_comms, m, intra,
+        |  round(intra::DOUBLE / m::DOUBLE -
+        |    sd2::DOUBLE / (4 * m * m)::DOUBLE, 6) AS q
+        |FROM kq CROSS JOIN tot""".stripMargin,
+
+    // exact-long per-lag sums on the bounded daily series; available-
+    // pair ACF (= textbook n-k when contiguous)
+    "x280_ljung_box" ->
+      """WITH daily AS (SELECT
+        |    (ts::DATE - DATE '1970-01-01')::BIGINT AS t,
+        |    count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1),
+        |one AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS tt,
+        |    sum(x * x)::BIGINT AS s2 FROM daily),
+        |lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7])::BIGINT AS k),
+        |pl AS (SELECT k, count(*)::BIGINT AS cnt,
+        |    sum(a.x * b.x)::BIGINT AS pa, sum(a.x)::BIGINT AS ba,
+        |    sum(b.x)::BIGINT AS bb
+        |  FROM lags JOIN daily a ON true JOIN daily b ON b.t = a.t + k
+        |  GROUP BY k),
+        |rh AS (SELECT n, cnt,
+        |    (pa::DOUBLE - (tt::DOUBLE / n::DOUBLE) * (ba + bb)::DOUBLE +
+        |     cnt::DOUBLE * (tt::DOUBLE / n::DOUBLE) *
+        |       (tt::DOUBLE / n::DOUBLE)) /
+        |    (s2::DOUBLE - tt::DOUBLE * (tt::DOUBLE / n::DOUBLE)) AS rho
+        |  FROM pl CROSS JOIN one),
+        |tm AS (SELECT n, round(rho * rho / cnt::DOUBLE, 9) AS t FROM rh)
+        |SELECT n, 7::BIGINT AS h,
+        |  round(n::DOUBLE * (n + 2)::DOUBLE * sum(t), 6) AS lb,
+        |  7::BIGINT AS df
+        |FROM tm GROUP BY n""".stripMargin,
+
+    // the x104 edge census + supplier balances; centered cross-product
+    // expanded to exact longs (P, S_e, T, Sx2)
+    "x281_morans_i" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        |  FROM lineitem),
+        |e AS (SELECT a.s AS a, b.s AS b FROM os a JOIN os b
+        |  ON a.o = b.o AND a.s < b.s GROUP BY 1, 2 HAVING count(*) >= 6),
+        |nodes AS (SELECT DISTINCT n FROM
+        |  (SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
+        |nd AS (SELECT s_suppkey AS n, round(s_acctbal * 100)::BIGINT AS x
+        |  FROM supplier WHERE s_suppkey IN (SELECT n FROM nodes)),
+        |one AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS t,
+        |    sum(x * x)::BIGINT AS s2 FROM nd),
+        |pe AS (SELECT count(*)::BIGINT AS m,
+        |    sum(xa.x * xb.x)::BIGINT AS p,
+        |    sum(xa.x + xb.x)::BIGINT AS se
+        |  FROM e JOIN nd xa ON xa.n = e.a JOIN nd xb ON xb.n = e.b)
+        |SELECT n, m,
+        |  round(n::DOUBLE *
+        |    (p::DOUBLE - (t::DOUBLE / n::DOUBLE) * se::DOUBLE +
+        |     m::DOUBLE * (t::DOUBLE / n::DOUBLE) *
+        |       (t::DOUBLE / n::DOUBLE)) /
+        |    nullif(m::DOUBLE *
+        |      (s2::DOUBLE - t::DOUBLE * (t::DOUBLE / n::DOUBLE)),
+        |      0.0), 6) AS i,
+        |  round(-1.0::DOUBLE / nullif(n::DOUBLE - 1.0::DOUBLE, 0.0), 6)
+        |    AS e_i
+        |FROM one CROSS JOIN pe""".stripMargin,
 
     // two-way decomposition from exact-long sufficient statistics
     // (T, Sx2, SR, SC); scalar mean squares, Shrout-Fleiss ICC(2,1)

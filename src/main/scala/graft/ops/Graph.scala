@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
 /** Link-graph analytics for corpus curation. A web-crawl training corpus
@@ -300,5 +300,116 @@ object Graph {
       .unionAll(e.select(F.col("__b").as("node")))
       .groupBy("node").agg(F.count(F.lit(1)).as("degree"))
       .orderBy("node")
+  }
+
+  /** Newman modularity Q of a GIVEN node partition — "how much more of
+    * the graph's edge mass falls inside these communities than a random
+    * rewiring with the same degrees would put there":
+    * {{{
+    *   Q = Σ_c e_c/m − Σ_c (d_c / 2m)²     ∈ [−½, 1)
+    * }}}
+    * (e_c intra-community edges, d_c total degree of community c, m
+    * total edges). This is the community-QUALITY readout to pair with
+    * any partitioner — connected components, an external label (domain,
+    * language, nation), a clustering. Every sufficient statistic
+    * (m, Σe_c, Σd_c²) is an exact long, so Q is two divisions.
+    *
+    * Edges whose endpoint has no community row drop (inner join) — feed
+    * a complete assignment. Self-loops and duplicate/reversed edges are
+    * canonicalized away.
+    *
+    * Scale shape: two broadcast-able dimension joins onto the edge list,
+    * one community-bounded rollup, one endpoint-census rollup. No
+    * windows, no iteration.
+    *
+    * @return one row (k_comms, m, intra, q) — q 6-dp
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 comm: DataFrame, nodeCol: String,
+                 commCol: String): DataFrame = {
+    val e = edges
+      .select(F.least(F.col(srcCol), F.col(dstCol)).as("__a"),
+        F.greatest(F.col(srcCol), F.col(dstCol)).as("__b"))
+      .filter(F.col("__a") =!= F.col("__b"))
+      .distinct()
+    val cm = comm.select(F.col(nodeCol).as("__n"),
+      F.col(commCol).cast("string").as("__cm"))
+    val j = e
+      .join(F.broadcast(cm.select(F.col("__n").as("__a"),
+        F.col("__cm").as("__c1"))), Seq("__a"))
+      .join(F.broadcast(cm.select(F.col("__n").as("__b"),
+        F.col("__cm").as("__c2"))), Seq("__b"))
+    val tot = j.agg(F.count(F.lit(1)).as("m"),
+      F.sum(F.when(F.col("__c1") === F.col("__c2"), 1L).otherwise(0L))
+        .as("intra"))
+    val dsum = j.select(F.col("__c1").as("__cc"))
+      .unionAll(j.select(F.col("__c2").as("__cc")))
+      .groupBy("__cc").agg(F.count(F.lit(1)).as("__d"))
+      .agg(F.count(F.lit(1)).as("k_comms"),
+        F.sum(F.col("__d") * F.col("__d")).as("__sd2"))
+    dsum.crossJoin(F.broadcast(tot))
+      .select(F.col("k_comms"), F.col("m"), F.col("intra"),
+        F.round(F.col("intra").cast("double") / F.col("m").cast("double") -
+          F.col("__sd2").cast("double") /
+            (F.lit(4L) * F.col("m") * F.col("m")).cast("double"), 6)
+          .as("q"))
+  }
+
+  /** Moran's I — network autocorrelation of a node attribute over the
+    * edge structure ("do connected suppliers have similar balances"; the
+    * graph analog of lag-1 autocorrelation, and the standard spatial-
+    * statistics readout with binary edge weights):
+    * {{{
+    *   I = (n / 2m) · Σ_{(a,b)∈E, both dirs} (x_a−x̄)(x_b−x̄) / Σ(x_a−x̄)²
+    * }}}
+    * Under no autocorrelation E[I] = −1/(n−1) (emitted as `e_i`).
+    * Defined over the nodes that carry both an edge and an attribute
+    * row; values quantized (×scale) so the cross-products are exact-long
+    * sums — the centered form expands to (P − x̄·S_e + m·x̄²)/… with P,
+    * S_e, T, Σx² all integers.
+    *
+    * Scale shape: one attribute join onto the edge list (broadcast-able
+    * dim), two one-row rollups; no windows.
+    *
+    * @return one row (n, m, i, e_i) — 6-dp
+    */
+  def moransI(edges: DataFrame, srcCol: String, dstCol: String,
+              attrs: DataFrame, nodeCol: String, valueCol: Column,
+              scale: Long = 100L): DataFrame = {
+    val e = edges
+      .select(F.least(F.col(srcCol), F.col(dstCol)).as("__a"),
+        F.greatest(F.col(srcCol), F.col(dstCol)).as("__b"))
+      .filter(F.col("__a") =!= F.col("__b"))
+      .distinct()
+    val at = attrs.select(F.col(nodeCol).as("__n"),
+      F.round(valueCol.cast("double") * scale).cast("long").as("__x"))
+      .filter(F.col("__x").isNotNull)
+    val nodesInG = e.select(F.col("__a").as("__n"))
+      .unionAll(e.select(F.col("__b").as("__n"))).distinct()
+    val nd = at.join(nodesInG, Seq("__n"), "left_semi")
+    val one = nd.agg(F.count(F.lit(1)).as("n"), F.sum("__x").as("__t"),
+      F.sum(F.col("__x") * F.col("__x")).as("__s2"))
+    val je = e
+      .join(F.broadcast(nd.select(F.col("__n").as("__a"),
+        F.col("__x").as("__xa"))), Seq("__a"))
+      .join(F.broadcast(nd.select(F.col("__n").as("__b"),
+        F.col("__x").as("__xb"))), Seq("__b"))
+    val pe = je.agg(F.count(F.lit(1)).as("m"),
+      F.sum(F.col("__xa") * F.col("__xb")).as("__p"),
+      F.sum(F.col("__xa") + F.col("__xb")).as("__se"))
+    val row = one.crossJoin(F.broadcast(pe))
+    val nD = F.col("n").cast("double")
+    val xbar = F.col("__t").cast("double") / nD
+    val den = F.col("__s2").cast("double") -
+      F.col("__t").cast("double") * xbar
+    val cross = F.col("__p").cast("double") - xbar *
+      F.col("__se").cast("double") + F.col("m").cast("double") *
+      xbar * xbar
+    row.select(F.col("n"), F.col("m"),
+      F.round(nD * cross /
+        F.nullif(F.col("m").cast("double") * den, F.lit(0.0)), 6)
+        .as("i"),
+      F.round(F.lit(-1.0) /
+        F.nullif(nD - 1.0, F.lit(0.0)), 6).as("e_i"))
   }
 }

@@ -3623,6 +3623,61 @@ object Stats {
         .as("ccc"))
   }
 
+  /** Ljung–Box portmanteau test — is a series white noise ACROSS the
+    * first h autocorrelation lags jointly, where [[durbinWatson]] sees
+    * only lag 1 and an ACF plot invites cherry-picking:
+    * {{{
+    *   ρ_k = Σ_t (x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+    *   LB  = n(n+2) · Σ_{k=1..h} ρ_k² / n_k       (χ²_h under H₀)
+    * }}}
+    * Integer-valued series in, so every sufficient statistic (Σx, Σx²,
+    * per-lag Σx_t·x_{t+k} and the two one-sided sums) is an exact long;
+    * ρ_k is scalar arithmetic. Pairs align on EXACT t+k — a gapped
+    * series yields the available-pair ACF with n_k the realized pair
+    * count (= n−k when contiguous, the textbook statistic).
+    *
+    * Scale shape: one bounded lag-explode self-join of the (already
+    * aggregated, domain-bounded) series; h one-row terms.
+    *
+    * @return one row (n, h, lb, df) — lb 6-dp
+    */
+  def ljungBox(series: DataFrame, tCol: Column, valueCol: Column,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64,
+      s"maxLag must be in [1,64], got $maxLag")
+    val s = series.select(tCol.cast("long").as("__t"),
+      valueCol.cast("long").as("__x"))
+      .filter(F.col("__t").isNotNull && F.col("__x").isNotNull)
+    val one = s.agg(F.count(F.lit(1)).as("n"), F.sum("__x").as("__tt"),
+      F.sum(F.col("__x") * F.col("__x")).as("__s2"))
+    val lagged = s
+      .select(F.col("__t"), F.col("__x").as("__xa"),
+        F.explode(F.lit((1 to maxLag).toArray)).as("__k"))
+      .select(F.col("__k"), (F.col("__t") + F.col("__k")).as("__t2"),
+        F.col("__xa"))
+      .join(s.select(F.col("__t").as("__t2"), F.col("__x").as("__xb")),
+        Seq("__t2"))
+    val perLag = lagged.groupBy("__k")
+      .agg(F.count(F.lit(1)).as("__cnt"),
+        F.sum(F.col("__xa") * F.col("__xb")).as("__pa"),
+        F.sum("__xa").as("__ba"), F.sum("__xb").as("__bb"))
+    val j = perLag.crossJoin(F.broadcast(one))
+    val nD = F.col("n").cast("double")
+    val xbar = F.col("__tt").cast("double") / nD
+    val den = F.col("__s2").cast("double") -
+      F.col("__tt").cast("double") * xbar
+    val rho = (F.col("__pa").cast("double") - xbar *
+      (F.col("__ba") + F.col("__bb")).cast("double") +
+      F.col("__cnt").cast("double") * xbar * xbar) / den
+    val terms = j.select(F.col("n"),
+      F.round(rho * rho / F.col("__cnt").cast("double"), 9).as("__tm"))
+    terms.groupBy("n").agg(F.sum("__tm").as("__s"))
+      .select(F.col("n"), F.lit(maxLag.toLong).as("h"),
+        F.round(F.col("n").cast("double") *
+          (F.col("n") + 2L).cast("double") * F.col("__s"), 6).as("lb"),
+        F.lit(maxLag.toLong).as("df"))
+  }
+
   /** Goodman–Kruskal lambda λ_{col|row} — proportional reduction in
     * error predicting the COLUMN category from the ROW category over
     * nominal pairs ("does source predict language"): guessing the global

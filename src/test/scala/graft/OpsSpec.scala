@@ -4772,6 +4772,47 @@ class OpsSpec extends AnyFunSuite {
     assert(i == ((3L, 2.0, 2.0, 1.0, 1.0, 1.0)), i)
   }
 
+  test("modularity: triangle+edge by component 0.375; bad partition < 0") {
+    import graft.ops.Graph
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"))
+      .toDF("src", "dst")
+    val good = Seq(("a", "c1"), ("b", "c1"), ("c", "c1"),
+      ("d", "c2"), ("e", "c2")).toDF("node", "comm")
+    val g = Graph.modularity(edges, "src", "dst", good, "node", "comm")
+      .as[(Long, Long, Long, Double)].head()
+    // m=4 all intra; d=(6,2): 1 - 40/64
+    assert(g == ((2L, 4L, 4L, 0.375)), g)
+    val bad = Seq(("a", "p1"), ("d", "p1"), ("b", "p2"), ("e", "p2"),
+      ("c", "p3")).toDF("node", "comm")
+    val b = Graph.modularity(edges, "src", "dst", bad, "node", "comm")
+      .as[(Long, Long, Long, Double)].head()
+    // 0 intra; d=(3,3,2): 0 - 22/64
+    assert(b == ((3L, 4L, 0L, -0.34375)), b)
+  }
+
+  test("ljungBox: alternating series gives LB=12 at h=2") {
+    import graft.ops.Stats
+    val s = Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L), (5L, 1L),
+      (6L, 2L)).toDF("t", "v")
+    val got = Stats.ljungBox(s, F.col("t"), F.col("v"), maxLag = 2)
+      .as[(Long, Long, Double, Long)].head()
+    // rho1=-5/6 over 5 pairs, rho2=2/3 over 4: 48*(5/36+4/36) = 12
+    assert(got == ((6L, 2L, 12.0, 2L)), got)
+  }
+
+  test("moransI: triangle with 1,2,3 gives -1/2; path gives 0") {
+    import graft.ops.Graph
+    val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
+    val tri = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val t = Graph.moransI(tri, "src", "dst", attrs, "n", F.col("x"),
+      scale = 1L).as[(Long, Long, Double, Double)].head()
+    assert(t == ((3L, 3L, -0.5, -0.5)), t)
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val p = Graph.moransI(path, "src", "dst", attrs, "n", F.col("x"),
+      scale = 1L).as[(Long, Long, Double, Double)].head()
+    assert(p == ((3L, 2L, 0.0, -0.5)), p)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
