@@ -372,6 +372,24 @@ object StressBench {
           graft.ops.Stats.jonckheereTerpstra(o,
             F.col("o_orderpriority"), F.col("o_totalprice"))
         }),
+        // k-sample AD under value-domain GROWTH (the x252 adversarial
+        // shape): distinct values multiply ×K at fixed 5 groups, so the
+        // k×L dense grid and the per-group integer prefix windows carry
+        // ×K rows; wall must stay ~linear (the documented scale knob for
+        // a heavy corpus is a coarser `scale` quantization)
+        "x272_ad_ksample" -> (() => {
+          val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          // +0.01·i = one CENT per replica: survives the op's ×100
+          // quantization, so the distinct-value domain truly grows ×K
+          val o = (0 until k).map(i => o0.select(
+              (F.col("o_orderkey") + F.lit(i * KeyStride)).as("o_orderkey"),
+              F.col("o_orderpriority"),
+              (F.col("o_totalprice") + F.lit(i * 0.01)).as("o_totalprice")))
+            .reduce(_ union _)
+          graft.ops.Stats.adKSample(o,
+            F.col("o_orderpriority"), F.col("o_totalprice"))
+        }),
         // k-core on K DISJOINT copies of the co-purchase graph (orderkey
         // AND partkey re-keyed): nodes/edges/peel work all ×K — the x104
         // disjoint-copies shape; wall must stay ~linear through the
