@@ -2816,6 +2816,16 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // DeLong CI on the x178 AUC: is "en-detection via quality score"
+    // better than chance WITH error bars, not just a point estimate
+    "x282_delong_auc" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.delongAucCi(scored, F.col("quality_score"),
+        F.col("lang") === "en")
+    }),
+
     // Moran's I: do co-purchased suppliers carry similar balances —
     // network autocorrelation of a node attribute
     "x281_morans_i" -> ((s, dir) => {
@@ -8805,6 +8815,58 @@ object SparkEntry {
          |  round((r1 - n1*(n1+1.0)/2.0) / nullif(n1::DOUBLE*n2, 0.0), 6)
          |    AS auc
          |FROM st""".stripMargin
+    },
+
+    // the x178 scored CTE; doubled structural components over the
+    // distinct-score ladder, exact-long sums, scalar variances
+    "x282_delong_auc" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |v AS (SELECT round(s * 1000000)::BIGINT AS k,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM sc),
+         |byv AS (SELECT k, sum(y)::BIGINT AS p,
+         |    (count(*) - sum(y))::BIGINT AS g FROM v GROUP BY k),
+         |cum AS (SELECT p, g,
+         |    (sum(g) OVER (ORDER BY k))::BIGINT AS cn,
+         |    (sum(p) OVER (ORDER BY k))::BIGINT AS cp
+         |  FROM byv),
+         |tot AS (SELECT sum(p)::BIGINT AS m, sum(g)::BIGINT AS nn
+         |  FROM byv),
+         |tm AS (SELECT p, g, (cn * 2 - g)::BIGINT AS a,
+         |    ((m - cp) * 2 + p)::BIGINT AS b, m, nn
+         |  FROM cum CROSS JOIN tot),
+         |st AS (SELECT max(m)::BIGINT AS m, max(nn)::BIGINT AS nn,
+         |    sum(p * a)::BIGINT AS s1, sum(p * a * a)::BIGINT AS q1,
+         |    sum(g * b)::BIGINT AS s2, sum(g * b * b)::BIGINT AS q2
+         |  FROM tm),
+         |f AS (SELECT m, nn,
+         |    s1::DOUBLE / (2 * nn * m)::DOUBLE AS auc,
+         |    ((q1::DOUBLE - s1::DOUBLE * s1::DOUBLE / m::DOUBLE) /
+         |      (4 * nn * nn * (m - 1))::DOUBLE) / m::DOUBLE +
+         |    ((q2::DOUBLE - s2::DOUBLE * s2::DOUBLE / nn::DOUBLE) /
+         |      (4 * m * m * (nn - 1))::DOUBLE) / nn::DOUBLE AS va
+         |  FROM st)
+         |SELECT m AS n_pos, nn AS n_neg, round(auc, 6) AS auc,
+         |  CASE WHEN m >= 2 AND nn >= 2 THEN round(sqrt(va), 6) END
+         |    AS se,
+         |  CASE WHEN m >= 2 AND nn >= 2
+         |    THEN round(auc - 1.959964::DOUBLE * sqrt(va), 6) END AS lo,
+         |  CASE WHEN m >= 2 AND nn >= 2
+         |    THEN round(auc + 1.959964::DOUBLE * sqrt(va), 6) END AS hi
+         |FROM f""".stripMargin
     },
 
     // mirrors the x167 autocorrelation: x137's machinery with a = b =

@@ -3678,6 +3678,70 @@ object Stats {
         F.lit(maxLag.toLong).as("df"))
   }
 
+  /** DeLong confidence interval for the AUC — the nonparametric variance
+    * of [[aucExact]]'s point estimate, from the structural components
+    * (V10 per positive = the fraction of negatives it outranks, ties ½;
+    * V01 per negative, symmetric):
+    * {{{
+    *   Var(AUC) = S10/m + S01/n,   Sxy = sample variance of the V's
+    *   CI       = AUC ± 1.959964·se
+    * }}}
+    * Everything reduces over the DISTINCT-score table: with doubled
+    * counts A_v = 2·(negs below) + negs at, B_v = 2·(pos above) + pos
+    * at, all four sufficient statistics (Σp·A, Σp·A², Σg·B, Σg·B²) are
+    * exact longs and the variances are scalar arithmetic — no per-row
+    * V's ever materialize.
+    *
+    * Scale shape: distinct-score collapse, one ordered integer
+    * prefix-count window over the (quantized, domain-bounded) score
+    * ladder — the [[aucExact]] midrank caveat — then one row.
+    *
+    * @return one row (n_pos, n_neg, auc, se, lo, hi) — 6-dp; se/lo/hi
+    *         NULL unless both classes have ≥ 2 members
+    */
+  def delongAucCi(df: DataFrame, scoreCol: Column, labelCol: Column,
+                  scale: Double = 1e6): DataFrame = {
+    val v = df.select(
+      F.round(scoreCol.cast("double") * scale).cast("long").as("__k"),
+      F.when(labelCol, 1L).otherwise(0L).as("__y"))
+      .filter(F.col("__k").isNotNull)
+    val byv = v.groupBy("__k").agg(F.sum("__y").as("__p"),
+      (F.count(F.lit(1)) - F.sum("__y")).as("__g"))
+    val w = Window.orderBy("__k")
+    val cum = byv
+      .withColumn("__cn", F.sum("__g").over(w))
+      .withColumn("__cp", F.sum("__p").over(w))
+    val tot = byv.agg(F.sum("__p").as("m"), F.sum("__g").as("nn"))
+    val terms = cum.crossJoin(F.broadcast(tot))
+      .withColumn("__a", F.col("__cn") * 2L - F.col("__g"))
+      .withColumn("__b",
+        (F.col("m") - F.col("__cp")) * 2L + F.col("__p"))
+    val s = terms.agg(F.max("m").as("m"), F.max("nn").as("nn"),
+      F.sum(F.col("__p") * F.col("__a")).as("__s1"),
+      F.sum(F.col("__p") * F.col("__a") * F.col("__a")).as("__q1"),
+      F.sum(F.col("__g") * F.col("__b")).as("__s2"),
+      F.sum(F.col("__g") * F.col("__b") * F.col("__b")).as("__q2"))
+    val mD = F.col("m").cast("double")
+    val nD = F.col("nn").cast("double")
+    val auc = F.col("__s1").cast("double") /
+      (F.lit(2L) * F.col("nn") * F.col("m")).cast("double")
+    val s10 = (F.col("__q1").cast("double") -
+      F.col("__s1").cast("double") * F.col("__s1").cast("double") / mD) /
+      (F.lit(4L) * F.col("nn") * F.col("nn") * (F.col("m") - 1L))
+        .cast("double")
+    val s01 = (F.col("__q2").cast("double") -
+      F.col("__s2").cast("double") * F.col("__s2").cast("double") / nD) /
+      (F.lit(4L) * F.col("m") * F.col("m") * (F.col("nn") - 1L))
+        .cast("double")
+    val ok = F.col("m") >= 2L && F.col("nn") >= 2L
+    val se = F.sqrt(s10 / mD + s01 / nD)
+    s.select(F.col("m").as("n_pos"), F.col("nn").as("n_neg"),
+      F.round(auc, 6).as("auc"),
+      F.when(ok, F.round(se, 6)).as("se"),
+      F.when(ok, F.round(auc - F.lit(1.959964) * se, 6)).as("lo"),
+      F.when(ok, F.round(auc + F.lit(1.959964) * se, 6)).as("hi"))
+  }
+
   /** Goodman–Kruskal lambda λ_{col|row} — proportional reduction in
     * error predicting the COLUMN category from the ROW category over
     * nominal pairs ("does source predict language"): guessing the global

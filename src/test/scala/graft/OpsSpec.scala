@@ -4813,6 +4813,22 @@ class OpsSpec extends AnyFunSuite {
     assert(p == ((3L, 2L, 0.0, -0.5)), p)
   }
 
+  test("delongAucCi: 2x2 hand table — AUC 3/4, se sqrt(1/8)") {
+    import graft.ops.Stats
+    val df = Seq((3.0, true), (5.0, true), (1.0, false), (4.0, false))
+      .toDF("s", "y")
+    val got = Stats.delongAucCi(df, F.col("s"), F.col("y"), scale = 1.0)
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    // V10=(.5,1), V01=(1,.5): S10=S01=1/8, Var=1/8
+    assert(got == ((2L, 2L, 0.75, 0.353553, 0.057048, 1.442952)), got)
+    // perfect separation: AUC 1, zero variance
+    val sep = Seq((10.0, true), (9.0, true), (1.0, false), (2.0, false))
+      .toDF("s", "y")
+    val p = Stats.delongAucCi(sep, F.col("s"), F.col("y"), scale = 1.0)
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(p == ((2L, 2L, 1.0, 0.0, 1.0, 1.0)), p)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")

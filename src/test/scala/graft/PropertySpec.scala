@@ -617,4 +617,21 @@ class PropertySpec extends AnyFunSuite {
       z.foreach(v => assert(v == 0.0, s"identical copies: $v"))
     }
   }
+
+  test("law: delongAucCi's point estimate IS aucExact on tied data") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(16, Gen.zip(Gen.chooseNum(0L, 5L),
+      Gen.oneOf(true, false)))
+    forAll(gen) { pts =>
+      if (pts.exists(_._2) && pts.exists(!_._2)) {
+        val df = pts.map { case (v, y) => (v.toDouble, y) }.toDF("s", "y")
+        val a1 = graft.ops.Stats.delongAucCi(df, F.col("s"), F.col("y"),
+          scale = 1.0).select("auc").as[Double].head()
+        val a2 = graft.ops.Stats.aucExact(df, F.col("s"), F.col("y"))
+          .select("auc").as[Double].head()
+        assert(math.abs(a1 - a2) < 2e-6, s"delong=$a1 exact=$a2 on $pts")
+      }
+    }
+  }
 }
