@@ -1152,4 +1152,57 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(ped.split("Scan parquet", -1).length - 1 == 2,
       s"editDistancePairs: probe + band sides only, no census scan:\n$ped")
   }
+
+  test("adKSample: rows collapse to the distinct-value grid before any " +
+      "window; totals broadcast") {
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    val df = graft.ops.Stats.adKSample(ord, F.col("o_orderpriority"),
+      F.col("o_totalprice"))
+    val p = finalPlan(df).split("== Initial Plan ==")(0)
+    // the (g, v) cell census partial-aggregates map-side — the windows
+    // only ever see the k×L grid, never raw orders
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"expected map-side partial aggregation before the grid:\n$p")
+    assert(p.contains("Window"), s"expected the prefix-count windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unkeyed join:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals must broadcast:\n$p")
+  }
+
+  test("modularity + moransI: node dimensions broadcast onto the edge " +
+      "list, never shuffle-join it") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+    val edges = graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey",
+      "l_suppkey", minCount = 2)
+    val q = graft.ops.Graph.modularity(edges, "src", "dst", sup,
+      "s_suppkey", "s_nationkey")
+    val pq = finalPlan(q).split("== Initial Plan ==")(0)
+    assert(pq.contains("BroadcastHashJoin"),
+      s"community assignment must broadcast onto the edges:\n$pq")
+    assert(!pq.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in modularity:\n$pq")
+    val mi = graft.ops.Graph.moransI(edges, "src", "dst", sup,
+      "s_suppkey", F.col("s_acctbal"))
+    val pm = finalPlan(mi).split("== Initial Plan ==")(0)
+    assert(pm.contains("BroadcastHashJoin"),
+      s"node attributes must broadcast onto the edges:\n$pm")
+    assert(!pm.contains("CartesianProduct"), s"no unkeyed join:\n$pm")
+  }
+
+  test("delongAucCi: the score ladder aggregates before the ordered " +
+      "window; raw rows never sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.Stats.delongAucCi(docs,
+      F.col("n_chars") / 1000.0, F.col("lang") === "en")
+    val p = finalPlan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"expected the distinct-score collapse to partial-aggregate:\n$p")
+    assert(p.contains("Window"), s"expected the prefix-count window:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row class totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unkeyed join:\n$p")
+  }
 }
