@@ -2816,6 +2816,14 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // per-class P/R/F1 census of the x09 language-ID against the
+    // labeled lang — the classifier report for the heuristic
+    "x283_prf_census" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Stats.prfCensus(d, F.col("lang"),
+        TextOps.langId(F.col("text")))
+    }),
+
     // DeLong CI on the x178 AUC: is "en-detection via quality score"
     // better than chance WITH error bars, not just a point estimate
     "x282_delong_auc" -> ((s, dir) => {
@@ -8816,6 +8824,57 @@ object SparkEntry {
          |    AS auc
          |FROM st""".stripMargin
     },
+
+    // the x09 predictor CTE verbatim; integer confusion cells, the
+    // 2tp/(2tp+fp+fn) stable F1, zero_division=0 macro
+    "x283_prf_census" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','is','in'))) AS en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','nicht'))) AS de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS fr,
+        |    len(list_filter(toks, x -> x IN ('el','los','las','y','es','un','que'))) AS es
+        |  FROM scored),
+        |pair AS (SELECT lang AS a,
+        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |       WHEN fr >= es AND fr > 0 THEN 'fr'
+        |       WHEN es > 0 THEN 'es'
+        |       ELSE 'und' END AS pd
+        |  FROM hits),
+        |cells AS (SELECT a, pd, count(*)::BIGINT AS c FROM pair
+        |  GROUP BY 1, 2),
+        |act AS (SELECT a AS cls, sum(c)::BIGINT AS na FROM cells
+        |  GROUP BY 1),
+        |prd AS (SELECT pd AS cls, sum(c)::BIGINT AS np FROM cells
+        |  GROUP BY 1),
+        |tpx AS (SELECT a AS cls, c::BIGINT AS tp FROM cells WHERE a = pd),
+        |classes AS (SELECT DISTINCT cls FROM
+        |  (SELECT cls FROM act UNION ALL SELECT cls FROM prd)),
+        |per AS (SELECT classes.cls, coalesce(na, 0)::BIGINT AS na,
+        |    coalesce(np, 0)::BIGINT AS np,
+        |    coalesce(tpx.tp, 0)::BIGINT AS tp
+        |  FROM classes LEFT JOIN act USING (cls)
+        |  LEFT JOIN prd USING (cls) LEFT JOIN tpx USING (cls)),
+        |pf AS (SELECT cls, na, np, tp, (np - tp)::BIGINT AS fp,
+        |    (na - tp)::BIGINT AS fn,
+        |    2.0::DOUBLE * tp /
+        |      nullif((tp * 2 + (np - tp) + (na - tp)), 0)::DOUBLE AS f1r
+        |  FROM per),
+        |sm AS (SELECT round(avg(coalesce(f1r, 0.0::DOUBLE)), 6)
+        |      AS macro_f1,
+        |    round(sum(tp)::DOUBLE / sum(na)::DOUBLE, 6) AS accuracy
+        |  FROM pf)
+        |SELECT cls, na AS n_actual, tp, fp, fn,
+        |  round(tp::DOUBLE / nullif(np, 0)::DOUBLE, 6) AS precision,
+        |  round(tp::DOUBLE / nullif(na, 0)::DOUBLE, 6) AS recall,
+        |  round(f1r, 6) AS f1, macro_f1, accuracy
+        |FROM pf CROSS JOIN sm ORDER BY cls""".stripMargin,
 
     // the x178 scored CTE; doubled structural components over the
     // distinct-score ladder, exact-long sums, scalar variances

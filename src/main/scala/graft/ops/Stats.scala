@@ -3742,6 +3742,65 @@ object Stats {
       F.when(ok, F.round(auc + F.lit(1.959964) * se, 6)).as("hi"))
   }
 
+  /** Multi-class precision / recall / F1 census — the bread-and-butter
+    * classifier report ([[mcc]] is the single-number binary summary,
+    * [[aucExact]] the threshold-free one; this is the per-class table):
+    * per class from the confusion cells, with the integer-stable F1 form
+    * {{{
+    *   F1_c = 2·tp / (2·tp + fp + fn)
+    * }}}
+    * plus macro-F1 (classes in the label∪prediction set, absent classes
+    * scored 0 — the zero_division=0 convention) and accuracy (= micro-F1
+    * for single-label data), replicated onto every row.
+    *
+    * Scale shape: one (actual, predicted) cell collapse — class-domain
+    * bounded — then class-count-sized joins; one broadcast summary row.
+    *
+    * @return (cls, n_actual, tp, fp, fn, precision, recall, f1,
+    *         macro_f1, accuracy) ordered by cls — 6-dp; precision NULL
+    *         when the class is never predicted, recall NULL when absent
+    */
+  def prfCensus(df: DataFrame, actualCol: Column,
+                predCol: Column): DataFrame = {
+    val cells = df.select(actualCol.cast("string").as("__a"),
+      predCol.cast("string").as("__pd"))
+      .groupBy("__a", "__pd").agg(F.count(F.lit(1)).as("__c"))
+    val act = cells.groupBy("__a").agg(F.sum("__c").as("__na"))
+      .withColumnRenamed("__a", "cls")
+    val prd = cells.groupBy("__pd").agg(F.sum("__c").as("__np"))
+      .withColumnRenamed("__pd", "cls")
+    val tp = cells.filter(F.col("__a") === F.col("__pd"))
+      .select(F.col("__a").as("cls"), F.col("__c").as("__tp"))
+    val classes = act.select("cls").unionAll(prd.select("cls")).distinct()
+    val per = classes
+      .join(act, Seq("cls"), "left")
+      .join(prd, Seq("cls"), "left")
+      .join(tp, Seq("cls"), "left")
+      .na.fill(0L, Seq("__na", "__np", "__tp"))
+      .withColumn("fp", F.col("__np") - F.col("__tp"))
+      .withColumn("fn", F.col("__na") - F.col("__tp"))
+      .withColumn("__f1r", F.lit(2.0) * F.col("__tp") /
+        F.nullif((F.col("__tp") * 2L + F.col("fp") + F.col("fn"))
+          .cast("double"), F.lit(0.0)))
+    val summary = per.agg(
+      F.round(F.avg(F.coalesce(F.col("__f1r"), F.lit(0.0))), 6)
+        .as("macro_f1"),
+      F.round(F.sum("__tp").cast("double") /
+        F.sum("__na").cast("double"), 6).as("accuracy"))
+    per.crossJoin(F.broadcast(summary))
+      .select(F.col("cls"), F.col("__na").as("n_actual"),
+        F.col("__tp").as("tp"), F.col("fp"), F.col("fn"),
+        F.round(F.col("__tp").cast("double") /
+          F.nullif(F.col("__np").cast("double"), F.lit(0.0)), 6)
+          .as("precision"),
+        F.round(F.col("__tp").cast("double") /
+          F.nullif(F.col("__na").cast("double"), F.lit(0.0)), 6)
+          .as("recall"),
+        F.round(F.col("__f1r"), 6).as("f1"),
+        F.col("macro_f1"), F.col("accuracy"))
+      .orderBy("cls")
+  }
+
   /** Goodman–Kruskal lambda λ_{col|row} — proportional reduction in
     * error predicting the COLUMN category from the ROW category over
     * nominal pairs ("does source predict language"): guessing the global

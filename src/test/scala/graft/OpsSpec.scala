@@ -4829,6 +4829,25 @@ class OpsSpec extends AnyFunSuite {
     assert(p == ((2L, 2L, 1.0, 0.0, 1.0, 1.0)), p)
   }
 
+  test("prfCensus: 2-class hand table — a (1, .5, 2/3), b (2/3, 1, .8)") {
+    import graft.ops.Stats
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"))
+      .toDF("y", "p")
+    val got = Stats.prfCensus(df, F.col("y"), F.col("p"))
+      .as[(String, Long, Long, Long, Long, Double, Double, Double,
+        Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, 1L, 0L, 1L, 1.0, 0.5, 0.666667, 0.733333, 0.75),
+      ("b", 2L, 2L, 1L, 0L, 0.666667, 1.0, 0.8, 0.733333, 0.75)), got)
+    // a predicted-only class: precision defined, recall NULL
+    val ghost = Seq(("a", "a"), ("a", "c")).toDF("y", "p")
+    val g = Stats.prfCensus(ghost, F.col("y"), F.col("p"))
+      .filter(F.col("cls") === "c")
+      .select("n_actual", "fp", "recall").as[(Long, Long, Option[Double])]
+      .head()
+    assert(g == ((0L, 1L, None)), g)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
