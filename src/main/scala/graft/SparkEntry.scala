@@ -2816,6 +2816,29 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // Mann-Kendall: is the daily event-count series monotonically
+    // trending — the significance sibling of x188's Theil-Sen slope
+    "x284_mann_kendall" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).as("v"))
+      graft.ops.Stats.mannKendall(daily, F.col("t"), F.col("v"))
+    }),
+
+    // Chow test: did the daily-count trend line break at the fixed
+    // mid-window day 19738
+    "x285_chow" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.chowTest(daily, F.col("t"), F.col("v"),
+        breakAt = 19738L)
+    }),
+
     // per-class P/R/F1 census of the x09 language-ID against the
     // labeled lang — the classifier report for the heuristic
     "x283_prf_census" -> ((s, dir) => {
@@ -8824,6 +8847,72 @@ object SparkEntry {
          |    AS auc
          |FROM st""".stripMargin
     },
+
+    // exact-long S and tie-corrected variance on the bounded daily
+    // pair grid; continuity-corrected z
+    "x284_mann_kendall" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::BIGINT AS v FROM events GROUP BY 1),
+        |sg AS (SELECT sum(CASE WHEN b.v > a.v THEN 1
+        |    WHEN b.v < a.v THEN -1 ELSE 0 END)::BIGINT AS s
+        |  FROM daily a JOIN daily b ON b.t > a.t),
+        |tie AS (SELECT sum(tc * (tc - 1) * (tc * 2 + 5))::BIGINT AS tt
+        |  FROM (SELECT count(*)::BIGINT AS tc FROM daily GROUP BY v)),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+        |f AS (SELECT n, s,
+        |    ((n * (n - 1) * (n * 2 + 5)) - tt)::DOUBLE /
+        |      18.0::DOUBLE AS vs
+        |  FROM nn CROSS JOIN sg CROSS JOIN tie)
+        |SELECT n, s, round(vs, 6) AS var_s,
+        |  round(CASE
+        |    WHEN s > 0 THEN (s - 1)::DOUBLE / nullif(sqrt(vs), 0.0)
+        |    WHEN s < 0 THEN (s + 1)::DOUBLE / nullif(sqrt(vs), 0.0)
+        |    ELSE 0.0::DOUBLE END, 6) AS z
+        |FROM f""".stripMargin,
+
+    // per-segment centered SSR from one grouped pass; pooled sums are
+    // the segment sums added; F(2, n-4)
+    "x285_chow" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::DOUBLE AS v FROM events GROUP BY 1),
+        |g AS (SELECT (t < 19738) AS pre, count(*)::BIGINT AS n,
+        |    sum(t)::BIGINT AS sx, sum(v) AS sy,
+        |    sum(t * t)::BIGINT AS sxx, sum(t::DOUBLE * v) AS sxy,
+        |    sum(v * v) AS syy
+        |  FROM daily GROUP BY 1),
+        |seg AS (SELECT pre, n, sx, sy, sxx, sxy, syy,
+        |    CASE WHEN n >= 3 AND
+        |        (sxx::DOUBLE - sx::DOUBLE * (sx::DOUBLE / n::DOUBLE))
+        |          > 0.0
+        |      THEN (syy - sy * (sy / n::DOUBLE)) -
+        |        (sxy - sx::DOUBLE * (sy / n::DOUBLE)) *
+        |        (sxy - sx::DOUBLE * (sy / n::DOUBLE)) /
+        |        (sxx::DOUBLE - sx::DOUBLE * (sx::DOUBLE / n::DOUBLE))
+        |    END AS ssr FROM g),
+        |one AS (SELECT sum(CASE WHEN pre THEN n END)::BIGINT AS n1,
+        |    sum(CASE WHEN NOT pre THEN n END)::BIGINT AS n2,
+        |    sum(n)::BIGINT AS n, sum(sx)::BIGINT AS tsx, sum(sy) AS tsy,
+        |    sum(sxx)::BIGINT AS tsxx, sum(sxy) AS tsxy,
+        |    sum(syy) AS tsyy, sum(round(ssr, 9)) AS ssrs,
+        |    count(ssr)::BIGINT AS okseg
+        |  FROM seg),
+        |ff AS (SELECT n, n1, n2, ssrs, okseg,
+        |    CASE WHEN n >= 3 AND
+        |        (tsxx::DOUBLE - tsx::DOUBLE * (tsx::DOUBLE / n::DOUBLE))
+        |          > 0.0
+        |      THEN (tsyy - tsy * (tsy / n::DOUBLE)) -
+        |        (tsxy - tsx::DOUBLE * (tsy / n::DOUBLE)) *
+        |        (tsxy - tsx::DOUBLE * (tsy / n::DOUBLE)) /
+        |        (tsxx::DOUBLE - tsx::DOUBLE * (tsx::DOUBLE / n::DOUBLE))
+        |    END AS sp
+        |  FROM one)
+        |SELECT n, coalesce(n1, 0)::BIGINT AS n1,
+        |  coalesce(n2, 0)::BIGINT AS n2,
+        |  round(sp, 6) AS ssr_pooled, round(ssrs, 6) AS ssr_split,
+        |  CASE WHEN okseg = 2 AND n >= 5 THEN
+        |    round(((sp - ssrs) / 2.0::DOUBLE) /
+        |      nullif(ssrs / (n - 4)::DOUBLE, 0.0), 6) END AS f
+        |FROM ff""".stripMargin,
 
     // the x09 predictor CTE verbatim; integer confusion cells, the
     // 2tp/(2tp+fp+fn) stable F1, zero_division=0 macro

@@ -3801,6 +3801,110 @@ object Stats {
       .orderBy("cls")
   }
 
+  /** Mann–Kendall trend test — the SIGNIFICANCE sibling of [[theilSen]]
+    * (that op estimates the slope; this one says whether a monotone
+    * trend exists at all), on the same bounded pair grid:
+    * {{{
+    *   S     = Σ_{i<j} sgn(v_j − v_i)
+    *   VarS  = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18    (tie-corrected)
+    *   z     = (S ∓ 1) / √VarS                            (continuity)
+    * }}}
+    * Values quantize (×scale) so S and both variance terms are exact
+    * longs; z is one division.
+    *
+    * Scale shape: the [[theilSen]] pair join — quadratic in the SERIES
+    * length, which is a domain-bounded rollup (days, hours), never the
+    * corpus — plus a value-tie census.
+    *
+    * @return one row (n, s, var_s, z) — 6-dp, z NULL when VarS = 0
+    */
+  def mannKendall(series: DataFrame, tCol: Column, valueCol: Column,
+                  scale: Long = 1L): DataFrame = {
+    val s = series.select(tCol.cast("long").as("__t"),
+      F.round(valueCol.cast("double") * scale).cast("long").as("__v"))
+      .filter(F.col("__t").isNotNull && F.col("__v").isNotNull)
+    val a = s.select(F.col("__t").as("__ta"), F.col("__v").as("__va"))
+    val b = s.select(F.col("__t").as("__tb"), F.col("__v").as("__vb"))
+    val sAgg = a.join(b, F.col("__tb") > F.col("__ta"))
+      .agg(F.sum(F.when(F.col("__vb") > F.col("__va"), 1L)
+        .when(F.col("__vb") < F.col("__va"), -1L).otherwise(0L)).as("s"))
+    val ties = s.groupBy("__v").agg(F.count(F.lit(1)).as("__tc"))
+      .agg(F.sum(F.col("__tc") * (F.col("__tc") - 1L) *
+        (F.col("__tc") * 2L + 5L)).as("__tt"))
+    val n = s.agg(F.count(F.lit(1)).as("n"))
+    val row = n.crossJoin(F.broadcast(sAgg)).crossJoin(F.broadcast(ties))
+      .withColumn("__vs",
+        ((F.col("n") * (F.col("n") - 1L) * (F.col("n") * 2L + 5L)) -
+          F.col("__tt")).cast("double") / 18.0)
+    row.select(F.col("n"), F.col("s"),
+      F.round(F.col("__vs"), 6).as("var_s"),
+      F.round(F.when(F.col("s") > 0L,
+          (F.col("s") - 1L).cast("double") /
+            F.nullif(F.sqrt(F.col("__vs")), F.lit(0.0)))
+        .when(F.col("s") < 0L,
+          (F.col("s") + 1L).cast("double") /
+            F.nullif(F.sqrt(F.col("__vs")), F.lit(0.0)))
+        .otherwise(F.lit(0.0)), 6).as("z"))
+  }
+
+  /** Chow test — did the regression y ~ t CHANGE at a known break point
+    * (deploy date, policy change, pipeline cutover): fit the pooled line
+    * and the two segment lines, then
+    * {{{
+    *   F = ((SSR_p − SSR₁ − SSR₂) / 2) / ((SSR₁ + SSR₂) / (n − 4))
+    * }}}
+    * (2 params per line; F ~ F(2, n−4) under no break). Each SSR comes
+    * from the same centered sufficient statistics as [[olsFit]]
+    * (SSR = S_yy − S_xy²/S_xx), computed per segment in ONE grouped
+    * pass; the pooled sums are the segment sums added — the corpus is
+    * scanned once.
+    *
+    * @return one row (n, n1, n2, ssr_pooled, ssr_split, f) — 6-dp; f
+    *         NULL when a segment has < 3 points or zero x-variance
+    */
+  def chowTest(series: DataFrame, tCol: Column, valueCol: Column,
+               breakAt: Long): DataFrame = {
+    val s = series.select(tCol.cast("long").as("__t"),
+      valueCol.cast("double").as("__y"))
+      .filter(F.col("__t").isNotNull && F.col("__y").isNotNull)
+    val g = s.groupBy((F.col("__t") < breakAt).as("__pre"))
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__t").as("__sx"),
+        F.sum("__y").as("__sy"),
+        F.sum(F.col("__t") * F.col("__t")).as("__sxx"),
+        F.sum(F.col("__t").cast("double") * F.col("__y")).as("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).as("__syy"))
+    def ssr(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+            syy: Column): Column = {
+      val nD = n.cast("double")
+      val cxx = sxx.cast("double") - sx.cast("double") *
+        (sx.cast("double") / nD)
+      val cxy = sxy - sx.cast("double") * (sy / nD)
+      val cyy = syy - sy * (sy / nD)
+      F.when(n >= 3L && cxx > 0.0, cyy - cxy * cxy / cxx)
+    }
+    val one = g.agg(
+      F.sum(F.when(F.col("__pre"), F.col("__n"))).as("__n1"),
+      F.sum(F.when(!F.col("__pre"), F.col("__n"))).as("__n2"),
+      F.sum("__n").as("n"), F.sum("__sx").as("__tsx"),
+      F.sum("__sy").as("__tsy"), F.sum("__sxx").as("__tsxx"),
+      F.sum("__sxy").as("__tsxy"), F.sum("__syy").as("__tsyy"),
+      F.sum(F.round(ssr(F.col("__n"), F.col("__sx"), F.col("__sy"),
+        F.col("__sxx"), F.col("__sxy"), F.col("__syy")), 9)).as("__ssrs"),
+      F.count(F.when(ssr(F.col("__n"), F.col("__sx"), F.col("__sy"),
+        F.col("__sxx"), F.col("__sxy"), F.col("__syy")).isNotNull,
+        F.lit(1))).as("__okseg"))
+    val sp = ssr(F.col("n"), F.col("__tsx"), F.col("__tsy"),
+      F.col("__tsxx"), F.col("__tsxy"), F.col("__tsyy"))
+    val ok = F.col("__okseg") === 2L && F.col("n") >= 5L
+    val num = (sp - F.col("__ssrs")) / 2.0
+    val den = F.col("__ssrs") / (F.col("n") - 4L).cast("double")
+    one.select(F.col("n"), F.coalesce(F.col("__n1"), F.lit(0L)).as("n1"),
+      F.coalesce(F.col("__n2"), F.lit(0L)).as("n2"),
+      F.round(sp, 6).as("ssr_pooled"),
+      F.round(F.col("__ssrs"), 6).as("ssr_split"),
+      F.when(ok, F.round(num / F.nullif(den, F.lit(0.0)), 6)).as("f"))
+  }
+
   /** Goodman–Kruskal lambda λ_{col|row} — proportional reduction in
     * error predicting the COLUMN category from the ROW category over
     * nominal pairs ("does source predict language"): guessing the global

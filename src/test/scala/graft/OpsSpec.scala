@@ -4848,6 +4848,38 @@ class OpsSpec extends AnyFunSuite {
     assert(g == ((0L, 1L, None)), g)
   }
 
+  test("mannKendall: monotone S=6 z=5/sqrt(26/3); one tie corrects VarS") {
+    import graft.ops.Stats
+    val up = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("t", "v")
+    val u = Stats.mannKendall(up, F.col("t"), F.col("v"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(u == ((4L, 6L, 8.666667, 1.698416)), u)
+    val tied = Seq((1L, 1.0), (2L, 2.0), (3L, 2.0), (4L, 3.0))
+      .toDF("t", "v")
+    val t = Stats.mannKendall(tied, F.col("t"), F.col("v"))
+      .as[(Long, Long, Double, Double)].head()
+    // S=5; tie term 2*1*9=18: VarS=(156-18)/18
+    assert(t == ((4L, 5L, 7.666667, 1.44463)), t)
+  }
+
+  test("chowTest: perfect split lines give F NULL; noisy break F=48.7") {
+    import graft.ops.Stats
+    def daily(ys: Seq[Double]) =
+      ys.zipWithIndex.map { case (y, i) => ((i + 1).toLong, y) }
+        .toDF("t", "v")
+    val perfect = Stats.chowTest(daily(Seq(1, 2, 3, 14, 15, 16)),
+      F.col("t"), F.col("v"), breakAt = 4L)
+      .as[(Long, Long, Long, Double, Double, Option[Double])].head()
+    // each segment fits exactly: split SSR 0, denominator 0 -> NULL
+    assert(perfect == ((6L, 3L, 3L, 34.285714, 0.0, None)), perfect)
+    val noisy = Stats.chowTest(daily(Seq(1, 2, 2, 10, 11, 13)),
+      F.col("t"), F.col("v"), breakAt = 4L)
+      .as[(Long, Long, Long, Double, Double, Option[Double])].head()
+    assert(noisy == ((6L, 3L, 3L, 16.571429, 0.333333,
+      Some(48.714286))), noisy)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
