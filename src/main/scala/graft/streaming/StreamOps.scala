@@ -495,4 +495,78 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  final case class KmvState(bottom: Vector[(Long, String)])
+  final case class KmvRow(shard: Int, key: String, hash: Long, rank: Int,
+                          n_seen: Long, est_shard: Double)
+
+  /** Streaming KMV bottom-k distinct sample — the third leg of the
+    * streaming-sketch stool: [[hllWindowedRegisters]] COUNTS the
+    * distinct keys, [[heavyHittersStream]] finds the dominant ones, this
+    * keeps a UNIFORM SAMPLE of them (the k smallest key-hashes — exactly
+    * the batch KMV/bottom-k construction, so the sample is mergeable and
+    * depends only on the distinct key SET, never on repetition counts).
+    * Each emission also carries the shard's KMV cardinality estimate
+    * {{{
+    *   N̂ = (k − 1) / u_(k)        (u_(k) = k-th smallest hash in [0,1))
+    * }}}
+    * (exact count while the shard has seen < k distinct keys). Shard
+    * estimates ADD — keys hash-route disjointly — so Σ est_shard
+    * estimates the global distinct count.
+    *
+    * Scale shape: state is nShards × k (hash, key) pairs — fixed bytes
+    * regardless of stream length or key cardinality; a hot key costs
+    * one membership probe per occurrence and never grows state.
+    */
+  def kmvSampleStream(keys: Dataset[Tok], k: Int = 64, nShards: Int = 4,
+                      watermarkDelay: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[KmvRow] = {
+    import spark.implicits._
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+
+    def h64(s: String): Long =
+      scala.util.hashing.MurmurHash3.stringHash(s).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(s.reverse).toLong &
+          0xffffffffL)
+
+    def update(shard: Int, ts: Iterator[Tok],
+               state: GroupState[KmvState]): Iterator[KmvRow] = {
+      val st = state.getOption.getOrElse(KmvState(Vector.empty))
+      var bottom = st.bottom
+      var seen = bottom.map(_._2).toSet
+      ts.foreach { t =>
+        if (!seen.contains(t.token)) {
+          val hv = h64(t.token)
+          if (bottom.size < k) {
+            bottom = (bottom :+ (hv, t.token)).sortBy(identity)
+            seen += t.token
+          } else if (hv < bottom.last._1) {
+            seen -= bottom.last._2
+            bottom = (bottom.init :+ (hv, t.token)).sortBy(identity)
+            seen += t.token
+          }
+          // hv >= current max with a full sketch: provably outside the
+          // bottom-k of the distinct set — drop
+        }
+      }
+      state.update(KmvState(bottom))
+      val est =
+        if (bottom.size < k) bottom.size.toDouble
+        else {
+          // normalize the signed 64-bit hash into (0, 1)
+          val uK = bottom.last._1.toDouble / math.pow(2.0, 64) + 0.5
+          (k - 1).toDouble / math.max(uK, Double.MinPositiveValue)
+        }
+      bottom.iterator.zipWithIndex.map { case ((hv, key), i) =>
+        KmvRow(shard, key, hv, i + 1, bottom.size.toLong, est)
+      }
+    }
+
+    keys
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(t => math.floorMod(t.token.hashCode, nShards))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

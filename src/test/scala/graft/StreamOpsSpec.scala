@@ -544,4 +544,65 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(lastBatchRows >= 1, all.toSeq.toString)
     } finally q.stop()
   }
+
+  test("kmvSampleStream: exact bottom-k of the distinct set, repetition-" +
+      "invariant; estimate is exact below k and sane above") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    // the operator's hash, re-derived for the expected bottom-k
+    def h64(s: String): Long =
+      scala.util.hashing.MurmurHash3.stringHash(s).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(s.reverse).toLong &
+          0xffffffffL)
+    val in = MemoryStream[StreamOps.Tok]
+    val q = StreamOps.kmvSampleStream(in.toDS(), k = 4, nShards = 1)
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode("append").start()
+    try {
+      val uniq = Seq("a", "b", "c", "d", "e", "f")
+      in.addData(uniq.zipWithIndex.map { case (s, i) =>
+        StreamOps.Tok(ts(i), s) } ++
+        (1 to 20).map(i => StreamOps.Tok(ts(20 + i), "hot")))
+      q.processAllAvailable()
+      // a flood of repeats + the same uniques again: state must not move
+      in.addData((1 to 50).map(i => StreamOps.Tok(ts(100 + i), "hot")) ++
+        uniq.map(s => StreamOps.Tok(ts(200), s)))
+      q.processAllAvailable()
+      val all = spark.table("kmv").as[StreamOps.KmvRow].collect()
+      val expect = (uniq :+ "hot").map(s => (h64(s), s)).sorted.take(4)
+      // every emission (both batches) is the SAME exact bottom-4
+      val emitted = all.groupBy(_.rank).toSeq
+      assert(all.map(r => (r.hash, r.key)).toSet == expect.toSet,
+        s"got ${all.toSeq} want $expect")
+      assert(all.forall(_.n_seen == 4L), all.toSeq.toString)
+      assert(emitted.forall(_._2.map(_.key).distinct.size == 1),
+        "bottom-k changed across repetition-only batches")
+    } finally q.stop()
+
+    // below-k regime: the estimate is the exact distinct count
+    val in2 = MemoryStream[StreamOps.Tok]
+    val q2 = StreamOps.kmvSampleStream(in2.toDS(), k = 8, nShards = 1)
+      .writeStream.format("memory").queryName("kmv2")
+      .outputMode("append").start()
+    try {
+      in2.addData(Seq(StreamOps.Tok(ts(1), "x"), StreamOps.Tok(ts(2), "y"),
+        StreamOps.Tok(ts(3), "z"), StreamOps.Tok(ts(4), "x")))
+      q2.processAllAvailable()
+      val r = spark.table("kmv2").as[StreamOps.KmvRow].collect()
+      assert(r.length == 3 && r.forall(_.est_shard == 3.0), r.toSeq)
+    } finally q2.stop()
+
+    // above-k regime: 400 distinct keys, k=32 -> KMV within +-40%
+    val in3 = MemoryStream[StreamOps.Tok]
+    val q3 = StreamOps.kmvSampleStream(in3.toDS(), k = 32, nShards = 1)
+      .writeStream.format("memory").queryName("kmv3")
+      .outputMode("append").start()
+    try {
+      in3.addData((1 to 400).map(i => StreamOps.Tok(ts(i % 50), s"u$i")))
+      q3.processAllAvailable()
+      val est = spark.table("kmv3").as[StreamOps.KmvRow].collect()
+        .map(_.est_shard).max
+      assert(est > 240.0 && est < 560.0, s"KMV estimate $est for 400")
+    } finally q3.stop()
+  }
 }
