@@ -2816,6 +2816,17 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // 1-bit sign quantization + Hamming candidate scan with exact-
+    // cosine rerank: the 32x memory point of the compression ladder
+    "x286_binary_hamming" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      Similarity.binaryHammingSearch(emb,
+          emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, cand = 50)
+        .orderBy("query_id", "rk")
+    }),
+
     // Mann-Kendall: is the daily event-count series monotonically
     // trending — the significance sibling of x188's Theil-Sen slope
     "x284_mann_kendall" -> ((s, dir) => {
@@ -8847,6 +8858,38 @@ object SparkEntry {
          |    AS auc
          |FROM st""".stripMargin
     },
+
+    // two packed sign halves (2^i sums exact in doubles, BIGINT-safe),
+    // xor+bit_count Hamming, the x06 dot/norm primitives for the rerank
+    "x286_binary_hamming" ->
+      """WITH code AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding[1:32], (x, i) ->
+        |      CASE WHEN x > 0 THEN power(2.0, (i - 1)::DOUBLE)
+        |        ELSE 0.0 END))::BIGINT AS lo,
+        |    list_sum(list_transform(embedding[33:64], (x, i) ->
+        |      CASE WHEN x > 0 THEN power(2.0, (i - 1)::DOUBLE)
+        |        ELSE 0.0 END))::BIGINT AS hi,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, lo AS qlo,
+        |    hi AS qhi, nrm AS qn FROM code WHERE vec_id < 5),
+        |ham AS (SELECT q.query_id, c.vec_id, c.embedding, q.qv, c.nrm,
+        |    q.qn, (bit_count(xor(c.lo, q.qlo)) +
+        |      bit_count(xor(c.hi, q.qhi)))::BIGINT AS hamming
+        |  FROM code c JOIN q ON c.vec_id <> q.query_id),
+        |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, vec_id) AS hrk FROM ham),
+        |sc AS (SELECT query_id, vec_id, hamming,
+        |    round(CASE WHEN nrm * qn > 0.0 THEN
+        |      list_sum(list_transform(range(1, len(embedding) + 1),
+        |        i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) / (nrm * qn)
+        |      END, 6) + 0.0 AS score
+        |  FROM cand WHERE hrk <= 50)
+        |SELECT query_id, vec_id AS neighbor_id, hamming, score, rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, vec_id) AS rk FROM sc)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     // exact-long S and tie-corrected variance on the bounded daily
     // pair grid; continuity-corrected z

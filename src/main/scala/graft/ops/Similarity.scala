@@ -1521,4 +1521,66 @@ object Similarity {
         F.round(F.col("cos"), 6).as("cos"), F.col("margin"))
       .orderBy("a_id")
   }
+
+  /** Pack 32 dimensions' SIGN BITS (from `offset`, 0-based) into one
+    * long: bit i set iff vec[offset + i] > 0. Two halves instead of one
+    * 64-bit word keep every 2^i term ≤ 2^31 — addable exactly in doubles
+    * and inside BIGINT range for the oracle's integer algebra. */
+  private def packSignHalf(vec: Column, offset: Int): Column =
+    F.aggregate(
+      F.transform(F.slice(vec, offset + 1, 32), (v, i) =>
+        F.when(v > 0.0, F.pow(F.lit(2.0), i.cast("double")))
+          .otherwise(F.lit(0.0))),
+      F.lit(0.0), (acc, x) => acc + x).cast("long")
+
+  /** Binary (sign) quantization + Hamming candidate search with exact
+    * cosine rerank — the 32×-compression point of the ladder (float →
+    * [[sqSearch]]'s SQ8 → [[pqSearch]]'s codebooks → ONE BIT per
+    * dimension here): a 64-dim vector becomes two packed longs, Hamming
+    * distance is two XOR+popcount instructions, and only the `cand`
+    * Hamming-nearest candidates per query ever touch float math.
+    *
+    * Scale shape: the [[bruteKnn]] contract — queries broadcast, the
+    * corpus scanned once and never shuffled; codes are computed in the
+    * same projection (codegen'd HOFs, no UDF); WindowGroupLimit bounds
+    * both the Hamming top-`cand` and the rerank top-k per query.
+    *
+    * @return (query_id, neighbor_id, hamming, score, rk) — exact-cosine
+    *         reranked top-k of the Hamming top-`cand`, score 6-dp
+    */
+  def binaryHammingSearch(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          cand: Int = 20): DataFrame = {
+    require(k >= 1 && cand >= k,
+      s"need cand >= k >= 1, got k=$k cand=$cand")
+    val c = corpus
+      .withColumn("__lo", packSignHalf(F.col(vecCol), 0))
+      .withColumn("__hi", packSignHalf(F.col(vecCol), 32))
+      .withColumn("__nc", l2norm(F.col(vecCol)))
+    val q = F.broadcast(queries
+      .withColumnRenamed(idCol, "query_id")
+      .withColumnRenamed(vecCol, "__qvec")
+      .withColumn("__qlo", packSignHalf(F.col("__qvec"), 0))
+      .withColumn("__qhi", packSignHalf(F.col("__qvec"), 32))
+      .withColumn("__nq", l2norm(F.col("__qvec"))))
+    val ham = c.join(q, c(idCol) =!= F.col("query_id"))
+      .withColumn("hamming",
+        F.bit_count(F.col("__lo").bitwiseXOR(F.col("__qlo"))) +
+          F.bit_count(F.col("__hi").bitwiseXOR(F.col("__qhi"))))
+    val wH = Window.partitionBy("query_id")
+      .orderBy(F.col("hamming").asc, F.col(idCol).asc)
+    val candd = ham.withColumn("__hrk", F.row_number().over(wH))
+      .filter(F.col("__hrk") <= cand)
+    val scored = candd.withColumn("score",
+      F.round(F.when(F.col("__nc") * F.col("__nq") > 0.0,
+        dot(F.col(vecCol), F.col("__qvec")) /
+          (F.col("__nc") * F.col("__nq"))), 6) + F.lit(0.0))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("score").desc, F.col(idCol).asc)
+    scored.withColumn("rk", F.row_number().over(w))
+      .filter(F.col("rk") <= k)
+      .select(F.col("query_id"), F.col(idCol).as("neighbor_id"),
+        F.col("hamming").cast("long").as("hamming"), F.col("score"),
+        F.col("rk"))
+  }
 }

@@ -4880,6 +4880,39 @@ class OpsSpec extends AnyFunSuite {
       Some(48.714286))), noisy)
   }
 
+  test("binaryHammingSearch: hand codes — orthogonal beats antipodal; " +
+      "measured recall@5 vs bruteKnn (sf0.01)") {
+    import graft.ops.Similarity
+    val dims = 64
+    def vec(hi: Double, lo: Double) =
+      Array.fill(32)(hi) ++ Array.fill(32)(lo)
+    val tiny = Seq((1L, vec(1.0, 1.0)), (2L, vec(-1.0, -1.0)),
+      (3L, vec(1.0, -1.0))).toDF("vec_id", "embedding")
+    val got = Similarity.binaryHammingSearch(tiny,
+      tiny.filter($"vec_id" === 1L), "vec_id", "embedding", k = 2,
+      cand = 2).orderBy("rk")
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    // v3 shares half the signs (hamming 32, cos 0); v2 flips all (64, -1)
+    assert(got == Seq((1L, 3L, 32L, 0.0, 1), (1L, 2L, 64L, -1.0, 2)), got)
+    assert(dims == 64) // the packed-halves layout this test pins
+    // measured recall vs exact cosine on the fixture
+    val emb = sfEmb.withColumn("embedding",
+      F.col("embedding").cast("array<double>"))
+    val truth = Similarity.bruteKnn(emb, emb.filter($"vec_id" < 10),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // cand sweep on the UNIFORM fixture (the sign sketch's worst case —
+    // cosines concentrate near 0): 20 -> 0.50, 50 -> 0.68, 100 -> 0.84.
+    // The shipped x286 config is cand=50; floor pinned there.
+    val approx = Similarity.binaryHammingSearch(emb,
+        emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5,
+        cand = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & truth).size.toDouble / truth.size
+    info(f"binaryHamming cand=50 recall=$recall%.3f")
+    assert(recall >= 0.60, f"recall $recall%.3f below floor 0.60")
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
