@@ -318,6 +318,16 @@ object StressBench {
         // Matryoshka ladder: corpus grows K× (distinct perturbed vectors),
         // 30 queries and 4 rungs fixed — each rung is one broadcast scan,
         // so wall must stay ~linear in K across all rungs together
+        // binary Hamming scan over a K×-growing corpus: fixed 10-query
+        // broadcast batch, corpus scanned once — the bruteKnn contract
+        // at 1/32 the candidate-scan bytes; wall must stay ~linear
+        "x286_binary_hamming" -> (() => {
+          val e = emb.withColumn("embedding",
+            F.col("embedding").cast("array<double>"))
+          graft.ops.Similarity.binaryHammingSearch(e,
+            e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, cand = 50)
+        }),
         "x173_matryoshka" -> (() => graft.ops.Similarity.matryoshkaRecall(
           emb, emb.filter(F.col("vec_id") < 30), "vec_id", "embedding",
           dims = Seq(8, 16, 32, 64), k = 10)),
