@@ -2816,6 +2816,27 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // Hosmer-Lemeshow: is the x177 miscalibration more than sampling
+    // noise — chi2 over the same decile bins
+    "x287_hosmer_lemeshow" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.hosmerLemeshow(scored, F.col("quality_score"),
+        F.col("lang") === "en", nBins = 10)
+    }),
+
+    // OLS influence census on the daily trend: which days drive the
+    // fitted line — leverage, residual, Cook's D, the 4/n screen
+    "x288_ols_influence" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.olsInfluence(daily, F.col("t"), F.col("v"))
+    }),
+
     // 1-bit sign quantization + Hamming candidate scan with exact-
     // cosine rerank: the 32x memory point of the compression ladder
     "x286_binary_hamming" -> ((s, dir) => {
@@ -8858,6 +8879,69 @@ object SparkEntry {
          |    AS auc
          |FROM st""".stripMargin
     },
+
+    // the x178 scored CTE; decile bins, informative-bin gate, 9-dp
+    // terms, df follows the bins actually used
+    "x287_hosmer_lemeshow" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |b AS (SELECT least(floor(s * 10), 9)::BIGINT AS bb,
+         |    count(*)::BIGINT AS nb,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS o,
+         |    sum(s) AS e
+         |  FROM sc GROUP BY 1),
+         |tm AS (SELECT nb, CASE WHEN e > 0.0 AND e < nb::DOUBLE THEN
+         |    round((o - e) * (o - e) * nb::DOUBLE /
+         |      (e * (nb::DOUBLE - e)), 9) END AS t FROM b)
+         |SELECT count(t)::BIGINT AS g_used, sum(nb)::BIGINT AS n,
+         |  round(sum(t), 6) AS hl, (count(t) - 2)::BIGINT AS df
+         |FROM tm""".stripMargin
+    },
+
+    // the daily series; centered sufficient statistics broadcast back
+    // per point, classical 4/n influence screen
+    "x288_ols_influence" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::DOUBLE AS v FROM events GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS sx,
+        |    sum(v) AS sy, sum(t * t)::BIGINT AS sxx,
+        |    sum(t::DOUBLE * v) AS sxy, sum(v * v) AS syy FROM daily),
+        |c AS (SELECT d.t, d.v, n,
+        |    sx::DOUBLE / n::DOUBLE AS xbar, sy / n::DOUBLE AS ybar,
+        |    sxx::DOUBLE - sx::DOUBLE * (sx::DOUBLE / n::DOUBLE) AS cxx,
+        |    sxy - sx::DOUBLE * (sy / n::DOUBLE) AS cxy,
+        |    syy - sy * (sy / n::DOUBLE) AS cyy
+        |  FROM daily d CROSS JOIN a),
+        |f AS (SELECT t, v, n,
+        |    ybar + (cxy / nullif(cxx, 0.0)) * (t::DOUBLE - xbar)
+        |      AS fitted,
+        |    1.0::DOUBLE / n::DOUBLE + (t::DOUBLE - xbar) *
+        |      (t::DOUBLE - xbar) / nullif(cxx, 0.0) AS h,
+        |    (cyy - cxy * cxy / nullif(cxx, 0.0)) /
+        |      nullif(n::DOUBLE - 2.0::DOUBLE, 0.0) AS s2
+        |  FROM c),
+        |o AS (SELECT t, v, fitted, (v - fitted) AS resid, h, n,
+        |    (v - fitted) * (v - fitted) / (2.0::DOUBLE * nullif(s2, 0.0))
+        |      * h / ((1.0::DOUBLE - h) * (1.0::DOUBLE - h)) AS d
+        |  FROM f)
+        |SELECT t, v AS y, round(fitted, 6) AS fitted,
+        |  round(resid, 6) AS resid, round(h, 6) AS leverage,
+        |  round(d, 6) AS cooks_d, (d > 4.0::DOUBLE / n::DOUBLE)
+        |    AS influential
+        |FROM o ORDER BY t""".stripMargin,
 
     // two packed sign halves (2^i sums exact in doubles, BIGINT-safe),
     // xor+bit_count Hamming, the x06 dot/norm primitives for the rerank

@@ -3905,6 +3905,93 @@ object Stats {
       F.when(ok, F.round(num / F.nullif(den, F.lit(0.0)), 6)).as("f"))
   }
 
+  /** Hosmer–Lemeshow goodness-of-fit — the INFERENCE readout on the
+    * [[calibrationBins]] reliability table ("is the miscalibration more
+    * than sampling noise", where ECE just reports its size): over g
+    * equal-width score bins with observed positives O, expected
+    * E = Σ p̂ and size n_b,
+    * {{{
+    *   HL = Σ_b (O − E)² · n_b / (E · (n_b − E))     (χ²_{g−2} under fit)
+    * }}}
+    * Bins with E = 0 or E = n_b carry no information and drop (df
+    * follows the bins actually used).
+    *
+    * Scale shape: one bin collapse (≤ nBins rows), scalar terms.
+    *
+    * @return one row (g_used, n, hl, df) — hl 6-dp
+    */
+  def hosmerLemeshow(df: DataFrame, scoreCol: Column, labelCol: Column,
+                     nBins: Int = 10): DataFrame = {
+    require(nBins >= 3, s"need >= 3 bins for df = g - 2, got $nBins")
+    val bins = df
+      .select(F.least(F.floor(scoreCol.cast("double") * nBins),
+          F.lit(nBins - 1L)).as("__b"),
+        scoreCol.cast("double").as("__s"),
+        F.when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy("__b")
+      .agg(F.count(F.lit(1)).as("__nb"), F.sum("__y").as("__o"),
+        F.sum("__s").as("__e"))
+    val term = F.when(
+      F.col("__e") > 0.0 && F.col("__e") < F.col("__nb").cast("double"),
+      F.round((F.col("__o") - F.col("__e")) * (F.col("__o") - F.col("__e"))
+        * F.col("__nb").cast("double") /
+        (F.col("__e") * (F.col("__nb").cast("double") - F.col("__e"))), 9))
+    bins.agg(F.count(term).as("g_used"), F.sum("__nb").as("n"),
+      F.round(F.sum(term), 6).as("hl"),
+      (F.count(term) - 2L).as("df"))
+  }
+
+  /** OLS influence census for the simple fit y ~ t — WHICH points drive
+    * the line ([[olsFit]] reports the fit, [[durbinWatson]] its serial
+    * correlation; this is the per-point diagnostic): leverage, residual,
+    * and Cook's distance
+    * {{{
+    *   h_i = 1/n + (t_i − t̄)²/S_xx,   D_i = e_i²/(2s²) · h_i/(1−h_i)²
+    * }}}
+    * (p = 2 params, s² = SSR/(n−2)). Points with D above the classical
+    * 4/n screen are flagged. Intended for DOMAIN-BOUNDED series (daily
+    * rollups) — the sufficient statistics broadcast back onto the rows.
+    *
+    * Scale shape: one stats pass, one broadcast join, no windows.
+    *
+    * @return (t, y, fitted, resid, leverage, cooks_d, influential)
+    *         ordered by t — 6-dp
+    */
+  def olsInfluence(series: DataFrame, tCol: Column,
+                   valueCol: Column): DataFrame = {
+    val s = series.select(tCol.cast("long").as("__t"),
+      valueCol.cast("double").as("__y"))
+      .filter(F.col("__t").isNotNull && F.col("__y").isNotNull)
+    val agg = s.agg(F.count(F.lit(1)).as("__n"), F.sum("__t").as("__sx"),
+      F.sum("__y").as("__sy"),
+      F.sum(F.col("__t") * F.col("__t")).as("__sxx"),
+      F.sum(F.col("__t").cast("double") * F.col("__y")).as("__sxy"),
+      F.sum(F.col("__y") * F.col("__y")).as("__syy"))
+    val j = s.crossJoin(F.broadcast(agg))
+    val nD = F.col("__n").cast("double")
+    val xbar = F.col("__sx").cast("double") / nD
+    val ybar = F.col("__sy") / nD
+    val cxx = F.col("__sxx").cast("double") -
+      F.col("__sx").cast("double") * xbar
+    val cxy = F.col("__sxy") - F.col("__sx").cast("double") * ybar
+    val cyy = F.col("__syy") - F.col("__sy") * ybar
+    val b = cxy / F.nullif(cxx, F.lit(0.0))
+    val fitted = ybar + b * (F.col("__t").cast("double") - xbar)
+    val resid = F.col("__y") - fitted
+    val h = F.lit(1.0) / nD +
+      (F.col("__t").cast("double") - xbar) *
+        (F.col("__t").cast("double") - xbar) / F.nullif(cxx, F.lit(0.0))
+    val s2 = (cyy - cxy * cxy / F.nullif(cxx, F.lit(0.0))) /
+      F.nullif(nD - 2.0, F.lit(0.0))
+    val d = resid * resid / (F.lit(2.0) * F.nullif(s2, F.lit(0.0))) *
+      h / ((F.lit(1.0) - h) * (F.lit(1.0) - h))
+    j.select(F.col("__t").as("t"), F.col("__y").as("y"),
+      F.round(fitted, 6).as("fitted"), F.round(resid, 6).as("resid"),
+      F.round(h, 6).as("leverage"), F.round(d, 6).as("cooks_d"),
+      (d > F.lit(4.0) / nD).as("influential"))
+      .orderBy("t")
+  }
+
   /** Goodman–Kruskal lambda λ_{col|row} — proportional reduction in
     * error predicting the COLUMN category from the ROW category over
     * nominal pairs ("does source predict language"): guessing the global

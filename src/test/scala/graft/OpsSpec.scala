@@ -4913,6 +4913,41 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.60, f"recall $recall%.3f below floor 0.60")
   }
 
+  test("hosmerLemeshow: symmetric 3-bin hand table 0.444444; E=0 drops") {
+    import graft.ops.Stats
+    val df = Seq((0.1, false), (0.1, false), (0.5, true), (0.5, false),
+      (0.9, true), (0.9, true)).toDF("s", "y")
+    val got = Stats.hosmerLemeshow(df, F.col("s"), F.col("y"), nBins = 3)
+      .as[(Long, Long, Double, Long)].head()
+    // bins: O=(0,1,2), E=(0.2,1.0,1.8): terms 2/9, 0, 2/9
+    assert(got == ((3L, 6L, 0.444444, 1L)), got)
+    val zero = Seq((0.0, false), (0.0, false), (0.5, true))
+      .toDF("s", "y")
+    val g = Stats.hosmerLemeshow(zero, F.col("s"), F.col("y"), nBins = 3)
+      .select("g_used").as[Long].head()
+    assert(g == 1L, s"E=0 bin must drop, g_used=$g")
+  }
+
+  test("olsInfluence: exact fit NULLs Cook's D; sawtooth hand values") {
+    import graft.ops.Stats
+    val line = Seq((1L, 2.0), (2L, 4.0), (3L, 6.0), (4L, 8.0))
+      .toDF("t", "v")
+    val l = Stats.olsInfluence(line, F.col("t"), F.col("v"))
+      .select("t", "resid", "leverage", "cooks_d")
+      .as[(Long, Double, Double, Option[Double])].collect().toSeq
+    assert(l == Seq((1L, 0.0, 0.7, None), (2L, 0.0, 0.3, None),
+      (3L, 0.0, 0.3, None), (4L, 0.0, 0.7, None)), l)
+    val saw = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0))
+      .toDF("t", "v")
+    val s = Stats.olsInfluence(saw, F.col("t"), F.col("v"))
+      .select("t", "fitted", "resid", "cooks_d", "influential")
+      .as[(Long, Double, Double, Double, Boolean)].collect().toSeq
+    // b=0.2, s2=0.4, h=(0.7,.3,.3,.7): D=(0.388889,0.27551)x2, 4/n=1
+    assert(s == Seq((1L, 1.2, -0.2, 0.388889, false),
+      (2L, 1.4, 0.6, 0.27551, false), (3L, 1.6, -0.6, 0.27551, false),
+      (4L, 1.8, 0.2, 0.388889, false)), s)
+  }
+
   test("durbinWatson: alternating residuals give DW=3.4 on the hand fit") {
     import graft.ops.Stats
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 1.0), (4L, 2.0)).toDF("t", "y")
