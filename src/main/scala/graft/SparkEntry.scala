@@ -2816,6 +2816,45 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // Jarque-Bera: is the daily event-count distribution Gaussian
+    // enough for the 3-sigma alerting the x140 seasonal-z assumes
+    "x289_jarque_bera" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).as("v"))
+      graft.ops.Stats.jarqueBera(daily, F.col("v"))
+    }),
+
+    // Breusch-Pagan: does the x107 daily trend's residual variance
+    // drift with t — are its OLS error bars trustworthy
+    "x290_breusch_pagan" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.breuschPagan(daily, F.col("t"), F.col("v"))
+    }),
+
+    // two-sample Poisson rate: weekend vs weekday events per active
+    // day — the conditional-binomial z on four exact longs
+    "x291_poisson_2rate" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val d = F.to_date(graft.ops.EventOps.tsStamp(ev))
+      graft.ops.Stats.poissonTwoRate(ev,
+        F.dayofweek(d).isin(1, 7), d)
+    }),
+
+    // overdispersion census: which event types are burstier than
+    // Poisson across their active days (VMR per type)
+    "x292_overdispersion" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Stats.overdispersion(ev, F.col("event_type"),
+        F.to_date(graft.ops.EventOps.tsStamp(ev)))
+    }),
+
     // Hosmer-Lemeshow: is the x177 miscalibration more than sampling
     // noise — chi2 over the same decile bins
     "x287_hosmer_lemeshow" -> ((s, dir) => {
@@ -8882,6 +8921,101 @@ object SparkEntry {
 
     // the x178 scored CTE; decile bins, informative-bin gate, 9-dp
     // terms, df follows the bins actually used
+    // exact Σk and same-IEEE mean division; centered moment sums;
+    // m2^1.5 spelled m2*sqrt(m2) in both engines
+    "x289_jarque_bera" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::BIGINT AS v FROM events GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(v)::BIGINT AS sk
+        |  FROM daily),
+        |c AS (SELECT v::DOUBLE - sk::DOUBLE / n::DOUBLE AS c, n, sk
+        |  FROM daily CROSS JOIN m),
+        |mom AS (SELECT max(n) AS n, max(sk) AS sk, sum(c * c) AS s2,
+        |    sum(c * c * c) AS s3, sum(c * c * c * c) AS s4 FROM c),
+        |f AS (SELECT n, sk, s2 / n::DOUBLE AS m2, s3 / n::DOUBLE AS m3,
+        |    s4 / n::DOUBLE AS m4 FROM mom),
+        |g AS (SELECT n, sk,
+        |    CASE WHEN m2 > 0.0 THEN m3 / (m2 * sqrt(m2)) END AS sw,
+        |    CASE WHEN m2 > 0.0 THEN m4 / (m2 * m2) - 3.0::DOUBLE
+        |      END AS kx
+        |  FROM f)
+        |SELECT n, round(sk::DOUBLE / n::DOUBLE, 6) AS mean,
+        |  round(sw, 6) AS skew, round(kx, 6) AS kurt_x,
+        |  round(n::DOUBLE / 6.0::DOUBLE *
+        |    (sw * sw + kx * kx / 4.0::DOUBLE), 6) AS jb
+        |FROM g""".stripMargin,
+
+    // the x288 fit sums verbatim; residuals round 9 dp before squaring;
+    // aux sums over centered t (no raw-moment cancellation)
+    "x290_breusch_pagan" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::DOUBLE AS v FROM events GROUP BY 1),
+        |fit AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS sx,
+        |    sum(v) AS sy, sum(t * t)::BIGINT AS sxx,
+        |    sum(t::DOUBLE * v) AS sxy FROM daily),
+        |j AS (SELECT t, v, n, sy,
+        |    (n::DOUBLE * sxy - sx::DOUBLE * sy) /
+        |      (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS b,
+        |    sx::DOUBLE / n::DOUBLE AS xbar
+        |  FROM daily CROSS JOIN fit),
+        |r AS (SELECT n, b,
+        |    round(v - ((sy / n::DOUBLE - b * xbar) + b * t::DOUBLE), 9)
+        |      AS e, t::DOUBLE - xbar AS ct FROM j),
+        |aux AS (SELECT max(n) AS n, max(b) AS b, sum(e * e) AS su,
+        |    sum((e * e) * (e * e)) AS suu, sum(ct) AS sct,
+        |    sum(ct * ct) AS sctt, sum(ct * (e * e)) AS sctu FROM r),
+        |f AS (SELECT n, b, suu - su * su / n::DOUBLE AS cuu,
+        |    sctt - sct * sct / n::DOUBLE AS cxx,
+        |    sctu - sct * su / n::DOUBLE AS cxu FROM aux)
+        |SELECT n, round(b, 6) AS slope,
+        |  round(cxu * cxu / nullif(cxx * cuu, 0.0), 6) AS r2_aux,
+        |  round(n::DOUBLE * (cxu * cxu / nullif(cxx * cuu, 0.0)), 6)
+        |    AS bp
+        |FROM f""".stripMargin,
+
+    // isodow 6,7 = Spark dayofweek 1,7 = Sat+Sun; four exact longs,
+    // conditional-binomial scalar z
+    "x291_poisson_2rate" ->
+      """WITH s AS (SELECT CASE WHEN isodow(ts::DATE) IN (6, 7)
+        |    THEN 1 ELSE 0 END AS a, ts::DATE AS u FROM events),
+        |one AS (SELECT sum(a)::BIGINT AS c1,
+        |    (count(*) - sum(a))::BIGINT AS c2,
+        |    count(DISTINCT CASE WHEN a = 1 THEN u END)::BIGINT AS t1,
+        |    count(DISTINCT CASE WHEN a = 0 THEN u END)::BIGINT AS t2
+        |  FROM s),
+        |f AS (SELECT c1, c2, t1, t2,
+        |    t1::DOUBLE / (t1 + t2)::DOUBLE AS p0,
+        |    (c1 + c2)::DOUBLE AS nn,
+        |    c1::DOUBLE / nullif(t1::DOUBLE, 0.0) AS r1,
+        |    c2::DOUBLE / nullif(t2::DOUBLE, 0.0) AS r2 FROM one)
+        |SELECT c1, c2, t1, t2, round(r1, 6) AS rate1,
+        |  round(r2, 6) AS rate2,
+        |  round(r1 / nullif(r2, 0.0), 6) AS rate_ratio,
+        |  round((c1::DOUBLE - nn * p0) /
+        |    nullif(sqrt(nn * p0 * (1.0::DOUBLE - p0)), 0.0), 6) AS z
+        |FROM f""".stripMargin,
+
+    // integer (key, day) rollup; exact-long sufficient statistics per
+    // key; sample variance over observed units
+    "x292_overdispersion" ->
+      """WITH cu AS (SELECT event_type AS grp, ts::DATE AS u,
+        |    count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, count(*)::BIGINT AS n_units,
+        |    sum(c)::BIGINT AS sc, sum(c * c)::BIGINT AS sc2
+        |  FROM cu GROUP BY 1),
+        |f AS (SELECT grp, n_units,
+        |    sc::DOUBLE / n_units::DOUBLE AS mean,
+        |    CASE WHEN n_units >= 2 THEN
+        |      (sc2::DOUBLE - sc::DOUBLE * sc / n_units::DOUBLE) /
+        |        (n_units::DOUBLE - 1.0::DOUBLE) END AS vc
+        |  FROM g)
+        |SELECT grp, n_units, round(mean, 6) AS mean,
+        |  round(vc, 6) AS var_c,
+        |  round(vc / nullif(mean, 0.0), 6) AS vmr,
+        |  round((n_units::DOUBLE - 1.0::DOUBLE) * vc /
+        |    nullif(mean, 0.0), 6) AS chi2
+        |FROM f ORDER BY grp""".stripMargin,
+
     "x287_hosmer_lemeshow" -> {
       val arr = ClassifierW.mkString("[", ", ", "]")
       s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),

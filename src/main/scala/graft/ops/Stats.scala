@@ -4499,4 +4499,189 @@ object Stats {
       F.round(F.col("__num") / F.nullif(F.col("__den"), F.lit(0.0)), 6)
         .as("dw"))
   }
+
+  /** Jarque–Bera normality test — "can I use the Gaussian machinery
+    * (z-intervals, 3σ alerting, OLS t-tests) on this metric at all":
+    * from skewness S = m₃/m₂^1.5 and excess kurtosis K = m₄/m₂² − 3,
+    * {{{
+    *   JB = n/6 · (S² + K²/4)        (χ²₂ under normality)
+    * }}}
+    * Values quantize to exact integers k = round(`scale`·x) so Σk is
+    * exact and the mean m̄ = Σk/n is the SAME IEEE division in both
+    * engines; central moments then sum bit-identical per-row terms
+    * (k−m̄)^p. m₂/m₄ sums are all-positive (nothing cancels); the m₃
+    * mixed-sign sum is safe because the statistic divides it by the
+    * same-magnitude m₂^1.5 — order noise lands at relative 1e-14.
+    *
+    * Scale shape: this op is for a ROLLED-UP series (daily counts, a
+    * bounded metric readout): two scans of that bounded table (mean,
+    * then centered moments), one broadcast scalar between them.
+    *
+    * @return one row (n, mean, skew, kurt_x, jb) — 6-dp; skew/kurt_x/jb
+    *         NULL on a constant series (m₂ = 0)
+    */
+  def jarqueBera(series: DataFrame, valueCol: Column,
+                 scale: Long = 1L): DataFrame = {
+    val s = series
+      .select(F.round(valueCol.cast("double") * scale).cast("long")
+        .as("__k"))
+      .filter(F.col("__k").isNotNull)
+    val m = s.agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__sk"))
+    val c = s.crossJoin(F.broadcast(m))
+      .withColumn("__c", F.col("__k").cast("double") -
+        F.col("__sk").cast("double") / F.col("__n").cast("double"))
+    val mom = c.agg(F.max("__n").as("n"), F.max("__sk").as("__sk"),
+      F.sum(F.col("__c") * F.col("__c")).as("__s2"),
+      F.sum(F.col("__c") * F.col("__c") * F.col("__c")).as("__s3"),
+      F.sum(F.col("__c") * F.col("__c") * F.col("__c") * F.col("__c"))
+        .as("__s4"))
+    val nD = F.col("n").cast("double")
+    val m2 = F.col("__s2") / nD
+    val m3 = F.col("__s3") / nD
+    val m4 = F.col("__s4") / nD
+    // m2^1.5 as m2·√m2: sqrt is correctly rounded in BOTH engines where
+    // libm pow(x, 1.5) is not guaranteed to be — bit-identical parity
+    val skew = F.when(m2 > 0.0, m3 / (m2 * F.sqrt(m2)))
+    val kurtX = F.when(m2 > 0.0, m4 / (m2 * m2) - 3.0)
+    mom.select(F.col("n"),
+      F.round(F.col("__sk").cast("double") / nD /
+        F.lit(scale.toDouble), 6).as("mean"),
+      F.round(skew, 6).as("skew"), F.round(kurtX, 6).as("kurt_x"),
+      F.round(nD / 6.0 * (skew * skew + kurtX * kurtX / 4.0), 6)
+        .as("jb"))
+  }
+
+  /** Breusch–Pagan LM test for heteroskedasticity of the y ~ t trend
+    * residuals — "are my trend-model error bars valid, or does variance
+    * grow with t" (the assumption every OLS CI in this suite leans on):
+    * regress e² on t, then `BP = n·R²_aux` (χ²₁ under homoskedasticity).
+    * The trend fit comes from exact integer sufficient statistics
+    * (same-IEEE divisions both engines), residuals round at 9 dp before
+    * squaring, and the auxiliary sums run over CENTERED t so no
+    * large-raw-moment cancellation survives (the tri-scale rule).
+    *
+    * Scale shape: a ROLLED-UP series op — two scans of the bounded
+    * rollup (fit, then aux sums), one broadcast fit row between them.
+    *
+    * @return one row (n, slope, r2_aux, bp) — 6-dp; r2_aux/bp NULL when
+    *         residual variance is 0 (perfect fit) or x-variance is 0
+    */
+  def breuschPagan(series: DataFrame, tCol: Column,
+                   valueCol: Column): DataFrame = {
+    val s = series.select(tCol.cast("long").as("__t"),
+      valueCol.cast("double").as("__y"))
+      .filter(F.col("__t").isNotNull && F.col("__y").isNotNull)
+    val fit = s.agg(F.count(F.lit(1)).as("__n"), F.sum("__t").as("__sx"),
+      F.sum("__y").as("__sy"),
+      F.sum(F.col("__t") * F.col("__t")).as("__sxx"),
+      F.sum(F.col("__t").cast("double") * F.col("__y")).as("__sxy"))
+    val j = s.crossJoin(F.broadcast(fit))
+    val nD = F.col("__n").cast("double")
+    val xbar = F.col("__sx").cast("double") / nD
+    val b = (nD * F.col("__sxy") -
+        F.col("__sx").cast("double") * F.col("__sy")) /
+      (nD * F.col("__sxx").cast("double") -
+        F.col("__sx").cast("double") * F.col("__sx"))
+    val a = F.col("__sy") / nD - b * xbar
+    val aux = j
+      .withColumn("__e", F.round(
+        F.col("__y") - (a + b * F.col("__t").cast("double")), 9))
+      .withColumn("__u", F.col("__e") * F.col("__e"))
+      .withColumn("__ct", F.col("__t").cast("double") - xbar)
+      .agg(F.max("__n").as("n"), F.max(b).as("__b"),
+        F.sum("__u").as("__su"),
+        F.sum(F.col("__u") * F.col("__u")).as("__suu"),
+        F.sum("__ct").as("__sct"),
+        F.sum(F.col("__ct") * F.col("__ct")).as("__sctt"),
+        F.sum(F.col("__ct") * F.col("__u")).as("__sctu"))
+    val n2 = F.col("n").cast("double")
+    val cuu = F.col("__suu") - F.col("__su") * F.col("__su") / n2
+    val cxx = F.col("__sctt") - F.col("__sct") * F.col("__sct") / n2
+    val cxu = F.col("__sctu") - F.col("__sct") * F.col("__su") / n2
+    val r2 = cxu * cxu / F.nullif(cxx * cuu, F.lit(0.0))
+    aux.select(F.col("n"), F.round(F.col("__b"), 6).as("slope"),
+      F.round(r2, 6).as("r2_aux"),
+      F.round(n2 * r2, 6).as("bp"))
+  }
+
+  /** Two-sample Poisson rate test — "is stream A emitting faster than
+    * stream B per unit of exposure" (weekend vs weekday traffic, canary
+    * vs fleet error rates), done conditionally: given the total count
+    * N = c₁ + c₂, under equal rates c₁ ~ Binomial(N, t₁/(t₁+t₂)), so
+    * {{{
+    *   z = (c₁ − N·p₀) / √(N·p₀(1−p₀)),   p₀ = t₁/(t₁+t₂)
+    * }}}
+    * Exposure is measured from the data itself: distinct `unitCol`
+    * values per arm (active days, shards, hosts). Every statistic is a
+    * scalar expression over four exact longs — bit-identical engines.
+    *
+    * Scale shape: one conditional-count collapse (two counts + two
+    * count-distincts, map-side partials) to a single row.
+    *
+    * @return one row (c1, c2, t1, t2, rate1, rate2, rate_ratio, z) —
+    *         6-dp; ratio NULL when rate2 = 0, z NULL when an arm has no
+    *         exposure
+    */
+  def poissonTwoRate(df: DataFrame, armCol: Column,
+                     unitCol: Column): DataFrame = {
+    val s = df.select(F.when(armCol, 1L).otherwise(0L).as("__a"),
+      unitCol.cast("string").as("__u"))
+    val one = s.agg(
+      F.sum("__a").as("c1"),
+      (F.count(F.lit(1)) - F.sum("__a")).as("c2"),
+      F.countDistinct(F.when(F.col("__a") === 1L, F.col("__u"))).as("t1"),
+      F.countDistinct(F.when(F.col("__a") === 0L, F.col("__u"))).as("t2"))
+    val p0 = F.col("t1").cast("double") /
+      (F.col("t1") + F.col("t2")).cast("double")
+    val bigN = (F.col("c1") + F.col("c2")).cast("double")
+    val rate1 = F.col("c1").cast("double") /
+      F.nullif(F.col("t1").cast("double"), F.lit(0.0))
+    val rate2 = F.col("c2").cast("double") /
+      F.nullif(F.col("t2").cast("double"), F.lit(0.0))
+    one.select(F.col("c1"), F.col("c2"), F.col("t1"), F.col("t2"),
+      F.round(rate1, 6).as("rate1"), F.round(rate2, 6).as("rate2"),
+      F.round(rate1 / F.nullif(rate2, F.lit(0.0)), 6).as("rate_ratio"),
+      F.round((F.col("c1").cast("double") - bigN * p0) /
+        F.nullif(F.sqrt(bigN * p0 * (F.lit(1.0) - p0)), F.lit(0.0)), 6)
+        .as("z"))
+  }
+
+  /** Poisson overdispersion census — per key, is the per-unit count
+    * really Poisson (VMR ≈ 1) or bursty/clumped (VMR ≫ 1, the usual
+    * truth for user traffic, and the reason Poisson error bars on it
+    * lie): over each key's per-unit counts c,
+    * {{{
+    *   VMR = s²/c̄,   χ² = (n−1)·s²/c̄     (χ²_{n−1} under Poisson)
+    * }}}
+    * with s² from exact integer sufficient statistics
+    * (Σc² − (Σc)²/n)/(n−1). Units are OBSERVED units (a unit with zero
+    * events for a key is absent — this is the active-unit census;
+    * densify upstream if zeros must count).
+    *
+    * Scale shape: one (key, unit) rollup shuffle, then a key-bounded
+    * collapse; nothing else moves.
+    *
+    * @return per key (grp, n_units, mean, var_c, vmr, chi2) ordered by
+    *         grp — 6-dp; var_c/vmr/chi2 NULL when n_units < 2
+    */
+  def overdispersion(df: DataFrame, keyCol: Column,
+                     unitCol: Column): DataFrame = {
+    val cu = df.select(keyCol.cast("string").as("grp"),
+        unitCol.cast("string").as("__u"))
+      .groupBy("grp", "__u").agg(F.count(F.lit(1)).as("__c"))
+    val g = cu.groupBy("grp").agg(F.count(F.lit(1)).as("n_units"),
+      F.sum("__c").as("__sc"),
+      F.sum(F.col("__c") * F.col("__c")).as("__sc2"))
+    val nD = F.col("n_units").cast("double")
+    val mean = F.col("__sc").cast("double") / nD
+    val varC = F.when(F.col("n_units") >= 2L,
+      (F.col("__sc2").cast("double") -
+        F.col("__sc").cast("double") * F.col("__sc") / nD) / (nD - 1.0))
+    g.select(F.col("grp"), F.col("n_units"),
+        F.round(mean, 6).as("mean"), F.round(varC, 6).as("var_c"),
+        F.round(varC / F.nullif(mean, F.lit(0.0)), 6).as("vmr"),
+        F.round((nD - 1.0) * varC / F.nullif(mean, F.lit(0.0)), 6)
+          .as("chi2"))
+      .orderBy("grp")
+  }
 }

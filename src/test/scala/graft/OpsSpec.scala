@@ -4961,4 +4961,57 @@ class OpsSpec extends AnyFunSuite {
       .select("dw").collect().head
     assert(z.isNullAt(0), z.toString)
   }
+
+  test("jarqueBera: right-skewed hand moments; constant series NULLs") {
+    import graft.ops.Stats
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 10.0).toDF("v")
+    val got = Stats.jarqueBera(df, F.col("v"))
+      .as[(Long, Double, Double, Double, Double)].head()
+    // m=(−3,−2,−1,0,6): m2=10, m3=37.2, m4=275.6 →
+    // S=1.13842, K=−0.212, JB=5/6(S²+K²/4)
+    assert(got == ((5L, 4.0, 1.13842, -0.212, 1.089363)), got)
+    val const = Seq(7.0, 7.0, 7.0).toDF("v")
+    val c = Stats.jarqueBera(const, F.col("v"))
+      .select("skew", "jb").collect().head
+    assert(c.isNullAt(0) && c.isNullAt(1), c.toString)
+  }
+
+  test("breuschPagan: variance-spike series hand LM; perfect fit NULLs") {
+    import graft.ops.Stats
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 8.0),
+      (6L, 3.0)).toDF("t", "v")
+    val got = Stats.breuschPagan(df, F.col("t"), F.col("v"))
+      .as[(Long, Double, Double, Double)].head()
+    // b=0.828571; e²~t aux fit: R²=0.551456, BP=n·R²
+    assert(got == ((6L, 0.828571, 0.551456, 3.308738)), got)
+    val lin = Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)).toDF("t", "v")
+    val p = Stats.breuschPagan(lin, F.col("t"), F.col("v"))
+      .select("bp").collect().head
+    assert(p.isNullAt(0), p.toString)
+  }
+
+  test("poissonTwoRate: 6-over-2 vs 4-over-4 units gives z=4/sqrt(5)") {
+    import graft.ops.Stats
+    val rows = Seq.fill(3)(("w", "d1")) ++ Seq.fill(3)(("w", "d2")) ++
+      Seq(("x", "d3"), ("x", "d4"), ("x", "d5"), ("x", "d6"))
+    val df = rows.toDF("arm", "day")
+    val got = Stats.poissonTwoRate(df, F.col("arm") === "w", F.col("day"))
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .head()
+    // p0=1/3, N=10: z=(6−10/3)/√(10·2/9)=4/√5
+    assert(got == ((6L, 4L, 2L, 4L, 3.0, 1.0, 3.0, 1.788854)), got)
+  }
+
+  test("overdispersion: counts 1,2,3 give VMR=0.5; singleton unit NULLs") {
+    import graft.ops.Stats
+    val rows = Seq(("a", "u1"), ("a", "u2"), ("a", "u2"), ("a", "u3"),
+      ("a", "u3"), ("a", "u3")) ++ Seq.fill(5)(("b", "u9"))
+    val df = rows.toDF("k", "u")
+    val got = Stats.overdispersion(df, F.col("k"), F.col("u"))
+      .as[(String, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    // a: n=3, mean=2, s²=1 → VMR=0.5, χ²=(n−1)s²/m=1
+    assert(got == Seq(("a", 3L, 2.0, Some(1.0), Some(0.5), Some(1.0)),
+      ("b", 1L, 5.0, None, None, None)), got)
+  }
 }
