@@ -2816,6 +2816,46 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // MAP over the x181 ranking task: order-sensitive retrieval score
+    // between MRR (first hit) and NDCG (graded gain)
+    "x293_map_eval" -> ((s, dir) => {
+      val agg = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(F.col("l_returnflag").as("q"),
+          F.col("l_suppkey").as("item"))
+        .agg(F.count(F.lit(1)).as("n"), F.sum("l_quantity").as("sq"))
+      val wA = Window.partitionBy("q").orderBy(F.col("n").desc,
+        F.col("item"))
+      val wB = Window.partitionBy("q").orderBy(F.col("sq").desc,
+        F.col("item"))
+      val res = agg.withColumn("rk", F.row_number().over(wA))
+        .filter(F.col("rk") <= 20)
+      val truth = agg.withColumn("rkb", F.row_number().over(wB))
+        .filter(F.col("rkb") <= 5)
+      graft.ops.Stats.averagePrecision(res, truth, "q", "item", "rk")
+    }),
+
+    // MASE of the x193 seasonal-naive forecast: does weekly seasonality
+    // beat the one-step naive, scale-free
+    "x294_mase" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.mase(daily, "t", "v", season = 7)
+    }),
+
+    // Yule's K + Honore's R: curve-free repetitiveness constants next
+    // to the x222 Heaps fit — template/boilerplate drift alarm
+    "x295_yules_k" -> ((s, dir) =>
+      TextOps.yulesK(s.read.parquet(s"$dir/documents.parquet"), "text")),
+
+    // HHI of the document source mix: is the corpus a few sources in a
+    // trench coat (eff_n = equivalent equal-share source count)
+    "x296_hhi" -> ((s, dir) =>
+      graft.ops.Stats.concentration(
+        s.read.parquet(s"$dir/documents.parquet"), F.col("source"))),
+
     // Jarque-Bera: is the daily event-count distribution Gaussian
     // enough for the 3-sigma alerting the x140 seasonal-z assumes
     "x289_jarque_bera" -> ((s, dir) => {
@@ -8921,6 +8961,93 @@ object SparkEntry {
 
     // the x178 scored CTE; decile bins, informative-bin gate, 9-dp
     // terms, df follows the bins actually used
+    // the x181 ranking CTEs; per-hit precision hit_idx/rank exact, 9-dp
+    // positive terms; AP over |relevant|
+    "x293_map_eval" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag AS q, l_suppkey AS item,
+        |    count(*) AS n, sum(l_quantity) AS sq
+        |  FROM lineitem GROUP BY 1, 2
+        |), ra AS (
+        |  SELECT q, item, row_number()
+        |    OVER (PARTITION BY q ORDER BY n DESC, item) AS rk
+        |  FROM agg
+        |), rb AS (
+        |  SELECT q, item, row_number()
+        |    OVER (PARTITION BY q ORDER BY sq DESC, item) AS rkb
+        |  FROM agg
+        |), res AS (SELECT q, item, rk FROM ra WHERE rk <= 20),
+        |tr AS (SELECT q, item FROM rb WHERE rkb <= 5),
+        |nr AS (SELECT q, count(*)::BIGINT AS n_rel FROM tr GROUP BY q),
+        |h AS (SELECT res.q, rk, row_number() OVER (PARTITION BY res.q
+        |      ORDER BY rk) AS hi
+        |  FROM res JOIN tr ON res.q = tr.q AND res.item = tr.item),
+        |hs AS (SELECT q, count(*)::BIGINT AS n_hit,
+        |    sum(round(hi::DOUBLE / rk::DOUBLE, 9)) AS sp
+        |  FROM h GROUP BY q),
+        |qs AS (SELECT DISTINCT q FROM res),
+        |perq AS (SELECT qs.q, coalesce(n_rel, 0)::BIGINT AS n_rel,
+        |    coalesce(n_hit, 0)::BIGINT AS n_hit,
+        |    round(CASE WHEN coalesce(n_rel, 0) > 0 THEN
+        |      coalesce(sp, 0.0) / n_rel::DOUBLE ELSE 0.0 END, 6) AS ap
+        |  FROM qs LEFT JOIN nr ON qs.q = nr.q
+        |    LEFT JOIN hs ON qs.q = hs.q),
+        |g AS (SELECT round(avg(ap), 6) AS map FROM perq)
+        |SELECT q AS query, n_rel, n_hit, ap, map FROM perq CROSS JOIN g
+        |ORDER BY query""".stripMargin,
+
+    // both lags over the same total-order window; 9-dp abs errors,
+    // positive orderless sums, one ratio
+    "x294_mase" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::DOUBLE AS v FROM events GROUP BY 1),
+        |l AS (SELECT t, v, lag(v, 7) OVER (ORDER BY t) AS fm,
+        |    lag(v, 1) OVER (ORDER BY t) AS f1 FROM daily),
+        |e AS (SELECT round(abs(v - fm), 9) AS em,
+        |    round(abs(v - f1), 9) AS e1 FROM l),
+        |g AS (SELECT count(em)::BIGINT AS n_scored,
+        |    count(e1)::BIGINT AS n_scale, sum(em) AS sm, sum(e1) AS s1
+        |  FROM e)
+        |SELECT n_scored, n_scale,
+        |  round(sm / n_scored::DOUBLE, 6) AS mae_model,
+        |  round(s1 / n_scale::DOUBLE, 6) AS mae_naive,
+        |  round((sm / n_scored::DOUBLE) /
+        |    nullif(s1 / n_scale::DOUBLE, 0.0), 6) AS mase
+        |FROM g""".stripMargin,
+
+    // the x19 token census; exact-long spectrum sums; K one division,
+    // R the only libm ln
+    "x295_yules_k" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS tok FROM documents),
+        |c AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+        |g AS (SELECT sum(c)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS n_types,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+        |    sum(c * c)::BIGINT AS sc2 FROM c)
+        |SELECT n_tokens, n_types, hapax,
+        |  round(10000.0::DOUBLE * (sc2 - n_tokens)::DOUBLE /
+        |    (n_tokens::DOUBLE * n_tokens::DOUBLE), 6) AS yules_k,
+        |  round(100.0::DOUBLE * ln(n_tokens::DOUBLE) / nullif(
+        |    1.0::DOUBLE - hapax::DOUBLE / n_types::DOUBLE, 0.0), 6)
+        |    AS honore_r
+        |FROM g""".stripMargin,
+
+    // exact-long count squares; HHI = one IEEE division of Σc² by N²
+    "x296_hhi" ->
+      """WITH c AS (SELECT source AS k, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1),
+        |g AS (SELECT count(*)::BIGINT AS k, sum(c)::BIGINT AS n,
+        |    sum(c * c)::BIGINT AS sc2 FROM c),
+        |f AS (SELECT k, n,
+        |    sc2::DOUBLE / (n::DOUBLE * n::DOUBLE) AS hhi FROM g)
+        |SELECT k, n, round(hhi, 6) AS hhi,
+        |  round(CASE WHEN k > 1 THEN (hhi - 1.0::DOUBLE / k::DOUBLE) /
+        |    (1.0::DOUBLE - 1.0::DOUBLE / k::DOUBLE) END, 6) AS hhi_norm,
+        |  round(1.0::DOUBLE / hhi, 6) AS eff_n
+        |FROM f""".stripMargin,
+
     // exact Σk and same-IEEE mean division; centered moment sums;
     // m2^1.5 spelled m2*sqrt(m2) in both engines
     "x289_jarque_bera" ->

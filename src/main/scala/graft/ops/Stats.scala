@@ -4646,6 +4646,118 @@ object Stats {
         .as("z"))
   }
 
+  /** Mean average precision (MAP) — the order-sensitive retrieval metric
+    * that [[mrr]] (first hit only) and [[ndcg]] (graded gain) bracket:
+    * per query, AP = Σ_{hits} P@rank / |relevant|, where P@rank counts
+    * retrieved-and-relevant items up to that rank. The per-hit precision
+    * hit_idx/rank is an exact integer division (bit-identical engines);
+    * terms round 9 dp before the positive orderless sum.
+    *
+    * Scale shape: one (query, item) hash join against the truth set, one
+    * query-keyed window for hit indices, a query-bounded rollup; the
+    * 1-row corpus MAP rides back as a broadcast.
+    *
+    * @return per query (query, n_rel, n_hit, ap, map) ordered by query —
+    *         ap/map 6-dp; queries with no relevant retrieved get ap = 0
+    */
+  def averagePrecision(results: DataFrame, truth: DataFrame,
+                       queryCol: String, itemCol: String,
+                       rankCol: String): DataFrame = {
+    val nRel = truth.groupBy(F.col(queryCol).as("__q"))
+      .agg(F.count(F.lit(1)).as("n_rel"))
+    val hits = results.join(truth.select(F.col(queryCol), F.col(itemCol)),
+        Seq(queryCol, itemCol))
+      .withColumn("__hi", F.row_number().over(
+        Window.partitionBy(queryCol).orderBy(F.col(rankCol))))
+      .withColumn("__p", F.round(F.col("__hi").cast("double") /
+        F.col(rankCol).cast("double"), 9))
+      .groupBy(F.col(queryCol).as("__q"))
+      .agg(F.count(F.lit(1)).as("n_hit"), F.sum("__p").as("__sp"))
+    val perQ = results.select(F.col(queryCol).as("__q")).distinct()
+      .join(F.broadcast(nRel), Seq("__q"), "left")
+      .join(F.broadcast(hits), Seq("__q"), "left")
+      .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0L)))
+      .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0L)))
+      .withColumn("ap", F.round(F.when(F.col("n_rel") > 0L,
+        F.coalesce(F.col("__sp"), F.lit(0.0)) /
+          F.col("n_rel").cast("double")).otherwise(0.0), 6))
+    val g = perQ.agg(F.round(F.avg("ap"), 6).as("map"))
+    perQ.crossJoin(F.broadcast(g))
+      .select(F.col("__q").as("query"), F.col("n_rel"), F.col("n_hit"),
+        F.col("ap"), F.col("map"))
+      .orderBy("query")
+  }
+
+  /** Mean absolute scaled error (Hyndman & Koehler 2006) of the
+    * seasonal-naive forecast — the scale-free "is my forecast beating
+    * the dumbest possible baseline" readout that [[snaiveBacktest]]'s
+    * raw MAE can't give across series of different volume:
+    * {{{
+    *   MASE = mean|y_t − y_{t−season}| / mean|y_t − y_{t−1}|
+    * }}}
+    * (< 1 beats the one-step naive; ≥ 1 the model adds nothing).
+    * Absolute errors round 9 dp before the positive orderless sums.
+    *
+    * Scale shape: a ROLLED-UP series op — two lags over one bounded
+    * single-partition window pass, one scalar collapse.
+    *
+    * @return one row (n_scored, n_scale, mae_model, mae_naive, mase) —
+    *         6-dp; mase NULL when the series is constant (mae_naive 0)
+    */
+  def mase(series: DataFrame, tCol: String, vCol: String,
+           season: Int = 7): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    val w = Window.orderBy("t")
+    val scored = series
+      .select(F.col(tCol).cast("long").as("t"),
+        F.col(vCol).cast("double").as("v"))
+      .withColumn("__fm", F.lag("v", season).over(w))
+      .withColumn("__f1", F.lag("v", 1).over(w))
+      .withColumn("__em", F.round(F.abs(F.col("v") - F.col("__fm")), 9))
+      .withColumn("__e1", F.round(F.abs(F.col("v") - F.col("__f1")), 9))
+    val g = scored.agg(
+      F.count("__em").as("n_scored"), F.count("__e1").as("n_scale"),
+      F.sum("__em").as("__sm"), F.sum("__e1").as("__s1"))
+    val maeM = F.col("__sm") / F.col("n_scored").cast("double")
+    val mae1 = F.col("__s1") / F.col("n_scale").cast("double")
+    g.select(F.col("n_scored"), F.col("n_scale"),
+      F.round(maeM, 6).as("mae_model"), F.round(mae1, 6).as("mae_naive"),
+      F.round(maeM / F.nullif(mae1, F.lit(0.0)), 6).as("mase"))
+  }
+
+  /** Herfindahl–Hirschman concentration of a categorical key — "is this
+    * corpus dominated by a handful of sources" (the antitrust index,
+    * read here as a data-diversity guard: HHI → 1 means one source IS
+    * the corpus). From exact integer counts c_g:
+    * {{{
+    *   HHI = Σ(c_g/N)² = Σc_g²/N²,  eff_n = 1/HHI,
+    *   hhi_norm = (HHI − 1/k)/(1 − 1/k)
+    * }}}
+    * Σc² is an exact long, so HHI is ONE IEEE division — bit-identical
+    * engines, no per-share rounding at all.
+    *
+    * Scale shape: one key rollup (map-side partials), one scalar
+    * collapse; nothing else moves.
+    *
+    * @return one row (k, n, hhi, hhi_norm, eff_n) — 6-dp; hhi_norm NULL
+    *         when k = 1
+    */
+  def concentration(df: DataFrame, keyCol: Column): DataFrame = {
+    val counts = df.select(keyCol.cast("string").as("__k"))
+      .groupBy("__k").agg(F.count(F.lit(1)).as("__c"))
+    val g = counts.agg(F.count(F.lit(1)).as("k"), F.sum("__c").as("n"),
+      F.sum(F.col("__c") * F.col("__c")).as("__sc2"))
+    // N² as double·double, not long·long — a 3B-row corpus overflows
+    // the integer square long before it troubles the double
+    val hhi = F.col("__sc2").cast("double") /
+      (F.col("n").cast("double") * F.col("n").cast("double"))
+    val invK = F.lit(1.0) / F.col("k").cast("double")
+    g.select(F.col("k"), F.col("n"), F.round(hhi, 6).as("hhi"),
+      F.round(F.when(F.col("k") > 1L,
+        (hhi - invK) / (F.lit(1.0) - invK)), 6).as("hhi_norm"),
+      F.round(F.lit(1.0) / hhi, 6).as("eff_n"))
+  }
+
   /** Poisson overdispersion census — per key, is the per-unit count
     * really Poisson (VMR ≈ 1) or bursty/clumped (VMR ≫ 1, the usual
     * truth for user traffic, and the reason Poisson error bars on it

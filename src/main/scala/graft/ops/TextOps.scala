@@ -713,6 +713,46 @@ object TextOps {
       .withColumn("cum_types", F.sum("new_types").over(w))
   }
 
+  /** Yule's K characteristic (and Honoré's R) — the repetitiveness /
+    * vocabulary-richness constants of a corpus, the [[heapsFit]] and
+    * Zipf siblings that don't need a curve fit: from the token
+    * frequency spectrum (V_m types occurring m times, N tokens,
+    * V types, V₁ hapaxes),
+    * {{{
+    *   K = 10⁴ · (Σ_m m²V_m − N) / N²    (= 10⁴·(Σc² − N)/N²)
+    *   R = 100 · ln N / (1 − V₁/V)
+    * }}}
+    * K is invariant to corpus size under the same generating process —
+    * a drifting K between two crawls of the same domain is a template /
+    * boilerplate alarm. Σc² and the hapax count come from exact longs;
+    * K is one IEEE division; only R touches libm ln (6-dp rounded).
+    *
+    * Scale shape: one token census ([[topTokens]]'s shape, vocab-bounded
+    * output), one scalar collapse.
+    *
+    * @return one row (n_tokens, n_types, hapax, yules_k, honore_r) —
+    *         6-dp; honore_r NULL when every type is a hapax
+    */
+  def yulesK(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(F.explode(F.filter(
+        F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+        t => F.length(t) > 0)).as("tok"))
+      .groupBy("tok").agg(F.count(F.lit(1)).as("__c"))
+    val g = counts.agg(F.sum("__c").as("n_tokens"),
+      F.count(F.lit(1)).as("n_types"),
+      F.sum(F.when(F.col("__c") === 1L, 1L).otherwise(0L)).as("hapax"),
+      F.sum(F.col("__c") * F.col("__c")).as("__sc2"))
+    val nD = F.col("n_tokens").cast("double")
+    g.select(F.col("n_tokens"), F.col("n_types"), F.col("hapax"),
+      F.round(F.lit(1.0e4) *
+        (F.col("__sc2") - F.col("n_tokens")).cast("double") /
+        (nD * nD), 6).as("yules_k"),
+      F.round(F.lit(100.0) * F.log(nD) / F.nullif(
+        F.lit(1.0) - F.col("hapax").cast("double") /
+          F.col("n_types").cast("double"), F.lit(0.0)), 6).as("honore_r"))
+  }
+
   /** Distributed BPE merge learning (Sennrich et al. 2016) — the
     * tokenizer-training pass of an LLM data pipeline. The insight that
     * makes it a Spark-shape problem: BPE statistics live on the WORD

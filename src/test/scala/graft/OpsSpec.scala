@@ -5002,6 +5002,51 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ((6L, 4L, 2L, 4L, 3.0, 1.0, 3.0, 1.788854)), got)
   }
 
+  test("averagePrecision: hits at ranks 1,3 of 3 rel; hitless query 0") {
+    import graft.ops.Stats
+    val res = Seq(("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+      ("q2", "d", 1)).toDF("q", "item", "rk")
+    val truth = Seq(("q1", "a"), ("q1", "c"), ("q1", "d"), ("q2", "e"))
+      .toDF("q", "item")
+    val got = Stats.averagePrecision(res, truth, "q", "item", "rk")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // q1: P@1=1, P@3=2/3 over 3 rel → (1+2/3)/3; q2: no hits → 0
+    assert(got == Seq(("q1", 3L, 2L, 0.555556, 0.277778),
+      ("q2", 1L, 0L, 0.0, 0.277778)), got)
+  }
+
+  test("mase: ramp series — snaive-7 loses 6.67x to the one-step naive") {
+    import graft.ops.Stats
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0)
+      .zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+      .toDF("t", "v")
+    val got = Stats.mase(df, "t", "v", season = 7)
+      .as[(Long, Long, Double, Double, Double)].head()
+    // model errs |8−1|,|10−2|: MAE 7.5; naive diffs 1×7,2: MAE 1.125
+    assert(got == ((2L, 8L, 7.5, 1.125, 6.666667)), got)
+  }
+
+  test("yulesK: spectrum a=3,b=2,c=1 gives K=10⁴·8/36, R=150·ln6") {
+    import graft.ops.TextOps
+    val docs = Seq("a b a", "b c a").toDF("text")
+    val got = TextOps.yulesK(docs, "text")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(got == ((6L, 3L, 1L, 2222.222222, 268.76392)), got)
+  }
+
+  test("concentration: 3-vs-1 split gives HHI=0.625, eff_n=1.6") {
+    import graft.ops.Stats
+    val df = Seq("a", "a", "a", "b").toDF("s")
+    val got = Stats.concentration(df, F.col("s"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got == ((2L, 4L, 0.625, 0.25, 1.6)), got)
+    // single source: hhi_norm undefined, NULL not NaN
+    val one = Seq("z", "z").toDF("s")
+    val r = Stats.concentration(one, F.col("s"))
+      .select("hhi_norm").collect().head
+    assert(r.isNullAt(0), r.toString)
+  }
+
   test("overdispersion: counts 1,2,3 give VMR=0.5; singleton unit NULLs") {
     import graft.ops.Stats
     val rows = Seq(("a", "u1"), ("a", "u2"), ("a", "u2"), ("a", "u3"),
