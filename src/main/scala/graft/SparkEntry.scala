@@ -2816,6 +2816,38 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // Ansari-Bradley: does en doc LENGTH SPREAD differ from non-en —
+    // the rank-based scale sibling of x175's location test
+    "x297_ansari_bradley" -> ((s, dir) =>
+      graft.ops.Stats.ansariBradley(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.col("n_chars"), F.col("lang") === "en")),
+
+    // Cohen's h: HOW different is the weekend purchase share from the
+    // weekday one — effect size next to x291's significance
+    "x298_cohens_h" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Stats.cohensH(ev,
+        F.dayofweek(F.to_date(graft.ops.EventOps.tsStamp(ev)))
+          .isin(1, 7),
+        F.col("event_type") === "purchase")
+    }),
+
+    // Theil T/L + Atkinson(1) of document lengths: is the corpus'
+    // character mass hoarded by a few docs — decomposable Gini sibling
+    "x299_inequality" -> ((s, dir) =>
+      graft.ops.Stats.inequality(
+        s.read.parquet(s"$dir/documents.parquet"), F.col("n_chars"))),
+
+    // local clustering census over the x104 co-purchase graph: whose
+    // neighborhood is a clique, plus the global transitivity
+    "x300_clustering" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Graph.localClustering(
+        graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          minCount = 6), "src", "dst")
+    }),
+
     // MAP over the x181 ranking task: order-sensitive retrieval score
     // between MRR (first hit) and NDCG (graded gain)
     "x293_map_eval" -> ((s, dir) => {
@@ -8961,6 +8993,138 @@ object SparkEntry {
 
     // the x178 scored CTE; decile bins, informative-bin gate, 9-dp
     // terms, df follows the bins actually used
+    // the rankSum collapse; S(k) closed-form exact longs around the
+    // fold point (nn+1)//2; tie-mean scores one division each
+    "x297_ansari_bradley" ->
+      """WITH byv AS (SELECT n_chars::DOUBLE AS v,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n1v,
+        |    count(*)::BIGINT AS t
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(t)::BIGINT AS nn, sum(n1v)::BIGINT AS none1
+        |  FROM byv),
+        |r AS (SELECT n1v, t, nn, none1, (nn + 1)::BIGINT AS m,
+        |    ((nn + 1) // 2)::BIGINT AS c,
+        |    sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)::BIGINT AS cum
+        |  FROM byv CROSS JOIN tot),
+        |sk AS (SELECT n1v, t, nn, none1,
+        |    CASE WHEN cum <= 0 THEN 0.0
+        |      WHEN cum <= c THEN cum * (cum + 1) / 2
+        |      ELSE c * (c + 1) / 2 + (cum - c) * m -
+        |        (cum * (cum + 1) / 2 - c * (c + 1) / 2) END -
+        |    CASE WHEN (cum - t) <= 0 THEN 0.0
+        |      WHEN (cum - t) <= c THEN (cum - t) * (cum - t + 1) / 2
+        |      ELSE c * (c + 1) / 2 + ((cum - t) - c) * m -
+        |        ((cum - t) * (cum - t + 1) / 2 - c * (c + 1) / 2) END
+        |      AS rs
+        |  FROM r),
+        |g AS (SELECT max(none1)::BIGINT AS n1,
+        |    (max(nn) - max(none1))::BIGINT AS n2, max(nn)::BIGINT AS nn,
+        |    sum(n1v::DOUBLE * (rs / t::DOUBLE)) AS ab, sum(rs) AS sa,
+        |    sum(t::DOUBLE * (rs / t::DOUBLE) * (rs / t::DOUBLE)) AS sa2
+        |  FROM sk),
+        |f AS (SELECT n1, n2, ab, sa / nn::DOUBLE AS abar,
+        |    n1::DOUBLE * n2::DOUBLE *
+        |      (sa2 - nn::DOUBLE * (sa / nn::DOUBLE) *
+        |        (sa / nn::DOUBLE)) /
+        |      (nn::DOUBLE * (nn::DOUBLE - 1.0::DOUBLE)) AS vr
+        |  FROM g)
+        |SELECT n1, n2, round(ab, 6) AS ab,
+        |  round(n1::DOUBLE * abar, 6) AS e_ab,
+        |  round((ab - n1::DOUBLE * abar) / sqrt(nullif(vr, 0.0)), 6)
+        |    AS z
+        |FROM f""".stripMargin,
+
+    // four exact longs; asin the only libm touch, 6-dp rounded
+    "x298_cohens_h" ->
+      """WITH g AS (SELECT
+        |    sum(CASE WHEN isodow(ts::DATE) IN (6, 7) THEN 1 ELSE 0
+        |      END)::BIGINT AS n1,
+        |    sum(CASE WHEN isodow(ts::DATE) NOT IN (6, 7) THEN 1 ELSE 0
+        |      END)::BIGINT AS n2,
+        |    sum(CASE WHEN isodow(ts::DATE) IN (6, 7)
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS s1,
+        |    sum(CASE WHEN isodow(ts::DATE) NOT IN (6, 7)
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS s2
+        |  FROM events),
+        |f AS (SELECT n1, n2,
+        |    s1::DOUBLE / nullif(n1::DOUBLE, 0.0) AS p1,
+        |    s2::DOUBLE / nullif(n2::DOUBLE, 0.0) AS p2 FROM g)
+        |SELECT n1, n2, round(p1, 6) AS p1, round(p2, 6) AS p2,
+        |  round(2.0::DOUBLE * asin(sqrt(p1)) -
+        |    2.0::DOUBLE * asin(sqrt(p2)), 6) AS h
+        |FROM f""".stripMargin,
+
+    // one-division mean, bit-identical ratios, 9-dp ln terms (the
+    // kaplanMeier rule), positive-quantity filter
+    "x299_inequality" ->
+      """WITH s AS (SELECT n_chars::DOUBLE AS x FROM documents
+        |  WHERE n_chars::DOUBLE > 0.0),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx FROM s),
+        |t AS (SELECT n, sx / n::DOUBLE AS mu,
+        |    x / (sx / n::DOUBLE) AS r FROM s CROSS JOIN tot),
+        |tt AS (SELECT n, mu, round(r * ln(r), 9) AS tt,
+        |    round(-ln(r), 9) AS tl FROM t),
+        |g AS (SELECT max(n) AS n, max(mu) AS mu, sum(tt) AS st,
+        |    sum(tl) AS sl FROM tt)
+        |SELECT n, round(mu, 6) AS mean,
+        |  round(st / n::DOUBLE, 6) AS theil_t,
+        |  round(sl / n::DOUBLE, 6) AS theil_l,
+        |  round(1.0::DOUBLE - exp(-(sl / n::DOUBLE)), 6) AS atkinson1
+        |FROM g""".stripMargin,
+
+    // the x104 triangle CTEs; lcc/transitivity single divisions of
+    // exact longs; networkx deg<2 convention
+    "x300_clustering" ->
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+        |), e AS (
+        |  SELECT a.s AS a, b.s AS b
+        |  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 6
+        |), deg AS (
+        |  SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node
+        |), o AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |         THEN e.a ELSE e.b END AS lo,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |         THEN e.b ELSE e.a END AS hi
+        |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+        |), w AS (
+        |  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+        |), t AS (
+        |  SELECT u, v, w FROM w JOIN (
+        |    SELECT lo AS v, hi AS w FROM o
+        |    UNION ALL SELECT hi, lo FROM o) c USING (v, w)
+        |), tc AS (
+        |  SELECT node, count(*)::BIGINT AS n_tri FROM (
+        |    SELECT u AS node FROM t
+        |    UNION ALL SELECT v FROM t
+        |    UNION ALL SELECT w FROM t)
+        |  GROUP BY node
+        |), nodes AS (
+        |  SELECT deg.node, deg.deg, coalesce(n_tri, 0)::BIGINT AS n_tri
+        |  FROM deg LEFT JOIN tc ON deg.node = tc.node
+        |), l AS (
+        |  SELECT node, deg, n_tri,
+        |    round(CASE WHEN deg >= 2 THEN (2 * n_tri)::DOUBLE /
+        |      (deg * (deg - 1))::DOUBLE ELSE 0.0 END, 6) AS lcc
+        |  FROM nodes
+        |), g AS (
+        |  SELECT round(avg(lcc), 6) AS avg_lcc,
+        |    round((2 * sum(n_tri))::DOUBLE /
+        |      nullif(sum(deg * (deg - 1))::DOUBLE, 0.0), 6)
+        |      AS transitivity
+        |  FROM l)
+        |SELECT node, deg, n_tri, lcc, avg_lcc, transitivity
+        |FROM l CROSS JOIN g ORDER BY node""".stripMargin,
+
     // the x181 ranking CTEs; per-hit precision hit_idx/rank exact, 9-dp
     // positive terms; AP over |relevant|
     "x293_map_eval" ->

@@ -211,6 +211,51 @@ object Graph {
       .groupBy("node").agg(F.count(F.lit(1)).as("n_tri"))
   }
 
+  /** Local clustering coefficient census + global transitivity — "is
+    * this node's neighborhood a clique or a star" ([[triangleCounts]]
+    * says how many triangles; this normalizes by the possible wedges):
+    * {{{
+    *   lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    *   transitivity = Σtri / Σ(deg(deg−1)/2) = 3·closed/all triads
+    * }}}
+    * Both are single IEEE divisions of exact longs. Degree-1 nodes get
+    * lcc = 0 (the networkx convention).
+    *
+    * Scale shape: [[triangleCounts]]'s oriented-wedge join does the
+    * heavy lifting; the census adds one degree rollup and a broadcast
+    * of the 1-row global readout. The edge list is deduped/canonical
+    * first, so the input scan happens twice (degrees + triangles) over
+    * the bounded edge table, not the raw corpus.
+    *
+    * @return per node (node, deg, n_tri, lcc, avg_lcc, transitivity)
+    *         ordered by node — 6-dp
+    */
+  def localClustering(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val und = edges
+      .select(F.least(F.col(srcCol), F.col(dstCol)).as("a"),
+        F.greatest(F.col(srcCol), F.col(dstCol)).as("b"))
+      .filter(F.col("a") =!= F.col("b"))
+      .distinct()
+    val deg = und.select(F.col("a").as("node"))
+      .unionAll(und.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
+    val tri = triangleCounts(edges, srcCol, dstCol)
+    val nodes = deg.join(tri, Seq("node"), "left")
+      .withColumn("n_tri", F.coalesce(F.col("n_tri"), F.lit(0L)))
+      .withColumn("lcc", F.round(F.when(F.col("deg") >= 2L,
+        (F.lit(2L) * F.col("n_tri")).cast("double") /
+          (F.col("deg") * (F.col("deg") - 1L)).cast("double"))
+        .otherwise(0.0), 6))
+    val g = nodes.agg(F.round(F.avg("lcc"), 6).as("avg_lcc"),
+      F.round((F.lit(2L) * F.sum("n_tri")).cast("double") /
+        F.nullif(F.sum(F.col("deg") * (F.col("deg") - 1L)).cast("double"),
+          F.lit(0.0)), 6).as("transitivity"))
+    nodes.crossJoin(F.broadcast(g))
+      .select("node", "deg", "n_tri", "lcc", "avg_lcc", "transitivity")
+      .orderBy("node")
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the (symmetrized) edge list — positive means
     * hubs link to hubs (social-graph shape), negative means hubs link to

@@ -4646,6 +4646,136 @@ object Stats {
         .as("z"))
   }
 
+  /** Ansari–Bradley test — the NONPARAMETRIC two-sample scale test (the
+    * rank sibling of [[brownForsythe]]: does class 1's value SPREAD
+    * differ, no normality assumed): rank from both ends inward with
+    * scores a(r) = min(r, N+1−r) (tie groups get the average score over
+    * their rank range), AB = Σ scores of class 1, and the general
+    * linear-rank-statistic moments give the tie-exact normal
+    * approximation:
+    * {{{
+    *   E[AB] = n₁·ā,   Var = n₁n₂(Σa² − N·ā²) / (N(N−1))
+    * }}}
+    * Rank ranges and score-range sums S(k) are closed-form exact longs
+    * (two arithmetic series around the fold point); each tie group's
+    * mean score is one IEEE division — bit-identical engines.
+    *
+    * Scale shape: the [[mannWhitneyU]] discipline — subjects collapse
+    * map-side to distinct values, one bounded value-domain window, a
+    * 1-row result. No subject-level sort.
+    *
+    * @return one row (n1, n2, ab, e_ab, z) — 6-dp; z NULL when Var = 0
+    */
+  def ansariBradley(df: DataFrame, valueCol: Column,
+                    isClass1: Column): DataFrame = {
+    val byV = df
+      .select(valueCol.cast("double").as("__v"),
+        F.when(isClass1, 1L).otherwise(0L).as("__c1"))
+      .groupBy("__v")
+      .agg(F.sum("__c1").as("__n1v"), F.count(F.lit(1)).as("__t"))
+    val tot = byV.agg(F.sum("__t").as("__NN"), F.sum("__n1v").as("__N1"))
+    val w = Window.orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = F.col("__NN") + 1L
+    // fold point of min(r, m−r) as an exact LONG (Column./ is double)
+    val c = F.floor(m.cast("double") / 2.0)
+    // S(k) = Σ_{r=1..k} min(r, m−r): a rising then a falling series
+    def sK(k: Column): Column = F.when(k <= 0L, 0L).otherwise(
+      F.when(k <= c, k * (k + 1L) / 2L)
+        .otherwise(c * (c + 1L) / 2L + (k - c) * m -
+          (k * (k + 1L) / 2L - c * (c + 1L) / 2L)))
+    val ranked = byV.crossJoin(F.broadcast(tot))
+      .withColumn("__cum", F.sum("__t").over(w))
+      .withColumn("__rs",
+        sK(F.col("__cum")) - sK(F.col("__cum") - F.col("__t")))
+      .withColumn("__sbar",
+        F.col("__rs").cast("double") / F.col("__t").cast("double"))
+    val g = ranked.agg(F.max("__N1").as("n1"),
+      (F.max("__NN") - F.max("__N1")).as("n2"),
+      F.max("__NN").as("__nn"),
+      F.sum(F.col("__n1v").cast("double") * F.col("__sbar")).as("__ab"),
+      F.sum("__rs").as("__sa"),
+      F.sum(F.col("__t").cast("double") * F.col("__sbar") *
+        F.col("__sbar")).as("__sa2"))
+    val nD = F.col("__nn").cast("double")
+    val abar = F.col("__sa").cast("double") / nD
+    val e = F.col("n1").cast("double") * abar
+    val variance = F.col("n1").cast("double") * F.col("n2").cast("double") *
+      (F.col("__sa2") - nD * abar * abar) / (nD * (nD - 1.0))
+    g.select(F.col("n1"), F.col("n2"),
+      F.round(F.col("__ab"), 6).as("ab"), F.round(e, 6).as("e_ab"),
+      F.round((F.col("__ab") - e) /
+        F.sqrt(F.nullif(variance, F.lit(0.0))), 6).as("z"))
+  }
+
+  /** Cohen's h effect size for two proportions — "HOW different are
+    * these two rates" where a z-test only says whether (on big corpora
+    * everything is significant; h is what decides if anyone should
+    * care): h = 2·arcsin√p₁ − 2·arcsin√p₂, the variance-stabilizing
+    * transform that makes 0.50 vs 0.55 and 0.01 vs 0.06 comparable.
+    * (|h| ≈ 0.2 small / 0.5 medium / 0.8 large.)
+    *
+    * Scale shape: one conditional-count collapse to four exact longs;
+    * arcsin is the only libm touch (6-dp rounded).
+    *
+    * @return one row (n1, n2, p1, p2, h) — 6-dp; NULL p/h for an empty
+    *         arm
+    */
+  def cohensH(df: DataFrame, armCol: Column,
+              successCol: Column): DataFrame = {
+    val g = df.agg(
+      F.sum(F.when(armCol, 1L).otherwise(0L)).as("n1"),
+      F.sum(F.when(!armCol, 1L).otherwise(0L)).as("n2"),
+      F.sum(F.when(armCol && successCol, 1L).otherwise(0L)).as("__s1"),
+      F.sum(F.when(!armCol && successCol, 1L).otherwise(0L)).as("__s2"))
+    val p1 = F.col("__s1").cast("double") /
+      F.nullif(F.col("n1").cast("double"), F.lit(0.0))
+    val p2 = F.col("__s2").cast("double") /
+      F.nullif(F.col("n2").cast("double"), F.lit(0.0))
+    g.select(F.col("n1"), F.col("n2"),
+      F.round(p1, 6).as("p1"), F.round(p2, 6).as("p2"),
+      F.round(F.lit(2.0) * F.asin(F.sqrt(p1)) -
+        F.lit(2.0) * F.asin(F.sqrt(p2)), 6).as("h"))
+  }
+
+  /** Inequality indices of a positive quantity — Theil T (top-
+    * sensitive), Theil L / mean-log-deviation (bottom-sensitive), and
+    * Atkinson(1) = 1 − geomean/mean: is compute/tokens/revenue spread
+    * evenly or hoarded, with group-decomposability that Gini (x128)
+    * lacks:
+    * {{{
+    *   T = (1/N)·Σ (x/μ)·ln(x/μ),   L = (1/N)·Σ ln(μ/x),
+    *   A₁ = 1 − e^(−L)
+    * }}}
+    * μ = Σx/N is one IEEE division; per-row ratios are bit-identical;
+    * ln terms round 9 dp before the orderless sums (the kaplanMeier
+    * rule). Non-positive values drop (ln domain) — this measures the
+    * distribution OF the quantity among holders of it.
+    *
+    * Scale shape: two scans of the input (Σx, then term sums) with a
+    * 1-row broadcast between; nothing shuffles.
+    *
+    * @return one row (n, mean, theil_t, theil_l, atkinson1) — 6-dp
+    */
+  def inequality(df: DataFrame, valueCol: Column): DataFrame = {
+    val s = df.select(valueCol.cast("double").as("__x"))
+      .filter(F.col("__x") > 0.0)
+    val tot = s.agg(F.count(F.lit(1)).as("__n"), F.sum("__x").as("__sx"))
+    val mu = F.col("__sx") / F.col("__n").cast("double")
+    val terms = s.crossJoin(F.broadcast(tot))
+      .withColumn("__r", F.col("__x") / mu)
+      .withColumn("__tt", F.round(F.col("__r") * F.log(F.col("__r")), 9))
+      .withColumn("__tl", F.round(-F.log(F.col("__r")), 9))
+    val g = terms.agg(F.max("__n").as("n"), F.max(mu).as("__mu"),
+      F.sum("__tt").as("__st"), F.sum("__tl").as("__sl"))
+    val nD = F.col("n").cast("double")
+    val l = F.col("__sl") / nD
+    g.select(F.col("n"), F.round(F.col("__mu"), 6).as("mean"),
+      F.round(F.col("__st") / nD, 6).as("theil_t"),
+      F.round(l, 6).as("theil_l"),
+      F.round(F.lit(1.0) - F.exp(-l), 6).as("atkinson1"))
+  }
+
   /** Mean average precision (MAP) — the order-sensitive retrieval metric
     * that [[mrr]] (first hit only) and [[ndcg]] (graded gain) bracket:
     * per query, AP = Σ_{hits} P@rank / |relevant|, where P@rank counts

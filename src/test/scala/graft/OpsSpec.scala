@@ -5002,6 +5002,52 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ((6L, 4L, 2L, 4L, 3.0, 1.0, 3.0, 1.788854)), got)
   }
 
+  test("ansariBradley: end-in scores 1,2,3,2,1; tie-averaged variant z=0") {
+    import graft.ops.Stats
+    val df = Seq((1.0, true), (2.0, false), (3.0, true), (4.0, false),
+      (5.0, false)).toDF("v", "c")
+    val got = Stats.ansariBradley(df, F.col("v"), F.col("c"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    // AB=a(1)+a(3)=4, E=2·1.8, Var=6·2.8/20 → z=0.4/√0.84
+    assert(got == ((2L, 3L, 4.0, 3.6, 0.436436)), got)
+    val tied = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "c")
+    val t = Stats.ansariBradley(tied, F.col("v"), F.col("c"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    // tie group ranks 2-3 share score 2: AB=3=E exactly
+    assert(t == ((2L, 2L, 3.0, 3.0, 0.0)), t)
+  }
+
+  test("cohensH: 1/4 vs 3/4 gives h=−π/3") {
+    import graft.ops.Stats
+    val rows = Seq(("w", true), ("w", false), ("w", false), ("w", false),
+      ("x", true), ("x", true), ("x", true), ("x", false))
+    val df = rows.toDF("arm", "s")
+    val got = Stats.cohensH(df, F.col("arm") === "w", F.col("s"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got == ((4L, 4L, 0.25, 0.75, -1.047198)), got)
+  }
+
+  test("inequality: 1,1,4 gives T=L=ln2/3, Atkinson=1−2^(−1/3)") {
+    import graft.ops.Stats
+    val df = Seq(1.0, 1.0, 4.0).toDF("x")
+    val got = Stats.inequality(df, F.col("x"))
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(got == ((3L, 2.0, 0.231049, 0.231049, 0.206299)), got)
+  }
+
+  test("localClustering: triangle+pendant — lcc 1,1,1/3,0; trans 0.6") {
+    import graft.ops.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.localClustering(edges, "src", "dst")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1.0, 0.583333, 0.6), (2L, 2L, 1L, 1.0, 0.583333, 0.6),
+      (3L, 3L, 1L, 0.333333, 0.583333, 0.6),
+      (4L, 1L, 0L, 0.0, 0.583333, 0.6)), got)
+  }
+
   test("averagePrecision: hits at ranks 1,3 of 3 rel; hitless query 0") {
     import graft.ops.Stats
     val res = Seq(("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
