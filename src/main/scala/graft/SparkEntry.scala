@@ -2816,6 +2816,43 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // Granger lag-1: do yesterday's clicks predict today's purchases
+    // beyond purchase history — predictive precedence on the day grid
+    "x301_granger" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def daily(tp: String) = ev
+        .filter(F.col("event_type") === tp)
+        .groupBy(F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+          F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).as("v"))
+      graft.ops.Stats.grangerLag1(daily("purchase"), daily("click"),
+        "t", "v")
+    }),
+
+    // Grubbs: the single most aberrant day of the event series — the
+    // parametric sibling of x103's MAD screen
+    "x302_grubbs" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).as("v"))
+      graft.ops.Stats.grubbs(daily, F.col("t"), F.col("v"))
+    }),
+
+    // Bartlett: are event-value variances equal across types (cents-
+    // exact sufficient stats) — the parametric gate before x187-style
+    // pooled ANOVA
+    "x303_bartlett" -> ((s, dir) =>
+      graft.ops.Stats.bartlett(s.read.parquet(s"$dir/events.parquet"),
+        F.col("event_type"), F.col("value"), scale = 100L)),
+
+    // Welch ANOVA: do mean event values differ across types WITHOUT
+    // assuming the equal variances x303 just tested
+    "x304_welch_anova" -> ((s, dir) =>
+      graft.ops.Stats.welchAnova(s.read.parquet(s"$dir/events.parquet"),
+        F.col("event_type"), F.col("value"), scale = 100L)),
+
     // Ansari-Bradley: does en doc LENGTH SPREAD differ from non-en —
     // the rank-based scale sibling of x175's location test
     "x297_ansari_bradley" -> ((s, dir) =>
@@ -8993,6 +9030,133 @@ object SparkEntry {
 
     // the x178 scored CTE; decile bins, informative-bin gate, 9-dp
     // terms, df follows the bins actually used
+    // zero-filled day grid, integer lag pairs, symbolic 2x2 normal
+    // equations — restricted-vs-unrestricted SSR F
+    "x301_granger" ->
+      """WITH ev AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS t,
+        |    event_type FROM events),
+        |y AS (SELECT t, count(*)::BIGINT AS y FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |x AS (SELECT t, count(*)::BIGINT AS x FROM ev
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |grid AS (SELECT coalesce(y.t, x.t) AS t,
+        |    coalesce(y.y, 0)::BIGINT AS y, coalesce(x.x, 0)::BIGINT AS x
+        |  FROM y FULL JOIN x ON y.t = x.t),
+        |l AS (SELECT y, lag(y, 1) OVER (ORDER BY t) AS y1,
+        |    lag(x, 1) OVER (ORDER BY t) AS x1 FROM grid),
+        |r AS (SELECT y, y1, x1 FROM l WHERE y1 IS NOT NULL),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+        |    sum(y1)::BIGINT AS s1, sum(x1)::BIGINT AS s2,
+        |    sum(y * y)::BIGINT AS syy, sum(y1 * y1)::BIGINT AS s11,
+        |    sum(x1 * x1)::BIGINT AS s22, sum(y1 * x1)::BIGINT AS s12,
+        |    sum(y * y1)::BIGINT AS sy1, sum(y * x1)::BIGINT AS sy2
+        |  FROM r),
+        |c AS (SELECT n,
+        |    syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE AS cyy,
+        |    s11::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE AS c11,
+        |    s22::DOUBLE - s2::DOUBLE * s2::DOUBLE / n::DOUBLE AS c22,
+        |    s12::DOUBLE - s1::DOUBLE * s2::DOUBLE / n::DOUBLE AS c12,
+        |    sy1::DOUBLE - sy::DOUBLE * s1::DOUBLE / n::DOUBLE AS cy1,
+        |    sy2::DOUBLE - sy::DOUBLE * s2::DOUBLE / n::DOUBLE AS cy2
+        |  FROM g),
+        |f AS (SELECT n,
+        |    cyy - cy1 * cy1 / nullif(c11, 0.0) AS ssr_r,
+        |    cyy - ((cy1 * c22 - cy2 * c12) * cy1 +
+        |      (cy2 * c11 - cy1 * c12) * cy2) /
+        |      nullif(c11 * c22 - c12 * c12, 0.0) AS ssr_u
+        |  FROM c)
+        |SELECT n, round(ssr_r, 6) AS ssr_r, round(ssr_u, 6) AS ssr_u,
+        |  round(CASE WHEN n >= 4 THEN (ssr_r - ssr_u) /
+        |    nullif(ssr_u / (n::DOUBLE - 3.0::DOUBLE), 0.0) END, 6) AS f
+        |FROM f""".stripMargin,
+
+    // exact integer sufficient stats, deviation argmax with smallest-t
+    // tie-break
+    "x302_grubbs" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::BIGINT AS v FROM events GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n, sum(v)::BIGINT AS sk,
+        |    sum(v * v)::BIGINT AS sk2 FROM daily),
+        |j AS (SELECT t, v, n, sk,
+        |    abs(v::DOUBLE - sk::DOUBLE / n::DOUBLE) AS dev,
+        |    CASE WHEN n >= 2 THEN
+        |      (sk2::DOUBLE - sk::DOUBLE * sk / n::DOUBLE) /
+        |        (n::DOUBLE - 1.0::DOUBLE) END AS vr
+        |  FROM daily CROSS JOIN a),
+        |r AS (SELECT *, row_number() OVER (ORDER BY dev DESC, t) AS rk
+        |  FROM j)
+        |SELECT n, round(sk::DOUBLE / n::DOUBLE, 6) AS mean,
+        |  round(sqrt(vr), 6) AS sd, t AS t_out,
+        |  round(v::DOUBLE, 6) AS v_out,
+        |  round(dev / sqrt(nullif(vr, 0.0)), 6) AS g
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    // cents-exact per-group sufficient stats; 9-dp ln terms; ln-term
+    // liveness gate mirrors the Spark __kln guard
+    "x303_bartlett" ->
+      """WITH byg AS (SELECT event_type AS g, count(*)::BIGINT AS n,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS sk,
+        |    sum(round(value * 100)::BIGINT *
+        |      round(value * 100)::BIGINT)::BIGINT AS sk2
+        |  FROM events GROUP BY 1),
+        |terms AS (SELECT g, n,
+        |    (sk2::DOUBLE - sk::DOUBLE * sk / n::DOUBLE) *
+        |      (1.0::DOUBLE / (100.0::DOUBLE * 100.0::DOUBLE)) AS ssw,
+        |    round((n::DOUBLE - 1.0::DOUBLE) * ln(nullif(
+        |      CASE WHEN n >= 2 THEN
+        |        (sk2::DOUBLE - sk::DOUBLE * sk / n::DOUBLE) *
+        |          (1.0::DOUBLE / (100.0::DOUBLE * 100.0::DOUBLE)) /
+        |          (n::DOUBLE - 1.0::DOUBLE) END, 0.0)), 9) AS lnv,
+        |    round(1.0::DOUBLE / (n::DOUBLE - 1.0::DOUBLE), 9) AS inv
+        |  FROM byg),
+        |g AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+        |    sum(ssw) AS sswt, sum(lnv) AS slnv, sum(inv) AS sinv,
+        |    min(n)::BIGINT AS minn, count(lnv)::BIGINT AS kln
+        |  FROM terms)
+        |SELECT k, n, round(CASE WHEN minn >= 2 AND k >= 2 AND kln = k
+        |  THEN ((n::DOUBLE - k::DOUBLE) *
+        |      ln(sswt / (n::DOUBLE - k::DOUBLE)) - slnv) /
+        |    (1.0::DOUBLE + (sinv - 1.0::DOUBLE /
+        |      (n::DOUBLE - k::DOUBLE)) /
+        |      (3.0::DOUBLE * (k::DOUBLE - 1.0::DOUBLE))) END, 6) AS chi2
+        |FROM g""".stripMargin,
+
+    // cents-exact w_i and means; 9-dp k-bounded term sums; the
+    // Welch-Satterthwaite denominator
+    "x304_welch_anova" ->
+      """WITH byg AS (SELECT event_type AS g, count(*)::BIGINT AS n,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS sk,
+        |    sum(round(value * 100)::BIGINT *
+        |      round(value * 100)::BIGINT)::BIGINT AS sk2
+        |  FROM events GROUP BY 1),
+        |rws AS (SELECT g, n, sk::DOUBLE / n::DOUBLE AS mean,
+        |    n::DOUBLE / nullif(CASE WHEN n >= 2 THEN
+        |      (sk2::DOUBLE - sk::DOUBLE * sk / n::DOUBLE) /
+        |        (n::DOUBLE - 1.0::DOUBLE) END, 0.0) AS w
+        |  FROM byg),
+        |tot AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+        |    sum(round(w, 9)) AS sw, sum(round(w * mean, 9)) AS swm,
+        |    min(n)::BIGINT AS minn,
+        |    bool_and(w IS NOT NULL) AS allv FROM rws),
+        |j AS (SELECT rws.n AS ng, k, tot.n AS n, minn, allv, sw,
+        |    round(w * (mean - swm / sw) * (mean - swm / sw), 9) AS bt,
+        |    round((1.0::DOUBLE - w / sw) * (1.0::DOUBLE - w / sw) /
+        |      (rws.n::DOUBLE - 1.0::DOUBLE), 9) AS h
+        |  FROM rws CROSS JOIN tot),
+        |g2 AS (SELECT max(k)::BIGINT AS k, max(n)::BIGINT AS n,
+        |    sum(bt) AS sbt, sum(h) AS sh, max(minn)::BIGINT AS minn,
+        |    bool_and(allv) AS allv FROM j)
+        |SELECT k, n, round(CASE WHEN minn >= 2 AND k >= 2 AND allv
+        |    THEN (sbt / (k::DOUBLE - 1.0::DOUBLE)) /
+        |      (1.0::DOUBLE + 2.0::DOUBLE * (k::DOUBLE - 2.0::DOUBLE) /
+        |        (k::DOUBLE * k::DOUBLE - 1.0::DOUBLE) * sh) END, 6)
+        |    AS w_stat,
+        |  (k - 1)::BIGINT AS df1,
+        |  round(CASE WHEN minn >= 2 AND k >= 2 AND allv THEN
+        |    (k::DOUBLE * k::DOUBLE - 1.0::DOUBLE) /
+        |      (3.0::DOUBLE * nullif(sh, 0.0)) END, 6) AS df2
+        |FROM g2""".stripMargin,
+
     // the rankSum collapse; S(k) closed-form exact longs around the
     // fold point (nn+1)//2; tie-mean scores one division each
     "x297_ansari_bradley" ->

@@ -4646,6 +4646,225 @@ object Stats {
         .as("z"))
   }
 
+  /** Granger causality (lag-1) — "do yesterday's x's help predict
+    * today's y beyond y's own history" (clicks → purchases, errors →
+    * churn; predictive precedence, not causation): F-test of
+    * {{{
+    *   y_t = a + b·y_{t−1} + c·x_{t−1}   vs   y_t = a + b·y_{t−1}
+    *   F = (SSR_r − SSR_u) / (SSR_u / (n − 3))     ~ F(1, n−3)
+    * }}}
+    * Both SSRs come from CLOSED-FORM centered sufficient statistics
+    * (the 2×2 normal equations solved symbolically — no iteration),
+    * with all raw sums exact longs via `scale`-quantization. Series
+    * gaps are zero-filled against the shared t-grid (an absent day IS
+    * a zero count, not a missing observation).
+    *
+    * Scale shape: a ROLLED-UP series op — two lags over one bounded
+    * single-partition window, one scalar collapse.
+    *
+    * @return one row (n, ssr_r, ssr_u, f) — 6-dp; f NULL when SSR_u = 0
+    *         (perfect fit) or n < 4
+    */
+  def grangerLag1(ydf: DataFrame, xdf: DataFrame, tCol: String,
+                  vCol: String, scale: Long = 1L): DataFrame = {
+    def q(df: DataFrame, name: String) = df
+      .select(F.col(tCol).cast("long").as("t"),
+        F.round(F.col(vCol).cast("double") * scale).cast("long").as(name))
+    val grid = q(ydf, "__y").join(q(xdf, "__x"), Seq("t"), "full")
+      .select(F.col("t"), F.coalesce(F.col("__y"), F.lit(0L)).as("__y"),
+        F.coalesce(F.col("__x"), F.lit(0L)).as("__x"))
+    val w = Window.orderBy("t")
+    val rows = grid
+      .withColumn("__y1", F.lag("__y", 1).over(w))
+      .withColumn("__x1", F.lag("__x", 1).over(w))
+      .filter(F.col("__y1").isNotNull)
+    val g = rows.agg(F.count(F.lit(1)).as("n"),
+      F.sum("__y").as("__sy"), F.sum("__y1").as("__s1"),
+      F.sum("__x1").as("__s2"),
+      F.sum(F.col("__y") * F.col("__y")).as("__syy"),
+      F.sum(F.col("__y1") * F.col("__y1")).as("__s11"),
+      F.sum(F.col("__x1") * F.col("__x1")).as("__s22"),
+      F.sum(F.col("__y1") * F.col("__x1")).as("__s12"),
+      F.sum(F.col("__y") * F.col("__y1")).as("__sy1"),
+      F.sum(F.col("__y") * F.col("__x1")).as("__sy2"))
+    val nD = F.col("n").cast("double")
+    def c(spq: Column, sp: Column, sq: Column) =
+      spq.cast("double") - sp.cast("double") * sq.cast("double") / nD
+    val cyy = c(F.col("__syy"), F.col("__sy"), F.col("__sy"))
+    val c11 = c(F.col("__s11"), F.col("__s1"), F.col("__s1"))
+    val c22 = c(F.col("__s22"), F.col("__s2"), F.col("__s2"))
+    val c12 = c(F.col("__s12"), F.col("__s1"), F.col("__s2"))
+    val cy1 = c(F.col("__sy1"), F.col("__sy"), F.col("__s1"))
+    val cy2 = c(F.col("__sy2"), F.col("__sy"), F.col("__s2"))
+    val ssrR = cyy - cy1 * cy1 / F.nullif(c11, F.lit(0.0))
+    val det = c11 * c22 - c12 * c12
+    // β = [S]⁻¹·Sy symbolically; explained SS = β·Sy
+    val expl = ((cy1 * c22 - cy2 * c12) * cy1 +
+      (cy2 * c11 - cy1 * c12) * cy2) / F.nullif(det, F.lit(0.0))
+    val ssrU = cyy - expl
+    val f = F.when(F.col("n") >= 4L,
+      (ssrR - ssrU) / F.nullif(ssrU / (nD - 3.0), F.lit(0.0)))
+    g.select(F.col("n"), F.round(ssrR, 6).as("ssr_r"),
+      F.round(ssrU, 6).as("ssr_u"), F.round(f, 6).as("f"))
+  }
+
+  /** Grubbs' test — the PARAMETRIC single-outlier screen (the Gaussian
+    * sibling of the x103 MAD rule: one suspicious point, normal data
+    * assumed): G = max|x − x̄|/s, reported with the offending point.
+    * `scale`-quantized inputs make every sufficient statistic exact;
+    * the argmax tie-breaks on smallest t (engine-replayable).
+    *
+    * Scale shape: one exact collapse, one broadcast back for the
+    * deviation scan, a 1-row argmax via rank-filter.
+    *
+    * @return one row (n, mean, sd, t_out, v_out, g) — 6-dp; sd/g NULL
+    *         when n < 2 or the series is constant
+    */
+  def grubbs(series: DataFrame, tCol: Column, valueCol: Column,
+             scale: Long = 1L): DataFrame = {
+    val s = series.select(tCol.cast("long").as("__t"),
+      F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .filter(F.col("__t").isNotNull && F.col("__k").isNotNull)
+    val agg = s.agg(F.count(F.lit(1)).as("n"), F.sum("__k").as("__sk"),
+      F.sum(F.col("__k") * F.col("__k")).as("__sk2"))
+    val nD = F.col("n").cast("double")
+    val sD = F.lit(scale.toDouble)
+    val varK = F.when(F.col("n") >= 2L,
+      (F.col("__sk2").cast("double") -
+        F.col("__sk").cast("double") * F.col("__sk") / nD) / (nD - 1.0))
+    val j = s.crossJoin(F.broadcast(agg))
+      .withColumn("__dev",
+        F.abs(F.col("__k").cast("double") -
+          F.col("__sk").cast("double") / nD))
+      .withColumn("__rk", F.row_number().over(
+        Window.orderBy(F.col("__dev").desc, F.col("__t"))))
+      .filter(F.col("__rk") === 1)
+    j.select(F.col("n"),
+      F.round(F.col("__sk").cast("double") / nD / sD, 6).as("mean"),
+      F.round(F.sqrt(varK) / sD, 6).as("sd"),
+      F.col("__t").as("t_out"),
+      F.round(F.col("__k").cast("double") / sD, 6).as("v_out"),
+      F.round(F.col("__dev") / F.sqrt(F.nullif(varK, F.lit(0.0))), 6)
+        .as("g"))
+  }
+
+  /** Bartlett's test for homogeneity of variances — the PARAMETRIC
+    * k-group scale test ([[brownForsythe]] is the robust one; Bartlett
+    * is the textbook χ² when normality holds, and the sensitivity-
+    * to-outliers contrast between the two is itself a diagnostic):
+    * {{{
+    *   χ² = [(N−k)·ln s²_p − Σ(n_i−1)·ln s²_i] / C,
+    *   C  = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1))
+    * }}}
+    * `scale`-quantized values make every per-group sufficient statistic
+    * an exact long, so each s²_i is closed-form bit-identical; ln terms
+    * round 9 dp before the k-bounded sums.
+    *
+    * Scale shape: one keyed collapse to k rows, scalar algebra on them.
+    *
+    * @return one row (k, n, chi2) — 6-dp; NULL when any group has
+    *         n_i < 2 or zero variance (ln domain)
+    */
+  def bartlett(df: DataFrame, keyCol: Column, valueCol: Column,
+               scale: Long = 1L): DataFrame = {
+    val byG = df.select(keyCol.cast("string").as("__g"),
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .filter(F.col("__k").isNotNull)
+      .groupBy("__g")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__sk"),
+        F.sum(F.col("__k") * F.col("__k")).as("__sk2"))
+    val nD = F.col("__n").cast("double")
+    val s2 = F.lit(1.0) / (F.lit(scale).cast("double") * F.lit(scale))
+    val ssw = (F.col("__sk2").cast("double") -
+      F.col("__sk").cast("double") * F.col("__sk") / nD) * s2
+    val vi = F.when(F.col("__n") >= 2L, ssw / (nD - 1.0))
+    val terms = byG
+      .withColumn("__ssw", ssw)
+      .withColumn("__lnv", F.round((nD - 1.0) *
+        F.log(F.nullif(vi, F.lit(0.0))), 9))
+      .withColumn("__inv", F.round(F.lit(1.0) / (nD - 1.0), 9))
+    val g = terms.agg(F.count(F.lit(1)).as("k"), F.sum("__n").as("n"),
+      F.sum("__ssw").as("__sswt"), F.sum("__lnv").as("__slnv"),
+      F.sum("__inv").as("__sinv"),
+      F.min(F.col("__n")).as("__minn"),
+      // a zero-variance group NULLs its ln term; sum() would silently
+      // skip it — count the live terms and gate on all k present
+      F.count(F.col("__lnv")).as("__kln"))
+    val kD = F.col("k").cast("double")
+    val nTot = F.col("n").cast("double")
+    val sp2 = F.col("__sswt") / (nTot - kD)
+    val num = (nTot - kD) * F.log(sp2) - F.col("__slnv")
+    val corr = F.lit(1.0) +
+      (F.col("__sinv") - F.lit(1.0) / (nTot - kD)) /
+        (F.lit(3.0) * (kD - 1.0))
+    g.select(F.col("k"), F.col("n"),
+      F.round(F.when(F.col("__minn") >= 2L && F.col("k") >= 2L &&
+        F.col("__kln") === F.col("k"), num / corr), 6).as("chi2"))
+  }
+
+  /** Welch's ANOVA — k-group mean comparison WITHOUT the equal-variance
+    * assumption ([[anovaF]]'s pooled variance lies when groups have
+    * different spreads — exactly what [[bartlett]] detects):
+    * {{{
+    *   w_i = n_i/s²_i,  x̃ = Σw_i x̄_i / Σw_i,
+    *   W = [Σw_i(x̄_i−x̃)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Σh_i],
+    *   h_i = (1 − w_i/Σw)²/(n_i−1),  df₂ = (k²−1)/(3Σh_i)
+    * }}}
+    * `scale`-quantized sufficient statistics (exact longs) make w_i and
+    * x̄_i bit-identical; the k-bounded term sums round 9 dp.
+    *
+    * Scale shape: one keyed collapse to k rows, one 1-row broadcast
+    * back for the x̃-centered pass.
+    *
+    * @return one row (k, n, w_stat, df1, df2) — 6-dp; NULL when any
+    *         group has n_i < 2 or zero variance
+    */
+  def welchAnova(df: DataFrame, keyCol: Column, valueCol: Column,
+                 scale: Long = 1L): DataFrame = {
+    val byG = df.select(keyCol.cast("string").as("__g"),
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .filter(F.col("__k").isNotNull)
+      .groupBy("__g")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__sk"),
+        F.sum(F.col("__k") * F.col("__k")).as("__sk2"))
+    val nD = F.col("__n").cast("double")
+    // everything in quantized units — W and df are scale-invariant
+    val vK = F.when(F.col("__n") >= 2L,
+      (F.col("__sk2").cast("double") -
+        F.col("__sk").cast("double") * F.col("__sk") / nD) / (nD - 1.0))
+    val rows = byG
+      .withColumn("__mean", F.col("__sk").cast("double") / nD)
+      .withColumn("__w", nD / F.nullif(vK, F.lit(0.0)))
+      .withColumn("__wm", F.round(F.col("__w") * F.col("__mean"), 9))
+    val tot = rows.agg(F.count(F.lit(1)).as("k"), F.sum("__n").as("n"),
+      F.sum(F.round(F.col("__w"), 9)).as("__sw"),
+      F.sum("__wm").as("__swm"), F.min("__n").as("__minn"),
+      F.min(F.col("__w").isNotNull).as("__allv"))
+    val j = rows.crossJoin(F.broadcast(tot))
+      .withColumn("__xt", F.col("__swm") / F.col("__sw"))
+      .withColumn("__bt", F.round(F.col("__w") *
+        (F.col("__mean") - F.col("__xt")) *
+        (F.col("__mean") - F.col("__xt")), 9))
+      .withColumn("__h", F.round(
+        (F.lit(1.0) - F.col("__w") / F.col("__sw")) *
+          (F.lit(1.0) - F.col("__w") / F.col("__sw")) /
+          (nD - 1.0), 9))
+    val g2 = j.agg(F.max("k").as("k"), F.max("n").as("n"),
+      F.sum("__bt").as("__sbt"), F.sum("__h").as("__sh"),
+      F.max("__minn").as("__minn"), F.max("__allv").as("__allv"))
+    val kD = F.col("k").cast("double")
+    val ok = F.col("__minn") >= 2L && F.col("k") >= 2L && F.col("__allv")
+    val w = (F.col("__sbt") / (kD - 1.0)) /
+      (F.lit(1.0) + F.lit(2.0) * (kD - 2.0) / (kD * kD - 1.0) *
+        F.col("__sh"))
+    g2.select(F.col("k"), F.col("n"),
+      F.round(F.when(ok, w), 6).as("w_stat"),
+      (F.col("k") - 1L).as("df1"),
+      F.round(F.when(ok, (kD * kD - 1.0) /
+        (F.lit(3.0) * F.nullif(F.col("__sh"), F.lit(0.0)))), 6)
+        .as("df2"))
+  }
+
   /** Ansari–Bradley test — the NONPARAMETRIC two-sample scale test (the
     * rank sibling of [[brownForsythe]]: does class 1's value SPREAD
     * differ, no normality assumed): rank from both ends inward with

@@ -5002,6 +5002,56 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ((6L, 4L, 2L, 4L, 3.0, 1.0, 3.0, 1.788854)), got)
   }
 
+  test("grangerLag1: y=lag(x) gives SSR_u=0 NULL F; noisy variant F=54.5") {
+    import graft.ops.Stats
+    def series(vs: Seq[Long]) =
+      vs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+        .toDF("t", "v")
+    val x = series(Seq(1L, 3L, 2L, 5L, 4L, 6L))
+    val perfect = Stats.grangerLag1(series(Seq(0L, 1L, 3L, 2L, 5L, 4L)),
+      x, "t", "v").as[(Long, Double, Double, Option[Double])].head()
+    assert(perfect == ((5L, 7.567568, 0.0, None)), perfect)
+    val noisy = Stats.grangerLag1(series(Seq(0L, 1L, 3L, 2L, 5L, 5L)),
+      x, "t", "v").as[(Long, Double, Double, Option[Double])].head()
+    assert(noisy == ((5L, 7.567568, 0.267857, Some(54.504505))), noisy)
+  }
+
+  test("grubbs: 100 among 1..4 flagged at G=1.788; constant series NULLs") {
+    import graft.ops.Stats
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0),
+      (5L, 100.0)).toDF("t", "v")
+    val got = Stats.grubbs(df, F.col("t"), F.col("v"))
+      .as[(Long, Double, Double, Long, Double, Double)].head()
+    assert(got == ((5L, 22.0, 43.617657, 5L, 100.0, 1.788267)), got)
+    val const = Seq((1L, 5.0), (2L, 5.0)).toDF("t", "v")
+    val c = Stats.grubbs(const, F.col("t"), F.col("v"))
+      .select("g").collect().head
+    assert(c.isNullAt(0), c.toString)
+  }
+
+  test("bartlett: var 1 vs 100 chi2=5.182; zero-variance group NULLs") {
+    import graft.ops.Stats
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(10.0, 20.0, 30.0).map(("b", _))).toDF("g", "v")
+    val got = Stats.bartlett(df, F.col("g"), F.col("v"))
+      .as[(Long, Long, Double)].head()
+    assert(got == ((2L, 6L, 5.182042)), got)
+    val degen = (Seq(1.0, 2.0).map(("a", _)) ++
+      Seq(7.0, 7.0).map(("b", _))).toDF("g", "v")
+    val d = Stats.bartlett(degen, F.col("g"), F.col("v"))
+      .select("chi2").collect().head
+    assert(d.isNullAt(0), d.toString)
+  }
+
+  test("welchAnova: means 2 vs 4, unequal variances — W=2.4, df2=2.94") {
+    import graft.ops.Stats
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0).map(("b", _))).toDF("g", "v")
+    val got = Stats.welchAnova(df, F.col("g"), F.col("v"))
+      .as[(Long, Long, Double, Long, Double)].head()
+    assert(got == ((2L, 6L, 2.4, 1L, 2.941176)), got)
+  }
+
   test("ansariBradley: end-in scores 1,2,3,2,1; tie-averaged variant z=0") {
     import graft.ops.Stats
     val df = Seq((1.0, true), (2.0, false), (3.0, true), (4.0, false),
