@@ -168,12 +168,24 @@ object Graph {
       .filter(F.col("w") >= minCount)
   }
 
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
+  /** Canonical undirected edge list: (min, max) pairs, self-loops
+    * dropped, deduped — the shared prelude of every triangle-family op. */
+  private def canonicalUndirected(edges: DataFrame, srcCol: String,
+                                  dstCol: String): DataFrame =
+    edges
       .select(F.least(F.col(srcCol), F.col(dstCol)).as("a"),
         F.greatest(F.col(srcCol), F.col(dstCol)).as("b"))
       .filter(F.col("a") =!= F.col("b"))
       .distinct()
+
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangleCountsCanon(canonicalUndirected(edges, srcCol, dstCol))
+
+  /** [[triangleCounts]] body, starting from an already-canonical edge
+    * list — callers that also need degrees ([[localClustering]]) pass a
+    * localCheckpoint'd `und` so the upstream edge build (often a corpus
+    * pair-explode) executes ONCE, not once per consumer. */
+  private def triangleCountsCanon(und: DataFrame): DataFrame = {
     val deg = und.select(F.col("a").as("node"))
       .unionAll(und.select(F.col("b").as("node")))
       .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
@@ -223,24 +235,23 @@ object Graph {
     *
     * Scale shape: [[triangleCounts]]'s oriented-wedge join does the
     * heavy lifting; the census adds one degree rollup and a broadcast
-    * of the 1-row global readout. The edge list is deduped/canonical
-    * first, so the input scan happens twice (degrees + triangles) over
-    * the bounded edge table, not the raw corpus.
+    * of the 1-row global readout. The canonical edge list is
+    * localCheckpoint'd once and shared by both passes — the upstream
+    * edge build (a corpus pair-explode) executes exactly once.
     *
     * @return per node (node, deg, n_tri, lcc, avg_lcc, transitivity)
     *         ordered by node — 6-dp
     */
   def localClustering(edges: DataFrame, srcCol: String,
                       dstCol: String): DataFrame = {
-    val und = edges
-      .select(F.least(F.col(srcCol), F.col(dstCol)).as("a"),
-        F.greatest(F.col(srcCol), F.col(dstCol)).as("b"))
-      .filter(F.col("a") =!= F.col("b"))
-      .distinct()
+    // materialize the canonical edge list once: the degree rollup AND
+    // the triangle pass both start here, and the upstream edge build
+    // (x300: the lineitem co-purchase pair-explode) must not run twice
+    val und = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
     val deg = und.select(F.col("a").as("node"))
       .unionAll(und.select(F.col("b").as("node")))
       .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
-    val tri = triangleCounts(edges, srcCol, dstCol)
+    val tri = triangleCountsCanon(und)
     val nodes = deg.join(tri, Seq("node"), "left")
       .withColumn("n_tri", F.coalesce(F.col("n_tri"), F.lit(0L)))
       .withColumn("lcc", F.round(F.when(F.col("deg") >= 2L,
