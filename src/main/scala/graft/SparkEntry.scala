@@ -2816,6 +2816,35 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // periodogram: which cycle actually dominates the daily series —
+    // the measured answer to x193/x294's assumed season=7
+    "x305_periodogram" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.periodogram(daily, "t", "v", maxK = 30)
+    }),
+
+    // entropy rate of the x102 behavior chain: how predictable is the
+    // next action — perplexity as effective next-action count
+    "x306_entropy_rate" -> ((s, dir) =>
+      graft.ops.EventOps.entropyRate(
+        s.read.parquet(s"$dir/events.parquet"))),
+
+    // decision-stump Gini gain: which single token best splits en vs
+    // rest — the feature-selection primitive under x49's classifier
+    "x307_stump_gain" -> ((s, dir) =>
+      TextOps.stumpGain(s.read.parquet(s"$dir/documents.parquet"),
+        F.col("lang") === "en", "doc_id", "text", minDf = 5, topK = 30)),
+
+    // Cochran's C: WHICH event type owns the value variance — the
+    // pointed follow-up to x303's rejected homogeneity
+    "x308_cochran_c" -> ((s, dir) =>
+      graft.ops.Stats.cochranC(s.read.parquet(s"$dir/events.parquet"),
+        F.col("event_type"), F.col("value"), scale = 100L)),
+
     // Granger lag-1: do yesterday's clicks predict today's purchases
     // beyond purchase history — predictive precedence on the day grid
     "x301_granger" -> ((s, dir) => {
@@ -9030,6 +9059,115 @@ object SparkEntry {
 
     // the x178 scored CTE; decile bins, informative-bin gate, 9-dp
     // terms, df follows the bins actually used
+    // integer (k·i) mod T angle reduction before the one cos/sin
+    // touch; 9-dp trig terms; smallest-k peak tie-break
+    "x305_periodogram" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::DOUBLE AS v FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS tn, sum(v) AS sv FROM daily),
+        |idx AS (SELECT (row_number() OVER (ORDER BY t) - 1)::BIGINT
+        |    AS i, v - sv / tn::DOUBLE AS c, tn
+        |  FROM daily CROSS JOIN tot),
+        |terms AS (SELECT k, tn,
+        |    round(c * cos(6.283185307179586 *
+        |      ((k * i) % tn)::DOUBLE / tn::DOUBLE), 9) AS ct,
+        |    round(c * sin(6.283185307179586 *
+        |      ((k * i) % tn)::DOUBLE / tn::DOUBLE), 9) AS st
+        |  FROM idx CROSS JOIN (SELECT unnest(range(1, 31))::BIGINT AS k)
+        |  WHERE k <= tn // 2),
+        |byk AS (SELECT k, max(tn) AS t2, sum(ct) AS sc, sum(st) AS ss
+        |  FROM terms GROUP BY k),
+        |p AS (SELECT k, t2, round(sc * sc + ss * ss, 6) AS power
+        |  FROM byk),
+        |r AS (SELECT *, row_number() OVER (ORDER BY power DESC, k)
+        |    AS rk FROM p)
+        |SELECT k, round(t2::DOUBLE / k::DOUBLE, 6) AS period, power,
+        |  (rk = 1) AS is_peak
+        |FROM r ORDER BY k""".stripMargin,
+
+    // the x102 lag collapse; cell terms two exact-long divisions and
+    // one 9-dp ln product
+    "x306_entropy_rate" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_us(ts) AS tu, event_id AS eid FROM events),
+        |l AS (SELECT et AS next_type,
+        |    lag(et) OVER (PARTITION BY u ORDER BY tu, eid) AS prev_type
+        |  FROM e),
+        |cells AS (SELECT prev_type, next_type, count(*)::BIGINT AS nij
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT prev_type, sum(nij)::BIGINT AS ni FROM cells
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(nij)::BIGINT AS nt FROM cells),
+        |terms AS (SELECT round(nij::DOUBLE / nt::DOUBLE *
+        |      ln(nij::DOUBLE / ni::DOUBLE), 9) AS t, nt, prev_type
+        |  FROM cells JOIN rt USING (prev_type) CROSS JOIN tot),
+        |g AS (SELECT max(nt)::BIGINT AS n_transitions,
+        |    count(DISTINCT prev_type)::BIGINT AS k_states,
+        |    sum(t) AS st FROM terms)
+        |SELECT n_transitions, k_states, round(-st, 6) AS h_rate,
+        |  round(-st / nullif(ln(k_states::DOUBLE), 0.0), 6) AS h_norm,
+        |  round(exp(-st), 6) AS perplexity
+        |FROM g""".stripMargin,
+
+    // the x109 doc-distinct explode; exact-count Gini algebra; gain
+    // ranking engine-stable (bit-identical trees)
+    "x307_stump_gain" ->
+      """WITH docs AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(trim(coalesce(text, ''))),
+        |        '\s+'), x -> length(x) > 0)) AS toks
+        |  FROM documents),
+        |dt AS (SELECT y, unnest(toks) AS t FROM docs),
+        |cells AS (SELECT t, count(*)::BIGINT AS df,
+        |    sum(y)::BIGINT AS pos1 FROM dt GROUP BY t
+        |  HAVING count(*) >= 5),
+        |tot AS (SELECT count(*)::BIGINT AS bn, sum(y)::BIGINT AS bp
+        |  FROM docs),
+        |g AS (SELECT t, df, pos1, bn, bp, (bn - df)::BIGINT AS n0,
+        |    pos1::DOUBLE / df::DOUBLE AS p1,
+        |    (bp - pos1)::DOUBLE / nullif((bn - df)::DOUBLE, 0.0) AS p0
+        |  FROM cells CROSS JOIN tot),
+        |gain AS (SELECT t, df, pos1, p1, p0, round(
+        |    2.0::DOUBLE * (bp::DOUBLE / bn::DOUBLE) *
+        |      (1.0::DOUBLE - bp::DOUBLE / bn::DOUBLE) -
+        |    df::DOUBLE / bn::DOUBLE *
+        |      (2.0::DOUBLE * p1 * (1.0::DOUBLE - p1)) -
+        |    coalesce(n0::DOUBLE / bn::DOUBLE *
+        |      (2.0::DOUBLE * p0 * (1.0::DOUBLE - p0)), 0.0), 6) AS gain
+        |  FROM g),
+        |r AS (SELECT *, row_number() OVER (ORDER BY gain DESC, t)
+        |    AS rk FROM gain)
+        |SELECT t AS token, df, pos1 AS n_pos_has, round(p1, 6) AS p_has,
+        |  round(p0, 6) AS p_not, gain
+        |FROM r WHERE rk <= 30 ORDER BY gain DESC, token""".stripMargin,
+
+    // cents-exact 9-dp group variances; variance-share argmax with
+    // group-name tie-break
+    "x308_cochran_c" ->
+      """WITH byg AS (SELECT event_type AS g, count(*)::BIGINT AS n,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS sk,
+        |    sum(round(value * 100)::BIGINT *
+        |      round(value * 100)::BIGINT)::BIGINT AS sk2
+        |  FROM events GROUP BY 1),
+        |rws AS (SELECT g, n, round(CASE WHEN n >= 2 THEN
+        |    (sk2::DOUBLE - sk::DOUBLE * sk / n::DOUBLE) /
+        |      (n::DOUBLE - 1.0::DOUBLE) *
+        |      (1.0::DOUBLE / (100.0::DOUBLE * 100.0::DOUBLE)) END, 9)
+        |    AS vi
+        |  FROM byg),
+        |tot AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+        |    sum(vi) AS sv2, count(vi)::BIGINT AS kv FROM rws),
+        |r AS (SELECT rws.g, vi, k, tot.n AS n, sv2, kv,
+        |    row_number() OVER (ORDER BY vi DESC NULLS LAST, rws.g)
+        |      AS rk
+        |  FROM rws CROSS JOIN tot)
+        |SELECT k, n, g AS g_max, round(vi, 6) AS s2_max,
+        |  round(sv2, 6) AS s2_sum,
+        |  round(CASE WHEN kv = k THEN vi / nullif(sv2, 0.0) END, 6)
+        |    AS c
+        |FROM r WHERE rk = 1""".stripMargin,
+
     // zero-filled day grid, integer lag pairs, symbolic 2x2 normal
     // equations — restricted-vs-unrestricted SSR F
     "x301_granger" ->

@@ -431,6 +431,52 @@ object EventOps {
         F.col("n").cast("double") / F.sum("n").over(typeTotals), 6))
   }
 
+  /** Entropy rate of the behavior Markov chain — HOW predictable is the
+    * next action given the current one (the scalar readout of
+    * [[transitionMatrix]]: 0 bits = deterministic flows, ln k = pure
+    * noise; a drop between releases means a funnel got railroaded):
+    * {{{
+    *   H = −Σ_ij (n_ij/N)·ln(n_ij/n_i·)    (empirical π weighting)
+    * }}}
+    * Cell terms are bit-identical (two IEEE divisions of exact longs, a
+    * 9-dp-rounded ln product); perplexity e^H is the "effective next-
+    * action count", h_norm = H/ln k the 0–1 predictability scale.
+    *
+    * Scale shape: the [[transitionMatrix]] collapse (user-keyed lag,
+    * k²-bounded cell table), then scalar algebra on the cells.
+    *
+    * @return one row (n_transitions, k_states, h_rate, h_norm,
+    *         perplexity) — 6-dp; h_norm NULL when k = 1
+    */
+  def entropyRate(events: DataFrame, userCol: String = "user_id",
+                  tieCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol)
+      .orderBy(tsUs(events).asc, F.col(tieCol).asc)
+    val cells = events
+      .withColumn("prev_type", F.lag(F.col("event_type"), 1).over(byUser))
+      .filter(F.col("prev_type").isNotNull)
+      .groupBy(F.col("prev_type"), F.col("event_type").as("next_type"))
+      .agg(F.count(F.lit(1)).as("__nij"))
+    val rowTot = cells.groupBy("prev_type")
+      .agg(F.sum("__nij").as("__ni"))
+    val tot = cells.agg(F.sum("__nij").as("__N"))
+    val terms = cells.join(F.broadcast(rowTot), Seq("prev_type"))
+      .crossJoin(F.broadcast(tot))
+      .withColumn("__t", F.round(
+        F.col("__nij").cast("double") / F.col("__N").cast("double") *
+          F.log(F.col("__nij").cast("double") /
+            F.col("__ni").cast("double")), 9))
+    val g = terms.agg(F.max("__N").as("n_transitions"),
+      F.countDistinct("prev_type").as("k_states"),
+      F.sum("__t").as("__st"))
+    val h = -F.col("__st")
+    g.select(F.col("n_transitions"), F.col("k_states"),
+      F.round(h, 6).as("h_rate"),
+      F.round(h / F.nullif(F.log(F.col("k_states").cast("double")),
+        F.lit(0.0)), 6).as("h_norm"),
+      F.round(F.exp(h), 6).as("perplexity"))
+  }
+
   /** Active-session concurrency per hour: how many [[sessionize]]d
     * sessions overlap each hour bucket — the capacity/load timeline
     * (peak concurrent users) without a global ordered sweep. The classic

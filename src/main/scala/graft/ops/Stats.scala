@@ -4646,6 +4646,102 @@ object Stats {
         .as("z"))
   }
 
+  /** Discrete periodogram — WHICH cycle dominates a series ("is this
+    * weekly or monthly seasonality" asked of the data instead of
+    * assumed, the upstream question for [[snaiveBacktest]]'s season
+    * parameter): DFT power at integer frequencies k = 1..maxK over the
+    * mean-centered series,
+    * {{{
+    *   P_k = (Σ c_t·cos(2πkt/T))² + (Σ c_t·sin(2πkt/T))²
+    * }}}
+    * Angles reduce through the exact integer (k·t) mod T before the one
+    * libm cos/sin touch; trig terms round 9 dp before the orderless
+    * sums; the peak flag tie-breaks on smallest k.
+    *
+    * Scale shape: a ROLLED-UP series op — the T×maxK term grid is
+    * bounded (days × candidate periods); one grouped collapse per k.
+    *
+    * @return per k (k, period, power, is_peak) ordered by k — 6-dp
+    */
+  def periodogram(series: DataFrame, tCol: String, vCol: String,
+                  maxK: Int = 30): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    val TwoPi = 6.283185307179586
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+      F.col(vCol).cast("double").as("__v"))
+    val tot = s.agg(F.count(F.lit(1)).as("__tn"), F.sum("__v").as("__sv"))
+    val idx = s.crossJoin(F.broadcast(tot))
+      .withColumn("__i",
+        F.row_number().over(Window.orderBy("__t")).cast("long") - 1L)
+      .withColumn("__c",
+        F.col("__v") - F.col("__sv") / F.col("__tn").cast("double"))
+    val terms = idx
+      // greatest(1, …) + re-filter: sequence(1, 0) would DESCEND on a
+      // degenerate 1-point series instead of being empty
+      .withColumn("__k", F.explode(F.sequence(F.lit(1L),
+        F.greatest(F.lit(1L),
+          F.least(F.lit(maxK.toLong), (F.col("__tn") / 2).cast("long"))))))
+      .filter(F.col("__k") <= (F.col("__tn") / 2).cast("long"))
+      .withColumn("__ang", F.lit(TwoPi) *
+        ((F.col("__k") * F.col("__i")) % F.col("__tn")).cast("double") /
+        F.col("__tn").cast("double"))
+      .withColumn("__ct", F.round(F.col("__c") * F.cos(F.col("__ang")), 9))
+      .withColumn("__st", F.round(F.col("__c") * F.sin(F.col("__ang")), 9))
+    val byK = terms.groupBy("__k")
+      .agg(F.max("__tn").as("__tn2"), F.sum("__ct").as("__sc"),
+        F.sum("__st").as("__ss"))
+      .withColumn("power", F.round(F.col("__sc") * F.col("__sc") +
+        F.col("__ss") * F.col("__ss"), 6))
+    byK.withColumn("__rk", F.row_number().over(
+        Window.orderBy(F.col("power").desc, F.col("__k"))))
+      .select(F.col("__k").as("k"),
+        F.round(F.col("__tn2").cast("double") /
+          F.col("__k").cast("double"), 6).as("period"),
+        F.col("power"), (F.col("__rk") === 1).as("is_peak"))
+      .orderBy("k")
+  }
+
+  /** Cochran's C — which single group owns the variance ("is the
+    * spread homogeneity failure ONE bad cohort or everywhere", the
+    * pointed follow-up to a rejected [[bartlett]]): C = max s²_i / Σs²_i
+    * with the offending group named. Exceeding the C table's critical
+    * value flags that group as the variance outlier. `scale`-quantized
+    * exact sufficient statistics; argmax tie-breaks on group name.
+    *
+    * Scale shape: one keyed collapse to k rows, one rank-filter.
+    *
+    * @return one row (k, n, g_max, s2_max, s2_sum, c) — 6-dp; NULL
+    *         c when any group has n_i < 2 or all variances are 0
+    */
+  def cochranC(df: DataFrame, keyCol: Column, valueCol: Column,
+               scale: Long = 1L): DataFrame = {
+    val byG = df.select(keyCol.cast("string").as("__g"),
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .filter(F.col("__k").isNotNull)
+      .groupBy("__g")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__sk"),
+        F.sum(F.col("__k") * F.col("__k")).as("__sk2"))
+    val nD = F.col("__n").cast("double")
+    val s2 = F.lit(1.0) / (F.lit(scale).cast("double") * F.lit(scale))
+    val vi = F.when(F.col("__n") >= 2L,
+      (F.col("__sk2").cast("double") -
+        F.col("__sk").cast("double") * F.col("__sk") / nD) /
+        (nD - 1.0) * s2)
+    val rows = byG.withColumn("__vi", F.round(vi, 9))
+    val g = rows.agg(F.count(F.lit(1)).as("k"), F.sum("__n").as("n"),
+      F.sum("__vi").as("__sv2"), F.count("__vi").as("__kv"))
+    rows.crossJoin(F.broadcast(g))
+      .withColumn("__rk", F.row_number().over(
+        Window.orderBy(F.col("__vi").desc_nulls_last, F.col("__g"))))
+      .filter(F.col("__rk") === 1)
+      .select(F.col("k"), F.col("n"), F.col("__g").as("g_max"),
+        F.round(F.col("__vi"), 6).as("s2_max"),
+        F.round(F.col("__sv2"), 6).as("s2_sum"),
+        F.round(F.when(F.col("__kv") === F.col("k"),
+          F.col("__vi") / F.nullif(F.col("__sv2"), F.lit(0.0))), 6)
+          .as("c"))
+  }
+
   /** Granger causality (lag-1) — "do yesterday's x's help predict
     * today's y beyond y's own history" (clicks → purchases, errors →
     * churn; predictive precedence, not causation): F-test of

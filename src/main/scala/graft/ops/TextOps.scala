@@ -713,6 +713,62 @@ object TextOps {
       .withColumn("cum_types", F.sum("new_types").over(w))
   }
 
+  /** Decision-stump Gini gain per token — WHICH single token best
+    * splits the corpus on a binary label (the feature-selection
+    * primitive behind every "train a fasttext quality filter" loop, and
+    * the entropy-free sibling of [[chi2Tokens]]): for doc-level token
+    * presence splitting N docs (P positive) into has/has-not branches,
+    * {{{
+    *   gain = G(P/N) − (n₁/N)·G(p₁) − (n₀/N)·G(p₀),  G(p) = 2p(1−p)
+    * }}}
+    * Every input is an exact integer count, so gains are bit-identical
+    * expression trees — ranking on them is engine-stable.
+    *
+    * Scale shape: the [[chi2Tokens]] shape — doc-distinct token
+    * explode, vocab-bounded cell table joined to two broadcast 1-row/
+    * k-row totals; top-k is one rank-filter.
+    *
+    * @return top `topK` (token, df, n_pos_has, p_has, p_not, gain)
+    *         by gain desc, token asc — 6-dp
+    */
+  def stumpGain(df: DataFrame, labelCol: Column, idCol: String,
+                textCol: String, minDf: Int = 5,
+                topK: Int = 30): DataFrame = {
+    val docTok = df.select(
+        F.when(labelCol, 1L).otherwise(0L).as("__y"),
+        F.explode(F.array_distinct(F.filter(
+          F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))),
+            "\\s+"),
+          t => F.length(t) > 0))).as("__t"))
+    val tokCells = docTok.groupBy("__t")
+      .agg(F.count(F.lit(1)).as("__df"), F.sum("__y").as("__pos1"))
+      .filter(F.col("__df") >= minDf)
+    val tot = df.agg(F.count(F.lit(1)).as("__N"),
+      F.sum(F.when(labelCol, 1L).otherwise(0L)).as("__P"))
+    def gini(p: Column) = F.lit(2.0) * p * (F.lit(1.0) - p)
+    val cells = tokCells.crossJoin(F.broadcast(tot))
+      .withColumn("__n0", F.col("__N") - F.col("__df"))
+      .withColumn("__p1", F.col("__pos1").cast("double") /
+        F.col("__df").cast("double"))
+      .withColumn("__p0", (F.col("__P") - F.col("__pos1")).cast("double") /
+        F.nullif(F.col("__n0").cast("double"), F.lit(0.0)))
+      .withColumn("gain", F.round(
+        gini(F.col("__P").cast("double") / F.col("__N").cast("double")) -
+          F.col("__df").cast("double") / F.col("__N").cast("double") *
+            gini(F.col("__p1")) -
+          F.coalesce(F.col("__n0").cast("double") /
+            F.col("__N").cast("double") * gini(F.col("__p0")),
+            F.lit(0.0)), 6))
+    cells.withColumn("__rk", F.row_number().over(
+        Window.orderBy(F.col("gain").desc, F.col("__t"))))
+      .filter(F.col("__rk") <= topK)
+      .select(F.col("__t").as("token"), F.col("__df").as("df"),
+        F.col("__pos1").as("n_pos_has"),
+        F.round(F.col("__p1"), 6).as("p_has"),
+        F.round(F.col("__p0"), 6).as("p_not"), F.col("gain"))
+      .orderBy(F.col("gain").desc, F.col("token"))
+  }
+
   /** Yule's K characteristic (and Honoré's R) — the repetitiveness /
     * vocabulary-richness constants of a corpus, the [[heapsFit]] and
     * Zipf siblings that don't need a curve fit: from the token

@@ -5002,6 +5002,54 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ((6L, 4L, 2L, 4L, 3.0, 1.0, 3.0, 1.788854)), got)
   }
 
+  test("periodogram: period-4 square wave peaks at k=2 with power 16") {
+    import graft.ops.Stats
+    val df = Seq(1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0).zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("t", "v")
+    val got = Stats.periodogram(df, "t", "v")
+      .as[(Long, Double, Double, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 8.0, 0.0, false), (2L, 4.0, 16.0, true),
+      (3L, 2.666667, 0.0, false), (4L, 2.0, 0.0, false)), got)
+  }
+
+  test("entropyRate: alternating chain H=0; 2/3-1/3 split H=0.636514") {
+    import graft.ops.EventOps
+    def ev(types: Seq[String]) = types.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, 1L, (i + 1).toLong * 10L, t)
+    }.toDF("event_id", "user_id", "ns", "event_type")
+      .withColumn("ts", F.col("ns") * 1000000000L).drop("ns")
+    val alt = EventOps.entropyRate(ev(Seq("a", "b", "a", "b", "a")))
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(alt == ((4L, 2L, 0.0, 0.0, 1.0)), alt)
+    val skew = EventOps.entropyRate(ev(Seq("a", "a", "a", "b")))
+      .as[(Long, Long, Double, Option[Double], Double)].head()
+    // prev always 'a': H=−[⅔ln⅔+⅓ln⅓], k=1 → h_norm NULL
+    assert(skew == ((3L, 1L, 0.636514, None, 1.889882)), skew)
+  }
+
+  test("stumpGain: pure split gains 0.5, useless token gains 0") {
+    import graft.ops.TextOps
+    val docs = Seq((1L, "z w q", "en"), (2L, "z q r", "en"),
+      (3L, "w q r", "de"), (4L, "q r s", "de")).toDF("doc_id", "text", "lang")
+    val got = TextOps.stumpGain(docs, F.col("lang") === "en", "doc_id",
+        "text", minDf = 2, topK = 10)
+      .select("token", "df", "gain")
+      .as[(String, Long, Double)].collect().toSeq
+    // z {1,2} pure 0.5; r {2,3,4} partial: 0.5−0.75·G(⅓) = 1/6;
+    // q everywhere and w {1,3} balanced → 0; ties break token-asc
+    assert(got == Seq(("z", 2L, 0.5), ("r", 3L, 0.166667),
+      ("q", 4L, 0.0), ("w", 2L, 0.0)), got)
+  }
+
+  test("cochranC: variance 100-vs-1 gives C=100/101 naming group b") {
+    import graft.ops.Stats
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(10.0, 20.0, 30.0).map(("b", _))).toDF("g", "v")
+    val got = Stats.cochranC(df, F.col("g"), F.col("v"))
+      .as[(Long, Long, String, Double, Double, Double)].head()
+    assert(got == ((2L, 6L, "b", 100.0, 101.0, 0.990099)), got)
+  }
+
   test("grangerLag1: y=lag(x) gives SSR_u=0 NULL F; noisy variant F=54.5") {
     import graft.ops.Stats
     def series(vs: Seq[Long]) =
