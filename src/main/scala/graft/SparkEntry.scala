@@ -2816,6 +2816,31 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // KS separation of the x49 classifier score: the best single
+    // threshold and its TPR-FPR gap, next to x178's integrated AUC
+    "x309_ks_separation" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.ksSeparation(scored, F.col("quality_score"),
+        F.col("lang") === "en")
+    }),
+
+    // ARI + NMI: did the x09 language-ID partition find the real lang
+    // structure — permutation-invariant where x283's accuracy is not
+    "x310_ari_nmi" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Stats.ariNmi(d, F.col("lang"),
+        TextOps.langId(F.col("text")))
+    }),
+
+    // UMass coherence of the top-10 corpus tokens: do the dominant
+    // terms co-occur (topic) or just share the frequency head
+    "x311_umass_coherence" -> ((s, dir) =>
+      TextOps.umassCoherence(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        k = 10)),
+
     // periodogram: which cycle actually dominates the daily series —
     // the measured answer to x193/x294's assumed season=7
     "x305_periodogram" -> ((s, dir) => {
@@ -9059,6 +9084,127 @@ object SparkEntry {
 
     // the x178 scored CTE; decile bins, informative-bin gate, 9-dp
     // terms, df follows the bins actually used
+    // the x287 scored CTE; integer cumsums (exact rationals on the
+    // curve); lower-score argmax tie-break
+    "x309_ks_separation" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |byv AS (SELECT s AS v,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS np,
+         |    count(*)::BIGINT AS t FROM sc GROUP BY 1),
+         |tot AS (SELECT sum(np)::BIGINT AS pp,
+         |    (sum(t) - sum(np))::BIGINT AS nn FROM byv),
+         |curve AS (SELECT v, pp, nn,
+         |    sum(np) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW)::BIGINT AS cp,
+         |    sum(t - np) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW)::BIGINT AS cn
+         |  FROM byv CROSS JOIN tot),
+         |d AS (SELECT v, pp, nn,
+         |    abs(cp::DOUBLE / nullif(pp::DOUBLE, 0.0) -
+         |      cn::DOUBLE / nullif(nn::DOUBLE, 0.0)) AS diff
+         |  FROM curve),
+         |r AS (SELECT *, row_number() OVER (ORDER BY diff DESC NULLS
+         |    LAST, v) AS rk FROM d)
+         |SELECT pp AS n_pos, nn AS n_neg, round(diff, 6) AS ks,
+         |  round(v, 6) AS score_at
+         |FROM r WHERE rk = 1""".stripMargin
+    },
+
+    // the x283 predictor CTE; exact pair counts C(n,2); 9-dp MI and
+    // entropy cell terms; arithmetic NMI normalization
+    "x310_ari_nmi" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','is','in'))) AS en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','nicht'))) AS de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS fr,
+        |    len(list_filter(toks, x -> x IN ('el','los','las','y','es','un','que'))) AS es
+        |  FROM scored),
+        |pair AS (SELECT lang AS a,
+        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |       WHEN fr >= es AND fr > 0 THEN 'fr'
+        |       WHEN es > 0 THEN 'es'
+        |       ELSE 'und' END AS b
+        |  FROM hits),
+        |cells AS (SELECT a, b, count(*)::BIGINT AS nij FROM pair
+        |  GROUP BY 1, 2),
+        |am AS (SELECT a, sum(nij)::BIGINT AS ai FROM cells GROUP BY 1),
+        |bm AS (SELECT b, sum(nij)::BIGINT AS bj FROM cells GROUP BY 1),
+        |ag AS (SELECT count(*)::BIGINT AS k_a,
+        |    sum(ai * (ai - 1) / 2) AS sa, sum(ai)::BIGINT AS n FROM am),
+        |bg AS (SELECT count(*)::BIGINT AS k_b,
+        |    sum(bj * (bj - 1) / 2) AS sb FROM bm),
+        |cg AS (SELECT sum(nij * (nij - 1) / 2) AS sc2 FROM cells),
+        |mi AS (SELECT sum(round(nij::DOUBLE / n::DOUBLE *
+        |      ln(n::DOUBLE * nij::DOUBLE /
+        |        (ai::DOUBLE * bj::DOUBLE)), 9)) AS smi
+        |  FROM cells JOIN am USING (a) JOIN bm USING (b)
+        |    CROSS JOIN (SELECT n FROM ag)),
+        |ha AS (SELECT sum(round(-(ai::DOUBLE / n::DOUBLE) *
+        |    ln(ai::DOUBLE / n::DOUBLE), 9)) AS hha
+        |  FROM am CROSS JOIN (SELECT n FROM ag)),
+        |hb AS (SELECT sum(round(-(bj::DOUBLE / n::DOUBLE) *
+        |    ln(bj::DOUBLE / n::DOUBLE), 9)) AS hhb
+        |  FROM bm CROSS JOIN (SELECT n FROM ag)),
+        |f AS (SELECT n, k_a, k_b, sa, sb, sc2, smi, hha, hhb,
+        |    sa * sb / (n::DOUBLE * (n::DOUBLE - 1.0::DOUBLE) /
+        |      2.0::DOUBLE) AS e
+        |  FROM ag CROSS JOIN bg CROSS JOIN cg CROSS JOIN mi
+        |    CROSS JOIN ha CROSS JOIN hb)
+        |SELECT n, k_a, k_b,
+        |  round((sc2 - e) / nullif((sa + sb) / 2.0::DOUBLE - e, 0.0), 6)
+        |    AS ari,
+        |  round(smi / nullif((hha + hhb) / 2.0::DOUBLE, 0.0), 6) AS nmi
+        |FROM f""".stripMargin,
+
+    // doc-distinct census; integer-deterministic top-k; rank-ordered
+    // smoothed pair terms, full grid (absent pairs score ln(1/df_j))
+    "x311_umass_coherence" ->
+      """WITH dt AS (SELECT doc_id AS id, unnest(list_distinct(
+        |    list_filter(string_split_regex(lower(trim(coalesce(text,
+        |      ''))), '\s+'), x -> length(x) > 0))) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t, count(*)::BIGINT AS df FROM dt GROUP BY t),
+        |topt AS (SELECT t, df, rk FROM (SELECT t, df, row_number()
+        |    OVER (ORDER BY df DESC, t) AS rk FROM cnt) WHERE rk <= 10),
+        |hits AS (SELECT dt.id, dt.t, topt.rk, topt.df
+        |  FROM dt JOIN topt USING (t)),
+        |pairs AS (SELECT a.t AS wi, b.t AS wj, b.df AS dfj,
+        |    count(*)::BIGINT AS d_ij
+        |  FROM hits a JOIN hits b ON a.id = b.id AND a.rk < b.rk
+        |  GROUP BY 1, 2, 3),
+        |grid AS (SELECT a.t AS wi, b.t AS wj, b.df AS dfj
+        |  FROM topt a CROSS JOIN topt b WHERE a.rk < b.rk),
+        |terms AS (SELECT g.wi, g.wj,
+        |    coalesce(p.d_ij, 0)::BIGINT AS d_ij, g.dfj,
+        |    round(ln((coalesce(p.d_ij, 0) + 1)::DOUBLE /
+        |      g.dfj::DOUBLE), 9) AS term
+        |  FROM grid g LEFT JOIN pairs p ON g.wi = p.wi AND g.wj = p.wj),
+        |tot AS (SELECT round(sum(term), 6) AS coherence,
+        |    count(*)::BIGINT AS n_pairs FROM terms)
+        |SELECT wi, wj, d_ij, dfj AS d_j, term, n_pairs, coherence
+        |FROM terms CROSS JOIN tot ORDER BY wi, wj""".stripMargin,
+
     // integer (k·i) mod T angle reduction before the one cos/sin
     // touch; 9-dp trig terms; smallest-k peak tie-break
     "x305_periodogram" ->

@@ -4646,6 +4646,110 @@ object Stats {
         .as("z"))
   }
 
+  /** Kolmogorov–Smirnov separation of a classifier score — the max
+    * TPR−FPR gap over all thresholds (the credit-scoring "KS statistic":
+    * where [[aucExact]] integrates separation, KS reports the single
+    * best operating point and WHERE it is): with scores sorted
+    * descending, TPR and FPR are exact integer-cumsum rationals, so the
+    * whole curve is engine-exact; the argmax tie-breaks on the lower
+    * score (the more inclusive threshold).
+    *
+    * Scale shape: the [[rankSum]] discipline — subjects collapse
+    * map-side to distinct score values; one bounded value-domain window;
+    * a 1-row rank-filter.
+    *
+    * @return one row (n_pos, n_neg, ks, score_at) — 6-dp; NULL ks when
+    *         a class is empty
+    */
+  def ksSeparation(df: DataFrame, scoreCol: Column,
+                   labelCol: Column): DataFrame = {
+    val byV = df.select(scoreCol.cast("double").as("__v"),
+        F.when(labelCol, 1L).otherwise(0L).as("__p"))
+      .groupBy("__v")
+      .agg(F.sum("__p").as("__np"), F.count(F.lit(1)).as("__t"))
+    val tot = byV.agg(F.sum("__np").as("__pp"),
+      (F.sum("__t") - F.sum("__np")).as("__nn"))
+    val w = Window.orderBy(F.col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = byV.crossJoin(F.broadcast(tot))
+      .withColumn("__cp", F.sum("__np").over(w))
+      .withColumn("__cn", F.sum(F.col("__t") - F.col("__np")).over(w))
+      .withColumn("__diff", F.abs(
+        F.col("__cp").cast("double") /
+          F.nullif(F.col("__pp").cast("double"), F.lit(0.0)) -
+        F.col("__cn").cast("double") /
+          F.nullif(F.col("__nn").cast("double"), F.lit(0.0))))
+    curve.withColumn("__rk", F.row_number().over(
+        Window.orderBy(F.col("__diff").desc_nulls_last, F.col("__v"))))
+      .filter(F.col("__rk") === 1)
+      .select(F.col("__pp").as("n_pos"), F.col("__nn").as("n_neg"),
+        F.round(F.col("__diff"), 6).as("ks"),
+        F.round(F.col("__v"), 6).as("score_at"))
+  }
+
+  /** Adjusted Rand index + normalized mutual information between two
+    * partitions of the same rows — DID the clustering find the real
+    * structure (k-means cells vs gold labels, two dedup runs, source vs
+    * language), permutation-invariant where plain accuracy is not:
+    * {{{
+    *   ARI = (Σc − E) / (½(Σa+Σb) − E),  E = Σa·Σb / C(n,2)
+    *   NMI = MI / ((H_a + H_b)/2)        (arithmetic normalization)
+    * }}}
+    * Pair counts C(·,2) are exact longs; MI/entropy ln terms are cell-
+    * bounded and round 9 dp.
+    *
+    * Scale shape: one (a, b) contingency rollup (k_a·k_b cells), two
+    * margin rollups, scalar algebra.
+    *
+    * @return one row (n, k_a, k_b, ari, nmi) — 6-dp; ARI NULL when
+    *         either partition is a single block of everything (E equals
+    *         the max index), NMI NULL when both entropies are 0
+    */
+  def ariNmi(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    def c2(n: Column) = n * (n - 1L) / F.lit(2L)
+    val cells = df.select(aCol.cast("string").as("__a"),
+        bCol.cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__nij"))
+    val aM = cells.groupBy("__a").agg(F.sum("__nij").as("__ai"))
+      .agg(F.count(F.lit(1)).as("k_a"),
+        F.sum(c2(F.col("__ai"))).as("__sa"), F.sum("__ai").as("n"))
+    val bM = cells.groupBy("__b").agg(F.sum("__nij").as("__bj"))
+      .agg(F.count(F.lit(1)).as("k_b"),
+        F.sum(c2(F.col("__bj"))).as("__sb"))
+    val cS = cells.agg(F.sum(c2(F.col("__nij"))).as("__sc"))
+    // MI terms need the margins per cell — join them back, cell-bounded
+    val aTot = cells.groupBy("__a").agg(F.sum("__nij").as("__ai"))
+    val bTot = cells.groupBy("__b").agg(F.sum("__nij").as("__bj"))
+    val nRow = aM.select(F.col("n"))
+    val miTerms = cells.join(F.broadcast(aTot), "__a")
+      .join(F.broadcast(bTot), "__b").crossJoin(F.broadcast(nRow))
+      .withColumn("__mi", F.round(
+        F.col("__nij").cast("double") / F.col("n").cast("double") *
+          F.log(F.col("n").cast("double") * F.col("__nij").cast("double") /
+            (F.col("__ai").cast("double") * F.col("__bj").cast("double"))),
+        9))
+      .agg(F.sum("__mi").as("__smi"))
+    def entropy(m: DataFrame, c: String) = m.crossJoin(F.broadcast(nRow))
+      .withColumn("__h", F.round(
+        -(F.col(c).cast("double") / F.col("n").cast("double")) *
+          F.log(F.col(c).cast("double") / F.col("n").cast("double")), 9))
+      .agg(F.sum("__h").as(s"__h$c"))
+    val g = aM.crossJoin(F.broadcast(bM)).crossJoin(F.broadcast(cS))
+      .crossJoin(F.broadcast(miTerms))
+      .crossJoin(F.broadcast(entropy(aTot, "__ai")))
+      .crossJoin(F.broadcast(entropy(bTot, "__bj")))
+    val nD = F.col("n").cast("double")
+    val e = F.col("__sa").cast("double") * F.col("__sb").cast("double") /
+      (nD * (nD - 1.0) / 2.0)
+    val ari = (F.col("__sc").cast("double") - e) / F.nullif(
+      (F.col("__sa") + F.col("__sb")).cast("double") / 2.0 - e,
+      F.lit(0.0))
+    val nmi = F.col("__smi") / F.nullif(
+      (F.col("__h__ai") + F.col("__h__bj")) / 2.0, F.lit(0.0))
+    g.select(F.col("n"), F.col("k_a"), F.col("k_b"),
+      F.round(ari, 6).as("ari"), F.round(nmi, 6).as("nmi"))
+  }
+
   /** Discrete periodogram — WHICH cycle dominates a series ("is this
     * weekly or monthly seasonality" asked of the data instead of
     * assumed, the upstream question for [[snaiveBacktest]]'s season

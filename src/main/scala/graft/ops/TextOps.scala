@@ -713,6 +713,65 @@ object TextOps {
       .withColumn("cum_types", F.sum("new_types").over(w))
   }
 
+  /** UMass topic coherence of the corpus' top-k tokens — DO the
+    * dominant terms actually co-occur (a coherent topic) or is the
+    * frequency head just unrelated boilerplate (Mimno et al. 2011, the
+    * standard intrinsic score for topic/cluster keyword sets):
+    * {{{
+    *   C = Σ_{i<j} ln( (D(w_i, w_j) + 1) / D(w_j) )
+    * }}}
+    * over the rank-ordered top-k (pairs indexed so w_j is the RARER
+    * term, the UMass convention). Document counts are exact longs; each
+    * pair term is one ln of a rational, 9-dp rounded.
+    *
+    * Scale shape: one doc-distinct token census; the top-k (df desc,
+    * token asc — integer-deterministic) broadcast back to filter the
+    * doc-token table; co-occurrence via one self-join confined to docs
+    * containing top-k terms.
+    *
+    * @return per pair (wi, wj, d_ij, d_j, term) + corpus (k, coherence)
+    *         on every row, ordered (wi, wj) — 6-dp
+    */
+  def umassCoherence(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 10): DataFrame = {
+    require(k >= 2, s"need k >= 2 tokens for pairs, got $k")
+    val docTok = df.select(F.col(idCol).as("__id"),
+      F.explode(F.array_distinct(F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))),
+          "\\s+"),
+        t => F.length(t) > 0))).as("__t"))
+    val top = docTok.groupBy("__t").agg(F.count(F.lit(1)).as("__df"))
+      .withColumn("__rk", F.row_number().over(
+        Window.orderBy(F.col("__df").desc, F.col("__t"))))
+      .filter(F.col("__rk") <= k)
+    val hits = docTok.join(F.broadcast(top), "__t")
+    val pairs = hits.select(F.col("__id"), F.col("__t").as("wi"),
+        F.col("__rk").as("__ri"), F.col("__df").as("__dfi"))
+      .join(hits.select(F.col("__id"), F.col("__t").as("wj"),
+        F.col("__rk").as("__rj"), F.col("__df").as("__dfj")), "__id")
+      .filter(F.col("__ri") < F.col("__rj"))
+      .groupBy("wi", "wj", "__dfj").agg(F.count(F.lit(1)).as("d_ij"))
+    // absent pairs still score (smoothed +1 over 0) — build the full
+    // rank-pair grid and left-join the observed co-counts
+    val grid = top.select(F.col("__t").as("wi"), F.col("__rk").as("__ri"))
+      .crossJoin(top.select(F.col("__t").as("wj"), F.col("__rk").as("__rj"),
+        F.col("__df").as("__dfj")))
+      .filter(F.col("__ri") < F.col("__rj"))
+    val terms = grid.join(pairs.select("wi", "wj", "d_ij"),
+        Seq("wi", "wj"), "left")
+      .withColumn("d_ij", F.coalesce(F.col("d_ij"), F.lit(0L)))
+      .withColumn("term", F.round(F.log(
+        (F.col("d_ij") + 1L).cast("double") /
+          F.col("__dfj").cast("double")), 9))
+    val tot = terms.agg(F.round(F.sum("term"), 6).as("coherence"),
+      F.count(F.lit(1)).as("n_pairs"))
+    terms.crossJoin(F.broadcast(tot))
+      .select(F.col("wi"), F.col("wj"), F.col("d_ij"),
+        F.col("__dfj").as("d_j"), F.col("term"), F.col("n_pairs"),
+        F.col("coherence"))
+      .orderBy("wi", "wj")
+  }
+
   /** Decision-stump Gini gain per token — WHICH single token best
     * splits the corpus on a binary label (the feature-selection
     * primitive behind every "train a fasttext quality filter" loop, and

@@ -5002,6 +5002,48 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ((6L, 4L, 2L, 4L, 3.0, 1.0, 3.0, 1.788854)), got)
   }
 
+  test("ksSeparation: perfect split KS=1; interleaved 0.5 at low score") {
+    import graft.ops.Stats
+    val perfect = Seq((0.9, true), (0.8, true), (0.7, false),
+      (0.6, false)).toDF("s", "y")
+    val p = Stats.ksSeparation(perfect, F.col("s"), F.col("y"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(p == ((2L, 2L, 1.0, 0.8)), p)
+    val mixed = Seq((0.9, true), (0.7, false), (0.5, true), (0.3, false))
+      .toDF("s", "y")
+    val m = Stats.ksSeparation(mixed, F.col("s"), F.col("y"))
+      .as[(Long, Long, Double, Double)].head()
+    // diff 0.5 at both 0.9 and 0.5 — lower-score tie-break
+    assert(m == ((2L, 2L, 0.5, 0.5)), m)
+  }
+
+  test("ariNmi: identical partitions 1/1; independent grid −0.5/0") {
+    import graft.ops.Stats
+    val same = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val s = Stats.ariNmi(same, F.col("a"), F.col("b"))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(s == ((4L, 2L, 2L, 1.0, 1.0)), s)
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Stats.ariNmi(indep, F.col("a"), F.col("b"))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(i == ((4L, 2L, 2L, -0.5, 0.0)), i)
+  }
+
+  test("umassCoherence: 3-doc corpus — pair terms ln(3/2)+ln2+0") {
+    import graft.ops.TextOps
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.umassCoherence(docs, "doc_id", "text", k = 3)
+      .as[(String, String, Long, Long, Double, Long, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 2L, 0.405465108, 3L, 1.098612),
+      ("a", "c", 1L, 1L, 0.693147181, 3L, 1.098612),
+      ("b", "c", 0L, 1L, 0.0, 3L, 1.098612)), got)
+  }
+
   test("periodogram: period-4 square wave peaks at k=2 with power 16") {
     import graft.ops.Stats
     val df = Seq(1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0).zipWithIndex
