@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
 
@@ -437,6 +438,68 @@ object StreamOps {
       .agg(F.round(F.sum("__term"), 6).as("psi"),
         F.max("__tot").as("n"))
       .orderBy("win")
+  }
+
+  /** Streaming value histogram per event-time window — the mergeable
+    * bin-count rollup under [[quantilesOfValueBins]] (latency p95/p99,
+    * payload sizes, queue depths): values land in fixed-width bins, so
+    * the per-window state is (window × bins) counters no matter the
+    * event volume, and late data folds in until the watermark closes.
+    * Negative values clamp to bin 0 (the psiOfBinCounts edge rule:
+    * out-of-range must COUNT, not vanish); `maxBins` caps runaway
+    * domains (values past the cap land in the top bin, preserving
+    * totals — a visible saturation, not a silent drop).
+    */
+  def valueHistogramStream(values: DataFrame,
+                           valueCol: org.apache.spark.sql.Column,
+                           tsCol: String, windowDur: String,
+                           watermarkDelay: String, binWidth: Double,
+                           maxBins: Int = 1000): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    values
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(F.window(F.col(tsCol), windowDur).as("win"),
+        F.greatest(F.lit(0L),
+          F.least(F.floor(valueCol.cast("double") / binWidth),
+            F.lit(maxBins - 1L))).as("bin"))
+      .agg(F.count(F.lit(1)).as("n"))
+  }
+
+  /** Per-window quantiles from [[valueHistogramStream]]'s (win, bin, n)
+    * rows — the batch readout: for each probability p, the answer is
+    * the first bin whose cumulative count reaches ⌈p·n⌉, reported as
+    * the bin's [lo, hi) bounds. Error is bounded by `binWidth` BY
+    * CONSTRUCTION — the t-digest trade made distributable with plain
+    * integer counters (exact counts, mergeable across windows/shards,
+    * no per-value state).
+    *
+    * Scale shape: bins-per-window-bounded cum windows keyed by win;
+    * nothing subject-level survives the stream rollup.
+    *
+    * @return per (win, p): (win, n, p, bin, lo, hi) ordered by win, p
+    */
+  def quantilesOfValueBins(binCounts: DataFrame, binWidth: Double,
+                           probs: Seq[Double] = Seq(0.5, 0.95, 0.99))
+      : DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0,1], got $probs")
+    val w = Window.partitionBy("win").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("win")
+    val cum = binCounts
+      .withColumn("__cum", F.sum("n").over(w))
+      .withColumn("__n", F.sum("n").over(tot))
+    val probed = cum.withColumn("p",
+        F.explode(F.array(probs.map(F.lit): _*)))
+      .withColumn("__target",
+        F.ceil(F.col("p") * F.col("__n").cast("double")))
+      .filter(F.col("__cum") >= F.col("__target"))
+      .groupBy("win", "p")
+      .agg(F.min("bin").as("bin"), F.max("__n").as("n"))
+    probed.select(F.col("win"), F.col("n"), F.col("p"), F.col("bin"),
+        (F.col("bin").cast("double") * binWidth).as("lo"),
+        ((F.col("bin") + 1L).cast("double") * binWidth).as("hi"))
+      .orderBy("win", "p")
   }
 
   final case class Tok(ts: Timestamp, token: String)

@@ -506,6 +506,38 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming histogram quantiles: bin-exact p50/p95, late row folds " +
+      "in before the watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val vals = in.toDF().toDF("ts", "v")
+    val q = StreamOps.valueHistogramStream(vals, F.col("v"), "ts",
+        windowDur = "10 minutes", watermarkDelay = "2 minutes",
+        binWidth = 10.0)
+      .writeStream.format("memory").queryName("vbins")
+      .outputMode("append").start()
+    try {
+      // window 1: values 0..98 in-order, then 99 LATE (same window,
+      // inside the watermark) — counts must still read 10 per bin
+      in.addData((0 until 99).map(i => (ts(i % 10), i.toDouble)): _*)
+      q.processAllAvailable()
+      in.addData((ts(9), 99.0))
+      q.processAllAvailable()
+      in.addData((ts(40), 5.0)) // closes window 1
+      q.processAllAvailable()
+      val got = StreamOps.quantilesOfValueBins(
+          spark.table("vbins").filter(
+            F.col("win.start").cast("string") === "2026-01-01 10:00:00"),
+          binWidth = 10.0)
+        .select("n", "p", "bin", "lo", "hi")
+        .as[(Long, Double, Long, Double, Double)].collect().toSeq
+      // 10 per bin over 0..99: p50 → bin 4 [40,50); p95/p99 → bin 9
+      assert(got == Seq((100L, 0.5, 4L, 40.0, 50.0),
+        (100L, 0.95, 9L, 90.0, 100.0),
+        (100L, 0.99, 9L, 90.0, 100.0)), got)
+    } finally q.stop()
+  }
+
   test("streaming space-saving: hot token survives with valid bounds, " +
       "cold ones evict, state stays capacity-bounded") {
     implicit val sqlCtx = spark.sqlContext
