@@ -1205,4 +1205,53 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the 1-row class totals must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no unkeyed join:\n$p")
   }
+
+  test("ansariBradley + ksSeparation: subjects collapse map-side before " +
+      "the value-domain window; totals broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (df <- Seq(
+        graft.ops.Stats.ansariBradley(docs, F.col("n_chars"),
+          F.col("lang") === "en"),
+        graft.ops.Stats.ksSeparation(docs, F.col("n_chars") / 1000.0,
+          F.col("lang") === "en"))) {
+      val p = finalPlan(df).split("== Initial Plan ==")(0)
+      assert(p.contains("partial_count") || p.contains("Partial"),
+        s"expected the distinct-value collapse to partial-aggregate:\n$p")
+      assert(p.contains("Window"), s"expected the rank/cumsum window:\n$p")
+      assert(p.contains("BroadcastExchange") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"the 1-row totals must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no unkeyed join:\n$p")
+    }
+  }
+
+  test("stumpGain: vocab cells join broadcast totals; doc rows never " +
+      "shuffle-join; top-k is a rank filter") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.TextOps.stumpGain(docs, F.col("lang") === "en",
+      "doc_id", "text", minDf = 2, topK = 10)
+    val p = finalPlan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the doc-distinct token census must partial-aggregate:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row corpus totals must broadcast onto the cells:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing here is big-big — no shuffle join expected:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unkeyed join:\n$p")
+  }
+
+  test("localClustering: one checkpointed edge list feeds both passes — " +
+      "the co-purchase explode never re-derives") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val df = graft.ops.Graph.localClustering(
+      graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+        minCount = 2), "src", "dst")
+    val p = plan(df)
+    // lineage must start at the localCheckpoint, not replay the corpus
+    assert(!p.contains("Scan parquet"),
+      s"localClustering output must read the checkpointed edges:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected checkpoint scans at the plan's leaves:\n$p")
+  }
 }
