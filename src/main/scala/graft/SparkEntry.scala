@@ -2816,6 +2816,27 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // internal cluster quality under the x58 centroids: inertia,
+    // Davies-Bouldin, Calinski-Harabasz — no labels needed
+    "x312_cluster_quality" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+      Similarity.clusterQuality(emb, "vec_id", "embedding", SemCentroids)
+    }),
+
+    // stationary distribution of the x102 chain: where sessions settle
+    // long-run — driver-solved power iteration on the bounded matrix
+    "x313_stationary" -> ((s, dir) =>
+      graft.ops.EventOps.stationaryDist(
+        s.read.parquet(s"$dir/events.parquet"), iters = 32)),
+
+    // eta2/omega2/Cohen's f: HOW MUCH value variance event_type
+    // explains — the effect-size readout x187's F only gates
+    "x314_anova_effects" -> ((s, dir) =>
+      graft.ops.Stats.anovaEffects(s.read.parquet(s"$dir/events.parquet"),
+        F.col("event_type"), F.col("value"), scale = 100L)),
+
     // KS separation of the x49 classifier score: the best single
     // threshold and its TPR-FPR gap, next to x178's integrated AUC
     "x309_ks_separation" -> ((s, dir) => {
@@ -9084,6 +9105,143 @@ object SparkEntry {
 
     // the x178 scored CTE; decile bins, informative-bin gate, 9-dp
     // terms, df follows the bins actually used
+    // the x58 centroid VALUES + argmin assignment; 9-dp per-dim and
+    // per-row distance terms; k-row index algebra
+    "x312_cluster_quality" -> {
+      val cvals = SemCentroids.zipWithIndex.map { case (c, i) =>
+        c.mkString(s"($i, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings
+         |), cent(cell, c) AS (VALUES $cvals),
+         |asg AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT b.vec_id, b.v, cent.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (b.v[i] - cent.c[i]) * (b.v[i] - cent.c[i]))),
+         |        cent.cell) AS rk
+         |    FROM base b CROSS JOIN cent)
+         |  WHERE rk = 1
+         |), d2 AS (
+         |  SELECT asg.cell, round(list_sum(list_transform(range(1, 65),
+         |    i -> (asg.v[i] - cent.c[i]) * (asg.v[i] - cent.c[i]))), 9)
+         |    AS d2
+         |  FROM asg JOIN cent USING (cell)
+         |), cs AS (
+         |  SELECT cell, count(*)::BIGINT AS nc, sum(d2) AS w,
+         |    sum(round(sqrt(d2), 9)) AS sd
+         |  FROM d2 GROUP BY cell
+         |), dm AS (
+         |  SELECT i, sum(x) / count(*)::DOUBLE AS xbar FROM (
+         |    SELECT unnest(range(1, 65)) AS i, unnest(v) AS x FROM base)
+         |  GROUP BY i
+         |), cp AS (
+         |  SELECT cell, unnest(range(1, 65)) AS i, unnest(c) AS cv
+         |  FROM cent
+         |), bpc AS (
+         |  SELECT cell, sum(round((cv - xbar) * (cv - xbar), 9)) AS cb
+         |  FROM cp JOIN dm USING (i) GROUP BY cell
+         |), dij AS (
+         |  SELECT a.cell AS ci, b.cell AS cj,
+         |    sqrt(sum(round((a.cv - b.cv) * (a.cv - b.cv), 9))) AS dij
+         |  FROM cp a JOIN cp b ON a.i = b.i AND a.cell <> b.cell
+         |  GROUP BY 1, 2
+         |), sg AS (SELECT cell, sd / nc::DOUBLE AS sigma FROM cs),
+         |pairsc AS (
+         |  SELECT ci, round(max((si.sigma + sj.sigma) /
+         |    nullif(dij, 0.0)), 9) AS worst
+         |  FROM dij JOIN sg si ON si.cell = ci JOIN sg sj ON sj.cell = cj
+         |  GROUP BY ci
+         |), db AS (SELECT sum(worst) AS sw, count(*)::BIGINT AS kp
+         |  FROM pairsc),
+         |wj AS (SELECT sum(nc::DOUBLE * cb) AS b, sum(nc)::BIGINT AS n,
+         |    count(*)::BIGINT AS kc, sum(w) AS wt
+         |  FROM bpc JOIN cs USING (cell))
+         |SELECT 4::BIGINT AS k, n, round(wt, 6) AS inertia,
+         |  round(CASE WHEN kp = 4 THEN sw / 4.0::DOUBLE END, 6)
+         |    AS db_index,
+         |  round(CASE WHEN kc = 4 AND n > 4 THEN (b / 3.0::DOUBLE) /
+         |    nullif(wt / (n::DOUBLE - 4.0::DOUBLE), 0.0) END, 6)
+         |    AS ch_index
+         |FROM wj CROSS JOIN db""".stripMargin
+    },
+
+    // the x102 collapse; 32 renormalized 9-dp power-iteration rounds
+    // unrolled as generated CTEs (matches the driver solve exactly)
+    "x313_stationary" -> {
+      val iters = (1 to 32).map { t =>
+        val prev = if (t == 1) "it0" else s"it${t - 1}"
+        s"""un$t AS (SELECT pm.j AS s, sum($prev.p * pm.p) AS v
+           |  FROM $prev JOIN pm ON $prev.s = pm.i GROUP BY pm.j),
+           |z$t AS (SELECT sum(v) AS z FROM un$t),
+           |it$t AS MATERIALIZED (SELECT st.s,
+           |    round(coalesce(un$t.v, 0.0) / z$t.z, 9) AS p
+           |  FROM states st LEFT JOIN un$t ON st.s = un$t.s
+           |  CROSS JOIN z$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id AS u, event_type AS et,
+         |    epoch_us(ts) AS tu, event_id AS eid FROM events),
+         |l AS (SELECT et AS next_type,
+         |    lag(et) OVER (PARTITION BY u ORDER BY tu, eid) AS prev_type
+         |  FROM e),
+         |cells AS MATERIALIZED (SELECT prev_type, next_type, count(*)::BIGINT AS nij
+         |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT prev_type, sum(nij)::BIGINT AS ni FROM cells
+         |  GROUP BY 1),
+         |states AS MATERIALIZED (SELECT DISTINCT prev_type AS s FROM cells),
+         |pm AS MATERIALIZED (SELECT c.prev_type AS i, c.next_type AS j,
+         |    c.nij::DOUBLE / rt.ni::DOUBLE AS p
+         |  FROM cells c JOIN rt USING (prev_type)
+         |    JOIN states st ON st.s = c.next_type),
+         |kk AS (SELECT count(*)::BIGINT AS k FROM states),
+         |it0 AS (SELECT s, 1.0::DOUBLE / k::DOUBLE AS p
+         |  FROM states CROSS JOIN kk),
+         |$iters,
+         |tot AS (SELECT sum(nij)::BIGINT AS total FROM cells),
+         |raw AS (SELECT next_type AS s, sum(nij)::BIGINT AS c
+         |  FROM cells GROUP BY 1)
+         |SELECT it32.s AS state, round(it32.p, 6) AS pi,
+         |  round(coalesce(raw.c, 0)::DOUBLE / tot.total::DOUBLE, 6)
+         |    AS p_raw
+         |FROM it32 LEFT JOIN raw ON it32.s = raw.s CROSS JOIN tot
+         |ORDER BY state""".stripMargin
+    },
+
+    // cents-exact sufficient stats; ALL-POSITIVE 9-dp SSB/SSW terms
+    // (the icc1 rule); omega2's MSW correction
+    "x314_anova_effects" ->
+      """WITH byg AS (SELECT event_type AS g, count(*)::BIGINT AS n,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS sk,
+        |    sum(round(value * 100)::BIGINT *
+        |      round(value * 100)::BIGINT)::BIGINT AS sk2
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+        |    sum(sk)::BIGINT AS tsk FROM byg),
+        |j AS (SELECT byg.n AS ng, byg.sk, byg.sk2, tot.k, tot.n,
+        |    tot.tsk::DOUBLE / tot.n::DOUBLE AS grand,
+        |    byg.sk::DOUBLE / byg.n::DOUBLE AS meang
+        |  FROM byg CROSS JOIN tot),
+        |t2 AS (SELECT k, n,
+        |    round(ng::DOUBLE * (meang - grand) * (meang - grand) *
+        |      (1.0::DOUBLE / (100.0::DOUBLE * 100.0::DOUBLE)), 9) AS bt,
+        |    round((sk2::DOUBLE - sk::DOUBLE * sk / ng::DOUBLE) *
+        |      (1.0::DOUBLE / (100.0::DOUBLE * 100.0::DOUBLE)), 9) AS wg
+        |  FROM j),
+        |g AS (SELECT max(k)::BIGINT AS k, max(n)::BIGINT AS n,
+        |    sum(bt) AS ssb, sum(wg) AS ssw FROM t2),
+        |f AS (SELECT k, n, ssb, ssw, ssb + ssw AS sst,
+        |    ssw / nullif(n::DOUBLE - k::DOUBLE, 0.0) AS msw,
+        |    ssb / nullif(ssb + ssw, 0.0) AS eta2 FROM g)
+        |SELECT k, n, round(ssb, 6) AS ss_between,
+        |  round(ssw, 6) AS ss_within, round(eta2, 6) AS eta2,
+        |  round((ssb - (k::DOUBLE - 1.0::DOUBLE) * msw) /
+        |    nullif(sst + msw, 0.0), 6) AS omega2,
+        |  round(sqrt(eta2 / nullif(1.0::DOUBLE - eta2, 0.0)), 6)
+        |    AS cohens_f
+        |FROM f""".stripMargin,
+
     // the x287 scored CTE; integer cumsums (exact rationals on the
     // curve); lower-score argmax tie-break
     "x309_ks_separation" -> {

@@ -477,6 +477,70 @@ object EventOps {
       F.round(F.exp(h), 6).as("perplexity"))
   }
 
+  /** Stationary distribution of the behavior Markov chain — WHERE does
+    * a user's session settle in the long run (the steady-state share of
+    * each action, which raw frequencies only approximate when sessions
+    * are short): π = πP by power iteration. The k²-bounded transition
+    * matrix collapses distributed, then the iteration runs DRIVER-SIDE
+    * on the collected matrix (the x241 bradleyTerry rule: chaining k
+    * tiny rounds through DataFrame joins re-scans the corpus per round)
+    * — π quantizes to 9 dp each round over sorted keys, so the whole
+    * trajectory is engine-replayable.
+    *
+    * Scale shape: ONE corpus-scale collapse ([[transitionMatrix]]'s
+    * user-keyed lag); the driver holds k² doubles and k·iters work.
+    *
+    * @return per state (state, pi, p_raw) ordered by state — 6-dp; pi
+    *         the stationary share, p_raw the plain next-event share
+    */
+  def stationaryDist(events: DataFrame, iters: Int = 32,
+                     userCol: String = "user_id",
+                     tieCol: String = "event_id"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val byUser = Window.partitionBy(userCol)
+      .orderBy(tsUs(events).asc, F.col(tieCol).asc)
+    val cells = events
+      .withColumn("prev_type", F.lag(F.col("event_type"), 1).over(byUser))
+      .filter(F.col("prev_type").isNotNull)
+      .groupBy(F.col("prev_type"), F.col("event_type").as("next_type"))
+      .agg(F.count(F.lit(1)).as("__nij"))
+      .collect()
+    val rowTot = cells.groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(2)).sum }
+    val total = cells.map(_.getLong(2)).sum.toDouble
+    // the chain runs over states seen as SOURCES (an absorbing terminal
+    // next-only state has no outgoing row); transitions into unseen
+    // sources redistribute by renormalization each round
+    val states = rowTot.keys.toArray.sorted
+    val p: Map[(String, String), Double] = cells.map { r =>
+      (r.getString(0), r.getString(1)) ->
+        r.getLong(2).toDouble / rowTot(r.getString(0)).toDouble
+    }.toMap
+    def r9(x: Double): Double = Similarity.round6HalfAway(x * 1000.0) / 1000.0
+    var pi = states.map(_ => 1.0 / states.length)
+    var it = 0
+    while (it < iters) {
+      val nxt = states.map { j =>
+        var s = 0.0
+        states.indices.foreach { i => // sorted-key order: deterministic
+          s += pi(i) * p.getOrElse((states(i), j), 0.0)
+        }
+        s
+      }
+      val z = nxt.sum
+      pi = nxt.map(v => r9(if (z > 0) v / z else 1.0 / states.length))
+      it += 1
+    }
+    val rawTot = cells.groupBy(_.getString(1))
+      .map { case (s, rs) => s -> rs.map(_.getLong(2)).sum }
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+    states.zip(pi).map { case (s, v) =>
+      (s, Similarity.round6HalfAway(v),
+        Similarity.round6HalfAway(rawTot.getOrElse(s, 0L).toDouble / total))
+    }.toSeq.toDF("state", "pi", "p_raw").orderBy("state")
+  }
+
   /** Active-session concurrency per hour: how many [[sessionize]]d
     * sessions overlap each hour bucket — the capacity/load timeline
     * (peak concurrent users) without a global ordered sweep. The classic

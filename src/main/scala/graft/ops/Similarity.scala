@@ -1009,6 +1009,100 @@ object Similarity {
       .select(F.col(idCol), F.col("cell"), F.col("dist"))
   }
 
+  /** Internal clustering-quality indices under FIXED centroids — is this
+    * partition of the embedding space any good, without labels
+    * ([[Stats.ariNmi]] needs truth; these don't): inertia (k-means'
+    * own objective), Davies–Bouldin (mean worst-neighbor
+    * (σ_i+σ_j)/d_ij — lower is better), Calinski–Harabasz
+    * ((B/(k−1))/(W/(n−k)) — higher is better).
+    * {{{
+    *   σ_c = mean ‖x − c‖,  W = Σ‖x − c‖²,
+    *   B = Σ_c n_c·‖c − x̄‖²   (x̄ = the data's per-dim mean)
+    * }}}
+    * Per-row distance terms are the [[kmeansAssign]] j-ascending HOF
+    * sums, 9-dp rounded; centroid–centroid and centroid–mean distances
+    * come from the (cell, pos) explode so both engines sum the same
+    * positive per-dim squares.
+    *
+    * Scale shape: one assignment projection + one (cell) rollup + one
+    * (pos) rollup over the corpus; everything after runs on k-row /
+    * 64-row / k²-row tables.
+    *
+    * @return one row (k, n, inertia, db_index, ch_index) — 6-dp; DB/CH
+    *         NULL when k < 2 or a cell is empty (its σ is undefined)
+    */
+  def clusterQuality(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.length >= 2, "need k >= 2 centroids")
+    val k = centroids.length
+    val centLit = F.array(centroids.map(c => F.array(c.map(F.lit): _*)): _*)
+    val assigned = assignCells(emb.select(F.col(idCol), F.col(vecCol)),
+        vecCol, centroids)
+      .withColumn("__d2", F.round(
+        F.aggregate(
+          F.zip_with(F.col(vecCol).cast("array<double>"),
+            F.element_at(centLit, F.col("cell") + F.lit(1)),
+            (x, y) => (x - y) * (x - y)),
+          F.lit(0.0d), (acc, x) => acc + x), 9))
+    val cellStats = assigned.groupBy("cell")
+      .agg(F.count(F.lit(1)).as("__nc"),
+        F.sum("__d2").as("__w"),
+        F.sum(F.round(F.sqrt(F.col("__d2")), 9)).as("__sd"))
+      .withColumn("__sigma", F.col("__sd") / F.col("__nc").cast("double"))
+    val dimMeans = emb
+      .select(F.posexplode(F.col(vecCol).cast("array<double>"))
+        .as(Seq("pos", "__x")))
+      .groupBy("pos").agg(F.sum("__x").as("__sx"),
+        F.count(F.lit(1)).as("__nd"))
+      .withColumn("__xbar", F.col("__sx") / F.col("__nd").cast("double"))
+      .select("pos", "__xbar")
+    val spark0 = emb.sparkSession
+    import spark0.implicits._
+    val centDf = centroids.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, p) => (i, p, v) }
+    }.toSeq.toDF("cell", "pos", "__cv")
+    // B terms: per-cell squared distance of the centroid to the data mean
+    val bPerCell = centDf.join(F.broadcast(dimMeans), Seq("pos"))
+      .withColumn("__sq", F.round((F.col("__cv") - F.col("__xbar")) *
+        (F.col("__cv") - F.col("__xbar")), 9))
+      .groupBy("cell").agg(F.sum("__sq").as("__cb"))
+    // centroid-centroid distances from the same per-dim explode
+    val a = centDf.select(F.col("cell").as("__i"), F.col("pos"),
+      F.col("__cv").as("__va"))
+    val b = centDf.select(F.col("cell").as("__j"), F.col("pos"),
+      F.col("__cv").as("__vb"))
+    val dij = a.join(b, Seq("pos")).filter(F.col("__i") =!= F.col("__j"))
+      .withColumn("__sq", F.round((F.col("__va") - F.col("__vb")) *
+        (F.col("__va") - F.col("__vb")), 9))
+      .groupBy("__i", "__j").agg(F.sqrt(F.sum("__sq")).as("__dij"))
+    val pairScores = dij
+      .join(F.broadcast(cellStats.select(F.col("cell").as("__i"),
+        F.col("__sigma").as("__si"))), Seq("__i"))
+      .join(F.broadcast(cellStats.select(F.col("cell").as("__j"),
+        F.col("__sigma").as("__sj"))), Seq("__j"))
+      .withColumn("__r", (F.col("__si") + F.col("__sj")) /
+        F.nullif(F.col("__dij"), F.lit(0.0)))
+      .groupBy("__i").agg(F.round(F.max("__r"), 9).as("__worst"))
+    val db = pairScores.agg(F.sum("__worst").as("__sw"),
+      F.count(F.lit(1)).as("__kp"))
+    val wJoin = bPerCell
+      .join(F.broadcast(cellStats), Seq("cell"))
+      .agg(F.sum(F.col("__nc").cast("double") * F.col("__cb")).as("__b"),
+        F.sum("__nc").as("n"), F.count(F.lit(1)).as("__kc"),
+        F.sum("__w").as("__wt"))
+    val nD = F.col("n").cast("double")
+    val ok = F.col("__kc") === k && F.col("n") > k
+    wJoin.crossJoin(F.broadcast(db))
+      .select(F.lit(k.toLong).as("k"), F.col("n"),
+        F.round(F.col("__wt"), 6).as("inertia"),
+        F.round(F.when(F.col("__kp") === k,
+          F.col("__sw") / k.toDouble), 6).as("db_index"),
+        F.round(F.when(ok,
+          (F.col("__b") / (k - 1).toDouble) /
+            F.nullif(F.col("__wt") / (nD - k.toDouble), F.lit(0.0))), 6)
+          .as("ch_index"))
+  }
+
   /** [[pqQuantize]] in OPQ's rotated coordinates: codes/recon_err for
     * R·x. R orthogonal ⇒ recon_err equals the original-space error. */
   def opqQuantize(corpus: DataFrame, vecCol: String,

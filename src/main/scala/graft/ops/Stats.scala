@@ -4646,6 +4646,62 @@ object Stats {
         .as("z"))
   }
 
+  /** ANOVA effect sizes — HOW MUCH of the variance the grouping
+    * explains, where [[anovaF]]'s F only says whether it's nonzero
+    * (η² the raw share, ω² its small-sample-unbiased correction,
+    * Cohen's f the power-analysis input [[mdePower]] wants):
+    * {{{
+    *   η² = SSB/SST,  ω² = (SSB − (k−1)·MSW)/(SST + MSW),
+    *   f  = √(η²/(1−η²))
+    * }}}
+    * SSB comes from ALL-POSITIVE per-group terms n_g(x̄_g − x̄)² (the
+    * icc1 tri-scale rule) over `scale`-quantized exact sufficient
+    * statistics.
+    *
+    * Scale shape: one keyed collapse to k rows, one 1-row broadcast
+    * back for the grand-mean-centered pass.
+    *
+    * @return one row (k, n, ss_between, ss_within, eta2, omega2,
+    *         cohens_f) — 6-dp; NULL effect sizes when SST = 0
+    */
+  def anovaEffects(df: DataFrame, keyCol: Column, valueCol: Column,
+                   scale: Long = 1L): DataFrame = {
+    val byG = df.select(keyCol.cast("string").as("__g"),
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .filter(F.col("__k").isNotNull)
+      .groupBy("__g")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__sk"),
+        F.sum(F.col("__k") * F.col("__k")).as("__sk2"))
+    val tot = byG.agg(F.count(F.lit(1)).as("k"), F.sum("__n").as("n"),
+      F.sum("__sk").as("__tsk"))
+    val s2 = F.lit(1.0) / (F.lit(scale).cast("double") * F.lit(scale))
+    val nD = F.col("__n").cast("double")
+    val j = byG.crossJoin(F.broadcast(tot))
+      .withColumn("__grand", F.col("__tsk").cast("double") /
+        F.col("n").cast("double"))
+      .withColumn("__meang", F.col("__sk").cast("double") / nD)
+      .withColumn("__bt", F.round(nD *
+        (F.col("__meang") - F.col("__grand")) *
+        (F.col("__meang") - F.col("__grand")) * s2, 9))
+      .withColumn("__wg", F.round((F.col("__sk2").cast("double") -
+        F.col("__sk").cast("double") * F.col("__sk") / nD) * s2, 9))
+    val g = j.agg(F.max("k").as("k"), F.max("n").as("n"),
+      F.sum("__bt").as("__ssb"), F.sum("__wg").as("__ssw"))
+    val kD = F.col("k").cast("double")
+    val nTot = F.col("n").cast("double")
+    val sst = F.col("__ssb") + F.col("__ssw")
+    val msw = F.col("__ssw") / F.nullif(nTot - kD, F.lit(0.0))
+    val eta2 = F.col("__ssb") / F.nullif(sst, F.lit(0.0))
+    g.select(F.col("k"), F.col("n"),
+      F.round(F.col("__ssb"), 6).as("ss_between"),
+      F.round(F.col("__ssw"), 6).as("ss_within"),
+      F.round(eta2, 6).as("eta2"),
+      F.round((F.col("__ssb") - (kD - 1.0) * msw) /
+        F.nullif(sst + msw, F.lit(0.0)), 6).as("omega2"),
+      F.round(F.sqrt(eta2 / F.nullif(F.lit(1.0) - eta2, F.lit(0.0))), 6)
+        .as("cohens_f"))
+  }
+
   /** Kolmogorov–Smirnov separation of a classifier score — the max
     * TPR−FPR gap over all thresholds (the credit-scoring "KS statistic":
     * where [[aucExact]] integrates separation, KS reports the single

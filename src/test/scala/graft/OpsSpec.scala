@@ -5002,6 +5002,41 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ((6L, 4L, 2L, 4L, 3.0, 1.0, 3.0, 1.788854)), got)
   }
 
+  test("clusterQuality: two tight 2-D clusters — inertia 4, DB 0.2, CH 50") {
+    import graft.ops.Similarity
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val emb = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(-1.0, 0.0)),
+      (3L, Seq(9.0, 0.0)), (4L, Seq(11.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.clusterQuality(emb, "vec_id", "embedding", cents)
+      .as[(Long, Long, Double, Double, Double)].head()
+    // σ=1 each, d01=10 → DB=0.2; x̄=(5,0), B=100, W=4 → CH=(100/1)/(4/2)
+    assert(got == ((2L, 4L, 4.0, 0.2, 50.0)), got)
+  }
+
+  test("stationaryDist: a-a/a-b/b-a chain settles at (2/3, 1/3)") {
+    import graft.ops.EventOps
+    val ev = Seq("a", "a", "b", "a").zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, 1L, (i + 1).toLong * 10L, t)
+    }.toDF("event_id", "user_id", "ns", "event_type")
+      .withColumn("ts", F.col("ns") * 1000000000L).drop("ns")
+    val got = EventOps.stationaryDist(ev, iters = 32)
+      .as[(String, Double, Double)].collect().toSeq
+    // P(a→a)=P(a→b)=1/2, P(b→a)=1 → π=(2/3, 1/3); raw shares equal π here
+    assert(got == Seq(("a", 0.666667, 0.666667),
+      ("b", 0.333333, 0.333333)), got)
+  }
+
+  test("anovaEffects: shifted triples — eta2 6/7, omega2 23/29, f=√6") {
+    import graft.ops.Stats
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(5.0, 6.0, 7.0).map(("b", _))).toDF("g", "v")
+    val got = Stats.anovaEffects(df, F.col("g"), F.col("v"))
+      .as[(Long, Long, Double, Double, Double, Double, Double)].head()
+    assert(got == ((2L, 6L, 24.0, 4.0, 0.857143, 0.793103, 2.44949)),
+      got)
+  }
+
   test("ksSeparation: perfect split KS=1; interleaved 0.5 at low score") {
     import graft.ops.Stats
     val perfect = Seq((0.9, true), (0.8, true), (0.7, false),
