@@ -2816,6 +2816,40 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // trend/seasonal strength: how much of the daily series is line,
+    // weekly cycle, or noise — the x305 peak quantified
+    "x315_seasonal_strength" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.seasonalStrength(daily, "t", "v", period = 7)
+    }),
+
+    // PR-AUC of the x49 classifier: the imbalance-honest score beside
+    // x178's ROC-AUC and x309's KS
+    "x316_pr_auc" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.prAuc(scored, F.col("quality_score"),
+        F.col("lang") === "en")
+    }),
+
+    // cross-correlation profile: at which lag do clicks lead
+    // purchases — the full lead-lag map x301 tests one point of
+    "x317_ccf" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def daily(tp: String) = ev
+        .filter(F.col("event_type") === tp)
+        .groupBy(F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+          F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).as("v"))
+      graft.ops.Stats.ccf(daily("purchase"), daily("click"), "t", "v",
+        maxLag = 7)
+    }),
+
     // internal cluster quality under the x58 centroids: inertia,
     // Davies-Bouldin, Calinski-Harabasz — no labels needed
     "x312_cluster_quality" -> ((s, dir) => {
@@ -9105,6 +9139,113 @@ object SparkEntry {
 
     // the x178 scored CTE; decile bins, informative-bin gate, 9-dp
     // terms, df follows the bins actually used
+    // the x290 fit CTE; period-position means of 9-dp residuals;
+    // population variances of 9-dp terms
+    "x315_seasonal_strength" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::DOUBLE AS v FROM events GROUP BY 1),
+        |fit AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS sx,
+        |    sum(v) AS sy, sum(t * t)::BIGINT AS sxx,
+        |    sum(t::DOUBLE * v) AS sxy FROM daily),
+        |j AS (SELECT t, v, n,
+        |    (n::DOUBLE * sxy - sx::DOUBLE * sy) /
+        |      (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS b,
+        |    sx::DOUBLE / n::DOUBLE AS xbar, sy
+        |  FROM daily CROSS JOIN fit),
+        |det AS (SELECT t, v AS y, n, t % 7 AS pos,
+        |    round(v - ((sy / n::DOUBLE - b * xbar) + b * t::DOUBLE), 9)
+        |      AS d
+        |  FROM j),
+        |pmn AS (SELECT pos, sum(d) / count(*)::DOUBLE AS pm FROM det
+        |  GROUP BY pos),
+        |r AS (SELECT det.y, det.d, det.n,
+        |    round(det.d - pmn.pm, 9) AS rr
+        |  FROM det JOIN pmn USING (pos)),
+        |g AS (SELECT max(n)::BIGINT AS n, sum(y) AS ty,
+        |    sum(y * y) AS tyy, sum(d) AS td, sum(d * d) AS tdd,
+        |    sum(rr) AS tr, sum(rr * rr) AS trr FROM r),
+        |f AS (SELECT n,
+        |    (tyy - ty * ty / n::DOUBLE) / n::DOUBLE AS vy,
+        |    (tdd - td * td / n::DOUBLE) / n::DOUBLE AS vd,
+        |    (trr - tr * tr / n::DOUBLE) / n::DOUBLE AS vr FROM g)
+        |SELECT n, round(vy, 6) AS var_total,
+        |  round(vd, 6) AS var_detrended,
+        |  round(vr, 6) AS var_remainder,
+        |  round(greatest(0.0::DOUBLE,
+        |    1.0::DOUBLE - vd / nullif(vy, 0.0)), 6) AS trend_strength,
+        |  round(greatest(0.0::DOUBLE,
+        |    1.0::DOUBLE - vr / nullif(vd, 0.0)), 6) AS seasonal_strength
+        |FROM f""".stripMargin,
+
+    // the x287 scored CTE; tie-grouped integer cumsums, 9-dp block
+    // precision terms
+    "x316_pr_auc" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |byv AS (SELECT s AS v,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS np,
+         |    count(*)::BIGINT AS t FROM sc GROUP BY 1),
+         |curve AS (SELECT v, np, t,
+         |    sum(np) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW)::BIGINT AS cp,
+         |    sum(t) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW)::BIGINT AS ca
+         |  FROM byv),
+         |g AS (SELECT sum(np)::BIGINT AS n_pos,
+         |    (sum(t) - sum(np))::BIGINT AS n_neg,
+         |    sum(round(np::DOUBLE * (cp::DOUBLE / ca::DOUBLE), 9)) AS s
+         |  FROM curve)
+         |SELECT n_pos, n_neg,
+         |  round(s / nullif(n_pos::DOUBLE, 0.0), 6) AS pr_auc,
+         |  round(n_pos::DOUBLE / (n_pos + n_neg)::DOUBLE, 6) AS baseline
+         |FROM g""".stripMargin
+    },
+
+    // the x301 zero-filled grid; per-lag exact Pearson; |r| peak with
+    // smallest-lag tie-break
+    "x317_ccf" ->
+      """WITH ev AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS t,
+        |    event_type FROM events),
+        |y AS (SELECT t, count(*)::BIGINT AS y FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |x AS (SELECT t, count(*)::BIGINT AS x FROM ev
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |grid AS MATERIALIZED (SELECT coalesce(y.t, x.t) AS t,
+        |    coalesce(y.y, 0)::BIGINT AS y, coalesce(x.x, 0)::BIGINT AS x
+        |  FROM y FULL JOIN x ON y.t = x.t),
+        |lagq AS (SELECT lag, t, y FROM grid CROSS JOIN
+        |  (SELECT unnest(range(-7, 8))::BIGINT AS lag)),
+        |j AS (SELECT l.lag, l.y, g2.x FROM lagq l
+        |  JOIN grid g2 ON g2.t = l.t - l.lag),
+        |byl AS (SELECT lag, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+        |    sum(x)::BIGINT AS sx, sum(y * y)::BIGINT AS syy,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * x)::BIGINT AS sxy
+        |  FROM j GROUP BY lag),
+        |withr AS (SELECT lag, n, round(
+        |    (n::DOUBLE * sxy::DOUBLE - sy::DOUBLE * sx::DOUBLE) /
+        |    sqrt(nullif(
+        |      (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) *
+        |      (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE),
+        |      0.0)), 6) AS r
+        |  FROM byl),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY abs(r) DESC NULLS
+        |    LAST, lag) AS rk FROM withr)
+        |SELECT lag, n, r, (rk = 1) AS is_peak FROM rk
+        |ORDER BY lag""".stripMargin,
+
     // the x58 centroid VALUES + argmin assignment; 9-dp per-dim and
     // per-row distance terms; k-row index algebra
     "x312_cluster_quality" -> {

@@ -4646,6 +4646,162 @@ object Stats {
         .as("z"))
   }
 
+  /** Trend + seasonal strength decomposition (the [[periodogram]]'s
+    * scalar companion, Hyndman's F_T/F_S): detrend by the closed-form
+    * OLS line, estimate the seasonal component as period-position means
+    * of the residual, and read how much variance each layer explains:
+    * {{{
+    *   F_T = max(0, 1 − Var(detrended)/Var(y)),
+    *   F_S = max(0, 1 − Var(remainder)/Var(detrended))
+    * }}}
+    * The fit comes from exact integer sufficient statistics; residuals
+    * and remainders round 9 dp; variances are population moments of
+    * 9-dp terms (positive Σ² sums).
+    *
+    * Scale shape: a ROLLED-UP series op — the bounded series scans
+    * thrice (fit, position means, variances) with 1-row/period-row
+    * broadcasts between.
+    *
+    * @return one row (n, var_total, var_detrended, var_remainder,
+    *         trend_strength, seasonal_strength) — 6-dp
+    */
+  def seasonalStrength(series: DataFrame, tCol: String, vCol: String,
+                       period: Int = 7): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+      F.col(vCol).cast("double").as("__y"))
+      .filter(F.col("__t").isNotNull && F.col("__y").isNotNull)
+    val fit = s.agg(F.count(F.lit(1)).as("__n"), F.sum("__t").as("__sx"),
+      F.sum("__y").as("__sy"),
+      F.sum(F.col("__t") * F.col("__t")).as("__sxx"),
+      F.sum(F.col("__t").cast("double") * F.col("__y")).as("__sxy"))
+    val nD = F.col("__n").cast("double")
+    val b = (nD * F.col("__sxy") -
+        F.col("__sx").cast("double") * F.col("__sy")) /
+      (nD * F.col("__sxx").cast("double") -
+        F.col("__sx").cast("double") * F.col("__sx"))
+    val a = F.col("__sy") / nD - b * (F.col("__sx").cast("double") / nD)
+    val det = s.crossJoin(F.broadcast(fit))
+      .withColumn("__d", F.round(
+        F.col("__y") - (a + b * F.col("__t").cast("double")), 9))
+      .withColumn("__pos", F.pmod(F.col("__t"), F.lit(period.toLong)))
+    val posMeans = det.groupBy("__pos")
+      .agg((F.sum("__d") / F.count(F.lit(1)).cast("double")).as("__pm"))
+    val r = det.join(F.broadcast(posMeans), Seq("__pos"))
+      .withColumn("__r", F.round(F.col("__d") - F.col("__pm"), 9))
+    val g = r.agg(F.max("__n").as("n"),
+      F.sum("__y").as("__ty"), F.sum(F.col("__y") * F.col("__y")).as("__tyy"),
+      F.sum("__d").as("__td"), F.sum(F.col("__d") * F.col("__d")).as("__tdd"),
+      F.sum("__r").as("__tr"), F.sum(F.col("__r") * F.col("__r")).as("__trr"))
+    val n2 = F.col("n").cast("double")
+    def popVar(sum: Column, sumSq: Column) =
+      (sumSq - sum * sum / n2) / n2
+    val vy = popVar(F.col("__ty"), F.col("__tyy"))
+    val vd = popVar(F.col("__td"), F.col("__tdd"))
+    val vr = popVar(F.col("__tr"), F.col("__trr"))
+    g.select(F.col("n"), F.round(vy, 6).as("var_total"),
+      F.round(vd, 6).as("var_detrended"),
+      F.round(vr, 6).as("var_remainder"),
+      F.round(F.greatest(F.lit(0.0), F.lit(1.0) -
+        vd / F.nullif(vy, F.lit(0.0))), 6).as("trend_strength"),
+      F.round(F.greatest(F.lit(0.0), F.lit(1.0) -
+        vr / F.nullif(vd, F.lit(0.0))), 6).as("seasonal_strength"))
+  }
+
+  /** Precision–recall AUC (average precision over a score ranking) —
+    * the imbalance-honest companion to [[aucExact]]: ROC-AUC stays
+    * rosy at 1:1000 prevalence, PR-AUC does not. Tie groups score as a
+    * block (each positive in a distinct-score group contributes that
+    * group's trailing precision — deterministic, no within-tie order):
+    * {{{
+    *   AP = Σ_groups np_g · (cumPos_g / cumAll_g) / n_pos
+    * }}}
+    * All counts are exact integer cumsums; per-group terms round 9 dp.
+    *
+    * Scale shape: the [[rankSum]] discipline — distinct-score collapse,
+    * one bounded window, a 1-row result.
+    *
+    * @return one row (n_pos, n_neg, pr_auc, baseline) — 6-dp; baseline
+    *         is the prevalence n_pos/n (the no-skill PR-AUC)
+    */
+  def prAuc(df: DataFrame, scoreCol: Column,
+            labelCol: Column): DataFrame = {
+    val byV = df.select(scoreCol.cast("double").as("__v"),
+        F.when(labelCol, 1L).otherwise(0L).as("__p"))
+      .groupBy("__v")
+      .agg(F.sum("__p").as("__np"), F.count(F.lit(1)).as("__t"))
+    val w = Window.orderBy(F.col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = byV
+      .withColumn("__cp", F.sum("__np").over(w))
+      .withColumn("__ca", F.sum("__t").over(w))
+      .withColumn("__term", F.round(F.col("__np").cast("double") *
+        (F.col("__cp").cast("double") / F.col("__ca").cast("double")), 9))
+    val g = curve.agg(F.sum("__np").as("n_pos"),
+      (F.sum("__t") - F.sum("__np")).as("n_neg"),
+      F.sum("__term").as("__s"))
+    g.select(F.col("n_pos"), F.col("n_neg"),
+      F.round(F.col("__s") /
+        F.nullif(F.col("n_pos").cast("double"), F.lit(0.0)), 6)
+        .as("pr_auc"),
+      F.round(F.col("n_pos").cast("double") /
+        (F.col("n_pos") + F.col("n_neg")).cast("double"), 6)
+        .as("baseline"))
+  }
+
+  /** Cross-correlation function — at WHICH lag does x lead y ("clicks
+    * today, purchases in two days"; [[grangerLag1]] tests one lag's
+    * significance, the CCF maps the whole lead–lag profile): Pearson r
+    * of (y_t, x_{t−lag}) per lag over the zero-filled shared grid, from
+    * `scale`-quantized exact integer sums; the peak flags max |r|
+    * (tie: smallest lag).
+    *
+    * Scale shape: a ROLLED-UP series op — one lag-range explode over
+    * the bounded grid, a per-lag self-join on day keys, per-lag exact
+    * collapses.
+    *
+    * @return per lag (lag, n, r, is_peak) ordered by lag — 6-dp; r NULL
+    *         when either side is constant on the overlap
+    */
+  def ccf(ydf: DataFrame, xdf: DataFrame, tCol: String, vCol: String,
+          maxLag: Int = 7, scale: Long = 1L): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    def q(df: DataFrame, name: String) = df
+      .select(F.col(tCol).cast("long").as("t"),
+        F.round(F.col(vCol).cast("double") * scale).cast("long").as(name))
+    val grid = q(ydf, "__y").join(q(xdf, "__x"), Seq("t"), "full")
+      .select(F.col("t"), F.coalesce(F.col("__y"), F.lit(0L)).as("__y"),
+        F.coalesce(F.col("__x"), F.lit(0L)).as("__x"))
+      .localCheckpoint()
+    val lags = grid
+      .withColumn("lag", F.explode(F.sequence(F.lit(-maxLag.toLong),
+        F.lit(maxLag.toLong))))
+      .select(F.col("lag"), F.col("t"), F.col("__y"))
+    val joined = lags.join(
+      grid.select((F.col("t")).as("__ts"), F.col("__x")),
+      F.col("__ts") === F.col("t") - F.col("lag"))
+    val byLag = joined.groupBy("lag").agg(F.count(F.lit(1)).as("n"),
+      F.sum("__y").as("__sy"), F.sum("__x").as("__sx"),
+      F.sum(F.col("__y") * F.col("__y")).as("__syy"),
+      F.sum(F.col("__x") * F.col("__x")).as("__sxx"),
+      F.sum(F.col("__y") * F.col("__x")).as("__sxy"))
+    val nD = F.col("n").cast("double")
+    val num = nD * F.col("__sxy").cast("double") -
+      F.col("__sy").cast("double") * F.col("__sx").cast("double")
+    val den = F.sqrt(F.nullif(
+      (nD * F.col("__syy").cast("double") -
+        F.col("__sy").cast("double") * F.col("__sy").cast("double")) *
+      (nD * F.col("__sxx").cast("double") -
+        F.col("__sx").cast("double") * F.col("__sx").cast("double")),
+      F.lit(0.0)))
+    val withR = byLag.withColumn("r", F.round(num / den, 6))
+    withR.withColumn("__rk", F.row_number().over(
+        Window.orderBy(F.abs(F.col("r")).desc_nulls_last, F.col("lag"))))
+      .select(F.col("lag"), F.col("n"), F.col("r"),
+        (F.col("__rk") === 1).as("is_peak"))
+      .orderBy("lag")
+  }
+
   /** ANOVA effect sizes — HOW MUCH of the variance the grouping
     * explains, where [[anovaF]]'s F only says whether it's nonzero
     * (η² the raw share, ω² its small-sample-unbiased correction,

@@ -5002,6 +5002,41 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ((6L, 4L, 2L, 4L, 3.0, 1.0, 3.0, 1.788854)), got)
   }
 
+  test("seasonalStrength: period-2 sawtooth — seasonal 0.914, trend 0.086") {
+    import graft.ops.Stats
+    val df = Seq(10.0, 20.0, 10.0, 20.0, 10.0, 20.0).zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("t", "v")
+    val got = Stats.seasonalStrength(df, "t", "v", period = 2)
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    // the alternation aliases slightly into the OLS line (b=6/7), so a
+    // small trend share remains; position means eat the rest
+    assert(got == ((6L, 25.0, 22.857143, 1.959184, 0.085714, 0.914286)),
+      got)
+  }
+
+  test("prAuc: hits at group-precisions 1 and 2/3 — AP=5/6 over 0.5 base") {
+    import graft.ops.Stats
+    val df = Seq((0.9, true), (0.7, false), (0.5, true), (0.3, false))
+      .toDF("s", "y")
+    val got = Stats.prAuc(df, F.col("s"), F.col("y"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(got == ((2L, 2L, 0.833333, 0.5)), got)
+  }
+
+  test("ccf: y built as lag-1 of x peaks at lag 1 with r=1") {
+    import graft.ops.Stats
+    def series(vs: Seq[Long]) =
+      vs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+        .toDF("t", "v")
+    val x = series(Seq(1L, 3L, 2L, 5L, 4L, 6L))
+    val y = series(Seq(0L, 1L, 3L, 2L, 5L, 4L))
+    val got = Stats.ccf(y, x, "t", "v", maxLag = 2)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val peak = got.filter(_._4)
+    assert(peak == Seq((1L, 5L, 1.0, true)), got)
+    assert(got.map(_._1) == Seq(-2L, -1L, 0L, 1L, 2L), got)
+  }
+
   test("clusterQuality: two tight 2-D clusters — inertia 4, DB 0.2, CH 50") {
     import graft.ops.Similarity
     val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0))
