@@ -2816,6 +2816,38 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // HITS on the customer-part bipartite graph: hub buyers vs
+    // authority parts — roles degree alone cannot separate
+    "x318_hits" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val e = o.join(li, F.col("o_orderkey") === F.col("l_orderkey"))
+        .select(F.col("o_custkey").as("u"), F.col("l_partkey").as("p"))
+      graft.ops.Graph.hits(e, "u", "p", rounds = 2, topK = 20)
+    }),
+
+    // SAX word of the daily series: the shape as a 8-symbol string —
+    // joinable/groupable series fingerprints
+    "x319_sax" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).as("v"))
+      graft.ops.Stats.sax(daily, "t", "v", wordSize = 8)
+    }),
+
+    // matrix-profile discord: which week of the series resembles no
+    // other week — the shape anomaly x302's point test can't see
+    "x320_matrix_profile" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.matrixProfile(daily, "t", "v", m = 7)
+    }),
+
     // trend/seasonal strength: how much of the daily series is line,
     // weekly cycle, or noise — the x305 peak quantified
     "x315_seasonal_strength" -> ((s, dir) => {
@@ -9139,6 +9171,92 @@ object SparkEntry {
 
     // the x178 scored CTE; decile bins, informative-bin gate, 9-dp
     // terms, df follows the bins actually used
+    // deduped bipartite edges; two unrolled max-normalized 9-dp
+    // rounds; per-kind rank tables
+    "x318_hits" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS u,
+        |    l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |a0 AS (SELECT DISTINCT p, 1.0::DOUBLE AS a FROM e),
+        |h1r AS (SELECT u, sum(a) AS h FROM e JOIN a0 USING (p)
+        |  GROUP BY u),
+        |h1m AS (SELECT max(h) AS m FROM h1r),
+        |h1 AS MATERIALIZED (SELECT u, round(h / nullif(m, 0.0), 9) AS h
+        |  FROM h1r CROSS JOIN h1m),
+        |a1r AS (SELECT p, sum(h) AS a FROM e JOIN h1 USING (u)
+        |  GROUP BY p),
+        |a1m AS (SELECT max(a) AS m FROM a1r),
+        |a1 AS MATERIALIZED (SELECT p, round(a / nullif(m, 0.0), 9) AS a
+        |  FROM a1r CROSS JOIN a1m),
+        |h2r AS (SELECT u, sum(a) AS h FROM e JOIN a1 USING (p)
+        |  GROUP BY u),
+        |h2m AS (SELECT max(h) AS m FROM h2r),
+        |h2 AS MATERIALIZED (SELECT u, round(h / nullif(m, 0.0), 9) AS h
+        |  FROM h2r CROSS JOIN h2m),
+        |a2r AS (SELECT p, sum(h) AS a FROM e JOIN h2 USING (u)
+        |  GROUP BY p),
+        |a2m AS (SELECT max(a) AS m FROM a2r),
+        |a2 AS MATERIALIZED (SELECT p, round(a / nullif(m, 0.0), 9) AS a
+        |  FROM a2r CROSS JOIN a2m),
+        |ht AS (SELECT 'hub' AS kind, u AS id, round(h, 6) AS score,
+        |    row_number() OVER (ORDER BY h DESC, u) AS rk FROM h2),
+        |at AS (SELECT 'auth' AS kind, p AS id, round(a, 6) AS score,
+        |    row_number() OVER (ORDER BY a DESC, p) AS rk FROM a2)
+        |SELECT kind, id, score, rk FROM (
+        |  SELECT * FROM ht WHERE rk <= 20
+        |  UNION ALL SELECT * FROM at WHERE rk <= 20)
+        |ORDER BY kind, rk""".stripMargin,
+
+    // exact-int z-scores, integer floor(i·w/T) segments, the standard
+    // alphabet-4 breakpoints as single literals
+    "x319_sax" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::BIGINT AS v FROM events GROUP BY 1),
+        |agg AS (SELECT count(*)::BIGINT AS nn, sum(v)::BIGINT AS sk,
+        |    sum(v * v)::BIGINT AS sk2 FROM daily),
+        |z AS (SELECT (row_number() OVER (ORDER BY t) - 1)::BIGINT AS i,
+        |    round((v::DOUBLE - sk::DOUBLE / nn::DOUBLE) /
+        |      nullif(sqrt((sk2::DOUBLE - sk::DOUBLE * sk / nn::DOUBLE)
+        |        / nn::DOUBLE), 0.0), 9) AS z, nn
+        |  FROM daily CROSS JOIN agg),
+        |segs AS (SELECT ((i * 8) // nn)::BIGINT AS seg,
+        |    count(*)::BIGINT AS cnt,
+        |    sum(z) / count(*)::DOUBLE AS paa FROM z GROUP BY 1),
+        |sy AS (SELECT seg, cnt, paa,
+        |    CASE WHEN paa < -0.6744897501960817 THEN 'a'
+        |      WHEN paa < 0.0 THEN 'b'
+        |      WHEN paa < 0.6744897501960817 THEN 'c'
+        |      ELSE 'd' END AS sym
+        |  FROM segs),
+        |wd AS (SELECT string_agg(sym, '' ORDER BY seg) AS word FROM sy)
+        |SELECT seg, cnt AS n, round(paa, 6) AS paa, sym, word
+        |FROM sy CROSS JOIN wd ORDER BY seg""".stripMargin,
+
+    // length-7 sliding windows; all non-overlapping pairs; 9-dp
+    // pair distances; smallest-j argmin, smallest-t discord
+    "x320_matrix_profile" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::DOUBLE AS v FROM events GROUP BY 1),
+        |idx AS (SELECT (row_number() OVER (ORDER BY t) - 1)::BIGINT
+        |    AS i, t, v FROM daily),
+        |subs AS MATERIALIZED (SELECT i, t, sub FROM (
+        |  SELECT i, t, list(v) OVER (ORDER BY t ROWS BETWEEN CURRENT
+        |    ROW AND 6 FOLLOWING) AS sub FROM idx)
+        |  WHERE len(sub) = 7),
+        |pairs AS (SELECT a.i, a.t, b.i AS j, b.t AS tj,
+        |    round(list_sum(list_transform(range(1, 8),
+        |      k -> (a.sub[k] - b.sub[k]) * (a.sub[k] - b.sub[k]))), 9)
+        |      AS d2
+        |  FROM subs a CROSS JOIN subs b WHERE abs(a.i - b.i) >= 7),
+        |nn AS (SELECT i, t, j, tj, round(sqrt(d2), 6) AS dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY i ORDER BY d2, j)
+        |    AS rk FROM pairs) WHERE rk = 1),
+        |dd AS (SELECT *, row_number() OVER (ORDER BY dist DESC, t)
+        |    AS drk FROM nn)
+        |SELECT i, t, j AS j_nn, tj AS t_nn, dist,
+        |  (drk = 1) AS is_discord
+        |FROM dd ORDER BY i""".stripMargin,
+
     // the x290 fit CTE; period-position means of 9-dp residuals;
     // population variances of 9-dp terms
     "x315_seasonal_strength" ->

@@ -4646,6 +4646,112 @@ object Stats {
         .as("z"))
   }
 
+  /** SAX symbolization (Lin et al. 2003) — compress a series into a
+    * short SYMBOL WORD (z-normalize → piecewise-aggregate means →
+    * Gaussian-quantile alphabet) so series become joinable/groupable
+    * strings: two days with the word "ddba" had the same shape, and a
+    * corpus of daily shards dedups/clusters on the word. Alphabet 4
+    * with the standard breakpoints ±0.674489750196 and 0 (single
+    * literals); z-scores from exact integer sufficient statistics;
+    * segment ids are exact integer `floor(i·w/T)`.
+    *
+    * Scale shape: a ROLLED-UP series op — one exact collapse, one
+    * broadcast back, one w-row rollup; the word assembles from the
+    * sorted w-row table.
+    *
+    * @return per segment (seg, n, paa, sym) with the full word on every
+    *         row, ordered by seg — paa 6-dp
+    */
+  def sax(series: DataFrame, tCol: String, vCol: String,
+          wordSize: Int = 8, scale: Long = 1L): DataFrame = {
+    require(wordSize >= 1, s"wordSize must be >= 1, got $wordSize")
+    val Bp = 0.6744897501960817
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+      F.round(F.col(vCol).cast("double") * scale).cast("long").as("__k"))
+      .filter(F.col("__t").isNotNull && F.col("__k").isNotNull)
+    val agg = s.agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__sk"),
+      F.sum(F.col("__k") * F.col("__k")).as("__sk2"))
+    val nD = F.col("__n").cast("double")
+    val varK = (F.col("__sk2").cast("double") -
+      F.col("__sk").cast("double") * F.col("__sk") / nD) / nD
+    val z = s.crossJoin(F.broadcast(agg))
+      .withColumn("__i",
+        F.row_number().over(Window.orderBy("__t")).cast("long") - 1L)
+      .withColumn("__z", F.round(
+        (F.col("__k").cast("double") - F.col("__sk").cast("double") / nD) /
+          F.nullif(F.sqrt(varK), F.lit(0.0)), 9))
+      // exact integer floor(i·w/T): Column./ is double — cast restores
+      // the floor for the positive operands here
+      .withColumn("seg",
+        ((F.col("__i") * wordSize.toLong) / F.col("__n")).cast("long"))
+    val segs = z.groupBy("seg")
+      .agg(F.count(F.lit(1)).as("n"),
+        (F.sum("__z") / F.count(F.lit(1)).cast("double")).as("__paa"))
+      .withColumn("sym", F.when(F.col("__paa") < -Bp, "a")
+        .when(F.col("__paa") < 0.0, "b")
+        .when(F.col("__paa") < Bp, "c").otherwise("d"))
+    val word = segs.agg(F.array_join(F.transform(
+      F.array_sort(F.collect_list(F.struct(F.col("seg"), F.col("sym")))),
+      x => x.getField("sym")), "").as("word"))
+    segs.crossJoin(F.broadcast(word))
+      .select(F.col("seg"), F.col("n"), F.round(F.col("__paa"), 6)
+        .as("paa"), F.col("sym"), F.col("word"))
+      .orderBy("seg")
+  }
+
+  /** Matrix-profile discord scan (the UCR matrix profile, brute-force
+    * variant) — WHICH week of the series looks like NO other week (the
+    * shape-anomaly question; [[grubbs]] flags one weird DAY, this flags
+    * a weird PATTERN): every length-m subsequence's distance to its
+    * nearest non-overlapping neighbor, the profile's max = the discord.
+    * Plain Euclidean over the raw subsequences; pair distances round
+    * 9 dp; argmin ties break on smallest neighbor index, the discord
+    * tie on smallest start.
+    *
+    * Scale shape: a ROLLED-UP series op — subsequence vectors come from
+    * one bounded sliding window; the all-pairs join is (T−m+1)² rows of
+    * m-wide arrays, bounded because the SERIES is the rollup (days, not
+    * events). For long series this is the O(T²m) brute force — bound T
+    * upstream (it is a rollup) before reaching for STOMP.
+    *
+    * @return per start (i, t, j_nn, t_nn, dist, is_discord) ordered by
+    *         i — dist 6-dp
+    */
+  def matrixProfile(series: DataFrame, tCol: String, vCol: String,
+                    m: Int = 7): DataFrame = {
+    require(m >= 2, s"subsequence length must be >= 2, got $m")
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+      F.col(vCol).cast("double").as("__v"))
+      .filter(F.col("__t").isNotNull && F.col("__v").isNotNull)
+    val w = Window.orderBy("__t").rowsBetween(0, m - 1)
+    val subs = s
+      .withColumn("__i",
+        F.row_number().over(Window.orderBy("__t")).cast("long") - 1L)
+      .withColumn("__sub", F.collect_list("__v").over(w))
+      .filter(F.size(F.col("__sub")) === m)
+      .select(F.col("__i"), F.col("__t"), F.col("__sub"))
+      .localCheckpoint()
+    val a = subs.select(F.col("__i"), F.col("__t"), F.col("__sub"))
+    val b = subs.select(F.col("__i").as("__j"), F.col("__t").as("__tj"),
+      F.col("__sub").as("__sb"))
+    val pairs = a.crossJoin(b)
+      .filter(F.abs(F.col("__i") - F.col("__j")) >= m.toLong)
+      .withColumn("__d2", F.round(F.aggregate(
+        F.zip_with(F.col("__sub"), F.col("__sb"),
+          (x, y) => (x - y) * (x - y)),
+        F.lit(0.0d), (acc, x) => acc + x), 9))
+    val nn = pairs.withColumn("__rk", F.row_number().over(
+        Window.partitionBy("__i").orderBy(F.col("__d2"), F.col("__j"))))
+      .filter(F.col("__rk") === 1)
+      .withColumn("dist", F.round(F.sqrt(F.col("__d2")), 6))
+    nn.withColumn("__drk", F.row_number().over(
+        Window.orderBy(F.col("dist").desc, F.col("__t"))))
+      .select(F.col("__i").as("i"), F.col("__t").as("t"),
+        F.col("__j").as("j_nn"), F.col("__tj").as("t_nn"),
+        F.col("dist"), (F.col("__drk") === 1).as("is_discord"))
+      .orderBy("i")
+  }
+
   /** Trend + seasonal strength decomposition (the [[periodogram]]'s
     * scalar companion, Hyndman's F_T/F_S): detrend by the closed-form
     * OLS line, estimate the seasonal component as period-position means

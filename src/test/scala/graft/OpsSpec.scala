@@ -5002,6 +5002,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ((6L, 4L, 2L, 4L, 3.0, 1.0, 3.0, 1.788854)), got)
   }
 
+  test("hits: 3-edge bipartite — hub 1.0/0.6, auth 1.0/0.625") {
+    import graft.ops.Graph
+    val e = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("u", "p")
+    val got = Graph.hits(e, "u", "p", rounds = 2, topK = 5)
+      .as[(String, Long, Double, Int)].collect().toSeq
+    assert(got == Seq(("auth", 101L, 1.0, 1), ("auth", 102L, 0.625, 2),
+      ("hub", 1L, 1.0, 1), ("hub", 2L, 0.6, 2)), got)
+  }
+
+  test("sax: ramp 1..8 at word size 4 spells 'abcd'") {
+    import graft.ops.Stats
+    val df = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("t", "v")
+    val got = Stats.sax(df, "t", "v", wordSize = 4)
+      .as[(Long, Long, Double, String, String)].collect().toSeq
+    assert(got == Seq((0L, 2L, -1.309307, "a", "abcd"),
+      (1L, 2L, -0.436436, "b", "abcd"),
+      (2L, 2L, 0.436436, "c", "abcd"),
+      (3L, 2L, 1.309307, "d", "abcd")), got)
+  }
+
+  test("matrixProfile: repeated motif reads 0, the spike week is the " +
+      "discord") {
+    import graft.ops.Stats
+    val df = Seq(1.0, 2.0, 1.0, 2.0, 10.0, 2.0).zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("t", "v")
+    val got = Stats.matrixProfile(df, "t", "v", m = 2)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 2L, 3L, 0.0, false), (1L, 2L, 4L, 5L, 8.062258, true),
+      (2L, 3L, 0L, 1L, 0.0, false), (3L, 4L, 0L, 1L, 8.062258, false),
+      (4L, 5L, 1L, 2L, 8.062258, false)), got)
+  }
+
   test("seasonalStrength: period-2 sawtooth — seasonal 0.914, trend 0.086") {
     import graft.ops.Stats
     val df = Seq(10.0, 20.0, 10.0, 20.0, 10.0, 20.0).zipWithIndex
