@@ -430,6 +430,24 @@ object StressBench {
             F.col("c_name"), F.concat_ws("|", F.col("c_nationkey"),
               F.substring(F.col("c_name"), 1, 15)), minSim = 0.985)
         }),
+        // HITS on K DISJOINT copies of the customer-part bipartite graph
+        // (custkey AND partkey re-keyed): nodes/edges ×K, per-half-round
+        // work one keyed join + rollup — wall must stay ~linear through
+        // the 4 checkpointed half-rounds
+        "x318_hits" -> (() => {
+          val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
+            .select("o_orderkey", "o_custkey")
+          val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select("l_orderkey", "l_partkey")
+          val e0 = o0.join(li0,
+              F.col("o_orderkey") === F.col("l_orderkey"))
+            .select(F.col("o_custkey").as("u"), F.col("l_partkey").as("p"))
+          val e = (0 until k).map(i => e0.select(
+              (F.col("u") + F.lit(i * KeyStride)).as("u"),
+              (F.col("p") + F.lit(i * KeyStride)).as("p")))
+            .reduce(_ union _)
+          graft.ops.Graph.hits(e, "u", "p", rounds = 2, topK = 20)
+        }),
       )
       val allQueries = queries ++ extra
       val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
