@@ -2816,6 +2816,40 @@ object SparkEntry {
       graft.ops.Stats.ljungBox(daily, F.col("t"), F.col("v"), maxLag = 7)
     }),
 
+    // PACF: how many lag features the daily series actually needs —
+    // the AR-order cutoff x167's ACF geometrically blurs
+    "x321_pacf" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).as("v"))
+      graft.ops.Stats.pacf(daily, "t", "v", maxLag = 7)
+    }),
+
+    // turning points: is the daily series IID-random or locally
+    // structured — the cheap screen before permutation methods
+    "x322_turning_points" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).as("v"))
+      graft.ops.Stats.turningPoints(daily, "t", "v")
+    }),
+
+    // sample entropy: how repeatable the daily shape is as one number
+    // — rising SampEn on a metric stream is early chaos
+    "x323_sample_entropy" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.sampleEntropy(daily, "t", "v", m = 2,
+        rFactor = 0.2)
+    }),
+
     // HITS on the customer-part bipartite graph: hub buyers vs
     // authority parts — roles degree alone cannot separate
     "x318_hits" -> ((s, dir) => {
@@ -9171,6 +9205,107 @@ object SparkEntry {
 
     // the x178 scored CTE; decile bins, informative-bin gate, 9-dp
     // terms, df follows the bins actually used
+    // 9-dp centered pair terms on the t-grid; the Durbin-Levinson
+    // levels unrolled as generated MATERIALIZED CTEs (x313 pattern)
+    "x321_pacf" -> {
+      val levels = (2 to 7).map { k =>
+        s"""kk$k AS (SELECT CASE WHEN
+           |    (1.0::DOUBLE - coalesce(s2.v, 0.0)) <> 0.0 THEN round(
+           |    (coalesce((SELECT r FROM rk WHERE lag = $k), 0.0) -
+           |      coalesce(s1.v, 0.0)) /
+           |    (1.0::DOUBLE - coalesce(s2.v, 0.0)), 9)
+           |    ELSE 0.0 END AS pkk
+           |  FROM (SELECT sum(p.phi * r.r) AS v FROM p${k - 1} p
+           |    JOIN rk r ON r.lag = $k - p.j) s1
+           |  CROSS JOIN (SELECT sum(p.phi * r.r) AS v FROM p${k - 1} p
+           |    JOIN rk r ON r.lag = p.j) s2),
+           |p$k AS MATERIALIZED (
+           |  SELECT p.j, round(p.phi - kk$k.pkk * q.phi, 9) AS phi
+           |  FROM p${k - 1} p CROSS JOIN kk$k
+           |    JOIN p${k - 1} q ON q.j = $k - p.j
+           |  UNION ALL SELECT $k AS j, pkk AS phi FROM kk$k)""".stripMargin
+      }.mkString(",\n")
+      val outs = (2 to 7).map(k =>
+        s"""UNION ALL SELECT ${k}::BIGINT,
+           |  round(coalesce((SELECT r FROM rk WHERE lag = $k), 0.0), 6),
+           |  (SELECT round(pkk, 6) FROM kk$k)""".stripMargin)
+        .mkString("\n")
+      s"""WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+         |    AS t, count(*)::BIGINT AS v FROM events GROUP BY 1),
+         |agg AS (SELECT count(*)::BIGINT AS n, sum(v)::BIGINT AS sk,
+         |    sum(v * v)::BIGINT AS sk2 FROM daily),
+         |lagged AS (SELECT l.lag, a.v AS va, b.v AS vb, n, sk, sk2
+         |  FROM daily a CROSS JOIN
+         |    (SELECT unnest(range(1, 8))::BIGINT AS lag) l
+         |  JOIN daily b ON b.t = a.t + l.lag CROSS JOIN agg),
+         |rk AS MATERIALIZED (SELECT lag, round(sum(round(
+         |    (va::DOUBLE - sk::DOUBLE / n::DOUBLE) *
+         |    (vb::DOUBLE - sk::DOUBLE / n::DOUBLE), 9)) /
+         |    max(sk2::DOUBLE - sk::DOUBLE * sk / n::DOUBLE), 9) AS r
+         |  FROM lagged GROUP BY lag),
+         |p1 AS MATERIALIZED (SELECT 1 AS j,
+         |  coalesce((SELECT r FROM rk WHERE lag = 1), 0.0) AS phi),
+         |$levels
+         |SELECT lag, acf, pacf FROM (
+         |  SELECT 1::BIGINT AS lag,
+         |    round(coalesce((SELECT r FROM rk WHERE lag = 1), 0.0), 6)
+         |      AS acf,
+         |    (SELECT round(phi, 6) FROM p1 WHERE j = 1) AS pacf
+         |  $outs)
+         |ORDER BY lag""".stripMargin
+    },
+
+    // exact integer strict-extrema count; closed-form IID moments
+    "x322_turning_points" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::BIGINT AS v FROM events GROUP BY 1),
+        |m AS (SELECT v, lag(v) OVER (ORDER BY t) AS p,
+        |    lead(v) OVER (ORDER BY t) AS x FROM daily),
+        |g AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN p IS NOT NULL AND x IS NOT NULL AND
+        |      ((v > p AND v > x) OR (v < p AND v < x)) THEN 1 ELSE 0
+        |      END)::BIGINT AS n_turning FROM m),
+        |f AS (SELECT n, n_turning,
+        |    2.0::DOUBLE * (n::DOUBLE - 2.0::DOUBLE) / 3.0::DOUBLE AS e,
+        |    (16.0::DOUBLE * n::DOUBLE - 29.0::DOUBLE) / 90.0::DOUBLE
+        |      AS vt FROM g)
+        |SELECT n, n_turning, round(e, 6) AS expected,
+        |  round(vt, 6) AS var_t,
+        |  round(CASE WHEN n >= 3 THEN
+        |    (n_turning::DOUBLE - e) / nullif(sqrt(vt), 0.0) END, 6) AS z
+        |FROM f""".stripMargin,
+
+    // sliding m / m+1 templates; exact Chebyshev maxima vs the one
+    // bit-identical 0.2*sd tolerance; exact pair counts
+    "x323_sample_entropy" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::DOUBLE AS v FROM events GROUP BY 1),
+        |agg AS (SELECT count(*)::BIGINT AS n, sum(v) AS sv,
+        |    sum(v * v) AS svv FROM daily),
+        |tol AS (SELECT n, 0.2::DOUBLE * sqrt((svv - sv * sv / n::DOUBLE)
+        |    / (n::DOUBLE - 1.0::DOUBLE)) AS r_tol FROM agg),
+        |idx AS (SELECT (row_number() OVER (ORDER BY t) - 1)::BIGINT
+        |    AS i, t, v FROM daily),
+        |s2 AS MATERIALIZED (SELECT i, sub FROM (
+        |  SELECT i, list(v) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |    AND 1 FOLLOWING) AS sub FROM idx) WHERE len(sub) = 2),
+        |s3 AS MATERIALIZED (SELECT i, sub FROM (
+        |  SELECT i, list(v) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |    AND 2 FOLLOWING) AS sub FROM idx) WHERE len(sub) = 3),
+        |b AS (SELECT sum(CASE WHEN list_max(list_transform(range(1, 3),
+        |      k -> abs(a.sub[k] - c.sub[k]))) <= r_tol THEN 1 ELSE 0
+        |      END)::BIGINT AS b_pairs
+        |  FROM s2 a JOIN s2 c ON a.i < c.i CROSS JOIN tol),
+        |aa AS (SELECT sum(CASE WHEN list_max(list_transform(range(1, 4),
+        |      k -> abs(a.sub[k] - c.sub[k]))) <= r_tol THEN 1 ELSE 0
+        |      END)::BIGINT AS a_pairs
+        |  FROM s3 a JOIN s3 c ON a.i < c.i CROSS JOIN tol)
+        |SELECT n, 2::BIGINT AS m, round(r_tol, 6) AS r_tol, b_pairs,
+        |  a_pairs,
+        |  round(CASE WHEN b_pairs > 0 AND a_pairs > 0 THEN
+        |    -ln(a_pairs::DOUBLE / b_pairs::DOUBLE) END, 6) AS sampen
+        |FROM tol CROSS JOIN b CROSS JOIN aa""".stripMargin,
+
     // deduped bipartite edges; two unrolled max-normalized 9-dp
     // rounds; per-kind rank tables
     "x318_hits" ->

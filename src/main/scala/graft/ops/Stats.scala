@@ -4646,6 +4646,185 @@ object Stats {
         .as("z"))
   }
 
+  /** Partial autocorrelation function (Durbin–Levinson) — the AR-order
+    * readout the raw ACF can't give (x167's ACF decays geometrically
+    * for ANY AR(1); the PACF CUTS OFF at the true order — the "how many
+    * lag features does this series actually need" answer):
+    * autocovariance ratios r_k come from 9-dp mean-centered pair terms
+    * over the t-grid join, and the k×k Yule–Walker solve runs
+    * DRIVER-SIDE by Durbin–Levinson (the x241 bounded-solve rule) with
+    * 9-dp quantization of each reflection coefficient and φ update —
+    * the oracle unrolls the identical levels.
+    *
+    * Scale shape: one collapse for (n, x̄, c₀), one lag-range pair join
+    * over the bounded grid; the driver holds maxLag doubles.
+    *
+    * @return per lag (lag, acf, pacf) ordered by lag — 6-dp
+    */
+  def pacf(series: DataFrame, tCol: String, vCol: String,
+           maxLag: Int = 7, scale: Long = 1L): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val s = series.select(F.col(tCol).cast("long").as("t"),
+      F.round(F.col(vCol).cast("double") * scale).cast("long").as("__k"))
+      .filter(F.col("t").isNotNull && F.col("__k").isNotNull)
+      .localCheckpoint()
+    val agg = s.agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__sk"),
+      F.sum(F.col("__k") * F.col("__k")).as("__sk2")).collect().head
+    val n = agg.getLong(0); val sk = agg.getLong(1)
+    val sk2 = agg.getLong(2)
+    val mean = sk.toDouble / n.toDouble
+    val c0 = sk2.toDouble - sk.toDouble * sk / n.toDouble
+    val b = s.select(F.col("t").as("__tb"), F.col("__k").as("__kb"))
+    val pairs = s
+      .withColumn("lag", F.explode(F.sequence(F.lit(1L),
+        F.lit(maxLag.toLong))))
+      .join(b, F.col("__tb") === F.col("t") + F.col("lag"))
+      .withColumn("__term", F.round(
+        (F.col("__k").cast("double") - mean) *
+          (F.col("__kb").cast("double") - mean), 9))
+      .groupBy("lag").agg(F.sum("__term").as("__ck"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r9(x: Double): Double = Similarity.round6HalfAway(x * 1000.0) / 1000.0
+    val r = (1 to maxLag).map(k =>
+      r9(pairs.getOrElse(k.toLong, 0.0) / c0)).toArray
+    // Durbin–Levinson: phi(k)(j) 1-indexed on j; pacf(k) = phi(k)(k)
+    val pacfOut = new Array[Double](maxLag)
+    var phi = Array(r(0))
+    pacfOut(0) = r9(r(0))
+    var k = 2
+    while (k <= maxLag) {
+      // accumulate the two sums first, subtract ONCE — the oracle's
+      // sum()-then-subtract association, not a running subtraction
+      var s1 = 0.0; var s2 = 0.0
+      var j = 1
+      while (j < k) { // sorted-j order: deterministic
+        s1 += phi(j - 1) * r(k - j - 1)
+        s2 += phi(j - 1) * r(j - 1)
+        j += 1
+      }
+      val num = r(k - 1) - s1; val den = 1.0 - s2
+      val pkk = r9(if (den != 0.0) num / den else 0.0)
+      val next = new Array[Double](k)
+      j = 1
+      while (j < k) {
+        next(j - 1) = r9(phi(j - 1) - pkk * phi(k - j - 1)); j += 1
+      }
+      next(k - 1) = pkk
+      pacfOut(k - 1) = pkk
+      phi = next
+      k += 1
+    }
+    val spark0 = series.sparkSession
+    import spark0.implicits._
+    (1 to maxLag).map(i => (i.toLong,
+        Similarity.round6HalfAway(r(i - 1)),
+        Similarity.round6HalfAway(pacfOut(i - 1))))
+      .toDF("lag", "acf", "pacf").orderBy("lag")
+  }
+
+  /** Turning-points test — is the series RANDOM or does it carry local
+    * structure (a cheap IID screen before trusting any permutation-
+    * based method): count strict local extrema; under IID,
+    * {{{
+    *   E[T] = 2(n−2)/3,   Var[T] = (16n − 29)/90
+    * }}}
+    * Counts are exact integers (strict inequalities on quantized
+    * values); the z is one scalar expression.
+    *
+    * Scale shape: a ROLLED-UP series op — one lag/lead window pass,
+    * one scalar collapse.
+    *
+    * @return one row (n, n_turning, expected, var_t, z) — 6-dp; z NULL
+    *         when n < 3
+    */
+  def turningPoints(series: DataFrame, tCol: String, vCol: String,
+                    scale: Long = 1L): DataFrame = {
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+      F.round(F.col(vCol).cast("double") * scale).cast("long").as("__k"))
+      .filter(F.col("__t").isNotNull && F.col("__k").isNotNull)
+    val w = Window.orderBy("__t")
+    val marked = s
+      .withColumn("__p", F.lag("__k", 1).over(w))
+      .withColumn("__x", F.lead("__k", 1).over(w))
+      .withColumn("__tp", F.when(F.col("__p").isNotNull &&
+        F.col("__x").isNotNull &&
+        ((F.col("__k") > F.col("__p") && F.col("__k") > F.col("__x")) ||
+         (F.col("__k") < F.col("__p") && F.col("__k") < F.col("__x"))),
+        1L).otherwise(0L))
+    val g = marked.agg(F.count(F.lit(1)).as("n"),
+      F.sum("__tp").as("n_turning"))
+    val nD = F.col("n").cast("double")
+    val e = F.lit(2.0) * (nD - 2.0) / 3.0
+    val v = (F.lit(16.0) * nD - 29.0) / 90.0
+    g.select(F.col("n"), F.col("n_turning"),
+      F.round(e, 6).as("expected"), F.round(v, 6).as("var_t"),
+      F.round(F.when(F.col("n") >= 3L,
+        (F.col("n_turning").cast("double") - e) /
+          F.nullif(F.sqrt(v), F.lit(0.0))), 6).as("z"))
+  }
+
+  /** Sample entropy (Richman & Moorman 2000) — the regularity of a
+    * series as a NUMBER ([[sax]] names the shape; SampEn scores how
+    * repeatable shapes are: low = metronome, high = noise; rising
+    * SampEn on a latency series is early chaos): with B = matching
+    * m-point template pairs (Chebyshev ≤ r) and A = matching
+    * (m+1)-point pairs,
+    * {{{
+    *   SampEn = −ln(A/B),   r = rFactor·sd
+    * }}}
+    * Template distances are exact maxima of exact differences; the
+    * tolerance is one bit-identical product; counts are exact longs.
+    *
+    * Scale shape: a ROLLED-UP series op — two bounded sliding windows,
+    * two (T)² pair joins on the bounded grid, exact count collapses.
+    *
+    * @return one row (n, m, r_tol, b_pairs, a_pairs, sampen) — 6-dp;
+    *         sampen NULL when A or B is 0
+    */
+  def sampleEntropy(series: DataFrame, tCol: String, vCol: String,
+                    m: Int = 2, rFactor: Double = 0.2): DataFrame = {
+    require(m >= 1, s"template length must be >= 1, got $m")
+    require(rFactor > 0, s"rFactor must be positive, got $rFactor")
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+      F.col(vCol).cast("double").as("__v"))
+      .filter(F.col("__t").isNotNull && F.col("__v").isNotNull)
+      .localCheckpoint()
+    val agg = s.agg(F.count(F.lit(1)).as("__n"), F.sum("__v").as("__sv"),
+      F.sum(F.col("__v") * F.col("__v")).as("__svv"))
+    val nD = F.col("__n").cast("double")
+    val sd = F.sqrt((F.col("__svv") - F.col("__sv") * F.col("__sv") / nD) /
+      (nD - 1.0))
+    val tol = agg.select(F.col("__n").as("n"),
+      (F.lit(rFactor) * sd).as("r_tol"))
+    def matchCount(len: Int): DataFrame = {
+      val w = Window.orderBy("__t").rowsBetween(0, len - 1)
+      val subs = s
+        .withColumn("__i",
+          F.row_number().over(Window.orderBy("__t")).cast("long") - 1L)
+        .withColumn("__sub", F.collect_list("__v").over(w))
+        .filter(F.size(F.col("__sub")) === len)
+        .select("__i", "__sub")
+      subs.crossJoin(subs.select(F.col("__i").as("__j"),
+          F.col("__sub").as("__sb")))
+        .filter(F.col("__i") < F.col("__j"))
+        .crossJoin(F.broadcast(tol))
+        .withColumn("__cheb", F.array_max(F.zip_with(
+          F.col("__sub"), F.col("__sb"), (x, y) => F.abs(x - y))))
+        .agg(F.sum(F.when(F.col("__cheb") <= F.col("r_tol"), 1L)
+          .otherwise(0L)).as(s"__c$len"))
+    }
+    val bC = matchCount(m)
+    val aC = matchCount(m + 1)
+    tol.crossJoin(F.broadcast(bC)).crossJoin(F.broadcast(aC))
+      .select(F.col("n"), F.lit(m.toLong).as("m"),
+        F.round(F.col("r_tol"), 6).as("r_tol"),
+        F.col(s"__c$m").as("b_pairs"),
+        F.col(s"__c${m + 1}").as("a_pairs"),
+        F.round(F.when(F.col(s"__c$m") > 0L && F.col(s"__c${m + 1}") > 0L,
+          -F.log(F.col(s"__c${m + 1}").cast("double") /
+            F.col(s"__c$m").cast("double"))), 6).as("sampen"))
+  }
+
   /** SAX symbolization (Lin et al. 2003) — compress a series into a
     * short SYMBOL WORD (z-normalize → piecewise-aggregate means →
     * Gaussian-quantile alphabet) so series become joinable/groupable

@@ -5002,6 +5002,41 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ((6L, 4L, 2L, 4L, 3.0, 1.0, 3.0, 1.788854)), got)
   }
 
+  test("pacf: alternating series — acf −0.875/0.75/−0.625, DL pacf") {
+    import graft.ops.Stats
+    val df = Seq(1L, 2L, 1L, 2L, 1L, 2L, 1L, 2L).zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("t", "v")
+    val got = Stats.pacf(df, "t", "v", maxLag = 3)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, -0.875, -0.875), (2L, 0.75, -0.066667),
+      (3L, -0.625, 0.071429)), got)
+  }
+
+  test("turningPoints: zigzag 1,3,2,4,3 — all 3 interior points turn") {
+    import graft.ops.Stats
+    val df = Seq(1.0, 3.0, 2.0, 4.0, 3.0).zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("t", "v")
+    val got = Stats.turningPoints(df, "t", "v")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got == ((5L, 3L, 2.0, 0.566667, 1.328422)), got)
+  }
+
+  test("sampleEntropy: perfect alternation — A/B=1/2, SampEn=ln 2") {
+    import graft.ops.Stats
+    val df = Seq(1.0, 2.0, 1.0, 2.0, 1.0, 2.0).zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("t", "v")
+    val got = Stats.sampleEntropy(df, "t", "v", m = 2, rFactor = 0.2)
+      .select("b_pairs", "a_pairs", "sampen")
+      .as[(Long, Long, Double)].head()
+    assert(got == ((4L, 2L, 0.693147)), got)
+    // no template ever repeats: B=0 → NULL, not a crash or -inf
+    val wild = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0).zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("t", "v")
+    val none = Stats.sampleEntropy(wild, "t", "v")
+      .select("sampen").collect().head
+    assert(none.isNullAt(0), none.toString)
+  }
+
   test("hits: 3-edge bipartite — hub 1.0/0.6, auth 1.0/0.625") {
     import graft.ops.Graph
     val e = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("u", "p")
