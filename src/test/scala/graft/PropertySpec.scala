@@ -634,4 +634,96 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("law: shape-metric invariances — JB ignores location/scale, " +
+      "Theil ignores scale, HHI ignores relabeling") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(12, Gen.chooseNum(1L, 50L))
+    forAll(gen) { vs =>
+      if (vs.distinct.length > 1) {
+        val df = vs.map(_.toDouble).toDF("v")
+        // JB on 10·x + 7 equals JB on x (skew/kurtosis are standardized);
+        // quantized integers, so scaling by 10 stays exact
+        val j1 = graft.ops.Stats.jarqueBera(df, F.col("v"))
+          .select("skew", "kurt_x", "jb")
+          .as[(Double, Double, Double)].head()
+        val j2 = graft.ops.Stats.jarqueBera(
+            df.select((F.col("v") * 10 + 7).as("v")), F.col("v"))
+          .select("skew", "kurt_x", "jb")
+          .as[(Double, Double, Double)].head()
+        assert(math.abs(j1._3 - j2._3) < 2e-6 &&
+          math.abs(j1._1 - j2._1) < 2e-6, s"JB not affine-stable: $j1 $j2")
+        // Theil T/L and Atkinson are scale-free (relative inequality)
+        val i1 = graft.ops.Stats.inequality(df, F.col("v"))
+          .select("theil_t", "theil_l", "atkinson1")
+          .as[(Double, Double, Double)].head()
+        val i2 = graft.ops.Stats.inequality(
+            df.select((F.col("v") * 4).as("v")), F.col("v"))
+          .select("theil_t", "theil_l", "atkinson1")
+          .as[(Double, Double, Double)].head()
+        assert(math.abs(i1._1 - i2._1) < 2e-6 &&
+          math.abs(i1._3 - i2._3) < 2e-6, s"Theil not scale-free: $i1 $i2")
+      }
+    }
+    // HHI depends only on the count multiset, not the labels
+    val a = Seq("x", "x", "y", "z", "z", "z").toDF("k")
+    val b = Seq("p3", "p3", "p1", "p2", "p2", "p2").toDF("k")
+    val h1 = graft.ops.Stats.concentration(a, F.col("k"))
+      .select("hhi").as[Double].head()
+    val h2 = graft.ops.Stats.concentration(b, F.col("k"))
+      .select("hhi").as[Double].head()
+    assert(h1 == h2, s"HHI label-dependent: $h1 vs $h2")
+  }
+
+  test("law: curve metrics cohere — perfect ranking saturates KS/PR-AUC/" +
+      "MAP; prAuc floors at prevalence for a constant score") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val perfect = Seq((0.9, true), (0.8, true), (0.3, false),
+      (0.2, false)).toDF("s", "y")
+    val ks = graft.ops.Stats.ksSeparation(perfect, F.col("s"), F.col("y"))
+      .select("ks").as[Double].head()
+    val pr = graft.ops.Stats.prAuc(perfect, F.col("s"), F.col("y"))
+      .select("pr_auc").as[Double].head()
+    assert(ks == 1.0 && pr == 1.0, s"perfect ranking: ks=$ks pr=$pr")
+    // one tie-group of everything: precision is prevalence everywhere
+    val flat = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+      .toDF("s", "y")
+    val prFlat = graft.ops.Stats.prAuc(flat, F.col("s"), F.col("y"))
+      .select("pr_auc", "baseline").as[(Double, Double)].head()
+    assert(prFlat._1 == prFlat._2, s"flat score must read prevalence: $prFlat")
+  }
+
+  test("law: series tooling coheres — ccf lag 0 is Pearson of the " +
+      "aligned series; pacf lag 1 equals acf lag 1; ariNmi is symmetric") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(10, Gen.chooseNum(1L, 30L))
+    forAll(gen, gen) { (ys, xs) =>
+      if (ys.distinct.length > 1 && xs.distinct.length > 1) {
+        def ser(vs: Seq[Long]) = vs.zipWithIndex
+          .map { case (v, i) => ((i + 1).toLong, v) }.toDF("t", "v")
+        val r0 = graft.ops.Stats.ccf(ser(ys), ser(xs), "t", "v",
+            maxLag = 2)
+          .filter(F.col("lag") === 0).select("r").as[Double].head()
+        val joined = ys.zip(xs).map { case (y, x) =>
+          (y.toDouble, x.toDouble) }.toDF("y", "x")
+        val rp = joined.select(F.round(F.corr("y", "x"), 6))
+          .as[Double].head()
+        assert(math.abs(r0 - rp) < 2e-6, s"ccf(0)=$r0 pearson=$rp")
+        val pa = graft.ops.Stats.pacf(ser(ys), "t", "v", maxLag = 2)
+          .filter(F.col("lag") === 1)
+          .select("acf", "pacf").as[(Double, Double)].head()
+        assert(pa._1 == pa._2, s"pacf(1) must equal acf(1): $pa")
+      }
+    }
+    val pairs = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "p"))
+      .toDF("u", "w")
+    val f = graft.ops.Stats.ariNmi(pairs, F.col("u"), F.col("w"))
+      .select("ari", "nmi").as[(Double, Double)].head()
+    val g = graft.ops.Stats.ariNmi(pairs, F.col("w"), F.col("u"))
+      .select("ari", "nmi").as[(Double, Double)].head()
+    assert(f == g, s"ariNmi not symmetric: $f vs $g")
+  }
 }
