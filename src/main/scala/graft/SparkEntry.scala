@@ -2850,6 +2850,43 @@ object SparkEntry {
         rFactor = 0.2)
     }),
 
+    // Cramér–von Mises two-sample: does the en n_chars DISTRIBUTION
+    // (shape, tails — not just location/scale) match the rest
+    "x324_cvm" -> ((s, dir) =>
+      graft.ops.Stats.cvmTwoSample(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.col("n_chars"), F.col("lang") === "en")),
+
+    // restricted mean survival time over the x230 churn cohort: average
+    // active hours per user within the first 360 h — the area under the
+    // KM curve, robust where median/logRank mislead
+    "x325_rmst" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val t = graft.ops.EventOps.tsStamp(ev)
+      val per = ev.groupBy("user_id")
+        .agg(F.min(F.unix_timestamp(t)).as("f"),
+          F.max(F.unix_timestamp(t)).as("l"))
+      val mx = per.agg(F.max("l").as("m"))
+      val subj = per.crossJoin(F.broadcast(mx))
+        .select(F.col("user_id"),
+          F.floor((F.col("l") - F.col("f")) / F.lit(3600.0)).as("dur"),
+          F.when(F.col("m") - F.col("l") >= 86400L, 1)
+            .otherwise(0).as("ev"))
+      graft.ops.Stats.rmst(subj, F.col("dur"), F.col("ev"), tau = 360L)
+    }),
+
+    // Geary's C on the x281 supplier co-occurrence graph: local balance
+    // CONTRAST across edges, the nearest-neighbour complement of
+    // Moran's global clustering readout
+    "x326_geary_c" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Graph.gearyC(
+        graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          minCount = 6), "src", "dst",
+        s.read.parquet(s"$dir/supplier.parquet"),
+        "s_suppkey", F.col("s_acctbal"))
+    }),
+
     // HITS on the customer-part bipartite graph: hub buyers vs
     // authority parts — roles degree alone cannot separate
     "x318_hits" -> ((s, dir) => {
@@ -9305,6 +9342,119 @@ object SparkEntry {
         |  round(CASE WHEN b_pairs > 0 AND a_pairs > 0 THEN
         |    -ln(a_pairs::DOUBLE / b_pairs::DOUBLE) END, 6) AS sampen
         |FROM tol CROSS JOIN b CROSS JOIN aa""".stripMargin,
+
+    // distinct-value collapse; midranks as exact doubled longs; tie
+    // groups' Σ(2r−2i)² via closed-form arithmetic series (all BIGINT —
+    // the divisions are exact multiples of 2 resp. 6)
+    "x324_cvm" ->
+      """WITH byv AS (SELECT n_chars::DOUBLE AS v,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n1v,
+        |    count(*)::BIGINT AS t
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT n1v, (t - n1v)::BIGINT AS n2v, t,
+        |    (sum(t) OVER wo)::BIGINT AS cum,
+        |    (sum(n1v) OVER wo)::BIGINT AS cum1,
+        |    (sum(t - n1v) OVER wo)::BIGINT AS cum2
+        |  FROM byv WINDOW wo AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)),
+        |kk AS (SELECT n1v, n2v, cum1, cum2,
+        |    (2 * cum - t + 1)::BIGINT AS k FROM r),
+        |terms AS (SELECT n1v, n2v,
+        |    (n1v * k * k
+        |      - 4 * k * (((cum1 - n1v + 1) + cum1) * n1v // 2)
+        |      + 4 * (cum1 * (cum1 + 1) * (2 * cum1 + 1) // 6
+        |        - (cum1 - n1v) * (cum1 - n1v + 1)
+        |          * (2 * (cum1 - n1v + 1) - 1) // 6))::BIGINT AS qa,
+        |    (n2v * k * k
+        |      - 4 * k * (((cum2 - n2v + 1) + cum2) * n2v // 2)
+        |      + 4 * (cum2 * (cum2 + 1) * (2 * cum2 + 1) // 6
+        |        - (cum2 - n2v) * (cum2 - n2v + 1)
+        |          * (2 * (cum2 - n2v + 1) - 1) // 6))::BIGINT AS qb
+        |  FROM kk),
+        |g AS (SELECT (SELECT sum(n1v) FROM byv)::BIGINT AS n1,
+        |    (SELECT sum(t - n1v) FROM byv)::BIGINT AS n2,
+        |    sum(qa)::BIGINT AS sqa, sum(qb)::BIGINT AS sqb FROM terms),
+        |u AS (SELECT n1, n2,
+        |    (n1 * sqa + n2 * sqb)::DOUBLE / 4.0::DOUBLE AS uu FROM g)
+        |SELECT n1, n2, round(uu, 6) AS u,
+        |  round(uu / nullif(n1::DOUBLE * n2::DOUBLE *
+        |      (n1::DOUBLE + n2::DOUBLE), 0.0) -
+        |    (4.0::DOUBLE * n1::DOUBLE * n2::DOUBLE - 1.0::DOUBLE) /
+        |      (6.0::DOUBLE * (n1::DOUBLE + n2::DOUBLE)), 6) AS t,
+        |  round((1.0::DOUBLE + 1.0::DOUBLE /
+        |    (n1::DOUBLE + n2::DOUBLE)) / 6.0::DOUBLE, 6) AS e_t
+        |FROM u""".stripMargin,
+
+    // x230's hour-granularity churn subjects -> the x171 KM ladder ->
+    // step integral to tau with 9-dp terms
+    "x325_rmst" ->
+      """WITH per AS (SELECT user_id,
+        |    min(floor(epoch(ts))::BIGINT) AS f,
+        |    max(floor(epoch(ts))::BIGINT) AS l
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT max(l) AS m FROM per),
+        |subj AS (SELECT (l - f) // 3600 AS dur,
+        |    CASE WHEN m - l >= 86400 THEN 1 ELSE 0 END AS ev
+        |  FROM per CROSS JOIN m),
+        |byt AS (SELECT dur AS t, sum(ev)::BIGINT AS d, count(*) AS lv
+        |  FROM subj GROUP BY dur),
+        |risk AS (SELECT t, d, sum(lv) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS n_risk
+        |  FROM byt),
+        |death AS (SELECT t, n_risk, d,
+        |    CASE WHEN d < n_risk
+        |      THEN round(ln(1 - d / CAST(n_risk AS DOUBLE)), 9)
+        |      ELSE 0 END AS lnterm,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead
+        |  FROM risk WHERE d > 0),
+        |cum AS (SELECT t, n_risk, d,
+        |    max(dead) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dd,
+        |    sum(lnterm) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl
+        |  FROM death),
+        |km AS (SELECT t,
+        |    CASE WHEN dd = 1 THEN 0.0 ELSE round(exp(sl), 6) END
+        |      AS survival
+        |  FROM cum),
+        |seg AS (SELECT t, survival,
+        |    least(coalesce(lead(t) OVER (ORDER BY t), 360), 360)
+        |      AS nxt
+        |  FROM km),
+        |terms AS (SELECT t, round(survival *
+        |    greatest(nxt - least(t, 360), 0)::DOUBLE, 9) AS term
+        |  FROM seg),
+        |hd AS (SELECT count(*)::BIGINT AS n_times,
+        |    coalesce(least(min(t), 360), 360)::DOUBLE AS h,
+        |    coalesce(sum(term), 0.0::DOUBLE) AS tail FROM terms)
+        |SELECT 360::BIGINT AS tau, n_times, round(h + tail, 6) AS rmst
+        |FROM hd""".stripMargin,
+
+    // x281's graph and quantized attributes; edge-difference squares
+    // sum as exact longs; one IEEE ratio
+    "x326_geary_c" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        |  FROM lineitem),
+        |e AS (SELECT a.s AS a, b.s AS b FROM os a JOIN os b
+        |  ON a.o = b.o AND a.s < b.s GROUP BY 1, 2 HAVING count(*) >= 6),
+        |nodes AS (SELECT DISTINCT n FROM
+        |  (SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
+        |nd AS (SELECT s_suppkey AS n, round(s_acctbal * 100)::BIGINT AS x
+        |  FROM supplier WHERE s_suppkey IN (SELECT n FROM nodes)),
+        |one AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS t,
+        |    sum(x * x)::BIGINT AS s2 FROM nd),
+        |pe AS (SELECT count(*)::BIGINT AS m,
+        |    sum((xa.x - xb.x) * (xa.x - xb.x))::BIGINT AS ss
+        |  FROM e JOIN nd xa ON xa.n = e.a JOIN nd xb ON xb.n = e.b)
+        |SELECT n, m,
+        |  round((n::DOUBLE - 1.0::DOUBLE) * ss::DOUBLE /
+        |    nullif(2.0::DOUBLE * m::DOUBLE *
+        |      (s2::DOUBLE - t::DOUBLE * (t::DOUBLE / n::DOUBLE)),
+        |      0.0), 6) AS c,
+        |  1.0::DOUBLE AS e_c
+        |FROM one CROSS JOIN pe""".stripMargin,
 
     // deduped bipartite edges; two unrolled max-normalized 9-dp
     // rounds; per-kind rank tables

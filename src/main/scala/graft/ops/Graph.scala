@@ -528,4 +528,62 @@ object Graph {
       F.round(F.lit(-1.0) /
         F.nullif(nD - 1.0, F.lit(0.0)), 6).as("e_i"))
   }
+
+  /** Geary's C spatial autocorrelation — the LOCAL-contrast sibling of
+    * [[moransI]] (Geary 1954): where Moran's I cross-multiplies
+    * deviations from the mean (global clustering), Geary's C sums the
+    * SQUARED DIFFERENCE across each edge, so it is dominated by
+    * nearest-neighbour contrast and reacts to local pockets I smooths
+    * over. Over the undirected graph with m unordered edges and the
+    * usual binary weights:
+    * {{{
+    *   C = (n−1) · Σ_{(a,b)∈E} (x_a − x_b)² / (2m · Σ_i (x_i − x̄)²)
+    * }}}
+    * E[C] = 1 under no autocorrelation; C < 1 = positive autocorrelation
+    * (neighbours alike), C > 1 = negative. Defined over nodes carrying
+    * both an edge and an attribute row; values quantized (×scale) so the
+    * edge-difference squares and Σx² are exact-long sums — only the final
+    * ratio touches IEEE arithmetic, bit-identical cross-engine.
+    *
+    * Scale shape: identical to [[moransI]] — one attribute join onto the
+    * edge list (broadcast-able dim), two one-row rollups; no windows.
+    *
+    * @return one row (n, m, c, e_c) — 6-dp; c NULL when the attribute is
+    *         constant (zero variance) or the graph has no edges
+    */
+  def gearyC(edges: DataFrame, srcCol: String, dstCol: String,
+             attrs: DataFrame, nodeCol: String, valueCol: Column,
+             scale: Long = 100L): DataFrame = {
+    val e = edges
+      .select(F.least(F.col(srcCol), F.col(dstCol)).as("__a"),
+        F.greatest(F.col(srcCol), F.col(dstCol)).as("__b"))
+      .filter(F.col("__a") =!= F.col("__b"))
+      .distinct()
+    val at = attrs.select(F.col(nodeCol).as("__n"),
+      F.round(valueCol.cast("double") * scale).cast("long").as("__x"))
+      .filter(F.col("__x").isNotNull)
+    val nodesInG = e.select(F.col("__a").as("__n"))
+      .unionAll(e.select(F.col("__b").as("__n"))).distinct()
+    val nd = at.join(nodesInG, Seq("__n"), "left_semi")
+    val one = nd.agg(F.count(F.lit(1)).as("n"), F.sum("__x").as("__t"),
+      F.sum(F.col("__x") * F.col("__x")).as("__s2"))
+    val je = e
+      .join(F.broadcast(nd.select(F.col("__n").as("__a"),
+        F.col("__x").as("__xa"))), Seq("__a"))
+      .join(F.broadcast(nd.select(F.col("__n").as("__b"),
+        F.col("__x").as("__xb"))), Seq("__b"))
+    val pe = je.agg(F.count(F.lit(1)).as("m"),
+      F.sum((F.col("__xa") - F.col("__xb")) *
+        (F.col("__xa") - F.col("__xb"))).as("__ss"))
+    val row = one.crossJoin(F.broadcast(pe))
+    val nD = F.col("n").cast("double")
+    val xbar = F.col("__t").cast("double") / nD
+    val den = F.col("__s2").cast("double") -
+      F.col("__t").cast("double") * xbar
+    row.select(F.col("n"), F.col("m"),
+      F.round((nD - 1.0) * F.col("__ss").cast("double") /
+        F.nullif(F.lit(2.0) * F.col("m").cast("double") * den,
+          F.lit(0.0)), 6).as("c"),
+      F.lit(1.0).as("e_c"))
+  }
 }

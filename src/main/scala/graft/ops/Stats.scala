@@ -5842,4 +5842,128 @@ object Stats {
           .as("chi2"))
       .orderBy("grp")
   }
+
+  /** Restricted mean survival time (RMST) — the area under the
+    * [[kaplanMeier]] curve up to a horizon τ: "over the first τ
+    * days/hours, how long does the average subject survive". The
+    * clinically-preferred single-number summary when hazards are not
+    * proportional (where a logRank χ² or a median crossing misleads),
+    * and the natural retention KPI: RMST/τ is expected lifetime as a
+    * fraction of the window.
+    *
+    * S(t) is the right-continuous KM step function, so the integral is
+    * the exact step sum with t₀ = 0, S(0) = 1, event times clipped at τ:
+    * {{{
+    *   RMST(τ) = Σ_k S(t_k) · (min(t_{k+1}, τ) − t_k)
+    * }}}
+    * Each S·Δt term is one IEEE multiply of the 6-dp KM survival by an
+    * exact-integer width, rounded to 9 dp before the orderless sum
+    * (the kaplanMeier engine-neutrality rule); the result rounds to 6.
+    *
+    * Scale shape: subjects collapse to the bounded distinct-duration
+    * table inside [[kaplanMeier]]; the integral is a lead window plus a
+    * one-row sum over that tiny table. Nothing subject-sized moves.
+    *
+    * @param tau horizon (same units as the duration); event times ≥ τ
+    *            contribute nothing
+    * @return one row (tau, n_times, rmst) — rmst 6-dp
+    */
+  def rmst(df: DataFrame, durationCol: Column, eventCol: Column,
+           tau: Long): DataFrame = {
+    val km = kaplanMeier(df, durationCol, eventCol)
+    val wLead = Window.orderBy(F.col("t"))
+    val seg = km
+      .withColumn("__next",
+        F.least(F.coalesce(F.lead("t", 1).over(wLead), F.lit(tau)),
+          F.lit(tau)))
+      // width of THIS row's segment [t_k, min(t_{k+1}, tau))
+      .withColumn("__w",
+        F.greatest(F.col("__next") - F.least(F.col("t"), F.lit(tau)),
+          F.lit(0L)))
+      .withColumn("__term",
+        F.round(F.col("survival") * F.col("__w").cast("double"), 9))
+    // the pre-first-event segment [0, min(t_1, tau)) survives at S = 1
+    val head = seg.agg(
+      F.count(F.lit(1)).as("n_times"),
+      F.coalesce(F.least(F.min("t"), F.lit(tau)), F.lit(tau))
+        .cast("double").as("__h"),
+      F.coalesce(F.sum("__term"), F.lit(0.0)).as("__tail"))
+    head.select(F.lit(tau).as("tau"), F.col("n_times"),
+      F.round(F.col("__h") + F.col("__tail"), 6).as("rmst"))
+  }
+
+  /** Cramér–von Mises two-sample test (Anderson 1962) — the
+    * whole-distribution ECDF-distance test: where [[mannWhitneyU]] sees
+    * only location and [[ansariBradley]] only scale, CvM integrates the
+    * SQUARED gap between the two empirical CDFs, so any difference —
+    * shape, tails, bimodality — moves it (the integrated sibling of the
+    * x165 KS sup-gap, less tail-noisy because it averages). With
+    * combined midranks r_i of sample 1 (sizes n, m, N = n+m) and own-
+    * sample indices i:
+    * {{{
+    *   U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)²
+    *   T = U/(n·m·N) − (4nm−1)/(6N),   E[T] = (1 + 1/N)/6
+    * }}}
+    * Midranks are exact halves, so 2(r−i) is an exact integer and each
+    * tie group's Σ(2r−2i)² has a closed form in exact longs (n_g·k² −
+    * 4k·Σi + 4Σi² over the group's consecutive own-index range) — U is
+    * integer-exact up to the final /4; only the two T divisions touch
+    * IEEE doubles, bit-identical cross-engine.
+    *
+    * Scale shape: the [[mannWhitneyU]] discipline — subjects collapse
+    * map-side to distinct values, one bounded value-domain window, a
+    * 1-row result. No subject-level ranking ever happens. (Long-exactness
+    * bound: n·Σ(2Δ)² ≲ n·N·(2N)² must stay under 2⁶³ — fine to ~200k
+    * subjects; quantize the value domain coarser beyond that.)
+    *
+    * @return one row (n1, n2, u, t, e_t) — u/t 6-dp
+    */
+  def cvmTwoSample(df: DataFrame, valueCol: Column,
+                   isClass1: Column): DataFrame = {
+    val byV = df
+      .select(valueCol.cast("double").as("__v"),
+        F.when(isClass1, 1L).otherwise(0L).as("__c1"))
+      .groupBy("__v")
+      .agg(F.sum("__c1").as("__n1v"), F.count(F.lit(1)).as("__t"))
+      .withColumn("__n2v", F.col("__t") - F.col("__n1v"))
+    val w = Window.orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Σ_{i=a..b} i and Σ_{i=a..b} i² in exact longs (Column./ is double
+    // division — the numerators are exact multiples of 2 resp. 6 and
+    // < 2^53, so the long cast-back is lossless; the ansariBradley rule)
+    def s1(a: Column, b: Column): Column =
+      F.when(b < a, 0L).otherwise(
+        ((a + b) * (b - a + 1L) / 2L).cast("long"))
+    def s2(a: Column, b: Column): Column =
+      F.when(b < a, 0L).otherwise(
+        (b * (b + 1L) * (F.lit(2L) * b + 1L) / 6L).cast("long") -
+          ((a - 1L) * a * (F.lit(2L) * a - 1L) / 6L).cast("long"))
+    val ranked = byV
+      .withColumn("__cum", F.sum("__t").over(w))
+      .withColumn("__cum1", F.sum("__n1v").over(w))
+      .withColumn("__cum2", F.sum("__n2v").over(w))
+      // doubled midrank 2r = 2·cum − t + 1 (exact long)
+      .withColumn("__k", F.lit(2L) * F.col("__cum") - F.col("__t") + 1L)
+    // per tie group: Σ over its class-c members of (2r − 2i)², i running
+    // over the group's consecutive own-sample index range
+    def grpSum(nv: Column, cumC: Column): Column = {
+      val a = cumC - nv + 1L
+      val b = cumC
+      nv * F.col("__k") * F.col("__k") -
+        F.lit(4L) * F.col("__k") * s1(a, b) + F.lit(4L) * s2(a, b)
+    }
+    val g = ranked.agg(
+      F.sum("__n1v").as("n1"), F.sum("__n2v").as("n2"),
+      F.sum(grpSum(F.col("__n1v"), F.col("__cum1"))).as("__qa"),
+      F.sum(grpSum(F.col("__n2v"), F.col("__cum2"))).as("__qb"))
+    val n1D = F.col("n1").cast("double")
+    val n2D = F.col("n2").cast("double")
+    val nD = n1D + n2D
+    val u = (F.col("n1") * F.col("__qa") + F.col("n2") * F.col("__qb"))
+      .cast("double") / 4.0
+    g.select(F.col("n1"), F.col("n2"), F.round(u, 6).as("u"),
+      F.round(u / F.nullif(n1D * n2D * nD, F.lit(0.0)) -
+        (F.lit(4.0) * n1D * n2D - 1.0) / (F.lit(6.0) * nD), 6).as("t"),
+      F.round((F.lit(1.0) + F.lit(1.0) / nD) / 6.0, 6).as("e_t"))
+  }
 }

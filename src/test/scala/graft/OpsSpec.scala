@@ -5383,4 +5383,51 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 3L, 2.0, Some(1.0), Some(0.5), Some(1.0)),
       ("b", 1L, 5.0, None, None, None)), got)
   }
+
+  test("cvmTwoSample: 1,3 vs 2,4 — U=12, T=1/8; midrank ties exact") {
+    import graft.ops.Stats
+    val df = Seq((1.0, true), (3.0, true), (2.0, false), (4.0, false))
+      .toDF("v", "c")
+    val got = Stats.cvmTwoSample(df, F.col("v"), F.col("c"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    // Σ(r−i)²: class1 0+1, class2 1+4 → U=2·1+2·5=12,
+    // T = 12/16 − 15/24 = 1/8, E[T] = (1+1/4)/6
+    assert(got == ((2L, 2L, 12.0, 0.125, 0.208333)), got)
+    val tied = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "c")
+    val t = Stats.cvmTwoSample(tied, F.col("v"), F.col("c"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    // midrank 2.5 at the tie: Σ class1 = 0+0.25, class2 = 2.25+4
+    // → U = 0.5 + 12.5 = 13, T = 13/16 − 15/24 = 0.1875
+    assert(t == ((2L, 2L, 13.0, 0.1875, 0.208333)), t)
+  }
+
+  test("rmst: KM step integral to tau; all-censored gives tau") {
+    import graft.ops.Stats
+    val df = Seq((2L, 1), (4L, 1), (6L, 0)).toDF("dur", "ev")
+    val got = Stats.rmst(df, F.col("dur"), F.col("ev"), tau = 10L)
+      .as[(Long, Long, Double)].head()
+    // S=1 on [0,2), 2/3 on [2,4), 1/3 on [4,10):
+    // 2 + 0.666667·2 + 0.333333·6 = 5.333332 (6-dp KM survivals)
+    assert(got == ((10L, 2L, 5.333332)), got)
+    val cens = Seq((5L, 0), (7L, 0)).toDF("dur", "ev")
+    val c = Stats.rmst(cens, F.col("dur"), F.col("ev"), tau = 10L)
+      .as[(Long, Long, Double)].head()
+    assert(c == ((10L, 0L, 10.0)), c)
+  }
+
+  test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
+    import graft.ops.Graph
+    val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
+    val tri = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val t = Graph.gearyC(tri, "src", "dst", attrs, "n", F.col("x"),
+      scale = 1L).as[(Long, Long, Double, Double)].head()
+    // ss = 1+4+1 = 6, den = 2: C = 2·6/(2·3·2) = 1
+    assert(t == ((3L, 3L, 1.0, 1.0)), t)
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val p = Graph.gearyC(path, "src", "dst", attrs, "n", F.col("x"),
+      scale = 1L).as[(Long, Long, Double, Double)].head()
+    // ss = 1+1 = 2: C = 2·2/(2·2·2) = 1/2
+    assert(p == ((3L, 2L, 0.5, 1.0)), p)
+  }
 }
