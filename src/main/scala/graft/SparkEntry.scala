@@ -2887,6 +2887,61 @@ object SparkEntry {
         "s_suppkey", F.col("s_acctbal"))
     }),
 
+    // Lepage joint location+scale screen: did zh doc lengths shift OR
+    // spread vs the rest — either alone slips past x175 or x297
+    "x327_lepage" -> ((s, dir) =>
+      graft.ops.Stats.lepage(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.col("n_chars"), F.col("lang") === "zh")),
+
+    // Brunner-Munzel stochastic superiority for de lengths vs the
+    // rest — the variance-free reading x175's equal-spread U assumes
+    "x328_brunner_munzel" -> ((s, dir) =>
+      graft.ops.Stats.brunnerMunzel(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.col("n_chars"), F.col("lang") === "de")),
+
+    // spectral entropy of the x305 daily-count periodogram: one-number
+    // cycle-vs-noise verdict on the event series
+    "x329_spectral_entropy" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.spectralEntropy(daily, "t", "v", maxK = 30)
+    }),
+
+    // which supplier pair co-occurs NEXT: CN/Jaccard/Adamic-Adar/RA
+    // over non-adjacent pairs of the x300 co-occurrence graph
+    "x330_link_prediction" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Graph.linkPrediction(
+        graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          minCount = 6), "src", "dst", topN = 20)
+    }),
+
+    // do high-degree suppliers form their own club: density of the
+    // deg>k induced subgraph across the k ladder
+    "x331_rich_club" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Graph.richClub(
+        graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          minCount = 6), "src", "dst", kMax = 10)
+    }),
+
+    // KPSS level-stationarity of daily event volume: is the level
+    // stable (eta small) or wandering — the reversed-null companion of
+    // x284's trend test
+    "x332_kpss" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.kpssLevel(daily, "t", "v", scale = 1L)
+    }),
+
     // HITS on the customer-part bipartite graph: hub buyers vs
     // authority parts — roles degree alone cannot separate
     "x318_hits" -> ((s, dir) => {
@@ -9455,6 +9510,213 @@ object SparkEntry {
         |      0.0), 6) AS c,
         |  1.0::DOUBLE AS e_c
         |FROM one CROSS JOIN pe""".stripMargin,
+
+    // the x175 and x297 component trees replayed on the zh class, then
+    // L from the two 6-dp z's and the closed-form df-2 p
+    "x327_lepage" ->
+      """WITH v AS (SELECT n_chars AS vv,
+        |    CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS c1 FROM documents),
+        |byv AS (SELECT vv, sum(c1) AS n1g, count(*) AS t FROM v GROUP BY vv),
+        |mid AS (SELECT n1g, t,
+        |    (sum(t) OVER (ORDER BY vv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)::DOUBLE
+        |      + (t + 1)::DOUBLE / 2.0 AS midr
+        |  FROM byv),
+        |st AS (SELECT sum(n1g)::BIGINT AS n1, sum(t - n1g)::BIGINT AS n2,
+        |    sum(n1g * midr) AS r1, sum(t*t*t - t)::DOUBLE AS tie FROM mid),
+        |zw AS (SELECT n1, n2,
+        |    round(((r1 - n1*(n1+1.0)/2.0) - n1::DOUBLE*n2/2.0) /
+        |      sqrt(nullif(n1::DOUBLE*n2/12.0 *
+        |        ((n1+n2+1.0) - tie/((n1+n2)::DOUBLE*(n1+n2-1.0))), 0.0)),
+        |      6) AS z_w
+        |  FROM st),
+        |abv AS (SELECT vv::DOUBLE AS v, sum(c1)::BIGINT AS n1v,
+        |    count(*)::BIGINT AS t
+        |  FROM v GROUP BY 1),
+        |abtot AS (SELECT sum(t)::BIGINT AS nn, sum(n1v)::BIGINT AS none1
+        |  FROM abv),
+        |abr AS (SELECT n1v, t, nn, none1, (nn + 1)::BIGINT AS m,
+        |    ((nn + 1) // 2)::BIGINT AS c,
+        |    sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)::BIGINT AS cum
+        |  FROM abv CROSS JOIN abtot),
+        |absk AS (SELECT n1v, t, nn, none1,
+        |    CASE WHEN cum <= 0 THEN 0.0
+        |      WHEN cum <= c THEN cum * (cum + 1) / 2
+        |      ELSE c * (c + 1) / 2 + (cum - c) * m -
+        |        (cum * (cum + 1) / 2 - c * (c + 1) / 2) END -
+        |    CASE WHEN (cum - t) <= 0 THEN 0.0
+        |      WHEN (cum - t) <= c THEN (cum - t) * (cum - t + 1) / 2
+        |      ELSE c * (c + 1) / 2 + ((cum - t) - c) * m -
+        |        ((cum - t) * (cum - t + 1) / 2 - c * (c + 1) / 2) END
+        |      AS rs
+        |  FROM abr),
+        |abg AS (SELECT max(nn)::BIGINT AS nn,
+        |    max(none1)::BIGINT AS bn1,
+        |    (max(nn) - max(none1))::BIGINT AS bn2,
+        |    sum(n1v::DOUBLE * (rs / t::DOUBLE)) AS ab, sum(rs) AS sa,
+        |    sum(t::DOUBLE * (rs / t::DOUBLE) * (rs / t::DOUBLE)) AS sa2
+        |  FROM absk),
+        |zab AS (SELECT round((ab - bn1::DOUBLE * (sa / nn::DOUBLE)) /
+        |    sqrt(nullif(bn1::DOUBLE * bn2::DOUBLE *
+        |      (sa2 - nn::DOUBLE * (sa / nn::DOUBLE) *
+        |        (sa / nn::DOUBLE)) /
+        |      (nn::DOUBLE * (nn::DOUBLE - 1.0::DOUBLE)), 0.0)), 6)
+        |    AS z_ab
+        |  FROM abg)
+        |SELECT n1, n2, z_w, z_ab,
+        |  round(z_w * z_w + z_ab * z_ab, 6) AS l,
+        |  round(exp(-(z_w * z_w + z_ab * z_ab) / 2.0::DOUBLE), 9) AS p
+        |FROM zw CROSS JOIN zab""".stripMargin,
+
+    // doubled overall/within midranks as exact longs; variances of
+    // R - R^(k) from exact sums; three IEEE ratios
+    "x328_brunner_munzel" ->
+      """WITH byv AS (SELECT n_chars::DOUBLE AS v,
+        |    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS n1v,
+        |    count(*)::BIGINT AS t
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT n1v, (t - n1v)::BIGINT AS n2v, t,
+        |    (sum(t) OVER wo)::BIGINT AS cum,
+        |    (sum(n1v) OVER wo)::BIGINT AS cuma,
+        |    (sum(t - n1v) OVER wo)::BIGINT AS cumb
+        |  FROM byv WINDOW wo AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)),
+        |kk AS (SELECT n1v, n2v,
+        |    (2 * cum - t + 1)::BIGINT AS k,
+        |    (2 * cuma - n1v + 1)::BIGINT AS k1,
+        |    (2 * cumb - n2v + 1)::BIGINT AS k2
+        |  FROM r),
+        |g AS (SELECT sum(n1v)::BIGINT AS n1, sum(n2v)::BIGINT AS n2,
+        |    sum(n1v * k)::BIGINT AS r1, sum(n2v * k)::BIGINT AS r2,
+        |    sum(n1v * (k - k1))::BIGINT AS sa,
+        |    sum(n1v * (k - k1) * (k - k1))::BIGINT AS qa,
+        |    sum(n2v * (k - k2))::BIGINT AS sb,
+        |    sum(n2v * (k - k2) * (k - k2))::BIGINT AS qb
+        |  FROM kk),
+        |f AS (SELECT n1, n2,
+        |    r1::DOUBLE / (2.0::DOUBLE * n1::DOUBLE) AS m1,
+        |    r2::DOUBLE / (2.0::DOUBLE * n2::DOUBLE) AS m2,
+        |    (qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / n1::DOUBLE) /
+        |      (4.0::DOUBLE * nullif(n1::DOUBLE - 1.0::DOUBLE, 0.0))
+        |      AS v1,
+        |    (qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / n2::DOUBLE) /
+        |      (4.0::DOUBLE * nullif(n2::DOUBLE - 1.0::DOUBLE, 0.0))
+        |      AS v2
+        |  FROM g)
+        |SELECT n1, n2,
+        |  round((m2 - (n2::DOUBLE + 1.0::DOUBLE) / 2.0::DOUBLE) /
+        |    nullif(n1::DOUBLE, 0.0), 6) AS p_hat,
+        |  round(n1::DOUBLE * n2::DOUBLE * (m2 - m1) /
+        |    ((n1::DOUBLE + n2::DOUBLE) *
+        |      sqrt(nullif(n1::DOUBLE * v1 + n2::DOUBLE * v2, 0.0))),
+        |    6) AS w,
+        |  round((n1::DOUBLE * v1 + n2::DOUBLE * v2) *
+        |      (n1::DOUBLE * v1 + n2::DOUBLE * v2) /
+        |    nullif(n1::DOUBLE * v1 * n1::DOUBLE * v1 /
+        |        nullif(n1::DOUBLE - 1.0::DOUBLE, 0.0) +
+        |      n2::DOUBLE * v2 * n2::DOUBLE * v2 /
+        |        nullif(n2::DOUBLE - 1.0::DOUBLE, 0.0), 0.0), 6) AS df
+        |FROM f""".stripMargin,
+
+    // the x305 periodogram tree, then shares of the 6-dp powers and
+    // 9-dp q ln q terms
+    "x329_spectral_entropy" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::DOUBLE AS v FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS tn, sum(v) AS sv FROM daily),
+        |idx AS (SELECT (row_number() OVER (ORDER BY t) - 1)::BIGINT
+        |    AS i, v - sv / tn::DOUBLE AS c, tn
+        |  FROM daily CROSS JOIN tot),
+        |terms AS (SELECT k, tn,
+        |    round(c * cos(6.283185307179586 *
+        |      ((k * i) % tn)::DOUBLE / tn::DOUBLE), 9) AS ct,
+        |    round(c * sin(6.283185307179586 *
+        |      ((k * i) % tn)::DOUBLE / tn::DOUBLE), 9) AS st
+        |  FROM idx CROSS JOIN (SELECT unnest(range(1, 31))::BIGINT AS k)
+        |  WHERE k <= tn // 2),
+        |byk AS (SELECT k, sum(ct) AS sc, sum(st) AS ss
+        |  FROM terms GROUP BY k),
+        |p AS (SELECT k, round(sc * sc + ss * ss, 6) AS power FROM byk),
+        |ptot AS (SELECT count(*)::BIGINT AS k_bins, sum(power) AS sp
+        |  FROM p),
+        |et AS (SELECT round(power / sp * ln(power / sp), 9) AS term
+        |  FROM p CROSS JOIN ptot WHERE power > 0.0),
+        |g AS (SELECT sum(term) AS sterm FROM et)
+        |SELECT k_bins, round(-sterm, 6) AS h,
+        |  round(-sterm / nullif(ln(k_bins::DOUBLE), 0.0), 6) AS h_norm
+        |FROM ptot CROSS JOIN g""".stripMargin,
+
+    // x326's graph; wedge join through the shared neighbor, 9-dp AA/RA
+    // terms, anti-join against existing edges, total-order top-20
+    "x330_link_prediction" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        |  FROM lineitem),
+        |e AS (SELECT a.s AS a, b.s AS b FROM os a JOIN os b
+        |  ON a.o = b.o AND a.s < b.s GROUP BY 1, 2 HAVING count(*) >= 6),
+        |adj AS (SELECT a AS z, b AS n FROM e
+        |  UNION ALL SELECT b AS z, a AS n FROM e),
+        |deg AS (SELECT z AS node, count(*)::BIGINT AS dg FROM adj
+        |  GROUP BY 1),
+        |wed AS (SELECT x.n AS u, y.n AS v, d.dg AS dz
+        |  FROM adj x JOIN adj y ON x.z = y.z AND x.n < y.n
+        |  JOIN deg d ON d.node = x.z),
+        |sc AS (SELECT u, v, count(*)::BIGINT AS cn,
+        |    sum(round(1.0::DOUBLE / ln(dz::DOUBLE), 9)) AS aa9,
+        |    sum(round(1.0::DOUBLE / dz::DOUBLE, 9)) AS ra9
+        |  FROM wed GROUP BY 1, 2),
+        |ne AS (SELECT sc.* FROM sc LEFT JOIN e
+        |  ON e.a = sc.u AND e.b = sc.v WHERE e.a IS NULL)
+        |SELECT ne.u, ne.v, ne.cn,
+        |  round(ne.cn::DOUBLE /
+        |    (du.dg + dv.dg - ne.cn)::DOUBLE, 6) AS jaccard,
+        |  round(ne.aa9, 6) AS aa, round(ne.ra9, 6) AS ra
+        |FROM ne JOIN deg du ON du.node = ne.u
+        |JOIN deg dv ON dv.node = ne.v
+        |ORDER BY aa DESC, u, v LIMIT 20""".stripMargin,
+
+    // two bounded histograms (node degree, edge min-degree) joined to
+    // the k grid; exact-long counts, one IEEE density per k
+    "x331_rich_club" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        |  FROM lineitem),
+        |e AS (SELECT a.s AS a, b.s AS b FROM os a JOIN os b
+        |  ON a.o = b.o AND a.s < b.s GROUP BY 1, 2 HAVING count(*) >= 6),
+        |deg AS (SELECT n, count(*)::BIGINT AS dg FROM
+        |  (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |dh AS (SELECT dg, count(*)::BIGINT AS cnode FROM deg GROUP BY 1),
+        |em AS (SELECT least(da.dg, db.dg) AS md FROM e
+        |  JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        |eh AS (SELECT md, count(*)::BIGINT AS cedge FROM em GROUP BY 1),
+        |grid AS (SELECT unnest(range(1, 11))::BIGINT AS k),
+        |nk AS (SELECT k, coalesce(sum(cnode), 0)::BIGINT AS n_k
+        |  FROM grid LEFT JOIN dh ON dh.dg > grid.k GROUP BY k),
+        |ek AS (SELECT k, coalesce(sum(cedge), 0)::BIGINT AS e_k
+        |  FROM grid LEFT JOIN eh ON eh.md > grid.k GROUP BY k)
+        |SELECT nk.k, n_k, e_k,
+        |  round(2.0::DOUBLE * e_k::DOUBLE /
+        |    nullif((n_k * (n_k - 1))::DOUBLE, 0.0), 6) AS phi
+        |FROM nk JOIN ek ON nk.k = ek.k ORDER BY nk.k""".stripMargin,
+
+    // n-scaled demeaning makes E_t and its prefix sums exact longs;
+    // eta is the single IEEE division of two exact-long rollups
+    "x332_kpss" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::BIGINT AS y FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+        |  FROM daily),
+        |ee AS (SELECT t, (n * y - sy)::BIGINT AS e, n
+        |  FROM daily CROSS JOIN tot),
+        |sp AS (SELECT n, e, (sum(e) OVER (ORDER BY t ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS s FROM ee),
+        |g AS (SELECT max(n)::BIGINT AS n, sum(s * s)::BIGINT AS ss2,
+        |    sum(e * e)::BIGINT AS se2 FROM sp)
+        |SELECT n,
+        |  round(ss2::DOUBLE / nullif((n * se2)::DOUBLE, 0.0), 6) AS eta,
+        |  0.463::DOUBLE AS crit_5pct,
+        |  (ss2::DOUBLE / nullif((n * se2)::DOUBLE, 0.0)) > 0.463
+        |    AS reject
+        |FROM g""".stripMargin,
 
     // deduped bipartite edges; two unrolled max-normalized 9-dp
     // rounds; per-kind rank tables

@@ -586,4 +586,112 @@ object Graph {
           F.lit(0.0)), 6).as("c"),
       F.lit(1.0).as("e_c"))
   }
+
+  /** Link-prediction scores over NON-adjacent node pairs — the classic
+    * local-similarity trio (Liben-Nowell & Kleinberg 2003): common
+    * neighbors, Adamic–Adar `Σ_z 1/ln(deg z)` (rare shared neighbors
+    * weigh more), and resource allocation `Σ_z 1/deg z` (the stronger
+    * degree-penalty variant). The "which edge appears next" primitive —
+    * in a pipeline, which suppliers/documents are about to co-occur, or
+    * which near-dup clusters are one step from merging.
+    *
+    * Candidate pairs come from the [[triangleCounts]] wedge machinery:
+    * both adjacency directions joined through the shared neighbor z, so
+    * only pairs with ≥ 1 common neighbor ever materialize (never
+    * all-pairs); existing edges drop via one anti-join. Per-z terms
+    * round 9 dp before the orderless sums; cn and the Jaccard
+    * denominator are exact longs.
+    *
+    * Scale shape: the wedge join is bounded by Σ deg² like every
+    * triangle-family op (hub guard belongs upstream in the edge build);
+    * degrees ride broadcast-able dim joins; top-N by a total order.
+    *
+    * @return top `topN` rows (u, v, cn, jaccard, aa, ra) by (aa desc,
+    *         u, v) — 6-dp
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     topN: Int = 20): DataFrame = {
+    val und = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val adj = und.select(F.col("a").as("__z"), F.col("b").as("__n"))
+      .unionAll(und.select(F.col("b").as("__z"), F.col("a").as("__n")))
+    val deg = adj.groupBy(F.col("__z").as("node"))
+      .agg(F.count(F.lit(1)).as("deg"))
+    // wedges u−z−v with u<v: every candidate pair shares neighbor z
+    val wedges = adj.select(F.col("__z"), F.col("__n").as("u"))
+      .join(adj.select(F.col("__z"), F.col("__n").as("v")), Seq("__z"))
+      .filter(F.col("u") < F.col("v"))
+      .join(F.broadcast(deg.select(F.col("node").as("__z"),
+        F.col("deg").as("__dz"))), Seq("__z"))
+    val scored = wedges.groupBy("u", "v")
+      .agg(F.count(F.lit(1)).as("cn"),
+        F.sum(F.round(F.lit(1.0) /
+          F.log(F.col("__dz").cast("double")), 9)).as("aa"),
+        F.sum(F.round(F.lit(1.0) / F.col("__dz").cast("double"), 9))
+          .as("ra"))
+      // drop pairs that are already edges — predict only NEW links
+      .join(und.select(F.col("a").as("u"), F.col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .join(F.broadcast(deg.select(F.col("node").as("u"),
+        F.col("deg").as("__du"))), Seq("u"))
+      .join(F.broadcast(deg.select(F.col("node").as("v"),
+        F.col("deg").as("__dv"))), Seq("v"))
+    scored
+      .select(F.col("u"), F.col("v"), F.col("cn"),
+        F.round(F.col("cn").cast("double") /
+          (F.col("__du") + F.col("__dv") - F.col("cn")).cast("double"),
+          6).as("jaccard"),
+        F.round(F.col("aa"), 6).as("aa"),
+        F.round(F.col("ra"), 6).as("ra"))
+      .orderBy(F.col("aa").desc, F.col("u"), F.col("v"))
+      .limit(topN)
+  }
+
+  /** Rich-club coefficient curve (Zhou & Mondragón 2004) — do the
+    * high-degree nodes form their own densely-wired club? For each
+    * degree threshold k: take the N_k nodes with deg > k and the E_k
+    * edges internal to them,
+    * {{{
+    *   φ(k) = 2·E_k / (N_k · (N_k − 1))
+    * }}}
+    * — the density of the subgraph the "rich" nodes induce. A rising
+    * φ(k) is the hub-oligarchy signature (hubs preferentially link to
+    * hubs) that degree distribution and assortativity each only hint
+    * at.
+    *
+    * All counts are exact longs off two bounded histograms (node-degree
+    * and edge-min-degree), joined to the k-grid — the corpus-sized edge
+    * list collapses once and never re-scans per k.
+    *
+    * @return one row per k = 1..kMax (k, n_k, e_k, phi) — 6-dp; phi
+    *         NULL when N_k < 2
+    */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String,
+               kMax: Int = 10): DataFrame = {
+    require(kMax >= 1, s"kMax must be >= 1, got $kMax")
+    val und = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val deg = und.select(F.col("a").as("node"))
+      .unionAll(und.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
+    // bounded histograms: distinct degrees × kMax is the whole join
+    val degHist = deg.groupBy("deg").agg(F.count(F.lit(1)).as("__cn"))
+    val edgeMin = und
+      .join(F.broadcast(deg.select(F.col("node").as("a"),
+        F.col("deg").as("__da"))), Seq("a"))
+      .join(F.broadcast(deg.select(F.col("node").as("b"),
+        F.col("deg").as("__db"))), Seq("b"))
+      .select(F.least(F.col("__da"), F.col("__db")).as("__md"))
+      .groupBy("__md").agg(F.count(F.lit(1)).as("__ce"))
+    val grid = und.sparkSession.range(1, kMax + 1L)
+      .select(F.col("id").as("k"))
+    val nK = grid.join(degHist, F.col("deg") > F.col("k"), "left")
+      .groupBy("k").agg(F.coalesce(F.sum("__cn"), F.lit(0L)).as("n_k"))
+    val eK = grid.join(edgeMin, F.col("__md") > F.col("k"), "left")
+      .groupBy("k").agg(F.coalesce(F.sum("__ce"), F.lit(0L)).as("e_k"))
+    nK.join(eK, Seq("k"))
+      .select(F.col("k"), F.col("n_k"), F.col("e_k"),
+        F.round((F.lit(2L) * F.col("e_k")).cast("double") /
+          F.nullif((F.col("n_k") * (F.col("n_k") - 1L)).cast("double"),
+            F.lit(0.0)), 6).as("phi"))
+      .orderBy("k")
+  }
 }

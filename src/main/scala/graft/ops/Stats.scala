@@ -5966,4 +5966,204 @@ object Stats {
         (F.lit(4.0) * n1D * n2D - 1.0) / (F.lit(6.0) * nD), 6).as("t"),
       F.round((F.lit(1.0) + F.lit(1.0) / nD) / 6.0, 6).as("e_t"))
   }
+
+  /** Lepage test — the JOINT location-AND-scale two-sample test: L =
+    * z_W² + z_AB², the sum of the squared standardized Wilcoxon
+    * ([[mannWhitneyU]]) and Ansari–Bradley ([[ansariBradley]]) statistics
+    * (Lepage 1971). The two components are asymptotically independent, so
+    * L ~ χ²(2) under H₀ — and df = 2 means the p-value is the CLOSED FORM
+    * `exp(−L/2)` (the [[bhFdr]] rule), engine-replayable to the last ulp.
+    * The screening test when a distribution may have shifted OR spread
+    * and either alone would be missed.
+    *
+    * Both z's are the components' own 6-dp outputs, so L and p are
+    * deterministic IEEE arithmetic on already-pinned values — no new
+    * numeric surface.
+    *
+    * Scale shape: two [[mannWhitneyU]]-discipline map-side collapses
+    * (one per component) and a broadcast join of two 1-row results.
+    *
+    * @return one row (n1, n2, z_w, z_ab, l, p) — l 6-dp, p 9-dp; NULL
+    *         l/p when either component is degenerate
+    */
+  def lepage(df: DataFrame, valueCol: Column,
+             isClass1: Column): DataFrame = {
+    val w = mannWhitneyU(df, valueCol, isClass1)
+      .select(F.col("n1"), F.col("n2"), F.col("z").as("z_w"))
+    val a = ansariBradley(df, valueCol, isClass1)
+      .select(F.col("z").as("z_ab"))
+    val l = F.col("z_w") * F.col("z_w") + F.col("z_ab") * F.col("z_ab")
+    w.crossJoin(F.broadcast(a))
+      .select(F.col("n1"), F.col("n2"), F.col("z_w"), F.col("z_ab"),
+        F.round(l, 6).as("l"),
+        F.round(F.exp(-l / 2.0), 9).as("p"))
+  }
+
+  /** Brunner–Munzel test (2000) — the two-sample stochastic-superiority
+    * test that [[mannWhitneyU]] approximates only under equal variances:
+    * BM drops the exchangeability assumption entirely (the
+    * "nonparametric Behrens–Fisher" problem), estimating
+    * p̂ = P(X₁ < X₂) + ½P(X₁ = X₂) with a studentized statistic and
+    * Satterthwaite df. With overall midranks R and within-sample
+    * midranks R⁽ᵏ⁾:
+    * {{{
+    *   p̂ = (R̄₂ − (n₂+1)/2) / n₁
+    *   vₖ = Var over sample k of (Rᵢ − Rᵢ⁽ᵏ⁾)
+    *   W  = n₁n₂(R̄₂ − R̄₁) / (N·√(n₁v₁ + n₂v₂))
+    *   df = (n₁v₁ + n₂v₂)² / ((n₁v₁)²/(n₁−1) + (n₂v₂)²/(n₂−1))
+    * }}}
+    * Doubled midranks 2R, 2R⁽ᵏ⁾ are exact longs, so per tie group the
+    * doubled difference 2(R−R⁽ᵏ⁾) is an exact integer and each sample's
+    * Σ, Σ² sufficient statistics are exact-long sums — only the final
+    * ratios touch IEEE doubles, bit-identical cross-engine.
+    * (Long-exactness bound: Σ n·(2N)² ≲ 2⁶³ — fine to ~10⁶ subjects;
+    * quantize the value domain coarser beyond that.)
+    *
+    * Scale shape: the [[mannWhitneyU]] discipline — subjects collapse
+    * map-side to distinct values, one bounded value-domain window, a
+    * 1-row result.
+    *
+    * @return one row (n1, n2, p_hat, w, df) — 6-dp; w/df NULL when a
+    *         sample is empty or both rank-difference variances are 0
+    */
+  def brunnerMunzel(df: DataFrame, valueCol: Column,
+                    isClass1: Column): DataFrame = {
+    val byV = df
+      .select(valueCol.cast("double").as("__v"),
+        F.when(isClass1, 1L).otherwise(0L).as("__c1"))
+      .groupBy("__v")
+      .agg(F.sum("__c1").as("__n1v"), F.count(F.lit(1)).as("__t"))
+      .withColumn("__n2v", F.col("__t") - F.col("__n1v"))
+    val w = Window.orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV
+      .withColumn("__cum", F.sum("__t").over(w))
+      .withColumn("__cumA", F.sum("__n1v").over(w))
+      .withColumn("__cumB", F.sum("__n2v").over(w))
+      // doubled overall / within-sample midranks (exact longs)
+      .withColumn("__k", F.lit(2L) * F.col("__cum") - F.col("__t") + 1L)
+      .withColumn("__kOne",
+        F.lit(2L) * F.col("__cumA") - F.col("__n1v") + 1L)
+      .withColumn("__kTwo",
+        F.lit(2L) * F.col("__cumB") - F.col("__n2v") + 1L)
+    val g = ranked.agg(
+      F.sum("__n1v").as("n1"), F.sum("__n2v").as("n2"),
+      F.sum(F.col("__n1v") * F.col("__k")).as("__rOne"),
+      F.sum(F.col("__n2v") * F.col("__k")).as("__rTwo"),
+      F.sum(F.col("__n1v") * (F.col("__k") - F.col("__kOne"))).as("__sa"),
+      F.sum(F.col("__n1v") * (F.col("__k") - F.col("__kOne")) *
+        (F.col("__k") - F.col("__kOne"))).as("__qa"),
+      F.sum(F.col("__n2v") * (F.col("__k") - F.col("__kTwo"))).as("__sb"),
+      F.sum(F.col("__n2v") * (F.col("__k") - F.col("__kTwo")) *
+        (F.col("__k") - F.col("__kTwo"))).as("__qb"))
+    val n1D = F.col("n1").cast("double")
+    val n2D = F.col("n2").cast("double")
+    val nD = n1D + n2D
+    // means of the SINGLE midranks (halve the doubled sums)
+    val m1 = F.col("__rOne").cast("double") / (F.lit(2.0) * n1D)
+    val m2 = F.col("__rTwo").cast("double") / (F.lit(2.0) * n2D)
+    // Var of R − R⁽ᵏ⁾ from doubled exact-long sums: /4 undoes the 2×
+    def v(q: Column, s: Column, n: Column): Column =
+      (q.cast("double") - s.cast("double") * s.cast("double") /
+        n.cast("double")) /
+        (F.lit(4.0) * F.nullif(n.cast("double") - 1.0, F.lit(0.0)))
+    val v1 = v(F.col("__qa"), F.col("__sa"), F.col("n1"))
+    val v2 = v(F.col("__qb"), F.col("__sb"), F.col("n2"))
+    val pooled = n1D * v1 + n2D * v2
+    g.select(F.col("n1"), F.col("n2"),
+      F.round((m2 - (n2D + 1.0) / 2.0) / F.nullif(n1D, F.lit(0.0)), 6)
+        .as("p_hat"),
+      F.round(n1D * n2D * (m2 - m1) /
+        (nD * F.sqrt(F.nullif(pooled, F.lit(0.0)))), 6).as("w"),
+      F.round(pooled * pooled / F.nullif(
+        n1D * v1 * n1D * v1 / F.nullif(n1D - 1.0, F.lit(0.0)) +
+          n2D * v2 * n2D * v2 / F.nullif(n2D - 1.0, F.lit(0.0)),
+        F.lit(0.0)), 6).as("df"))
+  }
+
+  /** Spectral entropy — how CONCENTRATED the [[periodogram]] is: the
+    * Shannon entropy of the normalized spectral density over the
+    * Fourier bins, 0 when one frequency owns all the variance (pure
+    * cycle), ln K when the spectrum is flat (white noise). The one-
+    * number periodicity-vs-noise readout on top of x305's per-bin
+    * table: h_norm near 1 says "don't bother forecasting with
+    * seasonality", near 0 says "one dominant cycle".
+    *
+    * Powers are the periodogram's own 6-dp outputs; shares q = P_k/ΣP
+    * are one IEEE division each and q·ln q terms round 9 dp before the
+    * orderless sum (the kaplanMeier rule). Zero-power bins contribute
+    * exactly 0 (lim q→0 of q·ln q) and are filtered before the ln.
+    *
+    * Scale shape: [[periodogram]]'s bounded k-grid (≤ maxK rows) plus
+    * two 1-row rollups over it — nothing corpus-sized moves.
+    *
+    * @return one row (k_bins, h, h_norm) — 6-dp; NULL when no bin has
+    *         positive power (constant series) or k_bins = 1
+    */
+  def spectralEntropy(series: DataFrame, tCol: String, vCol: String,
+                      maxK: Int = 30): DataFrame = {
+    val p = periodogram(series, tCol, vCol, maxK)
+      .select(F.col("k"), F.col("power"))
+    val tot = p.agg(F.count(F.lit(1)).as("k_bins"),
+      F.sum("power").as("__sp"))
+    val terms = p.crossJoin(F.broadcast(tot))
+      .filter(F.col("power") > 0.0)
+      .withColumn("__q", F.col("power") / F.col("__sp"))
+      .withColumn("__term",
+        F.round(F.col("__q") * F.log(F.col("__q")), 9))
+    val g = terms.agg(F.sum("__term").as("__st"))
+    tot.crossJoin(F.broadcast(g))
+      .select(F.col("k_bins"), F.round(-F.col("__st"), 6).as("h"),
+        F.round(-F.col("__st") / F.nullif(
+          F.log(F.col("k_bins").cast("double")), F.lit(0.0)), 6)
+          .as("h_norm"))
+  }
+
+  /** KPSS level-stationarity test (Kwiatkowski et al. 1992, lag-0
+    * short-run variance) — the REVERSED-null companion of the usual
+    * unit-root tests: H₀ here is "the series IS stationary around a
+    * constant level", so a small η is evidence of stability and a large
+    * η says the level wanders (drifting event volume, decaying corpus
+    * freshness). With demeaned eₜ and partial sums Sₜ:
+    * {{{
+    *   η = Σ Sₜ² / (n² σ̂²),   σ̂² = Σ eₜ²/n
+    * }}}
+    * Values quantize (×scale) to exact longs; multiplying the demeaning
+    * through by n makes Eₜ = n·yₜ − Σy exact, its prefix sums exact
+    * longs (integer prefix sums are engine-safe — the fp-ladder rule
+    * applies only to IEEE running sums), and η collapses to the single
+    * IEEE division `Σ S'ₜ² / (n · Σ Eₜ²)`. (Long-exactness bound:
+    * n⁴·ŷ² ≲ 2⁶³ with ŷ the scaled value magnitude — fine for thousands
+    * of points of 10⁶-sized values; coarsen `scale` beyond.)
+    *
+    * Scale shape: one 1-row rollup, then one bounded single-partition
+    * prefix-sum window over the series grid (a time series, not a
+    * corpus) and a final 1-row collapse.
+    *
+    * @return one row (n, eta, crit_5pct, reject) — η 6-dp, 5%% critical
+    *         value 0.463; NULL η for a constant series
+    */
+  def kpssLevel(series: DataFrame, tCol: String, vCol: String,
+                scale: Long = 1L): DataFrame = {
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+      F.round(F.col(vCol).cast("double") * scale).cast("long").as("__y"))
+      .filter(F.col("__y").isNotNull)
+    val tot = s.agg(F.count(F.lit(1)).as("__n"), F.sum("__y").as("__sy"))
+    val e = s.crossJoin(F.broadcast(tot))
+      .withColumn("__e", F.col("__n") * F.col("__y") - F.col("__sy"))
+    val w = Window.orderBy(F.col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = e.withColumn("__sp", F.sum("__e").over(w))
+      .agg(F.max("__n").as("n"),
+        F.sum(F.col("__sp") * F.col("__sp")).as("__ss2"),
+        F.sum(F.col("__e") * F.col("__e")).as("__se2"))
+    g.select(F.col("n"),
+      F.round(F.col("__ss2").cast("double") /
+        F.nullif((F.col("n") * F.col("__se2")).cast("double"),
+          F.lit(0.0)), 6).as("eta"),
+      F.lit(0.463).as("crit_5pct"),
+      (F.col("__ss2").cast("double") /
+        F.nullif((F.col("n") * F.col("__se2")).cast("double"),
+          F.lit(0.0)) > 0.463).as("reject"))
+  }
 }

@@ -5416,6 +5416,87 @@ class OpsSpec extends AnyFunSuite {
     assert(c == ((10L, 0L, 10.0)), c)
   }
 
+  test("lepage: 1,2,3,4 class {1,2} — pure shift, z_ab=0, df-2 p") {
+    import graft.ops.Stats
+    val df = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))
+      .toDF("v", "c")
+    val got = Stats.lepage(df, F.col("v"), F.col("c"))
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    // z_w = -2/sqrt(5/3) = -1.549193, z_ab = 0 (symmetric scores):
+    // L = 2.399999, p = exp(-L/2) = 0.30119437
+    assert(got == ((2L, 2L, -1.549193, 0.0, 2.399999, 0.30119437)), got)
+  }
+
+  test("brunnerMunzel: interleaved 1,3 vs 2,4 and a tie at 2") {
+    import graft.ops.Stats
+    val df = Seq((1.0, true), (3.0, true), (2.0, false), (4.0, false))
+      .toDF("v", "c")
+    val got = Stats.brunnerMunzel(df, F.col("v"), F.col("c"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    // m1=2, m2=3, v1=v2=1/2: p_hat=0.75, W=1/sqrt(2), df=2
+    assert(got == ((2L, 2L, 0.75, 0.707107, 2.0)), got)
+    val tied = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "c")
+    val t = Stats.brunnerMunzel(tied, F.col("v"), F.col("c"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    // midrank 2.5 at the tie: m1=1.75, m2=3.25, v1=v2=1/8:
+    // p_hat=0.875, W=1.5/sqrt(0.5)/2=2.12132, df=2
+    assert(t == ((2L, 2L, 0.875, 2.12132, 2.0)), t)
+  }
+
+  test("spectralEntropy: pure k=2 cycle over 8 points gives H=0") {
+    import graft.ops.Stats
+    val s = Seq((0L, 1.0), (1L, 0.0), (2L, -1.0), (3L, 0.0),
+      (4L, 1.0), (5L, 0.0), (6L, -1.0), (7L, 0.0)).toDF("t", "v")
+    val got = Stats.spectralEntropy(s, "t", "v", maxK = 30)
+      .as[(Long, Double, Double)].head()
+    // all variance lands in bin k=2 (orthogonality): one share of 1,
+    // H = 0, normalized by ln(4 bins) still 0
+    assert(got == ((4L, 0.0, 0.0)), got)
+  }
+
+  test("linkPrediction: path and 4-cycle give hand CN/Jaccard/AA/RA") {
+    import graft.ops.Graph
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = Graph.linkPrediction(path, "src", "dst", topN = 20)
+      .as[(String, String, Long, Double, Double, Double)].collect().toSeq
+    // (a,c) through b (deg 2): aa = 1/ln 2, ra = 1/2, jaccard = 1
+    assert(got == Seq(("a", "c", 1L, 1.0, 1.442695, 0.5)), got)
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val c = Graph.linkPrediction(cyc, "src", "dst", topN = 20)
+      .as[(String, String, Long, Double, Double, Double)].collect().toSeq
+    // both diagonals share 2 deg-2 neighbors: aa = 2/ln 2
+    assert(c == Seq(("a", "c", 2L, 1.0, 2.88539, 1.0),
+      ("b", "d", 2L, 1.0, 2.88539, 1.0)), c)
+  }
+
+  test("richClub: triangle+pendant — phi(1)=1, NULL above") {
+    import graft.ops.Graph
+    val g = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"))
+      .toDF("src", "dst")
+    val got = Graph.richClub(g, "src", "dst", kMax = 3)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    // deg a=3, b=c=2, d=1: k=1 club is the triangle (density 1);
+    // k=2 leaves only a (no pairs), k=3 empty
+    assert(got == Seq((1L, 3L, 3L, Some(1.0)), (2L, 1L, 0L, None),
+      (3L, 0L, 0L, None)), got)
+  }
+
+  test("kpssLevel: ramp 1..4 gives 0.425; constant gives NULL") {
+    import graft.ops.Stats
+    val ramp = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("t", "v")
+    val got = Stats.kpssLevel(ramp, "t", "v")
+      .as[(Long, Option[Double], Double, Option[Boolean])].head()
+    // E = (-6,-2,2,6), S' = (-6,-8,-6,0): 136/(4*80) = 0.425
+    assert(got == ((4L, Some(0.425), 0.463, Some(false))), got)
+    val const = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("t", "v")
+    val c = Stats.kpssLevel(const, "t", "v")
+      .as[(Long, Option[Double], Double, Option[Boolean])].head()
+    assert(c == ((3L, None, 0.463, None)), c)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
