@@ -2942,6 +2942,46 @@ object SparkEntry {
       graft.ops.Stats.kpssLevel(daily, "t", "v", scale = 1L)
     }),
 
+    // Theil's U2 for the weekly-seasonal forecast vs lag-1 persistence
+    // on daily volume — does x193's snaive earn its keep under SQUARED
+    // loss
+    "x333_theils_u" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.theilsU2(daily, "t", "v", season = 7)
+    }),
+
+    // Hurst exponent of hourly event volume: do busy hours cluster
+    // (H>0.5) or mean-revert — the long-memory readout over the x112
+    // hourly grid
+    "x334_hurst" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val t = graft.ops.EventOps.tsStamp(ev)
+      val hourly = ev.groupBy(
+          F.floor(F.unix_timestamp(t) / 3600).cast("long").as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.hurstRS(hourly, "t", "v",
+        sizes = Seq(8, 16, 32, 64, 128))
+    }),
+
+    // ERR cascade metric on the x181 ranking task: first hit paid like
+    // MRR, later hits at diminishing (1/2)^c credit
+    "x335_err" -> ((s, dir) => {
+      val agg = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(F.col("l_returnflag").as("q"), F.col("l_suppkey").as("item"))
+        .agg(F.count(F.lit(1)).as("n"), F.sum("l_quantity").as("sq"))
+      val wA = Window.partitionBy("q").orderBy(F.col("n").desc, F.col("item"))
+      val wB = Window.partitionBy("q").orderBy(F.col("sq").desc, F.col("item"))
+      val res = agg.withColumn("rk", F.row_number().over(wA))
+        .filter(F.col("rk") <= 20)
+      val truth = agg.withColumn("rkb", F.row_number().over(wB))
+        .filter(F.col("rkb") <= 5)
+      graft.ops.Stats.err(res, truth, "q", "item", "rk")
+    }),
+
     // HITS on the customer-part bipartite graph: hub buyers vs
     // authority parts — roles degree alone cannot separate
     "x318_hits" -> ((s, dir) => {
@@ -9717,6 +9757,98 @@ object SparkEntry {
         |  (ss2::DOUBLE / nullif((n * se2)::DOUBLE, 0.0)) > 0.463
         |    AS reject
         |FROM g""".stripMargin,
+
+    // two lag windows on the daily grid; integer-difference squares are
+    // exact doubles; one IEEE ratio + sqrt
+    "x333_theils_u" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::DOUBLE AS v FROM events GROUP BY 1),
+        |l AS (SELECT v, lag(v, 7) OVER (ORDER BY t) AS fm,
+        |    lag(v, 1) OVER (ORDER BY t) AS f1 FROM daily),
+        |s AS (SELECT count(*)::BIGINT AS n_scored,
+        |    sum((v - fm) * (v - fm)) AS sm,
+        |    sum((v - f1) * (v - f1)) AS s1
+        |  FROM l WHERE fm IS NOT NULL AND f1 IS NOT NULL)
+        |SELECT n_scored, round(sm, 6) AS sse_model,
+        |  round(s1, 6) AS sse_naive,
+        |  round(sqrt(sm / nullif(s1, 0.0)), 6) AS u2
+        |FROM s""".stripMargin,
+
+    // hourly grid indexed once; per-(size, block) n-scaled exact-long
+    // prefix ladders; 9-dp R/S ratios; ln-ln OLS over the size points
+    "x334_hurst" ->
+      """WITH hourly AS (SELECT (floor(epoch(ts))::BIGINT // 3600)
+        |    AS t, count(*)::BIGINT AS y FROM events GROUP BY 1),
+        |idx AS (SELECT (row_number() OVER (ORDER BY t) - 1)::BIGINT
+        |    AS i, y FROM hourly),
+        |ex AS (SELECT i, y, sz FROM idx CROSS JOIN
+        |  (SELECT unnest([8, 16, 32, 64, 128])::BIGINT AS sz)),
+        |bl AS (SELECT sz, (i // sz)::BIGINT AS blk, i % sz AS pos, y
+        |  FROM ex),
+        |bs AS (SELECT sz, blk, count(*)::BIGINT AS n,
+        |    sum(y)::BIGINT AS sy, sum(y * y)::BIGINT AS sy2
+        |  FROM bl GROUP BY 1, 2),
+        |fb AS (SELECT * FROM bs WHERE n = sz),
+        |pr AS (SELECT bl.sz, bl.blk,
+        |    (bl.sz * (sum(bl.y) OVER (PARTITION BY bl.sz, bl.blk
+        |      ORDER BY bl.pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW)) - (bl.pos + 1) * fb.sy)::BIGINT AS p
+        |  FROM bl JOIN fb ON fb.sz = bl.sz AND fb.blk = bl.blk),
+        |rng AS (SELECT sz, blk, max(p)::BIGINT AS mx,
+        |    min(p)::BIGINT AS mn FROM pr GROUP BY 1, 2),
+        |rsv AS (SELECT r.sz, round(((r.mx - r.mn)::DOUBLE / fb.n::DOUBLE)
+        |    / nullif(sqrt((fb.sy2::DOUBLE - fb.sy::DOUBLE *
+        |      (fb.sy::DOUBLE / fb.n::DOUBLE)) / fb.n::DOUBLE), 0.0), 9)
+        |    AS rv
+        |  FROM rng r JOIN fb ON fb.sz = r.sz AND fb.blk = r.blk),
+        |bysz AS (SELECT sz AS size, count(rv)::BIGINT AS n_blocks,
+        |    round(avg(rv), 6) AS rs FROM rsv GROUP BY 1),
+        |pts AS (SELECT round(ln(size::DOUBLE), 9) AS x,
+        |    round(ln(rs), 9) AS yl FROM bysz WHERE rs > 0.0),
+        |p2 AS (SELECT x, yl, round(x * yl, 9) AS xy,
+        |    round(x * x, 9) AS x2 FROM pts),
+        |reg AS (SELECT count(*)::BIGINT AS n_sizes, sum(x) AS sx,
+        |    sum(yl) AS syy, sum(xy) AS sxy, sum(x2) AS sx2 FROM p2),
+        |h AS (SELECT n_sizes, CASE WHEN n_sizes >= 2 THEN
+        |    round((n_sizes::DOUBLE * sxy - sx * syy) /
+        |      nullif(n_sizes::DOUBLE * sx2 - sx * sx, 0.0), 6) END
+        |    AS hurst FROM reg)
+        |SELECT size, n_blocks, rs, n_sizes, hurst
+        |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // the x181 ranking replayed; cascade terms are exact powers of two
+    // over one integer division each, 9-dp before the per-query sum
+    "x335_err" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag AS q, l_suppkey AS item,
+        |    count(*) AS n, sum(l_quantity) AS sq
+        |  FROM lineitem GROUP BY 1, 2
+        |), ra AS (
+        |  SELECT q, item, row_number()
+        |    OVER (PARTITION BY q ORDER BY n DESC, item) AS rk
+        |  FROM agg
+        |), rb AS (
+        |  SELECT q, item, row_number()
+        |    OVER (PARTITION BY q ORDER BY sq DESC, item) AS rkb
+        |  FROM agg
+        |), res AS (SELECT q, item, rk FROM ra WHERE rk <= 20),
+        |tr AS (SELECT q, item FROM rb WHERE rkb <= 5),
+        |rel AS (SELECT res.q, res.rk FROM res
+        |  JOIN tr ON res.q = tr.q AND res.item = tr.item),
+        |tm AS (SELECT q, rk, (row_number() OVER (PARTITION BY q
+        |    ORDER BY rk) - 1)::BIGINT AS c FROM rel),
+        |te AS (SELECT q, round(power(0.5::DOUBLE, (c + 1)::DOUBLE) /
+        |    rk::DOUBLE, 9) AS term FROM tm),
+        |pq AS (SELECT q, count(*)::BIGINT AS n_rel, sum(term) AS e
+        |  FROM te GROUP BY q),
+        |qs AS (SELECT DISTINCT q FROM res),
+        |perq AS (SELECT qs.q AS query,
+        |    coalesce(n_rel, 0)::BIGINT AS n_rel,
+        |    round(coalesce(e, 0.0), 6) AS err
+        |  FROM qs LEFT JOIN pq ON qs.q = pq.q),
+        |g AS (SELECT round(avg(err), 6) AS mean_err FROM perq)
+        |SELECT query, n_rel, err, mean_err FROM perq CROSS JOIN g
+        |ORDER BY query""".stripMargin,
 
     // deduped bipartite edges; two unrolled max-normalized 9-dp
     // rounds; per-kind rank tables

@@ -6166,4 +6166,186 @@ object Stats {
         F.nullif((F.col("n") * F.col("__se2")).cast("double"),
           F.lit(0.0)) > 0.463).as("reject"))
   }
+
+  /** Theil's U2 forecast-accuracy ratio — RMSE of the season-naive
+    * forecast over RMSE of the plain lag-1 naive, on the rows where
+    * both exist: U2 < 1 means seasonality genuinely helps, U2 > 1 means
+    * the "smarter" forecast is WORSE than persistence. The squared-error
+    * sibling of [[mase]] (which uses absolute errors): U2's squaring
+    * punishes the occasional large miss that MAE smooths over — read
+    * them together to see whether a model earns its keep on typical
+    * days or blows up on outliers.
+    * {{{
+    *   U2 = √( Σ(yₜ − yₜ₋ₛ)² / Σ(yₜ − yₜ₋₁)² )
+    * }}}
+    * On integer-valued series both difference squares are exact doubles;
+    * sums are positive and orderless; one IEEE division + sqrt.
+    *
+    * Scale shape: [[mase]]'s — two lag windows over the bounded series
+    * grid (a time series, not a corpus), one 1-row collapse.
+    *
+    * @return one row (n_scored, sse_model, sse_naive, u2) — 6-dp; u2
+    *         NULL when the naive SSE is 0
+    */
+  def theilsU2(series: DataFrame, tCol: String, vCol: String,
+               season: Int = 7): DataFrame = {
+    require(season >= 2, s"season must be >= 2 to differ from naive, " +
+      s"got $season")
+    val w = Window.orderBy("t")
+    val scored = series
+      .select(F.col(tCol).cast("long").as("t"),
+        F.col(vCol).cast("double").as("v"))
+      .withColumn("__fm", F.lag("v", season).over(w))
+      .withColumn("__f1", F.lag("v", 1).over(w))
+      .filter(F.col("__fm").isNotNull && F.col("__f1").isNotNull)
+      .withColumn("__em",
+        (F.col("v") - F.col("__fm")) * (F.col("v") - F.col("__fm")))
+      .withColumn("__e1",
+        (F.col("v") - F.col("__f1")) * (F.col("v") - F.col("__f1")))
+    val g = scored.agg(F.count(F.lit(1)).as("n_scored"),
+      F.sum("__em").as("__sm"), F.sum("__e1").as("__s1"))
+    g.select(F.col("n_scored"),
+      F.round(F.col("__sm"), 6).as("sse_model"),
+      F.round(F.col("__s1"), 6).as("sse_naive"),
+      F.round(F.sqrt(F.col("__sm") /
+        F.nullif(F.col("__s1"), F.lit(0.0))), 6).as("u2"))
+  }
+
+  /** Hurst exponent via rescaled-range (R/S) analysis — long-memory of
+    * a series: H ≈ 0.5 is a memoryless walk, H > 0.5 persistent trends
+    * (busy hours cluster), H < 0.5 mean-reverting. For each dyadic
+    * window size n the series splits into ⌊T/n⌋ complete blocks; per
+    * block, R is the range of cumulative deviations from the block mean
+    * and S the population sd, and H is the OLS slope of ln(avg R/S) on
+    * ln n:
+    * {{{
+    *   Zₖ = Σ_{j≤k}(yⱼ − ȳ),  R = max Z − min Z,  RS = R/S
+    * }}}
+    * Values quantize (×scale) to exact longs; the block-mean deviations
+    * multiply through by n (the [[kpssLevel]] trick), so the prefix
+    * ladder P = n·Σy − k·Σy is exact-long and R = (maxP − minP)/n is
+    * one IEEE division. Per-block RS rounds 9 dp before the per-size
+    * average; the ≤ log₂T regression points use 9-dp ln terms.
+    *
+    * Scale shape: one indexed pass over the bounded series grid, one
+    * explode (×|sizes|), keyed per-(size, block) windows, a |sizes|-row
+    * regression collapse. Nothing corpus-sized moves.
+    *
+    * @param sizes dyadic block lengths; sizes needing more points than
+    *              the series has simply produce no complete blocks
+    * @return per size (size, n_blocks, rs) plus the shared (hurst,
+    *         n_sizes) — 6-dp; hurst NULL with < 2 usable sizes
+    */
+  def hurstRS(series: DataFrame, tCol: String, vCol: String,
+              sizes: Seq[Int] = Seq(8, 16, 32, 64, 128),
+              scale: Long = 1L): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 4),
+      s"sizes must all be >= 4, got $sizes")
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+        F.round(F.col(vCol).cast("double") * scale).cast("long")
+          .as("__y"))
+      .filter(F.col("__y").isNotNull)
+      // the one bounded single-partition pass: a time series, not a corpus
+      .withColumn("__i",
+        F.row_number().over(Window.orderBy("__t")).cast("long") - 1L)
+    val ex = s.select(F.col("__i"), F.col("__y"),
+        F.explode(F.lit(sizes.map(_.toLong).toArray)).as("__sz"))
+      // Column./ is double division — cast back for the exact block id
+      // (both operands are non-negative longs far below 2^53)
+      .withColumn("__blk", (F.col("__i") / F.col("__sz")).cast("long"))
+      .withColumn("__pos", F.col("__i") % F.col("__sz"))
+    val wB = Window.partitionBy("__sz", "__blk")
+    val wP = wB.orderBy("__pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = ex
+      .withColumn("__n", F.count(F.lit(1)).over(wB))
+      .filter(F.col("__n") === F.col("__sz"))
+      .withColumn("__sy", F.sum("__y").over(wB))
+      .withColumn("__sy2", F.sum(F.col("__y") * F.col("__y")).over(wB))
+      // n-scaled cumulative deviation: P_k = n·Σ_{j≤k} y_j − (k+1)·Σy
+      .withColumn("__p", F.col("__sz") * F.sum("__y").over(wP) -
+        (F.col("__pos") + 1L) * F.col("__sy"))
+      .groupBy("__sz", "__blk")
+      .agg(F.max("__p").as("__mx"), F.min("__p").as("__mn"),
+        F.max("__n").as("__bn"), F.max("__sy").as("__bsy"),
+        F.max("__sy2").as("__bsy2"))
+    val nD = F.col("__bn").cast("double")
+    val rRange = (F.col("__mx") - F.col("__mn")).cast("double") / nD
+    val sd = F.sqrt((F.col("__bsy2").cast("double") -
+      F.col("__bsy").cast("double") *
+        (F.col("__bsy").cast("double") / nD)) / nD)
+    val bySize = blocks
+      .withColumn("__rs", F.round(rRange / F.nullif(sd, F.lit(0.0)), 9))
+      .groupBy(F.col("__sz").as("size"))
+      .agg(F.count("__rs").as("n_blocks"),
+        F.round(F.avg("__rs"), 6).as("rs"))
+    // ln-ln OLS over the ≤|sizes| usable points (rs > 0)
+    val pts = bySize.filter(F.col("rs") > 0.0)
+      .select(F.col("size"),
+        F.round(F.log(F.col("size").cast("double")), 9).as("__x"),
+        F.round(F.log(F.col("rs")), 9).as("__yl"))
+      .withColumn("__xy", F.round(F.col("__x") * F.col("__yl"), 9))
+      .withColumn("__x2", F.round(F.col("__x") * F.col("__x"), 9))
+    val reg = pts.agg(F.count(F.lit(1)).as("n_sizes"),
+      F.sum("__x").as("__sx"), F.sum("__yl").as("__sy"),
+      F.sum("__xy").as("__sxy"), F.sum("__x2").as("__sx2"))
+    val kD = F.col("n_sizes").cast("double")
+    val slope = (kD * F.col("__sxy") - F.col("__sx") * F.col("__sy")) /
+      F.nullif(kD * F.col("__sx2") - F.col("__sx") * F.col("__sx"),
+        F.lit(0.0))
+    val h = reg.select(F.col("n_sizes"),
+      F.round(F.when(F.col("n_sizes") >= 2L, slope), 6).as("hurst"))
+    bySize.crossJoin(F.broadcast(h))
+      .select(F.col("size"), F.col("n_blocks"), F.col("rs"),
+        F.col("n_sizes"), F.col("hurst"))
+      .orderBy("size")
+  }
+
+  /** Expected reciprocal rank (ERR, Chapelle et al. 2009) — the cascade
+    * retrieval metric: a reader scans down the list and stops at the
+    * first satisfying result, so a relevant item's credit is discounted
+    * by the chance every EARLIER relevant item already stopped the
+    * scan. With binary relevance R = 1/2 (the graded-scale value for
+    * g=1 of g_max=1):
+    * {{{
+    *   ERR = Σ_{r : rel} (1/r) · (1/2) · (1/2)^{c(r)}
+    * }}}
+    * where c(r) counts relevant items before rank r — so each term is
+    * an exact power of two over one integer division, bit-identical
+    * cross-engine; terms round 9 dp, per-query sums are positive and
+    * orderless. Sits between [[mrr]] (first hit only) and [[ndcg]]
+    * (no cascade): ERR rewards the first hit like MRR but still pays
+    * diminishing credit to later ones.
+    *
+    * Scale shape: [[mrr]]'s — a keyed join onto truth, one query-keyed
+    * window, a per-query rollup and a 1-row mean broadcast back.
+    *
+    * @return per query (query, n_rel, err, mean_err) ordered by query —
+    *         queries with no relevant results score 0
+    */
+  def err(results: DataFrame, truth: DataFrame, queryCol: String,
+          itemCol: String, rankCol: String): DataFrame = {
+    val rel = results
+      .select(F.col(queryCol).as("query"), F.col(itemCol).as("item"),
+        F.col(rankCol).cast("long").as("__rk"))
+      .join(truth.select(F.col(queryCol).as("query"),
+        F.col(itemCol).as("item")), Seq("query", "item"))
+    val wQ = Window.partitionBy("query").orderBy("__rk")
+    val terms = rel
+      .withColumn("__c",
+        F.count(F.lit(1)).over(wQ.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - 1L)
+      .withColumn("__term", F.round(
+        F.pow(F.lit(0.5), (F.col("__c") + 1L).cast("double")) /
+          F.col("__rk").cast("double"), 9))
+      .groupBy("query")
+      .agg(F.count(F.lit(1)).as("n_rel"), F.sum("__term").as("__e"))
+    val perQ = results.select(F.col(queryCol).as("query")).distinct()
+      .join(terms, Seq("query"), "left")
+      .select(F.col("query"),
+        F.coalesce(F.col("n_rel"), F.lit(0L)).as("n_rel"),
+        F.round(F.coalesce(F.col("__e"), F.lit(0.0)), 6).as("err"))
+    val g = perQ.agg(F.round(F.avg("err"), 6).as("mean_err"))
+    perQ.crossJoin(F.broadcast(g)).orderBy("query")
+  }
 }

@@ -5497,6 +5497,41 @@ class OpsSpec extends AnyFunSuite {
     assert(c == ((3L, None, 0.463, None)), c)
   }
 
+  test("theilsU2: ramp punishes the seasonal forecast — U2 = 2") {
+    import graft.ops.Stats
+    val s = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0))
+      .toDF("t", "v")
+    val got = Stats.theilsU2(s, "t", "v", season = 2)
+      .as[(Long, Double, Double, Double)].head()
+    // model SSE 12 vs naive SSE 3 on the 3 scored rows
+    assert(got == ((3L, 12.0, 3.0, 2.0)), got)
+  }
+
+  test("hurstRS: tent series — per-size R/S doubles, slope 1") {
+    import graft.ops.Stats
+    val s = Seq(1.0, 2.0, 3.0, 4.0, 4.0, 3.0, 2.0, 1.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("t", "v")
+    val got = Stats.hurstRS(s, "t", "v", sizes = Seq(4, 8))
+      .as[(Long, Long, Double, Long, Option[Double])].collect().toSeq
+    // blocks (1,2,3,4)/(4,3,2,1): R=2, S=sqrt(5)/2 -> RS=1.788854;
+    // the full tent: R=4, same S -> RS doubles, ln-ln slope exactly 1
+    assert(got == Seq((4L, 2L, 1.788854, 2L, Some(1.0)),
+      (8L, 1L, 3.577709, 2L, Some(1.0))), got)
+  }
+
+  test("err: cascade credit — 0.5 then 0.125; no-rel query scores 0") {
+    import graft.ops.Stats
+    val res = Seq(("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+      ("q2", "a", 1), ("q2", "b", 2)).toDF("q", "item", "rk")
+    val truth = Seq(("q1", "a"), ("q1", "b"), ("q2", "b"))
+      .toDF("q", "item")
+    val got = Stats.err(res, truth, "q", "item", "rk")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // q1: 0.5^1/1 + 0.5^2/2 = 0.625; q2: 0.5^1/2 = 0.25; mean 0.4375
+    assert(got == Seq(("q1", 2L, 0.625, 0.4375),
+      ("q2", 1L, 0.25, 0.4375)), got)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
