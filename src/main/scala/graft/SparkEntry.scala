@@ -2967,6 +2967,35 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // covariate balance of the en vs non-en "arms": |SMD| per length
+    // covariate — the confounding check before any en-effect claim
+    "x336_smd_balance" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = F.size(F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+          "\\s+"), x => F.length(x) > 0))
+      graft.ops.Stats.smdBalance(docs, F.col("lang") === "en",
+        Seq("n_chars" -> F.col("n_chars"), "n_tokens" -> toks))
+    }),
+
+    // Newcombe hybrid-score CI for the weekend-vs-weekday purchase-rate
+    // DIFFERENCE — the interval behind x298's effect size
+    "x337_newcombe" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Stats.newcombeDiffCi(ev,
+        F.dayofweek(F.to_date(graft.ops.EventOps.tsStamp(ev)))
+          .isin(1, 7),
+        F.col("event_type") === "purchase")
+    }),
+
+    // rake the long-doc subset (n_chars >= 300) back to corpus
+    // (source x lang) margins: 5 IPF rounds, 9-dp weights
+    "x338_ipf_raking" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Stats.ipfRaking(docs.filter(F.col("n_chars") >= 300),
+        docs, "source", "lang", rounds = 5)
+    }),
+
     // ERR cascade metric on the x181 ranking task: first hit paid like
     // MRR, later hits at diminishing (1/2)^c credit
     "x335_err" -> ((s, dir) => {
@@ -9815,6 +9844,120 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // one long-format union; exact (n, Σk, Σk²) per covariate×arm;
+    // single IEEE means/variances
+    "x336_smd_balance" ->
+      """WITH lng AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS arm,
+        |    'n_chars' AS covariate, n_chars::BIGINT AS k FROM documents
+        |  UNION ALL
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END,
+        |    'n_tokens',
+        |    len(list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> length(x) > 0))::BIGINT
+        |  FROM documents),
+        |g AS (SELECT covariate,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN arm = 1 THEN k ELSE 0 END)::BIGINT AS s1,
+        |    sum(CASE WHEN arm = 0 THEN k ELSE 0 END)::BIGINT AS s0,
+        |    sum(CASE WHEN arm = 1 THEN k * k ELSE 0 END)::BIGINT AS q1,
+        |    sum(CASE WHEN arm = 0 THEN k * k ELSE 0 END)::BIGINT AS q0
+        |  FROM lng WHERE k IS NOT NULL GROUP BY 1),
+        |f AS (SELECT covariate, n1, n0,
+        |    s1::DOUBLE / (n1::DOUBLE * 1.0::DOUBLE) AS m1,
+        |    s0::DOUBLE / (n0::DOUBLE * 1.0::DOUBLE) AS m0,
+        |    (q1::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n1::DOUBLE)) /
+        |      (nullif(n1::DOUBLE - 1.0::DOUBLE, 0.0) * 1.0::DOUBLE
+        |        * 1.0::DOUBLE) AS v1,
+        |    (q0::DOUBLE - s0::DOUBLE * (s0::DOUBLE / n0::DOUBLE)) /
+        |      (nullif(n0::DOUBLE - 1.0::DOUBLE, 0.0) * 1.0::DOUBLE
+        |        * 1.0::DOUBLE) AS v0
+        |  FROM g)
+        |SELECT covariate, n1, n0, round(m1, 6) AS mean1,
+        |  round(m0, 6) AS mean0,
+        |  round(CASE WHEN n1 >= 2 AND n0 >= 2 THEN (m1 - m0) /
+        |    sqrt(nullif((v1 + v0) / 2.0::DOUBLE, 0.0)) END, 6) AS smd
+        |FROM f ORDER BY covariate""".stripMargin,
+
+    // the x298 arm counts; per-arm Wilson bounds (x215's z2 idiom),
+    // square-and-add hybrid interval
+    "x337_newcombe" ->
+      """WITH g AS (SELECT
+        |    sum(CASE WHEN isodow(ts::DATE) IN (6, 7) THEN 1 ELSE 0
+        |      END)::BIGINT AS n1,
+        |    sum(CASE WHEN isodow(ts::DATE) NOT IN (6, 7) THEN 1 ELSE 0
+        |      END)::BIGINT AS n2,
+        |    sum(CASE WHEN isodow(ts::DATE) IN (6, 7)
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS s1,
+        |    sum(CASE WHEN isodow(ts::DATE) NOT IN (6, 7)
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS s2
+        |  FROM events),
+        |e AS (SELECT n1, n2,
+        |    s1::DOUBLE / nullif(n1::DOUBLE, 0.0) AS p1,
+        |    s2::DOUBLE / nullif(n2::DOUBLE, 0.0) AS p2,
+        |    nullif(n1::DOUBLE, 0.0) AS d1, nullif(n2::DOUBLE, 0.0) AS d2,
+        |    (1.959964::DOUBLE * 1.959964) AS z2 FROM g),
+        |f AS (SELECT n1, n2, p1, p2,
+        |    (p1 + z2 / (d1 * 2.0) - 1.959964::DOUBLE *
+        |      sqrt(p1 * (1.0 - p1) / d1 +
+        |        z2 / (4.0::DOUBLE * d1 * d1))) / (1.0 + z2 / d1) AS l1,
+        |    (p1 + z2 / (d1 * 2.0) + 1.959964::DOUBLE *
+        |      sqrt(p1 * (1.0 - p1) / d1 +
+        |        z2 / (4.0::DOUBLE * d1 * d1))) / (1.0 + z2 / d1) AS u1,
+        |    (p2 + z2 / (d2 * 2.0) - 1.959964::DOUBLE *
+        |      sqrt(p2 * (1.0 - p2) / d2 +
+        |        z2 / (4.0::DOUBLE * d2 * d2))) / (1.0 + z2 / d2) AS l2,
+        |    (p2 + z2 / (d2 * 2.0) + 1.959964::DOUBLE *
+        |      sqrt(p2 * (1.0 - p2) / d2 +
+        |        z2 / (4.0::DOUBLE * d2 * d2))) / (1.0 + z2 / d2) AS u2
+        |  FROM e)
+        |SELECT n1, n2, round(p1, 6) AS p1, round(p2, 6) AS p2,
+        |  round(p1 - p2, 6) AS d,
+        |  round(p1 - p2 - sqrt((p1 - l1) * (p1 - l1) +
+        |    (u2 - p2) * (u2 - p2)), 6) AS lo,
+        |  round(p1 - p2 + sqrt((u1 - p1) * (u1 - p1) +
+        |    (p2 - l2) * (p2 - l2)), 6) AS hi
+        |FROM f""".stripMargin,
+
+    // generated unrolled IPF rounds (the x321 pacf idiom): per round a
+    // row normalization then a column one, 9-dp weights per half-round
+    "x338_ipf_raking" -> {
+      val roundCtes = (1 to 5).map { i =>
+        val prev = if (i == 1) "w0" else s"w${i - 1}"
+        s"""ra$i AS MATERIALIZED (SELECT r, sum(round(w * n, 9)) AS s
+           |  FROM $prev GROUP BY r),
+           |wr$i AS MATERIALIZED (SELECT w.r, w.c, w.n,
+           |    CASE WHEN ra.s > 0.0 AND rt.t > 0.0
+           |      THEN round(w.w * rt.t / ra.s, 9) ELSE w.w END AS w
+           |  FROM $prev w JOIN ra$i ra ON ra.r = w.r
+           |  JOIN rt ON rt.r = w.r),
+           |ca$i AS MATERIALIZED (SELECT c, sum(round(w * n, 9)) AS s
+           |  FROM wr$i GROUP BY c),
+           |w$i AS MATERIALIZED (SELECT w.r, w.c, w.n,
+           |    CASE WHEN ca.s > 0.0 AND ct.t > 0.0
+           |      THEN round(w.w * ct.t / ca.s, 9) ELSE w.w END AS w
+           |  FROM wr$i w JOIN ca$i ca ON ca.c = w.c
+           |  JOIN ct ON ct.c = w.c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cells AS MATERIALIZED (SELECT source::VARCHAR AS r,
+         |    lang::VARCHAR AS c, count(*)::BIGINT AS n
+         |  FROM documents WHERE n_chars >= 300 GROUP BY 1, 2),
+         |rt AS MATERIALIZED (SELECT source::VARCHAR AS r,
+         |    count(*)::DOUBLE AS t FROM documents
+         |  WHERE source::VARCHAR IN (SELECT r FROM cells) GROUP BY 1),
+         |ct AS MATERIALIZED (SELECT lang::VARCHAR AS c,
+         |    count(*)::DOUBLE AS t FROM documents
+         |  WHERE lang::VARCHAR IN (SELECT c FROM cells) GROUP BY 1),
+         |w0 AS (SELECT r, c, n, 1.0::DOUBLE AS w FROM cells),
+         |$roundCtes
+         |SELECT r AS rkey, c AS ckey, n, w, round(w * n, 6) AS wn
+         |FROM w5 ORDER BY rkey, ckey""".stripMargin
+    },
 
     // the x181 ranking replayed; cascade terms are exact powers of two
     // over one integer division each, 9-dp before the per-query sum

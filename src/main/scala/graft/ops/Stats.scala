@@ -6348,4 +6348,182 @@ object Stats {
     val g = perQ.agg(F.round(F.avg("err"), 6).as("mean_err"))
     perQ.crossJoin(F.broadcast(g)).orderBy("query")
   }
+
+  /** Standardized-mean-difference covariate balance census — the
+    * experiment-governance table read before ANY effect estimate: for
+    * every covariate, how far apart are the two arms in pooled-sd
+    * units, `SMD = (m₁ − m₀) / √((v₁ + v₀)/2)`. |SMD| < 0.1 is the
+    * conventional "balanced" bar; a big SMD on a pre-treatment
+    * covariate means randomization failed (or the observational split
+    * needs weighting) and the lift number downstream is confounded.
+    *
+    * Covariates quantize (×scale) to exact longs, so each arm's
+    * (n, Σk, Σk²) are exact sufficient statistics and means/variances
+    * are single IEEE divisions (scale cancels in the SMD ratio only
+    * through its square — applied identically cross-engine).
+    *
+    * Scale shape: ONE corpus scan — covariates ride a |covs|-wide
+    * explode into long format, then a covariate-keyed collapse to
+    * 2·|covs| sufficient-statistic rows.
+    *
+    * @return per covariate (covariate, n1, n0, mean1, mean0, smd) —
+    *         6-dp; smd NULL when either arm has n < 2 or pooled var 0
+    */
+  def smdBalance(df: DataFrame, armCol: Column,
+                 covariates: Seq[(String, Column)],
+                 scale: Long = 1L): DataFrame = {
+    require(covariates.nonEmpty, "need at least one covariate")
+    val long = df.select(
+        F.when(armCol, 1L).otherwise(0L).as("__arm"),
+        F.explode(F.array(covariates.map { case (nm, c) =>
+          F.struct(F.lit(nm).as("nm"),
+            F.round(c.cast("double") * scale).cast("long").as("k"))
+        }: _*)).as("__cv"))
+      .select(F.col("__arm"), F.col("__cv.nm").as("covariate"),
+        F.col("__cv.k").as("__k"))
+      .filter(F.col("__k").isNotNull)
+    def armAgg(a: Int, f: Column): Column =
+      F.sum(F.when(F.col("__arm") === a.toLong, f).otherwise(0L))
+    val g = long.groupBy("covariate").agg(
+      armAgg(1, F.lit(1L)).as("n1"), armAgg(0, F.lit(1L)).as("n0"),
+      armAgg(1, F.col("__k")).as("__s1"),
+      armAgg(0, F.col("__k")).as("__s0"),
+      armAgg(1, F.col("__k") * F.col("__k")).as("__q1"),
+      armAgg(0, F.col("__k") * F.col("__k")).as("__q0"))
+    val sD = F.lit(scale).cast("double")
+    def mean(s: Column, n: Column): Column =
+      s.cast("double") / (n.cast("double") * sD)
+    def v(q: Column, s: Column, n: Column): Column =
+      (q.cast("double") - s.cast("double") *
+        (s.cast("double") / n.cast("double"))) /
+        (F.nullif(n.cast("double") - 1.0, F.lit(0.0)) * sD * sD)
+    val m1 = mean(F.col("__s1"), F.col("n1"))
+    val m0 = mean(F.col("__s0"), F.col("n0"))
+    val pooled = (v(F.col("__q1"), F.col("__s1"), F.col("n1")) +
+      v(F.col("__q0"), F.col("__s0"), F.col("n0"))) / 2.0
+    g.select(F.col("covariate"), F.col("n1"), F.col("n0"),
+      F.round(m1, 6).as("mean1"), F.round(m0, 6).as("mean0"),
+      F.round(F.when(F.col("n1") >= 2L && F.col("n0") >= 2L,
+        (m1 - m0) / F.sqrt(F.nullif(pooled, F.lit(0.0)))), 6).as("smd"))
+      .orderBy("covariate")
+  }
+
+  /** Newcombe hybrid-score confidence interval for a DIFFERENCE of two
+    * proportions (Newcombe 1998, method 10) — the interval that stays
+    * inside [−1, 1] and behaves at extreme rates where the naive Wald
+    * ±z√(p₁q₁/n₁ + p₂q₂/n₂) collapses: take each arm's
+    * [[wilsonInterval]] (l, u), then
+    * {{{
+    *   lo = d − √((p₁−l₁)² + (u₂−p₂)²)
+    *   hi = d + √((u₁−p₁)² + (p₂−l₂)²)
+    * }}}
+    * with d = p₁ − p₂. The effect-size CI companion of [[cohensH]]'s
+    * magnitude and x291's significance. All closed-form from four exact
+    * longs; z = 1.959964 as the single shared literal.
+    *
+    * Scale shape: one conditional-count collapse to a 1-row result.
+    *
+    * @return one row (n1, n2, p1, p2, d, lo, hi) — 6-dp; NULL for an
+    *         empty arm
+    */
+  def newcombeDiffCi(df: DataFrame, armCol: Column,
+                     successCol: Column): DataFrame = {
+    val z = 1.959964
+    val z2 = z * z
+    val g = df.agg(
+      F.sum(F.when(armCol, 1L).otherwise(0L)).as("n1"),
+      F.sum(F.when(!armCol, 1L).otherwise(0L)).as("n2"),
+      F.sum(F.when(armCol && successCol, 1L).otherwise(0L)).as("__s1"),
+      F.sum(F.when(!armCol && successCol, 1L).otherwise(0L)).as("__s2"))
+    def wils(k: Column, n: Column): (Column, Column, Column) = {
+      val nD = F.nullif(n.cast("double"), F.lit(0.0))
+      val p = k.cast("double") / nD
+      val center = p + F.lit(z2) / (nD * 2.0)
+      val half = F.lit(z) * F.sqrt(p * (F.lit(1.0) - p) / nD +
+        F.lit(z2) / (F.lit(4.0) * nD * nD))
+      val denom = F.lit(1.0) + F.lit(z2) / nD
+      (p, (center - half) / denom, (center + half) / denom)
+    }
+    val (p1, l1, u1) = wils(F.col("__s1"), F.col("n1"))
+    val (p2, l2, u2) = wils(F.col("__s2"), F.col("n2"))
+    val d = p1 - p2
+    g.select(F.col("n1"), F.col("n2"),
+      F.round(p1, 6).as("p1"), F.round(p2, 6).as("p2"),
+      F.round(d, 6).as("d"),
+      F.round(d - F.sqrt((p1 - l1) * (p1 - l1) +
+        (u2 - p2) * (u2 - p2)), 6).as("lo"),
+      F.round(d + F.sqrt((u1 - p1) * (u1 - p1) +
+        (p2 - l2) * (p2 - l2)), 6).as("hi"))
+  }
+
+  /** Iterative proportional fitting (raking) — survey-calibration
+    * weights over a two-way (row × col) cell table: scale a biased
+    * sample's cells so its WEIGHTED margins match the population's, by
+    * alternately normalizing rows then columns for a fixed number of
+    * rounds (Deming & Stephan 1940). The standard fix when a filtered
+    * training subset over-represents some sources/languages and
+    * downstream stats must be quoted at corpus-representative weights.
+    *
+    * Targets are restricted to row/col categories OBSERVED in the
+    * sample (an absent category has nothing to carry its mass —
+    * documented, not silently zero-divided). Determinization: the cell
+    * table is bounded (distinct rows × cols, guarded), so the fit runs
+    * driver-side over sorted keys with every weight quantized to 9 dp
+    * per half-round — the [[Similarity.kmeansLloyd]]/x241 iteration
+    * contract, engine-replayable.
+    *
+    * Scale shape: two distributed collapses (sample cells, population
+    * margins) to bounded tables; the driver holds |cells| doubles; the
+    * result returns as a small local relation.
+    *
+    * @return per cell (rkey, ckey, n, w, wn) — w 9-dp, wn = w·n 6-dp,
+    *         ordered by (rkey, ckey)
+    */
+  def ipfRaking(sample: DataFrame, population: DataFrame,
+                rowKey: String, colKey: String, rounds: Int = 5,
+                maxCells: Int = 100000): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val cells = sample
+      .groupBy(F.col(rowKey).cast("string").as("r"),
+        F.col(colKey).cast("string").as("c"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .collect().map(x => ((x.getString(0), x.getString(1)), x.getLong(2)))
+      .sortBy(_._1).toArray
+    require(cells.length <= maxCells,
+      s"cell table ${cells.length} exceeds maxCells=$maxCells — " +
+        "coarsen the keys")
+    val rObs = cells.map(_._1._1).toSet
+    val cObs = cells.map(_._1._2).toSet
+    val rT = population.groupBy(F.col(rowKey).cast("string").as("r"))
+      .agg(F.count(F.lit(1)).as("n")).collect()
+      .map(x => x.getString(0) -> x.getLong(1).toDouble).toMap
+      .filter { case (k, _) => rObs(k) }
+    val cT = population.groupBy(F.col(colKey).cast("string").as("c"))
+      .agg(F.count(F.lit(1)).as("n")).collect()
+      .map(x => x.getString(0) -> x.getLong(1).toDouble).toMap
+      .filter { case (k, _) => cObs(k) }
+    def r9(x: Double): Double = math.round(x * 1e9) / 1e9
+    var w = cells.map { case (k, n) => (k, n, 1.0) }
+    for (_ <- 1 to rounds) {
+      // rows, sorted-key sums of 9-dp products
+      val rSum = w.groupBy(_._1._1).map { case (k, xs) =>
+        k -> xs.map(x => r9(x._3 * x._2)).sum }
+      w = w.map { case (k, n, wv) =>
+        val t = rT.getOrElse(k._1, 0.0)
+        val s = rSum(k._1)
+        (k, n, if (s > 0.0 && t > 0.0) r9(wv * t / s) else wv) }
+      val cSum = w.groupBy(_._1._2).map { case (k, xs) =>
+        k -> xs.map(x => r9(x._3 * x._2)).sum }
+      w = w.map { case (k, n, wv) =>
+        val t = cT.getOrElse(k._2, 0.0)
+        val s = cSum(k._2)
+        (k, n, if (s > 0.0 && t > 0.0) r9(wv * t / s) else wv) }
+    }
+    val spark = sample.sparkSession
+    import spark.implicits._
+    w.toSeq.map { case ((r, c), n, wv) =>
+      (r, c, n, wv, math.round(wv * n * 1e6) / 1e6) }
+      .toDF("rkey", "ckey", "n", "w", "wn")
+      .orderBy("rkey", "ckey")
+  }
 }

@@ -5532,6 +5532,49 @@ class OpsSpec extends AnyFunSuite {
       ("q2", 1L, 0.25, 0.4375)), got)
   }
 
+  test("smdBalance: {1,3} vs {2,6} — SMD = -2/sqrt(5)") {
+    import graft.ops.Stats
+    val df = Seq((true, 1.0), (true, 3.0), (false, 2.0), (false, 6.0))
+      .toDF("arm", "x")
+    val got = Stats.smdBalance(df, F.col("arm"), Seq("x" -> F.col("x")))
+      .as[(String, Long, Long, Double, Double, Option[Double])].head()
+    // m1=2 v1=2, m0=4 v0=8: pooled sd sqrt(5), smd = -0.894427
+    assert(got == (("x", 2L, 2L, 2.0, 4.0, Some(-0.894427))), got)
+  }
+
+  test("newcombe: 1/4 vs 2/4 — hybrid Wilson square-and-add bounds") {
+    import graft.ops.Stats
+    val rows = Seq((true, true), (true, false), (true, false),
+      (true, false), (false, true), (false, true), (false, false),
+      (false, false))
+    val df = rows.toDF("arm", "s")
+    val got = Stats.newcombeDiffCi(df, F.col("arm"), F.col("s"))
+      .as[(Long, Long, Double, Double, Double, Double, Double)].head()
+    assert(got == ((4L, 4L, 0.25, 0.5, -0.25, -0.655287, 0.319557)), got)
+  }
+
+  test("ipfRaking: proportional sample is a fixpoint; 3-cell rake") {
+    import graft.ops.Stats
+    val pop1 = (Seq.fill(3)(("A", "x")) ++ Seq.fill(5)(("B", "y")))
+      .toDF("src", "lg")
+    val smp1 = Seq(("A", "x"), ("B", "y")).toDF("src", "lg")
+    val got = Stats.ipfRaking(smp1, pop1, "src", "lg", rounds = 5)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("A", "x", 1L, 3.0, 3.0), ("B", "y", 1L, 5.0, 5.0)),
+      got)
+    val pop2 = (Seq.fill(2)(("A", "x")) ++ Seq.fill(2)(("A", "y")) ++
+      Seq.fill(2)(("B", "x")) ++ Seq.fill(2)(("B", "y"))).toDF("src", "lg")
+    val smp2 = (Seq(("A", "x"), ("A", "y")) ++ Seq.fill(2)(("B", "x")))
+      .toDF("src", "lg")
+    val g2 = Stats.ipfRaking(smp2, pop2, "src", "lg", rounds = 5)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    // python-mimic of the 9-dp half-round ladder: columns exactly
+    // matched after the closing col pass, rows mid-cycle
+    assert(g2 == Seq(("A", "x", 1L, 0.363636364, 0.363636),
+      ("A", "y", 1L, 4.0, 4.0), ("B", "x", 2L, 1.818181818, 3.636364)),
+      g2)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
