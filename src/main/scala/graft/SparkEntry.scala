@@ -2967,6 +2967,29 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // Rayleigh circular uniformity of activity around the clock: one
+    // resultant vector over the 24 hour bins, preferred-hour readout
+    "x339_rayleigh" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Stats.rayleighTest(ev,
+        F.hour(graft.ops.EventOps.tsStamp(ev)), period = 24)
+    }),
+
+    // diagonal-Mahalanobis embedding outliers: which vectors sit
+    // furthest from the corpus in per-dim-sd units — dirty-encode screen
+    "x340_mahalanobis" -> ((s, dir) =>
+      Similarity.mahalanobisOutliers(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", topN = 20)),
+
+    // Kuiper V on the same hour wheel: rotation-invariant two-sided
+    // ECDF excursion — catches the bimodal days x339's resultant cancels
+    "x341_kuiper" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Stats.kuiperUniform(ev,
+        F.hour(graft.ops.EventOps.tsStamp(ev)), period = 24)
+    }),
+
     // covariate balance of the en vs non-en "arms": |SMD| per length
     // covariate — the confounding check before any en-effect claim
     "x336_smd_balance" -> ((s, dir) => {
@@ -9844,6 +9867,73 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // 24-bin collapse; 9-dp trig terms (periodogram rule); one row of
+    // IEEE resultant arithmetic; fmod wrap for the mean direction
+    "x339_rayleigh" ->
+      """WITH byh AS (SELECT (hour(ts)::BIGINT % 24) AS h,
+        |    count(*)::BIGINT AS nh FROM events GROUP BY 1),
+        |t AS (SELECT nh,
+        |    round(nh::DOUBLE * cos(6.283185307179586 * h::DOUBLE /
+        |      24.0::DOUBLE), 9) AS ct,
+        |    round(nh::DOUBLE * sin(6.283185307179586 * h::DOUBLE /
+        |      24.0::DOUBLE), 9) AS st
+        |  FROM byh),
+        |g AS (SELECT sum(nh)::BIGINT AS n, sum(ct) AS c, sum(st) AS s
+        |  FROM t),
+        |f AS (SELECT n, c, s,
+        |    sqrt(c * c + s * s) / n::DOUBLE AS rbar FROM g)
+        |SELECT n, round(rbar, 6) AS rbar,
+        |  round(n::DOUBLE * rbar * rbar, 6) AS z,
+        |  round(exp(-(n::DOUBLE * rbar * rbar)), 9) AS p,
+        |  round(CASE WHEN rbar > 0.0 THEN
+        |    fmod(atan2(s, c) / 6.283185307179586 * 24.0::DOUBLE
+        |      + 24.0::DOUBLE, 24.0::DOUBLE) END, 6) AS mean_dir
+        |FROM f""".stripMargin,
+
+    // per-dim exact (n, Σk, Σk²) moments off one unnest; 9-dp terms;
+    // total-order top-20
+    "x340_mahalanobis" ->
+      """WITH ex AS (SELECT vec_id AS id,
+        |    generate_subscripts(embedding, 1) - 1 AS d,
+        |    round(unnest(embedding)::DOUBLE * 1000000.0)::BIGINT AS k
+        |  FROM embeddings),
+        |byd AS (SELECT d, count(*)::BIGINT AS n, sum(k)::BIGINT AS s,
+        |    sum(k * k)::BIGINT AS q FROM ex GROUP BY 1),
+        |tm AS (SELECT id, round(
+        |    (k::DOUBLE - s::DOUBLE / n::DOUBLE) *
+        |    (k::DOUBLE - s::DOUBLE / n::DOUBLE) /
+        |    nullif((q::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE)) /
+        |      nullif(n::DOUBLE - 1.0::DOUBLE, 0.0), 0.0), 9) AS t
+        |  FROM ex JOIN byd USING (d))
+        |SELECT id, round(sum(t), 6) AS md2 FROM tm GROUP BY id
+        |ORDER BY md2 DESC, id LIMIT 20""".stripMargin,
+
+    // exact-long excursion ladder over the full 24-cell grid; one IEEE
+    // division by the common denominator n*P
+    "x341_kuiper" ->
+      """WITH byh AS (SELECT (hour(ts)::BIGINT % 24) AS h,
+        |    count(*)::BIGINT AS nh FROM events GROUP BY 1),
+        |grid AS (SELECT unnest(range(0, 24))::BIGINT AS h),
+        |t AS (SELECT g.h, coalesce(nh, 0)::BIGINT AS nh
+        |  FROM grid g LEFT JOIN byh ON byh.h = g.h),
+        |c AS (SELECT h, (sum(nh) OVER (ORDER BY h ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+        |  FROM t),
+        |tot AS (SELECT max(cum)::BIGINT AS n FROM c),
+        |tv AS (SELECT (24 * cum - n * (h + 1))::BIGINT AS tval, n
+        |  FROM c CROSS JOIN tot),
+        |g AS (SELECT max(n)::BIGINT AS n,
+        |    greatest(max(tval), 0)::BIGINT AS dp,
+        |    (-least(min(tval), 0))::BIGINT AS dm FROM tv)
+        |SELECT n,
+        |  round(dp::DOUBLE / nullif((n * 24)::DOUBLE, 0.0), 6)
+        |    AS d_plus,
+        |  round(dm::DOUBLE / nullif((n * 24)::DOUBLE, 0.0), 6)
+        |    AS d_minus,
+        |  round((dp + dm)::DOUBLE / nullif((n * 24)::DOUBLE, 0.0), 6)
+        |    AS v
+        |FROM g""".stripMargin,
 
     // one long-format union; exact (n, Σk, Σk²) per covariate×arm;
     // single IEEE means/variances

@@ -1677,4 +1677,52 @@ object Similarity {
         F.col("hamming").cast("long").as("hamming"), F.col("score"),
         F.col("rk"))
   }
+
+  /** Diagonal-covariance Mahalanobis outlier census over an embedding
+    * column — "which vectors sit furthest from the corpus in
+    * per-dimension-sd units": md² = Σ_d (x_d − μ_d)²/σ²_d, the
+    * axis-aligned approximation that needs only one pass for the
+    * per-dim moments (a full covariance would need the d×d matrix —
+    * overkill for a dirty-vector screen). The embedding-space
+    * counterpart of x103's robust scalar outliers: corrupt encodes,
+    * wrong-modality rows, and collapsed (all-zero) vectors surface at
+    * the top.
+    *
+    * Dims quantize (×1e6) to exact longs, so per-dim (n, Σk, Σk²) are
+    * exact and μ/σ² are single IEEE divisions; per-dim terms round 9 dp
+    * before the orderless per-vector sum. Zero-variance dims contribute
+    * NULL and drop from the sum in both engines (documented).
+    *
+    * Scale shape: one posexplode pass → a d-row moment table that
+    * broadcasts back onto the exploded stream → a vector-keyed rollup
+    * and a bounded top-N. Nothing shuffles at corpus size except the
+    * id-keyed rollup.
+    *
+    * @return top `topN` rows (id, md2) by (md2 desc, id) — md2 6-dp
+    */
+  def mahalanobisOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                          topN: Int = 20): DataFrame = {
+    val ex = emb.select(F.col(idCol).as("__id"),
+        F.posexplode(F.col(vecCol)).as(Seq("__d", "__x")))
+      .select(F.col("__id"), F.col("__d"),
+        F.round(F.col("__x").cast("double") * 1e6).cast("long").as("__k"))
+      .filter(F.col("__k").isNotNull)
+    val byD = ex.groupBy("__d")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__s"),
+        F.sum(F.col("__k") * F.col("__k")).as("__q"))
+    val nD = F.col("__n").cast("double")
+    val m = F.col("__s").cast("double") / nD
+    val v = (F.col("__q").cast("double") -
+      F.col("__s").cast("double") * m) /
+      F.nullif(nD - 1.0, F.lit(0.0))
+    val terms = ex.join(F.broadcast(byD), Seq("__d"))
+      .withColumn("__t", F.round(
+        (F.col("__k").cast("double") - m) *
+          (F.col("__k").cast("double") - m) /
+          F.nullif(v, F.lit(0.0)), 9))
+    terms.groupBy(F.col("__id").as("id"))
+      .agg(F.round(F.sum("__t"), 6).as("md2"))
+      .orderBy(F.col("md2").desc, F.col("id"))
+      .limit(topN)
+  }
 }

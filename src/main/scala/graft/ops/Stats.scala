@@ -6526,4 +6526,101 @@ object Stats {
       .toDF("rkey", "ckey", "n", "w", "wn")
       .orderBy("rkey", "ckey")
   }
+
+  /** Rayleigh test of circular uniformity — is activity spread evenly
+    * around the clock, or concentrated at a preferred hour? Categories
+    * h = 0..period−1 map to angles θ = 2πh/period; with the resultant
+    * (C, S) = Σ n_h·(cos θ_h, sin θ_h):
+    * {{{
+    *   R̄ = √(C²+S²)/n,   z = n·R̄²,   p ≈ e^(−z)
+    * }}}
+    * (the first-order Rayleigh p — exact enough for the screening
+    * use). The CIRCULAR test x118's histogram eyeballs and a χ²
+    * flattens: a peak at 23:00 wrapping into 01:00 is one mode here,
+    * two bins there. `mean_dir` converts atan2(S, C) back to category
+    * units in [0, period).
+    *
+    * The value domain collapses to ≤ period rows; per-category trig
+    * terms n_h·cosθ round 9 dp before the orderless sums (the
+    * periodogram rule); the rest is one row of IEEE arithmetic.
+    *
+    * @return one row (n, rbar, z, p, mean_dir) — 6-dp (p 9-dp); NULL
+    *         direction when R̄ = 0
+    */
+  def rayleighTest(df: DataFrame, categoryCol: Column,
+                   period: Int = 24): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val TwoPi = 6.283185307179586
+    val byH = df.select((categoryCol.cast("long") % period).as("__h"))
+      .filter(F.col("__h").isNotNull)
+      .groupBy("__h").agg(F.count(F.lit(1)).as("__nh"))
+      .withColumn("__ang",
+        F.lit(TwoPi) * F.col("__h").cast("double") / period.toDouble)
+    val g = byH
+      .withColumn("__ct",
+        F.round(F.col("__nh").cast("double") * F.cos(F.col("__ang")), 9))
+      .withColumn("__st",
+        F.round(F.col("__nh").cast("double") * F.sin(F.col("__ang")), 9))
+      .agg(F.sum("__nh").as("n"), F.sum("__ct").as("__c"),
+        F.sum("__st").as("__s"))
+    val nD = F.col("n").cast("double")
+    val rbar = F.sqrt(F.col("__c") * F.col("__c") +
+      F.col("__s") * F.col("__s")) / nD
+    val z = nD * rbar * rbar
+    // atan2 in [-pi, pi) -> category units in [0, period)
+    val dir = (F.atan2(F.col("__s"), F.col("__c")) / TwoPi * period +
+      period) % period
+    g.select(F.col("n"), F.round(rbar, 6).as("rbar"),
+      F.round(z, 6).as("z"), F.round(F.exp(-z), 9).as("p"),
+      F.round(F.when(rbar > 0.0, dir), 6).as("mean_dir"))
+  }
+
+  /** Kuiper uniformity statistic over a cyclic category domain — the
+    * rotation-invariant sibling of the x165 KS gap: V = D⁺ + D⁻ sums
+    * the largest ECDF excursions in BOTH directions, so it weights the
+    * "wrap-around" tails equally wherever the cycle is cut (a KS D
+    * against uniform changes if you re-anchor midnight; V does not).
+    * Over the binned domain h = 0..P−1 with T_h = P·cum_h − n·(h+1):
+    * {{{
+    *   V = (max(T, 0) − min(T, 0)) / (n·P)
+    * }}}
+    * — all exact longs over the common denominator, one IEEE division.
+    * Read next to [[rayleighTest]]: Rayleigh sees one concentrated
+    * mode, Kuiper also catches bimodal/antipodal patterns that cancel
+    * the resultant vector.
+    *
+    * The domain collapses to ≤ P rows; one bounded window builds the
+    * cumulative ladder.
+    *
+    * @return one row (n, d_plus, d_minus, v) — 6-dp
+    */
+  def kuiperUniform(df: DataFrame, categoryCol: Column,
+                    period: Int = 24): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val byH = df.select((categoryCol.cast("long") % period).as("__h"))
+      .filter(F.col("__h").isNotNull)
+      .groupBy("__h").agg(F.count(F.lit(1)).as("__nh"))
+    // full grid so empty bins still step the uniform CDF
+    val grid = byH.sparkSession.range(0, period.toLong)
+      .select(F.col("id").as("__h"))
+    val w = Window.orderBy("__h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = grid.join(byH, Seq("__h"), "left")
+      .withColumn("__nh", F.coalesce(F.col("__nh"), F.lit(0L)))
+      .withColumn("__cum", F.sum("__nh").over(w))
+    val tot = t.agg(F.max("__cum").as("n"))
+    val g = t.crossJoin(F.broadcast(tot))
+      .withColumn("__t", F.lit(period.toLong) * F.col("__cum") -
+        F.col("n") * (F.col("__h") + 1L))
+      .agg(F.max("n").as("n"),
+        F.greatest(F.max("__t"), F.lit(0L)).as("__dp"),
+        (-F.least(F.min("__t"), F.lit(0L))).as("__dm"))
+    val den = F.nullif((F.col("n") * period.toLong).cast("double"),
+      F.lit(0.0))
+    g.select(F.col("n"),
+      F.round(F.col("__dp").cast("double") / den, 6).as("d_plus"),
+      F.round(F.col("__dm").cast("double") / den, 6).as("d_minus"),
+      F.round((F.col("__dp") + F.col("__dm")).cast("double") / den, 6)
+        .as("v"))
+  }
 }

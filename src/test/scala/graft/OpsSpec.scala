@@ -5575,6 +5575,43 @@ class OpsSpec extends AnyFunSuite {
       g2)
   }
 
+  test("rayleighTest: point mass at hour 6; uniform wheel is flat") {
+    import graft.ops.Stats
+    val peak = Seq.fill(5)(6L).toDF("h")
+    val got = Stats.rayleighTest(peak, F.col("h"), period = 24)
+      .as[(Long, Double, Double, Double, Option[Double])].head()
+    // all mass at 6h: resultant length 1, z=n, mean at 6.0
+    assert(got == ((5L, 1.0, 5.0, 0.006737947, Some(6.0))), got)
+    val flat = Seq(0L, 1L, 2L, 3L).toDF("h")
+    val f = Stats.rayleighTest(flat, F.col("h"), period = 4)
+      .as[(Long, Double, Double, Double, Option[Double])].head()
+    assert(f == ((4L, 0.0, 0.0, 1.0, None)), f)
+  }
+
+  test("kuiperUniform: 2-1-0-1 wheel gives V=1/4; uniform gives 0") {
+    import graft.ops.Stats
+    val df = Seq(0L, 0L, 1L, 3L).toDF("h")
+    val got = Stats.kuiperUniform(df, F.col("h"), period = 4)
+      .as[(Long, Double, Double, Double)].head()
+    // cum (2,3,3,4): T = (4,4,0,0) -> D+ = 4/16, D- = 0
+    assert(got == ((4L, 0.25, 0.0, 0.25)), got)
+    val flat = Seq(0L, 1L, 2L, 3L).toDF("h")
+    val f = Stats.kuiperUniform(flat, F.col("h"), period = 4)
+      .as[(Long, Double, Double, Double)].head()
+    assert(f == ((4L, 0.0, 0.0, 0.0)), f)
+  }
+
+  test("mahalanobisOutliers: 2-D hand moments rank c, a, b") {
+    import graft.ops.Similarity
+    val emb = Seq((1L, Seq(0f, 0f)), (2L, Seq(2f, 0f)),
+      (3L, Seq(4f, 6f))).toDF("id", "vec")
+    val got = Similarity.mahalanobisOutliers(emb, "id", "vec", topN = 20)
+      .as[(Long, Double)].collect().toSeq
+    // dim means (2, 2), vars (4, 12): md2 = (1+1/3, 0+1/3, 1+4/3)
+    assert(got == Seq((3L, 2.333333), (1L, 1.333333), (2L, 0.333333)),
+      got)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
