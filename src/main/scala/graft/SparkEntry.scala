@@ -2967,6 +2967,28 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // mean segmental TTR: length-fair lexical diversity per doc —
+    // low MSTTR with normal x24 repetition flags template text
+    "x342_msttr" -> ((s, dir) =>
+      TextOps.msttr(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", segment = 25)),
+
+    // Dirichlet query-likelihood scores for the x75 query: the LM
+    // ranking BM25 approximates, same per-doc tf machinery
+    "x343_dirichlet_ql" -> ((s, dir) =>
+      TextOps.dirichletQL(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", Seq("hash", "join", "spark"), mu = 50.0)),
+
+    // Katz centrality on the x300 supplier graph: attenuated all-walks
+    // influence — full-score endorsements vs pageRank's split mass
+    "x344_katz" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Graph.katzCentrality(
+        graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          minCount = 6), "src", "dst",
+        alpha = 0.05, beta = 1.0, iters = 4, topN = 20)
+    }),
+
     // Rayleigh circular uniformity of activity around the clock: one
     // resultant vector over the 24 hour bins, preferred-hour readout
     "x339_rayleigh" -> ((s, dir) => {
@@ -9867,6 +9889,72 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // positional unnest; (doc, chunk) distinct census on complete
+    // 25-token chunks; exact integer TTR divisions
+    "x342_msttr" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(coalesce(text, ''))), '\s+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |ex AS (SELECT doc_id, unnest(toks) AS t,
+        |    generate_subscripts(toks, 1) - 1 AS pos FROM tk),
+        |ch AS (SELECT doc_id, (pos // 25)::BIGINT AS seg,
+        |    count(*)::BIGINT AS n, count(DISTINCT t)::BIGINT AS ty
+        |  FROM ex GROUP BY 1, 2),
+        |f AS (SELECT doc_id, ty::DOUBLE / 25.0::DOUBLE AS ttr
+        |  FROM ch WHERE n = 25)
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |  round(avg(ttr), 6) AS msttr
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the x75 per-doc tf machinery; 9-dp ln terms; corpus-absent query
+    // terms contribute nothing
+    "x343_dirichlet_ql" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |pd AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+        |    len(list_filter(toks, t -> t = 'hash'))::BIGINT AS tf0,
+        |    len(list_filter(toks, t -> t = 'join'))::BIGINT AS tf1,
+        |    len(list_filter(toks, t -> t = 'spark'))::BIGINT AS tf2
+        |  FROM tk),
+        |st AS (SELECT sum(dl)::BIGINT AS tot, sum(tf0)::BIGINT AS cf0,
+        |    sum(tf1)::BIGINT AS cf1, sum(tf2)::BIGINT AS cf2 FROM pd)
+        |SELECT doc_id, dl, round(
+        |  CASE WHEN cf0 > 0 THEN round(ln((tf0::DOUBLE + 50.0::DOUBLE *
+        |    (cf0::DOUBLE / tot::DOUBLE)) / (dl::DOUBLE +
+        |    50.0::DOUBLE)), 9) ELSE 0.0 END +
+        |  CASE WHEN cf1 > 0 THEN round(ln((tf1::DOUBLE + 50.0::DOUBLE *
+        |    (cf1::DOUBLE / tot::DOUBLE)) / (dl::DOUBLE +
+        |    50.0::DOUBLE)), 9) ELSE 0.0 END +
+        |  CASE WHEN cf2 > 0 THEN round(ln((tf2::DOUBLE + 50.0::DOUBLE *
+        |    (cf2::DOUBLE / tot::DOUBLE)) / (dl::DOUBLE +
+        |    50.0::DOUBLE)), 9) ELSE 0.0 END, 6) AS ql
+        |FROM pd CROSS JOIN st ORDER BY doc_id""".stripMargin,
+
+    // generated unrolled Katz rounds over the doubled adjacency: 9-dp
+    // per-edge contributions, 9-dp per-node re-round (pageRank contract)
+    "x344_katz" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT adj.v AS node,
+           |    round(1.0::DOUBLE + sum(round(0.05::DOUBLE * p.katz, 9)),
+           |      9) AS katz
+           |  FROM adj JOIN c${i - 1} p ON p.node = adj.u
+           |  GROUP BY adj.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+         |  FROM lineitem),
+         |e AS (SELECT a.s AS a, b.s AS b FROM os a JOIN os b
+         |  ON a.o = b.o AND a.s < b.s GROUP BY 1, 2 HAVING count(*) >= 6),
+         |adj AS MATERIALIZED (SELECT a AS v, b AS u FROM e
+         |  UNION ALL SELECT b AS v, a AS u FROM e),
+         |c0 AS (SELECT DISTINCT v AS node, 1.0::DOUBLE AS katz FROM adj),
+         |$rounds
+         |SELECT node, round(katz, 6) AS katz, rk FROM (
+         |  SELECT node, katz, row_number() OVER (ORDER BY katz DESC,
+         |    node) AS rk FROM c4)
+         |WHERE rk <= 20 ORDER BY rk""".stripMargin
+    },
 
     // 24-bin collapse; 9-dp trig terms (periodogram rule); one row of
     // IEEE resultant arithmetic; fmod wrap for the mean direction

@@ -694,4 +694,51 @@ object Graph {
             F.lit(0.0)), 6).as("phi"))
       .orderBy("k")
   }
+
+  /** Katz centrality (1953) — influence as the attenuated count of ALL
+    * walks arriving at a node, `c = Σ_k α^k (Aᵀ)^k·1`, run as the fixed-
+    * iteration recurrence `c ← β + α·Σ_{u∈N(v)} c_u` (the resolvent
+    * geometric series, convergent while α < 1/λ_max). Where [[pageRank]]
+    * splits a walker's mass across out-edges (degree-normalized), Katz
+    * lets a hub pass its FULL score to every neighbor — the "count the
+    * endorsements" reading that promotes nodes adjacent to hubs even
+    * when those hubs are promiscuous.
+    *
+    * Per round, per-edge contributions round to 9 dp BEFORE the
+    * unordered sum and the per-node score re-rounds after adding β —
+    * the [[pageRank]] iteration contract, engine-replayable from the
+    * same edge list.
+    *
+    * Scale shape: per round ONE join of scores onto the (checkpointed)
+    * doubled adjacency on the neighbor key plus one keyed rollup —
+    * identical to the pageRank round; no driver actions.
+    *
+    * @return top `topN` rows (node, katz, rk) by (katz desc, node) —
+    *         6-dp
+    */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                     alpha: Double = 0.05, beta: Double = 1.0,
+                     iters: Int = 4, topN: Int = 20): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1)")
+    val und = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val adj = und.select(F.col("a").as("__v"), F.col("b").as("__u"))
+      .unionAll(und.select(F.col("b").as("__v"), F.col("a").as("__u")))
+    var c = adj.select(F.col("__v").as("node")).distinct()
+      .withColumn("katz", F.lit(1.0))
+    for (_ <- 1 to iters) {
+      c = adj
+        .join(c.select(F.col("node").as("__u"), F.col("katz")),
+          Seq("__u"))
+        .withColumn("__contrib", F.round(F.lit(alpha) * F.col("katz"), 9))
+        .groupBy(F.col("__v").as("node"))
+        .agg(F.round(F.lit(beta) + F.sum("__contrib"), 9).as("katz"))
+    }
+    c.withColumn("rk", F.row_number().over(
+        Window.orderBy(F.col("katz").desc, F.col("node"))))
+      .filter(F.col("rk") <= topN)
+      .select(F.col("node"), F.round(F.col("katz"), 6).as("katz"),
+        F.col("rk"))
+      .orderBy("rk")
+  }
 }

@@ -1604,4 +1604,96 @@ object TextOps {
           (F.lit(2.0) * (F.col("f2") + 1L).cast("double")), 6))
       .orderBy(groupCols.map(F.col): _*)
   }
+
+  /** Mean segmental type-token ratio (MSTTR, Johnson 1944) — lexical
+    * diversity that, unlike the raw TTR, does NOT fall with document
+    * length (longer texts repeat more, so raw TTR punishes length, the
+    * Heaps'-law artifact x222 fits): split each document's token stream
+    * into consecutive `segment`-token chunks, take TTR = types/segment
+    * inside each COMPLETE chunk, and average. The per-document
+    * repetitiveness score that is comparable across lengths — low MSTTR
+    * with normal x24 repetition flags template/boilerplate text.
+    *
+    * Per-chunk TTR is one exact integer division (distinct/segment);
+    * the per-document mean is over ≤ len/segment such chunks. Documents
+    * shorter than one complete segment drop (nothing to measure —
+    * documented).
+    *
+    * Scale shape: one positional explode, a (doc, chunk)-keyed distinct
+    * census, a doc-keyed mean — all partial-aggregated, nothing
+    * corpus-wide.
+    *
+    * @return per document (doc_id, n_chunks, msttr) ordered by id —
+    *         6-dp
+    */
+  def msttr(df: DataFrame, idCol: String, textCol: String,
+            segment: Int = 25): DataFrame = {
+    require(segment >= 2, s"segment must be >= 2, got $segment")
+    val toks = F.filter(
+      F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))),
+        "\\s+"), t => F.length(t) > 0)
+    val ex = df.select(F.col(idCol).as("doc_id"),
+        F.posexplode(toks).as(Seq("__pos", "__t")))
+      .withColumn("__seg",
+        (F.col("__pos").cast("long") / segment.toLong).cast("long"))
+    val byChunk = ex.groupBy("doc_id", "__seg")
+      .agg(F.count(F.lit(1)).as("__n"),
+        F.countDistinct(F.col("__t")).as("__ty"))
+      .filter(F.col("__n") === segment.toLong)
+      .withColumn("__ttr",
+        F.col("__ty").cast("double") / segment.toDouble)
+    byChunk.groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_chunks"),
+        F.round(F.avg("__ttr"), 6).as("msttr"))
+      .orderBy("doc_id")
+  }
+
+  /** Dirichlet-smoothed query-likelihood retrieval scoring (Zhai &
+    * Lafferty 2001) — the language-model ranking that [[bm25]]'s
+    * tf·idf heuristic approximates: score(q, d) = Σ_t ln((tf_t,d +
+    * μ·p(t|C)) / (|d| + μ)), where p(t|C) is the corpus unigram
+    * probability doing the smoothing (rare query terms hurt short
+    * documents less than absent common ones). The second standard
+    * ranking function a reference-parity retrieval layer needs next to
+    * BM25.
+    *
+    * Corpus stats are exact longs; each term's ln rounds 9 dp before
+    * the |q|-term sum (the kaplanMeier rule). Query terms absent from
+    * the corpus contribute nothing (p = 0 with tf = 0 is log-undefined;
+    * dropping is the zero-information reading — documented).
+    *
+    * Scale shape: [[bm25]]'s — per-document tf columns off one token
+    * array (no explode), corpus totals as a 1-row broadcast.
+    *
+    * @return per document (doc_id, dl, ql) ordered by id — ql 6-dp,
+    *         more-negative = worse match
+    */
+  def dirichletQL(df: DataFrame, idCol: String, textCol: String,
+                  query: Seq[String], mu: Double = 50.0): DataFrame = {
+    require(query.nonEmpty, "dirichletQL needs at least one query term")
+    require(mu > 0.0, s"mu must be > 0, got $mu")
+    val toks = F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+      t => F.length(t) > 0)
+    def tfCol(i: Int): String = s"__tf$i"
+    val perDoc = df.select(
+      F.col(idCol) +: F.size(toks).cast("long").as("dl") +:
+        query.zipWithIndex.map { case (q, i) =>
+          F.size(F.filter(toks, t => t === F.lit(q))).cast("long")
+            .as(tfCol(i))
+        }: _*)
+    val statCols = F.sum("dl").as("__tot") +:
+      query.indices.map(i => F.sum(F.col(tfCol(i))).as(s"__cf$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val score = query.indices.map { i =>
+      val p = F.col(s"__cf$i").cast("double") /
+        F.col("__tot").cast("double")
+      F.when(F.col(s"__cf$i") > 0L, F.round(F.log(
+        (F.col(tfCol(i)).cast("double") + F.lit(mu) * p) /
+          (F.col("dl").cast("double") + mu)), 9)).otherwise(0.0)
+    }.reduce(_ + _)
+    perDoc.crossJoin(F.broadcast(stats))
+      .select(F.col(idCol), F.col("dl"),
+        F.round(score, 6).as("ql"))
+      .orderBy(idCol)
+  }
 }

@@ -5612,6 +5612,38 @@ class OpsSpec extends AnyFunSuite {
       got)
   }
 
+  test("msttr: all-distinct + all-same chunks average to 0.52") {
+    import graft.ops.TextOps
+    val rich = (1 to 25).map(i => s"t$i").mkString(" ")
+    val flat = Seq.fill(25)("x").mkString(" ")
+    val df = Seq((1L, s"$rich $flat"), (2L, "too short to chunk"))
+      .toDF("doc_id", "text")
+    val got = TextOps.msttr(df, "doc_id", "text", segment = 25)
+      .as[(Long, Long, Double)].collect().toSeq
+    // chunk TTRs 1.0 and 1/25; the 4-token doc has no complete chunk
+    assert(got == Seq((1L, 2L, 0.52)), got)
+  }
+
+  test("dirichletQL: smoothing from corpus LM; absent term is silent") {
+    import graft.ops.TextOps
+    val df = Seq((1L, "a b"), (2L, "a a")).toDF("doc_id", "text")
+    val got = TextOps.dirichletQL(df, "doc_id", "text",
+        Seq("a", "z"), mu = 2.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    // p(a|C)=3/4: ln(2.5/4), ln(3.5/4); 'z' has cf=0 and adds nothing
+    assert(got == Seq((1L, 2L, -0.470004), (2L, 2L, -0.133531)), got)
+  }
+
+  test("katzCentrality: path graph, 2 rounds — hub b leads at 2.5") {
+    import graft.ops.Graph
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = Graph.katzCentrality(path, "src", "dst", alpha = 0.5,
+        beta = 1.0, iters = 2, topN = 20)
+      .as[(String, Double, Int)].collect().toSeq
+    // round 1: (1.5, 2, 1.5); round 2: a,c = 1+0.5*2, b = 1+0.75+0.75
+    assert(got == Seq(("b", 2.5, 1), ("a", 2.0, 2), ("c", 2.0, 3)), got)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
