@@ -2967,6 +2967,33 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // Lo-MacKinlay variance ratio at q=5 on daily volume: do changes
+    // compound (momentum) or cancel (reversion) — x334's ratio form
+    "x345_variance_ratio" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.varianceRatio(daily, "t", "v", q = 5)
+    }),
+
+    // Taylor's law across users: how per-user daily-count variance
+    // scales with the mean — cross-sectional overdispersion growth
+    "x346_taylor_law" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ud = ev.groupBy(F.col("user_id"),
+          F.to_date(graft.ops.EventOps.tsStamp(ev)).as("d"))
+        .agg(F.count(F.lit(1)).as("cnt"))
+      graft.ops.Stats.taylorLaw(ud, F.col("user_id"), F.col("cnt"))
+    }),
+
+    // Goh-Barabasi burstiness per event type: metronome vs Poisson vs
+    // bursty — the temporal texture x12's volume flattens
+    "x347_burstiness_events" -> ((s, dir) =>
+      graft.ops.EventOps.interArrivalBurstiness(
+        s.read.parquet(s"$dir/events.parquet"))),
+
     // mean segmental TTR: length-fair lexical diversity per doc —
     // low MSTTR with normal x24 repetition flags template text
     "x342_msttr" -> ((s, dir) =>
@@ -9889,6 +9916,79 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // two lag windows, exact-long difference sufficient stats, the
+    // closed-form homoskedastic z with collapsed constant literals
+    "x345_variance_ratio" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::BIGINT AS y FROM events GROUP BY 1),
+        |l AS (SELECT y - lag(y, 1) OVER (ORDER BY t) AS d1,
+        |    y - lag(y, 5) OVER (ORDER BY t) AS dq FROM daily),
+        |g AS (SELECT count(d1)::BIGINT AS n, sum(d1)::BIGINT AS s1,
+        |    sum(d1 * d1)::BIGINT AS q1, count(dq)::BIGINT AS nq,
+        |    sum(dq)::BIGINT AS sq, sum(dq * dq)::BIGINT AS qq FROM l),
+        |f AS (SELECT n,
+        |    (q1::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n::DOUBLE)) /
+        |      nullif(n::DOUBLE - 1.0::DOUBLE, 0.0) AS v1,
+        |    (qq::DOUBLE - sq::DOUBLE * (sq::DOUBLE / nq::DOUBLE)) /
+        |      nullif(nq::DOUBLE - 1.0::DOUBLE, 0.0) AS vq
+        |  FROM g)
+        |SELECT n, 5::BIGINT AS q,
+        |  round(vq / (5.0::DOUBLE * nullif(v1, 0.0)), 6) AS vr,
+        |  round((vq / (5.0::DOUBLE * nullif(v1, 0.0)) - 1.0::DOUBLE) *
+        |    sqrt(15.0::DOUBLE * n::DOUBLE / 72.0::DOUBLE), 6) AS z
+        |FROM f""".stripMargin,
+
+    // per-user exact (n, Σk, Σk²) over active days; 9-dp ln points;
+    // the hurst ln-ln OLS collapse
+    "x346_taylor_law" ->
+      """WITH ud AS (SELECT user_id, ts::DATE AS d,
+        |    count(*)::BIGINT AS k FROM events GROUP BY 1, 2),
+        |byg AS (SELECT user_id, count(*)::BIGINT AS n,
+        |    sum(k)::BIGINT AS s, sum(k * k)::BIGINT AS q
+        |  FROM ud GROUP BY 1 HAVING count(*) >= 2),
+        |f AS (SELECT s::DOUBLE / (n::DOUBLE * 1.0::DOUBLE) AS m,
+        |    (q::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE)) /
+        |      ((n::DOUBLE - 1.0::DOUBLE) * 1.0::DOUBLE * 1.0::DOUBLE)
+        |      AS v
+        |  FROM byg),
+        |pts AS (SELECT round(ln(m), 9) AS x, round(ln(v), 9) AS yl
+        |  FROM f WHERE m > 0.0 AND v > 0.0),
+        |p2 AS (SELECT x, yl, round(x * yl, 9) AS xy,
+        |    round(x * x, 9) AS x2 FROM pts),
+        |reg AS (SELECT count(*)::BIGINT AS n_groups, sum(x) AS sx,
+        |    sum(yl) AS sy, sum(xy) AS sxy, sum(x2) AS sx2 FROM p2)
+        |SELECT n_groups,
+        |  round(CASE WHEN n_groups >= 2 THEN
+        |    (n_groups::DOUBLE * sxy - sx * sy) /
+        |    nullif(n_groups::DOUBLE * sx2 - sx * sx, 0.0) END, 6)
+        |    AS slope,
+        |  round(CASE WHEN n_groups >= 2 THEN (sy -
+        |    ((n_groups::DOUBLE * sxy - sx * sy) /
+        |      nullif(n_groups::DOUBLE * sx2 - sx * sx, 0.0)) * sx) /
+        |    n_groups::DOUBLE END, 6) AS intercept
+        |FROM reg""".stripMargin,
+
+    // type-keyed µs stream; exact-ms gap sufficient stats (µs² would
+    // overflow int64); population sd; one IEEE B ratio
+    "x347_burstiness_events" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS tu
+        |  FROM events),
+        |g AS (SELECT event_type, (tu - lag(tu) OVER (PARTITION BY
+        |    event_type ORDER BY tu, event_id)) // 1000 AS gp FROM e),
+        |a AS (SELECT event_type, count(gp)::BIGINT AS n_gaps,
+        |    sum(gp)::BIGINT AS s, sum(gp * gp)::BIGINT AS q
+        |  FROM g WHERE gp IS NOT NULL GROUP BY 1),
+        |f AS (SELECT event_type, n_gaps,
+        |    s::DOUBLE / n_gaps::DOUBLE AS mu,
+        |    sqrt((q::DOUBLE - s::DOUBLE * (s::DOUBLE /
+        |      n_gaps::DOUBLE)) / n_gaps::DOUBLE) AS sd
+        |  FROM a)
+        |SELECT event_type, n_gaps,
+        |  round(mu / 1000.0::DOUBLE, 6) AS mean_gap_s,
+        |  round(CASE WHEN n_gaps >= 2 THEN (sd - mu) /
+        |    nullif(sd + mu, 0.0) END, 6) AS b
+        |FROM f ORDER BY event_type""".stripMargin,
 
     // positional unnest; (doc, chunk) distinct census on complete
     // 25-token chunks; exact integer TTR divisions

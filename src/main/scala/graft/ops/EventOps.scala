@@ -993,4 +993,48 @@ object EventOps {
       .select("key", "state", "n_events", "valid_from", "valid_to",
         "is_current")
   }
+
+  /** Goh–Barabási burstiness of inter-arrival times per event type —
+    * B = (σ − μ)/(σ + μ) over the gaps between consecutive events:
+    * B → −1 is a metronome (σ ≪ μ, perfectly regular), B = 0 Poisson,
+    * B → 1 heavy-tailed bursts. The temporal texture x12's hourly
+    * volume flattens — two types with identical rates can differ
+    * completely in burstiness, which drives cache/session/capacity
+    * behavior.
+    *
+    * Gaps are exact MILLISECOND longs (µs differences over the
+    * type-keyed µs/event_id-ordered stream, then one exact integer
+    * division — µs-squared sums would overflow int64 at ~20k gaps of
+    * day-scale spacing); per-type (n, Σg, Σg²) exact; population σ
+    * (the convention for B) and the ratio are single IEEE ops.
+    *
+    * Scale shape: one type-keyed ordered window + one keyed collapse —
+    * the [[transitionMatrix]] shape.
+    *
+    * @return per type (event_type, n_gaps, mean_gap_s, b) ordered by
+    *         type — 6-dp; b NULL with < 2 gaps or all-zero gaps
+    */
+  def interArrivalBurstiness(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(F.col("__tu"), F.col("event_id"))
+    val gaps = events
+      .select(F.col("event_type"), F.col("event_id"),
+        tsUs(events).as("__tu"))
+      .withColumn("__g", F.call_function("div",
+        F.col("__tu") - F.lag("__tu", 1).over(w), F.lit(1000L)))
+      .filter(F.col("__g").isNotNull)
+    val g = gaps.groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n_gaps"), F.sum("__g").as("__s"),
+        F.sum(F.col("__g") * F.col("__g")).as("__q"))
+    val nD = F.col("n_gaps").cast("double")
+    val mu = F.col("__s").cast("double") / nD
+    // population sd — the Goh-Barabási convention
+    val sd = F.sqrt((F.col("__q").cast("double") -
+      F.col("__s").cast("double") * mu) / nD)
+    g.select(F.col("event_type"), F.col("n_gaps"),
+      F.round(mu / 1e3, 6).as("mean_gap_s"),
+      F.round(F.when(F.col("n_gaps") >= 2L,
+        (sd - mu) / F.nullif(sd + mu, F.lit(0.0))), 6).as("b"))
+      .orderBy("event_type")
+  }
 }

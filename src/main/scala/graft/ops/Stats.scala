@@ -6623,4 +6623,112 @@ object Stats {
       F.round((F.col("__dp") + F.col("__dm")).cast("double") / den, 6)
         .as("v"))
   }
+
+  /** Variance-ratio test (Lo & MacKinlay 1988, homoskedastic form) —
+    * does the series aggregate like a random walk? Under iid
+    * increments, the variance of q-period changes is exactly q times
+    * the 1-period variance, so
+    * {{{
+    *   VR(q) = s²_q / (q · s²_1),
+    *   z = (VR − 1) · √(3·q·n / (2(2q−1)(q−1)))
+    * }}}
+    * VR > 1 is momentum (changes compound — the [[hurstRS]] H > 0.5
+    * reading in ratio form), VR < 1 mean reversion. Overlapping
+    * q-period differences (the standard estimator).
+    *
+    * Values quantize (×scale) to exact longs; both difference sets are
+    * exact longs with exact (n, Σd, Σd²) — two IEEE variance divisions
+    * and the closed-form z.
+    *
+    * Scale shape: two lag windows over the bounded series grid, one
+    * 1-row collapse.
+    *
+    * @return one row (n, q, vr, z) — 6-dp; NULL when s²_1 = 0 or q > n
+    */
+  def varianceRatio(series: DataFrame, tCol: String, vCol: String,
+                    q: Int, scale: Long = 1L): DataFrame = {
+    require(q >= 2, s"q must be >= 2, got $q")
+    val w = Window.orderBy("__t")
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+        F.round(F.col(vCol).cast("double") * scale).cast("long")
+          .as("__y"))
+      .filter(F.col("__y").isNotNull)
+      .withColumn("__d1", F.col("__y") - F.lag("__y", 1).over(w))
+      .withColumn("__dq", F.col("__y") - F.lag("__y", q).over(w))
+    val g = s.agg(
+      F.count("__d1").as("n"),
+      F.sum("__d1").as("__s1"),
+      F.sum(F.col("__d1") * F.col("__d1")).as("__q1"),
+      F.count("__dq").as("__nq"),
+      F.sum("__dq").as("__sq"),
+      F.sum(F.col("__dq") * F.col("__dq")).as("__qq"))
+    def sv(qs: Column, ss: Column, n: Column): Column =
+      (qs.cast("double") - ss.cast("double") *
+        (ss.cast("double") / n.cast("double"))) /
+        F.nullif(n.cast("double") - 1.0, F.lit(0.0))
+    val v1 = sv(F.col("__q1"), F.col("__s1"), F.col("n"))
+    val vq = sv(F.col("__qq"), F.col("__sq"), F.col("__nq"))
+    val vr = vq / (F.lit(q.toDouble) * F.nullif(v1, F.lit(0.0)))
+    val nD = F.col("n").cast("double")
+    val qD = q.toDouble
+    g.select(F.col("n"), F.lit(q.toLong).as("q"),
+      F.round(vr, 6).as("vr"),
+      F.round((vr - 1.0) * F.sqrt(F.lit(3.0 * qD) * nD /
+        F.lit(2.0 * (2.0 * qD - 1.0) * (qD - 1.0))), 6).as("z"))
+  }
+
+  /** Taylor's power law fit (fluctuation scaling, Taylor 1961) — across
+    * groups, Var ∝ Mean^b: the ln-ln OLS slope b over per-group
+    * (mean, variance) of a count variable. b ≈ 1 is Poisson-like
+    * independence; b → 2 means fluctuations scale with the mean itself
+    * (bursty, synchronized activity) — the cross-sectional complement
+    * of x292's single-rate overdispersion: not "is there
+    * overdispersion" but "how does it GROW with volume".
+    *
+    * Per-group (n, Σk, Σk²) are exact longs (values ×scale); groups
+    * need n ≥ 2, mean > 0, var > 0 (ln domain). The ≤|groups|
+    * regression points use 9-dp ln terms (the [[hurstRS]] idiom).
+    *
+    * Scale shape: one keyed collapse to the group table, one bounded
+    * regression rollup.
+    *
+    * @return one row (n_groups, slope, intercept) — 6-dp; NULL with
+    *         < 2 usable groups
+    */
+  def taylorLaw(df: DataFrame, groupCol: Column, valueCol: Column,
+                scale: Long = 1L): DataFrame = {
+    val byG = df.select(groupCol.cast("string").as("__g"),
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .filter(F.col("__k").isNotNull)
+      .groupBy("__g")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__s"),
+        F.sum(F.col("__k") * F.col("__k")).as("__q"))
+      .filter(F.col("__n") >= 2L)
+    val nD = F.col("__n").cast("double")
+    val sD = F.lit(scale).cast("double")
+    val m = F.col("__s").cast("double") / (nD * sD)
+    val v = (F.col("__q").cast("double") - F.col("__s").cast("double") *
+      (F.col("__s").cast("double") / nD)) /
+      ((nD - 1.0) * sD * sD)
+    val pts = byG.select(
+        F.when(m > 0.0 && v > 0.0,
+          F.round(F.log(m), 9)).as("__x"),
+        F.when(m > 0.0 && v > 0.0,
+          F.round(F.log(v), 9)).as("__yl"))
+      .filter(F.col("__x").isNotNull && F.col("__yl").isNotNull)
+      .withColumn("__xy", F.round(F.col("__x") * F.col("__yl"), 9))
+      .withColumn("__x2", F.round(F.col("__x") * F.col("__x"), 9))
+    val reg = pts.agg(F.count(F.lit(1)).as("n_groups"),
+      F.sum("__x").as("__sx"), F.sum("__yl").as("__sy"),
+      F.sum("__xy").as("__sxy"), F.sum("__x2").as("__sx2"))
+    val kD = F.col("n_groups").cast("double")
+    val slope = (kD * F.col("__sxy") - F.col("__sx") * F.col("__sy")) /
+      F.nullif(kD * F.col("__sx2") - F.col("__sx") * F.col("__sx"),
+        F.lit(0.0))
+    reg.select(F.col("n_groups"),
+      F.round(F.when(F.col("n_groups") >= 2L, slope), 6).as("slope"),
+      F.round(F.when(F.col("n_groups") >= 2L,
+        (F.col("__sy") - slope * F.col("__sx")) / kD), 6)
+        .as("intercept"))
+  }
 }

@@ -5644,6 +5644,44 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(("b", 2.5, 1), ("a", 2.0, 2), ("c", 2.0, 3)), got)
   }
 
+  test("varianceRatio: alternating series cancels at q=2; ramp is NULL") {
+    import graft.ops.Stats
+    val alt = Seq(0.0, 1.0, 0.0, 1.0, 0.0, 1.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("t", "v")
+    val got = Stats.varianceRatio(alt, "t", "v", q = 2)
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    // 2-period changes are all 0: VR = 0, z = -sqrt(5)
+    assert(got == ((5L, 2L, Some(0.0), Some(-2.236068))), got)
+    val ramp = (0 to 5).map(i => (i.toLong, i.toDouble)).toDF("t", "v")
+    val r = Stats.varianceRatio(ramp, "t", "v", q = 2)
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    // constant 1-period changes: s2_1 = 0, undefined
+    assert(r == ((5L, 2L, None, None)), r)
+  }
+
+  test("taylorLaw: {1,3} and {2,6} groups give slope 2") {
+    import graft.ops.Stats
+    val df = Seq(("g1", 1.0), ("g1", 3.0), ("g2", 2.0), ("g2", 6.0))
+      .toDF("g", "v")
+    val got = Stats.taylorLaw(df, F.col("g"), F.col("v"))
+      .as[(Long, Option[Double], Option[Double])].head()
+    // (m,v) = (2,2) and (4,8): ln-ln slope exactly 2, intercept -ln 2
+    assert(got == ((2L, Some(2.0), Some(-0.693147))), got)
+  }
+
+  test("interArrivalBurstiness: 1s/2s gaps give B=-0.5; metronome -1") {
+    import graft.ops.EventOps
+    val ev = Seq((1L, "A", 0L), (2L, "A", 1000000000L),
+      (3L, "A", 3000000000L), (4L, "B", 0L), (5L, "B", 1000000000L),
+      (6L, "B", 2000000000L))
+      .toDF("event_id", "event_type", "ts")
+    val got = EventOps.interArrivalBurstiness(ev)
+      .as[(String, Long, Double, Option[Double])].collect().toSeq
+    // A: gaps 1000/2000 ms, mu 1500, pop sd 500; B: sd 0
+    assert(got == Seq(("A", 2L, 1.5, Some(-0.5)),
+      ("B", 2L, 1.0, Some(-1.0))), got)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
