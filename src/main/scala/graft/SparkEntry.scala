@@ -2967,6 +2967,31 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // kernel-free energy distance between the label-0 and label-1
+    // vector sets: the bandwidth-free sibling of x211's MMD
+    "x348_energy_dist" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.energyDistance(emb.filter(F.col("label") === 0),
+        emb.filter(F.col("label") === 1), "vec_id", "embedding")
+    }),
+
+    // near-zero-variance feature screen over the orders columns: the
+    // caret gate that catches constant/quasi-constant features
+    "x349_nzv_screen" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      graft.ops.Stats.nzvScreen(o, Seq(
+        "o_orderstatus" -> F.col("o_orderstatus"),
+        "o_orderpriority" -> F.col("o_orderpriority"),
+        "o_totalprice" -> F.col("o_totalprice"),
+        "o_custkey" -> F.col("o_custkey")))
+    }),
+
+    // all-pairs JS divergence matrix between source unigram
+    // distributions: x76's fixed pair widened to the corpus map
+    "x350_js_matrix" -> ((s, dir) =>
+      TextOps.jsDivergenceMatrix(
+        s.read.parquet(s"$dir/documents.parquet"), "source", "text")),
+
     // Lo-MacKinlay variance ratio at q=5 on daily volume: do changes
     // compound (momentum) or cancel (reversion) — x334's ratio form
     "x345_variance_ratio" -> ((s, dir) => {
@@ -9916,6 +9941,106 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // the x211 pair-scan shape with 9-dp Euclidean distances instead
+    // of kernels; 0-clamped sqrt expansion
+    "x348_energy_dist" ->
+      """WITH a AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      v -> v::DOUBLE * v::DOUBLE))) AS nrm
+        |  FROM embeddings WHERE label = 0),
+        |b AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      v -> v::DOUBLE * v::DOUBLE))) AS nrm
+        |  FROM embeddings WHERE label = 1),
+        |dxx AS (SELECT round(avg(d), 9) AS dxx FROM (
+        |  SELECT round(sqrt(greatest(l.nrm * l.nrm + r.nrm * r.nrm -
+        |    2.0 * list_sum(list_transform(range(1, 65),
+        |      i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE)),
+        |    0.0)), 9) AS d
+        |  FROM a l CROSS JOIN a r)),
+        |dyy AS (SELECT round(avg(d), 9) AS dyy FROM (
+        |  SELECT round(sqrt(greatest(l.nrm * l.nrm + r.nrm * r.nrm -
+        |    2.0 * list_sum(list_transform(range(1, 65),
+        |      i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE)),
+        |    0.0)), 9) AS d
+        |  FROM b l CROSS JOIN b r)),
+        |dxy AS (SELECT round(avg(d), 9) AS dxy FROM (
+        |  SELECT round(sqrt(greatest(l.nrm * l.nrm + r.nrm * r.nrm -
+        |    2.0 * list_sum(list_transform(range(1, 65),
+        |      i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE)),
+        |    0.0)), 9) AS d
+        |  FROM a l CROSS JOIN b r)),
+        |nx AS (SELECT count(*)::BIGINT AS n_x FROM a),
+        |ny AS (SELECT count(*)::BIGINT AS n_y FROM b)
+        |SELECT n_x, n_y, dxy, dxx, dyy,
+        |  round(2.0 * dxy - dxx - dyy, 6) AS energy
+        |FROM nx CROSS JOIN ny CROSS JOIN dxy CROSS JOIN dxx
+        |CROSS JOIN dyy""".stripMargin,
+
+    // one long-format value census; top-2 window per covariate; two
+    // IEEE ratios + the caret flag logic
+    "x349_nzv_screen" ->
+      """WITH lng AS (
+        |  SELECT 'o_orderstatus' AS covariate,
+        |    o_orderstatus::VARCHAR AS v FROM orders
+        |  UNION ALL SELECT 'o_orderpriority',
+        |    o_orderpriority::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_totalprice',
+        |    o_totalprice::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_custkey', o_custkey::VARCHAR FROM orders),
+        |census AS (SELECT covariate, v, count(*)::BIGINT AS c
+        |  FROM lng WHERE v IS NOT NULL GROUP BY 1, 2),
+        |rk AS (SELECT covariate, c, row_number() OVER (PARTITION BY
+        |    covariate ORDER BY c DESC, v) AS r FROM census),
+        |g AS (SELECT covariate, sum(c)::BIGINT AS n,
+        |    count(*)::BIGINT AS n_unique,
+        |    max(CASE WHEN r = 1 THEN c END)::BIGINT AS t1,
+        |    max(CASE WHEN r = 2 THEN c END)::BIGINT AS t2
+        |  FROM rk GROUP BY 1)
+        |SELECT covariate, n, n_unique,
+        |  round(t1::DOUBLE / t2::DOUBLE, 6) AS freq_ratio,
+        |  round(n_unique::DOUBLE / n::DOUBLE, 6) AS pct_unique,
+        |  (n_unique = 1) AS zero_var,
+        |  ((n_unique = 1) OR (t1::DOUBLE / t2::DOUBLE > 19.0::DOUBLE
+        |    AND n_unique::DOUBLE / n::DOUBLE < 0.1::DOUBLE)) AS nzv
+        |FROM g ORDER BY covariate""".stripMargin,
+
+    // per-slice absent-mass constants + one token-keyed self-join for
+    // every pair's shared terms; 9-dp per-token pieces
+    "x350_js_matrix" ->
+      """WITH cnts AS (SELECT source::VARCHAR AS g,
+        |    unnest(list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> length(x) > 0)) AS t
+        |  FROM documents),
+        |census AS (SELECT g, t, count(*)::BIGINT AS c FROM cnts
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT g, sum(c)::BIGINT AS n FROM census GROUP BY 1),
+        |probs AS (SELECT census.g, t, c::DOUBLE / n::DOUBLE AS p
+        |  FROM census JOIN tot ON tot.g = census.g),
+        |ac AS (SELECT g, sum(round((0.5 * 0.6931471805599453) * p, 9))
+        |    AS aconst FROM probs GROUP BY 1),
+        |shared AS (SELECT l.g AS src_a, r.g AS src_b, l.p AS pa,
+        |    r.p AS pb
+        |  FROM probs l JOIN probs r ON l.t = r.t AND l.g < r.g),
+        |adj AS (SELECT src_a, src_b, count(*)::BIGINT AS n_shared,
+        |    sum(round((pa * ln(pa / ((pa + pb) / 2.0)) +
+        |        pb * ln(pb / ((pa + pb) / 2.0))) / 2.0, 9) -
+        |      round((0.5 * 0.6931471805599453) * pa, 9) -
+        |      round((0.5 * 0.6931471805599453) * pb, 9)) AS s
+        |  FROM shared GROUP BY 1, 2),
+        |grid AS (SELECT a.g AS src_a, b.g AS src_b
+        |  FROM tot a CROSS JOIN tot b WHERE a.g < b.g)
+        |SELECT grid.src_a, grid.src_b,
+        |  coalesce(n_shared, 0)::BIGINT AS n_shared,
+        |  round(aa.aconst + ab.aconst + coalesce(s, 0.0), 6) AS js
+        |FROM grid
+        |LEFT JOIN adj ON adj.src_a = grid.src_a
+        |  AND adj.src_b = grid.src_b
+        |JOIN ac aa ON aa.g = grid.src_a
+        |JOIN ac ab ON ab.g = grid.src_b
+        |ORDER BY 1, 2""".stripMargin,
 
     // two lag windows, exact-long difference sufficient stats, the
     // closed-form homoskedastic z with collapsed constant literals

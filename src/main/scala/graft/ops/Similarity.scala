@@ -1725,4 +1725,52 @@ object Similarity {
       .orderBy(F.col("md2").desc, F.col("id"))
       .limit(topN)
   }
+
+  /** Energy distance (Székely & Rizzo 2004) between two vector sets —
+    * the metric-space two-sample test that needs NO kernel bandwidth
+    * (the tuning knob [[mmdDrift]] carries): with Euclidean pair
+    * distances,
+    * {{{
+    *   E = 2·E‖X−Y‖ − E‖X−X′‖ − E‖Y−Y′‖  (≥ 0, = 0 iff same dist.)
+    * }}}
+    * V-statistic form (all ordered pairs incl. self, the standard
+    * plug-in — documented). Read next to x211: MMD weights LOCAL scale
+    * via its kernel, energy distance is scale-free and catches
+    * mean/spread shifts a mis-tuned bandwidth smooths over.
+    *
+    * Same numeric discipline as [[mmdDrift]]: 9-dp pair distances (the
+    * ‖·‖² expansion off [[l2norm]]/[[dot]], clamped at 0 before sqrt),
+    * 9-dp pair means, one IEEE combination.
+    *
+    * Scale shape: three bounded cross-join pair scans — the x211 shape;
+    * both sides are expected to be bounded samples (drift checks run on
+    * samples, not corpora).
+    *
+    * @return one row (n_x, n_y, dxy, dxx, dyy, energy) — 6-dp
+    */
+  def energyDistance(x: DataFrame, y: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String) = df.select(
+      F.col(idCol).as(s"__id$tag"), F.col(vecCol).as(s"__v$tag"),
+      (l2norm(F.col(vecCol)) * l2norm(F.col(vecCol))).as(s"__n2$tag"))
+    def dmean(a: DataFrame, b: DataFrame, ta: String, tb: String,
+              out: String) = a.crossJoin(b)
+      .select(F.round(F.sqrt(F.greatest(
+        F.col(s"__n2$ta") + F.col(s"__n2$tb") -
+          F.lit(2.0) * dot(F.col(s"__v$ta"), F.col(s"__v$tb")),
+        F.lit(0.0))), 9).as("__d"))
+      .agg(F.round(F.avg("__d"), 9).as(out))
+    val (xa, xb) = (side(x, "a"), side(x, "b"))
+    val (ya, yb) = (side(y, "c"), side(y, "d"))
+    val dxx = dmean(xa, xb, "a", "b", "dxx")
+    val dyy = dmean(ya, yb, "c", "d", "dyy")
+    val dxy = dmean(xa, yb, "a", "d", "dxy")
+    x.agg(F.count(F.lit(1)).as("n_x"))
+      .crossJoin(y.agg(F.count(F.lit(1)).as("n_y")))
+      .crossJoin(dxy).crossJoin(dxx).crossJoin(dyy)
+      .select(F.col("n_x"), F.col("n_y"), F.col("dxy"), F.col("dxx"),
+        F.col("dyy"),
+        F.round(F.lit(2.0) * F.col("dxy") - F.col("dxx") -
+          F.col("dyy"), 6).as("energy"))
+  }
 }

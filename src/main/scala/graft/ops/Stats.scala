@@ -6731,4 +6731,55 @@ object Stats {
         (F.col("__sy") - slope * F.col("__sx")) / kD), 6)
         .as("intercept"))
   }
+
+  /** Near-zero-variance screen (the caret `nearZeroVar` heuristic) —
+    * the column-profiling gate before any model/statistic consumes a
+    * feature: a column whose most common value dwarfs the runner-up
+    * (freq_ratio > freqCut) AND whose distinct values are rare relative
+    * to rows (pct_unique < uniqueCut) carries almost no information but
+    * can still destabilize resampled fits. Constant columns flag as
+    * zero_var outright.
+    *
+    * All counts exact longs off one long-format value census; the two
+    * ratios are single IEEE divisions.
+    *
+    * Scale shape: one corpus scan via a |covs|-wide explode, a
+    * (covariate, value)-keyed census (partial-aggregated, bounded by
+    * value domains), a covariate-keyed top-2 window.
+    *
+    * @return per covariate (covariate, n, n_unique, freq_ratio,
+    *         pct_unique, zero_var, nzv) — 6-dp; freq_ratio NULL for
+    *         constants
+    */
+  def nzvScreen(df: DataFrame, covariates: Seq[(String, Column)],
+                freqCut: Double = 19.0,
+                uniqueCut: Double = 0.1): DataFrame = {
+    require(covariates.nonEmpty, "need at least one covariate")
+    val long = df.select(
+        F.explode(F.array(covariates.map { case (nm, c) =>
+          F.struct(F.lit(nm).as("nm"), c.cast("string").as("v"))
+        }: _*)).as("__cv"))
+      .select(F.col("__cv.nm").as("covariate"), F.col("__cv.v").as("__v"))
+      .filter(F.col("__v").isNotNull)
+    val census = long.groupBy("covariate", "__v")
+      .agg(F.count(F.lit(1)).as("__c"))
+    val w = Window.partitionBy("covariate")
+      .orderBy(F.col("__c").desc, F.col("__v"))
+    val g = census
+      .withColumn("__rk", F.row_number().over(w))
+      .groupBy("covariate")
+      .agg(F.sum("__c").as("n"),
+        F.count(F.lit(1)).as("n_unique"),
+        F.max(F.when(F.col("__rk") === 1, F.col("__c"))).as("__t1"),
+        F.max(F.when(F.col("__rk") === 2, F.col("__c"))).as("__t2"))
+    val fr = F.col("__t1").cast("double") / F.col("__t2").cast("double")
+    val pu = F.col("n_unique").cast("double") / F.col("n").cast("double")
+    val zv = F.col("n_unique") === 1L
+    g.select(F.col("covariate"), F.col("n"), F.col("n_unique"),
+      F.round(fr, 6).as("freq_ratio"),
+      F.round(pu, 6).as("pct_unique"),
+      zv.as("zero_var"),
+      (zv || (fr > freqCut && pu < uniqueCut)).as("nzv"))
+      .orderBy("covariate")
+  }
 }

@@ -1696,4 +1696,74 @@ object TextOps {
         F.round(score, 6).as("ql"))
       .orderBy(idCol)
   }
+
+  /** Pairwise Jensen–Shannon divergence matrix between every pair of
+    * corpus slices' unigram distributions — [[tokenDivergence]] (one
+    * fixed pair, per-token evidence) widened to the all-pairs corpus
+    * map: which sources speak the same language, which one drifted.
+    * JS is symmetric and bounded by ln 2, so the 190-pair table reads
+    * as a distance matrix (the x221 Burrows-delta companion on raw
+    * unigram mass instead of stylometric z-scores).
+    *
+    * Absent-token mass needs no per-pair full-outer join: a token only
+    * in slice a contributes exactly ½·p·ln2, and Σ of that over a's
+    * WHOLE vocabulary is a per-slice constant A_a, so
+    * {{{
+    *   JS(a,b) = A_a + A_b + Σ_shared (contrib − ½p·ln2 − ½q·ln2)
+    * }}}
+    * — one token-keyed self-join builds every pair's shared terms at
+    * once. Every per-token term rounds 9 dp before its orderless sum;
+    * ln 2 rides as a shared literal.
+    *
+    * Scale shape: one (slice, token) census, one token-keyed self-join
+    * (vocab-bounded, never corpus-sized), a pair-keyed rollup onto the
+    * slice-pair grid.
+    *
+    * @return per pair (src_a, src_b, n_shared, js) ordered — 6-dp
+    */
+  def jsDivergenceMatrix(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    val Ln2 = 0.6931471805599453
+    val counts = df.select(F.col(groupCol).cast("string").as("__g"),
+        F.explode(F.filter(
+          F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))),
+            "\\s+"), t => F.length(t) > 0)).as("__t"))
+      .groupBy("__g", "__t").agg(F.count(F.lit(1)).as("__c"))
+    val tot = counts.groupBy("__g").agg(F.sum("__c").as("__n"))
+    val probs = counts.join(F.broadcast(tot), Seq("__g"))
+      .withColumn("__p",
+        F.col("__c").cast("double") / F.col("__n").cast("double"))
+    // per-slice all-vocabulary absent-mass constant
+    val aConst = probs
+      .withColumn("__a", F.round(F.lit(0.5 * Ln2) * F.col("__p"), 9))
+      .groupBy("__g").agg(F.sum("__a").as("__A"))
+    val l = probs.select(F.col("__g").as("src_a"), F.col("__t"),
+      F.col("__p").as("__pa"))
+    val r = probs.select(F.col("__g").as("src_b"), F.col("__t"),
+      F.col("__p").as("__pb"))
+    val shared = l.join(r, Seq("__t"))
+      .filter(F.col("src_a") < F.col("src_b"))
+    val m = (F.col("__pa") + F.col("__pb")) / 2.0
+    val adj = shared
+      .withColumn("__adj",
+        F.round((F.col("__pa") * F.log(F.col("__pa") / m) +
+          F.col("__pb") * F.log(F.col("__pb") / m)) / 2.0, 9) -
+          F.round(F.lit(0.5 * Ln2) * F.col("__pa"), 9) -
+          F.round(F.lit(0.5 * Ln2) * F.col("__pb"), 9))
+      .groupBy("src_a", "src_b")
+      .agg(F.count(F.lit(1)).as("n_shared"), F.sum("__adj").as("__s"))
+    val grid = tot.select(F.col("__g").as("src_a"))
+      .crossJoin(tot.select(F.col("__g").as("src_b")))
+      .filter(F.col("src_a") < F.col("src_b"))
+    grid.join(adj, Seq("src_a", "src_b"), "left")
+      .join(F.broadcast(aConst.select(F.col("__g").as("src_a"),
+        F.col("__A").as("__Aa"))), Seq("src_a"))
+      .join(F.broadcast(aConst.select(F.col("__g").as("src_b"),
+        F.col("__A").as("__Ab"))), Seq("src_b"))
+      .select(F.col("src_a"), F.col("src_b"),
+        F.coalesce(F.col("n_shared"), F.lit(0L)).as("n_shared"),
+        F.round(F.col("__Aa") + F.col("__Ab") +
+          F.coalesce(F.col("__s"), F.lit(0.0)), 6).as("js"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -5682,6 +5682,38 @@ class OpsSpec extends AnyFunSuite {
       ("B", 2L, 1.0, Some(-1.0))), got)
   }
 
+  test("energyDistance: 1-D hand case — E = 2*3 - 1 - 0 = 5") {
+    import graft.ops.Similarity
+    val x = Seq((1L, Seq(0f)), (2L, Seq(2f))).toDF("vec_id", "embedding")
+    val y = Seq((3L, Seq(4f))).toDF("vec_id", "embedding")
+    val got = Similarity.energyDistance(x, y, "vec_id", "embedding")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    // dxy mean(4,2)=3, dxx mean(0,2,2,0)=1, dyy 0
+    assert(got == ((2L, 1L, 3.0, 1.0, 0.0, 5.0)), got)
+  }
+
+  test("nzvScreen: constant flags zero_var; 2-1 split is healthy") {
+    import graft.ops.Stats
+    val df = Seq(("x", "u"), ("x", "u"), ("x", "v")).toDF("a", "b")
+    val got = Stats.nzvScreen(df,
+        Seq("a" -> F.col("a"), "b" -> F.col("b")))
+      .as[(String, Long, Long, Option[Double], Double, Boolean, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, 1L, None, 0.333333, true, true),
+      ("b", 3L, 2L, Some(2.0), 0.666667, false, false)), got)
+  }
+
+  test("jsDivergenceMatrix: identical slices 0, disjoint slices ln 2") {
+    import graft.ops.TextOps
+    val df = Seq(("g1", "a b"), ("g2", "a b"), ("g3", "c d"))
+      .toDF("src", "text")
+    val got = TextOps.jsDivergenceMatrix(df, "src", "text")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("g1", "g2", 2L, 0.0), ("g1", "g3", 0L, 0.693147),
+      ("g2", "g3", 0L, 0.693147)), got)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
