@@ -2967,6 +2967,34 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // Gumbel fit + KS over daily peak-hour volume: how big can a peak
+    // get — the extreme-value planning readout
+    "x351_gumbel_fit" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val t = graft.ops.EventOps.tsStamp(ev)
+      val hourly = ev.groupBy(
+          F.floor(F.unix_timestamp(t) / 3600).cast("long").as("h"))
+        .agg(F.count(F.lit(1)).as("c"))
+      val maxima = hourly.groupBy(
+          (F.col("h") / 24L).cast("long").as("d"))
+        .agg(F.max("c").as("mx"))
+      graft.ops.Stats.gumbelFitKs(maxima, F.col("mx"))
+    }),
+
+    // WoE/IV scorecard audit: is n_chars predictive of en, bin by bin
+    // — the shape readout a single AUC hides
+    "x352_woe_iv" -> ((s, dir) =>
+      graft.ops.Stats.woeIv(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.col("n_chars"), F.col("lang") === "en", nBins = 10)),
+
+    // Theil's U between source and lang: how much does knowing one
+    // category remove of the other's entropy — directional, normalized
+    "x353_uncertainty" -> ((s, dir) =>
+      graft.ops.Stats.uncertaintyCoeff(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.col("source"), F.col("lang"))),
+
     // kernel-free energy distance between the label-0 and label-1
     // vector sets: the bandwidth-free sibling of x211's MMD
     "x348_energy_dist" -> ((s, dir) => {
@@ -9941,6 +9969,98 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // expFitKs ladder vs the moments-fitted Gumbel CDF; γ and √6/π as
+    // single shared literals
+    "x351_gumbel_fit" ->
+      """WITH hourly AS (SELECT (floor(epoch(ts))::BIGINT // 3600)
+        |    AS h, count(*)::BIGINT AS c FROM events GROUP BY 1),
+        |dm AS (SELECT h // 24 AS d, max(c)::BIGINT AS k FROM hourly
+        |  GROUP BY 1),
+        |byv AS (SELECT k, count(*)::BIGINT AS t FROM dm GROUP BY 1),
+        |tot AS (SELECT sum(t)::BIGINT AS n, sum(k * t)::BIGINT AS s,
+        |    sum(k * k * t)::BIGINT AS q FROM byv),
+        |f AS (SELECT n, s::DOUBLE / (n::DOUBLE * 1.0::DOUBLE) AS mean,
+        |    sqrt((q::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE)) /
+        |      (nullif(n::DOUBLE - 1.0::DOUBLE, 0.0) * 1.0::DOUBLE
+        |        * 1.0::DOUBLE)) AS sd
+        |  FROM tot),
+        |fit AS (SELECT n,
+        |    0.779696801233676::DOUBLE * sd AS beta,
+        |    mean - 0.5772156649015329::DOUBLE *
+        |      (0.779696801233676::DOUBLE * sd) AS mu
+        |  FROM f),
+        |cum AS (SELECT k, t, (sum(t) OVER (ORDER BY k ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cm
+        |  FROM byv),
+        |dd AS (SELECT n, mu, beta, round(greatest(
+        |    abs(cm::DOUBLE / n::DOUBLE - exp(-exp(-((k::DOUBLE /
+        |      1.0::DOUBLE - mu) / nullif(beta, 0.0))))),
+        |    abs((cm - t)::DOUBLE / n::DOUBLE - exp(-exp(-((k::DOUBLE /
+        |      1.0::DOUBLE - mu) / nullif(beta, 0.0)))))), 9) AS d
+        |  FROM cum CROSS JOIN fit)
+        |SELECT max(n)::BIGINT AS n, round(max(mu), 6) AS mu,
+        |  round(max(beta), 6) AS beta, round(max(d), 6) AS d
+        |FROM dd""".stripMargin,
+
+    // x118-idiom equal-width bins; exact good/bad counts; unsmoothed
+    // WoE (one-sided bins NULL and drop from IV); 9-dp IV terms
+    "x352_woe_iv" ->
+      """WITH v AS (SELECT n_chars::DOUBLE AS x,
+        |    (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |mm AS (SELECT min(x) AS wlo, max(x) AS whi,
+        |    sum(y)::BIGINT AS g, sum(1 - y)::BIGINT AS b FROM v),
+        |binned AS (SELECT coalesce(least(greatest(floor((x - wlo) /
+        |      nullif((whi - wlo) / 10.0::DOUBLE, 0.0)), 0), 9),
+        |      0)::BIGINT AS bin, y, wlo, whi, g, b
+        |  FROM v CROSS JOIN mm),
+        |grp AS (SELECT bin, sum(y)::BIGINT AS n_good,
+        |    sum(1 - y)::BIGINT AS n_bad,
+        |    max(wlo + bin * ((whi - wlo) / 10.0::DOUBLE)) AS blo,
+        |    max(wlo + (bin + 1) * ((whi - wlo) / 10.0::DOUBLE)) AS bhi,
+        |    max(g)::BIGINT AS gg, max(b)::BIGINT AS bb
+        |  FROM binned GROUP BY bin),
+        |t AS (SELECT bin, blo, bhi, n_good, n_bad, gg, bb,
+        |    CASE WHEN n_good > 0 AND n_bad > 0 THEN
+        |      ln((n_good::DOUBLE / nullif(gg::DOUBLE, 0.0)) /
+        |        (n_bad::DOUBLE / nullif(bb::DOUBLE, 0.0))) END
+        |      AS woe_raw
+        |  FROM grp),
+        |tt AS (SELECT bin, blo, bhi, n_good, n_bad,
+        |    round(woe_raw, 6) AS woe,
+        |    round((n_good::DOUBLE / nullif(gg::DOUBLE, 0.0) -
+        |      n_bad::DOUBLE / nullif(bb::DOUBLE, 0.0)) * woe_raw, 9)
+        |      AS ivt
+        |  FROM t),
+        |iv AS (SELECT round(coalesce(sum(ivt), 0.0), 6) AS iv FROM tt)
+        |SELECT bin, round(blo, 6) AS lo, round(bhi, 6) AS hi, n_good,
+        |  n_bad, woe, round(ivt, 6) AS iv_bin, iv
+        |FROM tt CROSS JOIN iv ORDER BY bin""".stripMargin,
+
+    // exact cell/margin counts; 9-dp p ln p terms; two directional
+    // IEEE ratios
+    "x353_uncertainty" ->
+      """WITH cells AS (SELECT source::VARCHAR AS x, lang::VARCHAR AS y,
+        |    count(*)::BIGINT AS c FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM cells),
+        |hxy AS (SELECT -sum(round(c::DOUBLE / n::DOUBLE *
+        |    ln(c::DOUBLE / n::DOUBLE), 9)) AS hxy
+        |  FROM cells CROSS JOIN tot),
+        |hx AS (SELECT -sum(round(cx::DOUBLE / n::DOUBLE *
+        |    ln(cx::DOUBLE / n::DOUBLE), 9)) AS hx FROM (
+        |  SELECT x, sum(c)::BIGINT AS cx, max(n)::BIGINT AS n
+        |  FROM cells CROSS JOIN tot GROUP BY x)),
+        |hy AS (SELECT -sum(round(cy::DOUBLE / n::DOUBLE *
+        |    ln(cy::DOUBLE / n::DOUBLE), 9)) AS hy FROM (
+        |  SELECT y, sum(c)::BIGINT AS cy, max(n)::BIGINT AS n
+        |  FROM cells CROSS JOIN tot GROUP BY y))
+        |SELECT n, round(hx, 6) AS h_x, round(hy, 6) AS h_y,
+        |  round(hx + hy - hxy, 6) AS mi,
+        |  round((hx + hy - hxy) / nullif(hx, 0.0), 6) AS u_x_given_y,
+        |  round((hx + hy - hxy) / nullif(hy, 0.0), 6) AS u_y_given_x
+        |FROM tot CROSS JOIN hx CROSS JOIN hy CROSS JOIN hxy""".stripMargin,
 
     // the x211 pair-scan shape with 9-dp Euclidean distances instead
     // of kernels; 0-clamped sqrt expansion

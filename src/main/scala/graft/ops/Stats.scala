@@ -6782,4 +6782,179 @@ object Stats {
       (zv || (fr > freqCut && pu < uniqueCut)).as("nzv"))
       .orderBy("covariate")
   }
+
+  /** Gumbel (EV-I) fit + KS goodness-of-fit for block maxima — the
+    * extreme-value question "how big can a peak day get": maxima of
+    * iid-ish blocks converge to Gumbel, so fit by the method of
+    * moments,
+    * {{{
+    *   β̂ = s·√6/π,   μ̂ = x̄ − γ·β̂,   F(x) = exp(−exp(−(x−μ̂)/β̂))
+    * }}}
+    * (γ the Euler–Mascheroni constant; both ride as single shared
+    * literals) and report the [[expFitKs]]-style KS sup-gap D against
+    * the fitted CDF. The tail-planning readout a mean+sd of maxima
+    * hides.
+    *
+    * Values quantize (×scale) to exact longs so (n, Σk, Σk²) are exact;
+    * the fitted CDF and both ECDF ladders are IEEE on identical
+    * inputs; per-value gaps round 9 dp before the max.
+    *
+    * Scale shape: [[expFitKs]] — a value-domain collapse, one bounded
+    * window, a 1-row result.
+    *
+    * @return one row (n, mu, beta, d) — 6-dp; NULL fit for constant
+    *         maxima
+    */
+  def gumbelFitKs(df: DataFrame, valueCol: Column,
+                  scale: Long = 1L): DataFrame = {
+    val Sqrt6OverPi = 0.779696801233676
+    val EulerGamma = 0.5772156649015329
+    val byV = df.select(
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .filter(F.col("__k").isNotNull)
+      .groupBy("__k").agg(F.count(F.lit(1)).as("__t"))
+    val tot = byV.agg(F.sum("__t").as("__n"),
+      F.sum(F.col("__k") * F.col("__t")).as("__s"),
+      F.sum(F.col("__k") * F.col("__k") * F.col("__t")).as("__q"))
+    val nD = F.col("__n").cast("double")
+    val sD = F.lit(scale).cast("double")
+    val mean = F.col("__s").cast("double") / (nD * sD)
+    val sd = F.sqrt((F.col("__q").cast("double") -
+      F.col("__s").cast("double") *
+        (F.col("__s").cast("double") / nD)) /
+      (F.nullif(nD - 1.0, F.lit(0.0)) * sD * sD))
+    val beta = F.lit(Sqrt6OverPi) * sd
+    val mu = mean - F.lit(EulerGamma) * beta
+    val w = Window.orderBy(F.col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV
+      .withColumn("__cum", F.sum("__t").over(w))
+      .crossJoin(F.broadcast(tot))
+      .withColumn("__f", F.exp(-F.exp(
+        -(F.col("__k").cast("double") / sD - mu) /
+          F.nullif(beta, F.lit(0.0)))))
+      .withColumn("__d", F.round(F.greatest(
+        F.abs(F.col("__cum").cast("double") / nD - F.col("__f")),
+        F.abs((F.col("__cum") - F.col("__t")).cast("double") / nD -
+          F.col("__f"))), 9))
+    cum.agg(F.max("__n").as("n"),
+      F.round(F.max(mu), 6).as("mu"),
+      F.round(F.max(beta), 6).as("beta"),
+      F.round(F.max("__d"), 6).as("d"))
+  }
+
+  /** Weight-of-evidence / information-value table (the credit-scorecard
+    * feature audit): equal-width bins of a numeric feature against a
+    * binary label,
+    * {{{
+    *   WoE_i = ln(g_i/G ÷ b_i/B),   IV = Σ (g_i/G − b_i/B)·WoE_i
+    * }}}
+    * IV < 0.02 is "useless", > 0.5 "suspiciously strong" (leakage
+    * check). The monotonicity of WoE down the bins is the shape audit
+    * a single x178-style AUC hides. One-sided bins (zero good or zero
+    * bad) emit NULL WoE and drop from IV (the unsmoothed convention —
+    * documented).
+    *
+    * Counts are exact longs off one scan (min/max ride a 1-row
+    * broadcast, the x118 histogram idiom); shares and WoE are IEEE on
+    * identical inputs; IV terms round 9 dp.
+    *
+    * @return per bin (bin, lo, hi, n_good, n_bad, woe, iv_bin, iv)
+    *         ordered by bin — 6-dp
+    */
+  def woeIv(df: DataFrame, valueCol: Column, labelCol: Column,
+            nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val v = df.select(valueCol.cast("double").as("__v"),
+        F.when(labelCol, 1L).otherwise(0L).as("__y"))
+      .filter(F.col("__v").isNotNull)
+    val mm = v.agg(F.min("__v").as("__lo"), F.max("__v").as("__hi"),
+      F.sum("__y").as("__G"),
+      F.sum(F.lit(1L) - F.col("__y")).as("__B"))
+    val wBin = (F.col("__hi") - F.col("__lo")) / nBins.toDouble
+    val binned = v.crossJoin(F.broadcast(mm))
+      .withColumn("bin", F.least(F.greatest(
+        F.floor((F.col("__v") - F.col("__lo")) /
+          F.nullif(wBin, F.lit(0.0))), F.lit(0L)),
+        F.lit(nBins - 1L)))
+      .withColumn("bin", F.coalesce(F.col("bin"), F.lit(0L)))
+      .groupBy("bin")
+      .agg(F.sum("__y").as("n_good"),
+        F.sum(F.lit(1L) - F.col("__y")).as("n_bad"),
+        F.max(F.col("__lo") + F.col("bin") * wBin).as("lo"),
+        F.max(F.col("__lo") + (F.col("bin") + 1L) * wBin).as("hi"),
+        F.max("__G").as("__g"), F.max("__B").as("__b"))
+    val gs = F.col("n_good").cast("double") /
+      F.nullif(F.col("__g").cast("double"), F.lit(0.0))
+    val bs = F.col("n_bad").cast("double") /
+      F.nullif(F.col("__b").cast("double"), F.lit(0.0))
+    val woe = F.when(F.col("n_good") > 0L && F.col("n_bad") > 0L,
+      F.log(gs / bs))
+    val terms = binned
+      .withColumn("woe", F.round(woe, 6))
+      .withColumn("__ivt", F.round((gs - bs) * woe, 9))
+    val iv = terms.agg(
+      F.round(F.coalesce(F.sum("__ivt"), F.lit(0.0)), 6).as("iv"))
+    terms.crossJoin(F.broadcast(iv))
+      .select(F.col("bin"), F.round(F.col("lo"), 6).as("lo"),
+        F.round(F.col("hi"), 6).as("hi"), F.col("n_good"),
+        F.col("n_bad"), F.col("woe"),
+        F.round(F.col("__ivt"), 6).as("iv_bin"), F.col("iv"))
+      .orderBy("bin")
+  }
+
+  /** Theil's uncertainty coefficient between two categorical columns —
+    * the NORMALIZED, DIRECTIONAL mutual information: U(X|Y) =
+    * I(X;Y)/H(X) is "what fraction of X's entropy does knowing Y
+    * remove", in [0, 1], asymmetric (source may determine lang far
+    * more than lang determines source — x142's raw MI can't say
+    * which). The categorical-association readout Cramér's V (x109
+    * family) symmetrizes away.
+    *
+    * All probabilities come from exact cell/margin counts; every
+    * p·ln p term rounds 9 dp before its orderless sum; the two final
+    * ratios are IEEE on identical inputs.
+    *
+    * Scale shape: one (x, y) cell census (bounded by the category
+    * product), two margin rollups, a 1-row result.
+    *
+    * @return one row (n, h_x, h_y, mi, u_x_given_y, u_y_given_x) —
+    *         6-dp; NULL U for a zero-entropy margin
+    */
+  def uncertaintyCoeff(df: DataFrame, xCol: Column,
+                       yCol: Column): DataFrame = {
+    val cells = df.select(xCol.cast("string").as("__x"),
+        yCol.cast("string").as("__y"))
+      .filter(F.col("__x").isNotNull && F.col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(F.count(F.lit(1)).as("__c"))
+    val tot = cells.agg(F.sum("__c").as("__n"))
+    def negEnt(cnt: Column): Column =
+      F.sum(F.round(cnt.cast("double") / F.col("__n").cast("double") *
+        F.log(cnt.cast("double") / F.col("__n").cast("double")), 9))
+    val withN = cells.crossJoin(F.broadcast(tot))
+    val hxy = withN.agg((-negEnt(F.col("__c"))).as("__hxy"))
+    val hx = withN.groupBy("__x")
+      .agg(F.sum("__c").as("__cx"), F.max("__n").as("__n"))
+      .agg((-F.sum(F.round(F.col("__cx").cast("double") /
+        F.col("__n").cast("double") *
+        F.log(F.col("__cx").cast("double") /
+          F.col("__n").cast("double")), 9))).as("__hx"))
+    val hy = withN.groupBy("__y")
+      .agg(F.sum("__c").as("__cy"), F.max("__n").as("__n"))
+      .agg((-F.sum(F.round(F.col("__cy").cast("double") /
+        F.col("__n").cast("double") *
+        F.log(F.col("__cy").cast("double") /
+          F.col("__n").cast("double")), 9))).as("__hy"))
+    val g = tot.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+      .crossJoin(F.broadcast(hxy))
+    val mi = F.col("__hx") + F.col("__hy") - F.col("__hxy")
+    g.select(F.col("__n").as("n"),
+      F.round(F.col("__hx"), 6).as("h_x"),
+      F.round(F.col("__hy"), 6).as("h_y"),
+      F.round(mi, 6).as("mi"),
+      F.round(mi / F.nullif(F.col("__hx"), F.lit(0.0)), 6)
+        .as("u_x_given_y"),
+      F.round(mi / F.nullif(F.col("__hy"), F.lit(0.0)), 6)
+        .as("u_y_given_x"))
+  }
 }

@@ -5714,6 +5714,43 @@ class OpsSpec extends AnyFunSuite {
       ("g2", "g3", 0L, 0.693147)), got)
   }
 
+  test("gumbelFitKs: {0,2} maxima — moments fit and KS sup-gap") {
+    import graft.ops.Stats
+    val df = Seq(0.0, 2.0).toDF("v")
+    val got = Stats.gumbelFitKs(df, F.col("v"))
+      .as[(Long, Double, Double, Double)].head()
+    // mean 1, sd sqrt2: beta = sqrt(12)/pi, mu = 1 - gamma*beta
+    assert(got == ((2L, 0.363529, 1.102658, 0.297158)), got)
+  }
+
+  test("woeIv: 2-bin hand table — WoE signs flip, IV sums") {
+    import graft.ops.Stats
+    val rows = Seq.fill(2)((0.0, true)) ++ Seq.fill(2)((0.0, false)) ++
+      Seq.fill(3)((10.0, true)) ++ Seq((10.0, false))
+    val df = rows.toDF("v", "y")
+    val got = Stats.woeIv(df, F.col("v"), F.col("y"), nBins = 2)
+      .as[(Long, Double, Double, Long, Long, Option[Double], Double,
+        Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0.0, 5.0, 2L, 2L, Some(-0.510826), 0.13622, 0.292963),
+      (1L, 5.0, 10.0, 3L, 1L, Some(0.587787), 0.156743, 0.292963)),
+      got)
+  }
+
+  test("uncertaintyCoeff: determinism gives U=1; independence gives 0") {
+    import graft.ops.Stats
+    val det = Seq(("a", "u"), ("a", "u"), ("b", "v"), ("b", "v"))
+      .toDF("x", "y")
+    val got = Stats.uncertaintyCoeff(det, F.col("x"), F.col("y"))
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(got == ((4L, 0.693147, 0.693147, 0.693147, 1.0, 1.0)), got)
+    val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val i = Stats.uncertaintyCoeff(ind, F.col("x"), F.col("y"))
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(i == ((4L, 0.693147, 0.693147, 0.0, 0.0, 0.0)), i)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
