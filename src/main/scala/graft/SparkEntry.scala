@@ -2967,6 +2967,29 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // LOF density-relative outliers on a deterministic 40% vector
+    // sample: the inside-a-cluster outlier x340's global covariance
+    // misses
+    "x354_lof" -> ((s, dir) =>
+      Similarity.lofOutliers(
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(F.col("vec_id") % 5 < 2),
+        "vec_id", "embedding", k = 5, topN = 20)),
+
+    // Bhattacharyya/Hellinger overlap of en vs non-en length
+    // histograms: the separability ceiling next to x324's CvM test
+    "x355_bhattacharyya" -> ((s, dir) =>
+      graft.ops.Stats.bhattacharyya(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.col("n_chars"), F.col("lang") === "en", nBins = 20)),
+
+    // cluster-sampling design effect of per-event value under user
+    // clustering: how many "effective" rows the correlation leaves
+    "x356_design_effect" -> ((s, dir) =>
+      graft.ops.Stats.designEffect(
+        s.read.parquet(s"$dir/events.parquet"),
+        F.col("user_id"), F.col("value"), scale = 100L)),
+
     // Gumbel fit + KS over daily peak-hour volume: how big can a peak
     // get — the extreme-value planning readout
     "x351_gumbel_fit" -> ((s, dir) => {
@@ -9969,6 +9992,96 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // materialized pair/rank tables computed once; 9-dp distances,
+    // reach maxima, lrd and ratio terms — the same ladder as Spark
+    "x354_lof" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      v -> v::DOUBLE * v::DOUBLE))) AS nrm
+        |  FROM embeddings WHERE vec_id % 5 < 2),
+        |pairs AS MATERIALIZED (SELECT a.vec_id AS id, b.vec_id AS nb,
+        |    round(sqrt(greatest(a.nrm * a.nrm + b.nrm * b.nrm -
+        |      2.0 * list_sum(list_transform(range(1, 65),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+        |      0.0)), 9) AS d
+        |  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+        |kd AS MATERIALIZED (SELECT id, nb, d, row_number() OVER (
+        |    PARTITION BY id ORDER BY d, nb) AS rk FROM pairs),
+        |knn AS MATERIALIZED (SELECT id, nb, d FROM kd WHERE rk <= 5),
+        |kdist AS (SELECT id AS kdid, d AS kdv FROM kd WHERE rk = 5),
+        |reach AS (SELECT knn.id, greatest(knn.d, kdist.kdv) AS r
+        |  FROM knn JOIN kdist ON kdist.kdid = knn.nb),
+        |lrd AS MATERIALIZED (SELECT id,
+        |    round(5.0::DOUBLE / nullif(sum(r), 0.0), 9) AS lrd
+        |  FROM reach GROUP BY id),
+        |lof AS (SELECT knn.id, max(la.lrd) AS lrd,
+        |    round(avg(round(lb.lrd / nullif(la.lrd, 0.0), 9)), 6)
+        |      AS lof
+        |  FROM knn JOIN lrd lb ON lb.id = knn.nb
+        |  JOIN lrd la ON la.id = knn.id
+        |  GROUP BY knn.id)
+        |SELECT id, round(lrd, 6) AS lrd, lof FROM lof
+        |ORDER BY lof DESC, id LIMIT 20""".stripMargin,
+
+    // shared x118 bins off the global min/max; exact per-bin counts;
+    // 9-dp sqrt(pq) terms
+    "x355_bhattacharyya" ->
+      """WITH v AS (SELECT n_chars::DOUBLE AS x,
+        |    (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c1
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |mm AS (SELECT min(x) AS wlo, max(x) AS whi FROM v),
+        |bb AS (SELECT coalesce(least(greatest(floor((x - wlo) /
+        |      nullif((whi - wlo) / 20.0::DOUBLE, 0.0)), 0), 19),
+        |      0)::BIGINT AS bin, c1
+        |  FROM v CROSS JOIN mm),
+        |byb AS (SELECT bin, sum(c1)::BIGINT AS n1b,
+        |    sum(1 - c1)::BIGINT AS n2b FROM bb GROUP BY 1),
+        |tot AS (SELECT sum(n1b)::BIGINT AS n1, sum(n2b)::BIGINT AS n2
+        |  FROM byb),
+        |t AS (SELECT n1, n2, round(sqrt(
+        |    n1b::DOUBLE / nullif(n1::DOUBLE, 0.0) *
+        |    (n2b::DOUBLE / nullif(n2::DOUBLE, 0.0))), 9) AS t
+        |  FROM byb CROSS JOIN tot),
+        |g AS (SELECT max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
+        |    sum(t) AS bc FROM t)
+        |SELECT n1, n2, round(bc, 6) AS bc,
+        |  round(-ln(nullif(bc, 0.0)), 6) AS d_b,
+        |  round(sqrt(greatest(1.0::DOUBLE - bc, 0.0)), 6) AS hellinger
+        |FROM g""".stripMargin,
+
+    // exact per-cluster (n, Σk, Σk²); positive-SS 9-dp terms; one row
+    // of ANOVA/ICC algebra
+    "x356_design_effect" ->
+      """WITH vv AS (SELECT user_id::VARCHAR AS g,
+        |    round(value * 100)::BIGINT AS k FROM events
+        |  WHERE round(value * 100) IS NOT NULL),
+        |byc AS (SELECT g, count(*)::BIGINT AS n, sum(k)::BIGINT AS s,
+        |    sum(k * k)::BIGINT AS q FROM vv GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+        |    sum(s)::BIGINT AS t, sum(n * n)::BIGINT AS m2 FROM byc),
+        |terms AS (SELECT k, nn, m2,
+        |    round(n::DOUBLE * (s::DOUBLE / n::DOUBLE -
+        |      t::DOUBLE / nn::DOUBLE) * (s::DOUBLE / n::DOUBLE -
+        |      t::DOUBLE / nn::DOUBLE), 9) AS ssb,
+        |    round(q::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE), 9)
+        |      AS ssw
+        |  FROM byc CROSS JOIN tot),
+        |g AS (SELECT max(k)::BIGINT AS k, max(nn)::BIGINT AS n,
+        |    max(m2)::BIGINT AS m2, sum(ssb) AS sb, sum(ssw) AS sw
+        |  FROM terms),
+        |f AS (SELECT k, n,
+        |    sb / nullif(k::DOUBLE - 1.0::DOUBLE, 0.0) AS msb,
+        |    sw / nullif(n::DOUBLE - k::DOUBLE, 0.0) AS msw,
+        |    (n::DOUBLE - m2::DOUBLE / n::DOUBLE) /
+        |      nullif(k::DOUBLE - 1.0::DOUBLE, 0.0) AS m0
+        |  FROM g)
+        |SELECT k, n, round(m0, 6) AS m0,
+        |  round((msb - msw) / nullif(msb + (m0 - 1.0::DOUBLE) * msw,
+        |    0.0), 6) AS icc,
+        |  round(1.0::DOUBLE + (m0 - 1.0::DOUBLE) * ((msb - msw) /
+        |    nullif(msb + (m0 - 1.0::DOUBLE) * msw, 0.0)), 6) AS deff
+        |FROM f""".stripMargin,
 
     // expFitKs ladder vs the moments-fitted Gumbel CDF; γ and √6/π as
     // single shared literals

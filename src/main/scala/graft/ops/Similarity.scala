@@ -1773,4 +1773,70 @@ object Similarity {
         F.round(F.lit(2.0) * F.col("dxy") - F.col("dxx") -
           F.col("dyy"), 6).as("energy"))
   }
+
+  /** Local outlier factor (Breunig et al. 2000) over an embedding
+    * column — DENSITY-relative outlierness: LOF ≈ 1 means "as dense as
+    * my neighbors", LOF ≫ 1 "my neighborhood is far sparser than my
+    * neighbors' neighborhoods". Catches the outlier-inside-a-tight-
+    * cluster that [[mahalanobisOutliers]]' single global covariance
+    * misses, and stays calm about points in legitimately diffuse
+    * regions that Mahalanobis flags. With kNN sets N_k, k-distance
+    * kd(·), reach-dist r(a,b) = max(d(a,b), kd(b)):
+    * {{{
+    *   lrd(a) = k / Σ_{b∈N_k(a)} r(a,b),
+    *   LOF(a) = mean_{b∈N_k(a)} lrd(b) / lrd(a)
+    * }}}
+    * Determinism: 9-dp Euclidean pair distances (the [[energyDistance]]
+    * expansion), neighbor rank ties broken by id, 9-dp lrd and ratio
+    * terms, 6-dp output with a (lof desc, id) total order.
+    *
+    * Scale shape: one all-pairs scan with a per-query top-k window
+    * (the [[bruteKnn]] shape — at corpus scale run it on a sample or
+    * swap the candidate generator for [[lshKnn]]); everything after is
+    * k-bounded joins on (id, neighbor) pairs.
+    *
+    * @return top `topN` rows (id, lrd, lof) by (lof desc, id) — 6-dp
+    */
+  def lofOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 5, topN: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def side(df: DataFrame, tag: String) = df.select(
+      F.col(idCol).as(s"__id$tag"), F.col(vecCol).as(s"__v$tag"),
+      (l2norm(F.col(vecCol)) * l2norm(F.col(vecCol))).as(s"__n2$tag"))
+    val pairs = side(emb, "a").crossJoin(side(emb, "b"))
+      .filter(F.col("__ida") =!= F.col("__idb"))
+      .select(F.col("__ida").as("id"), F.col("__idb").as("nb"),
+        F.round(F.sqrt(F.greatest(
+          F.col("__n2a") + F.col("__n2b") -
+            F.lit(2.0) * dot(F.col("__va"), F.col("__vb")),
+          F.lit(0.0))), 9).as("d"))
+    val w = Window.partitionBy("id")
+      .orderBy(F.col("d").asc, F.col("nb").asc)
+    val knn = pairs.withColumn("__rk", F.row_number().over(w))
+      .filter(F.col("__rk") <= k)
+      .localCheckpoint()
+    // k-distance per point = its rank-k neighbor distance
+    val kdist = knn.filter(F.col("__rk") === k)
+      .select(F.col("id").as("__kdid"), F.col("d").as("__kd"))
+    val reach = knn
+      .join(kdist, F.col("nb") === F.col("__kdid"))
+      .withColumn("__reach", F.greatest(F.col("d"), F.col("__kd")))
+    val lrd = reach.groupBy("id")
+      .agg(F.round(F.lit(k.toDouble) /
+        F.nullif(F.sum("__reach"), F.lit(0.0)), 9).as("__lrd"))
+    val lof = knn
+      .join(lrd.select(F.col("id").as("nb"), F.col("__lrd").as("__lrdB")),
+        Seq("nb"))
+      .join(lrd, Seq("id"))
+      .withColumn("__r",
+        F.round(F.col("__lrdB") / F.nullif(F.col("__lrd"), F.lit(0.0)),
+          9))
+      .groupBy("id")
+      .agg(F.max("__lrd").as("__lrd"),
+        F.round(F.avg("__r"), 6).as("lof"))
+    lof.select(F.col("id"), F.round(F.col("__lrd"), 6).as("lrd"),
+        F.col("lof"))
+      .orderBy(F.col("lof").desc, F.col("id"))
+      .limit(topN)
+  }
 }

@@ -6957,4 +6957,109 @@ object Stats {
       F.round(mi / F.nullif(F.col("__hy"), F.lit(0.0)), 6)
         .as("u_y_given_x"))
   }
+
+  /** Bhattacharyya coefficient + distance + Hellinger distance between
+    * two classes' value distributions over shared equal-width bins —
+    * the OVERLAP readout: BC = Σ√(pᵢqᵢ) is 1 for identical histograms,
+    * 0 for disjoint support; D_B = −ln BC and H = √(1−BC) are its two
+    * standard metric forms. Where x324's CvM asks "are they the same
+    * distribution" (a test), BC answers "how much do they overlap"
+    * (an effect size) — the separability ceiling for any classifier on
+    * this feature.
+    *
+    * Shared bins come from the global min/max (x118 idiom); per-bin
+    * counts are exact longs; √(pq) terms round 9 dp before the
+    * orderless sum.
+    *
+    * Scale shape: one scan to the (bin, class) census (≤ 2·nBins
+    * rows), a 1-row result.
+    *
+    * @return one row (n1, n2, bc, d_b, hellinger) — 6-dp; NULL d_b
+    *         when BC = 0
+    */
+  def bhattacharyya(df: DataFrame, valueCol: Column, isClass1: Column,
+                    nBins: Int = 20): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val v = df.select(valueCol.cast("double").as("__v"),
+        F.when(isClass1, 1L).otherwise(0L).as("__c1"))
+      .filter(F.col("__v").isNotNull)
+    val mm = v.agg(F.min("__v").as("__lo"), F.max("__v").as("__hi"))
+    val wBin = (F.col("__hi") - F.col("__lo")) / nBins.toDouble
+    val byBin = v.crossJoin(F.broadcast(mm))
+      .withColumn("__bin", F.coalesce(F.least(F.greatest(
+        F.floor((F.col("__v") - F.col("__lo")) /
+          F.nullif(wBin, F.lit(0.0))), F.lit(0L)),
+        F.lit(nBins - 1L)), F.lit(0L)))
+      .groupBy("__bin")
+      .agg(F.sum("__c1").as("__n1b"),
+        F.sum(F.lit(1L) - F.col("__c1")).as("__n2b"))
+    val tot = byBin.agg(F.sum("__n1b").as("n1"), F.sum("__n2b").as("n2"))
+    val bc = byBin.crossJoin(F.broadcast(tot))
+      .withColumn("__t", F.round(F.sqrt(
+        F.col("__n1b").cast("double") /
+          F.nullif(F.col("n1").cast("double"), F.lit(0.0)) *
+        (F.col("__n2b").cast("double") /
+          F.nullif(F.col("n2").cast("double"), F.lit(0.0)))), 9))
+      .agg(F.max("n1").as("n1"), F.max("n2").as("n2"),
+        F.sum("__t").as("__bc"))
+    bc.select(F.col("n1"), F.col("n2"),
+      F.round(F.col("__bc"), 6).as("bc"),
+      F.round(-F.log(F.nullif(F.col("__bc"), F.lit(0.0))), 6).as("d_b"),
+      F.round(F.sqrt(F.greatest(F.lit(1.0) - F.col("__bc"),
+        F.lit(0.0))), 6).as("hellinger"))
+  }
+
+  /** Cluster-sampling design effect — how much information per-row
+    * statistics LOSE when rows arrive in correlated clusters (users,
+    * sessions, documents): DEFF = 1 + (m₀ − 1)·ICC, the variance
+    * inflation of a cluster sample vs simple random sampling. DEFF = 3
+    * means your "n = 1M rows" behaves like n ≈ 333k — the effective-
+    * sample-size correction every per-event metric quoted with a CI
+    * needs (the x192 freshness-ESS sibling for clustered data). ICC is
+    * the one-way ANOVA intraclass correlation with the unequal-size
+    * m₀ = (N − Σm²/N)/(k − 1).
+    *
+    * Per-cluster (n, Σk, Σk²) are exact longs (values ×scale); SSB and
+    * SSW are ALL-POSITIVE per-group scalars rounded 9 dp before their
+    * sums (the positive-SS rule); the rest is one row of IEEE algebra.
+    *
+    * Scale shape: one keyed collapse to k cluster rows, two bounded
+    * rollups.
+    *
+    * @return one row (k, n, m0, icc, deff) — 6-dp; NULL icc/deff when
+    *         k < 2 or N = k (no within variance)
+    */
+  def designEffect(df: DataFrame, clusterCol: Column, valueCol: Column,
+                   scale: Long = 1L): DataFrame = {
+    val byC = df.select(clusterCol.cast("string").as("__g"),
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .filter(F.col("__k").isNotNull)
+      .groupBy("__g")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__s"),
+        F.sum(F.col("__k") * F.col("__k")).as("__q"))
+    val tot = byC.agg(F.count(F.lit(1)).as("k"), F.sum("__n").as("n"),
+      F.sum("__s").as("__t"), F.sum(F.col("__n") * F.col("__n")).as("__m2"))
+    val nD = F.col("__n").cast("double")
+    val grand = F.col("__t").cast("double") / F.col("n").cast("double")
+    val mg = F.col("__s").cast("double") / nD
+    val terms = byC.crossJoin(F.broadcast(tot))
+      .withColumn("__ssb",
+        F.round(nD * (mg - grand) * (mg - grand), 9))
+      .withColumn("__ssw", F.round(F.col("__q").cast("double") -
+        F.col("__s").cast("double") * mg, 9))
+    val g = terms.agg(F.max("k").as("k"), F.max("n").as("n"),
+      F.max("__m2").as("__m2"),
+      F.sum("__ssb").as("__sb"), F.sum("__ssw").as("__sw"))
+    val kD = F.col("k").cast("double")
+    val bigN = F.col("n").cast("double")
+    val msb = F.col("__sb") / F.nullif(kD - 1.0, F.lit(0.0))
+    val msw = F.col("__sw") / F.nullif(bigN - kD, F.lit(0.0))
+    val m0 = (bigN - F.col("__m2").cast("double") / bigN) /
+      F.nullif(kD - 1.0, F.lit(0.0))
+    val icc = (msb - msw) /
+      F.nullif(msb + (m0 - 1.0) * msw, F.lit(0.0))
+    g.select(F.col("k"), F.col("n"), F.round(m0, 6).as("m0"),
+      F.round(icc, 6).as("icc"),
+      F.round(F.lit(1.0) + (m0 - 1.0) * icc, 6).as("deff"))
+  }
 }

@@ -5751,6 +5751,45 @@ class OpsSpec extends AnyFunSuite {
     assert(i == ((4L, 0.693147, 0.693147, 0.0, 0.0, 0.0)), i)
   }
 
+  test("lofOutliers: 0,1,2,10 at k=2 — the 10 stands alone at 4.96") {
+    import graft.ops.Similarity
+    val emb = Seq((0L, Seq(0f)), (1L, Seq(1f)), (2L, Seq(2f)),
+      (10L, Seq(10f))).toDF("vec_id", "embedding")
+    val got = Similarity.lofOutliers(emb, "vec_id", "embedding",
+        k = 2, topN = 20)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got == Seq((10L, 0.117647, 4.958333), (1L, 0.5, 1.333333),
+      (0L, 0.666667, 0.875), (2L, 0.666667, 0.875)), got)
+  }
+
+  test("bhattacharyya: identical histograms BC=1; disjoint BC=0") {
+    import graft.ops.Stats
+    val same = Seq((0.0, true), (10.0, true), (0.0, false),
+      (10.0, false)).toDF("v", "c")
+    val got = Stats.bhattacharyya(same, F.col("v"), F.col("c"))
+      .as[(Long, Long, Double, Option[Double], Double)].head()
+    assert(got == ((2L, 2L, 1.0, Some(0.0), 0.0)), got)
+    val disj = Seq((0.0, true), (0.0, true), (10.0, false),
+      (10.0, false)).toDF("v", "c")
+    val d = Stats.bhattacharyya(disj, F.col("v"), F.col("c"))
+      .as[(Long, Long, Double, Option[Double], Double)].head()
+    assert(d == ((2L, 2L, 0.0, None, 1.0)), d)
+  }
+
+  test("designEffect: pure between-cluster DEFF=2; pure within DEFF=0") {
+    import graft.ops.Stats
+    val between = Seq(("g1", 0.0), ("g1", 0.0), ("g2", 2.0),
+      ("g2", 2.0)).toDF("g", "v")
+    val got = Stats.designEffect(between, F.col("g"), F.col("v"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got == ((2L, 4L, 2.0, 1.0, 2.0)), got)
+    val within = Seq(("g1", 0.0), ("g1", 2.0), ("g2", 0.0),
+      ("g2", 2.0)).toDF("g", "v")
+    val w = Stats.designEffect(within, F.col("g"), F.col("v"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(w == ((2L, 4L, 2.0, -1.0, 0.0)), w)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
