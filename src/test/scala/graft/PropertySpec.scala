@@ -726,4 +726,131 @@ class PropertySpec extends AnyFunSuite {
       .select("ari", "nmi").as[(Double, Double)].head()
     assert(f == g, s"ariNmi not symmetric: $f vs $g")
   }
+
+  test("law: lepage IS its components — z_w/z_ab match MW/AB, L = " +
+      "z_w² + z_ab², p = exp(−L/2); BM p̂ = 1 − AUC") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 9L), Gen.oneOf(true, false)))
+    forAll(gen) { pts =>
+      if (pts.exists(_._2) && pts.exists(!_._2)) {
+        val df = pts.map { case (v, c) => (v.toDouble, c) }.toDF("v", "c")
+        val lep = graft.ops.Stats.lepage(df, F.col("v"), F.col("c"))
+          .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+            Option[Double])].head()
+        val zw = graft.ops.Stats.mannWhitneyU(df, F.col("v"), F.col("c"))
+          .select("z").as[Option[Double]].head()
+        val zab = graft.ops.Stats.ansariBradley(df, F.col("v"), F.col("c"))
+          .select("z").as[Option[Double]].head()
+        assert(lep._3 == zw && lep._4 == zab, s"components differ: $lep")
+        (lep._3, lep._4, lep._5) match {
+          case (Some(a), Some(b), Some(l)) =>
+            assert(math.abs(l - (a * a + b * b)) < 1e-6, s"L law: $lep")
+            assert(math.abs(lep._6.get - math.exp(-(a * a + b * b) / 2)) < 1e-8,
+              s"p law: $lep")
+          case _ => ()
+        }
+        // Brunner-Munzel's superiority estimate is the AUC complement
+        val ph = graft.ops.Stats.brunnerMunzel(df, F.col("v"), F.col("c"))
+          .select("p_hat").as[Double].head()
+        val auc = graft.ops.Stats.aucExact(df, F.col("v"), F.col("c"))
+          .select("auc").as[Double].head()
+        assert(math.abs(ph - (1.0 - auc)) < 1e-5,
+          s"p_hat=$ph vs 1-auc=${1.0 - auc} on $pts")
+      }
+    }
+  }
+
+  test("law: kuiper V is rotation-invariant on the wheel; CvM T is " +
+      "invariant under a strictly increasing map") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(16, Gen.chooseNum(0L, 7L))
+    forAll(gen) { hs =>
+      val base = graft.ops.Stats.kuiperUniform(hs.toDF("h"), F.col("h"),
+        period = 8).select("v").as[Double].head()
+      for (shift <- 1 to 7) {
+        val rot = graft.ops.Stats.kuiperUniform(
+          hs.map(h => (h + shift) % 8).toDF("h"), F.col("h"), period = 8)
+          .select("v").as[Double].head()
+        assert(rot == base, s"kuiper not rotation-invariant at $shift: " +
+          s"$base vs $rot on $hs")
+      }
+    }
+    val gen2 = Gen.listOfN(14, Gen.zip(Gen.chooseNum(0L, 9L), Gen.oneOf(true, false)))
+    forAll(gen2) { pts =>
+      if (pts.exists(_._2) && pts.exists(!_._2)) {
+        val df = pts.map { case (v, c) => (v.toDouble, c) }.toDF("v", "c")
+        val mapped = pts.map { case (v, c) => (v * 3.0 + 7.0, c) }
+          .toDF("v", "c")
+        val a = graft.ops.Stats.cvmTwoSample(df, F.col("v"), F.col("c"))
+          .select("t").as[Double].head()
+        val b = graft.ops.Stats.cvmTwoSample(mapped, F.col("v"), F.col("c"))
+          .select("t").as[Double].head()
+        assert(a == b, s"CvM not rank-based: $a vs $b on $pts")
+      }
+    }
+  }
+
+  test("law: katz on a cycle is symmetric; spectral entropy lives in " +
+      "[0, 1]; rmst is bounded by tau; energy distance of a set with " +
+      "itself is 0") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val k = graft.ops.Graph.katzCentrality(cyc, "src", "dst",
+        alpha = 0.3, beta = 1.0, iters = 3, topN = 10)
+      .select("katz").as[Double].collect().toSeq
+    assert(k.distinct.size == 1, s"cycle katz must be uniform: $k")
+    val gen = Gen.listOfN(12, Gen.chooseNum(1L, 30L))
+    forAll(gen) { vs =>
+      if (vs.distinct.length > 1) {
+        val ser = vs.zipWithIndex.map { case (v, i) =>
+          (i.toLong, v.toDouble) }.toDF("t", "v")
+        val h = graft.ops.Stats.spectralEntropy(ser, "t", "v", maxK = 10)
+          .select("h_norm").as[Option[Double]].head()
+        h.foreach(x => assert(x >= -1e-9 && x <= 1.0 + 1e-9,
+          s"h_norm out of [0,1]: $x on $vs"))
+      }
+      val subj = vs.zipWithIndex.map { case (v, i) =>
+        (v, if (i % 3 == 0) 0 else 1) }.toDF("dur", "ev")
+      val r = graft.ops.Stats.rmst(subj, F.col("dur"), F.col("ev"),
+        tau = 20L).select("rmst").as[Double].head()
+      assert(r > 0.0 && r <= 20.0, s"rmst out of (0, tau]: $r on $vs")
+    }
+    val x = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 2f)), (3L, Seq(3f, 3f)))
+      .toDF("vec_id", "embedding")
+    val e = graft.ops.Similarity.energyDistance(x, x, "vec_id",
+      "embedding").select("energy").as[Double].head()
+    assert(e == 0.0, s"E(X,X) must be 0: $e")
+  }
+
+  test("law: designEffect's ICC is icc1's ICC; bhattacharyya's " +
+      "hellinger² = 1 − BC") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val gen = Gen.listOfN(18, Gen.zip(Gen.oneOf("g1", "g2", "g3"),
+      Gen.chooseNum(0L, 9L)))
+    forAll(gen) { pts =>
+      if (pts.map(_._1).distinct.size >= 2 &&
+          pts.groupBy(_._1).forall(_._2.size >= 2)) {
+        val df = pts.map { case (g, v) => (g, v.toDouble) }.toDF("g", "v")
+        val de = graft.ops.Stats.designEffect(df, F.col("g"), F.col("v"),
+          scale = 100L).select("icc").as[Option[Double]].head()
+        val i1 = graft.ops.Stats.icc1(df, F.col("g"), F.col("v"))
+          .select("icc").as[Option[Double]].head()
+        (de, i1) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-4, s"icc mismatch: $a vs $b on $pts")
+          case _ => ()
+        }
+        val bc = graft.ops.Stats.bhattacharyya(df, F.col("v"),
+            F.col("g") === "g1", nBins = 5)
+          .as[(Long, Long, Double, Option[Double], Double)].head()
+        assert(math.abs(bc._5 * bc._5 - (1.0 - bc._3)) < 1e-5,
+          s"hellinger law: $bc")
+      }
+    }
+  }
 }
