@@ -1729,6 +1729,10 @@ object TextOps {
           F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))),
             "\\s+"), t => F.length(t) > 0)).as("__t"))
       .groupBy("__g", "__t").agg(F.count(F.lit(1)).as("__c"))
+      // the vocab-sized census feeds five consumers (totals, constants,
+      // both join sides, the grid) — materialize it once so the corpus
+      // explode runs ONE time, not per consumer (the localClustering rule)
+      .localCheckpoint()
     val tot = counts.groupBy("__g").agg(F.sum("__c").as("__n"))
     val probs = counts.join(F.broadcast(tot), Seq("__g"))
       .withColumn("__p",

@@ -1254,4 +1254,49 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
       s"expected checkpoint scans at the plan's leaves:\n$p")
   }
+
+  test("linkPrediction + katz: the pair-explode checkpoints once; degree " +
+      "dims broadcast onto the wedge stream") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val lp = graft.ops.Graph.linkPrediction(
+      graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+        minCount = 2), "src", "dst", topN = 10)
+    val p = plan(lp)
+    assert(!p.contains("Scan parquet"),
+      s"linkPrediction must read the checkpointed edges, not the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"degree dimensions should broadcast onto the wedges:\n$p")
+    val kz = graft.ops.Graph.katzCentrality(
+      graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+        minCount = 2), "src", "dst", iters = 2, topN = 10)
+    val pk = plan(kz)
+    assert(!pk.contains("Scan parquet"),
+      s"katz rounds must read the checkpointed adjacency:\n$pk")
+  }
+
+  test("jsDivergenceMatrix: ONE token self-join builds all pairs — no " +
+      "per-pair scans, per-slice constants broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.TextOps.jsDivergenceMatrix(docs, "source", "text")
+    val p = plan(df)
+    // the corpus explode ran ONCE into the checkpointed census — all five
+    // consumers (totals, constants, both join sides, grid) read it back
+    assert(!p.contains("Scan parquet"),
+      s"all consumers must read the checkpointed census:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-slice constants should broadcast:\n$p")
+  }
+
+  test("lofOutliers: the kNN table checkpoints once and feeds kdist, " +
+      "reach and both lrd sides without re-deriving the pair scan") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(F.col("vec_id") < 40)
+    val df = graft.ops.Similarity.lofOutliers(emb, "vec_id",
+      "embedding", k = 3, topN = 5)
+    val p = plan(df)
+    assert(!p.contains("Scan parquet"),
+      s"LOF consumers must read the checkpointed kNN table:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected checkpoint scans at the plan's leaves:\n$p")
+  }
 }
