@@ -2967,6 +2967,39 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // ordinal-pattern (permutation) entropy of hourly volume: ramp->0,
+    // noise->1 — monotone-distortion-proof series complexity
+    "x357_perm_entropy" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val hourly = ev.groupBy(
+          F.floor(F.unix_timestamp(graft.ops.EventOps.tsStamp(ev)) / 3600)
+            .cast("long").as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.permutationEntropy(hourly, "t", "v")
+    }),
+
+    // Hjorth activity/mobility/complexity of hourly volume: the
+    // three-number spectral summary next to x305's full periodogram
+    "x358_hjorth" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val hourly = ev.groupBy(
+          F.floor(F.unix_timestamp(graft.ops.EventOps.tsStamp(ev)) / 3600)
+            .cast("long").as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.hjorthParams(hourly, "t", "v")
+    }),
+
+    // Poincare SD1/SD2 of successive hourly volumes: short-term jitter
+    // vs long-term swing — the texture x347's burstiness scalar hides
+    "x359_poincare" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val hourly = ev.groupBy(
+          F.floor(F.unix_timestamp(graft.ops.EventOps.tsStamp(ev)) / 3600)
+            .cast("long").as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.poincareSd(hourly, "t", "v")
+    }),
+
     // LOF density-relative outliers on a deterministic 40% vector
     // sample: the inside-a-cluster outlier x340's global covariance
     // misses
@@ -9992,6 +10025,84 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // exact integer ordinal codes off two lead windows; <=6-row census;
+    // 9-dp p ln p terms
+    "x357_perm_entropy" ->
+      """WITH hourly AS (SELECT (floor(epoch(ts))::BIGINT // 3600)
+        |    AS t, count(*)::DOUBLE AS a FROM events GROUP BY 1),
+        |s AS (SELECT a, lead(a, 1) OVER (ORDER BY t) AS b,
+        |    lead(a, 2) OVER (ORDER BY t) AS c FROM hourly),
+        |p AS (SELECT (CASE WHEN b < a THEN 1 ELSE 0 END +
+        |    CASE WHEN c < a THEN 2 ELSE 0 END +
+        |    CASE WHEN c < b THEN 4 ELSE 0 END)::BIGINT AS pt
+        |  FROM s WHERE c IS NOT NULL),
+        |census AS (SELECT pt, count(*)::BIGINT AS c FROM p GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS np
+        |  FROM census),
+        |g AS (SELECT max(n)::BIGINT AS n_windows,
+        |    max(np)::BIGINT AS n_patterns,
+        |    -sum(round(c::DOUBLE / n::DOUBLE *
+        |      ln(c::DOUBLE / n::DOUBLE), 9)) AS h
+        |  FROM census CROSS JOIN tot)
+        |SELECT n_windows, n_patterns, round(h, 6) AS h,
+        |  round(h / ln(6.0::DOUBLE), 6) AS h_norm FROM g""".stripMargin,
+
+    // three difference levels' exact (n, Σd, Σd²) in one collapse;
+    // a handful of IEEE ratios
+    "x358_hjorth" ->
+      """WITH hourly AS (SELECT (floor(epoch(ts))::BIGINT // 3600)
+        |    AS t, count(*)::BIGINT AS y FROM events GROUP BY 1),
+        |d AS (SELECT t, y, y - lag(y, 1) OVER (ORDER BY t) AS d1t
+        |  FROM hourly),
+        |dd AS (SELECT y, d1t, d1t - lag(d1t, 1) OVER (ORDER BY t)
+        |    AS d2v FROM d),
+        |g AS (SELECT count(y)::BIGINT AS c0, sum(y)::BIGINT AS c1,
+        |    sum(y * y)::BIGINT AS c2, count(d1t)::BIGINT AS c3,
+        |    sum(d1t)::BIGINT AS c4, sum(d1t * d1t)::BIGINT AS c5,
+        |    count(d2v)::BIGINT AS c6, sum(d2v)::BIGINT AS c7,
+        |    sum(d2v * d2v)::BIGINT AS c8
+        |  FROM dd),
+        |f AS (SELECT c0,
+        |    (c2::DOUBLE - c1::DOUBLE * (c1::DOUBLE / c0::DOUBLE)) /
+        |      (nullif(c0::DOUBLE - 1.0::DOUBLE, 0.0) * 1.0::DOUBLE
+        |        * 1.0::DOUBLE) AS v0,
+        |    (c5::DOUBLE - c4::DOUBLE * (c4::DOUBLE / c3::DOUBLE)) /
+        |      (nullif(c3::DOUBLE - 1.0::DOUBLE, 0.0) * 1.0::DOUBLE
+        |        * 1.0::DOUBLE) AS v1,
+        |    (c8::DOUBLE - c7::DOUBLE * (c7::DOUBLE / c6::DOUBLE)) /
+        |      (nullif(c6::DOUBLE - 1.0::DOUBLE, 0.0) * 1.0::DOUBLE
+        |        * 1.0::DOUBLE) AS v2
+        |  FROM g)
+        |SELECT c0 AS n, round(v0, 6) AS activity,
+        |  round(sqrt(v1 / nullif(v0, 0.0)), 6) AS mobility,
+        |  round(sqrt(v2 / nullif(v1, 0.0)) /
+        |    nullif(sqrt(v1 / nullif(v0, 0.0)), 0.0), 6) AS complexity
+        |FROM f""".stripMargin,
+
+    // successive-pair sums/differences as exact longs; Var(u/sqrt2)
+    // collapses to Var(u)/2 in the final IEEE algebra
+    "x359_poincare" ->
+      """WITH hourly AS (SELECT (floor(epoch(ts))::BIGINT // 3600)
+        |    AS t, count(*)::BIGINT AS y FROM events GROUP BY 1),
+        |s AS (SELECT y, lead(y, 1) OVER (ORDER BY t) AS nx
+        |  FROM hourly),
+        |p AS (SELECT y - nx AS d, y + nx AS sm FROM s
+        |  WHERE nx IS NOT NULL),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(d)::BIGINT AS sd,
+        |    sum(d * d)::BIGINT AS qd, sum(sm)::BIGINT AS ss,
+        |    sum(sm * sm)::BIGINT AS qs FROM p),
+        |f AS (SELECT n,
+        |    sqrt((qd::DOUBLE - sd::DOUBLE * (sd::DOUBLE / n::DOUBLE)) /
+        |      (nullif(n::DOUBLE - 1.0::DOUBLE, 0.0) * 2.0::DOUBLE *
+        |        (1.0::DOUBLE * 1.0::DOUBLE))) AS sd1,
+        |    sqrt((qs::DOUBLE - ss::DOUBLE * (ss::DOUBLE / n::DOUBLE)) /
+        |      (nullif(n::DOUBLE - 1.0::DOUBLE, 0.0) * 2.0::DOUBLE *
+        |        (1.0::DOUBLE * 1.0::DOUBLE))) AS sd2
+        |  FROM g)
+        |SELECT n AS n_pairs, round(sd1, 6) AS sd1,
+        |  round(sd2, 6) AS sd2,
+        |  round(sd1 / nullif(sd2, 0.0), 6) AS ratio FROM f""".stripMargin,
 
     // materialized pair/rank tables computed once; 9-dp distances,
     // reach maxima, lrd and ratio terms — the same ladder as Spark

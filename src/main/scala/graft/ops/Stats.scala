@@ -7062,4 +7062,153 @@ object Stats {
       F.round(icc, 6).as("icc"),
       F.round(F.lit(1.0) + (m0 - 1.0) * icc, 6).as("deff"))
   }
+
+  /** Permutation entropy (Bandt & Pompe 2002) at order m = 3 — series
+    * complexity from ORDINAL patterns: each length-3 window maps to one
+    * of 6 rank permutations by pure integer comparisons (ties broken by
+    * time order, the standard convention), and the Shannon entropy of
+    * the pattern distribution, normalized by ln 6, reads 0 for a
+    * monotone ramp and → 1 for white noise. Robust to any monotone
+    * value distortion — the ordinal complement of [[sampleEntropy]]'s
+    * amplitude templates.
+    *
+    * Patterns are exact integers off two lead windows; the ≤6-row
+    * pattern census uses 9-dp p ln p terms (the entropy rule).
+    *
+    * Scale shape: two lead windows over the bounded series grid, a
+    * ≤6-row census, a 1-row readout.
+    *
+    * @return one row (n_windows, n_patterns, h, h_norm) — 6-dp; NULL
+    *         with no complete window
+    */
+  def permutationEntropy(series: DataFrame, tCol: String,
+                         vCol: String): DataFrame = {
+    val w = Window.orderBy("__t")
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+        F.col(vCol).cast("double").as("__a"))
+      .withColumn("__b", F.lead("__a", 1).over(w))
+      .withColumn("__c", F.lead("__a", 2).over(w))
+      .filter(F.col("__c").isNotNull)
+    // ordinal pattern as a 2-digit code: (rank of b vs a) then ties by
+    // time order — strictly-less comparisons encode the standard
+    // time-order tie-break (earlier element ranks lower on equality)
+    val pat =
+      F.when(F.col("__b") < F.col("__a"), 1L).otherwise(0L) * 1L +
+        F.when(F.col("__c") < F.col("__a"), 1L).otherwise(0L) * 2L +
+        F.when(F.col("__c") < F.col("__b"), 1L).otherwise(0L) * 4L
+    val census = s.select(pat.as("__p"))
+      .groupBy("__p").agg(F.count(F.lit(1)).as("__c"))
+    val tot = census.agg(F.sum("__c").as("__n"),
+      F.count(F.lit(1)).as("n_patterns"))
+    val g = census.crossJoin(F.broadcast(tot))
+      .withColumn("__term", F.round(
+        F.col("__c").cast("double") / F.col("__n").cast("double") *
+          F.log(F.col("__c").cast("double") /
+            F.col("__n").cast("double")), 9))
+      .agg(F.max("__n").as("n_windows"),
+        F.max("n_patterns").as("n_patterns"),
+        (-F.sum("__term")).as("__h"))
+    g.select(F.col("n_windows"), F.col("n_patterns"),
+      F.round(F.col("__h"), 6).as("h"),
+      F.round(F.col("__h") / F.log(F.lit(6.0)), 6).as("h_norm"))
+  }
+
+  /** Hjorth parameters (1970) — the three classic signal descriptors
+    * off nothing but variances of the series and its differences:
+    * {{{
+    *   activity   = Var(x)
+    *   mobility   = √(Var(Δx) / Var(x))      ("mean frequency")
+    *   complexity = √(Var(Δ²x)/Var(Δx)) / mobility  (bandwidth)
+    * }}}
+    * mobility near 0 is a slow drift, complexity near 1 a pure
+    * sinusoid, larger = noisier — the compact spectral summary when a
+    * full [[periodogram]] is more than the dashboard needs.
+    *
+    * Values quantize (×scale) to exact longs, so all three difference
+    * levels have exact (n, Σd, Σd²) and the parameters are a handful
+    * of IEEE divisions.
+    *
+    * Scale shape: two lag windows over the bounded series grid, one
+    * 1-row collapse.
+    *
+    * @return one row (n, activity, mobility, complexity) — 6-dp; NULL
+    *         where a variance vanishes
+    */
+  def hjorthParams(series: DataFrame, tCol: String, vCol: String,
+                   scale: Long = 1L): DataFrame = {
+    val w = Window.orderBy("__t")
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+        F.round(F.col(vCol).cast("double") * scale).cast("long")
+          .as("__y"))
+      .filter(F.col("__y").isNotNull)
+      .withColumn("__d1", F.col("__y") - F.lag("__y", 1).over(w))
+      .withColumn("__d2", F.col("__d1") - F.lag("__d1", 1).over(w))
+    def ss(c: Column): Seq[Column] = Seq(
+      F.count(c), F.sum(c), F.sum(c * c))
+    val cols = ss(F.col("__y")) ++ ss(F.col("__d1")) ++ ss(F.col("__d2"))
+    val named = cols.zipWithIndex.map { case (c, i) => c.as(s"__c$i") }
+    val g = s.agg(named.head, named.tail: _*)
+    val sD = F.lit(scale).cast("double")
+    def v(i: Int): Column = {
+      val n = F.col(s"__c${i}").cast("double")
+      (F.col(s"__c${i + 2}").cast("double") -
+        F.col(s"__c${i + 1}").cast("double") *
+          (F.col(s"__c${i + 1}").cast("double") / n)) /
+        (F.nullif(n - 1.0, F.lit(0.0)) * sD * sD)
+    }
+    val (v0, v1, v2) = (v(0), v(3), v(6))
+    val mob = F.sqrt(v1 / F.nullif(v0, F.lit(0.0)))
+    g.select(F.col("__c0").as("n"),
+      F.round(v0, 6).as("activity"),
+      F.round(mob, 6).as("mobility"),
+      F.round(F.sqrt(v2 / F.nullif(v1, F.lit(0.0))) /
+        F.nullif(mob, F.lit(0.0)), 6).as("complexity"))
+  }
+
+  /** Poincaré plot descriptors SD1/SD2 — successive-pair geometry of a
+    * series: plot (xₜ, xₜ₊₁) and measure the cloud's spread across
+    * (SD1, short-term jitter) and along (SD2, long-term swing) the
+    * identity line:
+    * {{{
+    *   SD1² = Var((xₜ − xₜ₊₁)/√2),   SD2² = Var((xₜ + xₜ₊₁)/√2)
+    * }}}
+    * SD1/SD2 ≈ 1 is uncorrelated noise, ≪ 1 a smooth trending series —
+    * the two-number texture readout heart-rate analysis made standard,
+    * equally at home on inter-event gaps or daily volumes.
+    *
+    * Quantized differences/sums are exact longs with exact sufficient
+    * statistics; the √2 scaling collapses into the final IEEE algebra
+    * (Var(u/√2) = Var(u)/2).
+    *
+    * Scale shape: one lead window over the bounded series grid, one
+    * 1-row collapse.
+    *
+    * @return one row (n_pairs, sd1, sd2, ratio) — 6-dp; NULL where
+    *         degenerate
+    */
+  def poincareSd(series: DataFrame, tCol: String, vCol: String,
+                 scale: Long = 1L): DataFrame = {
+    val w = Window.orderBy("__t")
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+        F.round(F.col(vCol).cast("double") * scale).cast("long")
+          .as("__y"))
+      .filter(F.col("__y").isNotNull)
+      .withColumn("__nx", F.lead("__y", 1).over(w))
+      .filter(F.col("__nx").isNotNull)
+      .withColumn("__d", F.col("__y") - F.col("__nx"))
+      .withColumn("__s", F.col("__y") + F.col("__nx"))
+    val g = s.agg(F.count(F.lit(1)).as("n_pairs"),
+      F.sum("__d").as("__sd"), F.sum(F.col("__d") * F.col("__d")).as("__qd"),
+      F.sum("__s").as("__ss"), F.sum(F.col("__s") * F.col("__s")).as("__qs"))
+    val nD = F.col("n_pairs").cast("double")
+    val sc2 = F.lit(scale).cast("double") * F.lit(scale).cast("double")
+    def halfVar(q: Column, sm: Column): Column =
+      (q.cast("double") - sm.cast("double") * (sm.cast("double") / nD)) /
+        (F.nullif(nD - 1.0, F.lit(0.0)) * 2.0 * sc2)
+    val sd1 = F.sqrt(halfVar(F.col("__qd"), F.col("__sd")))
+    val sd2 = F.sqrt(halfVar(F.col("__qs"), F.col("__ss")))
+    g.select(F.col("n_pairs"), F.round(sd1, 6).as("sd1"),
+      F.round(sd2, 6).as("sd2"),
+      F.round(sd1 / F.nullif(sd2, F.lit(0.0)), 6).as("ratio"))
+  }
 }

@@ -5790,6 +5790,47 @@ class OpsSpec extends AnyFunSuite {
     assert(w == ((2L, 4L, 2.0, -1.0, 0.0)), w)
   }
 
+  test("permutationEntropy: ramp has one pattern; zigzag splits 2-1") {
+    import graft.ops.Stats
+    val ramp = (1 to 6).map(i => (i.toLong, i.toDouble)).toDF("t", "v")
+    val got = Stats.permutationEntropy(ramp, "t", "v")
+      .as[(Long, Long, Double, Double)].head()
+    assert(got == ((4L, 1L, 0.0, 0.0)), got)
+    val zig = Seq(1.0, 2.0, 1.0, 2.0, 1.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("t", "v")
+    val z = Stats.permutationEntropy(zig, "t", "v")
+      .as[(Long, Long, Double, Double)].head()
+    // patterns {up-down ×2, down-up ×1}: H of (2/3, 1/3)
+    assert(z == ((3L, 2L, 0.636514, 0.355245)), z)
+  }
+
+  test("hjorthParams: ramp has zero mobility; square wave hand values") {
+    import graft.ops.Stats
+    val ramp = (1 to 4).map(i => (i.toLong, i.toDouble)).toDF("t", "v")
+    val got = Stats.hjorthParams(ramp, "t", "v")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(got == ((4L, 1.666667, 0.0, None)), got)
+    val sq = Seq(0.0, 2.0, 0.0, 2.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("t", "v")
+    val s = Stats.hjorthParams(sq, "t", "v")
+      .as[(Long, Double, Double, Option[Double])].head()
+    // v0=4/3, v1=16/3, v2=32: mobility 2, complexity sqrt(6)/2
+    assert(s == ((4L, 1.333333, 2.0, Some(1.224745))), s)
+  }
+
+  test("poincareSd: square wave is all SD1; ramp is all SD2") {
+    import graft.ops.Stats
+    val sq = Seq(0.0, 2.0, 0.0, 2.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("t", "v")
+    val got = Stats.poincareSd(sq, "t", "v")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(got == ((3L, 1.632993, 0.0, None)), got)
+    val ramp = (1 to 4).map(i => (i.toLong, i.toDouble)).toDF("t", "v")
+    val r = Stats.poincareSd(ramp, "t", "v")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(r == ((3L, 0.0, 1.414214, Some(0.0))), r)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
