@@ -2967,6 +2967,28 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // label purity per SemDeDup cell: does geometry agree with the
+    // label — the supervised read next to x312's DB/CH indices
+    "x360_cell_purity" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.cellPurity(emb, "vec_id", "embedding",
+        F.col("label"), SemCentroids)
+    }),
+
+    // assignment-margin census per cell: how many points sit on cell
+    // boundaries — the stability read purity alone hides
+    "x361_centroid_margin" -> ((s, dir) =>
+      Similarity.centroidMargin(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", SemCentroids, ambiguous = 1.2)),
+
+    // nearest-centroid-classifier confusion: can one centroid per
+    // label separate the classes — the corpus-level embedding verdict
+    "x362_ncc_confusion" -> ((s, dir) =>
+      Similarity.nccConfusion(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", F.col("label"))),
+
     // ordinal-pattern (permutation) entropy of hourly volume: ramp->0,
     // noise->1 — monotone-distortion-proof series complexity
     "x357_perm_entropy" -> ((s, dir) => {
@@ -10025,6 +10047,103 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // the x312 VALUES-centroid argmin assignment; exact label counts;
+    // majority tie by label; 9-dp entropy terms
+    "x360_cell_purity" -> {
+      val cvals = SemCentroids.zipWithIndex.map { case (c, i) =>
+        c.mkString(s"($i, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ")
+      s"""WITH base AS (SELECT vec_id, label::VARCHAR AS l,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |cent(cell, c) AS (VALUES $cvals),
+         |asg AS (SELECT vec_id, l, cell FROM (
+         |    SELECT b.vec_id, b.l, cent.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (b.v[i] - cent.c[i]) * (b.v[i] - cent.c[i]))),
+         |        cent.cell) AS rk
+         |    FROM base b CROSS JOIN cent) WHERE rk = 1),
+         |cells AS (SELECT cell, l, count(*)::BIGINT AS c FROM asg
+         |  GROUP BY 1, 2),
+         |pc AS (SELECT cell, sum(c)::BIGINT AS n,
+         |    max(CASE WHEN rk = 1 THEN l END) AS top_label,
+         |    max(CASE WHEN rk = 1 THEN c END)::BIGINT AS topc
+         |  FROM (SELECT cell, l, c, row_number() OVER (PARTITION BY
+         |      cell ORDER BY c DESC, l) AS rk FROM cells)
+         |  GROUP BY cell),
+         |ent AS (SELECT cells.cell,
+         |    -sum(round(c::DOUBLE / n::DOUBLE *
+         |      ln(c::DOUBLE / n::DOUBLE), 9)) AS h
+         |  FROM cells JOIN pc ON pc.cell = cells.cell
+         |  GROUP BY cells.cell),
+         |ov AS (SELECT round(sum(topc)::DOUBLE / sum(n)::DOUBLE, 6)
+         |    AS overall_purity FROM pc)
+         |SELECT pc.cell, n, top_label,
+         |  round(topc::DOUBLE / n::DOUBLE, 6) AS purity,
+         |  round(h, 6) AS h, overall_purity
+         |FROM pc JOIN ent ON ent.cell = pc.cell CROSS JOIN ov
+         |ORDER BY pc.cell""".stripMargin
+    },
+
+    // 9-dp distances to every centroid; rank-1/rank-2 join; ambiguity
+    // share on the unrounded ratio
+    "x361_centroid_margin" -> {
+      val cvals = SemCentroids.zipWithIndex.map { case (c, i) =>
+        c.mkString(s"($i, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ")
+      s"""WITH base AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |cent(cell, c) AS (VALUES $cvals),
+         |d AS (SELECT b.vec_id, cent.cell,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> (b.v[i] - cent.c[i]) * (b.v[i] - cent.c[i]))), 9)
+         |      AS d2
+         |  FROM base b CROSS JOIN cent),
+         |r AS (SELECT vec_id, cell, d2, row_number() OVER (PARTITION
+         |    BY vec_id ORDER BY d2, cell) AS rk FROM d),
+         |p AS (SELECT a.vec_id, a.cell, a.d2 AS d1, b.d2 AS dd2
+         |  FROM r a JOIN r b ON a.vec_id = b.vec_id
+         |  WHERE a.rk = 1 AND b.rk = 2),
+         |m AS (SELECT cell, dd2 / nullif(d1, 0.0) AS ratio FROM p)
+         |SELECT cell, count(*)::BIGINT AS n,
+         |  round(avg(round(ratio, 9)), 6) AS mean_margin,
+         |  round(sum(CASE WHEN ratio < 1.2 THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) AS p_ambiguous
+         |FROM m GROUP BY cell ORDER BY cell""".stripMargin
+    },
+
+    // per-label per-dim means off exact x1e6 sums; 9-dp distances;
+    // (dist, label) prediction tie-break; diagonal-share accuracy
+    "x362_ncc_confusion" ->
+      """WITH base AS (SELECT vec_id, label::VARCHAR AS l,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |ex AS (SELECT l, generate_subscripts(v, 1) - 1 AS d,
+        |    round(unnest(v) * 1000000.0)::BIGINT AS k FROM base),
+        |cm AS (SELECT l AS cl, d,
+        |    sum(k)::DOUBLE / (count(*)::DOUBLE * 1000000.0) AS m
+        |  FROM ex GROUP BY 1, 2),
+        |cent AS (SELECT cl, list(m ORDER BY d) AS cv FROM cm
+        |  GROUP BY cl),
+        |sc AS (SELECT b.vec_id, b.l, c.cl,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))), 9)
+        |      AS dist
+        |  FROM base b CROSS JOIN cent c),
+        |pr AS (SELECT vec_id, l, cl FROM (SELECT vec_id, l, cl,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl)
+        |      AS rk FROM sc) WHERE rk = 1),
+        |cells AS (SELECT l AS true_label, cl AS pred_label,
+        |    count(*)::BIGINT AS n FROM pr GROUP BY 1, 2),
+        |acc AS (SELECT round(sum(CASE WHEN true_label = pred_label
+        |    THEN n ELSE 0 END)::DOUBLE / sum(n)::DOUBLE, 6) AS accuracy
+        |  FROM cells)
+        |SELECT true_label, pred_label, n, accuracy
+        |FROM cells CROSS JOIN acc
+        |ORDER BY true_label, pred_label""".stripMargin,
 
     // exact integer ordinal codes off two lead windows; <=6-row census;
     // 9-dp p ln p terms

@@ -1839,4 +1839,161 @@ object Similarity {
       .orderBy(F.col("lof").desc, F.col("id"))
       .limit(topN)
   }
+
+  /** Cluster-label purity census — how well do the geometric cells
+    * agree with an external label: per cell, the majority label's
+    * share (purity) and the label entropy, plus the size-weighted
+    * overall purity. The supervised companion of [[clusterQuality]]'s
+    * unsupervised DB/CH indices: geometry can be tight (good DB) and
+    * still mix labels (bad purity) — both reads gate a semantic-dedup
+    * or routing scheme.
+    *
+    * Counts are exact longs; purity is one IEEE division (majority tie
+    * broken by label — deterministic); entropy uses 9-dp p ln p terms.
+    *
+    * Scale shape: assignment is the [[assignCells]] projection; one
+    * (cell, label) census bounded by k × |labels|; the overall readout
+    * broadcasts back.
+    *
+    * @return per cell (cell, n, top_label, purity, h, overall_purity)
+    *         ordered by cell — 6-dp
+    */
+  def cellPurity(emb: DataFrame, idCol: String, vecCol: String,
+                 labelCol: Column,
+                 centroids: Array[Array[Double]]): DataFrame = {
+    val asg = assignCells(emb.select(F.col(idCol), F.col(vecCol),
+        labelCol.cast("string").as("__l")), vecCol, centroids)
+    val cells = asg.groupBy(F.col("cell"), F.col("__l"))
+      .agg(F.count(F.lit(1)).as("__c"))
+    val w = Window.partitionBy("cell")
+      .orderBy(F.col("__c").desc, F.col("__l"))
+    val perCell = cells
+      .withColumn("__rk", F.row_number().over(w))
+      .groupBy("cell")
+      .agg(F.sum("__c").as("n"),
+        F.max(F.when(F.col("__rk") === 1, F.col("__l"))).as("top_label"),
+        F.max(F.when(F.col("__rk") === 1, F.col("__c"))).as("__top"))
+    val ent = cells
+      .join(perCell.select(F.col("cell"), F.col("n")), Seq("cell"))
+      .withColumn("__term", F.round(
+        F.col("__c").cast("double") / F.col("n").cast("double") *
+          F.log(F.col("__c").cast("double") / F.col("n").cast("double")),
+        9))
+      .groupBy("cell").agg((-F.sum("__term")).as("__h"))
+    val joined = perCell.join(ent, Seq("cell"))
+    val overall = joined.agg(
+      F.round(F.sum("__top").cast("double") /
+        F.sum("n").cast("double"), 6).as("overall_purity"))
+    joined.crossJoin(F.broadcast(overall))
+      .select(F.col("cell"), F.col("n"), F.col("top_label"),
+        F.round(F.col("__top").cast("double") /
+          F.col("n").cast("double"), 6).as("purity"),
+        F.round(F.col("__h"), 6).as("h"), F.col("overall_purity"))
+      .orderBy("cell")
+  }
+
+  /** Centroid-assignment margin census — how CONFIDENT each cell
+    * assignment is: per vector, the ratio of the second-nearest to the
+    * nearest squared centroid distance (1 = on the boundary, large =
+    * deep inside its cell), rolled up per cell as the mean margin and
+    * the share of ambiguous points (ratio < `ambiguous`). The routing
+    * reliability readout: a cell with purity 0.9 but 40% boundary
+    * points will not hold that purity on the next batch.
+    *
+    * Both distances round 9 dp off the exact per-dim squares; the
+    * ratio and the per-cell mean are IEEE on identical inputs.
+    * Zero-distance vectors (exactly on a centroid) emit NULL ratio and
+    * drop from the mean (documented).
+    *
+    * Scale shape: one k-way distance projection per row (k centroid
+    * literals baked into the plan), a per-row sort of k values via two
+    * array positions — no joins, no shuffles beyond the cell rollup.
+    *
+    * @return per cell (cell, n, mean_margin, p_ambiguous) ordered —
+    *         6-dp
+    */
+  def centroidMargin(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[Array[Double]],
+                     ambiguous: Double = 1.2): DataFrame = {
+    require(centroids.length >= 2, "need k >= 2 centroids")
+    val centLit = F.array(centroids.map(c =>
+      F.array(c.map(F.lit): _*)): _*)
+    val d2s = F.transform(centLit, c => F.round(F.aggregate(
+      F.zip_with(F.col(vecCol).cast("array<double>"), c,
+        (x, y) => (x - y) * (x - y)),
+      F.lit(0.0), (acc, t) => acc + t), 9))
+    val sorted = F.array_sort(d2s)
+    val withM = emb.select(F.col(idCol), F.col(vecCol))
+      .withColumn("__d2s", d2s)
+      .withColumn("__d1", F.element_at(sorted, 1))
+      .withColumn("__d2", F.element_at(sorted, 2))
+      .withColumn("cell",
+        (F.array_position(F.col("__d2s"), F.element_at(sorted, 1)) - 1L)
+          .cast("long"))
+      .withColumn("__ratio",
+        F.col("__d2") / F.nullif(F.col("__d1"), F.lit(0.0)))
+    withM.groupBy("cell")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.avg(F.round(F.col("__ratio"), 9)), 6)
+          .as("mean_margin"),
+        F.round(F.sum(F.when(F.col("__ratio") < ambiguous, 1L)
+          .otherwise(0L)).cast("double") /
+          F.count(F.lit(1)).cast("double"), 6).as("p_ambiguous"))
+      .orderBy("cell")
+  }
+
+  /** Nearest-centroid-classifier confusion matrix — label transfer
+    * through geometry: build one centroid per label (per-dim means),
+    * classify every vector to its nearest label centroid, and cross-
+    * tabulate true vs predicted with the overall accuracy. The
+    * embedding-quality read: if NCC can't separate the labels, neither
+    * will any downstream cheap classifier ([[centroidScores]] gives
+    * the per-row score; this gives the corpus verdict).
+    *
+    * Label centroids are per-dim IEEE means off exact ×1e6-quantized
+    * sums ([[mahalanobisOutliers]] discipline); distances round 9 dp;
+    * prediction ties break by label.
+    *
+    * Scale shape: one posexplode moment pass builds the |labels|×dim
+    * centroid table (broadcast back), one distance join bounded by
+    * |labels| per row, a confusion-cell census.
+    *
+    * @return per cell (true_label, pred_label, n, accuracy) ordered —
+    *         accuracy is the shared overall diagonal share, 6-dp
+    */
+  def nccConfusion(emb: DataFrame, idCol: String, vecCol: String,
+                   labelCol: Column): DataFrame = {
+    val base = emb.select(F.col(idCol).as("__id"),
+      F.col(vecCol).as("__v"), labelCol.cast("string").as("__l"))
+    val ex = base.select(F.col("__l"),
+        F.posexplode(F.col("__v")).as(Seq("__d", "__x")))
+      .select(F.col("__l"), F.col("__d"),
+        F.round(F.col("__x").cast("double") * 1e6).cast("long").as("__k"))
+    val cent = ex.groupBy("__l", "__d")
+      .agg((F.sum("__k").cast("double") /
+        (F.count(F.lit(1)).cast("double") * 1e6)).as("__m"))
+      .groupBy(F.col("__l").as("__cl"))
+      .agg(F.array_sort(F.collect_list(F.struct(F.col("__d"),
+        F.col("__m")))).as("__ms"))
+      .select(F.col("__cl"),
+        F.transform(F.col("__ms"), s => s.getField("__m")).as("__cv"))
+    val scored = base.crossJoin(F.broadcast(cent))
+      .withColumn("__dist", F.round(F.aggregate(
+        F.zip_with(F.col("__v").cast("array<double>"), F.col("__cv"),
+          (x, y) => (x - y) * (x - y)),
+        F.lit(0.0), (acc, t) => acc + t), 9))
+    val w = Window.partitionBy("__id")
+      .orderBy(F.col("__dist").asc, F.col("__cl").asc)
+    val pred = scored.withColumn("__rk", F.row_number().over(w))
+      .filter(F.col("__rk") === 1)
+    val cells = pred.groupBy(F.col("__l").as("true_label"),
+        F.col("__cl").as("pred_label"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val acc = cells.agg(F.round(
+      F.sum(F.when(F.col("true_label") === F.col("pred_label"),
+        F.col("n")).otherwise(0L)).cast("double") /
+        F.sum("n").cast("double"), 6).as("accuracy"))
+    cells.crossJoin(F.broadcast(acc))
+      .orderBy("true_label", "pred_label")
+  }
 }

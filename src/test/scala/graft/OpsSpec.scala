@@ -5831,6 +5831,42 @@ class OpsSpec extends AnyFunSuite {
     assert(r == ((3L, 0.0, 1.414214, Some(0.0))), r)
   }
 
+  test("cellPurity: 2-cell hand census — majority share and entropy") {
+    import graft.ops.Similarity
+    val emb = Seq((1L, Seq(0f), "a"), (2L, Seq(1f), "a"),
+      (3L, Seq(2f), "b"), (4L, Seq(10f), "b"))
+      .toDF("vec_id", "embedding", "lab")
+    val got = Similarity.cellPurity(emb, "vec_id", "embedding",
+        F.col("lab"), Array(Array(0.0), Array(10.0)))
+      .as[(Int, Long, String, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((0, 3L, "a", 0.666667, 0.636514, 0.75),
+      (1, 1L, "b", 1.0, 0.0, 0.75)), got)
+  }
+
+  test("centroidMargin: boundary point is ambiguous, deep points are not") {
+    import graft.ops.Similarity
+    val emb = Seq((1L, Seq(2f)), (2L, Seq(9f)), (3L, Seq(5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.centroidMargin(emb, "vec_id", "embedding",
+        Array(Array(0.0), Array(10.0)), ambiguous = 1.2)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // [2]: ratio 16; [5]: exact tie ratio 1 (ambiguous); [9]: ratio 81
+    assert(got == Seq((0L, 2L, 8.5, 0.5), (1L, 1L, 81.0, 0.0)), got)
+  }
+
+  test("nccConfusion: equidistant point breaks to the lower label") {
+    import graft.ops.Similarity
+    val emb = Seq((1L, Seq(0f), "a"), (2L, Seq(2f), "a"),
+      (3L, Seq(4f), "b"), (4L, Seq(10f), "b"))
+      .toDF("vec_id", "embedding", "lab")
+    val got = Similarity.nccConfusion(emb, "vec_id", "embedding",
+        F.col("lab"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    // centroids a=1, b=7; the 4 is 9 from both -> label tie to a
+    assert(got == Seq(("a", "a", 2L, 0.75), ("b", "a", 1L, 0.75),
+      ("b", "b", 1L, 0.75)), got)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
