@@ -2967,6 +2967,30 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // Simpson/Hill-2 diversity per source: repeat-probability lexical
+    // diversity — N2 << N1 flags a tiny working set under a long tail
+    "x363_simpson_diversity" -> ((s, dir) =>
+      TextOps.simpsonDiversity(
+        s.read.parquet(s"$dir/documents.parquet"), Seq("source"),
+        "text")),
+
+    // gap memory M per event type: do long gaps follow long gaps —
+    // the (B, M) plane's second axis next to x347
+    "x364_gap_memory" -> ((s, dir) =>
+      graft.ops.EventOps.gapMemory(
+        s.read.parquet(s"$dir/events.parquet"))),
+
+    // McLeod-Li portmanteau on squared daily deviations: volatility
+    // clustering the x280 level test cannot see
+    "x365_mcleod_li" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.mcleodLi(daily, "t", "v", maxLag = 7)
+    }),
+
     // label purity per SemDeDup cell: does geometry agree with the
     // label — the supervised read next to x312's DB/CH indices
     "x360_cell_purity" -> ((s, dir) => {
@@ -10047,6 +10071,83 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // exact integer Simpson ratio and Hill-2 off one token census
+    "x363_simpson_diversity" ->
+      """WITH census AS (SELECT source, t, count(*)::BIGINT AS c FROM (
+        |    SELECT source, unnest(list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> length(x) > 0)) AS t FROM documents) GROUP BY 1, 2),
+        |g AS (SELECT source, sum(c)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS vocab,
+        |    sum(c * (c - 1))::BIGINT AS rep, sum(c * c)::BIGINT AS c2
+        |  FROM census GROUP BY 1)
+        |SELECT source, n_tokens, vocab,
+        |  round(rep::DOUBLE / nullif(n_tokens::DOUBLE *
+        |    (n_tokens::DOUBLE - 1.0::DOUBLE), 0.0), 6) AS simpson,
+        |  round(1.0::DOUBLE - rep::DOUBLE / nullif(n_tokens::DOUBLE *
+        |    (n_tokens::DOUBLE - 1.0::DOUBLE), 0.0), 6) AS diversity,
+        |  round(n_tokens::DOUBLE * n_tokens::DOUBLE / c2::DOUBLE, 6)
+        |    AS hill2
+        |FROM g ORDER BY source""".stripMargin,
+
+    // exact-ms gap pairs off one keyed window; Pearson from exact
+    // sufficient statistics
+    "x364_gap_memory" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS tu
+        |  FROM events),
+        |g1 AS (SELECT event_type, gp, lead(gp) OVER (PARTITION BY
+        |    event_type ORDER BY tu, event_id) AS gn
+        |  FROM (SELECT event_type, tu, event_id,
+        |      (tu - lag(tu) OVER (PARTITION BY event_type ORDER BY tu,
+        |        event_id)) // 1000 AS gp
+        |    FROM e)),
+        |p AS (SELECT event_type, gp AS x, gn AS y FROM g1
+        |  WHERE gp IS NOT NULL AND gn IS NOT NULL),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sx2,
+        |    sum(y * y)::BIGINT AS sy2
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n AS n_pairs,
+        |  round(CASE WHEN n >= 2 THEN
+        |    (sxy::DOUBLE - sx::DOUBLE * (sy::DOUBLE / n::DOUBLE)) /
+        |    nullif(sqrt((sx2::DOUBLE - sx::DOUBLE *
+        |      (sx::DOUBLE / n::DOUBLE)) * (sy2::DOUBLE - sy::DOUBLE *
+        |      (sy::DOUBLE / n::DOUBLE))), 0.0) END, 6) AS m
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // integer-rounded squared deviations, then the x280 Ljung-Box
+    // ladder verbatim
+    "x365_mcleod_li" ->
+      """WITH daily AS (SELECT
+        |    (ts::DATE - DATE '1970-01-01')::BIGINT AS t,
+        |    count(*)::DOUBLE AS v
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n0, sum(v) AS sv
+        |  FROM daily),
+        |sq AS (SELECT t, round((v - sv / n0::DOUBLE) *
+        |    (v - sv / n0::DOUBLE))::BIGINT AS x
+        |  FROM daily CROSS JOIN tot),
+        |one AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS tt,
+        |    sum(x * x)::BIGINT AS s2 FROM sq),
+        |lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7])::BIGINT AS k),
+        |pl AS (SELECT k, count(*)::BIGINT AS cnt,
+        |    sum(a.x * b.x)::BIGINT AS pa, sum(a.x)::BIGINT AS ba,
+        |    sum(b.x)::BIGINT AS bb
+        |  FROM lags JOIN sq a ON true JOIN sq b ON b.t = a.t + k
+        |  GROUP BY k),
+        |rh AS (SELECT n, cnt,
+        |    (pa::DOUBLE - (tt::DOUBLE / n::DOUBLE) * (ba + bb)::DOUBLE +
+        |     cnt::DOUBLE * (tt::DOUBLE / n::DOUBLE) *
+        |       (tt::DOUBLE / n::DOUBLE)) /
+        |    (s2::DOUBLE - tt::DOUBLE * (tt::DOUBLE / n::DOUBLE)) AS rho
+        |  FROM pl CROSS JOIN one),
+        |tm AS (SELECT n, round(rho * rho / cnt::DOUBLE, 9) AS t FROM rh)
+        |SELECT n, 7::BIGINT AS h,
+        |  round(n::DOUBLE * (n + 2)::DOUBLE * sum(t), 6) AS lb,
+        |  7::BIGINT AS df
+        |FROM tm GROUP BY n""".stripMargin,
 
     // the x312 VALUES-centroid argmin assignment; exact label counts;
     // majority tie by label; 9-dp entropy terms

@@ -1037,4 +1037,49 @@ object EventOps {
         (sd - mu) / F.nullif(sd + mu, F.lit(0.0))), 6).as("b"))
       .orderBy("event_type")
   }
+
+  /** Memory coefficient of inter-arrival gaps (Goh & Barabási 2008) —
+    * the SECOND axis of temporal texture: M = Pearson r of consecutive
+    * gap pairs (gₜ, gₜ₊₁). Read with [[interArrivalBurstiness]]'s B on
+    * the (B, M) plane: human activity is high-B/low-M (heavy-tailed
+    * but uncorrelated gaps), machine retry storms high-B/high-M (long
+    * gaps follow long gaps). Same exact-millisecond gap machinery;
+    * pair sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    * longs and M is one IEEE ratio.
+    *
+    * Scale shape: one type-keyed ordered window (gap + its successor),
+    * one keyed collapse.
+    *
+    * @return per type (event_type, n_pairs, m) ordered — 6-dp; NULL
+    *         with < 2 pairs or a constant gap stream
+    */
+  def gapMemory(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(F.col("__tu"), F.col("event_id"))
+    val gaps = events
+      .select(F.col("event_type"), F.col("event_id"),
+        tsUs(events).as("__tu"))
+      .withColumn("__g", F.call_function("div",
+        F.col("__tu") - F.lag("__tu", 1).over(w), F.lit(1000L)))
+      .withColumn("__gn", F.lead("__g", 1).over(w))
+      .filter(F.col("__g").isNotNull && F.col("__gn").isNotNull)
+    val g = gaps.groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n_pairs"),
+        F.sum("__g").as("__sx"), F.sum("__gn").as("__sy"),
+        F.sum(F.col("__g") * F.col("__gn")).as("__sxy"),
+        F.sum(F.col("__g") * F.col("__g")).as("__sx2"),
+        F.sum(F.col("__gn") * F.col("__gn")).as("__sy2"))
+    val nD = F.col("n_pairs").cast("double")
+    def c(s: Column): Column = s.cast("double")
+    val cov = c(F.col("__sxy")) - c(F.col("__sx")) *
+      (c(F.col("__sy")) / nD)
+    val vx = c(F.col("__sx2")) - c(F.col("__sx")) *
+      (c(F.col("__sx")) / nD)
+    val vy = c(F.col("__sy2")) - c(F.col("__sy")) *
+      (c(F.col("__sy")) / nD)
+    g.select(F.col("event_type"), F.col("n_pairs"),
+      F.round(F.when(F.col("n_pairs") >= 2L,
+        cov / F.nullif(F.sqrt(vx * vy), F.lit(0.0))), 6).as("m"))
+      .orderBy("event_type")
+  }
 }

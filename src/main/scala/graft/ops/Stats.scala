@@ -7211,4 +7211,35 @@ object Stats {
       F.round(sd2, 6).as("sd2"),
       F.round(sd1 / F.nullif(sd2, F.lit(0.0)), 6).as("ratio"))
   }
+
+  /** McLeod–Li portmanteau test — [[ljungBox]] applied to SQUARED mean
+    * deviations: a series can be autocorrelation-free (x280 passes) yet
+    * volatility-clustered — calm days follow calm days, wild days wild
+    * — and that structure lives in the squares (the ARCH-effect
+    * screen). Squared deviations are rounded to exact integer longs
+    * ((yₜ − ȳ)² is IEEE-identical cross-engine from exact inputs, and
+    * the integer rounding makes the downstream Ljung-Box ladder exact;
+    * the autocorrelations of a series are invariant to that monotone
+    * re-quantization only approximately, so the ROUNDED series IS the
+    * definition here — documented, shared with the oracle).
+    *
+    * Scale shape: [[ljungBox]]'s — a 1-row mean, one projection, the
+    * lag-explode join over the bounded series grid.
+    *
+    * @return one row (n, h, lb, df) — 6-dp, same schema as ljungBox
+    */
+  def mcleodLi(series: DataFrame, tCol: String, vCol: String,
+               maxLag: Int = 7): DataFrame = {
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+        F.col(vCol).cast("double").as("__v"))
+      .filter(F.col("__v").isNotNull)
+    val tot = s.agg(F.count(F.lit(1)).as("__n"), F.sum("__v").as("__sv"))
+    val sq = s.crossJoin(F.broadcast(tot))
+      .select(F.col("__t"),
+        F.round((F.col("__v") - F.col("__sv") /
+            F.col("__n").cast("double")) *
+          (F.col("__v") - F.col("__sv") /
+            F.col("__n").cast("double"))).cast("long").as("__x2"))
+    ljungBox(sq, F.col("__t"), F.col("__x2"), maxLag)
+  }
 }

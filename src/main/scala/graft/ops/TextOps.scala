@@ -1770,4 +1770,45 @@ object TextOps {
           F.coalesce(F.col("__s"), F.lit(0.0)), 6).as("js"))
       .orderBy("src_a", "src_b")
   }
+
+  /** Simpson diversity + Hill-2 effective vocabulary per corpus slice —
+    * the REPEAT-probability reading of lexical diversity: the unbiased
+    * Simpson index λ = Σc(c−1)/(n(n−1)) is exactly "the probability two
+    * random tokens are the same type", 1−λ the diversity, and Hill's
+    * N₂ = n²/Σc² the "effective vocabulary if all types were equally
+    * common". Where [[tokenEntropy]] (Hill N₁ = e^H) weighs all types,
+    * N₂ is dominated by the HEAD — N₂ ≪ N₁ flags a corpus whose
+    * apparent vocabulary is a long tail over a tiny working set.
+    *
+    * λ is an exact integer ratio (one IEEE division); N₂ likewise —
+    * nothing to round until the outputs.
+    *
+    * Scale shape: one (slice, token) census, one slice-keyed collapse.
+    *
+    * @return per slice (groupCols…, n_tokens, vocab, simpson,
+    *         diversity, hill2) ordered — 6-dp; NULL on < 2 tokens
+    */
+  def simpsonDiversity(df: DataFrame, groupCols: Seq[String],
+                       textCol: String): DataFrame = {
+    val gs = groupCols.map(F.col)
+    val census = df.select((gs :+
+        F.explode(F.filter(
+          F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))),
+            "\\s+"), t => F.length(t) > 0)).as("__t")): _*)
+      .groupBy((gs :+ F.col("__t")): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val g = census.groupBy(gs: _*)
+      .agg(F.sum("__c").as("n_tokens"),
+        F.count(F.lit(1)).as("vocab"),
+        F.sum(F.col("__c") * (F.col("__c") - 1L)).as("__rep"),
+        F.sum(F.col("__c") * F.col("__c")).as("__c2"))
+    val nD = F.col("n_tokens").cast("double")
+    val lam = F.col("__rep").cast("double") /
+      F.nullif(nD * (nD - 1.0), F.lit(0.0))
+    g.select((gs :+ F.col("n_tokens") :+ F.col("vocab") :+
+      F.round(lam, 6).as("simpson") :+
+      F.round(F.lit(1.0) - lam, 6).as("diversity") :+
+      F.round(nD * nD / F.col("__c2").cast("double"), 6).as("hill2")): _*)
+      .orderBy(gs: _*)
+  }
 }

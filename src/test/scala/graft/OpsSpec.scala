@@ -5867,6 +5867,37 @@ class OpsSpec extends AnyFunSuite {
       ("b", "b", 1L, 0.75)), got)
   }
 
+  test("simpsonDiversity: 'a a b' — λ=1/3, Hill-2 = 9/5") {
+    import graft.ops.TextOps
+    val df = Seq(("s1", "a a b")).toDF("source", "text")
+    val got = TextOps.simpsonDiversity(df, Seq("source"), "text")
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    assert(got == (("s1", 3L, 2L, 0.333333, 0.666667, 1.8)), got)
+  }
+
+  test("gapMemory: alternating gaps give M=-1; constant gaps NULL") {
+    import graft.ops.EventOps
+    val ev = Seq((1L, "A", 0L), (2L, "A", 1000000000L),
+      (3L, "A", 3000000000L), (4L, "A", 4000000000L),
+      (5L, "B", 0L), (6L, "B", 1000000000L), (7L, "B", 2000000000L),
+      (8L, "B", 3000000000L))
+      .toDF("event_id", "event_type", "ts")
+    val got = EventOps.gapMemory(ev)
+      .as[(String, Long, Option[Double])].collect().toSeq
+    // A gaps 1s,2s,1s: pairs (1,2),(2,1) perfectly anti-correlated
+    assert(got == Seq(("A", 2L, Some(-1.0)), ("B", 2L, None)), got)
+  }
+
+  test("mcleodLi: 0,1,3 cycle — squared-deviation Ljung-Box 3.370408") {
+    import graft.ops.Stats
+    val s = Seq(0.0, 1.0, 3.0, 0.0, 1.0, 3.0).zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("t", "v")
+    val got = Stats.mcleodLi(s, "t", "v", maxLag = 2)
+      .as[(Long, Long, Double, Long)].head()
+    // x2 = (2,0,3,2,0,3); hand ladder over lags 1..2
+    assert(got == ((6L, 2L, 3.370408, 2L)), got)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
