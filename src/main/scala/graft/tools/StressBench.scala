@@ -448,6 +448,32 @@ object StressBench {
             .reduce(_ union _)
           graft.ops.Graph.hits(e, "u", "p", rounds = 2, topK = 20)
         }),
+        // link prediction on K DISJOINT copies of the supplier
+        // co-occurrence graph: wedges, candidate pairs and the degree
+        // dims all ×K — wall must stay ~linear (the x104/x255 shape)
+        "x330_linkpred" -> (() => {
+          val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select("l_orderkey", "l_suppkey")
+          val li = (0 until k).map(i => li0.select(
+              (F.col("l_orderkey") + F.lit(i * KeyStride)).as("l_orderkey"),
+              (F.col("l_suppkey") + F.lit(i * KeyStride)).as("l_suppkey")))
+            .reduce(_ union _)
+          graft.ops.Graph.linkPrediction(
+            graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey",
+              "l_suppkey", minCount = 6), "src", "dst", topN = 20)
+        }),
+        // JS matrix over K× the corpus with the SAME source set: the
+        // vocab census absorbs the growth map-side (counts ×K, vocab
+        // and the pair grid constant) — wall must stay near-FLAT
+        "x350_js_matrix" -> (() =>
+          graft.ops.TextOps.jsDivergenceMatrix(docs, "source", "text")),
+        // LOF under the production sampling regime (rate ∝ 1/K, the
+        // x212 hubness rule): the pair scan sees a CONSTANT sample while
+        // the corpus grows K× — wall must stay ~flat
+        "x354_lof" -> (() =>
+          graft.ops.Similarity.lofOutliers(
+            emb.filter(F.col("vec_id") % F.lit(5L * k) < 2),
+            "vec_id", "embedding", k = 5, topN = 20)),
       )
       val allQueries = queries ++ extra
       val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
