@@ -2967,6 +2967,38 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // deployment operating points for the x178-scored classifier:
+    // Youden-J and F1 optimal thresholds off the exact (TP, FP) ladder
+    "x366_threshold_sweep" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.thresholdSweep(scored, F.col("quality_score"),
+        F.col("lang") === "en")
+    }),
+
+    // Spiegelhalter calibration z: binning-free significance next to
+    // x177's ECE and x287's Hosmer-Lemeshow
+    "x367_spiegelhalter" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.spiegelhalterZ(scored, F.col("quality_score"),
+        F.col("lang") === "en")
+    }),
+
+    // distance correlation between doc length and token count on a
+    // 1-in-10 sample: dependence of ANY shape, not just linear
+    "x368_distance_corr" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(F.col("doc_id") % 10 === 0)
+      val toks = F.size(F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+          "\\s+"), x => F.length(x) > 0))
+      graft.ops.Stats.distanceCorrelation(docs, F.col("doc_id"),
+        F.col("n_chars"), toks)
+    }),
+
     // Simpson/Hill-2 diversity per source: repeat-probability lexical
     // diversity — N2 << N1 flags a tiny working set under a long tail
     "x363_simpson_diversity" -> ((s, dir) =>
@@ -10071,6 +10103,134 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // the x178 scorer CTE, then the exact descending (TP, FP) ladder
+    // with (metric desc, threshold desc) argmax ties
+    "x366_threshold_sweep" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |v AS (SELECT s AS vv,
+         |    (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c1
+         |  FROM sc),
+         |byv AS (SELECT vv, sum(c1)::BIGINT AS n1v,
+         |    sum(1 - c1)::BIGINT AS n0v FROM v GROUP BY 1),
+         |tot AS (SELECT sum(n1v)::BIGINT AS p, sum(n0v)::BIGINT AS nn
+         |  FROM byv),
+         |lad AS (SELECT vv, (sum(n1v) OVER wd)::BIGINT AS tp,
+         |    (sum(n0v) OVER wd)::BIGINT AS fp, p, nn
+         |  FROM byv CROSS JOIN tot WINDOW wd AS (ORDER BY vv DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |scored AS (SELECT vv, tp, fp,
+         |    tp::DOUBLE / nullif(p::DOUBLE, 0.0) AS tpr,
+         |    fp::DOUBLE / nullif(nn::DOUBLE, 0.0) AS fpr,
+         |    tp::DOUBLE / nullif((tp + fp)::DOUBLE, 0.0) AS prec,
+         |    tp::DOUBLE / nullif(p::DOUBLE, 0.0) -
+         |      fp::DOUBLE / nullif(nn::DOUBLE, 0.0) AS j,
+         |    2.0::DOUBLE * tp::DOUBLE /
+         |      nullif((tp + fp + p)::DOUBLE, 0.0) AS f1
+         |  FROM lad),
+         |fb AS (SELECT 'f1' AS criterion, vv, tp, fp, tpr, fpr, prec,
+         |    f1 FROM (SELECT *, row_number() OVER (ORDER BY f1 DESC,
+         |    vv DESC) AS rk FROM scored) WHERE rk = 1),
+         |yb AS (SELECT 'youden' AS criterion, vv, tp, fp, tpr, fpr,
+         |    prec, f1 FROM (SELECT *, row_number() OVER (ORDER BY
+         |    j DESC, vv DESC) AS rk FROM scored) WHERE rk = 1)
+         |SELECT criterion, round(vv, 6) AS threshold, tp, fp,
+         |  round(tpr, 6) AS tpr, round(fpr, 6) AS fpr,
+         |  round(prec, 6) AS precision, round(f1, 6) AS f1
+         |FROM (SELECT * FROM fb UNION ALL SELECT * FROM yb)
+         |ORDER BY criterion""".stripMargin
+    },
+
+    // the x178 scorer CTE; 9-dp per-row calibration terms; one ratio
+    "x367_spiegelhalter" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS p
+         |FROM t, w),
+         |s2 AS (SELECT p, CASE WHEN lang = 'en' THEN 1.0::DOUBLE
+         |    ELSE 0.0::DOUBLE END AS y FROM sc),
+         |g AS (SELECT count(*)::BIGINT AS n,
+         |    sum(round((y - p) * (1.0::DOUBLE - 2.0::DOUBLE * p), 9))
+         |      AS sn,
+         |    sum(round((1.0::DOUBLE - 2.0::DOUBLE * p) *
+         |      (1.0::DOUBLE - 2.0::DOUBLE * p) * p *
+         |      (1.0::DOUBLE - p), 9)) AS sd
+         |  FROM s2)
+         |SELECT n, round(sn / sqrt(nullif(sd, 0.0)), 6) AS z
+         |FROM g""".stripMargin
+    },
+
+    // materialized pair table; exact row/grand sums; 9-dp centered
+    // products
+    "x368_distance_corr" ->
+      """WITH s AS (SELECT doc_id AS i, n_chars::BIGINT AS x,
+        |    len(list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      t -> length(t) > 0))::BIGINT AS y
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |pairs AS MATERIALIZED (SELECT a.i, b.i AS j,
+        |    abs(a.x - b.x)::BIGINT AS av, abs(a.y - b.y)::BIGINT AS bv
+        |  FROM s a CROSS JOIN s b),
+        |rws AS MATERIALIZED (SELECT i, sum(av)::BIGINT AS ra,
+        |    sum(bv)::BIGINT AS rb FROM pairs GROUP BY 1),
+        |grand AS (SELECT count(*)::BIGINT AS n, sum(ra)::BIGINT AS ga,
+        |    sum(rb)::BIGINT AS gb FROM rws),
+        |jn AS (SELECT p.av, p.bv, ri.ra AS rai, ri.rb AS rbi,
+        |    rj.ra AS raj, rj.rb AS rbj, n, ga, gb
+        |  FROM pairs p JOIN rws ri ON ri.i = p.i
+        |  JOIN rws rj ON rj.i = p.j CROSS JOIN grand),
+        |tm AS (SELECT n,
+        |    round(((av::DOUBLE - rai::DOUBLE / n::DOUBLE -
+        |      raj::DOUBLE / n::DOUBLE + ga::DOUBLE /
+        |      (n::DOUBLE * n::DOUBLE)) / 1.0::DOUBLE) *
+        |      ((bv::DOUBLE - rbi::DOUBLE / n::DOUBLE -
+        |      rbj::DOUBLE / n::DOUBLE + gb::DOUBLE /
+        |      (n::DOUBLE * n::DOUBLE)) / 1.0::DOUBLE), 9) AS ab,
+        |    round(((av::DOUBLE - rai::DOUBLE / n::DOUBLE -
+        |      raj::DOUBLE / n::DOUBLE + ga::DOUBLE /
+        |      (n::DOUBLE * n::DOUBLE)) / 1.0::DOUBLE) *
+        |      ((av::DOUBLE - rai::DOUBLE / n::DOUBLE -
+        |      raj::DOUBLE / n::DOUBLE + ga::DOUBLE /
+        |      (n::DOUBLE * n::DOUBLE)) / 1.0::DOUBLE), 9) AS aa,
+        |    round(((bv::DOUBLE - rbi::DOUBLE / n::DOUBLE -
+        |      rbj::DOUBLE / n::DOUBLE + gb::DOUBLE /
+        |      (n::DOUBLE * n::DOUBLE)) / 1.0::DOUBLE) *
+        |      ((bv::DOUBLE - rbi::DOUBLE / n::DOUBLE -
+        |      rbj::DOUBLE / n::DOUBLE + gb::DOUBLE /
+        |      (n::DOUBLE * n::DOUBLE)) / 1.0::DOUBLE), 9) AS bb
+        |  FROM jn),
+        |g AS (SELECT max(n)::BIGINT AS n, avg(ab) AS dcov2,
+        |    avg(aa) AS dvx, avg(bb) AS dvy FROM tm)
+        |SELECT n, round(dcov2, 6) AS dcov2, round(dvx, 6) AS dvarx,
+        |  round(dvy, 6) AS dvary,
+        |  round(sqrt(greatest(dcov2, 0.0) /
+        |    nullif(sqrt(dvx * dvy), 0.0)), 6) AS dcor
+        |FROM g""".stripMargin,
 
     // exact integer Simpson ratio and Hill-2 off one token census
     "x363_simpson_diversity" ->

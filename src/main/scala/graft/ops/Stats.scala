@@ -7242,4 +7242,171 @@ object Stats {
             F.col("__n").cast("double"))).cast("long").as("__x2"))
     ljungBox(sq, F.col("__t"), F.col("__x2"), maxLag)
   }
+
+  /** Operating-point sweep of a scored binary classifier — the
+    * threshold x178's AUC deliberately abstracts away: over every
+    * distinct score as a "classify positive if score ≥ t" cut, report
+    * the Youden-J-optimal point (max tpr − fpr, the balanced-cost
+    * choice) and the F1-optimal point (the precision/recall choice for
+    * rare positives). The two rows a deployment actually needs.
+    *
+    * Exact (TP, FP) ladders off the distinct-score collapse (the
+    * [[aucExact]] discipline); all ratios are IEEE on exact longs;
+    * argmax ties break toward the HIGHER threshold (the conservative
+    * cut), deterministically.
+    *
+    * Scale shape: one value-domain collapse, one bounded descending
+    * ladder, two rank-1 filters.
+    *
+    * @return two rows (criterion, threshold, tp, fp, tpr, fpr,
+    *         precision, f1) ordered by criterion — 6-dp
+    */
+  def thresholdSweep(df: DataFrame, scoreCol: Column,
+                     labelCol: Column): DataFrame = {
+    val byV = df.select(scoreCol.cast("double").as("__v"),
+        F.when(labelCol, 1L).otherwise(0L).as("__c1"))
+      .filter(F.col("__v").isNotNull)
+      .groupBy("__v")
+      .agg(F.sum("__c1").as("__n1v"),
+        F.sum(F.lit(1L) - F.col("__c1")).as("__n0v"))
+    val tot = byV.agg(F.sum("__n1v").as("__P"), F.sum("__n0v").as("__N"))
+    val w = Window.orderBy(F.col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lad = byV
+      .withColumn("__tp", F.sum("__n1v").over(w))
+      .withColumn("__fp", F.sum("__n0v").over(w))
+      .crossJoin(F.broadcast(tot))
+    val tpD = F.col("__tp").cast("double")
+    val fpD = F.col("__fp").cast("double")
+    val pD = F.col("__P").cast("double")
+    val nD = F.col("__N").cast("double")
+    val tpr = tpD / F.nullif(pD, F.lit(0.0))
+    val fpr = fpD / F.nullif(nD, F.lit(0.0))
+    val j = tpr - fpr
+    val f1 = F.lit(2.0) * tpD /
+      F.nullif(tpD + fpD + pD, F.lit(0.0))
+    val scored = lad.select(F.col("__v"), F.col("__tp"), F.col("__fp"),
+      tpr.as("__tpr"), fpr.as("__fpr"),
+      (tpD / F.nullif(tpD + fpD, F.lit(0.0))).as("__prec"),
+      j.as("__j"), f1.as("__f1"))
+    def pick(crit: String, by: Column): DataFrame = scored
+      .withColumn("__rk", F.row_number().over(
+        Window.orderBy(by.desc, F.col("__v").desc)))
+      .filter(F.col("__rk") === 1)
+      .select(F.lit(crit).as("criterion"),
+        F.round(F.col("__v"), 6).as("threshold"),
+        F.col("__tp").as("tp"), F.col("__fp").as("fp"),
+        F.round(F.col("__tpr"), 6).as("tpr"),
+        F.round(F.col("__fpr"), 6).as("fpr"),
+        F.round(F.col("__prec"), 6).as("precision"),
+        F.round(F.col("__f1"), 6).as("f1"))
+    pick("f1", F.col("__f1")).unionAll(pick("youden", F.col("__j")))
+      .orderBy("criterion")
+  }
+
+  /** Spiegelhalter's calibration z-test — the SIGNIFICANCE companion of
+    * x177's ECE and x287's Hosmer-Lemeshow: under perfect calibration
+    * E[(y−p)(1−2p)] = 0 per prediction, so
+    * {{{
+    *   z = Σ(yᵢ−pᵢ)(1−2pᵢ) / √(Σ(1−2pᵢ)²·pᵢ(1−pᵢ))
+    * }}}
+    * is standard normal — no binning choice at all (the HL df/bin
+    * debate disappears). |z| > 2 says the scores are mis-calibrated as
+    * probabilities even if they RANK well (x178 can be high while this
+    * fails).
+    *
+    * Per-row terms round 9 dp before the orderless sums; scores arrive
+    * 6-dp from the scorer, so both engines see identical inputs.
+    *
+    * Scale shape: one scan, two sums, a 1-row result.
+    *
+    * @return one row (n, z) — 6-dp; NULL for degenerate (all-0/1)
+    *         scores
+    */
+  def spiegelhalterZ(df: DataFrame, scoreCol: Column,
+                     labelCol: Column): DataFrame = {
+    val s = df.select(scoreCol.cast("double").as("__p"),
+        F.when(labelCol, 1.0).otherwise(0.0).as("__y"))
+      .filter(F.col("__p").isNotNull)
+    val g = s
+      .withColumn("__num", F.round((F.col("__y") - F.col("__p")) *
+        (F.lit(1.0) - F.lit(2.0) * F.col("__p")), 9))
+      .withColumn("__den", F.round(
+        (F.lit(1.0) - F.lit(2.0) * F.col("__p")) *
+          (F.lit(1.0) - F.lit(2.0) * F.col("__p")) *
+          F.col("__p") * (F.lit(1.0) - F.col("__p")), 9))
+      .agg(F.count(F.lit(1)).as("n"), F.sum("__num").as("__sn"),
+        F.sum("__den").as("__sd"))
+    g.select(F.col("n"),
+      F.round(F.col("__sn") /
+        F.sqrt(F.nullif(F.col("__sd"), F.lit(0.0))), 6).as("z"))
+  }
+
+  /** Distance correlation (Székely et al. 2007) — dependence of ANY
+    * form, not just linear/monotone: dCor = 0 iff X and Y are
+    * independent (Pearson/Spearman can be 0 under perfect U-shaped
+    * dependence; dCor cannot). Double-center the pairwise |Δ| matrices
+    * and correlate:
+    * {{{
+    *   A = a − ā_i· − ā_·j + ā,   dCov² = mean(A∘B),
+    *   dCor² = dCov² / √(dVarX·dVarY)
+    * }}}
+    * Pair distances are exact quantized longs; row/grand sums exact;
+    * the centered products round 9 dp before their means.
+    *
+    * Scale shape: one all-pairs scan over a BOUNDED sample (the x211
+    * regime — dependence structure is a distribution property; run it
+    * on a deterministic sample at corpus scale), with the pair table
+    * localCheckpoint'd once for the row-sum and product passes.
+    *
+    * @return one row (n, dcov2, dvarx, dvary, dcor) — 6-dp; NULL dcor
+    *         for a constant margin
+    */
+  def distanceCorrelation(df: DataFrame, idCol: Column, xCol: Column,
+                          yCol: Column, scale: Long = 1L): DataFrame = {
+    val s = df.select(idCol.as("__i"),
+        F.round(xCol.cast("double") * scale).cast("long").as("__x"),
+        F.round(yCol.cast("double") * scale).cast("long").as("__y"))
+      .filter(F.col("__x").isNotNull && F.col("__y").isNotNull)
+    val pairs = s.crossJoin(s.select(F.col("__i").as("__j"),
+        F.col("__x").as("__xj"), F.col("__y").as("__yj")))
+      .select(F.col("__i"), F.col("__j"),
+        F.abs(F.col("__x") - F.col("__xj")).as("__a"),
+        F.abs(F.col("__y") - F.col("__yj")).as("__b"))
+      .localCheckpoint()
+    val rows = pairs.groupBy("__i")
+      .agg(F.sum("__a").as("__ra"), F.sum("__b").as("__rb"))
+    val grand = rows.agg(F.count(F.lit(1)).as("__n"),
+      F.sum("__ra").as("__ga"), F.sum("__rb").as("__gb"))
+    val nD = F.col("__n").cast("double")
+    val sD = F.lit(scale).cast("double")
+    val joined = pairs
+      .join(rows.select(F.col("__i"), F.col("__ra").as("__rai"),
+        F.col("__rb").as("__rbi")), Seq("__i"))
+      .join(rows.select(F.col("__i").as("__j"),
+        F.col("__ra").as("__raj"), F.col("__rb").as("__rbj")),
+        Seq("__j"))
+      .crossJoin(F.broadcast(grand))
+    def ctr(v: Column, ri: Column, rj: Column, g: Column): Column =
+      (v.cast("double") - ri.cast("double") / nD -
+        rj.cast("double") / nD +
+        g.cast("double") / (nD * nD)) / sD
+    val aC = ctr(F.col("__a"), F.col("__rai"), F.col("__raj"),
+      F.col("__ga"))
+    val bC = ctr(F.col("__b"), F.col("__rbi"), F.col("__rbj"),
+      F.col("__gb"))
+    val g = joined
+      .withColumn("__ab", F.round(aC * bC, 9))
+      .withColumn("__aa", F.round(aC * aC, 9))
+      .withColumn("__bb", F.round(bC * bC, 9))
+      .agg(F.max("__n").as("n"), F.avg("__ab").as("__dcov2"),
+        F.avg("__aa").as("__dvx"), F.avg("__bb").as("__dvy"))
+    g.select(F.col("n"),
+      F.round(F.col("__dcov2"), 6).as("dcov2"),
+      F.round(F.col("__dvx"), 6).as("dvarx"),
+      F.round(F.col("__dvy"), 6).as("dvary"),
+      F.round(F.sqrt(F.greatest(F.col("__dcov2"), F.lit(0.0)) /
+        F.nullif(F.sqrt(F.col("__dvx") * F.col("__dvy")), F.lit(0.0))),
+        6).as("dcor"))
+  }
 }

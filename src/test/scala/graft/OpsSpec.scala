@@ -5898,6 +5898,41 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ((6L, 2L, 3.370408, 2L)), got)
   }
 
+  test("thresholdSweep: Youden ties break high, F1 picks the recall cut") {
+    import graft.ops.Stats
+    val df = Seq((0.9, true), (0.6, true), (0.7, false), (0.2, false))
+      .toDF("s", "y")
+    val got = Stats.thresholdSweep(df, F.col("s"), F.col("y"))
+      .as[(String, Double, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("f1", 0.6, 2L, 1L, 1.0, 0.5, 0.666667, 0.8),
+      ("youden", 0.9, 1L, 0L, 0.5, 0.0, 1.0, 0.666667)), got)
+  }
+
+  test("spiegelhalterZ: symmetric miscalibration hand z; flat 0.5 NULL") {
+    import graft.ops.Stats
+    val df = Seq((0.8, true), (0.2, false)).toDF("p", "y")
+    val got = Stats.spiegelhalterZ(df, F.col("p"), F.col("y"))
+      .as[(Long, Option[Double])].head()
+    // terms -0.12 each over sqrt(2*0.0576)
+    assert(got == ((2L, Some(-0.707107))), got)
+    val flat = Seq((0.5, true), (0.5, false)).toDF("p", "y")
+    val f = Stats.spiegelhalterZ(flat, F.col("p"), F.col("y"))
+      .as[(Long, Option[Double])].head()
+    assert(f == ((2L, None)), f)
+  }
+
+  test("distanceCorrelation: exact linear dependence gives dCor 1") {
+    import graft.ops.Stats
+    val df = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0))
+      .toDF("id", "x", "y")
+    val got = Stats.distanceCorrelation(df, F.col("id"), F.col("x"),
+        F.col("y"))
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(got == ((3L, 0.987654, 0.493827, 1.975309, 1.0)), got)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
