@@ -2967,6 +2967,44 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // seasonal Mann-Kendall on daily volume with the weekly cycle
+    // removed exactly (Mondays vs Mondays) — the trend x284 under-powers
+    "x369_seasonal_mk" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.seasonalMannKendall(daily, F.col("t") % 7,
+        F.col("t"), F.col("v"))
+    }),
+
+    // VIF multicollinearity audit over three length covariates: can a
+    // regression attribute effects between them at all
+    "x370_vif" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = F.size(F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+          "\\s+"), x => F.length(x) > 0))
+      val dtoks = F.size(F.array_distinct(F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+          "\\s+"), x => F.length(x) > 0)))
+      graft.ops.Stats.vif3(docs, "n_chars" -> F.col("n_chars"),
+        "n_tokens" -> toks, "n_types" -> dtoks)
+    }),
+
+    // per-event-type Mann-Kendall trend census: WHICH streams drift,
+    // each with its own tie-corrected z
+    "x371_trend_census" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val byTypeDay = ev.groupBy(F.col("event_type"),
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.mannKendallBy(byTypeDay, F.col("event_type"),
+        F.col("t"), F.col("v"))
+    }),
+
     // deployment operating points for the x178-scored classifier:
     // Youden-J and F1 optimal thresholds off the exact (TP, FP) ladder
     "x366_threshold_sweep" -> ((s, dir) => {
@@ -10103,6 +10141,103 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // per-season pair joins; exact integer variance numerators summed
+    // then divided ONCE by 18
+    "x369_seasonal_mk" ->
+      """WITH daily AS (SELECT
+        |    (ts::DATE - DATE '1970-01-01')::BIGINT AS t,
+        |    count(*)::BIGINT AS y FROM events GROUP BY 1),
+        |s AS (SELECT (t % 7)::VARCHAR AS g, t, y FROM daily),
+        |sg AS (SELECT a.g, sum(CASE WHEN b.y > a.y THEN 1
+        |    WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT AS s
+        |  FROM s a JOIN s b ON a.g = b.g AND b.t > a.t GROUP BY a.g),
+        |ties AS (SELECT g,
+        |    sum(tc * (tc - 1) * (tc * 2 + 5))::BIGINT AS tt,
+        |    sum(tc)::BIGINT AS n
+        |  FROM (SELECT g, y, count(*)::BIGINT AS tc FROM s
+        |    GROUP BY 1, 2) GROUP BY g),
+        |core AS (SELECT ties.g, coalesce(sg.s, 0)::BIGINT AS s, n,
+        |    ((n * (n - 1) * (n * 2 + 5)) - tt)::BIGINT AS vnum
+        |  FROM ties LEFT JOIN sg ON sg.g = ties.g),
+        |g AS (SELECT sum(n)::BIGINT AS n,
+        |    count(*)::BIGINT AS n_seasons, sum(s)::BIGINT AS s,
+        |    sum(vnum)::DOUBLE / 18.0::DOUBLE AS vs FROM core)
+        |SELECT n, n_seasons, s, round(vs, 6) AS var_s,
+        |  round(CASE WHEN s > 0 THEN (s - 1)::DOUBLE /
+        |      nullif(sqrt(vs), 0.0)
+        |    WHEN s < 0 THEN (s + 1)::DOUBLE / nullif(sqrt(vs), 0.0)
+        |    ELSE 0.0 END, 6) AS z
+        |FROM g""".stripMargin,
+
+    // one exact sufficient-statistic collapse; pairwise Pearson closed
+    // form; cyclic R² / VIF algebra
+    "x370_vif" ->
+      """WITH s AS (SELECT n_chars::BIGINT AS k1,
+        |    len(list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> length(x) > 0))::BIGINT AS k2,
+        |    len(list_distinct(list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> length(x) > 0)))::BIGINT AS k3
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(k1)::BIGINT AS s1,
+        |    sum(k2)::BIGINT AS s2, sum(k3)::BIGINT AS s3,
+        |    sum(k1 * k1)::BIGINT AS q1, sum(k2 * k2)::BIGINT AS q2,
+        |    sum(k3 * k3)::BIGINT AS q3, sum(k1 * k2)::BIGINT AS p12,
+        |    sum(k1 * k3)::BIGINT AS p13, sum(k2 * k3)::BIGINT AS p23
+        |  FROM s),
+        |r AS (SELECT
+        |    (p12::DOUBLE - s1::DOUBLE * (s2::DOUBLE / n::DOUBLE)) /
+        |      sqrt((q1::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n::DOUBLE))
+        |        * (q2::DOUBLE - s2::DOUBLE * (s2::DOUBLE / n::DOUBLE)))
+        |      AS r12,
+        |    (p13::DOUBLE - s1::DOUBLE * (s3::DOUBLE / n::DOUBLE)) /
+        |      sqrt((q1::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n::DOUBLE))
+        |        * (q3::DOUBLE - s3::DOUBLE * (s3::DOUBLE / n::DOUBLE)))
+        |      AS r13,
+        |    (p23::DOUBLE - s2::DOUBLE * (s3::DOUBLE / n::DOUBLE)) /
+        |      sqrt((q2::DOUBLE - s2::DOUBLE * (s2::DOUBLE / n::DOUBLE))
+        |        * (q3::DOUBLE - s3::DOUBLE * (s3::DOUBLE / n::DOUBLE)))
+        |      AS r23
+        |  FROM g),
+        |rows_ AS (
+        |  SELECT 'n_chars' AS covariate,
+        |    (r12 * r12 + r13 * r13 - 2.0::DOUBLE * r12 * r13 * r23) /
+        |      nullif(1.0::DOUBLE - r23 * r23, 0.0) AS r2 FROM r
+        |  UNION ALL SELECT 'n_tokens',
+        |    (r12 * r12 + r23 * r23 - 2.0::DOUBLE * r12 * r23 * r13) /
+        |      nullif(1.0::DOUBLE - r13 * r13, 0.0) FROM r
+        |  UNION ALL SELECT 'n_types',
+        |    (r13 * r13 + r23 * r23 - 2.0::DOUBLE * r13 * r23 * r12) /
+        |      nullif(1.0::DOUBLE - r12 * r12, 0.0) FROM r)
+        |SELECT covariate, round(r2, 6) AS r2,
+        |  round(1.0::DOUBLE / nullif(1.0::DOUBLE - r2, 0.0), 6) AS vif
+        |FROM rows_ ORDER BY covariate""".stripMargin,
+
+    // per-type pair joins and tie censuses; each slice its own z
+    "x371_trend_census" ->
+      """WITH bt AS (SELECT event_type,
+        |    (ts::DATE - DATE '1970-01-01')::BIGINT AS t,
+        |    count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+        |sg AS (SELECT a.event_type AS g, sum(CASE WHEN b.y > a.y THEN 1
+        |    WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT AS s
+        |  FROM bt a JOIN bt b ON a.event_type = b.event_type
+        |    AND b.t > a.t GROUP BY 1),
+        |ties AS (SELECT event_type AS g,
+        |    sum(tc * (tc - 1) * (tc * 2 + 5))::BIGINT AS tt,
+        |    sum(tc)::BIGINT AS n
+        |  FROM (SELECT event_type, y, count(*)::BIGINT AS tc FROM bt
+        |    GROUP BY 1, 2) GROUP BY 1),
+        |core AS (SELECT ties.g, coalesce(sg.s, 0)::BIGINT AS s, n,
+        |    ((n * (n - 1) * (n * 2 + 5)) - tt)::DOUBLE / 18.0 AS vs
+        |  FROM ties LEFT JOIN sg ON sg.g = ties.g)
+        |SELECT g AS key, n, s, round(vs, 6) AS var_s,
+        |  round(CASE WHEN s > 0 THEN (s - 1)::DOUBLE /
+        |      nullif(sqrt(vs), 0.0)
+        |    WHEN s < 0 THEN (s + 1)::DOUBLE / nullif(sqrt(vs), 0.0)
+        |    ELSE 0.0 END, 6) AS z
+        |FROM core ORDER BY key""".stripMargin,
 
     // the x178 scorer CTE, then the exact descending (TP, FP) ladder
     // with (metric desc, threshold desc) argmax ties

@@ -7409,4 +7409,170 @@ object Stats {
         F.nullif(F.sqrt(F.col("__dvx") * F.col("__dvy")), F.lit(0.0))),
         6).as("dcor"))
   }
+
+  /** Per-key Mann-Kendall sufficient statistics: S (concordant minus
+    * discordant time-ordered pairs), the tie-corrected variance, and
+    * the per-key point count — the shared core of [[mannKendallBy]]
+    * and [[seasonalMannKendall]]. */
+  private def mkByKey(series: DataFrame, keyCol: Column, tCol: Column,
+                      valueCol: Column, scale: Long): DataFrame = {
+    val s = series.select(keyCol.cast("string").as("__g"),
+        tCol.cast("long").as("__t"),
+        F.round(valueCol.cast("double") * scale).cast("long").as("__v"))
+      .filter(F.col("__t").isNotNull && F.col("__v").isNotNull)
+    val a = s.select(F.col("__g"), F.col("__t").as("__ta"),
+      F.col("__v").as("__va"))
+    val b = s.select(F.col("__g"), F.col("__t").as("__tb"),
+      F.col("__v").as("__vb"))
+    val sByG = a.join(b, Seq("__g"))
+      .filter(F.col("__tb") > F.col("__ta"))
+      .groupBy("__g")
+      .agg(F.sum(F.when(F.col("__vb") > F.col("__va"), 1L)
+        .when(F.col("__vb") < F.col("__va"), -1L).otherwise(0L)).as("s"))
+    val ties = s.groupBy("__g", "__v")
+      .agg(F.count(F.lit(1)).as("__tc"))
+      .groupBy("__g")
+      .agg(F.sum(F.col("__tc") * (F.col("__tc") - 1L) *
+        (F.col("__tc") * 2L + 5L)).as("__tt"),
+        F.sum("__tc").as("__n"))
+    ties.join(sByG, Seq("__g"), "left")
+      .withColumn("s", F.coalesce(F.col("s"), F.lit(0L)))
+      .withColumn("__vnum",
+        (F.col("__n") * (F.col("__n") - 1L) *
+          (F.col("__n") * 2L + 5L)) - F.col("__tt"))
+      .withColumn("__vs", F.col("__vnum").cast("double") / 18.0)
+  }
+
+  /** Mann-Kendall trend census per slice — x284's single trend test
+    * run across every group at once: which event types / sources are
+    * actually drifting, with per-slice tie-corrected z. The monitoring
+    * table form of the trend question.
+    *
+    * Scale shape: the pair join is per-key (bounded series per slice,
+    * never cross-slice) and the tie census is a keyed collapse.
+    *
+    * @return per key (key, n, s, var_s, z) ordered — 6-dp
+    */
+  def mannKendallBy(series: DataFrame, keyCol: Column, tCol: Column,
+                    valueCol: Column, scale: Long = 1L): DataFrame = {
+    val core = mkByKey(series, keyCol, tCol, valueCol, scale)
+    core.select(F.col("__g").as("key"), F.col("__n").as("n"),
+      F.col("s"), F.round(F.col("__vs"), 6).as("var_s"),
+      F.round(F.when(F.col("s") > 0L,
+          (F.col("s") - 1L).cast("double") /
+            F.nullif(F.sqrt(F.col("__vs")), F.lit(0.0)))
+        .when(F.col("s") < 0L,
+          (F.col("s") + 1L).cast("double") /
+            F.nullif(F.sqrt(F.col("__vs")), F.lit(0.0)))
+        .otherwise(F.lit(0.0)), 6).as("z"))
+      .orderBy("key")
+  }
+
+  /** Seasonal Mann-Kendall (Hirsch & Slack 1984) — the trend test that
+    * a strong weekly/daily cycle does NOT fool: compute S and its
+    * variance WITHIN each season (comparing only like-with-like —
+    * Mondays with Mondays), then pool:
+    * {{{
+    *   S = Σ_g S_g,   Var = Σ_g Var_g,   z with ±1 correction
+    * }}}
+    * x284's plain MK reads a pure seasonal cycle as zig-zag noise
+    * (power loss) or, with trend+cycle, biases S; the seasonal form
+    * removes the cycle exactly.
+    *
+    * Scale shape: [[mannKendallBy]]'s per-key pair join + two 1-row
+    * rollups.
+    *
+    * @return one row (n, n_seasons, s, var_s, z) — 6-dp
+    */
+  def seasonalMannKendall(series: DataFrame, seasonCol: Column,
+                          tCol: Column, valueCol: Column,
+                          scale: Long = 1L): DataFrame = {
+    val core = mkByKey(series, seasonCol, tCol, valueCol, scale)
+    // sum the exact integer variance numerators, divide ONCE — the
+    // per-season /18 quotients would sum order-dependently
+    val g = core.agg(F.sum("__n").as("n"),
+      F.count(F.lit(1)).as("n_seasons"),
+      F.sum("s").as("s"),
+      (F.sum("__vnum").cast("double") / 18.0).as("__vs"))
+    g.select(F.col("n"), F.col("n_seasons"), F.col("s"),
+      F.round(F.col("__vs"), 6).as("var_s"),
+      F.round(F.when(F.col("s") > 0L,
+          (F.col("s") - 1L).cast("double") /
+            F.nullif(F.sqrt(F.col("__vs")), F.lit(0.0)))
+        .when(F.col("s") < 0L,
+          (F.col("s") + 1L).cast("double") /
+            F.nullif(F.sqrt(F.col("__vs")), F.lit(0.0)))
+        .otherwise(F.lit(0.0)), 6).as("z"))
+  }
+
+  /** Variance inflation factors for a THREE-covariate design — the
+    * multicollinearity audit in closed form (no matrix inversion):
+    * with pairwise Pearson correlations r₁₂, r₁₃, r₂₃,
+    * {{{
+    *   R²_{1|23} = (r₁₂² + r₁₃² − 2r₁₂r₁₃r₂₃) / (1 − r₂₃²),
+    *   VIF₁ = 1 / (1 − R²)
+    * }}}
+    * (and cyclically). VIF > 5–10 says the regression x107/x288 runs
+    * on these covariates cannot attribute effects between them.
+    *
+    * All correlations come from one pass of exact quantized sufficient
+    * statistics (n, Σkᵢ, Σkᵢ², Σkᵢkⱼ); the closed form is a handful of
+    * IEEE ops on identical inputs.
+    *
+    * Scale shape: ONE corpus scan to a 1-row sufficient-statistic
+    * collapse; the 3-row readout explodes from it.
+    *
+    * @return per covariate (covariate, r2, vif) ordered — 6-dp; NULL
+    *         when the other pair is perfectly collinear
+    */
+  def vif3(df: DataFrame, c1: (String, Column), c2: (String, Column),
+           c3: (String, Column), scale: Long = 1L): DataFrame = {
+    def q(c: Column): Column =
+      F.round(c.cast("double") * scale).cast("long")
+    val s = df.select(q(c1._2).as("__k1"), q(c2._2).as("__k2"),
+        q(c3._2).as("__k3"))
+      .filter(F.col("__k1").isNotNull && F.col("__k2").isNotNull &&
+        F.col("__k3").isNotNull)
+    val g = s.agg(F.count(F.lit(1)).as("__n"),
+      F.sum("__k1").as("__s1"), F.sum("__k2").as("__s2"),
+      F.sum("__k3").as("__s3"),
+      F.sum(F.col("__k1") * F.col("__k1")).as("__q1"),
+      F.sum(F.col("__k2") * F.col("__k2")).as("__q2"),
+      F.sum(F.col("__k3") * F.col("__k3")).as("__q3"),
+      F.sum(F.col("__k1") * F.col("__k2")).as("__p12"),
+      F.sum(F.col("__k1") * F.col("__k3")).as("__p13"),
+      F.sum(F.col("__k2") * F.col("__k3")).as("__p23"))
+    val nD = F.col("__n").cast("double")
+    def cv(p: Column, sa: Column, sb: Column): Column =
+      p.cast("double") - sa.cast("double") * (sb.cast("double") / nD)
+    def vx(qq: Column, ss: Column): Column =
+      qq.cast("double") - ss.cast("double") * (ss.cast("double") / nD)
+    val r12 = cv(F.col("__p12"), F.col("__s1"), F.col("__s2")) /
+      F.sqrt(vx(F.col("__q1"), F.col("__s1")) *
+        vx(F.col("__q2"), F.col("__s2")))
+    val r13 = cv(F.col("__p13"), F.col("__s1"), F.col("__s3")) /
+      F.sqrt(vx(F.col("__q1"), F.col("__s1")) *
+        vx(F.col("__q3"), F.col("__s3")))
+    val r23 = cv(F.col("__p23"), F.col("__s2"), F.col("__s3")) /
+      F.sqrt(vx(F.col("__q2"), F.col("__s2")) *
+        vx(F.col("__q3"), F.col("__s3")))
+    def r2Of(ra: Column, rb: Column, rc: Column): Column =
+      (ra * ra + rb * rb - F.lit(2.0) * ra * rb * rc) /
+        F.nullif(F.lit(1.0) - rc * rc, F.lit(0.0))
+    def rowOf(nm: String, ra: Column, rb: Column,
+              rc: Column): Column = {
+      val r2 = r2Of(ra, rb, rc)
+      F.struct(F.lit(nm).as("covariate"),
+        F.round(r2, 6).as("r2"),
+        F.round(F.lit(1.0) / F.nullif(F.lit(1.0) - r2, F.lit(0.0)), 6)
+          .as("vif"))
+    }
+    g.select(F.explode(F.array(
+        rowOf(c1._1, r12, r13, r23),
+        rowOf(c2._1, r12, r23, r13),
+        rowOf(c3._1, r13, r23, r12))).as("__r"))
+      .select(F.col("__r.covariate").as("covariate"),
+        F.col("__r.r2").as("r2"), F.col("__r.vif").as("vif"))
+      .orderBy("covariate")
+  }
 }

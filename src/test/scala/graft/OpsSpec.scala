@@ -5933,6 +5933,46 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ((3L, 0.987654, 0.493827, 1.975309, 1.0)), got)
   }
 
+  test("seasonalMannKendall: pure cycle is flat; trend survives deseason") {
+    import graft.ops.Stats
+    val cyc = (0 until 14).map(t =>
+      (t.toLong, if (t % 2 == 0) 5.0 else 1.0)).toDF("t", "v")
+    val got = Stats.seasonalMannKendall(cyc, F.col("t") % 2,
+        F.col("t"), F.col("v"))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(got == ((14L, 2L, 0L, 0.0, 0.0)), got)
+    val tr = (0 until 6).map(t => (t.toLong, t.toDouble)).toDF("t", "v")
+    val r = Stats.seasonalMannKendall(tr, F.col("t") % 2,
+        F.col("t"), F.col("v"))
+      .as[(Long, Long, Long, Double, Double)].head()
+    // per season S=3, vnum=66: pooled var 132/18
+    assert(r == ((6L, 2L, 6L, 7.333333, 1.846372)), r)
+  }
+
+  test("mannKendallBy: rising slice z>0, constant slice zero variance") {
+    import graft.ops.Stats
+    val df = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("B", 1L, 5.0), ("B", 2L, 5.0), ("B", 3L, 5.0))
+      .toDF("k", "t", "v")
+    val got = Stats.mannKendallBy(df, F.col("k"), F.col("t"),
+        F.col("v"))
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("A", 3L, 3L, 3.666667, 1.044466),
+      ("B", 3L, 0L, 0.0, 0.0)), got)
+  }
+
+  test("vif3: hand correlations give the closed-form VIF triple") {
+    import graft.ops.Stats
+    val df = Seq((1.0, 2.0, 1.0), (2.0, 1.0, 4.0), (3.0, 4.0, 2.0),
+      (4.0, 3.0, 5.0), (5.0, 5.0, 3.0)).toDF("a", "b", "c")
+    val got = Stats.vif3(df, "a" -> F.col("a"), "b" -> F.col("b"),
+        "c" -> F.col("c"))
+      .as[(String, Double, Double)].collect().toSeq
+    // r12=0.8, r13=0.5, r23=-0.1
+    assert(got == Seq(("a", 0.979798, 49.5), ("b", 0.973333, 37.5),
+      ("c", 0.944444, 18.0)), got)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
