@@ -2967,6 +2967,23 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // Lorenz asymmetry of document lengths: does the length
+    // concentration come from a few giants or many stubs — the WHERE
+    // that x128's Gini cannot say
+    "x372_lorenz_asym" -> ((s, dir) =>
+      graft.ops.Stats.lorenzAsymmetry(
+        s.read.parquet(s"$dir/documents.parquet"), F.col("n_chars"))),
+
+    // Gwet's AC1 on the x191 rater pair: the prevalence-robust
+    // agreement read next to kappa — a gap flags skewed labels
+    "x373_gwet_ac1" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.gwetAc1(scored,
+        F.col("quality_score") >= 0.5, F.col("lang") === "en")
+    }),
+
     // seasonal Mann-Kendall on daily volume with the weekly cycle
     // removed exactly (Mondays vs Mondays) — the trend x284 under-powers
     "x369_seasonal_mk" -> ((s, dir) => {
@@ -10141,6 +10158,58 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // strict-below masses as exact longs; mu and the two shares IEEE
+    "x372_lorenz_asym" ->
+      """WITH v AS (SELECT n_chars::BIGINT AS k FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(k)::BIGINT AS t
+        |  FROM v),
+        |below AS (SELECT count(*)::BIGINT AS nb, sum(k)::BIGINT AS sb
+        |  FROM v CROSS JOIN tot
+        |  WHERE k::DOUBLE < t::DOUBLE / n::DOUBLE)
+        |SELECT n,
+        |  round((t::DOUBLE / n::DOUBLE) / 1.0::DOUBLE, 6) AS mean,
+        |  round(nb::DOUBLE / nullif(n::DOUBLE, 0.0), 6) AS f_mu,
+        |  round(sb::DOUBLE / nullif(t::DOUBLE, 0.0), 6) AS l_mu,
+        |  round(nb::DOUBLE / nullif(n::DOUBLE, 0.0) +
+        |    sb::DOUBLE / nullif(t::DOUBLE, 0.0), 6) AS s
+        |FROM tot CROSS JOIN below""".stripMargin,
+
+    // the x191 four exact longs with the mean-marginal chance term
+    "x373_gwet_ac1" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |c AS (SELECT count(*)::BIGINT AS n,
+         |    sum(a * b)::BIGINT AS n11,
+         |    sum((1 - a) * (1 - b))::BIGINT AS n00,
+         |    sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb
+         |  FROM (SELECT CASE WHEN s >= 0.5 THEN 1 ELSE 0 END::BIGINT
+         |      AS a, CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT
+         |      AS b FROM sc)),
+         |f AS (SELECT n, (n11 + n00)::DOUBLE / n::DOUBLE AS po,
+         |    2.0::DOUBLE * ((na + nb)::DOUBLE /
+         |      (2.0::DOUBLE * n::DOUBLE)) *
+         |      (1.0::DOUBLE - (na + nb)::DOUBLE /
+         |        (2.0::DOUBLE * n::DOUBLE)) AS pe
+         |  FROM c)
+         |SELECT n, round(po, 6) AS po, round(pe, 6) AS pe,
+         |  round((po - pe) / nullif(1.0::DOUBLE - pe, 0.0), 6) AS ac1
+         |FROM f""".stripMargin
+    },
 
     // per-season pair joins; exact integer variance numerators summed
     // then divided ONCE by 18

@@ -7575,4 +7575,75 @@ object Stats {
         F.col("__r.r2").as("r2"), F.col("__r.vif").as("vif"))
       .orderBy("covariate")
   }
+
+  /** Lorenz asymmetry coefficient (Damgaard & Weiner 2000) — WHERE the
+    * inequality lives: S = F(μ) + L(μ), the Lorenz curve's coordinates
+    * where its slope is 1 (at the mean). S > 1 means the concentration
+    * comes from a few LARGE holders; S < 1 from many small ones — two
+    * corpora can share a Gini (x128) and differ completely here, and
+    * the fix differs (cap the whales vs prune the dust).
+    *
+    * F(μ) = (#x < μ)/n and L(μ) = (Σ_{x<μ} x)/Σx use strict-below
+    * masses (μ itself almost never equals a value on continuous-ish
+    * data; exact-μ ties would add the standard δ interpolation —
+    * documented simplification, shared with the oracle). All masses
+    * are exact longs; μ and the two shares are IEEE on exact inputs.
+    *
+    * Scale shape: one 1-row total, one filtered collapse — two scans,
+    * no shuffle beyond the rollups.
+    *
+    * @return one row (n, mean, f_mu, l_mu, s) — 6-dp
+    */
+  def lorenzAsymmetry(df: DataFrame, valueCol: Column,
+                      scale: Long = 1L): DataFrame = {
+    val v = df.select(
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .filter(F.col("__k").isNotNull && F.col("__k") >= 0L)
+    val tot = v.agg(F.count(F.lit(1)).as("n"), F.sum("__k").as("__t"))
+    val mu = F.col("__t").cast("double") / F.col("n").cast("double")
+    val below = v.crossJoin(F.broadcast(tot))
+      .filter(F.col("__k").cast("double") < mu)
+      .agg(F.count(F.lit(1)).as("__nb"), F.sum("__k").as("__sb"))
+    val g = tot.crossJoin(F.broadcast(below))
+    val fMu = F.col("__nb").cast("double") /
+      F.nullif(F.col("n").cast("double"), F.lit(0.0))
+    val lMu = F.col("__sb").cast("double") /
+      F.nullif(F.col("__t").cast("double"), F.lit(0.0))
+    g.select(F.col("n"),
+      F.round(mu / F.lit(scale).cast("double"), 6).as("mean"),
+      F.round(fMu, 6).as("f_mu"), F.round(lMu, 6).as("l_mu"),
+      F.round(fMu + lMu, 6).as("s"))
+  }
+
+  /** Gwet's AC1 agreement coefficient (2008) — [[cohensKappa]] without
+    * the prevalence paradox: when both raters say "yes" 95% of the
+    * time, κ's chance correction collapses (high agreement, κ ≈ 0);
+    * AC1's chance term p_e = 2π̄(1−π̄) with π̄ the MEAN marginal stays
+    * calibrated. The standard cross-check: report κ and AC1 together,
+    * and a large gap means the labels are skewed, not the raters
+    * discordant.
+    *
+    * Same four exact longs as κ; two IEEE shares.
+    *
+    * @return one row (n, po, pe, ac1) — 6-dp
+    */
+  def gwetAc1(df: DataFrame, raterA: Column,
+              raterB: Column): DataFrame = {
+    val c = df.select(F.when(raterA, 1L).otherwise(0L).as("__a"),
+        F.when(raterB, 1L).otherwise(0L).as("__b"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("__a") * F.col("__b")).as("__n11"),
+        F.sum((F.lit(1L) - F.col("__a")) * (F.lit(1L) - F.col("__b")))
+          .as("__n00"),
+        F.sum("__a").as("__na"), F.sum("__b").as("__nb"))
+    val nD = F.col("n").cast("double")
+    val po = (F.col("__n11") + F.col("__n00")).cast("double") / nD
+    val piBar = (F.col("__na") + F.col("__nb")).cast("double") /
+      (F.lit(2.0) * nD)
+    val pe = F.lit(2.0) * piBar * (F.lit(1.0) - piBar)
+    c.select(F.col("n"), F.round(po, 6).as("po"),
+      F.round(pe, 6).as("pe"),
+      F.round((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6)
+        .as("ac1"))
+  }
 }

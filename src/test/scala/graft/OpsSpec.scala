@@ -5973,6 +5973,33 @@ class OpsSpec extends AnyFunSuite {
       ("c", 0.944444, 18.0)), got)
   }
 
+  test("lorenzAsymmetry: whale-driven S>1, dust-driven S<1") {
+    import graft.ops.Stats
+    val whale = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
+    val got = Stats.lorenzAsymmetry(whale, F.col("v"))
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(got == ((4L, 4.0, 0.75, 0.375, 1.125)), got)
+    val dust = Seq(1.0, 5.0, 5.0, 5.0).toDF("v")
+    val d = Stats.lorenzAsymmetry(dust, F.col("v"))
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(d == ((4L, 4.0, 0.25, 0.0625, 0.3125)), d)
+  }
+
+  test("gwetAc1: hand table 0.2; skewed labels keep AC1 calibrated") {
+    import graft.ops.Stats
+    val df = Seq((true, true), (true, true), (true, false),
+      (false, true)).toDF("a", "b")
+    val got = Stats.gwetAc1(df, F.col("a"), F.col("b"))
+      .as[(Long, Double, Double, Double)].head()
+    assert(got == ((4L, 0.5, 0.375, 0.2)), got)
+    val skew = Seq((true, true), (true, true), (true, true),
+      (true, false)).toDF("a", "b")
+    val s = Stats.gwetAc1(skew, F.col("a"), F.col("b"))
+      .as[(Long, Double, Double, Double)].head()
+    // kappa here is 0 (one rater constant); AC1 reads 0.68
+    assert(s == ((4L, 0.75, 0.21875, 0.68)), s)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
