@@ -2967,6 +2967,29 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // Weibull shape/scale for document lengths via median-rank
+    // regression: k<1 heavy tail, k>1 wear-out — what x266's forced
+    // exponential cannot distinguish
+    "x374_weibull_fit" -> ((s, dir) =>
+      graft.ops.Stats.weibullFit(
+        s.read.parquet(s"$dir/documents.parquet"), F.col("n_chars"))),
+
+    // one-sample CvM of the x178 scores against Uniform(0,1): the PIT
+    // shape check next to x367's mean-level calibration z
+    "x375_cvm_uniform" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.cvmUniform(scored, F.col("quality_score"))
+    }),
+
+    // mean residual life of document lengths over a fixed grid: the
+    // capacity-planning curve behind x267's tail index
+    "x376_mean_residual_life" -> ((s, dir) =>
+      graft.ops.Stats.meanResidualLife(
+        s.read.parquet(s"$dir/documents.parquet"), F.col("n_chars"),
+        thresholds = Seq(50L, 100L, 200L, 300L, 400L, 500L))),
+
     // Lorenz asymmetry of document lengths: does the length
     // concentration come from a few giants or many stubs — the WHERE
     // that x128's Gini cannot say
@@ -10158,6 +10181,95 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // median-rank ladder on the distinct-value collapse; 9-dp plot
+    // coordinates; the hurst OLS collapse
+    "x374_weibull_fit" ->
+      """WITH byv AS (SELECT n_chars::DOUBLE AS v, count(*)::BIGINT AS t
+        |  FROM documents WHERE n_chars::DOUBLE > 0.0 GROUP BY 1),
+        |tot AS (SELECT sum(t)::BIGINT AS nn FROM byv),
+        |lad AS (SELECT v, (sum(t) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum, nn
+        |  FROM byv CROSS JOIN tot),
+        |pts AS (SELECT nn, round(ln(v), 9) AS x,
+        |    round(ln(-ln(1.0::DOUBLE - ((cum::DOUBLE - 0.3) /
+        |      (nn::DOUBLE + 0.4)))), 9) AS y
+        |  FROM lad),
+        |p2 AS (SELECT nn, x, y, round(x * y, 9) AS xy,
+        |    round(x * x, 9) AS x2, round(y * y, 9) AS y2 FROM pts),
+        |reg AS (SELECT max(nn)::BIGINT AS n, count(*)::BIGINT AS k,
+        |    sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy,
+        |    sum(x2) AS sx2, sum(y2) AS sy2 FROM p2),
+        |f AS (SELECT n, k,
+        |    (k::DOUBLE * sxy - sx * sy) /
+        |      nullif(k::DOUBLE * sx2 - sx * sx, 0.0) AS shape,
+        |    k::DOUBLE * sx2 - sx * sx AS sxx,
+        |    k::DOUBLE * sy2 - sy * sy AS syy,
+        |    k::DOUBLE * sxy - sx * sy AS sxyv,
+        |    sx, sy
+        |  FROM reg)
+        |SELECT n,
+        |  round(CASE WHEN k >= 2 THEN shape END, 6) AS shape,
+        |  round(CASE WHEN k >= 2 THEN exp(-((sy - shape * sx) /
+        |    k::DOUBLE) / nullif(shape, 0.0)) END, 6) AS scale_p,
+        |  round(CASE WHEN k >= 2 THEN sxyv * sxyv /
+        |    nullif(sxx * syy, 0.0) END, 6) AS r2
+        |FROM f""".stripMargin,
+
+    // the x178 scorer; per-tie-group closed arithmetic series in exact
+    // longs; one 9-dp term per group
+    "x375_cvm_uniform" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS u
+         |FROM t, w),
+         |byv AS (SELECT u, count(*)::BIGINT AS t FROM sc GROUP BY 1),
+         |tot AS (SELECT sum(t)::BIGINT AS n FROM byv),
+         |lad AS (SELECT u, t, (sum(t) OVER (ORDER BY u ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS b, n
+         |  FROM byv CROSS JOIN tot),
+         |tm AS (SELECT n, round(
+         |    t::DOUBLE * u * u -
+         |    (u / n::DOUBLE) *
+         |      (b * b - (b - t) * (b - t))::DOUBLE +
+         |    (4.0::DOUBLE * (b * (b + 1) * (2 * b + 1) // 6 -
+         |        (b - t) * (b - t + 1) * (2 * (b - t) + 1) // 6)::DOUBLE
+         |      - 4.0::DOUBLE * (b * (b + 1) // 2 -
+         |        (b - t) * (b - t + 1) // 2)::DOUBLE
+         |      + t::DOUBLE) /
+         |      (4.0::DOUBLE * n::DOUBLE * n::DOUBLE), 9) AS term
+         |  FROM lad)
+         |SELECT max(n)::BIGINT AS n,
+         |  round(sum(term) + 1.0::DOUBLE /
+         |    (12.0::DOUBLE * max(n)::DOUBLE), 6) AS w2,
+         |  round(1.0::DOUBLE / 6.0::DOUBLE, 6) AS e_w2
+         |FROM tm""".stripMargin
+    },
+
+    // grid-joined exact tail sums; one subtraction/division per row
+    "x376_mean_residual_life" ->
+      """WITH byv AS (SELECT n_chars::BIGINT AS k, count(*)::BIGINT AS t
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |grid AS (SELECT unnest([50, 100, 200, 300, 400, 500])::BIGINT
+        |  AS t0),
+        |g AS (SELECT t0, coalesce(sum(t), 0)::BIGINT AS n_above,
+        |    sum(t * k)::BIGINT AS sx
+        |  FROM grid LEFT JOIN byv ON k > t0 * 1 GROUP BY t0)
+        |SELECT t0 AS t, n_above,
+        |  round((sx::DOUBLE / nullif(n_above::DOUBLE, 0.0) -
+        |    t0::DOUBLE * 1.0::DOUBLE) / 1.0::DOUBLE, 6) AS mrl
+        |FROM g ORDER BY t""".stripMargin,
 
     // strict-below masses as exact longs; mu and the two shares IEEE
     "x372_lorenz_asym" ->

@@ -7646,4 +7646,160 @@ object Stats {
       F.round((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6)
         .as("ac1"))
   }
+
+  /** Weibull fit by median-rank regression (the probability-plot
+    * method): plot ln(−ln(1−Fᵢ)) against ln xᵢ with Bernard's median
+    * ranks Fᵢ = (i − 0.3)/(n + 0.4), and the OLS slope IS the shape k
+    * (k < 1: infant-mortality/heavy tail, k ≈ 1 exponential, k > 1
+    * wear-out), scale λ = exp(−intercept/k). The standard reliability
+    * fit next to [[expFitKs]] (which FORCES k = 1) and
+    * [[gumbelFitKs]] (maxima, not lifetimes).
+    *
+    * Ranks collapse to the distinct-value ladder (i = cumulative
+    * count, the last-member order statistic per tie group — the
+    * documented tie convention); both plot coordinates round 9 dp
+    * before the [[hurstRS]]-idiom OLS sums.
+    *
+    * Scale shape: one value-domain collapse, one bounded ladder
+    * window, a 1-row regression.
+    *
+    * @return one row (n, shape, scale_p, r2) — 6-dp; NULL on < 2
+    *         distinct positive values
+    */
+  def weibullFit(df: DataFrame, valueCol: Column): DataFrame = {
+    val byV = df.select(valueCol.cast("double").as("__v"))
+      .filter(F.col("__v") > 0.0)
+      .groupBy("__v").agg(F.count(F.lit(1)).as("__t"))
+    val tot = byV.agg(F.sum("__t").as("__n"))
+    val w = Window.orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = F.col("__n").cast("double")
+    val pts = byV
+      .withColumn("__cum", F.sum("__t").over(w))
+      .crossJoin(F.broadcast(tot))
+      .withColumn("__f",
+        (F.col("__cum").cast("double") - 0.3) / (nD + 0.4))
+      .withColumn("__x", F.round(F.log(F.col("__v")), 9))
+      .withColumn("__y",
+        F.round(F.log(-F.log(F.lit(1.0) - F.col("__f"))), 9))
+      .withColumn("__xy", F.round(F.col("__x") * F.col("__y"), 9))
+      .withColumn("__x2", F.round(F.col("__x") * F.col("__x"), 9))
+      .withColumn("__y2", F.round(F.col("__y") * F.col("__y"), 9))
+    val reg = pts.agg(F.max("__n").as("n"),
+      F.count(F.lit(1)).as("__k"),
+      F.sum("__x").as("__sx"), F.sum("__y").as("__sy"),
+      F.sum("__xy").as("__sxy"), F.sum("__x2").as("__sx2"),
+      F.sum("__y2").as("__sy2"))
+    val kD = F.col("__k").cast("double")
+    val sxx = kD * F.col("__sx2") - F.col("__sx") * F.col("__sx")
+    val syy = kD * F.col("__sy2") - F.col("__sy") * F.col("__sy")
+    val sxy = kD * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    val shape = sxy / F.nullif(sxx, F.lit(0.0))
+    val inter = (F.col("__sy") - shape * F.col("__sx")) / kD
+    reg.select(F.col("n"),
+      F.round(F.when(F.col("__k") >= 2L, shape), 6).as("shape"),
+      F.round(F.when(F.col("__k") >= 2L,
+        F.exp(-inter / F.nullif(shape, F.lit(0.0)))), 6).as("scale_p"),
+      F.round(F.when(F.col("__k") >= 2L,
+        sxy * sxy / F.nullif(sxx * syy, F.lit(0.0))), 6).as("r2"))
+  }
+
+  /** One-sample Cramér–von Mises test against Uniform(0, 1) — the PIT
+    * (probability-integral-transform) check: if scores are honest
+    * probabilities/quantiles, their distribution on [0, 1] is uniform
+    * and
+    * {{{
+    *   W² = Σᵢ (uᵢ − (2i−1)/(2n))² + 1/(12n),   E[W²] = 1/6
+    * }}}
+    * is small. The whole-distribution companion of x367's mean-level
+    * calibration z: a scorer can pass the mean test and still pile
+    * every score at 0.4/0.6 — W² sees the shape.
+    *
+    * Per tie group (consecutive order statistics a..b sharing value
+    * u), Σ(uᵢ − (2i−1)/2n)² has the closed arithmetic-series form in
+    * exact longs scaled by 4n² — the [[cvmTwoSample]] discipline; u
+    * arrives 6-dp so both engines see identical inputs. Per-group
+    * terms round 9 dp.
+    *
+    * Scale shape: one value-domain collapse, one bounded ladder, a
+    * 1-row result.
+    *
+    * @return one row (n, w2, e_w2) — 6-dp
+    */
+  def cvmUniform(df: DataFrame, valueCol: Column): DataFrame = {
+    val byV = df.select(valueCol.cast("double").as("__u"))
+      .filter(F.col("__u").isNotNull)
+      .groupBy("__u").agg(F.count(F.lit(1)).as("__t"))
+    val tot = byV.agg(F.sum("__t").as("__n"))
+    val w = Window.orderBy(F.col("__u"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = F.col("__n").cast("double")
+    // group occupies order statistics a..b; with m = 2i−1:
+    // Σ(u − m/2n)² = t·u² − (u/n)·Σm + Σm²/(4n²), Σm and Σm² closed
+    val lad = byV
+      .withColumn("__cum", F.sum("__t").over(w))
+      .crossJoin(F.broadcast(tot))
+    val b = F.col("__cum")
+    val a = F.col("__cum") - F.col("__t") + 1L
+    // Σ_{i=a..b}(2i−1) = (b² − (a−1)²) exactly
+    val sm = (b * b - (a - 1L) * (a - 1L)).cast("double")
+    // Σ_{i=a..b}(2i−1)² = Σ_{j odd, 2a−1..2b−1} j² =
+    //   (2b−1)(2b)(2b+1)/6 − (2a−2)(2a−1)(2a)/6 − even part; use the
+    //   direct closed form Σ(2i−1)² = (4i²−4i+1) summed:
+    val s1 = (b * (b + 1L) / 2L - (a - 1L) * a / 2L).cast("double")
+    val s2 = (b * (b + 1L) * (F.lit(2L) * b + 1L) / 6L -
+      (a - 1L) * a * (F.lit(2L) * a - 1L) / 6L).cast("double")
+    val smSq = F.lit(4.0) * s2 - F.lit(4.0) * s1 +
+      F.col("__t").cast("double")
+    val term = F.col("__t").cast("double") * F.col("__u") * F.col("__u") -
+      (F.col("__u") / nD) * sm + smSq / (F.lit(4.0) * nD * nD)
+    val g = lad.withColumn("__term", F.round(term, 9))
+      .agg(F.max("__n").as("n"), F.sum("__term").as("__s"))
+    g.select(F.col("n"),
+      F.round(F.col("__s") +
+        F.lit(1.0) / (F.lit(12.0) * F.col("n").cast("double")), 6)
+        .as("w2"),
+      F.round(F.lit(1.0 / 6.0), 6).as("e_w2"))
+  }
+
+  /** Mean residual life curve — "given we're already past t, how much
+    * MORE is left on average": MRL(t) = E[X − t | X > t] over a fixed
+    * threshold grid. Rising MRL is the heavy-tail signature (the
+    * longer a document/session has run, the longer it will keep
+    * going — the x267 Hill index's actionable form); falling MRL is
+    * wear-out. The capacity-planning curve a mean+quantile summary
+    * approximates badly in the tail.
+    *
+    * Per threshold: exact (count, Σx) above t via one grid join over
+    * the value-domain collapse — one IEEE subtraction/division per
+    * grid row.
+    *
+    * Scale shape: one value collapse, a bounded |grid| × distinct-
+    * values join (both bounded), |grid| output rows.
+    *
+    * @return per threshold (t, n_above, mrl) ordered — 6-dp; NULL mrl
+    *         when nothing exceeds t
+    */
+  def meanResidualLife(df: DataFrame, valueCol: Column,
+                       thresholds: Seq[Long],
+                       scale: Long = 1L): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val byV = df.select(
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"))
+      .filter(F.col("__k").isNotNull)
+      .groupBy("__k").agg(F.count(F.lit(1)).as("__t"))
+    val grid = byV.sparkSession.createDataFrame(
+      thresholds.map(Tuple1(_))).toDF("t")
+    val g = grid.join(byV,
+        F.col("__k") > F.col("t") * F.lit(scale), "left")
+      .groupBy("t")
+      .agg(F.coalesce(F.sum("__t"), F.lit(0L)).as("n_above"),
+        F.sum(F.col("__t") * F.col("__k")).as("__sx"))
+    g.select(F.col("t"), F.col("n_above"),
+      F.round((F.col("__sx").cast("double") /
+        F.nullif(F.col("n_above").cast("double"), F.lit(0.0)) -
+        F.col("t").cast("double") * F.lit(scale).cast("double")) /
+        F.lit(scale).cast("double"), 6).as("mrl"))
+      .orderBy("t")
+  }
 }

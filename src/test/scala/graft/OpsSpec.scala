@@ -6000,6 +6000,39 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 0.75, 0.21875, 0.68)), s)
   }
 
+  test("weibullFit: {1, e} median-rank regression hand fit") {
+    import graft.ops.Stats
+    val df = Seq(1.0, math.E).toDF("v")
+    val got = Stats.weibullFit(df, F.col("v"))
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    // x = (0, 1): slope from Bernard ranks 0.7/2.4 and 1.7/2.4
+    assert(got == ((2L, Some(1.273429), Some(2.307277), Some(1.0))),
+      got)
+  }
+
+  test("cvmUniform: perfectly spread scores W2=1/24; point mass 1/6") {
+    import graft.ops.Stats
+    val spread = Seq(0.25, 0.75).toDF("u")
+    val got = Stats.cvmUniform(spread, F.col("u"))
+      .as[(Long, Double, Double)].head()
+    // u_i exactly at (2i-1)/2n: only the 1/12n floor remains
+    assert(got == ((2L, 0.041667, 0.166667)), got)
+    val mass = Seq(0.5, 0.5).toDF("u")
+    val m = Stats.cvmUniform(mass, F.col("u"))
+      .as[(Long, Double, Double)].head()
+    assert(m == ((2L, 0.166667, 0.166667)), m)
+  }
+
+  test("meanResidualLife: 1,2,3,10 grid — rising tail expectation") {
+    import graft.ops.Stats
+    val df = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
+    val got = Stats.meanResidualLife(df, F.col("v"),
+        thresholds = Seq(0L, 2L, 5L))
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq((0L, 4L, Some(4.0)), (2L, 2L, Some(4.5)),
+      (5L, 1L, Some(5.0))), got)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
