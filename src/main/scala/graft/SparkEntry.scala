@@ -2967,6 +2967,33 @@ object SparkEntry {
         sizes = Seq(8, 16, 32, 64, 128))
     }),
 
+    // upper-tail dependence between per-user activity and spend: do
+    // the monsters arrive together — what x116's bulk correlation hides
+    "x377_tail_dependence" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val perUser = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").as("activity"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).as("spend_c"))
+      graft.ops.Stats.tailDependence(perUser, F.col("activity"),
+        F.col("spend_c"), q = 0.9)
+    }),
+
+    // paired t on per-user first-half vs second-half activity: each
+    // user its own control — the within-subject power x117 wastes
+    "x378_paired_t" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val d = F.to_date(graft.ops.EventOps.tsStamp(ev))
+      val withD = ev.select(F.col("user_id"), d.as("__d"))
+      val mn = withD.agg(F.min("__d").as("__m"))
+      val perUser = withD.crossJoin(F.broadcast(mn))
+        .groupBy("user_id").agg(
+          F.sum(F.when(F.col("__d") < F.date_add(F.col("__m"), 15), 1L)
+            .otherwise(0L)).as("a"),
+          F.sum(F.when(F.col("__d") >= F.date_add(F.col("__m"), 15), 1L)
+            .otherwise(0L)).as("b"))
+      graft.ops.Stats.pairedT(perUser, F.col("a"), F.col("b"))
+    }),
+
     // Weibull shape/scale for document lengths via median-rank
     // regression: k<1 heavy tail, k>1 wear-out — what x266's forced
     // exponential cannot distinguish
@@ -10181,6 +10208,61 @@ object SparkEntry {
         |    AS hurst FROM reg)
         |SELECT size, n_blocks, rs, n_sizes, hurst
         |FROM bysz CROSS JOIN h ORDER BY size""".stripMargin,
+
+    // per-user exact (count, cent-sum); exact integer quantile cuts
+    // via -floor(-q*n); one IEEE co-exceedance ratio
+    "x377_tail_dependence" ->
+      """WITH pu AS (SELECT user_id, count(*)::BIGINT AS x,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT x, y FROM pu),
+        |xn AS (SELECT count(*)::BIGINT AS n FROM s),
+        |xc AS (SELECT min(v) AS xcut FROM (
+        |  SELECT v, (sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW))::BIGINT AS cum, n FROM (
+        |    SELECT x AS v, count(*)::BIGINT AS t FROM s GROUP BY 1)
+        |    CROSS JOIN xn)
+        |  WHERE cum >= -floor(-0.9::DOUBLE * n::DOUBLE)),
+        |yc AS (SELECT min(v) AS ycut FROM (
+        |  SELECT v, (sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW))::BIGINT AS cum, n FROM (
+        |    SELECT y AS v, count(*)::BIGINT AS t FROM s GROUP BY 1)
+        |    CROSS JOIN xn)
+        |  WHERE cum >= -floor(-0.9::DOUBLE * n::DOUBLE)),
+        |g AS (SELECT count(*)::BIGINT AS n, max(xcut)::BIGINT AS cx,
+        |    max(ycut)::BIGINT AS cy,
+        |    sum(CASE WHEN x > xcut AND y > ycut THEN 1 ELSE 0
+        |      END)::BIGINT AS n_joint
+        |  FROM s CROSS JOIN xc CROSS JOIN yc)
+        |SELECT n, round(cx::DOUBLE / 1.0::DOUBLE, 6) AS x_cut,
+        |  round(cy::DOUBLE / 1.0::DOUBLE, 6) AS y_cut, n_joint,
+        |  round(n_joint::DOUBLE / (n::DOUBLE *
+        |    (1.0::DOUBLE - 0.9::DOUBLE)), 6) AS lambda_u
+        |FROM g""".stripMargin,
+
+    // per-user window split at min+15d; exact difference sufficient
+    // stats; two IEEE divisions
+    "x378_paired_t" ->
+      """WITH mn AS (SELECT min(ts::DATE) AS m FROM events),
+        |pu AS (SELECT user_id,
+        |    sum(CASE WHEN ts::DATE < m + 15 THEN 1 ELSE 0
+        |      END)::BIGINT AS a,
+        |    sum(CASE WHEN ts::DATE >= m + 15 THEN 1 ELSE 0
+        |      END)::BIGINT AS b
+        |  FROM events CROSS JOIN mn GROUP BY 1),
+        |d AS (SELECT (a - b)::BIGINT AS d FROM pu),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(d)::BIGINT AS s,
+        |    sum(d * d)::BIGINT AS q FROM d),
+        |f AS (SELECT n,
+        |    s::DOUBLE / (n::DOUBLE * 1.0::DOUBLE) AS mean,
+        |    sqrt((q::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE)) /
+        |      (nullif(n::DOUBLE - 1.0::DOUBLE, 0.0) * 1.0::DOUBLE
+        |        * 1.0::DOUBLE)) AS sd
+        |  FROM g)
+        |SELECT n, round(mean, 6) AS mean_diff, round(sd, 6) AS sd_diff,
+        |  round(mean / nullif(sd / sqrt(n::DOUBLE), 0.0), 6) AS t,
+        |  (n - 1)::BIGINT AS df
+        |FROM f""".stripMargin,
 
     // median-rank ladder on the distinct-value collapse; 9-dp plot
     // coordinates; the hurst OLS collapse

@@ -7802,4 +7802,101 @@ object Stats {
         F.lit(scale).cast("double"), 6).as("mrl"))
       .orderBy("t")
   }
+
+  /** Empirical upper-tail dependence — do the two metrics' EXTREMES
+    * co-occur: λ_U(q) = P(X > x_q AND Y > y_q) / (1 − q), the
+    * co-exceedance rate above each margin's q-quantile relative to
+    * independence (λ ≈ 1 − q under independence after the
+    * normalization... λ = 1 means the tails move together, ≈ 1 − q
+    * means they don't). Bulk correlation (x116) routinely hides tail
+    * independence and vice versa — this is the "do the monsters arrive
+    * together" readout capacity planning actually needs.
+    *
+    * Quantile cuts use the exact integer rule (smallest value whose
+    * cumulative count ≥ ⌈q·n⌉ — ceil on exact longs); exceedance
+    * counts are exact; one IEEE ratio.
+    *
+    * Scale shape: two value-domain ladders for the cuts (broadcast
+    * 1-row each), one counting scan.
+    *
+    * @return one row (n, x_cut, y_cut, n_joint, lambda_u) — 6-dp
+    */
+  def tailDependence(df: DataFrame, xCol: Column, yCol: Column,
+                     q: Double = 0.9, scale: Long = 1L): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    val s = df.select(
+        F.round(xCol.cast("double") * scale).cast("long").as("__x"),
+        F.round(yCol.cast("double") * scale).cast("long").as("__y"))
+      .filter(F.col("__x").isNotNull && F.col("__y").isNotNull)
+    def cut(c: String): DataFrame = {
+      val byV = s.groupBy(F.col(c).as("__v"))
+        .agg(F.count(F.lit(1)).as("__t"))
+      val n = byV.agg(F.sum("__t").as("__n"))
+      val w = Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byV.crossJoin(F.broadcast(n))
+        .withColumn("__cum", F.sum("__t").over(w))
+        // ceil(q·n) on exact longs: (q·n rounded up via negated floor)
+        .filter(F.col("__cum") >=
+          -F.floor(-F.lit(q) * F.col("__n").cast("double")))
+        .agg(F.min("__v").as(s"${c}cut"))
+    }
+    val cuts = cut("__x").crossJoin(cut("__y"))
+    val g = s.crossJoin(F.broadcast(cuts))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.max(F.col("__xcut")).as("__cx"),
+        F.max(F.col("__ycut")).as("__cy"),
+        F.sum(F.when(F.col("__x") > F.col("__xcut") &&
+          F.col("__y") > F.col("__ycut"), 1L).otherwise(0L))
+          .as("n_joint"))
+    val sD = F.lit(scale).cast("double")
+    g.select(F.col("n"),
+      F.round(F.col("__cx").cast("double") / sD, 6).as("x_cut"),
+      F.round(F.col("__cy").cast("double") / sD, 6).as("y_cut"),
+      F.col("n_joint"),
+      F.round(F.col("n_joint").cast("double") /
+        (F.col("n").cast("double") * F.lit(1.0 - q)), 6)
+        .as("lambda_u"))
+  }
+
+  /** Paired t-test on per-subject differences — the within-subject
+    * design that [[welchTTest]]'s independent-groups form wastes: each
+    * subject is its own control, so between-subject variance drops out
+    * of the comparison entirely:
+    * {{{
+    *   t = d̄ / (s_d / √n),   df = n − 1
+    * }}}
+    * The before/after primitive (first-half vs second-half activity,
+    * pre/post deploy) with ~the power of a far larger unpaired sample.
+    *
+    * Differences are exact longs (both sides ×scale), so (n, Σd, Σd²)
+    * are exact and t is two IEEE divisions.
+    *
+    * Scale shape: one keyed collapse to subject pairs, a 1-row result.
+    *
+    * @param aCol,bCol the two paired measurements per row (one row per
+    *                  subject)
+    * @return one row (n, mean_diff, sd_diff, t, df) — 6-dp; NULL t
+    *         when s_d = 0 or n < 2
+    */
+  def pairedT(df: DataFrame, aCol: Column, bCol: Column,
+              scale: Long = 1L): DataFrame = {
+    val s = df.select(
+        (F.round(aCol.cast("double") * scale).cast("long") -
+          F.round(bCol.cast("double") * scale).cast("long")).as("__d"))
+      .filter(F.col("__d").isNotNull)
+    val g = s.agg(F.count(F.lit(1)).as("n"), F.sum("__d").as("__s"),
+      F.sum(F.col("__d") * F.col("__d")).as("__q"))
+    val nD = F.col("n").cast("double")
+    val sD = F.lit(scale).cast("double")
+    val mean = F.col("__s").cast("double") / (nD * sD)
+    val sd = F.sqrt((F.col("__q").cast("double") -
+      F.col("__s").cast("double") *
+        (F.col("__s").cast("double") / nD)) /
+      (F.nullif(nD - 1.0, F.lit(0.0)) * sD * sD))
+    g.select(F.col("n"), F.round(mean, 6).as("mean_diff"),
+      F.round(sd, 6).as("sd_diff"),
+      F.round(mean / F.nullif(sd / F.sqrt(nD), F.lit(0.0)), 6).as("t"),
+      (F.col("n") - 1L).as("df"))
+  }
 }

@@ -6033,6 +6033,35 @@ class OpsSpec extends AnyFunSuite {
       (5L, 1L, Some(5.0))), got)
   }
 
+  test("tailDependence: comonotone tails hit, antithetic tails miss") {
+    import graft.ops.Stats
+    val co = (1 to 10).map(i => (i.toDouble, i.toDouble)).toDF("x", "y")
+    val got = Stats.tailDependence(co, F.col("x"), F.col("y"), q = 0.8)
+      .as[(Long, Double, Double, Long, Double)].head()
+    // 0.8·10 rounds to exactly 8.0 in IEEE, so the cut is the 8th
+    // order statistic; 9 and 10 exceed both margins
+    assert(got == ((10L, 8.0, 8.0, 2L, 1.0)), got)
+    val anti = (1 to 10).map(i => (i.toDouble, (11 - i).toDouble))
+      .toDF("x", "y")
+    val a = Stats.tailDependence(anti, F.col("x"), F.col("y"), q = 0.8)
+      .as[(Long, Double, Double, Long, Double)].head()
+    assert(a == ((10L, 8.0, 8.0, 0L, 0.0)), a)
+  }
+
+  test("pairedT: constant shift has zero sd; mixed diffs hand t") {
+    import graft.ops.Stats
+    val const = Seq((3.0, 1.0), (4.0, 2.0), (5.0, 3.0), (6.0, 4.0))
+      .toDF("a", "b")
+    val got = Stats.pairedT(const, F.col("a"), F.col("b"))
+      .as[(Long, Double, Double, Option[Double], Long)].head()
+    assert(got == ((4L, 2.0, 0.0, None, 3L)), got)
+    val mixed = Seq((3.0, 1.0), (2.0, 2.0), (5.0, 2.0)).toDF("a", "b")
+    val m = Stats.pairedT(mixed, F.col("a"), F.col("b"))
+      .as[(Long, Double, Double, Option[Double], Long)].head()
+    // d = (2, 0, 3): mean 5/3, sd sqrt(7/3)
+    assert(m == ((3L, 1.666667, 1.527525, Some(1.889822), 2L)), m)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
