@@ -1619,13 +1619,24 @@ object Similarity {
   /** Pack 32 dimensions' SIGN BITS (from `offset`, 0-based) into one
     * long: bit i set iff vec[offset + i] > 0. Two halves instead of one
     * 64-bit word keep every 2^i term ≤ 2^31 — addable exactly in doubles
-    * and inside BIGINT range for the oracle's integer algebra. */
+    * and inside BIGINT range for the oracle's integer algebra.
+    *
+    * Guarded: raises at action time unless the vector has EXACTLY 64
+    * dims (advisor r12) — a shorter vector would pack fewer bits and a
+    * longer one would silently ignore dims beyond 64, both degrading
+    * Hamming-candidate recall with the exact rerank masking it. */
   private def packSignHalf(vec: Column, offset: Int): Column =
-    F.aggregate(
-      F.transform(F.slice(vec, offset + 1, 32), (v, i) =>
-        F.when(v > 0.0, F.pow(F.lit(2.0), i.cast("double")))
-          .otherwise(F.lit(0.0))),
-      F.lit(0.0), (acc, x) => acc + x).cast("long")
+    F.when(F.size(vec) === 64,
+      F.aggregate(
+        F.transform(F.slice(vec, offset + 1, 32), (v, i) =>
+          F.when(v > 0.0, F.pow(F.lit(2.0), i.cast("double")))
+            .otherwise(F.lit(0.0))),
+        F.lit(0.0), (acc, x) => acc + x))
+      .otherwise(F.raise_error(F.concat(
+        F.lit("binaryHammingSearch requires exactly 64-dim vectors " +
+          "(sign bits pack into two 32-bit words); got dim="),
+        F.size(vec).cast("string"))))
+      .cast("long")
 
   /** Binary (sign) quantization + Hamming candidate search with exact
     * cosine rerank — the 32×-compression point of the ladder (float →
@@ -1641,6 +1652,9 @@ object Similarity {
     *
     * @return (query_id, neighbor_id, hamming, score, rk) — exact-cosine
     *         reranked top-k of the Hamming top-`cand`, score 6-dp
+    * @throws org.apache.spark.SparkRuntimeException at first action if
+    *         any vector (corpus or query side) is not exactly 64-dim —
+    *         other dims would silently degrade candidate recall
     */
   def binaryHammingSearch(corpus: DataFrame, queries: DataFrame,
                           idCol: String, vecCol: String, k: Int,
@@ -1795,7 +1809,15 @@ object Similarity {
     * swap the candidate generator for [[lshKnn]]); everything after is
     * k-bounded joins on (id, neighbor) pairs.
     *
-    * @return top `topN` rows (id, lrd, lof) by (lof desc, id) — 6-dp
+    * Edge rule (advisor r12): with n ≤ k rows no point has a rank-k
+    * neighbor, the k-distance join matches nothing, and the result is
+    * EMPTY — deliberate (the [[semDedup]]/[[clusterCap]] empty-input
+    * convention) rather than a driver-side count guard, which would
+    * spend an extra full action on every healthy call just to catch a
+    * degenerate one.
+    *
+    * @return top `topN` rows (id, lrd, lof) by (lof desc, id) — 6-dp;
+    *         EMPTY when the input has ≤ k rows (see edge rule above)
     */
   def lofOutliers(emb: DataFrame, idCol: String, vecCol: String,
                   k: Int = 5, topN: Int = 20): DataFrame = {

@@ -588,10 +588,19 @@ object StreamOps {
     require(k >= 2, s"k must be >= 2, got $k")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
 
-    def h64(s: String): Long =
-      scala.util.hashing.MurmurHash3.stringHash(s).toLong << 32 |
-        (scala.util.hashing.MurmurHash3.stringHash(s.reverse).toLong &
-          0xffffffffL)
+    // 52-bit md5-prefix hash — EXACTLY Sketches.kmvDistinct's batch
+    // construction (conv(substring(md5(key),1,13),16,10)), so streaming
+    // and batch bottom-k samples hash the same key to the same value and
+    // are genuinely mergeable/comparable. The previous two-correlated-
+    // Murmur32 compose (advisor r12) had well under 64 bits of entropy
+    // (identical halves on palindromes) and matched nothing batch-side.
+    def h64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 13 hex chars = first 6.5 bytes: 52 bits, non-negative
+      val hex = d.take(7).map(b => f"$b%02x").mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16)
+    }
 
     def update(shard: Int, ts: Iterator[Tok],
                state: GroupState[KmvState]): Iterator[KmvRow] = {
@@ -617,8 +626,9 @@ object StreamOps {
       val est =
         if (bottom.size < k) bottom.size.toDouble
         else {
-          // normalize the signed 64-bit hash into (0, 1)
-          val uK = bottom.last._1.toDouble / math.pow(2.0, 64) + 0.5
+          // normalize the 52-bit hash into [0, 1) — same 2^52 scale as
+          // Sketches.kmvDistinct's Kmv1 constant
+          val uK = bottom.last._1.toDouble / 4503599627370496.0
           (k - 1).toDouble / math.max(uK, Double.MinPositiveValue)
         }
       bottom.iterator.zipWithIndex.map { case ((hv, key), i) =>

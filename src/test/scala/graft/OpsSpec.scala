@@ -4911,6 +4911,16 @@ class OpsSpec extends AnyFunSuite {
     val recall = (approx & truth).size.toDouble / truth.size
     info(f"binaryHamming cand=50 recall=$recall%.3f")
     assert(recall >= 0.60, f"recall $recall%.3f below floor 0.60")
+    // advisor-r12 guard: a non-64-dim vector fails LOUDLY at action time
+    // instead of silently packing fewer/ignoring extra sign bits
+    val short = Seq((1L, Array.fill(32)(1.0)), (2L, Array.fill(32)(-1.0)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Throwable] {
+      Similarity.binaryHammingSearch(short, short.filter($"vec_id" === 1L),
+        "vec_id", "embedding", k = 1, cand = 1).collect()
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("exactly 64-dim"), ex.getMessage)
   }
 
   test("hosmerLemeshow: symmetric 3-bin hand table 0.444444; E=0 drops") {

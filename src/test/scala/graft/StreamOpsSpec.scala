@@ -581,11 +581,15 @@ class StreamOpsSpec extends AnyFunSuite {
       "invariant; estimate is exact below k and sane above") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
-    // the operator's hash, re-derived for the expected bottom-k
-    def h64(s: String): Long =
-      scala.util.hashing.MurmurHash3.stringHash(s).toLong << 32 |
-        (scala.util.hashing.MurmurHash3.stringHash(s.reverse).toLong &
-          0xffffffffL)
+    // the operator's hash, re-derived for the expected bottom-k: the
+    // batch construction (md5 hex prefix, 52 bits) shared with
+    // Sketches.kmvDistinct since the advisor-r12 fix
+    def h64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(
+        d.take(7).map(b => f"$b%02x").mkString.substring(0, 13), 16)
+    }
     val in = MemoryStream[StreamOps.Tok]
     val q = StreamOps.kmvSampleStream(in.toDS(), k = 4, nShards = 1)
       .writeStream.format("memory").queryName("kmv")
