@@ -2994,6 +2994,31 @@ object SparkEntry {
       graft.ops.Stats.pairedT(perUser, F.col("a"), F.col("b"))
     }),
 
+    // Hodges-Lehmann shift of doc length, non-en vs en: the robust
+    // "how much longer" in chars — the location companion of x328's
+    // stochastic-superiority p-hat
+    "x379_hodges_lehmann" -> ((s, dir) =>
+      graft.ops.Stats.hodgesLehmannShift(
+        s.read.parquet(s"$dir/documents.parquet"), F.col("n_chars"),
+        F.col("lang") === "en")),
+
+    // Cuzick trend of order value across the priority ladder (1-URGENT
+    // … 5-LOW): does spend CLIMB with urgency — the ordered question
+    // x234's unordered Kruskal-Wallis can't ask
+    "x380_cuzick_trend" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      graft.ops.Stats.cuzickTrend(o, F.col("o_totalprice"),
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("long"))
+    }),
+
+    // Mood's median test of account balance across market segments:
+    // the assumption-free k-group location check next to the rank
+    // tests — immune to the balance tail
+    "x381_mood_median" -> ((s, dir) =>
+      graft.ops.Stats.moodMedian(
+        s.read.parquet(s"$dir/customer.parquet"), F.col("c_acctbal"),
+        F.col("c_mktsegment"), scale = 100L)),
+
     // Weibull shape/scale for document lengths via median-rank
     // regression: k<1 heavy tail, k>1 wear-out — what x266's forced
     // exponential cannot distinguish
@@ -10263,6 +10288,107 @@ object SparkEntry {
         |  round(mean / nullif(sd / sqrt(n::DOUBLE), 0.0), 6) AS t,
         |  (n - 1)::BIGINT AS df
         |FROM f""".stripMargin,
+
+    // value-collapsed pair join; exact weighted lower/upper medians by
+    // cumulative counts; one final half-sum / scale
+    "x379_hodges_lehmann" ->
+      """WITH byv AS (SELECT round(n_chars::DOUBLE * 1)::BIGINT AS v,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n1v,
+        |    count(*)::BIGINT AS t
+        |  FROM documents GROUP BY 1),
+        |b2 AS (SELECT v, n1v, (t - n1v)::BIGINT AS n2v FROM byv),
+        |aa AS (SELECT v AS va, n1v AS ca FROM b2 WHERE n1v > 0),
+        |bb AS (SELECT v AS vb, n2v AS cb FROM b2 WHERE n2v > 0),
+        |diffs AS (SELECT (vb - va)::BIGINT AS d,
+        |    sum(ca * cb)::BIGINT AS w FROM aa CROSS JOIN bb GROUP BY 1),
+        |tot AS (SELECT sum(n1v)::BIGINT AS n1, sum(n2v)::BIGINT AS n2,
+        |    (sum(n1v) * sum(n2v))::BIGINT AS n_pairs FROM b2),
+        |lad AS (SELECT d, (sum(w) OVER (ORDER BY d ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+        |  FROM diffs),
+        |med AS (SELECT
+        |    min(CASE WHEN cum >= (n_pairs + 1) // 2 THEN d END)::BIGINT
+        |      AS lo,
+        |    min(CASE WHEN cum >= n_pairs // 2 + 1 THEN d END)::BIGINT
+        |      AS hi,
+        |    max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
+        |    max(n_pairs)::BIGINT AS n_pairs
+        |  FROM lad CROSS JOIN tot)
+        |SELECT n1, n2, n_pairs, round((lo::DOUBLE + hi::DOUBLE) /
+        |  (2.0::DOUBLE * 1.0::DOUBLE), 6) AS hl_shift FROM med""".stripMargin,
+
+    // doubled midranks off the value ladder; exact T/E/variance
+    // ingredients; tie-corrected z is the only IEEE arithmetic
+    "x380_cuzick_trend" ->
+      """WITH rows_ AS (SELECT o_totalprice::DOUBLE AS v,
+        |    substring(o_orderpriority, 1, 1)::BIGINT AS l
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL),
+        |byv AS (SELECT v, count(*)::BIGINT AS t, sum(l)::BIGINT AS sl,
+        |    sum(l * l)::BIGINT AS sl2v
+        |  FROM rows_ GROUP BY 1),
+        |lad AS (SELECT t, sl, sl2v, (sum(t) OVER (ORDER BY v ROWS
+        |    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+        |  FROM byv),
+        |g AS (SELECT sum(t)::BIGINT AS n,
+        |    sum((2 * cum - t + 1) * sl)::BIGINT AS t2,
+        |    sum(sl)::BIGINT AS slt, sum(sl2v)::BIGINT AS sl2,
+        |    sum(t * t * t - t)::BIGINT AS ties FROM lad),
+        |f AS (SELECT n, t2, slt,
+        |    (n::DOUBLE + 1.0::DOUBLE) / 12.0::DOUBLE *
+        |      ((n::DOUBLE * sl2::DOUBLE - slt::DOUBLE * slt::DOUBLE) /
+        |        n::DOUBLE) *
+        |      (1.0::DOUBLE - ties::DOUBLE /
+        |        nullif(n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE,
+        |          0.0)) AS vt
+        |  FROM g)
+        |SELECT n, t2::DOUBLE / 2.0::DOUBLE AS t,
+        |  (n::DOUBLE + 1.0::DOUBLE) * slt::DOUBLE / 2.0::DOUBLE AS e_t,
+        |  round(vt, 6) AS var_t,
+        |  round((t2::DOUBLE - (n::DOUBLE + 1.0::DOUBLE) * slt::DOUBLE) /
+        |    (2.0::DOUBLE * sqrt(nullif(vt, 0.0))), 6) AS z
+        |FROM f""".stripMargin,
+
+    // exact grand lower median off the cent ladder; 2xK exact cells;
+    // 9-dp per-group chi-square terms
+    "x381_mood_median" ->
+      """WITH rows_ AS (SELECT round(c_acctbal::DOUBLE * 100)::BIGINT
+        |      AS v, c_mktsegment AS g
+        |  FROM customer
+        |  WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+        |byv AS (SELECT v, count(*)::BIGINT AS t FROM rows_ GROUP BY 1),
+        |tot AS (SELECT sum(t)::BIGINT AS nn FROM byv),
+        |med AS (SELECT min(v)::BIGINT AS med FROM (
+        |  SELECT v, (sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW))::BIGINT AS cum, nn
+        |  FROM byv CROSS JOIN tot) WHERE cum >= (nn + 1) // 2),
+        |cells AS (SELECT g,
+        |    sum(CASE WHEN v > med THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN v <= med THEN 1 ELSE 0 END)::BIGINT AS b
+        |  FROM rows_ CROSS JOIN med GROUP BY 1),
+        |m AS (SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb,
+        |    count(*)::BIGINT AS k_groups FROM cells),
+        |terms AS (SELECT (ta + tb)::BIGINT AS n, k_groups,
+        |    round(
+        |      (a::DOUBLE - ta::DOUBLE * ((a + b)::DOUBLE /
+        |        (ta + tb)::DOUBLE)) *
+        |      (a::DOUBLE - ta::DOUBLE * ((a + b)::DOUBLE /
+        |        (ta + tb)::DOUBLE)) /
+        |      nullif(ta::DOUBLE * ((a + b)::DOUBLE /
+        |        (ta + tb)::DOUBLE), 0.0) +
+        |      (b::DOUBLE - tb::DOUBLE * ((a + b)::DOUBLE /
+        |        (ta + tb)::DOUBLE)) *
+        |      (b::DOUBLE - tb::DOUBLE * ((a + b)::DOUBLE /
+        |        (ta + tb)::DOUBLE)) /
+        |      nullif(tb::DOUBLE * ((a + b)::DOUBLE /
+        |        (ta + tb)::DOUBLE), 0.0), 9) AS term
+        |  FROM cells CROSS JOIN m)
+        |SELECT max(n)::BIGINT AS n, max(k_groups)::BIGINT AS k_groups,
+        |  round(max(med)::DOUBLE / 100.0::DOUBLE, 6) AS median,
+        |  round(sum(term), 6) AS chi2,
+        |  (max(k_groups) - 1)::BIGINT AS df
+        |FROM terms CROSS JOIN med""".stripMargin,
 
     // median-rank ladder on the distinct-value collapse; 9-dp plot
     // coordinates; the hurst OLS collapse

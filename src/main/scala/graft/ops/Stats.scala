@@ -7899,4 +7899,204 @@ object Stats {
       F.round(mean / F.nullif(sd / F.sqrt(nD), F.lit(0.0)), 6).as("t"),
       (F.col("n") - 1L).as("df"))
   }
+
+  /** Hodges–Lehmann two-sample shift estimator — the median of all
+    * n₁·n₂ pairwise differences (class-2 value − class-1 value): the
+    * robust "how far apart are these two distributions" number that a
+    * difference of means lets one outlier own and a difference of
+    * medians under-uses (it ignores everything but two order
+    * statistics). The location companion of [[brunnerMunzel]]'s
+    * stochastic-superiority p̂: p̂ says WHETHER class 2 tends higher,
+    * HL says BY HOW MUCH, in the value's own units.
+    *
+    * Determinism: values quantized ×`scale` to exact longs, pair
+    * differences and weights (c₁·c₂) exact, and the weighted median is
+    * selected by exact cumulative counts — lower/upper medians are
+    * exact grid values, hl their exact midpoint (half-integer at
+    * worst), one final /scale.
+    *
+    * Scale shape: both sides collapse to distinct VALUES first, the
+    * pair join is |V₁|·|V₂| on the collapsed sides (broadcast nested
+    * loop — never row×row), and the difference ladder the median is
+    * read from is bounded by the value RANGE (integer diffs collapse
+    * to ≤ range·scale distinct cells), not by n². The single-partition
+    * ladder window is over that bounded support — documented like the
+    * other value-ladder ops.
+    *
+    * @param scale decimal quantization (100 for 2-dp money)
+    * @return one row (n1, n2, n_pairs, hl_shift) — hl 6-dp, NULL when
+    *         either class is empty
+    */
+  def hodgesLehmannShift(df: DataFrame, valueCol: Column,
+                         isClass1: Column, scale: Long = 1L): DataFrame = {
+    val byV = df
+      .select(F.round(valueCol.cast("double") * scale).cast("long")
+          .as("__v"),
+        F.when(isClass1, 1L).otherwise(0L).as("__c1"))
+      .filter(F.col("__v").isNotNull)
+      .groupBy("__v")
+      .agg(F.sum("__c1").as("__n1v"), F.count(F.lit(1)).as("__t"))
+      .withColumn("__n2v", F.col("__t") - F.col("__n1v"))
+    val a = byV.filter(F.col("__n1v") > 0L)
+      .select(F.col("__v").as("__va"), F.col("__n1v").as("__ca"))
+    val b = byV.filter(F.col("__n2v") > 0L)
+      .select(F.col("__v").as("__vb"), F.col("__n2v").as("__cb"))
+    val diffs = a.crossJoin(b)
+      .groupBy((F.col("__vb") - F.col("__va")).as("__d"))
+      .agg(F.sum(F.col("__ca") * F.col("__cb")).as("__w"))
+    val w = Window.orderBy(F.col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lad = diffs.withColumn("__cum", F.sum("__w").over(w))
+    val tot = byV.agg(F.sum("__n1v").as("n1"),
+      F.sum("__n2v").as("n2"),
+      (F.sum("__n1v") * F.sum("__n2v")).as("n_pairs"))
+    // lower median: first diff with cum ≥ ⌈T/2⌉; upper: cum ≥ ⌊T/2⌋+1
+    // (integer div — Spark's `/` on longs is DOUBLE division)
+    val med = lad.crossJoin(F.broadcast(tot))
+      .agg(
+        F.min(F.when(F.col("__cum") >=
+          F.call_function("div", F.col("n_pairs") + 1L, F.lit(2L)),
+          F.col("__d"))).as("__lo"),
+        F.min(F.when(F.col("__cum") >=
+          F.call_function("div", F.col("n_pairs"), F.lit(2L)) + 1L,
+          F.col("__d"))).as("__hi"),
+        F.max(F.col("n1")).as("n1"), F.max(F.col("n2")).as("n2"),
+        F.max(F.col("n_pairs")).as("n_pairs"))
+    med.select(F.col("n1"), F.col("n2"), F.col("n_pairs"),
+      F.round((F.col("__lo").cast("double") +
+        F.col("__hi").cast("double")) /
+        (F.lit(2.0) * F.lit(scale).cast("double")), 6).as("hl_shift"))
+  }
+
+  /** Cuzick's test for trend across ORDERED groups — the Wilcoxon/
+    * Kruskal–Wallis sibling that uses the group ORDER: K dose-like
+    * levels with integer scores l₁ < … < l_K, statistic T = Σ l·rank
+    * over all rows. Answers "does the value climb with the level" with
+    * rank robustness — where [[kruskalWallis]] only answers "do the
+    * groups differ somewhere" and pays power for ignoring the order.
+    * {{{
+    *   E[T] = (N+1)/2 · Σ l_g n_g
+    *   Var  = (N+1)/12 · (N·Σ l²n − (Σ ln)²)/N · (1 − Σ(t³−t)/(N³−N))
+    * }}}
+    * (tie-corrected; midranks for ties).
+    *
+    * Determinism: doubled midranks off the distinct-value ladder
+    * ([[brunnerMunzel]] idiom) keep T, E and every variance ingredient
+    * an exact long — z is the only IEEE arithmetic.
+    *
+    * Scale shape: one distinct-value collapse carrying (count,
+    * Σ score) per value, one bounded ladder window, a one-row result.
+    *
+    * @param scoreCol integer group score per row (small, ordered)
+    * @return one row (n, t, e_t, var_t, z) — t/e_t exact half-integers,
+    *         var_t/z 6-dp; z NULL when the variance is 0
+    */
+  def cuzickTrend(df: DataFrame, valueCol: Column,
+                  scoreCol: Column): DataFrame = {
+    val rows = df.select(valueCol.cast("double").as("__v"),
+        scoreCol.cast("long").as("__l"))
+      .filter(F.col("__v").isNotNull && F.col("__l").isNotNull)
+    val byV = rows.groupBy("__v")
+      .agg(F.count(F.lit(1)).as("__t"), F.sum("__l").as("__sl"),
+        F.sum(F.col("__l") * F.col("__l")).as("__sl2v"))
+    val w = Window.orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lad = byV.withColumn("__cum", F.sum("__t").over(w))
+      .withColumn("__k", F.lit(2L) * F.col("__cum") - F.col("__t") + 1L)
+    val g = lad.agg(
+      F.sum("__t").as("n"),
+      F.sum(F.col("__k") * F.col("__sl")).as("__t2"),
+      F.sum("__sl").as("__slt"),
+      F.sum("__sl2v").as("__sl2"),
+      F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+        .as("__ties"))
+    val nD = F.col("n").cast("double")
+    val varT = (nD + 1.0) / 12.0 *
+      ((nD * F.col("__sl2").cast("double") -
+        F.col("__slt").cast("double") * F.col("__slt").cast("double")) /
+        nD) *
+      (F.lit(1.0) - F.col("__ties").cast("double") /
+        F.nullif(nD * nD * nD - nD, F.lit(0.0)))
+    g.select(F.col("n"),
+      (F.col("__t2").cast("double") / 2.0).as("t"),
+      ((nD + 1.0) * F.col("__slt").cast("double") / 2.0).as("e_t"),
+      F.round(varT, 6).as("var_t"),
+      F.round((F.col("__t2").cast("double") -
+        (nD + 1.0) * F.col("__slt").cast("double")) /
+        (F.lit(2.0) * F.sqrt(F.nullif(varT, F.lit(0.0)))), 6).as("z"))
+  }
+
+  /** Mood's median test — are the groups' MEDIANS the same: count each
+    * group's rows above vs at-or-below the GRAND median and chi-square
+    * the resulting 2×K table. The blunt-but-assumption-free k-group
+    * location test: immune to variance differences and tail shape that
+    * distort mean-based ANOVA, cruder but sturdier than
+    * [[kruskalWallis]] when distributions differ in shape.
+    *
+    * Determinism: values quantized ×`scale` to exact longs, the grand
+    * LOWER median read off the distinct-value ladder by exact
+    * cumulative counts, all 2×K cell counts exact longs; each cell's
+    * (O−E)²/E is one 9-dp IEEE term, chi² their 6-dp sum.
+    *
+    * Scale shape: one distinct-value ladder (bounded support), one
+    * group collapse with the broadcast median, a K-row bounded table
+    * folded to one row.
+    *
+    * @return one row (n, k_groups, median, chi2, df) — median/chi2
+    *         6-dp, df = k−1; cells with E = 0 drop from the sum (the
+    *         [[hosmerLemeshow]] convention)
+    */
+  def moodMedian(df: DataFrame, valueCol: Column, groupCol: Column,
+                 scale: Long = 1L): DataFrame = {
+    val rows = df.select(
+        F.round(valueCol.cast("double") * scale).cast("long").as("__v"),
+        groupCol.cast("string").as("__g"))
+      .filter(F.col("__v").isNotNull && F.col("__g").isNotNull)
+    val byV = rows.groupBy("__v").agg(F.count(F.lit(1)).as("__t"))
+    val w = Window.orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byV.agg(F.sum("__t").as("__nn"))
+    val med = byV.withColumn("__cum", F.sum("__t").over(w))
+      .crossJoin(F.broadcast(tot))
+      // lower median: ⌈N/2⌉ via integer div (Spark `/` would be double)
+      .filter(F.col("__cum") >=
+        F.call_function("div", F.col("__nn") + 1L, F.lit(2L)))
+      .agg(F.min("__v").as("__med"))
+    val cells = rows.crossJoin(F.broadcast(med))
+      .groupBy("__g")
+      .agg(F.sum(F.when(F.col("__v") > F.col("__med"), 1L)
+          .otherwise(0L)).as("__a"),
+        F.sum(F.when(F.col("__v") <= F.col("__med"), 1L)
+          .otherwise(0L)).as("__b"),
+        F.max("__med").as("__med"))
+    val m = cells.agg(F.sum("__a").as("__ta"), F.sum("__b").as("__tb"),
+      F.count(F.lit(1)).as("k_groups"))
+    val terms = cells.crossJoin(F.broadcast(m))
+      .withColumn("__n", F.col("__ta") + F.col("__tb"))
+      .withColumn("__term",
+        F.round(termChi(F.col("__a"), F.col("__ta")) +
+          termChi(F.col("__b"), F.col("__tb")), 9))
+    terms
+      .agg(F.max(F.col("__n")).as("n"),
+        F.max("k_groups").as("k_groups"),
+        F.max(F.col("__med")).as("__medq"),
+        F.sum("__term").as("__chi2"))
+      .select(F.col("n"), F.col("k_groups"),
+        F.round(F.col("__medq").cast("double") /
+          F.lit(scale).cast("double"), 6).as("median"),
+        F.round(F.col("__chi2"), 6).as("chi2"),
+        (F.col("k_groups") - 1L).as("df"))
+  }
+
+  /** One 2×K-cell chi-square contribution (O−E)²/E with E = rowTot·
+    * colTot/N, everything exact longs until the two IEEE ops. Assumes
+    * the caller's frame carries __a+__b per group and __ta/__tb/__n
+    * margins. */
+  private def termChi(o: Column, colTot: Column): Column = {
+    val e = colTot.cast("double") *
+      ((F.col("__a") + F.col("__b")).cast("double") /
+        F.col("__n").cast("double"))
+    val d = o.cast("double") - e
+    d * d / F.nullif(e, F.lit(0.0))
+  }
 }

@@ -6072,6 +6072,60 @@ class OpsSpec extends AnyFunSuite {
     assert(m == ((3L, 1.666667, 1.527525, Some(1.889822), 2L)), m)
   }
 
+  test("hodgesLehmannShift: even pair count averages the middle diffs; " +
+      "odd picks the middle; ties collapse to weighted cells") {
+    import graft.ops.Stats
+    // class1 {1,3}, class2 {2,10}: diffs sorted -1,1,7,9 -> hl (1+7)/2
+    val even = Seq((1.0, true), (3.0, true), (2.0, false), (10.0, false))
+      .toDF("v", "c1")
+    val e = Stats.hodgesLehmannShift(even, F.col("v"), F.col("c1"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(e == ((2L, 2L, 4L, 4.0)), e)
+    // class1 {0}, class2 {5,6,7}: diffs 5,6,7 -> hl 6
+    val odd = Seq((0.0, true), (5.0, false), (6.0, false), (7.0, false))
+      .toDF("v", "c1")
+    val o = Stats.hodgesLehmannShift(odd, F.col("v"), F.col("c1"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(o == ((1L, 3L, 3L, 6.0)), o)
+    // ties: class1 {1,1}, class2 {2}: one diff cell weight 2 -> hl 1
+    val tie = Seq((1.0, true), (1.0, true), (2.0, false)).toDF("v", "c1")
+    val t = Stats.hodgesLehmannShift(tie, F.col("v"), F.col("c1"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(t == ((2L, 1L, 2L, 1.0)), t)
+  }
+
+  test("cuzickTrend: perfect 3-level trend hand z; constant values " +
+      "tie-correct to zero variance") {
+    import graft.ops.Stats
+    val df = Seq((1.0, 1L), (2.0, 1L), (3.0, 2L), (4.0, 2L), (5.0, 3L),
+      (6.0, 3L)).toDF("v", "l")
+    val got = Stats.cuzickTrend(df, F.col("v"), F.col("l"))
+      .as[(Long, Double, Double, Double, Option[Double])].head()
+    // T = 1+2+6+8+15+18 = 50, E = 3.5*12 = 42, Var = 7/12*(6*28-144)/6
+    assert(got == ((6L, 50.0, 42.0, 2.333333, Some(5.237229))), got)
+    val const = Seq((5.0, 1L), (5.0, 2L), (5.0, 3L)).toDF("v", "l")
+    val c = Stats.cuzickTrend(const, F.col("v"), F.col("l"))
+      .as[(Long, Double, Double, Double, Option[Double])].head()
+    // one value cell: ties = n^3-n, tie factor 0 -> var 0, z NULL
+    assert(c._4 == 0.0 && c._5.isEmpty, c)
+  }
+
+  test("moodMedian: two cleanly separated groups give chi2 = n; " +
+      "identical groups give 0") {
+    import graft.ops.Stats
+    val df = Seq((1.0, "A"), (2.0, "A"), (3.0, "A"), (4.0, "B"),
+      (5.0, "B"), (6.0, "B")).toDF("v", "g")
+    val got = Stats.moodMedian(df, F.col("v"), F.col("g"))
+      .as[(Long, Long, Double, Double, Long)].head()
+    // lower median 3; A all <=, B all >: each cell term 1.5, chi2 6
+    assert(got == ((6L, 2L, 3.0, 6.0, 1L)), got)
+    val same = Seq((1.0, "A"), (2.0, "A"), (1.0, "B"), (2.0, "B"))
+      .toDF("v", "g")
+    val s = Stats.moodMedian(same, F.col("v"), F.col("g"))
+      .as[(Long, Long, Double, Double, Long)].head()
+    assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
