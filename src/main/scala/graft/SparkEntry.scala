@@ -3175,6 +3175,28 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", F.col("label"))),
 
+    // simplified silhouette per SemDeDup cell: bounded sign-coded
+    // cohesion-vs-separation — s<=0 flags the misassignments x361's
+    // raw ratio only hints at
+    "x382_silhouette" -> ((s, dir) =>
+      Similarity.simplifiedSilhouette(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding",
+        SemCentroids)),
+
+    // Davies-Bouldin: each cell's worst spread-to-separation ratio —
+    // the geometry-only overlap verdict next to x360's label purity
+    "x383_davies_bouldin" -> ((s, dir) =>
+      Similarity.daviesBouldin(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding",
+        SemCentroids)),
+
+    // Xie-Beni: corpus inertia charged against the tightest centroid
+    // pair — the one-number "should two cells merge" read
+    "x384_xie_beni" -> ((s, dir) =>
+      Similarity.xieBeni(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding",
+        SemCentroids)),
+
     // ordinal-pattern (permutation) entropy of hourly volume: ramp->0,
     // noise->1 — monotone-distortion-proof series complexity
     "x357_perm_entropy" -> ((s, dir) => {
@@ -10898,6 +10920,95 @@ object SparkEntry {
          |  round(sum(CASE WHEN ratio < 1.2 THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*)::DOUBLE, 6) AS p_ambiguous
          |FROM m GROUP BY cell ORDER BY cell""".stripMargin
+    },
+
+    // 9-dp squared distances / roots; rank-1/rank-2 per point; 9-dp
+    // per-point s; 6-dp cell means + overall
+    "x382_silhouette" -> {
+      val cvals = SemCentroids.zipWithIndex.map { case (c, i) =>
+        c.mkString(s"($i, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ")
+      s"""WITH base AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |cent(cell, c) AS (VALUES $cvals),
+         |d AS (SELECT b.vec_id, cent.cell,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> (b.v[i] - cent.c[i]) * (b.v[i] - cent.c[i]))), 9)
+         |      AS d2
+         |  FROM base b CROSS JOIN cent),
+         |r AS (SELECT vec_id, cell, d2, row_number() OVER (PARTITION
+         |    BY vec_id ORDER BY d2, cell) AS rk FROM d),
+         |p AS (SELECT a.vec_id, a.cell, round(sqrt(a.d2), 9) AS da,
+         |    round(sqrt(b.d2), 9) AS dbb
+         |  FROM r a JOIN r b ON a.vec_id = b.vec_id
+         |  WHERE a.rk = 1 AND b.rk = 2),
+         |sil AS (SELECT cell, coalesce(round((dbb - da) /
+         |    nullif(greatest(da, dbb), 0.0), 9), 0.0) AS s FROM p),
+         |ov AS (SELECT round(avg(s), 6) AS overall_sil FROM sil)
+         |SELECT cell, count(*)::BIGINT AS n, round(avg(s), 6)
+         |    AS mean_sil, overall_sil
+         |FROM sil CROSS JOIN ov GROUP BY cell, overall_sil
+         |ORDER BY cell""".stripMargin
+    },
+
+    // 9-dp per-cell mean distances; k x k literal centroid matrix;
+    // worst-neighbor ratios; 6-dp DB mean
+    "x383_davies_bouldin" -> {
+      val cvals = SemCentroids.zipWithIndex.map { case (c, i) =>
+        c.mkString(s"($i, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ")
+      s"""WITH base AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |cent(cell, c) AS (VALUES $cvals),
+         |d AS (SELECT b.vec_id, cent.cell,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> (b.v[i] - cent.c[i]) * (b.v[i] - cent.c[i]))), 9)
+         |      AS d2
+         |  FROM base b CROSS JOIN cent),
+         |asg AS (SELECT vec_id, cell, round(sqrt(d2), 9) AS dist
+         |  FROM (SELECT vec_id, cell, d2, row_number() OVER (PARTITION
+         |    BY vec_id ORDER BY d2, cell) AS rk FROM d) WHERE rk = 1),
+         |pc AS (SELECT cell, count(*)::BIGINT AS n,
+         |    round(avg(dist), 9) AS si FROM asg GROUP BY 1),
+         |mm AS (SELECT a.cell AS ci, b.cell AS cj,
+         |    round(sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i])))), 9) AS mij
+         |  FROM cent a JOIN cent b ON a.cell <> b.cell),
+         |rt AS (SELECT p.cell, p.n, p.si,
+         |    round((p.si + q.si) / nullif(mm.mij, 0.0), 9) AS r
+         |  FROM pc p JOIN pc q ON p.cell <> q.cell
+         |  JOIN mm ON mm.ci = p.cell AND mm.cj = q.cell),
+         |pi AS (SELECT cell, max(n)::BIGINT AS n, max(si) AS si,
+         |    max(r) AS di FROM rt GROUP BY 1),
+         |g AS (SELECT round(avg(di), 6) AS db FROM pi)
+         |SELECT cell, n, round(si, 6) AS s_i, round(di, 6) AS d_i, db
+         |FROM pi CROSS JOIN g ORDER BY cell""".stripMargin
+    },
+
+    // 9-dp per-point own-cell squared distances summed; literal min
+    // centroid separation; two IEEE ops
+    "x384_xie_beni" -> {
+      val cvals = SemCentroids.zipWithIndex.map { case (c, i) =>
+        c.mkString(s"($i, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ")
+      s"""WITH base AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |cent(cell, c) AS (VALUES $cvals),
+         |d AS (SELECT b.vec_id,
+         |    min(round(list_sum(list_transform(range(1, 65),
+         |      i -> (b.v[i] - cent.c[i]) * (b.v[i] - cent.c[i]))), 9))
+         |      AS d1
+         |  FROM base b CROSS JOIN cent GROUP BY 1),
+         |sep AS (SELECT min(round(list_sum(list_transform(range(1, 65),
+         |      i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i]))), 9)) AS ms
+         |  FROM cent a JOIN cent b ON a.cell <> b.cell)
+         |SELECT count(*)::BIGINT AS n, round(sum(d1), 6) AS inertia,
+         |  round(max(ms), 6) AS min_sep2,
+         |  round(sum(d1) / (count(*)::DOUBLE * max(ms)), 6) AS xb
+         |FROM d CROSS JOIN sep""".stripMargin
     },
 
     // per-label per-dim means off exact x1e6 sums; 9-dp distances;

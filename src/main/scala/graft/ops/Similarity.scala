@@ -1964,6 +1964,170 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Per-point squared distances to every centroid, 9-dp, as an array
+    * column in centroid order — the shared projection under
+    * [[centroidMargin]] / [[simplifiedSilhouette]] / [[daviesBouldin]] /
+    * [[xieBeni]]. */
+  private def centroidD2s(vecCol: String,
+                          centroids: Array[Array[Double]]): Column = {
+    val centLit = F.array(centroids.map(c =>
+      F.array(c.map(F.lit): _*)): _*)
+    F.transform(centLit, c => F.round(F.aggregate(
+      F.zip_with(F.col(vecCol).cast("array<double>"), c,
+        (x, y) => (x - y) * (x - y)),
+      F.lit(0.0), (acc, t) => acc + t), 9))
+  }
+
+  /** Simplified silhouette (Hruschka et al.) — per-point cohesion vs
+    * separation measured against CENTROIDS only: a = distance to the
+    * own (nearest) centroid, b = distance to the second-nearest,
+    * s = (b − a) / max(a, b) ∈ [−1, 1]. The O(n·k) stand-in for the
+    * O(n²) full silhouette — the standard cluster-quality readout at
+    * corpus scale, sharper than [[centroidMargin]]'s raw ratio because
+    * it is bounded and sign-coded (s ≤ 0 says "closer to another cell
+    * than to mine" — the misassignment smell).
+    *
+    * Determinism: 9-dp squared distances ([[centroidMargin]]
+    * projection), 9-dp roots, 9-dp per-point s, 6-dp means; assignment
+    * ties break to the lowest centroid index via array order.
+    *
+    * Scale shape: one projection per row (codegen'd HOFs over the
+    * broadcast centroid literal — no join, no shuffle before the k-row
+    * census); the overall mean rides the same collapse.
+    *
+    * @return per-cell rows (cell, n, mean_sil, overall_sil) ordered by
+    *         cell — 6-dp; s = 0 when both distances are 0 (duplicate
+    *         centroids)
+    */
+  def simplifiedSilhouette(emb: DataFrame, vecCol: String,
+                           centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.length >= 2, "need k >= 2 centroids")
+    val d2s = centroidD2s(vecCol, centroids)
+    val withS = emb.select(F.col(vecCol))
+      .withColumn("__d2s", d2s)
+      .withColumn("__a",
+        F.round(F.sqrt(F.element_at(F.array_sort(F.col("__d2s")), 1)), 9))
+      .withColumn("__b",
+        F.round(F.sqrt(F.element_at(F.array_sort(F.col("__d2s")), 2)), 9))
+      .withColumn("cell",
+        (F.array_position(F.col("__d2s"),
+          F.element_at(F.array_sort(F.col("__d2s")), 1)) - 1L)
+          .cast("long"))
+      .withColumn("__s", F.coalesce(
+        F.round((F.col("__b") - F.col("__a")) /
+          F.nullif(F.greatest(F.col("__a"), F.col("__b")), F.lit(0.0)), 9),
+        F.lit(0.0)))
+    val overall = withS.agg(
+      F.round(F.avg("__s"), 6).as("overall_sil"))
+    withS.groupBy("cell")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.avg("__s"), 6).as("mean_sil"))
+      .crossJoin(F.broadcast(overall))
+      .orderBy("cell")
+  }
+
+  /** Davies–Bouldin index — for each cell, the worst "spread-to-
+    * separation" ratio against any other cell: S_i = mean distance of
+    * cell i's points to its centroid, M_ij = centroid distance,
+    * R_ij = (S_i + S_j)/M_ij, D_i = max_j R_ij, DB = mean_i D_i.
+    * LOWER is better; DB ≳ 1 says neighboring cells overlap more than
+    * they cohere. The geometry-only companion of [[cellPurity]]'s
+    * label-based read and the per-cell refinement of the global
+    * Calinski–Harabasz ratio.
+    *
+    * Determinism: 9-dp distances throughout; the k×k centroid-distance
+    * matrix is a compile-time literal (computed from `centroids` in
+    * driver scalar code, 9-dp — bit-identical to the oracle's VALUES
+    * replay); 6-dp outputs.
+    *
+    * Scale shape: one assignment projection + k-row census; the k×k
+    * ratio table never touches the corpus again.
+    *
+    * @return per-cell rows (cell, n, s_i, d_i, db) ordered by cell —
+    *         6-dp; d_i NULL only if duplicate centroids make M_ij = 0
+    */
+  def daviesBouldin(emb: DataFrame, vecCol: String,
+                    centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.length >= 2, "need k >= 2 centroids")
+    val k = centroids.length
+    // k×k centroid Euclidean distances, 9-dp driver scalars
+    def m(i: Int, j: Int): Double = {
+      val s = centroids(i).zip(centroids(j))
+        .map { case (x, y) => (x - y) * (x - y) }.sum
+      BigDecimal(math.sqrt(s)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val mLit = F.array((0 until k).map(i =>
+      F.array((0 until k).map(j => F.lit(m(i, j))): _*)): _*)
+    val d2s = centroidD2s(vecCol, centroids)
+    val assigned = emb.select(F.col(vecCol))
+      .withColumn("__d2s", d2s)
+      .withColumn("cell",
+        (F.array_position(F.col("__d2s"),
+          F.element_at(F.array_sort(F.col("__d2s")), 1)) - 1L)
+          .cast("long"))
+      .withColumn("__d",
+        F.round(F.sqrt(F.element_at(F.array_sort(F.col("__d2s")), 1)), 9))
+    val perCell = assigned.groupBy("cell")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.avg("__d"), 9).as("__si"))
+    val other = perCell.select(F.col("cell").as("__cj"),
+      F.col("__si").as("__sj"))
+    val ratios = perCell.join(other, F.col("cell") =!= F.col("__cj"))
+      .withColumn("__m", F.element_at(
+        F.element_at(mLit, (F.col("cell") + 1L).cast("int")),
+        (F.col("__cj") + 1L).cast("int")))
+      .withColumn("__r", F.round((F.col("__si") + F.col("__sj")) /
+        F.nullif(F.col("__m"), F.lit(0.0)), 9))
+    val perI = ratios.groupBy("cell")
+      .agg(F.max("n").as("n"), F.max("__si").as("__si"),
+        F.max("__r").as("__di"))
+    val db = perI.agg(F.round(F.avg("__di"), 6).as("db"))
+    perI.crossJoin(F.broadcast(db))
+      .select(F.col("cell"), F.col("n"),
+        F.round(F.col("__si"), 6).as("s_i"),
+        F.round(F.col("__di"), 6).as("d_i"), F.col("db"))
+      .orderBy("cell")
+  }
+
+  /** Xie–Beni index — total within-cell squared distance over n times
+    * the SMALLEST squared centroid separation:
+    * {{{ XB = Σᵢ d²(xᵢ, c_own) / (n · min_{i≠j} ‖cᵢ − cⱼ‖²) }}}
+    * The "worst bottleneck" compactness-separation read: where
+    * [[daviesBouldin]] averages each cell's worst neighbor, XB charges
+    * the WHOLE corpus against the single tightest centroid pair —
+    * the sharpest detector of one redundant centroid. Lower is better;
+    * XB ≳ 1 says some pair of cells should be merged.
+    *
+    * Determinism: 9-dp per-point squared distances summed (order noise
+    * ~1e-12 against a 6-dp output), min separation a 9-dp driver
+    * scalar literal (oracle replays it from VALUES).
+    *
+    * Scale shape: one projection + one global sum; nothing else.
+    *
+    * @return one row (n, inertia, min_sep2, xb) — 6-dp
+    */
+  def xieBeni(emb: DataFrame, vecCol: String,
+              centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.length >= 2, "need k >= 2 centroids")
+    val k = centroids.length
+    val minSep2 = (for { i <- 0 until k; j <- 0 until k if i != j } yield {
+      val s = centroids(i).zip(centroids(j))
+        .map { case (x, y) => (x - y) * (x - y) }.sum
+      BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }).min
+    val d2s = centroidD2s(vecCol, centroids)
+    emb.select(F.col(vecCol))
+      .withColumn("__d1",
+        F.element_at(F.array_sort(d2s), 1))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.sum("__d1"), 6).as("inertia"),
+        F.round(F.lit(minSep2), 6).as("min_sep2"),
+        F.round(F.sum("__d1") /
+          (F.count(F.lit(1)).cast("double") * F.lit(minSep2)), 6)
+          .as("xb"))
+  }
+
   /** Nearest-centroid-classifier confusion matrix — label transfer
     * through geometry: build one centroid per label (per-dim means),
     * classify every vector to its nearest label centroid, and cross-

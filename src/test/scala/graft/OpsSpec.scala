@@ -6126,6 +6126,40 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
   }
 
+  test("simplifiedSilhouette: hand 2-centroid geometry — on-centroid " +
+      "points score 1, midfield points 2/3") {
+    import graft.ops.Similarity
+    val cents = Array(Array(0.0, 0.0), Array(4.0, 0.0))
+    val pts = Seq(Array(1.0, 0.0), Array(3.0, 0.0), Array(0.0, 0.0),
+      Array(4.0, 0.0)).toDF("embedding")
+    val got = Similarity.simplifiedSilhouette(pts, "embedding", cents)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // cell0: {(1,0) s=2/3, (0,0) s=1}; cell1 mirrors; overall mean same
+    assert(got == Seq((0L, 2L, 0.833333, 0.833333),
+      (1L, 2L, 0.833333, 0.833333)), got)
+  }
+
+  test("daviesBouldin: hand 2-cell geometry — S=0.5 each, M=4, DB=0.25") {
+    import graft.ops.Similarity
+    val cents = Array(Array(0.0, 0.0), Array(4.0, 0.0))
+    val pts = Seq(Array(1.0, 0.0), Array(3.0, 0.0), Array(0.0, 0.0),
+      Array(4.0, 0.0)).toDF("embedding")
+    val got = Similarity.daviesBouldin(pts, "embedding", cents)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((0L, 2L, 0.5, 0.25, 0.25),
+      (1L, 2L, 0.5, 0.25, 0.25)), got)
+  }
+
+  test("xieBeni: hand inertia 2 over 4 points * min-sep 16 = 0.03125") {
+    import graft.ops.Similarity
+    val cents = Array(Array(0.0, 0.0), Array(4.0, 0.0))
+    val pts = Seq(Array(1.0, 0.0), Array(3.0, 0.0), Array(0.0, 0.0),
+      Array(4.0, 0.0)).toDF("embedding")
+    val got = Similarity.xieBeni(pts, "embedding", cents)
+      .as[(Long, Double, Double, Double)].head()
+    assert(got == ((4L, 2.0, 16.0, 0.03125)), got)
+  }
+
   test("gearyC: triangle with 1,2,3 gives C=1; path gives 1/2") {
     import graft.ops.Graph
     val attrs = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("n", "x")
