@@ -3019,6 +3019,53 @@ object SparkEntry {
         s.read.parquet(s"$dir/customer.parquet"), F.col("c_acctbal"),
         F.col("c_mktsegment"), scale = 100L)),
 
+    // Lin's CCC between per-user first/second-half activity: does the
+    // second half AGREE with the first on the 45-degree line —
+    // precision x accuracy, where x378 only tests the mean shift
+    "x385_lin_ccc" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val d = F.to_date(graft.ops.EventOps.tsStamp(ev))
+      val withD = ev.select(F.col("user_id"), d.as("__d"))
+      val mn = withD.agg(F.min("__d").as("__m"))
+      val perUser = withD.crossJoin(F.broadcast(mn))
+        .groupBy("user_id").agg(
+          F.sum(F.when(F.col("__d") < F.date_add(F.col("__m"), 15), 1L)
+            .otherwise(0L)).as("a"),
+          F.sum(F.when(F.col("__d") >= F.date_add(F.col("__m"), 15), 1L)
+            .otherwise(0L)).as("b"))
+      graft.ops.Stats.linCcc(perUser, F.col("a"), F.col("b"))
+    }),
+
+    // Bland-Altman limits between per-user first/second-half spend:
+    // how far apart the two halves can be for ONE user, in cents —
+    // the interval read next to x385's coefficient
+    "x386_bland_altman" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val d = F.to_date(graft.ops.EventOps.tsStamp(ev))
+      val base = ev.select(F.col("user_id"), d.as("__d"),
+        F.round(F.col("value") * 100).cast("long").as("__c"))
+      val mn = base.agg(F.min("__d").as("__m"))
+      val perUser = base.crossJoin(F.broadcast(mn))
+        .groupBy("user_id").agg(
+          F.coalesce(F.sum(F.when(
+            F.col("__d") < F.date_add(F.col("__m"), 15),
+            F.col("__c"))), F.lit(0L)).as("a"),
+          F.coalesce(F.sum(F.when(
+            F.col("__d") >= F.date_add(F.col("__m"), 15),
+            F.col("__c"))), F.lit(0L)).as("b"))
+      graft.ops.Stats.blandAltman(perUser, F.col("a"), F.col("b"))
+    }),
+
+    // relative risk of order failure for urgent orders: "times more
+    // likely", the absolute-risk read x146's odds ratio exaggerates
+    // when the outcome is common
+    "x387_relative_risk" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      graft.ops.Stats.relativeRisk(o,
+        F.substring(F.col("o_orderpriority"), 1, 1) === "1",
+        F.col("o_orderstatus") === "F")
+    }),
+
     // Weibull shape/scale for document lengths via median-rank
     // regression: k<1 heavy tail, k>1 wear-out — what x266's forced
     // exponential cannot distinguish
@@ -10371,6 +10418,105 @@ object SparkEntry {
         |  round((t2::DOUBLE - (n::DOUBLE + 1.0::DOUBLE) * slt::DOUBLE) /
         |    (2.0::DOUBLE * sqrt(nullif(vt, 0.0))), 6) AS z
         |FROM f""".stripMargin,
+
+    // x378's per-user split; six exact sufficient statistics; the
+    // same IEEE moment tree on both engines
+    "x385_lin_ccc" ->
+      """WITH mn AS (SELECT min(ts::DATE) AS m FROM events),
+        |pu AS (SELECT user_id,
+        |    sum(CASE WHEN ts::DATE < m + 15 THEN 1 ELSE 0
+        |      END)::BIGINT AS x,
+        |    sum(CASE WHEN ts::DATE >= m + 15 THEN 1 ELSE 0
+        |      END)::BIGINT AS y
+        |  FROM events CROSS JOIN mn GROUP BY 1),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+        |    sum(y * y)::BIGINT AS syy, sum(x * y)::BIGINT AS sxy
+        |  FROM pu),
+        |f AS (SELECT n,
+        |    sx::DOUBLE / (n::DOUBLE * 1.0::DOUBLE) AS mx,
+        |    sy::DOUBLE / (n::DOUBLE * 1.0::DOUBLE) AS my,
+        |    (sxx::DOUBLE / n::DOUBLE - (sx::DOUBLE / n::DOUBLE) *
+        |      (sx::DOUBLE / n::DOUBLE)) / (1.0::DOUBLE * 1.0::DOUBLE)
+        |      AS vx,
+        |    (syy::DOUBLE / n::DOUBLE - (sy::DOUBLE / n::DOUBLE) *
+        |      (sy::DOUBLE / n::DOUBLE)) / (1.0::DOUBLE * 1.0::DOUBLE)
+        |      AS vy,
+        |    (sxy::DOUBLE / n::DOUBLE - (sx::DOUBLE / n::DOUBLE) *
+        |      (sy::DOUBLE / n::DOUBLE)) / (1.0::DOUBLE * 1.0::DOUBLE)
+        |      AS cxy
+        |  FROM g),
+        |h AS (SELECT n, mx, my,
+        |    cxy / nullif(sqrt(vx * vy), 0.0) AS r,
+        |    2.0::DOUBLE * cxy /
+        |      nullif(vx + vy + (mx - my) * (mx - my), 0.0) AS ccc
+        |  FROM f)
+        |SELECT n, round(mx, 6) AS mean_x, round(my, 6) AS mean_y,
+        |  round(r, 6) AS r, round(ccc, 6) AS ccc,
+        |  round(ccc / nullif(r, 0.0), 6) AS c_b FROM h""".stripMargin,
+
+    // exact cent-sum halves per user; exact (n, Σd, Σd²); ONE 1.96
+    // literal; census against the broadcast IEEE bounds
+    "x386_bland_altman" ->
+      """WITH mn AS (SELECT min(ts::DATE) AS m FROM events),
+        |pu AS (SELECT user_id,
+        |    coalesce(sum(CASE WHEN ts::DATE < m + 15 THEN
+        |      round(value * 100)::BIGINT END), 0)::BIGINT AS x,
+        |    coalesce(sum(CASE WHEN ts::DATE >= m + 15 THEN
+        |      round(value * 100)::BIGINT END), 0)::BIGINT AS y
+        |  FROM events CROSS JOIN mn GROUP BY 1),
+        |byd AS (SELECT (x - y)::BIGINT AS d, count(*)::BIGINT AS t
+        |  FROM pu GROUP BY 1),
+        |g AS (SELECT sum(t)::BIGINT AS n, sum(d * t)::BIGINT AS s,
+        |    sum(d * d * t)::BIGINT AS q FROM byd),
+        |st AS (SELECT n,
+        |    s::DOUBLE / (n::DOUBLE * 1.0::DOUBLE) AS bias,
+        |    sqrt((q::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE)) /
+        |      nullif(n::DOUBLE - 1.0::DOUBLE, 0.0)) / 1.0::DOUBLE
+        |      AS sd
+        |  FROM g),
+        |b AS (SELECT n, bias, sd,
+        |    bias - 1.96::DOUBLE * sd AS lo,
+        |    bias + 1.96::DOUBLE * sd AS hi FROM st),
+        |win AS (SELECT max(b.n)::BIGINT AS n, max(bias) AS bias,
+        |    max(sd) AS sd, max(lo) AS lo, max(hi) AS hi,
+        |    sum(CASE WHEN d::DOUBLE / 1.0::DOUBLE >= lo AND
+        |      d::DOUBLE / 1.0::DOUBLE <= hi THEN t ELSE 0
+        |      END)::BIGINT AS w
+        |  FROM byd CROSS JOIN b)
+        |SELECT n, round(bias, 6) AS bias, round(sd, 6) AS sd_d,
+        |  round(lo, 6) AS loa_lo, round(hi, 6) AS loa_hi,
+        |  round(w::DOUBLE / n::DOUBLE, 6) AS p_within
+        |FROM win""".stripMargin,
+
+    // four exact cells; 9-dp ln RR and SE; exp on identical quantized
+    // arguments both engines
+    "x387_relative_risk" ->
+      """WITH cells AS (SELECT
+        |    sum(CASE WHEN substring(o_orderpriority, 1, 1) = '1' AND
+        |      o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN substring(o_orderpriority, 1, 1) = '1' AND
+        |      o_orderstatus <> 'F' THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN substring(o_orderpriority, 1, 1) <> '1' AND
+        |      o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN substring(o_orderpriority, 1, 1) <> '1' AND
+        |      o_orderstatus <> 'F' THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM orders),
+        |f AS (SELECT a, b, c, d,
+        |    (a::DOUBLE / (a::DOUBLE + b::DOUBLE)) /
+        |      nullif(c::DOUBLE / (c::DOUBLE + d::DOUBLE), 0.0) AS rr
+        |  FROM cells),
+        |h AS (SELECT a, b, c, d, rr,
+        |    round(ln(nullif(rr, 0.0)), 9) AS lnrr,
+        |    round(sqrt(1.0::DOUBLE / nullif(a::DOUBLE, 0.0) -
+        |      1.0::DOUBLE / (a::DOUBLE + b::DOUBLE) +
+        |      1.0::DOUBLE / nullif(c::DOUBLE, 0.0) -
+        |      1.0::DOUBLE / (c::DOUBLE + d::DOUBLE)), 9) AS se
+        |  FROM f)
+        |SELECT a, b, c, d, round(rr, 6) AS rr,
+        |  round(exp(lnrr - 1.96::DOUBLE * se), 6) AS ci_lo,
+        |  round(exp(lnrr + 1.96::DOUBLE * se), 6) AS ci_hi
+        |FROM h""".stripMargin,
 
     // exact grand lower median off the cent ladder; 2xK exact cells;
     // 9-dp per-group chi-square terms

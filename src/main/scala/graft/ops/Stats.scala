@@ -8088,6 +8088,158 @@ object Stats {
         (F.col("k_groups") - 1L).as("df"))
   }
 
+  /** Lin's concordance correlation coefficient — agreement of two
+    * paired measurements against the 45° line:
+    * {{{ ρ_c = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²) }}}
+    * (population moments, Lin 1989). Splits into PRECISION (Pearson r:
+    * how tight the cloud) × ACCURACY (C_b = ρ_c/r: how close to the
+    * identity line) — the pair [[corrPairs]]' r alone can't give, since
+    * r is blind to scale and location bias. The method-agreement
+    * number next to [[blandAltman]]'s interval read.
+    *
+    * Determinism: both sides quantized ×`scale` to exact longs, all
+    * six sufficient statistics exact; the same IEEE expression tree is
+    * replayed by the oracle.
+    *
+    * Scale shape: one collapse to (n, Σx, Σy, Σx², Σy², Σxy), a 1-row
+    * result.
+    *
+    * @return one row (n, mean_x, mean_y, r, ccc, c_b) — 6-dp; r/c_b
+    *         NULL when either variance is 0
+    */
+  def linCcc(df: DataFrame, xCol: Column, yCol: Column,
+             scale: Long = 1L): DataFrame = {
+    val s = df.select(
+        F.round(xCol.cast("double") * scale).cast("long").as("__x"),
+        F.round(yCol.cast("double") * scale).cast("long").as("__y"))
+      .filter(F.col("__x").isNotNull && F.col("__y").isNotNull)
+    val g = s.agg(F.count(F.lit(1)).as("n"),
+      F.sum("__x").as("__sx"), F.sum("__y").as("__sy"),
+      F.sum(F.col("__x") * F.col("__x")).as("__sxx"),
+      F.sum(F.col("__y") * F.col("__y")).as("__syy"),
+      F.sum(F.col("__x") * F.col("__y")).as("__sxy"))
+    val nD = F.col("n").cast("double")
+    val sD = F.lit(scale).cast("double")
+    val mx = F.col("__sx").cast("double") / (nD * sD)
+    val my = F.col("__sy").cast("double") / (nD * sD)
+    // population moments in value units (each one IEEE chain)
+    val vx = (F.col("__sxx").cast("double") / nD -
+      (F.col("__sx").cast("double") / nD) *
+        (F.col("__sx").cast("double") / nD)) / (sD * sD)
+    val vy = (F.col("__syy").cast("double") / nD -
+      (F.col("__sy").cast("double") / nD) *
+        (F.col("__sy").cast("double") / nD)) / (sD * sD)
+    val cxy = (F.col("__sxy").cast("double") / nD -
+      (F.col("__sx").cast("double") / nD) *
+        (F.col("__sy").cast("double") / nD)) / (sD * sD)
+    val ccc = F.lit(2.0) * cxy /
+      F.nullif(vx + vy + (mx - my) * (mx - my), F.lit(0.0))
+    val r = cxy / F.nullif(F.sqrt(vx * vy), F.lit(0.0))
+    g.select(F.col("n"), F.round(mx, 6).as("mean_x"),
+      F.round(my, 6).as("mean_y"), F.round(r, 6).as("r"),
+      F.round(ccc, 6).as("ccc"),
+      F.round(ccc / F.nullif(r, F.lit(0.0)), 6).as("c_b"))
+  }
+
+  /** Bland–Altman limits of agreement — the method-comparison
+    * interval: per-pair difference d = x − y, bias = d̄, limits
+    * bias ± 1.96·s_d, plus the observed share of pairs inside them.
+    * The clinical-agreement standard that answers what [[linCcc]]'s
+    * single coefficient can't: "HOW FAR apart can the two methods be
+    * for one subject" in the value's own units.
+    *
+    * Determinism: differences exact longs (both sides ×`scale`), so
+    * (n, Σd, Σd²) are exact; 1.96 is ONE literal; the within-limits
+    * census compares exact-long diffs against the two IEEE bounds —
+    * identically on both engines.
+    *
+    * Scale shape: one collapse for the moments, the census rides a
+    * value-collapsed diff table joined to the broadcast 1-row bounds.
+    *
+    * @return one row (n, bias, sd_d, loa_lo, loa_hi, p_within) —
+    *         6-dp; limits NULL when n < 2
+    */
+  def blandAltman(df: DataFrame, xCol: Column, yCol: Column,
+                  scale: Long = 1L): DataFrame = {
+    val s = df.select(
+        (F.round(xCol.cast("double") * scale).cast("long") -
+          F.round(yCol.cast("double") * scale).cast("long")).as("__d"))
+      .filter(F.col("__d").isNotNull)
+    val byD = s.groupBy("__d").agg(F.count(F.lit(1)).as("__t"))
+    val sD = F.lit(scale).cast("double")
+    val g = byD.agg(F.sum("__t").as("n"),
+      F.sum(F.col("__d") * F.col("__t")).as("__s"),
+      F.sum(F.col("__d") * F.col("__d") * F.col("__t")).as("__q"))
+    val nD = F.col("n").cast("double")
+    val bias = F.col("__s").cast("double") / (nD * sD)
+    val sd = F.sqrt((F.col("__q").cast("double") -
+      F.col("__s").cast("double") *
+        (F.col("__s").cast("double") / nD)) /
+      F.nullif(nD - 1.0, F.lit(0.0))) / sD
+    val stats = g.select(F.col("n"), bias.as("__bias"), sd.as("__sd"),
+      (bias - F.lit(1.96) * sd).as("__lo"),
+      (bias + F.lit(1.96) * sd).as("__hi"))
+    val within = byD.crossJoin(F.broadcast(stats))
+      .agg(F.sum(F.when(
+        F.col("__d").cast("double") / sD >= F.col("__lo") &&
+          F.col("__d").cast("double") / sD <= F.col("__hi"),
+        F.col("__t")).otherwise(0L)).as("__win"),
+        F.max("n").as("n"), F.max("__bias").as("__bias"),
+        F.max("__sd").as("__sd"), F.max("__lo").as("__lo"),
+        F.max("__hi").as("__hi"))
+    within.select(F.col("n"), F.round(F.col("__bias"), 6).as("bias"),
+      F.round(F.col("__sd"), 6).as("sd_d"),
+      F.round(F.col("__lo"), 6).as("loa_lo"),
+      F.round(F.col("__hi"), 6).as("loa_hi"),
+      F.round(F.col("__win").cast("double") / nD, 6).as("p_within"))
+  }
+
+  /** Relative risk (risk ratio) with the Wald log-interval — the 2×2
+    * epidemiological read: RR = (a/(a+b)) / (c/(c+d)) for exposed
+    * (a events, b non-events) vs unexposed (c, d), CI
+    * exp(ln RR ± 1.96·SE), SE² = 1/a − 1/(a+b) + 1/c − 1/(c+d).
+    * The absolute-risk companion of [[oddsRatio]], which reports RR
+    * only as a point estimate with the OR's interval: here the
+    * interval is the RR's OWN (different SE — the −1/(a+b) terms), so
+    * "significantly more likely" is answered on the risk scale, and
+    * without [[oddsRatio]]'s Haldane correction (cells the formula
+    * needs at 0 yield NULL instead — loud, not shifted).
+    *
+    * Determinism: four exact-long cells; ln RR and SE each one 9-dp
+    * IEEE term; the two exp calls take identical 9-dp-quantized
+    * arguments on both engines.
+    *
+    * Scale shape: one collapse to four longs, a 1-row result.
+    *
+    * @return one row (a, b, c, d, rr, ci_lo, ci_hi) — 6-dp; NULL when
+    *         any cell needed by the formula is 0
+    */
+  def relativeRisk(df: DataFrame, exposed: Column,
+                   outcome: Column): DataFrame = {
+    val g = df.select(
+        F.when(exposed, 1L).otherwise(0L).as("__e"),
+        F.when(outcome, 1L).otherwise(0L).as("__o"))
+      .agg(
+        F.sum(F.col("__e") * F.col("__o")).as("a"),
+        F.sum(F.col("__e") * (F.lit(1L) - F.col("__o"))).as("b"),
+        F.sum((F.lit(1L) - F.col("__e")) * F.col("__o")).as("c"),
+        F.sum((F.lit(1L) - F.col("__e")) * (F.lit(1L) - F.col("__o")))
+          .as("d"))
+    def dd(c: String) = F.col(c).cast("double")
+    val rr = (dd("a") / (dd("a") + dd("b"))) /
+      F.nullif(dd("c") / (dd("c") + dd("d")), F.lit(0.0))
+    val lnrr = F.round(F.log(F.nullif(rr, F.lit(0.0))), 9)
+    val se = F.round(F.sqrt(
+      F.lit(1.0) / F.nullif(dd("a"), F.lit(0.0)) -
+        F.lit(1.0) / (dd("a") + dd("b")) +
+        F.lit(1.0) / F.nullif(dd("c"), F.lit(0.0)) -
+        F.lit(1.0) / (dd("c") + dd("d"))), 9)
+    g.select(F.col("a"), F.col("b"), F.col("c"), F.col("d"),
+      F.round(rr, 6).as("rr"),
+      F.round(F.exp(lnrr - F.lit(1.96) * se), 6).as("ci_lo"),
+      F.round(F.exp(lnrr + F.lit(1.96) * se), 6).as("ci_hi"))
+  }
+
   /** One 2×K-cell chi-square contribution (O−E)²/E with E = rowTot·
     * colTot/N, everything exact longs until the two IEEE ops. Assumes
     * the caller's frame carries __a+__b per group and __ta/__tb/__n

@@ -6126,6 +6126,41 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
   }
 
+  test("linCcc: identity agreement 1; scale-biased perfect line drops " +
+      "to 4/11") {
+    import graft.ops.Stats
+    val id = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y")
+    val i = Stats.linCcc(id, F.col("x"), F.col("y"))
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(i == ((3L, 2.0, 2.0, 1.0, 1.0, 1.0)), i)
+    // y = 2x: r = 1 but ccc = 2*(4/3)/(2/3 + 8/3 + 4) = 8/22
+    val biased = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+    val b = Stats.linCcc(biased, F.col("x"), F.col("y"))
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(b == ((3L, 2.0, 4.0, 1.0, 0.363636, 0.363636)), b)
+  }
+
+  test("blandAltman: hand diffs 1,3,5 — bias 3, sd 2, limits -0.92/6.92, " +
+      "all within") {
+    import graft.ops.Stats
+    val df = Seq((2.0, 1.0), (4.0, 1.0), (6.0, 1.0)).toDF("x", "y")
+    val got = Stats.blandAltman(df, F.col("x"), F.col("y"))
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(got == ((3L, 3.0, 2.0, -0.92, 6.92, 1.0)), got)
+  }
+
+  test("relativeRisk: 2/4 vs 1/4 hand RR 2 with unit-SE Wald interval") {
+    import graft.ops.Stats
+    // exposed: 2 events, 2 non; unexposed: 1 event, 3 non
+    val df = Seq((true, true), (true, true), (true, false), (true, false),
+      (false, true), (false, false), (false, false), (false, false))
+      .toDF("e", "o")
+    val got = Stats.relativeRisk(df, F.col("e"), F.col("o"))
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    // se = sqrt(1/2 - 1/4 + 1/1 - 1/4) = 1
+    assert(got == ((2L, 2L, 1L, 3L, 2.0, 0.281717, 14.198654)), got)
+  }
+
   test("simplifiedSilhouette: hand 2-centroid geometry — on-centroid " +
       "points score 1, midfield points 2/3") {
     import graft.ops.Similarity
