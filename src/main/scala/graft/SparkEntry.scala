@@ -3057,13 +3057,47 @@ object SparkEntry {
     }),
 
     // relative risk of order failure for urgent orders: "times more
-    // likely", the absolute-risk read x146's odds ratio exaggerates
+    // likely", the absolute-risk read x204's odds ratio exaggerates
     // when the outcome is common
     "x387_relative_risk" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       graft.ops.Stats.relativeRisk(o,
         F.substring(F.col("o_orderpriority"), 1, 1) === "1",
         F.col("o_orderstatus") === "F")
+    }),
+
+    // Pettitt change-point on daily volume: did the level shift, and
+    // WHEN — the located break x332's KPSS only smells
+    "x388_pettitt" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.pettittTest(daily, "t", "v")
+    }),
+
+    // Buishand range on daily spend: total cumulative drift of the
+    // revenue level — the CUSUM grade next to x388's located break
+    "x389_buishand" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+          .cast("double").as("v"))
+      graft.ops.Stats.buishandRange(daily, "t", "v")
+    }),
+
+    // SNHT on hourly volume: the parametric break detector that stays
+    // sharp near the series ends where x388's ranks run out of pairs
+    "x390_snht" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val t = graft.ops.EventOps.tsStamp(ev)
+      val hourly = ev.groupBy(
+          F.floor(F.unix_timestamp(t) / 3600).cast("long").as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.snht(hourly, "t", "v")
     }),
 
     // Weibull shape/scale for document lengths via median-rank
@@ -10488,6 +10522,75 @@ object SparkEntry {
         |  round(lo, 6) AS loa_lo, round(hi, 6) AS loa_hi,
         |  round(w::DOUBLE / n::DOUBLE, 6) AS p_within
         |FROM win""".stripMargin,
+
+    // doubled midranks off the value ladder; exact-long U_t ladder;
+    // integer argmax; exp-approximation p on exact arguments
+    "x388_pettitt" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::BIGINT AS y FROM events GROUP BY 1),
+        |byv AS (SELECT y, count(*)::BIGINT AS tc FROM daily GROUP BY 1),
+        |kv AS (SELECT y, (2 * (sum(tc) OVER (ORDER BY y ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW)) - tc + 1)::BIGINT
+        |      AS k FROM byv),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM daily),
+        |u AS (SELECT d.t,
+        |    (sum(k) OVER (ORDER BY d.t ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW))::BIGINT AS ck,
+        |    row_number() OVER (ORDER BY d.t)::BIGINT AS i, n
+        |  FROM daily d JOIN kv ON kv.y = d.y CROSS JOIN tot),
+        |uu AS (SELECT t, i, n, (ck - i * (n + 1))::BIGINT AS u
+        |  FROM u WHERE i < n),
+        |best AS (SELECT n, abs(u)::BIGINT AS k, t, u,
+        |    row_number() OVER (ORDER BY abs(u) DESC, i) AS rk FROM uu)
+        |SELECT n, k, t AS t_loc, u AS u_at,
+        |  round(2.0::DOUBLE * exp(-6.0::DOUBLE * k::DOUBLE * k::DOUBLE /
+        |    (n::DOUBLE * n::DOUBLE * n::DOUBLE + n::DOUBLE * n::DOUBLE)),
+        |    6) AS p_approx
+        |FROM best WHERE rk = 1""".stripMargin,
+
+    // kpss n-scaled exact prefix ladder; range over (min 0, max 0)
+    // anchored partial sums; two IEEE chains
+    "x389_buishand" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, sum(round(value * 100)::BIGINT)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+        |  FROM daily),
+        |ee AS (SELECT t, (n * y - sy)::BIGINT AS e, n
+        |  FROM daily CROSS JOIN tot),
+        |sp AS (SELECT n, e, (sum(e) OVER (ORDER BY t ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS s FROM ee),
+        |g AS (SELECT max(n)::BIGINT AS n,
+        |    greatest(max(s), 0)::BIGINT AS mx,
+        |    least(min(s), 0)::BIGINT AS mn,
+        |    sum(e * e)::BIGINT AS se2 FROM sp)
+        |SELECT n,
+        |  round((mx - mn)::DOUBLE * sqrt(n::DOUBLE) /
+        |    nullif(sqrt(se2::DOUBLE), 0.0), 6) AS r,
+        |  round((mx - mn)::DOUBLE /
+        |    nullif(sqrt(se2::DOUBLE), 0.0), 6) AS r_over_sqrt_n
+        |FROM g""".stripMargin,
+
+    // same exact ladder on the hourly grid; T_k one IEEE chain per k,
+    // 9-dp; integer argmax with smallest-k tie-break
+    "x390_snht" ->
+      """WITH hourly AS (SELECT (floor(epoch(ts))::BIGINT // 3600)
+        |    AS t, count(*)::BIGINT AS y FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+        |  FROM hourly),
+        |ee AS (SELECT t, (n * y - sy)::BIGINT AS e, n
+        |  FROM hourly CROSS JOIN tot),
+        |se2 AS (SELECT sum(e * e)::BIGINT AS se2 FROM ee),
+        |sp AS (SELECT n, (sum(e) OVER (ORDER BY t ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS s,
+        |    row_number() OVER (ORDER BY t)::BIGINT AS i FROM ee),
+        |tk AS (SELECT n, i, round((s * s)::DOUBLE * (n * n)::DOUBLE /
+        |    nullif(se2::DOUBLE * (i * (n - i))::DOUBLE, 0.0), 9) AS tkv
+        |  FROM sp CROSS JOIN se2 WHERE i < n),
+        |best AS (SELECT n, tkv, i,
+        |    row_number() OVER (ORDER BY tkv DESC, i) AS rk FROM tk)
+        |SELECT n, round(tkv, 6) AS t_max, i AS k_loc
+        |FROM best WHERE rk = 1""".stripMargin,
 
     // four exact cells; 9-dp ln RR and SE; exp on identical quantized
     // arguments both engines

@@ -8240,6 +8240,153 @@ object Stats {
       F.round(F.exp(lnrr + F.lit(1.96) * se), 6).as("ci_hi"))
   }
 
+  /** Pettitt change-point test — the rank-based "did the level shift,
+    * and WHEN": U_t = 2·Σ_{i≤t} R_i − t(n+1) (midranks), K = max|U_t|,
+    * the argmax is the most probable break point, and the classic
+    * approximation p ≈ 2·exp(−6K²/(n³+n²)) grades it. The
+    * nonparametric sibling of [[snht]]: immune to the heavy-tailed
+    * day that drags a mean-based statistic.
+    *
+    * Determinism: doubled midranks off the value ladder make every
+    * U_t an exact long (Σk_{i≤t} − t(n+1)); K and its location are
+    * integer selections (smallest t on ties); only p is IEEE (exp on
+    * identical exact arguments).
+    *
+    * Scale shape: one value ladder + one time ladder over a bounded
+    * series grid (a rollup, not a corpus), 1-row result.
+    *
+    * @return one row (n, k, t_loc, u_at, p_approx) — p 6-dp
+    */
+  def pettittTest(series: DataFrame, tCol: String, vCol: String,
+                  scale: Long = 1L): DataFrame = {
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+        F.round(F.col(vCol).cast("double") * scale).cast("long")
+          .as("__y"))
+      .filter(F.col("__y").isNotNull)
+    val byV = s.groupBy("__y").agg(F.count(F.lit(1)).as("__tc"))
+    val wv = Window.orderBy(F.col("__y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kv = byV.withColumn("__cum", F.sum("__tc").over(wv))
+      .withColumn("__k",
+        F.lit(2L) * F.col("__cum") - F.col("__tc") + 1L)
+      .select("__y", "__k")
+    val tot = s.agg(F.count(F.lit(1)).as("__n"))
+    val wt = Window.orderBy(F.col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = s.join(F.broadcast(kv), "__y")
+      .crossJoin(F.broadcast(tot))
+      .withColumn("__ck", F.sum("__k").over(wt))
+      .withColumn("__i", F.row_number().over(Window.orderBy(F.col("__t"))))
+      .withColumn("__u", F.col("__ck") - F.col("__i") * (F.col("__n") + 1L))
+      .filter(F.col("__i") < F.col("__n"))
+    val best = u.agg(F.max("__n").as("n"),
+      F.max(F.struct(F.abs(F.col("__u")).as("a"),
+        (-F.col("__i")).as("ni"), F.col("__t").as("t"),
+        F.col("__u").as("u"))).as("__b"))
+    val nD = F.col("n").cast("double")
+    val kD = F.col("__b.a").cast("double")
+    best.select(F.col("n"), F.col("__b.a").as("k"),
+      F.col("__b.t").as("t_loc"), F.col("__b.u").as("u_at"),
+      F.round(F.lit(2.0) * F.exp(F.lit(-6.0) * kD * kD /
+        (nD * nD * nD + nD * nD)), 6).as("p_approx"))
+  }
+
+  /** Buishand range test — cumulative-deviation homogeneity: partial
+    * sums S_k = Σ_{i≤k}(y_i − ȳ) wander near 0 for a homogeneous
+    * series and bulge once the level shifts; the statistic is the
+    * rescaled range R = (max S − min S)/s, reported with the tabulated
+    * form R/√n. The CUSUM-flavored companion of [[pettittTest]] (which
+    * locates the break; this grades total drift) and the level-shift
+    * sibling of [[kpssLevel]]'s trend test.
+    *
+    * Determinism: the n-scaled ladder trick — e_i = n·y_i − Σy is an
+    * exact long, its prefix sums are S_k·n exactly, and Σe² = n³s²
+    * exactly, so R = (maxE − minE)·√n/√(Σe²) and R/√n collapse to one
+    * IEEE chain each over exact integers.
+    *
+    * Scale shape: one broadcast total, one time-ladder window over
+    * the bounded series grid, 1-row result.
+    *
+    * @return one row (n, r, r_over_sqrt_n) — 6-dp; NULL when the
+    *         series is constant
+    */
+  def buishandRange(series: DataFrame, tCol: String, vCol: String,
+                    scale: Long = 1L): DataFrame = {
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+        F.round(F.col(vCol).cast("double") * scale).cast("long")
+          .as("__y"))
+      .filter(F.col("__y").isNotNull)
+    val tot = s.agg(F.count(F.lit(1)).as("__n"), F.sum("__y").as("__sy"))
+    val e = s.crossJoin(F.broadcast(tot))
+      .withColumn("__e", F.col("__n") * F.col("__y") - F.col("__sy"))
+    val w = Window.orderBy(F.col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = e.withColumn("__sp", F.sum("__e").over(w))
+      .agg(F.max("__n").as("n"),
+        F.greatest(F.max("__sp"), F.lit(0L)).as("__mx"),
+        F.least(F.min("__sp"), F.lit(0L)).as("__mn"),
+        F.sum(F.col("__e") * F.col("__e")).as("__se2"))
+    val nD = F.col("n").cast("double")
+    val range = (F.col("__mx") - F.col("__mn")).cast("double")
+    g.select(F.col("n"),
+      F.round(range * F.sqrt(nD) /
+        F.nullif(F.sqrt(F.col("__se2").cast("double")), F.lit(0.0)), 6)
+        .as("r"),
+      F.round(range /
+        F.nullif(F.sqrt(F.col("__se2").cast("double")), F.lit(0.0)), 6)
+        .as("r_over_sqrt_n"))
+  }
+
+  /** Standard normal homogeneity test (Alexandersson) — the
+    * parametric break detector: for every split k,
+    * T_k = k·z̄₁² + (n−k)·z̄₂² compares the two halves' standardized
+    * means; T = max T_k, argmax the break. Sharper than
+    * [[pettittTest]] near the SERIES ENDS (where rank statistics run
+    * out of pairs), at the price of normality sensitivity — run both.
+    *
+    * Determinism: with sp_k the exact n-scaled deviation prefix
+    * ([[kpssLevel]]'s ladder, Σe = 0), T_k collapses to
+    * {{{ T_k = sp_k² · n² / (Σe² · k · (n−k)) }}}
+    * — exact-long numerator pieces (sp² via long multiply, converted
+    * once to double), one IEEE chain per k, 9-dp T_k, integer argmax
+    * with smallest-k tie-break.
+    *
+    * Scale shape: [[buishandRange]]'s — one ladder over the bounded
+    * grid, 1-row result.
+    *
+    * @return one row (n, t_max, k_loc) — t_max 6-dp; NULL t_max when
+    *         the series is constant
+    */
+  def snht(series: DataFrame, tCol: String, vCol: String,
+           scale: Long = 1L): DataFrame = {
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+        F.round(F.col(vCol).cast("double") * scale).cast("long")
+          .as("__y"))
+      .filter(F.col("__y").isNotNull)
+    val tot = s.agg(F.count(F.lit(1)).as("__n"), F.sum("__y").as("__sy"))
+    val e = s.crossJoin(F.broadcast(tot))
+      .withColumn("__e", F.col("__n") * F.col("__y") - F.col("__sy"))
+    val w = Window.orderBy(F.col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val se2 = e.agg(F.sum(F.col("__e") * F.col("__e")).as("__se2"))
+    val tk = e.withColumn("__sp", F.sum("__e").over(w))
+      .withColumn("__i", F.row_number().over(Window.orderBy(F.col("__t"))))
+      .filter(F.col("__i") < F.col("__n"))
+      .crossJoin(F.broadcast(se2))
+      .withColumn("__tk", F.round(
+        (F.col("__sp") * F.col("__sp")).cast("double") *
+          (F.col("__n") * F.col("__n")).cast("double") /
+          F.nullif(F.col("__se2").cast("double") *
+            (F.col("__i") * (F.col("__n") - F.col("__i")))
+              .cast("double"), F.lit(0.0)),
+        9))
+    val best = tk.agg(F.max("__n").as("n"),
+      F.max(F.struct(F.col("__tk").as("tk"), (-F.col("__i")).as("ni"),
+        F.col("__i").as("i"))).as("__b"))
+    best.select(F.col("n"), F.round(F.col("__b.tk"), 6).as("t_max"),
+      F.col("__b.i").as("k_loc"))
+  }
+
   /** One 2×K-cell chi-square contribution (O−E)²/E with E = rowTot·
     * colTot/N, everything exact longs until the two IEEE ops. Assumes
     * the caller's frame carries __a+__b per group and __ta/__tb/__n

@@ -6126,6 +6126,42 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
   }
 
+  test("pettittTest: clean mid-series break located at t=3 with K=9; " +
+      "constant series is flat") {
+    import graft.ops.Stats
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 10.0),
+      (5L, 11.0), (6L, 12.0)).toDF("t", "v")
+    val got = Stats.pettittTest(df, "t", "v")
+      .as[(Long, Long, Long, Long, Double)].head()
+    // U = (-5,-8,-9,-8,-5): K=9 at t=3; p = 2 exp(-486/252)
+    assert(got == ((6L, 9L, 3L, -9L, 0.290711)), got)
+    val const = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("t", "v")
+    val c = Stats.pettittTest(const, "t", "v")
+      .as[(Long, Long, Long, Long, Double)].head()
+    // all-midrank series: U identically 0, the approximation's
+    // degenerate p = 2*exp(0) (out of [0,1] by construction)
+    assert(c == ((3L, 0L, 1L, 0L, 2.0)), c)
+  }
+
+  test("buishandRange: hand ramp r = 3*sqrt(3)/sqrt(18)") {
+    import graft.ops.Stats
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "v")
+    val got = Stats.buishandRange(df, "t", "v")
+      .as[(Long, Double, Double)].head()
+    // e = (-3,0,3), sp = (-3,-3,0): range 3, se2 = 18
+    assert(got == ((3L, 1.224745, 0.707107)), got)
+  }
+
+  test("snht: two-level step maxes T=4 exactly at the break k=2") {
+    import graft.ops.Stats
+    val df = Seq((1L, 0.0), (2L, 0.0), (3L, 2.0), (4L, 2.0))
+      .toDF("t", "v")
+    val got = Stats.snht(df, "t", "v")
+      .as[(Long, Double, Long)].head()
+    // e = (-4,-4,4,4), se2 = 64, sp = (-4,-8,-4): T = (4/3, 4, 4/3)
+    assert(got == ((4L, 4.0, 2L)), got)
+  }
+
   test("linCcc: identity agreement 1; scale-biased perfect line drops " +
       "to 4/11") {
     import graft.ops.Stats
