@@ -3100,6 +3100,29 @@ object SparkEntry {
       graft.ops.Stats.snht(hourly, "t", "v")
     }),
 
+    // eta-squared / omega-squared of order value by priority: how much
+    // variance the priority EXPLAINS — the magnitude x304's Welch
+    // F-significance hides at scale (dollar quantization)
+    "x391_anova_effect" -> ((s, dir) =>
+      graft.ops.Stats.anovaEffectSizes(
+        s.read.parquet(s"$dir/orders.parquet"), F.col("o_totalprice"),
+        F.col("o_orderpriority"), scale = 1L)),
+
+    // Tukey-Kramer q per segment pair on account balance: WHICH
+    // segments differ, after the omnibus test says "somewhere"
+    "x392_tukey_q" -> ((s, dir) =>
+      graft.ops.Stats.tukeyHsdQ(
+        s.read.parquet(s"$dir/customer.parquet"), F.col("c_acctbal"),
+        F.col("c_mktsegment"), scale = 100L)),
+
+    // Cohen's h for long-doc share, en vs non-en: the arcsine effect
+    // size whose scale is honest at BOTH ends of [0,1] — next to
+    // x204's odds ratio and x387's risk ratio
+    "x393_cohen_h" -> ((s, dir) =>
+      graft.ops.Stats.cohenH(
+        s.read.parquet(s"$dir/documents.parquet"),
+        F.col("lang") === "en", F.col("n_chars") > 300)),
+
     // Weibull shape/scale for document lengths via median-rank
     // regression: k<1 heavy tail, k>1 wear-out — what x266's forced
     // exponential cannot distinguish
@@ -10522,6 +10545,86 @@ object SparkEntry {
         |  round(lo, 6) AS loa_lo, round(hi, 6) AS loa_hi,
         |  round(w::DOUBLE / n::DOUBLE, 6) AS p_within
         |FROM win""".stripMargin,
+
+    // positive-SS per-group 9-dp terms off exact (n, Σk, Σk²); one
+    // IEEE chain for each effect size
+    "x391_anova_effect" ->
+      """WITH rows_ AS (SELECT round(o_totalprice::DOUBLE * 1)::BIGINT
+        |      AS k, o_orderpriority AS g
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL),
+        |per AS (SELECT g, count(*)::BIGINT AS ng, sum(k)::BIGINT AS sk,
+        |    sum(k * k)::BIGINT AS qk FROM rows_ GROUP BY 1),
+        |tot AS (SELECT sum(ng)::BIGINT AS nn, sum(sk)::BIGINT AS st
+        |  FROM per),
+        |terms AS (SELECT ng,
+        |    round(ng::DOUBLE * (sk::DOUBLE / ng::DOUBLE -
+        |      st::DOUBLE / nn::DOUBLE) * (sk::DOUBLE / ng::DOUBLE -
+        |      st::DOUBLE / nn::DOUBLE) / (1.0::DOUBLE * 1.0::DOUBLE),
+        |      9) AS ssb,
+        |    round((ng::DOUBLE * qk::DOUBLE - sk::DOUBLE * sk::DOUBLE) /
+        |      (ng::DOUBLE * 1.0::DOUBLE * 1.0::DOUBLE), 9) AS ssw,
+        |    nn
+        |  FROM per CROSS JOIN tot),
+        |g AS (SELECT max(nn)::BIGINT AS n, count(*)::BIGINT AS k_groups,
+        |    sum(ssb) AS b, sum(ssw) AS w FROM terms),
+        |f AS (SELECT n, k_groups, b, w,
+        |    w / (n::DOUBLE - k_groups::DOUBLE) AS msw, b + w AS sst
+        |  FROM g)
+        |SELECT n, k_groups, round(b, 6) AS ss_between,
+        |  round(w, 6) AS ss_within,
+        |  round(b / nullif(sst, 0.0), 6) AS eta2,
+        |  round((b - (k_groups::DOUBLE - 1.0::DOUBLE) * msw) /
+        |    nullif(sst + msw, 0.0), 6) AS omega2
+        |FROM f""".stripMargin,
+
+    // same collapse; 9-dp mean diffs; one IEEE q chain per unordered
+    // pair; lexicographic pair order
+    "x392_tukey_q" ->
+      """WITH rows_ AS (SELECT round(c_acctbal::DOUBLE * 100)::BIGINT
+        |      AS k, c_mktsegment AS g
+        |  FROM customer
+        |  WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+        |per AS (SELECT g, count(*)::BIGINT AS ng, sum(k)::BIGINT AS sk,
+        |    round((count(*)::DOUBLE * sum(k * k)::DOUBLE -
+        |      sum(k)::DOUBLE * sum(k)::DOUBLE) /
+        |      (count(*)::DOUBLE * 100.0::DOUBLE * 100.0::DOUBLE), 9)
+        |      AS ssw
+        |  FROM rows_ GROUP BY 1),
+        |tot AS (SELECT sum(ng)::BIGINT AS nn, count(*)::BIGINT AS kk,
+        |    sum(ssw) AS w FROM per),
+        |pairs AS (SELECT a.g AS g_a, b.g AS g_b, a.ng AS n_a,
+        |    b.ng AS n_b,
+        |    round(a.sk::DOUBLE / (a.ng::DOUBLE * 100.0::DOUBLE) -
+        |      b.sk::DOUBLE / (b.ng::DOUBLE * 100.0::DOUBLE), 9) AS d,
+        |    nn, kk, w
+        |  FROM per a JOIN per b ON a.g < b.g CROSS JOIN tot)
+        |SELECT g_a, g_b, n_a, n_b, round(d, 6) AS mean_diff,
+        |  round(abs(d) / sqrt(nullif(
+        |    (w / (nn::DOUBLE - kk::DOUBLE)) / 2.0::DOUBLE *
+        |      (1.0::DOUBLE / n_a::DOUBLE + 1.0::DOUBLE / n_b::DOUBLE),
+        |    0.0)), 6) AS q
+        |FROM pairs ORDER BY g_a, g_b""".stripMargin,
+
+    // four exact cells; 2*asin(sqrt(p)) 9-dp terms; 6-dp difference
+    "x393_cohen_h" ->
+      """WITH g AS (SELECT
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN lang = 'en' AND n_chars > 300 THEN 1 ELSE 0
+        |      END)::BIGINT AS k1,
+        |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN lang <> 'en' AND n_chars > 300 THEN 1 ELSE 0
+        |      END)::BIGINT AS k2
+        |  FROM documents)
+        |SELECT n1, k1, n2, k2,
+        |  round(k1::DOUBLE / nullif(n1::DOUBLE, 0.0), 6) AS p1,
+        |  round(k2::DOUBLE / nullif(n2::DOUBLE, 0.0), 6) AS p2,
+        |  round(round(2.0::DOUBLE * asin(sqrt(k1::DOUBLE /
+        |      nullif(n1::DOUBLE, 0.0))), 9) -
+        |    round(2.0::DOUBLE * asin(sqrt(k2::DOUBLE /
+        |      nullif(n2::DOUBLE, 0.0))), 9), 6) AS h
+        |FROM g""".stripMargin,
 
     // doubled midranks off the value ladder; exact-long U_t ladder;
     // integer argmax; exp-approximation p on exact arguments

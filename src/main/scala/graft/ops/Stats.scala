@@ -8387,6 +8387,151 @@ object Stats {
       F.col("__b.i").as("k_loc"))
   }
 
+  /** One-way ANOVA effect sizes — η² (variance share explained by the
+    * grouping, biased up in small samples) and ω² (its unbiased
+    * companion):
+    * {{{
+    *   η² = SSB / (SSB + SSW)
+    *   ω² = (SSB − (K−1)·MSW) / (SST + MSW)
+    * }}}
+    * The "does it MATTER" number the F-test's p-value hides: with
+    * millions of rows everything is significant; η²/ω² say how much.
+    *
+    * Determinism: the positive-SS rule — per-group exact (n, Σk, Σk²)
+    * from ×`scale` quantization, SSB as all-positive per-group scalars
+    * n_g(mean_g − grand)² and SSW as (n_g·Σk² − (Σk)²)/n_g, each one
+    * 9-dp IEEE term; positive sums have nothing to cancel.
+    *
+    * Scale shape: one partial-aggregated group collapse (K rows), a
+    * 1-row result.
+    *
+    * @return one row (n, k_groups, ss_between, ss_within, eta2,
+    *         omega2) — SS in value² units, 6-dp; NULL effect sizes
+    *         when SST = 0
+    */
+  def anovaEffectSizes(df: DataFrame, valueCol: Column, groupCol: Column,
+                       scale: Long = 1L): DataFrame = {
+    val rows = df.select(
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"),
+        groupCol.cast("string").as("__g"))
+      .filter(F.col("__k").isNotNull && F.col("__g").isNotNull)
+    val per = rows.groupBy("__g").agg(F.count(F.lit(1)).as("__ng"),
+      F.sum("__k").as("__sk"),
+      F.sum(F.col("__k") * F.col("__k")).as("__qk"))
+    val tot = per.agg(F.sum("__ng").as("__nn"), F.sum("__sk").as("__st"))
+    val sD = F.lit(scale).cast("double")
+    val terms = per.crossJoin(F.broadcast(tot))
+      .withColumn("__dm",
+        F.col("__sk").cast("double") / F.col("__ng").cast("double") -
+          F.col("__st").cast("double") / F.col("__nn").cast("double"))
+      .withColumn("__ssb",
+        F.round(F.col("__ng").cast("double") * F.col("__dm") *
+          F.col("__dm") / (sD * sD), 9))
+      .withColumn("__ssw", F.round(
+        (F.col("__ng").cast("double") * F.col("__qk").cast("double") -
+          F.col("__sk").cast("double") * F.col("__sk").cast("double")) /
+          (F.col("__ng").cast("double") * sD * sD), 9))
+    val g = terms.agg(F.max("__nn").as("n"),
+      F.count(F.lit(1)).as("k_groups"),
+      F.sum("__ssb").as("__b"), F.sum("__ssw").as("__w"))
+    val nD = F.col("n").cast("double")
+    val kD = F.col("k_groups").cast("double")
+    val msw = F.col("__w") / (nD - kD)
+    val sst = F.col("__b") + F.col("__w")
+    g.select(F.col("n"), F.col("k_groups"),
+      F.round(F.col("__b"), 6).as("ss_between"),
+      F.round(F.col("__w"), 6).as("ss_within"),
+      F.round(F.col("__b") / F.nullif(sst, F.lit(0.0)), 6).as("eta2"),
+      F.round((F.col("__b") - (kD - 1.0) * msw) /
+        F.nullif(sst + msw, F.lit(0.0)), 6).as("omega2"))
+  }
+
+  /** Tukey–Kramer pairwise q statistics — after "the groups differ
+    * somewhere" ([[welchAnova]]), WHICH pairs differ:
+    * {{{ q_ij = |x̄_i − x̄_j| / √( MSW/2 · (1/n_i + 1/n_j) ) }}}
+    * reported per unordered pair against the studentized-range scale
+    * (compare to q_crit ≈ 3.9 for K=5 at α=.05, large df). Emitting
+    * the statistic rather than a p keeps the op table-free and the
+    * comparison explicit.
+    *
+    * Determinism: the [[anovaEffectSizes]] collapse (exact per-group
+    * sufficient statistics, 9-dp SSW terms), 9-dp mean diffs, one IEEE
+    * chain per pair, (g_a, g_b) lexicographic total order.
+    *
+    * Scale shape: one K-row collapse, a K(K−1)/2-row bounded pair
+    * join — the corpus is touched once.
+    *
+    * @return per-pair rows (g_a, g_b, n_a, n_b, mean_diff, q) ordered
+    *         by (g_a, g_b) — 6-dp; q NULL when MSW = 0
+    */
+  def tukeyHsdQ(df: DataFrame, valueCol: Column, groupCol: Column,
+                scale: Long = 1L): DataFrame = {
+    val rows = df.select(
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"),
+        groupCol.cast("string").as("__g"))
+      .filter(F.col("__k").isNotNull && F.col("__g").isNotNull)
+    val per = rows.groupBy("__g").agg(F.count(F.lit(1)).as("__ng"),
+      F.sum("__k").as("__sk"),
+      F.sum(F.col("__k") * F.col("__k")).as("__qk"))
+    val sD = F.lit(scale).cast("double")
+    val withW = per.withColumn("__ssw", F.round(
+      (F.col("__ng").cast("double") * F.col("__qk").cast("double") -
+        F.col("__sk").cast("double") * F.col("__sk").cast("double")) /
+        (F.col("__ng").cast("double") * sD * sD), 9))
+    val tot = withW.agg(F.sum("__ng").as("__nn"),
+      F.count(F.lit(1)).as("__kk"), F.sum("__ssw").as("__w"))
+    val a = withW.select(F.col("__g").as("g_a"), F.col("__ng").as("n_a"),
+      F.col("__sk").as("__ska"))
+    val b = withW.select(F.col("__g").as("g_b"), F.col("__ng").as("n_b"),
+      F.col("__sk").as("__skb"))
+    val pairs = a.join(b, F.col("g_a") < F.col("g_b"))
+      .crossJoin(F.broadcast(tot))
+    val msw = F.col("__w") /
+      (F.col("__nn").cast("double") - F.col("__kk").cast("double"))
+    val diff = F.round(
+      F.col("__ska").cast("double") / (F.col("n_a").cast("double") * sD) -
+        F.col("__skb").cast("double") / (F.col("n_b").cast("double") * sD),
+      9)
+    pairs.select(F.col("g_a"), F.col("g_b"), F.col("n_a"), F.col("n_b"),
+      F.round(diff, 6).as("mean_diff"),
+      F.round(F.abs(diff) / F.sqrt(F.nullif(
+        msw / 2.0 * (F.lit(1.0) / F.col("n_a").cast("double") +
+          F.lit(1.0) / F.col("n_b").cast("double")), F.lit(0.0))), 6)
+        .as("q"))
+      .orderBy("g_a", "g_b")
+  }
+
+  /** Cohen's h — the arcsine-stabilized effect size for two
+    * proportions: h = 2·asin(√p₁) − 2·asin(√p₂). The magnitude read
+    * ([0.2, 0.5, 0.8] small/medium/large) whose sensitivity is UNIFORM
+    * across the [0,1] range — a 2-point gap near 50% and near 99%
+    * score honestly differently, where [[relativeRisk]] explodes near
+    * 0 and a raw difference flattens near the edges.
+    *
+    * Determinism: four exact-long cells, each 2·asin(√p) one 9-dp IEEE
+    * term, h their 6-dp difference.
+    *
+    * @return one row (n1, k1, n2, k2, p1, p2, h) — 6-dp
+    */
+  def cohenH(df: DataFrame, group1: Column, outcome: Column): DataFrame = {
+    val g = df.select(F.when(group1, 1L).otherwise(0L).as("__e"),
+        F.when(outcome, 1L).otherwise(0L).as("__o"))
+      .agg(F.sum("__e").as("n1"),
+        F.sum(F.col("__e") * F.col("__o")).as("k1"),
+        F.sum(F.lit(1L) - F.col("__e")).as("n2"),
+        F.sum((F.lit(1L) - F.col("__e")) * F.col("__o")).as("k2"))
+    def phi(k: String, n: String): Column = F.round(
+      F.lit(2.0) * F.asin(F.sqrt(
+        F.col(k).cast("double") /
+          F.nullif(F.col(n).cast("double"), F.lit(0.0)))), 9)
+    g.select(F.col("n1"), F.col("k1"), F.col("n2"), F.col("k2"),
+      F.round(F.col("k1").cast("double") /
+        F.nullif(F.col("n1").cast("double"), F.lit(0.0)), 6).as("p1"),
+      F.round(F.col("k2").cast("double") /
+        F.nullif(F.col("n2").cast("double"), F.lit(0.0)), 6).as("p2"),
+      F.round(phi("k1", "n1") - phi("k2", "n2"), 6).as("h"))
+  }
+
   /** One 2×K-cell chi-square contribution (O−E)²/E with E = rowTot·
     * colTot/N, everything exact longs until the two IEEE ops. Assumes
     * the caller's frame carries __a+__b per group and __ta/__tb/__n

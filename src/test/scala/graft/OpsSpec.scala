@@ -6126,6 +6126,34 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
   }
 
+  test("anovaEffectSizes: hand two-group case eta2 27/35, omega2 25/37") {
+    import graft.ops.Stats
+    val df = Seq((1.0, "A"), (2.0, "A"), (3.0, "A"), (4.0, "B"),
+      (5.0, "B"), (6.0, "B")).toDF("v", "g")
+    val got = Stats.anovaEffectSizes(df, F.col("v"), F.col("g"))
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    // SSB = 13.5, SSW = 4, MSW = 1
+    assert(got == ((6L, 2L, 13.5, 4.0, 0.771429, 0.675676)), got)
+  }
+
+  test("tukeyHsdQ: hand two-group q = 3/sqrt(1/3)") {
+    import graft.ops.Stats
+    val df = Seq((1.0, "A"), (2.0, "A"), (3.0, "A"), (4.0, "B"),
+      (5.0, "B"), (6.0, "B")).toDF("v", "g")
+    val got = Stats.tukeyHsdQ(df, F.col("v"), F.col("g"))
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("A", "B", 3L, 3L, -3.0, 5.196152)), got)
+  }
+
+  test("cohenH: 0.5 vs 0.25 gives pi/6") {
+    import graft.ops.Stats
+    val df = Seq((true, true), (true, false), (false, true),
+      (false, false), (false, false), (false, false)).toDF("g1", "o")
+    val got = Stats.cohenH(df, F.col("g1"), F.col("o"))
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(got == ((2L, 1L, 4L, 1L, 0.5, 0.25, 0.523599)), got)
+  }
+
   test("pettittTest: clean mid-series break located at t=3 with K=9; " +
       "constant series is flat") {
     import graft.ops.Stats
