@@ -3123,6 +3123,38 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         F.col("lang") === "en", F.col("n_chars") > 300)),
 
+    // Page's L across the week: does daily volume CLIMB through each
+    // week — the ordered within-block profile x369's seasonal MK and
+    // an unordered Friedman both dilute
+    "x394_page_trend" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.pageTrend(daily, "t", "v", period = 7)
+    }),
+
+    // Storey q-values over the x176 per-token chi-squares: adaptive
+    // FDR — estimate the null share from the flat p-tail and recover
+    // the power x176's BH and x258's BY both leave on the table
+    "x395_storey_q" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val grp = F.when(F.col("lang") === "en", "en")
+        .when(F.col("lang") === "zh", "zh").otherwise("other")
+      graft.ops.Stats.storeyQvalue(
+        TextOps.chi2TokensDf2(docs, "doc_id", "text", grp, minDf = 20),
+        Seq("token"), F.col("chi2"), alpha = 0.05)
+    }),
+
+    // Siegel-Tukey: is URGENT order value more DISPERSED than the
+    // rest — the rank-based scale test next to x303's Bartlett
+    // (dollar quantization)
+    "x396_siegel_tukey" -> ((s, dir) =>
+      graft.ops.Stats.siegelTukey(
+        s.read.parquet(s"$dir/orders.parquet"), F.col("o_totalprice"),
+        F.substring(F.col("o_orderpriority"), 1, 1) === "1")),
+
     // Weibull shape/scale for document lengths via median-rank
     // regression: k<1 heavy tail, k>1 wear-out — what x266's forced
     // exponential cannot distinguish
@@ -10606,6 +10638,128 @@ object SparkEntry {
         |      (1.0::DOUBLE / n_a::DOUBLE + 1.0::DOUBLE / n_b::DOUBLE),
         |    0.0)), 6) AS q
         |FROM pairs ORDER BY g_a, g_b""".stripMargin,
+
+    // per-block doubled midranks; exact L2 / E2; tie-free variance,
+    // one IEEE z chain
+    "x394_page_trend" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::BIGINT AS y FROM events GROUP BY 1),
+        |mn AS (SELECT min(t)::BIGINT AS m FROM daily),
+        |base AS (SELECT ((t - m) // 7)::BIGINT AS b,
+        |    ((t - m) % 7 + 1)::BIGINT AS c, y,
+        |    (count(*) OVER (PARTITION BY (t - m) // 7))::BIGINT AS bn
+        |  FROM daily CROSS JOIN mn),
+        |fb AS (SELECT b, c, y FROM base WHERE bn = 7),
+        |cells AS (SELECT b, y, count(*)::BIGINT AS tc,
+        |    sum(c)::BIGINT AS sc FROM fb GROUP BY 1, 2),
+        |lad AS (SELECT b, tc, sc, (sum(tc) OVER (PARTITION BY b
+        |    ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW))::BIGINT AS cum FROM cells),
+        |g AS (SELECT (sum(tc) // 7)::BIGINT AS b_blocks,
+        |    sum((2 * cum - tc + 1) * sc)::BIGINT AS l2 FROM lad)
+        |SELECT b_blocks, 7::BIGINT AS k_period,
+        |  l2::DOUBLE / 2.0::DOUBLE AS l,
+        |  (b_blocks * 448)::DOUBLE / 2.0::DOUBLE / 2.0::DOUBLE AS e_l,
+        |  round((l2::DOUBLE - (b_blocks * 448)::DOUBLE / 2.0::DOUBLE) /
+        |    (2.0::DOUBLE * sqrt(nullif(b_blocks::DOUBLE *
+        |      18816.0::DOUBLE / 144.0::DOUBLE, 0.0))), 6) AS z
+        |FROM g""".stripMargin,
+
+    // the x176 chi-square ladder with the pi0 tail estimate and one
+    // suffix-min q window
+    "x395_storey_q" ->
+      """WITH doc AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 'en' WHEN lang = 'zh' THEN 'zh'
+        |      ELSE 'other' END AS g, text FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, g, t FROM (SELECT doc_id, g,
+        |    unnest(list_filter(
+        |      string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> length(x) > 0)) AS t
+        |  FROM doc)),
+        |tg AS (SELECT t, g, count(*) AS a FROM tok GROUP BY 1, 2),
+        |gt AS (SELECT g, count(*) AS ng FROM doc GROUP BY g),
+        |tdf AS (SELECT t, sum(a) AS dfd FROM tg GROUP BY t
+        |  HAVING sum(a) >= 20),
+        |n AS (SELECT count(*) AS nn FROM doc),
+        |cells AS (SELECT tdf.t, tdf.dfd, gt.g, gt.ng,
+        |    coalesce(tg.a, 0) AS a
+        |  FROM tdf CROSS JOIN gt
+        |  LEFT JOIN tg ON tg.t = tdf.t AND tg.g = gt.g),
+        |cc AS (SELECT t, dfd, round(
+        |    coalesce((a - ep)*(a - ep)/nullif(ep, 0.0), 0.0) +
+        |    coalesce(((ng - a) - ea)*((ng - a) - ea)/nullif(ea, 0.0), 0.0),
+        |    9) AS cell
+        |  FROM (SELECT t, dfd, ng, a::DOUBLE AS a,
+        |      dfd::DOUBLE * ng / nn AS ep,
+        |      (nn - dfd)::DOUBLE * ng / nn AS ea
+        |    FROM cells CROSS JOIN n)),
+        |chi AS (SELECT t AS token, round(sum(cell), 6) AS chi2
+        |  FROM cc GROUP BY t),
+        |keyed AS (SELECT token, chi2, round(exp(-chi2 / 2.0), 9) AS p
+        |  FROM chi),
+        |mpi AS (SELECT count(*)::BIGINT AS m,
+        |    sum(CASE WHEN p > 0.5::DOUBLE THEN 1 ELSE 0 END)::BIGINT
+        |      AS tl FROM keyed),
+        |rk AS (SELECT token, chi2, p, m,
+        |    row_number() OVER (ORDER BY p, token)::BIGINT AS i,
+        |    round(least(1.0::DOUBLE, tl::DOUBLE /
+        |      (0.5::DOUBLE * m::DOUBLE)), 9) AS pi0
+        |  FROM keyed CROSS JOIN mpi),
+        |qi AS (SELECT token, chi2, p, i, pi0,
+        |    round(least(1.0::DOUBLE,
+        |      pi0 * m::DOUBLE / i::DOUBLE * p), 9) AS qv
+        |  FROM rk)
+        |SELECT token, chi2, p, i, pi0,
+        |  min(qv) OVER (ORDER BY p DESC, token DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q,
+        |  (min(qv) OVER (ORDER BY p DESC, token DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    <= 0.05::DOUBLE AS discovered
+        |FROM qi ORDER BY i""".stripMargin,
+
+    // positional ST ranks off the value-ladder explode; 9-dp per-run
+    // tie averages; tie-corrected Wilcoxon variance
+    "x396_siegel_tukey" ->
+      """WITH byv AS (SELECT round(o_totalprice::DOUBLE * 1)::BIGINT
+        |      AS v,
+        |    sum(CASE WHEN substring(o_orderpriority, 1, 1) = '1'
+        |      THEN 1 ELSE 0 END)::BIGINT AS n1v,
+        |    count(*)::BIGINT AS t
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT sum(n1v)::BIGINT AS n1, sum(t)::BIGINT AS nn,
+        |    sum(t * t * t - t)::BIGINT AS ties FROM byv),
+        |lad AS (SELECT v, n1v, t,
+        |    (sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW))::BIGINT AS cum FROM byv),
+        |pos AS (SELECT v, n1v, t, unnest(range(cum - t + 1, cum + 1))
+        |      AS p, nn
+        |  FROM lad CROSS JOIN tot),
+        |st AS (SELECT v, n1v, t,
+        |    CASE WHEN p <= nn + 1 - p THEN
+        |      CASE WHEN least(p, nn + 1 - p) % 2 = 1
+        |        THEN 2 * least(p, nn + 1 - p) - 1
+        |        ELSE 2 * least(p, nn + 1 - p) END
+        |    ELSE
+        |      CASE WHEN least(p, nn + 1 - p) % 2 = 1
+        |        THEN 2 * least(p, nn + 1 - p)
+        |        ELSE 2 * least(p, nn + 1 - p) - 1 END
+        |    END AS a FROM pos),
+        |runs AS (SELECT v, max(n1v)::BIGINT AS n1v,
+        |    max(t)::BIGINT AS t, sum(a)::BIGINT AS sr
+        |  FROM st GROUP BY 1),
+        |g AS (SELECT sum(round(n1v::DOUBLE * sr::DOUBLE / t::DOUBLE,
+        |    9)) AS w1 FROM runs),
+        |f AS (SELECT w1, n1, nn, ties,
+        |    n1::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE) / 2.0::DOUBLE
+        |      AS ew,
+        |    n1::DOUBLE * (nn::DOUBLE - n1::DOUBLE) / 12.0::DOUBLE *
+        |      ((nn::DOUBLE + 1.0::DOUBLE) - ties::DOUBLE /
+        |        (nn::DOUBLE * (nn::DOUBLE - 1.0::DOUBLE))) AS vw
+        |  FROM g CROSS JOIN tot)
+        |SELECT n1, (nn - n1)::BIGINT AS n2, round(w1, 6) AS w1,
+        |  ew AS e_w1,
+        |  round((w1 - ew) / sqrt(nullif(vw, 0.0)), 6) AS z
+        |FROM f""".stripMargin,
 
     // four exact cells; 2*asin(sqrt(p)) 9-dp terms; 6-dp difference
     "x393_cohen_h" ->

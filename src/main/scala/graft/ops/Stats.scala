@@ -8532,6 +8532,191 @@ object Stats {
       F.round(phi("k1", "n1") - phi("k2", "n2"), 6).as("h"))
   }
 
+  /** Page's L trend test — ordered-alternative Friedman: within each
+    * complete block of `period` consecutive points, rank the positions
+    * by value; L = Σ c·R over (position score c = 1..period) × (rank).
+    * Detects a MONOTONE within-block profile (e.g. volume climbing
+    * across the week) that Friedman's unordered χ² dilutes —
+    * [[cuzickTrend]]'s blocked sibling.
+    * {{{
+    *   E[L] = b·K(K+1)²/4,  Var(L) = b·K²(K+1)²(K−1)/144
+    * }}}
+    * (tie-free variance, the standard practice; midranks enter L).
+    *
+    * Determinism: doubled within-block midranks off per-block value
+    * ladders keep L and E exact (L2 = Σ k·Σc per (block, value) cell);
+    * incomplete blocks drop by exact count; z is one IEEE chain.
+    *
+    * Scale shape: a (block, value) collapse over the bounded series
+    * grid, block-keyed ladder windows, a 1-row result.
+    *
+    * @return one row (b_blocks, k_period, l, e_l, z) — l/e_l exact
+    *         half-integers, z 6-dp; NULL z when no complete block
+    */
+  def pageTrend(series: DataFrame, tCol: String, vCol: String,
+                period: Int = 7, scale: Long = 1L): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+        F.round(F.col(vCol).cast("double") * scale).cast("long")
+          .as("__y"))
+      .filter(F.col("__y").isNotNull)
+    val mn = s.agg(F.min("__t").as("__m"))
+    val base = s.crossJoin(F.broadcast(mn))
+      .withColumn("__b",
+        F.call_function("div", F.col("__t") - F.col("__m"),
+          F.lit(period.toLong)))
+      .withColumn("__c", (F.col("__t") - F.col("__m")) %
+        F.lit(period.toLong) + 1L)
+      .withColumn("__bn",
+        F.count(F.lit(1)).over(Window.partitionBy("__b")))
+      .filter(F.col("__bn") === period.toLong)
+    val cells = base.groupBy("__b", "__y")
+      .agg(F.count(F.lit(1)).as("__tc"), F.sum("__c").as("__sc"))
+    val wb = Window.partitionBy("__b").orderBy(F.col("__y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lad = cells.withColumn("__cum", F.sum("__tc").over(wb))
+      .withColumn("__k",
+        F.lit(2L) * F.col("__cum") - F.col("__tc") + 1L)
+    val g = lad.agg(
+      F.call_function("div", F.sum("__tc"), F.lit(period.toLong))
+        .as("b_blocks"),
+      F.sum(F.col("__k") * F.col("__sc")).as("__l2"))
+    val kL = period.toLong
+    val bD = F.col("b_blocks").cast("double")
+    val e2 = F.col("b_blocks") * F.lit(kL * (kL + 1) * (kL + 1)) / 2.0
+    val varL = bD * F.lit((kL * kL * (kL + 1) * (kL + 1) *
+      (kL - 1)).toDouble) / 144.0
+    g.select(F.col("b_blocks"), F.lit(kL).as("k_period"),
+      (F.col("__l2").cast("double") / 2.0).as("l"),
+      (e2 / 2.0).as("e_l"),
+      F.round((F.col("__l2").cast("double") - e2) /
+        (F.lit(2.0) * F.sqrt(F.nullif(varL, F.lit(0.0)))), 6).as("z"))
+  }
+
+  /** Storey's q-values — ADAPTIVE FDR: estimate the null share
+    * π₀ = #{p > λ} / ((1−λ)·m) from the p-value histogram's flat
+    * right tail, then run the BH step-up scaled by π₀:
+    * {{{ q(i) = min_{j≥i} min(1, π₀·m·p_j / j) }}}
+    * When many keys are genuinely non-null (π₀ ≪ 1 — a vocabulary
+    * where most tokens DO discriminate), [[bhFdr]] wastes power
+    * pretending all m tests are null; Storey recovers it. The
+    * spectrum: [[byFdr]] (harmonic penalty, any dependence) ← bhFdr
+    * (π₀ = 1) ← this (π₀ estimated).
+    *
+    * Determinism: bhFdr's exact ladder; π₀ one 9-dp term from two
+    * exact longs; one suffix-min window ([[holmAdjust]] mirrored).
+    *
+    * Scale shape: identical to bhFdr — a vocabulary-bounded table,
+    * two bounded single-partition windows.
+    *
+    * @param lambda the tail cut for the π₀ estimate (default 0.5)
+    * @return (keyCols…, chi2, p, i, pi0, q, discovered) ordered by i;
+    *         discovered flags q ≤ alpha
+    */
+  def storeyQvalue(df: DataFrame, keyCols: Seq[String], chi2Col: Column,
+                   alpha: Double = 0.05,
+                   lambda: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(lambda > 0 && lambda < 1,
+      s"lambda must be in (0,1), got $lambda")
+    val keyed = df.select((keyCols.map(F.col) :+
+      F.round(chi2Col.cast("double"), 6).as("chi2")): _*)
+      .withColumn("p", F.round(F.exp(-F.col("chi2") / 2.0), 9))
+    val wAsc = Window.orderBy(
+      (F.col("p").asc +: keyCols.map(F.col(_).asc)): _*)
+    val wSuf = Window.orderBy(
+      (F.col("p").desc +: keyCols.map(F.col(_).desc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mpi = keyed.agg(F.count(F.lit(1)).as("__m"),
+      F.sum(F.when(F.col("p") > lambda, 1L).otherwise(0L)).as("__tl"))
+    val ranked = keyed.crossJoin(F.broadcast(mpi))
+      .withColumn("i", F.row_number().over(wAsc))
+      .withColumn("pi0", F.round(F.least(F.lit(1.0),
+        F.col("__tl").cast("double") /
+          (F.lit(1.0 - lambda) * F.col("__m").cast("double"))), 9))
+    ranked
+      .withColumn("__qi", F.round(F.least(F.lit(1.0),
+        F.col("pi0") * F.col("__m").cast("double") /
+          F.col("i").cast("double") * F.col("p")), 9))
+      .withColumn("q", F.min("__qi").over(wSuf))
+      .withColumn("discovered", F.col("q") <= F.lit(alpha))
+      .select((keyCols.map(F.col) :+ F.col("chi2") :+ F.col("p") :+
+        F.col("i") :+ F.col("pi0") :+ F.col("q") :+
+        F.col("discovered")): _*)
+      .orderBy("i")
+  }
+
+  /** Siegel–Tukey scale test — Wilcoxon on ALTERNATING-EXTREME ranks:
+    * the ordered sample is ranked from the outside in (smallest → 1,
+    * largest → 2, 3, second-smallest → 4, 5, …), so a group with
+    * larger DISPERSION collects the low outside ranks and the rank-sum
+    * z reads as a variance comparison — without [[levene]]'s moment
+    * assumptions, usable whenever the two groups share a median.
+    *
+    * Determinism: ST ranks are a closed-form function of ladder
+    * POSITION (exact integers off one value-ladder explode — linear,
+    * one row per observation); tied values average their positional ST
+    * ranks as one 9-dp term per run; the tie-corrected Wilcoxon
+    * variance uses exact-long tie censuses.
+    *
+    * Scale shape: one distinct-value ladder + one bounded positional
+    * explode (n rows), a 1-row result.
+    *
+    * @return one row (n1, n2, w1, e_w1, z) — w1 6-dp (tie averaging),
+    *         z 6-dp; NULL z when the variance is 0
+    */
+  def siegelTukey(df: DataFrame, valueCol: Column, isClass1: Column,
+                  scale: Long = 1L): DataFrame = {
+    val byV = df.select(
+        F.round(valueCol.cast("double") * scale).cast("long").as("__v"),
+        F.when(isClass1, 1L).otherwise(0L).as("__c1"))
+      .filter(F.col("__v").isNotNull)
+      .groupBy("__v")
+      .agg(F.sum("__c1").as("__n1v"), F.count(F.lit(1)).as("__t"))
+    val w = Window.orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byV.agg(F.sum("__n1v").as("__nOne"), F.sum("__t").as("__nn"),
+      F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+        .as("__ties"))
+    val lad = byV.withColumn("__cum", F.sum("__t").over(w))
+      .withColumn("__lo", F.col("__cum") - F.col("__t") + 1L)
+      .crossJoin(F.broadcast(tot))
+    // positional ST rank: outside-in alternation, closed form on
+    // m = min(p, n+1-p) with the left/right parity convention
+    val runs = lad
+      .withColumn("__p", F.explode(F.sequence(F.col("__lo"),
+        F.col("__cum"))))
+      .withColumn("__mm",
+        F.least(F.col("__p"), F.col("__nn") + 1L - F.col("__p")))
+      .withColumn("__left",
+        F.col("__p") <= F.col("__nn") + 1L - F.col("__p"))
+      .withColumn("__st", F.when(F.col("__left"),
+        F.when(F.col("__mm") % 2L === 1L,
+          F.col("__mm") * 2L - 1L).otherwise(F.col("__mm") * 2L))
+        .otherwise(
+          F.when(F.col("__mm") % 2L === 1L, F.col("__mm") * 2L)
+            .otherwise(F.col("__mm") * 2L - 1L)))
+      .groupBy("__v")
+      .agg(F.max("__n1v").as("__n1v"), F.max("__t").as("__t"),
+        F.sum("__st").as("__sr"))
+    val terms = runs.withColumn("__w1r", F.round(
+      F.col("__n1v").cast("double") * F.col("__sr").cast("double") /
+        F.col("__t").cast("double"), 9))
+    val g = terms.agg(F.sum("__w1r").as("__w1"))
+      .crossJoin(F.broadcast(tot))
+    val n1D = F.col("__nOne").cast("double")
+    val nD = F.col("__nn").cast("double")
+    val n2D = nD - n1D
+    val eW = n1D * (nD + 1.0) / 2.0
+    val varW = n1D * n2D / 12.0 * ((nD + 1.0) -
+      F.col("__ties").cast("double") / (nD * (nD - 1.0)))
+    g.select(F.col("__nOne").as("n1"),
+      (F.col("__nn") - F.col("__nOne")).as("n2"),
+      F.round(F.col("__w1"), 6).as("w1"), eW.as("e_w1"),
+      F.round((F.col("__w1") - eW) /
+        F.sqrt(F.nullif(varW, F.lit(0.0))), 6).as("z"))
+  }
+
   /** One 2×K-cell chi-square contribution (O−E)²/E with E = rowTot·
     * colTot/N, everything exact longs until the two IEEE ops. Assumes
     * the caller's frame carries __a+__b per group and __ta/__tb/__n

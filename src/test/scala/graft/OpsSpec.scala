@@ -6126,6 +6126,51 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
   }
 
+  test("pageTrend: two perfect ascending weeks z=2; incomplete block " +
+      "drops") {
+    import graft.ops.Stats
+    val df = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0), (3L, 1.0), (4L, 2.0),
+      (5L, 3.0)).toDF("t", "v")
+    val got = Stats.pageTrend(df, "t", "v", period = 3)
+      .as[(Long, Long, Double, Double, Double)].head()
+    // L = 2*(1+4+9) = 28, E = 24, Var = 4
+    assert(got == ((2L, 3L, 28.0, 24.0, 2.0)), got)
+    val extra = df.union(Seq((6L, 9.0)).toDF("t", "v"))
+    val e = Stats.pageTrend(extra, "t", "v", period = 3)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(e == got, e)
+  }
+
+  test("storeyQvalue: pi0 = 1/2 from the flat tail; hand q ladder") {
+    import graft.ops.Stats
+    val df = Seq(("a", 10.0), ("b", 8.0), ("c", 6.0), ("d", 0.0))
+      .toDF("token", "chi2")
+    val got = Stats.storeyQvalue(df, Seq("token"), F.col("chi2"))
+      .as[(String, Double, Double, Int, Double, Double, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 10.0, 0.006737947, 1, 0.5, 0.013475894, true),
+      ("b", 8.0, 0.018315639, 2, 0.5, 0.018315639, true),
+      ("c", 6.0, 0.049787068, 3, 0.5, 0.033191379, true),
+      ("d", 0.0, 1.0, 4, 0.5, 0.5, false)), got)
+  }
+
+  test("siegelTukey: dispersed group takes the outside ranks, z " +
+      "negative; all-tied degenerates to zero variance") {
+    import graft.ops.Stats
+    val df = Seq((0.0, true), (10.0, true), (4.0, false), (5.0, false))
+      .toDF("v", "c1")
+    val got = Stats.siegelTukey(df, F.col("v"), F.col("c1"))
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    // ST ranks (1,4,3,2); W1 = 1+2 = 3, E = 5, Var = 5/3
+    assert(got == ((2L, 2L, 3.0, 5.0, Some(-1.549193))), got)
+    val tied = Seq((1.0, true), (1.0, true), (1.0, false), (1.0, false))
+      .toDF("v", "c1")
+    val t = Stats.siegelTukey(tied, F.col("v"), F.col("c1"))
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(t == ((2L, 2L, 5.0, 5.0, None)), t)
+  }
+
   test("anovaEffectSizes: hand two-group case eta2 27/35, omega2 25/37") {
     import graft.ops.Stats
     val df = Seq((1.0, "A"), (2.0, "A"), (3.0, "A"), (4.0, "B"),
