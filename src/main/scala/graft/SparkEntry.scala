@@ -3155,6 +3155,35 @@ object SparkEntry {
         s.read.parquet(s"$dir/orders.parquet"), F.col("o_totalprice"),
         F.substring(F.col("o_orderpriority"), 1, 1) === "1")),
 
+    // Anderson-Darling of the x178 scores against Uniform: the
+    // TAIL-weighted PIT check — miscalibration at the keep/drop
+    // thresholds, where x375's CvM weighs the body
+    "x397_ad_uniform" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.adUniform(scored, F.col("quality_score"))
+    }),
+
+    // 2-hop harmonic centrality of the supplier co-purchase graph:
+    // who is CLOSE to the most of the graph — the bridge read degree
+    // and x344's Katz both blur
+    "x398_harmonic2" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Graph.harmonic2(
+        graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          minCount = 6), "src", "dst", topN = 20)
+    }),
+
+    // decile-shift census of order value, urgent vs rest: WHERE in
+    // the distribution the premium lives — the table x379's single
+    // shift number summarizes away
+    "x399_decile_shift" -> ((s, dir) =>
+      graft.ops.Stats.decileShift(
+        s.read.parquet(s"$dir/orders.parquet"), F.col("o_totalprice"),
+        F.substring(F.col("o_orderpriority"), 1, 1) === "1",
+        scale = 100L)),
+
     // Weibull shape/scale for document lengths via median-rank
     // regression: k<1 heavy tail, k>1 wear-out — what x266's forced
     // exponential cannot distinguish
@@ -10716,6 +10745,100 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |    <= 0.05::DOUBLE AS discovered
         |FROM qi ORDER BY i""".stripMargin,
+
+    // the x178 scorer + per-tie-run closed series (SA/SB exact longs)
+    // x two 9-dp logs; boundary scores excluded both sides
+    "x397_ad_uniform" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS u
+         |FROM t, w),
+         |byv AS (SELECT u, count(*)::BIGINT AS t FROM sc
+         |  WHERE u > 0.0 AND u < 1.0 GROUP BY 1),
+         |tot AS (SELECT sum(t)::BIGINT AS n FROM byv),
+         |lad AS (SELECT u, t, (sum(t) OVER (ORDER BY u ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS b, n
+         |  FROM byv CROSS JOIN tot),
+         |tm AS (SELECT n, round(
+         |    (b * b - (b - t) * (b - t))::DOUBLE * round(ln(u), 9) +
+         |    ((n - (b - t + 1) + 1) * (n - (b - t + 1) + 1) -
+         |      (n - b) * (n - b))::DOUBLE *
+         |      round(ln(1.0::DOUBLE - u), 9), 9) AS term
+         |  FROM lad),
+         |g AS (SELECT max(n)::BIGINT AS n, sum(term) AS s FROM tm)
+         |SELECT n, round(-n::DOUBLE - s / n::DOUBLE, 6) AS a2,
+         |  2.492::DOUBLE AS crit_5pct,
+         |  (-n::DOUBLE - s / n::DOUBLE) > 2.492 AS reject
+         |FROM g""".stripMargin
+    },
+
+    // wedge join + distinct 2-hop set + edge anti-join; exact counts,
+    // one half-sum; total-order top-20
+    "x398_harmonic2" ->
+      """WITH pairs AS (SELECT l_suppkey AS s, l_orderkey AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |e0 AS (SELECT a.s AS u, b.s AS v, count(*)::BIGINT AS w
+        |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |und AS (SELECT u AS a, v AS b FROM e0 WHERE w >= 6),
+        |adj AS (SELECT a AS z, b AS n FROM und
+        |  UNION ALL SELECT b AS z, a AS n FROM und),
+        |deg AS (SELECT z AS node, count(*)::BIGINT AS deg FROM adj
+        |  GROUP BY 1),
+        |two AS (SELECT DISTINCT least(x.n, y.n) AS a,
+        |    greatest(x.n, y.n) AS b
+        |  FROM adj x JOIN adj y ON x.z = y.z AND x.n <> y.n),
+        |t2 AS (SELECT two.a, two.b FROM two
+        |  LEFT JOIN und ON und.a = two.a AND und.b = two.b
+        |  WHERE und.a IS NULL),
+        |n2 AS (SELECT node, count(*)::BIGINT AS n2 FROM (
+        |  SELECT a AS node FROM t2 UNION ALL SELECT b AS node FROM t2)
+        |  GROUP BY 1)
+        |SELECT deg.node, deg.deg, coalesce(n2.n2, 0)::BIGINT AS n2,
+        |  deg.deg::DOUBLE + coalesce(n2.n2, 0)::DOUBLE / 2.0::DOUBLE
+        |    AS h2
+        |FROM deg LEFT JOIN n2 ON n2.node = deg.node
+        |ORDER BY h2 DESC, deg.node LIMIT 20""".stripMargin,
+
+    // exact integer quantile cuts via -floor(-q*n) per group ladder;
+    // exact cent differences
+    "x399_decile_shift" ->
+      """WITH s AS (SELECT round(o_totalprice::DOUBLE * 100)::BIGINT
+        |      AS v,
+        |    CASE WHEN substring(o_orderpriority, 1, 1) = '1' THEN 1
+        |      ELSE 0 END AS c1
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |qs AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+        |    0.9])::DOUBLE AS q),
+        |b1 AS (SELECT v, count(*)::BIGINT AS t FROM s WHERE c1 = 1
+        |  GROUP BY 1),
+        |l1 AS (SELECT v, (sum(t) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+        |    (SELECT sum(t) FROM b1)::BIGINT AS n FROM b1),
+        |c1t AS (SELECT q, min(v)::BIGINT AS q1 FROM l1 CROSS JOIN qs
+        |  WHERE cum >= -floor(-q * n::DOUBLE) GROUP BY 1),
+        |b2 AS (SELECT v, count(*)::BIGINT AS t FROM s WHERE c1 = 0
+        |  GROUP BY 1),
+        |l2 AS (SELECT v, (sum(t) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+        |    (SELECT sum(t) FROM b2)::BIGINT AS n FROM b2),
+        |c2t AS (SELECT q, min(v)::BIGINT AS q2 FROM l2 CROSS JOIN qs
+        |  WHERE cum >= -floor(-q * n::DOUBLE) GROUP BY 1)
+        |SELECT c1t.q, round(q1::DOUBLE / 100.0::DOUBLE, 6) AS cut1,
+        |  round(q2::DOUBLE / 100.0::DOUBLE, 6) AS cut2,
+        |  round((q2 - q1)::DOUBLE / 100.0::DOUBLE, 6) AS shift
+        |FROM c1t JOIN c2t ON c1t.q = c2t.q ORDER BY c1t.q""".stripMargin,
 
     // positional ST ranks off the value-ladder explode; 9-dp per-run
     // tie averages; tie-corrected Wilcoxon variance

@@ -646,6 +646,54 @@ object Graph {
       .limit(topN)
   }
 
+  /** Hop-bounded harmonic centrality, radius 2 —
+    * {{{ H₂(v) = deg(v) + |N₂(v)| / 2 }}}
+    * (distance-1 neighbors contribute 1 each, distance-exactly-2
+    * contribute ½). The "how much of the graph is CLOSE to v" read
+    * that degree alone misses: a node bridging two hubs out-scores a
+    * leaf hanging off one. Radius 2 is the scale contract — full
+    * closeness/harmonic centrality needs all-pairs BFS (quadratic
+    * state at corpus scale); two hops reuse [[linkPrediction]]'s
+    * wedge join and stay Σdeg²-bounded, and on small-world graphs two
+    * hops already separate core from periphery.
+    *
+    * Determinism: every count exact (distinct 2-hop set via wedge +
+    * anti-join on edges + self-drop); H₂ is one exact half-sum.
+    *
+    * Scale shape: one wedge join (Σ deg², the triangle-family bound),
+    * one distinct, one anti-join; top-N by a total order.
+    *
+    * @return top `topN` rows (node, deg, n2, h2) by (h2 desc, node) —
+    *         h2 exact half-integer
+    */
+  def harmonic2(edges: DataFrame, srcCol: String, dstCol: String,
+                topN: Int = 20): DataFrame = {
+    val und = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val adj = und.select(F.col("a").as("__z"), F.col("b").as("__n"))
+      .unionAll(und.select(F.col("b").as("__z"), F.col("a").as("__n")))
+    val deg = adj.groupBy(F.col("__z").as("node"))
+      .agg(F.count(F.lit(1)).as("deg"))
+    // distance-exactly-2: neighbors-of-neighbors, minus self, minus
+    // direct neighbors (anti-join works on canonical a<b pairs)
+    val two = adj.select(F.col("__z").as("__mid"), F.col("__n").as("u"))
+      .join(adj.select(F.col("__z").as("__mid"), F.col("__n").as("w")),
+        Seq("__mid"))
+      .filter(F.col("u") =!= F.col("w"))
+      .select(F.least(F.col("u"), F.col("w")).as("a"),
+        F.greatest(F.col("u"), F.col("w")).as("b"))
+      .distinct()
+      .join(und, Seq("a", "b"), "left_anti")
+    val n2 = two.select(F.col("a").as("node"))
+      .unionAll(two.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("n2"))
+    deg.join(n2, Seq("node"), "left_outer")
+      .withColumn("n2", F.coalesce(F.col("n2"), F.lit(0L)))
+      .withColumn("h2", F.col("deg").cast("double") +
+        F.col("n2").cast("double") / 2.0)
+      .orderBy(F.col("h2").desc, F.col("node"))
+      .limit(topN)
+  }
+
   /** Rich-club coefficient curve (Zhou & Mondragón 2004) — do the
     * high-degree nodes form their own densely-wired club? For each
     * degree threshold k: take the N_k nodes with deg > k and the E_k

@@ -8717,6 +8717,105 @@ object Stats {
         F.sqrt(F.nullif(varW, F.lit(0.0))), 6).as("z"))
   }
 
+  /** One-sample Anderson–Darling vs Uniform(0,1) — the TAIL-WEIGHTED
+    * PIT check:
+    * {{{ A² = −n − (1/n)·Σᵢ [(2i−1)·ln uᵢ + (2(n−i)+1)·ln(1−uᵢ)] }}}
+    * Where [[cvmUniform]] weighs the whole ECDF gap evenly, AD's
+    * 1/(F(1−F)) weighting makes miscalibration NEAR 0 AND 1 — exactly
+    * where a score feeds a keep/drop threshold — count hardest.
+    * Read the trio together: [[spiegelhalterZ]] (mean level), CvM
+    * (body shape), AD (tails).
+    *
+    * Determinism: per tie-run closed arithmetic series in exact longs
+    * (the [[cvmUniform]] discipline) — a run occupying order
+    * statistics a..b contributes SA = b²−(a−1)² copies of ln u and
+    * SB = (n−a+1)²−(n−b)² copies of ln(1−u); each run is one 9-dp
+    * term off two 9-dp logs.
+    *
+    * Scale shape: one distinct-value ladder, a 1-row result.
+    *
+    * @return one row (n, a2, crit_5pct, reject) — a2 6-dp, 2.492 the
+    *         asymptotic 5% point for the fully-specified uniform.
+    *         Rows with u outside (0, 1) are EXCLUDED (ln singular) —
+    *         a PIT score that ever touches the boundary should be
+    *         audited before this statistic is trusted
+    */
+  def adUniform(df: DataFrame, valueCol: Column): DataFrame = {
+    val byV = df.select(valueCol.cast("double").as("__u"))
+      .filter(F.col("__u").isNotNull &&
+        F.col("__u") > 0.0 && F.col("__u") < 1.0)
+      .groupBy("__u").agg(F.count(F.lit(1)).as("__t"))
+    val tot = byV.agg(F.sum("__t").as("__n"))
+    val w = Window.orderBy(F.col("__u"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lad = byV.withColumn("__cum", F.sum("__t").over(w))
+      .crossJoin(F.broadcast(tot))
+    val b = F.col("__cum")
+    val a = F.col("__cum") - F.col("__t") + 1L
+    val sa = (b * b - (a - 1L) * (a - 1L)).cast("double")
+    val sb = ((F.col("__n") - a + 1L) * (F.col("__n") - a + 1L) -
+      (F.col("__n") - b) * (F.col("__n") - b)).cast("double")
+    val term = F.round(
+      sa * F.round(F.log(F.col("__u")), 9) +
+        sb * F.round(F.log(F.lit(1.0) - F.col("__u")), 9), 9)
+    val g = lad.withColumn("__term", term)
+      .agg(F.max("__n").as("n"), F.sum("__term").as("__s"))
+    val nD = F.col("n").cast("double")
+    val a2 = -nD - F.col("__s") / nD
+    g.select(F.col("n"), F.round(a2, 6).as("a2"),
+      F.lit(2.492).as("crit_5pct"), (a2 > 2.492).as("reject"))
+  }
+
+  /** Two-sample decile-shift census — WHERE in the distribution the
+    * two groups differ: the exact lower quantile of each group at
+    * q = 0.1 … 0.9 and their difference. A single location test
+    * ([[pairedT]], [[hodgesLehmannShift]]) can't say "the medians
+    * agree but the top decile is 40% heavier" — this table can, and
+    * that tail-only pattern is the usual shape of segment differences
+    * in spend/length data.
+    *
+    * Determinism: exact integer quantile cuts via cum ≥ −floor(−q·n)
+    * off per-group value ladders (the [[tailDependence]] idiom — both
+    * engines evaluate the same IEEE q·n), shifts exact integer
+    * differences /scale.
+    *
+    * Scale shape: two bounded value ladders, a 9-row grid join.
+    *
+    * @return 9 rows (q, cut1, cut2, shift) ordered by q — 6-dp
+    */
+  def decileShift(df: DataFrame, valueCol: Column, isClass1: Column,
+                  scale: Long = 1L): DataFrame = {
+    val s = df.select(
+        F.round(valueCol.cast("double") * scale).cast("long").as("__v"),
+        F.when(isClass1, 1L).otherwise(0L).as("__c1"))
+      .filter(F.col("__v").isNotNull)
+    val grid = F.explode(F.array((1 to 9).map(i =>
+      F.lit(i / 10.0)): _*)).as("q")
+    val qs = s.sparkSession.range(1).select(grid)
+    def cuts(cls1: Boolean, out: String): DataFrame = {
+      val byV = s.filter(if (cls1) F.col("__c1") === 1L
+          else F.col("__c1") === 0L)
+        .groupBy("__v").agg(F.count(F.lit(1)).as("__t"))
+      val w = Window.orderBy(F.col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byV.agg(F.sum("__t").as("__n"))
+      byV.withColumn("__cum", F.sum("__t").over(w))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("__cum") >=
+          -F.floor(-F.col("q") * F.col("__n").cast("double")))
+        .groupBy("q").agg(F.min("__v").as(out))
+    }
+    val sD = F.lit(scale).cast("double")
+    cuts(cls1 = true, "__q1").join(cuts(cls1 = false, "__q2"), Seq("q"))
+      .select(F.col("q"),
+        F.round(F.col("__q1").cast("double") / sD, 6).as("cut1"),
+        F.round(F.col("__q2").cast("double") / sD, 6).as("cut2"),
+        F.round((F.col("__q2") - F.col("__q1")).cast("double") / sD, 6)
+          .as("shift"))
+      .orderBy("q")
+  }
+
   /** One 2×K-cell chi-square contribution (O−E)²/E with E = rowTot·
     * colTot/N, everything exact longs until the two IEEE ops. Assumes
     * the caller's frame carries __a+__b per group and __ta/__tb/__n

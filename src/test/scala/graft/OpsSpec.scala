@@ -6126,6 +6126,39 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
   }
 
+  test("adUniform: hand 3-point ladder 0.269431; boundary scores " +
+      "excluded") {
+    import graft.ops.Stats
+    val df = Seq(0.25, 0.5, 0.75).toDF("u")
+    val got = Stats.adUniform(df, F.col("u"))
+      .as[(Long, Double, Double, Boolean)].head()
+    assert(got == ((3L, 0.269431, 2.492, false)), got)
+    val withEdge = Seq(0.25, 0.5, 0.75, 1.0, 0.0).toDF("u")
+    val e = Stats.adUniform(withEdge, F.col("u"))
+      .as[(Long, Double, Double, Boolean)].head()
+    assert(e == got, e)
+  }
+
+  test("harmonic2: path graph — interior nodes 2.5, leaves 1.5") {
+    import graft.ops.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.harmonic2(edges, "src", "dst", topN = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 2L, 1L, 2.5), (3L, 2L, 1L, 2.5),
+      (1L, 1L, 1L, 1.5), (4L, 1L, 1L, 1.5)), got)
+  }
+
+  test("decileShift: constant +10 shift shows at every decile") {
+    import graft.ops.Stats
+    val df = (1 to 5).map(i => (i.toDouble, true)) ++
+      (1 to 5).map(i => (i + 10.0, false))
+    val got = Stats.decileShift(df.toDF("v", "c1"), F.col("v"),
+      F.col("c1")).as[(Double, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._4).forall(_ == 10.0), got)
+    assert(got.map(_._2) == Seq(1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0,
+      4.0, 5.0), got)
+  }
+
   test("pageTrend: two perfect ascending weeks z=2; incomplete block " +
       "drops") {
     import graft.ops.Stats
