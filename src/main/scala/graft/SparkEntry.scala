@@ -3115,13 +3115,13 @@ object SparkEntry {
         s.read.parquet(s"$dir/customer.parquet"), F.col("c_acctbal"),
         F.col("c_mktsegment"), scale = 100L)),
 
-    // Cohen's h for long-doc share, en vs non-en: the arcsine effect
-    // size whose scale is honest at BOTH ends of [0,1] — next to
-    // x204's odds ratio and x387's risk ratio
-    "x393_cohen_h" -> ((s, dir) =>
-      graft.ops.Stats.cohenH(
+    // Theil-T decomposition of doc length by source: is length
+    // inequality WITHIN sources or BETWEEN them — the split x128's
+    // global concentration number can't make
+    "x393_theil_decomp" -> ((s, dir) =>
+      graft.ops.Stats.theilDecomp(
         s.read.parquet(s"$dir/documents.parquet"),
-        F.col("lang") === "en", F.col("n_chars") > 300)),
+        F.col("n_chars"), F.col("source"))),
 
     // Page's L across the week: does daily volume CLIMB through each
     // week — the ordered within-block profile x369's seasonal MK and
@@ -10884,24 +10884,42 @@ object SparkEntry {
         |  round((w1 - ew) / sqrt(nullif(vw, 0.0)), 6) AS z
         |FROM f""".stripMargin,
 
-    // four exact cells; 2*asin(sqrt(p)) 9-dp terms; 6-dp difference
-    "x393_cohen_h" ->
-      """WITH g AS (SELECT
-        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n1,
-        |    sum(CASE WHEN lang = 'en' AND n_chars > 300 THEN 1 ELSE 0
-        |      END)::BIGINT AS k1,
-        |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS n2,
-        |    sum(CASE WHEN lang <> 'en' AND n_chars > 300 THEN 1 ELSE 0
-        |      END)::BIGINT AS k2
-        |  FROM documents)
-        |SELECT n1, k1, n2, k2,
-        |  round(k1::DOUBLE / nullif(n1::DOUBLE, 0.0), 6) AS p1,
-        |  round(k2::DOUBLE / nullif(n2::DOUBLE, 0.0), 6) AS p2,
-        |  round(round(2.0::DOUBLE * asin(sqrt(k1::DOUBLE /
-        |      nullif(n1::DOUBLE, 0.0))), 9) -
-        |    round(2.0::DOUBLE * asin(sqrt(k2::DOUBLE /
-        |      nullif(n2::DOUBLE, 0.0))), 9), 6) AS h
-        |FROM g""".stripMargin,
+    // (g, value) cell collapse; 9-dp x ln x per distinct value; exact
+    // shares/means; within+between 9-dp terms
+    "x393_theil_decomp" ->
+      """WITH cells AS (SELECT source AS g,
+        |    round(n_chars::DOUBLE * 1)::BIGINT AS k,
+        |    count(*)::BIGINT AS t
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND round(n_chars::DOUBLE * 1) > 0
+        |    AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |per AS (SELECT g, sum(t)::BIGINT AS ng,
+        |    sum(k * t)::BIGINT AS skg,
+        |    sum(t::DOUBLE * round((k::DOUBLE / 1.0::DOUBLE) *
+        |      ln(k::DOUBLE / 1.0::DOUBLE), 9)) AS sx
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(ng)::BIGINT AS nn, sum(skg)::BIGINT AS sk
+        |  FROM per),
+        |rows_ AS (SELECT g, ng,
+        |    skg::DOUBLE / (ng::DOUBLE * 1.0::DOUBLE) AS mug,
+        |    skg::DOUBLE / sk::DOUBLE AS share,
+        |    round(sx / (skg::DOUBLE / 1.0::DOUBLE) -
+        |      ln(skg::DOUBLE / (ng::DOUBLE * 1.0::DOUBLE)), 9) AS tg,
+        |    round(skg::DOUBLE / sk::DOUBLE *
+        |      ln((skg::DOUBLE / (ng::DOUBLE * 1.0::DOUBLE)) /
+        |        (sk::DOUBLE / (nn::DOUBLE * 1.0::DOUBLE))), 9)
+        |      AS bterm
+        |  FROM per CROSS JOIN tot),
+        |rw AS (SELECT g, ng, mug, share, tg, bterm,
+        |    round(share * tg, 9) AS wterm FROM rows_),
+        |gl AS (SELECT sum(wterm) AS tw, sum(bterm) AS tb FROM rw)
+        |SELECT g, ng AS n, round(mug, 6) AS mean_g,
+        |  round(share, 6) AS share, round(tg, 6) AS theil_g,
+        |  round(bterm, 6) AS between_term,
+        |  round(tw, 6) AS theil_within, round(tb, 6) AS theil_between,
+        |  round(tw + tb, 6) AS theil_total
+        |FROM rw CROSS JOIN gl ORDER BY g""".stripMargin,
 
     // doubled midranks off the value ladder; exact-long U_t ladder;
     // integer argmax; exp-approximation p on exact arguments

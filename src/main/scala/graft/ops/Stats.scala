@@ -8501,35 +8501,74 @@ object Stats {
       .orderBy("g_a", "g_b")
   }
 
-  /** Cohen's h — the arcsine-stabilized effect size for two
-    * proportions: h = 2·asin(√p₁) − 2·asin(√p₂). The magnitude read
-    * ([0.2, 0.5, 0.8] small/medium/large) whose sensitivity is UNIFORM
-    * across the [0,1] range — a 2-point gap near 50% and near 99%
-    * score honestly differently, where [[relativeRisk]] explodes near
-    * 0 and a raw difference flattens near the edges.
+  /** Theil-T inequality DECOMPOSITION by group — the [[inequality]]
+    * family's "where does the concentration live" split:
+    * {{{
+    *   T = Σ_g s_g·T_g  +  Σ_g s_g·ln(μ_g/μ)
+    *        (within)        (between)
+    * }}}
+    * with s_g the group's share of the total quantity. A corpus where
+    * every source is internally equal but sources differ (all between)
+    * needs source-level rebalancing; the reverse (all within) needs
+    * per-source curation — the global Gini/Theil number can't tell
+    * them apart.
     *
-    * Determinism: four exact-long cells, each 2·asin(√p) one 9-dp IEEE
-    * term, h their 6-dp difference.
+    * Determinism: (group, value) cell collapse with exact counts;
+    * x·ln x one 9-dp term per distinct value (scaled ×count exactly);
+    * every ratio/ln an IEEE chain over exact longs, replayed by the
+    * oracle. Non-positive values are excluded (ln domain — Theil is
+    * defined on a positive quantity).
     *
-    * @return one row (n1, k1, n2, k2, p1, p2, h) — 6-dp
+    * Scale shape: one (g, value) collapse, a G-row rollup with one
+    * broadcast total, G output rows.
+    *
+    * @return per-group rows (g, n, mean_g, share, theil_g,
+    *         between_term, theil_within, theil_between, theil_total)
+    *         ordered by g — 6-dp
     */
-  def cohenH(df: DataFrame, group1: Column, outcome: Column): DataFrame = {
-    val g = df.select(F.when(group1, 1L).otherwise(0L).as("__e"),
-        F.when(outcome, 1L).otherwise(0L).as("__o"))
-      .agg(F.sum("__e").as("n1"),
-        F.sum(F.col("__e") * F.col("__o")).as("k1"),
-        F.sum(F.lit(1L) - F.col("__e")).as("n2"),
-        F.sum((F.lit(1L) - F.col("__e")) * F.col("__o")).as("k2"))
-    def phi(k: String, n: String): Column = F.round(
-      F.lit(2.0) * F.asin(F.sqrt(
-        F.col(k).cast("double") /
-          F.nullif(F.col(n).cast("double"), F.lit(0.0)))), 9)
-    g.select(F.col("n1"), F.col("k1"), F.col("n2"), F.col("k2"),
-      F.round(F.col("k1").cast("double") /
-        F.nullif(F.col("n1").cast("double"), F.lit(0.0)), 6).as("p1"),
-      F.round(F.col("k2").cast("double") /
-        F.nullif(F.col("n2").cast("double"), F.lit(0.0)), 6).as("p2"),
-      F.round(phi("k1", "n1") - phi("k2", "n2"), 6).as("h"))
+  def theilDecomp(df: DataFrame, valueCol: Column, groupCol: Column,
+                  scale: Long = 1L): DataFrame = {
+    val cells = df.select(
+        F.round(valueCol.cast("double") * scale).cast("long").as("__k"),
+        groupCol.cast("string").as("__g"))
+      .filter(F.col("__k").isNotNull && F.col("__k") > 0L &&
+        F.col("__g").isNotNull)
+      .groupBy("__g", "__k").agg(F.count(F.lit(1)).as("__t"))
+    val sD = F.lit(scale).cast("double")
+    val x = F.col("__k").cast("double") / sD
+    val per = cells
+      .withColumn("__xlx", F.round(x * F.log(x), 9))
+      .groupBy("__g")
+      .agg(F.sum("__t").as("__ng"), F.sum(F.col("__k") * F.col("__t"))
+          .as("__skg"),
+        F.sum(F.col("__t").cast("double") * F.col("__xlx")).as("__sx"))
+    val tot = per.agg(F.sum("__ng").as("__nn"), F.sum("__skg").as("__sk"))
+    val j = per.crossJoin(F.broadcast(tot))
+    val muG = F.col("__skg").cast("double") /
+      (F.col("__ng").cast("double") * sD)
+    val mu = F.col("__sk").cast("double") /
+      (F.col("__nn").cast("double") * sD)
+    val share = F.col("__skg").cast("double") / F.col("__sk").cast("double")
+    val tg = F.round(F.col("__sx") /
+      (F.col("__skg").cast("double") / sD) - F.log(muG), 9)
+    val rows = j
+      .withColumn("__share", share)
+      .withColumn("__tg", tg)
+      .withColumn("__wterm", F.round(F.col("__share") * F.col("__tg"), 9))
+      .withColumn("__bterm",
+        F.round(F.col("__share") * F.log(muG / mu), 9))
+    val glob = rows.agg(F.sum("__wterm").as("__tw"),
+      F.sum("__bterm").as("__tb"))
+    rows.crossJoin(F.broadcast(glob))
+      .select(F.col("__g").as("g"), F.col("__ng").as("n"),
+        F.round(muG, 6).as("mean_g"),
+        F.round(F.col("__share"), 6).as("share"),
+        F.round(F.col("__tg"), 6).as("theil_g"),
+        F.round(F.col("__bterm"), 6).as("between_term"),
+        F.round(F.col("__tw"), 6).as("theil_within"),
+        F.round(F.col("__tb"), 6).as("theil_between"),
+        F.round(F.col("__tw") + F.col("__tb"), 6).as("theil_total"))
+      .orderBy("g")
   }
 
   /** Page's L trend test — ordered-alternative Friedman: within each

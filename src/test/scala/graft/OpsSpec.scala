@@ -6223,13 +6223,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(("A", "B", 3L, 3L, -3.0, 5.196152)), got)
   }
 
-  test("cohenH: 0.5 vs 0.25 gives pi/6") {
+  test("theilDecomp: internally-equal groups put ALL inequality " +
+      "between; shares and terms hand-checked") {
     import graft.ops.Stats
-    val df = Seq((true, true), (true, false), (false, true),
-      (false, false), (false, false), (false, false)).toDF("g1", "o")
-    val got = Stats.cohenH(df, F.col("g1"), F.col("o"))
-      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
-    assert(got == ((2L, 1L, 4L, 1L, 0.5, 0.25, 0.523599)), got)
+    val df = Seq((1.0, "A"), (1.0, "A"), (3.0, "B"), (3.0, "B"))
+      .toDF("v", "g")
+    val got = Stats.theilDecomp(df, F.col("v"), F.col("g"))
+      .as[(String, Long, Double, Double, Double, Double, Double,
+        Double, Double)].collect().toSeq
+    // T_g = 0 both; between = 0.25 ln(1/2) + 0.75 ln(3/2) = 0.130812
+    assert(got == Seq(
+      ("A", 2L, 1.0, 0.25, 0.0, -0.173287, 0.0, 0.130812, 0.130812),
+      ("B", 2L, 3.0, 0.75, 0.0, 0.304099, 0.0, 0.130812, 0.130812)),
+      got)
   }
 
   test("pettittTest: clean mid-series break located at t=3 with K=9; " +
