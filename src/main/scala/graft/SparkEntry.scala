@@ -3184,6 +3184,32 @@ object SparkEntry {
         F.substring(F.col("o_orderpriority"), 1, 1) === "1",
         scale = 100L)),
 
+    // per-dimension variance census + diagonal participation ratio:
+    // is the embedding space actually USED, or does one rogue dim own
+    // every cosine in the ANN stack
+    "x400_dim_variance" -> ((s, dir) =>
+      Similarity.dimVarianceCensus(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding")),
+
+    // cone-effect census: mean cosine to the corpus centroid + norm
+    // CV — how tight the anisotropy cone is, next to x400's which-dims
+    "x401_cone_census" -> ((s, dir) =>
+      Similarity.coneCensus(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+        "embedding")),
+
+    // Chatterjee's xi of per-user spend against activity: functional
+    // dependence of ANY shape at ladder cost — where x368's dCor pays
+    // all-pairs
+    "x402_chatterjee_xi" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val perUser = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").as("activity"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).as("spend_c"))
+      graft.ops.Stats.chatterjeeXi(perUser, F.col("activity"),
+        F.col("spend_c"))
+    }),
+
     // Weibull shape/scale for document lengths via median-rank
     // regression: k<1 heavy tail, k>1 wear-out — what x266's forced
     // exponential cannot distinguish
@@ -10810,6 +10836,83 @@ object SparkEntry {
         |    AS h2
         |FROM deg LEFT JOIN n2 ON n2.node = deg.node
         |ORDER BY h2 DESC, deg.node LIMIT 20""".stripMargin,
+
+    // x1e6 exact per-dim moments off one posexplode; 9-dp variances;
+    // IEEE PR/share chains over the 64-row table
+    "x400_dim_variance" ->
+      """WITH base AS (SELECT list_transform(embedding, x -> x::DOUBLE)
+        |      AS v FROM embeddings),
+        |ex AS (SELECT generate_subscripts(v, 1) - 1 AS d,
+        |    round(unnest(v) * 1000000.0)::BIGINT AS k FROM base),
+        |byd AS (SELECT d, count(*)::BIGINT AS n, sum(k)::BIGINT AS s,
+        |    sum(k * k)::BIGINT AS q FROM ex GROUP BY 1),
+        |dims AS (SELECT d,
+        |    s::DOUBLE / (n::DOUBLE * 1000000.0) AS m,
+        |    round((q::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE)) /
+        |      (nullif(n::DOUBLE - 1.0::DOUBLE, 0.0) *
+        |        1000000000000.0::DOUBLE), 9) AS vv
+        |  FROM byd),
+        |gl AS (SELECT sum(vv) AS sv, sum(vv * vv) AS sv2,
+        |    max(vv) AS vmax FROM dims)
+        |SELECT d, round(m, 6) AS mean_d, round(vv, 6) AS var_d,
+        |  round(vv / nullif(sv, 0.0), 6) AS var_share,
+        |  round(sv * sv / nullif(sv2, 0.0), 6) AS pr_diag,
+        |  round(vmax / nullif(sv, 0.0), 6) AS top_share
+        |FROM dims CROSS JOIN gl ORDER BY d""".stripMargin,
+
+    // centroid quantized back to the x1e6 grid; exact-long dots and
+    // norms; 9-dp cosines; one IEEE cv chain
+    "x401_cone_census" ->
+      """WITH base AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
+        |    round(unnest(v) * 1000000.0)::BIGINT AS k FROM base),
+        |byd AS (SELECT d, count(*)::BIGINT AS n, sum(k)::BIGINT AS s
+        |  FROM ex GROUP BY 1),
+        |cent AS (SELECT d, round(s::DOUBLE / n::DOUBLE)::BIGINT AS cq
+        |  FROM byd),
+        |c2 AS (SELECT sum(cq * cq)::BIGINT AS c2k FROM cent),
+        |pid AS (SELECT vec_id, sum(k * cq)::BIGINT AS dotk,
+        |    sum(k * k)::BIGINT AS n2k
+        |  FROM ex JOIN cent ON cent.d = ex.d GROUP BY 1),
+        |pc AS (SELECT vec_id,
+        |    round(sqrt(n2k::DOUBLE) / 1000000.0::DOUBLE, 9) AS nrm,
+        |    round(dotk::DOUBLE / nullif(sqrt(n2k::DOUBLE) *
+        |      sqrt(c2k::DOUBLE), 0.0), 9) AS cs
+        |  FROM pid CROSS JOIN c2)
+        |SELECT count(*)::BIGINT AS n, round(avg(cs), 6) AS mean_cos,
+        |  round(sum(CASE WHEN cs > 0.0 THEN 1 ELSE 0 END)::DOUBLE /
+        |    count(*)::DOUBLE, 6) AS p_positive,
+        |  round(avg(nrm), 6) AS mean_norm,
+        |  round(sqrt((sum(nrm * nrm) - sum(nrm) * (sum(nrm) /
+        |      count(*)::DOUBLE)) /
+        |    nullif(count(*)::DOUBLE - 1.0::DOUBLE, 0.0)) /
+        |    nullif(avg(nrm), 0.0), 6) AS cv_norm
+        |FROM pc""".stripMargin,
+
+    // y-value ladder ranks (exact longs); deterministic (x, y) walk;
+    // exact numerator/denominator, one IEEE division
+    "x402_chatterjee_xi" ->
+      """WITH pu AS (SELECT user_id, count(*)::DOUBLE AS x,
+        |    sum(round(value * 100)::BIGINT)::DOUBLE AS y
+        |  FROM events GROUP BY 1),
+        |byy AS (SELECT y, count(*)::BIGINT AS t FROM pu GROUP BY 1),
+        |tot AS (SELECT sum(t)::BIGINT AS nn FROM byy),
+        |lad AS (SELECT y, t, (sum(t) OVER (ORDER BY y ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+        |  FROM byy),
+        |den AS (SELECT sum(t * (nn - cum + t) * (cum - t))::BIGINT
+        |    AS den FROM lad CROSS JOIN tot),
+        |wk AS (SELECT pu.x, pu.y, lad.cum AS r FROM pu
+        |  JOIN lad ON lad.y = pu.y),
+        |sd AS (SELECT sum(abs(rn - r))::BIGINT AS sdr FROM (
+        |  SELECT r, lead(r) OVER (ORDER BY x, y) AS rn FROM wk)
+        |  WHERE rn IS NOT NULL)
+        |SELECT nn AS n, sdr AS sum_dr,
+        |  round(1.0::DOUBLE - nn::DOUBLE * sdr::DOUBLE /
+        |    nullif(2.0::DOUBLE * den::DOUBLE, 0.0), 6) AS xi
+        |FROM sd CROSS JOIN den CROSS JOIN tot""".stripMargin,
 
     // exact integer quantile cuts via -floor(-q*n) per group ladder;
     // exact cent differences

@@ -1740,6 +1740,117 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Per-dimension variance census + diagonal participation ratio —
+    * the "is the embedding space actually USED" audit: per-dim mean
+    * and variance, each dim's share of total variance, and
+    * {{{ PR_diag = (Σ_d v_d)² / Σ_d v_d² ∈ [1, dim] }}}
+    * — the effective number of active dimensions (all variance in one
+    * dim → 1; isotropic → dim). A rogue dimension owning half the
+    * variance silently dominates every cosine in the ANN stack; this
+    * is where it shows first. Diagonal-only by design (the full
+    * covariance spectrum needs an eigensolve; the diagonal is exact,
+    * distributed, and catches the common failure).
+    *
+    * Determinism: the [[mahalanobisOutliers]] moment discipline —
+    * ×1e6-quantized exact (n, Σk, Σk²) per dim, 9-dp variances, the
+    * PR/share chains IEEE over those.
+    *
+    * Scale shape: one posexplode moment pass (map-side partial agg to
+    * dim rows), dim-bounded everything after.
+    *
+    * @return per-dim rows (d, mean_d, var_d, var_share, pr_diag,
+    *         top_share) ordered by d — mean/var 9-dp display 6-dp,
+    *         globals repeated per row
+    */
+  def dimVarianceCensus(emb: DataFrame, vecCol: String): DataFrame = {
+    val ex = emb.select(F.posexplode(F.col(vecCol)).as(Seq("__d", "__x")))
+      .select(F.col("__d"),
+        F.round(F.col("__x").cast("double") * 1e6).cast("long").as("__k"))
+      .filter(F.col("__k").isNotNull)
+    val byD = ex.groupBy("__d")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__s"),
+        F.sum(F.col("__k") * F.col("__k")).as("__q"))
+    val nD = F.col("__n").cast("double")
+    val mean = F.col("__s").cast("double") / (nD * 1e6)
+    val v = F.round((F.col("__q").cast("double") -
+      F.col("__s").cast("double") *
+        (F.col("__s").cast("double") / nD)) /
+      (F.nullif(nD - 1.0, F.lit(0.0)) * 1e12), 9)
+    val dims = byD.select(F.col("__d").as("d"), mean.as("__m"),
+      v.as("__v"))
+    val glob = dims.agg(F.sum("__v").as("__sv"),
+      F.sum(F.col("__v") * F.col("__v")).as("__sv2"),
+      F.max("__v").as("__vmax"))
+    dims.crossJoin(F.broadcast(glob))
+      .select(F.col("d"), F.round(F.col("__m"), 6).as("mean_d"),
+        F.round(F.col("__v"), 6).as("var_d"),
+        F.round(F.col("__v") / F.nullif(F.col("__sv"), F.lit(0.0)), 6)
+          .as("var_share"),
+        F.round(F.col("__sv") * F.col("__sv") /
+          F.nullif(F.col("__sv2"), F.lit(0.0)), 6).as("pr_diag"),
+        F.round(F.col("__vmax") / F.nullif(F.col("__sv"), F.lit(0.0)), 6)
+          .as("top_share"))
+      .orderBy("d")
+  }
+
+  /** Cone-effect census — Ethayarajh-style anisotropy: the mean cosine
+    * of every vector to the CORPUS CENTROID direction, with the share
+    * of vectors in the positive half-space and the norm distribution.
+    * mean_cos near 1 is the "narrow cone" pathology (all similarities
+    * inflated, cosine thresholds meaningless); a healthy isotropic
+    * space sits near 0. Norm CV is the companion read — wild norms
+    * make dot-product and cosine rankings disagree. Run with
+    * [[dimVarianceCensus]]: that says WHICH dims, this says how tight
+    * the cone.
+    *
+    * Determinism: the centroid is QUANTIZED back to the same ×1e6
+    * integer grid as the vectors (cq_d = round(Σk_d / n) — a 1e-6
+    * precision loss, documented), so every per-vector dot, squared
+    * norm and the centroid norm are EXACT LONGS off one posexplode
+    * joined to the broadcast dim table; cosines/norms are 9-dp IEEE
+    * over those, outputs 6-dp.
+    *
+    * Scale shape: one moment pass (dim rows) + one linear explode
+    * join; no vector ever meets another vector.
+    *
+    * @return one row (n, mean_cos, p_positive, mean_norm, cv_norm) —
+    *         6-dp
+    */
+  def coneCensus(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = emb.select(F.col(idCol).as("__id"),
+        F.posexplode(F.col(vecCol)).as(Seq("__d", "__x")))
+      .select(F.col("__id"), F.col("__d"),
+        F.round(F.col("__x").cast("double") * 1e6).cast("long").as("__k"))
+      .filter(F.col("__k").isNotNull)
+    val byD = ex.groupBy("__d")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("__k").as("__s"))
+    val cent = byD.select(F.col("__d"),
+      F.round(F.col("__s").cast("double") /
+        F.col("__n").cast("double")).cast("long").as("__cq"))
+    val c2 = cent.agg(F.sum(F.col("__cq") * F.col("__cq")).as("__c2k"))
+    val perId = ex.join(F.broadcast(cent), Seq("__d"))
+      .groupBy("__id")
+      .agg(F.sum(F.col("__k") * F.col("__cq")).as("__dotk"),
+        F.sum(F.col("__k") * F.col("__k")).as("__n2k"))
+      .crossJoin(F.broadcast(c2))
+      .withColumn("__norm",
+        F.round(F.sqrt(F.col("__n2k").cast("double")) / 1e6, 9))
+      .withColumn("__cos", F.round(F.col("__dotk").cast("double") /
+        F.nullif(F.sqrt(F.col("__n2k").cast("double")) *
+          F.sqrt(F.col("__c2k").cast("double")), F.lit(0.0)), 9))
+    perId.agg(F.count(F.lit(1)).as("n"),
+      F.round(F.avg("__cos"), 6).as("mean_cos"),
+      F.round(F.sum(F.when(F.col("__cos") > 0.0, 1L).otherwise(0L))
+        .cast("double") / F.count(F.lit(1)).cast("double"), 6)
+        .as("p_positive"),
+      F.round(F.avg("__norm"), 6).as("mean_norm"),
+      F.round(F.sqrt((F.sum(F.col("__norm") * F.col("__norm")) -
+        F.sum("__norm") * (F.sum("__norm") /
+          F.count(F.lit(1)).cast("double"))) /
+        F.nullif(F.count(F.lit(1)).cast("double") - 1.0, F.lit(0.0))) /
+        F.nullif(F.avg("__norm"), F.lit(0.0)), 6).as("cv_norm"))
+  }
+
   /** Energy distance (Székely & Rizzo 2004) between two vector sets —
     * the metric-space two-sample test that needs NO kernel bandwidth
     * (the tuning knob [[mmdDrift]] carries): with Euclidean pair

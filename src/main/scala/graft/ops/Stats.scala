@@ -8855,6 +8855,59 @@ object Stats {
       .orderBy("q")
   }
 
+  /** Chatterjee's ξ rank correlation (2020) — DOES y depend on x at
+    * all, functionally: sort by x, walk the y-ranks, and measure how
+    * much they jump:
+    * {{{ ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n − l_i)) }}}
+    * (r_i = #{y_j ≤ y_i}, l_i = #{y_j ≥ y_i} — the general tie form).
+    * ξ → 1 for ANY measurable function y = f(x) (a parabola, a sine —
+    * relationships Pearson/Spearman score 0), → 0 under independence.
+    * The screening complement of [[distanceCorrelation]] at O(n log n)
+    * shuffle cost instead of all-pairs.
+    *
+    * Determinism: y-ranks are exact longs off the y-value ladder; the
+    * x-walk uses a deterministic (x, y) sort (Chatterjee prescribes
+    * RANDOM x-tie breaking; the (x, y) tie-break is the documented
+    * deterministic stand-in — under heavy x-ties it biases ξ upward,
+    * so quantize x coarsely only when x-ties are rare); numerator and
+    * denominator are exact longs, ξ one IEEE division.
+    *
+    * Scale shape: one value ladder, one ordered lead window over the
+    * rows (single-partition — the series/ladder contract), a 1-row
+    * result.
+    *
+    * @return one row (n, sum_dr, xi) — xi 6-dp; NULL when all y tie
+    */
+  def chatterjeeXi(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val rows = df.select(xCol.cast("double").as("__x"),
+        yCol.cast("double").as("__y"))
+      .filter(F.col("__x").isNotNull && F.col("__y").isNotNull)
+    val byY = rows.groupBy("__y").agg(F.count(F.lit(1)).as("__t"))
+    val wy = Window.orderBy(F.col("__y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = byY.withColumn("__cum", F.sum("__t").over(wy))
+    val tot = byY.agg(F.sum("__t").as("__nn"))
+    // denominator: Σ_rows l·(n−l), l = #{y_j ≥ y} = n − (cum − t)
+    val den = ranks.crossJoin(F.broadcast(tot))
+      .select((F.col("__t") *
+        (F.col("__nn") - F.col("__cum") + F.col("__t")) *
+        (F.col("__cum") - F.col("__t"))).as("__dterm"))
+      .agg(F.sum("__dterm").as("__den"))
+    val walked = rows
+      .join(F.broadcast(ranks.select(F.col("__y"),
+        F.col("__cum").as("__r"))), Seq("__y"))
+      .withColumn("__rnext",
+        F.lead("__r", 1).over(Window.orderBy(F.col("__x"), F.col("__y"))))
+      .filter(F.col("__rnext").isNotNull)
+      .agg(F.sum(F.abs(F.col("__rnext") - F.col("__r"))).as("__sdr"))
+    val g = walked.crossJoin(den).crossJoin(F.broadcast(tot))
+    g.select(F.col("__nn").as("n"), F.col("__sdr").as("sum_dr"),
+      F.round(F.lit(1.0) -
+        F.col("__nn").cast("double") * F.col("__sdr").cast("double") /
+          F.nullif(F.lit(2.0) * F.col("__den").cast("double"),
+            F.lit(0.0)), 6).as("xi"))
+  }
+
   /** One 2×K-cell chi-square contribution (O−E)²/E with E = rowTot·
     * colTot/N, everything exact longs until the two IEEE ops. Assumes
     * the caller's frame carries __a+__b per group and __ta/__tb/__n

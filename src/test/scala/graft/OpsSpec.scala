@@ -6126,6 +6126,51 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
   }
 
+  test("dimVarianceCensus: one active dim gives PR 1; isotropic pair " +
+      "gives PR 2") {
+    import graft.ops.Similarity
+    val one = Seq(Array(1.0, 0.0), Array(-1.0, 0.0), Array(2.0, 0.0),
+      Array(-2.0, 0.0)).toDF("embedding")
+    val g1 = Similarity.dimVarianceCensus(one, "embedding")
+      .as[(Int, Double, Double, Double, Double, Double)].collect().toSeq
+    assert(g1 == Seq((0, 0.0, 3.333333, 1.0, 1.0, 1.0),
+      (1, 0.0, 0.0, 0.0, 1.0, 1.0)), g1)
+    val iso = Seq(Array(1.0, 1.0), Array(-1.0, -1.0), Array(1.0, -1.0),
+      Array(-1.0, 1.0)).toDF("embedding")
+    val g2 = Similarity.dimVarianceCensus(iso, "embedding")
+      .as[(Int, Double, Double, Double, Double, Double)].collect().toSeq
+    assert(g2.forall(r => r._5 == 2.0 && r._4 == 0.5), g2)
+  }
+
+  test("coneCensus: tight 2-D cone hand cosines; unit norms, cv 0") {
+    import graft.ops.Similarity
+    val emb = Seq((1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)),
+      (3L, Array(0.0, 1.0))).toDF("vec_id", "embedding")
+    val got = Similarity.coneCensus(emb, "vec_id", "embedding")
+      .as[(Long, Double, Double, Double, Double)].head()
+    // cq = (666667, 333333); cos = 0.894427459 x2, 0.447213059
+    assert(got == ((3L, 0.745356, 1.0, 1.0, 0.0)), got)
+  }
+
+  test("chatterjeeXi: monotone n=5 gives 1 - 3/(n+1) = 0.5; constant " +
+      "y NULL; small-n parabola hand 0") {
+    import graft.ops.Stats
+    val mono = (1 to 5).map(i => (i.toDouble, i.toDouble)).toDF("x", "y")
+    val m = Stats.chatterjeeXi(mono, F.col("x"), F.col("y"))
+      .as[(Long, Long, Option[Double])].head()
+    assert(m == ((5L, 4L, Some(0.5))), m)
+    val const = (1 to 4).map(i => (i.toDouble, 7.0)).toDF("x", "y")
+    val c = Stats.chatterjeeXi(const, F.col("x"), F.col("y"))
+      .as[(Long, Long, Option[Double])].head()
+    assert(c._3.isEmpty, c)
+    val par = Seq((-2.0, 4.0), (-1.0, 1.0), (0.0, 0.0), (1.0, 1.0),
+      (2.0, 4.0)).toDF("x", "y")
+    val p = Stats.chatterjeeXi(par, F.col("x"), F.col("y"))
+      .as[(Long, Long, Option[Double])].head()
+    // dr = 8, den = 20: the exact small-n value
+    assert(p == ((5L, 8L, Some(0.0))), p)
+  }
+
   test("adUniform: hand 3-point ladder 0.269431; boundary scores " +
       "excluded") {
     import graft.ops.Stats
