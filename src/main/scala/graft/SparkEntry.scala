@@ -3210,6 +3210,41 @@ object SparkEntry {
         F.col("spend_c"))
     }),
 
+    // Blomqvist beta between per-user activity and spend: the
+    // quadrant-count BULK association next to x377's tails and
+    // x402's any-shape xi
+    "x403_blomqvist_beta" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val perUser = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").as("activity"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).as("spend_c"))
+      graft.ops.Stats.blomqvistBeta(perUser, F.col("activity"),
+        F.col("spend_c"))
+    }),
+
+    // Bartels rank von Neumann on daily volume: randomness against
+    // trend AND oscillation — the two-sided read x250's runs test
+    // only half-covers
+    "x404_bartels" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(
+          F.datediff(F.to_date(graft.ops.EventOps.tsStamp(ev)),
+            F.lit("1970-01-01").cast("date")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("v"))
+      graft.ops.Stats.bartelsRankTest(daily, "t", "v")
+    }),
+
+    // Goodman-Kruskal lambda between market segment and order
+    // priority: does knowing the segment actually IMPROVE the modal
+    // priority guess — error-reduction units, not chi-square ones
+    "x405_gk_lambda" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val j = o.join(c, o("o_custkey") === c("c_custkey"))
+      graft.ops.Stats.goodmanKruskalLambda(j, F.col("c_mktsegment"),
+        F.col("o_orderpriority"))
+    }),
+
     // Weibull shape/scale for document lengths via median-rank
     // regression: k<1 heavy tail, k>1 wear-out — what x266's forced
     // exponential cannot distinguish
@@ -10890,6 +10925,102 @@ object SparkEntry {
         |    nullif(count(*)::DOUBLE - 1.0::DOUBLE, 0.0)) /
         |    nullif(avg(nrm), 0.0), 6) AS cv_norm
         |FROM pc""".stripMargin,
+
+    // exact lower medians off two cent ladders; exact quadrant cells;
+    // one IEEE division
+    "x403_blomqvist_beta" ->
+      """WITH pu AS (SELECT user_id, count(*)::BIGINT AS x,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT min(v)::BIGINT AS mx FROM (
+        |  SELECT v, (sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW))::BIGINT AS cum, nn FROM (
+        |    SELECT x AS v, count(*)::BIGINT AS t FROM pu GROUP BY 1)
+        |    CROSS JOIN (SELECT count(*)::BIGINT AS nn FROM pu))
+        |  WHERE cum >= (nn + 1) // 2),
+        |my AS (SELECT min(v)::BIGINT AS my FROM (
+        |  SELECT v, (sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW))::BIGINT AS cum, nn FROM (
+        |    SELECT y AS v, count(*)::BIGINT AS t FROM pu GROUP BY 1)
+        |    CROSS JOIN (SELECT count(*)::BIGINT AS nn FROM pu))
+        |  WHERE cum >= (nn + 1) // 2),
+        |g AS (SELECT count(*)::BIGINT AS n, max(mx)::BIGINT AS mxv,
+        |    max(my)::BIGINT AS myv,
+        |    sum(CASE WHEN x > mx AND y > my THEN 1 ELSE 0
+        |      END)::BIGINT AS n11,
+        |    sum(CASE WHEN x > mx AND y <= my THEN 1 ELSE 0
+        |      END)::BIGINT AS n12,
+        |    sum(CASE WHEN x <= mx AND y > my THEN 1 ELSE 0
+        |      END)::BIGINT AS n21,
+        |    sum(CASE WHEN x <= mx AND y <= my THEN 1 ELSE 0
+        |      END)::BIGINT AS n22
+        |  FROM pu CROSS JOIN mx CROSS JOIN my)
+        |SELECT n, round(mxv::DOUBLE / 1.0::DOUBLE, 6) AS med_x,
+        |  round(myv::DOUBLE / 1.0::DOUBLE, 6) AS med_y,
+        |  n11, n12, n21, n22,
+        |  round((n11 + n22 - n12 - n21)::DOUBLE /
+        |    nullif(n::DOUBLE, 0.0), 6) AS beta
+        |FROM g""".stripMargin,
+
+    // doubled midranks; exact delta-squares and n-scaled denominator
+    // (sum of doubled ranks = n(n+1) identity); one IEEE z chain
+    "x404_bartels" ->
+      """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT
+        |    AS t, count(*)::BIGINT AS y FROM events GROUP BY 1),
+        |byv AS (SELECT y, count(*)::BIGINT AS tc FROM daily GROUP BY 1),
+        |kv AS (SELECT y, (2 * (sum(tc) OVER (ORDER BY y ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW)) - tc + 1)::BIGINT
+        |      AS k FROM byv),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM daily),
+        |wk AS (SELECT d.t, kv.k, n, (n * (n + 1))::BIGINT AS sk,
+        |    lead(kv.k) OVER (ORDER BY d.t) AS kn
+        |  FROM daily d JOIN kv ON kv.y = d.y CROSS JOIN tot),
+        |g AS (SELECT max(n)::BIGINT AS n,
+        |    sum(CASE WHEN kn IS NOT NULL THEN (kn - k) * (kn - k)
+        |      ELSE 0 END)::BIGINT AS num,
+        |    sum((n * k - sk) * (n * k - sk))::BIGINT AS den FROM wk),
+        |f AS (SELECT n,
+        |    (n::DOUBLE * n::DOUBLE) * num::DOUBLE /
+        |      nullif(den::DOUBLE, 0.0) AS rvn,
+        |    4.0::DOUBLE * (n::DOUBLE - 2.0::DOUBLE) *
+        |      (5.0::DOUBLE * n::DOUBLE * n::DOUBLE -
+        |        2.0::DOUBLE * n::DOUBLE - 9.0::DOUBLE) /
+        |      (5.0::DOUBLE * n::DOUBLE * (n::DOUBLE + 1.0::DOUBLE) *
+        |        (n::DOUBLE - 1.0::DOUBLE) * (n::DOUBLE - 1.0::DOUBLE))
+        |      AS vr
+        |  FROM g)
+        |SELECT n, round(rvn, 6) AS rvn,
+        |  round((rvn - 2.0::DOUBLE) / sqrt(nullif(vr, 0.0)), 6) AS z
+        |FROM f""".stripMargin,
+
+    // exact cell/margin counts and max selections; three IEEE
+    // divisions
+    "x405_gk_lambda" ->
+      """WITH j AS (SELECT c.c_mktsegment AS x, o.o_orderpriority AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IS NOT NULL
+        |    AND o.o_orderpriority IS NOT NULL),
+        |cells AS (SELECT x, y, count(*)::BIGINT AS c FROM j
+        |  GROUP BY 1, 2),
+        |srm AS (SELECT sum(m)::BIGINT AS srm FROM (
+        |  SELECT max(c)::BIGINT AS m FROM cells GROUP BY x)),
+        |scm AS (SELECT sum(m)::BIGINT AS scm FROM (
+        |  SELECT max(c)::BIGINT AS m FROM cells GROUP BY y)),
+        |mxx AS (SELECT max(m)::BIGINT AS maxx FROM (
+        |  SELECT sum(c)::BIGINT AS m FROM cells GROUP BY x)),
+        |mxy AS (SELECT max(m)::BIGINT AS maxy FROM (
+        |  SELECT sum(c)::BIGINT AS m FROM cells GROUP BY y)),
+        |nn AS (SELECT sum(c)::BIGINT AS n FROM cells)
+        |SELECT n,
+        |  round((srm - maxy)::DOUBLE /
+        |    nullif((n - maxy)::DOUBLE, 0.0), 6) AS lambda_y_x,
+        |  round((scm - maxx)::DOUBLE /
+        |    nullif((n - maxx)::DOUBLE, 0.0), 6) AS lambda_x_y,
+        |  round(((srm - maxy) + (scm - maxx))::DOUBLE /
+        |    nullif(((n - maxy) + (n - maxx))::DOUBLE, 0.0), 6)
+        |    AS lambda_sym
+        |FROM nn CROSS JOIN srm CROSS JOIN scm CROSS JOIN mxx
+        |CROSS JOIN mxy""".stripMargin,
 
     // y-value ladder ranks (exact longs); deterministic (x, y) walk;
     // exact numerator/denominator, one IEEE division

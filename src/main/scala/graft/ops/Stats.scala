@@ -8908,6 +8908,172 @@ object Stats {
             F.lit(0.0)), 6).as("xi"))
   }
 
+  /** Blomqvist's β (medial correlation) — the quadrant count around
+    * the two medians: split the plane at (median x, median y),
+    * {{{ β = (n₁₁ + n₂₂ − n₁₂ − n₂₁) / n ∈ [−1, 1] }}}
+    * The MAXIMALLY robust association read — it uses only which
+    * quadrant each point lands in, so no tail, no outlier, no
+    * monotone distortion moves it. The blunt companion of
+    * [[chatterjeeXi]] (any-shape dependence) and x377's
+    * tail-dependence (tails only): β reads the BULK.
+    *
+    * Determinism: exact lower medians off ×`scale` value ladders (the
+    * [[moodMedian]] idiom); quadrant cells exact longs with the
+    * documented (> median) vs (≤ median) convention — on-median
+    * points count to the ≤ side; β one IEEE division.
+    *
+    * Scale shape: two bounded value ladders + one broadcast-median
+    * quadrant collapse, a 1-row result.
+    *
+    * @return one row (n, med_x, med_y, n11, n12, n21, n22, beta) —
+    *         medians/beta 6-dp
+    */
+  def blomqvistBeta(df: DataFrame, xCol: Column, yCol: Column,
+                    scale: Long = 1L): DataFrame = {
+    val s = df.select(
+        F.round(xCol.cast("double") * scale).cast("long").as("__x"),
+        F.round(yCol.cast("double") * scale).cast("long").as("__y"))
+      .filter(F.col("__x").isNotNull && F.col("__y").isNotNull)
+    def med(c: String, out: String): DataFrame = {
+      val byV = s.groupBy(F.col(c).as("__v"))
+        .agg(F.count(F.lit(1)).as("__t"))
+      val w = Window.orderBy(F.col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byV.agg(F.sum("__t").as("__nn"))
+      byV.withColumn("__cum", F.sum("__t").over(w))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("__cum") >=
+          F.call_function("div", F.col("__nn") + 1L, F.lit(2L)))
+        .agg(F.min("__v").as(out))
+    }
+    val g = s.crossJoin(F.broadcast(med("__x", "__mx")))
+      .crossJoin(F.broadcast(med("__y", "__my")))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.max("__mx").as("__mx"), F.max("__my").as("__my"),
+        F.sum(F.when(F.col("__x") > F.col("__mx") &&
+          F.col("__y") > F.col("__my"), 1L).otherwise(0L)).as("n11"),
+        F.sum(F.when(F.col("__x") > F.col("__mx") &&
+          F.col("__y") <= F.col("__my"), 1L).otherwise(0L)).as("n12"),
+        F.sum(F.when(F.col("__x") <= F.col("__mx") &&
+          F.col("__y") > F.col("__my"), 1L).otherwise(0L)).as("n21"),
+        F.sum(F.when(F.col("__x") <= F.col("__mx") &&
+          F.col("__y") <= F.col("__my"), 1L).otherwise(0L)).as("n22"))
+    val sD = F.lit(scale).cast("double")
+    g.select(F.col("n"),
+      F.round(F.col("__mx").cast("double") / sD, 6).as("med_x"),
+      F.round(F.col("__my").cast("double") / sD, 6).as("med_y"),
+      F.col("n11"), F.col("n12"), F.col("n21"), F.col("n22"),
+      F.round((F.col("n11") + F.col("n22") - F.col("n12") -
+        F.col("n21")).cast("double") /
+        F.nullif(F.col("n").cast("double"), F.lit(0.0)), 6).as("beta"))
+  }
+
+  /** Bartels rank test (rank von Neumann) — series RANDOMNESS against
+    * both trend AND oscillation: the von Neumann successive-difference
+    * ratio computed on ranks,
+    * {{{ RVN = Σ(R_i − R_{i+1})² / Σ(R_i − R̄)²,  E[RVN] = 2 }}}
+    * RVN ≪ 2 says neighbors are too SIMILAR (trend/level shifts —
+    * what [[runsTest]] sees), RVN ≫ 2 says they ALTERNATE too much
+    * (negative autocorrelation — what runsTest half-misses). z uses
+    * the exact-n normal approximation Var ≈ 4(n−2)(5n²−2n−9)/
+    * (5n(n+1)(n−1)²).
+    *
+    * Determinism: doubled midranks k off the value ladder; numerator
+    * Σ(Δk)² and the n-scaled denominator Σ(n·k − Σk)² are exact
+    * longs; RVN = n²·NUM / DEN is one IEEE chain.
+    *
+    * Scale shape: one value ladder + one time walk over the bounded
+    * series grid, a 1-row result.
+    *
+    * @return one row (n, rvn, z) — 6-dp; NULL when the series is
+    *         constant
+    */
+  def bartelsRankTest(series: DataFrame, tCol: String, vCol: String,
+                      scale: Long = 1L): DataFrame = {
+    val s = series.select(F.col(tCol).cast("long").as("__t"),
+        F.round(F.col(vCol).cast("double") * scale).cast("long")
+          .as("__y"))
+      .filter(F.col("__y").isNotNull)
+    val byV = s.groupBy("__y").agg(F.count(F.lit(1)).as("__tc"))
+    val wv = Window.orderBy(F.col("__y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kv = byV.withColumn("__cum", F.sum("__tc").over(wv))
+      .withColumn("__k",
+        F.lit(2L) * F.col("__cum") - F.col("__tc") + 1L)
+      .select("__y", "__k")
+    val tot = s.agg(F.count(F.lit(1)).as("__n"))
+    val walked = s.join(F.broadcast(kv), "__y")
+      .crossJoin(F.broadcast(tot))
+      // Σ doubled midranks ≡ n(n+1) (a permutation identity) — no
+      // second window needed
+      .withColumn("__sk", F.col("__n") * (F.col("__n") + 1L))
+      .withColumn("__kn",
+        F.lead("__k", 1).over(Window.orderBy(F.col("__t"))))
+    val g = walked.agg(F.max("__n").as("n"),
+      F.sum(F.when(F.col("__kn").isNotNull,
+        (F.col("__kn") - F.col("__k")) * (F.col("__kn") - F.col("__k")))
+        .otherwise(0L)).as("__num"),
+      F.sum((F.col("__n") * F.col("__k") - F.col("__sk")) *
+        (F.col("__n") * F.col("__k") - F.col("__sk"))).as("__den"))
+    val nD = F.col("n").cast("double")
+    val rvn = (nD * nD) * F.col("__num").cast("double") /
+      F.nullif(F.col("__den").cast("double"), F.lit(0.0))
+    val varR = F.lit(4.0) * (nD - 2.0) *
+      (F.lit(5.0) * nD * nD - F.lit(2.0) * nD - 9.0) /
+      (F.lit(5.0) * nD * (nD + 1.0) * (nD - 1.0) * (nD - 1.0))
+    g.select(F.col("n"), F.round(rvn, 6).as("rvn"),
+      F.round((rvn - 2.0) / F.sqrt(F.nullif(varR, F.lit(0.0))), 6)
+        .as("z"))
+  }
+
+  /** Goodman–Kruskal λ — proportional reduction in PREDICTION error
+    * for nominal×nominal tables: guessing the modal y is wrong
+    * (n − max_c) times; knowing x reduces that to Σ_r (n_r − max_c|r):
+    * {{{ λ_{y|x} = (Σ_r max_c n_rc − max_c n_c) / (n − max_c n_c) }}}
+    * (both directions + the symmetric average). The "does knowing the
+    * segment actually help predict the priority" number —
+    * [[cramersV]]-style association rescaled into error-reduction
+    * units, and 0 exactly when x never changes the modal guess.
+    *
+    * Determinism: everything is exact-long cell/margin counts and max
+    * selections; the three λ are the only IEEE divisions.
+    *
+    * Scale shape: one cell collapse (categories² bounded), margin
+    * rollups, a 1-row result.
+    *
+    * @return one row (n, lambda_y_x, lambda_x_y, lambda_sym) — 6-dp;
+    *         NULL when the relevant modal margin equals n
+    */
+  def goodmanKruskalLambda(df: DataFrame, xCol: Column,
+                           yCol: Column): DataFrame = {
+    val cells = df.select(xCol.cast("string").as("__x"),
+        yCol.cast("string").as("__y"))
+      .filter(F.col("__x").isNotNull && F.col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(F.count(F.lit(1)).as("__c"))
+    val byX = cells.groupBy("__x").agg(F.max("__c").as("__mxr"))
+      .agg(F.sum("__mxr").as("__srm"))
+    val byY = cells.groupBy("__y").agg(F.max("__c").as("__mxc"))
+      .agg(F.sum("__mxc").as("__scm"))
+    val margX = cells.groupBy("__x").agg(F.sum("__c").as("__m"))
+      .agg(F.max("__m").as("__maxX"))
+    val margY = cells.groupBy("__y").agg(F.sum("__c").as("__m"))
+      .agg(F.max("__m").as("__maxY"))
+    val n = cells.agg(F.sum("__c").as("n"))
+    val g = n.crossJoin(byX).crossJoin(byY).crossJoin(margX)
+      .crossJoin(margY)
+    def lam(sum: Column, mx: Column): Column =
+      (sum - mx).cast("double") /
+        F.nullif((F.col("n") - mx).cast("double"), F.lit(0.0))
+    g.select(F.col("n"),
+      F.round(lam(F.col("__srm"), F.col("__maxY")), 6).as("lambda_y_x"),
+      F.round(lam(F.col("__scm"), F.col("__maxX")), 6).as("lambda_x_y"),
+      F.round(((F.col("__srm") - F.col("__maxY")) +
+        (F.col("__scm") - F.col("__maxX"))).cast("double") /
+        F.nullif(((F.col("n") - F.col("__maxY")) +
+          (F.col("n") - F.col("__maxX"))).cast("double"), F.lit(0.0)), 6)
+        .as("lambda_sym"))
+  }
+
   /** One 2×K-cell chi-square contribution (O−E)²/E with E = rowTot·
     * colTot/N, everything exact longs until the two IEEE ops. Assumes
     * the caller's frame carries __a+__b per group and __ta/__tb/__n

@@ -6126,6 +6126,42 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
   }
 
+  test("blomqvistBeta: comonotone quadrants give +1, antithetic -1") {
+    import graft.ops.Stats
+    val co = (1 to 4).map(i => (i.toDouble, i.toDouble)).toDF("x", "y")
+    val c = Stats.blomqvistBeta(co, F.col("x"), F.col("y"))
+      .as[(Long, Double, Double, Long, Long, Long, Long, Double)].head()
+    assert(c == ((4L, 2.0, 2.0, 2L, 0L, 0L, 2L, 1.0)), c)
+    val anti = (1 to 4).map(i => (i.toDouble, 5.0 - i)).toDF("x", "y")
+    val a = Stats.blomqvistBeta(anti, F.col("x"), F.col("y"))
+      .as[(Long, Double, Double, Long, Long, Long, Long, Double)].head()
+    assert(a == ((4L, 2.0, 2.0, 0L, 2L, 2L, 0L, -1.0)), a)
+  }
+
+  test("bartelsRankTest: ramp RVN 4/10 (too smooth); alternator RVN 3 " +
+      "(too jumpy)") {
+    import graft.ops.Stats
+    val ramp = (1 to 5).map(i => (i.toLong, i.toDouble)).toDF("t", "v")
+    val r = Stats.bartelsRankTest(ramp, "t", "v")
+      .as[(Long, Double, Double)].head()
+    // Σ(ΔR)² = 4, Σ(R−R̄)² = 10: the textbook 0.4
+    assert(r == ((5L, 0.4, -2.197769)), r)
+    val alt = Seq((1L, 1.0), (2L, 5.0), (3L, 1.0), (4L, 5.0))
+      .toDF("t", "v")
+    val a = Stats.bartelsRankTest(alt, "t", "v")
+      .as[(Long, Double, Double)].head()
+    assert(a == ((4L, 3.0, 1.336306)), a)
+  }
+
+  test("goodmanKruskalLambda: 3-1/1-3 table halves the error both ways") {
+    import graft.ops.Stats
+    val df = Seq.fill(3)(("A", "p")) ++ Seq(("A", "q")) ++
+      Seq(("B", "p")) ++ Seq.fill(3)(("B", "q"))
+    val got = Stats.goodmanKruskalLambda(df.toDF("x", "y"), F.col("x"),
+      F.col("y")).as[(Long, Double, Double, Double)].head()
+    assert(got == ((8L, 0.5, 0.5, 0.5)), got)
+  }
+
   test("dimVarianceCensus: one active dim gives PR 1; isotropic pair " +
       "gives PR 2") {
     import graft.ops.Similarity
