@@ -10668,8 +10668,8 @@ object SparkEntry {
         |  round(w::DOUBLE / n::DOUBLE, 6) AS p_within
         |FROM win""".stripMargin,
 
-    // positive-SS per-group 9-dp terms off exact (n, Σk, Σk²); one
-    // IEEE chain for each effect size
+    // positive-SS per-group raw-IEEE terms off exact (n, Σk, Σk²);
+    // only the O(1) ratios leave (huge-SS rounding is not portable)
     "x391_anova_effect" ->
       """WITH rows_ AS (SELECT round(o_totalprice::DOUBLE * 1)::BIGINT
         |      AS k, o_orderpriority AS g
@@ -10681,12 +10681,12 @@ object SparkEntry {
         |tot AS (SELECT sum(ng)::BIGINT AS nn, sum(sk)::BIGINT AS st
         |  FROM per),
         |terms AS (SELECT ng,
-        |    round(ng::DOUBLE * (sk::DOUBLE / ng::DOUBLE -
+        |    ng::DOUBLE * (sk::DOUBLE / ng::DOUBLE -
         |      st::DOUBLE / nn::DOUBLE) * (sk::DOUBLE / ng::DOUBLE -
-        |      st::DOUBLE / nn::DOUBLE) / (1.0::DOUBLE * 1.0::DOUBLE),
-        |      9) AS ssb,
-        |    round((ng::DOUBLE * qk::DOUBLE - sk::DOUBLE * sk::DOUBLE) /
-        |      (ng::DOUBLE * 1.0::DOUBLE * 1.0::DOUBLE), 9) AS ssw,
+        |      st::DOUBLE / nn::DOUBLE) / (1.0::DOUBLE * 1.0::DOUBLE)
+        |      AS ssb,
+        |    (ng::DOUBLE * qk::DOUBLE - sk::DOUBLE * sk::DOUBLE) /
+        |      (ng::DOUBLE * 1.0::DOUBLE * 1.0::DOUBLE) AS ssw,
         |    nn
         |  FROM per CROSS JOIN tot),
         |g AS (SELECT max(nn)::BIGINT AS n, count(*)::BIGINT AS k_groups,
@@ -10694,11 +10694,12 @@ object SparkEntry {
         |f AS (SELECT n, k_groups, b, w,
         |    w / (n::DOUBLE - k_groups::DOUBLE) AS msw, b + w AS sst
         |  FROM g)
-        |SELECT n, k_groups, round(b, 6) AS ss_between,
-        |  round(w, 6) AS ss_within,
+        |SELECT n, k_groups,
         |  round(b / nullif(sst, 0.0), 6) AS eta2,
         |  round((b - (k_groups::DOUBLE - 1.0::DOUBLE) * msw) /
-        |    nullif(sst + msw, 0.0), 6) AS omega2
+        |    nullif(sst + msw, 0.0), 6) AS omega2,
+        |  round((b / (k_groups::DOUBLE - 1.0::DOUBLE)) /
+        |    nullif(msw, 0.0), 6) AS f_stat
         |FROM f""".stripMargin,
 
     // same collapse; 9-dp mean diffs; one IEEE q chain per unordered
@@ -10709,9 +10710,9 @@ object SparkEntry {
         |  FROM customer
         |  WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
         |per AS (SELECT g, count(*)::BIGINT AS ng, sum(k)::BIGINT AS sk,
-        |    round((count(*)::DOUBLE * sum(k * k)::DOUBLE -
+        |    (count(*)::DOUBLE * sum(k * k)::DOUBLE -
         |      sum(k)::DOUBLE * sum(k)::DOUBLE) /
-        |      (count(*)::DOUBLE * 100.0::DOUBLE * 100.0::DOUBLE), 9)
+        |      (count(*)::DOUBLE * 100.0::DOUBLE * 100.0::DOUBLE)
         |      AS ssw
         |  FROM rows_ GROUP BY 1),
         |tot AS (SELECT sum(ng)::BIGINT AS nn, count(*)::BIGINT AS kk,
@@ -11104,8 +11105,9 @@ object SparkEntry {
         |runs AS (SELECT v, max(n1v)::BIGINT AS n1v,
         |    max(t)::BIGINT AS t, sum(a)::BIGINT AS sr
         |  FROM st GROUP BY 1),
-        |g AS (SELECT sum(round(n1v::DOUBLE * sr::DOUBLE / t::DOUBLE,
-        |    9)) AS w1 FROM runs),
+        |g AS (SELECT (sum((n1v * sr) // t)::DOUBLE +
+        |    sum(round(((n1v * sr) % t)::DOUBLE / t::DOUBLE, 9)))
+        |    AS w1 FROM runs),
         |f AS (SELECT w1, n1, nn, ties,
         |    n1::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE) / 2.0::DOUBLE
         |      AS ew,

@@ -8400,14 +8400,17 @@ object Stats {
     * Determinism: the positive-SS rule — per-group exact (n, Σk, Σk²)
     * from ×`scale` quantization, SSB as all-positive per-group scalars
     * n_g(mean_g − grand)² and SSW as (n_g·Σk² − (Σk)²)/n_g, each one
-    * 9-dp IEEE term; positive sums have nothing to cancel.
+    * IEEE term evaluated identically by both engines; positive sums
+    * have nothing to cancel. The raw SS are NOT emitted (at corpus
+    * scale they reach 1e15+, where neither 9-dp rounding nor a 6-dp
+    * output is engine-portable — tri-scale r13 finding); only the
+    * O(1) ratios η², ω², F leave the operator.
     *
     * Scale shape: one partial-aggregated group collapse (K rows), a
     * 1-row result.
     *
-    * @return one row (n, k_groups, ss_between, ss_within, eta2,
-    *         omega2) — SS in value² units, 6-dp; NULL effect sizes
-    *         when SST = 0
+    * @return one row (n, k_groups, eta2, omega2, f_stat) — 6-dp;
+    *         NULL effect sizes when SST = 0
     */
   def anovaEffectSizes(df: DataFrame, valueCol: Column, groupCol: Column,
                        scale: Long = 1L): DataFrame = {
@@ -8425,12 +8428,12 @@ object Stats {
         F.col("__sk").cast("double") / F.col("__ng").cast("double") -
           F.col("__st").cast("double") / F.col("__nn").cast("double"))
       .withColumn("__ssb",
-        F.round(F.col("__ng").cast("double") * F.col("__dm") *
-          F.col("__dm") / (sD * sD), 9))
-      .withColumn("__ssw", F.round(
+        F.col("__ng").cast("double") * F.col("__dm") *
+          F.col("__dm") / (sD * sD))
+      .withColumn("__ssw",
         (F.col("__ng").cast("double") * F.col("__qk").cast("double") -
           F.col("__sk").cast("double") * F.col("__sk").cast("double")) /
-          (F.col("__ng").cast("double") * sD * sD), 9))
+          (F.col("__ng").cast("double") * sD * sD))
     val g = terms.agg(F.max("__nn").as("n"),
       F.count(F.lit(1)).as("k_groups"),
       F.sum("__ssb").as("__b"), F.sum("__ssw").as("__w"))
@@ -8439,11 +8442,11 @@ object Stats {
     val msw = F.col("__w") / (nD - kD)
     val sst = F.col("__b") + F.col("__w")
     g.select(F.col("n"), F.col("k_groups"),
-      F.round(F.col("__b"), 6).as("ss_between"),
-      F.round(F.col("__w"), 6).as("ss_within"),
       F.round(F.col("__b") / F.nullif(sst, F.lit(0.0)), 6).as("eta2"),
       F.round((F.col("__b") - (kD - 1.0) * msw) /
-        F.nullif(sst + msw, F.lit(0.0)), 6).as("omega2"))
+        F.nullif(sst + msw, F.lit(0.0)), 6).as("omega2"),
+      F.round((F.col("__b") / (kD - 1.0)) / F.nullif(msw, F.lit(0.0)), 6)
+        .as("f_stat"))
   }
 
   /** Tukey–Kramer pairwise q statistics — after "the groups differ
@@ -8455,8 +8458,9 @@ object Stats {
     * comparison explicit.
     *
     * Determinism: the [[anovaEffectSizes]] collapse (exact per-group
-    * sufficient statistics, 9-dp SSW terms), 9-dp mean diffs, one IEEE
-    * chain per pair, (g_a, g_b) lexicographic total order.
+    * sufficient statistics; SSW terms raw IEEE — see that op's note on
+    * why huge SS magnitudes must not be decimal-rounded), 9-dp mean
+    * diffs, one IEEE chain per pair, (g_a, g_b) lexicographic order.
     *
     * Scale shape: one K-row collapse, a K(K−1)/2-row bounded pair
     * join — the corpus is touched once.
@@ -8474,10 +8478,13 @@ object Stats {
       F.sum("__k").as("__sk"),
       F.sum(F.col("__k") * F.col("__k")).as("__qk"))
     val sD = F.lit(scale).cast("double")
-    val withW = per.withColumn("__ssw", F.round(
+    // raw IEEE per-group terms — a 9-dp round at SS magnitudes (1e15+
+    // at corpus scale) is NOT engine-portable (tri-scale r13 finding);
+    // q is an O(1) ratio, immune to the ulp-level sum-order noise
+    val withW = per.withColumn("__ssw",
       (F.col("__ng").cast("double") * F.col("__qk").cast("double") -
         F.col("__sk").cast("double") * F.col("__sk").cast("double")) /
-        (F.col("__ng").cast("double") * sD * sD), 9))
+        (F.col("__ng").cast("double") * sD * sD))
     val tot = withW.agg(F.sum("__ng").as("__nn"),
       F.count(F.lit(1)).as("__kk"), F.sum("__ssw").as("__w"))
     val a = withW.select(F.col("__g").as("g_a"), F.col("__ng").as("n_a"),
@@ -8694,9 +8701,13 @@ object Stats {
     *
     * Determinism: ST ranks are a closed-form function of ladder
     * POSITION (exact integers off one value-ladder explode — linear,
-    * one row per observation); tied values average their positional ST
-    * ranks as one 9-dp term per run; the tie-corrected Wilcoxon
-    * variance uses exact-long tie censuses.
+    * one row per observation). Tied-run averages n1·SR/t split into an
+    * exact-long integer part (div) plus a sub-unit 9-dp fraction, so
+    * W₁ = (Σ quotients) + (Σ fractions) keeps exactly one small float
+    * sum — summing the raw per-run averages instead accumulates
+    * order-dependent ulps at W₁'s own magnitude (2e9+ at sf0.1) and
+    * is not engine-portable (tri-scale r13 finding). The
+    * tie-corrected Wilcoxon variance uses exact-long tie censuses.
     *
     * Scale shape: one distinct-value ladder + one bounded positional
     * explode (n rows), a 1-row result.
@@ -8738,10 +8749,15 @@ object Stats {
       .groupBy("__v")
       .agg(F.max("__n1v").as("__n1v"), F.max("__t").as("__t"),
         F.sum("__st").as("__sr"))
-    val terms = runs.withColumn("__w1r", F.round(
-      F.col("__n1v").cast("double") * F.col("__sr").cast("double") /
-        F.col("__t").cast("double"), 9))
-    val g = terms.agg(F.sum("__w1r").as("__w1"))
+    val terms = runs
+      .withColumn("__w1q",
+        F.call_function("div", F.col("__n1v") * F.col("__sr"),
+          F.col("__t")))
+      .withColumn("__w1f", F.round(
+        ((F.col("__n1v") * F.col("__sr")) % F.col("__t")).cast("double") /
+          F.col("__t").cast("double"), 9))
+    val g = terms.agg((F.sum("__w1q").cast("double") +
+        F.sum("__w1f")).as("__w1"))
       .crossJoin(F.broadcast(tot))
     val n1D = F.col("__nOne").cast("double")
     val nD = F.col("__nn").cast("double")

@@ -6285,14 +6285,15 @@ class OpsSpec extends AnyFunSuite {
     assert(t == ((2L, 2L, 5.0, 5.0, None)), t)
   }
 
-  test("anovaEffectSizes: hand two-group case eta2 27/35, omega2 25/37") {
+  test("anovaEffectSizes: hand two-group case eta2 27/35, omega2 " +
+      "25/37, F 13.5") {
     import graft.ops.Stats
     val df = Seq((1.0, "A"), (2.0, "A"), (3.0, "A"), (4.0, "B"),
       (5.0, "B"), (6.0, "B")).toDF("v", "g")
     val got = Stats.anovaEffectSizes(df, F.col("v"), F.col("g"))
-      .as[(Long, Long, Double, Double, Double, Double)].head()
+      .as[(Long, Long, Double, Double, Double)].head()
     // SSB = 13.5, SSW = 4, MSW = 1
-    assert(got == ((6L, 2L, 13.5, 4.0, 0.771429, 0.675676)), got)
+    assert(got == ((6L, 2L, 0.771429, 0.675676, 13.5)), got)
   }
 
   test("tukeyHsdQ: hand two-group q = 3/sqrt(1/3)") {
