@@ -3245,6 +3245,30 @@ object SparkEntry {
         F.col("o_orderpriority"))
     }),
 
+    // conditional character entropy per language: the model-free
+    // compressibility / boilerplate read — how many nats each char
+    // carries given the previous one
+    "x406_char_entropy" -> ((s, dir) =>
+      TextOps.charNgramEntropy(
+        s.read.parquet(s"$dir/documents.parquet"), "text",
+        F.col("lang"))),
+
+    // Yuen trimmed-t: are en docs longer AFTER the tails are trimmed —
+    // the robust location test between x175's pure ranks and a raw
+    // Welch t the outliers own
+    "x407_yuen" -> ((s, dir) =>
+      graft.ops.Stats.yuenTest(
+        s.read.parquet(s"$dir/documents.parquet"), F.col("n_chars"),
+        F.col("lang") === "en", trim = 0.2)),
+
+    // leave-one-out 1-NN label accuracy: the local embedding-quality
+    // probe that catches multi-modal labels x362's one-centroid NCC
+    // is blind to
+    "x408_knn1_acc" -> ((s, dir) =>
+      Similarity.knn1Accuracy(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+        "embedding", F.col("label"))),
+
     // Weibull shape/scale for document lengths via median-rank
     // regression: k<1 heavy tail, k>1 wear-out — what x266's forced
     // exponential cannot distinguish
@@ -10993,6 +11017,130 @@ object SparkEntry {
         |SELECT n, round(rvn, 6) AS rvn,
         |  round((rvn - 2.0::DOUBLE) / sqrt(nullif(vr, 0.0)), 6) AS z
         |FROM f""".stripMargin,
+
+    // within-doc positional char windows; exact censuses; 9-dp p ln p
+    // terms; H(c2|c1) = H2 - H1
+    "x406_char_entropy" ->
+      """WITH base AS (SELECT lang AS g,
+        |    lower(trim(coalesce(text, ''))) AS t FROM documents
+        |  WHERE lang IS NOT NULL
+        |    AND length(lower(trim(coalesce(text, '')))) > 0),
+        |c1 AS (SELECT g, c, count(*)::BIGINT AS n FROM (
+        |  SELECT g, unnest(list_transform(range(1, length(t) + 1),
+        |    i -> substr(t, i::INT, 1))) AS c FROM base) GROUP BY 1, 2),
+        |t1 AS (SELECT g, sum(n)::BIGINT AS tot FROM c1 GROUP BY 1),
+        |h1 AS (SELECT c1.g, max(tot)::BIGINT AS n_chars,
+        |    round(sum(round(-(n::DOUBLE / tot::DOUBLE) *
+        |      ln(n::DOUBLE / tot::DOUBLE), 9)), 6) AS h1
+        |  FROM c1 JOIN t1 ON t1.g = c1.g GROUP BY 1),
+        |c2 AS (SELECT g, c, count(*)::BIGINT AS n FROM (
+        |  SELECT g, unnest(list_transform(range(1, length(t)),
+        |    i -> substr(t, i::INT, 2))) AS c FROM base
+        |  WHERE length(t) >= 2) GROUP BY 1, 2),
+        |t2 AS (SELECT g, sum(n)::BIGINT AS tot FROM c2 GROUP BY 1),
+        |h2 AS (SELECT c2.g, max(tot)::BIGINT AS n_bigrams,
+        |    round(sum(round(-(n::DOUBLE / tot::DOUBLE) *
+        |      ln(n::DOUBLE / tot::DOUBLE), 9)), 6) AS h2
+        |  FROM c2 JOIN t2 ON t2.g = c2.g GROUP BY 1)
+        |SELECT h1.g, n_chars, n_bigrams, h1, h2,
+        |  round(h2 - h1, 6) AS h_cond
+        |FROM h1 JOIN h2 ON h2.g = h1.g ORDER BY h1.g""".stripMargin,
+
+    // per-group value ladders; exact clipped-window and winsorized
+    // moments; Welch-Satterthwaite IEEE chain
+    "x407_yuen" ->
+      """WITH s AS (SELECT round(n_chars::DOUBLE * 1)::BIGINT AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c1
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |l1 AS (SELECT v, cum, lo, nn,
+        |    floor(0.2::DOUBLE * nn::DOUBLE)::BIGINT AS g FROM (
+        |  SELECT v, (sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+        |    (sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW))::BIGINT - t + 1 AS lo,
+        |    (SELECT count(*) FROM s WHERE c1 = 1)::BIGINT AS nn
+        |  FROM (SELECT v, count(*)::BIGINT AS t FROM s WHERE c1 = 1
+        |    GROUP BY 1))),
+        |a1 AS (SELECT max(nn)::BIGINT AS n1, max(g)::BIGINT AS g1,
+        |    min(CASE WHEN cum >= g + 1 THEN v END)::BIGINT AS lo1,
+        |    min(CASE WHEN cum >= nn - g THEN v END)::BIGINT AS hi1,
+        |    sum(v * greatest(0, least(cum, nn - g) -
+        |      greatest(lo, g + 1) + 1))::BIGINT AS sk1,
+        |    sum(v * v * greatest(0, least(cum, nn - g) -
+        |      greatest(lo, g + 1) + 1))::BIGINT AS qk1
+        |  FROM l1),
+        |l2 AS (SELECT v, cum, lo, nn,
+        |    floor(0.2::DOUBLE * nn::DOUBLE)::BIGINT AS g FROM (
+        |  SELECT v, (sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+        |    (sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW))::BIGINT - t + 1 AS lo,
+        |    (SELECT count(*) FROM s WHERE c1 = 0)::BIGINT AS nn
+        |  FROM (SELECT v, count(*)::BIGINT AS t FROM s WHERE c1 = 0
+        |    GROUP BY 1))),
+        |a2 AS (SELECT max(nn)::BIGINT AS n2, max(g)::BIGINT AS g2,
+        |    min(CASE WHEN cum >= g + 1 THEN v END)::BIGINT AS lo2,
+        |    min(CASE WHEN cum >= nn - g THEN v END)::BIGINT AS hi2,
+        |    sum(v * greatest(0, least(cum, nn - g) -
+        |      greatest(lo, g + 1) + 1))::BIGINT AS sk2,
+        |    sum(v * v * greatest(0, least(cum, nn - g) -
+        |      greatest(lo, g + 1) + 1))::BIGINT AS qk2
+        |  FROM l2),
+        |f AS (SELECT n1, n2,
+        |    (n1 - 2 * g1)::DOUBLE AS h1d, (n2 - 2 * g2)::DOUBLE AS h2d,
+        |    sk1::DOUBLE / ((n1 - 2 * g1)::DOUBLE * 1.0::DOUBLE) AS m1,
+        |    sk2::DOUBLE / ((n2 - 2 * g2)::DOUBLE * 1.0::DOUBLE) AS m2,
+        |    (n1::DOUBLE - 1.0::DOUBLE) *
+        |      (((qk1 + g1 * (lo1 * lo1 + hi1 * hi1))::DOUBLE -
+        |        (sk1 + g1 * (lo1 + hi1))::DOUBLE *
+        |          ((sk1 + g1 * (lo1 + hi1))::DOUBLE / n1::DOUBLE)) /
+        |        (nullif(n1::DOUBLE - 1.0::DOUBLE, 0.0) *
+        |          1.0::DOUBLE * 1.0::DOUBLE)) /
+        |      nullif((n1 - 2 * g1)::DOUBLE *
+        |        ((n1 - 2 * g1)::DOUBLE - 1.0::DOUBLE), 0.0) AS d1,
+        |    (n2::DOUBLE - 1.0::DOUBLE) *
+        |      (((qk2 + g2 * (lo2 * lo2 + hi2 * hi2))::DOUBLE -
+        |        (sk2 + g2 * (lo2 + hi2))::DOUBLE *
+        |          ((sk2 + g2 * (lo2 + hi2))::DOUBLE / n2::DOUBLE)) /
+        |        (nullif(n2::DOUBLE - 1.0::DOUBLE, 0.0) *
+        |          1.0::DOUBLE * 1.0::DOUBLE)) /
+        |      nullif((n2 - 2 * g2)::DOUBLE *
+        |        ((n2 - 2 * g2)::DOUBLE - 1.0::DOUBLE), 0.0) AS d2
+        |  FROM a1 CROSS JOIN a2)
+        |SELECT n1, n2, h1d::BIGINT AS h1, h2d::BIGINT AS h2,
+        |  round(m1, 6) AS mean_t1, round(m2, 6) AS mean_t2,
+        |  round((m1 - m2) / sqrt(nullif(d1 + d2, 0.0)), 6) AS t,
+        |  round((d1 + d2) * (d1 + d2) / nullif(
+        |    d1 * d1 / nullif(h1d - 1.0::DOUBLE, 0.0) +
+        |    d2 * d2 / nullif(h2d - 1.0::DOUBLE, 0.0), 0.0), 6) AS df
+        |FROM f""".stripMargin,
+
+    // 9-dp pair distances (the x354 norm-expansion tree); (d2,
+    // neighbor) top-1; exact label census
+    "x408_knn1_acc" ->
+      """WITH base AS (SELECT vec_id, label::VARCHAR AS l, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      v -> v::DOUBLE * v::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS id, a.l, b.vec_id AS nb,
+        |    b.l AS ln,
+        |    round(a.nrm * a.nrm + b.nrm * b.nrm -
+        |      2.0 * list_sum(list_transform(range(1, 65),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+        |      9) AS d2
+        |  FROM base a JOIN base b ON a.vec_id <> b.vec_id),
+        |nn AS (SELECT id, l, ln FROM (SELECT id, l, ln,
+        |    row_number() OVER (PARTITION BY id ORDER BY d2, nb) AS rk
+        |  FROM pairs) WHERE rk = 1),
+        |pl AS (SELECT l AS label, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN l = ln THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_correct
+        |  FROM nn GROUP BY 1),
+        |ov AS (SELECT round(sum(n_correct)::DOUBLE / sum(n)::DOUBLE,
+        |    6) AS overall_acc FROM pl)
+        |SELECT label, n, n_correct,
+        |  round(n_correct::DOUBLE / n::DOUBLE, 6) AS acc, overall_acc
+        |FROM pl CROSS JOIN ov ORDER BY label""".stripMargin,
 
     // exact cell/margin counts and max selections; three IEEE
     // divisions

@@ -1740,6 +1740,57 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Leave-one-out 1-NN label accuracy — the sharpest cheap "do these
+    * embeddings encode the label" probe: classify every vector by its
+    * single nearest OTHER vector's label and census the agreement per
+    * label. Complements [[nccConfusion]] (one centroid per label —
+    * blind to multi-modal classes) exactly where it fails: 1-NN is
+    * local, so a label split across several clusters still scores.
+    * The standard embedding-benchmark number (kNN probe, k = 1).
+    *
+    * Determinism: 9-dp squared Euclidean pair distances
+    * ([[lofOutliers]] expansion), nearest tie broken by neighbor id,
+    * exact census counts.
+    *
+    * Scale shape: one all-pairs scan with a per-point top-1 window
+    * (the [[bruteKnn]] regime — at corpus scale run it on a
+    * deterministic sample or swap in [[lshKnn]] candidates);
+    * everything after is label-bounded.
+    *
+    * @return per-label rows (label, n, n_correct, acc, overall_acc)
+    *         ordered by label — 6-dp
+    */
+  def knn1Accuracy(emb: DataFrame, idCol: String, vecCol: String,
+                   labelCol: Column): DataFrame = {
+    def side(tag: String) = emb.select(
+      F.col(idCol).as(s"__id$tag"), labelCol.cast("string").as(s"__l$tag"),
+      F.col(vecCol).cast("array<double>").as(s"__v$tag"),
+      (l2norm(F.col(vecCol)) * l2norm(F.col(vecCol))).as(s"__n2$tag"))
+    val pairs = side("a").crossJoin(side("b"))
+      .filter(F.col("__ida") =!= F.col("__idb"))
+      .select(F.col("__ida").as("__id"), F.col("__la").as("__l"),
+        F.col("__idb").as("__nb"), F.col("__lb").as("__ln"),
+        F.round(F.col("__n2a") + F.col("__n2b") -
+          F.lit(2.0) * dot(F.col("__va"), F.col("__vb")), 9).as("__d2"))
+    val w = Window.partitionBy("__id")
+      .orderBy(F.col("__d2").asc, F.col("__nb").asc)
+    val nn = pairs.withColumn("__rk", F.row_number().over(w))
+      .filter(F.col("__rk") === 1)
+    val perLabel = nn.groupBy(F.col("__l").as("label"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("__l") === F.col("__ln"), 1L).otherwise(0L))
+          .as("n_correct"))
+    val overall = perLabel.agg(
+      F.round(F.sum("n_correct").cast("double") /
+        F.sum("n").cast("double"), 6).as("overall_acc"))
+    perLabel.crossJoin(F.broadcast(overall))
+      .select(F.col("label"), F.col("n"), F.col("n_correct"),
+        F.round(F.col("n_correct").cast("double") /
+          F.col("n").cast("double"), 6).as("acc"),
+        F.col("overall_acc"))
+      .orderBy("label")
+  }
+
   /** Per-dimension variance census + diagonal participation ratio —
     * the "is the embedding space actually USED" audit: per-dim mean
     * and variance, each dim's share of total variance, and

@@ -9090,6 +9090,107 @@ object Stats {
         .as("lambda_sym"))
   }
 
+  /** Yuen's trimmed-mean two-sample test — Welch's t on γ-TRIMMED
+    * means with WINSORIZED variances: trim the extreme ⌊γn⌋ values
+    * from each end before comparing locations, so a heavy tail or a
+    * few outliers can't buy or hide a difference (the robust
+    * replacement for [[welchTTest]] when the tails are real data, and
+    * the parametric-power alternative to [[mannWhitneyU]]'s pure
+    * ranks):
+    * {{{
+    *   t = (x̄_t1 − x̄_t2) / √(d₁ + d₂),
+    *   d_i = (n_i − 1)·s²_wi / (h_i·(h_i − 1)),  h_i = n_i − 2g_i
+    * }}}
+    * with Welch–Satterthwaite df.
+    *
+    * Determinism: all order statistics come off per-group value
+    * ladders — the trimmed window [g+1, n−g] clips each run by exact
+    * integer position arithmetic, and the winsorized Σk / Σk² add the
+    * two exact cap terms; every moment is an exact long, the t/df
+    * chain pure IEEE.
+    *
+    * Scale shape: two bounded value ladders + one clipped rollup, a
+    * 1-row result.
+    *
+    * @param trim per-end trim share γ (default 0.2)
+    * @return one row (n1, n2, h1, h2, mean_t1, mean_t2, t, df) —
+    *         6-dp; NULL t when a winsorized variance is 0 or h ≤ 1
+    */
+  def yuenTest(df: DataFrame, valueCol: Column, isClass1: Column,
+               trim: Double = 0.2, scale: Long = 1L): DataFrame = {
+    require(trim > 0 && trim < 0.5, s"trim must be in (0,0.5), got $trim")
+    val s = df.select(
+        F.round(valueCol.cast("double") * scale).cast("long").as("__v"),
+        F.when(isClass1, 1L).otherwise(0L).as("__c1"))
+      .filter(F.col("__v").isNotNull)
+    val sD = F.lit(scale).cast("double")
+    def side(cls1: Boolean): DataFrame = {
+      val byV = s.filter(if (cls1) F.col("__c1") === 1L
+          else F.col("__c1") === 0L)
+        .groupBy("__v").agg(F.count(F.lit(1)).as("__t"))
+      val w = Window.orderBy(F.col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byV.agg(F.sum("__t").as("__nn"))
+      val lad = byV.withColumn("__cum", F.sum("__t").over(w))
+        .withColumn("__lo", F.col("__cum") - F.col("__t") + 1L)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__g", F.floor(F.lit(trim) *
+          F.col("__nn").cast("double")).cast("long"))
+      // caps: order statistics at positions g+1 and n−g
+      val caps = lad.agg(
+        F.min(F.when(F.col("__cum") >= F.col("__g") + 1L, F.col("__v")))
+          .as("__vlo"),
+        F.min(F.when(F.col("__cum") >= F.col("__nn") - F.col("__g"),
+          F.col("__v"))).as("__vhi"),
+        F.max("__nn").as("__nn"), F.max("__g").as("__gg"))
+      // clip each run to the kept window [g+1, n−g]
+      val kept = lad.withColumn("__cnt",
+        F.greatest(F.lit(0L),
+          F.least(F.col("__cum"), F.col("__nn") - F.col("__g")) -
+            F.greatest(F.col("__lo"), F.col("__g") + 1L) + 1L))
+        .agg(F.sum(F.col("__v") * F.col("__cnt")).as("__sk"),
+          F.sum(F.col("__v") * F.col("__v") * F.col("__cnt")).as("__qk"))
+      kept.crossJoin(F.broadcast(caps))
+    }
+    val a = side(cls1 = true).select(
+      F.col("__nn").as("n1"), F.col("__gg").as("__g1"),
+      F.col("__sk").as("__sk1"), F.col("__qk").as("__qk1"),
+      F.col("__vlo").as("__lo1"), F.col("__vhi").as("__hi1"))
+    val b = side(cls1 = false).select(
+      F.col("__nn").as("n2"), F.col("__gg").as("__g2"),
+      F.col("__sk").as("__sk2"), F.col("__qk").as("__qk2"),
+      F.col("__vlo").as("__lo2"), F.col("__vhi").as("__hi2"))
+    val j = a.crossJoin(b)
+    def stats(n: Column, g: Column, sk: Column, qk: Column,
+              vlo: Column, vhi: Column): (Column, Column, Column) = {
+      val h = (n - F.lit(2L) * g).cast("double")
+      val meanT = sk.cast("double") / (h * sD)
+      // winsorized moments: kept mass + g copies of each cap
+      val sw = sk + g * (vlo + vhi)
+      val qw = qk + g * (vlo * vlo + vhi * vhi)
+      val ssw = qw.cast("double") - sw.cast("double") *
+        (sw.cast("double") / n.cast("double"))
+      val s2w = ssw / (F.nullif(n.cast("double") - 1.0, F.lit(0.0)) *
+        sD * sD)
+      val d = (n.cast("double") - 1.0) * s2w /
+        F.nullif(h * (h - 1.0), F.lit(0.0))
+      (h, meanT, d)
+    }
+    val (h1, m1, d1) = stats(F.col("n1"), F.col("__g1"), F.col("__sk1"),
+      F.col("__qk1"), F.col("__lo1"), F.col("__hi1"))
+    val (h2, m2, d2) = stats(F.col("n2"), F.col("__g2"), F.col("__sk2"),
+      F.col("__qk2"), F.col("__lo2"), F.col("__hi2"))
+    j.select(F.col("n1"), F.col("n2"),
+      h1.cast("long").as("h1"), h2.cast("long").as("h2"),
+      F.round(m1, 6).as("mean_t1"), F.round(m2, 6).as("mean_t2"),
+      F.round((m1 - m2) / F.sqrt(F.nullif(d1 + d2, F.lit(0.0))), 6)
+        .as("t"),
+      F.round((d1 + d2) * (d1 + d2) / F.nullif(
+        d1 * d1 / F.nullif(h1 - 1.0, F.lit(0.0)) +
+          d2 * d2 / F.nullif(h2 - 1.0, F.lit(0.0)), F.lit(0.0)), 6)
+        .as("df"))
+  }
+
   /** One 2×K-cell chi-square contribution (O−E)²/E with E = rowTot·
     * colTot/N, everything exact longs until the two IEEE ops. Assumes
     * the caller's frame carries __a+__b per group and __ta/__tb/__n

@@ -828,6 +828,54 @@ object TextOps {
       .orderBy(F.col("gain").desc, F.col("token"))
   }
 
+  /** Conditional character entropy H(c₂|c₁) = H(bigram) − H(unigram)
+    * per group — the model-free COMPRESSIBILITY proxy: ~how many bits
+    * each character carries given the previous one. Near-zero says
+    * boilerplate/repetitive text (a gzip ratio would flag the same
+    * docs, without needing a compressor in the engine); language
+    * slices separate cleanly because char-transition structure is the
+    * strongest cheap language signal (the [[langId]] family's
+    * information-theoretic summary).
+    *
+    * Bigrams are taken WITHIN each document (no cross-doc splices) off
+    * the same lower(trim(·)) normalization as the tokenizers; censuses
+    * are exact longs, each p·ln p one 9-dp term, entropies 6-dp.
+    *
+    * Scale shape: two positional-window char censuses (alphabet² is
+    * bounded), partial-aggregated; a G-row result.
+    *
+    * @return per-group rows (g, n_chars, n_bigrams, h1, h2, h_cond)
+    *         ordered by g — nats, 6-dp
+    */
+  def charNgramEntropy(docs: DataFrame, textCol: String,
+                       groupCol: Column): DataFrame = {
+    val base = docs.select(groupCol.cast("string").as("__g"),
+        F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))).as("__t"))
+      .filter(F.col("__g").isNotNull && F.length(F.col("__t")) > 0)
+    def census(width: Int): DataFrame = base
+      .filter(F.length(F.col("__t")) >= width)
+      .select(F.col("__g"), F.explode(F.transform(
+        F.sequence(F.lit(1), F.length(F.col("__t")) - (width - 1)),
+        i => F.col("__t").substr(i, F.lit(width)))).as("__c"))
+      .groupBy("__g", "__c").agg(F.count(F.lit(1)).as("__n"))
+    def entropy(cs: DataFrame, nOut: String, hOut: String): DataFrame = {
+      val tot = cs.groupBy("__g").agg(F.sum("__n").as("__tot"))
+      cs.join(tot, "__g")
+        .withColumn("__p", F.round(
+          -(F.col("__n").cast("double") / F.col("__tot").cast("double")) *
+            F.log(F.col("__n").cast("double") /
+              F.col("__tot").cast("double")), 9))
+        .groupBy("__g")
+        .agg(F.max("__tot").as(nOut), F.round(F.sum("__p"), 6).as(hOut))
+    }
+    entropy(census(1), "n_chars", "h1")
+      .join(entropy(census(2), "n_bigrams", "h2"), Seq("__g"))
+      .select(F.col("__g").as("g"), F.col("n_chars"), F.col("n_bigrams"),
+        F.col("h1"), F.col("h2"),
+        F.round(F.col("h2") - F.col("h1"), 6).as("h_cond"))
+      .orderBy("g")
+  }
+
   /** Yule's K characteristic (and Honoré's R) — the repetitiveness /
     * vocabulary-richness constants of a corpus, the [[heapsFit]] and
     * Zipf siblings that don't need a curve fit: from the token

@@ -6126,6 +6126,41 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
   }
 
+  test("charNgramEntropy: constant text 0 nats; alternating text hand " +
+      "H1/H2") {
+    import graft.ops.TextOps
+    val docs = Seq(("aaaaa", "c"), ("abab", "z")).toDF("text", "g")
+    val got = TextOps.charNgramEntropy(docs, "text", F.col("g"))
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("c", 5L, 4L, 0.0, 0.0, 0.0),
+      ("z", 4L, 3L, 0.693147, 0.636514, -0.056633)), got)
+  }
+
+  test("yuenTest: symmetric outliers trimmed away — hand t on the " +
+      "middle thirds") {
+    import graft.ops.Stats
+    val df = (Seq(0.0, 9.0, 10.0, 11.0, 20.0).map((_, true)) ++
+      Seq(0.0, 4.0, 5.0, 6.0, 20.0).map((_, false))).toDF("v", "c1")
+    val got = Stats.yuenTest(df, F.col("v"), F.col("c1"), trim = 0.2)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .head()
+    // kept {9,10,11} vs {4,5,6}; d = 2/3 each: t = 5/sqrt(4/3), df 4
+    assert(got == ((5L, 5L, 3L, 3L, 10.0, 5.0, 4.330127, 4.0)), got)
+  }
+
+  test("knn1Accuracy: a point nearer the other cluster is the only " +
+      "miss") {
+    import graft.ops.Similarity
+    val emb = Seq((1L, Array(0.0, 0.0), "A"), (2L, Array(1.0, 0.0), "A"),
+      (3L, Array(6.0, 0.0), "A"), (4L, Array(10.0, 0.0), "B"),
+      (5L, Array(11.0, 0.0), "B")).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knn1Accuracy(emb, "vec_id", "embedding",
+      F.col("label"))
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("A", 3L, 2L, 0.666667, 0.8),
+      ("B", 2L, 2L, 1.0, 0.8)), got)
+  }
+
   test("blomqvistBeta: comonotone quadrants give +1, antithetic -1") {
     import graft.ops.Stats
     val co = (1 to 4).map(i => (i.toDouble, i.toDouble)).toDF("x", "y")
