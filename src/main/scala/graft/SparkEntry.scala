@@ -3269,6 +3269,43 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
         "embedding", F.col("label"))),
 
+    // Poisson dispersion of daily counts per event type: is one rate
+    // per day a lie — the burstiness verdict capacity math depends on
+    "x409_poisson_dispersion" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(F.col("event_type"),
+          F.to_date(graft.ops.EventOps.tsStamp(ev)).as("__d"))
+        .agg(F.count(F.lit(1)).as("k"))
+      graft.ops.Stats.poissonDispersion(daily, F.col("event_type"),
+        F.col("k"))
+    }),
+
+    // standardized Pearson residuals of segment x priority: WHICH
+    // cells drive the association x405's lambda only grades globally
+    "x410_chi2_residuals" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val j = o.join(c, o("o_custkey") === c("c_custkey"))
+      graft.ops.Stats.chiSquareResiduals(j, F.col("c_mktsegment"),
+        F.col("o_orderpriority"))
+    }),
+
+    // zero-inflation score test on per-user-day purchase counts over
+    // the dense user x day grid: excess silent days the mean hides
+    "x411_zero_inflation" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val day = F.to_date(graft.ops.EventOps.tsStamp(ev))
+      val users = ev.select(F.col("user_id")).distinct()
+      val days = ev.select(day.as("__day")).distinct()
+      val p = ev.filter(F.col("event_type") === "purchase")
+        .groupBy(F.col("user_id"), day.as("__day"))
+        .agg(F.count(F.lit(1)).as("__k"))
+      val grid = users.crossJoin(days)
+        .join(p, Seq("user_id", "__day"), "left_outer")
+        .select(F.coalesce(F.col("__k"), F.lit(0L)).as("k"))
+      graft.ops.Stats.zeroInflationScore(grid, F.col("k"))
+    }),
+
     // Weibull shape/scale for document lengths via median-rank
     // regression: k<1 heavy tail, k>1 wear-out — what x266's forced
     // exponential cannot distinguish
@@ -11017,6 +11054,75 @@ object SparkEntry {
         |SELECT n, round(rvn, 6) AS rvn,
         |  round((rvn - 2.0::DOUBLE) / sqrt(nullif(vr, 0.0)), 6) AS z
         |FROM f""".stripMargin,
+
+    // per-type exact (n, Σk, Σk²) off the daily collapse; D and the
+    // Wilson-Hilferty z each one IEEE chain
+    "x409_poisson_dispersion" ->
+      """WITH daily AS (SELECT event_type AS g, ts::DATE AS d,
+        |    count(*)::BIGINT AS k FROM events GROUP BY 1, 2),
+        |per AS (SELECT g, count(*)::BIGINT AS n, sum(k)::BIGINT AS s,
+        |    sum(k * k)::BIGINT AS q FROM daily GROUP BY 1),
+        |f AS (SELECT g, n, s,
+        |    (n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE) /
+        |      nullif(s::DOUBLE, 0.0) AS d,
+        |    n::DOUBLE - 1.0::DOUBLE AS dfd
+        |  FROM per)
+        |SELECT g, n, round(s::DOUBLE / n::DOUBLE, 6) AS mean,
+        |  round(d, 6) AS d, (n - 1)::BIGINT AS df,
+        |  round((pow(d / nullif(dfd, 0.0), 1.0::DOUBLE / 3.0::DOUBLE) -
+        |    (1.0::DOUBLE - 2.0::DOUBLE / (9.0::DOUBLE * dfd))) /
+        |    sqrt(2.0::DOUBLE / (9.0::DOUBLE * dfd)), 6) AS z_wh
+        |FROM f ORDER BY g""".stripMargin,
+
+    // exact cell/margin longs; one IEEE chain per bounded cell
+    "x410_chi2_residuals" ->
+      """WITH j AS (SELECT c.c_mktsegment AS x, o.o_orderpriority AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IS NOT NULL
+        |    AND o.o_orderpriority IS NOT NULL),
+        |cells AS (SELECT x, y, count(*)::BIGINT AS n_obs FROM j
+        |  GROUP BY 1, 2),
+        |rx AS (SELECT x, sum(n_obs)::BIGINT AS nr FROM cells
+        |  GROUP BY 1),
+        |cy AS (SELECT y, sum(n_obs)::BIGINT AS nc FROM cells
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(n_obs)::BIGINT AS nn FROM cells),
+        |f AS (SELECT cells.x, cells.y, n_obs,
+        |    nr::DOUBLE * (nc::DOUBLE / nn::DOUBLE) AS e,
+        |    sqrt(nr::DOUBLE * (nc::DOUBLE / nn::DOUBLE) *
+        |      (1.0::DOUBLE - nr::DOUBLE / nn::DOUBLE) *
+        |      (1.0::DOUBLE - nc::DOUBLE / nn::DOUBLE)) AS den
+        |  FROM cells JOIN rx ON rx.x = cells.x
+        |  JOIN cy ON cy.y = cells.y CROSS JOIN tot)
+        |SELECT x, y, n_obs, round(e, 6) AS n_exp,
+        |  round((n_obs::DOUBLE - e) / nullif(den, 0.0), 6) AS resid
+        |FROM f ORDER BY x, y""".stripMargin,
+
+    // dense user x day grid; exact (n, n0, Σy); one IEEE chain of
+    // exponentials on identical arguments
+    "x411_zero_inflation" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |d AS (SELECT DISTINCT ts::DATE AS day FROM events),
+        |p AS (SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS k
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |grid AS (SELECT coalesce(p.k, 0)::BIGINT AS k
+        |  FROM u CROSS JOIN d
+        |  LEFT JOIN p ON p.user_id = u.user_id AND p.day = d.day),
+        |g AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN k = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+        |    sum(k)::BIGINT AS s FROM grid),
+        |f AS (SELECT n, n_zero, s::DOUBLE / n::DOUBLE AS lam,
+        |    exp(-(s::DOUBLE / n::DOUBLE)) AS p0 FROM g),
+        |h AS (SELECT n, n_zero, lam, p0,
+        |    n::DOUBLE * p0 * (1.0::DOUBLE - p0) -
+        |      n::DOUBLE * lam * exp(-2.0::DOUBLE * lam) AS den,
+        |    n_zero::DOUBLE - n::DOUBLE * p0 AS diff
+        |  FROM f)
+        |SELECT n, n_zero, round(lam, 6) AS lambda_hat,
+        |  round(n::DOUBLE * p0, 6) AS expected_zero,
+        |  round(diff * diff / nullif(CASE WHEN den > 0.0 THEN den END,
+        |    0.0), 6) AS s_stat
+        |FROM h""".stripMargin,
 
     // within-doc positional char windows; exact censuses; 9-dp p ln p
     // terms; H(c2|c1) = H2 - H1

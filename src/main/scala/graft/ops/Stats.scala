@@ -9191,6 +9191,128 @@ object Stats {
         .as("df"))
   }
 
+  /** Poisson dispersion (index-of-dispersion) test per group — is a
+    * count series actually Poisson, or over-dispersed (bursts,
+    * contagion, mixed rates):
+    * {{{ D = Σ(x − x̄)²/x̄ ~ χ²(n−1) under Poisson }}}
+    * with the Wilson–Hilferty cube-root normal z for a readable
+    * significance. Over-dispersion (z ≫ 0) is the "one rate per
+    * user/day is a lie" smell that invalidates plain-Poisson capacity
+    * math; under-dispersion flags quota-ed or rounded pipelines.
+    *
+    * Determinism: per-group exact (n, Σk, Σk²) from ×`scale`
+    * quantization; D = (n·Σk² − (Σk)²)/Σk one IEEE chain (all-long
+    * numerator pieces), WH z a second.
+    *
+    * Scale shape: one group collapse, G rows out.
+    *
+    * @return per-group rows (g, n, mean, d, df, z_wh) ordered by g —
+    *         6-dp; NULL when the group mean is 0 or n < 2
+    */
+  def poissonDispersion(df: DataFrame, groupCol: Column,
+                        countCol: Column): DataFrame = {
+    val per = df.select(groupCol.cast("string").as("__g"),
+        F.round(countCol.cast("double")).cast("long").as("__k"))
+      .filter(F.col("__g").isNotNull && F.col("__k").isNotNull)
+      .groupBy("__g")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("__k").as("__s"),
+        F.sum(F.col("__k") * F.col("__k")).as("__q"))
+    val nD = F.col("n").cast("double")
+    val d = (nD * F.col("__q").cast("double") -
+      F.col("__s").cast("double") * F.col("__s").cast("double")) /
+      F.nullif(F.col("__s").cast("double"), F.lit(0.0))
+    val dfD = nD - 1.0
+    // Wilson–Hilferty: ((D/df)^(1/3) − (1 − 2/(9df))) / √(2/(9df))
+    val wh = (F.pow(d / F.nullif(dfD, F.lit(0.0)), F.lit(1.0 / 3.0)) -
+      (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dfD))) /
+      F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfD))
+    per.select(F.col("__g").as("g"), F.col("n"),
+      F.round(F.col("__s").cast("double") / nD, 6).as("mean"),
+      F.round(d, 6).as("d"), (F.col("n") - 1L).as("df"),
+      F.round(wh, 6).as("z_wh"))
+      .orderBy("g")
+  }
+
+  /** Standardized Pearson residual census for an r×c table — WHICH
+    * cells drive a significant chi-square:
+    * {{{ r_ij = (O − E) / √(E·(1 − n_i/n)·(1 − n_j/n)) }}}
+    * — each ~N(0,1) under independence, so |r| > 2 names the
+    * offending cells directly. The diagnostic table behind the
+    * single-number [[cramersV]]: "segment×priority are associated" is
+    * useless until this says WHERE.
+    *
+    * Determinism: exact cell/margin longs; E and the residual one
+    * IEEE chain per cell (bounded cells), 6-dp.
+    *
+    * Scale shape: one cell collapse + broadcast margins; categories²
+    * rows out, the corpus touched once.
+    *
+    * @return per-cell rows (x, y, n_obs, n_exp, resid) ordered by
+    *         (x, y) — 6-dp; NULL resid for degenerate margins
+    */
+  def chiSquareResiduals(df: DataFrame, xCol: Column,
+                         yCol: Column): DataFrame = {
+    val cells = df.select(xCol.cast("string").as("x"),
+        yCol.cast("string").as("y"))
+      .filter(F.col("x").isNotNull && F.col("y").isNotNull)
+      .groupBy("x", "y").agg(F.count(F.lit(1)).as("n_obs"))
+    val rx = cells.groupBy("x").agg(F.sum("n_obs").as("__nr"))
+    val cy = cells.groupBy("y").agg(F.sum("n_obs").as("__nc"))
+    val tot = cells.agg(F.sum("n_obs").as("__nn"))
+    val j = cells.join(F.broadcast(rx), "x").join(F.broadcast(cy), "y")
+      .crossJoin(F.broadcast(tot))
+    val nD = F.col("__nn").cast("double")
+    val e = F.col("__nr").cast("double") *
+      (F.col("__nc").cast("double") / nD)
+    val denom = F.sqrt(e *
+      (F.lit(1.0) - F.col("__nr").cast("double") / nD) *
+      (F.lit(1.0) - F.col("__nc").cast("double") / nD))
+    j.select(F.col("x"), F.col("y"), F.col("n_obs"),
+      F.round(e, 6).as("n_exp"),
+      F.round((F.col("n_obs").cast("double") - e) /
+        F.nullif(denom, F.lit(0.0)), 6).as("resid"))
+      .orderBy("x", "y")
+  }
+
+  /** Score test for ZERO-INFLATION against a Poisson (van den Broek
+    * 1995) — "are there more exact zeros than the fitted Poisson
+    * allows":
+    * {{{
+    *   S = (n₀ − n·e^(−λ̂))² / ( n·e^(−λ̂)·(1 − e^(−λ̂)) − n·λ̂·e^(−2λ̂) )
+    * }}}
+    * ~ χ²(1), λ̂ = ȳ. The "silent failure mode" detector for count
+    * pipelines: a sensor that sometimes emits nothing, users who never
+    * convert, days with logging gaps — all show up as excess zeros
+    * long before they move the mean that [[poissonDispersion]] reads.
+    *
+    * Determinism: exact (n, n₀, Σy) longs; λ̂ and both exponentials one
+    * IEEE chain (identical arguments both engines).
+    *
+    * Scale shape: one collapse to three longs, a 1-row result.
+    *
+    * @return one row (n, n_zero, lambda_hat, expected_zero, s_stat) —
+    *         6-dp; NULL when the denominator is ≤ 0 (λ̂ = 0 edge)
+    */
+  def zeroInflationScore(df: DataFrame, countCol: Column): DataFrame = {
+    val g = df.select(F.round(countCol.cast("double")).cast("long")
+        .as("__k"))
+      .filter(F.col("__k").isNotNull)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("__k") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        F.sum("__k").as("__s"))
+    val nD = F.col("n").cast("double")
+    val lam = F.col("__s").cast("double") / nD
+    val p0 = F.exp(-lam)
+    val den = nD * p0 * (F.lit(1.0) - p0) -
+      nD * lam * F.exp(F.lit(-2.0) * lam)
+    val diff = F.col("n_zero").cast("double") - nD * p0
+    g.select(F.col("n"), F.col("n_zero"),
+      F.round(lam, 6).as("lambda_hat"),
+      F.round(nD * p0, 6).as("expected_zero"),
+      F.round(diff * diff / F.nullif(
+        F.when(den > 0.0, den), F.lit(0.0)), 6).as("s_stat"))
+  }
+
   /** One 2×K-cell chi-square contribution (O−E)²/E with E = rowTot·
     * colTot/N, everything exact longs until the two IEEE ops. Assumes
     * the caller's frame carries __a+__b per group and __ta/__tb/__n

@@ -6126,6 +6126,37 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
   }
 
+  test("poissonDispersion: D=1 on {1,2,3}; constant counts are " +
+      "under-dispersed") {
+    import graft.ops.Stats
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 2L),
+      ("b", 2L)).toDF("g", "k")
+    val got = Stats.poissonDispersion(df, F.col("g"), F.col("k"))
+      .as[(String, Long, Double, Double, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 3L, 2.0, 1.0, 2L, -0.285565),
+      ("b", 3L, 2.0, 0.0, 2L, -2.666667)), got)
+  }
+
+  test("chiSquareResiduals: symmetric 3-1/1-3 table residuals " +
+      "+-sqrt(2)") {
+    import graft.ops.Stats
+    val df = (Seq.fill(3)(("A", "p")) ++ Seq(("A", "q")) ++
+      Seq(("B", "p")) ++ Seq.fill(3)(("B", "q"))).toDF("x", "y")
+    val got = Stats.chiSquareResiduals(df, F.col("x"), F.col("y"))
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("A", "p", 3L, 2.0, 1.414214),
+      ("A", "q", 1L, 2.0, -1.414214), ("B", "p", 1L, 2.0, -1.414214),
+      ("B", "q", 3L, 2.0, 1.414214)), got)
+  }
+
+  test("zeroInflationScore: two zeros against lambda-hat 1 — hand S") {
+    import graft.ops.Stats
+    val df = Seq(0L, 0L, 1L, 3L).toDF("k")
+    val got = Stats.zeroInflationScore(df, F.col("k"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got == ((4L, 2L, 1.0, 1.471518, 0.718282)), got)
+  }
+
   test("charNgramEntropy: constant text 0 nats; alternating text hand " +
       "H1/H2") {
     import graft.ops.TextOps
