@@ -266,6 +266,28 @@ object StressBench {
               minCount = 6),
             "src", "dst")
         }),
+        // 2-hop harmonic centrality on K disjoint graph copies:
+        // nodes/edges/wedges all ×K, the wedge join + distinct +
+        // anti-join are fully parallel keyed shuffles — wall must stay
+        // ~linear (the x104 shape, one extra distinct)
+        "x398_harmonic2" -> (() => {
+          val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select("l_orderkey", "l_suppkey")
+          val li = (0 until k).map(i => li0.select(
+              (F.col("l_orderkey") + F.lit(i * KeyStride)).as("l_orderkey"),
+              (F.col("l_suppkey") + F.lit(i * KeyStride)).as("l_suppkey")))
+            .reduce(_ union _)
+          graft.ops.Graph.harmonic2(
+            graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+              minCount = 6),
+            "src", "dst", topN = 20)
+        }),
+        // conditional char entropy: replica text verbatim ⇒ censuses
+        // collapse map-side into the FIXED alphabet/alphabet² tables;
+        // only the positional-window scan grows — wall ~linear
+        "x406_char_entropy" -> (() =>
+          graft.ops.TextOps.charNgramEntropy(docs, "text",
+            F.lit("all"))),
       )
       val extra: Seq[(String, () => DataFrame)] = Seq(
         // trigram novelty: replica text verbatim ⇒ every non-first
