@@ -3290,6 +3290,45 @@ object SparkEntry {
         F.col("o_orderpriority"))
     }),
 
+    // partial AUC below FPR 0.1 of the x178 scorer: the only ROC
+    // region a high-precision keep/drop filter operates in — equal
+    // full AUCs differ here
+    "x412_partial_auc" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.partialAuc(scored, F.col("quality_score"),
+        F.col("lang") === "en", fMax = 0.1)
+    }),
+
+    // negative-binomial MoM fit of per-user-day purchase counts:
+    // parameterize the over-dispersion x409 detects — r-hat feeds
+    // capacity simulation directly
+    "x413_negbin_fit" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val day = F.to_date(graft.ops.EventOps.tsStamp(ev))
+      val users = ev.select(F.col("user_id")).distinct()
+      val days = ev.select(day.as("__day")).distinct()
+      val p = ev.filter(F.col("event_type") === "purchase")
+        .groupBy(F.col("user_id"), day.as("__day"))
+        .agg(F.count(F.lit(1)).as("__k"))
+      val grid = users.crossJoin(days)
+        .join(p, Seq("user_id", "__day"), "left_outer")
+        .select(F.coalesce(F.col("__k"), F.lit(0L)).as("k"))
+      graft.ops.Stats.negBinomialFit(grid, F.col("k"))
+    }),
+
+    // mean cumulative purchases per purchasing user by day: the
+    // recurrent-event curve — x171's KM asks "when is the FIRST",
+    // this "how many, cumulatively"
+    "x414_mcf" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val p = ev.filter(F.col("event_type") === "purchase")
+      graft.ops.Stats.meanCumulativeFunction(p, F.col("user_id"),
+        F.datediff(F.to_date(graft.ops.EventOps.tsStamp(p)),
+          F.lit("1970-01-01").cast("date")))
+    }),
+
     // zero-inflation score test on per-user-day purchase counts over
     // the dense user x day grid: excess silent days the mean hides
     "x411_zero_inflation" -> ((s, dir) => {
@@ -11054,6 +11093,93 @@ object SparkEntry {
         |SELECT n, round(rvn, 6) AS rvn,
         |  round((rvn - 2.0::DOUBLE) / sqrt(nullif(vr, 0.0)), 6) AS z
         |FROM f""".stripMargin,
+
+    // the x178 scorer + exact descending (TP, FP) ladder; clipped
+    // 9-dp trapezoid terms; McClish standardization
+    "x412_partial_auc" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |bys AS (SELECT s,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS fp
+         |  FROM sc GROUP BY 1),
+         |tot AS (SELECT sum(tp)::BIGINT AS np, sum(fp)::BIGINT AS nn
+         |  FROM bys),
+         |lad AS (SELECT tp, fp,
+         |    (sum(tp) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW))::BIGINT AS ctp,
+         |    (sum(fp) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW))::BIGINT AS cfp,
+         |    np, nn FROM bys CROSS JOIN tot),
+         |seg AS (SELECT np, nn,
+         |    (cfp - fp)::DOUBLE / nn::DOUBLE AS f0,
+         |    cfp::DOUBLE / nn::DOUBLE AS f1,
+         |    (ctp - tp)::DOUBLE / np::DOUBLE AS t0,
+         |    ctp::DOUBLE / np::DOUBLE AS t1
+         |  FROM lad),
+         |ar AS (SELECT np, nn, CASE WHEN f0 < 0.1::DOUBLE AND f1 > f0
+         |    THEN round((least(f1, 0.1::DOUBLE) - f0) *
+         |      ((CASE WHEN f1 > f0 THEN t0 + (t1 - t0) *
+         |        (least(f1, 0.1::DOUBLE) - f0) / (f1 - f0)
+         |        ELSE t1 END) + t0) / 2.0::DOUBLE, 9)
+         |    ELSE 0.0::DOUBLE END AS a
+         |  FROM seg),
+         |g AS (SELECT max(np)::BIGINT AS n_pos, max(nn)::BIGINT
+         |    AS n_neg, sum(a) AS pauc FROM ar)
+         |SELECT n_pos, n_neg, 0.1::DOUBLE AS f_max,
+         |  round(pauc, 6) AS pauc,
+         |  round(0.5::DOUBLE * (1.0::DOUBLE +
+         |    (pauc - 0.005000000000000001::DOUBLE) /
+         |    0.095::DOUBLE), 6) AS pauc_std
+         |FROM g""".stripMargin
+    },
+
+    // dense grid exact (n, Σk, Σk²); MoM r/p one IEEE chain
+    "x413_negbin_fit" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |d AS (SELECT DISTINCT ts::DATE AS day FROM events),
+        |p AS (SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS k
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |grid AS (SELECT coalesce(p.k, 0)::BIGINT AS k
+        |  FROM u CROSS JOIN d
+        |  LEFT JOIN p ON p.user_id = u.user_id AND p.day = d.day),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(k)::BIGINT AS s,
+        |    sum(k * k)::BIGINT AS q FROM grid),
+        |f AS (SELECT n, s::DOUBLE / n::DOUBLE AS m,
+        |    (q::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE)) /
+        |      nullif(n::DOUBLE - 1.0::DOUBLE, 0.0) AS v FROM g)
+        |SELECT n, round(m, 6) AS mean, round(v, 6) AS var,
+        |  round(CASE WHEN v > m THEN m * m / (v - m) END, 6) AS r_hat,
+        |  round(CASE WHEN v > m THEN m / v END, 6) AS p_hat
+        |FROM f""".stripMargin,
+
+    // exact day/event ladders; one IEEE division per grid row
+    "x414_mcf" ->
+      """WITH p AS (SELECT user_id,
+        |    (ts::DATE - DATE '1970-01-01')::BIGINT AS t FROM events
+        |  WHERE event_type = 'purchase'),
+        |ns AS (SELECT count(DISTINCT user_id)::BIGINT AS nsub FROM p),
+        |byt AS (SELECT t, count(*)::BIGINT AS n_events FROM p
+        |  GROUP BY 1),
+        |lad AS (SELECT t, n_events, (sum(n_events) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS events_cum FROM byt)
+        |SELECT t, n_events, events_cum,
+        |  round(events_cum::DOUBLE / nsub::DOUBLE, 6) AS mcf
+        |FROM lad CROSS JOIN ns ORDER BY t""".stripMargin,
 
     // per-type exact (n, Σk, Σk²) off the daily collapse; D and the
     // Wilson-Hilferty z each one IEEE chain

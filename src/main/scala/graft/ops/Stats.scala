@@ -9313,6 +9313,135 @@ object Stats {
         F.when(den > 0.0, den), F.lit(0.0)), 6).as("s_stat"))
   }
 
+  /** Partial AUC over the LOW-FALSE-POSITIVE region FPR ∈ [0, fMax]
+    * (McClish 1989, standardized) — the only part of the ROC a
+    * high-precision filter ever operates in: two classifiers with
+    * equal full [[aucExact]] can differ hugely below FPR 0.1, and the
+    * full integral hides it.
+    * {{{ pAUC_std = ½·(1 + (pAUC − fMax²/2) / (fMax − fMax²/2)) }}}
+    *
+    * Determinism: the exact descending (TP, FP) ladder (the
+    * [[thresholdSweep]] collapse); trapezoid segments in unit-square
+    * coordinates, one 9-dp term per distinct score, the fMax boundary
+    * segment linearly interpolated from exact counts — the same IEEE
+    * tree both engines. Ties form diagonal segments (consistent with
+    * the rank-form aucExact).
+    *
+    * Scale shape: one score collapse + one bounded distinct-score
+    * ladder window, a 1-row result.
+    *
+    * @return one row (n_pos, n_neg, f_max, pauc, pauc_std) — 6-dp
+    */
+  def partialAuc(df: DataFrame, scoreCol: Column, labelCol: Column,
+                 fMax: Double = 0.1): DataFrame = {
+    require(fMax > 0 && fMax <= 1, s"fMax must be in (0,1], got $fMax")
+    val byS = df.select(scoreCol.cast("double").as("__s"),
+        F.when(labelCol, 1L).otherwise(0L).as("__y"))
+      .filter(F.col("__s").isNotNull)
+      .groupBy("__s")
+      .agg(F.sum("__y").as("__tp"),
+        (F.count(F.lit(1)) - F.sum("__y")).as("__fp"))
+    val w = Window.orderBy(F.col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byS.agg(F.sum("__tp").as("__np"), F.sum("__fp").as("__nn"))
+    val lad = byS
+      .withColumn("__ctp", F.sum("__tp").over(w))
+      .withColumn("__cfp", F.sum("__fp").over(w))
+      .crossJoin(F.broadcast(tot))
+      .withColumn("__ptp", F.col("__ctp") - F.col("__tp"))
+      .withColumn("__pfp", F.col("__cfp") - F.col("__fp"))
+    val npD = F.col("__np").cast("double")
+    val nnD = F.col("__nn").cast("double")
+    val f0 = F.col("__pfp").cast("double") / nnD
+    val f1 = F.col("__cfp").cast("double") / nnD
+    val t0 = F.col("__ptp").cast("double") / npD
+    val t1 = F.col("__ctp").cast("double") / npD
+    // clip the segment [f0, f1] at fMax, interpolating tpr linearly
+    val fc = F.least(f1, F.lit(fMax))
+    val tc = F.when(f1 > f0,
+      t0 + (t1 - t0) * (fc - f0) / (f1 - f0)).otherwise(t1)
+    val term = F.when(f0 < F.lit(fMax) && f1 > f0,
+      F.round((fc - f0) * (tc + t0) / 2.0, 9)).otherwise(F.lit(0.0))
+    val g = lad.withColumn("__a", term)
+      .agg(F.max("__np").as("n_pos"), F.max("__nn").as("n_neg"),
+        F.sum("__a").as("__pauc"))
+    val mn = fMax * fMax / 2.0
+    g.select(F.col("n_pos"), F.col("n_neg"),
+      F.lit(fMax).as("f_max"),
+      F.round(F.col("__pauc"), 6).as("pauc"),
+      F.round(F.lit(0.5) * (F.lit(1.0) +
+        (F.col("__pauc") - F.lit(mn)) / F.lit(fMax - mn)), 6)
+        .as("pauc_std"))
+  }
+
+  /** Negative-binomial method-of-moments fit — parameterize the
+    * over-dispersion [[poissonDispersion]] detects: with m = x̄ and
+    * sample variance v,
+    * {{{ r̂ = m²/(v − m),  p̂ = m/v }}}
+    * (NB₂: variance m + m²/r). r̂ ≲ 1 says "burst-dominated" (a few
+    * heavy actors own the counts), r̂ ≫ 10 says nearly-Poisson; p̂
+    * feeds capacity simulation directly. NULL when v ≤ m — no
+    * over-dispersion to parameterize (use the plain Poisson).
+    *
+    * Determinism: one collapse to exact (n, Σk, Σk²); m, v, r̂, p̂ one
+    * IEEE chain.
+    *
+    * @return one row (n, mean, var, r_hat, p_hat) — 6-dp
+    */
+  def negBinomialFit(df: DataFrame, countCol: Column): DataFrame = {
+    val g = df.select(F.round(countCol.cast("double")).cast("long")
+        .as("__k"))
+      .filter(F.col("__k").isNotNull)
+      .agg(F.count(F.lit(1)).as("n"), F.sum("__k").as("__s"),
+        F.sum(F.col("__k") * F.col("__k")).as("__q"))
+    val nD = F.col("n").cast("double")
+    val m = F.col("__s").cast("double") / nD
+    val v = (F.col("__q").cast("double") -
+      F.col("__s").cast("double") * (F.col("__s").cast("double") / nD)) /
+      F.nullif(nD - 1.0, F.lit(0.0))
+    g.select(F.col("n"), F.round(m, 6).as("mean"),
+      F.round(v, 6).as("var"),
+      F.round(F.when(v > m, m * m / (v - m)), 6).as("r_hat"),
+      F.round(F.when(v > m, m / v), 6).as("p_hat"))
+  }
+
+  /** Mean cumulative function (MCF) for recurrent events — expected
+    * cumulative events PER SUBJECT by time t, the recurrent-event
+    * counterpart of a survival curve: with every subject observed over
+    * the full window, MCF(t) = (Σ events ≤ t)/n_subjects. Slope reads
+    * as event RATE over time: a flattening MCF is engagement decay a
+    * daily-volume plot confounds with cohort growth; [[kaplanMeier]]
+    * answers "when does the FIRST event happen", this answers "how
+    * many, cumulatively".
+    *
+    * Determinism: exact integer day/event ladders; one IEEE division
+    * per grid row.
+    *
+    * Scale shape: subjects counted with one distinct collapse, events
+    * collapse to the bounded day grid, one ladder window.
+    *
+    * @return per-day rows (t, n_events, events_cum, mcf) ordered by
+    *         t — mcf 6-dp
+    */
+  def meanCumulativeFunction(events: DataFrame, subjectCol: Column,
+                             tCol: Column): DataFrame = {
+    val base = events.select(subjectCol.as("__u"),
+        tCol.cast("long").as("__t"))
+      .filter(F.col("__u").isNotNull && F.col("__t").isNotNull)
+    val nSub = base.select("__u").distinct()
+      .agg(F.count(F.lit(1)).as("__ns"))
+    val byT = base.groupBy("__t").agg(F.count(F.lit(1)).as("n_events"))
+    val w = Window.orderBy(F.col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.withColumn("events_cum", F.sum("n_events").over(w))
+      .crossJoin(F.broadcast(nSub))
+      .select(F.col("__t").as("t"), F.col("n_events"),
+        F.col("events_cum"),
+        F.round(F.col("events_cum").cast("double") /
+          F.col("__ns").cast("double"), 6).as("mcf"))
+      .orderBy("t")
+  }
+
   /** One 2×K-cell chi-square contribution (O−E)²/E with E = rowTot·
     * colTot/N, everything exact longs until the two IEEE ops. Assumes
     * the caller's frame carries __a+__b per group and __ta/__tb/__n

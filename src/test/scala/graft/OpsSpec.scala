@@ -6126,6 +6126,41 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
   }
 
+  test("partialAuc: perfect separation saturates at f_max (std 1); " +
+      "all-tied scores give the chance diagonal (std 0.5)") {
+    import graft.ops.Stats
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false),
+      (0.1, false)).toDF("s", "y")
+    val p = Stats.partialAuc(perfect, F.col("s"), F.col("y"), fMax = 0.1)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(p == ((2L, 2L, 0.1, 0.1, 1.0)), p)
+    val tied = Seq((0.5, true), (0.5, false)).toDF("s", "y")
+    val t = Stats.partialAuc(tied, F.col("s"), F.col("y"), fMax = 0.1)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(t == ((1L, 1L, 0.1, 0.005, 0.5)), t)
+  }
+
+  test("negBinomialFit: hand moments r=1.5, p=3/7; Poisson-or-under " +
+      "gives NULLs") {
+    import graft.ops.Stats
+    val df = Seq(0L, 1L, 2L, 5L).toDF("k")
+    val got = Stats.negBinomialFit(df, F.col("k"))
+      .as[(Long, Double, Double, Option[Double], Option[Double])].head()
+    assert(got == ((4L, 2.0, 4.666667, Some(1.5), Some(0.428571))), got)
+    val const = Seq(2L, 2L, 2L).toDF("k")
+    val c = Stats.negBinomialFit(const, F.col("k"))
+      .as[(Long, Double, Double, Option[Double], Option[Double])].head()
+    assert(c._4.isEmpty && c._5.isEmpty, c)
+  }
+
+  test("meanCumulativeFunction: two subjects, three events — hand curve") {
+    import graft.ops.Stats
+    val ev = Seq(("a", 1L), ("a", 2L), ("b", 2L)).toDF("u", "t")
+    val got = Stats.meanCumulativeFunction(ev, F.col("u"), F.col("t"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L, 0.5), (2L, 2L, 3L, 1.5)), got)
+  }
+
   test("poissonDispersion: D=1 on {1,2,3}; constant counts are " +
       "under-dispersed") {
     import graft.ops.Stats
