@@ -3263,10 +3263,12 @@ object SparkEntry {
 
     // leave-one-out 1-NN label accuracy: the local embedding-quality
     // probe that catches multi-modal labels x362's one-centroid NCC
-    // is blind to
+    // is blind to (the x354 deterministic-sample regime bounds the
+    // pair scan)
     "x408_knn1_acc" -> ((s, dir) =>
       Similarity.knn1Accuracy(
-        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(F.col("vec_id") % 5 < 2), "vec_id",
         "embedding", F.col("label"))),
 
     // Poisson dispersion of daily counts per event type: is one rate
@@ -11347,13 +11349,13 @@ object SparkEntry {
         |    d2 * d2 / nullif(h2d - 1.0::DOUBLE, 0.0), 0.0), 6) AS df
         |FROM f""".stripMargin,
 
-    // 9-dp pair distances (the x354 norm-expansion tree); (d2,
-    // neighbor) top-1; exact label census
+    // 9-dp pair distances (the x354 norm-expansion tree + its sample
+    // regime); (d2, neighbor) top-1; exact label census
     "x408_knn1_acc" ->
       """WITH base AS (SELECT vec_id, label::VARCHAR AS l, embedding,
         |    sqrt(list_sum(list_transform(embedding,
         |      v -> v::DOUBLE * v::DOUBLE))) AS nrm
-        |  FROM embeddings),
+        |  FROM embeddings WHERE vec_id % 5 < 2),
         |pairs AS (SELECT a.vec_id AS id, a.l, b.vec_id AS nb,
         |    b.l AS ln,
         |    round(a.nrm * a.nrm + b.nrm * b.nrm -
