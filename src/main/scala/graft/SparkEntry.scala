@@ -3320,6 +3320,31 @@ object SparkEntry {
       graft.ops.Stats.negBinomialFit(grid, F.col("k"))
     }),
 
+    // edge-support census of the co-purchase graph: how many edges
+    // are LOCAL BRIDGES (zero shared neighbors) vs embedded in
+    // triangles — the weak-tie structure x331's rich club and x104's
+    // triangle count both aggregate away
+    "x415_edge_support" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Graph.edgeSupportCensus(
+        graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          minCount = 6), "src", "dst")
+    }),
+
+    // modularity + conductance of the nation partition over the
+    // supplier co-purchase graph: is "group by nation" real structure
+    // or just a label
+    "x416_partition_quality" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+      graft.ops.Graph.partitionQuality(
+        graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          minCount = 6), "src", "dst",
+        sup.select(F.col("s_suppkey"),
+          F.col("s_nationkey").cast("string").as("nation")),
+        "s_suppkey", "nation")
+    }),
+
     // mean cumulative purchases per purchasing user by day: the
     // recurrent-event curve — x171's KM asks "when is the FIRST",
     // this "how many, cumulatively"
@@ -11167,6 +11192,80 @@ object SparkEntry {
         |  round(CASE WHEN v > m THEN m * m / (v - m) END, 6) AS r_hat,
         |  round(CASE WHEN v > m THEN m / v END, 6) AS p_hat
         |FROM f""".stripMargin,
+
+    // exact per-edge wedge counts; exact histogram; one IEEE share
+    // per row
+    "x415_edge_support" ->
+      """WITH pairs AS (SELECT l_suppkey AS s, l_orderkey AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |e0 AS (SELECT a.s AS u, b.s AS v, count(*)::BIGINT AS w
+        |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |und AS (SELECT u AS a, v AS b FROM e0 WHERE w >= 6),
+        |adj AS (SELECT a AS z, b AS n FROM und
+        |  UNION ALL SELECT b AS z, a AS n FROM und),
+        |wed AS (SELECT x.n AS a, y.n AS b, count(*)::BIGINT AS sup
+        |  FROM adj x JOIN adj y ON x.z = y.z AND x.n < y.n
+        |  GROUP BY 1, 2),
+        |pe AS (SELECT coalesce(wed.sup, 0)::BIGINT AS support
+        |  FROM und LEFT JOIN wed ON wed.a = und.a AND wed.b = und.b),
+        |hist AS (SELECT support, count(*)::BIGINT AS n_edges FROM pe
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(n_edges)::BIGINT AS m,
+        |    round(coalesce(sum(CASE WHEN support = 0 THEN n_edges
+        |      END), 0)::DOUBLE / sum(n_edges)::DOUBLE, 6)
+        |      AS bridge_share FROM hist)
+        |SELECT support, n_edges,
+        |  round(n_edges::DOUBLE / m::DOUBLE, 6) AS share, bridge_share
+        |FROM hist CROSS JOIN tot ORDER BY support""".stripMargin,
+
+    // exact internal/cut/volume censuses off the x398 edge build;
+    // 9-dp O(1) modularity terms; one IEEE conductance per community
+    "x416_partition_quality" ->
+      """WITH pairs AS (SELECT l_suppkey AS s, l_orderkey AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |e0 AS (SELECT a.s AS u, b.s AS v, count(*)::BIGINT AS w
+        |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |und AS (SELECT u AS a, v AS b FROM e0 WHERE w >= 6),
+        |cm AS (SELECT DISTINCT s_suppkey AS n,
+        |    s_nationkey::VARCHAR AS c FROM supplier),
+        |j AS (SELECT und.a, und.b, coalesce(ca.c, '__none') AS ca,
+        |    coalesce(cb.c, '__none') AS cb
+        |  FROM und LEFT JOIN cm ca ON ca.n = und.a
+        |  LEFT JOIN cm cb ON cb.n = und.b),
+        |m AS (SELECT count(*)::BIGINT AS m FROM j),
+        |internal AS (SELECT ca AS community, count(*)::BIGINT
+        |    AS internal_edges FROM j WHERE ca = cb GROUP BY 1),
+        |cut AS (SELECT community, count(*)::BIGINT AS cut_edges FROM (
+        |  SELECT unnest([ca, cb]) AS community FROM j WHERE ca <> cb)
+        |  GROUP BY 1),
+        |gn AS (SELECT DISTINCT n FROM (SELECT a AS n FROM und
+        |  UNION ALL SELECT b AS n FROM und)),
+        |nodes AS (SELECT c AS community, count(*)::BIGINT AS n_nodes
+        |  FROM (SELECT n, c FROM cm UNION ALL
+        |    SELECT gn.n, '__none' AS c FROM gn LEFT JOIN cm
+        |      ON cm.n = gn.n WHERE cm.n IS NULL) GROUP BY 1),
+        |per AS (SELECT nodes.community, n_nodes,
+        |    coalesce(internal_edges, 0)::BIGINT AS internal_edges,
+        |    coalesce(cut_edges, 0)::BIGINT AS cut_edges,
+        |    (2 * coalesce(internal_edges, 0) +
+        |      coalesce(cut_edges, 0))::BIGINT AS volume, m
+        |  FROM nodes
+        |  LEFT JOIN internal ON internal.community = nodes.community
+        |  LEFT JOIN cut ON cut.community = nodes.community
+        |  CROSS JOIN m),
+        |terms AS (SELECT *, round(internal_edges::DOUBLE / m::DOUBLE -
+        |    (volume::DOUBLE / (2.0::DOUBLE * m::DOUBLE)) *
+        |    (volume::DOUBLE / (2.0::DOUBLE * m::DOUBLE)), 9) AS q
+        |  FROM per),
+        |qq AS (SELECT round(sum(q), 6) AS modularity FROM terms)
+        |SELECT community, n_nodes, internal_edges, cut_edges, volume,
+        |  round(cut_edges::DOUBLE / nullif(least(volume::DOUBLE,
+        |    2.0::DOUBLE * m::DOUBLE - volume::DOUBLE), 0.0), 6)
+        |    AS conductance,
+        |  modularity
+        |FROM terms CROSS JOIN qq ORDER BY community""".stripMargin,
 
     // exact day/event ladders; one IEEE division per grid row
     "x414_mcf" ->

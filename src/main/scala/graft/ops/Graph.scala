@@ -694,6 +694,134 @@ object Graph {
       .limit(topN)
   }
 
+  /** Edge-support census — for every edge, the number of triangles it
+    * participates in (its SUPPORT, the k-truss quantity), rolled into
+    * a support histogram with the local-bridge share. Support-0 edges
+    * are LOCAL BRIDGES (endpoints share no neighbor — Granovetter's
+    * weak ties): a co-occurrence graph that is mostly bridges is a
+    * chain of accidents, one that is mostly high-support is dense
+    * community structure — the EDGE-level texture [[triangleCounts]]'
+    * node totals and [[richClub]]'s degree curve both aggregate away.
+    *
+    * Determinism: exact integer wedge counts per edge (the triangle
+    * wedge join), exact histogram; shares one IEEE division each.
+    *
+    * Scale shape: one wedge join bounded by Σ deg² (the triangle-
+    * family contract), one histogram collapse.
+    *
+    * @return per-support rows (support, n_edges, share, bridge_share)
+    *         ordered by support — 6-dp; bridge_share repeated
+    */
+  def edgeSupportCensus(edges: DataFrame, srcCol: String,
+                        dstCol: String): DataFrame = {
+    val und = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val adj = und.select(F.col("a").as("__z"), F.col("b").as("__n"))
+      .unionAll(und.select(F.col("b").as("__z"), F.col("a").as("__n")))
+    // wedges u−z−v with u<v, matched back to edges: support(u,v)
+    val wed = adj.select(F.col("__z"), F.col("__n").as("a"))
+      .join(adj.select(F.col("__z"), F.col("__n").as("b")), Seq("__z"))
+      .filter(F.col("a") < F.col("b"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("__sup"))
+    val perEdge = und.join(wed, Seq("a", "b"), "left_outer")
+      .withColumn("__sup", F.coalesce(F.col("__sup"), F.lit(0L)))
+    val hist = perEdge.groupBy(F.col("__sup").as("support"))
+      .agg(F.count(F.lit(1)).as("n_edges"))
+    val tot = hist.agg(F.sum("n_edges").as("__m"),
+      F.round(F.coalesce(
+        F.sum(F.when(F.col("support") === 0L, F.col("n_edges"))),
+        F.lit(0L)).cast("double") /
+        F.sum("n_edges").cast("double"), 6).as("bridge_share"))
+    hist.crossJoin(F.broadcast(tot))
+      .select(F.col("support"), F.col("n_edges"),
+        F.round(F.col("n_edges").cast("double") /
+          F.col("__m").cast("double"), 6).as("share"),
+        F.col("bridge_share"))
+      .orderBy("support")
+  }
+
+  /** Partition quality census — grade a GIVEN community assignment
+    * (a metadata field, a clustering, a label-propagation result)
+    * against the graph:
+    * {{{
+    *   Q = Σ_c ( e_c/m − (vol_c / 2m)² )          (modularity)
+    *   φ_c = cut_c / min(vol_c, 2m − vol_c)       (conductance)
+    * }}}
+    * Q ≈ 0 says the partition is no better than random wiring; a
+    * community with φ near 1 talks mostly to outsiders — the two
+    * numbers that decide whether "group by nation/source/cluster" is a
+    * real structure or a label. Complements discovery ops
+    * ([[graft.ops.Components]]' label propagation): this EVALUATES any
+    * assignment, including theirs.
+    *
+    * Determinism: every count (internal, cut, volume, m) is an exact
+    * long off one edge join; per-community modularity terms are 9-dp
+    * O(1) IEEE values; conductance one IEEE division.
+    *
+    * Scale shape: two broadcast-able comm joins on the edge list, a
+    * C-row census; unassigned nodes' edges count toward cut via a
+    * distinct sentinel (documented).
+    *
+    * @param comm (node, community) assignment — one row per node
+    * @return per-community rows (community, n_nodes, internal_edges,
+    *         cut_edges, volume, conductance, modularity) ordered by
+    *         community — 6-dp
+    */
+  def partitionQuality(edges: DataFrame, srcCol: String, dstCol: String,
+                       comm: DataFrame, nodeCol: String,
+                       commCol: String): DataFrame = {
+    val und = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val cm = comm.select(F.col(nodeCol).as("__n"),
+      F.coalesce(F.col(commCol).cast("string"), F.lit("__none"))
+        .as("__c")).distinct()
+    val j = und
+      .join(cm.select(F.col("__n").as("a"), F.col("__c").as("__ca")),
+        Seq("a"), "left_outer")
+      .join(cm.select(F.col("__n").as("b"), F.col("__c").as("__cb")),
+        Seq("b"), "left_outer")
+      .withColumn("__ca", F.coalesce(F.col("__ca"), F.lit("__none")))
+      .withColumn("__cb", F.coalesce(F.col("__cb"), F.lit("__none")))
+    val m = j.agg(F.count(F.lit(1)).as("__m"))
+    val internal = j.filter(F.col("__ca") === F.col("__cb"))
+      .groupBy(F.col("__ca").as("community"))
+      .agg(F.count(F.lit(1)).as("internal_edges"))
+    val cut = j.filter(F.col("__ca") =!= F.col("__cb"))
+      .select(F.explode(F.array(F.col("__ca"), F.col("__cb")))
+        .as("community"))
+      .groupBy("community").agg(F.count(F.lit(1)).as("cut_edges"))
+    val nodes = cm.unionByName(
+        und.select(F.col("a").as("__n")).unionAll(
+          und.select(F.col("b").as("__n")))
+          .distinct()
+          .join(cm, Seq("__n"), "left_anti")
+          .withColumn("__c", F.lit("__none")))
+      .groupBy(F.col("__c").as("community"))
+      .agg(F.count(F.lit(1)).as("n_nodes"))
+    val per = nodes
+      .join(internal, Seq("community"), "left_outer")
+      .join(cut, Seq("community"), "left_outer")
+      .withColumn("internal_edges",
+        F.coalesce(F.col("internal_edges"), F.lit(0L)))
+      .withColumn("cut_edges", F.coalesce(F.col("cut_edges"), F.lit(0L)))
+      .withColumn("volume",
+        F.lit(2L) * F.col("internal_edges") + F.col("cut_edges"))
+      .crossJoin(F.broadcast(m))
+    val mD = F.col("__m").cast("double")
+    val terms = per.withColumn("__q", F.round(
+      F.col("internal_edges").cast("double") / mD -
+        (F.col("volume").cast("double") / (F.lit(2.0) * mD)) *
+          (F.col("volume").cast("double") / (F.lit(2.0) * mD)), 9))
+    val q = terms.agg(F.round(F.sum("__q"), 6).as("modularity"))
+    terms.crossJoin(F.broadcast(q))
+      .select(F.col("community"), F.col("n_nodes"),
+        F.col("internal_edges"), F.col("cut_edges"), F.col("volume"),
+        F.round(F.col("cut_edges").cast("double") /
+          F.nullif(F.least(F.col("volume").cast("double"),
+            F.lit(2.0) * mD - F.col("volume").cast("double")),
+            F.lit(0.0)), 6).as("conductance"),
+        F.col("modularity"))
+      .orderBy("community")
+  }
+
   /** Rich-club coefficient curve (Zhou & Mondragón 2004) — do the
     * high-degree nodes form their own densely-wired club? For each
     * degree threshold k: take the N_k nodes with deg > k and the E_k

@@ -6126,6 +6126,31 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
   }
 
+  test("edgeSupportCensus: triangle edges support 1, the pendant is " +
+      "the lone bridge") {
+    import graft.ops.Graph
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.edgeSupportCensus(edges, "src", "dst")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((0L, 1L, 0.25, 0.25), (1L, 3L, 0.75, 0.25)), got)
+  }
+
+  test("partitionQuality: two bridged triangles — hand Q and " +
+      "conductance 1/7") {
+    import graft.ops.Graph
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val comm = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (5L, "B"), (6L, "B")).toDF("node", "c")
+    val got = Graph.partitionQuality(edges, "src", "dst", comm,
+      "node", "c")
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(("A", 3L, 3L, 1L, 7L, 0.142857, 0.357143),
+      ("B", 3L, 3L, 1L, 7L, 0.142857, 0.357143)), got)
+  }
+
   test("partialAuc: perfect separation saturates at f_max (std 1); " +
       "all-tied scores give the chance diagonal (std 0.5)") {
     import graft.ops.Stats
