@@ -3331,6 +3331,21 @@ object SparkEntry {
           minCount = 6), "src", "dst")
     }),
 
+    // Hopkins clusterability of the embeddings: are there REAL clumps
+    // for SemDeDup cells to find, or would k-means carve uniform fog
+    "x417_hopkins" -> ((s, dir) =>
+      Similarity.hopkinsStatistic(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+        "embedding", every = 10)),
+
+    // random-pair cosine baseline: the measured similarity of two
+    // UNRELATED vectors — what every near-dup threshold is implicitly
+    // a claim about
+    "x418_random_pair_cos" -> ((s, dir) =>
+      Similarity.randomPairCosine(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+        "embedding")),
+
     // modularity + conductance of the nation partition over the
     // supplier co-purchase graph: is "group by nation" real structure
     // or just a label
@@ -11192,6 +11207,95 @@ object SparkEntry {
         |  round(CASE WHEN v > m THEN m * m / (v - m) END, 6) AS r_hat,
         |  round(CASE WHEN v > m THEN m / v END, 6) AS p_hat
         |FROM f""".stripMargin,
+
+    // exact x1e6 bounding box; md5 52-bit uniform synthetics (the KMV
+    // idiom); x354 9-dp NN distances; one IEEE ratio
+    "x417_hopkins" ->
+      """WITH base AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |box AS (SELECT d, min(k)::BIGINT AS lo, max(k)::BIGINT AS hi
+        |  FROM (SELECT generate_subscripts(v, 1) - 1 AS d,
+        |    round(unnest(v) * 1000000.0)::BIGINT AS k FROM base)
+        |  GROUP BY 1),
+        |sids AS (SELECT id FROM base WHERE id % 10 = 0),
+        |synth AS (SELECT id AS qid, list(c ORDER BY d) AS qv FROM (
+        |  SELECT sids.id, box.d,
+        |    (box.lo::DOUBLE + ('0x' || substring(md5('hop:' ||
+        |      sids.id::VARCHAR || ':' || box.d::VARCHAR), 1, 13))
+        |      ::BIGINT::DOUBLE / 4503599627370496.0::DOUBLE *
+        |      (box.hi - box.lo)::DOUBLE) / 1000000.0::DOUBLE AS c
+        |  FROM sids CROSS JOIN box) GROUP BY id),
+        |wp AS (SELECT q.id AS qid, b.id AS bid,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> (b.v[i] - q.v[i]) * (b.v[i] - q.v[i]))), 9) AS d2
+        |  FROM base b CROSS JOIN (SELECT id, v FROM base
+        |    WHERE id % 10 = 0) q
+        |  WHERE b.id <> q.id),
+        |wnn AS (SELECT count(*)::BIGINT AS m,
+        |    sum(round(sqrt(d2), 9)) AS sw FROM (
+        |  SELECT qid, d2, row_number() OVER (PARTITION BY qid
+        |    ORDER BY d2, bid) AS rk FROM wp) WHERE rk = 1),
+        |up AS (SELECT s.qid, b.id AS bid,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> (b.v[i] - s.qv[i]) * (b.v[i] - s.qv[i]))), 9) AS d2
+        |  FROM base b CROSS JOIN synth s),
+        |unn AS (SELECT count(*)::BIGINT AS mu,
+        |    sum(round(sqrt(d2), 9)) AS su FROM (
+        |  SELECT qid, d2, row_number() OVER (PARTITION BY qid
+        |    ORDER BY d2, bid) AS rk FROM up) WHERE rk = 1)
+        |SELECT m, round(su, 6) AS sum_u, round(sw, 6) AS sum_w,
+        |  round(su / nullif(su + sw, 0.0), 6) AS hopkins
+        |FROM wnn CROSS JOIN unn""".stripMargin,
+
+    // md5-ordered disjoint pairs (linear, never a pair join); 9-dp
+    // cosines; exact quantile ladder
+    "x418_random_pair_cos" ->
+      """WITH ordered AS (SELECT v,
+        |    row_number() OVER (ORDER BY md5('rpc:' || id), id) AS rn
+        |  FROM (SELECT vec_id::VARCHAR AS id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |    FROM embeddings)),
+        |pr AS (SELECT (rn - 1) // 2 AS pair, (rn - 1) % 2 AS side, v
+        |  FROM ordered),
+        |cos AS (SELECT round(
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> a.v[i] * b.v[i])) /
+        |    nullif(sqrt(list_sum(list_transform(a.v,
+        |        x -> x * x))) *
+        |      sqrt(list_sum(list_transform(b.v, x -> x * x))), 0.0),
+        |    9) AS c
+        |  FROM (SELECT pair, v FROM pr WHERE side = 0) a
+        |  JOIN (SELECT pair, v FROM pr WHERE side = 1) b
+        |    ON a.pair = b.pair
+        |  WHERE round(
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> a.v[i] * b.v[i])) /
+        |    nullif(sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |      sqrt(list_sum(list_transform(b.v, x -> x * x))), 0.0),
+        |    9) IS NOT NULL),
+        |byv AS (SELECT c, count(*)::BIGINT AS t FROM cos GROUP BY 1),
+        |tot AS (SELECT sum(t)::BIGINT AS n FROM byv),
+        |lad AS (SELECT c, (sum(t) OVER (ORDER BY c ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum, n
+        |  FROM byv CROSS JOIN tot),
+        |qs AS (SELECT
+        |    min(CASE WHEN cum >= -floor(-0.5::DOUBLE * n::DOUBLE)
+        |      THEN c END) AS p50,
+        |    min(CASE WHEN cum >= -floor(-0.9::DOUBLE * n::DOUBLE)
+        |      THEN c END) AS p90,
+        |    min(CASE WHEN cum >= -floor(-0.99::DOUBLE * n::DOUBLE)
+        |      THEN c END) AS p99
+        |  FROM lad),
+        |mom AS (SELECT count(*)::BIGINT AS n_pairs, avg(c) AS m,
+        |    sqrt((sum(c * c) - sum(c) * (sum(c) /
+        |      count(*)::DOUBLE)) /
+        |      nullif(count(*)::DOUBLE - 1.0::DOUBLE, 0.0)) AS sd
+        |  FROM cos)
+        |SELECT n_pairs, round(m, 6) AS mean_cos, round(sd, 6) AS sd_cos,
+        |  round(p50, 6) AS p50, round(p90, 6) AS p90,
+        |  round(p99, 6) AS p99
+        |FROM mom CROSS JOIN qs""".stripMargin,
 
     // exact per-edge wedge counts; exact histogram; one IEEE share
     // per row

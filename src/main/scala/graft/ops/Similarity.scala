@@ -1791,6 +1791,151 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Hopkins statistic — CLUSTERABILITY before clustering: compare
+    * nearest-neighbor distances of m real sample points (w) against m
+    * synthetic points drawn uniformly in the data's bounding box (u):
+    * {{{ H = Σu / (Σu + Σw) }}}
+    * (the simplified raw-distance form, documented). H ≈ 0.5 says the
+    * data is itself uniform — k-means/SemDeDup cells would be
+    * arbitrary carvings; H → 1 says genuine clumping. The go/no-go
+    * gate BEFORE [[semDedupKmeans]]/[[cellPurity]] interpretation.
+    *
+    * Determinism: sample points by exact id arithmetic (`id % every ==
+    * 0`); synthetic coordinates from the md5-prefix 52-bit uniform
+    * (the [[graft.ops.Sketches]] KMV idiom — u(s, d) =
+    * md5("hop:" + s + ":" + d) / 2⁵², replayable in any engine);
+    * bounding box from exact per-dim ×1e6 min/max longs; NN distances
+    * the x354 9-dp expansion with (d², id) tie-break.
+    *
+    * Scale shape: two (m × corpus) broadcast scans — the [[bruteKnn]]
+    * regime, m bounded by `every`; everything after is m-bounded.
+    *
+    * @param every sample stride (point ids ≡ 0 mod every; synthetic
+    *              count matches the sample count)
+    * @return one row (m, sum_u, sum_w, hopkins) — 6-dp
+    */
+  def hopkinsStatistic(emb: DataFrame, idCol: String, vecCol: String,
+                       every: Int = 10): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val base = emb.select(F.col(idCol).cast("long").as("__id"),
+      F.col(vecCol).cast("array<double>").as("__v"))
+    // exact per-dim bounding box on the ×1e6 grid
+    val box = base
+      .select(F.posexplode(F.col("__v")).as(Seq("__d", "__x")))
+      .select(F.col("__d"),
+        F.round(F.col("__x") * 1e6).cast("long").as("__k"))
+      .groupBy("__d")
+      .agg(F.min("__k").as("__lo"), F.max("__k").as("__hi"))
+    // synthetic uniform points: one per sampled id, coordinates from
+    // the 52-bit md5 uniform over [lo, hi]
+    val sampleIds = base.filter(F.col("__id") % every.toLong === 0L)
+      .select(F.col("__id"))
+    val synth = sampleIds.crossJoin(F.broadcast(box))
+      .withColumn("__u52", F.conv(F.substring(F.md5(F.concat(
+        F.lit("hop:"), F.col("__id").cast("string"), F.lit(":"),
+        F.col("__d").cast("string"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("__c",
+        (F.col("__lo").cast("double") +
+          F.col("__u52").cast("double") / 4503599627370496.0 *
+            (F.col("__hi") - F.col("__lo")).cast("double")) / 1e6)
+      .groupBy("__id")
+      .agg(F.array_sort(F.collect_list(F.struct(F.col("__d"),
+        F.col("__c")))).as("__sc"))
+      .select(F.col("__id").as("__qid"),
+        F.transform(F.col("__sc"), s => s.getField("__c")).as("__qv"))
+    def nnSum(queries: DataFrame, excludeSelf: Boolean): DataFrame = {
+      val pairs = base.crossJoin(F.broadcast(queries))
+        .filter(if (excludeSelf) F.col("__id") =!= F.col("__qid")
+          else F.lit(true))
+        .withColumn("__d2", F.round(F.aggregate(
+          F.zip_with(F.col("__v"), F.col("__qv"),
+            (x, y) => (x - y) * (x - y)),
+          F.lit(0.0), (acc, t) => acc + t), 9))
+      val w = Window.partitionBy("__qid")
+        .orderBy(F.col("__d2").asc, F.col("__id").asc)
+      pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") === 1)
+        .agg(F.count(F.lit(1)).as("__m"),
+          F.sum(F.round(F.sqrt(F.col("__d2")), 9)).as("__s"))
+    }
+    val wReal = nnSum(base.filter(F.col("__id") % every.toLong === 0L)
+      .select(F.col("__id").as("__qid"), F.col("__v").as("__qv")),
+      excludeSelf = true)
+      .select(F.col("__m").as("m"), F.col("__s").as("__sw"))
+    val uSynth = nnSum(synth, excludeSelf = false)
+      .select(F.col("__m").as("__mu"), F.col("__s").as("__su"))
+    wReal.crossJoin(uSynth)
+      .select(F.col("m"),
+        F.round(F.col("__su"), 6).as("sum_u"),
+        F.round(F.col("__sw"), 6).as("sum_w"),
+        F.round(F.col("__su") / F.nullif(F.col("__su") + F.col("__sw"),
+          F.lit(0.0)), 6).as("hopkins"))
+  }
+
+  /** Random-pair cosine baseline — the EXPECTED similarity of two
+    * unrelated items, measured: order vectors by md5(id), pair
+    * consecutive rows, and summarize the pair cosines (mean, sd, and
+    * the exact p50/p90/p99 ladder). Every near-dup threshold
+    * ([[nearDupPairs]]' cosine, [[semDedup]]'s 1−cos) is implicitly a
+    * claim about this distribution — here is its actual location and
+    * tail, so "0.8 means near-duplicate" stops being folklore.
+    *
+    * Determinism: md5 ordering and pairing are exact; cosines 9-dp
+    * off the ordered [[dot]]/[[l2norm]] trees; quantiles exact lower
+    * order statistics off the 9-dp value ladder.
+    *
+    * Scale shape: one hash sort (n/2 disjoint pairs — LINEAR, never a
+    * pair join), one bounded value ladder.
+    *
+    * @return one row (n_pairs, mean_cos, sd_cos, p50, p90, p99) —
+    *         6-dp
+    */
+  def randomPairCosine(emb: DataFrame, idCol: String,
+                       vecCol: String): DataFrame = {
+    val ordered = emb.select(F.col(idCol).cast("string").as("__id"),
+        F.col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__h", F.md5(F.concat(F.lit("rpc:"), F.col("__id"))))
+      .withColumn("__rn", F.row_number().over(Window.orderBy(
+        F.col("__h"), F.col("__id"))))
+      .withColumn("__pair",
+        F.call_function("div", F.col("__rn") - 1L, F.lit(2L)))
+      .withColumn("__side", (F.col("__rn") - 1L) % 2L)
+    val a = ordered.filter(F.col("__side") === 0L)
+      .select(F.col("__pair"), F.col("__v").as("__va"))
+    val b = ordered.filter(F.col("__side") === 1L)
+      .select(F.col("__pair"), F.col("__v").as("__vb"))
+    val cos = a.join(b, "__pair")
+      .withColumn("__cos", F.round(
+        dot(F.col("__va"), F.col("__vb")) /
+          F.nullif(l2norm(F.col("__va")) * l2norm(F.col("__vb")),
+            F.lit(0.0)), 9))
+      .filter(F.col("__cos").isNotNull)
+    val byV = cos.groupBy("__cos").agg(F.count(F.lit(1)).as("__t"))
+    val w = Window.orderBy(F.col("__cos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byV.agg(F.sum("__t").as("__n"))
+    val lad = byV.withColumn("__cum", F.sum("__t").over(w))
+      .crossJoin(F.broadcast(tot))
+    def q(p: Double, out: String): Column =
+      F.min(F.when(F.col("__cum") >=
+        -F.floor(-F.lit(p) * F.col("__n").cast("double")),
+        F.col("__cos"))).as(out)
+    val quants = lad.agg(q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99"))
+    val mom = cos.agg(F.count(F.lit(1)).as("n_pairs"),
+      F.avg("__cos").as("__m"),
+      F.sqrt((F.sum(F.col("__cos") * F.col("__cos")) -
+        F.sum("__cos") * (F.sum("__cos") /
+          F.count(F.lit(1)).cast("double"))) /
+        F.nullif(F.count(F.lit(1)).cast("double") - 1.0, F.lit(0.0)))
+        .as("__sd"))
+    mom.crossJoin(F.broadcast(quants))
+      .select(F.col("n_pairs"), F.round(F.col("__m"), 6).as("mean_cos"),
+        F.round(F.col("__sd"), 6).as("sd_cos"),
+        F.round(F.col("p50"), 6).as("p50"),
+        F.round(F.col("p90"), 6).as("p90"),
+        F.round(F.col("p99"), 6).as("p99"))
+  }
+
   /** Per-dimension variance census + diagonal participation ratio —
     * the "is the embedding space actually USED" audit: per-dim mean
     * and variance, each dim's share of total variance, and

@@ -6126,6 +6126,33 @@ class OpsSpec extends AnyFunSuite {
     assert(s == ((4L, 2L, 1.0, 0.0, 1L)), s)
   }
 
+  test("hopkinsStatistic: two tight far-apart clusters read clustered; " +
+      "m matches the stride") {
+    import graft.ops.Similarity
+    val pts = (0 until 10).map(i => (i.toLong,
+      Array(0.0 + i * 0.001, 0.0))) ++
+      (10 until 20).map(i => (i.toLong, Array(100.0 + i * 0.001, 100.0)))
+    val emb = pts.toDF("vec_id", "embedding")
+    val got = Similarity.hopkinsStatistic(emb, "vec_id", "embedding",
+      every = 10).as[(Long, Double, Double, Double)].head()
+    assert(got._1 == 2L, got)
+    assert(got._4 > 0.8 && got._4 <= 1.0, got)
+    // deterministic: a second run returns the identical row
+    val again = Similarity.hopkinsStatistic(emb, "vec_id", "embedding",
+      every = 10).as[(Long, Double, Double, Double)].head()
+    assert(again == got, (again, got))
+  }
+
+  test("randomPairCosine: identical vectors pair to cosine 1 with " +
+      "zero spread") {
+    import graft.ops.Similarity
+    val emb = (1L to 5L).map(i => (i, Array(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.randomPairCosine(emb, "vec_id", "embedding")
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(got == ((2L, 1.0, 0.0, 1.0, 1.0, 1.0)), got)
+  }
+
   test("edgeSupportCensus: triangle edges support 1, the pendant is " +
       "the lone bridge") {
     import graft.ops.Graph
