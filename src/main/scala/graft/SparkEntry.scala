@@ -10727,8 +10727,7 @@ object SparkEntry {
         |    sum(t * t * t - t)::BIGINT AS ties FROM lad),
         |f AS (SELECT n, t2, slt,
         |    (n::DOUBLE + 1.0::DOUBLE) / 12.0::DOUBLE *
-        |      ((n::DOUBLE * sl2::DOUBLE - slt::DOUBLE * slt::DOUBLE) /
-        |        n::DOUBLE) *
+        |      (n::DOUBLE * sl2::DOUBLE - slt::DOUBLE * slt::DOUBLE) *
         |      (1.0::DOUBLE - ties::DOUBLE /
         |        nullif(n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE,
         |          0.0)) AS vt

@@ -56,6 +56,27 @@ object VecOps {
     s
   }
 
+  /** Squared L2 distance Σ(x−y)² — the element-order LEFT FOLD of
+    * (x−y)·(x−y) terms, bit-identical to the `zip_with`/`aggregate` HOF
+    * form it replaces (and to DuckDB's `list_sum(list_transform(...))`
+    * oracle arithmetic): same term values, same accumulation order, so
+    * any 9-dp rounding downstream flips identically on both engines. */
+  def l2distSq(a: ArrayData, af: Boolean, b: ArrayData, bf: Boolean): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return Double.NaN
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   def l2norm(a: ArrayData, af: Boolean): Double = {
     val n = a.numElements()
     var s = 0.0
@@ -425,6 +446,42 @@ case class DotProduct(left: Expression, right: Expression)
     })
 
   protected override def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance — see [[VecOps.l2distSq]] for semantics. The
+  * nearest-neighbor kernel of [[graft.ops.Similarity.hopkinsStatistic]]:
+  * its m×n broadcast scan evaluated ~800k interpreted HOF lambdas per
+  * driver-bench run before this expression existed (VERDICT r13 #1 —
+  * 144 s task CPU vs ~8 s with the codegen'd loop). */
+case class L2DistSq(left: Expression, right: Expression)
+    extends BinaryExpression with VecArrayArg {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkVec(left.dataType, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l else checkVec(right.dataType, "right")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_l2dist_sq"
+
+  private def lf = isFloatArray(left.dataType)
+  private def rf = isFloatArray(right.dataType)
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = VecOps.l2distSq(a.asInstanceOf[ArrayData], lf, b.asInstanceOf[ArrayData], rf)
+    if (v.isNaN) null else v
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ctx.freshName("d2")
+      s"""double $v = graft.functions.VecOps.l2distSq($a, $lf, $b, $rf);
+         |if (Double.isNaN($v)) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+         |""".stripMargin
+    })
+
+  protected override def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L2DistSq =
     copy(left = newLeft, right = newRight)
 }
 

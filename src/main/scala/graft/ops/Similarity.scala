@@ -49,6 +49,13 @@ object Similarity {
   def l2norm(a: Column): Column =
     GraftExpr.column(graft.functions.L2Norm(GraftExpr.expression(a)))
 
+  /** Native squared-L2 distance (see [[cosine]] for the codegen
+    * rationale) — the left-fold Σ(x−y)², bit-identical to both the HOF
+    * `aggregate(zip_with(...))` form and DuckDB `list_sum`. */
+  def l2distSq(a: Column, b: Column): Column =
+    GraftExpr.column(graft.functions.L2DistSq(
+      GraftExpr.expression(a), GraftExpr.expression(b)))
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param corpus  (idCol, vecCol) big side — scanned once, never shuffled
@@ -1808,17 +1815,32 @@ object Similarity {
     * the x354 9-dp expansion with (d², id) tie-break.
     *
     * Scale shape: two (m × corpus) broadcast scans — the [[bruteKnn]]
-    * regime, m bounded by `every`; everything after is m-bounded.
+    * regime, m bounded by `every`; everything after is m-bounded. The
+    * distance kernel is the native codegen'd [[l2distSq]] (VERDICT r13:
+    * the earlier `aggregate(zip_with(...))` form ran interpreted at
+    * 17× the cost and was the suite's one HOF hazard — the replacement
+    * is the same left fold, bit-identical, so NN choices and all
+    * downstream 9-dp roundings are unchanged). At true 100-TB corpus
+    * sizes set `corpusEvery` > 1: both NN scans then run against the
+    * deterministic `id % corpusEvery == 0` subsample (the x354 regime),
+    * a standard Hopkins estimator on the subsample — m × (n /
+    * corpusEvery) bounded instead of m × n.
     *
-    * @param every sample stride (point ids ≡ 0 mod every; synthetic
-    *              count matches the sample count)
+    * @param every       sample stride (point ids ≡ 0 mod every;
+    *                    synthetic count matches the sample count)
+    * @param corpusEvery corpus-side stride for BOTH NN scans (1 =
+    *                    whole corpus); sampled query points that fall
+    *                    outside the subsample still exclude themselves
+    *                    by id
     * @return one row (m, sum_u, sum_w, hopkins) — 6-dp
     */
   def hopkinsStatistic(emb: DataFrame, idCol: String, vecCol: String,
-                       every: Int = 10): DataFrame = {
+                       every: Int = 10, corpusEvery: Int = 1): DataFrame = {
     require(every >= 1, s"every must be >= 1, got $every")
-    val base = emb.select(F.col(idCol).cast("long").as("__id"),
+    require(corpusEvery >= 1, s"corpusEvery must be >= 1, got $corpusEvery")
+    val all = emb.select(F.col(idCol).cast("long").as("__id"),
       F.col(vecCol).cast("array<double>").as("__v"))
+    val base = all.filter(F.col("__id") % corpusEvery.toLong === 0L)
     // exact per-dim bounding box on the ×1e6 grid
     val box = base
       .select(F.posexplode(F.col("__v")).as(Seq("__d", "__x")))
@@ -1827,8 +1849,9 @@ object Similarity {
       .groupBy("__d")
       .agg(F.min("__k").as("__lo"), F.max("__k").as("__hi"))
     // synthetic uniform points: one per sampled id, coordinates from
-    // the 52-bit md5 uniform over [lo, hi]
-    val sampleIds = base.filter(F.col("__id") % every.toLong === 0L)
+    // the 52-bit md5 uniform over [lo, hi]; sample points come from the
+    // FULL relation (real data points regardless of the corpus stride)
+    val sampleIds = all.filter(F.col("__id") % every.toLong === 0L)
       .select(F.col("__id"))
     val synth = sampleIds.crossJoin(F.broadcast(box))
       .withColumn("__u52", F.conv(F.substring(F.md5(F.concat(
@@ -1847,18 +1870,20 @@ object Similarity {
       val pairs = base.crossJoin(F.broadcast(queries))
         .filter(if (excludeSelf) F.col("__id") =!= F.col("__qid")
           else F.lit(true))
-        .withColumn("__d2", F.round(F.aggregate(
-          F.zip_with(F.col("__v"), F.col("__qv"),
-            (x, y) => (x - y) * (x - y)),
-          F.lit(0.0), (acc, t) => acc + t), 9))
-      val w = Window.partitionBy("__qid")
-        .orderBy(F.col("__d2").asc, F.col("__id").asc)
-      pairs.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") === 1)
+        // native codegen'd left fold — bit-identical to the HOF
+        // aggregate(zip_with(...)) it replaced (VERDICT r13 #1)
+        .withColumn("__d2",
+          F.round(l2distSq(F.col("__v"), F.col("__qv")), 9))
+      // the NN readout only consumes the MINIMUM 9-dp d² per query
+      // (tie-broken rank-1 rows share the same d², so the old
+      // row_number window produced the identical sum): a partial-
+      // aggregable min collapses the m×n pair stream MAP-SIDE instead
+      // of shuffling every pair into a per-query sort
+      pairs.groupBy("__qid").agg(F.min("__d2").as("__d2m"))
         .agg(F.count(F.lit(1)).as("__m"),
-          F.sum(F.round(F.sqrt(F.col("__d2")), 9)).as("__s"))
+          F.sum(F.round(F.sqrt(F.col("__d2m")), 9)).as("__s"))
     }
-    val wReal = nnSum(base.filter(F.col("__id") % every.toLong === 0L)
+    val wReal = nnSum(all.filter(F.col("__id") % every.toLong === 0L)
       .select(F.col("__id").as("__qid"), F.col("__v").as("__qv")),
       excludeSelf = true)
       .select(F.col("__m").as("m"), F.col("__s").as("__sw"))

@@ -7976,7 +7976,7 @@ object Stats {
     * groups differ somewhere" and pays power for ignoring the order.
     * {{{
     *   E[T] = (N+1)/2 · Σ l_g n_g
-    *   Var  = (N+1)/12 · (N·Σ l²n − (Σ ln)²)/N · (1 − Σ(t³−t)/(N³−N))
+    *   Var  = (N+1)/12 · (N·Σ l²n − (Σ ln)²) · (1 − Σ(t³−t)/(N³−N))
     * }}}
     * (tie-corrected; midranks for ties).
     *
@@ -8011,10 +8011,13 @@ object Stats {
       F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
         .as("__ties"))
     val nD = F.col("n").cast("double")
+    // permutation variance of T = Σ l·R: (N+1)/12 · (N·Σl²n − (Σln)²)
+    // — NO /N on the score term (a spurious /N deflated Var by N and
+    // inflated z by √N until round 14; verified by exact enumeration
+    // of the N=6 fixture: Var(T)=14, not 14/6)
     val varT = (nD + 1.0) / 12.0 *
-      ((nD * F.col("__sl2").cast("double") -
-        F.col("__slt").cast("double") * F.col("__slt").cast("double")) /
-        nD) *
+      (nD * F.col("__sl2").cast("double") -
+        F.col("__slt").cast("double") * F.col("__slt").cast("double")) *
       (F.lit(1.0) - F.col("__ties").cast("double") /
         F.nullif(nD * nD * nD - nD, F.lit(0.0)))
     g.select(F.col("n"),

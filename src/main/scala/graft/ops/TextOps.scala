@@ -841,6 +841,17 @@ object TextOps {
     * the same lower(trim(·)) normalization as the tokenizers; censuses
     * are exact longs, each p·ln p one 9-dp term, entropies 6-dp.
     *
+    * h_cond is a PLUG-IN estimate, not a true conditional entropy: h1
+    * and h2 are estimated from different census sizes (every doc
+    * contributes n chars to the unigram census but only n−width+1
+    * windows to the bigram census), so h2 − h1 can go slightly
+    * NEGATIVE on short or highly repetitive texts (e.g. "abab" yields
+    * −0.056633) where a true H(c₂|c₁) is ≥ 0. Consumers ranking
+    * groups by "bits per char given the previous" should read small
+    * negatives as ≈ 0 (maximally predictable), not as an error; the
+    * value is kept unclamped so the estimator stays an exact, engine-
+    * replayable function of the two censuses.
+    *
     * Scale shape: two positional-window char censuses (alphabet² is
     * bounded), partial-aggregated; a G-row result.
     *

@@ -27,6 +27,15 @@ import java.sql.Timestamp
   */
 object StreamOps {
 
+  /** Reused per-thread MD5 instance for state-update hot paths —
+    * `MessageDigest.getInstance` per token is allocation + provider
+    * lookup the kmv stream pays once per distinct-key probe. */
+  private[streaming] val md5Local: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   /** Tumbling 1-hour event-time rollup per event_type with a watermark.
     * Input schema: (ts: Timestamp, event_type: String, value: Double, ...).
     * Emits (window, event_type, n, total_value); append-complete once the
@@ -594,12 +603,19 @@ object StreamOps {
     // are genuinely mergeable/comparable. The previous two-correlated-
     // Murmur32 compose (advisor r12) had well under 64 bits of entropy
     // (identical halves on palindromes) and matched nothing batch-side.
+    // the 52-bit value = first 13 hex chars = the 56 bits of bytes 0..6
+    // shifted off their low nibble; bit arithmetic on a reused digest
+    // instance, not per-token hex formatting + parseLong (advisor r13:
+    // the format-string encode was a large constant factor in the
+    // per-occurrence hot path)
     def h64(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 13 hex chars = first 6.5 bytes: 52 bits, non-negative
-      val hex = d.take(7).map(b => f"$b%02x").mkString.substring(0, 13)
-      java.lang.Long.parseLong(hex, 16)
+      val md = StreamOps.md5Local.get()
+      md.reset()
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v >>> 4
     }
 
     def update(shard: Int, ts: Iterator[Tok],

@@ -6101,8 +6101,10 @@ class OpsSpec extends AnyFunSuite {
       (6.0, 3L)).toDF("v", "l")
     val got = Stats.cuzickTrend(df, F.col("v"), F.col("l"))
       .as[(Long, Double, Double, Double, Option[Double])].head()
-    // T = 1+2+6+8+15+18 = 50, E = 3.5*12 = 42, Var = 7/12*(6*28-144)/6
-    assert(got == ((6L, 50.0, 42.0, 2.333333, Some(5.237229))), got)
+    // T = 1+2+6+8+15+18 = 50, E = 3.5*12 = 42,
+    // Var = 7/12*(6*28-144) = 14 (exact enumeration of all 6! rank
+    // permutations confirms Var(T) = 14), z = 8/sqrt(14) = 2.138090
+    assert(got == ((6L, 50.0, 42.0, 14.0, Some(2.13809))), got)
     val const = Seq((5.0, 1L), (5.0, 2L), (5.0, 3L)).toDF("v", "l")
     val c = Stats.cuzickTrend(const, F.col("v"), F.col("l"))
       .as[(Long, Double, Double, Double, Option[Double])].head()
@@ -6141,6 +6143,13 @@ class OpsSpec extends AnyFunSuite {
     val again = Similarity.hopkinsStatistic(emb, "vec_id", "embedding",
       every = 10).as[(Long, Double, Double, Double)].head()
     assert(again == got, (again, got))
+    // corpusEvery bounds BOTH NN scans to the id-stride subsample (the
+    // 100-TB knob): same m, still reads clustered on this geometry
+    val sub = Similarity.hopkinsStatistic(emb, "vec_id", "embedding",
+      every = 10, corpusEvery = 2).as[(Long, Double, Double, Double)]
+      .head()
+    assert(sub._1 == 2L, sub)
+    assert(sub._4 > 0.8 && sub._4 <= 1.0, sub)
   }
 
   test("randomPairCosine: identical vectors pair to cosine 1 with " +
@@ -6161,6 +6170,20 @@ class OpsSpec extends AnyFunSuite {
     val got = Graph.edgeSupportCensus(edges, "src", "dst")
       .as[(Long, Long, Double, Double)].collect().toSeq
     assert(got == Seq((0L, 1L, 0.25, 0.25), (1L, 3L, 0.75, 0.25)), got)
+    // K4 + pendant: every K4 edge sits in 2 triangles, the pendant in 0
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val g2 = Graph.edgeSupportCensus(k4, "src", "dst")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(g2 == Seq((0L, 1L, 0.142857, 0.142857),
+      (2L, 6L, 0.857143, 0.142857)), g2)
+    // star hub: triangle-free, so every edge is a bridge — and the
+    // oriented enumeration generates ZERO wedges at the hub (the
+    // Σ deg² blowup the r13 reshape removed)
+    val star = (1 to 50).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val s = Graph.edgeSupportCensus(star, "src", "dst")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(s == Seq((0L, 50L, 1.0, 1.0)), s)
   }
 
   test("partitionQuality: two bridged triangles — hand Q and " +
@@ -6176,6 +6199,15 @@ class OpsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(got == Seq(("A", 3L, 3L, 1L, 7L, 0.142857, 0.357143),
       ("B", 3L, 3L, 1L, 7L, 0.142857, 0.357143)), got)
+    // one-row-per-node contract ENFORCED (advisor r13): a node mapped
+    // to two communities resolves to min(community) instead of
+    // multiplying edge rows — identical result to the clean mapping
+    val dup = comm.unionByName(Seq((3L, "Z")).toDF("node", "c"))
+    val got2 = Graph.partitionQuality(edges, "src", "dst", dup,
+      "node", "c")
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got2 == got, (got2, got))
   }
 
   test("partialAuc: perfect separation saturates at f_max (std 1); " +

@@ -1299,4 +1299,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
       s"expected checkpoint scans at the plan's leaves:\n$p")
   }
+
+  test("hopkinsStatistic: NN kernel is the native codegen'd l2distSq " +
+      "expression — no interpreted HOF in the m×n scan") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.ops.Similarity.hopkinsStatistic(emb, "vec_id",
+      "embedding", every = 10)
+    val p = plan(df)
+    assert(p.contains("vec_l2dist_sq"),
+      s"expected the native L2DistSq expression in:\n$p")
+    // the r13 form evaluated aggregate(zip_with(...)) — an interpreted
+    // boxed lambda per element per pair (144 s task CPU in the driver
+    // bench); neither HOF may reappear in this plan
+    assert(!p.contains("zip_with") && !p.contains("ArrayAggregate"),
+      s"interpreted HOF kernel must not reappear:\n$p")
+  }
+
+  test("edgeSupportCensus: wedges form on the oriented edge list, " +
+      "never on an unoriented adjacency self-join") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val df = graft.ops.Graph.edgeSupportCensus(
+      graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+        minCount = 6), "src", "dst")
+    val p = plan(df)
+    // the r13 shape self-joined the full undirected adjacency on the
+    // wedge-center key __z (Σ deg² rows — a 10M-follower hub at 100×
+    // data is 10¹⁴ wedges); the oriented reshape joins on u / (v, w)
+    // and the center key must be gone from the plan entirely
+    assert(!p.contains("__z"),
+      s"unoriented adjacency self-join (wedge-center key __z) must not " +
+        s"reappear:\n$p")
+    // oriented edge list is localCheckpoint'd once and feeds all four
+    // downstream references
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed oriented edge list at the leaves:\n$p")
+  }
 }
