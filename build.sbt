@@ -8,6 +8,11 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // DuckDB JDBC driver (cached offline): backs the `-d duckdb://file`
+  // connector — the reference README's own example (README.md:204) opens
+  // a .duckdb database file directly. Runtime-only surface (loaded via
+  // DriverManager/Class.forName, never imported).
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0",
 )
 Test / fork := true
 run / fork := true
@@ -41,4 +46,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // code-cache occupancy into bench_detail.json so a recurrence is
   // self-diagnosing rather than a mystery.
   "-XX:ReservedCodeCacheSize=512m",
+  // Explicitly keep sweeping cold compiled methods when the cache gets
+  // tight (the JDK default, pinned here so a toolchain change can't drop
+  // it): with flushing off a full cache disables compilation PERMANENTLY
+  // for the rest of the JVM — the r8/r11/r13 interpreted-execution
+  // anomaly's worst case. Bench.scala records per-query CodeHeap
+  // occupancy + delta in bench_detail.json so an outlier adjudicates
+  // mechanically.
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -53,10 +53,21 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    final case class QStat(sec: Double, gcMs: Long, taskMs: Long, taskCpuMs: Long)
+    // total JIT code-cache occupancy (all CodeHeap segments) — sampled
+    // around every query so the recurring interpreted-execution anomaly
+    // (r8/r11/r13: cpu≈run at 3-17x the ledger envelope on untouched code)
+    // adjudicates mechanically from bench_detail.json: an outlier whose
+    // ch_used sits near the reserve, or whose ch_delta is strongly
+    // negative (a flush just evicted compiled methods), is JVM state, not
+    // a plan regression.
+    def chUsed: Long = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap")).map(_.getUsage.getUsed).sum
+    final case class QStat(sec: Double, gcMs: Long, taskMs: Long,
+                           taskCpuMs: Long, chUsed: Long, chDelta: Long)
     val results = selected.map { case (name, fn) =>
       org.apache.spark.GraftListeners.drain(spark.sparkContext)
-      val (gc0, tk0, cp0) = (gcMs, taskMs.get, taskCpuNs.get)
+      val (gc0, tk0, cp0, ch0) = (gcMs, taskMs.get, taskCpuNs.get, chUsed)
       val t0 = System.nanoTime()
       // noop sink materializes every column (count() would let Spark prune
       // projections and under-report the real work)
@@ -70,7 +81,9 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftListeners.drain(spark.sparkContext)
-      name -> QStat(sec, gcMs - gc0, taskMs.get - tk0, (taskCpuNs.get - cp0) / 1000000L)
+      val ch1 = chUsed
+      name -> QStat(sec, gcMs - gc0, taskMs.get - tk0,
+        (taskCpuNs.get - cp0) / 1000000L, ch1, ch1 - ch0)
     }
     // The driver keeps only the LAST 2000 chars of output, and the one-line
     // JSON outgrew that window at 78 full-name ns-precision entries
@@ -130,7 +143,7 @@ object Bench {
     }.mkString("[", ",", "]")
     try {
       val full = results.map { case (k, v) =>
-        s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs}}"""
+        s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs},"ch_used":${v.chUsed},"ch_delta":${v.chDelta}}"""
       }.mkString("{", ",", "}")
       // the twin list rides along so downstream tooling (scripts/ledger.py)
       // reads ONE source of truth — a twin added here but not there would

@@ -131,15 +131,17 @@ object Cli {
         // (duckdb.rs:75-83); here a native reader of the public file
         // format serves the same `-d sqlite://path` contract
         graft.sources.SqliteV2.registerSqlite(spark, db, args.from)
+      case Some(db) if db.startsWith("duckdb://") =>
+        // the reference opens the .duckdb file directly (duckdb.rs:108-111,
+        // README.md:204); here the bundled DuckDB JDBC driver serves the
+        // same `-d duckdb://path` contract: per-source reads, attach-all
+        // from the live catalog with zero sources, read-only open
+        graft.sources.Connectors.registerDuckdb(spark, db, args.from)
       case Some(db) =>
-        // duckdb:// attaches an embedded engine whose storage format is
-        // version-specific and has no Spark reader — round 1 swallowed -d
-        // and the user got "unknown table"; fail with the truth
         throw Writers.OutputError(
           s"database '$db' is not supported by the Spark engine: only " +
-            "postgres:// (JDBC) and sqlite:// (native file-format reader) " +
-            "can be attached; for duckdb files export to csv/parquet and " +
-            "use --from")
+            "postgres:// (JDBC), sqlite:// (native file-format reader) " +
+            "and duckdb:// (bundled JDBC driver) can be attached")
     }
     val names = args.from.map(s => Registrar.standardiseSource(s)._1)
     val raw = readQuery(args.query)

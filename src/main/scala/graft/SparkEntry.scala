@@ -3346,6 +3346,17 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
         "embedding")),
 
+    // 4-truss of the co-purchase graph: keep only community-certified
+    // edges (each in >= 2 surviving triangles, 3 pinned peels) — the
+    // edge FILTER x415's support census motivates; a k-core keeps a
+    // star hub, a k-truss never does
+    "x419_ktruss" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Graph.kTruss(
+        graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          minCount = 6), "src", "dst", k = 4, rounds = 3)
+    }),
+
     // modularity + conductance of the nation partition over the
     // supplier co-purchase graph: is "group by nation" real structure
     // or just a label
@@ -11295,6 +11306,41 @@ object SparkEntry {
         |  round(p50, 6) AS p50, round(p90, 6) AS p90,
         |  round(p99, 6) AS p99
         |FROM mom CROSS JOIN qs""".stripMargin,
+
+    // 3 unrolled support-peel rounds (pinned round count, matching the
+    // Spark side's rounds = 3); every support an exact common-neighbor
+    // count per surviving edge
+    "x419_ktruss" ->
+      """WITH pairs AS (SELECT l_suppkey AS s, l_orderkey AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |ew AS (SELECT a.s AS u, b.s AS v, count(*)::BIGINT AS w
+        |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |e0 AS (SELECT u AS a, v AS b FROM ew WHERE w >= 6),
+        |a0 AS (SELECT a AS z, b AS n FROM e0
+        |  UNION ALL SELECT b AS z, a AS n FROM e0),
+        |s0 AS (SELECT x.n AS a, y.n AS b, count(*)::BIGINT AS sup
+        |  FROM a0 x JOIN a0 y ON x.z = y.z AND x.n < y.n
+        |  GROUP BY 1, 2),
+        |e1 AS (SELECT e0.a, e0.b FROM e0
+        |  JOIN s0 ON s0.a = e0.a AND s0.b = e0.b AND s0.sup >= 2),
+        |a1 AS (SELECT a AS z, b AS n FROM e1
+        |  UNION ALL SELECT b AS z, a AS n FROM e1),
+        |s1 AS (SELECT x.n AS a, y.n AS b, count(*)::BIGINT AS sup
+        |  FROM a1 x JOIN a1 y ON x.z = y.z AND x.n < y.n
+        |  GROUP BY 1, 2),
+        |e2 AS (SELECT e1.a, e1.b FROM e1
+        |  JOIN s1 ON s1.a = e1.a AND s1.b = e1.b AND s1.sup >= 2),
+        |a2 AS (SELECT a AS z, b AS n FROM e2
+        |  UNION ALL SELECT b AS z, a AS n FROM e2),
+        |s2 AS (SELECT x.n AS a, y.n AS b, count(*)::BIGINT AS sup
+        |  FROM a2 x JOIN a2 y ON x.z = y.z AND x.n < y.n
+        |  GROUP BY 1, 2),
+        |e3 AS (SELECT e2.a, e2.b FROM e2
+        |  JOIN s2 ON s2.a = e2.a AND s2.b = e2.b AND s2.sup >= 2)
+        |SELECT n AS node, count(*)::BIGINT AS degree FROM
+        |  (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3)
+        |GROUP BY n ORDER BY node""".stripMargin,
 
     // exact per-edge wedge counts; exact histogram; one IEEE share
     // per row

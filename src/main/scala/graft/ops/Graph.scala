@@ -730,14 +730,14 @@ object Graph {
     * @return per-support rows (support, n_edges, share, bridge_share)
     *         ordered by support — 6-dp; bridge_share repeated
     */
-  def edgeSupportCensus(edges: DataFrame, srcCol: String,
-                        dstCol: String): DataFrame = {
-    val und = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
-    // each triangle (u, v, w) touches exactly 3 canonical edges; (v, w)
-    // is already canonical (v < w by construction), the two u-edges
-    // canonicalize by least/greatest
-    val tris = orientedTriangles(und)
-    val wed = tris
+  /** Per-edge triangle support off [[orientedTriangles]] — (a, b, __sup)
+    * for every edge in at least one triangle (zero-support edges are
+    * ABSENT; callers needing them left-join the edge list). Each
+    * triangle (u, v, w) touches exactly 3 canonical edges: (v, w) is
+    * already canonical (v < w by construction), the two u-edges
+    * canonicalize by least/greatest. */
+  private def edgeSupport(und: DataFrame): DataFrame =
+    orientedTriangles(und)
       .select(F.explode(F.array(
         F.struct(F.least(F.col("u"), F.col("v")).as("a"),
           F.greatest(F.col("u"), F.col("v")).as("b")),
@@ -746,6 +746,11 @@ object Graph {
         F.struct(F.col("v").as("a"), F.col("w").as("b")))).as("__e"))
       .select(F.col("__e.a").as("a"), F.col("__e.b").as("b"))
       .groupBy("a", "b").agg(F.count(F.lit(1)).as("__sup"))
+
+  def edgeSupportCensus(edges: DataFrame, srcCol: String,
+                        dstCol: String): DataFrame = {
+    val und = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val wed = edgeSupport(und)
     val perEdge = und.join(wed, Seq("a", "b"), "left_outer")
       .withColumn("__sup", F.coalesce(F.col("__sup"), F.lit(0L)))
     val hist = perEdge.groupBy(F.col("__sup").as("support"))
@@ -761,6 +766,56 @@ object Graph {
           F.col("__m").cast("double"), 6).as("share"),
         F.col("bridge_share"))
       .orderBy("support")
+  }
+
+  /** k-truss subgraph (Cohen 2008) — the EDGE-level sibling of
+    * [[kCore]]: iteratively drop every edge whose support (triangles
+    * containing it, recomputed on the surviving subgraph) is below
+    * k−2. What remains is the subgraph where every edge is embedded in
+    * at least k−2 triangles — the standard "keep only
+    * community-certified ties" filter that survives the hub-spam and
+    * accidental co-occurrences a degree cut ([[kCore]]) lets through:
+    * a k-core keeps a star hub, a k-truss (k ≥ 3) never does, because
+    * star edges close no triangles.
+    *
+    * The ROUND COUNT IS PINNED (`rounds`), not run-to-fixpoint: both
+    * engines execute exactly `rounds` peels, so results are
+    * well-defined (and oracle-replayable) even when more peeling would
+    * still shrink the graph. Peeling is monotone — a converged graph
+    * is a fixpoint and extra rounds are no-ops.
+    *
+    * Determinism: every support an exact long; the census exact.
+    *
+    * Scale shape: each round is one [[orientedTriangles]] pass on the
+    * SHRINKING edge set (m^1.5-bounded, hubs generate zero wedges — the
+    * x415 contract) + one edge-keyed semi-join; `localCheckpoint` per
+    * round truncates lineage exactly like [[kCore]]'s peel. Round 1
+    * dominates; later rounds run on the (typically much smaller)
+    * surviving core.
+    *
+    * @param k      truss order (≥ 3; k−2 is the per-edge triangle
+    *               threshold)
+    * @param rounds pinned peel count (each a full support recompute)
+    * @return per node (node, degree) within the k-truss, ordered by
+    *         node — empty when the graph has no k-truss
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+             rounds: Int = 3): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16], got $rounds")
+    var e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      // zero-support edges are absent from edgeSupport, so the semi-join
+      // drops them without a left-outer + coalesce
+      val keep = edgeSupport(e).filter(F.col("__sup") >= (k - 2).toLong)
+      e = e.join(keep.select("a", "b"), Seq("a", "b"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(F.col("a").as("node"))
+      .unionAll(e.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("degree"))
+      .orderBy("node")
   }
 
   /** Partition quality census — grade a GIVEN community assignment

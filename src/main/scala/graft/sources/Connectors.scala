@@ -14,9 +14,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * which is exactly the contract: URL parsing, table-name resolution and
   * option plumbing are the testable surface.
   *
-  * `sqlite://` and `duckdb://` attach embedded single-file engines; Spark
-  * has no reader for either format, so they fail loudly (round 1 silently
-  * accepted `-d` and the user got "unknown table" instead of the truth).
+  * `sqlite://` attaches via the native file-format DSv2 reader
+  * ([[SqliteV2]]). `duckdb://` (the reference README's own example,
+  * README.md:204: `pq --database duckdb://…/chinook.duckdb`) attaches a
+  * DuckDB database file through the DuckDB JDBC driver on the classpath —
+  * per-`--from` table reads, or attach-all from the live catalog with zero
+  * sources, mirroring the reference's direct `duckdb.rs:108-111` open. The
+  * file opens READ-ONLY (multiple JDBC partitions may each hold a
+  * connection; DuckDB only allows concurrent opens of the same file in
+  * read-only mode) and the path must exist — DuckDB would otherwise
+  * CREATE an empty database at the given path and every query would fail
+  * with "unknown table" instead of the truth.
   */
 object Connectors {
 
@@ -119,6 +127,90 @@ object Connectors {
         throw ConnectorError(s"schema '${target.schema}' has no tables to attach")
       tables
     } finally conn.close()
+  }
+
+  /** Strip `duckdb://` and validate the database file exists — DuckDB
+    * CREATES missing files on open, which would turn a typo'd path into
+    * an empty database and "unknown table" errors downstream. */
+  def parseDuckdb(database: String): String = {
+    if (!database.startsWith("duckdb://"))
+      throw ConnectorError(s"not a duckdb URL: '$database'")
+    val path = database.stripPrefix("duckdb://")
+    if (path.isEmpty)
+      throw ConnectorError("duckdb:// URL needs a database file path")
+    if (!new java.io.File(path).isFile)
+      throw ConnectorError(
+        s"duckdb database file '$path' does not exist (DuckDB would " +
+          "silently create an empty database there; refusing)")
+    path
+  }
+
+  /** JDBC reader options for one DuckDB table spec. Unqualified names
+    * resolve in DuckDB's default `main` schema; qualified specs keep the
+    * last two parts ([[splitQualified]] with a `main` default).
+    * `duckdb.read_only` is the DuckDB JDBC property that permits several
+    * concurrent connections (Spark opens one per JDBC partition) to one
+    * database file. */
+  def duckdbJdbcOptions(path: String, source: String): Map[String, String] = {
+    val parts = source.split('.')
+    val (schema, table) =
+      if (parts.length == 1) ("main", parts(0))
+      else (parts(parts.length - 2), parts(parts.length - 1))
+    Map(
+      "url" -> s"jdbc:duckdb:$path",
+      "dbtable" -> s""""$schema"."$table"""",
+      "driver" -> "org.duckdb.DuckDBDriver",
+      "duckdb.read_only" -> "true")
+  }
+
+  /** Table list of the file's `main` schema from the live DuckDB catalog
+    * — the attach-all half (zero `--from` sources), same contract as the
+    * postgres [[listTables]]. */
+  def listDuckdbTables(path: String): Seq[String] = {
+    Class.forName("org.duckdb.DuckDBDriver")
+    val props = new java.util.Properties()
+    props.setProperty("duckdb.read_only", "true")
+    val conn =
+      try java.sql.DriverManager.getConnection(s"jdbc:duckdb:$path", props)
+      catch {
+        case e: java.sql.SQLException =>
+          throw ConnectorError(
+            s"could not open duckdb database '$path': ${e.getMessage}")
+      }
+    try {
+      // types=null + a TABLE_TYPE filter: DuckDB's JDBC catalog reports
+      // base tables as "BASE TABLE" (not the JDBC-conventional "TABLE"),
+      // so a types=["TABLE"] filter silently matches nothing
+      val rs = conn.getMetaData.getTables(null, "main", "%", null)
+      val b = Seq.newBuilder[String]
+      while (rs.next())
+        if (rs.getString("TABLE_TYPE").contains("TABLE"))
+          b += rs.getString("TABLE_NAME")
+      val tables = b.result()
+      if (tables.isEmpty)
+        throw ConnectorError(s"duckdb database '$path' has no tables to attach")
+      tables
+    } finally conn.close()
+  }
+
+  /** Register each `--from` table spec against a DuckDB database file;
+    * with zero sources, attach every `main`-schema table like the
+    * reference's direct file open (duckdb.rs:108-111) — a user of the
+    * README.md:204 example sees every table of the file by name. */
+  def registerDuckdb(spark: SparkSession, database: String,
+                     specs: Seq[String]): Map[String, DataFrame] = {
+    val path = parseDuckdb(database)
+    Class.forName("org.duckdb.DuckDBDriver")
+    val effective =
+      if (specs.nonEmpty) specs
+      else listDuckdbTables(path).map(t => s"$t=$t")
+    effective.map { spec =>
+      val (name, source) = Registrar.standardiseSource(spec)
+      val df = spark.read.format("jdbc")
+        .options(duckdbJdbcOptions(path, source)).load()
+      df.createOrReplaceTempView(name)
+      name -> df
+    }.toMap
   }
 
   /** Register each `--from` table spec against a postgres database; with

@@ -38,13 +38,18 @@ class CliSpec extends AnyFunSuite {
     // spark / auto are honored (execution IS spark)
     Cli.run(Cli.parseArgs(Array("--backend", "spark", "--sql", "SELECT 1", "--to",
       java.nio.file.Files.createTempDirectory("b").resolve("o.csv").toString)))
-    // duckdb file databases → clear unsupported error, not round-1's
-    // silent swallow + "unknown table" (sqlite:// is a real attach now —
-    // SqliteSpec — so only duckdb:// remains an embedded-engine gap)
-    val ed = intercept[Writers.OutputError] {
+    // duckdb:// is a real attach now (bundled JDBC driver, round 14) — a
+    // missing file fails loudly instead of silently materializing an
+    // empty database at the typo'd path
+    val ed = intercept[graft.sources.Connectors.ConnectorError] {
       Cli.run(Cli.parseArgs(Array("-d", "duckdb://chinook.duckdb", "from tracks")))
     }
-    assert(ed.getMessage.contains("not supported") && ed.getMessage.contains("duckdb"))
+    assert(ed.getMessage.contains("does not exist"), ed.getMessage)
+    // any other scheme still refuses with the supported list
+    val eo = intercept[Writers.OutputError] {
+      Cli.run(Cli.parseArgs(Array("-d", "mysql://h/d", "from tracks")))
+    }
+    assert(eo.getMessage.contains("not supported"), eo.getMessage)
     // a sqlite attach of a missing file fails loudly too (file-level error,
     // not a swallowed -d)
     assertThrows[Exception](
@@ -135,6 +140,46 @@ class CliSpec extends AnyFunSuite {
       graft.io.Writers.inferFormat(Some("-"), Some("orc"))
     }
     assert(err.getMessage.contains("stdout"), err.getMessage)
+  }
+
+  test("end-to-end: duckdb:// database attach runs the README.md:204 " +
+      "example against a chinook-loaded .duckdb file") {
+    implicit val spark = SparkTest.session
+    // the reference's vendored chinook.duckdb is storage v38 (DuckDB
+    // 0.5.x, pre-storage-stability) — unreadable by EVERY current DuckDB
+    // including the sandbox's 1.0.0 (SURVEY §8); so build a current-
+    // format database from the reference's own chinook CSVs and run the
+    // reference README's literal duckdb:// example query against it
+    val dir = java.nio.file.Files.createTempDirectory("cli-duckdb")
+    val db = dir.resolve("chinook.duckdb").toString
+    val csvDir = "/root/reference/examples/chinook/csv"
+    Class.forName("org.duckdb.DuckDBDriver")
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
+    try {
+      val st = conn.createStatement()
+      st.execute(s"CREATE TABLE albums AS SELECT * FROM read_csv_auto('$csvDir/albums.csv', header=true)")
+      st.execute(s"CREATE TABLE artists AS SELECT * FROM read_csv_auto('$csvDir/artists.csv', header=true)")
+    } finally conn.close()
+    val out = dir.resolve("top.csv").toString
+    val q = "from albums | join artists [artist_id] | " +
+      "group name (aggregate [num_albums = count]) | " +
+      "sort [-num_albums] | take 10"
+    // zero --from sources → attach-all from the live DuckDB catalog
+    Cli.run(Cli.parseArgs(Array("-d", s"duckdb://$db", "--to", out, q)))
+    val viaDuckdb = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out)).trim.linesIterator.toSeq
+    assert(viaDuckdb.head == "name,num_albums", viaDuckdb.head)
+    val rows = viaDuckdb.drop(1).map { l =>
+      val i = l.lastIndexOf(','); (l.substring(0, i), l.substring(i + 1).toLong)
+    }
+    // ranks 8-12 tie at 4 albums, so the take-10 TAIL membership is
+    // plan-order-dependent; pin the deterministic structure: the count
+    // ladder, the untied head, and the {Metallica, U2} pair at 10
+    assert(rows.map(_._2) == Seq(21L, 14L, 11L, 10L, 10L, 6L, 5L, 4L, 4L, 4L),
+      rows)
+    assert(rows.take(3).map(_._1) ==
+      Seq("Iron Maiden", "Led Zeppelin", "Deep Purple"), rows)
+    assert(rows.slice(3, 5).map(_._1).toSet == Set("Metallica", "U2"), rows)
   }
 
   test("end-to-end: --sql passthrough and table output to stdout") {

@@ -67,4 +67,58 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("postgres_attach"))
     assert(e.getMessage.contains("'mart'"), s"should name the schema: ${e.getMessage}")
   }
+
+  test("parseDuckdb: scheme strip + existing-file requirement (DuckDB " +
+      "would silently CREATE a missing path)") {
+    intercept[ConnectorError](Connectors.parseDuckdb("sqlite://x.db"))
+    intercept[ConnectorError](Connectors.parseDuckdb("duckdb://"))
+    val e = intercept[ConnectorError](
+      Connectors.parseDuckdb("duckdb:///tmp/definitely-not-here.duckdb"))
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+  }
+
+  test("duckdbJdbcOptions: read-only open, main-schema default, quoted " +
+      "qualified names") {
+    val o = Connectors.duckdbJdbcOptions("/x/c.duckdb", "albums")
+    assert(o("url") == "jdbc:duckdb:/x/c.duckdb")
+    assert(o("dbtable") == "\"main\".\"albums\"")
+    assert(o("driver") == "org.duckdb.DuckDBDriver")
+    assert(o("duckdb.read_only") == "true")
+    assert(Connectors.duckdbJdbcOptions("/x/c.duckdb", "cat.s.t")("dbtable")
+      == "\"s\".\"t\"")
+  }
+
+  test("registerDuckdb: live attach of a .duckdb file — aliased spec, " +
+      "attach-all from the catalog, empty-database refusal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddb")
+    val db = dir.resolve("mini.duckdb").toString
+    Class.forName("org.duckdb.DuckDBDriver")
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE artists (artist_id INTEGER, name VARCHAR)")
+      st.execute("INSERT INTO artists VALUES (1, 'AC/DC'), (2, 'Accept')")
+      st.execute("CREATE TABLE albums (album_id INTEGER, title VARCHAR, artist_id INTEGER)")
+      st.execute("INSERT INTO albums VALUES (1, 'For Those About To Rock', 1)")
+    } finally conn.close()
+    val spark = SparkTest.session
+    // aliased --from spec
+    val one = Connectors.registerDuckdb(spark, s"duckdb://$db", Seq("a=artists"))
+    assert(one.keySet == Set("a"))
+    // DuckDB's JDBC metadata reports INTEGER unsigned, so Spark's generic
+    // dialect widens it to LongType — read as long
+    assert(one("a").orderBy("artist_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "AC/DC"), (2L, "Accept")))
+    // zero sources → every main-schema table by name
+    val all = Connectors.registerDuckdb(spark, s"duckdb://$db", Nil)
+    assert(all.keySet == Set("artists", "albums"))
+    assert(all("albums").count() == 1L)
+    // a no-table database refuses attach-all loudly
+    val empty = dir.resolve("empty.duckdb").toString
+    java.sql.DriverManager.getConnection(s"jdbc:duckdb:$empty").close()
+    val e = intercept[ConnectorError](
+      Connectors.registerDuckdb(spark, s"duckdb://$empty", Nil))
+    assert(e.getMessage.contains("no tables"), e.getMessage)
+  }
 }

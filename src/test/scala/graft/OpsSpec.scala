@@ -6186,6 +6186,33 @@ class OpsSpec extends AnyFunSuite {
     assert(s == Seq((0L, 50L, 1.0, 1.0)), s)
   }
 
+  test("kTruss: K4 + pendant peels to K4 at k=4, empties at k=5; " +
+      "peeling PROPAGATES (bowtie round 2); star hub never survives k=3") {
+    import graft.ops.Graph
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    // every K4 edge sits in 2 triangles -> survives k=4 (sup >= 2);
+    // the pendant closes none -> dropped
+    val got = Graph.kTruss(k4p, "src", "dst", k = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), got)
+    // K4 edges have support exactly 2 -> k=5 (sup >= 3) empties it
+    assert(Graph.kTruss(k4p, "src", "dst", k = 5).count() == 0L)
+    // two triangles sharing edge (2,3): at k=4 round 1 keeps ONLY the
+    // shared edge (sup 2), round 2 finds it triangle-less and drops it
+    // — the multi-round propagation a single support pass would miss
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(Graph.kTruss(bowtie, "src", "dst", k = 4).count() == 0L)
+    // at k=3 (sup >= 1) every bowtie edge is in a triangle - fixpoint
+    val b3 = Graph.kTruss(bowtie, "src", "dst", k = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(b3 == Seq((1L, 2L), (2L, 3L), (3L, 3L), (4L, 2L)), b3)
+    // a star is triangle-free: the hub a k-core would keep dies here
+    val star = (1 to 50).map(i => (0L, i.toLong)).toDF("src", "dst")
+    assert(Graph.kTruss(star, "src", "dst", k = 3).count() == 0L)
+  }
+
   test("partitionQuality: two bridged triangles — hand Q and " +
       "conductance 1/7") {
     import graft.ops.Graph
