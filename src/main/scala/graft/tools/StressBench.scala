@@ -321,6 +321,25 @@ object StressBench {
         // linear by construction, never a pair join
         "x418_random_pair_cos" -> (() => Similarity.randomPairCosine(
           emb, "vec_id", "embedding")),
+        // k-truss on K disjoint graph copies + the same planted hub as
+        // x415: each peel round is one oriented-triangle pass on a
+        // SHRINKING edge set (the hub's star edges close no triangles
+        // and die in round 1) — wall ~linear in K
+        "x419_ktruss" -> (() => {
+          val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select("l_orderkey", "l_suppkey")
+          val li = (0 until k).map(i => li0.select(
+              (F.col("l_orderkey") + F.lit(i * KeyStride)).as("l_orderkey"),
+              (F.col("l_suppkey") + F.lit(i * KeyStride)).as("l_suppkey")))
+            .reduce(_ union _)
+          val edges = graft.ops.Graph.cooccurrenceEdges(li,
+            "l_orderkey", "l_suppkey", minCount = 6)
+          val hub = spark.range(1, 2001).select(
+            F.lit(-1L).as("src"), (F.col("id") + 900000000L).as("dst"),
+            F.lit(1L).as("w"))
+          graft.ops.Graph.kTruss(edges.unionByName(hub),
+            "src", "dst", k = 4, rounds = 3)
+        }),
       )
       val extra: Seq[(String, () => DataFrame)] = Seq(
         // trigram novelty: replica text verbatim ⇒ every non-first
