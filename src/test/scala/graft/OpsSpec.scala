@@ -6186,6 +6186,61 @@ class OpsSpec extends AnyFunSuite {
     assert(s == Seq((0L, 50L, 1.0, 1.0)), s)
   }
 
+  test("referentialIntegrity: null fks split from dangling fks; " +
+      "childless dims counted; max fanout over matched keys") {
+    import graft.ops.Quality
+    val fact = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Quality.referentialIntegrity(fact, "fk", dim, "pk")
+      .as[(Long, Long, Long, Double, Long, Long, Double, Long)].head()
+    // 5 fact rows: one NULL fk, one dangling (9), key 1 matched twice
+    // (fanout 2); dim 3 keys, pk 3 childless
+    assert(got == ((5L, 1L, 1L, 0.2, 3L, 1L, 0.333333, 2L)), got)
+  }
+
+  test("keyUniqueness: composite dup census exact; a true key reads " +
+      "zero excess") {
+    import graft.ops.Quality
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("k1", "k2")
+    val got = Quality.keyUniqueness(df, Seq("k1", "k2"))
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(got == ((5L, 3L, 1L, 3L, 3L, 0.4)), got)
+    val uniq = Quality.keyUniqueness(
+        Seq((1L, "a"), (2L, "b")).toDF("k1", "k2"), Seq("k1", "k2"))
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(uniq == ((2L, 2L, 0L, 0L, 1L, 0.0)), uniq)
+  }
+
+  test("columnProfile: null census, exact distinct, TYPED min/max " +
+      "(numeric order, not lexicographic)") {
+    import graft.ops.Quality
+    val df = Seq((Some(9L), "b"), (Some(10L), "a"), (None, "a"))
+      .toDF("k", "s")
+    val got = Quality.columnProfile(df, Seq("k", "s"))
+      .as[(String, Long, Long, Double, Long, String, String)]
+      .collect().toSeq
+    // typed min/max: 9 < 10 numerically (lexicographic would say "10" < "9")
+    assert(got == Seq(("k", 3L, 1L, 0.333333, 2L, "9", "10"),
+      ("s", 3L, 0L, 0.0, 2L, "a", "b")), got)
+  }
+
+  test("mediaDedupCensus: identical payloads collapse per kind; " +
+      "count and storage shares exact") {
+    import graft.ops.Multimodal
+    val m = Seq(("image", "aaaa"), ("image", "aaaa"), ("image", "bb"),
+      ("audio", "cccc")).toDF("kind", "t")
+      .select(F.col("kind"), F.encode(F.col("t"), "UTF-8").as("media"))
+    val got = Multimodal.mediaDedupCensus(m, "kind", "media")
+      .as[(String, Long, Long, Double, Long, Long, Double)]
+      .collect().toSeq
+    // image: 3 items / 2 distinct -> dup_share 1/3; bytes 4+4+2 = 10
+    // total, 6 distinct -> saved 0.4; audio: singleton, zero savings
+    assert(got == Seq(("audio", 1L, 1L, 0.0, 4L, 4L, 0.0),
+      ("image", 3L, 2L, 0.333333, 10L, 6L, 0.4)), got)
+  }
+
   test("kTruss: K4 + pendant peels to K4 at k=4, empties at k=5; " +
       "peeling PROPAGATES (bowtie round 2); star hub never survives k=3") {
     import graft.ops.Graph
