@@ -3346,6 +3346,41 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
         "embedding")),
 
+    // ROUGE-2 corpus-internal baseline: clipped multiset bigram P/R/F1
+    // over md5-random disjoint pairs (the x418 pairing idiom) — the
+    // measured overlap of two UNRELATED docs, what any ROUGE threshold
+    // is implicitly a claim about; per-pair rows, exact counts
+    "x424_rouge_baseline" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val ordered = docs.select(F.col("doc_id"))
+        .withColumn("__h", F.md5(F.concat(F.lit("rgb:"),
+          F.col("doc_id").cast("string"))))
+        .withColumn("__rn", F.row_number().over(
+          Window.orderBy(F.col("__h"), F.col("doc_id"))))
+        .withColumn("__pair",
+          F.call_function("div", F.col("__rn") - 1L, F.lit(2L)))
+        .withColumn("__side", (F.col("__rn") - 1L) % 2L)
+      val pairs = ordered.filter(F.col("__side") === 0L)
+        .select(F.col("__pair"), F.col("doc_id").as("a"))
+        .join(ordered.filter(F.col("__side") === 1L)
+          .select(F.col("__pair"), F.col("doc_id").as("b")), "__pair")
+        .select("a", "b")
+      TextOps.rougeN(pairs, docs, "doc_id", "text", n = 2)
+    }),
+
+    // BLEU-2 over x22's deterministic near-pair list: clipped unigram +
+    // bigram precision geomean x brevity penalty — the eval-harness
+    // scoring of candidate pairs (ROUGE's precision-side sibling)
+    "x425_bleu_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val ids = docs.select("doc_id")
+      val pairs = ids.select(F.col("doc_id").as("a"),
+          (F.col("doc_id") + 1).as("b"))
+        .filter(F.col("a") % 10 < 3)
+        .join(ids.select(F.col("doc_id").as("b")), Seq("b"), "leftsemi")
+      TextOps.bleuPairs(pairs, docs, "doc_id", "text", maxN = 2)
+    }),
+
     // referential-integrity census of events.user_id -> customer: what
     // an inner join would DROP (orphans), what dimension mass is dead
     // (childless), and the join-explosion bound (max fanout) — the
@@ -11345,6 +11380,101 @@ object SparkEntry {
         |  round(p50, 6) AS p50, round(p90, 6) AS p90,
         |  round(p99, 6) AS p99
         |FROM mom CROSS JOIN qs""".stripMargin,
+
+    // x22's pair list; clipped unigram/bigram matches as exact longs;
+    // bleu ONE 6-dp IEEE expression (c1 = len_b, c2 = len_b - 1 derived
+    // from the token length, never a second census)
+    "x425_bleu_pairs" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |pairs AS (SELECT a.doc_id AS a, a.doc_id + 1 AS b FROM ids a
+        |  WHERE a.doc_id % 10 < 3 AND EXISTS (
+        |    SELECT 1 FROM ids x WHERE x.doc_id = a.doc_id + 1)),
+        |toks AS (SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(coalesce(text, ''))), '\s+'),
+        |    t -> length(t) > 0) AS ts
+        |  FROM documents
+        |  WHERE doc_id IN (SELECT a FROM pairs UNION
+        |    SELECT b FROM pairs)),
+        |lens AS (SELECT doc_id, len(ts)::BIGINT AS l FROM toks),
+        |g1 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+        |  SELECT doc_id, unnest(ts) AS g FROM toks) GROUP BY 1, 2),
+        |g2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> ts[i] || ' ' || ts[i + 1])) AS g
+        |  FROM toks WHERE len(ts) >= 2) GROUP BY 1, 2),
+        |mm1 AS (SELECT p.a, p.b, sum(least(x.c, y.c))::BIGINT AS mm
+        |  FROM pairs p JOIN g1 x ON x.doc_id = p.a
+        |  JOIN g1 y ON y.doc_id = p.b AND y.g = x.g GROUP BY 1, 2),
+        |mm2 AS (SELECT p.a, p.b, sum(least(x.c, y.c))::BIGINT AS mm
+        |  FROM pairs p JOIN g2 x ON x.doc_id = p.a
+        |  JOIN g2 y ON y.doc_id = p.b AND y.g = x.g GROUP BY 1, 2),
+        |j AS (SELECT p.a, p.b,
+        |    coalesce(la.l, 0)::BIGINT AS len_a,
+        |    coalesce(lb.l, 0)::BIGINT AS len_b,
+        |    coalesce(mm1.mm, 0)::BIGINT AS m1,
+        |    coalesce(mm2.mm, 0)::BIGINT AS m2
+        |  FROM pairs p
+        |  LEFT JOIN lens la ON la.doc_id = p.a
+        |  LEFT JOIN lens lb ON lb.doc_id = p.b
+        |  LEFT JOIN mm1 ON mm1.a = p.a AND mm1.b = p.b
+        |  LEFT JOIN mm2 ON mm2.a = p.a AND mm2.b = p.b)
+        |SELECT a, b, len_a, len_b, m1, m2,
+        |  CASE WHEN len_b = 0 THEN NULL
+        |    WHEN m1 = 0 OR m2 = 0 OR len_b - 1 <= 0 THEN 0.0
+        |    ELSE round((CASE WHEN len_b >= len_a THEN 1.0::DOUBLE
+        |        ELSE exp(1.0::DOUBLE - len_a::DOUBLE / len_b::DOUBLE)
+        |        END) *
+        |      sqrt((m1::DOUBLE / len_b::DOUBLE) *
+        |        (m2::DOUBLE / (len_b - 1)::DOUBLE)), 6)
+        |  END AS bleu
+        |FROM j ORDER BY a, b""".stripMargin,
+
+    // md5 pairing (x418 idiom); stdlib whitespace tokens; clipped
+    // multiset bigram counts; f1 = 2m/(ca+cb) EXACT (never rounded-P /
+    // rounded-R — the x221 rule)
+    "x424_rouge_baseline" ->
+      """WITH ordered AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5('rgb:' || doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents),
+        |pr AS (SELECT (rn - 1) // 2 AS pair, (rn - 1) % 2 AS side,
+        |    doc_id FROM ordered),
+        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM (SELECT pair, doc_id FROM pr WHERE side = 0) x
+        |  JOIN (SELECT pair, doc_id FROM pr WHERE side = 1) y
+        |    USING (pair)),
+        |toks AS (SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(coalesce(text, ''))), '\s+'),
+        |    t -> length(t) > 0) AS ts
+        |  FROM documents
+        |  WHERE doc_id IN (SELECT a FROM pairs UNION
+        |    SELECT b FROM pairs)),
+        |grams AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> ts[i] || ' ' || ts[i + 1])) AS g
+        |  FROM toks WHERE len(ts) >= 2)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c)::BIGINT AS t FROM grams
+        |  GROUP BY 1),
+        |m AS (SELECT p.a, p.b, sum(least(ga.c, gb.c))::BIGINT AS mm
+        |  FROM pairs p
+        |  JOIN grams ga ON ga.doc_id = p.a
+        |  JOIN grams gb ON gb.doc_id = p.b AND gb.g = ga.g
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, coalesce(m.mm, 0)::BIGINT AS match_n,
+        |  coalesce(ta.t, 0)::BIGINT AS count_a,
+        |  coalesce(tb.t, 0)::BIGINT AS count_b,
+        |  round(coalesce(m.mm, 0)::DOUBLE /
+        |    nullif(coalesce(tb.t, 0)::DOUBLE, 0.0), 6) AS "precision",
+        |  round(coalesce(m.mm, 0)::DOUBLE /
+        |    nullif(coalesce(ta.t, 0)::DOUBLE, 0.0), 6) AS recall,
+        |  round(2.0::DOUBLE * coalesce(m.mm, 0)::DOUBLE /
+        |    nullif((coalesce(ta.t, 0) + coalesce(tb.t, 0))::DOUBLE,
+        |      0.0), 6) AS f1
+        |FROM pairs p
+        |LEFT JOIN tot ta ON ta.doc_id = p.a
+        |LEFT JOIN tot tb ON tb.doc_id = p.b
+        |LEFT JOIN m ON m.a = p.a AND m.b = p.b
+        |ORDER BY p.a, p.b""".stripMargin,
 
     // fk-level collapse + pk probe; NULL fk split from dangling fk;
     // exact longs, two IEEE shares

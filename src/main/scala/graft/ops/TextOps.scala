@@ -1870,4 +1870,168 @@ object TextOps {
       F.round(nD * nD / F.col("__c2").cast("double"), 6).as("hill2")): _*)
       .orderBy(gs: _*)
   }
+
+  /** ROUGE-N for given (a, b) pairs — the eval-metric sibling of
+    * [[graft.ops.Dedup.ngramJaccard]]: CLIPPED MULTISET word-n-gram
+    * overlap (Lin 2004), not set intersection, so repeated grams count
+    * up to their occurrence minimum:
+    * {{{
+    *   match  = Σ_g min(count_a(g), count_b(g))
+    *   recall = match / Σ count_a      (a is the reference side)
+    *   precision = match / Σ count_b   (b is the candidate side)
+    *   f1 = 2PR / (P + R)
+    * }}}
+    * The summarization/translation eval standard, here as a PAIR scorer:
+    * feed it minhash candidates to grade near-dups the way an eval
+    * harness would, or a random pairing ([[graft.ops.Similarity
+    * .randomPairCosine]]'s idiom) to measure the corpus-internal
+    * baseline every ROUGE threshold is implicitly a claim about.
+    *
+    * Determinism: tokenization is the stdlib lower(trim(·)) whitespace
+    * split; every count an exact long; P/R/F one 6-dp IEEE each (NULL
+    * when a side has no grams — doc shorter than n tokens).
+    *
+    * Scale shape: pair-list-bounded like ngramJaccard — only docs named
+    * in `pairs` tokenize (semi-join first); the (pair, gram) join is
+    * keyed, nothing quadratic; gram strings shuffle only for the
+    * candidate set.
+    *
+    * @param pairs (a, b) candidate pairs; a = reference, b = candidate
+    * @return (a, b, match_n, count_a, count_b, precision, recall, f1)
+    *         ordered by (a, b) — 6-dp
+    */
+  /** BLEU for given (a, b) pairs (Papineni et al. 2002, unsmoothed) —
+    * [[rougeN]]'s precision-side sibling: geometric mean of clipped
+    * n-gram precisions (n = 1..maxN) times the brevity penalty:
+    * {{{
+    *   p_n  = Σ_g min(count_a(g), count_b(g)) / (len_b − n + 1)
+    *   BP   = min(1, exp(1 − len_a / len_b))
+    *   bleu = BP · (Π p_n)^(1/maxN)
+    * }}}
+    * (a = reference, b = candidate). Unsmoothed: any p_n = 0 ⇒ bleu 0
+    * (the sacrebleu `smooth_method=none` convention); an empty
+    * candidate ⇒ NULL. The denominator is derived from the candidate
+    * token length (len_b − n + 1), never a second census.
+    *
+    * Determinism: exact integer match/length ingredients; bleu ONE
+    * 6-dp IEEE expression over them (exp/sqrt on both engines — same
+    * discipline as the entropy/log-likelihood oracles).
+    *
+    * Scale shape: identical to [[rougeN]] — pair-list-bounded censuses,
+    * keyed joins, nothing quadratic.
+    *
+    * @return (a, b, len_a, len_b, m1..m_maxN, bleu) ordered by (a, b)
+    */
+  def bleuPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                textCol: String, maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 4, s"maxN must be in [1,4], got $maxN")
+    val p = pairs.select(F.col("a"), F.col("b"))
+      .repartition(F.col("a"), F.col("b"))
+    val ids = p.select(F.col("a").as(idCol))
+      .union(p.select(F.col("b").as(idCol))).distinct()
+    val toks = docs.join(ids, Seq(idCol), "leftsemi")
+      .select(F.col(idCol),
+        F.filter(F.split(F.lower(F.trim(F.coalesce(F.col(textCol),
+          F.lit("")))), "\\s+"), t => F.length(t) > 0).as("__ts"))
+      .localCheckpoint() // maxN gram censuses all read this once
+    val lens = toks.select(F.col(idCol), F.size(F.col("__ts")).cast("long")
+      .as("__len"))
+    var acc = p
+      .join(lens.select(F.col(idCol).as("a"), F.col("__len").as("len_a")),
+        Seq("a"), "left_outer")
+      .join(lens.select(F.col(idCol).as("b"), F.col("__len").as("len_b")),
+        Seq("b"), "left_outer")
+      .withColumn("len_a", F.coalesce(F.col("len_a"), F.lit(0L)))
+      .withColumn("len_b", F.coalesce(F.col("len_b"), F.lit(0L)))
+    (1 to maxN).foreach { n =>
+      val grams = toks
+        .filter(F.size(F.col("__ts")) >= n)
+        .select(F.col(idCol), F.explode(F.transform(
+          F.sequence(F.lit(1), F.size(F.col("__ts")) - (n - 1)),
+          i => F.concat_ws(" ", F.slice(F.col("__ts"), i, F.lit(n)))))
+          .as("__g"))
+        .groupBy(idCol, "__g").agg(F.count(F.lit(1)).as("__c"))
+      val m = p
+        .join(grams.select(F.col(idCol).as("a"), F.col("__g"),
+          F.col("__c").as("__ca")), Seq("a"))
+        .join(grams.select(F.col(idCol).as("b"), F.col("__g"),
+          F.col("__c").as("__cb")), Seq("b", "__g"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.least(F.col("__ca"), F.col("__cb"))).as(s"m$n"))
+      acc = acc.join(m, Seq("a", "b"), "left_outer")
+        .withColumn(s"m$n", F.coalesce(F.col(s"m$n"), F.lit(0L)))
+    }
+    val cN = (1 to maxN).map(n =>
+      F.greatest(F.col("len_b") - (n - 1).toLong, F.lit(0L)))
+    val anyZero = (1 to maxN).map(n =>
+      F.col(s"m$n") === 0L || cN(n - 1) === 0L).reduce(_ || _)
+    val prod = (1 to maxN).map(n =>
+      F.col(s"m$n").cast("double") / cN(n - 1).cast("double"))
+      .reduce(_ * _)
+    val bp = F.when(F.col("len_b") >= F.col("len_a"), F.lit(1.0))
+      .otherwise(F.exp(F.lit(1.0) - F.col("len_a").cast("double") /
+        F.col("len_b").cast("double")))
+    // sqrt for the N=2 root, never pow(x, 0.5): pow is not required to
+    // be correctly rounded and can differ from sqrt (and from DuckDB's
+    // sqrt) at the ulp — the oracle replays sqrt
+    val root = maxN match {
+      case 1 => prod
+      case 2 => F.sqrt(prod)
+      case _ => F.pow(prod, 1.0 / maxN)
+    }
+    val outCols = Seq(F.col("a"), F.col("b"), F.col("len_a"),
+      F.col("len_b")) ++ (1 to maxN).map(n => F.col(s"m$n")) :+
+      F.when(F.col("len_b") === 0L, F.lit(null).cast("double"))
+        .when(anyZero, F.lit(0.0))
+        .otherwise(F.round(bp * root, 6)).as("bleu")
+    acc.select(outCols: _*).orderBy("a", "b")
+  }
+
+  def rougeN(pairs: DataFrame, docs: DataFrame, idCol: String,
+             textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val p = pairs.select(F.col("a"), F.col("b"))
+      .repartition(F.col("a"), F.col("b"))
+    val ids = p.select(F.col("a").as(idCol))
+      .union(p.select(F.col("b").as(idCol))).distinct()
+    val toks = docs.join(ids, Seq(idCol), "leftsemi")
+      .select(F.col(idCol),
+        F.filter(F.split(F.lower(F.trim(F.coalesce(F.col(textCol),
+          F.lit("")))), "\\s+"), t => F.length(t) > 0).as("__ts"))
+    val grams = toks
+      .filter(F.size(F.col("__ts")) >= n)
+      .select(F.col(idCol), F.explode(F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__ts")) - (n - 1)),
+        i => F.concat_ws(" ", F.slice(F.col("__ts"), i, F.lit(n)))))
+        .as("__g"))
+      .groupBy(idCol, "__g").agg(F.count(F.lit(1)).as("__c"))
+    val tot = grams.groupBy(idCol).agg(F.sum("__c").as("__t"))
+    val ga = p.join(grams.select(F.col(idCol).as("a"), F.col("__g"),
+      F.col("__c").as("__ca")), Seq("a"))
+    val gb = p.join(grams.select(F.col(idCol).as("b"), F.col("__g"),
+      F.col("__c").as("__cb")), Seq("b"))
+    val m = ga.join(gb, Seq("a", "b", "__g"))
+      .groupBy("a", "b")
+      .agg(F.sum(F.least(F.col("__ca"), F.col("__cb"))).as("__m"))
+    p
+      .join(tot.select(F.col(idCol).as("a"), F.col("__t").as("count_a")),
+        Seq("a"), "left_outer")
+      .join(tot.select(F.col(idCol).as("b"), F.col("__t").as("count_b")),
+        Seq("b"), "left_outer")
+      .join(m, Seq("a", "b"), "left_outer")
+      .withColumn("count_a", F.coalesce(F.col("count_a"), F.lit(0L)))
+      .withColumn("count_b", F.coalesce(F.col("count_b"), F.lit(0L)))
+      .withColumn("match_n", F.coalesce(F.col("__m"), F.lit(0L)))
+      .withColumn("precision", F.round(F.col("match_n").cast("double") /
+        F.nullif(F.col("count_b").cast("double"), F.lit(0.0)), 6))
+      .withColumn("recall", F.round(F.col("match_n").cast("double") /
+        F.nullif(F.col("count_a").cast("double"), F.lit(0.0)), 6))
+      .withColumn("f1", F.round(
+        F.lit(2.0) * F.col("match_n").cast("double") /
+          F.nullif((F.col("count_a") + F.col("count_b")).cast("double"),
+            F.lit(0.0)), 6))
+      .select("a", "b", "match_n", "count_a", "count_b", "precision",
+        "recall", "f1")
+      .orderBy("a", "b")
+  }
 }

@@ -6186,6 +6186,45 @@ class OpsSpec extends AnyFunSuite {
     assert(s == Seq((0L, 50L, 1.0, 1.0)), s)
   }
 
+  test("rougeN: clipped MULTISET bigram overlap (repeats count to the " +
+      "min), exact P/R/F1; short docs yield null ratios") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "the cat sat the cat"), // bigrams: the-cat x2, cat-sat, sat-the
+      (2L, "the cat sat"),         // bigrams: the-cat, cat-sat
+      (3L, "x"),                   // no bigram
+      (4L, "x y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val got = TextOps.rougeN(pairs, docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    // pair (1,2): match = min(2,1) + min(1,1) = 2 (SET overlap would
+    // say 2 grams but clipped multiset credits the repeat only once);
+    // P = 2/2, R = 2/4, F1 = 2*2/(4+2)
+    assert(got == Seq(
+      (1L, 2L, 2L, 4L, 2L, Some(1.0), Some(0.5), Some(0.666667)),
+      (3L, 4L, 0L, 0L, 1L, Some(0.0), None, Some(0.0))), got)
+  }
+
+  test("bleuPairs: clipped precisions + brevity penalty exact; any " +
+      "zero precision zeroes bleu; empty candidate is NULL") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "entirely different words"),
+      (4L, "")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = TextOps.bleuPairs(pairs, docs, "doc_id", "text", maxN = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    // (1,2): p1 = 3/3, p2 = 2/2, BP = exp(1 - 6/3) = e^-1 = 0.367879
+    assert(got == Seq(
+      (1L, 2L, 6L, 3L, 3L, 2L, Some(0.367879)),
+      (1L, 3L, 6L, 3L, 0L, 0L, Some(0.0)),
+      (1L, 4L, 6L, 0L, 0L, 0L, None)), got)
+  }
+
   test("referentialIntegrity: null fks split from dangling fks; " +
       "childless dims counted; max fanout over matched keys") {
     import graft.ops.Quality
