@@ -3381,6 +3381,29 @@ object SparkEntry {
       TextOps.bleuPairs(pairs, docs, "doc_id", "text", maxN = 2)
     }),
 
+    // Onnela weighted clustering over the co-purchase graph: triangle
+    // intensity (geometric mean of normalized weights) per node — the
+    // strong-tie/weak-tie structure plain lcc discards
+    "x427_weighted_clustering" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Graph.weightedClustering(
+        graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          minCount = 6), "src", "dst", "w")
+    }),
+
+    // chrF2 over x22's near-pair list: whitespace-stripped char 1-3
+    // gram clipped P/R means, beta=2 harmonic — the tokenization-robust
+    // third of the MT-metric triple (x424 ROUGE, x425 BLEU)
+    "x426_chrf_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val ids = docs.select("doc_id")
+      val pairs = ids.select(F.col("doc_id").as("a"),
+          (F.col("doc_id") + 1).as("b"))
+        .filter(F.col("a") % 10 < 3)
+        .join(ids.select(F.col("doc_id").as("b")), Seq("b"), "leftsemi")
+      TextOps.chrfPairs(pairs, docs, "doc_id", "text", maxN = 3)
+    }),
+
     // referential-integrity census of events.user_id -> customer: what
     // an inner join would DROP (orphans), what dimension mass is dead
     // (childless), and the join-explosion bound (max fanout) — the
@@ -11380,6 +11403,124 @@ object SparkEntry {
         |  round(p50, 6) AS p50, round(p90, 6) AS p90,
         |  round(p99, 6) AS p99
         |FROM mom CROSS JOIN qs""".stripMargin,
+
+    // per-center wedge triangles credit each corner once (a triangle
+    // appears once per center); round(cbrt, 9) terms; positive-sum
+    // per-node rollup, 6-dp
+    "x427_weighted_clustering" ->
+      """WITH pairs AS (SELECT l_suppkey AS s, l_orderkey AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |e0 AS (SELECT a.s AS u, b.s AS v, count(*)::BIGINT AS w
+        |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |und AS (SELECT u AS a, v AS b, w FROM e0 WHERE w >= 6),
+        |wm AS (SELECT max(w)::DOUBLE AS m FROM und),
+        |deg AS (SELECT n AS node, count(*)::BIGINT AS deg FROM
+        |  (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY 1),
+        |adj AS (SELECT a AS z, b AS n, w FROM und
+        |  UNION ALL SELECT b AS z, a AS n, w FROM und),
+        |tric AS (SELECT x.z AS node, round(cbrt(
+        |    (x.w::DOUBLE / wm.m) * (y.w::DOUBLE / wm.m) *
+        |    (e.w::DOUBLE / wm.m)), 9) AS t
+        |  FROM adj x
+        |  JOIN adj y ON y.z = x.z AND x.n < y.n
+        |  JOIN und e ON e.a = x.n AND e.b = y.n
+        |  CROSS JOIN wm),
+        |pn AS (SELECT node, count(*)::BIGINT AS n_tri, sum(t) AS s
+        |  FROM tric GROUP BY 1)
+        |SELECT deg.node, deg.deg,
+        |  coalesce(pn.n_tri, 0)::BIGINT AS n_tri,
+        |  round(CASE WHEN deg.deg >= 2 THEN
+        |    2.0::DOUBLE * coalesce(pn.s, 0.0::DOUBLE) /
+        |      (deg.deg * (deg.deg - 1))::DOUBLE
+        |    ELSE 0.0::DOUBLE END, 6) AS cw
+        |FROM deg LEFT JOIN pn ON pn.node = deg.node
+        |ORDER BY deg.node""".stripMargin,
+
+    // x22's pair list; whitespace stripped with the 'g' flag (DuckDB
+    // regexp_replace is first-match by default, Spark's is global);
+    // per-order clipped matches exact; chrP/chrR/chrF one IEEE tree
+    "x426_chrf_pairs" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |pairs AS (SELECT a.doc_id AS a, a.doc_id + 1 AS b FROM ids a
+        |  WHERE a.doc_id % 10 < 3 AND EXISTS (
+        |    SELECT 1 FROM ids x WHERE x.doc_id = a.doc_id + 1)),
+        |ch AS (SELECT doc_id, regexp_replace(lower(trim(coalesce(
+        |    text, ''))), '\s+', '', 'g') AS t
+        |  FROM documents
+        |  WHERE doc_id IN (SELECT a FROM pairs UNION
+        |    SELECT b FROM pairs)),
+        |lens AS (SELECT doc_id, length(t)::BIGINT AS l FROM ch),
+        |c1 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(t) + 1),
+        |    i -> substring(t, i, 1))) AS g
+        |  FROM ch WHERE length(t) >= 1) GROUP BY 1, 2),
+        |c2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(t)),
+        |    i -> substring(t, i, 2))) AS g
+        |  FROM ch WHERE length(t) >= 2) GROUP BY 1, 2),
+        |c3 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(t) - 1),
+        |    i -> substring(t, i, 3))) AS g
+        |  FROM ch WHERE length(t) >= 3) GROUP BY 1, 2),
+        |q1 AS (SELECT p.a, p.b, sum(least(x.c, y.c))::BIGINT AS mm
+        |  FROM pairs p JOIN c1 x ON x.doc_id = p.a
+        |  JOIN c1 y ON y.doc_id = p.b AND y.g = x.g GROUP BY 1, 2),
+        |q2 AS (SELECT p.a, p.b, sum(least(x.c, y.c))::BIGINT AS mm
+        |  FROM pairs p JOIN c2 x ON x.doc_id = p.a
+        |  JOIN c2 y ON y.doc_id = p.b AND y.g = x.g GROUP BY 1, 2),
+        |q3 AS (SELECT p.a, p.b, sum(least(x.c, y.c))::BIGINT AS mm
+        |  FROM pairs p JOIN c3 x ON x.doc_id = p.a
+        |  JOIN c3 y ON y.doc_id = p.b AND y.g = x.g GROUP BY 1, 2),
+        |j AS (SELECT p.a, p.b,
+        |    coalesce(la.l, 0)::BIGINT AS len_a,
+        |    coalesce(lb.l, 0)::BIGINT AS len_b,
+        |    coalesce(q1.mm, 0)::BIGINT AS m1,
+        |    coalesce(q2.mm, 0)::BIGINT AS m2,
+        |    coalesce(q3.mm, 0)::BIGINT AS m3
+        |  FROM pairs p
+        |  LEFT JOIN lens la ON la.doc_id = p.a
+        |  LEFT JOIN lens lb ON lb.doc_id = p.b
+        |  LEFT JOIN q1 ON q1.a = p.a AND q1.b = p.b
+        |  LEFT JOIN q2 ON q2.a = p.a AND q2.b = p.b
+        |  LEFT JOIN q3 ON q3.a = p.a AND q3.b = p.b),
+        |f AS (SELECT a, b, len_a, len_b, m1, m2, m3,
+        |    ((CASE WHEN len_a > 0 AND len_b > 0 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN len_a - 1 > 0 AND len_b - 1 > 0 THEN 1 ELSE 0
+        |       END) +
+        |     (CASE WHEN len_a - 2 > 0 AND len_b - 2 > 0 THEN 1 ELSE 0
+        |       END))::BIGINT AS nv,
+        |    ((CASE WHEN len_a > 0 AND len_b > 0
+        |        THEN m1::DOUBLE / len_b::DOUBLE ELSE 0.0::DOUBLE END) +
+        |     (CASE WHEN len_a - 1 > 0 AND len_b - 1 > 0
+        |        THEN m2::DOUBLE / (len_b - 1)::DOUBLE
+        |        ELSE 0.0::DOUBLE END) +
+        |     (CASE WHEN len_a - 2 > 0 AND len_b - 2 > 0
+        |        THEN m3::DOUBLE / (len_b - 2)::DOUBLE
+        |        ELSE 0.0::DOUBLE END)) AS psum,
+        |    ((CASE WHEN len_a > 0 AND len_b > 0
+        |        THEN m1::DOUBLE / len_a::DOUBLE ELSE 0.0::DOUBLE END) +
+        |     (CASE WHEN len_a - 1 > 0 AND len_b - 1 > 0
+        |        THEN m2::DOUBLE / (len_a - 1)::DOUBLE
+        |        ELSE 0.0::DOUBLE END) +
+        |     (CASE WHEN len_a - 2 > 0 AND len_b - 2 > 0
+        |        THEN m3::DOUBLE / (len_a - 2)::DOUBLE
+        |        ELSE 0.0::DOUBLE END)) AS rsum
+        |  FROM j)
+        |SELECT a, b, len_a, len_b, m1, m2, m3,
+        |  CASE WHEN nv = 0 THEN NULL
+        |    ELSE round(psum / nv::DOUBLE, 6) END AS chr_p,
+        |  CASE WHEN nv = 0 THEN NULL
+        |    ELSE round(rsum / nv::DOUBLE, 6) END AS chr_r,
+        |  CASE WHEN nv = 0 THEN NULL
+        |    WHEN psum + rsum = 0.0 THEN 0.0
+        |    ELSE round(5.0::DOUBLE * (psum / nv::DOUBLE) *
+        |      (rsum / nv::DOUBLE) /
+        |      (4.0::DOUBLE * (psum / nv::DOUBLE) +
+        |        (rsum / nv::DOUBLE)), 6)
+        |  END AS chrf2
+        |FROM f ORDER BY a, b""".stripMargin,
 
     // x22's pair list; clipped unigram/bigram matches as exact longs;
     // bleu ONE 6-dp IEEE expression (c1 = len_b, c2 = len_b - 1 derived

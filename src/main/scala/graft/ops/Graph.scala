@@ -768,6 +768,87 @@ object Graph {
       .orderBy("support")
   }
 
+  /** Onnela weighted clustering coefficient (Onnela et al. 2005) — the
+    * INTENSITY-aware [[localClustering]]: each triangle at node i
+    * contributes the geometric mean of its normalized edge weights
+    * (ŵ = w / max w), so a node whose triangles are built from strong
+    * ties scores higher than one closing the same count of weak ones:
+    * {{{
+    *   C_w(i) = 2 / (k_i (k_i − 1)) · Σ_{tri at i} (ŵ_ij ŵ_ih ŵ_jh)^{1/3}
+    * }}}
+    * (C_w ≤ the unweighted lcc, equality when every edge carries max
+    * weight). The readout that separates "suppliers co-purchased
+    * together constantly" from "three accidental co-occurrences" —
+    * weight structure [[triangleCounts]] and [[localClustering]] both
+    * discard.
+    *
+    * Determinism: weights exact longs, ŵ exact divisions by one global
+    * max; each triangle term round(cbrt(·), 9) (cbrt on both engines);
+    * per-node sums of positive 9-dp terms, 6-dp result.
+    *
+    * Scale shape: the [[orientedTriangles]] discipline with weights
+    * threaded through — wedges only at the low-degree corner
+    * (m^1.5-bounded, hubs generate zero wedges), each triangle
+    * enumerated ONCE and exploded to its 3 corners; degree census +
+    * one keyed rollup. The 1-row max-weight rides a broadcast.
+    *
+    * @return per node (node, deg, n_tri, cw) ordered by node — cw 6-dp,
+    *         0 for deg < 2 (the networkx convention)
+    */
+  def weightedClustering(edges: DataFrame, srcCol: String, dstCol: String,
+                         wCol: String): DataFrame = {
+    val und = edges.select(
+        F.least(F.col(srcCol), F.col(dstCol)).as("a"),
+        F.greatest(F.col(srcCol), F.col(dstCol)).as("b"),
+        F.col(wCol).cast("long").as("__w"))
+      .filter(F.col("a") =!= F.col("b"))
+      .groupBy("a", "b").agg(F.max("__w").as("__w"))
+      .localCheckpoint()
+    val wmax = und.agg(F.max("__w").as("__wm"))
+    val deg = und.select(F.col("a").as("node"))
+      .unionAll(und.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
+    // (deg, id)-oriented edges carrying the normalized weight
+    val withDeg = und
+      .join(deg.select(F.col("node").as("a"), F.col("deg").as("__da")), "a")
+      .join(deg.select(F.col("node").as("b"), F.col("deg").as("__db")), "b")
+      .crossJoin(F.broadcast(wmax))
+    val fwd = F.col("__da") < F.col("__db") ||
+      (F.col("__da") === F.col("__db") && F.col("a") < F.col("b"))
+    val oriented = withDeg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).as("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).as("hi"),
+        (F.col("__w").cast("double") / F.col("__wm").cast("double"))
+          .as("__wn"))
+      .localCheckpoint()
+    val wedges = oriented.select(F.col("lo").as("u"), F.col("hi").as("v"),
+        F.col("__wn").as("__w1"))
+      .join(oriented.select(F.col("lo").as("u"), F.col("hi").as("w"),
+        F.col("__wn").as("__w2")), "u")
+      .filter(F.col("v") < F.col("w"))
+    val tris = wedges
+      .join(oriented.select(F.col("lo").as("v"), F.col("hi").as("w"),
+          F.col("__wn").as("__w3"))
+          .unionAll(oriented.select(F.col("hi").as("v"), F.col("lo").as("w"),
+            F.col("__wn").as("__w3"))),
+        Seq("v", "w"))
+      .withColumn("__t", F.round(F.cbrt(
+        F.col("__w1") * F.col("__w2") * F.col("__w3")), 9))
+    val perNode = tris.select(F.col("u").as("node"), F.col("__t"))
+      .unionAll(tris.select(F.col("v").as("node"), F.col("__t")))
+      .unionAll(tris.select(F.col("w").as("node"), F.col("__t")))
+      .groupBy("node")
+      .agg(F.count(F.lit(1)).as("n_tri"), F.sum("__t").as("__s"))
+    deg.join(perNode, Seq("node"), "left_outer")
+      .withColumn("n_tri", F.coalesce(F.col("n_tri"), F.lit(0L)))
+      .withColumn("cw", F.round(F.when(F.col("deg") >= 2L,
+        F.lit(2.0) * F.coalesce(F.col("__s"), F.lit(0.0)) /
+          (F.col("deg") * (F.col("deg") - 1L)).cast("double"))
+        .otherwise(0.0), 6))
+      .select("node", "deg", "n_tri", "cw")
+      .orderBy("node")
+  }
+
   /** k-truss subgraph (Cohen 2008) — the EDGE-level sibling of
     * [[kCore]]: iteratively drop every edge whose support (triangles
     * containing it, recomputed on the surviving subgraph) is below

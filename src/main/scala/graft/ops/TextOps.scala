@@ -1987,6 +1987,96 @@ object TextOps {
     acc.select(outCols: _*).orderBy("a", "b")
   }
 
+  /** chrF for given (a, b) pairs (Popović 2015) — the character-level
+    * third of the MT-metric triple ([[bleuPairs]], [[rougeN]]):
+    * whitespace-stripped char n-grams for n = 1..maxN, clipped multiset
+    * matches, per-order P_n / R_n, arithmetic means over the orders
+    * valid on BOTH sides (effective-order convention: an order longer
+    * than either side's char count is skipped; no valid order ⇒ NULL),
+    * then the β = 2 recall-weighted harmonic mean:
+    * {{{
+    *   chrF2 = 5·chrP·chrR / (4·chrP + chrR)    (0 when chrP+chrR = 0)
+    * }}}
+    * Char grams make the metric robust to tokenization and morphology —
+    * the reason sacrebleu ships it beside BLEU. (sacrebleu defaults to
+    * order 6; `maxN` is configurable, default 3 — the oracle replays
+    * one census per order.)
+    *
+    * Determinism: normalization is lower(trim(·)) with ALL whitespace
+    * removed; every match/length an exact long; chrP/chrR/chrF one
+    * 6-dp IEEE expression over them.
+    *
+    * Scale shape: [[rougeN]]'s pair-list-bounded contract — maxN
+    * censuses over only the paired docs, keyed joins, nothing
+    * quadratic.
+    *
+    * @return (a, b, len_a, len_b, m1..m_maxN, chr_p, chr_r, chrf2)
+    *         ordered by (a, b) — 6-dp
+    */
+  def chrfPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                textCol: String, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"maxN must be in [1,6], got $maxN")
+    val p = pairs.select(F.col("a"), F.col("b"))
+      .repartition(F.col("a"), F.col("b"))
+    val ids = p.select(F.col("a").as(idCol))
+      .union(p.select(F.col("b").as(idCol))).distinct()
+    val chars = docs.join(ids, Seq(idCol), "leftsemi")
+      .select(F.col(idCol),
+        F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(textCol),
+          F.lit("")))), "\\s+", "").as("__t"))
+      .localCheckpoint() // maxN censuses all read this once
+    val lens = chars.select(F.col(idCol),
+      F.length(F.col("__t")).cast("long").as("__len"))
+    var acc = p
+      .join(lens.select(F.col(idCol).as("a"), F.col("__len").as("len_a")),
+        Seq("a"), "left_outer")
+      .join(lens.select(F.col(idCol).as("b"), F.col("__len").as("len_b")),
+        Seq("b"), "left_outer")
+      .withColumn("len_a", F.coalesce(F.col("len_a"), F.lit(0L)))
+      .withColumn("len_b", F.coalesce(F.col("len_b"), F.lit(0L)))
+    (1 to maxN).foreach { n =>
+      val grams = chars
+        .filter(F.length(F.col("__t")) >= n)
+        .select(F.col(idCol), F.explode(F.transform(
+          F.sequence(F.lit(1), F.length(F.col("__t")) - (n - 1)),
+          i => F.col("__t").substr(i, F.lit(n)))).as("__g"))
+        .groupBy(idCol, "__g").agg(F.count(F.lit(1)).as("__c"))
+      val m = p
+        .join(grams.select(F.col(idCol).as("a"), F.col("__g"),
+          F.col("__c").as("__ca")), Seq("a"))
+        .join(grams.select(F.col(idCol).as("b"), F.col("__g"),
+          F.col("__c").as("__cb")), Seq("b", "__g"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.least(F.col("__ca"), F.col("__cb"))).as(s"m$n"))
+      acc = acc.join(m, Seq("a", "b"), "left_outer")
+        .withColumn(s"m$n", F.coalesce(F.col(s"m$n"), F.lit(0L)))
+    }
+    def denA(n: Int) = F.col("len_a") - (n - 1).toLong
+    def denB(n: Int) = F.col("len_b") - (n - 1).toLong
+    def valid(n: Int) = (denA(n) > 0L) && (denB(n) > 0L)
+    val nValid = (1 to maxN).map(n =>
+      F.when(valid(n), 1L).otherwise(0L)).reduce(_ + _)
+    val pSum = (1 to maxN).map(n => F.when(valid(n),
+      F.col(s"m$n").cast("double") / denB(n).cast("double"))
+      .otherwise(0.0)).reduce(_ + _)
+    val rSum = (1 to maxN).map(n => F.when(valid(n),
+      F.col(s"m$n").cast("double") / denA(n).cast("double"))
+      .otherwise(0.0)).reduce(_ + _)
+    val chrP = pSum / nValid.cast("double")
+    val chrR = rSum / nValid.cast("double")
+    val outCols = Seq(F.col("a"), F.col("b"), F.col("len_a"),
+      F.col("len_b")) ++ (1 to maxN).map(n => F.col(s"m$n")) ++ Seq(
+      F.when(nValid === 0L, F.lit(null).cast("double"))
+        .otherwise(F.round(chrP, 6)).as("chr_p"),
+      F.when(nValid === 0L, F.lit(null).cast("double"))
+        .otherwise(F.round(chrR, 6)).as("chr_r"),
+      F.when(nValid === 0L, F.lit(null).cast("double"))
+        .when(pSum + rSum === 0.0, F.lit(0.0))
+        .otherwise(F.round(F.lit(5.0) * chrP * chrR /
+          (F.lit(4.0) * chrP + chrR), 6)).as("chrf2"))
+    acc.select(outCols: _*).orderBy("a", "b")
+  }
+
   def rougeN(pairs: DataFrame, docs: DataFrame, idCol: String,
              textCol: String, n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")

@@ -6225,6 +6225,34 @@ class OpsSpec extends AnyFunSuite {
       (1L, 4L, 6L, 0L, 0L, 0L, None)), got)
   }
 
+  test("weightedClustering: exact cbrt triangle intensity (0.25^3 " +
+      "grid), per-corner credit, pendant zero") {
+    import graft.ops.Graph
+    val edges = Seq((1L, 2L, 4L), (1L, 3L, 2L), (2L, 3L, 1L),
+      (3L, 4L, 8L)).toDF("src", "dst", "w")
+    val got = Graph.weightedClustering(edges, "src", "dst", "w")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // wmax 8 -> normalized (0.5, 0.25, 0.125); cbrt(product) = 0.25
+    // exactly; cw = 2*0.25/(k(k-1))
+    assert(got == Seq((1L, 2L, 1L, 0.25), (2L, 2L, 1L, 0.25),
+      (3L, 3L, 1L, 0.083333), (4L, 1L, 0L, 0.0)), got)
+  }
+
+  test("chrfPairs: whitespace-stripped char grams, effective-order " +
+      "average, beta=2 harmonic — hand 35/55") {
+    import graft.ops.TextOps
+    val docs = Seq((1L, "a b c"), (2L, "ab ")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val got = TextOps.chrfPairs(pairs, docs, "doc_id", "text", maxN = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double])].head()
+    // stripped: "abc" vs "ab"; m1 = 2, m2 = 1 (ab), order 3 invalid on
+    // the candidate side -> nv = 2; P = (2/2 + 1/1)/2 = 1,
+    // R = (2/3 + 1/2)/2 = 7/12; chrF2 = 5*1*(7/12)/(4 + 7/12) = 35/55
+    assert(got == ((1L, 2L, 3L, 2L, 2L, 1L, 0L, Some(1.0),
+      Some(0.583333), Some(0.636364))), got)
+  }
+
   test("referentialIntegrity: null fks split from dangling fks; " +
       "childless dims counted; max fanout over matched keys") {
     import graft.ops.Quality
