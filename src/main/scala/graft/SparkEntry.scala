@@ -3381,6 +3381,23 @@ object SparkEntry {
       TextOps.bleuPairs(pairs, docs, "doc_id", "text", maxN = 2)
     }),
 
+    // weighted reciprocity of the behavior-transition digraph (x306's
+    // census as directed weighted edges): does flow bounce back
+    // (browse<->search) or funnel one-way — min(w_uv, w_vu) mass share
+    "x428_reciprocity" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(graft.ops.EventOps.tsUs(ev).asc, F.col("event_id").asc)
+      val cells = ev
+        .withColumn("prev_type", F.lag(F.col("event_type"), 1)
+          .over(byUser))
+        .filter(F.col("prev_type").isNotNull)
+        .groupBy(F.col("prev_type"), F.col("event_type").as("next_type"))
+        .agg(F.count(F.lit(1)).as("w"))
+      graft.ops.Graph.weightedReciprocity(cells, "prev_type",
+        "next_type", "w")
+    }),
+
     // Onnela weighted clustering over the co-purchase graph: triangle
     // intensity (geometric mean of normalized weights) per node — the
     // strong-tie/weak-tie structure plain lcc discards
@@ -11403,6 +11420,31 @@ object SparkEntry {
         |  round(p50, 6) AS p50, round(p90, 6) AS p90,
         |  round(p99, 6) AS p99
         |FROM mom CROSS JOIN qs""".stripMargin,
+
+    // x306's transition census as directed weighted edges; reversed-key
+    // self-join; exact longs, two IEEE shares
+    "x428_reciprocity" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_us(ts) AS tu, event_id AS eid FROM events),
+        |l AS (SELECT et AS next_type,
+        |    lag(et) OVER (PARTITION BY u ORDER BY tu, eid) AS prev_type
+        |  FROM e),
+        |cells AS (SELECT prev_type AS s, next_type AS d,
+        |    count(*)::BIGINT AS w
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |de AS (SELECT s, d, w FROM cells WHERE s <> d),
+        |j AS (SELECT a.s, a.d, a.w, coalesce(b.w, 0)::BIGINT AS wr
+        |  FROM de a LEFT JOIN de b ON b.s = a.d AND b.d = a.s)
+        |SELECT count(*)::BIGINT AS n_edges,
+        |  coalesce(sum(CASE WHEN wr > 0 THEN 1 END), 0)::BIGINT
+        |    AS n_recip_edges,
+        |  sum(w)::BIGINT AS w_total,
+        |  sum(least(w, wr))::BIGINT AS w_recip,
+        |  round(sum(least(w, wr))::DOUBLE /
+        |    nullif(sum(w)::DOUBLE, 0.0), 6) AS reciprocity,
+        |  round(coalesce(sum(CASE WHEN wr > 0 THEN 1 END), 0)::DOUBLE /
+        |    nullif(count(*)::DOUBLE, 0.0), 6) AS edge_reciprocity
+        |FROM j""".stripMargin,
 
     // per-center wedge triangles credit each corner once (a triangle
     // appears once per center); round(cbrt, 9) terms; positive-sum

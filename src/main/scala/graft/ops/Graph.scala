@@ -849,6 +849,53 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Weighted reciprocity of a DIRECTED weighted graph (Squartini et
+    * al. 2013) — how much of the flow comes back:
+    * {{{
+    *   reciprocity      = Σ_uv min(w_uv, w_vu) / Σ_uv w_uv
+    *   edge_reciprocity = |{(u,v): w_vu > 0}| / m     (unweighted share)
+    * }}}
+    * 1 means perfectly symmetric flow, 0 strictly one-way. The directed
+    * readout the undirected triangle family cannot express: on a
+    * behavior-transition graph it says whether users bounce back
+    * (browse⇄search) or funnel forward (browse→buy, never back).
+    *
+    * Self-loops drop; parallel edges pre-sum into one weight per
+    * ordered pair. Every ingredient an exact long; the two shares one
+    * 6-dp IEEE division each.
+    *
+    * Scale shape: one ordered-pair collapse (map-side combined), one
+    * self-join on the REVERSED key — both keyed shuffles of
+    * (pair, long); a one-row answer.
+    *
+    * @return one row (n_edges, n_recip_edges, w_total, w_recip,
+    *         reciprocity, edge_reciprocity)
+    */
+  def weightedReciprocity(edges: DataFrame, srcCol: String,
+                          dstCol: String, wCol: String): DataFrame = {
+    val e = edges.select(F.col(srcCol).as("__u"), F.col(dstCol).as("__v"),
+        F.col(wCol).cast("long").as("__w"))
+      .filter(F.col("__u") =!= F.col("__v"))
+      .groupBy("__u", "__v").agg(F.sum("__w").as("__w"))
+    val rev = e.select(F.col("__v").as("__u"), F.col("__u").as("__v"),
+      F.col("__w").as("__wr"))
+    e.join(rev, Seq("__u", "__v"), "left_outer")
+      .withColumn("__wr", F.coalesce(F.col("__wr"), F.lit(0L)))
+      .agg(F.count(F.lit(1)).as("n_edges"),
+        F.coalesce(F.sum(F.when(F.col("__wr") > 0L, 1L)), F.lit(0L))
+          .as("n_recip_edges"),
+        F.sum("__w").as("w_total"),
+        F.sum(F.least(F.col("__w"), F.col("__wr"))).as("w_recip"))
+      .select(F.col("n_edges"), F.col("n_recip_edges"),
+        F.col("w_total"), F.col("w_recip"),
+        F.round(F.col("w_recip").cast("double") /
+          F.nullif(F.col("w_total").cast("double"), F.lit(0.0)), 6)
+          .as("reciprocity"),
+        F.round(F.col("n_recip_edges").cast("double") /
+          F.nullif(F.col("n_edges").cast("double"), F.lit(0.0)), 6)
+          .as("edge_reciprocity"))
+  }
+
   /** k-truss subgraph (Cohen 2008) — the EDGE-level sibling of
     * [[kCore]]: iteratively drop every edge whose support (triangles
     * containing it, recomputed on the surviving subgraph) is below

@@ -6225,6 +6225,17 @@ class OpsSpec extends AnyFunSuite {
       (1L, 4L, 6L, 0L, 0L, 0L, None)), got)
   }
 
+  test("weightedReciprocity: min-flow mass share; parallel edges " +
+      "pre-sum, self-loops drop") {
+    import graft.ops.Graph
+    val edges = Seq(("a", "b", 3L), ("a", "b", 1L), ("b", "a", 1L),
+      ("a", "c", 2L), ("c", "c", 5L)).toDF("s", "d", "w")
+    val got = Graph.weightedReciprocity(edges, "s", "d", "w")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    // a->b 4 / b->a 1 / a->c 2: w_recip = 1+1+0 = 2 of 7; 2 of 3 edges
+    assert(got == ((3L, 2L, 7L, 2L, 0.285714, 0.666667)), got)
+  }
+
   test("weightedClustering: exact cbrt triangle intensity (0.25^3 " +
       "grid), per-corner credit, pendant zero") {
     import graft.ops.Graph
