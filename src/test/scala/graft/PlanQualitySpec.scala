@@ -1315,6 +1315,44 @@ class PlanQualitySpec extends AnyFunSuite {
       s"interpreted HOF kernel must not reappear:\n$p")
   }
 
+  test("mediaDedupCensus: shuffles carry the digest, never the media " +
+      "bytes; the per-digest collapse partial-aggregates map-side") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = docs.select(F.lit("image").as("kind"),
+      F.encode(F.col("text"), "UTF-8").as("media"))
+    val df = graft.ops.Multimodal.mediaDedupCensus(media, "kind", "media")
+    val p = plan(df)
+    // every Exchange row must be digest-shaped: the media binary column
+    // reduces to (kind, md5, length) inside the scan task before any
+    // shuffle — at 100 TB this is the difference between moving ~48 B
+    // and moving the corpus
+    assert(!p.contains("Exchange hashpartitioning(kind#") ||
+      !p.matches("(?s).*Exchange[^\\n]*media.*"),
+      s"media bytes must not ride a shuffle:\n$p")
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(p).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("media")),
+      s"media column in an exchange row:\n$exchanges")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"expected map-side partial aggregation in:\n$p")
+  }
+
+  test("rougeN and chrfPairs only tokenize docs named in the pair " +
+      "list (semi-join bounds the censuses)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = docs.select(F.col("doc_id").as("a"),
+      (F.col("doc_id") + 1).as("b")).limit(20)
+    val pr = plan(graft.ops.TextOps.rougeN(pairs, docs, "doc_id",
+      "text", n = 2))
+    assert(pr.contains("LeftSemi"),
+      s"expected the pair-id semi-join bounding the census in:\n$pr")
+    val pc = plan(graft.ops.TextOps.chrfPairs(pairs, docs, "doc_id",
+      "text", maxN = 2))
+    // the char table is localCheckpoint'd once and feeds every
+    // per-order census — the corpus text is not re-scanned per order
+    assert(pc.contains("ExistingRDD") || pc.contains("Scan ExistingRDD"),
+      s"expected the checkpointed char table at the leaves:\n$pc")
+  }
+
   test("edgeSupportCensus: wedges form on the oriented edge list, " +
       "never on an unoriented adjacency self-join") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
