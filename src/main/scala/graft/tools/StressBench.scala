@@ -321,6 +321,56 @@ object StressBench {
         // linear by construction, never a pair join
         "x418_random_pair_cos" -> (() => Similarity.randomPairCosine(
           emb, "vec_id", "embedding")),
+        // ROUGE-2 over md5-random disjoint pairs of the replicated
+        // corpus: pair count and gram censuses both grow K× (each doc
+        // in exactly one pair) — keyed joins, wall ~linear
+        "x424_rouge" -> (() => {
+          val ordered = docs.select(F.col("doc_id"))
+            .withColumn("__h", F.md5(F.concat(F.lit("rgb:"),
+              F.col("doc_id").cast("string"))))
+            .withColumn("__rn", F.row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(
+                F.col("__h"), F.col("doc_id"))))
+            .withColumn("__pair",
+              F.call_function("div", F.col("__rn") - 1L, F.lit(2L)))
+            .withColumn("__side", (F.col("__rn") - 1L) % 2L)
+          val pairs = ordered.filter(F.col("__side") === 0L)
+            .select(F.col("__pair"), F.col("doc_id").as("a"))
+            .join(ordered.filter(F.col("__side") === 1L)
+              .select(F.col("__pair"), F.col("doc_id").as("b")), "__pair")
+            .select("a", "b")
+          graft.ops.TextOps.rougeN(pairs, docs, "doc_id", "text", n = 2)
+        }),
+        // chrF2 over K× consecutive near-pairs: char gram censuses grow
+        // with the paired-doc set only (semi-join bound) — ~linear
+        "x426_chrf" -> (() => {
+          val ids = docs.select("doc_id")
+          val pairs = ids.select(F.col("doc_id").as("a"),
+              (F.col("doc_id") + 1).as("b"))
+            .filter(F.col("a") % 10 < 3)
+            .join(ids.select(F.col("doc_id").as("b")), Seq("b"),
+              "leftsemi")
+          graft.ops.TextOps.chrfPairs(pairs, docs, "doc_id", "text",
+            maxN = 3)
+        }),
+        // Onnela weighted clustering on K disjoint graph copies + the
+        // planted hub: the x415/x104 oriented-wedge ladder with weights
+        // threaded through — the hub generates zero wedges, ~linear
+        "x427_weighted_clust" -> (() => {
+          val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select("l_orderkey", "l_suppkey")
+          val li = (0 until k).map(i => li0.select(
+              (F.col("l_orderkey") + F.lit(i * KeyStride)).as("l_orderkey"),
+              (F.col("l_suppkey") + F.lit(i * KeyStride)).as("l_suppkey")))
+            .reduce(_ union _)
+          val edges = graft.ops.Graph.cooccurrenceEdges(li,
+            "l_orderkey", "l_suppkey", minCount = 6)
+          val hub = spark.range(1, 2001).select(
+            F.lit(-1L).as("src"), (F.col("id") + 900000000L).as("dst"),
+            F.lit(7L).as("w"))
+          graft.ops.Graph.weightedClustering(edges.unionByName(hub),
+            "src", "dst", "w")
+        }),
         // k-truss on K disjoint graph copies + the same planted hub as
         // x415: each peel round is one oriented-triangle pass on a
         // SHRINKING edge set (the hub's star edges close no triangles
