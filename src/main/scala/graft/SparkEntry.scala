@@ -3381,6 +3381,12 @@ object SparkEntry {
       TextOps.bleuPairs(pairs, docs, "doc_id", "text", maxN = 2)
     }),
 
+    // JSON key profile of events.props: what schema the side-car JSON
+    // actually has — per-key presence, distinct values, string min/max
+    "x429_json_profile" -> ((s, dir) =>
+      graft.ops.Quality.jsonKeyProfile(
+        s.read.parquet(s"$dir/events.parquet"), "props")),
+
     // weighted reciprocity of the behavior-transition digraph (x306's
     // census as directed weighted edges): does flow bounce back
     // (browse<->search) or funnel one-way — min(w_uv, w_vu) mass share
@@ -11420,6 +11426,21 @@ object SparkEntry {
         |  round(p50, 6) AS p50, round(p90, 6) AS p90,
         |  round(p99, 6) AS p99
         |FROM mom CROSS JOIN qs""".stripMargin,
+
+    // json_keys explode + json_extract_string (the token-text rendering
+    // both engines share); exact longs, one IEEE share
+    "x429_json_profile" ->
+      """WITH tot AS (SELECT count(*)::BIGINT AS n FROM events),
+        |kv AS (SELECT k, json_extract_string(props, '$.' || k) AS v
+        |  FROM (SELECT props, unnest(json_keys(props)) AS k
+        |    FROM events))
+        |SELECT k AS key, count(*)::BIGINT AS n_present,
+        |  round(count(*)::DOUBLE / nullif(n::DOUBLE, 0.0), 6)
+        |    AS present_share,
+        |  count(DISTINCT v)::BIGINT AS n_distinct,
+        |  min(v) AS min_value, max(v) AS max_value
+        |FROM kv CROSS JOIN tot
+        |GROUP BY k, n ORDER BY key""".stripMargin,
 
     // x306's transition census as directed weighted edges; reversed-key
     // self-join; exact longs, two IEEE shares

@@ -145,6 +145,51 @@ object Quality {
       .orderBy("column")
   }
 
+  /** Semi-structured JSON key profile — the [[columnProfile]] of a JSON
+    * string column (the side-car metadata every crawled corpus
+    * carries): per top-level key, how often it appears, its distinct
+    * value count, and the lexicographic min/max of its STRING rendering
+    * (JSON scalars render as their token text: `{"k": 69}` → "69" —
+    * identical on both engines):
+    * {{{ present_share = n_present / n_rows }}}
+    * The "what schema does this JSON actually have" first look before
+    * anyone writes an extraction path. Rows whose value is not a JSON
+    * object contribute no keys; nested objects profile at the TOP level
+    * (the value of a nested key is its JSON text). Keys are assumed not
+    * to contain JSONPath metacharacters (`$ . [ ] ' "`), documented.
+    *
+    * Determinism: exact longs; one 6-dp IEEE share; string min/max
+    * (lexicographic on BOTH engines — numeric keys wanting numeric
+    * order belong in [[columnProfile]] after extraction).
+    *
+    * Scale shape: one explode of the per-row key list + a key-level
+    * collapse (map-side combined); the 1-row total rides a broadcast.
+    *
+    * @return per key (key, n_present, present_share, n_distinct,
+    *         min_value, max_value) ordered by key
+    */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    val tot = df.agg(F.count(F.lit(1)).as("__n"))
+    val kv = df
+      .select(F.col(jsonCol).as("__j"),
+        F.explode(F.json_object_keys(F.col(jsonCol))).as("__k"))
+      // non-literal JSONPath: GetJsonObject accepts an expression path
+      // (no codegen path cache — profiling cost, not a hot loop)
+      .withColumn("__v",
+        F.expr("get_json_object(__j, concat('$.', __k))"))
+    kv.groupBy(F.col("__k").as("key"))
+      .agg(F.count(F.lit(1)).as("n_present"),
+        F.countDistinct("__v").as("n_distinct"),
+        F.min("__v").as("min_value"), F.max("__v").as("max_value"))
+      .crossJoin(F.broadcast(tot))
+      .select(F.col("key"), F.col("n_present"),
+        F.round(F.col("n_present").cast("double") /
+          F.nullif(F.col("__n").cast("double"), F.lit(0.0)), 6)
+          .as("present_share"),
+        F.col("n_distinct"), F.col("min_value"), F.col("max_value"))
+      .orderBy("key")
+  }
+
   def keyUniqueness(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyUniqueness needs at least one key column")
     val per = df.groupBy(keyCols.map(F.col): _*)

@@ -6225,6 +6225,18 @@ class OpsSpec extends AnyFunSuite {
       (1L, 4L, 6L, 0L, 0L, 0L, None)), got)
   }
 
+  test("jsonKeyProfile: per-key presence/distinct census; scalars " +
+      "render as token text; non-objects contribute no keys") {
+    import graft.ops.Quality
+    val df = Seq("""{"k": 69, "tag": "a"}""", """{"k": 7}""",
+      """not json""").toDF("props")
+    val got = Quality.jsonKeyProfile(df, "props")
+      .as[(String, Long, Double, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("k", 2L, 0.666667, 2L, "69", "7"), // lexicographic strings
+      ("tag", 1L, 0.333333, 1L, "a", "a")), got)
+  }
+
   test("weightedReciprocity: min-flow mass share; parallel edges " +
       "pre-sum, self-loops drop") {
     import graft.ops.Graph
