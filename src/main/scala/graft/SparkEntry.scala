@@ -11428,12 +11428,14 @@ object SparkEntry {
         |FROM mom CROSS JOIN qs""".stripMargin,
 
     // json_keys explode + json_extract_string (the token-text rendering
-    // both engines share); exact longs, one IEEE share
+    // both engines share); json_valid mirrors Spark's skip-malformed
+    // semantics (DuckDB json_keys would RAISE where Spark's
+    // json_object_keys yields NULL); exact longs, one IEEE share
     "x429_json_profile" ->
       """WITH tot AS (SELECT count(*)::BIGINT AS n FROM events),
         |kv AS (SELECT k, json_extract_string(props, '$.' || k) AS v
         |  FROM (SELECT props, unnest(json_keys(props)) AS k
-        |    FROM events))
+        |    FROM events WHERE json_valid(props)))
         |SELECT k AS key, count(*)::BIGINT AS n_present,
         |  round(count(*)::DOUBLE / nullif(n::DOUBLE, 0.0), 6)
         |    AS present_share,
@@ -11467,9 +11469,11 @@ object SparkEntry {
         |    nullif(count(*)::DOUBLE, 0.0), 6) AS edge_reciprocity
         |FROM j""".stripMargin,
 
-    // per-center wedge triangles credit each corner once (a triangle
-    // appears once per center); round(cbrt, 9) terms; positive-sum
-    // per-node rollup, 6-dp
+    // triangles enumerated ONCE in the Spark plan's oriented (u,v,w)
+    // order — the identical round(cbrt((wn_uv*wn_uw)*wn_vw), 9) term
+    // explodes to all three corners (advisor r14: per-center re-derived
+    // terms associate the IEEE multiplies differently for two of three
+    // corners); positive-sum per-node rollup, 6-dp
     "x427_weighted_clustering" ->
       """WITH pairs AS (SELECT l_suppkey AS s, l_orderkey AS o
         |  FROM lineitem GROUP BY 1, 2),
@@ -11481,15 +11485,24 @@ object SparkEntry {
         |deg AS (SELECT n AS node, count(*)::BIGINT AS deg FROM
         |  (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
         |  GROUP BY 1),
-        |adj AS (SELECT a AS z, b AS n, w FROM und
-        |  UNION ALL SELECT b AS z, a AS n, w FROM und),
-        |tric AS (SELECT x.z AS node, round(cbrt(
-        |    (x.w::DOUBLE / wm.m) * (y.w::DOUBLE / wm.m) *
-        |    (e.w::DOUBLE / wm.m)), 9) AS t
-        |  FROM adj x
-        |  JOIN adj y ON y.z = x.z AND x.n < y.n
-        |  JOIN und e ON e.a = x.n AND e.b = y.n
-        |  CROSS JOIN wm),
+        |o AS (SELECT CASE WHEN da.deg < db.deg OR
+        |      (da.deg = db.deg AND und.a < und.b)
+        |      THEN und.a ELSE und.b END AS lo,
+        |    CASE WHEN da.deg < db.deg OR
+        |      (da.deg = db.deg AND und.a < und.b)
+        |      THEN und.b ELSE und.a END AS hi,
+        |    und.w::DOUBLE / wm.m AS wn
+        |  FROM und JOIN deg da ON da.node = und.a
+        |  JOIN deg db ON db.node = und.b CROSS JOIN wm),
+        |clos AS (SELECT lo AS v, hi AS w, wn FROM o
+        |  UNION ALL SELECT hi AS v, lo AS w, wn FROM o),
+        |tri AS (SELECT x.lo AS u, x.hi AS v, y.hi AS w,
+        |    round(cbrt(x.wn * y.wn * c.wn), 9) AS t
+        |  FROM o x JOIN o y ON y.lo = x.lo AND x.hi < y.hi
+        |  JOIN clos c ON c.v = x.hi AND c.w = y.hi),
+        |tric AS (SELECT u AS node, t FROM tri
+        |  UNION ALL SELECT v AS node, t FROM tri
+        |  UNION ALL SELECT w AS node, t FROM tri),
         |pn AS (SELECT node, count(*)::BIGINT AS n_tri, sum(t) AS s
         |  FROM tric GROUP BY 1)
         |SELECT deg.node, deg.deg,
@@ -11853,8 +11866,8 @@ object SparkEntry {
         |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
         |  GROUP BY 1, 2),
         |und AS (SELECT u AS a, v AS b FROM e0 WHERE w >= 6),
-        |cm AS (SELECT DISTINCT s_suppkey AS n,
-        |    s_nationkey::VARCHAR AS c FROM supplier),
+        |cm AS (SELECT s_suppkey AS n, min(s_nationkey::VARCHAR) AS c
+        |  FROM supplier GROUP BY 1),
         |j AS (SELECT und.a, und.b, coalesce(ca.c, '__none') AS ca,
         |    coalesce(cb.c, '__none') AS cb
         |  FROM und LEFT JOIN cm ca ON ca.n = und.a

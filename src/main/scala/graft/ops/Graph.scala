@@ -899,18 +899,26 @@ object Graph {
   /** k-truss subgraph (Cohen 2008) — the EDGE-level sibling of
     * [[kCore]]: iteratively drop every edge whose support (triangles
     * containing it, recomputed on the surviving subgraph) is below
-    * k−2. What remains is the subgraph where every edge is embedded in
-    * at least k−2 triangles — the standard "keep only
-    * community-certified ties" filter that survives the hub-spam and
-    * accidental co-occurrences a degree cut ([[kCore]]) lets through:
-    * a k-core keeps a star hub, a k-truss (k ≥ 3) never does, because
-    * star edges close no triangles.
+    * k−2 — the standard "keep only community-certified ties" filter
+    * that survives the hub-spam and accidental co-occurrences a degree
+    * cut ([[kCore]]) lets through: a k-core keeps a star hub, a
+    * k-truss (k ≥ 3) never does, because star edges close no
+    * triangles.
     *
     * The ROUND COUNT IS PINNED (`rounds`), not run-to-fixpoint: both
     * engines execute exactly `rounds` peels, so results are
     * well-defined (and oracle-replayable) even when more peeling would
-    * still shrink the graph. Peeling is monotone — a converged graph
-    * is a fixpoint and extra rounds are no-ops.
+    * still shrink the graph. AFTER `rounds` peels the result is a
+    * SUPERSET of the true k-truss — "every surviving edge sits in
+    * ≥ k−2 triangles" is the FIXPOINT property and only holds once a
+    * peel removes nothing. Peeling is monotone (a converged graph is a
+    * fixpoint; extra rounds are no-ops), so callers needing the exact
+    * k-truss detect convergence cheaply: run with `rounds` and
+    * `rounds+1` and compare edge counts (equal ⇒ converged), or raise
+    * `rounds` until the returned degree census stops changing. Deep
+    * onion-layered graphs (long dependency chains of barely-supported
+    * edges) can need many rounds; the default 3 is calibrated to
+    * social/co-occurrence graphs where support collapses fast.
     *
     * Determinism: every support an exact long; the census exact.
     *

@@ -71,27 +71,6 @@ object Quality {
         F.col("max_fanout"))
   }
 
-  /** Key-uniqueness census of a CLAIMED (possibly composite) key: does
-    * "keyed by X" actually hold, and by how much it fails:
-    * {{{
-    *   excess_share = (n_rows − n_keys) / n_rows   (rows an exact
-    *                                                key-dedup would drop)
-    * }}}
-    * `max_multiplicity` names the worst offender's row count — the
-    * number every downstream "join on this key" multiplies by. NULLs in
-    * key columns group as values (two all-NULL keys collide), matching
-    * GROUP BY semantics — a claimed key with NULLs is already a defect
-    * the census should surface, not skip.
-    *
-    * Determinism: exact longs off one key-level collapse; one 6-dp IEEE
-    * share.
-    *
-    * Scale shape: one map-side-combined groupBy on the key; the rollup
-    * to one row is partial-aggregated. Nothing but key + count shuffles.
-    *
-    * @return one row (n_rows, n_keys, n_dup_keys, dup_rows,
-    *         max_multiplicity, excess_share)
-    */
   /** One-pass column profile — per claimed-important column: row count,
     * NULL census, exact distinct count, and the typed min/max rendered
     * as strings. The first look at any new table ("is this column even
@@ -154,9 +133,17 @@ object Quality {
     * {{{ present_share = n_present / n_rows }}}
     * The "what schema does this JSON actually have" first look before
     * anyone writes an extraction path. Rows whose value is not a JSON
-    * object contribute no keys; nested objects profile at the TOP level
-    * (the value of a nested key is its JSON text). Keys are assumed not
-    * to contain JSONPath metacharacters (`$ . [ ] ' "`), documented.
+    * object (including MALFORMED JSON — `json_object_keys` yields NULL
+    * and the explode drops the row; `n_rows` still counts it in the
+    * `present_share` denominator) contribute no keys; callers needing
+    * malformed rows surfaced rather than skipped should gate on a
+    * validity census first. Nested objects profile at the TOP level
+    * (the value of a nested key is its JSON text). Keys containing
+    * JSONPath metacharacters (`$ . [ ] ' "` or a backslash) cannot be
+    * round-tripped through `get_json_object`'s path syntax — such a
+    * key RAISES at action time naming the offender (the repo's
+    * reject-loudly convention; the silent alternative extracts NULLs
+    * and corrupts n_distinct/min/max for that key).
     *
     * Determinism: exact longs; one 6-dp IEEE share; string min/max
     * (lexicographic on BOTH engines — numeric keys wanting numeric
@@ -164,15 +151,27 @@ object Quality {
     *
     * Scale shape: one explode of the per-row key list + a key-level
     * collapse (map-side combined); the 1-row total rides a broadcast.
+    * The metacharacter guard is a per-exploded-key codegen'd rlike —
+    * no extra pass, no extra shuffle.
     *
     * @return per key (key, n_present, present_share, n_distinct,
-    *         min_value, max_value) ordered by key
+    *         min_value, max_value) ordered by key; the value readouts
+    *         are `get_json_object('$.key')` extractions — token text
+    *         of scalars, JSON text of nested values
     */
   def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
     val tot = df.agg(F.count(F.lit(1)).as("__n"))
+    // keys that would inject into the '$.key' JSONPath extract NULLs
+    // silently — reject loudly instead, naming the offending key
+    val meta = "[\\$.\\[\\]'\"\\\\]"
     val kv = df
       .select(F.col(jsonCol).as("__j"),
-        F.explode(F.json_object_keys(F.col(jsonCol))).as("__k"))
+        F.explode(F.json_object_keys(F.col(jsonCol))).as("__k0"))
+      .withColumn("__k",
+        F.when(F.col("__k0").rlike(meta), F.raise_error(F.concat(
+          F.lit("jsonKeyProfile: key contains JSONPath metacharacters" +
+            " ($ . [ ] ' \" \\) and cannot be profiled: "),
+          F.col("__k0")))).otherwise(F.col("__k0")))
       // non-literal JSONPath: GetJsonObject accepts an expression path
       // (no codegen path cache — profiling cost, not a hot loop)
       .withColumn("__v",
@@ -190,6 +189,27 @@ object Quality {
       .orderBy("key")
   }
 
+  /** Key-uniqueness census of a CLAIMED (possibly composite) key: does
+    * "keyed by X" actually hold, and by how much it fails:
+    * {{{
+    *   excess_share = (n_rows − n_keys) / n_rows   (rows an exact
+    *                                                key-dedup would drop)
+    * }}}
+    * `max_multiplicity` names the worst offender's row count — the
+    * number every downstream "join on this key" multiplies by. NULLs in
+    * key columns group as values (two all-NULL keys collide), matching
+    * GROUP BY semantics — a claimed key with NULLs is already a defect
+    * the census should surface, not skip.
+    *
+    * Determinism: exact longs off one key-level collapse; one 6-dp IEEE
+    * share.
+    *
+    * Scale shape: one map-side-combined groupBy on the key; the rollup
+    * to one row is partial-aggregated. Nothing but key + count shuffles.
+    *
+    * @return one row (n_rows, n_keys, n_dup_keys, dup_rows,
+    *         max_multiplicity, excess_share)
+    */
   def keyUniqueness(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyUniqueness needs at least one key column")
     val per = df.groupBy(keyCols.map(F.col): _*)

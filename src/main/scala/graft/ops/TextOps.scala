@@ -1871,35 +1871,6 @@ object TextOps {
       .orderBy(gs: _*)
   }
 
-  /** ROUGE-N for given (a, b) pairs — the eval-metric sibling of
-    * [[graft.ops.Dedup.ngramJaccard]]: CLIPPED MULTISET word-n-gram
-    * overlap (Lin 2004), not set intersection, so repeated grams count
-    * up to their occurrence minimum:
-    * {{{
-    *   match  = Σ_g min(count_a(g), count_b(g))
-    *   recall = match / Σ count_a      (a is the reference side)
-    *   precision = match / Σ count_b   (b is the candidate side)
-    *   f1 = 2PR / (P + R)
-    * }}}
-    * The summarization/translation eval standard, here as a PAIR scorer:
-    * feed it minhash candidates to grade near-dups the way an eval
-    * harness would, or a random pairing ([[graft.ops.Similarity
-    * .randomPairCosine]]'s idiom) to measure the corpus-internal
-    * baseline every ROUGE threshold is implicitly a claim about.
-    *
-    * Determinism: tokenization is the stdlib lower(trim(·)) whitespace
-    * split; every count an exact long; P/R/F one 6-dp IEEE each (NULL
-    * when a side has no grams — doc shorter than n tokens).
-    *
-    * Scale shape: pair-list-bounded like ngramJaccard — only docs named
-    * in `pairs` tokenize (semi-join first); the (pair, gram) join is
-    * keyed, nothing quadratic; gram strings shuffle only for the
-    * candidate set.
-    *
-    * @param pairs (a, b) candidate pairs; a = reference, b = candidate
-    * @return (a, b, match_n, count_a, count_b, precision, recall, f1)
-    *         ordered by (a, b) — 6-dp
-    */
   /** BLEU for given (a, b) pairs (Papineni et al. 2002, unsmoothed) —
     * [[rougeN]]'s precision-side sibling: geometric mean of clipped
     * n-gram precisions (n = 1..maxN) times the brevity penalty:
@@ -2077,6 +2048,35 @@ object TextOps {
     acc.select(outCols: _*).orderBy("a", "b")
   }
 
+  /** ROUGE-N for given (a, b) pairs — the eval-metric sibling of
+    * [[graft.ops.Dedup.ngramJaccard]]: CLIPPED MULTISET word-n-gram
+    * overlap (Lin 2004), not set intersection, so repeated grams count
+    * up to their occurrence minimum:
+    * {{{
+    *   match  = Σ_g min(count_a(g), count_b(g))
+    *   recall = match / Σ count_a      (a is the reference side)
+    *   precision = match / Σ count_b   (b is the candidate side)
+    *   f1 = 2PR / (P + R)
+    * }}}
+    * The summarization/translation eval standard, here as a PAIR scorer:
+    * feed it minhash candidates to grade near-dups the way an eval
+    * harness would, or a random pairing ([[graft.ops.Similarity
+    * .randomPairCosine]]'s idiom) to measure the corpus-internal
+    * baseline every ROUGE threshold is implicitly a claim about.
+    *
+    * Determinism: tokenization is the stdlib lower(trim(·)) whitespace
+    * split; every count an exact long; P/R/F one 6-dp IEEE each (NULL
+    * when a side has no grams — doc shorter than n tokens).
+    *
+    * Scale shape: pair-list-bounded like ngramJaccard — only docs named
+    * in `pairs` tokenize (semi-join first); the (pair, gram) join is
+    * keyed, nothing quadratic; gram strings shuffle only for the
+    * candidate set.
+    *
+    * @param pairs (a, b) candidate pairs; a = reference, b = candidate
+    * @return (a, b, match_n, count_a, count_b, precision, recall, f1)
+    *         ordered by (a, b) — 6-dp
+    */
   def rougeN(pairs: DataFrame, docs: DataFrame, idCol: String,
              textCol: String, n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")

@@ -6237,6 +6237,20 @@ class OpsSpec extends AnyFunSuite {
       ("tag", 1L, 0.333333, 1L, "a", "a")), got)
   }
 
+  test("jsonKeyProfile: a key containing JSONPath metacharacters " +
+      "raises loudly at action time, naming the offender") {
+    import graft.ops.Quality
+    val df = Seq("""{"ok": 1, "bad.dot": 2}""").toDF("props")
+    val ex = intercept[Exception] {
+      Quality.jsonKeyProfile(df, "props").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        msgs(e.getCause))
+    assert(msgs(ex).exists(m => m.contains("jsonKeyProfile") &&
+      m.contains("bad.dot")), msgs(ex).mkString(" | "))
+  }
+
   test("weightedReciprocity: min-flow mass share; parallel edges " +
       "pre-sum, self-loops drop") {
     import graft.ops.Graph
