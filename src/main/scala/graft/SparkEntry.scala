@@ -3387,6 +3387,47 @@ object SparkEntry {
       graft.ops.Quality.jsonKeyProfile(
         s.read.parquet(s"$dir/events.parquet"), "props")),
 
+    // NEAR-dup media: gear-CDC byte-chunk MinHash + banded LSH over the
+    // synthesized binary payloads — chunk overlap catches the
+    // re-hosted/truncated/patched variants exact-byte md5 (x420) cannot;
+    // bytes reduce to signatures inside the scan task (native
+    // expression), nothing binary shuffles. xxhash64-based -> rows-only;
+    // the chunk-minhash math is pinned by the x431 md5 twin and the CDC
+    // boundary walk by OpsSpec hand cases.
+    "x430_media_neardup" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.synthesizeMedia(
+        s.read.parquet(s"$dir/documents.parquet"))
+      graft.ops.Multimodal.mediaNearDupPairs(media, "doc_id", "media",
+          threshold = 0.5)
+        .orderBy("a", "b")
+    }),
+
+    // the chunk-MinHash math (Carter-Wegman mins over per-chunk hashes)
+    // oracled with engine-neutral primitives, the x43 convention: FIXED
+    // 64-char chunks of the first 2048 text chars (the content-defined
+    // boundary walk is sequential state DuckDB lists cannot replay —
+    // OpsSpec pins it by hand instead) + md5-derived 28-bit chunk hashes
+    // + the shared OracleAB constants. x430 is the production byte-CDC
+    // path.
+    "x431_chunk_minhash_fixed" -> ((s, dir) => {
+      val t = F.substring(F.col("text"), 1, 2048)
+      val nChunks = F.greatest(
+        F.floor((F.length(t) + F.lit(63)).cast("double") / F.lit(64.0))
+          .cast("int"), F.lit(1))
+      val chunks = F.transform(F.sequence(F.lit(0), nChunks - 1),
+        i => t.substr(i * 64 + 1, F.lit(64)))
+      val hs = F.transform(chunks,
+        x => F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"))
+      val sigs = OracleAB.map { case (a, b) =>
+        F.array_min(F.transform(F.col("hs"), h => (h * a + b) % OracleP)) }
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(F.col("doc_id") % 10 === 0)
+        .select(F.col("doc_id"), hs.as("hs"))
+        .select(F.col("doc_id"),
+          F.concat_ws(",", sigs.map(_.cast("string")): _*).as("sig_csv"))
+        .orderBy("doc_id")
+    }),
+
     // weighted reciprocity of the behavior-transition digraph (x306's
     // census as directed weighted edges): does flow bounce back
     // (browse<->search) or funnel one-way — min(w_uv, w_vu) mass share
@@ -11443,6 +11484,28 @@ object SparkEntry {
         |  min(v) AS min_value, max(v) AS max_value
         |FROM kv CROSS JOIN tot
         |GROUP BY k, n ORDER BY key""".stripMargin,
+
+    // generated from the same OracleAB/OracleP constants as the Spark
+    // side; fixed 64-char chunks over the first 2048 chars, md5-derived
+    // 28-bit chunk hashes (the x43 idiom applied to chunking)
+    "x431_chunk_minhash_fixed" -> {
+      val csv = OracleAB.map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> ($a*h + $b) % $OracleP))::VARCHAR"
+      }.mkString(" || ',' || ")
+      s"""WITH t AS (
+         |  SELECT doc_id, substring(text, 1, 2048) AS t
+         |  FROM documents WHERE doc_id % 10 = 0
+         |), ch AS (
+         |  SELECT doc_id, list_transform(
+         |    range(0, greatest((length(t) + 63) // 64, 1)),
+         |    i -> substring(t, (i*64 + 1)::INT, 64)) AS cs
+         |  FROM t
+         |), hs AS (
+         |  SELECT doc_id, list_transform(cs,
+         |    x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS hs FROM ch
+         |)
+         |SELECT doc_id, $csv AS sig_csv FROM hs ORDER BY doc_id""".stripMargin
+    },
 
     // x306's transition census as directed weighted edges; reversed-key
     // self-join; exact longs, two IEEE shares

@@ -144,6 +144,42 @@ case class WordGramBuckets(child: Expression, nBuckets: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature over content-defined BYTE chunks as a native
+  * expression — the binary-payload sibling of [[MinHashSig]]; see
+  * [[ByteSketches.chunkMinhash]] for the gear-CDC algorithm and why a
+  * relational formulation is structurally wrong for media payloads
+  * (chunk-position explodes copy the binary into every generated row). */
+case class ByteChunkMinHashSig(child: Expression, avgBits: Int, minLen: Int,
+                               maxLen: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(avgBits >= 4 && avgBits <= 20,
+    s"avgBits must be in [4,20], got $avgBits")
+  require(minLen >= 1 && minLen <= maxLen,
+    s"need 1 <= minLen <= maxLen, got ($minLen, $maxLen)")
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[org.apache.spark.sql.types.BinaryType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "byte_chunk_minhash_sig"
+
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ByteSketches.chunkMinhash(
+      input.asInstanceOf[Array[Byte]], avgBits, minLen, maxLen, numHashes))
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ByteSketches.chunkMinhash($c, $avgBits, $minLen, " +
+        s"$maxLen, $numHashes))")
+
+  protected override def withNewChildInternal(newChild: Expression): ByteChunkMinHashSig =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash as a native expression — see [[MinHashSig]] docs. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

@@ -24,7 +24,7 @@ object TextSketches {
 
   private val seedCache =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
-  private def seeds(numHashes: Int): (Array[Long], Array[Long]) =
+  private[functions] def seeds(numHashes: Int): (Array[Long], Array[Long]) =
     seedCache.computeIfAbsent(numHashes, minhashSeeds(_))
 
   /** regexp_replace(lower(s), "\s+", " ") — identical to the Spark exprs

@@ -136,6 +136,65 @@ object Multimodal {
     *         total_bytes, distinct_bytes, bytes_saved_share) ordered by
     *         kind
     */
+  /** NEAR-duplicate media candidate pairs — the approximate pass
+    * [[mediaDedupCensus]] (exact bytes) cannot make: re-hosted payloads
+    * with prepended/appended metadata, truncated downloads, and small
+    * binary patches byte-differ but chunk-overlap. Each payload reduces
+    * to a MinHash signature over its CONTENT-DEFINED chunk set (gear
+    * CDC — [[graft.functions.ByteSketches]]: boundaries follow content,
+    * so an insertion re-aligns instead of shifting every downstream
+    * chunk the way fixed-width chunking would), then the standard
+    * banded-LSH machinery ([[graft.ops.Dedup.minhashPairs]]'s, shared
+    * via `candidatePairsFromSignatures`) generates candidates:
+    * `est_jaccard` = fraction of equal signature positions ≈ chunk-set
+    * Jaccard.
+    *
+    * What it catches / misses, honestly: byte-level chunk overlap finds
+    * truncation, padding, container-metadata edits, and partial
+    * corruption; a RE-ENCODE (new codec pass) rewrites every byte and
+    * needs perceptual features post-decode — that tier sits behind the
+    * decode stub ([[decodeStub]]) by design in this sandbox.
+    *
+    * Scale shape: media BYTES never shuffle and never amplify — the
+    * signature is a native codegen'd one-pass expression
+    * ([[graft.functions.ByteChunkMinHashSig]]) evaluated in the scan
+    * task; only (id, numHashes×8 B) rows cross the wire (the x420
+    * discipline, PlanQualitySpec-pinned). Banding, the broadcast
+    * hot-bucket guard (`maxBucket` — constant-byte payloads chunk
+    * identically and would go quadratic), and the threshold filter are
+    * exactly [[graft.ops.Dedup.minhashPairs]]'s.
+    *
+    * Determinism: gear table, chunk hashes (xxhash64 seed 42), and the
+    * Carter-Wegman family are all fixed-seed — signatures are bit-stable
+    * across JVMs and partitionings. xxhash64-based, so rows-only at the
+    * driver gate (md5 twin x431 pins the chunk-minhash math in DuckDB).
+    *
+    * @param avgBits  expected chunk size = 2^avgBits bytes (default 64 B
+    *                 — ~8 chunks on a 500 B payload, ~16k on a 1 MB one)
+    * @param maxBucket hot-bucket guard, as [[graft.ops.Dedup.minhashPairs]]
+    * @return (a, b, est_jaccard) with a < b, est_jaccard ≥ threshold
+    */
+  def mediaNearDupPairs(media: DataFrame, idCol: String, bytesCol: String,
+                        avgBits: Int = 6, numHashes: Int = 64,
+                        bands: Int = 8, threshold: Double = 0.5,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import org.apache.spark.sql.GraftExpr
+    val minLen = math.max(1 << (avgBits - 2), 1) // 2^avgBits/4 .. 4·2^avgBits
+    val maxLen = 1 << (avgBits + 2)
+    val sigged = media
+      .filter(F.col(idCol).isNotNull && F.col(bytesCol).isNotNull)
+      .select(F.col(idCol),
+        GraftExpr.column(graft.functions.ByteChunkMinHashSig(
+          GraftExpr.expression(F.col(bytesCol)), avgBits, minLen, maxLen,
+          numHashes)).as("__sig"))
+      .repartition(F.col(idCol)) // materialize signatures ONCE behind an
+      // exchange for the multi-consumer candidate pipeline — and drop the
+      // media bytes before anything wider than (id, sig) can shuffle
+    graft.ops.Dedup.candidatePairsFromSignatures(sigged, idCol, bands,
+      numHashes / bands, threshold, maxBucket)
+  }
+
   def mediaDedupCensus(media: DataFrame, kindCol: String,
                        bytesCol: String): DataFrame = {
     val rows = media.select(F.col(kindCol).cast("string").as("kind"),

@@ -321,6 +321,30 @@ object StressBench {
         // linear by construction, never a pair join
         "x418_random_pair_cos" -> (() => Similarity.randomPairCosine(
           emb, "vec_id", "embedding")),
+        // media near-dup: replicas are content-DISTINCT variants (vowel
+        // substitution rewrites ~every 64 B chunk — verbatim replicas
+        // would measure the quadratic TRUE-duplicate output, a data
+        // fact, not the plan), so signatures, buckets, and true pair
+        // count all grow ~K×; wall must stay ~linear. Rotations cover
+        // i=1..4, the reversal covers i=5..9 paired with rotations —
+        // all K≤10 variants mutually content-distinct.
+        "x430_media_neardup" -> (() => {
+          val variants = (0 until k).map { i =>
+            val sub = if (i == 0) "aeiou"
+              else if (i % 5 == 0) "uoiea"
+              else {
+                val r = "aeiou".drop(i % 5) + "aeiou".take(i % 5)
+                if (i < 5) r else r.reverse
+              }
+            docs0.select(
+              (F.col("doc_id") + F.lit(i.toLong * KeyStride)).as("doc_id"),
+              (if (i == 0) F.col("text")
+               else F.translate(F.col("text"), "aeiou", sub)).as("text"))
+          }.reduce(_ unionAll _)
+          graft.ops.Multimodal.mediaNearDupPairs(
+            graft.ops.Multimodal.synthesizeMedia(variants),
+            "doc_id", "media", threshold = 0.5)
+        }),
         // ROUGE-2 over md5-random disjoint pairs of the replicated
         // corpus: pair count and gram censuses both grow K× (each doc
         // in exactly one pair) — keyed joins, wall ~linear

@@ -49,7 +49,8 @@ class EntryContractSpec extends AnyFunSuite {
       "x02_minhash_pairs", "x03_simhash_pairs", "x04_ngram_jaccard",
       "x05_embed_neardup", "x07_knn_lsh", "x15_simhash_sstring",
       "x16_winnow_pairs", "x17_knn_ivf", "x18_frame_sample",
-      "x57_minhash_delta", "x71_dsir_weights_prod")
+      "x57_minhash_delta", "x71_dsir_weights_prod",
+      "x430_media_neardup") // md5 twin: x431_chunk_minhash_fixed
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == rowsOnly,
       s"unexpected rows-only entries (missing oracleSql?): ${actual -- rowsOnly}; " +

@@ -6345,6 +6345,79 @@ class OpsSpec extends AnyFunSuite {
       ("image", 3L, 2L, 0.333333, 10L, 6L, 0.4)), got)
   }
 
+  test("ByteSketches.chunkHashes: deterministic; empty payload one " +
+      "hash; maxLen force-splits; insertion re-aligns the tail " +
+      "(the CDC property fixed-width chunking lacks)") {
+    import graft.functions.ByteSketches
+    // empty → exactly one (empty-range) hash, so every item sketches
+    assert(ByteSketches.chunkHashes(Array.empty[Byte], 6, 16, 256).length == 1)
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(4096)(rnd.nextInt().toByte)
+    val h1 = ByteSketches.chunkHashes(base, 6, 16, 256)
+    val h2 = ByteSketches.chunkHashes(base, 6, 16, 256)
+    assert(h1.sameElements(h2))
+    // ~4096/64 = 64 expected chunks; every chunk within [minLen, maxLen]
+    assert(h1.length > 16 && h1.length < 256, h1.length)
+    // constant bytes: the rolling hash either hits the mask at one fixed
+    // offset forever or never — either way chunk lengths are uniform and
+    // bounded by maxLen, so the count is within the [len/max, len/min]
+    // band instead of degenerating to one giant chunk
+    val const = Array.fill(4096)(0x42.toByte)
+    val hc = ByteSketches.chunkHashes(const, 6, 16, 256)
+    assert(hc.length >= 4096 / 256 && hc.length <= 4096 / 16 + 1, hc.length)
+    // insertion near the head: boundaries re-derive from content, so
+    // chunks after the insertion point re-align and most hashes survive
+    val ins = base.take(100) ++ Array.fill(16)(0x55.toByte) ++ base.drop(100)
+    val hi = ByteSketches.chunkHashes(ins, 6, 16, 256)
+    val shared = h1.toSet.intersect(hi.toSet).size.toDouble / h1.toSet.size
+    assert(shared > 0.85, s"insertion should preserve most chunks, got $shared")
+  }
+
+  test("mediaNearDupPairs: planted truncated/padded/mutated/inserted " +
+      "variants are found above threshold; unrelated payloads never pair") {
+    import graft.ops.Multimodal
+    val rnd = new scala.util.Random(7)
+    def fresh() = Array.fill(2048)(rnd.nextInt().toByte)
+    val bases = (1L to 20L).map(i => i -> fresh()).toMap
+    val variants: Seq[(Long, Long, Array[Byte])] = Seq(
+      (1L, 101L, bases(1L).take(1638)), // truncated −20%
+      (2L, 102L, bases(2L) ++ Array.fill(205)(0x33.toByte)), // padded +10%
+      (3L, 103L, { val m = bases(3L).clone()
+        m(100) = 0x7F; m(1700) = 0x7F; m }), // 2 scattered byte mutations
+      (4L, 104L, bases(4L).take(64) ++ Array.fill(16)(0x55.toByte) ++
+        bases(4L).drop(64))) // insertion — the CDC case
+    val all = bases.toSeq.map { case (id, b) => (id, b) } ++
+      variants.map { case (_, vid, b) => (vid, b) }
+    val media = all.toDF("doc_id", "media")
+    val got = Multimodal.mediaNearDupPairs(media, "doc_id", "media",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    variants.foreach { case (base, vid, _) =>
+      assert(pairs.contains((base, vid)),
+        s"planted variant ($base, $vid) not found; got $got") }
+    // no pair between two independent random payloads
+    assert(got.forall { case (a, b, _) => variants.exists(v =>
+      v._1 == a && v._2 == b) }, s"false positives: $got")
+  }
+
+  test("ByteChunkMinHashSig: native expression matches the kernel " +
+      "called driver-side, payload by payload") {
+    import org.apache.spark.sql.GraftExpr
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 8L).map(i =>
+      (i, Array.fill(512 + rnd.nextInt(1024))(rnd.nextInt().toByte)))
+    val df = rows.toDF("id", "bytes")
+    val got = df.select(F.col("id"), GraftExpr.column(
+        graft.functions.ByteChunkMinHashSig(
+          GraftExpr.expression(F.col("bytes")), 6, 16, 256, 32)).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    rows.foreach { case (id, bytes) =>
+      val want = graft.functions.ByteSketches
+        .chunkMinhash(bytes, 6, 16, 256, 32).toSeq
+      assert(got(id) == want, s"sig mismatch for $id") }
+  }
+
   test("kTruss: K4 + pendant peels to K4 at k=4, empties at k=5; " +
       "peeling PROPAGATES (bowtie round 2); star hub never survives k=3") {
     import graft.ops.Graph

@@ -1336,6 +1336,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected map-side partial aggregation in:\n$p")
   }
 
+  test("mediaNearDupPairs: signatures are the native one-pass CDC " +
+      "expression and media bytes never ride an exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = docs.select(F.col("doc_id"),
+      F.encode(F.col("text"), "UTF-8").as("media"))
+    val df = graft.ops.Multimodal.mediaNearDupPairs(media, "doc_id",
+      "media", threshold = 0.5)
+    val p = plan(df)
+    assert(p.contains("byte_chunk_minhash_sig"),
+      s"expected the native CDC signature expression in:\n$p")
+    // the payload reduces to (id, numHashes longs) inside the scan task;
+    // a relational chunking would copy the binary into every generated
+    // row and a signature-less shuffle would move the corpus
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(p).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("media")),
+      s"media column in an exchange row:\n$exchanges")
+  }
+
   test("rougeN and chrfPairs only tokenize docs named in the pair " +
       "list (semi-join bounds the censuses)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
