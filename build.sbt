@@ -54,4 +54,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // occupancy + delta in bench_detail.json so an outlier adjudicates
   // mechanically.
   "-XX:+UseCodeCacheFlushing",
-)
+  // JIT/deopt telemetry (round 15, the r8/r11/r13/r14 warm-JVM anomaly):
+  // expose the JVM's own hsperf compiler counters (sun.ci.totalCompiles /
+  // totalBailouts / totalInvalidates) to Bench.scala via the jvmstat
+  // self-attach API so every per-query row carries a deopt-storm signal.
+  // Reflective access only — compilation never depends on the module, and
+  // Bench degrades silently where it's absent.
+  "--add-modules", "jdk.internal.jvmstat",
+  "--add-exports", "jdk.internal.jvmstat/sun.jvmstat.monitor=ALL-UNNAMED",
+) ++
+  // A/B escape hatch for JVM-mechanism experiments (e.g.
+  // -XX:PerMethodRecompilationCutoff=-1, -XX:+LogCompilation): extra
+  // flags ride an env var so a diagnostic run never edits the build.
+  sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -63,11 +63,62 @@ object Bench {
     def chUsed: Long = java.lang.management.ManagementFactory
       .getMemoryPoolMXBeans.asScala
       .filter(_.getName.startsWith("CodeHeap")).map(_.getUsage.getUsed).sum
+    // JIT-state telemetry (r15, the r8/r11/r13/r14 warm-JVM anomaly —
+    // code-cache occupancy alone did NOT explain r14's outliers, so name
+    // the remaining HotSpot mechanism per query): jit_ms is the JVM's
+    // cumulative compiler-thread time (a query that triggers a
+    // recompilation storm shows a large delta on unchanged code), and the
+    // hsperf counters sun.ci.totalBailouts / sun.ci.totalInvalidates
+    // count compile bailouts and nmethod invalidations (the
+    // deopt→reprofile→recompile cycle that, past
+    // PerMethodRecompilationCutoff, makes a method PERMANENTLY
+    // not-compilable — the leading theory for cpu≈wall outliers late in a
+    // 460-query JVM). Counters are read via jvmstat self-attach,
+    // reflectively: no compile-time module dependency, silent null where
+    // the module isn't exported (build.sbt adds it for forked runs).
+    def jitMs: Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else -1L
+    }
+    // reflection resolves every member on the EXPORTED types
+    // (MonitoredHost/MonitoredVm/Monitor) — resolving on the runtime impl
+    // classes (sun.jvmstat.perfdata.*, unexported) throws
+    // InaccessibleObjectException and would silently zero the telemetry
+    val ciState: Option[(Class[_], Any, Any)] = try {
+      val mhC = Class.forName("sun.jvmstat.monitor.MonitoredHost")
+      val mvC = Class.forName("sun.jvmstat.monitor.MonitoredVm")
+      val monC = Class.forName("sun.jvmstat.monitor.Monitor")
+      val idC = Class.forName("sun.jvmstat.monitor.VmIdentifier")
+      val pid = java.lang.ProcessHandle.current().pid()
+      val vmId = idC.getConstructor(classOf[String]).newInstance(pid.toString)
+      val host = mhC.getMethod("getMonitoredHost", idC).invoke(null, vmId)
+      val vm = mhC.getMethod("getMonitoredVm", idC).invoke(host, vmId)
+      val find = mvC.getMethod("findByName", classOf[String])
+      val bail = find.invoke(vm, "sun.ci.totalBailouts")
+      val inval = find.invoke(vm, "sun.ci.totalInvalidates")
+      if (bail != null && inval != null) Some((monC, bail, inval)) else None
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] jvmstat counters unavailable " +
+        s"(ci_* will report -1): ${e.getClass.getSimpleName}: ${e.getMessage}")
+      None
+    }
+    def ciValue(monC: Class[_], m: Any): Long = try {
+      monC.getMethod("getValue").invoke(m) match {
+        case l: java.lang.Long => l.longValue; case _ => -1L }
+    } catch { case _: Throwable => -1L }
+    val ciMonitors: Option[(Any, Any)] = ciState.map(s => (s._2, s._3))
+    def ciRead(m: Any): Long =
+      ciState.map(s => ciValue(s._1, m)).getOrElse(-1L)
+    def ciBailouts: Long = ciMonitors.map(m => ciRead(m._1)).getOrElse(-1L)
+    def ciInvalidates: Long = ciMonitors.map(m => ciRead(m._2)).getOrElse(-1L)
     final case class QStat(sec: Double, gcMs: Long, taskMs: Long,
-                           taskCpuMs: Long, chUsed: Long, chDelta: Long)
+                           taskCpuMs: Long, chUsed: Long, chDelta: Long,
+                           jitMs: Long, bailDelta: Long, invalDelta: Long)
     val results = selected.map { case (name, fn) =>
       org.apache.spark.GraftListeners.drain(spark.sparkContext)
       val (gc0, tk0, cp0, ch0) = (gcMs, taskMs.get, taskCpuNs.get, chUsed)
+      val (jit0, bail0, inv0) = (jitMs, ciBailouts, ciInvalidates)
       val t0 = System.nanoTime()
       // noop sink materializes every column (count() would let Spark prune
       // projections and under-report the real work)
@@ -82,8 +133,19 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftListeners.drain(spark.sparkContext)
       val ch1 = chUsed
+      val invalDelta = if (inv0 < 0) -1L else ciInvalidates - inv0
+      // an invalidation burst on one query = the deopt→recompile cycle
+      // ran hot RIGHT HERE; say so loudly instead of leaving a mystery
+      // wall-time outlier for the ledger reader
+      if (invalDelta > 20)
+        System.err.println(s"[bench] WARNING: $name saw $invalDelta nmethod " +
+          "invalidations (deopt storm) — its wall time reflects JVM state, " +
+          "not plan cost")
       name -> QStat(sec, gcMs - gc0, taskMs.get - tk0,
-        (taskCpuNs.get - cp0) / 1000000L, ch1, ch1 - ch0)
+        (taskCpuNs.get - cp0) / 1000000L, ch1, ch1 - ch0,
+        if (jit0 < 0) -1L else jitMs - jit0,
+        if (bail0 < 0) -1L else ciBailouts - bail0,
+        invalDelta)
     }
     // The driver keeps only the LAST 2000 chars of output, and the one-line
     // JSON outgrew that window at 78 full-name ns-precision entries
@@ -143,14 +205,17 @@ object Bench {
     }.mkString("[", ",", "]")
     try {
       val full = results.map { case (k, v) =>
-        s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs},"ch_used":${v.chUsed},"ch_delta":${v.chDelta}}"""
+        s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs},"ch_used":${v.chUsed},"ch_delta":${v.chDelta},"jit_ms":${v.jitMs},"ci_bailouts":${v.bailDelta},"ci_invalidates":${v.invalDelta}}"""
       }.mkString("{", ",", "}")
       // the twin list rides along so downstream tooling (scripts/ledger.py)
       // reads ONE source of truth — a twin added here but not there would
       // otherwise silently skew production sums between the two ledgers
       val twinsJson = oracleTwins.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val sumJit = results.map(_._2.jitMs).filter(_ >= 0).sum
+      val sumInval = results.map(_._2.invalDelta).filter(_ >= 0).sum
+      val sumBail = results.map(_._2.bailDelta).filter(_ >= 0).sum
       val w = new java.io.PrintWriter("bench_detail.json")
-      try w.println(s"""{"total":$total,"production_total":$prodTotal,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"parallelism":${f"$par%.2f"},"cpus":$cpus,"code_cache":$codeCacheJson,"oracle_twins":$twinsJson,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"total":$total,"production_total":$prodTotal,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"jit_total_ms":$sumJit,"ci_invalidates_total":$sumInval,"ci_bailouts_total":$sumBail,"parallelism":${f"$par%.2f"},"cpus":$cpus,"code_cache":$codeCacheJson,"oracle_twins":$twinsJson,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     // Stop Spark BEFORE printing the summary so no executor/stage log line
