@@ -23,6 +23,10 @@ object Quality {
     * NULL foreign keys are counted separately (`n_null_fk`) — they are a
     * different defect (missing linkage) from a dangling value (broken
     * linkage), and lumping them together hides which one is growing.
+    * The dimension is censused at the DISTINCT-pk level: duplicate pk
+    * rows collapse to one key (`n_dim` counts keys, not rows) — whether
+    * the pk is actually unique is [[keyUniqueness]]'s question, and
+    * answering it here would conflate two defects in one readout.
     * `max_fanout` (the largest per-key fact multiplicity among MATCHED
     * keys) is the join-explosion early warning: a fact⋈dim row count is
     * bounded by it times n_dim.
@@ -46,8 +50,11 @@ object Quality {
     // fk-side: NULL fk joins nothing by SQL semantics, so split the
     // unmatched mass into "fk is NULL" vs "fk dangles"
     val j = f.join(d, f("__fk") === d("__pk"), "left_outer")
+    // coalesce every sum: an EMPTY fact table must census as zeros (one
+    // row of exact longs, shares NULL via the 0-denominator nullif), not
+    // as NULL counts — ingest gates diff these rows mechanically
     val factSide = j.agg(
-      F.sum("__c").as("n_fact"),
+      F.coalesce(F.sum("__c"), F.lit(0L)).as("n_fact"),
       F.coalesce(F.sum(F.when(F.col("__fk").isNull, F.col("__c"))),
         F.lit(0L)).as("n_null_fk"),
       F.coalesce(F.sum(F.when(F.col("__pk").isNull &&
@@ -214,14 +221,16 @@ object Quality {
     require(keyCols.nonEmpty, "keyUniqueness needs at least one key column")
     val per = df.groupBy(keyCols.map(F.col): _*)
       .agg(F.count(F.lit(1)).as("__c"))
+    // coalesced so an EMPTY table censuses as zeros (excess_share NULL
+    // via the 0-denominator nullif), mirroring referentialIntegrity
     per.agg(
-        F.sum("__c").as("n_rows"),
+        F.coalesce(F.sum("__c"), F.lit(0L)).as("n_rows"),
         F.count(F.lit(1)).as("n_keys"),
         F.coalesce(F.sum(F.when(F.col("__c") > 1L, 1L)), F.lit(0L))
           .as("n_dup_keys"),
         F.coalesce(F.sum(F.when(F.col("__c") > 1L, F.col("__c"))),
           F.lit(0L)).as("dup_rows"),
-        F.max("__c").as("max_multiplicity"))
+        F.coalesce(F.max("__c"), F.lit(0L)).as("max_multiplicity"))
       .select(F.col("n_rows"), F.col("n_keys"), F.col("n_dup_keys"),
         F.col("dup_rows"), F.col("max_multiplicity"),
         F.round((F.col("n_rows") - F.col("n_keys")).cast("double") /

@@ -853,4 +853,93 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("law: Quality censuses are total and coherent — random fact/dim " +
+      "tables incl. NULL fks, duplicate pks, composite keys; empty and " +
+      "single-row inputs census as zeros") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    import graft.ops.Quality
+
+    def riRow(fact: DataFrame, dim: DataFrame): Row =
+      Quality.referentialIntegrity(fact, "fk", dim, "pk").collect()(0)
+    def kuRow(df: DataFrame, keys: Seq[String]): Row =
+      Quality.keyUniqueness(df, keys).collect()(0)
+
+    val fkGen: Gen[List[Option[Int]]] = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        1 -> Gen.const(Option.empty[Int]),
+        5 -> Gen.choose(1, 12).map(Option(_)))))
+    val pkGen: Gen[List[Int]] = Gen.choose(0, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 12))) // duplicates ON PURPOSE
+    forAll(fkGen, pkGen) { (fks, pks) =>
+      val fact = fks.toDF("fk")
+      val dim = pks.toDF("pk")
+      val r = riRow(fact, dim)
+      val pkSet = pks.toSet
+      val matchedCounts = fks.flatten.filter(pkSet.contains)
+        .groupBy(identity).map(_._2.size.toLong)
+      assert(r.getAs[Long]("n_fact") == fks.size.toLong, s"n_fact on $fks")
+      assert(r.getAs[Long]("n_null_fk") == fks.count(_.isEmpty).toLong)
+      assert(r.getAs[Long]("n_orphan") ==
+        fks.flatten.count(v => !pkSet.contains(v)).toLong, s"orphan on $fks/$pks")
+      // duplicate pks collapse: n_dim counts DISTINCT keys (documented)
+      assert(r.getAs[Long]("n_dim") == pkSet.size.toLong, s"n_dim on $pks")
+      assert(r.getAs[Long]("n_childless") ==
+        pkSet.count(p => !fks.flatten.contains(p)).toLong)
+      assert(r.getAs[Long]("max_fanout") ==
+        (if (matchedCounts.isEmpty) 0L else matchedCounts.max))
+      val os = Option(r.getAs[java.lang.Double]("orphan_share"))
+      if (fks.isEmpty) assert(os.isEmpty, "orphan_share must be NULL on 0 facts")
+      else assert(math.abs(os.get - r.getAs[Long]("n_orphan").toDouble / fks.size) < 1e-6)
+    }
+
+    val rowsGen: Gen[List[(Option[Int], String)]] = Gen.choose(0, 40)
+      .flatMap(n => Gen.listOfN(n, for {
+        a <- Gen.frequency(1 -> Gen.const(Option.empty[Int]),
+          4 -> Gen.choose(1, 5).map(Option(_)))
+        b <- Gen.oneOf("x", "y", "z")
+      } yield (a, b)))
+    forAll(rowsGen) { rows =>
+      val r = kuRow(rows.toDF("a", "b"), Seq("a", "b"))
+      val byKey = rows.groupBy(identity).map(_._2.size.toLong).toSeq
+      assert(r.getAs[Long]("n_rows") == rows.size.toLong)
+      assert(r.getAs[Long]("n_keys") == byKey.size.toLong)
+      assert(r.getAs[Long]("n_dup_keys") == byKey.count(_ > 1L).toLong)
+      assert(r.getAs[Long]("dup_rows") == byKey.filter(_ > 1L).sum)
+      assert(r.getAs[Long]("max_multiplicity") ==
+        (if (byKey.isEmpty) 0L else byKey.max))
+      val es = Option(r.getAs[java.lang.Double]("excess_share"))
+      if (rows.isEmpty) assert(es.isEmpty)
+      else assert(math.abs(es.get -
+        (rows.size - byKey.size).toDouble / rows.size) < 1e-6)
+    }
+
+    // pinned edges the generators may not hit every run
+    val emptyF = List.empty[Option[Int]].toDF("fk")
+    val emptyD = List.empty[Int].toDF("pk")
+    val re = riRow(emptyF, emptyD)
+    assert((re.getAs[Long]("n_fact"), re.getAs[Long]("n_dim"),
+      re.getAs[Long]("max_fanout")) == ((0L, 0L, 0L)), re)
+    assert(re.isNullAt(re.fieldIndex("orphan_share")) &&
+      re.isNullAt(re.fieldIndex("childless_share")), re)
+    // all-NULL fk: missing linkage, never orphaned linkage
+    val rn = riRow(List[Option[Int]](None, None).toDF("fk"),
+      List(1).toDF("pk"))
+    assert((rn.getAs[Long]("n_null_fk"), rn.getAs[Long]("n_orphan")) ==
+      ((2L, 0L)), rn)
+    // composite key with one column all-NULL: NULLs group as values
+    val kn = kuRow(List((Option.empty[Int], "a"), (Option.empty[Int], "a"),
+      (Option.empty[Int], "b")).toDF("a", "b"), Seq("a", "b"))
+    assert((kn.getAs[Long]("n_keys"), kn.getAs[Long]("n_dup_keys"),
+      kn.getAs[Long]("dup_rows")) == ((2L, 1L, 2L)), kn)
+    // single row: trivially unique
+    val k1 = kuRow(List((Option(1), "a")).toDF("a", "b"), Seq("a", "b"))
+    assert((k1.getAs[Long]("n_rows"), k1.getAs[Long]("n_keys"),
+      k1.getAs[Double]("excess_share")) == ((1L, 1L, 0.0)), k1)
+    val k0 = kuRow(List.empty[(Option[Int], String)].toDF("a", "b"),
+      Seq("a", "b"))
+    assert((k0.getAs[Long]("n_rows"), k0.getAs[Long]("max_multiplicity")) ==
+      ((0L, 0L)), k0)
+  }
 }
