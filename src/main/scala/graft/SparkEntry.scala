@@ -3428,6 +3428,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // encoding-defect census per source, with PLANTED defects (doc_id %
+    // 11 routing -- the planted-variant convention: the synthetic corpus
+    // is clean, so known-positive rows pin all four regex censuses):
+    // %11=0 U+FFFD, =1 the A-tilde/e-acute double-encode digram, =2 a
+    // C1 control (NEL), =3 a C0 control (BEL)
+    "x432_encoding_defects" -> ((s, dir) => {
+      val m = F.col("doc_id") % 11
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text",
+          F.when(m === 0, F.concat(F.col("text"), F.lit("\uFFFD")))
+            .when(m === 1, F.concat(F.col("text"),
+              F.lit("\u00C3\u00A9")))
+            .when(m === 2, F.concat(F.col("text"), F.lit("\u0085")))
+            .when(m === 3, F.concat(F.col("text"), F.lit("\u0007")))
+            .otherwise(F.col("text")))
+      graft.ops.Curation.encodingDefectCensus(planted, Seq("source"),
+        "text")
+    }),
+
     // weighted reciprocity of the behavior-transition digraph (x306's
     // census as directed weighted edges): does flow bounce back
     // (browse<->search) or funnel one-way — min(w_uv, w_vu) mass share
@@ -11506,6 +11525,36 @@ object SparkEntry {
          |)
          |SELECT doc_id, $csv AS sig_csv FROM hs ORDER BY doc_id""".stripMargin
     },
+
+    // same planted-defect routing via chr(); RE2 codepoint classes
+    // mirror the Java ranges exactly
+    "x432_encoding_defects" ->
+      """WITH p AS (SELECT source, CASE (doc_id % 11)
+        |    WHEN 0 THEN text || chr(65533)
+        |    WHEN 1 THEN text || chr(195) || chr(169)
+        |    WHEN 2 THEN text || chr(133)
+        |    WHEN 3 THEN text || chr(7)
+        |    ELSE text END AS t
+        |  FROM documents),
+        |f AS (SELECT source,
+        |  CASE WHEN regexp_matches(t, chr(65533)) THEN 1 ELSE 0 END
+        |    AS r,
+        |  CASE WHEN regexp_matches(t, '[' || chr(195) || chr(194) ||
+        |    '][\x{0080}-\x{00BF}]|' || chr(226) || chr(8364))
+        |    THEN 1 ELSE 0 END AS d,
+        |  CASE WHEN regexp_matches(t, '[\x{0080}-\x{009F}]')
+        |    THEN 1 ELSE 0 END AS c,
+        |  CASE WHEN regexp_matches(t,
+        |    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')
+        |    THEN 1 ELSE 0 END AS tc
+        |  FROM p)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(r)::BIGINT AS n_repl, sum(d)::BIGINT AS n_double_enc,
+        |  sum(c)::BIGINT AS n_c1, sum(tc)::BIGINT AS n_ctl,
+        |  sum(greatest(r, d, c, tc))::BIGINT AS n_defect,
+        |  round(sum(greatest(r, d, c, tc))::DOUBLE /
+        |    nullif(count(*)::DOUBLE, 0.0), 6) AS defect_share
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // x306's transition census as directed weighted edges; reversed-key
     // self-join; exact longs, two IEEE shares

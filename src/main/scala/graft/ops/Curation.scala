@@ -93,6 +93,62 @@ object Curation {
       .toDF("col_name", "n_rows", "n_nulls", "n_distinct")
   }
 
+  /** Encoding-defect census — per corpus slice, how many documents carry
+    * the classic UTF-8 pipeline wounds a crawled corpus accumulates:
+    * {{{
+    *   n_repl       U+FFFD replacement chars — a lossy transcode already
+    *                happened upstream (bytes are gone, not recoverable)
+    *   n_double_enc "Ã/Â + continuation-range" digrams or "â€" — UTF-8
+    *                bytes read as Latin-1/cp1252 and re-encoded (mojibake;
+    *                recoverable by one reverse transcode)
+    *   n_c1         C1 control block U+0080–U+009F — cp1252 punctuation
+    *                mis-mapped through Latin-1
+    *   n_ctl        non-whitespace C0 controls — binary bleed into text
+    *   n_defect     documents tripping ANY of the above
+    * }}}
+    * The "is this source's extraction pipeline broken, and in which of
+    * the four repairable-vs-lost ways" gate that runs before any quality
+    * scoring — a rising repl share means data is being DESTROYED
+    * upstream, a rising double-enc share means it is recoverable and the
+    * fix is one transcode flag.
+    *
+    * Determinism: per-document boolean regex hits (same RE2/Java
+    * semantics on literal chars and codepoint classes), exact longs, one
+    * 6-dp IEEE share.
+    *
+    * Scale shape: one scan, four codegen'd rlike flags per document,
+    * slice-keyed collapse (map-side combined) — nothing wider than the
+    * group key + five longs shuffles.
+    *
+    * @return per slice (groupCols…, n_docs, n_repl, n_double_enc, n_c1,
+    *         n_ctl, n_defect, defect_share) ordered by the group columns
+    */
+  def encodingDefectCensus(df: DataFrame, groupCols: Seq[String],
+                           textCol: String): DataFrame = {
+    val t = F.coalesce(F.col(textCol), F.lit(""))
+    def flag(re: String): Column = F.when(t.rlike(re), 1L).otherwise(0L)
+    val repl = flag("\uFFFD")
+    val dbl = flag("[\u00C3\u00C2][\u0080-\u00BF]|\u00E2\u20AC")
+    val c1 = flag("[\u0080-\u009F]")
+    val ctl = flag("[\u0000-\u0008\u000B\u000C\u000E-\u001F]")
+    val gs = groupCols.map(F.col)
+    val flagged = df.select(gs ++ Seq(repl.as("__r"), dbl.as("__d"),
+      c1.as("__c"), ctl.as("__t")): _*)
+      .withColumn("__any", F.greatest(F.col("__r"), F.col("__d"),
+        F.col("__c"), F.col("__t")))
+    flagged.groupBy(gs: _*)
+      .agg(F.count(F.lit(1)).as("n_docs"), F.sum("__r").as("n_repl"),
+        F.sum("__d").as("n_double_enc"), F.sum("__c").as("n_c1"),
+        F.sum("__t").as("n_ctl"), F.sum("__any").as("n_defect"))
+      .select(gs ++ Seq(F.col("n_docs"), F.col("n_repl"),
+        F.col("n_double_enc"), F.col("n_c1"), F.col("n_ctl"),
+        F.col("n_defect"),
+        F.round(F.col("n_defect").cast("double") /
+          F.nullif(F.col("n_docs").cast("double"), F.lit(0.0)), 6)
+          .as("defect_share")): _*)
+      .orderBy(gs: _*)
+  }
+
   /** Strip corpus-boilerplate lines (CCNet/RefinedWeb-style): a line whose
     * normalized form (lowercase, trimmed) appears in MORE than `maxDocFreq`
     * distinct documents is navigation/footer chrome, not content — remove

@@ -6345,6 +6345,25 @@ class OpsSpec extends AnyFunSuite {
       ("image", 3L, 2L, 0.333333, 10L, 6L, 0.4)), got)
   }
 
+  test("encodingDefectCensus: each defect class counted once per doc; " +
+      "a multi-defect doc still counts once in n_defect; null text clean") {
+    import graft.ops.Curation
+    val rows = Seq(
+      ("a", "clean text"),
+      ("a", "lossy \uFFFD here"),
+      ("a", "caf\u00C3\u00A9 double-encoded"), // the double-encode digram
+      ("a", "curly \u00E2\u20AC\u0099 quote"), // the curly-quote triple (U+0099 is also C1)
+      ("b", "nel\u0085inside"),
+      ("b", "bel\u0007and\uFFFDboth"), // ctl + repl, ONE defect doc
+      ("b", null)).toDF("src", "text")
+    val got = Curation.encodingDefectCensus(rows, Seq("src"), "text")
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 4L, 1L, 2L, 1L, 0L, 3L, 0.75),
+      ("b", 3L, 1L, 0L, 1L, 1L, 2L, 0.666667)), got)
+  }
+
   test("ByteSketches.chunkHashes: deterministic; empty payload one " +
       "hash; maxLen force-splits; insertion re-aligns the tail " +
       "(the CDC property fixed-width chunking lacks)") {
