@@ -3447,6 +3447,27 @@ object SparkEntry {
         "text")
     }),
 
+    // cross-source duplicate-containment matrix with PLANTED mirrors
+    // (every doc_id%13 doc re-listed under source||'_m' -- the corpus
+    // has no natural exact dups, x01-verified): mirror->origin rows
+    // read containment 1.0, origin->mirror ~1/13 -- the "drop the
+    // re-hosted dump" budget readout
+    "x433_source_overlap" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mirrored = d.unionByName(
+        d.filter(F.col("doc_id") % 13 === 0)
+          .withColumn("source", F.concat(F.col("source"), F.lit("_m"))))
+      graft.ops.Dedup.sourceOverlapMatrix(mirrored, "source", "text")
+    }),
+
+    // packing-efficiency census at maxTokens=2048 over n_chars: prices
+    // the waste-vs-overrun trade of the packSequences assignment per
+    // source shard (exact integer prefix sums -- cross-engine-safe)
+    "x434_packing_efficiency" -> ((s, dir) =>
+      graft.ops.Curation.packingEfficiency(
+        s.read.parquet(s"$dir/documents.parquet"), "source", "doc_id",
+        "n_chars", 2048)),
+
     // weighted reciprocity of the behavior-transition digraph (x306's
     // census as directed weighted edges): does flow bounce back
     // (browse<->search) or funnel one-way — min(w_uv, w_vu) mass share
@@ -11555,6 +11576,52 @@ object SparkEntry {
         |  round(sum(greatest(r, d, c, tc))::DOUBLE /
         |    nullif(count(*)::DOUBLE, 0.0), 6) AS defect_share
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // same mirror planting; DISTINCT (source, fp) census + fp-keyed
+    // self-join; kept zero rows via the grid left join
+    "x433_source_overlap" ->
+      """WITH u AS (SELECT source, text FROM documents
+        |  UNION ALL SELECT source || '_m' AS source, text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |f AS (SELECT DISTINCT source AS g,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM u),
+        |tot AS (SELECT g, count(*)::BIGINT AS n FROM f GROUP BY 1),
+        |sh AS (SELECT a.g AS src_a, b.g AS src_b,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.g <> b.g
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT a.g AS src_a, a.n AS n_fp_a, b.g AS src_b
+        |  FROM tot a CROSS JOIN tot b WHERE a.g <> b.g)
+        |SELECT src_a, src_b, n_fp_a,
+        |  coalesce(n_shared, 0)::BIGINT AS n_shared,
+        |  round(coalesce(n_shared, 0)::DOUBLE /
+        |    nullif(n_fp_a::DOUBLE, 0.0), 6) AS containment
+        |FROM grid LEFT JOIN sh USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // exact integer prefix sums (order-exact cross-engine); bin =
+    // pre-doc cum // 2048; underfill-only waste, overruns censused
+    "x434_packing_efficiency" ->
+      """WITH c AS (SELECT source, n_chars::BIGINT AS tok,
+        |    coalesce(sum(n_chars::BIGINT) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0)::BIGINT AS cum
+        |  FROM documents),
+        |b AS (SELECT source, cum // 2048 AS bin, count(*)::BIGINT AS nd,
+        |    sum(tok)::BIGINT AS bt FROM c GROUP BY 1, 2)
+        |SELECT source, sum(nd)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_bins, sum(bt)::BIGINT AS total_tokens,
+        |  coalesce(sum(CASE WHEN bt > 2048 THEN 1 END), 0)::BIGINT
+        |    AS overrun_bins,
+        |  coalesce(sum(CASE WHEN bt < 2048 THEN 2048 - bt END),
+        |    0)::BIGINT AS waste_tokens,
+        |  max(bt)::BIGINT AS max_bin_tokens,
+        |  round(sum(bt)::DOUBLE / (count(*) * 2048)::DOUBLE, 6)
+        |    AS fill_rate,
+        |  round(coalesce(sum(CASE WHEN bt < 2048 THEN 2048 - bt END),
+        |    0)::DOUBLE / (count(*) * 2048)::DOUBLE, 6) AS waste_share
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
 
     // x306's transition census as directed weighted edges; reversed-key
     // self-join; exact longs, two IEEE shares

@@ -52,6 +52,58 @@ object Curation {
       F.floor(F.coalesce(F.sum(F.col(tokenCol)).over(w), F.lit(0L)) / maxTokens))
   }
 
+  /** Packing-efficiency census over [[packSequences]]' assignment — per
+    * shard, what the chosen `maxTokens` actually buys:
+    * {{{
+    *   fill_rate   = total_tokens / (n_bins · maxTokens)
+    *   waste_share = waste_tokens / (n_bins · maxTokens)   (underfill only)
+    * }}}
+    * plus `overrun_bins` (bins whose last document pushed them past
+    * `maxTokens` — each one truncates or spills downstream) and
+    * `max_bin_tokens` (the worst overrun, the number the tokenizer's
+    * buffer must survive). The readout that turns "pack at 2048" from a
+    * guess into a measurement: raising `maxTokens` trades waste for
+    * overruns, and this census prices both sides per shard before a
+    * 100-TB tokenization run commits.
+    *
+    * Determinism: the bin assignment is [[packSequences]]' exact integer
+    * prefix sum (cross-engine-safe — integer cumsums are order-exact);
+    * every count an exact long; the two shares one 6-dp IEEE division
+    * each.
+    *
+    * Scale shape: one window shuffle on the shard key (packSequences'
+    * own), one (shard, bin) collapse, one shard-keyed rollup — all
+    * map-side combined.
+    *
+    * @return per shard (groupCol, n_docs, n_bins, total_tokens,
+    *         overrun_bins, waste_tokens, max_bin_tokens, fill_rate,
+    *         waste_share) ordered by shard
+    */
+  def packingEfficiency(docs: DataFrame, groupCol: String, orderCol: String,
+                        tokenCol: String, maxTokens: Int): DataFrame = {
+    val packed = packSequences(docs, groupCol, orderCol, tokenCol, maxTokens)
+    val bins = packed.groupBy(F.col(groupCol), F.col("bin"))
+      .agg(F.count(F.lit(1)).as("__nd"),
+        F.sum(F.col(tokenCol).cast("long")).as("__bt"))
+    val cap = F.lit(maxTokens.toLong)
+    bins.groupBy(groupCol)
+      .agg(F.sum("__nd").as("n_docs"), F.count(F.lit(1)).as("n_bins"),
+        F.sum("__bt").as("total_tokens"),
+        F.coalesce(F.sum(F.when(F.col("__bt") > cap, 1L)), F.lit(0L))
+          .as("overrun_bins"),
+        F.coalesce(F.sum(F.when(F.col("__bt") < cap, cap - F.col("__bt"))),
+          F.lit(0L)).as("waste_tokens"),
+        F.max("__bt").as("max_bin_tokens"))
+      .select(F.col(groupCol), F.col("n_docs"), F.col("n_bins"),
+        F.col("total_tokens"), F.col("overrun_bins"), F.col("waste_tokens"),
+        F.col("max_bin_tokens"),
+        F.round(F.col("total_tokens").cast("double") /
+          (F.col("n_bins") * cap).cast("double"), 6).as("fill_rate"),
+        F.round(F.col("waste_tokens").cast("double") /
+          (F.col("n_bins") * cap).cast("double"), 6).as("waste_share"))
+      .orderBy(groupCol)
+  }
+
   /** Keep rows at or above their group's `q`-quantile of `valueCol` — the
     * per-source quality gate ("drop the worst half of every domain"): an
     * absolute threshold would gut clean domains and keep everything from

@@ -6345,6 +6345,34 @@ class OpsSpec extends AnyFunSuite {
       ("image", 3L, 2L, 0.333333, 10L, 6L, 0.4)), got)
   }
 
+  test("sourceOverlapMatrix: directional containment over DISTINCT " +
+      "fingerprints; within-source dups collapse; zero pairs kept") {
+    import graft.ops.Dedup
+    val docs = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("A", "z"),
+      ("B", "x"), ("B", "y"), ("B", "q"), ("C", "zzz"))
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlapMatrix(docs, "source", "text")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", "B", 3L, 2L, 0.666667), ("A", "C", 3L, 0L, 0.0),
+      ("B", "A", 3L, 2L, 0.666667), ("B", "C", 3L, 0L, 0.0),
+      ("C", "A", 1L, 0L, 0.0), ("C", "B", 1L, 0L, 0.0)), got)
+  }
+
+  test("packingEfficiency: pre-doc prefix-sum bins; overruns and " +
+      "underfill waste censused separately — hand 2500/2500/100") {
+    import graft.ops.Curation
+    val docs = Seq(("g", 1L, 1000L), ("g", 2L, 1000L), ("g", 3L, 500L),
+      ("g", 4L, 2500L), ("g", 5L, 100L)).toDF("src", "id", "tok")
+    val got = Curation.packingEfficiency(docs, "src", "id", "tok", 2048)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double, Double)]
+      .head()
+    // bins: [1000,1000,500]=2500 (overrun), [2500] (overrun), [100]
+    // (waste 1948); fill 5100/6144, waste 1948/6144
+    assert(got == (("g", 5L, 3L, 5100L, 2L, 1948L, 2500L,
+      0.830078, 0.317057)), got)
+  }
+
   test("encodingDefectCensus: each defect class counted once per doc; " +
       "a multi-defect doc still counts once in n_defect; null text clean") {
     import graft.ops.Curation
