@@ -3468,6 +3468,13 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "source", "doc_id",
         "n_chars", 2048)),
 
+    // Flesch/FK readability census per source: exact W/S/SY structural
+    // counts (vowel-group syllable heuristic), two 6-dp IEEE scores off
+    // slice totals
+    "x435_readability" -> ((s, dir) =>
+      graft.ops.TextOps.readability(
+        s.read.parquet(s"$dir/documents.parquet"), Seq("source"), "text")),
+
     // weighted reciprocity of the behavior-transition digraph (x306's
     // census as directed weighted edges): does flow bounce back
     // (browse<->search) or funnel one-way — min(w_uv, w_vu) mass share
@@ -11622,6 +11629,43 @@ object SparkEntry {
         |  round(coalesce(sum(CASE WHEN bt < 2048 THEN 2048 - bt END),
         |    0)::DOUBLE / (count(*) * 2048)::DOUBLE, 6) AS waste_share
         |FROM b GROUP BY source ORDER BY source""".stripMargin,
+
+    // split-keeps-empties parity: matches = pieces - 1 on both engines;
+    // vowel-less tokens clamp to 1 syllable; constants single literals
+    "x435_readability" ->
+      """WITH per AS (SELECT source,
+        |    len(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), x -> length(x) > 0))::BIGINT AS w,
+        |    (len(string_split_regex(text, '[.!?]+')) - 1)::BIGINT
+        |      AS sraw,
+        |    (len(string_split_regex(lower(text), '[aeiouy]+')) - 1)
+        |      ::BIGINT AS vg,
+        |    len(list_filter(list_filter(string_split_regex(
+        |      lower(trim(text)), '\s+'), x -> length(x) > 0),
+        |      x -> NOT regexp_matches(x, '[aeiouy]')))::BIGINT AS zv
+        |  FROM documents),
+        |a AS (SELECT source, w,
+        |    CASE WHEN w > 0 THEN greatest(sraw, 1) ELSE 0 END AS s,
+        |    CASE WHEN w > 0 THEN vg + zv ELSE 0 END AS sy FROM per),
+        |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(w)::BIGINT AS words, sum(s)::BIGINT AS sentences,
+        |    sum(sy)::BIGINT AS syllables FROM a GROUP BY 1)
+        |SELECT source, n_docs, words, sentences, syllables,
+        |  round(words::DOUBLE / nullif(sentences::DOUBLE, 0.0), 6)
+        |    AS words_per_sentence,
+        |  round(syllables::DOUBLE / nullif(words::DOUBLE, 0.0), 6)
+        |    AS syllables_per_word,
+        |  round(206.835::DOUBLE
+        |    - 1.015::DOUBLE * (words::DOUBLE /
+        |        nullif(sentences::DOUBLE, 0.0))
+        |    - 84.6::DOUBLE * (syllables::DOUBLE /
+        |        nullif(words::DOUBLE, 0.0)), 6) AS flesch,
+        |  round(0.39::DOUBLE * (words::DOUBLE /
+        |      nullif(sentences::DOUBLE, 0.0))
+        |    + 11.8::DOUBLE * (syllables::DOUBLE /
+        |        nullif(words::DOUBLE, 0.0))
+        |    - 15.59::DOUBLE, 6) AS fk_grade
+        |FROM g ORDER BY source""".stripMargin,
 
     // x306's transition census as directed weighted edges; reversed-key
     // self-join; exact longs, two IEEE shares

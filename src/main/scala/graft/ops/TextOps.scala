@@ -40,6 +40,66 @@ object TextOps {
         (F.length(t) - nTok + 1).cast("double") / F.greatest(nTok, F.lit(1)))
   }
 
+  /** Flesch readability census per corpus slice (Flesch 1948; Kincaid et
+    * al. 1975) — the classic "is this source textbooks or tweets" lens
+    * over the three structural counts a formula-readability score needs:
+    * {{{
+    *   FRE      = 206.835 − 1.015·(W/S) − 84.6·(SY/W)
+    *   FK grade = 0.39·(W/S) + 11.8·(SY/W) − 15.59
+    * }}}
+    * with W = whitespace tokens, S = sentence-ender runs `[.!?]+`
+    * (clamped to ≥ 1 per non-empty doc — a fragment is one sentence),
+    * SY = the standard vowel-group syllable heuristic: runs of
+    * `[aeiouy]` count one syllable each, vowel-less tokens clamp to 1
+    * ("tsk" is pronounceable). A heuristic, not a dictionary — the same
+    * convention every formula-readability implementation uses; it is
+    * what makes the score engine-replayable.
+    *
+    * Determinism: all three counts are exact longs per document (regex
+    * split semantics agree across engines, empties kept); the two scores
+    * one 6-dp IEEE tree each over slice totals; constants pinned as
+    * single literals.
+    *
+    * Scale shape: one scan, per-document codegen'd counts, slice-keyed
+    * collapse — the [[withQuality]] shape at slice granularity.
+    *
+    * @return per slice (groupCols…, n_docs, words, sentences, syllables,
+    *         words_per_sentence, syllables_per_word, flesch, fk_grade)
+    *         ordered; score columns NULL on a wordless slice
+    */
+  def readability(df: DataFrame, groupCols: Seq[String],
+                  textCol: String): DataFrame = {
+    val t = F.coalesce(F.col(textCol), F.lit(""))
+    val toks = F.filter(F.split(F.lower(F.trim(t)), "\\s+"),
+      tk => F.length(tk) > 0)
+    val w = F.size(toks).cast("long")
+    // split keeps boundary empties on BOTH engines, so matches = pieces−1
+    val sRaw = (F.size(F.split(t, "[.!?]+")) - 1).cast("long")
+    val vg = (F.size(F.split(F.lower(t), "[aeiouy]+")) - 1).cast("long")
+    val zv = F.size(F.filter(toks, tk => !tk.rlike("[aeiouy]")))
+      .cast("long")
+    val gs = groupCols.map(F.col)
+    val per = df.select(gs ++ Seq(w.as("__w"),
+      F.when(w > 0L, F.greatest(sRaw, F.lit(1L))).otherwise(0L).as("__s"),
+      F.when(w > 0L, vg + zv).otherwise(0L).as("__sy")): _*)
+    val wps = F.col("words").cast("double") /
+      F.nullif(F.col("sentences").cast("double"), F.lit(0.0))
+    val spw = F.col("syllables").cast("double") /
+      F.nullif(F.col("words").cast("double"), F.lit(0.0))
+    per.groupBy(gs: _*)
+      .agg(F.count(F.lit(1)).as("n_docs"), F.sum("__w").as("words"),
+        F.sum("__s").as("sentences"), F.sum("__sy").as("syllables"))
+      .select(gs ++ Seq(F.col("n_docs"), F.col("words"),
+        F.col("sentences"), F.col("syllables"),
+        F.round(wps, 6).as("words_per_sentence"),
+        F.round(spw, 6).as("syllables_per_word"),
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6)
+          .as("flesch"),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6)
+          .as("fk_grade")): _*)
+      .orderBy(gs: _*)
+  }
+
   /** Stopword-hit language ID over {en, de, fr, es} + CJK-codepoint check
     * for zh. N-gram/stopword heuristic per the builder prompt — a
     * deterministic scoring rule, not a model. */

@@ -6345,6 +6345,24 @@ class OpsSpec extends AnyFunSuite {
       ("image", 3L, 2L, 0.333333, 10L, 6L, 0.4)), got)
   }
 
+  test("readability: hand W/S/SY counts; fragment clamps to one " +
+      "sentence; vowel-less token clamps to one syllable; empty doc " +
+      "counts only in n_docs") {
+    import graft.ops.TextOps
+    val docs = Seq(("g1", "The cat sat. It ran!"), ("g2", "tsk brr"),
+      ("g2", "")).toDF("source", "text")
+    val got = TextOps.readability(docs, Seq("source"), "text")
+      .as[(String, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double], Option[Double])].collect().toSeq
+    // g1: W=5, S=2, SY=5 -> FRE = 206.835 - 1.015*2.5 - 84.6 = 119.6975
+    // g2: W=2, S=1 (clamped), SY=2 (both vowel-less) -> FRE = 120.205
+    assert(got == Seq(
+      ("g1", 1L, 5L, 2L, 5L, Some(2.5), Some(1.0), Some(119.6975),
+        Some(-2.815)),
+      ("g2", 2L, 2L, 1L, 2L, Some(2.0), Some(1.0), Some(120.205),
+        Some(-3.01))), got)
+  }
+
   test("sourceOverlapMatrix: directional containment over DISTINCT " +
       "fingerprints; within-source dups collapse; zero pairs kept") {
     import graft.ops.Dedup
