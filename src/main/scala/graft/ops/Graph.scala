@@ -913,9 +913,9 @@ object Graph {
     * ≥ k−2 triangles" is the FIXPOINT property and only holds once a
     * peel removes nothing. Peeling is monotone (a converged graph is a
     * fixpoint; extra rounds are no-ops), so callers needing the exact
-    * k-truss detect convergence cheaply: run with `rounds` and
-    * `rounds+1` and compare edge counts (equal ⇒ converged), or raise
-    * `rounds` until the returned degree census stops changing. Deep
+    * k-truss use [[kTrussFixpoint]] (peels to convergence, loud cap),
+    * or detect convergence here cheaply: run with `rounds` and
+    * `rounds+1` and compare edge counts (equal ⇒ converged). Deep
     * onion-layered graphs (long dependency chains of barely-supported
     * edges) can need many rounds; the default 3 is calibrated to
     * social/co-occurrence graphs where support collapses fast.
@@ -948,6 +948,54 @@ object Graph {
       e = e.join(keep.select("a", "b"), Seq("a", "b"), "left_semi")
         .localCheckpoint()
     }
+    e.select(F.col("a").as("node"))
+      .unionAll(e.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("degree"))
+      .orderBy("node")
+  }
+
+  /** [[kTruss]] run to FIXPOINT — the exact k-truss, for callers who
+    * need the subset guarantee rather than oracle-replayable pinned
+    * rounds: peel until a round removes nothing, up to `maxRounds`;
+    * REJECTS LOUDLY (the repo convention — never silently return the
+    * superset the pinned-round form documents) if the graph hasn't
+    * converged by then. Each round's edge count is already materialized
+    * by the peel's `localCheckpoint`, so the convergence check reads a
+    * cached count — no extra scan of the corpus.
+    *
+    * Scale shape: identical per-round cost to [[kTruss]] (one
+    * [[orientedTriangles]] pass on the shrinking edge set + an
+    * edge-keyed semi-join, lineage truncated per round); the driver
+    * holds one long per round. Deep onion graphs peel O(longest
+    * dependency chain) rounds — the loud cap is the budget control.
+    *
+    * @throws IllegalStateException when `maxRounds` peels still shrink
+    *         the edge set
+    * @return per node (node, degree) within the exact k-truss, ordered
+    */
+  def kTrussFixpoint(edges: DataFrame, srcCol: String, dstCol: String,
+                     k: Int, maxRounds: Int = 32): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(maxRounds >= 1 && maxRounds <= 256,
+      s"maxRounds must be in [1,256], got $maxRounds")
+    var e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    var prev = e.count()
+    var converged = prev == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = edgeSupport(e).filter(F.col("__sup") >= (k - 2).toLong)
+      e = e.join(keep.select("a", "b"), Seq("a", "b"), "left_semi")
+        .localCheckpoint()
+      val now = e.count()
+      converged = now == prev || now == 0L
+      prev = now
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kTrussFixpoint: no fixpoint after $maxRounds rounds " +
+          s"($prev edges still shrinking) — raise maxRounds or use " +
+          "kTruss(rounds=...) for the documented superset")
     e.select(F.col("a").as("node"))
       .unionAll(e.select(F.col("b").as("node")))
       .groupBy("node").agg(F.count(F.lit(1)).as("degree"))

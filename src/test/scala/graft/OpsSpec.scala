@@ -6345,6 +6345,26 @@ class OpsSpec extends AnyFunSuite {
       ("image", 3L, 2L, 0.333333, 10L, 6L, 0.4)), got)
   }
 
+  test("kTrussFixpoint: peels to the exact truss (bowtie needs the " +
+      "propagation round); loud when capped before convergence") {
+    import graft.ops.Graph
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.kTrussFixpoint(k4p, "src", "dst", k = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), got)
+    // bowtie: round 1 keeps only the shared edge, round 2 empties it —
+    // the fixpoint is EMPTY (the pinned-round form at rounds=1 would
+    // return the shared-edge superset)
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(Graph.kTrussFixpoint(bowtie, "src", "dst", k = 4).count() == 0L)
+    val ex = intercept[IllegalStateException] {
+      Graph.kTrussFixpoint(bowtie, "src", "dst", k = 4, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("no fixpoint"), ex.getMessage)
+  }
+
   test("readability: hand W/S/SY counts; fragment clamps to one " +
       "sentence; vowel-less token clamps to one syllable; empty doc " +
       "counts only in n_docs") {

@@ -942,4 +942,60 @@ class PropertySpec extends AnyFunSuite {
     assert((k0.getAs[Long]("n_rows"), k0.getAs[Long]("max_multiplicity")) ==
       ((0L, 0L)), k0)
   }
+
+  test("law: sourceOverlapMatrix is a symmetric-shared full grid; " +
+      "packingEfficiency matches an exact Scala replay of the bins") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+
+    val srcDocGen: Gen[List[(String, String)]] = Gen.choose(0, 50)
+      .flatMap(n => Gen.listOfN(n, for {
+        src <- Gen.oneOf("s1", "s2", "s3")
+        txt <- Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "Aa  x", "zz")
+      } yield (src, txt)))
+    forAll(srcDocGen) { rows =>
+      if (rows.nonEmpty) {
+        val got = graft.ops.Dedup.sourceOverlapMatrix(
+            rows.toDF("source", "text"), "source", "text")
+          .as[(String, String, Long, Long, Double)].collect().toSeq
+        def norm(t: String) =
+          t.toLowerCase.replaceAll("\\s+", " ") // fingerprint normalization
+        val fps = rows.map { case (s0, t) => (s0, norm(t)) }.distinct
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val srcs = fps.keySet.toSeq.sorted
+        // full grid, ordered pairs only
+        assert(got.size == srcs.size * (srcs.size - 1), got)
+        val m = got.map(r => (r._1, r._2) -> r).toMap
+        for (a <- srcs; b <- srcs if a != b) {
+          val r = m((a, b))
+          val shared = (fps(a) intersect fps(b)).size.toLong
+          assert(r._3 == fps(a).size.toLong && r._4 == shared, r)
+          // shared census is symmetric; containment is the directional
+          assert(m((b, a))._4 == shared)
+          assert(math.abs(r._5 - shared.toDouble / fps(a).size) < 1e-6)
+        }
+      }
+    }
+
+    val tokGen: Gen[List[Long]] = Gen.choose(1, 30)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(1L, 3000L)))
+    forAll(tokGen) { toks =>
+      val cap = 1024L
+      val docs = toks.zipWithIndex.map { case (t, i) => ("g", i.toLong, t) }
+        .toDF("src", "id", "tok")
+      val got = graft.ops.Curation.packingEfficiency(
+          docs, "src", "id", "tok", cap.toInt)
+        .as[(String, Long, Long, Long, Long, Long, Long, Double, Double)]
+        .head()
+      // exact Scala replay: bin = pre-doc prefix sum / cap
+      val bins = toks.scanLeft(0L)(_ + _).zip(toks)
+        .map { case (pre, t) => (pre / cap, t) }
+        .groupBy(_._1).map { case (b, v) => b -> v.map(_._2).sum }
+      val waste = bins.values.map(bt => math.max(0L, cap - bt)).sum
+      assert(got._2 == toks.size.toLong && got._3 == bins.size.toLong, got)
+      assert(got._4 == toks.sum && got._6 == waste, got)
+      assert(got._5 == bins.values.count(_ > cap).toLong, got)
+      assert(got._7 == bins.values.max, got)
+    }
+  }
 }
