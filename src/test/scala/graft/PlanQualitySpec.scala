@@ -1354,6 +1354,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"media column in an exchange row:\n$exchanges")
   }
 
+  test("sourceOverlapMatrix: the corpus collapses to (source, fp) " +
+      "before any join — document text never rides an exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.Dedup.sourceOverlapMatrix(docs, "source", "text")
+    val p = plan(df)
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(p).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      s"text column in an exchange row:\n$exchanges")
+    // the S-row totals ride a broadcast into the grid
+    assert(p.contains("BroadcastExchange") || p.contains("broadcast"),
+      s"expected the totals broadcast in:\n$p")
+  }
+
   test("rougeN and chrfPairs only tokenize docs named in the pair " +
       "list (semi-join bounds the censuses)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
