@@ -3475,6 +3475,23 @@ object SparkEntry {
       graft.ops.TextOps.readability(
         s.read.parquet(s"$dir/documents.parquet"), Seq("source"), "text")),
 
+    // cluster-atomic split assignment over planted mirror pairs (the
+    // x433 planting): a near-dup cluster lands in ONE split by
+    // construction -- per-doc (rep, split) compared exactly, the
+    // strongest check the md5-prefix scheme allows
+    "x436_cluster_split" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mirrors = d.filter(F.col("doc_id") % 13 === 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10000000L))
+      val pairs = d.filter(F.col("doc_id") % 13 === 0)
+        .select(F.col("doc_id").as("a"),
+          (F.col("doc_id") + F.lit(10000000L)).as("b"))
+      graft.ops.Curation.splitByCluster(d.unionByName(mirrors), "doc_id",
+          pairs, Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select("doc_id", "rep", "split")
+        .orderBy("doc_id")
+    }),
+
     // weighted reciprocity of the behavior-transition digraph (x306's
     // census as directed weighted edges): does flow bounce back
     // (browse<->search) or funnel one-way — min(w_uv, w_vu) mass share
@@ -11666,6 +11683,24 @@ object SparkEntry {
         |        nullif(words::DOUBLE, 0.0))
         |    - 15.59::DOUBLE, 6) AS fk_grade
         |FROM g ORDER BY source""".stripMargin,
+
+    // mirrors are the only ids >= 10^7, so rep is a CASE, and the split
+    // replays splitAssign's '0'-prefixed md5 16-bit bucket scheme with
+    // bounds generated from the same round(c*65536) formula
+    "x436_cluster_split" -> {
+      val bs = Seq(0.8, 0.9).map(c => f"${math.round(c * 65536.0).toInt}%05x")
+      s"""WITH u AS (SELECT doc_id FROM documents
+        |  UNION ALL SELECT doc_id + 10000000 AS doc_id FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |r AS (SELECT doc_id, CASE WHEN doc_id >= 10000000
+        |    THEN doc_id - 10000000 ELSE doc_id END AS rep FROM u),
+        |h AS (SELECT doc_id, rep,
+        |    '0' || substring(md5(rep::VARCHAR), 1, 4) AS hx FROM r)
+        |SELECT doc_id, rep,
+        |  CASE WHEN hx < '${bs(0)}' THEN 'train'
+        |    WHEN hx < '${bs(1)}' THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin
+    },
 
     // x306's transition census as directed weighted edges; reversed-key
     // self-join; exact longs, two IEEE shares

@@ -121,6 +121,43 @@ object Curation {
       .drop("__thr")
   }
 
+  /** Cluster-atomic train/val/test assignment — the FIX for what
+    * [[splitLeakage]] measures: documents are split by the hash of their
+    * near-duplicate CLUSTER representative (connected component over
+    * `pairs`), not their own id, so an entire near-dup cluster lands in
+    * one split and eval contamination by near-copies is structurally
+    * impossible for any pair the generator caught. Unpaired documents
+    * hash on their own id — bit-identical to [[graft.ops.Sampling
+    * .splitAssign]] for them, so adopting this op re-shuffles ONLY
+    * clustered documents relative to a plain id split.
+    *
+    * Determinism: the component representative is the cluster's minimum
+    * id (exact), the split decision [[graft.ops.Sampling.splitAssign]]'s
+    * md5-prefix scheme — both engine-replayable, stable under
+    * re-partitioning and re-runs.
+    *
+    * Scale shape: [[graft.ops.Components.connectedComponents]]' hash-min
+    * propagation over the PAIR graph only (corpus-size-independent),
+    * one left join of docs against the (duplicate-count-sized) component
+    * map, then a pure codegen'd hash projection — no corpus shuffle
+    * beyond the one join.
+    *
+    * @param pairs  (aCol, bCol) near-dup pairs from any generator
+    *               honoring the a<b contract
+    * @return docs plus (rep, split) columns
+    */
+  def splitByCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
+                     weights: Seq[(String, Double)], salt: String = "",
+                     aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val comp = graft.ops.Components.connectedComponents(pairs, aCol, bCol)
+    val withRep = docs
+      .join(comp.select(F.col("v").as(idCol), F.col("component")),
+        Seq(idCol), "left_outer")
+      .withColumn("rep", F.coalesce(F.col("component"), F.col(idCol)))
+      .drop("component")
+    graft.ops.Sampling.splitAssign(withRep, F.col("rep"), weights, salt)
+  }
+
   /** Per-column profile of a table — (col_name, n_rows, n_nulls,
     * n_distinct) — the schema-health report a pipeline emits before
     * training (null explosions and cardinality collapses are the two

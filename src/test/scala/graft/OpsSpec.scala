@@ -6345,6 +6345,28 @@ class OpsSpec extends AnyFunSuite {
       ("image", 3L, 2L, 0.333333, 10L, 6L, 0.4)), got)
   }
 
+  test("splitByCluster: a near-dup cluster lands in ONE split (rep = " +
+      "component min); unpaired docs match plain splitAssign exactly") {
+    import graft.ops.{Curation, Sampling}
+    val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val w = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = Curation.splitByCluster(docs, "doc_id", pairs, w)
+      .select("doc_id", "rep", "split")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    val byId = got.map(r => r._1 -> r).toMap
+    // cluster {1,2,3} -> rep 1, one split; {10,11} -> rep 10
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size == 1)
+    assert(Seq(10L, 11L).map(byId(_)._2).distinct == Seq(10L))
+    assert(Seq(10L, 11L).map(byId(_)._3).distinct.size == 1)
+    // unpaired docs: rep = own id, split identical to plain splitAssign
+    val plain = Sampling.splitAssign(docs, F.col("doc_id"), w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    (4L to 9L) ++ (12L to 40L) foreach { i =>
+      assert(byId(i)._2 == i && byId(i)._3 == plain(i), s"doc $i") }
+  }
+
   test("kTrussFixpoint: peels to the exact truss (bowtie needs the " +
       "propagation round); loud when capped before convergence") {
     import graft.ops.Graph
