@@ -3492,6 +3492,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // label-propagation community DETECTION over the x92 customer-
+    // supplier co-order graph (the discovery half x416 partitionQuality
+    // grades): 3 synchronous self-voting rounds, integer-only argmax --
+    // bit-exact cross-engine
+    "x437_label_prop" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .join(s.read.parquet(s"$dir/lineitem.parquet")
+            .select("l_orderkey", "l_suppkey"),
+          F.col("o_orderkey") === F.col("l_orderkey"))
+        .select(F.col("o_custkey").as("src"),
+          (F.col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      graft.ops.Graph.labelPropagation(e, "src", "dst", rounds = 3)
+    }),
+
     // weighted reciprocity of the behavior-transition digraph (x306's
     // census as directed weighted edges): does flow bounce back
     // (browse<->search) or funnel one-way — min(w_uv, w_vu) mass share
@@ -11700,6 +11716,33 @@ object SparkEntry {
         |  CASE WHEN hx < '${bs(0)}' THEN 'train'
         |    WHEN hx < '${bs(1)}' THEN 'val' ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    // same 3 self-voting LPA rounds unrolled as CTE layers; the Spark
+    // max(struct(cnt, -label)) argmax is exactly row_number() ORDER BY
+    // c DESC, l ASC = 1 -- integer-only, bit-exact
+    "x437_label_prop" -> {
+      val rounds = (1 to 3).map { r =>
+        val p = s"l${r - 1}"
+        s"""v$r AS (SELECT n.n AS n, l.l AS l
+          |  FROM nbrs n JOIN $p l ON n.nb = l.n
+          |  UNION ALL SELECT n, l FROM $p),
+          |c$r AS (SELECT n, l, count(*)::BIGINT AS c FROM v$r
+          |  GROUP BY 1, 2),
+          |l$r AS (SELECT n, l FROM (SELECT n, l, row_number()
+          |    OVER (PARTITION BY n ORDER BY c DESC, l ASC) AS rn
+          |  FROM c$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT
+        |    least(o_custkey, l_suppkey + 100000) AS a,
+        |    greatest(o_custkey, l_suppkey + 100000) AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nbrs AS (SELECT a AS n, b AS nb FROM e
+        |  UNION ALL SELECT b AS n, a AS nb FROM e),
+        |l0 AS (SELECT DISTINCT n, n AS l FROM nbrs),
+        |$rounds
+        |SELECT n AS node, l AS community FROM l3 ORDER BY node"""
+        .stripMargin
     },
 
     // x306's transition census as directed weighted edges; reversed-key

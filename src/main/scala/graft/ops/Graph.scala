@@ -1191,4 +1191,68 @@ object Graph {
         F.col("rk"))
       .orderBy("rk")
   }
+
+  /** Label-propagation community DETECTION (Raghavan, Albert & Kumara
+    * 2007) — the discovery half that [[modularity]] and
+    * [[partitionQuality]] grade: every node starts in its own community
+    * (label = own id) and each round adopts the most frequent label
+    * among its neighbors, ties broken toward the SMALLEST label. The
+    * node's own current label casts one vote too — the standard damping
+    * that keeps synchronous updates from oscillating on bipartite-ish
+    * structure (plain synchronous LPA provably 2-cycles on bipartite
+    * graphs; the self-vote breaks the symmetry deterministically).
+    *
+    * Runs EXACTLY `rounds` synchronous rounds (fixed-iteration — the
+    * [[pageRank]] engine-replayable convention; LPA has no convergence
+    * guarantee even in the literature, where iteration caps are the
+    * standard stop). Every step is integer counting + a (count desc,
+    * label asc) argmax — no floating point anywhere, so the result is
+    * bit-exact across engines and partitionings.
+    *
+    * Distributed shape, per round: ONE keyed shuffle join of the label
+    * frame onto the symmetric neighbor list (built once, checkpointed),
+    * one partial-aggregable (node, label) vote census, one
+    * partial-aggregable per-node argmax via max(struct(cnt, -label)) —
+    * no windows, no per-node row_number shuffle. Hubs cost their degree
+    * in vote rows, collapsed map-side. Labels checkpoint each round
+    * (lineage truncation, the iterative-op rule). Driver state: the
+    * loop counter.
+    *
+    * @param rounds synchronous LPA rounds (pinned; 4-6 settles most
+    *               real graphs — communities form fast, refinement
+    *               slows)
+    * @return (node, community) — community = converged-or-round-R
+    *         label, the min-tending label of the node's group; ordered
+    *         by node
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1,64], got $rounds")
+    val e = canonicalUndirected(
+      edges.select(F.col(srcCol).cast("long").as(srcCol),
+        F.col(dstCol).cast("long").as(dstCol)), srcCol, dstCol)
+    // symmetric neighbor list, built once and reused every round
+    val nbrs = e.select(F.col("a").as("__n"), F.col("b").as("__nb"))
+      .unionAll(e.select(F.col("b").as("__n"), F.col("a").as("__nb")))
+      .localCheckpoint()
+    var lbl = nbrs.select(F.col("__n")).distinct()
+      .select(F.col("__n"), F.col("__n").as("__l"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val votes = nbrs
+        .join(lbl.select(F.col("__n").as("__nb"), F.col("__l")), "__nb")
+        .select(F.col("__n"), F.col("__l"))
+        .unionAll(lbl) // self-vote
+      lbl = votes.groupBy("__n", "__l")
+        .agg(F.count(F.lit(1)).as("__c"))
+        .groupBy("__n")
+        .agg(F.max(F.struct(F.col("__c"), (-F.col("__l")).as("__nl")))
+          .as("__m"))
+        .select(F.col("__n"), (-F.col("__m.__nl")).as("__l"))
+        .localCheckpoint()
+    }
+    lbl.select(F.col("__n").as("node"), F.col("__l").as("community"))
+      .orderBy("node")
+  }
 }

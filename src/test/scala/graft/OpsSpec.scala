@@ -6990,4 +6990,33 @@ class OpsSpec extends AnyFunSuite {
     // ss = 1+1 = 2: C = 2·2/(2·2·2) = 1/2
     assert(p == ((3L, 2L, 0.5, 1.0)), p)
   }
+
+  test("labelPropagation: two bridged triangles split into min-label " +
+      "communities; bridge endpoints stay with their own triangle") {
+    import graft.ops.Graph
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toSeq
+    // hand trace (self-vote, min tie-break): r1 collapses {1,2,3}→1,
+    // 4→3, {5,6}→4; r2 pulls 4 back to its triangle's majority 4;
+    // r3 stable: {1,2,3}=1, {4,5,6}=4
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 4L), (6L, 4L)), got)
+  }
+
+  test("labelPropagation: star graph collapses to the hub's min label " +
+      "and a 2-node path is stable under the self-vote") {
+    import graft.ops.Graph
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L)).toDF("src", "dst")
+    val s = Graph.labelPropagation(star, "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(s == Seq((10L, 10L), (11L, 10L), (12L, 10L), (13L, 10L)), s)
+    // 2-node path: r1 both see {self, other} tied → min label 1 for
+    // both; the self-vote keeps it there (no 2-cycle oscillation)
+    val path = Seq((1L, 2L)).toDF("src", "dst")
+    val p = Graph.labelPropagation(path, "src", "dst", rounds = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(p == Seq((1L, 1L), (2L, 1L)), p)
+  }
 }
