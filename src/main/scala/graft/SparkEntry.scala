@@ -3508,6 +3508,27 @@ object SparkEntry {
       graft.ops.Graph.labelPropagation(e, "src", "dst", rounds = 3)
     }),
 
+    // snapshot drift census over a planted ingest break: snapshot A =
+    // pre-1998H2 lineitem, snapshot B = 1998H2-on with one column dropped
+    // (l_linestatus), one added (l_batch_tag), one re-typed
+    // (l_linenumber int->string), and l_returnflag nulled on
+    // l_orderkey%7 -- schema status + null-rate drift + 10-bin PSI on
+    // the three numeric measures
+    "x438_snapshot_drift" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val cut = F.lit("1998-07-01").cast("timestamp")
+      val a = li.filter(F.col("l_shipdate") < cut)
+      val b = li.filter(F.col("l_shipdate") >= cut)
+        .drop("l_linestatus")
+        .withColumn("l_batch_tag", F.lit("b"))
+        .withColumn("l_linenumber", F.col("l_linenumber").cast("string"))
+        .withColumn("l_returnflag",
+          F.when(F.col("l_orderkey") % 7 === 0,
+            F.lit(null).cast("string")).otherwise(F.col("l_returnflag")))
+      graft.ops.Quality.snapshotDrift(a, b,
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
+
     // weighted reciprocity of the behavior-transition digraph (x306's
     // census as directed weighted edges): does flow bounce back
     // (browse<->search) or funnel one-way — min(w_uv, w_vu) mass share
@@ -11743,6 +11764,95 @@ object SparkEntry {
         |$rounds
         |SELECT n AS node, l AS community FROM l3 ORDER BY node"""
         .stripMargin
+    },
+
+    // same planted break; bin index and PSI replay Spark's exact IEEE
+    // tree (w = (mx-mn)/10.0, floor((x-mn)/w), Laplace (c+1)/(n+10),
+    // 9-dp terms summed to 6 dp)
+    "x438_snapshot_drift" -> {
+      val shared = Seq("l_discount", "l_extendedprice", "l_linenumber",
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+        "l_shipdate", "l_suppkey", "l_tax")
+      def nullsOf(cte: String, tag: String) = {
+        val aggs = shared.map(c =>
+          s"coalesce(sum(CASE WHEN $c IS NULL THEN 1 END), 0)::BIGINT" +
+            s" AS nn_$c").mkString(", ")
+        val rows = shared.map(c =>
+          s"""SELECT '$c' AS "column", n AS n_$tag,
+             |  round(nn_$c::DOUBLE / nullif(n::DOUBLE, 0.0), 6)
+             |    AS null_share_$tag FROM agg_$tag""".stripMargin)
+          .mkString("\n  UNION ALL ")
+        s"""agg_$tag AS (SELECT count(*)::BIGINT AS n, $aggs FROM $cte),
+           |nulls_$tag AS ($rows)""".stripMargin
+      }
+      val drift = Seq("l_quantity", "l_extendedprice", "l_discount")
+      def binsOf(cte: String, tag: String) = drift.map { c =>
+        s"""SELECT '$c' AS "column",
+           |  least(greatest(floor(($c::DOUBLE - mn_$c) /
+           |    ((mx_$c - mn_$c) / 10.0)), 0), 9)::INT AS bin,
+           |  count(*)::BIGINT AS c FROM $cte, bounds
+           |  WHERE $c IS NOT NULL GROUP BY 1, 2""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      val boundCols = drift.map(c =>
+        s"min($c::DOUBLE) AS mn_$c, max($c::DOUBLE) AS mx_$c")
+        .mkString(", ")
+      val gridVals = drift.map(c => s"('$c')").mkString(", ")
+      val schemaVals = Seq(
+        ("l_batch_tag", "added", "NULL", "'string'"),
+        ("l_discount", "both", "'double'", "'double'"),
+        ("l_extendedprice", "both", "'double'", "'double'"),
+        ("l_linenumber", "type_changed", "'int'", "'string'"),
+        ("l_linestatus", "removed", "'string'", "NULL"),
+        ("l_orderkey", "both", "'bigint'", "'bigint'"),
+        ("l_partkey", "both", "'bigint'", "'bigint'"),
+        ("l_quantity", "both", "'double'", "'double'"),
+        ("l_returnflag", "both", "'string'", "'string'"),
+        ("l_shipdate", "both", "'timestamp_ntz'", "'timestamp_ntz'"),
+        ("l_suppkey", "both", "'bigint'", "'bigint'"),
+        ("l_tax", "both", "'double'", "'double'"))
+        .map { case (c, st, x, y) => s"('$c', '$st', $x, $y)" }
+        .mkString(",\n    ")
+      s"""WITH a AS (SELECT * FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1998-07-01'),
+        |b AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |    l_linenumber::VARCHAR AS l_linenumber, l_quantity,
+        |    l_extendedprice, l_discount, l_tax,
+        |    CASE WHEN l_orderkey % 7 = 0 THEN NULL
+        |      ELSE l_returnflag END AS l_returnflag,
+        |    l_shipdate, 'b' AS l_batch_tag
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-07-01'),
+        |${nullsOf("a", "a")},
+        |${nullsOf("b", "b")},
+        |bounds AS (SELECT $boundCols FROM a),
+        |ba AS (${binsOf("a", "a")}),
+        |bb AS (${binsOf("b", "b")}),
+        |grid AS (SELECT g."column", r.range::INT AS bin
+        |  FROM (VALUES $gridVals) g("column") CROSS JOIN range(0, 10) r),
+        |binned AS (SELECT grid."column", grid.bin,
+        |    coalesce(ba.c, 0)::BIGINT AS ca,
+        |    coalesce(bb.c, 0)::BIGINT AS cb
+        |  FROM grid
+        |  LEFT JOIN ba ON ba."column" = grid."column" AND ba.bin = grid.bin
+        |  LEFT JOIN bb ON bb."column" = grid."column" AND bb.bin = grid.bin),
+        |tot AS (SELECT "column", sum(ca)::BIGINT AS na,
+        |    sum(cb)::BIGINT AS nb FROM binned GROUP BY 1),
+        |p AS (SELECT binned."column",
+        |    (ca::DOUBLE + 1.0) / (na::DOUBLE + 10.0) AS pa,
+        |    (cb::DOUBLE + 1.0) / (nb::DOUBLE + 10.0) AS pb
+        |  FROM binned JOIN tot USING ("column")),
+        |psi AS (SELECT "column",
+        |    round(sum(round((pa - pb) * ln(pa / pb), 9)), 6) AS psi
+        |  FROM p GROUP BY 1),
+        |sch AS (SELECT * FROM (VALUES
+        |    $schemaVals) s("column", status, type_a, type_b))
+        |SELECT sch."column", status, type_a, type_b, n_a, n_b,
+        |  null_share_a, null_share_b,
+        |  round(null_share_b - null_share_a, 6) AS null_share_delta, psi
+        |FROM sch
+        |LEFT JOIN nulls_a USING ("column")
+        |LEFT JOIN nulls_b USING ("column")
+        |LEFT JOIN psi USING ("column")
+        |ORDER BY sch."column"""".stripMargin
     },
 
     // x306's transition census as directed weighted edges; reversed-key

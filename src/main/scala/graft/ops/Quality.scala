@@ -237,4 +237,138 @@ object Quality {
           F.nullif(F.col("n_rows").cast("double"), F.lit(0.0)), 6)
           .as("excess_share"))
   }
+
+  /** Snapshot-to-snapshot drift census — the scheduled-ingest diff that
+    * answers "did yesterday's table and today's table still describe
+    * the same data?" in one readout: schema drift (columns added /
+    * removed / type-changed), NULL-rate drift per shared column, and
+    * Population Stability Index per caller-named numeric column:
+    * {{{
+    *   PSI = Σ_bins (p_a − p_b) · ln(p_a / p_b)
+    * }}}
+    * over `bins` equal-width bins fixed by snapshot A's [min, max]
+    * (B values outside A's range clamp into the edge bins — mass
+    * LEAVING the old range is exactly what the edge bins should light
+    * up on). Shares are Laplace-smoothed ((cnt+1)/(n+bins)) so empty
+    * bins stay finite. The conventional read: PSI < 0.1 stable,
+    * 0.1-0.25 drifting, > 0.25 shifted.
+    *
+    * Schema status comes from the DRIVER-side schemas (metadata, not
+    * data). Added/removed columns carry NULL stats — their census
+    * belongs to [[columnProfile]] on the owning snapshot. A drift
+    * column all-NULL (or absent) in A bins nothing, so its PSI reads
+    * against the uniform smoothed baseline — documented, not hidden.
+    *
+    * Determinism: all counts exact longs; bin index = floor((x−mn)/w)
+    * with w = (mx−mn)/bins — single IEEE ops replayed identically by
+    * any engine; PSI terms rounded 9-dp then summed and rounded 6-dp
+    * (the [[Graph.partitionQuality]] association-order rule); min/max
+    * are exact (never summed). A constant column (w = 0) puts all mass
+    * in bin 0 → PSI 0 unless B moves off the constant.
+    *
+    * Scale shape: per snapshot, ONE null-census scan (all shared
+    * columns ride a single aggregation, unpivoted like
+    * [[columnProfile]]) and ONE bin-count scan (rows × n_drift_cols
+    * map-side explode, collapsed to cols × bins rows before the
+    * shuffle); A pays one extra 1-row bounds aggregation that rides a
+    * broadcast. Nothing wider than (column, bin, count) moves; driver
+    * state is the schema metadata only.
+    *
+    * @param driftCols numeric columns (present and same-typed in BOTH
+    *                  snapshots — enforced) to PSI-bin
+    * @return one row per column in either schema: (column, status,
+    *         type_a, type_b, n_a, n_b, null_share_a, null_share_b,
+    *         null_share_delta, psi) ordered by column; psi NULL for
+    *         non-drift columns
+    */
+  def snapshotDrift(a: DataFrame, b: DataFrame, driftCols: Seq[String],
+                    bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    val ta = a.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val tb = b.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    driftCols.foreach { c =>
+      require(ta.contains(c) && tb.contains(c) && ta(c) == tb(c),
+        s"snapshotDrift: drift column '$c' must exist with one type in " +
+          s"both snapshots (a=${ta.get(c)}, b=${tb.get(c)})")
+    }
+    val spark = a.sparkSession
+    import spark.implicits._
+    val allCols = (a.schema.fieldNames ++ b.schema.fieldNames)
+      .distinct.sorted.toSeq
+    val schemaRows = allCols.map { c =>
+      val status = (ta.get(c), tb.get(c)) match {
+        case (Some(x), Some(y)) if x == y => "both"
+        case (Some(_), Some(_)) => "type_changed"
+        case (Some(_), None) => "removed"
+        case (None, Some(_)) => "added"
+      }
+      (c, status, ta.get(c).orNull, tb.get(c).orNull)
+    }.toDF("column", "status", "type_a", "type_b")
+    val shared = allCols.filter(c => ta.contains(c) && tb.contains(c))
+    def nullCensus(df: DataFrame, tag: String): DataFrame = {
+      val aggs = shared.map(c =>
+        F.coalesce(F.sum(F.when(F.col(c).isNull, 1L)), F.lit(0L))
+          .as(s"__nn_$c"))
+      val one = df.agg(F.count(F.lit(1)).as("__n"), aggs: _*)
+      val per = shared.map(c => F.struct(F.lit(c).as("column"),
+        F.col("__n").as(s"n_$tag"),
+        F.round(F.col(s"__nn_$c").cast("double") /
+          F.nullif(F.col("__n").cast("double"), F.lit(0.0)), 6)
+          .as(s"null_share_$tag")))
+      one.select(F.explode(F.array(per: _*)).as("__s")).select("__s.*")
+    }
+    val boundAggs = driftCols.flatMap(c => Seq(
+      F.min(F.col(c).cast("double")).as(s"__mn_$c"),
+      F.max(F.col(c).cast("double")).as(s"__mx_$c")))
+    val bounds = a.agg(boundAggs.head, boundAggs.tail: _*)
+    def binCounts(df: DataFrame, tag: String): DataFrame = {
+      val structs = driftCols.map { c =>
+        val x = F.col(c).cast("double")
+        val mn = F.col(s"__mn_$c"); val mx = F.col(s"__mx_$c")
+        val w = (mx - mn) / F.lit(bins.toDouble)
+        val idx = F.when(x.isNull || mn.isNull, F.lit(null).cast("int"))
+          .when(w === 0.0, F.lit(0))
+          .otherwise(F.least(F.greatest(F.floor((x - mn) / w), F.lit(0L)),
+            F.lit((bins - 1).toLong)).cast("int"))
+        F.struct(F.lit(c).as("column"), idx.as("bin"))
+      }
+      df.crossJoin(F.broadcast(bounds))
+        .select(F.explode(F.array(structs: _*)).as("__s"))
+        .select("__s.*")
+        .filter(F.col("bin").isNotNull)
+        .groupBy("column", "bin")
+        .agg(F.count(F.lit(1)).as(s"__c_$tag"))
+    }
+    val grid = driftCols.flatMap(c => (0 until bins).map(i => (c, i)))
+      .toDF("column", "bin")
+    val binned = grid
+      .join(binCounts(a, "a"), Seq("column", "bin"), "left_outer")
+      .join(binCounts(b, "b"), Seq("column", "bin"), "left_outer")
+      .select(F.col("column"),
+        F.coalesce(F.col("__c_a"), F.lit(0L)).as("__ca"),
+        F.coalesce(F.col("__c_b"), F.lit(0L)).as("__cb"))
+    val totals = binned.groupBy("column")
+      .agg(F.sum("__ca").as("__na"), F.sum("__cb").as("__nb"))
+    val binsD = F.lit(bins.toDouble)
+    val psi = binned.join(totals, "column")
+      .select(F.col("column"),
+        ((F.col("__ca").cast("double") + F.lit(1.0)) /
+          (F.col("__na").cast("double") + binsD)).as("__pa"),
+        ((F.col("__cb").cast("double") + F.lit(1.0)) /
+          (F.col("__nb").cast("double") + binsD)).as("__pb"))
+      .select(F.col("column"), F.round((F.col("__pa") - F.col("__pb")) *
+        F.log(F.col("__pa") / F.col("__pb")), 9).as("__t"))
+      .groupBy("column").agg(F.round(F.sum("__t"), 6).as("psi"))
+    schemaRows
+      .join(nullCensus(a, "a"), Seq("column"), "left_outer")
+      .join(nullCensus(b, "b"), Seq("column"), "left_outer")
+      .join(psi, Seq("column"), "left_outer")
+      .select(F.col("column"), F.col("status"), F.col("type_a"),
+        F.col("type_b"), F.col("n_a"), F.col("n_b"),
+        F.col("null_share_a"), F.col("null_share_b"),
+        F.round(F.col("null_share_b") - F.col("null_share_a"), 6)
+          .as("null_share_delta"),
+        F.col("psi"))
+      .orderBy("column")
+  }
 }

@@ -7019,4 +7019,35 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(p == Seq((1L, 1L), (2L, 1L)), p)
   }
+
+  test("snapshotDrift: hand 2-bin PSI 0.415888, planted add/remove " +
+      "columns and null-rate delta") {
+    import graft.ops.Quality
+    val a = Seq((0.0, "p"), (0.0, "q"), (1.0, "r"), (1.0, "s"))
+      .toDF("x", "y")
+    val b = Seq((Some(1.0), 7), (Some(1.0), 7), (Some(1.0), 7),
+      (Option.empty[Double], 7)).toDF("x", "z")
+    val got = Quality.snapshotDrift(a, b, Seq("x"), bins = 2)
+      .as[(String, String, Option[String], Option[String], Option[Long],
+        Option[Long], Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    // pa=(3/6, 3/6), pb=(1/5, 4/5): psi = .3·ln2.5 − .3·ln0.625
+    assert(got == Seq(
+      ("x", "both", Some("double"), Some("double"), Some(4L), Some(4L),
+        Some(0.0), Some(0.25), Some(0.25), Some(0.415888)),
+      ("y", "removed", Some("string"), None, None, None, None, None,
+        None, None),
+      ("z", "added", None, Some("int"), None, None, None, None,
+        None, None)), got)
+  }
+
+  test("snapshotDrift: identical snapshots read zero drift; " +
+      "constant column (w=0) reads PSI 0") {
+    import graft.ops.Quality
+    val a = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "k")
+    val got = Quality.snapshotDrift(a, a, Seq("x", "k"))
+      .select("column", "psi", "null_share_delta")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(got == Seq(("k", 0.0, 0.0), ("x", 0.0, 0.0)), got)
+  }
 }
