@@ -3529,6 +3529,29 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
 
+    // declarative data-contract runner with PLANTED violations (the
+    // corpus is clean): %17 nulls l_quantity (breaks qty_not_null AND
+    // the cross-column rule -- NULL predicate = violation), %19 sets
+    // l_discount 0.5 (breaks discount_range); flag_domain and
+    // price_positive stay green -- one scan, one readout row per rule
+    "x439_expectations" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("l_quantity",
+          F.when(F.col("l_orderkey") % 17 === 0,
+            F.lit(null).cast("double")).otherwise(F.col("l_quantity")))
+        .withColumn("l_discount",
+          F.when(F.col("l_orderkey") % 19 === 0, F.lit(0.5))
+            .otherwise(F.col("l_discount")))
+      graft.ops.Quality.expectationCensus(li, Seq(
+        ("discount_range",
+          F.col("l_discount") >= 0.0 && F.col("l_discount") <= 0.1, 0.02),
+        ("flag_domain", F.col("l_returnflag").isin("A", "N", "R"), 0.0),
+        ("price_positive", F.col("l_extendedprice") > 0.0, 0.0),
+        ("qty_not_null", F.col("l_quantity").isNotNull, 0.01),
+        ("qty_price_consistent",
+          F.col("l_extendedprice") > F.col("l_quantity"), 0.0)))
+    }),
+
     // weighted reciprocity of the behavior-transition digraph (x306's
     // census as directed weighted edges): does flow bounce back
     // (browse<->search) or funnel one-way — min(w_uv, w_vu) mass share
@@ -11853,6 +11876,36 @@ object SparkEntry {
         |LEFT JOIN nulls_b USING ("column")
         |LEFT JOIN psi USING ("column")
         |ORDER BY sch."column"""".stripMargin
+    },
+
+    // same planted violations; violation = NOT coalesce(pred, false),
+    // pass compares the 6-dp rounded share against the literal
+    "x439_expectations" -> {
+      val rules = Seq(
+        ("discount_range", "d >= 0.0 AND d <= 0.1", "0.02"),
+        ("flag_domain", "l_returnflag IN ('A', 'N', 'R')", "0.0"),
+        ("price_positive", "l_extendedprice > 0.0", "0.0"),
+        ("qty_not_null", "q IS NOT NULL", "0.01"),
+        ("qty_price_consistent", "l_extendedprice > q", "0.0"))
+      val aggs = rules.map { case (n, p, _) =>
+        s"coalesce(sum(CASE WHEN NOT coalesce($p, false) THEN 1 END)," +
+          s" 0)::BIGINT AS v_$n" }.mkString(",\n  ")
+      val rows = rules.map { case (n, _, t) =>
+        s"""SELECT '$n' AS rule, n AS n_rows, v_$n AS n_violations,
+           |  round(v_$n::DOUBLE / nullif(n::DOUBLE, 0.0), 6)
+           |    AS violation_share, $t::DOUBLE AS max_share,
+           |  coalesce(round(v_$n::DOUBLE / nullif(n::DOUBLE, 0.0), 6)
+           |    <= $t, true) AS pass FROM agg""".stripMargin }
+        .mkString("\n  UNION ALL ")
+      s"""WITH li AS (SELECT *,
+        |    CASE WHEN l_orderkey % 17 = 0 THEN NULL
+        |      ELSE l_quantity END AS q,
+        |    CASE WHEN l_orderkey % 19 = 0 THEN 0.5
+        |      ELSE l_discount END AS d
+        |  FROM lineitem),
+        |agg AS (SELECT count(*)::BIGINT AS n,
+        |  $aggs FROM li)
+        |SELECT * FROM ($rows) ORDER BY rule""".stripMargin
     },
 
     // x306's transition census as directed weighted edges; reversed-key

@@ -238,6 +238,65 @@ object Quality {
           .as("excess_share"))
   }
 
+  /** Declarative expectation census — the data-contract runner (the
+    * dbt-tests / Great Expectations shape): each rule is a NAME plus a
+    * per-row boolean predicate that must hold (`not_null`, `in_range`,
+    * `rlike`, any cross-column invariant) plus the violation share the
+    * contract tolerates. One readout row per rule:
+    * {{{
+    *   violation := NOT coalesce(predicate, false)   (NULL = violation —
+    *                                                  an unevaluable
+    *                                                  contract is a
+    *                                                  broken contract)
+    *   pass      := round6(violation_share) <= max_share
+    * }}}
+    * Row-INDEPENDENT contracts (uniqueness, referential integrity) are
+    * deliberately out of scope — [[keyUniqueness]] and
+    * [[referentialIntegrity]] already census those; this op is the
+    * arbitrary-per-row-invariant runner next to them.
+    *
+    * Determinism: exact longs off one aggregation; one 6-dp IEEE share
+    * per rule; the pass verdict compares the ROUNDED share against the
+    * literal threshold, so both engines decide on the same value. An
+    * EMPTY table censuses as zeros with a NULL share and PASSES every
+    * rule (vacuous truth — "no rows" is [[columnProfile]]'s finding,
+    * not a contract violation).
+    *
+    * Scale shape: ONE scan — every rule's violation count rides a
+    * single global aggregation (codegen'd CASE sums, partial-aggregated
+    * map-side), then the 1-row result unpivots to a row per rule, the
+    * [[columnProfile]] pattern. Rule count is driver metadata.
+    *
+    * @param rules (rule_name, must-hold predicate, max_violation_share)
+    * @return one row per rule (rule, n_rows, n_violations,
+    *         violation_share, max_share, pass) ordered by rule
+    */
+  def expectationCensus(df: DataFrame,
+                        rules: Seq[(String, org.apache.spark.sql.Column,
+                          Double)]): DataFrame = {
+    require(rules.nonEmpty, "expectationCensus needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "expectationCensus: duplicate rule names")
+    rules.foreach { case (n, _, s) =>
+      require(s >= 0.0 && s <= 1.0,
+        s"max_violation_share for '$n' must be in [0,1], got $s") }
+    val aggs = rules.map { case (n, pred, _) =>
+      F.coalesce(F.sum(F.when(!F.coalesce(pred, F.lit(false)), 1L)),
+        F.lit(0L)).as(s"__v_$n")
+    }
+    val one = df.agg(F.count(F.lit(1)).as("__n"), aggs: _*)
+    val per = rules.map { case (n, _, maxShare) =>
+      val share = F.round(F.col(s"__v_$n").cast("double") /
+        F.nullif(F.col("__n").cast("double"), F.lit(0.0)), 6)
+      F.struct(F.lit(n).as("rule"), F.col("__n").as("n_rows"),
+        F.col(s"__v_$n").as("n_violations"),
+        share.as("violation_share"), F.lit(maxShare).as("max_share"),
+        F.coalesce(share <= F.lit(maxShare), F.lit(true)).as("pass"))
+    }
+    one.select(F.explode(F.array(per: _*)).as("__r")).select("__r.*")
+      .orderBy("rule")
+  }
+
   /** Snapshot-to-snapshot drift census — the scheduled-ingest diff that
     * answers "did yesterday's table and today's table still describe
     * the same data?" in one readout: schema drift (columns added /

@@ -7050,4 +7050,26 @@ class OpsSpec extends AnyFunSuite {
       .as[(String, Double, Double)].collect().toSeq
     assert(got == Seq(("k", 0.0, 0.0), ("x", 0.0, 0.0)), got)
   }
+
+  test("expectationCensus: NULL predicate counts as violation, pass " +
+      "compares the rounded share, empty table passes vacuously") {
+    import graft.ops.Quality
+    val df = Seq((Some(1.0), "a"), (Some(-2.0), "b"),
+      (Option.empty[Double], "c"), (Some(3.0), "d")).toDF("x", "s")
+    val got = Quality.expectationCensus(df, Seq(
+        ("x_positive", F.col("x") > 0.0, 0.5),
+        ("s_domain", F.col("s").isin("a", "b", "c", "d"), 0.0)))
+      .as[(String, Long, Long, Double, Double, Boolean)].collect().toSeq
+    // x_positive: -2 fails, NULL fails → 2/4 = 0.5 <= 0.5 → pass
+    assert(got == Seq(("s_domain", 4L, 0L, 0.0, 0.0, true),
+      ("x_positive", 4L, 2L, 0.5, 0.5, true)), got)
+    val strict = Quality.expectationCensus(df,
+        Seq(("x_positive", F.col("x") > 0.0, 0.4)))
+      .select("pass").as[Boolean].head()
+    assert(!strict)
+    val empty = Quality.expectationCensus(df.filter(F.lit(false)),
+        Seq(("x_positive", F.col("x") > 0.0, 0.0)))
+      .as[(String, Long, Long, Option[Double], Double, Boolean)].head()
+    assert(empty == (("x_positive", 0L, 0L, None, 0.0, true)), empty)
+  }
 }
