@@ -3552,6 +3552,14 @@ object SparkEntry {
           F.col("l_extendedprice") > F.col("l_quantity"), 0.0)))
     }),
 
+    // epsilon-DP Laplace release of the (source, lang) histogram: noise
+    // deterministic from md5(seed|key) via the 24-bit bucket -- the
+    // publishable counts next to the raw ones (utility-loss audit form)
+    "x440_dp_counts" -> ((s, dir) =>
+      graft.ops.Curation.dpNoisyCounts(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("source", "lang"), epsilon = 0.5)),
+
     // weighted reciprocity of the behavior-transition digraph (x306's
     // census as directed weighted edges): does flow bounce back
     // (browse<->search) or funnel one-way — min(w_uv, w_vu) mass share
@@ -11907,6 +11915,21 @@ object SparkEntry {
         |  $aggs FROM li)
         |SELECT * FROM ($rows) ORDER BY rule""".stripMargin
     },
+
+    // same md5(seed|key) 24-bit draw and inverse-CDF Laplace tree;
+    // sign/abs/ln replayed as single IEEE ops, b = 1/0.5 = 2
+    "x440_dp_counts" ->
+      """WITH c AS (SELECT source, lang, count(*)::BIGINT AS n_true
+        |  FROM documents GROUP BY 1, 2),
+        |h AS (SELECT source, lang, n_true,
+        |    ((('0x' || substring(md5('dp' || '|' || source || '|' ||
+        |      lang), 1, 6))::BIGINT::DOUBLE + 0.5) / 16777216.0) - 0.5
+        |      AS cdf
+        |  FROM c)
+        |SELECT source, lang, n_true,
+        |  round(n_true::DOUBLE + (-1.0 / 0.5) * sign(cdf) *
+        |    ln(1.0 - 2.0 * abs(cdf)), 6) AS noisy_n
+        |FROM h ORDER BY source, lang""".stripMargin,
 
     // x306's transition census as directed weighted edges; reversed-key
     // self-join; exact longs, two IEEE shares

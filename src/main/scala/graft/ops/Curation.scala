@@ -752,4 +752,61 @@ object Curation {
         .as("at_risk")): _*)
       .orderBy(qi: _*)
   }
+
+  /** ε-differentially-private noisy counts (Dwork et al. 2006, the
+    * Laplace mechanism) — the RELEASE half next to the audit half
+    * ([[kAnonymityAudit]]/[[lDiversityAudit]]/[[tClosenessAudit]] say
+    * whether raw counts leak; this publishes counts that provably
+    * don't): per group,
+    * {{{
+    *   noisy = count + Lap(1/ε)        (count query sensitivity = 1)
+    *   Lap via inverse CDF:  −(1/ε) · sign(u−½) · ln(1 − 2·|u−½|)
+    * }}}
+    * The noise draw is DETERMINISTIC — u comes from the md5 of
+    * (seed, group key), mapped to (0,1) via the repo's 24-bit hex
+    * bucket convention (u = (h24 + 0.5) / 2²⁴, strictly inside (0,1)
+    * so the ln argument never hits 0). Determinism is what makes the
+    * release auditable and engine-replayable; a REAL deployment must
+    * treat the seed as secret and never re-release under a new seed
+    * (each release spends ε — the privacy accounting is the caller's
+    * budget ledger, composition is additive).
+    *
+    * Determinism: exact count longs; one md5 + one ln + two IEEE
+    * multiplies per group, 6-dp. Negative noisy counts are NOT clamped
+    * (clamping biases sums — consumers needing nonnegativity clamp
+    * post-hoc, documented standard practice).
+    *
+    * Scale shape: ONE map-side-combined groupBy on the key; noise is a
+    * per-group scalar expression (codegen'd md5/ln) — no second pass,
+    * no driver state, no shuffle beyond the count collapse.
+    *
+    * @param epsilon privacy parameter (smaller = noisier = more
+    *                private); scale b = 1/ε
+    * @param seed    release identifier mixed into the noise hash —
+    *                SECRET in a real deployment
+    * @return per group (keyCols…, n_true, noisy_n) ordered by key;
+    *         callers releasing externally drop n_true — it rides along
+    *         here because the census doubles as the utility-loss audit
+    *         (|noisy−true| distribution) before the release ships
+    */
+  def dpNoisyCounts(df: DataFrame, keyCols: Seq[String], epsilon: Double,
+                    seed: String = "dp"): DataFrame = {
+    require(keyCols.nonEmpty, "dpNoisyCounts needs at least one key column")
+    require(epsilon > 0.0 && epsilon <= 100.0,
+      s"epsilon must be in (0,100], got $epsilon")
+    val counts = df.groupBy(keyCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n_true"))
+    val keyStr = F.concat_ws("|",
+      F.lit(seed) +: keyCols.map(c => F.col(c).cast("string")): _*)
+    val h24 = F.conv(F.substring(F.md5(keyStr), 1, 6), 16, 10)
+      .cast("long")
+    val u = (h24.cast("double") + F.lit(0.5)) / F.lit(16777216.0)
+    val cdf = u - F.lit(0.5)
+    val noise = (F.lit(-1.0 / epsilon) *
+      F.signum(cdf) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(cdf)))
+    counts.select(keyCols.map(F.col) ++ Seq(F.col("n_true"),
+      F.round(F.col("n_true").cast("double") + noise, 6)
+        .as("noisy_n")): _*)
+      .orderBy(keyCols.map(F.col): _*)
+  }
 }

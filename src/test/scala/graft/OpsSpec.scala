@@ -7072,4 +7072,51 @@ class OpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Option[Double], Double, Boolean)].head()
     assert(empty == (("x_positive", 0L, 0L, None, 0.0, true)), empty)
   }
+
+  test("dpNoisyCounts: noise replays exactly from md5(seed|key) via the " +
+      "inverse Laplace CDF; negative noisy counts are not clamped; " +
+      "epsilon guard is loud") {
+    import graft.ops.Curation
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1)).toDF("g", "v")
+    val got = Curation.dpNoisyCounts(df, Seq("g"), epsilon = 0.5)
+      .as[(String, Long, Double)].collect().toSeq
+    // replay the op's exact arithmetic: 24-bit md5 bucket -> u in (0,1)
+    // -> Lap(1/eps) via -(1/eps)*sign(u-.5)*ln(1-2|u-.5|), 6-dp HALF_UP
+    def noisy(key: String, n: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp|$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h24 = java.lang.Long.parseLong(hex.take(6), 16)
+      val cdf = (h24.toDouble + 0.5) / 16777216.0 - 0.5
+      val noise = -1.0 / 0.5 * math.signum(cdf) *
+        math.log(1.0 - 2.0 * math.abs(cdf))
+      BigDecimal(n.toDouble + noise)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got == Seq(("a", 3L, noisy("a", 3L)), ("b", 1L, noisy("b", 1L))),
+      got)
+    // tiny epsilon -> scale 1000: noise dwarfs the count, and whichever
+    // side the hash lands on must survive unclamped (clamping would bias
+    // downstream sums); replay pins the sign too
+    val wide = Curation.dpNoisyCounts(df, Seq("g"), epsilon = 0.001)
+      .as[(String, Long, Double)].collect().toSeq
+    def noisyEps(key: String, n: Long, eps: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp|$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h24 = java.lang.Long.parseLong(hex.take(6), 16)
+      val cdf = (h24.toDouble + 0.5) / 16777216.0 - 0.5
+      val noise = -1.0 / eps * math.signum(cdf) *
+        math.log(1.0 - 2.0 * math.abs(cdf))
+      BigDecimal(n.toDouble + noise)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(wide == Seq(("a", 3L, noisyEps("a", 3L, 0.001)),
+      ("b", 1L, noisyEps("b", 1L, 0.001))), wide)
+    assert(wide.exists(_._3 < 0.0), s"expected an unclamped negative: $wide")
+    val e = intercept[IllegalArgumentException](
+      Curation.dpNoisyCounts(df, Seq("g"), epsilon = 0.0))
+    assert(e.getMessage.contains("epsilon"))
+    val k = intercept[IllegalArgumentException](
+      Curation.dpNoisyCounts(df, Seq.empty, epsilon = 1.0))
+    assert(k.getMessage.contains("key column"))
+  }
 }
