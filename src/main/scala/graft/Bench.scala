@@ -174,7 +174,8 @@ object Bench {
     // verification cost, not an engine cost.
     val oracleTwins = Set("x22_ngram_jaccard_fixed", "x42_winnow_fixed",
       "x43_minhash_fixed", "x44_simhash_fixed", "x45_lsh_bucket",
-      "x70_dsir_weights", "x431_chunk_minhash_fixed")
+      "x70_dsir_weights", "x431_chunk_minhash_fixed",
+      "x442_compress_census_fixed")
     val prodTotal = results.filterNot(r => oracleTwins(r._1)).map(_._2.sec).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Run-level contention indicator: parallelism = Σ executor task time /

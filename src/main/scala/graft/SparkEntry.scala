@@ -3560,6 +3560,43 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         Seq("source", "lang"), epsilon = 0.5)),
 
+    // deflate-ratio census by source: LZ77 catches long-range repetition
+    // (pasted paragraphs, boilerplate blocks) that char entropy and
+    // adjacent-n-gram repetition miss. Planted known-positives (doc_id%9
+    // routing): =0 appends a 38-char phrase repeated 60x -> repetitive.
+    // Deflate lengths are JVM-side (no DuckDB codec) -> rows-only; the
+    // census plumbing is pinned by the x442 surrogate twin, the codec by
+    // OpsSpec replay.
+    "x441_compress_census" -> ((s, dir) => {
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text", F.when(F.col("doc_id") % 9 === 0,
+            F.concat(F.col("text"), F.repeat(
+              F.lit(" the same boilerplate navigation block here"), 60)))
+          .otherwise(F.col("text")))
+      graft.ops.TextOps.compressionCensus(planted, Seq("source"), "text")
+    }),
+
+    // the same compressionCensus code path with the codec swapped for an
+    // engine-replayable surrogate (comp := bytes after removing spaces),
+    // pinning the census math -- flag predicates, empty handling, macro
+    // ratio, shares -- in DuckDB. Planted doc_id%7 routing fires every
+    // branch: =0 two thousand appended spaces -> repetitive, =1 spaces
+    // stripped -> ratio 1.0 -> incompressible, =2 emptied -> n_empty.
+    "x442_compress_census_fixed" -> ((s, dir) => {
+      val m = F.col("doc_id") % 7
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text",
+          F.when(m === 0, F.concat(F.col("text"),
+              F.repeat(F.lit(" "), 2000)))
+            .when(m === 1, F.regexp_replace(F.col("text"), " ", ""))
+            .when(m === 2, F.lit(""))
+            .otherwise(F.col("text")))
+      graft.ops.TextOps.compressionCensus(planted, Seq("source"), "text",
+        lo = 0.3, hi = 0.95,
+        compLen = Some(F.octet_length(
+          F.regexp_replace(F.col("text"), " ", "")).cast("long")))
+    }),
+
     // weighted reciprocity of the behavior-transition digraph (x306's
     // census as directed weighted edges): does flow bounce back
     // (browse<->search) or funnel one-way — min(w_uv, w_vu) mass share
@@ -11930,6 +11967,40 @@ object SparkEntry {
         |  round(n_true::DOUBLE + (-1.0 / 0.5) * sign(cdf) *
         |    ln(1.0 - 2.0 * abs(cdf)), 6) AS noisy_n
         |FROM h ORDER BY source, lang""".stripMargin,
+
+    // same doc_id%7 plant routing and no-spaces surrogate codec; exact
+    // long sums, one IEEE division for the macro ratio, per-doc
+    // threshold compares as single IEEE multiply+compare on both engines
+    "x442_compress_census_fixed" ->
+      """WITH p AS (SELECT source, CASE
+        |    WHEN doc_id % 7 = 0 THEN text || repeat(' ', 2000)
+        |    WHEN doc_id % 7 = 1 THEN replace(text, ' ', '')
+        |    WHEN doc_id % 7 = 2 THEN ''
+        |    ELSE text END AS t
+        |  FROM documents),
+        |m AS (SELECT source, strlen(t)::BIGINT AS raw,
+        |    strlen(replace(t, ' ', ''))::BIGINT AS comp FROM p),
+        |f AS (SELECT source, raw, comp,
+        |    CASE WHEN raw > 0 AND comp::DOUBLE < 0.3 * raw::DOUBLE
+        |      THEN 1 ELSE 0 END AS r,
+        |    CASE WHEN raw > 0 AND comp::DOUBLE > 0.95 * raw::DOUBLE
+        |      THEN 1 ELSE 0 END AS i
+        |  FROM m)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN raw = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+        |  sum(raw)::BIGINT AS total_bytes,
+        |  sum(comp)::BIGINT AS comp_bytes,
+        |  round(sum(comp)::DOUBLE / nullif(sum(raw)::DOUBLE, 0.0), 6)
+        |    AS ratio,
+        |  sum(r)::BIGINT AS n_repetitive,
+        |  round(sum(r)::DOUBLE / nullif((count(*) -
+        |    sum(CASE WHEN raw = 0 THEN 1 ELSE 0 END))::DOUBLE, 0.0), 6)
+        |    AS repetitive_share,
+        |  sum(i)::BIGINT AS n_incompressible,
+        |  round(sum(i)::DOUBLE / nullif((count(*) -
+        |    sum(CASE WHEN raw = 0 THEN 1 ELSE 0 END))::DOUBLE, 0.0), 6)
+        |    AS incompressible_share
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // x306's transition census as directed weighted edges; reversed-key
     // self-join; exact longs, two IEEE shares

@@ -231,3 +231,28 @@ case class JaroWinkler(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): JaroWinkler =
     copy(left = newLeft, right = newRight)
 }
+
+/** Raw-DEFLATE compressed byte length as a native expression — see
+  * [[MinHashSig]] docs for the tier rationale and
+  * [[TextSketches.deflateLen]] for the codec pin (level 6, nowrap) and
+  * the determinism contract. Evaluates in the scan task, so only the
+  * per-doc (group, length) scalars ever reach an exchange. */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "deflate_len"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextSketches.deflateLen(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketches.deflateLen($c)")
+
+  protected override def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+}

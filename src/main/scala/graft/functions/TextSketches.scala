@@ -299,4 +299,36 @@ object TextSketches {
     while (i < n - 1) { out(n + i) = bucket(toks(i) + " " + toks(i + 1)); i += 1 }
     out
   }
+
+  /** One raw-DEFLATE compressor per executor thread: Deflater is
+    * stateful native code (not thread-safe, ~µs to construct), so a
+    * ThreadLocal + reset() amortizes it across the scan task's rows.
+    * Level 6 (zlib default) pinned explicitly; nowrap=true drops the
+    * 2-byte zlib header + 4-byte checksum so tiny inputs aren't
+    * dominated by framing. Executor threads are a bounded pool, so the
+    * unreleased native handles are bounded too. */
+  private val deflaters: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
+
+  /** Raw-DEFLATE output length of the string's UTF-8 bytes — the
+    * model-free LONG-RANGE repetition signal (LZ77's 32 KB window sees
+    * repeated paragraphs and boilerplate blocks that per-char entropy
+    * (charEntropy) and n-gram ratios are blind to; conversely
+    * near-random text deflates to ≥ its raw size plus stored-block
+    * framing). Deterministic for a given JDK build (Deflater is the
+    * JDK's bundled zlib with a pinned level/strategy); output LENGTH is
+    * stable in practice but not contractually bit-stable across zlib
+    * versions, so entries built on it gate rows-only with the census
+    * plumbing pinned by a replayable-surrogate twin (the x430/x431
+    * convention) and the codec itself pinned by OpsSpec replay. */
+  def deflateLen(s: UTF8String): Int = {
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
 }

@@ -2184,4 +2184,84 @@ object TextOps {
         "recall", "f1")
       .orderBy("a", "b")
   }
+
+  /** Compression-ratio census per group — the model-free LONG-RANGE
+    * repetition gate (RefinedWeb/CCNet-style curation uses a compressor
+    * where charEntropy sees only per-char frequencies and
+    * repetitionShare only adjacent n-grams: DEFLATE's LZ77 window
+    * catches a paragraph pasted 40 times anywhere within 32 KB).
+    * Per doc, ratio = compressed_bytes / raw UTF-8 bytes; a doc is
+    * - "repetitive"      when comp < lo·raw  (boilerplate, spam loops,
+    *                      log dumps — too compressible to be prose),
+    * - "incompressible"  when comp > hi·raw  (random/encrypted/minified
+    *                      blobs — natural language sits well under hi).
+    * The census reports exact flag counts and the MACRO ratio
+    * round(Σcomp/Σraw, 6): long sums commute (any partitioning), so the
+    * only IEEE ops are one division and the per-doc threshold compares —
+    * no order-dependent double accumulation (the repo's determinism
+    * discipline; a mean of per-doc ratios would not replay).
+    *
+    * Codec: the native codegen'd [[graft.functions.DeflateLen]]
+    * (level-6 raw DEFLATE) by default; `compLen` swaps in any
+    * engine-replayable surrogate — the oracled twin entry injects
+    * octet_length(text minus spaces) to pin this census's plumbing in
+    * DuckDB while OpsSpec pins the deflate codec by JVM replay (the
+    * x430/x431 split: production math vs replayable twin).
+    *
+    * Scale shape: compression runs inside the scan task (codegen'd
+    * static call, text never reaches an exchange); the groupBy ships
+    * only (group, 4 longs) with map-side combine. NULL-text rows are
+    * excluded up front; empty texts count in n_empty and are exempt
+    * from both flags (0-byte input has no ratio).
+    *
+    * @param lo      repetitive threshold on comp/raw (default 0.25 —
+    *                English prose deflates to ~0.3-0.45)
+    * @param hi      incompressible threshold (default 0.9)
+    * @param compLen surrogate compressed-length column (twin hook);
+    *                None = native DeflateLen(textCol)
+    * @return per group (groupCols…, n_docs, n_empty, total_bytes,
+    *         comp_bytes, ratio, n_repetitive, repetitive_share,
+    *         n_incompressible, incompressible_share) ordered by group;
+    *         shares are over the n_docs − n_empty flaggable docs
+    */
+  def compressionCensus(df: DataFrame, groupCols: Seq[String],
+                        textCol: String, lo: Double = 0.25,
+                        hi: Double = 0.9,
+                        compLen: Option[Column] = None): DataFrame = {
+    require(groupCols.nonEmpty, "compressionCensus needs group columns")
+    require(lo > 0.0 && lo < hi, s"need 0 < lo < hi, got lo=$lo hi=$hi")
+    import org.apache.spark.sql.GraftExpr
+    val comp = compLen.getOrElse(GraftExpr.column(
+      graft.functions.DeflateLen(GraftExpr.expression(F.col(textCol)))))
+    val gs = groupCols.map(F.col)
+    val per = df.filter(F.col(textCol).isNotNull)
+      .select(gs :+ F.octet_length(F.col(textCol)).cast("long").as("__raw")
+        :+ comp.cast("long").as("__comp"): _*)
+    val flaggable = F.col("__raw") > 0L
+    val isRep = flaggable && (F.col("__comp").cast("double") <
+      F.lit(lo) * F.col("__raw").cast("double"))
+    val isInc = flaggable && (F.col("__comp").cast("double") >
+      F.lit(hi) * F.col("__raw").cast("double"))
+    per.groupBy(gs: _*)
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.when(F.col("__raw") === 0L, 1L).otherwise(0L)).as("n_empty"),
+        F.sum("__raw").as("total_bytes"),
+        F.sum("__comp").as("comp_bytes"),
+        F.sum(F.when(isRep, 1L).otherwise(0L)).as("n_repetitive"),
+        F.sum(F.when(isInc, 1L).otherwise(0L)).as("n_incompressible"))
+      .select(gs ++ Seq(F.col("n_docs"), F.col("n_empty"),
+        F.col("total_bytes"), F.col("comp_bytes"),
+        F.round(F.col("comp_bytes").cast("double") /
+          F.nullif(F.col("total_bytes").cast("double"), F.lit(0.0)), 6)
+          .as("ratio"),
+        F.col("n_repetitive"),
+        F.round(F.col("n_repetitive").cast("double") /
+          F.nullif((F.col("n_docs") - F.col("n_empty")).cast("double"),
+            F.lit(0.0)), 6).as("repetitive_share"),
+        F.col("n_incompressible"),
+        F.round(F.col("n_incompressible").cast("double") /
+          F.nullif((F.col("n_docs") - F.col("n_empty")).cast("double"),
+            F.lit(0.0)), 6).as("incompressible_share")): _*)
+      .orderBy(gs: _*)
+  }
 }

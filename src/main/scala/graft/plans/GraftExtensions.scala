@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSim, DotProduct, L2Norm, MinHashSig, QuantizeInt8, ShingleHashes, SigEqFrac, SimHash64, Winnow, WordGramBuckets, WordNGramHashes}
+import graft.functions.{CosineSim, DeflateLen, DotProduct, L2Norm, MinHashSig, QuantizeInt8, ShingleHashes, SigEqFrac, SimHash64, Winnow, WordGramBuckets, WordNGramHashes}
 
 /** Session extension registering the native sketch/vector expressions as
   * SQL functions, so the whole native surface is reachable from
@@ -83,6 +83,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(text, n) => WordGramBuckets(text, intLit(n, "nBuckets"))
       case Seq(text)    => WordGramBuckets(text, 1024) // the dsirWeights default
       case _ => throw new IllegalArgumentException("word_gram_buckets(text[, nBuckets])")
+    }
+    register(ext, "deflate_len", classOf[DeflateLen]) {
+      case Seq(text) => DeflateLen(text)
+      case _ => throw new IllegalArgumentException("deflate_len(text)")
     }
   }
 }

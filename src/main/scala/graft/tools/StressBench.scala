@@ -288,6 +288,12 @@ object StressBench {
         "x406_char_entropy" -> (() =>
           graft.ops.TextOps.charNgramEntropy(docs, "text",
             F.lit("all"))),
+        // deflate census: pure per-doc scan CPU (codegen'd Deflater in
+        // the scan task, (source, 4 longs) shuffle only) — wall must
+        // stay ~linear in K with the shuffle volume FLAT
+        "x441_compress" -> (() =>
+          graft.ops.TextOps.compressionCensus(docs, Seq("source"),
+            "text")),
         // edge-support census on K disjoint graph copies PLUS one
         // planted 2000-spoke hub: support ≡ triangles-per-edge rides
         // the ORIENTED wedge join, so the hub (oriented out-degree 0 —

@@ -50,7 +50,8 @@ class EntryContractSpec extends AnyFunSuite {
       "x05_embed_neardup", "x07_knn_lsh", "x15_simhash_sstring",
       "x16_winnow_pairs", "x17_knn_ivf", "x18_frame_sample",
       "x57_minhash_delta", "x71_dsir_weights_prod",
-      "x430_media_neardup") // md5 twin: x431_chunk_minhash_fixed
+      "x430_media_neardup", // md5 twin: x431_chunk_minhash_fixed
+      "x441_compress_census") // census-plumbing twin: x442_compress_census_fixed; deflate codec pinned by OpsSpec replay
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == rowsOnly,
       s"unexpected rows-only entries (missing oracleSql?): ${actual -- rowsOnly}; " +

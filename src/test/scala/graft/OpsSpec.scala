@@ -7119,4 +7119,59 @@ class OpsSpec extends AnyFunSuite {
       Curation.dpNoisyCounts(df, Seq.empty, epsilon = 1.0))
     assert(k.getMessage.contains("key column"))
   }
+
+  test("compressionCensus: the DeflateLen expression replays the JDK " +
+      "Deflater byte-for-byte, repetition flags fire, entropy separates") {
+    import graft.ops.TextOps
+    // in-test replay of the pinned codec (level 6, nowrap) — the
+    // expression must produce exactly this length
+    def jdkDeflateLen(s: String): Long = {
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    val rep = ("spam ham " * 400).trim              // 3599 B of a 9-B cycle
+    val rnd = new scala.util.Random(42)
+    val noise = Array.fill(2000)((33 + rnd.nextInt(94)).toChar).mkString
+    val df = Seq(("rep", rep), ("noise", noise)).toDF("g", "t")
+    val got = TextOps.compressionCensus(df, Seq("g"), "t", hi = 0.8)
+      .select("g", "n_docs", "total_bytes", "comp_bytes", "n_repetitive",
+        "n_incompressible")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("noise", 1L, 2000L, jdkDeflateLen(noise), 0L, 1L),
+      ("rep", 1L, 3599L, jdkDeflateLen(rep), 1L, 0L)), got)
+    assert(jdkDeflateLen(rep) < 3599L / 10, "LZ77 must crush the cycle")
+    assert(jdkDeflateLen(noise) > 1600L, "94-symbol noise must stay big")
+    // SQL surface: the registered deflate_len matches the kernel
+    val viaSql = spark.sql(s"SELECT deflate_len('${rep.take(99)}') AS c")
+      .as[Int].head()
+    assert(viaSql.toLong == jdkDeflateLen(rep.take(99)), viaSql)
+  }
+
+  test("compressionCensus: surrogate codec hook pins the census math — " +
+      "flags, empty exemption, macro ratio, shares; guards are loud") {
+    import graft.ops.TextOps
+    val sur = Seq(("a", "xx yy"), ("a", "zzzz"), ("a", "")).toDF("g", "t")
+    val comp = F.octet_length(F.regexp_replace(F.col("t"), " ", ""))
+      .cast("long")
+    val got = TextOps.compressionCensus(sur, Seq("g"), "t",
+        lo = 0.9, hi = 0.95, compLen = Some(comp))
+      .as[(String, Long, Long, Long, Long, Double, Long, Double, Long,
+        Double)].collect().toSeq
+    // "xx yy": 4/5 = 0.8 < 0.9 -> repetitive; "zzzz": 4/4 = 1 > 0.95 ->
+    // incompressible; "": empty, exempt from both; ratio = 8/9;
+    // shares over the 2 flaggable docs
+    assert(got == Seq(("a", 3L, 1L, 9L, 8L, 0.888889, 1L, 0.5, 1L, 0.5)),
+      got)
+    val e = intercept[IllegalArgumentException](
+      TextOps.compressionCensus(sur, Seq("g"), "t", lo = 0.9, hi = 0.5))
+    assert(e.getMessage.contains("lo < hi"))
+    val g = intercept[IllegalArgumentException](
+      TextOps.compressionCensus(sur, Seq.empty, "t"))
+    assert(g.getMessage.contains("group columns"))
+  }
 }

@@ -1367,6 +1367,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the totals broadcast in:\n$p")
   }
 
+  test("compressionCensus: text deflates inside the scan task — no " +
+      "exchange carries the text column, one partial-agg shuffle") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.TextOps.compressionCensus(docs, Seq("source"),
+      "text")
+    val p = plan(df)
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(p).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      s"text column in an exchange row:\n$exchanges")
+    // two-phase aggregate: the (group, longs) collapse happens map-side
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side partial aggregation in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one data shuffle expected in:\n$p")
+  }
+
   test("rougeN and chrfPairs only tokenize docs named in the pair " +
       "list (semi-join bounds the censuses)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
