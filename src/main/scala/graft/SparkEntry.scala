@@ -3560,6 +3560,16 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         Seq("source", "lang"), epsilon = 0.5)),
 
+    // epsilon-DP mean document length by source via the sum/count
+    // decomposition: clamp n_chars to [0, 2000] (bounds the sum
+    // sensitivity), budget split eps/2 + eps/2, independent md5 noise
+    // buckets per query -- the release half next to the true values
+    // (utility-loss audit form, the x440 convention)
+    "x443_dp_mean" -> ((s, dir) =>
+      graft.ops.Curation.dpNoisyMean(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("source"), "n_chars", lo = 0L, hi = 2000L, epsilon = 1.0)),
+
     // deflate-ratio census by source: LZ77 catches long-range repetition
     // (pasted paragraphs, boilerplate blocks) that char entropy and
     // adjacent-n-gram repetition miss. Planted known-positives (doc_id%9
@@ -11967,6 +11977,34 @@ object SparkEntry {
         |  round(n_true::DOUBLE + (-1.0 / 0.5) * sign(cdf) *
         |    ln(1.0 - 2.0 * abs(cdf)), 6) AS noisy_n
         |FROM h ORDER BY source, lang""".stripMargin,
+
+    // same clamp-to-long sums and md5(seed|key|tag) noise buckets; the
+    // sum noise is sensitivity * (the shared Laplace tree) with the
+    // same association order; one round per released scalar
+    "x443_dp_mean" ->
+      """WITH a AS (SELECT source, count(*)::BIGINT AS n_true,
+        |    sum(greatest(0, least(2000, n_chars)))::BIGINT AS sum_true
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+        |h AS (SELECT source, n_true, sum_true,
+        |    ((('0x' || substring(md5('dp' || '|' || source || '|' ||
+        |      'sum'), 1, 6))::BIGINT::DOUBLE + 0.5) / 16777216.0) - 0.5
+        |      AS cs,
+        |    ((('0x' || substring(md5('dp' || '|' || source || '|' ||
+        |      'cnt'), 1, 6))::BIGINT::DOUBLE + 0.5) / 16777216.0) - 0.5
+        |      AS cc
+        |  FROM a),
+        |n AS (SELECT source, n_true, sum_true,
+        |    sum_true::DOUBLE + 2000.0 * ((-1.0 / 0.5) * sign(cs) *
+        |      ln(1.0 - 2.0 * abs(cs))) AS ns,
+        |    n_true::DOUBLE + (-1.0 / 0.5) * sign(cc) *
+        |      ln(1.0 - 2.0 * abs(cc)) AS nn
+        |  FROM h)
+        |SELECT source, n_true, sum_true,
+        |  round(sum_true::DOUBLE / nullif(n_true::DOUBLE, 0.0), 6)
+        |    AS mean_true,
+        |  round(ns, 6) AS noisy_sum, round(nn, 6) AS noisy_n,
+        |  round(ns / nn, 6) AS dp_mean
+        |FROM n ORDER BY source""".stripMargin,
 
     // same doc_id%7 plant routing and no-spaces surrogate codec; exact
     // long sums, one IEEE division for the macro ratio, per-doc

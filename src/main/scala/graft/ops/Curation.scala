@@ -798,15 +798,86 @@ object Curation {
       .agg(F.count(F.lit(1)).as("n_true"))
     val keyStr = F.concat_ws("|",
       F.lit(seed) +: keyCols.map(c => F.col(c).cast("string")): _*)
+    counts.select(keyCols.map(F.col) ++ Seq(F.col("n_true"),
+      F.round(F.col("n_true").cast("double") + lapNoise(keyStr, epsilon), 6)
+        .as("noisy_n")): _*)
+      .orderBy(keyCols.map(F.col): _*)
+  }
+
+  /** Deterministic Lap(1/ε)·(sensitivity=1 form) draw from an md5'd key
+    * string — the shared noise tree of [[dpNoisyCounts]] and
+    * [[dpNoisyMean]] (u from the 24-bit hex bucket, strictly inside
+    * (0,1); inverse CDF −(1/ε)·sign(u−½)·ln(1−2|u−½|)). Callers scale
+    * sensitivity by dividing ε. The expression shape (association
+    * order, single IEEE ops) is the oracle-replay contract — change it
+    * nowhere without re-deriving every dp oracle. */
+  private def lapNoise(keyStr: Column, epsilon: Double): Column = {
     val h24 = F.conv(F.substring(F.md5(keyStr), 1, 6), 16, 10)
       .cast("long")
     val u = (h24.cast("double") + F.lit(0.5)) / F.lit(16777216.0)
     val cdf = u - F.lit(0.5)
-    val noise = (F.lit(-1.0 / epsilon) *
-      F.signum(cdf) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(cdf)))
-    counts.select(keyCols.map(F.col) ++ Seq(F.col("n_true"),
-      F.round(F.col("n_true").cast("double") + noise, 6)
-        .as("noisy_n")): _*)
+    F.lit(-1.0 / epsilon) *
+      F.signum(cdf) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(cdf))
+  }
+
+  /** ε-differentially-private noisy mean of a bounded integer column —
+    * the second release in the [[dpNoisyCounts]] family, via the
+    * standard sum/count decomposition (Dwork & Roth 2014 §3.4): clamp
+    * each value to [lo, hi] (clamping is what BOUNDS the sensitivity —
+    * without it one outlier row moves the sum arbitrarily and no finite
+    * noise protects it), then
+    * {{{
+    *   noisy_sum = Σ clamp(v)  + Lap((hi−lo) / (ε/2))
+    *   noisy_n   = n           + Lap(1       / (ε/2))
+    *   dp_mean   = noisy_sum / noisy_n
+    * }}}
+    * The ε budget splits evenly between the two queries (sequential
+    * composition is additive, so the release as a whole spends ε).
+    * Values are LONGS by contract: the clamped sum is an exact
+    * commutative long — no order-dependent double accumulation — and
+    * continuous metrics should be pre-quantized before release
+    * (standard DP practice bounds AND discretizes). Noise draws are
+    * md5(seed|key|"sum") and md5(seed|key|"cnt") — independent buckets
+    * per query, deterministic per release (see [[dpNoisyCounts]] for
+    * the secret-seed / budget-ledger caveats).
+    *
+    * Scale shape: one map-side-combined groupBy carrying (key, long
+    * sum, long count); noise and the final division are per-group
+    * scalar expressions. True sum/count/mean ride along for the
+    * pre-release utility audit; external releases drop them.
+    *
+    * @param lo,hi   clamp bounds (sensitivity of the sum = hi − lo)
+    * @param epsilon TOTAL privacy budget of the release (split ε/2+ε/2)
+    * @return per group (keyCols…, n_true, sum_true, mean_true,
+    *         noisy_sum, noisy_n, dp_mean) ordered by key
+    */
+  def dpNoisyMean(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  lo: Long, hi: Long, epsilon: Double,
+                  seed: String = "dp"): DataFrame = {
+    require(keyCols.nonEmpty, "dpNoisyMean needs at least one key column")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    require(epsilon > 0.0 && epsilon <= 100.0,
+      s"epsilon must be in (0,100], got $epsilon")
+    val clamped = F.greatest(F.lit(lo),
+      F.least(F.lit(hi), F.col(valueCol).cast("long")))
+    val agg = df.filter(F.col(valueCol).isNotNull)
+      .groupBy(keyCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n_true"), F.sum(clamped).as("sum_true"))
+    def keyStr(tag: String) = F.concat_ws("|",
+      F.lit(seed) +: keyCols.map(c => F.col(c).cast("string"))
+        :+ F.lit(tag): _*)
+    val halfEps = epsilon / 2.0
+    val sumNoise = F.lit((hi - lo).toDouble) * lapNoise(keyStr("sum"), halfEps)
+    val noisySum = F.col("sum_true").cast("double") + sumNoise
+    val noisyN = F.col("n_true").cast("double") + lapNoise(keyStr("cnt"), halfEps)
+    agg.select(keyCols.map(F.col) ++ Seq(F.col("n_true"),
+      F.col("sum_true"),
+      F.round(F.col("sum_true").cast("double") /
+        F.nullif(F.col("n_true").cast("double"), F.lit(0.0)), 6)
+        .as("mean_true"),
+      F.round(noisySum, 6).as("noisy_sum"),
+      F.round(noisyN, 6).as("noisy_n"),
+      F.round(noisySum / noisyN, 6).as("dp_mean")): _*)
       .orderBy(keyCols.map(F.col): _*)
   }
 }

@@ -7120,6 +7120,34 @@ class OpsSpec extends AnyFunSuite {
     assert(k.getMessage.contains("key column"))
   }
 
+  test("dpNoisyMean: clamping bounds the sum, the eps/2 noise replays " +
+      "from per-query md5 buckets, and dp_mean divides unrounded") {
+    import graft.ops.Curation
+    // values 1, 5, 100 clamped to [0, 10] -> sum 1+5+10 = 16, n = 3
+    val df = Seq(("a", 1L), ("a", 5L), ("a", 100L)).toDF("g", "v")
+    val got = Curation.dpNoisyMean(df, Seq("g"), "v", lo = 0L, hi = 10L,
+        epsilon = 1.0)
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    def lap(key: String, eps: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h24 = java.lang.Long.parseLong(hex.take(6), 16)
+      val cdf = (h24.toDouble + 0.5) / 16777216.0 - 0.5
+      -1.0 / eps * math.signum(cdf) * math.log(1.0 - 2.0 * math.abs(cdf))
+    }
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ns = 16.0 + 10.0 * lap("dp|a|sum", 0.5)
+    val nn = 3.0 + lap("dp|a|cnt", 0.5)
+    assert(got == Seq(("a", 3L, 16L, r6(16.0 / 3.0), r6(ns), r6(nn),
+      r6(ns / nn))), got)
+    val e = intercept[IllegalArgumentException](
+      Curation.dpNoisyMean(df, Seq("g"), "v", lo = 5L, hi = 5L,
+        epsilon = 1.0))
+    assert(e.getMessage.contains("lo < hi"))
+  }
+
   test("compressionCensus: the DeflateLen expression replays the JDK " +
       "Deflater byte-for-byte, repetition flags fire, entropy separates") {
     import graft.ops.TextOps
