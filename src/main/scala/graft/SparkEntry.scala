@@ -3560,6 +3560,21 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         Seq("source", "lang"), epsilon = 0.5)),
 
+    // HyperBall neighborhood function of the (symmetrized) supplier
+    // co-occurrence graph: per-hop reachable-pair estimates from
+    // iterated HLL register merges -- the scalable distance profile
+    // (exact all-pairs BFS is quadratic state). 2 hops, 16 registers;
+    // frac_of_max is the effective-diameter readout
+    "x444_neighborhood" -> ((s, dir) => {
+      val und = graft.ops.Graph.cooccurrenceEdges(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey",
+        "l_suppkey", minCount = 6)
+      val sym = und.select(F.col("src"), F.col("dst")).unionByName(
+        und.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      graft.ops.Graph.neighborhoodFunction(sym, "src", "dst", hops = 2,
+        p = 4)
+    }),
+
     // epsilon-DP mean document length by source via the sum/count
     // decomposition: clamp n_chars to [0, 2000] (bounds the sum
     // sensitivity), budget split eps/2 + eps/2, independent md5 noise
@@ -11977,6 +11992,80 @@ object SparkEntry {
         |  round(n_true::DOUBLE + (-1.0 / 0.5) * sign(cdf) *
         |    ln(1.0 - 2.0 * abs(cdf)), 6) AS noisy_n
         |FROM h ORDER BY source, lang""".stripMargin,
+
+    // same md5 register derivation (p=4: 1 hex bucket digit, 13-digit
+    // rho source) and integer harmonic sum as the x119/x135 hll oracles;
+    // register propagation replayed as 2 rounds of edge-join + max-merge
+    "x444_neighborhood" ->
+      """WITH pairs AS (SELECT l_suppkey AS s, l_orderkey AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |e0 AS (SELECT a.s AS u, b.s AS v, count(*)::BIGINT AS w
+        |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |und AS (SELECT u AS a, v AS b FROM e0 WHERE w >= 6),
+        |e AS (SELECT a AS s, b AS d FROM und
+        |  UNION ALL SELECT b AS s, a AS d FROM und),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e)),
+        |r0 AS (SELECT node,
+        |    ('0x' || substring(md5(node::VARCHAR), 1, 1))::BIGINT
+        |      AS bucket,
+        |    CASE WHEN ('0x' || substring(md5(node::VARCHAR), 2, 13))
+        |        ::BIGINT = 0 THEN 53
+        |      ELSE 53 - length(ltrim(bin(('0x' ||
+        |        substring(md5(node::VARCHAR), 2, 13))::BIGINT), '0'))
+        |    END AS m
+        |  FROM nodes),
+        |p1 AS (SELECT e.s AS node, r.bucket, r.m
+        |    FROM e JOIN r0 r ON r.node = e.d
+        |  UNION ALL SELECT node, bucket, m FROM r0),
+        |r1 AS (SELECT node, bucket, max(m) AS m FROM p1 GROUP BY 1, 2),
+        |p2 AS (SELECT e.s AS node, r.bucket, r.m
+        |    FROM e JOIN r1 r ON r.node = e.d
+        |  UNION ALL SELECT node, bucket, m FROM r1),
+        |r2 AS (SELECT node, bucket, max(m) AS m FROM p2 GROUP BY 1, 2),
+        |a0 AS (SELECT node, sum(1::BIGINT << (53 - m))::BIGINT AS sp,
+        |    count(*) AS np FROM r0 GROUP BY node),
+        |a1 AS (SELECT node, sum(1::BIGINT << (53 - m))::BIGINT AS sp,
+        |    count(*) AS np FROM r1 GROUP BY node),
+        |a2 AS (SELECT node, sum(1::BIGINT << (53 - m))::BIGINT AS sp,
+        |    count(*) AS np FROM r2 GROUP BY node),
+        |x0 AS (SELECT node, 0.7213 / (1.0 + 1.079 / 16.0) * 16.0 * 16.0
+        |      * 9007199254740992.0
+        |      / (sp + (16 - np) * 9007199254740992)::DOUBLE AS raw,
+        |    16 - np AS v FROM a0),
+        |x1 AS (SELECT node, 0.7213 / (1.0 + 1.079 / 16.0) * 16.0 * 16.0
+        |      * 9007199254740992.0
+        |      / (sp + (16 - np) * 9007199254740992)::DOUBLE AS raw,
+        |    16 - np AS v FROM a1),
+        |x2 AS (SELECT node, 0.7213 / (1.0 + 1.079 / 16.0) * 16.0 * 16.0
+        |      * 9007199254740992.0
+        |      / (sp + (16 - np) * 9007199254740992)::DOUBLE AS raw,
+        |    16 - np AS v FROM a2),
+        |n0 AS (SELECT node, round(CASE WHEN raw <= 2.5 * 16.0 AND v > 0
+        |    THEN 16.0 * ln(16.0 / v::DOUBLE) ELSE raw END, 6) AS n_est
+        |  FROM x0),
+        |n1 AS (SELECT node, round(CASE WHEN raw <= 2.5 * 16.0 AND v > 0
+        |    THEN 16.0 * ln(16.0 / v::DOUBLE) ELSE raw END, 6) AS n_est
+        |  FROM x1),
+        |n2 AS (SELECT node, round(CASE WHEN raw <= 2.5 * 16.0 AND v > 0
+        |    THEN 16.0 * ln(16.0 / v::DOUBLE) ELSE raw END, 6) AS n_est
+        |  FROM x2),
+        |lv AS (
+        |  SELECT 0 AS h, count(*)::BIGINT AS n_nodes,
+        |    sum(round(n_est * 1000.0, 0)::BIGINT)::BIGINT AS nf_milli
+        |  FROM n0
+        |  UNION ALL SELECT 1, count(*)::BIGINT,
+        |    sum(round(n_est * 1000.0, 0)::BIGINT)::BIGINT FROM n1
+        |  UNION ALL SELECT 2, count(*)::BIGINT,
+        |    sum(round(n_est * 1000.0, 0)::BIGINT)::BIGINT FROM n2),
+        |lst AS (SELECT nf_milli AS nfh FROM lv WHERE h = 2)
+        |SELECT h, n_nodes, nf_milli,
+        |  round(nf_milli::DOUBLE / 1000.0 / n_nodes::DOUBLE, 6)
+        |    AS avg_ball,
+        |  round(nf_milli::DOUBLE / nullif(nfh::DOUBLE, 0.0), 6)
+        |    AS frac_of_max
+        |FROM lv CROSS JOIN lst ORDER BY h""".stripMargin,
 
     // same clamp-to-long sums and md5(seed|key|tag) noise buckets; the
     // sum noise is sensitivity * (the shared Laplace tree) with the

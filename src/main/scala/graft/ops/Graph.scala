@@ -1255,4 +1255,87 @@ object Graph {
     lbl.select(F.col("__n").as("node"), F.col("__l").as("community"))
       .orderBy("node")
   }
+
+  /** Neighborhood function via iterated HLL sketches (Palmer et al.,
+    * ANF, KDD'02; Boldi & Vigna, HyperBall, 2011) — for each hop
+    * h = 0..hops, an estimate of Σ_v |ball(v, h)|: how many (node,
+    * reachable-node) pairs exist within h hops. This is THE scalable
+    * distance profile: exact all-pairs BFS is quadratic state, while a
+    * ball is just a SET whose size an HLL sketch estimates — and the
+    * HLL union is exact over sketches, so
+    * {{{
+    *   regs_{h+1}(v) = max-merge( regs_h(v), regs_h(w) for v→w )
+    * }}}
+    * propagates whole reachable sets with 2^p registers per node.
+    * From the per-hop totals: avg ball size, and `frac_of_max` — the
+    * effective-diameter readout (smallest h with frac ≥ 0.9 is the
+    * standard 90 %-effective diameter; the caller reads it off the
+    * H+1-row result).
+    *
+    * Edges are DIRECTED (out-reachability); pass both directions for
+    * undirected balls. h = 0 is the {self} baseline (every node's ball
+    * is 1; its estimate is m·ln(m/(m−1)) ≈ 1 — the linear-counting
+    * value, NOT exactly 1: HLL error applies to every row, ±1.04/√m on
+    * large balls).
+    *
+    * Determinism: registers/estimates are [[Sketches.hllRegisters]]/
+    * [[Sketches.hllEstimate]] verbatim (md5 buckets, integer harmonic
+    * sum, linear-counting branch — the oracled x100/x119/x135 math);
+    * per-node estimates integer-ize to round(est·1000) milli-units so
+    * the graph rollup is a commutative exact long sum, then one IEEE
+    * division per readout column.
+    *
+    * Scale shape: per round ONE regs⋈edges join (≤ 2^p rows per dst
+    * node stream through) + one (node, bucket) max collapse
+    * (partial-aggregated map-side — a 10M-in-degree hub receives its
+    * neighbors' registers pre-combined per map partition, never raw).
+    * State is ≤ N·2^p register rows, localCheckpoint truncates lineage
+    * per round (the kCore/labelPropagation convention). p is the
+    * accuracy knob: ±1.04/√2^p relative error per ball.
+    *
+    * @param hops rounds to expand (output has hops+1 rows, h = 0..hops)
+    * @param p    HLL precision (2^p registers/node), multiple of 4
+    * @return (h, n_nodes, nf_milli, avg_ball, frac_of_max) ordered by h
+    */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String,
+                           dstCol: String, hops: Int = 3,
+                           p: Int = 4): DataFrame = {
+    require(hops >= 1 && hops <= 8, s"hops must be in [1,8], got $hops")
+    val e = edges
+      .select(F.col(srcCol).cast("long").as("__s"),
+        F.col(dstCol).cast("long").as("__d"))
+      .filter(F.col("__s").isNotNull && F.col("__d").isNotNull &&
+        F.col("__s") =!= F.col("__d"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(F.col("__s").as("node"))
+      .unionAll(e.select(F.col("__d").as("node"))).distinct()
+    var regs = Sketches.hllRegisters(nodes, Seq("node"), F.col("node"), p)
+      .localCheckpoint()
+    def level(h: Int): DataFrame =
+      Sketches.hllEstimate(regs, Seq("node"), p)
+        .select(F.round(F.col("n_est") * 1000.0, 0).cast("long").as("__bm"))
+        .agg(F.count(F.lit(1)).as("n_nodes"), F.sum("__bm").as("nf_milli"))
+        .select(F.lit(h).as("h"), F.col("n_nodes"), F.col("nf_milli"))
+    val levels = scala.collection.mutable.ListBuffer(level(0))
+    (1 to hops).foreach { h =>
+      val prop = e.join(regs, e("__d") === regs("node"))
+        .select(F.col("__s").as("node"), F.col("bucket"), F.col("m"))
+      regs = regs.select("node", "bucket", "m").unionByName(prop)
+        .groupBy("node", "bucket").agg(F.max("m").as("m"))
+        .localCheckpoint()
+      levels += level(h)
+    }
+    val all = levels.reduce(_ unionByName _)
+    val last = all.filter(F.col("h") === hops)
+      .select(F.col("nf_milli").as("__nfH"))
+    all.crossJoin(F.broadcast(last))
+      .select(F.col("h"), F.col("n_nodes"), F.col("nf_milli"),
+        F.round(F.col("nf_milli").cast("double") / 1000.0 /
+          F.col("n_nodes").cast("double"), 6).as("avg_ball"),
+        F.round(F.col("nf_milli").cast("double") /
+          F.nullif(F.col("__nfH").cast("double"), F.lit(0.0)), 6)
+          .as("frac_of_max"))
+      .orderBy("h")
+  }
 }

@@ -316,6 +316,30 @@ object StressBench {
           graft.ops.Graph.edgeSupportCensus(edges.unionByName(hub),
             "src", "dst")
         }),
+        // HyperBall neighborhood function on K disjoint graph copies
+        // PLUS a planted 2000-spoke hub: register state and the
+        // per-round edge join scale ×K (balls per copy constant), and
+        // the hub node receives its 2000 neighbors' registers
+        // PRE-COMBINED map-side (partial max-merge) — wall must stay
+        // ~linear in K with no single-reducer blowup at the hub
+        "x444_neighborhood" -> (() => {
+          val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select("l_orderkey", "l_suppkey")
+          val li = (0 until k).map(i => li0.select(
+              (F.col("l_orderkey") + F.lit(i * KeyStride)).as("l_orderkey"),
+              (F.col("l_suppkey") + F.lit(i * KeyStride)).as("l_suppkey")))
+            .reduce(_ union _)
+          val und = graft.ops.Graph.cooccurrenceEdges(li,
+            "l_orderkey", "l_suppkey", minCount = 6)
+            .select("src", "dst")
+          val hub = spark.range(1, 2001).select(
+            F.lit(-1L).as("src"), (F.col("id") + 900000000L).as("dst"))
+          val sym0 = und.unionByName(hub)
+          val sym = sym0.unionByName(sym0.select(
+            F.col("dst").as("src"), F.col("src").as("dst")))
+          graft.ops.Graph.neighborhoodFunction(sym, "src", "dst",
+            hops = 2, p = 4)
+        }),
         // hopkins clusterability with the documented scale knob:
         // corpusEvery = K holds the NN-scan corpus ~constant while the
         // query sample grows K× — m×(n/corpusEvery) work, wall ~linear

@@ -7120,6 +7120,44 @@ class OpsSpec extends AnyFunSuite {
     assert(k.getMessage.contains("key column"))
   }
 
+  test("neighborhoodFunction: iterated register merges equal " +
+      "hllDistinct of the hand-enumerated balls; totals monotone in h") {
+    import graft.ops.{Graph, Sketches}
+    // undirected path 1-2-3: balls are {1},{2},{3} at h=0;
+    // {1,2},{1,2,3},{2,3} at h=1; all {1,2,3} at h=2
+    val und = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val sym = und.unionByName(
+      und.select(F.col("dst").as("src"), F.col("src").as("dst")))
+    val got = Graph.neighborhoodFunction(sym, "src", "dst", hops = 2,
+        p = 4)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    // independent path to the same numbers: sketch each hand-enumerated
+    // ball with hllDistinct (same md5 register math) and roll up the
+    // same way — the iterated merge must agree EXACTLY
+    def nf(balls: Seq[(Long, Long)]): Long =
+      Sketches.hllDistinct(balls.toDF("node", "mem"), Seq("node"),
+          F.col("mem"), p = 4)
+        .select(F.round(F.col("n_est") * 1000.0, 0).cast("long"))
+        .as[Long].collect().sum
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val b0 = Seq(1L -> 1L, 2L -> 2L, 3L -> 3L)
+    val b1 = Seq(1L -> 1L, 1L -> 2L, 2L -> 1L, 2L -> 2L, 2L -> 3L,
+      3L -> 2L, 3L -> 3L)
+    val b2 = b1 ++ Seq(1L -> 3L, 3L -> 1L)
+    val (n0, n1, n2) = (nf(b0), nf(b1), nf(b2))
+    assert(got == Seq(
+      (0, 3L, n0, r6(n0.toDouble / 1000.0 / 3.0),
+        r6(n0.toDouble / n2.toDouble)),
+      (1, 3L, n1, r6(n1.toDouble / 1000.0 / 3.0),
+        r6(n1.toDouble / n2.toDouble)),
+      (2, 3L, n2, r6(n2.toDouble / 1000.0 / 3.0), 1.0)), got)
+    assert(n0 < n1 && n1 < n2, "ball mass must grow along the path")
+    val e = intercept[IllegalArgumentException](
+      Graph.neighborhoodFunction(sym, "src", "dst", hops = 0))
+    assert(e.getMessage.contains("hops"))
+  }
+
   test("dpNoisyMean: clamping bounds the sum, the eps/2 noise replays " +
       "from per-query md5 buckets, and dp_mean divides unrounded") {
     import graft.ops.Curation
