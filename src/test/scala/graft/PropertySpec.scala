@@ -998,4 +998,81 @@ class PropertySpec extends AnyFunSuite {
       assert(got._7 == bins.values.max, got)
     }
   }
+
+  test("law: DP releases — noise depends only on (seed, key): doubling " +
+      "the data shifts noisy_n by exactly the count delta, and " +
+      "pre-clamping values is a no-op for dpNoisyMean") {
+    import org.apache.spark.sql.{functions => F}
+    import graft.ops.Curation
+    forAll(tableGen) { rows =>
+      val df = toDf(rows)
+      val c1 = Curation.dpNoisyCounts(df, Seq("name"), epsilon = 0.7)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val c2 = Curation.dpNoisyCounts(df.unionAll(df), Seq("name"),
+          epsilon = 0.7)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(c1.map(_._1).toSeq == c2.map(_._1).toSeq)
+      c1.zip(c2).foreach { case ((k, n1, y1), (_, n2, y2)) =>
+        assert(n2 == 2 * n1, s"count must double for $k")
+        // same key -> same Laplace draw; only 6-dp rounding at the two
+        // magnitudes can differ
+        assert(math.abs((y2 - n2) - (y1 - n1)) < 2e-6,
+          s"noise must be data-independent for $k: ${y1 - n1} vs ${y2 - n2}")
+      }
+      val lo = -50L; val hi = 50L
+      val m1 = Curation.dpNoisyMean(df, Seq("name"), "value", lo, hi,
+        epsilon = 1.3).collect().toSeq
+      val pre = df.withColumn("value", F.greatest(F.lit(lo),
+        F.least(F.lit(hi), F.col("value").cast("long"))).cast("double"))
+      val m2 = Curation.dpNoisyMean(pre, Seq("name"), "value", lo, hi,
+        epsilon = 1.3).collect().toSeq
+      assert(m1 == m2, "clamping must be idempotent")
+    }
+  }
+
+  test("law: compressionCensus is partitioning-invariant and conserves " +
+      "docs and bytes") {
+    import org.apache.spark.sql.{functions => F}
+    import graft.ops.TextOps
+    val textGen: Gen[List[String]] = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        "plain short prose", "x", "", "spam " * 50, "mixed 123 !?",
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")))
+    forAll(textGen) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (s"g${i % 3}", t) }.toDF("g", "t")
+      val a = TextOps.compressionCensus(df.repartition(7), Seq("g"), "t")
+        .collect().toSeq
+      val b = TextOps.compressionCensus(df.coalesce(1), Seq("g"), "t")
+        .collect().toSeq
+      assert(a == b, "census must not depend on partitioning")
+      val nDocs = a.map(_.getAs[Long]("n_docs")).sum
+      val bytes = a.map(_.getAs[Long]("total_bytes")).sum
+      assert(nDocs == texts.size.toLong)
+      assert(bytes == texts.map(_.getBytes("UTF-8").length.toLong).sum)
+    }
+  }
+
+  test("law: neighborhoodFunction is idempotent under edge duplication " +
+      "and monotone in h on random digraphs") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    import graft.ops.Graph
+    val edgeGen: Gen[List[(Long, Long)]] = Gen.choose(1, 18).flatMap(n =>
+      Gen.listOfN(n, for {
+        a <- Gen.choose(1L, 10L); b <- Gen.choose(1L, 10L) if a != b
+      } yield (a, b)))
+    samples(edgeGen, 4).foreach { es =>
+      val e = es.toDF("src", "dst")
+      val once = Graph.neighborhoodFunction(e, "src", "dst", hops = 2,
+        p = 4).collect().toSeq
+      val twice = Graph.neighborhoodFunction(e.unionAll(e), "src", "dst",
+        hops = 2, p = 4).collect().toSeq
+      assert(once == twice, "max-merge must be idempotent under edge dup")
+      val nf = once.map(_.getAs[Long]("nf_milli"))
+      assert(nf == nf.sorted, s"nf must be monotone in h: $nf")
+      assert(once.last.getAs[Double]("frac_of_max") == 1.0)
+    }
+  }
 }
