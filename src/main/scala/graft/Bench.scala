@@ -112,13 +112,62 @@ object Bench {
       ciState.map(s => ciValue(s._1, m)).getOrElse(-1L)
     def ciBailouts: Long = ciMonitors.map(m => ciRead(m._1)).getOrElse(-1L)
     def ciInvalidates: Long = ciMonitors.map(m => ciRead(m._2)).getOrElse(-1L)
+    // JIT compile-QUEUE depth (r15, the run that killed the deopt theory:
+    // a reproduced anomaly band showed ci_invalidates=0, ci_bailouts=0,
+    // normal per-query jit_ms — but jit_total_ms ~2/3 of the run's wall,
+    // i.e. compiler threads saturated). HotSpot's tiered compile
+    // THRESHOLDS scale UP with queue length per compiler thread
+    // (advancedThresholdPolicy): under a deep C2 queue a short-lived
+    // generated method never qualifies and runs interpreted for its whole
+    // life — cpu≈wall at 5-25x on untouched code, exactly the signature.
+    // Bracket every query with the queue depth so an outlier's row names
+    // the mechanism (hot + cq_pre high = threshold-scaled/starved;
+    // hot + cq≈0 = genuinely slower plan).
+    val dcmdTarget: Option[(javax.management.MBeanServer,
+        javax.management.ObjectName)] = try {
+      Some((java.lang.management.ManagementFactory.getPlatformMBeanServer,
+        new javax.management.ObjectName(
+          "com.sun.management:type=DiagnosticCommand")))
+    } catch { case _: Throwable => None }
+    def compileQueueDepth: Int = dcmdTarget.map { case (srv, on) =>
+      try {
+        val out = srv.invoke(on, "compilerQueue",
+          Array[AnyRef](null), Array("[Ljava.lang.String;"))
+          .asInstanceOf[String]
+        // one "sig::method (n bytes)" line per queued/in-flight compile
+        out.split('\n').count(_.contains("::"))
+      } catch { case _: Throwable => -1 }
+    }.getOrElse(-1)
+    // Memory-system telemetry (r15 run 3 killed the queue theory too: an
+    // anomalous x43 read cpu≈wall at 6x with an EMPTY compile queue,
+    // normal jit_ms, zero invalidations). getThreadCpuTime counts cycles
+    // on-CPU including stall cycles and kernel time — a query can read
+    // 17x "CPU" while executing the same compiled instructions if the
+    // process is fighting page faults or THP/compaction (host memory
+    // state, invisible to every JIT counter). /proc/self/stat minflt(10)
+    // majflt(12) stime(15, ticks) deltas name that mechanism per query:
+    // a hot row with a fault/kernel-time spike is host memory state, a
+    // hot row with flat faults and flat jit is a genuine plan cost.
+    def procStat: (Long, Long, Long) = try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      // field 2 is "(comm)" which may contain spaces — split after ')'
+      val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      // rest(0) is field 3 (state); minflt=field 10 -> rest(7),
+      // majflt=field 12 -> rest(9), stime=field 15 -> rest(12)
+      (rest(7).toLong, rest(9).toLong, rest(12).toLong * 10L) // ticks@100Hz -> ms
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
     final case class QStat(sec: Double, gcMs: Long, taskMs: Long,
                            taskCpuMs: Long, chUsed: Long, chDelta: Long,
-                           jitMs: Long, bailDelta: Long, invalDelta: Long)
+                           jitMs: Long, bailDelta: Long, invalDelta: Long,
+                           cqPre: Int, cqPost: Int, pfMinor: Long,
+                           pfMajor: Long, sysMs: Long)
     val results = selected.map { case (name, fn) =>
       org.apache.spark.GraftListeners.drain(spark.sparkContext)
       val (gc0, tk0, cp0, ch0) = (gcMs, taskMs.get, taskCpuNs.get, chUsed)
       val (jit0, bail0, inv0) = (jitMs, ciBailouts, ciInvalidates)
+      val cq0 = compileQueueDepth
+      val (mnf0, mjf0, sys0) = procStat
       val t0 = System.nanoTime()
       // noop sink materializes every column (count() would let Spark prune
       // projections and under-report the real work)
@@ -141,11 +190,15 @@ object Bench {
         System.err.println(s"[bench] WARNING: $name saw $invalDelta nmethod " +
           "invalidations (deopt storm) — its wall time reflects JVM state, " +
           "not plan cost")
+      val (mnf1, mjf1, sys1) = procStat
       name -> QStat(sec, gcMs - gc0, taskMs.get - tk0,
         (taskCpuNs.get - cp0) / 1000000L, ch1, ch1 - ch0,
         if (jit0 < 0) -1L else jitMs - jit0,
         if (bail0 < 0) -1L else ciBailouts - bail0,
-        invalDelta)
+        invalDelta, cq0, compileQueueDepth,
+        if (mnf0 < 0) -1L else mnf1 - mnf0,
+        if (mjf0 < 0) -1L else mjf1 - mjf0,
+        if (sys0 < 0) -1L else sys1 - sys0)
     }
     // The driver keeps only the LAST 2000 chars of output, and the one-line
     // JSON outgrew that window at 78 full-name ns-precision entries
@@ -206,7 +259,7 @@ object Bench {
     }.mkString("[", ",", "]")
     try {
       val full = results.map { case (k, v) =>
-        s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs},"ch_used":${v.chUsed},"ch_delta":${v.chDelta},"jit_ms":${v.jitMs},"ci_bailouts":${v.bailDelta},"ci_invalidates":${v.invalDelta}}"""
+        s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs},"ch_used":${v.chUsed},"ch_delta":${v.chDelta},"jit_ms":${v.jitMs},"ci_bailouts":${v.bailDelta},"ci_invalidates":${v.invalDelta},"cq_pre":${v.cqPre},"cq_post":${v.cqPost},"pf_minor":${v.pfMinor},"pf_major":${v.pfMajor},"sys_ms":${v.sysMs}}"""
       }.mkString("{", ",", "}")
       // the twin list rides along so downstream tooling (scripts/ledger.py)
       // reads ONE source of truth — a twin added here but not there would
@@ -215,8 +268,10 @@ object Bench {
       val sumJit = results.map(_._2.jitMs).filter(_ >= 0).sum
       val sumInval = results.map(_._2.invalDelta).filter(_ >= 0).sum
       val sumBail = results.map(_._2.bailDelta).filter(_ >= 0).sum
+      val maxCq = (results.map(_._2.cqPre) ++ results.map(_._2.cqPost))
+        .foldLeft(-1)(math.max)
       val w = new java.io.PrintWriter("bench_detail.json")
-      try w.println(s"""{"total":$total,"production_total":$prodTotal,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"jit_total_ms":$sumJit,"ci_invalidates_total":$sumInval,"ci_bailouts_total":$sumBail,"parallelism":${f"$par%.2f"},"cpus":$cpus,"code_cache":$codeCacheJson,"oracle_twins":$twinsJson,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"total":$total,"production_total":$prodTotal,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"jit_total_ms":$sumJit,"ci_invalidates_total":$sumInval,"ci_bailouts_total":$sumBail,"cq_max":$maxCq,"parallelism":${f"$par%.2f"},"cpus":$cpus,"code_cache":$codeCacheJson,"oracle_twins":$twinsJson,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     // Stop Spark BEFORE printing the summary so no executor/stage log line
