@@ -3575,6 +3575,20 @@ object SparkEntry {
         p = 4)
     }),
 
+    // k-landmark BFS distances on the same symmetrized co-occurrence
+    // graph: exact hop-3 distances from 4 md5-chosen landmarks, per-node
+    // harmonic closeness in integer milli-units -- the distance
+    // complement to x444's reach sizes at k*E instead of N*E cost
+    "x445_landmark_dist" -> ((s, dir) => {
+      val und = graft.ops.Graph.cooccurrenceEdges(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey",
+        "l_suppkey", minCount = 6)
+      val sym = und.select(F.col("src"), F.col("dst")).unionByName(
+        und.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      graft.ops.Graph.landmarkDistances(sym, "src", "dst",
+        nLandmarks = 4, hops = 3)
+    }),
+
     // epsilon-DP mean document length by source via the sum/count
     // decomposition: clamp n_chars to [0, 2000] (bounds the sum
     // sensitivity), budget split eps/2 + eps/2, independent md5 noise
@@ -11992,6 +12006,48 @@ object SparkEntry {
         |  round(n_true::DOUBLE + (-1.0 / 0.5) * sign(cdf) *
         |    ln(1.0 - 2.0 * abs(cdf)), 6) AS noisy_n
         |FROM h ORDER BY source, lang""".stripMargin,
+
+    // same md5-ordered landmark pick; 3 BFS rounds unrolled as
+    // min-merge CTE layers, integer throughout, one IEEE division per
+    // (landmark, node) in the 1000/d milli term
+    "x445_landmark_dist" ->
+      """WITH pairs AS (SELECT l_suppkey AS s, l_orderkey AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |e0 AS (SELECT a.s AS u, b.s AS v, count(*)::BIGINT AS w
+        |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |und AS (SELECT u AS a, v AS b FROM e0 WHERE w >= 6),
+        |e AS (SELECT a AS s, b AS t FROM und
+        |  UNION ALL SELECT b AS s, a AS t FROM und),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT s AS node FROM e UNION ALL SELECT t AS node FROM e)),
+        |lm AS (SELECT node AS l FROM nodes
+        |  ORDER BY md5(node::VARCHAR), node LIMIT 4),
+        |d0 AS (SELECT l AS lm, l AS node, 0 AS dd FROM lm),
+        |d1 AS (SELECT lm, node, min(dd) AS dd FROM (
+        |    SELECT lm, node, dd FROM d0
+        |    UNION ALL SELECT d0.lm, e.t AS node, d0.dd + 1 AS dd
+        |    FROM d0 JOIN e ON e.s = d0.node) GROUP BY 1, 2),
+        |d2 AS (SELECT lm, node, min(dd) AS dd FROM (
+        |    SELECT lm, node, dd FROM d1
+        |    UNION ALL SELECT d1.lm, e.t AS node, d1.dd + 1 AS dd
+        |    FROM d1 JOIN e ON e.s = d1.node) GROUP BY 1, 2),
+        |d3 AS (SELECT lm, node, min(dd) AS dd FROM (
+        |    SELECT lm, node, dd FROM d2
+        |    UNION ALL SELECT d2.lm, e.t AS node, d2.dd + 1 AS dd
+        |    FROM d2 JOIN e ON e.s = d2.node) GROUP BY 1, 2),
+        |per AS (SELECT node, count(*)::BIGINT AS n_reached,
+        |    min(dd) AS min_dist, sum(dd)::BIGINT AS sum_dist,
+        |    sum(CASE WHEN dd > 0
+        |      THEN round(1000.0 / dd::DOUBLE, 0)::BIGINT
+        |      ELSE 0 END)::BIGINT AS harmonic_milli
+        |  FROM d3 GROUP BY node)
+        |SELECT n.node,
+        |  coalesce(per.n_reached, 0)::BIGINT AS n_reached,
+        |  per.min_dist, per.sum_dist,
+        |  coalesce(per.harmonic_milli, 0)::BIGINT AS harmonic_milli
+        |FROM nodes n LEFT JOIN per ON per.node = n.node
+        |ORDER BY n.node""".stripMargin,
 
     // same md5 register derivation (p=4: 1 hex bucket digit, 13-digit
     // rho source) and integer harmonic sum as the x119/x135 hll oracles;

@@ -340,6 +340,29 @@ object StressBench {
           graft.ops.Graph.neighborhoodFunction(sym, "src", "dst",
             hops = 2, p = 4)
         }),
+        // landmark BFS on K disjoint copies + the 2000-spoke hub: the
+        // landmark count is FIXED while the graph grows, so state is
+        // k_lm x N rows and each round joins the same fixed-k dist
+        // table against KxE edges — wall must stay ~linear in K, and
+        // the hub collapses map-side in the min-merge like x444
+        "x445_landmark_dist" -> (() => {
+          val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select("l_orderkey", "l_suppkey")
+          val li = (0 until k).map(i => li0.select(
+              (F.col("l_orderkey") + F.lit(i * KeyStride)).as("l_orderkey"),
+              (F.col("l_suppkey") + F.lit(i * KeyStride)).as("l_suppkey")))
+            .reduce(_ union _)
+          val und = graft.ops.Graph.cooccurrenceEdges(li,
+            "l_orderkey", "l_suppkey", minCount = 6)
+            .select("src", "dst")
+          val hub = spark.range(1, 2001).select(
+            F.lit(-1L).as("src"), (F.col("id") + 900000000L).as("dst"))
+          val sym0 = und.unionByName(hub)
+          val sym = sym0.unionByName(sym0.select(
+            F.col("dst").as("src"), F.col("src").as("dst")))
+          graft.ops.Graph.landmarkDistances(sym, "src", "dst",
+            nLandmarks = 4, hops = 3)
+        }),
         // hopkins clusterability with the documented scale knob:
         // corpusEvery = K holds the NN-scan corpus ~constant while the
         // query sample grows K× — m×(n/corpusEvery) work, wall ~linear

@@ -7158,6 +7158,49 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("hops"))
   }
 
+  test("landmarkDistances: exact hop-limited BFS from md5-chosen " +
+      "landmarks, integer harmonic milli-units, unreached nodes visible") {
+    import graft.ops.Graph
+    // path 1-2-3-4 plus a disconnected pair 10-11
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val sym = und.unionByName(
+      und.select(F.col("dst").as("src"), F.col("src").as("dst")))
+    val got = Graph.landmarkDistances(sym, "src", "dst", nLandmarks = 2,
+        hops = 3)
+      .as[(Long, Long, Option[Int], Option[Long], Long)].collect().toSeq
+    // replay: same md5 landmark pick, scala BFS to radius 3
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L)
+    val lms = nodes.sortBy(n => (md5hex(n.toString), n)).take(2)
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+      4L -> Seq(3L), 10L -> Seq(11L), 11L -> Seq(10L))
+    def bfs(src: Long): Map[Long, Int] = {
+      var dist = Map(src -> 0)
+      var frontier = Seq(src)
+      (1 to 3).foreach { d =>
+        val next = frontier.flatMap(adj).distinct
+          .filterNot(dist.contains)
+        dist ++= next.map(_ -> d)
+        frontier = next
+      }
+      dist
+    }
+    val dists = lms.map(bfs)
+    val expected = nodes.sorted.map { n =>
+      val ds = dists.flatMap(_.get(n))
+      if (ds.isEmpty) (n, 0L, Option.empty[Int], Option.empty[Long], 0L)
+      else (n, ds.size.toLong, Some(ds.min), Some(ds.map(_.toLong).sum),
+        ds.filter(_ > 0).map(d => math.round(1000.0 / d)).sum)
+    }
+    assert(got == expected, s"landmarks were $lms; got $got")
+    // the disconnected pair cannot both be landmark-reached unless a
+    // landmark fell in it — either way SOME node reports its true state
+    assert(got.map(_._1) == nodes.sorted, "every node must be visible")
+  }
+
   test("dpNoisyMean: clamping bounds the sum, the eps/2 noise replays " +
       "from per-query md5 buckets, and dp_mean divides unrounded") {
     import graft.ops.Curation
