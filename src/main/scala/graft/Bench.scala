@@ -157,17 +157,51 @@ object Bench {
       // majflt=field 12 -> rest(9), stime=field 15 -> rest(12)
       (rest(7).toLong, rest(9).toLong, rest(12).toLong * 10L) // ticks@100Hz -> ms
     } catch { case _: Throwable => (-1L, -1L, -1L) }
+    // Effective-CPU-speed probe (r15: THP/compaction ruled out on this
+    // host — THP=madvise, compact_stall=0, zero memory pressure — and the
+    // run-1 anomaly band was TEMPORALLY CONTIGUOUS in execution order,
+    // which is the signature of a host-level CPU-speed window: frequency
+    // throttling or hypervisor interference inflates ON-CPU seconds for
+    // the same instructions, with cpu≈wall and every JVM counter clean).
+    // Time a fixed pure-ALU xorshift loop before each query: the probe's
+    // nanoseconds are a direct per-query index of effective CPU speed —
+    // a hot query whose spin_ns also inflated is host CPU state, named
+    // mechanically; a hot query at nominal spin_ns is genuinely doing
+    // more work. ~2-4 ms per probe, ~1.5 s per 476-query suite.
+    val spinSink = new java.util.concurrent.atomic.AtomicLong(0L)
+    def spinProbeNs: Long = {
+      var x = 0x9E3779B97F4A7C15L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 4000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      spinSink.addAndGet(x) // defeat dead-code elimination
+      System.nanoTime() - t0
+    }
+    def stealTicks: Long = try {
+      val first = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = first.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else -1L // field: steal
+    } catch { case _: Throwable => -1L }
     final case class QStat(sec: Double, gcMs: Long, taskMs: Long,
                            taskCpuMs: Long, chUsed: Long, chDelta: Long,
                            jitMs: Long, bailDelta: Long, invalDelta: Long,
                            cqPre: Int, cqPost: Int, pfMinor: Long,
-                           pfMajor: Long, sysMs: Long)
+                           pfMajor: Long, sysMs: Long, spinNs: Long,
+                           stealDelta: Long)
+    // compile the probe loop itself before measuring with it
+    locally { (1 to 3).foreach(_ => spinProbeNs) }
     val results = selected.map { case (name, fn) =>
       org.apache.spark.GraftListeners.drain(spark.sparkContext)
       val (gc0, tk0, cp0, ch0) = (gcMs, taskMs.get, taskCpuNs.get, chUsed)
       val (jit0, bail0, inv0) = (jitMs, ciBailouts, ciInvalidates)
       val cq0 = compileQueueDepth
       val (mnf0, mjf0, sys0) = procStat
+      val steal0 = stealTicks
+      val spin0 = spinProbeNs
       val t0 = System.nanoTime()
       // noop sink materializes every column (count() would let Spark prune
       // projections and under-report the real work)
@@ -198,7 +232,9 @@ object Bench {
         invalDelta, cq0, compileQueueDepth,
         if (mnf0 < 0) -1L else mnf1 - mnf0,
         if (mjf0 < 0) -1L else mjf1 - mjf0,
-        if (sys0 < 0) -1L else sys1 - sys0)
+        if (sys0 < 0) -1L else sys1 - sys0,
+        spin0,
+        if (steal0 < 0) -1L else stealTicks - steal0)
     }
     // The driver keeps only the LAST 2000 chars of output, and the one-line
     // JSON outgrew that window at 78 full-name ns-precision entries
@@ -259,7 +295,7 @@ object Bench {
     }.mkString("[", ",", "]")
     try {
       val full = results.map { case (k, v) =>
-        s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs},"ch_used":${v.chUsed},"ch_delta":${v.chDelta},"jit_ms":${v.jitMs},"ci_bailouts":${v.bailDelta},"ci_invalidates":${v.invalDelta},"cq_pre":${v.cqPre},"cq_post":${v.cqPost},"pf_minor":${v.pfMinor},"pf_major":${v.pfMajor},"sys_ms":${v.sysMs}}"""
+        s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs},"ch_used":${v.chUsed},"ch_delta":${v.chDelta},"jit_ms":${v.jitMs},"ci_bailouts":${v.bailDelta},"ci_invalidates":${v.invalDelta},"cq_pre":${v.cqPre},"cq_post":${v.cqPost},"pf_minor":${v.pfMinor},"pf_major":${v.pfMajor},"sys_ms":${v.sysMs},"spin_ns":${v.spinNs},"steal_ticks":${v.stealDelta}}"""
       }.mkString("{", ",", "}")
       // the twin list rides along so downstream tooling (scripts/ledger.py)
       // reads ONE source of truth — a twin added here but not there would
