@@ -224,6 +224,14 @@ object Bench {
         System.err.println(s"[bench] WARNING: $name saw $invalDelta nmethod " +
           "invalidations (deopt storm) — its wall time reflects JVM state, " +
           "not plan cost")
+      val stealNow = if (steal0 < 0) -1L else stealTicks - steal0
+      // a steal burst = the hypervisor ran a co-tenant on our vCPUs
+      // during THIS query (run 10: steal>100 ⇒ median 1.70× ledger) —
+      // name it so the wall outlier self-adjudicates as host state
+      if (stealNow > 200)
+        System.err.println(f"[bench] WARNING: $name saw $stealNow steal " +
+          f"ticks (${stealNow / 100.0}%.1f s of stolen vCPU) — its wall " +
+          "time reflects hypervisor interference, not plan cost")
       val (mnf1, mjf1, sys1) = procStat
       name -> QStat(sec, gcMs - gc0, taskMs.get - tk0,
         (taskCpuNs.get - cp0) / 1000000L, ch1, ch1 - ch0,
@@ -233,8 +241,7 @@ object Bench {
         if (mnf0 < 0) -1L else mnf1 - mnf0,
         if (mjf0 < 0) -1L else mjf1 - mjf0,
         if (sys0 < 0) -1L else sys1 - sys0,
-        spin0,
-        if (steal0 < 0) -1L else stealTicks - steal0)
+        spin0, stealNow)
     }
     // The driver keeps only the LAST 2000 chars of output, and the one-line
     // JSON outgrew that window at 78 full-name ns-precision entries
@@ -306,15 +313,23 @@ object Bench {
       val sumBail = results.map(_._2.bailDelta).filter(_ >= 0).sum
       val maxCq = (results.map(_._2.cqPre) ++ results.map(_._2.cqPost))
         .foldLeft(-1)(math.max)
+      val stealSum = results.map(_._2.stealDelta).filter(_ >= 0).sum
+      val spinSorted = results.map(_._2.spinNs).sorted
+      val spinMed = if (spinSorted.isEmpty) -1L
+        else spinSorted(spinSorted.length / 2)
       val w = new java.io.PrintWriter("bench_detail.json")
-      try w.println(s"""{"total":$total,"production_total":$prodTotal,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"jit_total_ms":$sumJit,"ci_invalidates_total":$sumInval,"ci_bailouts_total":$sumBail,"cq_max":$maxCq,"parallelism":${f"$par%.2f"},"cpus":$cpus,"code_cache":$codeCacheJson,"oracle_twins":$twinsJson,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"total":$total,"production_total":$prodTotal,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"jit_total_ms":$sumJit,"ci_invalidates_total":$sumInval,"ci_bailouts_total":$sumBail,"cq_max":$maxCq,"steal_ticks_total":$stealSum,"spin_ns_median":$spinMed,"parallelism":${f"$par%.2f"},"cpus":$cpus,"code_cache":$codeCacheJson,"oracle_twins":$twinsJson,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     // Stop Spark BEFORE printing the summary so no executor/stage log line
     // can land after it — the JSON must be the last stdout line for the
     // driver's tail-window parse.
     spark.stop()
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","production_total":${s3(prodTotal)},"gc_sec":${s3(sumGcMs / 1000.0)},"parallelism":${f"$par%.2f"},"n_queries":${results.size},"queries":$qs,"queries_omitted":$omitted,"failed":$failedJson,"sf":"$sfDir"}""")
+    // steal_sec rides the driver-visible summary so a slow round total
+    // self-adjudicates as hypervisor interference without opening the
+    // detail file (run 10: 1475-tick bursts inside single queries)
+    val stealSec = results.map(_._2.stealDelta).filter(_ >= 0).sum / 100.0
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","production_total":${s3(prodTotal)},"gc_sec":${s3(sumGcMs / 1000.0)},"steal_sec":${s3(stealSec)},"parallelism":${f"$par%.2f"},"n_queries":${results.size},"queries":$qs,"queries_omitted":$omitted,"failed":$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
