@@ -3602,7 +3602,7 @@ object SparkEntry {
     // deflate-ratio census by source: LZ77 catches long-range repetition
     // (pasted paragraphs, boilerplate blocks) that char entropy and
     // adjacent-n-gram repetition miss. Planted known-positives (doc_id%9
-    // routing): =0 appends a 38-char phrase repeated 60x -> repetitive.
+    // routing): =0 appends a 43-char phrase repeated 60x -> repetitive.
     // Deflate lengths are JVM-side (no DuckDB codec) -> rows-only; the
     // census plumbing is pinned by the x442 surrogate twin, the codec by
     // OpsSpec replay.
