@@ -3575,6 +3575,18 @@ object SparkEntry {
         p = 4)
     }),
 
+    // isotonic (PAV) calibration of the x177 classifier scores: the
+    // monotone fit computed exactly via the Best-Chakravarti minimax
+    // over binned long prefix sums -- the calibration MAP next to
+    // x177's reliability readout; no sequential PAV pass, no driver loop
+    "x446_isotonic_cal" -> ((s, dir) => {
+      val scored = TextOps.classifierScore(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ClassifierW,
+        bias = -0.1)
+      graft.ops.Stats.isotonicCalibration(scored,
+        F.col("quality_score"), F.col("lang") === "en", nBins = 10)
+    }),
+
     // k-landmark BFS distances on the same symmetrized co-occurrence
     // graph: exact hop-3 distances from 4 md5-chosen landmarks, per-node
     // harmonic closeness in integer milli-units -- the distance
@@ -12006,6 +12018,52 @@ object SparkEntry {
         |  round(n_true::DOUBLE + (-1.0 / 0.5) * sign(cdf) *
         |    ln(1.0 - 2.0 * abs(cdf)), 6) AS noisy_n
         |FROM h ORDER BY source, lang""".stripMargin,
+
+    // same x177 score replay; minimax isotonic fit from exact long
+    // prefix sums, one IEEE division per (i,j) interval, min/max are
+    // compares
+    "x446_isotonic_cal" -> {
+      val arr = ClassifierW.mkString("[", ", ", "]")
+      s"""WITH w(arr) AS (SELECT ($arr)::DOUBLE[]),
+         |t AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents
+         |),
+         |sc AS (SELECT doc_id, lang,
+         |  round(1.0 / (1.0 + exp(-(-0.1 + CASE WHEN len(toks) > 0
+         |    THEN list_sum(list_transform(toks,
+         |      t -> arr[(('0x' || substring(md5(t), 1, 7))::BIGINT % 64)::INT + 1]))
+         |      / len(toks)
+         |    ELSE 0.0 END))), 6) AS s
+         |FROM t, w),
+         |b AS (SELECT greatest(0, least(floor(s * 10), 9))::BIGINT
+         |    AS bin,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM sc),
+         |bins AS (SELECT bin, count(*)::BIGINT AS n,
+         |    sum(y)::BIGINT AS sy FROM b GROUP BY bin),
+         |pre AS (SELECT bin, n, sy,
+         |    sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW)::BIGINT AS cn,
+         |    sum(sy) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW)::BIGINT AS cy
+         |  FROM bins),
+         |iv AS (SELECT a.bin AS i, b2.bin AS j,
+         |    (b2.cy - (a.cy - a.sy))::DOUBLE /
+         |      (b2.cn - (a.cn - a.n))::DOUBLE AS avgv
+         |  FROM pre a JOIN pre b2 ON a.bin <= b2.bin),
+         |mn AS (SELECT k.bin AS k, iv.i, min(avgv) AS mn
+         |  FROM pre k JOIN iv ON iv.i <= k.bin AND iv.j >= k.bin
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT k, round(max(mn), 6) AS iso_rate FROM mn
+         |  GROUP BY k)
+         |SELECT bins.bin, bins.n,
+         |  round(bins.sy::DOUBLE / bins.n::DOUBLE, 6) AS raw_rate,
+         |  iso.iso_rate
+         |FROM bins JOIN iso ON iso.k = bins.bin
+         |ORDER BY bins.bin""".stripMargin
+    },
 
     // same md5-ordered landmark pick; 3 BFS rounds unrolled as
     // min-merge CTE layers, integer throughout, one IEEE division per

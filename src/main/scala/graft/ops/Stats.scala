@@ -801,6 +801,72 @@ object Stats {
     bins.crossJoin(F.broadcast(ece)).orderBy("bin")
   }
 
+  /** Isotonic (PAV) calibration curve over binned scores — the MONOTONE
+    * FIT that turns [[calibrationBins]]' reliability readout into a
+    * usable calibration map (Zadrozny & Elkan 2002; isotonic regression
+    * as probability calibration). Computed exactly via the minimax
+    * characterization of the weighted L2-isotonic fit (Best &
+    * Chakravarti 1990):
+    * {{{
+    *   iso_k = max_{i ≤ k}  min_{j ≥ k}  ( Σ_{b∈[i..j]} y_b ) / ( Σ_{b∈[i..j]} n_b )
+    * }}}
+    * over the non-empty score bins — nondecreasing in k by
+    * construction, so thresholding the calibrated rate is
+    * order-consistent with thresholding the raw score.
+    *
+    * Scale shape: the corpus collapses map-side to ≤ nBins exact
+    * (n, Σlabel) long rows; prefix sums ride one single-partition
+    * window over that bounded table (deliberate, like [[bhFdr]]); the
+    * minimax is an i ≤ k ≤ j interval join, ≤ nBins³ rows (20 bins →
+    * 8 000) — no driver loop, no sequential PAV pass.
+    *
+    * Determinism: every interval mean is ONE IEEE division of exact
+    * long prefix differences; min/max over those are compares, not
+    * accumulations — the result is partitioning-invariant and
+    * engine-replayable.
+    *
+    * @param nBins equal-width bins over [0,1]; out-of-range scores
+    *              clamp into the edge bins
+    * @return (bin, n, raw_rate, iso_rate) ordered by bin, 6-dp rates;
+    *         empty bins absent (they carry no evidence to fit)
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: Column,
+                          labelCol: Column, nBins: Int = 20): DataFrame = {
+    require(nBins >= 2 && nBins <= 256,
+      s"nBins must be in [2,256], got $nBins")
+    val binned = df
+      .select(F.greatest(F.lit(0L),
+          F.least(F.floor(scoreCol.cast("double") * nBins),
+            F.lit(nBins - 1L))).as("bin"),
+        F.when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy("bin")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("__y").as("__sy"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = binned.select(F.col("bin"), F.col("n"), F.col("__sy"),
+      F.sum("n").over(w).as("__cn"), F.sum("__sy").over(w).as("__cy"))
+    val ii = pre.select(F.col("bin").as("i"),
+      (F.col("__cn") - F.col("n")).as("__cn0"),
+      (F.col("__cy") - F.col("__sy")).as("__cy0"))
+    val jj = pre.select(F.col("bin").as("j"),
+      F.col("__cn").as("__cnj"), F.col("__cy").as("__cyj"))
+    val ivals = ii.crossJoin(jj).filter(F.col("i") <= F.col("j"))
+      .select(F.col("i"), F.col("j"),
+        ((F.col("__cyj") - F.col("__cy0")).cast("double") /
+          (F.col("__cnj") - F.col("__cn0")).cast("double")).as("__avg"))
+    val iso = pre.select(F.col("bin").as("k"))
+      .join(ivals, F.col("i") <= F.col("k") && F.col("j") >= F.col("k"))
+      .groupBy("k", "i").agg(F.min("__avg").as("__mn"))
+      .groupBy("k").agg(F.round(F.max("__mn"), 6).as("iso_rate"))
+    binned
+      .join(iso, F.col("bin") === F.col("k"))
+      .select(F.col("bin"), F.col("n"),
+        F.round(F.col("__sy").cast("double") / F.col("n").cast("double"),
+          6).as("raw_rate"),
+        F.col("iso_rate"))
+      .orderBy("bin")
+  }
+
   /** Benjamini-Hochberg step-up FDR control over a table of χ² statistics
     * with 2 degrees of freedom — for df = 2 the upper-tail p-value is the
     * CLOSED FORM `p = exp(−χ²/2)` (the chi-square CDF needs no incomplete

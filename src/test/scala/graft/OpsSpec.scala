@@ -7158,6 +7158,30 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("hops"))
   }
 
+  test("isotonicCalibration: hand PAV pooling (1,0,1 -> .5,.5,1), " +
+      "out-of-range scores clamp to edge bins, guard is loud") {
+    import graft.ops.Stats
+    // bins 0/1/2 of 3 carry rates 1, 0, 1 (2 docs each) — PAV pools the
+    // violating first two bins to 1/2 and leaves the last at 1
+    val df = Seq((0.1, true), (0.1, true), (0.4, false), (0.4, false),
+      (0.9, true), (0.9, true)).toDF("s", "y")
+    val got = Stats.isotonicCalibration(df, F.col("s"), F.col("y"),
+        nBins = 3)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((0L, 2L, 1.0, 0.5), (1L, 2L, 0.0, 0.5),
+      (2L, 2L, 1.0, 1.0)), got)
+    assert(got.map(_._4) == got.map(_._4).sorted, "must be monotone")
+    val clamped = Stats.isotonicCalibration(
+        Seq((-0.5, false), (1.7, true)).toDF("s", "y"),
+        F.col("s"), F.col("y"), nBins = 4)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(clamped == Seq((0L, 1L, 0.0, 0.0), (3L, 1L, 1.0, 1.0)),
+      clamped)
+    val e = intercept[IllegalArgumentException](
+      Stats.isotonicCalibration(df, F.col("s"), F.col("y"), nBins = 1))
+    assert(e.getMessage.contains("nBins"))
+  }
+
   test("landmarkDistances: exact hop-limited BFS from md5-chosen " +
       "landmarks, integer harmonic milli-units, unreached nodes visible") {
     import graft.ops.Graph
