@@ -2359,13 +2359,15 @@ object SparkEntry {
         "source", "text", topK = 30)),
 
     // Heaps'-law vocabulary exponent: log-log OLS over the x82 growth
-    // ladder — V = K·N^beta, the scaling readout tokenizer sizing needs
+    // ladder — V = K·N^beta, the scaling readout tokenizer sizing needs.
+    // Quantized variant (the x346 9-dp rule): raw ln-ln terms into
+    // unordered sums flipped the 6-dp hash on association order in r15.
     "x222_heaps_fit" -> ((s, dir) => {
       val growth = TextOps.vocabGrowth(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         bucketSize = 25)
         .filter(F.col("cum_tokens") > 0 && F.col("cum_types") > 0)
-      graft.ops.Stats.olsFit(growth, Nil,
+      graft.ops.Stats.olsFitQuantized(growth, Nil,
         F.log(F.col("cum_tokens").cast("double")),
         F.log(F.col("cum_types").cast("double")))
     }),
@@ -9464,7 +9466,9 @@ object SparkEntry {
         |FROM z za JOIN z zb ON za.t = zb.t AND za.s < zb.s
         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
 
-    // the x82 growth ladder, then the x107 closed-form OLS on ln-ln
+    // the x82 growth ladder, then the x107 closed-form OLS on ln-ln;
+    // ln terms and their products 9-dp quantized before the unordered
+    // sums (the x346 rule) so both engines land on one decimal grid
     "x222_heaps_fit" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(
@@ -9487,11 +9491,14 @@ object SparkEntry {
         |    (sum(coalesce(fs.new_types, 0))
         |      OVER (ORDER BY pb.bucket))::BIGINT AS cy
         |  FROM pb LEFT JOIN fs USING (bucket)
-        |), l AS (SELECT ln(ct::DOUBLE) AS x, ln(cy::DOUBLE) AS y
+        |), l AS (SELECT round(ln(ct::DOUBLE), 9) AS x,
+        |    round(ln(cy::DOUBLE), 9) AS y
         |  FROM lad WHERE ct > 0 AND cy > 0),
+        |p2 AS (SELECT x, y, round(x * x, 9) AS xx,
+        |    round(x * y, 9) AS xy, round(y * y, 9) AS yy FROM l),
         |a AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
-        |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
-        |  FROM l)
+        |    sum(xx) AS sxx, sum(xy) AS sxy, sum(yy) AS syy
+        |  FROM p2)
         |SELECT n::BIGINT AS n,
         |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
         |    AS slope,

@@ -56,6 +56,49 @@ object Stats {
       F.round(cov * cov / F.nullif(dx * dy, F.lit(0.0)), 6).as("r2"): _*)
   }
 
+  /** [[olsFit]] with the quantize-before-sum discipline (the
+    * [[taylorLaw]]/[[hurstRS]] idiom) for coordinates that are NOT on an
+    * exact binary grid — ln/exp transforms above all. Each coordinate and
+    * each product term (x², xy, y²) is rounded to `dp` decimals BEFORE
+    * entering the unordered partial-aggregated sums, so the sufficient
+    * statistics land on a fixed decimal grid that any engine's
+    * accumulation order reproduces; the raw [[olsFit]] over unrounded
+    * transcendentals can flip its 6-dp slope/r² across runs purely from
+    * float-sum association order (amplified by the nΣxx−Σx²
+    * cancellation). Use this variant whenever x or y comes out of
+    * `F.log`/`F.exp`/division; plain [[olsFit]] stays correct for
+    * exact-grid inputs (integers, fixed-decimal money).
+    *
+    * Same scale shape and output contract as [[olsFit]]:
+    * (groupCols…, n, slope, intercept, r2), 6-dp, NULL on zero
+    * x-variance.
+    */
+  def olsFitQuantized(df: DataFrame, groupCols: Seq[String], x: Column,
+                      y: Column, dp: Int = 9): DataFrame = {
+    val q = df
+      .select(groupCols.map(F.col) :+
+        F.round(x.cast("double"), dp).as("__x") :+
+        F.round(y.cast("double"), dp).as("__y"): _*)
+      .withColumn("__xx", F.round(F.col("__x") * F.col("__x"), dp))
+      .withColumn("__xy", F.round(F.col("__x") * F.col("__y"), dp))
+      .withColumn("__yy", F.round(F.col("__y") * F.col("__y"), dp))
+    val agg = q.groupBy(groupCols.map(F.col): _*)
+      .agg(
+        F.count(F.lit(1)).cast("double").as("__n"),
+        F.sum("__x").as("__sx"), F.sum("__y").as("__sy"),
+        F.sum("__xx").as("__sxx"), F.sum("__xy").as("__sxy"),
+        F.sum("__yy").as("__syy"))
+    val dx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    val dy = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    val cov = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    agg.select(groupCols.map(F.col) :+
+      F.col("__n").cast("long").as("n") :+
+      F.round(cov / F.nullif(dx, F.lit(0.0)), 6).as("slope") :+
+      F.round((F.col("__sy") * F.col("__sxx") - F.col("__sx") * F.col("__sxy")) /
+        F.nullif(dx, F.lit(0.0)), 6).as("intercept") :+
+      F.round(cov * cov / F.nullif(dx * dy, F.lit(0.0)), 6).as("r2"): _*)
+  }
+
   /** Per-group Pearson correlation for every unordered pair of `cols`,
     * from ONE partial-aggregated pass: per column n, Σx, Σxx and per pair
     * Σxy — p + p(p+1)/2 + 1 machine numbers per group cross the shuffle

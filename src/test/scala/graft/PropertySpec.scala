@@ -1054,6 +1054,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: olsFitQuantized over ln-ln points is partitioning-invariant " +
+      "and agrees with olsFit to 5 dp") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    import graft.ops.Stats
+    val ptsGen: Gen[List[(Long, Long)]] = Gen.choose(3, 40).flatMap(n =>
+      Gen.listOfN(n, for {
+        a <- Gen.choose(1L, 5000000L); b <- Gen.choose(1L, 500000L)
+      } yield (a, b)))
+    forAll(ptsGen) { pts =>
+      val df = pts.toDF("ct", "cy")
+      def fit(d: org.apache.spark.sql.DataFrame) =
+        Stats.olsFitQuantized(d, Nil,
+          F.log(F.col("ct").cast("double")),
+          F.log(F.col("cy").cast("double"))).collect().toSeq
+      val a = fit(df.repartition(13))
+      val b = fit(df.coalesce(1))
+      val c = fit(df.repartition(3, F.col("cy")))
+      assert(a == b && b == c,
+        s"quantized OLS must not depend on partitioning: $a vs $b vs $c")
+      // the quantization is a refinement, not a different estimator:
+      // it agrees with the raw fit well inside the raw fit's own noise
+      val raw = Stats.olsFit(df, Nil,
+        F.log(F.col("ct").cast("double")),
+        F.log(F.col("cy").cast("double"))).collect().toSeq
+      for ((qr, rr) <- a.zip(raw); i <- 1 to 3) {
+        val qv = Option(qr.get(i)).map(_.asInstanceOf[Double])
+        val rv = Option(rr.get(i)).map(_.asInstanceOf[Double])
+        (qv, rv) match {
+          case (Some(q), Some(r)) =>
+            assert(math.abs(q - r) < 1e-4,
+              s"col $i: quantized $q vs raw $r")
+          case _ => assert(qv.isEmpty == rv.isEmpty)
+        }
+      }
+    }
+  }
+
   test("law: neighborhoodFunction is idempotent under edge duplication " +
       "and monotone in h on random digraphs") {
     import spark.implicits._
