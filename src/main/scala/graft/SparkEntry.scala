@@ -6440,13 +6440,17 @@ object SparkEntry {
         |  SELECT b, count(*) AS rc FROM b GROUP BY b
         |), tn AS (SELECT sum(tc) AS tn FROM tc),
         |rn AS (SELECT sum(rc) AS rn FROM rc),
-        |lr AS (
-        |  SELECT x.doc_id,
-        |    ln((coalesce(t.tc, 0) + 1)::DOUBLE / (tn.tn + 1024))
-        |    - ln((r.rc + 1)::DOUBLE / (rn.rn + 1024)) AS lr
-        |  FROM b x LEFT JOIN tc t USING (b) JOIN rc r USING (b), tn, rn
+        |db AS (
+        |  SELECT doc_id, b, count(*) AS dc FROM b GROUP BY 1, 2
+        |), lr AS (
+        |  SELECT x.doc_id, x.dc, round(x.dc *
+        |    (ln((coalesce(t.tc, 0) + 1)::DOUBLE / (tn.tn + 1024))
+        |     - ln((r.rc + 1)::DOUBLE / (rn.rn + 1024))), 9)
+        |    ::DECIMAL(38,9) AS term
+        |  FROM db x LEFT JOIN tc t USING (b) JOIN rc r USING (b), tn, rn
         |), agg AS (
-        |  SELECT doc_id, round(sum(lr), 6) AS dsir_logw, count(*) AS n_grams
+        |  SELECT doc_id, round(sum(term), 6)::DOUBLE AS dsir_logw,
+        |    sum(dc)::BIGINT AS n_grams
         |  FROM lr GROUP BY doc_id
         |)
         |SELECT d.doc_id, coalesce(a.dsir_logw, 0.0) AS dsir_logw,
@@ -6610,7 +6614,8 @@ object SparkEntry {
         |  CROSS JOIN scal
         |), agg AS (
         |  SELECT doc_id, sum(k)::BIGINT AS n_trans,
-        |    round(sum(k * (-ln(prob))) / sum(k), 6) AS avg_nll
+        |    round(sum(round(k * (-ln(prob)), 9)::DECIMAL(38,9))::DOUBLE
+        |      / sum(k), 6) AS avg_nll
         |  FROM p GROUP BY 1
         |)
         |SELECT d.doc_id, coalesce(a.n_trans, 0) AS n_trans,
@@ -9494,10 +9499,14 @@ object SparkEntry {
         |), l AS (SELECT round(ln(ct::DOUBLE), 9) AS x,
         |    round(ln(cy::DOUBLE), 9) AS y
         |  FROM lad WHERE ct > 0 AND cy > 0),
-        |p2 AS (SELECT x, y, round(x * x, 9) AS xx,
-        |    round(x * y, 9) AS xy, round(y * y, 9) AS yy FROM l),
-        |a AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
-        |    sum(xx) AS sxx, sum(xy) AS sxy, sum(yy) AS syy
+        |p2 AS (SELECT x::DECIMAL(38,9) AS xd, y::DECIMAL(38,9) AS yd,
+        |    round(x * x, 9)::DECIMAL(38,9) AS xx,
+        |    round(x * y, 9)::DECIMAL(38,9) AS xy,
+        |    round(y * y, 9)::DECIMAL(38,9) AS yy FROM l),
+        |a AS (SELECT count(*)::DOUBLE AS n,
+        |    sum(xd)::DOUBLE AS sx, sum(yd)::DOUBLE AS sy,
+        |    sum(xx)::DOUBLE AS sxx, sum(xy)::DOUBLE AS sxy,
+        |    sum(yy)::DOUBLE AS syy
         |  FROM p2)
         |SELECT n::BIGINT AS n,
         |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)

@@ -31,6 +31,12 @@ object Stats {
     * to its magnitude — center x upstream if fitting such data. Results
     * round to 6 dp.
     *
+    * Raw double sums are only replay-stable when the coordinates sit on
+    * an exact decimal/binary grid (integers, fixed-decimal money). If x
+    * or y comes out of `F.log`/`F.exp`/division, use [[olsFitQuantized]]
+    * — the unordered float sums here can otherwise flip the 6-dp output
+    * on association order (the r15 x222 regression).
+    *
     * @return (groupCols…, n, slope, intercept, r2)
     */
   def olsFit(df: DataFrame, groupCols: Seq[String], x: Column,
@@ -60,12 +66,14 @@ object Stats {
     * [[taylorLaw]]/[[hurstRS]] idiom) for coordinates that are NOT on an
     * exact binary grid — ln/exp transforms above all. Each coordinate and
     * each product term (x², xy, y²) is rounded to `dp` decimals BEFORE
-    * entering the unordered partial-aggregated sums, so the sufficient
-    * statistics land on a fixed decimal grid that any engine's
-    * accumulation order reproduces; the raw [[olsFit]] over unrounded
-    * transcendentals can flip its 6-dp slope/r² across runs purely from
-    * float-sum association order (amplified by the nΣxx−Σx²
-    * cancellation). Use this variant whenever x or y comes out of
+    * entering the partial-aggregated sums, and the sums accumulate as
+    * DECIMAL(38,dp) — exact and order-independent — so the sufficient
+    * statistics are bit-identical regardless of engine or partitioning;
+    * the raw [[olsFit]] over unrounded transcendentals can flip its
+    * 6-dp slope/r² across runs purely from float-sum association order
+    * (amplified by the nΣxx−Σx² cancellation), and even a dp-rounded
+    * DOUBLE sum can land exactly on a 6-dp half boundary where the
+    * association order decides the rounded output. Use this variant whenever x or y comes out of
     * `F.log`/`F.exp`/division; plain [[olsFit]] stays correct for
     * exact-grid inputs (integers, fixed-decimal money).
     *
@@ -75,19 +83,27 @@ object Stats {
     */
   def olsFitQuantized(df: DataFrame, groupCols: Seq[String], x: Column,
                       y: Column, dp: Int = 9): DataFrame = {
+    val dec = s"decimal(38,$dp)"
     val q = df
       .select(groupCols.map(F.col) :+
         F.round(x.cast("double"), dp).as("__x") :+
         F.round(y.cast("double"), dp).as("__y"): _*)
-      .withColumn("__xx", F.round(F.col("__x") * F.col("__x"), dp))
-      .withColumn("__xy", F.round(F.col("__x") * F.col("__y"), dp))
-      .withColumn("__yy", F.round(F.col("__y") * F.col("__y"), dp))
+      .withColumn("__xx",
+        F.round(F.col("__x") * F.col("__x"), dp).cast(dec))
+      .withColumn("__xy",
+        F.round(F.col("__x") * F.col("__y"), dp).cast(dec))
+      .withColumn("__yy",
+        F.round(F.col("__y") * F.col("__y"), dp).cast(dec))
+      .withColumn("__x", F.col("__x").cast(dec))
+      .withColumn("__y", F.col("__y").cast(dec))
     val agg = q.groupBy(groupCols.map(F.col): _*)
       .agg(
         F.count(F.lit(1)).cast("double").as("__n"),
-        F.sum("__x").as("__sx"), F.sum("__y").as("__sy"),
-        F.sum("__xx").as("__sxx"), F.sum("__xy").as("__sxy"),
-        F.sum("__yy").as("__syy"))
+        F.sum("__x").cast("double").as("__sx"),
+        F.sum("__y").cast("double").as("__sy"),
+        F.sum("__xx").cast("double").as("__sxx"),
+        F.sum("__xy").cast("double").as("__sxy"),
+        F.sum("__yy").cast("double").as("__syy"))
     val dx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
     val dy = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
     val cov = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")

@@ -411,9 +411,15 @@ object TextOps {
       .join(F.broadcast(tgtCounts), Seq("__b"), "left")
       .join(F.broadcast(rawCounts), Seq("__b")) // raw bucket always present in raw counts
       .crossJoin(F.broadcast(tgtTot)).crossJoin(F.broadcast(rawTot))
-      .select(F.col(idCol), F.col("__dc"), lr.as("__lr"))
+      // per-bucket term 9-dp quantized AND decimal-accumulated: the
+      // double sum of 9-dp terms can land exactly on a 6-dp half
+      // boundary, where association order decides the rounded output;
+      // summing DECIMAL(38,9) is exact and order-independent, so both
+      // engines see the identical grid sum before the 6-dp round
+      .select(F.col(idCol), F.col("__dc"),
+        F.round(F.col("__dc") * lr, 9).cast("decimal(38,9)").as("__term"))
       .groupBy(idCol)
-      .agg(F.round(F.sum(F.col("__dc") * F.col("__lr")), 6).as("dsir_logw"),
+      .agg(F.round(F.sum("__term"), 6).cast("double").as("dsir_logw"),
         F.sum("__dc").as("n_grams"))
     raw.select(idCol).join(scored, Seq(idCol), "left")
       .select(F.col(idCol),
@@ -726,10 +732,17 @@ object TextOps {
       .join(ctx, Seq("w1"), "left")
       .join(cont, Seq("w2"), "left")
       .crossJoin(F.broadcast(scal))
-      .select(F.col(idCol), (F.col("__k") * -F.log(p)).as("__nll"), F.col("__k"))
+      // 9-dp per-transition term, decimal-accumulated (the x222 rule):
+      // the sum is exact and order-independent, so the 6-dp readout
+      // cannot flip on association order or a half-boundary landing
+      .select(F.col(idCol),
+        F.round(F.col("__k") * -F.log(p), 9).cast("decimal(38,9)")
+          .as("__nll"),
+        F.col("__k"))
       .groupBy(idCol)
       .agg(F.sum("__k").as("n_trans"),
-        F.round(F.sum("__nll") / F.sum("__k"), 6).as("avg_nll"))
+        F.round(F.sum("__nll").cast("double") / F.sum("__k"), 6)
+          .as("avg_nll"))
     docs.select(idCol).join(perDoc, Seq(idCol), "left")
       .select(F.col(idCol),
         F.coalesce(F.col("n_trans"), F.lit(0L)).as("n_trans"),

@@ -57,4 +57,37 @@ class EntryContractSpec extends AnyFunSuite {
       s"unexpected rows-only entries (missing oracleSql?): ${actual -- rowsOnly}; " +
         s"stale list entries: ${rowsOnly -- actual}")
   }
+
+  test("every rows-only entry names its oracle twin in SURVEY §8's twin " +
+      "table, and the twin is itself hash-checked") {
+    // The twin convention is a CONTRACT, not prose: a rows-only entry is
+    // only acceptable because a hash-green twin replays its math. Parse
+    // the SURVEY §8 twin table and require (a) one row per rows-only
+    // entry, (b) every named twin exists in `queries` AND has its own
+    // oracleSql (so the twin really is hash-checked, not rows-only too).
+    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    val lines = try survey.getLines().toVector finally survey.close()
+    val tableRows = lines
+      .dropWhile(!_.startsWith("### Rows-only entries"))
+      .takeWhile(l => !l.startsWith("### ") ||
+        l.startsWith("### Rows-only entries"))
+      .filter(l => l.startsWith("| x"))
+      .map { l =>
+        val cells = l.split("\\|").map(_.trim).filter(_.nonEmpty)
+        cells(0) -> "x[0-9]+_[a-z0-9_]+".r.findAllIn(cells(1)).toSet
+      }.toMap
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val undocumented = rowsOnly -- tableRows.keySet
+    assert(undocumented.isEmpty,
+      s"rows-only entries missing from the SURVEY twin table: $undocumented")
+    val stale = tableRows.keySet -- rowsOnly
+    assert(stale.isEmpty, s"twin-table rows no longer rows-only: $stale")
+    for ((entry, twins) <- tableRows; twin <- twins) {
+      assert(SparkEntry.queries.contains(twin),
+        s"$entry names twin $twin which is not a queries entry")
+      assert(SparkEntry.oracleSql.contains(twin),
+        s"$entry names twin $twin which is itself rows-only — a twin " +
+          "must be hash-checked")
+    }
+  }
 }
