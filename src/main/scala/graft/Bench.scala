@@ -148,6 +148,15 @@ object Bench {
     // majflt(12) stime(15, ticks) deltas name that mechanism per query:
     // a hot row with a fault/kernel-time spike is host memory state, a
     // hot row with flat faults and flat jit is a genuine plan cost.
+    // USER_HZ measured, not assumed (ADVICE r15): `getconf CLK_TCK` once,
+    // fall back to the Linux-universal 100 if the exec fails
+    val userHz: Long = try {
+      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      val out = new String(p.getInputStream.readAllBytes()).trim
+      p.waitFor()
+      val v = out.toLong
+      if (v > 0) v else 100L
+    } catch { case _: Throwable => 100L }
     def procStat: (Long, Long, Long) = try {
       val s = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/self/stat")))
@@ -155,7 +164,8 @@ object Bench {
       val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
       // rest(0) is field 3 (state); minflt=field 10 -> rest(7),
       // majflt=field 12 -> rest(9), stime=field 15 -> rest(12)
-      (rest(7).toLong, rest(9).toLong, rest(12).toLong * 10L) // ticks@100Hz -> ms
+      (rest(7).toLong, rest(9).toLong,
+        rest(12).toLong * 1000L / userHz) // stime ticks -> ms
     } catch { case _: Throwable => (-1L, -1L, -1L) }
     // Effective-CPU-speed probe (r15: THP/compaction ruled out on this
     // host — THP=madvise, compact_stall=0, zero memory pressure — and the
@@ -230,8 +240,8 @@ object Bench {
       // name it so the wall outlier self-adjudicates as host state
       if (stealNow > 200)
         System.err.println(f"[bench] WARNING: $name saw $stealNow steal " +
-          f"ticks (${stealNow / 100.0}%.1f s of stolen vCPU) — its wall " +
-          "time reflects hypervisor interference, not plan cost")
+          f"ticks (${stealNow.toDouble / userHz}%.1f s of stolen vCPU) — " +
+          "its wall time reflects hypervisor interference, not plan cost")
       val (mnf1, mjf1, sys1) = procStat
       name -> QStat(sec, gcMs - gc0, taskMs.get - tk0,
         (taskCpuNs.get - cp0) / 1000000L, ch1, ch1 - ch0,
@@ -273,6 +283,41 @@ object Bench {
       "x70_dsir_weights", "x431_chunk_minhash_fixed",
       "x442_compress_census_fixed")
     val prodTotal = results.filterNot(r => oracleTwins(r._1)).map(_._2.sec).sum
+    // Steal-defending rerun (r15 verdict ask #4): the headline BENCH json
+    // is ONE run, and a hypervisor steal window can read a query at 3-25x
+    // its clean ledger (r15: x424 164 s wall with 355 s kernel time vs a
+    // 2.9 s clean median) — 4x over gate on a contended host while clean
+    // runs sit AT gate. Mechanically self-defend: re-run (once, same warm
+    // JVM) every query whose wall exceeded 3x the suite's median per-query
+    // wall AND that saw steal (>100 ticks) during its window, then report
+    // value_rerun_min = Σ min(first, rerun) beside the raw value. A
+    // genuine plan cost reproduces on the rerun (min ≈ first); a steal
+    // artifact collapses to the clean time.
+    val medSec = {
+      val s = results.map(_._2.sec).sorted
+      if (s.isEmpty) 0.0 else s(s.length / 2)
+    }
+    val rerunCandidates = results.filter { case (_, v) =>
+      v.sec > 3.0 * medSec && v.stealDelta > 100 }
+    val rerunCap = 80 // bound the worst case (a whole-suite steal storm)
+    val toRerun = rerunCandidates.sortBy(-_._2.sec).take(rerunCap)
+    if (rerunCandidates.size > toRerun.size)
+      System.err.println(s"[bench] rerun capped at $rerunCap of " +
+        s"${rerunCandidates.size} steal-hit queries (slowest first)")
+    val rerunSecs: Map[String, Double] = toRerun.map { case (name, _) =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] rerun $name: $sec%.3f s")
+      name -> sec
+    }.toMap
+    def minSec(k: String, v: QStat): Double =
+      math.min(v.sec, rerunSecs.getOrElse(k, v.sec))
+    val totalRerunMin = results.map { case (k, v) => minSec(k, v) }.sum
+    val prodRerunMin = results.filterNot(r => oracleTwins(r._1))
+      .map { case (k, v) => minSec(k, v) }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Run-level contention indicator: parallelism = Σ executor task time /
     // wall. On an otherwise-idle local[cpus] host heavy queries should push
@@ -302,7 +347,8 @@ object Bench {
     }.mkString("[", ",", "]")
     try {
       val full = results.map { case (k, v) =>
-        s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs},"ch_used":${v.chUsed},"ch_delta":${v.chDelta},"jit_ms":${v.jitMs},"ci_bailouts":${v.bailDelta},"ci_invalidates":${v.invalDelta},"cq_pre":${v.cqPre},"cq_post":${v.cqPost},"pf_minor":${v.pfMinor},"pf_major":${v.pfMajor},"sys_ms":${v.sysMs},"spin_ns":${v.spinNs},"steal_ticks":${v.stealDelta}}"""
+        val rerun = rerunSecs.get(k).map(r => s""","rerun_sec":$r""").getOrElse("")
+        s"\"" + k + "\":" + s"""{"sec":${v.sec},"gc_ms":${v.gcMs},"task_ms":${v.taskMs},"task_cpu_ms":${v.taskCpuMs},"ch_used":${v.chUsed},"ch_delta":${v.chDelta},"jit_ms":${v.jitMs},"ci_bailouts":${v.bailDelta},"ci_invalidates":${v.invalDelta},"cq_pre":${v.cqPre},"cq_post":${v.cqPost},"pf_minor":${v.pfMinor},"pf_major":${v.pfMajor},"sys_ms":${v.sysMs},"spin_ns":${v.spinNs},"steal_ticks":${v.stealDelta}$rerun}"""
       }.mkString("{", ",", "}")
       // the twin list rides along so downstream tooling (scripts/ledger.py)
       // reads ONE source of truth — a twin added here but not there would
@@ -318,7 +364,7 @@ object Bench {
       val spinMed = if (spinSorted.isEmpty) -1L
         else spinSorted(spinSorted.length / 2)
       val w = new java.io.PrintWriter("bench_detail.json")
-      try w.println(s"""{"total":$total,"production_total":$prodTotal,"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"jit_total_ms":$sumJit,"ci_invalidates_total":$sumInval,"ci_bailouts_total":$sumBail,"cq_max":$maxCq,"steal_ticks_total":$stealSum,"spin_ns_median":$spinMed,"parallelism":${f"$par%.2f"},"cpus":$cpus,"code_cache":$codeCacheJson,"oracle_twins":$twinsJson,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"total":$total,"total_rerun_min":$totalRerunMin,"production_total":$prodTotal,"production_rerun_min":$prodRerunMin,"reruns":${rerunSecs.size},"gc_total_ms":$sumGcMs,"task_total_ms":$sumTaskMs,"jit_total_ms":$sumJit,"ci_invalidates_total":$sumInval,"ci_bailouts_total":$sumBail,"cq_max":$maxCq,"steal_ticks_total":$stealSum,"spin_ns_median":$spinMed,"parallelism":${f"$par%.2f"},"cpus":$cpus,"code_cache":$codeCacheJson,"oracle_twins":$twinsJson,"queries":$full,"failed":$failedJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     // Stop Spark BEFORE printing the summary so no executor/stage log line
@@ -328,8 +374,9 @@ object Bench {
     // steal_sec rides the driver-visible summary so a slow round total
     // self-adjudicates as hypervisor interference without opening the
     // detail file (run 10: 1475-tick bursts inside single queries)
-    val stealSec = results.map(_._2.stealDelta).filter(_ >= 0).sum / 100.0
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","production_total":${s3(prodTotal)},"gc_sec":${s3(sumGcMs / 1000.0)},"steal_sec":${s3(stealSec)},"parallelism":${f"$par%.2f"},"n_queries":${results.size},"queries":$qs,"queries_omitted":$omitted,"failed":$failedJson,"sf":"$sfDir"}""")
+    val stealSec =
+      results.map(_._2.stealDelta).filter(_ >= 0).sum.toDouble / userHz
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","value_rerun_min":${s3(totalRerunMin)},"production_total":${s3(prodTotal)},"production_rerun_min":${s3(prodRerunMin)},"reruns":${rerunSecs.size},"gc_sec":${s3(sumGcMs / 1000.0)},"steal_sec":${s3(stealSec)},"parallelism":${f"$par%.2f"},"n_queries":${results.size},"queries":$qs,"queries_omitted":$omitted,"failed":$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
