@@ -12021,13 +12021,16 @@ object SparkEntry {
     },
 
     // same md5(seed|key) 24-bit draw and inverse-CDF Laplace tree;
-    // sign/abs/ln replayed as single IEEE ops, b = 1/0.5 = 2
+    // sign/abs/ln replayed as single IEEE ops, b = 1/0.5 = 2; key
+    // components md5'd individually (r16: separator/NULL collision fix)
     "x440_dp_counts" ->
       """WITH c AS (SELECT source, lang, count(*)::BIGINT AS n_true
         |  FROM documents GROUP BY 1, 2),
         |h AS (SELECT source, lang, n_true,
-        |    ((('0x' || substring(md5('dp' || '|' || source || '|' ||
-        |      lang), 1, 6))::BIGINT::DOUBLE + 0.5) / 16777216.0) - 0.5
+        |    ((('0x' || substring(md5('dp' || '|' ||
+        |      md5(coalesce(source, chr(9216))) || '|' ||
+        |      md5(coalesce(lang, chr(9216)))), 1, 6))
+        |      ::BIGINT::DOUBLE + 0.5) / 16777216.0) - 0.5
         |      AS cdf
         |  FROM c)
         |SELECT source, lang, n_true,
@@ -12205,10 +12208,12 @@ object SparkEntry {
         |    sum(greatest(0, least(2000, n_chars)))::BIGINT AS sum_true
         |  FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
         |h AS (SELECT source, n_true, sum_true,
-        |    ((('0x' || substring(md5('dp' || '|' || source || '|' ||
+        |    ((('0x' || substring(md5('dp' || '|' ||
+        |      md5(coalesce(source, chr(9216))) || '|' ||
         |      'sum'), 1, 6))::BIGINT::DOUBLE + 0.5) / 16777216.0) - 0.5
         |      AS cs,
-        |    ((('0x' || substring(md5('dp' || '|' || source || '|' ||
+        |    ((('0x' || substring(md5('dp' || '|' ||
+        |      md5(coalesce(source, chr(9216))) || '|' ||
         |      'cnt'), 1, 6))::BIGINT::DOUBLE + 0.5) / 16777216.0) - 0.5
         |      AS cc
         |  FROM a),

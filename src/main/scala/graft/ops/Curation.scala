@@ -796,13 +796,26 @@ object Curation {
       s"epsilon must be in (0,100], got $epsilon")
     val counts = df.groupBy(keyCols.map(F.col): _*)
       .agg(F.count(F.lit(1)).as("n_true"))
-    val keyStr = F.concat_ws("|",
-      F.lit(seed) +: keyCols.map(c => F.col(c).cast("string")): _*)
+    val keyStr = noiseKeyStr(seed, keyCols, None)
     counts.select(keyCols.map(F.col) ++ Seq(F.col("n_true"),
       F.round(F.col("n_true").cast("double") + lapNoise(keyStr, epsilon), 6)
         .as("noisy_n")): _*)
       .orderBy(keyCols.map(F.col): _*)
   }
+
+  /** Collision-proof noise-bucket key (r15 advice): each key component
+    * is md5'd INDIVIDUALLY before joining with '|' — a raw component
+    * containing the separator, or a NULL (which concat_ws silently
+    * skips), would otherwise collide two groups onto one deterministic
+    * draw, and correlated noise weakens the per-group DP release. NULL
+    * components map to the ␀ SYMBOL-FOR-NULL sentinel before
+    * hashing so null and the string "null" stay distinct buckets. */
+  private def noiseKeyStr(seed: String, keyCols: Seq[String],
+                          tag: Option[String]): Column =
+    F.concat_ws("|", (F.lit(seed) +:
+      keyCols.map(c =>
+        F.md5(F.coalesce(F.col(c).cast("string"), F.lit("␀"))))) ++
+      tag.map(F.lit(_)): _*)
 
   /** Deterministic Lap(1/ε)·(sensitivity=1 form) draw from an md5'd key
     * string — the shared noise tree of [[dpNoisyCounts]] and
@@ -833,6 +846,16 @@ object Curation {
     * }}}
     * The ε budget splits evenly between the two queries (sequential
     * composition is additive, so the release as a whole spends ε).
+    *
+    * NEIGHBORING MODEL (r15 advice — the guarantee is model-specific):
+    * the sum sensitivity `hi − lo` is calibrated for REPLACE-ONE
+    * (bounded-DP) neighboring, where datasets differ by swapping one
+    * row's value. Under ADD/REMOVE neighboring the sum sensitivity is
+    * `max(|lo|, |hi|)`, which EXCEEDS `hi − lo` whenever 0 < lo or
+    * hi < 0 (e.g. bounds [1000, 2000] would be under-noised 2×) — do
+    * not read add/remove guarantees off this release. The count query
+    * has sensitivity 0 under replace-one (n is fixed); its Lap(2/ε)
+    * noise is kept anyway so the released n is never exact.
     * Values are LONGS by contract: the clamped sum is an exact
     * commutative long — no order-dependent double accumulation — and
     * continuous metrics should be pre-quantized before release
@@ -863,9 +886,7 @@ object Curation {
     val agg = df.filter(F.col(valueCol).isNotNull)
       .groupBy(keyCols.map(F.col): _*)
       .agg(F.count(F.lit(1)).as("n_true"), F.sum(clamped).as("sum_true"))
-    def keyStr(tag: String) = F.concat_ws("|",
-      F.lit(seed) +: keyCols.map(c => F.col(c).cast("string"))
-        :+ F.lit(tag): _*)
+    def keyStr(tag: String) = noiseKeyStr(seed, keyCols, Some(tag))
     val halfEps = epsilon / 2.0
     val sumNoise = F.lit((hi - lo).toDouble) * lapNoise(keyStr("sum"), halfEps)
     val noisySum = F.col("sum_true").cast("double") + sumNoise

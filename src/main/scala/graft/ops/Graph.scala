@@ -1256,47 +1256,6 @@ object Graph {
       .orderBy("node")
   }
 
-  /** Neighborhood function via iterated HLL sketches (Palmer et al.,
-    * ANF, KDD'02; Boldi & Vigna, HyperBall, 2011) — for each hop
-    * h = 0..hops, an estimate of Σ_v |ball(v, h)|: how many (node,
-    * reachable-node) pairs exist within h hops. This is THE scalable
-    * distance profile: exact all-pairs BFS is quadratic state, while a
-    * ball is just a SET whose size an HLL sketch estimates — and the
-    * HLL union is exact over sketches, so
-    * {{{
-    *   regs_{h+1}(v) = max-merge( regs_h(v), regs_h(w) for v→w )
-    * }}}
-    * propagates whole reachable sets with 2^p registers per node.
-    * From the per-hop totals: avg ball size, and `frac_of_max` — the
-    * effective-diameter readout (smallest h with frac ≥ 0.9 is the
-    * standard 90 %-effective diameter; the caller reads it off the
-    * H+1-row result).
-    *
-    * Edges are DIRECTED (out-reachability); pass both directions for
-    * undirected balls. h = 0 is the {self} baseline (every node's ball
-    * is 1; its estimate is m·ln(m/(m−1)) ≈ 1 — the linear-counting
-    * value, NOT exactly 1: HLL error applies to every row, ±1.04/√m on
-    * large balls).
-    *
-    * Determinism: registers/estimates are [[Sketches.hllRegisters]]/
-    * [[Sketches.hllEstimate]] verbatim (md5 buckets, integer harmonic
-    * sum, linear-counting branch — the oracled x100/x119/x135 math);
-    * per-node estimates integer-ize to round(est·1000) milli-units so
-    * the graph rollup is a commutative exact long sum, then one IEEE
-    * division per readout column.
-    *
-    * Scale shape: per round ONE regs⋈edges join (≤ 2^p rows per dst
-    * node stream through) + one (node, bucket) max collapse
-    * (partial-aggregated map-side — a 10M-in-degree hub receives its
-    * neighbors' registers pre-combined per map partition, never raw).
-    * State is ≤ N·2^p register rows, localCheckpoint truncates lineage
-    * per round (the kCore/labelPropagation convention). p is the
-    * accuracy knob: ±1.04/√2^p relative error per ball.
-    *
-    * @param hops rounds to expand (output has hops+1 rows, h = 0..hops)
-    * @param p    HLL precision (2^p registers/node), multiple of 4
-    * @return (h, n_nodes, nf_milli, avg_ball, frac_of_max) ordered by h
-    */
   /** k-landmark BFS distances + landmark harmonic closeness (Cohen et
     * al. 2003's landmark/oracle estimation regime) — the DISTANCE
     * complement to [[neighborhoodFunction]]'s reach SIZES: exact
@@ -1380,6 +1339,47 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Neighborhood function via iterated HLL sketches (Palmer et al.,
+    * ANF, KDD'02; Boldi & Vigna, HyperBall, 2011) — for each hop
+    * h = 0..hops, an estimate of Σ_v |ball(v, h)|: how many (node,
+    * reachable-node) pairs exist within h hops. This is THE scalable
+    * distance profile: exact all-pairs BFS is quadratic state, while a
+    * ball is just a SET whose size an HLL sketch estimates — and the
+    * HLL union is exact over sketches, so
+    * {{{
+    *   regs_{h+1}(v) = max-merge( regs_h(v), regs_h(w) for v→w )
+    * }}}
+    * propagates whole reachable sets with 2^p registers per node.
+    * From the per-hop totals: avg ball size, and `frac_of_max` — the
+    * effective-diameter readout (smallest h with frac ≥ 0.9 is the
+    * standard 90 %-effective diameter; the caller reads it off the
+    * H+1-row result).
+    *
+    * Edges are DIRECTED (out-reachability); pass both directions for
+    * undirected balls. h = 0 is the {self} baseline (every node's ball
+    * is 1; its estimate is m·ln(m/(m−1)) ≈ 1 — the linear-counting
+    * value, NOT exactly 1: HLL error applies to every row, ±1.04/√m on
+    * large balls).
+    *
+    * Determinism: registers/estimates are [[Sketches.hllRegisters]]/
+    * [[Sketches.hllEstimate]] verbatim (md5 buckets, integer harmonic
+    * sum, linear-counting branch — the oracled x100/x119/x135 math);
+    * per-node estimates integer-ize to round(est·1000) milli-units so
+    * the graph rollup is a commutative exact long sum, then one IEEE
+    * division per readout column.
+    *
+    * Scale shape: per round ONE regs⋈edges join (≤ 2^p rows per dst
+    * node stream through) + one (node, bucket) max collapse
+    * (partial-aggregated map-side — a 10M-in-degree hub receives its
+    * neighbors' registers pre-combined per map partition, never raw).
+    * State is ≤ N·2^p register rows, localCheckpoint truncates lineage
+    * per round (the kCore/labelPropagation convention). p is the
+    * accuracy knob: ±1.04/√2^p relative error per ball.
+    *
+    * @param hops rounds to expand (output has hops+1 rows, h = 0..hops)
+    * @param p    HLL precision (2^p registers/node), multiple of 4
+    * @return (h, n_nodes, nf_milli, avg_ball, frac_of_max) ordered by h
+    */
   def neighborhoodFunction(edges: DataFrame, srcCol: String,
                            dstCol: String, hops: Int = 3,
                            p: Int = 4): DataFrame = {

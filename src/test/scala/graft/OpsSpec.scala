@@ -7082,9 +7082,13 @@ class OpsSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().toSeq
     // replay the op's exact arithmetic: 24-bit md5 bucket -> u in (0,1)
     // -> Lap(1/eps) via -(1/eps)*sign(u-.5)*ln(1-2|u-.5|), 6-dp HALF_UP
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // r16: key components are md5'd individually before joining (the
+    // separator/NULL collision fix), so the replay hashes the component
     def noisy(key: String, n: Long): Double = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"dp|$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hex = md5hex(s"dp|${md5hex(key)}")
       val h24 = java.lang.Long.parseLong(hex.take(6), 16)
       val cdf = (h24.toDouble + 0.5) / 16777216.0 - 0.5
       val noise = -1.0 / 0.5 * math.signum(cdf) *
@@ -7100,8 +7104,7 @@ class OpsSpec extends AnyFunSuite {
     val wide = Curation.dpNoisyCounts(df, Seq("g"), epsilon = 0.001)
       .as[(String, Long, Double)].collect().toSeq
     def noisyEps(key: String, n: Long, eps: Double): Double = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"dp|$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hex = md5hex(s"dp|${md5hex(key)}")
       val h24 = java.lang.Long.parseLong(hex.take(6), 16)
       val cdf = (h24.toDouble + 0.5) / 16777216.0 - 0.5
       val noise = -1.0 / eps * math.signum(cdf) *
@@ -7234,17 +7237,19 @@ class OpsSpec extends AnyFunSuite {
         epsilon = 1.0)
       .as[(String, Long, Long, Double, Double, Double, Double)]
       .collect().toSeq
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     def lap(key: String, eps: Double): Double = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hex = md5hex(key)
       val h24 = java.lang.Long.parseLong(hex.take(6), 16)
       val cdf = (h24.toDouble + 0.5) / 16777216.0 - 0.5
       -1.0 / eps * math.signum(cdf) * math.log(1.0 - 2.0 * math.abs(cdf))
     }
     def r6(v: Double): Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val ns = 16.0 + 10.0 * lap("dp|a|sum", 0.5)
-    val nn = 3.0 + lap("dp|a|cnt", 0.5)
+    val ns = 16.0 + 10.0 * lap(s"dp|${md5hex("a")}|sum", 0.5)
+    val nn = 3.0 + lap(s"dp|${md5hex("a")}|cnt", 0.5)
     assert(got == Seq(("a", 3L, 16L, r6(16.0 / 3.0), r6(ns), r6(nn),
       r6(ns / nn))), got)
     val e = intercept[IllegalArgumentException](
