@@ -55,6 +55,14 @@ object TextOps {
     * convention every formula-readability implementation uses; it is
     * what makes the score engine-replayable.
     *
+    * COUNTING RULES INTENTIONALLY DIFFER from [[withReadability]] (the
+    * per-doc gate): see the divergence note there — this census uses
+    * whitespace-token W (consistent with every other census op's
+    * tokenizer), pieces−1 sentence runs gated on W > 0, and the
+    * vowel-less-token syllable clamp; the per-doc op trades those for
+    * three bare regexp_counts. OpsSpec pins both rule sets on
+    * one fixture document.
+    *
     * Determinism: all three counts are exact longs per document (regex
     * split semantics agree across engines, empties kept); the two scores
     * one 6-dp IEEE tree each over slice totals; constants pinned as
@@ -1380,6 +1388,20 @@ object TextOps {
     * approximated as vowel-group runs — ALL THREE counts one regex pass
     * each (same class in Java regex and RE2), so the score is a pure
     * codegen projection, engine-replayable, no UDF.
+    *
+    * COUNTING RULES INTENTIONALLY DIFFER from [[readability]] (the
+    * per-slice census): this op counts words as `[A-Za-z0-9]+` matches,
+    * clamps sentences to ≥1 even on an EMPTY doc, and does NOT apply
+    * the vowel-less-token syllable clamp — three regexp_count calls,
+    * zero tokenization, the cheapest per-doc gate expressible as one
+    * codegen projection (and the form its x158 oracle replays).
+    * [[readability]] uses whitespace tokens + the "tsk"-clamp because a
+    * slice CENSUS aggregates counts before dividing, where the
+    * per-token correction is affordable and the W definition must match
+    * the tokenizer every other census op uses. Same formula, two
+    * deliberate operating points — the two can disagree on one doc
+    * (OpsSpec pins both on a shared fixture). Do not "unify"
+    * one onto the other without re-deriving both oracles.
     *
     * @return df + n_words, n_sentences, n_syllables, flesch (4-dp; NULL
     *         on an empty doc)

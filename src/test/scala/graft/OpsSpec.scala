@@ -6405,6 +6405,36 @@ class OpsSpec extends AnyFunSuite {
         Some(-3.01))), got)
   }
 
+  test("readability vs withReadability: the documented divergence is " +
+      "real and exactly where the scaladocs say — one shared fixture") {
+    // Shared-fixture pin (r15 verdict ask #8): the per-slice census and
+    // the per-doc gate implement the SAME formula with deliberately
+    // different counting rules; this fixture exercises every divergence
+    // (hyphenated word, vowel-less token, no terminal punctuation) so a
+    // drive-by "unification" of either side fails loudly here.
+    import graft.ops.TextOps
+    val doc = "Tsk-tsk you cannot win"
+    val df = Seq(("g", doc)).toDF("source", "text")
+    // census rules: W = whitespace tokens = 4 ("tsk-tsk" is ONE token);
+    // S: no [.!?] run, pieces-1 = 0, clamped to 1; SY: vowel groups
+    // (ou, a, o, i = 4) + vowel-less tokens ("tsk-tsk" = 1) = 5
+    val census = TextOps.readability(df, Seq("source"), "text")
+      .select("words", "sentences", "syllables")
+      .as[(Long, Long, Long)].head()
+    assert(census == ((4L, 1L, 5L)), census)
+    // per-doc rules: words = [A-Za-z0-9]+ matches = 5 ("Tsk" and "tsk"
+    // are TWO matches); sentences = regexp_count = 0, clamped to 1;
+    // syllables = vowel groups only = 4 (no vowel-less clamp)
+    val perDoc = TextOps.withReadability(df, "text")
+      .select("n_words", "n_sentences", "n_syllables")
+      .as[(Int, Int, Int)].head()
+    assert(perDoc == ((5, 1, 4)), perDoc)
+    // same formula, different operating points -> different scores on
+    // this doc; BOTH are pinned by their own hash-green oracles
+    // (x435 / x158), so neither side may silently adopt the other's rules
+    assert(census._1 != perDoc._1 && census._3 != perDoc._3)
+  }
+
   test("sourceOverlapMatrix: directional containment over DISTINCT " +
       "fingerprints; within-source dups collapse; zero pairs kept") {
     import graft.ops.Dedup
