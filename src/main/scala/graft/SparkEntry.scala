@@ -3613,6 +3613,30 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         Seq("source"), "n_chars", lo = 0L, hi = 2000L, epsilon = 1.0)),
 
+    // k-ary randomized response over the source histogram: each row
+    // reports its true source with p=0.75, else an md5-chosen other
+    // category; the collector de-biases (c - n*q)/(p - q). The LOCAL-DP
+    // sibling of x440's central-DP release (p pinned as a literal so the
+    // keep/flip compare never touches an engine exp)
+    "x447_randomized_response" -> ((s, dir) =>
+      graft.ops.Curation.randomizedResponse(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "source", "doc_id", p = 0.75)),
+
+    // Holt double-exponential smoothing of the daily event-type series:
+    // level + trend states folded exactly over a 16-day lookback — the
+    // forecast column x122's trendless EWMA lags on every ramp
+    "x448_holt_trend" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(F.col("event_type"),
+          F.to_date(graft.ops.EventOps.tsStamp(ev)).as("day"))
+        .agg(F.count(F.lit(1)).as("n"))
+      graft.ops.EventOps.holtSmooth(daily, Seq("event_type"),
+          F.col("day"), F.col("n"), alpha = 0.4, beta = 0.2,
+          lookback = 16)
+        .orderBy("event_type", "t")
+    }),
+
     // deflate-ratio census by source: LZ77 catches long-range repetition
     // (pasted paragraphs, boilerplate blocks) that char entropy and
     // adjacent-n-gram repetition miss. Planted known-positives (doc_id%9
@@ -12229,6 +12253,69 @@ object SparkEntry {
         |  round(ns, 6) AS noisy_sum, round(nn, 6) AS noisy_n,
         |  round(ns / nn, 6) AS dp_mean
         |FROM n ORDER BY source""".stripMargin,
+
+    // same md5(seed|tag|id) 24-bit keep draw vs the 0.75 literal, same
+    // mod-(k-1) skip-true flip target, same de-bias expression tree
+    "x447_randomized_response" ->
+      """WITH rows0 AS (SELECT doc_id AS id, source AS cat
+        |  FROM documents WHERE source IS NOT NULL),
+        |cats AS (SELECT cat, row_number() OVER (ORDER BY cat) AS rn
+        |  FROM (SELECT DISTINCT cat FROM rows0)),
+        |kt AS (SELECT count(*)::BIGINT AS k FROM cats),
+        |nt AS (SELECT count(*)::BIGINT AS n FROM rows0),
+        |r AS (SELECT id, rn FROM rows0 JOIN cats USING (cat)),
+        |d AS (SELECT id, rn,
+        |    ((('0x' || substring(md5('rr' || '|keep|' || id), 1, 6))
+        |      ::BIGINT::DOUBLE + 0.5) / 16777216.0) AS u,
+        |    ('0x' || substring(md5('rr' || '|alt|' || id), 1, 6))::BIGINT
+        |      AS ha
+        |  FROM r),
+        |rep AS (SELECT CASE WHEN u < 0.75 THEN rn
+        |    ELSE CASE WHEN (ha % (kt.k - 1)) + 1 < rn
+        |      THEN (ha % (kt.k - 1)) + 1
+        |      ELSE (ha % (kt.k - 1)) + 2 END END AS rrn
+        |  FROM d, kt),
+        |obs AS (SELECT rrn, count(*)::BIGINT AS c FROM rep GROUP BY 1),
+        |tru AS (SELECT rn, count(*)::BIGINT AS ct FROM r GROUP BY 1)
+        |SELECT cats.cat AS category,
+        |  coalesce(tru.ct, 0) AS n_true,
+        |  coalesce(obs.c, 0) AS n_obs,
+        |  round((coalesce(obs.c, 0)::DOUBLE -
+        |      nt.n::DOUBLE * ((1.0 - 0.75) / (kt.k::DOUBLE - 1.0))) /
+        |    (0.75 - (1.0 - 0.75) / (kt.k::DOUBLE - 1.0)), 6) AS n_est,
+        |  round(ln(0.75 * (kt.k::DOUBLE - 1.0) / (1.0 - 0.75)), 6)
+        |    AS epsilon
+        |FROM cats LEFT JOIN tru USING (rn)
+        |LEFT JOIN obs ON obs.rrn = cats.rn, kt, nt
+        |ORDER BY category""".stripMargin,
+
+    // same 16-day list window; the two-state fold rides list_reduce with
+    // a [l, b] DOUBLE[] accumulator (elements wrapped [v, 0.0] so acc
+    // and element types unify); l' repeated textually, the x122 rule
+    "x448_holt_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS t, count(*)::DOUBLE AS v
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_type, t, v,
+        |    list(v) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lst
+        |  FROM daily
+        |), s AS (
+        |  SELECT event_type, t, v,
+        |    list_reduce(
+        |      [[lst[1], 0.0]] || list_transform(lst[2:], x -> [x, 0.0]),
+        |      (acc, e) -> [
+        |        0.4 * e[1] + (1.0 - 0.4) * (acc[1] + acc[2]),
+        |        0.2 * ((0.4 * e[1] + (1.0 - 0.4) * (acc[1] + acc[2]))
+        |          - acc[1]) + (1.0 - 0.2) * acc[2]
+        |      ]) AS st
+        |  FROM l
+        |)
+        |SELECT event_type, t, v,
+        |  round(st[1], 6) AS level, round(st[2], 6) AS trend,
+        |  round(st[1] + st[2], 6) AS forecast
+        |FROM s ORDER BY event_type, t""".stripMargin,
 
     // same doc_id%7 plant routing and no-spaces surrogate codec; exact
     // long sums, one IEEE division for the macro ratio, per-doc

@@ -901,4 +901,74 @@ object Curation {
       F.round(noisySum / noisyN, 6).as("dp_mean")): _*)
       .orderBy(keyCols.map(F.col): _*)
   }
+
+  /** k-ary randomized response (Warner 1965; generalized RR) — the
+    * LOCAL-DP sibling of [[dpNoisyCounts]]: instead of noising the
+    * aggregate, each ROW's category is perturbed before collection
+    * (report the truth with probability `p`, else one of the k−1 other
+    * categories uniformly), and the collector de-biases the observed
+    * histogram:
+    * {{{
+    *   q   = (1 − p) / (k − 1)
+    *   n̂_v = (c_v − n·q) / (p − q)
+    * }}}
+    * The privacy level follows from p and k: ε = ln(p(k−1)/(1−p)) —
+    * `p` is the pinned literal (not ε) so the keep/flip comparison is
+    * EXACT on both engines: the 24-bit md5 uniform u is compared to a
+    * plain double literal, never to an exp() whose last ulp could
+    * differ across libms. The flip target is a second independent md5
+    * draw mod (k−1), skipping the true category — deterministic per
+    * (seed, id), the [[dpNoisyCounts]] replay convention.
+    *
+    * True counts ride along for the pre-release utility audit (the
+    * x440/x443 convention); a REAL release drops n_true and anything
+    * derived from raw rows. The category domain must be bounded (it is
+    * broadcast); rows are perturbed independently, so the op is one
+    * map-side projection + one count rollup at any corpus size.
+    *
+    * @param p probability of reporting the true category, in (1/k, 1)
+    * @return per category (category, n_true, n_obs, n_est, epsilon)
+    *         ordered by category; n_est de-biased, 6-dp
+    */
+  def randomizedResponse(df: DataFrame, catCol: String, idCol: String,
+                         p: Double = 0.75,
+                         seed: String = "rr"): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    val rows = df.select(F.col(idCol).cast("string").as("__id"),
+        F.col(catCol).cast("string").as("__cat"))
+      .filter(F.col("__cat").isNotNull)
+    val cats = rows.select("__cat").distinct()
+      .withColumn("__rn", F.row_number().over(
+        Window.orderBy(F.col("__cat"))))
+    val kTab = cats.agg(F.count(F.lit(1)).as("__k"))
+    val nTab = rows.agg(F.count(F.lit(1)).as("__n"))
+    def h24(tag: String) = F.conv(F.substring(
+      F.md5(F.concat(F.lit(s"$seed|$tag|"), F.col("__id"))), 1, 6), 16, 10)
+      .cast("long")
+    val u = (h24("keep").cast("double") + F.lit(0.5)) / F.lit(16777216.0)
+    val alt = h24("alt") % (F.col("__k") - 1L)
+    val altRn = F.when(alt + 1L < F.col("__rn"), alt + 1L)
+      .otherwise(alt + 2L)
+    val reported = rows.join(F.broadcast(cats), Seq("__cat"))
+      .crossJoin(F.broadcast(kTab))
+      .select(F.when(u < F.lit(p), F.col("__rn").cast("long"))
+        .otherwise(altRn).as("__rrn"))
+    val obs = reported.groupBy("__rrn").agg(F.count(F.lit(1)).as("__c"))
+    val tru = rows.groupBy("__cat").agg(F.count(F.lit(1)).as("__ct"))
+    val kD = F.col("__k").cast("double")
+    val qProb = (F.lit(1.0) - F.lit(p)) / (kD - 1.0)
+    val cD = F.coalesce(F.col("__c"), F.lit(0L)).cast("double")
+    cats.join(F.broadcast(tru), Seq("__cat"), "left")
+      .join(F.broadcast(obs),
+        F.col("__rn").cast("long") === F.col("__rrn"), "left")
+      .crossJoin(F.broadcast(kTab)).crossJoin(F.broadcast(nTab))
+      .select(F.col("__cat").as("category"),
+        F.coalesce(F.col("__ct"), F.lit(0L)).as("n_true"),
+        F.coalesce(F.col("__c"), F.lit(0L)).as("n_obs"),
+        F.round((cD - F.col("__n").cast("double") * qProb) /
+          (F.lit(p) - qProb), 6).as("n_est"),
+        F.round(F.log(F.lit(p) * (kD - 1.0) / (F.lit(1.0) - F.lit(p))), 6)
+          .as("epsilon"))
+      .orderBy("category")
+  }
 }

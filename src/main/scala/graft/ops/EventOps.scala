@@ -668,6 +668,63 @@ object EventOps {
       .drop("__l")
   }
 
+  /** Holt's linear (double-exponential) smoothing per key over an
+    * ordered series — [[ewmaSmooth]]'s two-state sibling: the level
+    * recursion gains a TREND state so the one-step forecast extrapolates
+    * a local slope instead of lagging every ramp (Holt 1957):
+    * {{{
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   forecast_{t+1} = l_t + b_t
+    * }}}
+    * seeded l₁ = x₁, b₁ = 0 and folded EXACTLY over a bounded lookback
+    * — the same frame-ordered collect_list + higher-order aggregate as
+    * [[ewmaSmooth]], with a two-field struct accumulator. Deterministic
+    * evaluation ORDER (a fold, not an unordered sum), and every step is
+    * the same single-IEEE-op tree the oracle's list_reduce replays (the
+    * (1.0 − α) runtime-subtraction x85 rule), so no quantize-before-sum
+    * is needed.
+    *
+    * Scale shape: one keyed window shuffle; state per row is the
+    * ≤lookback value list — bounded, never the whole series.
+    *
+    * @return (keyCols…, t, v, level, trend, forecast) — 6-dp; forecast
+    *         is the one-step-ahead prediction FROM t
+    */
+  def holtSmooth(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+                 value: Column, alpha: Double, beta: Double,
+                 lookback: Int = 32): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
+    require(lookback >= 1 && lookback <= 1024,
+      s"lookback must be in [1,1024], got $lookback")
+    val st = F.aggregate(
+      F.slice(F.col("__l"), F.lit(2),
+        F.greatest(F.size(F.col("__l")) - 1, F.lit(0))),
+      F.struct(F.element_at(F.col("__l"), 1).as("l"), F.lit(0.0).as("b")),
+      (acc, x) => {
+        // l' appears twice in the tree on purpose: the oracle's
+        // list_reduce lambda repeats the same textual expression, so
+        // both engines evaluate the identical IEEE op sequence
+        def lNew = F.lit(alpha) * x +
+          F.lit(1.0 - alpha) * (acc.getField("l") + acc.getField("b"))
+        F.struct(lNew.as("l"),
+          (F.lit(beta) * (lNew - acc.getField("l")) +
+            F.lit(1.0 - beta) * acc.getField("b")).as("b"))
+      })
+    df.select(keyCols.map(F.col) :+ orderCol.as("t") :+
+        value.cast("double").as("v"): _*)
+      .withColumn("__l", F.collect_list("v").over(
+        Window.partitionBy(keyCols.map(F.col): _*).orderBy(F.col("t"))
+          .rowsBetween(-(lookback - 1), Window.currentRow)))
+      .withColumn("__st", st)
+      .select(keyCols.map(F.col) ++ Seq(F.col("t"), F.col("v"),
+        F.round(F.col("__st").getField("l"), 6).as("level"),
+        F.round(F.col("__st").getField("b"), 6).as("trend"),
+        F.round(F.col("__st").getField("l") + F.col("__st").getField("b"),
+          6).as("forecast")): _*)
+  }
+
   /** One-sided CUSUM drift statistic per key over an ordered series —
     * the change-point alarm (Page 1954): s_t = max(0, s_{t−1} + x_t − K)
     * fires when a metric runs persistently above its target K =

@@ -2997,6 +2997,83 @@ class OpsSpec extends AnyFunSuite {
     assert(trunc(3) == 1.3, trunc.toString)
   }
 
+  test("holtSmooth: hand-folded two-state recursion; beta=0 collapses " +
+      "to ewmaSmooth's level with zero trend") {
+    val df = Seq(("g", 1, 1.0), ("g", 2, 2.0), ("g", 3, 3.0))
+      .toDF("g", "t", "v")
+    val got = graft.ops.EventOps.holtSmooth(df, Seq("g"), F.col("t"),
+      F.col("v"), alpha = 0.4, beta = 0.2, lookback = 16)
+      .as[(String, Int, Double, Double, Double, Double)].collect()
+      .map(r => r._2 -> ((r._4, r._5, r._6))).toMap
+    // t=1: l=1, b=0, f=1
+    // t=2: l = .4*2 + .6*(1+0) = 1.4; b = .2*(1.4-1) + .8*0 = 0.08
+    // t=3: l = .4*3 + .6*(1.4+.08) = 2.088;
+    //      b = .2*(2.088-1.4) + .8*.08 = 0.2016; f = 2.2896
+    assert(got == Map(
+      1 -> ((1.0, 0.0, 1.0)),
+      2 -> ((1.4, 0.08, 1.48)),
+      3 -> ((2.088, 0.2016, 2.2896))), got.toString)
+    // beta = 0: the trend state stays at its 0 seed, so the level
+    // recursion IS the ewma recursion — cross-op consistency law
+    val h0 = graft.ops.EventOps.holtSmooth(df, Seq("g"), F.col("t"),
+      F.col("v"), alpha = 0.3, beta = 0.0, lookback = 16)
+      .as[(String, Int, Double, Double, Double, Double)].collect()
+      .map(r => r._2 -> ((r._4, r._5))).toMap
+    val ew = graft.ops.EventOps.ewmaSmooth(df, Seq("g"), F.col("t"),
+      F.col("v"), alpha = 0.3, lookback = 16)
+      .as[(String, Int, Double, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    for (t <- 1 to 3) {
+      assert(h0(t)._1 == ew(t), s"t=$t: holt level ${h0(t)._1} vs ewma ${ew(t)}")
+      assert(h0(t)._2 == 0.0, s"t=$t: trend must stay 0 at beta=0")
+    }
+  }
+
+  test("randomizedResponse: md5 draws replay by hand; de-biased " +
+      "estimates sum to n (the k-RR identity); p guard is loud") {
+    import graft.ops.Curation
+    // categories a, b, c (rn 1, 2, 3); k = 3, p = 0.75, q = 0.125
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "a"))
+      .toDF("id", "cat")
+    val got = Curation.randomizedResponse(df, "cat", "id", p = 0.75)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // hand replay of the op's draws
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h24(tag: String, id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"rr|$tag|$id").take(6), 16)
+    val cats = Seq("a", "b", "c")
+    val rnOf = Map("a" -> 1L, "b" -> 2L, "c" -> 3L)
+    val trueCat = Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "c", 5L -> "a")
+    val reported = (1L to 5L).map { id =>
+      val u = (h24("keep", id).toDouble + 0.5) / 16777216.0
+      val rn = rnOf(trueCat(id))
+      if (u < 0.75) rn
+      else {
+        val j = h24("alt", id) % 2L
+        if (j + 1L < rn) j + 1L else j + 2L
+      }
+    }
+    val obs = reported.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q = (1.0 - 0.75) / 2.0
+    val expect = cats.map { c =>
+      val rn = rnOf(c)
+      val cObs = obs.getOrElse(rn, 0L)
+      (c, Map("a" -> 3L, "b" -> 1L, "c" -> 1L)(c), cObs,
+        r6((cObs.toDouble - 5.0 * q) / (0.75 - q)),
+        r6(math.log(0.75 * 2.0 / 0.25)))
+    }
+    assert(got == expect, s"$got vs $expect")
+    // k-RR identity: sum of de-biased estimates equals n (up to 6-dp)
+    assert(math.abs(got.map(_._4).sum - 5.0) < 1e-5, got.map(_._4).sum)
+    val e = intercept[IllegalArgumentException](
+      Curation.randomizedResponse(df, "cat", "id", p = 1.0))
+    assert(e.getMessage.contains("p must be"))
+  }
+
   test("retentionCohorts: first-day cohorts, offsets, day-0 rates") {
     val ev = Seq(
       ("u1", "2026-01-01 10:00:00"), ("u1", "2026-01-02 09:00:00"),
