@@ -3623,6 +3623,19 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         "source", "doc_id", p = 0.75)),
 
+    // classical additive decomposition of the daily event-type series:
+    // centered 7-row MA trend + centered day-of-week seasonal offsets +
+    // remainder — the profile readout behind x140's anomaly z-scores
+    "x449_decompose" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val daily = ev.groupBy(F.col("event_type"),
+          F.to_date(graft.ops.EventOps.tsStamp(ev)).as("day"))
+        .agg(F.count(F.lit(1)).as("n"))
+      graft.ops.EventOps.classicalDecompose(daily, Seq("event_type"),
+          F.col("day"), F.col("n"), window = 7)
+        .orderBy("event_type", "t")
+    }),
+
     // Holt double-exponential smoothing of the daily event-type series:
     // level + trend states folded exactly over a 16-day lookback — the
     // forecast column x122's trendless EWMA lags on every ramp
@@ -12288,6 +12301,44 @@ object SparkEntry {
         |FROM cats LEFT JOIN tru USING (rn)
         |LEFT JOIN obs ON obs.rrn = cats.rn, kt, nt
         |ORDER BY category""".stripMargin,
+
+    // same exact long 7-row frame sum (segment-tree association order
+    // never touches a double), 9-dp DECIMAL detrended terms, released
+    // (6-dp) components in the remainder subtraction
+    "x449_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS t, count(*)::BIGINT AS v
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, t, v,
+        |    CASE WHEN count(v) OVER fr = 7
+        |      THEN (sum(v) OVER fr)::DOUBLE / 7.0 END AS trend
+        |  FROM daily
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY t
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), d AS (
+        |  SELECT event_type, t, v, trend, dayofweek(t) AS dow,
+        |    round(v::DOUBLE - trend, 9)::DECIMAL(38,9) AS det
+        |  FROM w
+        |), dm AS (
+        |  SELECT event_type, dow,
+        |    round(sum(det)::DOUBLE / count(det), 9)::DECIMAL(38,9) AS sm
+        |  FROM d WHERE det IS NOT NULL GROUP BY 1, 2
+        |), gm AS (
+        |  SELECT event_type, sum(sm)::DOUBLE / count(*)::DOUBLE AS g
+        |  FROM dm GROUP BY 1
+        |), sea AS (
+        |  SELECT dm.event_type, dm.dow,
+        |    round(sm::DOUBLE - g, 6) AS seasonal
+        |  FROM dm JOIN gm USING (event_type)
+        |)
+        |SELECT d.event_type, d.t, d.v, round(d.trend, 6) AS trend,
+        |  sea.seasonal,
+        |  round(d.v::DOUBLE - round(d.trend, 6) - sea.seasonal, 6)
+        |    AS remainder
+        |FROM d LEFT JOIN sea
+        |  ON d.event_type = sea.event_type AND d.dow = sea.dow
+        |ORDER BY d.event_type, d.t""".stripMargin,
 
     // same 16-day list window; the two-state fold rides list_reduce with
     // a [l, b] DOUBLE[] accumulator (elements wrapped [v, 0.0] so acc

@@ -725,6 +725,79 @@ object EventOps {
           6).as("forecast")): _*)
   }
 
+  /** Classical additive seasonal decomposition (the moving-average
+    * method, Kendall & Stuart — NOT Cleveland's LOESS STL) of an
+    * integer-valued daily series: `v = trend + seasonal + remainder`
+    * with
+    * {{{
+    *   trend_t    = centered `window`-row moving average (full frames
+    *                only — edge rows report NULL trend/remainder)
+    *   seasonal_d = mean of (v − trend) per day-of-week, centered so
+    *                the 7 seasonal offsets sum to ~0
+    *   remainder  = v − released trend − released seasonal
+    * }}}
+    * the profile readout behind x140's seasonal z anomalies: WHAT the
+    * weekly shape and underlying level are, not just which points
+    * deviate.
+    *
+    * Determinism: values are LONGS by contract (counts — cast
+    * enforced), so the sliding window sum is exact in any engine
+    * (DuckDB's segment-tree association order would break a double
+    * frame sum); detrended terms and the per-dow means are 9-dp
+    * quantized and DECIMAL-accumulated (the x222 rule) before their
+    * unordered group sums; remainder subtracts the RELEASED (6-dp)
+    * trend and seasonal so the additive identity holds exactly on the
+    * output grid.
+    *
+    * The frame is over OBSERVED rows, not calendar days — a gap in the
+    * series shifts the window (standard caveat of the row-frame form;
+    * densify upstream if gaps matter).
+    *
+    * Scale shape: one keyed window shuffle + a ≤(keys×7) seasonal
+    * rollup broadcast back.
+    *
+    * @param window centered MA width, odd, default 7 (weekly)
+    * @return (keyCols…, t, v, trend, seasonal, remainder) — 6-dp
+    */
+  def classicalDecompose(df: DataFrame, keyCols: Seq[String],
+                         dateCol: Column, value: Column,
+                         window: Int = 7): DataFrame = {
+    require(window >= 3 && window % 2 == 1,
+      s"window must be odd and >= 3, got $window")
+    val half = window / 2
+    val ks = keyCols.map(F.col)
+    val fr = Window.partitionBy(ks: _*).orderBy(F.col("t"))
+      .rowsBetween(-half, half)
+    val trend = F.when(F.count("v").over(fr) === window,
+      F.sum("v").over(fr).cast("double") / F.lit(window.toDouble))
+    val d = df.select(ks :+ dateCol.as("t") :+
+        value.cast("long").as("v"): _*)
+      .withColumn("__trend", trend)
+      .withColumn("__dow", F.dayofweek(F.col("t")) - 1)
+      .withColumn("__det",
+        F.round(F.col("v").cast("double") - F.col("__trend"), 9)
+          .cast("decimal(38,9)"))
+    val dowMeans = d.groupBy(ks :+ F.col("__dow"): _*)
+      .agg(F.count("__det").as("__cnt"), F.sum("__det").as("__sdet"))
+      .filter(F.col("__cnt") > 0L)
+      .withColumn("__sm",
+        F.round(F.col("__sdet").cast("double") / F.col("__cnt"), 9)
+          .cast("decimal(38,9)"))
+    val grand = dowMeans.groupBy(ks: _*)
+      .agg((F.sum("__sm").cast("double") /
+        F.count(F.lit(1)).cast("double")).as("__g"))
+    val sea = dowMeans.join(grand, keyCols)
+      .select(ks ++ Seq(F.col("__dow"),
+        F.round(F.col("__sm").cast("double") - F.col("__g"), 6)
+          .as("seasonal")): _*)
+    val trend6 = F.round(F.col("__trend"), 6)
+    d.join(F.broadcast(sea), keyCols :+ "__dow", "left")
+      .select(ks ++ Seq(F.col("t"), F.col("v"),
+        trend6.as("trend"), F.col("seasonal"),
+        F.round(F.col("v").cast("double") - trend6 - F.col("seasonal"), 6)
+          .as("remainder")): _*)
+  }
+
   /** One-sided CUSUM drift statistic per key over an ordered series —
     * the change-point alarm (Page 1954): s_t = max(0, s_{t−1} + x_t − K)
     * fires when a metric runs persistently above its target K =

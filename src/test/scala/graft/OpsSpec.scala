@@ -3029,6 +3029,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("classicalDecompose: pure weekly signal yields constant trend, " +
+      "exact dow offsets, zero remainder; edges report NULL trend") {
+    // two full weeks of v = [10..70] keyed to day-of-week, starting
+    // Monday 2026-01-05: any centered 7-row MA is the pattern mean 40,
+    // so seasonal = pattern - 40 and interior remainders are exactly 0
+    val days = (0 until 14).map { i =>
+      val d = java.time.LocalDate.of(2026, 1, 5).plusDays(i)
+      ("g", java.sql.Date.valueOf(d), (i % 7 + 1) * 10L)
+    }
+    val df = days.toDF("g", "t", "v")
+    val got = graft.ops.EventOps.classicalDecompose(df, Seq("g"),
+      F.col("t"), F.col("v"), window = 7)
+      .as[(String, java.sql.Date, Long, Option[Double], Option[Double],
+        Option[Double])].collect().sortBy(_._2.toString)
+    assert(got.length == 14)
+    // edge rows (first 3, last 3): no full frame -> NULL trend/remainder
+    for (r <- got.take(3) ++ got.takeRight(3)) {
+      assert(r._4.isEmpty && r._6.isEmpty, r)
+    }
+    // interior rows: trend 40, remainder 0, seasonal = v - 40
+    for (r <- got.slice(3, 11)) {
+      assert(r._4.contains(40.0), r)
+      assert(r._5.contains(r._3.toDouble - 40.0), r)
+      assert(r._6.contains(0.0) || r._6.contains(-0.0), r)
+    }
+    // seasonal offsets center: the 7 distinct offsets sum to 0
+    val offs = got.flatMap(_._5).distinct
+    assert(offs.length == 7 && math.abs(offs.sum) < 1e-9, offs.toSeq)
+  }
+
   test("randomizedResponse: md5 draws replay by hand; de-biased " +
       "estimates sum to n (the k-RR identity); p guard is loud") {
     import graft.ops.Curation
