@@ -3623,6 +3623,19 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         "source", "doc_id", p = 0.75)),
 
+    // linear CKA between the embeddings and their int8 dequantized
+    // reconstruction: did x40's quantization preserve the GEOMETRY of
+    // the space (structure, not per-vector error)? Feature-space form —
+    // O(n*d^2), never the n x n Gram matrix
+    "x450_cka_quant" -> ((s, dir) => {
+      val q = graft.ops.Similarity.quantize(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding")
+        .withColumn("recon",
+          F.transform(F.col("q"), c => c.cast("double") * F.col("scale")))
+      graft.ops.Similarity.linearCka(q, F.col("embedding"),
+        F.col("recon"))
+    }),
+
     // classical additive decomposition of the daily event-type series:
     // centered 7-row MA trend + centered day-of-week seasonal offsets +
     // remainder — the profile readout behind x140's anomaly z-scores
@@ -12301,6 +12314,63 @@ object SparkEntry {
         |FROM cats LEFT JOIN tru USING (rn)
         |LEFT JOIN obs ON obs.rrn = cats.rn, kt, nt
         |ORDER BY category""".stripMargin,
+
+    // same x40 quantize replay -> dequant, 9-dp inputs, d^2 product
+    // rollups via a dims lateral, DECIMAL sums, same centered-entry tree
+    "x450_cka_quant" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS m FROM v
+        |), qq AS (
+        |  SELECT vec_id, v, m / 127 AS scale,
+        |    CASE WHEN m = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v,
+        |           x -> floor(x / m * 127 + 0.5)::INT) END AS q
+        |  FROM m
+        |), ab AS (
+        |  SELECT vec_id, list_transform(v, x -> round(x, 9)) AS a,
+        |    list_transform(range(1, len(v) + 1),
+        |      i -> round(q[i] * scale, 9)) AS b
+        |  FROM qq WHERE len(v) > 0
+        |), nt AS (SELECT count(*)::BIGINT AS n FROM ab),
+        |dt AS (SELECT max(len(a))::INT AS d FROM ab),
+        |dims AS (SELECT unnest(range(1, (SELECT d FROM dt) + 1)) AS i),
+        |sa AS (SELECT i, sum(a[i]::DECIMAL(38,9)) AS si
+        |  FROM ab, dims GROUP BY i),
+        |sb AS (SELECT i AS j, sum(b[i]::DECIMAL(38,9)) AS sj
+        |  FROM ab, dims GROUP BY i),
+        |cab AS (SELECT d1.i AS i, d2.i AS j,
+        |    sum(round(a[d1.i] * b[d2.i], 9)::DECIMAL(38,9)) AS sab
+        |  FROM ab, dims d1, dims d2 GROUP BY 1, 2),
+        |caa AS (SELECT d1.i AS i, d2.i AS j,
+        |    sum(round(a[d1.i] * a[d2.i], 9)::DECIMAL(38,9)) AS sab
+        |  FROM ab, dims d1, dims d2 GROUP BY 1, 2),
+        |cbb AS (SELECT d1.i AS i, d2.i AS j,
+        |    sum(round(b[d1.i] * b[d2.i], 9)::DECIMAL(38,9)) AS sab
+        |  FROM ab, dims d1, dims d2 GROUP BY 1, 2),
+        |fab AS (SELECT sum(round(c * c, 9)::DECIMAL(38,9))::DOUBLE AS f
+        |  FROM (SELECT round(sab::DOUBLE -
+        |      sa.si::DOUBLE * sb.sj::DOUBLE / nt.n::DOUBLE, 9) AS c
+        |    FROM cab JOIN sa USING (i) JOIN sb USING (j), nt)),
+        |faa AS (SELECT sum(round(c * c, 9)::DECIMAL(38,9))::DOUBLE AS f
+        |  FROM (SELECT round(sab::DOUBLE -
+        |      a1.si::DOUBLE * a2.si::DOUBLE / nt.n::DOUBLE, 9) AS c
+        |    FROM caa JOIN sa a1 USING (i)
+        |    JOIN sa a2 ON caa.j = a2.i, nt)),
+        |fbb AS (SELECT sum(round(c * c, 9)::DECIMAL(38,9))::DOUBLE AS f
+        |  FROM (SELECT round(sab::DOUBLE -
+        |      b1.sj::DOUBLE * b2.sj::DOUBLE / nt.n::DOUBLE, 9) AS c
+        |    FROM cbb JOIN sb b1 ON cbb.i = b1.j
+        |    JOIN sb b2 ON cbb.j = b2.j, nt))
+        |SELECT nt.n AS n, dt.d AS d,
+        |  round(fab.f, 6) AS cross_f2,
+        |  round(faa.f, 6) AS a_f2,
+        |  round(fbb.f, 6) AS b_f2,
+        |  round(fab.f / nullif(sqrt(faa.f * fbb.f), 0.0), 6) AS cka
+        |FROM nt, dt, fab, faa, fbb""".stripMargin,
 
     // same exact long 7-row frame sum (segment-tree association order
     // never touches a double), 9-dp DECIMAL detrended terms, released

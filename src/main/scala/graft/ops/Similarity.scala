@@ -2514,4 +2514,88 @@ object Similarity {
     cells.crossJoin(F.broadcast(acc))
       .orderBy("true_label", "pred_label")
   }
+
+  /** Frobenius norm² of the CENTERED cross-covariance between two
+    * row-aligned vector columns — the [[linearCka]] building block:
+    * S[i,j] = Σ_n a_ni·b_nj − (Σa_i)(Σb_j)/n, returns Σ_ij S[i,j]² as
+    * one row. The d² product terms per row unfold from chained
+    * posexplodes INSIDE codegen (no join, no d²-wide rows) and
+    * partial-aggregate map-side to d² keys; products and centered
+    * entries are 9-dp quantized and DECIMAL-accumulated (the x222
+    * rule) so the statistic is bit-identical across engines and
+    * partitionings. */
+  private def ckaFrob(base: DataFrame, nTab: DataFrame,
+                      cA: String, cB: String): DataFrame = {
+    val sA = base.select(F.posexplode(F.col(cA)).as(Seq("__i", "__x")))
+      .groupBy("__i")
+      .agg(F.sum(F.col("__x").cast("decimal(38,9)")).as("__si"))
+    val sB = base.select(F.posexplode(F.col(cB)).as(Seq("__j", "__x")))
+      .groupBy("__j")
+      .agg(F.sum(F.col("__x").cast("decimal(38,9)")).as("__sj"))
+    val cross = base
+      .select(F.col(cB).as("__bv"),
+        F.posexplode(F.col(cA)).as(Seq("__i", "__xa")))
+      .select(F.col("__i"), F.col("__xa"),
+        F.posexplode(F.col("__bv")).as(Seq("__j", "__xb")))
+      .groupBy("__i", "__j")
+      .agg(F.sum(F.round(F.col("__xa") * F.col("__xb"), 9)
+        .cast("decimal(38,9)")).as("__sab"))
+    cross.join(F.broadcast(sA), "__i").join(F.broadcast(sB), "__j")
+      .crossJoin(F.broadcast(nTab))
+      .select(F.round(
+        F.col("__sab").cast("double") -
+          F.col("__si").cast("double") * F.col("__sj").cast("double") /
+            F.col("__n").cast("double"), 9).as("__c"))
+      .select(F.round(F.col("__c") * F.col("__c"), 9)
+        .cast("decimal(38,9)").as("__c2"))
+      .agg(F.sum("__c2").cast("double").as("__f2"))
+  }
+
+  /** Linear CKA (centered kernel alignment, Kornblith et al. 2019)
+    * between two row-aligned embedding columns — THE representation-
+    * similarity readout of the eval literature: did a transformation
+    * (quantization, projection, a different encoder) preserve the
+    * GEOMETRY of the space, not just per-vector error?
+    * {{{
+    *   CKA(A, B) = ‖cov(A,B)‖²_F / (‖cov(A,A)‖_F · ‖cov(B,B)‖_F)
+    * }}}
+    * (the feature-space form — O(n·d²) work, never the n×n Gram
+    * matrices, so it scales to any corpus at fixed d). 1 = identical
+    * structure up to orthogonal transform + isotropic scale (CKA is
+    * invariant to both, pinned in OpsSpec); → 0 = unrelated spaces.
+    *
+    * Inputs are 9-dp quantized on entry; every unordered sum in the
+    * pipeline is DECIMAL-accumulated (the x222 rule). Degenerate
+    * spaces (zero centered norm — constant features) yield NULL, not
+    * NaN.
+    *
+    * Scale shape: three O(n·d²) codegen explode-rollups (no joins on
+    * corpus rows), d² + 2d + 1-row broadcast tables after; rows with
+    * mismatched/empty vectors are dropped loudly by the size filter.
+    *
+    * @return one row (n, d, cross_f2, a_f2, b_f2, cka) — 6-dp
+    */
+  def linearCka(df: DataFrame, vecA: Column, vecB: Column): DataFrame = {
+    val base = df.select(
+        F.transform(vecA, x => F.round(x.cast("double"), 9)).as("__a"),
+        F.transform(vecB, x => F.round(x.cast("double"), 9)).as("__b"))
+      .filter(F.size(F.col("__a")) > 0 &&
+        F.size(F.col("__a")) === F.size(F.col("__b")))
+    val nTab = base.agg(F.count(F.lit(1)).as("__n"))
+    val dTab = base.agg(F.max(F.size(F.col("__a"))).as("d"))
+    val fab = ckaFrob(base, nTab, "__a", "__b")
+      .withColumnRenamed("__f2", "__fab")
+    val faa = ckaFrob(base, nTab, "__a", "__a")
+      .withColumnRenamed("__f2", "__faa")
+    val fbb = ckaFrob(base, nTab, "__b", "__b")
+      .withColumnRenamed("__f2", "__fbb")
+    nTab.crossJoin(fab).crossJoin(faa).crossJoin(fbb).crossJoin(dTab)
+      .select(F.col("__n").as("n"), F.col("d"),
+        F.round(F.col("__fab"), 6).as("cross_f2"),
+        F.round(F.col("__faa"), 6).as("a_f2"),
+        F.round(F.col("__fbb"), 6).as("b_f2"),
+        F.round(F.col("__fab") /
+          F.nullif(F.sqrt(F.col("__faa") * F.col("__fbb")), F.lit(0.0)), 6)
+          .as("cka"))
+  }
 }

@@ -3029,6 +3029,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("linearCka: self = 1; invariant under dim permutation and " +
+      "isotropic scale; unrelated space scores lower; constant NULL") {
+    import graft.ops.Similarity
+    val vecs = Seq(
+      Array(1.0f, 2.0f, 0.5f), Array(0.2f, -1.0f, 1.5f),
+      Array(-0.7f, 0.3f, 2.0f), Array(1.1f, 0.9f, -0.4f),
+      Array(0.0f, 1.7f, 0.8f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "a")
+    def cka(d: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.Column) =
+      Similarity.linearCka(d, F.col("a"), b)
+        .select("cka").as[Option[Double]].head()
+    assert(cka(df, F.col("a")).contains(1.0))
+    // permutation of dimensions is orthogonal -> CKA unchanged
+    val perm = df.withColumn("b", F.array(
+      F.col("a")(2), F.col("a")(0), F.col("a")(1)))
+    assert(cka(perm, F.col("b")).exists(v => v >= 0.999999), cka(perm, F.col("b")))
+    // isotropic scaling -> unchanged
+    val scaled = df.withColumn("b", F.transform(F.col("a"),
+      x => x * F.lit(3.0)))
+    assert(cka(scaled, F.col("b")).exists(v => v >= 0.999999))
+    // an unrelated space (per-row hash pattern) scores strictly lower
+    val other = df.withColumn("b", F.array(
+      (F.col("id") % 2).cast("double"), (F.col("id") % 3).cast("double"),
+      F.lit(1.0) - (F.col("id") % 2).cast("double") * 2.0))
+    val o = cka(other, F.col("b"))
+    assert(o.exists(v => v < 0.9), o)
+    // constant B has zero centered norm -> NULL, never NaN
+    val const = df.withColumn("b", F.array(F.lit(1.0), F.lit(1.0), F.lit(1.0)))
+    assert(cka(const, F.col("b")).isEmpty)
+  }
+
   test("classicalDecompose: pure weekly signal yields constant trend, " +
       "exact dow offsets, zero remainder; edges report NULL trend") {
     // two full weeks of v = [10..70] keyed to day-of-week, starting
