@@ -3623,6 +3623,20 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         "source", "doc_id", p = 0.75)),
 
+    // deterministic RANSAC line of tokens-vs-chars with planted gross
+    // outliers (doc_id%17 -> +500 tokens): consensus fit ignores the
+    // plant that drags plain OLS; md5-ranked pivot pairs, broadcast
+    // model table, one inlier-count pass
+    "x451_ransac" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(F.col("n_chars"),
+          (TextOps.tokenCount(F.col("text")) +
+            F.when(F.col("doc_id") % 17 === 0, 500L).otherwise(0L))
+            .as("toks"))
+      graft.ops.Stats.ransacLine(d, F.col("n_chars"), F.col("toks"),
+        nCandidates = 8, tol = 50.0)
+    }),
+
     // linear CKA between the embeddings and their int8 dequantized
     // reconstruction: did x40's quantization preserve the GEOMETRY of
     // the space (structure, not per-vector error)? Feature-space form —
@@ -12314,6 +12328,54 @@ object SparkEntry {
         |FROM cats LEFT JOIN tru USING (rn)
         |LEFT JOIN obs ON obs.rrn = cats.rn, kt, nt
         |ORDER BY category""".stripMargin,
+
+    // same md5-rank pivot pick (ORDER BY h LIMIT 2k), same pair models
+    // with a repeated textually in b, same inlier predicate, x107 OLS
+    // refit over exact integer sums
+    "x451_ransac" ->
+      """WITH p AS (SELECT n_chars::BIGINT AS x,
+        |    (len(string_split_regex(trim(text), '\s+'))::BIGINT +
+        |     CASE WHEN doc_id % 17 = 0 THEN 500 ELSE 0 END) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |nt AS (SELECT count(*)::BIGINT AS n_points FROM p),
+        |tp AS (SELECT x, y,
+        |    md5('ransac' || '|' || x || '|' || y) AS h
+        |  FROM p ORDER BY h, x, y LIMIT 16),
+        |rk AS (SELECT x, y,
+        |    row_number() OVER (ORDER BY h, x, y) AS r FROM tp),
+        |c1 AS (SELECT (r + 1) // 2 AS cand, x AS x1, y AS y1
+        |  FROM rk WHERE r % 2 = 1),
+        |c2 AS (SELECT r // 2 AS cand, x AS x2, y AS y2
+        |  FROM rk WHERE r % 2 = 0),
+        |md AS (SELECT cand,
+        |    (y2 - y1)::DOUBLE / (x2 - x1)::DOUBLE AS a,
+        |    y1::DOUBLE - ((y2 - y1)::DOUBLE / (x2 - x1)::DOUBLE)
+        |      * x1::DOUBLE AS b
+        |  FROM c1 JOIN c2 USING (cand) WHERE x2 <> x1),
+        |kt AS (SELECT count(*)::BIGINT AS n_candidates FROM md),
+        |cnt AS (SELECT cand, count(*)::BIGINT AS n_inliers
+        |  FROM p, md
+        |  WHERE abs(y::DOUBLE - (a * x::DOUBLE + b)) <= 50.0
+        |  GROUP BY cand),
+        |best AS (SELECT cnt.cand, n_inliers, a, b
+        |  FROM cnt JOIN md USING (cand)
+        |  ORDER BY n_inliers DESC, cnt.cand LIMIT 1),
+        |inl AS (SELECT p.x, p.y FROM p, best
+        |  WHERE abs(y::DOUBLE - (a * x::DOUBLE + b)) <= 50.0),
+        |agg AS (SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+        |    sum(y)::DOUBLE AS sy, sum(x * x)::DOUBLE AS sxx,
+        |    sum(x * y)::DOUBLE AS sxy, sum(y * y)::DOUBLE AS syy
+        |  FROM inl)
+        |SELECT nt.n_points, kt.n_candidates, best.cand AS best_cand,
+        |  best.n_inliers,
+        |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+        |    AS slope,
+        |  round((sy * sxx - sx * sxy) / nullif(n * sxx - sx * sx, 0), 6)
+        |    AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |    nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
+        |    AS r2
+        |FROM nt, kt, best, agg""".stripMargin,
 
     // same x40 quantize replay -> dequant, 9-dp inputs, d^2 product
     // rollups via a dims lateral, DECIMAL sums, same centered-entry tree

@@ -9581,4 +9581,86 @@ object Stats {
     val d = o.cast("double") - e
     d * d / F.nullif(e, F.lit(0.0))
   }
+
+  /** Deterministic RANSAC line fit (Fischler & Bolles 1981) — the
+    * ROBUST regression for data with gross outliers, where [[olsFit]]
+    * is dragged arbitrarily and even [[theilSen]]'s 29% breakdown can
+    * be exceeded: fit candidate lines through sampled point PAIRS, keep
+    * the one with the most inliers (|y − (a·x + b)| ≤ tol), then OLS
+    * over that consensus set only.
+    *
+    * "Sampled" is md5-DETERMINISTIC (the [[Sampling.hashSample]]
+    * regime): the 2k pivot points are the 2k smallest
+    * md5(seed|x|y) hashes — engine-replayable, no RNG — paired by hash
+    * rank, degenerate pairs (x₁ = x₂) dropped. Coordinates are
+    * integer-valued by contract (cast to long): the hash keys and the
+    * refit sums are then exact in any engine (integer sums in doubles
+    * are exact below 2⁵³ — the x107 regime), and the inlier predicate
+    * compares one IEEE a·x+b tree to a literal.
+    *
+    * Scale shape: the pivot pick is TakeOrdered (top-2k by hash, no
+    * global sort materialization); the ≤k-row model table broadcasts
+    * into ONE codegen'd pass that counts inliers for all candidates;
+    * the refit is one more broadcast-filtered aggregate pass. Driver
+    * never sees a row.
+    *
+    * @param nCandidates candidate pairs k (≤ 64)
+    * @param tol         inlier residual threshold
+    * @return one row (n_points, n_candidates, best_cand, n_inliers,
+    *         slope, intercept, r2) — 6-dp; EMPTY (zero rows, loud in
+    *         any downstream count) when no valid candidate exists
+    */
+  def ransacLine(df: DataFrame, x: Column, y: Column,
+                 nCandidates: Int = 8, tol: Double = 50.0,
+                 seed: String = "ransac"): DataFrame = {
+    require(nCandidates >= 1 && nCandidates <= 64,
+      s"nCandidates must be in [1,64], got $nCandidates")
+    require(tol > 0.0, s"tol must be positive, got $tol")
+    val pts = df.select(x.cast("long").as("__xl"), y.cast("long").as("__yl"))
+      .filter(F.col("__xl").isNotNull && F.col("__yl").isNotNull)
+    val nTab = pts.agg(F.count(F.lit(1)).as("n_points"))
+    val top = pts
+      .withColumn("__h", F.md5(F.concat_ws("|",
+        F.lit(seed), F.col("__xl"), F.col("__yl"))))
+      .orderBy(F.col("__h"), F.col("__xl"), F.col("__yl"))
+      .limit(2 * nCandidates)
+    val ranked = top.withColumn("__r", F.row_number().over(
+      Window.orderBy(F.col("__h"), F.col("__xl"), F.col("__yl"))))
+    val c1 = ranked.filter(F.col("__r") % 2 === 1)
+      .select(((F.col("__r") + 1) / 2).cast("long").as("__cand"),
+        F.col("__xl").as("__x1"), F.col("__yl").as("__y1"))
+    val c2 = ranked.filter(F.col("__r") % 2 === 0)
+      .select((F.col("__r") / 2).cast("long").as("__cand"),
+        F.col("__xl").as("__x2"), F.col("__yl").as("__y2"))
+    // a repeated textually in b — both engines run the identical tree;
+    // nullif (not a pre-filter) guards the degenerate pair because ANSI
+    // codegen can evaluate the projection speculatively inside the join
+    def aExpr = (F.col("__y2") - F.col("__y1")).cast("double") /
+      F.nullif((F.col("__x2") - F.col("__x1")).cast("double"), F.lit(0.0))
+    val models = c1.join(c2, "__cand")
+      .select(F.col("__cand"), aExpr.as("__a"),
+        (F.col("__y1").cast("double") - aExpr * F.col("__x1").cast("double"))
+          .as("__b"))
+      .filter(F.col("__a").isNotNull)
+    val kTab = models.agg(F.count(F.lit(1)).as("n_candidates"))
+    val resid = F.abs(F.col("__yl").cast("double") -
+      (F.col("__a") * F.col("__xl").cast("double") + F.col("__b")))
+    val counts = pts.crossJoin(F.broadcast(models))
+      .filter(resid <= F.lit(tol))
+      .groupBy("__cand").agg(F.count(F.lit(1)).as("n_inliers"))
+    val best = counts
+      .orderBy(F.col("n_inliers").desc, F.col("__cand").asc).limit(1)
+      .join(models, "__cand")
+    val inliers = pts.crossJoin(F.broadcast(best)).filter(resid <= F.lit(tol))
+    val fit = olsFit(inliers, Nil,
+      F.col("__xl").cast("double"), F.col("__yl").cast("double"))
+    nTab.crossJoin(F.broadcast(kTab))
+      .crossJoin(F.broadcast(best.select(
+        F.col("__cand").as("best_cand"), F.col("n_inliers"))))
+      .crossJoin(F.broadcast(fit.select(
+        F.col("slope"), F.col("intercept"), F.col("r2"))))
+      .select(F.col("n_points"), F.col("n_candidates"),
+        F.col("best_cand"), F.col("n_inliers"),
+        F.col("slope"), F.col("intercept"), F.col("r2"))
+  }
 }

@@ -3029,6 +3029,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ransacLine: consensus fit recovers the planted line that drags " +
+      "OLS; degenerate (vertical-only) input yields an empty result") {
+    import graft.ops.Stats
+    // y = 2x + 1 for x = 1..30, plus 5 gross outliers at y = 1000
+    val pts = (1 to 30).map(x => (x.toLong, 2L * x + 1L)) ++
+      (31 to 35).map(x => (x.toLong, 1000L))
+    val df = pts.toDF("x", "y")
+    val got = Stats.ransacLine(df, F.col("x"), F.col("y"),
+      nCandidates = 8, tol = 0.5)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(got._1 == 35L, got)
+    assert(got._4 == 30L, s"all 30 true-line points are inliers: $got")
+    assert(got._5 == 2.0 && got._6 == 1.0 && got._7 == 1.0, got)
+    // plain OLS on the same data is dragged far off the true slope
+    val ols = Stats.olsFit(df, Nil, F.col("x"), F.col("y"))
+      .select("slope").as[Double].head()
+    assert(math.abs(ols - 2.0) > 1.0, s"OLS should be dragged: $ols")
+    // every pivot pair vertical (same x) -> no model -> empty, not NaN
+    val vert = Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)).toDF("x", "y")
+    assert(Stats.ransacLine(vert, F.col("x"), F.col("y"),
+      nCandidates = 4, tol = 1.0).count() == 0L)
+    val e = intercept[IllegalArgumentException](
+      Stats.ransacLine(df, F.col("x"), F.col("y"), nCandidates = 0))
+    assert(e.getMessage.contains("nCandidates"))
+  }
+
   test("linearCka: self = 1; invariant under dim permutation and " +
       "isotropic scale; unrelated space scores lower; constant NULL") {
     import graft.ops.Similarity
