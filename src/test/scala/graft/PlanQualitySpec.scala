@@ -1419,4 +1419,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
       s"expected the checkpointed oriented edge list at the leaves:\n$p")
   }
+
+  test("linearCka: the d^2 product rollups partial-aggregate map-side " +
+      "and corpus rows never join (broadcast-only assembly)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.ops.Similarity.linearCka(emb,
+      F.col("embedding"), F.col("embedding"))
+    val p = plan(df)
+    // chained posexplodes generate the d^2 terms inside the scan stage,
+    // then partial-aggregate before the (i,j)-keyed exchange — at 100 TB
+    // only d^2+2d+1 keyed partials cross the wire, never n*d^2 rows
+    assert(p.contains("HashAggregate") && p.contains("partial_sum"),
+      s"expected map-side partial aggregation of the d^2 terms:\n$p")
+    assert(p.contains("Generate posexplode"),
+      s"expected codegen posexplode term generation:\n$p")
+    // the only joins are broadcasts of the bounded tables (d^2, d, 1-row)
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-scale sort-merge join must not appear:\n$p")
+  }
+
+  test("ransacLine: pivot pick is TakeOrdered (no global sort), models " +
+      "broadcast into one inlier pass, no corpus shuffle join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.Stats.ransacLine(docs,
+      F.col("n_chars"), F.col("doc_id"), nCandidates = 4, tol = 10.0)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pivot pick must be top-2k-by-hash, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the model table must broadcast into the inlier pass:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-scale shuffle join:\n$p")
+  }
 }
