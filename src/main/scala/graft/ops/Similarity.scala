@@ -2535,8 +2535,18 @@ object Similarity {
     // the oracle's DECIMAL sum cast to DOUBLE. ANSI overflow throws
     // LOUDLY if the contract is violated, never a silent wrap. The
     // d²-row tail sum keeps DECIMAL (4096 rows — cost is nothing).
-    def scaled(c: Column): Column =
-      F.round(c * F.lit(1e9), 0).cast("long")
+    // HALF-UP scale-to-long via floor, NOT F.round: Spark's Round on
+    // doubles routes every value through BigDecimal (it dominated this
+    // op's profile); floor(t·10⁹ + ½) is pure FP codegen and lands on
+    // the same grid long for every value the oracle's round(t, 9)
+    // ::DECIMAL produces (pinned hash-green at 3 SFs — the same
+    // Spark-vs-DuckDB rounding agreement the whole 9-dp house
+    // convention already rests on)
+    def scaled(c: Column): Column = {
+      val t = c * F.lit(1e9)
+      F.when(c >= 0, F.floor(t + F.lit(0.5)))
+        .otherwise(-F.floor(-t + F.lit(0.5)))
+    }
     val sA = base.select(F.posexplode(F.col(cA)).as(Seq("__i", "__x")))
       .groupBy("__i").agg(F.sum(scaled(F.col("__x"))).as("__si"))
     val sB = base.select(F.posexplode(F.col(cB)).as(Seq("__j", "__x")))
@@ -2550,8 +2560,7 @@ object Similarity {
       .select(F.col("__i"), F.col("__xa"),
         F.posexplode(F.col("__bv")).as(Seq("__j", "__xb")))
       .groupBy("__i", "__j")
-      .agg(F.sum(scaled(F.round(F.col("__xa") * F.col("__xb"), 9)))
-        .as("__sab"))
+      .agg(F.sum(scaled(F.col("__xa") * F.col("__xb"))).as("__sab"))
     def unscale(c: Column): Column = c.cast("double") / F.lit(1e9)
     cross.join(F.broadcast(sA), "__i").join(F.broadcast(sB), "__j")
       .crossJoin(F.broadcast(nTab))
