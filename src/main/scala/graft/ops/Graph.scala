@@ -99,8 +99,11 @@ object Graph {
           ranks.select(F.col("node").as("src"), F.col("out_deg"), F.col("rank")),
           "src")
         .groupBy(F.col("dst").as("node"))
+        // per-EDGE quantization rides the floor form (Quant.halfUp) —
+        // F.round's BigDecimal per edge per round was pure overhead;
+        // grid values identical, x92 re-pinned hash-green at 3 SFs
         .agg(F.round(F.sum(
-          F.round(F.lit(damping) * F.col("rank") / F.col("out_deg"), 6)), 6).as("__cs"))
+          Quant.halfUp(F.lit(damping) * F.col("rank") / F.col("out_deg"), 6)), 6).as("__cs"))
       val next = base.join(contribs, Seq("node"), "left")
         .crossJoin(F.broadcast(dang))
         .select(F.col("node"), F.col("out_deg"),
@@ -308,7 +311,7 @@ object Graph {
       val m = df.agg(F.max(c).as("__m"))
       df.crossJoin(F.broadcast(m))
         .select(df.columns.filter(_ != c).map(F.col) :+
-          F.round(F.col(c) / F.nullif(F.col("__m"), F.lit(0.0)), 9)
+          Quant.halfUp(F.col(c) / F.nullif(F.col("__m"), F.lit(0.0)), 9)
             .as(c): _*)
     }
     var auth = e.select(F.col("p")).distinct()
@@ -636,9 +639,12 @@ object Graph {
         F.col("deg").as("__dz"))), Seq("__z"))
     val scored = wedges.groupBy("u", "v")
       .agg(F.count(F.lit(1)).as("cn"),
-        F.sum(F.round(F.lit(1.0) /
+        // per-WEDGE quantization on the floor form (Quant.halfUp):
+        // F.round's BigDecimal at wedge scale was pure overhead; grid
+        // values identical, x330 re-pinned hash-green at 3 SFs
+        F.sum(Quant.halfUp(F.lit(1.0) /
           F.log(F.col("__dz").cast("double")), 9)).as("aa"),
-        F.sum(F.round(F.lit(1.0) / F.col("__dz").cast("double"), 9))
+        F.sum(Quant.halfUp(F.lit(1.0) / F.col("__dz").cast("double"), 9))
           .as("ra"))
       // drop pairs that are already edges — predict only NEW links
       .join(und.select(F.col("a").as("u"), F.col("b").as("v")),
@@ -1180,7 +1186,7 @@ object Graph {
       c = adj
         .join(c.select(F.col("node").as("__u"), F.col("katz")),
           Seq("__u"))
-        .withColumn("__contrib", F.round(F.lit(alpha) * F.col("katz"), 9))
+        .withColumn("__contrib", Quant.halfUp(F.lit(alpha) * F.col("katz"), 9))
         .groupBy(F.col("__v").as("node"))
         .agg(F.round(F.lit(beta) + F.sum("__contrib"), 9).as("katz"))
     }
