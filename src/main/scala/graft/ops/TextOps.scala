@@ -1588,8 +1588,10 @@ object TextOps {
     counts
       .withColumn("__n", F.sum("__c").over(byGroup))
       .withColumn("__p", F.col("__c").cast("double") / F.col("__n").cast("double"))
+      // per-(group, token) quantization on the floor form (Quant.halfUp
+      // — the r16 hot-path rule); x106 re-pinned hash-green at 3 SFs
       .withColumn("__term",
-        F.round(-F.col("__p") * F.log(2.0, F.col("__p")), 9))
+        Quant.halfUp(-F.col("__p") * F.log(2.0, F.col("__p")), 9))
       .groupBy(groupCols.map(F.col): _*)
       .agg(
         F.max("__n").as("n_tokens"),
