@@ -3623,6 +3623,22 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         "source", "doc_id", p = 0.75)),
 
+    // personalized PageRank on the x92 bipartite graph: teleport
+    // concentrated on 4 md5-chosen seed customers -- rank = proximity
+    // to the seeds, the graph-expansion primitive of seed-set curation
+    "x452_ppr" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .join(s.read.parquet(s"$dir/lineitem.parquet")
+            .select("l_orderkey", "l_suppkey"),
+          F.col("o_orderkey") === F.col("l_orderkey"))
+        .select(F.col("o_custkey").as("src"),
+          (F.col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      graft.ops.Graph.personalizedPageRank(e, "src", "dst", iters = 3,
+        nSeeds = 4)
+    }),
+
     // deterministic RANSAC line of tokens-vs-chars with planted gross
     // outliers (doc_id%17 -> +500 tokens): consensus fit ignores the
     // plant that drags plain OLS; md5-ranked pivot pairs, broadcast
@@ -12328,6 +12344,48 @@ object SparkEntry {
         |FROM cats LEFT JOIN tru USING (rn)
         |LEFT JOIN obs ON obs.rrn = cats.rn, kt, nt
         |ORDER BY category""".stripMargin,
+
+    // x92's round replay with the teleport vector: md5-ordered seed
+    // pick, tp = round(1/k, 6) on seeds else 0, dangling mass restarts
+    // at the seeds
+    "x452_ppr" -> {
+      def iter(i: Int, prev: String): String =
+        s"""s$i AS (SELECT round(sum(r), 6) AS dang FROM $prev WHERE od = 0),
+           |c$i AS (
+           |  SELECT e.dst AS node, round(sum(round(0.85 * r.r / r.od, 6)), 6) AS cs
+           |  FROM e JOIN $prev r ON e.src = r.node GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT t.node, t.od, t.seed, t.tp,
+           |    round((1.0 - 0.85) * t.tp
+           |      + 0.85 * coalesce((SELECT dang FROM s$i), 0.0) * t.tp
+           |      + coalesce(c$i.cs, 0.0), 6) AS r
+           |  FROM t LEFT JOIN c$i ON t.node = c$i.node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |), nodes AS (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e
+         |), deg AS (
+         |  SELECT src AS node, count(*) AS od FROM e GROUP BY src
+         |), nd AS (
+         |  SELECT n.node, coalesce(d.od, 0) AS od
+         |  FROM nodes n LEFT JOIN deg d ON n.node = d.node
+         |), sd AS (
+         |  SELECT node FROM nodes ORDER BY md5(node::VARCHAR), node LIMIT 4
+         |), kt AS (SELECT count(*)::BIGINT AS k FROM sd),
+         |t AS (
+         |  SELECT nd.node, nd.od,
+         |    CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS seed,
+         |    CASE WHEN sd.node IS NOT NULL
+         |      THEN round(1.0 / (SELECT k FROM kt), 6) ELSE 0.0 END AS tp
+         |  FROM nd LEFT JOIN sd ON nd.node = sd.node
+         |), r0 AS (SELECT node, od, seed, tp, tp AS r FROM t),
+         |${iter(1, "r0")},
+         |${iter(2, "r1")},
+         |${iter(3, "r2")}
+         |SELECT node, od AS out_deg, seed, r AS "rank"
+         |FROM r3 ORDER BY r DESC, node""".stripMargin
+    },
 
     // same md5-rank pivot pick (ORDER BY h LIMIT 2k), same pair models
     // with a repeated textually in b, same inlier predicate, x107 OLS

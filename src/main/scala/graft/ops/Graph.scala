@@ -120,6 +120,102 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (random walk with restart, Haveliwala 2002)
+    * — [[pageRank]] with the teleport concentrated on a SEED SET
+    * instead of uniform: the stationary mass measures proximity TO THE
+    * SEEDS, which is the graph-expansion primitive of data curation
+    * ("given these known-good documents/suppliers/users, rank
+    * everything by closeness") and of seed-set community detection.
+    * {{{
+    *   r_{t+1}(v) = (1−d)·t(v) + d·(Σ_{u→v} r_t(u)/deg(u)
+    *                              + dangling·t(v))
+    * }}}
+    * with t = 1/k on the k seeds, 0 elsewhere (dangling mass restarts
+    * at the seeds, the standard RWR convention).
+    *
+    * Seeds are the k smallest md5(node) hashes — deterministic,
+    * engine-replayable, hash-spread (the [[landmarkDistances]] pick);
+    * callers with REAL seed sets pass them via `seedFilter` instead.
+    * Numerics follow [[pageRank]] verbatim: 6-dp quantized ranks per
+    * round (association-order-stable sums), per-edge contributions on
+    * the [[Quant.halfUp]] floor form, one regs⋈edges join + keyed
+    * rollup per round, zero per-round driver actions,
+    * localCheckpoint-truncated lineage.
+    *
+    * @param nSeeds     hash-chosen seed count (ignored when
+    *                   `seedFilter` is given)
+    * @param seedFilter optional predicate over `node` selecting the
+    *                   seed set explicitly
+    * @return (node, out_deg, seed, rank) — rank 6-dp, seed 0/1;
+    *         ordered by (rank desc, node)
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, iters: Int, nSeeds: Int = 4,
+                           damping: Double = 0.85,
+                           seedFilter: Option[Column] = None,
+                           checkpointInterval: Int = 5): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(nSeeds >= 1 && nSeeds <= 1024,
+      s"nSeeds must be in [1,1024], got $nSeeds")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val e = edges
+      .filter(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(F.col("src").as("node"))
+      .union(e.select(F.col("dst").as("node")))
+      .distinct()
+    val outDeg = e.groupBy(F.col("src").as("node"))
+      .agg(F.count(F.lit(1)).as("out_deg"))
+    val seeds = seedFilter match {
+      case Some(p) => nodes.filter(p).select(F.col("node"))
+      case None => nodes
+        .withColumn("__h", F.md5(F.col("node").cast("string")))
+        .orderBy(F.col("__h"), F.col("node")).limit(nSeeds)
+        .select(F.col("node"))
+    }
+    val base = nodes.join(outDeg, Seq("node"), "left")
+      .join(F.broadcast(seeds.withColumn("__s", F.lit(1))),
+        Seq("node"), "left")
+      .select(F.col("node"),
+        F.coalesce(F.col("out_deg"), F.lit(0L)).as("out_deg"),
+        F.coalesce(F.col("__s"), F.lit(0)).as("seed"))
+      .localCheckpoint()
+    val k = base.filter(F.col("seed") === 1).count()
+    require(k > 0, "personalizedPageRank: empty seed set")
+    // t(v): 6-dp quantized seed mass, the r0 = teleport start
+    val tp = F.when(F.col("seed") === 1,
+      F.round(F.lit(1.0 / k.toDouble), 6)).otherwise(F.lit(0.0))
+    var ranks = base.withColumn("rank", tp)
+    var it = 0
+    while (it < iters) {
+      val dang = ranks.filter(F.col("out_deg") === 0L)
+        .agg(F.round(F.sum("rank"), 6).as("__dang"))
+      val contribs = e.join(
+          ranks.select(F.col("node").as("src"), F.col("out_deg"),
+            F.col("rank")), "src")
+        .groupBy(F.col("dst").as("node"))
+        .agg(F.round(F.sum(
+          Quant.halfUp(F.lit(damping) * F.col("rank") / F.col("out_deg"),
+            6)), 6).as("__cs"))
+      val next = base.join(contribs, Seq("node"), "left")
+        .crossJoin(F.broadcast(dang))
+        .select(F.col("node"), F.col("out_deg"), F.col("seed"),
+          F.round(
+            F.lit(1.0 - damping) * tp +
+              F.lit(damping) * F.coalesce(F.col("__dang"), F.lit(0.0)) * tp +
+              F.coalesce(F.col("__cs"), F.lit(0.0)),
+            6).as("rank"))
+      ranks =
+        if ((it + 1) % checkpointInterval == 0) next.localCheckpoint()
+        else next
+      it += 1
+    }
+    ranks.select("node", "out_deg", "seed", "rank")
+      .orderBy(F.col("rank").desc, F.col("node"))
+  }
+
   /** Per-node triangle counts by degree-ordered orientation (the
     * MapReduce triangle algorithm of Suri & Vassilvitskii 2011): clustering
     * structure for a co-occurrence / link graph — the local clustering

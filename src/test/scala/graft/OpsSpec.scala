@@ -3029,6 +3029,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("personalizedPageRank: hand-replayed 3 rounds on a path with an " +
+      "unreachable component; dangling mass restarts at the seeds") {
+    import graft.ops.Graph
+    // 1 -> 2 -> 3 (seed: 1), plus 9 -> 10 unreachable from the seed
+    val e = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(e, "src", "dst", iters = 3,
+      seedFilter = Some(F.col("node") === 1L))
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // r0 = {1: 1}; r1 = {1: .15, 2: .85}
+    // r2 = {1: .15, 2: .1275, 3: .7225}
+    // r3: dangling (node 3, od 0) mass .7225 restarts at the seed:
+    //   1: .15 + .85*.7225 = .764125; 2: .85*.15 = .1275;
+    //   3: .85*.1275 = .108375; 9, 10: never reachable -> 0
+    assert(got == Map(
+      1L -> ((1, 0.764125)), 2L -> ((0, 0.1275)),
+      3L -> ((0, 0.108375)), 9L -> ((0, 0.0)), 10L -> ((0, 0.0))), got)
+    val k = intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(e, "src", "dst", iters = 1, nSeeds = 0))
+    assert(k.getMessage.contains("nSeeds"))
+  }
+
   test("ransacLine: consensus fit recovers the planted line that drags " +
       "OLS; degenerate (vertical-only) input yields an empty result") {
     import graft.ops.Stats
