@@ -3623,6 +3623,31 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         "source", "doc_id", p = 0.75)),
 
+    // URL canonicalization dedup census over planted crawl URLs
+    // (scheme/host case, www, :443, utm params, fragments, trailing
+    // slash routed by doc_id residues): what canonicalization collapses
+    // that exact-hash dedup on the raw string misses
+    "x453_url_dedup" -> ((s, dir) => {
+      val url = F.concat(
+        F.when(F.col("doc_id") % 2 === 0, F.lit("HTTPS://WWW."))
+          .otherwise(F.lit("https://")),
+        F.col("source"), F.lit(".example.com"),
+        F.when(F.col("doc_id") % 4 === 0, F.lit(":443"))
+          .otherwise(F.lit("")),
+        F.lit("/docs/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 5 === 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 === 0,
+          F.concat(F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 7).cast("string")))
+          .otherwise(F.when(F.col("doc_id") % 7 === 0,
+            F.lit("?utm_campaign=x")).otherwise(F.lit(""))),
+        F.when(F.col("doc_id") % 6 === 0, F.lit("#sec-2"))
+          .otherwise(F.lit("")))
+      graft.ops.Curation.urlDedupCensus(
+        s.read.parquet(s"$dir/documents.parquet").select(url.as("url")),
+        "url")
+    }),
+
     // personalized PageRank on the x92 bipartite graph: teleport
     // concentrated on 4 md5-chosen seed customers -- rank = proximity
     // to the seeds, the graph-expansion primitive of seed-set curation
@@ -12344,6 +12369,67 @@ object SparkEntry {
         |FROM cats LEFT JOIN tru USING (rn)
         |LEFT JOIN obs ON obs.rrn = cats.rn, kt, nt
         |ORDER BY category""".stripMargin,
+
+    // same planted construction, same regexp chain (DuckDB needs the
+    // explicit 'g' flag to match Spark's replace-all default), same
+    // distinct/census collapses
+    "x453_url_dedup" ->
+      """WITH u AS (
+        |  SELECT (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+        |      ELSE 'https://' END)
+        |    || source || '.example.com'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |    || '/docs/' || (doc_id % 50)::VARCHAR
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |          THEN '?utm_source=feed&id=' || (doc_id % 7)::VARCHAR
+        |          WHEN doc_id % 7 = 0 THEN '?utm_campaign=x'
+        |          ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END)
+        |    AS url
+        |  FROM documents
+        |), c AS (
+        |  SELECT url,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+        |    CASE WHEN lower(regexp_extract(url,
+        |        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = '' THEN url
+        |    ELSE lower(regexp_extract(url,
+        |        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+        |      || regexp_replace(regexp_replace(lower(regexp_extract(url,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |           '^www\.', ''), ':(80|443)$', '')
+        |      || regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(regexp_extract(url,
+        |             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+        |             '#.*$', '', 'g'),
+        |           '(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*&', '', 'g'),
+        |           '[?&](utm_[A-Za-z]+|gclid|fbclid)=[^&#]*$', '', 'g'),
+        |           '/+$', '', 'g')
+        |    END AS canon
+        |  FROM u
+        |), flat AS (
+        |  SELECT count(*)::BIGINT AS n_urls,
+        |    count(DISTINCT url)::BIGINT AS n_raw_distinct,
+        |    count(DISTINCT canon)::BIGINT AS n_canon_distinct,
+        |    sum(CASE WHEN regexp_matches(url,
+        |      '[?&](utm_[A-Za-z]+|gclid|fbclid)=') THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_tracking,
+        |    sum(CASE WHEN lower(hostport) LIKE 'www.%' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_www,
+        |    sum(CASE WHEN hostport <> lower(hostport) THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_upper_host,
+        |    sum(CASE WHEN contains(url, '#') THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_fragment
+        |  FROM c
+        |), g AS (
+        |  SELECT coalesce(count(*), 0)::BIGINT AS multi_variant_groups,
+        |    coalesce(sum(v - 1), 0)::BIGINT AS dup_urls
+        |  FROM (SELECT canon, count(*) AS v
+        |    FROM (SELECT DISTINCT url, canon FROM c) GROUP BY canon
+        |    HAVING count(*) > 1)
+        |)
+        |SELECT * FROM flat, g""".stripMargin,
 
     // x92's round replay with the teleport vector: md5-ordered seed
     // pick, tp = round(1/k, 6) on seeds else 0, dangling mass restarts

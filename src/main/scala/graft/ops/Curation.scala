@@ -902,6 +902,90 @@ object Curation {
       .orderBy(keyCols.map(F.col): _*)
   }
 
+  /** Canonical form of a URL column — the crawl-dedup normalizer: two
+    * raw URLs that differ only in scheme/host case, a `www.` prefix, a
+    * default port, tracking query parameters (`utm_*`, `gclid`,
+    * `fbclid`), a fragment, or trailing slashes are the SAME resource,
+    * and exact-hash dedup on the raw string misses all of them.
+    * Rules, applied in order:
+    *  1. scheme and host lowercase (path/query case is significant)
+    *  2. `www.` prefix and `:80`/`:443` default ports dropped
+    *  3. fragment (`#…`) dropped
+    *  4. tracking parameters dropped, other parameters kept in order;
+    *     a query left empty disappears entirely
+    *  5. trailing `/`s on the final path dropped
+    *
+    * Pure regexp_extract/replace chain (RE2-compatible — no
+    * lookaround, no backrefs), so it is a codegen'd projection here
+    * and replays verbatim in the oracle (DuckDB regexp_replace needs
+    * the explicit 'g' flag to match Spark's replace-all default).
+    * Non-URL strings (no `scheme://`) pass through unchanged. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = F.lower(F.regexp_extract(url,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = F.lower(F.regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = F.regexp_replace(
+      F.regexp_replace(hostport, "^www\\.", ""), ":(80|443)$", "")
+    val rest = F.regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val noFrag = F.regexp_replace(rest, "#.*$", "")
+    val noTrackMid = F.regexp_replace(noFrag,
+      "(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*&", "")
+    val noTrack = F.regexp_replace(noTrackMid,
+      "[?&](utm_[A-Za-z]+|gclid|fbclid)=[^&#]*$", "")
+    val noSlash = F.regexp_replace(noTrack, "/+$", "")
+    F.when(scheme === "", url)
+      .otherwise(F.concat(scheme, F.lit("://"), host, noSlash))
+  }
+
+  /** Dedup census over [[canonicalizeUrl]] — what a crawl frontier
+    * gains from canonicalization, in one row: raw-distinct vs
+    * canonical-distinct URL counts, how many raw URLs carried each
+    * normalizable artifact, and how many canonical groups collapse >1
+    * raw variant (the rows exact-hash dedup would have missed).
+    *
+    * Scale shape: one codegen'd projection + two distinct collapses
+    * and a group census — all key-partitioned, nothing driver-side.
+    *
+    * @return one row (n_urls, n_raw_distinct, n_canon_distinct,
+    *         n_tracking, n_www, n_upper_host, n_fragment,
+    *         multi_variant_groups, dup_urls)
+    */
+  def urlDedupCensus(df: DataFrame, urlCol: String): DataFrame = {
+    val u = F.col(urlCol)
+    val base = df.filter(u.isNotNull)
+      .select(u.as("__raw"), canonicalizeUrl(u).as("__canon"),
+        F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+          .as("__hostport"))
+      .withColumn("__tracking",
+        F.when(F.col("__raw").rlike("[?&](utm_[A-Za-z]+|gclid|fbclid)="),
+          1L).otherwise(0L))
+      .withColumn("__www",
+        F.when(F.lower(F.col("__hostport")).startsWith("www."), 1L)
+          .otherwise(0L))
+      .withColumn("__upper",
+        F.when(F.col("__hostport") =!= F.lower(F.col("__hostport")), 1L)
+          .otherwise(0L))
+      .withColumn("__frag",
+        F.when(F.col("__raw").contains("#"), 1L).otherwise(0L))
+    val flat = base.agg(
+      F.count(F.lit(1)).as("n_urls"),
+      F.countDistinct("__raw").as("n_raw_distinct"),
+      F.countDistinct("__canon").as("n_canon_distinct"),
+      F.sum("__tracking").as("n_tracking"),
+      F.sum("__www").as("n_www"),
+      F.sum("__upper").as("n_upper_host"),
+      F.sum("__frag").as("n_fragment"))
+    val groups = base.select("__raw", "__canon").distinct()
+      .groupBy("__canon").agg(F.count(F.lit(1)).as("__variants"))
+      .filter(F.col("__variants") > 1L)
+      .agg(F.count(F.lit(1)).as("multi_variant_groups"),
+        F.coalesce(F.sum(F.col("__variants") - 1L), F.lit(0L))
+          .as("dup_urls"))
+    flat.crossJoin(F.broadcast(groups))
+  }
+
   /** k-ary randomized response (Warner 1965; generalized RR) — the
     * LOCAL-DP sibling of [[dpNoisyCounts]]: instead of noising the
     * aggregate, each ROW's category is perturbed before collection

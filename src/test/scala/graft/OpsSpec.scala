@@ -3029,6 +3029,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalizeUrl: every rule on hand variants; census counts the " +
+      "collapses exact-hash dedup would miss") {
+    import graft.ops.Curation
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/a/",          // case+www+port+slash
+      "https://example.com/a",                    // canonical twin of ^
+      "http://example.com:80/a?utm_source=x&b=2#frag", // port+utm+frag
+      "http://example.com/a?b=2",                 // canonical twin of ^
+      "https://example.com/p?a=1&utm_x=2&b=3",    // mid utm, order kept
+      "https://example.com/p?utm_campaign=only",  // query disappears
+      "not a url")                                // passthrough
+    val df = urls.toDF("url")
+    val canon = df.select(Curation.canonicalizeUrl(F.col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(canon == Seq(
+      "https://example.com/a", "https://example.com/a",
+      "http://example.com/a?b=2", "http://example.com/a?b=2",
+      "https://example.com/p?a=1&b=3", "https://example.com/p",
+      "not a url"), canon)
+    val census = Curation.urlDedupCensus(df, "url")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    // 7 urls, 7 raw distinct, 5 canonical; 1 tracking-mid + 1 tracking-q
+    // + 1 tracking-only = 3; 1 www; 1 upper host; 1 fragment; 2 groups
+    // collapse one extra variant each
+    assert(census == ((7L, 7L, 5L, 3L, 1L, 1L, 1L, 2L, 2L)), census)
+  }
+
   test("personalizedPageRank: hand-replayed 3 rounds on a path with an " +
       "unreachable component; dangling mass restarts at the seeds") {
     import graft.ops.Graph
