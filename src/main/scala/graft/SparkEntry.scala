@@ -3623,6 +3623,16 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         "source", "doc_id", p = 0.75)),
 
+    // Markov removal-effect attribution over user journeys: credit each
+    // channel by how much conversion probability disappears when its
+    // inbound transitions redirect to DROP -- the data-driven companion
+    // to x157's positional rules and x183's U-shape
+    "x454_markov_attr" -> ((s, dir) =>
+      graft.ops.EventOps.markovAttribution(
+        s.read.parquet(s"$dir/events.parquet"),
+        Seq("click", "error", "signup", "view"), "purchase",
+        rounds = 8)),
+
     // URL canonicalization dedup census over planted crawl URLs
     // (scheme/host case, www, :443, utm params, fragments, trailing
     // slash routed by doc_id residues): what canonicalization collapses
@@ -12369,6 +12379,107 @@ object SparkEntry {
         |FROM cats LEFT JOIN tru USING (rn)
         |LEFT JOIN obs ON obs.rrn = cats.rn, kt, nt
         |ORDER BY category""".stripMargin,
+
+    // same journey windows and transition census; the 8-round chain
+    // recurrence replays as generated single-row CTEs whose term order
+    // matches the driver-side fold EXPRESSION-FOR-EXPRESSION (pinned
+    // state order, left-associated sums, 9-dp rounds)
+    "x454_markov_attr" -> {
+      val chans = Seq("click", "error", "signup", "view")
+      val srcs = "start" +: chans
+      val tgts = chans ++ Seq("conv", "drop")
+      // q-matrix pivot: one row, one column per (src, tgt)
+      val qCols = (for (s <- srcs; t <- tgts) yield {
+        val fLit = if (s == "start") "'__start'" else s"'$s'"
+        val oLit = t match {
+          case "conv" => "'__conv'"; case "drop" => "'__drop'"
+          case x => s"'$x'"
+        }
+        s"""coalesce(max(CASE WHEN f = $fLit AND o = $oLit
+           |      THEN round(c::DOUBLE / tot::DOUBLE, 9) END), 0.0)
+           |      AS q_${s}_$t""".stripMargin
+      }).mkString(",\n    ")
+      // one chain run: CTE prefix `pr` (e.g. pf, pwclick), with channel
+      // `removed` ("" = full chain) redirected to drop
+      def runCtes(pr: String, removed: String): String = {
+        def qTerm(s: String, t: String): String =
+          if (removed.nonEmpty && t == removed) "0.0"
+          else if (removed.nonEmpty && t == "drop")
+            s"(q.q_${s}_drop + q.q_${s}_$removed)"
+          else s"q.q_${s}_$t"
+        val p0 = s"""${pr}0 AS MATERIALIZED (SELECT 1.0::DOUBLE AS p_start,
+          |  ${chans.map(c => s"0.0::DOUBLE AS p_$c").mkString(", ")},
+          |  0.0::DOUBLE AS p_conv, 0.0::DOUBLE AS p_drop)""".stripMargin
+        val steps = (1 to 8).map { r =>
+          val prev = s"$pr${r - 1}"
+          val cols = tgts.map { t =>
+            val sum = srcs.map(s => s"$prev.p_$s * ${qTerm(s, t)}")
+              .mkString(" + ")
+            if (t == "conv" || t == "drop")
+              s"round($prev.p_$t + ($sum), 9) AS p_$t"
+            else if (removed.nonEmpty && t == removed) s"0.0 AS p_$t"
+            else s"round($sum, 9) AS p_$t"
+          }.mkString(",\n    ")
+          s"""$pr$r AS MATERIALIZED (SELECT 0.0::DOUBLE AS p_start,
+             |    $cols
+             |  FROM $prev, q)""".stripMargin
+        }
+        (p0 +: steps).mkString(",\n")
+      }
+      val runs = (runCtes("pf", "") +: chans.map(c => runCtes(s"pw$c", c)))
+        .mkString(",\n")
+      val denom = chans.map(c => s"(1.0 - pw${c}8.p_conv / pf8.p_conv)")
+        .mkString(" + ")
+      val rows = chans.map { c =>
+        s"""SELECT '$c' AS channel,
+           |  round(pf8.p_conv, 6) AS conv_full,
+           |  round(pw${c}8.p_conv, 6) AS conv_without,
+           |  round(CASE WHEN pf8.p_conv = 0.0 THEN NULL
+           |    ELSE 1.0 - pw${c}8.p_conv / pf8.p_conv END, 6)
+           |    AS removal_effect,
+           |  round(CASE WHEN pf8.p_conv = 0.0 OR ($denom) = 0.0 THEN NULL
+           |    ELSE (1.0 - pw${c}8.p_conv / pf8.p_conv) / ($denom) END, 6)
+           |    AS attribution_share
+           |FROM pf8, ${chans.map(x => s"pw${x}8").mkString(", ")}"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id, event_type AS t FROM events
+         |  WHERE event_type IN
+         |    ('click', 'error', 'purchase', 'signup', 'view')
+         |), rk AS (
+         |  SELECT user_id, t, row_number() OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM ev
+         |), fc AS (
+         |  SELECT user_id, min(rn) AS crn FROM rk WHERE t = 'purchase'
+         |  GROUP BY user_id
+         |), j AS (
+         |  SELECT rk.user_id, rk.t, rk.rn
+         |  FROM rk LEFT JOIN fc USING (user_id)
+         |  WHERE fc.crn IS NULL OR rk.rn <= fc.crn
+         |), edges AS (
+         |  SELECT f, o FROM (
+         |    SELECT t AS f, coalesce(lead(t) OVER
+         |      (PARTITION BY user_id ORDER BY rn), '__drop') AS o
+         |    FROM j)
+         |  WHERE f <> 'purchase'
+         |  UNION ALL
+         |  SELECT '__start' AS f, t AS o FROM j WHERE rn = 1
+         |), cnts AS (
+         |  SELECT f, CASE WHEN o = 'purchase' THEN '__conv' ELSE o END
+         |    AS o, count(*)::BIGINT AS c
+         |  FROM edges GROUP BY 1, 2
+         |), tt AS (SELECT f, sum(c)::BIGINT AS tot FROM cnts GROUP BY f),
+         |q AS MATERIALIZED (
+         |  SELECT
+         |    $qCols
+         |  FROM cnts JOIN tt USING (f)
+         |),
+         |$runs
+         |SELECT * FROM (
+         |$rows
+         |) ORDER BY channel""".stripMargin
+    },
 
     // same planted construction, same regexp chain (DuckDB needs the
     // explicit 'g' flag to match Spark's replace-all default), same

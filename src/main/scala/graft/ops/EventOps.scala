@@ -798,6 +798,125 @@ object EventOps {
           .as("remainder")): _*)
   }
 
+  /** Markov-chain removal-effect attribution (Anderl et al. 2014) —
+    * the data-driven alternative to positional rules ([[attribution]]'s
+    * first/last/linear, [[uShapeAttribution]]): model user journeys as
+    * a first-order Markov chain over channel states with absorbing
+    * CONVERSION and DROP states, then credit each channel by its
+    * REMOVAL EFFECT — how much conversion probability disappears when
+    * every transition into that channel is redirected to DROP:
+    * {{{
+    *   removal(c) = 1 − P_conv(chain without c) / P_conv(full chain)
+    *   share(c)   = removal(c) / Σ removals
+    * }}}
+    * Journeys truncate at the FIRST conversion; a journey that never
+    * converts ends in DROP. `P_conv` is evaluated by `rounds` steps of
+    * the chain from START (fixed-iteration, the pageRank convention —
+    * mass not yet absorbed after `rounds` steps counts as neither).
+    *
+    * Channels are a PINNED literal list (the x108 explicit-value-list
+    * convention): event types outside `channels`/`convType` are
+    * ignored, which also bounds every table by construction. The
+    * corpus work — journey windows and the (from, to) transition
+    * census — is fully distributed; only the ≤(k+1)×(k+2) count matrix
+    * reaches the driver (the bradleyTerry bounded-solve convention),
+    * where the k²-state recurrence folds in PINNED state order with
+    * 9-dp rounds so the oracle replays it expression-for-expression.
+    *
+    * @return one row per channel (channel, conv_full, conv_without,
+    *         removal_effect, attribution_share) — 6-dp, ordered by
+    *         channel; effects NULL when the full chain never converts
+    */
+  def markovAttribution(events: DataFrame, channels: Seq[String],
+                        convType: String, rounds: Int = 8): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 12,
+      s"channels must be 1..12 pinned states, got ${channels.size}")
+    require(channels.distinct.size == channels.size &&
+      !channels.contains(convType),
+      "channels must be distinct and must not contain convType")
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16], got $rounds")
+    val chans = channels.sorted
+    val ev = events
+      .filter(F.col("event_type").isin((chans :+ convType).map(x => x: Any): _*))
+      .select(F.col("user_id"), tsStamp(events).as("__ts"),
+        F.col("event_id"), F.col("event_type").as("__t"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(F.col("__ts"), F.col("event_id"))
+    val ranked = ev.withColumn("__rn", F.row_number().over(w))
+    val firstConv = ranked.filter(F.col("__t") === convType)
+      .groupBy("user_id").agg(F.min("__rn").as("__crn"))
+    val journey = ranked.join(firstConv, Seq("user_id"), "left")
+      .filter(F.col("__crn").isNull || F.col("__rn") <= F.col("__crn"))
+    val wj = Window.partitionBy("user_id").orderBy(F.col("__rn"))
+    val stepEdges = journey
+      .withColumn("__next", F.lead("__t", 1).over(wj))
+      .filter(F.col("__t") =!= convType)
+      .select(F.col("__t").as("__from"),
+        F.coalesce(F.col("__next"), F.lit("__drop")).as("__to"))
+    val startEdges = journey.filter(F.col("__rn") === 1)
+      .select(F.lit("__start").as("__from"), F.col("__t").as("__to"))
+    val counts = startEdges.unionByName(stepEdges)
+      .groupBy("__from", "__to").agg(F.count(F.lit(1)).as("__c"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.getString(1) == convType) "__conv" else r.getString(1)) ->
+        r.getLong(2)).toMap
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val srcs = "__start" +: chans
+    val tgts = chans ++ Seq("__conv", "__drop")
+    val tot: Map[String, Long] = srcs.map(s =>
+      s -> tgts.map(t => counts.getOrElse((s, t), 0L)).sum).toMap
+    val q: Map[(String, String), Double] = (for {
+      s <- srcs; t <- tgts
+    } yield (s, t) -> (if (tot(s) == 0L) 0.0
+      else r9(counts.getOrElse((s, t), 0L).toDouble / tot(s).toDouble)))
+      .toMap
+    def run(removed: Option[String]): Double = {
+      def qq(s: String, t: String): Double = removed match {
+        case Some(c) if t == c => 0.0
+        case Some(c) if t == "__drop" => q((s, "__drop")) + q((s, c))
+        case _ => q((s, t))
+      }
+      var p: Map[String, Double] =
+        (srcs ++ Seq("__conv", "__drop")).map(_ -> 0.0).toMap +
+          ("__start" -> 1.0)
+      (1 to rounds).foreach { _ =>
+        // PINNED source order, left-associated sum — the oracle writes
+        // the same term sequence, so the IEEE op order is identical
+        val next = tgts.map { t =>
+          var acc = 0.0
+          srcs.foreach(s => acc = acc + p(s) * qq(s, t))
+          t -> (if (t == "__conv" || t == "__drop") r9(p(t) + acc)
+                else r9(acc))
+        }.toMap
+        p = next + ("__start" -> 0.0)
+      }
+      p("__conv")
+    }
+    val convFull = run(None)
+    val convWo = chans.map(c => c -> run(Some(c))).toMap
+    val remRaw = chans.map(c =>
+      c -> (if (convFull == 0.0) Double.NaN
+            else 1.0 - convWo(c) / convFull)).toMap
+    var denom = 0.0
+    chans.foreach(c => denom = denom + remRaw(c))
+    val spark = events.sparkSession
+    import spark.implicits._
+    chans.map { c =>
+      (c, r6(convFull),
+        r6(convWo(c)),
+        if (convFull == 0.0) None else Some(r6(remRaw(c))),
+        if (convFull == 0.0 || denom == 0.0) None
+        else Some(r6(remRaw(c) / denom)))
+    }.toDF("channel", "conv_full", "conv_without", "removal_effect",
+      "attribution_share")
+      .orderBy("channel")
+  }
+
   /** One-sided CUSUM drift statistic per key over an ordered series —
     * the change-point alarm (Page 1954): s_t = max(0, s_{t−1} + x_t − K)
     * fires when a metric runs persistently above its target K =

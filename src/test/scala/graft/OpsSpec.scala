@@ -3029,6 +3029,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("markovAttribution: hand chain — on-path channels carry the " +
+      "removal mass, off-path channels read exactly zero") {
+    import graft.ops.EventOps
+    // u1: view -> click -> purchase; u2: view -> error (drops);
+    // u3: click -> purchase. Conversion flows ONLY through click.
+    val rows = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "click"), ("u1", 3L, "purchase"),
+      ("u2", 1L, "view"), ("u2", 2L, "error"),
+      ("u3", 1L, "click"), ("u3", 2L, "purchase"))
+    val ev = rows.zipWithIndex.map { case ((u, t, ty), i) =>
+      (u, java.sql.Timestamp.valueOf(s"2026-01-01 00:0$t:00"), i.toLong, ty)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.markovAttribution(ev,
+      Seq("click", "error", "signup", "view"), "purchase", rounds = 8)
+      .as[(String, Double, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    // q(start,view)=2/3, q(start,click)=1/3, q(view,click)=q(view,error)
+    // =1/2, q(click,conv)=1, q(error,drop)=1 ->
+    // conv_full = 1/3 + 2/3*1/2 = 2/3; removing click kills ALL
+    // conversion (removal 1), removing view leaves 1/3 (removal 1/2),
+    // error/signup are off the conversion path (removal exactly 0)
+    assert(got.map(_._1) == Seq("click", "error", "signup", "view"))
+    val by = got.map(r => r._1 -> r).toMap
+    assert(by("click")._2 == 0.666667 && by("click")._3 == 0.0 &&
+      by("click")._4.contains(1.0) && by("click")._5.contains(0.666667),
+      by("click"))
+    assert(by("view")._3 == 0.333333 && by("view")._4.contains(0.5) &&
+      by("view")._5.contains(0.333333), by("view"))
+    assert(by("error")._4.contains(0.0) && by("error")._5.contains(0.0))
+    assert(by("signup")._4.contains(0.0) && by("signup")._5.contains(0.0))
+  }
+
   test("canonicalizeUrl: every rule on hand variants; census counts the " +
       "collapses exact-hash dedup would miss") {
     import graft.ops.Curation
