@@ -8,6 +8,7 @@ matching oracle SQL in DuckDB over the sf parquet tables, sort columns by
 name, compare row-by-row (floats to 1e-9 rel tolerance, rows compared as
 sorted multisets to stay order-insensitive where ORDER BY ties are possible).
 """
+import decimal
 import json
 import math
 import sys
@@ -22,10 +23,22 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm(v):
     if v is None:
         return None
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        # Driver semantics (adjudicated r16→r17): the driver tolerates
+        # sub-6dp double noise (q09/q23/x20 carry 1-ulp aggregation
+        # drift and stay green) but DISTINGUISHES the sign of zero
+        # (x222 stayed red on +0.0 vs -0.0 for two rounds) — i.e. it
+        # rounds to 6 dp and then hashes the rounded VALUE, whose float
+        # bits keep the zero sign. Python round(-1e-9, 6) == -0.0, and
+        # 0.0 == -0.0 here, so the sign must be made explicit.
+        r = round(v, 6)
+        if r == 0.0:
+            return "-0.0" if math.copysign(1.0, r) < 0 else "0.0"
+        return r
     if hasattr(v, "isoformat"):
         return v.isoformat()[:26]
     if isinstance(v, (list, tuple)):

@@ -304,14 +304,30 @@ object Bench {
     if (rerunCandidates.size > toRerun.size)
       System.err.println(s"[bench] rerun capped at $rerunCap of " +
         s"${rerunCandidates.size} steal-hit queries (slowest first)")
-    val rerunSecs: Map[String, Double] = toRerun.map { case (name, _) =>
+    // A failed rerun must NOT contribute its (near-zero, fail-fast)
+    // elapsed time: min(first, broken-rerun) would deflate the headline
+    // and make a genuinely slow-or-broken query look clean. Only
+    // reruns that COMPLETED enter the map; failures log and fall back
+    // to the first-run timing.
+    val rerunSecs: Map[String, Double] = toRerun.flatMap { case (name, _) =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] rerun $name FAILED " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+              "keeping first-run timing")
+            false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] rerun $name: $sec%.3f s")
-      name -> sec
+      if (ok) {
+        System.err.println(f"[bench] rerun $name: $sec%.3f s")
+        Some(name -> sec)
+      } else None
     }.toMap
     def minSec(k: String, v: QStat): Double =
       math.min(v.sec, rerunSecs.getOrElse(k, v.sec))

@@ -9625,11 +9625,12 @@ object SparkEntry {
         |  FROM p2)
         |SELECT n::BIGINT AS n,
         |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
-        |    AS slope,
+        |    + 0.0 AS slope,
         |  round((sy * sxx - sx * sxy) / nullif(n * sxx - sx * sx, 0), 6)
-        |    AS intercept,
+        |    + 0.0 AS intercept,
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
-        |    nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
+        |    nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) + 0.0
+        |    AS r2
         |FROM a""".stripMargin,
 
     // distinct-value ladder, ceil item thresholds, ties stay together
@@ -12499,32 +12500,43 @@ object SparkEntry {
         |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END)
         |    AS url
         |  FROM documents
-        |), c AS (
+        |), pre AS (
         |  SELECT url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |    regexp_extract(url,
         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
-        |    CASE WHEN lower(regexp_extract(url,
-        |        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = '' THEN url
-        |    ELSE lower(regexp_extract(url,
-        |        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
-        |      || regexp_replace(regexp_replace(lower(regexp_extract(url,
-        |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-        |           '^www\.', ''), ':(80|443)$', '')
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |      '^www\.', '') AS wwwless,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+        |  FROM u
+        |), c AS (
+        |  SELECT url, hostport,
+        |    CASE WHEN scheme = '' THEN url
+        |    ELSE scheme || '://'
+        |      || (CASE WHEN scheme = 'http'
+        |            THEN regexp_replace(wwwless, ':80$', '')
+        |          WHEN scheme = 'https'
+        |            THEN regexp_replace(wwwless, ':443$', '')
+        |          ELSE wwwless END)
         |      || regexp_replace(regexp_replace(regexp_replace(
-        |           regexp_replace(regexp_extract(url,
-        |             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+        |           regexp_replace(rest,
         |             '#.*$', '', 'g'),
-        |           '(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*&', '', 'g'),
-        |           '[?&](utm_[A-Za-z]+|gclid|fbclid)=[^&#]*$', '', 'g'),
+        |           '([?&])((utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&#]*&)+',
+        |             '\1', 'g'),
+        |           '[?&](utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&#]*$',
+        |             '', 'g'),
         |           '/+$', '', 'g')
         |    END AS canon
-        |  FROM u
+        |  FROM pre
         |), flat AS (
         |  SELECT count(*)::BIGINT AS n_urls,
         |    count(DISTINCT url)::BIGINT AS n_raw_distinct,
         |    count(DISTINCT canon)::BIGINT AS n_canon_distinct,
         |    sum(CASE WHEN regexp_matches(url,
-        |      '[?&](utm_[A-Za-z]+|gclid|fbclid)=') THEN 1 ELSE 0 END)
+        |      '[?&](utm_[A-Za-z0-9_]+|gclid|fbclid)=') THEN 1 ELSE 0 END)
         |      ::BIGINT AS n_tracking,
         |    sum(CASE WHEN lower(hostport) LIKE 'www.%' THEN 1 ELSE 0 END)
         |      ::BIGINT AS n_www,

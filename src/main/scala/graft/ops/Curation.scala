@@ -925,15 +925,25 @@ object Curation {
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = F.lower(F.regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val host = F.regexp_replace(
-      F.regexp_replace(hostport, "^www\\.", ""), ":(80|443)$", "")
+    // default-port strip is scheme-aware: ':80' is only redundant under
+    // http and ':443' under https — 'http://host:443/x' is a DIFFERENT
+    // resource than 'http://host/x' and must not collapse with it
+    val wwwless = F.regexp_replace(hostport, "^www\\.", "")
+    val host = F.when(scheme === "http",
+        F.regexp_replace(wwwless, ":80$", ""))
+      .when(scheme === "https", F.regexp_replace(wwwless, ":443$", ""))
+      .otherwise(wwwless)
     val rest = F.regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     val noFrag = F.regexp_replace(rest, "#.*$", "")
+    // mid-query tracking params: anchored to a [?&] delimiter (kept via
+    // $1) so a param whose NAME merely ends in a tracking name
+    // ('?xgclid=5&id=2') is never corrupted; the ()+ run consumes
+    // consecutive tracking params in one match
     val noTrackMid = F.regexp_replace(noFrag,
-      "(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*&", "")
+      "([?&])((utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&#]*&)+", "$1")
     val noTrack = F.regexp_replace(noTrackMid,
-      "[?&](utm_[A-Za-z]+|gclid|fbclid)=[^&#]*$", "")
+      "[?&](utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&#]*$", "")
     val noSlash = F.regexp_replace(noTrack, "/+$", "")
     F.when(scheme === "", url)
       .otherwise(F.concat(scheme, F.lit("://"), host, noSlash))
@@ -959,7 +969,8 @@ object Curation {
         F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
           .as("__hostport"))
       .withColumn("__tracking",
-        F.when(F.col("__raw").rlike("[?&](utm_[A-Za-z]+|gclid|fbclid)="),
+        F.when(
+          F.col("__raw").rlike("[?&](utm_[A-Za-z0-9_]+|gclid|fbclid)="),
           1L).otherwise(0L))
       .withColumn("__www",
         F.when(F.lower(F.col("__hostport")).startsWith("www."), 1L)
@@ -1024,6 +1035,17 @@ object Curation {
     val cats = rows.select("__cat").distinct()
       .withColumn("__rn", F.row_number().over(
         Window.orderBy(F.col("__cat"))))
+    // the domain is bounded by contract (it is broadcast), so an eager
+    // driver-side count is in-budget — and it lets us fail FAST on the
+    // two degenerate regimes instead of at runtime: k = 1 makes the
+    // flip draw `% (k-1)` a division by zero (ANSI throws mid-job),
+    // and p <= 1/k makes the de-bias denominator p - q non-positive
+    // (q = (1-p)/(k-1) >= p), so n_est would be garbage or undefined
+    val k = cats.count()
+    require(k >= 2, s"randomizedResponse needs >= 2 categories, got $k")
+    require(p > 1.0 / k,
+      s"p must exceed 1/k = ${1.0 / k} (k = $k) or the de-bias " +
+        s"denominator p - (1-p)/(k-1) is non-positive; got p = $p")
     val kTab = cats.agg(F.count(F.lit(1)).as("__k"))
     val nTab = rows.agg(F.count(F.lit(1)).as("__n"))
     def h24(tag: String) = F.conv(F.substring(

@@ -29,4 +29,19 @@ object Quant {
     F.when(c >= 0, F.floor(t + F.lit(0.5)))
       .otherwise(-F.floor(-t + F.lit(0.5))).cast("double") / F.lit(p)
   }
+
+  /** Sign-of-zero canonicalization: `-0.0 + 0.0 = +0.0` (IEEE), every
+    * other value (incl. NULL) passes through unchanged.
+    *
+    * The ENTRY-AUTHORING CONTRACT (SURVEY §8): any rounded output that
+    * can be a near-zero ratio/difference (r², correlations,
+    * divergences, slopes) must apply this on BOTH engines — Spark side
+    * via this helper, oracle side as a trailing `+ 0.0` after the
+    * `round(...)`. The driver's hash distinguishes `+0.0` from `-0.0`
+    * (adjudicated on x222, r16): DuckDB's float-path `round` of a tiny
+    * negative yields `-0.0`, while Spark's `Round` routes through
+    * BigDecimal and normalizes to `+0.0` — identical values, different
+    * hash, red row. Canonicalizing on both sides closes the class.
+    */
+  def noNegZero(c: Column): Column = c + F.lit(0.0)
 }

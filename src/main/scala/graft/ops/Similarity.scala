@@ -2528,13 +2528,18 @@ object Similarity {
                       cA: String, cB: String): DataFrame = {
     // The O(n·d²) sums accumulate as SCALED LONGS (term·10⁹ — exact on
     // the 9-dp grid, codegen'd long adds) instead of DECIMAL(38,9):
-    // same grid values, ~10× cheaper in the hot aggregation. The long
-    // sum stays < 2⁵³ for normalized embeddings (|x| ≲ 3, corpus ≲ 10⁸
-    // rows), so long→double then the single ÷10⁹ IEEE division is the
-    // correctly-rounded value of the exact rational — bit-identical to
-    // the oracle's DECIMAL sum cast to DOUBLE. ANSI overflow throws
-    // LOUDLY if the contract is violated, never a silent wrap. The
-    // d²-row tail sum keeps DECIMAL (4096 rows — cost is nothing).
+    // same grid values, ~10× cheaper in the hot aggregation. Long adds
+    // are EXACT integers; the precision cliff is the final long→double
+    // cast, which rounds silently once |Σ| ≥ 2⁵³ — with |x| ≲ 3 a
+    // scaled product term is up to 9·10⁹, so that happens after
+    // ~10⁶ rows, NOT 10⁸ (ANSI only throws at the much-later 2⁶³
+    // wrap). So every summed long passes through [[exact53]] before
+    // the cast: |Σ| < 2⁵³ → the ÷10⁹ IEEE division is the correctly-
+    // rounded value of the exact rational, bit-identical to the
+    // oracle's DECIMAL sum cast to DOUBLE; |Σ| ≥ 2⁵³ → raise_error at
+    // action time (fall back to the DECIMAL accumulation of
+    // [[olsFitQuantized]]'s style for such corpora). The d²-row tail
+    // sum keeps DECIMAL (4096 rows — cost is nothing).
     // HALF-UP scale-to-long via floor, NOT F.round: Spark's Round on
     // doubles routes every value through BigDecimal (it dominated this
     // op's profile); floor(t·10⁹ + ½) is pure FP codegen and lands on
@@ -2547,10 +2552,24 @@ object Similarity {
       F.when(c >= 0, F.floor(t + F.lit(0.5)))
         .otherwise(-F.floor(-t + F.lit(0.5)))
     }
+    // post-agg exactness gate: the long→double cast is only lossless
+    // below 2⁵³ — beyond it the cast rounds SILENTLY (ANSI throws only
+    // at 2⁶³), which would break the bit-identical oracle contract
+    // with no loud failure. d² + 2d guarded rows, cost is nothing.
+    def exact53(c: Column, what: String): Column =
+      F.when(F.abs(c) < F.lit(9007199254740992L), c)
+        .otherwise(F.raise_error(F.concat(
+          F.lit(s"ckaFrob: scaled-long sum $what = "), c.cast("string"),
+          F.lit(" exceeds 2^53 — the long->double cast would round " +
+            "silently and the statistic would no longer replay " +
+            "bit-identically. Corpus too large/hot for the scaled-long " +
+            "fast path; use a DECIMAL(38,9) accumulation instead."))))
     val sA = base.select(F.posexplode(F.col(cA)).as(Seq("__i", "__x")))
-      .groupBy("__i").agg(F.sum(scaled(F.col("__x"))).as("__si"))
+      .groupBy("__i").agg(exact53(F.sum(scaled(F.col("__x"))), "sum_a")
+        .as("__si"))
     val sB = base.select(F.posexplode(F.col(cB)).as(Seq("__j", "__x")))
-      .groupBy("__j").agg(F.sum(scaled(F.col("__x"))).as("__sj"))
+      .groupBy("__j").agg(exact53(F.sum(scaled(F.col("__x"))), "sum_b")
+        .as("__sj"))
     // chained posexplodes beat a flattened nested-transform here
     // (measured: one 4096-long array allocation per row costs more than
     // the second Generate) — terms stream through codegen row-at-a-time
@@ -2560,7 +2579,8 @@ object Similarity {
       .select(F.col("__i"), F.col("__xa"),
         F.posexplode(F.col("__bv")).as(Seq("__j", "__xb")))
       .groupBy("__i", "__j")
-      .agg(F.sum(scaled(F.col("__xa") * F.col("__xb"))).as("__sab"))
+      .agg(exact53(F.sum(scaled(F.col("__xa") * F.col("__xb"))),
+        "sum_ab").as("__sab"))
     def unscale(c: Column): Column = c.cast("double") / F.lit(1e9)
     cross.join(F.broadcast(sA), "__i").join(F.broadcast(sB), "__j")
       .crossJoin(F.broadcast(nTab))
@@ -2588,8 +2608,9 @@ object Similarity {
     *
     * Inputs are 9-dp quantized on entry; every unordered sum in the
     * pipeline is exact on the 9-dp grid (the x222 rule): the hot
-    * O(n·d²) sums as scaled longs (codegen'd, ANSI-loud on overflow —
-    * see [[ckaFrob]]), the d²-row tail as DECIMAL. Degenerate spaces
+    * O(n·d²) sums as scaled longs (codegen'd, raise_error-guarded at
+    * the 2⁵³ exactness cliff — see [[ckaFrob]]), the d²-row tail as
+    * DECIMAL. Degenerate spaces
     * (zero centered norm — constant features) yield NULL, not NaN.
     *
     * Scale shape: three O(n·d²) codegen explode-rollups (no joins on

@@ -56,10 +56,10 @@ object Stats {
     val cov = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
     agg.select(groupCols.map(F.col) :+
       F.col("__n").cast("long").as("n") :+
-      F.round(cov / F.nullif(dx, F.lit(0.0)), 6).as("slope") :+
-      F.round((F.col("__sy") * F.col("__sxx") - F.col("__sx") * F.col("__sxy")) /
-        F.nullif(dx, F.lit(0.0)), 6).as("intercept") :+
-      F.round(cov * cov / F.nullif(dx * dy, F.lit(0.0)), 6).as("r2"): _*)
+      Quant.noNegZero(F.round(cov / F.nullif(dx, F.lit(0.0)), 6)).as("slope") :+
+      Quant.noNegZero(F.round((F.col("__sy") * F.col("__sxx") - F.col("__sx") * F.col("__sxy")) /
+        F.nullif(dx, F.lit(0.0)), 6)).as("intercept") :+
+      Quant.noNegZero(F.round(cov * cov / F.nullif(dx * dy, F.lit(0.0)), 6)).as("r2"): _*)
   }
 
   /** [[olsFit]] with the quantize-before-sum discipline (the
@@ -109,10 +109,10 @@ object Stats {
     val cov = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
     agg.select(groupCols.map(F.col) :+
       F.col("__n").cast("long").as("n") :+
-      F.round(cov / F.nullif(dx, F.lit(0.0)), 6).as("slope") :+
-      F.round((F.col("__sy") * F.col("__sxx") - F.col("__sx") * F.col("__sxy")) /
-        F.nullif(dx, F.lit(0.0)), 6).as("intercept") :+
-      F.round(cov * cov / F.nullif(dx * dy, F.lit(0.0)), 6).as("r2"): _*)
+      Quant.noNegZero(F.round(cov / F.nullif(dx, F.lit(0.0)), 6)).as("slope") :+
+      Quant.noNegZero(F.round((F.col("__sy") * F.col("__sxx") - F.col("__sx") * F.col("__sxy")) /
+        F.nullif(dx, F.lit(0.0)), 6)).as("intercept") :+
+      Quant.noNegZero(F.round(cov * cov / F.nullif(dx * dy, F.lit(0.0)), 6)).as("r2"): _*)
   }
 
   /** Per-group Pearson correlation for every unordered pair of `cols`,

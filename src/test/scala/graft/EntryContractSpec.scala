@@ -15,6 +15,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * only runs analysis; the handful of fit-path entries (PQ/OPQ/k-means)
   * run their bounded driver-side collects, which at sf0.001 is sub-second
   * each.
+  *
+  * SIGN-OF-ZERO authoring contract (r17, SURVEY §8): any entry whose
+  * rounded output can be a near-zero ratio/difference (r², correlation,
+  * slope, divergence, signed delta) must canonicalize `-0.0` on BOTH
+  * sides — Spark via `Quant.noNegZero`, oracle via a trailing `+ 0.0`
+  * after the `round(...)`. The driver's hash distinguishes the sign of
+  * zero (x222 was red for two rounds on exactly this); the local gate
+  * (`scripts/oracle_check.py`) is sign-aware since r17, so a violation
+  * surfaces in the verify run rather than at the driver.
   */
 class EntryContractSpec extends AnyFunSuite {
   private val spark = SparkTest.session

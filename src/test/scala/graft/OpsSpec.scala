@@ -3071,7 +3071,12 @@ class OpsSpec extends AnyFunSuite {
       "http://example.com/a?b=2",                 // canonical twin of ^
       "https://example.com/p?a=1&utm_x=2&b=3",    // mid utm, order kept
       "https://example.com/p?utm_campaign=only",  // query disappears
-      "not a url")                                // passthrough
+      "not a url",                                // passthrough
+      "https://example.com/q?xgclid=5&id=2",      // NOT tracking: name
+                                                  // merely ENDS in gclid
+      "http://example.com:443/h",                 // :443 under http is a
+                                                  // real port — kept
+      "https://example.com/r?utm_a=1&utm_b=2&id=3") // consecutive run
     val df = urls.toDF("url")
     val canon = df.select(Curation.canonicalizeUrl(F.col("url")).as("c"))
       .as[String].collect().toSeq
@@ -3079,13 +3084,17 @@ class OpsSpec extends AnyFunSuite {
       "https://example.com/a", "https://example.com/a",
       "http://example.com/a?b=2", "http://example.com/a?b=2",
       "https://example.com/p?a=1&b=3", "https://example.com/p",
-      "not a url"), canon)
+      "not a url",
+      "https://example.com/q?xgclid=5&id=2",
+      "http://example.com:443/h",
+      "https://example.com/r?id=3"), canon)
     val census = Curation.urlDedupCensus(df, "url")
       .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
-    // 7 urls, 7 raw distinct, 5 canonical; 1 tracking-mid + 1 tracking-q
-    // + 1 tracking-only = 3; 1 www; 1 upper host; 1 fragment; 2 groups
-    // collapse one extra variant each
-    assert(census == ((7L, 7L, 5L, 3L, 1L, 1L, 1L, 2L, 2L)), census)
+    // 10 urls, 10 raw distinct, 8 canonical; 1 tracking-mid +
+    // 1 tracking-q + 1 tracking-only + 1 run = 4 (the ?xgclid decoy is
+    // NOT counted); 1 www; 1 upper host; 1 fragment; 2 groups collapse
+    // one extra variant each
+    assert(census == ((10L, 10L, 8L, 4L, 1L, 1L, 1L, 2L, 2L)), census)
   }
 
   test("personalizedPageRank: hand-replayed 3 rounds on a path with an " +
@@ -3241,6 +3250,16 @@ class OpsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Curation.randomizedResponse(df, "cat", "id", p = 1.0))
     assert(e.getMessage.contains("p must be"))
+    // degenerate regimes fail FAST at construction, not mid-job:
+    // k = 1 would make the flip draw % 0 (ANSI throw at runtime),
+    // p <= 1/k a non-positive de-bias denominator
+    val one = Seq((1L, "a"), (2L, "a")).toDF("id", "cat")
+    val e1 = intercept[IllegalArgumentException](
+      Curation.randomizedResponse(one, "cat", "id", p = 0.75))
+    assert(e1.getMessage.contains(">= 2 categories"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Curation.randomizedResponse(df, "cat", "id", p = 0.25))
+    assert(e2.getMessage.contains("must exceed 1/k"), e2.getMessage)
   }
 
   test("retentionCohorts: first-day cohorts, offsets, day-0 rates") {
