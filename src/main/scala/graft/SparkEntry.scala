@@ -3633,6 +3633,79 @@ object SparkEntry {
         Seq("click", "error", "signup", "view"), "purchase",
         rounds = 8)),
 
+    // leave-one-source-out ablation: which source drags the corpus
+    // mean length / token count — one pass, total-minus-group algebra
+    "x462_source_ablation" -> ((s, dir) =>
+      graft.ops.Curation.leaveOneOutMeans(
+        s.read.parquet(s"$dir/documents.parquet"), "source",
+        Seq("n_chars" -> F.col("n_chars"),
+          "n_tokens" -> F.size(F.split(F.trim(F.col("text")),
+            "\\s+")).cast("long")))),
+
+    // Page-Hinkley sequential drift over the daily event series — the
+    // "feed died and stayed down" alarm beside x129 CUSUM / x194
+    // changepoint; DECIMAL running sums, exact alarm-day replay
+    "x461_page_hinkley" -> ((s, dir) =>
+      graft.ops.EventOps.pageHinkley(
+        s.read.parquet(s"$dir/events.parquet"),
+        delta = 0.0, lambda = 50.0)),
+
+    // alignment & uniformity (Wang & Isola 2020): same-label
+    // consecutive positives vs md5 random pairs — the two-number
+    // contrastive-space health readout
+    "x460_align_uniform" -> ((s, dir) =>
+      Similarity.alignmentUniformity(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+        "embedding", "label")),
+
+    // Sinkhorn entropic OT between the en and zh length histograms on
+    // a pinned 16-cell grid — the metric-aware shift readout beside
+    // x206 PSI / x350 JS; 12 scaling rounds, all (cells²)-bounded
+    "x459_sinkhorn" -> ((s, dir) =>
+      graft.ops.Stats.sinkhorn(
+        s.read.parquet(s"$dir/documents.parquet"), "n_chars",
+        F.col("lang") === "en", F.col("lang") === "zh",
+        lo = 0L, hi = 800L, grid = 50L, reg = 2.0, iters = 12)),
+
+    // B-cubed precision/recall/F1 of the langId partition vs the gold
+    // lang labels — the ER/coreference companion to x310's ARI/NMI
+    "x458_bcubed" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Stats.bcubed(d, TextOps.langId(F.col("text")),
+        F.col("lang"))
+    }),
+
+    // IPS/SNIPS off-policy value of every "always play a" policy from
+    // the logged event feed — planted deterministic propensity
+    // p = 0.2 + 0.6·u(md5 event_id), the logged-propensity stand-in
+    "x457_ips_offpolicy" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val u = (F.conv(F.substring(F.md5(F.concat(F.lit("ips|"),
+        F.col("event_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long").cast("double") + F.lit(0.5)) / F.lit(16777216.0)
+      graft.ops.EventOps.ipsOffPolicy(ev, "event_type", "value",
+        F.lit(0.2) + F.lit(0.6) * u,
+        Seq("click", "purchase", "signup", "view"))
+    }),
+
+    // ε-DP quantiles of n_chars via the exponential mechanism over a
+    // pinned 32-cell grid — rank-space utility, deterministic
+    // Gumbel-max draws (md5), true grid quantiles ride for the audit
+    "x456_dp_quantile" -> ((s, dir) =>
+      graft.ops.Curation.dpQuantileExp(
+        s.read.parquet(s"$dir/documents.parquet"), "n_chars",
+        Seq(0.25, 0.5, 0.75, 0.9), lo = 0L, hi = 800L, grid = 25L,
+        epsilon = 1.0)),
+
+    // exact KNN-Shapley data valuation (Jia 2019) — which corpus rows
+    // earn their keep for a 3-NN classifier on 8 held-out test points;
+    // the suffix recurrence runs as a DECIMAL window sum, never a loop
+    "x455_knn_shapley" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.knnShapley(emb, emb.filter(F.col("vec_id") < 8),
+        "vec_id", "embedding", "label", k = 3, topN = 20)
+    }),
+
     // URL canonicalization dedup census over planted crawl URLs
     // (scheme/host case, www, :443, utm params, fragments, trailing
     // slash routed by doc_id residues): what canonicalization collapses
@@ -12557,6 +12630,347 @@ object SparkEntry {
     // x92's round replay with the teleport vector: md5-ordered seed
     // pick, tp = round(1/k, 6) on seeds else 0, dangling mass restarts
     // at the seeds
+    // same one-pass total-minus-group algebra; deltas carry the + 0.0
+    // sign-of-zero canon (SURVEY §8)
+    "x462_source_ablation" ->
+      """WITH b AS (
+        |  SELECT source AS g, n_chars::BIGINT AS m_chars,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT
+        |      AS m_tokens
+        |  FROM documents WHERE source IS NOT NULL
+        |), pg AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(m_chars)::BIGINT AS sc,
+        |    sum(m_tokens)::BIGINT AS st
+        |  FROM b GROUP BY g
+        |), tt AS (
+        |  SELECT count(*)::BIGINT AS tn, sum(m_chars)::BIGINT AS tc,
+        |    sum(m_tokens)::BIGINT AS tk
+        |  FROM b
+        |), rows_ AS (
+        |  SELECT g AS source, n AS n_docs,
+        |    round(n::DOUBLE / tn::DOUBLE, 6) AS share,
+        |    'n_chars' AS metric,
+        |    round(tc::DOUBLE / tn::DOUBLE, 6) AS mean_full,
+        |    round((tc - sc)::DOUBLE / nullif((tn - n)::DOUBLE, 0), 6)
+        |      AS mean_without,
+        |    round((tc - sc)::DOUBLE / nullif((tn - n)::DOUBLE, 0)
+        |      - tc::DOUBLE / tn::DOUBLE, 6) + 0.0 AS delta
+        |  FROM pg, tt
+        |  UNION ALL
+        |  SELECT g, n, round(n::DOUBLE / tn::DOUBLE, 6), 'n_tokens',
+        |    round(tk::DOUBLE / tn::DOUBLE, 6),
+        |    round((tk - st)::DOUBLE / nullif((tn - n)::DOUBLE, 0), 6),
+        |    round((tk - st)::DOUBLE / nullif((tn - n)::DOUBLE, 0)
+        |      - tk::DOUBLE / tn::DOUBLE, 6) + 0.0
+        |  FROM pg, tt
+        |)
+        |SELECT * FROM rows_ ORDER BY source, metric""".stripMargin,
+
+    // same daily collapse, same running-mean terms (9-dp DECIMAL), same
+    // running max — the alarm day replays exactly
+    "x461_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1
+        |), m AS (
+        |  SELECT day, x,
+        |    (sum(x) OVER w)::BIGINT AS cx,
+        |    (count(*) OVER w)::BIGINT AS t
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), tm AS (
+        |  SELECT day, x, cx::DOUBLE / t::DOUBLE AS mean,
+        |    round(x::DOUBLE - cx::DOUBLE / t::DOUBLE + 0.0, 9)
+        |      ::DECIMAL(38,9) AS term
+        |  FROM m
+        |), a1 AS (
+        |  SELECT day, x, mean,
+        |    sum(term) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS mt
+        |  FROM tm
+        |), acc AS (
+        |  SELECT day, x, mean, mt,
+        |    max(mt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS mx
+        |  FROM a1
+        |)
+        |SELECT day, x, round(mean, 6) AS run_mean,
+        |  round(mt::DOUBLE, 6) AS mt,
+        |  round((mx - mt)::DOUBLE, 6) AS ph,
+        |  (mx - mt)::DOUBLE > 50.0 AS alarm
+        |FROM acc ORDER BY day""".stripMargin,
+
+    // same consecutive-positive pairing, same md5 random pairing, same
+    // L2 fold, 9-dp DECIMAL term sums
+    "x460_align_uniform" ->
+      """WITH b AS (
+        |  SELECT vec_id AS id, embedding AS v, label AS lab
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND label IS NOT NULL
+        |), pos AS (
+        |  SELECT round(list_sum(list_transform(
+        |    range(1, len(v) + 1),
+        |    i -> (v[i]::DOUBLE - vn[i]::DOUBLE)
+        |       * (v[i]::DOUBLE - vn[i]::DOUBLE))), 9)::DECIMAL(38,9)
+        |    AS d2
+        |  FROM (SELECT v, lead(v) OVER (PARTITION BY lab ORDER BY id)
+        |      AS vn FROM b)
+        |  WHERE vn IS NOT NULL
+        |), pa AS (
+        |  SELECT count(*)::BIGINT AS n_pos, sum(d2) AS sa FROM pos
+        |), o AS (
+        |  SELECT v, row_number() OVER (ORDER BY md5('aun:'
+        |    || id::VARCHAR), id) AS rn FROM b
+        |), rp AS (
+        |  SELECT round(exp(-2.0 * list_sum(list_transform(
+        |    range(1, len(a.v) + 1),
+        |    i -> (a.v[i]::DOUBLE - z.v[i]::DOUBLE)
+        |       * (a.v[i]::DOUBLE - z.v[i]::DOUBLE)))), 9)
+        |    ::DECIMAL(38,9) AS g
+        |  FROM (SELECT (rn - 1) // 2 AS pair, v FROM o
+        |      WHERE (rn - 1) % 2 = 0) a
+        |    JOIN (SELECT (rn - 1) // 2 AS pair, v FROM o
+        |      WHERE (rn - 1) % 2 = 1) z USING (pair)
+        |), rg AS (
+        |  SELECT count(*)::BIGINT AS n_rand, sum(g) AS sg FROM rp
+        |)
+        |SELECT n_pos, n_rand,
+        |  round(sa::DOUBLE / nullif(n_pos::DOUBLE, 0), 6) AS alignment,
+        |  round(ln(sg::DOUBLE / nullif(n_rand::DOUBLE, 0)), 6)
+        |    AS uniformity
+        |FROM pa, rg""".stripMargin,
+
+    // generated Sinkhorn rounds (the x452/x454 convention): MATERIALIZED
+    // per-round CTEs — kv/u then ku/v, 9-dp per update, DECIMAL inner
+    // products — term order matching the Spark fold expression-for-
+    // expression
+    "x459_sinkhorn" -> {
+      def round(t: Int): String = {
+        val pv = if (t == 1) "v0" else s"v${t - 1}"
+        s"""kv$t AS MATERIALIZED (
+           |  SELECT k.i, sum(round(k.k * $pv.v, 9)::DECIMAL(38,9)) AS kv
+           |  FROM k JOIN $pv ON k.j = $pv.j GROUP BY k.i),
+           |u$t AS MATERIALIZED (
+           |  SELECT r.i, round(r.a / kv$t.kv::DOUBLE, 9) AS u
+           |  FROM r JOIN kv$t ON r.i = kv$t.i),
+           |ku$t AS MATERIALIZED (
+           |  SELECT k.j, sum(round(k.k * u$t.u, 9)::DECIMAL(38,9)) AS ku
+           |  FROM k JOIN u$t ON k.i = u$t.i GROUP BY k.j),
+           |v$t AS MATERIALIZED (
+           |  SELECT c.j, round(c.b / ku$t.ku::DOUBLE, 9) AS v
+           |  FROM c JOIN ku$t ON c.j = ku$t.j)""".stripMargin
+      }
+      val rounds = (1 to 12).map(round).mkString(",\n")
+      s"""WITH g AS (SELECT unnest(range(0, 16))::BIGINT AS cell),
+         |ha AS (SELECT least((greatest(0, least(800, n_chars)) - 0)
+         |    // 50, 15)::BIGINT AS cell, count(*) AS cnt
+         |  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+         |  GROUP BY 1),
+         |hb AS (SELECT least((greatest(0, least(800, n_chars)) - 0)
+         |    // 50, 15)::BIGINT AS cell, count(*) AS cnt
+         |  FROM documents WHERE lang = 'zh' AND n_chars IS NOT NULL
+         |  GROUP BY 1),
+         |r AS MATERIALIZED (
+         |  SELECT g.cell AS i, coalesce(ha.cnt, 0)::BIGINT AS na,
+         |    round(coalesce(ha.cnt, 0)::DOUBLE /
+         |      (SELECT sum(cnt) FROM ha), 9) AS a
+         |  FROM g LEFT JOIN ha USING (cell)),
+         |c AS MATERIALIZED (
+         |  SELECT g.cell AS j, coalesce(hb.cnt, 0)::BIGINT AS nb,
+         |    round(coalesce(hb.cnt, 0)::DOUBLE /
+         |      (SELECT sum(cnt) FROM hb), 9) AS b
+         |  FROM g LEFT JOIN hb USING (cell)),
+         |k AS MATERIALIZED (
+         |  SELECT gi.cell AS i, gj.cell AS j,
+         |    round(exp(-abs(gi.cell - gj.cell)::DOUBLE / 2.0), 9) AS k,
+         |    abs(gi.cell - gj.cell)::DOUBLE AS cost
+         |  FROM g gi, g gj),
+         |v0 AS (SELECT j, 1.0::DOUBLE AS v FROM c),
+         |$rounds,
+         |plan AS MATERIALIZED (
+         |  SELECT k.i, k.j, round(u12.u * k.k * v12.v, 9) AS pi, k.cost
+         |  FROM k JOIN u12 ON k.i = u12.i JOIN v12 ON k.j = v12.j),
+         |tc AS (SELECT sum(round(pi * cost, 9)::DECIMAL(38,9)) AS tc
+         |  FROM plan),
+         |rm AS (SELECT i, sum(round(pi, 9)::DECIMAL(38,9)) AS rm
+         |  FROM plan GROUP BY i),
+         |re AS (SELECT sum(round(abs(rm.rm::DOUBLE - r.a), 9)
+         |    ::DECIMAL(38,9)) AS re FROM rm JOIN r USING (i)),
+         |cm AS (SELECT j, sum(round(pi, 9)::DECIMAL(38,9)) AS cm
+         |  FROM plan GROUP BY j),
+         |ce AS (SELECT sum(round(abs(cm.cm::DOUBLE - c.b), 9)
+         |    ::DECIMAL(38,9)) AS ce FROM cm JOIN c USING (j)),
+         |na AS (SELECT sum(na)::BIGINT AS n_a FROM r),
+         |nb AS (SELECT sum(nb)::BIGINT AS n_b FROM c)
+         |SELECT n_a, n_b, 16::BIGINT AS cells, 12::BIGINT AS iters,
+         |  round(tc::DOUBLE, 6) AS sinkhorn_cost,
+         |  round(re::DOUBLE, 6) AS row_err,
+         |  round(ce::DOUBLE, 6) AS col_err
+         |FROM na, nb, tc, re, ce""".stripMargin
+    },
+
+    // x310's langId replay feeding the identical-cell B³ collapse:
+    // per-cell n_ct²/n terms 9-dp DECIMAL-summed, 6-dp readouts
+    "x458_bcubed" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','is','in'))) AS en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','nicht'))) AS de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS fr,
+        |    len(list_filter(toks, x -> x IN ('el','los','las','y','es','un','que'))) AS es
+        |  FROM scored),
+        |pair AS (SELECT lang AS t,
+        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |       WHEN fr >= es AND fr > 0 THEN 'fr'
+        |       WHEN es > 0 THEN 'es'
+        |       ELSE 'und' END AS c
+        |  FROM hits WHERE lang IS NOT NULL),
+        |cells AS (SELECT c, t, count(*)::BIGINT AS nct FROM pair
+        |  GROUP BY 1, 2),
+        |cm AS (SELECT c, sum(nct)::BIGINT AS nc FROM cells GROUP BY 1),
+        |tm AS (SELECT t, sum(nct)::BIGINT AS nt FROM cells GROUP BY 1),
+        |terms AS (SELECT nct,
+        |    round(nct::DOUBLE * nct::DOUBLE / nc::DOUBLE, 9)
+        |      ::DECIMAL(38,9) AS tp,
+        |    round(nct::DOUBLE * nct::DOUBLE / nt::DOUBLE, 9)
+        |      ::DECIMAL(38,9) AS tr
+        |  FROM cells JOIN cm USING (c) JOIN tm USING (t)),
+        |kc AS (SELECT count(*)::BIGINT AS k_pred FROM cm),
+        |kt AS (SELECT count(*)::BIGINT AS k_gold FROM tm),
+        |ag AS (SELECT sum(nct)::BIGINT AS n, sum(tp) AS sp,
+        |    sum(tr) AS sr FROM terms)
+        |SELECT n, k_pred, k_gold,
+        |  round(sp::DOUBLE / n::DOUBLE, 6) AS b3_precision,
+        |  round(sr::DOUBLE / n::DOUBLE, 6) AS b3_recall,
+        |  round(2.0 * (sp::DOUBLE / n::DOUBLE) * (sr::DOUBLE / n::DOUBLE)
+        |    / nullif(sp::DOUBLE / n::DOUBLE + sr::DOUBLE / n::DOUBLE,
+        |      0.0), 6) AS b3_f1
+        |FROM ag CROSS JOIN kc CROSS JOIN kt""".stripMargin,
+
+    // same planted propensity, same 9-dp DECIMAL term sums, same
+    // 6-dp + 0.0 readouts
+    "x457_ips_offpolicy" ->
+      """WITH b AS (
+        |  SELECT event_type AS a, value AS r,
+        |    0.2 + 0.6 * ((('0x' || substring(md5('ips|'
+        |      || event_id::VARCHAR), 1, 6))::BIGINT::DOUBLE + 0.5)
+        |      / 16777216.0) AS p
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), s AS (
+        |  SELECT t.ta, count(*) AS n,
+        |    sum(CASE WHEN b.a = t.ta THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_match,
+        |    sum(round(b.r, 9)::DECIMAL(38,9)) AS sr,
+        |    sum(round(CASE WHEN b.a = t.ta THEN (1.0 / b.p) * b.r
+        |      ELSE 0.0 END, 9)::DECIMAL(38,9)) AS swr,
+        |    sum(round(CASE WHEN b.a = t.ta THEN 1.0 / b.p ELSE 0.0 END,
+        |      9)::DECIMAL(38,9)) AS sw,
+        |    sum(round(CASE WHEN b.a = t.ta THEN (1.0 / b.p) * (1.0 / b.p)
+        |      ELSE 0.0 END, 9)::DECIMAL(38,9)) AS sw2
+        |  FROM b, (SELECT unnest(['click', 'purchase', 'signup',
+        |    'view']) AS ta) t
+        |  GROUP BY t.ta
+        |)
+        |SELECT ta AS target_action, n, n_match,
+        |  round(sr::DOUBLE / n, 6) + 0.0 AS mean_logged_reward,
+        |  round(swr::DOUBLE / n, 6) + 0.0 AS ips,
+        |  round(swr::DOUBLE / nullif(sw::DOUBLE, 0), 6) + 0.0 AS snips,
+        |  round(sw::DOUBLE * sw::DOUBLE / nullif(sw2::DOUBLE, 0), 6)
+        |    + 0.0 AS ess
+        |FROM s ORDER BY target_action""".stripMargin,
+
+    // exponential-mechanism replay: pinned 32-cell grid, rank-space
+    // utility vs ceil(q*n), Gumbel-max over 9-dp scores with the
+    // 24-bit md5 uniform (seed 'dpq|qi|cell'), cell-asc tiebreak
+    "x456_dp_quantile" ->
+      """WITH cc AS (
+        |  SELECT least((greatest(0, least(800, n_chars)) - 0) // 25,
+        |    31)::BIGINT AS cell, count(*) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        |), cells AS (
+        |  SELECT g.cell, coalesce(cc.c, 0)::BIGINT AS c
+        |  FROM (SELECT unnest(range(0, 32))::BIGINT AS cell) g
+        |  LEFT JOIN cc USING (cell)
+        |), cum AS (
+        |  SELECT cell, c, (sum(c) OVER (ORDER BY cell
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS cum
+        |  FROM cells
+        |), nn AS (SELECT sum(c)::BIGINT AS n FROM cc),
+        |qs AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75),
+        |  (3, 0.9)) t(qi, q)),
+        |sc AS (
+        |  SELECT qs.qi, qs.q, cum.cell, cum.cum, nn.n,
+        |    ceil(qs.q * nn.n::DOUBLE)::BIGINT AS target,
+        |    round(0.5 * (-abs(cum.cum - ceil(qs.q * nn.n::DOUBLE)
+        |        ::BIGINT)::DOUBLE)
+        |      - ln(-ln((('0x' || substring(md5('dpq|' || qi::VARCHAR
+        |          || '|' || cell::VARCHAR), 1, 6))::BIGINT::DOUBLE + 0.5)
+        |        / 16777216.0)), 9) AS score
+        |  FROM cum, qs, nn
+        |), w AS (
+        |  SELECT qi, q, n, target, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qi
+        |      ORDER BY score DESC, cell) AS rk FROM sc) WHERE rk = 1
+        |), tr AS (
+        |  SELECT qi, min(cell) AS tcell FROM sc WHERE cum >= target
+        |  GROUP BY qi
+        |)
+        |SELECT w.q, w.n, w.target AS target_rank,
+        |  (0 + (tr.tcell + 1) * 25)::BIGINT AS true_value,
+        |  (0 + (w.cell + 1) * 25)::BIGINT AS dp_value,
+        |  abs(w.cell - tr.tcell)::BIGINT AS abs_err_cells,
+        |  1.0 AS epsilon_each
+        |FROM w JOIN tr USING (qi) ORDER BY q""".stripMargin,
+
+    // exact KNN-Shapley replay: same L2 ranking fold, same closed-form
+    // per-rank terms (9-dp DECIMAL), suffix sum = rk-DESC running window
+    // sum (exact decimals — association-free), phi = mean over tests,
+    // + 0.0 sign-of-zero canon on the 6-dp readout
+    "x455_knn_shapley" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv, label AS qlab
+        |  FROM embeddings WHERE vec_id < 8
+        |), d AS (
+        |  SELECT q.qid, c.vec_id, c.label,
+        |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> (c.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)
+        |         * (c.embedding[i]::DOUBLE - q.qv[i]::DOUBLE))) AS dist,
+        |    CASE WHEN c.label = q.qlab THEN 1.0 ELSE 0.0 END AS ind
+        |  FROM embeddings c, q WHERE c.vec_id <> q.qid
+        |), r AS (
+        |  SELECT qid, vec_id, label, ind,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY qid) AS n,
+        |    lead(ind) OVER (PARTITION BY qid ORDER BY dist, vec_id)
+        |      AS indn
+        |  FROM d
+        |), c AS (
+        |  SELECT qid, vec_id, label, rk,
+        |    round(CASE WHEN indn IS NULL THEN ind / n
+        |      ELSE (ind - indn) * least(3.0, rk::DOUBLE) / (3.0 * rk)
+        |      END, 9)::DECIMAL(38,9) AS term
+        |  FROM r
+        |), s AS (
+        |  SELECT qid, vec_id, label,
+        |    sum(term) OVER (PARTITION BY qid ORDER BY rk DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv
+        |  FROM c
+        |), phi AS (
+        |  SELECT vec_id, label, count(*)::BIGINT AS n_tests,
+        |    round(sum(sv)::DOUBLE / count(*), 6) + 0.0 AS phi
+        |  FROM s GROUP BY vec_id, label
+        |)
+        |SELECT * FROM phi ORDER BY phi DESC, vec_id LIMIT 20""".stripMargin,
+
     "x452_ppr" -> {
       def iter(i: Int, prev: String): String =
         s"""s$i AS (SELECT round(sum(r), 6) AS dang FROM $prev WHERE od = 0),

@@ -902,6 +902,107 @@ object Curation {
       .orderBy(keyCols.map(F.col): _*)
   }
 
+  /** ε-DP quantiles via the EXPONENTIAL MECHANISM (McSherry & Talwar
+    * 2007) — the third release in the [[dpNoisyCounts]] family, and
+    * the one Laplace noise can't deliver: a quantile's sensitivity to
+    * one row is unbounded in VALUE space but exactly 1 in RANK space,
+    * so the mechanism scores each candidate cut v by
+    * {{{
+    *   u(v) = −| #{x ≤ v} − ⌈q·n⌉ |        (rank-space utility, Δu = 1)
+    *   P(v) ∝ exp(ε·u(v) / 2)
+    * }}}
+    * and samples via the GUMBEL-MAX trick: argmax over candidates of
+    * ε·u/2 − ln(−ln(unif_v)), with unif_v from the repo's deterministic
+    * 24-bit md5 bucket (seed|q-index|cell — auditable, engine-
+    * replayable; the [[dpNoisyCounts]] secret-seed caveats apply).
+    *
+    * Candidates are the PINNED grid boundaries lo+g, …, hi — a fixed
+    * public set, NOT data-derived values (data-derived candidates leak;
+    * the grid is the discretization a real release would publish).
+    * Values clamp to [lo, hi] first (the [[dpNoisyMean]] bounding
+    * contract). Each quantile spends ε independently — releasing all
+    * of `qs` costs |qs|·ε by sequential composition.
+    *
+    * Determinism: integer ranks and targets; one md5 + two ln per
+    * (q, candidate); scores 9-dp rounded before the argmax with a
+    * candidate-asc tiebreak, so the winner replays bit-identically.
+    *
+    * Scale shape: one map-side-combined cell collapse (≤ nCells keys),
+    * then every table is (nCells × |qs|)-bounded — window cumsum and
+    * argmax on broadcast-sized data; no driver state, no second scan.
+    * True grid quantiles ride along for the pre-release utility audit
+    * (the x440/x443 convention); external releases drop them.
+    *
+    * @return one row per quantile: (q, n, target_rank, true_value,
+    *         dp_value, abs_err_cells, epsilon_each) ordered by q
+    */
+  def dpQuantileExp(df: DataFrame, valueCol: String, qs: Seq[Double],
+                    lo: Long, hi: Long, grid: Long, epsilon: Double,
+                    seed: String = "dpq"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0),
+      s"quantiles must be in (0,1), got $qs")
+    require(qs.distinct.size == qs.size, s"duplicate quantiles in $qs")
+    require(lo < hi && grid > 0 && (hi - lo) % grid == 0,
+      s"need lo < hi and grid dividing hi-lo, got [$lo,$hi] step $grid")
+    require(epsilon > 0.0 && epsilon <= 100.0,
+      s"epsilon must be in (0,100], got $epsilon")
+    val nCells = ((hi - lo) / grid).toInt
+    require(nCells <= 4096,
+      s"candidate grid has $nCells cells (> 4096) — it is broadcast; " +
+        "coarsen the grid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clamped = F.greatest(F.lit(lo),
+      F.least(F.lit(hi), F.col(valueCol).cast("long")))
+    val counts = df.filter(F.col(valueCol).isNotNull)
+      .select(F.least(F.floor((clamped - F.lit(lo)) / F.lit(grid)),
+        F.lit(nCells - 1L)).as("__cell"))
+      .groupBy("__cell").agg(F.count(F.lit(1)).as("__c"))
+    val cells = spark.range(0, nCells.toLong).select(F.col("id").as("__cell"))
+      .join(counts, Seq("__cell"), "left")
+      .select(F.col("__cell"),
+        F.coalesce(F.col("__c"), F.lit(0L)).as("__c"))
+    val cumW = Window.orderBy(F.col("__cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("__cum", F.sum("__c").over(cumW))
+    val nTab = counts.agg(F.sum("__c").as("__n"))
+    val qTab = qs.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }
+      .toDF("__qi", "q")
+    val scored = cum.crossJoin(F.broadcast(qTab))
+      .crossJoin(F.broadcast(nTab))
+      .withColumn("__target",
+        F.ceil(F.col("q") * F.col("__n").cast("double")))
+      .withColumn("__u",
+        -F.abs(F.col("__cum") - F.col("__target")).cast("double"))
+      .withColumn("__unif",
+        (F.conv(F.substring(F.md5(F.concat(F.lit(s"$seed|"),
+          F.col("__qi").cast("string"), F.lit("|"),
+          F.col("__cell").cast("string"))), 1, 6), 16, 10)
+          .cast("long").cast("double") + F.lit(0.5)) / F.lit(16777216.0))
+      .withColumn("__score", F.round(
+        F.lit(epsilon / 2.0) * F.col("__u") -
+          F.log(-F.log(F.col("__unif"))), 9))
+    val byScore = Window.partitionBy("__qi")
+      .orderBy(F.col("__score").desc, F.col("__cell").asc)
+    val winner = scored.withColumn("__rk", F.row_number().over(byScore))
+      .filter(F.col("__rk") === 1)
+      .select(F.col("__qi"), F.col("q"), F.col("__n"), F.col("__target"),
+        (F.lit(lo) + (F.col("__cell") + 1L) * F.lit(grid)).as("dp_value"),
+        F.col("__cell").as("__wcell"))
+    val truth = scored.filter(F.col("__cum") >= F.col("__target"))
+      .groupBy("__qi").agg(F.min("__cell").as("__tcell"))
+    winner.join(F.broadcast(truth), Seq("__qi"))
+      .select(F.col("q"), F.col("__n").as("n"),
+        F.col("__target").as("target_rank"),
+        (F.lit(lo) + (F.col("__tcell") + 1L) * F.lit(grid))
+          .as("true_value"),
+        F.col("dp_value"),
+        F.abs(F.col("__wcell") - F.col("__tcell")).as("abs_err_cells"),
+        F.lit(epsilon).as("epsilon_each"))
+      .orderBy("q")
+  }
+
   /** Canonical form of a URL column — the crawl-dedup normalizer: two
     * raw URLs that differ only in scheme/host case, a `www.` prefix, a
     * default port, tracking query parameters (`utm_*`, `gclid`,
@@ -947,6 +1048,67 @@ object Curation {
     val noSlash = F.regexp_replace(noTrack, "/+$", "")
     F.when(scheme === "", url)
       .otherwise(F.concat(scheme, F.lit("://"), host, noSlash))
+  }
+
+  /** Leave-one-group-out ablation census — the cheapest honest answer
+    * to "which source is dragging the corpus": for every group g and
+    * every metric m, the corpus mean of m WITHOUT g's rows, from ONE
+    * pass (total sums minus per-group sums — no per-group rescan, no
+    * k jobs):
+    * {{{
+    *   mean_without(g, m) = (Σm − Σ_g m) / (N − n_g)
+    *   delta(g, m)        = mean_without − mean_full
+    * }}}
+    * delta > 0 means removing g RAISES the corpus mean — g sits below
+    * average on that metric (the "cut this source first" ranking when
+    * the metric is a quality proxy). The exact-long sums make both
+    * divisions engine-identical; deltas are near-zero differences, so
+    * they carry the sign-of-zero canon (SURVEY §8, the x222 contract)
+    * on both sides.
+    *
+    * Scale shape: one map-side-combined groupBy over (group) carrying
+    * one long sum per metric + a 1-row grand total broadcast back —
+    * corpus-linear, bounded output (k groups × m metrics).
+    *
+    * @param metrics (name, long-valued expression) pairs — values are
+    *                cast to long (exact sums; pre-quantize continuous
+    *                metrics upstream)
+    * @return one row per (group, metric): (group, n_docs, share,
+    *         metric, mean_full, mean_without, delta) ordered
+    */
+  def leaveOneOutMeans(df: DataFrame, groupCol: String,
+                       metrics: Seq[(String, Column)]): DataFrame = {
+    require(metrics.nonEmpty, "need at least one metric")
+    require(metrics.map(_._1).distinct.size == metrics.size,
+      s"duplicate metric names in ${metrics.map(_._1)}")
+    val base = df.filter(F.col(groupCol).isNotNull)
+      .select(F.col(groupCol).as("__g") +:
+        metrics.map { case (n, c) => c.cast("long").as(s"__m_$n") }: _*)
+    val perG = base.groupBy("__g")
+      .agg(F.count(F.lit(1)).as("__n"),
+        metrics.map { case (n, _) =>
+          F.sum(s"__m_$n").as(s"__s_$n") }: _*)
+    val tot = base.agg(F.count(F.lit(1)).as("__tn"),
+      metrics.map { case (n, _) =>
+        F.sum(s"__m_$n").as(s"__ts_$n") }: _*)
+    val wide = perG.crossJoin(F.broadcast(tot))
+    val longRows = metrics.map { case (n, _) =>
+      val meanFull = F.col(s"__ts_$n").cast("double") /
+        F.col("__tn").cast("double")
+      val meanWo = (F.col(s"__ts_$n") - F.col(s"__s_$n")).cast("double") /
+        F.nullif((F.col("__tn") - F.col("__n")).cast("double"),
+          F.lit(0.0))
+      wide.select(F.col("__g").as(groupCol),
+        F.col("__n").as("n_docs"),
+        F.round(F.col("__n").cast("double") /
+          F.col("__tn").cast("double"), 6).as("share"),
+        F.lit(n).as("metric"),
+        F.round(meanFull, 6).as("mean_full"),
+        F.round(meanWo, 6).as("mean_without"),
+        Quant.noNegZero(F.round(meanWo - meanFull, 6)).as("delta"))
+    }
+    longRows.reduce(_.unionByName(_))
+      .orderBy(F.col(groupCol), F.col("metric"))
   }
 
   /** Dedup census over [[canonicalizeUrl]] — what a crawl frontier

@@ -1331,4 +1331,136 @@ object EventOps {
         cov / F.nullif(F.sqrt(vx * vy), F.lit(0.0))), 6).as("m"))
       .orderBy("event_type")
   }
+
+  /** Page-Hinkley drift detector over the daily event-count series
+    * (Page 1954; the sequential sibling of x129's batch CUSUM and the
+    * x194 changepoint): accumulate each day's deviation from the
+    * RUNNING mean, and alarm when the accumulator falls `lambda` below
+    * its own running maximum — i.e. the level has shifted DOWN and
+    * stayed down (the feed-died / source-went-dark signature; an
+    * upward-shift twin is the same statistic on the negated series):
+    * {{{
+    *   x̄_t  = (x_1 + … + x_t) / t
+    *   m_t  = Σ_{i ≤ t} (x_i − x̄_i + δ)
+    *   PH_t = max_{i ≤ t} m_i − m_t,   alarm: PH_t > λ
+    * }}}
+    * δ is the tolerated drift per step (alarms need a shift bigger
+    * than δ to accumulate); λ trades detection delay for false alarms.
+    *
+    * Determinism: daily counts are exact longs, running means are one
+    * IEEE division of exact longs, deviation terms are 9-dp rounded
+    * and DECIMAL-accumulated so the running sum and running max are
+    * association-free (the x346 rule) — both engines replay the alarm
+    * day bit-identically.
+    *
+    * Scale shape: one map-side-combined daily collapse, then windows
+    * over the BOUNDED day series (one partition of #days rows — the
+    * x129 convention; the corpus never enters a window).
+    *
+    * @return one row per day: (day, x, run_mean, mt, ph, alarm)
+    */
+  def pageHinkley(events: DataFrame, delta: Double = 0.0,
+                  lambda: Double = 50.0): DataFrame = {
+    require(lambda > 0.0, s"lambda must be positive, got $lambda")
+    val daily = events
+      .select(F.to_date(tsStamp(events)).as("day"))
+      .groupBy("day").agg(F.count(F.lit(1)).as("x"))
+    val byDay = Window.orderBy(F.col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withMean = daily
+      .withColumn("__cx", F.sum("x").over(byDay))
+      .withColumn("__t", F.count(F.lit(1)).over(byDay))
+      .withColumn("__mean",
+        F.col("__cx").cast("double") / F.col("__t").cast("double"))
+      .withColumn("__term", F.round(F.col("x").cast("double") -
+        F.col("__mean") + F.lit(delta), 9).cast("decimal(38,9)"))
+    val acc = withMean
+      .withColumn("__m", F.sum("__term").over(byDay))
+      .withColumn("__mx", F.max("__m").over(byDay))
+      .withColumn("__ph", F.col("__mx") - F.col("__m"))
+    acc.select(F.col("day"), F.col("x"),
+        F.round(F.col("__mean"), 6).as("run_mean"),
+        F.round(F.col("__m").cast("double"), 6).as("mt"),
+        F.round(F.col("__ph").cast("double"), 6).as("ph"),
+        (F.col("__ph").cast("double") > F.lit(lambda)).as("alarm"))
+      .orderBy("day")
+  }
+
+  /** Off-policy evaluation of "always play action a" policies from a
+    * logged bandit feed — IPS and SNIPS (Horvitz-Thompson 1952;
+    * self-normalized per Swaminathan & Joachims 2015), the standard
+    * counterfactual readout before any targeting/curation policy change
+    * ships: what reward WOULD each candidate action have earned, using
+    * only the logged (action, reward, propensity) triples?
+    * {{{
+    *   w_i     = 1[a_i = a] / p_i
+    *   IPS(a)  = Σ w_i·r_i / n            (unbiased, high variance)
+    *   SNIPS(a)= Σ w_i·r_i / Σ w_i        (biased, much lower variance)
+    *   ESS(a)  = (Σ w_i)² / Σ w_i²        (how many logged rows
+    *                                       effectively support a)
+    * }}}
+    * `propensity` is the LOGGER's recorded probability of the logged
+    * action (a real pipeline stores it at decision time; callers
+    * without one can plant a deterministic stand-in — the x457 entry
+    * does, via the md5 bucket). Propensities must be > 0 (loud
+    * require via filter-time assert below): a zero propensity means
+    * the logging policy could never play that row's action and the
+    * estimator is undefined on it.
+    *
+    * Determinism: every summed term (w, w·r, w²) is 9-dp rounded and
+    * DECIMAL-accumulated (the x346 rule — w is 1/p, a division, so the
+    * terms are off-grid doubles). Readouts 6-dp with the sign-of-zero
+    * canon (rewards may be negative, so IPS/SNIPS can round to ±0).
+    *
+    * Scale shape: one crossJoin with the BOUNDED broadcast candidate
+    * list (k·n rows, k = #candidates), one map-side-combined groupBy —
+    * no window, no second scan, no driver state.
+    *
+    * @return one row per candidate: (target_action, n, n_match,
+    *         mean_logged_reward, ips, snips, ess) ordered by action
+    */
+  def ipsOffPolicy(df: DataFrame, actionCol: String, rewardCol: String,
+                   propensity: Column,
+                   targetActions: Seq[String]): DataFrame = {
+    require(targetActions.nonEmpty && targetActions.distinct.size ==
+      targetActions.size, s"bad candidate set $targetActions")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cands = targetActions.toDF("target_action")
+    val base = df.select(F.col(actionCol).as("__a"),
+        F.col(rewardCol).cast("double").as("__r"),
+        propensity.cast("double").as("__p"))
+      .filter(F.col("__a").isNotNull && F.col("__r").isNotNull)
+      .withColumn("__p", F.when(F.col("__p") > 0.0, F.col("__p"))
+        .otherwise(F.raise_error(F.concat(
+          F.lit("ipsOffPolicy: non-positive propensity "),
+          F.col("__p").cast("string"),
+          F.lit(" — the logging policy could never have played this " +
+            "row's action; fix the logged propensities upstream.")))))
+    def dec9(c: Column): Column = F.round(c, 9).cast("decimal(38,9)")
+    val scored = base.crossJoin(F.broadcast(cands))
+      .withColumn("__w", F.when(F.col("__a") === F.col("target_action"),
+        F.lit(1.0) / F.col("__p")).otherwise(0.0))
+    val agg = scored.groupBy("target_action").agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.when(F.col("__w") > 0.0, 1L).otherwise(0L)).as("n_match"),
+      F.sum(dec9(F.col("__r"))).as("__sr"),
+      F.sum(dec9(F.col("__w") * F.col("__r"))).as("__swr"),
+      F.sum(dec9(F.col("__w"))).as("__sw"),
+      F.sum(dec9(F.col("__w") * F.col("__w"))).as("__sw2"))
+    agg.select(F.col("target_action"), F.col("n"), F.col("n_match"),
+        Quant.noNegZero(F.round(F.col("__sr").cast("double") /
+          F.col("n").cast("double"), 6)).as("mean_logged_reward"),
+        Quant.noNegZero(F.round(F.col("__swr").cast("double") /
+          F.col("n").cast("double"), 6)).as("ips"),
+        Quant.noNegZero(F.round(F.col("__swr").cast("double") /
+          F.nullif(F.col("__sw").cast("double"), F.lit(0.0)), 6))
+          .as("snips"),
+        Quant.noNegZero(F.round(
+          F.col("__sw").cast("double") * F.col("__sw").cast("double") /
+            F.nullif(F.col("__sw2").cast("double"), F.lit(0.0)), 6))
+          .as("ess"))
+      .orderBy("target_action")
+  }
+
 }

@@ -2642,4 +2642,152 @@ object Similarity {
           F.nullif(F.sqrt(F.col("__faa") * F.col("__fbb")), F.lit(0.0)), 6)
           .as("cka"))
   }
+
+  /** Alignment & uniformity of an embedding space (Wang & Isola, ICML
+    * 2020) — the two-number contrastive-quality readout: ALIGNMENT is
+    * the mean squared distance between positive pairs (same-entity
+    * views should coincide; lower = better), UNIFORMITY is the log
+    * mean Gaussian-potential over random pairs (the space should
+    * spread on the hypersphere; more negative = better):
+    * {{{
+    *   align   = E_(x,y)∈pos ‖x − y‖²
+    *   uniform = ln E_(x,y)∈rand exp(−2‖x − y‖²)
+    * }}}
+    * A collapsed encoder scores perfect alignment and catastrophic
+    * uniformity — exactly the failure the pair catches that either
+    * number alone misses.
+    *
+    * Positives here are CONSECUTIVE same-label rows (id order) — the
+    * label-as-entity stand-in available on a corpus without logged
+    * view pairs; callers with real positive pairs pass them via the
+    * label column. Random pairs are the deterministic md5 disjoint
+    * pairing (the x418 idiom: order by md5("aun:"+id), pair ranks
+    * 2k-1/2k — every row used at most once, no self-pairs).
+    *
+    * Determinism: each pair's distance/potential term is 9-dp rounded
+    * and DECIMAL-accumulated (x346 rule); readouts 6-dp.
+    *
+    * Scale shape: positives are one lead() over a (label, id)-sorted
+    * shuffle; random pairs one md5-sort + self-join on pair index —
+    * two corpus-linear passes, no n² anywhere.
+    *
+    * @return one row (n_pos, n_rand, alignment, uniformity)
+    */
+  def alignmentUniformity(emb: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String): DataFrame = {
+    val base = emb.select(F.col(idCol).as("__id"),
+      F.col(vecCol).cast("array<double>").as("__v"),
+      F.col(labelCol).as("__lab"))
+      .filter(F.col("__v").isNotNull && F.col("__lab").isNotNull)
+    val byLab = Window.partitionBy("__lab").orderBy(F.col("__id"))
+    val pos = base.withColumn("__vn", F.lead("__v", 1).over(byLab))
+      .filter(F.col("__vn").isNotNull)
+      .select(F.round(l2distSq(F.col("__v"), F.col("__vn")), 9)
+        .cast("decimal(38,9)").as("__d2"))
+    val posAgg = pos.agg(F.count(F.lit(1)).as("n_pos"),
+      F.sum("__d2").as("__sa"))
+    val ordered = base
+      .withColumn("__h", F.md5(F.concat(F.lit("aun:"),
+        F.col("__id").cast("string"))))
+      .withColumn("__rn", F.row_number().over(Window.orderBy(
+        F.col("__h"), F.col("__id"))))
+      .withColumn("__pair",
+        F.call_function("div", F.col("__rn") - 1L, F.lit(2L)))
+      .withColumn("__side", (F.col("__rn") - 1L) % 2L)
+    val ra = ordered.filter(F.col("__side") === 0L)
+      .select(F.col("__pair"), F.col("__v").as("__va"))
+    val rb = ordered.filter(F.col("__side") === 1L)
+      .select(F.col("__pair"), F.col("__v").as("__vb"))
+    val rand = ra.join(rb, "__pair")
+      .select(F.round(F.exp(F.lit(-2.0) *
+        l2distSq(F.col("__va"), F.col("__vb"))), 9)
+        .cast("decimal(38,9)").as("__g"))
+    val randAgg = rand.agg(F.count(F.lit(1)).as("n_rand"),
+      F.sum("__g").as("__sg"))
+    posAgg.crossJoin(F.broadcast(randAgg))
+      .select(F.col("n_pos"), F.col("n_rand"),
+        F.round(F.col("__sa").cast("double") /
+          F.nullif(F.col("n_pos").cast("double"), F.lit(0.0)), 6)
+          .as("alignment"),
+        F.round(F.log(F.col("__sg").cast("double") /
+          F.nullif(F.col("n_rand").cast("double"), F.lit(0.0))), 6)
+          .as("uniformity"))
+  }
+
+  /** Exact KNN-Shapley data valuation (Jia et al., VLDB 2019, Thm 1):
+    * the Shapley value of every TRAINING point for a K-NN classifier's
+    * accuracy on a bounded test set — the "which corpus rows actually
+    * earn their keep" readout, exact in O(N log N) per test point
+    * instead of the 2^N naive game:
+    * {{{
+    *   s(α_N) = 1[y_N = y_t] / N                          (farthest)
+    *   s(α_j) = s(α_j+1) + (1[y_j=y_t] − 1[y_j+1=y_t]) · min(K,j)/(K·j)
+    * }}}
+    * The recurrence telescopes into a SUFFIX SUM over distance ranks —
+    * a window aggregate, not a sequential loop: per test point the
+    * corpus is ranked by squared L2 (asc, id tiebreak), each rank's
+    * closed-form term is 9-dp rounded and DECIMAL-accumulated with a
+    * `[currentRow, unboundedFollowing]` frame (exact, association-free
+    * — DuckDB's segment-tree window sum and Spark's running sum may
+    * associate doubles differently, decimals never disagree), then
+    * φ_i = mean of s(i, t) over the test points that rank i.
+    *
+    * Scale shape: test points bounded (broadcast — the bruteKnn
+    * convention), corpus scanned once; the per-test FULL ranking
+    * shuffles q·N rows (q = #tests) — inherent to the exact method,
+    * which needs every rank, not a top-k (no WindowGroupLimit). For a
+    * 100 TB corpus run the q's in batches and cap q; the output is the
+    * bounded top/bottom slice, never the full valuation.
+    *
+    * Efficiency property (pinned in OpsSpec): Σ_i s(i, t) equals the
+    * K-NN utility of the full corpus on t.
+    *
+    * @return top `topN` rows by φ desc (id asc tiebreak):
+    *         (id, label, n_tests, phi) — φ 6-dp, sign-of-zero canon
+    */
+  def knnShapley(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, labelCol: String, k: Int = 3,
+                 topN: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries.select(F.col(idCol).as("__qid"),
+      F.col(vecCol).cast("array<double>").as("__qv"),
+      F.col(labelCol).as("__qlab"))
+    val scored = corpus
+      .select(F.col(idCol).as("__id"),
+        F.col(vecCol).cast("array<double>").as("__v"),
+        F.col(labelCol).as("__lab"))
+      .crossJoin(F.broadcast(q))
+      .filter(F.col("__id") =!= F.col("__qid"))
+      .select(F.col("__qid"), F.col("__id"), F.col("__lab"),
+        l2distSq(F.col("__v"), F.col("__qv")).as("__dist"),
+        F.when(F.col("__lab") === F.col("__qlab"), 1.0).otherwise(0.0)
+          .as("__ind"))
+    val byRank = Window.partitionBy("__qid")
+      .orderBy(F.col("__dist").asc, F.col("__id").asc)
+    val all = Window.partitionBy("__qid")
+    val ranked = scored
+      .withColumn("__rk", F.row_number().over(byRank))
+      .withColumn("__n", F.count(F.lit(1)).over(all))
+      .withColumn("__indn", F.lead(F.col("__ind"), 1).over(byRank))
+    val term = F.when(F.col("__indn").isNull,
+        F.col("__ind") / F.col("__n").cast("double"))
+      .otherwise((F.col("__ind") - F.col("__indn")) *
+        F.least(F.lit(k.toDouble), F.col("__rk").cast("double")) /
+        (F.lit(k.toDouble) * F.col("__rk").cast("double")))
+    val suffix = Window.partitionBy("__qid")
+      .orderBy(F.col("__rk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sv = ranked
+      .withColumn("__term", F.round(term, 9).cast("decimal(38,9)"))
+      .withColumn("__s", F.sum("__term").over(suffix))
+    val phi = sv.groupBy(F.col("__id"), F.col("__lab"))
+      .agg(F.count(F.lit(1)).as("n_tests"),
+        Quant.noNegZero(F.round(
+          F.sum("__s").cast("double") / F.count(F.lit(1)).cast("double"),
+          6)).as("phi"))
+    phi.select(F.col("__id").as(idCol), F.col("__lab").as(labelCol),
+        F.col("n_tests"), F.col("phi"))
+      .orderBy(F.col("phi").desc, F.col(idCol).asc)
+      .limit(topN)
+  }
 }

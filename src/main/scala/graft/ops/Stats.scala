@@ -5327,6 +5327,181 @@ object Stats {
     *         either partition is a single block of everything (E equals
     *         the max index), NMI NULL when both entropies are 0
     */
+  /** Entropic optimal-transport distance between two empirical
+    * distributions over a PINNED value grid — Sinkhorn-Knopp scaling
+    * (Cuturi, NeurIPS 2013), the distribution-shift readout that knows
+    * the METRIC of the support where x206's PSI and x350's JS treat
+    * cells as unordered symbols: mass moved two cells costs twice mass
+    * moved one, so a small shift of a long-tailed length histogram
+    * scores small even when every cell's share changed.
+    * {{{
+    *   K_ij = exp(−|i−j| / reg)                 (Gibbs kernel)
+    *   repeat: u = r ⊘ (K v);  v = c ⊘ (Kᵀ u)   (v starts at 1)
+    *   cost  = Σ_ij u_i K_ij v_j · |i−j|        (entropic OT cost,
+    *                                             in CELL units)
+    * }}}
+    * Engine-replay determinism: kernel entries, every scaling vector,
+    * and every inner-product term are 9-dp rounded per round; the
+    * bounded inner products DECIMAL-accumulate (the x346 rule), so the
+    * fixed iteration count replays bit-identically — the x452/x454
+    * generated-round oracle convention. Zero-mass cells stay zero
+    * (u_i = 0/pos = 0); the kernel diagonal is 1 so the denominators
+    * are always positive.
+    *
+    * Scale shape: ONE corpus pass collapses to the two ≤nCells
+    * histograms; everything after is (nCells²)-bounded join+rollup
+    * rounds — no driver state, no per-round action, no corpus rescan.
+    * Marginal residuals ride along: a large `row_err`/`col_err` means
+    * `iters` was too small for the chosen `reg` — the convergence
+    * audit is part of the release, not a silent assumption.
+    *
+    * @return one row (n_a, n_b, cells, iters, sinkhorn_cost, row_err,
+    *         col_err) — cost in cell units, 6-dp
+    */
+  def sinkhorn(df: DataFrame, valueCol: String, isA: Column, isB: Column,
+               lo: Long, hi: Long, grid: Long, reg: Double = 2.0,
+               iters: Int = 12): DataFrame = {
+    require(lo < hi && grid > 0 && (hi - lo) % grid == 0,
+      s"need lo < hi and grid dividing hi-lo, got [$lo,$hi] step $grid")
+    require(reg > 0.0, s"reg must be positive, got $reg")
+    require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
+    val nCells = ((hi - lo) / grid).toInt
+    require(nCells <= 64,
+      s"$nCells cells — the kernel is nCells² and broadcast; coarsen")
+    val spark = df.sparkSession
+    val clamped = F.greatest(F.lit(lo),
+      F.least(F.lit(hi), F.col(valueCol).cast("long")))
+    val cellOf = F.least(F.floor((clamped - F.lit(lo)) / F.lit(grid)),
+      F.lit(nCells - 1L))
+    def hist(tag: Column, side: String): DataFrame = {
+      val counts = df.filter(tag && F.col(valueCol).isNotNull)
+        .select(cellOf.as("__cell"))
+        .groupBy("__cell").agg(F.count(F.lit(1)).as("__c"))
+      spark.range(0, nCells.toLong).select(F.col("id").as("__cell"))
+        .join(counts, Seq("__cell"), "left")
+        .select(F.col("__cell"),
+          F.coalesce(F.col("__c"), F.lit(0L)).as(s"__n$side"))
+        .withColumn(s"__$side", F.round(
+          F.col(s"__n$side").cast("double") /
+            F.sum(s"__n$side").over(Window.partitionBy()), 9))
+    }
+    // checkpoint the two histograms: they are re-referenced every
+    // round (u-update, residuals, totals) and would otherwise re-scan
+    // the corpus once per reference
+    val r = hist(isA, "a").select(F.col("__cell").as("__i"),
+      F.col("__na"), F.col("__a")).localCheckpoint()
+    val c = hist(isB, "b").select(F.col("__cell").as("__j"),
+      F.col("__nb"), F.col("__b")).localCheckpoint()
+    val kern = spark.range(0, nCells.toLong).select(F.col("id").as("__i"))
+      .crossJoin(spark.range(0, nCells.toLong)
+        .select(F.col("id").as("__j")))
+      .select(F.col("__i"), F.col("__j"),
+        F.round(F.exp(-F.abs(F.col("__i") - F.col("__j"))
+          .cast("double") / F.lit(reg)), 9).as("__k"),
+        F.abs(F.col("__i") - F.col("__j")).cast("double").as("__cost"))
+      .localCheckpoint()
+    def dec9(col: Column): Column = F.round(col, 9).cast("decimal(38,9)")
+    var u = r.select(F.col("__i"), F.lit(1.0).as("__u"))
+    var v = c.select(F.col("__j"), F.lit(1.0).as("__v"))
+    var it = 0
+    while (it < iters) {
+      val kv = kern.join(F.broadcast(v), "__j")
+        .groupBy("__i").agg(F.sum(dec9(F.col("__k") * F.col("__v")))
+          .as("__kv"))
+      u = r.join(F.broadcast(kv), "__i")
+        .select(F.col("__i"), F.round(F.col("__a") /
+          F.col("__kv").cast("double"), 9).as("__u"))
+        .localCheckpoint()
+      val ku = kern.join(F.broadcast(u), "__i")
+        .groupBy("__j").agg(F.sum(dec9(F.col("__k") * F.col("__u")))
+          .as("__ku"))
+      v = c.join(F.broadcast(ku), "__j")
+        .select(F.col("__j"), F.round(F.col("__b") /
+          F.col("__ku").cast("double"), 9).as("__v"))
+        .localCheckpoint()
+      it += 1
+    }
+    val plan = kern.join(F.broadcast(u), "__i").join(F.broadcast(v), "__j")
+      .select(F.col("__i"), F.col("__j"),
+        F.round(F.col("__u") * F.col("__k") * F.col("__v"), 9)
+          .as("__pi"), F.col("__cost"))
+    val cost = plan.agg(
+      F.sum(dec9(F.col("__pi") * F.col("__cost"))).as("__tc"))
+    val rowErr = plan.groupBy("__i")
+      .agg(F.sum(dec9(F.col("__pi"))).as("__rm"))
+      .join(r, "__i")
+      .agg(F.sum(dec9(F.abs(F.col("__rm").cast("double") -
+        F.col("__a")))).as("__re"))
+    val colErr = plan.groupBy("__j")
+      .agg(F.sum(dec9(F.col("__pi"))).as("__cm"))
+      .join(c, "__j")
+      .agg(F.sum(dec9(F.abs(F.col("__cm").cast("double") -
+        F.col("__b")))).as("__ce"))
+    val na = r.agg(F.sum("__na").as("n_a"))
+    val nb = c.agg(F.sum("__nb").as("n_b"))
+    na.crossJoin(nb).crossJoin(cost).crossJoin(rowErr).crossJoin(colErr)
+      .select(F.col("n_a"), F.col("n_b"),
+        F.lit(nCells.toLong).as("cells"), F.lit(iters.toLong).as("iters"),
+        F.round(F.col("__tc").cast("double"), 6).as("sinkhorn_cost"),
+        F.round(F.col("__re").cast("double"), 6).as("row_err"),
+        F.round(F.col("__ce").cast("double"), 6).as("col_err"))
+  }
+
+  /** B-cubed precision/recall/F1 (Bagga & Baldwin 1998) between a
+    * predicted and a gold partition of the same rows — THE entity-
+    * resolution/coreference companion to [[ariNmi]]: where ARI scores
+    * pair decisions globally, B³ averages each ITEM's own precision
+    * (how pure is my predicted cluster?) and recall (how much of my
+    * gold cluster did my predicted cluster capture?), so it rewards
+    * splitting a garbage cluster and penalizes chaining distinct
+    * entities — the dedup-pipeline failure modes:
+    * {{{
+    *   P  = (1/N) Σ_items |C(i) ∩ T(i)| / |C(i)|
+    *      = (1/N) Σ_{c,t} n_ct² / n_c      (identical-cell collapse)
+    *   R  = (1/N) Σ_{c,t} n_ct² / n_t
+    *   F1 = 2PR / (P + R)
+    * }}}
+    * Per-cell terms n_ct²/n_· are divisions (off-grid), so each is
+    * 9-dp rounded and DECIMAL-accumulated (the x346 rule); counts are
+    * exact longs. NULL rows in either column are dropped loudly by the
+    * filter (a NULL cluster id is not a cluster).
+    *
+    * Scale shape: one (pred, gold) contingency rollup (k_c·k_t cells)
+    * + two margin rollups joined back on their keys — all map-side-
+    * combined hash aggregations, nothing driver-side, no window.
+    *
+    * @return one row (n, k_pred, k_gold, b3_precision, b3_recall,
+    *         b3_f1) — 6-dp
+    */
+  def bcubed(df: DataFrame, predCol: Column, goldCol: Column): DataFrame = {
+    val cells = df.select(predCol.cast("string").as("__c"),
+        goldCol.cast("string").as("__t"))
+      .filter(F.col("__c").isNotNull && F.col("__t").isNotNull)
+      .groupBy("__c", "__t").agg(F.count(F.lit(1)).as("__nct"))
+    val cM = cells.groupBy("__c").agg(F.sum("__nct").as("__nc"))
+    val tM = cells.groupBy("__t").agg(F.sum("__nct").as("__nt"))
+    val sq = F.col("__nct").cast("double") * F.col("__nct").cast("double")
+    val terms = cells.join(cM, "__c").join(tM, "__t")
+      .select(
+        F.col("__nct"),
+        F.round(sq / F.col("__nc").cast("double"), 9)
+          .cast("decimal(38,9)").as("__tp"),
+        F.round(sq / F.col("__nt").cast("double"), 9)
+          .cast("decimal(38,9)").as("__tr"))
+    val kC = cM.agg(F.count(F.lit(1)).as("k_pred"))
+    val kT = tM.agg(F.count(F.lit(1)).as("k_gold"))
+    val agg = terms.agg(F.sum("__nct").as("n"),
+      F.sum("__tp").as("__sp"), F.sum("__tr").as("__sr"))
+    val p = F.col("__sp").cast("double") / F.col("n").cast("double")
+    val r = F.col("__sr").cast("double") / F.col("n").cast("double")
+    agg.crossJoin(F.broadcast(kC)).crossJoin(F.broadcast(kT))
+      .select(F.col("n"), F.col("k_pred"), F.col("k_gold"),
+        F.round(p, 6).as("b3_precision"),
+        F.round(r, 6).as("b3_recall"),
+        F.round(F.lit(2.0) * p * r / F.nullif(p + r, F.lit(0.0)), 6)
+          .as("b3_f1"))
+  }
+
   def ariNmi(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     def c2(n: Column) = n * (n - 1L) / F.lit(2L)
     val cells = df.select(aCol.cast("string").as("__a"),

@@ -7607,4 +7607,169 @@ class OpsSpec extends AnyFunSuite {
       TextOps.compressionCensus(sur, Seq.empty, "t"))
     assert(g.getMessage.contains("group columns"))
   }
+
+  test("knnShapley: hand-replayed 1-NN recurrence on a 3-point line; " +
+      "the values satisfy the efficiency identity") {
+    // corpus 1(A, 0.0), 2(A, 1.0), 3(B, 2.0); test 10(A, 0.1):
+    // ranks 1, 2, 3; N = 3, K = 1
+    //   c3 = ind3/3 = 0;  c2 = (1-0)·1/2 = .5;  c1 = (1-1)·1/1 = 0
+    //   s3 = 0, s2 = .5, s1 = .5 — and s1+s2+s3 = 1 = the 1-NN utility
+    val corpus = Seq((1L, Seq(0.0), "A"), (2L, Seq(1.0), "A"),
+      (3L, Seq(2.0), "B")).toDF("id", "v", "lab")
+    val queries = Seq((10L, Seq(0.1), "A")).toDF("id", "v", "lab")
+    val got = Similarity.knnShapley(corpus, queries, "id", "v", "lab",
+        k = 1, topN = 10)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, "A", 1L, 0.5), (2L, "A", 1L, 0.5),
+      (3L, "B", 1L, 0.0)), got)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-9)
+    val e = intercept[IllegalArgumentException](
+      Similarity.knnShapley(corpus, queries, "id", "v", "lab", k = 0))
+    assert(e.getMessage.contains("k must be"))
+  }
+
+  test("dpQuantileExp: true grid quantile by hand; the Gumbel-max " +
+      "winner replays from the same md5 draws; guards are loud") {
+    import graft.ops.Curation
+    val df = (1L to 100L).toDF("v")
+    val got = Curation.dpQuantileExp(df, "v", Seq(0.5), lo = 0L,
+        hi = 100L, grid = 10L, epsilon = 1.0)
+      .as[(Double, Long, Long, Long, Long, Long, Double)].head()
+    // cell 0 holds v=1..9 (9 values), cells 1..8 hold 10 each, cell 9
+    // holds 90..100 (11, the hi clamp): cum = 9,19,...,89,100; target
+    // = ceil(.5·100) = 50 -> first cum >= 50 is cell 5, true_value 60
+    assert(got._1 == 0.5 && got._2 == 100L && got._3 == 50L &&
+      got._4 == 60L, got)
+    // replay the mechanism: scores over the 10 cells from the same
+    // md5 draws; cum = (c+1)·10
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cum = (0 until 10).map(c => if (c == 9) 100 else 10 * c + 9)
+    val win = (0 until 10).map { c =>
+      val u = (java.lang.Long.parseLong(
+        md5hex(s"dpq|0|$c").take(6), 16).toDouble + 0.5) / 16777216.0
+      val util = -math.abs(cum(c) - 50).toDouble
+      (r9(0.5 * util - math.log(-math.log(u))), -c)
+    }.zipWithIndex.maxBy(_._1)._2
+    assert(got._5 == (win + 1L) * 10L, s"dp_value ${got._5} vs replay $win")
+    val e = intercept[IllegalArgumentException](
+      Curation.dpQuantileExp(df, "v", Seq(1.5), 0L, 100L, 10L, 1.0))
+    assert(e.getMessage.contains("quantiles"))
+    val e2 = intercept[IllegalArgumentException](
+      Curation.dpQuantileExp(df, "v", Seq(0.5), 0L, 100L, 7L, 1.0))
+    assert(e2.getMessage.contains("grid"))
+  }
+
+  test("ipsOffPolicy: hand IPS/SNIPS/ESS; zero propensity is loud") {
+    import graft.ops.EventOps
+    val logged = Seq(("a", 1.0, 0.5), ("a", 2.0, 0.25),
+      ("b", 3.0, 0.5), ("b", 0.0, 0.5)).toDF("act", "r", "p")
+    val got = EventOps.ipsOffPolicy(logged, "act", "r", F.col("p"),
+        Seq("a", "b"))
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    // a: w = 2, 4 -> ips (2+8)/4 = 2.5, snips 10/6, ess 36/20
+    // b: w = 2, 2 -> ips 6/4 = 1.5, snips 6/4, ess 16/8
+    assert(got == Seq(("a", 4L, 2L, 1.5, 2.5, 1.666667, 1.8),
+      ("b", 4L, 2L, 1.5, 1.5, 1.5, 2.0)), got)
+    val bad = Seq(("a", 1.0, 0.0)).toDF("act", "r", "p")
+    assert(loudMsg(EventOps.ipsOffPolicy(bad, "act", "r", F.col("p"),
+      Seq("a")).collect()).contains("non-positive propensity"))
+  }
+
+  test("bcubed: the textbook split/chain example by hand") {
+    import graft.ops.Stats
+    // gold {1,2,3 | 4,5}, pred {1,2 | 3 | 4,5}: every pred cluster is
+    // PURE (P = 1) but gold t1 is split across two (R < 1)
+    val df = Seq((1, "c1", "t1"), (2, "c1", "t1"), (3, "c2", "t1"),
+      (4, "c3", "t2"), (5, "c3", "t2")).toDF("id", "pred", "gold")
+    val got = Stats.bcubed(df, F.col("pred"), F.col("gold"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    // P = (4/2 + 1/1 + 4/2)/5 = 1; R = (4/3 + 1/3 + 4/2)/5 = .733333;
+    // F1 = 2PR/(P+R) = 11/13 = .846154
+    assert(got == ((5L, 3L, 2L, 1.0, 0.733333, 0.846154)), got)
+  }
+
+  test("sinkhorn: identical histograms have (near-)converged marginals " +
+      "and cost below a 2-cell shift; guards are loud") {
+    import graft.ops.Stats
+    val vals = (0L until 100L).map(i => i % 10L)
+    val same = (vals.map(v => (v * 10L, "a")) ++
+      vals.map(v => (v * 10L, "b"))).toDF("v", "tag")
+    val gotSame = Stats.sinkhorn(same, "v", F.col("tag") === "a",
+        F.col("tag") === "b", lo = 0L, hi = 100L, grid = 10L)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(gotSame._1 == 100L && gotSame._2 == 100L &&
+      gotSame._3 == 10L && gotSame._4 == 12L, gotSame)
+    assert(gotSame._6 < 0.01 && gotSame._7 < 0.01,
+      s"marginals not converged: $gotSame")
+    val shifted = (vals.map(v => (v * 10L, "a")) ++
+      vals.map(v => (math.min(v * 10L + 20L, 99L), "b"))).toDF("v", "tag")
+    val gotShift = Stats.sinkhorn(shifted, "v", F.col("tag") === "a",
+        F.col("tag") === "b", lo = 0L, hi = 100L, grid = 10L)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(gotShift._5 > gotSame._5 + 0.5,
+      s"shift ${gotShift._5} vs same ${gotSame._5}")
+    val e = intercept[IllegalArgumentException](
+      Stats.sinkhorn(same, "v", F.lit(true), F.lit(true), 0L, 100L, 1L))
+    assert(e.getMessage.contains("cells"))
+  }
+
+  test("alignmentUniformity: a collapsed space reads align 0 / uniform " +
+      "0; separated labels read align 0 with negative uniformity") {
+    val collapsed = (1L to 8L).map(i => (i, Seq(1.0, 0.0), i % 2))
+      .toDF("id", "v", "lab")
+    val g1 = Similarity.alignmentUniformity(collapsed, "id", "v", "lab")
+      .as[(Long, Long, Double, Double)].head()
+    assert(g1 == ((6L, 4L, 0.0, 0.0)), g1)
+    // two orthogonal label clusters: positives coincide (align 0),
+    // random pairs sometimes cross clusters -> uniformity < 0
+    val split = (1L to 8L).map(i =>
+      (i, if (i % 2 == 0) Seq(1.0, 0.0) else Seq(0.0, 1.0), i % 2))
+      .toDF("id", "v", "lab")
+    val g2 = Similarity.alignmentUniformity(split, "id", "v", "lab")
+      .as[(Long, Long, Double, Double)].head()
+    assert(g2._3 == 0.0 && g2._4 < 0.0, g2)
+  }
+
+  test("pageHinkley: hand-replayed level drop; the alarm fires when " +
+      "PH exceeds lambda, not at the boundary") {
+    import graft.ops.EventOps
+    val ev = Seq(
+      ("2026-01-01", 10), ("2026-01-02", 10), ("2026-01-03", 10),
+      ("2026-01-04", 2), ("2026-01-05", 2)
+    ).flatMap { case (d, n) => (1 to n).map(i => (f"$d $i%02d:00:00", i.toLong)) }
+      .toDF("tss", "event_id")
+      .select(F.to_timestamp(F.col("tss")).as("ts"), F.col("event_id"))
+    val got = EventOps.pageHinkley(ev, delta = 0.0, lambda = 6.0)
+      .as[(java.sql.Date, Long, Double, Double, Double, Boolean)]
+      .collect().toSeq.map(r => (r._1.toString, r._2, r._4, r._5, r._6))
+    // means 10,10,10,8,6.8; terms 0,0,0,-6,-4.8; mt 0,0,0,-6,-10.8;
+    // ph 0,0,0,6,10.8 -> alarm only on day 5 (6 is NOT > lambda)
+    assert(got == Seq(
+      ("2026-01-01", 10L, 0.0, 0.0, false),
+      ("2026-01-02", 10L, 0.0, 0.0, false),
+      ("2026-01-03", 10L, 0.0, 0.0, false),
+      ("2026-01-04", 2L, -6.0, 6.0, false),
+      ("2026-01-05", 2L, -10.8, 10.8, true)), got)
+  }
+
+  test("leaveOneOutMeans: total-minus-group algebra by hand; a " +
+      "single-group corpus yields NULL mean_without") {
+    import graft.ops.Curation
+    val df = Seq(("A", 1L), ("A", 3L), ("B", 5L)).toDF("g", "m")
+    val got = Curation.leaveOneOutMeans(df, "g", Seq("m" -> F.col("m")))
+      .as[(String, Long, Double, String, Double, Double, Double)]
+      .collect().toSeq
+    // full mean 3; without A -> 5 (delta +2); without B -> 2 (delta -1)
+    assert(got == Seq(("A", 2L, 0.666667, "m", 3.0, 5.0, 2.0),
+      ("B", 1L, 0.333333, "m", 3.0, 2.0, -1.0)), got)
+    val one = Seq(("A", 1L)).toDF("g", "m")
+    val row = Curation.leaveOneOutMeans(one, "g", Seq("m" -> F.col("m")))
+      .select("mean_without").collect().head
+    assert(row.isNullAt(0), row)
+  }
 }

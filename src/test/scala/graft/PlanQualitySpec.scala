@@ -1452,4 +1452,48 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"no corpus-scale shuffle join:\n$p")
   }
+
+  test("knnShapley: queries broadcast into one corpus scan (no corpus-" +
+      "side shuffle join); distance is the native codegen'd l2distSq") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.ops.Similarity.knnShapley(emb,
+      emb.filter(F.col("vec_id") < 4), "vec_id", "embedding", "label",
+      k = 3, topN = 10)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the bounded query set must broadcast:\n$p")
+    assert(p.contains("vec_l2dist_sq"),
+      s"expected the native distance expression, not a HOF:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-scale shuffle join:\n$p")
+  }
+
+  test("ipsOffPolicy: candidates broadcast, terms partial-aggregate " +
+      "map-side — only k partials cross the exchange") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val df = graft.ops.EventOps.ipsOffPolicy(ev, "event_type", "value",
+      F.lit(0.5), Seq("click", "view"))
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the bounded candidate list must broadcast:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected map-side partial aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus shuffle join:\n$p")
+  }
+
+  test("sinkhorn: the corpus collapses to the two bounded histograms " +
+      "once; scaling rounds run on checkpointed bounded tables") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.Stats.sinkhorn(docs, "n_chars",
+      F.col("lang") === "en", F.col("lang") === "zh",
+      lo = 0L, hi = 800L, grid = 50L, reg = 2.0, iters = 4)
+    val p = plan(df)
+    // the corpus parquet scan must NOT appear in the final iteration
+    // plan — the histograms were localCheckpointed up front, so the
+    // rounds only touch ≤cells² in-memory rows
+    assert(!p.contains("FileScan parquet"),
+      s"iteration plan must run on checkpointed histograms, not " +
+        s"rescan the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bounded tables broadcast:\n$p")
+  }
 }
