@@ -3633,6 +3633,91 @@ object SparkEntry {
         Seq("click", "error", "signup", "view"), "purchase",
         rounds = 8)),
 
+    // near-dup threshold sweep over banded-LSH candidates (the x43 md5
+    // Carter-Wegman signatures): pairs/docs affected per estimated-
+    // Jaccard cut — the tuning curve a dedup policy reads before
+    // picking its threshold. Candidates come from 4-row band buckets
+    // (the scale path), NEVER all-pairs.
+    "x465_dedup_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val t = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), 1, 500)
+      val shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 4, F.lit(1))),
+        i => t.substr(i, F.lit(5))))
+      val hs = F.transform(shingles,
+        x => F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"))
+      val sigCols = OracleAB.zipWithIndex.map { case ((a, b), j) =>
+        F.array_min(F.transform(F.col("hs"),
+          h => (h * a + b) % OracleP)).as(s"s$j") }
+      val sigs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(F.col("doc_id") % 10 === 0)
+        .select(F.col("doc_id"), hs.as("hs"))
+        .select(F.col("doc_id") +: sigCols: _*)
+        .localCheckpoint()
+      val bands = (0 until 4).map { bnd =>
+        val key = F.concat_ws(",", (0 until 4).map(r =>
+          F.col(s"s${4 * bnd + r}").cast("string")): _*)
+        sigs.select(F.col("doc_id"), F.lit(bnd).as("band"),
+          key.as("bkey"))
+      }.reduce(_.unionByName(_))
+      val cand = bands.as("x").join(bands.as("y"),
+          F.col("x.band") === F.col("y.band") &&
+            F.col("x.bkey") === F.col("y.bkey") &&
+            F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").as("a"), F.col("y.doc_id").as("b"))
+        .distinct()
+      val est = cand
+        .join(sigs.select(F.col("doc_id").as("a") +: (0 until 16).map(
+          j => F.col(s"s$j").as(s"xa$j")): _*), "a")
+        .join(sigs.select(F.col("doc_id").as("b") +: (0 until 16).map(
+          j => F.col(s"s$j").as(s"xb$j")): _*), "b")
+        .select(F.col("a"), F.col("b"),
+          ((0 until 16).map(j =>
+            F.when(F.col(s"xa$j") === F.col(s"xb$j"), 1).otherwise(0))
+            .reduce(_ + _).cast("double") / 16.0).as("est"))
+        .localCheckpoint()
+      val nCand = est.agg(F.count(F.lit(1)).as("n_cand_pairs"))
+      val ths = Seq(0.25, 0.5, 0.75, 1.0).toDF("threshold")
+      val kept = ths.join(est, F.col("est") >= F.col("threshold"),
+        "left")
+      val pairCnt = kept.groupBy("threshold")
+        .agg(F.count(F.col("a")).as("n_pairs"))
+      val docCnt = kept
+        .select(F.col("threshold"),
+          F.explode(F.array(F.col("a"), F.col("b"))).as("d"))
+        .groupBy("threshold")
+        .agg(F.count_distinct(F.col("d")).as("n_docs_affected"))
+      pairCnt.join(docCnt, Seq("threshold"), "left")
+        .crossJoin(F.broadcast(nCand))
+        .select(F.col("threshold"), F.col("n_cand_pairs"),
+          F.col("n_pairs"),
+          F.coalesce(F.col("n_docs_affected"), F.lit(0L))
+            .as("n_docs_affected"))
+        .orderBy("threshold")
+    }),
+
+    // vocabulary-coverage census per source vs the corpus top-16
+    // vocab — occurrence coverage + OOV type rate, the tokenizer-
+    // sizing readout beside x82 growth / x153 fertility
+    "x464_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(s.read.parquet(s"$dir/documents.parquet"),
+        "source", "text", vocabSize = 16)),
+
+    // bottom-32 containment estimate vs exact truth on the x143 pair
+    // list — the estimator-error distribution that decides whether
+    // sketches can replace exact shingle sets at a given threshold
+    "x463_bottomk_contain" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val ids = docs.select("doc_id")
+      val pairs = ids.select(F.col("doc_id").as("a"),
+          (F.col("doc_id") + 1).as("b"))
+        .filter(F.col("a") % 7 === 0)
+        .join(ids.select(F.col("doc_id").as("b")), Seq("b"), "leftsemi")
+      Dedup.bottomKContainment(pairs, docs, "doc_id", "text", k = 32)
+        .orderBy("a", "b")
+    }),
+
     // leave-one-source-out ablation: which source drags the corpus
     // mean length / token count — one pass, total-minus-group algebra
     "x462_source_ablation" -> ((s, dir) =>
@@ -12630,6 +12715,129 @@ object SparkEntry {
     // x92's round replay with the teleport vector: md5-ordered seed
     // pick, tp = round(1/k, 6) on seeds else 0, dangling mass restarts
     // at the seeds
+    // same x43 signature math, same 4-row band buckets, same sweep
+    "x465_dedup_sweep" -> {
+      val sigSel = OracleAB.zipWithIndex.map { case ((a, b), j) =>
+        s"list_min(list_transform(hs, h -> ($a*h + $b) % $OracleP)) AS s$j"
+      }.mkString(",\n         |    ")
+      val bandRows = (0 until 4).map { bnd =>
+        val key = (0 until 4).map(r => s"s${4 * bnd + r}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $bnd AS band, $key AS bkey FROM sig"
+      }.mkString("\n         |  UNION ALL ")
+      val eq = (0 until 16).map(j =>
+        s"(CASE WHEN xa.s$j = xb.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 500) AS t
+         |  FROM documents WHERE doc_id % 10 = 0
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(length(t) - 4, 1) + 1),
+         |    i -> substring(t, i::INT, 5))) AS s
+         |  FROM t
+         |), hs AS (
+         |  SELECT doc_id, list_transform(s,
+         |    x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS hs FROM sh
+         |), sig AS (
+         |  SELECT doc_id,
+         |    $sigSel
+         |  FROM hs
+         |), bands AS (
+         |  $bandRows
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band
+         |    AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |), est AS (
+         |  SELECT c.a, c.b, ($eq)::DOUBLE / 16.0 AS est
+         |  FROM cand c JOIN sig xa ON xa.doc_id = c.a
+         |    JOIN sig xb ON xb.doc_id = c.b
+         |), nc AS (SELECT count(*)::BIGINT AS n_cand_pairs FROM est),
+         |ths AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75), (1.0))
+         |  t(threshold)),
+         |kept AS (
+         |  SELECT ths.threshold, est.a, est.b
+         |  FROM ths LEFT JOIN est ON est.est >= ths.threshold
+         |), pc AS (
+         |  SELECT threshold, count(a)::BIGINT AS n_pairs
+         |  FROM kept GROUP BY threshold
+         |), dc AS (
+         |  SELECT threshold, count(DISTINCT d)::BIGINT AS n_docs_affected
+         |  FROM (SELECT threshold, unnest([a, b]) AS d FROM kept)
+         |  GROUP BY threshold
+         |)
+         |SELECT pc.threshold, nc.n_cand_pairs, pc.n_pairs,
+         |  coalesce(dc.n_docs_affected, 0)::BIGINT AS n_docs_affected
+         |FROM pc LEFT JOIN dc USING (threshold) CROSS JOIN nc
+         |ORDER BY pc.threshold""".stripMargin
+    },
+
+    // same tokenization, same (count desc, token asc) top-16 vocab pick
+    "x464_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT source AS g, unnest(string_split_regex(lower(trim(
+        |    text)), '\s+')) AS tok
+        |  FROM documents WHERE source IS NOT NULL
+        |), bt AS (
+        |  SELECT g, tok, count(*)::BIGINT AS c FROM tk
+        |  WHERE length(tok) > 0 GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT tok FROM (SELECT tok, sum(c) AS tc FROM bt GROUP BY tok)
+        |  ORDER BY tc DESC, tok LIMIT 16
+        |), agg AS (
+        |  SELECT g, sum(c)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN v.tok IS NOT NULL THEN c ELSE 0 END)::BIGINT
+        |      AS n_in_vocab,
+        |    count(*)::BIGINT AS n_types,
+        |    sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_oov_types
+        |  FROM bt LEFT JOIN vocab v USING (tok) GROUP BY g
+        |)
+        |SELECT g AS source, n_tokens, n_in_vocab,
+        |  round(n_in_vocab::DOUBLE / nullif(n_tokens::DOUBLE, 0), 6)
+        |    AS coverage,
+        |  n_types, n_oov_types,
+        |  round(n_oov_types::DOUBLE / nullif(n_types::DOUBLE, 0), 6)
+        |    AS oov_type_rate
+        |FROM agg ORDER BY source""".stripMargin,
+
+    // x143's shingle/pair CTEs + md5 bottom-32 sample ranks (lists sort
+    // elementwise in both engines; md5 hex has no ties)
+    "x463_bottomk_contain" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g')
+        |    AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(length(t) - 4, 1) + 1),
+        |    i -> substring(t, i, 5))) AS s
+        |  FROM t
+        |), pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 7 = 0
+        |), j AS (
+        |  SELECT p.a, p.b, sa.s AS sa, sb.s AS sb,
+        |    list_transform(list_sort(list_transform(sa.s,
+        |      x -> [md5(x), x]))[1:32], q -> q[2]) AS samp
+        |  FROM pairs p
+        |  JOIN sh sa ON sa.doc_id = p.a
+        |  JOIN sh sb ON sb.doc_id = p.b
+        |), sc AS (
+        |  SELECT a, b, len(sa)::INT AS size_a,
+        |    least(32, len(sa))::INT AS k_used,
+        |    round(len(list_intersect(sa, sb))::DOUBLE
+        |      / nullif(len(sa)::DOUBLE, 0), 6) AS contain_exact,
+        |    round(len(list_intersect(samp, sb))::DOUBLE
+        |      / nullif(least(32, len(sa))::DOUBLE, 0), 6) AS contain_est
+        |  FROM j
+        |)
+        |SELECT a, b, size_a, k_used, contain_exact, contain_est,
+        |  round(abs(contain_est - contain_exact), 6) AS abs_err
+        |FROM sc ORDER BY a, b""".stripMargin,
+
     // same one-pass total-minus-group algebra; deltas carry the + 0.0
     // sign-of-zero canon (SURVEY §8)
     "x462_source_ablation" ->

@@ -5387,11 +5387,15 @@ object Stats {
     }
     // checkpoint the two histograms: they are re-referenced every
     // round (u-update, residuals, totals) and would otherwise re-scan
-    // the corpus once per reference
+    // the corpus once per reference. Every bounded table coalesces to
+    // ONE partition first — a <=cells^2-row table split over the
+    // default 32 shuffle partitions costs 32 task launches per round
+    // x 24 checkpoint rounds of pure scheduler overhead (measured: the
+    // r17 ledger run read 24 s of task time on 16-cell tables)
     val r = hist(isA, "a").select(F.col("__cell").as("__i"),
-      F.col("__na"), F.col("__a")).localCheckpoint()
+      F.col("__na"), F.col("__a")).coalesce(1).localCheckpoint()
     val c = hist(isB, "b").select(F.col("__cell").as("__j"),
-      F.col("__nb"), F.col("__b")).localCheckpoint()
+      F.col("__nb"), F.col("__b")).coalesce(1).localCheckpoint()
     val kern = spark.range(0, nCells.toLong).select(F.col("id").as("__i"))
       .crossJoin(spark.range(0, nCells.toLong)
         .select(F.col("id").as("__j")))
@@ -5399,7 +5403,7 @@ object Stats {
         F.round(F.exp(-F.abs(F.col("__i") - F.col("__j"))
           .cast("double") / F.lit(reg)), 9).as("__k"),
         F.abs(F.col("__i") - F.col("__j")).cast("double").as("__cost"))
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
     def dec9(col: Column): Column = F.round(col, 9).cast("decimal(38,9)")
     var u = r.select(F.col("__i"), F.lit(1.0).as("__u"))
     var v = c.select(F.col("__j"), F.lit(1.0).as("__v"))
@@ -5411,14 +5415,14 @@ object Stats {
       u = r.join(F.broadcast(kv), "__i")
         .select(F.col("__i"), F.round(F.col("__a") /
           F.col("__kv").cast("double"), 9).as("__u"))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
       val ku = kern.join(F.broadcast(u), "__i")
         .groupBy("__j").agg(F.sum(dec9(F.col("__k") * F.col("__u")))
           .as("__ku"))
       v = c.join(F.broadcast(ku), "__j")
         .select(F.col("__j"), F.round(F.col("__b") /
           F.col("__ku").cast("double"), 9).as("__v"))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
       it += 1
     }
     val plan = kern.join(F.broadcast(u), "__i").join(F.broadcast(v), "__j")

@@ -2301,4 +2301,60 @@ object TextOps {
             F.lit(0.0)), 6).as("incompressible_share")): _*)
       .orderBy(gs: _*)
   }
+
+  /** Vocabulary-coverage census per group against the corpus top-V
+    * vocabulary — the tokenizer-sizing readout beside x82's growth
+    * curve and x153's fertility: if the vocab were the V most frequent
+    * corpus tokens, what share of each source's token OCCURRENCES is
+    * in-vocab (the compression you get) and what share of its distinct
+    * TYPES falls out (the long tail you UNK away)? A source whose
+    * occurrence coverage is high but type coverage is low is normal
+    * Zipf; a source with LOW occurrence coverage writes a different
+    * language/register than the corpus head and will tokenize badly.
+    *
+    * Vocabulary pick is deterministic: top `vocabSize` by (count desc,
+    * token asc) — a TakeOrdered, never a global sort.
+    *
+    * Scale shape: one token explode feeding BOTH the (bounded,
+    * broadcast) vocab top-k and the per-(group, token) collapse; the
+    * coverage join is per-group-token rows against the broadcast
+    * vocab. No window over corpus rows.
+    *
+    * @return per group: (group, n_tokens, n_in_vocab, coverage,
+    *         n_types, n_oov_types, oov_type_rate) — 6-dp
+    */
+  def vocabCoverage(df: DataFrame, groupCol: String, textCol: String,
+                    vocabSize: Int = 512): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= (1 << 20),
+      s"vocabSize out of range: $vocabSize")
+    val toks = df.filter(F.col(groupCol).isNotNull)
+      .select(F.col(groupCol).as("__g"),
+        F.explode(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"))
+          .as("__tok"))
+      .filter(F.length(F.col("__tok")) > 0)
+    val byTok = toks.groupBy("__g", "__tok")
+      .agg(F.count(F.lit(1)).as("__c"))
+    val vocab = byTok.groupBy("__tok").agg(F.sum("__c").as("__tc"))
+      .orderBy(F.col("__tc").desc, F.col("__tok").asc)
+      .limit(vocabSize)
+      .select(F.col("__tok"), F.lit(1).as("__in"))
+    byTok.join(F.broadcast(vocab), Seq("__tok"), "left")
+      .groupBy("__g")
+      .agg(F.sum("__c").as("n_tokens"),
+        F.sum(F.when(F.col("__in").isNotNull, F.col("__c"))
+          .otherwise(0L)).as("n_in_vocab"),
+        F.count(F.lit(1)).as("n_types"),
+        F.sum(F.when(F.col("__in").isNull, 1L).otherwise(0L))
+          .as("n_oov_types"))
+      .select(F.col("__g").as(groupCol), F.col("n_tokens"),
+        F.col("n_in_vocab"),
+        F.round(F.col("n_in_vocab").cast("double") /
+          F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)), 6)
+          .as("coverage"),
+        F.col("n_types"), F.col("n_oov_types"),
+        F.round(F.col("n_oov_types").cast("double") /
+          F.nullif(F.col("n_types").cast("double"), F.lit(0.0)), 6)
+          .as("oov_type_rate"))
+      .orderBy(groupCol)
+  }
 }

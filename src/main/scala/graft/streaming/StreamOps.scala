@@ -386,6 +386,68 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class PhState(t: Long, sumX: Long, mNano: Long,
+                           maxMNano: Long)
+  final case class PhOut(key: String, ts: Timestamp, value: Long,
+                         mt: Double, ph: Double, alarm: Boolean)
+
+  /** Streaming Page-Hinkley drift alarm — the incremental feed of the
+    * batch [[graft.ops.EventOps.pageHinkley]]: per key the state is
+    * FOUR LONGS (observation count, value sum for the running mean,
+    * and the PH accumulator + its running max as NANO-scaled longs —
+    * each 9-dp-rounded deviation term becomes an exact integer, so the
+    * stream replays the batch DECIMAL accumulation bit-for-bit instead
+    * of drifting a double per micro-batch). In-batch disorder is
+    * absorbed by an event-time sort (the [[cusumStream]] convention);
+    * cross-batch order is arrival order, the streaming contract.
+    * Emits one scored row per observation; `alarm` is PH > λ, strict,
+    * matching the batch op's boundary behavior.
+    */
+  def pageHinkleyStream(metrics: Dataset[Metric], delta: Double = 0.0,
+                        lambda: Double = 50.0,
+                        watermarkDelay: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[PhOut] = {
+    require(lambda > 0.0, s"lambda must be positive, got $lambda")
+    import spark.implicits._
+
+    def r9nano(x: Double): Long =
+      if (x >= 0) math.floor(x * 1e9 + 0.5).toLong
+      else -math.floor(-x * 1e9 + 0.5).toLong
+
+    def update(key: String, ms: Iterator[Metric],
+               state: GroupState[PhState]): Iterator[PhOut] = {
+      val out = Vector.newBuilder[PhOut]
+      val sorted = ms.toVector.sortBy(m => (m.ts.getTime, m.value))
+      var cur = state.getOption.getOrElse(PhState(0L, 0L, 0L, 0L))
+      sorted.foreach { m =>
+        val t = cur.t + 1
+        val sx = cur.sumX + m.value
+        val mean = sx.toDouble / t.toDouble
+        val mNano = cur.mNano + r9nano(m.value.toDouble - mean + delta)
+        val maxM = math.max(if (cur.t == 0L) mNano else cur.maxMNano,
+          mNano)
+        cur = PhState(t, sx, mNano, maxM)
+        val phNano = maxM - mNano
+        // HALF-UP like the batch F.round (rint would round half-even),
+        // and + 0.0 so a negative term can never emit -0.0
+        def r6(nano: Long): Double = {
+          val v = nano / 1e9
+          (if (v >= 0) math.floor(v * 1e6 + 0.5)
+           else -math.floor(-v * 1e6 + 0.5)) / 1e6 + 0.0
+        }
+        out += PhOut(key, m.ts, m.value, r6(mNano), r6(phNano),
+          phNano / 1e9 > lambda)
+      }
+      state.update(cur)
+      out.result().iterator
+    }
+
+    metrics
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming score-drift monitor: windowed PSI of an incoming score
     * stream against a STATIC baseline histogram — the model-monitoring
     * alarm ([[graft.ops.Stats.psi]]'s streaming sibling) that pages when

@@ -7757,6 +7757,46 @@ class OpsSpec extends AnyFunSuite {
       ("2026-01-05", 2L, -10.8, 10.8, true)), got)
   }
 
+  test("bottomKContainment: when |A| <= k the estimate IS exact; " +
+      "identical docs read 1, disjoint docs read 0") {
+    // short docs -> < 32 shingles, so the bottom-k sample is the whole
+    // set and est must equal exact on every pair
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), // identical
+      (7L, "delta epsilon zeta"), (8L, "XXXXXXXXXXXXXXX") // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (7L, 8L)).toDF("a", "b")
+    val got = Dedup.bottomKContainment(pairs, docs, "doc_id", "text",
+        k = 32)
+      .orderBy("a")
+      .as[(Long, Long, Int, Int, Double, Double, Double)]
+      .collect().toSeq
+    assert(got.map(r => (r._1, r._5, r._6, r._7)) ==
+      Seq((1L, 1.0, 1.0, 0.0), (7L, 0.0, 0.0, 0.0)), got)
+    // k_used capped at the set size
+    assert(got.forall(r => r._4 == math.min(32, r._3)), got)
+    // a long doc with > k shingles: est within [0,1], k_used = 32
+    val long1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val long2 = (1 to 40).map(i => s"tok$i").mkString(" ") + " tail"
+    val dl = Seq((1L, long1), (2L, long2)).toDF("doc_id", "text")
+    val gl = Dedup.bottomKContainment(Seq((1L, 2L)).toDF("a", "b"), dl,
+        "doc_id", "text", k = 32)
+      .as[(Long, Long, Int, Int, Double, Double, Double)].head()
+    assert(gl._4 == 32 && gl._6 >= 0.9, gl) // near-contained, sampled
+  }
+
+  test("vocabCoverage: hand coverage vs a size-1 vocabulary") {
+    import graft.ops.TextOps
+    val df = Seq(("A", "a a b"), ("B", "a c")).toDF("src", "text")
+    val got = TextOps.vocabCoverage(df, "src", "text", vocabSize = 1)
+      .as[(String, Long, Long, Double, Long, Long, Double)]
+      .collect().toSeq
+    // vocab = {a} (count 3); A: 2/3 occurrences in-vocab, 1/2 types
+    // OOV; B: 1/2 and 1/2
+    assert(got == Seq(("A", 3L, 2L, 0.666667, 2L, 1L, 0.5),
+      ("B", 2L, 1L, 0.5, 2L, 1L, 0.5)), got)
+  }
+
   test("leaveOneOutMeans: total-minus-group algebra by hand; a " +
       "single-group corpus yields NULL mean_without") {
     import graft.ops.Curation

@@ -641,4 +641,42 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(est > 240.0 && est < 560.0, s"KMV estimate $est for 400")
     } finally q3.stop()
   }
+
+  test("streaming Page-Hinkley carries the four-long state across " +
+      "batches and matches the batch closed form") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val in = MemoryStream[StreamOps.Metric]
+    val q = StreamOps.pageHinkleyStream(in.toDS(), delta = 0.0,
+        lambda = 6.0)
+      .writeStream.format("memory").queryName("ph")
+      .outputMode("append").start()
+    try {
+      // daily counts [10, 10, 10] then [2, 2] — the same series the
+      // batch OpsSpec pins: mt = 0,0,0,-6,-10.8; ph = 0,0,0,6,10.8;
+      // alarm strictly > 6 fires on the LAST row only
+      in.addData(StreamOps.Metric("m", ts(1), 10L),
+        StreamOps.Metric("m", ts(2), 10L),
+        StreamOps.Metric("m", ts(3), 10L))
+      q.processAllAvailable()
+      in.addData(StreamOps.Metric("m", ts(4), 2L),
+        StreamOps.Metric("m", ts(5), 2L))
+      q.processAllAvailable()
+      val got = spark.table("ph").orderBy("ts")
+        .as[StreamOps.PhOut].collect()
+        .map(o => (o.mt, o.ph, o.alarm)).toSeq
+      assert(got == Seq((0.0, 0.0, false), (0.0, 0.0, false),
+        (0.0, 0.0, false), (-6.0, 6.0, false), (-10.8, 10.8, true)),
+        got.toString)
+      // in-batch disorder: event-time sort absorbs it
+      in.addData(StreamOps.Metric("d", ts(11), 2L),
+        StreamOps.Metric("d", ts(10), 10L))
+      q.processAllAvailable()
+      val d = spark.table("ph").filter(F.col("key") === "d")
+        .orderBy("ts").as[StreamOps.PhOut].collect()
+        .map(o => (o.value, o.ph)).toSeq
+      // sorted: 10 (mean 10, term 0) then 2 (mean 6, term -4) -> ph 4
+      assert(d == Seq((10L, 0.0), (2L, 4.0)), d.toString)
+    } finally q.stop()
+  }
 }
