@@ -3633,6 +3633,121 @@ object SparkEntry {
         Seq("click", "error", "signup", "view"), "purchase",
         rounds = 8)),
 
+    // expected events-to-conversion per state: 12-round value
+    // iteration toward absorbing 'purchase' — how FAR each behavior
+    // state sits from converting (x454 asks who gets credit)
+    "x475_hitting_time" -> ((s, dir) =>
+      graft.ops.EventOps.hittingTime(
+        s.read.parquet(s"$dir/events.parquet"), "purchase",
+        iters = 12)),
+
+    // per-token dispersion census (Church-Gale burstiness): Fano and
+    // mean-when-present for the top-12 tokens — stopword vs topic-word
+    // discrimination for list induction
+    "x474_token_dispersion" -> ((s, dir) =>
+      TextOps.tokenDispersion(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", topK = 12)),
+
+    // LSH banding planner calibrated on the corpus's own random-pair
+    // similarity sample: expected false-candidate and miss rates per
+    // (bands, rows) split of the 16-component signature at t = 0.5
+    "x473_lsh_planner" -> ((s, dir) => {
+      val t = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), 1, 500)
+      val shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 4, F.lit(1))),
+        i => t.substr(i, F.lit(5))))
+      val hs = F.transform(shingles,
+        x => F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"))
+      val sigCols = OracleAB.zipWithIndex.map { case ((a, b), j) =>
+        F.array_min(F.transform(F.col("hs"),
+          h => (h * a + b) % OracleP)).as(s"s$j") }
+      val sigs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(F.col("doc_id") % 10 === 0)
+        .select(F.col("doc_id").cast("string").as("__id"), hs.as("hs"))
+        .select(F.col("__id") +: sigCols: _*)
+      val ordered = sigs
+        .withColumn("__h", F.md5(F.concat(F.lit("lshp:"), F.col("__id"))))
+        .withColumn("__rn", F.row_number().over(Window.orderBy(
+          F.col("__h"), F.col("__id"))))
+        .withColumn("__pair",
+          F.call_function("div", F.col("__rn") - 1L, F.lit(2L)))
+        .withColumn("__side", (F.col("__rn") - 1L) % 2L)
+      val a = ordered.filter(F.col("__side") === 0L)
+        .select(F.col("__pair") +: (0 until 16).map(j =>
+          F.col(s"s$j").as(s"a$j")): _*)
+      val b = ordered.filter(F.col("__side") === 1L)
+        .select(F.col("__pair") +: (0 until 16).map(j =>
+          F.col(s"s$j").as(s"b$j")): _*)
+      val sims = a.join(b, "__pair")
+        .select(((0 until 16).map(j =>
+          F.when(F.col(s"a$j") === F.col(s"b$j"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / 16.0).as("sim"))
+      Dedup.lshBandingPlan(sims, "sim", nComponents = 16,
+        threshold = 0.5)
+    }),
+
+    // stationary distribution of the behavior chain (pi = pi P, 10
+    // power rounds, implicit self-loops for no-out states) — the
+    // long-run occupancy companion to x102/x306
+    "x472_stationary" -> ((s, dir) =>
+      graft.ops.EventOps.stationaryDistribution(
+        s.read.parquet(s"$dir/events.parquet"), iters = 10)),
+
+    // water-filling token allocation: 60% budget spread max-min-fair
+    // across sources under availability caps — the constrained mixture
+    // plan beside x77/x185
+    "x471_waterfill" -> ((s, dir) =>
+      Sampling.waterfillAllocation(
+        s.read.parquet(s"$dir/documents.parquet"), F.col("source"),
+        F.size(F.split(F.trim(F.col("text")), "\\s+")),
+        budgetFrac = 0.6)),
+
+    // anisotropy census (Ethayarajh 2019): mean random-pair cosine +
+    // the mean-vector share — the pre-flight check before any cosine-
+    // threshold dedup/ANN policy
+    "x470_anisotropy" -> ((s, dir) =>
+      Similarity.anisotropyCensus(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+        "embedding")),
+
+    // interpolated trigram LM (Jelinek-Mercer, pinned 0.6/0.3/0.1)
+    // cross-entropy per source — the n=3 sibling of x78's KN bigram
+    "x469_trigram_interp" -> ((s, dir) =>
+      TextOps.trigramInterp(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "source", "text")),
+
+    // coverage curve vs vocab size (V = 4, 8, 16, 24): the knee of
+    // this curve is the tokenizer-budget decision (x464's V-sweep)
+    "x468_coverage_curve" -> ((s, dir) =>
+      TextOps.coverageCurve(s.read.parquet(s"$dir/documents.parquet"),
+        "text", Seq(4, 8, 16, 24))),
+
+    // upper-tail VaR95 + CVaR (expected shortfall) of event value per
+    // type — the spend-risk readout the mean hides; distinct-value
+    // ladder, ties stay in the tail together
+    "x467_cvar_tail" -> ((s, dir) =>
+      graft.ops.Stats.cvarTail(s.read.parquet(s"$dir/events.parquet"),
+        Seq("event_type"), F.col("value"), alpha = 0.95)),
+
+    // coarsened exact matching + ATT: did signup-takers spend more,
+    // matched on coarsened activity (event-count, active-day buckets)?
+    // The non-randomized causal readout beside x238 DiD / x197 CUPED
+    "x466_cem_att" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val per = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") === "signup", 1).otherwise(0))
+          .as("t"),
+        F.sum(F.round(F.when(F.col("event_type") === "purchase",
+          F.col("value")).otherwise(0.0), 9).cast("decimal(38,9)"))
+          .as("y"),
+        F.count(F.lit(1)).as("ne"),
+        F.countDistinct(F.to_date(graft.ops.EventOps.tsStamp(ev)))
+          .as("nd"))
+      graft.ops.Stats.cemAtt(per, F.col("t") === 1, F.col("y"),
+        Seq(F.floor(F.col("ne") / 10), F.floor(F.col("nd") / 3)))
+    }),
+
     // near-dup threshold sweep over banded-LSH candidates (the x43 md5
     // Carter-Wegman signatures): pairs/docs affected per estimated-
     // Jaccard cut — the tuning curve a dedup policy reads before
@@ -12715,6 +12830,435 @@ object SparkEntry {
     // x92's round replay with the teleport vector: md5-ordered seed
     // pick, tp = round(1/k, 6) on seeds else 0, dangling mass restarts
     // at the seeds
+    // generated value-iteration rounds toward the absorbing target
+    // (same lag collapse, same 9-dp P, DECIMAL inner products)
+    "x475_hitting_time" -> {
+      def round(t: Int): String = {
+        val pv = s"v${t - 1}"
+        s"""mv$t AS MATERIALIZED (
+           |  SELECT p.f AS state,
+           |    sum(round(p.p * $pv.v, 9)::DECIMAL(38,9)) AS inm
+           |  FROM p JOIN $pv ON p.t = $pv.state GROUP BY p.f),
+           |v$t AS MATERIALIZED (
+           |  SELECT b.state, b.hasout, b.tgt,
+           |    CASE WHEN b.tgt THEN 0.0
+           |      WHEN NOT b.hasout THEN $pv.v
+           |      ELSE round(1.0 + coalesce(mv$t.inm::DOUBLE, 0.0), 9)
+           |    END AS v
+           |  FROM base b LEFT JOIN mv$t USING (state)
+           |  JOIN $pv USING (state))""".stripMargin
+      }
+      val rounds = (1 to 12).map(round).mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS tu,
+         |    event_id AS eid
+         |  FROM events
+         |), lagd AS (
+         |  SELECT et AS nt,
+         |    lag(et) OVER (PARTITION BY u ORDER BY tu, eid) AS pt
+         |  FROM e
+         |), c AS (
+         |  SELECT pt AS f, nt AS t, count(*)::BIGINT AS n
+         |  FROM lagd WHERE pt IS NOT NULL GROUP BY 1, 2
+         |), p AS MATERIALIZED (
+         |  SELECT f, t, round(n::DOUBLE /
+         |    (sum(n) OVER (PARTITION BY f))::DOUBLE, 9) AS p
+         |  FROM c
+         |), base AS MATERIALIZED (
+         |  SELECT s.state,
+         |    max(CASE WHEN po.f IS NOT NULL THEN true ELSE false END)
+         |      AS hasout,
+         |    (s.state = 'purchase') AS tgt
+         |  FROM (SELECT f AS state FROM c UNION SELECT t FROM c) s
+         |  LEFT JOIN (SELECT DISTINCT f FROM p) po ON po.f = s.state
+         |  GROUP BY s.state
+         |), v0 AS MATERIALIZED (
+         |  SELECT state, hasout, tgt, 0.0::DOUBLE AS v FROM base
+         |),
+         |$rounds
+         |SELECT state, round(v, 6) AS t_hit, tgt AS is_target,
+         |  12::BIGINT AS horizon
+         |FROM v12 ORDER BY state""".stripMargin
+    },
+
+    // same (doc, token) collapse and exact integer moments; the zeros
+    // of absent docs enter Var via D alone
+    "x474_token_dispersion" ->
+      """WITH pd AS (
+        |  SELECT doc_id, tok, count(*)::BIGINT AS x FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |      '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) > 0 GROUP BY doc_id, tok
+        |), dd AS (SELECT count(*)::BIGINT AS d FROM documents),
+        |pt AS (
+        |  SELECT tok, count(*)::BIGINT AS df, sum(x)::BIGINT AS total,
+        |    sum(x * x)::BIGINT AS x2
+        |  FROM pd GROUP BY tok
+        |), top AS (
+        |  SELECT * FROM pt CROSS JOIN dd
+        |  ORDER BY total DESC, tok LIMIT 12
+        |)
+        |SELECT tok AS token, df, total,
+        |  round(total::DOUBLE / d::DOUBLE, 6) AS mean_per_doc,
+        |  round(total::DOUBLE / df::DOUBLE, 6) AS mean_when_present,
+        |  round((x2::DOUBLE / d::DOUBLE
+        |    - (total::DOUBLE / d::DOUBLE) * (total::DOUBLE / d::DOUBLE))
+        |    / nullif(total::DOUBLE / d::DOUBLE, 0), 6) AS fano
+        |FROM top ORDER BY total DESC, token""".stripMargin,
+
+    // same sigs + 'lshp:' pairing; the s-curve powers are the SAME
+    // explicit squaring chains (pow is not correctly-rounded
+    // everywhere; chained IEEE multiplies are bit-identical)
+    "x473_lsh_planner" -> {
+      def chain(e: String, n: Int): String =
+        if (n == 1) e else { val h = chain(e, n / 2); s"($h * $h)" }
+      def qSql(sExpr: String, b: Int, r: Int): String =
+        s"(1.0 - ${chain(s"(1.0 - ${chain(sExpr, r)})", b)})"
+      val sigSel = OracleAB.zipWithIndex.map { case ((a, b), j) =>
+        s"list_min(list_transform(hs, h -> ($a*h + $b) % $OracleP)) AS s$j"
+      }.mkString(",\n         |    ")
+      val eq = (0 until 16).map(j =>
+        s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+      val cfgRows = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+        .map { case (bb, rr) =>
+          val qv = qSql("sim", bb, rr)
+          val qt = qSql("0.5", bb, rr)
+          s"""SELECT $bb::INT AS bands, $rr::INT AS rows_per_band,
+             |    count(*)::BIGINT AS n_pairs,
+             |    round(sum(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END)
+             |      ::DOUBLE / nullif(count(*)::DOUBLE, 0), 6)
+             |      AS share_above_t,
+             |    round($qt, 6) AS q_at_t,
+             |    round(sum(CASE WHEN sim < 0.5 THEN round($qv, 9)
+             |        ::DECIMAL(38,9) ELSE 0::DECIMAL(38,9) END)::DOUBLE
+             |      / nullif(sum(CASE WHEN sim < 0.5 THEN 1 ELSE 0 END)
+             |        ::DOUBLE, 0), 6) AS exp_fp_rate,
+             |    round(sum(CASE WHEN sim >= 0.5 THEN round(1.0 - $qv, 9)
+             |        ::DECIMAL(38,9) ELSE 0::DECIMAL(38,9) END)::DOUBLE
+             |      / nullif(sum(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END)
+             |        ::DOUBLE, 0), 6) AS exp_fn_rate
+             |  FROM sims""".stripMargin
+        }.mkString("\n         |  UNION ALL ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 500) AS t
+         |  FROM documents WHERE doc_id % 10 = 0
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(length(t) - 4, 1) + 1),
+         |    i -> substring(t, i::INT, 5))) AS s
+         |  FROM t
+         |), hs AS (
+         |  SELECT doc_id, list_transform(s,
+         |    x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS hs FROM sh
+         |), sig AS (
+         |  SELECT doc_id::VARCHAR AS id,
+         |    $sigSel
+         |  FROM hs
+         |), ordered AS (
+         |  SELECT *, row_number() OVER (ORDER BY md5('lshp:' || id), id)
+         |    AS rn
+         |  FROM sig
+         |), sims AS MATERIALIZED (
+         |  SELECT ($eq)::DOUBLE / 16.0 AS sim
+         |  FROM (SELECT * FROM ordered WHERE (rn - 1) % 2 = 0) a
+         |  JOIN (SELECT * FROM ordered WHERE (rn - 1) % 2 = 1) b
+         |    ON (a.rn - 1) // 2 = (b.rn - 1) // 2
+         |)
+         |SELECT * FROM (
+         |  $cfgRows
+         |) ORDER BY bands""".stripMargin
+    },
+
+    // generated power-iteration rounds (x459 convention): same lag
+    // collapse as x102, same 9-dp P and pi updates, DECIMAL inner sums
+    "x472_stationary" -> {
+      def round(t: Int): String = {
+        val pv = s"pi${t - 1}"
+        s"""mv$t AS MATERIALIZED (
+           |  SELECT p.t AS state,
+           |    sum(round($pv.pi * p.p, 9)::DECIMAL(38,9)) AS inm
+           |  FROM p JOIN $pv ON p.f = $pv.state GROUP BY p.t),
+           |pi$t AS MATERIALIZED (
+           |  SELECT b.state, b.hasout,
+           |    round(coalesce(mv$t.inm::DOUBLE, 0.0)
+           |      + CASE WHEN b.hasout THEN 0.0 ELSE $pv.pi END, 9) AS pi
+           |  FROM base b LEFT JOIN mv$t USING (state)
+           |  JOIN $pv USING (state))""".stripMargin
+      }
+      val rounds = (1 to 10).map(round).mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS tu,
+         |    event_id AS eid
+         |  FROM events
+         |), lagd AS (
+         |  SELECT et AS nt,
+         |    lag(et) OVER (PARTITION BY u ORDER BY tu, eid) AS pt
+         |  FROM e
+         |), c AS (
+         |  SELECT pt AS f, nt AS t, count(*)::BIGINT AS n
+         |  FROM lagd WHERE pt IS NOT NULL GROUP BY 1, 2
+         |), p AS MATERIALIZED (
+         |  SELECT f, t, round(n::DOUBLE /
+         |    (sum(n) OVER (PARTITION BY f))::DOUBLE, 9) AS p
+         |  FROM c
+         |), base AS MATERIALIZED (
+         |  SELECT s.state, max(CASE WHEN p.f IS NOT NULL THEN true
+         |    ELSE false END) AS hasout
+         |  FROM (SELECT f AS state FROM c UNION SELECT t FROM c) s
+         |  LEFT JOIN (SELECT DISTINCT f FROM p) p ON p.f = s.state
+         |  GROUP BY s.state
+         |), pi0 AS MATERIALIZED (
+         |  SELECT state, hasout,
+         |    round(1.0 / (SELECT count(*) FROM base)::DOUBLE, 9) AS pi
+         |  FROM base
+         |),
+         |$rounds,
+         |tv AS (
+         |  SELECT sum(round(abs(pi10.pi - pi9.pi), 9)
+         |    ::DECIMAL(38,9))::DOUBLE / 2.0 AS tv
+         |  FROM pi10 JOIN pi9 USING (state)
+         |)
+         |SELECT pi10.state, round(pi10.pi, 6) AS pi,
+         |  pi10.hasout AS has_out, round(tv.tv, 6) AS tv_delta
+         |FROM pi10 CROSS JOIN tv ORDER BY pi10.state""".stripMargin
+    },
+
+    // same cap ladder, same first-feasible water level (min by j)
+    "x471_waterfill" ->
+      """WITH caps AS (
+        |  SELECT source AS g,
+        |    sum(len(string_split_regex(trim(text), '\s+')))::BIGINT
+        |      AS cap
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT g, cap,
+        |    (sum(cap) OVER ())::BIGINT AS total,
+        |    (count(*) OVER ())::BIGINT AS k,
+        |    floor(0.6 * (sum(cap) OVER ())::DOUBLE)::BIGINT AS budget,
+        |    row_number() OVER (ORDER BY cap, g) AS j,
+        |    (sum(cap) OVER (ORDER BY cap, g ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW))::BIGINT AS cum
+        |  FROM caps
+        |), lev AS (
+        |  SELECT (budget - (cum - cap))::DOUBLE / (k - j + 1)::DOUBLE
+        |    AS theta
+        |  FROM t WHERE (budget - (cum - cap))::DOUBLE
+        |    / (k - j + 1)::DOUBLE <= cap::DOUBLE
+        |  ORDER BY j LIMIT 1
+        |)
+        |SELECT t.g AS "group", t.cap,
+        |  round(CASE WHEN t.budget >= t.total THEN t.cap::DOUBLE
+        |    ELSE least(t.cap::DOUBLE, lev.theta) END, 6) AS alloc,
+        |  (t.budget >= t.total OR t.cap::DOUBLE <= lev.theta)
+        |    AS binding,
+        |  CASE WHEN t.budget < t.total THEN round(lev.theta, 6) END
+        |    AS water_level,
+        |  t.budget
+        |FROM t LEFT JOIN lev ON true ORDER BY t.g""".stripMargin,
+
+    // same md5 'iso:' pairing, same dot/norm folds as x418, same
+    // posexplode mean collapse; mean_cos carries the + 0.0 canon
+    "x470_anisotropy" ->
+      """WITH b AS (
+        |  SELECT vec_id::VARCHAR AS id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |), nn AS (SELECT count(*)::BIGINT AS n FROM b),
+        |dims AS (
+        |  SELECT i - 1 AS d, v[i] AS x
+        |  FROM (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM b)
+        |), mu AS (
+        |  SELECT sum(round(m * m, 9)::DECIMAL(38,9))::DOUBLE AS mu2
+        |  FROM (SELECT round(sum(round(x, 9)::DECIMAL(38,9))::DOUBLE
+        |      / count(*)::DOUBLE, 9) AS m
+        |    FROM dims GROUP BY d)
+        |), norms AS (
+        |  SELECT round(sum(n2)::DOUBLE / count(*)::DOUBLE, 9) AS en2
+        |  FROM (SELECT round(sqrt(list_sum(list_transform(v,
+        |      x -> x * x))) * sqrt(list_sum(list_transform(v,
+        |      x -> x * x))), 9)::DECIMAL(38,9) AS n2 FROM b)
+        |), ordered AS (
+        |  SELECT v, row_number() OVER (ORDER BY md5('iso:' || id), id)
+        |    AS rn
+        |  FROM b
+        |), pr AS (SELECT (rn - 1) // 2 AS pair, (rn - 1) % 2 AS side, v
+        |  FROM ordered),
+        |cos AS (
+        |  SELECT round(
+        |    list_sum(list_transform(range(1, len(a.v) + 1),
+        |      i -> a.v[i] * b.v[i])) /
+        |    nullif(sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |      sqrt(list_sum(list_transform(b.v, x -> x * x))), 0.0),
+        |    9) AS c
+        |  FROM (SELECT pair, v FROM pr WHERE side = 0) a
+        |  JOIN (SELECT pair, v FROM pr WHERE side = 1) b
+        |    ON a.pair = b.pair
+        |), pc AS (
+        |  SELECT count(c)::BIGINT AS n_pairs,
+        |    sum(c::DECIMAL(38,9))::DOUBLE AS sc,
+        |    sum(abs(c)::DECIMAL(38,9))::DOUBLE AS sa
+        |  FROM cos WHERE c IS NOT NULL
+        |)
+        |SELECT nn.n, pc.n_pairs,
+        |  round(pc.sc / nullif(pc.n_pairs::DOUBLE, 0), 6) + 0.0
+        |    AS mean_cos,
+        |  round(pc.sa / nullif(pc.n_pairs::DOUBLE, 0), 6)
+        |    AS mean_abs_cos,
+        |  round(mu.mu2, 6) AS mu_norm2,
+        |  round(norms.en2, 6) AS mean_norm2,
+        |  round(mu.mu2 / nullif(norms.en2, 0.0), 6) AS anisotropy_ratio
+        |FROM nn, pc, mu, norms""".stripMargin,
+
+    // same trigram-row universe counts, same interpolation order
+    // (l3-term + l2-term + l1-term, left-assoc), 9-dp DECIMAL -ln sums
+    "x469_trigram_interp" ->
+      """WITH b AS (
+        |  SELECT doc_id AS id, source AS g,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS t
+        |  FROM documents WHERE source IS NOT NULL
+        |), tri AS (
+        |  SELECT id, g, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        |  FROM (SELECT id, g, t, unnest(range(1, greatest(len(t) - 2, 0)
+        |    + 1)) AS i FROM b)
+        |), c3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3
+        |  FROM tri GROUP BY 1, 2, 3),
+        |ctx2 AS (SELECT w1, w2, count(*)::BIGINT AS b2
+        |  FROM tri GROUP BY 1, 2),
+        |c2 AS (SELECT w2, w3, count(*)::BIGINT AS c2
+        |  FROM tri GROUP BY 1, 2),
+        |ctx1 AS (SELECT w2, count(*)::BIGINT AS b1 FROM tri GROUP BY 1),
+        |c1 AS (SELECT w3, count(*)::BIGINT AS c1 FROM tri GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM tri),
+        |sc AS (
+        |  SELECT tri.g,
+        |    round(-ln(0.6 * (c3.c3::DOUBLE / ctx2.b2::DOUBLE)
+        |      + 0.3 * (c2.c2::DOUBLE / ctx1.b1::DOUBLE)
+        |      + 0.1 * (c1.c1::DOUBLE / nn.n::DOUBLE)), 9)
+        |      ::DECIMAL(38,9) AS nll
+        |  FROM tri
+        |  JOIN c3 USING (w1, w2, w3) JOIN ctx2 USING (w1, w2)
+        |  JOIN c2 USING (w2, w3) JOIN ctx1 USING (w2)
+        |  JOIN c1 USING (w3) CROSS JOIN nn
+        |), docs AS (SELECT g, count(*)::BIGINT AS n_docs FROM b
+        |  GROUP BY g),
+        |agg AS (SELECT g, count(*)::BIGINT AS n_trigrams, sum(nll) AS s
+        |  FROM sc GROUP BY g)
+        |SELECT agg.g AS source, docs.n_docs, agg.n_trigrams,
+        |  round(agg.s::DOUBLE / agg.n_trigrams::DOUBLE, 6)
+        |    AS mean_nll_nats,
+        |  round(exp(agg.s::DOUBLE / agg.n_trigrams::DOUBLE), 6) AS ppl
+        |FROM agg JOIN docs USING (g) ORDER BY source""".stripMargin,
+
+    // same token ladder, same rank = min(V, types) pick
+    "x468_coverage_curve" ->
+      """WITH cnt AS (
+        |  SELECT tok, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)),
+        |      '\s+')) AS tok FROM documents)
+        |  WHERE length(tok) > 0 GROUP BY tok
+        |), lad AS (
+        |  SELECT tok, c,
+        |    row_number() OVER (ORDER BY c DESC, tok) AS rk,
+        |    (sum(c) OVER (ORDER BY c DESC, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      ::BIGINT AS cum
+        |  FROM cnt
+        |), tot AS (
+        |  SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS types FROM cnt
+        |), sz AS (SELECT unnest([4, 8, 16, 24])::BIGINT AS vocab_size)
+        |SELECT sz.vocab_size, tot.n AS n_tokens,
+        |  lad.cum AS n_in_vocab,
+        |  round(lad.cum::DOUBLE / nullif(tot.n::DOUBLE, 0), 6)
+        |    AS coverage,
+        |  tot.types AS n_types,
+        |  greatest(tot.types - sz.vocab_size, 0)::BIGINT AS n_oov_types,
+        |  round(greatest(tot.types - sz.vocab_size, 0)::DOUBLE
+        |    / nullif(tot.types::DOUBLE, 0), 6) AS oov_type_rate
+        |FROM sz CROSS JOIN tot
+        |JOIN lad ON lad.rk = least(sz.vocab_size, tot.types)
+        |ORDER BY sz.vocab_size""".stripMargin,
+
+    // same desc ladder, same ceil tail rank, same 9-dp DECIMAL v·c sums
+    "x467_cvar_tail" ->
+      """WITH byv AS (
+        |  SELECT event_type AS g, value AS v, count(*)::BIGINT AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), lad AS (
+        |  SELECT g, v, c,
+        |    (sum(c) OVER (PARTITION BY g ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      ::BIGINT AS cum,
+        |    sum(round(v * c::DOUBLE, 9)::DECIMAL(38,9))
+        |      OVER (PARTITION BY g ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+        |  FROM byv
+        |), nn AS (SELECT g, sum(c)::BIGINT AS n FROM byv GROUP BY g),
+        |sc AS (
+        |  SELECT lad.g, lad.v, lad.cum, lad.csum, nn.n,
+        |    ceil((1.0 - 0.95) * nn.n::DOUBLE)::BIGINT AS k,
+        |    row_number() OVER (PARTITION BY lad.g ORDER BY lad.v DESC)
+        |      AS rk
+        |  FROM lad JOIN nn ON lad.g = nn.g
+        |  WHERE lad.cum >= ceil((1.0 - 0.95) * nn.n::DOUBLE)::BIGINT
+        |)
+        |SELECT g AS event_type, n, k AS k_tail,
+        |  round(v, 6) AS var_alpha, cum AS tail_n,
+        |  round(csum::DOUBLE / cum::DOUBLE, 6) AS cvar_alpha
+        |FROM sc WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // same per-user collapse, same coarsened cells, same per-cell
+    // reweighting terms (9-dp DECIMAL); att carries the + 0.0 canon
+    "x466_cem_att" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS t,
+        |    sum(round(CASE WHEN event_type = 'purchase' THEN value
+        |      ELSE 0.0 END, 9)::DECIMAL(38,9)) AS y,
+        |    count(*)::BIGINT AS ne,
+        |    count(DISTINCT ts::DATE)::BIGINT AS nd
+        |  FROM events GROUP BY user_id
+        |), b AS (
+        |  SELECT (t = 1) AS tr,
+        |    round(y::DOUBLE, 9)::DECIMAL(38,9) AS yy,
+        |    (ne // 10)::VARCHAR || '|' || (nd // 3)::VARCHAR AS cell
+        |  FROM per
+        |), bc AS (
+        |  SELECT cell,
+        |    sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT AS mt,
+        |    sum(CASE WHEN tr THEN 0 ELSE 1 END)::BIGINT AS mc,
+        |    sum(CASE WHEN tr THEN yy ELSE 0::DECIMAL(38,9) END) AS st,
+        |    sum(CASE WHEN tr THEN 0::DECIMAL(38,9) ELSE yy END) AS sc
+        |  FROM b GROUP BY cell
+        |), tot AS (
+        |  SELECT sum(mt)::BIGINT AS n_treated,
+        |    sum(mc)::BIGINT AS n_control FROM bc
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n_cells_matched,
+        |    sum(mt)::BIGINT AS n_treated_matched,
+        |    sum(mc)::BIGINT AS n_control_matched,
+        |    sum(st) AS stm,
+        |    sum(round(mt::DOUBLE / mc::DOUBLE * sc::DOUBLE, 9)
+        |      ::DECIMAL(38,9)) AS scw
+        |  FROM bc WHERE mt > 0 AND mc > 0
+        |)
+        |SELECT n_treated, n_control, n_cells_matched,
+        |  n_treated_matched, n_control_matched,
+        |  round((n_treated - n_treated_matched)::DOUBLE
+        |    / nullif(n_treated::DOUBLE, 0), 6)
+        |    AS unmatched_treated_share,
+        |  round(stm::DOUBLE / nullif(n_treated_matched::DOUBLE, 0), 6)
+        |    AS mean_treated,
+        |  round(scw::DOUBLE / nullif(n_treated_matched::DOUBLE, 0), 6)
+        |    AS mean_control_w,
+        |  round(stm::DOUBLE / nullif(n_treated_matched::DOUBLE, 0)
+        |    - scw::DOUBLE / nullif(n_treated_matched::DOUBLE, 0), 6)
+        |    + 0.0 AS att
+        |FROM tot, m""".stripMargin,
+
     // same x43 signature math, same 4-row band buckets, same sweep
     "x465_dedup_sweep" -> {
       val sigSel = OracleAB.zipWithIndex.map { case ((a, b), j) =>

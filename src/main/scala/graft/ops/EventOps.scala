@@ -1386,6 +1386,155 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Stationary distribution of the behavior Markov chain — the
+    * long-run state occupancy of [[transitionMatrix]]'s chain (where
+    * x306's entropy rate weights by the EMPIRICAL state frequencies,
+    * this is the model's own fixed point π = πP): `iters` power-
+    * iteration rounds from uniform, each a (k²)-bounded join+rollup
+    * with 9-dp updates and DECIMAL inner sums (the x452/x459 round
+    * convention). States with no observed outgoing transition keep
+    * their mass (implicit self-loop), so π stays a distribution.
+    * The final-round total-variation delta rides along — a large
+    * `tv_delta` means `iters` under-ran the mixing time, loudly.
+    *
+    * Scale shape: one corpus lag+collapse to the ≤k² transition
+    * counts; all rounds run on checkpointed coalesced 1-partition
+    * tables. No driver state.
+    *
+    * @return per state: (state, pi, has_out, tv_delta) — 6-dp π,
+    *         ordered by state
+    */
+  def stationaryDistribution(events: DataFrame, iters: Int = 10,
+                             userCol: String = "user_id",
+                             tieCol: String = "event_id"): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
+    val counts = transitionMatrix(events, userCol, tieCol)
+      .select(F.col("prev_type").as("__f"), F.col("next_type").as("__t"),
+        F.col("n"))
+      .localCheckpoint()
+    val states = counts.select(F.col("__f").as("state"))
+      .unionByName(counts.select(F.col("__t").as("state"))).distinct()
+      .coalesce(1).localCheckpoint()
+    val pmat = counts
+      .withColumn("__tot", F.sum("n").over(Window.partitionBy("__f")))
+      .select(F.col("__f"), F.col("__t"),
+        F.round(F.col("n").cast("double") /
+          F.col("__tot").cast("double"), 9).as("__p"))
+      .coalesce(1).localCheckpoint()
+    val outs = pmat.select(F.col("__f").as("state"))
+      .distinct().withColumn("__hasout", F.lit(true))
+    val base = states.join(outs, Seq("state"), "left")
+      .select(F.col("state"),
+        F.coalesce(F.col("__hasout"), F.lit(false)).as("__hasout"))
+      .coalesce(1).localCheckpoint()
+    val kTab = base.agg(F.count(F.lit(1)).as("__k"))
+    var pi = base.crossJoin(F.broadcast(kTab))
+      .select(F.col("state"),
+        F.round(F.lit(1.0) / F.col("__k").cast("double"), 9).as("__pi"))
+      .coalesce(1).localCheckpoint()
+    var prev = pi
+    var it = 0
+    while (it < iters) {
+      prev = pi
+      val moved = pmat.join(F.broadcast(pi),
+          pmat("__f") === pi("state"))
+        .groupBy(F.col("__t").as("state"))
+        .agg(F.sum(F.round(F.col("__pi") * F.col("__p"), 9)
+          .cast("decimal(38,9)")).as("__in"))
+      pi = base.join(F.broadcast(moved), Seq("state"), "left")
+        .join(F.broadcast(prev.select(F.col("state"),
+          F.col("__pi").as("__prevpi"))), Seq("state"))
+        .select(F.col("state"), F.round(
+          F.coalesce(F.col("__in").cast("double"), F.lit(0.0)) +
+            F.when(F.col("__hasout"), 0.0)
+              .otherwise(F.col("__prevpi")), 9).as("__pi"))
+        .coalesce(1).localCheckpoint()
+      it += 1
+    }
+    val tv = pi.join(prev.select(F.col("state"),
+        F.col("__pi").as("__old")), Seq("state"))
+      .agg((F.sum(F.round(F.abs(F.col("__pi") - F.col("__old")), 9)
+        .cast("decimal(38,9)")).cast("double") / 2.0).as("__tv"))
+    pi.join(base, Seq("state")).crossJoin(F.broadcast(tv))
+      .select(F.col("state"), F.round(F.col("__pi"), 6).as("pi"),
+        F.col("__hasout").as("has_out"),
+        F.round(F.col("__tv"), 6).as("tv_delta"))
+      .orderBy("state")
+  }
+
+  /** Expected events-to-conversion per state — k-round value iteration
+    * on [[transitionMatrix]]'s chain toward an absorbing target
+    * (x454's removal-effect sibling asks "who gets credit"; this asks
+    * "how FAR is each state from converting"):
+    * {{{
+    *   t(target) = 0
+    *   t_k(s)    = 1 + Σ_j P(s,j) · t_{k-1}(j)
+    * }}}
+    * From t₀ = 0 the iterates are the expected steps truncated at
+    * horizon k (monotone ↑ the true hitting time; states that cannot
+    * reach the target climb toward k — read them against `horizon`,
+    * which rides along; a state with t ≈ horizon is unreachable-ish,
+    * loudly). States with no outgoing transitions hold their value
+    * (implicit self-loop, the [[stationaryDistribution]] convention).
+    *
+    * Determinism: P 9-dp from exact counts; per-round inner products
+    * 9-dp DECIMAL; the round count is pinned. Bounded k-state tables
+    * throughout, coalesced + checkpointed per round.
+    *
+    * @return per state: (state, t_hit, is_target, horizon) — 6-dp
+    */
+  def hittingTime(events: DataFrame, target: String, iters: Int = 12,
+                  userCol: String = "user_id",
+                  tieCol: String = "event_id"): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
+    require(target != null && target.nonEmpty, "target required")
+    val counts = transitionMatrix(events, userCol, tieCol)
+      .select(F.col("prev_type").as("__f"), F.col("next_type").as("__t"),
+        F.col("n"))
+      .localCheckpoint()
+    val states = counts.select(F.col("__f").as("state"))
+      .unionByName(counts.select(F.col("__t").as("state"))).distinct()
+      .coalesce(1).localCheckpoint()
+    val pmat = counts
+      .withColumn("__tot", F.sum("n").over(Window.partitionBy("__f")))
+      .select(F.col("__f"), F.col("__t"),
+        F.round(F.col("n").cast("double") /
+          F.col("__tot").cast("double"), 9).as("__p"))
+      .coalesce(1).localCheckpoint()
+    val outs = pmat.select(F.col("__f").as("state")).distinct()
+      .withColumn("__hasout", F.lit(true))
+    val base = states.join(outs, Seq("state"), "left")
+      .select(F.col("state"),
+        F.coalesce(F.col("__hasout"), F.lit(false)).as("__hasout"),
+        (F.col("state") === target).as("__tgt"))
+      .coalesce(1).localCheckpoint()
+    var tv = base.select(F.col("state"), F.lit(0.0).as("__v"))
+      .coalesce(1).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val moved = pmat.join(F.broadcast(tv), pmat("__t") === tv("state"))
+        .groupBy(F.col("__f").as("state"))
+        .agg(F.sum(F.round(F.col("__p") * F.col("__v"), 9)
+          .cast("decimal(38,9)")).as("__in"))
+      tv = base.join(F.broadcast(moved), Seq("state"), "left")
+        .join(F.broadcast(tv.select(F.col("state"),
+          F.col("__v").as("__prev"))), Seq("state"))
+        .select(F.col("state"),
+          F.when(F.col("__tgt"), 0.0)
+            .when(!F.col("__hasout"), F.col("__prev"))
+            .otherwise(F.round(F.lit(1.0) +
+              F.coalesce(F.col("__in").cast("double"), F.lit(0.0)), 9))
+            .as("__v"))
+        .coalesce(1).localCheckpoint()
+      it += 1
+    }
+    tv.join(base, Seq("state"))
+      .select(F.col("state"), F.round(F.col("__v"), 6).as("t_hit"),
+        F.col("__tgt").as("is_target"),
+        F.lit(iters.toLong).as("horizon"))
+      .orderBy("state")
+  }
+
   /** Off-policy evaluation of "always play action a" policies from a
     * logged bandit feed — IPS and SNIPS (Horvitz-Thompson 1952;
     * self-normalized per Swaminathan & Joachims 2015), the standard

@@ -419,4 +419,69 @@ object Sampling {
         F.round(F.col("q") / F.col("p"), 6).as("factor"))
       .orderBy("group")
   }
+
+  /** Water-filling mixture allocation under availability caps — the
+    * CONSTRAINED companion to [[temperatureMix]]: spread a token
+    * budget as EQUALLY as possible across sources, except a source can
+    * never give more than it has:
+    * {{{
+    *   a_i = min(cap_i, θ),  θ chosen so Σ a_i = min(budget, Σ cap)
+    * }}}
+    * (the max-min-fair / reverse-Zipf allocation: small sources are
+    * taken whole, the budget remainder levels across the rest). The
+    * closed form walks the cap ladder ascending: after the j−1
+    * smallest caps saturate, θ_j = (budget − cum_{j−1}) / (k−j+1); the
+    * first j with θ_j ≤ cap_(j) is the water level.
+    *
+    * Determinism: caps are exact long sums; θ is one IEEE division of
+    * exact longs per ladder row; the pick is a min over the bounded
+    * source ladder. budget ≥ Σ cap degenerates to alloc = cap (every
+    * source binding, water_level = NULL).
+    *
+    * Scale shape: one map-side-combined (source, Σweight) collapse,
+    * then ladder windows over the BOUNDED source list.
+    *
+    * @param budgetFrac budget as a fraction of total available
+    *        (budget = floor(frac · Σ cap) — engine-replayable)
+    * @return per source: (group, cap, alloc, binding, water_level,
+    *         budget) — 6-dp
+    */
+  def waterfillAllocation(df: DataFrame, groupCol: Column,
+                          weight: Column,
+                          budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0.0, s"budgetFrac must be positive: $budgetFrac")
+    val caps = df.groupBy(groupCol.as("group"))
+      .agg(F.sum(weight.cast("long")).as("cap"))
+    val wAll = Window.partitionBy()
+    val byCap = Window.orderBy(F.col("cap").asc, F.col("group").asc)
+    val lad = caps
+      .withColumn("__total", F.sum("cap").over(wAll))
+      .withColumn("__k", F.count(F.lit(1)).over(wAll))
+      .withColumn("__budget",
+        F.floor(F.lit(budgetFrac) * F.col("__total").cast("double")))
+      .withColumn("__j", F.row_number().over(byCap))
+      .withColumn("__cum", F.sum("cap").over(
+        byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__theta",
+        (F.col("__budget") - (F.col("__cum") - F.col("cap")))
+          .cast("double") /
+          (F.col("__k") - F.col("__j") + 1L).cast("double"))
+    val level = lad
+      .filter(F.col("__theta") <= F.col("cap").cast("double"))
+      .agg(F.min(F.struct(F.col("__j"), F.col("__theta"))).as("__s"))
+      .select(F.col("__s.__theta").as("__level"))
+    lad.crossJoin(F.broadcast(level))
+      .select(F.col("group"), F.col("cap"),
+        F.round(F.when(F.col("__budget") >= F.col("__total"),
+            F.col("cap").cast("double"))
+          .otherwise(F.least(F.col("cap").cast("double"),
+            F.col("__level"))), 6).as("alloc"),
+        (F.col("__budget") >= F.col("__total") ||
+          F.col("cap").cast("double") <= F.col("__level"))
+          .as("binding"),
+        F.when(F.col("__budget") < F.col("__total"),
+          F.round(F.col("__level"), 6)).as("water_level"),
+        F.col("__budget").as("budget"))
+      .orderBy("group")
+  }
 }

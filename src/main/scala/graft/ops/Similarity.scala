@@ -2643,6 +2643,83 @@ object Similarity {
           .as("cka"))
   }
 
+  /** Anisotropy census of an embedding space (Ethayarajh 2019; Mu &
+    * Viswanath 2018) — how much of the space is one "common direction":
+    * expected cosine between RANDOM pairs (≈0 in an isotropic space,
+    * ≫0 when a rogue mean dominates), plus the mean-vector share
+    * ‖μ‖²/E‖x‖² that names the culprit directly. The pre-flight check
+    * before any cosine-threshold dedup/ANN policy: a high-anisotropy
+    * space makes every pair look similar and thresholds meaningless
+    * (the standard fix — subtract μ, re-run this census).
+    *
+    * Random pairs are the deterministic md5 disjoint pairing (the x418
+    * idiom); μ comes from one posexplode collapse (d sums, never a
+    * d-wide driver array); per-pair cos and per-row norm terms are
+    * 9-dp rounded and DECIMAL-accumulated.
+    *
+    * @return one row (n, n_pairs, mean_cos, mean_abs_cos, mu_norm2,
+    *         mean_norm2, anisotropy_ratio) — 6-dp, sign-of-zero canon
+    *         on mean_cos
+    */
+  def anisotropyCensus(emb: DataFrame, idCol: String,
+                       vecCol: String): DataFrame = {
+    val base = emb.select(F.col(idCol).cast("string").as("__id"),
+        F.col(vecCol).cast("array<double>").as("__v"))
+      .filter(F.col("__v").isNotNull && F.size(F.col("__v")) > 0)
+    val nTab = base.agg(F.count(F.lit(1)).as("n"))
+    // μ and E‖x‖² from one exploded collapse
+    val dims = base.select(F.posexplode(F.col("__v"))
+      .as(Seq("__d", "__x")))
+    val mu = dims.groupBy("__d")
+      .agg((F.sum(F.round(F.col("__x"), 9).cast("decimal(38,9)"))
+        .cast("double")).as("__sx"), F.count(F.lit(1)).as("__c"))
+      .select(F.round(F.col("__sx") / F.col("__c").cast("double"), 9)
+        .as("__m"))
+      .agg(F.sum(F.round(F.col("__m") * F.col("__m"), 9)
+        .cast("decimal(38,9)")).cast("double").as("__mu2"))
+    val norms = base
+      .select(F.round(l2norm(F.col("__v")) * l2norm(F.col("__v")), 9)
+        .cast("decimal(38,9)").as("__n2"))
+      .agg(F.sum("__n2").cast("double").as("__sn2"),
+        F.count(F.lit(1)).as("__cn"))
+      .select(F.round(F.col("__sn2") / F.col("__cn").cast("double"), 9)
+        .as("__en2"))
+    val ordered = base
+      .withColumn("__h", F.md5(F.concat(F.lit("iso:"), F.col("__id"))))
+      .withColumn("__rn", F.row_number().over(Window.orderBy(
+        F.col("__h"), F.col("__id"))))
+      .withColumn("__pair",
+        F.call_function("div", F.col("__rn") - 1L, F.lit(2L)))
+      .withColumn("__side", (F.col("__rn") - 1L) % 2L)
+    val pa = ordered.filter(F.col("__side") === 0L)
+      .select(F.col("__pair"), F.col("__v").as("__va"))
+    val pb = ordered.filter(F.col("__side") === 1L)
+      .select(F.col("__pair"), F.col("__v").as("__vb"))
+    val cosTerms = pa.join(pb, "__pair")
+      .select(F.round(dot(F.col("__va"), F.col("__vb")) /
+        F.nullif(l2norm(F.col("__va")) * l2norm(F.col("__vb")),
+          F.lit(0.0)), 9).as("__cos"))
+      .filter(F.col("__cos").isNotNull)
+    val pairs = cosTerms.agg(F.count(F.lit(1)).as("n_pairs"),
+      F.sum(F.col("__cos").cast("decimal(38,9)")).cast("double")
+        .as("__sc"),
+      F.sum(F.abs(F.col("__cos")).cast("decimal(38,9)")).cast("double")
+        .as("__sa"))
+    nTab.crossJoin(F.broadcast(pairs)).crossJoin(F.broadcast(mu))
+      .crossJoin(F.broadcast(norms))
+      .select(F.col("n"), F.col("n_pairs"),
+        Quant.noNegZero(F.round(F.col("__sc") /
+          F.nullif(F.col("n_pairs").cast("double"), F.lit(0.0)), 6))
+          .as("mean_cos"),
+        F.round(F.col("__sa") /
+          F.nullif(F.col("n_pairs").cast("double"), F.lit(0.0)), 6)
+          .as("mean_abs_cos"),
+        F.round(F.col("__mu2"), 6).as("mu_norm2"),
+        F.round(F.col("__en2"), 6).as("mean_norm2"),
+        F.round(F.col("__mu2") / F.nullif(F.col("__en2"), F.lit(0.0)),
+          6).as("anisotropy_ratio"))
+  }
+
   /** Alignment & uniformity of an embedding space (Wang & Isola, ICML
     * 2020) — the two-number contrastive-quality readout: ALIGNMENT is
     * the mean squared distance between positive pairs (same-entity

@@ -5327,6 +5327,129 @@ object Stats {
     *         either partition is a single block of everything (E equals
     *         the max index), NMI NULL when both entropies are 0
     */
+  /** Upper-tail VaR + CVaR (expected shortfall, Rockafellar-Uryasev
+    * 2000) per group — the risk readout the mean hides: VaR_α is the
+    * k-th largest value (k = ⌈(1−α)·n⌉), CVaR_α the mean of the rows
+    * AT OR ABOVE it (ties included — the distinct-value-ladder
+    * convention of x218/x198: ties stay together, so both engines
+    * agree on the tail membership without a row-level sort).
+    *
+    * Determinism: ladder counts are exact longs; tail sums accumulate
+    * v·c terms 9-dp rounded as DECIMAL down the desc ladder (a window
+    * over the bounded distinct-value ladder, not over corpus rows).
+    *
+    * @return per group: (groupCols…, n, k_tail, var_alpha, tail_n,
+    *         cvar_alpha) — 6-dp
+    */
+  def cvarTail(df: DataFrame, groupCols: Seq[String], value: Column,
+               alpha: Double = 0.95): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val gs = groupCols.map(F.col)
+    val byV = df.select(gs :+ value.cast("double").as("__v"): _*)
+      .filter(F.col("__v").isNotNull)
+      .groupBy(gs :+ F.col("__v"): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val w = Window.partitionBy(gs: _*).orderBy(F.col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lad = byV
+      .withColumn("__cum", F.sum("__c").over(w))
+      .withColumn("__csum", F.sum(F.round(F.col("__v") *
+        F.col("__c").cast("double"), 9).cast("decimal(38,9)")).over(w))
+    val nTab = byV.groupBy(gs: _*).agg(F.sum("__c").as("__n"))
+    val scored = lad.join(nTab, groupCols)
+      .withColumn("__k",
+        F.ceil(F.lit(1.0 - alpha) * F.col("__n").cast("double")))
+      .filter(F.col("__cum") >= F.col("__k"))
+    val first = Window.partitionBy(gs: _*).orderBy(F.col("__v").desc)
+    scored.withColumn("__rk", F.row_number().over(first))
+      .filter(F.col("__rk") === 1)
+      .select(gs ++ Seq(F.col("__n").as("n"), F.col("__k").as("k_tail"),
+        F.round(F.col("__v"), 6).as("var_alpha"),
+        F.col("__cum").as("tail_n"),
+        F.round(F.col("__csum").cast("double") /
+          F.col("__cum").cast("double"), 6).as("cvar_alpha")): _*)
+      .orderBy(gs: _*)
+  }
+
+  /** Coarsened exact matching + ATT (Iacus, King & Porro 2012) — the
+    * causal sibling of x238's diff-in-diff and x197's CUPED for when
+    * treatment was NOT randomized: units match exactly on COARSENED
+    * covariates (the caller passes already-bucketed columns — the
+    * coarsening IS the analyst's bandwidth choice), cells missing
+    * either arm drop out (that is the point: no extrapolation), and
+    * controls reweight so each matched cell's controls count as much
+    * as its treated:
+    * {{{
+    *   w_s(control) = m_T^s / m_C^s          (per matched cell s)
+    *   ATT = Σ_s S_T^s / M_T  −  Σ_s w_s·S_C^s / M_T
+    * }}}
+    * The pruned share rides along — a large `unmatched_treated_share`
+    * means the estimate covers a subpopulation and says so loudly.
+    *
+    * Determinism: counts are exact longs; outcome sums are 9-dp
+    * rounded DECIMAL per cell (the x346 rule); the per-cell reweighted
+    * terms (one IEEE multiply/divide each) are 9-dp rounded before the
+    * final DECIMAL sum over cells.
+    *
+    * Scale shape: one (cell, arm) collapse with map-side partials,
+    * then everything is cell-bounded algebra — no pair joins, no
+    * windows, no driver state.
+    *
+    * @return one row (n_treated, n_control, n_cells_matched,
+    *         n_treated_matched, n_control_matched,
+    *         unmatched_treated_share, mean_treated, mean_control_w,
+    *         att) — 6-dp, ATT carries the sign-of-zero canon
+    */
+  def cemAtt(df: DataFrame, treated: Column, outcome: Column,
+             cellCols: Seq[Column]): DataFrame = {
+    require(cellCols.nonEmpty, "need at least one coarsened covariate")
+    val base = df.select(treated.cast("boolean").as("__t"),
+        F.round(outcome.cast("double"), 9).cast("decimal(38,9)")
+          .as("__y"),
+        F.concat_ws("|", cellCols.map(_.cast("string")): _*).as("__cell"))
+      .filter(F.col("__t").isNotNull && F.col("__y").isNotNull)
+    val byCell = base.groupBy("__cell")
+      .agg(F.sum(F.when(F.col("__t"), 1L).otherwise(0L)).as("__mt"),
+        F.sum(F.when(!F.col("__t"), 1L).otherwise(0L)).as("__mc"),
+        F.sum(F.when(F.col("__t"), F.col("__y"))
+          .otherwise(F.lit(0).cast("decimal(38,9)"))).as("__st"),
+        F.sum(F.when(!F.col("__t"), F.col("__y"))
+          .otherwise(F.lit(0).cast("decimal(38,9)"))).as("__sc"))
+      .localCheckpoint()
+    val tot = byCell.agg(F.sum("__mt").as("n_treated"),
+      F.sum("__mc").as("n_control"))
+    val matched = byCell.filter(F.col("__mt") > 0L && F.col("__mc") > 0L)
+    val magg = matched.agg(
+      F.count(F.lit(1)).as("n_cells_matched"),
+      F.sum("__mt").as("n_treated_matched"),
+      F.sum("__mc").as("n_control_matched"),
+      F.sum("__st").as("__stm"),
+      F.sum(F.round(F.col("__mt").cast("double") /
+          F.col("__mc").cast("double") * F.col("__sc").cast("double"), 9)
+        .cast("decimal(38,9)")).as("__scw"))
+    tot.crossJoin(F.broadcast(magg))
+      .select(F.col("n_treated"), F.col("n_control"),
+        F.col("n_cells_matched"), F.col("n_treated_matched"),
+        F.col("n_control_matched"),
+        F.round((F.col("n_treated") - F.col("n_treated_matched"))
+          .cast("double") /
+          F.nullif(F.col("n_treated").cast("double"), F.lit(0.0)), 6)
+          .as("unmatched_treated_share"),
+        F.round(F.col("__stm").cast("double") /
+          F.nullif(F.col("n_treated_matched").cast("double"),
+            F.lit(0.0)), 6).as("mean_treated"),
+        F.round(F.col("__scw").cast("double") /
+          F.nullif(F.col("n_treated_matched").cast("double"),
+            F.lit(0.0)), 6).as("mean_control_w"),
+        Quant.noNegZero(F.round(
+          F.col("__stm").cast("double") /
+            F.nullif(F.col("n_treated_matched").cast("double"),
+              F.lit(0.0)) -
+          F.col("__scw").cast("double") /
+            F.nullif(F.col("n_treated_matched").cast("double"),
+              F.lit(0.0)), 6)).as("att"))
+  }
+
   /** Entropic optimal-transport distance between two empirical
     * distributions over a PINNED value grid — Sinkhorn-Knopp scaling
     * (Cuturi, NeurIPS 2013), the distribution-shift readout that knows

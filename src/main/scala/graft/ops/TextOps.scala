@@ -2323,6 +2323,200 @@ object TextOps {
     * @return per group: (group, n_tokens, n_in_vocab, coverage,
     *         n_types, n_oov_types, oov_type_rate) — 6-dp
     */
+  /** Per-token dispersion census (Church & Gale 1995 burstiness): for
+    * the top-K corpus tokens, how does the token DISTRIBUTE over
+    * documents — a stopword occurs everywhere at its mean rate
+    * (Fano ≈ 1, Poisson-ish), a content/topic word is BURSTY (it is
+    * absent from most docs and repeats where it appears: Fano ≫ 1,
+    * mean-when-present ≫ mean). The stopword-list/keyword-weighting
+    * induction readout beside x106's corpus-level entropy:
+    * {{{
+    *   fano = Var[x_d] / E[x_d]   over ALL docs (zeros included)
+    *   burst = E[x_d | x_d > 0]   (mean when present)
+    * }}}
+    * Exact integer moments (Σx, Σx² as longs over per-doc counts);
+    * top-K pick is (total desc, token asc) — a TakeOrdered.
+    *
+    * Scale shape: one token explode → (doc, token) collapse → token
+    * rollup carrying (df, Σx, Σx²); D rides as a 1-row broadcast. No
+    * dense doc×token grid — the zeros enter the moments via D alone.
+    *
+    * @return top-K rows: (token, df, total, mean_per_doc,
+    *         mean_when_present, fano) — 6-dp
+    */
+  def tokenDispersion(df: DataFrame, idCol: String, textCol: String,
+                      topK: Int = 12): DataFrame = {
+    require(topK >= 1 && topK <= 4096, s"topK out of range: $topK")
+    val docs = df.select(F.col(idCol).as("__doc"),
+      F.filter(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+        t => F.length(t) > 0).as("__t"))
+    val dTab = docs.agg(F.count(F.lit(1)).as("__d"))
+    val perDoc = docs
+      .select(F.col("__doc"), F.explode(F.col("__t")).as("__tok"))
+      .groupBy("__doc", "__tok").agg(F.count(F.lit(1)).as("__x"))
+    val perTok = perDoc.groupBy("__tok")
+      .agg(F.count(F.lit(1)).as("df"),
+        F.sum("__x").as("total"),
+        F.sum(F.col("__x") * F.col("__x")).as("__x2"))
+    perTok.crossJoin(F.broadcast(dTab))
+      .orderBy(F.col("total").desc, F.col("__tok").asc)
+      .limit(topK)
+      .select(F.col("__tok").as("token"), F.col("df"), F.col("total"),
+        F.round(F.col("total").cast("double") /
+          F.col("__d").cast("double"), 6).as("mean_per_doc"),
+        F.round(F.col("total").cast("double") /
+          F.col("df").cast("double"), 6).as("mean_when_present"),
+        F.round(
+          (F.col("__x2").cast("double") / F.col("__d").cast("double") -
+            (F.col("total").cast("double") /
+              F.col("__d").cast("double")) *
+            (F.col("total").cast("double") /
+              F.col("__d").cast("double"))) /
+            F.nullif(F.col("total").cast("double") /
+              F.col("__d").cast("double"), F.lit(0.0)), 6).as("fano"))
+      .orderBy(F.col("total").desc, F.col("token").asc)
+  }
+
+  /** Interpolated trigram LM cross-entropy per group (Jelinek-Mercer
+    * 1980) — the n=3 sibling of x78's KN bigram, with the simpler
+    * smoothing every data-quality pipeline actually ships first:
+    * {{{
+    *   p(w₃|w₁w₂) = λ₃·c(w₁w₂w₃)/c(w₁w₂·) + λ₂·c(w₂w₃·)/c(w₂··)
+    *              + λ₁·c(w₃)/N
+    * }}}
+    * where every count lives in the TRIGRAM-ROW universe (contexts are
+    * counted as trigram prefixes), so each ratio is well-defined and
+    * both engines agree on the denominators without a second pass.
+    * λ = (0.6, 0.3, 0.1) pinned. Docs shorter than 3 tokens score
+    * nothing (no BOS padding — the contract is in-document trigrams).
+    *
+    * Determinism: integer counts; each −ln p term 9-dp rounded and
+    * DECIMAL-accumulated per group (the x346 rule); 6-dp readouts.
+    *
+    * Scale shape: one trigram explode, five map-side-combined count
+    * collapses joined back ON THEIR KEYS (no broadcast of unbounded
+    * vocab, no windows over corpus rows), one group rollup.
+    *
+    * @return per group: (group, n_docs, n_trigrams, mean_nll_nats,
+    *         ppl) — 6-dp
+    */
+  def trigramInterp(df: DataFrame, idCol: String, groupCol: String,
+                    textCol: String, l3: Double = 0.6, l2: Double = 0.3,
+                    l1: Double = 0.1): DataFrame = {
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-12 &&
+      l3 > 0 && l2 > 0 && l1 > 0,
+      s"lambdas must be positive and sum to 1, got ($l3, $l2, $l1)")
+    val toks = F.filter(
+      F.split(F.lower(F.trim(F.col(textCol))), "\\s+"),
+      t => F.length(t) > 0)
+    val base = df.filter(F.col(groupCol).isNotNull)
+      .select(F.col(idCol).as("__id"), F.col(groupCol).as("__g"),
+        toks.as("__t"))
+    val tri = base
+      .select(F.col("__id"), F.col("__g"),
+        F.explode(F.when(F.size(F.col("__t")) >= 3,
+          F.transform(F.sequence(F.lit(1), F.size(F.col("__t")) - 2),
+            i => F.struct(
+              F.element_at(F.col("__t"), i).as("w1"),
+              F.element_at(F.col("__t"), i + 1).as("w2"),
+              F.element_at(F.col("__t"), i + 2).as("w3"))))
+          .otherwise(F.array())).as("__tr"))
+      .select(F.col("__id"), F.col("__g"),
+        F.col("__tr.w1").as("__w1"), F.col("__tr.w2").as("__w2"),
+        F.col("__tr.w3").as("__w3"))
+      .localCheckpoint()
+    val c3 = tri.groupBy("__w1", "__w2", "__w3")
+      .agg(F.count(F.lit(1)).as("__c3"))
+    val ctx2 = tri.groupBy("__w1", "__w2")
+      .agg(F.count(F.lit(1)).as("__b2"))
+    val c2 = tri.groupBy("__w2", "__w3")
+      .agg(F.count(F.lit(1)).as("__c2"))
+    val ctx1 = tri.groupBy("__w2").agg(F.count(F.lit(1)).as("__b1"))
+    val c1 = tri.groupBy("__w3").agg(F.count(F.lit(1)).as("__c1"))
+    val nTab = tri.agg(F.count(F.lit(1)).as("__nn"))
+    val p =
+      F.lit(l3) * (F.col("__c3").cast("double") /
+        F.col("__b2").cast("double")) +
+      F.lit(l2) * (F.col("__c2").cast("double") /
+        F.col("__b1").cast("double")) +
+      F.lit(l1) * (F.col("__c1").cast("double") /
+        F.col("__nn").cast("double"))
+    val scored = tri
+      .join(c3, Seq("__w1", "__w2", "__w3"))
+      .join(ctx2, Seq("__w1", "__w2"))
+      .join(c2, Seq("__w2", "__w3"))
+      .join(ctx1, Seq("__w2"))
+      .join(c1, Seq("__w3"))
+      .crossJoin(F.broadcast(nTab))
+      .select(F.col("__id"), F.col("__g"),
+        F.round(-F.log(p), 9).cast("decimal(38,9)").as("__nll"))
+    val docs = base.groupBy("__g")
+      .agg(F.count(F.lit(1)).as("n_docs"))
+    scored.groupBy("__g")
+      .agg(F.count(F.lit(1)).as("n_trigrams"),
+        F.sum("__nll").as("__s"))
+      .join(docs, "__g")
+      .select(F.col("__g").as(groupCol), F.col("n_docs"),
+        F.col("n_trigrams"),
+        F.round(F.col("__s").cast("double") /
+          F.col("n_trigrams").cast("double"), 6).as("mean_nll_nats"),
+        F.round(F.exp(F.col("__s").cast("double") /
+          F.col("n_trigrams").cast("double")), 6).as("ppl"))
+      .orderBy(groupCol)
+  }
+
+  /** Corpus coverage CURVE vs vocabulary size — [[vocabCoverage]]'s
+    * V-sweep: for each candidate vocab size V, the share of token
+    * occurrences covered by the top-V tokens and the share of types
+    * UNK'd away — the curve whose knee IS the tokenizer budget
+    * decision (read with x82's type-growth and x153's fertility).
+    *
+    * Scale shape: one token collapse, one ranked ladder over DISTINCT
+    * types (the zipf/x147 ladder convention — the window runs over the
+    * vocabulary, never corpus rows), one broadcast join of the pinned
+    * size list onto the ladder at rank min(V, n_types).
+    *
+    * @return one row per size: (vocab_size, n_tokens, n_in_vocab,
+    *         coverage, n_types, n_oov_types, oov_type_rate) — 6-dp
+    */
+  def coverageCurve(df: DataFrame, textCol: String,
+                    sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1) &&
+      sizes.distinct.size == sizes.size, s"bad size list $sizes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(F.explode(F.split(F.lower(F.trim(F.col(textCol))),
+        "\\s+")).as("__tok"))
+      .filter(F.length(F.col("__tok")) > 0)
+      .groupBy("__tok").agg(F.count(F.lit(1)).as("__c"))
+    val byRank = Window.orderBy(F.col("__c").desc, F.col("__tok").asc)
+    val lad = counts
+      .withColumn("__rk", F.row_number().over(byRank))
+      .withColumn("__cum", F.sum("__c").over(
+        byRank.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val tot = counts.agg(F.sum("__c").as("__n"),
+      F.count(F.lit(1)).as("__types"))
+    val sz = sizes.map(_.toLong).toDF("vocab_size")
+    sz.crossJoin(F.broadcast(tot))
+      .join(lad, F.col("__rk") ===
+        F.least(F.col("vocab_size"), F.col("__types")))
+      .select(F.col("vocab_size"), F.col("__n").as("n_tokens"),
+        F.col("__cum").as("n_in_vocab"),
+        F.round(F.col("__cum").cast("double") /
+          F.nullif(F.col("__n").cast("double"), F.lit(0.0)), 6)
+          .as("coverage"),
+        F.col("__types").as("n_types"),
+        F.greatest(F.col("__types") - F.col("vocab_size"), F.lit(0L))
+          .as("n_oov_types"),
+        F.round(F.greatest(F.col("__types") - F.col("vocab_size"),
+          F.lit(0L)).cast("double") /
+          F.nullif(F.col("__types").cast("double"), F.lit(0.0)), 6)
+          .as("oov_type_rate"))
+      .orderBy("vocab_size")
+  }
+
   def vocabCoverage(df: DataFrame, groupCol: String, textCol: String,
                     vocabSize: Int = 512): DataFrame = {
     require(vocabSize >= 1 && vocabSize <= (1 << 20),

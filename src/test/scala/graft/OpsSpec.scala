@@ -7757,6 +7757,175 @@ class OpsSpec extends AnyFunSuite {
       ("2026-01-05", 2L, -10.8, 10.8, true)), got)
   }
 
+  test("stationaryDistribution: converges to the hand fixed point; " +
+      "TV delta reads the residual") {
+    import graft.ops.EventOps
+    // user walks a a b a -> P(a) = {a:.5, b:.5}, P(b) = {a:1};
+    // stationary (2/3, 1/3); from uniform the error halves per round
+    val ev = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L),
+      (4L, "a", 4L)).map { case (eid, et, m) =>
+      (eid, java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00"),
+        1L, et) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.stationaryDistribution(ev, iters = 10)
+      .as[(String, Double, Boolean, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(math.abs(got("a")._2 - 2.0 / 3.0) < 1e-3 &&
+      math.abs(got("b")._2 - 1.0 / 3.0) < 1e-3, got)
+    assert(got("a")._3 && got("b")._3)
+    assert(got("a")._4 < 1e-3, s"tv ${got("a")._4}") // residual shrank
+    assert(math.abs(got("a")._2 + got("b")._2 - 1.0) < 1e-6)
+  }
+
+  test("lshBandingPlan: q replays the squaring chains; more bands = " +
+      "catchier at every similarity") {
+    val sims = Seq(0.25, 0.75).toDF("sim")
+    val got = Dedup.lshBandingPlan(sims, "sim", nComponents = 16,
+        threshold = 0.5)
+      .as[(Int, Int, Long, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    def chain(x: Double, e: Int): Double = {
+      var v = x; var i = e; while (i > 1) { v = v * v; i /= 2 }; v }
+    def q(s: Double, b: Int, r: Int): Double =
+      1.0 - chain(1.0 - chain(s, r), b)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((b, r) <- Seq((1, 16), (4, 4), (16, 1))) {
+      val row = got((b, r))
+      assert(row._3 == 2L && row._4 == 0.5, row)
+      assert(row._5 == r6(q(0.5, b, r)), s"q_at_t $row")
+      assert(row._6 == r6(r9(q(0.25, b, r))), s"fp $row")
+      assert(row._7 == r6(r9(1.0 - q(0.75, b, r))), s"fn $row")
+    }
+    // more, shorter bands catch more at every s
+    assert(got((16, 1))._5 > got((1, 16))._5)
+  }
+
+  test("tokenDispersion: a uniform token reads Fano < 1, a bursty one " +
+      "concentrates its mass") {
+    import graft.ops.TextOps
+    val df = Seq((1L, "a a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.tokenDispersion(df, "doc_id", "text", topK = 5)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    // a: df 2, total 5, x2 17 -> mean 2.5, var 2.25, fano 0.9
+    // b: df 1, total 1 -> mean .5, var .25, fano .5
+    assert(got == Seq(("a", 2L, 5L, 2.5, 2.5, 0.9),
+      ("b", 1L, 1L, 0.5, 1.0, 0.5)), got)
+  }
+
+  test("hittingTime: a -> b -> purchase ladder reads exact 2/1/0 steps") {
+    import graft.ops.EventOps
+    val ev = Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "purchase", 3L))
+      .map { case (eid, et, m) =>
+        (eid, java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00"),
+          1L, et) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.hittingTime(ev, "purchase", iters = 12)
+      .as[(String, Double, Boolean, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("purchase") == (("purchase", 0.0, true, 12L)), got)
+    assert(got("b") == (("b", 1.0, false, 12L)), got)
+    assert(got("a") == (("a", 2.0, false, 12L)), got)
+  }
+
+  test("cemAtt: hand cells — unmatched treated pruned, controls " +
+      "reweighted per cell, ATT exact") {
+    import graft.ops.Stats
+    // cell A: T{10}, C{4, 6}; cell B: T{8}, no control (pruned);
+    // cell C: control only (dropped)
+    val df = Seq(
+      (true, 10.0, "A"), (false, 4.0, "A"), (false, 6.0, "A"),
+      (true, 8.0, "B"), (false, 99.0, "C")
+    ).toDF("t", "y", "cell")
+    val got = Stats.cemAtt(df, F.col("t"), F.col("y"),
+        Seq(F.col("cell")))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double,
+        Double)].head()
+    // w_A = 1/2 -> weighted control sum 5; meanT 10, meanCw 5, ATT 5
+    assert(got == ((2L, 3L, 1L, 1L, 2L, 0.5, 10.0, 5.0, 5.0)), got)
+  }
+
+  test("cvarTail: ceil tail rank with the engine-exact 1-alpha; ties " +
+      "stay in the tail together") {
+    import graft.ops.Stats
+    val df = (1 to 20).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val got = Stats.cvarTail(df, Seq("g"), F.col("v"), alpha = 0.9)
+      .as[(String, Long, Long, Double, Long, Double)].head()
+    // k = ceil((1.0-0.9)*20) = 2 -> VaR = 19, tail {20, 19}, CVaR 19.5
+    assert(got == (("g", 20L, 2L, 19.0, 2L, 19.5)), got)
+    // ties: three copies of the max all enter the tail
+    val tied = (Seq.fill(3)(5.0) ++ Seq(1.0, 2.0)).map(("g", _))
+      .toDF("g", "v")
+    val g2 = Stats.cvarTail(tied, Seq("g"), F.col("v"), alpha = 0.9)
+      .as[(String, Long, Long, Double, Long, Double)].head()
+    assert(g2._4 == 5.0 && g2._5 == 3L && g2._6 == 5.0, g2)
+  }
+
+  test("coverageCurve: hand curve over a 3-type corpus; V beyond the " +
+      "vocabulary saturates at full coverage") {
+    import graft.ops.TextOps
+    val df = Seq("a a a b", "b c").toDF("text")
+    val got = TextOps.coverageCurve(df, "text", Seq(1, 2, 10))
+      .as[(Long, Long, Long, Double, Long, Long, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 3L, 0.5, 3L, 2L, 0.666667),
+      (2L, 6L, 5L, 0.833333, 3L, 1L, 0.333333),
+      (10L, 6L, 6L, 1.0, 3L, 0L, 0.0)), got)
+  }
+
+  test("trigramInterp: hand-replayed interpolation on one repeating " +
+      "doc; short docs score nothing but count as docs") {
+    import graft.ops.TextOps
+    val df = Seq((1L, "s", "a b a b a"), (2L, "s", "x y"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.trigramInterp(df, "doc_id", "source", "text")
+      .as[(String, Long, Long, Double, Double)].head()
+    // trigrams: (a,b,a) x2, (b,a,b); counts c3: aba 2, bab 1;
+    // ctx2: ab 2, ba 1; c2: (b,a) 2, (a,b) 1; ctx1: b 2, a 1;
+    // c1: a 2, b 1; N = 3
+    val p1 = 0.6 * (2.0 / 2.0) + 0.3 * (2.0 / 2.0) + 0.1 * (2.0 / 3.0)
+    val p2 = 0.6 * (1.0 / 1.0) + 0.3 * (1.0 / 1.0) + 0.1 * (1.0 / 3.0)
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mean = (r9(-math.log(p1)) * 2 + r9(-math.log(p2))) / 3
+    assert(got._1 == "s" && got._2 == 2L && got._3 == 3L, got)
+    assert(got._4 == r6(mean), got)
+  }
+
+  test("anisotropyCensus: identical vectors read ratio 1 / cos 1") {
+    val df = (1L to 4L).map(i => (i, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.anisotropyCensus(df, "vec_id", "embedding")
+      .as[(Long, Long, Double, Double, Double, Double, Double)].head()
+    assert(got == ((4L, 2L, 1.0, 1.0, 25.0, 25.0, 1.0)), got)
+  }
+
+  test("waterfillAllocation: caps below the water level are taken " +
+      "whole, the rest level off; budget >= total degenerates") {
+    import graft.ops.Sampling
+    val df = Seq(("A", 10L), ("B", 20L), ("C", 70L)).toDF("g", "w")
+    val got = Sampling.waterfillAllocation(df, F.col("g"), F.col("w"),
+        budgetFrac = 0.5)
+      .as[(String, Long, Double, Boolean, Option[Double], Long)]
+      .collect().toSeq
+    // budget 50: A saturates at 10, level theta = 20 covers B and C
+    assert(got == Seq(("A", 10L, 10.0, true, Some(20.0), 50L),
+      ("B", 20L, 20.0, true, Some(20.0), 50L),
+      ("C", 70L, 20.0, false, Some(20.0), 50L)), got)
+    assert(got.map(_._3).sum == 50.0)
+    val all = Sampling.waterfillAllocation(df, F.col("g"), F.col("w"),
+        budgetFrac = 1.5)
+      .as[(String, Long, Double, Boolean, Option[Double], Long)]
+      .collect().toSeq
+    assert(all.forall(r => r._3 == r._2.toDouble && r._4 &&
+      r._5.isEmpty), all)
+  }
+
   test("bottomKContainment: when |A| <= k the estimate IS exact; " +
       "identical docs read 1, disjoint docs read 0") {
     // short docs -> < 32 shingles, so the bottom-k sample is the whole
