@@ -3633,6 +3633,69 @@ object SparkEntry {
         Seq("click", "error", "signup", "view"), "purchase",
         rounds = 8)),
 
+    // cross-source syndication census: x465's banded candidates at
+    // est >= 0.5 rolled up by (source, source) — which source pairs
+    // share near-identical documents (the mirror/scraper detector)
+    "x477_syndication" -> ((s, dir) => {
+      val t = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), 1, 500)
+      val shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 4, F.lit(1))),
+        i => t.substr(i, F.lit(5))))
+      val hs = F.transform(shingles,
+        x => F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"))
+      val sigCols = OracleAB.zipWithIndex.map { case ((a, b), j) =>
+        F.array_min(F.transform(F.col("hs"),
+          h => (h * a + b) % OracleP)).as(s"s$j") }
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val sigs = docs.filter(F.col("doc_id") % 10 === 0)
+        .select(F.col("doc_id"), hs.as("hs"))
+        .select(F.col("doc_id") +: sigCols: _*)
+        .localCheckpoint()
+      val bands = (0 until 4).map { bnd =>
+        val key = F.concat_ws(",", (0 until 4).map(r =>
+          F.col(s"s${4 * bnd + r}").cast("string")): _*)
+        sigs.select(F.col("doc_id"), F.lit(bnd).as("band"),
+          key.as("bkey"))
+      }.reduce(_.unionByName(_))
+      val cand = bands.as("x").join(bands.as("y"),
+          F.col("x.band") === F.col("y.band") &&
+            F.col("x.bkey") === F.col("y.bkey") &&
+            F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").as("a"), F.col("y.doc_id").as("b"))
+        .distinct()
+      val est = cand
+        .join(sigs.select(F.col("doc_id").as("a") +: (0 until 16).map(
+          j => F.col(s"s$j").as(s"xa$j")): _*), "a")
+        .join(sigs.select(F.col("doc_id").as("b") +: (0 until 16).map(
+          j => F.col(s"s$j").as(s"xb$j")): _*), "b")
+        .select(F.col("a"), F.col("b"),
+          ((0 until 16).map(j =>
+            F.when(F.col(s"xa$j") === F.col(s"xb$j"), 1).otherwise(0))
+            .reduce(_ + _).cast("double") / 16.0).as("est"))
+        .filter(F.col("est") >= 0.5)
+      val src = docs.select(F.col("doc_id"), F.col("source"))
+      est
+        .join(src.select(F.col("doc_id").as("a"),
+          F.col("source").as("__sa")), "a")
+        .join(src.select(F.col("doc_id").as("b"),
+          F.col("source").as("__sb")), "b")
+        .select(F.least(F.col("__sa"), F.col("__sb")).as("src_a"),
+          F.greatest(F.col("__sa"), F.col("__sb")).as("src_b"),
+          (F.col("__sa") =!= F.col("__sb")).as("__cross"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).as("n_pairs"),
+          F.max(F.col("__cross")).as("cross_source"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // Fightin' Words (Monroe 2008): top-2 distinctive terms per lang
+    // group by prior-shrunk log-odds z — the principled "what makes
+    // this subcorpus different" readout raw TF-IDF ratios get wrong
+    "x476_fightin_words" -> ((s, dir) =>
+      TextOps.fightinWords(s.read.parquet(s"$dir/documents.parquet"),
+        "lang", "text", alpha0 = 10.0, perGroup = 2)),
+
     // expected events-to-conversion per state: 12-round value
     // iteration toward absorbing 'purchase' — how FAR each behavior
     // state sits from converting (x454 asks who gets credit)
@@ -12830,6 +12893,91 @@ object SparkEntry {
     // x92's round replay with the teleport vector: md5-ordered seed
     // pick, tp = round(1/k, 6) on seeds else 0, dangling mass restarts
     // at the seeds
+    // x465's sig/band/candidate CTEs + source rollup at est >= 0.5
+    "x477_syndication" -> {
+      val sigSel = OracleAB.zipWithIndex.map { case ((a, b), j) =>
+        s"list_min(list_transform(hs, h -> ($a*h + $b) % $OracleP)) AS s$j"
+      }.mkString(",\n         |    ")
+      val bandRows = (0 until 4).map { bnd =>
+        val key = (0 until 4).map(r => s"s${4 * bnd + r}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $bnd AS band, $key AS bkey FROM sig"
+      }.mkString("\n         |  UNION ALL ")
+      val eq = (0 until 16).map(j =>
+        s"(CASE WHEN xa.s$j = xb.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 500) AS t
+         |  FROM documents WHERE doc_id % 10 = 0
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(length(t) - 4, 1) + 1),
+         |    i -> substring(t, i::INT, 5))) AS s
+         |  FROM t
+         |), hs AS (
+         |  SELECT doc_id, list_transform(s,
+         |    x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS hs FROM sh
+         |), sig AS (
+         |  SELECT doc_id,
+         |    $sigSel
+         |  FROM hs
+         |), bands AS (
+         |  $bandRows
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band
+         |    AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |), est AS (
+         |  SELECT c.a, c.b FROM cand c
+         |  JOIN sig xa ON xa.doc_id = c.a JOIN sig xb ON xb.doc_id = c.b
+         |  WHERE ($eq)::DOUBLE / 16.0 >= 0.5
+         |)
+         |SELECT least(da.source, db.source) AS src_a,
+         |  greatest(da.source, db.source) AS src_b,
+         |  count(*)::BIGINT AS n_pairs,
+         |  max(da.source <> db.source) AS cross_source
+         |FROM est JOIN documents da ON da.doc_id = est.a
+         |JOIN documents db ON db.doc_id = est.b
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+    },
+
+    // same cell/margin counts, same ln/sqrt chain, z rounded before
+    // the per-group rank
+    "x476_fightin_words" ->
+      """WITH cells AS (
+        |  SELECT lang AS g, tok AS w, count(*)::BIGINT AS y FROM (
+        |    SELECT lang, unnest(string_split_regex(lower(trim(text)),
+        |      '\s+')) AS tok
+        |    FROM documents WHERE lang IS NOT NULL)
+        |  WHERE length(tok) > 0 GROUP BY 1, 2
+        |), tm AS (SELECT w, sum(y)::BIGINT AS tw FROM cells GROUP BY w),
+        |gm AS (SELECT g, sum(y)::BIGINT AS ng FROM cells GROUP BY g),
+        |nn AS (SELECT sum(tw)::BIGINT AS n FROM tm),
+        |sc AS (
+        |  SELECT c.g, c.w, c.y,
+        |    round(
+        |      ln((c.y::DOUBLE + aw) /
+        |         (gm.ng::DOUBLE + 10.0 - c.y::DOUBLE - aw))
+        |      - ln(((tm.tw - c.y)::DOUBLE + aw) /
+        |         ((nn.n - gm.ng)::DOUBLE + 10.0 - (tm.tw - c.y)::DOUBLE
+        |           - aw)), 6) AS delta,
+        |    round((ln((c.y::DOUBLE + aw) /
+        |         (gm.ng::DOUBLE + 10.0 - c.y::DOUBLE - aw))
+        |      - ln(((tm.tw - c.y)::DOUBLE + aw) /
+        |         ((nn.n - gm.ng)::DOUBLE + 10.0 - (tm.tw - c.y)::DOUBLE
+        |           - aw)))
+        |      / sqrt(1.0 / (c.y::DOUBLE + aw)
+        |        + 1.0 / ((tm.tw - c.y)::DOUBLE + aw)), 6) AS z
+        |  FROM (SELECT *, 10.0 * (tw2.tw::DOUBLE / nn2.n::DOUBLE) AS aw
+        |    FROM cells c2 JOIN tm tw2 ON c2.w = tw2.w CROSS JOIN nn nn2)
+        |    c
+        |  JOIN tm ON c.w = tm.w JOIN gm ON c.g = gm.g CROSS JOIN nn
+        |)
+        |SELECT g AS lang, w AS token, y, delta, z FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY g
+        |    ORDER BY z DESC, w) AS rk FROM sc)
+        |WHERE rk <= 2 ORDER BY lang, z DESC, token""".stripMargin,
+
     // generated value-iteration rounds toward the absorbing target
     // (same lag collapse, same 9-dp P, DECIMAL inner products)
     "x475_hitting_time" -> {

@@ -2323,6 +2323,68 @@ object TextOps {
     * @return per group: (group, n_tokens, n_in_vocab, coverage,
     *         n_types, n_oov_types, oov_type_rate) — 6-dp
     */
+  /** "Fightin' Words" distinctive terms per group (Monroe, Colaresi &
+    * Quinn 2008) — log-odds-ratio with an informative Dirichlet prior,
+    * THE principled replacement for raw TF-IDF "top terms" when
+    * comparing subcorpora (raw ratios explode on rare words; the
+    * corpus-wide prior shrinks exactly them):
+    * {{{
+    *   δ_gw = ln[(y_gw + a_w)/(n_g + a₀ − y_gw − a_w)]
+    *        − ln[(y_rw + a_w)/(n_r + a₀ − y_rw − a_w)]   (rest = ¬g)
+    *   z    = δ / sqrt(1/(y_gw + a_w) + 1/(y_rw + a_w))
+    * }}}
+    * with a_w = a₀·(total_w/N). Emits the top `perGroup` terms per
+    * group by z (6-dp-rounded z, token-asc ties — deterministic rank).
+    *
+    * Determinism: exact count algebra into two ln's and a sqrt per
+    * (group, token) cell — engine-replayable IEEE chains; z rounded
+    * before ranking so the pick replays.
+    *
+    * Scale shape: one (group, token) collapse + token-margin and
+    * group-margin rollups joined on their keys; the rank window runs
+    * per group over vocab cells, never corpus rows.
+    *
+    * @return (group, token, y, delta, z) — top `perGroup` rows per
+    *         group, 6-dp, ordered (group, z desc, token)
+    */
+  def fightinWords(df: DataFrame, groupCol: String, textCol: String,
+                   alpha0: Double = 10.0,
+                   perGroup: Int = 2): DataFrame = {
+    require(alpha0 > 0.0, s"alpha0 must be positive: $alpha0")
+    require(perGroup >= 1, s"perGroup must be >= 1: $perGroup")
+    val cells = df.filter(F.col(groupCol).isNotNull)
+      .select(F.col(groupCol).as("__g"),
+        F.explode(F.split(F.lower(F.trim(F.col(textCol))), "\\s+"))
+          .as("__w"))
+      .filter(F.length(F.col("__w")) > 0)
+      .groupBy("__g", "__w").agg(F.count(F.lit(1)).as("__y"))
+    val tokM = cells.groupBy("__w").agg(F.sum("__y").as("__tw"))
+    val grpM = cells.groupBy("__g").agg(F.sum("__y").as("__ng"))
+    val nTab = tokM.agg(F.sum("__tw").as("__n"))
+    val j = cells.join(tokM, "__w").join(grpM, "__g")
+      .crossJoin(F.broadcast(nTab))
+    val aw = F.lit(alpha0) * (F.col("__tw").cast("double") /
+      F.col("__n").cast("double"))
+    val yG = F.col("__y").cast("double")
+    val yR = (F.col("__tw") - F.col("__y")).cast("double")
+    val nG = F.col("__ng").cast("double")
+    val nR = (F.col("__n") - F.col("__ng")).cast("double")
+    val delta =
+      F.log((yG + aw) / (nG + F.lit(alpha0) - yG - aw)) -
+      F.log((yR + aw) / (nR + F.lit(alpha0) - yR - aw))
+    val z = delta / F.sqrt(F.lit(1.0) / (yG + aw) +
+      F.lit(1.0) / (yR + aw))
+    val scored = j.select(F.col("__g"), F.col("__w"), F.col("__y"),
+      F.round(delta, 6).as("delta"), F.round(z, 6).as("z"))
+    val byZ = Window.partitionBy("__g")
+      .orderBy(F.col("z").desc, F.col("__w").asc)
+    scored.withColumn("__rk", F.row_number().over(byZ))
+      .filter(F.col("__rk") <= perGroup)
+      .select(F.col("__g").as(groupCol), F.col("__w").as("token"),
+        F.col("__y").as("y"), F.col("delta"), F.col("z"))
+      .orderBy(F.col(groupCol), F.col("z").desc, F.col("token"))
+  }
+
   /** Per-token dispersion census (Church & Gale 1995 burstiness): for
     * the top-K corpus tokens, how does the token DISTRIBUTE over
     * documents — a stopword occurs everywhere at its mean rate

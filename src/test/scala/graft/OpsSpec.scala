@@ -7757,6 +7757,29 @@ class OpsSpec extends AnyFunSuite {
       ("2026-01-05", 2L, -10.8, 10.8, true)), got)
   }
 
+  test("fightinWords: prior-shrunk log-odds replays the formula; each " +
+      "group's exclusive token ranks top") {
+    import graft.ops.TextOps
+    val df = Seq(("A", "x x y"), ("B", "y y z")).toDF("g", "text")
+    val got = TextOps.fightinWords(df, "g", "text", alpha0 = 10.0,
+        perGroup = 1)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    def fw(y: Long, tw: Long, ng: Long): (Double, Double) = {
+      val (n, a0) = (6.0, 10.0); val aw = a0 * (tw / n)
+      val (yg, yr, nr) = (y.toDouble, (tw - y).toDouble, n - ng)
+      val d = math.log((yg + aw) / (ng + a0 - yg - aw)) -
+        math.log((yr + aw) / (nr + a0 - yr - aw))
+      val z = d / math.sqrt(1.0 / (yg + aw) + 1.0 / (yr + aw))
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(d), r6(z))
+    }
+    val (dx, zx) = fw(2L, 2L, 3L)
+    val (dz, zz) = fw(1L, 1L, 3L)
+    assert(got == Seq(("A", "x", 2L, dx, zx), ("B", "z", 1L, dz, zz)),
+      s"$got vs x:($dx,$zx) z:($dz,$zz)")
+  }
+
   test("stationaryDistribution: converges to the hand fixed point; " +
       "TV delta reads the residual") {
     import graft.ops.EventOps
