@@ -688,6 +688,86 @@ object StressBench {
           graft.ops.Stats.ransacLine(docs, F.col("n_chars"),
             graft.ops.TextOps.tokenCount(F.col("text")),
             nCandidates = 8, tol = 50.0)),
+        // Sinkhorn: the corpus collapses ONCE to two 16-cell histograms
+        // (counts ×K, cells constant); all 12 scaling rounds run on the
+        // checkpointed 1-partition bounded tables — wall must stay
+        // near-FLAT beyond the single growing scan
+        "x459_sinkhorn" -> (() =>
+          graft.ops.Stats.sinkhorn(docs, "n_chars",
+            F.col("lang") === "en", F.col("lang") === "zh",
+            lo = 0L, hi = 800L, grid = 50L, reg = 2.0, iters = 12)),
+        // bottom-k containment: consecutive pairs within each replica
+        // (stride re-keying keeps a%7 classes aligned) — pair count,
+        // raw-shingle md5 work and the per-pair array sort all ×K;
+        // wall must stay ~linear
+        "x463_bottomk" -> (() => {
+          val ids = docs.select("doc_id")
+          val pairs = ids.select(F.col("doc_id").as("a"),
+              (F.col("doc_id") + 1).as("b"))
+            .filter(F.col("a") % 7 === 0)
+            .join(ids.select(F.col("doc_id").as("b")), Seq("b"),
+              "leftsemi")
+          Dedup.bottomKContainment(pairs, docs, "doc_id", "text", k = 32)
+        }),
+        // trigram LM: corpus (and trigram rows) ×K, vocab FLAT (replica
+        // text verbatim) — the five count collapses partial-aggregate
+        // map-side and the join keys stay vocab-bounded; ~linear
+        "x469_trigram" -> (() =>
+          graft.ops.TextOps.trigramInterp(docs, "doc_id", "source",
+            "text")),
+        // stationary distribution: events ×K collapse map-side to the
+        // FIXED k²-cell transition table; the 10 power rounds run on
+        // ≤k-row checkpointed state — wall ~linear in the one scan,
+        // rounds flat
+        "x472_stationary" -> (() =>
+          graft.ops.EventOps.stationaryDistribution(events, iters = 10)),
+        // LSH planner: md5 random DISJOINT pairing (n/2 pairs, never a
+        // pair join) over K× signatures; the s-curve integration is a
+        // 5-config explode + rollup — ~linear
+        "x473_lsh_planner" -> (() => {
+          val t = F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), 1, 500)
+          val shingles = F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 4, F.lit(1))),
+            i => t.substr(i, F.lit(5))))
+          val hs = F.transform(shingles,
+            x => F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"))
+          val abs = (0 until 16).map(j => (2L * j + 1, 7919L * j + 13))
+          val sigCols = abs.zipWithIndex.map { case ((a, b), j) =>
+            F.array_min(F.transform(F.col("hs"),
+              h => (h * a + b) % 2147483647L)).as(s"s$j") }
+          val sigs = docs.filter(F.col("doc_id") % 10 === 0)
+            .select(F.col("doc_id").cast("string").as("__id"),
+              hs.as("hs"))
+            .select(F.col("__id") +: sigCols: _*)
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(F.col("__h"), F.col("__id"))
+          val ordered = sigs
+            .withColumn("__h", F.md5(F.concat(F.lit("lshp:"),
+              F.col("__id"))))
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("__pair",
+              F.call_function("div", F.col("__rn") - 1L, F.lit(2L)))
+            .withColumn("__side", (F.col("__rn") - 1L) % 2L)
+          val a = ordered.filter(F.col("__side") === 0L)
+            .select(F.col("__pair") +: (0 until 16).map(j =>
+              F.col(s"s$j").as(s"a$j")): _*)
+          val b = ordered.filter(F.col("__side") === 1L)
+            .select(F.col("__pair") +: (0 until 16).map(j =>
+              F.col(s"s$j").as(s"b$j")): _*)
+          val sims = a.join(b, "__pair")
+            .select(((0 until 16).map(j =>
+              F.when(F.col(s"a$j") === F.col(s"b$j"), 1).otherwise(0))
+              .reduce(_ + _).cast("double") / 16.0).as("sim"))
+          Dedup.lshBandingPlan(sims, "sim", nComponents = 16,
+            threshold = 0.5)
+        }),
+        // Fightin' Words: (group, token) cells FLAT (verbatim replicas,
+        // fixed vocab × groups), the token explode grows ×K and
+        // collapses map-side — wall ~linear with flat shuffle volume
+        "x476_fightin" -> (() =>
+          graft.ops.TextOps.fightinWords(docs, "lang", "text",
+            alpha0 = 10.0, perGroup = 2)),
       )
       val allQueries = queries ++ extra
       val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
