@@ -5,8 +5,11 @@ Usage: python3 scripts/oracle_check.py <verify_out_dir> <sf_dir>
 
 For each query dir under verify_out: read Spark's parquet result, run the
 matching oracle SQL in DuckDB over the sf parquet tables, sort columns by
-name, compare row-by-row (floats to 1e-9 rel tolerance, rows compared as
-sorted multisets to stay order-insensitive where ORDER BY ties are possible).
+name, compare row-by-row. Floats are compared by EXACT equality on
+6-dp-rounded values, and the comparison is STRICT about the sign of zero
+(-0.0 != 0.0, matching the driver's hash semantics since r17 — see norm()).
+Rows are compared as sorted multisets to stay order-insensitive where
+ORDER BY ties are possible.
 """
 import decimal
 import json

@@ -7799,10 +7799,10 @@ object SparkEntry {
         |  FROM lineitem GROUP BY l_returnflag
         |)
         |SELECT l_returnflag, n::BIGINT AS n,
-        |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) AS slope,
-        |  round((sy * sxx - sx * sxy) / nullif(n * sxx - sx * sx, 0), 6) AS intercept,
+        |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) + 0.0 AS slope,
+        |  round((sy * sxx - sx * sxy) / nullif(n * sxx - sx * sx, 0), 6) + 0.0 AS intercept,
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
-        |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
+        |        nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) + 0.0 AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
 
     // mirrors Similarity.rangeSearch: x06's cosine replay with the radius
@@ -10887,8 +10887,8 @@ object SparkEntry {
         |  WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1)
         |SELECT (SELECT count(*) FROM daily)::BIGINT AS n_points,
         |  (SELECT count(*) FROM sl)::BIGINT AS n_pairs,
-        |  round(slope.slope, 6) AS slope,
-        |  round(icept.intercept, 6) AS intercept
+        |  round(slope.slope, 6) + 0.0 AS slope,
+        |  round(icept.intercept, 6) + 0.0 AS intercept
         |FROM slope CROSS JOIN icept""".stripMargin,
 
     // the x125 ranking CTEs, then first-hit min-rank per query
@@ -13949,12 +13949,12 @@ object SparkEntry {
         |  FROM inl)
         |SELECT nt.n_points, kt.n_candidates, best.cand AS best_cand,
         |  best.n_inliers,
-        |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+        |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) + 0.0
         |    AS slope,
-        |  round((sy * sxx - sx * sxy) / nullif(n * sxx - sx * sx, 0), 6)
+        |  round((sy * sxx - sx * sxy) / nullif(n * sxx - sx * sx, 0), 6) + 0.0
         |    AS intercept,
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
-        |    nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
+        |    nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) + 0.0
         |    AS r2
         |FROM nt, kt, best, agg""".stripMargin,
 
@@ -16118,12 +16118,12 @@ object SparkEntry {
         |SELECT n_groups,
         |  round(CASE WHEN n_groups >= 2 THEN
         |    (n_groups::DOUBLE * sxy - sx * sy) /
-        |    nullif(n_groups::DOUBLE * sx2 - sx * sx, 0.0) END, 6)
+        |    nullif(n_groups::DOUBLE * sx2 - sx * sx, 0.0) END, 6) + 0.0
         |    AS slope,
         |  round(CASE WHEN n_groups >= 2 THEN (sy -
         |    ((n_groups::DOUBLE * sxy - sx * sy) /
         |      nullif(n_groups::DOUBLE * sx2 - sx * sx, 0.0)) * sx) /
-        |    n_groups::DOUBLE END, 6) AS intercept
+        |    n_groups::DOUBLE END, 6) + 0.0 AS intercept
         |FROM reg""".stripMargin,
 
     // type-keyed µs stream; exact-ms gap sufficient stats (µs² would
@@ -17380,9 +17380,9 @@ object SparkEntry {
         |f AS (SELECT n, b, suu - su * su / n::DOUBLE AS cuu,
         |    sctt - sct * sct / n::DOUBLE AS cxx,
         |    sctu - sct * su / n::DOUBLE AS cxu FROM aux)
-        |SELECT n, round(b, 6) AS slope,
-        |  round(cxu * cxu / nullif(cxx * cuu, 0.0), 6) AS r2_aux,
-        |  round(n::DOUBLE * (cxu * cxu / nullif(cxx * cuu, 0.0)), 6)
+        |SELECT n, round(b, 6) + 0.0 AS slope,
+        |  round(cxu * cxu / nullif(cxx * cuu, 0.0), 6) + 0.0 AS r2_aux,
+        |  round(n::DOUBLE * (cxu * cxu / nullif(cxx * cuu, 0.0)), 6) + 0.0
         |    AS bp
         |FROM f""".stripMargin,
 

@@ -916,6 +916,15 @@ object Curation {
     * 24-bit md5 bucket (seed|q-index|cell — auditable, engine-
     * replayable; the [[dpNoisyCounts]] secret-seed caveats apply).
     *
+    * '''THE DEFAULT SEED PROVIDES NO PRIVACY.''' With the public default
+    * (`"dpq"`) the "noise" is a pure function of the data and anyone can
+    * replay it to recover the exact true quantile — the default exists
+    * ONLY so tests and oracles can replay the release. A real ε-DP
+    * release MUST (a) pass a caller-supplied SECRET, high-entropy `seed`
+    * kept out of the release, and (b) pass `auditColumns = false`: the
+    * `true_value`/`abs_err_cells` columns are a pre-release utility
+    * audit and publishing them voids the privacy guarantee outright.
+    *
     * Candidates are the PINNED grid boundaries lo+g, …, hi — a fixed
     * public set, NOT data-derived values (data-derived candidates leak;
     * the grid is the discretization a real release would publish).
@@ -933,12 +942,18 @@ object Curation {
     * True grid quantiles ride along for the pre-release utility audit
     * (the x440/x443 convention); external releases drop them.
     *
+    * @param auditColumns true (default, NON-PRIVATE) keeps the
+    *        true_value/abs_err_cells utility-audit columns; a real
+    *        release passes false to drop them
     * @return one row per quantile: (q, n, target_rank, true_value,
-    *         dp_value, abs_err_cells, epsilon_each) ordered by q
+    *         dp_value, abs_err_cells, epsilon_each) ordered by q —
+    *         without true_value/abs_err_cells when
+    *         `auditColumns = false`
     */
   def dpQuantileExp(df: DataFrame, valueCol: String, qs: Seq[Double],
                     lo: Long, hi: Long, grid: Long, epsilon: Double,
-                    seed: String = "dpq"): DataFrame = {
+                    seed: String = "dpq",
+                    auditColumns: Boolean = true): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0),
       s"quantiles must be in (0,1), got $qs")
     require(qs.distinct.size == qs.size, s"duplicate quantiles in $qs")
@@ -990,17 +1005,24 @@ object Curation {
       .select(F.col("__qi"), F.col("q"), F.col("__n"), F.col("__target"),
         (F.lit(lo) + (F.col("__cell") + 1L) * F.lit(grid)).as("dp_value"),
         F.col("__cell").as("__wcell"))
-    val truth = scored.filter(F.col("__cum") >= F.col("__target"))
-      .groupBy("__qi").agg(F.min("__cell").as("__tcell"))
-    winner.join(F.broadcast(truth), Seq("__qi"))
-      .select(F.col("q"), F.col("__n").as("n"),
-        F.col("__target").as("target_rank"),
-        (F.lit(lo) + (F.col("__tcell") + 1L) * F.lit(grid))
-          .as("true_value"),
-        F.col("dp_value"),
-        F.abs(F.col("__wcell") - F.col("__tcell")).as("abs_err_cells"),
+    if (!auditColumns)
+      winner.select(F.col("q"), F.col("__n").as("n"),
+        F.col("__target").as("target_rank"), F.col("dp_value"),
         F.lit(epsilon).as("epsilon_each"))
-      .orderBy("q")
+        .orderBy("q")
+    else {
+      val truth = scored.filter(F.col("__cum") >= F.col("__target"))
+        .groupBy("__qi").agg(F.min("__cell").as("__tcell"))
+      winner.join(F.broadcast(truth), Seq("__qi"))
+        .select(F.col("q"), F.col("__n").as("n"),
+          F.col("__target").as("target_rank"),
+          (F.lit(lo) + (F.col("__tcell") + 1L) * F.lit(grid))
+            .as("true_value"),
+          F.col("dp_value"),
+          F.abs(F.col("__wcell") - F.col("__tcell")).as("abs_err_cells"),
+          F.lit(epsilon).as("epsilon_each"))
+        .orderBy("q")
+    }
   }
 
   /** Canonical form of a URL column — the crawl-dedup normalizer: two

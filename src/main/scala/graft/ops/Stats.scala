@@ -1082,8 +1082,8 @@ object Stats {
       .crossJoin(slopes.agg(F.count(F.lit(1)).as("n_pairs")))
     counts.crossJoin(F.broadcast(slope)).crossJoin(F.broadcast(icept))
       .select(F.col("n_points"), F.col("n_pairs"),
-        F.round(F.col("slope"), 6).as("slope"),
-        F.round(F.col("intercept"), 6).as("intercept"))
+        Quant.noNegZero(F.round(F.col("slope"), 6)).as("slope"),
+        Quant.noNegZero(F.round(F.col("intercept"), 6)).as("intercept"))
   }
 
   /** 2-D skyline (Pareto frontier, Börzsönyi et al. 2001): keep the rows
@@ -4724,9 +4724,10 @@ object Stats {
     val cxx = F.col("__sctt") - F.col("__sct") * F.col("__sct") / n2
     val cxu = F.col("__sctu") - F.col("__sct") * F.col("__su") / n2
     val r2 = cxu * cxu / F.nullif(cxx * cuu, F.lit(0.0))
-    aux.select(F.col("n"), F.round(F.col("__b"), 6).as("slope"),
-      F.round(r2, 6).as("r2_aux"),
-      F.round(n2 * r2, 6).as("bp"))
+    aux.select(F.col("n"),
+      Quant.noNegZero(F.round(F.col("__b"), 6)).as("slope"),
+      Quant.noNegZero(F.round(r2, 6)).as("r2_aux"),
+      Quant.noNegZero(F.round(n2 * r2, 6)).as("bp"))
   }
 
   /** Two-sample Poisson rate test — "is stream A emitting faster than
@@ -7153,9 +7154,10 @@ object Stats {
       F.nullif(kD * F.col("__sx2") - F.col("__sx") * F.col("__sx"),
         F.lit(0.0))
     reg.select(F.col("n_groups"),
-      F.round(F.when(F.col("n_groups") >= 2L, slope), 6).as("slope"),
-      F.round(F.when(F.col("n_groups") >= 2L,
-        (F.col("__sy") - slope * F.col("__sx")) / kD), 6)
+      Quant.noNegZero(F.round(F.when(F.col("n_groups") >= 2L, slope), 6))
+        .as("slope"),
+      Quant.noNegZero(F.round(F.when(F.col("n_groups") >= 2L,
+        (F.col("__sy") - slope * F.col("__sx")) / kD), 6))
         .as("intercept"))
   }
 

@@ -395,9 +395,15 @@ object StreamOps {
     * batch [[graft.ops.EventOps.pageHinkley]]: per key the state is
     * FOUR LONGS (observation count, value sum for the running mean,
     * and the PH accumulator + its running max as NANO-scaled longs —
-    * each 9-dp-rounded deviation term becomes an exact integer, so the
+    * each 9-dp-rounded deviation term becomes an exact integer, so fed
+    * the SAME series the batch op scores (its per-day counts), the
     * stream replays the batch DECIMAL accumulation bit-for-bit instead
-    * of drifting a double per micro-batch). In-batch disorder is
+    * of drifting a double per micro-batch; note the batch op scores
+    * daily event counts while this scores each observation it is fed,
+    * and the float `floor(x·1e9 + 0.5)` half-up here can differ from
+    * Spark's BigDecimal-based `F.round` by one last-9-dp-grid step in
+    * rare exact-halfway cases — the ckaFrob-style FP-vs-BigDecimal
+    * caveat). In-batch disorder is
     * absorbed by an event-time sort (the [[cusumStream]] convention);
     * cross-batch order is arrival order, the streaming contract.
     * Emits one scored row per observation; `alarm` is PH > λ, strict,
