@@ -75,3 +75,26 @@ INSERT INTO ft VALUES ('hello world'), ('spark engine');
 CREATE TABLE plain (k INTEGER PRIMARY KEY, v TEXT);
 INSERT INTO plain VALUES (1, 'real');
 SQL
+# wal.db: WAL-mode db, fully checkpointed, with the header-only -wal
+# sidecar still in place — the common at-rest state of a WAL db whose
+# writer checkpointed (TRUNCATE) but did not unlink the sidecar. The
+# reader must accept it (reference parity: sqlite_scanner reads it).
+# Copied while the CLI connection is open so both files are
+# CLI-produced, byte-for-byte.
+( cd "$dir" && rm -f wal.db* tmp_wal.db* && sqlite3 tmp_wal.db <<'SQL'
+PRAGMA journal_mode=WAL;
+CREATE TABLE w (k INTEGER PRIMARY KEY, v TEXT);
+INSERT INTO w VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma');
+PRAGMA wal_checkpoint(TRUNCATE);
+.system cp tmp_wal.db wal.db && cp tmp_wal.db-wal wal.db-wal
+SQL
+rm -f tmp_wal.db* )
+# hotwal.db: WAL-mode db copied with PENDING (non-checkpointed) frames —
+# the torn-snapshot case the reader must keep rejecting loudly.
+( cd "$dir" && rm -f hotwal.db* tmp_hot.db* && sqlite3 tmp_hot.db <<'SQL'
+PRAGMA journal_mode=WAL;
+CREATE TABLE h (k INTEGER PRIMARY KEY, v TEXT);
+INSERT INTO h VALUES (1, 'pending');
+.system cp tmp_hot.db hotwal.db && cp tmp_hot.db-wal hotwal.db-wal
+SQL
+rm -f tmp_hot.db* )

@@ -281,7 +281,7 @@ object Bench {
     val oracleTwins = Set("x22_ngram_jaccard_fixed", "x42_winnow_fixed",
       "x43_minhash_fixed", "x44_simhash_fixed", "x45_lsh_bucket",
       "x70_dsir_weights", "x431_chunk_minhash_fixed",
-      "x442_compress_census_fixed")
+      "x442_compress_census_fixed", "x478_media_neardup_verify")
     val prodTotal = results.filterNot(r => oracleTwins(r._1)).map(_._2.sec).sum
     // Steal-defending rerun (r15 verdict ask #4): the headline BENCH json
     // is ONE run, and a hypervisor steal window can read a query at 3-25x

@@ -29,6 +29,72 @@ object SparkEntry {
   private val OracleAB: Seq[(Long, Long)] =
     (0 until 16).map(j => (2L * j + 1, 7919L * j + 13))
 
+  /** The x473 LSH-banding-planner oracle (DuckDB) as a reusable
+    * subquery — no trailing ORDER BY so the x479 choice-rule wrapper
+    * can CTE it. Squaring chains instead of pow (not correctly-rounded
+    * everywhere), 9-dp DECIMAL per-pair terms: the exact
+    * [[graft.ops.Dedup.lshBandingPlan]] replay. */
+  private lazy val LshPlannerPlanSql: String = {
+    def chain(e: String, n: Int): String =
+      if (n == 1) e else { val h = chain(e, n / 2); s"($h * $h)" }
+    def qSql(sExpr: String, b: Int, r: Int): String =
+      s"(1.0 - ${chain(s"(1.0 - ${chain(sExpr, r)})", b)})"
+    val sigSel = OracleAB.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(hs, h -> ($a*h + $b) % $OracleP)) AS s$j"
+    }.mkString(",\n       |    ")
+    val eq = (0 until 16).map(j =>
+      s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+    val cfgRows = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+      .map { case (bb, rr) =>
+        val qv = qSql("sim", bb, rr)
+        val qt = qSql("0.5", bb, rr)
+        s"""SELECT $bb::INT AS bands, $rr::INT AS rows_per_band,
+           |    count(*)::BIGINT AS n_pairs,
+           |    round(sum(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END)
+           |      ::DOUBLE / nullif(count(*)::DOUBLE, 0), 6)
+           |      AS share_above_t,
+           |    round($qt, 6) AS q_at_t,
+           |    round(sum(CASE WHEN sim < 0.5 THEN round($qv, 9)
+           |        ::DECIMAL(38,9) ELSE 0::DECIMAL(38,9) END)::DOUBLE
+           |      / nullif(sum(CASE WHEN sim < 0.5 THEN 1 ELSE 0 END)
+           |        ::DOUBLE, 0), 6) AS exp_fp_rate,
+           |    round(sum(CASE WHEN sim >= 0.5 THEN round(1.0 - $qv, 9)
+           |        ::DECIMAL(38,9) ELSE 0::DECIMAL(38,9) END)::DOUBLE
+           |      / nullif(sum(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END)
+           |        ::DOUBLE, 0), 6) AS exp_fn_rate
+           |  FROM sims""".stripMargin
+      }.mkString("\n       |  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 500) AS t
+       |  FROM documents WHERE doc_id % 10 = 0
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(length(t) - 4, 1) + 1),
+       |    i -> substring(t, i::INT, 5))) AS s
+       |  FROM t
+       |), hs AS (
+       |  SELECT doc_id, list_transform(s,
+       |    x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS hs FROM sh
+       |), sig AS (
+       |  SELECT doc_id::VARCHAR AS id,
+       |    $sigSel
+       |  FROM hs
+       |), ordered AS (
+       |  SELECT *, row_number() OVER (ORDER BY md5('lshp:' || id), id)
+       |    AS rn
+       |  FROM sig
+       |), sims AS MATERIALIZED (
+       |  SELECT ($eq)::DOUBLE / 16.0 AS sim
+       |  FROM (SELECT * FROM ordered WHERE (rn - 1) % 2 = 0) a
+       |  JOIN (SELECT * FROM ordered WHERE (rn - 1) % 2 = 1) b
+       |    ON (a.rn - 1) // 2 = (b.rn - 1) // 2
+       |)
+       |SELECT * FROM (
+       |  $cfgRows
+       |)""".stripMargin
+  }
+
   /** Value bands for the x48 range-join entry, shared by the Spark side and
     * its generated DuckDB oracle. Deliberately overlapping (retail_window
     * straddles small/mid) so the entry proves multi-interval matches. */
@@ -3748,6 +3814,87 @@ object SparkEntry {
           .reduce(_ + _).cast("double") / 16.0).as("sim"))
       Dedup.lshBandingPlan(sims, "sim", nComponents = 16,
         threshold = 0.5)
+    }),
+
+    // oracle twin for x430's CANDIDATE+VERIFY stage (the banding →
+    // bucket → hot-bucket guard → SigEqFrac → threshold → pair-dedup
+    // pipeline both mediaNearDupPairs and minhashPairs share via
+    // candidatePairsFromSignatures): md5-derived x431 chunk signatures
+    // stand in for the xxhash64 CDC ones, PLANTED truncated payload
+    // variants (doc_id%21, id+1e9, first 4/5 of the chars — the
+    // truncated-download shape) provide known near-dup structure. The
+    // signature stage itself is pinned by x431 + OpsSpec CDC hand
+    // cases; chunking is on the payload TEXT's chars (byte-identical
+    // for ASCII payloads — DuckDB md5 is VARCHAR-only).
+    "x478_media_neardup_verify" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .filter(F.col("doc_id") % 7 === 0)
+        .select(F.col("doc_id"), F.col("text"))
+      val variant = base.filter(F.col("doc_id") % 3 === 0)
+        .select((F.col("doc_id") + 1000000000L).as("doc_id"),
+          F.col("text").substr(F.lit(1),
+            F.greatest(F.floor(F.length(F.col("text")) * 4 / 5)
+              .cast("int"), F.lit(1))).as("text"))
+      val corpus = base.unionByName(variant)
+      val t = F.substring(F.col("text"), 1, 2048)
+      val nChunks = F.greatest(
+        F.floor((F.length(t) + F.lit(63)).cast("double") / F.lit(64.0))
+          .cast("int"), F.lit(1))
+      val chunks = F.transform(F.sequence(F.lit(0), nChunks - 1),
+        i => t.substr(i * 64 + 1, F.lit(64)))
+      val hs = F.transform(chunks,
+        x => F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"))
+      val sig = F.array(OracleAB.map { case (a, b) =>
+        F.array_min(F.transform(F.col("hs"),
+          h => (h * a + b) % OracleP)) }: _*)
+      val sigged = corpus.select(F.col("doc_id"), hs.as("hs"))
+        .select(F.col("doc_id"), sig.as("__sig"))
+        .repartition(F.col("doc_id"))
+      graft.ops.Dedup.candidatePairsFromSignatures(sigged, "doc_id",
+          bands = 4, rows = 4, threshold = 0.5, maxBucket = 1000)
+        .orderBy("a", "b")
+    }),
+
+    // the x473 planner CLOSED-LOOP: markChosenBanding's deterministic
+    // choice rule (measured-miss recall gate with the analytic q_at_t
+    // fallback, then min expected-fp, bands-asc tie) over the same
+    // corpus-calibrated plan — the auto-banding decision minhashPairsAuto
+    // executes, as an oracle-checked readout
+    "x479_banding_autoplan" -> ((s, dir) => {
+      val t = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), 1, 500)
+      val shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 4, F.lit(1))),
+        i => t.substr(i, F.lit(5))))
+      val hs = F.transform(shingles,
+        x => F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"))
+      val sigCols = OracleAB.zipWithIndex.map { case ((a, b), j) =>
+        F.array_min(F.transform(F.col("hs"),
+          h => (h * a + b) % OracleP)).as(s"s$j") }
+      val sigs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(F.col("doc_id") % 10 === 0)
+        .select(F.col("doc_id").cast("string").as("__id"), hs.as("hs"))
+        .select(F.col("__id") +: sigCols: _*)
+      val ordered = sigs
+        .withColumn("__h", F.md5(F.concat(F.lit("lshp:"), F.col("__id"))))
+        .withColumn("__rn", F.row_number().over(Window.orderBy(
+          F.col("__h"), F.col("__id"))))
+        .withColumn("__pair",
+          F.call_function("div", F.col("__rn") - 1L, F.lit(2L)))
+        .withColumn("__side", (F.col("__rn") - 1L) % 2L)
+      val a = ordered.filter(F.col("__side") === 0L)
+        .select(F.col("__pair") +: (0 until 16).map(j =>
+          F.col(s"s$j").as(s"a$j")): _*)
+      val b = ordered.filter(F.col("__side") === 1L)
+        .select(F.col("__pair") +: (0 until 16).map(j =>
+          F.col(s"s$j").as(s"b$j")): _*)
+      val sims = a.join(b, "__pair")
+        .select(((0 until 16).map(j =>
+          F.when(F.col(s"a$j") === F.col(s"b$j"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / 16.0).as("sim"))
+      Dedup.markChosenBanding(
+        Dedup.lshBandingPlan(sims, "sim", nComponents = 16,
+          threshold = 0.5), recallFloor = 0.9)
     }),
 
     // stationary distribution of the behavior chain (pi = pi P, 10
@@ -13058,65 +13205,83 @@ object SparkEntry {
     // same sigs + 'lshp:' pairing; the s-curve powers are the SAME
     // explicit squaring chains (pow is not correctly-rounded
     // everywhere; chained IEEE multiplies are bit-identical)
-    "x473_lsh_planner" -> {
-      def chain(e: String, n: Int): String =
-        if (n == 1) e else { val h = chain(e, n / 2); s"($h * $h)" }
-      def qSql(sExpr: String, b: Int, r: Int): String =
-        s"(1.0 - ${chain(s"(1.0 - ${chain(sExpr, r)})", b)})"
+    "x473_lsh_planner" -> s"$LshPlannerPlanSql ORDER BY bands",
+
+    // x473's plan wrapped with markChosenBanding's choice rule, replayed
+    // verbatim: miss = coalesce(measured fn, analytic 1 - q_at_t) on the
+    // 6-dp columns, eligible at the IEEE-literal (1.0 - 0.9) budget,
+    // then ONE deterministic ORDER BY (eligible first, fp-vs-miss cost
+    // key, bands tie) → row_number 1 is the chosen split
+    "x479_banding_autoplan" ->
+      s"""WITH plan AS ($LshPlannerPlanSql),
+         |keyed AS (
+         |  SELECT *,
+         |    coalesce(exp_fn_rate, 1.0 - q_at_t) <= (1.0 - 0.9)
+         |      AS eligible,
+         |    CASE WHEN coalesce(exp_fn_rate, 1.0 - q_at_t) <= (1.0 - 0.9)
+         |      THEN coalesce(exp_fp_rate, 0.0)
+         |      ELSE coalesce(exp_fn_rate, 1.0 - q_at_t) END AS k1,
+         |    CASE WHEN coalesce(exp_fn_rate, 1.0 - q_at_t) <= (1.0 - 0.9)
+         |      THEN 0.0 ELSE coalesce(exp_fp_rate, 0.0) END AS k2
+         |  FROM plan)
+         |SELECT bands, rows_per_band, n_pairs, share_above_t, q_at_t,
+         |  exp_fp_rate, exp_fn_rate, eligible,
+         |  row_number() OVER (ORDER BY eligible DESC, k1 ASC, k2 ASC,
+         |    bands ASC) = 1 AS chosen
+         |FROM keyed ORDER BY bands""".stripMargin,
+
+    // x430's candidate+verify stage replayed end-to-end: same banding
+    // (bucket key = the band's signature slice — the xxhash64 band hash
+    // only partitions by slice equality), same hot-bucket guard, same
+    // eq-fraction verify (16 = 2^4, so eq/16 is IEEE-exact), same
+    // threshold + pair dedup; planted truncated variants at doc_id%21
+    "x478_media_neardup_verify" -> {
       val sigSel = OracleAB.zipWithIndex.map { case ((a, b), j) =>
-        s"list_min(list_transform(hs, h -> ($a*h + $b) % $OracleP)) AS s$j"
-      }.mkString(",\n         |    ")
-      val eq = (0 until 16).map(j =>
-        s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
-      val cfgRows = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
-        .map { case (bb, rr) =>
-          val qv = qSql("sim", bb, rr)
-          val qt = qSql("0.5", bb, rr)
-          s"""SELECT $bb::INT AS bands, $rr::INT AS rows_per_band,
-             |    count(*)::BIGINT AS n_pairs,
-             |    round(sum(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END)
-             |      ::DOUBLE / nullif(count(*)::DOUBLE, 0), 6)
-             |      AS share_above_t,
-             |    round($qt, 6) AS q_at_t,
-             |    round(sum(CASE WHEN sim < 0.5 THEN round($qv, 9)
-             |        ::DECIMAL(38,9) ELSE 0::DECIMAL(38,9) END)::DOUBLE
-             |      / nullif(sum(CASE WHEN sim < 0.5 THEN 1 ELSE 0 END)
-             |        ::DOUBLE, 0), 6) AS exp_fp_rate,
-             |    round(sum(CASE WHEN sim >= 0.5 THEN round(1.0 - $qv, 9)
-             |        ::DECIMAL(38,9) ELSE 0::DECIMAL(38,9) END)::DOUBLE
-             |      / nullif(sum(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END)
-             |        ::DOUBLE, 0), 6) AS exp_fn_rate
-             |  FROM sims""".stripMargin
-        }.mkString("\n         |  UNION ALL ")
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 500) AS t
-         |  FROM documents WHERE doc_id % 10 = 0
-         |), sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    range(1, greatest(length(t) - 4, 1) + 1),
-         |    i -> substring(t, i::INT, 5))) AS s
+        s"list_min(list_transform(hs, h -> ($a*h + $b) % $OracleP))"
+      }.mkString(",\n         |      ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+         |), vari AS (
+         |  SELECT doc_id + 1000000000 AS doc_id,
+         |    substring(text, 1, greatest((length(text) * 4) // 5, 1))
+         |      AS text
+         |  FROM base WHERE doc_id % 3 = 0
+         |), corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL SELECT doc_id, text FROM vari
+         |), t AS (
+         |  SELECT doc_id, substring(text, 1, 2048) AS t FROM corpus
+         |), ch AS (
+         |  SELECT doc_id, list_transform(
+         |    range(0, greatest((length(t) + 63) // 64, 1)),
+         |    i -> substring(t, (i*64 + 1)::INT, 64)) AS cs
          |  FROM t
          |), hs AS (
-         |  SELECT doc_id, list_transform(s,
-         |    x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS hs FROM sh
+         |  SELECT doc_id, list_transform(cs,
+         |    x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS hs FROM ch
          |), sig AS (
-         |  SELECT doc_id::VARCHAR AS id,
-         |    $sigSel
-         |  FROM hs
-         |), ordered AS (
-         |  SELECT *, row_number() OVER (ORDER BY md5('lshp:' || id), id)
-         |    AS rn
-         |  FROM sig
-         |), sims AS MATERIALIZED (
-         |  SELECT ($eq)::DOUBLE / 16.0 AS sim
-         |  FROM (SELECT * FROM ordered WHERE (rn - 1) % 2 = 0) a
-         |  JOIN (SELECT * FROM ordered WHERE (rn - 1) % 2 = 1) b
-         |    ON (a.rn - 1) // 2 = (b.rn - 1) // 2
-         |)
-         |SELECT * FROM (
-         |  $cfgRows
-         |) ORDER BY bands""".stripMargin
+         |  SELECT doc_id, [
+         |      $sigSel
+         |    ] AS sig FROM hs
+         |), banded AS (
+         |  SELECT doc_id, sig, band,
+         |    array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',')
+         |      AS key
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+         |), sized AS (
+         |  SELECT * FROM banded
+         |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000
+         |), pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, l.sig AS sa, r.sig AS sb
+         |  FROM sized l JOIN sized r ON l.band = r.band AND l.key = r.key
+         |  WHERE l.doc_id < r.doc_id
+         |), est AS (
+         |  SELECT a, b,
+         |    len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::DOUBLE
+         |      / 16.0 AS est_jaccard
+         |  FROM pairs)
+         |SELECT DISTINCT a, b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY a, b""".stripMargin
     },
 
     // generated power-iteration rounds (x459 convention): same lag

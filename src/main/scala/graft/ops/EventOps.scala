@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{BooleanType, DoubleType, StringType,
+  StructField, StructType}
+import scala.jdk.CollectionConverters._
 
 /** Batch analytics over the `events` table (event_id, ts, user_id,
   * event_type, value, props). The `ts` column's physical type has CHANGED
@@ -1397,9 +1400,17 @@ object EventOps {
     * The final-round total-variation delta rides along — a large
     * `tv_delta` means `iters` under-ran the mixing time, loudly.
     *
-    * Scale shape: one corpus lag+collapse to the ≤k² transition
-    * counts; all rounds run on checkpointed coalesced 1-partition
-    * tables. No driver state.
+    * Scale shape: ONE distributed stage — the corpus lag+collapse to
+    * the ≤k² transition counts — then the k×k power iteration runs
+    * DRIVER-LOCAL on the collected bounded table (the pqFit/mmrRerank
+    * bounded-math regime: only ≤k² count rows ever reach the driver,
+    * loud cap below) and the result returns as literals. Per-round
+    * Spark jobs on a ≤k-row state table cost ~100 ms of scheduler
+    * latency each and compute nothing a driver loop can't; the replay
+    * reproduces the distributed arithmetic bit-for-bit
+    * ([[ChainMath]]: BigDecimal HALF_UP = `F.round`, exact scale-9
+    * java BigDecimal accumulation = DECIMAL(38,9) sums, `doubleValue`
+    * = the decimal→double cast).
     *
     * @return per state: (state, pi, has_out, tv_delta) — 6-dp π,
     *         ordered by state
@@ -1408,57 +1419,37 @@ object EventOps {
                              userCol: String = "user_id",
                              tieCol: String = "event_id"): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
-    val counts = transitionMatrix(events, userCol, tieCol)
-      .select(F.col("prev_type").as("__f"), F.col("next_type").as("__t"),
-        F.col("n"))
-      .localCheckpoint()
-    val states = counts.select(F.col("__f").as("state"))
-      .unionByName(counts.select(F.col("__t").as("state"))).distinct()
-      .coalesce(1).localCheckpoint()
-    val pmat = counts
-      .withColumn("__tot", F.sum("n").over(Window.partitionBy("__f")))
-      .select(F.col("__f"), F.col("__t"),
-        F.round(F.col("n").cast("double") /
-          F.col("__tot").cast("double"), 9).as("__p"))
-      .coalesce(1).localCheckpoint()
-    val outs = pmat.select(F.col("__f").as("state"))
-      .distinct().withColumn("__hasout", F.lit(true))
-    val base = states.join(outs, Seq("state"), "left")
-      .select(F.col("state"),
-        F.coalesce(F.col("__hasout"), F.lit(false)).as("__hasout"))
-      .coalesce(1).localCheckpoint()
-    val kTab = base.agg(F.count(F.lit(1)).as("__k"))
-    var pi = base.crossJoin(F.broadcast(kTab))
-      .select(F.col("state"),
-        F.round(F.lit(1.0) / F.col("__k").cast("double"), 9).as("__pi"))
-      .coalesce(1).localCheckpoint()
+    val spark = events.sparkSession
+    val cells = ChainMath.collectCells(
+      transitionMatrix(events, userCol, tieCol), "stationaryDistribution")
+    val states = ChainMath.states(cells)
+    val pmat = ChainMath.rowStochastic(cells)
+    val hasOut = pmat.keySet.map(_._1)
+    val k = states.length
+    var pi: Map[String, Double] =
+      states.map(s => s -> ChainMath.r9(1.0 / k.toDouble)).toMap
     var prev = pi
     var it = 0
     while (it < iters) {
       prev = pi
-      val moved = pmat.join(F.broadcast(pi),
-          pmat("__f") === pi("state"))
-        .groupBy(F.col("__t").as("state"))
-        .agg(F.sum(F.round(F.col("__pi") * F.col("__p"), 9)
-          .cast("decimal(38,9)")).as("__in"))
-      pi = base.join(F.broadcast(moved), Seq("state"), "left")
-        .join(F.broadcast(prev.select(F.col("state"),
-          F.col("__pi").as("__prevpi"))), Seq("state"))
-        .select(F.col("state"), F.round(
-          F.coalesce(F.col("__in").cast("double"), F.lit(0.0)) +
-            F.when(F.col("__hasout"), 0.0)
-              .otherwise(F.col("__prevpi")), 9).as("__pi"))
-        .coalesce(1).localCheckpoint()
+      val moved = ChainMath.pushForward(pmat, prev)
+      pi = states.map { s =>
+        val in = moved.get(s).map(_.doubleValue).getOrElse(0.0)
+        s -> ChainMath.r9(in + (if (hasOut(s)) 0.0 else prev(s)))
+      }.toMap
       it += 1
     }
-    val tv = pi.join(prev.select(F.col("state"),
-        F.col("__pi").as("__old")), Seq("state"))
-      .agg((F.sum(F.round(F.abs(F.col("__pi") - F.col("__old")), 9)
-        .cast("decimal(38,9)")).cast("double") / 2.0).as("__tv"))
-    pi.join(base, Seq("state")).crossJoin(F.broadcast(tv))
-      .select(F.col("state"), F.round(F.col("__pi"), 6).as("pi"),
-        F.col("__hasout").as("has_out"),
-        F.round(F.col("__tv"), 6).as("tv_delta"))
+    val tvSum = states.foldLeft(java.math.BigDecimal.ZERO) { (acc, s) =>
+      acc.add(ChainMath.dec9(ChainMath.r9(math.abs(pi(s) - prev(s)))))
+    }
+    val tv = tvSum.doubleValue / 2.0
+    val rows = states.map(s => Row(s, ChainMath.r6(pi(s)), hasOut(s),
+      ChainMath.r6(tv)))
+    ChainMath.literal(spark, rows, StructType(Seq(
+        StructField("state", StringType, nullable = true),
+        StructField("pi", DoubleType, nullable = true),
+        StructField("has_out", BooleanType, nullable = true),
+        StructField("tv_delta", DoubleType, nullable = true))))
       .orderBy("state")
   }
 
@@ -1478,8 +1469,13 @@ object EventOps {
     * (implicit self-loop, the [[stationaryDistribution]] convention).
     *
     * Determinism: P 9-dp from exact counts; per-round inner products
-    * 9-dp DECIMAL; the round count is pinned. Bounded k-state tables
-    * throughout, coalesced + checkpointed per round.
+    * 9-dp exact-decimal; the round count is pinned.
+    *
+    * Scale shape: ONE distributed stage (the [[transitionMatrix]]
+    * corpus collapse), then the value iteration runs DRIVER-LOCAL on
+    * the collected ≤k² table and returns literals — the
+    * [[stationaryDistribution]] regime, same bit-for-bit [[ChainMath]]
+    * replay of the former per-round Spark plans.
     *
     * @return per state: (state, t_hit, is_target, horizon) — 6-dp
     */
@@ -1488,51 +1484,113 @@ object EventOps {
                   tieCol: String = "event_id"): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
     require(target != null && target.nonEmpty, "target required")
-    val counts = transitionMatrix(events, userCol, tieCol)
-      .select(F.col("prev_type").as("__f"), F.col("next_type").as("__t"),
-        F.col("n"))
-      .localCheckpoint()
-    val states = counts.select(F.col("__f").as("state"))
-      .unionByName(counts.select(F.col("__t").as("state"))).distinct()
-      .coalesce(1).localCheckpoint()
-    val pmat = counts
-      .withColumn("__tot", F.sum("n").over(Window.partitionBy("__f")))
-      .select(F.col("__f"), F.col("__t"),
-        F.round(F.col("n").cast("double") /
-          F.col("__tot").cast("double"), 9).as("__p"))
-      .coalesce(1).localCheckpoint()
-    val outs = pmat.select(F.col("__f").as("state")).distinct()
-      .withColumn("__hasout", F.lit(true))
-    val base = states.join(outs, Seq("state"), "left")
-      .select(F.col("state"),
-        F.coalesce(F.col("__hasout"), F.lit(false)).as("__hasout"),
-        (F.col("state") === target).as("__tgt"))
-      .coalesce(1).localCheckpoint()
-    var tv = base.select(F.col("state"), F.lit(0.0).as("__v"))
-      .coalesce(1).localCheckpoint()
+    val spark = events.sparkSession
+    val cells = ChainMath.collectCells(
+      transitionMatrix(events, userCol, tieCol), "hittingTime")
+    val states = ChainMath.states(cells)
+    val pmat = ChainMath.rowStochastic(cells)
+    val hasOut = pmat.keySet.map(_._1)
+    var v: Map[String, Double] = states.map(s => s -> 0.0).toMap
     var it = 0
     while (it < iters) {
-      val moved = pmat.join(F.broadcast(tv), pmat("__t") === tv("state"))
-        .groupBy(F.col("__f").as("state"))
-        .agg(F.sum(F.round(F.col("__p") * F.col("__v"), 9)
-          .cast("decimal(38,9)")).as("__in"))
-      tv = base.join(F.broadcast(moved), Seq("state"), "left")
-        .join(F.broadcast(tv.select(F.col("state"),
-          F.col("__v").as("__prev"))), Seq("state"))
-        .select(F.col("state"),
-          F.when(F.col("__tgt"), 0.0)
-            .when(!F.col("__hasout"), F.col("__prev"))
-            .otherwise(F.round(F.lit(1.0) +
-              F.coalesce(F.col("__in").cast("double"), F.lit(0.0)), 9))
-            .as("__v"))
-        .coalesce(1).localCheckpoint()
+      val moved = ChainMath.pullBack(pmat, v)
+      v = states.map { s =>
+        s -> (if (s == target) 0.0
+              else if (!hasOut(s)) v(s)
+              else ChainMath.r9(1.0 +
+                moved.get(s).map(_.doubleValue).getOrElse(0.0)))
+      }.toMap
       it += 1
     }
-    tv.join(base, Seq("state"))
-      .select(F.col("state"), F.round(F.col("__v"), 6).as("t_hit"),
-        F.col("__tgt").as("is_target"),
-        F.lit(iters.toLong).as("horizon"))
+    val rows = states.map(s => Row(s, ChainMath.r6(v(s)), s == target,
+      iters.toLong))
+    ChainMath.literal(spark, rows, StructType(Seq(
+        StructField("state", StringType, nullable = true),
+        StructField("t_hit", DoubleType, nullable = true),
+        StructField("is_target", BooleanType, nullable = true),
+        StructField("horizon", LongType, nullable = true))))
       .orderBy("state")
+  }
+
+  /** Driver-local replay kernel for the bounded Markov-chain round
+    * loops ([[stationaryDistribution]], [[hittingTime]]): the former
+    * per-round Spark plans ran 10-12 jobs on ≤k-row state tables and
+    * paid ~100 ms of scheduler latency each for arithmetic a driver
+    * loop does for free. Every step here reproduces the retired plan
+    * BIT-FOR-BIT so oracle hashes are unchanged:
+    *  - [[r9]]/[[r6]] = `F.round` on DoubleType (java BigDecimal of
+    *    `Double.toString`, setScale HALF_UP, doubleValue);
+    *  - [[dec9]] = the double→DECIMAL(38,9) cast (same construction,
+    *    setScale 9 HALF_UP, kept exact);
+    *  - decimal sums accumulate exact java BigDecimal (order-free,
+    *    like the DECIMAL(38,9) partial aggregate);
+    *  - `doubleValue` on a sum = the decimal→double cast.
+    * The collect is LOUDLY capped: the transition alphabet must be
+    * bounded (event types, not entities) for this op family to apply
+    * at all — at 100 TB the one distributed stage still does all the
+    * corpus work.
+    */
+  private[graft] object ChainMath {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+
+    def rHalfUp(x: Double, scale: Int): Double =
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+      else JBD.valueOf(x).setScale(scale, RM.HALF_UP).doubleValue
+    def r9(x: Double): Double = rHalfUp(x, 9)
+    def r6(x: Double): Double = rHalfUp(x, 6)
+    def dec9(x: Double): JBD = JBD.valueOf(x).setScale(9, RM.HALF_UP)
+
+    /** Collect the (prev_type, next_type, n) cells, loudly capped. */
+    def collectCells(tm: DataFrame, op: String): Array[(String, String, Long)] = {
+      val cells = tm
+        .select(F.col("prev_type"), F.col("next_type"), F.col("n"))
+        .collect()
+        .map { r =>
+          require(!r.isNullAt(0) && !r.isNullAt(1),
+            s"$op: null state in transition cells — event_type must be " +
+              "non-null (filter or fill upstream)")
+          (r.getString(0), r.getString(1), r.getLong(2))
+        }
+      require(cells.length <= (1 << 20),
+        s"$op: ${cells.length} transition cells exceed the 2^20 " +
+          "driver-local cap — the state alphabet is not bounded; this " +
+          "op family is for bounded alphabets (event types), not " +
+          "entity-keyed chains")
+      cells
+    }
+
+    def states(cells: Array[(String, String, Long)]): Array[String] =
+      (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+
+    /** P(f,t) = r9(n_ft / n_f·) — the former windowed row-total plan. */
+    def rowStochastic(cells: Array[(String, String, Long)])
+        : Map[(String, String), Double] = {
+      val tot = cells.groupBy(_._1).map { case (f, rs) =>
+        f -> rs.map(_._3).sum }
+      cells.map { case (f, t, n) =>
+        (f, t) -> r9(n.toDouble / tot(f).toDouble) }.toMap
+    }
+
+    /** π·P: per target t, exact-decimal Σ_f dec9(r9(π_f · P_ft)). */
+    def pushForward(pmat: Map[(String, String), Double],
+                    pi: Map[String, Double]): Map[String, JBD] =
+      pmat.toSeq.groupBy(_._1._2).map { case (t, es) =>
+        t -> es.foldLeft(JBD.ZERO) { case (acc, ((f, _), p)) =>
+          acc.add(dec9(r9(pi(f) * p))) }
+      }
+
+    /** P·v: per source f, exact-decimal Σ_t dec9(r9(P_ft · v_t)). */
+    def pullBack(pmat: Map[(String, String), Double],
+                 v: Map[String, Double]): Map[String, JBD] =
+      pmat.toSeq.groupBy(_._1._1).map { case (f, es) =>
+        f -> es.foldLeft(JBD.ZERO) { case (acc, ((_, t), p)) =>
+          acc.add(dec9(r9(p * v(t)))) }
+      }
+
+    def literal(spark: org.apache.spark.sql.SparkSession,
+                rows: Seq[Row], schema: StructType): DataFrame =
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](rows.asJava), schema)
   }
 
   /** Off-policy evaluation of "always play action a" policies from a

@@ -7826,6 +7826,93 @@ class OpsSpec extends AnyFunSuite {
     assert(got((16, 1))._5 > got((1, 16))._5)
   }
 
+  test("lshBandingPlan: non-power-of-2 nComponents rejected up front " +
+      "with a clear message") {
+    val sims = Seq(0.5).toDF("sim")
+    val e = intercept[IllegalArgumentException](
+      Dedup.lshBandingPlan(sims, "sim", nComponents = 12, threshold = 0.5))
+    assert(e.getMessage.contains("power of 2"), e.getMessage)
+  }
+
+  test("markChosenBanding: planted 0.45/0.9 similarity distribution — " +
+      "the chosen split beats fixed 16/4 on expected false candidates") {
+    // background mass just below threshold, dup mass at 0.9: the fixed
+    // 16/4 split (banding threshold (1/16)^(1/4) ~ 0.5) catches ~half the
+    // background as candidates, while 8x8 keeps recall >= 0.9 at a ~40x
+    // lower false-candidate rate — the planner must pick it.
+    val sims = (Seq.fill(200)(0.45) ++ Seq.fill(20)(0.9)).toDF("sim")
+    val got = Dedup.markChosenBanding(
+        Dedup.lshBandingPlan(sims, "sim", nComponents = 64,
+          threshold = 0.7), recallFloor = 0.9)
+      .select("bands", "rows_per_band", "exp_fp_rate", "exp_fn_rate",
+        "eligible", "chosen")
+      .as[(Int, Int, Double, Double, Boolean, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val chosen = got.values.filter(_._6).toSeq
+    assert(chosen.map(c => (c._1, c._2)) == Seq((8, 8)), chosen)
+    // 16/4 meets the recall floor too, but pays ~40x the fp rate
+    assert(got((16, 4))._5 && !got((16, 4))._6)
+    assert(got((8, 8))._3 < got((16, 4))._3 / 10.0,
+      s"fp ${got((8, 8))._3} vs ${got((16, 4))._3}")
+    assert(got((8, 8))._4 <= 0.1, s"fn ${got((8, 8))._4}")
+  }
+
+  test("markChosenBanding: no-positive sample falls back to the " +
+      "analytic q_at_t recall gate, never the worst-recall split") {
+    // every sampled sim is background noise: measured fn is NULL for all
+    // configs; treating that as zero recall-risk would let the fp
+    // tie-break pick bands=1 (q(0.9) ~ 0.001 — misses everything). The
+    // analytic gate keeps only splits that still catch at the threshold.
+    val sims = Seq.fill(64)(0.05).toDF("sim")
+    val got = Dedup.markChosenBanding(
+        Dedup.lshBandingPlan(sims, "sim", nComponents = 64,
+          threshold = 0.5), recallFloor = 0.9)
+      .select("bands", "rows_per_band", "eligible", "chosen")
+      .as[(Int, Int, Boolean, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(!got((1, 64))._3, "bands=1 must not be eligible")
+    val chosen = got.values.filter(_._4).toSeq
+    assert(chosen.map(c => (c._1, c._2)) == Seq((32, 2)), chosen)
+  }
+
+  test("minhashPairsAuto: planner-picked split finds every planted " +
+      "near-dup pair and nothing else") {
+    val base = Seq(
+      "alpha beaver canyon delta ember falcon glacier harbor indigo juniper kestrel lagoon meadow nectar obsidian prairie quartz raven summit tundra",
+      "umber velvet walnut xenon yarrow zephyr anchor bramble cinder dapple ermine fathom gossamer heather isthmus jasper knoll lichen marrow nimbus",
+      "orchid pebble quiver rustle saffron thicket umbra vortex willow yonder zenith wisteria birch cedar dogwood elderberry fern ginkgo hazel ironwood",
+      "jackal kudu lemur marmot narwhal ocelot pangolin quokka ribbon sable tapir urchin viper wombat yak zebu addax bongo caracal dikdik",
+      "apricot basil chive dill endive fennel garlic horseradish iceberg jicama kale leek mustard nutmeg oregano parsley quince radish sorrel thyme")
+    val dups = base.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i * 2L, t), (i * 2L + 1L, t + " zz")) // ~99% shingle overlap
+    }
+    val loners = Seq(
+      (100L, "one two three four five six seven eight nine ten eleven twelve"),
+      (101L, "red orange yellow green blue purple violet magenta cyan teal"),
+      (102L, "north south east west up down left right forward backward"),
+      (103L, "monday tuesday wednesday thursday friday saturday sunday"))
+    val df = (dups ++ loners).toDF("doc_id", "text")
+    val got = Dedup.minhashPairsAuto(df, "doc_id", "text",
+        samplePairs = 8, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val planted = base.indices.map(i => (i * 2L, i * 2L + 1L)).toSet
+    assert(got == planted, s"got $got")
+  }
+
+  test("dpQuantileExp: auditColumns=false drops the non-private " +
+      "true-value audit, keeps the release columns") {
+    import graft.ops.Curation
+    val df = (1L to 100L).toDF("v")
+    val priv = Curation.dpQuantileExp(df, "v", Seq(0.5), lo = 0L,
+      hi = 100L, grid = 10L, epsilon = 8.0, auditColumns = false)
+    assert(priv.columns.toSeq ==
+      Seq("q", "n", "target_rank", "dp_value", "epsilon_each"))
+    val audit = Curation.dpQuantileExp(df, "v", Seq(0.5), lo = 0L,
+      hi = 100L, grid = 10L, epsilon = 8.0)
+    assert(priv.select("q", "n", "target_rank", "dp_value").collect().toSeq ==
+      audit.select("q", "n", "target_rank", "dp_value").collect().toSeq)
+  }
+
   test("tokenDispersion: a uniform token reads Fano < 1, a bursty one " +
       "concentrates its mass") {
     import graft.ops.TextOps

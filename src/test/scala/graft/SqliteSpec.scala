@@ -181,6 +181,24 @@ class SqliteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("virtual"), e.getMessage)
   }
 
+  test("checkpointed WAL-mode db reads in place (header-only -wal present)") {
+    // wal.db is CLI-produced: journal_mode=WAL, wal_checkpoint(TRUNCATE),
+    // both files copied while the connection was open — readVersion 2 with
+    // a 0-byte -wal sidecar, the common at-rest state. Reference parity:
+    // duckdb.rs:75-83's sqlite_scanner reads it; so must we.
+    val spark = SparkTest.session
+    val rows = SqliteV2.read(spark, res("wal.db"), "w")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+
+  test("WAL with pending frames → loud torn-snapshot error") {
+    val spark = SparkTest.session
+    val e = intercept[SqliteFile.FormatError](
+      SqliteV2.read(spark, res("hotwal.db"), "h").collect())
+    assert(e.getMessage.contains("non-checkpointed WAL"), e.getMessage)
+  }
+
   test("hot journal sidecar → loud snapshot error") {
     val spark = SparkTest.session
     val dir = java.nio.file.Files.createTempDirectory("sqlite-jrn")
