@@ -3897,6 +3897,63 @@ object SparkEntry {
           threshold = 0.5), recallFloor = 0.9)
     }),
 
+    // TF-WEIGHTED near-dup (weighted Jaccard J_W = Σmin/Σmax over
+    // capped token frequencies, integer-expansion construction): the
+    // boilerplate-amplification case set-MinHash is blind to — planted
+    // repetition variants (text + its first 200 chars again) have
+    // near-1 SET Jaccard but J_W ≈ N/(N+n1) < 1. md5 element hash +
+    // OracleAB seeds so DuckDB replays signatures bit-for-bit; the
+    // exact w_jaccard verify (Dedup.weightedJaccard) rides along per
+    // candidate, so the entry pins estimate AND truth
+    "x480_weighted_minhash" -> ((s, dir) => {
+      val mdHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .filter(F.col("doc_id") % 7 === 0)
+        .select(F.col("doc_id"),
+          F.substring(F.col("text"), 1, 1500).as("text"))
+      val variant = base.filter(F.col("doc_id") % 3 === 0)
+        .select((F.col("doc_id") + 1000000000L).as("doc_id"),
+          F.concat(F.col("text"), F.lit(" "),
+            F.substring(F.col("text"), 1, 200)).as("text"))
+      val corpus = base.unionByName(variant)
+      val pairs = graft.ops.Dedup.weightedMinhashPairs(corpus, "doc_id",
+        "text", numHashes = 16, bands = 4, threshold = 0.5,
+        maxBucket = 1000, maxWeight = 8, elementHash = mdHash,
+        seeds = OracleAB)
+      graft.ops.Dedup.weightedJaccard(pairs, corpus, "doc_id", "text",
+          maxWeight = 8)
+        .join(pairs, Seq("a", "b"))
+        .select(F.col("a"), F.col("b"), F.col("est_jaccard"),
+          F.col("w_jaccard"))
+        .orderBy("a", "b")
+    }),
+
+    // mixing profile of the behavior chain: per power round t, the
+    // step delta TV(pi_t, pi_{t-1}) and distance-to-limit TV(pi_t,
+    // pi_T) — the convergence CURVE behind x472's single final
+    // tv_delta (how many rounds the chain actually needs)
+    "x481_mixing_profile" -> ((s, dir) =>
+      graft.ops.EventOps.mixingProfile(
+        s.read.parquet(s"$dir/events.parquet"), iters = 8)),
+
+    // event-time disorder census (the watermark-planning readout):
+    // planted deterministic arrival delay — events whose md5(event_id)
+    // starts 0/1/2 arrive 7.5 ingest slots late (arrival = id*10+75
+    // vs id*10, unique keys) — then per type: late share vs the
+    // per-user running event-time max, and the p50/p95/p99 lateness
+    // a withWatermark delay would be read from
+    "x482_disorder_census" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val arr = F.when(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+          .isin("0", "1", "2"),
+        F.col("event_id") * 10 + 75)
+        .otherwise(F.col("event_id") * 10)
+      graft.ops.EventOps.disorderCensus(
+        ev.withColumn("arrival_id", arr), tieCol = "arrival_id")
+    }),
+
     // stationary distribution of the behavior chain (pi = pi P, 10
     // power rounds, implicit self-loops for no-out states) — the
     // long-run occupancy companion to x102/x306
@@ -13283,6 +13340,193 @@ object SparkEntry {
          |SELECT DISTINCT a, b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY a, b""".stripMargin
     },
+
+    // weighted MinHash replayed bit-for-bit: same tokenization, same
+    // least(count,8) TF cap, same (tok || ':' || i) integer expansion,
+    // same Carter-Wegman mins (md5 element hash, OracleAB seeds), the
+    // x478 banding/guard/est CTEs, and the exact Σmin/Σmax weighted
+    // Jaccard per surviving candidate (UNION token universe per pair =
+    // Spark's full join; absent side coalesces to weight 0)
+    "x480_weighted_minhash" -> {
+      val sigSel = OracleAB.zipWithIndex.map { case ((a, b), j) =>
+        s"min(($a*h + $b) % $OracleP)"
+      }.mkString(",\n         |      ")
+      s"""WITH base AS (
+         |  SELECT doc_id, substring(text, 1, 1500) AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |), vari AS (
+         |  SELECT doc_id + 1000000000 AS doc_id,
+         |    text || ' ' || substring(text, 1, 200) AS text
+         |  FROM base WHERE doc_id % 3 = 0
+         |), corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL SELECT doc_id, text FROM vari
+         |), t AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+         |  FROM corpus
+         |), tokr AS (
+         |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM t
+         |), tf AS MATERIALIZED (
+         |  SELECT doc_id, tok, least(count(*), 8)::BIGINT AS w
+         |  FROM tokr WHERE tok <> '' GROUP BY doc_id, tok
+         |), ex AS (
+         |  SELECT doc_id, tok || ':' || i::VARCHAR AS e
+         |  FROM (SELECT doc_id, tok, unnest(range(1, w + 1)) AS i
+         |        FROM tf)
+         |), hs AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5(e), 1, 7))::BIGINT AS h
+         |  FROM ex
+         |), sig AS (
+         |  SELECT doc_id, [
+         |      $sigSel
+         |    ] AS sig FROM hs GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, sig, band,
+         |    array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',')
+         |      AS key
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+         |), sized AS (
+         |  SELECT * FROM banded
+         |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000
+         |), cpairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, l.sig AS sa, r.sig AS sb
+         |  FROM sized l JOIN sized r ON l.band = r.band AND l.key = r.key
+         |  WHERE l.doc_id < r.doc_id
+         |), est AS (
+         |  SELECT a, b,
+         |    len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::DOUBLE
+         |      / 16.0 AS est_jaccard
+         |  FROM cpairs
+         |), cand AS MATERIALIZED (
+         |  SELECT DISTINCT a, b, est_jaccard FROM est
+         |  WHERE est_jaccard >= 0.5
+         |), ptoks AS (
+         |  SELECT c.a, c.b, u.tok FROM cand c JOIN tf u ON u.doc_id = c.a
+         |  UNION
+         |  SELECT c.a, c.b, u.tok FROM cand c JOIN tf u ON u.doc_id = c.b
+         |), wj AS (
+         |  SELECT p.a, p.b,
+         |    round(sum(least(coalesce(ta.w, 0), coalesce(tb.w, 0)))::DOUBLE
+         |      / nullif(sum(greatest(coalesce(ta.w, 0),
+         |          coalesce(tb.w, 0)))::DOUBLE, 0), 6) AS w_jaccard
+         |  FROM ptoks p
+         |  LEFT JOIN tf ta ON ta.doc_id = p.a AND ta.tok = p.tok
+         |  LEFT JOIN tf tb ON tb.doc_id = p.b AND tb.tok = p.tok
+         |  GROUP BY p.a, p.b
+         |)
+         |SELECT c.a, c.b, c.est_jaccard, w.w_jaccard
+         |FROM cand c JOIN wj w ON w.a = c.a AND w.b = c.b
+         |ORDER BY c.a, c.b""".stripMargin
+    },
+
+    // x472's generated power rounds (same lag collapse, 9-dp P and pi
+    // updates, DECIMAL inner sums), then one TV row per round: step
+    // delta vs t-1 and distance vs the final iterate pi8
+    "x481_mixing_profile" -> {
+      def round(t: Int): String = {
+        val pv = s"pi${t - 1}"
+        s"""mv$t AS MATERIALIZED (
+           |  SELECT p.t AS state,
+           |    sum(round($pv.pi * p.p, 9)::DECIMAL(38,9)) AS inm
+           |  FROM p JOIN $pv ON p.f = $pv.state GROUP BY p.t),
+           |pi$t AS MATERIALIZED (
+           |  SELECT b.state, b.hasout,
+           |    round(coalesce(mv$t.inm::DOUBLE, 0.0)
+           |      + CASE WHEN b.hasout THEN 0.0 ELSE $pv.pi END, 9) AS pi
+           |  FROM base b LEFT JOIN mv$t USING (state)
+           |  JOIN $pv USING (state))""".stripMargin
+      }
+      val rounds = (1 to 8).map(round).mkString(",\n")
+      def tvSel(x: String, y: String): String =
+        s"""round((SELECT sum(round(abs(a.pi - b.pi), 9)
+           |    ::DECIMAL(38,9))::DOUBLE
+           |  FROM $x a JOIN $y b USING (state)) / 2.0, 6)""".stripMargin
+      val tvRows = (1 to 8).map { t =>
+        s"""SELECT ${t}::BIGINT AS t,
+           |  ${tvSel(s"pi$t", s"pi${t - 1}")} AS tv_step,
+           |  ${tvSel(s"pi$t", "pi8")} AS tv_to_final""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (
+         |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS tu,
+         |    event_id AS eid
+         |  FROM events
+         |), lagd AS (
+         |  SELECT et AS nt,
+         |    lag(et) OVER (PARTITION BY u ORDER BY tu, eid) AS pt
+         |  FROM e
+         |), c AS (
+         |  SELECT pt AS f, nt AS t, count(*)::BIGINT AS n
+         |  FROM lagd WHERE pt IS NOT NULL GROUP BY 1, 2
+         |), p AS MATERIALIZED (
+         |  SELECT f, t, round(n::DOUBLE /
+         |    (sum(n) OVER (PARTITION BY f))::DOUBLE, 9) AS p
+         |  FROM c
+         |), base AS MATERIALIZED (
+         |  SELECT s.state, max(CASE WHEN p.f IS NOT NULL THEN true
+         |    ELSE false END) AS hasout
+         |  FROM (SELECT f AS state FROM c UNION SELECT t FROM c) s
+         |  LEFT JOIN (SELECT DISTINCT f FROM p) p ON p.f = s.state
+         |  GROUP BY s.state
+         |), pi0 AS MATERIALIZED (
+         |  SELECT state, hasout,
+         |    round(1.0 / (SELECT count(*) FROM base)::DOUBLE, 9) AS pi
+         |  FROM base
+         |),
+         |$rounds
+         |SELECT * FROM (
+         |  $tvRows
+         |) ORDER BY t""".stripMargin
+    },
+
+    // same planted arrival delay, same per-user running event-time
+    // max over arrival order, same integer-rank quantile selection
+    "x482_disorder_census" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN substring(md5(event_id::VARCHAR), 1, 1)
+        |        IN ('0', '1', '2')
+        |      THEN event_id * 10 + 75 ELSE event_id * 10 END
+        |      AS arrival_id,
+        |    epoch_us(ts) AS us
+        |  FROM events
+        |), r AS (
+        |  SELECT *, max(us) OVER (PARTITION BY user_id ORDER BY
+        |    arrival_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    1 PRECEDING) AS runmax
+        |  FROM e
+        |), l AS MATERIALIZED (
+        |  SELECT event_type, arrival_id,
+        |    (runmax IS NOT NULL AND us < runmax) AS late,
+        |    CASE WHEN runmax IS NOT NULL AND us < runmax
+        |      THEN runmax - us END AS lat
+        |  FROM r
+        |), c AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_events,
+        |    sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS n_late,
+        |    max(lat)::BIGINT AS max_late_us
+        |  FROM l GROUP BY event_type
+        |), lr AS MATERIALIZED (
+        |  SELECT event_type, lat,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY lat, arrival_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM l WHERE late
+        |)
+        |SELECT c.event_type, c.n_events, c.n_late,
+        |  round(c.n_late::DOUBLE / c.n_events::DOUBLE, 6) AS late_share,
+        |  c.max_late_us,
+        |  p50.lat AS p50_late_us, p95.lat AS p95_late_us,
+        |  p99.lat AS p99_late_us
+        |FROM c
+        |LEFT JOIN lr p50 ON p50.event_type = c.event_type
+        |  AND p50.rk = greatest(1, floor(0.5 * p50.n::DOUBLE)::BIGINT)
+        |LEFT JOIN lr p95 ON p95.event_type = c.event_type
+        |  AND p95.rk = greatest(1, floor(0.95 * p95.n::DOUBLE)::BIGINT)
+        |LEFT JOIN lr p99 ON p99.event_type = c.event_type
+        |  AND p99.rk = greatest(1, floor(0.99 * p99.n::DOUBLE)::BIGINT)
+        |ORDER BY c.event_type""".stripMargin,
 
     // generated power-iteration rounds (x459 convention): same lag
     // collapse as x102, same 9-dp P and pi updates, DECIMAL inner sums

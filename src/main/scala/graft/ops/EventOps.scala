@@ -1512,6 +1512,132 @@ object EventOps {
       .orderBy("state")
   }
 
+  /** MIXING PROFILE of the behavior chain — per power round t the
+    * step delta TV(πₜ, πₜ₋₁) and the distance-to-limit
+    * TV(πₜ, π_T) (T = `iters`, the op's own final iterate standing in
+    * for the stationary limit). The "how many rounds until the chain
+    * forgets its start" readout that decides how many rounds
+    * [[stationaryDistribution]] actually needs — and the honest
+    * convergence curve behind its single final `tv_delta`: a profile
+    * still falling at t = T says T under-ran the mixing time, loudly
+    * and quantitatively.
+    *
+    * Same chain construction, update rule, and arithmetic as
+    * [[stationaryDistribution]] ([[ChainMath]], 9-dp rounds, exact
+    * decimal TV sums, implicit self-loops for no-out states); one
+    * distributed corpus collapse, driver-local k-state rounds, literal
+    * output.
+    *
+    * @return per round: (t, tv_step, tv_to_final) — 6-dp, t = 1..iters
+    */
+  def mixingProfile(events: DataFrame, iters: Int = 8,
+                    userCol: String = "user_id",
+                    tieCol: String = "event_id"): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
+    val spark = events.sparkSession
+    val cells = ChainMath.collectCells(
+      transitionMatrix(events, userCol, tieCol), "mixingProfile")
+    val states = ChainMath.states(cells)
+    val pmat = ChainMath.rowStochastic(cells)
+    val hasOut = pmat.keySet.map(_._1)
+    val k = states.length
+    var pi: Map[String, Double] =
+      states.map(s => s -> ChainMath.r9(1.0 / k.toDouble)).toMap
+    val hist = scala.collection.mutable.ArrayBuffer(pi)
+    var it = 0
+    while (it < iters) {
+      val prev = pi
+      val moved = ChainMath.pushForward(pmat, prev)
+      pi = states.map { s =>
+        val in = moved.get(s).map(_.doubleValue).getOrElse(0.0)
+        s -> ChainMath.r9(in + (if (hasOut(s)) 0.0 else prev(s)))
+      }.toMap
+      hist += pi
+      it += 1
+    }
+    def tv(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val s = states.foldLeft(java.math.BigDecimal.ZERO) { (acc, st) =>
+        acc.add(ChainMath.dec9(ChainMath.r9(math.abs(a(st) - b(st))))) }
+      ChainMath.r6(s.doubleValue / 2.0)
+    }
+    val last = hist.last
+    val rows = (1 to iters).map { t =>
+      Row(t.toLong, tv(hist(t), hist(t - 1)), tv(hist(t), last)) }
+    ChainMath.literal(spark, rows, StructType(Seq(
+        StructField("t", LongType, nullable = true),
+        StructField("tv_step", DoubleType, nullable = true),
+        StructField("tv_to_final", DoubleType, nullable = true))))
+      .orderBy("t")
+  }
+
+  /** EVENT-TIME DISORDER census — the watermark-planning readout for a
+    * Structured Streaming deployment of this feed: per event type, how
+    * out-of-order does the stream actually arrive, and what watermark
+    * delay would have admitted which share of it. Arrival order is the
+    * monotone ingest id (`tieCol` — the same arrival proxy the
+    * streaming ops' event-time sort absorbs); an event is LATE when
+    * some earlier-arriving event of the same user already carried a
+    * larger event time, and its lateness is the gap to that running
+    * max:
+    * {{{
+    *   late(e)     ⇔ ts(e) < max{ts(e') : e' before e, same user}
+    *   lateness(e) = runmax_before(e) − ts(e)   (µs)
+    * }}}
+    * p50/p95/p99 lateness over LATE events then read directly as
+    * candidate `withWatermark` delays (p99 lateness = the delay that
+    * would have admitted 99% of the late tail).
+    *
+    * Scale shape: ONE user-keyed window pass (the sessionize shuffle)
+    * for the running max, then a map-side-combined per-type collapse;
+    * quantiles by the integer rank selection over the per-type late
+    * rows ([[funnelLatency]]'s max(1, ⌊q·n⌋) convention — engine-
+    * replayable, no interpolation). No late events in a type →
+    * NULL quantiles/max (visible, not zero-faked).
+    *
+    * @return per event type: (event_type, n_events, n_late,
+    *         late_share 6-dp, max_late_us, p50_late_us, p95_late_us,
+    *         p99_late_us)
+    */
+  def disorderCensus(events: DataFrame, userCol: String = "user_id",
+                     typeCol: String = "event_type",
+                     tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tieCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lagged = events
+      .select(F.col(userCol), F.col(typeCol).as("event_type"),
+        F.col(tieCol), tsUs(events).as("__us"))
+      .withColumn("__runmax", F.max("__us").over(w))
+      .withColumn("__late",
+        F.col("__runmax").isNotNull && F.col("__us") < F.col("__runmax"))
+      .withColumn("__lat",
+        F.when(F.col("__late"), F.col("__runmax") - F.col("__us")))
+    val counts = lagged.groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.sum(F.when(F.col("__late"), 1L).otherwise(0L)).as("n_late"),
+        F.max("__lat").as("max_late_us"))
+    // integer rank selection over the late rows, one per-type window
+    val lateRanked = lagged.filter(F.col("__late"))
+      .withColumn("__rk", F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.col("__lat"),
+          F.col(tieCol))))
+      .withColumn("__n", F.count(F.lit(1)).over(
+        Window.partitionBy("event_type")))
+    def qSel(q: Double, out: String): DataFrame = lateRanked
+      .filter(F.col("__rk") === F.greatest(F.lit(1L),
+        F.floor(F.lit(q) * F.col("__n").cast("double")).cast("long")))
+      .select(F.col("event_type"), F.col("__lat").as(out))
+    counts
+      .join(qSel(0.5, "p50_late_us"), Seq("event_type"), "left")
+      .join(qSel(0.95, "p95_late_us"), Seq("event_type"), "left")
+      .join(qSel(0.99, "p99_late_us"), Seq("event_type"), "left")
+      .select(F.col("event_type"), F.col("n_events"), F.col("n_late"),
+        F.round(F.col("n_late").cast("double") /
+          F.col("n_events").cast("double"), 6).as("late_share"),
+        F.col("max_late_us"), F.col("p50_late_us"),
+        F.col("p95_late_us"), F.col("p99_late_us"))
+      .orderBy("event_type")
+  }
+
   /** Driver-local replay kernel for the bounded Markov-chain round
     * loops ([[stationaryDistribution]], [[hittingTime]]): the former
     * per-round Spark plans ran 10-12 jobs on ≤k-row state tables and

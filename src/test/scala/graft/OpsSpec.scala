@@ -7800,6 +7800,67 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got("a")._2 + got("b")._2 - 1.0) < 1e-6)
   }
 
+  test("mixingProfile: absorbing 2-state chain — one big step then " +
+      "flat, distance-to-final hits 0 immediately") {
+    import graft.ops.EventOps
+    // a -> b -> b: P(a)={b:1}, P(b)={b:1}; from uniform (.5,.5) one
+    // round lands the absorbing (0,1) and stays
+    val ev = Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "b", 3L))
+      .map { case (eid, et, m) =>
+        (eid, java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00"),
+          1L, et) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.mixingProfile(ev, iters = 3)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0)._2 == 0.5 && got(0)._3 == 0.0, got.toSeq)
+    assert(got(1)._2 == 0.0 && got(2)._2 == 0.0, got.toSeq)
+    assert(got.forall(_._3 == 0.0), got.toSeq)
+  }
+
+  test("mixingProfile: round-1 step matches stationaryDistribution's " +
+      "arithmetic on the 2-state mixer") {
+    import graft.ops.EventOps
+    // the x7783 chain: P(a)={a:.5,b:.5}, P(b)={a:1}; pi0 uniform,
+    // pi1 = (0.75, 0.25) -> tv_step(1) = 0.25; error halves per round
+    val ev = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L),
+      (4L, "a", 4L)).map { case (eid, et, m) =>
+      (eid, java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00"),
+        1L, et) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.mixingProfile(ev, iters = 8)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.head._2 == 0.25, got)
+    // monotone decay of the step delta, final distance reaches 0
+    assert(got.sliding(2).forall(p => p(1)._2 <= p(0)._2), got)
+    assert(got.last._3 == 0.0)
+  }
+
+  test("disorderCensus: hand stream — one late event, NULL quantiles " +
+      "for the clean type") {
+    import graft.ops.EventOps
+    val rows = Seq(
+      // user 1, type x: arrival order 1,2,3,4; ts 100,200,150,300 s
+      (1L, 100L, "x"), (2L, 200L, "x"), (3L, 150L, "x"),
+      (4L, 300L, "x"),
+      // type y: in order
+      (5L, 400L, "y"), (6L, 500L, "y"))
+      .map { case (eid, sec, et) =>
+        (eid, new java.sql.Timestamp(sec * 1000L), 1L, et) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.disorderCensus(rows)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = got("x")
+    assert(x.getLong(1) == 4L && x.getLong(2) == 1L)
+    assert(x.getDouble(3) == 0.25)
+    // lateness of event 3 = 200s - 150s = 50_000_000 us, all quantiles
+    assert(x.getLong(4) == 50000000L && x.getLong(5) == 50000000L &&
+      x.getLong(6) == 50000000L && x.getLong(7) == 50000000L)
+    val y = got("y")
+    assert(y.getLong(2) == 0L && y.isNullAt(4) && y.isNullAt(5) &&
+      y.isNullAt(6) && y.isNullAt(7), y)
+  }
+
   test("lshBandingPlan: q replays the squaring chains; more bands = " +
       "catchier at every similarity") {
     val sims = Seq(0.25, 0.75).toDF("sim")
@@ -7897,6 +7958,77 @@ class OpsSpec extends AnyFunSuite {
       .select("a", "b").as[(Long, Long)].collect().toSet
     val planted = base.indices.map(i => (i * 2L, i * 2L + 1L)).toSet
     assert(got == planted, s"got $got")
+  }
+
+  test("weightedJaccard: exact Σmin/Σmax over capped token frequencies " +
+      "— repetition lowers J_W where set Jaccard stays 1") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a a a b c d"), // same token SET, a has weight 3
+      (3L, "a b c d"), // identical to 1
+      (4L, "x " * 100 + "y")) // x tf 100 → capped at 8
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("a", "b")
+    val got = Dedup.weightedJaccard(pairs, docs, "doc_id", "text",
+        maxWeight = 8)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // (1,2): min=1+1+1+1=4, max=3+1+1+1=6 → 2/3
+    assert(got((1L, 2L)) == 0.666667, got)
+    assert(got((1L, 3L)) == 1.0)
+    // (2,4): disjoint tokens → 0
+    assert(got((2L, 4L)) == 0.0)
+  }
+
+  test("weightedJaccard: maxWeight cap equates 100x and 8x repetition") {
+    val docs = Seq((1L, "x " * 100 + "end"), (2L, "x " * 8 + "end"))
+      .toDF("doc_id", "text")
+    val got = Dedup.weightedJaccard(Seq((1L, 2L)).toDF("a", "b"), docs,
+        "doc_id", "text", maxWeight = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)), got.toSeq)
+  }
+
+  test("weightedMinhashPairs: finds the planted weighted near-dup, est " +
+      "tracks exact J_W, identical docs read est 1.0") {
+    val common = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, common),
+      (2L, common), // identical → J_W = 1
+      (3L, common + " " + (1 to 10).map(i => s"tok$i").mkString(" ")),
+      // 3 repeats tok1..tok10: J_W = 40/50 = 0.8 vs doc 1
+      (4L, (100 to 140).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.weightedMinhashPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 1.0, got)
+    assert(got.contains(1L -> 3L) && got((1L, 3L)) >= 0.55 &&
+      got((1L, 3L)) <= 0.95, got)
+    assert(!got.keySet.exists(k => k._1 == 4L || k._2 == 4L), got)
+  }
+
+  test("weightedMinhashSignatures: md5 element hash + explicit seeds is " +
+      "deterministic and kind-independent on planted structure") {
+    val mdHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+    val seeds = (0 until 16).map(j => (2L * j + 1, 7919L * j + 13))
+    val common = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, common), (2L, common), (3L, "other things entirely"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.weightedMinhashSignatures(docs, "doc_id", "text",
+        numHashes = 16, maxWeight = 8, elementHash = mdHash, seeds = seeds)
+      .as[(Long, Array[Long])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    assert(sigs(1L) == sigs(2L), "identical docs must share the signature")
+    assert(sigs(1L) != sigs(3L))
+    // and the md5-kind pair generator finds the planted pair, as the
+    // xxhash64 production kind does (structural kind-parity)
+    val got = Dedup.weightedMinhashPairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 4, threshold = 0.5,
+        elementHash = mdHash, seeds = seeds)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)), got.toSeq)
   }
 
   test("dpQuantileExp: auditColumns=false drops the non-private " +
