@@ -3954,6 +3954,40 @@ object SparkEntry {
         ev.withColumn("arrival_id", arr), tieCol = "arrival_id")
     }),
 
+    // worst-window surprisal spans: per doc, the max rolling 20-token
+    // mean of -ln p(tok) under the corpus's own unigram distribution —
+    // the LOCALIZED-garble detector a whole-doc perplexity filter
+    // averages away; mean_surprisal rides for the contrast
+    "x483_surprisal_spans" -> ((s, dir) =>
+      graft.ops.TextOps.surprisalSpans(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        window = 20)),
+
+    // greedy max-coverage source selection: 5 rounds, each taking the
+    // source covering the most not-yet-covered top-64-vocab mass —
+    // the submodular "which sources buy the most vocabulary" budget
+    // decision (chained-argmax oracle, the x168 convention)
+    "x484_greedy_coverage" -> ((s, dir) =>
+      graft.ops.Sampling.greedyCoverage(
+        s.read.parquet(s"$dir/documents.parquet"), "source", "text",
+        k = 5, vocabSize = 64)),
+
+    // functional-dependency audit over orders+lineitem candidate FDs:
+    // o_orderkey→o_custkey HOLDS by construction, the other three are
+    // honest violations with their blast radius (rows in violating
+    // groups) — the data-profiling classic behind key/denorm sanity
+    "x485_fd_audit" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Quality.fdAudit(o, Seq(
+          Seq("o_orderkey") -> "o_custkey",
+          Seq("o_custkey") -> "o_orderpriority"))
+        .unionByName(graft.ops.Quality.fdAudit(l, Seq(
+          Seq("l_orderkey") -> "l_suppkey",
+          Seq("l_partkey") -> "l_suppkey")))
+        .orderBy("lhs", "rhs")
+    }),
+
     // stationary distribution of the behavior chain (pi = pi P, 10
     // power rounds, implicit self-loops for no-out states) — the
     // long-run occupancy companion to x102/x306
@@ -13527,6 +13561,135 @@ object SparkEntry {
         |LEFT JOIN lr p99 ON p99.event_type = c.event_type
         |  AND p99.rk = greatest(1, floor(0.99 * p99.n::DOUBLE)::BIGINT)
         |ORDER BY c.event_type""".stripMargin,
+
+    // same x120 tokenization, same self-trained unigram -ln p terms
+    // (9-dp), DECIMAL window sums (association-free), full-windows-only
+    // rule with the short-doc whole-window case, argmax by (mean desc,
+    // pos asc)
+    "x483_surprisal_spans" ->
+      """WITH lists AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |    x -> length(x) > 0) AS l
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), toks AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |    generate_subscripts(l, 1) - 1 AS pos
+        |  FROM lists
+        |), vocab AS MATERIALIZED (
+        |  SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT count(*)::BIGINT AS t FROM toks
+        |), scored AS MATERIALIZED (
+        |  SELECT k.doc_id, k.pos,
+        |    round(-ln(v.c::DOUBLE / tot.t::DOUBLE), 9) AS s
+        |  FROM toks k JOIN vocab v USING (tok) CROSS JOIN tot
+        |), win AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    sum(s::DECIMAL(38,9)) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING) AS wsum,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING) AS wcnt
+        |  FROM scored
+        |), fullw AS (
+        |  SELECT doc_id, pos,
+        |    round(wsum::DOUBLE / wcnt::DOUBLE, 6) AS wmean
+        |  FROM win WHERE pos + 20 <= n OR (n < 20 AND pos = 0)
+        |), best AS (
+        |  SELECT doc_id, pos AS worst_pos, wmean AS worst_window_mean
+        |  FROM fullw
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY wmean DESC, pos) = 1
+        |), dm AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    round(sum(s::DECIMAL(38,9))::DOUBLE / count(*)::DOUBLE, 6)
+        |      AS mean_surprisal
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, d.n_tokens, d.mean_surprisal, b.worst_pos,
+        |  b.worst_window_mean
+        |FROM dm d JOIN best b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // chained-argmax greedy rounds (the x168 kCenter convention): per
+    // round, gains over not-yet-covered top-64-vocab mass, pick by
+    // (gain DESC, source), covered set and picked set accumulate as
+    // CTE unions; running covered mass via one window over the picks
+    "x484_greedy_coverage" -> {
+      def round(t: Int): String =
+        s"""g$t AS (
+           |  SELECT sv.src, sum(vc.c)::BIGINT AS gain
+           |  FROM sv JOIN vc USING (tok)
+           |  WHERE sv.src NOT IN (SELECT src FROM picked${t - 1})
+           |    AND sv.tok NOT IN (SELECT tok FROM cov${t - 1})
+           |  GROUP BY sv.src HAVING sum(vc.c) > 0
+           |), p$t AS MATERIALIZED (
+           |  SELECT src, gain FROM g$t ORDER BY gain DESC, src LIMIT 1
+           |), picked$t AS (
+           |  SELECT src FROM picked${t - 1}
+           |  UNION SELECT src FROM p$t
+           |), cov$t AS MATERIALIZED (
+           |  SELECT tok FROM cov${t - 1}
+           |  UNION SELECT tok FROM sv
+           |  WHERE src IN (SELECT src FROM p$t)
+           |)""".stripMargin
+      val rounds = (1 to 5).map(round).mkString(",\n")
+      val picks = (1 to 5).map(t =>
+        s"SELECT ${t}::BIGINT AS round, src, gain FROM p$t")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toksrc AS (
+         |  SELECT source AS src, unnest(list_filter(
+         |    string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+         |    x -> length(x) > 0)) AS tok
+         |  FROM documents WHERE source IS NOT NULL
+         |), vc AS MATERIALIZED (
+         |  SELECT tok, count(*)::BIGINT AS c FROM toksrc GROUP BY tok
+         |  ORDER BY c DESC, tok LIMIT 64
+         |), sv AS MATERIALIZED (
+         |  SELECT DISTINCT src, tok FROM toksrc
+         |  WHERE tok IN (SELECT tok FROM vc)
+         |), tot AS (
+         |  SELECT sum(c)::BIGINT AS t FROM vc
+         |), picked0 AS (SELECT NULL::VARCHAR AS src WHERE 1 = 0),
+         |cov0 AS (SELECT NULL::VARCHAR AS tok WHERE 1 = 0),
+         |$rounds,
+         |picks AS (
+         |  $picks
+         |)
+         |SELECT round, src AS source, gain AS gain_mass,
+         |  (sum(gain) OVER (ORDER BY round))::BIGINT AS covered_mass,
+         |  round((sum(gain) OVER (ORDER BY round))::DOUBLE
+         |    / tot.t::DOUBLE, 6) AS covered_share
+         |FROM picks CROSS JOIN tot ORDER BY round""".stripMargin
+    },
+
+    // per-FD two-level aggregate: lhs groups -> distinct-rhs census ->
+    // 1-row rollup; COUNT(DISTINCT) ignores NULL rhs in both engines
+    "x485_fd_audit" -> {
+      def fd(table: String, lhs: String, rhs: String): String =
+        s"""SELECT '$lhs' AS lhs, '$rhs' AS rhs,
+           |  sum(n)::BIGINT AS n_rows,
+           |  count(*)::BIGINT AS n_groups,
+           |  sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_violating,
+           |  round(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::DOUBLE
+           |    / count(*)::DOUBLE, 6) AS violation_share,
+           |  max(d)::BIGINT AS max_distinct_rhs,
+           |  sum(CASE WHEN d > 1 THEN n ELSE 0 END)::BIGINT
+           |    AS rows_in_violating
+           |FROM (
+           |  SELECT $lhs, count(*)::BIGINT AS n,
+           |    count(DISTINCT $rhs)::BIGINT AS d
+           |  FROM $table GROUP BY $lhs
+           |)""".stripMargin
+      Seq(fd("orders", "o_orderkey", "o_custkey"),
+        fd("orders", "o_custkey", "o_orderpriority"),
+        fd("lineitem", "l_orderkey", "l_suppkey"),
+        fd("lineitem", "l_partkey", "l_suppkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY lhs, rhs")
+    },
 
     // generated power-iteration rounds (x459 convention): same lag
     // collapse as x102, same 9-dp P and pi updates, DECIMAL inner sums

@@ -430,4 +430,51 @@ object Quality {
         F.col("psi"))
       .orderBy("column")
   }
+
+  /** FUNCTIONAL-DEPENDENCY audit — does `lhs → rhs` actually hold in
+    * the data? For each candidate FD, one row: group count over the
+    * lhs, how many groups carry more than one distinct rhs value (the
+    * violations), the violation share, the worst group's rhs
+    * cardinality, and how many rows sit inside violating groups (the
+    * blast radius a repair would touch). The data-profiling classic
+    * (TANE-style single-FD checks) that [[keyUniqueness]] is the
+    * degenerate rhs-free case of: candidate keys, denormalization
+    * sanity ("is region really determined by nation?"), and silent
+    * join-fanout causes all surface here.
+    *
+    * NULL rhs values are ignored by the distinct count (both engines'
+    * COUNT(DISTINCT) semantics) — an all-NULL group reads 0 distinct,
+    * never violating.
+    *
+    * Scale shape: per FD one map-side-combined groupBy(lhs) +
+    * count_distinct(rhs) collapse, then a 1-row rollup — the minimal
+    * plan for the semantics; candidate FDs are independent scans AQE
+    * can reuse when they share the lhs.
+    *
+    * @return per FD: (lhs, rhs, n_rows, n_groups, n_violating,
+    *         violation_share 6-dp, max_distinct_rhs, rows_in_violating)
+    */
+  def fdAudit(df: DataFrame, fds: Seq[(Seq[String], String)]): DataFrame = {
+    require(fds.nonEmpty, "fdAudit: at least one candidate FD required")
+    val parts = fds.map { case (lhs, rhs) =>
+      require(lhs.nonEmpty, "fdAudit: empty lhs")
+      val g = df.groupBy(lhs.map(F.col): _*)
+        .agg(F.count(F.lit(1)).as("__n"),
+          F.count_distinct(F.col(rhs)).as("__d"))
+      g.agg(
+        F.sum("__n").as("n_rows"),
+        F.count(F.lit(1)).as("n_groups"),
+        F.sum(F.when(F.col("__d") > 1L, 1L).otherwise(0L))
+          .as("n_violating"),
+        F.max("__d").as("max_distinct_rhs"),
+        F.sum(F.when(F.col("__d") > 1L, F.col("__n")).otherwise(0L))
+          .as("rows_in_violating"))
+        .select(F.lit(lhs.mkString(",")).as("lhs"), F.lit(rhs).as("rhs"),
+          F.col("n_rows"), F.col("n_groups"), F.col("n_violating"),
+          F.round(F.col("n_violating").cast("double") /
+            F.col("n_groups").cast("double"), 6).as("violation_share"),
+          F.col("max_distinct_rhs"), F.col("rows_in_violating"))
+    }
+    parts.reduce(_ unionByName _).orderBy("lhs", "rhs")
+  }
 }

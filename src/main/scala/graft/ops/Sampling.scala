@@ -484,4 +484,88 @@ object Sampling {
         F.col("__budget").as("budget"))
       .orderBy("group")
   }
+
+  /** GREEDY MAX-COVERAGE source selection (the submodular data-selection
+    * primitive): pick sources one at a time, each round taking the source
+    * that covers the most not-yet-covered mass of the corpus's top-V
+    * vocabulary —
+    * {{{
+    *   gain(s | S) = Σ { corpusCount(t) : t ∈ top-V, t ∈ s, t ∉ cover(S) }
+    * }}}
+    * The "which K sources buy the most vocabulary" curriculum/budget
+    * decision, with the classic greedy (1 − 1/e) coverage guarantee.
+    * Rounds stop early when no remaining source adds mass — fewer than k
+    * rows is a signal, not an error.
+    *
+    * Scale shape: one token explode feeds the vocab census (map-side
+    * combined, TakeOrdered top-V by (count desc, token asc) — the x464
+    * pick rule) and the (source, vocab-token) presence collapse; the
+    * inherently sequential greedy then runs DRIVER-LOCAL on that
+    * ≤ sources×V table (the kCenter/bradleyTerry bounded-solve
+    * convention; loud cap below) and returns literals. Ties break on the
+    * smaller source name; every pick is engine-replayable.
+    *
+    * @return per round: (round, source, gain_mass, covered_mass,
+    *         covered_share 6-dp) ordered by round
+    */
+  def greedyCoverage(docs: DataFrame, sourceCol: String, textCol: String,
+                     k: Int = 5, vocabSize: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 64, s"k out of range: $k")
+    require(vocabSize >= 1 && vocabSize <= 4096,
+      s"vocabSize out of range: $vocabSize")
+    val spark = docs.sparkSession
+    val toks = docs.filter(F.col(sourceCol).isNotNull)
+      .select(F.col(sourceCol).cast("string").as("__src"),
+        F.explode(F.filter(
+          F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))),
+            "\\s+"), x => F.length(x) > 0)).as("__tok"))
+    val vocabDf = toks.groupBy("__tok").agg(F.count(F.lit(1)).as("__c"))
+      .orderBy(F.col("__c").desc, F.col("__tok").asc).limit(vocabSize)
+    val vocab = vocabDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val sv = toks
+      .join(F.broadcast(vocabDf.select("__tok")), Seq("__tok"), "leftsemi")
+      .select("__src", "__tok").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    require(sv.length <= (1 << 20),
+      s"greedyCoverage: ${sv.length} (source, token) presence cells " +
+        "exceed the 2^20 driver-local cap — the source alphabet is not " +
+        "bounded; this op is for bounded source sets, not entity keys")
+    val bySrc: Map[String, Set[String]] =
+      sv.groupBy(_._1).map { case (s, a) => s -> a.map(_._2).toSet }
+    val mass = vocab.toMap
+    val totalMass = vocab.map(_._2).sum
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+      StructField, StructType}
+    var covered = Set.empty[String]
+    var cum = 0L
+    var remaining = bySrc.keySet.toList.sorted
+    val out = scala.collection.mutable.ListBuffer.empty[Row]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val gains = remaining
+        .map(s => s -> bySrc(s).diff(covered).iterator.map(mass).sum)
+        .filter(_._2 > 0L)
+      if (gains.isEmpty) done = true
+      else {
+        val (pick, g) = gains.minBy { case (s, gg) => (-gg, s) }
+        covered = covered ++ bySrc(pick)
+        cum += g
+        out += Row(round.toLong, pick, g, cum,
+          graft.ops.EventOps.ChainMath.r6(
+            cum.toDouble / totalMass.toDouble))
+        remaining = remaining.filterNot(_ == pick)
+        round += 1
+      }
+    }
+    graft.ops.EventOps.ChainMath.literal(spark, out.toSeq, StructType(Seq(
+        StructField("round", LongType, nullable = true),
+        StructField("source", StringType, nullable = true),
+        StructField("gain_mass", LongType, nullable = true),
+        StructField("covered_mass", LongType, nullable = true),
+        StructField("covered_share", DoubleType, nullable = true))))
+      .orderBy("round")
+  }
 }

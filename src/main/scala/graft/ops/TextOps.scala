@@ -2613,4 +2613,75 @@ object TextOps {
           .as("oov_type_rate"))
       .orderBy(groupCol)
   }
+
+  /** WORST-WINDOW SURPRISAL spans — the garbled-text detector a
+    * perplexity DOC filter misses: a long clean document with one
+    * corrupted paragraph (mojibake, OCR noise, binary spill) averages
+    * out to a normal per-doc score, but its worst `window`-token span
+    * does not. Per token, surprisal −ln p(tok) under the corpus's own
+    * unigram distribution (self-trained — rare garbage tokens score
+    * high by construction, no external LM); per doc, the maximum
+    * rolling `window`-token mean and where it sits:
+    * {{{
+    *   worst_window_mean = max_pos mean(−ln p(tok), tokens pos..pos+w−1)
+    * }}}
+    * Read beside `mean_surprisal` (the whole-doc average): a doc whose
+    * worst window ≫ its mean has a LOCALIZED defect — route it to span
+    * removal ([[graft.ops.Dedup.removeDupSpans]]-style surgery), not
+    * the bin.
+    *
+    * Determinism: per-token terms 9-dp before the window sums; window
+    * sums DECIMAL(38,9) (association-free — Spark's running frame and
+    * DuckDB's segment tree agree on exact decimals, the x455 rule);
+    * argmax by (mean desc, pos asc) row_number. Full windows only;
+    * docs shorter than `window` get one whole-doc window at pos 0.
+    *
+    * Scale shape: one token explode feeding the vocab census (map-side
+    * combined) and the scored stream; one doc-keyed window shuffle for
+    * the rolling frames; the 1-row total broadcasts. Never quadratic.
+    *
+    * @return per doc: (id, n_tokens, mean_surprisal, worst_pos,
+    *         worst_window_mean) — 6-dp, worst_pos 0-based
+    */
+  def surprisalSpans(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int = 20): DataFrame = {
+    require(window >= 2 && window <= 1024,
+      s"window out of range: $window")
+    val toks = docs.filter(F.col(idCol).isNotNull)
+      .select(F.col(idCol), F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))),
+          "\\s+"), x => F.length(x) > 0).as("__l"))
+      .select(F.col(idCol),
+        F.posexplode(F.col("__l")).as(Seq("__pos", "__tok")))
+    val vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).as("__c"))
+    val tot = toks.agg(F.count(F.lit(1)).as("__tot"))
+    val scored = toks.join(vocab, Seq("__tok"))
+      .crossJoin(F.broadcast(tot))
+      .select(F.col(idCol), F.col("__pos"),
+        F.round(-F.log(F.col("__c").cast("double") /
+          F.col("__tot").cast("double")), 9).as("__s"))
+    val frame = Window.partitionBy(idCol).orderBy("__pos")
+      .rowsBetween(0, window - 1)
+    val per = Window.partitionBy(idCol)
+    val wins = scored
+      .withColumn("__n", F.count(F.lit(1)).over(per))
+      .withColumn("__wsum",
+        F.sum(F.col("__s").cast("decimal(38,9)")).over(frame))
+      .withColumn("__wcnt", F.count(F.lit(1)).over(frame))
+      .filter(F.col("__pos") + window <= F.col("__n") ||
+        (F.col("__n") < window && F.col("__pos") === 0))
+      .withColumn("__wmean", F.round(F.col("__wsum").cast("double") /
+        F.col("__wcnt").cast("double"), 6))
+    val best = wins.withColumn("__rk", F.row_number().over(
+        Window.partitionBy(idCol)
+          .orderBy(F.col("__wmean").desc, F.col("__pos"))))
+      .filter(F.col("__rk") === 1)
+      .select(F.col(idCol), F.col("__pos").as("worst_pos"),
+        F.col("__wmean").as("worst_window_mean"))
+    val docMean = scored.groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_tokens"),
+        F.round(F.sum(F.col("__s").cast("decimal(38,9)")).cast("double") /
+          F.count(F.lit(1)).cast("double"), 6).as("mean_surprisal"))
+    docMean.join(best, Seq(idCol)).orderBy(idCol)
+  }
 }

@@ -7861,6 +7861,49 @@ class OpsSpec extends AnyFunSuite {
       y.isNullAt(6) && y.isNullAt(7), y)
   }
 
+  test("surprisalSpans: hand corpus — the rare token drags its window " +
+      "up, short docs get one whole-doc window") {
+    import graft.ops.TextOps
+    val docs = Seq((1L, "a a a a b"), (2L, "a a a"), (3L, "a a"))
+      .toDF("doc_id", "text")
+    val got = TextOps.surprisalSpans(docs, "doc_id", "text", window = 3)
+      .as[(Long, Long, Double, Int, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // corpus: a x9, b x1 → s(a) = -ln .9 = .105360516, s(b) = 2.302585093
+    assert(got(1L) == ((1L, 5L, 0.544805, 2, 0.837769)), got(1L))
+    assert(got(2L) == ((2L, 3L, 0.105361, 0, 0.105361)), got(2L))
+    // doc 3 has 2 < window tokens: one whole-doc window at pos 0
+    assert(got(3L) == ((3L, 2L, 0.105361, 0, 0.105361)), got(3L))
+  }
+
+  test("greedyCoverage: superset source wins round 1, exhausted gains " +
+      "stop the rounds early; ties break on source name") {
+    import graft.ops.Sampling
+    val docs = Seq(("s1", "a b"), ("s2", "b c d"), ("s3", "a b c d e"))
+      .toDF("source", "text")
+    val got = Sampling.greedyCoverage(docs, "source", "text", k = 3,
+        vocabSize = 16)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    // s3 covers everything (mass 10); rounds stop — no residual gain
+    assert(got == Seq((1L, "s3", 10L, 10L, 1.0)), got)
+    val tie = Seq(("s1", "a"), ("s2", "a")).toDF("source", "text")
+    val got2 = Sampling.greedyCoverage(tie, "source", "text", k = 2,
+        vocabSize = 16)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got2 == Seq((1L, "s1", 2L, 2L, 1.0)), got2)
+  }
+
+  test("fdAudit: violating and holding FDs censused with blast radius; " +
+      "all-NULL rhs group is not a violation") {
+    import graft.ops.Quality
+    val df = Seq((1L, Some("x")), (1L, Some("x")), (2L, Some("x")),
+      (2L, Some("y")), (3L, None)).toDF("k", "v")
+    val got = Quality.fdAudit(df, Seq(Seq("k") -> "v"))
+      .as[(String, String, Long, Long, Long, Double, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("k", "v", 5L, 3L, 1L, 0.333333, 2L, 2L)), got)
+  }
+
   test("lshBandingPlan: q replays the squaring chains; more bands = " +
       "catchier at every similarity") {
     val sims = Seq(0.25, 0.75).toDF("sim")
