@@ -768,6 +768,34 @@ object StressBench {
         "x476_fightin" -> (() =>
           graft.ops.TextOps.fightinWords(docs, "lang", "text",
             alpha0 = 10.0, perGroup = 2)),
+        // weighted MinHash (production xxhash64 kind): signature stage
+        // is one token-census projection + id shuffle (linear);
+        // verbatim replicas are TRUE weighted near-dups, so the
+        // candidate/output volume carries the planted K² duplicate
+        // mass — the x04/x99 output-bound shape — while maxBucket
+        // caps any single bucket
+        "x480_weighted_minhash" -> (() =>
+          Dedup.weightedMinhashPairs(docs, "doc_id", "text")),
+        // disorder census: one user-keyed window pass + per-type
+        // collapse — corpus-linear, no pair joins
+        "x482_disorder" -> (() => {
+          val arr = F.when(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+              .isin("0", "1", "2"), F.col("event_id") * 10 + 75)
+            .otherwise(F.col("event_id") * 10)
+          graft.ops.EventOps.disorderCensus(
+            events.withColumn("arrival_id", arr),
+            tieCol = "arrival_id")
+        }),
+        // surprisal spans: token explode feeding the vocab census
+        // (map-side combined; vocab FLAT under verbatim replicas) and
+        // one doc-keyed rolling-window pass — corpus-linear
+        "x483_surprisal" -> (() =>
+          graft.ops.TextOps.surprisalSpans(docs, "doc_id", "text")),
+        // greedy coverage: linear census, driver-local greedy on the
+        // bounded sources×64 presence table — flat rounds
+        "x484_greedy_cov" -> (() =>
+          graft.ops.Sampling.greedyCoverage(docs, "source", "text")),
       )
       val allQueries = queries ++ extra
       val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
