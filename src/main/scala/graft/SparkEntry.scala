@@ -3972,6 +3972,60 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "source", "text",
         k = 5, vocabSize = 64)),
 
+    // TextRank keyword extraction (Mihalcea-Tarau 2004): PageRank over
+    // the doc-level co-occurrence graph of the top-128 corpus tokens
+    // (cooccurrenceEdges census, co-doc count >= 5, both directions =
+    // undirected) — the composition entry proving the graph stack does
+    // keyword mining; x92's oracle round structure on VARCHAR nodes
+    "x486_textrank" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(F.col("doc_id"), F.explode(F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+          "\\s+"), x => F.length(x) > 0)).as("tok"))
+      val vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).as("__c"))
+        .orderBy(F.col("__c").desc, F.col("tok").asc).limit(128)
+        .select("tok")
+      val dt = toks.join(F.broadcast(vocab), Seq("tok"), "leftsemi")
+        .select("doc_id", "tok").distinct()
+      val pairs = graft.ops.Graph.cooccurrenceEdges(dt, "doc_id", "tok",
+        minCount = 5)
+      val und = pairs.select(F.col("src"), F.col("dst"))
+        .unionByName(pairs.select(F.col("dst").as("src"),
+          F.col("src").as("dst")))
+      graft.ops.Graph.pageRank(und, "src", "dst", iters = 3)
+        .orderBy("node")
+    }),
+
+    // embedding truncation-recall audit (the "can we store 16 of 64
+    // dims" decision a 100 TB vector store actually faces): per
+    // md5-free deterministic query slice, overlap@10 between full-dim
+    // and first-16-dim brute top-10 — exact, engine-replayable sets
+    // (the x06 ranking convention: cos desc, neighbor_id tiebreak)
+    "x487_truncation_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+      val q = emb.filter(F.col("vec_id") % 97 === 0)
+      val full = Similarity.bruteKnn(emb, q, "vec_id", "embedding",
+          k = 10)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      val tCorpus = emb.select(F.col("vec_id"),
+        F.slice(F.col("embedding"), 1, 16).as("embedding"))
+      val tQ = q.select(F.col("vec_id"),
+        F.slice(F.col("embedding"), 1, 16).as("embedding"))
+      val trunc = Similarity.bruteKnn(tCorpus, tQ, "vec_id",
+          "embedding", k = 10)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      val qids = full.select("query_id").distinct()
+      val overlap = full.join(trunc, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(F.count(F.lit(1)).as("__nc"))
+      qids.join(overlap, Seq("query_id"), "left")
+        .select(F.col("query_id"),
+          F.coalesce(F.col("__nc"), F.lit(0L)).as("n_common"),
+          F.round(F.coalesce(F.col("__nc"), F.lit(0L)).cast("double") /
+            10.0, 6).as("recall_at_10"))
+        .orderBy("query_id")
+    }),
+
     // functional-dependency audit over orders+lineitem candidate FDs:
     // o_orderkey→o_custkey HOLDS by construction, the other three are
     // honest violations with their blast radius (rows in violating
@@ -13663,6 +13717,101 @@ object SparkEntry {
          |    / tot.t::DOUBLE, 6) AS covered_share
          |FROM picks CROSS JOIN tot ORDER BY round""".stripMargin
     },
+
+    // x92's generated PageRank rounds on the token co-occurrence
+    // graph: same x120 tokenization, top-128 vocab by (count desc,
+    // token), per-doc distinct pairs (tok<tok string compare = Spark's
+    // sort_array order), co-doc census >= 5, both directions
+    "x486_textrank" -> {
+      def iter(i: Int, prev: String): String =
+        s"""s$i AS (SELECT round(sum(r), 6) AS dang FROM $prev WHERE od = 0),
+           |c$i AS (
+           |  SELECT e.dst AS node, round(sum(round(0.85 * r.r / r.od, 6)), 6) AS cs
+           |  FROM e JOIN $prev r ON e.src = r.node GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT nd.node, nd.od,
+           |    round((1.0 - 0.85) / (SELECT n FROM c)
+           |      + 0.85 * coalesce((SELECT dang FROM s$i), 0.0) / (SELECT n FROM c)
+           |      + coalesce(c$i.cs, 0.0), 6) AS r
+           |  FROM nd LEFT JOIN c$i ON nd.node = c$i.node)""".stripMargin
+      s"""WITH lists AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+         |    x -> length(x) > 0) AS l
+         |  FROM documents
+         |), toksr AS (
+         |  SELECT doc_id, unnest(l) AS tok FROM lists
+         |), vc AS MATERIALIZED (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(*)::BIGINT AS cnt FROM toksr GROUP BY tok
+         |    ORDER BY cnt DESC, tok LIMIT 128)
+         |), dt AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, tok FROM toksr
+         |  WHERE tok IN (SELECT tok FROM vc)
+         |), pc AS MATERIALIZED (
+         |  SELECT a.tok AS src, b.tok AS dst
+         |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY 1, 2 HAVING count(*) >= 5
+         |), e AS MATERIALIZED (
+         |  SELECT src, dst FROM pc UNION ALL SELECT dst, src FROM pc
+         |), nodes AS (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e
+         |), deg AS (
+         |  SELECT src AS node, count(*) AS od FROM e GROUP BY src
+         |), nd AS (
+         |  SELECT n.node, coalesce(d.od, 0) AS od
+         |  FROM nodes n LEFT JOIN deg d ON n.node = d.node
+         |), c AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (
+         |  SELECT node, od, round(1.0 / (SELECT n FROM c), 6) AS r FROM nd),
+         |${iter(1, "r0")},
+         |${iter(2, "r1")},
+         |${iter(3, "r2")}
+         |SELECT node, od AS out_deg, r AS "rank" FROM r3 ORDER BY node""".stripMargin
+    },
+
+    // two x06-convention brute rankings (full dims vs embedding[1:16]),
+    // top-10 id sets joined per query — overlap counts are exact, no
+    // float rides the output beyond the /10 recall
+    "x487_truncation_recall" ->
+      """WITH fs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id % 97 = 0 AND c.vec_id != q.vec_id
+        |), ft AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rk FROM fs)
+        |  WHERE rk <= 10
+        |), ss AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(c.embedding[1:16], x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(q.embedding[1:16], x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id % 97 = 0 AND c.vec_id != q.vec_id
+        |), tt AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rk FROM ss)
+        |  WHERE rk <= 10
+        |), qids AS (
+        |  SELECT DISTINCT query_id FROM ft
+        |), ov AS (
+        |  SELECT f.query_id, count(*)::BIGINT AS n_common
+        |  FROM ft f JOIN tt t USING (query_id, neighbor_id)
+        |  GROUP BY f.query_id
+        |)
+        |SELECT q.query_id, coalesce(o.n_common, 0)::BIGINT AS n_common,
+        |  round(coalesce(o.n_common, 0)::DOUBLE / 10.0, 6)
+        |    AS recall_at_10
+        |FROM qids q LEFT JOIN ov o USING (query_id)
+        |ORDER BY q.query_id""".stripMargin,
 
     // per-FD two-level aggregate: lhs groups -> distinct-rhs census ->
     // 1-row rollup; COUNT(DISTINCT) ignores NULL rhs in both engines

@@ -317,6 +317,61 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class ArrivalEvent(user_id: Long, ts: Timestamp,
+                                arrival_id: Long)
+  final case class MaxSeen(maxTs: Long)
+  final case class LateOut(user_id: Long, arrival_id: Long, late: Boolean,
+                           lateness_ms: Long)
+
+  /** STREAMING event-time disorder monitor — the live feed of
+    * [[graft.ops.EventOps.disorderCensus]]: per user, O(1) state (ONE
+    * long — the max event time seen) flags each arriving event as late
+    * when some earlier-arriving event of the same user already carried
+    * a larger event time, with the gap as its lateness. Downstream a
+    * plain streaming aggregation rolls the flags into the live
+    * late-share / lateness-quantile readout that watches whether the
+    * deployed `withWatermark` delay still covers the stream's actual
+    * disorder.
+    *
+    * Within a micro-batch events sort by `arrival_id` (the ingest-order
+    * proxy — the SAME tie column the batch census orders by), so the
+    * flags EQUAL the batch op's whenever arrival ids are consistent
+    * with batch arrival order (the normal monotone-ingest case;
+    * cross-batch, state carries the max forward in arrival order).
+    * Lateness here is ms-grain (`Timestamp.getTime`) vs the batch op's
+    * µs — equal at ms-grain timestamps, truncated below that (the
+    * pageHinkleyStream-style precision caveat, stated not hidden).
+    * State is one long per active user; production deployments add a
+    * timeout to expire dormant users, exactly as [[sessionize]] does.
+    */
+  def lateEventStream(events: Dataset[ArrivalEvent],
+                      watermarkDelay: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[LateOut] = {
+    import spark.implicits._
+
+    def update(userId: Long, evs: Iterator[ArrivalEvent],
+               state: GroupState[MaxSeen]): Iterator[LateOut] = {
+      val out = Vector.newBuilder[LateOut]
+      val sorted = evs.toVector.sortBy(_.arrival_id)
+      var mx = state.getOption.map(_.maxTs)
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        val late = mx.exists(t < _)
+        out += LateOut(userId, e.arrival_id, late,
+          if (late) mx.get - t else 0L)
+        mx = Some(mx.fold(t)(math.max(_, t)))
+      }
+      mx.foreach(m => state.update(MaxSeen(m)))
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** STREAM-STREAM interval join: attribute each live conversion to the
     * same user's touches within the trailing window — the continuous
     * feed of the batch last-touch census. This is Structured Streaming's

@@ -388,6 +388,47 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(after == Set(1L, 2L, 5L), s"got $after")
   }
 
+  test("streaming late-event monitor matches the batch disorder flags " +
+      "across micro-batches, in-batch disorder absorbed by arrival sort") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val in = MemoryStream[StreamOps.ArrivalEvent]
+    val q = StreamOps.lateEventStream(in.toDS())
+      .writeStream.format("memory").queryName("lates")
+      .outputMode("append").start()
+    try {
+      // user 1 arrival order 1..4, event times 10, 20, 15, 30 min:
+      // arrival 3 is late by 5 min. Split ACROSS batches after arrival
+      // 2 — the one-long state carries max(ts) over the boundary.
+      // Fed out of arrival order WITHIN batch 1 (2 before 1) — the
+      // arrival_id sort absorbs it.
+      in.addData(
+        StreamOps.ArrivalEvent(1L, ts(20), 2L),
+        StreamOps.ArrivalEvent(1L, ts(10), 1L))
+      q.processAllAvailable()
+      in.addData(
+        StreamOps.ArrivalEvent(1L, ts(15), 3L),
+        StreamOps.ArrivalEvent(1L, ts(30), 4L))
+      q.processAllAvailable()
+      val got = spark.table("lates")
+        .as[StreamOps.LateOut].collect().sortBy(_.arrival_id).toSeq
+      assert(got == Seq(
+        StreamOps.LateOut(1L, 1L, late = false, 0L),
+        StreamOps.LateOut(1L, 2L, late = false, 0L),
+        StreamOps.LateOut(1L, 3L, late = true, 5L * 60L * 1000L),
+        StreamOps.LateOut(1L, 4L, late = false, 0L)), got)
+      // parity with the batch census on the same rows: one late event,
+      // lateness 5 min = 300_000_000 us
+      val batch = Seq((1L, ts(10), 1L, "t"), (1L, ts(20), 2L, "t"),
+        (1L, ts(15), 3L, "t"), (1L, ts(30), 4L, "t"))
+        .toDF("user_id", "ts", "arrival_id", "event_type")
+      val census = graft.ops.EventOps.disorderCensus(batch,
+        tieCol = "arrival_id").collect()(0)
+      assert(census.getLong(2) == 1L &&
+        census.getLong(4) == 300000000L, census)
+    } finally q.stop()
+  }
+
   test("streaming transitions match the batch matrix counts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark
