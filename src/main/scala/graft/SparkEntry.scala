@@ -3972,6 +3972,15 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "source", "text",
         k = 5, vocabSize = 64)),
 
+    // filter-bias audit (the EEOC four-fifths form applied to data
+    // curation): per source, the keep rate of a length-400 gate, its
+    // ratio to the corpus rate, and to the best-kept source — sources
+    // the gate would disparately erase from the mix are flagged
+    "x488_filter_bias" -> ((s, dir) =>
+      graft.ops.Curation.filterBiasAudit(
+        s.read.parquet(s"$dir/documents.parquet"), "source",
+        F.length(F.col("text")) >= 400)),
+
     // TextRank keyword extraction (Mihalcea-Tarau 2004): PageRank over
     // the doc-level co-occurrence graph of the top-128 corpus tokens
     // (cooccurrenceEdges census, co-doc count >= 5, both directions =
@@ -13717,6 +13726,30 @@ object SparkEntry {
          |    / tot.t::DOUBLE, 6) AS covered_share
          |FROM picks CROSS JOIN tot ORDER BY round""".stripMargin
     },
+
+    // same 9-dp rates-then-ratios order; the flag compares the
+    // UNROUNDED ratio of identical 9-dp operands to the 0.8 literal
+    "x488_filter_bias" ->
+      """WITH per AS (
+        |  SELECT source::VARCHAR AS "group", count(*)::BIGINT AS n,
+        |    sum(CASE WHEN length(text) >= 400 THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_kept
+        |  FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT *, round(n_kept::DOUBLE / n::DOUBLE, 9) AS rate
+        |  FROM per
+        |), t AS (
+        |  SELECT sum(n)::BIGINT AS tn, sum(n_kept)::BIGINT AS tk,
+        |    max(rate) AS mx
+        |  FROM r
+        |)
+        |SELECT r."group", r.n, r.n_kept,
+        |  round(r.rate, 6) AS keep_rate,
+        |  round(r.rate / nullif(round(t.tk::DOUBLE / t.tn::DOUBLE, 9),
+        |    0.0), 6) AS rate_vs_corpus,
+        |  round(r.rate / nullif(t.mx, 0.0), 6) AS impact_ratio,
+        |  (r.rate / nullif(t.mx, 0.0)) < 0.8 AS flagged
+        |FROM r CROSS JOIN t ORDER BY r."group"""".stripMargin,
 
     // x92's generated PageRank rounds on the token co-occurrence
     // graph: same x120 tokenization, top-128 vocab by (count desc,

@@ -1261,4 +1261,53 @@ object Curation {
           .as("epsilon"))
       .orderBy("category")
   }
+
+  /** FILTER-BIAS audit — does a candidate keep/drop rule fall
+    * disproportionately on some sources/languages/groups? Per group:
+    * the keep rate, its ratio to the corpus-wide rate, and its ratio to
+    * the BEST-kept group — the EEOC four-fifths form: a group whose
+    * `impact_ratio < floor` (default 0.8) is flagged as disparately
+    * filtered. The pre-flight a curation gate runs before it silently
+    * erases a language or a source family from the training mix.
+    *
+    * Determinism: per-group keep rates 9-dp BEFORE the ratios (both
+    * engines divide the same rounded operands), ratios 6-dp; an
+    * all-dropped corpus (max rate 0 / corpus rate 0) yields NULL
+    * ratios and NULL flags — visible, not fake zeros.
+    *
+    * Scale shape: one map-side-combined group collapse + a 1-row
+    * (total, max-rate) broadcast back. Nothing scales with rows but
+    * the first collapse.
+    *
+    * @param keep the decision under audit, as a boolean Column over
+    *             the row (a length gate, a classifier threshold, a
+    *             composed C4 rule)
+    * @return per group: (group, n, n_kept, keep_rate, rate_vs_corpus,
+    *         impact_ratio, flagged) ordered by group
+    */
+  def filterBiasAudit(df: DataFrame, groupCol: String, keep: Column,
+                      floor: Double = 0.8): DataFrame = {
+    require(floor > 0.0 && floor <= 1.0, s"floor out of range: $floor")
+    val per = df
+      .select(F.col(groupCol).cast("string").as("group"),
+        F.when(keep, 1L).otherwise(0L).as("__k"))
+      .groupBy("group")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("__k").as("n_kept"))
+      .withColumn("__rate", F.round(F.col("n_kept").cast("double") /
+        F.col("n").cast("double"), 9))
+    val tot = per.agg(F.sum("n").as("__tn"), F.sum("n_kept").as("__tk"),
+      F.max("__rate").as("__mx"))
+    per.crossJoin(F.broadcast(tot))
+      .select(F.col("group"), F.col("n"), F.col("n_kept"),
+        F.round(F.col("__rate"), 6).as("keep_rate"),
+        F.round(F.col("__rate") / F.nullif(
+          F.round(F.col("__tk").cast("double") /
+            F.col("__tn").cast("double"), 9), F.lit(0.0)), 6)
+          .as("rate_vs_corpus"),
+        F.round(F.col("__rate") / F.nullif(F.col("__mx"), F.lit(0.0)), 6)
+          .as("impact_ratio"),
+        (F.col("__rate") / F.nullif(F.col("__mx"), F.lit(0.0)) <
+          F.lit(floor)).as("flagged"))
+      .orderBy("group")
+  }
 }

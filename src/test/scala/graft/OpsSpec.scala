@@ -7904,6 +7904,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(("k", "v", 5L, 3L, 1L, 0.333333, 2L, 2L)), got)
   }
 
+  test("filterBiasAudit: four-fifths flags the disparately filtered " +
+      "groups; all-dropped corpus reads NULL ratios, not fake zeros") {
+    import graft.ops.Curation
+    val df = (Seq.fill(2)(("g1", 500)) ++ Seq.fill(2)(("g1", 100)) ++
+      Seq.fill(4)(("g2", 500)) ++ Seq.fill(2)(("g3", 100)))
+      .toDF("src", "len")
+    val got = Curation.filterBiasAudit(df, "src",
+        F.col("len") >= 400)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("g1").getDouble(3) == 0.5 &&
+      got("g1").getDouble(5) == 0.5 && got("g1").getBoolean(6))
+    assert(got("g2").getDouble(5) == 1.0 && !got("g2").getBoolean(6))
+    assert(got("g3").getDouble(3) == 0.0 && got("g3").getBoolean(6))
+    // corpus rate 6/10 = 0.6
+    assert(got("g1").getDouble(4) == 0.833333 &&
+      got("g2").getDouble(4) == 1.666667, got("g2"))
+    val none = Curation.filterBiasAudit(df, "src", F.lit(false))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(none("g1").isNullAt(4) && none("g1").isNullAt(5) &&
+      none("g1").isNullAt(6), none("g1"))
+  }
+
   test("lshBandingPlan: q replays the squaring chains; more bands = " +
       "catchier at every similarity") {
     val sims = Seq(0.25, 0.75).toDF("sim")
