@@ -29,6 +29,15 @@ object SparkEntry {
   private val OracleAB: Seq[(Long, Long)] =
     (0 until 16).map(j => (2L * j + 1, 7919L * j + 13))
 
+  /** Strong-mixing Carter-Wegman seeds for the weighted-MinHash oracle
+    * entry (x480): multipliers ~1e9 so (a·h + b) mod p wraps many times
+    * over the 28-bit md5 element hashes — OracleAB's tiny odd
+    * multipliers leave the components monotone-correlated and inflate
+    * the agreement estimate. Shared literal-for-literal with the SQL. */
+  private val WeightedMinhashAB: Seq[(Long, Long)] =
+    (0 until 16).map(j =>
+      (((1000000007L * (j + 1)) % 2147483646L) | 1L, 7919L * j + 13))
+
   /** The x473 LSH-banding-planner oracle (DuckDB) as a reusable
     * subquery — no trailing ORDER BY so the x479 choice-rule wrapper
     * can CTE it. Squaring chains instead of pow (not correctly-rounded
@@ -3908,8 +3917,12 @@ object SparkEntry {
     "x480_weighted_minhash" -> ((s, dir) => {
       val mdHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         c => F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+      // %21 slice: the template corpus's TRUE weighted-near-dup pair
+      // count is quadratic in the slice (the x99 shape — 157k pairs at
+      // %7/sf0.1, pure output volume); %21 keeps every pipeline stage
+      // exercised at a bounded output
       val base = s.read.parquet(s"$dir/documents.parquet")
-        .filter(F.col("doc_id") % 7 === 0)
+        .filter(F.col("doc_id") % 21 === 0)
         .select(F.col("doc_id"),
           F.substring(F.col("text"), 1, 1500).as("text"))
       val variant = base.filter(F.col("doc_id") % 3 === 0)
@@ -3917,10 +3930,18 @@ object SparkEntry {
           F.concat(F.col("text"), F.lit(" "),
             F.substring(F.col("text"), 1, 200)).as("text"))
       val corpus = base.unionByName(variant)
+      // pairs feeds BOTH the exact verify and the final join — without
+      // the checkpoint the whole signature+banding pipeline executes
+      // twice (measured 86 s task at sf0.1, ~2× the op's real work)
+      // NOT OracleAB: its tiny odd multipliers (1,3,5,...) barely wrap
+      // mod p over the 28-bit md5 element hashes, so the 16 components
+      // correlate and est reads ~0.9 for pairs whose true J_W is 0.4.
+      // Large multipliers mix; both sides get the same computed
+      // literals, so the oracle replays bit-for-bit.
       val pairs = graft.ops.Dedup.weightedMinhashPairs(corpus, "doc_id",
         "text", numHashes = 16, bands = 4, threshold = 0.5,
         maxBucket = 1000, maxWeight = 8, elementHash = mdHash,
-        seeds = OracleAB)
+        seeds = WeightedMinhashAB).localCheckpoint()
       graft.ops.Dedup.weightedJaccard(pairs, corpus, "doc_id", "text",
           maxWeight = 8)
         .join(pairs, Seq("a", "b"))
@@ -13445,12 +13466,12 @@ object SparkEntry {
     // Jaccard per surviving candidate (UNION token universe per pair =
     // Spark's full join; absent side coalesces to weight 0)
     "x480_weighted_minhash" -> {
-      val sigSel = OracleAB.zipWithIndex.map { case ((a, b), j) =>
+      val sigSel = WeightedMinhashAB.zipWithIndex.map { case ((a, b), j) =>
         s"min(($a*h + $b) % $OracleP)"
       }.mkString(",\n         |      ")
       s"""WITH base AS (
          |  SELECT doc_id, substring(text, 1, 1500) AS text
-         |  FROM documents WHERE doc_id % 7 = 0
+         |  FROM documents WHERE doc_id % 21 = 0
          |), vari AS (
          |  SELECT doc_id + 1000000000 AS doc_id,
          |    text || ' ' || substring(text, 1, 200) AS text
