@@ -38,6 +38,93 @@ object SparkEntry {
     (0 until 16).map(j =>
       (((1000000007L * (j + 1)) % 2147483646L) | 1L, 7919L * j + 13))
 
+  /** The x480 weighted-MinHash candidate pipeline (Spark side) —
+    * shared by x480 and the x489 transitivity audit so the two entries
+    * can never drift. Checkpointed: every consumer reuses the
+    * materialized pair set. */
+  private def weightedPairsEntry(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val mdHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+    val base = s.read.parquet(s"$dir/documents.parquet")
+      .filter(F.col("doc_id") % 21 === 0)
+      .select(F.col("doc_id"),
+        F.substring(F.col("text"), 1, 1500).as("text"))
+    val variant = base.filter(F.col("doc_id") % 3 === 0)
+      .select((F.col("doc_id") + 1000000000L).as("doc_id"),
+        F.concat(F.col("text"), F.lit(" "),
+          F.substring(F.col("text"), 1, 200)).as("text"))
+    val corpus = base.unionByName(variant)
+    val pairs = graft.ops.Dedup.weightedMinhashPairs(corpus, "doc_id",
+      "text", numHashes = 16, bands = 4, threshold = 0.5,
+      maxBucket = 1000, maxWeight = 8, elementHash = mdHash,
+      seeds = WeightedMinhashAB).localCheckpoint()
+    (pairs, corpus)
+  }
+
+  /** The x480 weighted-MinHash CANDIDATE pipeline (DuckDB) as reusable
+    * CTE text through `cand` — tokenization, TF cap, integer
+    * expansion, md5 Carter-Wegman mins ([[WeightedMinhashAB]] seeds),
+    * x478 banding/guard/est, threshold + pair dedup. Shared by the
+    * x480 oracle and the x489 transitivity wrapper. */
+  private lazy val WeightedCandCtes: String = {
+    val sigSel = WeightedMinhashAB.zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a*h + $b) % $OracleP)"
+    }.mkString(",\n       |      ")
+    s"""base AS (
+       |  SELECT doc_id, substring(text, 1, 1500) AS text
+       |  FROM documents WHERE doc_id % 21 = 0
+       |), vari AS (
+       |  SELECT doc_id + 1000000000 AS doc_id,
+       |    text || ' ' || substring(text, 1, 200) AS text
+       |  FROM base WHERE doc_id % 3 = 0
+       |), corpus AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL SELECT doc_id, text FROM vari
+       |), t AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+       |  FROM corpus
+       |), tokr AS (
+       |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM t
+       |), tf AS MATERIALIZED (
+       |  SELECT doc_id, tok, least(count(*), 8)::BIGINT AS w
+       |  FROM tokr WHERE tok <> '' GROUP BY doc_id, tok
+       |), ex AS (
+       |  SELECT doc_id, tok || ':' || i::VARCHAR AS e
+       |  FROM (SELECT doc_id, tok, unnest(range(1, w + 1)) AS i
+       |        FROM tf)
+       |), hs AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(e), 1, 7))::BIGINT AS h
+       |  FROM ex
+       |), sig AS (
+       |  SELECT doc_id, [
+       |      $sigSel
+       |    ] AS sig FROM hs GROUP BY doc_id
+       |), banded AS (
+       |  SELECT doc_id, sig, band,
+       |    array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',')
+       |      AS key
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+       |), sized AS (
+       |  SELECT * FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000
+       |), cpairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, l.sig AS sa, r.sig AS sb
+       |  FROM sized l JOIN sized r ON l.band = r.band AND l.key = r.key
+       |  WHERE l.doc_id < r.doc_id
+       |), est AS (
+       |  SELECT a, b,
+       |    len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::DOUBLE
+       |      / 16.0 AS est_jaccard
+       |  FROM cpairs
+       |), cand AS MATERIALIZED (
+       |  SELECT DISTINCT a, b, est_jaccard FROM est
+       |  WHERE est_jaccard >= 0.5
+       |)""".stripMargin
+  }
+
   /** The x473 LSH-banding-planner oracle (DuckDB) as a reusable
     * subquery — no trailing ORDER BY so the x479 choice-rule wrapper
     * can CTE it. Squaring chains instead of pow (not correctly-rounded
@@ -3915,39 +4002,37 @@ object SparkEntry {
     // exact w_jaccard verify (Dedup.weightedJaccard) rides along per
     // candidate, so the entry pins estimate AND truth
     "x480_weighted_minhash" -> ((s, dir) => {
-      val mdHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        c => F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
-      // %21 slice: the template corpus's TRUE weighted-near-dup pair
-      // count is quadratic in the slice (the x99 shape — 157k pairs at
-      // %7/sf0.1, pure output volume); %21 keeps every pipeline stage
-      // exercised at a bounded output
-      val base = s.read.parquet(s"$dir/documents.parquet")
-        .filter(F.col("doc_id") % 21 === 0)
-        .select(F.col("doc_id"),
-          F.substring(F.col("text"), 1, 1500).as("text"))
-      val variant = base.filter(F.col("doc_id") % 3 === 0)
-        .select((F.col("doc_id") + 1000000000L).as("doc_id"),
-          F.concat(F.col("text"), F.lit(" "),
-            F.substring(F.col("text"), 1, 200)).as("text"))
-      val corpus = base.unionByName(variant)
-      // pairs feeds BOTH the exact verify and the final join — without
-      // the checkpoint the whole signature+banding pipeline executes
-      // twice (measured 86 s task at sf0.1, ~2× the op's real work)
-      // NOT OracleAB: its tiny odd multipliers (1,3,5,...) barely wrap
-      // mod p over the 28-bit md5 element hashes, so the 16 components
-      // correlate and est reads ~0.9 for pairs whose true J_W is 0.4.
-      // Large multipliers mix; both sides get the same computed
-      // literals, so the oracle replays bit-for-bit.
-      val pairs = graft.ops.Dedup.weightedMinhashPairs(corpus, "doc_id",
-        "text", numHashes = 16, bands = 4, threshold = 0.5,
-        maxBucket = 1000, maxWeight = 8, elementHash = mdHash,
-        seeds = WeightedMinhashAB).localCheckpoint()
+      val (pairs, corpus) = weightedPairsEntry(s, dir)
       graft.ops.Dedup.weightedJaccard(pairs, corpus, "doc_id", "text",
           maxWeight = 8)
         .join(pairs, Seq("a", "b"))
         .select(F.col("a"), F.col("b"), F.col("est_jaccard"),
           F.col("w_jaccard"))
         .orderBy("a", "b")
+    }),
+
+    // transitivity of the weighted near-dup pair relation: wedge
+    // closure rate over x480's candidate set — the over-merge check
+    // to read BEFORE trusting components-based dedup cluster sizes
+    "x489_pair_transitivity" -> ((s, dir) => {
+      val (pairs, _) = weightedPairsEntry(s, dir)
+      graft.ops.Dedup.pairTransitivity(pairs, maxDegree = 1000)
+    }),
+
+    // inclusion-dependency (FK-candidate) discovery across the TPC-H
+    // tables: the three true FKs read inclusion 1.0, the reverse
+    // direction honestly < 1 (orders without lineitems exist)
+    "x490_inclusion_audit" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val su = s.read.parquet(s"$dir/supplier.parquet")
+      Seq(
+        graft.ops.Quality.inclusionAudit(l, "l_orderkey", o, "o_orderkey"),
+        graft.ops.Quality.inclusionAudit(o, "o_custkey", c, "c_custkey"),
+        graft.ops.Quality.inclusionAudit(l, "l_suppkey", su, "s_suppkey"),
+        graft.ops.Quality.inclusionAudit(o, "o_orderkey", l, "l_orderkey"))
+        .reduce(_ unionByName _).orderBy("a_col", "b_col")
     }),
 
     // mixing profile of the behavior chain: per power round t, the
@@ -13465,62 +13550,8 @@ object SparkEntry {
     // x478 banding/guard/est CTEs, and the exact Σmin/Σmax weighted
     // Jaccard per surviving candidate (UNION token universe per pair =
     // Spark's full join; absent side coalesces to weight 0)
-    "x480_weighted_minhash" -> {
-      val sigSel = WeightedMinhashAB.zipWithIndex.map { case ((a, b), j) =>
-        s"min(($a*h + $b) % $OracleP)"
-      }.mkString(",\n         |      ")
-      s"""WITH base AS (
-         |  SELECT doc_id, substring(text, 1, 1500) AS text
-         |  FROM documents WHERE doc_id % 21 = 0
-         |), vari AS (
-         |  SELECT doc_id + 1000000000 AS doc_id,
-         |    text || ' ' || substring(text, 1, 200) AS text
-         |  FROM base WHERE doc_id % 3 = 0
-         |), corpus AS (
-         |  SELECT doc_id, text FROM base
-         |  UNION ALL SELECT doc_id, text FROM vari
-         |), t AS (
-         |  SELECT doc_id,
-         |    regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
-         |  FROM corpus
-         |), tokr AS (
-         |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM t
-         |), tf AS MATERIALIZED (
-         |  SELECT doc_id, tok, least(count(*), 8)::BIGINT AS w
-         |  FROM tokr WHERE tok <> '' GROUP BY doc_id, tok
-         |), ex AS (
-         |  SELECT doc_id, tok || ':' || i::VARCHAR AS e
-         |  FROM (SELECT doc_id, tok, unnest(range(1, w + 1)) AS i
-         |        FROM tf)
-         |), hs AS (
-         |  SELECT doc_id,
-         |    ('0x' || substring(md5(e), 1, 7))::BIGINT AS h
-         |  FROM ex
-         |), sig AS (
-         |  SELECT doc_id, [
-         |      $sigSel
-         |    ] AS sig FROM hs GROUP BY doc_id
-         |), banded AS (
-         |  SELECT doc_id, sig, band,
-         |    array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), ',')
-         |      AS key
-         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
-         |), sized AS (
-         |  SELECT * FROM banded
-         |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000
-         |), cpairs AS (
-         |  SELECT l.doc_id AS a, r.doc_id AS b, l.sig AS sa, r.sig AS sb
-         |  FROM sized l JOIN sized r ON l.band = r.band AND l.key = r.key
-         |  WHERE l.doc_id < r.doc_id
-         |), est AS (
-         |  SELECT a, b,
-         |    len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::DOUBLE
-         |      / 16.0 AS est_jaccard
-         |  FROM cpairs
-         |), cand AS MATERIALIZED (
-         |  SELECT DISTINCT a, b, est_jaccard FROM est
-         |  WHERE est_jaccard >= 0.5
-         |), ptoks AS (
+    "x480_weighted_minhash" ->
+      s"""WITH $WeightedCandCtes, ptoks AS (
          |  SELECT c.a, c.b, u.tok FROM cand c JOIN tf u ON u.doc_id = c.a
          |  UNION
          |  SELECT c.a, c.b, u.tok FROM cand c JOIN tf u ON u.doc_id = c.b
@@ -13536,7 +13567,63 @@ object SparkEntry {
          |)
          |SELECT c.a, c.b, c.est_jaccard, w.w_jaccard
          |FROM cand c JOIN wj w ON w.a = c.a AND w.b = c.b
-         |ORDER BY c.a, c.b""".stripMargin
+         |ORDER BY c.a, c.b""".stripMargin,
+
+    // x480's candidate CTEs + the wedge/closure replay: same capped
+    // middles, distinct wedges at the shared member, closing-edge
+    // semi-join back onto the pair set
+    "x489_pair_transitivity" ->
+      s"""WITH $WeightedCandCtes, padj AS (
+         |  SELECT a AS m, b AS n FROM cand
+         |  UNION ALL SELECT b, a FROM cand
+         |), degm AS MATERIALIZED (
+         |  SELECT m, count(*)::BIGINT AS d FROM padj GROUP BY m
+         |), cappedm AS MATERIALIZED (
+         |  SELECT m FROM degm WHERE d > 1000
+         |), ctr AS (
+         |  SELECT m, n FROM padj
+         |  WHERE m NOT IN (SELECT m FROM cappedm)
+         |), wed AS MATERIALIZED (
+         |  SELECT DISTINCT l.n AS u, r.n AS v
+         |  FROM ctr l JOIN ctr r ON l.m = r.m WHERE l.n < r.n
+         |), closedw AS (
+         |  SELECT w.u FROM wed w JOIN cand c ON c.a = w.u AND c.b = w.v
+         |)
+         |SELECT (SELECT count(*) FROM cand)::BIGINT AS n_pairs,
+         |  (SELECT count(*) FROM cappedm)::BIGINT AS n_middles_capped,
+         |  (SELECT count(*) FROM wed)::BIGINT AS n_wedges,
+         |  (SELECT count(*) FROM closedw)::BIGINT AS n_closed,
+         |  round((SELECT count(*) FROM closedw)::DOUBLE /
+         |    nullif((SELECT count(*) FROM wed)::DOUBLE, 0.0), 6)
+         |    AS closure_rate""".stripMargin,
+
+    // per-pair distinct collapses + one value equi-join; NULLs ignored
+    // both sides; fk_candidate = full inclusion on a non-empty lhs
+    "x490_inclusion_audit" -> {
+      def inc(aT: String, aC: String, bT: String, bC: String): String =
+        s"""SELECT '$aC' AS a_col, '$bC' AS b_col,
+           |  (SELECT count(DISTINCT $aC) FROM $aT WHERE $aC IS NOT NULL)
+           |    ::BIGINT AS n_a_distinct,
+           |  (SELECT count(DISTINCT $bC) FROM $bT WHERE $bC IS NOT NULL)
+           |    ::BIGINT AS n_b_distinct,
+           |  (SELECT count(*) FROM
+           |    (SELECT DISTINCT $aC::VARCHAR AS v FROM $aT
+           |     WHERE $aC IS NOT NULL) a
+           |    WHERE a.v IN (SELECT DISTINCT $bC::VARCHAR FROM $bT
+           |      WHERE $bC IS NOT NULL))::BIGINT AS n_shared""".stripMargin
+      val parts = Seq(
+        inc("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        inc("orders", "o_custkey", "customer", "c_custkey"),
+        inc("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        inc("orders", "o_orderkey", "lineitem", "l_orderkey"))
+        .mkString("\nUNION ALL\n")
+      s"""SELECT a_col, b_col, n_a_distinct, n_b_distinct, n_shared,
+         |  round(n_shared::DOUBLE / nullif(n_a_distinct::DOUBLE, 0.0), 6)
+         |    AS inclusion,
+         |  (n_shared = n_a_distinct AND n_a_distinct > 0) AS fk_candidate
+         |FROM (
+         |$parts
+         |) ORDER BY a_col, b_col""".stripMargin
     },
 
     // x472's generated power rounds (same lag collapse, 9-dp P and pi

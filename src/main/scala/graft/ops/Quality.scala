@@ -454,6 +454,48 @@ object Quality {
     * @return per FD: (lhs, rhs, n_rows, n_groups, n_violating,
     *         violation_share 6-dp, max_distinct_rhs, rows_in_violating)
     */
+  /** INCLUSION-DEPENDENCY audit — the FK-DISCOVERY sibling of
+    * [[fdAudit]] and the measured form of [[referentialIntegrity]]'s
+    * pass/fail: what share of `a`'s distinct values appear in `b`?
+    * {{{ inclusion = |distinct(a) ∩ distinct(b)| / |distinct(a)| }}}
+    * inclusion = 1 marks (a ⊆ b) — a foreign-key candidate; the
+    * labeled one-row outputs union into a profiling report (the
+    * SPIDER/Bellman single-pair check). NULLs are ignored on both
+    * sides (a NULL never references anything).
+    *
+    * Scale shape: two map-side-combined distinct collapses + one
+    * equi-join on the value, all counts exact; nothing quadratic.
+    *
+    * @return one row: (a_col, b_col, n_a_distinct, n_b_distinct,
+    *         n_shared, inclusion 6-dp (NULL when a is empty),
+    *         fk_candidate)
+    */
+  def inclusionAudit(a: DataFrame, aCol: String, b: DataFrame,
+                     bCol: String, aLabel: String = null,
+                     bLabel: String = null): DataFrame = {
+    val la = Option(aLabel).getOrElse(aCol)
+    val lb = Option(bLabel).getOrElse(bCol)
+    val da = a.filter(F.col(aCol).isNotNull)
+      .select(F.col(aCol).cast("string").as("__v")).distinct()
+      .localCheckpoint() // consumed by the count AND the join
+    val db = b.filter(F.col(bCol).isNotNull)
+      .select(F.col(bCol).cast("string").as("__v")).distinct()
+      .localCheckpoint()
+    val shared = da.join(db, Seq("__v"), "left_semi")
+    da.agg(F.count(F.lit(1)).as("n_a_distinct"))
+      .crossJoin(F.broadcast(
+        db.agg(F.count(F.lit(1)).as("n_b_distinct"))))
+      .crossJoin(F.broadcast(
+        shared.agg(F.count(F.lit(1)).as("n_shared"))))
+      .select(F.lit(la).as("a_col"), F.lit(lb).as("b_col"),
+        F.col("n_a_distinct"), F.col("n_b_distinct"), F.col("n_shared"),
+        F.round(F.col("n_shared").cast("double") /
+          F.nullif(F.col("n_a_distinct").cast("double"), F.lit(0.0)), 6)
+          .as("inclusion"),
+        (F.col("n_shared") === F.col("n_a_distinct") &&
+          F.col("n_a_distinct") > 0L).as("fk_candidate"))
+  }
+
   def fdAudit(df: DataFrame, fds: Seq[(Seq[String], String)]): DataFrame = {
     require(fds.nonEmpty, "fdAudit: at least one candidate FD required")
     val parts = fds.map { case (lhs, rhs) =>

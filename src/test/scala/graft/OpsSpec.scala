@@ -7904,6 +7904,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(("k", "v", 5L, 3L, 1L, 0.333333, 2L, 2L)), got)
   }
 
+  test("pairTransitivity: triangle closes at 1.0, chain reads 0.0, " +
+      "hub middles above the cap generate no wedges") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val gotTri = Dedup.pairTransitivity(tri)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(gotTri == ((3L, 0L, 3L, 3L, 1.0)), gotTri)
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val gotChain = Dedup.pairTransitivity(chain)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(gotChain == ((2L, 0L, 1L, 0L, 0.0)), gotChain)
+    val hub = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("a", "b")
+    val gotHub = Dedup.pairTransitivity(hub, maxDegree = 2).collect().head
+    assert(gotHub.getLong(0) == 3L && gotHub.getLong(1) == 1L &&
+      gotHub.getLong(2) == 0L && gotHub.isNullAt(4), gotHub)
+  }
+
+  test("inclusionAudit: partial inclusion measured, full inclusion " +
+      "marks the FK candidate, NULLs ignored") {
+    import graft.ops.Quality
+    val a = Seq(Some(1L), Some(2L), Some(3L), None).toDF("k")
+    val b = Seq(2L, 3L, 4L).toDF("k2")
+    val got = Quality.inclusionAudit(a, "k", b, "k2")
+      .as[(String, String, Long, Long, Long, Double, Boolean)]
+      .collect().head
+    assert(got == (("k", "k2", 3L, 3L, 2L, 0.666667, false)), got)
+    val full = Quality.inclusionAudit(b, "k2", a, "k")
+      .as[(String, String, Long, Long, Long, Double, Boolean)]
+      .collect().head
+    assert(!full._7 && full._5 == 2L) // 4 missing from a
+    val fk = Quality.inclusionAudit(
+        Seq(2L, 3L).toDF("x"), "x", a, "k")
+      .as[(String, String, Long, Long, Long, Double, Boolean)]
+      .collect().head
+    assert(fk._6 == 1.0 && fk._7, fk)
+  }
+
   test("filterBiasAudit: four-fifths flags the disparately filtered " +
       "groups; all-dropped corpus reads NULL ratios, not fake zeros") {
     import graft.ops.Curation
