@@ -16913,22 +16913,23 @@ object SparkEntry {
         |tot AS (SELECT g, sum(c)::BIGINT AS n FROM census GROUP BY 1),
         |probs AS (SELECT census.g, t, c::DOUBLE / n::DOUBLE AS p
         |  FROM census JOIN tot ON tot.g = census.g),
-        |ac AS (SELECT g, sum(round((0.5 * 0.6931471805599453) * p, 9))
-        |    AS aconst FROM probs GROUP BY 1),
+        |ac AS (SELECT g, sum(round((0.5 * 0.6931471805599453) * p, 9)
+        |    ::DECIMAL(20,9)) AS aconst FROM probs GROUP BY 1),
         |shared AS (SELECT l.g AS src_a, r.g AS src_b, l.p AS pa,
         |    r.p AS pb
         |  FROM probs l JOIN probs r ON l.t = r.t AND l.g < r.g),
         |adj AS (SELECT src_a, src_b, count(*)::BIGINT AS n_shared,
         |    sum(round((pa * ln(pa / ((pa + pb) / 2.0)) +
-        |        pb * ln(pb / ((pa + pb) / 2.0))) / 2.0, 9) -
-        |      round((0.5 * 0.6931471805599453) * pa, 9) -
-        |      round((0.5 * 0.6931471805599453) * pb, 9)) AS s
+        |        pb * ln(pb / ((pa + pb) / 2.0))) / 2.0, 9)::DECIMAL(20,9) -
+        |      round((0.5 * 0.6931471805599453) * pa, 9)::DECIMAL(20,9) -
+        |      round((0.5 * 0.6931471805599453) * pb, 9)::DECIMAL(20,9)) AS s
         |  FROM shared GROUP BY 1, 2),
         |grid AS (SELECT a.g AS src_a, b.g AS src_b
         |  FROM tot a CROSS JOIN tot b WHERE a.g < b.g)
         |SELECT grid.src_a, grid.src_b,
         |  coalesce(n_shared, 0)::BIGINT AS n_shared,
-        |  round(aa.aconst + ab.aconst + coalesce(s, 0.0), 6) AS js
+        |  round((aa.aconst + ab.aconst +
+        |    coalesce(s, 0::DECIMAL(20,9)))::DOUBLE, 6) AS js
         |FROM grid
         |LEFT JOIN adj ON adj.src_a = grid.src_a
         |  AND adj.src_b = grid.src_b

@@ -1893,9 +1893,15 @@ object TextOps {
     val probs = counts.join(F.broadcast(tot), Seq("__g"))
       .withColumn("__p",
         F.col("__c").cast("double") / F.col("__n").cast("double"))
-    // per-slice all-vocabulary absent-mass constant
+    // per-slice all-vocabulary absent-mass constant; the 9-dp terms
+    // accumulate as DECIMAL(20,9) — a vocab-sized double sum is
+    // order-dependent in its last bits and split a 6-dp half-way case
+    // at sf0.001 (r18 inherited red row). 20 digits, not 38: Spark's
+    // a-b-c chain on (38,9) overflows precision and silently REDUCES
+    // the scale to 8 (DuckDB keeps 9 — one-step 6-dp mismatches)
     val aConst = probs
-      .withColumn("__a", F.round(F.lit(0.5 * Ln2) * F.col("__p"), 9))
+      .withColumn("__a",
+        F.round(F.lit(0.5 * Ln2) * F.col("__p"), 9).cast("decimal(20,9)"))
       .groupBy("__g").agg(F.sum("__a").as("__A"))
     val l = probs.select(F.col("__g").as("src_a"), F.col("__t"),
       F.col("__p").as("__pa"))
@@ -1907,9 +1913,12 @@ object TextOps {
     val adj = shared
       .withColumn("__adj",
         F.round((F.col("__pa") * F.log(F.col("__pa") / m) +
-          F.col("__pb") * F.log(F.col("__pb") / m)) / 2.0, 9) -
-          F.round(F.lit(0.5 * Ln2) * F.col("__pa"), 9) -
-          F.round(F.lit(0.5 * Ln2) * F.col("__pb"), 9))
+          F.col("__pb") * F.log(F.col("__pb") / m)) / 2.0, 9)
+            .cast("decimal(20,9)") -
+          F.round(F.lit(0.5 * Ln2) * F.col("__pa"), 9)
+            .cast("decimal(20,9)") -
+          F.round(F.lit(0.5 * Ln2) * F.col("__pb"), 9)
+            .cast("decimal(20,9)"))
       .groupBy("src_a", "src_b")
       .agg(F.count(F.lit(1)).as("n_shared"), F.sum("__adj").as("__s"))
     val grid = tot.select(F.col("__g").as("src_a"))
@@ -1922,8 +1931,9 @@ object TextOps {
         F.col("__A").as("__Ab"))), Seq("src_b"))
       .select(F.col("src_a"), F.col("src_b"),
         F.coalesce(F.col("n_shared"), F.lit(0L)).as("n_shared"),
-        F.round(F.col("__Aa") + F.col("__Ab") +
-          F.coalesce(F.col("__s"), F.lit(0.0)), 6).as("js"))
+        F.round((F.col("__Aa") + F.col("__Ab") +
+          F.coalesce(F.col("__s"),
+            F.lit(0).cast("decimal(20,9)"))).cast("double"), 6).as("js"))
       .orderBy("src_a", "src_b")
   }
 
