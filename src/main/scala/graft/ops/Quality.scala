@@ -475,11 +475,17 @@ object Quality {
                      bLabel: String = null): DataFrame = {
     val la = Option(aLabel).getOrElse(aCol)
     val lb = Option(bLabel).getOrElse(bCol)
+    // native-typed keys when both sides agree (the inclusionProfile
+    // rule): the string cast is only for mismatched-type pairs, and it
+    // is injective, so counts and semi-join hits are identical
+    val sameType = a.schema(aCol).dataType == b.schema(bCol).dataType
+    def key(df: DataFrame, c: String): org.apache.spark.sql.Column =
+      if (sameType) df(c) else df(c).cast("string")
     val da = a.filter(F.col(aCol).isNotNull)
-      .select(F.col(aCol).cast("string").as("__v")).distinct()
+      .select(key(a, aCol).as("__v")).distinct()
       .localCheckpoint() // consumed by the count AND the join
     val db = b.filter(F.col(bCol).isNotNull)
-      .select(F.col(bCol).cast("string").as("__v")).distinct()
+      .select(key(b, bCol).as("__v")).distinct()
       .localCheckpoint()
     val shared = da.join(db, Seq("__v"), "left_semi")
     da.agg(F.count(F.lit(1)).as("n_a_distinct"))

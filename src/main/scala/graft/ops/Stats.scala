@@ -2032,9 +2032,18 @@ object Stats {
       candidates: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
     require(candidates.nonEmpty, "inclusionProfile: need at least one candidate")
     candidates.map { case (name, a, aCol, b, bCol) =>
-      val da = a.select(F.col(aCol).cast("string").as("__v"))
+      // keys stay in their NATIVE type when both sides already agree —
+      // the string cast exists only to make mismatched-type pairs
+      // joinable, and casting is injective, so distinct counts and the
+      // semi-join hits are identical either way; on a 6M-row lineitem
+      // key the long→string cast + string hashing was the dominant cost
+      // (r18: x226 11.4 s task, mostly the two lineitem distincts)
+      val sameType = a.schema(aCol).dataType == b.schema(bCol).dataType
+      def key(c: String): org.apache.spark.sql.Column =
+        if (sameType) F.col(c) else F.col(c).cast("string")
+      val da = a.select(key(aCol).as("__v"))
         .filter(F.col("__v").isNotNull).distinct()
-      val db = b.select(F.col(bCol).cast("string").as("__v"))
+      val db = b.select(key(bCol).as("__v"))
         .filter(F.col("__v").isNotNull).distinct()
       da.join(db, Seq("__v"), "left_semi")
         .agg(F.count(F.lit(1)).as("n_hit"))
@@ -3435,8 +3444,15 @@ object Stats {
     */
   def krippAlphaNominal(df: DataFrame, unitCol: Column,
                         catCol: Column): DataFrame = {
-    val c = df.select(unitCol.cast("string").as("__u"),
-      catCol.cast("string").as("__cat"))
+    // unit/category keys group in their NATIVE type: both columns only
+    // ever key group-bys (no ordering, no output), and grouping is the
+    // same row partition as grouping on the injective string image — on
+    // x271's 6M lineitem rows the two long→string casts plus string
+    // hashing were the dominant task cost (15.6 s → see r18 A/B).
+    // Caveat (floats only): native grouping normalizes -0.0 to 0.0 and
+    // collapses NaNs, the string image did not — callers pass integral
+    // keys (the repo convention for category codes), where the two agree
+    val c = df.select(unitCol.as("__u"), catCol.as("__cat"))
       .groupBy("__u", "__cat").agg(F.count(F.lit(1)).as("__k"))
     val per = c.groupBy("__u").agg(F.sum("__k").as("__m"),
       F.sum(F.col("__k") * F.col("__k")).as("__s2"))
@@ -3495,11 +3511,22 @@ object Stats {
     val dense = gr.crossJoin(vals)
       .join(f, Seq("__g", "__v"), "left").na.fill(0L, Seq("__f"))
     val wG = Window.partitionBy("__g").orderBy("__v")
-    val wV = Window.partitionBy("__v")
+    // D_j needs C_j = Σ_i c_ij — but that is just the GLOBAL cumulative
+    // of the multiplicities, Σ_{v'≤v} l(v'), so it comes from the L-row
+    // distinct-value table in one ordered scan instead of the r17-shape
+    // whole-partition window over the k×L grid (150k window partitions ×
+    // k rows each at sf0.1 — 13.0 s of the op's task_ms was that window;
+    // the L-row cumulative + one value-keyed join replaces it, and AQE
+    // broadcast-flips the join when L is small). Exact longs either way.
+    val wAll = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumL = vals.withColumn("__scv", F.sum("__l").over(wAll))
+      .select(F.col("__v"), F.col("__scv"))
     val cum = dense
       .withColumn("__c", F.sum("__f").over(wG))
       .withColumn("__e", F.col("__c") * 2L - F.col("__f"))
-      .withColumn("__dd", F.sum("__c").over(wV) * 2L - F.col("__l"))
+      .join(cumL, Seq("__v"))
+      .withColumn("__dd", F.col("__scv") * 2L - F.col("__l"))
     val tot = gr.agg(F.sum("__ni").as("n"), F.count(F.lit(1)).as("k"))
     val nVals = vals.agg(F.count(F.lit(1)).as("n_vals"))
     val terms = cum.crossJoin(F.broadcast(tot))
