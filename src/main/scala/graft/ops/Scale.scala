@@ -13,6 +13,31 @@ import org.apache.spark.sql.{functions => F}
   */
 object Scale {
 
+  /** Spread a NARROW source across the session's cores before a heavy
+    * per-row projection (tokenize / shingle / hash / explode). A parquet
+    * scan parallelizes by row-group splits, and a single-row-group file —
+    * the shape of every table in the provided testdata — plans as ONE
+    * task, so everything upstream of the first exchange (exactly where
+    * the text family burns its CPU) runs serial no matter how many cores
+    * the session has (measured: x121's gram census 6.5 s wall at
+    * parallelism 1.08 → 1.5 s after spreading).
+    *
+    * Scale-adaptive by construction (guide §2: derive partitioning from
+    * input size, never a local constant): the round-robin exchange fires
+    * ONLY when the planned input parallelism is below half the session's
+    * `defaultParallelism` — at 100 TB inputs arrive as thousands of
+    * splits and this is a no-op; locally it buys N-way parallelism for
+    * one exchange of the raw rows. Round-robin repartition keeps Spark's
+    * sort-before-repartition determinism (SPARK-23207), and every
+    * downstream operator in this repo is partitioning-agnostic by the
+    * determinism contract (keyed aggregations / canonical orderings).
+    */
+  def spreadNarrowScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val planned = df.rdd.getNumPartitions
+    if (planned * 2 <= target) df.repartition(target) else df
+  }
+
   /** Write `df` bucketed+sorted by `bucketCol` as a saveAsTable table. Two
     * tables bucketed the same way (same column, same `numBuckets`) join with
     * zero Exchange — the scan partitioning already satisfies the join

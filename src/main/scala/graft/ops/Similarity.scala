@@ -1194,7 +1194,8 @@ object Similarity {
                   vecCol: String, threshold: Double): DataFrame = {
     require(threshold > -1.0 && threshold <= 1.0,
       s"threshold must be in (-1, 1], got $threshold")
-    val c = corpus.withColumn("__nc", l2norm(F.col(vecCol)))
+    val c = Scale.spreadNarrowScan(corpus)
+      .withColumn("__nc", l2norm(F.col(vecCol)))
     val q = F.broadcast(queries
       .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "__qvec")
       .withColumn("__nq", l2norm(F.col("__qvec"))))
