@@ -1033,7 +1033,7 @@ object TextOps {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(vocabCap >= 1, s"vocabCap must be >= 1, got $vocabCap")
     val spark = docs.sparkSession
-    val census = Scale.spreadNarrowScan(docs).select(F.explode(F.filter(
+    val census = docs.select(F.explode(F.filter(
         F.split(F.regexp_replace(F.lower(F.col(textCol)), "[^a-z0-9 ]", " "),
           "\\s+"),
         w => F.length(w) > 0)).as("word"))
@@ -1579,7 +1579,7 @@ object TextOps {
     */
   def tokenEntropy(df: DataFrame, groupCols: Seq[String],
                    textCol: String): DataFrame = {
-    val toks = Scale.spreadNarrowScan(df).select(groupCols.map(F.col) :+
+    val toks = df.select(groupCols.map(F.col) :+
       F.explode(F.filter(
         F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))), "\\s+"),
         t => F.length(t) > 0)).as("__t"): _*)
@@ -1622,8 +1622,7 @@ object TextOps {
   def burrowsDelta(docs: DataFrame, srcCol: String, textCol: String,
                    topK: Int = 30): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val toks = Scale.spreadNarrowScan(docs)
-      .select(F.col(srcCol).as("__s"),
+    val toks = docs.select(F.col(srcCol).as("__s"),
       F.explode(F.filter(
         F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))), "\\s+"),
         t => F.length(t) > 0)).as("__t"))
@@ -1791,7 +1790,7 @@ object TextOps {
     val toks = F.filter(
       F.split(F.lower(F.trim(F.coalesce(F.col(textCol), F.lit("")))),
         "\\s+"), t => F.length(t) > 0)
-    val ex = Scale.spreadNarrowScan(df).select(F.col(idCol).as("doc_id"),
+    val ex = df.select(F.col(idCol).as("doc_id"),
         F.posexplode(toks).as(Seq("__pos", "__t")))
       .withColumn("__seg",
         (F.col("__pos").cast("long") / segment.toLong).cast("long"))
