@@ -392,7 +392,17 @@ object Bench {
     // detail file (run 10: 1475-tick bursts inside single queries)
     val stealSec =
       results.map(_._2.stealDelta).filter(_ >= 0).sum.toDouble / userHz
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","value_rerun_min":${s3(totalRerunMin)},"production_total":${s3(prodTotal)},"production_rerun_min":${s3(prodRerunMin)},"reruns":${rerunSecs.size},"gc_sec":${s3(sumGcMs / 1000.0)},"steal_sec":${s3(stealSec)},"parallelism":${f"$par%.2f"},"n_queries":${results.size},"queries":$qs,"queries_omitted":$omitted,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Per-query steal for the printed top-60 (r18 verdict ask #7,
+    // ADDITIVE-only: "queries" stays the same name→sec map): a top-60 row
+    // whose steal_q entry is large self-adjudicates as host interference
+    // without the detail file. Bounded to the 20 largest entries above 50
+    // ticks so the one-line JSON stays inside the driver's 2000-char tail
+    // window even in a whole-suite steal storm.
+    val stealQ = slowest.filter(_._2.stealDelta > 50)
+      .sortBy(-_._2.stealDelta).take(20)
+      .map { case (k, v) => "\"" + shortId(k) + "\":" + v.stealDelta }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","value_rerun_min":${s3(totalRerunMin)},"production_total":${s3(prodTotal)},"production_rerun_min":${s3(prodRerunMin)},"reruns":${rerunSecs.size},"gc_sec":${s3(sumGcMs / 1000.0)},"steal_sec":${s3(stealSec)},"parallelism":${f"$par%.2f"},"n_queries":${results.size},"queries":$qs,"steal_q":$stealQ,"queries_omitted":$omitted,"failed":$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -4027,12 +4027,15 @@ object SparkEntry {
       val l = s.read.parquet(s"$dir/lineitem.parquet")
       val c = s.read.parquet(s"$dir/customer.parquet")
       val su = s.read.parquet(s"$dir/supplier.parquet")
-      Seq(
-        graft.ops.Quality.inclusionAudit(l, "l_orderkey", o, "o_orderkey"),
-        graft.ops.Quality.inclusionAudit(o, "o_custkey", c, "c_custkey"),
-        graft.ops.Quality.inclusionAudit(l, "l_suppkey", su, "s_suppkey"),
-        graft.ops.Quality.inclusionAudit(o, "o_orderkey", l, "l_orderkey"))
-        .reduce(_ unionByName _).orderBy("a_col", "b_col")
+      // batched: the (l_orderkey, o_orderkey) pair is audited in BOTH
+      // directions — inclusionAuditAll serves the reverse direction from
+      // the same aggregate instead of recomputing both distinct sets
+      graft.ops.Quality.inclusionAuditAll(Seq(
+        (l, "l_orderkey", o, "o_orderkey", null, null),
+        (o, "o_custkey", c, "c_custkey", null, null),
+        (l, "l_suppkey", su, "s_suppkey", null, null),
+        (o, "o_orderkey", l, "l_orderkey", null, null)))
+        .orderBy("a_col", "b_col")
     }),
 
     // mixing profile of the behavior chain: per power round t, the

@@ -472,34 +472,73 @@ object Quality {
     */
   def inclusionAudit(a: DataFrame, aCol: String, b: DataFrame,
                      bCol: String, aLabel: String = null,
-                     bLabel: String = null): DataFrame = {
-    val la = Option(aLabel).getOrElse(aCol)
-    val lb = Option(bLabel).getOrElse(bCol)
-    // native-typed keys when both sides agree (the inclusionProfile
-    // rule): the string cast is only for mismatched-type pairs, and it
-    // is injective, so counts and semi-join hits are identical
-    val sameType = a.schema(aCol).dataType == b.schema(bCol).dataType
-    def key(df: DataFrame, c: String): org.apache.spark.sql.Column =
-      if (sameType) df(c) else df(c).cast("string")
-    val da = a.filter(F.col(aCol).isNotNull)
-      .select(key(a, aCol).as("__v")).distinct()
-      .localCheckpoint() // consumed by the count AND the join
-    val db = b.filter(F.col(bCol).isNotNull)
-      .select(key(b, bCol).as("__v")).distinct()
-      .localCheckpoint()
-    val shared = da.join(db, Seq("__v"), "left_semi")
-    da.agg(F.count(F.lit(1)).as("n_a_distinct"))
-      .crossJoin(F.broadcast(
-        db.agg(F.count(F.lit(1)).as("n_b_distinct"))))
-      .crossJoin(F.broadcast(
-        shared.agg(F.count(F.lit(1)).as("n_shared"))))
-      .select(F.lit(la).as("a_col"), F.lit(lb).as("b_col"),
-        F.col("n_a_distinct"), F.col("n_b_distinct"), F.col("n_shared"),
+                     bLabel: String = null): DataFrame =
+    inclusionAuditAll(Seq((a, aCol, b, bCol, aLabel, bLabel)))
+
+  /** Batched [[inclusionAudit]]: one row per candidate, in input order.
+    * Candidates that are exact REVERSALS of an earlier one (same two
+    * DataFrame objects and columns, swapped sides — the FK census always
+    * asks both directions) are served from the SAME aggregate: the
+    * intersection is symmetric and both distinct counts are already in
+    * the 1-row rollup, so the second direction costs nothing. */
+  def inclusionAuditAll(
+      candidates: Seq[(DataFrame, String, DataFrame, String,
+        String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "inclusionAuditAll: need >= 1 candidate")
+    // r19 shape (guide §2 two-phase aggregation): both sides' non-null
+    // keys union with presence tags, ONE map-side-combined
+    // groupBy(value) collapse, then a 1-row rollup reads |distinct(a)|,
+    // |distinct(b)| and |intersection| together — replacing the two
+    // distinct passes + two localCheckpoint jobs + semi-join of the old
+    // shape with a single shuffle and zero eager actions.
+    // Dataset keeps reference equality, so the map key matches exactly
+    // the "same DataFrame object both directions" census shape.
+    val merged = scala.collection.mutable.Map
+      .empty[Seq[(DataFrame, String)], (DataFrame, Boolean)]
+    candidates.map { case (a, aCol, b, bCol, aLabel, bLabel) =>
+      val la = Option(aLabel).getOrElse(aCol)
+      val lb = Option(bLabel).getOrElse(bCol)
+      // native-typed keys when both sides agree (the inclusionProfile
+      // rule): the string cast is only for mismatched-type pairs, and it
+      // is injective, so counts and the intersection are identical.
+      // FLOAT/DOUBLE keys always take the string image: native grouping
+      // normalizes -0.0 to 0.0 and collapses NaNs where the string image
+      // keeps them distinct (advisor r18)
+      val sameType = a.schema(aCol).dataType == b.schema(bCol).dataType &&
+        !Set[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.FloatType,
+          org.apache.spark.sql.types.DoubleType)
+          .contains(a.schema(aCol).dataType)
+      def key(df: DataFrame, c: String): org.apache.spark.sql.Column =
+        if (sameType) df(c) else df(c).cast("string")
+      def tagged(df: DataFrame, c: String, tagA: Int): DataFrame =
+        df.filter(F.col(c).isNotNull)
+          .select(key(df, c).as("__v"), F.lit(tagA).as("__ia"),
+            F.lit(1 - tagA).as("__ib"))
+      val fwdKey = Seq((a, aCol), (b, bCol))
+      val (agg, reversed) = merged.get(fwdKey.reverse) match {
+        case Some((shared, _)) => (shared, true)
+        case None =>
+          val m = tagged(a, aCol, 1).unionAll(tagged(b, bCol, 0))
+            .groupBy("__v")
+            .agg(F.max("__ia").as("__ia"), F.max("__ib").as("__ib"))
+            .agg(F.coalesce(F.sum("__ia"), F.lit(0L)).as("__na"),
+              F.coalesce(F.sum("__ib"), F.lit(0L)).as("__nb"),
+              F.coalesce(F.sum(F.col("__ia") * F.col("__ib")), F.lit(0L))
+                .as("n_shared"))
+          merged(fwdKey) = (m, false)
+          (m, false)
+      }
+      val (na, nb) = if (reversed) ("__nb", "__na") else ("__na", "__nb")
+      agg.select(F.lit(la).as("a_col"), F.lit(lb).as("b_col"),
+        F.col(na).as("n_a_distinct"), F.col(nb).as("n_b_distinct"),
+        F.col("n_shared"),
         F.round(F.col("n_shared").cast("double") /
-          F.nullif(F.col("n_a_distinct").cast("double"), F.lit(0.0)), 6)
+          F.nullif(F.col(na).cast("double"), F.lit(0.0)), 6)
           .as("inclusion"),
-        (F.col("n_shared") === F.col("n_a_distinct") &&
-          F.col("n_a_distinct") > 0L).as("fk_candidate"))
+        (F.col("n_shared") === F.col(na) &&
+          F.col(na) > 0L).as("fk_candidate"))
+    }.reduce(_ unionByName _)
   }
 
   def fdAudit(df: DataFrame, fds: Seq[(Seq[String], String)]): DataFrame = {

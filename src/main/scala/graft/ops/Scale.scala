@@ -33,6 +33,19 @@ object Scale {
     * determinism contract (keyed aggregations / canonical orderings).
     */
   def spreadNarrowScan(df: DataFrame): DataFrame = {
+    // Probe planned parallelism only on shuffle-free batch subtrees:
+    // `.rdd` forces physical planning, and under AQE a subtree WITH
+    // exchanges would eagerly execute those shuffle stages at
+    // op-construction time with no result reuse, while a streaming
+    // DataFrame would throw (advisor r18). The op exists for narrow
+    // scan/filter/project inputs — anything else passes through.
+    if (df.isStreaming) return df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val wide = df.queryExecution.analyzed.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Distinct | _: Sort |
+                _: Window | _: RepartitionOperation | _: GlobalLimit) => p
+    }.isDefined
+    if (wide) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     val planned = df.rdd.getNumPartitions
     if (planned * 2 <= target) df.repartition(target) else df

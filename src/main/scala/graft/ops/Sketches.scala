@@ -208,8 +208,14 @@ object Sketches {
                  windowBuckets: Int, p: Int = 8): DataFrame = {
     require(windowBuckets >= 1, s"windowBuckets must be >= 1, got $windowBuckets")
     import org.apache.spark.sql.expressions.Window
-    val regs = hllRegisters(df.select(timeBucket.cast("long").as("t"),
-      key.as("__k")), Seq("t"), F.col("__k"), p)
+    // NOT spread (r19 isolated A/B, the VERDICT #3 experiment): the
+    // register build partial-aggregates map-side inside the scan task, so
+    // a round-robin spread pays a full exchange + determinism sort of the
+    // raw (t, key) rows — measured task_ms 3.6 s → 21 s, wall +0.6 s at
+    // sf0.1. The serial scan is the per-file floor, not fixable here.
+    val regs = hllRegisters(
+      df.select(timeBucket.cast("long").as("t"), key.as("__k")),
+      Seq("t"), F.col("__k"), p)
     // pack each time bucket's registers into ONE map row (the histogram
     // completion trick) so the corpus subtree is referenced exactly once —
     // a dense (hours × registers) frame derived FROM regs would re-execute

@@ -2031,30 +2031,63 @@ object Stats {
   def inclusionProfile(
       candidates: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
     require(candidates.nonEmpty, "inclusionProfile: need at least one candidate")
+    // One tagged union-aggregate per UNORDERED side pair (r19, guide §2
+    // two-phase aggregation): both sides' keys union with presence tags,
+    // one map-side-combined groupBy(value) collapses them, and a 1-row
+    // rollup reads |distinct(a)|, |distinct(b)| and the intersection at
+    // once — replacing per-candidate [2 distinct passes + a semi-join]
+    // with ONE shuffle, and serving a reversed candidate (b ⊆ a, the FK
+    // census always asks both directions) from the SAME aggregate.
+    // Dataset does not override equals, so the map key compares sides by
+    // REFERENCE — exactly the "same DataFrame object passed twice" shape
+    // the census entries use
+    val merged = scala.collection.mutable.Map
+      .empty[Seq[(DataFrame, String)], (DataFrame, Boolean)]
     candidates.map { case (name, a, aCol, b, bCol) =>
       // keys stay in their NATIVE type when both sides already agree —
       // the string cast exists only to make mismatched-type pairs
       // joinable, and casting is injective, so distinct counts and the
-      // semi-join hits are identical either way; on a 6M-row lineitem
+      // intersection are identical either way; on a 6M-row lineitem
       // key the long→string cast + string hashing was the dominant cost
-      // (r18: x226 11.4 s task, mostly the two lineitem distincts)
-      val sameType = a.schema(aCol).dataType == b.schema(bCol).dataType
-      def key(c: String): org.apache.spark.sql.Column =
-        if (sameType) F.col(c) else F.col(c).cast("string")
-      val da = a.select(key(aCol).as("__v"))
-        .filter(F.col("__v").isNotNull).distinct()
-      val db = b.select(key(bCol).as("__v"))
-        .filter(F.col("__v").isNotNull).distinct()
-      da.join(db, Seq("__v"), "left_semi")
-        .agg(F.count(F.lit(1)).as("n_hit"))
-        .crossJoin(F.broadcast(da.agg(F.count(F.lit(1)).as("n_lhs"))))
-        // empty/all-NULL lhs: the inclusion is vacuously true — emit 1.0
-        // explicitly (Spark's 0/0 is NULL; DuckDB's sum-over-no-rows NULL
-        // would diverge otherwise, advisor r11)
-        .select(F.lit(name).as("dep"), F.col("n_lhs"), F.col("n_hit"),
-          F.when(F.col("n_lhs") === 0L, F.lit(1.0))
-            .otherwise(F.round(F.col("n_hit").cast("double") /
-              F.col("n_lhs"), 6)).as("coefficient"))
+      // (r18: x226 11.4 s task, mostly the two lineitem distincts).
+      // FLOAT/DOUBLE keys always take the string image: native grouping
+      // normalizes -0.0 to 0.0 and collapses NaNs where the string image
+      // keeps them distinct (advisor r18) — integral/decimal/string keys
+      // agree, fractional ones are pinned to the historical semantics
+      val sameType = a.schema(aCol).dataType == b.schema(bCol).dataType &&
+        !Set[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.FloatType,
+          org.apache.spark.sql.types.DoubleType)
+          .contains(a.schema(aCol).dataType)
+      def key(df: DataFrame, c: String): org.apache.spark.sql.Column =
+        if (sameType) df(c) else df(c).cast("string")
+      def tagged(df: DataFrame, c: String, tagA: Int): DataFrame =
+        df.filter(F.col(c).isNotNull)
+          .select(key(df, c).as("__v"), F.lit(tagA).as("__ia"),
+            F.lit(1 - tagA).as("__ib"))
+      val fwdKey = Seq((a, aCol), (b, bCol))
+      val (agg, reversed) = merged.get(fwdKey.reverse) match {
+        case Some((shared, _)) => (shared, true)
+        case None =>
+          val m = tagged(a, aCol, 1).unionAll(tagged(b, bCol, 0))
+            .groupBy("__v")
+            .agg(F.max("__ia").as("__ia"), F.max("__ib").as("__ib"))
+            .agg(F.coalesce(F.sum("__ia"), F.lit(0L)).as("__na"),
+              F.coalesce(F.sum("__ib"), F.lit(0L)).as("__nb"),
+              F.coalesce(F.sum(F.col("__ia") * F.col("__ib")), F.lit(0L))
+                .as("n_hit"))
+          merged(fwdKey) = (m, false)
+          (m, false)
+      }
+      val lhs = if (reversed) "__nb" else "__na"
+      // empty/all-NULL lhs: the inclusion is vacuously true — emit 1.0
+      // explicitly (Spark's 0/0 is NULL; DuckDB's sum-over-no-rows NULL
+      // would diverge otherwise, advisor r11)
+      agg.select(F.lit(name).as("dep"), F.col(lhs).as("n_lhs"),
+        F.col("n_hit"),
+        F.when(F.col(lhs) === 0L, F.lit(1.0))
+          .otherwise(F.round(F.col("n_hit").cast("double") /
+            F.col(lhs), 6)).as("coefficient"))
     }.reduce(_ unionByName _)
   }
 
@@ -2307,6 +2340,104 @@ object Stats {
             (F.col("b") + F.col("c")).cast("double")), 6).as("chi2"))
   }
 
+  /** Two-level segmented cumulative sum over a numeric order column — the
+    * scale-safe replacement for the single-partition (or k-partition)
+    * running-sum window `sum(valueCol) over (partition by partCols order
+    * by orderCol)` that otherwise caps parallelism at the partition-key
+    * cardinality regardless of data size.
+    *
+    * Mechanism (guide §2 "derive partitioning from the data"): rows are
+    * bucketed into `blocks` contiguous value ranges by a pure
+    * order-preserving function of `orderCol` (global min/max scaling);
+    * block partial sums collapse map-side into a (partCols × blocks)-row
+    * table whose tiny prefix window yields per-block offsets; the final
+    * running sum is `offset + within-block cumulative`, a window
+    * partitioned by (partCols, block) — parallelism |partCols| · blocks
+    * instead of |partCols|. All sums are exact longs, and addition is
+    * associative, so the result is bit-identical to the flat window for
+    * any block assignment. AQE coalesces the per-block partitions away on
+    * small inputs, so locally this costs one tiny extra aggregate + one
+    * broadcast join; at scale it removes the serial whole-domain scan.
+    *
+    * Degenerate numerics degrade safely: a NaN/±Inf domain or a
+    * zero-span domain maps every row to block 0, which IS the original
+    * flat window. Ordering must be unambiguous: callers pass tables
+    * DISTINCT in (partCols, orderCol) — the three rank-scan grid sites —
+    * so within-block `rowsBetween` frames are deterministic.
+    *
+    * @param bounds optional precomputed 1-row (__sc_lo, __sc_hi) global
+    *               bounds of `orderCol` as doubles — pass the cheapest
+    *               equivalent subtree (e.g. the distinct-value table's
+    *               min/max) to avoid re-deriving `df` for the bounds
+    * @param descending cumulate from the TOP of the value domain (the
+    *               jonckheereTerpstra suffix-count direction)
+    * @param sumSource optional CHEAPER subtree with the same partCols /
+    *               orderCol / valueCol whose per-block sums equal `df`'s
+    *               (the sparse cell table behind a 0-filled dense grid,
+    *               and any part value present in `df` present here too) —
+    *               without it the block sums re-derive `df` itself, which
+    *               for a join-built grid doubles the expensive subtree
+    *               (measured r19: x272 task_ms 2× with df-derived sums)
+    */
+  private[graft] def segmentedCumSum(df: DataFrame, partCols: Seq[String],
+      orderCol: String, valueCol: String, outCol: String,
+      descending: Boolean = false,
+      bounds: Option[DataFrame] = None,
+      sumSource: Option[DataFrame] = None): DataFrame = {
+    val v = F.col(orderCol).cast("double")
+    val blocks = math.max(16, df.sparkSession.sparkContext.defaultParallelism)
+    val src = sumSource.getOrElse(df)
+    val bnd = bounds.getOrElse(
+      src.agg(F.min(v).as("__sc_lo"), F.max(v).as("__sc_hi")))
+    val span = F.col("__sc_hi") - F.col("__sc_lo")
+    // order-preserving: v1 <= v2 => blk(v1) <= blk(v2) (double subtraction,
+    // division by a positive constant, scaling and floor are all monotone)
+    val blk = F.when(span <= 0.0, F.lit(0))
+      .otherwise(F.least(F.lit(blocks - 1), F.greatest(F.lit(0),
+        F.floor((v - F.col("__sc_lo")) / span * blocks).cast("int"))))
+    def withBlkOf(d: DataFrame): DataFrame = d.crossJoin(F.broadcast(bnd))
+      .withColumn("__sc_blk", F.coalesce(blk, F.lit(0)))
+      .drop("__sc_lo", "__sc_hi")
+    val withBlk = withBlkOf(df)
+    val blkKey = partCols :+ "__sc_blk"
+    // block offsets on the DENSIFIED (parts × blocks) frame: a sparse
+    // sumSource can have empty (part, block) cells whose offsets are
+    // still needed by df's rows there — the tiny explode + left join
+    // fills them; `blocks` is partitioning metadata, never data-derived
+    val partsDf =
+      if (partCols.isEmpty) src.sparkSession.range(1).select()
+      else src.select(partCols.map(F.col): _*).distinct()
+    val allBlocks = partsDf.withColumn("__sc_blk",
+      F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))))
+    val blockSums = withBlkOf(src).groupBy(blkKey.map(F.col): _*)
+      .agg(F.sum(valueCol).as("__sc_bsum"))
+    val ordBlk =
+      if (descending) F.col("__sc_blk").desc else F.col("__sc_blk").asc
+    val wOff = Window.partitionBy(partCols.map(F.col): _*).orderBy(ordBlk)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // both attach joins are null-SAFE (<=>): a null part value is its own
+    // window partition in the flat form, so it must match its own rows
+    val bsAl = blockSums.select((blkKey.map(c => F.col(c).as(s"__sb_$c")) :+
+      F.col("__sc_bsum")): _*)
+    val condBs = blkKey.map(c => F.col(c) <=> F.col(s"__sb_$c"))
+      .reduce(_ && _)
+    val offsets = allBlocks
+      .join(bsAl, condBs, "left").na.fill(0L, Seq("__sc_bsum"))
+      .withColumn("__sc_off",
+        F.coalesce(F.sum("__sc_bsum").over(wOff), F.lit(0L)))
+      .select((blkKey.map(c => F.col(c).as(s"__so_$c")) :+
+        F.col("__sc_off")): _*)
+    val cond = blkKey.map(c => F.col(c) <=> F.col(s"__so_$c"))
+      .reduce(_ && _)
+    val ordIn =
+      if (descending) F.col(orderCol).desc else F.col(orderCol).asc
+    val wIn = Window.partitionBy(blkKey.map(F.col): _*).orderBy(ordIn)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withBlk.join(F.broadcast(offsets), cond)
+      .withColumn(outCol, F.sum(valueCol).over(wIn) + F.col("__sc_off"))
+      .drop(blkKey.map(c => s"__so_$c") :+ "__sc_blk" :+ "__sc_off": _*)
+  }
+
   /** Kruskal-Wallis H test — the k-group generalization of
     * [[mannWhitneyU]] (one-way ANOVA on ranks): does ANY group's value
     * distribution sit above the others, with no normality assumption.
@@ -2331,6 +2462,11 @@ object Stats {
         valueCol.cast("double").as("__v"))
       .groupBy("__v", "grp").agg(F.count(F.lit(1)).as("__c"))
     val byV = byVG.groupBy("__v").agg(F.sum("__c").as("__t"))
+    // flat single-partition midrank window KEPT (r19 measured: the
+    // segmented two-level scan read wall +0.5-0.9 s here with cpu flat —
+    // pure attach-stage overhead on this op's L, which is bounded by the
+    // value DOMAIN after the distinct collapse, not by corpus size; see
+    // segmentedCumSum for the unbounded-domain variant the grid ops use)
     val w = Window.orderBy(F.col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mids = byV
@@ -2914,10 +3050,21 @@ object Stats {
       .crossJoin(cells.select("g").distinct())
       .join(cells, Seq("__v", "g"), "left")
       .na.fill(0L, Seq("__c"))
-    val wDesc = Window.partitionBy("g").orderBy(F.col("__v").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withGt = grid
-      .withColumn("__gt", F.sum("__c").over(wDesc) - F.col("__c"))
+    // per-group suffix counts over the dense grid: segmented two-level
+    // scan (descending) instead of the k-partition window whose
+    // parallelism was capped at the group count; bounds come from the
+    // cells table (the grid is a dense cross product, so the global
+    // value range IS every group's range)
+    val gridBounds = cells.agg(
+      F.min(F.col("__v").cast("double")).as("__sc_lo"),
+      F.max(F.col("__v").cast("double")).as("__sc_hi"))
+    // block sums come from the SPARSE cells (the grid's 0-fills add
+    // nothing), so the join-built grid is derived once, not twice
+    val withGt = segmentedCumSum(grid, Seq("g"), "__v", "__c", "__sfx",
+        descending = true, bounds = Some(gridBounds),
+        sumSource = Some(cells.select("g", "__v", "__c")))
+      .withColumn("__gt", F.col("__sfx") - F.col("__c"))
+      .drop("__sfx")
     // U_ab summands c_a·(gt_b + c_b/2) are exact halves — order-free sum
     val j = cells
       .select(F.col("__v"), F.col("g").as("ga"), F.col("__c").as("ca"))
@@ -3449,10 +3596,19 @@ object Stats {
     // same row partition as grouping on the injective string image — on
     // x271's 6M lineitem rows the two long→string casts plus string
     // hashing were the dominant task cost (15.6 s → see r18 A/B).
-    // Caveat (floats only): native grouping normalizes -0.0 to 0.0 and
-    // collapses NaNs, the string image did not — callers pass integral
-    // keys (the repo convention for category codes), where the two agree
-    val c = df.select(unitCol.as("__u"), catCol.as("__cat"))
+    // FLOAT/DOUBLE keys are pinned to the string image (advisor r18):
+    // native grouping normalizes -0.0 to 0.0 and collapses NaNs where
+    // the string image keeps them distinct — the guard enforces what was
+    // previously only a caller convention, at zero cost for the
+    // integral/string keys every in-repo caller passes
+    val raw = df.select(unitCol.as("__u"), catCol.as("__cat"))
+    def keyed(c: String): Column = raw.schema(c).dataType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType =>
+        F.col(c).cast("string").as(c)
+      case _ => F.col(c)
+    }
+    val c = raw.select(keyed("__u"), keyed("__cat"))
       .groupBy("__u", "__cat").agg(F.count(F.lit(1)).as("__k"))
     val per = c.groupBy("__u").agg(F.sum("__k").as("__m"),
       F.sum(F.col("__k") * F.col("__k")).as("__s2"))
@@ -3510,20 +3666,28 @@ object Stats {
     val vals = f.groupBy("__v").agg(F.sum("__f").as("__l"))
     val dense = gr.crossJoin(vals)
       .join(f, Seq("__g", "__v"), "left").na.fill(0L, Seq("__f"))
-    val wG = Window.partitionBy("__g").orderBy("__v")
     // D_j needs C_j = Σ_i c_ij — but that is just the GLOBAL cumulative
     // of the multiplicities, Σ_{v'≤v} l(v'), so it comes from the L-row
-    // distinct-value table in one ordered scan instead of the r17-shape
-    // whole-partition window over the k×L grid (150k window partitions ×
-    // k rows each at sf0.1 — 13.0 s of the op's task_ms was that window;
-    // the L-row cumulative + one value-keyed join replaces it, and AQE
+    // distinct-value table instead of the r17-shape whole-partition
+    // window over the k×L grid (150k window partitions × k rows each at
+    // sf0.1 — 13.0 s of the op's task_ms was that window; the L-row
+    // cumulative + one value-keyed join replaces it, and AQE
     // broadcast-flips the join when L is small). Exact longs either way.
-    val wAll = Window.orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumL = vals.withColumn("__scv", F.sum("__l").over(wAll))
+    // Both remaining running sums — the global one over the L-row value
+    // table and the per-group one over the k×L grid — run as segmented
+    // two-level scans (r19): the flat windows capped parallelism at 1
+    // and k respectively, a one-task whole-domain sort once L ~ N.
+    val valBounds = vals.agg(
+      F.min(F.col("__v").cast("double")).as("__sc_lo"),
+      F.max(F.col("__v").cast("double")).as("__sc_hi"))
+    val cumL = segmentedCumSum(vals, Nil, "__v", "__l", "__scv",
+        bounds = Some(valBounds))
       .select(F.col("__v"), F.col("__scv"))
-    val cum = dense
-      .withColumn("__c", F.sum("__f").over(wG))
+    val cum = segmentedCumSum(dense, Seq("__g"), "__v", "__f", "__c",
+        bounds = Some(valBounds),
+        // sparse cells carry the same block sums as the 0-filled grid —
+        // the cross-join densification is derived once, not twice
+        sumSource = Some(f.select("__g", "__v", "__f")))
       .withColumn("__e", F.col("__c") * 2L - F.col("__f"))
       .join(cumL, Seq("__v"))
       .withColumn("__dd", F.col("__scv") * 2L - F.col("__l"))
@@ -4398,6 +4562,11 @@ object Stats {
         valueCol.cast("double").as("__v"))
       .groupBy("__v", "grp").agg(F.count(F.lit(1)).as("__c"))
     val byV = byVG.groupBy("__v").agg(F.sum("__c").as("__t"))
+    // flat single-partition midrank window KEPT (r19 measured: the
+    // segmented two-level scan read wall +0.5-0.9 s here with cpu flat —
+    // pure attach-stage overhead on this op's L, which is bounded by the
+    // value DOMAIN after the distinct collapse, not by corpus size; see
+    // segmentedCumSum for the unbounded-domain variant the grid ops use)
     val w = Window.orderBy(F.col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mids = byV

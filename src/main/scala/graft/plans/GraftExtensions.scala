@@ -88,5 +88,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(text) => DeflateLen(text)
       case _ => throw new IllegalArgumentException("deflate_len(text)")
     }
+    // rank-bounded mixed windows prune to the per-group prefix before the
+    // window exchange (the q10 `window rolling + row_number + filter rn<=k`
+    // lowering) — see RankLimitPrunesLookbackWindow
+    ext.injectOptimizerRule(_ => RankLimitPrunesLookbackWindow)
   }
 }

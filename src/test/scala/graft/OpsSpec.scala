@@ -8324,4 +8324,100 @@ class OpsSpec extends AnyFunSuite {
       .select("mean_without").collect().head
     assert(row.isNullAt(0), row)
   }
+
+  test("segmentedCumSum: block-merged running sums equal the flat window " +
+      "exactly, asc and desc, grouped and global") {
+    import graft.ops.Stats
+    // values span many blocks (blocks = max(16, defaultParallelism) over
+    // the [lo, hi] range), counts are exact longs — the segmented scan
+    // must be bit-identical to the single-partition window
+    val rows = (1 to 97).map(i => ("g" + (i % 3), i.toDouble * 1.5, i.toLong))
+    val df = rows.toDF("g", "v", "c")
+    val wAsc = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flatAsc = df.withColumn("cum", F.sum("c").over(wAsc))
+      .select("g", "v", "cum").as[(String, Double, Long)].collect().toSet
+    val segAsc = Stats.segmentedCumSum(df, Seq("g"), "v", "c", "cum")
+      .select("g", "v", "cum").as[(String, Double, Long)].collect().toSet
+    assert(segAsc == flatAsc)
+    val wDesc = Window.partitionBy("g").orderBy(F.col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flatDesc = df.withColumn("cum", F.sum("c").over(wDesc))
+      .select("g", "v", "cum").as[(String, Double, Long)].collect().toSet
+    val segDesc = Stats.segmentedCumSum(df, Seq("g"), "v", "c", "cum",
+        descending = true)
+      .select("g", "v", "cum").as[(String, Double, Long)].collect().toSet
+    assert(segDesc == flatDesc)
+    // global (no partition cols), and a zero-span domain (one distinct
+    // value collapses every row into block 0 — the flat-window degenerate)
+    val wG = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = df.select(F.col("v"), F.col("c"))
+    val flatG = g.withColumn("cum", F.sum("c").over(wG))
+      .select("v", "cum").as[(Double, Long)].collect().toSet
+    val segG = Stats.segmentedCumSum(g, Nil, "v", "c", "cum")
+      .select("v", "cum").as[(Double, Long)].collect().toSet
+    assert(segG == flatG)
+    val const = Seq((5.0, 2L), (5.0, 3L)).toDF("v", "c")
+      .groupBy("v").agg(F.sum("c").as("c"))
+    val segC = Stats.segmentedCumSum(const, Nil, "v", "c", "cum")
+      .select("cum").as[Long].collect().toSeq
+    assert(segC == Seq(5L), segC)
+    // null part values match their own offset rows (null-safe attach),
+    // and a SPARSE sumSource (one part misses whole value blocks) still
+    // yields the dense df's offsets via the densified block frame
+    val nrows = (1 to 40).map(i =>
+      (if (i % 2 == 0) null else "gA", i.toDouble, i.toLong))
+    val ndf = nrows.toDF("g", "v", "c")
+    val sparse = ndf.filter(F.col("v") <= 20.0 || F.col("g").isNull)
+    val dense = sparse // df itself sparse: gA has no rows in v>20 blocks
+    val flatN = dense.withColumn("cum", F.sum("c").over(wAsc))
+      .select("g", "v", "cum").as[(Option[String], Double, Long)]
+      .collect().toSet
+    val segN = Stats.segmentedCumSum(dense, Seq("g"), "v", "c", "cum",
+        sumSource = Some(sparse))
+      .select("g", "v", "cum").as[(Option[String], Double, Long)]
+      .collect().toSet
+    assert(segN == flatN)
+  }
+
+  test("native-key float guard: -0.0/0.0 and NaN keys give the string-" +
+      "image semantics on kripp/inclusion paths (advisor r18)") {
+    import graft.ops.{Quality, Stats}
+    // -0.0 and 0.0 are DISTINCT under the string image; native double
+    // grouping would normalize them together — the guard pins the
+    // historical semantics for fractional key types
+    val a = Seq(-0.0, 0.0, 1.0).toDF("x")
+    val b = Seq(0.0, 1.0, Double.NaN).toDF("y")
+    val prof = Stats.inclusionProfile(Seq(("a<b", a, "x", b, "y")))
+      .as[(String, Long, Long, Double)].head()
+    assert(prof == (("a<b", 3L, 2L, 0.666667)), prof)
+    val audit = Quality.inclusionAudit(a, "x", b, "y")
+      .as[(String, String, Long, Long, Long, Double, Boolean)].head()
+    assert(audit == (("x", "y", 3L, 3L, 2L, 0.666667, false)), audit)
+    // kripp: float categories -0.0 vs 0.0 disagree (string image), so the
+    // 2-rating unit is a disagreement: D_o = (4 - 2)/1 / n_units = 2
+    val k = Stats.krippAlphaNominal(
+        Seq((1L, -0.0), (1L, 0.0)).toDF("u", "c"),
+        F.col("u"), F.col("c"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(k._1 == 1L && k._3 == 2L && k._4 == 2.0, k)
+  }
+
+  test("inclusionAuditAll: a reversed candidate reads from the shared " +
+      "aggregate and matches the independent audit") {
+    import graft.ops.Quality
+    val a = Seq(Some(1L), Some(2L), Some(3L), None).toDF("k")
+    val b = Seq(2L, 3L, 4L).toDF("k2")
+    val both = Quality.inclusionAuditAll(Seq(
+        (a, "k", b, "k2", null, null),
+        (b, "k2", a, "k", null, null)))
+      .as[(String, String, Long, Long, Long, Double, Boolean)]
+      .collect().toSeq
+    val solo1 = Quality.inclusionAudit(a, "k", b, "k2")
+      .as[(String, String, Long, Long, Long, Double, Boolean)].head()
+    val solo2 = Quality.inclusionAudit(b, "k2", a, "k")
+      .as[(String, String, Long, Long, Long, Double, Boolean)].head()
+    assert(both == Seq(solo1, solo2), both)
+  }
 }

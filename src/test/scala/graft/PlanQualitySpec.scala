@@ -73,6 +73,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
   }
 
+  test("rank-bounded MIXED window (rolling sum + row_number + filter) " +
+      "prunes with WindowGroupLimit; forward frames stay unpruned") {
+    // the q10 lowering: Spark's own InferWindowGroupLimit cannot fire
+    // (the rolling sum is not rank-like) — RankLimitPrunesLookbackWindow
+    // licenses the prune because every frame is lookback-only
+    val p = plan(prql(
+      """from lineitem
+        |group [l_suppkey] (
+        |  sort [l_shipdate, l_orderkey, l_linenumber]
+        |  window rolling:3 (
+        |    derive [qty_3 = sum l_quantity]
+        |  )
+        |  derive [rn = row_number]
+        |)
+        |filter rn <= 2
+        |select [l_suppkey, l_orderkey, qty_3, rn]""".stripMargin))
+    assert(p.contains("WindowGroupLimit"),
+      s"mixed lookback window must partial-limit map-side:\n$p")
+    // negative control: a whole-partition frame looks FORWARD of the
+    // current row, so pruning would change it — the rule must not fire
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val neg = tables("lineitem")
+      .withColumn("tot", F.sum("l_quantity").over(wAll))
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= 2)
+    val np = plan(neg)
+    assert(!np.contains("WindowGroupLimit"),
+      s"whole-partition frame must NOT be pruned:\n$np")
+  }
+
   test("group-aggregate partial-aggregates map-side before the shuffle") {
     val df = prql(
       """from lineitem
