@@ -663,6 +663,26 @@ object StressBench {
             graft.ops.Graph.cooccurrenceEdges(li, "l_orderkey",
               "l_suppkey", minCount = 6), "src", "dst", topN = 20)
         }),
+        // label propagation on K DISJOINT copies of the co-purchase
+        // bipartite graph (the x318 replication shape): nodes/edges and
+        // the per-round vote census all ×K — the r18 argmax experiment's
+        // decision ladder (VERDICT r18 #5)
+        "x437_label_prop" -> (() => {
+          val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
+            .select("o_orderkey", "o_custkey")
+          val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select("l_orderkey", "l_suppkey")
+          val e0 = o0.join(li0,
+              F.col("o_orderkey") === F.col("l_orderkey"))
+            .select(F.col("o_custkey").as("src"),
+              (F.col("l_suppkey") + 100000L).as("dst"))
+            .distinct()
+          val e = (0 until k).map(i => e0.select(
+              (F.col("src") + F.lit(i * KeyStride)).as("src"),
+              (F.col("dst") + F.lit(i * KeyStride)).as("dst")))
+            .reduce(_ union _)
+          graft.ops.Graph.labelPropagation(e, "src", "dst", rounds = 4)
+        }),
         // JS matrix over K× the corpus with the SAME source set: the
         // vocab census absorbs the growth map-side (counts ×K, vocab
         // and the pair grid constant) — wall must stay near-FLAT
