@@ -31,6 +31,15 @@ object Scale {
     * sort-before-repartition determinism (SPARK-23207), and every
     * downstream operator in this repo is partitioning-agnostic by the
     * determinism contract (keyed aggregations / canonical orderings).
+    *
+    * Trade (advisor r18): the explicit count compiles to
+    * REPARTITION_BY_NUM, which AQE will NOT coalesce — a caller pays
+    * `defaultParallelism` fixed tasks even when the input is tiny. That
+    * is intentional here (the op only fires when the input planned
+    * BELOW half that parallelism and the r18 ledger showed the win only
+    * on provably-heavy serial projections); do not blanket-apply it to
+    * cheap scans — measure, or prefer a REBALANCE hint where AQE should
+    * keep the final say.
     */
   def spreadNarrowScan(df: DataFrame): DataFrame = {
     // Probe planned parallelism only on shuffle-free batch subtrees:
